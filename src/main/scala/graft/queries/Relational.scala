@@ -1,0 +1,206 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import Tables.dec
+
+/** Core relational inventory (SURVEY.md §2.B): scan/projection, filter
+  * pushdown, the flagship pricing summary (TPC-H Q1 shape), distinct
+  * aggregation, and the full join family. Every query ends in a
+  * total-order ORDER BY on a unique key tuple and pre-casts money
+  * doubles to DECIMAL(18,4) so the DuckDB oracle hash-matches
+  * (SURVEY.md §7.8).
+  *
+  * Scale posture (100 TB): filters/projections push into the Parquet
+  * scan (verified via explain: PushedFilters/ReadSchema); aggregations
+  * are partial+final hash aggregates (map-side combine); `part` and
+  * other dims are broadcast so the fact table never shuffles for those
+  * joins; fact-fact joins (lineitem⋈orders) shuffle once on the join
+  * key and AQE handles skew.
+  */
+object Relational extends QueryModule {
+  private val D = DecimalType(18, 4)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scan_project" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          dec(col("l_quantity")).as("qty"),
+          (dec(col("l_extendedprice")) * (lit(1).cast(D) - dec(col("l_discount"))))
+            .cast(D).as("net_price"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "q_filter_pred" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .filter(
+          col("l_shipdate") >= lit("1994-01-01").cast("timestamp") &&
+          col("l_shipdate") <  lit("1996-01-01").cast("timestamp") &&
+          col("l_discount").between(0.03, 0.07) &&
+          col("l_returnflag").isin("A", "R") &&
+          col("l_quantity") < 24 &&
+          col("l_partkey").isNotNull)
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "q_pricing_summary" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(dec(col("l_quantity"))).cast(D).as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast(D).as("sum_base_price"),
+          sum((dec(col("l_extendedprice")) * (lit(1).cast(D) - dec(col("l_discount"))))
+            .cast(D)).cast(D).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .withColumn("avg_qty",
+          col("sum_qty").cast("double") / col("count_order"))
+        .withColumn("avg_price",
+          col("sum_base_price").cast("double") / col("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "q_agg_distinct" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          countDistinct(col("user_id")).as("distinct_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy("event_type")
+    }),
+
+    "q_join_inner" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+      val c = Tables(s, dir, "customer")
+      o.join(c, o("o_custkey") === c("c_custkey"), "inner")
+        .select(col("o_orderkey"), col("c_name"),
+          dec(col("o_totalprice")).as("totalprice"))
+        .orderBy("o_orderkey")
+    }),
+
+    "q_join_broadcast" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val p = Tables(s, dir, "part")
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"), "inner")
+        .groupBy("p_brand")
+        .agg(sum(dec(col("l_quantity"))).cast(D).as("sum_qty"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("p_brand")
+    }),
+
+    "q_join_sortmerge" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val o = Tables(s, dir, "orders")
+      li.hint("merge").join(o, li("l_orderkey") === o("o_orderkey"), "inner")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(dec(col("l_extendedprice"))).cast(D).as("sum_price"))
+        .orderBy("o_orderpriority")
+    }),
+
+    "q_join_outer" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+      val li = Tables(s, dir, "lineitem")
+      o.join(li, o("o_orderkey") === li("l_orderkey"), "left")
+        .groupBy(col("o_orderkey"))
+        .agg(count(col("l_linenumber")).as("n_lines"))
+        .orderBy("o_orderkey")
+    }),
+
+    "q_join_semi" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer")
+      val o = Tables(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    "q_join_anti" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer")
+      val o = Tables(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    "q_sort_limit" -> ((s, dir) => {
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"), dec(col("o_totalprice")).as("totalprice"))
+        .orderBy(col("totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_scan_project" ->
+      """SELECT l_orderkey, l_linenumber,
+        | CAST(l_quantity AS DECIMAL(18,4)) AS qty,
+        | CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS net_price
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_filter_pred" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+        |  AND l_discount BETWEEN 0.03 AND 0.07
+        |  AND l_returnflag IN ('A','R') AND l_quantity < 24 AND l_partkey IS NOT NULL
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_base_price,
+        | CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_disc_price,
+        | count(*) AS count_order,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_price
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_agg_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS distinct_users, count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_join_inner" ->
+      """SELECT o_orderkey, c_name, CAST(o_totalprice AS DECIMAL(18,4)) AS totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_join_broadcast" ->
+      """SELECT p_brand,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty,
+        | count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q_join_sortmerge" ->
+      """SELECT o_orderpriority, count(*) AS n_lines,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_join_outer" ->
+      """SELECT o_orderkey, count(l_linenumber) AS n_lines
+        |FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
+
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_sort_limit" ->
+      """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,4)) AS totalprice
+        |FROM orders ORDER BY totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+  )
+}
