@@ -7,7 +7,8 @@ import graft.queries._
   * pairs; keys are unique across modules (asserted at load).
   */
 object SparkEntry {
-  private def modules: Seq[QueryModule] = Seq(Relational)
+  private def modules: Seq[QueryModule] =
+    Seq(Relational, Grouping, Windows, SetOps, ScalarFuncs)
 
   /** Flagship query (TPC-H Q1 shape) on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

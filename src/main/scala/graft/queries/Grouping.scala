@@ -1,0 +1,104 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import Tables.dec
+
+/** Grouping-set aggregations (SURVEY.md §2.B): rollup, cube, explicit
+  * GROUPING SETS, and the HLL approximate distinct (no oracle — the
+  * estimate is engine-specific).
+  *
+  * Determinism: rollup/cube emit NULL grouping keys, and Spark sorts
+  * NULLS FIRST on ASC while DuckDB defaults NULLS LAST — both sides pin
+  * NULLS FIRST explicitly. grouping_id() bit order (first col = MSB)
+  * matches DuckDB's GROUPING(), verified empirically.
+  *
+  * Scale: rollup/cube are partial+final hash aggregates over one
+  * shuffle (Expand feeds the same exchange); nation is broadcast.
+  */
+object Grouping extends QueryModule {
+  private val D = DecimalType(18, 4)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_rollup" -> ((s, dir) => {
+      // SQL form: sorting the DataFrame-API rollup of a join output trips
+      // Spark 4.1's DetectAmbiguousSelfJoin (the Expand duplicates the
+      // join's attributes); the SQL path builds the identical plan
+      // without Dataset-level ambiguity tagging.
+      Tables(s, dir, "customer").createOrReplaceTempView("customer_v")
+      Tables(s, dir, "nation").createOrReplaceTempView("nation_v")
+      s.sql(
+        """SELECT n_name, c_mktsegment,
+          |  grouping_id(n_name, c_mktsegment) AS gid,
+          |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_bal,
+          |  count(*) AS n_cust
+          |FROM customer_v JOIN nation_v ON c_nationkey = n_nationkey
+          |GROUP BY ROLLUP(n_name, c_mktsegment)
+          |ORDER BY gid, n_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST
+          |""".stripMargin)
+    }),
+
+    "q_agg_cube" -> ((s, dir) => {
+      Tables(s, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+          grouping_id().as("gid"),
+          count(lit(1)).as("n_orders"),
+          sum(dec(col("o_totalprice"))).cast(D).as("sum_price"))
+        .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    }),
+
+    "q_agg_groupingsets" -> ((s, dir) => {
+      Tables(s, dir, "customer").createOrReplaceTempView("customer_v")
+      s.sql(
+        """SELECT c_mktsegment, c_nationkey,
+          |  grouping_id(c_mktsegment, c_nationkey) AS gid,
+          |  count(*) AS n_cust,
+          |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_bal
+          |FROM customer_v
+          |GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+          |ORDER BY gid, c_mktsegment ASC NULLS FIRST, c_nationkey ASC NULLS FIRST
+          |""".stripMargin)
+    }),
+
+    "q_agg_approx_distinct" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+        .orderBy("event_type")
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_agg_rollup" ->
+      """SELECT n_name, c_mktsegment,
+        | GROUPING(n_name, c_mktsegment) AS gid,
+        | CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_bal,
+        | count(*) AS n_cust
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP(n_name, c_mktsegment)
+        |ORDER BY gid, n_name NULLS FIRST, c_mktsegment NULLS FIRST""".stripMargin,
+
+    "q_agg_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        | GROUPING(o_orderstatus, o_orderpriority) AS gid,
+        | count(*) AS n_orders,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_price
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q_agg_groupingsets" ->
+      """SELECT c_mktsegment, c_nationkey,
+        | GROUPING(c_mktsegment, c_nationkey) AS gid,
+        | count(*) AS n_cust,
+        | CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_bal
+        |FROM customer
+        |GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+        |ORDER BY gid, c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST""".stripMargin,
+    // q_agg_approx_distinct: no oracle — HLL estimate is engine-specific.
+  )
+}

@@ -1,0 +1,72 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import Tables.dec
+
+/** Set-operation inventory (SURVEY.md §2.B): UNION ALL, UNION DISTINCT,
+  * INTERSECT, EXCEPT. Spark's intersect/except use distinct (set)
+  * semantics — same as SQL INTERSECT/EXCEPT.
+  *
+  * Scale: distinct set ops shuffle once on the full row; UNION ALL is
+  * shuffle-free (pure concatenation of scans).
+  */
+object SetOps extends QueryModule {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_union_all" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey").as("okey"),
+          dec(col("l_extendedprice")).as("amount"), lit("L").as("src"))
+      val o = Tables(s, dir, "orders")
+        .select(col("o_orderkey").as("okey"),
+          dec(col("o_totalprice")).as("amount"), lit("O").as("src"))
+      li.unionByName(o).orderBy("okey", "src", "amount")
+    }),
+
+    "q_union_distinct" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      val su = Tables(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+      c.union(su).distinct().orderBy("nationkey")
+    }),
+
+    "q_intersect" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders").select(col("o_custkey").as("custkey"))
+      val c = Tables(s, dir, "customer").select(col("c_custkey").as("custkey"))
+      o.intersect(c).orderBy("custkey")
+    }),
+
+    "q_except" -> ((s, dir) => {
+      val p = Tables(s, dir, "part").select(col("p_partkey").as("partkey"))
+      val li = Tables(s, dir, "lineitem").select(col("l_partkey").as("partkey"))
+      p.except(li).orderBy("partkey")
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_union_all" ->
+      """SELECT l_orderkey AS okey, CAST(l_extendedprice AS DECIMAL(18,4)) AS amount, 'L' AS src FROM lineitem
+        |UNION ALL
+        |SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,4)), 'O' FROM orders
+        |ORDER BY okey, src, amount""".stripMargin,
+
+    "q_union_distinct" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |UNION
+        |SELECT s_nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+
+    "q_intersect" ->
+      """SELECT o_custkey AS custkey FROM orders
+        |INTERSECT
+        |SELECT c_custkey FROM customer
+        |ORDER BY custkey""".stripMargin,
+
+    "q_except" ->
+      """SELECT p_partkey AS partkey FROM part
+        |EXCEPT
+        |SELECT l_partkey FROM lineitem
+        |ORDER BY partkey""".stripMargin,
+  )
+}
