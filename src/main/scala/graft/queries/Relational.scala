@@ -127,6 +127,51 @@ object Relational extends QueryModule {
         .orderBy("c_custkey")
     }),
 
+    "q_join_theta_range" -> ((s, dir) => {
+      // Self range join bounded by an equi key (user_id): Catalyst plans
+      // the equality as a hash/sort-merge join and applies the time-range
+      // predicate as a post-join filter, so there is no cartesian blowup
+      // at scale — per-user pair counts stay bounded by the 10-minute
+      // window. Column names are disjoint to avoid Dataset self-join
+      // ambiguity tagging.
+      val e = Tables(s, dir, "events")
+      val a = e.select(col("user_id").as("u"), col("ts").as("ts1"))
+      val b = e.select(col("user_id").as("u2"), col("ts").as("ts2"))
+      a.join(b, col("u") === col("u2") &&
+          col("ts2") > col("ts1") &&
+          col("ts2") <= col("ts1") + expr("INTERVAL 10 MINUTES"))
+        .groupBy(col("u"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("u")
+    }),
+
+    "q_join_asof" -> ((s, dir) => {
+      // As-of join: each 'view' event -> latest 'click' of the same user
+      // with click.ts <= view.ts. Spark-first emulation: union both
+      // streams, one window pass per user (single shuffle, linear state)
+      // carrying the last click forward — no range-join explosion.
+      // (user_id, ts) is unique in the data, so the match is unique.
+      val e = Tables(s, dir, "events")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("c_id"),
+          lit(null).cast("long").as("v_id"))
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"),
+          lit(null).cast("long").as("c_id"), col("event_id").as("v_id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id")
+        .orderBy(col("ts"), col("c_id").asc_nulls_last)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      clicks.unionByName(views)
+        .withColumn("match_c_id", last(col("c_id"), ignoreNulls = true).over(w))
+        .withColumn("match_c_ts",
+          last(when(col("c_id").isNotNull, col("ts")), ignoreNulls = true).over(w))
+        .filter(col("v_id").isNotNull)
+        .select(col("user_id"), col("v_id"), col("ts").as("v_ts"),
+          col("match_c_id"), col("match_c_ts"))
+        .orderBy("user_id", "v_ts", "v_id")
+    }),
+
     "q_sort_limit" -> ((s, dir) => {
       Tables(s, dir, "orders")
         .select(col("o_orderkey"), dec(col("o_totalprice")).as("totalprice"))
@@ -202,5 +247,21 @@ object Relational extends QueryModule {
     "q_sort_limit" ->
       """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,4)) AS totalprice
         |FROM orders ORDER BY totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q_join_theta_range" ->
+      """SELECT e1.user_id AS u, count(*) AS n_pairs
+        |FROM events e1 JOIN events e2
+        |  ON e1.user_id = e2.user_id
+        | AND CAST(e2.ts AS TIMESTAMP) > CAST(e1.ts AS TIMESTAMP)
+        | AND CAST(e2.ts AS TIMESTAMP) <= CAST(e1.ts AS TIMESTAMP) + INTERVAL '10 minutes'
+        |GROUP BY u ORDER BY u""".stripMargin,
+
+    "q_join_asof" ->
+      """SELECT v.user_id, v.event_id AS v_id, CAST(v.ts AS TIMESTAMP) AS v_ts,
+        |  c.event_id AS match_c_id, CAST(c.ts AS TIMESTAMP) AS match_c_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'view') v
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON v.user_id = c.user_id AND CAST(v.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+        |ORDER BY v.user_id, v_ts, v_id""".stripMargin,
   )
 }
