@@ -1,0 +1,404 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** LLM-training-data pipeline operators with DuckDB oracles
+  * (SURVEY.md §2.B + builder contract): exact dedup, n-gram Jaccard
+  * near-dup, embedding-cosine near-dup, brute-force and IVF-style
+  * similarity top-k, text statistics / quality / token counting /
+  * language-ID / rolling-hash fingerprinting, and multimodal joins.
+  * Engine-specific (minhash/simhash/LSH) variants live in
+  * PipelineSketches (no SQL oracle).
+  *
+  * Float determinism: every dot product / norm is accumulated in
+  * DECIMAL(38,12) over per-element float products (bit-identical in
+  * both engines), then cast to double — so cosine values hash-match
+  * exactly (SURVEY.md §7.8).
+  *
+  * Scale posture: dedup keys are hashes (32-byte digest shuffles, not
+  * document bodies); near-dup pair generation is blocked (batch × label
+  * cell), never all-pairs; similarity search broadcasts the probe and
+  * computes in one scan + TakeOrderedAndProject.
+  */
+object Pipeline extends QueryModule {
+  private val D2812 = DecimalType(28, 12)
+  // Accumulator at precision 37: (37,12)+(28,12) lands exactly on
+  // (38,12) with no scale loss; the cast back to (37,12) only narrows
+  // precision (|sum| <= 64, so it never changes a value). A (38,12)
+  // accumulator would make Spark's addition drop to scale 11 and
+  // diverge from DuckDB's exact list_sum.
+  private val DAcc = DecimalType(37, 12)
+
+  /** Exact decimal-accumulated dot product of two float vectors.
+    * Elements are widened to double *before* multiplying so both
+    * engines produce the identical IEEE product regardless of their
+    * float-arithmetic promotion rules, then accumulated in decimal
+    * (order-independent, exact).
+    */
+  private def dotDec(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        (x.cast("double") * y.cast("double")).cast(D2812)),
+      lit(0).cast(DAcc),
+      (acc, v) => (acc + v).cast(DAcc))
+
+  /** Exact decimal-accumulated squared norm (same widening rule). */
+  private def normSqDec(a: Column): Column =
+    aggregate(
+      transform(a, x => (x.cast("double") * x.cast("double")).cast(D2812)),
+      lit(0).cast(DAcc),
+      (acc, v) => (acc + v).cast(DAcc))
+
+  /** Word 4-gram shingle set (distinct) of a whitespace-tokenised text. */
+  private def shingles(toks: Column): Column =
+    when(size(toks) >= 4,
+      array_distinct(transform(
+        sequence(lit(1), size(toks) - 3),
+        i => concat_ws(" ", slice(toks, i, lit(4))))))
+      .otherwise(array().cast("array<string>"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> ((s, dir) => {
+      // Hash-groupBy dedup: shuffle the 32-byte sha2 digest, not the
+      // document body — at 100 TB the shuffle stays O(docs × 32B).
+      Tables(s, dir, "documents")
+        .groupBy(sha2(col("text"), 256).as("h"))
+        .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_copies"))
+        .select("rep_id", "n_copies")
+        .orderBy("rep_id")
+    }),
+
+    "q_dedup_ngram" -> ((s, dir) => {
+      // Word-4-gram Jaccard over a bounded candidate pairing
+      // (consecutive doc ids) — the LSH modules generate candidates at
+      // scale; this query pins the exact Jaccard computation itself.
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), shingles(split(col("text"), " ")).as("sh"))
+      val a = d.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
+      val b = d.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
+      a.join(b, col("b_id") === col("a_id") + 1)
+        .select(col("a_id"), col("b_id"),
+          size(array_intersect(col("a_sh"), col("b_sh"))).as("n_common"),
+          size(array_union(col("a_sh"), col("b_sh"))).as("n_union"))
+        .withColumn("jaccard", col("n_common").cast("double") / col("n_union"))
+        .orderBy("a_id")
+    }),
+
+    "q_dedup_embed" -> ((s, dir) => {
+      // Embedding-cosine near-dup, batch-vs-corpus framing: the first
+      // 100 vectors (an incoming batch) are checked against all vectors
+      // sharing their coarse cell (label) — bounded pairs at any scale.
+      val v = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"), col("embedding"),
+          normSqDec(col("embedding")).cast("double").as("nsq"))
+      val batch = v.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("a_id"), col("label").as("a_label"),
+          col("embedding").as("a_emb"), col("nsq").as("a_nsq"))
+      val corpus = v.select(col("vec_id").as("b_id"), col("label").as("b_label"),
+        col("embedding").as("b_emb"), col("nsq").as("b_nsq"))
+      batch.join(corpus,
+          col("a_label") === col("b_label") && col("a_id") < col("b_id"))
+        .withColumn("cos",
+          dotDec(col("a_emb"), col("b_emb")).cast("double") /
+            (sqrt(col("a_nsq")) * sqrt(col("b_nsq"))))
+        .filter(col("cos") >= 0.35)
+        .select(col("a_id"), col("b_id"), col("cos"))
+        .orderBy("a_id", "b_id")
+    }),
+
+    "q_sim_topk" -> ((s, dir) => {
+      // Brute-force cosine top-k: probe broadcast to every partition,
+      // one scan over the corpus, TakeOrderedAndProject for the top-k —
+      // no shuffle of the corpus at any scale.
+      val v = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          normSqDec(col("embedding")).cast("double").as("nsq"))
+      val probe = v.filter(col("vec_id") === 0)
+        .select(col("embedding").as("p_emb"), col("nsq").as("p_nsq"))
+      val top = v.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(probe))
+        .withColumn("cos",
+          dotDec(col("embedding"), col("p_emb")).cast("double") /
+            (sqrt(col("nsq")) * sqrt(col("p_nsq"))))
+        .select(col("vec_id"), col("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(10)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cos").desc, col("vec_id"))
+      top.withColumn("rank", row_number().over(w))
+        .orderBy("rank")
+    }),
+
+    "q_sim_topk_ivf" -> ((s, dir) => {
+      // IVF-style ANN: the coarse quantizer assigns each vector to a
+      // cell (here the precomputed label column stands in for the
+      // nearest-centroid id); the probe searches only its own cell —
+      // partition pruning cuts the scan by the cell count at 100 TB.
+      val v = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"), col("embedding"),
+          normSqDec(col("embedding")).cast("double").as("nsq"))
+      val probe = v.filter(col("vec_id") === 0)
+        .select(col("label").as("p_label"), col("embedding").as("p_emb"),
+          col("nsq").as("p_nsq"))
+      val top = v.filter(col("vec_id") =!= 0)
+        .join(broadcast(probe), col("label") === col("p_label"))
+        .withColumn("cos",
+          dotDec(col("embedding"), col("p_emb")).cast("double") /
+            (sqrt(col("nsq")) * sqrt(col("p_nsq"))))
+        .select(col("vec_id"), col("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(10)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cos").desc, col("vec_id"))
+      top.withColumn("rank", row_number().over(w))
+        .orderBy("rank")
+    }),
+
+    "q_text_stats" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("lang"), col("n_chars"),
+          size(split(col("text"), " ")).as("n_words"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(col("n_words").cast("long")).as("sum_words"),
+          max(col("n_words")).as("max_words"))
+        .withColumn("avg_words",
+          col("sum_words").cast("double") / col("n_docs"))
+        .orderBy("lang")
+    }),
+
+    "q_text_quality" -> ((s, dir) => {
+      // Heuristic quality scoring: lexical diversity × (1 − stopword
+      // share) — all integer/ratio arithmetic, per-row, codegen'd.
+      val stop = array(Seq("the", "a", "of", "and", "to", "in").map(lit): _*)
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"),
+          length(regexp_replace(col("text"), " ", "")).as("n_nospace"))
+      d.select(col("doc_id"), col("lang"),
+          size(col("toks")).as("n_words"),
+          size(array_distinct(col("toks"))).as("n_uniq"),
+          size(filter(col("toks"), t => array_contains(stop, t))).as("n_stop"),
+          col("n_nospace"))
+        .withColumn("avg_word_len",
+          col("n_nospace").cast("double") / col("n_words"))
+        .withColumn("uniq_ratio", col("n_uniq").cast("double") / col("n_words"))
+        .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_words"))
+        .withColumn("quality",
+          col("uniq_ratio") * (lit(1.0) - col("stop_ratio")))
+        .orderBy("doc_id")
+    }),
+
+    "q_text_tokens" -> ((s, dir) => {
+      // Whitespace tokens vs a BPE-ish regex tokenizer (runs of letters,
+      // runs of digits, single other non-space chars).
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).as("ws_tokens"),
+          size(regexp_extract_all(col("text"),
+            lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("re_tokens"),
+          length(col("text")).as("n_chars_txt"))
+        .orderBy("doc_id")
+    }),
+
+    "q_text_fingerprint" -> ((s, dir) => {
+      // Polynomial rolling hash over the character stream, mod 1e9+7 —
+      // pure integer math, identical in any engine.
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          aggregate(
+            transform(split(col("text"), ""), c => ascii(c)),
+            lit(0L),
+            (acc, x) => pmod(acc * 31 + x, lit(1000000007L))).as("fingerprint"))
+        .orderBy("doc_id")
+    }),
+
+    "q_text_lang_id" -> ((s, dir) => {
+      // Marker-token language scoring + argmax (deterministic tie-break
+      // by fixed precedence). On this synthetic corpus all langs share
+      // a vocabulary, so the scores — not accuracy — are the contract.
+      val toks = split(col("text"), " ")
+      def score(markers: Seq[String]): Column =
+        size(filter(toks, t =>
+          array_contains(array(markers.map(lit): _*), t)))
+      val d = Tables(s, dir, "documents").select(
+        col("doc_id"), col("lang"),
+        score(Seq("the", "table", "query")).as("s_en"),
+        score(Seq("join", "row", "group")).as("s_de"),
+        score(Seq("order", "batch", "scan")).as("s_es"),
+        score(Seq("key", "sort", "hash")).as("s_fr"),
+        score(Seq("data", "stream", "window")).as("s_zh"))
+      d.withColumn("pred_lang",
+          when(col("s_en") >= greatest(col("s_de"), col("s_es"), col("s_fr"), col("s_zh")), "en")
+          .when(col("s_de") >= greatest(col("s_es"), col("s_fr"), col("s_zh")), "de")
+          .when(col("s_es") >= greatest(col("s_fr"), col("s_zh")), "es")
+          .when(col("s_fr") >= col("s_zh"), "fr")
+          .otherwise("zh"))
+        .orderBy("doc_id")
+    }),
+
+    "q_multimodal_join" -> ((s, dir) => {
+      // Text modality ⋈ vector modality on the shared id; output is the
+      // flattened metadata of both sides.
+      val d = Tables(s, dir, "documents")
+      val e = Tables(s, dir, "embeddings")
+      d.join(e, d("doc_id") === e("vec_id"), "inner")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          col("label"), size(col("embedding")).as("dim"))
+        .orderBy("doc_id")
+    }),
+
+    "q_multimodal_features" -> ((s, dir) => {
+      // Opaque-binary plumbing: the text payload re-encoded as a binary
+      // column with typed metadata (byte length, first byte, format tag)
+      // — the same schema shape used for image/audio payloads in
+      // graft.multimodal (where decode is stubbed).
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          encode(col("text"), "UTF-8").as("payload"),
+          col("n_chars"))
+        .select(col("doc_id"),
+          length(col("payload")).as("n_bytes"),
+          col("n_chars"),
+          lit("utf8-text").as("format"))
+        .orderBy("doc_id")
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS rep_id, count(*) AS n_copies
+        |FROM documents GROUP BY sha256(text) ORDER BY rep_id""".stripMargin,
+
+    "q_dedup_ngram" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(string_split(text,' ')) >= 4 THEN
+        |      list_distinct(list_transform(range(1, len(string_split(text,' ')) - 2),
+        |        i -> array_to_string(string_split(text,' ')[i:i+3], ' ')))
+        |    ELSE [] END AS s
+        |  FROM documents)
+        |SELECT a_id, b_id, n_common, n_union,
+        |  CAST(n_common AS DOUBLE)/n_union AS jaccard
+        |FROM (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    CAST(len(list_intersect(a.s, b.s)) AS INTEGER) AS n_common,
+        |    CAST(len(list_distinct(a.s || b.s)) AS INTEGER) AS n_union
+        |  FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1) t
+        |ORDER BY a_id""".stripMargin,
+
+    "q_dedup_embed" ->
+      """WITH v AS (
+        |  SELECT vec_id, label, embedding,
+        |    CAST(list_sum(list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12)))) AS DOUBLE) AS nsq
+        |  FROM embeddings)
+        |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |  CAST(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |    s -> CAST(CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE) AS DECIMAL(28,12)))) AS DOUBLE)
+        |    / (sqrt(a.nsq) * sqrt(b.nsq)) AS cos
+        |FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE a.vec_id < 100
+        |  AND CAST(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |    s -> CAST(CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE) AS DECIMAL(28,12)))) AS DOUBLE)
+        |    / (sqrt(a.nsq) * sqrt(b.nsq)) >= 0.35
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "q_sim_topk" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding,
+        |    CAST(list_sum(list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12)))) AS DOUBLE) AS nsq
+        |  FROM embeddings),
+        |p AS (SELECT embedding AS p_emb, nsq AS p_nsq FROM v WHERE vec_id = 0),
+        |scored AS (
+        |  SELECT vec_id,
+        |    CAST(list_sum(list_transform(list_zip(v.embedding, p.p_emb),
+        |      s -> CAST(CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE) AS DECIMAL(28,12)))) AS DOUBLE)
+        |      / (sqrt(v.nsq) * sqrt(p.p_nsq)) AS cos
+        |  FROM v, p WHERE vec_id <> 0)
+        |SELECT vec_id, cos, CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
+        |FROM scored ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q_sim_topk_ivf" ->
+      """WITH v AS (
+        |  SELECT vec_id, label, embedding,
+        |    CAST(list_sum(list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12)))) AS DOUBLE) AS nsq
+        |  FROM embeddings),
+        |p AS (SELECT label AS p_label, embedding AS p_emb, nsq AS p_nsq FROM v WHERE vec_id = 0),
+        |scored AS (
+        |  SELECT vec_id,
+        |    CAST(list_sum(list_transform(list_zip(v.embedding, p.p_emb),
+        |      s -> CAST(CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE) AS DECIMAL(28,12)))) AS DOUBLE)
+        |      / (sqrt(v.nsq) * sqrt(p.p_nsq)) AS cos
+        |  FROM v JOIN p ON v.label = p.p_label WHERE vec_id <> 0)
+        |SELECT vec_id, cos, CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
+        |FROM scored ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q_text_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        | CAST(sum(len(string_split(text,' '))) AS BIGINT) AS sum_words,
+        | CAST(max(len(string_split(text,' '))) AS INTEGER) AS max_words,
+        | CAST(sum(len(string_split(text,' '))) AS DOUBLE)/count(*) AS avg_words
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_text_quality" ->
+      """SELECT doc_id, lang,
+        | CAST(len(string_split(text,' ')) AS INTEGER) AS n_words,
+        | CAST(len(list_distinct(string_split(text,' '))) AS INTEGER) AS n_uniq,
+        | CAST(len(list_filter(string_split(text,' '),
+        |   t -> list_contains(['the','a','of','and','to','in'], t))) AS INTEGER) AS n_stop,
+        | CAST(length(replace(text,' ','')) AS INTEGER) AS n_nospace,
+        | CAST(length(replace(text,' ','')) AS DOUBLE)/len(string_split(text,' ')) AS avg_word_len,
+        | CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)/len(string_split(text,' ')) AS uniq_ratio,
+        | CAST(len(list_filter(string_split(text,' '),
+        |   t -> list_contains(['the','a','of','and','to','in'], t))) AS DOUBLE)/len(string_split(text,' ')) AS stop_ratio,
+        | (CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)/len(string_split(text,' ')))
+        |   * (1.0 - CAST(len(list_filter(string_split(text,' '),
+        |     t -> list_contains(['the','a','of','and','to','in'], t))) AS DOUBLE)/len(string_split(text,' '))) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_tokens" ->
+      """SELECT doc_id,
+        | CAST(len(string_split(text,' ')) AS INTEGER) AS ws_tokens,
+        | CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS re_tokens,
+        | CAST(length(text) AS INTEGER) AS n_chars_txt
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_fingerprint" ->
+      """SELECT doc_id,
+        | list_reduce(list_transform(string_split(text,''), c -> CAST(ascii(c) AS BIGINT)),
+        |   (a, b) -> (a*31 + b) % 1000000007) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_lang_id" ->
+      """WITH sc AS (
+        |  SELECT doc_id, lang,
+        |   CAST(len(list_filter(string_split(text,' '), t -> list_contains(['the','table','query'], t))) AS INTEGER) AS s_en,
+        |   CAST(len(list_filter(string_split(text,' '), t -> list_contains(['join','row','group'], t))) AS INTEGER) AS s_de,
+        |   CAST(len(list_filter(string_split(text,' '), t -> list_contains(['order','batch','scan'], t))) AS INTEGER) AS s_es,
+        |   CAST(len(list_filter(string_split(text,' '), t -> list_contains(['key','sort','hash'], t))) AS INTEGER) AS s_fr,
+        |   CAST(len(list_filter(string_split(text,' '), t -> list_contains(['data','stream','window'], t))) AS INTEGER) AS s_zh
+        |  FROM documents)
+        |SELECT doc_id, lang, s_en, s_de, s_es, s_fr, s_zh,
+        |  CASE WHEN s_en >= greatest(s_de, s_es, s_fr, s_zh) THEN 'en'
+        |       WHEN s_de >= greatest(s_es, s_fr, s_zh) THEN 'de'
+        |       WHEN s_es >= greatest(s_fr, s_zh) THEN 'es'
+        |       WHEN s_fr >= s_zh THEN 'fr'
+        |       ELSE 'zh' END AS pred_lang
+        |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "q_multimodal_join" ->
+      """SELECT doc_id, lang, source, n_chars, label,
+        | CAST(len(embedding) AS INTEGER) AS dim
+        |FROM documents JOIN embeddings ON doc_id = vec_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_multimodal_features" ->
+      """SELECT doc_id,
+        | CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+        | n_chars, 'utf8-text' AS format
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}
