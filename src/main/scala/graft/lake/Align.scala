@@ -1,0 +1,51 @@
+package graft.lake
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Write-side schema coercion (reference `data_generator.py:78`:
+  * `pa.Table.from_pylist(..., schema=table.schema().as_arrow())`):
+  * an incoming DataFrame is aligned to the table's current schema by
+  * **name** — columns reordered, missing optional fields null-filled,
+  * compatible types safe-cast, recursively through structs and
+  * array-of-struct elements. Missing *required* fields are an error.
+  */
+object Align {
+
+  def apply(df: DataFrame, target: StructType): DataFrame = {
+    val cleanTarget = Reconcile.clean(target).asInstanceOf[StructType]
+    val cols = cleanTarget.fields.toSeq.map { tf =>
+      fieldExpr(tf,
+        df.schema.fields.find(_.name == tf.name).map(f => col(s"`${f.name}`") -> f.dataType),
+        tf.name).as(tf.name)
+    }
+    df.select(cols: _*)
+  }
+
+  private def fieldExpr(tf: StructField, in: Option[(Column, DataType)],
+      path: String): Column = in match {
+    case None =>
+      if (!tf.nullable)
+        throw new IllegalArgumentException(
+          s"required field '$path' missing from input")
+      lit(null).cast(tf.dataType)
+    case Some((c, inT)) => typeExpr(tf.dataType, inT, c, path)
+  }
+
+  private def typeExpr(tgt: DataType, in: DataType, c: Column, path: String): Column =
+    (tgt, in) match {
+      case (t: StructType, i: StructType) =>
+        when(c.isNull, lit(null).cast(t))
+          .otherwise(struct(t.fields.toSeq.map { tf =>
+            fieldExpr(tf,
+              i.fields.find(_.name == tf.name)
+                .map(f => c.getField(f.name) -> f.dataType),
+              s"$path.${tf.name}").as(tf.name)
+          }: _*))
+      case (ArrayType(te: StructType, _), ArrayType(ie: StructType, _)) =>
+        transform(c, x => typeExpr(te, ie, x, s"$path.element"))
+      case (t, i) if t == i => c
+      case (t, _) => c.cast(t)
+    }
+}

@@ -1,0 +1,264 @@
+package graft.lake
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.schema._
+
+/** A lake table: parquet data files + versioned JSON metadata with
+  * Iceberg-style semantics — field-ID schema evolution, hidden
+  * partitioning with identity/hour/day/month/year transforms,
+  * partition-spec evolution, snapshot log, metadata-level partition
+  * pruning. Replaces the reference's PyIceberg+Glue machinery
+  * (`iceberg_helper.py`) on the public Spark API alone.
+  *
+  * Layout: `<warehouse>/<db>/<table>/metadata/v{N}.json` + a
+  * `version-hint.text` pointer committed by atomic rename
+  * (single-writer model, matching the reference's lack of any retry
+  * logic); data under `data/snap-{id}/`, Hive-style `_p_*=value`
+  * partition dirs.
+  *
+  * Scale: metadata is O(schemas + specs + files); reads are grouped by
+  * schema version (one reconciling projection per group — not per
+  * file) and unioned, so the plan size is bounded by the number of
+  * schema versions, not file count.
+  */
+class LakeTable private (val location: Path, private var md: TableMetadata) {
+
+  def metadata: TableMetadata = md
+  def currentSchema: StructType = md.currentSchema
+
+  private def metadataDir = location.resolve("metadata")
+  private def dataDir = location.resolve("data")
+
+  // ---- commit ----------------------------------------------------------
+
+  private def commit(next: TableMetadata): String = {
+    Files.createDirectories(metadataDir)
+    val version = Files.list(metadataDir).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.matches("v\\d+\\.json") => s.stripPrefix("v").stripSuffix(".json").toInt }
+      .foldLeft(0)(math.max) + 1
+    val target = metadataDir.resolve(s"v$version.json")
+    Files.writeString(target, Json.write(MetadataIO.toJson(next)))
+    // atomic pointer flip = the commit point
+    val tmp = metadataDir.resolve(s".version-hint.tmp")
+    Files.writeString(tmp, version.toString)
+    Files.move(tmp, metadataDir.resolve("version-hint.text"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    md = next
+    target.toString
+  }
+
+  // ---- evolution -------------------------------------------------------
+
+  /** Apply a new table definition: diff → validate → new schema version
+    * (+ new spec version when the partition fields changed). Returns
+    * the reference-style message list (`iceberg_helper.py:306-385`).
+    */
+  def evolve(tableDef: TableDef): (Seq[String], Boolean) = {
+    val messages = Seq.newBuilder[String]
+    val targetNoIds = TypeMapper.toStructType(tableDef.columns)
+    val changes = SchemaDiff.diff(md.currentSchema, targetNoIds)
+
+    val disallowed = changes.collect { case d: DisallowedChange => d }
+    if (disallowed.nonEmpty) {
+      disallowed.foreach(d =>
+        messages += s"Disallowed change for column ${d.path}: ${d.reason}")
+      messages += s"Latest Meta file: ${latestMetaFile()}"
+      return (messages.result(), true)
+    }
+
+    changes.foreach {
+      case AddColumn(p, _) => messages += s"Added column $p"
+      case DropColumn(p) => messages += s"Dropped column $p"
+      case UpdateColumnType(p, from, to) =>
+        messages += s"Updated column $p: ${from.simpleString} -> ${to.simpleString}"
+      case _: DisallowedChange => ()
+    }
+
+    var next = md
+    if (changes.nonEmpty) {
+      val (withIds, nextId) =
+        FieldIds.carryOver(md.currentSchema, targetNoIds, md.lastFieldId + 1)
+      val newSchemaId = md.schemas.map(_.id).max + 1
+      next = next.copy(
+        schemas = next.schemas :+ SchemaVersion(newSchemaId, withIds),
+        currentSchemaId = newSchemaId,
+        lastFieldId = nextId - 1)
+    }
+
+    // partition-spec evolution (iceberg_helper.py:364-378): rebuild the
+    // spec against the (possibly new) schema; if fields differ, commit a
+    // new spec version — old files keep their old spec id.
+    val newSpecFields = LakeTable.buildSpecFields(tableDef.partitions,
+      next.currentSchema)
+    if (newSpecFields.map(f => (f.sourceFieldId, f.transform, f.name)) !=
+        md.currentSpec.fields.map(f => (f.sourceFieldId, f.transform, f.name))) {
+      val newSpecId = md.specs.map(_.id).max + 1
+      next = next.copy(
+        specs = next.specs :+ PartitionSpecMeta(newSpecId, newSpecFields),
+        currentSpecId = newSpecId)
+      messages += s"Updated partition spec to [${newSpecFields.map(f =>
+        s"${f.transform}(src=${f.sourceFieldId}) as ${f.name}").mkString(", ")}]"
+    }
+
+    if (next != md) {
+      val metaFile = commit(next)
+      messages += s"Latest Meta file: $metaFile"
+    } else {
+      messages += "No schema changes detected"
+      messages += s"Latest Meta file: ${latestMetaFile()}"
+    }
+    (messages.result(), false)
+  }
+
+  private def latestMetaFile(): String = {
+    val hint = metadataDir.resolve("version-hint.text")
+    if (Files.exists(hint))
+      metadataDir.resolve(s"v${Files.readString(hint).trim}.json").toString
+    else "<none>"
+  }
+
+  // ---- append ----------------------------------------------------------
+
+  /** Align `df` to the current schema, derive hidden partition columns,
+    * write one snapshot of parquet files, record per-file partition
+    * values in metadata (A24).
+    */
+  def append(df: DataFrame): SnapshotMeta = {
+    val schema = md.currentSchema
+    val aligned = Align(df, schema)
+    val spec = md.currentSpec
+    val pCols = spec.fields.map { f =>
+      val srcName = FieldIds.flatten(schema)
+        .collectFirst { case (p, fd) if FieldIds.idOf(fd) == f.sourceFieldId => p }
+        .getOrElse(throw new IllegalStateException(
+          s"spec source field ${f.sourceFieldId} not in schema"))
+      (s"_p_${f.name}", Transforms.expr(f.transform, col(srcName)))
+    }
+    val snapshotId = md.snapshots.map(_.id).foldLeft(0L)(math.max) + 1
+    val outDir = dataDir.resolve(s"snap-$snapshotId")
+    val withP = pCols.foldLeft(aligned) { case (d, (n, e)) => d.withColumn(n, e) }
+    val writer = withP.write.mode("overwrite")
+    (if (pCols.nonEmpty) writer.partitionBy(pCols.map(_._1): _*) else writer)
+      .parquet(outDir.toString)
+
+    val files = listParquet(outDir).map { p =>
+      val partVals = p.iterator().asScala.map(_.toString)
+        .filter(_.contains("=")).map { seg =>
+          val Array(k, v) = seg.split("=", 2)
+          k.stripPrefix("_p_") ->
+            java.net.URLDecoder.decode(v, "UTF-8")
+        }.toMap
+      DataFileMeta(p.toString, md.currentSchemaId, spec.id,
+        rows = -1, partitionValues = partVals)
+    }
+    val snap = SnapshotMeta(snapshotId, files)
+    commit(md.copy(snapshots = md.snapshots :+ snap))
+    snap
+  }
+
+  private def listParquet(dir: Path): Seq[Path] =
+    Files.walk(dir).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+      .toSeq.sortBy(_.toString)
+
+  // ---- read ------------------------------------------------------------
+
+  /** Unified read across every snapshot and schema version: files are
+    * grouped by the schema they were written under, each group gets one
+    * field-ID reconciling projection to the current schema, groups are
+    * unioned (SURVEY.md §4.3).
+    *
+    * `prune`: partition-field name → allowed values. A file is skipped
+    * only when its own spec recorded that field with a non-matching
+    * value — files from specs without the field are conservatively kept
+    * (multi-spec correctness, SURVEY.md §7.2).
+    */
+  def read(spark: SparkSession,
+      prune: Map[String, Set[String]] = Map.empty): DataFrame = {
+    val current = md.currentSchema
+    val files = md.allFiles.filter { f =>
+      prune.forall { case (name, allowed) =>
+        f.partitionValues.get(name).forall(allowed.contains)
+      }
+    }
+    if (files.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        Reconcile.clean(current).asInstanceOf[StructType])
+    val bySchema = files.groupBy(_.schemaId)
+    bySchema.map { case (schemaId, group) =>
+      val fileSchema = md.schemaById(schemaId)
+      spark.read
+        .schema(Reconcile.clean(fileSchema).asInstanceOf[StructType])
+        .parquet(group.map(_.path): _*)
+        .select(Reconcile.projection(fileSchema, current): _*)
+    }.reduce(_.unionByName(_))
+  }
+}
+
+object LakeTable {
+
+  def tableLocation(warehouse: String, db: String, table: String): Path =
+    Paths.get(warehouse, db, table)
+
+  def exists(warehouse: String, db: String, table: String): Boolean =
+    Files.exists(tableLocation(warehouse, db, table)
+      .resolve("metadata").resolve("version-hint.text"))
+
+  def buildSpecFields(partitions: Seq[PartitionDef],
+      schema: StructType): Seq[SpecField] = {
+    val flat = FieldIds.flatten(schema)
+    partitions.zipWithIndex.map { case (p, i) =>
+      val srcId = flat.collectFirst {
+        case (path, f) if path == p.column => FieldIds.idOf(f)
+      }.getOrElse(throw new IllegalArgumentException(
+        s"partition source column '${p.column}' not found"))
+      // partition field IDs start at 1000 (iceberg_helper.py:398-425)
+      SpecField(srcId, p.transform, p.name, 1000 + i)
+    }
+  }
+
+  /** CREATE TABLE (A11): fresh schema version 0 with assigned field
+    * IDs, spec version 0, empty snapshot list.
+    */
+  def create(warehouse: String, tableDef: TableDef): (LakeTable, Seq[String]) = {
+    val loc = tableLocation(warehouse, tableDef.databaseName, tableDef.tableName)
+    require(!Files.exists(loc.resolve("metadata").resolve("version-hint.text")),
+      s"table already exists at $loc")
+    val (schema, nextId) = FieldIds.assign(
+      TypeMapper.toStructType(tableDef.columns), startId = 1)
+    val spec = PartitionSpecMeta(0, buildSpecFields(tableDef.partitions, schema))
+    val md = TableMetadata(
+      formatVersion = 1,
+      database = tableDef.databaseName,
+      table = tableDef.tableName,
+      schemas = Seq(SchemaVersion(0, schema)),
+      currentSchemaId = 0,
+      specs = Seq(spec),
+      currentSpecId = 0,
+      snapshots = Seq.empty,
+      lastFieldId = nextId - 1)
+    val t = new LakeTable(loc, md)
+    val metaFile = t.commit(md)
+    (t, Seq(
+      s"Created table ${tableDef.databaseName}.${tableDef.tableName}",
+      s"Latest Meta file: $metaFile"))
+  }
+
+  def load(warehouse: String, db: String, table: String): LakeTable = {
+    val loc = tableLocation(warehouse, db, table)
+    val hint = loc.resolve("metadata").resolve("version-hint.text")
+    require(Files.exists(hint), s"no table at $loc")
+    val v = Files.readString(hint).trim
+    val md = MetadataIO.fromJson(Json.parse(
+      Files.readString(loc.resolve("metadata").resolve(s"v$v.json"))))
+    new LakeTable(loc, md)
+  }
+}

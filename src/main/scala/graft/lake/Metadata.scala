@@ -1,0 +1,160 @@
+package graft.lake
+
+import org.apache.spark.sql.types._
+
+import graft.schema._
+
+/** Versioned table metadata — the engine's replacement for Iceberg's
+  * metadata.json tree (which the reference delegates to PyIceberg+Glue,
+  * `iceberg_helper.py:234-241, 384-385`). One JSON document holds every
+  * schema version (with field IDs), every partition-spec version, and
+  * the snapshot log; data files are plain parquet. O(files) metadata,
+  * no Iceberg dependency (none exists in this environment — SURVEY.md §0).
+  */
+case class SpecField(sourceFieldId: Int, transform: String, name: String,
+    specFieldId: Int)
+case class PartitionSpecMeta(id: Int, fields: Seq[SpecField])
+case class DataFileMeta(path: String, schemaId: Int, specId: Int, rows: Long,
+    partitionValues: Map[String, String])
+case class SnapshotMeta(id: Long, files: Seq[DataFileMeta])
+case class SchemaVersion(id: Int, schema: StructType)
+
+case class TableMetadata(
+    formatVersion: Int,
+    database: String,
+    table: String,
+    schemas: Seq[SchemaVersion],
+    currentSchemaId: Int,
+    specs: Seq[PartitionSpecMeta],
+    currentSpecId: Int,
+    snapshots: Seq[SnapshotMeta],
+    lastFieldId: Int) {
+  def currentSchema: StructType =
+    schemas.find(_.id == currentSchemaId).get.schema
+  def currentSpec: PartitionSpecMeta =
+    specs.find(_.id == currentSpecId).get
+  def schemaById(id: Int): StructType = schemas.find(_.id == id).get.schema
+  def allFiles: Seq[DataFileMeta] = snapshots.flatMap(_.files)
+}
+
+object MetadataIO {
+
+  // ---- DataType <-> JSON ----------------------------------------------
+
+  def typeToJson(dt: DataType): JValue = dt match {
+    case st: StructType => JObject(Map(
+      "kind" -> JString("struct"),
+      "fields" -> JArray(st.fields.toSeq.map(fieldToJson))))
+    case ArrayType(et, n) => JObject(Map(
+      "kind" -> JString("array"),
+      "elementType" -> typeToJson(et),
+      "containsNull" -> JBool(n)))
+    case MapType(kt, vt, n) => JObject(Map(
+      "kind" -> JString("map"),
+      "keyType" -> typeToJson(kt),
+      "valueType" -> typeToJson(vt),
+      "valueContainsNull" -> JBool(n)))
+    case dt: DecimalType => JObject(Map(
+      "kind" -> JString("decimal"),
+      "precision" -> JNumber(dt.precision), "scale" -> JNumber(dt.scale)))
+    case other => JString(other.typeName)
+  }
+
+  def fieldToJson(f: StructField): JValue = JObject(Map(
+    "name" -> JString(f.name),
+    "id" -> JNumber(FieldIds.idOf(f)),
+    "required" -> JBool(!f.nullable),
+    "type" -> typeToJson(f.dataType)))
+
+  def typeFromJson(v: JValue): DataType = v match {
+    case JString(s) => s match {
+      case "timestamp_ntz" => TimestampNTZType
+      case other => DataType.fromDDL(other)
+    }
+    case o: JObject =>
+      val m = o.asObj
+      m("kind").asStr match {
+        case "struct" => StructType(m("fields").asArr.map(fieldFromJson))
+        case "array" => ArrayType(typeFromJson(m("elementType")),
+          m("containsNull").asBool)
+        case "map" => MapType(typeFromJson(m("keyType")),
+          typeFromJson(m("valueType")), m("valueContainsNull").asBool)
+        case "decimal" => DecimalType(m("precision").asInt, m("scale").asInt)
+        case k => throw new JsonException(s"unknown type kind $k")
+      }
+    case other => throw new JsonException(s"bad type json $other")
+  }
+
+  def fieldFromJson(v: JValue): StructField = {
+    val m = v.asObj
+    FieldIds.withId(
+      StructField(m("name").asStr, typeFromJson(m("type")),
+        nullable = !m("required").asBool),
+      m("id").asInt)
+  }
+
+  // ---- TableMetadata <-> JSON -----------------------------------------
+
+  def toJson(md: TableMetadata): JValue = JObject(Map(
+    "format-version" -> JNumber(md.formatVersion),
+    "database" -> JString(md.database),
+    "table" -> JString(md.table),
+    "current-schema-id" -> JNumber(md.currentSchemaId),
+    "schemas" -> JArray(md.schemas.map(sv => JObject(Map(
+      "schema-id" -> JNumber(sv.id),
+      "fields" -> JArray(sv.schema.fields.toSeq.map(fieldToJson)))))),
+    "current-spec-id" -> JNumber(md.currentSpecId),
+    "partition-specs" -> JArray(md.specs.map(sp => JObject(Map(
+      "spec-id" -> JNumber(sp.id),
+      "fields" -> JArray(sp.fields.map(f => JObject(Map(
+        "source-id" -> JNumber(f.sourceFieldId),
+        "transform" -> JString(f.transform),
+        "name" -> JString(f.name),
+        "field-id" -> JNumber(f.specFieldId))))))))),
+    "snapshots" -> JArray(md.snapshots.map(sn => JObject(Map(
+      "snapshot-id" -> JNumber(sn.id),
+      "files" -> JArray(sn.files.map(df => JObject(Map(
+        "path" -> JString(df.path),
+        "schema-id" -> JNumber(df.schemaId),
+        "spec-id" -> JNumber(df.specId),
+        "rows" -> JNumber(df.rows),
+        "partition" -> JObject(df.partitionValues.map {
+          case (k, v) => k -> JString(v)
+        }))))))))),
+    "last-field-id" -> JNumber(md.lastFieldId)))
+
+  def fromJson(v: JValue): TableMetadata = {
+    val m = v.asObj
+    TableMetadata(
+      formatVersion = m("format-version").asInt,
+      database = m("database").asStr,
+      table = m("table").asStr,
+      schemas = m("schemas").asArr.map { sv =>
+        val sm = sv.asObj
+        SchemaVersion(sm("schema-id").asInt,
+          StructType(sm("fields").asArr.map(fieldFromJson)))
+      },
+      currentSchemaId = m("current-schema-id").asInt,
+      specs = m("partition-specs").asArr.map { sp =>
+        val sm = sp.asObj
+        PartitionSpecMeta(sm("spec-id").asInt,
+          sm("fields").asArr.map { f =>
+            val fm = f.asObj
+            SpecField(fm("source-id").asInt, fm("transform").asStr,
+              fm("name").asStr, fm("field-id").asInt)
+          })
+      },
+      currentSpecId = m("current-spec-id").asInt,
+      snapshots = m("snapshots").asArr.map { sn =>
+        val sm = sn.asObj
+        SnapshotMeta(sm("snapshot-id").asLong,
+          sm("files").asArr.map { df =>
+            val dm = df.asObj
+            DataFileMeta(dm("path").asStr, dm("schema-id").asInt,
+              dm("spec-id").asInt, dm("rows").asLong,
+              dm("partition").asObj.map { case (k, vv) => k -> vv.asStr })
+          })
+      },
+      lastFieldId = m("last-field-id").asInt)
+  }
+}

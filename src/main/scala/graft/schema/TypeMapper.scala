@@ -1,0 +1,72 @@
+package graft.schema
+
+import org.apache.spark.sql.types._
+
+/** Config-type-string → Spark DataType mapping, reproducing the
+  * reference's `map_config_type_to_iceberg_type`
+  * (`lambda/constants.py:136-150`): prefix rules for array/list,
+  * struct, map; set-membership for primitives; UNKNOWN → string
+  * fallback (`constants.py:82`). Quirks preserved deliberately
+  * (SURVEY.md §1.2): `decimal` is hard-coded DECIMAL(5,5)
+  * (`constants.py:23-29`), `fixed` maps to binary, `uuid` to string.
+  */
+object TypeMapper {
+
+  private val primitives: Map[String, DataType] = Map(
+    "boolean" -> BooleanType, "bool" -> BooleanType,
+    "integer" -> IntegerType, "int" -> IntegerType,
+    "bigint" -> LongType, "long" -> LongType,
+    "float" -> FloatType,
+    "double" -> DoubleType,
+    "date" -> DateType,
+    // no-tz timestamp in table storage (closest to Iceberg TimestampType)
+    "timestamp" -> TimestampNTZType,
+    "timezone" -> TimestampType, // reference alias for tz-aware
+    "time" -> LongType, // micros-since-midnight (Spark has no TimeType pre-4.x SQL surface)
+    "string" -> StringType, "str" -> StringType,
+    "uuid" -> StringType,
+    "binary" -> BinaryType,
+    "fixed" -> BinaryType,
+    "decimal" -> DecimalType(5, 5)) // constants.py:23-29 hard-codes (5,5)
+
+  def knownType(s: String): Boolean = {
+    val t = s.toLowerCase
+    t.startsWith("array") || t.startsWith("list") || t.startsWith("struct") ||
+      t.startsWith("map") || primitives.contains(t)
+  }
+
+  /** Map a column definition (with its recursive struct/map/array defs)
+    * to a Spark DataType. Mirrors `_get_nested_field`
+    * (`iceberg_helper.py:127-178`): prefix match drives the nested
+    * branch; unknown strings fall back to StringType.
+    */
+  def toSparkType(cd: ColumnDef): DataType = {
+    val t = cd.dataType.toLowerCase
+    if (t.startsWith("struct"))
+      StructType(cd.structDef.getOrElse(Seq.empty).map(toStructField))
+    else if (t.startsWith("array") || t.startsWith("list")) {
+      val elem = cd.arrayDef.getOrElse(
+        throw new IllegalArgumentException(s"${cd.name}: array without array_def"))
+      // list elements inherit the list's own `required` flag
+      // (iceberg_helper.py:173-175)
+      ArrayType(toSparkType(elem), containsNull = !cd.required)
+    } else if (t.startsWith("map")) {
+      val md = cd.mapDef.getOrElse(
+        throw new IllegalArgumentException(s"${cd.name}: map without map_def"))
+      MapType(toSparkType(md.key), toSparkType(md.value),
+        valueContainsNull = !md.value.required)
+    } else primitives.getOrElse(t, StringType)
+  }
+
+  def toStructField(cd: ColumnDef): StructField =
+    StructField(cd.name, toSparkType(cd), nullable = !cd.required)
+
+  def toStructType(columns: Seq[ColumnDef]): StructType = {
+    // dedup by name, last wins — reference builds a dict keyed by column
+    // name (iceberg_helper.py:201-211)
+    val deduped = columns.foldLeft(Vector.empty[ColumnDef]) { (acc, c) =>
+      acc.filterNot(_.name == c.name) :+ c
+    }
+    StructType(deduped.map(toStructField))
+  }
+}

@@ -1,0 +1,156 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.gen.{DataGen, OrdersFixtures}
+import graft.lake.{Engine, LakeTable}
+import graft.schema.FieldIds
+
+/** Golden end-to-end evolution test (SURVEY.md §5.2.2): replay orders
+  * v1 → create+append → replay v2 → evolve+append → unified read with
+  * the documented invariants (FIXTURES.md §1).
+  */
+class LakeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def freshWarehouse(): String =
+    Files.createTempDirectory("graft-lake-test").toString
+
+  test("golden: v1 create+append, v2 evolve+append, unified read") {
+    val wh = freshWarehouse()
+
+    val r1 = Engine.processTableDefJson(wh, OrdersFixtures.ordersV1Json)
+    assert(!r1.hasError && r1.changeType == "CREATE TABLE")
+    assert(Files.exists(java.nio.file.Paths.get(r1.outputLocation)))
+
+    val t1 = LakeTable.load(wh, "customer_order", "orders")
+    assert(t1.currentSchema.fieldNames.toSeq ==
+      Seq("order_time", "customer_name", "address", "order_items"))
+    t1.append(DataGen.toDf(spark, DataGen.ordersV1(25, seed = 11L), t1.currentSchema))
+
+    val r2 = Engine.processTableDefJson(wh, OrdersFixtures.ordersV2Json)
+    assert(!r2.hasError && r2.changeType == "ALTER TABLE")
+    assert(r2.messageList.exists(_.startsWith("Added column order_id")))
+    assert(r2.messageList.exists(_.startsWith("Added column address.address_line")))
+    assert(r2.messageList.exists(_.startsWith("Added column address.zip")))
+    assert(r2.messageList.exists(_.startsWith("Added column order_items.element.item_count")))
+    assert(r2.messageList.exists(_.startsWith("Updated partition spec")))
+
+    val t2 = LakeTable.load(wh, "customer_order", "orders")
+    // v2 column order honored; field IDs of kept columns preserved
+    assert(t2.currentSchema.fieldNames.toSeq ==
+      Seq("order_id", "order_time", "customer_name", "address", "order_items"))
+    val v1Ids = FieldIds.flatten(t1.currentSchema)
+      .map { case (p, f) => p -> FieldIds.idOf(f) }.toMap
+    val v2Ids = FieldIds.flatten(t2.currentSchema)
+      .map { case (p, f) => p -> FieldIds.idOf(f) }.toMap
+    assert(v2Ids("order_time") == v1Ids("order_time"))
+    assert(v2Ids("address.city") == v1Ids("address.city"))
+    assert(v2Ids("order_items.element.price") == v1Ids("order_items.element.price"))
+    assert(!v1Ids.values.toSet.contains(v2Ids("order_id")))
+
+    t2.append(DataGen.toDf(spark, DataGen.ordersV2(15, seed = 12L), t2.currentSchema))
+
+    val unified = t2.read(spark).cache()
+    assert(unified.count() == 40)
+    assert(unified.columns.toSeq ==
+      Seq("order_id", "order_time", "customer_name", "address", "order_items"))
+    // v1-written rows: null order_id, null nested adds — incl. inside
+    // the array elements
+    val v1Rows = unified.filter(col("order_id").isNull)
+    assert(v1Rows.count() == 25)
+    assert(v1Rows.filter(col("address.zip").isNotNull).count() == 0)
+    assert(v1Rows.filter(col("address.city").isNull).count() == 0)
+    assert(v1Rows.select(explode(col("order_items")).as("it"))
+      .filter(col("it.item_count").isNotNull).count() == 0)
+    assert(v1Rows.select(explode(col("order_items")).as("it"))
+      .filter(col("it.price").isNull).count() == 0)
+    val v2Rows = unified.filter(col("order_id").isNotNull)
+    assert(v2Rows.count() == 15)
+    assert(v2Rows.select(explode(col("order_items")).as("it"))
+      .filter(col("it.item_count").isNull).count() == 0)
+
+    // partition layout: v1 snapshot under year dirs, v2 under month dirs
+    val files = t2.metadata.allFiles
+    assert(files.exists(_.partitionValues.keySet == Set("order_time_year")))
+    assert(files.exists(_.partitionValues.keySet == Set("order_time_month")))
+    unified.unpersist()
+  }
+
+  test("metadata pruning skips non-matching files across specs") {
+    val wh = freshWarehouse()
+    Engine.processTableDefJson(wh, OrdersFixtures.ordersV1Json)
+    val t = LakeTable.load(wh, "customer_order", "orders")
+    t.append(DataGen.toDf(spark, DataGen.ordersV1(30, seed = 5L), t.currentSchema))
+
+    val all = t.read(spark)
+    val y2022 = t.read(spark, prune = Map("order_time_year" -> Set("2022")))
+    val expected = all.filter(year(col("order_time")) === 2022).count()
+    assert(y2022.count() == expected)
+    assert(expected > 0, "seeded data should hit 2022")
+    // pruning actually cut the file list
+    val prunedFiles = t.metadata.allFiles
+      .count(_.partitionValues.get("order_time_year").contains("2022"))
+    assert(prunedFiles < t.metadata.allFiles.size)
+  }
+
+  test("type promotion int->long is cast on read of old files") {
+    val wh = freshWarehouse()
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"p","columns":[
+        |{"column_name":"k","data_type":"int"},
+        |{"column_name":"v","data_type":"float"}],"partitions":[]}""".stripMargin)
+    val t1 = LakeTable.load(wh, "d", "p")
+    import spark.implicits._
+    t1.append(Seq((1, 1.5f), (2, 2.5f)).toDF("k", "v"))
+    val resp = Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"p","columns":[
+        |{"column_name":"k","data_type":"long"},
+        |{"column_name":"v","data_type":"double"}],"partitions":[]}""".stripMargin)
+    assert(!resp.hasError)
+    val t2 = LakeTable.load(wh, "d", "p")
+    t2.append(Seq((3L, 3.5d)).toDF("k", "v"))
+    val out = t2.read(spark)
+    assert(out.schema("k").dataType.typeName == "long")
+    assert(out.schema("v").dataType.typeName == "double")
+    assert(out.select(sum($"k")).head().getLong(0) == 6L)
+  }
+
+  test("disallowed change (long->int) reports error, keeps old schema") {
+    val wh = freshWarehouse()
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"q","columns":[
+        |{"column_name":"k","data_type":"long"}],"partitions":[]}""".stripMargin)
+    val resp = Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"q","columns":[
+        |{"column_name":"k","data_type":"int"}],"partitions":[]}""".stripMargin)
+    assert(resp.hasError)
+    assert(resp.messageList.exists(_.contains("Disallowed change")))
+    val t = LakeTable.load(wh, "d", "q")
+    assert(t.currentSchema("k").dataType.typeName == "long")
+  }
+
+  test("drop + reorder: old files remain readable, dropped data hidden") {
+    val wh = freshWarehouse()
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"r","columns":[
+        |{"column_name":"a","data_type":"int"},
+        |{"column_name":"b","data_type":"string"},
+        |{"column_name":"c","data_type":"float"}],"partitions":[]}""".stripMargin)
+    val t1 = LakeTable.load(wh, "d", "r")
+    import spark.implicits._
+    t1.append(Seq((1, "x", 1.0f), (2, "y", 2.0f)).toDF("a", "b", "c"))
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"r","columns":[
+        |{"column_name":"c","data_type":"float"},
+        |{"column_name":"a","data_type":"int"}],"partitions":[]}""".stripMargin)
+    val t2 = LakeTable.load(wh, "d", "r")
+    val out = t2.read(spark)
+    assert(out.columns.toSeq == Seq("c", "a"))
+    assert(out.orderBy("a").collect().map(r => (r.getFloat(0), r.getInt(1))).toSeq ==
+      Seq((1.0f, 1), (2.0f, 2)))
+  }
+}
