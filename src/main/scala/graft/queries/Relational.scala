@@ -120,8 +120,10 @@ object Relational extends QueryModule {
     }),
 
     "q_join_anti" -> ((s, dir) => {
+      // customers with no completed ('F') order — the status filter
+      // keeps the result non-degenerate at every scale factor
       val c = Tables(s, dir, "customer")
-      val o = Tables(s, dir, "orders")
+      val o = Tables(s, dir, "orders").filter(col("o_orderstatus") === "F")
       c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")
@@ -241,7 +243,8 @@ object Relational extends QueryModule {
 
     "q_join_anti" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
         |ORDER BY c_custkey""".stripMargin,
 
     "q_sort_limit" ->

@@ -38,8 +38,11 @@ object SetOps extends QueryModule {
     }),
 
     "q_except" -> ((s, dir) => {
+      // parts never shipped in bulk (quantity > 45) — the filter keeps
+      // the difference non-empty at every scale factor
       val p = Tables(s, dir, "part").select(col("p_partkey").as("partkey"))
-      val li = Tables(s, dir, "lineitem").select(col("l_partkey").as("partkey"))
+      val li = Tables(s, dir, "lineitem").filter(col("l_quantity") > 45)
+        .select(col("l_partkey").as("partkey"))
       p.except(li).orderBy("partkey")
     }),
   )
@@ -66,7 +69,7 @@ object SetOps extends QueryModule {
     "q_except" ->
       """SELECT p_partkey AS partkey FROM part
         |EXCEPT
-        |SELECT l_partkey FROM lineitem
+        |SELECT l_partkey FROM lineitem WHERE l_quantity > 45
         |ORDER BY partkey""".stripMargin,
   )
 }

@@ -104,15 +104,17 @@ object SchemaDiff {
   }
 
   private def flattenNoIds(schema: StructType): Seq[(String, DataType)] = {
+    def walkDt(dt: DataType, prefix: String): Seq[(String, DataType)] = dt match {
+      case s: StructType => walk(s, prefix)
+      case ArrayType(et, _) => walkDt(et, s"$prefix.element")
+      case MapType(kt, vt, _) =>
+        walkDt(kt, s"$prefix.key") ++ walkDt(vt, s"$prefix.value")
+      case _ => Seq.empty
+    }
     def walk(st: StructType, prefix: String): Seq[(String, DataType)] =
       st.fields.toSeq.flatMap { f =>
         val path = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
-        (path, f.dataType) +: (f.dataType match {
-          case s: StructType => walk(s, path)
-          case ArrayType(s: StructType, _) => walk(s, s"$path.element")
-          case MapType(_, s: StructType, _) => walk(s, s"$path.value")
-          case _ => Seq.empty
-        })
+        (path, f.dataType) +: walkDt(f.dataType, path)
       }
     walk(schema, "")
   }
