@@ -59,6 +59,28 @@ object PipelineSketches extends QueryModule {
         .orderBy("media_id")
     }),
 
+    "q_sim_topk_fast" -> ((s, dir) => {
+      // Same brute-force cosine top-k as the oracle-checked q_sim_topk,
+      // but through the native codegen'd FloatCosine expression — the
+      // actual hot path at scale (plain IEEE accumulation, so no
+      // cross-engine oracle; FunctionsSpec pins it against the decimal
+      // formulation).
+      graft.functions.VectorFunctions.register(s)
+      val e = Tables(s, dir, "embeddings")
+      val probe = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("p_emb"))
+      val top = e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(probe))
+        .withColumn("cos", graft.functions.VectorFunctions
+          .float_cosine(col("embedding"), col("p_emb")))
+        .select(col("vec_id"), col("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(10)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cos").desc, col("vec_id"))
+      top.withColumn("rank", row_number().over(w)).orderBy("rank")
+    }),
+
     "q_sim_ann_lsh" -> ((s, dir) => {
       // Hyperplane-LSH ANN: bucket every vector by 6 sign bits, search
       // only buckets within hamming distance 1 of the probe's bucket
