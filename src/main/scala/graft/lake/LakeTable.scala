@@ -156,12 +156,22 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
             java.net.URLDecoder.decode(v, "UTF-8")
         }.toMap
       DataFileMeta(p.toString, md.currentSchemaId, spec.id,
-        rows = -1, partitionValues = partVals)
+        rows = parquetRowCount(p), partitionValues = partVals)
     }
-    val snap = SnapshotMeta(snapshotId, files)
+    val snap = SnapshotMeta(snapshotId, files, md.currentSchemaId)
     commit(md.copy(snapshots = md.snapshots :+ snap))
     snap
   }
+
+  /** Exact row count from the parquet footer (no data scan). */
+  private def parquetRowCount(p: Path): Long =
+    try {
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(p.toString),
+          new org.apache.hadoop.conf.Configuration()))
+      try reader.getRecordCount finally reader.close()
+    } catch { case _: Exception => -1L }
 
   private def listParquet(dir: Path): Seq[Path] =
     Files.walk(dir).iterator().asScala
@@ -181,9 +191,21 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     * (multi-spec correctness, SURVEY.md §7.2).
     */
   def read(spark: SparkSession,
-      prune: Map[String, Set[String]] = Map.empty): DataFrame = {
-    val current = md.currentSchema
-    val files = md.allFiles.filter { f =>
+      prune: Map[String, Set[String]] = Map.empty,
+      asOfSnapshot: Option[Long] = None): DataFrame = {
+    // time travel: restrict to snapshots <= asOf and reconcile to the
+    // schema that was current when that snapshot committed
+    val visible = asOfSnapshot match {
+      case Some(sid) =>
+        require(md.snapshots.exists(_.id == sid), s"no snapshot $sid")
+        md.snapshots.filter(_.id <= sid)
+      case None => md.snapshots
+    }
+    val current = asOfSnapshot match {
+      case Some(sid) => md.schemaById(visible.find(_.id == sid).get.schemaId)
+      case None => md.currentSchema
+    }
+    val files = visible.flatMap(_.files).filter { f =>
       prune.forall { case (name, allowed) =>
         f.partitionValues.get(name).forall(allowed.contains)
       }

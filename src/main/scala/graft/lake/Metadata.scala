@@ -16,7 +16,7 @@ case class SpecField(sourceFieldId: Int, transform: String, name: String,
 case class PartitionSpecMeta(id: Int, fields: Seq[SpecField])
 case class DataFileMeta(path: String, schemaId: Int, specId: Int, rows: Long,
     partitionValues: Map[String, String])
-case class SnapshotMeta(id: Long, files: Seq[DataFileMeta])
+case class SnapshotMeta(id: Long, files: Seq[DataFileMeta], schemaId: Int)
 case class SchemaVersion(id: Int, schema: StructType)
 
 case class TableMetadata(
@@ -113,6 +113,7 @@ object MetadataIO {
         "field-id" -> JNumber(f.specFieldId))))))))),
     "snapshots" -> JArray(md.snapshots.map(sn => JObject(Map(
       "snapshot-id" -> JNumber(sn.id),
+      "schema-id" -> JNumber(sn.schemaId),
       "files" -> JArray(sn.files.map(df => JObject(Map(
         "path" -> JString(df.path),
         "schema-id" -> JNumber(df.schemaId),
@@ -148,12 +149,13 @@ object MetadataIO {
       snapshots = m("snapshots").asArr.map { sn =>
         val sm = sn.asObj
         SnapshotMeta(sm("snapshot-id").asLong,
-          sm("files").asArr.map { df =>
+          files = sm("files").asArr.map { df =>
             val dm = df.asObj
             DataFileMeta(dm("path").asStr, dm("schema-id").asInt,
               dm("spec-id").asInt, dm("rows").asLong,
               dm("partition").asObj.map { case (k, vv) => k -> vv.asStr })
-          })
+          },
+          schemaId = sm("schema-id").asInt)
       },
       lastFieldId = m("last-field-id").asInt)
   }

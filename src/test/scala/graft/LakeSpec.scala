@@ -80,6 +80,26 @@ class LakeSpec extends AnyFunSuite {
     unified.unpersist()
   }
 
+  test("time travel: asOf snapshot reads old data under the old schema") {
+    val wh = freshWarehouse()
+    Engine.processTableDefJson(wh, OrdersFixtures.ordersV1Json)
+    val t1 = LakeTable.load(wh, "customer_order", "orders")
+    val snap1 = t1.append(DataGen.toDf(spark, DataGen.ordersV1(10, seed = 21L), t1.currentSchema))
+    Engine.processTableDefJson(wh, OrdersFixtures.ordersV2Json)
+    val t2 = LakeTable.load(wh, "customer_order", "orders")
+    t2.append(DataGen.toDf(spark, DataGen.ordersV2(5, seed = 22L), t2.currentSchema))
+
+    val asOf = t2.read(spark, asOfSnapshot = Some(snap1.id))
+    assert(asOf.count() == 10)
+    // snapshot 1 committed under the v1 schema: 4 columns, no order_id
+    assert(asOf.columns.toSeq ==
+      Seq("order_time", "customer_name", "address", "order_items"))
+    assert(t2.read(spark).count() == 15)
+    // footer-derived row counts recorded per file
+    assert(t2.metadata.allFiles.forall(_.rows > 0))
+    assert(t2.metadata.snapshots.find(_.id == snap1.id).get.files.map(_.rows).sum == 10)
+  }
+
   test("metadata pruning skips non-matching files across specs") {
     val wh = freshWarehouse()
     Engine.processTableDefJson(wh, OrdersFixtures.ordersV1Json)

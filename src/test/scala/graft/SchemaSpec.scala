@@ -144,7 +144,7 @@ class SchemaSpec extends AnyFunSuite {
       Seq(graft.lake.PartitionSpecMeta(0,
         Seq(graft.lake.SpecField(1, "year", "ts_year", 1000)))), 0,
       Seq(graft.lake.SnapshotMeta(1, Seq(graft.lake.DataFileMeta(
-        "/x/y.parquet", 0, 0, 10, Map("ts_year" -> "2024"))))), next - 1)
+        "/x/y.parquet", 0, 0, 10, Map("ts_year" -> "2024"))), 0)), next - 1)
     val round = graft.lake.MetadataIO.fromJson(
       Json.parse(Json.write(graft.lake.MetadataIO.toJson(md))))
     assert(round == md)
