@@ -64,6 +64,23 @@ object Grouping extends QueryModule {
           |""".stripMargin)
     }),
 
+    "q_agg_salted" -> ((s, dir) => {
+      // Two-phase salted aggregation — the skew pattern for hot keys at
+      // 100 TB: phase 1 aggregates on (key, salt) spreading a hot key
+      // over 16 reducers, phase 2 merges partials per key. Results are
+      // identical to a plain GROUP BY (the oracle), which is the point.
+      val li = Tables(s, dir, "lineitem")
+      val salted = li
+        .withColumn("salt", pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(16)))
+        .groupBy("l_returnflag", "salt")
+        .agg(sum(dec(col("l_quantity"))).as("part_qty"),
+          count(lit(1)).as("part_n"))
+      salted.groupBy("l_returnflag")
+        .agg(sum(col("part_qty")).cast(D).as("sum_qty"),
+          sum(col("part_n")).as("n_rows"))
+        .orderBy("l_returnflag")
+    }),
+
     "q_agg_approx_distinct" -> ((s, dir) => {
       Tables(s, dir, "events")
         .groupBy("event_type")
@@ -99,6 +116,11 @@ object Grouping extends QueryModule {
         |FROM customer
         |GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
         |ORDER BY gid, c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST""".stripMargin,
+    "q_agg_salted" ->
+      """SELECT l_returnflag,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty,
+        | count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // q_agg_approx_distinct: no oracle — HLL estimate is engine-specific.
   )
 }

@@ -153,6 +153,70 @@ class LakeSpec extends AnyFunSuite {
     assert(t.currentSchema("k").dataType.typeName == "long")
   }
 
+  test("soak: random evolution sequences keep every snapshot readable") {
+    // SURVEY §5.2.3: random appends across random evolution sequences —
+    // read never throws, column order always matches the latest schema.
+    val types = Seq("int", "long", "float", "double", "string")
+    val names = Seq("c1", "c2", "c3", "c4", "c5", "c6")
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed)
+      val wh = freshWarehouse()
+      // promotion lattice per column so random type picks stay legal
+      def rank(t: String) = types.indexOf(t)
+      var liveTypes = Map(names.head -> "int")
+      def defJson(cols: Map[String, String]): String = {
+        val colJson = cols.map { case (n, t) =>
+          s"""{"column_name":"$n","data_type":"$t"}"""
+        }.mkString(",")
+        s"""{"database_name":"d","table_name":"soak$seed","columns":[$colJson],"partitions":[]}"""
+      }
+      assert(!Engine.processTableDefJson(wh, defJson(liveTypes)).hasError)
+      var expectedRows = 0L
+      for (step <- 1 to 5) {
+        // random legal mutation: add a column, drop one (keep >=1), or
+        // promote int->long / float->double
+        val choice = rnd.nextInt(3)
+        if (choice == 0 && liveTypes.size < names.size) {
+          val fresh = names.find(!liveTypes.contains(_)).get
+          liveTypes += fresh -> types(rnd.nextInt(types.size))
+        } else if (choice == 1 && liveTypes.size > 1) {
+          liveTypes -= liveTypes.keys.toSeq(rnd.nextInt(liveTypes.size))
+        } else {
+          val (n, t) = liveTypes.toSeq(rnd.nextInt(liveTypes.size))
+          val promoted = t match {
+            case "int" => "long"
+            case "float" => "double"
+            case other => other
+          }
+          liveTypes += n -> promoted
+        }
+        val resp = Engine.processTableDefJson(wh, defJson(liveTypes))
+        assert(!resp.hasError, s"seed=$seed step=$step: ${resp.messageList}")
+        val t = LakeTable.load(wh, "d", s"soak$seed")
+        // append a few rows valid under the current schema
+        import org.apache.spark.sql.Row
+        val rows = (1 to 3).map { i =>
+          Row.fromSeq(t.currentSchema.fields.toSeq.map(_.dataType.typeName match {
+            case "integer" => i
+            case "long" => i.toLong
+            case "float" => i.toFloat
+            case "double" => i.toDouble
+            case _ => s"v$i"
+          }))
+        }
+        t.append(spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1),
+          graft.lake.Reconcile.clean(t.currentSchema)
+            .asInstanceOf[org.apache.spark.sql.types.StructType]))
+        expectedRows += 3
+        val out = t.read(spark)
+        assert(out.columns.toSeq == t.currentSchema.fieldNames.toSeq,
+          s"seed=$seed step=$step")
+        assert(out.count() == expectedRows, s"seed=$seed step=$step")
+      }
+    }
+  }
+
   test("drop + reorder: old files remain readable, dropped data hidden") {
     val wh = freshWarehouse()
     Engine.processTableDefJson(wh,
