@@ -86,6 +86,24 @@ object Pipeline extends QueryModule {
         .orderBy("a_id")
     }),
 
+    "q_dedup_near" -> ((s, dir) => {
+      // SURVEY §2.B's deterministic near-dup variant: the same 4-gram
+      // Jaccard computation as q_dedup_ngram, but thresholded to the
+      // candidate-pair shape a dedup pipeline consumes (pairs with any
+      // shingle overlap, strongest first).
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), shingles(split(col("text"), " ")).as("sh"))
+      val a = d.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
+      val b = d.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
+      a.join(b, col("b_id") === col("a_id") + 1)
+        .select(col("a_id"), col("b_id"),
+          size(array_intersect(col("a_sh"), col("b_sh"))).as("n_common"),
+          size(array_union(col("a_sh"), col("b_sh"))).as("n_union"))
+        .withColumn("jaccard", col("n_common").cast("double") / col("n_union"))
+        .filter(col("n_common") > 0)
+        .orderBy(col("jaccard").desc, col("a_id"))
+    }),
+
     "q_dedup_embed" -> ((s, dir) => {
       // Embedding-cosine near-dup, batch-vs-corpus framing: the first
       // 100 vectors (an incoming batch) are checked against all vectors
@@ -288,6 +306,24 @@ object Pipeline extends QueryModule {
         |    CAST(len(list_distinct(a.s || b.s)) AS INTEGER) AS n_union
         |  FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1) t
         |ORDER BY a_id""".stripMargin,
+
+    "q_dedup_near" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(string_split(text,' ')) >= 4 THEN
+        |      list_distinct(list_transform(range(1, len(string_split(text,' ')) - 2),
+        |        i -> array_to_string(string_split(text,' ')[i:i+3], ' ')))
+        |    ELSE [] END AS s
+        |  FROM documents)
+        |SELECT a_id, b_id, n_common, n_union,
+        |  CAST(n_common AS DOUBLE)/n_union AS jaccard
+        |FROM (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    CAST(len(list_intersect(a.s, b.s)) AS INTEGER) AS n_common,
+        |    CAST(len(list_distinct(a.s || b.s)) AS INTEGER) AS n_union
+        |  FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1) t
+        |WHERE n_common > 0
+        |ORDER BY jaccard DESC, a_id""".stripMargin,
 
     "q_dedup_embed" ->
       """WITH v AS (

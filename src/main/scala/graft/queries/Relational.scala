@@ -31,7 +31,7 @@ object Relational extends QueryModule {
           dec(col("l_quantity")).as("qty"),
           (dec(col("l_extendedprice")) * (lit(1).cast(D) - dec(col("l_discount"))))
             .cast(D).as("net_price"))
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "qty", "net_price")
     }),
 
     "q_filter_pred" -> ((s, dir) => {
@@ -44,7 +44,9 @@ object Relational extends QueryModule {
           col("l_quantity") < 24 &&
           col("l_partkey").isNotNull)
         .select("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus")
-        .orderBy("l_orderkey", "l_linenumber")
+        // (l_orderkey, l_linenumber) is NOT unique in the testdata —
+        // sort on the full output row for a total order
+        .orderBy("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus")
     }),
 
     "q_pricing_summary" -> ((s, dir) => {
@@ -187,7 +189,7 @@ object Relational extends QueryModule {
       """SELECT l_orderkey, l_linenumber,
         | CAST(l_quantity AS DECIMAL(18,4)) AS qty,
         | CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS net_price
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, qty, net_price""".stripMargin,
 
     "q_filter_pred" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus
@@ -195,7 +197,7 @@ object Relational extends QueryModule {
         |WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
         |  AND l_discount BETWEEN 0.03 AND 0.07
         |  AND l_returnflag IN ('A','R') AND l_quantity < 24 AND l_partkey IS NOT NULL
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_returnflag, l_linestatus""".stripMargin,
 
     "q_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
