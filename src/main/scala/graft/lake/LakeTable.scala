@@ -130,9 +130,21 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     * write one snapshot of parquet files, record per-file partition
     * values in metadata (A24).
     */
-  def append(df: DataFrame): SnapshotMeta = {
+  def append(df: DataFrame): SnapshotMeta =
+    writeSnapshot(Align(df, md.currentSchema), operation = "append")
+
+  /** Compact the table: rewrite the current live file set (already
+    * reconciled to the current schema) into one snapshot under the
+    * current partition spec. The rewrite snapshot *replaces* all prior
+    * files on read — the small-files/dead-schema-version cure at scale:
+    * after compaction every live file carries the current schema and
+    * spec, so reads become a single scan group again.
+    */
+  def compact(spark: SparkSession): SnapshotMeta =
+    writeSnapshot(read(spark), operation = "rewrite")
+
+  private def writeSnapshot(aligned: DataFrame, operation: String): SnapshotMeta = {
     val schema = md.currentSchema
-    val aligned = Align(df, schema)
     val spec = md.currentSpec
     val pCols = spec.fields.map { f =>
       val srcName = FieldIds.flatten(schema)
@@ -158,7 +170,7 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
       DataFileMeta(p.toString, md.currentSchemaId, spec.id,
         rows = parquetRowCount(p), partitionValues = partVals)
     }
-    val snap = SnapshotMeta(snapshotId, files, md.currentSchemaId)
+    val snap = SnapshotMeta(snapshotId, files, md.currentSchemaId, operation)
     commit(md.copy(snapshots = md.snapshots :+ snap))
     snap
   }
@@ -205,7 +217,10 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
       case Some(sid) => md.schemaById(visible.find(_.id == sid).get.schemaId)
       case None => md.currentSchema
     }
-    val files = visible.flatMap(_.files).filter { f =>
+    // a rewrite (compaction) snapshot replaces every file before it
+    val lastRewrite = visible.lastIndexWhere(_.operation == "rewrite")
+    val effective = if (lastRewrite < 0) visible else visible.drop(lastRewrite)
+    val files = effective.flatMap(_.files).filter { f =>
       prune.forall { case (name, allowed) =>
         f.partitionValues.get(name).forall(allowed.contains)
       }

@@ -16,7 +16,8 @@ case class SpecField(sourceFieldId: Int, transform: String, name: String,
 case class PartitionSpecMeta(id: Int, fields: Seq[SpecField])
 case class DataFileMeta(path: String, schemaId: Int, specId: Int, rows: Long,
     partitionValues: Map[String, String])
-case class SnapshotMeta(id: Long, files: Seq[DataFileMeta], schemaId: Int)
+case class SnapshotMeta(id: Long, files: Seq[DataFileMeta], schemaId: Int,
+    operation: String = "append")
 case class SchemaVersion(id: Int, schema: StructType)
 
 case class TableMetadata(
@@ -114,6 +115,7 @@ object MetadataIO {
     "snapshots" -> JArray(md.snapshots.map(sn => JObject(Map(
       "snapshot-id" -> JNumber(sn.id),
       "schema-id" -> JNumber(sn.schemaId),
+      "operation" -> JString(sn.operation),
       "files" -> JArray(sn.files.map(df => JObject(Map(
         "path" -> JString(df.path),
         "schema-id" -> JNumber(df.schemaId),
@@ -155,7 +157,8 @@ object MetadataIO {
               dm("spec-id").asInt, dm("rows").asLong,
               dm("partition").asObj.map { case (k, vv) => k -> vv.asStr })
           },
-          schemaId = sm("schema-id").asInt)
+          schemaId = sm("schema-id").asInt,
+          operation = sm.get("operation").map(_.asStr).getOrElse("append"))
       },
       lastFieldId = m("last-field-id").asInt)
   }

@@ -100,6 +100,33 @@ class LakeSpec extends AnyFunSuite {
     assert(t2.metadata.snapshots.find(_.id == snap1.id).get.files.map(_.rows).sum == 10)
   }
 
+  test("compaction: rewrite snapshot replaces prior files, data intact") {
+    val wh = freshWarehouse()
+    Engine.processTableDefJson(wh, OrdersFixtures.ordersV1Json)
+    val t1 = LakeTable.load(wh, "customer_order", "orders")
+    t1.append(DataGen.toDf(spark, DataGen.ordersV1(8, seed = 31L), t1.currentSchema))
+    Engine.processTableDefJson(wh, OrdersFixtures.ordersV2Json)
+    val t2 = LakeTable.load(wh, "customer_order", "orders")
+    t2.append(DataGen.toDf(spark, DataGen.ordersV2(6, seed = 32L), t2.currentSchema))
+
+    val before = t2.read(spark).orderBy(col("customer_name"), col("order_time"))
+      .drop("order_items").collect().toSeq
+    val filesBefore = t2.metadata.allFiles.size
+    val snap = t2.compact(spark)
+    assert(snap.operation == "rewrite")
+    // live set = only the rewrite snapshot's files, all on current schema
+    val after = t2.read(spark).orderBy(col("customer_name"), col("order_time"))
+      .drop("order_items").collect().toSeq
+    assert(after == before)
+    assert(t2.read(spark).count() == 14)
+    val live = t2.metadata.snapshots.filter(_.id >= snap.id).flatMap(_.files)
+    assert(live.forall(_.schemaId == t2.metadata.currentSchemaId))
+    assert(live.forall(_.partitionValues.keySet == Set("order_time_month")))
+    // historical snapshots still there for time travel
+    assert(t2.metadata.allFiles.size > live.size && filesBefore > 0)
+    assert(t2.read(spark, asOfSnapshot = Some(1L)).count() == 8)
+  }
+
   test("metadata pruning skips non-matching files across specs") {
     val wh = freshWarehouse()
     Engine.processTableDefJson(wh, OrdersFixtures.ordersV1Json)
