@@ -1,0 +1,117 @@
+package graft.lake
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.LogicalTypeAnnotation
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+
+import org.apache.spark.sql.types.StructType
+
+import graft.schema.FieldIds
+
+/** Per-file column statistics (min/max) for metadata-level file
+  * skipping — the Iceberg scan-planning trick: a predicate like
+  * `ts BETWEEN a AND b` or `key = k` can drop files from the scan list
+  * before Spark ever opens them. Stats are read from parquet footers
+  * at commit time (no data scan) and keyed by **field ID**, so they
+  * stay valid across renames and reorders.
+  *
+  * `kind` is "num" (value encoded as BigDecimal string — covers
+  * int/long/float/double and timestamp-as-micros) or "str" (lexical
+  * UTF8). Columns with no usable footer stats simply have no entry —
+  * skipping is always conservative.
+  */
+case class ColStats(kind: String, min: String, max: String) {
+  def overlaps(lo: Option[BigDecimal], hi: Option[BigDecimal]): Boolean =
+    kind == "num" && {
+      val mn = BigDecimal(min); val mx = BigDecimal(max)
+      lo.forall(_ <= mx) && hi.forall(_ >= mn)
+    } || kind == "str" // range filters only prune numeric stats
+
+  def overlapsStr(lo: Option[String], hi: Option[String]): Boolean =
+    kind != "str" || (lo.forall(_ <= max) && hi.forall(_ >= min))
+}
+
+/** A half-open/closed range predicate against a current-schema column,
+  * used for stats-based file skipping. Values: BigDecimal for numeric
+  * columns (timestamps as epoch micros), String for string columns.
+  */
+case class RangeFilter(column: String,
+    loNum: Option[BigDecimal] = None, hiNum: Option[BigDecimal] = None,
+    loStr: Option[String] = None, hiStr: Option[String] = None)
+
+object FileStats {
+
+  /** Extract top-level-column min/max from a parquet footer, mapped to
+    * field IDs via the schema the file was written under.
+    */
+  def fromFooter(path: String, fileSchema: StructType): Map[Int, ColStats] = {
+    val nameToId = fileSchema.fields.map(f => f.name -> FieldIds.idOf(f)).toMap
+    try {
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(path),
+        new org.apache.hadoop.conf.Configuration()))
+      try {
+        val blocks = reader.getFooter.getBlocks.asScala
+        val perCol = scala.collection.mutable.Map.empty[String, ColStats]
+        for (block <- blocks; chunk <- block.getColumns.asScala) {
+          val pathParts = chunk.getPath.toArray
+          if (pathParts.length == 1) { // top-level primitives only
+            val name = pathParts(0)
+            val st = chunk.getStatistics
+            if (st != null && st.hasNonNullValue && nameToId.contains(name)) {
+              val pt = chunk.getPrimitiveType
+              val kindAndVals: Option[(String, String, String)] =
+                pt.getPrimitiveTypeName match {
+                  case INT32 => Some(("num",
+                    st.genericGetMin.toString, st.genericGetMax.toString))
+                  case INT64 => Some(("num",
+                    st.genericGetMin.toString, st.genericGetMax.toString))
+                  case FLOAT | DOUBLE => Some(("num",
+                    BigDecimal(st.genericGetMin.toString).toString,
+                    BigDecimal(st.genericGetMax.toString).toString))
+                  case BINARY
+                    if pt.getLogicalTypeAnnotation ==
+                      LogicalTypeAnnotation.stringType() =>
+                    Some(("str",
+                      st.minAsString(), st.maxAsString()))
+                  case _ => None
+                }
+              kindAndVals.foreach { case (kind, mn, mx) =>
+                perCol.get(name) match {
+                  case None => perCol(name) = ColStats(kind, mn, mx)
+                  case Some(prev) =>
+                    val (nmn, nmx) =
+                      if (kind == "num")
+                        (BigDecimal(prev.min).min(BigDecimal(mn)).toString,
+                          BigDecimal(prev.max).max(BigDecimal(mx)).toString)
+                      else
+                        (Seq(prev.min, mn).min, Seq(prev.max, mx).max)
+                    perCol(name) = ColStats(kind, nmn, nmx)
+                }
+              }
+            }
+          }
+        }
+        perCol.map { case (name, cs) => nameToId(name) -> cs }.toMap
+      } finally reader.close()
+    } catch { case _: Exception => Map.empty }
+  }
+
+  /** Could the file contain rows matching every filter? (Conservative:
+    * missing stats → keep the file.)
+    */
+  def mightMatch(stats: Map[Int, ColStats], currentSchema: StructType,
+      filters: Seq[RangeFilter]): Boolean =
+    filters.forall { f =>
+      val fieldId = currentSchema.fields
+        .find(_.name == f.column).map(FieldIds.idOf)
+      fieldId.flatMap(stats.get) match {
+        case None => true
+        case Some(cs) =>
+          cs.overlaps(f.loNum, f.hiNum) && cs.overlapsStr(f.loStr, f.hiStr)
+      }
+    }
+}

@@ -168,7 +168,8 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
             java.net.URLDecoder.decode(v, "UTF-8")
         }.toMap
       DataFileMeta(p.toString, md.currentSchemaId, spec.id,
-        rows = parquetRowCount(p), partitionValues = partVals)
+        rows = parquetRowCount(p), partitionValues = partVals,
+        stats = FileStats.fromFooter(p.toString, schema))
     }
     val snap = SnapshotMeta(snapshotId, files, md.currentSchemaId, operation)
     commit(md.copy(snapshots = md.snapshots :+ snap))
@@ -204,7 +205,8 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     */
   def read(spark: SparkSession,
       prune: Map[String, Set[String]] = Map.empty,
-      asOfSnapshot: Option[Long] = None): DataFrame = {
+      asOfSnapshot: Option[Long] = None,
+      statsFilters: Seq[RangeFilter] = Seq.empty): DataFrame = {
     // time travel: restrict to snapshots <= asOf and reconcile to the
     // schema that was current when that snapshot committed
     val visible = asOfSnapshot match {
@@ -223,7 +225,7 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     val files = effective.flatMap(_.files).filter { f =>
       prune.forall { case (name, allowed) =>
         f.partitionValues.get(name).forall(allowed.contains)
-      }
+      } && FileStats.mightMatch(f.stats, current, statsFilters)
     }
     if (files.isEmpty)
       return spark.createDataFrame(

@@ -15,7 +15,8 @@ case class SpecField(sourceFieldId: Int, transform: String, name: String,
     specFieldId: Int)
 case class PartitionSpecMeta(id: Int, fields: Seq[SpecField])
 case class DataFileMeta(path: String, schemaId: Int, specId: Int, rows: Long,
-    partitionValues: Map[String, String])
+    partitionValues: Map[String, String],
+    stats: Map[Int, ColStats] = Map.empty)
 case class SnapshotMeta(id: Long, files: Seq[DataFileMeta], schemaId: Int,
     operation: String = "append")
 case class SchemaVersion(id: Int, schema: StructType)
@@ -123,6 +124,12 @@ object MetadataIO {
         "rows" -> JNumber(df.rows),
         "partition" -> JObject(df.partitionValues.map {
           case (k, v) => k -> JString(v)
+        }),
+        "stats" -> JObject(df.stats.map { case (id, cs) =>
+          id.toString -> JObject(Map(
+            "kind" -> JString(cs.kind),
+            "min" -> JString(cs.min),
+            "max" -> JString(cs.max)))
         }))))))))),
     "last-field-id" -> JNumber(md.lastFieldId)))
 
@@ -155,7 +162,12 @@ object MetadataIO {
             val dm = df.asObj
             DataFileMeta(dm("path").asStr, dm("schema-id").asInt,
               dm("spec-id").asInt, dm("rows").asLong,
-              dm("partition").asObj.map { case (k, vv) => k -> vv.asStr })
+              dm("partition").asObj.map { case (k, vv) => k -> vv.asStr },
+              dm.get("stats").map(_.asObj.map { case (id, sv) =>
+                val sm2 = sv.asObj
+                id.toInt -> ColStats(sm2("kind").asStr,
+                  sm2("min").asStr, sm2("max").asStr)
+              }).getOrElse(Map.empty))
           },
           schemaId = sm("schema-id").asInt,
           operation = sm.get("operation").map(_.asStr).getOrElse("append"))

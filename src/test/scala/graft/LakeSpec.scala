@@ -100,6 +100,48 @@ class LakeSpec extends AnyFunSuite {
     assert(t2.metadata.snapshots.find(_.id == snap1.id).get.files.map(_.rows).sum == 10)
   }
 
+  test("stats-based file skipping: min/max prunes the scan list") {
+    val wh = freshWarehouse()
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"st","columns":[
+        |{"column_name":"k","data_type":"long"},
+        |{"column_name":"name","data_type":"string"}],"partitions":[]}""".stripMargin)
+    val t = LakeTable.load(wh, "d", "st")
+    import spark.implicits._
+    // three snapshots with disjoint key ranges -> three files
+    t.append(Seq((1L, "a"), (10L, "b")).toDF("k", "name").repartition(1))
+    t.append(Seq((100L, "c"), (110L, "d")).toDF("k", "name").repartition(1))
+    t.append(Seq((1000L, "e")).toDF("k", "name").repartition(1))
+    val all = t.metadata.allFiles
+    assert(all.size == 3 && all.forall(_.stats.nonEmpty))
+
+    // numeric range filter: only the middle file can match k in [50, 500]
+    val mid = graft.lake.RangeFilter("k",
+      loNum = Some(BigDecimal(50)), hiNum = Some(BigDecimal(500)))
+    val kept = all.filter(f => graft.lake.FileStats.mightMatch(
+      f.stats, t.currentSchema, Seq(mid)))
+    assert(kept.size == 1)
+    val out = t.read(spark, statsFilters = Seq(mid))
+    assert(out.collect().map(_.getLong(0)).sorted.toSeq == Seq(100L, 110L))
+
+    // string stats prune lexically
+    val sFilter = graft.lake.RangeFilter("name",
+      loStr = Some("d"), hiStr = Some("z"))
+    assert(t.read(spark, statsFilters = Seq(sFilter))
+      .collect().map(_.getString(1)).sorted.toSeq == Seq("c", "d", "e"))
+
+    // stats survive a rename: field-ID keyed, filter on the NEW name
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"st","columns":[
+        |{"column_name":"k","data_type":"long"},
+        |{"column_name":"label","data_type":"string"}],"partitions":[]}""".stripMargin)
+    val t2 = LakeTable.load(wh, "d", "st")
+    // rename = drop+add in the name-based diff => new field id, so old
+    // string stats must NOT prune on the new column (conservative);
+    // k is untouched and still prunes
+    assert(t2.read(spark, statsFilters = Seq(mid)).count() == 2)
+  }
+
   test("compaction: rewrite snapshot replaces prior files, data intact") {
     val wh = freshWarehouse()
     Engine.processTableDefJson(wh, OrdersFixtures.ordersV1Json)
