@@ -1,0 +1,54 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.lake.{Engine, LakeTable}
+import graft.streaming.StreamIngest
+
+class StreamIngestSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("streaming ingest commits snapshots; schema evolution applies mid-stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val wh = Files.createTempDirectory("graft-ingest").toString
+    val ckpt = Files.createTempDirectory("graft-ingest-ckpt").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"ev","columns":[
+        |{"column_name":"k","data_type":"long"},
+        |{"column_name":"v","data_type":"string"}],"partitions":[]}""".stripMargin)
+
+    val mem = MemoryStream[(Long, String)]
+    def pass(): Unit = {
+      val q = StreamIngest.intoLake(mem.toDF().toDF("k", "v"), wh, "d", "ev", ckpt)
+      q.awaitTermination()
+    }
+    mem.addData((1L, "a"), (2L, "b"))
+    pass()
+    val t1 = LakeTable.load(wh, "d", "ev")
+    assert(t1.read(spark).count() == 2)
+    assert(t1.metadata.snapshots.size == 1)
+
+    // evolve while the "stream" is between micro-batches: add a column
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"ev","columns":[
+        |{"column_name":"k","data_type":"long"},
+        |{"column_name":"v","data_type":"string"},
+        |{"column_name":"extra","data_type":"int"}],"partitions":[]}""".stripMargin)
+    mem.addData((3L, "c"))
+    pass()
+
+    val t2 = LakeTable.load(wh, "d", "ev")
+    val out = t2.read(spark)
+    assert(out.columns.toSeq == Seq("k", "v", "extra"))
+    assert(out.count() == 3)
+    // all rows (old and new) surface NULL extra — the batch written
+    // after evolution was aligned to the new schema (null-filled)
+    assert(out.filter(col("extra").isNotNull).count() == 0)
+    assert(t2.metadata.snapshots.size == 2)
+  }
+}
