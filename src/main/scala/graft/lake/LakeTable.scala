@@ -35,14 +35,29 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
   private def metadataDir = location.resolve("metadata")
   private def dataDir = location.resolve("data")
 
+  /** Metadata version this handle last observed — the optimistic-
+    * concurrency baseline for commit().
+    */
+  private var loadedVersion: Int = currentHintVersion()
+
+  private def currentHintVersion(): Int = {
+    val hint = metadataDir.resolve("version-hint.text")
+    if (Files.exists(hint)) Files.readString(hint).trim.toInt else 0
+  }
+
   // ---- commit ----------------------------------------------------------
 
   private def commit(next: TableMetadata): String = {
     Files.createDirectories(metadataDir)
-    val version = Files.list(metadataDir).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case s if s.matches("v\\d+\\.json") => s.stripPrefix("v").stripSuffix(".json").toInt }
-      .foldLeft(0)(math.max) + 1
+    // optimistic concurrency: refuse to clobber a commit made through
+    // another handle since this one loaded (the reference has no retry
+    // logic either — surfacing the conflict is the contract)
+    val observed = currentHintVersion()
+    if (observed != loadedVersion)
+      throw new java.util.ConcurrentModificationException(
+        s"table $location was committed concurrently " +
+          s"(expected v$loadedVersion, found v$observed); reload and retry")
+    val version = observed + 1
     val target = metadataDir.resolve(s"v$version.json")
     Files.writeString(target, Json.write(MetadataIO.toJson(next)))
     // atomic pointer flip = the commit point
@@ -51,6 +66,7 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     Files.move(tmp, metadataDir.resolve("version-hint.text"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     md = next
+    loadedVersion = version
     target.toString
   }
 
@@ -144,6 +160,11 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     writeSnapshot(read(spark), operation = "rewrite")
 
   private def writeSnapshot(aligned: DataFrame, operation: String): SnapshotMeta = {
+    // fail fast before writing any data if another handle committed
+    // since we loaded (the commit itself re-checks)
+    if (currentHintVersion() != loadedVersion)
+      throw new java.util.ConcurrentModificationException(
+        s"table $location was committed concurrently; reload and retry")
     val schema = md.currentSchema
     val spec = md.currentSpec
     val pCols = spec.fields.map { f =>
@@ -154,7 +175,11 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
       (s"_p_${f.name}", Transforms.expr(f.transform, col(srcName)))
     }
     val snapshotId = md.snapshots.map(_.id).foldLeft(0L)(math.max) + 1
-    val outDir = dataDir.resolve(s"snap-$snapshotId")
+    // unique dir per write attempt: a racing writer that loses the
+    // commit leaves orphan files behind instead of clobbering the
+    // winner's snapshot (Iceberg's orphan-file model)
+    val outDir = dataDir.resolve(
+      s"snap-$snapshotId-${java.util.UUID.randomUUID().toString.take(8)}")
     val withP = pCols.foldLeft(aligned) { case (d, (n, e)) => d.withColumn(n, e) }
     val writer = withP.write.mode("overwrite")
     (if (pCols.nonEmpty) writer.partitionBy(pCols.map(_._1): _*) else writer)

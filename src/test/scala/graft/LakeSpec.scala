@@ -100,6 +100,25 @@ class LakeSpec extends AnyFunSuite {
     assert(t2.metadata.snapshots.find(_.id == snap1.id).get.files.map(_.rows).sum == 10)
   }
 
+  test("concurrent commit from a stale handle is refused") {
+    val wh = freshWarehouse()
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"cc","columns":[
+        |{"column_name":"k","data_type":"long"}],"partitions":[]}""".stripMargin)
+    import spark.implicits._
+    val h1 = LakeTable.load(wh, "d", "cc")
+    val h2 = LakeTable.load(wh, "d", "cc")
+    h1.append(Seq(1L).toDF("k"))
+    // h2 loaded before h1's commit — its append must surface the conflict
+    intercept[java.util.ConcurrentModificationException] {
+      h2.append(Seq(2L).toDF("k"))
+    }
+    // a fresh handle sees h1's commit and proceeds
+    val h3 = LakeTable.load(wh, "d", "cc")
+    h3.append(Seq(3L).toDF("k"))
+    assert(h3.read(spark).count() == 2)
+  }
+
   test("stats-based file skipping: min/max prunes the scan list") {
     val wh = freshWarehouse()
     Engine.processTableDefJson(wh,
