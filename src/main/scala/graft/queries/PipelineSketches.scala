@@ -42,6 +42,33 @@ object PipelineSketches extends QueryModule {
         .orderBy("a_id", "b_id")
     }),
 
+    "q_dedup_source_sketch" -> ((s, dir) => {
+      // Group-level MinHash via the custom Aggregator (udaf): one
+      // signature per source = sketch of the union of its shingle sets
+      // (combines map-side, NumPerms longs per group on the wire), then
+      // pairwise est-Jaccard between sources — whole-corpus overlap
+      // without ever comparing documents.
+      import org.apache.spark.sql.functions.udaf
+      val minhashUnion = udaf(graft.functions.MinHashSetAggregator)
+      val sigs = Sketches.minhashSignatures(
+        Tables(s, dir, "documents"), "doc_id", "text")
+      val docs = Tables(s, dir, "documents").select(col("doc_id"), col("source"))
+      val perSource = sigs.join(docs, col("id") === col("doc_id"))
+        .groupBy("source")
+        .agg(minhashUnion(col("sig")).as("src_sig"),
+          count(lit(1)).as("n_docs"))
+      val a = perSource.select(col("source").as("a_src"),
+        col("src_sig").as("a_sig"), col("n_docs").as("a_docs"))
+      val b = perSource.select(col("source").as("b_src"),
+        col("src_sig").as("b_sig"))
+      a.join(b, col("a_src") < col("b_src"))
+        .select(col("a_src"), col("b_src"), col("a_docs"),
+          (size(filter(zip_with(col("a_sig"), col("b_sig"), (x, y) =>
+            when(x === y, 1).otherwise(0)), v => v === 1)).cast("double") /
+            Sketches.NumPerms).as("est_jaccard"))
+        .orderBy("a_src", "b_src")
+    }),
+
     "q_multimodal_decode" -> ((s, dir) => {
       // Opaque-binary decode pipeline (stubbed codec): text payloads ->
       // media table (payload + typed metadata) -> partition-local batch

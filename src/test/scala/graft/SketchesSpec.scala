@@ -92,4 +92,21 @@ class SketchesSpec extends AnyFunSuite {
     assert(b(1L) == (~b(3L) & 0xFL), "negated vector flips every sign bit")
     assert(b.values.forall(v => v >= 0 && v < 16))
   }
+
+  test("MinHashSetAggregator: group sketch equals sketch of the union") {
+    import org.apache.spark.sql.functions.udaf
+    val minhashUnion = udaf(graft.functions.MinHashSetAggregator)
+    // two docs in one group; union sketch must equal component-wise min
+    val df = Seq((1L, docA, "g1"), (2L, docB, "g1"), (3L, docA, "g2"))
+      .toDF("doc_id", "text", "grp")
+    val sigs = Sketches.minhashSignatures(df, "doc_id", "text")
+      .join(df.select(col("doc_id").as("id"), col("grp")), "id")
+    val grouped = sigs.groupBy("grp").agg(minhashUnion(col("sig")).as("gsig"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val perDoc = Sketches.minhashSignatures(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](2)).toMap
+    val expectedG1 = perDoc(1L).zip(perDoc(2L)).map { case (x, y) => math.min(x, y) }
+    assert(grouped("g1") == expectedG1)
+    assert(grouped("g2") == perDoc(3L))
+  }
 }
