@@ -226,8 +226,25 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     * `prune`: partition-field name → allowed values. A file is skipped
     * only when its own spec recorded that field with a non-matching
     * value — files from specs without the field are conservatively kept
-    * (multi-spec correctness, SURVEY.md §7.2).
+    * (multi-spec correctness, SURVEY.md §7.2). `statsFilters` further
+    * drops files by min/max column statistics.
+    *
+    * Incremental scan (Iceberg-style CDC read): rows appended by
+    * snapshots in (fromSnapshot, toSnapshot], reconciled to the current
+    * schema. Rewrite (compaction) snapshots are skipped — they move
+    * bytes, not data — so incremental consumers never see reprocessed
+    * rows.
     */
+  def changesBetween(spark: SparkSession, fromSnapshot: Long,
+      toSnapshot: Long): DataFrame = {
+    val current = md.currentSchema
+    val files = md.snapshots
+      .filter(s => s.id > fromSnapshot && s.id <= toSnapshot &&
+        s.operation == "append")
+      .flatMap(_.files)
+    readFiles(spark, files, current)
+  }
+
   def read(spark: SparkSession,
       prune: Map[String, Set[String]] = Map.empty,
       asOfSnapshot: Option[Long] = None,
@@ -252,17 +269,22 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
         f.partitionValues.get(name).forall(allowed.contains)
       } && FileStats.mightMatch(f.stats, current, statsFilters)
     }
+    readFiles(spark, files, current)
+  }
+
+  /** One reconciling scan group per schema version, unioned. */
+  private def readFiles(spark: SparkSession, files: Seq[DataFileMeta],
+      target: StructType): DataFrame = {
     if (files.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        Reconcile.clean(current).asInstanceOf[StructType])
-    val bySchema = files.groupBy(_.schemaId)
-    bySchema.map { case (schemaId, group) =>
+        Reconcile.clean(target).asInstanceOf[StructType])
+    files.groupBy(_.schemaId).map { case (schemaId, group) =>
       val fileSchema = md.schemaById(schemaId)
       spark.read
         .schema(Reconcile.clean(fileSchema).asInstanceOf[StructType])
         .parquet(group.map(_.path): _*)
-        .select(Reconcile.projection(fileSchema, current): _*)
+        .select(Reconcile.projection(fileSchema, target): _*)
     }.reduce(_.unionByName(_))
   }
 }

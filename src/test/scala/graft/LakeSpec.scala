@@ -100,6 +100,26 @@ class LakeSpec extends AnyFunSuite {
     assert(t2.metadata.snapshots.find(_.id == snap1.id).get.files.map(_.rows).sum == 10)
   }
 
+  test("incremental scan returns only rows appended in the snapshot range") {
+    val wh = freshWarehouse()
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"inc","columns":[
+        |{"column_name":"k","data_type":"long"}],"partitions":[]}""".stripMargin)
+    import spark.implicits._
+    val t = LakeTable.load(wh, "d", "inc")
+    val s1 = t.append(Seq(1L, 2L).toDF("k"))
+    val s2 = t.append(Seq(3L).toDF("k"))
+    t.compact(spark) // rewrite snapshot — must NOT appear in changes
+    val s4 = t.append(Seq(4L).toDF("k"))
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getLong(0)).sorted.toSeq
+    assert(keys(t.changesBetween(spark, 0L, s2.id)) == Seq(1L, 2L, 3L))
+    assert(keys(t.changesBetween(spark, s1.id, s4.id)) == Seq(3L, 4L))
+    assert(keys(t.changesBetween(spark, s2.id, s4.id)) == Seq(4L))
+    assert(t.changesBetween(spark, s4.id, s4.id).count() == 0)
+    assert(keys(t.read(spark)) == Seq(1L, 2L, 3L, 4L))
+  }
+
   test("concurrent commit from a stale handle is refused") {
     val wh = freshWarehouse()
     Engine.processTableDefJson(wh,
