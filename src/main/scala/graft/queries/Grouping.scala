@@ -81,6 +81,32 @@ object Grouping extends QueryModule {
         .orderBy("l_returnflag")
     }),
 
+    "q_agg_median" -> ((s, dir) => {
+      // exact interpolated percentiles over doubles — both engines sort
+      // the same doubles and average the same two middles
+      Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          percentile_approx(col("l_quantity"), lit(0.5), lit(1000000)).as("p50_approx"),
+          expr("percentile(l_quantity, 0.5)").as("median_qty"),
+          expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+          count(lit(1)).as("n"))
+        .drop("p50_approx") // approx variant exercised, not oracle-compared
+        .orderBy("l_returnflag")
+    }),
+
+    "q_agg_pivot" -> ((s, dir) => {
+      Tables(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .withColumnRenamed("F", "n_f")
+        .withColumnRenamed("O", "n_o")
+        .withColumnRenamed("P", "n_p")
+        .orderBy("o_orderpriority")
+    }),
+
     "q_agg_approx_distinct" -> ((s, dir) => {
       Tables(s, dir, "events")
         .groupBy("event_type")
@@ -116,6 +142,20 @@ object Grouping extends QueryModule {
         |FROM customer
         |GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
         |ORDER BY gid, c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST""".stripMargin,
+    "q_agg_median" ->
+      """SELECT l_returnflag,
+        | quantile_cont(l_quantity, 0.5) AS median_qty,
+        | quantile_cont(l_quantity, 0.9) AS p90_qty,
+        | count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_agg_pivot" ->
+      """SELECT o_orderpriority,
+        | count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+        | count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+        | count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
     "q_agg_salted" ->
       """SELECT l_returnflag,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty,
