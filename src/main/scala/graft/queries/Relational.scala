@@ -176,6 +176,20 @@ object Relational extends QueryModule {
         .orderBy("user_id", "v_ts", "v_id")
     }),
 
+    "q_subquery_scalar" -> ((s, dir) => {
+      // scalar subquery — Catalyst decorrelates to a broadcast of the
+      // single aggregated value; decimal avg pinned as sum/count
+      Tables(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,4)) AS totalprice
+          |FROM orders_v
+          |WHERE o_totalprice > (
+          |  SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+          |           / count(*) * 1.5
+          |  FROM orders_v)
+          |ORDER BY o_orderkey""".stripMargin)
+    }),
+
     "q_sort_limit" -> ((s, dir) => {
       Tables(s, dir, "orders")
         .select(col("o_orderkey"), dec(col("o_totalprice")).as("totalprice"))
@@ -252,6 +266,15 @@ object Relational extends QueryModule {
     "q_sort_limit" ->
       """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,4)) AS totalprice
         |FROM orders ORDER BY totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q_subquery_scalar" ->
+      """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,4)) AS totalprice
+        |FROM orders
+        |WHERE o_totalprice > (
+        |  SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |           / count(*) * 1.5
+        |  FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_join_theta_range" ->
       """SELECT e1.user_id AS u, count(*) AS n_pairs

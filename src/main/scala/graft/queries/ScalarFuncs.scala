@@ -96,6 +96,22 @@ object ScalarFuncs extends QueryModule {
         .orderBy("n_nationkey")
     }),
 
+    "q_cond_funcs" -> ((s, dir) => {
+      // conditional scalar functions: CASE, coalesce, nullif, nvl2-ish,
+      // greatest/least — all codegen'd, all null-propagation-sensitive
+      Tables(s, dir, "customer").select(
+          col("c_custkey"),
+          when(col("c_acctbal") < 0, "overdrawn")
+            .when(col("c_acctbal") < 1000, "low")
+            .otherwise("high").as("bal_band"),
+          coalesce(nullif(col("c_mktsegment"), lit("MACHINERY")),
+            lit("(machinery)")).as("seg_or_default"),
+          greatest(col("c_acctbal"), lit(0.0)).as("bal_floor"),
+          least(col("c_nationkey"), lit(10)).as("nation_cap"),
+          (col("c_acctbal") > 0).and(col("c_nationkey") < 20).as("flag"))
+        .orderBy("c_custkey")
+    }),
+
     "q_json_funcs" -> ((s, dir) => {
       Tables(s, dir, "events").select(
           col("event_id"),
@@ -168,6 +184,17 @@ object ScalarFuncs extends QueryModule {
         | ['name','region'] AS keys_sorted,
         | 2 AS m_size
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "q_cond_funcs" ->
+      """SELECT c_custkey,
+        | CASE WHEN c_acctbal < 0 THEN 'overdrawn'
+        |      WHEN c_acctbal < 1000 THEN 'low'
+        |      ELSE 'high' END AS bal_band,
+        | coalesce(nullif(c_mktsegment, 'MACHINERY'), '(machinery)') AS seg_or_default,
+        | greatest(c_acctbal, 0.0) AS bal_floor,
+        | CAST(least(c_nationkey, 10) AS INTEGER) AS nation_cap,
+        | (c_acctbal > 0 AND c_nationkey < 20) AS flag
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "q_json_funcs" ->
       """SELECT event_id,

@@ -75,6 +75,20 @@ object Windows extends QueryModule {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    "q_win_first_last" -> ((s, dir) => {
+      // first_value / last_value / nth_value over an explicit full-frame
+      // window (the default frame would stop at CURRENT ROW for last)
+      val o = Tables(s, dir, "orders")
+      val wFull = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      o.select(col("o_custkey"), col("o_orderkey"),
+          first(col("o_orderkey")).over(wFull).as("first_order"),
+          last(col("o_orderkey")).over(wFull).as("last_order"),
+          nth_value(col("o_orderkey"), 2).over(wFull).as("second_order"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     "q_win_ntile" -> ((s, dir) => {
       val c = Tables(s, dir, "customer")
       val w = Window.partitionBy("c_mktsegment")
@@ -122,6 +136,16 @@ object Windows extends QueryModule {
         |   PARTITION BY o_custkey ORDER BY o_orderkey
         |   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,4)) AS running_sum
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_win_first_last" ->
+      """SELECT o_custkey, o_orderkey,
+        | first_value(o_orderkey) OVER w AS first_order,
+        | last_value(o_orderkey) OVER w AS last_order,
+        | nth_value(o_orderkey, 2) OVER w AS second_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q_win_ntile" ->
       """SELECT c_custkey, c_mktsegment, CAST(c_acctbal AS DECIMAL(18,4)) AS acctbal,
