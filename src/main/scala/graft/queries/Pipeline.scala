@@ -51,13 +51,32 @@ object Pipeline extends QueryModule {
       lit(0).cast(DAcc),
       (acc, v) => (acc + v).cast(DAcc))
 
-  /** Word 4-gram shingle set (distinct) of a whitespace-tokenised text. */
-  private def shingles(toks: Column): Column =
-    when(size(toks) >= 4,
-      array_distinct(transform(
-        sequence(lit(1), size(toks) - 3),
-        i => concat_ws(" ", slice(toks, i, lit(4))))))
-      .otherwise(array().cast("array<string>"))
+  /** (doc_id, sh: array<string>) with distinct word 4-gram shingles,
+    * built in a JVM kernel (Spark's higher-order array expressions are
+    * interpreted and would be re-evaluated per join branch — this was
+    * the slowest pipeline query at sf0.1 before the kernel).
+    */
+  private def shingleDf(s: SparkSession, dir: String) = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val toks = text.split(" ")
+        val sh =
+          if (toks.length < 4) Array.empty[String]
+          else {
+            val out = new Array[String](toks.length - 3)
+            var i = 0
+            while (i < out.length) {
+              out(i) = s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)} ${toks(i + 3)}"
+              i += 1
+            }
+            out.distinct
+          }
+        (id, sh)
+      })
+      .toDF("doc_id", "sh")
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> ((s, dir) => {
@@ -74,8 +93,7 @@ object Pipeline extends QueryModule {
       // Word-4-gram Jaccard over a bounded candidate pairing
       // (consecutive doc ids) — the LSH modules generate candidates at
       // scale; this query pins the exact Jaccard computation itself.
-      val d = Tables(s, dir, "documents")
-        .select(col("doc_id"), shingles(split(col("text"), " ")).as("sh"))
+      val d = shingleDf(s, dir).persist()
       val a = d.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
       val b = d.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
       a.join(b, col("b_id") === col("a_id") + 1)
@@ -91,8 +109,7 @@ object Pipeline extends QueryModule {
       // Jaccard computation as q_dedup_ngram, but thresholded to the
       // candidate-pair shape a dedup pipeline consumes (pairs with any
       // shingle overlap, strongest first).
-      val d = Tables(s, dir, "documents")
-        .select(col("doc_id"), shingles(split(col("text"), " ")).as("sh"))
+      val d = shingleDf(s, dir).persist()
       val a = d.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
       val b = d.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
       a.join(b, col("b_id") === col("a_id") + 1)
