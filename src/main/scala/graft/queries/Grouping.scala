@@ -32,7 +32,7 @@ object Grouping extends QueryModule {
       s.sql(
         """SELECT n_name, c_mktsegment,
           |  grouping_id(n_name, c_mktsegment) AS gid,
-          |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_bal,
+          |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal,
           |  count(*) AS n_cust
           |FROM customer_v JOIN nation_v ON c_nationkey = n_nationkey
           |GROUP BY ROLLUP(n_name, c_mktsegment)
@@ -46,7 +46,7 @@ object Grouping extends QueryModule {
         .agg(
           grouping_id().as("gid"),
           count(lit(1)).as("n_orders"),
-          sum(dec(col("o_totalprice"))).cast(D).as("sum_price"))
+          sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
         .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
           col("o_orderpriority").asc_nulls_first)
     }),
@@ -57,7 +57,7 @@ object Grouping extends QueryModule {
         """SELECT c_mktsegment, c_nationkey,
           |  grouping_id(c_mktsegment, c_nationkey) AS gid,
           |  count(*) AS n_cust,
-          |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_bal
+          |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
           |FROM customer_v
           |GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
           |ORDER BY gid, c_mktsegment ASC NULLS FIRST, c_nationkey ASC NULLS FIRST
@@ -76,7 +76,7 @@ object Grouping extends QueryModule {
         .agg(sum(dec(col("l_quantity"))).as("part_qty"),
           count(lit(1)).as("part_n"))
       salted.groupBy("l_returnflag")
-        .agg(sum(col("part_qty")).cast(D).as("sum_qty"),
+        .agg(sum(col("part_qty")).cast("double").as("sum_qty"),
           sum(col("part_n")).as("n_rows"))
         .orderBy("l_returnflag")
     }),
@@ -119,7 +119,7 @@ object Grouping extends QueryModule {
     "q_agg_rollup" ->
       """SELECT n_name, c_mktsegment,
         | GROUPING(n_name, c_mktsegment) AS gid,
-        | CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_bal,
+        | CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal,
         | count(*) AS n_cust
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY ROLLUP(n_name, c_mktsegment)
@@ -129,7 +129,7 @@ object Grouping extends QueryModule {
       """SELECT o_orderstatus, o_orderpriority,
         | GROUPING(o_orderstatus, o_orderpriority) AS gid,
         | count(*) AS n_orders,
-        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_price
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM orders
         |GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
@@ -138,7 +138,7 @@ object Grouping extends QueryModule {
       """SELECT c_mktsegment, c_nationkey,
         | GROUPING(c_mktsegment, c_nationkey) AS gid,
         | count(*) AS n_cust,
-        | CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_bal
+        | CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
         |FROM customer
         |GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
         |ORDER BY gid, c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST""".stripMargin,
@@ -158,7 +158,7 @@ object Grouping extends QueryModule {
 
     "q_agg_salted" ->
       """SELECT l_returnflag,
-        | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
         | count(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // q_agg_approx_distinct: no oracle — HLL estimate is engine-specific.

@@ -9,9 +9,14 @@ import Tables.dec
 /** Core relational inventory (SURVEY.md §2.B): scan/projection, filter
   * pushdown, the flagship pricing summary (TPC-H Q1 shape), distinct
   * aggregation, and the full join family. Every query ends in a
-  * total-order ORDER BY on a unique key tuple and pre-casts money
-  * doubles to DECIMAL(18,4) so the DuckDB oracle hash-matches
-  * (SURVEY.md §7.8).
+  * total-order ORDER BY on a unique key tuple. Money math runs in
+  * DECIMAL(18,4) internally (exact, order-independent) but every
+  * OUTPUT column is DOUBLE/BIGINT/STRING: the driver compares via
+  * pandas, where a Spark-parquet decimal loads as decimal.Decimal
+  * while DuckDB's .df() yields float64 — same values, different
+  * dtype, hash mismatch (CORRECTNESS_r01). decimal→double is
+  * correctly rounded in both engines, so the doubles are
+  * bit-identical.
   *
   * Scale posture (100 TB): filters/projections push into the Parquet
   * scan (verified via explain: PushedFilters/ReadSchema); aggregations
@@ -28,9 +33,9 @@ object Relational extends QueryModule {
       Tables(s, dir, "lineitem")
         .select(
           col("l_orderkey"), col("l_linenumber"),
-          dec(col("l_quantity")).as("qty"),
+          col("l_quantity").as("qty"),
           (dec(col("l_extendedprice")) * (lit(1).cast(D) - dec(col("l_discount"))))
-            .cast(D).as("net_price"))
+            .cast(D).cast("double").as("net_price"))
         .orderBy("l_orderkey", "l_linenumber", "qty", "net_price")
     }),
 
@@ -54,15 +59,13 @@ object Relational extends QueryModule {
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum(dec(col("l_quantity"))).cast(D).as("sum_qty"),
-          sum(dec(col("l_extendedprice"))).cast(D).as("sum_base_price"),
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
           sum((dec(col("l_extendedprice")) * (lit(1).cast(D) - dec(col("l_discount"))))
-            .cast(D)).cast(D).as("sum_disc_price"),
+            .cast(D)).cast("double").as("sum_disc_price"),
           count(lit(1)).as("count_order"))
-        .withColumn("avg_qty",
-          col("sum_qty").cast("double") / col("count_order"))
-        .withColumn("avg_price",
-          col("sum_base_price").cast("double") / col("count_order"))
+        .withColumn("avg_qty", col("sum_qty") / col("count_order"))
+        .withColumn("avg_price", col("sum_base_price") / col("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
@@ -80,7 +83,7 @@ object Relational extends QueryModule {
       val c = Tables(s, dir, "customer")
       o.join(c, o("o_custkey") === c("c_custkey"), "inner")
         .select(col("o_orderkey"), col("c_name"),
-          dec(col("o_totalprice")).as("totalprice"))
+          col("o_totalprice").as("totalprice"))
         .orderBy("o_orderkey")
     }),
 
@@ -89,7 +92,7 @@ object Relational extends QueryModule {
       val p = Tables(s, dir, "part")
       li.join(broadcast(p), li("l_partkey") === p("p_partkey"), "inner")
         .groupBy("p_brand")
-        .agg(sum(dec(col("l_quantity"))).cast(D).as("sum_qty"),
+        .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
           count(lit(1)).as("n_lines"))
         .orderBy("p_brand")
     }),
@@ -100,7 +103,7 @@ object Relational extends QueryModule {
       li.hint("merge").join(o, li("l_orderkey") === o("o_orderkey"), "inner")
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_lines"),
-          sum(dec(col("l_extendedprice"))).cast(D).as("sum_price"))
+          sum(dec(col("l_extendedprice"))).cast("double").as("sum_price"))
         .orderBy("o_orderpriority")
     }),
 
@@ -181,7 +184,7 @@ object Relational extends QueryModule {
       // single aggregated value; decimal avg pinned as sum/count
       Tables(s, dir, "orders").createOrReplaceTempView("orders_v")
       s.sql(
-        """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,4)) AS totalprice
+        """SELECT o_orderkey, o_totalprice AS totalprice
           |FROM orders_v
           |WHERE o_totalprice > (
           |  SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
@@ -192,7 +195,7 @@ object Relational extends QueryModule {
 
     "q_sort_limit" -> ((s, dir) => {
       Tables(s, dir, "orders")
-        .select(col("o_orderkey"), dec(col("o_totalprice")).as("totalprice"))
+        .select(col("o_orderkey"), col("o_totalprice").as("totalprice"))
         .orderBy(col("totalprice").desc, col("o_orderkey"))
         .limit(100)
     }),
@@ -201,8 +204,8 @@ object Relational extends QueryModule {
   def oracleSql: Map[String, String] = Map(
     "q_scan_project" ->
       """SELECT l_orderkey, l_linenumber,
-        | CAST(l_quantity AS DECIMAL(18,4)) AS qty,
-        | CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS net_price
+        | l_quantity AS qty,
+        | CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS net_price
         |FROM lineitem ORDER BY l_orderkey, l_linenumber, qty, net_price""".stripMargin,
 
     "q_filter_pred" ->
@@ -215,9 +218,9 @@ object Relational extends QueryModule {
 
     "q_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_base_price,
-        | CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_disc_price,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        | CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
         | count(*) AS count_order,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty,
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_price
@@ -230,20 +233,20 @@ object Relational extends QueryModule {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_join_inner" ->
-      """SELECT o_orderkey, c_name, CAST(o_totalprice AS DECIMAL(18,4)) AS totalprice
+      """SELECT o_orderkey, c_name, o_totalprice AS totalprice
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_orderkey""".stripMargin,
 
     "q_join_broadcast" ->
       """SELECT p_brand,
-        | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
         | count(*) AS n_lines
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
 
     "q_join_sortmerge" ->
       """SELECT o_orderpriority, count(*) AS n_lines,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_price
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
@@ -264,11 +267,11 @@ object Relational extends QueryModule {
         |ORDER BY c_custkey""".stripMargin,
 
     "q_sort_limit" ->
-      """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,4)) AS totalprice
+      """SELECT o_orderkey, o_totalprice AS totalprice
         |FROM orders ORDER BY totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
 
     "q_subquery_scalar" ->
-      """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,4)) AS totalprice
+      """SELECT o_orderkey, o_totalprice AS totalprice
         |FROM orders
         |WHERE o_totalprice > (
         |  SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)

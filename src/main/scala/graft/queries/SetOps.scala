@@ -18,10 +18,10 @@ object SetOps extends QueryModule {
     "q_union_all" -> ((s, dir) => {
       val li = Tables(s, dir, "lineitem")
         .select(col("l_orderkey").as("okey"),
-          dec(col("l_extendedprice")).as("amount"), lit("L").as("src"))
+          col("l_extendedprice").as("amount"), lit("L").as("src"))
       val o = Tables(s, dir, "orders")
         .select(col("o_orderkey").as("okey"),
-          dec(col("o_totalprice")).as("amount"), lit("O").as("src"))
+          col("o_totalprice").as("amount"), lit("O").as("src"))
       li.unionByName(o).orderBy("okey", "src", "amount")
     }),
 
@@ -49,9 +49,9 @@ object SetOps extends QueryModule {
 
   def oracleSql: Map[String, String] = Map(
     "q_union_all" ->
-      """SELECT l_orderkey AS okey, CAST(l_extendedprice AS DECIMAL(18,4)) AS amount, 'L' AS src FROM lineitem
+      """SELECT l_orderkey AS okey, l_extendedprice AS amount, 'L' AS src FROM lineitem
         |UNION ALL
-        |SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,4)), 'O' FROM orders
+        |SELECT o_orderkey, o_totalprice, 'O' FROM orders
         |ORDER BY okey, src, amount""".stripMargin,
 
     "q_union_distinct" ->

@@ -25,7 +25,7 @@ object Streaming extends QueryModule {
       Tables(s, dir, "events")
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n_events"),
-          sum(dec(col("value"))).cast(D).as("sum_value"))
+          sum(dec(col("value"))).cast("double").as("sum_value"))
         .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
           col("event_type"), col("n_events"), col("sum_value"))
         .orderBy("window_start", "event_type")
@@ -35,7 +35,7 @@ object Streaming extends QueryModule {
       Tables(s, dir, "events")
         .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n_events"),
-          sum(dec(col("value"))).cast(D).as("sum_value"))
+          sum(dec(col("value"))).cast("double").as("sum_value"))
         .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
           col("event_type"), col("n_events"), col("sum_value"))
         .orderBy("window_start", "event_type")
@@ -57,7 +57,7 @@ object Streaming extends QueryModule {
       """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
         | time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) + INTERVAL '1 hour' AS window_end,
         | event_type, count(*) AS n_events,
-        | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_value
+        | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events
         |GROUP BY 1, 2, 3 ORDER BY window_start, event_type""".stripMargin,
 
@@ -73,7 +73,7 @@ object Streaming extends QueryModule {
         |  FROM events)
         |SELECT window_start, window_start + INTERVAL '1 hour' AS window_end,
         | event_type, count(*) AS n_events,
-        | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_value
+        | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM assigned
         |GROUP BY 1, 2, 3 ORDER BY window_start, event_type""".stripMargin,
 

@@ -31,7 +31,7 @@ object Windows extends QueryModule {
       o.withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 3)
         .select(col("o_custkey"), col("o_orderkey"),
-          dec(col("o_totalprice")).as("totalprice"), col("rk"))
+          col("o_totalprice").as("totalprice"), col("rk"))
         .orderBy("o_custkey", "rk")
     }),
 
@@ -62,7 +62,7 @@ object Windows extends QueryModule {
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
         .rowsBetween(-2, 0)
       e.select(col("user_id"), col("event_id"), col("ts"),
-          sum(dec(col("value"))).over(w).cast(D).as("moving_sum"))
+          sum(dec(col("value"))).over(w).cast("double").as("moving_sum"))
         .orderBy("user_id", "ts", "event_id")
     }),
 
@@ -71,7 +71,7 @@ object Windows extends QueryModule {
       val w = Window.partitionBy("o_custkey").orderBy(col("o_orderkey"))
         .rangeBetween(Window.unboundedPreceding, Window.currentRow)
       o.select(col("o_custkey"), col("o_orderkey"),
-          sum(dec(col("o_totalprice"))).over(w).cast(D).as("running_sum"))
+          sum(dec(col("o_totalprice"))).over(w).cast("double").as("running_sum"))
         .orderBy("o_custkey", "o_orderkey")
     }),
 
@@ -94,7 +94,7 @@ object Windows extends QueryModule {
       val w = Window.partitionBy("c_mktsegment")
         .orderBy(col("c_acctbal"), col("c_custkey"))
       c.select(col("c_custkey"), col("c_mktsegment"),
-          dec(col("c_acctbal")).as("acctbal"),
+          col("c_acctbal").as("acctbal"),
           ntile(4).over(w).as("quartile"))
         .orderBy("c_custkey")
     }),
@@ -103,7 +103,7 @@ object Windows extends QueryModule {
   def oracleSql: Map[String, String] = Map(
     "q_topk_per_group" ->
       """SELECT * FROM (
-        | SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(18,4)) AS totalprice,
+        | SELECT o_custkey, o_orderkey, o_totalprice AS totalprice,
         |   row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
         | FROM orders) t
         |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
@@ -127,14 +127,14 @@ object Windows extends QueryModule {
       """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
         | CAST(sum(CAST(value AS DECIMAL(18,4))) OVER (
         |   PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
-        |   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DECIMAL(18,4)) AS moving_sum
+        |   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum
         |FROM events ORDER BY user_id, ts, event_id""".stripMargin,
 
     "q_win_frame_range" ->
       """SELECT o_custkey, o_orderkey,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
         |   PARTITION BY o_custkey ORDER BY o_orderkey
-        |   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,4)) AS running_sum
+        |   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_sum
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q_win_first_last" ->
@@ -148,7 +148,7 @@ object Windows extends QueryModule {
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q_win_ntile" ->
-      """SELECT c_custkey, c_mktsegment, CAST(c_acctbal AS DECIMAL(18,4)) AS acctbal,
+      """SELECT c_custkey, c_mktsegment, c_acctbal AS acctbal,
         | ntile(4) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS quartile
         |FROM customer ORDER BY c_custkey""".stripMargin,
   )

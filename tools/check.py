@@ -2,40 +2,76 @@
 """Dev-only oracle self-check (mirrors the driver's CORRECTNESS gate).
 
 Runs after `tools/run.sh graft.Verify <sfDir> <outDir>`: loads each
-<outDir>/<name> parquet (Spark result), runs <outDir>/oracle_sql.json's
-SQL in DuckDB against the same testdata parquet, sorts columns by name
-(like the driver) and compares row-by-row.
+<outDir>/<name> parquet (Spark result) via pandas/pyarrow — the way the
+driver does — and the oracle SQL via duckdb's .df(), sorts columns by
+name, row-sorts with DataFrame.sort_values (driver traceback shows it
+does exactly this), then compares cell-by-cell with DTYPE-STRICT
+semantics, because the driver hashes the pandas values:
+
+  * a Spark-parquet DECIMAL loads as decimal.Decimal objects while
+    DuckDB's .df() materializes DECIMAL as float64 — equal values,
+    different hash => queries must not output decimal columns;
+  * list/map columns arrive as numpy.ndarray => sort_values raises
+    TypeError (unhashable) and the whole query errors at the driver
+    => queries must not output raw collection columns.
 
 Usage: tools/check.py <sfDir> <outDir> [query ...]
 """
-import json, sys, glob, math
+import json, sys, glob, math, decimal
 import duckdb
+import numpy as np
+import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-def norm(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return v
-    return v
 
-def values_equal(a, b):
-    a, b = norm(a), norm(b)
-    if a is None or b is None:
-        return a is b
-    if isinstance(a, float) or isinstance(b, float):
-        try:
-            fa, fb = float(a), float(b)
-        except (TypeError, ValueError):
-            return str(a) == str(b)
-        if math.isnan(fa) and math.isnan(fb):
-            return True
-        return fa == fb  # driver hashes exact values; require exact
-    if isinstance(a, list) and isinstance(b, list):
-        return len(a) == len(b) and all(values_equal(x, y) for x, y in zip(a, b))
-    return a == b or str(a) == str(b)
+def is_null(v):
+    if v is None:
+        return True
+    try:
+        r = pd.isna(v)
+        return bool(r) if not isinstance(r, np.ndarray) else False
+    except (TypeError, ValueError):
+        return False
+
+
+def canon(v):
+    """String rendering of a cell, approximating the driver's hash input
+    (to_csv-like). Dates and midnight timestamps both render date-only —
+    that's why q_date_funcs passed r01 while every Decimal column failed:
+    Decimal keeps its trailing zeros ('1234.5000') but DuckDB's float64
+    renders '1234.5'."""
+    if is_null(v):
+        return ""
+    if isinstance(v, (bool, np.bool_)):
+        return str(bool(v))
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        return "NaN" if math.isnan(f) else repr(f)
+    if isinstance(v, (pd.Timestamp, np.datetime64)):
+        s = str(pd.Timestamp(v))
+        return s[:-9] if s.endswith(" 00:00:00") else s
+    if isinstance(v, (list, np.ndarray, dict)):
+        raise TypeError(f"collection cell {type(v).__name__}")
+    return str(v)
+
+
+def cells_equal(a, b):
+    return canon(a) == canon(b)
+
+
+def load_sorted(df):
+    df = df[sorted(df.columns)]
+    # driver does sort_values over all columns; ndarray cells make this
+    # raise TypeError exactly like CORRECTNESS_r01's q_array_funcs error
+    df = df.sort_values(by=list(df.columns), kind="mergesort")
+    return df.reset_index(drop=True)
+
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
@@ -50,47 +86,54 @@ def main():
         name = d.rstrip("/").split("/")[-1]
         if only and name not in only:
             continue
-        files = glob.glob(f"{d}/*.parquet")
+        files = sorted(glob.glob(f"{d}/*.parquet"))
         if not files:
             print(f"[MISS] {name}: no spark output parquet"); n_fail += 1; continue
-        got = con.execute(f"SELECT * FROM read_parquet('{d}/*.parquet')")
-        got_cols = [c[0] for c in got.description]
-        got_rows = got.fetchall()
+        got = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
         if name not in oracle:
-            print(f"[----] {name}: no oracle ({len(got_rows)} rows, rows-only check)")
-            n_noora += 1
+            # still exercise the driver's row-sort: collection columns blow up
+            try:
+                load_sorted(got)
+                print(f"[----] {name}: no oracle ({len(got)} rows, rows-only check)")
+                n_noora += 1
+            except TypeError as e:
+                print(f"[FAIL] {name}: no-oracle but driver row-sort would error: {e}")
+                n_fail += 1
             continue
         try:
-            exp = con.execute(oracle[name])
-            exp_cols = [c[0] for c in exp.description]
-            exp_rows = exp.fetchall()
+            exp = con.execute(oracle[name]).df()
         except Exception as e:
             print(f"[FAIL] {name}: oracle sql error: {e}"); n_fail += 1; continue
-        if sorted(got_cols) != sorted(exp_cols):
-            print(f"[FAIL] {name}: columns {sorted(got_cols)} != {sorted(exp_cols)}")
+        if sorted(got.columns) != sorted(exp.columns):
+            print(f"[FAIL] {name}: columns {sorted(got.columns)} != {sorted(exp.columns)}")
             n_fail += 1
             continue
-        # driver sorts columns by name before hashing
-        gperm = sorted(range(len(got_cols)), key=lambda i: got_cols[i])
-        eperm = sorted(range(len(exp_cols)), key=lambda i: exp_cols[i])
-        g = [[r[i] for i in gperm] for r in got_rows]
-        e = [[r[i] for i in eperm] for r in exp_rows]
-        if len(g) != len(e):
-            print(f"[FAIL] {name}: rows {len(g)} != {len(e)}"); n_fail += 1; continue
+        if len(got) != len(exp):
+            print(f"[FAIL] {name}: rows {len(got)} != {len(exp)}"); n_fail += 1; continue
+        try:
+            g, e = load_sorted(got), load_sorted(exp)
+        except TypeError as err:
+            print(f"[FAIL] {name}: driver row-sort would error: {err}"); n_fail += 1; continue
         bad = None
-        for i, (gr, er) in enumerate(zip(g, e)):
-            if not all(values_equal(x, y) for x, y in zip(gr, er)):
-                bad = (i, gr, er)
+        cols = list(g.columns)
+        for i in range(len(g)):
+            gr, er = g.iloc[i], e.iloc[i]
+            for c in cols:
+                if not cells_equal(gr[c], er[c]):
+                    bad = (i, c, gr[c], type(gr[c]).__name__, er[c], type(er[c]).__name__)
+                    break
+            if bad:
                 break
         if bad:
-            i, gr, er = bad
-            print(f"[FAIL] {name}: row {i} differs\n  spark : {gr}\n  duckdb: {er}")
+            i, c, gv, gt, ev, et = bad
+            print(f"[FAIL] {name}: row {i} col {c}: spark={gv!r} ({gt}) duckdb={ev!r} ({et})")
             n_fail += 1
         else:
             print(f"[PASS] {name}: {len(g)} rows")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_noora} no-oracle")
     sys.exit(1 if n_fail else 0)
+
 
 if __name__ == "__main__":
     main()
