@@ -59,7 +59,19 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
           s"(expected v$loadedVersion, found v$observed); reload and retry")
     val version = observed + 1
     val target = metadataDir.resolve(s"v$version.json")
-    Files.writeString(target, Json.write(MetadataIO.toJson(next)))
+    // CREATE_NEW atomically claims this version number: two handles that
+    // both observed vN race to create v{N+1}.json and the loser gets
+    // FileAlreadyExistsException instead of silently clobbering the
+    // winner's metadata and flipping the pointer over it
+    try
+      Files.writeString(target, Json.write(MetadataIO.toJson(next)),
+        java.nio.file.StandardOpenOption.CREATE_NEW)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new java.util.ConcurrentModificationException(
+          s"table $location was committed concurrently " +
+            s"(v$version.json already exists); reload and retry")
+    }
     // atomic pointer flip = the commit point
     val tmp = metadataDir.resolve(s".version-hint.tmp")
     Files.writeString(tmp, version.toString)
@@ -146,8 +158,19 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     * write one snapshot of parquet files, record per-file partition
     * values in metadata (A24).
     */
-  def append(df: DataFrame): SnapshotMeta =
-    writeSnapshot(Align(df, md.currentSchema), operation = "append")
+  def append(df: DataFrame, streamBatchId: Option[Long] = None,
+      streamId: Option[String] = None): SnapshotMeta =
+    writeSnapshot(Align(df, md.currentSchema), operation = "append",
+      streamBatchId = streamBatchId, streamId = streamId)
+
+  /** Highest micro-batch id this stream (identified by checkpoint) ever
+    * committed into this table — the idempotence baseline for
+    * StreamIngest replays. Scoped per stream: batch ids restart at 0
+    * under a fresh checkpoint.
+    */
+  def lastStreamBatchId(streamId: String): Option[Long] =
+    md.snapshots.filter(_.streamId.contains(streamId))
+      .flatMap(_.streamBatchId).reduceOption(_ max _)
 
   /** Compact the table: rewrite the current live file set (already
     * reconciled to the current schema) into one snapshot under the
@@ -159,7 +182,9 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
   def compact(spark: SparkSession): SnapshotMeta =
     writeSnapshot(read(spark), operation = "rewrite")
 
-  private def writeSnapshot(aligned: DataFrame, operation: String): SnapshotMeta = {
+  private def writeSnapshot(aligned: DataFrame, operation: String,
+      streamBatchId: Option[Long] = None,
+      streamId: Option[String] = None): SnapshotMeta = {
     // fail fast before writing any data if another handle committed
     // since we loaded (the commit itself re-checks)
     if (currentHintVersion() != loadedVersion)
@@ -186,17 +211,23 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
       .parquet(outDir.toString)
 
     val files = listParquet(outDir).map { p =>
-      val partVals = p.iterator().asScala.map(_.toString)
+      // parse only the segments below outDir (an ancestor dir containing
+      // '=' must not be misread as a partition value) and undo Spark's
+      // Hive-style %XX escaping — NOT URLDecoder, which would corrupt
+      // literal '+' (e.g. 'c++', '+01:00') into a space
+      val partVals = outDir.relativize(p).iterator().asScala.map(_.toString)
         .filter(_.contains("=")).map { seg =>
           val Array(k, v) = seg.split("=", 2)
           k.stripPrefix("_p_") ->
-            java.net.URLDecoder.decode(v, "UTF-8")
+            org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+              .unescapePathName(v)
         }.toMap
       DataFileMeta(p.toString, md.currentSchemaId, spec.id,
         rows = parquetRowCount(p), partitionValues = partVals,
         stats = FileStats.fromFooter(p.toString, schema))
     }
-    val snap = SnapshotMeta(snapshotId, files, md.currentSchemaId, operation)
+    val snap = SnapshotMeta(snapshotId, files, md.currentSchemaId, operation,
+      streamBatchId, streamId)
     commit(md.copy(snapshots = md.snapshots :+ snap))
     snap
   }

@@ -17,8 +17,17 @@ case class PartitionSpecMeta(id: Int, fields: Seq[SpecField])
 case class DataFileMeta(path: String, schemaId: Int, specId: Int, rows: Long,
     partitionValues: Map[String, String],
     stats: Map[Int, ColStats] = Map.empty)
+/** `streamId`/`streamBatchId`: the Structured-Streaming source
+  * (checkpoint) and micro-batch that produced this snapshot, when
+  * ingested via StreamIngest — foreachBatch is at-least-once, so the
+  * sink uses them to make replays idempotent (Iceberg's streaming-sink
+  * model). Batch ids are scoped to a checkpoint, hence the pair: a new
+  * checkpoint restarts at batch 0 and must not be deduped against an
+  * older stream's ids.
+  */
 case class SnapshotMeta(id: Long, files: Seq[DataFileMeta], schemaId: Int,
-    operation: String = "append")
+    operation: String = "append", streamBatchId: Option[Long] = None,
+    streamId: Option[String] = None)
 case class SchemaVersion(id: Int, schema: StructType)
 
 case class TableMetadata(
@@ -116,7 +125,9 @@ object MetadataIO {
     "snapshots" -> JArray(md.snapshots.map(sn => JObject(Map(
       "snapshot-id" -> JNumber(sn.id),
       "schema-id" -> JNumber(sn.schemaId),
-      "operation" -> JString(sn.operation),
+      "operation" -> JString(sn.operation)) ++
+      sn.streamBatchId.map(b => "stream-batch-id" -> JNumber(b)).toMap ++
+      sn.streamId.map(s => "stream-id" -> JString(s)).toMap ++ Map(
       "files" -> JArray(sn.files.map(df => JObject(Map(
         "path" -> JString(df.path),
         "schema-id" -> JNumber(df.schemaId),
@@ -170,7 +181,9 @@ object MetadataIO {
               }).getOrElse(Map.empty))
           },
           schemaId = sm("schema-id").asInt,
-          operation = sm.get("operation").map(_.asStr).getOrElse("append"))
+          operation = sm.get("operation").map(_.asStr).getOrElse("append"),
+          streamBatchId = sm.get("stream-batch-id").map(_.asLong),
+          streamId = sm.get("stream-id").map(_.asStr))
       },
       lastFieldId = m("last-field-id").asInt)
   }

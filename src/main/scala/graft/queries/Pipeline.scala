@@ -93,7 +93,8 @@ object Pipeline extends QueryModule {
       // Word-4-gram Jaccard over a bounded candidate pairing
       // (consecutive doc ids) — the LSH modules generate candidates at
       // scale; this query pins the exact Jaccard computation itself.
-      val d = shingleDf(s, dir).persist()
+      // localCheckpoint (not persist): reclaimed when the result drops.
+      val d = shingleDf(s, dir).localCheckpoint()
       val a = d.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
       val b = d.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
       a.join(b, col("b_id") === col("a_id") + 1)
@@ -109,7 +110,7 @@ object Pipeline extends QueryModule {
       // Jaccard computation as q_dedup_ngram, but thresholded to the
       // candidate-pair shape a dedup pipeline consumes (pairs with any
       // shingle overlap, strongest first).
-      val d = shingleDf(s, dir).persist()
+      val d = shingleDf(s, dir).localCheckpoint()
       val a = d.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
       val b = d.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
       a.join(b, col("b_id") === col("a_id") + 1)

@@ -135,7 +135,10 @@ object Sketches {
     // Signatures feed three plan branches (bands + both pair sides);
     // materialize once — at scale this is the "signature table" a real
     // pipeline would persist anyway (tiny next to the corpus).
-    val sigs = sigsIn.persist()
+    // localCheckpoint, not persist: its blocks are reclaimed once the
+    // result DataFrame is dropped, so repeated calls don't accumulate
+    // cached plans in executor storage for the life of the session.
+    val sigs = sigsIn.localCheckpoint()
     val bands = sigs.select(col("id"), posexplode(
         array((0 until NumBands).map { b =>
           xxhash64(lit(b), col("sig").getItem(2 * b), col("sig").getItem(2 * b + 1))

@@ -55,7 +55,11 @@ object Stateful {
               }
             }
             state.update(cur)
-            state.setTimeoutTimestamp(cur.last + gapMs)
+            // clamp: a batch of only-late rows (all older than watermark -
+            // gap) would otherwise set a timeout <= the current watermark,
+            // which Spark rejects and fails the whole query
+            state.setTimeoutTimestamp(
+              math.max(cur.last + gapMs, state.getCurrentWatermarkMs() + 1))
             closed.result().iterator
           }
         })
@@ -85,13 +89,17 @@ object Stateful {
           } else {
             val batch = rows.toSeq
             val maxTs = batch.map(_.ts.getTime).max
+            // clamp for the same reason as sessionize: all-late batches
+            // must not set a timeout at or below the current watermark
+            val timeout =
+              math.max(maxTs + ttlMs, state.getCurrentWatermarkMs() + 1)
             if (state.exists) {
-              state.setTimeoutTimestamp(maxTs + ttlMs)
+              state.setTimeoutTimestamp(timeout)
               Iterator.empty // seen before — drop all duplicates
             } else {
               val first = batch.minBy(_.docId)
               state.update(first.docId)
-              state.setTimeoutTimestamp(maxTs + ttlMs)
+              state.setTimeoutTimestamp(timeout)
               Iterator.single(FirstSeen(key, first.docId))
             }
           }

@@ -6,10 +6,14 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.lake.LakeTable
 
 /** Structured-Streaming ingestion into a lake table: each micro-batch
-  * is schema-aligned and committed as one snapshot (exactly-once at the
-  * snapshot level via the streaming checkpoint). The table is reloaded
-  * per batch so concurrent schema evolution applies from the next
-  * micro-batch on — a stream keeps running across an ALTER TABLE.
+  * is schema-aligned and committed as one snapshot. foreachBatch is
+  * only at-least-once (a driver crash between the snapshot commit and
+  * the checkpoint write replays the batch), so each snapshot records
+  * its micro-batch id and replays of already-committed batches are
+  * skipped — exactly-once at the snapshot level, Iceberg's
+  * streaming-sink idempotence model. The table is reloaded per batch so
+  * concurrent schema evolution applies from the next micro-batch on — a
+  * stream keeps running across an ALTER TABLE.
   *
   * Scale: the batch append is a normal distributed write (align +
   * hidden-partition derive + partitionBy); only the snapshot commit is
@@ -22,9 +26,15 @@ object StreamIngest {
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     stream.writeStream.outputMode("append")
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        if (!batch.isEmpty) {
-          LakeTable.load(warehouse, db, table).append(batch)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val t = LakeTable.load(warehouse, db, table)
+        // batch ids are checkpoint-scoped, so the checkpoint is the
+        // stream identity: a replay (same checkpoint, id <= committed)
+        // is skipped; a fresh checkpoint starts its own id sequence
+        val alreadyCommitted = t.lastStreamBatchId(checkpoint).exists(batchId <= _)
+        if (!alreadyCommitted && !batch.isEmpty) {
+          t.append(batch, streamBatchId = Some(batchId),
+            streamId = Some(checkpoint))
         }
         ()
       }

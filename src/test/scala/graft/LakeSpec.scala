@@ -345,4 +345,50 @@ class LakeSpec extends AnyFunSuite {
     assert(out.orderBy("a").collect().map(r => (r.getFloat(0), r.getInt(1))).toSeq ==
       Seq((1.0f, 1), (2.0f, 2)))
   }
+
+  test("partition values with '+', '%' and ':' survive the dir round-trip") {
+    // Spark writes Hive-escaped partition dirs: '%'/'：' become %XX but
+    // '+' stays literal — URLDecoder would corrupt 'c++' to 'c  ' and
+    // make prune() silently skip matching files
+    val wh = freshWarehouse()
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"pe","columns":[
+        |{"column_name":"tag","data_type":"string"},
+        |{"column_name":"v","data_type":"long"}],
+        |"partitions":[{"column":"tag","transform":"identity","name":"tag"}]}"""
+        .stripMargin)
+    import spark.implicits._
+    val t = LakeTable.load(wh, "d", "pe")
+    val rows = Seq(("c++", 1L), ("100%", 2L), ("+01:00", 3L), ("plain", 4L))
+    t.append(rows.toDF("tag", "v"))
+
+    val recorded = t.metadata.allFiles.flatMap(_.partitionValues.get("tag")).toSet
+    assert(recorded == rows.map(_._1).toSet, s"metadata recorded $recorded")
+
+    for ((tag, v) <- rows) {
+      val got = t.read(spark, prune = Map("tag" -> Set(tag)))
+        .select("v").as[Long].collect().toSeq
+      assert(got == Seq(v), s"prune on '$tag' returned $got")
+    }
+  }
+
+  test("racing writer that claimed the next version is refused (CREATE_NEW)") {
+    // the hint check alone is check-then-act: a racer can write
+    // v{N+1}.json between our check and our write — CREATE_NEW on the
+    // metadata file makes version claiming atomic
+    val wh = freshWarehouse()
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"race","columns":[
+        |{"column_name":"k","data_type":"long"}],"partitions":[]}""".stripMargin)
+    import spark.implicits._
+    val t = LakeTable.load(wh, "d", "race")
+    // simulate the racer: v2.json exists but the pointer still says v1
+    val v2 = java.nio.file.Paths.get(wh, "d", "race", "metadata", "v2.json")
+    Files.writeString(v2, "{}")
+    intercept[java.util.ConcurrentModificationException] {
+      t.append(Seq(1L).toDF("k"))
+    }
+    // the racer's claimed file was not clobbered
+    assert(Files.readString(v2) == "{}")
+  }
 }

@@ -79,4 +79,41 @@ class StatefulSpec extends AnyFunSuite {
     val seen = acc.result().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(seen == Map("h1" -> 10L, "h2" -> 20L, "h3" -> 30L))
   }
+
+  test("all-late batch is a safe no-op for sessionize/dedup") {
+    // Spark 4.1's flatMapGroupsWithState filters rows older than the
+    // watermark before the state function runs, so an all-late batch
+    // must neither crash the query (a naive setTimeoutTimestamp at/
+    // below the watermark is rejected by Spark — the operators clamp to
+    // watermark + 1 as defense-in-depth) nor create state/output.
+    implicit val sqlCtx = spark.sqlContext
+
+    val ckptS = java.nio.file.Files.createTempDirectory("late-sess-ckpt").toString
+    val memS = MemoryStream[Event]
+    val sessions = Stateful.sessionize(
+      memS.toDS().withWatermark("ts", "10 minutes").as[Event],
+      gapMs = 30 * 60 * 1000L)
+    memS.addData(Event(1L, ts(1000)))             // watermark -> ts(990)
+    runPass(sessions, ckptS, "late_sess_p1")
+    memS.addData(Event(2L, ts(0)))                 // all-late batch
+    runPass(sessions, ckptS, "late_sess_p2")       // must not throw
+    // advance the watermark far enough to flush every live session:
+    // only user 1's session exists — user 2's late row was dropped
+    memS.addData(Event(3L, ts(3000)))
+    runPass(sessions, ckptS, "late_sess_p3")
+    val flushed = runPass(sessions, ckptS, "late_sess_p4")
+      .map(r => ClosedSession(r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+    assert(!flushed.exists(_.userId == 2L), s"late row must be dropped, got $flushed")
+
+    val ckptD = java.nio.file.Files.createTempDirectory("late-dedup-ckpt").toString
+    val memD = MemoryStream[Doc]
+    val deduped = Stateful.dedupFirstSeen(
+      memD.toDS().withWatermark("ts", "10 minutes").as[Doc],
+      ttlMs = 30 * 60 * 1000L)
+    memD.addData(Doc("hA", 1L, ts(1000)))
+    runPass(deduped, ckptD, "late_dedup_p1")
+    memD.addData(Doc("hLate", 2L, ts(0)))          // all-late batch
+    val late = runPass(deduped, ckptD, "late_dedup_p2") // must not throw
+    assert(late.isEmpty, s"late row must be dropped, got $late")
+  }
 }

@@ -51,4 +51,47 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(out.filter(col("extra").isNotNull).count() == 0)
     assert(t2.metadata.snapshots.size == 2)
   }
+
+  test("replayed micro-batch is not appended twice; fresh checkpoint is") {
+    implicit val sqlCtx = spark.sqlContext
+    val wh = Files.createTempDirectory("graft-replay").toString
+    val ckpt = Files.createTempDirectory("graft-replay-ckpt").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"rp","columns":[
+        |{"column_name":"k","data_type":"long"},
+        |{"column_name":"v","data_type":"string"}],"partitions":[]}""".stripMargin)
+
+    val mem = MemoryStream[(Long, String)]
+    def pass(c: String): Unit = {
+      val q = StreamIngest.intoLake(mem.toDF().toDF("k", "v"), wh, "d", "rp", c)
+      q.awaitTermination()
+    }
+    mem.addData((1L, "a"), (2L, "b"))
+    pass(ckpt)
+    assert(LakeTable.load(wh, "d", "rp").read(spark).count() == 2)
+
+    // foreachBatch is at-least-once: simulate a crash after the snapshot
+    // commit but before the checkpoint commit by deleting the batch's
+    // commit marker — the restart replays micro-batch 0
+    val commit0 = java.nio.file.Paths.get(ckpt, "commits", "0")
+    assert(Files.exists(commit0), "expected commit marker for batch 0")
+    Files.delete(commit0)
+    // also drop Hadoop's checksum sibling or the replay's re-commit
+    // trips ChecksumFileSystem's rename onto the stale .0.crc
+    Files.deleteIfExists(java.nio.file.Paths.get(ckpt, "commits", ".0.crc"))
+    pass(ckpt)
+    val t = LakeTable.load(wh, "d", "rp")
+    assert(t.read(spark).count() == 2, "replayed batch must be skipped")
+    assert(t.metadata.snapshots.size == 1)
+    assert(t.lastStreamBatchId(ckpt).contains(0L))
+
+    // a different stream (fresh checkpoint) restarts at batch 0 and must
+    // NOT be deduped against the old stream's ids
+    val ckpt2 = Files.createTempDirectory("graft-replay-ckpt2").toString
+    val mem2 = MemoryStream[(Long, String)]
+    mem2.addData((3L, "c"))
+    val q2 = StreamIngest.intoLake(mem2.toDF().toDF("k", "v"), wh, "d", "rp", ckpt2)
+    q2.awaitTermination()
+    assert(LakeTable.load(wh, "d", "rp").read(spark).count() == 3)
+  }
 }
