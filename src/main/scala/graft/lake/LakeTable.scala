@@ -3,7 +3,7 @@ package graft.lake
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -184,7 +184,8 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
 
   private def writeSnapshot(aligned: DataFrame, operation: String,
       streamBatchId: Option[Long] = None,
-      streamId: Option[String] = None): SnapshotMeta = {
+      streamId: Option[String] = None,
+      removedPaths: Seq[String] = Seq.empty): SnapshotMeta = {
     // fail fast before writing any data if another handle committed
     // since we loaded (the commit itself re-checks)
     if (currentHintVersion() != loadedVersion)
@@ -227,7 +228,7 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
         stats = FileStats.fromFooter(p.toString, schema))
     }
     val snap = SnapshotMeta(snapshotId, files, md.currentSchemaId, operation,
-      streamBatchId, streamId)
+      streamBatchId, streamId, removedPaths)
     commit(md.copy(snapshots = md.snapshots :+ snap))
     snap
   }
@@ -292,10 +293,7 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
       case Some(sid) => md.schemaById(visible.find(_.id == sid).get.schemaId)
       case None => md.currentSchema
     }
-    // a rewrite (compaction) snapshot replaces every file before it
-    val lastRewrite = visible.lastIndexWhere(_.operation == "rewrite")
-    val effective = if (lastRewrite < 0) visible else visible.drop(lastRewrite)
-    val files = effective.flatMap(_.files).filter { f =>
+    val files = LakeTable.liveFiles(visible).filter { f =>
       prune.forall { case (name, allowed) =>
         f.partitionValues.get(name).forall(allowed.contains)
       } && FileStats.mightMatch(f.stats, current, statsFilters)
@@ -318,9 +316,180 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
         .select(Reconcile.projection(fileSchema, target): _*)
     }.reduce(_.unionByName(_))
   }
+
+  // ---- row-level ops (copy-on-write) -----------------------------------
+
+  /** DELETE FROM t WHERE predicate — Iceberg copy-on-write semantics:
+    * only files that actually contain matching rows are rewritten
+    * (without those rows); all other files survive untouched. The
+    * commit is an "overwrite" snapshot listing the replaced files.
+    *
+    * Scale: candidate selection is one pruned scan (optionally
+    * pre-narrowed by `prune`/`statsFilters` so only files whose
+    * partition values / min-max stats can match are opened); the
+    * rewrite touches only affected files. Rows where the predicate is
+    * NULL are kept (SQL DELETE semantics). Returns None when nothing
+    * matched — no empty snapshot is committed.
+    */
+  def delete(spark: SparkSession, predicate: Column,
+      prune: Map[String, Set[String]] = Map.empty,
+      statsFilters: Seq[RangeFilter] = Seq.empty): Option[SnapshotMeta] = {
+    val affected = affectedFiles(spark, predicate, prune, statsFilters)
+    if (affected.isEmpty) None
+    else {
+      val kept = readFiles(spark, affected, md.currentSchema)
+        .filter(!coalesce(predicate, lit(false)))
+      Some(writeSnapshot(kept, operation = "overwrite",
+        removedPaths = affected.map(_.path)))
+    }
+  }
+
+  /** UPDATE t SET assignments WHERE predicate — copy-on-write: affected
+    * files are rewritten with the assignments applied to matching rows,
+    * every other row copied through unchanged. Assignment values may
+    * reference any current-schema column.
+    */
+  def update(spark: SparkSession, assignments: Map[String, Column],
+      predicate: Column,
+      prune: Map[String, Set[String]] = Map.empty,
+      statsFilters: Seq[RangeFilter] = Seq.empty): Option[SnapshotMeta] = {
+    val bad = assignments.keySet.filterNot(md.currentSchema.fieldNames.contains)
+    require(bad.isEmpty, s"unknown columns in SET: $bad")
+    val affected = affectedFiles(spark, predicate, prune, statsFilters)
+    if (affected.isEmpty) None
+    else {
+      val cond = coalesce(predicate, lit(false))
+      val base = readFiles(spark, affected, md.currentSchema)
+      val updated = assignments.foldLeft(base) { case (d, (name, value)) =>
+        d.withColumn(name, when(cond, value).otherwise(col(s"`$name`")))
+      }
+      Some(writeSnapshot(Align(updated, md.currentSchema),
+        operation = "overwrite", removedPaths = affected.map(_.path)))
+    }
+  }
+
+  /** MERGE INTO t USING source ON keys — the classic upsert, Iceberg
+    * copy-on-write style:
+    *   - matched + `onMatch="update"`: target row's columns that also
+    *     exist in `source` (keys aside) take the source values
+    *   - matched + `onMatch="delete"`: target row removed
+    *   - matched + `onMatch="keep"`:   target row unchanged
+    *   - `insertUnmatched`: source rows matching no target key are
+    *     aligned to the table schema and appended
+    *
+    * Only files containing matched keys are rewritten. The join is left
+    * unhinted: Catalyst auto-broadcasts a small source delta, AQE picks
+    * a shuffle join (with skew handling) for a large one.
+    */
+  def merge(spark: SparkSession, source: DataFrame, keys: Seq[String],
+      onMatch: String = "update",
+      insertUnmatched: Boolean = true): Option[SnapshotMeta] = {
+    require(Seq("update", "delete", "keep").contains(onMatch),
+      s"onMatch must be update|delete|keep, got '$onMatch'")
+    require(keys.nonEmpty && keys.forall(source.columns.contains),
+      s"source must contain every key column: $keys")
+    val schema = md.currentSchema
+    require(keys.forall(schema.fieldNames.contains),
+      s"table must contain every key column: $keys")
+
+    // columns the update copies from source: shared names minus keys
+    val setCols = source.columns.filter(c =>
+      schema.fieldNames.contains(c) && !keys.contains(c)).toSeq
+    val srcKeyed = source.select(
+      (keys.map(k => col(s"`$k`")) ++
+        setCols.map(c => col(s"`$c`").as(s"_src_$c")) :+
+        lit(true).as("_src_matched")): _*)
+
+    val keyPred = keys.map(k => col(s"`$k`").isNotNull).reduce(_ && _)
+    val affected = affectedFiles(spark,
+      predicate = keyPred, matchSource = Some(srcKeyed -> keys))
+
+    val rewritten = if (affected.isEmpty) None else {
+      val joined = readFiles(spark, affected, schema)
+        .join(srcKeyed, keys, "left")
+      val matchedCol = coalesce(col("_src_matched"), lit(false))
+      val applied = onMatch match {
+        case "delete" => joined.filter(!matchedCol)
+        case "keep" => joined
+        case "update" => setCols.foldLeft(joined) { (d, c) =>
+          d.withColumn(c,
+            when(matchedCol, col(s"`_src_$c`")).otherwise(col(s"`$c`")))
+        }
+      }
+      Some(applied.select(schema.fieldNames.toSeq.map(n => col(s"`$n`")): _*))
+    }
+
+    val inserts = if (!insertUnmatched) None else {
+      val targetKeys = read(spark).select(keys.map(k => col(s"`$k`")): _*)
+      Some(Align(source.join(targetKeys, keys, "left_anti"), schema))
+    }
+
+    val newData = (rewritten.toSeq ++ inserts.toSeq)
+      .reduceOption(_.unionByName(_))
+    newData.map(df => writeSnapshot(df, operation = "overwrite",
+      removedPaths = affected.map(_.path)))
+  }
+
+  /** Files whose rows could be touched by a row-level op: metadata
+    * pruning first (partition values + min/max stats), then one scan
+    * that tags every row with its source file and keeps the distinct
+    * file names of rows matching `predicate` (and, for merge, joining a
+    * source key). Only those files get rewritten.
+    */
+  private def affectedFiles(spark: SparkSession, predicate: Column,
+      prune: Map[String, Set[String]] = Map.empty,
+      statsFilters: Seq[RangeFilter] = Seq.empty,
+      matchSource: Option[(DataFrame, Seq[String])] = None): Seq[DataFileMeta] = {
+    val candidates = LakeTable.liveFiles(md.snapshots).filter { f =>
+      prune.forall { case (name, allowed) =>
+        f.partitionValues.get(name).forall(allowed.contains)
+      } && FileStats.mightMatch(f.stats, md.currentSchema, statsFilters)
+    }
+    if (candidates.isEmpty) return Seq.empty
+    val tagged = candidates.groupBy(_.schemaId).map { case (schemaId, group) =>
+      val fileSchema = md.schemaById(schemaId)
+      spark.read
+        .schema(Reconcile.clean(fileSchema).asInstanceOf[StructType])
+        .parquet(group.map(_.path): _*)
+        .withColumn("_graft_file", input_file_name())
+        .select(Reconcile.projection(fileSchema, md.currentSchema) :+
+          col("_graft_file"): _*)
+    }.reduce(_.unionByName(_)).filter(predicate)
+    val matchedRows = matchSource match {
+      case Some((src, keys)) => tagged.join(src, keys, "left_semi")
+      case None => tagged
+    }
+    val hit = matchedRows.select("_graft_file").distinct()
+      .collect().map(r => LakeTable.normalizePath(r.getString(0))).toSet
+    candidates.filter(f => hit(LakeTable.normalizePath(f.path)))
+  }
 }
 
 object LakeTable {
+
+  /** Replay the snapshot log into the live file set: appends add files,
+    * copy-on-write overwrites remove their `removedPaths` and add their
+    * rewritten files, a rewrite (compaction) replaces everything.
+    * O(snapshots × files) driver-side metadata walk — no data IO.
+    */
+  def liveFiles(snapshots: Seq[SnapshotMeta]): Seq[DataFileMeta] =
+    snapshots.foldLeft(Vector.empty[DataFileMeta]) { (acc, s) =>
+      s.operation match {
+        case "rewrite" => s.files.toVector
+        case "overwrite" =>
+          val removed = s.removedPaths.toSet
+          acc.filterNot(f => removed(f.path)) ++ s.files
+        case _ => acc ++ s.files
+      }
+    }
+
+  /** `input_file_name()` yields a URI (`file:///…`, %XX-escaped);
+    * metadata stores plain filesystem paths — normalize for matching.
+    */
+  def normalizePath(p: String): String =
+    if (p.startsWith("file:"))
+      java.nio.file.Paths.get(java.net.URI.create(p)).toString
+    else p
 
   def tableLocation(warehouse: String, db: String, table: String): Path =
     Paths.get(warehouse, db, table)

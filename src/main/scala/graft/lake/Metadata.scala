@@ -25,9 +25,14 @@ case class DataFileMeta(path: String, schemaId: Int, specId: Int, rows: Long,
   * checkpoint restarts at batch 0 and must not be deduped against an
   * older stream's ids.
   */
+/** `removedPaths`: data files this snapshot logically removes from the
+  * live set — written by copy-on-write row-level ops (operation
+  * "overwrite", Iceberg's delete/replace-files model). Appends and
+  * rewrites never set it.
+  */
 case class SnapshotMeta(id: Long, files: Seq[DataFileMeta], schemaId: Int,
     operation: String = "append", streamBatchId: Option[Long] = None,
-    streamId: Option[String] = None)
+    streamId: Option[String] = None, removedPaths: Seq[String] = Seq.empty)
 case class SchemaVersion(id: Int, schema: StructType)
 
 case class TableMetadata(
@@ -127,7 +132,10 @@ object MetadataIO {
       "schema-id" -> JNumber(sn.schemaId),
       "operation" -> JString(sn.operation)) ++
       sn.streamBatchId.map(b => "stream-batch-id" -> JNumber(b)).toMap ++
-      sn.streamId.map(s => "stream-id" -> JString(s)).toMap ++ Map(
+      sn.streamId.map(s => "stream-id" -> JString(s)).toMap ++
+      (if (sn.removedPaths.isEmpty) Map.empty[String, JValue]
+       else Map("removed-files" ->
+         JArray(sn.removedPaths.map(JString(_))))) ++ Map(
       "files" -> JArray(sn.files.map(df => JObject(Map(
         "path" -> JString(df.path),
         "schema-id" -> JNumber(df.schemaId),
@@ -183,7 +191,9 @@ object MetadataIO {
           schemaId = sm("schema-id").asInt,
           operation = sm.get("operation").map(_.asStr).getOrElse("append"),
           streamBatchId = sm.get("stream-batch-id").map(_.asLong),
-          streamId = sm.get("stream-id").map(_.asStr))
+          streamId = sm.get("stream-id").map(_.asStr),
+          removedPaths = sm.get("removed-files")
+            .map(_.asArr.map(_.asStr)).getOrElse(Seq.empty))
       },
       lastFieldId = m("last-field-id").asInt)
   }

@@ -19,7 +19,7 @@ import graft.lake.{Engine, LakeTable}
   */
 object LakeQueries extends QueryModule {
 
-  private def freshWarehouse(tag: String): String = {
+  private[queries] def freshWarehouse(tag: String): String = {
     val p = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"), s"graft-lake-$tag")
     if (Files.exists(p)) {
@@ -112,4 +112,115 @@ object LakeQueries extends QueryModule {
     m.replaceAll("Latest Meta file: .*", "Latest Meta file: <meta>")
 
   def oracleSql: Map[String, String] = Map.empty
+}
+
+/** Copy-on-write row-level ops (DELETE / UPDATE / MERGE) exercised
+  * end-to-end against the driver testdata, each with a DuckDB oracle
+  * expressing the same final table state in plain SQL. The lake side
+  * round-trips through a scratch table: create → append the real
+  * parquet rows → row-level op (file-pruned rewrite) → read back →
+  * aggregate/order deterministically.
+  *
+  * Scale posture: the op rewrites only files whose partition values /
+  * stats / rows match (RowOpsSpec pins that), so at 100 TB a
+  * predicate hitting one partition rewrites one partition — the rest
+  * of the table is untouched metadata.
+  */
+object RowOpsQueries extends QueryModule {
+  import graft.lake.Engine
+
+  private def scratch(tag: String): String = LakeQueries.freshWarehouse(tag)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lake_delete" -> ((s, dir) => {
+      val wh = scratch("rowdel")
+      Engine.processTableDefJson(wh,
+        """{"database_name":"rowops","table_name":"orders_cow","columns":[
+          |{"column_name":"o_orderkey","data_type":"long"},
+          |{"column_name":"o_orderstatus","data_type":"string"},
+          |{"column_name":"o_totalprice","data_type":"double"},
+          |{"column_name":"o_orderpriority","data_type":"string"}],
+          |"partitions":[{"column":"o_orderstatus","name":"status"}]}""".stripMargin)
+      val t = LakeTable.load(wh, "rowops", "orders_cow")
+      t.append(Tables(s, dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"))
+      // partition-pruned CoW delete: only status=F files are opened
+      t.delete(s,
+        col("o_orderstatus") === "F" && col("o_totalprice") > 150000.0,
+        prune = Map("status" -> Set("F")))
+      t.read(s).groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(Tables.dec(col("o_totalprice"))).cast("double").as("sum_price"))
+        .orderBy("o_orderstatus")
+    }),
+
+    "lake_update" -> ((s, dir) => {
+      val wh = scratch("rowupd")
+      Engine.processTableDefJson(wh,
+        """{"database_name":"rowops","table_name":"customer_cow","columns":[
+          |{"column_name":"c_custkey","data_type":"long"},
+          |{"column_name":"c_name","data_type":"string"},
+          |{"column_name":"c_mktsegment","data_type":"string"},
+          |{"column_name":"c_acctbal","data_type":"double"}],
+          |"partitions":[{"column":"c_mktsegment","name":"seg"}]}""".stripMargin)
+      val t = LakeTable.load(wh, "rowops", "customer_cow")
+      t.append(Tables(s, dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal"))
+      t.update(s, Map("c_acctbal" -> (col("c_acctbal") + lit(100.0))),
+        col("c_mktsegment") === "BUILDING",
+        prune = Map("seg" -> Set("BUILDING")))
+      t.read(s).groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_cust"),
+          sum(Tables.dec(col("c_acctbal"))).cast("double").as("sum_bal"))
+        .orderBy("c_mktsegment")
+    }),
+
+    "lake_merge" -> ((s, dir) => {
+      val wh = scratch("rowmrg")
+      Engine.processTableDefJson(wh,
+        """{"database_name":"rowops","table_name":"customer_m","columns":[
+          |{"column_name":"c_custkey","data_type":"long"},
+          |{"column_name":"c_name","data_type":"string"},
+          |{"column_name":"c_mktsegment","data_type":"string"}],
+          |"partitions":[]}""".stripMargin)
+      val t = LakeTable.load(wh, "rowops", "customer_m")
+      t.append(Tables(s, dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"))
+      // upsert suppliers over the customer key space: matched keys take
+      // the supplier identity, unmatched suppliers are inserted
+      val src = Tables(s, dir, "supplier").select(
+        col("s_suppkey").as("c_custkey"), col("s_name").as("c_name"),
+        lit("SUPPLIER").as("c_mktsegment"))
+      t.merge(s, src, Seq("c_custkey"))
+      t.read(s).select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "lake_delete" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |WHERE NOT (o_orderstatus = 'F' AND o_totalprice > 150000.0)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "lake_update" ->
+      """SELECT c_mktsegment, count(*) AS n_cust,
+        | CAST(sum(CAST(CASE WHEN c_mktsegment = 'BUILDING'
+        |                    THEN c_acctbal + 100.0 ELSE c_acctbal END
+        |               AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "lake_merge" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM (
+        |  SELECT c.c_custkey,
+        |    CASE WHEN s.s_suppkey IS NOT NULL THEN s.s_name ELSE c.c_name END AS c_name,
+        |    CASE WHEN s.s_suppkey IS NOT NULL THEN 'SUPPLIER' ELSE c.c_mktsegment END AS c_mktsegment
+        |  FROM customer c LEFT JOIN supplier s ON c.c_custkey = s.s_suppkey
+        |  UNION ALL
+        |  SELECT s_suppkey, s_name, 'SUPPLIER' FROM supplier
+        |  WHERE s_suppkey NOT IN (SELECT c_custkey FROM customer)
+        |) ORDER BY c_custkey""".stripMargin,
+  )
 }
