@@ -84,6 +84,29 @@ object LakeQueries extends QueryModule {
         .orderBy("pos")
     }),
 
+    "stream_lake_read" -> ((s, _) => {
+      // DSv2 streaming read: snapshot-id offsets, append-only CDC.
+      // Two appends land in the sink; the delete's overwrite snapshot
+      // must not replay rows into the stream.
+      val wh = freshWarehouse("streamread")
+      Engine.processTableDefJson(wh,
+        """{"database_name":"d","table_name":"sr","columns":[
+          |{"column_name":"id","data_type":"long"},
+          |{"column_name":"v","data_type":"string"}],"partitions":[]}""".stripMargin)
+      val t = graft.lake.LakeTable.load(wh, "d", "sr")
+      import s.implicits._
+      t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+      t.delete(s, col("id") === 1L)
+      t.append(Seq((3L, "c")).toDF("id", "v"))
+      val q = s.readStream.format("graft-lake")
+        .option("warehouse", wh).option("database", "d").option("table", "sr")
+        .load()
+        .writeStream.format("memory").queryName("stream_lake_read_sink")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.sql("SELECT id, v FROM stream_lake_read_sink ORDER BY id, v")
+    }),
+
     "ingest_append_read" -> ((s, _) => {
       val wh = freshWarehouse("ingest")
       Engine.processTableDefJson(wh, OrdersFixtures.ordersV1Json)

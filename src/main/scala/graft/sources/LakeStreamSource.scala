@@ -1,0 +1,243 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.parquet.hadoop.ParquetReader
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.example.data.Group
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.lake.{LakeTable, Reconcile}
+import graft.schema.FieldIds
+
+/** DataSource V2 connector for lake tables — the streaming read half of
+  * the Iceberg story (the write half is StreamIngest):
+  *
+  *   spark.readStream.format("graft-lake")
+  *     .option("warehouse", wh).option("database", db).option("table", t)
+  *     .load()
+  *
+  * Offsets are snapshot ids: each micro-batch reads the data files of
+  * the append snapshots in (start, end], so a batch is exactly one or
+  * more committed snapshots — the same incremental contract as
+  * `LakeTable.changesBetween` (rewrite/overwrite snapshots move or
+  * mutate existing rows and are skipped; the stream is append-only CDC).
+  * `option("startSnapshot", n)` begins after snapshot n.
+  *
+  * Batch reads (`spark.read.format("graft-lake")`) plan the current
+  * live file set through the same reader.
+  *
+  * Scale: planInputPartitions is a metadata-only walk (one partition
+  * per data file — no listing, no footer reads on the driver); each
+  * file is read by one task and reconciled to the stream-start schema
+  * by field ID, so mid-stream schema evolution never breaks a running
+  * query. Flat schemas only (primitives/string/timestamp/date) — the
+  * row-group Group decoder does not cover nested types; nested tables
+  * stream via `changesBetween` + foreachBatch instead.
+  */
+class LakeStreamProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-lake"
+
+  private def load(m: java.util.Map[String, String]): LakeTable = {
+    def req(k: String) = Option(m.get(k)).getOrElse(
+      throw new IllegalArgumentException(s"graft-lake: missing option '$k'"))
+    LakeTable.load(req("warehouse"), req("database"), req("table"))
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    Reconcile.clean(load(options).currentSchema).asInstanceOf[StructType]
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    val t = load(properties)
+    LakeSource.requireFlat(t.currentSchema)
+    new LakeSparkTable(
+      properties.get("warehouse"), properties.get("database"),
+      properties.get("table"),
+      Option(properties.get("startSnapshot")).map(_.toLong).getOrElse(0L),
+      t)
+  }
+}
+
+private[sources] class LakeSparkTable(wh: String, db: String, tbl: String,
+    startSnapshot: Long, lake: LakeTable) extends Table with SupportsRead {
+
+  override def name(): String = s"graft.$db.$tbl"
+  override def schema(): StructType =
+    Reconcile.clean(lake.currentSchema).asInstanceOf[StructType]
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      def build(): Scan = new LakeScan(wh, db, tbl, startSnapshot,
+        lake.currentSchema)
+    }
+}
+
+private[sources] class LakeScan(wh: String, db: String, tbl: String,
+    startSnapshot: Long, target: StructType) extends Scan {
+
+  override def readSchema(): StructType =
+    Reconcile.clean(target).asInstanceOf[StructType]
+
+  override def toBatch: Batch = new Batch {
+    // capture the live set at scan-planning time (snapshot isolation)
+    private val files = {
+      val t = LakeTable.load(wh, db, tbl)
+      LakeTable.liveFiles(t.metadata.snapshots)
+        .map(f => LakeFilePartition(f.path,
+          t.metadata.schemaById(f.schemaId), target))
+    }
+    def planInputPartitions(): Array[InputPartition] = files.toArray
+    def createReaderFactory(): PartitionReaderFactory = new LakeReaderFactory
+  }
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new LakeMicroBatchStream(wh, db, tbl, startSnapshot, target)
+}
+
+private[sources] case class LakeOffset(snapshotId: Long) extends Offset {
+  override def json(): String = snapshotId.toString
+}
+
+private[sources] case class LakeFilePartition(path: String,
+    fileSchema: StructType, target: StructType) extends InputPartition
+
+private[sources] class LakeMicroBatchStream(wh: String, db: String,
+    tbl: String, startSnapshot: Long, target: StructType)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  // metadata is reloaded per call so a long-running stream sees commits
+  // made through any other handle/process
+  private def snapshots = LakeTable.load(wh, db, tbl).metadata.snapshots
+  private def maxSnapshotId: Long =
+    snapshots.map(_.id).foldLeft(startSnapshot)(math.max)
+
+  // Trigger.AvailableNow: pin the end offset once so the query drains
+  // to a fixed point and stops even if writers keep committing
+  @volatile private var availableNowCap: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(maxSnapshotId)
+
+  override def initialOffset(): Offset = LakeOffset(startSnapshot)
+  override def latestOffset(): Offset =
+    LakeOffset(availableNowCap.getOrElse(maxSnapshotId))
+  // SupportsAdmissionControl (pulled in by SupportsTriggerAvailableNow):
+  // no read limits — every batch drains to the latest snapshot
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
+    latestOffset()
+  override def deserializeOffset(json: String): Offset =
+    LakeOffset(json.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val (s, e) = (start.asInstanceOf[LakeOffset].snapshotId,
+      end.asInstanceOf[LakeOffset].snapshotId)
+    val md = LakeTable.load(wh, db, tbl).metadata
+    md.snapshots
+      .filter(sn => sn.id > s && sn.id <= e && sn.operation == "append")
+      .flatMap(sn => sn.files.map(f =>
+        LakeFilePartition(f.path, md.schemaById(f.schemaId), target)))
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new LakeReaderFactory
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+private[sources] class LakeReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new GroupRowReader(partition.asInstanceOf[LakeFilePartition])
+}
+
+/** Reads one parquet data file as example-Groups and reconciles each
+  * record to the target schema by field ID (promotions int→long,
+  * float→double included) — the executor-side mirror of
+  * `Reconcile.projection`, minus Catalyst.
+  */
+private[sources] class GroupRowReader(p: LakeFilePartition)
+    extends PartitionReader[InternalRow] {
+
+  private val reader: ParquetReader[Group] = ParquetReader
+    .builder(new GroupReadSupport(), new org.apache.hadoop.fs.Path(p.path))
+    .withConf(new Configuration())
+    .build()
+
+  // per-target-field extractor, bound once: file field matched by id
+  private val extractors: Array[Group => Any] = {
+    val cleanTarget = Reconcile.clean(p.target).asInstanceOf[StructType]
+    p.target.fields.zip(cleanTarget.fields).map { case (tf, tfClean) =>
+      p.fileSchema.fields.find(ff => FieldIds.idOf(ff) == FieldIds.idOf(tf)) match {
+        case None => (_: Group) => null
+        case Some(ff) =>
+          val name = ff.name
+          val conv = LakeSource.converter(tfClean.dataType,
+            Reconcile.clean(ff.dataType), p.path)
+          (g: Group) =>
+            if (g.getFieldRepetitionCount(name) == 0) null
+            else conv(g, name)
+      }
+    }
+  }
+
+  private var cur: Group = _
+  override def next(): Boolean = { cur = reader.read(); cur != null }
+  override def get(): InternalRow =
+    new GenericInternalRow(extractors.map(_(cur)))
+  override def close(): Unit = reader.close()
+}
+
+private[sources] object LakeSource {
+
+  def requireFlat(schema: StructType): Unit =
+    schema.fields.foreach { f =>
+      f.dataType match {
+        case _: StructType | _: ArrayType | _: MapType | _: DecimalType =>
+          throw new UnsupportedOperationException(
+            s"graft-lake reads support flat primitive schemas; column " +
+              s"'${f.name}: ${f.dataType.simpleString}' is not — use " +
+              "LakeTable.read/changesBetween for nested tables")
+        case _ => ()
+      }
+    }
+
+  /** (group, fieldName) → Catalyst internal value, for target/file type
+    * pair. Timestamps are INT64 micros (the engine's writers always
+    * produce TIMESTAMP(MICROS); INT96 never occurs in lake files).
+    */
+  def converter(target: DataType, file: DataType,
+      path: String): (Group, String) => Any = (target, file) match {
+    case (BooleanType, BooleanType) => (g, n) => g.getBoolean(n, 0)
+    case (IntegerType, IntegerType) => (g, n) => g.getInteger(n, 0)
+    case (LongType, IntegerType) => (g, n) => g.getInteger(n, 0).toLong
+    case (LongType, LongType) => (g, n) => g.getLong(n, 0)
+    case (FloatType, FloatType) => (g, n) => g.getFloat(n, 0)
+    case (DoubleType, FloatType) => (g, n) => g.getFloat(n, 0).toDouble
+    case (DoubleType, DoubleType) => (g, n) => g.getDouble(n, 0)
+    case (StringType, StringType) =>
+      (g, n) => UTF8String.fromString(g.getString(n, 0))
+    case (TimestampType, TimestampType) |
+         (TimestampNTZType, TimestampNTZType) |
+         (TimestampType, TimestampNTZType) |
+         (TimestampNTZType, TimestampType) => (g, n) => g.getLong(n, 0)
+    case (DateType, DateType) => (g, n) => g.getInteger(n, 0)
+    case (t, f) => throw new UnsupportedOperationException(
+      s"graft-lake reader: unsupported conversion $f -> $t in $path")
+  }
+}
