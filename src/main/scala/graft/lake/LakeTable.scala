@@ -317,6 +317,61 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     }.reduce(_.unionByName(_))
   }
 
+  // ---- maintenance -----------------------------------------------------
+
+  /** Expire snapshots with id <= `keepAfter`, keeping at least the
+    * current live state readable: expired snapshots are squashed into
+    * one synthetic "rewrite" snapshot holding the live file set AS OF
+    * the newest expired snapshot, so later appends/overwrites replay
+    * unchanged. Time travel to expired ids stops working (that is the
+    * point — bounded metadata); data files still referenced by the
+    * squashed live set are kept on disk, now-unreferenced ones become
+    * orphans for removeOrphanFiles. Streaming note: the squash keeps no
+    * per-snapshot streamBatchId, so keep `keepAfter` older than any
+    * stream checkpoint that might still replay (Iceberg's own
+    * expire-vs-streaming caveat).
+    */
+  def expireSnapshots(keepAfter: Long): Int = {
+    val (expired, kept) = md.snapshots.partition(_.id <= keepAfter)
+    if (expired.isEmpty) return 0
+    val squashed = SnapshotMeta(
+      id = expired.last.id,
+      files = LakeTable.liveFiles(expired),
+      schemaId = expired.last.schemaId,
+      operation = "rewrite")
+    commit(md.copy(snapshots = squashed +: kept))
+    expired.size
+  }
+
+  /** Delete data files under this table's data/ directory that no
+    * snapshot references (write-attempt leftovers from losing
+    * optimistic-concurrency races, files dropped by expireSnapshots).
+    * Returns the deleted paths. Safe by construction: only paths
+    * absent from EVERY snapshot's file list are touched.
+    */
+  def removeOrphanFiles(): Seq[String] = {
+    val referenced = md.snapshots.flatMap(_.files.map(_.path)).toSet
+    if (!Files.exists(dataDir)) return Seq.empty
+    val orphans = Files.walk(dataDir).iterator().asScala
+      .filter(p => Files.isRegularFile(p))
+      .filter(p => p.toString.endsWith(".parquet"))
+      .filterNot(p => referenced(p.toString))
+      .toSeq
+    orphans.foreach { p =>
+      Files.delete(p)
+      // Hadoop local-FS checksum sibling, if any
+      val crc = p.getParent.resolve("." + p.getFileName.toString + ".crc")
+      Files.deleteIfExists(crc)
+    }
+    // prune now-empty directories bottom-up (partition dirs, snap dirs)
+    Files.walk(dataDir).sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala
+      .filter(p => p != dataDir && Files.isDirectory(p))
+      .filter(p => !Files.list(p).iterator().hasNext)
+      .foreach(Files.delete)
+    orphans.map(_.toString)
+  }
+
   // ---- row-level ops (copy-on-write) -----------------------------------
 
   /** DELETE FROM t WHERE predicate — Iceberg copy-on-write semantics:
