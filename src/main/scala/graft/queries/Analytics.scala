@@ -37,6 +37,29 @@ import Tables.dec
 object Analytics extends QueryModule {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_unpivot" -> ((s, dir) => {
+      // melt wide columns to (metric, val) rows via stack() — the
+      // codegen'd generator form of UNPIVOT; narrow, no shuffle
+      Tables(s, dir, "part")
+        .selectExpr("p_partkey",
+          """stack(2,
+            |  'retailprice', p_retailprice,
+            |  'size', CAST(p_size AS DOUBLE)) AS (metric, val)""".stripMargin)
+        .orderBy("p_partkey", "metric")
+    }),
+
+    "q_join_full" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"))
+      val su = Tables(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"))
+      c.join(su, c("c_custkey") === su("s_suppkey"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), col("s_suppkey")).as("k"),
+          col("c_name"), col("s_name"))
+        .orderBy("k")
+    }),
+
     "q_win_cume" -> ((s, dir) => {
       val c = Tables(s, dir, "customer")
       val w = Window.partitionBy("c_mktsegment")
@@ -162,6 +185,17 @@ object Analytics extends QueryModule {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_unpivot" ->
+      """SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS val FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'size', CAST(p_size AS DOUBLE) FROM part
+        |ORDER BY p_partkey, metric""".stripMargin,
+
+    "q_join_full" ->
+      """SELECT COALESCE(c_custkey, s_suppkey) AS k, c_name, s_name
+        |FROM customer FULL OUTER JOIN supplier ON c_custkey = s_suppkey
+        |ORDER BY k""".stripMargin,
+
     "q_win_cume" ->
       """SELECT c_custkey, c_mktsegment, c_acctbal AS acctbal,
         |  cume_dist() OVER (PARTITION BY c_mktsegment
