@@ -167,10 +167,17 @@ object Analytics extends QueryModule {
         .select(col("doc_id"),
           explode(split(lower(col("text")), " ")).as("term"))
         .filter(length(col("term")) > 3)
+      // dl / dfq / n_docs all derive from tf, and tf is localCheckpointed
+      // so tokenization + the (doc,term) shuffle run once for all four
+      // consumers (ReuseExchange alone can't unify them — join-pushed
+      // IsNotNull filters make the branches canonicalize differently).
+      // Blocks are reclaimed when the result drops, not held for the
+      // session.
       val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
-      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dlen"))
+        .localCheckpoint()
+      val dl = tf.groupBy("doc_id").agg(sum(col("cnt")).as("dlen"))
       val dfq = tf.groupBy("term").agg(count(lit(1)).as("dfc"))
-      val n = toks.agg(countDistinct(col("doc_id")).as("n_docs"))
+      val n = dl.agg(count(lit(1)).as("n_docs"))
       val scored = tf.join(dl, "doc_id").join(dfq, "term").crossJoin(n)
         .withColumn("score",
           col("cnt").cast("double") / col("dlen").cast("double") *
