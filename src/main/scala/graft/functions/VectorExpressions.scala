@@ -140,5 +140,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("float_cosine"),
       new ExpressionInfo(classOf[FloatCosine].getName, "float_cosine"),
       (es: Seq[Expression]) => FloatCosine(es(0), es(1))))
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

@@ -37,6 +37,24 @@ import Tables.dec
 object Analytics extends QueryModule {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_asof_exec" -> ((s, dir) => {
+      // the custom AsOfJoinExec operator (graft.plans) — same semantics
+      // as q_join_asof's window emulation, verified against the same
+      // DuckDB ASOF JOIN oracle; physical shape is a sort-merge pass
+      val e = Tables(s, dir, "events")
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("v_ts"),
+          col("event_id").as("v_id"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+          col("event_id").as("c_id"))
+      graft.plans.AsOf.join(views, clicks, Seq("user_id"), Seq("c_user"),
+          "v_ts", "c_ts")
+        .select(col("user_id"), col("v_id"), col("v_ts"),
+          col("c_id").as("match_c_id"), col("c_ts").as("match_c_ts"))
+        .orderBy("user_id", "v_ts", "v_id")
+    }),
+
     "q_unpivot" -> ((s, dir) => {
       // melt wide columns to (metric, val) rows via stack() — the
       // codegen'd generator form of UNPIVOT; narrow, no shuffle
@@ -192,6 +210,14 @@ object Analytics extends QueryModule {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_join_asof_exec" ->
+      """SELECT v.user_id, v.event_id AS v_id, CAST(v.ts AS TIMESTAMP) AS v_ts,
+        |  c.event_id AS match_c_id, CAST(c.ts AS TIMESTAMP) AS match_c_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'view') v
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON v.user_id = c.user_id AND CAST(v.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+        |ORDER BY v.user_id, v_ts, v_id""".stripMargin,
+
     "q_unpivot" ->
       """SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS val FROM part
         |UNION ALL

@@ -1,0 +1,14 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Bridge into `Dataset.ofRows`, which is `private[sql]` (Scala-level
+  * only — public in bytecode): the one hook needed to hand a custom
+  * LogicalPlan to a session. Standard community-connector technique;
+  * uses only the public Spark jar.
+  */
+object GraftPlanBridge {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(
+      spark.asInstanceOf[classic.SparkSession], plan)
+}
