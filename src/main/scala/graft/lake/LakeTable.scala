@@ -135,6 +135,12 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
         s"${f.transform}(src=${f.sourceFieldId}) as ${f.name}").mkString(", ")}]"
     }
 
+    if (tableDef.properties.nonEmpty &&
+        tableDef.properties.exists { case (k, v) => md.properties.get(k) != Some(v) }) {
+      next = next.copy(properties = md.properties ++ tableDef.properties)
+      messages += "Updated table properties"
+    }
+
     if (next != md) {
       val metaFile = commit(next)
       messages += s"Latest Meta file: $metaFile"
@@ -207,7 +213,26 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     val outDir = dataDir.resolve(
       s"snap-$snapshotId-${java.util.UUID.randomUUID().toString.take(8)}")
     val withP = pCols.foldLeft(aligned) { case (d, (n, e)) => d.withColumn(n, e) }
-    val writer = withP.write.mode("overwrite")
+    // write clustering ("write.sort-order" table property, comma-sep
+    // columns): range-partition + sort so each file covers a narrow
+    // value range — this is what makes min/max stats pruning bite at
+    // 100 TB (a point/range predicate then opens a handful of files
+    // instead of all of them). AQE coalesces the range partitions.
+    val sortCols = md.properties.get("write.sort-order")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    // "write.sort-buckets" pins the range-partition count (else the
+    // session default + AQE coalescing decide)
+    val sortExprs = sortCols.map(c => col(s"`$c`"))
+    val clustered =
+      if (sortCols.isEmpty) withP
+      else md.properties.get("write.sort-buckets").map(_.trim.toInt) match {
+        case Some(n) => withP.repartitionByRange(n, sortExprs: _*)
+          .sortWithinPartitions(sortExprs: _*)
+        case None => withP.repartitionByRange(sortExprs: _*)
+          .sortWithinPartitions(sortExprs: _*)
+      }
+    val writer = clustered.write.mode("overwrite")
     (if (pCols.nonEmpty) writer.partitionBy(pCols.map(_._1): _*) else writer)
       .parquet(outDir.toString)
 
@@ -293,13 +318,19 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
       case Some(sid) => md.schemaById(visible.find(_.id == sid).get.schemaId)
       case None => md.currentSchema
     }
-    val files = LakeTable.liveFiles(visible).filter { f =>
-      prune.forall { case (name, allowed) =>
-        f.partitionValues.get(name).forall(allowed.contains)
-      } && FileStats.mightMatch(f.stats, current, statsFilters)
-    }
-    readFiles(spark, files, current)
+    readFiles(spark,
+      LakeTable.matchingFiles(LakeTable.liveFiles(visible), current,
+        prune, statsFilters),
+      current)
   }
+
+  /** Live files surviving partition + stats pruning under the current
+    * schema — the scan-planning primitive, exposed for tooling/tests.
+    */
+  def plannedFiles(prune: Map[String, Set[String]] = Map.empty,
+      statsFilters: Seq[RangeFilter] = Seq.empty): Seq[DataFileMeta] =
+    LakeTable.matchingFiles(LakeTable.liveFiles(md.snapshots),
+      md.currentSchema, prune, statsFilters)
 
   /** One reconciling scan group per schema version, unioned. */
   private def readFiles(spark: SparkSession, files: Seq[DataFileMeta],
@@ -495,11 +526,8 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
       prune: Map[String, Set[String]] = Map.empty,
       statsFilters: Seq[RangeFilter] = Seq.empty,
       matchSource: Option[(DataFrame, Seq[String])] = None): Seq[DataFileMeta] = {
-    val candidates = LakeTable.liveFiles(md.snapshots).filter { f =>
-      prune.forall { case (name, allowed) =>
-        f.partitionValues.get(name).forall(allowed.contains)
-      } && FileStats.mightMatch(f.stats, md.currentSchema, statsFilters)
-    }
+    val candidates = LakeTable.matchingFiles(
+      LakeTable.liveFiles(md.snapshots), md.currentSchema, prune, statsFilters)
     if (candidates.isEmpty) return Seq.empty
     val tagged = candidates.groupBy(_.schemaId).map { case (schemaId, group) =>
       val fileSchema = md.schemaById(schemaId)
@@ -536,6 +564,16 @@ object LakeTable {
           acc.filterNot(f => removed(f.path)) ++ s.files
         case _ => acc ++ s.files
       }
+    }
+
+  /** Partition-value + min/max-stats pruning of a file list. */
+  def matchingFiles(files: Seq[DataFileMeta], schema: StructType,
+      prune: Map[String, Set[String]],
+      statsFilters: Seq[RangeFilter]): Seq[DataFileMeta] =
+    files.filter { f =>
+      prune.forall { case (name, allowed) =>
+        f.partitionValues.get(name).forall(allowed.contains)
+      } && FileStats.mightMatch(f.stats, schema, statsFilters)
     }
 
   /** `input_file_name()` yields a URI (`file:///…`, %XX-escaped);
@@ -585,7 +623,8 @@ object LakeTable {
       specs = Seq(spec),
       currentSpecId = 0,
       snapshots = Seq.empty,
-      lastFieldId = nextId - 1)
+      lastFieldId = nextId - 1,
+      properties = tableDef.properties)
     val t = new LakeTable(loc, md)
     val metaFile = t.commit(md)
     (t, Seq(

@@ -44,7 +44,8 @@ case class TableMetadata(
     specs: Seq[PartitionSpecMeta],
     currentSpecId: Int,
     snapshots: Seq[SnapshotMeta],
-    lastFieldId: Int) {
+    lastFieldId: Int,
+    properties: Map[String, String] = Map.empty) {
   def currentSchema: StructType =
     schemas.find(_.id == currentSchemaId).get.schema
   def currentSpec: PartitionSpecMeta =
@@ -150,7 +151,10 @@ object MetadataIO {
             "min" -> JString(cs.min),
             "max" -> JString(cs.max)))
         }))))))))),
-    "last-field-id" -> JNumber(md.lastFieldId)))
+    "last-field-id" -> JNumber(md.lastFieldId),
+    "properties" -> JObject(md.properties.map {
+      case (k, v) => k -> JString(v)
+    })))
 
   def fromJson(v: JValue): TableMetadata = {
     val m = v.asObj
@@ -195,6 +199,9 @@ object MetadataIO {
           removedPaths = sm.get("removed-files")
             .map(_.asArr.map(_.asStr)).getOrElse(Seq.empty))
       },
-      lastFieldId = m("last-field-id").asInt)
+      lastFieldId = m("last-field-id").asInt,
+      properties = m.get("properties")
+        .map(_.asObj.map { case (k, v) => k -> v.asStr })
+        .getOrElse(Map.empty))
   }
 }
