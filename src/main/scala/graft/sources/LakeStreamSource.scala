@@ -43,9 +43,8 @@ import graft.schema.FieldIds
   * per data file — no listing, no footer reads on the driver); each
   * file is read by one task and reconciled to the stream-start schema
   * by field ID, so mid-stream schema evolution never breaks a running
-  * query. Flat schemas only (primitives/string/timestamp/date) — the
-  * row-group Group decoder does not cover nested types; nested tables
-  * stream via `changesBetween` + foreachBatch instead.
+  * query. Reconciliation runs recursively through structs, lists and
+  * maps; every TypeMapper type except decimal is supported.
   */
 class LakeStreamProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-lake"
@@ -62,7 +61,7 @@ class LakeStreamProvider extends TableProvider with DataSourceRegister {
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
     val t = load(properties)
-    LakeSource.requireFlat(t.currentSchema)
+    LakeSource.requireSupported(t.currentSchema)
     new LakeSparkTable(
       properties.get("warehouse"), properties.get("database"),
       properties.get("table"),
@@ -180,21 +179,9 @@ private[sources] class GroupRowReader(p: LakeFilePartition)
     .build()
 
   // per-target-field extractor, bound once: file field matched by id
-  private val extractors: Array[Group => Any] = {
-    val cleanTarget = Reconcile.clean(p.target).asInstanceOf[StructType]
-    p.target.fields.zip(cleanTarget.fields).map { case (tf, tfClean) =>
-      p.fileSchema.fields.find(ff => FieldIds.idOf(ff) == FieldIds.idOf(tf)) match {
-        case None => (_: Group) => null
-        case Some(ff) =>
-          val name = ff.name
-          val conv = LakeSource.converter(tfClean.dataType,
-            Reconcile.clean(ff.dataType), p.path)
-          (g: Group) =>
-            if (g.getFieldRepetitionCount(name) == 0) null
-            else conv(g, name)
-      }
-    }
-  }
+  private val extractors: Array[Group => Any] =
+    p.target.fields.map(tf =>
+      LakeSource.fieldExtractor(tf, p.fileSchema.fields.toSeq))
 
   private var cur: Group = _
   override def next(): Boolean = { cur = reader.read(); cur != null }
@@ -205,39 +192,105 @@ private[sources] class GroupRowReader(p: LakeFilePartition)
 
 private[sources] object LakeSource {
 
-  def requireFlat(schema: StructType): Unit =
-    schema.fields.foreach { f =>
-      f.dataType match {
-        case _: StructType | _: ArrayType | _: MapType | _: DecimalType =>
-          throw new UnsupportedOperationException(
-            s"graft-lake reads support flat primitive schemas; column " +
-              s"'${f.name}: ${f.dataType.simpleString}' is not — use " +
-              "LakeTable.read/changesBetween for nested tables")
-        case _ => ()
-      }
+  /** Every TypeMapper type except decimal is readable (decimal in a
+    * table def is the reference's hard-coded DECIMAL(5,5) quirk).
+    */
+  def requireSupported(schema: StructType): Unit = {
+    def walk(path: String, dt: DataType): Unit = dt match {
+      case st: StructType =>
+        st.fields.foreach(f => walk(s"$path.${f.name}", f.dataType))
+      case ArrayType(et, _) => walk(s"$path.element", et)
+      case MapType(kt, vt, _) =>
+        walk(s"$path.key", kt); walk(s"$path.value", vt)
+      case _: DecimalType => throw new UnsupportedOperationException(
+        s"graft-lake reads do not support decimal columns ('$path') — " +
+          "use LakeTable.read/changesBetween")
+      case _ => ()
+    }
+    schema.fields.foreach(f => walk(f.name, f.dataType))
+  }
+
+  /** Extractor for one target field out of a file-schema group level,
+    * matched by FIELD ID (the same reconciliation contract as
+    * `Reconcile.projection`): absent → null, promotions applied.
+    */
+  def fieldExtractor(tf: StructField,
+      fileFields: Seq[StructField]): Group => Any =
+    fileFields.find(ff => FieldIds.idOf(ff) == FieldIds.idOf(tf)) match {
+      case None => _ => null
+      case Some(ff) =>
+        val name = ff.name
+        val conv = converter(tf.dataType, ff.dataType)
+        g => if (g.getFieldRepetitionCount(name) == 0) null else conv(g, name)
     }
 
-  /** (group, fieldName) → Catalyst internal value, for target/file type
-    * pair. Timestamps are INT64 micros (the engine's writers always
-    * produce TIMESTAMP(MICROS); INT96 never occurs in lake files).
+  /** (group, fieldName) → Catalyst internal value for a target/file
+    * type pair, recursively through structs, 3-level parquet lists and
+    * key_value maps. Timestamps are INT64 micros (the engine's writers
+    * always produce TIMESTAMP(MICROS); INT96 never occurs in lake
+    * files).
     */
-  def converter(target: DataType, file: DataType,
-      path: String): (Group, String) => Any = (target, file) match {
-    case (BooleanType, BooleanType) => (g, n) => g.getBoolean(n, 0)
-    case (IntegerType, IntegerType) => (g, n) => g.getInteger(n, 0)
-    case (LongType, IntegerType) => (g, n) => g.getInteger(n, 0).toLong
-    case (LongType, LongType) => (g, n) => g.getLong(n, 0)
-    case (FloatType, FloatType) => (g, n) => g.getFloat(n, 0)
-    case (DoubleType, FloatType) => (g, n) => g.getFloat(n, 0).toDouble
-    case (DoubleType, DoubleType) => (g, n) => g.getDouble(n, 0)
-    case (StringType, StringType) =>
-      (g, n) => UTF8String.fromString(g.getString(n, 0))
-    case (TimestampType, TimestampType) |
-         (TimestampNTZType, TimestampNTZType) |
-         (TimestampType, TimestampNTZType) |
-         (TimestampNTZType, TimestampType) => (g, n) => g.getLong(n, 0)
-    case (DateType, DateType) => (g, n) => g.getInteger(n, 0)
-    case (t, f) => throw new UnsupportedOperationException(
-      s"graft-lake reader: unsupported conversion $f -> $t in $path")
-  }
+  def converter(target: DataType, file: DataType): (Group, String) => Any =
+    (target, file) match {
+      case (t: StructType, f: StructType) =>
+        val exs = t.fields.map(tf => fieldExtractor(tf, f.fields.toSeq))
+        (g, n) => {
+          val sub = g.getGroup(n, 0)
+          new GenericInternalRow(exs.map(_(sub)))
+        }
+      case (ArrayType(te, _), ArrayType(fe, _)) =>
+        // 3-level list encoding: <name> (LIST) { repeated group list
+        // { <element> } } — Spark's writer layout
+        val elemConv = converter(te, fe)
+        (g, n) => {
+          val outer = g.getGroup(n, 0)
+          val cnt = outer.getFieldRepetitionCount(0)
+          val arr = new Array[Any](cnt)
+          var i = 0
+          while (i < cnt) {
+            val rep = outer.getGroup(0, i)
+            arr(i) =
+              if (rep.getFieldRepetitionCount(0) == 0) null
+              else elemConv(rep, rep.getType.getFieldName(0))
+            i += 1
+          }
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+        }
+      case (MapType(tk, tv, _), MapType(fk, fv, _)) =>
+        val kConv = converter(tk, fk)
+        val vConv = converter(tv, fv)
+        (g, n) => {
+          val outer = g.getGroup(n, 0)
+          val cnt = outer.getFieldRepetitionCount(0)
+          val keys = new Array[Any](cnt)
+          val values = new Array[Any](cnt)
+          var i = 0
+          while (i < cnt) {
+            val kv = outer.getGroup(0, i)
+            keys(i) = kConv(kv, "key")
+            values(i) =
+              if (kv.getFieldRepetitionCount("value") == 0) null
+              else vConv(kv, "value")
+            i += 1
+          }
+          org.apache.spark.sql.catalyst.util.ArrayBasedMapData(keys, values)
+        }
+      case (BooleanType, BooleanType) => (g, n) => g.getBoolean(n, 0)
+      case (IntegerType, IntegerType) => (g, n) => g.getInteger(n, 0)
+      case (LongType, IntegerType) => (g, n) => g.getInteger(n, 0).toLong
+      case (LongType, LongType) => (g, n) => g.getLong(n, 0)
+      case (FloatType, FloatType) => (g, n) => g.getFloat(n, 0)
+      case (DoubleType, FloatType) => (g, n) => g.getFloat(n, 0).toDouble
+      case (DoubleType, DoubleType) => (g, n) => g.getDouble(n, 0)
+      case (StringType, StringType) =>
+        (g, n) => UTF8String.fromString(g.getString(n, 0))
+      case (BinaryType, BinaryType) => (g, n) => g.getBinary(n, 0).getBytes
+      case (TimestampType, TimestampType) |
+           (TimestampNTZType, TimestampNTZType) |
+           (TimestampType, TimestampNTZType) |
+           (TimestampNTZType, TimestampType) => (g, n) => g.getLong(n, 0)
+      case (DateType, DateType) => (g, n) => g.getInteger(n, 0)
+      case (t, f) => throw new UnsupportedOperationException(
+        s"graft-lake reader: unsupported conversion $f -> $t")
+    }
 }

@@ -108,14 +108,36 @@ class LakeStreamReadSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, "a", None), (2L, "b", Some(2.5))))
   }
 
-  test("nested schemas are rejected with a clear error") {
+  test("nested orders table reads through the connector incl. evolution") {
     val wh = Files.createTempDirectory("graft-dsv2-nested").toString
     Engine.processTableDefJson(wh, graft.gen.OrdersFixtures.ordersV1Json)
-    val e = intercept[UnsupportedOperationException] {
-      spark.read.format("graft-lake")
-        .option("warehouse", wh).option("database", "customer_order")
-        .option("table", "orders").load()
-    }
-    assert(e.getMessage.contains("flat primitive schemas"))
+    val t1 = LakeTable.load(wh, "customer_order", "orders")
+    t1.append(graft.gen.DataGen.toDf(spark,
+      graft.gen.DataGen.ordersV1(10, seed = 7L), t1.currentSchema))
+    Engine.processTableDefJson(wh, graft.gen.OrdersFixtures.ordersV2Json)
+    val t2 = LakeTable.load(wh, "customer_order", "orders")
+    t2.append(graft.gen.DataGen.toDf(spark,
+      graft.gen.DataGen.ordersV2(5, seed = 8L), t2.currentSchema))
+
+    val dsv2 = spark.read.format("graft-lake")
+      .option("warehouse", wh).option("database", "customer_order")
+      .option("table", "orders").load()
+      .selectExpr("order_id", "customer_name", "address.city AS city",
+        "address.zip AS zip", "size(order_items) AS n_items",
+        "order_items[0].price AS first_price",
+        "order_items[0].item_count AS first_count")
+      .orderBy(col("order_id").asc_nulls_first, col("customer_name"),
+        col("n_items"), col("first_price"))
+    // the engine's own reconciling reader is the semantics oracle
+    val native = t2.read(spark)
+      .selectExpr("order_id", "customer_name", "address.city AS city",
+        "address.zip AS zip", "size(order_items) AS n_items",
+        "order_items[0].price AS first_price",
+        "order_items[0].item_count AS first_count")
+      .orderBy(col("order_id").asc_nulls_first, col("customer_name"),
+        col("n_items"), col("first_price"))
+    assert(dsv2.collect().map(_.toString).toSeq ==
+      native.collect().map(_.toString).toSeq)
+    assert(dsv2.count() == 15)
   }
 }
