@@ -107,6 +107,32 @@ object LakeQueries extends QueryModule {
       s.sql("SELECT id, v FROM stream_lake_read_sink ORDER BY id, v")
     }),
 
+    "lake_maintenance" -> ((s, _) => {
+      // lifecycle: appends + CoW delete → expire history → drop orphans.
+      // Outputs are env-independent booleans/counts (file counts depend
+      // on parallelism, so only their invariants are asserted).
+      val wh = freshWarehouse("maint")
+      Engine.processTableDefJson(wh,
+        """{"database_name":"d","table_name":"m","columns":[
+          |{"column_name":"id","data_type":"long"},
+          |{"column_name":"v","data_type":"string"}],"partitions":[]}""".stripMargin)
+      val t = graft.lake.LakeTable.load(wh, "d", "m")
+      import s.implicits._
+      t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+      t.append(Seq((3L, "c")).toDF("id", "v"))
+      t.delete(s, col("id") === 2L)
+      val expired = t.expireSnapshots(keepAfter = 3)
+      val orphans = t.removeOrphanFiles()
+      val live = t.read(s).select("id").collect().map(_.getLong(0)).toSet
+      Seq(
+        ("expired_snapshots", expired.toLong),
+        ("orphans_removed_some", if (orphans.nonEmpty) 1L else 0L),
+        ("live_rows", live.size.toLong),
+        ("live_ids_ok", if (live == Set(1L, 3L)) 1L else 0L),
+        ("snapshots_left", t.metadata.snapshots.size.toLong))
+        .toDF("metric", "value").orderBy("metric")
+    }),
+
     "ingest_append_read" -> ((s, _) => {
       val wh = freshWarehouse("ingest")
       Engine.processTableDefJson(wh, OrdersFixtures.ordersV1Json)
