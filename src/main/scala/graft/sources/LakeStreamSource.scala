@@ -71,18 +71,45 @@ class LakeStreamProvider extends TableProvider with DataSourceRegister {
 }
 
 private[sources] class LakeSparkTable(wh: String, db: String, tbl: String,
-    startSnapshot: Long, lake: LakeTable) extends Table with SupportsRead {
+    startSnapshot: Long, lake: LakeTable)
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
   override def name(): String = s"graft.$db.$tbl"
   override def schema(): StructType =
     Reconcile.clean(lake.currentSchema).asInstanceOf[StructType]
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.V1_BATCH_WRITE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       def build(): Scan = new LakeScan(wh, db, tbl, startSnapshot,
         lake.currentSchema)
+    }
+
+  /** INSERT INTO / df.writeTo(...).append() via the V1 write bridge:
+    * Spark resolves the input to the table schema, then the append goes
+    * through the engine's own write path (align → hidden partitioning →
+    * clustering → stats → snapshot commit) on the driver side — the
+    * same single-writer commit contract as LakeTable.append.
+    */
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation
+              : org.apache.spark.sql.sources.InsertableRelation =
+            (data: org.apache.spark.sql.DataFrame, overwrite: Boolean) => {
+              if (overwrite) throw new UnsupportedOperationException(
+                "graft-lake: INSERT OVERWRITE not supported; use " +
+                  "LakeTable.delete + append")
+              LakeTable.load(wh, db, tbl).append(data)
+              ()
+            }
+        }
     }
 }
 

@@ -48,4 +48,33 @@ class LakeCatalogSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("read-only"))
   }
+
+  test("INSERT INTO and writeTo append commit snapshots through the engine") {
+    val wh = Files.createTempDirectory("graft-catalog-w").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"w","columns":[
+        |{"column_name":"id","data_type":"long"},
+        |{"column_name":"v","data_type":"string"}],
+        |"partitions":[]}""".stripMargin)
+    // catalog plugin instances are cached per name at first use, so a
+    // second warehouse needs its own catalog name
+    spark.conf.set("spark.sql.catalog.graftw", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.graftw.warehouse", wh)
+
+    spark.sql("INSERT INTO graftw.d.w VALUES (1, 'a'), (2, 'b')")
+    import spark.implicits._
+    Seq((3L, "c")).toDF("id", "v").writeTo("graftw.d.w").append()
+
+    assert(spark.sql("SELECT id FROM graftw.d.w ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    // each write is one snapshot commit through the engine path
+    val t = LakeTable.load(wh, "d", "w")
+    assert(t.metadata.snapshots.map(_.operation) == Seq("append", "append"))
+    // INSERT OVERWRITE is refused (no SupportsTruncate — Spark's
+    // analyzer rejects it before reaching the V1 bridge)
+    val e = intercept[Exception] {
+      spark.sql("INSERT OVERWRITE graftw.d.w VALUES (9, 'z')")
+    }
+    assert(e.getMessage.contains("does not support truncate"))
+  }
 }
