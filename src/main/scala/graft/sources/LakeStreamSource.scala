@@ -83,10 +83,7 @@ private[sources] class LakeSparkTable(wh: String, db: String, tbl: String,
       TableCapability.V1_BATCH_WRITE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
-      def build(): Scan = new LakeScan(wh, db, tbl, startSnapshot,
-        lake.currentSchema)
-    }
+    new LakeScanBuilder(wh, db, tbl, startSnapshot, lake.currentSchema)
 
   /** INSERT INTO / df.writeTo(...).append() via the V1 write bridge:
     * Spark resolves the input to the table schema, then the append goes
@@ -113,17 +110,85 @@ private[sources] class LakeSparkTable(wh: String, db: String, tbl: String,
     }
 }
 
+/** Scan planning with the two pushdowns that matter at scale:
+  *
+  *  - column pruning (`SupportsPushDownRequiredColumns`): the scan's
+  *    target schema shrinks to the referenced columns, so the record
+  *    reader materializes (and parquet decodes) only those — a
+  *    2-column projection of a 100-column table reads 2 columns;
+  *  - filter pushdown (`SupportsPushDownFilters`): comparison/equality
+  *    predicates on top-level columns become metadata RangeFilters
+  *    that drop whole data files by min/max stats before any IO. All
+  *    filters are returned as residual — the engine's pruning is
+  *    advisory (file granularity), Spark still applies the exact
+  *    predicate to the rows that survive.
+  */
+private[sources] class LakeScanBuilder(wh: String, db: String, tbl: String,
+    startSnapshot: Long, full: StructType) extends ScanBuilder
+    with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+
+  private var target: StructType = full
+  private var stats: Seq[graft.lake.RangeFilter] = Seq.empty
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // keep full-field definitions (ids, nested types) in required order
+    target = StructType(requiredSchema.fieldNames.toSeq
+      .flatMap(n => full.fields.find(_.name == n)))
+
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    import org.apache.spark.sql.sources._
+    def num(v: Any): Option[BigDecimal] = v match {
+      case n: Number => Some(BigDecimal(n.toString))
+      case t: java.sql.Timestamp => Some(BigDecimal(t.getTime) * 1000)
+      case _ => None
+    }
+    def str(v: Any): Option[String] = v match {
+      case s: String => Some(s)
+      case _ => None
+    }
+    def range(col: String, lo: Option[Any], hi: Option[Any]) = {
+      val (ln, hn) = (lo.flatMap(num), hi.flatMap(num))
+      val (ls, hs) = (lo.flatMap(str), hi.flatMap(str))
+      if (ln.isDefined || hn.isDefined || ls.isDefined || hs.isDefined)
+        Some(graft.lake.RangeFilter(col, ln, hn, ls, hs))
+      else None
+    }
+    stats = filters.toSeq.flatMap {
+      case EqualTo(c, v) => range(c, Some(v), Some(v))
+      case GreaterThan(c, v) => range(c, Some(v), None)
+      case GreaterThanOrEqual(c, v) => range(c, Some(v), None)
+      case LessThan(c, v) => range(c, None, Some(v))
+      case LessThanOrEqual(c, v) => range(c, None, Some(v))
+      case _ => None
+    }
+    pushed = filters
+    filters // all residual: file skipping is coarse, rows re-filtered
+  }
+
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+    pushed
+
+  override def build(): Scan =
+    new LakeScan(wh, db, tbl, startSnapshot, target, stats)
+}
+
 private[sources] class LakeScan(wh: String, db: String, tbl: String,
-    startSnapshot: Long, target: StructType) extends Scan {
+    startSnapshot: Long, target: StructType,
+    statsFilters: Seq[graft.lake.RangeFilter] = Seq.empty) extends Scan {
 
   override def readSchema(): StructType =
     Reconcile.clean(target).asInstanceOf[StructType]
 
   override def toBatch: Batch = new Batch {
-    // capture the live set at scan-planning time (snapshot isolation)
+    // capture the live set at scan-planning time (snapshot isolation),
+    // dropping files whose min/max stats cannot match pushed filters
     private val files = {
       val t = LakeTable.load(wh, db, tbl)
-      LakeTable.liveFiles(t.metadata.snapshots)
+      LakeTable.matchingFiles(LakeTable.liveFiles(t.metadata.snapshots),
+          t.currentSchema, Map.empty, statsFilters)
         .map(f => LakeFilePartition(f.path,
           t.metadata.schemaById(f.schemaId), target))
     }
@@ -200,10 +265,35 @@ private[sources] class LakeReaderFactory extends PartitionReaderFactory {
 private[sources] class GroupRowReader(p: LakeFilePartition)
     extends PartitionReader[InternalRow] {
 
-  private val reader: ParquetReader[Group] = ParquetReader
-    .builder(new GroupReadSupport(), new org.apache.hadoop.fs.Path(p.path))
-    .withConf(new Configuration())
-    .build()
+  private val reader: ParquetReader[Group] = {
+    val conf = new Configuration()
+    // parquet-level column pruning: request only the file columns whose
+    // field IDs the (possibly column-pruned) target still references —
+    // other columns' pages are never decoded. The requested schema is a
+    // subtree copy of the file's own footer schema, so it is compatible
+    // by construction.
+    val keep = p.fileSchema.fields
+      .filter(ff => p.target.fields.exists(tf =>
+        FieldIds.idOf(tf) == FieldIds.idOf(ff)))
+      .map(_.name).toSet
+    if (keep.nonEmpty && keep.size < p.fileSchema.size) {
+      try {
+        val fr = org.apache.parquet.hadoop.ParquetFileReader.open(
+          HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(p.path), conf))
+        val full = try fr.getFooter.getFileMetaData.getSchema finally fr.close()
+        val prunedFields = full.getFields.asScala.filter(f => keep(f.getName))
+        val pruned = new org.apache.parquet.schema.MessageType(
+          full.getName, prunedFields.asJava)
+        conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+          pruned.toString)
+      } catch { case _: Exception => () } // fall back to full-schema read
+    }
+    ParquetReader
+      .builder(new GroupReadSupport(), new org.apache.hadoop.fs.Path(p.path))
+      .withConf(conf)
+      .build()
+  }
 
   // per-target-field extractor, bound once: file field matched by id
   private val extractors: Array[Group => Any] =

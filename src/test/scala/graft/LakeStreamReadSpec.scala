@@ -108,6 +108,37 @@ class LakeStreamReadSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, "a", None), (2L, "b", Some(2.5))))
   }
 
+  test("scan pushes column pruning and stats file skipping") {
+    val wh = Files.createTempDirectory("graft-dsv2-push").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"t","columns":[
+        |{"column_name":"id","data_type":"long"},
+        |{"column_name":"v","data_type":"string"},
+        |{"column_name":"w","data_type":"double"}],
+        |"partitions":[],
+        |"properties":{"write.sort-order":"id","write.sort-buckets":"4"}}""".stripMargin)
+    val t = LakeTable.load(wh, "d", "t")
+    import SparkTestSession.spark.implicits._
+    t.append(spark.range(4000).selectExpr("id", "CAST(id AS STRING) AS v",
+      "CAST(id AS DOUBLE) AS w"))
+
+    def scanOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.collectLeaves().head
+
+    // column pruning: the scan's output shrinks to referenced columns
+    val one = lakeReader(wh).option("table", "t").load().select("v")
+    assert(scanOf(one).output.map(_.name) == Seq("v"))
+    assert(one.count() == 4000)
+
+    // stats skipping: a narrow id predicate plans fewer file-partitions
+    val all = lakeReader(wh).option("table", "t").load()
+    val narrow = all.filter(col("id") < 100)
+    val allParts = all.rdd.getNumPartitions
+    assert(allParts > 1)
+    assert(narrow.rdd.getNumPartitions < allParts)
+    assert(narrow.count() == 100) // rows still exact (residual filter)
+  }
+
   test("nested orders table reads through the connector incl. evolution") {
     val wh = Files.createTempDirectory("graft-dsv2-nested").toString
     Engine.processTableDefJson(wh, graft.gen.OrdersFixtures.ordersV1Json)
