@@ -70,6 +70,37 @@ class AsOfJoinSpec extends AnyFunSuite {
       oracle.collect().map(_.toString).toSeq)
   }
 
+  test("randomized parity with a reference computation (seeded)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260812L)
+    // small key/time domains force heavy collisions: duplicate times,
+    // keys missing from either side, empty-ish partitions
+    val left = Seq.fill(400)((rnd.nextInt(12).toString, rnd.nextInt(40).toLong,
+      rnd.nextInt(1000)))
+    val right = Seq.fill(300)((rnd.nextInt(15).toString, rnd.nextInt(40).toLong,
+      rnd.nextInt(1000)))
+    // reference: brute-force per left row (right times unique per key
+    // are NOT guaranteed, so tie-break deterministically by payload max
+    // — mirror that in the operator input by pre-reducing ties)
+    val rightReduced = right.groupBy(r => (r._1, r._2))
+      .map { case ((k, t), rs) => (k, t, rs.map(_._3).max) }.toSeq
+    val expected = left.map { case (k, t, p) =>
+      val m = rightReduced.filter(r => r._1 == k && r._2 <= t)
+        .sortBy(r => (r._2, r._3)).lastOption
+      (k, t, p, m.map(_._3))
+    }.sortBy(x => (x._1, x._2, x._3)).toSeq
+
+    val got = AsOf.join(
+        left.toDF("k", "t", "p"),
+        rightReduced.toDF("rk", "rt", "rp"),
+        Seq("k"), Seq("rk"), "t", "rt")
+      .select("k", "t", "p", "rp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2),
+        if (r.isNullAt(3)) None else Some(r.getInt(3))))
+      .sortBy(x => (x._1, x._2, x._3)).toSeq
+    assert(got == expected)
+  }
+
   test("physical plan is merge-shaped: one exchange per side, sorted inputs") {
     import spark.implicits._
     val l = Seq(("A", 1L)).toDF("k", "t")
