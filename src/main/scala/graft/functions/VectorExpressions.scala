@@ -116,7 +116,8 @@ case class FloatCosine(left: Expression, right: Expression)
 object VectorFunctions {
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "float_dot" -> (es => FloatDot(es(0), es(1))),
-    "float_cosine" -> (es => FloatCosine(es(0), es(1))))
+    "float_cosine" -> (es => FloatCosine(es(0), es(1))),
+    "graft_zorder" -> (es => ZOrderValue(es)))
 
   /** Idempotent per-session registration (temp functions). */
   def register(spark: SparkSession): Unit = fns.foreach { case (name, builder) =>
@@ -126,6 +127,7 @@ object VectorFunctions {
 
   def float_dot(a: Column, b: Column): Column = call_function("float_dot", a, b)
   def float_cosine(a: Column, b: Column): Column = call_function("float_cosine", a, b)
+  def zorder(cols: Column*): Column = call_function("graft_zorder", cols: _*)
 }
 
 /** Session-extension registration (`spark.sql.extensions=graft.functions.
@@ -140,6 +142,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("float_cosine"),
       new ExpressionInfo(classOf[FloatCosine].getName, "float_cosine"),
       (es: Seq[Expression]) => FloatCosine(es(0), es(1))))
+    e.injectFunction((ZOrderFunction.identifier, ZOrderFunction.info,
+      ZOrderFunction.builder))
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

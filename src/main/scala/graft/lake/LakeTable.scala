@@ -213,25 +213,52 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     val outDir = dataDir.resolve(
       s"snap-$snapshotId-${java.util.UUID.randomUUID().toString.take(8)}")
     val withP = pCols.foldLeft(aligned) { case (d, (n, e)) => d.withColumn(n, e) }
-    // write clustering ("write.sort-order" table property, comma-sep
-    // columns): range-partition + sort so each file covers a narrow
-    // value range — this is what makes min/max stats pruning bite at
-    // 100 TB (a point/range predicate then opens a handful of files
-    // instead of all of them). AQE coalesces the range partitions.
-    val sortCols = md.properties.get("write.sort-order")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-      .getOrElse(Seq.empty)
+    // write clustering ("write.sort-order" table property): either a
+    // comma-separated column list (lexicographic sort) or
+    // "zorder(a,b,…)" (Morton-curve interleave — narrow min/max ranges
+    // on EVERY listed column, so predicates on any dimension prune
+    // files). Range-partition + sort so each file covers a narrow
+    // range — this is what makes stats pruning bite at 100 TB.
     // "write.sort-buckets" pins the range-partition count (else the
-    // session default + AQE coalescing decide)
-    val sortExprs = sortCols.map(c => col(s"`$c`"))
-    val clustered =
-      if (sortCols.isEmpty) withP
-      else md.properties.get("write.sort-buckets").map(_.trim.toInt) match {
-        case Some(n) => withP.repartitionByRange(n, sortExprs: _*)
-          .sortWithinPartitions(sortExprs: _*)
-        case None => withP.repartitionByRange(sortExprs: _*)
-          .sortWithinPartitions(sortExprs: _*)
-      }
+    // session default + AQE coalescing decide).
+    val clustered = md.properties.get("write.sort-order") match {
+      case None => withP
+      case Some(spec) =>
+        val zorderRe = """(?i)zorder\s*\(([^)]*)\)""".r
+        val sortExprs = spec.trim match {
+          case zorderRe(colSpec) =>
+            // z-order needs each column scaled to its batch min/max
+            // (raw 64-bit interleave would collapse — see ZOrderValue):
+            // one cheap columnar min/max pass over the batch, then bin
+            // to 2^(63/n) buckets and interleave
+            val cols = colSpec.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+            val bits = 63 / cols.size
+            val bins = BigDecimal(1L << bits)
+            val statsRow = withP.select(cols.flatMap(c => Seq(
+              min(col(s"`$c`").cast("double")), max(col(s"`$c`").cast("double")))): _*)
+              .collect()(0)
+            graft.functions.VectorFunctions.register(withP.sparkSession)
+            val binned = cols.zipWithIndex.map { case (c, i) =>
+              val lo = Option(statsRow.get(2 * i)).map(_.toString.toDouble).getOrElse(0.0)
+              val hi = Option(statsRow.get(2 * i + 1)).map(_.toString.toDouble).getOrElse(0.0)
+              val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
+              least(
+                floor((col(s"`$c`").cast("double") - lit(lo)) / lit(span) * lit(bins.toDouble)),
+                lit(bins.toDouble - 1)).cast("long")
+            }
+            Seq(graft.functions.VectorFunctions.zorder(binned: _*))
+          case plain =>
+            plain.split(",").map(_.trim).filter(_.nonEmpty)
+              .map(c => col(s"`$c`")).toSeq
+        }
+        if (sortExprs.isEmpty) withP
+        else md.properties.get("write.sort-buckets").map(_.trim.toInt) match {
+          case Some(n) => withP.repartitionByRange(n, sortExprs: _*)
+            .sortWithinPartitions(sortExprs: _*)
+          case None => withP.repartitionByRange(sortExprs: _*)
+            .sortWithinPartitions(sortExprs: _*)
+        }
+    }
     val writer = clustered.write.mode("overwrite")
     (if (pCols.nonEmpty) writer.partitionBy(pCols.map(_._1): _*) else writer)
       .parquet(outDir.toString)

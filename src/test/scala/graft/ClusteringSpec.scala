@@ -58,6 +58,51 @@ class ClusteringSpec extends AnyFunSuite {
     assert(got == 51)
   }
 
+  test("zorder clustering prunes on every listed dimension") {
+    val wh = Files.createTempDirectory("graft-zorder").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"z","columns":[
+        |{"column_name":"x","data_type":"long"},
+        |{"column_name":"y","data_type":"long"},
+        |{"column_name":"v","data_type":"double"}],
+        |"partitions":[],
+        |"properties":{"write.sort-order":"zorder(x,y)","write.sort-buckets":"16"}}""".stripMargin)
+    val t = LakeTable.load(wh, "d", "z")
+    // 64x64 grid, shuffled
+    t.append(spark.range(4096).selectExpr(
+      "CAST(id % 64 AS LONG) AS x", "CAST(id DIV 64 AS LONG) AS y",
+      "CAST(id AS DOUBLE) AS v"))
+
+    val files = t.plannedFiles()
+    assert(files.size > 4)
+    def prunedCount(colName: String): Int =
+      t.plannedFiles(statsFilters = Seq(graft.lake.RangeFilter(colName,
+        loNum = Some(BigDecimal(0)), hiNum = Some(BigDecimal(7))))).size
+    // a narrow slice on EITHER dimension must drop files — the point
+    // of z-order vs single-column sort (which only prunes its own col)
+    assert(prunedCount("x") < files.size, s"x slice kept all ${files.size}")
+    assert(prunedCount("y") < files.size, s"y slice kept all ${files.size}")
+    // correctness: box query returns exactly the box
+    val n = t.read(spark, statsFilters = Seq(
+        graft.lake.RangeFilter("x", loNum = Some(BigDecimal(0)), hiNum = Some(BigDecimal(7))),
+        graft.lake.RangeFilter("y", loNum = Some(BigDecimal(0)), hiNum = Some(BigDecimal(7)))))
+      .filter("x < 8 AND y < 8").count()
+    assert(n == 64)
+  }
+
+  test("zorder interleave: monotone per dimension, locality-preserving") {
+    import graft.functions.ZOrderUtil.interleave
+    val bits = 31
+    // fixing y, z is monotone in x — and vice versa
+    val zx = (0L until 100L).map(x => interleave(Array(x, 5L), bits))
+    assert(zx == zx.sorted && zx.distinct.size == zx.size)
+    val zy = (0L until 100L).map(y => interleave(Array(5L, y), bits))
+    assert(zy == zy.sorted && zy.distinct.size == zy.size)
+    // locality: neighbors in (x,y) are close in z (within 2 bits' reach)
+    assert(math.abs(interleave(Array(3L, 3L), bits) -
+      interleave(Array(3L, 4L), bits)) <= 16)
+  }
+
   test("properties persist and evolve merges them") {
     val wh = Files.createTempDirectory("graft-props").toString
     Engine.processTableDefJson(wh,
