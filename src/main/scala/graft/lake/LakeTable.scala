@@ -259,7 +259,14 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
             .sortWithinPartitions(sortExprs: _*)
         }
     }
-    val writer = clustered.write.mode("overwrite")
+    // "write.option.<k>" table properties pass through to the parquet
+    // writer — e.g. write.option.parquet.bloom.filter.enabled#col=true
+    // adds a bloom filter for row-group skipping on point lookups
+    val writerOpts = md.properties.collect {
+      case (k, v) if k.startsWith("write.option.") =>
+        k.stripPrefix("write.option.") -> v
+    }
+    val writer = clustered.write.mode("overwrite").options(writerOpts)
     (if (pCols.nonEmpty) writer.partitionBy(pCols.map(_._1): _*) else writer)
       .parquet(outDir.toString)
 

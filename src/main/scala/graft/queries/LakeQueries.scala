@@ -107,6 +107,34 @@ object LakeQueries extends QueryModule {
       s.sql("SELECT id, v FROM stream_lake_read_sink ORDER BY id, v")
     }),
 
+    "q_stream_join" -> ((s, _) => {
+      // stream-stream interval join under Structured Streaming: clicks
+      // attribute to impressions within a 30-minute window; watermarks
+      // bound the join state. Deterministic fixed feed, memory sink.
+      import graft.streaming.StreamJoin.{Click, Impression}
+      implicit val sqlCtx = s.sqlContext
+      import s.implicits._
+      def ts(min: Int) = java.sql.Timestamp.valueOf(
+        f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00")
+      val imps = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[Impression]
+      val clicks = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[Click]
+      imps.addData(Impression(1L, ts(0)), Impression(2L, ts(5)),
+        Impression(3L, ts(10)))
+      clicks.addData(Click(100L, 1L, ts(10)), Click(101L, 2L, ts(50)),
+        Click(102L, 3L, ts(15)), Click(103L, 3L, ts(200)))
+      val q = graft.streaming.StreamJoin
+        .attribute(imps.toDS(), clicks.toDS(), windowMinutes = 30,
+          delayThreshold = "10 minutes")
+        .writeStream.format("memory").queryName("q_stream_join_sink")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.sql("""SELECT imp_id, click_id FROM q_stream_join_sink
+              |ORDER BY imp_id, click_id""".stripMargin)
+    }),
+
     "lake_maintenance" -> ((s, _) => {
       // lifecycle: appends + CoW delete → expire history → drop orphans.
       // Outputs are env-independent booleans/counts (file counts depend

@@ -103,6 +103,29 @@ class ClusteringSpec extends AnyFunSuite {
       interleave(Array(3L, 4L), bits)) <= 16)
   }
 
+  test("write.option.* properties reach the parquet writer (bloom filter)") {
+    val wh = Files.createTempDirectory("graft-bloom").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"b","columns":[
+        |{"column_name":"id","data_type":"long"}],
+        |"partitions":[],
+        |"properties":{"write.option.parquet.bloom.filter.enabled#id":"true"}}""".stripMargin)
+    val t = LakeTable.load(wh, "d", "b")
+    import SparkTestSession.spark.implicits._
+    t.append(spark.range(1000).selectExpr("id"))
+    val path = t.plannedFiles().head.path
+    val fr = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(path),
+        new org.apache.hadoop.conf.Configuration()))
+    try {
+      val block = fr.getFooter.getBlocks.get(0)
+      val chunk = block.getColumns.get(0)
+      assert(fr.getBloomFilterDataReader(block).readBloomFilter(chunk) != null,
+        "bloom filter missing from footer")
+    } finally fr.close()
+  }
+
   test("properties persist and evolve merges them") {
     val wh = Files.createTempDirectory("graft-props").toString
     Engine.processTableDefJson(wh,
