@@ -31,6 +31,23 @@ object SetOps extends QueryModule {
       c.union(su).distinct().orderBy("nationkey")
     }),
 
+    "q_except_all" -> ((s, dir) => {
+      // bag semantics: multiplicities subtract (orders custkeys minus
+      // one occurrence per customer row)
+      val o = Tables(s, dir, "orders").select(col("o_custkey").as("custkey"))
+      val c = Tables(s, dir, "customer").select(col("c_custkey").as("custkey"))
+      o.exceptAll(c).groupBy("custkey").agg(count(lit(1)).as("n"))
+        .orderBy("custkey")
+    }),
+
+    "q_intersect_all" -> ((s, dir) => {
+      // bag intersection: min(multiplicity) per key across both inputs
+      val li = Tables(s, dir, "lineitem").select(col("l_suppkey").as("suppkey"))
+      val su = Tables(s, dir, "supplier").select(col("s_suppkey").as("suppkey"))
+      li.intersectAll(su).groupBy("suppkey").agg(count(lit(1)).as("n"))
+        .orderBy("suppkey")
+    }),
+
     "q_intersect" -> ((s, dir) => {
       val o = Tables(s, dir, "orders").select(col("o_custkey").as("custkey"))
       val c = Tables(s, dir, "customer").select(col("c_custkey").as("custkey"))
@@ -59,6 +76,20 @@ object SetOps extends QueryModule {
         |UNION
         |SELECT s_nationkey FROM supplier
         |ORDER BY nationkey""".stripMargin,
+
+    "q_except_all" ->
+      """SELECT custkey, count(*) AS n FROM (
+        |  SELECT o_custkey AS custkey FROM orders
+        |  EXCEPT ALL
+        |  SELECT c_custkey FROM customer
+        |) GROUP BY custkey ORDER BY custkey""".stripMargin,
+
+    "q_intersect_all" ->
+      """SELECT suppkey, count(*) AS n FROM (
+        |  SELECT l_suppkey AS suppkey FROM lineitem
+        |  INTERSECT ALL
+        |  SELECT s_suppkey FROM supplier
+        |) GROUP BY suppkey ORDER BY suppkey""".stripMargin,
 
     "q_intersect" ->
       """SELECT o_custkey AS custkey FROM orders
