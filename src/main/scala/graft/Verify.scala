@@ -24,9 +24,24 @@ object Verify {
     val tasks = SparkEntry.queries.toSeq.map { case (name, fn) =>
       pool.submit(new Runnable {
         def run(): Unit =
-          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-            .parquet(s"$outDir/$name")
-          catch { case e: Throwable =>
+          try {
+            val out = fn(spark, sfDir)
+            // dump tz-aware timestamps as TIMESTAMP_NTZ (same UTC wall
+            // clock under the UTC session): the driver's pandas side
+            // then loads naive datetimes, matching DuckDB's .df() —
+            // independent of the session's parquet timestamp encoding
+            // (lake writes pin TIMESTAMP_MICROS, which is tz-aware)
+            val norm = out.schema.fields.foldLeft(out) { (d, f) =>
+              f.dataType match {
+                case org.apache.spark.sql.types.TimestampType =>
+                  d.withColumn(f.name, org.apache.spark.sql.functions
+                    .col(f.name).cast(org.apache.spark.sql.types.TimestampNTZType))
+                case _ => d
+              }
+            }
+            norm.coalesce(1).write.mode("overwrite")
+              .parquet(s"$outDir/$name")
+          } catch { case e: Throwable =>
             System.err.println(s"[verify] $name failed: ${e.getMessage}")
           }
       })

@@ -192,6 +192,11 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
       streamBatchId: Option[Long] = None,
       streamId: Option[String] = None,
       removedPaths: Seq[String] = Seq.empty): SnapshotMeta = {
+    // Spark's default parquet timestamp encoding is INT96 (legacy);
+    // pin INT64 micros so footer min/max stats exist for timestamp
+    // columns and the graft-lake record reader's INT64 fast path holds
+    aligned.sparkSession.conf
+      .set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     // fail fast before writing any data if another handle committed
     // since we loaded (the commit itself re-checks)
     if (currentHintVersion() != loadedVersion)
@@ -226,7 +231,8 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
       case Some(spec) =>
         val zorderRe = """(?i)zorder\s*\(([^)]*)\)""".r
         val sortExprs = spec.trim match {
-          case zorderRe(colSpec) =>
+          case zorderRe(colSpec)
+              if colSpec.split(",").count(_.trim.nonEmpty) >= 2 =>
             // z-order needs each column scaled to its batch min/max
             // (raw 64-bit interleave would collapse — see ZOrderValue):
             // one cheap columnar min/max pass over the batch, then bin
@@ -247,7 +253,14 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
                 lit(bins.toDouble - 1)).cast("long")
             }
             Seq(graft.functions.VectorFunctions.zorder(binned: _*))
-          case plain =>
+          case other =>
+            // single-column zorder(c) degenerates to a plain sort on c
+            // (and 63/1 bits would overflow the bin count); zorder()
+            // with no columns means no clustering
+            val plain = other match {
+              case zorderRe(colSpec) => colSpec
+              case p => p
+            }
             plain.split(",").map(_.trim).filter(_.nonEmpty)
               .map(c => col(s"`$c`")).toSeq
         }
@@ -303,9 +316,11 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     } catch { case _: Exception => -1L }
 
   private def listParquet(dir: Path): Seq[Path] =
-    Files.walk(dir).iterator().asScala
-      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
-      .toSeq.sortBy(_.toString)
+    scala.util.Using.resource(Files.walk(dir)) { st =>
+      st.iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+        .toSeq.sortBy(_.toString)
+    }
 
   // ---- read ------------------------------------------------------------
 
@@ -410,18 +425,27 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
 
   /** Delete data files under this table's data/ directory that no
     * snapshot references (write-attempt leftovers from losing
-    * optimistic-concurrency races, files dropped by expireSnapshots).
-    * Returns the deleted paths. Safe by construction: only paths
-    * absent from EVERY snapshot's file list are touched.
+    * optimistic-concurrency races, files dropped by expireSnapshots)
+    * AND are older than `olderThanMillis`. The age threshold is the
+    * concurrent-writer guard (same as Iceberg's): an in-flight write's
+    * files exist on disk before its commit, so without it a cleanup
+    * racing a writer would delete data the winning commit is about to
+    * reference. Returns the deleted paths.
     */
-  def removeOrphanFiles(): Seq[String] = {
+  def removeOrphanFiles(
+      olderThanMillis: Long = 24L * 60 * 60 * 1000): Seq[String] = {
+    import scala.util.Using
     val referenced = md.snapshots.flatMap(_.files.map(_.path)).toSet
     if (!Files.exists(dataDir)) return Seq.empty
-    val orphans = Files.walk(dataDir).iterator().asScala
-      .filter(p => Files.isRegularFile(p))
-      .filter(p => p.toString.endsWith(".parquet"))
-      .filterNot(p => referenced(p.toString))
-      .toSeq
+    val cutoff = System.currentTimeMillis() - olderThanMillis
+    val orphans = Using.resource(Files.walk(dataDir)) { st =>
+      st.iterator().asScala
+        .filter(p => Files.isRegularFile(p))
+        .filter(p => p.toString.endsWith(".parquet"))
+        .filterNot(p => referenced(p.toString))
+        .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
+        .toSeq
+    }
     orphans.foreach { p =>
       Files.delete(p)
       // Hadoop local-FS checksum sibling, if any
@@ -429,11 +453,14 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
       Files.deleteIfExists(crc)
     }
     // prune now-empty directories bottom-up (partition dirs, snap dirs)
-    Files.walk(dataDir).sorted(java.util.Comparator.reverseOrder())
-      .iterator().asScala
-      .filter(p => p != dataDir && Files.isDirectory(p))
-      .filter(p => !Files.list(p).iterator().hasNext)
-      .foreach(Files.delete)
+    Using.resource(Files.walk(dataDir)) { st =>
+      st.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala
+        .filter(p => p != dataDir && Files.isDirectory(p))
+        .filter(p => Using.resource(Files.list(p))(
+          s => !s.iterator().hasNext))
+        .foreach(Files.delete)
+    }
     orphans.map(_.toString)
   }
 
@@ -480,9 +507,16 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     else {
       val cond = coalesce(predicate, lit(false))
       val base = readFiles(spark, affected, md.currentSchema)
-      val updated = assignments.foldLeft(base) { case (d, (name, value)) =>
-        d.withColumn(name, when(cond, value).otherwise(col(s"`$name`")))
-      }
+      // one projection, every RHS evaluated against the PRE-update row
+      // (SQL UPDATE semantics: SET a=b, b=a swaps; sequential
+      // withColumn would leak updated values into later assignments
+      // in unordered-Map iteration order)
+      val updated = base.select(md.currentSchema.fieldNames.toSeq.map { n =>
+        assignments.get(n) match {
+          case Some(value) => when(cond, value).otherwise(col(s"`$n`")).as(n)
+          case None => col(s"`$n`")
+        }
+      }: _*)
       Some(writeSnapshot(Align(updated, md.currentSchema),
         operation = "overwrite", removedPaths = affected.map(_.path)))
     }
@@ -519,6 +553,15 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
       (keys.map(k => col(s"`$k`")) ++
         setCols.map(c => col(s"`$c`").as(s"_src_$c")) :+
         lit(true).as("_src_matched")): _*)
+
+    // SQL MERGE cardinality rule: a target row may match at most one
+    // source row — duplicate source keys would silently duplicate
+    // target rows in the rewrite (and which values win would be
+    // nondeterministic), so refuse them up front
+    val dupKey = srcKeyed.groupBy(keys.map(k => col(s"`$k`")): _*)
+      .count().filter(col("count") > 1).limit(1).collect()
+    require(dupKey.isEmpty,
+      s"merge source has multiple rows for key ${dupKey.headOption}")
 
     val keyPred = keys.map(k => col(s"`$k`").isNotNull).reduce(_ && _)
     val affected = affectedFiles(spark,

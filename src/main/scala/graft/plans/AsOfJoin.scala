@@ -81,7 +81,11 @@ case class AsOfJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     val rOut = right.output
     val lk = leftKeys; val rk = rightKeys
     val lt = leftTime; val rt = rightTime
+    val out = output
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      // downstream operators (shuffle, collect) cast rows to UnsafeRow
+      // — project the JoinedRow output like SortMergeJoinExec does
+      val result = UnsafeProjection.create(out, out)
       new AsOfMergeIterator(lIter, rIter,
         UnsafeProjection.create(lk, lOut),
         UnsafeProjection.create(rk, rOut),
@@ -89,7 +93,7 @@ case class AsOfJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
         UnsafeProjection.create(Seq(rt), rOut),
         RowOrdering.createNaturalAscendingOrdering(lk.map(_.dataType)),
         RowOrdering.createNaturalAscendingOrdering(Seq(lt.dataType)),
-        rOut.size)
+        rOut.size).map(result)
     }
   }
 }

@@ -150,7 +150,7 @@ object LakeQueries extends QueryModule {
       t.append(Seq((3L, "c")).toDF("id", "v"))
       t.delete(s, col("id") === 2L)
       val expired = t.expireSnapshots(keepAfter = 3)
-      val orphans = t.removeOrphanFiles()
+      val orphans = t.removeOrphanFiles(olderThanMillis = 0)
       val live = t.read(s).select("id").collect().map(_.getLong(0)).toSet
       Seq(
         ("expired_snapshots", expired.toLong),

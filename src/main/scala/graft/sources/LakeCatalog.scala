@@ -41,11 +41,13 @@ class LakeCatalog extends TableCatalog {
     require(namespace.length == 1, "expected <database> namespace")
     val db = Paths.get(warehouse, namespace(0))
     if (!Files.isDirectory(db)) throw new NoSuchNamespaceException(namespace)
-    Files.list(db).iterator().asScala
-      .filter(p => LakeTable.exists(warehouse, namespace(0),
-        p.getFileName.toString))
-      .map(p => Identifier.of(namespace, p.getFileName.toString))
-      .toArray
+    scala.util.Using.resource(Files.list(db)) { st =>
+      st.iterator().asScala
+        .filter(p => LakeTable.exists(warehouse, namespace(0),
+          p.getFileName.toString))
+        .map(p => Identifier.of(namespace, p.getFileName.toString))
+        .toArray
+    }
   }
 
   override def loadTable(ident: Identifier): Table = {

@@ -141,8 +141,14 @@ private[sources] class LakeScanBuilder(wh: String, db: String, tbl: String,
       : Array[org.apache.spark.sql.sources.Filter] = {
     import org.apache.spark.sql.sources._
     def num(v: Any): Option[BigDecimal] = v match {
+      case d: java.lang.Double if d.isNaN || d.isInfinite => None
+      case f: java.lang.Float if f.isNaN || f.isInfinite => None
       case n: Number => Some(BigDecimal(n.toString))
-      case t: java.sql.Timestamp => Some(BigDecimal(t.getTime) * 1000)
+      case t: java.sql.Timestamp =>
+        // full microsecond precision: getTime carries millis, getNanos
+        // the sub-second part (truncating would over-prune files)
+        Some(BigDecimal(
+          Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000))
       case _ => None
     }
     def str(v: Any): Option[String] = v match {
@@ -309,6 +315,16 @@ private[sources] class GroupRowReader(p: LakeFilePartition)
 
 private[sources] object LakeSource {
 
+  /** INT96 parquet timestamp → epoch micros: 8 bytes little-endian
+    * nanos-of-day + 4 bytes little-endian julian day.
+    */
+  def int96Micros(b: org.apache.parquet.io.api.Binary): Long = {
+    val buf = b.toByteBuffer.order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val nanosOfDay = buf.getLong
+    val julianDay = buf.getInt
+    (julianDay - 2440588L) * 86400000000L + nanosOfDay / 1000L
+  }
+
   /** Every TypeMapper type except decimal is readable (decimal in a
     * table def is the reference's hard-coded DECIMAL(5,5) quirk).
     */
@@ -405,7 +421,14 @@ private[sources] object LakeSource {
       case (TimestampType, TimestampType) |
            (TimestampNTZType, TimestampNTZType) |
            (TimestampType, TimestampNTZType) |
-           (TimestampNTZType, TimestampType) => (g, n) => g.getLong(n, 0)
+           (TimestampNTZType, TimestampType) => (g, n) => {
+        // engine writers pin INT64 micros; INT96 can still appear in
+        // files written before that pin — decode both
+        import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+        if (g.getType.getType(n).asPrimitiveType().getPrimitiveTypeName ==
+            PrimitiveTypeName.INT96) int96Micros(g.getInt96(n, 0))
+        else g.getLong(n, 0)
+      }
       case (DateType, DateType) => (g, n) => g.getInteger(n, 0)
       case (t, f) => throw new UnsupportedOperationException(
         s"graft-lake reader: unsupported conversion $f -> $t")

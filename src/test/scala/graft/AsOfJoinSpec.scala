@@ -70,6 +70,16 @@ class AsOfJoinSpec extends AnyFunSuite {
       oracle.collect().map(_.toString).toSeq)
   }
 
+  test("join output is consumable without a projection on top") {
+    import spark.implicits._
+    val l = Seq(("A", 5L)).toDF("k", "t")
+    val r = Seq(("A", 1L, 1.0)).toDF("rk", "rt", "v")
+    val j = AsOf.join(l, r, Seq("k"), Seq("rk"), "t", "rt")
+    // bare collect and bare orderBy both require UnsafeRow output
+    assert(j.collect().length == 1)
+    assert(j.orderBy("k").collect()(0).getDouble(4) == 1.0)
+  }
+
   test("randomized parity with a reference computation (seeded)") {
     import spark.implicits._
     val rnd = new scala.util.Random(20260812L)

@@ -90,6 +90,23 @@ class ClusteringSpec extends AnyFunSuite {
     assert(n == 64)
   }
 
+  test("single-column zorder degenerates to a plain sort (no overflow)") {
+    val wh = Files.createTempDirectory("graft-zorder1").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"z1","columns":[
+        |{"column_name":"id","data_type":"long"}],
+        |"partitions":[],
+        |"properties":{"write.sort-order":"zorder(id)","write.sort-buckets":"4"}}""".stripMargin)
+    val t = LakeTable.load(wh, "d", "z1")
+    import SparkTestSession.spark.implicits._
+    t.append(spark.range(1000).selectExpr("id"))
+    val files = t.plannedFiles()
+    assert(files.size > 1, "must not collapse to one partition")
+    val pruned = t.plannedFiles(statsFilters = Seq(graft.lake.RangeFilter("id",
+      loNum = Some(BigDecimal(0)), hiNum = Some(BigDecimal(10)))))
+    assert(pruned.size < files.size)
+  }
+
   test("zorder interleave: monotone per dimension, locality-preserving") {
     import graft.functions.ZOrderUtil.interleave
     val bits = 31

@@ -139,6 +139,28 @@ class LakeStreamReadSpec extends AnyFunSuite {
     assert(narrow.count() == 100) // rows still exact (residual filter)
   }
 
+  test("tz-aware timestamp columns round-trip through the connector") {
+    val wh = Files.createTempDirectory("graft-dsv2-tz").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"tz","columns":[
+        |{"column_name":"id","data_type":"long"},
+        |{"column_name":"at","data_type":"timezone"}],
+        |"partitions":[]}""".stripMargin)
+    val t = LakeTable.load(wh, "d", "tz")
+    import SparkTestSession.spark.implicits._
+    val stamp = java.sql.Timestamp.valueOf("2024-03-05 06:07:08.123456")
+    t.append(Seq((1L, stamp)).toDF("id", "at"))
+    val got = spark.read.format("graft-lake")
+      .option("warehouse", wh).option("database", "d").option("table", "tz")
+      .load().collect()(0)
+    assert(got.getTimestamp(1) == stamp)
+    // timestamp stats now exist (INT64 micros), enabling file pruning
+    val fieldId = graft.schema.FieldIds.idOf(
+      t.currentSchema.fields.find(_.name == "at").get)
+    assert(LakeTable.load(wh, "d", "tz").plannedFiles()
+      .head.stats.contains(fieldId))
+  }
+
   test("nested orders table reads through the connector incl. evolution") {
     val wh = Files.createTempDirectory("graft-dsv2-nested").toString
     Engine.processTableDefJson(wh, graft.gen.OrdersFixtures.ordersV1Json)

@@ -64,11 +64,11 @@ class MaintenanceSpec extends AnyFunSuite {
     t.append(df(1L -> "a", 2L -> "b"))
     t.delete(spark, col("id") === 1L)  // old file now unreferenced? no —
     // the delete's removed file is still listed by snapshot 1 (history)
-    assert(t.removeOrphanFiles().isEmpty)
+    assert(t.removeOrphanFiles(0).isEmpty)
 
     // after expiry the pre-delete file is referenced by no snapshot
     t.expireSnapshots(keepAfter = 2)
-    val removed = t.removeOrphanFiles()
+    val removed = t.removeOrphanFiles(0)
     assert(removed.nonEmpty)
     assert(ids(t) == Set(2L))
     assert(ids(LakeTable.load(wh, "d", "t")) == Set(2L))
@@ -78,7 +78,7 @@ class MaintenanceSpec extends AnyFunSuite {
       "part-junk.parquet")
     Files.createDirectories(stray.getParent)
     Files.write(stray, Array[Byte](1, 2, 3))
-    val removed2 = t.removeOrphanFiles()
+    val removed2 = t.removeOrphanFiles(0)
     assert(removed2 == Seq(stray.toString))
     assert(!Files.exists(stray.getParent), "empty snap dir pruned")
   }

@@ -90,6 +90,29 @@ class RowOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("update SET a=b, b=a swaps (all RHS see pre-update values)") {
+    val (_, t) = mkTable("swap")
+    t.append(df(Seq((1L, "g1", 10.0))))
+    // grp:=concat of v, v:=v+id — both must read the original row
+    t.update(spark,
+      Map("grp" -> concat(lit("was_"), col("v").cast("string")),
+        "v" -> (col("v") + col("id"))),
+      lit(true))
+    assert(rows(t) == Set((1L, "was_10.0", 11.0)))
+  }
+
+  test("merge rejects duplicate source keys (cardinality rule)") {
+    val (_, t) = mkTable("dupsrc")
+    t.append(df(Seq((1L, "a", 1.0))))
+    val src = df(Seq((1L, "x", 9.0), (1L, "y", 8.0)))
+    val e = intercept[IllegalArgumentException] {
+      t.merge(spark, src, Seq("id"))
+    }
+    assert(e.getMessage.contains("multiple rows"))
+    // table untouched
+    assert(rows(t) == Set((1L, "a", 1.0)))
+  }
+
   test("merge upserts: update matched, insert unmatched, delete matched") {
     val (_, t) = mkTable("mrg")
     t.append(df(Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "a", 3.0))))
