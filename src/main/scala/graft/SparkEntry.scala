@@ -9,7 +9,8 @@ import graft.queries._
 object SparkEntry {
   private def modules: Seq[QueryModule] =
     Seq(Relational, Grouping, Windows, SetOps, ScalarFuncs, Pipeline,
-      PipelineSketches, Streaming, LakeQueries, RowOpsQueries, Analytics)
+      PipelineSketches, Streaming, LakeQueries, RowOpsQueries, Analytics,
+      LakeReadQueries)
 
   /** Flagship query (TPC-H Q1 shape) on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

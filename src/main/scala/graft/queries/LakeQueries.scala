@@ -191,6 +191,72 @@ object LakeQueries extends QueryModule {
   def oracleSql: Map[String, String] = Map.empty
 }
 
+/** Lake read paths under the DuckDB oracle: the DSv2 connector +
+  * catalog SQL (record reader, pushdowns) and time travel both produce
+  * results hash-checked against plain SQL over the same source rows.
+  */
+object LakeReadQueries extends QueryModule {
+  import graft.lake.{Engine, LakeTable}
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lake_scan_sql" -> ((s, dir) => {
+      // parquet → lake table → catalog SQL with a filter: exercises the
+      // connector's record reader, column pruning, and stats skipping
+      // under the oracle gate
+      val wh = LakeQueries.freshWarehouse("scansql")
+      Engine.processTableDefJson(wh,
+        """{"database_name":"rq","table_name":"cust","columns":[
+          |{"column_name":"c_custkey","data_type":"long"},
+          |{"column_name":"c_name","data_type":"string"},
+          |{"column_name":"c_mktsegment","data_type":"string"},
+          |{"column_name":"c_acctbal","data_type":"double"}],
+          |"partitions":[],
+          |"properties":{"write.sort-order":"c_custkey"}}""".stripMargin)
+      LakeTable.load(wh, "rq", "cust").append(
+        Tables(s, dir, "customer").select(
+          "c_custkey", "c_name", "c_mktsegment", "c_acctbal"))
+      s.conf.set("spark.sql.catalog.graftq", "graft.sources.LakeCatalog")
+      s.conf.set("spark.sql.catalog.graftq.warehouse", wh)
+      s.sql(
+        """SELECT c_custkey, c_name, c_acctbal AS acctbal
+          |FROM graftq.rq.cust
+          |WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 0.0
+          |ORDER BY c_custkey""".stripMargin)
+    }),
+
+    "lake_timetravel" -> ((s, dir) => {
+      // two appends split on a deterministic predicate; reading AS OF
+      // the first snapshot must return exactly the first batch
+      val wh = LakeQueries.freshWarehouse("timetravel")
+      Engine.processTableDefJson(wh,
+        """{"database_name":"rq","table_name":"sup","columns":[
+          |{"column_name":"s_suppkey","data_type":"long"},
+          |{"column_name":"s_name","data_type":"string"},
+          |{"column_name":"s_nationkey","data_type":"int"}],
+          |"partitions":[]}""".stripMargin)
+      val t = LakeTable.load(wh, "rq", "sup")
+      val sup = Tables(s, dir, "supplier")
+        .select("s_suppkey", "s_name", "s_nationkey")
+      val firstSnap = t.append(sup.filter(col("s_nationkey") < 12)).id
+      t.append(sup.filter(col("s_nationkey") >= 12))
+      t.read(s, asOfSnapshot = Some(firstSnap))
+        .orderBy("s_suppkey")
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "lake_scan_sql" ->
+      """SELECT c_custkey, c_name, c_acctbal AS acctbal
+        |FROM customer
+        |WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 0.0
+        |ORDER BY c_custkey""".stripMargin,
+
+    "lake_timetravel" ->
+      """SELECT s_suppkey, s_name, s_nationkey FROM supplier
+        |WHERE s_nationkey < 12 ORDER BY s_suppkey""".stripMargin,
+  )
+}
+
 /** Copy-on-write row-level ops (DELETE / UPDATE / MERGE) exercised
   * end-to-end against the driver testdata, each with a DuckDB oracle
   * expressing the same final table state in plain SQL. The lake side
