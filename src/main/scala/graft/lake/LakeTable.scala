@@ -305,6 +305,30 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     snap
   }
 
+  /** Register externally written parquet files (the DSv2 streaming
+    * sink's executor-side writers) as one append snapshot: row counts
+    * and min/max stats come from the footers, the commit carries the
+    * stream's (queryId, epochId) for replay idempotence. Unpartitioned
+    * specs only — partition values cannot be derived after the fact.
+    */
+  def commitExternalFiles(paths: Seq[String],
+      streamBatchId: Option[Long] = None,
+      streamId: Option[String] = None): SnapshotMeta = {
+    require(md.currentSpec.fields.isEmpty,
+      "commitExternalFiles requires an unpartitioned spec")
+    val schema = md.currentSchema
+    val files = paths.sorted.map { p =>
+      DataFileMeta(p, md.currentSchemaId, md.currentSpec.id,
+        rows = parquetRowCount(Paths.get(p)), partitionValues = Map.empty,
+        stats = FileStats.fromFooter(p, schema))
+    }
+    val snapshotId = md.snapshots.map(_.id).foldLeft(0L)(math.max) + 1
+    val snap = SnapshotMeta(snapshotId, files, md.currentSchemaId, "append",
+      streamBatchId, streamId)
+    commit(md.copy(snapshots = md.snapshots :+ snap))
+    snap
+  }
+
   /** Exact row count from the parquet footer (no data scan). */
   private def parquetRowCount(p: Path): Long =
     try {

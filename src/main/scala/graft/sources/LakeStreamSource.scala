@@ -80,7 +80,7 @@ private[sources] class LakeSparkTable(wh: String, db: String, tbl: String,
     Reconcile.clean(lake.currentSchema).asInstanceOf[StructType]
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.V1_BATCH_WRITE).asJava
+      TableCapability.V1_BATCH_WRITE, TableCapability.STREAMING_WRITE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LakeScanBuilder(wh, db, tbl, startSnapshot, lake.currentSchema)
@@ -106,6 +106,18 @@ private[sources] class LakeSparkTable(wh: String, db: String, tbl: String,
               LakeTable.load(wh, db, tbl).append(data)
               ()
             }
+          // streaming path: executor-side parquet writers + one
+          // snapshot commit per epoch (LakeStreamingSink)
+          override def toStreaming: org.apache.spark.sql.connector.write
+              .streaming.StreamingWrite = {
+            val tableSchema = Reconcile
+              .clean(LakeTable.load(wh, db, tbl).currentSchema)
+              .asInstanceOf[StructType]
+            require(LakeSource.sameShape(tableSchema, info.schema),
+              s"graft-lake streaming sink: query schema ${info.schema.sql} " +
+                s"does not match table schema ${tableSchema.sql}")
+            new LakeStreamingWrite(wh, db, tbl, info.queryId(), info.schema)
+          }
         }
     }
 }
@@ -323,6 +335,19 @@ private[sources] object LakeSource {
     val nanosOfDay = buf.getLong
     val julianDay = buf.getInt
     (julianDay - 2440588L) * 86400000000L + nanosOfDay / 1000L
+  }
+
+  /** Structural schema equality ignoring nullability and metadata. */
+  def sameShape(a: DataType, b: DataType): Boolean = (a, b) match {
+    case (x: StructType, y: StructType) =>
+      x.fields.length == y.fields.length &&
+        x.fields.zip(y.fields).forall { case (f, g) =>
+          f.name == g.name && sameShape(f.dataType, g.dataType)
+        }
+    case (ArrayType(x, _), ArrayType(y, _)) => sameShape(x, y)
+    case (MapType(xk, xv, _), MapType(yk, yv, _)) =>
+      sameShape(xk, yk) && sameShape(xv, yv)
+    case (x, y) => x == y
   }
 
   /** Every TypeMapper type except decimal is readable (decimal in a
