@@ -61,6 +61,40 @@ object TypeMapper {
   def toStructField(cd: ColumnDef): StructField =
     StructField(cd.name, toSparkType(cd), nullable = !cd.required)
 
+  /** Inverse mapping: Spark DataType → column definition, used by the
+    * SQL catalog DDL surface (CREATE/ALTER TABLE route through the
+    * same TableDef contract as JSON definitions).
+    */
+  def toColumnDef(name: String, dt: DataType, nullable: Boolean): ColumnDef =
+    dt match {
+      case st: StructType => ColumnDef(name, "struct", required = !nullable,
+        structDef = Some(st.fields.toSeq.map(f =>
+          toColumnDef(f.name, f.dataType, f.nullable))))
+      case ArrayType(et, n) => ColumnDef(name, "array", required = !nullable,
+        arrayDef = Some(toColumnDef("element", et, n)))
+      case MapType(kt, vt, n) => ColumnDef(name, "map", required = !nullable,
+        mapDef = Some(MapDef(
+          toColumnDef("key", kt, nullable = false),
+          toColumnDef("value", vt, n))))
+      case p =>
+        val s = p match {
+          case BooleanType => "boolean"
+          case IntegerType => "int"
+          case LongType => "long"
+          case FloatType => "float"
+          case DoubleType => "double"
+          case DateType => "date"
+          case TimestampNTZType => "timestamp"
+          case TimestampType => "timezone"
+          case StringType => "string"
+          case BinaryType => "binary"
+          case _: DecimalType => "decimal"
+          case other => throw new IllegalArgumentException(
+            s"catalog DDL: unsupported type ${other.simpleString} for '$name'")
+        }
+        ColumnDef(name, s, required = !nullable)
+    }
+
   def toStructType(columns: Seq[ColumnDef]): StructType = {
     // dedup by name, last wins — reference builds a dict keyed by column
     // name (iceberg_helper.py:201-211)

@@ -17,10 +17,12 @@ import graft.lake.LakeTable
   *   spark.sql.catalog.graft.warehouse = /path/to/warehouse
   *   SELECT * FROM graft.customer_order.orders
   *
-  * Read-only by design: DDL flows through the engine's table-def
-  * contract (`Engine.processTableDef*`, the reference's A10/A11
-  * surface), not through SQL CREATE/ALTER — the catalog surfaces every
-  * table for query access via the DSv2 reader (batch + streaming).
+  * The full SQL lifecycle routes through the engine's own machinery:
+  * CREATE TABLE / CTAS and ALTER TABLE (add/drop/retype top-level
+  * columns) convert to the TableDef contract — identical field-ID
+  * assignment and evolution semantics as a JSON definition — and
+  * DROP TABLE removes the table directory. RENAME and nested ALTERs
+  * stay on the table-def path.
   */
 class LakeCatalog extends TableCatalog {
 
@@ -60,16 +62,93 @@ class LakeCatalog extends TableCatalog {
     new LakeSparkTable(warehouse, db, tbl, 0L, t)
   }
 
-  private def readOnly = new UnsupportedOperationException(
-    "graft catalog is read-only: run DDL through the table-def engine " +
-      "(Engine.processTableDefJson/File)")
-
+  /** CREATE TABLE / CTAS: the SQL schema and partition transforms are
+    * converted into the engine's TableDef contract (same field-ID
+    * assignment, spec build, metadata commit as a JSON definition).
+    */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
-      properties: java.util.Map[String, String]): Table = throw readOnly
-  override def alterTable(ident: Identifier,
-      changes: TableChange*): Table = throw readOnly
-  override def dropTable(ident: Identifier): Boolean = throw readOnly
+      properties: java.util.Map[String, String]): Table = {
+    require(ident.namespace.length == 1, "expected <database>.<table>")
+    val (db, tbl) = (ident.namespace()(0), ident.name)
+    val cols = schema.fields.toSeq.map(f =>
+      graft.schema.TypeMapper.toColumnDef(f.name, f.dataType, f.nullable))
+    val parts = partitions.toSeq.map { t =>
+      val (transform, colName) = t.name match {
+        case "identity" => ("identity", t.references()(0).fieldNames()(0))
+        case "years" => ("year", t.references()(0).fieldNames()(0))
+        case "months" => ("month", t.references()(0).fieldNames()(0))
+        case "days" => ("day", t.references()(0).fieldNames()(0))
+        case "hours" => ("hour", t.references()(0).fieldNames()(0))
+        case other => throw new UnsupportedOperationException(
+          s"partition transform '$other' not supported (identity/" +
+            "years/months/days/hours)")
+      }
+      graft.schema.PartitionDef(colName, transform, s"${colName}_$transform")
+    }
+    val props = properties.asScala.toMap -
+      "owner" - "provider" // Spark-injected bookkeeping keys
+    LakeTable.create(warehouse, graft.schema.TableDef(
+      db, tbl, cols, parts, props))
+    loadTable(ident)
+  }
+
+  /** ALTER TABLE: add/drop/retype columns map onto the engine's
+    * evolution diff (same field-ID carry-over as a new JSON
+    * definition). Renames are unsupported — the diff is name-based.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    require(ident.namespace.length == 1, "expected <database>.<table>")
+    val t = LakeTable.load(warehouse, ident.namespace()(0), ident.name)
+    var cols = t.currentSchema.fields.toSeq.map(f =>
+      graft.schema.TypeMapper.toColumnDef(f.name, f.dataType, f.nullable))
+    changes.foreach {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1,
+          "ALTER ADD nested columns: use a table-def evolution")
+        cols = cols :+ graft.schema.TypeMapper.toColumnDef(
+          a.fieldNames()(0), a.dataType, a.isNullable)
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames.length == 1,
+          "ALTER DROP nested columns: use a table-def evolution")
+        cols = cols.filterNot(_.name == d.fieldNames()(0))
+      case u: TableChange.UpdateColumnType =>
+        require(u.fieldNames.length == 1,
+          "ALTER nested columns: use a table-def evolution")
+        cols = cols.map(c => if (c.name == u.fieldNames()(0))
+          graft.schema.TypeMapper.toColumnDef(c.name, u.newDataType,
+            !c.required)
+          else c)
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog: unsupported ALTER ${other.getClass.getSimpleName}" +
+          " (add/drop/retype top-level columns only)")
+    }
+    val spec = t.metadata.currentSpec.fields.map { f =>
+      val src = graft.schema.FieldIds.flatten(t.currentSchema)
+        .collectFirst { case (p, fd)
+          if graft.schema.FieldIds.idOf(fd) == f.sourceFieldId => p }.get
+      graft.schema.PartitionDef(src, f.transform, f.name)
+    }
+    val (msgs, hadError) = t.evolve(graft.schema.TableDef(
+      ident.namespace()(0), ident.name, cols, spec, t.metadata.properties))
+    if (hadError) throw new IllegalArgumentException(
+      s"ALTER rejected: ${msgs.mkString("; ")}")
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    require(ident.namespace.length == 1, "expected <database>.<table>")
+    val loc = LakeTable.tableLocation(warehouse, ident.namespace()(0),
+      ident.name)
+    if (!Files.exists(loc)) return false
+    scala.util.Using.resource(Files.walk(loc)) { st =>
+      st.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    true
+  }
+
   override def renameTable(oldIdent: Identifier,
-      newIdent: Identifier): Unit = throw readOnly
+      newIdent: Identifier): Unit = throw new UnsupportedOperationException(
+    "graft catalog: RENAME not supported (metadata records identity)")
 }

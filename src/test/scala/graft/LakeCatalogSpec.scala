@@ -42,11 +42,59 @@ class LakeCatalogSpec extends AnyFunSuite {
     assert(spark.sql("SHOW TABLES IN graft.customer_order").collect()
       .map(_.getString(1)).toSet == Set("orders"))
 
-    // read-only: SQL DDL is refused
+    // RENAME stays unsupported
     val e = intercept[Exception] {
-      spark.sql("DROP TABLE graft.customer_order.orders")
+      spark.sql(
+        "ALTER TABLE graft.customer_order.orders RENAME TO orders2")
     }
-    assert(e.getMessage.contains("read-only"))
+    assert(e.getMessage.contains("RENAME not supported"))
+  }
+
+  test("SQL lifecycle: CREATE, INSERT, ALTER add/drop/retype, DROP") {
+    val wh = Files.createTempDirectory("graft-catalog-ddl").toString
+    spark.conf.set("spark.sql.catalog.graftd", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.graftd.warehouse", wh)
+
+    spark.sql(
+      """CREATE TABLE graftd.d.evt (
+        |  id BIGINT, kind STRING, at TIMESTAMP_NTZ, score INT)
+        |PARTITIONED BY (kind, days(at))""".stripMargin)
+    val t = LakeTable.load(wh, "d", "evt")
+    assert(t.currentSchema.fieldNames.toSeq ==
+      Seq("id", "kind", "at", "score"))
+    assert(t.metadata.currentSpec.fields.map(_.transform) ==
+      Seq("identity", "day"))
+
+    spark.sql(
+      """INSERT INTO graftd.d.evt VALUES
+        |  (1, 'a', TIMESTAMP_NTZ'2024-01-01 10:00:00', 5),
+        |  (2, 'b', TIMESTAMP_NTZ'2024-01-02 11:00:00', 6)""".stripMargin)
+    assert(spark.sql("SELECT count(*) FROM graftd.d.evt")
+      .collect()(0).getLong(0) == 2)
+
+    // evolve through SQL: add, retype int->long, drop
+    spark.sql("ALTER TABLE graftd.d.evt ADD COLUMN note STRING")
+    spark.sql("ALTER TABLE graftd.d.evt ALTER COLUMN score TYPE BIGINT")
+    spark.sql("ALTER TABLE graftd.d.evt DROP COLUMN note")
+    val t2 = LakeTable.load(wh, "d", "evt")
+    assert(t2.currentSchema("score").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(!t2.currentSchema.fieldNames.contains("note"))
+    // old rows read under the evolved schema
+    assert(spark.sql("SELECT sum(score) FROM graftd.d.evt")
+      .collect()(0).getLong(0) == 11)
+
+    // CTAS
+    spark.sql(
+      """CREATE TABLE graftd.d.evt2 AS
+        |SELECT id, kind FROM graftd.d.evt""".stripMargin)
+    assert(spark.sql("SELECT count(*) FROM graftd.d.evt2")
+      .collect()(0).getLong(0) == 2)
+
+    spark.sql("DROP TABLE graftd.d.evt2")
+    assert(!LakeTable.exists(wh, "d", "evt2"))
+    assert(spark.sql("SHOW TABLES IN graftd.d").collect()
+      .map(_.getString(1)).toSet == Set("evt"))
   }
 
   test("INSERT INTO and writeTo append commit snapshots through the engine") {
