@@ -138,11 +138,32 @@ private[sources] class LakeSparkTable(wh: String, db: String, tbl: String,
 private[sources] class LakeScanBuilder(wh: String, db: String, tbl: String,
     startSnapshot: Long, full: StructType) extends ScanBuilder
     with SupportsPushDownRequiredColumns
-    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var target: StructType = full
   private var stats: Seq[graft.lake.RangeFilter] = Seq.empty
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+  private var countStar: Boolean = false
+
+  /** COUNT(*) with no filters and no grouping is answered from
+    * snapshot metadata (per-file footer row counts recorded at commit)
+    * — zero data IO at any table size. Anything else stays unpushed.
+    */
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    val ok = pushed.isEmpty && agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions()(0).isInstanceOf[
+        org.apache.spark.sql.connector.expressions.aggregate.CountStar] && {
+        // every live file must carry an exact footer count
+        val t = LakeTable.load(wh, db, tbl)
+        LakeTable.liveFiles(t.metadata.snapshots).forall(_.rows >= 0)
+      }
+    if (ok) countStar = true
+    ok
+  }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // keep full-field definitions (ids, nested types) in required order
@@ -190,17 +211,30 @@ private[sources] class LakeScanBuilder(wh: String, db: String, tbl: String,
     pushed
 
   override def build(): Scan =
-    new LakeScan(wh, db, tbl, startSnapshot, target, stats)
+    new LakeScan(wh, db, tbl, startSnapshot, target, stats, countStar)
 }
 
 private[sources] class LakeScan(wh: String, db: String, tbl: String,
     startSnapshot: Long, target: StructType,
-    statsFilters: Seq[graft.lake.RangeFilter] = Seq.empty) extends Scan {
+    statsFilters: Seq[graft.lake.RangeFilter] = Seq.empty,
+    countStar: Boolean = false) extends Scan {
 
   override def readSchema(): StructType =
-    Reconcile.clean(target).asInstanceOf[StructType]
+    if (countStar)
+      StructType(Seq(org.apache.spark.sql.types.StructField(
+        "count(*)", org.apache.spark.sql.types.LongType, nullable = false)))
+    else Reconcile.clean(target).asInstanceOf[StructType]
 
-  override def toBatch: Batch = new Batch {
+  override def toBatch: Batch = if (countStar) new Batch {
+    // metadata-only answer: one partition, one row, zero data IO
+    private val total = {
+      val t = LakeTable.load(wh, db, tbl)
+      LakeTable.liveFiles(t.metadata.snapshots).map(_.rows).sum
+    }
+    def planInputPartitions(): Array[InputPartition] =
+      Array(LakeCountPartition(total))
+    def createReaderFactory(): PartitionReaderFactory = new LakeReaderFactory
+  } else new Batch {
     // capture the live set at scan-planning time (snapshot isolation),
     // dropping files whose min/max stats cannot match pushed filters
     private val files = {
@@ -224,6 +258,9 @@ private[sources] case class LakeOffset(snapshotId: Long) extends Offset {
 
 private[sources] case class LakeFilePartition(path: String,
     fileSchema: StructType, target: StructType) extends InputPartition
+
+private[sources] case class LakeCountPartition(count: Long)
+    extends InputPartition
 
 private[sources] class LakeMicroBatchStream(wh: String, db: String,
     tbl: String, startSnapshot: Long, target: StructType)
@@ -272,7 +309,16 @@ private[sources] class LakeMicroBatchStream(wh: String, db: String,
 
 private[sources] class LakeReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new GroupRowReader(partition.asInstanceOf[LakeFilePartition])
+    partition match {
+      case LakeCountPartition(n) => new PartitionReader[InternalRow] {
+        private var emitted = false
+        override def next(): Boolean = !emitted && { emitted = true; true }
+        override def get(): InternalRow =
+          new GenericInternalRow(Array[Any](n))
+        override def close(): Unit = ()
+      }
+      case p: LakeFilePartition => new GroupRowReader(p)
+    }
 }
 
 /** Reads one parquet data file as example-Groups and reconciles each

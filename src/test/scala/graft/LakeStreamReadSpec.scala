@@ -161,6 +161,20 @@ class LakeStreamReadSpec extends AnyFunSuite {
       .head.stats.contains(fieldId))
   }
 
+  test("COUNT(*) is answered from metadata without scanning files") {
+    val (wh, t) = mkTable("count")
+    t.append(df(Seq((1L, "a", ts(1)), (2L, "b", ts(2)))))
+    t.append(df(Seq((3L, "c", ts(3)))))
+    t.delete(spark, col("id") === 2L)
+    val q = lakeReader(wh).load().groupBy().count()
+    // pushed: the scan leaf reads the aggregated schema, no file parts
+    val leaves = q.queryExecution.executedPlan.collectLeaves()
+    assert(leaves.head.toString.contains("count("))
+    assert(q.collect()(0).getLong(0) == 2)
+    // filtered counts still go through the row path (not pushed)
+    assert(lakeReader(wh).load().filter(col("id") > 1).count() == 1)
+  }
+
   test("nested orders table reads through the connector incl. evolution") {
     val wh = Files.createTempDirectory("graft-dsv2-nested").toString
     Engine.processTableDefJson(wh, graft.gen.OrdersFixtures.ordersV1Json)
