@@ -312,19 +312,30 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     * specs only — partition values cannot be derived after the fact.
     */
   def commitExternalFiles(paths: Seq[String],
+      writtenSchemaId: Int,
       streamBatchId: Option[Long] = None,
       streamId: Option[String] = None): SnapshotMeta = {
     require(md.currentSpec.fields.isEmpty,
       "commitExternalFiles requires an unpartitioned spec")
-    val schema = md.currentSchema
+    // files carry the schema they were WRITTEN under (captured at query
+    // start) — a mid-stream evolution then reconciles on read like any
+    // other old-schema file instead of corrupting metadata
+    val schema = md.schemaById(writtenSchemaId)
     val files = paths.sorted.map { p =>
-      DataFileMeta(p, md.currentSchemaId, md.currentSpec.id,
+      DataFileMeta(p, writtenSchemaId, md.currentSpec.id,
         rows = parquetRowCount(Paths.get(p)), partitionValues = Map.empty,
         stats = FileStats.fromFooter(p, schema))
     }
+    commitSnapshot(files, writtenSchemaId, "append", streamBatchId, streamId)
+  }
+
+  private def commitSnapshot(files: Seq[DataFileMeta], schemaId: Int,
+      operation: String, streamBatchId: Option[Long],
+      streamId: Option[String],
+      removedPaths: Seq[String] = Seq.empty): SnapshotMeta = {
     val snapshotId = md.snapshots.map(_.id).foldLeft(0L)(math.max) + 1
-    val snap = SnapshotMeta(snapshotId, files, md.currentSchemaId, "append",
-      streamBatchId, streamId)
+    val snap = SnapshotMeta(snapshotId, files, schemaId, operation,
+      streamBatchId, streamId, removedPaths)
     commit(md.copy(snapshots = md.snapshots :+ snap))
     snap
   }

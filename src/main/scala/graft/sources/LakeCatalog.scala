@@ -71,15 +71,24 @@ class LakeCatalog extends TableCatalog {
       properties: java.util.Map[String, String]): Table = {
     require(ident.namespace.length == 1, "expected <database>.<table>")
     val (db, tbl) = (ident.namespace()(0), ident.name)
+    // reject unreadable types BEFORE committing metadata — otherwise
+    // the table persists but every later loadTable (including DROP's
+    // identifier resolution) throws, wedging the identifier
+    LakeSource.requireSupported(schema)
     val cols = schema.fields.toSeq.map(f =>
       graft.schema.TypeMapper.toColumnDef(f.name, f.dataType, f.nullable))
     val parts = partitions.toSeq.map { t =>
-      val (transform, colName) = t.name match {
-        case "identity" => ("identity", t.references()(0).fieldNames()(0))
-        case "years" => ("year", t.references()(0).fieldNames()(0))
-        case "months" => ("month", t.references()(0).fieldNames()(0))
-        case "days" => ("day", t.references()(0).fieldNames()(0))
-        case "hours" => ("hour", t.references()(0).fieldNames()(0))
+      val ref = t.references()(0).fieldNames()
+      require(ref.length == 1,
+        s"partition reference '${ref.mkString(".")}' must be a top-level " +
+          "column (nested references would bind to the struct)")
+      val colName = ref(0)
+      val transform = t.name match {
+        case "identity" => "identity"
+        case "years" => "year"
+        case "months" => "month"
+        case "days" => "day"
+        case "hours" => "hour"
         case other => throw new UnsupportedOperationException(
           s"partition transform '$other' not supported (identity/" +
             "years/months/days/hours)")

@@ -144,25 +144,29 @@ private[sources] class LakeScanBuilder(wh: String, db: String, tbl: String,
   private var target: StructType = full
   private var stats: Seq[graft.lake.RangeFilter] = Seq.empty
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
-  private var countStar: Boolean = false
+  private var countStarTotal: Option[Long] = None
 
   /** COUNT(*) with no filters and no grouping is answered from
     * snapshot metadata (per-file footer row counts recorded at commit)
-    * — zero data IO at any table size. Anything else stays unpushed.
+    * — zero data IO at any table size. The total is validated and
+    * captured on ONE metadata load (a later reload could interleave
+    * with a commit whose footer count failed). Anything else stays
+    * unpushed.
     */
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Boolean = {
-    val ok = pushed.isEmpty && agg.groupByExpressions.isEmpty &&
+    val shapeOk = pushed.isEmpty && agg.groupByExpressions.isEmpty &&
       agg.aggregateExpressions.length == 1 &&
       agg.aggregateExpressions()(0).isInstanceOf[
-        org.apache.spark.sql.connector.expressions.aggregate.CountStar] && {
-        // every live file must carry an exact footer count
-        val t = LakeTable.load(wh, db, tbl)
-        LakeTable.liveFiles(t.metadata.snapshots).forall(_.rows >= 0)
-      }
-    if (ok) countStar = true
-    ok
+        org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+    if (shapeOk) {
+      val live = LakeTable.liveFiles(
+        LakeTable.load(wh, db, tbl).metadata.snapshots)
+      if (live.forall(_.rows >= 0)) // every file has an exact count
+        countStarTotal = Some(live.map(_.rows).sum)
+    }
+    countStarTotal.isDefined
   }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
@@ -211,28 +215,25 @@ private[sources] class LakeScanBuilder(wh: String, db: String, tbl: String,
     pushed
 
   override def build(): Scan =
-    new LakeScan(wh, db, tbl, startSnapshot, target, stats, countStar)
+    new LakeScan(wh, db, tbl, startSnapshot, target, stats, countStarTotal)
 }
 
 private[sources] class LakeScan(wh: String, db: String, tbl: String,
     startSnapshot: Long, target: StructType,
     statsFilters: Seq[graft.lake.RangeFilter] = Seq.empty,
-    countStar: Boolean = false) extends Scan {
+    countStarTotal: Option[Long] = None) extends Scan {
 
   override def readSchema(): StructType =
-    if (countStar)
+    if (countStarTotal.isDefined)
       StructType(Seq(org.apache.spark.sql.types.StructField(
         "count(*)", org.apache.spark.sql.types.LongType, nullable = false)))
     else Reconcile.clean(target).asInstanceOf[StructType]
 
-  override def toBatch: Batch = if (countStar) new Batch {
-    // metadata-only answer: one partition, one row, zero data IO
-    private val total = {
-      val t = LakeTable.load(wh, db, tbl)
-      LakeTable.liveFiles(t.metadata.snapshots).map(_.rows).sum
-    }
+  override def toBatch: Batch = if (countStarTotal.isDefined) new Batch {
+    // metadata-only answer: one partition, one row, zero data IO —
+    // the total was validated and captured at pushdown time
     def planInputPartitions(): Array[InputPartition] =
-      Array(LakeCountPartition(total))
+      Array(LakeCountPartition(countStarTotal.get))
     def createReaderFactory(): PartitionReaderFactory = new LakeReaderFactory
   } else new Batch {
     // capture the live set at scan-planning time (snapshot isolation),

@@ -36,11 +36,22 @@ import graft.schema.FieldIds
 private[sources] class LakeStreamingWrite(wh: String, db: String, tbl: String,
     queryId: String, schema: StructType) extends StreamingWrite {
 
-  {
+  // schema version the executors write under, captured at query start:
+  // a mid-stream ALTER TABLE must not re-label old-schema files
+  private val writtenSchemaId: Int = {
     val t = LakeTable.load(wh, db, tbl)
     require(t.metadata.currentSpec.fields.isEmpty,
       "graft-lake streaming sink supports unpartitioned tables; use " +
         "StreamIngest.intoLake (foreachBatch) for hidden partitioning")
+    t.metadata.currentSchemaId
+  }
+
+  private def deleteStaged(p: String): Unit = {
+    val path = Paths.get(p)
+    Files.deleteIfExists(path)
+    // Hadoop local-FS checksum sidecar
+    Files.deleteIfExists(path.getParent.resolve(
+      "." + path.getFileName.toString + ".crc"))
   }
 
   override def createStreamingWriterFactory(
@@ -60,17 +71,17 @@ private[sources] class LakeStreamingWrite(wh: String, db: String, tbl: String,
     // idempotence: a replayed epoch (driver died between snapshot
     // commit and checkpoint write) must not append twice
     if (t.lastStreamBatchId(queryId).exists(_ >= epochId)) {
-      paths.foreach(p => Files.deleteIfExists(Paths.get(p)))
+      paths.foreach(deleteStaged)
       return
     }
-    t.commitExternalFiles(paths, streamBatchId = Some(epochId),
-      streamId = Some(queryId))
+    t.commitExternalFiles(paths, writtenSchemaId,
+      streamBatchId = Some(epochId), streamId = Some(queryId))
   }
 
   override def abort(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit =
     messages.collect { case LakeFileCommit(p) if p != null => p }
-      .foreach(p => Files.deleteIfExists(Paths.get(p)))
+      .foreach(deleteStaged)
 }
 
 private[sources] case class LakeFileCommit(path: String)
@@ -131,7 +142,10 @@ private[sources] class LakeParquetDataWriter(stageDir: String,
   override def abort(): Unit = {
     if (writer != null) {
       try writer.close(ctx) catch { case _: Exception => () }
-      Files.deleteIfExists(Paths.get(path))
+      val p = Paths.get(path)
+      Files.deleteIfExists(p)
+      Files.deleteIfExists(p.getParent.resolve(
+        "." + p.getFileName.toString + ".crc"))
     }
   }
 
