@@ -73,7 +73,28 @@ class LakeStreamProvider extends TableProvider with DataSourceRegister {
 private[sources] class LakeSparkTable(wh: String, db: String, tbl: String,
     startSnapshot: Long, lake: LakeTable)
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+
+  /** SQL `DELETE FROM graft.<db>.<t> WHERE …`: Spark hands over the
+    * predicate as source filters when they are fully convertible;
+    * they run through the engine's copy-on-write delete (file-pruned
+    * rewrite + overwrite snapshot). Unconvertible predicates make
+    * Spark raise its standard "cannot delete" analysis error.
+    */
+  override def deleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val predicate = filters.map(LakeSource.filterToColumn)
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    LakeTable.load(wh, db, tbl).delete(spark, predicate)
+    ()
+  }
+
+  override def canDeleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    filters.forall(LakeSource.convertibleFilter)
 
   override def name(): String = s"graft.$db.$tbl"
   override def schema(): StructType =
@@ -383,6 +404,38 @@ private[sources] object LakeSource {
     val julianDay = buf.getInt
     (julianDay - 2440588L) * 86400000000L + nanosOfDay / 1000L
   }
+
+  /** v1 source Filter → Column, for SQL DELETE routing. */
+  def filterToColumn(f: org.apache.spark.sql.sources.Filter)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, lit, not}
+    import org.apache.spark.sql.sources._
+    f match {
+      case EqualTo(a, v) => col(s"`$a`") === lit(v)
+      case EqualNullSafe(a, v) => col(s"`$a`") <=> lit(v)
+      case GreaterThan(a, v) => col(s"`$a`") > lit(v)
+      case GreaterThanOrEqual(a, v) => col(s"`$a`") >= lit(v)
+      case LessThan(a, v) => col(s"`$a`") < lit(v)
+      case LessThanOrEqual(a, v) => col(s"`$a`") <= lit(v)
+      case In(a, vs) => col(s"`$a`").isin(vs.toIndexedSeq.map(lit(_)): _*)
+      case IsNull(a) => col(s"`$a`").isNull
+      case IsNotNull(a) => col(s"`$a`").isNotNull
+      case StringStartsWith(a, v) => col(s"`$a`").startsWith(v)
+      case StringEndsWith(a, v) => col(s"`$a`").endsWith(v)
+      case StringContains(a, v) => col(s"`$a`").contains(v)
+      case And(l, r) => filterToColumn(l) && filterToColumn(r)
+      case Or(l, r) => filterToColumn(l) || filterToColumn(r)
+      case Not(c) => not(filterToColumn(c))
+      case AlwaysTrue() => lit(true)
+      case AlwaysFalse() => lit(false)
+      case other => throw new UnsupportedOperationException(
+        s"DELETE predicate not convertible: $other")
+    }
+  }
+
+  def convertibleFilter(f: org.apache.spark.sql.sources.Filter): Boolean =
+    try { filterToColumn(f); true }
+    catch { case _: UnsupportedOperationException => false }
 
   /** Structural schema equality ignoring nullability and metadata. */
   def sameShape(a: DataType, b: DataType): Boolean = (a, b) match {

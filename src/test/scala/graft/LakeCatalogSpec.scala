@@ -97,6 +97,29 @@ class LakeCatalogSpec extends AnyFunSuite {
       .map(_.getString(1)).toSet == Set("evt"))
   }
 
+  test("SQL DELETE FROM routes through copy-on-write delete") {
+    val wh = Files.createTempDirectory("graft-catalog-del").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"dl","columns":[
+        |{"column_name":"id","data_type":"long"},
+        |{"column_name":"grp","data_type":"string"}],
+        |"partitions":[]}""".stripMargin)
+    spark.conf.set("spark.sql.catalog.graftx", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.graftx.warehouse", wh)
+    spark.sql(
+      "INSERT INTO graftx.d.dl VALUES (1,'a'), (2,'b'), (3,'a'), (4,'c')")
+    spark.sql("DELETE FROM graftx.d.dl WHERE grp = 'a' AND id > 1")
+    assert(spark.sql("SELECT id FROM graftx.d.dl ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L))
+    // the delete is a CoW overwrite snapshot in the log
+    val t = LakeTable.load(wh, "d", "dl")
+    assert(t.metadata.snapshots.last.operation == "overwrite")
+    // unconditional delete empties the table
+    spark.sql("DELETE FROM graftx.d.dl")
+    assert(spark.sql("SELECT count(*) FROM graftx.d.dl")
+      .collect()(0).getLong(0) == 0)
+  }
+
   test("INSERT INTO and writeTo append commit snapshots through the engine") {
     val wh = Files.createTempDirectory("graft-catalog-w").toString
     Engine.processTableDefJson(wh,
