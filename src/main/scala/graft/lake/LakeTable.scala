@@ -297,7 +297,8 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
         }.toMap
       DataFileMeta(p.toString, md.currentSchemaId, spec.id,
         rows = parquetRowCount(p), partitionValues = partVals,
-        stats = FileStats.fromFooter(p.toString, schema))
+        stats = FileStats.fromFooter(p.toString, schema),
+        bytes = try Files.size(p) catch { case _: Exception => -1L })
     }
     val snap = SnapshotMeta(snapshotId, files, md.currentSchemaId, operation,
       streamBatchId, streamId, removedPaths)
@@ -324,7 +325,8 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     val files = paths.sorted.map { p =>
       DataFileMeta(p, writtenSchemaId, md.currentSpec.id,
         rows = parquetRowCount(Paths.get(p)), partitionValues = Map.empty,
-        stats = FileStats.fromFooter(p, schema))
+        stats = FileStats.fromFooter(p, schema),
+        bytes = try Files.size(Paths.get(p)) catch { case _: Exception => -1L })
     }
     commitSnapshot(files, writtenSchemaId, "append", streamBatchId, streamId)
   }

@@ -16,7 +16,8 @@ case class SpecField(sourceFieldId: Int, transform: String, name: String,
 case class PartitionSpecMeta(id: Int, fields: Seq[SpecField])
 case class DataFileMeta(path: String, schemaId: Int, specId: Int, rows: Long,
     partitionValues: Map[String, String],
-    stats: Map[Int, ColStats] = Map.empty)
+    stats: Map[Int, ColStats] = Map.empty,
+    bytes: Long = -1L)
 /** `streamId`/`streamBatchId`: the Structured-Streaming source
   * (checkpoint) and micro-batch that produced this snapshot, when
   * ingested via StreamIngest — foreachBatch is at-least-once, so the
@@ -142,6 +143,7 @@ object MetadataIO {
         "schema-id" -> JNumber(df.schemaId),
         "spec-id" -> JNumber(df.specId),
         "rows" -> JNumber(df.rows),
+        "bytes" -> JNumber(df.bytes),
         "partition" -> JObject(df.partitionValues.map {
           case (k, v) => k -> JString(v)
         }),
@@ -190,7 +192,8 @@ object MetadataIO {
                 val sm2 = sv.asObj
                 id.toInt -> ColStats(sm2("kind").asStr,
                   sm2("min").asStr, sm2("max").asStr)
-              }).getOrElse(Map.empty))
+              }).getOrElse(Map.empty),
+              bytes = dm.get("bytes").map(_.asLong).getOrElse(-1L))
           },
           schemaId = sm("schema-id").asInt,
           operation = sm.get("operation").map(_.asStr).getOrElse("append"),

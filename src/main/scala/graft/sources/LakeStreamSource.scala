@@ -242,7 +242,33 @@ private[sources] class LakeScanBuilder(wh: String, db: String, tbl: String,
 private[sources] class LakeScan(wh: String, db: String, tbl: String,
     startSnapshot: Long, target: StructType,
     statsFilters: Seq[graft.lake.RangeFilter] = Seq.empty,
-    countStarTotal: Option[Long] = None) extends Scan {
+    countStarTotal: Option[Long] = None) extends Scan
+    with SupportsReportStatistics {
+
+  // one metadata load shared by statistics and batch planning
+  private lazy val planned = {
+    val t = LakeTable.load(wh, db, tbl)
+    (t, LakeTable.matchingFiles(LakeTable.liveFiles(t.metadata.snapshots),
+      t.currentSchema, Map.empty, statsFilters))
+  }
+
+  /** File-size/row statistics from metadata — this is what lets
+    * Catalyst auto-broadcast a small lake table in a join without
+    * scanning it first.
+    */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      private val files = planned._2
+      override def sizeInBytes(): java.util.OptionalLong =
+        if (files.forall(_.bytes >= 0))
+          java.util.OptionalLong.of(files.map(_.bytes).sum)
+        else java.util.OptionalLong.empty()
+      override def numRows(): java.util.OptionalLong =
+        if (files.forall(_.rows >= 0))
+          java.util.OptionalLong.of(files.map(_.rows).sum)
+        else java.util.OptionalLong.empty()
+    }
 
   override def readSchema(): StructType =
     if (countStarTotal.isDefined)
@@ -257,14 +283,12 @@ private[sources] class LakeScan(wh: String, db: String, tbl: String,
       Array(LakeCountPartition(countStarTotal.get))
     def createReaderFactory(): PartitionReaderFactory = new LakeReaderFactory
   } else new Batch {
-    // capture the live set at scan-planning time (snapshot isolation),
-    // dropping files whose min/max stats cannot match pushed filters
+    // live set captured at scan-planning time (snapshot isolation),
+    // minus files whose min/max stats cannot match pushed filters
     private val files = {
-      val t = LakeTable.load(wh, db, tbl)
-      LakeTable.matchingFiles(LakeTable.liveFiles(t.metadata.snapshots),
-          t.currentSchema, Map.empty, statsFilters)
-        .map(f => LakeFilePartition(f.path,
-          t.metadata.schemaById(f.schemaId), target))
+      val (t, matched) = planned
+      matched.map(f => LakeFilePartition(f.path,
+        t.metadata.schemaById(f.schemaId), target))
     }
     def planInputPartitions(): Array[InputPartition] = files.toArray
     def createReaderFactory(): PartitionReaderFactory = new LakeReaderFactory

@@ -161,6 +161,19 @@ class LakeStreamReadSpec extends AnyFunSuite {
       .head.stats.contains(fieldId))
   }
 
+  test("reported file-size stats drive auto-broadcast in joins") {
+    val (wh, t) = mkTable("stats")
+    t.append(df(Seq((1L, "a", ts(1)), (2L, "b", ts(2)))))
+    val small = lakeReader(wh).load().select("id", "v")
+    val big = spark.range(100000).selectExpr("id", "CAST(id AS STRING) AS s")
+    // no broadcast hint: Catalyst must pick BHJ from the scan's
+    // estimateStatistics (a few KB << the 10MB threshold)
+    val joined = big.join(small, "id")
+    assert(joined.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"), "lake side should auto-broadcast")
+    assert(joined.count() == 2)
+  }
+
   test("COUNT(*) is answered from metadata without scanning files") {
     val (wh, t) = mkTable("count")
     t.append(df(Seq((1L, "a", ts(1)), (2L, "b", ts(2)))))
