@@ -62,6 +62,17 @@ class LakeCatalog extends TableCatalog {
     new LakeSparkTable(warehouse, db, tbl, 0L, t)
   }
 
+  /** SQL time travel: SELECT … FROM graft.db.t VERSION AS OF <snapshot>. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    require(ident.namespace.length == 1, "expected <database>.<table>")
+    val (db, tbl) = (ident.namespace()(0), ident.name)
+    if (!LakeTable.exists(warehouse, db, tbl))
+      throw new NoSuchTableException(ident)
+    val t = LakeTable.load(warehouse, db, tbl)
+    LakeSource.requireSupported(t.currentSchema)
+    new LakeSparkTable(warehouse, db, tbl, 0L, t, Some(version.toLong))
+  }
+
   /** CREATE TABLE / CTAS: the SQL schema and partition transforms are
     * converted into the engine's TableDef contract (same field-ID
     * assignment, spec build, metadata commit as a JSON definition).

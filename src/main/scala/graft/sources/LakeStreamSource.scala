@@ -71,10 +71,15 @@ class LakeStreamProvider extends TableProvider with DataSourceRegister {
 }
 
 private[sources] class LakeSparkTable(wh: String, db: String, tbl: String,
-    startSnapshot: Long, lake: LakeTable)
+    startSnapshot: Long, lake: LakeTable,
+    asOfSnapshot: Option[Long] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
+
+  private def requireWritable(): Unit =
+    require(asOfSnapshot.isEmpty,
+      "cannot write to a table pinned with VERSION AS OF")
 
   /** SQL `DELETE FROM graft.<db>.<t> WHERE …`: Spark hands over the
     * predicate as source filters when they are fully convertible;
@@ -84,6 +89,7 @@ private[sources] class LakeSparkTable(wh: String, db: String, tbl: String,
     */
   override def deleteWhere(
       filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    requireWritable()
     val spark = org.apache.spark.sql.SparkSession.active
     val predicate = filters.map(LakeSource.filterToColumn)
       .reduceOption(_ && _)
@@ -97,14 +103,27 @@ private[sources] class LakeSparkTable(wh: String, db: String, tbl: String,
     filters.forall(LakeSource.convertibleFilter)
 
   override def name(): String = s"graft.$db.$tbl"
-  override def schema(): StructType =
-    Reconcile.clean(lake.currentSchema).asInstanceOf[StructType]
+  override def schema(): StructType = {
+    // a version pin reads under the schema current AT that snapshot
+    val st = asOfSnapshot match {
+      case Some(sid) => lake.metadata.schemaById(
+        lake.metadata.snapshots.find(_.id == sid).get.schemaId)
+      case None => lake.currentSchema
+    }
+    Reconcile.clean(st).asInstanceOf[StructType]
+  }
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.STREAMING_WRITE).asJava
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new LakeScanBuilder(wh, db, tbl, startSnapshot, lake.currentSchema)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val target = asOfSnapshot match {
+      case Some(sid) => lake.metadata.schemaById(
+        lake.metadata.snapshots.find(_.id == sid).get.schemaId)
+      case None => lake.currentSchema
+    }
+    new LakeScanBuilder(wh, db, tbl, startSnapshot, target, asOfSnapshot)
+  }
 
   /** INSERT INTO / df.writeTo(...).append() via the V1 write bridge:
     * Spark resolves the input to the table schema, then the append goes
@@ -114,7 +133,8 @@ private[sources] class LakeSparkTable(wh: String, db: String, tbl: String,
     */
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
-      : org.apache.spark.sql.connector.write.WriteBuilder =
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    requireWritable()
     new org.apache.spark.sql.connector.write.WriteBuilder {
       override def build(): org.apache.spark.sql.connector.write.Write =
         new org.apache.spark.sql.connector.write.V1Write {
@@ -141,6 +161,7 @@ private[sources] class LakeSparkTable(wh: String, db: String, tbl: String,
           }
         }
     }
+  }
 }
 
 /** Scan planning with the two pushdowns that matter at scale:
@@ -157,7 +178,8 @@ private[sources] class LakeSparkTable(wh: String, db: String, tbl: String,
   *    predicate to the rows that survive.
   */
 private[sources] class LakeScanBuilder(wh: String, db: String, tbl: String,
-    startSnapshot: Long, full: StructType) extends ScanBuilder
+    startSnapshot: Long, full: StructType,
+    asOfSnapshot: Option[Long] = None) extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -182,8 +204,8 @@ private[sources] class LakeScanBuilder(wh: String, db: String, tbl: String,
       agg.aggregateExpressions()(0).isInstanceOf[
         org.apache.spark.sql.connector.expressions.aggregate.CountStar]
     if (shapeOk) {
-      val live = LakeTable.liveFiles(
-        LakeTable.load(wh, db, tbl).metadata.snapshots)
+      val live = LakeTable.liveFiles(LakeSource.visibleSnapshots(
+        LakeTable.load(wh, db, tbl), asOfSnapshot))
       if (live.forall(_.rows >= 0)) // every file has an exact count
         countStarTotal = Some(live.map(_.rows).sum)
     }
@@ -236,20 +258,23 @@ private[sources] class LakeScanBuilder(wh: String, db: String, tbl: String,
     pushed
 
   override def build(): Scan =
-    new LakeScan(wh, db, tbl, startSnapshot, target, stats, countStarTotal)
+    new LakeScan(wh, db, tbl, startSnapshot, target, stats, countStarTotal,
+      asOfSnapshot)
 }
 
 private[sources] class LakeScan(wh: String, db: String, tbl: String,
     startSnapshot: Long, target: StructType,
     statsFilters: Seq[graft.lake.RangeFilter] = Seq.empty,
-    countStarTotal: Option[Long] = None) extends Scan
+    countStarTotal: Option[Long] = None,
+    asOfSnapshot: Option[Long] = None) extends Scan
     with SupportsReportStatistics {
 
   // one metadata load shared by statistics and batch planning
   private lazy val planned = {
     val t = LakeTable.load(wh, db, tbl)
-    (t, LakeTable.matchingFiles(LakeTable.liveFiles(t.metadata.snapshots),
-      t.currentSchema, Map.empty, statsFilters))
+    (t, LakeTable.matchingFiles(
+      LakeTable.liveFiles(LakeSource.visibleSnapshots(t, asOfSnapshot)),
+      target, Map.empty, statsFilters))
   }
 
   /** File-size/row statistics from metadata — this is what lets
@@ -418,6 +443,16 @@ private[sources] class GroupRowReader(p: LakeFilePartition)
 }
 
 private[sources] object LakeSource {
+
+  /** Snapshot log truncated to an optional VERSION AS OF pin. */
+  def visibleSnapshots(t: LakeTable,
+      asOf: Option[Long]): Seq[graft.lake.SnapshotMeta] = asOf match {
+    case Some(sid) =>
+      require(t.metadata.snapshots.exists(_.id == sid),
+        s"no snapshot $sid in ${t.location}")
+      t.metadata.snapshots.filter(_.id <= sid)
+    case None => t.metadata.snapshots
+  }
 
   /** INT96 parquet timestamp → epoch micros: 8 bytes little-endian
     * nanos-of-day + 4 bytes little-endian julian day.

@@ -97,6 +97,31 @@ class LakeCatalogSpec extends AnyFunSuite {
       .map(_.getString(1)).toSet == Set("evt"))
   }
 
+  test("VERSION AS OF reads a pinned snapshot; writes to it are refused") {
+    val wh = Files.createTempDirectory("graft-catalog-tt").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"tt","columns":[
+        |{"column_name":"id","data_type":"long"}],"partitions":[]}""".stripMargin)
+    spark.conf.set("spark.sql.catalog.graftt", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.graftt.warehouse", wh)
+    spark.sql("INSERT INTO graftt.d.tt VALUES (1), (2)")
+    spark.sql("INSERT INTO graftt.d.tt VALUES (3)")
+    spark.sql("DELETE FROM graftt.d.tt WHERE id = 1")
+
+    assert(spark.sql("SELECT id FROM graftt.d.tt ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq == Seq(2L, 3L))
+    assert(spark.sql(
+      "SELECT id FROM graftt.d.tt VERSION AS OF 1 ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(spark.sql(
+      "SELECT id FROM graftt.d.tt VERSION AS OF 2 ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO graftt.d.tt VERSION AS OF 1 VALUES (9)")
+    }
+    assert(e != null) // Spark rejects writes to time-travel relations
+  }
+
   test("SQL DELETE FROM routes through copy-on-write delete") {
     val wh = Files.createTempDirectory("graft-catalog-del").toString
     Engine.processTableDefJson(wh,
