@@ -32,6 +32,15 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
   def metadata: TableMetadata = md
   def currentSchema: StructType = md.currentSchema
 
+  /** Schema current AT a snapshot (validates the id with context). */
+  def schemaAsOf(snapshotId: Long): StructType = {
+    val snap = md.snapshots.find(_.id == snapshotId).getOrElse(
+      throw new IllegalArgumentException(
+        s"no snapshot $snapshotId in $location (have " +
+          s"${md.snapshots.map(_.id).mkString(", ")})"))
+    md.schemaById(snap.schemaId)
+  }
+
   private def metadataDir = location.resolve("metadata")
   private def dataDir = location.resolve("data")
 

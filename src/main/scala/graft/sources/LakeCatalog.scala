@@ -68,9 +68,16 @@ class LakeCatalog extends TableCatalog {
     val (db, tbl) = (ident.namespace()(0), ident.name)
     if (!LakeTable.exists(warehouse, db, tbl))
       throw new NoSuchTableException(ident)
+    val sid = try version.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"graft catalog: VERSION AS OF takes a numeric snapshot id, " +
+          s"got '$version' for $ident")
+    }
     val t = LakeTable.load(warehouse, db, tbl)
-    LakeSource.requireSupported(t.currentSchema)
-    new LakeSparkTable(warehouse, db, tbl, 0L, t, Some(version.toLong))
+    // validate the pin and the schema AS OF it (current schema may have
+    // since gained unsupported columns, or vice versa)
+    LakeSource.requireSupported(t.schemaAsOf(sid))
+    new LakeSparkTable(warehouse, db, tbl, 0L, t, Some(sid))
   }
 
   /** CREATE TABLE / CTAS: the SQL schema and partition transforms are

@@ -102,28 +102,19 @@ private[sources] class LakeSparkTable(wh: String, db: String, tbl: String,
       filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
     filters.forall(LakeSource.convertibleFilter)
 
+  // a version pin reads under the schema current AT that snapshot
+  private lazy val pinnedSchema: StructType =
+    asOfSnapshot.map(lake.schemaAsOf).getOrElse(lake.currentSchema)
+
   override def name(): String = s"graft.$db.$tbl"
-  override def schema(): StructType = {
-    // a version pin reads under the schema current AT that snapshot
-    val st = asOfSnapshot match {
-      case Some(sid) => lake.metadata.schemaById(
-        lake.metadata.snapshots.find(_.id == sid).get.schemaId)
-      case None => lake.currentSchema
-    }
-    Reconcile.clean(st).asInstanceOf[StructType]
-  }
+  override def schema(): StructType =
+    Reconcile.clean(pinnedSchema).asInstanceOf[StructType]
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.STREAMING_WRITE).asJava
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    val target = asOfSnapshot match {
-      case Some(sid) => lake.metadata.schemaById(
-        lake.metadata.snapshots.find(_.id == sid).get.schemaId)
-      case None => lake.currentSchema
-    }
-    new LakeScanBuilder(wh, db, tbl, startSnapshot, target, asOfSnapshot)
-  }
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new LakeScanBuilder(wh, db, tbl, startSnapshot, pinnedSchema, asOfSnapshot)
 
   /** INSERT INTO / df.writeTo(...).append() via the V1 write bridge:
     * Spark resolves the input to the table schema, then the append goes
@@ -283,7 +274,16 @@ private[sources] class LakeScan(wh: String, db: String, tbl: String,
     */
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics =
-    new org.apache.spark.sql.connector.read.Statistics {
+    if (countStarTotal.isDefined)
+      // metadata-only COUNT(*) scan emits exactly one tiny row — do not
+      // report (or recompute) full-table stats for it
+      new org.apache.spark.sql.connector.read.Statistics {
+        override def sizeInBytes(): java.util.OptionalLong =
+          java.util.OptionalLong.of(16L)
+        override def numRows(): java.util.OptionalLong =
+          java.util.OptionalLong.of(1L)
+      }
+    else new org.apache.spark.sql.connector.read.Statistics {
       private val files = planned._2
       override def sizeInBytes(): java.util.OptionalLong =
         if (files.forall(_.bytes >= 0))

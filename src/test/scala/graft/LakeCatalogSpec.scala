@@ -120,6 +120,16 @@ class LakeCatalogSpec extends AnyFunSuite {
       spark.sql("INSERT INTO graftt.d.tt VERSION AS OF 1 VALUES (9)")
     }
     assert(e != null) // Spark rejects writes to time-travel relations
+
+    // friendly errors: missing snapshot id, non-numeric version
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT * FROM graftt.d.tt VERSION AS OF 99").collect()
+    }
+    assert(e2.getMessage.contains("no snapshot 99"))
+    val e3 = intercept[Exception] {
+      spark.sql("SELECT * FROM graftt.d.tt VERSION AS OF 'main'").collect()
+    }
+    assert(e3.getMessage.contains("numeric snapshot id"))
   }
 
   test("SQL DELETE FROM routes through copy-on-write delete") {
