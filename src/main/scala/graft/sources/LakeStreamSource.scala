@@ -168,7 +168,7 @@ private[sources] class LakeSparkTable(wh: String, db: String, tbl: String,
   *    advisory (file granularity), Spark still applies the exact
   *    predicate to the rows that survive.
   */
-private[sources] class LakeScanBuilder(wh: String, db: String, tbl: String,
+private[graft] class LakeScanBuilder(wh: String, db: String, tbl: String,
     startSnapshot: Long, full: StructType,
     asOfSnapshot: Option[Long] = None) extends ScanBuilder
     with SupportsPushDownRequiredColumns
@@ -210,37 +210,7 @@ private[sources] class LakeScanBuilder(wh: String, db: String, tbl: String,
 
   override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
       : Array[org.apache.spark.sql.sources.Filter] = {
-    import org.apache.spark.sql.sources._
-    def num(v: Any): Option[BigDecimal] = v match {
-      case d: java.lang.Double if d.isNaN || d.isInfinite => None
-      case f: java.lang.Float if f.isNaN || f.isInfinite => None
-      case n: Number => Some(BigDecimal(n.toString))
-      case t: java.sql.Timestamp =>
-        // full microsecond precision: getTime carries millis, getNanos
-        // the sub-second part (truncating would over-prune files)
-        Some(BigDecimal(
-          Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000))
-      case _ => None
-    }
-    def str(v: Any): Option[String] = v match {
-      case s: String => Some(s)
-      case _ => None
-    }
-    def range(col: String, lo: Option[Any], hi: Option[Any]) = {
-      val (ln, hn) = (lo.flatMap(num), hi.flatMap(num))
-      val (ls, hs) = (lo.flatMap(str), hi.flatMap(str))
-      if (ln.isDefined || hn.isDefined || ls.isDefined || hs.isDefined)
-        Some(graft.lake.RangeFilter(col, ln, hn, ls, hs))
-      else None
-    }
-    stats = filters.toSeq.flatMap {
-      case EqualTo(c, v) => range(c, Some(v), Some(v))
-      case GreaterThan(c, v) => range(c, Some(v), None)
-      case GreaterThanOrEqual(c, v) => range(c, Some(v), None)
-      case LessThan(c, v) => range(c, None, Some(v))
-      case LessThanOrEqual(c, v) => range(c, None, Some(v))
-      case _ => None
-    }
+    stats = filters.toSeq.flatMap(LakeSource.filterToRanges)
     pushed = filters
     filters // all residual: file skipping is coarse, rows re-filtered
   }
@@ -258,7 +228,8 @@ private[sources] class LakeScan(wh: String, db: String, tbl: String,
     statsFilters: Seq[graft.lake.RangeFilter] = Seq.empty,
     countStarTotal: Option[Long] = None,
     asOfSnapshot: Option[Long] = None) extends Scan
-    with SupportsReportStatistics {
+    with SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
   // one metadata load shared by statistics and batch planning
   private lazy val planned = {
@@ -308,16 +279,33 @@ private[sources] class LakeScan(wh: String, db: String, tbl: String,
       Array(LakeCountPartition(countStarTotal.get))
     def createReaderFactory(): PartitionReaderFactory = new LakeReaderFactory
   } else new Batch {
-    // live set captured at scan-planning time (snapshot isolation),
-    // minus files whose min/max stats cannot match pushed filters
-    private val files = {
+    // live set resolved at partition-planning time so runtime filters
+    // (applied to the scan after static planning) take effect
+    def planInputPartitions(): Array[InputPartition] = {
       val (t, matched) = planned
-      matched.map(f => LakeFilePartition(f.path,
-        t.metadata.schemaById(f.schemaId), target))
+      LakeTable.matchingFiles(matched, t.currentSchema, Map.empty,
+          runtimeRanges)
+        .map(f => LakeFilePartition(f.path,
+          t.metadata.schemaById(f.schemaId), target))
+        .toArray
     }
-    def planInputPartitions(): Array[InputPartition] = files.toArray
     def createReaderFactory(): PartitionReaderFactory = new LakeReaderFactory
   }
+
+  // dynamic file pruning: join-produced runtime filters (Spark's DPP
+  // mechanism) re-prune the file list by min/max stats just before
+  // execution — a selective dimension join then opens only the files
+  // whose ranges cover the surviving keys
+  @volatile private var runtimeRanges: Seq[graft.lake.RangeFilter] = Seq.empty
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    target.fields.map(f => org.apache.spark.sql.connector.expressions
+      .Expressions.column(f.name))
+
+  override def filter(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
+    runtimeRanges = filters.toSeq.flatMap(LakeSource.filterToRanges)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new LakeMicroBatchStream(wh, db, tbl, startSnapshot, target)
@@ -462,6 +450,55 @@ private[sources] object LakeSource {
     val nanosOfDay = buf.getLong
     val julianDay = buf.getInt
     (julianDay - 2440588L) * 86400000000L + nanosOfDay / 1000L
+  }
+
+  /** v1 source Filter → conservative min/max RangeFilter for stats
+    * pruning (None when not convertible). In-lists — the shape
+    * runtime/DPP filters arrive in — collapse to [min, max].
+    */
+  def filterToRanges(f: org.apache.spark.sql.sources.Filter)
+      : Option[graft.lake.RangeFilter] = {
+    import org.apache.spark.sql.sources._
+    def num(v: Any): Option[BigDecimal] = v match {
+      case d: java.lang.Double if d.isNaN || d.isInfinite => None
+      case fl: java.lang.Float if fl.isNaN || fl.isInfinite => None
+      case n: Number => Some(BigDecimal(n.toString))
+      case t: java.sql.Timestamp =>
+        // full microsecond precision: getTime carries millis, getNanos
+        // the sub-second part (truncating would over-prune files)
+        Some(BigDecimal(
+          Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000))
+      case _ => None
+    }
+    def str(v: Any): Option[String] = v match {
+      case s: String => Some(s)
+      case _ => None
+    }
+    def range(col: String, lo: Option[Any], hi: Option[Any]) = {
+      val (ln, hn) = (lo.flatMap(num), hi.flatMap(num))
+      val (ls, hs) = (lo.flatMap(str), hi.flatMap(str))
+      if (ln.isDefined || hn.isDefined || ls.isDefined || hs.isDefined)
+        Some(graft.lake.RangeFilter(col, ln, hn, ls, hs))
+      else None
+    }
+    f match {
+      case EqualTo(c, v) => range(c, Some(v), Some(v))
+      case GreaterThan(c, v) => range(c, Some(v), None)
+      case GreaterThanOrEqual(c, v) => range(c, Some(v), None)
+      case LessThan(c, v) => range(c, None, Some(v))
+      case LessThanOrEqual(c, v) => range(c, None, Some(v))
+      case In(c, vs) if vs.nonEmpty =>
+        val nums = vs.toSeq.map(num)
+        val strs = vs.toSeq.map(str)
+        if (nums.forall(_.isDefined))
+          Some(graft.lake.RangeFilter(c,
+            loNum = Some(nums.flatten.min), hiNum = Some(nums.flatten.max)))
+        else if (strs.forall(_.isDefined))
+          Some(graft.lake.RangeFilter(c,
+            loStr = Some(strs.flatten.min), hiStr = Some(strs.flatten.max)))
+        else None
+      case _ => None
+    }
   }
 
   /** v1 source Filter → Column, for SQL DELETE routing. */

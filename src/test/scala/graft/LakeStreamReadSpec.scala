@@ -174,6 +174,35 @@ class LakeStreamReadSpec extends AnyFunSuite {
     assert(joined.count() == 2)
   }
 
+  test("runtime join filters prune files dynamically") {
+    val wh = Files.createTempDirectory("graft-dsv2-dpp").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"t","columns":[
+        |{"column_name":"id","data_type":"long"},
+        |{"column_name":"v","data_type":"string"}],
+        |"partitions":[],
+        |"properties":{"write.sort-order":"id","write.sort-buckets":"8"}}""".stripMargin)
+    val t = LakeTable.load(wh, "d", "t")
+    import SparkTestSession.spark.implicits._
+    t.append(spark.range(8000).selectExpr("id", "CAST(id AS STRING) AS v"))
+    assert(t.plannedFiles().size > 4)
+
+    // unit-level: a runtime In-filter on the scan prunes the file list
+    val scanBuilder = new graft.sources.LakeScanBuilder(
+      wh, "d", "t", 0L, t.currentSchema)
+    val scan = scanBuilder.build()
+      .asInstanceOf[org.apache.spark.sql.connector.read.SupportsRuntimeFiltering]
+    val batch = scan.asInstanceOf[org.apache.spark.sql.connector.read.Scan].toBatch
+    val before = batch.planInputPartitions().length
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("id", Array[Any](10L, 20L, 30L))))
+    val after = batch.planInputPartitions().length
+    assert(after < before && after >= 1, s"$after vs $before")
+    // values in the surviving range still read correctly
+    assert(lakeReader(wh).option("table", "t").load()
+      .filter(col("id").isin(10L, 20L, 30L)).count() == 3)
+  }
+
   test("COUNT(*) is answered from metadata without scanning files") {
     val (wh, t) = mkTable("count")
     t.append(df(Seq((1L, "a", ts(1)), (2L, "b", ts(2)))))
