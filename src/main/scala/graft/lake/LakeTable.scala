@@ -321,19 +321,18 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     * stream's (queryId, epochId) for replay idempotence. Unpartitioned
     * specs only — partition values cannot be derived after the fact.
     */
-  def commitExternalFiles(paths: Seq[String],
+  def commitExternalFiles(paths: Seq[(String, Map[String, String])],
       writtenSchemaId: Int,
       streamBatchId: Option[Long] = None,
       streamId: Option[String] = None): SnapshotMeta = {
-    require(md.currentSpec.fields.isEmpty,
-      "commitExternalFiles requires an unpartitioned spec")
     // files carry the schema they were WRITTEN under (captured at query
     // start) — a mid-stream evolution then reconciles on read like any
-    // other old-schema file instead of corrupting metadata
+    // other old-schema file instead of corrupting metadata; partition
+    // values were derived executor-side by the writer
     val schema = md.schemaById(writtenSchemaId)
-    val files = paths.sorted.map { p =>
+    val files = paths.sortBy(_._1).map { case (p, partVals) =>
       DataFileMeta(p, writtenSchemaId, md.currentSpec.id,
-        rows = parquetRowCount(Paths.get(p)), partitionValues = Map.empty,
+        rows = parquetRowCount(Paths.get(p)), partitionValues = partVals,
         stats = FileStats.fromFooter(p, schema),
         bytes = try Files.size(Paths.get(p)) catch { case _: Exception => -1L })
     }

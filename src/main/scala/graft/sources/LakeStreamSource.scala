@@ -543,6 +543,10 @@ private[sources] object LakeSource {
     case (ArrayType(x, _), ArrayType(y, _)) => sameShape(x, y)
     case (MapType(xk, xv, _), MapType(yk, yv, _)) =>
       sameShape(xk, yk) && sameShape(xv, yv)
+    // same INT64-micros representation under the UTC storage
+    // convention; the record reader accepts either on read
+    case (TimestampType | TimestampNTZType,
+          TimestampType | TimestampNTZType) => true
     case (x, y) => x == y
   }
 

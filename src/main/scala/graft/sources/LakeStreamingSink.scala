@@ -1,7 +1,10 @@
 package graft.sources
 
 import java.nio.file.{Files, Paths}
+import java.time.{LocalDate, LocalDateTime, ZoneOffset}
 import java.util.UUID
+
+import scala.collection.mutable
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.mapreduce.TaskType
@@ -12,38 +15,46 @@ import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
 import org.apache.spark.sql.internal.SQLConf
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types._
 
-import graft.lake.{DataFileMeta, FileStats, LakeTable}
+import graft.lake.LakeTable
 import graft.schema.FieldIds
 
 /** DSv2 streaming sink: `df.writeStream.format("graft-lake")…` commits
   * one snapshot per non-empty micro-batch WITHOUT foreachBatch.
   *
-  * Executor side: each task streams its InternalRows straight into a
-  * parquet file under the table's data directory (Spark's own
-  * ParquetWriteSupport — full type coverage, INT64-micros timestamps)
-  * and reports the path in its commit message. Driver side: commit()
-  * turns the paths into one append snapshot tagged with (queryId,
-  * epochId), so replayed epochs after a crash are skipped — the same
-  * exactly-once contract as StreamIngest, now with distributed writes
-  * (rows never travel to the driver).
+  * Executor side: each task streams its InternalRows straight into
+  * parquet files under the table's data directory (Spark's own
+  * ParquetWriteSupport — full type coverage, INT64-micros timestamps),
+  * fanning out one file per hidden-partition value (transforms are
+  * evaluated per row with the same rendering as the batch writer, so
+  * metadata pruning sees identical strings). Driver side: commit()
+  * turns (path, partitionValues) pairs into one append snapshot tagged
+  * with (queryId, epochId), so replayed epochs after a crash are
+  * skipped — the same exactly-once contract as StreamIngest, with
+  * distributed writes (rows never travel to the driver).
   *
-  * Unpartitioned tables only: hidden-partition derivation happens in
-  * the batch write path; partitioned tables keep using
-  * StreamIngest/foreachBatch. abort() deletes staged files.
+  * abort() deletes staged files (and checksum sidecars).
   */
 private[sources] class LakeStreamingWrite(wh: String, db: String, tbl: String,
     queryId: String, schema: StructType) extends StreamingWrite {
 
-  // schema version the executors write under, captured at query start:
-  // a mid-stream ALTER TABLE must not re-label old-schema files
-  private val writtenSchemaId: Int = {
+  // schema version + partition plan captured at query start: a
+  // mid-stream ALTER TABLE must not re-label old-schema files
+  private val (writtenSchemaId, partPlan) = {
     val t = LakeTable.load(wh, db, tbl)
-    require(t.metadata.currentSpec.fields.isEmpty,
-      "graft-lake streaming sink supports unpartitioned tables; use " +
-        "StreamIngest.intoLake (foreachBatch) for hidden partitioning")
-    t.metadata.currentSchemaId
+    val md = t.metadata
+    val plan = md.currentSpec.fields.map { f =>
+      val srcName = FieldIds.flatten(md.currentSchema)
+        .collectFirst { case (p, fd) if FieldIds.idOf(fd) == f.sourceFieldId => p }
+        .getOrElse(throw new IllegalStateException(
+          s"spec source field ${f.sourceFieldId} not in schema"))
+      val ord = schema.fieldIndex(srcName)
+      PartField(f.name, f.transform, ord, schema.fields(ord).dataType)
+    }
+    // fail fast on transforms the executor-side renderer can't produce
+    plan.foreach(p => LakeStreamingWrite.renderCheck(p))
+    (md.currentSchemaId, plan)
   }
 
   private def deleteStaged(p: String): Unit = {
@@ -58,55 +69,114 @@ private[sources] class LakeStreamingWrite(wh: String, db: String, tbl: String,
       info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     val stage = LakeTable.tableLocation(wh, db, tbl)
       .resolve("data").resolve(s"stream-${UUID.randomUUID().toString.take(8)}")
-    new LakeStreamingWriterFactory(stage.toString, schema)
+    new LakeStreamingWriterFactory(stage.toString, schema, partPlan)
   }
 
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
-    val paths = messages.collect {
-      case LakeFileCommit(p) if p != null => p
-    }.toSeq
-    if (paths.isEmpty) return
+    val files = messages.collect {
+      case LakeFilesCommit(fs) => fs
+    }.flatten.toSeq
+    if (files.isEmpty) return
     val t = LakeTable.load(wh, db, tbl)
     // idempotence: a replayed epoch (driver died between snapshot
     // commit and checkpoint write) must not append twice
     if (t.lastStreamBatchId(queryId).exists(_ >= epochId)) {
-      paths.foreach(deleteStaged)
+      files.foreach(f => deleteStaged(f._1))
       return
     }
-    t.commitExternalFiles(paths, writtenSchemaId,
+    t.commitExternalFiles(files, writtenSchemaId,
       streamBatchId = Some(epochId), streamId = Some(queryId))
   }
 
   override def abort(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit =
-    messages.collect { case LakeFileCommit(p) if p != null => p }
-      .foreach(deleteStaged)
+    messages.collect { case LakeFilesCommit(fs) => fs }
+      .flatten.foreach(f => deleteStaged(f._1))
 }
 
-private[sources] case class LakeFileCommit(path: String)
-    extends WriterCommitMessage
+private[sources] object LakeStreamingWrite {
+  /** Throws for (transform, type) pairs renderValue can't produce. */
+  def renderCheck(p: PartField): Unit = (p.transform, p.dataType) match {
+    case ("identity", StringType | IntegerType | LongType | BooleanType |
+                      DateType) => ()
+    case ("year" | "month" | "day" | "hour",
+          TimestampType | TimestampNTZType | DateType) => ()
+    case (tf, dt) => throw new UnsupportedOperationException(
+      s"graft-lake streaming sink: partition transform $tf(${dt.simpleString}) " +
+        "not supported executor-side; use StreamIngest.intoLake (foreachBatch)")
+  }
+
+  /** Same rendering as the batch writer's directory values
+    * (Transforms.expr + Hive null dir), evaluated on an InternalRow.
+    */
+  def renderValue(p: PartField, row: InternalRow): String = {
+    if (row.isNullAt(p.ordinal)) return "__HIVE_DEFAULT_PARTITION__"
+    def ldt: LocalDateTime = p.dataType match {
+      case TimestampType | TimestampNTZType =>
+        val micros = row.getLong(p.ordinal)
+        LocalDateTime.ofEpochSecond(Math.floorDiv(micros, 1000000L),
+          (Math.floorMod(micros, 1000000L) * 1000L).toInt, ZoneOffset.UTC)
+      case DateType =>
+        LocalDate.ofEpochDay(row.getInt(p.ordinal).toLong).atStartOfDay
+      case other => throw new UnsupportedOperationException(other.simpleString)
+    }
+    p.transform match {
+      case "identity" => p.dataType match {
+        case StringType => row.getUTF8String(p.ordinal).toString
+        case IntegerType => row.getInt(p.ordinal).toString
+        case LongType => row.getLong(p.ordinal).toString
+        case BooleanType => row.getBoolean(p.ordinal).toString
+        case DateType => LocalDate.ofEpochDay(row.getInt(p.ordinal).toLong).toString
+        case other => throw new UnsupportedOperationException(other.simpleString)
+      }
+      case "year" => f"${ldt.getYear}%04d"
+      case "month" => f"${ldt.getYear}%04d-${ldt.getMonthValue}%02d"
+      case "day" =>
+        f"${ldt.getYear}%04d-${ldt.getMonthValue}%02d-${ldt.getDayOfMonth}%02d"
+      case "hour" =>
+        f"${ldt.getYear}%04d-${ldt.getMonthValue}%02d-" +
+          f"${ldt.getDayOfMonth}%02d-${ldt.getHour}%02d"
+      case other => throw new UnsupportedOperationException(other)
+    }
+  }
+}
+
+/** One spec field bound to the query schema: partition name, transform,
+  * source ordinal, source type.
+  */
+private[sources] case class PartField(name: String, transform: String,
+    ordinal: Int, dataType: DataType)
+
+private[sources] case class LakeFilesCommit(
+    files: Seq[(String, Map[String, String])]) extends WriterCommitMessage
 
 private[sources] class LakeStreamingWriterFactory(stageDir: String,
-    schema: StructType) extends StreamingDataWriterFactory {
+    schema: StructType, partPlan: Seq[PartField])
+    extends StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
-    new LakeParquetDataWriter(stageDir, schema,
-      s"part-$epochId-$partitionId-${UUID.randomUUID().toString.take(8)}.parquet")
+    new LakeParquetDataWriter(stageDir, schema, partPlan,
+      s"$epochId-$partitionId")
 }
 
-/** Writes InternalRows to one parquet file via Spark's
-  * ParquetWriteSupport (lazily — an empty task creates no file).
+/** Writes InternalRows to parquet, one lazily opened file per hidden-
+  * partition value (Spark's ParquetWriteSupport). An empty task
+  * creates no files.
   */
 private[sources] class LakeParquetDataWriter(stageDir: String,
-    schema: StructType, fileName: String) extends DataWriter[InternalRow] {
+    schema: StructType, partPlan: Seq[PartField], filePrefix: String)
+    extends DataWriter[InternalRow] {
 
-  private var writer: org.apache.hadoop.mapreduce.RecordWriter[Void, InternalRow] = _
-  private var ctx: TaskAttemptContextImpl = _
-  private val path = s"$stageDir/$fileName"
+  private case class Sink(
+      writer: org.apache.hadoop.mapreduce.RecordWriter[Void, InternalRow],
+      ctx: TaskAttemptContextImpl, path: String)
 
-  private def open(): Unit = {
+  private val sinks = mutable.LinkedHashMap.empty[Seq[String], Sink]
+  private val MaxOpenPartitions = 1000
+
+  private def open(path: String): Sink = {
     val conf = new Configuration()
     ParquetWriteSupport.setSchema(schema, conf)
     // everything ParquetWriteSupport/SparkToParquetSchemaConverter
@@ -118,35 +188,47 @@ private[sources] class LakeParquetDataWriter(stageDir: String,
     conf.set(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key, "false")
     conf.set(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key, "true")
     conf.set(SQLConf.CASE_SENSITIVE.key, "false")
-    ctx = new TaskAttemptContextImpl(conf,
+    val ctx = new TaskAttemptContextImpl(conf,
       new org.apache.hadoop.mapreduce.TaskAttemptID(
         "graft", 0, TaskType.MAP, 0, 0))
     val fmt = new org.apache.parquet.hadoop.ParquetOutputFormat[InternalRow](
       new ParquetWriteSupport())
-    writer = fmt.getRecordWriter(ctx.getConfiguration,
+    Sink(fmt.getRecordWriter(ctx.getConfiguration,
       new org.apache.hadoop.fs.Path(path),
-      org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+      org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY),
+      ctx, path)
   }
 
   override def write(record: InternalRow): Unit = {
-    if (writer == null) open()
-    writer.write(null, record)
+    val key = partPlan.map(p => LakeStreamingWrite.renderValue(p, record))
+    val sink = sinks.getOrElseUpdate(key, {
+      require(sinks.size < MaxOpenPartitions,
+        s"task exceeds $MaxOpenPartitions open partitions — repartition " +
+          "the stream by the partition source columns")
+      open(s"$stageDir/part-$filePrefix-${sinks.size}-" +
+        s"${UUID.randomUUID().toString.take(8)}.parquet")
+    })
+    sink.writer.write(null, record)
   }
 
   override def commit(): WriterCommitMessage = {
-    if (writer == null) return LakeFileCommit(null) // filtered by commit()
-    writer.close(ctx)
-    LakeFileCommit(path)
+    val files = sinks.toSeq.map { case (key, sink) =>
+      sink.writer.close(sink.ctx)
+      sink.path -> partPlan.map(_.name).zip(key).toMap
+    }
+    sinks.clear()
+    LakeFilesCommit(files)
   }
 
   override def abort(): Unit = {
-    if (writer != null) {
-      try writer.close(ctx) catch { case _: Exception => () }
-      val p = Paths.get(path)
+    sinks.values.foreach { sink =>
+      try sink.writer.close(sink.ctx) catch { case _: Exception => () }
+      val p = Paths.get(sink.path)
       Files.deleteIfExists(p)
       Files.deleteIfExists(p.getParent.resolve(
         "." + p.getFileName.toString + ".crc"))
     }
+    sinks.clear()
   }
 
   override def close(): Unit = ()

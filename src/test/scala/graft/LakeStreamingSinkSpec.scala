@@ -59,27 +59,47 @@ class LakeStreamingSinkSpec extends AnyFunSuite {
       .load().count() == 3)
   }
 
-  test("partitioned tables are refused with a clear pointer") {
+  test("partitioned tables: per-row transform fan-out, metadata pruning") {
     implicit val sqlCtx = spark.sqlContext
     val wh = Files.createTempDirectory("graft-v2sink-p").toString
     Engine.processTableDefJson(wh,
       """{"database_name":"d","table_name":"p","columns":[
         |{"column_name":"id","data_type":"long"},
-        |{"column_name":"g","data_type":"string"}],
-        |"partitions":[{"column":"g"}]}""".stripMargin)
-    val mem = MemoryStream[(Long, String)]
-    mem.addData((1L, "a"))
-    val e = intercept[Exception] {
-      val q = mem.toDF().toDF("id", "g")
-        .writeStream.format("graft-lake")
-        .option("warehouse", wh).option("database", "d").option("table", "p")
-        .option("checkpointLocation",
-          Files.createTempDirectory("ck").toString)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-    }
-    def messages(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
-    assert(messages(e).exists(m => m != null && m.contains("unpartitioned")))
+        |{"column_name":"g","data_type":"string"},
+        |{"column_name":"at","data_type":"timestamp"}],
+        |"partitions":[{"column":"g"},
+        |              {"column":"at","transform":"month"}]}""".stripMargin)
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    mem.addData(
+      (1L, "a", ts("2024-01-05 10:00:00")),
+      (2L, "b", ts("2024-01-20 11:00:00")),
+      (3L, "a", ts("2024-02-01 12:00:00")))
+    val q = mem.toDF().toDF("id", "g", "at")
+      .writeStream.format("graft-lake")
+      .option("warehouse", wh).option("database", "d").option("table", "p")
+      .option("checkpointLocation", Files.createTempDirectory("ck").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val t = LakeTable.load(wh, "d", "p")
+    assert(t.read(spark).count() == 3)
+    // partition values derived per row, same rendering as batch writes
+    val parts = LakeTable.liveFiles(t.metadata.snapshots)
+      .map(_.partitionValues).toSet
+    assert(parts == Set(
+      Map("g_identity" -> "a", "at_month" -> "2024-01"),
+      Map("g_identity" -> "b", "at_month" -> "2024-01"),
+      Map("g_identity" -> "a", "at_month" -> "2024-02")))
+    // metadata pruning over the streamed files
+    assert(t.read(spark, prune = Map("g_identity" -> Set("a")))
+      .select("id").collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    assert(t.read(spark, prune = Map("at_month" -> Set("2024-02")))
+      .select("id").collect().map(_.getLong(0)).toSet == Set(3L))
+    // batch append alongside streamed files stays consistent
+    import spark.implicits._
+    t.append(Seq((9L, "c", ts("2024-03-01 00:00:00")))
+      .toDF("id", "g", "at"))
+    assert(t.read(spark, prune = Map("g_identity" -> Set("c"))).count() == 1)
   }
 }
