@@ -324,7 +324,9 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
   def commitExternalFiles(paths: Seq[(String, Map[String, String])],
       writtenSchemaId: Int,
       streamBatchId: Option[Long] = None,
-      streamId: Option[String] = None): SnapshotMeta = {
+      streamId: Option[String] = None,
+      operation: String = "append",
+      removedPaths: Seq[String] = Seq.empty): SnapshotMeta = {
     // files carry the schema they were WRITTEN under (captured at query
     // start) — a mid-stream evolution then reconciles on read like any
     // other old-schema file instead of corrupting metadata; partition
@@ -336,7 +338,8 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
         stats = FileStats.fromFooter(p, schema),
         bytes = try Files.size(Paths.get(p)) catch { case _: Exception => -1L })
     }
-    commitSnapshot(files, writtenSchemaId, "append", streamBatchId, streamId)
+    commitSnapshot(files, writtenSchemaId, operation, streamBatchId,
+      streamId, removedPaths)
   }
 
   private def commitSnapshot(files: Seq[DataFileMeta], schemaId: Int,

@@ -75,11 +75,23 @@ private[sources] class LakeSparkTable(wh: String, db: String, tbl: String,
     asOfSnapshot: Option[Long] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
   private def requireWritable(): Unit =
     require(asOfSnapshot.isEmpty,
       "cannot write to a table pinned with VERSION AS OF")
+
+  /** SQL UPDATE / MERGE INTO: group-based copy-on-write rewrite —
+    * the scanned files are replaced by the recomputed rows in one
+    * overwrite snapshot (LakeRowLevelOps).
+    */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    requireWritable()
+    () => new LakeRowLevelOperation(wh, db, tbl, info.command)
+  }
 
   /** SQL `DELETE FROM graft.<db>.<t> WHERE …`: Spark hands over the
     * predicate as source filters when they are fully convertible;
@@ -170,7 +182,9 @@ private[sources] class LakeSparkTable(wh: String, db: String, tbl: String,
   */
 private[graft] class LakeScanBuilder(wh: String, db: String, tbl: String,
     startSnapshot: Long, full: StructType,
-    asOfSnapshot: Option[Long] = None) extends ScanBuilder
+    asOfSnapshot: Option[Long] = None,
+    onPlanned: Seq[graft.lake.DataFileMeta] => Unit = _ => ())
+    extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -220,14 +234,15 @@ private[graft] class LakeScanBuilder(wh: String, db: String, tbl: String,
 
   override def build(): Scan =
     new LakeScan(wh, db, tbl, startSnapshot, target, stats, countStarTotal,
-      asOfSnapshot)
+      asOfSnapshot, onPlanned)
 }
 
 private[sources] class LakeScan(wh: String, db: String, tbl: String,
     startSnapshot: Long, target: StructType,
     statsFilters: Seq[graft.lake.RangeFilter] = Seq.empty,
     countStarTotal: Option[Long] = None,
-    asOfSnapshot: Option[Long] = None) extends Scan
+    asOfSnapshot: Option[Long] = None,
+    onPlanned: Seq[graft.lake.DataFileMeta] => Unit = _ => ()) extends Scan
     with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
@@ -283,9 +298,10 @@ private[sources] class LakeScan(wh: String, db: String, tbl: String,
     // (applied to the scan after static planning) take effect
     def planInputPartitions(): Array[InputPartition] = {
       val (t, matched) = planned
-      LakeTable.matchingFiles(matched, t.currentSchema, Map.empty,
-          runtimeRanges)
-        .map(f => LakeFilePartition(f.path,
+      val files = LakeTable.matchingFiles(matched, t.currentSchema,
+        Map.empty, runtimeRanges)
+      onPlanned(files) // row-level ops capture the replaced group here
+      files.map(f => LakeFilePartition(f.path,
           t.metadata.schemaById(f.schemaId), target))
         .toArray
     }

@@ -43,18 +43,7 @@ private[sources] class LakeStreamingWrite(wh: String, db: String, tbl: String,
   // mid-stream ALTER TABLE must not re-label old-schema files
   private val (writtenSchemaId, partPlan) = {
     val t = LakeTable.load(wh, db, tbl)
-    val md = t.metadata
-    val plan = md.currentSpec.fields.map { f =>
-      val srcName = FieldIds.flatten(md.currentSchema)
-        .collectFirst { case (p, fd) if FieldIds.idOf(fd) == f.sourceFieldId => p }
-        .getOrElse(throw new IllegalStateException(
-          s"spec source field ${f.sourceFieldId} not in schema"))
-      val ord = schema.fieldIndex(srcName)
-      PartField(f.name, f.transform, ord, schema.fields(ord).dataType)
-    }
-    // fail fast on transforms the executor-side renderer can't produce
-    plan.foreach(p => LakeStreamingWrite.renderCheck(p))
-    (md.currentSchemaId, plan)
+    (t.metadata.currentSchemaId, LakeStreamingWrite.partitionPlan(t, schema))
   }
 
   private def deleteStaged(p: String): Unit = {
@@ -96,6 +85,26 @@ private[sources] class LakeStreamingWrite(wh: String, db: String, tbl: String,
 }
 
 private[sources] object LakeStreamingWrite {
+
+  /** Resolve the table's partition spec against a writer's row schema:
+    * (partition name, transform, source ordinal, type) per spec field,
+    * failing fast on transforms the executor-side renderer can't
+    * produce.
+    */
+  def partitionPlan(t: LakeTable, schema: StructType): Seq[PartField] = {
+    val md = t.metadata
+    val plan = md.currentSpec.fields.map { f =>
+      val srcName = FieldIds.flatten(md.currentSchema)
+        .collectFirst { case (p, fd) if FieldIds.idOf(fd) == f.sourceFieldId => p }
+        .getOrElse(throw new IllegalStateException(
+          s"spec source field ${f.sourceFieldId} not in schema"))
+      val ord = schema.fieldIndex(srcName)
+      PartField(f.name, f.transform, ord, schema.fields(ord).dataType)
+    }
+    plan.foreach(renderCheck)
+    plan
+  }
+
   /** Throws for (transform, type) pairs renderValue can't produce. */
   def renderCheck(p: PartField): Unit = (p.transform, p.dataType) match {
     case ("identity", StringType | IntegerType | LongType | BooleanType |
@@ -199,8 +208,21 @@ private[sources] class LakeParquetDataWriter(stageDir: String,
       ctx, path)
   }
 
+  // Spark's group-based row-level writes (UPDATE/MERGE → ReplaceData)
+  // prepend a __row_operation column the physical plan does not project
+  // away; shift it off so rows match the declared write schema
+  private lazy val projected = new org.apache.spark.sql.catalyst
+    .ProjectingInternalRow(schema,
+      (1 to schema.length).toIndexedSeq)
+
   override def write(record: InternalRow): Unit = {
-    val key = partPlan.map(p => LakeStreamingWrite.renderValue(p, record))
+    val row =
+      if (record.numFields == schema.length) record
+      else if (record.numFields == schema.length + 1) {
+        projected.project(record); projected
+      } else throw new IllegalStateException(
+        s"row has ${record.numFields} fields for ${schema.length}-column schema")
+    val key = partPlan.map(p => LakeStreamingWrite.renderValue(p, row))
     val sink = sinks.getOrElseUpdate(key, {
       require(sinks.size < MaxOpenPartitions,
         s"task exceeds $MaxOpenPartitions open partitions — repartition " +
@@ -208,7 +230,7 @@ private[sources] class LakeParquetDataWriter(stageDir: String,
       open(s"$stageDir/part-$filePrefix-${sinks.size}-" +
         s"${UUID.randomUUID().toString.take(8)}.parquet")
     })
-    sink.writer.write(null, record)
+    sink.writer.write(null, row)
   }
 
   override def commit(): WriterCommitMessage = {

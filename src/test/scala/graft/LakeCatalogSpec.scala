@@ -155,6 +155,42 @@ class LakeCatalogSpec extends AnyFunSuite {
       .collect()(0).getLong(0) == 0)
   }
 
+  test("SQL UPDATE and MERGE INTO rewrite groups copy-on-write") {
+    val wh = Files.createTempDirectory("graft-catalog-rlo").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"u","columns":[
+        |{"column_name":"id","data_type":"long"},
+        |{"column_name":"grp","data_type":"string"},
+        |{"column_name":"v","data_type":"double"}],
+        |"partitions":[{"column":"grp"}]}""".stripMargin)
+    spark.conf.set("spark.sql.catalog.graftu", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.graftu.warehouse", wh)
+    spark.sql(
+      """INSERT INTO graftu.d.u VALUES
+        |  (1, 'a', 1.0), (2, 'b', 2.0), (3, 'a', 3.0)""".stripMargin)
+
+    spark.sql("UPDATE graftu.d.u SET v = v * 10, grp = 'z' WHERE id >= 2")
+    assert(spark.sql("SELECT id, grp, v FROM graftu.d.u ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .toSeq == Seq((1L, "a", 1.0), (2L, "z", 20.0), (3L, "z", 30.0)))
+    // updated rows carry their new partition value in metadata
+    val t = LakeTable.load(wh, "d", "u")
+    assert(t.metadata.snapshots.last.operation == "overwrite")
+    assert(LakeTable.liveFiles(t.metadata.snapshots)
+      .exists(_.partitionValues.get("grp_identity").contains("z")))
+
+    spark.sql(
+      """MERGE INTO graftu.d.u t USING (
+        |  SELECT * FROM VALUES (2L, 'm', 222.0), (9L, 'n', 9.0) AS s(id, grp, v)
+        |) s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET t.grp = s.grp, t.v = s.v
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.sql("SELECT id, grp, v FROM graftu.d.u ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .toSeq == Seq((1L, "a", 1.0), (2L, "m", 222.0), (3L, "z", 30.0),
+        (9L, "n", 9.0)))
+  }
+
   test("INSERT INTO and writeTo append commit snapshots through the engine") {
     val wh = Files.createTempDirectory("graft-catalog-w").toString
     Engine.processTableDefJson(wh,
