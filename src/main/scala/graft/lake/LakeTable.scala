@@ -315,14 +315,17 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     snap
   }
 
-  /** Register externally written parquet files (the DSv2 streaming
-    * sink's executor-side writers) as one append snapshot: row counts
-    * and min/max stats come from the footers, the commit carries the
-    * stream's (queryId, epochId) for replay idempotence. Unpartitioned
-    * specs only — partition values cannot be derived after the fact.
+  /** Register externally written parquet files (the DSv2 sink's and
+    * row-level ops' executor-side writers) as one snapshot: row counts
+    * and min/max stats come from the footers, partition values were
+    * derived per row by the writer under `writtenSpecId` (captured at
+    * query start — a concurrent spec evolution must not re-label
+    * them), and streaming commits carry (queryId, epochId) for replay
+    * idempotence.
     */
   def commitExternalFiles(paths: Seq[(String, Map[String, String])],
       writtenSchemaId: Int,
+      writtenSpecId: Int,
       streamBatchId: Option[Long] = None,
       streamId: Option[String] = None,
       operation: String = "append",
@@ -333,7 +336,7 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     // values were derived executor-side by the writer
     val schema = md.schemaById(writtenSchemaId)
     val files = paths.sortBy(_._1).map { case (p, partVals) =>
-      DataFileMeta(p, writtenSchemaId, md.currentSpec.id,
+      DataFileMeta(p, writtenSchemaId, writtenSpecId,
         rows = parquetRowCount(Paths.get(p)), partitionValues = partVals,
         stats = FileStats.fromFooter(p, schema),
         bytes = try Files.size(Paths.get(p)) catch { case _: Exception => -1L })

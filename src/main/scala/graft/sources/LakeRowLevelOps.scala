@@ -24,28 +24,36 @@ import graft.lake.LakeTable
 private[sources] class LakeRowLevelOperation(wh: String, db: String,
     tbl: String, cmd: RowLevelOperation.Command) extends RowLevelOperation {
 
+  // Handle captured at operation creation: its optimistic-concurrency
+  // baseline makes commit() throw ConcurrentModificationException if
+  // another writer commits between scan and rewrite (instead of
+  // silently resurrecting concurrently deleted rows).
+  private val table = LakeTable.load(wh, db, tbl)
+
   // the group: files the operation's scan planned (set on the driver
-  // during planInputPartitions, read at commit)
+  // during planInputPartitions, read at commit). Spark's runtime group
+  // filtering builds its subquery from the TABLE relation, not this
+  // operation, so only the main ReplaceData scan reports here; if a
+  // second op-scan ever appears, the main scan plans last (subqueries
+  // execute before the main stage) and last-write-wins stays correct.
   @volatile private var scannedPaths: Seq[String] = Seq.empty
 
   override def command(): RowLevelOperation.Command = cmd
   override def description(): String = s"graft-lake $cmd"
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    val t = LakeTable.load(wh, db, tbl)
-    new LakeScanBuilder(wh, db, tbl, 0L, t.currentSchema,
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new LakeScanBuilder(wh, db, tbl, 0L, table.currentSchema,
       onPlanned = files => scannedPaths = files.map(_.path))
-  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toBatch: BatchWrite = new BatchWrite {
-          private val (writtenSchemaId, partPlan, stage) = {
-            val t = LakeTable.load(wh, db, tbl)
+          private val (writtenSchemaId, writtenSpecId, partPlan, stage) = {
             val plan = LakeStreamingWrite.partitionPlan(
-              t, info.schema(): StructType)
-            (t.metadata.currentSchemaId, plan,
+              table, info.schema(): StructType)
+            (table.metadata.currentSchemaId, table.metadata.currentSpecId,
+              plan,
               LakeTable.tableLocation(wh, db, tbl).resolve("data")
                 .resolve(s"rewrite-${java.util.UUID.randomUUID()
                   .toString.take(8)}").toString)
@@ -59,8 +67,11 @@ private[sources] class LakeRowLevelOperation(wh: String, db: String,
             val files = messages.collect {
               case LakeFilesCommit(fs) => fs
             }.flatten.toSeq
-            LakeTable.load(wh, db, tbl).commitExternalFiles(
-              files, writtenSchemaId,
+            // no-op statement (nothing scanned, nothing written):
+            // don't burn a metadata version on an empty snapshot
+            if (files.isEmpty && scannedPaths.isEmpty) return
+            table.commitExternalFiles(
+              files, writtenSchemaId, writtenSpecId,
               operation = "overwrite", removedPaths = scannedPaths)
             ()
           }

@@ -159,7 +159,8 @@ private[sources] class LakeSparkTable(wh: String, db: String, tbl: String,
               .asInstanceOf[StructType]
             require(LakeSource.sameShape(tableSchema, info.schema),
               s"graft-lake streaming sink: query schema ${info.schema.sql} " +
-                s"does not match table schema ${tableSchema.sql}")
+                s"does not match table schema ${tableSchema.sql} — cast " +
+                "columns first (e.g. timestamp vs timestamp_ntz)")
             new LakeStreamingWrite(wh, db, tbl, info.queryId(), info.schema)
           }
         }
@@ -298,7 +299,7 @@ private[sources] class LakeScan(wh: String, db: String, tbl: String,
     // (applied to the scan after static planning) take effect
     def planInputPartitions(): Array[InputPartition] = {
       val (t, matched) = planned
-      val files = LakeTable.matchingFiles(matched, t.currentSchema,
+      val files = LakeTable.matchingFiles(matched, target,
         Map.empty, runtimeRanges)
       onPlanned(files) // row-level ops capture the replaced group here
       files.map(f => LakeFilePartition(f.path,
@@ -559,10 +560,6 @@ private[sources] object LakeSource {
     case (ArrayType(x, _), ArrayType(y, _)) => sameShape(x, y)
     case (MapType(xk, xv, _), MapType(yk, yv, _)) =>
       sameShape(xk, yk) && sameShape(xv, yv)
-    // same INT64-micros representation under the UTC storage
-    // convention; the record reader accepts either on read
-    case (TimestampType | TimestampNTZType,
-          TimestampType | TimestampNTZType) => true
     case (x, y) => x == y
   }
 

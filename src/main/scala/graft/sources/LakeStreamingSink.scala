@@ -41,9 +41,10 @@ private[sources] class LakeStreamingWrite(wh: String, db: String, tbl: String,
 
   // schema version + partition plan captured at query start: a
   // mid-stream ALTER TABLE must not re-label old-schema files
-  private val (writtenSchemaId, partPlan) = {
+  private val (writtenSchemaId, writtenSpecId, partPlan) = {
     val t = LakeTable.load(wh, db, tbl)
-    (t.metadata.currentSchemaId, LakeStreamingWrite.partitionPlan(t, schema))
+    (t.metadata.currentSchemaId, t.metadata.currentSpecId,
+      LakeStreamingWrite.partitionPlan(t, schema))
   }
 
   private def deleteStaged(p: String): Unit = {
@@ -74,7 +75,7 @@ private[sources] class LakeStreamingWrite(wh: String, db: String, tbl: String,
       files.foreach(f => deleteStaged(f._1))
       return
     }
-    t.commitExternalFiles(files, writtenSchemaId,
+    t.commitExternalFiles(files, writtenSchemaId, writtenSpecId,
       streamBatchId = Some(epochId), streamId = Some(queryId))
   }
 
@@ -98,22 +99,33 @@ private[sources] object LakeStreamingWrite {
         .collectFirst { case (p, fd) if FieldIds.idOf(fd) == f.sourceFieldId => p }
         .getOrElse(throw new IllegalStateException(
           s"spec source field ${f.sourceFieldId} not in schema"))
-      val ord = schema.fieldIndex(srcName)
+      val ord = try schema.fieldIndex(srcName) catch {
+        case _: IllegalArgumentException =>
+          throw new UnsupportedOperationException(
+            s"graft-lake writer: partition source '$srcName' is nested — " +
+              "distributed writes support top-level sources only; use the " +
+              "driver-side batch path")
+      }
       PartField(f.name, f.transform, ord, schema.fields(ord).dataType)
     }
     plan.foreach(renderCheck)
     plan
   }
 
-  /** Throws for (transform, type) pairs renderValue can't produce. */
+  /** Throws for (transform, type) pairs renderValue can't produce.
+    * Time transforms are limited to wall-clock types (NTZ/date): the
+    * batch writer renders tz-aware timestamps in the SESSION timezone
+    * via date_format, which an executor cannot reproduce portably.
+    */
   def renderCheck(p: PartField): Unit = (p.transform, p.dataType) match {
     case ("identity", StringType | IntegerType | LongType | BooleanType |
-                      DateType) => ()
+                      DoubleType | FloatType | DateType) => ()
     case ("year" | "month" | "day" | "hour",
-          TimestampType | TimestampNTZType | DateType) => ()
+          TimestampNTZType | DateType) => ()
     case (tf, dt) => throw new UnsupportedOperationException(
-      s"graft-lake streaming sink: partition transform $tf(${dt.simpleString}) " +
-        "not supported executor-side; use StreamIngest.intoLake (foreachBatch)")
+      s"graft-lake writer: partition transform $tf(${dt.simpleString}) is " +
+        "not supported for distributed writes; use LakeTable.append / " +
+        "StreamIngest.intoLake (driver-side batch path) for this table")
   }
 
   /** Same rendering as the batch writer's directory values
@@ -122,7 +134,7 @@ private[sources] object LakeStreamingWrite {
   def renderValue(p: PartField, row: InternalRow): String = {
     if (row.isNullAt(p.ordinal)) return "__HIVE_DEFAULT_PARTITION__"
     def ldt: LocalDateTime = p.dataType match {
-      case TimestampType | TimestampNTZType =>
+      case TimestampNTZType =>
         val micros = row.getLong(p.ordinal)
         LocalDateTime.ofEpochSecond(Math.floorDiv(micros, 1000000L),
           (Math.floorMod(micros, 1000000L) * 1000L).toInt, ZoneOffset.UTC)
@@ -132,10 +144,15 @@ private[sources] object LakeStreamingWrite {
     }
     p.transform match {
       case "identity" => p.dataType match {
-        case StringType => row.getUTF8String(p.ordinal).toString
+        case StringType =>
+          // Hive path treats null AND empty as the default partition
+          val v = row.getUTF8String(p.ordinal).toString
+          if (v.isEmpty) "__HIVE_DEFAULT_PARTITION__" else v
         case IntegerType => row.getInt(p.ordinal).toString
         case LongType => row.getLong(p.ordinal).toString
         case BooleanType => row.getBoolean(p.ordinal).toString
+        case DoubleType => row.getDouble(p.ordinal).toString
+        case FloatType => row.getFloat(p.ordinal).toString
         case DateType => LocalDate.ofEpochDay(row.getInt(p.ordinal).toLong).toString
         case other => throw new UnsupportedOperationException(other.simpleString)
       }
@@ -226,7 +243,8 @@ private[sources] class LakeParquetDataWriter(stageDir: String,
     val sink = sinks.getOrElseUpdate(key, {
       require(sinks.size < MaxOpenPartitions,
         s"task exceeds $MaxOpenPartitions open partitions — repartition " +
-          "the stream by the partition source columns")
+          "the input by the partition source columns (each open file " +
+          "buffers a row group; memory limits bite before this cap)")
       open(s"$stageDir/part-$filePrefix-${sinks.size}-" +
         s"${UUID.randomUUID().toString.take(8)}.parquet")
     })

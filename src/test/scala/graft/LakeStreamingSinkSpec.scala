@@ -76,6 +76,8 @@ class LakeStreamingSinkSpec extends AnyFunSuite {
       (2L, "b", ts("2024-01-20 11:00:00")),
       (3L, "a", ts("2024-02-01 12:00:00")))
     val q = mem.toDF().toDF("id", "g", "at")
+      .withColumn("at", org.apache.spark.sql.functions.col("at")
+        .cast(org.apache.spark.sql.types.TimestampNTZType))
       .writeStream.format("graft-lake")
       .option("warehouse", wh).option("database", "d").option("table", "p")
       .option("checkpointLocation", Files.createTempDirectory("ck").toString)
