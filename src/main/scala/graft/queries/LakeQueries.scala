@@ -224,6 +224,32 @@ object LakeReadQueries extends QueryModule {
           |ORDER BY c_custkey""".stripMargin)
     }),
 
+    "lake_sql_dml" -> ((s, dir) => {
+      // the full SQL surface end-to-end through the catalog plugin:
+      // CREATE, INSERT, UPDATE, MERGE INTO, DELETE — oracle expresses
+      // the same mutations over the source rows in plain SQL
+      val wh = LakeQueries.freshWarehouse("sqldml")
+      s.conf.set("spark.sql.catalog.graftdml", "graft.sources.LakeCatalog")
+      s.conf.set("spark.sql.catalog.graftdml.warehouse", wh)
+      s.sql("DROP TABLE IF EXISTS graftdml.rq.n")
+      s.sql("""CREATE TABLE graftdml.rq.n (
+              |  n_nationkey INT, n_name STRING, n_regionkey INT)""".stripMargin)
+      Tables(s, dir, "nation").createOrReplaceTempView("nation_src_v")
+      s.sql("""INSERT INTO graftdml.rq.n
+              |SELECT n_nationkey, n_name, n_regionkey FROM nation_src_v""".stripMargin)
+      s.sql("UPDATE graftdml.rq.n SET n_name = concat(n_name, '_EU') WHERE n_regionkey = 3")
+      s.sql("""MERGE INTO graftdml.rq.n t
+              |USING (SELECT n_nationkey, n_regionkey FROM nation_src_v
+              |       WHERE n_regionkey = 1) s
+              |ON t.n_nationkey = s.n_nationkey
+              |WHEN MATCHED THEN UPDATE SET t.n_regionkey = s.n_regionkey + 100
+              |WHEN NOT MATCHED THEN INSERT (n_nationkey, n_name, n_regionkey)
+              |  VALUES (s.n_nationkey, 'NEW', s.n_regionkey)""".stripMargin)
+      s.sql("DELETE FROM graftdml.rq.n WHERE n_regionkey = 0")
+      s.sql("""SELECT n_nationkey, n_name, n_regionkey
+              |FROM graftdml.rq.n ORDER BY n_nationkey""".stripMargin)
+    }),
+
     "lake_timetravel" -> ((s, dir) => {
       // two appends split on a deterministic predicate; reading AS OF
       // the first snapshot must return exactly the first batch
@@ -250,6 +276,14 @@ object LakeReadQueries extends QueryModule {
         |FROM customer
         |WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 0.0
         |ORDER BY c_custkey""".stripMargin,
+
+    "lake_sql_dml" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM (
+        |  SELECT n_nationkey,
+        |    CASE WHEN n_regionkey = 3 THEN n_name || '_EU' ELSE n_name END AS n_name,
+        |    CASE WHEN n_regionkey = 1 THEN n_regionkey + 100 ELSE n_regionkey END AS n_regionkey
+        |  FROM nation)
+        |WHERE n_regionkey <> 0 ORDER BY n_nationkey""".stripMargin,
 
     "lake_timetravel" ->
       """SELECT s_suppkey, s_name, s_nationkey FROM supplier
