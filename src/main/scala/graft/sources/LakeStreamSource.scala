@@ -121,6 +121,29 @@ private[sources] class LakeSparkTable(wh: String, db: String, tbl: String,
   override def name(): String = s"graft.$db.$tbl"
   override def schema(): StructType =
     Reconcile.clean(pinnedSchema).asInstanceOf[StructType]
+
+  /** Advertise the current partition spec (identity/years/months/days/
+    * hours over source columns) — surfaces in DESCRIBE and lets Spark
+    * reason about the table's layout.
+    */
+  override def partitioning(): Array[Transform] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    val flat = graft.schema.FieldIds.flatten(pinnedSchema)
+    lake.metadata.currentSpec.fields.flatMap { f =>
+      flat.collectFirst {
+        case (p, fd) if graft.schema.FieldIds.idOf(fd) == f.sourceFieldId => p
+      }.map { src =>
+        f.transform match {
+          case "identity" => Expressions.identity(src)
+          case "year" => Expressions.years(src)
+          case "month" => Expressions.months(src)
+          case "day" => Expressions.days(src)
+          case "hour" => Expressions.hours(src)
+          case other => Expressions.apply(other, Expressions.column(src))
+        }
+      }
+    }.toArray
+  }
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.STREAMING_WRITE).asJava
@@ -245,6 +268,7 @@ private[sources] class LakeScan(wh: String, db: String, tbl: String,
     asOfSnapshot: Option[Long] = None,
     onPlanned: Seq[graft.lake.DataFileMeta] => Unit = _ => ()) extends Scan
     with SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
   // one metadata load shared by statistics and batch planning
@@ -254,6 +278,59 @@ private[sources] class LakeScan(wh: String, db: String, tbl: String,
       LakeTable.liveFiles(LakeSource.visibleSnapshots(t, asOfSnapshot)),
       target, Map.empty, statsFilters))
   }
+
+  /** Storage-partitioned join support: when every live file sits under
+    * the current partition spec, all transforms are identity, and the
+    * source columns survive column pruning, the scan reports
+    * KeyGroupedPartitioning over those columns and every input
+    * partition carries its partition key. Two lake tables partitioned
+    * the same way then join with ZERO shuffle (Spark groups the file
+    * tasks by key on both sides) — at 100 TB this is the difference
+    * between a metadata-driven merge and re-shuffling both tables.
+    * Requires spark.sql.sources.v2.bucketing.enabled=true.
+    */
+  private lazy val keyedSpec
+      : Option[Seq[(graft.lake.SpecField, StructField)]] = {
+    val (t, files) = planned
+    val spec = t.metadata.currentSpec
+    def srcField(id: Int): Option[StructField] =
+      target.fields.find(f => FieldIds.idOf(f) == id)
+    val cols = spec.fields.map(f => srcField(f.sourceFieldId).map(f -> _))
+    if (countStarTotal.isEmpty && files.nonEmpty &&
+        spec.fields.nonEmpty &&
+        files.forall(_.specId == spec.id) &&
+        spec.fields.forall(_.transform == "identity") &&
+        cols.forall(_.isDefined) &&
+        cols.flatten.forall { case (f, sf) =>
+          LakeSource.partitionKeyParseable(sf.dataType) &&
+            files.forall(_.partitionValues.contains(f.name))
+        })
+      Some(cols.flatten)
+    else None
+  }
+
+  private def partitionKeyOf(f: graft.lake.DataFileMeta,
+      spec: Seq[(graft.lake.SpecField, StructField)]): Array[Any] =
+    spec.map { case (sf, col) =>
+      LakeSource.parsePartitionValue(col.dataType, f.partitionValues(sf.name))
+    }.toArray
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    keyedSpec match {
+      case Some(spec) =>
+        val keys = planned._2
+          .map(f => partitionKeyOf(f, spec).toSeq).distinct.size
+        new org.apache.spark.sql.connector.read.partitioning
+          .KeyGroupedPartitioning(
+            spec.map { case (_, col) =>
+              org.apache.spark.sql.connector.expressions.Expressions
+                .identity(col.name)
+            }.toArray, keys)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .UnknownPartitioning(0)
+    }
 
   /** File-size/row statistics from metadata — this is what lets
     * Catalyst auto-broadcast a small lake table in a join without
@@ -302,9 +379,14 @@ private[sources] class LakeScan(wh: String, db: String, tbl: String,
       val files = LakeTable.matchingFiles(matched, target,
         Map.empty, runtimeRanges)
       onPlanned(files) // row-level ops capture the replaced group here
-      files.map(f => LakeFilePartition(f.path,
-          t.metadata.schemaById(f.schemaId), target))
-        .toArray
+      keyedSpec match {
+        case Some(spec) => files.map(f => LakeKeyedFilePartition(f.path,
+            t.metadata.schemaById(f.schemaId), target,
+            partitionKeyOf(f, spec))).toArray
+        case None => files.map(f => LakeFilePartition(f.path,
+            t.metadata.schemaById(f.schemaId), target))
+          .toArray
+      }
     }
     def createReaderFactory(): PartitionReaderFactory = new LakeReaderFactory
   }
@@ -334,6 +416,18 @@ private[sources] case class LakeOffset(snapshotId: Long) extends Offset {
 
 private[sources] case class LakeFilePartition(path: String,
     fileSchema: StructType, target: StructType) extends InputPartition
+
+/** A file partition that knows its (identity-transform) partition key —
+  * the HasPartitionKey half of the storage-partitioned-join contract:
+  * Spark groups same-key partitions into one task and lines the tasks
+  * up across the two join sides.
+  */
+private[sources] case class LakeKeyedFilePartition(path: String,
+    fileSchema: StructType, target: StructType, key: Array[Any])
+    extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow = new GenericInternalRow(key)
+}
 
 private[sources] case class LakeCountPartition(count: Long)
     extends InputPartition
@@ -394,6 +488,8 @@ private[sources] class LakeReaderFactory extends PartitionReaderFactory {
         override def close(): Unit = ()
       }
       case p: LakeFilePartition => new GroupRowReader(p)
+      case p: LakeKeyedFilePartition =>
+        new GroupRowReader(LakeFilePartition(p.path, p.fileSchema, p.target))
     }
 }
 
@@ -458,6 +554,32 @@ private[sources] object LakeSource {
       t.metadata.snapshots.filter(_.id <= sid)
     case None => t.metadata.snapshots
   }
+
+  /** Identity-partition source types whose Hive dir-value strings can
+    * be parsed back into exact internal values for HasPartitionKey.
+    * Float/double/decimal/timestamp render through cast("string") whose
+    * round-trip is not guaranteed bit-exact — those specs simply do not
+    * report key-grouped partitioning.
+    */
+  def partitionKeyParseable(dt: DataType): Boolean = dt match {
+    case IntegerType | LongType | StringType | BooleanType | DateType => true
+    case _ => false
+  }
+
+  /** Hive dir value string → Catalyst internal value (identity
+    * transform; `__HIVE_DEFAULT_PARTITION__` is a null source value).
+    */
+  def parsePartitionValue(dt: DataType, v: String): Any =
+    if (v == "__HIVE_DEFAULT_PARTITION__") null
+    else dt match {
+      case IntegerType => v.toInt
+      case LongType => v.toLong
+      case StringType => UTF8String.fromString(v)
+      case BooleanType => v.toBoolean
+      case DateType => java.time.LocalDate.parse(v).toEpochDay.toInt
+      case other => throw new IllegalArgumentException(
+        s"unparseable partition value type $other")
+    }
 
   /** INT96 parquet timestamp → epoch micros: 8 bytes little-endian
     * nanos-of-day + 4 bytes little-endian julian day.

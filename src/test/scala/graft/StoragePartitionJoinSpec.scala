@@ -1,0 +1,124 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.lake.{Engine, LakeTable}
+
+/** Storage-partitioned joins through the DSv2 connector: two lake
+  * tables identity-partitioned on the same key report
+  * KeyGroupedPartitioning + HasPartitionKey, so Spark lines the file
+  * tasks up by partition value and the join runs with ZERO shuffle —
+  * the metadata-driven co-located join that matters at 100 TB.
+  */
+class StoragePartitionJoinSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def mkTable(wh: String, tbl: String, partCol: String): LakeTable = {
+    Engine.processTableDefJson(wh,
+      s"""{"database_name":"d","table_name":"$tbl","columns":[
+        |{"column_name":"k","data_type":"long"},
+        |{"column_name":"v","data_type":"string"}],
+        |"partitions":[{"column":"$partCol"}]}""".stripMargin)
+    LakeTable.load(wh, "d", tbl)
+  }
+
+  private def lakeReader(wh: String, tbl: String) =
+    spark.read.format("graft-lake")
+      .option("warehouse", wh).option("database", "d").option("table", tbl)
+      .load()
+
+  private def shuffles(plan: SparkPlan): Seq[ShuffleExchangeExec] =
+    plan.collect { case s: ShuffleExchangeExec => s }
+
+  private def withSpjConfs[T](body: => T): T = {
+    val pairs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("co-partitioned lake tables join with zero shuffle") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft-spj").toString
+    val ta = mkTable(wh, "a", "k")
+    val tb = mkTable(wh, "b", "k")
+    ta.append(Seq((1L, "a1"), (2L, "a2"), (3L, "a3"), (1L, "a4")).toDF("k", "v"))
+    ta.append(Seq((2L, "a5"), (4L, "a6")).toDF("k", "v"))
+    tb.append(Seq((1L, "b1"), (2L, "b2"), (5L, "b5")).toDF("k", "v"))
+
+    withSpjConfs {
+      val joined = lakeReader(wh, "a").as("l")
+        .join(lakeReader(wh, "b").as("r"), "k")
+        .select($"k", $"l.v".as("lv"), $"r.v".as("rv"))
+      assert(shuffles(joined.queryExecution.executedPlan).isEmpty,
+        s"expected no shuffle:\n${joined.queryExecution.executedPlan}")
+      val got = joined.collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      assert(got == Set((1L, "a1", "b1"), (1L, "a4", "b1"),
+        (2L, "a2", "b2"), (2L, "a5", "b2")))
+    }
+  }
+
+  test("non-partition-key join still shuffles and stays correct") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft-spj2").toString
+    val ta = mkTable(wh, "a", "k")
+    ta.append(Seq((1L, "x"), (2L, "y")).toDF("k", "v"))
+    val tb = mkTable(wh, "b", "k")
+    tb.append(Seq((7L, "x"), (8L, "z")).toDF("k", "v"))
+    withSpjConfs {
+      // join on v, not the partition key — must NOT be treated co-partitioned
+      val joined = lakeReader(wh, "a").as("l")
+        .join(lakeReader(wh, "b").as("r"), "v")
+      assert(shuffles(joined.queryExecution.executedPlan).nonEmpty)
+      assert(joined.collect().map(_.getString(0)).toSeq == Seq("x"))
+    }
+  }
+
+  test("partition-key grouped aggregation avoids the shuffle too") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft-spj3").toString
+    val ta = mkTable(wh, "a", "k")
+    ta.append(Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("k", "v"))
+    ta.append(Seq((2L, "d"), (3L, "e")).toDF("k", "v"))
+    withSpjConfs {
+      val agg = lakeReader(wh, "a").groupBy("k").agg(count("*").as("n"))
+      assert(shuffles(agg.queryExecution.executedPlan).isEmpty,
+        s"expected no shuffle:\n${agg.queryExecution.executedPlan}")
+      assert(agg.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+        Set((1L, 2L), (2L, 2L), (3L, 1L)))
+    }
+  }
+
+  test("string partition keys group correctly (escaped values round-trip)") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft-spj4").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"s","columns":[
+        |{"column_name":"k","data_type":"string"},
+        |{"column_name":"v","data_type":"long"}],
+        |"partitions":[{"column":"k"}]}""".stripMargin)
+    val t = LakeTable.load(wh, "d", "s")
+    t.append(Seq(("c++", 1L), ("a b", 2L), ("plain", 3L)).toDF("k", "v"))
+    t.append(Seq(("c++", 4L)).toDF("k", "v"))
+    withSpjConfs {
+      val agg = lakeReader(wh, "s").groupBy("k").agg(sum("v").as("s"))
+      assert(shuffles(agg.queryExecution.executedPlan).isEmpty)
+      assert(agg.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+        Set(("c++", 5L), ("a b", 2L), ("plain", 3L)))
+    }
+  }
+}
