@@ -63,15 +63,37 @@ object FileStats {
             val st = chunk.getStatistics
             if (st != null && st.hasNonNullValue && nameToId.contains(name)) {
               val pt = chunk.getPrimitiveType
+              // decimal columns store UNSCALED integers (INT32/INT64/
+              // fixed binary by precision) — stats must be re-scaled or
+              // a pushed `dec = 1.23` filter would compare against 123
+              // and skip files that match
+              val decScale: Option[Int] = pt.getLogicalTypeAnnotation match {
+                case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+                  Some(d.getScale)
+                case _ => None
+              }
+              def scaled(v: String): String = decScale match {
+                case Some(s) => BigDecimal(BigInt(v), s).toString
+                case None => v
+              }
+              def scaledBinary(b: Any): Option[String] = (b, decScale) match {
+                case (bin: org.apache.parquet.io.api.Binary, Some(s)) =>
+                  Some(BigDecimal(BigInt(bin.getBytes), s).toString)
+                case _ => None
+              }
               val kindAndVals: Option[(String, String, String)] =
                 pt.getPrimitiveTypeName match {
-                  case INT32 => Some(("num",
-                    st.genericGetMin.toString, st.genericGetMax.toString))
-                  case INT64 => Some(("num",
-                    st.genericGetMin.toString, st.genericGetMax.toString))
+                  case INT32 | INT64 => Some(("num",
+                    scaled(st.genericGetMin.toString),
+                    scaled(st.genericGetMax.toString)))
                   case FLOAT | DOUBLE => Some(("num",
                     BigDecimal(st.genericGetMin.toString).toString,
                     BigDecimal(st.genericGetMax.toString).toString))
+                  case FIXED_LEN_BYTE_ARRAY | BINARY if decScale.isDefined =>
+                    for {
+                      mn <- scaledBinary(st.genericGetMin)
+                      mx <- scaledBinary(st.genericGetMax)
+                    } yield ("num", mn, mx)
                   case BINARY
                     if pt.getLogicalTypeAnnotation ==
                       LogicalTypeAnnotation.stringType() =>

@@ -29,10 +29,15 @@ object TypeMapper {
     "fixed" -> BinaryType,
     "decimal" -> DecimalType(5, 5)) // constants.py:23-29 hard-codes (5,5)
 
+  // engine extension over the reference contract: `decimal(p,s)` with
+  // explicit precision/scale (bare `decimal` keeps the (5,5) quirk)
+  private val decimalRe = """decimal\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)""".r
+
   def knownType(s: String): Boolean = {
     val t = s.toLowerCase
     t.startsWith("array") || t.startsWith("list") || t.startsWith("struct") ||
-      t.startsWith("map") || primitives.contains(t)
+      t.startsWith("map") || primitives.contains(t) ||
+      decimalRe.pattern.matcher(t).matches()
   }
 
   /** Map a column definition (with its recursive struct/map/array defs)
@@ -55,7 +60,10 @@ object TypeMapper {
         throw new IllegalArgumentException(s"${cd.name}: map without map_def"))
       MapType(toSparkType(md.key), toSparkType(md.value),
         valueContainsNull = !md.value.required)
-    } else primitives.getOrElse(t, StringType)
+    } else t match {
+      case decimalRe(p, s) => DecimalType(p.toInt, s.toInt)
+      case _ => primitives.getOrElse(t, StringType)
+    }
   }
 
   def toStructField(cd: ColumnDef): StructField =
@@ -88,7 +96,7 @@ object TypeMapper {
           case TimestampType => "timezone"
           case StringType => "string"
           case BinaryType => "binary"
-          case _: DecimalType => "decimal"
+          case d: DecimalType => s"decimal(${d.precision},${d.scale})"
           case other => throw new IllegalArgumentException(
             s"catalog DDL: unsupported type ${other.simpleString} for '$name'")
         }

@@ -58,7 +58,6 @@ class LakeCatalog extends TableCatalog {
     if (!LakeTable.exists(warehouse, db, tbl))
       throw new NoSuchTableException(ident)
     val t = LakeTable.load(warehouse, db, tbl)
-    LakeSource.requireSupported(t.currentSchema)
     new LakeSparkTable(warehouse, db, tbl, 0L, t)
   }
 
@@ -74,9 +73,7 @@ class LakeCatalog extends TableCatalog {
           s"got '$version' for $ident")
     }
     val t = LakeTable.load(warehouse, db, tbl)
-    // validate the pin and the schema AS OF it (current schema may have
-    // since gained unsupported columns, or vice versa)
-    LakeSource.requireSupported(t.schemaAsOf(sid))
+    t.schemaAsOf(sid) // validate the pin before handing out the table
     new LakeSparkTable(warehouse, db, tbl, 0L, t, Some(sid))
   }
 
@@ -89,10 +86,6 @@ class LakeCatalog extends TableCatalog {
       properties: java.util.Map[String, String]): Table = {
     require(ident.namespace.length == 1, "expected <database>.<table>")
     val (db, tbl) = (ident.namespace()(0), ident.name)
-    // reject unreadable types BEFORE committing metadata — otherwise
-    // the table persists but every later loadTable (including DROP's
-    // identifier resolution) throws, wedging the identifier
-    LakeSource.requireSupported(schema)
     val cols = schema.fields.toSeq.map(f =>
       graft.schema.TypeMapper.toColumnDef(f.name, f.dataType, f.nullable))
     val parts = partitions.toSeq.map { t =>

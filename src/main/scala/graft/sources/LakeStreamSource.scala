@@ -44,7 +44,7 @@ import graft.schema.FieldIds
   * file is read by one task and reconciled to the stream-start schema
   * by field ID, so mid-stream schema evolution never breaks a running
   * query. Reconciliation runs recursively through structs, lists and
-  * maps; every TypeMapper type except decimal is supported.
+  * maps; every TypeMapper type (decimal included) is supported.
   */
 class LakeStreamProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-lake"
@@ -61,7 +61,6 @@ class LakeStreamProvider extends TableProvider with DataSourceRegister {
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
     val t = load(properties)
-    LakeSource.requireSupported(t.currentSchema)
     new LakeSparkTable(
       properties.get("warehouse"), properties.get("database"),
       properties.get("table"),
@@ -685,24 +684,6 @@ private[sources] object LakeSource {
     case (x, y) => x == y
   }
 
-  /** Every TypeMapper type except decimal is readable (decimal in a
-    * table def is the reference's hard-coded DECIMAL(5,5) quirk).
-    */
-  def requireSupported(schema: StructType): Unit = {
-    def walk(path: String, dt: DataType): Unit = dt match {
-      case st: StructType =>
-        st.fields.foreach(f => walk(s"$path.${f.name}", f.dataType))
-      case ArrayType(et, _) => walk(s"$path.element", et)
-      case MapType(kt, vt, _) =>
-        walk(s"$path.key", kt); walk(s"$path.value", vt)
-      case _: DecimalType => throw new UnsupportedOperationException(
-        s"graft-lake reads do not support decimal columns ('$path') — " +
-          "use LakeTable.read/changesBetween")
-      case _ => ()
-    }
-    schema.fields.foreach(f => walk(f.name, f.dataType))
-  }
-
   /** Extractor for one target field out of a file-schema group level,
     * matched by FIELD ID (the same reconciliation contract as
     * `Reconcile.projection`): absent → null, promotions applied.
@@ -790,6 +771,28 @@ private[sources] object LakeSource {
         else g.getLong(n, 0)
       }
       case (DateType, DateType) => (g, n) => g.getInteger(n, 0)
+      case (t: DecimalType, f: DecimalType)
+          if t.scale == f.scale && t.precision >= f.precision =>
+        // Spark's writer encodes decimals by precision: INT32 (p<=9),
+        // INT64 (p<=18), else fixed/binary two's-complement unscaled.
+        // The promotion rule (precision widen, same scale) means the
+        // unscaled value carries over unchanged.
+        (g, n) => {
+          import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+          g.getType.getType(n).asPrimitiveType().getPrimitiveTypeName match {
+            case PrimitiveTypeName.INT32 =>
+              org.apache.spark.sql.types.Decimal(
+                g.getInteger(n, 0).toLong, t.precision, t.scale)
+            case PrimitiveTypeName.INT64 =>
+              org.apache.spark.sql.types.Decimal(
+                g.getLong(n, 0), t.precision, t.scale)
+            case _ =>
+              org.apache.spark.sql.types.Decimal(
+                BigDecimal(new java.math.BigInteger(
+                  g.getBinary(n, 0).getBytes), f.scale),
+                t.precision, t.scale)
+          }
+        }
       case (t, f) => throw new UnsupportedOperationException(
         s"graft-lake reader: unsupported conversion $f -> $t")
     }
