@@ -421,7 +421,7 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     readFiles(spark,
       LakeTable.matchingFiles(LakeTable.liveFiles(visible), current,
         prune, statsFilters),
-      current)
+      current, LakeTable.liveDeletes(visible))
   }
 
   /** Live files surviving partition + stats pruning under the current
@@ -432,19 +432,37 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     LakeTable.matchingFiles(LakeTable.liveFiles(md.snapshots),
       md.currentSchema, prune, statsFilters)
 
-  /** One reconciling scan group per schema version, unioned. */
+  /** One reconciling scan group per schema version, unioned; rows at
+    * positions marked by live merge-on-read delete files are dropped
+    * via an anti-join on (file URI, row position) — `_metadata` columns
+    * on the read side match the values captured at delete-write time,
+    * and the (small) delete set broadcasts.
+    */
   private def readFiles(spark: SparkSession, files: Seq[DataFileMeta],
-      target: StructType): DataFrame = {
+      target: StructType,
+      deletes: Map[String, DeleteSet] = Map.empty): DataFrame = {
     if (files.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         Reconcile.clean(target).asInstanceOf[StructType])
     files.groupBy(_.schemaId).map { case (schemaId, group) =>
       val fileSchema = md.schemaById(schemaId)
-      spark.read
+      val base = spark.read
         .schema(Reconcile.clean(fileSchema).asInstanceOf[StructType])
         .parquet(group.map(_.path): _*)
-        .select(Reconcile.projection(fileSchema, target): _*)
+      val delPaths = group
+        .flatMap(f => deletes.get(LakeTable.normalizePath(f.path)))
+        .flatMap(_.paths).distinct
+      val alive = if (delPaths.isEmpty) base else {
+        val del = spark.read.parquet(delPaths: _*)
+          .withColumnRenamed("file_path", "_graft_dfile")
+          .withColumnRenamed("pos", "_graft_dpos")
+        base
+          .withColumn("_graft_dfile", col("_metadata.file_path"))
+          .withColumn("_graft_dpos", col("_metadata.row_index"))
+          .join(del, Seq("_graft_dfile", "_graft_dpos"), "left_anti")
+      }
+      alive.select(Reconcile.projection(fileSchema, target): _*)
     }.reduce(_.unionByName(_))
   }
 
@@ -465,11 +483,16 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
   def expireSnapshots(keepAfter: Long): Int = {
     val (expired, kept) = md.snapshots.partition(_.id <= keepAfter)
     if (expired.isEmpty) return 0
+    // carry the live merge-on-read delete state into the squash — a
+    // rewrite snapshot resets delete replay to its own carried maps
+    val liveDel = LakeTable.liveDeletes(expired)
     val squashed = SnapshotMeta(
       id = expired.last.id,
       files = LakeTable.liveFiles(expired),
       schemaId = expired.last.schemaId,
-      operation = "rewrite")
+      operation = "rewrite",
+      deletePaths = liveDel.values.flatMap(_.paths).toSeq.distinct,
+      deleteCounts = liveDel.map { case (p, ds) => p -> ds.rows })
     commit(md.copy(snapshots = squashed +: kept))
     expired.size
   }
@@ -486,7 +509,8 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
   def removeOrphanFiles(
       olderThanMillis: Long = 24L * 60 * 60 * 1000): Seq[String] = {
     import scala.util.Using
-    val referenced = md.snapshots.flatMap(_.files.map(_.path)).toSet
+    val referenced = md.snapshots.flatMap(s =>
+      s.files.map(_.path) ++ s.deletePaths).toSet
     if (!Files.exists(dataDir)) return Seq.empty
     val cutoff = System.currentTimeMillis() - olderThanMillis
     val orphans = Using.resource(Files.walk(dataDir)) { st =>
@@ -535,11 +559,80 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     val affected = affectedFiles(spark, predicate, prune, statsFilters)
     if (affected.isEmpty) None
     else {
-      val kept = readFiles(spark, affected, md.currentSchema)
+      val kept = readFiles(spark, affected, md.currentSchema,
+          LakeTable.liveDeletes(md.snapshots))
         .filter(!coalesce(predicate, lit(false)))
       Some(writeSnapshot(kept, operation = "overwrite",
         removedPaths = affected.map(_.path)))
     }
+  }
+
+  /** DELETE with merge-on-read semantics (Iceberg v2 position deletes):
+    * instead of rewriting every affected data file, commit small
+    * parquet delete files of (file_path, pos) rows; reads anti-join
+    * them out. The write cost is proportional to the MATCHED rows, not
+    * the touched files — at 100 TB, deleting 0.1% of rows spread over
+    * thousands of large files writes kilobytes instead of terabytes.
+    * Positions already deleted by earlier commits are excluded, so the
+    * per-file deleted-row counts stay exact (metadata-only COUNT(*)
+    * subtracts them). Compaction (`compact`) folds deletes back into
+    * data files and clears them.
+    */
+  def deleteMoR(spark: SparkSession, predicate: Column,
+      prune: Map[String, Set[String]] = Map.empty,
+      statsFilters: Seq[RangeFilter] = Seq.empty): Option[SnapshotMeta] = {
+    if (currentHintVersion() != loadedVersion)
+      throw new java.util.ConcurrentModificationException(
+        s"table $location was committed concurrently; reload and retry")
+    val candidates = LakeTable.matchingFiles(
+      LakeTable.liveFiles(md.snapshots), md.currentSchema, prune, statsFilters)
+    if (candidates.isEmpty) return None
+    val existing = LakeTable.liveDeletes(md.snapshots)
+
+    // matched (file, position) pairs under the current-schema view,
+    // minus positions already dead in earlier delete commits
+    val matched = candidates.groupBy(_.schemaId).map { case (schemaId, group) =>
+      val fileSchema = md.schemaById(schemaId)
+      spark.read
+        .schema(Reconcile.clean(fileSchema).asInstanceOf[StructType])
+        .parquet(group.map(_.path): _*)
+        .withColumn("_graft_dfile", col("_metadata.file_path"))
+        .withColumn("_graft_dpos", col("_metadata.row_index"))
+        .select(Reconcile.projection(fileSchema, md.currentSchema) ++
+          Seq(col("_graft_dfile"), col("_graft_dpos")): _*)
+    }.reduce(_.unionByName(_))
+      .filter(coalesce(predicate, lit(false)))
+      .select(col("_graft_dfile").as("file_path"),
+        col("_graft_dpos").as("pos"))
+    val oldDeletePaths = candidates
+      .flatMap(f => existing.get(LakeTable.normalizePath(f.path)))
+      .flatMap(_.paths).distinct
+    val fresh = if (oldDeletePaths.isEmpty) matched
+      else matched.join(spark.read.parquet(oldDeletePaths: _*),
+        Seq("file_path", "pos"), "left_anti")
+
+    val snapshotId = md.snapshots.map(_.id).foldLeft(0L)(math.max) + 1
+    val outDir = dataDir.resolve(
+      s"deletes-$snapshotId-${java.util.UUID.randomUUID().toString.take(8)}")
+    fresh.write.mode("overwrite").parquet(outDir.toString)
+    val written = listParquet(outDir)
+    val counts = spark.read.parquet(outDir.toString)
+      .groupBy("file_path").count().collect()
+      .map(r => LakeTable.normalizePath(r.getString(0)) -> r.getLong(1))
+      .toMap
+    if (counts.isEmpty) {
+      // nothing matched: drop the empty write attempt, commit nothing
+      scala.util.Using.resource(Files.walk(outDir)) { st =>
+        st.sorted(java.util.Comparator.reverseOrder()).forEach(p =>
+          Files.delete(p))
+      }
+      return None
+    }
+    val snap = SnapshotMeta(snapshotId, Seq.empty, md.currentSchemaId,
+      operation = "delete", deletePaths = written.map(_.toString),
+      deleteCounts = counts)
+    commit(md.copy(snapshots = md.snapshots :+ snap))
+    Some(snap)
   }
 
   /** UPDATE t SET assignments WHERE predicate — copy-on-write: affected
@@ -557,7 +650,8 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     if (affected.isEmpty) None
     else {
       val cond = coalesce(predicate, lit(false))
-      val base = readFiles(spark, affected, md.currentSchema)
+      val base = readFiles(spark, affected, md.currentSchema,
+        LakeTable.liveDeletes(md.snapshots))
       // one projection, every RHS evaluated against the PRE-update row
       // (SQL UPDATE semantics: SET a=b, b=a swaps; sequential
       // withColumn would leak updated values into later assignments
@@ -619,7 +713,8 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
       predicate = keyPred, matchSource = Some(srcKeyed -> keys))
 
     val rewritten = if (affected.isEmpty) None else {
-      val joined = readFiles(spark, affected, schema)
+      val joined = readFiles(spark, affected, schema,
+          LakeTable.liveDeletes(md.snapshots))
         .join(srcKeyed, keys, "left")
       val matchedCol = coalesce(col("_src_matched"), lit(false))
       val applied = onMatch match {
@@ -680,7 +775,8 @@ object LakeTable {
 
   /** Replay the snapshot log into the live file set: appends add files,
     * copy-on-write overwrites remove their `removedPaths` and add their
-    * rewritten files, a rewrite (compaction) replaces everything.
+    * rewritten files, a rewrite (compaction) replaces everything;
+    * merge-on-read "delete" snapshots carry no data files.
     * O(snapshots × files) driver-side metadata walk — no data IO.
     */
   def liveFiles(snapshots: Seq[SnapshotMeta]): Seq[DataFileMeta] =
@@ -691,6 +787,34 @@ object LakeTable {
           val removed = s.removedPaths.toSet
           acc.filterNot(f => removed(f.path)) ++ s.files
         case _ => acc ++ s.files
+      }
+    }
+
+  /** Replay the snapshot log into the live merge-on-read delete state:
+    * data-file path (normalized) → its delete-file set + exact deleted
+    * row count. "delete" snapshots accumulate; an overwrite drops the
+    * entries of the files it replaces (the rewrite already materialized
+    * the surviving rows); a rewrite resets to its own carried state
+    * (compaction clears deletes, an expire-squash preserves them).
+    */
+  def liveDeletes(snapshots: Seq[SnapshotMeta]): Map[String, DeleteSet] =
+    snapshots.foldLeft(Map.empty[String, DeleteSet]) { (acc, s) =>
+      def own: Map[String, DeleteSet] = s.deleteCounts.map { case (p, n) =>
+        normalizePath(p) -> DeleteSet(s.deletePaths, n)
+      }
+      s.operation match {
+        case "rewrite" => own
+        case "overwrite" =>
+          val removed = s.removedPaths.map(normalizePath).toSet
+          acc.filterNot { case (p, _) => removed(p) }
+        case "delete" => own.foldLeft(acc) { case (m, (p, ds)) =>
+          m.updatedWith(p) {
+            case Some(prev) => Some(DeleteSet(
+              (prev.paths ++ ds.paths).distinct, prev.rows + ds.rows))
+            case None => Some(ds)
+          }
+        }
+        case _ => acc
       }
     }
 

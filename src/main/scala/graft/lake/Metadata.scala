@@ -30,10 +30,26 @@ case class DataFileMeta(path: String, schemaId: Int, specId: Int, rows: Long,
   * live set — written by copy-on-write row-level ops (operation
   * "overwrite", Iceberg's delete/replace-files model). Appends and
   * rewrites never set it.
+  *
+  * `deletePaths`/`deleteCounts`: merge-on-read position deletes
+  * (operation "delete", Iceberg v2's delete-file model): `deletePaths`
+  * are parquet files of (file_path, pos) rows marking deleted
+  * positions; `deleteCounts` maps each affected data-file path to how
+  * many of its positions this commit deletes (exact — double deletes
+  * are excluded at write time), which keeps metadata-only COUNT(*)
+  * correct without opening delete files.
   */
 case class SnapshotMeta(id: Long, files: Seq[DataFileMeta], schemaId: Int,
     operation: String = "append", streamBatchId: Option[Long] = None,
-    streamId: Option[String] = None, removedPaths: Seq[String] = Seq.empty)
+    streamId: Option[String] = None, removedPaths: Seq[String] = Seq.empty,
+    deletePaths: Seq[String] = Seq.empty,
+    deleteCounts: Map[String, Long] = Map.empty)
+
+/** The live merge-on-read delete state for one data file: the delete
+  * parquet files that may hold its deleted positions, and the exact
+  * number of its deleted rows.
+  */
+case class DeleteSet(paths: Seq[String], rows: Long)
 case class SchemaVersion(id: Int, schema: StructType)
 
 case class TableMetadata(
@@ -137,7 +153,14 @@ object MetadataIO {
       sn.streamId.map(s => "stream-id" -> JString(s)).toMap ++
       (if (sn.removedPaths.isEmpty) Map.empty[String, JValue]
        else Map("removed-files" ->
-         JArray(sn.removedPaths.map(JString(_))))) ++ Map(
+         JArray(sn.removedPaths.map(JString(_))))) ++
+      (if (sn.deletePaths.isEmpty) Map.empty[String, JValue]
+       else Map("delete-files" ->
+         JArray(sn.deletePaths.map(JString(_))))) ++
+      (if (sn.deleteCounts.isEmpty) Map.empty[String, JValue]
+       else Map("delete-counts" -> JObject(sn.deleteCounts.map {
+         case (p, n) => p -> JNumber(n)
+       }))) ++ Map(
       "files" -> JArray(sn.files.map(df => JObject(Map(
         "path" -> JString(df.path),
         "schema-id" -> JNumber(df.schemaId),
@@ -200,7 +223,12 @@ object MetadataIO {
           streamBatchId = sm.get("stream-batch-id").map(_.asLong),
           streamId = sm.get("stream-id").map(_.asStr),
           removedPaths = sm.get("removed-files")
-            .map(_.asArr.map(_.asStr)).getOrElse(Seq.empty))
+            .map(_.asArr.map(_.asStr)).getOrElse(Seq.empty),
+          deletePaths = sm.get("delete-files")
+            .map(_.asArr.map(_.asStr)).getOrElse(Seq.empty),
+          deleteCounts = sm.get("delete-counts")
+            .map(_.asObj.map { case (p, n) => p -> n.asLong })
+            .getOrElse(Map.empty))
       },
       lastFieldId = m("last-field-id").asInt,
       properties = m.get("properties")

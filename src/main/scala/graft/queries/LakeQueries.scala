@@ -331,6 +331,33 @@ object RowOpsQueries extends QueryModule {
         .orderBy("o_orderstatus")
     }),
 
+    "lake_delete_mor" -> ((s, dir) => {
+      // merge-on-read DELETE: position-delete files, no data-file
+      // rewrite; read back through the DSv2 connector so the oracle
+      // gate covers the reader-side position skipping too
+      val wh = scratch("rowdelmor")
+      Engine.processTableDefJson(wh,
+        """{"database_name":"rowops","table_name":"orders_mor","columns":[
+          |{"column_name":"o_orderkey","data_type":"long"},
+          |{"column_name":"o_orderstatus","data_type":"string"},
+          |{"column_name":"o_totalprice","data_type":"double"},
+          |{"column_name":"o_orderpriority","data_type":"string"}],
+          |"partitions":[{"column":"o_orderstatus","name":"status"}]}""".stripMargin)
+      val t = LakeTable.load(wh, "rowops", "orders_mor")
+      t.append(Tables(s, dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"))
+      t.deleteMoR(s,
+        col("o_orderstatus") === "F" && col("o_totalprice") > 150000.0,
+        prune = Map("status" -> Set("F")))
+      s.read.format("graft-lake")
+        .option("warehouse", wh).option("database", "rowops")
+        .option("table", "orders_mor").load()
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(Tables.dec(col("o_totalprice"))).cast("double").as("sum_price"))
+        .orderBy("o_orderstatus")
+    }),
+
     "lake_update" -> ((s, dir) => {
       val wh = scratch("rowupd")
       Engine.processTableDefJson(wh,
@@ -376,6 +403,13 @@ object RowOpsQueries extends QueryModule {
 
   def oracleSql: Map[String, String] = Map(
     "lake_delete" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |WHERE NOT (o_orderstatus = 'F' AND o_totalprice > 150000.0)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "lake_delete_mor" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM orders

@@ -105,7 +105,13 @@ private[sources] class LakeSparkTable(wh: String, db: String, tbl: String,
     val predicate = filters.map(LakeSource.filterToColumn)
       .reduceOption(_ && _)
       .getOrElse(org.apache.spark.sql.functions.lit(true))
-    LakeTable.load(wh, db, tbl).delete(spark, predicate)
+    val t = LakeTable.load(wh, db, tbl)
+    // "write.delete.mode"="merge-on-read": position-delete files instead
+    // of copy-on-write file rewrites (Iceberg v2's table property)
+    if (t.metadata.properties.get("write.delete.mode")
+        .contains("merge-on-read"))
+      t.deleteMoR(spark, predicate)
+    else t.delete(spark, predicate)
     ()
   }
 
@@ -232,10 +238,13 @@ private[graft] class LakeScanBuilder(wh: String, db: String, tbl: String,
       agg.aggregateExpressions()(0).isInstanceOf[
         org.apache.spark.sql.connector.expressions.aggregate.CountStar]
     if (shapeOk) {
-      val live = LakeTable.liveFiles(LakeSource.visibleSnapshots(
-        LakeTable.load(wh, db, tbl), asOfSnapshot))
+      val visible = LakeSource.visibleSnapshots(
+        LakeTable.load(wh, db, tbl), asOfSnapshot)
+      val live = LakeTable.liveFiles(visible)
       if (live.forall(_.rows >= 0)) // every file has an exact count
-        countStarTotal = Some(live.map(_.rows).sum)
+        // merge-on-read deletes carry exact per-file deleted-row counts
+        countStarTotal = Some(live.map(_.rows).sum -
+          LakeTable.liveDeletes(visible).values.map(_.rows).sum)
     }
     countStarTotal.isDefined
   }
@@ -273,10 +282,14 @@ private[sources] class LakeScan(wh: String, db: String, tbl: String,
   // one metadata load shared by statistics and batch planning
   private lazy val planned = {
     val t = LakeTable.load(wh, db, tbl)
-    (t, LakeTable.matchingFiles(
-      LakeTable.liveFiles(LakeSource.visibleSnapshots(t, asOfSnapshot)),
-      target, Map.empty, statsFilters))
+    val visible = LakeSource.visibleSnapshots(t, asOfSnapshot)
+    (t, LakeTable.matchingFiles(LakeTable.liveFiles(visible),
+      target, Map.empty, statsFilters), LakeTable.liveDeletes(visible))
   }
+
+  private def deletePathsFor(f: graft.lake.DataFileMeta): Seq[String] =
+    planned._3.get(LakeTable.normalizePath(f.path))
+      .map(_.paths).getOrElse(Seq.empty)
 
   /** Storage-partitioned join support: when every live file sits under
     * the current partition spec, all transforms are identity, and the
@@ -290,7 +303,7 @@ private[sources] class LakeScan(wh: String, db: String, tbl: String,
     */
   private lazy val keyedSpec
       : Option[Seq[(graft.lake.SpecField, StructField)]] = {
-    val (t, files) = planned
+    val (t, files, _) = planned
     val spec = t.metadata.currentSpec
     def srcField(id: Int): Option[StructField] =
       target.fields.find(f => FieldIds.idOf(f) == id)
@@ -348,13 +361,16 @@ private[sources] class LakeScan(wh: String, db: String, tbl: String,
       }
     else new org.apache.spark.sql.connector.read.Statistics {
       private val files = planned._2
+      private val deletedRows = files
+        .flatMap(f => planned._3.get(LakeTable.normalizePath(f.path)))
+        .map(_.rows).sum
       override def sizeInBytes(): java.util.OptionalLong =
         if (files.forall(_.bytes >= 0))
           java.util.OptionalLong.of(files.map(_.bytes).sum)
         else java.util.OptionalLong.empty()
       override def numRows(): java.util.OptionalLong =
         if (files.forall(_.rows >= 0))
-          java.util.OptionalLong.of(files.map(_.rows).sum)
+          java.util.OptionalLong.of(files.map(_.rows).sum - deletedRows)
         else java.util.OptionalLong.empty()
     }
 
@@ -374,16 +390,16 @@ private[sources] class LakeScan(wh: String, db: String, tbl: String,
     // live set resolved at partition-planning time so runtime filters
     // (applied to the scan after static planning) take effect
     def planInputPartitions(): Array[InputPartition] = {
-      val (t, matched) = planned
+      val (t, matched, _) = planned
       val files = LakeTable.matchingFiles(matched, target,
         Map.empty, runtimeRanges)
       onPlanned(files) // row-level ops capture the replaced group here
       keyedSpec match {
         case Some(spec) => files.map(f => LakeKeyedFilePartition(f.path,
             t.metadata.schemaById(f.schemaId), target,
-            partitionKeyOf(f, spec))).toArray
+            partitionKeyOf(f, spec), deletePathsFor(f))).toArray
         case None => files.map(f => LakeFilePartition(f.path,
-            t.metadata.schemaById(f.schemaId), target))
+            t.metadata.schemaById(f.schemaId), target, deletePathsFor(f)))
           .toArray
       }
     }
@@ -414,7 +430,8 @@ private[sources] case class LakeOffset(snapshotId: Long) extends Offset {
 }
 
 private[sources] case class LakeFilePartition(path: String,
-    fileSchema: StructType, target: StructType) extends InputPartition
+    fileSchema: StructType, target: StructType,
+    deletes: Seq[String] = Seq.empty) extends InputPartition
 
 /** A file partition that knows its (identity-transform) partition key —
   * the HasPartitionKey half of the storage-partitioned-join contract:
@@ -422,7 +439,8 @@ private[sources] case class LakeFilePartition(path: String,
   * up across the two join sides.
   */
 private[sources] case class LakeKeyedFilePartition(path: String,
-    fileSchema: StructType, target: StructType, key: Array[Any])
+    fileSchema: StructType, target: StructType, key: Array[Any],
+    deletes: Seq[String] = Seq.empty)
     extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow = new GenericInternalRow(key)
@@ -488,7 +506,8 @@ private[sources] class LakeReaderFactory extends PartitionReaderFactory {
       }
       case p: LakeFilePartition => new GroupRowReader(p)
       case p: LakeKeyedFilePartition =>
-        new GroupRowReader(LakeFilePartition(p.path, p.fileSchema, p.target))
+        new GroupRowReader(
+          LakeFilePartition(p.path, p.fileSchema, p.target, p.deletes))
     }
 }
 
@@ -535,8 +554,40 @@ private[sources] class GroupRowReader(p: LakeFilePartition)
     p.target.fields.map(tf =>
       LakeSource.fieldExtractor(tf, p.fileSchema.fields.toSeq))
 
+  // merge-on-read: positions of this file deleted by live delete files.
+  // The reader walks rows in physical order, so a simple position
+  // counter matches the _metadata.row_index values captured at
+  // delete-write time. (Scale note: a per-file set in memory — Iceberg
+  // uses roaring bitmaps for the same structure.)
+  private val deletedPos: java.util.HashSet[java.lang.Long] =
+    if (p.deletes.isEmpty) null
+    else {
+      val mine = LakeTable.normalizePath(p.path)
+      val set = new java.util.HashSet[java.lang.Long]()
+      p.deletes.foreach { dp =>
+        val r = ParquetReader.builder(new GroupReadSupport(),
+          new org.apache.hadoop.fs.Path(dp)).build()
+        try {
+          var g = r.read()
+          while (g != null) {
+            if (LakeTable.normalizePath(g.getString("file_path", 0)) == mine)
+              set.add(g.getLong("pos", 0))
+            g = r.read()
+          }
+        } finally r.close()
+      }
+      set
+    }
+
   private var cur: Group = _
-  override def next(): Boolean = { cur = reader.read(); cur != null }
+  private var pos: Long = -1L
+  override def next(): Boolean = {
+    cur = reader.read(); pos += 1
+    while (cur != null && deletedPos != null && deletedPos.contains(pos)) {
+      cur = reader.read(); pos += 1
+    }
+    cur != null
+  }
   override def get(): InternalRow =
     new GenericInternalRow(extractors.map(_(cur)))
   override def close(): Unit = reader.close()

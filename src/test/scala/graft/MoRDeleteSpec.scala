@@ -1,0 +1,161 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.lake.{Engine, LakeTable}
+
+/** Merge-on-read position deletes (Iceberg v2 delete-file model):
+  * deleteMoR commits small (file_path, pos) parquet files instead of
+  * rewriting data files; reads — driver-side and through the DSv2
+  * connector — anti-join the dead positions out; metadata-only
+  * COUNT(*) stays exact via per-file deleted-row counts; compaction
+  * folds deletes back in and clears them.
+  */
+class MoRDeleteSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def mkTable(tag: String): (String, LakeTable) = {
+    val wh = Files.createTempDirectory(s"graft-mor-$tag").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"t","columns":[
+        |{"column_name":"id","data_type":"long"},
+        |{"column_name":"v","data_type":"string"}],"partitions":[]}""".stripMargin)
+    (wh, LakeTable.load(wh, "d", "t"))
+  }
+
+  private def df(rows: Seq[(Long, String)]): DataFrame = {
+    import SparkTestSession.spark.implicits._
+    rows.toDF("id", "v")
+  }
+
+  private def lakeReader(wh: String) =
+    spark.read.format("graft-lake")
+      .option("warehouse", wh).option("database", "d").option("table", "t")
+      .load()
+
+  private def ids(d: DataFrame): Set[Long] =
+    d.select("id").collect().map(_.getLong(0)).toSet
+
+  test("deleteMoR drops rows without rewriting data files") {
+    val (wh, t) = mkTable("basic")
+    t.append(df(Seq((1L, "a"), (2L, "b"), (3L, "c"))))
+    t.append(df(Seq((4L, "d"), (5L, "e"))))
+    val filesBefore = t.plannedFiles().map(_.path).toSet
+
+    val snap = t.deleteMoR(spark, col("id") === 2L || col("id") === 5L)
+    assert(snap.isDefined)
+    assert(snap.get.operation == "delete")
+    assert(snap.get.files.isEmpty)
+    assert(snap.get.deleteCounts.values.sum == 2L)
+
+    val t2 = LakeTable.load(wh, "d", "t")
+    assert(ids(t2.read(spark)) == Set(1L, 3L, 4L))
+    // data files untouched — only delete files were written
+    assert(t2.plannedFiles().map(_.path).toSet == filesBefore)
+  }
+
+  test("connector read applies deletes; metadata COUNT(*) is exact") {
+    val (wh, t) = mkTable("conn")
+    t.append(df((1L to 10L).map(i => (i, s"v$i"))))
+    t.deleteMoR(spark, col("id") % 2 === 0)
+    assert(ids(lakeReader(wh)) == Set(1L, 3L, 5L, 7L, 9L))
+    // count(*) answered from snapshot metadata minus delete counts
+    assert(lakeReader(wh).count() == 5L)
+    // pushed filter + deletes compose
+    assert(ids(lakeReader(wh).filter(col("id") > 4L)) == Set(5L, 7L, 9L))
+  }
+
+  test("successive overlapping deletes never double-count") {
+    val (wh, t) = mkTable("twice")
+    t.append(df((1L to 6L).map(i => (i, s"v$i"))))
+    t.deleteMoR(spark, col("id") <= 3L)
+    val t2 = LakeTable.load(wh, "d", "t")
+    // overlaps the first delete on ids 2,3 — only id 4 is newly dead
+    val snap2 = t2.deleteMoR(spark, col("id").between(2L, 4L))
+    assert(snap2.isDefined)
+    assert(snap2.get.deleteCounts.values.sum == 1L)
+    val t3 = LakeTable.load(wh, "d", "t")
+    assert(ids(t3.read(spark)) == Set(5L, 6L))
+    assert(lakeReader(wh).count() == 2L)
+    // fully-covered predicate → no new snapshot
+    assert(t3.deleteMoR(spark, col("id") === 3L).isEmpty)
+  }
+
+  test("copy-on-write update after MoR delete does not resurrect rows") {
+    val (wh, t) = mkTable("cow")
+    // one data file so the update's rewrite covers the deleted position
+    t.append(df(Seq((1L, "a"), (2L, "b"), (3L, "c"))).repartition(1))
+    t.deleteMoR(spark, col("id") === 2L)
+    val t2 = LakeTable.load(wh, "d", "t")
+    t2.update(spark, Map("v" -> lit("upd")), col("id") === 3L)
+    val t3 = LakeTable.load(wh, "d", "t")
+    val got = t3.read(spark).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "a"), (3L, "upd")))
+    // the rewrite dropped the file's delete entries from the live state
+    assert(LakeTable.liveDeletes(t3.metadata.snapshots).isEmpty)
+  }
+
+  test("compaction folds deletes into data files and clears them") {
+    val (wh, t) = mkTable("compact")
+    t.append(df((1L to 8L).map(i => (i, s"v$i"))))
+    t.deleteMoR(spark, col("id") > 6L)
+    val t2 = LakeTable.load(wh, "d", "t")
+    t2.compact(spark)
+    val t3 = LakeTable.load(wh, "d", "t")
+    assert(LakeTable.liveDeletes(t3.metadata.snapshots).isEmpty)
+    assert(ids(t3.read(spark)) == (1L to 6L).toSet)
+    assert(lakeReader(wh).count() == 6L)
+  }
+
+  test("time travel reads the state before the delete") {
+    val (wh, t) = mkTable("tt")
+    t.append(df(Seq((1L, "a"), (2L, "b")))) // snapshot 1
+    t.deleteMoR(spark, col("id") === 1L)    // snapshot 2
+    val t2 = LakeTable.load(wh, "d", "t")
+    assert(ids(t2.read(spark, asOfSnapshot = Some(1L))) == Set(1L, 2L))
+    assert(ids(t2.read(spark)) == Set(2L))
+    spark.conf.set("spark.sql.catalog.gmor", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.gmor.warehouse", wh)
+    assert(spark.sql("SELECT id FROM gmor.d.t VERSION AS OF 1").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L))
+  }
+
+  test("expire keeps live deletes; orphan cleanup keeps delete files") {
+    val (wh, t) = mkTable("expire")
+    t.append(df(Seq((1L, "a"), (2L, "b")))) // snap 1
+    t.deleteMoR(spark, col("id") === 1L)    // snap 2
+    t.append(df(Seq((3L, "c"))))            // snap 3
+    val expired = t.expireSnapshots(keepAfter = 2L)
+    assert(expired == 2)
+    val t2 = LakeTable.load(wh, "d", "t")
+    assert(ids(t2.read(spark)) == Set(2L, 3L))
+    val removed = t2.removeOrphanFiles(olderThanMillis = 0L)
+    val t3 = LakeTable.load(wh, "d", "t")
+    assert(ids(t3.read(spark)) == Set(2L, 3L), s"orphans removed: $removed")
+    assert(lakeReader(wh).count() == 2L)
+  }
+
+  test("SQL DELETE routes to merge-on-read via table property") {
+    val wh = Files.createTempDirectory("graft-mor-sql").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"t","columns":[
+        |{"column_name":"id","data_type":"long"},
+        |{"column_name":"v","data_type":"string"}],"partitions":[],
+        |"properties":{"write.delete.mode":"merge-on-read"}}""".stripMargin)
+    val t = LakeTable.load(wh, "d", "t")
+    t.append(df(Seq((1L, "a"), (2L, "b"), (3L, "c"))))
+    spark.conf.set("spark.sql.catalog.gmor2", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.gmor2.warehouse", wh)
+    spark.sql("DELETE FROM gmor2.d.t WHERE id = 2")
+    val t2 = LakeTable.load(wh, "d", "t")
+    assert(t2.metadata.snapshots.last.operation == "delete")
+    assert(t2.metadata.snapshots.last.deletePaths.nonEmpty)
+    assert(spark.sql("SELECT id FROM gmor2.d.t").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 3L))
+  }
+}
