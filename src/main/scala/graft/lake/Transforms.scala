@@ -33,4 +33,33 @@ object Transforms {
     */
   def defaultName(column: String, transform: String): String =
     s"${column}_$transform"
+
+  // ---- executor-side rendering ----------------------------------------
+  // The same strings `expr` produces through date_format, computed from
+  // raw internal values — shared by the distributed writers and the V2
+  // partition-transform functions so the two paths can never drift.
+  // Wall-clock types only (NTZ micros / epoch days): tz-aware rendering
+  // would depend on the session timezone.
+
+  def renderLocal(transform: String, ldt: java.time.LocalDateTime): String =
+    transform match {
+      case "year" => f"${ldt.getYear}%04d"
+      case "month" => f"${ldt.getYear}%04d-${ldt.getMonthValue}%02d"
+      case "day" => f"${ldt.getYear}%04d-${ldt.getMonthValue}%02d-" +
+        f"${ldt.getDayOfMonth}%02d"
+      case "hour" => f"${ldt.getYear}%04d-${ldt.getMonthValue}%02d-" +
+        f"${ldt.getDayOfMonth}%02d-${ldt.getHour}%02d"
+      case other =>
+        throw new IllegalArgumentException(s"unknown time transform '$other'")
+    }
+
+  def renderNtzMicros(transform: String, micros: Long): String =
+    renderLocal(transform, java.time.LocalDateTime.ofEpochSecond(
+      Math.floorDiv(micros, 1000000L),
+      (Math.floorMod(micros, 1000000L) * 1000L).toInt,
+      java.time.ZoneOffset.UTC))
+
+  def renderEpochDay(transform: String, days: Int): String =
+    renderLocal(transform,
+      java.time.LocalDate.ofEpochDay(days.toLong).atStartOfDay)
 }

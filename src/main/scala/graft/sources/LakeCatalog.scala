@@ -24,7 +24,8 @@ import graft.lake.LakeTable
   * DROP TABLE removes the table directory. RENAME and nested ALTERs
   * stay on the table-def path.
   */
-class LakeCatalog extends TableCatalog {
+class LakeCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -171,4 +172,22 @@ class LakeCatalog extends TableCatalog {
   override def renameTable(oldIdent: Identifier,
       newIdent: Identifier): Unit = throw new UnsupportedOperationException(
     "graft catalog: RENAME not supported (metadata records identity)")
+
+  // ---- FunctionCatalog: partition-transform functions -----------------
+  // Spark resolves a scan's reported years(ts)/months(ts)/… clustering
+  // through the table's catalog — serving these enables storage-
+  // partitioned joins on time-partitioned lake tables.
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty)
+      LakeFunctions.byName.keys.map(n =>
+        Identifier.of(Array.empty[String], n)).toArray
+    else Array.empty
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.namespace.isEmpty && LakeFunctions.byName.contains(ident.name))
+      LakeFunctions.unbound(ident.name)
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
 }

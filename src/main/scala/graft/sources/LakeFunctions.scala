@@ -1,0 +1,62 @@
+package graft.sources
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.lake.Transforms
+
+/** V2 partition-transform functions (`years`/`months`/`days`/`hours`)
+  * served by the LakeCatalog's FunctionCatalog half. Spark resolves a
+  * scan's reported `years(ts)` clustering through these, which is what
+  * lets storage-partitioned joins engage on time-partitioned tables:
+  * both sides bind the same canonical function, so `a.ts = b.ts` joins
+  * line partition groups up without a shuffle.
+  *
+  * Result = the exact Hive dir-value string the writers produce
+  * (Transforms.render*), so HasPartitionKey values and function output
+  * agree. Wall-clock inputs only (timestamp_ntz / date) — tz-aware
+  * rendering would depend on the session timezone.
+  */
+object LakeFunctions {
+  val byName: Map[String, String] = Map(
+    "years" -> "year", "months" -> "month",
+    "days" -> "day", "hours" -> "hour")
+
+  def unbound(v2name: String): UnboundFunction =
+    new TimeTransformUnbound(v2name, byName(v2name))
+}
+
+private[sources] class TimeTransformUnbound(v2name: String,
+    transform: String) extends UnboundFunction {
+  override def name(): String = v2name
+  override def description(): String =
+    s"$v2name(col): graft hidden-partition $transform transform"
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 1,
+      s"$v2name takes exactly one argument")
+    inputType.fields(0).dataType match {
+      case dt @ (TimestampNTZType | DateType) =>
+        TimeTransformFn(v2name, transform, dt)
+      case dt => throw new UnsupportedOperationException(
+        s"$v2name: unsupported input ${dt.simpleString} " +
+          "(timestamp_ntz or date)")
+    }
+  }
+}
+
+private[sources] case class TimeTransformFn(v2name: String,
+    transform: String, input: DataType) extends ScalarFunction[UTF8String] {
+  override def inputTypes(): Array[DataType] = Array(input)
+  override def resultType(): DataType = StringType
+  override def name(): String = v2name
+  override def canonicalName(): String = s"graft.lake.$v2name"
+  override def isResultNullable: Boolean = true
+  override def produceResult(row: InternalRow): UTF8String =
+    if (row.isNullAt(0)) null
+    else UTF8String.fromString(input match {
+      case DateType => Transforms.renderEpochDay(transform, row.getInt(0))
+      case _ => Transforms.renderNtzMicros(transform, row.getLong(0))
+    })
+}

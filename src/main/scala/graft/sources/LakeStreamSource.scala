@@ -168,7 +168,45 @@ private[sources] class LakeSparkTable(wh: String, db: String, tbl: String,
     requireWritable()
     new org.apache.spark.sql.connector.write.WriteBuilder {
       override def build(): org.apache.spark.sql.connector.write.Write =
-        new org.apache.spark.sql.connector.write.V1Write {
+        new org.apache.spark.sql.connector.write.V1Write
+            with org.apache.spark.sql.connector.write
+              .RequiresDistributionAndOrdering {
+
+          /** Cluster incoming rows by the identity partition columns so
+            * each partition value lands in ONE write task — one file
+            * per partition per epoch instead of one per (task,
+            * partition). Identity specs only: time transforms would
+            * need the function catalog, which format()-routed streams
+            * don't carry; they keep the per-task fan-out writer.
+            */
+          override def requiredDistribution()
+              : org.apache.spark.sql.connector.distributions.Distribution = {
+            import org.apache.spark.sql.connector.expressions.Expressions
+            val t = LakeTable.load(wh, db, tbl)
+            val md = t.metadata
+            val flat = graft.schema.FieldIds.flatten(md.currentSchema)
+            val idCols = md.currentSpec.fields
+              .filter(_.transform == "identity")
+              .flatMap(f => flat.collectFirst {
+                case (p, fd)
+                  if graft.schema.FieldIds.idOf(fd) == f.sourceFieldId => p
+              })
+            if (idCols.nonEmpty &&
+                idCols.size == md.currentSpec.fields.size &&
+                idCols.forall(c => !c.contains(".")))
+              org.apache.spark.sql.connector.distributions.Distributions
+                .clustered(idCols.map(c =>
+                  Expressions.identity(c): org.apache.spark.sql.connector
+                    .expressions.Expression).toArray)
+            else org.apache.spark.sql.connector.distributions.Distributions
+              .unspecified()
+          }
+          override def requiredOrdering()
+              : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+            Array.empty
+          override def requiredNumPartitions(): Int = 0
+          override def distributionStrictlyRequired(): Boolean = false
+
           override def toInsertableRelation
               : org.apache.spark.sql.sources.InsertableRelation =
             (data: org.apache.spark.sql.DataFrame, overwrite: Boolean) => {
@@ -292,13 +330,16 @@ private[sources] class LakeScan(wh: String, db: String, tbl: String,
       .map(_.paths).getOrElse(Seq.empty)
 
   /** Storage-partitioned join support: when every live file sits under
-    * the current partition spec, all transforms are identity, and the
-    * source columns survive column pruning, the scan reports
-    * KeyGroupedPartitioning over those columns and every input
-    * partition carries its partition key. Two lake tables partitioned
-    * the same way then join with ZERO shuffle (Spark groups the file
-    * tasks by key on both sides) — at 100 TB this is the difference
-    * between a metadata-driven merge and re-shuffling both tables.
+    * the current partition spec, every transform is identity (exactly
+    * parseable source types) or a time transform over a wall-clock
+    * source, and the source columns survive column pruning, the scan
+    * reports KeyGroupedPartitioning over those transforms and every
+    * input partition carries its partition key. Two lake tables
+    * partitioned the same way then join with ZERO shuffle (Spark
+    * groups the file tasks by key on both sides; time transforms
+    * resolve through the catalog's years/months/days/hours functions) —
+    * at 100 TB this is the difference between a metadata-driven merge
+    * and re-shuffling both tables.
     * Requires spark.sql.sources.v2.bucketing.enabled=true.
     */
   private lazy val keyedSpec
@@ -307,15 +348,20 @@ private[sources] class LakeScan(wh: String, db: String, tbl: String,
     val spec = t.metadata.currentSpec
     def srcField(id: Int): Option[StructField] =
       target.fields.find(f => FieldIds.idOf(f) == id)
+    def usable(f: graft.lake.SpecField, sf: StructField): Boolean =
+      f.transform match {
+        case "identity" => LakeSource.partitionKeyParseable(sf.dataType)
+        case "year" | "month" | "day" | "hour" =>
+          sf.dataType == TimestampNTZType || sf.dataType == DateType
+        case _ => false
+      }
     val cols = spec.fields.map(f => srcField(f.sourceFieldId).map(f -> _))
     if (countStarTotal.isEmpty && files.nonEmpty &&
         spec.fields.nonEmpty &&
         files.forall(_.specId == spec.id) &&
-        spec.fields.forall(_.transform == "identity") &&
         cols.forall(_.isDefined) &&
         cols.flatten.forall { case (f, sf) =>
-          LakeSource.partitionKeyParseable(sf.dataType) &&
-            files.forall(_.partitionValues.contains(f.name))
+          usable(f, sf) && files.forall(_.partitionValues.contains(f.name))
         })
       Some(cols.flatten)
     else None
@@ -324,20 +370,32 @@ private[sources] class LakeScan(wh: String, db: String, tbl: String,
   private def partitionKeyOf(f: graft.lake.DataFileMeta,
       spec: Seq[(graft.lake.SpecField, StructField)]): Array[Any] =
     spec.map { case (sf, col) =>
-      LakeSource.parsePartitionValue(col.dataType, f.partitionValues(sf.name))
+      val v = f.partitionValues(sf.name)
+      sf.transform match {
+        case "identity" => LakeSource.parsePartitionValue(col.dataType, v)
+        case _ => // time transforms: the key IS the rendered string
+          if (v == "__HIVE_DEFAULT_PARTITION__") null
+          else UTF8String.fromString(v)
+      }
     }.toArray
 
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
     keyedSpec match {
       case Some(spec) =>
+        import org.apache.spark.sql.connector.expressions.Expressions
         val keys = planned._2
           .map(f => partitionKeyOf(f, spec).toSeq).distinct.size
         new org.apache.spark.sql.connector.read.partitioning
           .KeyGroupedPartitioning(
-            spec.map { case (_, col) =>
-              org.apache.spark.sql.connector.expressions.Expressions
-                .identity(col.name)
+            spec.map { case (f, col) =>
+              f.transform match {
+                case "identity" => Expressions.identity(col.name)
+                case "year" => Expressions.years(col.name)
+                case "month" => Expressions.months(col.name)
+                case "day" => Expressions.days(col.name)
+                case "hour" => Expressions.hours(col.name)
+              }
             }.toArray, keys)
       case None =>
         new org.apache.spark.sql.connector.read.partitioning

@@ -156,13 +156,8 @@ private[sources] object LakeStreamingWrite {
         case DateType => LocalDate.ofEpochDay(row.getInt(p.ordinal).toLong).toString
         case other => throw new UnsupportedOperationException(other.simpleString)
       }
-      case "year" => f"${ldt.getYear}%04d"
-      case "month" => f"${ldt.getYear}%04d-${ldt.getMonthValue}%02d"
-      case "day" =>
-        f"${ldt.getYear}%04d-${ldt.getMonthValue}%02d-${ldt.getDayOfMonth}%02d"
-      case "hour" =>
-        f"${ldt.getYear}%04d-${ldt.getMonthValue}%02d-" +
-          f"${ldt.getDayOfMonth}%02d-${ldt.getHour}%02d"
+      case t @ ("year" | "month" | "day" | "hour") =>
+        graft.lake.Transforms.renderLocal(t, ldt)
       case other => throw new UnsupportedOperationException(other)
     }
   }

@@ -103,6 +103,69 @@ class StoragePartitionJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("month-partitioned tables join through the catalog with zero shuffle") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft-spj-time").toString
+    def mk(tbl: String): LakeTable = {
+      Engine.processTableDefJson(wh,
+        s"""{"database_name":"d","table_name":"$tbl","columns":[
+          |{"column_name":"ts","data_type":"timestamp"},
+          |{"column_name":"v","data_type":"string"}],
+          |"partitions":[{"column":"ts","transform":"month"}]}""".stripMargin)
+      LakeTable.load(wh, "d", tbl)
+    }
+    def t(s: String) = java.time.LocalDateTime.parse(s)
+    val ta = mk("ea")
+    val tb = mk("eb")
+    ta.append(Seq(
+      (t("2024-01-05T10:00:00"), "a1"), (t("2024-02-10T11:00:00"), "a2"),
+      (t("2024-02-20T12:00:00"), "a3")).toDF("ts", "v"))
+    tb.append(Seq(
+      (t("2024-01-05T10:00:00"), "b1"), (t("2024-02-10T11:00:00"), "b2"),
+      (t("2024-03-01T09:00:00"), "b3")).toDF("ts", "v"))
+    spark.conf.set("spark.sql.catalog.gspj", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.gspj.warehouse", wh)
+    withSpjConfs {
+      // join on the SOURCE column: months(ts) clustering is implied
+      // compatible, resolved via the catalog's months() function
+      val joined = spark.sql(
+        """SELECT a.ts, a.v av, b.v bv
+          |FROM gspj.d.ea a JOIN gspj.d.eb b ON a.ts = b.ts""".stripMargin)
+      assert(shuffles(joined.queryExecution.executedPlan).isEmpty,
+        s"expected no shuffle:\n${joined.queryExecution.executedPlan}")
+      val got = joined.collect().map(r =>
+        (r.getString(1), r.getString(2))).toSet
+      assert(got == Set(("a1", "b1"), ("a2", "b2")))
+    }
+  }
+
+  test("streaming sink clusters rows: one file per identity partition") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft-spj-sink").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"w","columns":[
+        |{"column_name":"k","data_type":"long"},
+        |{"column_name":"v","data_type":"string"}],
+        |"partitions":[{"column":"k"}]}""".stripMargin)
+    implicit val sqlCtx = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    // 40 rows over 2 keys, many input partitions — without the write
+    // distribution every task would open a file per key it sees
+    in.addData((1L to 40L).map(i => (i % 2, s"v$i")))
+    val ckpt = Files.createTempDirectory("graft-spj-sink-ckpt").toString
+    val q = in.toDF().toDF("k", "v").repartition(8)
+      .writeStream.format("graft-lake")
+      .option("warehouse", wh).option("database", "d").option("table", "w")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val t = LakeTable.load(wh, "d", "w")
+    val files = t.plannedFiles()
+    assert(files.map(_.partitionValues("k_identity")).toSet == Set("0", "1"))
+    assert(files.size == 2, s"expected one file per partition, got $files")
+  }
+
   test("string partition keys group correctly (escaped values round-trip)") {
     import spark.implicits._
     val wh = Files.createTempDirectory("graft-spj4").toString
