@@ -211,6 +211,26 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     if (currentHintVersion() != loadedVersion)
       throw new java.util.ConcurrentModificationException(
         s"table $location was committed concurrently; reload and retry")
+    val snapshotId = md.snapshots.map(_.id).foldLeft(0L)(math.max) + 1
+    // unique dir per write attempt: a racing writer that loses the
+    // commit leaves orphan files behind instead of clobbering the
+    // winner's snapshot (Iceberg's orphan-file model)
+    val outDir = dataDir.resolve(
+      s"snap-$snapshotId-${java.util.UUID.randomUUID().toString.take(8)}")
+    val files = writeDataFiles(aligned, outDir)
+    val snap = SnapshotMeta(snapshotId, files, md.currentSchemaId, operation,
+      streamBatchId, streamId, removedPaths)
+    commit(md.copy(snapshots = md.snapshots :+ snap))
+    snap
+  }
+
+  /** Write one aligned DataFrame as parquet data files under `outDir` —
+    * hidden-partition columns, write clustering, writer options, and
+    * per-file metadata (rows / partition values / stats / bytes) — the
+    * shared back half of every snapshot-producing write.
+    */
+  private def writeDataFiles(aligned: DataFrame,
+      outDir: Path): Seq[DataFileMeta] = {
     val schema = md.currentSchema
     val spec = md.currentSpec
     val pCols = spec.fields.map { f =>
@@ -220,12 +240,6 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
           s"spec source field ${f.sourceFieldId} not in schema"))
       (s"_p_${f.name}", Transforms.expr(f.transform, col(srcName)))
     }
-    val snapshotId = md.snapshots.map(_.id).foldLeft(0L)(math.max) + 1
-    // unique dir per write attempt: a racing writer that loses the
-    // commit leaves orphan files behind instead of clobbering the
-    // winner's snapshot (Iceberg's orphan-file model)
-    val outDir = dataDir.resolve(
-      s"snap-$snapshotId-${java.util.UUID.randomUUID().toString.take(8)}")
     val withP = pCols.foldLeft(aligned) { case (d, (n, e)) => d.withColumn(n, e) }
     // write clustering ("write.sort-order" table property): either a
     // comma-separated column list (lexicographic sort) or
@@ -292,7 +306,7 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     (if (pCols.nonEmpty) writer.partitionBy(pCols.map(_._1): _*) else writer)
       .parquet(outDir.toString)
 
-    val files = listParquet(outDir).map { p =>
+    listParquet(outDir).map { p =>
       // parse only the segments below outDir (an ancestor dir containing
       // '=' must not be misread as a partition value) and undo Spark's
       // Hive-style %XX escaping — NOT URLDecoder, which would corrupt
@@ -309,10 +323,6 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
         stats = FileStats.fromFooter(p.toString, schema),
         bytes = try Files.size(p) catch { case _: Exception => -1L })
     }
-    val snap = SnapshotMeta(snapshotId, files, md.currentSchemaId, operation,
-      streamBatchId, streamId, removedPaths)
-    commit(md.copy(snapshots = md.snapshots :+ snap))
-    snap
   }
 
   /** Register externally written parquet files (the DSv2 sink's and
@@ -587,11 +597,100 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     val candidates = LakeTable.matchingFiles(
       LakeTable.liveFiles(md.snapshots), md.currentSchema, prune, statsFilters)
     if (candidates.isEmpty) return None
-    val existing = LakeTable.liveDeletes(md.snapshots)
+    val matched = liveRowsWithPos(spark, candidates)
+      .filter(coalesce(predicate, lit(false)))
+    commitMoR(spark, matched, appended = None)
+  }
 
-    // matched (file, position) pairs under the current-schema view,
-    // minus positions already dead in earlier delete commits
-    val matched = candidates.groupBy(_.schemaId).map { case (schemaId, group) =>
+  /** UPDATE with merge-on-read semantics: matching rows become position
+    * deletes and their updated copies are appended — one snapshot, no
+    * data-file rewrite. Same assignment semantics as `update` (every
+    * RHS sees the pre-update row).
+    */
+  def updateMoR(spark: SparkSession, assignments: Map[String, Column],
+      predicate: Column,
+      prune: Map[String, Set[String]] = Map.empty,
+      statsFilters: Seq[RangeFilter] = Seq.empty): Option[SnapshotMeta] = {
+    val bad = assignments.keySet.filterNot(md.currentSchema.fieldNames.contains)
+    require(bad.isEmpty, s"unknown columns in SET: $bad")
+    if (currentHintVersion() != loadedVersion)
+      throw new java.util.ConcurrentModificationException(
+        s"table $location was committed concurrently; reload and retry")
+    val candidates = LakeTable.matchingFiles(
+      LakeTable.liveFiles(md.snapshots), md.currentSchema, prune, statsFilters)
+    if (candidates.isEmpty) return None
+    // one materialization feeds both the delete positions and the
+    // updated copies (localCheckpoint: reclaimed when the df drops)
+    val matched = liveRowsWithPos(spark, candidates)
+      .filter(coalesce(predicate, lit(false))).localCheckpoint()
+    val updated = matched.select(md.currentSchema.fieldNames.toSeq.map { n =>
+      assignments.get(n) match {
+        case Some(value) => value.as(n)
+        case None => col(s"`$n`")
+      }
+    }: _*)
+    commitMoR(spark, matched, appended = Some(Align(updated, md.currentSchema)))
+  }
+
+  /** MERGE with merge-on-read semantics: matched target rows become
+    * position deletes plus (for onMatch="update") appended copies with
+    * the source values; unmatched source rows append. Only the delete
+    * files and the delta rows are written — no target file rewrite.
+    */
+  def mergeMoR(spark: SparkSession, source: DataFrame, keys: Seq[String],
+      onMatch: String = "update",
+      insertUnmatched: Boolean = true): Option[SnapshotMeta] = {
+    require(Seq("update", "delete", "keep").contains(onMatch),
+      s"onMatch must be update|delete|keep, got '$onMatch'")
+    require(keys.nonEmpty && keys.forall(source.columns.contains),
+      s"source must contain every key column: $keys")
+    val schema = md.currentSchema
+    require(keys.forall(schema.fieldNames.contains),
+      s"table must contain every key column: $keys")
+    if (currentHintVersion() != loadedVersion)
+      throw new java.util.ConcurrentModificationException(
+        s"table $location was committed concurrently; reload and retry")
+
+    val setCols = source.columns.filter(c =>
+      schema.fieldNames.contains(c) && !keys.contains(c)).toSeq
+    val srcKeyed = source.select(
+      (keys.map(k => col(s"`$k`")) ++
+        setCols.map(c => col(s"`$c`").as(s"_src_$c"))): _*)
+    val dupKey = srcKeyed.groupBy(keys.map(k => col(s"`$k`")): _*)
+      .count().filter(col("count") > 1).limit(1).collect()
+    require(dupKey.isEmpty,
+      s"merge source has multiple rows for key ${dupKey.headOption}")
+
+    val candidates = LakeTable.liveFiles(md.snapshots)
+    val matched =
+      if (candidates.isEmpty || onMatch == "keep") None
+      else Some(liveRowsWithPos(spark, candidates)
+        .join(srcKeyed, keys, "inner").localCheckpoint())
+    val updatedCopies = matched.filter(_ => onMatch == "update").map(m =>
+      Align(m.select(schema.fieldNames.toSeq.map { n =>
+        if (setCols.contains(n)) col(s"`_src_$n`").as(n) else col(s"`$n`")
+      }: _*), schema))
+    val inserts = if (!insertUnmatched) None else {
+      val targetKeys = read(spark).select(keys.map(k => col(s"`$k`")): _*)
+      Some(Align(source.join(targetKeys, keys, "left_anti"), schema))
+    }
+    val appended = (updatedCopies.toSeq ++ inserts.toSeq)
+      .reduceOption(_.unionByName(_))
+    matched match {
+      case Some(m) => commitMoR(spark, m, appended)
+      case None => appended.map(df =>
+        writeSnapshot(df, operation = "append"))
+    }
+  }
+
+  /** Live rows of `candidates` under the current schema, tagged with
+    * (file URI, row position), existing merge-on-read deletes already
+    * excluded — the shared front half of every MoR row-level op.
+    */
+  private def liveRowsWithPos(spark: SparkSession,
+      candidates: Seq[DataFileMeta]): DataFrame = {
+    val existing = LakeTable.liveDeletes(md.snapshots)
+    val tagged = candidates.groupBy(_.schemaId).map { case (schemaId, group) =>
       val fileSchema = md.schemaById(schemaId)
       spark.read
         .schema(Reconcile.clean(fileSchema).asInstanceOf[StructType])
@@ -601,34 +700,49 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
         .select(Reconcile.projection(fileSchema, md.currentSchema) ++
           Seq(col("_graft_dfile"), col("_graft_dpos")): _*)
     }.reduce(_.unionByName(_))
-      .filter(coalesce(predicate, lit(false)))
-      .select(col("_graft_dfile").as("file_path"),
-        col("_graft_dpos").as("pos"))
     val oldDeletePaths = candidates
       .flatMap(f => existing.get(LakeTable.normalizePath(f.path)))
       .flatMap(_.paths).distinct
-    val fresh = if (oldDeletePaths.isEmpty) matched
-      else matched.join(spark.read.parquet(oldDeletePaths: _*),
-        Seq("file_path", "pos"), "left_anti")
+    if (oldDeletePaths.isEmpty) tagged
+    else tagged.join(spark.read.parquet(oldDeletePaths: _*)
+        .select(col("file_path").as("_graft_dfile"),
+          col("pos").as("_graft_dpos")),
+      Seq("_graft_dfile", "_graft_dpos"), "left_anti")
+  }
 
+  /** Commit one merge-on-read snapshot: `matched` rows (tagged with
+    * file/pos) become position-delete files; `appended`, when present,
+    * is written as new data files in the SAME snapshot (operation
+    * "delete" — replay adds the files and accumulates the deletes).
+    * Returns None and leaves nothing behind when no row matched.
+    */
+  private def commitMoR(spark: SparkSession, matched: DataFrame,
+      appended: Option[DataFrame]): Option[SnapshotMeta] = {
     val snapshotId = md.snapshots.map(_.id).foldLeft(0L)(math.max) + 1
-    val outDir = dataDir.resolve(
+    val delDir = dataDir.resolve(
       s"deletes-$snapshotId-${java.util.UUID.randomUUID().toString.take(8)}")
-    fresh.write.mode("overwrite").parquet(outDir.toString)
-    val written = listParquet(outDir)
-    val counts = spark.read.parquet(outDir.toString)
+    matched
+      .select(col("_graft_dfile").as("file_path"), col("_graft_dpos").as("pos"))
+      .write.mode("overwrite").parquet(delDir.toString)
+    val written = listParquet(delDir)
+    val counts = spark.read.parquet(delDir.toString)
       .groupBy("file_path").count().collect()
       .map(r => LakeTable.normalizePath(r.getString(0)) -> r.getLong(1))
       .toMap
-    if (counts.isEmpty) {
-      // nothing matched: drop the empty write attempt, commit nothing
-      scala.util.Using.resource(Files.walk(outDir)) { st =>
+    def cleanup(dir: Path): Unit =
+      scala.util.Using.resource(Files.walk(dir)) { st =>
         st.sorted(java.util.Comparator.reverseOrder()).forEach(p =>
           Files.delete(p))
       }
-      return None
+    if (counts.isEmpty) { cleanup(delDir); return None }
+    val newFiles = appended match {
+      case None => Seq.empty
+      case Some(df) =>
+        val outDir = dataDir.resolve(s"snap-$snapshotId-" +
+          java.util.UUID.randomUUID().toString.take(8))
+        writeDataFiles(df.drop("_graft_dfile", "_graft_dpos"), outDir)
     }
-    val snap = SnapshotMeta(snapshotId, Seq.empty, md.currentSchemaId,
+    val snap = SnapshotMeta(snapshotId, newFiles, md.currentSchemaId,
       operation = "delete", deletePaths = written.map(_.toString),
       deleteCounts = counts)
     commit(md.copy(snapshots = md.snapshots :+ snap))

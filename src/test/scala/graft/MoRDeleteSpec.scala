@@ -140,6 +140,63 @@ class MoRDeleteSpec extends AnyFunSuite {
     assert(lakeReader(wh).count() == 2L)
   }
 
+  test("updateMoR rewrites no data file and keeps counts exact") {
+    val (wh, t) = mkTable("upd")
+    t.append(df(Seq((1L, "a"), (2L, "b"), (3L, "c"))))
+    val before = t.plannedFiles().map(_.path).toSet
+    val snap = t.updateMoR(spark, Map("v" -> concat(col("v"), lit("!"))),
+      col("id") >= 2L)
+    assert(snap.isDefined && snap.get.operation == "delete")
+    assert(snap.get.files.nonEmpty && snap.get.deletePaths.nonEmpty)
+    val t2 = LakeTable.load(wh, "d", "t")
+    // original data files all still live, plus the appended copies
+    assert(before.subsetOf(t2.plannedFiles().map(_.path).toSet))
+    val got = t2.read(spark).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "a"), (2L, "b!"), (3L, "c!")))
+    assert(lakeReader(wh).count() == 3L)
+    assert(ids(lakeReader(wh)) == Set(1L, 2L, 3L))
+  }
+
+  test("updateMoR assignment RHS sees the pre-update row (swap)") {
+    val wh = Files.createTempDirectory("graft-mor-swap").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"t","columns":[
+        |{"column_name":"a","data_type":"long"},
+        |{"column_name":"b","data_type":"long"}],"partitions":[]}""".stripMargin)
+    val t = LakeTable.load(wh, "d", "t")
+    import SparkTestSession.spark.implicits._
+    t.append(Seq((1L, 10L), (2L, 20L)).toDF("a", "b"))
+    t.updateMoR(spark, Map("a" -> col("b"), "b" -> col("a")), col("a") === 1L)
+    val got = LakeTable.load(wh, "d", "t").read(spark).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((10L, 1L), (2L, 20L)))
+  }
+
+  test("mergeMoR upserts via deltas: no target data file rewritten") {
+    val (wh, t) = mkTable("mrg")
+    t.append(df(Seq((1L, "a"), (2L, "b"), (3L, "c"))))
+    val before = t.plannedFiles().map(_.path).toSet
+    val src = df(Seq((2L, "B"), (4L, "D")))
+    val snap = t.mergeMoR(spark, src, Seq("id"))
+    assert(snap.isDefined && snap.get.operation == "delete")
+    val t2 = LakeTable.load(wh, "d", "t")
+    assert(before.subsetOf(t2.plannedFiles().map(_.path).toSet))
+    val got = t2.read(spark).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "a"), (2L, "B"), (3L, "c"), (4L, "D")))
+    assert(lakeReader(wh).count() == 4L)
+  }
+
+  test("mergeMoR delete mode removes matched keys only") {
+    val (wh, t) = mkTable("mrgdel")
+    t.append(df(Seq((1L, "a"), (2L, "b"), (3L, "c"))))
+    t.mergeMoR(spark, df(Seq((2L, "x"))), Seq("id"),
+      onMatch = "delete", insertUnmatched = false)
+    assert(ids(LakeTable.load(wh, "d", "t").read(spark)) == Set(1L, 3L))
+    assert(lakeReader(wh).count() == 2L)
+  }
+
   test("SQL DELETE routes to merge-on-read via table property") {
     val wh = Files.createTempDirectory("graft-mor-sql").toString
     Engine.processTableDefJson(wh,
