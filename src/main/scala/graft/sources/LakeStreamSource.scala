@@ -259,32 +259,78 @@ private[graft] class LakeScanBuilder(wh: String, db: String, tbl: String,
   private var target: StructType = full
   private var stats: Seq[graft.lake.RangeFilter] = Seq.empty
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
-  private var countStarTotal: Option[Long] = None
+  private var aggResult: Option[(StructType, Array[Any])] = None
 
-  /** COUNT(*) with no filters and no grouping is answered from
-    * snapshot metadata (per-file footer row counts recorded at commit)
-    * — zero data IO at any table size. The total is validated and
-    * captured on ONE metadata load (a later reload could interleave
-    * with a commit whose footer count failed). Anything else stays
-    * unpushed.
+  /** COUNT(*) / MIN(col) / MAX(col) with no filters and no grouping are
+    * answered from snapshot metadata — per-file footer row counts and
+    * min/max column stats recorded at commit — zero data IO at any
+    * table size. MIN/MAX require every live file to carry stats for the
+    * column, a numeric/temporal type (string footer stats can be
+    * truncated by writers), and no live merge-on-read deletes (a
+    * deleted row could BE the extremum). Everything else stays
+    * unpushed. The result is validated and captured on ONE metadata
+    * load; the scan emits it as a single partial row that Spark's final
+    * aggregate folds (count sums, min-of-min, max-of-max).
     */
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Boolean = {
-    val shapeOk = pushed.isEmpty && agg.groupByExpressions.isEmpty &&
-      agg.aggregateExpressions.length == 1 &&
-      agg.aggregateExpressions()(0).isInstanceOf[
-        org.apache.spark.sql.connector.expressions.aggregate.CountStar]
-    if (shapeOk) {
-      val visible = LakeSource.visibleSnapshots(
-        LakeTable.load(wh, db, tbl), asOfSnapshot)
-      val live = LakeTable.liveFiles(visible)
-      if (live.forall(_.rows >= 0)) // every file has an exact count
-        // merge-on-read deletes carry exact per-file deleted-row counts
-        countStarTotal = Some(live.map(_.rows).sum -
-          LakeTable.liveDeletes(visible).values.map(_.rows).sum)
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty ||
+        agg.aggregateExpressions.isEmpty) return false
+
+    val t = LakeTable.load(wh, db, tbl)
+    val visible = LakeSource.visibleSnapshots(t, asOfSnapshot)
+    val live = LakeTable.liveFiles(visible)
+    val deletes = LakeTable.liveDeletes(visible)
+    if (!live.forall(_.rows >= 0)) return false
+
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[StructField] = e match {
+      case r: NamedReference if r.fieldNames.length == 1 =>
+        target.fields.find(_.name == r.fieldNames()(0))
+      case _ => None
     }
-    countStarTotal.isDefined
+    def statsValue(sf: StructField, wantMin: Boolean): Option[Any] = {
+      if (deletes.nonEmpty) return None
+      if (live.isEmpty) return Some(null) // MIN/MAX over empty = NULL
+      val id = FieldIds.idOf(sf)
+      val perFile = live.map(_.stats.get(id))
+      if (!perFile.forall(_.exists(_.kind == "num"))) return None
+      val vals = perFile.flatten.map(cs =>
+        BigDecimal(if (wantMin) cs.min else cs.max))
+      val v = if (wantMin) vals.min else vals.max
+      sf.dataType match {
+        case IntegerType => Some(v.toIntExact)
+        case LongType => Some(v.toLongExact)
+        case FloatType => Some(v.toFloat)
+        case DoubleType => Some(v.toDouble)
+        case DateType => Some(v.toIntExact)
+        case TimestampType | TimestampNTZType => Some(v.toLongExact)
+        case d: DecimalType =>
+          Some(org.apache.spark.sql.types.Decimal(v, d.precision, d.scale))
+        case _ => None
+      }
+    }
+    val answered = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar =>
+        Some((StructField("count(*)", LongType, nullable = false),
+          live.map(_.rows).sum - deletes.values.map(_.rows).sum: Any))
+      case m: Min => colOf(m.column).flatMap(sf =>
+        statsValue(sf, wantMin = true).map(v =>
+          (StructField(s"min(${sf.name})", sf.dataType), v)))
+      case m: Max => colOf(m.column).flatMap(sf =>
+        statsValue(sf, wantMin = false).map(v =>
+          (StructField(s"max(${sf.name})", sf.dataType), v)))
+      case _ => None
+    }
+    if (answered.forall(_.isDefined)) {
+      val pairs = answered.flatten
+      aggResult = Some((StructType(pairs.map(_._1)),
+        pairs.map(_._2).toArray))
+      true
+    } else false
   }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
@@ -303,14 +349,14 @@ private[graft] class LakeScanBuilder(wh: String, db: String, tbl: String,
     pushed
 
   override def build(): Scan =
-    new LakeScan(wh, db, tbl, startSnapshot, target, stats, countStarTotal,
+    new LakeScan(wh, db, tbl, startSnapshot, target, stats, aggResult,
       asOfSnapshot, onPlanned)
 }
 
 private[sources] class LakeScan(wh: String, db: String, tbl: String,
     startSnapshot: Long, target: StructType,
     statsFilters: Seq[graft.lake.RangeFilter] = Seq.empty,
-    countStarTotal: Option[Long] = None,
+    aggResult: Option[(StructType, Array[Any])] = None,
     asOfSnapshot: Option[Long] = None,
     onPlanned: Seq[graft.lake.DataFileMeta] => Unit = _ => ()) extends Scan
     with SupportsReportStatistics
@@ -356,7 +402,7 @@ private[sources] class LakeScan(wh: String, db: String, tbl: String,
         case _ => false
       }
     val cols = spec.fields.map(f => srcField(f.sourceFieldId).map(f -> _))
-    if (countStarTotal.isEmpty && files.nonEmpty &&
+    if (aggResult.isEmpty && files.nonEmpty &&
         spec.fields.nonEmpty &&
         files.forall(_.specId == spec.id) &&
         cols.forall(_.isDefined) &&
@@ -408,9 +454,9 @@ private[sources] class LakeScan(wh: String, db: String, tbl: String,
     */
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics =
-    if (countStarTotal.isDefined)
-      // metadata-only COUNT(*) scan emits exactly one tiny row — do not
-      // report (or recompute) full-table stats for it
+    if (aggResult.isDefined)
+      // metadata-only aggregate scan emits exactly one tiny row — do
+      // not report (or recompute) full-table stats for it
       new org.apache.spark.sql.connector.read.Statistics {
         override def sizeInBytes(): java.util.OptionalLong =
           java.util.OptionalLong.of(16L)
@@ -433,16 +479,16 @@ private[sources] class LakeScan(wh: String, db: String, tbl: String,
     }
 
   override def readSchema(): StructType =
-    if (countStarTotal.isDefined)
-      StructType(Seq(org.apache.spark.sql.types.StructField(
-        "count(*)", org.apache.spark.sql.types.LongType, nullable = false)))
-    else Reconcile.clean(target).asInstanceOf[StructType]
+    aggResult match {
+      case Some((schema, _)) => schema
+      case None => Reconcile.clean(target).asInstanceOf[StructType]
+    }
 
-  override def toBatch: Batch = if (countStarTotal.isDefined) new Batch {
-    // metadata-only answer: one partition, one row, zero data IO —
-    // the total was validated and captured at pushdown time
+  override def toBatch: Batch = if (aggResult.isDefined) new Batch {
+    // metadata-only answer: one partition, one partial row, zero data
+    // IO — the values were validated and captured at pushdown time
     def planInputPartitions(): Array[InputPartition] =
-      Array(LakeCountPartition(countStarTotal.get))
+      Array(LakeAggPartition(aggResult.get._2))
     def createReaderFactory(): PartitionReaderFactory = new LakeReaderFactory
   } else new Batch {
     // live set resolved at partition-planning time so runtime filters
@@ -504,7 +550,7 @@ private[sources] case class LakeKeyedFilePartition(path: String,
   override def partitionKey(): InternalRow = new GenericInternalRow(key)
 }
 
-private[sources] case class LakeCountPartition(count: Long)
+private[sources] case class LakeAggPartition(values: Array[Any])
     extends InputPartition
 
 private[sources] class LakeMicroBatchStream(wh: String, db: String,
@@ -555,11 +601,10 @@ private[sources] class LakeMicroBatchStream(wh: String, db: String,
 private[sources] class LakeReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
-      case LakeCountPartition(n) => new PartitionReader[InternalRow] {
+      case LakeAggPartition(values) => new PartitionReader[InternalRow] {
         private var emitted = false
         override def next(): Boolean = !emitted && { emitted = true; true }
-        override def get(): InternalRow =
-          new GenericInternalRow(Array[Any](n))
+        override def get(): InternalRow = new GenericInternalRow(values)
         override def close(): Unit = ()
       }
       case p: LakeFilePartition => new GroupRowReader(p)
