@@ -240,7 +240,20 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
           s"spec source field ${f.sourceFieldId} not in schema"))
       (s"_p_${f.name}", Transforms.expr(f.transform, col(srcName)))
     }
-    val withP = pCols.foldLeft(aligned) { case (d, (n, e)) => d.withColumn(n, e) }
+    val withP0 = pCols.foldLeft(aligned) { case (d, (n, e)) => d.withColumn(n, e) }
+    // hash-distribute rows by the partition values before writing
+    // (Iceberg's write.distribution-mode=hash default): each partition
+    // value lands in ONE task, so a partitioned append produces one
+    // file per partition dir instead of one per (task × dir) — commit
+    // time footer reads, metadata size, and later scan planning all
+    // scale with partitions, not parallelism. Skipped when a
+    // write.sort-order takes its own range-partition path; opt out
+    // with write.distribution-mode=none (e.g. one giant hot partition).
+    val withP =
+      if (pCols.isEmpty || md.properties.contains("write.sort-order") ||
+          md.properties.get("write.distribution-mode").contains("none"))
+        withP0
+      else withP0.repartition(pCols.map(p => col(s"`${p._1}`")): _*)
     // write clustering ("write.sort-order" table property): either a
     // comma-separated column list (lexicographic sort) or
     // "zorder(a,b,…)" (Morton-curve interleave — narrow min/max ranges
