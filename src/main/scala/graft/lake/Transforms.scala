@@ -16,6 +16,21 @@ import org.apache.spark.sql.functions._
 object Transforms {
   val Supported = Seq("identity", "year", "month", "day", "hour")
 
+  /** Engine extension over the reference's transform set: `bucket[N]`
+    * hash-partitions a (typically high-cardinality) source column into
+    * N stable buckets — Spark's murmur3 `hash()` mod N — so equi-joins
+    * on the column can run storage-partitioned with no shuffle.
+    */
+  private val bucketRe = """(?i)bucket\[(\d+)\]""".r
+
+  def bucketCount(transform: String): Option[Int] = transform match {
+    case bucketRe(n) => Some(n.toInt)
+    case _ => None
+  }
+
+  def isSupported(transform: String): Boolean =
+    Supported.contains(transform) || bucketCount(transform).exists(_ > 0)
+
   /** The derived partition Column for a transform over a source column. */
   def expr(transform: String, source: Column): Column = transform match {
     case "identity" => source.cast("string")
@@ -23,6 +38,7 @@ object Transforms {
     case "month" => date_format(source, "yyyy-MM")
     case "day" => date_format(source, "yyyy-MM-dd")
     case "hour" => date_format(source, "yyyy-MM-dd-HH")
+    case bucketRe(n) => pmod(hash(source), lit(n.toInt)).cast("string")
     case other =>
       throw new IllegalArgumentException(s"unknown transform '$other'")
   }

@@ -104,10 +104,12 @@ object TableDef {
           errs += s"partitions[$i]: missing 'column'"; "?"
         }
         val transform = m.get("transform").map(_.asStr.toLowerCase).getOrElse("identity")
-        if (!Seq("identity", "hour", "day", "month", "year").contains(transform))
+        if (!Seq("identity", "hour", "day", "month", "year").contains(transform) &&
+            !transform.matches("""bucket\[\d+\]"""))
           errs += s"partitions[$i]: unknown transform '$transform'"
         val name = m.get("name").map(_.asStr)
-          .getOrElse(s"${colName}_$transform")
+          .getOrElse(s"${colName}_$transform"
+            .replaceAll("""bucket\[(\d+)\]""", "bucket_$1"))
         if (!columns.exists(_.name == colName))
           errs += s"partitions[$i]: source column '$colName' not in columns"
         PartitionDef(colName, transform, name)

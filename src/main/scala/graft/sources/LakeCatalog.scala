@@ -95,17 +95,25 @@ class LakeCatalog extends TableCatalog
         s"partition reference '${ref.mkString(".")}' must be a top-level " +
           "column (nested references would bind to the struct)")
       val colName = ref(0)
-      val transform = t.name match {
-        case "identity" => "identity"
-        case "years" => "year"
-        case "months" => "month"
-        case "days" => "day"
-        case "hours" => "hour"
+      val (transform, name) = t.name match {
+        case "identity" => ("identity", s"${colName}_identity")
+        case "years" => ("year", s"${colName}_year")
+        case "months" => ("month", s"${colName}_month")
+        case "days" => ("day", s"${colName}_day")
+        case "hours" => ("hour", s"${colName}_hour")
+        case "bucket" =>
+          // PARTITIONED BY (bucket(N, col)): the literal arg is N
+          val n = t.arguments.collectFirst {
+            case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+              l.value.toString.toInt
+          }.getOrElse(throw new IllegalArgumentException(
+            "bucket transform needs a literal bucket count"))
+          (s"bucket[$n]", s"${colName}_bucket_$n")
         case other => throw new UnsupportedOperationException(
           s"partition transform '$other' not supported (identity/" +
-            "years/months/days/hours)")
+            "years/months/days/hours/bucket)")
       }
-      graft.schema.PartitionDef(colName, transform, s"${colName}_$transform")
+      graft.schema.PartitionDef(colName, transform, name)
     }
     val props = properties.asScala.toMap -
       "owner" - "provider" // Spark-injected bookkeeping keys
@@ -180,13 +188,13 @@ class LakeCatalog extends TableCatalog
 
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty)
-      LakeFunctions.byName.keys.map(n =>
+      LakeFunctions.names.map(n =>
         Identifier.of(Array.empty[String], n)).toArray
     else Array.empty
 
   override def loadFunction(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
-    if (ident.namespace.isEmpty && LakeFunctions.byName.contains(ident.name))
+    if (ident.namespace.isEmpty && LakeFunctions.names.contains(ident.name))
       LakeFunctions.unbound(ident.name)
     else throw new org.apache.spark.sql.catalyst.analysis
       .NoSuchFunctionException(ident)

@@ -24,8 +24,43 @@ object LakeFunctions {
     "years" -> "year", "months" -> "month",
     "days" -> "day", "hours" -> "hour")
 
+  val names: Seq[String] = byName.keys.toSeq :+ "bucket"
+
   def unbound(v2name: String): UnboundFunction =
-    new TimeTransformUnbound(v2name, byName(v2name))
+    if (v2name == "bucket") new BucketUnbound
+    else new TimeTransformUnbound(v2name, byName(v2name))
+}
+
+/** bucket(N, col): Spark murmur3 `hash(col)` mod N — the same value the
+  * batch writer's `pmod(hash(col), N)` partition expression derives,
+  * so reported bucket clustering, stored dir values, and this function
+  * always agree. numBuckets arrives as the leading INT argument (the
+  * V2 BucketTransform convention).
+  */
+private[sources] class BucketUnbound extends UnboundFunction {
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(n, col): graft hidden-partition hash bucket"
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 2,
+      "bucket takes (numBuckets, col)")
+    BucketFn(inputType.fields(1).dataType)
+  }
+}
+
+private[sources] case class BucketFn(input: DataType)
+    extends ScalarFunction[Int] {
+  override def inputTypes(): Array[DataType] = Array(IntegerType, input)
+  override def resultType(): DataType = IntegerType
+  override def name(): String = "bucket"
+  override def canonicalName(): String = "graft.lake.bucket"
+  override def produceResult(row: InternalRow): Int = {
+    val n = row.getInt(0)
+    val h = org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+      .hash(row.get(1, input), input, 42L).toInt
+    val m = h % n
+    if (m < 0) m + n else m
+  }
 }
 
 private[sources] class TimeTransformUnbound(v2name: String,

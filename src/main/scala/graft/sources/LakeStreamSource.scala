@@ -144,6 +144,8 @@ private[sources] class LakeSparkTable(wh: String, db: String, tbl: String,
           case "month" => Expressions.months(src)
           case "day" => Expressions.days(src)
           case "hour" => Expressions.hours(src)
+          case t if graft.lake.Transforms.bucketCount(t).isDefined =>
+            Expressions.bucket(graft.lake.Transforms.bucketCount(t).get, src)
           case other => Expressions.apply(other, Expressions.column(src))
         }
       }
@@ -399,7 +401,7 @@ private[sources] class LakeScan(wh: String, db: String, tbl: String,
         case "identity" => LakeSource.partitionKeyParseable(sf.dataType)
         case "year" | "month" | "day" | "hour" =>
           sf.dataType == TimestampNTZType || sf.dataType == DateType
-        case _ => false
+        case t => graft.lake.Transforms.bucketCount(t).isDefined
       }
     val cols = spec.fields.map(f => srcField(f.sourceFieldId).map(f -> _))
     if (aggResult.isEmpty && files.nonEmpty &&
@@ -419,6 +421,7 @@ private[sources] class LakeScan(wh: String, db: String, tbl: String,
       val v = f.partitionValues(sf.name)
       sf.transform match {
         case "identity" => LakeSource.parsePartitionValue(col.dataType, v)
+        case t if graft.lake.Transforms.bucketCount(t).isDefined => v.toInt
         case _ => // time transforms: the key IS the rendered string
           if (v == "__HIVE_DEFAULT_PARTITION__") null
           else UTF8String.fromString(v)
@@ -441,6 +444,8 @@ private[sources] class LakeScan(wh: String, db: String, tbl: String,
                 case "month" => Expressions.months(col.name)
                 case "day" => Expressions.days(col.name)
                 case "hour" => Expressions.hours(col.name)
+                case t => Expressions.bucket(
+                  graft.lake.Transforms.bucketCount(t).get, col.name)
               }
             }.toArray, keys)
       case None =>

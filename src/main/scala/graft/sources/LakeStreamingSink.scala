@@ -122,6 +122,7 @@ private[sources] object LakeStreamingWrite {
                       DoubleType | FloatType | DateType) => ()
     case ("year" | "month" | "day" | "hour",
           TimestampNTZType | DateType) => ()
+    case (tf, _) if graft.lake.Transforms.bucketCount(tf).isDefined => ()
     case (tf, dt) => throw new UnsupportedOperationException(
       s"graft-lake writer: partition transform $tf(${dt.simpleString}) is " +
         "not supported for distributed writes; use LakeTable.append / " +
@@ -132,6 +133,15 @@ private[sources] object LakeStreamingWrite {
     * (Transforms.expr + Hive null dir), evaluated on an InternalRow.
     */
   def renderValue(p: PartField, row: InternalRow): String = {
+    // bucket first: the batch expression pmod(hash(col), n) maps NULL
+    // to pmod(seed, n), never to the default partition dir
+    graft.lake.Transforms.bucketCount(p.transform).foreach { n =>
+      val v = if (row.isNullAt(p.ordinal)) null else row.get(p.ordinal, p.dataType)
+      val h = org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+        .hash(v, p.dataType, 42L).toInt
+      val m = h % n
+      return (if (m < 0) m + n else m).toString
+    }
     if (row.isNullAt(p.ordinal)) return "__HIVE_DEFAULT_PARTITION__"
     def ldt: LocalDateTime = p.dataType match {
       case TimestampNTZType =>

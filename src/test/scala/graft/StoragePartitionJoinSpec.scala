@@ -166,6 +166,73 @@ class StoragePartitionJoinSpec extends AnyFunSuite {
     assert(files.size == 2, s"expected one file per partition, got $files")
   }
 
+  test("bucket-partitioned tables join through the catalog with zero shuffle") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft-spj-bucket").toString
+    spark.conf.set("spark.sql.catalog.gbkt", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.gbkt.warehouse", wh)
+    // DDL route: PARTITIONED BY (bucket(4, k)) maps to bucket[4]
+    spark.sql("""CREATE TABLE gbkt.d.fa (k BIGINT, v STRING)
+                |PARTITIONED BY (bucket(4, k))""".stripMargin)
+    spark.sql("""CREATE TABLE gbkt.d.fb (k BIGINT, w STRING)
+                |PARTITIONED BY (bucket(4, k))""".stripMargin)
+    LakeTable.load(wh, "d", "fa").append(
+      (1L to 40L).map(i => (i, s"a$i")).toDF("k", "v"))
+    LakeTable.load(wh, "d", "fb").append(
+      (30L to 60L).map(i => (i, s"b$i")).toDF("k", "w"))
+    withSpjConfs {
+      val joined = spark.sql(
+        """SELECT a.k, a.v, b.w FROM gbkt.d.fa a
+          |JOIN gbkt.d.fb b ON a.k = b.k""".stripMargin)
+      assert(shuffles(joined.queryExecution.executedPlan).isEmpty,
+        s"expected no shuffle:\n${joined.queryExecution.executedPlan}")
+      assert(joined.collect().map(_.getLong(0)).toSet == (30L to 40L).toSet)
+    }
+  }
+
+  test("streaming sink renders the same bucket values as the batch writer") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft-spj-bsink").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"bk","columns":[
+        |{"column_name":"k","data_type":"long"},
+        |{"column_name":"v","data_type":"string"}],
+        |"partitions":[{"column":"k","transform":"bucket[4]"}]}""".stripMargin)
+    val t = LakeTable.load(wh, "d", "bk")
+    t.append(Seq((1L, "batch")).toDF("k", "v"))
+    implicit val sqlCtx = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    in.addData(Seq((1L, "stream")))
+    val ckpt = Files.createTempDirectory("graft-spj-bsink-ckpt").toString
+    val q = in.toDF().toDF("k", "v")
+      .writeStream.format("graft-lake")
+      .option("warehouse", wh).option("database", "d").option("table", "bk")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val t2 = LakeTable.load(wh, "d", "bk")
+    val vals = t2.plannedFiles().map(_.partitionValues("k_bucket_4")).distinct
+    assert(vals.size == 1, s"batch and stream disagree on bucket: $vals")
+    // and the V2 function (via the catalog) agrees with both
+    spark.conf.set("spark.sql.catalog.gbsink", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.gbsink.warehouse", wh)
+    val cat = spark.sessionState.catalogManager.catalog("gbsink")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.FunctionCatalog]
+    val fn = cat.loadFunction(org.apache.spark.sql.connector.catalog
+        .Identifier.of(Array.empty[String], "bucket"))
+      .bind(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType))))
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.functions
+        .ScalarFunction[Int]]
+    val row = new org.apache.spark.sql.catalyst.expressions
+      .GenericInternalRow(Array[Any](4, 1L))
+    assert(fn.produceResult(row).toString == vals.head)
+  }
+
   test("string partition keys group correctly (escaped values round-trip)") {
     import spark.implicits._
     val wh = Files.createTempDirectory("graft-spj4").toString
