@@ -368,6 +368,32 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
       streamId, removedPaths)
   }
 
+  /** Register an executor-written merge-on-read delta — position-delete
+    * parquets plus replacement/insert data files — as one snapshot
+    * (operation "delete": replay adds the data files and accumulates
+    * the deletes). The SQL WriteDelta path commits through here.
+    */
+  def commitExternalDelta(dataFiles: Seq[(String, Map[String, String])],
+      deleteFiles: Seq[String], deleteCounts: Map[String, Long],
+      writtenSchemaId: Int, writtenSpecId: Int): Option[SnapshotMeta] = {
+    if (dataFiles.isEmpty && deleteFiles.isEmpty) return None
+    val schema = md.schemaById(writtenSchemaId)
+    val files = dataFiles.sortBy(_._1).map { case (p, partVals) =>
+      DataFileMeta(p, writtenSchemaId, writtenSpecId,
+        rows = parquetRowCount(Paths.get(p)), partitionValues = partVals,
+        stats = FileStats.fromFooter(p, schema),
+        bytes = try Files.size(Paths.get(p)) catch { case _: Exception => -1L })
+    }
+    val snapshotId = md.snapshots.map(_.id).foldLeft(0L)(math.max) + 1
+    val snap = SnapshotMeta(snapshotId, files, writtenSchemaId,
+      operation = "delete", deletePaths = deleteFiles.sorted,
+      deleteCounts = deleteCounts.map { case (p, n) =>
+        LakeTable.normalizePath(p) -> n
+      })
+    commit(md.copy(snapshots = md.snapshots :+ snap))
+    Some(snap)
+  }
+
   private def commitSnapshot(files: Seq[DataFileMeta], schemaId: Int,
       operation: String, streamBatchId: Option[Long],
       streamId: Option[String],
@@ -477,11 +503,14 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
         .flatMap(f => deletes.get(LakeTable.normalizePath(f.path)))
         .flatMap(_.paths).distinct
       val alive = if (delPaths.isEmpty) base else {
+        // delete files store plain normalized paths; _metadata.file_path
+        // is a url-encoded URI — normalize it for the join
         val del = spark.read.parquet(delPaths: _*)
           .withColumnRenamed("file_path", "_graft_dfile")
           .withColumnRenamed("pos", "_graft_dpos")
         base
-          .withColumn("_graft_dfile", col("_metadata.file_path"))
+          .withColumn("_graft_dfile",
+            LakeTable.normalizeUdf(col("_metadata.file_path")))
           .withColumn("_graft_dpos", col("_metadata.row_index"))
           .join(del, Seq("_graft_dfile", "_graft_dpos"), "left_anti")
       }
@@ -708,7 +737,8 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
       spark.read
         .schema(Reconcile.clean(fileSchema).asInstanceOf[StructType])
         .parquet(group.map(_.path): _*)
-        .withColumn("_graft_dfile", col("_metadata.file_path"))
+        .withColumn("_graft_dfile",
+          LakeTable.normalizeUdf(col("_metadata.file_path")))
         .withColumn("_graft_dpos", col("_metadata.row_index"))
         .select(Reconcile.projection(fileSchema, md.currentSchema) ++
           Seq(col("_graft_dfile"), col("_graft_dpos")): _*)
@@ -955,13 +985,20 @@ object LakeTable {
       } && FileStats.mightMatch(f.stats, schema, statsFilters)
     }
 
-  /** `input_file_name()` yields a URI (`file:///…`, %XX-escaped);
-    * metadata stores plain filesystem paths — normalize for matching.
+  /** `input_file_name()` / `_metadata.file_path` yield URIs
+    * (`file:/…`, %XX-escaped); metadata stores plain filesystem
+    * paths — normalize for matching.
     */
   def normalizePath(p: String): String =
     if (p.startsWith("file:"))
       java.nio.file.Paths.get(java.net.URI.create(p)).toString
     else p
+
+  /** normalizePath as a column function, for joining scan-produced
+    * file URIs against the plain paths stored in delete files.
+    */
+  val normalizeUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf(normalizePath _)
 
   def tableLocation(warehouse: String, db: String, table: String): Path =
     Paths.get(warehouse, db, table)

@@ -22,6 +22,11 @@ object FieldIds {
     f.metadata.getLong(MetaKey).toInt
   }
 
+  /** Whether the field carries an ID — false for synthetic columns
+    * (e.g. the connector's _graft_file/_graft_pos metadata columns).
+    */
+  def hasId(f: StructField): Boolean = f.metadata.contains(MetaKey)
+
   def withId(f: StructField, id: Int): StructField =
     f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
       .putLong(MetaKey, id.toLong).build())

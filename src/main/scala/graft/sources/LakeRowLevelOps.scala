@@ -97,3 +97,162 @@ private[sources] class LakeBatchWriterFactory(stageDir: String,
     new LakeParquetDataWriter(stageDir, schema, partPlan,
       s"rw-$partitionId-$taskId")
 }
+
+/** Delta-based (merge-on-read) row-level operations — SQL
+  * UPDATE/MERGE/DELETE when the table sets
+  * write.update.mode / write.merge.mode / write.delete.mode to
+  * "merge-on-read".
+  *
+  * Spark plans these as WriteDelta keyed on the rowId columns
+  * (_graft_file, _graft_pos): the scan emits live rows with their row
+  * identity, matched rows arrive at the writers as DELETE (+ INSERT
+  * for updates, `representUpdateAsDeleteAndInsert`), and commit()
+  * registers the position-delete parquets plus the delta data files as
+  * ONE snapshot. Write cost scales with the matched delta — no target
+  * file is rewritten.
+  */
+private[sources] class LakeDeltaOperation(wh: String, db: String,
+    tbl: String, cmd: RowLevelOperation.Command) extends RowLevelOperation
+    with org.apache.spark.sql.connector.write.SupportsDelta {
+
+  private val table = LakeTable.load(wh, db, tbl)
+
+  override def command(): RowLevelOperation.Command = cmd
+  override def description(): String = s"graft-lake $cmd (merge-on-read)"
+
+  override def rowId()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(
+      org.apache.spark.sql.connector.expressions.Expressions
+        .column(LakeSource.FileMetaCol),
+      org.apache.spark.sql.connector.expressions.Expressions
+        .column(LakeSource.PosMetaCol))
+
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new LakeScanBuilder(wh, db, tbl, 0L, table.currentSchema)
+
+  override def newWriteBuilder(info: LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DeltaWriteBuilder =
+    new org.apache.spark.sql.connector.write.DeltaWriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.DeltaWrite =
+        new org.apache.spark.sql.connector.write.DeltaWrite {
+          override def toBatch
+              : org.apache.spark.sql.connector.write.DeltaBatchWrite =
+            new LakeDeltaBatchWrite(wh, db, tbl, table, info.schema())
+        }
+    }
+}
+
+private[sources] class LakeDeltaBatchWrite(wh: String, db: String,
+    tbl: String, table: LakeTable, rowSchema: StructType)
+    extends org.apache.spark.sql.connector.write.DeltaBatchWrite {
+
+  private val (writtenSchemaId, writtenSpecId, partPlan, stage) = {
+    val plan = LakeStreamingWrite.partitionPlan(table, rowSchema)
+    (table.metadata.currentSchemaId, table.metadata.currentSpecId, plan,
+      LakeTable.tableLocation(wh, db, tbl).resolve("data")
+        .resolve(s"delta-${java.util.UUID.randomUUID().toString.take(8)}")
+        .toString)
+  }
+
+  override def createBatchWriterFactory(pInfo: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DeltaWriterFactory =
+    new LakeDeltaWriterFactory(stage, rowSchema, partPlan)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val parts = messages.collect { case c: LakeDeltaCommit => c }
+    table.commitExternalDelta(
+      dataFiles = parts.flatMap(_.dataFiles).toSeq,
+      deleteFiles = parts.flatMap(_.deleteFiles).toSeq,
+      deleteCounts = parts.flatMap(_.deleteCounts.toSeq)
+        .groupMapReduce(_._1)(_._2)(_ + _),
+      writtenSchemaId = writtenSchemaId, writtenSpecId = writtenSpecId)
+    ()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.collect { case c: LakeDeltaCommit => c }.foreach { c =>
+      (c.dataFiles.map(_._1) ++ c.deleteFiles).foreach { p =>
+        val path = Paths.get(p)
+        Files.deleteIfExists(path)
+        Files.deleteIfExists(path.getParent.resolve(
+          "." + path.getFileName.toString + ".crc"))
+      }
+    }
+}
+
+private[sources] case class LakeDeltaCommit(
+    dataFiles: Seq[(String, Map[String, String])],
+    deleteFiles: Seq[String],
+    deleteCounts: Map[String, Long]) extends WriterCommitMessage
+
+private[sources] class LakeDeltaWriterFactory(stageDir: String,
+    rowSchema: StructType, partPlan: Seq[PartField])
+    extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DeltaWriter[
+        org.apache.spark.sql.catalyst.InternalRow] =
+    new LakeDeltaWriter(stageDir, rowSchema, partPlan,
+      s"d-$partitionId-$taskId")
+}
+
+/** Per-task delta writer: INSERTs stream into partitioned data files
+  * (the shared parquet writer), DELETEs buffer as exact (plain path,
+  * position) counts and land in one position-delete parquet per task.
+  */
+private[sources] class LakeDeltaWriter(stageDir: String,
+    rowSchema: StructType, partPlan: Seq[PartField], tag: String)
+    extends org.apache.spark.sql.connector.write.DeltaWriter[
+      org.apache.spark.sql.catalyst.InternalRow] {
+  import org.apache.spark.sql.catalyst.InternalRow
+
+  private val dataWriter =
+    new LakeParquetDataWriter(stageDir, rowSchema, partPlan, s"ins-$tag")
+  private val deleteSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("file_path",
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("pos",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+  private val deleteWriter =
+    new LakeParquetDataWriter(s"$stageDir/deletes", deleteSchema,
+      Seq.empty, s"del-$tag")
+  private val counts = scala.collection.mutable.Map.empty[String, Long]
+
+  override def delete(meta: InternalRow, id: InternalRow): Unit = {
+    // id = (_graft_file: plain path string, _graft_pos: long)
+    val file = id.getUTF8String(0)
+    counts.updateWith(file.toString) {
+      c => Some(c.getOrElse(0L) + 1L)
+    }
+    deleteWriter.write(new org.apache.spark.sql.catalyst.expressions
+      .GenericInternalRow(Array[Any](file.copy(), id.getLong(1))))
+  }
+
+  override def update(meta: InternalRow, id: InternalRow,
+      row: InternalRow): Unit =
+    throw new IllegalStateException(
+      "updates arrive as delete+insert (representUpdateAsDeleteAndInsert)")
+
+  override def insert(row: InternalRow): Unit = dataWriter.write(row)
+
+  override def commit(): WriterCommitMessage = {
+    val data = dataWriter.commit() match {
+      case LakeFilesCommit(fs) => fs
+      case other => throw new IllegalStateException(s"unexpected $other")
+    }
+    val dels = deleteWriter.commit() match {
+      case LakeFilesCommit(fs) => fs.map(_._1)
+      case other => throw new IllegalStateException(s"unexpected $other")
+    }
+    LakeDeltaCommit(data, dels, counts.toMap)
+  }
+
+  override def abort(): Unit = {
+    dataWriter.abort(); deleteWriter.abort()
+  }
+  override def close(): Unit = {
+    dataWriter.close(); deleteWriter.close()
+  }
+}

@@ -75,21 +75,60 @@ private[sources] class LakeSparkTable(wh: String, db: String, tbl: String,
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+
+  /** Row-identity metadata columns — `SELECT _graft_file, _graft_pos
+    * FROM graft.db.t` works, and they are the rowId the delta-based
+    * (merge-on-read) SQL row-level operations key their position
+    * deletes on.
+    */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] = {
+    import org.apache.spark.sql.connector.catalog.MetadataColumn
+    Array(
+      new MetadataColumn {
+        override def name(): String = LakeSource.FileMetaCol
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          StringType
+        override def isNullable: Boolean = false
+        override def comment(): String = "data file path of the row"
+      },
+      new MetadataColumn {
+        override def name(): String = LakeSource.PosMetaCol
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          LongType
+        override def isNullable: Boolean = false
+        override def comment(): String = "row position within its data file"
+      })
+  }
 
   private def requireWritable(): Unit =
     require(asOfSnapshot.isEmpty,
       "cannot write to a table pinned with VERSION AS OF")
 
-  /** SQL UPDATE / MERGE INTO: group-based copy-on-write rewrite —
-    * the scanned files are replaced by the recomputed rows in one
-    * overwrite snapshot (LakeRowLevelOps).
+  /** SQL UPDATE / MERGE INTO / (non-convertible) DELETE: group-based
+    * copy-on-write rewrite by default — the scanned files are replaced
+    * by the recomputed rows in one overwrite snapshot. Tables that set
+    * write.update.mode / write.merge.mode / write.delete.mode to
+    * "merge-on-read" route to the delta operation instead: position
+    * deletes + delta files, no target rewrite (LakeRowLevelOps).
     */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     requireWritable()
-    () => new LakeRowLevelOperation(wh, db, tbl, info.command)
+    import org.apache.spark.sql.connector.write.RowLevelOperation.Command
+    val modeKey = info.command match {
+      case Command.UPDATE => "write.update.mode"
+      case Command.MERGE => "write.merge.mode"
+      case Command.DELETE => "write.delete.mode"
+    }
+    val mor = LakeTable.load(wh, db, tbl).metadata.properties
+      .get(modeKey).contains("merge-on-read")
+    () =>
+      if (mor) new LakeDeltaOperation(wh, db, tbl, info.command)
+      else new LakeRowLevelOperation(wh, db, tbl, info.command)
   }
 
   /** SQL `DELETE FROM graft.<db>.<t> WHERE …`: Spark hands over the
@@ -295,7 +334,7 @@ private[graft] class LakeScanBuilder(wh: String, db: String, tbl: String,
       case _ => None
     }
     def statsValue(sf: StructField, wantMin: Boolean): Option[Any] = {
-      if (deletes.nonEmpty) return None
+      if (deletes.nonEmpty || !FieldIds.hasId(sf)) return None
       if (live.isEmpty) return Some(null) // MIN/MAX over empty = NULL
       val id = FieldIds.idOf(sf)
       val perFile = live.map(_.stats.get(id))
@@ -336,9 +375,12 @@ private[graft] class LakeScanBuilder(wh: String, db: String, tbl: String,
   }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
-    // keep full-field definitions (ids, nested types) in required order
-    target = StructType(requiredSchema.fieldNames.toSeq
-      .flatMap(n => full.fields.find(_.name == n)))
+    // keep full-field definitions (ids, nested types) in required
+    // order; _graft_file/_graft_pos metadata columns pass through
+    target = StructType(requiredSchema.fields.toSeq.flatMap { rf =>
+      if (LakeSource.isMetaCol(rf.name)) Some(rf)
+      else full.fields.find(_.name == rf.name)
+    })
 
   override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
       : Array[org.apache.spark.sql.sources.Filter] = {
@@ -395,7 +437,7 @@ private[sources] class LakeScan(wh: String, db: String, tbl: String,
     val (t, files, _) = planned
     val spec = t.metadata.currentSpec
     def srcField(id: Int): Option[StructField] =
-      target.fields.find(f => FieldIds.idOf(f) == id)
+      target.fields.find(f => FieldIds.hasId(f) && FieldIds.idOf(f) == id)
     def usable(f: graft.lake.SpecField, sf: StructField): Boolean =
       f.transform match {
         case "identity" => LakeSource.partitionKeyParseable(sf.dataType)
@@ -636,7 +678,7 @@ private[sources] class GroupRowReader(p: LakeFilePartition)
     // by construction.
     val keep = p.fileSchema.fields
       .filter(ff => p.target.fields.exists(tf =>
-        FieldIds.idOf(tf) == FieldIds.idOf(ff)))
+        FieldIds.hasId(tf) && FieldIds.idOf(tf) == FieldIds.idOf(ff)))
       .map(_.name).toSet
     if (keep.nonEmpty && keep.size < p.fileSchema.size) {
       try {
@@ -657,10 +699,18 @@ private[sources] class GroupRowReader(p: LakeFilePartition)
       .build()
   }
 
-  // per-target-field extractor, bound once: file field matched by id
+  // per-target-field extractor, bound once: file field matched by id;
+  // _graft_file is a per-partition constant and _graft_pos the row
+  // counter (handled in get())
+  private val filePathUtf = UTF8String.fromString(
+    LakeTable.normalizePath(p.path))
+  private val posIdx = p.target.fieldNames.indexOf(LakeSource.PosMetaCol)
   private val extractors: Array[Group => Any] =
-    p.target.fields.map(tf =>
-      LakeSource.fieldExtractor(tf, p.fileSchema.fields.toSeq))
+    p.target.fields.map { tf =>
+      if (tf.name == LakeSource.FileMetaCol) (_: Group) => filePathUtf
+      else if (tf.name == LakeSource.PosMetaCol) (_: Group) => null
+      else LakeSource.fieldExtractor(tf, p.fileSchema.fields.toSeq)
+    }
 
   // merge-on-read: positions of this file deleted by live delete files.
   // The reader walks rows in physical order, so a simple position
@@ -696,12 +746,25 @@ private[sources] class GroupRowReader(p: LakeFilePartition)
     }
     cur != null
   }
-  override def get(): InternalRow =
-    new GenericInternalRow(extractors.map(_(cur)))
+  override def get(): InternalRow = {
+    val arr = new Array[Any](extractors.length)
+    var i = 0
+    while (i < arr.length) {
+      arr(i) = if (i == posIdx) pos else extractors(i)(cur)
+      i += 1
+    }
+    new GenericInternalRow(arr)
+  }
   override def close(): Unit = reader.close()
 }
 
 private[sources] object LakeSource {
+
+  /** Metadata column names: row identity as (data file, position). */
+  val FileMetaCol = "_graft_file"
+  val PosMetaCol = "_graft_pos"
+  def isMetaCol(name: String): Boolean =
+    name == FileMetaCol || name == PosMetaCol
 
   /** Snapshot log truncated to an optional VERSION AS OF pin. */
   def visibleSnapshots(t: LakeTable,

@@ -197,6 +197,71 @@ class MoRDeleteSpec extends AnyFunSuite {
     assert(lakeReader(wh).count() == 2L)
   }
 
+  test("metadata columns _graft_file/_graft_pos are selectable") {
+    val (wh, t) = mkTable("metacols")
+    t.append(df(Seq((1L, "a"), (2L, "b"))).repartition(1))
+    val rows = lakeReader(wh)
+      .select(col("id"), col("_graft_file"), col("_graft_pos"))
+      .orderBy("id").collect()
+    assert(rows.map(_.getLong(2)).toSeq == Seq(0L, 1L))
+    assert(rows.map(_.getString(1)).distinct.length == 1)
+    assert(rows(0).getString(1).endsWith(".parquet"))
+  }
+
+  test("SQL UPDATE routes to merge-on-read deltas via table property") {
+    val wh = Files.createTempDirectory("graft-mor-sqlupd").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"t","columns":[
+        |{"column_name":"id","data_type":"long"},
+        |{"column_name":"v","data_type":"string"}],"partitions":[],
+        |"properties":{"write.update.mode":"merge-on-read"}}""".stripMargin)
+    val t = LakeTable.load(wh, "d", "t")
+    t.append(df(Seq((1L, "a"), (2L, "b"), (3L, "c"))))
+    val before = t.plannedFiles().map(_.path).toSet
+    spark.conf.set("spark.sql.catalog.gdelta", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.gdelta.warehouse", wh)
+    spark.sql("UPDATE gdelta.d.t SET v = concat(v, '!') WHERE id >= 2")
+    val t2 = LakeTable.load(wh, "d", "t")
+    val last = t2.metadata.snapshots.last
+    assert(last.operation == "delete", s"got ${last.operation}")
+    assert(last.deletePaths.nonEmpty && last.files.nonEmpty)
+    assert(last.deleteCounts.values.sum == 2L)
+    // no original data file was rewritten
+    assert(before.subsetOf(t2.plannedFiles().map(_.path).toSet))
+    val got = spark.sql("SELECT id, v FROM gdelta.d.t ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "a"), (2L, "b!"), (3L, "c!")))
+    assert(spark.sql("SELECT count(*) n FROM gdelta.d.t").collect()(0)
+      .getLong(0) == 3L)
+  }
+
+  test("SQL MERGE routes to merge-on-read deltas via table property") {
+    val wh = Files.createTempDirectory("graft-mor-sqlmrg").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"t","columns":[
+        |{"column_name":"id","data_type":"long"},
+        |{"column_name":"v","data_type":"string"}],"partitions":[],
+        |"properties":{"write.merge.mode":"merge-on-read"}}""".stripMargin)
+    val t = LakeTable.load(wh, "d", "t")
+    t.append(df(Seq((1L, "a"), (2L, "b"), (3L, "c"))))
+    val before = t.plannedFiles().map(_.path).toSet
+    spark.conf.set("spark.sql.catalog.gdm", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.gdm.warehouse", wh)
+    df(Seq((2L, "B"), (4L, "D"))).createOrReplaceTempView("mor_merge_src")
+    spark.sql(
+      """MERGE INTO gdm.d.t t USING mor_merge_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET t.v = s.v
+        |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""".stripMargin)
+    val t2 = LakeTable.load(wh, "d", "t")
+    assert(t2.metadata.snapshots.last.operation == "delete")
+    assert(before.subsetOf(t2.plannedFiles().map(_.path).toSet))
+    val got = spark.sql("SELECT id, v FROM gdm.d.t ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "a"), (2L, "B"), (3L, "c"), (4L, "D")))
+    assert(spark.sql("SELECT count(*) n FROM gdm.d.t").collect()(0)
+      .getLong(0) == 4L)
+  }
+
   test("SQL DELETE routes to merge-on-read via table property") {
     val wh = Files.createTempDirectory("graft-mor-sql").toString
     Engine.processTableDefJson(wh,
