@@ -19,10 +19,19 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The harness keeps only the last ~2000 chars of stdout; a JSON line that
+    // overflows that window is truncated mid-line and unparseable. Emit the
+    // per-query map largest-first and stop before the line can overflow.
+    val head = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","queries":{"""
+    val tail = "}}"
+    val budget = 1700 - head.length - tail.length
+    val entries = results.toSeq.sortBy(-_._2).map { case (k, v) => f""""$k":$v%.3f""" }
+    val (kept, _) = entries.foldLeft((Vector.empty[String], 0)) { case ((acc, len), e) =>
+      val add = e.length + (if (acc.isEmpty) 0 else 1)
+      if (len + add <= budget) (acc :+ e, len + add) else (acc, len)
+    }
+    println(head + kept.mkString(",") + tail)
     spark.stop()
   }
 }
