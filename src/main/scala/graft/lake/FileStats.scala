@@ -44,16 +44,31 @@ case class RangeFilter(column: String,
 
 object FileStats {
 
+  /** One shared read-only Configuration: constructing one per footer
+    * loads the Hadoop XML resource bundle each time, which dominated
+    * commit time for many-file snapshots.
+    */
+  private[lake] lazy val hadoopConf = new org.apache.hadoop.conf.Configuration()
+
   /** Extract top-level-column min/max from a parquet footer, mapped to
     * field IDs via the schema the file was written under.
     */
-  def fromFooter(path: String, fileSchema: StructType): Map[Int, ColStats] = {
+  def fromFooter(path: String, fileSchema: StructType): Map[Int, ColStats] =
+    fromFooterWithRows(path, fileSchema)._2
+
+  /** Footer record count + min/max stats from a single footer open —
+    * commit paths need both, and the footer read is the per-file cost.
+    * Rows = -1 when the footer is unreadable (matches the old
+    * parquetRowCount contract); stats are then empty (conservative).
+    */
+  def fromFooterWithRows(path: String,
+      fileSchema: StructType): (Long, Map[Int, ColStats]) = {
     val nameToId = fileSchema.fields.map(f => f.name -> FieldIds.idOf(f)).toMap
     try {
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
-        new org.apache.hadoop.fs.Path(path),
-        new org.apache.hadoop.conf.Configuration()))
+        new org.apache.hadoop.fs.Path(path), hadoopConf))
       try {
+        val rows = reader.getRecordCount
         val blocks = reader.getFooter.getBlocks.asScala
         val perCol = scala.collection.mutable.Map.empty[String, ColStats]
         for (block <- blocks; chunk <- block.getColumns.asScala) {
@@ -117,9 +132,9 @@ object FileStats {
             }
           }
         }
-        perCol.map { case (name, cs) => nameToId(name) -> cs }.toMap
+        (rows, perCol.map { case (name, cs) => nameToId(name) -> cs }.toMap)
       } finally reader.close()
-    } catch { case _: Exception => Map.empty }
+    } catch { case _: Exception => (-1L, Map.empty[Int, ColStats]) }
   }
 
   /** Could the file contain rows matching every filter? (Conservative:

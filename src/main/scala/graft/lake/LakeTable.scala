@@ -331,9 +331,10 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
             org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
               .unescapePathName(v)
         }.toMap
+      val (rows, stats) = FileStats.fromFooterWithRows(p.toString, schema)
       DataFileMeta(p.toString, md.currentSchemaId, spec.id,
-        rows = parquetRowCount(p), partitionValues = partVals,
-        stats = FileStats.fromFooter(p.toString, schema),
+        rows = rows, partitionValues = partVals,
+        stats = stats,
         bytes = try Files.size(p) catch { case _: Exception => -1L })
     }
   }
@@ -359,9 +360,10 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     // values were derived executor-side by the writer
     val schema = md.schemaById(writtenSchemaId)
     val files = paths.sortBy(_._1).map { case (p, partVals) =>
+      val (rows, stats) = FileStats.fromFooterWithRows(p, schema)
       DataFileMeta(p, writtenSchemaId, writtenSpecId,
-        rows = parquetRowCount(Paths.get(p)), partitionValues = partVals,
-        stats = FileStats.fromFooter(p, schema),
+        rows = rows, partitionValues = partVals,
+        stats = stats,
         bytes = try Files.size(Paths.get(p)) catch { case _: Exception => -1L })
     }
     commitSnapshot(files, writtenSchemaId, operation, streamBatchId,
@@ -379,9 +381,10 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     if (dataFiles.isEmpty && deleteFiles.isEmpty) return None
     val schema = md.schemaById(writtenSchemaId)
     val files = dataFiles.sortBy(_._1).map { case (p, partVals) =>
+      val (rows, stats) = FileStats.fromFooterWithRows(p, schema)
       DataFileMeta(p, writtenSchemaId, writtenSpecId,
-        rows = parquetRowCount(Paths.get(p)), partitionValues = partVals,
-        stats = FileStats.fromFooter(p, schema),
+        rows = rows, partitionValues = partVals,
+        stats = stats,
         bytes = try Files.size(Paths.get(p)) catch { case _: Exception => -1L })
     }
     val snapshotId = md.snapshots.map(_.id).foldLeft(0L)(math.max) + 1
@@ -404,16 +407,6 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     commit(md.copy(snapshots = md.snapshots :+ snap))
     snap
   }
-
-  /** Exact row count from the parquet footer (no data scan). */
-  private def parquetRowCount(p: Path): Long =
-    try {
-      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(p.toString),
-          new org.apache.hadoop.conf.Configuration()))
-      try reader.getRecordCount finally reader.close()
-    } catch { case _: Exception => -1L }
 
   private def listParquet(dir: Path): Seq[Path] =
     scala.util.Using.resource(Files.walk(dir)) { st =>

@@ -35,8 +35,17 @@ object LakeQueries extends QueryModule {
     rows.toDF("phase", "seq", "message").orderBy("phase", "seq")
   }
 
+  /** Run a fixed-size lifecycle query on a low-partition clone — see
+    * QueryModule.microSession. Streaming feeds use 1 partition (state
+    * stores cost files per partition per micro-batch); batch DDL
+    * round-trips use 4.
+    */
+  private def micro(partitions: Int)(
+      f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
+    QueryModule.micro(partitions)(f)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ddl_create" -> ((s, _) => {
+    "ddl_create" -> micro(4)((s, _) => {
       val wh = freshWarehouse("create")
       val resp = Engine.processTableDefJson(wh, OrdersFixtures.ordersV1Json)
       val t = LakeTable.load(wh, "customer_order", "orders")
@@ -50,7 +59,7 @@ object LakeQueries extends QueryModule {
         .orderBy("field_id")
     }),
 
-    "ddl_evolve_v1_v2" -> ((s, _) => {
+    "ddl_evolve_v1_v2" -> micro(4)((s, _) => {
       val wh = freshWarehouse("evolve")
       Engine.processTableDefJson(wh, OrdersFixtures.ordersV1Json)
       val resp = Engine.processTableDefJson(wh, OrdersFixtures.ordersV2Json)
@@ -59,7 +68,7 @@ object LakeQueries extends QueryModule {
       })
     }),
 
-    "ddl_drop_reorder_update" -> ((s, _) => {
+    "ddl_drop_reorder_update" -> micro(4)((s, _) => {
       val wh = freshWarehouse("dru")
       Engine.processTableDefJson(wh,
         """{"database_name":"d","table_name":"t","columns":[
@@ -84,7 +93,7 @@ object LakeQueries extends QueryModule {
         .orderBy("pos")
     }),
 
-    "stream_lake_read" -> ((s, _) => {
+    "stream_lake_read" -> micro(1)((s, _) => {
       // DSv2 streaming read: snapshot-id offsets, append-only CDC.
       // Two appends land in the sink; the delete's overwrite snapshot
       // must not replay rows into the stream.
@@ -107,7 +116,7 @@ object LakeQueries extends QueryModule {
       s.sql("SELECT id, v FROM stream_lake_read_sink ORDER BY id, v")
     }),
 
-    "q_stream_join" -> ((s, _) => {
+    "q_stream_join" -> micro(1)((s, _) => {
       // stream-stream interval join under Structured Streaming: clicks
       // attribute to impressions within a 30-minute window; watermarks
       // bound the join state. Deterministic fixed feed, memory sink.
@@ -135,7 +144,7 @@ object LakeQueries extends QueryModule {
               |ORDER BY imp_id, click_id""".stripMargin)
     }),
 
-    "lake_maintenance" -> ((s, _) => {
+    "lake_maintenance" -> micro(4)((s, _) => {
       // lifecycle: appends + CoW delete → expire history → drop orphans.
       // Outputs are env-independent booleans/counts (file counts depend
       // on parallelism, so only their invariants are asserted).
@@ -161,7 +170,7 @@ object LakeQueries extends QueryModule {
         .toDF("metric", "value").orderBy("metric")
     }),
 
-    "ingest_append_read" -> ((s, _) => {
+    "ingest_append_read" -> micro(4)((s, _) => {
       val wh = freshWarehouse("ingest")
       Engine.processTableDefJson(wh, OrdersFixtures.ordersV1Json)
       val t1 = LakeTable.load(wh, "customer_order", "orders")
@@ -199,7 +208,7 @@ object LakeReadQueries extends QueryModule {
   import graft.lake.{Engine, LakeTable}
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "lake_scan_sql" -> ((s, dir) => {
+    "lake_scan_sql" -> QueryModule.micro(4)((s, dir) => {
       // parquet → lake table → catalog SQL with a filter: exercises the
       // connector's record reader, column pruning, and stats skipping
       // under the oracle gate
@@ -224,7 +233,7 @@ object LakeReadQueries extends QueryModule {
           |ORDER BY c_custkey""".stripMargin)
     }),
 
-    "lake_sql_dml" -> ((s, dir) => {
+    "lake_sql_dml" -> QueryModule.micro(4)((s, dir) => {
       // the full SQL surface end-to-end through the catalog plugin:
       // CREATE, INSERT, UPDATE, MERGE INTO, DELETE — oracle expresses
       // the same mutations over the source rows in plain SQL
@@ -250,7 +259,7 @@ object LakeReadQueries extends QueryModule {
               |FROM graftdml.rq.n ORDER BY n_nationkey""".stripMargin)
     }),
 
-    "lake_timetravel" -> ((s, dir) => {
+    "lake_timetravel" -> QueryModule.micro(4)((s, dir) => {
       // two appends split on a deterministic predicate; reading AS OF
       // the first snapshot must return exactly the first batch
       val wh = LakeQueries.freshWarehouse("timetravel")
@@ -309,7 +318,7 @@ object RowOpsQueries extends QueryModule {
   private def scratch(tag: String): String = LakeQueries.freshWarehouse(tag)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "lake_delete" -> ((s, dir) => {
+    "lake_delete" -> QueryModule.micro(4)((s, dir) => {
       val wh = scratch("rowdel")
       Engine.processTableDefJson(wh,
         """{"database_name":"rowops","table_name":"orders_cow","columns":[
@@ -331,7 +340,7 @@ object RowOpsQueries extends QueryModule {
         .orderBy("o_orderstatus")
     }),
 
-    "lake_delete_mor" -> ((s, dir) => {
+    "lake_delete_mor" -> QueryModule.micro(4)((s, dir) => {
       // merge-on-read DELETE: position-delete files, no data-file
       // rewrite; read back through the DSv2 connector so the oracle
       // gate covers the reader-side position skipping too
@@ -358,7 +367,7 @@ object RowOpsQueries extends QueryModule {
         .orderBy("o_orderstatus")
     }),
 
-    "lake_update" -> ((s, dir) => {
+    "lake_update" -> QueryModule.micro(4)((s, dir) => {
       val wh = scratch("rowupd")
       Engine.processTableDefJson(wh,
         """{"database_name":"rowops","table_name":"customer_cow","columns":[
@@ -379,7 +388,7 @@ object RowOpsQueries extends QueryModule {
         .orderBy("c_mktsegment")
     }),
 
-    "lake_merge" -> ((s, dir) => {
+    "lake_merge" -> QueryModule.micro(4)((s, dir) => {
       val wh = scratch("rowmrg")
       Engine.processTableDefJson(wh,
         """{"database_name":"rowops","table_name":"customer_m","columns":[

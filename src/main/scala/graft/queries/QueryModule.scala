@@ -11,3 +11,27 @@ trait QueryModule {
   def queries: Map[String, (SparkSession, String) => DataFrame]
   def oracleSql: Map[String, String]
 }
+
+object QueryModule {
+  /** A cloned session with few shuffle partitions for the fixed-size
+    * lifecycle queries (lake DDL round-trips, streaming micro-feeds).
+    * Their inputs are tiny or single-digit-MB, so the session-wide
+    * partition count (sized for the big scans) only adds per-task and
+    * per-state-store overhead — state stores in particular cost files
+    * on disk per (partition × micro-batch). newSession() shares the
+    * SparkContext and is cheap; conf changes stay isolated, which also
+    * keeps Verify's concurrent query threads from seeing them.
+    */
+  def microSession(s: SparkSession, partitions: Int = 4): SparkSession = {
+    val ns = s.newSession()
+    ns.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+    ns.conf.set("spark.sql.session.timeZone",
+      s.conf.get("spark.sql.session.timeZone", "UTC"))
+    ns
+  }
+
+  /** Combinator form of microSession for queries-map entries. */
+  def micro(partitions: Int)(
+      f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
+    (s, dir) => f(microSession(s, partitions), dir)
+}
