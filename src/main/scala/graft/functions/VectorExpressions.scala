@@ -113,10 +113,120 @@ case class FloatCosine(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** JVM kernels for the DECIMAL-exact vector math. Semantics replicate
+  * the higher-order-function formulation pinned for oracle parity
+  * (graft.queries.Pipeline.dotDec): each product is computed in IEEE
+  * double, rounded to DECIMAL scale 12 HALF_UP (what Spark's
+  * double→DECIMAL(28,12) cast does), and accumulated exactly — decimal
+  * addition at a fixed scale is associative, so the result is
+  * partition-order-independent. The HOF chain evaluates an interpreted
+  * expression tree per element; this is one loop per row.
+  */
+object DecVector {
+  private val twelve = 12
+
+  def dot(x: ArrayData, y: ArrayData): java.lang.Double = {
+    // zip_with pads the shorter array with null → null product → null
+    // sum; replicate by returning null on length mismatch
+    if (x.numElements() != y.numElements()) return null
+    var acc = java.math.BigDecimal.ZERO
+    var i = 0
+    val n = x.numElements()
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val p = x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      acc = acc.add(java.math.BigDecimal.valueOf(p)
+        .setScale(twelve, java.math.RoundingMode.HALF_UP))
+      i += 1
+    }
+    acc.doubleValue()
+  }
+
+  def normSq(x: ArrayData): java.lang.Double = {
+    var acc = java.math.BigDecimal.ZERO
+    var i = 0
+    val n = x.numElements()
+    while (i < n) {
+      if (x.isNullAt(i)) return null
+      val v = x.getFloat(i).toDouble
+      acc = acc.add(java.math.BigDecimal.valueOf(v * v)
+        .setScale(twelve, java.math.RoundingMode.HALF_UP))
+      i += 1
+    }
+    acc.doubleValue()
+  }
+}
+
+/** Decimal-exact dot product (oracle-parity semantics, JVM loop). */
+case class DecimalDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "dec_dot"
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<float> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    DecVector.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |java.lang.Double r = graft.functions.DecVector.dot($a, $b);
+         |if (r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = r.doubleValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Decimal-exact squared norm (oracle-parity semantics, JVM loop). */
+case class DecimalNormSq(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "dec_normsq"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    DecVector.normSq(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |java.lang.Double r = graft.functions.DecVector.normSq($a);
+         |if (r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = r.doubleValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "float_dot" -> (es => FloatDot(es(0), es(1))),
     "float_cosine" -> (es => FloatCosine(es(0), es(1))),
+    "dec_dot" -> (es => DecimalDot(es(0), es(1))),
+    "dec_normsq" -> (es => DecimalNormSq(es(0))),
     "graft_zorder" -> (es => ZOrderValue(es)))
 
   /** Idempotent per-session registration (temp functions). */
@@ -127,6 +237,8 @@ object VectorFunctions {
 
   def float_dot(a: Column, b: Column): Column = call_function("float_dot", a, b)
   def float_cosine(a: Column, b: Column): Column = call_function("float_cosine", a, b)
+  def dec_dot(a: Column, b: Column): Column = call_function("dec_dot", a, b)
+  def dec_normsq(a: Column): Column = call_function("dec_normsq", a)
   def zorder(cols: Column*): Column = call_function("graft_zorder", cols: _*)
 }
 
@@ -142,6 +254,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("float_cosine"),
       new ExpressionInfo(classOf[FloatCosine].getName, "float_cosine"),
       (es: Seq[Expression]) => FloatCosine(es(0), es(1))))
+    e.injectFunction((FunctionIdentifier("dec_dot"),
+      new ExpressionInfo(classOf[DecimalDot].getName, "dec_dot"),
+      (es: Seq[Expression]) => DecimalDot(es(0), es(1))))
+    e.injectFunction((FunctionIdentifier("dec_normsq"),
+      new ExpressionInfo(classOf[DecimalNormSq].getName, "dec_normsq"),
+      (es: Seq[Expression]) => DecimalNormSq(es(0))))
     e.injectFunction((ZOrderFunction.identifier, ZOrderFunction.info,
       ZOrderFunction.builder))
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)

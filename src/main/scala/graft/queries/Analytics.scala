@@ -185,18 +185,25 @@ object Analytics extends QueryModule {
         .select(col("doc_id"),
           explode(split(lower(col("text")), " ")).as("term"))
         .filter(length(col("term")) > 3)
-      // dl / dfq / n_docs all derive from tf, and tf is localCheckpointed
-      // so tokenization + the (doc,term) shuffle run once for all four
-      // consumers (ReuseExchange alone can't unify them — join-pushed
-      // IsNotNull filters make the branches canonicalize differently).
-      // Blocks are reclaimed when the result drops, not held for the
-      // session.
+      // Single-chain plan: dfc and dlen come from windows over the tf
+      // relation instead of self-joins, so the (doc,term) shuffle runs
+      // once and the doc-partitioned window for dlen is REUSED by the
+      // ranking window (same partition keys → sort only, no exchange).
+      // Three exchanges total: (doc,term) agg → term window → doc
+      // window; the old join formulation needed a localCheckpoint plus
+      // three shuffle joins to express the same thing.
       val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
-        .localCheckpoint()
-      val dl = tf.groupBy("doc_id").agg(sum(col("cnt")).as("dlen"))
-      val dfq = tf.groupBy("term").agg(count(lit(1)).as("dfc"))
-      val n = dl.agg(count(lit(1)).as("n_docs"))
-      val scored = tf.join(dl, "doc_id").join(dfq, "term").crossJoin(n)
+      // n_docs = docs contributing at least one token (len > 3) — a
+      // narrow scan of documents, broadcast as a 1-row relation,
+      // keeping the big branch free of a global distinct
+      val n = Tables(s, dir, "documents")
+        .filter(size(filter(split(lower(col("text")), " "),
+          t => length(t) > 3)) > 0)
+        .agg(count(lit(1)).as("n_docs"))
+      val scored = tf
+        .withColumn("dfc", count(lit(1)).over(Window.partitionBy("term")))
+        .withColumn("dlen", sum(col("cnt")).over(Window.partitionBy("doc_id")))
+        .crossJoin(n)
         .withColumn("score",
           col("cnt").cast("double") / col("dlen").cast("double") *
             col("n_docs").cast("double") / col("dfc").cast("double"))

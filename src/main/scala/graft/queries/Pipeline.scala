@@ -38,14 +38,26 @@ object Pipeline extends QueryModule {
     * (order-independent, exact).
     */
   private def dotDec(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.dec_dot(a, b)
+
+  /** Exact decimal-accumulated squared norm (same widening rule). */
+  private def normSqDec(a: Column): Column =
+    graft.functions.VectorFunctions.dec_normsq(a)
+
+  /** The original HOF formulation of dotDec, kept as the semantic spec
+    * the DecVector kernel must match (DecVectorSpec pins equality):
+    * widen to double before multiplying, round each product to
+    * DECIMAL(28,12), accumulate at (37,12) — exact and
+    * order-independent, hash-identical to DuckDB's list math.
+    */
+  private[graft] def dotDecHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) =>
         (x.cast("double") * y.cast("double")).cast(D2812)),
       lit(0).cast(DAcc),
       (acc, v) => (acc + v).cast(DAcc))
 
-  /** Exact decimal-accumulated squared norm (same widening rule). */
-  private def normSqDec(a: Column): Column =
+  private[graft] def normSqDecHof(a: Column): Column =
     aggregate(
       transform(a, x => (x.cast("double") * x.cast("double")).cast(D2812)),
       lit(0).cast(DAcc),
@@ -123,6 +135,7 @@ object Pipeline extends QueryModule {
     }),
 
     "q_dedup_embed" -> ((s, dir) => {
+      graft.functions.VectorFunctions.register(s)
       // Embedding-cosine near-dup, batch-vs-corpus framing: the first
       // 100 vectors (an incoming batch) are checked against all vectors
       // sharing their coarse cell (label) — bounded pairs at any scale.
@@ -145,6 +158,7 @@ object Pipeline extends QueryModule {
     }),
 
     "q_sim_topk" -> ((s, dir) => {
+      graft.functions.VectorFunctions.register(s)
       // Brute-force cosine top-k: probe broadcast to every partition,
       // one scan over the corpus, TakeOrderedAndProject for the top-k —
       // no shuffle of the corpus at any scale.
@@ -168,6 +182,7 @@ object Pipeline extends QueryModule {
     }),
 
     "q_sim_topk_ivf" -> ((s, dir) => {
+      graft.functions.VectorFunctions.register(s)
       // IVF-style ANN: the coarse quantizer assigns each vector to a
       // cell (here the precomputed label column stands in for the
       // nearest-centroid id); the probe searches only its own cell —
