@@ -1,0 +1,250 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, GraftPlanBridge, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Second-wave training-data pipeline operators, each with a DuckDB
+  * oracle: dedup-cluster assignment (connected components over
+  * near-dup candidate pairs), a distributed-bloom pre-filtered join,
+  * PII masking, CDC latest-per-key compaction, and per-cell embedding
+  * centroids (the k-means E-step shape).
+  *
+  * Scale posture notes sit on each query; the common theme is that
+  * every shuffle carries keys/hashes, never document bodies, and the
+  * iterative component loop converges in O(log max-component) rounds
+  * via pointer jumping (the alternating-contraction trick from the
+  * MapReduce connected-components literature, same family GraphX
+  * uses).
+  */
+object TrainingOps extends QueryModule {
+
+  /** (doc_id, ws) distinct word sets — the near-dup blocking input. */
+  private def wordSets(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("ws"))
+
+  /** Candidate edges: windows of 4 consecutive doc ids with word-set
+    * Jaccard >= 0.75. The window join is an equi-join on generated
+    * candidate ids (no theta join): explode(sequence(id+1, id+4)).
+    * Integer set sizes divide exactly the same in IEEE double on both
+    * engines, so the threshold is cross-engine deterministic.
+    */
+  private def nearDupEdges(s: SparkSession, dir: String): DataFrame = {
+    val w = wordSets(s, dir)
+    val a = w.select(col("doc_id").as("u"), col("ws").as("a_ws"),
+      explode(sequence(col("doc_id") + 1, col("doc_id") + 4)).as("v"))
+    val b = w.select(col("doc_id").as("v"), col("ws").as("b_ws"))
+    a.join(b, "v")
+      .withColumn("jac",
+        size(array_intersect(col("a_ws"), col("b_ws"))).cast("double") /
+          size(array_union(col("a_ws"), col("b_ws"))))
+      .filter(col("jac") >= 0.75)
+      .select("u", "v")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_clusters" -> QueryModule.micro(4)((s, dir) => {
+      // Connected components over the near-dup edges: every document
+      // gets cluster_id = min doc_id reachable through pairs — the
+      // canonical-representative assignment a dedup pipeline feeds to
+      // the keep-one filter. One join + min-groupBy per round,
+      // propagating labels along graph edges AND bidirectional
+      // label-pointer edges (n ⇄ l(n)) — the pointer edges implement
+      // pointer jumping, so rounds = O(log max-component); each round
+      // shuffles O(|E| + |V|) ids, never text. Labels decrease
+      // monotonically, so an unchanged sum(l) proves the fixpoint —
+      // the convergence probe is a tiny agg, not a join. Labels are
+      // localCheckpointed per round to cut lineage (at cluster scale:
+      // checkpoint to DFS instead).
+      val edges = nearDupEdges(s, dir)
+      val es = edges.select(col("u"), col("v"))
+        .union(edges.select(col("v").as("u"), col("u").as("v")))
+        .localCheckpoint()
+      var lbl = wordSets(s, dir)
+        .select(col("doc_id").as("n"), col("doc_id").as("l"))
+        .localCheckpoint()
+      var prevSum = -1L
+      var rounds = 0
+      var converged = false
+      while (!converged && rounds < 64) {
+        val pointer = lbl.filter(col("n") =!= col("l"))
+        val aug = es
+          .union(pointer.select(col("l").as("u"), col("n").as("v")))
+          .union(pointer.select(col("n").as("u"), col("l").as("v")))
+        // localCheckpoint drops size stats, so Spark would sort-merge
+        // this join every round; the label table is |V| ids — small at
+        // this scale, so broadcast it (at 100-TB |V|, leave it to the
+        // shuffle join / AQE instead)
+        val offered = aug.join(broadcast(lbl), aug("u") === lbl("n"))
+          .select(col("v").as("n"), col("l"))
+        lbl = offered.union(lbl).groupBy("n").agg(min(col("l")).as("l"))
+          .localCheckpoint()
+        val sum = lbl.agg(org.apache.spark.sql.functions.sum(col("l")))
+          .head().getLong(0)
+        converged = sum == prevSum
+        prevSum = sum
+        rounds += 1
+      }
+      val sizes = lbl.groupBy(col("l").as("cl")).agg(count(lit(1)).as("n_in_cluster"))
+      lbl.join(sizes, lbl("l") === sizes("cl"))
+        .select(col("n").as("doc_id"), col("l").as("cluster_id"),
+          col("n_in_cluster"))
+        .orderBy("doc_id")
+    }),
+
+    "q_join_bloom" -> ((s, dir) => {
+      // Distributed bloom-filter semi-join: the dim-side key set is
+      // folded into a bloom sketch with Spark's own BloomFilterAggregate
+      // (one partial sketch per partition, merged — no driver collect of
+      // keys), and the fact side is pre-filtered by a codegen'd
+      // might_contain probe BEFORE the shuffle/semi-join. At 100 TB this
+      // is the shuffle-killer for selective joins: non-matching fact
+      // rows die at the scan. False positives are then removed by the
+      // exact semi join, so the result equals the plain semi join the
+      // oracle runs.
+      import org.apache.spark.sql.catalyst.expressions.{
+        BloomFilterMightContain, Literal, XxHash64}
+      import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+      val dim = Tables(s, dir, "supplier")
+        .filter(col("s_nationkey") === 5).select("s_suppkey")
+      val bloomBytes = dim.select(GraftPlanBridge.column(
+          new BloomFilterAggregate(
+            new XxHash64(Seq(GraftPlanBridge.expression(col("s_suppkey")))),
+            Literal(100000L), Literal(800000L)).toAggregateExpression()))
+        .head().getAs[Array[Byte]](0)
+      val probe = GraftPlanBridge.column(BloomFilterMightContain(
+        Literal(bloomBytes),
+        new XxHash64(Seq(GraftPlanBridge.expression(col("l_suppkey"))))))
+      Tables(s, dir, "lineitem")
+        .filter(probe) // bloom pre-filter (codegen, superset of matches)
+        .join(dim.hint("broadcast"), col("l_suppkey") === col("s_suppkey"),
+          "left_semi") // exactness
+        .groupBy("l_suppkey")
+        .agg(count(lit(1)).as("n_items"),
+          sum(Tables.dec(col("l_extendedprice"))).cast("double").as("sum_price"))
+        .orderBy("l_suppkey")
+    }),
+
+    "q_text_pii_mask" -> ((s, dir) => {
+      // PII scrub over synthesized raw log lines (the testdata carries
+      // no natural PII, so the line is built deterministically from
+      // customer fields, then masked): emails → <EMAIL>, digit runs of
+      // 4+ → <NUM>. Pure regexp_replace chain — codegen'd, narrow, no
+      // shuffle except the final sort.
+      Tables(s, dir, "customer")
+        .withColumn("raw",
+          concat(col("c_name"), lit(" <"),
+            lower(regexp_replace(col("c_name"), " ", ".")),
+            lit("@example.com> acct:"),
+            (col("c_custkey") * 7919).cast("string"),
+            lit(" seg="), col("c_mktsegment")))
+        .withColumn("masked",
+          regexp_replace(
+            regexp_replace(col("raw"),
+              "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<EMAIL>"),
+            "[0-9]{4,}", "<NUM>"))
+        .select(col("c_custkey"), col("raw"), col("masked"))
+        .orderBy("c_custkey")
+    }),
+
+    "q_window_dedup" -> ((s, dir) => {
+      // CDC compaction / latest-per-key dedup: keep each user's newest
+      // event (ties broken by event_id). One hash-partition by user_id
+      // + in-partition sort — the canonical "current state of the
+      // world" query over an append-only log.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables(s, dir, "events")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("event_type"))
+        .orderBy("user_id")
+    }),
+
+    "q_embed_centroid" -> ((s, dir) => {
+      // Per-label centroid, the k-means E-step shape: posexplode the
+      // vector, aggregate per (label, dim) — the shuffle carries
+      // (label, dim, value), and partial aggregation collapses it to
+      // cells × dim rows before the exchange. Decimal power sums +
+      // closed-form double division + narrow-decimal rounding, the
+      // same cross-engine determinism recipe as q_stats_corr.
+      Tables(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy("label", "dim")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(col("x").cast("double").cast("decimal(28,12)")).as("sx"))
+        .select(col("label"), col("dim"), col("n_vecs"),
+          (col("sx").cast("double") / col("n_vecs").cast("double"))
+            .cast("decimal(15,9)").cast("double").as("centroid"))
+        .filter(col("dim") < 8) // report the leading block; full width is the same plan
+        .orderBy("label", "dim")
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE w AS (
+        |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws
+        |  FROM documents),
+        |e AS (
+        |  SELECT a.doc_id AS u, b.doc_id AS v
+        |  FROM w a JOIN w b
+        |    ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 4
+        |  WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+        |        / len(list_distinct(a.ws || b.ws)) >= 0.75),
+        |es AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+        |r AS (
+        |  SELECT doc_id AS n, doc_id AS l FROM w
+        |  UNION
+        |  SELECT es.v, r.l FROM r JOIN es ON es.u = r.n WHERE r.l < es.v),
+        |lbl AS (SELECT n, min(l) AS cluster_id FROM r GROUP BY n)
+        |SELECT n AS doc_id, cluster_id,
+        |  count(*) OVER (PARTITION BY cluster_id) AS n_in_cluster
+        |FROM lbl ORDER BY doc_id""".stripMargin,
+
+    "q_join_bloom" ->
+      """SELECT l_suppkey, count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |WHERE l_suppkey IN (
+        |  SELECT s_suppkey FROM supplier WHERE s_nationkey = 5)
+        |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+
+    "q_text_pii_mask" ->
+      """SELECT c_custkey,
+        |  c_name || ' <' || lower(replace(c_name, ' ', '.'))
+        |    || '@example.com> acct:' || CAST(c_custkey * 7919 AS VARCHAR)
+        |    || ' seg=' || c_mktsegment AS raw,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      c_name || ' <' || lower(replace(c_name, ' ', '.'))
+        |        || '@example.com> acct:' || CAST(c_custkey * 7919 AS VARCHAR)
+        |        || ' seg=' || c_mktsegment,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+        |    '[0-9]{4,}', '<NUM>', 'g') AS masked
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_window_dedup" ->
+      """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+        |FROM (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rk
+        |  FROM events)
+        |WHERE rk = 1 ORDER BY user_id""".stripMargin,
+
+    "q_embed_centroid" ->
+      """SELECT label, dim, n_vecs,
+        |  CAST(CAST(CAST(sx AS DOUBLE) / n_vecs AS DECIMAL(15,9)) AS DOUBLE)
+        |    AS centroid
+        |FROM (
+        |  SELECT label, t.i AS dim, count(*) AS n_vecs,
+        |    sum(CAST(CAST(embedding[t.i + 1] AS DOUBLE) AS DECIMAL(28,12))) AS sx
+        |  FROM embeddings,
+        |    UNNEST(range(len(embedding))) AS t(i)
+        |  GROUP BY label, dim)
+        |WHERE dim < 8 ORDER BY label, dim""".stripMargin,
+  )
+}
