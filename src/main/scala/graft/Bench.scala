@@ -47,20 +47,28 @@ object Bench {
         .writeStream.format("memory").queryName("bench_warm_lake")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
       wr.awaitTermination()
-    } catch { case _: Throwable => () }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        // a broken warmup means the measured numbers silently absorb
+        // one-time startup costs — make it visible
+        System.err.println(s"[bench] warmup failed, measuring cold: $e")
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // locale-independent 3-decimal rendering (f"%.3f" would emit a
+    // comma decimal separator under e.g. de_DE and break the JSON)
+    def r3(v: Double): String = (math.rint(v * 1000) / 1000).toString
     // The harness keeps only the last ~2000 chars of stdout; a JSON line that
     // overflows that window is truncated mid-line and unparseable. Emit the
     // per-query map largest-first and stop before the line can overflow.
-    val head = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","queries":{"""
+    val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir","queries":{"""
     val tail = "}}"
     val budget = 1700 - head.length - tail.length
-    val entries = results.toSeq.sortBy(-_._2).map { case (k, v) => f""""$k":$v%.3f""" }
+    val entries = results.toSeq.sortBy(-_._2).map { case (k, v) => s""""$k":${r3(v)}""" }
     val (kept, _) = entries.foldLeft((Vector.empty[String], 0)) { case ((acc, len), e) =>
       val add = e.length + (if (acc.isEmpty) 0 else 1)
       if (len + add <= budget) (acc :+ e, len + add) else (acc, len)

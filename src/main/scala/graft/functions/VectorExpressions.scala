@@ -124,6 +124,20 @@ case class FloatCosine(left: Expression, right: Expression)
   */
 object DecVector {
   private val twelve = 12
+  // DECIMAL(28,12) holds 16 integer digits — the HOF spec raises an
+  // ANSI cast error past that, so the kernel must error too, not
+  // silently return a finite double
+  private val maxProduct = 1e16
+
+  private def term(p: Double): java.math.BigDecimal = {
+    if (java.lang.Double.isNaN(p) || java.lang.Double.isInfinite(p) ||
+        math.abs(p) >= maxProduct)
+      throw new ArithmeticException(
+        s"dec_dot/dec_normsq: product $p does not fit DECIMAL(28,12) " +
+          "(the decimal-HOF spec raises an ANSI cast error here)")
+    java.math.BigDecimal.valueOf(p)
+      .setScale(twelve, java.math.RoundingMode.HALF_UP)
+  }
 
   def dot(x: ArrayData, y: ArrayData): java.lang.Double = {
     // zip_with pads the shorter array with null → null product → null
@@ -134,9 +148,7 @@ object DecVector {
     val n = x.numElements()
     while (i < n) {
       if (x.isNullAt(i) || y.isNullAt(i)) return null
-      val p = x.getFloat(i).toDouble * y.getFloat(i).toDouble
-      acc = acc.add(java.math.BigDecimal.valueOf(p)
-        .setScale(twelve, java.math.RoundingMode.HALF_UP))
+      acc = acc.add(term(x.getFloat(i).toDouble * y.getFloat(i).toDouble))
       i += 1
     }
     acc.doubleValue()
@@ -149,8 +161,7 @@ object DecVector {
     while (i < n) {
       if (x.isNullAt(i)) return null
       val v = x.getFloat(i).toDouble
-      acc = acc.add(java.math.BigDecimal.valueOf(v * v)
-        .setScale(twelve, java.math.RoundingMode.HALF_UP))
+      acc = acc.add(term(v * v))
       i += 1
     }
     acc.doubleValue()

@@ -42,13 +42,19 @@ case class RangeFilter(column: String,
     loNum: Option[BigDecimal] = None, hiNum: Option[BigDecimal] = None,
     loStr: Option[String] = None, hiStr: Option[String] = None)
 
-object FileStats {
+/** Shared Hadoop configs: `new Configuration()` reloads the XML
+  * resource bundle every time (~10ms), which dominated commit time for
+  * many-file snapshots and adds up per file open on the read path.
+  * `shared` is never mutated; callers that must mutate use `mutable()`
+  * (the copy constructor copies properties without an XML reload).
+  */
+private[graft] object HadoopConfs {
+  lazy val shared = new org.apache.hadoop.conf.Configuration()
+  def mutable(): org.apache.hadoop.conf.Configuration =
+    new org.apache.hadoop.conf.Configuration(shared)
+}
 
-  /** One shared read-only Configuration: constructing one per footer
-    * loads the Hadoop XML resource bundle each time, which dominated
-    * commit time for many-file snapshots.
-    */
-  private[lake] lazy val hadoopConf = new org.apache.hadoop.conf.Configuration()
+object FileStats {
 
   /** Extract top-level-column min/max from a parquet footer, mapped to
     * field IDs via the schema the file was written under.
@@ -66,9 +72,13 @@ object FileStats {
     val nameToId = fileSchema.fields.map(f => f.name -> FieldIds.idOf(f)).toMap
     try {
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
-        new org.apache.hadoop.fs.Path(path), hadoopConf))
+        new org.apache.hadoop.fs.Path(path), HadoopConfs.shared))
       try {
         val rows = reader.getRecordCount
+        // stats extraction failures must not destroy the exact row
+        // count (rows = -1 disables COUNT/MIN/MAX metadata pushdown
+        // for good) — degrade to empty stats instead
+        val stats: Map[Int, ColStats] = try {
         val blocks = reader.getFooter.getBlocks.asScala
         val perCol = scala.collection.mutable.Map.empty[String, ColStats]
         for (block <- blocks; chunk <- block.getColumns.asScala) {
@@ -132,7 +142,9 @@ object FileStats {
             }
           }
         }
-        (rows, perCol.map { case (name, cs) => nameToId(name) -> cs }.toMap)
+        perCol.map { case (name, cs) => nameToId(name) -> cs }.toMap
+        } catch { case _: Exception => Map.empty[Int, ColStats] }
+        (rows, stats)
       } finally reader.close()
     } catch { case _: Exception => (-1L, Map.empty[Int, ColStats]) }
   }

@@ -35,17 +35,8 @@ object LakeQueries extends QueryModule {
     rows.toDF("phase", "seq", "message").orderBy("phase", "seq")
   }
 
-  /** Run a fixed-size lifecycle query on a low-partition clone — see
-    * QueryModule.microSession. Streaming feeds use 1 partition (state
-    * stores cost files per partition per micro-batch); batch DDL
-    * round-trips use 4.
-    */
-  private def micro(partitions: Int)(
-      f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
-    QueryModule.micro(partitions)(f)
-
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ddl_create" -> micro(4)((s, _) => {
+    "ddl_create" -> QueryModule.micro(4)((s, _) => {
       val wh = freshWarehouse("create")
       val resp = Engine.processTableDefJson(wh, OrdersFixtures.ordersV1Json)
       val t = LakeTable.load(wh, "customer_order", "orders")
@@ -59,7 +50,7 @@ object LakeQueries extends QueryModule {
         .orderBy("field_id")
     }),
 
-    "ddl_evolve_v1_v2" -> micro(4)((s, _) => {
+    "ddl_evolve_v1_v2" -> QueryModule.micro(4)((s, _) => {
       val wh = freshWarehouse("evolve")
       Engine.processTableDefJson(wh, OrdersFixtures.ordersV1Json)
       val resp = Engine.processTableDefJson(wh, OrdersFixtures.ordersV2Json)
@@ -68,7 +59,7 @@ object LakeQueries extends QueryModule {
       })
     }),
 
-    "ddl_drop_reorder_update" -> micro(4)((s, _) => {
+    "ddl_drop_reorder_update" -> QueryModule.micro(4)((s, _) => {
       val wh = freshWarehouse("dru")
       Engine.processTableDefJson(wh,
         """{"database_name":"d","table_name":"t","columns":[
@@ -93,7 +84,7 @@ object LakeQueries extends QueryModule {
         .orderBy("pos")
     }),
 
-    "stream_lake_read" -> micro(1)((s, _) => {
+    "stream_lake_read" -> QueryModule.micro(1)((s, _) => {
       // DSv2 streaming read: snapshot-id offsets, append-only CDC.
       // Two appends land in the sink; the delete's overwrite snapshot
       // must not replay rows into the stream.
@@ -116,7 +107,7 @@ object LakeQueries extends QueryModule {
       s.sql("SELECT id, v FROM stream_lake_read_sink ORDER BY id, v")
     }),
 
-    "q_stream_join" -> micro(1)((s, _) => {
+    "q_stream_join" -> QueryModule.micro(1)((s, _) => {
       // stream-stream interval join under Structured Streaming: clicks
       // attribute to impressions within a 30-minute window; watermarks
       // bound the join state. Deterministic fixed feed, memory sink.
@@ -144,7 +135,7 @@ object LakeQueries extends QueryModule {
               |ORDER BY imp_id, click_id""".stripMargin)
     }),
 
-    "lake_maintenance" -> micro(4)((s, _) => {
+    "lake_maintenance" -> QueryModule.micro(4)((s, _) => {
       // lifecycle: appends + CoW delete → expire history → drop orphans.
       // Outputs are env-independent booleans/counts (file counts depend
       // on parallelism, so only their invariants are asserted).
@@ -170,7 +161,7 @@ object LakeQueries extends QueryModule {
         .toDF("metric", "value").orderBy("metric")
     }),
 
-    "ingest_append_read" -> micro(4)((s, _) => {
+    "ingest_append_read" -> QueryModule.micro(4)((s, _) => {
       val wh = freshWarehouse("ingest")
       Engine.processTableDefJson(wh, OrdersFixtures.ordersV1Json)
       val t1 = LakeTable.load(wh, "customer_order", "orders")

@@ -30,7 +30,10 @@ object QueryModule {
     ns
   }
 
-  /** Combinator form of microSession for queries-map entries. */
+  /** Combinator form of microSession for queries-map entries.
+    * Streaming micro-feeds use 1 partition (state stores cost files
+    * per partition per micro-batch); batch lifecycle round-trips use 4.
+    */
   def micro(partitions: Int)(
       f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => f(microSession(s, partitions), dir)

@@ -79,10 +79,10 @@ object TrainingOps extends QueryModule {
           .select(col("v").as("n"), col("l"))
         lbl = offered.union(lbl).groupBy("n").agg(min(col("l")).as("l"))
           .localCheckpoint()
-        val sum = lbl.agg(org.apache.spark.sql.functions.sum(col("l")))
-          .head().getLong(0)
-        converged = sum == prevSum
-        prevSum = sum
+        val sumRow = lbl.agg(org.apache.spark.sql.functions.sum(col("l"))).head()
+        // empty documents table → sum(l) is NULL → nothing to propagate
+        converged = sumRow.isNullAt(0) || sumRow.getLong(0) == prevSum
+        if (!sumRow.isNullAt(0)) prevSum = sumRow.getLong(0)
         rounds += 1
       }
       val sizes = lbl.groupBy(col("l").as("cl")).agg(count(lit(1)).as("n_in_cluster"))

@@ -666,24 +666,13 @@ private[sources] class LakeReaderFactory extends PartitionReaderFactory {
   * float→double included) — the executor-side mirror of
   * `Reconcile.projection`, minus Catalyst.
   */
-/** Shared Hadoop configs: `new Configuration()` reloads the XML
-  * resource bundle every time, which adds ~10ms per file open — real
-  * money when a scan opens thousands of files. `shared` is never
-  * mutated; writers that must mutate use the copy constructor
-  * (property copy, no XML reload).
-  */
-private[sources] object HadoopConfs {
-  lazy val shared = new Configuration()
-  def mutable(): Configuration = new Configuration(shared)
-}
-
 private[sources] class GroupRowReader(p: LakeFilePartition)
     extends PartitionReader[InternalRow] {
 
   private val reader: ParquetReader[Group] = {
     // mutable copy: the pruning branch sets the requested read schema,
     // and concurrent readers must not see each other's projections
-    val conf = HadoopConfs.mutable()
+    val conf = graft.lake.HadoopConfs.mutable()
     // parquet-level column pruning: request only the file columns whose
     // field IDs the (possibly column-pruned) target still references —
     // other columns' pages are never decoded. The requested schema is a

@@ -208,7 +208,7 @@ private[sources] class LakeParquetDataWriter(stageDir: String,
   private val MaxOpenPartitions = 1000
 
   private def open(path: String): Sink = {
-    val conf = HadoopConfs.mutable()
+    val conf = graft.lake.HadoopConfs.mutable()
     ParquetWriteSupport.setSchema(schema, conf)
     // everything ParquetWriteSupport/SparkToParquetSchemaConverter
     // read from the Hadoop conf (Spark's prepareWrite sets the same)
