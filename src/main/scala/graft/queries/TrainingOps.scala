@@ -163,6 +163,123 @@ object TrainingOps extends QueryModule {
         .orderBy("user_id")
     }),
 
+    "lake_incremental" -> QueryModule.micro(4)((s, dir) => {
+      // Iceberg-style CDC consumption under the oracle gate: three
+      // appends split on a deterministic predicate, then
+      // changesBetween(snap1, snap3] returns exactly the second and
+      // third batches — incremental consumers resume from a snapshot
+      // id and never rescan history (metadata-only planning: the
+      // snapshot range selects data files directly).
+      import graft.lake.{Engine, LakeTable}
+      val wh = LakeQueries.freshWarehouse("incr")
+      Engine.processTableDefJson(wh,
+        """{"database_name":"rq","table_name":"ord_inc","columns":[
+          |{"column_name":"o_orderkey","data_type":"long"},
+          |{"column_name":"o_orderstatus","data_type":"string"},
+          |{"column_name":"o_totalprice","data_type":"double"}],
+          |"partitions":[]}""".stripMargin)
+      val t = LakeTable.load(wh, "rq", "ord_inc")
+      val src = Tables(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val snap1 = t.append(src.filter(col("o_orderkey") % 3 === 0)).id
+      t.append(src.filter(col("o_orderkey") % 3 === 1))
+      val snap3 = t.append(src.filter(col("o_orderkey") % 3 === 2)).id
+      t.changesBetween(s, snap1, snap3)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(Tables.dec(col("o_totalprice"))).cast("double").as("sum_price"))
+        .orderBy("o_orderstatus")
+    }),
+
+    "q_join_skew_salted" -> ((s, dir) => {
+      // Salted shuffle join for hot keys: the fact side's key space is
+      // deliberately skewed (half of lineitem lands on key 0); salting
+      // fans each key across 16 reducers (salt = hash(rowid) % 16) and
+      // replicates the matching dim row per salt, so no single reducer
+      // owns a hot key. Result == the plain join the oracle runs. (AQE
+      // skew-join splitting is the automatic variant; salting is the
+      // pattern when the skew is known and the dim side replicates
+      // cheaply.)
+      val fact = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_extendedprice"),
+          when(col("l_partkey") % 10 < 5, lit(0L))
+            .otherwise(col("l_partkey")).as("k"),
+          pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(16)).as("salt"))
+      val dim = Tables(s, dir, "part")
+        .select(when(col("p_partkey") % 10 < 5, lit(0L))
+            .otherwise(col("p_partkey")).as("k"),
+          col("p_retailprice"))
+        .groupBy("k")
+        .agg(min(col("p_retailprice")).cast("double").as("dim_price"))
+      val dimSalted = dim.crossJoin(
+        s.range(16).select(col("id").cast("int").as("salt")))
+      fact.hint("merge")
+        .join(dimSalted, Seq("k", "salt"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(Tables.dec(col("l_extendedprice"))).cast("double").as("sum_price"),
+          min(col("dim_price")).as("dim_price"))
+        .filter(col("k") < 200)
+        .orderBy("k")
+    }),
+
+    "q_stream_dedup" -> QueryModule.micro(1)((s, dir) => {
+      // Cross-batch streaming dedup (flatMapGroupsWithState): two
+      // micro-batches of real events; each (user, event_type) key
+      // emits only its first-seen event id — batch 1 wins over batch 2,
+      // and within a batch the smallest id wins. The oracle expresses
+      // the same keep-rule in plain SQL over the same slice.
+      import graft.streaming.Stateful
+      implicit val sqlCtx = s.sqlContext
+      import s.implicits._
+      val slice = Tables(s, dir, "events")
+        .filter(col("event_id") < 3000)
+        .select(concat(col("user_id").cast("string"), lit(":"),
+            col("event_type")).as("key"),
+          col("event_id").as("docId"), col("ts"))
+        .as[Stateful.Doc]
+        .collect().sortBy(_.docId)
+      val (b1, b2) = slice.partition(_.docId < 1500)
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[Stateful.Doc]
+      val q = Stateful
+        .dedupFirstSeen(in.toDS().withWatermark("ts", "10 minutes")
+          .as[Stateful.Doc], ttlMs = 365L * 24 * 3600 * 1000)
+        .writeStream.format("memory").queryName("q_stream_dedup_sink")
+        .outputMode("append").start()
+      in.addData(b1.toSeq); q.processAllAvailable()
+      in.addData(b2.toSeq); q.processAllAvailable()
+      q.stop()
+      s.sql("""SELECT key, docId AS first_event_id
+              |FROM q_stream_dedup_sink ORDER BY key""".stripMargin)
+    }),
+
+    "lake_meta_tables" -> QueryModule.micro(1)((s, _) => {
+      // Iceberg-style metadata inspection through SQL: the snapshot
+      // log and the file inventory are relations
+      // (graft.<db>.<t>.snapshots / .files). Output keeps only the
+      // parallelism-independent facts (ids, operations, row counts).
+      import graft.lake.{Engine, LakeTable}
+      val wh = LakeQueries.freshWarehouse("meta")
+      Engine.processTableDefJson(wh,
+        """{"database_name":"d","table_name":"mt","columns":[
+          |{"column_name":"id","data_type":"long"},
+          |{"column_name":"v","data_type":"string"}],"partitions":[]}""".stripMargin)
+      val t = LakeTable.load(wh, "d", "mt")
+      import s.implicits._
+      t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1))
+      t.append(Seq((3L, "c")).toDF("id", "v").coalesce(1))
+      t.delete(s, col("id") === 2L)
+      s.conf.set("spark.sql.catalog.graftmeta", "graft.sources.LakeCatalog")
+      s.conf.set("spark.sql.catalog.graftmeta.warehouse", wh)
+      s.sql("""SELECT 'snapshot' AS kind, snapshot_id, operation, n_rows
+              |FROM graftmeta.d.mt.snapshots
+              |UNION ALL
+              |SELECT 'files_all', 0, 'sum', sum(rows)
+              |FROM graftmeta.d.mt.files
+              |ORDER BY kind, snapshot_id""".stripMargin)
+    }),
+
     "q_embed_centroid" -> ((s, dir) => {
       // Per-label centroid, the k-means E-step shape: posexplode the
       // vector, aggregate per (label, dim) — the shuffle carries
@@ -234,6 +351,36 @@ object TrainingOps extends QueryModule {
         |      ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rk
         |  FROM events)
         |WHERE rk = 1 ORDER BY user_id""".stripMargin,
+
+    "lake_incremental" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_orderkey % 3 <> 0
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_join_skew_salted" ->
+      """WITH dim AS (
+        |  SELECT CASE WHEN p_partkey % 10 < 5 THEN 0 ELSE p_partkey END AS k,
+        |    CAST(min(p_retailprice) AS DOUBLE) AS dim_price
+        |  FROM part GROUP BY 1),
+        |fact AS (
+        |  SELECT CASE WHEN l_partkey % 10 < 5 THEN 0 ELSE l_partkey END AS k,
+        |    l_extendedprice
+        |  FROM lineitem)
+        |SELECT k, count(*) AS n_rows,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+        |  min(dim_price) AS dim_price
+        |FROM fact JOIN dim USING (k)
+        |WHERE k < 200
+        |GROUP BY k ORDER BY k""".stripMargin,
+
+    "q_stream_dedup" ->
+      """SELECT key, first_event_id FROM (
+        |  SELECT CAST(user_id AS VARCHAR) || ':' || event_type AS key,
+        |    coalesce(min(CASE WHEN event_id < 1500 THEN event_id END),
+        |             min(event_id)) AS first_event_id
+        |  FROM events WHERE event_id < 3000 GROUP BY 1)
+        |ORDER BY key""".stripMargin,
 
     "q_embed_centroid" ->
       """SELECT label, dim, n_vecs,

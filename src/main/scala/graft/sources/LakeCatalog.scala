@@ -3,11 +3,14 @@ package graft.sources
 import java.nio.file.{Files, Paths}
 import scala.jdk.CollectionConverters._
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
-import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
 
 import graft.lake.LakeTable
 
@@ -54,6 +57,15 @@ class LakeCatalog extends TableCatalog
   }
 
   override def loadTable(ident: Identifier): Table = {
+    // Iceberg-style metadata inspection: SELECT * FROM
+    // graft.<db>.<table>.snapshots / .files — the extra path segment
+    // arrives as a 2-level namespace
+    if (ident.namespace.length == 2 &&
+        MetaTables.names.contains(ident.name) &&
+        LakeTable.exists(warehouse, ident.namespace()(0), ident.namespace()(1))) {
+      val t = LakeTable.load(warehouse, ident.namespace()(0), ident.namespace()(1))
+      return MetaTables.table(ident.toString, ident.name, t)
+    }
     require(ident.namespace.length == 1, "expected <database>.<table>")
     val (db, tbl) = (ident.namespace()(0), ident.name)
     if (!LakeTable.exists(warehouse, db, tbl))
@@ -198,4 +210,97 @@ class LakeCatalog extends TableCatalog
       LakeFunctions.unbound(ident.name)
     else throw new org.apache.spark.sql.catalyst.analysis
       .NoSuchFunctionException(ident)
+}
+
+/** Iceberg-style metadata inspection tables (`db.table.snapshots`,
+  * `db.table.files`): the snapshot log and live file inventory as
+  * queryable relations. Metadata is O(files) and already on the
+  * driver, so the scan ships the rendered rows to one task — the same
+  * shape Iceberg's own metadata tables use for small metadata; the
+  * 100-TB path would page the file manifest per partition instead.
+  */
+private[sources] object MetaTables {
+  import org.apache.spark.sql.types._
+
+  val names: Set[String] = Set("snapshots", "files")
+
+  private val snapshotsSchema = StructType(Seq(
+    StructField("snapshot_id", LongType, nullable = false),
+    StructField("operation", StringType, nullable = false),
+    StructField("n_files", IntegerType, nullable = false),
+    StructField("n_rows", LongType, nullable = false),
+    StructField("added_bytes", LongType, nullable = false),
+    StructField("removed_files", IntegerType, nullable = false),
+    StructField("delete_files", IntegerType, nullable = false)))
+
+  private val filesSchema = StructType(Seq(
+    StructField("snapshot_id", LongType, nullable = false),
+    StructField("path", StringType, nullable = false),
+    StructField("rows", LongType, nullable = false),
+    StructField("bytes", LongType, nullable = false),
+    StructField("schema_id", IntegerType, nullable = false),
+    StructField("spec_id", IntegerType, nullable = false),
+    StructField("partition", StringType, nullable = false)))
+
+  def table(fullName: String, kind: String, t: LakeTable): Table = kind match {
+    case "snapshots" => new MetaTable(fullName, snapshotsSchema,
+      t.metadata.snapshots.map { s =>
+        Seq[Any](s.id, s.operation, s.files.size,
+          s.files.map(_.rows).sum, s.files.map(_.bytes).sum,
+          s.removedPaths.size, s.deletePaths.size)
+      })
+    case "files" => new MetaTable(fullName, filesSchema,
+      t.metadata.snapshots.flatMap { s =>
+        s.files.map(f => Seq[Any](s.id, f.path, f.rows, f.bytes,
+          f.schemaId, f.specId,
+          f.partitionValues.toSeq.sorted.map { case (k, v) => s"$k=$v" }
+            .mkString(",")))
+      })
+  }
+}
+
+/** A fixed set of driver-rendered rows as a DSv2 batch table. */
+private[sources] class MetaTable(name0: String,
+    schema0: org.apache.spark.sql.types.StructType,
+    rows: Seq[Seq[Any]])
+    extends Table with SupportsRead {
+  import org.apache.spark.sql.connector.read._
+
+  override def name(): String = name0
+  override def schema(): org.apache.spark.sql.types.StructType = schema0
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with Scan with Batch {
+      override def build(): Scan = this
+      override def readSchema(): org.apache.spark.sql.types.StructType = schema0
+      override def toBatch: Batch = this
+      override def planInputPartitions(): Array[InputPartition] =
+        Array(MetaRowsPartition(rows.map(_.toArray).toArray))
+      override def createReaderFactory(): PartitionReaderFactory =
+        MetaReaderFactory
+    }
+}
+
+private[sources] case class MetaRowsPartition(rows: Array[Array[Any]])
+    extends org.apache.spark.sql.connector.read.InputPartition
+
+private[sources] object MetaReaderFactory
+    extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+  import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader}
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val rows = p.asInstanceOf[MetaRowsPartition].rows
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < rows.length }
+      override def get(): InternalRow = new GenericInternalRow(
+        rows(i).map {
+          case s: String => UTF8String.fromString(s): Any
+          case x => x
+        })
+      override def close(): Unit = ()
+    }
 }

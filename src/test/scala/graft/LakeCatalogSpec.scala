@@ -219,4 +219,35 @@ class LakeCatalogSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("does not support truncate"))
   }
+
+  test("metadata inspection tables: .snapshots and .files") {
+    val wh = Files.createTempDirectory("graft-meta").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"m","columns":[
+        |{"column_name":"id","data_type":"long"},
+        |{"column_name":"v","data_type":"string"}],"partitions":[]}""".stripMargin)
+    val t = LakeTable.load(wh, "d", "m")
+    import spark.implicits._
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1))
+    t.append(Seq((3L, "c")).toDF("id", "v").coalesce(1))
+    spark.conf.set("spark.sql.catalog.graftm2", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.graftm2.warehouse", wh)
+
+    val snaps = spark.sql(
+      """SELECT snapshot_id, operation, n_files, n_rows
+        |FROM graftm2.d.m.snapshots ORDER BY snapshot_id""".stripMargin).collect()
+    assert(snaps.map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toSeq ==
+      Seq((1L, "append", 2L), (2L, "append", 1L)))
+
+    val files = spark.sql(
+      """SELECT snapshot_id, rows, bytes FROM graftm2.d.m.files
+        |ORDER BY snapshot_id, path""".stripMargin).collect()
+    assert(files.map(_.getLong(1)).sum == 3L)
+    assert(files.forall(_.getLong(2) > 0L), "bytes recorded per file")
+
+    // filters/projections still work through the normal scan path
+    assert(spark.sql(
+      "SELECT count(*) FROM graftm2.d.m.files WHERE rows > 1").collect()
+      .head.getLong(0) == 1L)
+  }
 }
