@@ -219,7 +219,8 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
       s"snap-$snapshotId-${java.util.UUID.randomUUID().toString.take(8)}")
     val files = writeDataFiles(aligned, outDir)
     val snap = SnapshotMeta(snapshotId, files, md.currentSchemaId, operation,
-      streamBatchId, streamId, removedPaths)
+      streamBatchId, streamId, removedPaths,
+      timestampMs = System.currentTimeMillis())
     commit(md.copy(snapshots = md.snapshots :+ snap))
     snap
   }
@@ -392,7 +393,7 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
       operation = "delete", deletePaths = deleteFiles.sorted,
       deleteCounts = deleteCounts.map { case (p, n) =>
         LakeTable.normalizePath(p) -> n
-      })
+      }, timestampMs = System.currentTimeMillis())
     commit(md.copy(snapshots = md.snapshots :+ snap))
     Some(snap)
   }
@@ -403,7 +404,8 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
       removedPaths: Seq[String] = Seq.empty): SnapshotMeta = {
     val snapshotId = md.snapshots.map(_.id).foldLeft(0L)(math.max) + 1
     val snap = SnapshotMeta(snapshotId, files, schemaId, operation,
-      streamBatchId, streamId, removedPaths)
+      streamBatchId, streamId, removedPaths,
+      timestampMs = System.currentTimeMillis())
     commit(md.copy(snapshots = md.snapshots :+ snap))
     snap
   }
@@ -434,6 +436,16 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     * bytes, not data — so incremental consumers never see reprocessed
     * rows.
     */
+  /** Latest snapshot committed at or before `epochMs` (TIMESTAMP AS OF
+    * resolution). Snapshots without a recorded time (pre-upgrade
+    * metadata) are never matched by time travel.
+    */
+  def snapshotAsOfTime(epochMs: Long): Option[Long] = {
+    val hits = md.snapshots.filter(s =>
+      s.timestampMs >= 0 && s.timestampMs <= epochMs)
+    if (hits.isEmpty) None else Some(hits.maxBy(s => (s.timestampMs, s.id)).id)
+  }
+
   def changesBetween(spark: SparkSession, fromSnapshot: Long,
       toSnapshot: Long): DataFrame = {
     val current = md.currentSchema
@@ -780,7 +792,7 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     }
     val snap = SnapshotMeta(snapshotId, newFiles, md.currentSchemaId,
       operation = "delete", deletePaths = written.map(_.toString),
-      deleteCounts = counts)
+      deleteCounts = counts, timestampMs = System.currentTimeMillis())
     commit(md.copy(snapshots = md.snapshots :+ snap))
     Some(snap)
   }

@@ -39,11 +39,16 @@ case class DataFileMeta(path: String, schemaId: Int, specId: Int, rows: Long,
   * are excluded at write time), which keeps metadata-only COUNT(*)
   * correct without opening delete files.
   */
+/** `timestampMs`: wall-clock commit time (epoch millis; -1 for
+  * snapshots written before the field existed) — powers TIMESTAMP AS
+  * OF time travel and age-based retention.
+  */
 case class SnapshotMeta(id: Long, files: Seq[DataFileMeta], schemaId: Int,
     operation: String = "append", streamBatchId: Option[Long] = None,
     streamId: Option[String] = None, removedPaths: Seq[String] = Seq.empty,
     deletePaths: Seq[String] = Seq.empty,
-    deleteCounts: Map[String, Long] = Map.empty)
+    deleteCounts: Map[String, Long] = Map.empty,
+    timestampMs: Long = -1L)
 
 /** The live merge-on-read delete state for one data file: the delete
   * parquet files that may hold its deleted positions, and the exact
@@ -149,6 +154,8 @@ object MetadataIO {
       "snapshot-id" -> JNumber(sn.id),
       "schema-id" -> JNumber(sn.schemaId),
       "operation" -> JString(sn.operation)) ++
+      (if (sn.timestampMs < 0) Map.empty[String, JValue]
+       else Map("timestamp-ms" -> JNumber(sn.timestampMs))) ++
       sn.streamBatchId.map(b => "stream-batch-id" -> JNumber(b)).toMap ++
       sn.streamId.map(s => "stream-id" -> JString(s)).toMap ++
       (if (sn.removedPaths.isEmpty) Map.empty[String, JValue]
@@ -228,7 +235,8 @@ object MetadataIO {
             .map(_.asArr.map(_.asStr)).getOrElse(Seq.empty),
           deleteCounts = sm.get("delete-counts")
             .map(_.asObj.map { case (p, n) => p -> n.asLong })
-            .getOrElse(Map.empty))
+            .getOrElse(Map.empty),
+          timestampMs = sm.get("timestamp-ms").map(_.asLong).getOrElse(-1L))
       },
       lastFieldId = m("last-field-id").asInt,
       properties = m.get("properties")

@@ -28,7 +28,8 @@ import graft.lake.LakeTable
   * stay on the table-def path.
   */
 class LakeCatalog extends TableCatalog
-    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -87,6 +88,23 @@ class LakeCatalog extends TableCatalog
     }
     val t = LakeTable.load(warehouse, db, tbl)
     t.schemaAsOf(sid) // validate the pin before handing out the table
+    new LakeSparkTable(warehouse, db, tbl, 0L, t, Some(sid))
+  }
+
+  /** SQL time travel by wall clock: SELECT … FROM graft.db.t
+    * TIMESTAMP AS OF '…' — Spark hands the instant as epoch MICROS;
+    * resolve to the latest snapshot committed at or before it.
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    require(ident.namespace.length == 1, "expected <database>.<table>")
+    val (db, tbl) = (ident.namespace()(0), ident.name)
+    if (!LakeTable.exists(warehouse, db, tbl))
+      throw new NoSuchTableException(ident)
+    val t = LakeTable.load(warehouse, db, tbl)
+    val sid = t.snapshotAsOfTime(Math.floorDiv(timestamp, 1000L))
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft catalog: no snapshot of $ident at or before " +
+          s"timestamp $timestamp (micros)"))
     new LakeSparkTable(warehouse, db, tbl, 0L, t, Some(sid))
   }
 
@@ -210,6 +228,25 @@ class LakeCatalog extends TableCatalog
       LakeFunctions.unbound(ident.name)
     else throw new org.apache.spark.sql.catalyst.analysis
       .NoSuchFunctionException(ident)
+
+  // ---- ProcedureCatalog: SQL CALL maintenance -------------------------
+  // CALL graft.system.expire_snapshots(db => 'd', table => 't',
+  //   keep_last => 3) — the Iceberg procedures surface for table
+  // maintenance, returning result relations.
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.length == 1 && namespace(0) == "system")
+      LakeProcedures.names.map(n => Identifier.of(namespace, n)).toArray
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    if (ident.namespace.length == 1 && ident.namespace()(0) == "system" &&
+        LakeProcedures.names.contains(ident.name))
+      LakeProcedures.unbound(warehouse, ident.name)
+    else throw new RuntimeException(
+      s"graft catalog: unknown procedure $ident (have " +
+        s"${LakeProcedures.names.toSeq.sorted.mkString("system.", ", system.", "")})")
 }
 
 /** Iceberg-style metadata inspection tables (`db.table.snapshots`,
@@ -272,15 +309,101 @@ private[sources] class MetaTable(name0: String,
     java.util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(
-      options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with Scan with Batch {
-      override def build(): Scan = this
-      override def readSchema(): org.apache.spark.sql.types.StructType = schema0
-      override def toBatch: Batch = this
-      override def planInputPartitions(): Array[InputPartition] =
-        Array(MetaRowsPartition(rows.map(_.toArray).toArray))
-      override def createReaderFactory(): PartitionReaderFactory =
-        MetaReaderFactory
+      options: CaseInsensitiveStringMap): ScanBuilder = {
+    val scan = new RowsScan(schema0, rows)
+    new ScanBuilder { override def build(): org.apache.spark.sql.connector.read.Scan = scan }
+  }
+}
+
+/** A fixed row set as a DSv2 Scan — shared by the metadata tables and
+  * the CALL procedures' result relations.
+  */
+private[sources] class RowsScan(
+    schema0: org.apache.spark.sql.types.StructType,
+    rows: Seq[Seq[Any]])
+    extends org.apache.spark.sql.connector.read.Scan
+    with org.apache.spark.sql.connector.read.Batch {
+  import org.apache.spark.sql.connector.read._
+  override def readSchema(): org.apache.spark.sql.types.StructType = schema0
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(MetaRowsPartition(rows.map(_.toArray).toArray))
+  override def createReaderFactory(): PartitionReaderFactory =
+    MetaReaderFactory
+}
+
+/** SQL CALL procedures for table maintenance — the Iceberg procedure
+  * surface re-expressed over the engine's own lifecycle primitives:
+  * expire_snapshots (history squash), remove_orphan_files (age-guarded
+  * sweep), compact (live-set rewrite). Each returns a one-row result
+  * relation.
+  */
+private[sources] object LakeProcedures {
+  import org.apache.spark.sql.connector.catalog.procedures._
+  import org.apache.spark.sql.connector.read.Scan
+  import org.apache.spark.sql.types._
+
+  val names: Set[String] = Set("expire_snapshots", "remove_orphan_files", "compact")
+
+  private def param(n: String, dt: DataType) =
+    ProcedureParameter.in(n, dt).build()
+
+  def unbound(warehouse: String, procName: String): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = procName
+      override def description(): String = s"graft maintenance: $procName"
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = procName
+          override def description(): String = s"graft maintenance: $procName"
+          override def isDeterministic: Boolean = false
+          override def parameters(): Array[ProcedureParameter] = procName match {
+            case "expire_snapshots" => Array(
+              param("db", StringType), param("table", StringType),
+              param("keep_after", LongType))
+            case "remove_orphan_files" => Array(
+              param("db", StringType), param("table", StringType),
+              param("older_than_ms", LongType))
+            case "compact" => Array(
+              param("db", StringType), param("table", StringType))
+          }
+          override def call(input: InternalRow): java.util.Iterator[Scan] = {
+            val db = input.getUTF8String(0).toString
+            val tbl = input.getUTF8String(1).toString
+            val t = LakeTable.load(warehouse, db, tbl)
+            val (schema, row) = procName match {
+              case "expire_snapshots" =>
+                val expired = t.expireSnapshots(keepAfter = input.getLong(2))
+                (StructType(Seq(
+                  StructField("expired_snapshots", IntegerType, nullable = false),
+                  StructField("snapshots_left", IntegerType, nullable = false))),
+                  Seq[Any](expired, t.metadata.snapshots.size))
+              case "remove_orphan_files" =>
+                val removed = t.removeOrphanFiles(
+                  olderThanMillis = input.getLong(2))
+                (StructType(Seq(
+                  StructField("orphans_removed", IntegerType, nullable = false))),
+                  Seq[Any](removed.size))
+              case "compact" =>
+                val snap = t.compact(org.apache.spark.sql.SparkSession.active)
+                (StructType(Seq(
+                  StructField("snapshot_id", LongType, nullable = false),
+                  StructField("rewritten_rows", LongType, nullable = false))),
+                  Seq[Any](snap.id, snap.files.map(_.rows).sum))
+            }
+            // procedure output must be a LocalScan (InvokeProcedures
+            // turns it into a LocalRelation)
+            val local = new org.apache.spark.sql.connector.read.LocalScan {
+              override def readSchema(): StructType = schema
+              override def rows(): Array[InternalRow] = Array(
+                new GenericInternalRow(row.map {
+                  case s: String => UTF8String.fromString(s): Any
+                  case x => x
+                }.toArray))
+            }
+            java.util.List.of[Scan](local).iterator()
+          }
+        }
     }
 }
 

@@ -250,4 +250,62 @@ class LakeCatalogSpec extends AnyFunSuite {
       "SELECT count(*) FROM graftm2.d.m.files WHERE rows > 1").collect()
       .head.getLong(0) == 1L)
   }
+
+  test("CALL procedures: expire_snapshots, compact, remove_orphan_files") {
+    val wh = Files.createTempDirectory("graft-proc").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"p","columns":[
+        |{"column_name":"id","data_type":"long"},
+        |{"column_name":"v","data_type":"string"}],"partitions":[]}""".stripMargin)
+    val t = LakeTable.load(wh, "d", "p")
+    import spark.implicits._
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    t.append(Seq((3L, "c")).toDF("id", "v"))
+    t.delete(spark, $"id" === 2L)
+    spark.conf.set("spark.sql.catalog.graftp", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.graftp.warehouse", wh)
+
+    val compacted = spark.sql(
+      "CALL graftp.system.compact(db => 'd', table => 'p')").collect()
+    assert(compacted.head.getLong(1) == 2L, "2 live rows rewritten")
+
+    val expired = spark.sql(
+      s"CALL graftp.system.expire_snapshots('d', 'p', ${compacted.head.getLong(0)})")
+      .collect()
+    assert(expired.head.getInt(0) > 0, "history squashed")
+
+    val removed = spark.sql(
+      "CALL graftp.system.remove_orphan_files(db => 'd', table => 'p', older_than_ms => 0L)")
+      .collect()
+    assert(removed.head.getInt(0) > 0, "pre-compaction files swept")
+
+    val live = spark.sql("SELECT id FROM graftp.d.p ORDER BY id").collect()
+    assert(live.map(_.getLong(0)).toSeq == Seq(1L, 3L))
+  }
+
+  test("TIMESTAMP AS OF resolves to the latest snapshot at the instant") {
+    val wh = Files.createTempDirectory("graft-tt").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"tt","columns":[
+        |{"column_name":"id","data_type":"long"}],"partitions":[]}""".stripMargin)
+    val t = LakeTable.load(wh, "d", "tt")
+    import spark.implicits._
+    val s1 = t.append(Seq(1L).toDF("id"))
+    Thread.sleep(15)
+    val between = System.currentTimeMillis()
+    Thread.sleep(15)
+    t.append(Seq(2L).toDF("id"))
+    assert(t.snapshotAsOfTime(between).contains(s1.id))
+    assert(t.snapshotAsOfTime(System.currentTimeMillis()).contains(s1.id + 1))
+    assert(t.snapshotAsOfTime(0L).isEmpty)
+
+    spark.conf.set("spark.sql.catalog.grafttt", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.grafttt.warehouse", wh)
+    val inst = java.time.Instant.ofEpochMilli(between)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDateTime.toString.replace("T", " ")
+    val rows = spark.sql(
+      s"SELECT id FROM grafttt.d.tt TIMESTAMP AS OF '$inst+00:00' ORDER BY id")
+      .collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L))
+  }
 }
