@@ -547,11 +547,29 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
       id = expired.last.id,
       files = LakeTable.liveFiles(expired),
       schemaId = expired.last.schemaId,
+      // keep the newest expired snapshot's commit time: the squash
+      // represents that history point, not "now" — and an unstamped
+      // squash would look ancient to age-based retention
+      timestampMs = expired.map(_.timestampMs).max,
       operation = "rewrite",
       deletePaths = liveDel.values.flatMap(_.paths).toSeq.distinct,
       deleteCounts = liveDel.map { case (p, ds) => p -> ds.rows })
     commit(md.copy(snapshots = squashed +: kept))
     expired.size
+  }
+
+  /** Age-based retention (Iceberg's expire_snapshots timestamp mode):
+    * squash every snapshot committed before `olderThanMs`, always
+    * retaining the latest snapshot regardless of age. Snapshots
+    * without a recorded commit time (pre-upgrade metadata) count as
+    * old — they predate the field.
+    */
+  def expireSnapshotsOlderThan(olderThanMs: Long): Int = {
+    if (md.snapshots.isEmpty) return 0
+    val latest = md.snapshots.map(_.id).max
+    val old = md.snapshots
+      .filter(s => s.timestampMs < olderThanMs && s.id < latest).map(_.id)
+    if (old.isEmpty) 0 else expireSnapshots(keepAfter = old.max)
   }
 
   /** Delete data files under this table's data/ directory that no

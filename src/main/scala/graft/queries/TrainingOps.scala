@@ -42,6 +42,49 @@ object TrainingOps extends QueryModule {
       .select("u", "v")
   }
 
+  /** Connected components: `vertices(n)` + undirected `edges(u, v)` →
+    * labels `(n, l)` with l = min vertex id reachable from n. One join
+    * + min-groupBy per round, propagating labels along graph edges AND
+    * bidirectional label-pointer edges (n ⇄ l(n)) — the pointer edges
+    * implement pointer jumping, so rounds = O(log max-component); each
+    * round shuffles O(|E| + |V|) ids. Labels decrease monotonically,
+    * so an unchanged sum(l) proves the fixpoint — the convergence
+    * probe is a tiny agg, not a join. Labels are localCheckpointed per
+    * round to cut lineage (at cluster scale: checkpoint to DFS).
+    * RandomGraphSpec pins the result against a union-find reference on
+    * random graphs.
+    */
+  private[graft] def connectedComponents(vertices: DataFrame,
+      edges: DataFrame): DataFrame = {
+    val es = edges.select(col("u"), col("v"))
+      .union(edges.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint()
+    var lbl = vertices.select(col("n"), col("n").as("l")).localCheckpoint()
+    var prevSum = -1L
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < 64) {
+      val pointer = lbl.filter(col("n") =!= col("l"))
+      val aug = es
+        .union(pointer.select(col("l").as("u"), col("n").as("v")))
+        .union(pointer.select(col("n").as("u"), col("l").as("v")))
+      // localCheckpoint drops size stats, so Spark would sort-merge
+      // this join every round; the label table is |V| ids — small at
+      // this scale, so broadcast it (at 100-TB |V|, leave it to the
+      // shuffle join / AQE instead)
+      val offered = aug.join(broadcast(lbl), aug("u") === lbl("n"))
+        .select(col("v").as("n"), col("l"))
+      lbl = offered.union(lbl).groupBy("n").agg(min(col("l")).as("l"))
+        .localCheckpoint()
+      val sumRow = lbl.agg(org.apache.spark.sql.functions.sum(col("l"))).head()
+      // empty vertex set → sum(l) is NULL → nothing to propagate
+      converged = sumRow.isNullAt(0) || sumRow.getLong(0) == prevSum
+      if (!sumRow.isNullAt(0)) prevSum = sumRow.getLong(0)
+      rounds += 1
+    }
+    lbl
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_clusters" -> QueryModule.micro(4)((s, dir) => {
       // Connected components over the near-dup edges: every document
@@ -56,35 +99,8 @@ object TrainingOps extends QueryModule {
       // the convergence probe is a tiny agg, not a join. Labels are
       // localCheckpointed per round to cut lineage (at cluster scale:
       // checkpoint to DFS instead).
-      val edges = nearDupEdges(s, dir)
-      val es = edges.select(col("u"), col("v"))
-        .union(edges.select(col("v").as("u"), col("u").as("v")))
-        .localCheckpoint()
-      var lbl = wordSets(s, dir)
-        .select(col("doc_id").as("n"), col("doc_id").as("l"))
-        .localCheckpoint()
-      var prevSum = -1L
-      var rounds = 0
-      var converged = false
-      while (!converged && rounds < 64) {
-        val pointer = lbl.filter(col("n") =!= col("l"))
-        val aug = es
-          .union(pointer.select(col("l").as("u"), col("n").as("v")))
-          .union(pointer.select(col("n").as("u"), col("l").as("v")))
-        // localCheckpoint drops size stats, so Spark would sort-merge
-        // this join every round; the label table is |V| ids — small at
-        // this scale, so broadcast it (at 100-TB |V|, leave it to the
-        // shuffle join / AQE instead)
-        val offered = aug.join(broadcast(lbl), aug("u") === lbl("n"))
-          .select(col("v").as("n"), col("l"))
-        lbl = offered.union(lbl).groupBy("n").agg(min(col("l")).as("l"))
-          .localCheckpoint()
-        val sumRow = lbl.agg(org.apache.spark.sql.functions.sum(col("l"))).head()
-        // empty documents table → sum(l) is NULL → nothing to propagate
-        converged = sumRow.isNullAt(0) || sumRow.getLong(0) == prevSum
-        if (!sumRow.isNullAt(0)) prevSum = sumRow.getLong(0)
-        rounds += 1
-      }
+      val vertices = wordSets(s, dir).select(col("doc_id").as("n"))
+      val lbl = connectedComponents(vertices, nearDupEdges(s, dir))
       val sizes = lbl.groupBy(col("l").as("cl")).agg(count(lit(1)).as("n_in_cluster"))
       lbl.join(sizes, lbl("l") === sizes("cl"))
         .select(col("n").as("doc_id"), col("l").as("cluster_id"),

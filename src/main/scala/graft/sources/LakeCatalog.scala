@@ -343,7 +343,8 @@ private[sources] object LakeProcedures {
   import org.apache.spark.sql.connector.read.Scan
   import org.apache.spark.sql.types._
 
-  val names: Set[String] = Set("expire_snapshots", "remove_orphan_files", "compact")
+  val names: Set[String] =
+    Set("expire_snapshots", "expire_older_than", "remove_orphan_files", "compact")
 
   private def param(n: String, dt: DataType) =
     ProcedureParameter.in(n, dt).build()
@@ -361,6 +362,9 @@ private[sources] object LakeProcedures {
             case "expire_snapshots" => Array(
               param("db", StringType), param("table", StringType),
               param("keep_after", LongType))
+            case "expire_older_than" => Array(
+              param("db", StringType), param("table", StringType),
+              param("older_than_ms", LongType))
             case "remove_orphan_files" => Array(
               param("db", StringType), param("table", StringType),
               param("older_than_ms", LongType))
@@ -374,6 +378,12 @@ private[sources] object LakeProcedures {
             val (schema, row) = procName match {
               case "expire_snapshots" =>
                 val expired = t.expireSnapshots(keepAfter = input.getLong(2))
+                (StructType(Seq(
+                  StructField("expired_snapshots", IntegerType, nullable = false),
+                  StructField("snapshots_left", IntegerType, nullable = false))),
+                  Seq[Any](expired, t.metadata.snapshots.size))
+              case "expire_older_than" =>
+                val expired = t.expireSnapshotsOlderThan(input.getLong(2))
                 (StructType(Seq(
                   StructField("expired_snapshots", IntegerType, nullable = false),
                   StructField("snapshots_left", IntegerType, nullable = false))),

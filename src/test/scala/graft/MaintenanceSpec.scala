@@ -82,4 +82,23 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(removed2 == Seq(stray.toString))
     assert(!Files.exists(stray.getParent), "empty snap dir pruned")
   }
+
+  test("expireSnapshotsOlderThan keeps the latest snapshot regardless of age") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-age").toString
+    graft.lake.Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"age","columns":[
+        |{"column_name":"id","data_type":"long"}],"partitions":[]}""".stripMargin)
+    val t = graft.lake.LakeTable.load(wh, "d", "age")
+    import spark.implicits._
+    t.append(Seq(1L).toDF("id"))
+    t.append(Seq(2L).toDF("id"))
+    t.append(Seq(3L).toDF("id"))
+    // cutoff far in the future: everything is "old", but the latest
+    // snapshot must survive (squashed history replaces the rest)
+    val expired = t.expireSnapshotsOlderThan(System.currentTimeMillis() + 60000)
+    assert(expired == 2)
+    assert(t.read(spark).collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+    // nothing old remains
+    assert(t.expireSnapshotsOlderThan(0L) == 0)
+  }
 }

@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the distributed connected-components loop
+  * (TrainingOps.connectedComponents) against a driver-side union-find
+  * reference on seeded random graphs — including shapes the dedup
+  * query's window-blocked edges never produce: long paths (worst-case
+  * pointer-jumping depth), stars, dense blobs, isolated vertices, and
+  * self-loops.
+  */
+class RandomGraphSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) {
+        parent(r) = parent.getOrElse(parent(r), parent(r)); r = parent(r)
+      }
+      r
+    }
+    for ((u, v) <- edges) {
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+    }
+    (0L until n.toLong).map(v => v -> find(v)).toMap
+  }
+
+  private def check(n: Int, edges: Seq[(Long, Long)], tag: String): Unit = {
+    import spark.implicits._
+    val vertices = (0L until n.toLong).toDF("n")
+    val edgeDf = edges.toDF("u", "v")
+    val got = graft.queries.TrainingOps.connectedComponents(vertices, edgeDf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = unionFind(n, edges)
+    assert(got == want, s"$tag: components diverge from union-find")
+  }
+
+  test("path graph (worst-case depth for pointer jumping)") {
+    check(200, (0L until 199L).map(i => (i, i + 1)), "path-200")
+  }
+
+  test("star, blob, isolated vertices, self-loops") {
+    check(50, (1L until 50L).map(i => (25L, i)), "star")
+    check(30, (for (u <- 0L until 30L; v <- u + 1 until 30L) yield (u, v)), "blob")
+    check(40, Seq((0L, 1L), (5L, 5L), (7L, 8L)), "sparse+selfloop")
+  }
+
+  test("seeded random graphs match union-find") {
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed)
+      val n = 60 + rnd.nextInt(80)
+      val m = rnd.nextInt(2 * n)
+      val edges = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      check(n, edges, s"random-$seed")
+    }
+  }
+}
