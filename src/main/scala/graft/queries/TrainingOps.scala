@@ -296,6 +296,27 @@ object TrainingOps extends QueryModule {
               |ORDER BY kind, snapshot_id""".stripMargin)
     }),
 
+    "q_multimodal_frames" -> ((s, dir) => {
+      // Video-shaped multimodal plumbing under the oracle gate: payload
+      // → resize (metadata rewrite) → every-4th fixed-16-byte frame
+      // sample (posexplode, narrow). The oracle recomputes the emitted
+      // frame counts and byte totals from the text byte lengths alone,
+      // so the binary slicing itself is what's being checked.
+      import graft.multimodal.Multimodal
+      val media = Multimodal.resizeStub(
+        Multimodal.asMediaTable(Tables(s, dir, "documents"), "doc_id", "text"),
+        w = 64, h = 48)
+      val frames = Multimodal.frameSample(media, frameBytes = 16, everyK = 4)
+      frames.groupBy("media_id")
+        .agg(count(lit(1)).as("n_frames_emitted"),
+          sum(length(col("frame"))).as("total_frame_bytes"))
+        .join(media.select(col("media_id"), col("meta.width").as("width"),
+          col("meta.height").as("height")), "media_id")
+        .select("media_id", "width", "height", "n_frames_emitted",
+          "total_frame_bytes")
+        .orderBy("media_id")
+    }),
+
     "q_embed_centroid" -> ((s, dir) => {
       // Per-label centroid, the k-means E-step shape: posexplode the
       // vector, aggregate per (label, dim) — the shuffle carries
@@ -397,6 +418,15 @@ object TrainingOps extends QueryModule {
         |             min(event_id)) AS first_event_id
         |  FROM events WHERE event_id < 3000 GROUP BY 1)
         |ORDER BY key""".stripMargin,
+
+    "q_multimodal_frames" ->
+      """SELECT doc_id AS media_id, 64 AS width, 48 AS height,
+        |  CAST(FLOOR((FLOOR(strlen(text) / 16) - 1) / 4) + 1 AS BIGINT)
+        |    AS n_frames_emitted,
+        |  CAST((FLOOR((FLOOR(strlen(text) / 16) - 1) / 4) + 1) * 16 AS BIGINT)
+        |    AS total_frame_bytes
+        |FROM documents WHERE FLOOR(strlen(text) / 16) > 0
+        |ORDER BY media_id""".stripMargin,
 
     "q_embed_centroid" ->
       """SELECT label, dim, n_vecs,
