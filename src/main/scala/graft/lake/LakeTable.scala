@@ -566,10 +566,21 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     */
   def expireSnapshotsOlderThan(olderThanMs: Long): Int = {
     if (md.snapshots.isEmpty) return 0
-    val latest = md.snapshots.map(_.id).max
-    val old = md.snapshots
-      .filter(s => s.timestampMs < olderThanMs && s.id < latest).map(_.id)
-    if (old.isEmpty) 0 else expireSnapshots(keepAfter = old.max)
+    val byId = md.snapshots.sortBy(_.id)
+    val latest = byId.last.id
+    // Squashing is prefix-by-id, so only the contiguous old PREFIX is
+    // eligible: with non-monotonic commit timestamps (clock skew), an
+    // id below a younger-than-cutoff snapshot must survive — expiring
+    // by old.max alone would squash it regardless of its age.
+    val prefix = byId.takeWhile(s =>
+      s.timestampMs < olderThanMs && s.id < latest)
+    // Fixpoint: re-squashing a single already-squashed (or lone
+    // append) snapshot is a no-op that would otherwise commit a new
+    // metadata version and report 1 forever — maintenance loops that
+    // run "until 0 expired" must terminate.
+    if (prefix.isEmpty ||
+        (prefix.size == 1 && prefix.head.operation == "rewrite")) 0
+    else expireSnapshots(keepAfter = prefix.last.id)
   }
 
   /** Delete data files under this table's data/ directory that no

@@ -60,7 +60,9 @@ object TrainingOps extends QueryModule {
       .union(edges.select(col("v").as("u"), col("u").as("v")))
       .localCheckpoint()
     var lbl = vertices.select(col("n"), col("n").as("l")).localCheckpoint()
-    var prevSum = -1L
+    // Option, not a sentinel value: vertex ids may be negative, so any
+    // Long could be a genuine label sum
+    var prevSum: Option[Long] = None
     var rounds = 0
     var converged = false
     while (!converged && rounds < 64) {
@@ -78,8 +80,9 @@ object TrainingOps extends QueryModule {
         .localCheckpoint()
       val sumRow = lbl.agg(org.apache.spark.sql.functions.sum(col("l"))).head()
       // empty vertex set → sum(l) is NULL → nothing to propagate
-      converged = sumRow.isNullAt(0) || sumRow.getLong(0) == prevSum
-      if (!sumRow.isNullAt(0)) prevSum = sumRow.getLong(0)
+      val sum = if (sumRow.isNullAt(0)) None else Some(sumRow.getLong(0))
+      converged = sum.isEmpty || sum == prevSum
+      prevSum = sum
       rounds += 1
     }
     lbl

@@ -286,13 +286,26 @@ private[sources] object MetaTables {
           s.files.map(_.rows).sum, s.files.map(_.bytes).sum,
           s.removedPaths.size, s.deletePaths.size)
       })
-    case "files" => new MetaTable(fullName, filesSchema,
-      t.metadata.snapshots.flatMap { s =>
-        s.files.map(f => Seq[Any](s.id, f.path, f.rows, f.bytes,
-          f.schemaId, f.specId,
-          f.partitionValues.toSeq.sorted.map { case (k, v) => s"$k=$v" }
-            .mkString(",")))
-      })
+    case "files" => {
+      // the LIVE file inventory (Iceberg's .files semantics): files
+      // superseded by overwrites/rewrites are excluded — .snapshots is
+      // the historical log; snapshot_id records which snapshot ADDED
+      // the file
+      val live = LakeTable.liveFiles(t.metadata.snapshots)
+        .map(_.path).toSet
+      // a squash/compaction snapshot re-lists files an earlier append
+      // already recorded — emit each live path once, under the first
+      // snapshot that listed it
+      val seen = scala.collection.mutable.Set.empty[String]
+      new MetaTable(fullName, filesSchema,
+        t.metadata.snapshots.sortBy(_.id).flatMap { s =>
+          s.files.filter(f => live(f.path) && seen.add(f.path))
+            .map(f => Seq[Any](s.id, f.path, f.rows, f.bytes,
+              f.schemaId, f.specId,
+              f.partitionValues.toSeq.sorted.map { case (k, v) => s"$k=$v" }
+                .mkString(",")))
+        })
+    }
   }
 }
 

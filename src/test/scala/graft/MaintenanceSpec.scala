@@ -100,5 +100,9 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(t.read(spark).collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
     // nothing old remains
     assert(t.expireSnapshotsOlderThan(0L) == 0)
+    // idempotence at the same cutoff: the squash snapshot must not be
+    // re-squashed forever — "run until 0 expired" loops terminate
+    val again = t.expireSnapshotsOlderThan(System.currentTimeMillis() + 60000)
+    assert(again == 0, s"second expiry at same cutoff must be 0, was $again")
   }
 }

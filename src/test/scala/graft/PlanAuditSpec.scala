@@ -41,20 +41,36 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan("q_topk_per_group").contains("WindowGroupLimit"))
   }
 
-  test("q_join_bloom probes the bloom before the semi join") {
-    val p = plan("q_join_bloom")
-    val probeAt = p.indexOf("might_contain")
-    val joinAt = p.indexOf("BroadcastHashJoin")
-    assert(probeAt >= 0, "bloom probe present")
-    assert(joinAt >= 0, "semi join present")
-    assert(probeAt > joinAt,
-      "probe must sit below the join in the plan tree (printed after)")
+  // FormattedMode numbers operators leaf-first ("Scan parquet (1)" at
+  // the bottom), so a child's id is strictly SMALLER than its
+  // ancestors'. Find the id of the detail block for operator `op`
+  // ("(N) Op" + block text) containing every `details` substring.
+  private def nodeId(p: String, op: String, details: String*): Int = {
+    val blocks = p.split("\\n\\(").toSeq // each detail block starts "(N) Op"
+    blocks.collectFirst {
+      case b if b.startsWith(op, b.indexOf(") ") + 2) &&
+          details.forall(b.contains) =>
+        b.takeWhile(_.isDigit).toInt
+    }.getOrElse(fail(s"no $op block containing ${details.mkString(", ")} in:\n$p"))
   }
 
-  test("q_pricing_summary partially aggregates before the exchange") {
+  test("q_join_bloom probes the bloom below the semi join") {
+    val p = plan("q_join_bloom")
+    // "l_suppkey" pins the FACT-side probe: Spark's own runtime filter
+    // injection can add a might_contain on the dim side too
+    val probeId = nodeId(p, "Filter", "might_contain", "l_suppkey")
+    val joinId = nodeId(p, "BroadcastHashJoin")
+    assert(probeId < joinId,
+      s"bloom Filter (id $probeId) must sit below the join (id $joinId): " +
+        "formatted ids grow from the leaves up")
+  }
+
+  test("q_pricing_summary partially aggregates below the exchange") {
     val p = plan("q_pricing_summary")
-    val partial = p.indexOf("HashAggregate(keys=[l_returnflag")
-    assert(partial >= 0 && p.indexOf("partial_", partial) > 0 ||
-      p.contains("partial_sum"), "map-side combine expected")
+    val partialId = nodeId(p, "HashAggregate", "partial_sum")
+    val exchangeId = nodeId(p, "Exchange")
+    assert(partialId < exchangeId,
+      s"partial HashAggregate (id $partialId) must sit below the " +
+        s"Exchange (id $exchangeId)")
   }
 }

@@ -48,6 +48,17 @@ class RandomGraphSpec extends AnyFunSuite {
     check(40, Seq((0L, 1L), (5L, 5L), (7L, 8L)), "sparse+selfloop")
   }
 
+  test("negative vertex ids (label sums can hit any sentinel value)") {
+    import spark.implicits._
+    // path over {-4, 0, 1, 2, 3}: after round 1 the label sum is -1,
+    // which a -1 'uninitialized' sentinel mistook for convergence
+    val vertices = Seq(-4L, 0L, 1L, 2L, 3L).toDF("n")
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("u", "v")
+    val got = graft.queries.TrainingOps.connectedComponents(vertices, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(-4L -> -4L, 0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L))
+  }
+
   test("seeded random graphs match union-find") {
     for (seed <- 1 to 4) {
       val rnd = new scala.util.Random(seed)
