@@ -55,7 +55,36 @@ object TrainingOps extends QueryModule {
     * random graphs.
     */
   private[graft] def connectedComponents(vertices: DataFrame,
-      edges: DataFrame): DataFrame = {
+      edges: DataFrame, driverMaxEdges: Long = 1L << 20): DataFrame = {
+    // Adaptive small-graph path (the broadcast-join-threshold idea
+    // applied to graphs): when the blocked candidate-pair set is small
+    // enough to hold on the driver, a union-find beats ~log(component)
+    // distributed rounds of job overhead. The distributed loop below
+    // remains the path for edge sets that don't fit — the threshold is
+    // on EDGES (bounded by the blocking strategy), not documents.
+    val edgeCount = edges.count()
+    if (edgeCount <= driverMaxEdges) {
+      val spark = vertices.sparkSession
+      import spark.implicits._
+      val es = edges.select(col("u").cast("long"), col("v").cast("long"))
+        .as[(Long, Long)].collect()
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) {
+          parent(r) = parent.getOrElse(parent(r), parent(r)); r = parent(r)
+        }
+        r
+      }
+      es.foreach { case (u, v) =>
+        val (ru, rv) = (find(u), find(v))
+        if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+      }
+      val roots = parent.keys.map(k => k -> find(k)).toSeq
+      val rootsDf = broadcast(roots.toDF("rn", "rl"))
+      return vertices.join(rootsDf, vertices("n") === col("rn"), "left")
+        .select(col("n"), coalesce(col("rl"), col("n")).as("l"))
+    }
     val es = edges.select(col("u"), col("v"))
       .union(edges.select(col("v").as("u"), col("u").as("v")))
       .localCheckpoint()

@@ -32,10 +32,15 @@ class RandomGraphSpec extends AnyFunSuite {
     import spark.implicits._
     val vertices = (0L until n.toLong).toDF("n")
     val edgeDf = edges.toDF("u", "v")
-    val got = graft.queries.TrainingOps.connectedComponents(vertices, edgeDf)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val want = unionFind(n, edges)
-    assert(got == want, s"$tag: components diverge from union-find")
+    // both paths: the driver union-find fast path (default threshold)
+    // and the distributed pointer-jumping loop (threshold 0 forces it)
+    for ((maxEdges, path) <- Seq(Long.MaxValue -> "driver", 0L -> "distributed")) {
+      val got = graft.queries.TrainingOps
+        .connectedComponents(vertices, edgeDf, driverMaxEdges = maxEdges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"$tag/$path: components diverge from union-find")
+    }
   }
 
   test("path graph (worst-case depth for pointer jumping)") {
@@ -54,7 +59,8 @@ class RandomGraphSpec extends AnyFunSuite {
     // which a -1 'uninitialized' sentinel mistook for convergence
     val vertices = Seq(-4L, 0L, 1L, 2L, 3L).toDF("n")
     val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("u", "v")
-    val got = graft.queries.TrainingOps.connectedComponents(vertices, edges)
+    val got = graft.queries.TrainingOps
+      .connectedComponents(vertices, edges, driverMaxEdges = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(-4L -> -4L, 0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L))
   }
