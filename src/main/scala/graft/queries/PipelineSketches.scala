@@ -61,7 +61,10 @@ object PipelineSketches extends QueryModule {
         col("src_sig").as("a_sig"), col("n_docs").as("a_docs"))
       val b = perSource.select(col("source").as("b_src"),
         col("src_sig").as("b_sig"))
-      a.join(b, col("a_src") < col("b_src"))
+      // pairwise over AGGREGATED sources (sources ≪ docs): broadcast
+      // the probe side so the non-equi pair join never plans a
+      // two-sided CartesianProduct
+      a.join(broadcast(b), col("a_src") < col("b_src"))
         .select(col("a_src"), col("b_src"), col("a_docs"),
           (size(filter(zip_with(col("a_sig"), col("b_sig"), (x, y) =>
             when(x === y, 1).otherwise(0)), v => v === 1)).cast("double") /
