@@ -58,22 +58,32 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
+    println(renderLine(results, sfDir))
+    spark.stop()
+  }
+
+  /** The driver-contract JSON line. Harness-critical invariants (pinned
+    * by BenchLineSpec): valid JSON regardless of JVM locale, and at
+    * most `MaxLineChars` — the harness keeps only the last ~2000 chars
+    * of stdout, so an overflowing line is truncated mid-JSON and the
+    * whole round's bench silently fails to parse. Per-query entries are
+    * emitted largest-first and dropped past the budget.
+    */
+  val MaxLineChars = 1700
+
+  def renderLine(results: Map[String, Double], sfDir: String): String = {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // locale-independent 3-decimal rendering (f"%.3f" would emit a
     // comma decimal separator under e.g. de_DE and break the JSON)
     def r3(v: Double): String = (math.rint(v * 1000) / 1000).toString
-    // The harness keeps only the last ~2000 chars of stdout; a JSON line that
-    // overflows that window is truncated mid-line and unparseable. Emit the
-    // per-query map largest-first and stop before the line can overflow.
     val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir","queries":{"""
     val tail = "}}"
-    val budget = 1700 - head.length - tail.length
+    val budget = MaxLineChars - head.length - tail.length
     val entries = results.toSeq.sortBy(-_._2).map { case (k, v) => s""""$k":${r3(v)}""" }
     val (kept, _) = entries.foldLeft((Vector.empty[String], 0)) { case ((acc, len), e) =>
       val add = e.length + (if (acc.isEmpty) 0 else 1)
       if (len + add <= budget) (acc :+ e, len + add) else (acc, len)
     }
-    println(head + kept.mkString(",") + tail)
-    spark.stop()
+    head + kept.mkString(",") + tail
   }
 }

@@ -349,6 +349,39 @@ object TrainingOps extends QueryModule {
         .orderBy("media_id")
     }),
 
+    "stream_lake_pipe" -> QueryModule.micro(1)((s, dir) => {
+      // End-to-end medallion hop under the oracle gate: bronze lake
+      // table (real customer rows) → DSv2 streaming read → filter +
+      // projection → DSv2 streaming sink into silver → batch read
+      // back. Exercises snapshot offsets, executor-side parquet
+      // writers, and epoch-tagged commits in one pipeline; the oracle
+      // recomputes the same transform over the source parquet.
+      import graft.lake.{Engine, LakeTable}
+      val wh = LakeQueries.freshWarehouse("pipe")
+      Engine.processTableDefJson(wh,
+        """{"database_name":"p","table_name":"bronze","columns":[
+          |{"column_name":"c_custkey","data_type":"long"},
+          |{"column_name":"c_name","data_type":"string"}],"partitions":[]}""".stripMargin)
+      Engine.processTableDefJson(wh,
+        """{"database_name":"p","table_name":"silver","columns":[
+          |{"column_name":"c_custkey","data_type":"long"},
+          |{"column_name":"name_up","data_type":"string"}],"partitions":[]}""".stripMargin)
+      LakeTable.load(wh, "p", "bronze")
+        .append(Tables(s, dir, "customer").select("c_custkey", "c_name"))
+      val q = s.readStream.format("graft-lake")
+        .option("warehouse", wh).option("database", "p").option("table", "bronze")
+        .load()
+        .filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey"), upper(col("c_name")).as("name_up"))
+        .writeStream.format("graft-lake")
+        .option("warehouse", wh).option("database", "p").option("table", "silver")
+        .option("checkpointLocation", s"$wh/_cp_pipe")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      LakeTable.load(wh, "p", "silver").read(s)
+        .select("c_custkey", "name_up").orderBy("c_custkey")
+    }),
+
     "q_embed_centroid" -> ((s, dir) => {
       // Per-label centroid, the k-means E-step shape: posexplode the
       // vector, aggregate per (label, dim) — the shuffle carries
@@ -450,6 +483,11 @@ object TrainingOps extends QueryModule {
         |             min(event_id)) AS first_event_id
         |  FROM events WHERE event_id < 3000 GROUP BY 1)
         |ORDER BY key""".stripMargin,
+
+    "stream_lake_pipe" ->
+      """SELECT c_custkey, upper(c_name) AS name_up
+        |FROM customer WHERE c_custkey % 2 = 0
+        |ORDER BY c_custkey""".stripMargin,
 
     "q_multimodal_frames" ->
       """SELECT doc_id AS media_id, 64 AS width, 48 AS height,

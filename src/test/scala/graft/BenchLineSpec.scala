@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.schema.{JNumber, JObject, Json}
+
+/** Harness-contract pins for the bench JSON line: the driver captures
+  * only the last ~2000 chars of stdout and json-parses the line, so it
+  * must stay within budget and be locale-independent valid JSON —
+  * BENCH_r01 was lost to exactly this (a ~2900-char line truncated
+  * mid-JSON).
+  */
+class BenchLineSpec extends AnyFunSuite {
+
+  private def results(n: Int): Map[String, Double] =
+    (0 until n).map(i => f"q_some_rather_long_query_name_$i%03d" -> i * 0.137).toMap
+
+  test("line stays within the tail-capture budget at any query count") {
+    for (n <- Seq(0, 1, 50, 101, 400)) {
+      val line = Bench.renderLine(results(n), "/root/testdata/sf0.1")
+      assert(line.length <= Bench.MaxLineChars, s"n=$n: ${line.length} chars")
+      val obj = Json.parse(line).asInstanceOf[JObject]
+      assert(obj.fields("n_queries").asInstanceOf[JNumber].value == n)
+    }
+  }
+
+  test("largest queries survive the budget cut") {
+    val line = Bench.renderLine(results(400), "sf")
+    val kept = Json.parse(line).asInstanceOf[JObject]
+      .fields("queries").asInstanceOf[JObject].fields
+    assert(kept.nonEmpty)
+    // entries are admitted largest-first, so the overall largest value
+    // must be present
+    assert(kept.contains("q_some_rather_long_query_name_399"))
+  }
+
+  test("valid JSON under a comma-decimal locale") {
+    val prev = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(java.util.Locale.GERMANY)
+      val line = Bench.renderLine(Map("q_a" -> 1.5, "q_b" -> 0.25), "sf")
+      assert(!line.contains("1,5"), line)
+      val obj = Json.parse(line).asInstanceOf[JObject]
+      assert(obj.fields("value").asInstanceOf[JNumber].value == 1.75)
+    } finally java.util.Locale.setDefault(prev)
+  }
+}
