@@ -117,6 +117,45 @@ object TrainingOps extends QueryModule {
     lbl
   }
 
+  /** Gear-table content-defined chunking (the FastCDC/rsync family):
+    * roll `h = (h << 1) + gear(byte)` — the shift implicitly ages
+    * bytes out after 64 steps, so a boundary decision depends only on
+    * a sliding window of recent content and chunking RESYNCHRONIZES
+    * after an edit (ChunkingSpec pins this). Boundary when the low
+    * `maskBits` bits are zero (expected chunk ~2^maskBits bytes),
+    * bounded to [minLen, maxLen]. Returns (start, len, md5hex).
+    */
+  private val gear: Array[Long] = {
+    val rnd = new java.util.Random(42) // spec-fixed PRNG: stable across JVMs
+    Array.fill(256)(rnd.nextLong())
+  }
+
+  private[graft] def cdcChunks(bytes: Array[Byte], minLen: Int = 24,
+      maxLen: Int = 256, maskBits: Int = 6): Seq[(Int, Int, String)] = {
+    val mask = (1L << maskBits) - 1
+    val out = Seq.newBuilder[(Int, Int, String)]
+    def emit(start: Int, len: Int): Unit = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.update(bytes, start, len)
+      out += ((start, len, md.digest().map("%02x".format(_)).mkString))
+    }
+    var start = 0
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      h = (h << 1) + gear(bytes(i) & 0xFF)
+      val len = i - start + 1
+      if ((len >= minLen && (h & mask) == 0) || len >= maxLen) {
+        emit(start, len)
+        start = i + 1
+        h = 0L
+      }
+      i += 1
+    }
+    if (start < bytes.length) emit(start, bytes.length - start)
+    out.result()
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_clusters" -> QueryModule.micro(4)((s, dir) => {
       // Connected components over the near-dup edges: every document
@@ -382,6 +421,51 @@ object TrainingOps extends QueryModule {
         .select("c_custkey", "name_up").orderBy("c_custkey")
     }),
 
+    "q_text_cdc_chunks" -> ((s, dir) => {
+      // Content-defined chunking (rolling-hash boundaries, the
+      // FastCDC/rsync idea): chunk boundaries depend on local content,
+      // not absolute offsets, so an insertion only reshapes chunks
+      // near the edit — the property that makes chunk-hash dedup
+      // robust to shifted text. JVM kernel per document (narrow, no
+      // shuffle before the final agg); ChunkingSpec pins tiling and
+      // shift-stability. Output keeps per-doc aggregates (chunk count,
+      // bytes, distinct hashes) — rows-only gate: the rolling hash is
+      // engine-specific.
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val chunks = TrainingOps.cdcChunks(text.getBytes("UTF-8"))
+          (id, chunks.length.toLong,
+            chunks.map(_._2.toLong).sum,
+            chunks.map(_._3).distinct.length.toLong)
+        })
+        .toDF("doc_id", "n_chunks", "total_bytes", "n_distinct_hashes")
+        .orderBy("doc_id")
+    }),
+
+    "q_dedup_chunk_overlap" -> ((s, dir) => {
+      // Chunk-granularity near-dup: fixed-stride 64-char chunks are
+      // hashed and self-joined — doc pairs sharing many identical
+      // chunks are near-dup candidates even when whole-doc hashes
+      // differ. The shuffle carries 32-char hex digests, never text;
+      // blocking is by chunk hash, so pair generation is proportional
+      // to actual overlap, not the corpus square.
+      val chunks = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(1), greatest(length(col("text")), lit(1)),
+            lit(64))).as("start"))
+        .select(col("doc_id"),
+          md5(expr("substring(text, CAST(start AS INT), 64)")).as("h"))
+      val a = chunks.select(col("doc_id").as("a_id"), col("h"))
+      val b = chunks.select(col("doc_id").as("b_id"), col("h"))
+      a.join(b, Seq("h")).filter(col("a_id") < col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(count(lit(1)).as("n_shared_chunks"))
+        .filter(col("n_shared_chunks") >= 2)
+        .orderBy("a_id", "b_id")
+    }),
+
     "q_embed_centroid" -> ((s, dir) => {
       // Per-label centroid, the k-means E-step shape: posexplode the
       // vector, aggregate per (label, dim) — the shuffle carries
@@ -488,6 +572,20 @@ object TrainingOps extends QueryModule {
       """SELECT c_custkey, upper(c_name) AS name_up
         |FROM customer WHERE c_custkey % 2 = 0
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_dedup_chunk_overlap" ->
+      """WITH chunks AS (
+        |  SELECT doc_id,
+        |    md5(substring(text, CAST(t.g AS INT), 64)) AS h
+        |  FROM documents,
+        |    UNNEST(generate_series(1,
+        |      CAST(greatest(length(text), 1) AS BIGINT), 64)) AS t(g))
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  count(*) AS n_shared_chunks
+        |FROM chunks a JOIN chunks b USING (h)
+        |WHERE a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY a_id, b_id""".stripMargin,
 
     "q_multimodal_frames" ->
       """SELECT doc_id AS media_id, 64 AS width, 48 AS height,
