@@ -466,6 +466,30 @@ object TrainingOps extends QueryModule {
         .orderBy("a_id", "b_id")
     }),
 
+    "q_pipeline_end2end" -> ((s, dir) => {
+      // The whole preprocessing recipe as ONE declarative plan — what a
+      // training-data job actually runs nightly: exact-dedup (keep the
+      // smallest doc_id per content hash) → length gate → per-language
+      // corpus stats (docs, tokens, chars). Catalyst fuses the dedup
+      // aggregation and the join; everything before the final agg
+      // shuffles hashes and ids, not text bodies.
+      val docs = Tables(s, dir, "documents")
+      val keep = docs
+        .groupBy(sha2(col("text"), 256).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      docs.join(keep, "doc_id")
+        .filter(col("n_chars").between(40, 100000))
+        .select(col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          col("n_chars"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          sum(col("n_chars")).as("total_chars"))
+        .orderBy("lang")
+    }),
+
     "q_embed_centroid" -> ((s, dir) => {
       // Per-label centroid, the k-means E-step shape: posexplode the
       // vector, aggregate per (label, dim) — the shuffle carries
@@ -572,6 +596,18 @@ object TrainingOps extends QueryModule {
       """SELECT c_custkey, upper(c_name) AS name_up
         |FROM customer WHERE c_custkey % 2 = 0
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_pipeline_end2end" ->
+      """WITH keep AS (
+        |  SELECT min(doc_id) AS doc_id
+        |  FROM documents GROUP BY md5(text) -- any content hash works: keep-one per identical text
+        |)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents JOIN keep USING (doc_id)
+        |WHERE n_chars BETWEEN 40 AND 100000
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_dedup_chunk_overlap" ->
       """WITH chunks AS (
