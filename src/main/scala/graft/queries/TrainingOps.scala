@@ -490,6 +490,39 @@ object TrainingOps extends QueryModule {
         .orderBy("lang")
     }),
 
+    "q_text_vocab" -> ((s, dir) => {
+      // Vocabulary extraction / exact heavy hitters (the BPE-training
+      // precursor): corpus-wide token counts, keep tokens above a
+      // support threshold, rank by (count desc, token). Partial
+      // aggregation collapses each task to its distinct tokens before
+      // the exchange — the shuffle is vocabulary-sized, not
+      // corpus-sized.
+      Tables(s, dir, "documents")
+        .select(explode(split(lower(col("text")), " ")).as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy("token")
+        .agg(count(lit(1)).as("n_occurrences"))
+        .filter(col("n_occurrences") >= 50)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("n_occurrences").desc, col("token"))))
+        .orderBy("rank")
+    }),
+
+    "q_embed_quantize" -> ((s, dir) => {
+      // Scalar int8 quantization (vector-storage compression):
+      // round(x * 127) clamped to [-127, 127] per dimension — 4x
+      // smaller vectors for ANN shortlists. Integer outputs, so the
+      // oracle is exact; leading 4 dims reported per vector.
+      Tables(s, dir, "embeddings")
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .filter(col("dim") < 4)
+        .select(col("vec_id"), col("dim"),
+          greatest(lit(-127), least(lit(127),
+            round(col("x").cast("double") * 127).cast("int"))).as("q"))
+        .orderBy("vec_id", "dim")
+    }),
+
     "q_embed_centroid" -> ((s, dir) => {
       // Per-label centroid, the k-means E-step shape: posexplode the
       // vector, aggregate per (label, dim) — the shuffle carries
@@ -596,6 +629,25 @@ object TrainingOps extends QueryModule {
       """SELECT c_custkey, upper(c_name) AS name_up
         |FROM customer WHERE c_custkey % 2 = 0
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_text_vocab" ->
+      """SELECT token, n_occurrences, rank FROM (
+        |  SELECT token, count(*) AS n_occurrences,
+        |    row_number() OVER (ORDER BY count(*) DESC, token) AS rank
+        |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS token
+        |        FROM documents)
+        |  WHERE length(token) > 0
+        |  GROUP BY token)
+        |WHERE n_occurrences >= 50
+        |ORDER BY rank""".stripMargin,
+
+    "q_embed_quantize" ->
+      """SELECT vec_id, t.i AS dim,
+        |  CAST(greatest(-127, least(127,
+        |    round(CAST(embedding[t.i + 1] AS DOUBLE) * 127))) AS INTEGER) AS q
+        |FROM embeddings, UNNEST(range(len(embedding))) AS t(i)
+        |WHERE t.i < 4
+        |ORDER BY vec_id, dim""".stripMargin,
 
     "q_pipeline_end2end" ->
       """WITH keep AS (
