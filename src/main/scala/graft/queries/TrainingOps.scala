@@ -56,18 +56,25 @@ object TrainingOps extends QueryModule {
     */
   private[graft] def connectedComponents(vertices: DataFrame,
       edges: DataFrame, driverMaxEdges: Long = 1L << 20): DataFrame = {
+    // One materialization serves the adaptivity count AND whichever
+    // path runs — without it the (expensive) edge plan would be fully
+    // evaluated once for count() and again for collect()/the loop.
+    val edgePairs = edges.select(col("u").cast("long").as("u"),
+      col("v").cast("long").as("v")).localCheckpoint()
+    val edgeCount = edgePairs.count()
     // Adaptive small-graph path (the broadcast-join-threshold idea
     // applied to graphs): when the blocked candidate-pair set is small
     // enough to hold on the driver, a union-find beats ~log(component)
     // distributed rounds of job overhead. The distributed loop below
     // remains the path for edge sets that don't fit — the threshold is
     // on EDGES (bounded by the blocking strategy), not documents.
-    val edgeCount = edges.count()
+    // Both paths share one contract: labels are the min id reachable
+    // over vertices ∪ edge endpoints, reported for the input vertices
+    // (an endpoint absent from `vertices` still conducts connectivity).
     if (edgeCount <= driverMaxEdges) {
       val spark = vertices.sparkSession
       import spark.implicits._
-      val es = edges.select(col("u").cast("long"), col("v").cast("long"))
-        .as[(Long, Long)].collect()
+      val es = edgePairs.as[(Long, Long)].collect()
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -85,10 +92,16 @@ object TrainingOps extends QueryModule {
       return vertices.join(rootsDf, vertices("n") === col("rn"), "left")
         .select(col("n"), coalesce(col("rl"), col("n")).as("l"))
     }
-    val es = edges.select(col("u"), col("v"))
-      .union(edges.select(col("v").as("u"), col("u").as("v")))
+    val es = edgePairs
+      .union(edgePairs.select(col("v").as("u"), col("u").as("v")))
       .localCheckpoint()
-    var lbl = vertices.select(col("n"), col("n").as("l")).localCheckpoint()
+    // label domain = vertices ∪ endpoints, so an endpoint-only id both
+    // conducts and contributes its own id as a candidate label (the
+    // union-find path behaves identically); reported rows are joined
+    // back to the input vertices at the end
+    var lbl = vertices.select(col("n"))
+      .union(es.select(col("u").as("n"))).distinct()
+      .select(col("n"), col("n").as("l")).localCheckpoint()
     // Option, not a sentinel value: vertex ids may be negative, so any
     // Long could be a genuine label sum
     var prevSum: Option[Long] = None
@@ -114,7 +127,7 @@ object TrainingOps extends QueryModule {
       prevSum = sum
       rounds += 1
     }
-    lbl
+    lbl.join(vertices.select(col("n")), Seq("n"))
   }
 
   /** Gear-table content-defined chunking (the FastCDC/rsync family):
@@ -130,14 +143,31 @@ object TrainingOps extends QueryModule {
     Array.fill(256)(rnd.nextLong())
   }
 
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  private def toHex(b: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(b.length * 2)
+    var i = 0
+    while (i < b.length) {
+      sb.append(hexDigits((b(i) >> 4) & 0xF)).append(hexDigits(b(i) & 0xF))
+      i += 1
+    }
+    sb.toString
+  }
+
   private[graft] def cdcChunks(bytes: Array[Byte], minLen: Int = 24,
-      maxLen: Int = 256, maskBits: Int = 6): Seq[(Int, Int, String)] = {
+      maxLen: Int = 256, maskBits: Int = 6,
+      digest: java.security.MessageDigest = null): Seq[(Int, Int, String)] = {
     val mask = (1L << maskBits) - 1
+    // caller may pass a per-partition digest to amortize getInstance
+    // across the corpus; reset() makes reuse safe per chunk
+    val md = if (digest != null) digest
+      else java.security.MessageDigest.getInstance("MD5")
     val out = Seq.newBuilder[(Int, Int, String)]
     def emit(start: Int, len: Int): Unit = {
-      val md = java.security.MessageDigest.getInstance("MD5")
+      md.reset()
       md.update(bytes, start, len)
-      out += ((start, len, md.digest().map("%02x".format(_)).mkString))
+      out += ((start, len, toHex(md.digest())))
     }
     var start = 0
     var h = 0L
@@ -434,12 +464,18 @@ object TrainingOps extends QueryModule {
       import s.implicits._
       Tables(s, dir, "documents")
         .select(col("doc_id"), col("text")).as[(Long, String)]
-        .mapPartitions(_.map { case (id, text) =>
-          val chunks = TrainingOps.cdcChunks(text.getBytes("UTF-8"))
-          (id, chunks.length.toLong,
-            chunks.map(_._2.toLong).sum,
-            chunks.map(_._3).distinct.length.toLong)
-        })
+        .mapPartitions { iter =>
+          // one digest per partition, reset per chunk (the
+          // getInstance-per-chunk cost is what mapPartitions amortizes)
+          val md = java.security.MessageDigest.getInstance("MD5")
+          iter.map { case (id, text) =>
+            val chunks = TrainingOps.cdcChunks(text.getBytes("UTF-8"),
+              digest = md)
+            (id, chunks.length.toLong,
+              chunks.map(_._2.toLong).sum,
+              chunks.map(_._3).distinct.length.toLong)
+          }
+        }
         .toDF("doc_id", "n_chunks", "total_bytes", "n_distinct_hashes")
         .orderBy("doc_id")
     }),
@@ -515,8 +551,11 @@ object TrainingOps extends QueryModule {
       // smaller vectors for ANN shortlists. Integer outputs, so the
       // oracle is exact; leading 4 dims reported per vector.
       Tables(s, dir, "embeddings")
-        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
-        .filter(col("dim") < 4)
+        // slice BEFORE exploding: 4 generated rows per vector instead
+        // of dim-many generated-then-discarded (pos restarts at 0 on
+        // the slice, so `dim` is unchanged)
+        .select(col("vec_id"),
+          posexplode(slice(col("embedding"), 1, 4)).as(Seq("dim", "x")))
         .select(col("vec_id"), col("dim"),
           greatest(lit(-127), least(lit(127),
             round(col("x").cast("double") * 127).cast("int"))).as("q"))

@@ -59,10 +59,27 @@ class RandomGraphSpec extends AnyFunSuite {
     // which a -1 'uninitialized' sentinel mistook for convergence
     val vertices = Seq(-4L, 0L, 1L, 2L, 3L).toDF("n")
     val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("u", "v")
-    val got = graft.queries.TrainingOps
-      .connectedComponents(vertices, edges, driverMaxEdges = 0L)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == Map(-4L -> -4L, 0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L))
+    for (maxEdges <- Seq(Long.MaxValue, 0L)) { // driver AND distributed
+      val got = graft.queries.TrainingOps
+        .connectedComponents(vertices, edges, driverMaxEdges = maxEdges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == Map(-4L -> -4L, 0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L),
+        s"maxEdges=$maxEdges")
+    }
+  }
+
+  test("edge endpoints absent from vertices conduct connectivity (both paths)") {
+    import spark.implicits._
+    // 0 is an endpoint but not a vertex: 1 and 2 connect THROUGH it and
+    // label by the min reachable id (0), reported only for input vertices
+    val vertices = Seq(1L, 2L).toDF("n")
+    val edges = Seq((0L, 1L), (1L, 2L)).toDF("u", "v")
+    for (maxEdges <- Seq(Long.MaxValue, 0L)) {
+      val got = graft.queries.TrainingOps
+        .connectedComponents(vertices, edges, driverMaxEdges = maxEdges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == Map(1L -> 0L, 2L -> 0L), s"maxEdges=$maxEdges")
+    }
   }
 
   test("seeded random graphs match union-find") {
