@@ -263,6 +263,10 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     // range — this is what makes stats pruning bite at 100 TB.
     // "write.sort-buckets" pins the range-partition count (else the
     // session default + AQE coalescing decide).
+    // plain-column sort orders are recorded per file (field IDs) so the
+    // scan can report per-partition ordering; zorder clusters without
+    // producing a source-column ordering, so it records nothing
+    var plainSortCols: Seq[String] = Seq.empty
     val clustered = md.properties.get("write.sort-order") match {
       case None => withP
       case Some(spec) =>
@@ -298,15 +302,27 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
               case zorderRe(colSpec) => colSpec
               case p => p
             }
-            plain.split(",").map(_.trim).filter(_.nonEmpty)
-              .map(c => col(s"`$c`")).toSeq
+            val cols = plain.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+            plainSortCols = cols
+            cols.map(c => col(s"`$c`"))
         }
         if (sortExprs.isEmpty) withP
-        else md.properties.get("write.sort-buckets").map(_.trim.toInt) match {
-          case Some(n) => withP.repartitionByRange(n, sortExprs: _*)
-            .sortWithinPartitions(sortExprs: _*)
-          case None => withP.repartitionByRange(sortExprs: _*)
-            .sortWithinPartitions(sortExprs: _*)
+        else {
+          // prefix the partition-dir columns: FileFormatWriter requires
+          // rows ordered by partition columns for dynamic-partition
+          // writes and would otherwise insert its own (unstable) sort,
+          // destroying the within-file order this clustering (and the
+          // recorded sortedByIds) promises. With the prefix, the
+          // writer's requirement is already satisfied and each file —
+          // where the partition value is constant — is truly sorted by
+          // the declared order.
+          val dirSort = pCols.map(p => col(s"`${p._1}`"))
+          md.properties.get("write.sort-buckets").map(_.trim.toInt) match {
+            case Some(n) => withP.repartitionByRange(n, sortExprs: _*)
+              .sortWithinPartitions(dirSort ++ sortExprs: _*)
+            case None => withP.repartitionByRange(sortExprs: _*)
+              .sortWithinPartitions(dirSort ++ sortExprs: _*)
+          }
         }
     }
     // "write.option.<k>" table properties pass through to the parquet
@@ -333,10 +349,15 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
               .unescapePathName(v)
         }.toMap
       val (rows, stats) = FileStats.fromFooterWithRows(p.toString, schema)
+      val sortedIds = plainSortCols.flatMap(c =>
+        schema.fields.find(_.name == c).map(FieldIds.idOf))
       DataFileMeta(p.toString, md.currentSchemaId, spec.id,
         rows = rows, partitionValues = partVals,
         stats = stats,
-        bytes = try Files.size(p) catch { case _: Exception => -1L })
+        bytes = try Files.size(p) catch { case _: Exception => -1L },
+        // only record when every sort column resolved (else unknown)
+        sortedByIds = if (sortedIds.size == plainSortCols.size) sortedIds
+          else Seq.empty)
     }
   }
 

@@ -14,10 +14,17 @@ import graft.schema._
 case class SpecField(sourceFieldId: Int, transform: String, name: String,
     specFieldId: Int)
 case class PartitionSpecMeta(id: Int, fields: Seq[SpecField])
+/** `sortedByIds`: field IDs the file's rows are sorted by (ascending,
+  * nulls first — Spark's sortWithinPartitions default), recorded when a
+  * `write.sort-order` clustered write produced the file. Lets the scan
+  * report per-partition ordering (SupportsReportOrdering) so
+  * storage-partitioned merge joins skip their sorts. Empty = unknown.
+  */
 case class DataFileMeta(path: String, schemaId: Int, specId: Int, rows: Long,
     partitionValues: Map[String, String],
     stats: Map[Int, ColStats] = Map.empty,
-    bytes: Long = -1L)
+    bytes: Long = -1L,
+    sortedByIds: Seq[Int] = Seq.empty)
 /** `streamId`/`streamBatchId`: the Structured-Streaming source
   * (checkpoint) and micro-batch that produced this snapshot, when
   * ingested via StreamIngest — foreachBatch is at-least-once, so the
@@ -173,7 +180,10 @@ object MetadataIO {
         "schema-id" -> JNumber(df.schemaId),
         "spec-id" -> JNumber(df.specId),
         "rows" -> JNumber(df.rows),
-        "bytes" -> JNumber(df.bytes),
+        "bytes" -> JNumber(df.bytes)) ++
+      (if (df.sortedByIds.isEmpty) Map.empty[String, JValue]
+       else Map("sorted-by" -> JArray(df.sortedByIds.map(i => JNumber(i))))) ++
+      Map(
         "partition" -> JObject(df.partitionValues.map {
           case (k, v) => k -> JString(v)
         }),
@@ -223,7 +233,9 @@ object MetadataIO {
                 id.toInt -> ColStats(sm2("kind").asStr,
                   sm2("min").asStr, sm2("max").asStr)
               }).getOrElse(Map.empty),
-              bytes = dm.get("bytes").map(_.asLong).getOrElse(-1L))
+              bytes = dm.get("bytes").map(_.asLong).getOrElse(-1L),
+              sortedByIds = dm.get("sorted-by")
+                .map(_.asArr.map(_.asInt)).getOrElse(Seq.empty))
           },
           schemaId = sm("schema-id").asInt,
           operation = sm.get("operation").map(_.asStr).getOrElse("append"),

@@ -405,6 +405,7 @@ private[sources] class LakeScan(wh: String, db: String, tbl: String,
     onPlanned: Seq[graft.lake.DataFileMeta] => Unit = _ => ()) extends Scan
     with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
   // one metadata load shared by statistics and batch planning
@@ -494,6 +495,31 @@ private[sources] class LakeScan(wh: String, db: String, tbl: String,
         new org.apache.spark.sql.connector.read.partitioning
           .UnknownPartitioning(0)
     }
+
+  /** Per-partition ordering from the recorded write sort order: every
+    * input partition is exactly one file, so a file written by a
+    * `write.sort-order` clustered write IS a sorted partition
+    * (ascending, nulls first — sortWithinPartitions' default). With
+    * key-grouped partitioning reported above, a storage-partitioned
+    * merge join then needs neither an Exchange nor a Sort — the whole
+    * join is metadata-planned. Conservative: reported only when EVERY
+    * live file carries the same recorded sort ids and they all survive
+    * column pruning (merge-on-read position deletes drop rows in
+    * place, preserving order).
+    */
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+    val files = planned._2
+    if (aggResult.nonEmpty || files.isEmpty) return Array.empty
+    val ids = files.head.sortedByIds
+    if (ids.isEmpty || !files.forall(_.sortedByIds == ids)) return Array.empty
+    val names = ids.map(id => target.fields
+      .find(f => FieldIds.hasId(f) && FieldIds.idOf(f) == id).map(_.name))
+    if (names.exists(_.isEmpty)) return Array.empty
+    names.flatten.map(n =>
+      Expressions.sort(Expressions.column(n), SortDirection.ASCENDING)).toArray
+  }
 
   /** File-size/row statistics from metadata — this is what lets
     * Catalyst auto-broadcast a small lake table in a join without

@@ -190,6 +190,44 @@ class StoragePartitionJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("sorted bucket tables join with zero shuffle AND zero sort") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft-spj-sorted").toString
+    spark.conf.set("spark.sql.catalog.gso", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.gso.warehouse", wh)
+    // bucket co-partitioning + recorded write sort order: the merge
+    // join needs neither an Exchange nor a Sort on either side
+    spark.sql("""CREATE TABLE gso.d.sa (k BIGINT, v STRING)
+                |PARTITIONED BY (bucket(4, k))
+                |TBLPROPERTIES ('write.sort-order' = 'k')""".stripMargin)
+    spark.sql("""CREATE TABLE gso.d.sb (k BIGINT, w STRING)
+                |PARTITIONED BY (bucket(4, k))
+                |TBLPROPERTIES ('write.sort-order' = 'k')""".stripMargin)
+    LakeTable.load(wh, "d", "sa").append(
+      (1L to 40L).map(i => (i, s"a$i")).toDF("k", "v"))
+    LakeTable.load(wh, "d", "sb").append(
+      (30L to 60L).map(i => (i, s"b$i")).toDF("k", "w"))
+    // the recorded order must be real: each file's rows ascend by k
+    val t = LakeTable.load(wh, "d", "sa")
+    assert(t.metadata.allFiles.forall(_.sortedByIds.nonEmpty), "order recorded")
+    t.metadata.allFiles.foreach { f =>
+      val ks = spark.read.parquet(f.path).select("k")
+        .collect().map(_.getLong(0)).toSeq
+      assert(ks == ks.sorted, s"file ${f.path} not sorted: $ks")
+    }
+    withSpjConfs {
+      val joined = spark.sql(
+        """SELECT a.k, a.v, b.w FROM gso.d.sa a
+          |JOIN gso.d.sb b ON a.k = b.k""".stripMargin)
+      val plan = joined.queryExecution.executedPlan
+      assert(shuffles(plan).isEmpty, s"expected no shuffle: $plan")
+      val sorts = plan.collect {
+        case s: org.apache.spark.sql.execution.SortExec => s }
+      assert(sorts.isEmpty, s"expected no sort: $plan")
+      assert(joined.collect().map(_.getLong(0)).toSet == (30L to 40L).toSet)
+    }
+  }
+
   test("streaming sink renders the same bucket values as the batch writer") {
     import spark.implicits._
     val wh = Files.createTempDirectory("graft-spj-bsink").toString
