@@ -317,12 +317,12 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
           // where the partition value is constant — is truly sorted by
           // the declared order.
           val dirSort = pCols.map(p => col(s"`${p._1}`"))
-          md.properties.get("write.sort-buckets").map(_.trim.toInt) match {
+          val ranged = md.properties.get("write.sort-buckets")
+            .map(_.trim.toInt) match {
             case Some(n) => withP.repartitionByRange(n, sortExprs: _*)
-              .sortWithinPartitions(dirSort ++ sortExprs: _*)
             case None => withP.repartitionByRange(sortExprs: _*)
-              .sortWithinPartitions(dirSort ++ sortExprs: _*)
           }
+          ranged.sortWithinPartitions(dirSort ++ sortExprs: _*)
         }
     }
     // "write.option.<k>" table properties pass through to the parquet
@@ -332,6 +332,13 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
       case (k, v) if k.startsWith("write.option.") =>
         k.stripPrefix("write.option.") -> v
     }
+    // identical for every file of this write; case-insensitive to
+    // match how col(`c`) resolved the sort itself (an id that fails to
+    // resolve leaves sortedByIds empty = ordering unknown)
+    val sortedIds = plainSortCols.flatMap(c =>
+      schema.fields.find(_.name.equalsIgnoreCase(c)).map(FieldIds.idOf))
+    val recordedSortIds =
+      if (sortedIds.size == plainSortCols.size) sortedIds else Seq.empty
     val writer = clustered.write.mode("overwrite").options(writerOpts)
     (if (pCols.nonEmpty) writer.partitionBy(pCols.map(_._1): _*) else writer)
       .parquet(outDir.toString)
@@ -349,15 +356,11 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
               .unescapePathName(v)
         }.toMap
       val (rows, stats) = FileStats.fromFooterWithRows(p.toString, schema)
-      val sortedIds = plainSortCols.flatMap(c =>
-        schema.fields.find(_.name == c).map(FieldIds.idOf))
       DataFileMeta(p.toString, md.currentSchemaId, spec.id,
         rows = rows, partitionValues = partVals,
         stats = stats,
         bytes = try Files.size(p) catch { case _: Exception => -1L },
-        // only record when every sort column resolved (else unknown)
-        sortedByIds = if (sortedIds.size == plainSortCols.size) sortedIds
-          else Seq.empty)
+        sortedByIds = recordedSortIds)
     }
   }
 

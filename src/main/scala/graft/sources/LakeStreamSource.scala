@@ -518,7 +518,11 @@ private[sources] class LakeScan(wh: String, db: String, tbl: String,
       .find(f => FieldIds.hasId(f) && FieldIds.idOf(f) == id).map(_.name))
     if (names.exists(_.isEmpty)) return Array.empty
     names.flatten.map(n =>
-      Expressions.sort(Expressions.column(n), SortDirection.ASCENDING)).toArray
+      // verbatim reference, NOT Expressions.column: the latter PARSES
+      // the name as a multipart identifier, so a column named "a.b" or
+      // "order date" would break every read of the table
+      Expressions.sort(org.apache.spark.sql.GraftPlanBridge.fieldRef(n),
+        SortDirection.ASCENDING)).toArray
   }
 
   /** File-size/row statistics from metadata — this is what lets

@@ -20,4 +20,14 @@ object GraftPlanBridge {
 
   def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     classic.ExpressionUtils.expression(c)
+
+  /** Verbatim single-part column reference. `Expressions.column` PARSES
+    * its argument as a multipart identifier, so a schema-sourced name
+    * like "a.b" or "order date" would mis-resolve or throw; this is the
+    * non-parsing constructor (Scala-private in the Spark jar, public in
+    * bytecode — same seam class as above).
+    */
+  def fieldRef(name: String)
+      : org.apache.spark.sql.connector.expressions.NamedReference =
+    org.apache.spark.sql.connector.expressions.FieldReference.column(name)
 }

@@ -197,12 +197,18 @@ class StoragePartitionJoinSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.catalog.gso.warehouse", wh)
     // bucket co-partitioning + recorded write sort order: the merge
     // join needs neither an Exchange nor a Sort on either side
+    // sort-buckets = 1 pins one file per bucket dir regardless of AQE
+    // coalescing: Spark drops the reported ordering when a grouped
+    // partition holds more than one file (a second append would do the
+    // same — conservative fallback, not a correctness issue)
     spark.sql("""CREATE TABLE gso.d.sa (k BIGINT, v STRING)
                 |PARTITIONED BY (bucket(4, k))
-                |TBLPROPERTIES ('write.sort-order' = 'k')""".stripMargin)
+                |TBLPROPERTIES ('write.sort-order' = 'k',
+                |               'write.sort-buckets' = '1')""".stripMargin)
     spark.sql("""CREATE TABLE gso.d.sb (k BIGINT, w STRING)
                 |PARTITIONED BY (bucket(4, k))
-                |TBLPROPERTIES ('write.sort-order' = 'k')""".stripMargin)
+                |TBLPROPERTIES ('write.sort-order' = 'k',
+                |               'write.sort-buckets' = '1')""".stripMargin)
     LakeTable.load(wh, "d", "sa").append(
       (1L to 40L).map(i => (i, s"a$i")).toDF("k", "v"))
     LakeTable.load(wh, "d", "sb").append(
@@ -210,6 +216,8 @@ class StoragePartitionJoinSpec extends AnyFunSuite {
     // the recorded order must be real: each file's rows ascend by k
     val t = LakeTable.load(wh, "d", "sa")
     assert(t.metadata.allFiles.forall(_.sortedByIds.nonEmpty), "order recorded")
+    assert(t.metadata.allFiles.groupBy(_.partitionValues).forall(_._2.size == 1),
+      "one file per bucket (the layout the reported ordering relies on)")
     t.metadata.allFiles.foreach { f =>
       val ks = spark.read.parquet(f.path).select("k")
         .collect().map(_.getLong(0)).toSeq
