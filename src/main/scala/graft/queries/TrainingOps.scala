@@ -562,6 +562,60 @@ object TrainingOps extends QueryModule {
         .orderBy("vec_id", "dim")
     }),
 
+    "q_sim_range_refpoints" -> ((s, dir) => {
+      // Reference-point pruned range search (REPOSE, ICDE'21 — see
+      // PAPERS.md): precompute each vector's distance to a few fixed
+      // reference vectors; the triangle inequality gives
+      // |d(v,r) − d(q,r)| ≤ d(v,q), so a candidate whose bound exceeds
+      // the radius dies on a cheap scalar comparison — no vector math,
+      // no shuffle — before the exact distance runs. Exact: the final
+      // filter recomputes true distances, so the result equals the
+      // oracle's brute force (the prune only drops provable misses;
+      // a 1e-6 margin absorbs last-ulp noise in the bounds).
+      graft.functions.VectorFunctions.register(s)
+      import graft.functions.{DecVector, VectorFunctions}
+      val radius = 1.25
+      val v = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          VectorFunctions.dec_normsq(col("embedding")).as("nsq"))
+      // probe (vec 0) + reference vectors (vecs 1-3): tiny, driver-held
+      val pivots = v.filter(col("vec_id") <= 3)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+      val probe = pivots(0L)
+      def arr(a: Array[Float]) = typedlit(a)
+      def nsqOf(a: Array[Float]): Double = {
+        val g = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          a.map(x => x: Any))
+        DecVector.normSq(g).doubleValue
+      }
+      def distTo(other: Array[Float]) = sqrt(
+        col("nsq") + lit(nsqOf(other)) -
+          lit(2.0) * VectorFunctions.dec_dot(col("embedding"), arr(other)))
+      def refDist(a: Array[Float], b: Array[Float]): Double = {
+        var s2 = 0.0; var i = 0
+        while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; s2 += d * d; i += 1 }
+        math.sqrt(s2)
+      }
+      val refs = Seq(1L, 2L, 3L).map(pivots)
+      // "index build": per-vector reference distances — at scale these
+      // are computed once at ingest and stored beside the vector, so a
+      // probe pays only scalar comparisons until the prune passes
+      val indexed = refs.zipWithIndex.foldLeft(v.filter(col("vec_id") =!= 0)) {
+        case (d, (r, i)) => d.withColumn(s"dref_$i", distTo(r))
+      }
+      val bounds = refs.zipWithIndex.map { case (r, i) =>
+        abs(col(s"dref_$i") - lit(refDist(probe, r))) - lit(1e-6)
+      }
+      indexed
+        .filter(bounds.reduce(greatest(_, _)) <= radius) // prune (scalars)
+        .withColumn("dist", distTo(probe)) // exact math, survivors only
+        .filter(col("dist") <= radius)
+        .select(col("vec_id"),
+          col("dist").cast("decimal(12,9)").cast("double").as("dist"))
+        .orderBy("vec_id")
+    }),
+
     "q_embed_centroid" -> ((s, dir) => {
       // Per-label centroid, the k-means E-step shape: posexplode the
       // vector, aggregate per (label, dim) — the shuffle carries
@@ -668,6 +722,28 @@ object TrainingOps extends QueryModule {
       """SELECT c_custkey, upper(c_name) AS name_up
         |FROM customer WHERE c_custkey % 2 = 0
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_sim_range_refpoints" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding,
+        |    CAST(list_sum(list_transform(embedding,
+        |      x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+        |        AS DECIMAL(28,12)))) AS DOUBLE) AS nsq
+        |  FROM embeddings),
+        |p AS (SELECT embedding AS pe, nsq AS pnsq FROM v WHERE vec_id = 0)
+        |SELECT vec_id,
+        |  CAST(CAST(sqrt((v.nsq + p.pnsq) -
+        |    (2.0 * CAST(list_sum(list_transform(list_zip(v.embedding, p.pe),
+        |      s -> CAST(CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)
+        |        AS DECIMAL(28,12)))) AS DOUBLE))) AS DECIMAL(12,9)) AS DOUBLE)
+        |    AS dist
+        |FROM v, p
+        |WHERE vec_id <> 0
+        |  AND sqrt((v.nsq + p.pnsq) -
+        |    (2.0 * CAST(list_sum(list_transform(list_zip(v.embedding, p.pe),
+        |      s -> CAST(CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)
+        |        AS DECIMAL(28,12)))) AS DOUBLE))) <= 1.25
+        |ORDER BY vec_id""".stripMargin,
 
     "q_text_vocab" ->
       """SELECT token, n_occurrences, rank FROM (
