@@ -30,17 +30,28 @@ object Multimodal {
     StructField("n_bytes", LongType, nullable = false)))
 
   /** Wrap a text column as an opaque media payload + metadata struct
-    * (the shape image/audio ingestion would produce).
+    * (the shape image/audio ingestion would produce). The fake
+    * width/height are carved out of a polynomial rolling fingerprint
+    * of the content (the same mod-1e9+7 fold as q_text_fingerprint) —
+    * content-derived like a real decoder's metadata, and recomputable
+    * in plain SQL so the decode pipeline sits under the DuckDB oracle.
     */
   def asMediaTable(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(
-      col(idCol).as("media_id"),
-      encode(col(textCol), "UTF-8").as("payload"),
-      struct(
-        lit("fake/rgb8").as("format"),
-        (pmod(xxhash64(col(textCol)), lit(1024L)) + 32).cast("int").as("width"),
-        (pmod(xxhash64(col(textCol), lit(1)), lit(1024L)) + 32).cast("int").as("height"),
-        length(encode(col(textCol), "UTF-8")).cast("long").as("n_bytes")).as("meta"))
+        col(idCol).as("media_id"),
+        col(textCol).as("__txt"),
+        aggregate(
+          transform(split(col(textCol), ""), c => ascii(c)),
+          lit(0L),
+          (acc, x) => pmod(acc * 31 + x, lit(1000000007L))).as("__fp"))
+      .select(
+        col("media_id"),
+        encode(col("__txt"), "UTF-8").as("payload"),
+        struct(
+          lit("fake/rgb8").as("format"),
+          (col("__fp") % 1024 + 32).cast("int").as("width"),
+          (expr("__fp div 1024") % 1024 + 32).cast("int").as("height"),
+          length(encode(col("__txt"), "UTF-8")).cast("long").as("n_bytes")).as("meta"))
 
   /** STUB decoder: a real implementation would decode image bytes;
     * this derives `dim` deterministic float features by bucketing

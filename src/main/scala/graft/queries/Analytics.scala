@@ -200,8 +200,17 @@ object Analytics extends QueryModule {
         .filter(size(filter(split(lower(col("text")), " "),
           t => length(t) > 3)) > 0)
         .agg(count(lit(1)).as("n_docs"))
+      // Document frequency via groupBy (partial agg collapses each
+      // term per-task before the shuffle) + a broadcast join back: a
+      // window count over partitionBy(term) would ship every
+      // (doc,term) row of a hot term to one reducer with zero map-side
+      // combine — a straggler at corpus scale. The df relation is
+      // vocab-sized, so broadcasting it keeps the big branch's
+      // partitioning intact for the doc-keyed windows below.
+      val dfc = broadcast(
+        tf.groupBy("term").agg(count(lit(1)).as("dfc")))
       val scored = tf
-        .withColumn("dfc", count(lit(1)).over(Window.partitionBy("term")))
+        .join(dfc, "term")
         .withColumn("dlen", sum(col("cnt")).over(Window.partitionBy("doc_id")))
         .crossJoin(n)
         .withColumn("score",

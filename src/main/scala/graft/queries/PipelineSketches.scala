@@ -4,9 +4,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Sketch-based LLM-pipeline queries (MinHash+LSH, SimHash,
-  * hyperplane-LSH ANN). No DuckDB oracle (engine-specific hashes —
-  * SURVEY.md §7.8 ✖ class); verified by graft.SketchesSpec and the
-  * driver's rows-only check. All deterministic across runs.
+  * hyperplane-LSH ANN). Every hash in graft.queries.Sketches is a
+  * 31-bit polynomial fold chosen so the identical arithmetic runs in
+  * DuckDB BIGINT SQL — the oracle SQL below is GENERATED from the same
+  * constants (permutation parameters, hyperplane coordinates, band
+  * counts) the Scala kernels use, so these queries sit under the full
+  * value-level DuckDB gate as well as graft.SketchesSpec.
   */
 object PipelineSketches extends QueryModule {
 
@@ -90,25 +93,31 @@ object PipelineSketches extends QueryModule {
     }),
 
     "q_sim_topk_fast" -> ((s, dir) => {
-      // Same brute-force cosine top-k as the oracle-checked q_sim_topk,
-      // but through the native codegen'd FloatCosine expression — the
-      // actual hot path at scale (plain IEEE accumulation, so no
-      // cross-engine oracle; FunctionsSpec pins it against the decimal
-      // formulation).
-      graft.functions.VectorFunctions.register(s)
+      // Brute-force cosine top-k through the native codegen'd
+      // FloatCosine kernel — the actual hot path at scale. The float
+      // kernel ranks the whole corpus in one scan; only the 10
+      // surviving rows get the decimal-exact re-score, so the output is
+      // value-identical to q_sim_topk (they share one DuckDB oracle)
+      // while the scan cost stays pure float codegen.
+      import graft.functions.VectorFunctions
+      VectorFunctions.register(s)
       val e = Tables(s, dir, "embeddings")
       val probe = e.filter(col("vec_id") === 0)
         .select(col("embedding").as("p_emb"))
       val top = e.filter(col("vec_id") =!= 0)
         .crossJoin(broadcast(probe))
-        .withColumn("cos", graft.functions.VectorFunctions
-          .float_cosine(col("embedding"), col("p_emb")))
-        .select(col("vec_id"), col("cos"))
-        .orderBy(col("cos").desc, col("vec_id"))
+        .withColumn("fcos",
+          VectorFunctions.float_cosine(col("embedding"), col("p_emb")))
+        .orderBy(col("fcos").desc, col("vec_id"))
         .limit(10)
+      val rescored = top.withColumn("cos",
+        VectorFunctions.dec_dot(col("embedding"), col("p_emb")).cast("double") /
+          (sqrt(VectorFunctions.dec_normsq(col("embedding")).cast("double")) *
+           sqrt(VectorFunctions.dec_normsq(col("p_emb")).cast("double"))))
       val w = org.apache.spark.sql.expressions.Window
         .orderBy(col("cos").desc, col("vec_id"))
-      top.withColumn("rank", row_number().over(w)).orderBy("rank")
+      rescored.select(col("vec_id"), col("cos"))
+        .withColumn("rank", row_number().over(w)).orderBy("rank")
     }),
 
     "q_sim_ann_lsh" -> ((s, dir) => {
@@ -145,5 +154,216 @@ object PipelineSketches extends QueryModule {
     }),
   )
 
-  def oracleSql: Map[String, String] = Map.empty
+  // ---- generated oracle SQL -------------------------------------------
+  // Built from the SAME constants the Scala kernels use (Sketches.permA/
+  // permB, the hyperplane coordinates, band/bucket sizes), so a drift in
+  // either side fails the driver's hash compare.
+
+  private val M31 = "2147483647" // 2^31 - 1, the shared hash modulus
+
+  /** 31-bit polynomial fold of a token's characters (mirror of
+    * Sketches.sqlHash31): list_prepend supplies the explicit 0 seed so
+    * empty tokens fold to 0 instead of erroring.
+    */
+  private def hash31Sql(tokVar: String, mult: Int): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split($tokVar,''), c -> CAST(ascii(c) AS BIGINT))), " +
+      s"(a,b) -> (a*$mult+b) % $M31)"
+
+  /** Per-doc token-hash list CTE body (mirror of tokens.map(sqlHash31)). */
+  private def tokenHashListSql(mult: Int): String =
+    s"list_transform(string_split(text,' '), t -> ${hash31Sql("t", mult)})"
+
+  /** Distinct word-4-gram shingle hashes from the token-hash list `th`
+    * (mirror of Sketches.shingleHashLongs' masked polynomial roll).
+    */
+  private def shingleExprSql: String = {
+    val s1 = s"((th[i]*31 + th[i+1]) & $M31)"
+    val s2 = s"(($s1*31 + th[i+2]) & $M31)"
+    val s3 = s"(($s2*31 + th[i+3]) & $M31)"
+    "CASE WHEN len(th) >= 4 THEN " +
+      s"list_distinct(list_transform(range(1, len(th)-2), i -> $s3)) " +
+      "ELSE [] END"
+  }
+
+  /** MinHash component k over the shingle list `sh` (mirror of
+    * Sketches.signatureOf: min of (h*a_k + b_k) mod 2^31-1).
+    */
+  private def sigComponentSql(k: Int): String =
+    s"list_min(list_transform(sh, h -> (h*${Sketches.permA(k)} + ${Sketches.permB(k)}) % $M31))"
+
+  private def minhashCtes: String =
+    s"""WITH th AS (
+       |  SELECT doc_id, ${tokenHashListSql(31)} AS th FROM documents),
+       |shs AS (
+       |  SELECT doc_id, sh FROM (
+       |    SELECT doc_id, $shingleExprSql AS sh FROM th)
+       |  WHERE len(sh) > 0)""".stripMargin
+
+  private def sigListSql: String =
+    (0 until Sketches.NumPerms).map(sigComponentSql).mkString("[", ", ", "]")
+
+  /** SimHash bit-sum (mirror of Sketches.simhash64Of over tokenHash62:
+    * bit j set iff strictly more than half the tokens have bit j set;
+    * bits 0..30 come from the mult-31 fold, bits 32..62 from the
+    * mult-131 fold, bits 31/63 structurally zero).
+    */
+  private def simhashSumSql: String = {
+    def terms(listCol: String, shift: Int) = (0 to 30).map { j =>
+      s"(CASE WHEN 2*len(list_filter($listCol, h -> ((h >> $j) & 1) = 1)) > n_tokens " +
+        s"THEN (CAST(1 AS BIGINT) << ${j + shift}) ELSE CAST(0 AS BIGINT) END)"
+    }
+    (terms("h1", 0) ++ terms("h2", 32)).mkString(" + ")
+  }
+
+  private def simhashCtes: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+       |    ${tokenHashListSql(31)} AS h1,
+       |    ${tokenHashListSql(131)} AS h2
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, n_tokens, ($simhashSumSql) AS simhash FROM tok)""".stripMargin
+
+  /** Hyperplane dot product for plane p (mirror of
+    * Sketches.hyperplaneBucket's left-fold double accumulation).
+    */
+  private def planeDotSql(w: Array[Double]): String = {
+    val lit = w.map(_.toString).mkString("[", ", ", "]")
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      s"list_transform(range(1, ${w.length + 1}), i -> CAST(embedding[i] AS DOUBLE) * ($lit)[i])), " +
+      "(a,b) -> a + b)"
+  }
+
+  private def bucketSql(numPlanes: Int, dim: Int, seed: Long): String = {
+    val planes = Sketches.hyperplanes(numPlanes, dim, seed)
+    (0 until numPlanes).map { p =>
+      s"(CASE WHEN ${planeDotSql(planes(p))} > 0 THEN (CAST(1 AS BIGINT) << $p) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" + ")
+  }
+
+  /** Decimal-exact cosine between two embedding-list columns (the same
+    * DECIMAL(28,12) per-product rounding the dec_dot kernel pins).
+    */
+  private def decCosSql(a: String, b: String): String = {
+    def nsq(v: String) =
+      s"CAST(list_sum(list_transform($v, x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12)))) AS DOUBLE)"
+    s"CAST(list_sum(list_transform(list_zip($a, $b), " +
+      s"s -> CAST(CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE) AS DECIMAL(28,12)))) AS DOUBLE)" +
+      s" / (sqrt(${nsq(a)}) * sqrt(${nsq(b)}))"
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "q_dedup_minhash" ->
+      s"""$minhashCtes
+         |SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingle_rows,
+         |  ${sigComponentSql(0)} AS sig0,
+         |  ${sigComponentSql(1)} AS sig1,
+         |  ${sigComponentSql(2)} AS sig2,
+         |  ${sigComponentSql(3)} AS sig3
+         |FROM shs ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_lsh_pairs" ->
+      s"""$minhashCtes,
+         |sigs AS (SELECT doc_id, $sigListSql AS sig FROM shs),
+         |bands AS (
+         |  SELECT doc_id, sig, bb.band AS band,
+         |    sig[2*bb.band+1] AS k1, sig[2*bb.band+2] AS k2
+         |  FROM sigs, (SELECT unnest(range(0, ${Sketches.NumBands})) AS band) bb),
+         |bsz AS (SELECT band, k1, k2, count(*) AS n FROM bands GROUP BY band, k1, k2),
+         |pairs AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_bands
+         |  FROM bands a
+         |  JOIN bands b ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2
+         |    AND a.doc_id < b.doc_id
+         |  JOIN bsz s ON s.band = a.band AND s.k1 = a.k1 AND s.k2 = a.k2
+         |  WHERE s.n BETWEEN 2 AND ${Sketches.MaxBucket}
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT p.a_id, p.b_id, p.n_bands,
+         |  CAST(len(list_filter(range(1, ${Sketches.NumPerms + 1}), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / ${Sketches.NumPerms} AS est_jaccard
+         |FROM pairs p
+         |JOIN sigs sa ON sa.doc_id = p.a_id
+         |JOIN sigs sb ON sb.doc_id = p.b_id
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    "q_dedup_simhash" ->
+      s"""$simhashCtes
+         |SELECT doc_id, n_tokens, simhash,
+         |  (simhash & 65535) AS band0,
+         |  ((simhash >> 16) & 65535) AS band1,
+         |  ((simhash >> 32) & 65535) AS band2,
+         |  ((simhash >> 48) & 65535) AS band3
+         |FROM sh ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_simhash_pairs" ->
+      s"""$simhashCtes,
+         |b AS (
+         |  SELECT doc_id, simhash, bb.band AS band,
+         |    ((simhash >> (16*bb.band)) & 65535) AS bkey
+         |  FROM sh, (SELECT unnest(range(0, 4)) AS band) bb),
+         |bsz AS (SELECT band, bkey, count(*) AS n FROM b GROUP BY band, bkey)
+         |SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id,
+         |  CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS hamming
+         |FROM b x
+         |JOIN b y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+         |JOIN bsz s ON s.band = x.band AND s.bkey = x.bkey
+         |WHERE s.n BETWEEN 2 AND ${Sketches.MaxBucket}
+         |  AND bit_count(xor(x.simhash, y.simhash)) <= 16
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    "q_dedup_source_sketch" -> {
+      val mins = (0 until Sketches.NumPerms)
+        .map(k => s"min(sg.sig[${k + 1}]) AS m$k").mkString(",\n|    ")
+      val eq = (0 until Sketches.NumPerms)
+        .map(k => s"(CASE WHEN a.m$k = b.m$k THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""$minhashCtes,
+         |sigs AS (SELECT doc_id, $sigListSql AS sig FROM shs),
+         |src AS (
+         |  SELECT d.source AS source, count(*) AS n_docs,
+         |    $mins
+         |  FROM sigs sg JOIN documents d ON sg.doc_id = d.doc_id
+         |  GROUP BY d.source)
+         |SELECT a.source AS a_src, b.source AS b_src, a.n_docs AS a_docs,
+         |  CAST(($eq) AS DOUBLE) / ${Sketches.NumPerms} AS est_jaccard
+         |FROM src a JOIN src b ON a.source < b.source
+         |ORDER BY a_src, b_src""".stripMargin
+    },
+
+    // exact brute force re-scored with the decimal kernel — shares
+    // q_sim_topk's oracle verbatim
+    "q_sim_topk_fast" -> Pipeline.oracleSql("q_sim_topk"),
+
+    "q_multimodal_decode" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, text,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(text,''), c -> CAST(ascii(c) AS BIGINT))),
+        |      (a,b) -> (a*31+b) % 1000000007) AS fp,
+        |    CAST(length(text) AS BIGINT) AS n_bytes
+        |  FROM documents)
+        |SELECT media_id, 'fake/rgb8' AS format,
+        |  CAST(fp % 1024 + 32 AS INTEGER) AS width,
+        |  CAST((fp // 1024) % 1024 + 32 AS INTEGER) AS height,
+        |  n_bytes,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS REAL),
+        |    list_transform(list_filter(range(1, CAST(length(text) AS BIGINT) + 1), p -> (p-1) % 8 = 0),
+        |      p -> CAST(CAST(ascii(substring(text, CAST(p AS INTEGER), 1)) AS REAL) / CAST(255 AS REAL) AS REAL))),
+        |    (a,b) -> CAST(a + b AS REAL)) AS REAL) AS f0,
+        |  CAST(8 AS INTEGER) AS f_dim
+        |FROM m ORDER BY media_id""".stripMargin,
+
+    "q_sim_ann_lsh" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding, ${bucketSql(6, 64, 7L)} AS bucket
+         |  FROM embeddings),
+         |p AS (SELECT embedding AS p_emb, bucket AS p_bucket FROM e WHERE vec_id = 0),
+         |cand AS (
+         |  SELECT e.vec_id, e.embedding, p.p_emb FROM e, p
+         |  WHERE e.vec_id <> 0 AND bit_count(xor(e.bucket, p.p_bucket)) <= 1),
+         |scored AS (
+         |  SELECT vec_id, ${decCosSql("embedding", "p_emb")} AS cos FROM cand)
+         |SELECT vec_id, cos,
+         |  CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
+         |FROM scored ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+  )
 }

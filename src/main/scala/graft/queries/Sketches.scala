@@ -5,10 +5,13 @@ import org.apache.spark.sql.functions._
 
 /** Sketch-based near-duplicate / ANN primitives for the LLM-pipeline
   * inventory: MinHash+LSH banding, SimHash, and random-hyperplane LSH.
-  * All hash-deterministic (fixed seeds, xxhash64 with Spark's default
-  * seed) so repeated runs produce identical output; not expressible in
-  * portable SQL, so these are verified by ScalaTest specs instead of
-  * the DuckDB oracle (SURVEY.md §7.8 ✖ class).
+  * All hash-deterministic (fixed seeds) so repeated runs produce
+  * identical output. Every hash in this module is deliberately built
+  * from 31-bit polynomial folds (modulus 2^31-1, all intermediates
+  * under 2^62): the identical arithmetic runs in DuckDB's plain BIGINT
+  * SQL, so the sketch queries get full value-level oracles instead of
+  * the rows-only gate a mod-2^64 hash (FNV/xxhash) would force
+  * (SURVEY.md §7.8).
   *
   * Scale posture: per-document sketches are tight JVM kernels inside
   * typed mapPartitions — pure narrow maps that scale linearly with
@@ -30,8 +33,10 @@ object Sketches {
     */
   val MaxBucket = 50
 
-  /** Deterministic permutation parameters (seeded — never wall-clock). */
-  private val (permA, permB) = {
+  /** Deterministic permutation parameters (seeded — never wall-clock).
+    * Exposed to the query layer so oracle SQL can embed them as
+    * literals and recompute the identical signatures in DuckDB. */
+  private[queries] val (permA, permB) = {
     val rnd = new scala.util.Random(42)
     val a = Array.fill(NumPerms)(math.abs(rnd.nextLong()) % Mask31 + 1)
     val b = Array.fill(NumPerms)(math.abs(rnd.nextLong()) % Mask31)
@@ -56,13 +61,24 @@ object Sketches {
   // a 32-permutation nested-HOF formulation measured 24s for 5000 docs
   // at sf0.1 vs ~0.2s for this kernel.
 
-  /** FNV-1a 64-bit — deterministic, dependency-free string hash. */
-  def fnv1a64(s: String): Long = {
-    var h = 0xcbf29ce484222325L
+  /** 31-bit polynomial string hash: fold (h*mult + codeUnit) mod
+    * 2^31-1. SQL-portable: DuckDB recomputes it as
+    * list_reduce(list_prepend(0, chars), (a,b) -> (a*mult+b) % 2147483647)
+    * with no 64-bit wraparound anywhere (h < 2^31, h*mult+c < 2^39).
+    */
+  def sqlHash31(s: String, mult: Long): Long = {
+    var h = 0L
     var i = 0
-    while (i < s.length) { h ^= s.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
+    while (i < s.length) { h = (h * mult + s.charAt(i)) % Mask31; i += 1 }
     h
   }
+
+  /** 62-bit SQL-portable token hash for SimHash: two independent 31-bit
+    * folds (multipliers 131 and 31) packed as (h131 << 32) | h31. Bits
+    * 31 and 63 are always zero — SimHash just carries two dead bits.
+    */
+  def tokenHash62(s: String): Long =
+    (sqlHash31(s, 131) << 32) | sqlHash31(s, 31)
 
   /** Distinct 31-bit hashes of word 4-gram shingles: one hash per
     * token, consecutive token hashes combined with a masked polynomial
@@ -70,7 +86,7 @@ object Sketches {
     */
   def shingleHashLongs(tokens: Array[String]): Array[Long] = {
     if (tokens.length < 4) return Array.empty
-    val th = tokens.map(t => fnv1a64(t) & Mask31)
+    val th = tokens.map(t => sqlHash31(t, 31))
     val out = new Array[Long](tokens.length - 3)
     var i = 0
     while (i < out.length) {
@@ -166,13 +182,14 @@ object Sketches {
 
   /** 64-bit SimHash over whitespace tokens (all occurrences, weight 1).
     * One explode + 64 sign-sums per id; simhash bit j is the sign of
-    * the sum of (bit j of xxhash64(token) ? +1 : -1).
+    * the sum of (bit j of tokenHash62(token) ? +1 : -1). Bits 31/63
+    * are structurally zero (see tokenHash62).
     */
   def simhash64Of(tokens: Array[String]): Long = {
     val counters = new Array[Int](64)
     var i = 0
     while (i < tokens.length) {
-      val h = fnv1a64(tokens(i))
+      val h = tokenHash62(tokens(i))
       var j = 0
       while (j < 64) {
         counters(j) += (((h >>> j) & 1L).toInt << 1) - 1
@@ -225,12 +242,18 @@ object Sketches {
       .distinct()
   }
 
+  /** Seeded-deterministic hyperplane coordinates — exposed so the ANN
+    * oracle SQL can embed the identical doubles as literals. */
+  private[queries] def hyperplanes(numPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(numPlanes, dim)(rnd.nextGaussian())
+  }
+
   /** Random-hyperplane LSH bucket id (numPlanes sign bits) for an
     * array<float> embedding column. Planes are seeded-deterministic.
     */
   def hyperplaneBucket(emb: Column, numPlanes: Int, dim: Int, seed: Long): Column = {
-    val rnd = new scala.util.Random(seed)
-    val planes = Array.fill(numPlanes, dim)(rnd.nextGaussian())
+    val planes = hyperplanes(numPlanes, dim, seed)
     (0 until numPlanes).map { p =>
       val planeLit = array(planes(p).map(lit).toSeq: _*)
       val dot = aggregate(

@@ -143,6 +143,16 @@ object TrainingOps extends QueryModule {
     Array.fill(256)(rnd.nextLong())
   }
 
+  /** The boundary decision only reads the low 6 bits of the rolling
+    * hash, and h mod 64 is closed under the roll:
+    * (h<<1 + g) mod 64 = (2*(h mod 32) + g mod 64) mod 64. So the
+    * chunker's boundary behavior is a 6-bit automaton whose transition
+    * table is gear mod 64 — exposed here so the DuckDB oracle can
+    * replay the identical automaton with a recursive CTE and plain
+    * integer arithmetic (no 64-bit wraparound anywhere).
+    */
+  private[queries] def gearMod64: Array[Long] = gear.map(_ & 63L)
+
   private val hexDigits = "0123456789abcdef".toCharArray
 
   private def toHex(b: Array[Byte]): String = {
@@ -341,34 +351,58 @@ object TrainingOps extends QueryModule {
     }),
 
     "q_stream_dedup" -> QueryModule.micro(1)((s, dir) => {
-      // Cross-batch streaming dedup (flatMapGroupsWithState): two
-      // micro-batches of real events; each (user, event_type) key
-      // emits only its first-seen event id — batch 1 wins over batch 2,
-      // and within a batch the smallest id wins. The oracle expresses
-      // the same keep-rule in plain SQL over the same slice.
+      // Cross-batch streaming dedup (flatMapGroupsWithState) fed
+      // through the graft-lake DSv2 streaming source — zero driver-side
+      // collect of data rows: the events slice lands in a bronze lake
+      // table as two append snapshots, and two Trigger.AvailableNow
+      // passes over ONE checkpoint deliver them as two micro-batches
+      // (offsets + dedup state recover from the checkpoint, so batch
+      // 1's keys stay deduped in batch 2 — batch 1 wins over batch 2,
+      // and within a batch the smallest id wins). Output flows through
+      // the DSv2 streaming sink into a silver lake table.
+      import graft.lake.{Engine, LakeTable}
       import graft.streaming.Stateful
-      implicit val sqlCtx = s.sqlContext
-      import s.implicits._
+      val wh = LakeQueries.freshWarehouse("streamdedup")
+      Engine.processTableDefJson(wh,
+        """{"database_name":"sd","table_name":"bronze","columns":[
+          |{"column_name":"key","data_type":"string"},
+          |{"column_name":"docId","data_type":"long"},
+          |{"column_name":"ts","data_type":"timestamp"}],"partitions":[]}""".stripMargin)
+      Engine.processTableDefJson(wh,
+        """{"database_name":"sd","table_name":"silver","columns":[
+          |{"column_name":"key","data_type":"string"},
+          |{"column_name":"docId","data_type":"long"}],"partitions":[]}""".stripMargin)
+      val bronze = LakeTable.load(wh, "sd", "bronze")
       val slice = Tables(s, dir, "events")
         .filter(col("event_id") < 3000)
         .select(concat(col("user_id").cast("string"), lit(":"),
             col("event_type")).as("key"),
           col("event_id").as("docId"), col("ts"))
-        .as[Stateful.Doc]
-        .collect().sortBy(_.docId)
-      val (b1, b2) = slice.partition(_.docId < 1500)
-      val in = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[Stateful.Doc]
-      val q = Stateful
-        .dedupFirstSeen(in.toDS().withWatermark("ts", "10 minutes")
-          .as[Stateful.Doc], ttlMs = 365L * 24 * 3600 * 1000)
-        .writeStream.format("memory").queryName("q_stream_dedup_sink")
-        .outputMode("append").start()
-      in.addData(b1.toSeq); q.processAllAvailable()
-      in.addData(b2.toSeq); q.processAllAvailable()
-      q.stop()
-      s.sql("""SELECT key, docId AS first_event_id
-              |FROM q_stream_dedup_sink ORDER BY key""".stripMargin)
+      def drainPass(): Unit = {
+        import s.implicits._
+        val in = s.readStream.format("graft-lake")
+          .option("warehouse", wh).option("database", "sd")
+          .option("table", "bronze").load()
+          // lake timestamps surface as NTZ; the watermark needs an
+          // instant — identical UTC wall clock under the UTC session
+          .withColumn("ts", col("ts").cast("timestamp"))
+          .withWatermark("ts", "10 minutes")
+          .as[Stateful.Doc]
+        Stateful.dedupFirstSeen(in, ttlMs = 365L * 24 * 3600 * 1000)
+          .writeStream.format("graft-lake")
+          .option("warehouse", wh).option("database", "sd")
+          .option("table", "silver")
+          .option("checkpointLocation", s"$wh/_cp_dedup")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start().awaitTermination()
+      }
+      bronze.append(slice.filter(col("docId") < 1500))
+      drainPass()
+      bronze.append(slice.filter(col("docId") >= 1500))
+      drainPass()
+      LakeTable.load(wh, "sd", "silver").read(s)
+        .select(col("key"), col("docId").as("first_event_id"))
+        .orderBy("key")
     }),
 
     "lake_meta_tables" -> QueryModule.micro(1)((s, _) => {
@@ -459,8 +493,8 @@ object TrainingOps extends QueryModule {
       // robust to shifted text. JVM kernel per document (narrow, no
       // shuffle before the final agg); ChunkingSpec pins tiling and
       // shift-stability. Output keeps per-doc aggregates (chunk count,
-      // bytes, distinct hashes) — rows-only gate: the rolling hash is
-      // engine-specific.
+      // bytes, distinct hashes); the DuckDB oracle replays the chunker
+      // as a 6-bit automaton (gearMod64) in a recursive CTE.
       import s.implicits._
       Tables(s, dir, "documents")
         .select(col("doc_id"), col("text")).as[(Long, String)]
@@ -798,6 +832,52 @@ object TrainingOps extends QueryModule {
         |    AS total_frame_bytes
         |FROM documents WHERE FLOOR(strlen(text) / 16) > 0
         |ORDER BY media_id""".stripMargin,
+
+    // Generated from the same gear table the JVM chunker uses: the
+    // recursive CTE advances every document one byte per iteration,
+    // tracking only (h mod 64, chunk start) — see gearMod64 for why
+    // that 6-bit state is exactly the boundary-relevant part of the
+    // 64-bit rolling hash. Chunk hashes are md5 over the identical
+    // (ASCII) chunk substrings.
+    "q_text_cdc_chunks" -> {
+      val gl = gearMod64.mkString("[", ", ", "]")
+      s"""WITH RECURSIVE gl AS (SELECT $gl AS g),
+         |doc AS (SELECT doc_id, text, CAST(length(text) AS INTEGER) AS n FROM documents),
+         |st AS (
+         |  SELECT doc_id, 0 AS i, 0 AS s, 0 AS cstart, CAST(NULL AS INTEGER) AS bend
+         |  FROM doc WHERE n > 0
+         |  UNION ALL
+         |  SELECT doc_id, i,
+         |    CASE WHEN bnd THEN 0 ELSE ns END AS s,
+         |    CASE WHEN bnd THEN i ELSE cstart END AS cstart,
+         |    CASE WHEN bnd THEN i ELSE NULL END AS bend
+         |  FROM (
+         |    SELECT st.doc_id, st.i + 1 AS i, st.cstart,
+         |      CAST((2*(st.s % 32) + g[ascii(substring(d.text, st.i + 1, 1)) + 1]) % 64 AS INTEGER) AS ns,
+         |      ((st.i + 1 - st.cstart >= 24
+         |          AND (2*(st.s % 32) + g[ascii(substring(d.text, st.i + 1, 1)) + 1]) % 64 = 0)
+         |        OR st.i + 1 - st.cstart >= 256) AS bnd
+         |    FROM st, doc d, gl
+         |    WHERE d.doc_id = st.doc_id AND st.i < d.n) t),
+         |ends AS (SELECT doc_id, bend FROM st WHERE bend IS NOT NULL),
+         |chunks AS (
+         |  SELECT doc_id,
+         |    COALESCE(lag(bend) OVER (PARTITION BY doc_id ORDER BY bend), 0) AS cs,
+         |    bend AS ce
+         |  FROM ends
+         |  UNION ALL
+         |  SELECT d.doc_id,
+         |    COALESCE((SELECT max(e.bend) FROM ends e WHERE e.doc_id = d.doc_id), 0) AS cs,
+         |    d.n AS ce
+         |  FROM doc d
+         |  WHERE d.n > COALESCE((SELECT max(e.bend) FROM ends e WHERE e.doc_id = d.doc_id), 0))
+         |SELECT c.doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_chunks,
+         |  CAST(sum(c.ce - c.cs) AS BIGINT) AS total_bytes,
+         |  CAST(count(DISTINCT md5(substring(d.text, c.cs + 1, c.ce - c.cs))) AS BIGINT) AS n_distinct_hashes
+         |FROM chunks c JOIN doc d ON d.doc_id = c.doc_id
+         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
+    },
 
     "q_embed_centroid" ->
       """SELECT label, dim, n_vecs,

@@ -73,4 +73,21 @@ class PlanAuditSpec extends AnyFunSuite {
       s"partial HashAggregate (id $partialId) must sit below the " +
         s"Exchange (id $exchangeId)")
   }
+
+  test("q_tfidf computes document frequency with partial agg + broadcast, not a term window") {
+    val p = plan("q_tfidf")
+    // a Window partitioned by term ships every (doc,term) row of a hot
+    // term to one reducer with no map-side combine — the df branch must
+    // be a groupBy(term) (partial HashAggregate) broadcast back instead
+    assert(!p.contains("Window [count") || !p.contains("partitionBy"),
+      "no window over term")
+    val windows = p.linesIterator.filter(_.contains("Arguments: [")).toSeq
+    assert(!windows.exists(l => l.contains("windowspecdefinition(term")),
+      s"df must not come from a term-partitioned window:\n${windows.mkString("\n")}")
+    assert(p.contains("BroadcastHashJoin"), "vocab-sized df table must broadcast")
+    val partialId = nodeId(p, "HashAggregate", "partial_count")
+    val exchangeId = nodeId(p, "Exchange")
+    assert(partialId < exchangeId,
+      "df branch must partially aggregate below its exchange")
+  }
 }
