@@ -160,6 +160,29 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     (messages.result(), false)
   }
 
+  /** RENAME COLUMN: a new schema version maps the SAME field ID to the
+    * new name — data files are untouched and stay readable because
+    * every read reconciles file columns to the target schema by field
+    * ID (Reconcile.scala). This is the one evolution verb the
+    * reference cannot express: its diff is name-based
+    * (`iceberg_helper.py:265-295` would see a drop + an add and lose
+    * the column's history), so the engine exposes it directly rather
+    * than through a table-def diff. Returns the committed meta file.
+    */
+  def renameColumn(oldName: String, newName: String): String = {
+    val cur = md.currentSchema
+    require(cur.fieldNames.contains(oldName),
+      s"RENAME: no such column '$oldName' (have ${cur.fieldNames.mkString(", ")})")
+    require(!cur.fieldNames.contains(newName),
+      s"RENAME: column '$newName' already exists")
+    val renamed = StructType(cur.fields.map(f =>
+      if (f.name == oldName) f.copy(name = newName) else f))
+    val newSchemaId = md.schemas.map(_.id).max + 1
+    commit(md.copy(
+      schemas = md.schemas :+ SchemaVersion(newSchemaId, renamed),
+      currentSchemaId = newSchemaId))
+  }
+
   private def latestMetaFile(): String = {
     val hint = metadataDir.resolve("version-hint.text")
     if (Files.exists(hint))

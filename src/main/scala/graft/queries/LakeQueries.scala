@@ -250,6 +250,29 @@ object LakeReadQueries extends QueryModule {
               |FROM graftdml.rq.n ORDER BY n_nationkey""".stripMargin)
     }),
 
+    "lake_rename" -> QueryModule.micro(4)((s, dir) => {
+      // ALTER TABLE ... RENAME COLUMN end-to-end: files written under
+      // the OLD name must read back under the new one (field-ID
+      // reconcile), and a post-rename append under the new name must
+      // union cleanly with them.
+      val wh = LakeQueries.freshWarehouse("rename")
+      s.conf.set("spark.sql.catalog.graftrn", "graft.sources.LakeCatalog")
+      s.conf.set("spark.sql.catalog.graftrn.warehouse", wh)
+      s.sql("DROP TABLE IF EXISTS graftrn.rq.r")
+      s.sql("""CREATE TABLE graftrn.rq.r (
+              |  n_nationkey INT, n_name STRING, n_regionkey INT)""".stripMargin)
+      Tables(s, dir, "nation").createOrReplaceTempView("nation_rn_v")
+      s.sql("""INSERT INTO graftrn.rq.r
+              |SELECT n_nationkey, n_name, n_regionkey FROM nation_rn_v
+              |WHERE n_nationkey < 15""".stripMargin)
+      s.sql("ALTER TABLE graftrn.rq.r RENAME COLUMN n_name TO nation_name")
+      s.sql("""INSERT INTO graftrn.rq.r
+              |SELECT n_nationkey, n_name, n_regionkey FROM nation_rn_v
+              |WHERE n_nationkey >= 15""".stripMargin)
+      s.sql("""SELECT n_nationkey, nation_name, n_regionkey
+              |FROM graftrn.rq.r ORDER BY n_nationkey""".stripMargin)
+    }),
+
     "lake_timetravel" -> QueryModule.micro(4)((s, dir) => {
       // two appends split on a deterministic predicate; reading AS OF
       // the first snapshot must return exactly the first batch
@@ -288,6 +311,10 @@ object LakeReadQueries extends QueryModule {
     "lake_timetravel" ->
       """SELECT s_suppkey, s_name, s_nationkey FROM supplier
         |WHERE s_nationkey < 12 ORDER BY s_suppkey""".stripMargin,
+
+    "lake_rename" ->
+      """SELECT n_nationkey, n_name AS nation_name, n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
   )
 }
 

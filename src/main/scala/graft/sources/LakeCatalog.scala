@@ -154,14 +154,25 @@ class LakeCatalog extends TableCatalog
 
   /** ALTER TABLE: add/drop/retype columns map onto the engine's
     * evolution diff (same field-ID carry-over as a new JSON
-    * definition). Renames are unsupported — the diff is name-based.
+    * definition); RENAME COLUMN bypasses the name-based diff and
+    * commits a schema version with the same field ID under the new
+    * name (LakeTable.renameColumn) — old data files keep reading
+    * through the field-ID reconcile.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     require(ident.namespace.length == 1, "expected <database>.<table>")
     val t = LakeTable.load(warehouse, ident.namespace()(0), ident.name)
+    val (renames, rest) =
+      changes.partition(_.isInstanceOf[TableChange.RenameColumn])
+    renames.foreach { case r: TableChange.RenameColumn =>
+      require(r.fieldNames.length == 1,
+        "ALTER RENAME nested columns: use a table-def evolution")
+      t.renameColumn(r.fieldNames()(0), r.newName)
+    }
+    if (rest.isEmpty) return loadTable(ident)
     var cols = t.currentSchema.fields.toSeq.map(f =>
       graft.schema.TypeMapper.toColumnDef(f.name, f.dataType, f.nullable))
-    changes.foreach {
+    rest.foreach {
       case a: TableChange.AddColumn =>
         require(a.fieldNames.length == 1,
           "ALTER ADD nested columns: use a table-def evolution")

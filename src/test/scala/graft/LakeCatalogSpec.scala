@@ -97,6 +97,38 @@ class LakeCatalogSpec extends AnyFunSuite {
       .map(_.getString(1)).toSet == Set("evt"))
   }
 
+  test("RENAME COLUMN keeps the field ID: old files read under the new name") {
+    val wh = Files.createTempDirectory("graft-catalog-rn").toString
+    spark.conf.set("spark.sql.catalog.graftr", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.graftr.warehouse", wh)
+    spark.sql("CREATE TABLE graftr.d.rn (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO graftr.d.rn VALUES (1, 'a'), (2, 'b')")
+    spark.sql("ALTER TABLE graftr.d.rn RENAME COLUMN v TO label")
+
+    val t = LakeTable.load(wh, "d", "rn")
+    // same field ID under the new name, new schema version committed
+    val oldSchema = t.metadata.schemas.minBy(_.id).schema
+    assert(graft.schema.FieldIds.idOf(t.currentSchema("label")) ==
+      graft.schema.FieldIds.idOf(oldSchema("v")))
+    assert(t.metadata.schemas.size == 2)
+
+    // files written under the OLD name reconcile by ID...
+    assert(spark.sql("SELECT label FROM graftr.d.rn ORDER BY id")
+      .collect().map(_.getString(0)).toSeq == Seq("a", "b"))
+    // ...and union cleanly with a post-rename append
+    spark.sql("INSERT INTO graftr.d.rn VALUES (3, 'c')")
+    assert(spark.sql(
+      "SELECT concat_ws('', collect_list(label)) FROM " +
+        "(SELECT label FROM graftr.d.rn ORDER BY id)")
+      .collect()(0).getString(0) == "abc")
+
+    // renaming to an existing column is refused
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE graftr.d.rn RENAME COLUMN label TO id")
+    }
+    assert(e.getMessage.contains("already exists"))
+  }
+
   test("VERSION AS OF reads a pinned snapshot; writes to it are refused") {
     val wh = Files.createTempDirectory("graft-catalog-tt").toString
     Engine.processTableDefJson(wh,

@@ -80,6 +80,58 @@ class LakeSpec extends AnyFunSuite {
     unified.unpersist()
   }
 
+  test("golden: map<string,struct> value evolution — add + retype across appends") {
+    val wh = freshWarehouse()
+    def defJson(valueCols: String) =
+      s"""{"database_name":"md","table_name":"mv","columns":[
+         |{"column_name":"id","data_type":"long"},
+         |{"column_name":"attrs","data_type":"map","map_def":{
+         |  "key":{"column_name":"k","data_type":"string"},
+         |  "value":{"column_name":"v","data_type":"struct","struct_def":[
+         |    $valueCols]}}}],
+         |"partitions":[]}""".stripMargin
+    val r1 = Engine.processTableDefJson(wh, defJson(
+      """{"column_name":"score","data_type":"int"}"""))
+    assert(!r1.hasError)
+    val t1 = LakeTable.load(wh, "md", "mv")
+    t1.append(spark.range(1, 3).select(col("id"),
+      map(lit("a"), struct((col("id") * 10).cast("int").as("score")))
+        .as("attrs")))
+
+    // evolve INSIDE the map value: score int->long, add note string
+    val r2 = Engine.processTableDefJson(wh, defJson(
+      """{"column_name":"score","data_type":"long"},
+        |{"column_name":"note","data_type":"string"}""".stripMargin))
+    assert(!r2.hasError, r2.messageList.mkString("; "))
+    assert(r2.messageList.exists(_.startsWith("Added column attrs.value.note")),
+      r2.messageList.mkString("; "))
+    assert(r2.messageList.exists(m =>
+      m.startsWith("Updated column attrs.value.score") && m.contains("int -> bigint")),
+      r2.messageList.mkString("; "))
+
+    val t2 = LakeTable.load(wh, "md", "mv")
+    // field ID inside the map value survives the evolution
+    def ids(s: org.apache.spark.sql.types.StructType) = FieldIds.flatten(s)
+      .map { case (p, f) => p -> FieldIds.idOf(f) }.toMap
+    assert(ids(t2.currentSchema)("attrs.value.score") ==
+      ids(t1.currentSchema)("attrs.value.score"))
+
+    t2.append(spark.range(3, 5).select(col("id"),
+      map(lit("a"), struct((col("id") * 10).as("score"),
+        concat(lit("n"), col("id")).as("note"))).as("attrs")))
+
+    // unified read: v1 rows surface score as LONG with null note
+    val u = t2.read(spark)
+      .select(col("id"), explode(col("attrs")).as(Seq("k", "v")))
+      .select(col("id"), col("v.score").as("score"), col("v.note").as("note"))
+    assert(u.schema("score").dataType == org.apache.spark.sql.types.LongType)
+    val rows = u.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getString(2))).toSeq
+    assert(rows == Seq((1L, 10L, null), (2L, 20L, null),
+      (3L, 30L, "n3"), (4L, 40L, "n4")))
+  }
+
   test("time travel: asOf snapshot reads old data under the old schema") {
     val wh = freshWarehouse()
     Engine.processTableDefJson(wh, OrdersFixtures.ordersV1Json)
