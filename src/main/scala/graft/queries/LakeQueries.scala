@@ -151,12 +151,16 @@ object LakeQueries extends QueryModule {
       t.delete(s, col("id") === 2L)
       val expired = t.expireSnapshots(keepAfter = 3)
       val orphans = t.removeOrphanFiles(olderThanMillis = 0)
-      val live = t.read(s).select("id").collect().map(_.getLong(0)).toSet
+      // retention check stays distributed (symmetric except + counts):
+      // no data-row collect even if the fixture grows
+      val live = t.read(s).select("id")
+      val expect = Seq(1L, 3L).toDF("id")
+      val liveOk = live.except(expect).isEmpty && expect.except(live).isEmpty
       Seq(
         ("expired_snapshots", expired.toLong),
         ("orphans_removed_some", if (orphans.nonEmpty) 1L else 0L),
-        ("live_rows", live.size.toLong),
-        ("live_ids_ok", if (live == Set(1L, 3L)) 1L else 0L),
+        ("live_rows", live.count()),
+        ("live_ids_ok", if (liveOk) 1L else 0L),
         ("snapshots_left", t.metadata.snapshots.size.toLong))
         .toDF("metric", "value").orderBy("metric")
     }),

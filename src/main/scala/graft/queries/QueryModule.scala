@@ -27,6 +27,17 @@ object QueryModule {
     ns.conf.set("spark.sql.shuffle.partitions", partitions.toString)
     ns.conf.set("spark.sql.session.timeZone",
       s.conf.get("spark.sql.session.timeZone", "UTC"))
+    // Lifecycle fixtures run MANY distinct tiny statements (DDL + DML +
+    // micro-batches): per-statement planning dominates, not row count.
+    // AQE re-planning buys nothing at <= 4 partitions, and whole-stage
+    // codegen costs a Janino compile per novel plan — measured ~10-25%
+    // off the lifecycle family at sf0.1 with both disabled (profiled
+    // via graft.ProfileLifecycle: ~85 ms/job, all single-task jobs).
+    // These stay session-local; the big-scan sessions keep both on.
+    ns.conf.set("spark.sql.adaptive.enabled",
+      sys.props.getOrElse("graft.micro.aqe", "false"))
+    ns.conf.set("spark.sql.codegen.wholeStage",
+      sys.props.getOrElse("graft.micro.codegen", "false"))
     ns
   }
 
