@@ -9,10 +9,11 @@ import graft.gen.{DataGen, OrdersFixtures}
 import graft.lake.{Engine, LakeTable}
 
 /** Lake DDL / evolution / ingest queries (SURVEY.md §2.B ddl_* +
-  * ingest_append_read). No SQL oracle — the lake format is
-  * engine-specific; results are deterministic summaries (seeded
-  * generator) checked by the driver's rows-only gate and pinned in
-  * depth by graft.LakeSpec.
+  * ingest_append_read). The lake format is engine-specific, but each
+  * query's output is a deterministic summary of FROZEN fixtures
+  * (seeded generator + fixed DDL JSON), so golden VALUES oracles pin
+  * the exact values (see oracleSql); graft.LakeSpec covers the same
+  * paths in depth.
   *
   * Each query rebuilds a scratch warehouse under java.io.tmpdir so
   * repeated runs are self-contained and identical.
@@ -192,7 +193,122 @@ object LakeQueries extends QueryModule {
   private def redactPaths(m: String): String =
     m.replaceAll("Latest Meta file: .*", "Latest Meta file: <meta>")
 
-  def oracleSql: Map[String, String] = Map.empty
+  /** Golden VALUES oracles: these lifecycle queries run on FIXED
+    * fixtures (frozen DDL JSON + seeded generators + a deterministic
+    * micro-feed), so their outputs are constants independent of scale
+    * factor and parallelism. Pinning them as VALUES turns the driver's
+    * rows-only check into an exact value/hash gate — any behavioral
+    * drift in the engine (field-ID assignment, evolution messages,
+    * watermark semantics, snapshot accounting) goes red.
+    * Regenerate after an intentional fixture change with:
+    *   tools/run.sh graft.Verify <sf> /tmp/v && tools/pin_oracles.py /tmp/v <keys>
+    */
+  def oracleSql: Map[String, String] = Map(
+    "ddl_create" ->
+      """SELECT CAST(path AS VARCHAR) AS path, CAST(field_id AS INTEGER) AS field_id,
+        |  CAST(type AS VARCHAR) AS type, CAST(change_type AS VARCHAR) AS change_type
+        |FROM (VALUES
+        |  ('order_time', 1, 'timestamp_ntz', 'CREATE TABLE'),
+        |  ('customer_name', 2, 'string', 'CREATE TABLE'),
+        |  ('address', 3, 'struct<city:string,state:string>', 'CREATE TABLE'),
+        |  ('address.city', 4, 'string', 'CREATE TABLE'),
+        |  ('address.state', 5, 'string', 'CREATE TABLE'),
+        |  ('order_items', 6, 'array<struct<item_id:string,price:float>>', 'CREATE TABLE'),
+        |  ('order_items.element.item_id', 7, 'string', 'CREATE TABLE'),
+        |  ('order_items.element.price', 8, 'float', 'CREATE TABLE'))
+        |  AS t(path, field_id, type, change_type)
+        |ORDER BY field_id""".stripMargin,
+
+    "ddl_evolve_v1_v2" ->
+      """SELECT CAST(phase AS VARCHAR) AS phase, CAST(seq AS INTEGER) AS seq,
+        |  CAST(message AS VARCHAR) AS message
+        |FROM (VALUES
+        |  ('v1->v2', 0, 'Added column order_id'),
+        |  ('v1->v2', 1, 'Added column address.address_line'),
+        |  ('v1->v2', 2, 'Added column address.zip'),
+        |  ('v1->v2', 3, 'Added column order_items.element.item_count'),
+        |  ('v1->v2', 4, 'Updated partition spec to [month(src=1) as order_time_month]'),
+        |  ('v1->v2', 5, 'Latest Meta file: <meta>'))
+        |  AS t(phase, seq, message)
+        |ORDER BY seq""".stripMargin,
+
+    "ddl_drop_reorder_update" ->
+      """SELECT CAST(pos AS INTEGER) AS pos, CAST(path AS VARCHAR) AS path,
+        |  CAST(field_id AS INTEGER) AS field_id, CAST(type AS VARCHAR) AS type,
+        |  CAST(had_error AS BOOLEAN) AS had_error
+        |FROM (VALUES
+        |  (0, 'c', 3, 'double', FALSE),
+        |  (1, 'a', 1, 'bigint', FALSE))
+        |  AS t(pos, path, field_id, type, had_error)
+        |ORDER BY pos""".stripMargin,
+
+    "lake_maintenance" ->
+      """SELECT CAST(metric AS VARCHAR) AS metric, CAST(value AS BIGINT) AS value
+        |FROM (VALUES
+        |  ('expired_snapshots', 3),
+        |  ('live_ids_ok', 1),
+        |  ('live_rows', 2),
+        |  ('orphans_removed_some', 1),
+        |  ('snapshots_left', 1))
+        |  AS t(metric, value)
+        |ORDER BY metric""".stripMargin,
+
+    "stream_lake_read" ->
+      """SELECT CAST(id AS BIGINT) AS id, CAST(v AS VARCHAR) AS v
+        |FROM (VALUES (1, 'a'), (2, 'b'), (3, 'c')) AS t(id, v)
+        |ORDER BY id""".stripMargin,
+
+    "q_stream_join" ->
+      """SELECT CAST(imp_id AS BIGINT) AS imp_id, CAST(click_id AS BIGINT) AS click_id
+        |FROM (VALUES (1, 100), (3, 102)) AS t(imp_id, click_id)
+        |ORDER BY imp_id""".stripMargin,
+
+    "ingest_append_read" ->
+      """SELECT CAST(order_id AS VARCHAR) AS order_id,
+        |  CAST(customer_name AS VARCHAR) AS customer_name,
+        |  CAST(city AS VARCHAR) AS city, CAST(zip AS VARCHAR) AS zip,
+        |  CAST(n_items AS INTEGER) AS n_items,
+        |  CAST(first_item_count AS INTEGER) AS first_item_count,
+        |  CAST(first_price AS REAL) AS first_price, CAST(yr AS INTEGER) AS yr
+        |FROM (VALUES
+        |  (NULL, 'Customer_100', 'city_26', NULL, 36, NULL, '16.540000915527344', 2024),
+        |  (NULL, 'Customer_12', 'city_30', NULL, 48, NULL, '11.319999694824219', 2021),
+        |  (NULL, 'Customer_13', 'city_76', NULL, 22, NULL, '10.0', 2024),
+        |  (NULL, 'Customer_14', 'city_7', NULL, 24, NULL, '18.34000015258789', 2025),
+        |  (NULL, 'Customer_19', 'city_5', NULL, 29, NULL, '18.59000015258789', 2020),
+        |  (NULL, 'Customer_20', 'city_60', NULL, 44, NULL, '14.140000343322754', 2024),
+        |  (NULL, 'Customer_23', 'city_92', NULL, 42, NULL, '12.270000457763672', 2023),
+        |  (NULL, 'Customer_30', 'city_61', NULL, 32, NULL, '17.989999771118164', 2025),
+        |  (NULL, 'Customer_32', 'city_96', NULL, 8, NULL, '15.829999923706055', 2021),
+        |  (NULL, 'Customer_41', 'city_19', NULL, 30, NULL, '14.329999923706055', 2024),
+        |  (NULL, 'Customer_43', 'city_74', NULL, 50, NULL, '17.670000076293945', 2021),
+        |  (NULL, 'Customer_52', 'city_19', NULL, 10, NULL, '16.579999923706055', 2020),
+        |  (NULL, 'Customer_70', 'city_3', NULL, 38, NULL, '13.539999961853027', 2024),
+        |  (NULL, 'Customer_80', 'city_7', NULL, 21, NULL, '10.079999923706055', 2024),
+        |  (NULL, 'Customer_84', 'city_17', NULL, 23, NULL, '10.239999771118164', 2023),
+        |  (NULL, 'Customer_9', 'city_41', NULL, 48, NULL, '14.319999694824219', 2024),
+        |  (NULL, 'Customer_90', 'city_67', NULL, 35, NULL, '16.06999969482422', 2021),
+        |  (NULL, 'Customer_93', 'city_32', NULL, 36, NULL, '11.0', 2024),
+        |  (NULL, 'Customer_94', 'city_49', NULL, 38, NULL, '10.600000381469727', 2023),
+        |  (NULL, 'Customer_95', 'city_13', NULL, 19, NULL, '18.299999237060547', 2020),
+        |  ('order_2_0', 'Customer_27', 'city_51', 'zip_25', 9, 3, '19.010000228881836', 2023),
+        |  ('order_2_1', 'Customer_7', 'city_10', 'zip_81', 48, 1, '10.489999771118164', 2021),
+        |  ('order_2_10', 'Customer_26', 'city_36', 'zip_73', 11, 3, '10.789999961853027', 2022),
+        |  ('order_2_11', 'Customer_79', 'city_42', 'zip_54', 27, 5, '19.530000686645508', 2023),
+        |  ('order_2_12', 'Customer_88', 'city_34', 'zip_9', 3, 5, '17.3799991607666', 2021),
+        |  ('order_2_13', 'Customer_11', 'city_87', 'zip_47', 39, 3, '17.15999984741211', 2020),
+        |  ('order_2_14', 'Customer_29', 'city_5', 'zip_50', 15, 1, '12.350000381469727', 2022),
+        |  ('order_2_2', 'Customer_41', 'city_80', 'zip_78', 23, 5, '17.5', 2023),
+        |  ('order_2_3', 'Customer_56', 'city_60', 'zip_89', 42, 4, '17.100000381469727', 2022),
+        |  ('order_2_4', 'Customer_93', 'city_82', 'zip_80', 26, 2, '11.529999732971191', 2024),
+        |  ('order_2_5', 'Customer_37', 'city_4', 'zip_44', 14, 4, '17.790000915527344', 2025),
+        |  ('order_2_6', 'Customer_29', 'city_38', 'zip_77', 40, 5, '11.880000114440918', 2020),
+        |  ('order_2_7', 'Customer_75', 'city_21', 'zip_61', 42, 5, '18.65999984741211', 2020),
+        |  ('order_2_8', 'Customer_14', 'city_73', 'zip_79', 38, 1, '12.359999656677246', 2020),
+        |  ('order_2_9', 'Customer_12', 'city_58', 'zip_16', 15, 4, '14.430000305175781', 2020))
+        |  AS t(order_id, customer_name, city, zip, n_items, first_item_count, first_price, yr)
+        |ORDER BY order_id NULLS FIRST, customer_name""".stripMargin,
+  )
 }
 
 /** Lake read paths under the DuckDB oracle: the DSv2 connector +

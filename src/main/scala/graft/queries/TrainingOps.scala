@@ -671,6 +671,23 @@ object TrainingOps extends QueryModule {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // Golden VALUES pin: the metadata-table fixture is frozen (three
+    // deterministic commits), so snapshot ids / operations / row
+    // accounting are constants — see LakeQueries.oracleSql for the
+    // pinning rationale and the regeneration recipe.
+    "lake_meta_tables" ->
+      """SELECT CAST(kind AS VARCHAR) AS kind,
+        |  CAST(snapshot_id AS BIGINT) AS snapshot_id,
+        |  CAST(operation AS VARCHAR) AS operation,
+        |  CAST(n_rows AS BIGINT) AS n_rows
+        |FROM (VALUES
+        |  ('files_all', 0, 'sum', 2),
+        |  ('snapshot', 1, 'append', 2),
+        |  ('snapshot', 2, 'append', 1),
+        |  ('snapshot', 3, 'overwrite', 1))
+        |  AS t(kind, snapshot_id, operation, n_rows)
+        |ORDER BY kind, snapshot_id""".stripMargin,
+
     "q_dedup_clusters" ->
       """WITH RECURSIVE w AS (
         |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws
