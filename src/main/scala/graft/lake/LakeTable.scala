@@ -183,6 +183,54 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
       currentSchemaId = newSchemaId))
   }
 
+  // ---- refs & rollback --------------------------------------------------
+
+  /** Create (or move) a named snapshot pointer — Iceberg's refs. A
+    * `tag` marks an immutable release point ("training-set-2026-08");
+    * a `branch` is a movable head the caller advances explicitly.
+    * Metadata-only: one map entry, no data touched.
+    */
+  def createRef(name: String, snapshotId: Long,
+      kind: String = "tag"): String = {
+    require(Seq("tag", "branch").contains(kind),
+      s"ref kind must be tag|branch, got '$kind'")
+    require(md.snapshots.exists(_.id == snapshotId),
+      s"ref '$name': no snapshot $snapshotId " +
+        s"(have ${md.snapshots.map(_.id).mkString(", ")})")
+    require(name.nonEmpty && !name.forall(_.isDigit),
+      s"ref name '$name' would be ambiguous with a snapshot id")
+    commit(md.copy(refs = md.refs + (name -> RefMeta(snapshotId, kind))))
+  }
+
+  def dropRef(name: String): String = {
+    require(md.refs.contains(name), s"no such ref '$name'")
+    commit(md.copy(refs = md.refs - name))
+  }
+
+  /** Resolve a ref name to its pinned snapshot id. */
+  def refSnapshot(name: String): Option[Long] =
+    md.refs.get(name).map(_.snapshotId)
+
+  /** Roll the table back so `snapshotId` is the latest snapshot
+    * (Iceberg's rollback_to_snapshot): later snapshots leave the
+    * metadata — their data files stay on disk as orphans until
+    * removeOrphanFiles ages them out, so a rollback is instant and
+    * the rolled-back state is still recoverable from older metadata
+    * versions. Refs pointing past the rollback point are dropped
+    * (they would dangle). Returns the number of snapshots removed.
+    */
+  def rollbackTo(snapshotId: Long): Int = {
+    require(md.snapshots.exists(_.id == snapshotId),
+      s"rollback: no snapshot $snapshotId " +
+        s"(have ${md.snapshots.map(_.id).mkString(", ")})")
+    val (keep, dropped) = md.snapshots.partition(_.id <= snapshotId)
+    if (dropped.isEmpty) return 0
+    commit(md.copy(snapshots = keep,
+      refs = md.refs.filter { case (_, r) =>
+        keep.exists(_.id == r.snapshotId) }))
+    dropped.size
+  }
+
   private def latestMetaFile(): String = {
     val hint = metadataDir.resolve("version-hint.text")
     if (Files.exists(hint))
@@ -258,11 +306,12 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     val schema = md.currentSchema
     val spec = md.currentSpec
     val pCols = spec.fields.map { f =>
-      val srcName = FieldIds.flatten(schema)
-        .collectFirst { case (p, fd) if FieldIds.idOf(fd) == f.sourceFieldId => p }
+      val (srcName, srcField) = FieldIds.flatten(schema)
+        .collectFirst { case (p, fd) if FieldIds.idOf(fd) == f.sourceFieldId => (p, fd) }
         .getOrElse(throw new IllegalStateException(
           s"spec source field ${f.sourceFieldId} not in schema"))
-      (s"_p_${f.name}", Transforms.expr(f.transform, col(srcName)))
+      (s"_p_${f.name}",
+        Transforms.expr(f.transform, col(srcName), Some(srcField.dataType)))
     }
     val withP0 = pCols.foldLeft(aligned) { case (d, (n, e)) => d.withColumn(n, e) }
     // hash-distribute rows by the partition values before writing
@@ -601,7 +650,11 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
       operation = "rewrite",
       deletePaths = liveDel.values.flatMap(_.paths).toSeq.distinct,
       deleteCounts = liveDel.map { case (p, ds) => p -> ds.rows })
-    commit(md.copy(snapshots = squashed +: kept))
+    val liveIds = (squashed +: kept).map(_.id).toSet
+    commit(md.copy(snapshots = squashed +: kept,
+      // refs into the squashed-away prefix would dangle (time travel
+      // to those ids is gone — the point of expiry)
+      refs = md.refs.filter { case (_, r) => liveIds(r.snapshotId) }))
     expired.size
   }
 

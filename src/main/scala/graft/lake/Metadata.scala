@@ -64,6 +64,12 @@ case class SnapshotMeta(id: Long, files: Seq[DataFileMeta], schemaId: Int,
 case class DeleteSet(paths: Seq[String], rows: Long)
 case class SchemaVersion(id: Int, schema: StructType)
 
+/** A named snapshot pointer (Iceberg's refs): `kind` is "tag"
+  * (immutable release marker) or "branch" (a movable head — the engine
+  * records it; writes always advance the main history).
+  */
+case class RefMeta(snapshotId: Long, kind: String = "tag")
+
 case class TableMetadata(
     formatVersion: Int,
     database: String,
@@ -74,7 +80,8 @@ case class TableMetadata(
     currentSpecId: Int,
     snapshots: Seq[SnapshotMeta],
     lastFieldId: Int,
-    properties: Map[String, String] = Map.empty) {
+    properties: Map[String, String] = Map.empty,
+    refs: Map[String, RefMeta] = Map.empty) {
   def currentSchema: StructType =
     schemas.find(_.id == currentSchemaId).get.schema
   def currentSpec: PartitionSpecMeta =
@@ -196,7 +203,13 @@ object MetadataIO {
     "last-field-id" -> JNumber(md.lastFieldId),
     "properties" -> JObject(md.properties.map {
       case (k, v) => k -> JString(v)
-    })))
+    })) ++
+    (if (md.refs.isEmpty) Map.empty[String, JValue]
+     else Map("refs" -> JObject(md.refs.map { case (n, r) =>
+       n -> JObject(Map(
+         "snapshot-id" -> JNumber(r.snapshotId),
+         "kind" -> JString(r.kind)))
+     }))))
 
   def fromJson(v: JValue): TableMetadata = {
     val m = v.asObj
@@ -253,6 +266,11 @@ object MetadataIO {
       lastFieldId = m("last-field-id").asInt,
       properties = m.get("properties")
         .map(_.asObj.map { case (k, v) => k -> v.asStr })
-        .getOrElse(Map.empty))
+        .getOrElse(Map.empty),
+      refs = m.get("refs").map(_.asObj.map { case (n, rv) =>
+        val rm = rv.asObj
+        n -> RefMeta(rm("snapshot-id").asLong,
+          rm.get("kind").map(_.asStr).getOrElse("tag"))
+      }).getOrElse(Map.empty))
   }
 }

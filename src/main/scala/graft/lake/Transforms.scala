@@ -28,17 +28,49 @@ object Transforms {
     case _ => None
   }
 
-  def isSupported(transform: String): Boolean =
-    Supported.contains(transform) || bucketCount(transform).exists(_ > 0)
+  /** Engine extension mirroring Iceberg's `truncate[W]`: integers floor
+    * to the nearest multiple of W (so range predicates cluster into
+    * contiguous directories), strings keep their first W characters
+    * (prefix clustering). Unlike `bucket`, truncated values preserve
+    * ORDER — `id BETWEEN a AND b` prunes to a contiguous dir range.
+    */
+  private val truncateRe = """(?i)truncate\[(\d+)\]""".r
 
-  /** The derived partition Column for a transform over a source column. */
-  def expr(transform: String, source: Column): Column = transform match {
+  def truncateWidth(transform: String): Option[Int] = transform match {
+    case truncateRe(w) => Some(w.toInt)
+    case _ => None
+  }
+
+  def isSupported(transform: String): Boolean =
+    Supported.contains(transform) || bucketCount(transform).exists(_ > 0) ||
+      truncateWidth(transform).exists(_ > 0)
+
+  /** The derived partition Column for a transform over a source column.
+    * `truncate[W]` is type-directed (int floor vs string prefix), so it
+    * needs the source type the schema recorded.
+    */
+  def expr(transform: String, source: Column,
+      sourceType: Option[org.apache.spark.sql.types.DataType] = None)
+      : Column = transform match {
     case "identity" => source.cast("string")
     case "year" => date_format(source, "yyyy")
     case "month" => date_format(source, "yyyy-MM")
     case "day" => date_format(source, "yyyy-MM-dd")
     case "hour" => date_format(source, "yyyy-MM-dd-HH")
     case bucketRe(n) => pmod(hash(source), lit(n.toInt)).cast("string")
+    case truncateRe(w) =>
+      import org.apache.spark.sql.types._
+      sourceType match {
+        case Some(IntegerType | LongType) =>
+          // floor-to-multiple; pmod keeps negatives on the floor side
+          (source - pmod(source, lit(w.toInt))).cast("string")
+        case Some(StringType) => substring(source, 1, w.toInt)
+        case Some(dt) => throw new IllegalArgumentException(
+          s"truncate[$w] unsupported over ${dt.simpleString} " +
+            "(int, long, or string)")
+        case None => throw new IllegalArgumentException(
+          s"truncate[$w] needs the source column type")
+      }
     case other =>
       throw new IllegalArgumentException(s"unknown transform '$other'")
   }

@@ -411,6 +411,34 @@ object LakeReadQueries extends QueryModule {
       t.read(s, asOfSnapshot = Some(firstSnap))
         .orderBy("s_suppkey")
     }),
+
+    "lake_rollback_tag" -> QueryModule.micro(4)((s, dir) => {
+      // tag the good snapshot, append a bad batch, roll back to the
+      // tag via CALL: history truncates instantly (metadata-only) and
+      // the read surface returns to the tagged state; the final read
+      // goes through VERSION AS OF '<tag>' so ref resolution sits
+      // under the oracle too
+      val wh = LakeQueries.freshWarehouse("rollback")
+      Engine.processTableDefJson(wh,
+        """{"database_name":"rq","table_name":"nat","columns":[
+          |{"column_name":"n_nationkey","data_type":"int"},
+          |{"column_name":"n_name","data_type":"string"},
+          |{"column_name":"n_regionkey","data_type":"int"}],
+          |"partitions":[]}""".stripMargin)
+      val t = LakeTable.load(wh, "rq", "nat")
+      val nat = Tables(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+      val good = t.append(nat.filter(col("n_nationkey") < 13)).id
+      t.createRef("validated", good)
+      t.append(nat.filter(col("n_nationkey") >= 13)) // the "bad" batch
+      s.conf.set("spark.sql.catalog.grbt", "graft.sources.LakeCatalog")
+      s.conf.set("spark.sql.catalog.grbt.warehouse", wh)
+      s.sql("CALL grbt.system.rollback_to_snapshot(db => 'rq', " +
+        s"`table` => 'nat', snapshot_id => ${good}L)")
+      s.sql("""SELECT n_nationkey, n_name, n_regionkey
+              |FROM grbt.rq.nat VERSION AS OF 'validated'
+              |ORDER BY n_nationkey""".stripMargin)
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -435,6 +463,10 @@ object LakeReadQueries extends QueryModule {
     "lake_rename" ->
       """SELECT n_nationkey, n_name AS nation_name, n_regionkey
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "lake_rollback_tag" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |WHERE n_nationkey < 13 ORDER BY n_nationkey""".stripMargin,
   )
 }
 
@@ -505,6 +537,83 @@ object RowOpsQueries extends QueryModule {
         .orderBy("o_orderstatus")
     }),
 
+    "lake_update_mor" -> QueryModule.micro(4)((s, dir) => {
+      // merge-on-read UPDATE: matched rows become position deletes plus
+      // appended updated copies — no data-file rewrite; read back via
+      // the DSv2 connector so the gate covers reader-side skipping
+      val wh = scratch("rowupdmor")
+      Engine.processTableDefJson(wh,
+        """{"database_name":"rowops","table_name":"customer_umor","columns":[
+          |{"column_name":"c_custkey","data_type":"long"},
+          |{"column_name":"c_name","data_type":"string"},
+          |{"column_name":"c_mktsegment","data_type":"string"},
+          |{"column_name":"c_acctbal","data_type":"double"}],
+          |"partitions":[{"column":"c_mktsegment","name":"seg"}]}""".stripMargin)
+      val t = LakeTable.load(wh, "rowops", "customer_umor")
+      t.append(Tables(s, dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal"))
+      t.updateMoR(s, Map("c_acctbal" -> (col("c_acctbal") + lit(100.0))),
+        col("c_mktsegment") === "BUILDING",
+        prune = Map("seg" -> Set("BUILDING")))
+      s.read.format("graft-lake")
+        .option("warehouse", wh).option("database", "rowops")
+        .option("table", "customer_umor").load()
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_cust"),
+          sum(Tables.dec(col("c_acctbal"))).cast("double").as("sum_bal"))
+        .orderBy("c_mktsegment")
+    }),
+
+    "lake_merge_mor" -> QueryModule.micro(4)((s, dir) => {
+      // merge-on-read MERGE: matched target rows → position deletes +
+      // source-valued copies, unmatched source rows append — only
+      // deltas are written, no target file rewrite
+      val wh = scratch("rowmrgmor")
+      Engine.processTableDefJson(wh,
+        """{"database_name":"rowops","table_name":"customer_mmor","columns":[
+          |{"column_name":"c_custkey","data_type":"long"},
+          |{"column_name":"c_name","data_type":"string"},
+          |{"column_name":"c_mktsegment","data_type":"string"}],
+          |"partitions":[]}""".stripMargin)
+      val t = LakeTable.load(wh, "rowops", "customer_mmor")
+      t.append(Tables(s, dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"))
+      val src = Tables(s, dir, "supplier").select(
+        col("s_suppkey").as("c_custkey"), col("s_name").as("c_name"),
+        lit("SUPPLIER").as("c_mktsegment"))
+      t.mergeMoR(s, src, Seq("c_custkey"))
+      s.read.format("graft-lake")
+        .option("warehouse", wh).option("database", "rowops")
+        .option("table", "customer_mmor").load()
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    }),
+
+    "lake_truncate_part" -> QueryModule.micro(4)((s, dir) => {
+      // truncate[W] hidden partitioning (Iceberg's order-preserving
+      // clustering): ids land in contiguous W-wide dirs, so the range
+      // predicate prunes to a dir run; read back through the catalog
+      // so SQL + pruning sit under the oracle gate
+      val wh = scratch("truncpart")
+      Engine.processTableDefJson(wh,
+        """{"database_name":"rowops","table_name":"orders_tr","columns":[
+          |{"column_name":"o_orderkey","data_type":"long"},
+          |{"column_name":"o_orderstatus","data_type":"string"},
+          |{"column_name":"o_totalprice","data_type":"double"}],
+          |"partitions":[{"column":"o_orderkey","transform":"truncate[10000]"}]}""".stripMargin)
+      val t = LakeTable.load(wh, "rowops", "orders_tr")
+      t.append(Tables(s, dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"))
+      s.conf.set("spark.sql.catalog.gtrp", "graft.sources.LakeCatalog")
+      s.conf.set("spark.sql.catalog.gtrp.warehouse", wh)
+      s.sql("""SELECT o_orderstatus,
+              |  count(*) AS n_orders,
+              |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+              |FROM gtrp.rowops.orders_tr
+              |WHERE o_orderkey >= 10000 AND o_orderkey < 30000
+              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    }),
+
     "lake_update" -> QueryModule.micro(4)((s, dir) => {
       val wh = scratch("rowupd")
       Engine.processTableDefJson(wh,
@@ -561,6 +670,32 @@ object RowOpsQueries extends QueryModule {
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM orders
         |WHERE NOT (o_orderstatus = 'F' AND o_totalprice > 150000.0)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // MoR produces the same visible table state as CoW — identical oracles
+    "lake_update_mor" ->
+      """SELECT c_mktsegment, count(*) AS n_cust,
+        | CAST(sum(CAST(CASE WHEN c_mktsegment = 'BUILDING'
+        |                    THEN c_acctbal + 100.0 ELSE c_acctbal END
+        |               AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "lake_merge_mor" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM (
+        |  SELECT c.c_custkey,
+        |    CASE WHEN s.s_suppkey IS NOT NULL THEN s.s_name ELSE c.c_name END AS c_name,
+        |    CASE WHEN s.s_suppkey IS NOT NULL THEN 'SUPPLIER' ELSE c.c_mktsegment END AS c_mktsegment
+        |  FROM customer c LEFT JOIN supplier s ON c.c_custkey = s.s_suppkey
+        |  UNION ALL
+        |  SELECT s_suppkey, s_name, 'SUPPLIER' FROM supplier
+        |  WHERE s_suppkey NOT IN (SELECT c_custkey FROM customer)
+        |) ORDER BY c_custkey""".stripMargin,
+
+    "lake_truncate_part" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |WHERE o_orderkey >= 10000 AND o_orderkey < 30000
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "lake_update" ->

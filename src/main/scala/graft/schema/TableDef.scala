@@ -105,11 +105,13 @@ object TableDef {
         }
         val transform = m.get("transform").map(_.asStr.toLowerCase).getOrElse("identity")
         if (!Seq("identity", "hour", "day", "month", "year").contains(transform) &&
-            !transform.matches("""bucket\[\d+\]"""))
+            !transform.matches("""bucket\[\d+\]""") &&
+            !transform.matches("""truncate\[\d+\]"""))
           errs += s"partitions[$i]: unknown transform '$transform'"
         val name = m.get("name").map(_.asStr)
           .getOrElse(s"${colName}_$transform"
-            .replaceAll("""bucket\[(\d+)\]""", "bucket_$1"))
+            .replaceAll("""bucket\[(\d+)\]""", "bucket_$1")
+            .replaceAll("""truncate\[(\d+)\]""", "truncate_$1"))
         if (!columns.exists(_.name == colName))
           errs += s"partitions[$i]: source column '$colName' not in columns"
         PartitionDef(colName, transform, name)

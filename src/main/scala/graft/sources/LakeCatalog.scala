@@ -75,18 +75,22 @@ class LakeCatalog extends TableCatalog
     new LakeSparkTable(warehouse, db, tbl, 0L, t)
   }
 
-  /** SQL time travel: SELECT … FROM graft.db.t VERSION AS OF <snapshot>. */
+  /** SQL time travel: SELECT … FROM graft.db.t VERSION AS OF <snapshot>.
+    * A non-numeric version resolves as a named ref (tag/branch) —
+    * `VERSION AS OF 'training-set-v1'`.
+    */
   override def loadTable(ident: Identifier, version: String): Table = {
     require(ident.namespace.length == 1, "expected <database>.<table>")
     val (db, tbl) = (ident.namespace()(0), ident.name)
     if (!LakeTable.exists(warehouse, db, tbl))
       throw new NoSuchTableException(ident)
-    val sid = try version.toLong catch {
-      case _: NumberFormatException => throw new IllegalArgumentException(
-        s"graft catalog: VERSION AS OF takes a numeric snapshot id, " +
-          s"got '$version' for $ident")
-    }
     val t = LakeTable.load(warehouse, db, tbl)
+    val sid = scala.util.Try(version.toLong).toOption
+      .orElse(t.refSnapshot(version))
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft catalog: VERSION AS OF takes a snapshot id or a ref " +
+          s"name; '$version' is neither for $ident " +
+          s"(refs: ${t.metadata.refs.keys.toSeq.sorted.mkString(", ")})"))
     t.schemaAsOf(sid) // validate the pin before handing out the table
     new LakeSparkTable(warehouse, db, tbl, 0L, t, Some(sid))
   }
@@ -139,9 +143,17 @@ class LakeCatalog extends TableCatalog
           }.getOrElse(throw new IllegalArgumentException(
             "bucket transform needs a literal bucket count"))
           (s"bucket[$n]", s"${colName}_bucket_$n")
+        case "truncate" =>
+          // PARTITIONED BY (truncate(W, col)): the literal arg is W
+          val w = t.arguments.collectFirst {
+            case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+              l.value.toString.toInt
+          }.getOrElse(throw new IllegalArgumentException(
+            "truncate transform needs a literal width"))
+          (s"truncate[$w]", s"${colName}_truncate_$w")
         case other => throw new UnsupportedOperationException(
           s"partition transform '$other' not supported (identity/" +
-            "years/months/days/hours/bucket)")
+            "years/months/days/hours/bucket/truncate)")
       }
       graft.schema.PartitionDef(colName, transform, name)
     }
@@ -235,7 +247,7 @@ class LakeCatalog extends TableCatalog
 
   override def loadFunction(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
-    if (ident.namespace.isEmpty && LakeFunctions.names.contains(ident.name))
+    if (ident.namespace.isEmpty && LakeFunctions.isKnown(ident.name))
       LakeFunctions.unbound(ident.name)
     else throw new org.apache.spark.sql.catalyst.analysis
       .NoSuchFunctionException(ident)
@@ -270,7 +282,7 @@ class LakeCatalog extends TableCatalog
 private[sources] object MetaTables {
   import org.apache.spark.sql.types._
 
-  val names: Set[String] = Set("snapshots", "files")
+  val names: Set[String] = Set("snapshots", "files", "refs")
 
   private val snapshotsSchema = StructType(Seq(
     StructField("snapshot_id", LongType, nullable = false),
@@ -280,6 +292,11 @@ private[sources] object MetaTables {
     StructField("added_bytes", LongType, nullable = false),
     StructField("removed_files", IntegerType, nullable = false),
     StructField("delete_files", IntegerType, nullable = false)))
+
+  private val refsSchema = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("snapshot_id", LongType, nullable = false)))
 
   private val filesSchema = StructType(Seq(
     StructField("snapshot_id", LongType, nullable = false),
@@ -291,6 +308,10 @@ private[sources] object MetaTables {
     StructField("partition", StringType, nullable = false)))
 
   def table(fullName: String, kind: String, t: LakeTable): Table = kind match {
+    case "refs" => new MetaTable(fullName, refsSchema,
+      t.metadata.refs.toSeq.sortBy(_._1).map { case (n, r) =>
+        Seq[Any](n, r.kind, r.snapshotId)
+      })
     case "snapshots" => new MetaTable(fullName, snapshotsSchema,
       t.metadata.snapshots.map { s =>
         Seq[Any](s.id, s.operation, s.files.size,
@@ -368,7 +389,9 @@ private[sources] object LakeProcedures {
   import org.apache.spark.sql.types._
 
   val names: Set[String] =
-    Set("expire_snapshots", "expire_older_than", "remove_orphan_files", "compact")
+    Set("expire_snapshots", "expire_older_than", "remove_orphan_files",
+      "compact", "rollback_to_snapshot", "create_tag", "create_branch",
+      "drop_ref")
 
   private def param(n: String, dt: DataType) =
     ProcedureParameter.in(n, dt).build()
@@ -394,6 +417,14 @@ private[sources] object LakeProcedures {
               param("older_than_ms", LongType))
             case "compact" => Array(
               param("db", StringType), param("table", StringType))
+            case "rollback_to_snapshot" => Array(
+              param("db", StringType), param("table", StringType),
+              param("snapshot_id", LongType))
+            case "create_tag" | "create_branch" | "drop_ref" => Array(
+              param("db", StringType), param("table", StringType),
+              param("name", StringType)) ++
+              (if (procName == "drop_ref") Array.empty[ProcedureParameter]
+               else Array(param("snapshot_id", LongType)))
           }
           override def call(input: InternalRow): java.util.Iterator[Scan] = {
             val db = input.getUTF8String(0).toString
@@ -424,6 +455,25 @@ private[sources] object LakeProcedures {
                   StructField("snapshot_id", LongType, nullable = false),
                   StructField("rewritten_rows", LongType, nullable = false))),
                   Seq[Any](snap.id, snap.files.map(_.rows).sum))
+              case "rollback_to_snapshot" =>
+                val removed = t.rollbackTo(input.getLong(2))
+                (StructType(Seq(
+                  StructField("snapshots_removed", IntegerType, nullable = false),
+                  StructField("current_snapshot_id", LongType, nullable = false))),
+                  Seq[Any](removed, t.metadata.snapshots.map(_.id).max))
+              case "create_tag" | "create_branch" =>
+                val kind = if (procName == "create_tag") "tag" else "branch"
+                t.createRef(input.getUTF8String(2).toString,
+                  input.getLong(3), kind)
+                (StructType(Seq(
+                  StructField("ref", StringType, nullable = false),
+                  StructField("snapshot_id", LongType, nullable = false))),
+                  Seq[Any](input.getUTF8String(2).toString, input.getLong(3)))
+              case "drop_ref" =>
+                t.dropRef(input.getUTF8String(2).toString)
+                (StructType(Seq(
+                  StructField("dropped", StringType, nullable = false))),
+                  Seq[Any](input.getUTF8String(2).toString))
             }
             // procedure output must be a LocalScan (InvokeProcedures
             // turns it into a LocalRelation)

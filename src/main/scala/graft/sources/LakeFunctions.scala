@@ -24,11 +24,28 @@ object LakeFunctions {
     "years" -> "year", "months" -> "month",
     "days" -> "day", "hours" -> "hour")
 
-  val names: Seq[String] = byName.keys.toSeq :+ "bucket"
+  val names: Seq[String] = byName.keys.toSeq ++ Seq("bucket", "truncate")
 
-  def unbound(v2name: String): UnboundFunction =
-    if (v2name == "bucket") new BucketUnbound
-    else new TimeTransformUnbound(v2name, byName(v2name))
+  /** `truncate_W` width-in-name family: Spark's storage-partitioned-join
+    * machinery only admits transforms whose expression has exactly ONE
+    * reference child (`KeyGroupedPartitioning.supportsExpressions`;
+    * bucket escapes via a special case hoisting numBuckets out of the
+    * children). A literal-arg `truncate(W, col)` therefore can never
+    * report key-grouped partitioning — so the scan reports the width
+    * inside the function NAME (`truncate_16(col)`) and the catalog
+    * serves the whole family by pattern.
+    */
+  private val widthRe = """truncate_(\d+)""".r
+
+  def isKnown(v2name: String): Boolean =
+    names.contains(v2name) || widthRe.matches(v2name)
+
+  def unbound(v2name: String): UnboundFunction = v2name match {
+    case "bucket" => new BucketUnbound
+    case "truncate" => new TruncateUnbound
+    case widthRe(w) => new TruncateWUnbound(w.toInt)
+    case _ => new TimeTransformUnbound(v2name, byName(v2name))
+  }
 }
 
 /** bucket(N, col): Spark murmur3 `hash(col)` mod N — the same value the
@@ -61,6 +78,82 @@ private[sources] case class BucketFn(input: DataType)
     val m = h % n
     if (m < 0) m + n else m
   }
+}
+
+/** truncate(W, col): int/long floor to the nearest multiple of W,
+  * string prefix of W characters — identical to the batch writer's
+  * `col - pmod(col, W)` / `substring(col, 1, W)` partition expressions,
+  * so reported truncate clustering, stored dir values, and this
+  * function agree. Width arrives as the leading INT argument (the V2
+  * transform convention, same as bucket).
+  */
+private[sources] class TruncateUnbound extends UnboundFunction {
+  override def name(): String = "truncate"
+  override def description(): String =
+    "truncate(w, col): graft hidden-partition truncate"
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 2,
+      "truncate takes (width, col)")
+    inputType.fields(1).dataType match {
+      case dt @ (IntegerType | LongType | StringType) => TruncateFn(dt)
+      case dt => throw new UnsupportedOperationException(
+        s"truncate: unsupported input ${dt.simpleString} (int, long, string)")
+    }
+  }
+}
+
+private[sources] case class TruncateFn(input: DataType)
+    extends ScalarFunction[Any] {
+  override def inputTypes(): Array[DataType] = Array(IntegerType, input)
+  override def resultType(): DataType = input
+  override def name(): String = "truncate"
+  override def canonicalName(): String = "graft.lake.truncate"
+  override def isResultNullable: Boolean = true
+  override def produceResult(row: InternalRow): Any = {
+    val w = row.getInt(0)
+    if (row.isNullAt(1)) return null
+    TruncateFn.eval(input, w, row, 1)
+  }
+}
+
+private[sources] object TruncateFn {
+  def eval(input: DataType, w: Int, row: InternalRow, ord: Int): Any =
+    input match {
+      case IntegerType =>
+        val v = row.getInt(ord); v - Math.floorMod(v, w)
+      case LongType =>
+        val v = row.getLong(ord); v - Math.floorMod(v, w.toLong)
+      case _ => row.getUTF8String(ord).substringSQL(1, w)
+    }
+}
+
+/** The single-argument width-in-name variant (`truncate_16(col)`) the
+  * scan reports for key-grouped partitioning — see LakeFunctions.
+  */
+private[sources] class TruncateWUnbound(w: Int) extends UnboundFunction {
+  override def name(): String = s"truncate_$w"
+  override def description(): String =
+    s"truncate_$w(col): graft hidden-partition truncate (width $w)"
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 1,
+      s"truncate_$w takes exactly one argument")
+    inputType.fields(0).dataType match {
+      case dt @ (IntegerType | LongType | StringType) => TruncateWFn(w, dt)
+      case dt => throw new UnsupportedOperationException(
+        s"truncate_$w: unsupported input ${dt.simpleString} (int, long, string)")
+    }
+  }
+}
+
+private[sources] case class TruncateWFn(w: Int, input: DataType)
+    extends ScalarFunction[Any] {
+  override def inputTypes(): Array[DataType] = Array(input)
+  override def resultType(): DataType = input
+  override def name(): String = s"truncate_$w"
+  override def canonicalName(): String = s"graft.lake.truncate_$w"
+  override def isResultNullable: Boolean = true
+  override def produceResult(row: InternalRow): Any =
+    if (row.isNullAt(0)) null else TruncateFn.eval(input, w, row, 0)
 }
 
 private[sources] class TimeTransformUnbound(v2name: String,

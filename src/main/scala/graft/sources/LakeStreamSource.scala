@@ -185,6 +185,10 @@ private[sources] class LakeSparkTable(wh: String, db: String, tbl: String,
           case "hour" => Expressions.hours(src)
           case t if graft.lake.Transforms.bucketCount(t).isDefined =>
             Expressions.bucket(graft.lake.Transforms.bucketCount(t).get, src)
+          case t if graft.lake.Transforms.truncateWidth(t).isDefined =>
+            Expressions.apply("truncate",
+              Expressions.literal(graft.lake.Transforms.truncateWidth(t).get),
+              org.apache.spark.sql.GraftPlanBridge.fieldRef(src))
           case other => Expressions.apply(other, Expressions.column(src))
         }
       }
@@ -444,6 +448,9 @@ private[sources] class LakeScan(wh: String, db: String, tbl: String,
         case "identity" => LakeSource.partitionKeyParseable(sf.dataType)
         case "year" | "month" | "day" | "hour" =>
           sf.dataType == TimestampNTZType || sf.dataType == DateType
+        case t if graft.lake.Transforms.truncateWidth(t).isDefined =>
+          sf.dataType == IntegerType || sf.dataType == LongType ||
+            sf.dataType == StringType
         case t => graft.lake.Transforms.bucketCount(t).isDefined
       }
     val cols = spec.fields.map(f => srcField(f.sourceFieldId).map(f -> _))
@@ -465,6 +472,10 @@ private[sources] class LakeScan(wh: String, db: String, tbl: String,
       sf.transform match {
         case "identity" => LakeSource.parsePartitionValue(col.dataType, v)
         case t if graft.lake.Transforms.bucketCount(t).isDefined => v.toInt
+        case t if graft.lake.Transforms.truncateWidth(t).isDefined =>
+          // truncate keeps the SOURCE type (floor / prefix), so the key
+          // parses like an identity value of that type
+          LakeSource.parsePartitionValue(col.dataType, v)
         case _ => // time transforms: the key IS the rendered string
           if (v == "__HIVE_DEFAULT_PARTITION__") null
           else UTF8String.fromString(v)
@@ -487,6 +498,14 @@ private[sources] class LakeScan(wh: String, db: String, tbl: String,
                 case "month" => Expressions.months(col.name)
                 case "day" => Expressions.days(col.name)
                 case "hour" => Expressions.hours(col.name)
+                case t if graft.lake.Transforms.truncateWidth(t).isDefined =>
+                  // width-in-name single-arg form: SPJ only admits
+                  // transforms with ONE reference child (see
+                  // LakeFunctions), so truncate[16] reports as
+                  // truncate_16(col)
+                  Expressions.apply(
+                    s"truncate_${graft.lake.Transforms.truncateWidth(t).get}",
+                    org.apache.spark.sql.GraftPlanBridge.fieldRef(col.name))
                 case t => Expressions.bucket(
                   graft.lake.Transforms.bucketCount(t).get, col.name)
               }

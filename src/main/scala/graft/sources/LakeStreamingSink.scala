@@ -123,6 +123,8 @@ private[sources] object LakeStreamingWrite {
     case ("year" | "month" | "day" | "hour",
           TimestampNTZType | DateType) => ()
     case (tf, _) if graft.lake.Transforms.bucketCount(tf).isDefined => ()
+    case (tf, StringType | IntegerType | LongType)
+        if graft.lake.Transforms.truncateWidth(tf).isDefined => ()
     case (tf, dt) => throw new UnsupportedOperationException(
       s"graft-lake writer: partition transform $tf(${dt.simpleString}) is " +
         "not supported for distributed writes; use LakeTable.append / " +
@@ -143,6 +145,22 @@ private[sources] object LakeStreamingWrite {
       return (if (m < 0) m + n else m).toString
     }
     if (row.isNullAt(p.ordinal)) return "__HIVE_DEFAULT_PARTITION__"
+    // truncate next: same NULL → default-dir rule as identity/time, then
+    // the batch expression's floor/prefix on the non-null value
+    graft.lake.Transforms.truncateWidth(p.transform).foreach { w =>
+      return (p.dataType match {
+        case IntegerType =>
+          val v = row.getInt(p.ordinal); (v - Math.floorMod(v, w)).toString
+        case LongType =>
+          val v = row.getLong(p.ordinal)
+          (v - Math.floorMod(v, w.toLong)).toString
+        case StringType =>
+          // character (codepoint-pair) prefix, matching substring(col,1,w)
+          val v = row.getUTF8String(p.ordinal).substringSQL(1, w).toString
+          if (v.isEmpty) "__HIVE_DEFAULT_PARTITION__" else v
+        case other => throw new UnsupportedOperationException(other.simpleString)
+      })
+    }
     def ldt: LocalDateTime = p.dataType match {
       case TimestampNTZType =>
         val micros = row.getLong(p.ordinal)
