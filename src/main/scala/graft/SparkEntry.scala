@@ -10,7 +10,7 @@ object SparkEntry {
   private def modules: Seq[QueryModule] =
     Seq(Relational, Grouping, Windows, SetOps, ScalarFuncs, Pipeline,
       PipelineSketches, Streaming, LakeQueries, RowOpsQueries, Analytics,
-      LakeReadQueries, TrainingOps)
+      LakeReadQueries, TrainingOps, CurationOps)
 
   /** Flagship query (TPC-H Q1 shape) on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -282,7 +282,8 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     if (currentHintVersion() != loadedVersion)
       throw new java.util.ConcurrentModificationException(
         s"table $location was committed concurrently; reload and retry")
-    val snapshotId = md.snapshots.map(_.id).foldLeft(0L)(math.max) + 1
+    val snapshotId = (md.snapshots ++ md.staged).map(_.id)
+      .foldLeft(0L)(math.max) + 1
     // unique dir per write attempt: a racing writer that loses the
     // commit leaves orphan files behind instead of clobbering the
     // winner's snapshot (Iceberg's orphan-file model)
@@ -294,6 +295,86 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
       timestampMs = System.currentTimeMillis())
     commit(md.copy(snapshots = md.snapshots :+ snap))
     snap
+  }
+
+  // ---- write-audit-publish (Iceberg's wap.id staging) ------------------
+
+  /** Stage an append without making it visible: the snapshot is
+    * committed into the metadata's `staged` list (so its files are
+    * referenced, not orphans) but no read/time-travel/CDC path sees it
+    * until `publishStaged`. Mirrors Iceberg's write-audit-publish flow
+    * (`spark.wap.id` + `cherrypick_snapshot`); the reference has no
+    * equivalent — engine extension.
+    */
+  def appendStaged(df: DataFrame, wapId: String): SnapshotMeta = {
+    require(wapId.nonEmpty, "wapId must be non-empty")
+    require(!md.staged.exists(_.wapId.contains(wapId)),
+      s"wap id '$wapId' already staged")
+    val aligned = Align(df, md.currentSchema)
+    aligned.sparkSession.conf
+      .set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    if (currentHintVersion() != loadedVersion)
+      throw new java.util.ConcurrentModificationException(
+        s"table $location was committed concurrently; reload and retry")
+    val snapshotId = (md.snapshots ++ md.staged).map(_.id)
+      .foldLeft(0L)(math.max) + 1
+    val outDir = dataDir.resolve(
+      s"snap-$snapshotId-${java.util.UUID.randomUUID().toString.take(8)}")
+    val files = writeDataFiles(aligned, outDir)
+    val snap = SnapshotMeta(snapshotId, files, md.currentSchemaId,
+      operation = "staged-append",
+      timestampMs = System.currentTimeMillis(), wapId = Some(wapId))
+    commit(md.copy(staged = md.staged :+ snap))
+    snap
+  }
+
+  def stagedSnapshot(wapId: String): Option[SnapshotMeta] =
+    md.staged.find(_.wapId.contains(wapId))
+
+  /** Audit read: the current live table plus the staged snapshot's
+    * rows — what the table WOULD look like if `wapId` were published
+    * now. Other staged snapshots stay invisible.
+    */
+  def readStaged(spark: SparkSession, wapId: String): DataFrame = {
+    val snap = stagedSnapshot(wapId).getOrElse(
+      throw new IllegalArgumentException(s"no staged snapshot '$wapId'"))
+    val current = md.currentSchema
+    readFiles(spark,
+      LakeTable.liveFiles(md.snapshots) ++ snap.files,
+      current, LakeTable.liveDeletes(md.snapshots))
+  }
+
+  /** Publish a staged snapshot: cherry-pick its files onto the head as
+    * a fresh "append" snapshot (new id, commit-time timestamp — the
+    * history stays monotonic even if other writes landed since the
+    * stage). The wap id is carried for lineage; CDC/incremental readers
+    * see the rows at publish time, matching Iceberg's
+    * `cherrypick_snapshot` semantics.
+    */
+  def publishStaged(wapId: String): SnapshotMeta = {
+    val snap = stagedSnapshot(wapId).getOrElse(
+      throw new IllegalArgumentException(s"no staged snapshot '$wapId'"))
+    require(snap.schemaId == md.currentSchemaId,
+      s"staged snapshot '$wapId' was written under schema ${snap.schemaId}; " +
+        s"table is now at ${md.currentSchemaId} — re-stage after evolution")
+    val newId = (md.snapshots ++ md.staged).map(_.id)
+      .foldLeft(0L)(math.max) + 1
+    val published = snap.copy(id = newId, operation = "append",
+      timestampMs = System.currentTimeMillis())
+    commit(md.copy(snapshots = md.snapshots :+ published,
+      staged = md.staged.filterNot(_.wapId.contains(wapId))))
+    published
+  }
+
+  /** Drop a staged snapshot without publishing. Its data files become
+    * orphans (removed by `removeOrphanFiles` once aged). Returns the
+    * number of data files orphaned.
+    */
+  def discardStaged(wapId: String): Int = {
+    val snap = stagedSnapshot(wapId).getOrElse(
+      throw new IllegalArgumentException(s"no staged snapshot '$wapId'"))
+    commit(md.copy(staged = md.staged.filterNot(_.wapId.contains(wapId))))
+    snap.files.size
   }
 
   /** Write one aligned DataFrame as parquet data files under `outDir` —
@@ -695,7 +776,9 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
   def removeOrphanFiles(
       olderThanMillis: Long = 24L * 60 * 60 * 1000): Seq[String] = {
     import scala.util.Using
-    val referenced = md.snapshots.flatMap(s =>
+    // staged (unpublished WAP) snapshots still reference their files —
+    // they only become orphans after discardStaged
+    val referenced = (md.snapshots ++ md.staged).flatMap(s =>
       s.files.map(_.path) ++ s.deletePaths).toSet
     if (!Files.exists(dataDir)) return Seq.empty
     val cutoff = System.currentTimeMillis() - olderThanMillis

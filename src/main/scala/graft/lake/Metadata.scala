@@ -50,12 +50,18 @@ case class DataFileMeta(path: String, schemaId: Int, specId: Int, rows: Long,
   * snapshots written before the field existed) — powers TIMESTAMP AS
   * OF time travel and age-based retention.
   */
+/** `wapId`: the write-audit-publish id this snapshot was staged under
+  * (Iceberg's `wap.id` summary property). Set on staged snapshots and
+  * carried onto the published cherry-pick for lineage; None for plain
+  * writes.
+  */
 case class SnapshotMeta(id: Long, files: Seq[DataFileMeta], schemaId: Int,
     operation: String = "append", streamBatchId: Option[Long] = None,
     streamId: Option[String] = None, removedPaths: Seq[String] = Seq.empty,
     deletePaths: Seq[String] = Seq.empty,
     deleteCounts: Map[String, Long] = Map.empty,
-    timestampMs: Long = -1L)
+    timestampMs: Long = -1L,
+    wapId: Option[String] = None)
 
 /** The live merge-on-read delete state for one data file: the delete
   * parquet files that may hold its deleted positions, and the exact
@@ -70,6 +76,12 @@ case class SchemaVersion(id: Int, schema: StructType)
   */
 case class RefMeta(snapshotId: Long, kind: String = "tag")
 
+/** `staged`: snapshots written but not yet part of the main history
+  * (Iceberg's write-audit-publish staging). Invisible to every normal
+  * read/time-travel/CDC path until `publishStaged` cherry-picks them
+  * onto the head; their data files count as referenced (not orphans)
+  * while staged.
+  */
 case class TableMetadata(
     formatVersion: Int,
     database: String,
@@ -81,7 +93,8 @@ case class TableMetadata(
     snapshots: Seq[SnapshotMeta],
     lastFieldId: Int,
     properties: Map[String, String] = Map.empty,
-    refs: Map[String, RefMeta] = Map.empty) {
+    refs: Map[String, RefMeta] = Map.empty,
+    staged: Seq[SnapshotMeta] = Seq.empty) {
   def currentSchema: StructType =
     schemas.find(_.id == currentSchemaId).get.schema
   def currentSpec: PartitionSpecMeta =
@@ -146,6 +159,78 @@ object MetadataIO {
       m("id").asInt)
   }
 
+  // ---- SnapshotMeta <-> JSON ------------------------------------------
+
+  private def snapshotToJson(sn: SnapshotMeta): JValue = JObject(Map(
+    "snapshot-id" -> JNumber(sn.id),
+    "schema-id" -> JNumber(sn.schemaId),
+    "operation" -> JString(sn.operation)) ++
+    (if (sn.timestampMs < 0) Map.empty[String, JValue]
+     else Map("timestamp-ms" -> JNumber(sn.timestampMs))) ++
+    sn.streamBatchId.map(b => "stream-batch-id" -> JNumber(b)).toMap ++
+    sn.streamId.map(s => "stream-id" -> JString(s)).toMap ++
+    sn.wapId.map(w => "wap-id" -> JString(w)).toMap ++
+    (if (sn.removedPaths.isEmpty) Map.empty[String, JValue]
+     else Map("removed-files" ->
+       JArray(sn.removedPaths.map(JString(_))))) ++
+    (if (sn.deletePaths.isEmpty) Map.empty[String, JValue]
+     else Map("delete-files" ->
+       JArray(sn.deletePaths.map(JString(_))))) ++
+    (if (sn.deleteCounts.isEmpty) Map.empty[String, JValue]
+     else Map("delete-counts" -> JObject(sn.deleteCounts.map {
+       case (p, n) => p -> JNumber(n)
+     }))) ++ Map(
+    "files" -> JArray(sn.files.map(df => JObject(Map(
+      "path" -> JString(df.path),
+      "schema-id" -> JNumber(df.schemaId),
+      "spec-id" -> JNumber(df.specId),
+      "rows" -> JNumber(df.rows),
+      "bytes" -> JNumber(df.bytes)) ++
+    (if (df.sortedByIds.isEmpty) Map.empty[String, JValue]
+     else Map("sorted-by" -> JArray(df.sortedByIds.map(i => JNumber(i))))) ++
+    Map(
+      "partition" -> JObject(df.partitionValues.map {
+        case (k, v) => k -> JString(v)
+      }),
+      "stats" -> JObject(df.stats.map { case (id, cs) =>
+        id.toString -> JObject(Map(
+          "kind" -> JString(cs.kind),
+          "min" -> JString(cs.min),
+          "max" -> JString(cs.max)))
+      })))))))
+
+  private def snapshotFromJson(sn: JValue): SnapshotMeta = {
+    val sm = sn.asObj
+    SnapshotMeta(sm("snapshot-id").asLong,
+      files = sm("files").asArr.map { df =>
+        val dm = df.asObj
+        DataFileMeta(dm("path").asStr, dm("schema-id").asInt,
+          dm("spec-id").asInt, dm("rows").asLong,
+          dm("partition").asObj.map { case (k, vv) => k -> vv.asStr },
+          dm.get("stats").map(_.asObj.map { case (id, sv) =>
+            val sm2 = sv.asObj
+            id.toInt -> ColStats(sm2("kind").asStr,
+              sm2("min").asStr, sm2("max").asStr)
+          }).getOrElse(Map.empty),
+          bytes = dm.get("bytes").map(_.asLong).getOrElse(-1L),
+          sortedByIds = dm.get("sorted-by")
+            .map(_.asArr.map(_.asInt)).getOrElse(Seq.empty))
+      },
+      schemaId = sm("schema-id").asInt,
+      operation = sm.get("operation").map(_.asStr).getOrElse("append"),
+      streamBatchId = sm.get("stream-batch-id").map(_.asLong),
+      streamId = sm.get("stream-id").map(_.asStr),
+      removedPaths = sm.get("removed-files")
+        .map(_.asArr.map(_.asStr)).getOrElse(Seq.empty),
+      deletePaths = sm.get("delete-files")
+        .map(_.asArr.map(_.asStr)).getOrElse(Seq.empty),
+      deleteCounts = sm.get("delete-counts")
+        .map(_.asObj.map { case (p, n) => p -> n.asLong })
+        .getOrElse(Map.empty),
+      timestampMs = sm.get("timestamp-ms").map(_.asLong).getOrElse(-1L),
+      wapId = sm.get("wap-id").map(_.asStr))
+  }
+
   // ---- TableMetadata <-> JSON -----------------------------------------
 
   def toJson(md: TableMetadata): JValue = JObject(Map(
@@ -164,46 +249,13 @@ object MetadataIO {
         "transform" -> JString(f.transform),
         "name" -> JString(f.name),
         "field-id" -> JNumber(f.specFieldId))))))))),
-    "snapshots" -> JArray(md.snapshots.map(sn => JObject(Map(
-      "snapshot-id" -> JNumber(sn.id),
-      "schema-id" -> JNumber(sn.schemaId),
-      "operation" -> JString(sn.operation)) ++
-      (if (sn.timestampMs < 0) Map.empty[String, JValue]
-       else Map("timestamp-ms" -> JNumber(sn.timestampMs))) ++
-      sn.streamBatchId.map(b => "stream-batch-id" -> JNumber(b)).toMap ++
-      sn.streamId.map(s => "stream-id" -> JString(s)).toMap ++
-      (if (sn.removedPaths.isEmpty) Map.empty[String, JValue]
-       else Map("removed-files" ->
-         JArray(sn.removedPaths.map(JString(_))))) ++
-      (if (sn.deletePaths.isEmpty) Map.empty[String, JValue]
-       else Map("delete-files" ->
-         JArray(sn.deletePaths.map(JString(_))))) ++
-      (if (sn.deleteCounts.isEmpty) Map.empty[String, JValue]
-       else Map("delete-counts" -> JObject(sn.deleteCounts.map {
-         case (p, n) => p -> JNumber(n)
-       }))) ++ Map(
-      "files" -> JArray(sn.files.map(df => JObject(Map(
-        "path" -> JString(df.path),
-        "schema-id" -> JNumber(df.schemaId),
-        "spec-id" -> JNumber(df.specId),
-        "rows" -> JNumber(df.rows),
-        "bytes" -> JNumber(df.bytes)) ++
-      (if (df.sortedByIds.isEmpty) Map.empty[String, JValue]
-       else Map("sorted-by" -> JArray(df.sortedByIds.map(i => JNumber(i))))) ++
-      Map(
-        "partition" -> JObject(df.partitionValues.map {
-          case (k, v) => k -> JString(v)
-        }),
-        "stats" -> JObject(df.stats.map { case (id, cs) =>
-          id.toString -> JObject(Map(
-            "kind" -> JString(cs.kind),
-            "min" -> JString(cs.min),
-            "max" -> JString(cs.max)))
-        }))))))))),
+    "snapshots" -> JArray(md.snapshots.map(snapshotToJson)),
     "last-field-id" -> JNumber(md.lastFieldId),
     "properties" -> JObject(md.properties.map {
       case (k, v) => k -> JString(v)
     })) ++
+    (if (md.staged.isEmpty) Map.empty[String, JValue]
+     else Map("staged-snapshots" -> JArray(md.staged.map(snapshotToJson)))) ++
     (if (md.refs.isEmpty) Map.empty[String, JValue]
      else Map("refs" -> JObject(md.refs.map { case (n, r) =>
        n -> JObject(Map(
@@ -233,36 +285,7 @@ object MetadataIO {
           })
       },
       currentSpecId = m("current-spec-id").asInt,
-      snapshots = m("snapshots").asArr.map { sn =>
-        val sm = sn.asObj
-        SnapshotMeta(sm("snapshot-id").asLong,
-          files = sm("files").asArr.map { df =>
-            val dm = df.asObj
-            DataFileMeta(dm("path").asStr, dm("schema-id").asInt,
-              dm("spec-id").asInt, dm("rows").asLong,
-              dm("partition").asObj.map { case (k, vv) => k -> vv.asStr },
-              dm.get("stats").map(_.asObj.map { case (id, sv) =>
-                val sm2 = sv.asObj
-                id.toInt -> ColStats(sm2("kind").asStr,
-                  sm2("min").asStr, sm2("max").asStr)
-              }).getOrElse(Map.empty),
-              bytes = dm.get("bytes").map(_.asLong).getOrElse(-1L),
-              sortedByIds = dm.get("sorted-by")
-                .map(_.asArr.map(_.asInt)).getOrElse(Seq.empty))
-          },
-          schemaId = sm("schema-id").asInt,
-          operation = sm.get("operation").map(_.asStr).getOrElse("append"),
-          streamBatchId = sm.get("stream-batch-id").map(_.asLong),
-          streamId = sm.get("stream-id").map(_.asStr),
-          removedPaths = sm.get("removed-files")
-            .map(_.asArr.map(_.asStr)).getOrElse(Seq.empty),
-          deletePaths = sm.get("delete-files")
-            .map(_.asArr.map(_.asStr)).getOrElse(Seq.empty),
-          deleteCounts = sm.get("delete-counts")
-            .map(_.asObj.map { case (p, n) => p -> n.asLong })
-            .getOrElse(Map.empty),
-          timestampMs = sm.get("timestamp-ms").map(_.asLong).getOrElse(-1L))
-      },
+      snapshots = m("snapshots").asArr.map(snapshotFromJson),
       lastFieldId = m("last-field-id").asInt,
       properties = m.get("properties")
         .map(_.asObj.map { case (k, v) => k -> v.asStr })
@@ -271,6 +294,8 @@ object MetadataIO {
         val rm = rv.asObj
         n -> RefMeta(rm("snapshot-id").asLong,
           rm.get("kind").map(_.asStr).getOrElse("tag"))
-      }).getOrElse(Map.empty))
+      }).getOrElse(Map.empty),
+      staged = m.get("staged-snapshots")
+        .map(_.asArr.map(snapshotFromJson)).getOrElse(Seq.empty))
   }
 }

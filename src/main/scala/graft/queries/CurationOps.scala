@@ -1,0 +1,194 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a large-scale training-data pipeline runs
+  * between ingestion and tokenization: repetition-based quality
+  * filtering (the Gopher/MassiveText rules), benchmark decontamination,
+  * fixed-token-budget sequence packing, and deterministic mixture
+  * sampling. Engine extensions — the reference
+  * (aws-samples/sample-iceberg-schema-evolution-pyiceberg) has no query
+  * surface at all; designs follow the published pipeline papers
+  * (Gopher appendix A1, GPT-3 appendix A decontamination).
+  *
+  * Scale posture: every per-document signal is computed with
+  * higher-order array functions inside the row — zero shuffle until the
+  * final ORDER BY; the decontamination join broadcasts the (small)
+  * benchmark gram set; packing windows partition by language so no
+  * global single-reducer ordering exists. All outputs are integers so
+  * the DuckDB oracle hash-matches exactly (no float summation-order
+  * drift).
+  */
+object CurationOps extends QueryModule {
+
+  /** Whitespace tokens — the shared tokenizer for every operator here
+    * (matches DuckDB's string_split(text, ' ') exactly).
+    */
+  private def toks = split(col("text"), " ")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Gopher-style repetition signals, one row per document, computed
+    // entirely inside the row (no explode, no shuffle): token count,
+    // distinct tokens, bigram counts, and the most-frequent-token
+    // count via an aggregate over the row's distinct tokens. The keep
+    // flag applies two integer-arithmetic rules: top token <= 1/5 of
+    // tokens, distinct bigrams >= 1/2 of bigrams.
+    "q_quality_repetition" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), toks.as("l"))
+        .select(col("doc_id"), col("l"),
+          size(col("l")).as("n_tokens"),
+          size(array_distinct(col("l"))).as("n_distinct_tokens"),
+          // sequence(1, n-1) would DESCEND for n=1 (Spark generates
+          // decreasing sequences when start > stop) — guard to empty
+          when(size(col("l")) >= 2,
+            transform(sequence(lit(1), size(col("l")) - 1),
+              i => concat(element_at(col("l"), i), lit(" "),
+                element_at(col("l"), i + 1))))
+            .otherwise(array().cast("array<string>")).as("bg"))
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct_tokens"),
+          size(col("bg")).as("n_bigrams"),
+          size(array_distinct(col("bg"))).as("n_distinct_bigrams"),
+          aggregate(array_distinct(col("l")), lit(0),
+            (acc, t) => greatest(acc,
+              size(filter(col("l"), x => x === t))))
+            .as("top_token_count"))
+        .withColumn("keep",
+          when(col("top_token_count") * 5 <= col("n_tokens") &&
+            col("n_distinct_bigrams") * 2 >= col("n_bigrams"), lit(1))
+            .otherwise(lit(0)))
+        .orderBy("doc_id")
+    }),
+
+    // Benchmark decontamination (GPT-3 appendix A style): any document
+    // sharing a 4-gram with the held-out "benchmark" slice (doc_id %
+    // 50 == 0) is dropped. The benchmark gram set is tiny (1/50 of the
+    // corpus) → broadcast semi join; corpus grams are exploded but
+    // never shuffled (the semi join's build side ships instead).
+    "q_decontaminate" -> ((s, dir) => {
+      val G = 4
+      val docs = Tables(s, dir, "documents").select(col("doc_id"), toks.as("l"))
+      def grams(df: DataFrame): DataFrame = df
+        .filter(size(col("l")) >= G)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(col("l")) - (G - 1)),
+            i => concat_ws(" ", slice(col("l"), i, lit(G))))).as("g"))
+      val bench = grams(docs.filter(col("doc_id") % 50 === 0))
+        .select("g").distinct()
+      val contaminated = grams(docs.filter(col("doc_id") % 50 =!= 0))
+        .join(broadcast(bench), Seq("g"), "left_semi")
+        .select("doc_id").distinct()
+      docs.filter(col("doc_id") % 50 =!= 0)
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .select("doc_id").orderBy("doc_id")
+    }),
+
+    // Fixed-token-budget sequence packing: documents are laid out in
+    // doc_id order within each language and cut into 512-token bins by
+    // starting offset (a document starting before a bin boundary
+    // belongs to the earlier bin — the deterministic streaming-packer
+    // layout). The window partitions by language, so the sort is
+    // per-group, not global; output is one row per (lang, bin).
+    "q_pack_sequences" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val budget = 512
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), size(toks).as("n_tok"))
+        .withColumn("cum", sum(col("n_tok").cast("long")).over(w))
+        .withColumn("bin",
+          ((col("cum") - col("n_tok")) / budget).cast("long"))
+        .groupBy("lang", "bin")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok").cast("long")).as("sum_tokens"))
+        .orderBy("lang", "bin")
+    }),
+
+    // Deterministic mixture sampling: each language gets a target keep
+    // rate (downsample the dominant language, keep the rare ones); the
+    // keep decision is a pure arithmetic hash of doc_id — identical on
+    // any engine, any partitioning, re-runnable without a seed store.
+    // The rates relation is 5 rows → broadcast; no shuffle at all
+    // before the final ORDER BY.
+    "q_sample_mixture" -> ((s, dir) => {
+      import s.implicits._
+      val rates = Seq(("en", 400000L), ("de", 800000L), ("fr", 800000L),
+        ("es", 900000L), ("zh", 1000000L)).toDF("lang", "rate_ppm")
+      Tables(s, dir, "documents")
+        .join(broadcast(rates), Seq("lang"))
+        .filter((col("doc_id") * 2654435761L) % 1000000L < col("rate_ppm"))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_quality_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+        |), base AS (
+        |  SELECT doc_id, len(l) AS n_tokens,
+        |    len(list_distinct(l)) AS n_distinct_tokens,
+        |    list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1]) AS bg
+        |  FROM toks
+        |), topt AS (
+        |  SELECT doc_id, max(c) AS top_token_count FROM (
+        |    SELECT doc_id, count(*) AS c
+        |    FROM (SELECT doc_id, unnest(l) AS tok FROM toks)
+        |    GROUP BY doc_id, tok) GROUP BY doc_id
+        |)
+        |SELECT b.doc_id,
+        |  CAST(n_tokens AS INTEGER) AS n_tokens,
+        |  CAST(n_distinct_tokens AS INTEGER) AS n_distinct_tokens,
+        |  CAST(len(bg) AS INTEGER) AS n_bigrams,
+        |  CAST(len(list_distinct(bg)) AS INTEGER) AS n_distinct_bigrams,
+        |  CAST(top_token_count AS INTEGER) AS top_token_count,
+        |  CAST(CASE WHEN top_token_count * 5 <= n_tokens
+        |        AND len(list_distinct(bg)) * 2 >= len(bg)
+        |       THEN 1 ELSE 0 END AS INTEGER) AS keep
+        |FROM base b JOIN topt USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+        |), grams AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(l) - 2),
+        |    i -> array_to_string(l[i:i+3], ' '))) AS g
+        |  FROM toks WHERE len(l) >= 4
+        |), bench AS (
+        |  SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0
+        |), contaminated AS (
+        |  SELECT DISTINCT doc_id FROM grams
+        |  WHERE doc_id % 50 <> 0 AND g IN (SELECT g FROM bench)
+        |)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id % 50 <> 0
+        |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_pack_sequences" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tok
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, lang, n_tok,
+        |    sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM d
+        |)
+        |SELECT lang, CAST((cum - n_tok) // 512 AS BIGINT) AS bin,
+        |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tokens
+        |FROM c GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
+
+    "q_sample_mixture" ->
+      """WITH rates(lang, rate_ppm) AS (VALUES
+        |  ('en', 400000), ('de', 800000), ('fr', 800000),
+        |  ('es', 900000), ('zh', 1000000))
+        |SELECT d.doc_id, d.lang FROM documents d JOIN rates r USING (lang)
+        |WHERE (d.doc_id * 2654435761) % 1000000 < r.rate_ppm
+        |ORDER BY d.doc_id""".stripMargin,
+  )
+}

@@ -439,6 +439,51 @@ object LakeReadQueries extends QueryModule {
               |FROM grbt.rq.nat VERSION AS OF 'validated'
               |ORDER BY n_nationkey""".stripMargin)
     }),
+
+    "lake_wap" -> QueryModule.micro(4)((s, dir) => {
+      // write-audit-publish: a bad batch is staged (invisible to
+      // readers), fails its audit on the staged view, and is discarded;
+      // a good batch is staged, passes, and is published via CALL — the
+      // final table state is base + good batch only. Iceberg's wap.id +
+      // cherrypick flow re-expressed on the engine's staged snapshots.
+      val wh = LakeQueries.freshWarehouse("wap")
+      Engine.processTableDefJson(wh,
+        """{"database_name":"wq","table_name":"cust","columns":[
+          |{"column_name":"c_custkey","data_type":"long"},
+          |{"column_name":"c_name","data_type":"string"},
+          |{"column_name":"c_acctbal","data_type":"double"}],
+          |"partitions":[]}""".stripMargin)
+      val t = LakeTable.load(wh, "wq", "cust")
+      val cust = Tables(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+      t.append(cust.filter(col("c_custkey") <= 300))
+      // audit rule: no negative balances may enter the table
+      t.appendStaged(cust.filter(col("c_custkey") > 300 &&
+        col("c_acctbal") < 0), wapId = "batch-bad")
+      t.appendStaged(cust.filter(col("c_custkey") > 300 &&
+        col("c_acctbal") >= 0), wapId = "batch-good")
+      // staged rows must be invisible until published — fail loudly if
+      // the staging leaks (keeps the key self-auditing, not just
+      // oracle-checked on the happy path)
+      val baseRows = t.read(s).count()
+      // audit the prospective table state, scoped to the incoming key
+      // range (the base batch predates the rule and is grandfathered)
+      def violations(wap: String): Long =
+        t.readStaged(s, wap)
+          .filter(col("c_custkey") > 300 && col("c_acctbal") < 0).count()
+      require(violations("batch-bad") > 0, "bad batch should fail audit")
+      require(violations("batch-good") == 0, "good batch should pass audit")
+      s.conf.set("spark.sql.catalog.grwp", "graft.sources.LakeCatalog")
+      s.conf.set("spark.sql.catalog.grwp.warehouse", wh)
+      s.sql("CALL grwp.system.discard_wap(db => 'wq', `table` => 'cust', " +
+        "wap_id => 'batch-bad')")
+      s.sql("CALL grwp.system.publish_wap(db => 'wq', `table` => 'cust', " +
+        "wap_id => 'batch-good')")
+      require(LakeTable.load(wh, "wq", "cust").read(s).count() > baseRows,
+        "published rows should be visible")
+      s.sql("""SELECT c_custkey, c_name, c_acctbal
+              |FROM grwp.wq.cust ORDER BY c_custkey""".stripMargin)
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -467,6 +512,12 @@ object LakeReadQueries extends QueryModule {
     "lake_rollback_tag" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |WHERE n_nationkey < 13 ORDER BY n_nationkey""".stripMargin,
+
+    "lake_wap" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE c_custkey <= 300
+        |   OR (c_custkey > 300 AND c_acctbal >= 0)
+        |ORDER BY c_custkey""".stripMargin,
   )
 }
 

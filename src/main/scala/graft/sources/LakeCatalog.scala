@@ -391,7 +391,7 @@ private[sources] object LakeProcedures {
   val names: Set[String] =
     Set("expire_snapshots", "expire_older_than", "remove_orphan_files",
       "compact", "rollback_to_snapshot", "create_tag", "create_branch",
-      "drop_ref")
+      "drop_ref", "publish_wap", "discard_wap")
 
   private def param(n: String, dt: DataType) =
     ProcedureParameter.in(n, dt).build()
@@ -425,6 +425,9 @@ private[sources] object LakeProcedures {
               param("name", StringType)) ++
               (if (procName == "drop_ref") Array.empty[ProcedureParameter]
                else Array(param("snapshot_id", LongType)))
+            case "publish_wap" | "discard_wap" => Array(
+              param("db", StringType), param("table", StringType),
+              param("wap_id", StringType))
           }
           override def call(input: InternalRow): java.util.Iterator[Scan] = {
             val db = input.getUTF8String(0).toString
@@ -474,6 +477,20 @@ private[sources] object LakeProcedures {
                 (StructType(Seq(
                   StructField("dropped", StringType, nullable = false))),
                   Seq[Any](input.getUTF8String(2).toString))
+              case "publish_wap" =>
+                val snap = t.publishStaged(input.getUTF8String(2).toString)
+                (StructType(Seq(
+                  StructField("published_snapshot_id", LongType,
+                    nullable = false),
+                  StructField("rows", LongType, nullable = false))),
+                  Seq[Any](snap.id, snap.files.map(_.rows).sum))
+              case "discard_wap" =>
+                val orphaned = t.discardStaged(
+                  input.getUTF8String(2).toString)
+                (StructType(Seq(
+                  StructField("files_orphaned", IntegerType,
+                    nullable = false))),
+                  Seq[Any](orphaned))
             }
             // procedure output must be a LocalScan (InvokeProcedures
             // turns it into a LocalRelation)

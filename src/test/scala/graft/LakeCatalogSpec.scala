@@ -161,7 +161,7 @@ class LakeCatalogSpec extends AnyFunSuite {
     val e3 = intercept[Exception] {
       spark.sql("SELECT * FROM graftt.d.tt VERSION AS OF 'main'").collect()
     }
-    assert(e3.getMessage.contains("numeric snapshot id"))
+    assert(e3.getMessage.contains("snapshot id or a ref name"))
   }
 
   test("SQL DELETE FROM routes through copy-on-write delete") {
