@@ -354,12 +354,13 @@ object TrainingOps extends QueryModule {
       // Cross-batch streaming dedup (flatMapGroupsWithState) fed
       // through the graft-lake DSv2 streaming source — zero driver-side
       // collect of data rows: the events slice lands in a bronze lake
-      // table as two append snapshots, and two Trigger.AvailableNow
-      // passes over ONE checkpoint deliver them as two micro-batches
-      // (offsets + dedup state recover from the checkpoint, so batch
-      // 1's keys stay deduped in batch 2 — batch 1 wins over batch 2,
-      // and within a batch the smallest id wins). Output flows through
-      // the DSv2 streaming sink into a silver lake table.
+      // table as two append snapshots, and ONE Trigger.AvailableNow
+      // query with maxSnapshotsPerTrigger=1 (the source's admission
+      // control) delivers them as two micro-batches — dedup state
+      // carries across batches, so batch 1's keys stay deduped in
+      // batch 2 (batch 1 wins over batch 2, and within a batch the
+      // smallest id wins). Output flows through the DSv2 streaming
+      // sink into a silver lake table.
       import graft.lake.{Engine, LakeTable}
       import graft.streaming.Stateful
       val wh = LakeQueries.freshWarehouse("streamdedup")
@@ -378,11 +379,18 @@ object TrainingOps extends QueryModule {
         .select(concat(col("user_id").cast("string"), lit(":"),
             col("event_type")).as("key"),
           col("event_id").as("docId"), col("ts"))
-      def drainPass(): Unit = {
+      bronze.append(slice.filter(col("docId") < 1500))
+      bronze.append(slice.filter(col("docId") >= 1500))
+      locally {
         import s.implicits._
         val in = s.readStream.format("graft-lake")
           .option("warehouse", wh).option("database", "sd")
-          .option("table", "bronze").load()
+          .option("table", "bronze")
+          // one snapshot per micro-batch: AvailableNow drains both
+          // appends as two batches through one query — state recovery
+          // between them exercises the same cross-batch path as two
+          // separate runs, at half the query-startup cost
+          .option("maxSnapshotsPerTrigger", "1").load()
           // lake timestamps surface as NTZ; the watermark needs an
           // instant — identical UTC wall clock under the UTC session
           .withColumn("ts", col("ts").cast("timestamp"))
@@ -396,10 +404,6 @@ object TrainingOps extends QueryModule {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start().awaitTermination()
       }
-      bronze.append(slice.filter(col("docId") < 1500))
-      drainPass()
-      bronze.append(slice.filter(col("docId") >= 1500))
-      drainPass()
       LakeTable.load(wh, "sd", "silver").read(s)
         .select(col("key"), col("docId").as("first_event_id"))
         .orderBy("key")

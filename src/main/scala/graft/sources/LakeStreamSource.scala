@@ -199,7 +199,9 @@ private[sources] class LakeSparkTable(wh: String, db: String, tbl: String,
       TableCapability.V1_BATCH_WRITE, TableCapability.STREAMING_WRITE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new LakeScanBuilder(wh, db, tbl, startSnapshot, pinnedSchema, asOfSnapshot)
+    new LakeScanBuilder(wh, db, tbl, startSnapshot, pinnedSchema, asOfSnapshot,
+      maxSnapshotsPerTrigger =
+        Option(options.get("maxSnapshotsPerTrigger")).map(_.toInt))
 
   /** INSERT INTO / df.writeTo(...).append() via the V1 write bridge:
     * Spark resolves the input to the table schema, then the append goes
@@ -295,7 +297,8 @@ private[sources] class LakeSparkTable(wh: String, db: String, tbl: String,
 private[graft] class LakeScanBuilder(wh: String, db: String, tbl: String,
     startSnapshot: Long, full: StructType,
     asOfSnapshot: Option[Long] = None,
-    onPlanned: Seq[graft.lake.DataFileMeta] => Unit = _ => ())
+    onPlanned: Seq[graft.lake.DataFileMeta] => Unit = _ => (),
+    maxSnapshotsPerTrigger: Option[Int] = None)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
@@ -398,7 +401,7 @@ private[graft] class LakeScanBuilder(wh: String, db: String, tbl: String,
 
   override def build(): Scan =
     new LakeScan(wh, db, tbl, startSnapshot, target, stats, aggResult,
-      asOfSnapshot, onPlanned)
+      asOfSnapshot, onPlanned, maxSnapshotsPerTrigger)
 }
 
 private[sources] class LakeScan(wh: String, db: String, tbl: String,
@@ -406,7 +409,8 @@ private[sources] class LakeScan(wh: String, db: String, tbl: String,
     statsFilters: Seq[graft.lake.RangeFilter] = Seq.empty,
     aggResult: Option[(StructType, Array[Any])] = None,
     asOfSnapshot: Option[Long] = None,
-    onPlanned: Seq[graft.lake.DataFileMeta] => Unit = _ => ()) extends Scan
+    onPlanned: Seq[graft.lake.DataFileMeta] => Unit = _ => (),
+    maxSnapshotsPerTrigger: Option[Int] = None) extends Scan
     with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportOrdering
@@ -622,7 +626,8 @@ private[sources] class LakeScan(wh: String, db: String, tbl: String,
     runtimeRanges = filters.toSeq.flatMap(LakeSource.filterToRanges)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new LakeMicroBatchStream(wh, db, tbl, startSnapshot, target)
+    new LakeMicroBatchStream(wh, db, tbl, startSnapshot, target,
+      maxSnapshotsPerTrigger)
 }
 
 private[sources] case class LakeOffset(snapshotId: Long) extends Offset {
@@ -650,7 +655,8 @@ private[sources] case class LakeAggPartition(values: Array[Any])
     extends InputPartition
 
 private[sources] class LakeMicroBatchStream(wh: String, db: String,
-    tbl: String, startSnapshot: Long, target: StructType)
+    tbl: String, startSnapshot: Long, target: StructType,
+    maxSnapshotsPerTrigger: Option[Int] = None)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   // metadata is reloaded per call so a long-running stream sees commits
@@ -669,10 +675,26 @@ private[sources] class LakeMicroBatchStream(wh: String, db: String,
   override def latestOffset(): Offset =
     LakeOffset(availableNowCap.getOrElse(maxSnapshotId))
   // SupportsAdmissionControl (pulled in by SupportsTriggerAvailableNow):
-  // no read limits — every batch drains to the latest snapshot
+  // without maxSnapshotsPerTrigger every batch drains to the latest
+  // snapshot; with it, each micro-batch advances over at most N
+  // snapshots (Iceberg's streaming-read rate limiting) — at scale one
+  // trigger must not swallow an unbounded backlog of commits. Under
+  // Trigger.AvailableNow the engine keeps scheduling batches until the
+  // returned offset stops moving, so a capped stream still drains the
+  // full backlog, N snapshots at a time, through ONE query.
   override def latestOffset(start: Offset,
-      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
-    latestOffset()
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    val cap = availableNowCap.getOrElse(maxSnapshotId)
+    maxSnapshotsPerTrigger match {
+      case None => LakeOffset(cap)
+      case Some(n) =>
+        require(n > 0, s"maxSnapshotsPerTrigger must be > 0, got $n")
+        val s = start.asInstanceOf[LakeOffset].snapshotId
+        val next = snapshots.map(_.id).filter(id => id > s && id <= cap)
+          .sorted.take(n)
+        LakeOffset(next.lastOption.getOrElse(s))
+    }
+  }
   override def deserializeOffset(json: String): Offset =
     LakeOffset(json.toLong)
 

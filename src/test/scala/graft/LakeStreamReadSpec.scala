@@ -249,4 +249,42 @@ class LakeStreamReadSpec extends AnyFunSuite {
       native.collect().map(_.toString).toSeq)
     assert(dsv2.count() == 15)
   }
+
+  test("maxSnapshotsPerTrigger rate-limits micro-batches under AvailableNow") {
+    val (wh, t) = mkTable("ratelimit")
+    t.append(df(Seq((1L, "a", ts(1)))))
+    t.append(df(Seq((2L, "b", ts(2)))))
+    t.append(df(Seq((3L, "c", ts(3)))))
+
+    val batches = scala.collection.mutable.ArrayBuffer.empty[(Long, Set[Long])]
+    val q = lakeStream(wh).option("maxSnapshotsPerTrigger", "1").load()
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batches.synchronized {
+          batches += ((id, batch.select("id").collect()
+            .map(_.getLong(0)).toSet))
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // one micro-batch per committed snapshot, in commit order, and the
+    // capped stream still drains the whole backlog through one query
+    val nonEmpty = batches.filter(_._2.nonEmpty).map(_._2).toSeq
+    assert(nonEmpty == Seq(Set(1L), Set(2L), Set(3L)))
+
+    // uncapped: the same three snapshots drain as a single batch
+    val batches2 = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    val q2 = lakeStream(wh).load()
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batches2.synchronized {
+          batches2 += batch.select("id").collect().map(_.getLong(0)).toSet
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    assert(batches2.filter(_.nonEmpty).toSeq == Seq(Set(1L, 2L, 3L)))
+  }
 }
