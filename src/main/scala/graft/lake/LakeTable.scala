@@ -377,6 +377,101 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     snap.files.size
   }
 
+  // ---- equality deletes (Iceberg v2's second delete-file kind) --------
+
+  /** Write `keys` (distinct) as an equality-delete parquet batch.
+    * Columns are stored as `k<fieldId>` so later renames of the key
+    * columns cannot orphan the batch — readers resolve names per
+    * schema version by id.
+    */
+  private def writeEqDeleteBatch(keys: DataFrame, snapshotId: Long)
+      : EqDeleteMeta = {
+    val schema = md.currentSchema
+    val ids = keys.columns.toSeq.map { c =>
+      val f = schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"equality-delete key '$c' is not a top-level table column"))
+      require(Seq(IntegerType, LongType, StringType, BooleanType,
+        FloatType, DoubleType, DateType, TimestampType, TimestampNTZType)
+        .contains(f.dataType),
+        s"equality-delete key '$c' must be a scalar of a supported " +
+          s"type, got ${f.dataType.simpleString}")
+      FieldIds.idOf(f)
+    }
+    val typed = keys.select(keys.columns.toSeq.map { c =>
+      val dt = schema.fields.find(_.name == c).get.dataType
+      col(s"`$c`").cast(dt).as(s"k${FieldIds.idOf(
+        schema.fields.find(_.name == c).get)}")
+    }: _*).distinct()
+    val dir = dataDir.resolve(
+      s"eqdel-$snapshotId-${java.util.UUID.randomUUID().toString.take(8)}")
+    typed.write.parquet(dir.toString)
+    EqDeleteMeta(listParquet(dir).map(_.toString), ids, snapshotId)
+  }
+
+  /** DELETE WHERE key IN (keys) — merge-on-read equality deletes:
+    * writes only the key tuples, reads and rewrites NOTHING (contrast
+    * position deletes, which scan to find row positions). The batch
+    * deletes matching rows from every data file with a lower sequence
+    * number at read time. O(keys) write cost at any table size — the
+    * CDC/GDPR delete shape for 100 TB tables.
+    */
+  def deleteByKeysMoR(spark: SparkSession, keys: DataFrame): SnapshotMeta = {
+    if (currentHintVersion() != loadedVersion)
+      throw new java.util.ConcurrentModificationException(
+        s"table $location was committed concurrently; reload and retry")
+    val snapshotId = (md.snapshots ++ md.staged).map(_.id)
+      .foldLeft(0L)(math.max) + 1
+    val batch = writeEqDeleteBatch(keys, snapshotId)
+    val snap = SnapshotMeta(snapshotId, Seq.empty, md.currentSchemaId,
+      operation = "delete", timestampMs = System.currentTimeMillis(),
+      eqDeletes = Seq(batch))
+    commit(md.copy(snapshots = md.snapshots :+ snap))
+    snap
+  }
+
+  /** Blind streaming upsert (the Flink/Iceberg CDC-sink shape): ONE
+    * snapshot carries an equality-delete batch for the source keys
+    * plus the source rows as new data files. The batch's sequence
+    * equals the snapshot's, so it kills older rows with those keys but
+    * not the rows written alongside it — last write wins per key, with
+    * zero reads of the existing table at write time. At 100 TB that is
+    * the difference between O(batch) and O(table) per commit.
+    */
+  def upsertMoR(spark: SparkSession, source: DataFrame,
+      keys: Seq[String]): SnapshotMeta = {
+    require(keys.nonEmpty && keys.forall(source.columns.contains),
+      s"source must contain every key column: $keys")
+    val aligned = Align(source, md.currentSchema)
+    aligned.sparkSession.conf
+      .set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    if (currentHintVersion() != loadedVersion)
+      throw new java.util.ConcurrentModificationException(
+        s"table $location was committed concurrently; reload and retry")
+    val snapshotId = (md.snapshots ++ md.staged).map(_.id)
+      .foldLeft(0L)(math.max) + 1
+    val batch = writeEqDeleteBatch(
+      source.select(keys.map(k => col(s"`$k`")): _*), snapshotId)
+    val outDir = dataDir.resolve(
+      s"snap-$snapshotId-${java.util.UUID.randomUUID().toString.take(8)}")
+    val files = writeDataFiles(aligned, outDir)
+    val snap = SnapshotMeta(snapshotId, files, md.currentSchemaId,
+      operation = "upsert", timestampMs = System.currentTimeMillis(),
+      eqDeletes = Seq(batch))
+    commit(md.copy(snapshots = md.snapshots :+ snap))
+    snap
+  }
+
+  /** Row-level ops (CoW rewrite or position-delete MoR) assume every
+    * live row is physically present in its data file; live equality
+    * deletes break that. Materialize them first (compact). Loud guard,
+    * not silent corruption.
+    */
+  private def requireNoLiveEqDeletes(op: String): Unit =
+    require(LakeTable.liveEqDeletes(md.snapshots).isEmpty,
+      s"$op with live equality deletes is unsupported — run compact() " +
+        "(CALL system.compact) to materialize them first")
+
   /** Write one aligned DataFrame as parquet data files under `outDir` —
     * hidden-partition columns, write clustering, writer options, and
     * per-file metadata (rows / partition values / stats / bytes) — the
@@ -628,7 +723,7 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     val current = md.currentSchema
     val files = md.snapshots
       .filter(s => s.id > fromSnapshot && s.id <= toSnapshot &&
-        s.operation == "append")
+        (s.operation == "append" || s.operation == "upsert"))
       .flatMap(_.files)
     readFiles(spark, files, current)
   }
@@ -652,7 +747,8 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     readFiles(spark,
       LakeTable.matchingFiles(LakeTable.liveFiles(visible), current,
         prune, statsFilters),
-      current, LakeTable.liveDeletes(visible))
+      current, LakeTable.liveDeletes(visible),
+      LakeTable.liveEqDeletes(visible))
   }
 
   /** Live files surviving partition + stats pruning under the current
@@ -671,12 +767,23 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     */
   private def readFiles(spark: SparkSession, files: Seq[DataFileMeta],
       target: StructType,
-      deletes: Map[String, DeleteSet] = Map.empty): DataFrame = {
+      deletes: Map[String, DeleteSet] = Map.empty,
+      eqDeletes: Seq[EqDeleteMeta] = Seq.empty): DataFrame = {
     if (files.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         Reconcile.clean(target).asInstanceOf[StructType])
-    files.groupBy(_.schemaId).map { case (schemaId, group) =>
+    // equality-delete applicability is per file sequence: batch seq >
+    // file seq. Batches sorted by seq → a file's applicable set is a
+    // suffix, so grouping by (schema, suffix start) keeps the plan
+    // bounded by schemas × batches, never file count.
+    val batches = eqDeletes.sortBy(_.seq)
+    def suffixIdx(fseq: Long): Int = {
+      val i = batches.indexWhere(_.seq > fseq)
+      if (i < 0) batches.size else i
+    }
+    files.groupBy(f => (f.schemaId, suffixIdx(f.seq))).map {
+      case ((schemaId, bIdx), group) =>
       val fileSchema = md.schemaById(schemaId)
       val base = spark.read
         .schema(Reconcile.clean(fileSchema).asInstanceOf[StructType])
@@ -696,7 +803,27 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
           .withColumn("_graft_dpos", col("_metadata.row_index"))
           .join(del, Seq("_graft_dfile", "_graft_dpos"), "left_anti")
       }
-      alive.select(Reconcile.projection(fileSchema, target): _*)
+      val projected = alive.select(Reconcile.projection(fileSchema, target): _*)
+      // anti-join the applicable equality batches, one join per
+      // distinct key-column set; keys resolve by FIELD ID against the
+      // target schema (rename-proof — batches store columns as k<id>).
+      // Null-safe equality: an eq-delete with a NULL key matches NULL
+      // (Iceberg's delete-file semantics). The key sets are
+      // upsert-batch-sized → broadcast build sides.
+      batches.drop(bIdx).groupBy(_.fieldIds).foldLeft(projected) {
+        case (df, (ids, bs)) =>
+          val names = ids.map { id =>
+            target.fields.find(f =>
+              FieldIds.hasId(f) && FieldIds.idOf(f) == id).map(_.name)
+              .getOrElse(throw new IllegalStateException(
+                s"equality-delete key field id $id not in current schema"))
+          }
+          val keyDf = spark.read.parquet(bs.flatMap(_.paths): _*)
+          val cond = ids.zip(names).map { case (id, n) =>
+            df(n) <=> keyDf(s"k$id")
+          }.reduce(_ && _)
+          df.join(keyDf, cond, "left_anti")
+      }
     }.reduce(_.unionByName(_))
   }
 
@@ -730,7 +857,11 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
       timestampMs = expired.map(_.timestampMs).max,
       operation = "rewrite",
       deletePaths = liveDel.values.flatMap(_.paths).toSeq.distinct,
-      deleteCounts = liveDel.map { case (p, ds) => p -> ds.rows })
+      deleteCounts = liveDel.map { case (p, ds) => p -> ds.rows },
+      // equality batches still live at the squash point carry through
+      // with their original sequence numbers; the squashed files keep
+      // their original seq (stamped by liveFiles) for the same reason
+      eqDeletes = LakeTable.liveEqDeletes(expired))
     val liveIds = (squashed +: kept).map(_.id).toSet
     commit(md.copy(snapshots = squashed +: kept,
       // refs into the squashed-away prefix would dangle (time travel
@@ -825,6 +956,7 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
   def delete(spark: SparkSession, predicate: Column,
       prune: Map[String, Set[String]] = Map.empty,
       statsFilters: Seq[RangeFilter] = Seq.empty): Option[SnapshotMeta] = {
+    requireNoLiveEqDeletes("delete")
     val affected = affectedFiles(spark, predicate, prune, statsFilters)
     if (affected.isEmpty) None
     else {
@@ -850,6 +982,7 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
   def deleteMoR(spark: SparkSession, predicate: Column,
       prune: Map[String, Set[String]] = Map.empty,
       statsFilters: Seq[RangeFilter] = Seq.empty): Option[SnapshotMeta] = {
+    requireNoLiveEqDeletes("deleteMoR")
     if (currentHintVersion() != loadedVersion)
       throw new java.util.ConcurrentModificationException(
         s"table $location was committed concurrently; reload and retry")
@@ -872,6 +1005,7 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
       statsFilters: Seq[RangeFilter] = Seq.empty): Option[SnapshotMeta] = {
     val bad = assignments.keySet.filterNot(md.currentSchema.fieldNames.contains)
     require(bad.isEmpty, s"unknown columns in SET: $bad")
+    requireNoLiveEqDeletes("updateMoR")
     if (currentHintVersion() != loadedVersion)
       throw new java.util.ConcurrentModificationException(
         s"table $location was committed concurrently; reload and retry")
@@ -899,6 +1033,7 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
   def mergeMoR(spark: SparkSession, source: DataFrame, keys: Seq[String],
       onMatch: String = "update",
       insertUnmatched: Boolean = true): Option[SnapshotMeta] = {
+    requireNoLiveEqDeletes("mergeMoR")
     require(Seq("update", "delete", "keep").contains(onMatch),
       s"onMatch must be update|delete|keep, got '$onMatch'")
     require(keys.nonEmpty && keys.forall(source.columns.contains),
@@ -1020,6 +1155,7 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
       statsFilters: Seq[RangeFilter] = Seq.empty): Option[SnapshotMeta] = {
     val bad = assignments.keySet.filterNot(md.currentSchema.fieldNames.contains)
     require(bad.isEmpty, s"unknown columns in SET: $bad")
+    requireNoLiveEqDeletes("update")
     val affected = affectedFiles(spark, predicate, prune, statsFilters)
     if (affected.isEmpty) None
     else {
@@ -1057,6 +1193,7 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
   def merge(spark: SparkSession, source: DataFrame, keys: Seq[String],
       onMatch: String = "update",
       insertUnmatched: Boolean = true): Option[SnapshotMeta] = {
+    requireNoLiveEqDeletes("merge")
     require(Seq("update", "delete", "keep").contains(onMatch),
       s"onMatch must be update|delete|keep, got '$onMatch'")
     require(keys.nonEmpty && keys.forall(source.columns.contains),
@@ -1155,12 +1292,32 @@ object LakeTable {
     */
   def liveFiles(snapshots: Seq[SnapshotMeta]): Seq[DataFileMeta] =
     snapshots.foldLeft(Vector.empty[DataFileMeta]) { (acc, s) =>
+      // stamp each file's data sequence number (equality-delete
+      // applicability: batch seq > file seq) unless it carries an
+      // explicit one (expire-squash carried files keep their original)
+      def own = s.files.toVector.map(f =>
+        if (f.seq >= 0) f else f.copy(seq = s.id))
       s.operation match {
-        case "rewrite" => s.files.toVector
+        case "rewrite" => own
         case "overwrite" =>
           val removed = s.removedPaths.toSet
-          acc.filterNot(f => removed(f.path)) ++ s.files
-        case _ => acc ++ s.files
+          acc.filterNot(f => removed(f.path)) ++ own
+        case _ => acc ++ own
+      }
+    }
+
+  /** Replay the snapshot log into the live equality-delete batches:
+    * "delete"/"upsert" snapshots accumulate their batches; a rewrite
+    * (compaction read applies every live batch, so its output
+    * supersedes them) resets to the snapshot's own carried batches
+    * (empty for compaction; the expire-squash carries the still-live
+    * set explicitly).
+    */
+  def liveEqDeletes(snapshots: Seq[SnapshotMeta]): Seq[EqDeleteMeta] =
+    snapshots.foldLeft(Vector.empty[EqDeleteMeta]) { (acc, s) =>
+      s.operation match {
+        case "rewrite" => s.eqDeletes.toVector
+        case _ => acc ++ s.eqDeletes
       }
     }
 

@@ -20,11 +20,19 @@ case class PartitionSpecMeta(id: Int, fields: Seq[SpecField])
   * report per-partition ordering (SupportsReportOrdering) so
   * storage-partitioned merge joins skip their sorts. Empty = unknown.
   */
+/** `seq`: the file's data sequence number (Iceberg v2) — the snapshot
+  * id under which its rows were (re)written. -1 = derive from the
+  * containing snapshot (the common case; `LakeTable.liveFiles` stamps
+  * it during replay). Stored explicitly only when a file outlives its
+  * original snapshot (expire-squash carry), because equality-delete
+  * applicability compares file seq < batch seq.
+  */
 case class DataFileMeta(path: String, schemaId: Int, specId: Int, rows: Long,
     partitionValues: Map[String, String],
     stats: Map[Int, ColStats] = Map.empty,
     bytes: Long = -1L,
-    sortedByIds: Seq[Int] = Seq.empty)
+    sortedByIds: Seq[Int] = Seq.empty,
+    seq: Long = -1L)
 /** `streamId`/`streamBatchId`: the Structured-Streaming source
   * (checkpoint) and micro-batch that produced this snapshot, when
   * ingested via StreamIngest — foreachBatch is at-least-once, so the
@@ -61,13 +69,25 @@ case class SnapshotMeta(id: Long, files: Seq[DataFileMeta], schemaId: Int,
     deletePaths: Seq[String] = Seq.empty,
     deleteCounts: Map[String, Long] = Map.empty,
     timestampMs: Long = -1L,
-    wapId: Option[String] = None)
+    wapId: Option[String] = None,
+    eqDeletes: Seq[EqDeleteMeta] = Seq.empty)
 
 /** The live merge-on-read delete state for one data file: the delete
   * parquet files that may hold its deleted positions, and the exact
   * number of its deleted rows.
   */
 case class DeleteSet(paths: Seq[String], rows: Long)
+
+/** An equality-delete batch (Iceberg v2's second delete-file kind):
+  * `paths` are parquet files of key tuples, `fieldIds` identify the
+  * key columns (schema-evolution-proof — names are resolved per
+  * reader), and `seq` is the committing snapshot's id. A batch deletes
+  * every matching row of every data file whose sequence is LOWER than
+  * `seq` — rows (re)written at or after the batch survive, which is
+  * what makes blind streaming upserts correct without reading the
+  * table at write time.
+  */
+case class EqDeleteMeta(paths: Seq[String], fieldIds: Seq[Int], seq: Long)
 case class SchemaVersion(id: Int, schema: StructType)
 
 /** A named snapshot pointer (Iceberg's refs): `kind` is "tag"
@@ -170,6 +190,11 @@ object MetadataIO {
     sn.streamBatchId.map(b => "stream-batch-id" -> JNumber(b)).toMap ++
     sn.streamId.map(s => "stream-id" -> JString(s)).toMap ++
     sn.wapId.map(w => "wap-id" -> JString(w)).toMap ++
+    (if (sn.eqDeletes.isEmpty) Map.empty[String, JValue]
+     else Map("eq-deletes" -> JArray(sn.eqDeletes.map(eq => JObject(Map(
+       "paths" -> JArray(eq.paths.map(JString(_))),
+       "field-ids" -> JArray(eq.fieldIds.map(i => JNumber(i))),
+       "seq" -> JNumber(eq.seq))))))) ++
     (if (sn.removedPaths.isEmpty) Map.empty[String, JValue]
      else Map("removed-files" ->
        JArray(sn.removedPaths.map(JString(_))))) ++
@@ -188,6 +213,8 @@ object MetadataIO {
       "bytes" -> JNumber(df.bytes)) ++
     (if (df.sortedByIds.isEmpty) Map.empty[String, JValue]
      else Map("sorted-by" -> JArray(df.sortedByIds.map(i => JNumber(i))))) ++
+    (if (df.seq < 0) Map.empty[String, JValue]
+     else Map("seq" -> JNumber(df.seq))) ++
     Map(
       "partition" -> JObject(df.partitionValues.map {
         case (k, v) => k -> JString(v)
@@ -214,7 +241,8 @@ object MetadataIO {
           }).getOrElse(Map.empty),
           bytes = dm.get("bytes").map(_.asLong).getOrElse(-1L),
           sortedByIds = dm.get("sorted-by")
-            .map(_.asArr.map(_.asInt)).getOrElse(Seq.empty))
+            .map(_.asArr.map(_.asInt)).getOrElse(Seq.empty),
+          seq = dm.get("seq").map(_.asLong).getOrElse(-1L))
       },
       schemaId = sm("schema-id").asInt,
       operation = sm.get("operation").map(_.asStr).getOrElse("append"),
@@ -228,7 +256,13 @@ object MetadataIO {
         .map(_.asObj.map { case (p, n) => p -> n.asLong })
         .getOrElse(Map.empty),
       timestampMs = sm.get("timestamp-ms").map(_.asLong).getOrElse(-1L),
-      wapId = sm.get("wap-id").map(_.asStr))
+      wapId = sm.get("wap-id").map(_.asStr),
+      eqDeletes = sm.get("eq-deletes").map(_.asArr.map { eq =>
+        val em = eq.asObj
+        EqDeleteMeta(em("paths").asArr.map(_.asStr),
+          em("field-ids").asArr.map(_.asInt),
+          em("seq").asLong)
+      }).getOrElse(Seq.empty))
   }
 
   // ---- TableMetadata <-> JSON -----------------------------------------

@@ -706,6 +706,39 @@ object RowOpsQueries extends QueryModule {
       t.read(s).select("c_custkey", "c_name", "c_mktsegment")
         .orderBy("c_custkey")
     }),
+
+    "lake_upsert_eq" -> QueryModule.micro(4)((s, dir) => {
+      // blind streaming upserts via equality deletes (Iceberg v2 CDC
+      // sink shape): each upsert writes only its key batch + rows —
+      // zero reads of the table — and sequence numbers make the later
+      // batch win on overlap. Compaction then materializes the deletes
+      // (so the SQL catalog read serves the final state) — the full
+      // upsert → compact → serve lifecycle under one oracle.
+      val wh = scratch("upserteq")
+      Engine.processTableDefJson(wh,
+        """{"database_name":"rowops","table_name":"orders_eq","columns":[
+          |{"column_name":"o_orderkey","data_type":"long"},
+          |{"column_name":"o_orderstatus","data_type":"string"},
+          |{"column_name":"o_totalprice","data_type":"double"}],
+          |"partitions":[]}""".stripMargin)
+      val t = LakeTable.load(wh, "rowops", "orders_eq")
+      val orders = Tables(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      t.append(orders.filter(col("o_orderkey") < 2000))
+      t.upsertMoR(s,
+        orders.filter(col("o_orderkey") >= 1000 && col("o_orderkey") < 3000)
+          .withColumn("o_totalprice", col("o_totalprice") * 2),
+        keys = Seq("o_orderkey"))
+      LakeTable.load(wh, "rowops", "orders_eq").upsertMoR(s,
+        orders.filter(col("o_orderkey") >= 2500 && col("o_orderkey") < 3500)
+          .withColumn("o_totalprice", col("o_totalprice") * 3),
+        keys = Seq("o_orderkey"))
+      s.conf.set("spark.sql.catalog.greq", "graft.sources.LakeCatalog")
+      s.conf.set("spark.sql.catalog.greq.warehouse", wh)
+      s.sql("CALL greq.system.compact(db => 'rowops', `table` => 'orders_eq')")
+      s.sql("""SELECT o_orderkey, o_orderstatus, o_totalprice
+              |FROM greq.rowops.orders_eq ORDER BY o_orderkey""".stripMargin)
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -766,5 +799,13 @@ object RowOpsQueries extends QueryModule {
         |  SELECT s_suppkey, s_name, 'SUPPLIER' FROM supplier
         |  WHERE s_suppkey NOT IN (SELECT c_custkey FROM customer)
         |) ORDER BY c_custkey""".stripMargin,
+
+    "lake_upsert_eq" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CASE WHEN o_orderkey >= 2500 THEN o_totalprice * 3
+        |       WHEN o_orderkey >= 1000 THEN o_totalprice * 2
+        |       ELSE o_totalprice END AS o_totalprice
+        |FROM orders WHERE o_orderkey < 3500
+        |ORDER BY o_orderkey""".stripMargin,
   )
 }

@@ -333,6 +333,9 @@ private[graft] class LakeScanBuilder(wh: String, db: String, tbl: String,
     val live = LakeTable.liveFiles(visible)
     val deletes = LakeTable.liveDeletes(visible)
     if (!live.forall(_.rows >= 0)) return false
+    // live equality deletes make per-file row counts unknowable
+    // without scanning — no metadata-only answers
+    if (LakeTable.liveEqDeletes(visible).nonEmpty) return false
 
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[StructField] = e match {
@@ -421,8 +424,24 @@ private[sources] class LakeScan(wh: String, db: String, tbl: String,
     val t = LakeTable.load(wh, db, tbl)
     val visible = LakeSource.visibleSnapshots(t, asOfSnapshot)
     (t, LakeTable.matchingFiles(LakeTable.liveFiles(visible),
-      target, Map.empty, statsFilters), LakeTable.liveDeletes(visible))
+      target, Map.empty, statsFilters), LakeTable.liveDeletes(visible),
+      LakeTable.liveEqDeletes(visible))
   }
+
+  /** Equality batches applicable to `f` (batch seq > file seq), with
+    * key columns resolved by field id against the read-time schema —
+    * the reader filters matching rows out (Iceberg's DeleteFilter).
+    */
+  private def eqBatchesFor(f: graft.lake.DataFileMeta): Seq[LakeEqBatch] =
+    planned._4.filter(_.seq > f.seq).map { b =>
+      val schema = planned._1.metadata.currentSchema
+      LakeEqBatch(b.paths, StructType(b.fieldIds.map { id =>
+        schema.fields.find(sf =>
+          FieldIds.hasId(sf) && FieldIds.idOf(sf) == id).getOrElse(
+          throw new IllegalStateException(
+            s"equality-delete key field id $id not in current schema"))
+      }))
+    }
 
   private def deletePathsFor(f: graft.lake.DataFileMeta): Seq[String] =
     planned._3.get(LakeTable.normalizePath(f.path))
@@ -443,7 +462,7 @@ private[sources] class LakeScan(wh: String, db: String, tbl: String,
     */
   private lazy val keyedSpec
       : Option[Seq[(graft.lake.SpecField, StructField)]] = {
-    val (t, files, _) = planned
+    val (t, files, _, _) = planned
     val spec = t.metadata.currentSpec
     def srcField(id: Int): Option[StructField] =
       target.fields.find(f => FieldIds.hasId(f) && FieldIds.idOf(f) == id)
@@ -594,16 +613,18 @@ private[sources] class LakeScan(wh: String, db: String, tbl: String,
     // live set resolved at partition-planning time so runtime filters
     // (applied to the scan after static planning) take effect
     def planInputPartitions(): Array[InputPartition] = {
-      val (t, matched, _) = planned
+      val (t, matched, _, _) = planned
       val files = LakeTable.matchingFiles(matched, target,
         Map.empty, runtimeRanges)
       onPlanned(files) // row-level ops capture the replaced group here
       keyedSpec match {
         case Some(spec) => files.map(f => LakeKeyedFilePartition(f.path,
             t.metadata.schemaById(f.schemaId), target,
-            partitionKeyOf(f, spec), deletePathsFor(f))).toArray
+            partitionKeyOf(f, spec), deletePathsFor(f),
+            eqBatchesFor(f))).toArray
         case None => files.map(f => LakeFilePartition(f.path,
-            t.metadata.schemaById(f.schemaId), target, deletePathsFor(f)))
+            t.metadata.schemaById(f.schemaId), target, deletePathsFor(f),
+            eqBatchesFor(f)))
           .toArray
       }
     }
@@ -634,9 +655,18 @@ private[sources] case class LakeOffset(snapshotId: Long) extends Offset {
   override def json(): String = snapshotId.toString
 }
 
+/** One equality-delete batch as shipped to a reader task: the key-file
+  * paths plus the key columns (current-schema fields, field-id
+  * metadata attached) in batch order — the parquet files store the
+  * keys as `k<fieldId>` columns.
+  */
+private[sources] case class LakeEqBatch(paths: Seq[String],
+    keyFields: StructType)
+
 private[sources] case class LakeFilePartition(path: String,
     fileSchema: StructType, target: StructType,
-    deletes: Seq[String] = Seq.empty) extends InputPartition
+    deletes: Seq[String] = Seq.empty,
+    eqBatches: Seq[LakeEqBatch] = Seq.empty) extends InputPartition
 
 /** A file partition that knows its (identity-transform) partition key —
   * the HasPartitionKey half of the storage-partitioned-join contract:
@@ -645,7 +675,8 @@ private[sources] case class LakeFilePartition(path: String,
   */
 private[sources] case class LakeKeyedFilePartition(path: String,
     fileSchema: StructType, target: StructType, key: Array[Any],
-    deletes: Seq[String] = Seq.empty)
+    deletes: Seq[String] = Seq.empty,
+    eqBatches: Seq[LakeEqBatch] = Seq.empty)
     extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow = new GenericInternalRow(key)
@@ -728,7 +759,8 @@ private[sources] class LakeReaderFactory extends PartitionReaderFactory {
       case p: LakeFilePartition => new GroupRowReader(p)
       case p: LakeKeyedFilePartition =>
         new GroupRowReader(
-          LakeFilePartition(p.path, p.fileSchema, p.target, p.deletes))
+          LakeFilePartition(p.path, p.fileSchema, p.target, p.deletes,
+            p.eqBatches))
     }
 }
 
@@ -749,9 +781,14 @@ private[sources] class GroupRowReader(p: LakeFilePartition)
     // other columns' pages are never decoded. The requested schema is a
     // subtree copy of the file's own footer schema, so it is compatible
     // by construction.
+    // equality-delete key columns must stay readable even when the
+    // projection pruned them — the filter needs their values
+    val eqKeyIds = p.eqBatches
+      .flatMap(_.keyFields.fields.map(FieldIds.idOf)).toSet
     val keep = p.fileSchema.fields
       .filter(ff => p.target.fields.exists(tf =>
-        FieldIds.hasId(tf) && FieldIds.idOf(tf) == FieldIds.idOf(ff)))
+        FieldIds.hasId(tf) && FieldIds.idOf(tf) == FieldIds.idOf(ff)) ||
+        eqKeyIds.contains(FieldIds.idOf(ff)))
       .map(_.name).toSet
     if (keep.nonEmpty && keep.size < p.fileSchema.size) {
       try {
@@ -810,11 +847,50 @@ private[sources] class GroupRowReader(p: LakeFilePartition)
       set
     }
 
+  // equality deletes: per applicable batch, the key tuples as a hash
+  // set (batches are upsert-sized — Iceberg's DeleteFilter keeps the
+  // same in-memory structure) plus extractors that reconcile THIS
+  // file's key columns to the batch's (current-schema) key types, so
+  // an int-written file compares equal to a long-written key.
+  private val eqFilters: Array[(Array[Group => Any],
+      java.util.HashSet[Seq[Any]])] =
+    p.eqBatches.map { b =>
+      val extr = b.keyFields.fields.map(kf =>
+        LakeSource.fieldExtractor(kf, p.fileSchema.fields.toSeq))
+      val set = new java.util.HashSet[Seq[Any]]()
+      b.paths.foreach { path =>
+        val r = ParquetReader.builder(new GroupReadSupport(),
+          new org.apache.hadoop.fs.Path(path)).build()
+        try {
+          var g = r.read()
+          while (g != null) {
+            set.add(b.keyFields.fields.toSeq.map(kf =>
+              LakeSource.eqKeyValue(g, s"k${FieldIds.idOf(kf)}",
+                kf.dataType)))
+            g = r.read()
+          }
+        } finally r.close()
+      }
+      (extr, set)
+    }.toArray
+
+  private def eqDeleted(g: Group): Boolean = {
+    var i = 0
+    while (i < eqFilters.length) {
+      val (extr, set) = eqFilters(i)
+      if (set.contains(extr.toSeq.map(_(g)))) return true
+      i += 1
+    }
+    false
+  }
+
   private var cur: Group = _
   private var pos: Long = -1L
   override def next(): Boolean = {
     cur = reader.read(); pos += 1
-    while (cur != null && deletedPos != null && deletedPos.contains(pos)) {
+    while (cur != null &&
+        ((deletedPos != null && deletedPos.contains(pos)) ||
+          (eqFilters.length > 0 && eqDeleted(cur)))) {
       cur = reader.read(); pos += 1
     }
     cur != null
@@ -983,6 +1059,34 @@ private[sources] object LakeSource {
     * matched by FIELD ID (the same reconciliation contract as
     * `Reconcile.projection`): absent → null, promotions applied.
     */
+  /** One key value from an equality-delete parquet record, reconciled
+    * to the current key type: the batch was written under the schema
+    * at delete time, so a later int→long / float→double promotion must
+    * not unmatch it. Values come back as Catalyst internals (UTF8String
+    * for strings) — the same representation `fieldExtractor` produces
+    * for data rows, so tuple equality is exact.
+    */
+  def eqKeyValue(g: Group, name: String, dt: DataType): Any = {
+    if (g.getFieldRepetitionCount(name) == 0) return null
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val raw: Any = g.getType.getType(name).asPrimitiveType()
+      .getPrimitiveTypeName match {
+      case INT64 => g.getLong(name, 0)
+      case INT32 => g.getInteger(name, 0)
+      case BINARY => UTF8String.fromString(g.getString(name, 0))
+      case DOUBLE => g.getDouble(name, 0)
+      case FLOAT => g.getFloat(name, 0)
+      case BOOLEAN => g.getBoolean(name, 0)
+      case other => throw new UnsupportedOperationException(
+        s"equality-delete key primitive $other")
+    }
+    dt match {
+      case LongType => raw match { case i: Int => i.toLong; case v => v }
+      case DoubleType => raw match { case f: Float => f.toDouble; case v => v }
+      case _ => raw
+    }
+  }
+
   def fieldExtractor(tf: StructField,
       fileFields: Seq[StructField]): Group => Any =
     fileFields.find(ff => FieldIds.idOf(ff) == FieldIds.idOf(tf)) match {

@@ -1,0 +1,154 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.lake.{Engine, LakeTable}
+
+/** Equality deletes (Iceberg v2's second delete-file kind) + blind
+  * streaming upserts: a batch of key tuples deletes matching rows from
+  * every data file with a LOWER sequence number — zero reads of the
+  * table at write time; sequencing makes upserted rows survive their
+  * own delete batch. Compaction materializes and clears the batches.
+  */
+class EqDeleteSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def mk(tag: String): (String, LakeTable) = {
+    val wh = Files.createTempDirectory(s"graft-eqdel-$tag").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"t","columns":[
+        |{"column_name":"id","data_type":"long"},
+        |{"column_name":"v","data_type":"string"}],"partitions":[]}""".stripMargin)
+    (wh, LakeTable.load(wh, "d", "t"))
+  }
+
+  private def state(t: LakeTable): Map[Long, String] =
+    t.read(spark).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  test("deleteByKeysMoR kills older rows without touching data files") {
+    import spark.implicits._
+    val (wh, t) = mk("del")
+    val s1 = t.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    t.deleteByKeysMoR(spark, Seq(2L).toDF("id"))
+    assert(state(t) == Map(1L -> "a", 3L -> "c"))
+    // the original data files are untouched (no rewrite happened)
+    val t2 = LakeTable.load(wh, "d", "t")
+    assert(t2.metadata.snapshots.last.files.isEmpty)
+    assert(s1.files.forall(f =>
+      java.nio.file.Files.exists(java.nio.file.Paths.get(f.path))))
+    // a row re-appended AFTER the delete batch survives it
+    t2.append(Seq((2L, "b2")).toDF("id", "v"))
+    assert(state(t2) == Map(1L -> "a", 2L -> "b2", 3L -> "c"))
+  }
+
+  test("upsertMoR: last write wins per key; own rows survive own batch") {
+    import spark.implicits._
+    val (_, t) = mk("ups")
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    t.upsertMoR(spark, Seq((2L, "B"), (3L, "C")).toDF("id", "v"), Seq("id"))
+    assert(state(t) == Map(1L -> "a", 2L -> "B", 3L -> "C"))
+    // a second overlapping upsert supersedes the first (seq ordering)
+    t.upsertMoR(spark, Seq((3L, "C2"), (4L, "D")).toDF("id", "v"), Seq("id"))
+    assert(state(t) == Map(1L -> "a", 2L -> "B", 3L -> "C2", 4L -> "D"))
+    // CDC sees upserted rows
+    val snaps = t.metadata.snapshots.map(_.id)
+    val changes = t.changesBetween(spark, snaps(0), snaps(1))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(changes == Map(2L -> "B", 3L -> "C"))
+  }
+
+  test("null keys match null (null-safe equality)") {
+    import spark.implicits._
+    val (_, t) = mk("null")
+    t.append(Seq((java.lang.Long.valueOf(1L), "a"),
+      (null.asInstanceOf[java.lang.Long], "n"))
+      .toDF("id", "v"))
+    t.deleteByKeysMoR(spark,
+      Seq(null.asInstanceOf[java.lang.Long]).toDF("id"))
+    val rows = t.read(spark).collect().map(_.getString(1)).toSet
+    assert(rows == Set("a"))
+  }
+
+  test("compact materializes equality deletes and clears them") {
+    import spark.implicits._
+    val (wh, t) = mk("compact")
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    t.upsertMoR(spark, Seq((2L, "B")).toDF("id", "v"), Seq("id"))
+    assert(LakeTable.liveEqDeletes(t.metadata.snapshots).nonEmpty)
+    t.compact(spark)
+    val t2 = LakeTable.load(wh, "d", "t")
+    assert(LakeTable.liveEqDeletes(t2.metadata.snapshots).isEmpty)
+    assert(state(t2) == Map(1L -> "a", 2L -> "B"))
+    // after materialization the SQL catalog read works again
+    spark.conf.set("spark.sql.catalog.geq", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.geq.warehouse", wh)
+    val sql = spark.sql("SELECT id, v FROM geq.d.t ORDER BY id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sql == Map(1L -> "a", 2L -> "B"))
+  }
+
+  test("catalog SQL read applies live equality deletes in the reader") {
+    import spark.implicits._
+    val (wh, t) = mk("sqlread")
+    t.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    t.upsertMoR(spark, Seq((2L, "B"), (4L, "D")).toDF("id", "v"), Seq("id"))
+    spark.conf.set("spark.sql.catalog.geqg", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.geqg.warehouse", wh)
+    val sql = spark.sql("SELECT id, v FROM geqg.d.t ORDER BY id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sql == Map(1L -> "a", 2L -> "B", 3L -> "c", 4L -> "D"))
+    // column-pruned read that drops the key column still filters
+    // correctly (the reader re-adds key columns to the parquet read)
+    val vs = spark.sql("SELECT v FROM geqg.d.t").collect()
+      .map(_.getString(0)).toSet
+    assert(vs == Set("a", "B", "c", "D"))
+    // metadata-only COUNT(*) must NOT be pushed while batches are live
+    // (the count is unknowable without scanning) — but the scan-based
+    // count is still correct
+    assert(spark.sql("SELECT count(*) FROM geqg.d.t").collect()(0)
+      .getLong(0) == 4L)
+  }
+
+  test("row-level ops are guarded while equality deletes are live") {
+    import spark.implicits._
+    val (_, t) = mk("guard")
+    t.append(Seq((1L, "a")).toDF("id", "v"))
+    t.deleteByKeysMoR(spark, Seq(9L).toDF("id"))
+    val e2 = intercept[IllegalArgumentException](
+      t.delete(spark, col("id") === 1L))
+    assert(e2.getMessage.contains("compact"))
+    val e3 = intercept[IllegalArgumentException](
+      t.updateMoR(spark, Map("v" -> lit("x")), col("id") === 1L))
+    assert(e3.getMessage.contains("compact"))
+  }
+
+  test("time travel before the delete batch still sees the old rows") {
+    import spark.implicits._
+    val (_, t) = mk("tt")
+    val s1 = t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v")).id
+    t.deleteByKeysMoR(spark, Seq(1L).toDF("id"))
+    assert(state(t) == Map(2L -> "b"))
+    val asOf = t.read(spark, asOfSnapshot = Some(s1)).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(asOf == Map(1L -> "a", 2L -> "b"))
+  }
+
+  test("expire-squash preserves sequence semantics for carried files") {
+    import spark.implicits._
+    val (wh, t) = mk("expire")
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))      // seq 1
+    t.deleteByKeysMoR(spark, Seq(2L).toDF("id"))             // seq 2
+    t.append(Seq((2L, "b2")).toDF("id", "v"))                // seq 3
+    // squash snapshots 1..2: carried file keeps seq 1, batch keeps seq 2
+    t.expireSnapshots(keepAfter = 2L)
+    val t2 = LakeTable.load(wh, "d", "t")
+    assert(state(t2) == Map(1L -> "a", 2L -> "b2"))
+    val squash = t2.metadata.snapshots.head
+    assert(squash.operation == "rewrite")
+    assert(squash.eqDeletes.map(_.seq) == Seq(2L))
+    assert(squash.files.forall(_.seq == 1L))
+  }
+}

@@ -90,4 +90,25 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(partialId < exchangeId,
       "df branch must partially aggregate below its exchange")
   }
+
+  test("q_quality_repetition computes per-row signals with zero shuffle") {
+    val p = plan("q_quality_repetition")
+    // every signal is a higher-order array function inside the row;
+    // the only exchange allowed is the final ORDER BY's range
+    // partitioning — a hash Exchange would mean an explode+groupBy
+    // crept back in
+    assert(!p.contains("hashpartitioning"),
+      s"no hash exchange expected:\n${p.linesIterator
+        .filter(_.contains("Exchange")).mkString("\n")}")
+  }
+
+  test("q_decontaminate broadcasts the benchmark gram set") {
+    val p = plan("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      "benchmark grams must build a broadcast semi join")
+  }
+
+  test("q_sample_mixture broadcasts the rates relation") {
+    assert(plan("q_sample_mixture").contains("BroadcastHashJoin"))
+  }
 }
