@@ -282,7 +282,8 @@ class LakeCatalog extends TableCatalog
 private[sources] object MetaTables {
   import org.apache.spark.sql.types._
 
-  val names: Set[String] = Set("snapshots", "files", "refs")
+  val names: Set[String] =
+    Set("snapshots", "files", "refs", "history", "partitions")
 
   private val snapshotsSchema = StructType(Seq(
     StructField("snapshot_id", LongType, nullable = false),
@@ -298,6 +299,21 @@ private[sources] object MetaTables {
     StructField("kind", StringType, nullable = false),
     StructField("snapshot_id", LongType, nullable = false)))
 
+  private val historySchema = StructType(Seq(
+    StructField("snapshot_id", LongType, nullable = false),
+    StructField("committed_at_ms", LongType, nullable = false),
+    StructField("operation", StringType, nullable = false),
+    StructField("wap_id", StringType, nullable = true),
+    StructField("is_current", BooleanType, nullable = false)))
+
+  private val partitionsSchema = StructType(Seq(
+    StructField("partition", StringType, nullable = false),
+    StructField("spec_id", IntegerType, nullable = false),
+    StructField("n_files", IntegerType, nullable = false),
+    StructField("n_rows", LongType, nullable = false),
+    StructField("total_bytes", LongType, nullable = false),
+    StructField("deleted_rows", LongType, nullable = false)))
+
   private val filesSchema = StructType(Seq(
     StructField("snapshot_id", LongType, nullable = false),
     StructField("path", StringType, nullable = false),
@@ -312,6 +328,28 @@ private[sources] object MetaTables {
       t.metadata.refs.toSeq.sortBy(_._1).map { case (n, r) =>
         Seq[Any](n, r.kind, r.snapshotId)
       })
+    case "history" => new MetaTable(fullName, historySchema,
+      t.metadata.snapshots.map { s =>
+        Seq[Any](s.id, s.timestampMs, s.operation, s.wapId.orNull,
+          s.id == t.metadata.snapshots.map(_.id).max)
+      })
+    case "partitions" => {
+      // per-partition live rollup from metadata alone (Iceberg's
+      // .partitions): file/row/byte counts plus live merge-on-read
+      // deleted rows — the input to "which partitions need compaction
+      // or are skewed" decisions, zero data IO at any table size
+      val deletes = LakeTable.liveDeletes(t.metadata.snapshots)
+      val groups = LakeTable.liveFiles(t.metadata.snapshots)
+        .groupBy(f => (f.partitionValues.toSeq.sorted
+          .map { case (k, v) => s"$k=$v" }.mkString(","), f.specId))
+      new MetaTable(fullName, partitionsSchema,
+        groups.toSeq.sortBy(_._1).map { case ((part, specId), fs) =>
+          Seq[Any](part, specId, fs.size, fs.map(_.rows).sum,
+            fs.map(_.bytes).sum,
+            fs.flatMap(f => deletes.get(
+              LakeTable.normalizePath(f.path))).map(_.rows).sum)
+        })
+    }
     case "snapshots" => new MetaTable(fullName, snapshotsSchema,
       t.metadata.snapshots.map { s =>
         Seq[Any](s.id, s.operation, s.files.size,

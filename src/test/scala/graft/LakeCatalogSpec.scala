@@ -283,6 +283,43 @@ class LakeCatalogSpec extends AnyFunSuite {
       .head.getLong(0) == 1L)
   }
 
+  test("metadata inspection tables: .history and .partitions") {
+    val wh = Files.createTempDirectory("graft-meta-hp").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"hp","columns":[
+        |{"column_name":"id","data_type":"long"},
+        |{"column_name":"grp","data_type":"string"}],
+        |"partitions":[{"column":"grp","name":"grp"}]}""".stripMargin)
+    val t = LakeTable.load(wh, "d", "hp")
+    import spark.implicits._
+    t.append(Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "grp"))
+    t.appendStaged(Seq((4L, "y")).toDF("id", "grp"), "w1")
+    t.publishStaged("w1")
+    t.deleteMoR(spark,
+      org.apache.spark.sql.functions.col("id") === 1L)
+    spark.conf.set("spark.sql.catalog.graftm3", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.graftm3.warehouse", wh)
+
+    val hist = spark.sql(
+      """SELECT snapshot_id, operation, wap_id, is_current
+        |FROM graftm3.d.hp.history ORDER BY snapshot_id""".stripMargin)
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getString(2), r.getBoolean(3)))
+    assert(hist.map(_._2).toSeq == Seq("append", "append", "delete"))
+    assert(hist(1)._3 == "w1", "published cherry-pick keeps wap lineage")
+    assert(hist.count(_._4) == 1 && hist.last._4)
+
+    val parts = spark.sql(
+      """SELECT partition, n_files, n_rows, deleted_rows
+        |FROM graftm3.d.hp.partitions ORDER BY partition""".stripMargin)
+      .collect().map(r =>
+        (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(parts.map(_._1).toSeq == Seq("grp=x", "grp=y"))
+    assert(parts.map(_._3).toSeq == Seq(2L, 2L), "per-partition live rows")
+    assert(parts.map(_._4).toSeq == Seq(1L, 0L),
+      "merge-on-read deleted rows attributed to their partition")
+  }
+
   test("CALL procedures: expire_snapshots, compact, remove_orphan_files") {
     val wh = Files.createTempDirectory("graft-proc").toString
     Engine.processTableDefJson(wh,
