@@ -439,7 +439,8 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     * the difference between O(batch) and O(table) per commit.
     */
   def upsertMoR(spark: SparkSession, source: DataFrame,
-      keys: Seq[String]): SnapshotMeta = {
+      keys: Seq[String], streamBatchId: Option[Long] = None,
+      streamId: Option[String] = None): SnapshotMeta = {
     require(keys.nonEmpty && keys.forall(source.columns.contains),
       s"source must contain every key column: $keys")
     val aligned = Align(source, md.currentSchema)
@@ -456,7 +457,8 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
       s"snap-$snapshotId-${java.util.UUID.randomUUID().toString.take(8)}")
     val files = writeDataFiles(aligned, outDir)
     val snap = SnapshotMeta(snapshotId, files, md.currentSchemaId,
-      operation = "upsert", timestampMs = System.currentTimeMillis(),
+      operation = "upsert", streamBatchId = streamBatchId,
+      streamId = streamId, timestampMs = System.currentTimeMillis(),
       eqDeletes = Seq(batch))
     commit(md.copy(snapshots = md.snapshots :+ snap))
     snap

@@ -409,6 +409,49 @@ object TrainingOps extends QueryModule {
         .orderBy("key")
     }),
 
+    "stream_lake_upsert" -> QueryModule.micro(1)((s, dir) => {
+      // streaming CDC upsert pipeline: bronze append snapshots stream
+      // through the rate-limited DSv2 source into the equality-delete
+      // upsert sink — silver holds the newest event per user with zero
+      // reads of silver at write time (blind upserts, O(batch) per
+      // commit). Two micro-batches through one query; the later batch
+      // supersedes the earlier per key via data sequence numbers.
+      import graft.lake.{Engine, LakeTable}
+      import graft.streaming.StreamIngest
+      val wh = LakeQueries.freshWarehouse("streamupsert")
+      Engine.processTableDefJson(wh,
+        """{"database_name":"su","table_name":"bronze","columns":[
+          |{"column_name":"user_id","data_type":"long"},
+          |{"column_name":"event_id","data_type":"long"},
+          |{"column_name":"event_type","data_type":"string"},
+          |{"column_name":"ts","data_type":"timestamp"}],"partitions":[]}""".stripMargin)
+      Engine.processTableDefJson(wh,
+        """{"database_name":"su","table_name":"silver","columns":[
+          |{"column_name":"user_id","data_type":"long"},
+          |{"column_name":"latest_event_id","data_type":"long"},
+          |{"column_name":"event_type","data_type":"string"}],
+          |"partitions":[]}""".stripMargin)
+      val bronze = LakeTable.load(wh, "su", "bronze")
+      val slice = Tables(s, dir, "events")
+        .filter(col("event_id") < 3000)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts"))
+      bronze.append(slice.filter(col("event_id") < 1500))
+      bronze.append(slice.filter(col("event_id") >= 1500))
+      val in = s.readStream.format("graft-lake")
+        .option("warehouse", wh).option("database", "su")
+        .option("table", "bronze")
+        .option("maxSnapshotsPerTrigger", "1").load()
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .withColumn("latest_event_id", col("event_id"))
+      StreamIngest.upsertIntoLake(in, wh, "su", "silver",
+        keys = Seq("user_id"), orderBy = Seq("ts", "event_id"),
+        checkpoint = s"$wh/_cp_upsert").awaitTermination()
+      LakeTable.load(wh, "su", "silver").read(s)
+        .select("user_id", "latest_event_id", "event_type")
+        .orderBy("user_id")
+    }),
+
     "lake_meta_tables" -> QueryModule.micro(1)((s, _) => {
       // Iceberg-style metadata inspection through SQL: the snapshot
       // log and the file inventory are relations
@@ -777,6 +820,18 @@ object TrainingOps extends QueryModule {
       """SELECT c_custkey, upper(c_name) AS name_up
         |FROM customer WHERE c_custkey % 2 = 0
         |ORDER BY c_custkey""".stripMargin,
+
+    // the later micro-batch (event_id >= 1500) wins per key regardless
+    // of timestamp (blind upsert = last WRITE wins); within a batch the
+    // newest (ts, event_id) wins
+    "stream_lake_upsert" ->
+      """SELECT user_id, event_id AS latest_event_id, event_type FROM (
+        |  SELECT user_id, event_id, event_type, row_number() OVER (
+        |    PARTITION BY user_id
+        |    ORDER BY (event_id >= 1500) DESC, CAST(ts AS TIMESTAMP) DESC,
+        |      event_id DESC) AS rn
+        |  FROM events WHERE event_id < 3000)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
     "q_sim_range_refpoints" ->
       """WITH v AS (

@@ -40,4 +40,43 @@ object StreamIngest {
       }
       .trigger(trigger)
       .start()
+
+  /** Streaming CDC upsert sink (the Flink→Iceberg upsert-mode shape):
+    * each micro-batch keeps its newest row per key (ordered by
+    * `orderBy` descending, so e.g. Seq("ts", "event_id") means latest
+    * timestamp wins, id as tiebreak) and lands as ONE blind
+    * equality-delete upsert — zero reads of the target at write time,
+    * O(batch) per commit at any table size. Batch replays are skipped
+    * via the same (checkpoint, batchId) idempotence as `intoLake`;
+    * later batches supersede earlier ones per key (data sequence
+    * numbers).
+    */
+  def upsertIntoLake(stream: DataFrame, warehouse: String, db: String,
+      table: String, keys: Seq[String], orderBy: Seq[String],
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream.outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions._
+        val t = LakeTable.load(warehouse, db, table)
+        val alreadyCommitted =
+          t.lastStreamBatchId(checkpoint).exists(batchId <= _)
+        if (!alreadyCommitted && !batch.isEmpty) {
+          // the blind upsert needs unique keys per batch: older
+          // versions inside ONE batch would survive alongside the
+          // newest (the eq batch only kills rows from EARLIER
+          // sequences), so collapse to newest-per-key first
+          val w = Window.partitionBy(keys.map(col): _*)
+            .orderBy(orderBy.map(c => col(c).desc): _*)
+          val latest = batch.withColumn("_si_rn", row_number().over(w))
+            .filter(col("_si_rn") === 1).drop("_si_rn")
+          t.upsertMoR(batch.sparkSession, latest, keys,
+            streamBatchId = Some(batchId), streamId = Some(checkpoint))
+        }
+        ()
+      }
+      .trigger(trigger)
+      .start()
 }
