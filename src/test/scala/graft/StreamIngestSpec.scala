@@ -94,4 +94,44 @@ class StreamIngestSpec extends AnyFunSuite {
     q2.awaitTermination()
     assert(LakeTable.load(wh, "d", "rp").read(spark).count() == 3)
   }
+
+  test("upsert sink: newest-per-key per batch, cross-batch supersede, replay-safe") {
+    implicit val sqlCtx = spark.sqlContext
+    val wh = Files.createTempDirectory("graft-upsink").toString
+    val ckpt = Files.createTempDirectory("graft-upsink-ckpt").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"up","columns":[
+        |{"column_name":"k","data_type":"long"},
+        |{"column_name":"v","data_type":"string"},
+        |{"column_name":"seq","data_type":"long"}],"partitions":[]}""".stripMargin)
+
+    val mem = MemoryStream[(Long, String, Long)]
+    def pass(): Unit =
+      StreamIngest.upsertIntoLake(mem.toDF().toDF("k", "v", "seq"),
+        wh, "d", "up", keys = Seq("k"), orderBy = Seq("seq"), ckpt)
+        .awaitTermination()
+    def state(): Map[Long, String] =
+      LakeTable.load(wh, "d", "up").read(spark).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+
+    // within one batch, the highest-seq version of a key wins
+    mem.addData((1L, "a1", 1L), (1L, "a2", 2L), (2L, "b1", 1L))
+    pass()
+    assert(state() == Map(1L -> "a2", 2L -> "b1"))
+
+    // a later batch supersedes per key, leaves other keys alone
+    mem.addData((2L, "b2", 9L), (3L, "c1", 1L))
+    pass()
+    assert(state() == Map(1L -> "a2", 2L -> "b2", 3L -> "c1"))
+
+    // at-least-once replay of the last batch must not double-commit
+    val commit1 = java.nio.file.Paths.get(ckpt, "commits", "1")
+    assert(Files.exists(commit1))
+    Files.delete(commit1)
+    Files.deleteIfExists(java.nio.file.Paths.get(ckpt, "commits", ".1.crc"))
+    pass()
+    val t = LakeTable.load(wh, "d", "up")
+    assert(state() == Map(1L -> "a2", 2L -> "b2", 3L -> "c1"))
+    assert(t.metadata.snapshots.size == 2, "replay must be skipped")
+  }
 }
