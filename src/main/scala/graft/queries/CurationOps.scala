@@ -107,6 +107,44 @@ object CurationOps extends QueryModule {
         .orderBy("lang", "bin")
     }),
 
+    // TRUE greedy packing (accumulator reset on overflow — the
+    // streaming-packer algorithm, vs q_pack_sequences' fixed boundary
+    // cut): inherently sequential per group, so it runs as the
+    // secondary-sort pattern — repartition by group, sort within
+    // partitions by (group, doc_id), one imperative scan per partition
+    // (the rare case where mapPartitions IS the right Spark tool; a
+    // window cannot express a running sum that resets on its own
+    // value). Parallelism = number of groups; real pipelines pack per
+    // (lang, shard) when groups are too coarse. The DuckDB oracle
+    // replays the same recurrence with a recursive CTE.
+    "q_pack_greedy" -> ((s, dir) => {
+      import s.implicits._
+      val budget = 512
+      val packed = Tables(s, dir, "documents")
+        .select(col("lang"), col("doc_id"),
+          size(toks).as("n_tok"))
+        .repartition(col("lang"))
+        .sortWithinPartitions("lang", "doc_id")
+        .as[(String, Long, Int)]
+        .mapPartitions { it =>
+          // langs are contiguous within the sorted partition; reset
+          // the accumulator at every lang boundary
+          var lang: String = null
+          var bin = 0L
+          var acc = 0L
+          it.map { case (l, id, t) =>
+            if (l != lang) { lang = l; bin = 0L; acc = t.toLong }
+            else if (acc + t > budget) { bin += 1; acc = t.toLong }
+            else acc += t
+            (l, bin, t)
+          }
+        }.toDF("lang", "bin", "n_tok")
+      packed.groupBy("lang", "bin")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok").cast("long")).as("sum_tokens"))
+        .orderBy("lang", "bin")
+    }),
+
     // Deterministic mixture sampling: each language gets a target keep
     // rate (downsample the dominant language, keep the rare ones); the
     // keep decision is a pure arithmetic hash of doc_id — identical on
@@ -182,6 +220,26 @@ object CurationOps extends QueryModule {
         |SELECT lang, CAST((cum - n_tok) // 512 AS BIGINT) AS bin,
         |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tokens
         |FROM c GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
+
+    "q_pack_greedy" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tok,
+        |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        |  FROM documents
+        |), r AS (
+        |  SELECT lang, rn, doc_id, n_tok, CAST(0 AS BIGINT) AS bin,
+        |    n_tok AS acc
+        |  FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.lang, d.rn, d.doc_id, d.n_tok,
+        |    CASE WHEN r.acc + d.n_tok > 512 THEN r.bin + 1 ELSE r.bin END,
+        |    CASE WHEN r.acc + d.n_tok > 512 THEN d.n_tok
+        |         ELSE r.acc + d.n_tok END
+        |  FROM r JOIN d ON d.lang = r.lang AND d.rn = r.rn + 1
+        |)
+        |SELECT lang, bin, count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS sum_tokens
+        |FROM r GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
 
     "q_sample_mixture" ->
       """WITH rates(lang, rate_ppm) AS (VALUES

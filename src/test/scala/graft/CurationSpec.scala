@@ -60,6 +60,29 @@ class CurationSpec extends AnyFunSuite {
     assert(bins.forall(_.getAs[Long]("sum_tokens") > 0))
   }
 
+  test("q_pack_greedy bins respect the budget and cover every doc") {
+    val bins = run("q_pack_greedy").collect()
+    assert(bins.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    bins.foreach { r =>
+      val docs = r.getAs[Long]("n_docs")
+      val toks = r.getAs[Long]("sum_tokens")
+      // greedy invariant: a bin exceeds the budget only when a single
+      // oversize document forced it
+      assert(toks <= 512 || docs == 1L,
+        s"bin ${r.getString(0)}/${r.getAs[Long]("bin")} " +
+          s"has $docs docs and $toks tokens")
+    }
+    // bins are contiguous from 0 per language
+    bins.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val ids = rs.map(_.getAs[Long]("bin")).sorted
+      assert(ids.head == 0L && ids.sameElements(ids.head to ids.last))
+    }
+    // deterministic across reruns (repartition + sortWithinPartitions
+    // must fully determine the scan order)
+    assert(run("q_pack_greedy").collect().map(_.toString).toSeq ==
+      bins.map(_.toString).toSeq)
+  }
+
   test("q_sample_mixture downsamples the dominant language") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val base = docs.groupBy("lang").count().collect()
