@@ -110,6 +110,22 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
       return (messages.result(), true)
     }
 
+    // a live equality-delete batch resolves its key columns by field
+    // id at read time — dropping one would make every read (and
+    // compact, the escape hatch) throw; fail the evolution instead
+    val eqKeyIds = LakeTable.liveEqDeletes(md.snapshots)
+      .flatMap(_.fieldIds).toSet
+    if (eqKeyIds.nonEmpty && changes.exists(_.isInstanceOf[DropColumn])) {
+      val dropped = changes.collect { case DropColumn(p) => p }
+      val droppedIds = dropped.flatMap { p =>
+        md.currentSchema.fields.find(_.name == p).filter(FieldIds.hasId)
+          .map(FieldIds.idOf)
+      }
+      require(droppedIds.forall(!eqKeyIds.contains(_)),
+        s"cannot drop columns ${dropped.mkString(", ")}: referenced by a " +
+          "live equality-delete batch — run compact() to materialize first")
+    }
+
     changes.foreach {
       case AddColumn(p, _) => messages += s"Added column $p"
       case DropColumn(p) => messages += s"Dropped column $p"
@@ -197,7 +213,7 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     require(md.snapshots.exists(_.id == snapshotId),
       s"ref '$name': no snapshot $snapshotId " +
         s"(have ${md.snapshots.map(_.id).mkString(", ")})")
-    require(name.nonEmpty && !name.forall(_.isDigit),
+    require(name.nonEmpty && scala.util.Try(name.toLong).isFailure,
       s"ref name '$name' would be ambiguous with a snapshot id")
     commit(md.copy(refs = md.refs + (name -> RefMeta(snapshotId, kind))))
   }
@@ -339,9 +355,15 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     val snap = stagedSnapshot(wapId).getOrElse(
       throw new IllegalArgumentException(s"no staged snapshot '$wapId'"))
     val current = md.currentSchema
+    // staged files carry no explicit seq — stamp the staged snapshot's
+    // own id so live equality batches (seq < staged id) apply to the
+    // LIVE rows but not to the staged batch itself, exactly as they
+    // will after publish
     readFiles(spark,
-      LakeTable.liveFiles(md.snapshots) ++ snap.files,
-      current, LakeTable.liveDeletes(md.snapshots))
+      LakeTable.liveFiles(md.snapshots) ++
+        snap.files.map(f => if (f.seq >= 0) f else f.copy(seq = snap.id)),
+      current, LakeTable.liveDeletes(md.snapshots),
+      LakeTable.liveEqDeletes(md.snapshots))
   }
 
   /** Publish a staged snapshot: cherry-pick its files onto the head as
@@ -912,7 +934,8 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     // staged (unpublished WAP) snapshots still reference their files —
     // they only become orphans after discardStaged
     val referenced = (md.snapshots ++ md.staged).flatMap(s =>
-      s.files.map(_.path) ++ s.deletePaths).toSet
+      s.files.map(_.path) ++ s.deletePaths ++
+        s.eqDeletes.flatMap(_.paths)).toSet
     if (!Files.exists(dataDir)) return Seq.empty
     val cutoff = System.currentTimeMillis() - olderThanMillis
     val orphans = Using.resource(Files.walk(dataDir)) { st =>

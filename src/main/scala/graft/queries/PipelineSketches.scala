@@ -95,9 +95,12 @@ object PipelineSketches extends QueryModule {
     "q_sim_topk_fast" -> ((s, dir) => {
       // Brute-force cosine top-k through the native codegen'd
       // FloatCosine kernel — the actual hot path at scale. The float
-      // kernel ranks the whole corpus in one scan; only the 10
-      // surviving rows get the decimal-exact re-score, so the output is
-      // value-identical to q_sim_topk (they share one DuckDB oracle)
+      // kernel ranks the whole corpus in one scan; a 5x candidate
+      // margin absorbs float-vs-decimal rounding at the cutoff (a true
+      // 10th/11th near-tie inside float epsilon could otherwise admit
+      // the wrong member), then only the candidates get the
+      // decimal-exact re-score and the final top-10 cut — so the output
+      // is value-identical to q_sim_topk (they share one DuckDB oracle)
       // while the scan cost stays pure float codegen.
       import graft.functions.VectorFunctions
       VectorFunctions.register(s)
@@ -109,7 +112,7 @@ object PipelineSketches extends QueryModule {
         .withColumn("fcos",
           VectorFunctions.float_cosine(col("embedding"), col("p_emb")))
         .orderBy(col("fcos").desc, col("vec_id"))
-        .limit(10)
+        .limit(50)
       val rescored = top.withColumn("cos",
         VectorFunctions.dec_dot(col("embedding"), col("p_emb")).cast("double") /
           (sqrt(VectorFunctions.dec_normsq(col("embedding")).cast("double")) *
@@ -117,7 +120,8 @@ object PipelineSketches extends QueryModule {
       val w = org.apache.spark.sql.expressions.Window
         .orderBy(col("cos").desc, col("vec_id"))
       rescored.select(col("vec_id"), col("cos"))
-        .withColumn("rank", row_number().over(w)).orderBy("rank")
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10).orderBy("rank")
     }),
 
     "q_sim_ann_lsh" -> ((s, dir) => {

@@ -345,7 +345,9 @@ private[sources] object MetaTables {
       new MetaTable(fullName, partitionsSchema,
         groups.toSeq.sortBy(_._1).map { case ((part, specId), fs) =>
           Seq[Any](part, specId, fs.size, fs.map(_.rows).sum,
-            fs.map(_.bytes).sum,
+            // bytes = -1 marks pre-upgrade metadata without the field;
+            // summing the sentinel would report negative totals
+            fs.map(_.bytes).filter(_ >= 0).sum,
             fs.flatMap(f => deletes.get(
               LakeTable.normalizePath(f.path))).map(_.rows).sum)
         })

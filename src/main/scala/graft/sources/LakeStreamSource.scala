@@ -851,34 +851,32 @@ private[sources] class GroupRowReader(p: LakeFilePartition)
   // set (batches are upsert-sized — Iceberg's DeleteFilter keeps the
   // same in-memory structure) plus extractors that reconcile THIS
   // file's key columns to the batch's (current-schema) key types, so
-  // an int-written file compares equal to a long-written key.
+  // an int-written file compares equal to a long-written key. The set
+  // depends only on the (immutable) batch files, not the data file —
+  // it loads once per executor via EqBatchCache, not once per
+  // partition.
   private val eqFilters: Array[(Array[Group => Any],
-      java.util.HashSet[Seq[Any]])] =
+      java.util.HashSet[java.util.ArrayList[Any]])] =
     p.eqBatches.map { b =>
       val extr = b.keyFields.fields.map(kf =>
         LakeSource.fieldExtractor(kf, p.fileSchema.fields.toSeq))
-      val set = new java.util.HashSet[Seq[Any]]()
-      b.paths.foreach { path =>
-        val r = ParquetReader.builder(new GroupReadSupport(),
-          new org.apache.hadoop.fs.Path(path)).build()
-        try {
-          var g = r.read()
-          while (g != null) {
-            set.add(b.keyFields.fields.toSeq.map(kf =>
-              LakeSource.eqKeyValue(g, s"k${FieldIds.idOf(kf)}",
-                kf.dataType)))
-            g = r.read()
-          }
-        } finally r.close()
-      }
-      (extr, set)
+      (extr, EqBatchCache.get(b))
     }.toArray
+
+  // reusable probe per batch: refilled per row, zero allocation in the
+  // innermost read loop (ArrayList equals/hashCode are element-wise)
+  private val eqProbes: Array[java.util.ArrayList[Any]] =
+    eqFilters.map(f => new java.util.ArrayList[Any](f._1.length))
 
   private def eqDeleted(g: Group): Boolean = {
     var i = 0
     while (i < eqFilters.length) {
       val (extr, set) = eqFilters(i)
-      if (set.contains(extr.toSeq.map(_(g)))) return true
+      val probe = eqProbes(i)
+      probe.clear()
+      var j = 0
+      while (j < extr.length) { probe.add(extr(j)(g)); j += 1 }
+      if (set.contains(probe)) return true
       i += 1
     }
     false
@@ -905,6 +903,47 @@ private[sources] class GroupRowReader(p: LakeFilePartition)
     new GenericInternalRow(arr)
   }
   override def close(): Unit = reader.close()
+}
+
+/** Executor-wide cache of equality-delete key sets: batch files are
+  * immutable once written (snapshot-id + uuid paths), so a set keyed
+  * by (paths, key ids+types) can be shared across every data-file
+  * partition of a scan — and across scans — instead of re-reading and
+  * re-hashing the batch per partition (Iceberg caches its DeleteFilter
+  * sets the same way). Size-bounded by a coarse clear: batches are
+  * upsert-sized and compaction retires them, so the cache stays small
+  * in steady state.
+  */
+private[sources] object EqBatchCache {
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.HashSet[java.util.ArrayList[Any]]]()
+
+  def get(b: LakeEqBatch): java.util.HashSet[java.util.ArrayList[Any]] = {
+    val key = b.paths.mkString("|") + "#" +
+      b.keyFields.fields.map(f =>
+        s"${FieldIds.idOf(f)}:${f.dataType.simpleString}").mkString(",")
+    val hit = cache.get(key)
+    if (hit != null) return hit
+    val set = new java.util.HashSet[java.util.ArrayList[Any]]()
+    b.paths.foreach { path =>
+      val r = ParquetReader.builder(new GroupReadSupport(),
+        new org.apache.hadoop.fs.Path(path)).build()
+      try {
+        var g = r.read()
+        while (g != null) {
+          val tuple = new java.util.ArrayList[Any](b.keyFields.fields.length)
+          b.keyFields.fields.foreach(kf =>
+            tuple.add(LakeSource.eqKeyValue(g, s"k${FieldIds.idOf(kf)}",
+              kf.dataType)))
+          set.add(tuple)
+          g = r.read()
+        }
+      } finally r.close()
+    }
+    if (cache.size > 64) cache.clear()
+    cache.putIfAbsent(key, set)
+    set
+  }
 }
 
 private[sources] object LakeSource {

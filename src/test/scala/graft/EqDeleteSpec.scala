@@ -125,6 +125,59 @@ class EqDeleteSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("compact"))
   }
 
+  test("live batch files are not orphans; discarded table state is intact") {
+    import spark.implicits._
+    val (wh, t) = mk("orphan")
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    t.deleteByKeysMoR(spark, Seq(2L).toDF("id"))
+    // the eq batch parquet must survive orphan removal while live
+    assert(t.removeOrphanFiles(olderThanMillis = 0).isEmpty)
+    val t2 = LakeTable.load(wh, "d", "t")
+    assert(state(t2) == Map(1L -> "a"))
+    // after compaction + history expiry the batch is retired, nothing
+    // references it, and its files age out with the old data files
+    t2.compact(spark)
+    val t3 = LakeTable.load(wh, "d", "t")
+    t3.expireSnapshots(keepAfter = t3.metadata.snapshots.map(_.id).max)
+    assert(t3.removeOrphanFiles(olderThanMillis = 0).nonEmpty)
+    assert(state(t3) == Map(1L -> "a"))
+  }
+
+  test("staged audit view applies live equality deletes") {
+    import spark.implicits._
+    val (_, t) = mk("wapeq")
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    t.upsertMoR(spark, Seq((2L, "B")).toDF("id", "v"), Seq("id"))
+    t.appendStaged(Seq((3L, "c")).toDF("id", "v"), "w")
+    // the audit view must show the POST-batch state (old key-2 row
+    // dead) plus the staged rows — what publish would produce
+    val audit = t.readStaged(spark, "w").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(audit == Map(1L -> "a", 2L -> "B", 3L -> "c"))
+  }
+
+  test("dropping a column referenced by a live batch is refused") {
+    import spark.implicits._
+    val (wh, t) = mk("dropkey")
+    t.append(Seq((1L, "a")).toDF("id", "v"))
+    t.deleteByKeysMoR(spark, Seq(9L).toDF("id"))
+    // the engine reports evolution failures as an error response (the
+    // reference's change-report model), not an exception
+    val resp = Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"t","columns":[
+        |{"column_name":"v","data_type":"string"}],"partitions":[]}""".stripMargin)
+    assert(resp.hasError &&
+      resp.messageList.exists(_.contains("equality-delete")))
+    assert(LakeTable.load(wh, "d", "t").currentSchema.fieldNames.toSeq ==
+      Seq("id", "v"), "refused evolution must not commit")
+    // dropping an UNRELATED column stays allowed
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"t","columns":[
+        |{"column_name":"id","data_type":"long"}],"partitions":[]}""".stripMargin)
+    assert(LakeTable.load(wh, "d", "t").currentSchema.fieldNames.toSeq ==
+      Seq("id"))
+  }
+
   test("time travel before the delete batch still sees the old rows") {
     import spark.implicits._
     val (_, t) = mk("tt")
