@@ -1,0 +1,90 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.lake.{Engine, LakeTable}
+
+/** Randomized model check for equality-delete semantics: a seeded
+  * random interleaving of fresh-key appends, blind upserts, key
+  * deletes, and compactions must always read back exactly the
+  * in-memory Map the same ops produce (last write wins per key).
+  * Compaction at a random point pins that materialization preserves
+  * state; a final catalog SQL read pins the DSv2 reader path against
+  * the same model.
+  */
+class EqDeleteRandomSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def runScenario(seed: Long, ops: Int): Unit = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    val wh = Files.createTempDirectory(s"graft-eqrnd-$seed").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"t","columns":[
+        |{"column_name":"id","data_type":"long"},
+        |{"column_name":"v","data_type":"string"}],"partitions":[]}""".stripMargin)
+    var t = LakeTable.load(wh, "d", "t")
+    val model = scala.collection.mutable.Map.empty[Long, String]
+    var nextFresh = 1000L
+
+    def randomKeys(n: Int): Seq[Long] =
+      if (model.isEmpty) Seq.empty
+      else Seq.fill(n)(model.keySet.toSeq(rnd.nextInt(model.size))).distinct
+
+    (1 to ops).foreach { i =>
+      rnd.nextInt(10) match {
+        case 0 | 1 => // append fresh keys (no duplicates vs model)
+          val rows = (1 to 1 + rnd.nextInt(3)).map { _ =>
+            nextFresh += 1
+            (nextFresh, s"a$i-$nextFresh")
+          }
+          t.append(rows.toDF("id", "v"))
+          rows.foreach { case (k, v) => model(k) = v }
+        case 2 | 3 | 4 | 5 => // blind upsert: mix of existing + fresh
+          val existing = randomKeys(1 + rnd.nextInt(2))
+          val fresh = (1 to rnd.nextInt(2)).map { _ =>
+            nextFresh += 1; nextFresh
+          }
+          val keys = (existing ++ fresh).distinct
+          if (keys.nonEmpty) {
+            val rows = keys.map(k => (k, s"u$i-$k"))
+            t.upsertMoR(spark, rows.toDF("id", "v"), Seq("id"))
+            rows.foreach { case (k, v) => model(k) = v }
+          }
+        case 6 | 7 => // eq-delete some existing keys (+ a miss is fine)
+          val keys = randomKeys(1 + rnd.nextInt(3)) :+ (999999L + i)
+          t.deleteByKeysMoR(spark, keys.toDF("id"))
+          keys.foreach(model.remove)
+        case 8 => // materialize: state must be identical after
+          t.compact(spark)
+          t = LakeTable.load(wh, "d", "t")
+        case 9 => // reload (metadata JSON round-trip under load)
+          t = LakeTable.load(wh, "d", "t")
+      }
+      if (i % 7 == 0) {
+        val got = t.read(spark).collect()
+          .map(r => r.getLong(0) -> r.getString(1)).toMap
+        assert(got == model.toMap, s"divergence at op $i (seed $seed)")
+      }
+    }
+    val fin = t.read(spark).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fin == model.toMap, s"final divergence (seed $seed)")
+    // the DSv2 reader path must agree with the native read
+    spark.conf.set(s"spark.sql.catalog.geqr$seed", "graft.sources.LakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.geqr$seed.warehouse", wh)
+    val sql = spark.sql(s"SELECT id, v FROM geqr$seed.d.t").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sql == model.toMap, s"DSv2 divergence (seed $seed)")
+  }
+
+  test("random append/upsert/delete/compact interleavings match the model") {
+    runScenario(seed = 42L, ops = 30)
+  }
+
+  test("a second seed exercises a different interleaving") {
+    runScenario(seed = 1337L, ops = 30)
+  }
+}
