@@ -707,6 +707,48 @@ object RowOpsQueries extends QueryModule {
         .orderBy("c_custkey")
     }),
 
+    "lake_compact_zorder" -> QueryModule.micro(4)((s, dir) => {
+      // z-order clustered compaction: three unsorted append snapshots
+      // (every file's key ranges span the whole table — nothing prunes)
+      // are compacted under a zorder(o_orderkey, o_custkey) sort order
+      // into Morton-clustered files whose min/max footprints are
+      // NARROW on both dimensions — a 2-D range predicate then skips
+      // files on metadata alone. The key self-audits the skip (planned
+      // < live files) and the oracle pins the surviving rows.
+      import graft.lake.RangeFilter
+      val wh = LakeQueries.freshWarehouse("zorder")
+      Engine.processTableDefJson(wh,
+        """{"database_name":"zq","table_name":"ord","columns":[
+          |{"column_name":"o_orderkey","data_type":"long"},
+          |{"column_name":"o_custkey","data_type":"long"},
+          |{"column_name":"o_totalprice","data_type":"double"}],
+          |"partitions":[],
+          |"properties":{"write.sort-order":"zorder(o_orderkey,o_custkey)",
+          |"write.sort-buckets":"8"}}""".stripMargin)
+      val t = LakeTable.load(wh, "zq", "ord")
+      val orders = Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      // interleave by modulus so every append spans the full key range
+      t.append(orders.filter(col("o_orderkey") % 3 === 0))
+      t.append(orders.filter(col("o_orderkey") % 3 === 1))
+      t.append(orders.filter(col("o_orderkey") % 3 === 2))
+      t.compact(s)
+      val t2 = LakeTable.load(wh, "zq", "ord")
+      val filters = Seq(
+        RangeFilter("o_orderkey", hiNum = Some(BigDecimal(3000))),
+        RangeFilter("o_custkey", hiNum = Some(BigDecimal(300))))
+      val live = t2.plannedFiles().size
+      val planned = t2.plannedFiles(statsFilters = filters).size
+      require(live > 1 && planned < live,
+        s"z-order stats pruning must skip files ($planned of $live planned)")
+      t2.read(s, statsFilters = filters)
+        .filter(col("o_orderkey") <= 3000 && col("o_custkey") <= 300)
+        .groupBy(lit(1).as("grp"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(Tables.dec(col("o_totalprice"))).cast("double").as("sum_price"))
+        .orderBy("grp")
+    }),
+
     "lake_upsert_eq" -> QueryModule.micro(4)((s, dir) => {
       // blind streaming upserts via equality deletes (Iceberg v2 CDC
       // sink shape): each upsert writes only its key batch + rows —
@@ -799,6 +841,13 @@ object RowOpsQueries extends QueryModule {
         |  SELECT s_suppkey, s_name, 'SUPPLIER' FROM supplier
         |  WHERE s_suppkey NOT IN (SELECT c_custkey FROM customer)
         |) ORDER BY c_custkey""".stripMargin,
+
+    "lake_compact_zorder" ->
+      """SELECT 1 AS grp, count(*) AS n_orders,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |WHERE o_orderkey <= 3000 AND o_custkey <= 300
+        |GROUP BY 1 ORDER BY grp""".stripMargin,
 
     "lake_upsert_eq" ->
       """SELECT o_orderkey, o_orderstatus,
