@@ -707,6 +707,49 @@ object RowOpsQueries extends QueryModule {
         .orderBy("c_custkey")
     }),
 
+    "lake_cdc_apply" -> QueryModule.micro(4)((s, dir) => {
+      // the full CDC replication loop: a source table evolves by
+      // append + blind upsert; a replica pulls each snapshot range
+      // incrementally (changesBetween — metadata-only planning, only
+      // the added rows are read) and applies it with the same blind
+      // upsert — the replica converges to the source with zero full
+      // scans on either side, O(delta) per pull. This is the
+      // cross-region/cross-tier mirror shape at 100 TB.
+      val wh = LakeQueries.freshWarehouse("cdcapply")
+      def mk(name: String): LakeTable = {
+        Engine.processTableDefJson(wh,
+          s"""{"database_name":"cq","table_name":"$name","columns":[
+            |{"column_name":"n_nationkey","data_type":"int"},
+            |{"column_name":"n_name","data_type":"string"},
+            |{"column_name":"n_regionkey","data_type":"int"}],
+            |"partitions":[]}""".stripMargin)
+        LakeTable.load(wh, "cq", name)
+      }
+      val src = mk("src")
+      val dst = mk("dst")
+      val nat = Tables(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+      val s1 = src.append(nat).id
+      val s2 = LakeTable.load(wh, "cq", "src").upsertMoR(s,
+        nat.filter(col("n_nationkey") < 10)
+          .withColumn("n_name", concat(col("n_name"), lit("_v2"))),
+        keys = Seq("n_nationkey")).id
+      // two incremental pulls, each applied as a blind upsert
+      var d = dst
+      Seq((0L, s1), (s1, s2)).foreach { case (from, to) =>
+        val delta = LakeTable.load(wh, "cq", "src")
+          .changesBetween(s, from, to)
+        d.upsertMoR(s, delta, keys = Seq("n_nationkey"))
+        d = LakeTable.load(wh, "cq", "dst")
+      }
+      // replica must equal the source exactly — fail loudly before the
+      // oracle if the mirror diverged
+      val srcRows = LakeTable.load(wh, "cq", "src").read(s)
+      require(d.read(s).except(srcRows).isEmpty &&
+        srcRows.except(d.read(s)).isEmpty, "replica diverged from source")
+      d.read(s).orderBy("n_nationkey")
+    }),
+
     "lake_compact_zorder" -> QueryModule.micro(4)((s, dir) => {
       // z-order clustered compaction: three unsorted append snapshots
       // (every file's key ranges span the whole table — nothing prunes)
@@ -841,6 +884,13 @@ object RowOpsQueries extends QueryModule {
         |  SELECT s_suppkey, s_name, 'SUPPLIER' FROM supplier
         |  WHERE s_suppkey NOT IN (SELECT c_custkey FROM customer)
         |) ORDER BY c_custkey""".stripMargin,
+
+    "lake_cdc_apply" ->
+      """SELECT n_nationkey,
+        |  CASE WHEN n_nationkey < 10 THEN n_name || '_v2' ELSE n_name END
+        |    AS n_name,
+        |  n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
 
     "lake_compact_zorder" ->
       """SELECT 1 AS grp, count(*) AS n_orders,
