@@ -456,21 +456,23 @@ object LakeReadQueries extends QueryModule {
       val t = LakeTable.load(wh, "wq", "cust")
       val cust = Tables(s, dir, "customer")
         .select("c_custkey", "c_name", "c_acctbal")
-      t.append(cust.filter(col("c_custkey") <= 300))
+      // parity split so both incoming batches are non-empty at every
+      // scale factor (negative odd-key balances exist from sf0.001 up)
+      t.append(cust.filter(col("c_custkey") % 2 === 0))
       // audit rule: no negative balances may enter the table
-      t.appendStaged(cust.filter(col("c_custkey") > 300 &&
+      t.appendStaged(cust.filter(col("c_custkey") % 2 === 1 &&
         col("c_acctbal") < 0), wapId = "batch-bad")
-      t.appendStaged(cust.filter(col("c_custkey") > 300 &&
+      t.appendStaged(cust.filter(col("c_custkey") % 2 === 1 &&
         col("c_acctbal") >= 0), wapId = "batch-good")
       // staged rows must be invisible until published — fail loudly if
       // the staging leaks (keeps the key self-auditing, not just
       // oracle-checked on the happy path)
       val baseRows = t.read(s).count()
       // audit the prospective table state, scoped to the incoming key
-      // range (the base batch predates the rule and is grandfathered)
+      // space (the base batch predates the rule and is grandfathered)
       def violations(wap: String): Long =
         t.readStaged(s, wap)
-          .filter(col("c_custkey") > 300 && col("c_acctbal") < 0).count()
+          .filter(col("c_custkey") % 2 === 1 && col("c_acctbal") < 0).count()
       require(violations("batch-bad") > 0, "bad batch should fail audit")
       require(violations("batch-good") == 0, "good batch should pass audit")
       s.conf.set("spark.sql.catalog.grwp", "graft.sources.LakeCatalog")
@@ -515,8 +517,8 @@ object LakeReadQueries extends QueryModule {
 
     "lake_wap" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
-        |WHERE c_custkey <= 300
-        |   OR (c_custkey > 300 AND c_acctbal >= 0)
+        |WHERE c_custkey % 2 = 0
+        |   OR (c_custkey % 2 = 1 AND c_acctbal >= 0)
         |ORDER BY c_custkey""".stripMargin,
   )
 }
@@ -777,15 +779,22 @@ object RowOpsQueries extends QueryModule {
       t.append(orders.filter(col("o_orderkey") % 3 === 2))
       t.compact(s)
       val t2 = LakeTable.load(wh, "zq", "ord")
+      // scale-relative 2-D range: the low fifth of each key space, so
+      // the prune assertion holds at every scale factor (one tiny
+      // metadata-size agg computes the bounds)
+      val (maxOk, maxCk) = {
+        val r = orders.agg(max("o_orderkey"), max("o_custkey")).head()
+        (r.getLong(0) / 5, r.getLong(1) / 5)
+      }
       val filters = Seq(
-        RangeFilter("o_orderkey", hiNum = Some(BigDecimal(3000))),
-        RangeFilter("o_custkey", hiNum = Some(BigDecimal(300))))
+        RangeFilter("o_orderkey", hiNum = Some(BigDecimal(maxOk))),
+        RangeFilter("o_custkey", hiNum = Some(BigDecimal(maxCk))))
       val live = t2.plannedFiles().size
       val planned = t2.plannedFiles(statsFilters = filters).size
       require(live > 1 && planned < live,
         s"z-order stats pruning must skip files ($planned of $live planned)")
       t2.read(s, statsFilters = filters)
-        .filter(col("o_orderkey") <= 3000 && col("o_custkey") <= 300)
+        .filter(col("o_orderkey") <= maxOk && col("o_custkey") <= maxCk)
         .groupBy(lit(1).as("grp"))
         .agg(count(lit(1)).as("n_orders"),
           sum(Tables.dec(col("o_totalprice"))).cast("double").as("sum_price"))
@@ -896,7 +905,8 @@ object RowOpsQueries extends QueryModule {
       """SELECT 1 AS grp, count(*) AS n_orders,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM orders
-        |WHERE o_orderkey <= 3000 AND o_custkey <= 300
+        |WHERE o_orderkey <= (SELECT max(o_orderkey) // 5 FROM orders)
+        |  AND o_custkey <= (SELECT max(o_custkey) // 5 FROM orders)
         |GROUP BY 1 ORDER BY grp""".stripMargin,
 
     "lake_upsert_eq" ->
