@@ -17,7 +17,8 @@ import graft.lake.{Engine, LakeTable}
 class EqDeleteRandomSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
-  private def runScenario(seed: Long, ops: Int): Unit = {
+  private def runScenario(seed: Long, ops: Int,
+      allowCompact: Boolean = true): Unit = {
     import spark.implicits._
     val rnd = new scala.util.Random(seed)
     val wh = Files.createTempDirectory(s"graft-eqrnd-$seed").toString
@@ -28,6 +29,11 @@ class EqDeleteRandomSpec extends AnyFunSuite {
     var t = LakeTable.load(wh, "d", "t")
     val model = scala.collection.mutable.Map.empty[Long, String]
     var nextFresh = 1000L
+    // (snapshotId, model state then) pairs for time-travel replay —
+    // only before the first compaction (a rewrite squashes history)
+    val pins = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Map[Long, String])]
+    var compacted = false
 
     def randomKeys(n: Int): Seq[Long] =
       if (model.isEmpty) Seq.empty
@@ -57,12 +63,17 @@ class EqDeleteRandomSpec extends AnyFunSuite {
           val keys = randomKeys(1 + rnd.nextInt(3)) :+ (999999L + i)
           t.deleteByKeysMoR(spark, keys.toDF("id"))
           keys.foreach(model.remove)
-        case 8 => // materialize: state must be identical after
+        case 8 if allowCompact => // materialize: state identical after
           t.compact(spark)
           t = LakeTable.load(wh, "d", "t")
+          compacted = true
+        case 8 => () // compaction disabled: keep history for time travel
         case 9 => // reload (metadata JSON round-trip under load)
           t = LakeTable.load(wh, "d", "t")
       }
+      if (!compacted && rnd.nextInt(4) == 0 &&
+          t.metadata.snapshots.nonEmpty)
+        pins += ((t.metadata.snapshots.map(_.id).max, model.toMap))
       if (i % 7 == 0) {
         val got = t.read(spark).collect()
           .map(r => r.getLong(0) -> r.getString(1)).toMap
@@ -72,6 +83,14 @@ class EqDeleteRandomSpec extends AnyFunSuite {
     val fin = t.read(spark).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(fin == model.toMap, s"final divergence (seed $seed)")
+    // time travel must reproduce each pinned historical state —
+    // equality batches past the pin must NOT leak backwards (only pins
+    // from before any compaction squashed the history)
+    if (!compacted) pins.foreach { case (snapId, expect) =>
+      val got = t.read(spark, asOfSnapshot = Some(snapId)).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == expect, s"time-travel divergence at $snapId (seed $seed)")
+    }
     // the DSv2 reader path must agree with the native read
     spark.conf.set(s"spark.sql.catalog.geqr$seed", "graft.sources.LakeCatalog")
     spark.conf.set(s"spark.sql.catalog.geqr$seed.warehouse", wh)
@@ -86,5 +105,9 @@ class EqDeleteRandomSpec extends AnyFunSuite {
 
   test("a second seed exercises a different interleaving") {
     runScenario(seed = 1337L, ops = 30)
+  }
+
+  test("compaction-free run pins time travel against historical states") {
+    runScenario(seed = 7L, ops = 25, allowCompact = false)
   }
 }
