@@ -353,7 +353,9 @@ private[sources] object MetaTables {
         })
     }
     case "snapshots" => new MetaTable(fullName, snapshotsSchema,
-      t.metadata.snapshots.map { s =>
+      // staged (write-audit-publish) snapshots are listed too — their
+      // operation ("staged-append") distinguishes them from history
+      (t.metadata.snapshots ++ t.metadata.staged).sortBy(_.id).map { s =>
         Seq[Any](s.id, s.operation, s.files.size,
           s.files.map(_.rows).sum, s.files.map(_.bytes).sum,
           s.removedPaths.size, s.deletePaths.size)

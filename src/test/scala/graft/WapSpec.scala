@@ -102,4 +102,17 @@ class WapSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(ids == Set(1L, 2L))
   }
+
+  test("staged snapshots surface in the .snapshots metadata relation") {
+    import spark.implicits._
+    val (wh, t) = mk("meta")
+    t.append(Seq((1L, "a")).toDF("id", "v"))
+    t.appendStaged(Seq((2L, "b")).toDF("id", "v"), "pending")
+    spark.conf.set("spark.sql.catalog.gwapm", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.gwapm.warehouse", wh)
+    val ops = spark.sql(
+      "SELECT operation FROM gwapm.d.t.snapshots ORDER BY snapshot_id")
+      .collect().map(_.getString(0)).toSeq
+    assert(ops == Seq("append", "staged-append"))
+  }
 }
