@@ -324,6 +324,9 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     */
   def appendStaged(df: DataFrame, wapId: String): SnapshotMeta = {
     require(wapId.nonEmpty, "wapId must be non-empty")
+    require(!wapId.startsWith("branch:"),
+      "the 'branch:' wap-id prefix is reserved for branch commits " +
+        "(use appendToBranch)")
     require(!md.staged.exists(_.wapId.contains(wapId)),
       s"wap id '$wapId' already staged")
     val aligned = Align(df, md.currentSchema)
@@ -397,6 +400,120 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
       throw new IllegalArgumentException(s"no staged snapshot '$wapId'"))
     commit(md.copy(staged = md.staged.filterNot(_.wapId.contains(wapId))))
     snap.files.size
+  }
+
+  // ---- writable branches (Iceberg branch write + fast-forward) --------
+
+  /** Branch commits are staged snapshots tagged `branch:<name>`; the
+    * branch ref tracks its head and the main snapshot it forked from.
+    * Reads overlay the branch commits on the frozen base state;
+    * fast-forward publishes them onto main iff main hasn't moved —
+    * the nightly-build isolation pattern without copying any data.
+    */
+  private def branchMarker(name: String) = s"branch:$name"
+
+  private def branchSnaps(name: String): Seq[SnapshotMeta] =
+    md.staged.filter(_.wapId.contains(branchMarker(name))).sortBy(_.id)
+
+  def createBranch(name: String): RefMeta = {
+    require(name.nonEmpty && scala.util.Try(name.toLong).isFailure,
+      s"branch name '$name' would be ambiguous with a snapshot id")
+    require(!md.refs.contains(name), s"ref '$name' already exists")
+    val head = md.snapshots.map(_.id).foldLeft(0L)(math.max)
+    val ref = RefMeta(head, "branch", baseSnapshotId = Some(head))
+    commit(md.copy(refs = md.refs + (name -> ref)))
+    ref
+  }
+
+  private def branchRef(name: String): RefMeta =
+    md.refs.get(name) match {
+      case Some(r) if r.kind == "branch" && r.baseSnapshotId.isDefined => r
+      case Some(r) if r.kind == "branch" => throw new IllegalArgumentException(
+        s"ref '$name' is a pointer branch (createRef); writable branches " +
+          "are created with createBranch")
+      case Some(r) => throw new IllegalArgumentException(
+        s"ref '$name' is a ${r.kind}, not a writable branch")
+      case None => throw new IllegalArgumentException(s"no branch '$name'")
+    }
+
+  def appendToBranch(df: DataFrame, name: String): SnapshotMeta = {
+    branchRef(name)
+    val aligned = Align(df, md.currentSchema)
+    aligned.sparkSession.conf
+      .set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    if (currentHintVersion() != loadedVersion)
+      throw new java.util.ConcurrentModificationException(
+        s"table $location was committed concurrently; reload and retry")
+    val snapshotId = (md.snapshots ++ md.staged).map(_.id)
+      .foldLeft(0L)(math.max) + 1
+    val outDir = dataDir.resolve(
+      s"snap-$snapshotId-${java.util.UUID.randomUUID().toString.take(8)}")
+    val files = writeDataFiles(aligned, outDir)
+    val snap = SnapshotMeta(snapshotId, files, md.currentSchemaId,
+      operation = "staged-append",
+      timestampMs = System.currentTimeMillis(),
+      wapId = Some(branchMarker(name)))
+    val ref = branchRef(name)
+    commit(md.copy(staged = md.staged :+ snap,
+      refs = md.refs + (name -> ref.copy(snapshotId = snapshotId))))
+    snap
+  }
+
+  /** The branch view: main AS OF the fork base, overlaid with the
+    * branch's own commits — writes to main after the fork stay
+    * invisible (that isolation is the point of branching).
+    */
+  def readBranch(spark: SparkSession, name: String): DataFrame = {
+    val ref = branchRef(name)
+    val base = ref.baseSnapshotId.get
+    val visible = md.snapshots.filter(_.id <= base)
+    readFiles(spark,
+      LakeTable.liveFiles(visible) ++ branchSnaps(name).flatMap(s =>
+        s.files.map(f => if (f.seq >= 0) f else f.copy(seq = s.id))),
+      md.currentSchema, LakeTable.liveDeletes(visible),
+      LakeTable.liveEqDeletes(visible))
+  }
+
+  /** Publish the branch onto main, in commit order, as fresh append
+    * snapshots (monotonic ids). Refused when main advanced past the
+    * fork base — divergence needs a conflict strategy, not a silent
+    * overwrite; discard the branch or re-branch from the new head.
+    * Returns the published snapshots; the ref stays a branch, re-based
+    * at the new head.
+    */
+  def fastForward(name: String): Seq[SnapshotMeta] = {
+    val ref = branchRef(name)
+    val base = ref.baseSnapshotId.get
+    val head = md.snapshots.map(_.id).foldLeft(0L)(math.max)
+    require(head == base,
+      s"branch '$name' forked at $base but main is at $head — " +
+        "diverged; discard the branch or re-branch from the new head")
+    val snaps = branchSnaps(name)
+    var nextId = (md.snapshots ++ md.staged).map(_.id)
+      .foldLeft(0L)(math.max)
+    val published = snaps.map { s =>
+      nextId += 1
+      s.copy(id = nextId, operation = "append",
+        timestampMs = System.currentTimeMillis())
+    }
+    val newHead = published.lastOption.map(_.id).getOrElse(head)
+    commit(md.copy(snapshots = md.snapshots ++ published,
+      staged = md.staged.filterNot(_.wapId.contains(branchMarker(name))),
+      refs = md.refs + (name -> RefMeta(newHead, "branch",
+        baseSnapshotId = Some(newHead)))))
+    published
+  }
+
+  /** Drop a branch and its unpublished commits; their data files
+    * become orphans. Returns the number of files orphaned.
+    */
+  def discardBranch(name: String): Int = {
+    branchRef(name)
+    val snaps = branchSnaps(name)
+    commit(md.copy(
+      staged = md.staged.filterNot(_.wapId.contains(branchMarker(name))),
+      refs = md.refs - name))
+    snaps.map(_.files.size).sum
   }
 
   // ---- equality deletes (Iceberg v2's second delete-file kind) --------

@@ -91,10 +91,15 @@ case class EqDeleteMeta(paths: Seq[String], fieldIds: Seq[Int], seq: Long)
 case class SchemaVersion(id: Int, schema: StructType)
 
 /** A named snapshot pointer (Iceberg's refs): `kind` is "tag"
-  * (immutable release marker) or "branch" (a movable head — the engine
-  * records it; writes always advance the main history).
+  * (immutable release marker) or "branch". A branch is a WRITABLE
+  * head: `snapshotId` tracks its latest commit (a staged snapshot once
+  * the branch has its own writes) and `baseSnapshotId` records the
+  * main-history snapshot it forked from — branch reads overlay the
+  * branch commits on the base state, and fast-forward publishes them
+  * onto main when main hasn't moved past the base.
   */
-case class RefMeta(snapshotId: Long, kind: String = "tag")
+case class RefMeta(snapshotId: Long, kind: String = "tag",
+    baseSnapshotId: Option[Long] = None)
 
 /** `staged`: snapshots written but not yet part of the main history
   * (Iceberg's write-audit-publish staging). Invisible to every normal
@@ -294,7 +299,9 @@ object MetadataIO {
      else Map("refs" -> JObject(md.refs.map { case (n, r) =>
        n -> JObject(Map(
          "snapshot-id" -> JNumber(r.snapshotId),
-         "kind" -> JString(r.kind)))
+         "kind" -> JString(r.kind)) ++
+         r.baseSnapshotId.map(b =>
+           "base-snapshot-id" -> (JNumber(b): JValue)).toMap)
      }))))
 
   def fromJson(v: JValue): TableMetadata = {
@@ -327,7 +334,8 @@ object MetadataIO {
       refs = m.get("refs").map(_.asObj.map { case (n, rv) =>
         val rm = rv.asObj
         n -> RefMeta(rm("snapshot-id").asLong,
-          rm.get("kind").map(_.asStr).getOrElse("tag"))
+          rm.get("kind").map(_.asStr).getOrElse("tag"),
+          rm.get("base-snapshot-id").map(_.asLong))
       }).getOrElse(Map.empty),
       staged = m.get("staged-snapshots")
         .map(_.asArr.map(snapshotFromJson)).getOrElse(Seq.empty))

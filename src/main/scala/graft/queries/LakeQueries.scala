@@ -709,6 +709,39 @@ object RowOpsQueries extends QueryModule {
         .orderBy("c_custkey")
     }),
 
+    "lake_branch_ff" -> QueryModule.micro(4)((s, dir) => {
+      // writable-branch lifecycle: a branch takes two isolated commits
+      // (main keeps serving the fork-base state), its overlay view is
+      // audited, then fast-forward publishes both commits onto main as
+      // ordinary appends — zero data movement at publish, refusal on
+      // divergence is tested in BranchSpec. Final state = base + both
+      // branch commits, under the oracle.
+      val wh = LakeQueries.freshWarehouse("branchff")
+      Engine.processTableDefJson(wh,
+        """{"database_name":"bq","table_name":"cust","columns":[
+          |{"column_name":"c_custkey","data_type":"long"},
+          |{"column_name":"c_name","data_type":"string"},
+          |{"column_name":"c_mktsegment","data_type":"string"}],
+          |"partitions":[]}""".stripMargin)
+      val t = LakeTable.load(wh, "bq", "cust")
+      val cust = Tables(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_mktsegment")
+      t.append(cust.filter(col("c_custkey") % 2 === 0))
+      t.createBranch("ingest")
+      t.appendToBranch(cust.filter(col("c_custkey") % 4 === 1), "ingest")
+      t.appendToBranch(cust.filter(col("c_custkey") % 4 === 3), "ingest")
+      // isolation + overlay audit, loud before the oracle
+      val mainRows = t.read(s).count()
+      val branchRows = t.readBranch(s, "ingest").count()
+      require(branchRows > mainRows, "branch overlay must see its commits")
+      require(LakeTable.load(wh, "bq", "cust").read(s).count() == mainRows,
+        "branch commits must not leak into main")
+      t.fastForward("ingest")
+      LakeTable.load(wh, "bq", "cust").read(s)
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    }),
+
     "lake_cdc_apply" -> QueryModule.micro(4)((s, dir) => {
       // the full CDC replication loop: a source table evolves by
       // append + blind upsert; a replica pulls each snapshot range
@@ -893,6 +926,10 @@ object RowOpsQueries extends QueryModule {
         |  SELECT s_suppkey, s_name, 'SUPPLIER' FROM supplier
         |  WHERE s_suppkey NOT IN (SELECT c_custkey FROM customer)
         |) ORDER BY c_custkey""".stripMargin,
+
+    "lake_branch_ff" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |ORDER BY c_custkey""".stripMargin,
 
     "lake_cdc_apply" ->
       """SELECT n_nationkey,

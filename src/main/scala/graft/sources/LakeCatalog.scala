@@ -91,6 +91,13 @@ class LakeCatalog extends TableCatalog
         s"graft catalog: VERSION AS OF takes a snapshot id or a ref " +
           s"name; '$version' is neither for $ident " +
           s"(refs: ${t.metadata.refs.keys.toSeq.sorted.mkString(", ")})"))
+    // a writable branch head may be an unpublished (staged) snapshot —
+    // that view needs the branch overlay, which the pinned scan can't
+    // express yet
+    if (t.metadata.staged.exists(_.id == sid))
+      throw new UnsupportedOperationException(
+        s"branch '$version' has unpublished commits; read it via " +
+          "LakeTable.readBranch or fast-forward it onto main first")
     t.schemaAsOf(sid) // validate the pin before handing out the table
     new LakeSparkTable(warehouse, db, tbl, 0L, t, Some(sid))
   }

@@ -1,0 +1,113 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.lake.{Engine, LakeTable}
+
+/** Writable branches: commits land as branch-tagged staged snapshots,
+  * reads overlay them on the frozen fork base, fast-forward publishes
+  * onto main only when main hasn't moved, and divergence is refused
+  * rather than silently merged (the nightly-build isolation pattern).
+  */
+class BranchSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def mk(tag: String): (String, LakeTable) = {
+    val wh = Files.createTempDirectory(s"graft-branch-$tag").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"t","columns":[
+        |{"column_name":"id","data_type":"long"},
+        |{"column_name":"v","data_type":"string"}],"partitions":[]}""".stripMargin)
+    (wh, LakeTable.load(wh, "d", "t"))
+  }
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.collect().map(_.getLong(0)).toSet
+
+  test("branch commits are invisible to main until fast-forward") {
+    import spark.implicits._
+    val (wh, t) = mk("ff")
+    t.append(Seq((1L, "a")).toDF("id", "v"))
+    t.createBranch("nightly")
+    t.appendToBranch(Seq((2L, "b")).toDF("id", "v"), "nightly")
+    t.appendToBranch(Seq((3L, "c")).toDF("id", "v"), "nightly")
+    // main unchanged; branch sees base + both commits
+    assert(ids(t.read(spark)) == Set(1L))
+    assert(ids(t.readBranch(spark, "nightly")) == Set(1L, 2L, 3L))
+    // survives a reload (ref + staged round-trip)
+    val t2 = LakeTable.load(wh, "d", "t")
+    assert(ids(t2.readBranch(spark, "nightly")) == Set(1L, 2L, 3L))
+    val published = t2.fastForward("nightly")
+    assert(published.size == 2)
+    assert(published.map(_.operation).distinct == Seq("append"))
+    val t3 = LakeTable.load(wh, "d", "t")
+    assert(ids(t3.read(spark)) == Set(1L, 2L, 3L))
+    // branch commits arrive in order and CDC sees them
+    val changes = t3.changesBetween(spark, published.head.id - 1,
+      published.last.id)
+    assert(ids(changes) == Set(2L, 3L))
+    // the ref is re-based at the new head — a new branch cycle works
+    t3.appendToBranch(Seq((4L, "d")).toDF("id", "v"), "nightly")
+    assert(ids(t3.read(spark)) == Set(1L, 2L, 3L))
+    assert(ids(t3.readBranch(spark, "nightly")) == Set(1L, 2L, 3L, 4L))
+  }
+
+  test("fast-forward refuses a diverged branch; discard orphans its files") {
+    import spark.implicits._
+    val (wh, t) = mk("div")
+    t.append(Seq((1L, "a")).toDF("id", "v"))
+    t.createBranch("exp")
+    t.appendToBranch(Seq((2L, "b")).toDF("id", "v"), "exp")
+    // main moves past the fork base
+    LakeTable.load(wh, "d", "t").append(Seq((9L, "z")).toDF("id", "v"))
+    val t2 = LakeTable.load(wh, "d", "t")
+    val e = intercept[IllegalArgumentException](t2.fastForward("exp"))
+    assert(e.getMessage.contains("diverged"))
+    // the branch view still shows its frozen base (no row 9)
+    assert(ids(t2.readBranch(spark, "exp")) == Set(1L, 2L))
+    // discard: ref gone, files aged out as orphans
+    assert(t2.discardBranch("exp") >= 1)
+    val t3 = LakeTable.load(wh, "d", "t")
+    assert(t3.metadata.refs.isEmpty && t3.metadata.staged.isEmpty)
+    assert(t3.removeOrphanFiles(olderThanMillis = 0).nonEmpty)
+    assert(ids(t3.read(spark)) == Set(1L, 9L))
+  }
+
+  test("branch isolation: main writes after the fork stay invisible") {
+    import spark.implicits._
+    val (wh, t) = mk("iso")
+    t.append(Seq((1L, "a")).toDF("id", "v"))
+    t.createBranch("b1")
+    LakeTable.load(wh, "d", "t").append(Seq((5L, "m")).toDF("id", "v"))
+    val t2 = LakeTable.load(wh, "d", "t")
+    t2.appendToBranch(Seq((2L, "b")).toDF("id", "v"), "b1")
+    assert(ids(t2.readBranch(spark, "b1")) == Set(1L, 2L),
+      "post-fork main writes must not leak into the branch view")
+    assert(ids(t2.read(spark)) == Set(1L, 5L))
+  }
+
+  test("guards: tags and pointer refs are not writable; SQL read of a dirty branch errors") {
+    import spark.implicits._
+    val (wh, t) = mk("guard")
+    val s1 = t.append(Seq((1L, "a")).toDF("id", "v")).id
+    t.createRef("rel", s1) // tag
+    val e1 = intercept[IllegalArgumentException](
+      t.appendToBranch(Seq((2L, "b")).toDF("id", "v"), "rel"))
+    assert(e1.getMessage.contains("not a writable branch"))
+    t.createBranch("wb")
+    t.appendToBranch(Seq((3L, "c")).toDF("id", "v"), "wb")
+    spark.conf.set("spark.sql.catalog.gbr", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.gbr.warehouse", wh)
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT * FROM gbr.d.t VERSION AS OF 'wb'").collect()
+    }
+    assert(e2.getMessage.contains("unpublished") ||
+      Option(e2.getCause).exists(_.getMessage.contains("unpublished")))
+    // reserved wap-id prefix
+    val e3 = intercept[IllegalArgumentException](
+      t.appendStaged(Seq((4L, "d")).toDF("id", "v"), "branch:x"))
+    assert(e3.getMessage.contains("reserved"))
+  }
+}
