@@ -85,19 +85,20 @@ class LakeCatalog extends TableCatalog
     if (!LakeTable.exists(warehouse, db, tbl))
       throw new NoSuchTableException(ident)
     val t = LakeTable.load(warehouse, db, tbl)
+    // a writable branch resolves to its overlay view (fork-base state
+    // plus the branch's own commits) — Iceberg's branch-read semantics
+    t.metadata.refs.get(version) match {
+      case Some(r) if r.kind == "branch" && r.baseSnapshotId.isDefined =>
+        return new LakeSparkTable(warehouse, db, tbl, 0L, t,
+          branchName = Some(version))
+      case _ => ()
+    }
     val sid = scala.util.Try(version.toLong).toOption
       .orElse(t.refSnapshot(version))
       .getOrElse(throw new IllegalArgumentException(
         s"graft catalog: VERSION AS OF takes a snapshot id or a ref " +
           s"name; '$version' is neither for $ident " +
           s"(refs: ${t.metadata.refs.keys.toSeq.sorted.mkString(", ")})"))
-    // a writable branch head may be an unpublished (staged) snapshot —
-    // that view needs the branch overlay, which the pinned scan can't
-    // express yet
-    if (t.metadata.staged.exists(_.id == sid))
-      throw new UnsupportedOperationException(
-        s"branch '$version' has unpublished commits; read it via " +
-          "LakeTable.readBranch or fast-forward it onto main first")
     t.schemaAsOf(sid) // validate the pin before handing out the table
     new LakeSparkTable(warehouse, db, tbl, 0L, t, Some(sid))
   }

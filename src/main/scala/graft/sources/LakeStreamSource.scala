@@ -71,7 +71,8 @@ class LakeStreamProvider extends TableProvider with DataSourceRegister {
 
 private[sources] class LakeSparkTable(wh: String, db: String, tbl: String,
     startSnapshot: Long, lake: LakeTable,
-    asOfSnapshot: Option[Long] = None)
+    asOfSnapshot: Option[Long] = None,
+    branchName: Option[String] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
@@ -104,8 +105,9 @@ private[sources] class LakeSparkTable(wh: String, db: String, tbl: String,
   }
 
   private def requireWritable(): Unit =
-    require(asOfSnapshot.isEmpty,
-      "cannot write to a table pinned with VERSION AS OF")
+    require(asOfSnapshot.isEmpty && branchName.isEmpty,
+      "cannot write to a table pinned with VERSION AS OF " +
+        "(branch writes go through LakeTable.appendToBranch)")
 
   /** SQL UPDATE / MERGE INTO / (non-convertible) DELETE: group-based
     * copy-on-write rewrite by default — the scanned files are replaced
@@ -201,7 +203,8 @@ private[sources] class LakeSparkTable(wh: String, db: String, tbl: String,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LakeScanBuilder(wh, db, tbl, startSnapshot, pinnedSchema, asOfSnapshot,
       maxSnapshotsPerTrigger =
-        Option(options.get("maxSnapshotsPerTrigger")).map(_.toInt))
+        Option(options.get("maxSnapshotsPerTrigger")).map(_.toInt),
+      branchName = branchName)
 
   /** INSERT INTO / df.writeTo(...).append() via the V1 write bridge:
     * Spark resolves the input to the table schema, then the append goes
@@ -298,7 +301,8 @@ private[graft] class LakeScanBuilder(wh: String, db: String, tbl: String,
     startSnapshot: Long, full: StructType,
     asOfSnapshot: Option[Long] = None,
     onPlanned: Seq[graft.lake.DataFileMeta] => Unit = _ => (),
-    maxSnapshotsPerTrigger: Option[Int] = None)
+    maxSnapshotsPerTrigger: Option[Int] = None,
+    branchName: Option[String] = None)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
@@ -327,6 +331,9 @@ private[graft] class LakeScanBuilder(wh: String, db: String, tbl: String,
     import org.apache.spark.sql.connector.expressions.NamedReference
     if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty ||
         agg.aggregateExpressions.isEmpty) return false
+    // a branch overlay's live set differs from main's — no
+    // metadata-only answers through the main-history rollups below
+    if (branchName.isDefined) return false
 
     val t = LakeTable.load(wh, db, tbl)
     val visible = LakeSource.visibleSnapshots(t, asOfSnapshot)
@@ -404,7 +411,7 @@ private[graft] class LakeScanBuilder(wh: String, db: String, tbl: String,
 
   override def build(): Scan =
     new LakeScan(wh, db, tbl, startSnapshot, target, stats, aggResult,
-      asOfSnapshot, onPlanned, maxSnapshotsPerTrigger)
+      asOfSnapshot, onPlanned, maxSnapshotsPerTrigger, branchName)
 }
 
 private[sources] class LakeScan(wh: String, db: String, tbl: String,
@@ -413,7 +420,8 @@ private[sources] class LakeScan(wh: String, db: String, tbl: String,
     aggResult: Option[(StructType, Array[Any])] = None,
     asOfSnapshot: Option[Long] = None,
     onPlanned: Seq[graft.lake.DataFileMeta] => Unit = _ => (),
-    maxSnapshotsPerTrigger: Option[Int] = None) extends Scan
+    maxSnapshotsPerTrigger: Option[Int] = None,
+    branchName: Option[String] = None) extends Scan
     with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportOrdering
@@ -422,10 +430,29 @@ private[sources] class LakeScan(wh: String, db: String, tbl: String,
   // one metadata load shared by statistics and batch planning
   private lazy val planned = {
     val t = LakeTable.load(wh, db, tbl)
-    val visible = LakeSource.visibleSnapshots(t, asOfSnapshot)
-    (t, LakeTable.matchingFiles(LakeTable.liveFiles(visible),
-      target, Map.empty, statsFilters), LakeTable.liveDeletes(visible),
-      LakeTable.liveEqDeletes(visible))
+    branchName match {
+      case Some(b) =>
+        // branch overlay: main AS OF the fork base plus the branch's
+        // own (staged) commits — same view LakeTable.readBranch serves
+        val ref = t.metadata.refs.getOrElse(b,
+          throw new IllegalArgumentException(s"no branch '$b'"))
+        val base = ref.baseSnapshotId.getOrElse(
+          throw new IllegalArgumentException(s"'$b' is not a writable branch"))
+        val visible = t.metadata.snapshots.filter(_.id <= base)
+        val marker = s"branch:$b"
+        val overlay = t.metadata.staged.filter(_.wapId.contains(marker))
+          .flatMap(s => s.files.map(f =>
+            if (f.seq >= 0) f else f.copy(seq = s.id)))
+        (t, LakeTable.matchingFiles(
+          LakeTable.liveFiles(visible) ++ overlay,
+          target, Map.empty, statsFilters), LakeTable.liveDeletes(visible),
+          LakeTable.liveEqDeletes(visible))
+      case None =>
+        val visible = LakeSource.visibleSnapshots(t, asOfSnapshot)
+        (t, LakeTable.matchingFiles(LakeTable.liveFiles(visible),
+          target, Map.empty, statsFilters), LakeTable.liveDeletes(visible),
+          LakeTable.liveEqDeletes(visible))
+    }
   }
 
   /** Equality batches applicable to `f` (batch seq > file seq), with
