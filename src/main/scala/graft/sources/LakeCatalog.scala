@@ -305,7 +305,8 @@ private[sources] object MetaTables {
   private val refsSchema = StructType(Seq(
     StructField("name", StringType, nullable = false),
     StructField("kind", StringType, nullable = false),
-    StructField("snapshot_id", LongType, nullable = false)))
+    StructField("snapshot_id", LongType, nullable = false),
+    StructField("base_snapshot_id", LongType, nullable = true)))
 
   private val historySchema = StructType(Seq(
     StructField("snapshot_id", LongType, nullable = false),
@@ -334,7 +335,8 @@ private[sources] object MetaTables {
   def table(fullName: String, kind: String, t: LakeTable): Table = kind match {
     case "refs" => new MetaTable(fullName, refsSchema,
       t.metadata.refs.toSeq.sortBy(_._1).map { case (n, r) =>
-        Seq[Any](n, r.kind, r.snapshotId)
+        Seq[Any](n, r.kind, r.snapshotId,
+          r.baseSnapshotId.map(Long.box).orNull)
       })
     case "history" => new MetaTable(fullName, historySchema,
       t.metadata.snapshots.map { s =>

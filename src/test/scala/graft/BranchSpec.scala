@@ -117,5 +117,12 @@ class BranchSpec extends AnyFunSuite {
     val e3 = intercept[IllegalArgumentException](
       t.appendStaged(Seq((4L, "d")).toDF("id", "v"), "branch:x"))
     assert(e3.getMessage.contains("reserved"))
+    // the refs relation shows the branch base; tags carry null
+    val refs = spark.sql(
+      """SELECT name, kind, base_snapshot_id
+        |FROM gbr.d.t.refs ORDER BY name""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))
+    assert(refs.toSeq == Seq(("rel", "tag", -1L), ("wb", "branch", s1)))
   }
 }
