@@ -145,6 +145,38 @@ object CurationOps extends QueryModule {
         .orderBy("lang", "bin")
     }),
 
+    // Curriculum construction: documents are tiered by integer quality
+    // rules (tier 0 = clean, 2 = heavily repetitive) and ordered WITHIN
+    // each tier — a curriculum loader then drains tiers in order. The
+    // position is per-tier (window partitioned by tier), never a global
+    // row number, so no single-reducer sort exists at any scale; (tier,
+    // tier_pos) fully determines the training order.
+    "q_curriculum" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), toks.as("l"))
+        .select(col("doc_id"), col("lang"),
+          size(col("l")).as("n_tokens"),
+          when(size(col("l")) >= 2,
+            transform(sequence(lit(1), size(col("l")) - 1),
+              i => concat(element_at(col("l"), i), lit(" "),
+                element_at(col("l"), i + 1))))
+            .otherwise(array().cast("array<string>")).as("bg"),
+          aggregate(array_distinct(col("l")), lit(0),
+            (acc, t) => greatest(acc,
+              size(filter(col("l"), x => x === t)))).as("top_cnt"))
+        .withColumn("tier",
+          when(col("top_cnt") * 10 <= col("n_tokens") &&
+            size(array_distinct(col("bg"))) * 20 >= size(col("bg")) * 19,
+            lit(0))
+            .when(col("top_cnt") * 7 <= col("n_tokens"), lit(1))
+            .otherwise(lit(2)))
+      val w = Window.partitionBy("tier").orderBy("doc_id")
+      base.select(col("doc_id"), col("lang"), col("tier"),
+          row_number().over(w).as("tier_pos"))
+        .orderBy("tier", "tier_pos")
+    }),
+
     // Deterministic mixture sampling: each language gets a target keep
     // rate (downsample the dominant language, keep the rare ones); the
     // keep decision is a pure arithmetic hash of doc_id — identical on
@@ -240,6 +272,30 @@ object CurationOps extends QueryModule {
         |SELECT lang, bin, count(*) AS n_docs,
         |  CAST(sum(n_tok) AS BIGINT) AS sum_tokens
         |FROM r GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
+
+    "q_curriculum" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS l FROM documents
+        |), sig AS (
+        |  SELECT t.doc_id, t.lang, len(t.l) AS n_tokens,
+        |    list_transform(range(1, len(t.l)),
+        |      i -> t.l[i] || ' ' || t.l[i+1]) AS bg,
+        |    (SELECT max(c) FROM (
+        |       SELECT count(*) AS c FROM unnest(t.l) AS u(tok)
+        |       GROUP BY tok)) AS top_cnt
+        |  FROM toks t
+        |), tiered AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN top_cnt * 10 <= n_tokens
+        |          AND len(list_distinct(bg)) * 20 >= len(bg) * 19 THEN 0
+        |         WHEN top_cnt * 7 <= n_tokens THEN 1
+        |         ELSE 2 END AS tier
+        |  FROM sig
+        |)
+        |SELECT doc_id, lang, CAST(tier AS INTEGER) AS tier,
+        |  CAST(row_number() OVER (PARTITION BY tier ORDER BY doc_id)
+        |    AS INTEGER) AS tier_pos
+        |FROM tiered ORDER BY tier, tier_pos""".stripMargin,
 
     "q_sample_mixture" ->
       """WITH rates(lang, rate_ppm) AS (VALUES
