@@ -83,6 +83,20 @@ class CurationSpec extends AnyFunSuite {
       bins.map(_.toString).toSeq)
   }
 
+  test("q_curriculum tiers are contiguous and positions dense per tier") {
+    val rows = run("q_curriculum").collect()
+    assert(rows.length == nDocs)
+    rows.groupBy(_.getAs[Int]("tier")).foreach { case (tier, rs) =>
+      assert(Set(0, 1, 2).contains(tier))
+      val pos = rs.map(_.getAs[Int]("tier_pos")).sorted
+      assert(pos.head == 1 && pos.sameElements(1 to rs.length),
+        s"tier $tier positions must be dense from 1")
+      // within a tier, position follows doc_id order
+      val byPos = rs.sortBy(_.getAs[Int]("tier_pos")).map(_.getLong(0))
+      assert(byPos.sorted.sameElements(byPos))
+    }
+  }
+
   test("q_sample_mixture downsamples the dominant language") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val base = docs.groupBy("lang").count().collect()

@@ -189,6 +189,55 @@ class EqDeleteSpec extends AnyFunSuite {
     assert(asOf == Map(1L -> "a", 2L -> "b"))
   }
 
+  test("equality deletes compose with hidden partitioning") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft-eqdel-part").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"p","columns":[
+        |{"column_name":"id","data_type":"long"},
+        |{"column_name":"grp","data_type":"string"},
+        |{"column_name":"v","data_type":"string"}],
+        |"partitions":[{"column":"grp","name":"grp"}]}""".stripMargin)
+    val t = LakeTable.load(wh, "d", "p")
+    t.append(Seq((1L, "x", "a"), (2L, "x", "b"), (3L, "y", "c"))
+      .toDF("id", "grp", "v"))
+    t.upsertMoR(spark, Seq((2L, "x", "B"), (4L, "y", "D"))
+      .toDF("id", "grp", "v"), Seq("id"))
+    val got = t.read(spark).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got == Map(1L -> "a", 2L -> "B", 3L -> "c", 4L -> "D"))
+    // partition-pruned read still applies the batch inside the pruned set
+    val xOnly = t.read(spark, prune = Map("grp" -> Set("x"))).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(xOnly == Map(1L -> "a", 2L -> "B"))
+    // DSv2 path over the partitioned table agrees
+    spark.conf.set("spark.sql.catalog.geqp", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.geqp.warehouse", wh)
+    val sql = spark.sql("SELECT id, v FROM geqp.d.p ORDER BY id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sql == Map(1L -> "a", 2L -> "B", 3L -> "c", 4L -> "D"))
+  }
+
+  test("a live batch survives compatible schema evolution (add column)") {
+    import spark.implicits._
+    val (wh, t) = mk("evo2")
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    t.deleteByKeysMoR(spark, Seq(1L).toDF("id"))
+    // ADD a column: key field ids are untouched, the batch stays valid
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"t","columns":[
+        |{"column_name":"id","data_type":"long"},
+        |{"column_name":"v","data_type":"string"},
+        |{"column_name":"extra","data_type":"int"}],"partitions":[]}""".stripMargin)
+    val t2 = LakeTable.load(wh, "d", "t")
+    t2.append(Seq((1L, "a2", 7)).toDF("id", "v", "extra"))
+    val got = t2.read(spark).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1 else r.getInt(2))).toSet
+    // old key-1 row dead; re-appended key-1 row (post-batch) alive
+    assert(got == Set((2L, "b", -1), (1L, "a2", 7)))
+  }
+
   test("expire-squash preserves sequence semantics for carried files") {
     import spark.implicits._
     val (wh, t) = mk("expire")
