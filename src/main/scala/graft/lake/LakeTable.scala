@@ -219,8 +219,18 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
   }
 
   def dropRef(name: String): String = {
-    require(md.refs.contains(name), s"no such ref '$name'")
-    commit(md.copy(refs = md.refs - name))
+    val ref = md.refs.getOrElse(name,
+      throw new IllegalArgumentException(s"no such ref '$name'"))
+    // dropping a writable branch takes its unpublished staged commits
+    // with it (files become orphans) — leaving them would strand the
+    // snapshots and ghost-resurrect them under a re-created branch
+    val purge: SnapshotMeta => Boolean =
+      if (ref.kind == "branch" && ref.baseSnapshotId.isDefined)
+        s => s.wapId.contains(branchMarker(name))
+      else _ => false
+    commit(md.copy(refs = md.refs - name,
+      staged = md.staged.filterNot(purge)))
+    name
   }
 
   /** Resolve a ref name to its pinned snapshot id. */
@@ -241,9 +251,23 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
         s"(have ${md.snapshots.map(_.id).mkString(", ")})")
     val (keep, dropped) = md.snapshots.partition(_.id <= snapshotId)
     if (dropped.isEmpty) return 0
-    commit(md.copy(snapshots = keep,
-      refs = md.refs.filter { case (_, r) =>
-        keep.exists(_.id == r.snapshotId) }))
+    // a ref survives if its anchor is still in the kept history: tags
+    // anchor at snapshotId; writable branches anchor at their fork
+    // BASE (their head may legitimately be a staged snapshot). Dropped
+    // writable branches take their unpublished staged commits with
+    // them — a stranded branch-tagged snapshot would leak forever and
+    // ghost-resurrect under a re-created branch of the same name.
+    val (keptRefs, droppedRefs) = md.refs.partition { case (_, r) =>
+      val anchor = r.baseSnapshotId.getOrElse(r.snapshotId)
+      keep.exists(_.id == anchor)
+    }
+    val deadMarkers = droppedRefs.collect {
+      case (n, r) if r.kind == "branch" && r.baseSnapshotId.isDefined =>
+        branchMarker(n)
+    }.toSet
+    commit(md.copy(snapshots = keep, refs = keptRefs,
+      staged = md.staged.filterNot(s =>
+        s.wapId.exists(deadMarkers.contains))))
     dropped.size
   }
 
@@ -377,6 +401,9 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     * `cherrypick_snapshot` semantics.
     */
   def publishStaged(wapId: String): SnapshotMeta = {
+    require(!wapId.startsWith("branch:"),
+      "branch commits publish via fastForward, not publish_wap " +
+        "(a branch may hold several commits; publish_wap moves one)")
     val snap = stagedSnapshot(wapId).getOrElse(
       throw new IllegalArgumentException(s"no staged snapshot '$wapId'"))
     require(snap.schemaId == md.currentSchemaId,
@@ -396,6 +423,8 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     * number of data files orphaned.
     */
   def discardStaged(wapId: String): Int = {
+    require(!wapId.startsWith("branch:"),
+      "branch commits are discarded via discardBranch, not discard_wap")
     val snap = stagedSnapshot(wapId).getOrElse(
       throw new IllegalArgumentException(s"no staged snapshot '$wapId'"))
     commit(md.copy(staged = md.staged.filterNot(_.wapId.contains(wapId))))
@@ -419,6 +448,9 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     require(name.nonEmpty && scala.util.Try(name.toLong).isFailure,
       s"branch name '$name' would be ambiguous with a snapshot id")
     require(!md.refs.contains(name), s"ref '$name' already exists")
+    require(branchSnaps(name).isEmpty,
+      s"stale staged commits tagged 'branch:$name' exist — a new branch " +
+        "must not adopt a dead branch's unpublished work")
     val head = md.snapshots.map(_.id).foldLeft(0L)(math.max)
     val ref = RefMeta(head, "branch", baseSnapshotId = Some(head))
     commit(md.copy(refs = md.refs + (name -> ref)))
@@ -489,6 +521,10 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
       s"branch '$name' forked at $base but main is at $head — " +
         "diverged; discard the branch or re-branch from the new head")
     val snaps = branchSnaps(name)
+    snaps.foreach(s => require(s.schemaId == md.currentSchemaId,
+      s"branch '$name' has a commit under schema ${s.schemaId}; table " +
+        s"is now at ${md.currentSchemaId} — discard and re-branch " +
+        "after evolution"))
     var nextId = (md.snapshots ++ md.staged).map(_.id)
       .foldLeft(0L)(math.max)
     val published = snaps.map { s =>
@@ -1004,10 +1040,22 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
       // their original seq (stamped by liveFiles) for the same reason
       eqDeletes = LakeTable.liveEqDeletes(expired))
     val liveIds = (squashed +: kept).map(_.id).toSet
-    commit(md.copy(snapshots = squashed +: kept,
-      // refs into the squashed-away prefix would dangle (time travel
-      // to those ids is gone — the point of expiry)
-      refs = md.refs.filter { case (_, r) => liveIds(r.snapshotId) }))
+    // refs into the squashed-away prefix would dangle (time travel to
+    // those ids is gone — the point of expiry). Tags anchor at their
+    // snapshotId; writable branches anchor at their fork BASE (their
+    // head may be a staged snapshot, never in the main history), and a
+    // dropped branch takes its unpublished staged commits with it so
+    // nothing strands.
+    val (keptRefs, droppedRefs) = md.refs.partition { case (_, r) =>
+      liveIds(r.baseSnapshotId.getOrElse(r.snapshotId))
+    }
+    val deadMarkers = droppedRefs.collect {
+      case (n, r) if r.kind == "branch" && r.baseSnapshotId.isDefined =>
+        branchMarker(n)
+    }.toSet
+    commit(md.copy(snapshots = squashed +: kept, refs = keptRefs,
+      staged = md.staged.filterNot(s =>
+        s.wapId.exists(deadMarkers.contains))))
     expired.size
   }
 

@@ -27,6 +27,23 @@ object CurationOps extends QueryModule {
     */
   private def toks = split(col("text"), " ")
 
+  /** Adjacent-bigram strings of a token array. sequence(1, n-1) would
+    * DESCEND for n=1 (Spark generates decreasing sequences when start >
+    * stop) — guard to empty.
+    */
+  private def bgExpr(l: org.apache.spark.sql.Column) =
+    when(size(l) >= 2,
+      transform(sequence(lit(1), size(l) - 1),
+        i => concat(element_at(l, i), lit(" "), element_at(l, i + 1))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Count of the most frequent token, computed inside the row (an
+    * aggregate over the distinct tokens — O(n·u) per row, zero shuffle).
+    */
+  private def topTokenCount(l: org.apache.spark.sql.Column) =
+    aggregate(array_distinct(l), lit(0),
+      (acc, t) => greatest(acc, size(filter(l, x => x === t))))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Gopher-style repetition signals, one row per document, computed
@@ -41,20 +58,11 @@ object CurationOps extends QueryModule {
         .select(col("doc_id"), col("l"),
           size(col("l")).as("n_tokens"),
           size(array_distinct(col("l"))).as("n_distinct_tokens"),
-          // sequence(1, n-1) would DESCEND for n=1 (Spark generates
-          // decreasing sequences when start > stop) — guard to empty
-          when(size(col("l")) >= 2,
-            transform(sequence(lit(1), size(col("l")) - 1),
-              i => concat(element_at(col("l"), i), lit(" "),
-                element_at(col("l"), i + 1))))
-            .otherwise(array().cast("array<string>")).as("bg"))
+          bgExpr(col("l")).as("bg"))
         .select(col("doc_id"), col("n_tokens"), col("n_distinct_tokens"),
           size(col("bg")).as("n_bigrams"),
           size(array_distinct(col("bg"))).as("n_distinct_bigrams"),
-          aggregate(array_distinct(col("l")), lit(0),
-            (acc, t) => greatest(acc,
-              size(filter(col("l"), x => x === t))))
-            .as("top_token_count"))
+          topTokenCount(col("l")).as("top_token_count"))
         .withColumn("keep",
           when(col("top_token_count") * 5 <= col("n_tokens") &&
             col("n_distinct_bigrams") * 2 >= col("n_bigrams"), lit(1))
@@ -157,14 +165,8 @@ object CurationOps extends QueryModule {
         .select(col("doc_id"), col("lang"), toks.as("l"))
         .select(col("doc_id"), col("lang"),
           size(col("l")).as("n_tokens"),
-          when(size(col("l")) >= 2,
-            transform(sequence(lit(1), size(col("l")) - 1),
-              i => concat(element_at(col("l"), i), lit(" "),
-                element_at(col("l"), i + 1))))
-            .otherwise(array().cast("array<string>")).as("bg"),
-          aggregate(array_distinct(col("l")), lit(0),
-            (acc, t) => greatest(acc,
-              size(filter(col("l"), x => x === t)))).as("top_cnt"))
+          bgExpr(col("l")).as("bg"),
+          topTokenCount(col("l")).as("top_cnt"))
         .withColumn("tier",
           when(col("top_cnt") * 10 <= col("n_tokens") &&
             size(array_distinct(col("bg"))) * 20 >= size(col("bg")) * 19,

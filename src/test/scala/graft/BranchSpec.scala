@@ -75,6 +75,57 @@ class BranchSpec extends AnyFunSuite {
     assert(ids(t3.read(spark)) == Set(1L, 9L))
   }
 
+  test("maintenance cannot strand branch commits; names don't resurrect") {
+    import spark.implicits._
+    val (wh, t) = mk("strand")
+    t.append(Seq((1L, "a")).toDF("id", "v"))
+    t.append(Seq((2L, "b")).toDF("id", "v"))
+    t.createBranch("b1")
+    t.appendToBranch(Seq((3L, "c")).toDF("id", "v"), "b1")
+    // rollback past the fork base: the branch AND its staged commits go
+    t.rollbackTo(1L)
+    val t2 = LakeTable.load(wh, "d", "t")
+    assert(t2.metadata.refs.isEmpty && t2.metadata.staged.isEmpty)
+    assert(t2.removeOrphanFiles(olderThanMillis = 0).nonEmpty)
+
+    // dropRef on a writable branch purges its staged work too, so a
+    // re-created branch of the same name starts clean
+    t2.createBranch("b2")
+    t2.appendToBranch(Seq((7L, "x")).toDF("id", "v"), "b2")
+    t2.dropRef("b2")
+    val t3 = LakeTable.load(wh, "d", "t")
+    assert(t3.metadata.staged.isEmpty)
+    t3.createBranch("b2")
+    assert(t3.readBranch(spark, "b2").collect().map(_.getLong(0)).toSet
+      == Set(1L), "a fresh branch must not adopt dead commits")
+
+    // expire keeps a branch whose base survives as the squash point,
+    // even though its HEAD is a staged snapshot
+    t3.appendToBranch(Seq((8L, "y")).toDF("id", "v"), "b2")
+    t3.expireSnapshots(keepAfter = 1L)
+    val t4 = LakeTable.load(wh, "d", "t")
+    assert(t4.metadata.refs.contains("b2"))
+    assert(t4.readBranch(spark, "b2").collect().map(_.getLong(0)).toSet
+      == Set(1L, 8L))
+  }
+
+  test("fast-forward refuses commits staged under an older schema") {
+    import spark.implicits._
+    val (wh, t) = mk("evoff")
+    t.append(Seq((1L, "a")).toDF("id", "v"))
+    t.createBranch("evo")
+    t.appendToBranch(Seq((2L, "b")).toDF("id", "v"), "evo")
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"t","columns":[
+        |{"column_name":"id","data_type":"long"},
+        |{"column_name":"v","data_type":"string"},
+        |{"column_name":"extra","data_type":"int"}],"partitions":[]}""".stripMargin)
+    val t2 = LakeTable.load(wh, "d", "t")
+    val e = intercept[IllegalArgumentException](t2.fastForward("evo"))
+    assert(e.getMessage.contains("re-branch"))
+    assert(t2.discardBranch("evo") >= 1)
+  }
+
   test("branch isolation: main writes after the fork stay invisible") {
     import spark.implicits._
     val (wh, t) = mk("iso")
@@ -108,15 +159,30 @@ class BranchSpec extends AnyFunSuite {
     assert(branchIds == Set(1L, 3L))
     assert(spark.sql("SELECT id FROM gbr.d.t").collect()
       .map(_.getLong(0)).toSet == Set(1L, 7L))
-    // writes through a branch-pinned relation are refused
-    val e2 = intercept[Exception] {
-      spark.sql("INSERT INTO gbr.d.t VERSION AS OF 'wb' VALUES (8, 'x')")
+    // writes through a branch-pinned relation are refused — drive the
+    // guard directly via the catalog's versioned loadTable (plain SQL
+    // can't even express an INSERT at a version, so the SQL layer never
+    // reaches it)
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog, SupportsDelete}
+    val cat = spark.sessionState.catalogManager.catalog("gbr")
+      .asInstanceOf[TableCatalog]
+    val pinned = cat.loadTable(Identifier.of(Array("d"), "t"), "wb")
+    val e2 = intercept[IllegalArgumentException] {
+      pinned.asInstanceOf[SupportsDelete]
+        .deleteWhere(Array.empty[org.apache.spark.sql.sources.Filter])
     }
-    assert(e2 != null)
-    // reserved wap-id prefix
+    assert(e2.getMessage.contains("VERSION AS OF"))
+    // reserved wap-id prefix — staged AND the WAP publish/discard verbs
     val e3 = intercept[IllegalArgumentException](
       t.appendStaged(Seq((4L, "d")).toDF("id", "v"), "branch:x"))
     assert(e3.getMessage.contains("reserved"))
+    val t2 = LakeTable.load(wh, "d", "t")
+    val e4 = intercept[IllegalArgumentException](
+      t2.publishStaged("branch:wb"))
+    assert(e4.getMessage.contains("fastForward"))
+    val e5 = intercept[IllegalArgumentException](
+      t2.discardStaged("branch:wb"))
+    assert(e5.getMessage.contains("discardBranch"))
     // the refs relation shows the branch base; tags carry null
     val refs = spark.sql(
       """SELECT name, kind, base_snapshot_id
