@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 /** Corpus-curation operators a large-scale training-data pipeline runs
   * between ingestion and tokenization: repetition-based quality
   * filtering (the Gopher/MassiveText rules), benchmark decontamination,
-  * fixed-token-budget sequence packing, and deterministic mixture
+  * sequence packing (fixed-boundary and true greedy), curriculum
+  * construction over quality tiers, and deterministic mixture
   * sampling. Engine extensions — the reference
   * (aws-samples/sample-iceberg-schema-evolution-pyiceberg) has no query
   * surface at all; designs follow the published pipeline papers
