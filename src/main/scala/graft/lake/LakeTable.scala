@@ -56,6 +56,26 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
 
   // ---- commit ----------------------------------------------------------
 
+  /** Move a snapshot's file list out-of-line: already-manifested lists
+    * keep their handle (the existing manifest file is re-referenced
+    * byte-for-byte — the unchanged-history part of a commit costs zero
+    * manifest IO); fresh lists get a new immutable manifest. Empty
+    * lists (MoR delete/eq-delete snapshots) stay inline — no point in
+    * a file holding `[]`.
+    */
+  private def externalize(s: SnapshotMeta,
+      created: scala.collection.mutable.Buffer[Path]): SnapshotMeta =
+    s.files match {
+      case _: ManifestFiles => s
+      case fs if fs.isEmpty => s
+      case fs =>
+        val p = metadataDir.resolve(s"manifest-${s.id}-" +
+          s"${java.util.UUID.randomUUID().toString.take(8)}.json")
+        val mf = ManifestIO.write(p, fs.toVector)
+        created += p
+        s.copy(files = mf)
+    }
+
   private def commit(next: TableMetadata): String = {
     Files.createDirectories(metadataDir)
     // optimistic concurrency: refuse to clobber a commit made through
@@ -66,6 +86,12 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
       throw new java.util.ConcurrentModificationException(
         s"table $location was committed concurrently " +
           s"(expected v$loadedVersion, found v$observed); reload and retry")
+    // write new manifests BEFORE claiming the version: a commit appends
+    // O(delta) manifest bytes and the table JSON stays O(snapshots)
+    val createdManifests = scala.collection.mutable.Buffer.empty[Path]
+    val ext = next.copy(
+      snapshots = next.snapshots.map(externalize(_, createdManifests)),
+      staged = next.staged.map(externalize(_, createdManifests)))
     val version = observed + 1
     val target = metadataDir.resolve(s"v$version.json")
     // CREATE_NEW atomically claims this version number: two handles that
@@ -73,10 +99,12 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     // FileAlreadyExistsException instead of silently clobbering the
     // winner's metadata and flipping the pointer over it
     try
-      Files.writeString(target, Json.write(MetadataIO.toJson(next)),
+      Files.writeString(target, Json.write(MetadataIO.toJson(ext)),
         java.nio.file.StandardOpenOption.CREATE_NEW)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
+        // the lost race must not leak this attempt's manifests
+        createdManifests.foreach(Files.deleteIfExists(_))
         throw new java.util.ConcurrentModificationException(
           s"table $location was committed concurrently " +
             s"(v$version.json already exists); reload and retry")
@@ -86,7 +114,7 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     Files.writeString(tmp, version.toString)
     Files.move(tmp, metadataDir.resolve("version-hint.text"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    md = next
+    md = ext
     loadedVersion = version
     target.toString
   }
@@ -540,6 +568,32 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     published
   }
 
+  /** Re-fork a diverged branch at the current main head (rebase). A
+    * branch's own commits are append-only by construction
+    * (`appendToBranch` is the only branch write), so carrying them over
+    * the moved base cannot conflict with anything main did since the
+    * fork — the branch view simply starts overlaying main's newer
+    * commits, and `fastForward` becomes possible again. Schema
+    * compatibility stays fast-forward's check (a rebase is also how a
+    * branch catches up to see an evolution). One read-visible nuance,
+    * inherent to blind appends: a key eq-deleted on main since the old
+    * fork reads as deleted from the branch's overlay rows too (the
+    * batch's sequence is newer), but publishing re-stamps the rows
+    * with fresh sequences — append-wins, exactly like a blind upsert.
+    * Returns the new base snapshot id; no-op when already based at
+    * head.
+    */
+  def rebaseBranch(name: String): Long = {
+    val ref = branchRef(name)
+    val head = md.snapshots.map(_.id).foldLeft(0L)(math.max)
+    if (ref.baseSnapshotId.contains(head)) return head
+    // an empty branch's head pointer tracks its base
+    val newSnapId = if (branchSnaps(name).isEmpty) head else ref.snapshotId
+    commit(md.copy(refs = md.refs + (name ->
+      RefMeta(newSnapId, "branch", baseSnapshotId = Some(head)))))
+    head
+  }
+
   /** Drop a branch and its unpublished commits; their data files
     * become orphans. Returns the number of files orphaned.
     */
@@ -922,8 +976,9 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
       case None => md.currentSchema
     }
     readFiles(spark,
-      LakeTable.matchingFiles(LakeTable.liveFiles(visible), current,
-        prune, statsFilters),
+      LakeTable.matchingFiles(
+        LakeTable.liveFiles(visible, prune, current, statsFilters),
+        current, prune, statsFilters),
       current, LakeTable.liveDeletes(visible),
       LakeTable.liveEqDeletes(visible))
   }
@@ -933,7 +988,8 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     */
   def plannedFiles(prune: Map[String, Set[String]] = Map.empty,
       statsFilters: Seq[RangeFilter] = Seq.empty): Seq[DataFileMeta] =
-    LakeTable.matchingFiles(LakeTable.liveFiles(md.snapshots),
+    LakeTable.matchingFiles(
+      LakeTable.liveFiles(md.snapshots, prune, md.currentSchema, statsFilters),
       md.currentSchema, prune, statsFilters)
 
   /** One reconciling scan group per schema version, unioned; rows at
@@ -1177,7 +1233,8 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
       throw new java.util.ConcurrentModificationException(
         s"table $location was committed concurrently; reload and retry")
     val candidates = LakeTable.matchingFiles(
-      LakeTable.liveFiles(md.snapshots), md.currentSchema, prune, statsFilters)
+      LakeTable.liveFiles(md.snapshots, prune, md.currentSchema, statsFilters),
+      md.currentSchema, prune, statsFilters)
     if (candidates.isEmpty) return None
     val matched = liveRowsWithPos(spark, candidates)
       .filter(coalesce(predicate, lit(false)))
@@ -1200,7 +1257,8 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
       throw new java.util.ConcurrentModificationException(
         s"table $location was committed concurrently; reload and retry")
     val candidates = LakeTable.matchingFiles(
-      LakeTable.liveFiles(md.snapshots), md.currentSchema, prune, statsFilters)
+      LakeTable.liveFiles(md.snapshots, prune, md.currentSchema, statsFilters),
+      md.currentSchema, prune, statsFilters)
     if (candidates.isEmpty) return None
     // one materialization feeds both the delete positions and the
     // updated copies (localCheckpoint: reclaimed when the df drops)
@@ -1451,7 +1509,8 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
       statsFilters: Seq[RangeFilter] = Seq.empty,
       matchSource: Option[(DataFrame, Seq[String])] = None): Seq[DataFileMeta] = {
     val candidates = LakeTable.matchingFiles(
-      LakeTable.liveFiles(md.snapshots), md.currentSchema, prune, statsFilters)
+      LakeTable.liveFiles(md.snapshots, prune, md.currentSchema, statsFilters),
+      md.currentSchema, prune, statsFilters)
     if (candidates.isEmpty) return Seq.empty
     val tagged = candidates.groupBy(_.schemaId).map { case (schemaId, group) =>
       val fileSchema = md.schemaById(schemaId)
@@ -1479,14 +1538,34 @@ object LakeTable {
     * rewritten files, a rewrite (compaction) replaces everything;
     * merge-on-read "delete" snapshots carry no data files.
     * O(snapshots × files) driver-side metadata walk — no data IO.
+    *
+    * `prune` (partition-field name → allowed values) and
+    * `statsFilters` (min/max ranges against `schema`, the same
+    * arguments `matchingFiles` applies per file) additionally skip
+    * LOADING any out-of-line manifest whose partition/stats summary
+    * proves every file in it would be pruned — at 100 TB the planning
+    * cost of a one-partition or one-key query is the manifests that
+    * OVERLAP the predicate, not the table's history. Sound because
+    * summary-pruned files are exactly files `matchingFiles` would
+    * drop: removal replay doesn't need them (a removed pruned file is
+    * equally absent either way) and seq stamping only matters for
+    * files actually read.
     */
-  def liveFiles(snapshots: Seq[SnapshotMeta]): Seq[DataFileMeta] =
+  def liveFiles(snapshots: Seq[SnapshotMeta],
+      prune: Map[String, Set[String]] = Map.empty,
+      schema: StructType = null,
+      statsFilters: Seq[RangeFilter] = Seq.empty): Seq[DataFileMeta] =
     snapshots.foldLeft(Vector.empty[DataFileMeta]) { (acc, s) =>
       // stamp each file's data sequence number (equality-delete
       // applicability: batch seq > file seq) unless it carries an
       // explicit one (expire-squash carried files keep their original)
-      def own = s.files.toVector.map(f =>
-        if (f.seq >= 0) f else f.copy(seq = s.id))
+      def own = s.files match {
+        case mf: ManifestFiles if (prune.nonEmpty || statsFilters.nonEmpty)
+            && mf.prunedOut(prune, schema, statsFilters) =>
+          Vector.empty[DataFileMeta]
+        case fs => fs.toVector.map(f =>
+          if (f.seq >= 0) f else f.copy(seq = s.id))
+      }
       s.operation match {
         case "rewrite" => own
         case "overwrite" =>
@@ -1618,7 +1697,8 @@ object LakeTable {
     require(Files.exists(hint), s"no table at $loc")
     val v = Files.readString(hint).trim
     val md = MetadataIO.fromJson(Json.parse(
-      Files.readString(loc.resolve("metadata").resolve(s"v$v.json"))))
+      Files.readString(loc.resolve("metadata").resolve(s"v$v.json"))),
+      loc.resolve("metadata"))
     new LakeTable(loc, md)
   }
 }

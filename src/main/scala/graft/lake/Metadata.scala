@@ -6,10 +6,13 @@ import graft.schema._
 
 /** Versioned table metadata — the engine's replacement for Iceberg's
   * metadata.json tree (which the reference delegates to PyIceberg+Glue,
-  * `iceberg_helper.py:234-241, 384-385`). One JSON document holds every
+  * `iceberg_helper.py:234-241, 384-385`). The table JSON holds every
   * schema version (with field IDs), every partition-spec version, and
-  * the snapshot log; data files are plain parquet. O(files) metadata,
-  * no Iceberg dependency (none exists in this environment — SURVEY.md §0).
+  * the snapshot log; each snapshot's data-file list lives out-of-line
+  * in an immutable manifest JSON ([[ManifestFiles]]) so the table
+  * document is O(snapshots), not O(files). Data files are plain
+  * parquet; no Iceberg dependency (none exists in this environment —
+  * SURVEY.md §0).
   */
 case class SpecField(sourceFieldId: Int, transform: String, name: String,
     specFieldId: Int)
@@ -89,6 +92,152 @@ case class DeleteSet(paths: Seq[String], rows: Long)
   */
 case class EqDeleteMeta(paths: Seq[String], fieldIds: Seq[Int], seq: Long)
 case class SchemaVersion(id: Int, schema: StructType)
+
+/** A snapshot's data-file list stored OUT-OF-LINE in an immutable
+  * manifest JSON under `metadata/` — the second tier of the Iceberg
+  * metadata tree (manifest-list → manifest → data files;
+  * `iceberg_helper.py` delegates this to PyIceberg, we implement the
+  * two-tier shape directly). The table metadata carries only the
+  * manifest name plus summary counts and a partition-value digest, so:
+  *
+  *   - a commit appends O(new files) manifest bytes and rewrites only
+  *     the O(snapshots) table JSON — never the full file inventory;
+  *   - scan planning consults the summary and can skip a whole
+  *     manifest (zero IO) when pruning excludes every file in it;
+  *   - unchanged snapshots re-reference their existing manifest file
+  *     byte-for-byte across commits.
+  *
+  * Materializes lazily on first element access; `length`/`isEmpty`
+  * answer from the recorded count without IO. Serializable so file
+  * lists can ride inside closures; the transient cache reloads from
+  * the manifest path after deserialization.
+  */
+final class ManifestFiles private[lake] (
+    val pathStr: String,
+    val fileCount: Int,
+    val rowCount: Long,
+    /** partition column → every distinct value across the manifest's
+      * files. A column appears only when ALL files carry it and the
+      * distinct count is ≤ ManifestIO.summaryCap — absence means
+      * "cannot prune on this column", never "no such values".
+      */
+    val partitionSummary: Map[String, Set[String]],
+    /** field id → min/max ColStats aggregated across the manifest's
+      * files. An id appears only when EVERY file carries stats of one
+      * kind for it, so "aggregate range misses the filter" implies
+      * every file's range misses it — absence disables the fast path,
+      * never skips wrongly.
+      */
+    val statsSummary: Map[Int, ColStats],
+    @transient private val preloaded: Seq[DataFileMeta])
+  extends Seq[DataFileMeta] with Serializable {
+
+  @transient @volatile private var materialized: Seq[DataFileMeta] = preloaded
+
+  private def loaded: Seq[DataFileMeta] = {
+    // benign race: readManifest is idempotent over an immutable file
+    if (materialized == null) materialized = ManifestIO.readManifest(pathStr)
+    materialized
+  }
+
+  def manifestName: String =
+    java.nio.file.Paths.get(pathStr).getFileName.toString
+  def isMaterialized: Boolean = materialized != null
+  override def apply(i: Int): DataFileMeta = loaded(i)
+  override def length: Int = fileCount
+  override def iterator: Iterator[DataFileMeta] = loaded.iterator
+  override def isEmpty: Boolean = fileCount == 0
+  override def knownSize: Int = fileCount
+
+  /** True when `prune` (partition values) or `statsFilters` (min/max
+    * ranges against `schema`'s columns) provably excludes every file in
+    * this manifest — the summary-level fast path that lets planning
+    * drop the whole manifest without reading it. Sound because a
+    * summarized column is present in EVERY file: a partition value
+    * outside the allowed set, or a filter range missing the aggregate
+    * [min,max], fails each file individually too.
+    */
+  def prunedOut(prune: Map[String, Set[String]],
+      schema: org.apache.spark.sql.types.StructType = null,
+      statsFilters: Seq[RangeFilter] = Seq.empty): Boolean =
+    prune.exists { case (name, allowed) =>
+      partitionSummary.get(name).exists(vs => !vs.exists(allowed.contains))
+    } || (statsFilters.nonEmpty && schema != null && statsSummary.nonEmpty &&
+      !FileStats.mightMatch(statsSummary, schema, statsFilters))
+}
+
+object ManifestIO {
+  import java.nio.file.{Files, Path, Paths, StandardOpenOption}
+
+  /** Summary omits a partition column once its distinct-value count
+    * exceeds this (a digest, not an index — Iceberg's manifest-level
+    * partition summaries keep ranges for the same reason).
+    */
+  val summaryCap = 16
+
+  /** Manifest files read since JVM start — observability + the test
+    * hook proving summary pruning skipped loads entirely.
+    */
+  val loads = new java.util.concurrent.atomic.AtomicLong
+
+  def summarize(files: Seq[DataFileMeta]): Map[String, Set[String]] = {
+    if (files.isEmpty) return Map.empty
+    val shared = files.head.partitionValues.keySet
+      .filter(c => files.forall(_.partitionValues.contains(c)))
+    shared.iterator.flatMap { c =>
+      val vs = files.iterator.map(_.partitionValues(c)).toSet
+      if (vs.size <= summaryCap) Some(c -> vs) else None
+    }.toMap
+  }
+
+  /** Aggregate per-field min/max across the manifest's files, keeping
+    * only field ids EVERY file has single-kind stats for (the
+    * soundness condition for whole-manifest skipping). Unparseable
+    * stats drop the field — conservative, never wrong.
+    */
+  def summarizeStats(files: Seq[DataFileMeta]): Map[Int, ColStats] = {
+    if (files.isEmpty) return Map.empty
+    val shared = files.head.stats.keySet
+      .filter(id => files.forall(_.stats.contains(id)))
+    shared.iterator.flatMap { id =>
+      val cs = files.map(_.stats(id))
+      val kinds = cs.map(_.kind).toSet
+      if (kinds.size != 1) None
+      else scala.util.Try {
+        val (mn, mx) = kinds.head match {
+          case "num" => (cs.map(c => BigDecimal(c.min)).min.toString,
+            cs.map(c => BigDecimal(c.max)).max.toString)
+          case _ => (cs.map(_.min).min, cs.map(_.max).max)
+        }
+        id -> ColStats(kinds.head, mn, mx)
+      }.toOption
+    }.toMap
+  }
+
+  /** Write an immutable manifest (CREATE_NEW — a name is never
+    * overwritten) and return the already-materialized handle.
+    */
+  def write(path: Path, files: Seq[DataFileMeta]): ManifestFiles = {
+    Files.writeString(path, Json.write(JObject(Map(
+      "files" -> JArray(files.map(MetadataIO.dataFileToJson))))),
+      StandardOpenOption.CREATE_NEW)
+    new ManifestFiles(path.toString, files.size, files.map(_.rows).sum,
+      summarize(files), summarizeStats(files), files.toVector)
+  }
+
+  /** A lazy handle from table-metadata summary fields (load path). */
+  def ref(pathStr: String, fileCount: Int, rowCount: Long,
+      summary: Map[String, Set[String]],
+      statsSummary: Map[Int, ColStats]): ManifestFiles =
+    new ManifestFiles(pathStr, fileCount, rowCount, summary, statsSummary,
+      null)
+
+  def readManifest(pathStr: String): Seq[DataFileMeta] = {
+    loads.incrementAndGet()
+    Json.parse(Files.readString(Paths.get(pathStr)))
+      .asObj("files").asArr.map(MetadataIO.dataFileFromJson).toVector
+  }
+}
 
 /** A named snapshot pointer (Iceberg's refs): `kind` is "tag"
   * (immutable release marker) or "branch". A branch is a WRITABLE
@@ -184,8 +333,52 @@ object MetadataIO {
       m("id").asInt)
   }
 
+  // ---- DataFileMeta <-> JSON ------------------------------------------
+
+  def dataFileToJson(df: DataFileMeta): JValue = JObject(Map(
+    "path" -> JString(df.path),
+    "schema-id" -> JNumber(df.schemaId),
+    "spec-id" -> JNumber(df.specId),
+    "rows" -> JNumber(df.rows),
+    "bytes" -> JNumber(df.bytes)) ++
+    (if (df.sortedByIds.isEmpty) Map.empty[String, JValue]
+     else Map("sorted-by" -> JArray(df.sortedByIds.map(i => JNumber(i))))) ++
+    (if (df.seq < 0) Map.empty[String, JValue]
+     else Map("seq" -> JNumber(df.seq))) ++
+    Map(
+      "partition" -> JObject(df.partitionValues.map {
+        case (k, v) => k -> JString(v)
+      }),
+      "stats" -> JObject(df.stats.map { case (id, cs) =>
+        id.toString -> JObject(Map(
+          "kind" -> JString(cs.kind),
+          "min" -> JString(cs.min),
+          "max" -> JString(cs.max)))
+      })))
+
+  def dataFileFromJson(df: JValue): DataFileMeta = {
+    val dm = df.asObj
+    DataFileMeta(dm("path").asStr, dm("schema-id").asInt,
+      dm("spec-id").asInt, dm("rows").asLong,
+      dm("partition").asObj.map { case (k, vv) => k -> vv.asStr },
+      dm.get("stats").map(_.asObj.map { case (id, sv) =>
+        val sm2 = sv.asObj
+        id.toInt -> ColStats(sm2("kind").asStr,
+          sm2("min").asStr, sm2("max").asStr)
+      }).getOrElse(Map.empty),
+      bytes = dm.get("bytes").map(_.asLong).getOrElse(-1L),
+      sortedByIds = dm.get("sorted-by")
+        .map(_.asArr.map(_.asInt)).getOrElse(Seq.empty),
+      seq = dm.get("seq").map(_.asLong).getOrElse(-1L))
+  }
+
   // ---- SnapshotMeta <-> JSON ------------------------------------------
 
+  /** A snapshot whose file list lives out-of-line serializes a manifest
+    * REFERENCE (name, counts, partition summary) instead of inline
+    * files — the table JSON stays O(snapshots). The name is relative to
+    * the metadata dir so a table directory can be relocated wholesale.
+    */
   private def snapshotToJson(sn: SnapshotMeta): JValue = JObject(Map(
     "snapshot-id" -> JNumber(sn.id),
     "schema-id" -> JNumber(sn.schemaId),
@@ -209,45 +402,45 @@ object MetadataIO {
     (if (sn.deleteCounts.isEmpty) Map.empty[String, JValue]
      else Map("delete-counts" -> JObject(sn.deleteCounts.map {
        case (p, n) => p -> JNumber(n)
-     }))) ++ Map(
-    "files" -> JArray(sn.files.map(df => JObject(Map(
-      "path" -> JString(df.path),
-      "schema-id" -> JNumber(df.schemaId),
-      "spec-id" -> JNumber(df.specId),
-      "rows" -> JNumber(df.rows),
-      "bytes" -> JNumber(df.bytes)) ++
-    (if (df.sortedByIds.isEmpty) Map.empty[String, JValue]
-     else Map("sorted-by" -> JArray(df.sortedByIds.map(i => JNumber(i))))) ++
-    (if (df.seq < 0) Map.empty[String, JValue]
-     else Map("seq" -> JNumber(df.seq))) ++
-    Map(
-      "partition" -> JObject(df.partitionValues.map {
-        case (k, v) => k -> JString(v)
-      }),
-      "stats" -> JObject(df.stats.map { case (id, cs) =>
-        id.toString -> JObject(Map(
-          "kind" -> JString(cs.kind),
-          "min" -> JString(cs.min),
-          "max" -> JString(cs.max)))
-      })))))))
+     }))) ++ (sn.files match {
+      case mf: ManifestFiles => Map[String, JValue](
+        "manifest" -> JString(mf.manifestName),
+        "manifest-file-count" -> JNumber(mf.fileCount),
+        "manifest-row-count" -> JNumber(mf.rowCount),
+        "manifest-summary" -> JObject(mf.partitionSummary.map {
+          case (c, vs) => c -> JArray(vs.toSeq.sorted.map(JString(_)))
+        }),
+        "manifest-stats" -> JObject(mf.statsSummary.map { case (id, cs) =>
+          id.toString -> JObject(Map(
+            "kind" -> JString(cs.kind),
+            "min" -> JString(cs.min),
+            "max" -> JString(cs.max)))
+        }))
+      case fs => Map[String, JValue](
+        "files" -> JArray(fs.map(dataFileToJson)))
+    }))
 
-  private def snapshotFromJson(sn: JValue): SnapshotMeta = {
+  private def snapshotFromJson(sn: JValue,
+      metadataDir: java.nio.file.Path): SnapshotMeta = {
     val sm = sn.asObj
     SnapshotMeta(sm("snapshot-id").asLong,
-      files = sm("files").asArr.map { df =>
-        val dm = df.asObj
-        DataFileMeta(dm("path").asStr, dm("schema-id").asInt,
-          dm("spec-id").asInt, dm("rows").asLong,
-          dm("partition").asObj.map { case (k, vv) => k -> vv.asStr },
-          dm.get("stats").map(_.asObj.map { case (id, sv) =>
-            val sm2 = sv.asObj
-            id.toInt -> ColStats(sm2("kind").asStr,
-              sm2("min").asStr, sm2("max").asStr)
-          }).getOrElse(Map.empty),
-          bytes = dm.get("bytes").map(_.asLong).getOrElse(-1L),
-          sortedByIds = dm.get("sorted-by")
-            .map(_.asArr.map(_.asInt)).getOrElse(Seq.empty),
-          seq = dm.get("seq").map(_.asLong).getOrElse(-1L))
+      files = sm.get("manifest") match {
+        case Some(name) =>
+          require(metadataDir != null,
+            "manifest-backed metadata needs a metadata dir to resolve " +
+              s"'${name.asStr}' (loaded without one)")
+          ManifestIO.ref(metadataDir.resolve(name.asStr).toString,
+            sm("manifest-file-count").asInt,
+            sm("manifest-row-count").asLong,
+            sm.get("manifest-summary").map(_.asObj.map { case (c, vs) =>
+              c -> vs.asArr.map(_.asStr).toSet
+            }).getOrElse(Map.empty),
+            sm.get("manifest-stats").map(_.asObj.map { case (id, sv) =>
+              val m2 = sv.asObj
+              id.toInt -> ColStats(m2("kind").asStr,
+                m2("min").asStr, m2("max").asStr)
+            }).getOrElse(Map.empty))
+        case None => sm("files").asArr.map(dataFileFromJson)
       },
       schemaId = sm("schema-id").asInt,
       operation = sm.get("operation").map(_.asStr).getOrElse("append"),
@@ -304,7 +497,12 @@ object MetadataIO {
            "base-snapshot-id" -> (JNumber(b): JValue)).toMap)
      }))))
 
-  def fromJson(v: JValue): TableMetadata = {
+  /** `metadataDir` resolves manifest references (out-of-line file
+    * lists); null is fine for fully-inline metadata (round-trip tests,
+    * pre-manifest tables) and fails fast otherwise.
+    */
+  def fromJson(v: JValue,
+      metadataDir: java.nio.file.Path = null): TableMetadata = {
     val m = v.asObj
     TableMetadata(
       formatVersion = m("format-version").asInt,
@@ -326,7 +524,7 @@ object MetadataIO {
           })
       },
       currentSpecId = m("current-spec-id").asInt,
-      snapshots = m("snapshots").asArr.map(snapshotFromJson),
+      snapshots = m("snapshots").asArr.map(snapshotFromJson(_, metadataDir)),
       lastFieldId = m("last-field-id").asInt,
       properties = m.get("properties")
         .map(_.asObj.map { case (k, v) => k -> v.asStr })
@@ -338,6 +536,7 @@ object MetadataIO {
           rm.get("base-snapshot-id").map(_.asLong))
       }).getOrElse(Map.empty),
       staged = m.get("staged-snapshots")
-        .map(_.asArr.map(snapshotFromJson)).getOrElse(Seq.empty))
+        .map(_.asArr.map(snapshotFromJson(_, metadataDir)))
+        .getOrElse(Seq.empty))
   }
 }

@@ -710,12 +710,13 @@ object RowOpsQueries extends QueryModule {
     }),
 
     "lake_branch_ff" -> QueryModule.micro(4)((s, dir) => {
-      // writable-branch lifecycle: a branch takes two isolated commits
-      // (main keeps serving the fork-base state), its overlay view is
-      // audited, then fast-forward publishes both commits onto main as
-      // ordinary appends — zero data movement at publish, refusal on
-      // divergence is tested in BranchSpec. Final state = base + both
-      // branch commits, under the oracle.
+      // writable-branch lifecycle WITH divergence: a branch takes an
+      // isolated commit (main keeps serving the fork-base state), main
+      // then moves past the fork — fast-forward refuses the diverged
+      // branch, an explicit rebase re-forks it at the new head (sound:
+      // branch commits are append-only), and fast-forward publishes.
+      // Zero data movement at publish or rebase. Final state = base +
+      // main's divergent append + the branch commit, under the oracle.
       val wh = LakeQueries.freshWarehouse("branchff")
       Engine.processTableDefJson(wh,
         """{"database_name":"bq","table_name":"cust","columns":[
@@ -729,14 +730,20 @@ object RowOpsQueries extends QueryModule {
       t.append(cust.filter(col("c_custkey") % 2 === 0))
       t.createBranch("ingest")
       t.appendToBranch(cust.filter(col("c_custkey") % 4 === 1), "ingest")
-      t.appendToBranch(cust.filter(col("c_custkey") % 4 === 3), "ingest")
-      // isolation + overlay audit, loud before the oracle
+      // isolation audit, loud before the oracle
       val mainRows = t.read(s).count()
-      val branchRows = t.readBranch(s, "ingest").count()
-      require(branchRows > mainRows, "branch overlay must see its commits")
-      require(LakeTable.load(wh, "bq", "cust").read(s).count() == mainRows,
-        "branch commits must not leak into main")
-      t.fastForward("ingest")
+      require(t.readBranch(s, "ingest").count() > mainRows,
+        "branch overlay must see its commit")
+      // main diverges past the fork base
+      LakeTable.load(wh, "bq", "cust")
+        .append(cust.filter(col("c_custkey") % 4 === 3))
+      val t2 = LakeTable.load(wh, "bq", "cust")
+      require(scala.util.Try(t2.fastForward("ingest")).isFailure,
+        "fast-forward must refuse a diverged branch")
+      t2.rebaseBranch("ingest")
+      require(t2.readBranch(s, "ingest").count() == cust.count(),
+        "rebased branch view must overlay main's divergent commit")
+      t2.fastForward("ingest")
       LakeTable.load(wh, "bq", "cust").read(s)
         .select("c_custkey", "c_name", "c_mktsegment")
         .orderBy("c_custkey")

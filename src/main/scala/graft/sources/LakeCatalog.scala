@@ -443,7 +443,7 @@ private[sources] object LakeProcedures {
   val names: Set[String] =
     Set("expire_snapshots", "expire_older_than", "remove_orphan_files",
       "compact", "rollback_to_snapshot", "create_tag", "create_branch",
-      "drop_ref", "publish_wap", "discard_wap")
+      "drop_ref", "publish_wap", "discard_wap", "rebase_branch")
 
   private def param(n: String, dt: DataType) =
     ProcedureParameter.in(n, dt).build()
@@ -480,6 +480,9 @@ private[sources] object LakeProcedures {
             case "publish_wap" | "discard_wap" => Array(
               param("db", StringType), param("table", StringType),
               param("wap_id", StringType))
+            case "rebase_branch" => Array(
+              param("db", StringType), param("table", StringType),
+              param("name", StringType))
           }
           override def call(input: InternalRow): java.util.Iterator[Scan] = {
             val db = input.getUTF8String(0).toString
@@ -543,6 +546,14 @@ private[sources] object LakeProcedures {
                   StructField("files_orphaned", IntegerType,
                     nullable = false))),
                   Seq[Any](orphaned))
+              case "rebase_branch" =>
+                val newBase = t.rebaseBranch(
+                  input.getUTF8String(2).toString)
+                (StructType(Seq(
+                  StructField("ref", StringType, nullable = false),
+                  StructField("base_snapshot_id", LongType,
+                    nullable = false))),
+                  Seq[Any](input.getUTF8String(2).toString, newBase))
             }
             // procedure output must be a LocalScan (InvokeProcedures
             // turns it into a LocalRelation)

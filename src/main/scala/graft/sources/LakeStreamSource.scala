@@ -444,12 +444,14 @@ private[sources] class LakeScan(wh: String, db: String, tbl: String,
           .flatMap(s => s.files.map(f =>
             if (f.seq >= 0) f else f.copy(seq = s.id)))
         (t, LakeTable.matchingFiles(
-          LakeTable.liveFiles(visible) ++ overlay,
+          LakeTable.liveFiles(visible, Map.empty, target, statsFilters) ++
+            overlay,
           target, Map.empty, statsFilters), LakeTable.liveDeletes(visible),
           LakeTable.liveEqDeletes(visible))
       case None =>
         val visible = LakeSource.visibleSnapshots(t, asOfSnapshot)
-        (t, LakeTable.matchingFiles(LakeTable.liveFiles(visible),
+        (t, LakeTable.matchingFiles(
+          LakeTable.liveFiles(visible, Map.empty, target, statsFilters),
           target, Map.empty, statsFilters), LakeTable.liveDeletes(visible),
           LakeTable.liveEqDeletes(visible))
     }

@@ -8,8 +8,9 @@ import graft.lake.{Engine, LakeTable}
 
 /** Writable branches: commits land as branch-tagged staged snapshots,
   * reads overlay them on the frozen fork base, fast-forward publishes
-  * onto main only when main hasn't moved, and divergence is refused
-  * rather than silently merged (the nightly-build isolation pattern).
+  * onto main only when main hasn't moved, and divergence is resolved
+  * by an explicit rebase (sound because branch writes are append-only)
+  * — never silently merged (the nightly-build isolation pattern).
   */
 class BranchSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
@@ -73,6 +74,60 @@ class BranchSpec extends AnyFunSuite {
     assert(t3.metadata.refs.isEmpty && t3.metadata.staged.isEmpty)
     assert(t3.removeOrphanFiles(olderThanMillis = 0).nonEmpty)
     assert(ids(t3.read(spark)) == Set(1L, 9L))
+  }
+
+  test("rebase re-forks a diverged branch at the new head; " +
+      "fast-forward then publishes") {
+    import spark.implicits._
+    val (wh, t) = mk("rebase")
+    t.append(Seq((1L, "a")).toDF("id", "v"))
+    t.createBranch("exp")
+    t.appendToBranch(Seq((2L, "b")).toDF("id", "v"), "exp")
+    // main moves past the fork base → fastForward refuses
+    LakeTable.load(wh, "d", "t").append(Seq((9L, "z")).toDF("id", "v"))
+    val t2 = LakeTable.load(wh, "d", "t")
+    intercept[IllegalArgumentException](t2.fastForward("exp"))
+
+    // rebase: branch view now overlays main's newer commit, own
+    // append survives
+    val newBase = t2.rebaseBranch("exp")
+    assert(newBase == t2.metadata.snapshots.map(_.id).max)
+    assert(ids(t2.readBranch(spark, "exp")) == Set(1L, 2L, 9L))
+    // idempotent: rebasing at head is a no-op (no metadata churn)
+    val v = t2.metadata.snapshots.size
+    assert(t2.rebaseBranch("exp") == newBase)
+    assert(t2.metadata.snapshots.size == v)
+
+    val published = t2.fastForward("exp")
+    assert(published.size == 1)
+    val t3 = LakeTable.load(wh, "d", "t")
+    assert(ids(t3.read(spark)) == Set(1L, 2L, 9L))
+    assert(t3.metadata.staged.isEmpty)
+  }
+
+  test("rebasing an empty branch moves its head pointer with the base") {
+    import spark.implicits._
+    val (wh, t) = mk("rebase-empty")
+    t.append(Seq((1L, "a")).toDF("id", "v"))
+    t.createBranch("idle")
+    LakeTable.load(wh, "d", "t").append(Seq((2L, "b")).toDF("id", "v"))
+    val t2 = LakeTable.load(wh, "d", "t")
+    t2.rebaseBranch("idle")
+    val ref = t2.metadata.refs("idle")
+    assert(ref.baseSnapshotId.contains(ref.snapshotId),
+      "an empty branch's head tracks its base")
+    assert(ids(t2.readBranch(spark, "idle")) == Set(1L, 2L))
+    // SQL procedure surface drives the same rebase
+    spark.conf.set("spark.sql.catalog.grb", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.grb.warehouse", wh)
+    t2.appendToBranch(Seq((3L, "c")).toDF("id", "v"), "idle")
+    LakeTable.load(wh, "d", "t").append(Seq((4L, "d")).toDF("id", "v"))
+    val row = spark.sql(
+      "CALL grb.system.rebase_branch('d', 't', 'idle')").collect().head
+    assert(row.getString(0) == "idle")
+    val t3 = LakeTable.load(wh, "d", "t")
+    assert(row.getLong(1) == t3.metadata.snapshots.map(_.id).max)
+    assert(ids(t3.readBranch(spark, "idle")) == Set(1L, 2L, 3L, 4L))
   }
 
   test("maintenance cannot strand branch commits; names don't resurrect") {

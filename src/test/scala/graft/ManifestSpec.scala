@@ -1,0 +1,195 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.lake.{Engine, LakeTable, ManifestFiles, MetadataIO}
+import graft.schema.Json
+
+/** Two-tier metadata (SURVEY.md §4, Iceberg's manifest-list→manifest
+  * shape): snapshot file lists live out-of-line in immutable manifest
+  * JSONs; the table JSON carries only references + partition
+  * summaries. Pins the O(snapshots) table document, byte-for-byte
+  * manifest re-referencing across commits, lazy loading, summary-level
+  * prune skipping, and inline (pre-manifest) metadata compatibility.
+  */
+class ManifestSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def mkPlain(tag: String): (String, LakeTable) = {
+    val wh = Files.createTempDirectory(s"graft-manifest-$tag").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"m","columns":[
+        |{"column_name":"id","data_type":"long"},
+        |{"column_name":"v","data_type":"string"}],
+        |"partitions":[]}""".stripMargin)
+    (wh, LakeTable.load(wh, "d", "m"))
+  }
+
+  private def mkPartitioned(tag: String): (String, LakeTable) = {
+    val wh = Files.createTempDirectory(s"graft-manifest-$tag").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"p","columns":[
+        |{"column_name":"id","data_type":"long"},
+        |{"column_name":"grp","data_type":"string"},
+        |{"column_name":"v","data_type":"string"}],
+        |"partitions":[{"column":"grp","name":"grp"}]}""".stripMargin)
+    (wh, LakeTable.load(wh, "d", "p"))
+  }
+
+  private def metadataDir(wh: String, db: String, tbl: String) =
+    Paths.get(wh, db, tbl, "metadata")
+
+  private def versionJson(wh: String, db: String, tbl: String,
+      v: Int): String =
+    Files.readString(metadataDir(wh, db, tbl).resolve(s"v$v.json"))
+
+  private def latestVersion(wh: String, db: String, tbl: String): Int =
+    Files.readString(metadataDir(wh, db, tbl)
+      .resolve("version-hint.text")).trim.toInt
+
+  test("file lists live out-of-line: table JSON is O(snapshots)") {
+    import spark.implicits._
+    val (wh, t) = mkPlain("oline")
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    t.append(Seq((3L, "c")).toDF("id", "v"))
+
+    // the table document never inlines a data-file entry
+    val v = latestVersion(wh, "d", "m")
+    val doc = versionJson(wh, "d", "m", v)
+    assert(!doc.contains(".parquet"),
+      "table JSON must not inline data-file paths")
+    assert(doc.contains("\"manifest\""))
+
+    // one immutable manifest per data-bearing snapshot
+    val manifests = Files.list(metadataDir(wh, "d", "m")).iterator()
+    val names = scala.jdk.CollectionConverters.IteratorHasAsScala(manifests)
+      .asScala.map(_.getFileName.toString)
+      .filter(_.startsWith("manifest-")).toSeq
+    assert(names.size == 2)
+
+    // a fresh load sees lazy handles: counts answer without IO
+    val t2 = LakeTable.load(wh, "d", "m")
+    val handles = t2.metadata.snapshots.map(_.files)
+    assert(handles.forall(_.isInstanceOf[ManifestFiles]))
+    val h = handles.map(_.asInstanceOf[ManifestFiles])
+    assert(h.map(_.size) == Seq(h.head.size, h(1).size)) // size = no IO
+    assert(h.forall(!_.isMaterialized),
+      "size/isEmpty must answer from recorded counts, not manifest IO")
+    assert(h.map(_.rowCount).sum == 3)
+
+    // materialized content round-trips: the read is correct
+    assert(t2.read(spark).collect().map(r =>
+      r.getLong(0) -> r.getString(1)).toMap ==
+      Map(1L -> "a", 2L -> "b", 3L -> "c"))
+    assert(h.exists(_.isMaterialized))
+  }
+
+  test("an unchanged snapshot re-references its manifest byte-for-byte") {
+    import spark.implicits._
+    val (wh, t) = mkPlain("reref")
+    t.append(Seq((1L, "a")).toDF("id", "v")) // -> v2.json
+    t.append(Seq((2L, "b")).toDF("id", "v")) // -> v3.json
+
+    def manifestOf(doc: String, snapIdx: Int): String = {
+      val snaps = Json.parse(doc).asObj("snapshots").asArr
+      snaps(snapIdx).asObj("manifest").asStr
+    }
+    val m2 = manifestOf(versionJson(wh, "d", "m", 2), 0)
+    val m3 = manifestOf(versionJson(wh, "d", "m", 3), 0)
+    assert(m2 == m3,
+      "commit #2 must re-reference snapshot #1's existing manifest")
+    // and the in-memory handle after the second commit is the same file
+    assert(t.metadata.snapshots.head.files
+      .asInstanceOf[ManifestFiles].manifestName == m2)
+  }
+
+  test("summary pruning skips loading pruned-out manifests entirely") {
+    import spark.implicits._
+    val (wh, t) = mkPartitioned("prune")
+    // two single-partition appends → each manifest summarizes one grp
+    t.append(Seq((1L, "x", "a"), (2L, "x", "b")).toDF("id", "grp", "v"))
+    t.append(Seq((3L, "y", "c"), (4L, "y", "d")).toDF("id", "grp", "v"))
+
+    val t2 = LakeTable.load(wh, "d", "p")
+    val planned = t2.plannedFiles(prune = Map("grp" -> Set("x")))
+    assert(planned.nonEmpty &&
+      planned.forall(_.partitionValues("grp") == "x"))
+
+    val Seq(hx, hy) = t2.metadata.snapshots.map(
+      _.files.asInstanceOf[ManifestFiles])
+    assert(hx.partitionSummary("grp") == Set("x"))
+    assert(hy.partitionSummary("grp") == Set("y"))
+    assert(hx.isMaterialized, "the overlapping manifest is loaded")
+    assert(!hy.isMaterialized,
+      "a summary-pruned manifest must never be read from disk")
+
+    // the pruned read itself returns exactly the partition's rows
+    assert(t2.read(spark, prune = Map("grp" -> Set("x"))).collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L))
+  }
+
+  test("stats summary skips manifests wholly outside a filter range") {
+    import spark.implicits._
+    val (wh, t) = mkPlain("stats")
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    t.append(Seq((100L, "c"), (101L, "d")).toDF("id", "v"))
+
+    val t2 = LakeTable.load(wh, "d", "m")
+    val planned = t2.plannedFiles(statsFilters =
+      Seq(graft.lake.RangeFilter("id", loNum = Some(BigDecimal(100)))))
+    assert(planned.nonEmpty && planned.flatMap(_.stats.get(1)).nonEmpty)
+
+    val Seq(h1, h2) = t2.metadata.snapshots.map(
+      _.files.asInstanceOf[ManifestFiles])
+    assert(h2.isMaterialized, "the in-range manifest is loaded")
+    assert(!h1.isMaterialized,
+      "a manifest whose aggregate [min,max] misses the filter is skipped")
+    // the filtered read returns exactly the in-range rows
+    assert(t2.read(spark, statsFilters = Seq(graft.lake.RangeFilter("id",
+      loNum = Some(BigDecimal(100))))).collect()
+      .map(_.getLong(0)).toSet == Set(100L, 101L))
+  }
+
+  test("inline (pre-manifest) metadata still loads and reads") {
+    import spark.implicits._
+    val (wh, t) = mkPlain("inline")
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+
+    // rewrite the table document with the file list inlined (the
+    // pre-manifest format) and point the hint at it
+    val inlined = t.metadata.copy(snapshots =
+      t.metadata.snapshots.map(s => s.copy(files = s.files.toVector)))
+    val dir = metadataDir(wh, "d", "m")
+    val v = latestVersion(wh, "d", "m") + 1
+    Files.writeString(dir.resolve(s"v$v.json"),
+      Json.write(MetadataIO.toJson(inlined)))
+    Files.writeString(dir.resolve("version-hint.text"), v.toString)
+
+    assert(versionJson(wh, "d", "m", v).contains(".parquet"))
+    val t2 = LakeTable.load(wh, "d", "m")
+    assert(t2.read(spark).collect().map(r =>
+      r.getLong(0) -> r.getString(1)).toMap == Map(1L -> "a", 2L -> "b"))
+    // and the next commit externalizes the inline list
+    t2.append(Seq((3L, "c")).toDF("id", "v"))
+    assert(!versionJson(wh, "d", "m", v + 1).contains(".parquet"))
+  }
+
+  test("expire + orphan sweep: squash gets a fresh manifest, sweep " +
+      "leaves manifests alone") {
+    import spark.implicits._
+    val (wh, t) = mkPlain("expire")
+    t.append(Seq((1L, "a")).toDF("id", "v"))
+    t.append(Seq((2L, "b")).toDF("id", "v"))
+    t.delete(spark, org.apache.spark.sql.functions.col("id") === 1L)
+    assert(t.expireSnapshots(keepAfter = 3) == 3)
+    assert(t.removeOrphanFiles(olderThanMillis = 0).nonEmpty)
+
+    val t2 = LakeTable.load(wh, "d", "m")
+    assert(t2.read(spark).collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // the squash snapshot's manifest resolves (sweep didn't eat it)
+    val mf = t2.metadata.snapshots.head.files.asInstanceOf[ManifestFiles]
+    assert(mf.nonEmpty && mf.forall(f => Files.exists(Paths.get(f.path))))
+  }
+}
