@@ -1157,16 +1157,16 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     val referenced = (md.snapshots ++ md.staged).flatMap(s =>
       s.files.map(_.path) ++ s.deletePaths ++
         s.eqDeletes.flatMap(_.paths)).toSet
-    if (!Files.exists(dataDir)) return Seq.empty
     val cutoff = System.currentTimeMillis() - olderThanMillis
-    val orphans = Using.resource(Files.walk(dataDir)) { st =>
-      st.iterator().asScala
-        .filter(p => Files.isRegularFile(p))
-        .filter(p => p.toString.endsWith(".parquet"))
-        .filterNot(p => referenced(p.toString))
-        .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
-        .toSeq
-    }
+    val orphans = if (!Files.exists(dataDir)) Seq.empty[Path] else
+      Using.resource(Files.walk(dataDir)) { st =>
+        st.iterator().asScala
+          .filter(p => Files.isRegularFile(p))
+          .filter(p => p.toString.endsWith(".parquet"))
+          .filterNot(p => referenced(p.toString))
+          .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
+          .toSeq
+      }
     orphans.foreach { p =>
       Files.delete(p)
       // Hadoop local-FS checksum sibling, if any
@@ -1174,7 +1174,7 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
       Files.deleteIfExists(crc)
     }
     // prune now-empty directories bottom-up (partition dirs, snap dirs)
-    Using.resource(Files.walk(dataDir)) { st =>
+    if (Files.exists(dataDir)) Using.resource(Files.walk(dataDir)) { st =>
       st.sorted(java.util.Comparator.reverseOrder())
         .iterator().asScala
         .filter(p => p != dataDir && Files.isDirectory(p))
@@ -1182,7 +1182,29 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
           s => !s.iterator().hasNext))
         .foreach(Files.delete)
     }
-    orphans.map(_.toString)
+    // manifest JSONs the CURRENT metadata no longer references (crash
+    // between manifest write and version claim, rollback, discarded
+    // branch/WAP work, expire leftovers) are unreachable the same way
+    // orphaned data files are — sweep them under the same age guard.
+    // Old v*.json audit documents may still name them, but those
+    // versions stop being readable once their data files are swept
+    // anyway (the existing data-file policy).
+    val liveManifests = (md.snapshots ++ md.staged).map(_.files).collect {
+      case mf: ManifestFiles => mf.manifestName
+    }.toSet
+    val manifestOrphans = if (!Files.exists(metadataDir)) Seq.empty[Path]
+      else Using.resource(Files.list(metadataDir)) { st =>
+        st.iterator().asScala
+          .filter { p =>
+            val n = p.getFileName.toString
+            n.startsWith("manifest-") && n.endsWith(".json") &&
+              !liveManifests(n)
+          }
+          .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
+          .toSeq
+      }
+    manifestOrphans.foreach(Files.delete)
+    (orphans ++ manifestOrphans).map(_.toString)
   }
 
   // ---- row-level ops (copy-on-write) -----------------------------------

@@ -115,7 +115,13 @@ case class SchemaVersion(id: Int, schema: StructType)
 final class ManifestFiles private[lake] (
     val pathStr: String,
     val fileCount: Int,
+    /** Sum of the KNOWN per-file row/byte counts (the -1
+      * unreadable-footer / pre-upgrade sentinels are excluded, same as
+      * the .partitions rollup). byteCount is -1 when loaded from
+      * metadata written before the field existed — unknown, not zero.
+      */
     val rowCount: Long,
+    val byteCount: Long,
     /** partition column → every distinct value across the manifest's
       * files. A column appears only when ALL files carry it and the
       * distinct count is ≤ ManifestIO.summaryCap — absence means
@@ -221,16 +227,18 @@ object ManifestIO {
     Files.writeString(path, Json.write(JObject(Map(
       "files" -> JArray(files.map(MetadataIO.dataFileToJson))))),
       StandardOpenOption.CREATE_NEW)
-    new ManifestFiles(path.toString, files.size, files.map(_.rows).sum,
+    new ManifestFiles(path.toString, files.size,
+      files.map(_.rows).filter(_ >= 0).sum,
+      files.map(_.bytes).filter(_ >= 0).sum,
       summarize(files), summarizeStats(files), files.toVector)
   }
 
   /** A lazy handle from table-metadata summary fields (load path). */
   def ref(pathStr: String, fileCount: Int, rowCount: Long,
-      summary: Map[String, Set[String]],
+      byteCount: Long, summary: Map[String, Set[String]],
       statsSummary: Map[Int, ColStats]): ManifestFiles =
-    new ManifestFiles(pathStr, fileCount, rowCount, summary, statsSummary,
-      null)
+    new ManifestFiles(pathStr, fileCount, rowCount, byteCount, summary,
+      statsSummary, null)
 
   def readManifest(pathStr: String): Seq[DataFileMeta] = {
     loads.incrementAndGet()
@@ -407,6 +415,7 @@ object MetadataIO {
         "manifest" -> JString(mf.manifestName),
         "manifest-file-count" -> JNumber(mf.fileCount),
         "manifest-row-count" -> JNumber(mf.rowCount),
+        "manifest-byte-count" -> JNumber(mf.byteCount),
         "manifest-summary" -> JObject(mf.partitionSummary.map {
           case (c, vs) => c -> JArray(vs.toSeq.sorted.map(JString(_)))
         }),
@@ -432,6 +441,7 @@ object MetadataIO {
           ManifestIO.ref(metadataDir.resolve(name.asStr).toString,
             sm("manifest-file-count").asInt,
             sm("manifest-row-count").asLong,
+            sm.get("manifest-byte-count").map(_.asLong).getOrElse(-1L),
             sm.get("manifest-summary").map(_.asObj.map { case (c, vs) =>
               c -> vs.asArr.map(_.asStr).toSet
             }).getOrElse(Map.empty),

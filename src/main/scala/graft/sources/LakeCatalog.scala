@@ -364,10 +364,19 @@ private[sources] object MetaTables {
     }
     case "snapshots" => new MetaTable(fullName, snapshotsSchema,
       // staged (write-audit-publish) snapshots are listed too — their
-      // operation ("staged-append") distinguishes them from history
+      // operation ("staged-append") distinguishes them from history.
+      // Manifest-backed snapshots answer from the recorded summary
+      // counts — listing N snapshots must stay zero-IO, not load N
+      // manifests; materializing is only the fallback for pre-upgrade
+      // metadata without a byte count (and inline file lists).
       (t.metadata.snapshots ++ t.metadata.staged).sortBy(_.id).map { s =>
-        Seq[Any](s.id, s.operation, s.files.size,
-          s.files.map(_.rows).sum, s.files.map(_.bytes).sum,
+        val (nFiles, rows, bytes) = s.files match {
+          case mf: graft.lake.ManifestFiles if mf.byteCount >= 0 =>
+            (mf.fileCount, mf.rowCount, mf.byteCount)
+          case fs => (fs.size, fs.map(_.rows).filter(_ >= 0).sum,
+            fs.map(_.bytes).filter(_ >= 0).sum)
+        }
+        Seq[Any](s.id, s.operation, nFiles, rows, bytes,
           s.removedPaths.size, s.deletePaths.size)
       })
     case "files" => {

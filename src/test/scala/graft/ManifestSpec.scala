@@ -74,10 +74,11 @@ class ManifestSpec extends AnyFunSuite {
     val handles = t2.metadata.snapshots.map(_.files)
     assert(handles.forall(_.isInstanceOf[ManifestFiles]))
     val h = handles.map(_.asInstanceOf[ManifestFiles])
-    assert(h.map(_.size) == Seq(h.head.size, h(1).size)) // size = no IO
+    assert(h.map(_.size).sum >= 2) // ≥1 file per append, counted
     assert(h.forall(!_.isMaterialized),
       "size/isEmpty must answer from recorded counts, not manifest IO")
     assert(h.map(_.rowCount).sum == 3)
+    assert(h.forall(_.byteCount > 0))
 
     // materialized content round-trips: the read is correct
     assert(t2.read(spark).collect().map(r =>
@@ -177,19 +178,28 @@ class ManifestSpec extends AnyFunSuite {
   }
 
   test("expire + orphan sweep: squash gets a fresh manifest, sweep " +
-      "leaves manifests alone") {
+      "reclaims unreferenced ones") {
     import spark.implicits._
     val (wh, t) = mkPlain("expire")
     t.append(Seq((1L, "a")).toDF("id", "v"))
     t.append(Seq((2L, "b")).toDF("id", "v"))
     t.delete(spark, org.apache.spark.sql.functions.col("id") === 1L)
     assert(t.expireSnapshots(keepAfter = 3) == 3)
-    assert(t.removeOrphanFiles(olderThanMillis = 0).nonEmpty)
+    val removed = t.removeOrphanFiles(olderThanMillis = 0)
+    assert(removed.nonEmpty)
+    // the expired snapshots' manifests are unreferenced now — swept
+    assert(removed.exists(_.contains("manifest-")),
+      "sweep must reclaim manifests the current metadata dropped")
 
     val t2 = LakeTable.load(wh, "d", "m")
     assert(t2.read(spark).collect().map(_.getLong(0)).toSeq == Seq(2L))
-    // the squash snapshot's manifest resolves (sweep didn't eat it)
+    // the squash snapshot's manifest resolves (sweep kept it) and only
+    // referenced manifests remain on disk
     val mf = t2.metadata.snapshots.head.files.asInstanceOf[ManifestFiles]
     assert(mf.nonEmpty && mf.forall(f => Files.exists(Paths.get(f.path))))
+    val onDisk = scala.jdk.CollectionConverters.IteratorHasAsScala(
+      Files.list(metadataDir(wh, "d", "m")).iterator()).asScala
+      .map(_.getFileName.toString).filter(_.startsWith("manifest-")).toSet
+    assert(onDisk == Set(mf.manifestName))
   }
 }
