@@ -475,6 +475,9 @@ object TrainingOps extends QueryModule {
               |UNION ALL
               |SELECT 'files_all', 0, 'sum', sum(rows)
               |FROM graftmeta.d.mt.files
+              |UNION ALL
+              |SELECT 'manifest', snapshot_id, 'summary', n_rows
+              |FROM graftmeta.d.mt.manifests
               |ORDER BY kind, snapshot_id""".stripMargin)
     }),
 
@@ -729,6 +732,9 @@ object TrainingOps extends QueryModule {
         |  CAST(n_rows AS BIGINT) AS n_rows
         |FROM (VALUES
         |  ('files_all', 0, 'sum', 2),
+        |  ('manifest', 1, 'summary', 2),
+        |  ('manifest', 2, 'summary', 1),
+        |  ('manifest', 3, 'summary', 1),
         |  ('snapshot', 1, 'append', 2),
         |  ('snapshot', 2, 'append', 1),
         |  ('snapshot', 3, 'overwrite', 1))

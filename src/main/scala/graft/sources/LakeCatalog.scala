@@ -281,17 +281,19 @@ class LakeCatalog extends TableCatalog
 }
 
 /** Iceberg-style metadata inspection tables (`db.table.snapshots`,
-  * `db.table.files`): the snapshot log and live file inventory as
-  * queryable relations. Metadata is O(files) and already on the
-  * driver, so the scan ships the rendered rows to one task — the same
-  * shape Iceberg's own metadata tables use for small metadata; the
-  * 100-TB path would page the file manifest per partition instead.
+  * `db.table.files`, `.manifests`, …): the snapshot log and file
+  * inventory as queryable relations. Summary relations (.snapshots,
+  * .manifests, .history, .refs) answer from the O(snapshots) table
+  * document with zero manifest IO; the per-file relations (.files,
+  * .partitions) materialize manifests on the driver — the same shape
+  * Iceberg's own metadata tables use; the 100-TB path would page the
+  * file inventory per manifest instead.
   */
 private[sources] object MetaTables {
   import org.apache.spark.sql.types._
 
   val names: Set[String] =
-    Set("snapshots", "files", "refs", "history", "partitions")
+    Set("snapshots", "files", "refs", "history", "partitions", "manifests")
 
   private val snapshotsSchema = StructType(Seq(
     StructField("snapshot_id", LongType, nullable = false),
@@ -322,6 +324,14 @@ private[sources] object MetaTables {
     StructField("n_rows", LongType, nullable = false),
     StructField("total_bytes", LongType, nullable = false),
     StructField("deleted_rows", LongType, nullable = false)))
+
+  private val manifestsSchema = StructType(Seq(
+    StructField("snapshot_id", LongType, nullable = false),
+    StructField("manifest", StringType, nullable = false),
+    StructField("n_files", IntegerType, nullable = false),
+    StructField("n_rows", LongType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("partition_summary", StringType, nullable = false)))
 
   private val filesSchema = StructType(Seq(
     StructField("snapshot_id", LongType, nullable = false),
@@ -378,6 +388,21 @@ private[sources] object MetaTables {
         }
         Seq[Any](s.id, s.operation, nFiles, rows, bytes,
           s.removedPaths.size, s.deletePaths.size)
+      })
+    case "manifests" => new MetaTable(fullName, manifestsSchema,
+      // the out-of-line metadata tier itself (Iceberg's .manifests):
+      // one row per manifest-backed snapshot, answered entirely from
+      // the recorded summaries — zero manifest IO at any table size
+      (t.metadata.snapshots ++ t.metadata.staged).sortBy(_.id).flatMap {
+        s => s.files match {
+          case mf: graft.lake.ManifestFiles => Some(Seq[Any](
+            s.id, mf.manifestName, mf.fileCount, mf.rowCount,
+            mf.byteCount,
+            mf.partitionSummary.toSeq.sortBy(_._1).map { case (c, vs) =>
+              s"$c=[${vs.toSeq.sorted.mkString("|")}]"
+            }.mkString(",")))
+          case _ => None
+        }
       })
     case "files" => {
       // the LIVE file inventory (Iceberg's .files semantics): files

@@ -118,12 +118,12 @@ class BranchSpec extends AnyFunSuite {
       "an empty branch's head tracks its base")
     assert(ids(t2.readBranch(spark, "idle")) == Set(1L, 2L))
     // SQL procedure surface drives the same rebase
-    spark.conf.set("spark.sql.catalog.grb", "graft.sources.LakeCatalog")
-    spark.conf.set("spark.sql.catalog.grb.warehouse", wh)
+    spark.conf.set("spark.sql.catalog.grbr", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.grbr.warehouse", wh)
     t2.appendToBranch(Seq((3L, "c")).toDF("id", "v"), "idle")
     LakeTable.load(wh, "d", "t").append(Seq((4L, "d")).toDF("id", "v"))
     val row = spark.sql(
-      "CALL grb.system.rebase_branch('d', 't', 'idle')").collect().head
+      "CALL grbr.system.rebase_branch('d', 't', 'idle')").collect().head
     assert(row.getString(0) == "idle")
     val t3 = LakeTable.load(wh, "d", "t")
     assert(row.getLong(1) == t3.metadata.snapshots.map(_.id).max)

@@ -318,6 +318,20 @@ class LakeCatalogSpec extends AnyFunSuite {
     assert(parts.map(_._3).toSeq == Seq(2L, 2L), "per-partition live rows")
     assert(parts.map(_._4).toSeq == Seq(1L, 0L),
       "merge-on-read deleted rows attributed to their partition")
+
+    // .manifests surfaces the out-of-line tier from summaries alone:
+    // two data-bearing snapshots (the MoR delete carries no data files)
+    val mans = spark.sql(
+      """SELECT snapshot_id, n_files, n_rows, partition_summary
+        |FROM graftm3.d.hp.manifests ORDER BY snapshot_id""".stripMargin)
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3)))
+    // ids 1 (append) and 3 (the published cherry-pick gets a fresh id
+    // past the staged one); the MoR delete carries no manifest
+    assert(mans.map(_._1).toSeq == Seq(1L, 3L))
+    assert(mans.map(_._3).toSeq == Seq(3L, 1L))
+    assert(mans.head._4 == "grp=[x|y]" && mans(1)._4 == "grp=[y]",
+      "partition summaries render per manifest")
   }
 
   test("CALL procedures: expire_snapshots, compact, remove_orphan_files") {
