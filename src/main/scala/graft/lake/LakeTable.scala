@@ -346,23 +346,27 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     aligned.sparkSession.conf
       .set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     // fail fast before writing any data if another handle committed
-    // since we loaded (the commit itself re-checks)
-    if (currentHintVersion() != loadedVersion)
+    // since we loaded — except for plain appends, which reload and
+    // recommit instead (commitSnapshot's retry; the data files are
+    // new either way, so nothing written is wasted or stale)
+    val retriable = operation == "append" && removedPaths.isEmpty &&
+      streamBatchId.isEmpty
+    if (!retriable && currentHintVersion() != loadedVersion)
       throw new java.util.ConcurrentModificationException(
         s"table $location was committed concurrently; reload and retry")
     val snapshotId = (md.snapshots ++ md.staged).map(_.id)
       .foldLeft(0L)(math.max) + 1
     // unique dir per write attempt: a racing writer that loses the
     // commit leaves orphan files behind instead of clobbering the
-    // winner's snapshot (Iceberg's orphan-file model)
+    // winner's snapshot (Iceberg's orphan-file model). The id in the
+    // name is a hint — a retried commit may land under a later id.
     val outDir = dataDir.resolve(
       s"snap-$snapshotId-${java.util.UUID.randomUUID().toString.take(8)}")
     val files = writeDataFiles(aligned, outDir)
-    val snap = SnapshotMeta(snapshotId, files, md.currentSchemaId, operation,
-      streamBatchId, streamId, removedPaths,
-      timestampMs = System.currentTimeMillis())
-    commit(md.copy(snapshots = md.snapshots :+ snap))
-    snap
+    // schema captured at write time: a retry that crosses a concurrent
+    // evolution keeps the files' true write schema (reads reconcile)
+    commitSnapshot(files, md.currentSchemaId, operation,
+      streamBatchId, streamId, removedPaths)
   }
 
   // ---- write-audit-publish (Iceberg's wap.id staging) ------------------
@@ -901,16 +905,56 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     Some(snap)
   }
 
+  /** Reload this handle's view of the table to the committed head —
+    * the optimistic-concurrency retry primitive.
+    */
+  private def reload(): Unit = {
+    val v = currentHintVersion()
+    md = MetadataIO.fromJson(Json.parse(
+      Files.readString(metadataDir.resolve(s"v$v.json"))), metadataDir)
+    loadedVersion = v
+  }
+
+  /** Plain appends are read-independent — the new files reference no
+    * stale rewrite/removal decision — so a commit conflict retries
+    * Iceberg-style: reload the head, re-point the already-written data
+    * files at a fresh snapshot id, commit again. Correct across a
+    * concurrent schema/spec evolution too (files keep their write-time
+    * schemaId/specId; the read path reconciles per group), and a fresh
+    * higher snapshot id keeps equality-delete sequencing right (live
+    * batches never mask rows appended after them). Copy-on-write and
+    * merge-on-read row-level ops do NOT retry — their rewrite sets
+    * were computed against the stale snapshot — and streaming-batch
+    * appends don't either (their idempotence check must re-run against
+    * the new head). An abandoned version claim (vN+1 exists, pointer
+    * never flipped) still surfaces after the bounded retries.
+    */
   private def commitSnapshot(files: Seq[DataFileMeta], schemaId: Int,
       operation: String, streamBatchId: Option[Long],
       streamId: Option[String],
       removedPaths: Seq[String] = Seq.empty): SnapshotMeta = {
-    val snapshotId = md.snapshots.map(_.id).foldLeft(0L)(math.max) + 1
-    val snap = SnapshotMeta(snapshotId, files, schemaId, operation,
-      streamBatchId, streamId, removedPaths,
-      timestampMs = System.currentTimeMillis())
-    commit(md.copy(snapshots = md.snapshots :+ snap))
-    snap
+    val retriable = operation == "append" && removedPaths.isEmpty &&
+      streamBatchId.isEmpty
+    var attempts = 0
+    while (true) {
+      // ids share one space with staged (branch/WAP) snapshots — a new
+      // commit must never collide with a staged id
+      val snapshotId = (md.snapshots ++ md.staged).map(_.id)
+        .foldLeft(0L)(math.max) + 1
+      val snap = SnapshotMeta(snapshotId, files, schemaId, operation,
+        streamBatchId, streamId, removedPaths,
+        timestampMs = System.currentTimeMillis())
+      try {
+        commit(md.copy(snapshots = md.snapshots :+ snap))
+        return snap
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempts += 1
+          if (!retriable || attempts >= 5) throw e
+          reload()
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   private def listParquet(dir: Path): Seq[Path] =
@@ -1204,7 +1248,28 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
           .toSeq
       }
     manifestOrphans.foreach(Files.delete)
-    (orphans ++ manifestOrphans).map(_.toString)
+    // bounded metadata history (Iceberg's
+    // write.metadata.previous-versions-max): version documents older
+    // than the newest K are audit-only — no read path resolves them
+    // (loads go through the version hint; time travel replays the
+    // CURRENT document's snapshot log) — yet they accumulate one per
+    // commit forever. Sweep them here; K is property-tunable.
+    val keepVersions = md.properties
+      .get("metadata.previous-versions-max").map(_.toInt).getOrElse(100)
+    val cut = loadedVersion - keepVersions
+    val versionOrphans = if (cut < 1 || !Files.exists(metadataDir))
+      Seq.empty[Path]
+      else Using.resource(Files.list(metadataDir)) { st =>
+        st.iterator().asScala
+          .filter { p =>
+            val n = p.getFileName.toString
+            n.startsWith("v") && n.endsWith(".json") &&
+              scala.util.Try(n.stripPrefix("v").stripSuffix(".json").toInt)
+                .toOption.exists(_ <= cut)
+          }.toSeq
+      }
+    versionOrphans.foreach(Files.delete)
+    (orphans ++ manifestOrphans ++ versionOrphans).map(_.toString)
   }
 
   // ---- row-level ops (copy-on-write) -----------------------------------

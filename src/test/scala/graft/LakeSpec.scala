@@ -172,7 +172,7 @@ class LakeSpec extends AnyFunSuite {
     assert(keys(t.read(spark)) == Seq(1L, 2L, 3L, 4L))
   }
 
-  test("concurrent commit from a stale handle is refused") {
+  test("stale-handle appends retry onto the new head; row-level ops refuse") {
     val wh = freshWarehouse()
     Engine.processTableDefJson(wh,
       """{"database_name":"d","table_name":"cc","columns":[
@@ -181,14 +181,21 @@ class LakeSpec extends AnyFunSuite {
     val h1 = LakeTable.load(wh, "d", "cc")
     val h2 = LakeTable.load(wh, "d", "cc")
     h1.append(Seq(1L).toDF("k"))
-    // h2 loaded before h1's commit — its append must surface the conflict
-    intercept[java.util.ConcurrentModificationException] {
-      h2.append(Seq(2L).toDF("k"))
-    }
-    // a fresh handle sees h1's commit and proceeds
+    // h2 loaded before h1's commit — an append is read-independent, so
+    // it reloads and lands as the NEXT snapshot instead of failing
+    // (Iceberg's optimistic retry); neither row is lost
+    h2.append(Seq(2L).toDF("k"))
+    val ids = LakeTable.load(wh, "d", "cc").metadata.snapshots.map(_.id)
+    assert(ids == Seq(1L, 2L), "retried append claims the next id")
+    assert(h2.read(spark).count() == 2)
+    // a row-level op's rewrite set was computed against the stale
+    // snapshot — it must surface the conflict, not retry
     val h3 = LakeTable.load(wh, "d", "cc")
+    val h4 = LakeTable.load(wh, "d", "cc")
     h3.append(Seq(3L).toDF("k"))
-    assert(h3.read(spark).count() == 2)
+    intercept[java.util.ConcurrentModificationException] {
+      h4.delete(spark, org.apache.spark.sql.functions.col("k") === 1L)
+    }
   }
 
   test("stats-based file skipping: min/max prunes the scan list") {

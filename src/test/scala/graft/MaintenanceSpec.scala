@@ -31,6 +31,33 @@ class MaintenanceSpec extends AnyFunSuite {
   private def ids(t: LakeTable): Set[Long] =
     t.read(spark).select("id").collect().map(_.getLong(0)).toSet
 
+  test("metadata-version retention sweeps old version documents") {
+    val wh = Files.createTempDirectory("graft-maint-vers").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"vr","columns":[
+        |{"column_name":"id","data_type":"long"}],"partitions":[],
+        |"properties":{"metadata.previous-versions-max":"2"}}""".stripMargin)
+    val t = LakeTable.load(wh, "d", "vr")
+    import SparkTestSession.spark.implicits._
+    (1L to 5L).foreach(i => t.append(Seq(i).toDF("id")))
+    val mdDir = Paths.get(wh, "d", "vr", "metadata")
+    def versions: Set[Int] = scala.jdk.CollectionConverters
+      .IteratorHasAsScala(Files.list(mdDir).iterator()).asScala
+      .map(_.getFileName.toString)
+      .collect { case n if n.matches("v\\d+\\.json") =>
+        n.stripPrefix("v").stripSuffix(".json").toInt }.toSet
+    assert(versions == (1 to 6).toSet, "one document per commit")
+    val removed = t.removeOrphanFiles(olderThanMillis = 0)
+    assert(removed.count(_.matches(".*v\\d+\\.json")) == 4,
+      "versions older than the newest 2 are swept")
+    assert(versions == Set(5, 6))
+    // the table stays fully readable and writable
+    val t2 = LakeTable.load(wh, "d", "vr")
+    assert(t2.read(spark).count() == 5)
+    t2.append(Seq(6L).toDF("id"))
+    assert(t2.read(spark).count() == 6)
+  }
+
   test("expireSnapshots squashes history, preserves live set and later replay") {
     val (wh, t) = mkTable("expire")
     t.append(df(1L -> "a"))
