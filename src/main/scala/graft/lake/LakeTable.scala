@@ -935,6 +935,10 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
       removedPaths: Seq[String] = Seq.empty): SnapshotMeta = {
     val retriable = operation == "append" && removedPaths.isEmpty &&
       streamBatchId.isEmpty
+    // Iceberg's commit.retry.num-retries; jittered linear backoff so a
+    // herd of writers doesn't re-collide in lockstep
+    val maxRetries = md.properties.get("commit.retry.num-retries")
+      .map(_.toInt).getOrElse(4)
     var attempts = 0
     while (true) {
       // ids share one space with staged (branch/WAP) snapshots — a new
@@ -950,7 +954,9 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
       } catch {
         case e: java.util.ConcurrentModificationException =>
           attempts += 1
-          if (!retriable || attempts >= 5) throw e
+          if (!retriable || attempts > maxRetries) throw e
+          Thread.sleep(
+            scala.util.Random.nextInt(10L.max(attempts * 20L).toInt).toLong)
           reload()
       }
     }
