@@ -336,24 +336,37 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
   def compact(spark: SparkSession): SnapshotMeta =
     writeSnapshot(read(spark), operation = "rewrite")
 
+  /** `retryConflicts = false` opts an append OUT of conflict retry for
+    * callers whose frame was derived from a read of the table (merge's
+    * anti-joined insert set): their content is stale after a
+    * concurrent commit, so the conflict must surface.
+    */
   private def writeSnapshot(aligned: DataFrame, operation: String,
       streamBatchId: Option[Long] = None,
       streamId: Option[String] = None,
-      removedPaths: Seq[String] = Seq.empty): SnapshotMeta = {
+      removedPaths: Seq[String] = Seq.empty,
+      retryConflicts: Boolean = true): SnapshotMeta = {
     // Spark's default parquet timestamp encoding is INT96 (legacy);
     // pin INT64 micros so footer min/max stats exist for timestamp
     // columns and the graft-lake record reader's INT64 fast path holds
     aligned.sparkSession.conf
       .set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    // the files' true write schema: captured BEFORE any reload, since
+    // `aligned` was coerced to it by the caller (a retry that crosses
+    // a concurrent evolution keeps this id; reads reconcile per group)
+    val schemaIdAtWrite = md.currentSchemaId
     // fail fast before writing any data if another handle committed
-    // since we loaded — except for plain appends, which reload and
-    // recommit instead (commitSnapshot's retry; the data files are
-    // new either way, so nothing written is wasted or stale)
-    val retriable = operation == "append" && removedPaths.isEmpty &&
-      streamBatchId.isEmpty
-    if (!retriable && currentHintVersion() != loadedVersion)
-      throw new java.util.ConcurrentModificationException(
+    // since we loaded — except for retriable plain appends, which
+    // catch up NOW (cheaper than burning a commit attempt on a
+    // guaranteed conflict) and retry any later conflict in
+    // commitSnapshot
+    val retriable = retryConflicts && operation == "append" &&
+      removedPaths.isEmpty && streamBatchId.isEmpty
+    if (currentHintVersion() != loadedVersion) {
+      if (retriable) reload()
+      else throw new java.util.ConcurrentModificationException(
         s"table $location was committed concurrently; reload and retry")
+    }
     val snapshotId = (md.snapshots ++ md.staged).map(_.id)
       .foldLeft(0L)(math.max) + 1
     // unique dir per write attempt: a racing writer that loses the
@@ -363,10 +376,8 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     val outDir = dataDir.resolve(
       s"snap-$snapshotId-${java.util.UUID.randomUUID().toString.take(8)}")
     val files = writeDataFiles(aligned, outDir)
-    // schema captured at write time: a retry that crosses a concurrent
-    // evolution keeps the files' true write schema (reads reconcile)
-    commitSnapshot(files, md.currentSchemaId, operation,
-      streamBatchId, streamId, removedPaths)
+    commitSnapshot(files, schemaIdAtWrite, operation,
+      streamBatchId, streamId, removedPaths, retryConflicts)
   }
 
   // ---- write-audit-publish (Iceberg's wap.id staging) ------------------
@@ -932,9 +943,10 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
   private def commitSnapshot(files: Seq[DataFileMeta], schemaId: Int,
       operation: String, streamBatchId: Option[Long],
       streamId: Option[String],
-      removedPaths: Seq[String] = Seq.empty): SnapshotMeta = {
-    val retriable = operation == "append" && removedPaths.isEmpty &&
-      streamBatchId.isEmpty
+      removedPaths: Seq[String] = Seq.empty,
+      retryConflicts: Boolean = true): SnapshotMeta = {
+    val retriable = retryConflicts && operation == "append" &&
+      removedPaths.isEmpty && streamBatchId.isEmpty
     // Iceberg's commit.retry.num-retries; jittered linear backoff so a
     // herd of writers doesn't re-collide in lockstep
     val maxRetries = md.properties.get("commit.retry.num-retries")
@@ -1260,8 +1272,11 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     // (loads go through the version hint; time travel replays the
     // CURRENT document's snapshot log) — yet they accumulate one per
     // commit forever. Sweep them here; K is property-tunable.
+    // clamped to >= 1: "previous"-versions-max must never touch the
+    // document the version hint points at
     val keepVersions = md.properties
       .get("metadata.previous-versions-max").map(_.toInt).getOrElse(100)
+      .max(1)
     val cut = loadedVersion - keepVersions
     val versionOrphans = if (cut < 1 || !Files.exists(metadataDir))
       Seq.empty[Path]
@@ -1272,7 +1287,12 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
             n.startsWith("v") && n.endsWith(".json") &&
               scala.util.Try(n.stripPrefix("v").stripSuffix(".json").toInt)
                 .toOption.exists(_ <= cut)
-          }.toSeq
+          }
+          // same age guard as the data/manifest sweeps: a loader that
+          // read the hint just before a commit burst must not crash on
+          // a freshly-deleted document
+          .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
+          .toSeq
       }
     versionOrphans.foreach(Files.delete)
     (orphans ++ manifestOrphans ++ versionOrphans).map(_.toString)
@@ -1413,8 +1433,12 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
       .reduceOption(_.unionByName(_))
     matched match {
       case Some(m) => commitMoR(spark, m, appended)
+      // insert-only merge: the frame is an anti-join against the
+      // TARGET's keys — stale after a concurrent commit, so the
+      // conflict must surface, never retry (a retry could re-insert a
+      // key a racer just added, breaking insert-if-absent)
       case None => appended.map(df =>
-        writeSnapshot(df, operation = "append"))
+        writeSnapshot(df, operation = "append", retryConflicts = false))
     }
   }
 

@@ -438,9 +438,9 @@ class LakeSpec extends AnyFunSuite {
         |{"column_name":"k","data_type":"long"}],"partitions":[],
         |"properties":{"commit.retry.num-retries":"50"}}""".stripMargin)
     import spark.implicits._
-    // pre-materialize each single-row frame OUTSIDE the threads: the
-    // contention under test is the metadata commit, not Spark's
-    // driver-side planning locks
+    // each worker plans and writes its frames in-thread — realistic
+    // multi-writer shape: Spark's driver-side planning runs under the
+    // same contention as the metadata commits being tested
     val writers = 4; val perWriter = 3
     val rows = (0 until writers).map { w =>
       (0 until perWriter).map(i => w * perWriter + i.toLong)

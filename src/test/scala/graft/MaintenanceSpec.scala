@@ -41,11 +41,12 @@ class MaintenanceSpec extends AnyFunSuite {
     import SparkTestSession.spark.implicits._
     (1L to 5L).foreach(i => t.append(Seq(i).toDF("id")))
     val mdDir = Paths.get(wh, "d", "vr", "metadata")
-    def versions: Set[Int] = scala.jdk.CollectionConverters
-      .IteratorHasAsScala(Files.list(mdDir).iterator()).asScala
-      .map(_.getFileName.toString)
-      .collect { case n if n.matches("v\\d+\\.json") =>
-        n.stripPrefix("v").stripSuffix(".json").toInt }.toSet
+    def versions: Set[Int] = scala.util.Using.resource(Files.list(mdDir)) {
+      st => scala.jdk.CollectionConverters.IteratorHasAsScala(st.iterator())
+        .asScala.map(_.getFileName.toString)
+        .collect { case n if n.matches("v\\d+\\.json") =>
+          n.stripPrefix("v").stripSuffix(".json").toInt }.toSet
+    }
     assert(versions == (1 to 6).toSet, "one document per commit")
     val removed = t.removeOrphanFiles(olderThanMillis = 0)
     assert(removed.count(_.matches(".*v\\d+\\.json")) == 4,

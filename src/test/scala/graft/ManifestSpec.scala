@@ -49,6 +49,13 @@ class ManifestSpec extends AnyFunSuite {
     Files.readString(metadataDir(wh, db, tbl)
       .resolve("version-hint.text")).trim.toInt
 
+  private def manifestNames(wh: String, db: String, tbl: String): Set[String] =
+    scala.util.Using.resource(Files.list(metadataDir(wh, db, tbl))) { st =>
+      scala.jdk.CollectionConverters.IteratorHasAsScala(st.iterator())
+        .asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("manifest-")).toSet
+    }
+
   test("file lists live out-of-line: table JSON is O(snapshots)") {
     import spark.implicits._
     val (wh, t) = mkPlain("oline")
@@ -63,11 +70,7 @@ class ManifestSpec extends AnyFunSuite {
     assert(doc.contains("\"manifest\""))
 
     // one immutable manifest per data-bearing snapshot
-    val manifests = Files.list(metadataDir(wh, "d", "m")).iterator()
-    val names = scala.jdk.CollectionConverters.IteratorHasAsScala(manifests)
-      .asScala.map(_.getFileName.toString)
-      .filter(_.startsWith("manifest-")).toSeq
-    assert(names.size == 2)
+    assert(manifestNames(wh, "d", "m").size == 2)
 
     // a fresh load sees lazy handles: counts answer without IO
     val t2 = LakeTable.load(wh, "d", "m")
@@ -197,9 +200,6 @@ class ManifestSpec extends AnyFunSuite {
     // referenced manifests remain on disk
     val mf = t2.metadata.snapshots.head.files.asInstanceOf[ManifestFiles]
     assert(mf.nonEmpty && mf.forall(f => Files.exists(Paths.get(f.path))))
-    val onDisk = scala.jdk.CollectionConverters.IteratorHasAsScala(
-      Files.list(metadataDir(wh, "d", "m")).iterator()).asScala
-      .map(_.getFileName.toString).filter(_.startsWith("manifest-")).toSet
-    assert(onDisk == Set(mf.manifestName))
+    assert(manifestNames(wh, "d", "m") == Set(mf.manifestName))
   }
 }
