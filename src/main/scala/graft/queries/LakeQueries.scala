@@ -792,6 +792,64 @@ object RowOpsQueries extends QueryModule {
       d.read(s).orderBy("n_nationkey")
     }),
 
+    "lake_incr_rollup" -> QueryModule.micro(4)((s, dir) => {
+      // incremental materialized-view maintenance: a per-customer
+      // rollup follows an append-only source through CDC reads. Each
+      // refresh pulls ONLY the new snapshots' rows (changesBetween —
+      // O(delta) metadata-planned read; the source is never
+      // rescanned), aggregates the delta, joins it against the
+      // CURRENT rollup values of just the touched groups, and
+      // blind-upserts the merged rows (equality-delete supersede —
+      // O(changed groups) write, no rollup rewrite). At 100 TB the
+      // refresh cost tracks the delta, not the table. Sums accumulate
+      // in DECIMAL so incremental addition is exact-associative and
+      // matches the oracle's one-pass aggregate bit-for-bit.
+      val wh = LakeQueries.freshWarehouse("incrroll")
+      Engine.processTableDefJson(wh,
+        """{"database_name":"iq","table_name":"src","columns":[
+          |{"column_name":"o_orderkey","data_type":"long"},
+          |{"column_name":"o_custkey","data_type":"long"},
+          |{"column_name":"o_totalprice","data_type":"double"}],
+          |"partitions":[]}""".stripMargin)
+      Engine.processTableDefJson(wh,
+        """{"database_name":"iq","table_name":"roll","columns":[
+          |{"column_name":"o_custkey","data_type":"long"},
+          |{"column_name":"n_orders","data_type":"long"},
+          |{"column_name":"sum_price","data_type":"decimal(18,4)"}],
+          |"partitions":[]}""".stripMargin)
+      val orders = Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      var lastSeen = 0L
+      Seq(0, 1, 2).foreach { m =>
+        val src = LakeTable.load(wh, "iq", "src")
+        val snap = src.append(orders.filter(col("o_orderkey") % 3 === m))
+        // refresh: delta rows only, then merge-add into the rollup
+        val delta = src.changesBetween(s, lastSeen, snap.id)
+        lastSeen = snap.id
+        val deltaAgg = delta.groupBy("o_custkey")
+          .agg(count(lit(1)).cast("long").as("d_n"),
+            sum(Tables.dec(col("o_totalprice")))
+              .cast("decimal(18,4)").as("d_sum"))
+        val roll = LakeTable.load(wh, "iq", "roll")
+        val merged = deltaAgg
+          .join(roll.read(s), Seq("o_custkey"), "left")
+          .select(col("o_custkey"),
+            (col("d_n") + coalesce(col("n_orders"), lit(0L)))
+              .as("n_orders"),
+            (col("d_sum") + coalesce(col("sum_price"),
+              lit(BigDecimal(0)).cast("decimal(18,4)")))
+              .cast("decimal(18,4)").as("sum_price"))
+        roll.upsertMoR(s, merged, keys = Seq("o_custkey"))
+      }
+      // compaction materializes the accumulated equality deletes so
+      // the served rollup is plain data files again
+      LakeTable.load(wh, "iq", "roll").compact(s)
+      LakeTable.load(wh, "iq", "roll").read(s)
+        .select(col("o_custkey"), col("n_orders"),
+          col("sum_price").cast("double").as("sum_price"))
+        .orderBy("o_custkey")
+    }),
+
     "lake_compact_zorder" -> QueryModule.micro(4)((s, dir) => {
       // z-order clustered compaction: three unsorted append snapshots
       // (every file's key ranges span the whole table — nothing prunes)
@@ -937,6 +995,13 @@ object RowOpsQueries extends QueryModule {
     "lake_branch_ff" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
         |ORDER BY c_custkey""".stripMargin,
+
+    "lake_incr_rollup" ->
+      """SELECT o_custkey,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     "lake_cdc_apply" ->
       """SELECT n_nationkey,
