@@ -827,10 +827,12 @@ object RowOpsQueries extends QueryModule {
         val delta = src.changesBetween(s, lastSeen, snap.id)
         lastSeen = snap.id
         val deltaAgg = delta.groupBy("o_custkey")
-          .agg(count(lit(1)).cast("long").as("d_n"),
+          .agg(count(lit(1)).as("d_n"),
             sum(Tables.dec(col("o_totalprice")))
               .cast("decimal(18,4)").as("d_sum"))
         val roll = LakeTable.load(wh, "iq", "roll")
+        // one materialization: upsertMoR evaluates its source twice
+        // (key batch + data write), and the merge join is not free
         val merged = deltaAgg
           .join(roll.read(s), Seq("o_custkey"), "left")
           .select(col("o_custkey"),
@@ -839,12 +841,14 @@ object RowOpsQueries extends QueryModule {
             (col("d_sum") + coalesce(col("sum_price"),
               lit(BigDecimal(0)).cast("decimal(18,4)")))
               .cast("decimal(18,4)").as("sum_price"))
+          .localCheckpoint()
         roll.upsertMoR(s, merged, keys = Seq("o_custkey"))
       }
       // compaction materializes the accumulated equality deletes so
       // the served rollup is plain data files again
-      LakeTable.load(wh, "iq", "roll").compact(s)
-      LakeTable.load(wh, "iq", "roll").read(s)
+      val served = LakeTable.load(wh, "iq", "roll")
+      served.compact(s)
+      served.read(s)
         .select(col("o_custkey"), col("n_orders"),
           col("sum_price").cast("double").as("sum_price"))
         .orderBy("o_custkey")

@@ -24,8 +24,17 @@ object ManifestProps extends Properties("graft.lake.manifests") {
     FieldIds.withId(StructField("k", LongType, nullable = true), 1),
     FieldIds.withId(StructField("s", StringType, nullable = true), 2)))
 
-  private val manifestDir =
-    Files.createTempDirectory("graft-manifest-props")
+  // fixed dir, wiped per run — generators write real manifests here
+  // and must not accumulate across JVM invocations
+  private val manifestDir = {
+    val p = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft-manifest-props")
+    if (Files.exists(p))
+      scala.util.Using.resource(Files.walk(p))(
+        _.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => Files.delete(f)))
+    Files.createDirectories(p)
+  }
 
   private val partVals = Seq("p0", "p1", "p2", "p3")
 
