@@ -284,10 +284,12 @@ class LakeCatalog extends TableCatalog
   * `db.table.files`, `.manifests`, …): the snapshot log and file
   * inventory as queryable relations. Summary relations (.snapshots,
   * .manifests, .history, .refs) answer from the O(snapshots) table
-  * document with zero manifest IO; the per-file relations (.files,
-  * .partitions) materialize manifests on the driver — the same shape
-  * Iceberg's own metadata tables use; the 100-TB path would page the
-  * file inventory per manifest instead.
+  * document with zero manifest IO; `.files` is a DISTRIBUTED scan
+  * (one partition per manifest, parsed executor-side —
+  * [[LakeFilesTable]]); `.partitions` still aggregates driver-side
+  * (its output is partition-count-sized, but its input walk
+  * materializes manifests — at 100 TB, prefer grouping over `.files`
+  * in SQL).
   */
 private[sources] object MetaTables {
   import org.apache.spark.sql.types._
@@ -404,27 +406,108 @@ private[sources] object MetaTables {
           case _ => None
         }
       })
-    case "files" => {
-      // the LIVE file inventory (Iceberg's .files semantics): files
-      // superseded by overwrites/rewrites are excluded — .snapshots is
-      // the historical log; snapshot_id records which snapshot ADDED
-      // the file
-      val live = LakeTable.liveFiles(t.metadata.snapshots)
-        .map(_.path).toSet
-      // a squash/compaction snapshot re-lists files an earlier append
-      // already recorded — emit each live path once, under the first
-      // snapshot that listed it
-      val seen = scala.collection.mutable.Set.empty[String]
-      new MetaTable(fullName, filesSchema,
-        t.metadata.snapshots.sortBy(_.id).flatMap { s =>
-          s.files.filter(f => live(f.path) && seen.add(f.path))
-            .map(f => Seq[Any](s.id, f.path, f.rows, f.bytes,
-              f.schemaId, f.specId,
-              f.partitionValues.toSeq.sorted.map { case (k, v) => s"$k=$v" }
-                .mkString(",")))
-        })
+    case "files" =>
+      // the LIVE file inventory (Iceberg's .files semantics) as a
+      // DISTRIBUTED scan — see LakeFilesTable
+      new LakeFilesTable(fullName, filesSchema, t)
+  }
+}
+
+/** The `.files` metadata relation as a DISTRIBUTED scan: one input
+  * partition per manifest, parsed executor-side — the relation's
+  * working set is per-manifest on executors, never O(table files) on
+  * the driver (Iceberg's metadata tables scan manifests the same
+  * way). Replay distributes cleanly: only snapshots since the last
+  * "rewrite" can contribute live files (a rewrite discards everything
+  * before it), and files removed by later copy-on-write overwrites
+  * are dropped via a removed-path set carried into every partition —
+  * exact because data-file paths are write-unique (a removed path
+  * never reappears under a later snapshot). `snapshot_id` records the
+  * snapshot that listed the file (for squash-carried files, the
+  * squash). Inline (pre-manifest) file lists render driver-side as
+  * one extra partition, preserving compatibility.
+  */
+private[sources] class LakeFilesTable(name0: String,
+    schema0: org.apache.spark.sql.types.StructType, t: LakeTable)
+    extends Table with SupportsRead {
+  import org.apache.spark.sql.connector.read._
+
+  override def name(): String = name0
+  override def schema(): org.apache.spark.sql.types.StructType = schema0
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder = new ScanBuilder {
+    override def build(): Scan = new Scan with Batch {
+      override def readSchema(): org.apache.spark.sql.types.StructType =
+        schema0
+      override def toBatch: Batch = this
+      override def planInputPartitions(): Array[InputPartition] = {
+        val snaps = t.metadata.snapshots
+        val idx = snaps.lastIndexWhere(_.operation == "rewrite")
+        val suffix = if (idx < 0) snaps else snaps.drop(idx)
+        val removed = suffix.filter(_.operation == "overwrite")
+          .flatMap(_.removedPaths).toArray
+        val inline = suffix.flatMap { s =>
+          s.files match {
+            case _: graft.lake.ManifestFiles => Seq.empty
+            case fs => fs.filterNot(f => removed.contains(f.path))
+              .map(f => LakeFilesReader.render(s.id, f).toSeq)
+          }
+        }
+        (suffix.flatMap { s =>
+          s.files match {
+            // fileCount answers nonEmpty without manifest IO
+            case mf: graft.lake.ManifestFiles if mf.nonEmpty =>
+              Some(ManifestScanPartition(mf.pathStr, s.id, removed))
+            case _ => None
+          }
+        } ++ (if (inline.isEmpty) Seq.empty
+              else Seq(MetaRowsPartition(
+                inline.map(_.toArray).toArray)))).toArray
+      }
+      override def createReaderFactory(): PartitionReaderFactory =
+        LakeFilesReader
     }
   }
+}
+
+private[sources] case class ManifestScanPartition(manifestPath: String,
+    snapshotId: Long, removed: Array[String])
+    extends org.apache.spark.sql.connector.read.InputPartition
+
+private[sources] object LakeFilesReader
+    extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+  import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader}
+
+  /** One `.files` row (pre-UTF8 conversion — MetaReaderFactory and the
+    * manifest reader both convert Strings on emit).
+    */
+  def render(snapshotId: Long, f: graft.lake.DataFileMeta): Array[Any] =
+    Array[Any](snapshotId, f.path, f.rows, f.bytes, f.schemaId, f.specId,
+      f.partitionValues.toSeq.sorted.map { case (k, v) => s"$k=$v" }
+        .mkString(","))
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    p match {
+      case mp: ManifestScanPartition => new PartitionReader[InternalRow] {
+        private val removed = mp.removed.toSet
+        // the manifest parse happens HERE, on the executor
+        private val files = graft.lake.ManifestIO
+          .readManifest(mp.manifestPath)
+          .filterNot(f => removed(f.path)).toArray
+        private var i = -1
+        override def next(): Boolean = { i += 1; i < files.length }
+        override def get(): InternalRow = new GenericInternalRow(
+          render(mp.snapshotId, files(i)).map {
+            case s: String => UTF8String.fromString(s): Any
+            case x => x
+          })
+        override def close(): Unit = ()
+      }
+      case other => MetaReaderFactory.createReader(other)
+    }
 }
 
 /** A fixed set of driver-rendered rows as a DSv2 batch table. */

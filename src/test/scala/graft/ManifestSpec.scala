@@ -180,6 +180,33 @@ class ManifestSpec extends AnyFunSuite {
     assert(!versionJson(wh, "d", "m", v + 1).contains(".parquet"))
   }
 
+  test(".files is a distributed scan: one input partition per manifest") {
+    import spark.implicits._
+    val (wh, t) = mkPlain("distfiles")
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    t.append(Seq((3L, "c")).toDF("id", "v"))
+    t.delete(spark, org.apache.spark.sql.functions.col("id") === 2L)
+    spark.conf.set("spark.sql.catalog.gmfs", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.gmfs.warehouse", wh)
+
+    val df = spark.sql("SELECT snapshot_id, path FROM gmfs.d.m.files")
+    // three data-bearing snapshots (two appends + the CoW overwrite),
+    // each its own manifest partition, parsed executor-side
+    assert(df.rdd.getNumPartitions == 3)
+    // the relation equals the planner's live set (replay equivalence:
+    // removed-path filtering inside partitions matches liveFiles)
+    val t2 = LakeTable.load(wh, "d", "m")
+    assert(df.collect().map(_.getString(1)).toSet ==
+      t2.plannedFiles().map(_.path).toSet)
+
+    // a rewrite resets the contributing suffix to itself: 1 partition
+    t2.compact(spark)
+    val after = spark.sql("SELECT path FROM gmfs.d.m.files")
+    assert(after.rdd.getNumPartitions == 1)
+    assert(after.collect().map(_.getString(0)).toSet ==
+      LakeTable.load(wh, "d", "m").plannedFiles().map(_.path).toSet)
+  }
+
   test("expire + orphan sweep: squash gets a fresh manifest, sweep " +
       "reclaims unreferenced ones") {
     import spark.implicits._
