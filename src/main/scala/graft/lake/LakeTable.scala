@@ -537,16 +537,90 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
   /** The branch view: main AS OF the fork base, overlaid with the
     * branch's own commits — writes to main after the fork stay
     * invisible (that isolation is the point of branching).
+    *
+    * Branch commits are RE-SEQUENCED above the fork base in commit
+    * order — exactly the stamping `fastForward` applies at publish —
+    * so the view always equals the state publishing would produce
+    * (write-AUDIT-publish: the audit must show the publish result).
+    * Without this, staged ids interleave with main's post-fork
+    * snapshot ids and a rebased branch's eq-delete would skip main
+    * rows committed after it was staged, then delete them anyway at
+    * publish. Re-sequencing keeps branch MoR batches newer than every
+    * visible file (they supersede base rows and earlier branch rows,
+    * never rows written alongside them) and keeps main's eq-deletes
+    * older than branch rows — blind-write last-wins, before and after
+    * publish alike.
     */
   def readBranch(spark: SparkSession, name: String): DataFrame = {
     val ref = branchRef(name)
     val base = ref.baseSnapshotId.get
     val visible = md.snapshots.filter(_.id <= base)
+    val (files, eqs) = LakeTable.resequenceOverlay(base, branchSnaps(name))
     readFiles(spark,
-      LakeTable.liveFiles(visible) ++ branchSnaps(name).flatMap(s =>
-        s.files.map(f => if (f.seq >= 0) f else f.copy(seq = s.id))),
+      LakeTable.liveFiles(visible) ++ files,
       md.currentSchema, LakeTable.liveDeletes(visible),
-      LakeTable.liveEqDeletes(visible))
+      LakeTable.liveEqDeletes(visible) ++ eqs)
+  }
+
+  /** Merge-on-read DELETE on a branch: stage an equality-delete batch
+    * tagged to the branch — O(keys) write cost, zero reads, exactly
+    * `deleteByKeysMoR` but invisible to main until publish. The branch
+    * stops being append-only, which is fine: publish re-stamps the
+    * batch's sequence, so post-rebase semantics stay append/last-wins
+    * per key (see `rebaseBranch`).
+    */
+  def deleteFromBranchMoR(spark: SparkSession, name: String,
+      keys: DataFrame): SnapshotMeta = {
+    branchRef(name)
+    if (currentHintVersion() != loadedVersion)
+      throw new java.util.ConcurrentModificationException(
+        s"table $location was committed concurrently; reload and retry")
+    val snapshotId = (md.snapshots ++ md.staged).map(_.id)
+      .foldLeft(0L)(math.max) + 1
+    val batch = writeEqDeleteBatch(keys, snapshotId)
+    val snap = SnapshotMeta(snapshotId, Seq.empty, md.currentSchemaId,
+      operation = "staged-delete",
+      timestampMs = System.currentTimeMillis(),
+      wapId = Some(branchMarker(name)), eqDeletes = Seq(batch))
+    val ref = branchRef(name)
+    commit(md.copy(staged = md.staged :+ snap,
+      refs = md.refs + (name -> ref.copy(snapshotId = snapshotId))))
+    snap
+  }
+
+  /** Blind merge-on-read upsert on a branch: one staged snapshot
+    * carries the source rows plus an equality-delete batch for their
+    * keys (the batch's sequence equals the snapshot's, so it kills
+    * older rows with those keys but not the rows written alongside
+    * it) — `upsertMoR` under branch isolation, O(batch) at any table
+    * size.
+    */
+  def upsertToBranchMoR(spark: SparkSession, name: String,
+      source: DataFrame, keys: Seq[String]): SnapshotMeta = {
+    require(keys.nonEmpty && keys.forall(source.columns.contains),
+      s"source must contain every key column: $keys")
+    branchRef(name)
+    val aligned = Align(source, md.currentSchema)
+    aligned.sparkSession.conf
+      .set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    if (currentHintVersion() != loadedVersion)
+      throw new java.util.ConcurrentModificationException(
+        s"table $location was committed concurrently; reload and retry")
+    val snapshotId = (md.snapshots ++ md.staged).map(_.id)
+      .foldLeft(0L)(math.max) + 1
+    val batch = writeEqDeleteBatch(
+      source.select(keys.map(k => col(s"`$k`")): _*), snapshotId)
+    val outDir = dataDir.resolve(
+      s"snap-$snapshotId-${java.util.UUID.randomUUID().toString.take(8)}")
+    val files = writeDataFiles(aligned, outDir)
+    val snap = SnapshotMeta(snapshotId, files, md.currentSchemaId,
+      operation = "staged-upsert",
+      timestampMs = System.currentTimeMillis(),
+      wapId = Some(branchMarker(name)), eqDeletes = Seq(batch))
+    val ref = branchRef(name)
+    commit(md.copy(staged = md.staged :+ snap,
+      refs = md.refs + (name -> ref.copy(snapshotId = snapshotId))))
+    snap
   }
 
   /** Publish the branch onto main, in commit order, as fresh append
@@ -572,7 +646,18 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
       .foldLeft(0L)(math.max)
     val published = snaps.map { s =>
       nextId += 1
-      s.copy(id = nextId, operation = "append",
+      // branch MoR commits publish under their real operation;
+      // equality batches re-stamp to the published sequence so they
+      // supersede everything older than the publish (append-wins —
+      // identical to what the branch view already showed, because
+      // fast-forward requires main == fork base)
+      val op = s.operation match {
+        case "staged-delete" => "delete"
+        case "staged-upsert" => "upsert"
+        case _ => "append"
+      }
+      s.copy(id = nextId, operation = op,
+        eqDeletes = s.eqDeletes.map(_.copy(seq = nextId)),
         timestampMs = System.currentTimeMillis())
     }
     val newHead = published.lastOption.map(_.id).getOrElse(head)
@@ -583,20 +668,20 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     published
   }
 
-  /** Re-fork a diverged branch at the current main head (rebase). A
-    * branch's own commits are append-only by construction
-    * (`appendToBranch` is the only branch write), so carrying them over
-    * the moved base cannot conflict with anything main did since the
-    * fork — the branch view simply starts overlaying main's newer
-    * commits, and `fastForward` becomes possible again. Schema
-    * compatibility stays fast-forward's check (a rebase is also how a
-    * branch catches up to see an evolution). One read-visible nuance,
-    * inherent to blind appends: a key eq-deleted on main since the old
-    * fork reads as deleted from the branch's overlay rows too (the
-    * batch's sequence is newer), but publishing re-stamps the rows
-    * with fresh sequences — append-wins, exactly like a blind upsert.
-    * Returns the new base snapshot id; no-op when already based at
-    * head.
+  /** Re-fork a diverged branch at the current main head (rebase).
+    * Branch commits are blind writes by construction — appends, or
+    * MoR deletes/upserts whose equality batches carry their own keys —
+    * so carrying them over the moved base cannot conflict with
+    * anything main did since the fork: the branch view simply starts
+    * overlaying main's newer commits (which branch eq-batches, being
+    * newer still, supersede per key), and `fastForward` becomes
+    * possible again. Schema compatibility stays fast-forward's check
+    * (a rebase is also how a branch catches up to see an evolution).
+    * The branch view re-sequences its commits above whatever base it
+    * currently has (`readBranch`), so before and after a rebase the
+    * view equals what publishing would produce — blind-write
+    * last-wins per key, with no view/publish divergence. Returns the
+    * new base snapshot id; no-op when already based at head.
     */
   def rebaseBranch(name: String): Long = {
     val ref = branchRef(name)
@@ -618,7 +703,7 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     commit(md.copy(
       staged = md.staged.filterNot(_.wapId.contains(branchMarker(name))),
       refs = md.refs - name))
-    snaps.map(_.files.size).sum
+    snaps.map(s => s.files.size + s.eqDeletes.map(_.paths.size).sum).sum
   }
 
   // ---- equality deletes (Iceberg v2's second delete-file kind) --------
@@ -1734,6 +1819,22 @@ object LakeTable {
         case _ => acc
       }
     }
+
+  /** A branch overlay's files and equality batches re-sequenced above
+    * the fork `base`, one step per branch commit in commit order — the
+    * same relative stamping `fastForward` applies when publishing, so
+    * branch views predict the published state exactly. Explicit file
+    * sequences (never set by branch writes today) are preserved
+    * defensively.
+    */
+  def resequenceOverlay(base: Long, branchSnaps: Seq[SnapshotMeta])
+      : (Seq[DataFileMeta], Seq[EqDeleteMeta]) = {
+    val reseq = branchSnaps.map(_.id).sorted.zipWithIndex
+      .map { case (id, i) => id -> (base + i + 1) }.toMap
+    (branchSnaps.flatMap(s => s.files.map(f =>
+      if (f.seq >= 0) f else f.copy(seq = reseq(s.id)))),
+      branchSnaps.flatMap(s => s.eqDeletes.map(_.copy(seq = reseq(s.id)))))
+  }
 
   /** Partition-value + min/max-stats pruning of a file list. */
   def matchingFiles(files: Seq[DataFileMeta], schema: StructType,

@@ -749,6 +749,49 @@ object RowOpsQueries extends QueryModule {
         .orderBy("c_custkey")
     }),
 
+    "lake_branch_mor" -> QueryModule.micro(4)((s, dir) => {
+      // row-level ops ON A BRANCH: a curation pass stages a
+      // merge-on-read delete (bad keys) and a blind upsert (patched
+      // rows) against a branch — main keeps serving the untouched
+      // table while the fixes are audited, then fast-forward publishes
+      // both commits under their real operations. Write cost is
+      // O(keys + patched rows) regardless of table size (equality
+      // deletes: no read, no rewrite), and isolation costs zero data
+      // movement — the 100 TB "fix the corpus without blocking
+      // readers" shape. Final state under the oracle: keys ending in 3
+      // gone, keys ending in 7 re-segmented, everything else intact.
+      val wh = LakeQueries.freshWarehouse("branchmor")
+      Engine.processTableDefJson(wh,
+        """{"database_name":"bm","table_name":"cust","columns":[
+          |{"column_name":"c_custkey","data_type":"long"},
+          |{"column_name":"c_name","data_type":"string"},
+          |{"column_name":"c_mktsegment","data_type":"string"}],
+          |"partitions":[]}""".stripMargin)
+      val t = LakeTable.load(wh, "bm", "cust")
+      val cust = Tables(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_mktsegment")
+      t.append(cust)
+      t.createBranch("curate")
+      t.deleteFromBranchMoR(s, "curate",
+        cust.filter(col("c_custkey") % 10 === 3).select("c_custkey"))
+      t.upsertToBranchMoR(s, "curate",
+        cust.filter(col("c_custkey") % 10 === 7)
+          .withColumn("c_mktsegment", lit("PATCHED")),
+        keys = Seq("c_custkey"))
+      // isolation audit, loud before the oracle: main serves the full
+      // table; the branch view dropped the deleted keys
+      val full = cust.count()
+      require(t.read(s).count() == full,
+        "main must keep serving the untouched table")
+      require(t.readBranch(s, "curate").count() ==
+        full - cust.filter(col("c_custkey") % 10 === 3).count(),
+        "branch view must drop the MoR-deleted keys")
+      t.fastForward("curate")
+      LakeTable.load(wh, "bm", "cust").read(s)
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    }),
+
     "lake_cdc_apply" -> QueryModule.micro(4)((s, dir) => {
       // the full CDC replication loop: a source table evolves by
       // append + blind upsert; a replica pulls each snapshot range
@@ -998,6 +1041,13 @@ object RowOpsQueries extends QueryModule {
 
     "lake_branch_ff" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |ORDER BY c_custkey""".stripMargin,
+
+    "lake_branch_mor" ->
+      """SELECT c_custkey, c_name,
+        |  CASE WHEN c_custkey % 10 = 7 THEN 'PATCHED'
+        |       ELSE c_mktsegment END AS c_mktsegment
+        |FROM customer WHERE c_custkey % 10 <> 3
         |ORDER BY c_custkey""".stripMargin,
 
     "lake_incr_rollup" ->

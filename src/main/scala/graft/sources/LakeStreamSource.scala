@@ -440,14 +440,17 @@ private[sources] class LakeScan(wh: String, db: String, tbl: String,
           throw new IllegalArgumentException(s"'$b' is not a writable branch"))
         val visible = t.metadata.snapshots.filter(_.id <= base)
         val marker = s"branch:$b"
-        val overlay = t.metadata.staged.filter(_.wapId.contains(marker))
-          .flatMap(s => s.files.map(f =>
-            if (f.seq >= 0) f else f.copy(seq = s.id)))
+        val branchSnaps = t.metadata.staged
+          .filter(_.wapId.contains(marker))
+        // branch commits re-sequence above the fork base so the view
+        // equals the post-publish state — see LakeTable.readBranch
+        val (overlay, branchEqs) =
+          LakeTable.resequenceOverlay(base, branchSnaps)
         (t, LakeTable.matchingFiles(
           LakeTable.liveFiles(visible, Map.empty, target, statsFilters) ++
             overlay,
           target, Map.empty, statsFilters), LakeTable.liveDeletes(visible),
-          LakeTable.liveEqDeletes(visible))
+          LakeTable.liveEqDeletes(visible) ++ branchEqs)
       case None =>
         val visible = LakeSource.visibleSnapshots(t, asOfSnapshot)
         (t, LakeTable.matchingFiles(

@@ -194,6 +194,76 @@ class BranchSpec extends AnyFunSuite {
     assert(ids(t2.read(spark)) == Set(1L, 5L))
   }
 
+  test("branch MoR delete/upsert stay isolated; fast-forward publishes " +
+      "them under their real operations") {
+    import spark.implicits._
+    val (wh, t) = mk("mor")
+    t.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    t.createBranch("fix")
+    t.deleteFromBranchMoR(spark, "fix", Seq(Tuple1(2L)).toDF("id"))
+    t.upsertToBranchMoR(spark, "fix",
+      Seq((3L, "c2"), (4L, "d")).toDF("id", "v"), Seq("id"))
+    // main untouched; branch view: 2 deleted, 3 superseded, 4 inserted
+    assert(ids(t.read(spark)) == Set(1L, 2L, 3L))
+    def view(tb: LakeTable) = tb.readBranch(spark, "fix").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(view(t) == Map(1L -> "a", 3L -> "c2", 4L -> "d"))
+    // survives a reload (staged eq-delete round-trip)
+    val t2 = LakeTable.load(wh, "d", "t")
+    assert(view(t2) == Map(1L -> "a", 3L -> "c2", 4L -> "d"))
+    val published = t2.fastForward("fix")
+    assert(published.map(_.operation) == Seq("delete", "upsert"))
+    // re-stamped sequences: batch seq == its published snapshot id
+    assert(published.flatMap(_.eqDeletes).map(_.seq)
+      == published.filter(_.eqDeletes.nonEmpty).map(_.id))
+    val t3 = LakeTable.load(wh, "d", "t")
+    assert(t3.read(spark).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+      == Map(1L -> "a", 3L -> "c2", 4L -> "d"))
+  }
+
+  test("branch MoR commits rebase (blind writes: last-wins per key)") {
+    import spark.implicits._
+    val (wh, t) = mk("mor-rebase")
+    t.append(Seq((1L, "a")).toDF("id", "v"))
+    t.createBranch("fix")
+    t.deleteFromBranchMoR(spark, "fix", Seq(Tuple1(1L), Tuple1(7L)).toDF("id"))
+    t.upsertToBranchMoR(spark, "fix", Seq((2L, "b")).toDF("id", "v"), Seq("id"))
+    // main diverges — including a row whose key the branch deleted
+    LakeTable.load(wh, "d", "t")
+      .append(Seq((5L, "m"), (7L, "x")).toDF("id", "v"))
+    val t2 = LakeTable.load(wh, "d", "t")
+    intercept[IllegalArgumentException](t2.fastForward("fix"))
+    t2.rebaseBranch("fix")
+    // overlay sees main's newer rows, minus branch-deleted keys
+    assert(ids(t2.readBranch(spark, "fix")) == Set(2L, 5L))
+    t2.fastForward("fix")
+    assert(ids(LakeTable.load(wh, "d", "t").read(spark)) == Set(2L, 5L))
+  }
+
+  test("SQL VERSION AS OF serves branch MoR overlay; discard counts " +
+      "eq-delete files") {
+    import spark.implicits._
+    val (wh, t) = mk("mor-sql")
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    t.createBranch("wb")
+    t.deleteFromBranchMoR(spark, "wb", Seq(Tuple1(1L)).toDF("id"))
+    t.upsertToBranchMoR(spark, "wb", Seq((9L, "z")).toDF("id", "v"), Seq("id"))
+    spark.conf.set("spark.sql.catalog.gmor", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.gmor.warehouse", wh)
+    assert(spark.sql("SELECT id FROM gmor.d.t VERSION AS OF 'wb'")
+      .collect().map(_.getLong(0)).toSet == Set(2L, 9L))
+    assert(spark.sql("SELECT id FROM gmor.d.t").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L))
+    // discard orphans the upsert's data files AND both key batches
+    val t2 = LakeTable.load(wh, "d", "t")
+    assert(t2.discardBranch("wb") >= 3)
+    val t3 = LakeTable.load(wh, "d", "t")
+    assert(t3.metadata.staged.isEmpty)
+    assert(t3.removeOrphanFiles(olderThanMillis = 0).nonEmpty)
+    assert(ids(t3.read(spark)) == Set(1L, 2L))
+  }
+
   test("guards: tags not writable; SQL VERSION AS OF serves the branch overlay") {
     import spark.implicits._
     val (wh, t) = mk("guard")
