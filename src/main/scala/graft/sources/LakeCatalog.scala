@@ -356,23 +356,66 @@ private[sources] object MetaTables {
           s.id == t.metadata.snapshots.map(_.id).max)
       })
     case "partitions" => {
-      // per-partition live rollup from metadata alone (Iceberg's
-      // .partitions): file/row/byte counts plus live merge-on-read
-      // deleted rows — the input to "which partitions need compaction
-      // or are skewed" decisions, zero data IO at any table size
-      val deletes = LakeTable.liveDeletes(t.metadata.snapshots)
-      val groups = LakeTable.liveFiles(t.metadata.snapshots)
-        .groupBy(f => (f.partitionValues.toSeq.sorted
-          .map { case (k, v) => s"$k=$v" }.mkString(","), f.specId))
-      new MetaTable(fullName, partitionsSchema,
-        groups.toSeq.sortBy(_._1).map { case ((part, specId), fs) =>
-          Seq[Any](part, specId, fs.size, fs.map(_.rows).sum,
-            // bytes = -1 marks pre-upgrade metadata without the field;
-            // summing the sentinel would report negative totals
-            fs.map(_.bytes).filter(_ >= 0).sum,
-            fs.flatMap(f => deletes.get(
-              LakeTable.normalizePath(f.path))).map(_.rows).sum)
-        })
+      // per-partition live rollup (Iceberg's .partitions):
+      // file/row/byte counts plus live merge-on-read deleted rows —
+      // the input to "which partitions need compaction or are skewed"
+      // decisions, zero data IO at any table size. Manifests are
+      // parsed EXECUTOR-side (one task each, same replay as
+      // LakeFilesTable: suffix since the last rewrite, minus paths
+      // removed by later overwrites — exact because data-file paths
+      // are write-unique); only per-(manifest × partition) PARTIAL
+      // aggregates come back for the final driver merge, so the
+      // driver's working set is O(manifests × partitions touched),
+      // never O(table files). Inline (pre-manifest) file lists fold
+      // in driver-side, preserving compatibility.
+      val snaps = t.metadata.snapshots
+      val idx = snaps.lastIndexWhere(_.operation == "rewrite")
+      val suffix = if (idx < 0) snaps else snaps.drop(idx)
+      val removed = suffix.filter(_.operation == "overwrite")
+        .flatMap(_.removedPaths).toSet
+      // delete-row counts keyed by normalized data-file path — sized
+      // by MoR delete activity, safe to ship into the tasks
+      val delRows: Map[String, Long] = LakeTable
+        .liveDeletes(snaps).map { case (p, ds) => p -> ds.rows }
+      // a function VALUE (serializable on its own) so the RDD closure
+      // below doesn't capture the enclosing catalog object
+      val partial: (Seq[graft.lake.DataFileMeta], Set[String],
+          Map[String, Long]) => Seq[((String, Int), (Int, Long, Long, Long))] =
+        (fs, rm, dr) => fs.filterNot(f => rm(f.path))
+          .groupBy(f => (f.partitionValues.toSeq.sorted
+            .map { case (k, v) => s"$k=$v" }.mkString(","), f.specId))
+          .map { case (key, g) =>
+            // bytes = -1 marks pre-upgrade metadata without the
+            // field; summing the sentinel would report negative totals
+            key -> (g.size, g.map(_.rows).sum,
+              g.map(_.bytes).filter(_ >= 0).sum,
+              g.map(f => dr.getOrElse(
+                LakeTable.normalizePath(f.path), 0L)).sum)
+          }.toSeq
+      val manifestPaths = suffix.flatMap(_.files match {
+        case mf: graft.lake.ManifestFiles if mf.nonEmpty =>
+          Some(mf.pathStr)
+        case _ => None
+      })
+      val inline = suffix.flatMap(_.files match {
+        case _: graft.lake.ManifestFiles => Seq.empty
+        case fs => fs
+      })
+      val partials = (if (manifestPaths.isEmpty) Seq.empty else {
+        val (rm, dr) = (removed, delRows)
+        org.apache.spark.sql.SparkSession.active.sparkContext
+          .parallelize(manifestPaths, manifestPaths.size)
+          .flatMap(mp => partial(
+            graft.lake.ManifestIO.readManifest(mp), rm, dr))
+          .collect().toSeq
+      }) ++ partial(inline, removed, delRows)
+      val merged = partials.groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case ((part, specId), ps) =>
+          Seq[Any](part, specId, ps.map(_._2._1).sum,
+            ps.map(_._2._2).sum, ps.map(_._2._3).sum,
+            ps.map(_._2._4).sum)
+        }
+      new MetaTable(fullName, partitionsSchema, merged)
     }
     case "snapshots" => new MetaTable(fullName, snapshotsSchema,
       // staged (write-audit-publish) snapshots are listed too — their

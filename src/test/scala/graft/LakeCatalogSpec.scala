@@ -332,6 +332,20 @@ class LakeCatalogSpec extends AnyFunSuite {
     assert(mans.map(_._3).toSeq == Seq(3L, 1L))
     assert(mans.head._4 == "grp=[x|y]" && mans(1)._4 == "grp=[y]",
       "partition summaries render per manifest")
+
+    // the distributed rollup replays copy-on-write removals and a
+    // rewrite reset exactly: CoW-delete grp=x's survivor (removes that
+    // partition's files), then compact (rewrite — applies the MoR
+    // delete, resets replay to the compacted manifest)
+    val t2 = LakeTable.load(wh, "d", "hp")
+    t2.delete(spark, org.apache.spark.sql.functions.col("id") === 2L)
+    LakeTable.load(wh, "d", "hp").compact(spark)
+    val parts2 = spark.sql(
+      """SELECT partition, n_rows, deleted_rows
+        |FROM graftm3.d.hp.partitions ORDER BY partition""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(parts2.toSeq == Seq(("grp=y", 2L, 0L)),
+      "post-CoW + compaction rollup: only grp=y survives, deletes reset")
   }
 
   test("CALL procedures: expire_snapshots, compact, remove_orphan_files") {
