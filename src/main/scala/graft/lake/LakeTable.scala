@@ -145,9 +145,14 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
       .flatMap(_.fieldIds).toSet
     if (eqKeyIds.nonEmpty && changes.exists(_.isInstanceOf[DropColumn])) {
       val dropped = changes.collect { case DropColumn(p) => p }
+      // a drop takes its nested descendants with it — dropping a
+      // struct that CONTAINS a key field orphans the batch just as
+      // surely as dropping the key itself
+      val flat = FieldIds.flatten(md.currentSchema)
       val droppedIds = dropped.flatMap { p =>
-        md.currentSchema.fields.find(_.name == p).filter(FieldIds.hasId)
-          .map(FieldIds.idOf)
+        flat.collect { case (path, f)
+            if (path == p || path.startsWith(p + ".")) &&
+              FieldIds.hasId(f) => FieldIds.idOf(f) }
       }
       require(droppedIds.forall(!eqKeyIds.contains(_)),
         s"cannot drop columns ${dropped.mkString(", ")}: referenced by a " +
@@ -597,7 +602,8 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     */
   def upsertToBranchMoR(spark: SparkSession, name: String,
       source: DataFrame, keys: Seq[String]): SnapshotMeta = {
-    require(keys.nonEmpty && keys.forall(source.columns.contains),
+    require(keys.nonEmpty &&
+      keys.forall(k => source.columns.contains(k) || k.contains('.')),
       s"source must contain every key column: $keys")
     branchRef(name)
     val aligned = Align(source, md.currentSchema)
@@ -608,8 +614,7 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
         s"table $location was committed concurrently; reload and retry")
     val snapshotId = (md.snapshots ++ md.staged).map(_.id)
       .foldLeft(0L)(math.max) + 1
-    val batch = writeEqDeleteBatch(
-      source.select(keys.map(k => col(s"`$k`")): _*), snapshotId)
+    val batch = writeEqDeleteBatch(keyColumns(aligned, keys), snapshotId)
     val outDir = dataDir.resolve(
       s"snap-$snapshotId-${java.util.UUID.randomUUID().toString.take(8)}")
     val files = writeDataFiles(aligned, outDir)
@@ -711,26 +716,29 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
   /** Write `keys` (distinct) as an equality-delete parquet batch.
     * Columns are stored as `k<fieldId>` so later renames of the key
     * columns cannot orphan the batch — readers resolve names per
-    * schema version by id.
+    * schema version by id. Key columns may be struct-NESTED scalars
+    * (dotted paths, e.g. `meta.region` — Iceberg's equality deletes
+    * likewise key on any nested field id); paths through arrays/maps
+    * are refused (such a field doesn't identify a row).
     */
   private def writeEqDeleteBatch(keys: DataFrame, snapshotId: Long)
       : EqDeleteMeta = {
     val schema = md.currentSchema
-    val ids = keys.columns.toSeq.map { c =>
-      val f = schema.fields.find(_.name == c).getOrElse(
+    val fields = keys.columns.toSeq.map { c =>
+      val f = LakeTable.resolveStructPath(schema, c).getOrElse(
         throw new IllegalArgumentException(
-          s"equality-delete key '$c' is not a top-level table column"))
+          s"equality-delete key '$c' is not a table column or a " +
+            "struct-nested path (array/map paths cannot key a row)"))
       require(Seq(IntegerType, LongType, StringType, BooleanType,
         FloatType, DoubleType, DateType, TimestampType, TimestampNTZType)
         .contains(f.dataType),
         s"equality-delete key '$c' must be a scalar of a supported " +
           s"type, got ${f.dataType.simpleString}")
-      FieldIds.idOf(f)
+      c -> f
     }
-    val typed = keys.select(keys.columns.toSeq.map { c =>
-      val dt = schema.fields.find(_.name == c).get.dataType
-      col(s"`$c`").cast(dt).as(s"k${FieldIds.idOf(
-        schema.fields.find(_.name == c).get)}")
+    val ids = fields.map { case (_, f) => FieldIds.idOf(f) }
+    val typed = keys.select(fields.map { case (c, f) =>
+      col(s"`$c`").cast(f.dataType).as(s"k${FieldIds.idOf(f)}")
     }: _*).distinct()
     val dir = dataDir.resolve(
       s"eqdel-$snapshotId-${java.util.UUID.randomUUID().toString.take(8)}")
@@ -770,7 +778,8 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
   def upsertMoR(spark: SparkSession, source: DataFrame,
       keys: Seq[String], streamBatchId: Option[Long] = None,
       streamId: Option[String] = None): SnapshotMeta = {
-    require(keys.nonEmpty && keys.forall(source.columns.contains),
+    require(keys.nonEmpty &&
+      keys.forall(k => source.columns.contains(k) || k.contains('.')),
       s"source must contain every key column: $keys")
     val aligned = Align(source, md.currentSchema)
     aligned.sparkSession.conf
@@ -780,8 +789,7 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
         s"table $location was committed concurrently; reload and retry")
     val snapshotId = (md.snapshots ++ md.staged).map(_.id)
       .foldLeft(0L)(math.max) + 1
-    val batch = writeEqDeleteBatch(
-      source.select(keys.map(k => col(s"`$k`")): _*), snapshotId)
+    val batch = writeEqDeleteBatch(keyColumns(aligned, keys), snapshotId)
     val outDir = dataDir.resolve(
       s"snap-$snapshotId-${java.util.UUID.randomUUID().toString.take(8)}")
     val files = writeDataFiles(aligned, outDir)
@@ -792,6 +800,16 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     commit(md.copy(snapshots = md.snapshots :+ snap))
     snap
   }
+
+  /** The upsert key columns of an aligned frame, one column per key —
+    * dotted keys navigate into structs and come back aliased to their
+    * dotted path, which `writeEqDeleteBatch` resolves against the
+    * current schema.
+    */
+  private def keyColumns(aligned: DataFrame, keys: Seq[String]): DataFrame =
+    aligned.select(keys.map(k =>
+      (if (aligned.columns.contains(k)) col(s"`$k`") else col(k))
+        .as(k)): _*)
 
   /** Row-level ops (CoW rewrite or position-delete MoR) assume every
     * live row is physically present in its data file; live equality
@@ -1192,9 +1210,10 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
       // upsert-batch-sized → broadcast build sides.
       batches.drop(bIdx).groupBy(_.fieldIds).foldLeft(projected) {
         case (df, (ids, bs)) =>
+          // key ids resolve to (possibly struct-nested) paths in the
+          // target schema; df("a.b") navigates the struct
           val names = ids.map { id =>
-            target.fields.find(f =>
-              FieldIds.hasId(f) && FieldIds.idOf(f) == id).map(_.name)
+            LakeTable.structPathOfId(target, id)
               .getOrElse(throw new IllegalStateException(
                 s"equality-delete key field id $id not in current schema"))
           }
@@ -1834,6 +1853,42 @@ object LakeTable {
     (branchSnaps.flatMap(s => s.files.map(f =>
       if (f.seq >= 0) f else f.copy(seq = reseq(s.id)))),
       branchSnaps.flatMap(s => s.eqDeletes.map(_.copy(seq = reseq(s.id)))))
+  }
+
+  /** Resolve a dotted path through STRUCT nesting only (`a.b.c` where
+    * every non-leaf segment is a struct field) to its leaf field.
+    * Returns None when a segment is missing or the chain crosses an
+    * array/map — an element/value field occurs 0..n times per row, so
+    * it cannot serve as an equality-delete key.
+    */
+  def resolveStructPath(schema: StructType, path: String)
+      : Option[StructField] = {
+    path.split('.').toSeq.foldLeft(Option.empty[StructField] -> (schema: DataType)) {
+      case ((_, st: StructType), seg) =>
+        st.fields.find(_.name == seg) match {
+          case Some(f) => (Some(f), f.dataType)
+          case None => (None, NullType)
+        }
+      case _ => (None, NullType)
+    }._1
+  }
+
+  /** Dotted struct path of the field carrying `id` in `schema`,
+    * traversing struct nesting only (the inverse of
+    * `resolveStructPath` — equality-delete keys are struct-nested
+    * scalars by construction).
+    */
+  def structPathOfId(schema: StructType, id: Int): Option[String] = {
+    def walk(st: StructType, prefix: String): Option[String] =
+      st.fields.toSeq.flatMap { f =>
+        val p = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
+        if (FieldIds.hasId(f) && FieldIds.idOf(f) == id) Some(p)
+        else f.dataType match {
+          case s: StructType => walk(s, p)
+          case _ => None
+        }
+      }.headOption
+    walk(schema, "")
   }
 
   /** Partition-value + min/max-stats pruning of a file list. */

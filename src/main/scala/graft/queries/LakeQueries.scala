@@ -978,6 +978,42 @@ object RowOpsQueries extends QueryModule {
       s.sql("""SELECT o_orderkey, o_orderstatus, o_totalprice
               |FROM greq.rowops.orders_eq ORDER BY o_orderkey""".stripMargin)
     }),
+
+    "lake_eq_nested" -> QueryModule.micro(4)((s, dir) => {
+      // equality-delete keys resolving through STRUCT nesting by field
+      // id (Iceberg v2 keys on any nested scalar): purge one segment
+      // via `meta.segment` — one key tuple deletes every matching row,
+      // zero reads, zero rewrites — then a blind upsert RE-KEYED on
+      // the same nested field replaces a second segment with patch
+      // rows. Served through the SQL catalog WITHOUT compaction, so
+      // the DSv2 reader applies the nested-key DeleteFilter
+      // executor-side (chain resolved by field id per file schema).
+      import s.implicits._
+      val wh = LakeQueries.freshWarehouse("eqnested")
+      Engine.processTableDefJson(wh,
+        """{"database_name":"en","table_name":"cust","columns":[
+          |{"column_name":"c_custkey","data_type":"long"},
+          |{"column_name":"meta","data_type":"struct","struct_def":[
+          |  {"column_name":"segment","data_type":"string"},
+          |  {"column_name":"name","data_type":"string"}]}],
+          |"partitions":[]}""".stripMargin)
+      val t = LakeTable.load(wh, "en", "cust")
+      t.append(Tables(s, dir, "customer").select(col("c_custkey"),
+        struct(col("c_mktsegment").as("segment"),
+          col("c_name").as("name")).as("meta")))
+      t.deleteByKeysMoR(s, Seq("BUILDING").toDF("meta.segment"))
+      LakeTable.load(wh, "en", "cust").upsertMoR(s,
+        Seq((-1L, "MACHINERY", "patch_1"), (-2L, "MACHINERY", "patch_2"))
+          .toDF("c_custkey", "segment", "name")
+          .select(col("c_custkey"),
+            struct(col("segment"), col("name")).as("meta")),
+        keys = Seq("meta.segment"))
+      s.conf.set("spark.sql.catalog.gren", "graft.sources.LakeCatalog")
+      s.conf.set("spark.sql.catalog.gren.warehouse", wh)
+      s.sql("""SELECT c_custkey, meta.segment AS segment,
+              |  meta.name AS name
+              |FROM gren.en.cust ORDER BY c_custkey""".stripMargin)
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1079,5 +1115,15 @@ object RowOpsQueries extends QueryModule {
         |       ELSE o_totalprice END AS o_totalprice
         |FROM orders WHERE o_orderkey < 3500
         |ORDER BY o_orderkey""".stripMargin,
+
+    "lake_eq_nested" ->
+      """SELECT c_custkey, segment, name FROM (
+        |  SELECT c_custkey, c_mktsegment AS segment, c_name AS name
+        |  FROM customer WHERE c_mktsegment NOT IN ('BUILDING','MACHINERY')
+        |  UNION ALL
+        |  SELECT * FROM (VALUES (CAST(-1 AS BIGINT), 'MACHINERY', 'patch_1'),
+        |                        (CAST(-2 AS BIGINT), 'MACHINERY', 'patch_2'))
+        |    v(c_custkey, segment, name)
+        |) ORDER BY c_custkey""".stripMargin,
   )
 }

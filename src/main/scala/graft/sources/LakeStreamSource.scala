@@ -468,9 +468,12 @@ private[sources] class LakeScan(wh: String, db: String, tbl: String,
     planned._4.filter(_.seq > f.seq).map { b =>
       val schema = planned._1.metadata.currentSchema
       LakeEqBatch(b.paths, StructType(b.fieldIds.map { id =>
-        schema.fields.find(sf =>
-          FieldIds.hasId(sf) && FieldIds.idOf(sf) == id).getOrElse(
-          throw new IllegalStateException(
+        // the id may live nested in a struct — ship the LEAF field
+        // (type + id metadata); the reader re-resolves the file-side
+        // chain by id
+        LakeTable.structPathOfId(schema, id)
+          .flatMap(p => LakeTable.resolveStructPath(schema, p))
+          .getOrElse(throw new IllegalStateException(
             s"equality-delete key field id $id not in current schema"))
       }))
     }
@@ -891,7 +894,7 @@ private[sources] class GroupRowReader(p: LakeFilePartition)
       java.util.HashSet[java.util.ArrayList[Any]])] =
     p.eqBatches.map { b =>
       val extr = b.keyFields.fields.map(kf =>
-        LakeSource.fieldExtractor(kf, p.fileSchema.fields.toSeq))
+        LakeSource.nestedFieldExtractor(kf, p.fileSchema))
       (extr, EqBatchCache.get(b))
     }.toArray
 
@@ -1167,6 +1170,45 @@ private[sources] object LakeSource {
         val conv = converter(tf.dataType, ff.dataType)
         g => if (g.getFieldRepetitionCount(name) == 0) null else conv(g, name)
     }
+
+  /** Like `fieldExtractor`, but resolves `tf`'s field ID through
+    * struct NESTING in the file schema (equality-delete keys may be
+    * struct-nested scalars). The chain is found by ID, so renames at
+    * any depth stay readable; a null or missing struct anywhere on
+    * the chain — e.g. the field was added after the file was
+    * written — reads null, matching the read-reconciliation
+    * null-fill.
+    */
+  def nestedFieldExtractor(tf: StructField,
+      fileStruct: StructType): Group => Any = {
+    def chain(st: StructType, id: Int): Option[List[StructField]] =
+      st.fields.toSeq.flatMap { f =>
+        if (FieldIds.hasId(f) && FieldIds.idOf(f) == id) Some(List(f))
+        else f.dataType match {
+          case s: StructType => chain(s, id).map(f :: _)
+          case _ => None
+        }
+      }.headOption
+    chain(fileStruct, FieldIds.idOf(tf)) match {
+      case None => _ => null
+      case Some(fs) =>
+        val outer = fs.init.map(_.name).toArray
+        val leaf = fs.last.name
+        val conv = converter(tf.dataType, fs.last.dataType)
+        g => {
+          var cur: Group = g
+          var i = 0
+          var ok = true
+          while (ok && i < outer.length) {
+            if (cur.getFieldRepetitionCount(outer(i)) == 0) ok = false
+            else cur = cur.getGroup(outer(i), 0)
+            i += 1
+          }
+          if (!ok || cur.getFieldRepetitionCount(leaf) == 0) null
+          else conv(cur, leaf)
+        }
+    }
+  }
 
   /** (group, fieldName) → Catalyst internal value for a target/file
     * type pair, recursively through structs, 3-level parquet lists and

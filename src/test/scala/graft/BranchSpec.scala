@@ -249,11 +249,14 @@ class BranchSpec extends AnyFunSuite {
     t.createBranch("wb")
     t.deleteFromBranchMoR(spark, "wb", Seq(Tuple1(1L)).toDF("id"))
     t.upsertToBranchMoR(spark, "wb", Seq((9L, "z")).toDF("id", "v"), Seq("id"))
-    spark.conf.set("spark.sql.catalog.gmor", "graft.sources.LakeCatalog")
-    spark.conf.set("spark.sql.catalog.gmor.warehouse", wh)
-    assert(spark.sql("SELECT id FROM gmor.d.t VERSION AS OF 'wb'")
+    // catalog name unique to this test: the session CACHES catalog
+    // instances by name, so reusing another spec's name would silently
+    // keep its warehouse
+    spark.conf.set("spark.sql.catalog.gbmor", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.gbmor.warehouse", wh)
+    assert(spark.sql("SELECT id FROM gbmor.d.t VERSION AS OF 'wb'")
       .collect().map(_.getLong(0)).toSet == Set(2L, 9L))
-    assert(spark.sql("SELECT id FROM gmor.d.t").collect()
+    assert(spark.sql("SELECT id FROM gbmor.d.t").collect()
       .map(_.getLong(0)).toSet == Set(1L, 2L))
     // discard orphans the upsert's data files AND both key batches
     val t2 = LakeTable.load(wh, "d", "t")

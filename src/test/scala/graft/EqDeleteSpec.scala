@@ -178,6 +178,55 @@ class EqDeleteSpec extends AnyFunSuite {
       Seq("id"))
   }
 
+  test("nested struct keys: MoR delete/upsert by meta.region through " +
+      "both read paths; drop guard covers ancestors") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft-eqdel-nested").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"n","columns":[
+        |{"column_name":"id","data_type":"long"},
+        |{"column_name":"meta","data_type":"struct","struct_def":[
+        |  {"column_name":"region","data_type":"string"},
+        |  {"column_name":"score","data_type":"int"}]}],
+        |"partitions":[]}""".stripMargin)
+    val t = LakeTable.load(wh, "d", "n")
+    def mkDf(rows: Seq[(Long, String, Int)]) =
+      rows.toDF("id", "region", "score").select(col("id"),
+        struct(col("region"), col("score")).as("meta"))
+    t.append(mkDf(Seq((1L, "eu", 10), (2L, "us", 20), (3L, "eu", 30))))
+    // MoR delete keyed on the nested field (column named by its path)
+    t.deleteByKeysMoR(spark, Seq("us").toDF("meta.region"))
+    assert(t.read(spark).select("id").collect().map(_.getLong(0)).toSet
+      == Set(1L, 3L))
+    // blind upsert keyed on the nested field: kills both eu rows,
+    // its own row survives its own batch
+    t.upsertMoR(spark, mkDf(Seq((9L, "eu", 99))), Seq("meta.region"))
+    assert(t.read(spark).select("id").collect().map(_.getLong(0)).toSet
+      == Set(9L))
+    // the DSv2 Group reader resolves the key chain by field id
+    spark.conf.set("spark.sql.catalog.geqn", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.geqn.warehouse", wh)
+    assert(spark.sql("SELECT id, meta.score FROM geqn.d.n").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq == Seq((9L, 99)))
+    // unresolvable / non-struct paths are refused before any commit
+    val e = intercept[IllegalArgumentException](
+      t.deleteByKeysMoR(spark, Seq(1).toDF("meta.nope")))
+    assert(e.getMessage.contains("struct-nested"))
+    // dropping the struct that CONTAINS a live key field is refused
+    val resp = Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"n","columns":[
+        |{"column_name":"id","data_type":"long"}],"partitions":[]}""".stripMargin)
+    assert(resp.hasError &&
+      resp.messageList.exists(_.contains("equality-delete")))
+    // compaction materializes the batches; the drop then commits
+    LakeTable.load(wh, "d", "n").compact(spark)
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"n","columns":[
+        |{"column_name":"id","data_type":"long"}],"partitions":[]}""".stripMargin)
+    assert(LakeTable.load(wh, "d", "n").currentSchema.fieldNames.toSeq
+      == Seq("id"))
+  }
+
   test("time travel before the delete batch still sees the old rows") {
     import spark.implicits._
     val (_, t) = mk("tt")
