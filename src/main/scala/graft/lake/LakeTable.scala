@@ -140,9 +140,12 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
 
     // a live equality-delete batch resolves its key columns by field
     // id at read time — dropping one would make every read (and
-    // compact, the escape hatch) throw; fail the evolution instead
-    val eqKeyIds = LakeTable.liveEqDeletes(md.snapshots)
-      .flatMap(_.fieldIds).toSet
+    // compact, the escape hatch) throw; fail the evolution instead.
+    // STAGED batches (branch MoR commits) count too: their branch
+    // views resolve the same way, and fast-forward's schema check
+    // would strand the branch with no escape but discard.
+    val eqKeyIds = (LakeTable.liveEqDeletes(md.snapshots) ++
+      md.staged.flatMap(_.eqDeletes)).flatMap(_.fieldIds).toSet
     if (eqKeyIds.nonEmpty && changes.exists(_.isInstanceOf[DropColumn])) {
       val dropped = changes.collect { case DropColumn(p) => p }
       // a drop takes its nested descendants with it — dropping a
@@ -575,23 +578,8 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     * per key (see `rebaseBranch`).
     */
   def deleteFromBranchMoR(spark: SparkSession, name: String,
-      keys: DataFrame): SnapshotMeta = {
-    branchRef(name)
-    if (currentHintVersion() != loadedVersion)
-      throw new java.util.ConcurrentModificationException(
-        s"table $location was committed concurrently; reload and retry")
-    val snapshotId = (md.snapshots ++ md.staged).map(_.id)
-      .foldLeft(0L)(math.max) + 1
-    val batch = writeEqDeleteBatch(keys, snapshotId)
-    val snap = SnapshotMeta(snapshotId, Seq.empty, md.currentSchemaId,
-      operation = "staged-delete",
-      timestampMs = System.currentTimeMillis(),
-      wapId = Some(branchMarker(name)), eqDeletes = Seq(batch))
-    val ref = branchRef(name)
-    commit(md.copy(staged = md.staged :+ snap,
-      refs = md.refs + (name -> ref.copy(snapshotId = snapshotId))))
-    snap
-  }
+      keys: DataFrame): SnapshotMeta =
+    writeMoR(spark, None, Left(keys), Some(name))
 
   /** Blind merge-on-read upsert on a branch: one staged snapshot
     * carries the source rows plus an equality-delete batch for their
@@ -602,29 +590,54 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     */
   def upsertToBranchMoR(spark: SparkSession, name: String,
       source: DataFrame, keys: Seq[String]): SnapshotMeta = {
-    require(keys.nonEmpty &&
-      keys.forall(k => source.columns.contains(k) || k.contains('.')),
-      s"source must contain every key column: $keys")
-    branchRef(name)
-    val aligned = Align(source, md.currentSchema)
-    aligned.sparkSession.conf
-      .set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    requireUpsertKeys(source, keys)
+    writeMoR(spark, Some(source), Right(keys), Some(name))
+  }
+
+  /** Shared core of the four blind MoR write verbs (delete/upsert ×
+    * main/branch): allocate the next snapshot id, write the key batch
+    * (given directly for deletes, derived from the aligned source for
+    * upserts) plus the upsert's data files, and commit — onto main, or
+    * staged under the branch marker with the branch head advanced.
+    * One body means concurrency checks, sequencing, and key
+    * validation cannot diverge between the main and branch forms.
+    */
+  private def writeMoR(spark: SparkSession, source: Option[DataFrame],
+      keys: Either[DataFrame, Seq[String]], branch: Option[String],
+      streamBatchId: Option[Long] = None,
+      streamId: Option[String] = None): SnapshotMeta = {
+    branch.foreach(branchRef)
+    val aligned = source.map(Align(_, md.currentSchema))
+    aligned.foreach(_.sparkSession.conf
+      .set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"))
     if (currentHintVersion() != loadedVersion)
       throw new java.util.ConcurrentModificationException(
         s"table $location was committed concurrently; reload and retry")
     val snapshotId = (md.snapshots ++ md.staged).map(_.id)
       .foldLeft(0L)(math.max) + 1
-    val batch = writeEqDeleteBatch(keyColumns(aligned, keys), snapshotId)
-    val outDir = dataDir.resolve(
-      s"snap-$snapshotId-${java.util.UUID.randomUUID().toString.take(8)}")
-    val files = writeDataFiles(aligned, outDir)
+    val batch = writeEqDeleteBatch(
+      keys.fold(identity, ks => keyColumns(aligned.get, ks)), snapshotId)
+    val files = aligned.map { a =>
+      writeDataFiles(a, dataDir.resolve(
+        s"snap-$snapshotId-${java.util.UUID.randomUUID().toString.take(8)}"))
+    }.getOrElse(Seq.empty)
+    val op = (source.isDefined, branch.isDefined) match {
+      case (true, true) => "staged-upsert"
+      case (true, false) => "upsert"
+      case (false, true) => "staged-delete"
+      case (false, false) => "delete"
+    }
     val snap = SnapshotMeta(snapshotId, files, md.currentSchemaId,
-      operation = "staged-upsert",
+      operation = op, streamBatchId = streamBatchId, streamId = streamId,
       timestampMs = System.currentTimeMillis(),
-      wapId = Some(branchMarker(name)), eqDeletes = Seq(batch))
-    val ref = branchRef(name)
-    commit(md.copy(staged = md.staged :+ snap,
-      refs = md.refs + (name -> ref.copy(snapshotId = snapshotId))))
+      wapId = branch.map(branchMarker), eqDeletes = Seq(batch))
+    branch match {
+      case Some(b) =>
+        val ref = branchRef(b)
+        commit(md.copy(staged = md.staged :+ snap,
+          refs = md.refs + (b -> ref.copy(snapshotId = snapshotId))))
+      case None => commit(md.copy(snapshots = md.snapshots :+ snap))
+    }
     snap
   }
 
@@ -725,7 +738,10 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
       : EqDeleteMeta = {
     val schema = md.currentSchema
     val fields = keys.columns.toSeq.map { c =>
-      val f = LakeTable.resolveStructPath(schema, c).getOrElse(
+      // exact top-level match first: a column NAMED with a dot must
+      // not be re-parsed as a nested path
+      val f = schema.fields.find(_.name == c)
+        .orElse(LakeTable.resolveStructPath(schema, c)).getOrElse(
         throw new IllegalArgumentException(
           s"equality-delete key '$c' is not a table column or a " +
             "struct-nested path (array/map paths cannot key a row)"))
@@ -753,19 +769,8 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     * number at read time. O(keys) write cost at any table size — the
     * CDC/GDPR delete shape for 100 TB tables.
     */
-  def deleteByKeysMoR(spark: SparkSession, keys: DataFrame): SnapshotMeta = {
-    if (currentHintVersion() != loadedVersion)
-      throw new java.util.ConcurrentModificationException(
-        s"table $location was committed concurrently; reload and retry")
-    val snapshotId = (md.snapshots ++ md.staged).map(_.id)
-      .foldLeft(0L)(math.max) + 1
-    val batch = writeEqDeleteBatch(keys, snapshotId)
-    val snap = SnapshotMeta(snapshotId, Seq.empty, md.currentSchemaId,
-      operation = "delete", timestampMs = System.currentTimeMillis(),
-      eqDeletes = Seq(batch))
-    commit(md.copy(snapshots = md.snapshots :+ snap))
-    snap
-  }
+  def deleteByKeysMoR(spark: SparkSession, keys: DataFrame): SnapshotMeta =
+    writeMoR(spark, None, Left(keys), None)
 
   /** Blind streaming upsert (the Flink/Iceberg CDC-sink shape): ONE
     * snapshot carries an equality-delete batch for the source keys
@@ -778,28 +783,21 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
   def upsertMoR(spark: SparkSession, source: DataFrame,
       keys: Seq[String], streamBatchId: Option[Long] = None,
       streamId: Option[String] = None): SnapshotMeta = {
-    require(keys.nonEmpty &&
-      keys.forall(k => source.columns.contains(k) || k.contains('.')),
-      s"source must contain every key column: $keys")
-    val aligned = Align(source, md.currentSchema)
-    aligned.sparkSession.conf
-      .set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-    if (currentHintVersion() != loadedVersion)
-      throw new java.util.ConcurrentModificationException(
-        s"table $location was committed concurrently; reload and retry")
-    val snapshotId = (md.snapshots ++ md.staged).map(_.id)
-      .foldLeft(0L)(math.max) + 1
-    val batch = writeEqDeleteBatch(keyColumns(aligned, keys), snapshotId)
-    val outDir = dataDir.resolve(
-      s"snap-$snapshotId-${java.util.UUID.randomUUID().toString.take(8)}")
-    val files = writeDataFiles(aligned, outDir)
-    val snap = SnapshotMeta(snapshotId, files, md.currentSchemaId,
-      operation = "upsert", streamBatchId = streamBatchId,
-      streamId = streamId, timestampMs = System.currentTimeMillis(),
-      eqDeletes = Seq(batch))
-    commit(md.copy(snapshots = md.snapshots :+ snap))
-    snap
+    requireUpsertKeys(source, keys)
+    writeMoR(spark, Some(source), Right(keys), None, streamBatchId, streamId)
   }
+
+  /** An upsert SOURCE must physically carry every key — a top-level
+    * column, or for dotted keys the full struct path. Accepting a
+    * missing nested key would let Align null-fill the struct and the
+    * batch would silently eq-delete every null-keyed row instead of
+    * failing loudly like the top-level case.
+    */
+  private def requireUpsertKeys(source: DataFrame, keys: Seq[String]): Unit =
+    require(keys.nonEmpty && keys.forall(k =>
+      source.columns.contains(k) ||
+        LakeTable.resolveStructPath(source.schema, k).isDefined),
+      s"source must contain every key column: $keys")
 
   /** The upsert key columns of an aligned frame, one column per key —
     * dotted keys navigate into structs and come back aliased to their
@@ -1211,15 +1209,18 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
       batches.drop(bIdx).groupBy(_.fieldIds).foldLeft(projected) {
         case (df, (ids, bs)) =>
           // key ids resolve to (possibly struct-nested) paths in the
-          // target schema; df("a.b") navigates the struct
+          // target schema; df("a.b") navigates the struct. A TOP-LEVEL
+          // name is backticked so a literal dot in it is not
+          // misparsed as nesting.
           val names = ids.map { id =>
-            LakeTable.structPathOfId(target, id)
+            LakeTable.structPathOfId(target, id).map(_._1)
               .getOrElse(throw new IllegalStateException(
                 s"equality-delete key field id $id not in current schema"))
           }
           val keyDf = spark.read.parquet(bs.flatMap(_.paths): _*)
           val cond = ids.zip(names).map { case (id, n) =>
-            df(n) <=> keyDf(s"k$id")
+            val c = if (target.fieldNames.contains(n)) df(s"`$n`") else df(n)
+            c <=> keyDf(s"k$id")
           }.reduce(_ && _)
           df.join(keyDf, cond, "left_anti")
       }
@@ -1855,6 +1856,23 @@ object LakeTable {
       branchSnaps.flatMap(s => s.eqDeletes.map(_.copy(seq = reseq(s.id)))))
   }
 
+  /** Suffix of the snapshot log since the last rewrite, plus the set
+    * of paths removed by overwrites within it — the distributable form
+    * of `liveFiles`' replay: only suffix snapshots can contribute live
+    * files (a rewrite discards everything before it), and dropping the
+    * removed set is exact because data-file paths are write-unique (a
+    * removed path never reappears under a later snapshot). Shared by
+    * the `.files` and `.partitions` relations so the two can never
+    * disagree about liveness.
+    */
+  def replaySuffix(snapshots: Seq[SnapshotMeta])
+      : (Seq[SnapshotMeta], Set[String]) = {
+    val idx = snapshots.lastIndexWhere(_.operation == "rewrite")
+    val suffix = if (idx < 0) snapshots else snapshots.drop(idx)
+    (suffix, suffix.filter(_.operation == "overwrite")
+      .flatMap(_.removedPaths).toSet)
+  }
+
   /** Resolve a dotted path through STRUCT nesting only (`a.b.c` where
     * every non-leaf segment is a struct field) to its leaf field.
     * Returns None when a segment is missing or the chain crosses an
@@ -1873,16 +1891,20 @@ object LakeTable {
     }._1
   }
 
-  /** Dotted struct path of the field carrying `id` in `schema`,
+  /** Dotted struct path AND leaf field carrying `id` in `schema`,
     * traversing struct nesting only (the inverse of
     * `resolveStructPath` — equality-delete keys are struct-nested
-    * scalars by construction).
+    * scalars by construction). One walk serves both callers: the
+    * anti-join needs the path, the DSv2 reader the leaf field (going
+    * path → field via a re-parse would break on field names that
+    * contain a literal dot).
     */
-  def structPathOfId(schema: StructType, id: Int): Option[String] = {
-    def walk(st: StructType, prefix: String): Option[String] =
+  def structPathOfId(schema: StructType, id: Int)
+      : Option[(String, StructField)] = {
+    def walk(st: StructType, prefix: String): Option[(String, StructField)] =
       st.fields.toSeq.flatMap { f =>
         val p = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
-        if (FieldIds.hasId(f) && FieldIds.idOf(f) == id) Some(p)
+        if (FieldIds.hasId(f) && FieldIds.idOf(f) == id) Some((p, f))
         else f.dataType match {
           case s: StructType => walk(s, p)
           case _ => None

@@ -369,10 +369,7 @@ private[sources] object MetaTables {
       // never O(table files). Inline (pre-manifest) file lists fold
       // in driver-side, preserving compatibility.
       val snaps = t.metadata.snapshots
-      val idx = snaps.lastIndexWhere(_.operation == "rewrite")
-      val suffix = if (idx < 0) snaps else snaps.drop(idx)
-      val removed = suffix.filter(_.operation == "overwrite")
-        .flatMap(_.removedPaths).toSet
+      val (suffix, removed) = LakeTable.replaySuffix(snaps)
       // delete-row counts keyed by normalized data-file path — sized
       // by MoR delete activity, safe to ship into the tasks
       val delRows: Map[String, Long] = LakeTable
@@ -401,21 +398,26 @@ private[sources] object MetaTables {
         case _: graft.lake.ManifestFiles => Seq.empty
         case fs => fs
       })
-      val partials = (if (manifestPaths.isEmpty) Seq.empty else {
-        val (rm, dr) = (removed, delRows)
-        org.apache.spark.sql.SparkSession.active.sparkContext
-          .parallelize(manifestPaths, manifestPaths.size)
-          .flatMap(mp => partial(
-            graft.lake.ManifestIO.readManifest(mp), rm, dr))
-          .collect().toSeq
-      }) ++ partial(inline, removed, delRows)
-      val merged = partials.groupBy(_._1).toSeq.sortBy(_._1)
-        .map { case ((part, specId), ps) =>
-          Seq[Any](part, specId, ps.map(_._2._1).sum,
-            ps.map(_._2._2).sum, ps.map(_._2._3).sum,
-            ps.map(_._2._4).sum)
-        }
-      new MetaTable(fullName, partitionsSchema, merged)
+      // DEFERRED: the manifest job runs at first scan planning, not at
+      // catalog resolution — analysis-only paths (EXPLAIN, schema
+      // probes) must not pay a cluster job
+      def merged(): Seq[Seq[Any]] = {
+        val partials = (if (manifestPaths.isEmpty) Seq.empty else {
+          val (rm, dr) = (removed, delRows)
+          org.apache.spark.sql.SparkSession.active.sparkContext
+            .parallelize(manifestPaths, manifestPaths.size)
+            .flatMap(mp => partial(
+              graft.lake.ManifestIO.readManifest(mp), rm, dr))
+            .collect().toSeq
+        }) ++ partial(inline, removed, delRows)
+        partials.groupBy(_._1).toSeq.sortBy(_._1)
+          .map { case ((part, specId), ps) =>
+            Seq[Any](part, specId, ps.map(_._2._1).sum,
+              ps.map(_._2._2).sum, ps.map(_._2._3).sum,
+              ps.map(_._2._4).sum)
+          }
+      }
+      new DeferredMetaTable(fullName, partitionsSchema, () => merged())
     }
     case "snapshots" => new MetaTable(fullName, snapshotsSchema,
       // staged (write-audit-publish) snapshots are listed too — their
@@ -487,11 +489,9 @@ private[sources] class LakeFilesTable(name0: String,
         schema0
       override def toBatch: Batch = this
       override def planInputPartitions(): Array[InputPartition] = {
-        val snaps = t.metadata.snapshots
-        val idx = snaps.lastIndexWhere(_.operation == "rewrite")
-        val suffix = if (idx < 0) snaps else snaps.drop(idx)
-        val removed = suffix.filter(_.operation == "overwrite")
-          .flatMap(_.removedPaths).toArray
+        val (suffix, removedSet) =
+          LakeTable.replaySuffix(t.metadata.snapshots)
+        val removed = removedSet.toArray
         val inline = suffix.flatMap { s =>
           s.files match {
             case _: graft.lake.ManifestFiles => Seq.empty
@@ -551,6 +551,35 @@ private[sources] object LakeFilesReader
       }
       case other => MetaReaderFactory.createReader(other)
     }
+}
+
+/** A metadata relation whose rows are computed at SCAN-planning time
+  * (per query run), not at catalog resolution — for relations like
+  * `.partitions` whose rendering launches a distributed job.
+  */
+private[sources] class DeferredMetaTable(name0: String,
+    schema0: org.apache.spark.sql.types.StructType,
+    rows: () => Seq[Seq[Any]])
+    extends Table with SupportsRead {
+  import org.apache.spark.sql.connector.read._
+
+  override def name(): String = name0
+  override def schema(): org.apache.spark.sql.types.StructType = schema0
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder = new ScanBuilder {
+    override def build(): Scan = new Scan with Batch {
+      override def readSchema(): org.apache.spark.sql.types.StructType =
+        schema0
+      override def toBatch: Batch = this
+      override def planInputPartitions(): Array[InputPartition] =
+        Array(MetaRowsPartition(rows().map(_.toArray).toArray))
+      override def createReaderFactory(): PartitionReaderFactory =
+        MetaReaderFactory
+    }
+  }
 }
 
 /** A fixed set of driver-rendered rows as a DSv2 batch table. */

@@ -471,8 +471,7 @@ private[sources] class LakeScan(wh: String, db: String, tbl: String,
         // the id may live nested in a struct — ship the LEAF field
         // (type + id metadata); the reader re-resolves the file-side
         // chain by id
-        LakeTable.structPathOfId(schema, id)
-          .flatMap(p => LakeTable.resolveStructPath(schema, p))
+        LakeTable.structPathOfId(schema, id).map(_._2)
           .getOrElse(throw new IllegalStateException(
             s"equality-delete key field id $id not in current schema"))
       }))
@@ -817,13 +816,17 @@ private[sources] class GroupRowReader(p: LakeFilePartition)
     // subtree copy of the file's own footer schema, so it is compatible
     // by construction.
     // equality-delete key columns must stay readable even when the
-    // projection pruned them — the filter needs their values
+    // projection pruned them — the filter needs their values. A key may
+    // be struct-NESTED, so a top-level field survives pruning when ANY
+    // id in its subtree is a key id (else the extractor would crash on
+    // the pruned-away ancestor).
     val eqKeyIds = p.eqBatches
       .flatMap(_.keyFields.fields.map(FieldIds.idOf)).toSet
     val keep = p.fileSchema.fields
       .filter(ff => p.target.fields.exists(tf =>
         FieldIds.hasId(tf) && FieldIds.idOf(tf) == FieldIds.idOf(ff)) ||
-        eqKeyIds.contains(FieldIds.idOf(ff)))
+        FieldIds.flatten(StructType(Seq(ff))).exists { case (_, sf) =>
+          FieldIds.hasId(sf) && eqKeyIds.contains(FieldIds.idOf(sf)) })
       .map(_.name).toSet
     if (keep.nonEmpty && keep.size < p.fileSchema.size) {
       try {

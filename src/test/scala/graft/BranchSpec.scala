@@ -267,6 +267,31 @@ class BranchSpec extends AnyFunSuite {
     assert(ids(t3.read(spark)) == Set(1L, 2L))
   }
 
+  test("evolution cannot drop a column keyed by a STAGED branch batch") {
+    import spark.implicits._
+    val (wh, t) = mk("dropstaged")
+    t.append(Seq((1L, "a")).toDF("id", "v"))
+    t.createBranch("fix")
+    t.deleteFromBranchMoR(spark, "fix", Seq("a").toDF("v"))
+    // no batch lives on MAIN, but the branch view resolves v by id —
+    // dropping it would strand the branch with no escape but discard
+    val resp = Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"t","columns":[
+        |{"column_name":"id","data_type":"long"}],"partitions":[]}""".stripMargin)
+    assert(resp.hasError &&
+      resp.messageList.exists(_.contains("equality-delete")))
+    val t2 = LakeTable.load(wh, "d", "t")
+    assert(t2.currentSchema.fieldNames.toSeq == Seq("id", "v"))
+    assert(ids(t2.readBranch(spark, "fix")).isEmpty)
+    // discarding the branch releases the column
+    t2.discardBranch("fix")
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"t","columns":[
+        |{"column_name":"id","data_type":"long"}],"partitions":[]}""".stripMargin)
+    assert(LakeTable.load(wh, "d", "t").currentSchema.fieldNames.toSeq
+      == Seq("id"))
+  }
+
   test("guards: tags not writable; SQL VERSION AS OF serves the branch overlay") {
     import spark.implicits._
     val (wh, t) = mk("guard")

@@ -208,10 +208,20 @@ class EqDeleteSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.catalog.geqn.warehouse", wh)
     assert(spark.sql("SELECT id, meta.score FROM geqn.d.n").collect()
       .map(r => (r.getLong(0), r.getInt(1))).toSeq == Seq((9L, 99)))
+    // a projection that PRUNES the key's ancestor struct must still
+    // filter — the reader keeps any column whose subtree carries a
+    // key id readable
+    assert(spark.sql("SELECT id FROM geqn.d.n").collect()
+      .map(_.getLong(0)).toSeq == Seq(9L))
     // unresolvable / non-struct paths are refused before any commit
     val e = intercept[IllegalArgumentException](
       t.deleteByKeysMoR(spark, Seq(1).toDF("meta.nope")))
     assert(e.getMessage.contains("struct-nested"))
+    // an upsert whose source lacks the nested key fails loudly (it
+    // would otherwise null-fill and eq-delete every null-keyed row)
+    val e2 = intercept[IllegalArgumentException](
+      t.upsertMoR(spark, Seq(5L).toDF("id"), Seq("meta.region")))
+    assert(e2.getMessage.contains("key column"))
     // dropping the struct that CONTAINS a live key field is refused
     val resp = Engine.processTableDefJson(wh,
       """{"database_name":"d","table_name":"n","columns":[
