@@ -1241,27 +1241,62 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     * stream checkpoint that might still replay (Iceberg's own
     * expire-vs-streaming caveat).
     */
-  def expireSnapshots(keepAfter: Long): Int = {
-    val (expired, kept) = md.snapshots.partition(_.id <= keepAfter)
-    if (expired.isEmpty) return 0
-    // carry the live merge-on-read delete state into the squash — a
-    // rewrite snapshot resets delete replay to its own carried maps
-    val liveDel = LakeTable.liveDeletes(expired)
-    val squashed = SnapshotMeta(
-      id = expired.last.id,
-      files = LakeTable.liveFiles(expired),
-      schemaId = expired.last.schemaId,
-      // keep the newest expired snapshot's commit time: the squash
-      // represents that history point, not "now" — and an unstamped
-      // squash would look ancient to age-based retention
-      timestampMs = expired.map(_.timestampMs).max,
+  /** One "rewrite" snapshot representing the LIVE state of `snaps`:
+    * live files with their original sequence numbers (stamped by
+    * `liveFiles`), live merge-on-read position-delete state, and live
+    * equality batches carried with their original sequences. Replay
+    * treats a rewrite as a reset, so the result replays identically to
+    * the snapshots it summarizes. Shared by the expire squash (which
+    * REPLACES the prefix) and `rewriteManifests` (which APPENDS it).
+    */
+  private def liveStateSnapshot(snaps: Seq[SnapshotMeta], id: Long,
+      schemaId: Int, timestampMs: Long): SnapshotMeta = {
+    val liveDel = LakeTable.liveDeletes(snaps)
+    SnapshotMeta(
+      id = id,
+      files = LakeTable.liveFiles(snaps),
+      schemaId = schemaId,
+      timestampMs = timestampMs,
       operation = "rewrite",
       deletePaths = liveDel.values.flatMap(_.paths).toSeq.distinct,
       deleteCounts = liveDel.map { case (p, ds) => p -> ds.rows },
-      // equality batches still live at the squash point carry through
-      // with their original sequence numbers; the squashed files keep
-      // their original seq (stamped by liveFiles) for the same reason
-      eqDeletes = LakeTable.liveEqDeletes(expired))
+      eqDeletes = LakeTable.liveEqDeletes(snaps))
+  }
+
+  /** Metadata-only manifest compaction (Iceberg's `rewrite_manifests`):
+    * append one "rewrite" snapshot carrying the current live file set
+    * in a single fresh manifest. Data files are untouched and history
+    * stays fully readable — time travel to older ids replays the old
+    * manifests — but forward reads now replay from ONE fat manifest
+    * plus later deltas instead of the whole commit trail, resetting
+    * planning cost after a long run of small commits. Incremental
+    * consumers (CDC, streaming) skip rewrite snapshots, so no rows
+    * re-deliver. Driver cost is O(live files) to write the merged
+    * manifest — the op's inherent price, same as the expire squash.
+    */
+  def rewriteManifests(): SnapshotMeta = {
+    require(md.snapshots.nonEmpty, "no snapshots to rewrite")
+    if (currentHintVersion() != loadedVersion)
+      throw new java.util.ConcurrentModificationException(
+        s"table $location was committed concurrently; reload and retry")
+    val snap = liveStateSnapshot(md.snapshots,
+      id = (md.snapshots ++ md.staged).map(_.id).foldLeft(0L)(math.max) + 1,
+      schemaId = md.currentSchemaId,
+      timestampMs = System.currentTimeMillis())
+    commit(md.copy(snapshots = md.snapshots :+ snap))
+    snap
+  }
+
+  def expireSnapshots(keepAfter: Long): Int = {
+    val (expired, kept) = md.snapshots.partition(_.id <= keepAfter)
+    if (expired.isEmpty) return 0
+    // the squash keeps the newest expired snapshot's id and commit
+    // time: it represents that history point, not "now" — an
+    // unstamped squash would look ancient to age-based retention
+    val squashed = liveStateSnapshot(expired,
+      id = expired.last.id,
+      schemaId = expired.last.schemaId,
+      timestampMs = expired.map(_.timestampMs).max)
     val liveIds = (squashed +: kept).map(_.id).toSet
     // refs into the squashed-away prefix would dangle (time travel to
     // those ids is gone — the point of expiry). Tags anchor at their
@@ -1776,8 +1811,14 @@ object LakeTable {
   def liveFiles(snapshots: Seq[SnapshotMeta],
       prune: Map[String, Set[String]] = Map.empty,
       schema: StructType = null,
-      statsFilters: Seq[RangeFilter] = Seq.empty): Seq[DataFileMeta] =
-    snapshots.foldLeft(Vector.empty[DataFileMeta]) { (acc, s) =>
+      statsFilters: Seq[RangeFilter] = Seq.empty): Seq[DataFileMeta] = {
+    // start at the last rewrite: everything before it is discarded by
+    // the reset anyway, and walking it would MATERIALIZE pre-rewrite
+    // manifests for nothing (the whole point of rewrite_manifests is
+    // that forward reads stop touching them)
+    val idx = snapshots.lastIndexWhere(_.operation == "rewrite")
+    (if (idx < 0) snapshots else snapshots.drop(idx))
+      .foldLeft(Vector.empty[DataFileMeta]) { (acc, s) =>
       // stamp each file's data sequence number (equality-delete
       // applicability: batch seq > file seq) unless it carries an
       // explicit one (expire-squash carried files keep their original)
@@ -1796,6 +1837,7 @@ object LakeTable {
         case _ => acc ++ own
       }
     }
+  }
 
   /** Replay the snapshot log into the live equality-delete batches:
     * "delete"/"upsert" snapshots accumulate their batches; a rewrite

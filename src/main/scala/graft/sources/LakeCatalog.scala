@@ -632,7 +632,8 @@ private[sources] object LakeProcedures {
   val names: Set[String] =
     Set("expire_snapshots", "expire_older_than", "remove_orphan_files",
       "compact", "rollback_to_snapshot", "create_tag", "create_branch",
-      "drop_ref", "publish_wap", "discard_wap", "rebase_branch")
+      "drop_ref", "publish_wap", "discard_wap", "rebase_branch",
+      "rewrite_manifests")
 
   private def param(n: String, dt: DataType) =
     ProcedureParameter.in(n, dt).build()
@@ -656,7 +657,7 @@ private[sources] object LakeProcedures {
             case "remove_orphan_files" => Array(
               param("db", StringType), param("table", StringType),
               param("older_than_ms", LongType))
-            case "compact" => Array(
+            case "compact" | "rewrite_manifests" => Array(
               param("db", StringType), param("table", StringType))
             case "rollback_to_snapshot" => Array(
               param("db", StringType), param("table", StringType),
@@ -702,6 +703,18 @@ private[sources] object LakeProcedures {
                   StructField("snapshot_id", LongType, nullable = false),
                   StructField("rewritten_rows", LongType, nullable = false))),
                   Seq[Any](snap.id, snap.files.map(_.rows).sum))
+              case "rewrite_manifests" =>
+                // manifests the forward replay had to consult before
+                // the rewrite — afterwards it consults exactly one
+                val before = LakeTable.replaySuffix(t.metadata.snapshots)
+                  ._1.count(_.files.nonEmpty)
+                val snap = t.rewriteManifests()
+                (StructType(Seq(
+                  StructField("snapshot_id", LongType, nullable = false),
+                  StructField("live_files", IntegerType, nullable = false),
+                  StructField("manifests_merged", IntegerType,
+                    nullable = false))),
+                  Seq[Any](snap.id, snap.files.size, before))
               case "rollback_to_snapshot" =>
                 val removed = t.rollbackTo(input.getLong(2))
                 (StructType(Seq(

@@ -229,4 +229,50 @@ class ManifestSpec extends AnyFunSuite {
     assert(mf.nonEmpty && mf.forall(f => Files.exists(Paths.get(f.path))))
     assert(manifestNames(wh, "d", "m") == Set(mf.manifestName))
   }
+
+  test("rewrite_manifests: forward reads replay ONE merged manifest, " +
+      "history and CDC stay intact") {
+    import spark.implicits._
+    val (wh, t) = mkPlain("rwm")
+    // a trail of small commits incl. a CoW delete, a MoR position
+    // delete, and an eq-delete — the live state is non-trivial
+    val s1 = t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v")).id
+    t.append(Seq((3L, "c")).toDF("id", "v"))
+    t.append(Seq((4L, "d")).toDF("id", "v"))
+    t.delete(spark, org.apache.spark.sql.functions.col("id") === 3L)
+    t.deleteMoR(spark, org.apache.spark.sql.functions.col("id") === 2L)
+    t.deleteByKeysMoR(spark, Seq(99L).toDF("id")) // no-match batch stays live
+    val before = t.read(spark).collect().map(_.getLong(0)).sorted.toSeq
+
+    val snap = t.rewriteManifests()
+    val t2 = LakeTable.load(wh, "d", "m")
+    assert(t2.read(spark).collect().map(_.getLong(0)).sorted.toSeq
+      == before, "rewrite must not change the visible state")
+    // forward planning materialized ONLY the merged manifest — every
+    // pre-rewrite manifest handle stays cold on a fresh load
+    val handles = t2.metadata.snapshots.collect {
+      case s if s.files.isInstanceOf[ManifestFiles] =>
+        (s.id, s.files.asInstanceOf[ManifestFiles])
+    }
+    assert(handles.filter(_._1 < snap.id).forall(!_._2.isMaterialized),
+      "pre-rewrite manifests must not load for a forward read")
+    // time travel BEFORE the rewrite still replays the old trail
+    assert(t2.read(spark, asOfSnapshot = Some(s1)).collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    // CDC across the rewrite delivers nothing for it
+    assert(t2.changesBetween(spark, snap.id - 1, snap.id).count() == 0)
+    // appends continue past it; expire later squashes cleanly
+    t2.append(Seq((5L, "e")).toDF("id", "v"))
+    assert(LakeTable.load(wh, "d", "m").read(spark).collect()
+      .map(_.getLong(0)).sorted.toSeq == before :+ 5L)
+
+    // SQL procedure surface
+    spark.conf.set("spark.sql.catalog.grwm", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.grwm.warehouse", wh)
+    val row = spark.sql(
+      "CALL grwm.system.rewrite_manifests('d', 'm')").collect().head
+    assert(row.getInt(1) >= 3, "live_files counts the merged file set")
+    assert(row.getInt(2) == 2,
+      "merges the prior rewrite + the append that followed it")
+  }
 }
