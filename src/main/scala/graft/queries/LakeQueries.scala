@@ -150,7 +150,13 @@ object LakeQueries extends QueryModule {
       t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
       t.append(Seq((3L, "c")).toDF("id", "v"))
       t.delete(s, col("id") === 2L)
-      val expired = t.expireSnapshots(keepAfter = 3)
+      // manifest compaction first: forward planning replays ONE merged
+      // manifest; history (ids 1-3) stays readable until expiry below
+      val rwm = t.rewriteManifests()
+      val merged = LakeTable.replaySuffix(t.metadata.snapshots)._1
+      val rwmOk = merged.size == 1 && merged.head.id == rwm.id &&
+        t.read(s, asOfSnapshot = Some(1L)).count() == 2
+      val expired = t.expireSnapshots(keepAfter = rwm.id)
       val orphans = t.removeOrphanFiles(olderThanMillis = 0)
       // retention check stays distributed (symmetric except + counts):
       // no data-row collect even if the fixture grows
@@ -162,6 +168,7 @@ object LakeQueries extends QueryModule {
         ("orphans_removed_some", if (orphans.nonEmpty) 1L else 0L),
         ("live_rows", live.count()),
         ("live_ids_ok", if (liveOk) 1L else 0L),
+        ("rewrite_manifests_ok", if (rwmOk) 1L else 0L),
         ("snapshots_left", t.metadata.snapshots.size.toLong))
         .toDF("metric", "value").orderBy("metric")
     }),
@@ -245,10 +252,11 @@ object LakeQueries extends QueryModule {
     "lake_maintenance" ->
       """SELECT CAST(metric AS VARCHAR) AS metric, CAST(value AS BIGINT) AS value
         |FROM (VALUES
-        |  ('expired_snapshots', 3),
+        |  ('expired_snapshots', 4),
         |  ('live_ids_ok', 1),
         |  ('live_rows', 2),
         |  ('orphans_removed_some', 1),
+        |  ('rewrite_manifests_ok', 1),
         |  ('snapshots_left', 1))
         |  AS t(metric, value)
         |ORDER BY metric""".stripMargin,
