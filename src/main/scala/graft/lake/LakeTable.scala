@@ -67,13 +67,25 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
       created: scala.collection.mutable.Buffer[Path]): SnapshotMeta =
     s.files match {
       case _: ManifestFiles => s
+      case _: ManifestSet => s
       case fs if fs.isEmpty => s
       case fs =>
-        val p = metadataDir.resolve(s"manifest-${s.id}-" +
-          s"${java.util.UUID.randomUUID().toString.take(8)}.json")
-        val mf = ManifestIO.write(p, fs.toVector)
-        created += p
-        s.copy(files = mf)
+        // partition-cluster wide lists (more distinct partition tuples
+        // than a summary can hold) into several manifests so every
+        // part keeps a prunable summary — one fat manifest would lose
+        // it and force full-inventory planning on every pruned read
+        def writeOne(part: Seq[DataFileMeta]): ManifestFiles = {
+          val p = metadataDir.resolve(s"manifest-${s.id}-" +
+            s"${java.util.UUID.randomUUID().toString.take(8)}.json")
+          val mf = ManifestIO.write(p, part.toVector)
+          created += p
+          mf
+        }
+        ManifestIO.cluster(fs) match {
+          case Seq(single) => s.copy(files = writeOne(single))
+          case parts => s.copy(files =
+            new ManifestSet(parts.map(writeOne).toVector))
+        }
     }
 
   private def commit(next: TableMetadata): String = {
@@ -652,9 +664,15 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     val ref = branchRef(name)
     val base = ref.baseSnapshotId.get
     val head = md.snapshots.map(_.id).foldLeft(0L)(math.max)
-    require(head == base,
+    // a post-base suffix of REWRITE snapshots is not divergence:
+    // compaction / rewrite_manifests move bytes, not data, so the
+    // branch's fork-base state is semantically the current state —
+    // routine maintenance must not strand branch publishes
+    require(head == base ||
+      md.snapshots.filter(_.id > base).forall(_.operation == "rewrite"),
       s"branch '$name' forked at $base but main is at $head — " +
-        "diverged; discard the branch or re-branch from the new head")
+        "diverged; rebase_branch to re-fork at the new head (sound: " +
+        "branch commits are blind writes), or discard the branch")
     val snaps = branchSnaps(name)
     snaps.foreach(s => require(s.schemaId == md.currentSchemaId,
       s"branch '$name' has a commit under schema ${s.schemaId}; table " +
@@ -1276,6 +1294,10 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     */
   def rewriteManifests(): SnapshotMeta = {
     require(md.snapshots.nonEmpty, "no snapshots to rewrite")
+    // fixpoint guard: when the head is already a rewrite there is
+    // nothing to merge — an unconditional maintenance loop must not
+    // append a fresh full-inventory manifest per run forever
+    if (md.snapshots.last.operation == "rewrite") return md.snapshots.last
     if (currentHintVersion() != loadedVersion)
       throw new java.util.ConcurrentModificationException(
         s"table $location was committed concurrently; reload and retry")
@@ -1391,8 +1413,10 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     // Old v*.json audit documents may still name them, but those
     // versions stop being readable once their data files are swept
     // anyway (the existing data-file policy).
-    val liveManifests = (md.snapshots ++ md.staged).map(_.files).collect {
-      case mf: ManifestFiles => mf.manifestName
+    val liveManifests = (md.snapshots ++ md.staged).map(_.files).flatMap {
+      case mf: ManifestFiles => Seq(mf.manifestName)
+      case ms: ManifestSet => ms.parts.map(_.manifestName)
+      case _ => Seq.empty
     }.toSet
     val manifestOrphans = if (!Files.exists(metadataDir)) Seq.empty[Path]
       else Using.resource(Files.list(metadataDir)) { st =>
@@ -1816,18 +1840,22 @@ object LakeTable {
     // the reset anyway, and walking it would MATERIALIZE pre-rewrite
     // manifests for nothing (the whole point of rewrite_manifests is
     // that forward reads stop touching them)
-    val idx = snapshots.lastIndexWhere(_.operation == "rewrite")
-    (if (idx < 0) snapshots else snapshots.drop(idx))
+    replaySuffix(snapshots)._1
       .foldLeft(Vector.empty[DataFileMeta]) { (acc, s) =>
       // stamp each file's data sequence number (equality-delete
       // applicability: batch seq > file seq) unless it carries an
       // explicit one (expire-squash carried files keep their original)
+      def stamp(fs: Seq[DataFileMeta]) = fs.toVector.map(f =>
+        if (f.seq >= 0) f else f.copy(seq = s.id))
       def own = s.files match {
         case mf: ManifestFiles if (prune.nonEmpty || statsFilters.nonEmpty)
             && mf.prunedOut(prune, schema, statsFilters) =>
           Vector.empty[DataFileMeta]
-        case fs => fs.toVector.map(f =>
-          if (f.seq >= 0) f else f.copy(seq = s.id))
+        case ms: ManifestSet if prune.nonEmpty || statsFilters.nonEmpty =>
+          // per-PART summary pruning: only overlapping parts load
+          stamp(ms.parts.filterNot(_.prunedOut(prune, schema, statsFilters))
+            .flatten)
+        case fs => stamp(fs)
       }
       s.operation match {
         case "rewrite" => own

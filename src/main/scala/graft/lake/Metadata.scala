@@ -172,6 +172,29 @@ final class ManifestFiles private[lake] (
       !FileStats.mightMatch(statsSummary, schema, statsFilters))
 }
 
+/** Several manifests serving ONE snapshot — the partition-clustered
+  * output of a large rewrite or append (Iceberg's rewrite_manifests
+  * writes multiple manifests for the same reason): each part covers at
+  * most `ManifestIO.summaryCap` distinct partition tuples, so its
+  * summary survives and planning prunes PER PART. A single fat
+  * manifest would lose the summary once a partition column exceeds the
+  * cap, degrading every pruned read to a full inventory load. Lazy
+  * like its parts; counts answer without IO.
+  */
+final class ManifestSet private[lake] (val parts: Vector[ManifestFiles])
+    extends Seq[DataFileMeta] with Serializable {
+  require(parts.nonEmpty, "a manifest set needs at least one part")
+  override def apply(i: Int): DataFileMeta = iterator.drop(i).next()
+  override def length: Int = parts.map(_.fileCount).sum
+  override def iterator: Iterator[DataFileMeta] =
+    parts.iterator.flatMap(_.iterator)
+  override def isEmpty: Boolean = parts.forall(_.isEmpty)
+  override def knownSize: Int = length
+  def rowCount: Long = parts.map(_.rowCount).sum
+  def byteCount: Long =
+    if (parts.exists(_.byteCount < 0)) -1L else parts.map(_.byteCount).sum
+}
+
 object ManifestIO {
   import java.nio.file.{Files, Path, Paths, StandardOpenOption}
 
@@ -218,6 +241,23 @@ object ManifestIO {
         id -> ColStats(kinds.head, mn, mx)
       }.toOption
     }.toMap
+  }
+
+  /** Partition-cluster a fresh file list into manifest-sized groups:
+    * one group when the distinct (spec, partition-tuple) count fits
+    * `summaryCap` (the summary survives as-is), else lexicographically
+    * ordered buckets of at most `summaryCap` tuples each — every
+    * bucket's per-column distinct count is then ≤ cap, so EVERY
+    * output manifest keeps a prunable summary. This is what keeps
+    * planning partition-selective after a rewrite merges a wide
+    * table's whole inventory.
+    */
+  def cluster(files: Seq[DataFileMeta]): Seq[Seq[DataFileMeta]] = {
+    val groups = files.groupBy(f =>
+      (f.specId, f.partitionValues.toSeq.sorted
+        .map { case (k, v) => s"$k=$v" }.mkString(","))).toSeq.sortBy(_._1)
+    if (groups.size <= summaryCap) Seq(files)
+    else groups.map(_._2).grouped(summaryCap).map(_.flatten).toSeq
   }
 
   /** Write an immutable manifest (CREATE_NEW — a name is never
@@ -411,46 +451,57 @@ object MetadataIO {
      else Map("delete-counts" -> JObject(sn.deleteCounts.map {
        case (p, n) => p -> JNumber(n)
      }))) ++ (sn.files match {
-      case mf: ManifestFiles => Map[String, JValue](
-        "manifest" -> JString(mf.manifestName),
-        "manifest-file-count" -> JNumber(mf.fileCount),
-        "manifest-row-count" -> JNumber(mf.rowCount),
-        "manifest-byte-count" -> JNumber(mf.byteCount),
-        "manifest-summary" -> JObject(mf.partitionSummary.map {
-          case (c, vs) => c -> JArray(vs.toSeq.sorted.map(JString(_)))
-        }),
-        "manifest-stats" -> JObject(mf.statsSummary.map { case (id, cs) =>
-          id.toString -> JObject(Map(
-            "kind" -> JString(cs.kind),
-            "min" -> JString(cs.min),
-            "max" -> JString(cs.max)))
-        }))
+      case mf: ManifestFiles => manifestRefJson(mf)
+      case ms: ManifestSet => Map[String, JValue](
+        // multi-manifest snapshot: one ref object per part, same
+        // fields as the flat single-manifest form
+        "manifests" -> JArray(ms.parts.map(p => JObject(manifestRefJson(p)))))
       case fs => Map[String, JValue](
         "files" -> JArray(fs.map(dataFileToJson)))
+    }))
+
+  private def manifestRefJson(mf: ManifestFiles): Map[String, JValue] = Map(
+    "manifest" -> JString(mf.manifestName),
+    "manifest-file-count" -> JNumber(mf.fileCount),
+    "manifest-row-count" -> JNumber(mf.rowCount),
+    "manifest-byte-count" -> JNumber(mf.byteCount),
+    "manifest-summary" -> JObject(mf.partitionSummary.map {
+      case (c, vs) => c -> JArray(vs.toSeq.sorted.map(JString(_)))
+    }),
+    "manifest-stats" -> JObject(mf.statsSummary.map { case (id, cs) =>
+      id.toString -> JObject(Map(
+        "kind" -> JString(cs.kind),
+        "min" -> JString(cs.min),
+        "max" -> JString(cs.max)))
     }))
 
   private def snapshotFromJson(sn: JValue,
       metadataDir: java.nio.file.Path): SnapshotMeta = {
     val sm = sn.asObj
+    def manifestRefFromJson(m: Map[String, JValue]): ManifestFiles = {
+      val name = m("manifest")
+      require(metadataDir != null,
+        "manifest-backed metadata needs a metadata dir to resolve " +
+          s"'${name.asStr}' (loaded without one)")
+      ManifestIO.ref(metadataDir.resolve(name.asStr).toString,
+        m("manifest-file-count").asInt,
+        m("manifest-row-count").asLong,
+        m.get("manifest-byte-count").map(_.asLong).getOrElse(-1L),
+        m.get("manifest-summary").map(_.asObj.map { case (c, vs) =>
+          c -> vs.asArr.map(_.asStr).toSet
+        }).getOrElse(Map.empty),
+        m.get("manifest-stats").map(_.asObj.map { case (id, sv) =>
+          val m2 = sv.asObj
+          id.toInt -> ColStats(m2("kind").asStr,
+            m2("min").asStr, m2("max").asStr)
+        }).getOrElse(Map.empty))
+    }
     SnapshotMeta(sm("snapshot-id").asLong,
-      files = sm.get("manifest") match {
-        case Some(name) =>
-          require(metadataDir != null,
-            "manifest-backed metadata needs a metadata dir to resolve " +
-              s"'${name.asStr}' (loaded without one)")
-          ManifestIO.ref(metadataDir.resolve(name.asStr).toString,
-            sm("manifest-file-count").asInt,
-            sm("manifest-row-count").asLong,
-            sm.get("manifest-byte-count").map(_.asLong).getOrElse(-1L),
-            sm.get("manifest-summary").map(_.asObj.map { case (c, vs) =>
-              c -> vs.asArr.map(_.asStr).toSet
-            }).getOrElse(Map.empty),
-            sm.get("manifest-stats").map(_.asObj.map { case (id, sv) =>
-              val m2 = sv.asObj
-              id.toInt -> ColStats(m2("kind").asStr,
-                m2("min").asStr, m2("max").asStr)
-            }).getOrElse(Map.empty))
-        case None => sm("files").asArr.map(dataFileFromJson)
+      files = (sm.get("manifest"), sm.get("manifests")) match {
+        case (Some(_), _) => manifestRefFromJson(sm)
+        case (None, Some(arr)) => new ManifestSet(
+          arr.asArr.map(p => manifestRefFromJson(p.asObj)).toVector)
+        case _ => sm("files").asArr.map(dataFileFromJson)
       },
       schemaId = sm("schema-id").asInt,
       operation = sm.get("operation").map(_.asStr).getOrElse("append"),

@@ -391,11 +391,14 @@ private[sources] object MetaTables {
           }.toSeq
       val manifestPaths = suffix.flatMap(_.files match {
         case mf: graft.lake.ManifestFiles if mf.nonEmpty =>
-          Some(mf.pathStr)
-        case _ => None
+          Seq(mf.pathStr)
+        case ms: graft.lake.ManifestSet =>
+          ms.parts.filter(_.nonEmpty).map(_.pathStr)
+        case _ => Seq.empty
       })
       val inline = suffix.flatMap(_.files match {
         case _: graft.lake.ManifestFiles => Seq.empty
+        case _: graft.lake.ManifestSet => Seq.empty
         case fs => fs
       })
       // DEFERRED: the manifest job runs at first scan planning, not at
@@ -430,6 +433,8 @@ private[sources] object MetaTables {
         val (nFiles, rows, bytes) = s.files match {
           case mf: graft.lake.ManifestFiles if mf.byteCount >= 0 =>
             (mf.fileCount, mf.rowCount, mf.byteCount)
+          case ms: graft.lake.ManifestSet if ms.byteCount >= 0 =>
+            (ms.length, ms.rowCount, ms.byteCount)
           case fs => (fs.size, fs.map(_.rows).filter(_ >= 0).sum,
             fs.map(_.bytes).filter(_ >= 0).sum)
         }
@@ -441,15 +446,18 @@ private[sources] object MetaTables {
       // one row per manifest-backed snapshot, answered entirely from
       // the recorded summaries — zero manifest IO at any table size
       (t.metadata.snapshots ++ t.metadata.staged).sortBy(_.id).flatMap {
-        s => s.files match {
-          case mf: graft.lake.ManifestFiles => Some(Seq[Any](
+        s =>
+          def row(mf: graft.lake.ManifestFiles): Seq[Any] = Seq[Any](
             s.id, mf.manifestName, mf.fileCount, mf.rowCount,
             mf.byteCount,
             mf.partitionSummary.toSeq.sortBy(_._1).map { case (c, vs) =>
               s"$c=[${vs.toSeq.sorted.mkString("|")}]"
-            }.mkString(",")))
-          case _ => None
-        }
+            }.mkString(","))
+          s.files match {
+            case mf: graft.lake.ManifestFiles => Seq(row(mf))
+            case ms: graft.lake.ManifestSet => ms.parts.map(row)
+            case _ => Seq.empty
+          }
       })
     case "files" =>
       // the LIVE file inventory (Iceberg's .files semantics) as a
@@ -495,6 +503,7 @@ private[sources] class LakeFilesTable(name0: String,
         val inline = suffix.flatMap { s =>
           s.files match {
             case _: graft.lake.ManifestFiles => Seq.empty
+            case _: graft.lake.ManifestSet => Seq.empty
             case fs => fs.filterNot(f => removed.contains(f.path))
               .map(f => LakeFilesReader.render(s.id, f).toSeq)
           }
@@ -503,8 +512,11 @@ private[sources] class LakeFilesTable(name0: String,
           s.files match {
             // fileCount answers nonEmpty without manifest IO
             case mf: graft.lake.ManifestFiles if mf.nonEmpty =>
-              Some(ManifestScanPartition(mf.pathStr, s.id, removed))
-            case _ => None
+              Seq(ManifestScanPartition(mf.pathStr, s.id, removed))
+            case ms: graft.lake.ManifestSet =>
+              ms.parts.filter(_.nonEmpty)
+                .map(p => ManifestScanPartition(p.pathStr, s.id, removed))
+            case _ => Seq.empty
           }
         } ++ (if (inline.isEmpty) Seq.empty
               else Seq(MetaRowsPartition(

@@ -267,6 +267,30 @@ class BranchSpec extends AnyFunSuite {
     assert(ids(t3.read(spark)) == Set(1L, 2L))
   }
 
+  test("metadata-only maintenance is not divergence: fast-forward " +
+      "publishes over a rewrite_manifests commit") {
+    import spark.implicits._
+    val (wh, t) = mk("ff-rwm")
+    t.append(Seq((1L, "a")).toDF("id", "v"))
+    t.createBranch("b")
+    t.appendToBranch(Seq((2L, "b")).toDF("id", "v"), "b")
+    // routine maintenance moves the head, but moves no data
+    LakeTable.load(wh, "d", "t").rewriteManifests()
+    val t2 = LakeTable.load(wh, "d", "t")
+    val published = t2.fastForward("b")
+    assert(published.size == 1)
+    assert(ids(LakeTable.load(wh, "d", "t").read(spark)) == Set(1L, 2L))
+    // a real data commit after the fork still refuses
+    val (wh2, s) = mk("ff-rwm2")
+    s.append(Seq((1L, "a")).toDF("id", "v"))
+    s.createBranch("b")
+    s.appendToBranch(Seq((2L, "b")).toDF("id", "v"), "b")
+    LakeTable.load(wh2, "d", "t").append(Seq((9L, "z")).toDF("id", "v"))
+    val e = intercept[IllegalArgumentException](
+      LakeTable.load(wh2, "d", "t").fastForward("b"))
+    assert(e.getMessage.contains("diverged"))
+  }
+
   test("evolution cannot drop a column keyed by a STAGED branch batch") {
     import spark.implicits._
     val (wh, t) = mk("dropstaged")

@@ -230,6 +230,57 @@ class ManifestSpec extends AnyFunSuite {
     assert(manifestNames(wh, "d", "m") == Set(mf.manifestName))
   }
 
+  test("wide partition spread clusters into a ManifestSet; parts " +
+      "prune and load independently") {
+    import spark.implicits._
+    val (wh, t) = mkPartitioned("cluster")
+    // 20 distinct partition values in ONE commit — beyond summaryCap
+    // (16), so a single manifest would lose its summary and every
+    // pruned read would load the whole inventory
+    val rows = (0 until 40).map(i => (i.toLong, s"g${i % 20}", s"v$i"))
+    t.append(rows.toDF("id", "grp", "v"))
+    val t2 = LakeTable.load(wh, "d", "p")
+    val ms = t2.metadata.snapshots.head.files
+      .asInstanceOf[graft.lake.ManifestSet]
+    assert(ms.parts.size == 2, "20 groups chunk into 16 + 4")
+    assert(ms.parts.forall(_.partitionSummary.contains("grp")),
+      "every part keeps a prunable summary")
+    assert(ms.size == 20 && ms.rowCount == 40,
+      "counts answer from summaries")
+    assert(ms.parts.forall(!_.isMaterialized))
+    // a one-partition plan loads ONLY the part covering it
+    val planned = t2.plannedFiles(prune = Map("grp" -> Set("g3")))
+    assert(planned.nonEmpty &&
+      planned.forall(_.partitionValues("grp") == "g3"))
+    val (hot, cold) = ms.parts.partition(
+      _.partitionSummary("grp").contains("g3"))
+    assert(hot.size == 1 && hot.head.isMaterialized)
+    assert(cold.forall(!_.isMaterialized),
+      "non-overlapping parts stay cold")
+    // full read round-trips
+    assert(t2.read(spark).count() == 40)
+    // the metadata relations see the parts
+    spark.conf.set("spark.sql.catalog.gclu", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.gclu.warehouse", wh)
+    assert(spark.sql("SELECT * FROM gclu.d.p.manifests").count() == 2)
+    assert(spark.sql("SELECT * FROM gclu.d.p.files").count() == 20)
+    assert(spark.sql("SELECT * FROM gclu.d.p.partitions").count() == 20)
+    assert(spark.sql(
+      "SELECT n_files, n_rows FROM gclu.d.p.snapshots").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq == Seq((20, 40L)))
+    // rewrite_manifests over a wide table keeps the clustering (the
+    // merged inventory re-clusters instead of flattening into one)
+    t2.append(Seq((100L, "g3", "x")).toDF("id", "grp", "v"))
+    val t3 = LakeTable.load(wh, "d", "p")
+    t3.rewriteManifests()
+    val t4 = LakeTable.load(wh, "d", "p")
+    val rw = t4.metadata.snapshots.last.files
+    assert(rw.isInstanceOf[graft.lake.ManifestSet],
+      "the rewrite output is partition-clustered too")
+    assert(t4.read(spark).count() == 41)
+    assert(t4.read(spark, prune = Map("grp" -> Set("g7"))).count() == 2)
+  }
+
   test("rewrite_manifests: forward reads replay ONE merged manifest, " +
       "history and CDC stay intact") {
     import spark.implicits._
@@ -261,6 +312,11 @@ class ManifestSpec extends AnyFunSuite {
       .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
     // CDC across the rewrite delivers nothing for it
     assert(t2.changesBetween(spark, snap.id - 1, snap.id).count() == 0)
+    // fixpoint: a second rewrite with nothing to merge is a no-op (a
+    // scheduled maintenance loop must not grow metadata forever)
+    val n = t2.metadata.snapshots.size
+    assert(t2.rewriteManifests().id == snap.id)
+    assert(t2.metadata.snapshots.size == n)
     // appends continue past it; expire later squashes cleanly
     t2.append(Seq((5L, "e")).toDF("id", "v"))
     assert(LakeTable.load(wh, "d", "m").read(spark).collect()
