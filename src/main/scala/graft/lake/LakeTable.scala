@@ -685,8 +685,9 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
       // branch MoR commits publish under their real operation;
       // equality batches re-stamp to the published sequence so they
       // supersede everything older than the publish (append-wins —
-      // identical to what the branch view already showed, because
-      // fast-forward requires main == fork base)
+      // identical to what the branch view already showed: main's
+      // state at publish equals the fork-base state, since anything
+      // past the base is a rewrite that moves bytes, not data)
       val op = s.operation match {
         case "staged-delete" => "delete"
         case "staged-upsert" => "upsert"
@@ -1294,13 +1295,17 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     */
   def rewriteManifests(): SnapshotMeta = {
     require(md.snapshots.nonEmpty, "no snapshots to rewrite")
+    // staleness first: a no-op verdict from a stale handle would hide
+    // commits made through other handles ("metadata is compact" while
+    // 500 unmerged commits exist) — surface the conflict like every
+    // other write verb
+    if (currentHintVersion() != loadedVersion)
+      throw new java.util.ConcurrentModificationException(
+        s"table $location was committed concurrently; reload and retry")
     // fixpoint guard: when the head is already a rewrite there is
     // nothing to merge — an unconditional maintenance loop must not
     // append a fresh full-inventory manifest per run forever
     if (md.snapshots.last.operation == "rewrite") return md.snapshots.last
-    if (currentHintVersion() != loadedVersion)
-      throw new java.util.ConcurrentModificationException(
-        s"table $location was committed concurrently; reload and retry")
     val snap = liveStateSnapshot(md.snapshots,
       id = (md.snapshots ++ md.staged).map(_.id).foldLeft(0L)(math.max) + 1,
       schemaId = md.currentSchemaId,
@@ -1413,11 +1418,9 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     // Old v*.json audit documents may still name them, but those
     // versions stop being readable once their data files are swept
     // anyway (the existing data-file policy).
-    val liveManifests = (md.snapshots ++ md.staged).map(_.files).flatMap {
-      case mf: ManifestFiles => Seq(mf.manifestName)
-      case ms: ManifestSet => ms.parts.map(_.manifestName)
-      case _ => Seq.empty
-    }.toSet
+    val liveManifests = (md.snapshots ++ md.staged)
+      .flatMap(s => LakeTable.manifestParts(s.files))
+      .map(_.manifestName).toSet
     val manifestOrphans = if (!Files.exists(metadataDir)) Seq.empty[Path]
       else Using.resource(Files.list(metadataDir)) { st =>
         st.iterator().asScala
@@ -1847,15 +1850,13 @@ object LakeTable {
       // explicit one (expire-squash carried files keep their original)
       def stamp(fs: Seq[DataFileMeta]) = fs.toVector.map(f =>
         if (f.seq >= 0) f else f.copy(seq = s.id))
-      def own = s.files match {
-        case mf: ManifestFiles if (prune.nonEmpty || statsFilters.nonEmpty)
-            && mf.prunedOut(prune, schema, statsFilters) =>
-          Vector.empty[DataFileMeta]
-        case ms: ManifestSet if prune.nonEmpty || statsFilters.nonEmpty =>
+      def own = {
+        val parts = manifestParts(s.files)
+        if (parts.nonEmpty && (prune.nonEmpty || statsFilters.nonEmpty))
           // per-PART summary pruning: only overlapping parts load
-          stamp(ms.parts.filterNot(_.prunedOut(prune, schema, statsFilters))
+          stamp(parts.filterNot(_.prunedOut(prune, schema, statsFilters))
             .flatten)
-        case fs => stamp(fs)
+        else stamp(s.files)
       }
       s.operation match {
         case "rewrite" => own
@@ -1925,6 +1926,21 @@ object LakeTable {
       if (f.seq >= 0) f else f.copy(seq = reseq(s.id)))),
       branchSnaps.flatMap(s => s.eqDeletes.map(_.copy(seq = reseq(s.id)))))
   }
+
+  /** Manifest handles backing a snapshot's file list — one for a
+    * single manifest, the parts for a clustered set, empty for inline
+    * (pre-manifest) lists. EVERY site that enumerates manifest-backed
+    * storage goes through here so a new representation cannot be
+    * silently missed — the orphan sweep in particular must never
+    * under-count live manifests (an under-count DELETES live
+    * metadata).
+    */
+  def manifestParts(files: Seq[DataFileMeta]): Seq[ManifestFiles] =
+    files match {
+      case mf: ManifestFiles => Seq(mf)
+      case ms: ManifestSet => ms.parts
+      case _ => Seq.empty
+    }
 
   /** Suffix of the snapshot log since the last rewrite, plus the set
     * of paths removed by overwrites within it — the distributable form

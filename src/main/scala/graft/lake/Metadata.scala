@@ -184,7 +184,15 @@ final class ManifestFiles private[lake] (
 final class ManifestSet private[lake] (val parts: Vector[ManifestFiles])
     extends Seq[DataFileMeta] with Serializable {
   require(parts.nonEmpty, "a manifest set needs at least one part")
-  override def apply(i: Int): DataFileMeta = iterator.drop(i).next()
+  override def apply(i: Int): DataFileMeta = {
+    // Seq contract: IndexOutOfBounds on both ends; only the covering
+    // part materializes
+    var idx = i
+    if (idx >= 0) parts.foreach { p =>
+      if (idx < p.fileCount) return p(idx) else idx -= p.fileCount
+    }
+    throw new IndexOutOfBoundsException(s"$i of $length")
+  }
   override def length: Int = parts.map(_.fileCount).sum
   override def iterator: Iterator[DataFileMeta] =
     parts.iterator.flatMap(_.iterator)
@@ -253,9 +261,14 @@ object ManifestIO {
     * table's whole inventory.
     */
   def cluster(files: Seq[DataFileMeta]): Seq[Seq[DataFileMeta]] = {
+    // GROUP on the structured tuple (an unescaped "k=v,…" join would
+    // collide values containing ',' or '='); the string render is
+    // only the deterministic ORDERING key, where a collision merely
+    // places two distinct groups adjacently
     val groups = files.groupBy(f =>
-      (f.specId, f.partitionValues.toSeq.sorted
-        .map { case (k, v) => s"$k=$v" }.mkString(","))).toSeq.sortBy(_._1)
+      (f.specId, f.partitionValues.toSeq.sorted)).toSeq
+      .sortBy { case ((spec, tup), _) =>
+        (spec, tup.map { case (k, v) => s"$k=$v" }.mkString(",")) }
     if (groups.size <= summaryCap) Seq(files)
     else groups.map(_._2).grouped(summaryCap).map(_.flatten).toSeq
   }

@@ -389,18 +389,11 @@ private[sources] object MetaTables {
               g.map(f => dr.getOrElse(
                 LakeTable.normalizePath(f.path), 0L)).sum)
           }.toSeq
-      val manifestPaths = suffix.flatMap(_.files match {
-        case mf: graft.lake.ManifestFiles if mf.nonEmpty =>
-          Seq(mf.pathStr)
-        case ms: graft.lake.ManifestSet =>
-          ms.parts.filter(_.nonEmpty).map(_.pathStr)
-        case _ => Seq.empty
-      })
-      val inline = suffix.flatMap(_.files match {
-        case _: graft.lake.ManifestFiles => Seq.empty
-        case _: graft.lake.ManifestSet => Seq.empty
-        case fs => fs
-      })
+      val manifestPaths = suffix.flatMap(s =>
+        LakeTable.manifestParts(s.files).filter(_.nonEmpty).map(_.pathStr))
+      val inline = suffix.flatMap(s =>
+        if (LakeTable.manifestParts(s.files).nonEmpty) Seq.empty
+        else s.files)
       // DEFERRED: the manifest job runs at first scan planning, not at
       // catalog resolution — analysis-only paths (EXPLAIN, schema
       // probes) must not pay a cluster job
@@ -430,14 +423,13 @@ private[sources] object MetaTables {
       // manifests; materializing is only the fallback for pre-upgrade
       // metadata without a byte count (and inline file lists).
       (t.metadata.snapshots ++ t.metadata.staged).sortBy(_.id).map { s =>
-        val (nFiles, rows, bytes) = s.files match {
-          case mf: graft.lake.ManifestFiles if mf.byteCount >= 0 =>
-            (mf.fileCount, mf.rowCount, mf.byteCount)
-          case ms: graft.lake.ManifestSet if ms.byteCount >= 0 =>
-            (ms.length, ms.rowCount, ms.byteCount)
-          case fs => (fs.size, fs.map(_.rows).filter(_ >= 0).sum,
-            fs.map(_.bytes).filter(_ >= 0).sum)
-        }
+        val parts = LakeTable.manifestParts(s.files)
+        val (nFiles, rows, bytes) =
+          if (parts.nonEmpty && parts.forall(_.byteCount >= 0))
+            (parts.map(_.fileCount).sum, parts.map(_.rowCount).sum,
+              parts.map(_.byteCount).sum)
+          else (s.files.size, s.files.map(_.rows).filter(_ >= 0).sum,
+            s.files.map(_.bytes).filter(_ >= 0).sum)
         Seq[Any](s.id, s.operation, nFiles, rows, bytes,
           s.removedPaths.size, s.deletePaths.size)
       })
@@ -446,18 +438,12 @@ private[sources] object MetaTables {
       // one row per manifest-backed snapshot, answered entirely from
       // the recorded summaries — zero manifest IO at any table size
       (t.metadata.snapshots ++ t.metadata.staged).sortBy(_.id).flatMap {
-        s =>
-          def row(mf: graft.lake.ManifestFiles): Seq[Any] = Seq[Any](
-            s.id, mf.manifestName, mf.fileCount, mf.rowCount,
-            mf.byteCount,
-            mf.partitionSummary.toSeq.sortBy(_._1).map { case (c, vs) =>
-              s"$c=[${vs.toSeq.sorted.mkString("|")}]"
-            }.mkString(","))
-          s.files match {
-            case mf: graft.lake.ManifestFiles => Seq(row(mf))
-            case ms: graft.lake.ManifestSet => ms.parts.map(row)
-            case _ => Seq.empty
-          }
+        s => LakeTable.manifestParts(s.files).map(mf => Seq[Any](
+          s.id, mf.manifestName, mf.fileCount, mf.rowCount,
+          mf.byteCount,
+          mf.partitionSummary.toSeq.sortBy(_._1).map { case (c, vs) =>
+            s"$c=[${vs.toSeq.sorted.mkString("|")}]"
+          }.mkString(",")))
       })
     case "files" =>
       // the LIVE file inventory (Iceberg's .files semantics) as a
@@ -501,23 +487,14 @@ private[sources] class LakeFilesTable(name0: String,
           LakeTable.replaySuffix(t.metadata.snapshots)
         val removed = removedSet.toArray
         val inline = suffix.flatMap { s =>
-          s.files match {
-            case _: graft.lake.ManifestFiles => Seq.empty
-            case _: graft.lake.ManifestSet => Seq.empty
-            case fs => fs.filterNot(f => removed.contains(f.path))
-              .map(f => LakeFilesReader.render(s.id, f).toSeq)
-          }
+          if (LakeTable.manifestParts(s.files).nonEmpty) Seq.empty
+          else s.files.filterNot(f => removed.contains(f.path))
+            .map(f => LakeFilesReader.render(s.id, f).toSeq)
         }
         (suffix.flatMap { s =>
-          s.files match {
-            // fileCount answers nonEmpty without manifest IO
-            case mf: graft.lake.ManifestFiles if mf.nonEmpty =>
-              Seq(ManifestScanPartition(mf.pathStr, s.id, removed))
-            case ms: graft.lake.ManifestSet =>
-              ms.parts.filter(_.nonEmpty)
-                .map(p => ManifestScanPartition(p.pathStr, s.id, removed))
-            case _ => Seq.empty
-          }
+          // fileCount answers nonEmpty without manifest IO
+          LakeTable.manifestParts(s.files).filter(_.nonEmpty)
+            .map(p => ManifestScanPartition(p.pathStr, s.id, removed))
         } ++ (if (inline.isEmpty) Seq.empty
               else Seq(MetaRowsPartition(
                 inline.map(_.toArray).toArray)))).toArray
