@@ -1282,6 +1282,25 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
       eqDeletes = LakeTable.liveEqDeletes(snaps))
   }
 
+  /** Annotate a top-level column of the CURRENT schema version with an
+    * initial default (Iceberg v3 `ADD COLUMN ... DEFAULT v`): rows in
+    * files written before the column existed — older schema versions —
+    * read the default; files that physically carry the column keep
+    * their explicit values, including explicit NULLs. Called by the
+    * SQL catalog in the same ALTER that added the column, so no file
+    * of the annotated version exists yet — the default never flips
+    * already-written nulls retroactively.
+    */
+  private[graft] def setInitialDefault(column: String, value: String): Unit = {
+    val cur = md.currentSchema
+    require(cur.fields.exists(_.name == column), s"no column '$column'")
+    val updated = StructType(cur.fields.map(f =>
+      if (f.name == column) graft.schema.Defaults.withDefault(f, value)
+      else f))
+    commit(md.copy(schemas = md.schemas.map(sv =>
+      if (sv.id == md.currentSchemaId) sv.copy(schema = updated) else sv)))
+  }
+
   /** Metadata-only manifest compaction (Iceberg's `rewrite_manifests`):
     * append one "rewrite" snapshot carrying the current live file set
     * in a single fresh manifest. Data files are untouched and history

@@ -365,7 +365,9 @@ object MetadataIO {
     "name" -> JString(f.name),
     "id" -> JNumber(FieldIds.idOf(f)),
     "required" -> JBool(!f.nullable),
-    "type" -> typeToJson(f.dataType)))
+    "type" -> typeToJson(f.dataType)) ++
+    graft.schema.Defaults.of(f)
+      .map(d => "initial-default" -> (JString(d): JValue)).toMap)
 
   def typeFromJson(v: JValue): DataType = v match {
     case JString(s) => s match {
@@ -388,10 +390,12 @@ object MetadataIO {
 
   def fieldFromJson(v: JValue): StructField = {
     val m = v.asObj
-    FieldIds.withId(
+    val base = FieldIds.withId(
       StructField(m("name").asStr, typeFromJson(m("type")),
         nullable = !m("required").asBool),
       m("id").asInt)
+    m.get("initial-default").map(d =>
+      graft.schema.Defaults.withDefault(base, d.asStr)).getOrElse(base)
   }
 
   // ---- DataFileMeta <-> JSON ------------------------------------------

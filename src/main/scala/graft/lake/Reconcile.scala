@@ -51,7 +51,9 @@ object Reconcile {
     */
   private def fieldExpr(curF: StructField,
       file: Option[(Column, StructField)]): Column = file match {
-    case None => lit(null).cast(clean(curF.dataType))
+    // absent from the file = written before the column existed →
+    // the column's INITIAL DEFAULT (typed null when none recorded)
+    case None => graft.schema.Defaults.fill(curF, clean(curF.dataType))
     case Some((fc, ff)) => typeExpr(curF.dataType, ff.dataType, fc)
   }
 
@@ -75,7 +77,7 @@ object Reconcile {
     val rebuilt = struct(cur.fields.toSeq.map { cf =>
       val ff = file.fields.find(f => FieldIds.idOf(f) == FieldIds.idOf(cf))
       (ff match {
-        case None => lit(null).cast(clean(cf.dataType))
+        case None => graft.schema.Defaults.fill(cf, clean(cf.dataType))
         case Some(f) => typeExpr(cf.dataType, f.dataType, base.getField(f.name))
       }).as(cf.name)
     }: _*)

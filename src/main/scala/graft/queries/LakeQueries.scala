@@ -987,6 +987,34 @@ object RowOpsQueries extends QueryModule {
               |FROM greq.rowops.orders_eq ORDER BY o_orderkey""".stripMargin)
     }),
 
+    "lake_default_cols" -> QueryModule.micro(4)((s, dir) => {
+      // Iceberg-v3 INITIAL DEFAULTS under the oracle: rows written
+      // before `ALTER TABLE ... ADD COLUMN tier STRING DEFAULT
+      // 'standard'` read the default; rows written after keep their
+      // explicit values INCLUDING explicit NULLs. The fill is
+      // metadata-driven at read time — zero data rewrites at any
+      // table size — and this key serves it through the DSv2 Group
+      // reader under the DuckDB oracle.
+      val wh = LakeQueries.freshWarehouse("defaults")
+      s.conf.set("spark.sql.catalog.gdc", "graft.sources.LakeCatalog")
+      s.conf.set("spark.sql.catalog.gdc.warehouse", wh)
+      Engine.processTableDefJson(wh,
+        """{"database_name":"dq","table_name":"cust","columns":[
+          |{"column_name":"c_custkey","data_type":"long"},
+          |{"column_name":"c_name","data_type":"string"}],
+          |"partitions":[]}""".stripMargin)
+      val cust = Tables(s, dir, "customer").select("c_custkey", "c_name")
+      LakeTable.load(wh, "dq", "cust")
+        .append(cust.filter(col("c_custkey") % 2 === 0))
+      s.sql("ALTER TABLE gdc.dq.cust ADD COLUMN tier STRING " +
+        "DEFAULT 'standard'")
+      LakeTable.load(wh, "dq", "cust").append(
+        cust.filter(col("c_custkey") % 2 === 1).withColumn("tier",
+          when(col("c_custkey") % 10 === 1, lit("gold"))))
+      s.sql("""SELECT c_custkey, c_name, tier
+              |FROM gdc.dq.cust ORDER BY c_custkey""".stripMargin)
+    }),
+
     "lake_eq_nested" -> QueryModule.micro(4)((s, dir) => {
       // equality-delete keys resolving through STRUCT nesting by field
       // id (Iceberg v2 keys on any nested scalar): purge one segment
@@ -1123,6 +1151,13 @@ object RowOpsQueries extends QueryModule {
         |       ELSE o_totalprice END AS o_totalprice
         |FROM orders WHERE o_orderkey < 3500
         |ORDER BY o_orderkey""".stripMargin,
+
+    "lake_default_cols" ->
+      """SELECT c_custkey, c_name,
+        |  CASE WHEN c_custkey % 2 = 0 THEN 'standard'
+        |       WHEN c_custkey % 10 = 1 THEN 'gold'
+        |       ELSE NULL END AS tier
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "lake_eq_nested" ->
       """SELECT c_custkey, segment, name FROM (

@@ -58,6 +58,7 @@ object FieldIds {
     * by ID in storage (SURVEY.md §1.3).
     */
   def carryOver(current: StructType, target: StructType, nextId: Int): (StructType, Int) = {
+    val currentFields: Map[String, StructField] = flatten(current).toMap
     val currentIds: Map[String, Int] = flatten(current).map {
       case (path, f) => path -> idOf(f)
     }.toMap
@@ -66,7 +67,13 @@ object FieldIds {
       StructType(st.fields.map { f =>
         val path = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
         val id = currentIds.getOrElse(path, { val i = next; next += 1; i })
-        withId(f.copy(dataType = walkType(f.dataType, path)), id)
+        // initial defaults ride the evolution like ids do: a target
+        // rebuilt from the TableDef contract has no metadata, so the
+        // annotation would silently vanish on the next ALTER
+        val withDef = currentFields.get(path)
+          .flatMap(Defaults.of).map(Defaults.withDefault(f, _))
+          .getOrElse(f)
+        withId(withDef.copy(dataType = walkType(f.dataType, path)), id)
       })
     def walkType(dt: DataType, path: String): DataType = dt match {
       case st: StructType => walkStruct(st, path)

@@ -44,6 +44,13 @@ class LakeCatalog extends TableCatalog
 
   override def name(): String = catalogName
 
+  // lets `ALTER TABLE ... ADD COLUMN ... DEFAULT v` reach alterTable
+  // (the analyzer refuses the clause without the capability)
+  override def capabilities(): java.util.Set[
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     require(namespace.length == 1, "expected <database> namespace")
     val db = Paths.get(warehouse, namespace(0))
@@ -129,6 +136,14 @@ class LakeCatalog extends TableCatalog
       properties: java.util.Map[String, String]): Table = {
     require(ident.namespace.length == 1, "expected <database>.<table>")
     val (db, tbl) = (ident.namespace()(0), ident.name)
+    // defaults are an ADD COLUMN feature (initial default for
+    // pre-column history); at CREATE there is no history and the
+    // engine has no write-default — silently dropping the clause
+    // would diverge from what the DDL promised, so refuse loudly
+    schema.fields.foreach(f => require(
+      !f.metadata.contains("CURRENT_DEFAULT"),
+      s"column '${f.name}': DEFAULT at CREATE TABLE is unsupported " +
+        "(initial defaults apply to ALTER TABLE ... ADD COLUMN)"))
     val cols = schema.fields.toSeq.map(f =>
       graft.schema.TypeMapper.toColumnDef(f.name, f.dataType, f.nullable))
     val parts = partitions.toSeq.map { t =>
@@ -192,10 +207,21 @@ class LakeCatalog extends TableCatalog
     if (rest.isEmpty) return loadTable(ident)
     var cols = t.currentSchema.fields.toSeq.map(f =>
       graft.schema.TypeMapper.toColumnDef(f.name, f.dataType, f.nullable))
+    val defaults = scala.collection.mutable.Buffer.empty[(String, String)]
     rest.foreach {
       case a: TableChange.AddColumn =>
         require(a.fieldNames.length == 1,
           "ALTER ADD nested columns: use a table-def evolution")
+        Option(a.defaultValue()).foreach { dv =>
+          // initial default (Iceberg v3): record the literal's plain
+          // string rendering, re-typed by the column type on fill.
+          // Defaults.supported rejects types whose rendering doesn't
+          // round-trip (dates/timestamps/complex) — loud, at DDL time.
+          require(graft.schema.Defaults.supported(a.dataType),
+            s"DEFAULT unsupported for type ${a.dataType.simpleString} " +
+              "(atomic int/long/float/double/boolean/decimal/string)")
+          defaults += a.fieldNames()(0) -> String.valueOf(dv.getValue.value())
+        }
         cols = cols :+ graft.schema.TypeMapper.toColumnDef(
           a.fieldNames()(0), a.dataType, a.isNullable)
       case d: TableChange.DeleteColumn =>
@@ -223,6 +249,13 @@ class LakeCatalog extends TableCatalog
       ident.namespace()(0), ident.name, cols, spec, t.metadata.properties))
     if (hadError) throw new IllegalArgumentException(
       s"ALTER rejected: ${msgs.mkString("; ")}")
+    if (defaults.nonEmpty) {
+      // annotate the schema version the evolve just created — add-time
+      // semantics: no file of this version exists yet, so the default
+      // fills exactly the pre-column history
+      val t2 = LakeTable.load(warehouse, ident.namespace()(0), ident.name)
+      defaults.foreach { case (c, v) => t2.setInitialDefault(c, v) }
+    }
     loadTable(ident)
   }
 

@@ -1167,7 +1167,11 @@ private[sources] object LakeSource {
   def fieldExtractor(tf: StructField,
       fileFields: Seq[StructField]): Group => Any =
     fileFields.find(ff => FieldIds.idOf(ff) == FieldIds.idOf(tf)) match {
-      case None => _ => null
+      case None =>
+        // written before the column existed → its INITIAL DEFAULT
+        // (null when none recorded), mirroring Reconcile.fieldExpr
+        val d = graft.schema.Defaults.internalValue(tf)
+        _ => d
       case Some(ff) =>
         val name = ff.name
         val conv = converter(tf.dataType, ff.dataType)
@@ -1193,7 +1197,11 @@ private[sources] object LakeSource {
         }
       }.headOption
     chain(fileStruct, FieldIds.idOf(tf)) match {
-      case None => _ => null
+      case None =>
+        // consistent with the reconciling fill: a pre-column file's
+        // rows carry the column's initial default (null when none)
+        val d = graft.schema.Defaults.internalValue(tf)
+        _ => d
       case Some(fs) =>
         val outer = fs.init.map(_.name).toArray
         val leaf = fs.last.name

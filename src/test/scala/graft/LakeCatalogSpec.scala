@@ -348,6 +348,47 @@ class LakeCatalogSpec extends AnyFunSuite {
       "post-CoW + compaction rollup: only grp=y survives, deletes reset")
   }
 
+  test("ALTER ADD COLUMN ... DEFAULT: initial default fills the " +
+      "pre-column history only") {
+    val wh = Files.createTempDirectory("graft-defaults").toString
+    spark.conf.set("spark.sql.catalog.gdef", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.gdef.warehouse", wh)
+    spark.sql("CREATE TABLE gdef.d.dc (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO gdef.d.dc VALUES (1, 'a'), (2, 'b')")
+    spark.sql("ALTER TABLE gdef.d.dc ADD COLUMN note STRING DEFAULT 'n/a'")
+    spark.sql("ALTER TABLE gdef.d.dc ADD COLUMN score BIGINT DEFAULT 7")
+    def rows(): Seq[(Long, String, Any)] =
+      spark.sql("SELECT id, note, score FROM gdef.d.dc ORDER BY id")
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) null else r.getString(1),
+          if (r.isNullAt(2)) null else r.getLong(2))).toSeq
+    // pre-column rows read the defaults (DSv2 Group-reader path)
+    assert(rows() == Seq((1L, "n/a", 7L), (2L, "n/a", 7L)))
+    // the native reconciling read agrees
+    val t = LakeTable.load(wh, "d", "dc")
+    assert(t.read(spark).select("id", "note", "score")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      == Seq((1L, "n/a", 7L), (2L, "n/a", 7L)))
+    // rows written AFTER the add keep explicit values — incl. NULL
+    spark.sql("INSERT INTO gdef.d.dc VALUES (3, 'c', NULL, 9)")
+    assert(rows() == Seq((1L, "n/a", 7L), (2L, "n/a", 7L), (3L, null, 9L)))
+    // the default survives a later evolution (metadata carry-over)
+    spark.sql("ALTER TABLE gdef.d.dc ADD COLUMN extra INT")
+    assert(rows() == Seq((1L, "n/a", 7L), (2L, "n/a", 7L), (3L, null, 9L)))
+    // time travel BEFORE the add serves the old schema — no column
+    assert(!spark.sql("SELECT * FROM gdef.d.dc VERSION AS OF 1")
+      .columns.contains("note"))
+    // CREATE with DEFAULT is refused loudly, not silently dropped
+    val e1 = intercept[Exception](spark.sql(
+      "CREATE TABLE gdef.d.dc2 (x INT DEFAULT 5)"))
+    assert(e1.getMessage.contains("ADD COLUMN"))
+    // non-round-tripping default types are refused at DDL time
+    val e2 = intercept[Exception](spark.sql(
+      "ALTER TABLE gdef.d.dc ADD COLUMN d DATE DEFAULT DATE'2024-01-01'"))
+    assert(e2.getMessage.toLowerCase.contains("default"))
+  }
+
   test("CALL procedures: expire_snapshots, compact, remove_orphan_files") {
     val wh = Files.createTempDirectory("graft-proc").toString
     Engine.processTableDefJson(wh,
