@@ -136,8 +136,17 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
   /** Apply a new table definition: diff → validate → new schema version
     * (+ new spec version when the partition fields changed). Returns
     * the reference-style message list (`iceberg_helper.py:306-385`).
+    *
+    * `initialDefaults` (column name → literal string) annotates
+    * top-level columns of the NEW schema version with Iceberg-v3
+    * initial defaults, in the SAME commit as the evolution — the SQL
+    * catalog's `ADD COLUMN ... DEFAULT v` path. Atomic by
+    * construction: a failed ALTER can never leave columns added with
+    * their defaults lost.
     */
-  def evolve(tableDef: TableDef): (Seq[String], Boolean) = {
+  def evolve(tableDef: TableDef,
+      initialDefaults: Map[String, String] = Map.empty)
+      : (Seq[String], Boolean) = {
     val messages = Seq.newBuilder[String]
     val targetNoIds = TypeMapper.toStructType(tableDef.columns)
     val changes = SchemaDiff.diff(md.currentSchema, targetNoIds)
@@ -186,9 +195,17 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     if (changes.nonEmpty) {
       val (withIds, nextId) =
         FieldIds.carryOver(md.currentSchema, targetNoIds, md.lastFieldId + 1)
+      // initial defaults ride the SAME schema version commit
+      // (validated at annotation time — see Defaults.withDefault)
+      initialDefaults.keys.foreach(n =>
+        require(withIds.fields.exists(_.name == n),
+          s"initial default for unknown column '$n'"))
+      val annotated = StructType(withIds.fields.map(f =>
+        initialDefaults.get(f.name)
+          .map(graft.schema.Defaults.withDefault(f, _)).getOrElse(f)))
       val newSchemaId = md.schemas.map(_.id).max + 1
       next = next.copy(
-        schemas = next.schemas :+ SchemaVersion(newSchemaId, withIds),
+        schemas = next.schemas :+ SchemaVersion(newSchemaId, annotated),
         currentSchemaId = newSchemaId,
         lastFieldId = nextId - 1)
     }
@@ -1280,25 +1297,6 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
       deletePaths = liveDel.values.flatMap(_.paths).toSeq.distinct,
       deleteCounts = liveDel.map { case (p, ds) => p -> ds.rows },
       eqDeletes = LakeTable.liveEqDeletes(snaps))
-  }
-
-  /** Annotate a top-level column of the CURRENT schema version with an
-    * initial default (Iceberg v3 `ADD COLUMN ... DEFAULT v`): rows in
-    * files written before the column existed — older schema versions —
-    * read the default; files that physically carry the column keep
-    * their explicit values, including explicit NULLs. Called by the
-    * SQL catalog in the same ALTER that added the column, so no file
-    * of the annotated version exists yet — the default never flips
-    * already-written nulls retroactively.
-    */
-  private[graft] def setInitialDefault(column: String, value: String): Unit = {
-    val cur = md.currentSchema
-    require(cur.fields.exists(_.name == column), s"no column '$column'")
-    val updated = StructType(cur.fields.map(f =>
-      if (f.name == column) graft.schema.Defaults.withDefault(f, value)
-      else f))
-    commit(md.copy(schemas = md.schemas.map(sv =>
-      if (sv.id == md.currentSchemaId) sv.copy(schema = updated) else sv)))
   }
 
   /** Metadata-only manifest compaction (Iceberg's `rewrite_manifests`):

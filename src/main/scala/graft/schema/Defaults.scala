@@ -24,7 +24,7 @@ object Defaults {
 
   def supported(dt: DataType): Boolean = dt match {
     case IntegerType | LongType | FloatType | DoubleType | BooleanType |
-         StringType | ShortType | ByteType => true
+         StringType => true
     case _: DecimalType => true
     case _ => false
   }
@@ -37,8 +37,25 @@ object Defaults {
     require(supported(f.dataType),
       s"initial default unsupported for type ${f.dataType.simpleString} " +
         "(atomic int/long/float/double/boolean/decimal/string only)")
-    f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
-      .putString(MetaKey, value).build())
+    val annotated = f.copy(metadata = new MetadataBuilder()
+      .withMetadata(f.metadata).putString(MetaKey, value).build())
+    // DDL-time round-trip validation: a literal that cannot produce
+    // the field's value must fail HERE, not crash a reader later
+    try internalValue(annotated) catch {
+      case e: Exception => throw new IllegalArgumentException(
+        s"default '$value' does not parse as ${f.dataType.simpleString}", e)
+    }
+    annotated
+  }
+
+  /** The default as Spark SQL literal text — what the engine
+    * advertises as the column's write-default (`CURRENT_DEFAULT`
+    * metadata) so `INSERT ... VALUES (..., DEFAULT)` resolves to the
+    * declared literal instead of NULL.
+    */
+  def sqlText(f: StructField, value: String): String = f.dataType match {
+    case StringType => "'" + value.replace("'", "''") + "'"
+    case _ => value
   }
 
   /** The fill expression for a field ABSENT from a file's schema:
@@ -58,8 +75,6 @@ object Defaults {
     case Some(s) => f.dataType match {
       case IntegerType => s.toInt
       case LongType => s.toLong
-      case ShortType => s.toShort
-      case ByteType => s.toByte
       case FloatType => s.toFloat
       case DoubleType => s.toDouble
       case BooleanType => s.toBoolean

@@ -59,9 +59,8 @@ object FieldIds {
     */
   def carryOver(current: StructType, target: StructType, nextId: Int): (StructType, Int) = {
     val currentFields: Map[String, StructField] = flatten(current).toMap
-    val currentIds: Map[String, Int] = flatten(current).map {
-      case (path, f) => path -> idOf(f)
-    }.toMap
+    val currentIds: Map[String, Int] =
+      currentFields.map { case (path, f) => path -> idOf(f) }
     var next = nextId
     def walkStruct(st: StructType, prefix: String): StructType =
       StructType(st.fields.map { f =>

@@ -212,7 +212,12 @@ class LakeCatalog extends TableCatalog
       case a: TableChange.AddColumn =>
         require(a.fieldNames.length == 1,
           "ALTER ADD nested columns: use a table-def evolution")
-        Option(a.defaultValue()).foreach { dv =>
+        // DEFAULT NULL means "no default" (a column without one
+        // already reads NULL for pre-column history) — recording the
+        // rendered string "null" would fill a literal string/crash a
+        // numeric parse
+        Option(a.defaultValue()).map(_.getValue.value())
+          .filter(_ != null).foreach { v =>
           // initial default (Iceberg v3): record the literal's plain
           // string rendering, re-typed by the column type on fill.
           // Defaults.supported rejects types whose rendering doesn't
@@ -220,7 +225,7 @@ class LakeCatalog extends TableCatalog
           require(graft.schema.Defaults.supported(a.dataType),
             s"DEFAULT unsupported for type ${a.dataType.simpleString} " +
               "(atomic int/long/float/double/boolean/decimal/string)")
-          defaults += a.fieldNames()(0) -> String.valueOf(dv.getValue.value())
+          defaults += a.fieldNames()(0) -> String.valueOf(v)
         }
         cols = cols :+ graft.schema.TypeMapper.toColumnDef(
           a.fieldNames()(0), a.dataType, a.isNullable)
@@ -245,17 +250,13 @@ class LakeCatalog extends TableCatalog
           if graft.schema.FieldIds.idOf(fd) == f.sourceFieldId => p }.get
       graft.schema.PartitionDef(src, f.transform, f.name)
     }
+    // defaults land in the SAME commit as the schema version — a
+    // failed ALTER can never leave columns added with defaults lost
     val (msgs, hadError) = t.evolve(graft.schema.TableDef(
-      ident.namespace()(0), ident.name, cols, spec, t.metadata.properties))
+      ident.namespace()(0), ident.name, cols, spec, t.metadata.properties),
+      initialDefaults = defaults.toMap)
     if (hadError) throw new IllegalArgumentException(
       s"ALTER rejected: ${msgs.mkString("; ")}")
-    if (defaults.nonEmpty) {
-      // annotate the schema version the evolve just created — add-time
-      // semantics: no file of this version exists yet, so the default
-      // fills exactly the pre-column history
-      val t2 = LakeTable.load(warehouse, ident.namespace()(0), ident.name)
-      defaults.foreach { case (c, v) => t2.setInitialDefault(c, v) }
-    }
     loadTable(ident)
   }
 

@@ -165,8 +165,23 @@ private[sources] class LakeSparkTable(wh: String, db: String, tbl: String,
     asOfSnapshot.map(lake.schemaAsOf).getOrElse(lake.currentSchema)
 
   override def name(): String = s"graft.$db.$tbl"
-  override def schema(): StructType =
-    Reconcile.clean(pinnedSchema).asInstanceOf[StructType]
+  override def schema(): StructType = {
+    val clean = Reconcile.clean(pinnedSchema).asInstanceOf[StructType]
+    // advertise initial defaults as Spark write-defaults
+    // (CURRENT_DEFAULT/EXISTS_DEFAULT) so `INSERT ... VALUES (...,
+    // DEFAULT)` resolves to the declared literal instead of NULL —
+    // ADD COLUMN ... DEFAULT promises both halves
+    StructType(clean.fields.zip(pinnedSchema.fields).map {
+      case (cf, pf) => graft.schema.Defaults.of(pf) match {
+        case Some(v) =>
+          val sql = graft.schema.Defaults.sqlText(pf, v)
+          cf.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .putString("CURRENT_DEFAULT", sql)
+            .putString("EXISTS_DEFAULT", sql).build())
+        case None => cf
+      }
+    })
+  }
 
   /** Advertise the current partition spec (identity/years/months/days/
     * hours over source columns) — surfaces in DESCRIBE and lets Spark

@@ -379,6 +379,15 @@ class LakeCatalogSpec extends AnyFunSuite {
     // time travel BEFORE the add serves the old schema — no column
     assert(!spark.sql("SELECT * FROM gdef.d.dc VERSION AS OF 1")
       .columns.contains("note"))
+    // the write-default half: INSERT ... DEFAULT fills the literal
+    spark.sql("INSERT INTO gdef.d.dc VALUES (4, 'd', DEFAULT, DEFAULT, 1)")
+    assert(rows().exists(r => r == ((4L, "n/a", 7L))),
+      "INSERT DEFAULT must resolve to the declared literal, not NULL")
+    // DEFAULT NULL is "no default": pre-column history reads NULL,
+    // not the string 'null' (and numeric parses must not crash)
+    spark.sql("ALTER TABLE gdef.d.dc ADD COLUMN opt BIGINT DEFAULT NULL")
+    assert(spark.sql("SELECT opt FROM gdef.d.dc WHERE id = 1")
+      .collect().head.isNullAt(0))
     // CREATE with DEFAULT is refused loudly, not silently dropped
     val e1 = intercept[Exception](spark.sql(
       "CREATE TABLE gdef.d.dc2 (x INT DEFAULT 5)"))
@@ -387,6 +396,16 @@ class LakeCatalogSpec extends AnyFunSuite {
     val e2 = intercept[Exception](spark.sql(
       "ALTER TABLE gdef.d.dc ADD COLUMN d DATE DEFAULT DATE'2024-01-01'"))
     assert(e2.getMessage.toLowerCase.contains("default"))
+    // a literal that cannot produce the field's value fails at
+    // annotation (DDL) time, never at read time — SQL can't reach
+    // this (Spark coerces DEFAULT literals to the column type), but
+    // the engine API must not trust its caller
+    import org.apache.spark.sql.types.{DecimalType, StructField}
+    val e3 = intercept[IllegalArgumentException](
+      graft.schema.Defaults.withDefault(
+        graft.schema.FieldIds.withId(
+          StructField("pct", DecimalType(10, 2)), 99), "1.234"))
+    assert(e3.getMessage.contains("does not parse"))
   }
 
   test("CALL procedures: expire_snapshots, compact, remove_orphan_files") {
