@@ -15,21 +15,28 @@ object Align {
 
   def apply(df: DataFrame, target: StructType): DataFrame = {
     val cleanTarget = Reconcile.clean(target).asInstanceOf[StructType]
-    val cols = cleanTarget.fields.toSeq.map { tf =>
-      fieldExpr(tf,
-        df.schema.fields.find(_.name == tf.name).map(f => col(s"`${f.name}`") -> f.dataType),
-        tf.name).as(tf.name)
+    val cols = cleanTarget.fields.toSeq.zip(target.fields.toSeq).map {
+      case (tf, orig) =>
+        fieldExpr(tf,
+          df.schema.fields.find(_.name == tf.name)
+            .map(f => col(s"`${f.name}`") -> f.dataType),
+          tf.name, Some(orig)).as(tf.name)
     }
     df.select(cols: _*)
   }
 
   private def fieldExpr(tf: StructField, in: Option[(Column, DataType)],
-      path: String): Column = in match {
+      path: String, orig: Option[StructField] = None): Column = in match {
     case None =>
       if (!tf.nullable)
         throw new IllegalArgumentException(
           s"required field '$path' missing from input")
-      lit(null).cast(tf.dataType)
+      // a column the writer omitted takes its declared default (the
+      // write-default half of ADD COLUMN ... DEFAULT); typed null
+      // when none is recorded — `orig` carries the annotated field,
+      // `tf` the metadata-stripped type
+      orig.map(o => graft.schema.Defaults.fill(o, tf.dataType))
+        .getOrElse(lit(null).cast(tf.dataType))
     case Some((c, inT)) => typeExpr(tf.dataType, inT, c, path)
   }
 

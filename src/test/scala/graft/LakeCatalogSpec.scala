@@ -383,6 +383,14 @@ class LakeCatalogSpec extends AnyFunSuite {
     spark.sql("INSERT INTO gdef.d.dc VALUES (4, 'd', DEFAULT, DEFAULT, 1)")
     assert(rows().exists(r => r == ((4L, "n/a", 7L))),
       "INSERT DEFAULT must resolve to the declared literal, not NULL")
+    // API appends that OMIT the column take the default too (Align)
+    locally {
+      import spark.implicits._
+      LakeTable.load(wh, "d", "dc").append(
+        Seq((5L, "e")).toDF("id", "v"))
+    }
+    assert(rows().exists(r => r == ((5L, "n/a", 7L))),
+      "an aligned append omitting the column takes the write-default")
     // DEFAULT NULL is "no default": pre-column history reads NULL,
     // not the string 'null' (and numeric parses must not crash)
     spark.sql("ALTER TABLE gdef.d.dc ADD COLUMN opt BIGINT DEFAULT NULL")
