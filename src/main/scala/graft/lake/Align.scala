@@ -31,11 +31,11 @@ object Align {
       if (!tf.nullable)
         throw new IllegalArgumentException(
           s"required field '$path' missing from input")
-      // a column the writer omitted takes its declared default (the
-      // write-default half of ADD COLUMN ... DEFAULT); typed null
-      // when none is recorded — `orig` carries the annotated field,
-      // `tf` the metadata-stripped type
-      orig.map(o => graft.schema.Defaults.fill(o, tf.dataType))
+      // a column the writer omitted takes its declared WRITE default
+      // (SET DEFAULT-mutable, falls back to the add-time initial);
+      // typed null when none is recorded — `orig` carries the
+      // annotated field, `tf` the metadata-stripped type
+      orig.map(o => graft.schema.Defaults.writeFill(o, tf.dataType))
         .getOrElse(lit(null).cast(tf.dataType))
     case Some((c, inT)) => typeExpr(tf.dataType, inT, c, path)
   }

@@ -1299,6 +1299,25 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
       eqDeletes = LakeTable.liveEqDeletes(snaps))
   }
 
+  /** `ALTER COLUMN ... SET DEFAULT v` / `DROP DEFAULT`: change (or
+    * clear) a top-level column's mutable WRITE default — the value
+    * future writers get when they omit the column. The initial
+    * default filling pre-column history is immutable by design; this
+    * never touches it, so history reads the same forever. Metadata-
+    * only commit on the current schema version: files already written
+    * under it carry the column physically, so nothing re-interprets.
+    */
+  def setWriteDefault(column: String, value: Option[String]): Unit = {
+    val cur = md.currentSchema
+    require(cur.fields.exists(_.name == column), s"no column '$column'")
+    val updated = StructType(cur.fields.map(f =>
+      if (f.name == column)
+        graft.schema.Defaults.withWriteDefault(f, value)
+      else f))
+    commit(md.copy(schemas = md.schemas.map(sv =>
+      if (sv.id == md.currentSchemaId) sv.copy(schema = updated) else sv)))
+  }
+
   /** Metadata-only manifest compaction (Iceberg's `rewrite_manifests`):
     * append one "rewrite" snapshot carrying the current live file set
     * in a single fresh manifest. Data files are untouched and history

@@ -367,7 +367,14 @@ object MetadataIO {
     "required" -> JBool(!f.nullable),
     "type" -> typeToJson(f.dataType)) ++
     graft.schema.Defaults.of(f)
-      .map(d => "initial-default" -> (JString(d): JValue)).toMap)
+      .map(d => "initial-default" -> (JString(d): JValue)).toMap ++
+    (if (f.metadata.contains(graft.schema.Defaults.WriteKey))
+      Map("write-default" -> (JString(
+        f.metadata.getString(graft.schema.Defaults.WriteKey)): JValue))
+     else Map.empty[String, JValue]) ++
+    (if (f.metadata.contains(graft.schema.Defaults.DroppedKey))
+      Map("write-default-dropped" -> (JBool(true): JValue))
+     else Map.empty[String, JValue]))
 
   def typeFromJson(v: JValue): DataType = v match {
     case JString(s) => s match {
@@ -394,8 +401,15 @@ object MetadataIO {
       StructField(m("name").asStr, typeFromJson(m("type")),
         nullable = !m("required").asBool),
       m("id").asInt)
-    m.get("initial-default").map(d =>
+    val withInit = m.get("initial-default").map(d =>
       graft.schema.Defaults.withDefault(base, d.asStr)).getOrElse(base)
+    (m.get("write-default"), m.get("write-default-dropped")) match {
+      case (Some(d), _) =>
+        graft.schema.Defaults.withWriteDefault(withInit, Some(d.asStr))
+      case (None, Some(_)) =>
+        graft.schema.Defaults.withWriteDefault(withInit, None)
+      case _ => withInit
+    }
   }
 
   // ---- DataFileMeta <-> JSON ------------------------------------------

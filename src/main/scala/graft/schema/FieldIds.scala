@@ -66,12 +66,11 @@ object FieldIds {
       StructType(st.fields.map { f =>
         val path = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
         val id = currentIds.getOrElse(path, { val i = next; next += 1; i })
-        // initial defaults ride the evolution like ids do: a target
-        // rebuilt from the TableDef contract has no metadata, so the
-        // annotation would silently vanish on the next ALTER
+        // default annotations ride the evolution like ids do: a target
+        // rebuilt from the TableDef contract has no metadata, so they
+        // would silently vanish on the next ALTER
         val withDef = currentFields.get(path)
-          .flatMap(Defaults.of).map(Defaults.withDefault(f, _))
-          .getOrElse(f)
+          .map(Defaults.carryAnnotations(_, f)).getOrElse(f)
         withId(withDef.copy(dataType = walkType(f.dataType, path)), id)
       })
     def walkType(dt: DataType, path: String): DataType = dt match {

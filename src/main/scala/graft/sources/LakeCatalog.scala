@@ -197,12 +197,42 @@ class LakeCatalog extends TableCatalog
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     require(ident.namespace.length == 1, "expected <database>.<table>")
     val t = LakeTable.load(warehouse, ident.namespace()(0), ident.name)
-    val (renames, rest) =
+    val (renames, rest0) =
       changes.partition(_.isInstanceOf[TableChange.RenameColumn])
     renames.foreach { case r: TableChange.RenameColumn =>
       require(r.fieldNames.length == 1,
         "ALTER RENAME nested columns: use a table-def evolution")
       t.renameColumn(r.fieldNames()(0), r.newName)
+    }
+    val (defaultUpdates, rest) = rest0.partition(
+      _.isInstanceOf[TableChange.UpdateColumnDefaultValue])
+    defaultUpdates.foreach {
+      case u: TableChange.UpdateColumnDefaultValue =>
+        require(u.fieldNames.length == 1,
+          "SET DEFAULT on nested columns is unsupported")
+        val colName = u.fieldNames()(0)
+        val colType = t.currentSchema.fields.find(_.name == colName)
+          .getOrElse(throw new IllegalArgumentException(
+            s"no column '$colName'")).dataType
+        // SET DEFAULT v → Some(plain literal); DROP DEFAULT / DEFAULT
+        // NULL → None. Spark 4.1 populates only the SQL text here
+        // (newCurrentDefault is null on this path), so parse it:
+        // quoted string literals unquote, bare text passes to the
+        // numeric/boolean validator — a non-literal expression either
+        // fails that parse loudly or is refused here for strings.
+        val value = Option(u.newDefaultValue()).map(_.trim) match {
+          case None | Some("") => None
+          case Some(s) if s.equalsIgnoreCase("null") => None
+          case Some(s) if s.startsWith("'") && s.endsWith("'") &&
+              s.length >= 2 =>
+            Some(s.substring(1, s.length - 1).replace("''", "'"))
+          case Some(s) if colType == org.apache.spark.sql.types.StringType =>
+            throw new UnsupportedOperationException(
+              s"non-literal DEFAULT for string column: $s")
+          case Some(s) => Some(s)
+        }
+        val t2 = LakeTable.load(warehouse, ident.namespace()(0), ident.name)
+        t2.setWriteDefault(colName, value)
     }
     if (rest.isEmpty) return loadTable(ident)
     var cols = t.currentSchema.fields.toSeq.map(f =>

@@ -167,19 +167,20 @@ private[sources] class LakeSparkTable(wh: String, db: String, tbl: String,
   override def name(): String = s"graft.$db.$tbl"
   override def schema(): StructType = {
     val clean = Reconcile.clean(pinnedSchema).asInstanceOf[StructType]
-    // advertise initial defaults as Spark write-defaults
-    // (CURRENT_DEFAULT/EXISTS_DEFAULT) so `INSERT ... VALUES (...,
-    // DEFAULT)` resolves to the declared literal instead of NULL —
-    // ADD COLUMN ... DEFAULT promises both halves
+    // advertise defaults in Spark's convention so `INSERT ... VALUES
+    // (..., DEFAULT)` resolves to the declared literal instead of
+    // NULL: CURRENT_DEFAULT is the mutable write default,
+    // EXISTS_DEFAULT the immutable initial one
     StructType(clean.fields.zip(pinnedSchema.fields).map {
-      case (cf, pf) => graft.schema.Defaults.of(pf) match {
-        case Some(v) =>
-          val sql = graft.schema.Defaults.sqlText(pf, v)
-          cf.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
-            .putString("CURRENT_DEFAULT", sql)
-            .putString("EXISTS_DEFAULT", sql).build())
-        case None => cf
-      }
+      case (cf, pf) =>
+        val b = new org.apache.spark.sql.types.MetadataBuilder()
+        graft.schema.Defaults.writeOf(pf).foreach(v =>
+          b.putString("CURRENT_DEFAULT", graft.schema.Defaults.sqlText(pf, v)))
+        graft.schema.Defaults.of(pf).foreach(v =>
+          b.putString("EXISTS_DEFAULT", graft.schema.Defaults.sqlText(pf, v)))
+        val m = b.build()
+        if (m == org.apache.spark.sql.types.Metadata.empty) cf
+        else cf.copy(metadata = m)
     })
   }
 

@@ -391,6 +391,29 @@ class LakeCatalogSpec extends AnyFunSuite {
     }
     assert(rows().exists(r => r == ((5L, "n/a", 7L))),
       "an aligned append omitting the column takes the write-default")
+    // SET DEFAULT changes the WRITE default only — pre-column history
+    // keeps reading the immutable initial default
+    spark.sql("ALTER TABLE gdef.d.dc ALTER COLUMN note SET DEFAULT 'retro'")
+    assert(graft.schema.Defaults.writeOf(LakeTable.load(wh, "d", "dc")
+      .currentSchema.fields.find(_.name == "note").get).contains("retro"),
+      "SET DEFAULT must store the write default")
+    spark.sql("INSERT INTO gdef.d.dc VALUES (6, 'f', DEFAULT, DEFAULT, 2)")
+    assert(rows().exists(r => r == ((6L, "retro", 7L))),
+      "INSERT DEFAULT must take the new write default")
+    assert(rows().exists(r => r == ((1L, "n/a", 7L))),
+      "SET DEFAULT must never rewrite history's initial fill")
+    locally {
+      import spark.implicits._
+      LakeTable.load(wh, "d", "dc").append(Seq((7L, "g")).toDF("id", "v"))
+    }
+    assert(rows().exists(r => r == ((7L, "retro", 7L))),
+      "aligned appends follow the new write default")
+    // DROP DEFAULT: omitted writes go back to NULL; history unchanged
+    spark.sql("ALTER TABLE gdef.d.dc ALTER COLUMN note DROP DEFAULT")
+    spark.sql("INSERT INTO gdef.d.dc VALUES (8, 'h', DEFAULT, DEFAULT, 3)")
+    assert(rows().exists(r => r == ((8L, null, 7L))),
+      "after DROP DEFAULT an omitted write is NULL again")
+    assert(rows().exists(r => r == ((1L, "n/a", 7L))))
     // DEFAULT NULL is "no default": pre-column history reads NULL,
     // not the string 'null' (and numeric parses must not crash)
     spark.sql("ALTER TABLE gdef.d.dc ADD COLUMN opt BIGINT DEFAULT NULL")
