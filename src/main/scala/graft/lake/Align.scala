@@ -28,13 +28,15 @@ object Align {
   private def fieldExpr(tf: StructField, in: Option[(Column, DataType)],
       path: String, orig: Option[StructField] = None): Column = in match {
     case None =>
-      if (!tf.nullable)
+      // a column the writer omitted takes its declared WRITE default
+      // (SET DEFAULT-mutable, falls back to the add-time initial) —
+      // checked BEFORE the required-field guard, because a NOT NULL
+      // column WITH a default is the primary SET DEFAULT use-case;
+      // `orig` carries the annotated field, `tf` the stripped type
+      val default = orig.flatMap(graft.schema.Defaults.writeOf)
+      if (default.isEmpty && !tf.nullable)
         throw new IllegalArgumentException(
           s"required field '$path' missing from input")
-      // a column the writer omitted takes its declared WRITE default
-      // (SET DEFAULT-mutable, falls back to the add-time initial);
-      // typed null when none is recorded — `orig` carries the
-      // annotated field, `tf` the metadata-stripped type
       orig.map(o => graft.schema.Defaults.writeFill(o, tf.dataType))
         .getOrElse(lit(null).cast(tf.dataType))
     case Some((c, inT)) => typeExpr(tf.dataType, inT, c, path)

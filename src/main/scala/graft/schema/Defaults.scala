@@ -137,10 +137,13 @@ object Defaults {
     of(f).map(parse(_, f.dataType)).orNull
 
   /** A default as Spark SQL literal text — what the engine advertises
-    * via CURRENT_DEFAULT/EXISTS_DEFAULT metadata.
+    * via CURRENT_DEFAULT/EXISTS_DEFAULT metadata. Spark's lexer
+    * escapes with BACKSLASH ('' is two adjacent literals that
+    * concatenate), so quote/backslash escape accordingly.
     */
   def sqlText(f: StructField, value: String): String = f.dataType match {
-    case StringType => "'" + value.replace("'", "''") + "'"
+    case StringType =>
+      "'" + value.replace("\\", "\\\\").replace("'", "\\'") + "'"
     case _ => value
   }
 }

@@ -216,23 +216,28 @@ class LakeCatalog extends TableCatalog
             s"no column '$colName'")).dataType
         // SET DEFAULT v → Some(plain literal); DROP DEFAULT / DEFAULT
         // NULL → None. Spark 4.1 populates only the SQL text here
-        // (newCurrentDefault is null on this path), so parse it:
-        // quoted string literals unquote, bare text passes to the
-        // numeric/boolean validator — a non-literal expression either
-        // fails that parse loudly or is refused here for strings.
-        val value = Option(u.newDefaultValue()).map(_.trim) match {
-          case None | Some("") => None
-          case Some(s) if s.equalsIgnoreCase("null") => None
-          case Some(s) if s.startsWith("'") && s.endsWith("'") &&
-              s.length >= 2 =>
-            Some(s.substring(1, s.length - 1).replace("''", "'"))
-          case Some(s) if colType == org.apache.spark.sql.types.StringType =>
-            throw new UnsupportedOperationException(
-              s"non-literal DEFAULT for string column: $s")
-          case Some(s) => Some(s)
-        }
-        val t2 = LakeTable.load(warehouse, ident.namespace()(0), ident.name)
-        t2.setWriteDefault(colName, value)
+        // (newCurrentDefault's expression is absent on this path), so
+        // parse it with SPARK'S OWN parser — hand-rolled unquoting
+        // gets escape rules and typed literals (5L, 5.0BD, "str")
+        // wrong — then coerce to the column type.
+        val value = Option(u.newDefaultValue()).map(_.trim)
+          .filter(_.nonEmpty).flatMap { s =>
+            val parsed = org.apache.spark.sql.catalyst.parser
+              .CatalystSqlParser.parseExpression(s) match {
+              case l: org.apache.spark.sql.catalyst.expressions.Literal => l
+              case other => throw new UnsupportedOperationException(
+                s"non-literal DEFAULT expression: $other")
+            }
+            Option(org.apache.spark.sql.catalyst.expressions
+              .Cast(parsed, colType, Some("UTC")).eval(null)).map {
+              case u8: org.apache.spark.unsafe.types.UTF8String => u8.toString
+              case v => String.valueOf(v)
+            }
+          }
+        // commit through the SAME handle the rest of the ALTER uses —
+        // a second handle would fork the optimistic-concurrency chain
+        // and fail a batched ALTER halfway through
+        t.setWriteDefault(colName, value)
     }
     if (rest.isEmpty) return loadTable(ident)
     var cols = t.currentSchema.fields.toSeq.map(f =>

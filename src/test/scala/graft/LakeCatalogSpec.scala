@@ -414,6 +414,29 @@ class LakeCatalogSpec extends AnyFunSuite {
     assert(rows().exists(r => r == ((8L, null, 7L))),
       "after DROP DEFAULT an omitted write is NULL again")
     assert(rows().exists(r => r == ((1L, "n/a", 7L))))
+    // escaped-quote literal round-trips Spark's lexer rules, and the
+    // SET + a DROP tombstone both survive a later evolution
+    spark.sql("""ALTER TABLE gdef.d.dc ALTER COLUMN note SET DEFAULT 'O\'Brien'""")
+    spark.sql("ALTER TABLE gdef.d.dc ALTER COLUMN score DROP DEFAULT")
+    spark.sql("ALTER TABLE gdef.d.dc ADD COLUMN extra2 INT")
+    spark.sql(
+      "INSERT INTO gdef.d.dc VALUES (9, 'i', DEFAULT, DEFAULT, 4, NULL)")
+    assert(rows().exists(r => r == ((9L, "O'Brien", null))),
+      "annotations must survive evolution; escapes must round-trip")
+    // a NOT NULL column WITH a write default aligns from omission —
+    // the primary SQL use-case for SET DEFAULT
+    locally {
+      import spark.implicits._
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      val req = graft.schema.Defaults.withWriteDefault(
+        graft.schema.FieldIds.withId(
+          StructField("score", LongType, nullable = false), 50), Some("0"))
+      val target = StructType(Seq(
+        graft.schema.FieldIds.withId(StructField("id", LongType), 51), req))
+      val aligned = graft.lake.Align(Seq(Tuple1(1L)).toDF("id"), target)
+      assert(aligned.collect().head.getLong(1) == 0L,
+        "a required column takes its write default when omitted")
+    }
     // DEFAULT NULL is "no default": pre-column history reads NULL,
     // not the string 'null' (and numeric parses must not crash)
     spark.sql("ALTER TABLE gdef.d.dc ADD COLUMN opt BIGINT DEFAULT NULL")
