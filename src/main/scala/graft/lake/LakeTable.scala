@@ -630,6 +630,17 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     * staged under the branch marker with the branch head advanced.
     * One body means concurrency checks, sequencing, and key
     * validation cannot diverge between the main and branch forms.
+    *
+    * Commit conflicts RETRY like plain appends (reload + fresh id +
+    * re-stamped batch sequence + recommit — no data rewrite): blind
+    * writes are read-independent by contract — "these keys die / these
+    * rows win as of my commit" — so landing after a concurrent commit
+    * is exactly the documented last-write-wins semantic. The multi-
+    * writer CDC-sink shape depends on this. Stream-replay upserts
+    * (streamBatchId) opt out: their idempotence bookkeeping must
+    * observe the conflict. One retry hazard is re-checked after every
+    * reload: a concurrent evolution may have dropped a key field,
+    * which would orphan the batch — surfaced, not committed.
     */
   private def writeMoR(spark: SparkSession, source: Option[DataFrame],
       keys: Either[DataFrame, Seq[String]], branch: Option[String],
@@ -639,16 +650,22 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     val aligned = source.map(Align(_, md.currentSchema))
     aligned.foreach(_.sparkSession.conf
       .set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"))
-    if (currentHintVersion() != loadedVersion)
-      throw new java.util.ConcurrentModificationException(
+    val retriable = streamBatchId.isEmpty
+    if (currentHintVersion() != loadedVersion) {
+      if (retriable) reload()
+      else throw new java.util.ConcurrentModificationException(
         s"table $location was committed concurrently; reload and retry")
-    val snapshotId = (md.snapshots ++ md.staged).map(_.id)
+    }
+    // the files'/batch's true write schema, captured before any
+    // further reload — reads reconcile by id per schema version
+    val schemaIdAtWrite = md.currentSchemaId
+    val provisionalId = (md.snapshots ++ md.staged).map(_.id)
       .foldLeft(0L)(math.max) + 1
-    val batch = writeEqDeleteBatch(
-      keys.fold(identity, ks => keyColumns(aligned.get, ks)), snapshotId)
+    val batch0 = writeEqDeleteBatch(
+      keys.fold(identity, ks => keyColumns(aligned.get, ks)), provisionalId)
     val files = aligned.map { a =>
       writeDataFiles(a, dataDir.resolve(
-        s"snap-$snapshotId-${java.util.UUID.randomUUID().toString.take(8)}"))
+        s"snap-$provisionalId-${java.util.UUID.randomUUID().toString.take(8)}"))
     }.getOrElse(Seq.empty)
     val op = (source.isDefined, branch.isDefined) match {
       case (true, true) => "staged-upsert"
@@ -656,18 +673,41 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
       case (false, true) => "staged-delete"
       case (false, false) => "delete"
     }
-    val snap = SnapshotMeta(snapshotId, files, md.currentSchemaId,
-      operation = op, streamBatchId = streamBatchId, streamId = streamId,
-      timestampMs = System.currentTimeMillis(),
-      wapId = branch.map(branchMarker), eqDeletes = Seq(batch))
-    branch match {
-      case Some(b) =>
-        val ref = branchRef(b)
-        commit(md.copy(staged = md.staged :+ snap,
-          refs = md.refs + (b -> ref.copy(snapshotId = snapshotId))))
-      case None => commit(md.copy(snapshots = md.snapshots :+ snap))
+    val maxRetries = md.properties.get("commit.retry.num-retries")
+      .map(_.toInt).getOrElse(4)
+    var attempts = 0
+    while (true) {
+      val snapshotId = (md.snapshots ++ md.staged).map(_.id)
+        .foldLeft(0L)(math.max) + 1
+      val snap = SnapshotMeta(snapshotId, files, schemaIdAtWrite,
+        operation = op, streamBatchId = streamBatchId,
+        streamId = streamId, timestampMs = System.currentTimeMillis(),
+        wapId = branch.map(branchMarker),
+        eqDeletes = Seq(batch0.copy(seq = snapshotId)))
+      try {
+        branch match {
+          case Some(b) =>
+            val ref = branchRef(b)
+            commit(md.copy(staged = md.staged :+ snap,
+              refs = md.refs + (b -> ref.copy(snapshotId = snapshotId))))
+          case None => commit(md.copy(snapshots = md.snapshots :+ snap))
+        }
+        return snap
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempts += 1
+          if (!retriable || attempts > maxRetries) throw e
+          Thread.sleep(
+            scala.util.Random.nextInt(10L.max(attempts * 20L).toInt).toLong)
+          reload()
+          // a concurrent evolution that dropped a key field would
+          // orphan the batch at read time — surface instead
+          if (!batch0.fieldIds.forall(id =>
+            LakeTable.structPathOfId(md.currentSchema, id).isDefined))
+            throw e
+      }
     }
-    snap
+    throw new IllegalStateException("unreachable")
   }
 
   /** Publish the branch onto main, in commit order, as fresh append

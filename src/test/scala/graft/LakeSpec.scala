@@ -466,6 +466,56 @@ class LakeSpec extends AnyFunSuite {
       (0L until (writers * perWriter)).toSeq)
   }
 
+  test("contended blind MoR writes retry like appends and land " +
+      "exactly once") {
+    val wh = freshWarehouse()
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"mwm","columns":[
+        |{"column_name":"k","data_type":"long"},
+        |{"column_name":"v","data_type":"string"}],"partitions":[],
+        |"properties":{"commit.retry.num-retries":"50"}}""".stripMargin)
+    import spark.implicits._
+    // 4 writers over DISJOINT key spaces, each: append 3 keys, blind
+    // upsert one, eq-delete another — blind writes are
+    // read-independent, so every conflict retries and the final state
+    // is the union of per-writer outcomes
+    val writers = 4
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+    try {
+      val futures = (0 until writers).map { w =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = {
+            val base = w * 10L
+            val h = LakeTable.load(wh, "d", "mwm")
+            h.append(Seq((base, "a"), (base + 1, "a"), (base + 2, "a"))
+              .toDF("k", "v"))
+            h.upsertMoR(spark,
+              Seq((base + 1, "u")).toDF("k", "v"), Seq("k"))
+            h.deleteByKeysMoR(spark, Seq(base + 2).toDF("k"))
+          }
+        })
+      }
+      futures.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    val t = LakeTable.load(wh, "d", "mwm")
+    assert(t.metadata.snapshots.map(_.id).sorted ==
+      (1L to (writers * 3)).toSeq,
+      "all 12 commits land under contiguous ids")
+    val got = t.read(spark).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = (0 until writers).flatMap { w =>
+      Seq(w * 10L -> "a", w * 10L + 1 -> "u")
+    }.toMap
+    assert(got == want, "per-writer last-write-wins state must union")
+    // stale-handle MoR verbs retry too (mirrors the append case)
+    val h1 = LakeTable.load(wh, "d", "mwm")
+    val h2 = LakeTable.load(wh, "d", "mwm")
+    h1.append(Seq((100L, "x")).toDF("k", "v"))
+    h2.deleteByKeysMoR(spark, Seq(100L).toDF("k")) // stale: retries
+    assert(LakeTable.load(wh, "d", "mwm").read(spark)
+      .filter(org.apache.spark.sql.functions.col("k") === 100L).count() == 0)
+  }
+
   test("racing writer that claimed the next version is refused (CREATE_NEW)") {
     // the hint check alone is check-then-act: a racer can write
     // v{N+1}.json between our check and our write — CREATE_NEW on the
