@@ -647,15 +647,18 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
       streamBatchId: Option[Long] = None,
       streamId: Option[String] = None): SnapshotMeta = {
     branch.foreach(branchRef)
-    val aligned = source.map(Align(_, md.currentSchema))
-    aligned.foreach(_.sparkSession.conf
-      .set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"))
     val retriable = streamBatchId.isEmpty
+    // catch up FIRST: alignment, key derivation, and the recorded
+    // write schema must all come from one post-reload schema — the
+    // append path orders this the same way for the same reason
     if (currentHintVersion() != loadedVersion) {
       if (retriable) reload()
       else throw new java.util.ConcurrentModificationException(
         s"table $location was committed concurrently; reload and retry")
     }
+    val aligned = source.map(Align(_, md.currentSchema))
+    aligned.foreach(_.sparkSession.conf
+      .set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"))
     // the files'/batch's true write schema, captured before any
     // further reload — reads reconcile by id per schema version
     val schemaIdAtWrite = md.currentSchemaId
@@ -673,38 +676,68 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
       case (false, true) => "staged-delete"
       case (false, false) => "delete"
     }
+    retryingCommit(retriable,
+      build = snapshotId => SnapshotMeta(snapshotId, files,
+        schemaIdAtWrite, operation = op, streamBatchId = streamBatchId,
+        streamId = streamId, timestampMs = System.currentTimeMillis(),
+        wapId = branch.map(branchMarker),
+        eqDeletes = Seq(batch0.copy(seq = snapshotId))),
+      apply = snap => branch match {
+        case Some(b) =>
+          val ref = branchRef(b)
+          md.copy(staged = md.staged :+ snap,
+            refs = md.refs + (b -> ref.copy(snapshotId = snap.id)))
+        case None => md.copy(snapshots = md.snapshots :+ snap)
+      },
+      afterReload = e => {
+        // a concurrent evolution that dropped a key field would
+        // orphan the batch at read time — and no amount of retrying
+        // can fix it, so say that, not "reload and retry"
+        if (!batch0.fieldIds.forall(id =>
+          LakeTable.structPathOfId(md.currentSchema, id).isDefined))
+          throw new IllegalStateException(
+            "an equality-delete key column was dropped concurrently; " +
+              "re-derive the keys under the new schema", e)
+        // a branch commit staged under an outdated schema could never
+        // fast-forward (publish checks schema equality) — surface the
+        // conflict so the caller re-stages under the new schema
+        if (branch.isDefined && md.currentSchemaId != schemaIdAtWrite)
+          throw e
+      })
+  }
+
+  /** Optimistic-concurrency commit loop shared by retriable appends
+    * and blind MoR writes: build a fresh snapshot per attempt (ids
+    * share one space with staged snapshots), commit, and on conflict
+    * back off with jitter, reload, run the caller's post-reload
+    * validity check, and go again — up to Iceberg's
+    * commit.retry.num-retries.
+    */
+  private def retryingCommit(retriable: Boolean,
+      build: Long => SnapshotMeta,
+      apply: SnapshotMeta => TableMetadata,
+      afterReload: java.util.ConcurrentModificationException => Unit =
+        _ => ()): SnapshotMeta = {
     val maxRetries = md.properties.get("commit.retry.num-retries")
       .map(_.toInt).getOrElse(4)
     var attempts = 0
     while (true) {
       val snapshotId = (md.snapshots ++ md.staged).map(_.id)
         .foldLeft(0L)(math.max) + 1
-      val snap = SnapshotMeta(snapshotId, files, schemaIdAtWrite,
-        operation = op, streamBatchId = streamBatchId,
-        streamId = streamId, timestampMs = System.currentTimeMillis(),
-        wapId = branch.map(branchMarker),
-        eqDeletes = Seq(batch0.copy(seq = snapshotId)))
+      val snap = build(snapshotId)
       try {
-        branch match {
-          case Some(b) =>
-            val ref = branchRef(b)
-            commit(md.copy(staged = md.staged :+ snap,
-              refs = md.refs + (b -> ref.copy(snapshotId = snapshotId))))
-          case None => commit(md.copy(snapshots = md.snapshots :+ snap))
-        }
+        commit(apply(snap))
         return snap
       } catch {
         case e: java.util.ConcurrentModificationException =>
           attempts += 1
           if (!retriable || attempts > maxRetries) throw e
+          // jittered linear backoff so a herd of writers doesn't
+          // re-collide in lockstep
           Thread.sleep(
             scala.util.Random.nextInt(10L.max(attempts * 20L).toInt).toLong)
           reload()
-          // a concurrent evolution that dropped a key field would
-          // orphan the batch at read time — surface instead
-          if (!batch0.fieldIds.forall(id =>
-            LakeTable.structPathOfId(md.currentSchema, id).isDefined))
-            throw e
+          afterReload(e)
       }
     }
     throw new IllegalStateException("unreachable")
@@ -1124,32 +1157,11 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
       retryConflicts: Boolean = true): SnapshotMeta = {
     val retriable = retryConflicts && operation == "append" &&
       removedPaths.isEmpty && streamBatchId.isEmpty
-    // Iceberg's commit.retry.num-retries; jittered linear backoff so a
-    // herd of writers doesn't re-collide in lockstep
-    val maxRetries = md.properties.get("commit.retry.num-retries")
-      .map(_.toInt).getOrElse(4)
-    var attempts = 0
-    while (true) {
-      // ids share one space with staged (branch/WAP) snapshots — a new
-      // commit must never collide with a staged id
-      val snapshotId = (md.snapshots ++ md.staged).map(_.id)
-        .foldLeft(0L)(math.max) + 1
-      val snap = SnapshotMeta(snapshotId, files, schemaId, operation,
-        streamBatchId, streamId, removedPaths,
-        timestampMs = System.currentTimeMillis())
-      try {
-        commit(md.copy(snapshots = md.snapshots :+ snap))
-        return snap
-      } catch {
-        case e: java.util.ConcurrentModificationException =>
-          attempts += 1
-          if (!retriable || attempts > maxRetries) throw e
-          Thread.sleep(
-            scala.util.Random.nextInt(10L.max(attempts * 20L).toInt).toLong)
-          reload()
-      }
-    }
-    throw new IllegalStateException("unreachable")
+    retryingCommit(retriable,
+      build = snapshotId => SnapshotMeta(snapshotId, files, schemaId,
+        operation, streamBatchId, streamId, removedPaths,
+        timestampMs = System.currentTimeMillis()),
+      apply = snap => md.copy(snapshots = md.snapshots :+ snap))
   }
 
   private def listParquet(dir: Path): Seq[Path] =
