@@ -237,6 +237,32 @@ class EqDeleteSpec extends AnyFunSuite {
       == Seq("id"))
   }
 
+  test("a stale MoR write crossing an evolution aligns under the NEW " +
+      "schema (catch-up precedes alignment)") {
+    import spark.implicits._
+    val (wh, t) = mk("stale-evo")
+    t.append(Seq((1L, "a")).toDF("id", "v"))
+    val stale = LakeTable.load(wh, "d", "t")
+    // evolution lands between the stale handle's load and its write
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"t","columns":[
+        |{"column_name":"id","data_type":"long"},
+        |{"column_name":"v","data_type":"string"},
+        |{"column_name":"note","data_type":"string"}],
+        |"partitions":[]}""".stripMargin)
+    val snap = stale.upsertMoR(spark,
+      Seq((1L, "a2")).toDF("id", "v"), Seq("id"))
+    // the retried write caught up first: its files are stamped with
+    // the NEW schema id and the missing column was aligned (null) —
+    // not committed under a schema the frame was never coerced to
+    val t2 = LakeTable.load(wh, "d", "t")
+    assert(snap.schemaId == t2.metadata.currentSchemaId)
+    assert(t2.read(spark).select("id", "v", "note").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getString(2))).toSeq
+      == Seq((1L, "a2", null)))
+  }
+
   test("time travel before the delete batch still sees the old rows") {
     import spark.implicits._
     val (_, t) = mk("tt")
