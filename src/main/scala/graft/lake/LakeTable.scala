@@ -1351,6 +1351,16 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
       eqDeletes = LakeTable.liveEqDeletes(snaps))
   }
 
+  /** `ALTER TABLE ... SET/UNSET TBLPROPERTIES`: merge `set` into and
+    * drop `unset` from the table properties — the knobs steering
+    * write clustering (write.sort-order), distribution, commit retry,
+    * and metadata retention. Metadata-only commit; snapshots and
+    * schemas untouched.
+    */
+  def updateProperties(set: Map[String, String],
+      unset: Seq[String] = Seq.empty): Unit =
+    commit(md.copy(properties = md.properties ++ set -- unset))
+
   /** `ALTER COLUMN ... SET DEFAULT v` / `DROP DEFAULT`: change (or
     * clear) a top-level column's mutable WRITE default — the value
     * future writers get when they omit the column. The initial

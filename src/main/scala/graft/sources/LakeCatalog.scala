@@ -204,7 +204,17 @@ class LakeCatalog extends TableCatalog
         "ALTER RENAME nested columns: use a table-def evolution")
       t.renameColumn(r.fieldNames()(0), r.newName)
     }
-    val (defaultUpdates, rest) = rest0.partition(
+    val (props, rest1) = rest0.partition(c =>
+      c.isInstanceOf[TableChange.SetProperty] ||
+        c.isInstanceOf[TableChange.RemoveProperty])
+    if (props.nonEmpty) {
+      val sets = props.collect { case p: TableChange.SetProperty =>
+        p.property -> p.value }.toMap
+      val unsets = props.collect { case p: TableChange.RemoveProperty =>
+        p.property }
+      t.updateProperties(sets, unsets)
+    }
+    val (defaultUpdates, rest) = rest1.partition(
       _.isInstanceOf[TableChange.UpdateColumnDefaultValue])
     defaultUpdates.foreach {
       case u: TableChange.UpdateColumnDefaultValue =>

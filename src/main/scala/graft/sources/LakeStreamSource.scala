@@ -165,6 +165,13 @@ private[sources] class LakeSparkTable(wh: String, db: String, tbl: String,
     asOfSnapshot.map(lake.schemaAsOf).getOrElse(lake.currentSchema)
 
   override def name(): String = s"graft.$db.$tbl"
+  // surfaces in DESCRIBE EXTENDED / SHOW TBLPROPERTIES
+  override def properties(): java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    lake.metadata.properties.foreach { case (k, v) => m.put(k, v) }
+    m
+  }
+
   override def schema(): StructType = {
     val clean = Reconcile.clean(pinnedSchema).asInstanceOf[StructType]
     // advertise defaults in Spark's convention so `INSERT ... VALUES

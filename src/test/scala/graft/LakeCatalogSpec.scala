@@ -462,6 +462,35 @@ class LakeCatalogSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("does not parse"))
   }
 
+  test("ALTER TABLE SET/UNSET TBLPROPERTIES steers engine knobs") {
+    val wh = Files.createTempDirectory("graft-props").toString
+    spark.conf.set("spark.sql.catalog.gprops", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.gprops.warehouse", wh)
+    spark.sql("CREATE TABLE gprops.d.pt (id BIGINT, v STRING)")
+    spark.sql("""ALTER TABLE gprops.d.pt SET TBLPROPERTIES (
+      |'commit.retry.num-retries' = '9',
+      |'write.sort-order' = 'id')""".stripMargin)
+    val t = LakeTable.load(wh, "d", "pt")
+    assert(t.metadata.properties.get("commit.retry.num-retries")
+      .contains("9"))
+    assert(t.metadata.properties.get("write.sort-order").contains("id"))
+    // visible through SHOW TBLPROPERTIES (Table.properties)
+    val shown = spark.sql("SHOW TBLPROPERTIES gprops.d.pt").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(shown.get("write.sort-order").contains("id"))
+    // the property actually steers the writer: sorted file recorded
+    import spark.implicits._
+    LakeTable.load(wh, "d", "pt").append(
+      Seq((3L, "c"), (1L, "a"), (2L, "b")).toDF("id", "v"))
+    assert(LakeTable.load(wh, "d", "pt").metadata.snapshots.last.files
+      .forall(_.sortedByIds.nonEmpty),
+      "write.sort-order set via SQL must reach the writer")
+    spark.sql(
+      "ALTER TABLE gprops.d.pt UNSET TBLPROPERTIES ('write.sort-order')")
+    assert(!LakeTable.load(wh, "d", "pt").metadata.properties
+      .contains("write.sort-order"))
+  }
+
   test("CALL procedures: expire_snapshots, compact, remove_orphan_files") {
     val wh = Files.createTempDirectory("graft-proc").toString
     Engine.processTableDefJson(wh,
