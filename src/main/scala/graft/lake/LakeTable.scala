@@ -646,16 +646,18 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
       keys: Either[DataFrame, Seq[String]], branch: Option[String],
       streamBatchId: Option[Long] = None,
       streamId: Option[String] = None): SnapshotMeta = {
-    branch.foreach(branchRef)
     val retriable = streamBatchId.isEmpty
-    // catch up FIRST: alignment, key derivation, and the recorded
-    // write schema must all come from one post-reload schema — the
-    // append path orders this the same way for the same reason
+    // catch up FIRST: alignment, key derivation, the recorded write
+    // schema, and the branch-ref check must all observe ONE schema —
+    // the same stale-consistency invariant the append path keeps by
+    // capturing everything BEFORE its reload (either order is sound;
+    // mixing them is not)
     if (currentHintVersion() != loadedVersion) {
       if (retriable) reload()
       else throw new java.util.ConcurrentModificationException(
         s"table $location was committed concurrently; reload and retry")
     }
+    branch.foreach(branchRef)
     val aligned = source.map(Align(_, md.currentSchema))
     aligned.foreach(_.sparkSession.conf
       .set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"))
@@ -718,8 +720,10 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
       apply: SnapshotMeta => TableMetadata,
       afterReload: java.util.ConcurrentModificationException => Unit =
         _ => ()): SnapshotMeta = {
+    // tolerant parse: a malformed value (pre-validation metadata) must
+    // not brick every write — fall back to the default
     val maxRetries = md.properties.get("commit.retry.num-retries")
-      .map(_.toInt).getOrElse(4)
+      .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(4)
     var attempts = 0
     while (true) {
       val snapshotId = (md.snapshots ++ md.staged).map(_.id)
@@ -1358,8 +1362,15 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     * schemas untouched.
     */
   def updateProperties(set: Map[String, String],
-      unset: Seq[String] = Seq.empty): Unit =
+      unset: Seq[String] = Seq.empty): Unit = {
+    // numeric knobs validate at DDL time — a malformed value would
+    // otherwise surface as a parse error on every later write
+    Seq("commit.retry.num-retries", "metadata.previous-versions-max",
+      "write.sort-buckets").foreach(k => set.get(k).foreach(v =>
+      require(scala.util.Try(v.toInt).isSuccess,
+        s"table property '$k' needs an integer value, got '$v'")))
     commit(md.copy(properties = md.properties ++ set -- unset))
+  }
 
   /** `ALTER COLUMN ... SET DEFAULT v` / `DROP DEFAULT`: change (or
     * clear) a top-level column's mutable WRITE default — the value

@@ -212,6 +212,16 @@ class LakeCatalog extends TableCatalog
         p.property -> p.value }.toMap
       val unsets = props.collect { case p: TableChange.RemoveProperty =>
         p.property }
+      // Spark routes SET LOCATION / COMMENT ON / SET OWNER through
+      // reserved property keys — committing them as cosmetic entries
+      // would report success while moving nothing; refuse loudly
+      val reserved = Set("location", "comment", "owner", "provider",
+        "external")
+      (sets.keys ++ unsets).find(k => reserved(k.toLowerCase)).foreach(k =>
+        throw new UnsupportedOperationException(
+          s"graft catalog: reserved table property '$k' (SET LOCATION/" +
+            "COMMENT ON/SET OWNER are unsupported — tables live at " +
+            "their warehouse-derived path)"))
       t.updateProperties(sets, unsets)
     }
     val (defaultUpdates, rest) = rest1.partition(

@@ -166,11 +166,9 @@ private[sources] class LakeSparkTable(wh: String, db: String, tbl: String,
 
   override def name(): String = s"graft.$db.$tbl"
   // surfaces in DESCRIBE EXTENDED / SHOW TBLPROPERTIES
-  override def properties(): java.util.Map[String, String] = {
-    val m = new java.util.HashMap[String, String]()
-    lake.metadata.properties.foreach { case (k, v) => m.put(k, v) }
-    m
-  }
+  override def properties(): java.util.Map[String, String] =
+    scala.jdk.CollectionConverters.MapHasAsJava(
+      lake.metadata.properties).asJava
 
   override def schema(): StructType = {
     val clean = Reconcile.clean(pinnedSchema).asInstanceOf[StructType]
