@@ -711,7 +711,7 @@ private[sources] object LakeProcedures {
     Set("expire_snapshots", "expire_older_than", "remove_orphan_files",
       "compact", "rollback_to_snapshot", "create_tag", "create_branch",
       "drop_ref", "publish_wap", "discard_wap", "rebase_branch",
-      "rewrite_manifests")
+      "rewrite_manifests", "fast_forward")
 
   private def param(n: String, dt: DataType) =
     ProcedureParameter.in(n, dt).build()
@@ -748,7 +748,7 @@ private[sources] object LakeProcedures {
             case "publish_wap" | "discard_wap" => Array(
               param("db", StringType), param("table", StringType),
               param("wap_id", StringType))
-            case "rebase_branch" => Array(
+            case "rebase_branch" | "fast_forward" => Array(
               param("db", StringType), param("table", StringType),
               param("name", StringType))
           }
@@ -834,6 +834,20 @@ private[sources] object LakeProcedures {
                   StructField("base_snapshot_id", LongType,
                     nullable = false))),
                   Seq[Any](input.getUTF8String(2).toString, newBase))
+              case "fast_forward" =>
+                // publish the branch onto main (CALL form of the
+                // branch lifecycle's final verb)
+                val published = t.fastForward(
+                  input.getUTF8String(2).toString)
+                (StructType(Seq(
+                  StructField("ref", StringType, nullable = false),
+                  StructField("published_snapshots", IntegerType,
+                    nullable = false),
+                  StructField("head_snapshot_id", LongType,
+                    nullable = false))),
+                  Seq[Any](input.getUTF8String(2).toString,
+                    published.size,
+                    t.metadata.snapshots.map(_.id).max))
             }
             // procedure output must be a LocalScan (InvokeProcedures
             // turns it into a LocalRelation)

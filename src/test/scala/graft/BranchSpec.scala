@@ -267,6 +267,21 @@ class BranchSpec extends AnyFunSuite {
     assert(ids(t3.read(spark)) == Set(1L, 2L))
   }
 
+  test("CALL system.fast_forward publishes a branch from SQL") {
+    import spark.implicits._
+    val (wh, t) = mk("ffsql")
+    t.append(Seq((1L, "a")).toDF("id", "v"))
+    spark.conf.set("spark.sql.catalog.gffs", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.gffs.warehouse", wh)
+    t.createBranch("rel")
+    LakeTable.load(wh, "d", "t")
+      .appendToBranch(Seq((2L, "b")).toDF("id", "v"), "rel")
+    val row = spark.sql(
+      "CALL gffs.system.fast_forward('d', 't', 'rel')").collect().head
+    assert(row.getString(0) == "rel" && row.getInt(1) == 1)
+    assert(ids(LakeTable.load(wh, "d", "t").read(spark)) == Set(1L, 2L))
+  }
+
   test("metadata-only maintenance is not divergence: fast-forward " +
       "publishes over a rewrite_manifests commit") {
     import spark.implicits._
