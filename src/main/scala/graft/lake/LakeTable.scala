@@ -360,7 +360,9 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     * under a fresh checkpoint.
     */
   def lastStreamBatchId(streamId: String): Option[Long] =
-    md.snapshots.filter(_.streamId.contains(streamId))
+    // staged snapshots count too: a stream writing to a BRANCH must
+    // not replay an epoch it already staged
+    (md.snapshots ++ md.staged).filter(_.streamId.contains(streamId))
       .flatMap(_.streamBatchId).reduceOption(_ max _)
 
   /** Compact the table: rewrite the current live file set (already
@@ -1086,7 +1088,8 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
       streamBatchId: Option[Long] = None,
       streamId: Option[String] = None,
       operation: String = "append",
-      removedPaths: Seq[String] = Seq.empty): SnapshotMeta = {
+      removedPaths: Seq[String] = Seq.empty,
+      branch: Option[String] = None): SnapshotMeta = {
     // files carry the schema they were WRITTEN under (captured at query
     // start) — a mid-stream evolution then reconciles on read like any
     // other old-schema file instead of corrupting metadata; partition
@@ -1099,8 +1102,28 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
         stats = stats,
         bytes = try Files.size(Paths.get(p)) catch { case _: Exception => -1L })
     }
-    commitSnapshot(files, writtenSchemaId, operation, streamBatchId,
-      streamId, removedPaths)
+    branch match {
+      case Some(b) =>
+        // streaming write-audit-publish: epochs stage onto the branch
+        // (invisible to main) and fastForward publishes the audited
+        // run. Conflicts surface — the stream retries the epoch under
+        // its own idempotence bookkeeping.
+        val ref = branchRef(b)
+        require(operation == "append",
+          s"branch streaming supports appends, got $operation")
+        val snapshotId = (md.snapshots ++ md.staged).map(_.id)
+          .foldLeft(0L)(math.max) + 1
+        val snap = SnapshotMeta(snapshotId, files, writtenSchemaId,
+          operation = "staged-append", streamBatchId = streamBatchId,
+          streamId = streamId, timestampMs = System.currentTimeMillis(),
+          wapId = Some(branchMarker(b)))
+        commit(md.copy(staged = md.staged :+ snap,
+          refs = md.refs + (b -> ref.copy(snapshotId = snapshotId))))
+        snap
+      case None =>
+        commitSnapshot(files, writtenSchemaId, operation, streamBatchId,
+          streamId, removedPaths)
+    }
   }
 
   /** Register an executor-written merge-on-read delta — position-delete

@@ -298,7 +298,10 @@ private[sources] class LakeSparkTable(wh: String, db: String, tbl: String,
               s"graft-lake streaming sink: query schema ${info.schema.sql} " +
                 s"does not match table schema ${tableSchema.sql} — cast " +
                 "columns first (e.g. timestamp vs timestamp_ntz)")
-            new LakeStreamingWrite(wh, db, tbl, info.queryId(), info.schema)
+            // option("branch", name): per-epoch commits stage onto the
+            // branch instead of main — streaming write-audit-publish
+            new LakeStreamingWrite(wh, db, tbl, info.queryId(), info.schema,
+              Option(info.options.get("branch")))
           }
         }
     }

@@ -37,7 +37,8 @@ import graft.schema.FieldIds
   * abort() deletes staged files (and checksum sidecars).
   */
 private[sources] class LakeStreamingWrite(wh: String, db: String, tbl: String,
-    queryId: String, schema: StructType) extends StreamingWrite {
+    queryId: String, schema: StructType,
+    branch: Option[String] = None) extends StreamingWrite {
 
   // schema version + partition plan captured at query start: a
   // mid-stream ALTER TABLE must not re-label old-schema files
@@ -76,7 +77,8 @@ private[sources] class LakeStreamingWrite(wh: String, db: String, tbl: String,
       return
     }
     t.commitExternalFiles(files, writtenSchemaId, writtenSpecId,
-      streamBatchId = Some(epochId), streamId = Some(queryId))
+      streamBatchId = Some(epochId), streamId = Some(queryId),
+      branch = branch)
   }
 
   override def abort(epochId: Long,

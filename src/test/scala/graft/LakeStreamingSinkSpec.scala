@@ -17,6 +17,53 @@ class LakeStreamingSinkSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  test("writeStream onto a BRANCH: epochs stage invisibly, " +
+      "fast-forward publishes the audited run") {
+    implicit val sqlCtx = spark.sqlContext
+    val wh = Files.createTempDirectory("graft-v2sink-br").toString
+    val ckpt = Files.createTempDirectory("graft-v2sink-br-ckpt").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"sb","columns":[
+        |{"column_name":"id","data_type":"long"},
+        |{"column_name":"v","data_type":"string"}],"partitions":[]}""".stripMargin)
+    val t = LakeTable.load(wh, "d", "sb")
+    t.append(Seq((1L, "base")).toDF("id", "v"))
+    t.createBranch("audit")
+
+    val mem = MemoryStream[(Long, String)]
+    def pass(): Unit = {
+      val q = mem.toDF().toDF("id", "v")
+        .writeStream.format("graft-lake")
+        .option("warehouse", wh).option("database", "d").option("table", "sb")
+        .option("branch", "audit")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    mem.addData((2L, "b"), (3L, "c"))
+    pass()
+    // main untouched; branch view carries the epoch; replay of the
+    // same epoch (fresh query, same checkpoint) stays idempotent
+    val t2 = LakeTable.load(wh, "d", "sb")
+    assert(t2.read(spark).count() == 1, "main must not see staged epochs")
+    assert(t2.readBranch(spark, "audit").count() == 3)
+    pass() // no new data: AvailableNow drains nothing, nothing doubles
+    mem.addData((4L, "d"))
+    pass()
+    val t3 = LakeTable.load(wh, "d", "sb")
+    assert(t3.read(spark).count() == 1)
+    assert(t3.readBranch(spark, "audit").count() == 4)
+    // audit passed: publish; stream bookkeeping survives the publish
+    t3.fastForward("audit")
+    val t4 = LakeTable.load(wh, "d", "sb")
+    assert(t4.read(spark).select("id").collect().map(_.getLong(0)).toSet
+      == Set(1L, 2L, 3L, 4L))
+    assert(t4.metadata.staged.isEmpty)
+    assert(t4.lastStreamBatchId(
+      t4.metadata.snapshots.flatMap(_.streamId).last).isDefined,
+      "published epochs keep their replay bookkeeping")
+  }
+
   test("writeStream into a lake table: snapshots per batch, restart-safe") {
     implicit val sqlCtx = spark.sqlContext
     val wh = Files.createTempDirectory("graft-v2sink").toString
