@@ -558,19 +558,12 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     if (currentHintVersion() != loadedVersion)
       throw new java.util.ConcurrentModificationException(
         s"table $location was committed concurrently; reload and retry")
-    val snapshotId = (md.snapshots ++ md.staged).map(_.id)
+    val provisionalId = (md.snapshots ++ md.staged).map(_.id)
       .foldLeft(0L)(math.max) + 1
     val outDir = dataDir.resolve(
-      s"snap-$snapshotId-${java.util.UUID.randomUUID().toString.take(8)}")
-    val files = writeDataFiles(aligned, outDir)
-    val snap = SnapshotMeta(snapshotId, files, md.currentSchemaId,
-      operation = "staged-append",
-      timestampMs = System.currentTimeMillis(),
-      wapId = Some(branchMarker(name)))
-    val ref = branchRef(name)
-    commit(md.copy(staged = md.staged :+ snap,
-      refs = md.refs + (name -> ref.copy(snapshotId = snapshotId))))
-    snap
+      s"snap-$provisionalId-${java.util.UUID.randomUUID().toString.take(8)}")
+    stageBranchSnapshot(name, writeDataFiles(aligned, outDir),
+      md.currentSchemaId)
   }
 
   /** The branch view: main AS OF the fork base, overlaid with the
@@ -1108,22 +1101,44 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
         // (invisible to main) and fastForward publishes the audited
         // run. Conflicts surface — the stream retries the epoch under
         // its own idempotence bookkeeping.
-        val ref = branchRef(b)
-        require(operation == "append",
-          s"branch streaming supports appends, got $operation")
-        val snapshotId = (md.snapshots ++ md.staged).map(_.id)
-          .foldLeft(0L)(math.max) + 1
-        val snap = SnapshotMeta(snapshotId, files, writtenSchemaId,
-          operation = "staged-append", streamBatchId = streamBatchId,
-          streamId = streamId, timestampMs = System.currentTimeMillis(),
-          wapId = Some(branchMarker(b)))
-        commit(md.copy(staged = md.staged :+ snap,
-          refs = md.refs + (b -> ref.copy(snapshotId = snapshotId))))
-        snap
+        require(operation == "append" && removedPaths.isEmpty,
+          s"branch streaming supports plain appends, got $operation " +
+            s"with ${removedPaths.size} removals")
+        // an epoch staged under an outdated schema could NEVER publish
+        // (fast-forward checks schema equality) while the stream's
+        // checkpoint advances past it — fail the epoch at the
+        // evolution point so the loss is bounded, like the MoR branch
+        // retry does
+        require(writtenSchemaId == md.currentSchemaId,
+          s"table evolved mid-stream (schema $writtenSchemaId -> " +
+            s"${md.currentSchemaId}); restart the stream to pick up " +
+            "the new schema before staging more branch epochs")
+        stageBranchSnapshot(b, files, writtenSchemaId, streamBatchId,
+          streamId)
       case None =>
         commitSnapshot(files, writtenSchemaId, operation, streamBatchId,
           streamId, removedPaths)
     }
+  }
+
+  /** Stage one append snapshot onto a branch — next id over the shared
+    * id space, the branch marker tag, and the ref head bump, in one
+    * commit. The single home of the branch-staging invariant, shared
+    * by `appendToBranch` and the streaming branch sink.
+    */
+  private def stageBranchSnapshot(name: String, files: Seq[DataFileMeta],
+      schemaId: Int, streamBatchId: Option[Long] = None,
+      streamId: Option[String] = None): SnapshotMeta = {
+    val ref = branchRef(name)
+    val snapshotId = (md.snapshots ++ md.staged).map(_.id)
+      .foldLeft(0L)(math.max) + 1
+    val snap = SnapshotMeta(snapshotId, files, schemaId,
+      operation = "staged-append", streamBatchId = streamBatchId,
+      streamId = streamId, timestampMs = System.currentTimeMillis(),
+      wapId = Some(branchMarker(name)))
+    commit(md.copy(staged = md.staged :+ snap,
+      refs = md.refs + (name -> ref.copy(snapshotId = snapshotId))))
+    snap
   }
 
   /** Register an executor-written merge-on-read delta — position-delete

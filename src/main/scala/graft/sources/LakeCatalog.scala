@@ -847,7 +847,7 @@ private[sources] object LakeProcedures {
                     nullable = false))),
                   Seq[Any](input.getUTF8String(2).toString,
                     published.size,
-                    t.metadata.snapshots.map(_.id).max))
+                    t.metadata.snapshots.map(_.id).foldLeft(0L)(math.max)))
             }
             // procedure output must be a LocalScan (InvokeProcedures
             // turns it into a LocalRelation)

@@ -299,9 +299,19 @@ private[sources] class LakeSparkTable(wh: String, db: String, tbl: String,
                 s"does not match table schema ${tableSchema.sql} — cast " +
                 "columns first (e.g. timestamp vs timestamp_ntz)")
             // option("branch", name): per-epoch commits stage onto the
-            // branch instead of main — streaming write-audit-publish
+            // branch instead of main — streaming write-audit-publish.
+            // Validate the ref at QUERY START: a typo'd branch must
+            // fail before executors write a whole epoch for nothing.
+            val branchOpt = Option(info.options.get("branch"))
+            branchOpt.foreach { b =>
+              val refs = LakeTable.load(wh, db, tbl).metadata.refs
+              require(refs.get(b).exists(r =>
+                r.kind == "branch" && r.baseSnapshotId.isDefined),
+                s"graft-lake sink: no writable branch '$b' (refs: " +
+                  s"${refs.keys.toSeq.sorted.mkString(", ")})")
+            }
             new LakeStreamingWrite(wh, db, tbl, info.queryId(), info.schema,
-              Option(info.options.get("branch")))
+              branchOpt)
           }
         }
     }
