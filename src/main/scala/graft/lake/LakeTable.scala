@@ -365,6 +365,20 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     (md.snapshots ++ md.staged).filter(_.streamId.contains(streamId))
       .flatMap(_.streamBatchId).reduceOption(_ max _)
 
+  /** SQL `INSERT OVERWRITE`: replace the table's visible content with
+    * `df` in ONE snapshot — operation "overwrite" removing every live
+    * file and adding the new ones, so replay, time travel to older
+    * ids, and the append-only CDC contract (overwrites are skipped,
+    * like the CoW row-level ops) all behave. Not retried: like other
+    * full-content writes its meaning depends on what it replaces.
+    */
+  def overwrite(df: DataFrame): SnapshotMeta = {
+    requireNoLiveEqDeletes("overwrite")
+    val removed = LakeTable.liveFiles(md.snapshots).map(_.path)
+    writeSnapshot(Align(df, md.currentSchema), operation = "overwrite",
+      removedPaths = removed, retryConflicts = false)
+  }
+
   /** Compact the table: rewrite the current live file set (already
     * reconciled to the current schema) into one snapshot under the
     * current partition spec. The rewrite snapshot *replaces* all prior

@@ -219,7 +219,9 @@ private[sources] class LakeSparkTable(wh: String, db: String, tbl: String,
   }
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.STREAMING_WRITE).asJava
+      TableCapability.V1_BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      // INSERT OVERWRITE = truncate-then-write on the write builder
+      TableCapability.TRUNCATE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LakeScanBuilder(wh, db, tbl, startSnapshot, pinnedSchema, asOfSnapshot,
@@ -237,7 +239,14 @@ private[sources] class LakeSparkTable(wh: String, db: String, tbl: String,
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
     requireWritable()
-    new org.apache.spark.sql.connector.write.WriteBuilder {
+    new org.apache.spark.sql.connector.write.WriteBuilder
+        with org.apache.spark.sql.connector.write.SupportsTruncate {
+      // INSERT OVERWRITE arrives as truncate-then-write
+      private var doOverwrite = false
+      override def truncate()
+          : org.apache.spark.sql.connector.write.WriteBuilder = {
+        doOverwrite = true; this
+      }
       override def build(): org.apache.spark.sql.connector.write.Write =
         new org.apache.spark.sql.connector.write.V1Write
             with org.apache.spark.sql.connector.write
@@ -281,10 +290,9 @@ private[sources] class LakeSparkTable(wh: String, db: String, tbl: String,
           override def toInsertableRelation
               : org.apache.spark.sql.sources.InsertableRelation =
             (data: org.apache.spark.sql.DataFrame, overwrite: Boolean) => {
-              if (overwrite) throw new UnsupportedOperationException(
-                "graft-lake: INSERT OVERWRITE not supported; use " +
-                  "LakeTable.delete + append")
-              LakeTable.load(wh, db, tbl).append(data)
+              val t = LakeTable.load(wh, db, tbl)
+              if (doOverwrite || overwrite) t.overwrite(data)
+              else t.append(data)
               ()
             }
           // streaming path: executor-side parquet writers + one

@@ -244,12 +244,12 @@ class LakeCatalogSpec extends AnyFunSuite {
     // each write is one snapshot commit through the engine path
     val t = LakeTable.load(wh, "d", "w")
     assert(t.metadata.snapshots.map(_.operation) == Seq("append", "append"))
-    // INSERT OVERWRITE is refused (no SupportsTruncate — Spark's
-    // analyzer rejects it before reaching the V1 bridge)
-    val e = intercept[Exception] {
-      spark.sql("INSERT OVERWRITE graftw.d.w VALUES (9, 'z')")
-    }
-    assert(e.getMessage.contains("does not support truncate"))
+    // INSERT OVERWRITE replaces the content in one overwrite snapshot
+    spark.sql("INSERT OVERWRITE graftw.d.w VALUES (9, 'z')")
+    assert(spark.sql("SELECT id FROM graftw.d.w").collect()
+      .map(_.getLong(0)).toSeq == Seq(9L))
+    assert(LakeTable.load(wh, "d", "w").metadata.snapshots.last.operation
+      == "overwrite")
   }
 
   test("metadata inspection tables: .snapshots and .files") {
@@ -460,6 +460,26 @@ class LakeCatalogSpec extends AnyFunSuite {
         graft.schema.FieldIds.withId(
           StructField("pct", DecimalType(10, 2)), 99), "1.234"))
     assert(e3.getMessage.contains("does not parse"))
+  }
+
+  test("INSERT OVERWRITE replaces the visible content in one snapshot") {
+    val wh = Files.createTempDirectory("graft-ow").toString
+    spark.conf.set("spark.sql.catalog.gow", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.gow.warehouse", wh)
+    spark.sql("CREATE TABLE gow.d.ow (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO gow.d.ow VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    spark.sql("INSERT OVERWRITE gow.d.ow VALUES (9, 'z'), (10, 'y')")
+    assert(spark.sql("SELECT id FROM gow.d.ow").collect()
+      .map(_.getLong(0)).toSet == Set(9L, 10L))
+    // history stays readable; the op is recorded as an overwrite
+    assert(spark.sql("SELECT id FROM gow.d.ow VERSION AS OF 1")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    assert(LakeTable.load(wh, "d", "ow").metadata.snapshots.last.operation
+      == "overwrite")
+    // appends continue past it
+    spark.sql("INSERT INTO gow.d.ow VALUES (11, 'x')")
+    assert(spark.sql("SELECT count(*) FROM gow.d.ow").collect()
+      .head.getLong(0) == 3L)
   }
 
   test("ALTER TABLE SET/UNSET TBLPROPERTIES steers engine knobs") {
