@@ -365,19 +365,20 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     (md.snapshots ++ md.staged).filter(_.streamId.contains(streamId))
       .flatMap(_.streamBatchId).reduceOption(_ max _)
 
-  /** SQL `INSERT OVERWRITE`: replace the table's visible content with
-    * `df` in ONE snapshot — operation "overwrite" removing every live
-    * file and adding the new ones, so replay, time travel to older
-    * ids, and the append-only CDC contract (overwrites are skipped,
-    * like the CoW row-level ops) all behave. Not retried: like other
-    * full-content writes its meaning depends on what it replaces.
+  /** SQL `INSERT OVERWRITE` (full table): replace the visible content
+    * with `df` as ONE replay-resetting "rewrite" snapshot — the same
+    * mechanics as compaction, with new content. No path enumeration
+    * (an overwrite-with-removedPaths would inline every live path
+    * into the metadata JSON of every later version), live
+    * position/equality deletes retire naturally (the reset discards
+    * everything they could apply to), forward planning restarts from
+    * one manifest, time travel to older ids still replays the old
+    * state, and CDC/streaming skip it like any rewrite. Not retried
+    * on conflict: a full-content write's meaning depends on what it
+    * replaces.
     */
-  def overwrite(df: DataFrame): SnapshotMeta = {
-    requireNoLiveEqDeletes("overwrite")
-    val removed = LakeTable.liveFiles(md.snapshots).map(_.path)
-    writeSnapshot(Align(df, md.currentSchema), operation = "overwrite",
-      removedPaths = removed, retryConflicts = false)
-  }
+  def overwrite(df: DataFrame): SnapshotMeta =
+    writeSnapshot(Align(df, md.currentSchema), operation = "rewrite")
 
   /** Compact the table: rewrite the current live file set (already
     * reconciled to the current schema) into one snapshot under the

@@ -299,6 +299,14 @@ private[sources] class LakeSparkTable(wh: String, db: String, tbl: String,
           // snapshot commit per epoch (LakeStreamingSink)
           override def toStreaming: org.apache.spark.sql.connector.write
               .streaming.StreamingWrite = {
+            // declaring SupportsTruncate makes Spark ACCEPT
+            // outputMode("complete") streams and route them through
+            // truncate() — but the sink only appends per epoch, which
+            // would silently duplicate the full result every batch
+            if (doOverwrite) throw new UnsupportedOperationException(
+              "graft-lake sink: Complete output mode is not supported " +
+                "(per-epoch append sink); use update/append modes or " +
+                "foreachBatch with LakeTable.overwrite")
             val tableSchema = Reconcile
               .clean(LakeTable.load(wh, db, tbl).currentSchema)
               .asInstanceOf[StructType]

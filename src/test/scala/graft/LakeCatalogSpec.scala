@@ -244,12 +244,12 @@ class LakeCatalogSpec extends AnyFunSuite {
     // each write is one snapshot commit through the engine path
     val t = LakeTable.load(wh, "d", "w")
     assert(t.metadata.snapshots.map(_.operation) == Seq("append", "append"))
-    // INSERT OVERWRITE replaces the content in one overwrite snapshot
+    // INSERT OVERWRITE replaces the content as one rewrite snapshot
     spark.sql("INSERT OVERWRITE graftw.d.w VALUES (9, 'z')")
     assert(spark.sql("SELECT id FROM graftw.d.w").collect()
       .map(_.getLong(0)).toSeq == Seq(9L))
     assert(LakeTable.load(wh, "d", "w").metadata.snapshots.last.operation
-      == "overwrite")
+      == "rewrite")
   }
 
   test("metadata inspection tables: .snapshots and .files") {
@@ -471,15 +471,25 @@ class LakeCatalogSpec extends AnyFunSuite {
     spark.sql("INSERT OVERWRITE gow.d.ow VALUES (9, 'z'), (10, 'y')")
     assert(spark.sql("SELECT id FROM gow.d.ow").collect()
       .map(_.getLong(0)).toSet == Set(9L, 10L))
-    // history stays readable; the op is recorded as an overwrite
+    // history stays readable; the op is a replay-resetting rewrite
+    // (no path enumeration into later metadata versions)
     assert(spark.sql("SELECT id FROM gow.d.ow VERSION AS OF 1")
       .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
     assert(LakeTable.load(wh, "d", "ow").metadata.snapshots.last.operation
-      == "overwrite")
+      == "rewrite")
     // appends continue past it
     spark.sql("INSERT INTO gow.d.ow VALUES (11, 'x')")
     assert(spark.sql("SELECT count(*) FROM gow.d.ow").collect()
       .head.getLong(0) == 3L)
+    // live equality deletes don't block a full replace — the reset
+    // retires them (no compact() detour)
+    val t = LakeTable.load(wh, "d", "ow")
+    import spark.implicits._
+    t.upsertMoR(spark, Seq((11L, "x2")).toDF("id", "v"), Seq("id"))
+    LakeTable.load(wh, "d", "ow")
+      .overwrite(Seq((50L, "w")).toDF("id", "v"))
+    assert(spark.sql("SELECT id, v FROM gow.d.ow").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((50L, "w")))
   }
 
   test("ALTER TABLE SET/UNSET TBLPROPERTIES steers engine knobs") {

@@ -17,6 +17,33 @@ class LakeStreamingSinkSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  test("Complete output mode is refused loudly (append-only sink)") {
+    implicit val sqlCtx = spark.sqlContext
+    val wh = Files.createTempDirectory("graft-v2sink-cm").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"cm","columns":[
+        |{"column_name":"id","data_type":"long"},
+        |{"column_name":"n","data_type":"long"}],"partitions":[]}""".stripMargin)
+    val mem = MemoryStream[Long]
+    mem.addData(1L, 1L, 2L)
+    val e = intercept[Exception] {
+      val q = mem.toDF().toDF("id").groupBy("id")
+        .count().toDF("id", "n")
+        .writeStream.format("graft-lake")
+        .option("warehouse", wh).option("database", "d").option("table", "cm")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-cm-ckpt").toString)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("Complete output mode")),
+      s"must refuse Complete mode, got: ${msgs(e).mkString(" | ")}")
+  }
+
   test("writeStream onto a BRANCH: epochs stage invisibly, " +
       "fast-forward publishes the audited run") {
     implicit val sqlCtx = spark.sqlContext
