@@ -366,19 +366,19 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
       .flatMap(_.streamBatchId).reduceOption(_ max _)
 
   /** SQL `INSERT OVERWRITE` (full table): replace the visible content
-    * with `df` as ONE replay-resetting "rewrite" snapshot — the same
-    * mechanics as compaction, with new content. No path enumeration
-    * (an overwrite-with-removedPaths would inline every live path
-    * into the metadata JSON of every later version), live
-    * position/equality deletes retire naturally (the reset discards
-    * everything they could apply to), forward planning restarts from
-    * one manifest, time travel to older ids still replays the old
-    * state, and CDC/streaming skip it like any rewrite. Not retried
-    * on conflict: a full-content write's meaning depends on what it
-    * replaces.
+    * with `df` as ONE replay-resetting "replace" snapshot — the same
+    * reset mechanics as a compaction rewrite, but distinguishable from
+    * one because it CHANGES data: branch fast-forward must treat it as
+    * divergence (a compaction rewrite is not), while everything else
+    * (replay reset, retired position/equality deletes, fresh forward
+    * planning, time travel to older ids, CDC/streaming skipping) works
+    * the same. No path enumeration — an overwrite-with-removedPaths
+    * would inline every live path into the metadata JSON of every
+    * later version. Not retried on conflict: a full-content write's
+    * meaning depends on what it replaces.
     */
   def overwrite(df: DataFrame): SnapshotMeta =
-    writeSnapshot(Align(df, md.currentSchema), operation = "rewrite")
+    writeSnapshot(Align(df, md.currentSchema), operation = "replace")
 
   /** Compact the table: rewrite the current live file set (already
     * reconciled to the current schema) into one snapshot under the
@@ -1467,7 +1467,8 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     // fixpoint guard: when the head is already a rewrite there is
     // nothing to merge — an unconditional maintenance loop must not
     // append a fresh full-inventory manifest per run forever
-    if (md.snapshots.last.operation == "rewrite") return md.snapshots.last
+    if (LakeTable.isReset(md.snapshots.last.operation))
+      return md.snapshots.last
     val snap = liveStateSnapshot(md.snapshots,
       id = (md.snapshots ++ md.staged).map(_.id).foldLeft(0L)(math.max) + 1,
       schemaId = md.currentSchemaId,
@@ -1527,7 +1528,7 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     // metadata version and report 1 forever — maintenance loops that
     // run "until 0 expired" must terminate.
     if (prefix.isEmpty ||
-        (prefix.size == 1 && prefix.head.operation == "rewrite")) 0
+        (prefix.size == 1 && LakeTable.isReset(prefix.head.operation))) 0
     else expireSnapshots(keepAfter = prefix.last.id)
   }
 
@@ -2021,7 +2022,7 @@ object LakeTable {
         else stamp(s.files)
       }
       s.operation match {
-        case "rewrite" => own
+        case op if isReset(op) => own
         case "overwrite" =>
           val removed = s.removedPaths.toSet
           acc.filterNot(f => removed(f.path)) ++ own
@@ -2040,7 +2041,7 @@ object LakeTable {
   def liveEqDeletes(snapshots: Seq[SnapshotMeta]): Seq[EqDeleteMeta] =
     snapshots.foldLeft(Vector.empty[EqDeleteMeta]) { (acc, s) =>
       s.operation match {
-        case "rewrite" => s.eqDeletes.toVector
+        case op if isReset(op) => s.eqDeletes.toVector
         case _ => acc ++ s.eqDeletes
       }
     }
@@ -2058,7 +2059,7 @@ object LakeTable {
         normalizePath(p) -> DeleteSet(s.deletePaths, n)
       }
       s.operation match {
-        case "rewrite" => own
+        case op if isReset(op) => own
         case "overwrite" =>
           val removed = s.removedPaths.map(normalizePath).toSet
           acc.filterNot { case (p, _) => removed(p) }
@@ -2104,6 +2105,14 @@ object LakeTable {
       case _ => Seq.empty
     }
 
+  /** Operations that RESET the replay (discard everything before
+    * them): compaction/metadata rewrites ("rewrite" — byte moves, no
+    * data change) and full-content overwrites ("replace" — data
+    * change; branch fast-forward distinguishes the two). Every replay
+    * fold and the suffix computation go through here.
+    */
+  def isReset(op: String): Boolean = op == "rewrite" || op == "replace"
+
   /** Suffix of the snapshot log since the last rewrite, plus the set
     * of paths removed by overwrites within it — the distributable form
     * of `liveFiles`' replay: only suffix snapshots can contribute live
@@ -2115,7 +2124,7 @@ object LakeTable {
     */
   def replaySuffix(snapshots: Seq[SnapshotMeta])
       : (Seq[SnapshotMeta], Set[String]) = {
-    val idx = snapshots.lastIndexWhere(_.operation == "rewrite")
+    val idx = snapshots.lastIndexWhere(s => isReset(s.operation))
     val suffix = if (idx < 0) snapshots else snapshots.drop(idx)
     (suffix, suffix.filter(_.operation == "overwrite")
       .flatMap(_.removedPaths).toSet)

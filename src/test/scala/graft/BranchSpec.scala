@@ -304,6 +304,22 @@ class BranchSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](
       LakeTable.load(wh2, "d", "t").fastForward("b"))
     assert(e.getMessage.contains("diverged"))
+    // an INSERT OVERWRITE is a data-CHANGING reset ("replace"), not a
+    // byte-moving rewrite — it too must count as divergence
+    val (wh3, r) = mk("ff-repl")
+    r.append(Seq((1L, "a")).toDF("id", "v"))
+    r.createBranch("b")
+    r.appendToBranch(Seq((2L, "b")).toDF("id", "v"), "b")
+    LakeTable.load(wh3, "d", "t")
+      .overwrite(Seq((9L, "z")).toDF("id", "v"))
+    val e2 = intercept[IllegalArgumentException](
+      LakeTable.load(wh3, "d", "t").fastForward("b"))
+    assert(e2.getMessage.contains("diverged"))
+    // rebase resolves it explicitly; publish then lands on the new base
+    val r2 = LakeTable.load(wh3, "d", "t")
+    r2.rebaseBranch("b")
+    r2.fastForward("b")
+    assert(ids(LakeTable.load(wh3, "d", "t").read(spark)) == Set(2L, 9L))
   }
 
   test("evolution cannot drop a column keyed by a STAGED branch batch") {

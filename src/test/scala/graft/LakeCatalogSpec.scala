@@ -249,7 +249,7 @@ class LakeCatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT id FROM graftw.d.w").collect()
       .map(_.getLong(0)).toSeq == Seq(9L))
     assert(LakeTable.load(wh, "d", "w").metadata.snapshots.last.operation
-      == "rewrite")
+      == "replace")
   }
 
   test("metadata inspection tables: .snapshots and .files") {
@@ -471,12 +471,12 @@ class LakeCatalogSpec extends AnyFunSuite {
     spark.sql("INSERT OVERWRITE gow.d.ow VALUES (9, 'z'), (10, 'y')")
     assert(spark.sql("SELECT id FROM gow.d.ow").collect()
       .map(_.getLong(0)).toSet == Set(9L, 10L))
-    // history stays readable; the op is a replay-resetting rewrite
+    // history stays readable; the op is a replay-resetting "replace"
     // (no path enumeration into later metadata versions)
     assert(spark.sql("SELECT id FROM gow.d.ow VERSION AS OF 1")
       .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
     assert(LakeTable.load(wh, "d", "ow").metadata.snapshots.last.operation
-      == "rewrite")
+      == "replace")
     // appends continue past it
     spark.sql("INSERT INTO gow.d.ow VALUES (11, 'x')")
     assert(spark.sql("SELECT count(*) FROM gow.d.ow").collect()
