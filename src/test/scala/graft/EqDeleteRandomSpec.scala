@@ -68,6 +68,16 @@ class EqDeleteRandomSpec extends AnyFunSuite {
           t = LakeTable.load(wh, "d", "t")
           compacted = true
         case 8 => () // compaction disabled: keep history for time travel
+        case 9 if allowCompact && rnd.nextBoolean() =>
+          // full-content replace (INSERT OVERWRITE): resets the
+          // replay, retires every live batch, clears the model —
+          // history pins before it stay time-travelable
+          val rows = (1 to 2).map { _ =>
+            nextFresh += 1; (nextFresh, s"o$i-$nextFresh")
+          }
+          t.overwrite(rows.toDF("id", "v"))
+          model.clear()
+          rows.foreach { case (k, v) => model(k) = v }
         case 9 => // reload (metadata JSON round-trip under load)
           t = LakeTable.load(wh, "d", "t")
       }
