@@ -14,6 +14,19 @@ object Bench {
     // measured query doesn't absorb JVM startup.
     spark.range(1000).selectExpr("sum(id)").collect()
     SparkEntry.entry(spark).count()
+    // Touch every testdata table's parquet footer once: the first query
+    // to hit a cold file otherwise absorbs the footer read + FS cache
+    // miss (r3 saw q_text_vocab jump 0.3s -> 7.8s from a cold
+    // `documents` footer). count() is metadata-only for parquet.
+    try {
+      val dir = new java.io.File(sfDir)
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+        .foreach(f => spark.read.parquet(f.getPath).count())
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] footer warmup failed: $e")
+    }
     // One-time machinery costs are not per-query throughput: load the
     // streaming micro-batch engine + join state stores, the DSv2 lake
     // streaming source, and the nested lake write path once, so the

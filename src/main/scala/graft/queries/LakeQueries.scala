@@ -882,18 +882,27 @@ object RowOpsQueries extends QueryModule {
             sum(Tables.dec(col("o_totalprice")))
               .cast("decimal(18,4)").as("d_sum"))
         val roll = LakeTable.load(wh, "iq", "roll")
-        // one materialization: upsertMoR evaluates its source twice
-        // (key batch + data write), and the merge join is not free
-        val merged = deltaAgg
-          .join(roll.read(s), Seq("o_custkey"), "left")
-          .select(col("o_custkey"),
-            (col("d_n") + coalesce(col("n_orders"), lit(0L)))
-              .as("n_orders"),
-            (col("d_sum") + coalesce(col("sum_price"),
-              lit(BigDecimal(0)).cast("decimal(18,4)")))
-              .cast("decimal(18,4)").as("sum_price"))
-          .localCheckpoint()
-        roll.upsertMoR(s, merged, keys = Seq("o_custkey"))
+        if (m == 0) {
+          // first refresh of an empty view = full load: no current
+          // values to merge and no keys to supersede, so a plain
+          // append skips both the rollup read/join and the
+          // equality-delete key batch
+          roll.append(deltaAgg.select(col("o_custkey"),
+            col("d_n").as("n_orders"), col("d_sum").as("sum_price")))
+        } else {
+          // one materialization: upsertMoR evaluates its source twice
+          // (key batch + data write), and the merge join is not free
+          val merged = deltaAgg
+            .join(roll.read(s), Seq("o_custkey"), "left")
+            .select(col("o_custkey"),
+              (col("d_n") + coalesce(col("n_orders"), lit(0L)))
+                .as("n_orders"),
+              (col("d_sum") + coalesce(col("sum_price"),
+                lit(BigDecimal(0)).cast("decimal(18,4)")))
+                .cast("decimal(18,4)").as("sum_price"))
+            .localCheckpoint()
+          roll.upsertMoR(s, merged, keys = Seq("o_custkey"))
+        }
       }
       // compaction materializes the accumulated equality deletes so
       // the served rollup is plain data files again
