@@ -156,12 +156,19 @@ object CurationOps extends QueryModule {
 
     // Curriculum construction: documents are tiered by integer quality
     // rules (tier 0 = clean, 2 = heavily repetitive) and ordered WITHIN
-    // each tier — a curriculum loader then drains tiers in order. The
-    // position is per-tier (window partitioned by tier), never a global
-    // row number, so no single-reducer sort exists at any scale; (tier,
-    // tier_pos) fully determines the training order.
+    // each tier — a curriculum loader then drains tiers in order. A
+    // window partitioned by the 3-value tier key would concentrate the
+    // whole corpus into <=3 reducer tasks, so tier_pos is assigned with
+    // the two-pass zipWithIndex pattern instead: range-partition by
+    // (tier, doc_id) so every partition holds a contiguous slice of one
+    // or more tiers, count each partition's per-tier rows (a
+    // metadata-scale collect: #partitions x #tiers longs), broadcast
+    // the cumulative offsets, then emit offset + local rank in a single
+    // narrow pass. Parallelism = #partitions at every step; both jobs
+    // run over the SAME shuffled RDD instance so the second pass reuses
+    // the first's shuffle files and sees identical partition contents.
     "q_curriculum" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
       val base = Tables(s, dir, "documents")
         .select(col("doc_id"), col("lang"), toks.as("l"))
         .select(col("doc_id"), col("lang"),
@@ -174,9 +181,35 @@ object CurationOps extends QueryModule {
             lit(0))
             .when(col("top_cnt") * 7 <= col("n_tokens"), lit(1))
             .otherwise(lit(2)))
-      val w = Window.partitionBy("tier").orderBy("doc_id")
-      base.select(col("doc_id"), col("lang"), col("tier"),
-          row_number().over(w).as("tier_pos"))
+      val parted = base
+        .select(col("doc_id"), col("lang"), col("tier"))
+        .repartitionByRange(col("tier"), col("doc_id"))
+        .sortWithinPartitions("tier", "doc_id")
+        .as[(Long, String, Int)]
+        .rdd // materialize ONE RDD: both passes share its shuffle output
+      // pass 1: per-(partition, tier) row counts -> per-tier offsets
+      val perPart = parted.mapPartitionsWithIndex { (pid, it) =>
+        val m = scala.collection.mutable.Map.empty[Int, Long]
+        it.foreach { case (_, _, t) => m(t) = m.getOrElse(t, 0L) + 1L }
+        Iterator((pid, m.toMap))
+      }.collect().sortBy(_._1).map(_._2)
+      val offsets: Array[Map[Int, Long]] =
+        perPart.scanLeft(Map.empty[Int, Long]) { (acc, m) =>
+          (acc.keySet ++ m.keySet).iterator
+            .map(k => k -> (acc.getOrElse(k, 0L) + m.getOrElse(k, 0L)))
+            .toMap
+        }.dropRight(1)
+      val bcOff = s.sparkContext.broadcast(offsets)
+      // pass 2: local per-tier counters seeded from the broadcast offsets
+      parted.mapPartitionsWithIndex { (pid, it) =>
+        val ctr = scala.collection.mutable.Map.empty[Int, Long]
+        bcOff.value(pid).foreach { case (t, off) => ctr(t) = off }
+        it.map { case (id, lang, t) =>
+          val p = ctr.getOrElse(t, 0L) + 1L
+          ctr(t) = p
+          (id, lang, t, p.toInt)
+        }
+      }.toDF("doc_id", "lang", "tier", "tier_pos")
         .orderBy("tier", "tier_pos")
     }),
 
