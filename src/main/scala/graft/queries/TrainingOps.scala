@@ -616,16 +616,25 @@ object TrainingOps extends QueryModule {
       // support threshold, rank by (count desc, token). Partial
       // aggregation collapses each task to its distinct tokens before
       // the exchange — the shuffle is vocabulary-sized, not
-      // corpus-sized.
-      Tables(s, dir, "documents")
+      // corpus-sized. The rank is NOT a global Window.orderBy (a
+      // single-task sort at 100-TB vocab): range-partition in rank
+      // order, then zipWithIndex — a per-partition count job + a
+      // broadcast of cumulative offsets over the same shuffle files —
+      // keeps every step partition-parallel with identical output.
+      import s.implicits._
+      val sorted = Tables(s, dir, "documents")
         .select(explode(split(lower(col("text")), " ")).as("token"))
         .filter(length(col("token")) > 0)
         .groupBy("token")
         .agg(count(lit(1)).as("n_occurrences"))
         .filter(col("n_occurrences") >= 50)
-        .withColumn("rank", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .orderBy(col("n_occurrences").desc, col("token"))))
+        .repartitionByRange(col("n_occurrences").desc, col("token"))
+        .sortWithinPartitions(col("n_occurrences").desc, col("token"))
+        .as[(String, Long)]
+        .rdd
+      sorted.zipWithIndex()
+        .map { case ((tok, n), i) => (tok, n, (i + 1).toInt) }
+        .toDF("token", "n_occurrences", "rank")
         .orderBy("rank")
     }),
 
