@@ -88,7 +88,10 @@ object LakeQueries extends QueryModule {
     "stream_lake_read" -> QueryModule.micro(1)((s, _) => {
       // DSv2 streaming read: snapshot-id offsets, append-only CDC.
       // Two appends land in the sink; the delete's overwrite snapshot
-      // must not replay rows into the stream.
+      // must not replay rows into the stream — and since a row-removing
+      // commit is unrepresentable as inserts, skipping it is an
+      // EXPLICIT opt-in (without the option the stream fails loudly
+      // instead of silently losing the delete).
       val wh = freshWarehouse("streamread")
       Engine.processTableDefJson(wh,
         """{"database_name":"d","table_name":"sr","columns":[
@@ -101,6 +104,7 @@ object LakeQueries extends QueryModule {
       t.append(Seq((3L, "c")).toDF("id", "v"))
       val q = s.readStream.format("graft-lake")
         .option("warehouse", wh).option("database", "d").option("table", "sr")
+        .option("skipDeleteSnapshots", "true")
         .load()
         .writeStream.format("memory").queryName("stream_lake_read_sink")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()

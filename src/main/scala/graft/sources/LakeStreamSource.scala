@@ -227,7 +227,9 @@ private[sources] class LakeSparkTable(wh: String, db: String, tbl: String,
     new LakeScanBuilder(wh, db, tbl, startSnapshot, pinnedSchema, asOfSnapshot,
       maxSnapshotsPerTrigger =
         Option(options.get("maxSnapshotsPerTrigger")).map(_.toInt),
-      branchName = branchName)
+      branchName = branchName,
+      skipDeleteSnapshots =
+        Option(options.get("skipDeleteSnapshots")).exists(_.toBoolean))
 
   /** INSERT INTO / df.writeTo(...).append() via the V1 write bridge:
     * Spark resolves the input to the table schema, then the append goes
@@ -352,7 +354,8 @@ private[graft] class LakeScanBuilder(wh: String, db: String, tbl: String,
     asOfSnapshot: Option[Long] = None,
     onPlanned: Seq[graft.lake.DataFileMeta] => Unit = _ => (),
     maxSnapshotsPerTrigger: Option[Int] = None,
-    branchName: Option[String] = None)
+    branchName: Option[String] = None,
+    skipDeleteSnapshots: Boolean = false)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
@@ -461,7 +464,8 @@ private[graft] class LakeScanBuilder(wh: String, db: String, tbl: String,
 
   override def build(): Scan =
     new LakeScan(wh, db, tbl, startSnapshot, target, stats, aggResult,
-      asOfSnapshot, onPlanned, maxSnapshotsPerTrigger, branchName)
+      asOfSnapshot, onPlanned, maxSnapshotsPerTrigger, branchName,
+      skipDeleteSnapshots)
 }
 
 private[sources] class LakeScan(wh: String, db: String, tbl: String,
@@ -471,7 +475,8 @@ private[sources] class LakeScan(wh: String, db: String, tbl: String,
     asOfSnapshot: Option[Long] = None,
     onPlanned: Seq[graft.lake.DataFileMeta] => Unit = _ => (),
     maxSnapshotsPerTrigger: Option[Int] = None,
-    branchName: Option[String] = None) extends Scan
+    branchName: Option[String] = None,
+    skipDeleteSnapshots: Boolean = false) extends Scan
     with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportOrdering
@@ -732,7 +737,7 @@ private[sources] class LakeScan(wh: String, db: String, tbl: String,
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new LakeMicroBatchStream(wh, db, tbl, startSnapshot, target,
-      maxSnapshotsPerTrigger)
+      maxSnapshotsPerTrigger, skipDeleteSnapshots)
 }
 
 private[sources] case class LakeOffset(snapshotId: Long) extends Offset {
@@ -771,7 +776,8 @@ private[sources] case class LakeAggPartition(values: Array[Any])
 
 private[sources] class LakeMicroBatchStream(wh: String, db: String,
     tbl: String, startSnapshot: Long, target: StructType,
-    maxSnapshotsPerTrigger: Option[Int] = None)
+    maxSnapshotsPerTrigger: Option[Int] = None,
+    skipDeleteSnapshots: Boolean = false)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   // metadata is reloaded per call so a long-running stream sees commits
@@ -813,12 +819,34 @@ private[sources] class LakeMicroBatchStream(wh: String, db: String,
   override def deserializeOffset(json: String): Offset =
     LakeOffset(json.toLong)
 
+  /** A micro-batch delivers the rows ADDED in (start, end] — appends
+    * and upserts, mirroring `changesBetween` (an upsert's data files
+    * are its inserted row versions; the paired equality deletes retract
+    * prior versions, which an append-only stream cannot express).
+    * Rewrites move bytes, not data, and are skipped silently. Anything
+    * that removes or replaces rows (delete / overwrite / replace) makes
+    * the stream's history unrepresentable: fail loudly — the offset
+    * must not advance past data loss — unless the user opted in with
+    * `skipDeleteSnapshots=true` (Iceberg's streaming-skip-delete /
+    * skip-overwrite semantics).
+    */
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val (s, e) = (start.asInstanceOf[LakeOffset].snapshotId,
       end.asInstanceOf[LakeOffset].snapshotId)
     val md = LakeTable.load(wh, db, tbl).metadata
-    md.snapshots
-      .filter(sn => sn.id > s && sn.id <= e && sn.operation == "append")
+    val inRange = md.snapshots.filter(sn => sn.id > s && sn.id <= e)
+    val destructive = inRange.filter(sn =>
+      sn.operation != "append" && sn.operation != "upsert" &&
+        sn.operation != "rewrite")
+    if (destructive.nonEmpty && !skipDeleteSnapshots)
+      throw new IllegalStateException(
+        s"streaming read of $db.$tbl hit non-append snapshot(s) " +
+          destructive.map(sn => s"${sn.id}(${sn.operation})").mkString(", ") +
+          ": a row-removing commit cannot be replayed as a stream of " +
+          "inserts. Set option(\"skipDeleteSnapshots\", \"true\") to " +
+          "skip them and stream only added rows.")
+    inRange
+      .filter(sn => sn.operation == "append" || sn.operation == "upsert")
       .flatMap(sn => sn.files.map(f =>
         LakeFilePartition(f.path, md.schemaById(f.schemaId), target)))
       .toArray

@@ -68,13 +68,15 @@ class LakeStreamReadSpec extends AnyFunSuite {
     assert(spark.sql("SELECT id FROM lake_sink").collect()
       .map(_.getLong(0)).toSet == Set(1L, 2L))
 
-    // more appends + a delete (overwrite snapshot must NOT replay rows)
+    // more appends + a delete (overwrite snapshot must NOT replay rows;
+    // streaming past it requires the explicit skipDeleteSnapshots opt-in)
     t.append(df(Seq((3L, "c", ts(3)))))
     t.delete(spark, col("id") === 1L)
     t.append(df(Seq((4L, "d", ts(4)))))
 
     // resume from snapshot 1 (already-seen data excluded by offset)
-    val q2 = lakeStream(wh).option("startSnapshot", "1").load()
+    val q2 = lakeStream(wh).option("startSnapshot", "1")
+      .option("skipDeleteSnapshots", "true").load()
       .writeStream.format("memory").queryName("lake_sink2")
       .trigger(Trigger.AvailableNow()).start()
     q2.awaitTermination()
@@ -286,5 +288,47 @@ class LakeStreamReadSpec extends AnyFunSuite {
       .trigger(Trigger.AvailableNow()).start()
     q2.awaitTermination()
     assert(batches2.filter(_.nonEmpty).toSeq == Seq(Set(1L, 2L, 3L)))
+  }
+
+  test("streaming read delivers upsert snapshots' inserted rows") {
+    val (wh, t) = mkTable("upstream")
+    t.append(df(Seq((1L, "a", ts(1)), (2L, "b", ts(2)))))
+    // a blind MoR upsert: new row versions for key 2 plus a new key 3 —
+    // the stream must deliver them (mirroring changesBetween), not
+    // silently advance the offset past the snapshot
+    t.upsertMoR(spark, df(Seq((2L, "b2", ts(20)), (3L, "c", ts(3)))),
+      keys = Seq("id"))
+    val q = lakeStream(wh).load()
+      .writeStream.format("memory").queryName("lake_upsert_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // append-only view: both versions of key 2 appear (the retraction
+    // of (2,b) is an equality delete a row stream cannot express)
+    val got = spark.sql("SELECT id, v FROM lake_upsert_stream").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "a"), (2L, "b"), (2L, "b2"), (3L, "c")))
+  }
+
+  test("streaming read fails loudly on row-removing snapshots") {
+    val (wh, t) = mkTable("failloud")
+    t.append(df(Seq((1L, "a", ts(1)), (2L, "b", ts(2)))))
+    t.delete(spark, col("id") === 1L) // CoW overwrite snapshot
+    val q = lakeStream(wh).load()
+      .writeStream.format("memory").queryName("lake_failloud")
+      .trigger(Trigger.AvailableNow()).start()
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    def msgs(e: Throwable): Seq[String] =
+      Option(e).toSeq.flatMap(t => Option(t.getMessage).toSeq ++ msgs(t.getCause))
+    assert(msgs(ex).exists(_.contains("skipDeleteSnapshots")),
+      s"expected a skipDeleteSnapshots hint, got: ${msgs(ex)}")
+    // same history with the opt-in: appended rows stream, delete skipped
+    val q2 = lakeStream(wh).option("skipDeleteSnapshots", "true").load()
+      .writeStream.format("memory").queryName("lake_skipdel")
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    assert(spark.sql("SELECT id FROM lake_skipdel").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L))
   }
 }
