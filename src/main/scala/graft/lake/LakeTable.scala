@@ -1357,12 +1357,25 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
           // target schema; df("a.b") navigates the struct. A TOP-LEVEL
           // name is backticked so a literal dot in it is not
           // misparsed as nesting.
-          val names = ids.map { id =>
-            LakeTable.structPathOfId(target, id).map(_._1)
+          val resolved = ids.map { id =>
+            LakeTable.structPathOfId(target, id)
               .getOrElse(throw new IllegalStateException(
                 s"equality-delete key field id $id not in current schema"))
           }
-          val keyDf = spark.read.parquet(bs.flatMap(_.paths): _*)
+          val names = resolved.map(_._1)
+          // batches written on either side of a key promotion
+          // (int->long, float->double) have heterogeneous PHYSICAL
+          // types, and one multi-path parquet read fails on mixed
+          // INT32/INT64 files — read each batch (homogeneous by
+          // construction) separately, cast its keys to the target
+          // schema's key types, then union (the DSv2 reader path
+          // reconciles per file the same way).
+          val keyDf = bs.map { b =>
+            spark.read.parquet(b.paths: _*).select(
+              ids.zip(resolved).map { case (id, (_, f)) =>
+                col(s"k$id").cast(f.dataType).as(s"k$id")
+              }: _*)
+          }.reduce(_.unionByName(_))
           val cond = ids.zip(names).map { case (id, n) =>
             val c = if (target.fieldNames.contains(n)) df(s"`$n`") else df(n)
             c <=> keyDf(s"k$id")
@@ -1544,6 +1557,17 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
   def removeOrphanFiles(
       olderThanMillis: Long = 24L * 60 * 60 * 1000): Seq[String] = {
     import scala.util.Using
+    // the referenced set MUST be computed from the latest committed
+    // metadata: a handle loaded long ago would treat files referenced
+    // only by commits it hasn't observed as unreferenced, and their
+    // mtime can fall before the age cutoff — deleting live data (or a
+    // live manifest, making the current version unreadable). Refuse on
+    // staleness, like every commit path does.
+    if (currentHintVersion() != loadedVersion)
+      throw new java.util.ConcurrentModificationException(
+        s"table $location was committed concurrently (expected " +
+          s"v$loadedVersion, found v${currentHintVersion()}); reload " +
+          "before removeOrphanFiles")
     // staged (unpublished WAP) snapshots still reference their files —
     // they only become orphans after discardStaged
     val referenced = (md.snapshots ++ md.staged).flatMap(s =>

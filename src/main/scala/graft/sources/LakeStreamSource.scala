@@ -518,19 +518,30 @@ private[sources] class LakeScan(wh: String, db: String, tbl: String,
   /** Equality batches applicable to `f` (batch seq > file seq), with
     * key columns resolved by field id against the read-time schema —
     * the reader filters matching rows out (Iceberg's DeleteFilter).
+    * Resolution runs against the PINNED as-of schema (the schema that
+    * was current at the read's snapshot), matching LakeTable.readFiles:
+    * a VERSION AS OF read of a state whose then-live key column was
+    * later dropped is well-defined and must not fail against the
+    * current schema.
     */
-  private def eqBatchesFor(f: graft.lake.DataFileMeta): Seq[LakeEqBatch] =
+  private def eqBatchesFor(f: graft.lake.DataFileMeta): Seq[LakeEqBatch] = {
+    lazy val schema: StructType = {
+      val md = planned._1.metadata
+      asOfSnapshot.flatMap(sid => md.snapshots.find(_.id == sid))
+        .map(sn => md.schemaById(sn.schemaId))
+        .getOrElse(md.currentSchema)
+    }
     planned._4.filter(_.seq > f.seq).map { b =>
-      val schema = planned._1.metadata.currentSchema
       LakeEqBatch(b.paths, StructType(b.fieldIds.map { id =>
         // the id may live nested in a struct — ship the LEAF field
         // (type + id metadata); the reader re-resolves the file-side
         // chain by id
         LakeTable.structPathOfId(schema, id).map(_._2)
           .getOrElse(throw new IllegalStateException(
-            s"equality-delete key field id $id not in current schema"))
+            s"equality-delete key field id $id not in read schema"))
       }))
     }
+  }
 
   private def deletePathsFor(f: graft.lake.DataFileMeta): Seq[String] =
     planned._3.get(LakeTable.normalizePath(f.path))

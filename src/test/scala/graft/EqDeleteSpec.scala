@@ -178,6 +178,63 @@ class EqDeleteSpec extends AnyFunSuite {
       Seq("id"))
   }
 
+  test("batches on both sides of a key promotion anti-join under one read") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft-eqdel-promo").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"t","columns":[
+        |{"column_name":"id","data_type":"int"},
+        |{"column_name":"v","data_type":"string"}],"partitions":[]}""".stripMargin)
+    val t = LakeTable.load(wh, "d", "t")
+    t.append(Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    // batch 1: key files store k<id> as INT32
+    t.upsertMoR(spark, Seq((2, "B")).toDF("id", "v"), Seq("id"))
+    // promote the key column int -> long
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"t","columns":[
+        |{"column_name":"id","data_type":"long"},
+        |{"column_name":"v","data_type":"string"}],"partitions":[]}""".stripMargin)
+    val t2 = LakeTable.load(wh, "d", "t")
+    // batch 2: key files store k<id> as INT64 — same fieldIds group
+    t2.upsertMoR(spark, Seq((3L, "C")).toDF("id", "v"), Seq("id"))
+    // the driver-side anti-join must read both batches (heterogeneous
+    // physical key types) — one multi-path parquet read would fail on
+    // mixed INT32/INT64; per-batch reads cast to the current key type
+    val got = t2.read(spark).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "a", 2L -> "B", 3L -> "C"))
+    // and the overlapping key still supersedes across the promotion
+    t2.upsertMoR(spark, Seq((2L, "B2")).toDF("id", "v"), Seq("id"))
+    assert(t2.read(spark).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+      == Map(1L -> "a", 2L -> "B2", 3L -> "C"))
+  }
+
+  test("VERSION AS OF resolves eq keys against the pinned schema after " +
+      "the key column is compacted away and dropped") {
+    import spark.implicits._
+    val (wh, t) = mk("asof-drop")
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val sid = t.upsertMoR(spark,
+      Seq((2L, "B")).toDF("id", "v"), Seq("id")).id
+    // materialize the batch, then drop the (now unreferenced) key column
+    t.compact(spark)
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"t","columns":[
+        |{"column_name":"v","data_type":"string"}],"partitions":[]}""".stripMargin)
+    spark.conf.set("spark.sql.catalog.geqasof", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.geqasof.warehouse", wh)
+    // at `sid` the batch was live and keyed on id — the read-time key
+    // resolution must use the schema pinned AT sid, where id exists
+    // (the current schema no longer has it)
+    val got = spark.sql(s"SELECT v FROM geqasof.d.t VERSION AS OF $sid")
+      .collect().map(_.getString(0)).toSet
+    assert(got == Set("a", "B"))
+    // current read (no id column) still serves
+    assert(spark.sql("SELECT v FROM geqasof.d.t").collect()
+      .map(_.getString(0)).toSet == Set("a", "B"))
+  }
+
   test("nested struct keys: MoR delete/upsert by meta.region through " +
       "both read paths; drop guard covers ancestors") {
     import spark.implicits._

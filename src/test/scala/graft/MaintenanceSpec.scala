@@ -111,6 +111,23 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(!Files.exists(stray.getParent), "empty snap dir pruned")
   }
 
+  test("removeOrphanFiles refuses to run on a stale handle") {
+    val (wh, t) = mkTable("stale-orphan")
+    t.append(df(1L -> "a"))
+    val stale = LakeTable.load(wh, "d", "t")
+    // another handle commits: files the stale handle never observed
+    // exist on disk, and a sweep computed from its referenced set
+    // could delete them (age guard notwithstanding — mtimes can fall
+    // before the cutoff)
+    t.append(df(2L -> "b"))
+    intercept[java.util.ConcurrentModificationException] {
+      stale.removeOrphanFiles(0)
+    }
+    // a fresh load sees everything and sweeps nothing
+    assert(LakeTable.load(wh, "d", "t").removeOrphanFiles(0).isEmpty)
+    assert(ids(LakeTable.load(wh, "d", "t")) == Set(1L, 2L))
+  }
+
   test("expireSnapshotsOlderThan keeps the latest snapshot regardless of age") {
     val wh = java.nio.file.Files.createTempDirectory("graft-age").toString
     graft.lake.Engine.processTableDefJson(wh,
