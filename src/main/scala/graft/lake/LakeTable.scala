@@ -1267,6 +1267,113 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     readFiles(spark, files, current)
   }
 
+  /** Changelog scan with delete markers (Iceberg's
+    * `create_changelog_view` shape): every row added or removed by
+    * snapshots in (fromSnapshot, toSnapshot], tagged with
+    * `_change_type` ("insert" | "delete"), `_change_ordinal` (dense
+    * commit order within the range) and `_change_snapshot_id`. Unlike
+    * `changesBetween` (added rows only), a mirror can replay a history
+    * containing plain MoR deletes: apply each ordinal's deletes, then
+    * its inserts (an upsert's own rows must survive its own key batch,
+    * mirroring sequence-number semantics).
+    *
+    * Marker content: positional deletes emit the FULL deleted rows
+    * (the delete files pin (file, pos); the rows are read back from
+    * the data files — O(affected files)); equality-delete batches emit
+    * the KEY columns (nested keys materialize their enclosing struct
+    * path) with every other column null — the batch never knew the
+    * victim rows, only their keys, and re-deriving them would need the
+    * pre-image of the whole table.
+    *
+    * Rewrites move bytes, not data — skipped, no ordinal consumed.
+    * Copy-on-write commits (overwrite/replace) carry no row-level
+    * change information (removed paths were REWRITTEN, with survivors,
+    * into new files) and are refused.
+    */
+  def changelogBetween(spark: SparkSession, fromSnapshot: Long,
+      toSnapshot: Long): DataFrame = {
+    val current = md.currentSchema
+    val clean = Reconcile.clean(current).asInstanceOf[StructType]
+    val range = md.snapshots
+      .filter(s => s.id > fromSnapshot && s.id <= toSnapshot)
+    val bad = range.filterNot(s =>
+      Set("append", "upsert", "delete", "rewrite").contains(s.operation))
+    require(bad.isEmpty,
+      s"changelog cannot represent snapshot(s) " +
+        bad.map(s => s"${s.id}(${s.operation})").mkString(", ") +
+        ": copy-on-write commits carry no row-level change information")
+
+    def tagged(df: DataFrame, typ: String, ord: Int, sid: Long): DataFrame =
+      df.withColumn("_change_type", lit(typ))
+        .withColumn("_change_ordinal", lit(ord))
+        .withColumn("_change_snapshot_id", lit(sid))
+
+    // equality markers: key columns (possibly struct-nested) filled
+    // from the batch's k<id> columns, everything else null
+    def eqMarkers(b: EqDeleteMeta): DataFrame = {
+      val keyIds = b.fieldIds.toSet
+      def hasKey(f: StructField): Boolean =
+        FieldIds.flatten(StructType(Seq(f))).exists { case (_, sf) =>
+          FieldIds.hasId(sf) && keyIds.contains(FieldIds.idOf(sf)) }
+      def build(f: StructField): Column = f.dataType match {
+        case st: StructType if hasKey(f) =>
+          struct(st.fields.toSeq.map(c => build(c).as(c.name)): _*)
+        case dt =>
+          if (FieldIds.hasId(f) && keyIds.contains(FieldIds.idOf(f)))
+            col(s"k${FieldIds.idOf(f)}").cast(dt)
+          else lit(null).cast(dt)
+      }
+      // per-batch read: key files on either side of a type promotion
+      // have heterogeneous physical types (same rule as readFiles)
+      spark.read.parquet(b.paths: _*)
+        .select(current.fields.toSeq.map(f => build(f).as(f.name)): _*)
+    }
+
+    // positional markers: read the affected data files' rows at the
+    // deleted positions — full row content, reconciled to the current
+    // schema. O(files actually touched by the delete).
+    def posMarkers(sn: SnapshotMeta): DataFrame = {
+      val affected = sn.deleteCounts.keySet
+      val byPath = md.snapshots.filter(_.id <= sn.id).flatMap(_.files)
+        .map(f => LakeTable.normalizePath(f.path) -> f).toMap
+      val metas = affected.toSeq.sorted.flatMap(byPath.get)
+      val del = spark.read.parquet(sn.deletePaths: _*)
+        .select(col("file_path").as("_graft_dfile"),
+          col("pos").as("_graft_dpos"))
+      metas.groupBy(_.schemaId).map { case (schemaId, group) =>
+        val fileSchema = md.schemaById(schemaId)
+        spark.read
+          .schema(Reconcile.clean(fileSchema).asInstanceOf[StructType])
+          .parquet(group.map(_.path): _*)
+          .withColumn("_graft_dfile",
+            LakeTable.normalizeUdf(col("_metadata.file_path")))
+          .withColumn("_graft_dpos", col("_metadata.row_index"))
+          .join(del, Seq("_graft_dfile", "_graft_dpos"), "left_semi")
+          .select(Reconcile.projection(fileSchema, current): _*)
+      }.reduce(_.unionByName(_))
+    }
+
+    val parts = range.sortBy(_.id).filterNot(_.operation == "rewrite")
+      .zipWithIndex.flatMap { case (sn, ord) =>
+        val dels =
+          (if (sn.deletePaths.nonEmpty) Seq(posMarkers(sn)) else Seq.empty) ++
+            sn.eqDeletes.map(eqMarkers)
+        val ins =
+          if (sn.files.nonEmpty) Seq(readFiles(spark, sn.files, current))
+          else Seq.empty
+        dels.map(tagged(_, "delete", ord, sn.id)) ++
+          ins.map(tagged(_, "insert", ord, sn.id))
+      }
+    if (parts.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(clean.fields.toSeq ++ Seq(
+          StructField("_change_type", StringType, nullable = false),
+          StructField("_change_ordinal", IntegerType, nullable = false),
+          StructField("_change_snapshot_id", LongType, nullable = false))))
+    else parts.reduce(_.unionByName(_))
+  }
+
   def read(spark: SparkSession,
       prune: Map[String, Set[String]] = Map.empty,
       asOfSnapshot: Option[Long] = None,

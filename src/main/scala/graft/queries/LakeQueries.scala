@@ -847,6 +847,79 @@ object RowOpsQueries extends QueryModule {
       d.read(s).orderBy("n_nationkey")
     }),
 
+    "lake_changelog" -> QueryModule.micro(4)((s, dir) => {
+      // changelog replication WITH delete markers: a history mixing
+      // appends, a positional MoR delete, a blind upsert and a keyed
+      // MoR delete is replayed into a mirror from `changelogBetween`'s
+      // (_change_type, _change_ordinal) rows — the history
+      // `changesBetween` alone cannot replicate (it never surfaces the
+      // deletes). Per ordinal the mirror applies deletes then inserts,
+      // mirroring sequence-number semantics; the replay loop is
+      // O(snapshots) driver-side with O(delta) work per step.
+      val wh = LakeQueries.freshWarehouse("changelog")
+      def mk(name: String): LakeTable = {
+        Engine.processTableDefJson(wh,
+          s"""{"database_name":"clq","table_name":"$name","columns":[
+            |{"column_name":"n_nationkey","data_type":"int"},
+            |{"column_name":"n_name","data_type":"string"},
+            |{"column_name":"n_regionkey","data_type":"int"}],
+            |"partitions":[]}""".stripMargin)
+        LakeTable.load(wh, "clq", name)
+      }
+      val src = mk("src")
+      mk("dst")
+      val nat = Tables(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+      src.append(nat)
+      // positional MoR delete (full-row markers in the changelog)
+      LakeTable.load(wh, "clq", "src")
+        .deleteMoR(s, col("n_regionkey") === 4)
+      // blind upsert: re-inserts keys < 10 as _v2 (incl. region-4 ones)
+      LakeTable.load(wh, "clq", "src").upsertMoR(s,
+        nat.filter(col("n_nationkey") < 10)
+          .withColumn("n_name", concat(col("n_name"), lit("_v2"))),
+        keys = Seq("n_nationkey"))
+      // keyed MoR delete (key-only markers in the changelog)
+      locally {
+        import s.implicits._
+        LakeTable.load(wh, "clq", "src")
+          .deleteByKeysMoR(s, Seq(3, 7, 22).toDF("n_nationkey"))
+      }
+      LakeTable.load(wh, "clq", "src").append(
+        nat.filter(col("n_nationkey") < 5)
+          .select((col("n_nationkey") + 100).cast("int").as("n_nationkey"),
+            concat(lit("new_"), col("n_name")).as("n_name"),
+            col("n_regionkey")))
+      val srcT = LakeTable.load(wh, "clq", "src")
+      val log = srcT
+        .changelogBetween(s, 0L, srcT.metadata.snapshots.map(_.id).max)
+        .localCheckpoint()
+      // one metadata-scale collect tells each ordinal's change kinds
+      val kinds = log.groupBy("_change_ordinal", "_change_type").count()
+        .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+      val ords = kinds.map(_._1).toSeq.sorted
+      ords.foreach { o =>
+        val d = LakeTable.load(wh, "clq", "dst")
+        val slice = log.filter(col("_change_ordinal") === o)
+        if (kinds((o, "delete")))
+          d.deleteByKeysMoR(s, slice
+            .filter(col("_change_type") === "delete")
+            .select("n_nationkey"))
+        if (kinds((o, "insert")))
+          LakeTable.load(wh, "clq", "dst").append(slice
+            .filter(col("_change_type") === "insert")
+            .select("n_nationkey", "n_name", "n_regionkey"))
+      }
+      // mirror must equal the source exactly — fail loudly before the
+      // oracle if the changelog replay diverged
+      val srcRows = LakeTable.load(wh, "clq", "src").read(s)
+      val dstRows = LakeTable.load(wh, "clq", "dst").read(s)
+      require(dstRows.except(srcRows).isEmpty &&
+        srcRows.except(dstRows).isEmpty,
+        "changelog mirror diverged from source")
+      dstRows.orderBy("n_nationkey")
+    }),
+
     "lake_incr_rollup" -> QueryModule.micro(4)((s, dir) => {
       // incremental materialized-view maintenance: a per-customer
       // rollup follows an append-only source through CDC reads. Each
@@ -1148,6 +1221,27 @@ object RowOpsQueries extends QueryModule {
         |    AS n_name,
         |  n_regionkey
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    // history: append all; positional-delete region 4; blind upsert
+    // keys<10 as _v2 (re-inserting even region-4 ones); keyed-delete
+    // 3/7/22; append keys<5 shifted +100 — replayed via the changelog
+    "lake_changelog" ->
+      """WITH finalstate AS (
+        |  SELECT n_nationkey,
+        |    CASE WHEN n_nationkey < 10 THEN n_name || '_v2'
+        |         ELSE n_name END AS n_name,
+        |    n_regionkey
+        |  FROM nation
+        |  WHERE (n_nationkey < 10 OR n_regionkey <> 4)
+        |    AND n_nationkey NOT IN (3, 7, 22)
+        |  UNION ALL
+        |  SELECT CAST(n_nationkey + 100 AS INTEGER), 'new_' || n_name,
+        |    n_regionkey
+        |  FROM nation WHERE n_nationkey < 5
+        |)
+        |SELECT CAST(n_nationkey AS INTEGER) AS n_nationkey, n_name,
+        |  CAST(n_regionkey AS INTEGER) AS n_regionkey
+        |FROM finalstate ORDER BY n_nationkey""".stripMargin,
 
     "lake_compact_zorder" ->
       """SELECT 1 AS grp, count(*) AS n_orders,

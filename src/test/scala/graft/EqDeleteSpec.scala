@@ -178,6 +178,41 @@ class EqDeleteSpec extends AnyFunSuite {
       Seq("id"))
   }
 
+  test("changelogBetween: insert/delete markers replay a MoR history; " +
+      "CoW commits are refused") {
+    import spark.implicits._
+    val (_, t) = mk("changelog")
+    t.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    t.upsertMoR(spark, Seq((2L, "B")).toDF("id", "v"), Seq("id"))
+    t.deleteByKeysMoR(spark, Seq(3L).toDF("id"))
+    val log = t.changelogBetween(spark, 0L,
+      t.metadata.snapshots.map(_.id).max)
+      .select("_change_ordinal", "_change_type", "id", "v")
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        Option(r.getString(3)).orNull))
+      .toSet
+    assert(log == Set(
+      (0, "insert", 1L, "a"), (0, "insert", 2L, "b"),
+      (0, "insert", 3L, "c"),
+      // the upsert's own key batch is a delete marker (key only,
+      // other columns null) ordered before its insert at the same
+      // ordinal
+      (1, "delete", 2L, null), (1, "insert", 2L, "B"),
+      (2, "delete", 3L, null)))
+    // rewrites are skipped, not refused (bytes moved, no data change)
+    t.compact(spark)
+    assert(t.changelogBetween(spark, 0L,
+      t.metadata.snapshots.map(_.id).max)
+      .filter(col("_change_type") === "delete").count() == 2L)
+    // a CoW overwrite carries no row-level change info — refused
+    t.delete(spark, col("id") === 1L)
+    val ex = intercept[IllegalArgumentException] {
+      t.changelogBetween(spark, 0L, t.metadata.snapshots.map(_.id).max)
+    }
+    assert(ex.getMessage.contains("row-level change"))
+  }
+
   test("batches on both sides of a key promotion anti-join under one read") {
     import spark.implicits._
     val wh = Files.createTempDirectory("graft-eqdel-promo").toString
