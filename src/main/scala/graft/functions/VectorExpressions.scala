@@ -274,5 +274,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((ZOrderFunction.identifier, ZOrderFunction.info,
       ZOrderFunction.builder))
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // ALTER TABLE ... ADD/DROP PARTITION FIELD (Iceberg's
+    // spec-evolution DDL; Spark's parser has no such statement)
+    e.injectParser((_, delegate) =>
+      new org.apache.spark.sql.GraftSqlParser(delegate))
   }
 }

@@ -1228,6 +1228,90 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
         .toSeq.sortBy(_.toString)
     }
 
+  // ---- partition-spec evolution (SQL surface) --------------------------
+
+  /** Current spec rendered back to PartitionDefs (source field ids →
+    * schema paths) — the editable form `ALTER TABLE ... ADD/DROP
+    * PARTITION FIELD` manipulates.
+    */
+  private def currentPartitionDefs: Seq[PartitionDef] = {
+    val flat = FieldIds.flatten(md.currentSchema)
+    md.currentSpec.fields.map { f =>
+      val path = flat.collectFirst {
+        case (p, sf) if FieldIds.hasId(sf) &&
+          FieldIds.idOf(sf) == f.sourceFieldId => p
+      }.getOrElse(throw new IllegalStateException(
+        s"spec source field ${f.sourceFieldId} not in current schema"))
+      PartitionDef(path, f.transform, f.name)
+    }
+  }
+
+  /** `ALTER TABLE ... ADD PARTITION FIELD <transform> [AS name]`:
+    * append one derived field and commit a new spec version — the same
+    * multi-spec semantics as the table-def path (reference
+    * `iceberg_helper.py:364-378`): old files keep their old spec id
+    * (reads prune conservatively across specs), new writes partition
+    * by the extended spec. Auto-names follow Iceberg's convention
+    * (`ts_day`, `id_bucket`, `id_trunc`; identity keeps the column
+    * name).
+    */
+  def addPartitionField(column: String, transform: String,
+      name: Option[String] = None): Seq[String] = {
+    require(Transforms.isSupported(transform),
+      s"unsupported partition transform '$transform' (identity/year/" +
+        "month/day/hour/bucket[N]/truncate[W])")
+    val base = column.replace('.', '_')
+    val auto =
+      if (transform == "identity") base
+      else if (Transforms.bucketCount(transform).isDefined) s"${base}_bucket"
+      else if (Transforms.truncateWidth(transform).isDefined) s"${base}_trunc"
+      else s"${base}_$transform"
+    val n = name.getOrElse(auto)
+    val defs = currentPartitionDefs
+    require(!defs.exists(_.name == n),
+      s"partition field '$n' already exists")
+    require(!defs.exists(d => d.column == column && d.transform == transform),
+      s"partition field $transform($column) already exists as " +
+        defs.find(d => d.column == column && d.transform == transform)
+          .get.name)
+    evolveSpecTo(defs :+ PartitionDef(column, transform, n))
+  }
+
+  /** `ALTER TABLE ... DROP PARTITION FIELD` by field name. */
+  def dropPartitionField(name: String): Seq[String] = {
+    val defs = currentPartitionDefs
+    require(defs.exists(_.name == name),
+      s"no partition field '$name' (have " +
+        s"${defs.map(_.name).mkString(", ")})")
+    evolveSpecTo(defs.filterNot(_.name == name))
+  }
+
+  /** `ALTER TABLE ... DROP PARTITION FIELD <transform>(<col>)`. */
+  def dropPartitionField(column: String, transform: String): Seq[String] = {
+    val defs = currentPartitionDefs
+    require(defs.exists(d => d.column == column && d.transform == transform),
+      s"no partition field $transform($column) (have " +
+        defs.map(d => s"${d.transform}(${d.column})").mkString(", ") + ")")
+    evolveSpecTo(defs.filterNot(d =>
+      d.column == column && d.transform == transform))
+  }
+
+  private def evolveSpecTo(defs: Seq[PartitionDef]): Seq[String] = {
+    if (currentHintVersion() != loadedVersion)
+      throw new java.util.ConcurrentModificationException(
+        s"table $location was committed concurrently; reload and retry")
+    val newFields = LakeTable.buildSpecFields(defs, md.currentSchema)
+    if (newFields.map(f => (f.sourceFieldId, f.transform, f.name)) ==
+        md.currentSpec.fields.map(f => (f.sourceFieldId, f.transform, f.name)))
+      return Seq("No partition-spec changes detected")
+    val newSpecId = md.specs.map(_.id).max + 1
+    commit(md.copy(
+      specs = md.specs :+ PartitionSpecMeta(newSpecId, newFields),
+      currentSpecId = newSpecId))
+    Seq(s"Updated partition spec to [${newFields.map(f =>
+      s"${f.transform}(src=${f.sourceFieldId}) as ${f.name}").mkString(", ")}]")
+  }
+
   // ---- read ------------------------------------------------------------
 
   /** Unified read across every snapshot and schema version: files are

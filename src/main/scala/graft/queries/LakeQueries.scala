@@ -198,6 +198,57 @@ object LakeQueries extends QueryModule {
         .orderBy(col("order_id").asc_nulls_first, col("customer_name"),
           col("yr"), col("n_items"), col("first_price"))
     }),
+
+    "lake_spec_evolve_sql" -> QueryModule.micro(2)((s, dir) => {
+      // SQL partition-spec evolution: `ALTER TABLE ... ADD PARTITION
+      // FIELD` (Iceberg's spec-evolution DDL, served by the
+      // GraftSqlParser session extension) commits a new spec version
+      // through the same engine path as a table-def evolution
+      // (reference `iceberg_helper.py:364-378`). Files written before
+      // keep spec 0 and reads stay correct across specs; files written
+      // after land in year directories the metadata pruner skips with
+      // zero IO (self-audited below).
+      val wh = freshWarehouse("specsql")
+      Engine.processTableDefJson(wh,
+        """{"database_name":"sq","table_name":"ev","columns":[
+          |{"column_name":"o_orderkey","data_type":"long"},
+          |{"column_name":"o_orderdate","data_type":"timestamp"},
+          |{"column_name":"o_totalprice","data_type":"double"}],
+          |"partitions":[]}""".stripMargin)
+      val t = LakeTable.load(wh, "sq", "ev")
+      val orders = Tables(s, dir, "orders")
+        .filter(col("o_orderkey") < 2000)
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+      t.append(orders.filter(col("o_orderkey") % 2 === 0))
+      s.conf.set("spark.sql.catalog.gsqlspec", "graft.sources.LakeCatalog")
+      s.conf.set("spark.sql.catalog.gsqlspec.warehouse", wh)
+      // the exact statement an extensions-enabled session serves via
+      // spark.sql(...) — parsed by the same GraftSqlParser here so the
+      // key does not depend on this session's construction
+      val parser = new org.apache.spark.sql.GraftSqlParser(
+        org.apache.spark.sql.GraftPlanBridge.sessionParser(s))
+      org.apache.spark.sql.GraftPlanBridge.ofRows(s, parser.parsePlan(
+        "ALTER TABLE gsqlspec.sq.ev ADD PARTITION FIELD " +
+          "years(o_orderdate) AS od_year")).collect()
+      val t2 = LakeTable.load(wh, "sq", "ev")
+      require(t2.metadata.currentSpec.fields.map(f =>
+        (f.transform, f.name)) == Seq(("year", "od_year")),
+        "SQL spec evolution must commit the year field")
+      require(t2.metadata.specs.size == 2, "expected a new spec version")
+      t2.append(orders.filter(col("o_orderkey") % 2 === 1))
+      // multi-spec pruning: spec-0 files are kept conservatively, the
+      // new spec's other-year files are skipped on metadata alone
+      val live = t2.plannedFiles()
+      val pruned = t2.plannedFiles(prune = Map("od_year" -> Set("1995")))
+      require(pruned.size < live.size,
+        s"year prune must skip files (live=${live.size}, " +
+          s"pruned=${pruned.size})")
+      t2.read(s)
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy").as("od_year"),
+          col("o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
   )
 
   /** Meta-file paths embed the tmpdir — strip to keep output stable. */
@@ -215,6 +266,12 @@ object LakeQueries extends QueryModule {
     *   tools/run.sh graft.Verify <sf> /tmp/v && tools/pin_oracles.py /tmp/v <keys>
     */
   def oracleSql: Map[String, String] = Map(
+    "lake_spec_evolve_sql" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y') AS od_year,
+        |  o_totalprice
+        |FROM orders WHERE o_orderkey < 2000
+        |ORDER BY o_orderkey""".stripMargin,
+
     "ddl_create" ->
       """SELECT CAST(path AS VARCHAR) AS path, CAST(field_id AS INTEGER) AS field_id,
         |  CAST(type AS VARCHAR) AS type, CAST(change_type AS VARCHAR) AS change_type

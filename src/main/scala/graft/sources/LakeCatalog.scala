@@ -44,6 +44,11 @@ class LakeCatalog extends TableCatalog
 
   override def name(): String = catalogName
 
+  /** The configured warehouse root — resolved by the PARTITION FIELD
+    * DDL command, which executes outside the TableCatalog surface.
+    */
+  def warehousePath: String = warehouse
+
   // lets `ALTER TABLE ... ADD COLUMN ... DEFAULT v` reach alterTable
   // (the analyzer refuses the clause without the capability)
   override def capabilities(): java.util.Set[
@@ -711,7 +716,8 @@ private[sources] object LakeProcedures {
     Set("expire_snapshots", "expire_older_than", "remove_orphan_files",
       "compact", "rollback_to_snapshot", "create_tag", "create_branch",
       "drop_ref", "publish_wap", "discard_wap", "rebase_branch",
-      "rewrite_manifests", "fast_forward")
+      "rewrite_manifests", "fast_forward",
+      "add_partition_field", "drop_partition_field")
 
   private def param(n: String, dt: DataType) =
     ProcedureParameter.in(n, dt).build()
@@ -749,6 +755,17 @@ private[sources] object LakeProcedures {
               param("db", StringType), param("table", StringType),
               param("wap_id", StringType))
             case "rebase_branch" | "fast_forward" => Array(
+              param("db", StringType), param("table", StringType),
+              param("name", StringType))
+            // field: source column path; transform: engine naming
+            // (identity/year/month/day/hour/bucket[N]/truncate[W]);
+            // name: '' = auto (Iceberg convention ts_day/id_bucket).
+            // drop resolves by field NAME.
+            case "add_partition_field" => Array(
+              param("db", StringType), param("table", StringType),
+              param("field", StringType), param("transform", StringType),
+              param("name", StringType))
+            case "drop_partition_field" => Array(
               param("db", StringType), param("table", StringType),
               param("name", StringType))
           }
@@ -848,6 +865,25 @@ private[sources] object LakeProcedures {
                   Seq[Any](input.getUTF8String(2).toString,
                     published.size,
                     t.metadata.snapshots.map(_.id).foldLeft(0L)(math.max)))
+              case "add_partition_field" =>
+                val nameArg = input.getUTF8String(4).toString
+                t.addPartitionField(input.getUTF8String(2).toString,
+                  input.getUTF8String(3).toString,
+                  Option(nameArg).filter(_.nonEmpty))
+                (StructType(Seq(
+                  StructField("spec_id", IntegerType, nullable = false),
+                  StructField("fields", StringType, nullable = false))),
+                  Seq[Any](t.metadata.currentSpecId,
+                    t.metadata.currentSpec.fields.map(f =>
+                      s"${f.transform}:${f.name}").mkString(", ")))
+              case "drop_partition_field" =>
+                t.dropPartitionField(input.getUTF8String(2).toString)
+                (StructType(Seq(
+                  StructField("spec_id", IntegerType, nullable = false),
+                  StructField("fields", StringType, nullable = false))),
+                  Seq[Any](t.metadata.currentSpecId,
+                    t.metadata.currentSpec.fields.map(f =>
+                      s"${f.transform}:${f.name}").mkString(", ")))
             }
             // procedure output must be a LocalScan (InvokeProcedures
             // turns it into a LocalRelation)

@@ -21,6 +21,14 @@ object GraftPlanBridge {
   def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     classic.ExpressionUtils.expression(c)
 
+  /** The session's SQL parser (sessionState is Scala-private; public in
+    * bytecode) — lets engine code wrap it in [[GraftSqlParser]] for the
+    * extension DDL without requiring session-extension registration.
+    */
+  def sessionParser(spark: SparkSession)
+      : org.apache.spark.sql.catalyst.parser.ParserInterface =
+    spark.asInstanceOf[classic.SparkSession].sessionState.sqlParser
+
   /** Verbatim single-part column reference. `Expressions.column` PARSES
     * its argument as a multipart identifier, so a schema-sourced name
     * like "a.b" or "order date" would mis-resolve or throw; this is the

@@ -1,0 +1,119 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** `ALTER TABLE ... ADD/DROP PARTITION FIELD` — Iceberg's partition-
+  * spec-evolution DDL, which vanilla Spark cannot parse (Iceberg ships
+  * it as a SQL-extensions parser too). Executes against the graft lake
+  * catalog via the engine's own spec-evolution commit (reference
+  * semantics: `iceberg_helper.py:364-378`). Lives in the spark
+  * namespace for the same bytecode-public seams GraftPlanBridge uses
+  * (sessionState catalogManager resolution).
+  *
+  * For DROP, exactly one of (`column`, `transform`) or `asName` names
+  * the field (drop-by-transform vs drop-by-name).
+  */
+case class GraftAlterPartitionFieldCommand(table: Seq[String], add: Boolean,
+    column: Option[String], transform: String, asName: Option[String])
+    extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val cm = spark.sessionState.catalogManager
+    val (cat, db, tbl) = table match {
+      case Seq(c, d, t) => (cm.catalog(c), d, t)
+      case Seq(d, t) => (cm.currentCatalog, d, t)
+      case _ => throw new IllegalArgumentException(
+        s"ALTER TABLE ... PARTITION FIELD: expected [catalog.]db.table, " +
+          s"got ${table.mkString(".")}")
+    }
+    val lake = cat match {
+      case lc: graft.sources.LakeCatalog =>
+        graft.lake.LakeTable.load(lc.warehousePath, db, tbl)
+      case other => throw new UnsupportedOperationException(
+        s"catalog ${other.name} is not a graft lake catalog")
+    }
+    if (add) lake.addPartitionField(column.get, transform, asName)
+    else column match {
+      case Some(c) => lake.dropPartitionField(c, transform)
+      case None => lake.dropPartitionField(asName.get)
+    }
+    Seq.empty
+  }
+}
+
+object GraftSqlParser {
+  private val AddRe =
+    """(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+ADD\s+PARTITION\s+FIELD\s+(.+?)(?:\s+AS\s+([\w`]+))?\s*;?\s*$""".r
+  private val DropRe =
+    """(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+DROP\s+PARTITION\s+FIELD\s+(.+?)\s*;?\s*$""".r
+
+  private val TimeRe = """(?i)^(year|month|day|hour)s?\s*\(\s*([^)]+)\s*\)$""".r
+  private val BucketRe = """(?i)^bucket\s*\(\s*(\d+)\s*,\s*([^)]+)\s*\)$""".r
+  private val TruncRe =
+    """(?i)^truncate\s*\(\s*(\d+)\s*,\s*([^)]+)\s*\)$""".r
+
+  private def clean(c: String): String =
+    c.trim.stripPrefix("`").stripSuffix("`")
+
+  /** SQL transform syntax → (engine transform name, source column).
+    * `day(ts)`/`days(ts)` → day; `bucket(16, id)` → bucket[16];
+    * `truncate(4, s)` → truncate[4]; a bare column → identity.
+    */
+  private[sql] def parseTransform(raw: String): (String, String) =
+    raw.trim match {
+      case TimeRe(t, c) => (t.toLowerCase(java.util.Locale.ROOT), clean(c))
+      case BucketRe(n, c) => (s"bucket[$n]", clean(c))
+      case TruncRe(w, c) => (s"truncate[$w]", clean(c))
+      case bare => ("identity", clean(bare))
+    }
+}
+
+/** Delegating session parser: intercepts the two PARTITION FIELD
+  * statements, hands everything else to Spark's parser unchanged.
+  * Registered by `graft.functions.GraftExtensions` (injectParser).
+  */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+  import GraftSqlParser._
+
+  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case AddRe(tbl, spec, name) =>
+      val (transform, col) = parseTransform(spec)
+      GraftAlterPartitionFieldCommand(
+        delegate.parseMultipartIdentifier(tbl), add = true,
+        Some(col), transform, Option(name).map(clean))
+    case DropRe(tbl, spec) =>
+      val trimmed = spec.trim
+      if (trimmed.contains("(")) {
+        val (transform, col) = parseTransform(trimmed)
+        GraftAlterPartitionFieldCommand(
+          delegate.parseMultipartIdentifier(tbl), add = false,
+          Some(col), transform, None)
+      } else
+        GraftAlterPartitionFieldCommand(
+          delegate.parseMultipartIdentifier(tbl), add = false,
+          None, "", Some(clean(trimmed)))
+    case _ => delegate.parsePlan(sqlText)
+  }
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}

@@ -578,4 +578,99 @@ class LakeCatalogSpec extends AnyFunSuite {
       .collect()
     assert(rows.map(_.getLong(0)).toSeq == Seq(1L))
   }
+
+  test("SQL ADD/DROP PARTITION FIELD evolves the spec; multi-spec " +
+      "pruning holds") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft-specsql").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"t","columns":[
+        |{"column_name":"id","data_type":"long"},
+        |{"column_name":"ts","data_type":"timestamp"},
+        |{"column_name":"v","data_type":"string"}],"partitions":[]}""".stripMargin)
+    val t = LakeTable.load(wh, "d", "t")
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 10:00:00")
+    t.append(Seq((1L, ts(1), "a"), (2L, ts(2), "b")).toDF("id", "ts", "v"))
+
+    spark.conf.set("spark.sql.catalog.gspecsql", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.gspecsql.warehouse", wh)
+    // the shared test session was built without GraftExtensions — run
+    // the statement through the extension parser directly (same plan
+    // the injected parser produces; e2e injection covered below)
+    def exec(sql: String) = {
+      val p = new org.apache.spark.sql.GraftSqlParser(
+        org.apache.spark.sql.GraftPlanBridge.sessionParser(spark))
+      org.apache.spark.sql.GraftPlanBridge.ofRows(spark, p.parsePlan(sql))
+        .collect()
+    }
+    exec("ALTER TABLE gspecsql.d.t ADD PARTITION FIELD days(ts)")
+    val t2 = LakeTable.load(wh, "d", "t")
+    assert(t2.metadata.currentSpec.fields.map(f => (f.transform, f.name))
+      == Seq(("day", "ts_day")), "auto-named day field")
+    assert(t2.metadata.specs.size == 2, "new spec version committed")
+
+    // new writes partition by the extended spec; old files keep spec 0
+    t2.append(Seq((3L, ts(1), "c"), (4L, ts(2), "d")).toDF("id", "ts", "v"))
+    val live = t2.plannedFiles()
+    val pruned = t2.plannedFiles(prune = Map("ts_day" -> Set("2024-01-01")))
+    assert(pruned.size < live.size,
+      "day prune must drop new-spec files of other days")
+    assert(pruned.map(_.rows).sum >= 1)
+    // reads stay correct across specs (old files conservatively kept)
+    assert(spark.sql("SELECT count(*) FROM gspecsql.d.t").head.getLong(0) == 4L)
+
+    // DROP by name via the CALL procedure surface
+    spark.sql("CALL gspecsql.system.drop_partition_field('d', 't', 'ts_day')")
+      .collect()
+    assert(LakeTable.load(wh, "d", "t").metadata.currentSpec.fields.isEmpty)
+    // re-add via CALL ('' name = auto), drop via the transform form
+    spark.sql("CALL gspecsql.system.add_partition_field(" +
+      "'d', 't', 'ts', 'day', '')").collect()
+    assert(LakeTable.load(wh, "d", "t").metadata.currentSpec.fields
+      .map(_.name) == Seq("ts_day"))
+    exec("ALTER TABLE gspecsql.d.t DROP PARTITION FIELD day(ts)")
+    assert(LakeTable.load(wh, "d", "t").metadata.currentSpec.fields.isEmpty)
+
+    // bucket + truncate SQL forms map to the engine transform names
+    exec("ALTER TABLE gspecsql.d.t ADD PARTITION FIELD bucket(8, id)")
+    exec("ALTER TABLE gspecsql.d.t ADD PARTITION FIELD truncate(2, v) AS vp")
+    assert(LakeTable.load(wh, "d", "t").metadata.currentSpec.fields
+      .map(f => (f.transform, f.name))
+      == Seq(("bucket[8]", "id_bucket"), ("truncate[2]", "vp")))
+
+    // unknown source column is refused; other statements still parse
+    intercept[Exception](
+      exec("ALTER TABLE gspecsql.d.t ADD PARTITION FIELD nope"))
+    assert(exec("SELECT 1 AS x").head.getInt(0) == 1)
+  }
+
+  test("injected parser serves ALTER PARTITION FIELD in a fresh session") {
+    import org.apache.spark.sql.SparkSession
+    val wh = Files.createTempDirectory("graft-specsql-e2e").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"t","columns":[
+        |{"column_name":"id","data_type":"long"}],"partitions":[]}""".stripMargin)
+    // force a NEW session (same context): getOrCreate would return the
+    // shared one, whose parser predates the extension
+    val prior = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new graft.functions.GraftExtensions)
+        .getOrCreate()
+      s2.conf.set("spark.sql.catalog.gspece2e", "graft.sources.LakeCatalog")
+      s2.conf.set("spark.sql.catalog.gspece2e.warehouse", wh)
+      s2.sql("ALTER TABLE gspece2e.d.t ADD PARTITION FIELD bucket(4, id)")
+      assert(LakeTable.load(wh, "d", "t").metadata.currentSpec.fields
+        .map(f => (f.transform, f.name)) == Seq(("bucket[4]", "id_bucket")))
+      // the delegate path is intact in the extended session
+      assert(s2.sql("SELECT 2 AS x").head.getInt(0) == 2)
+    } finally {
+      SparkSession.setDefaultSession(prior)
+      SparkSession.setActiveSession(prior)
+    }
+  }
 }
