@@ -435,6 +435,20 @@ object LakeReadQueries extends QueryModule {
               |WHEN NOT MATCHED THEN INSERT (n_nationkey, n_name, n_regionkey)
               |  VALUES (s.n_nationkey, 'NEW', s.n_regionkey)""".stripMargin)
       s.sql("DELETE FROM graftdml.rq.n WHERE n_regionkey = 0")
+      // replace-style sync: rows the source no longer carries are
+      // deleted (WHEN NOT MATCHED BY SOURCE DELETE) or tagged stale
+      // (WHEN NOT MATCHED BY SOURCE UPDATE)
+      s.sql("""MERGE INTO graftdml.rq.n t
+              |USING (SELECT n_nationkey FROM nation_src_v
+              |       WHERE n_nationkey < 20) s
+              |ON t.n_nationkey = s.n_nationkey
+              |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+      s.sql("""MERGE INTO graftdml.rq.n t
+              |USING (SELECT n_nationkey FROM nation_src_v
+              |       WHERE n_nationkey >= 5) s
+              |ON t.n_nationkey = s.n_nationkey
+              |WHEN NOT MATCHED BY SOURCE THEN
+              |  UPDATE SET t.n_name = concat(t.n_name, '_OLD')""".stripMargin)
       s.sql("""SELECT n_nationkey, n_name, n_regionkey
               |FROM graftdml.rq.n ORDER BY n_nationkey""".stripMargin)
     }),
@@ -565,12 +579,16 @@ object LakeReadQueries extends QueryModule {
         |ORDER BY c_custkey""".stripMargin,
 
     "lake_sql_dml" ->
-      """SELECT n_nationkey, n_name, n_regionkey FROM (
+      """SELECT n_nationkey,
+        |  CASE WHEN n_nationkey < 5 THEN n_name || '_OLD'
+        |       ELSE n_name END AS n_name,
+        |  n_regionkey FROM (
         |  SELECT n_nationkey,
         |    CASE WHEN n_regionkey = 3 THEN n_name || '_EU' ELSE n_name END AS n_name,
         |    CASE WHEN n_regionkey = 1 THEN n_regionkey + 100 ELSE n_regionkey END AS n_regionkey
         |  FROM nation)
-        |WHERE n_regionkey <> 0 ORDER BY n_nationkey""".stripMargin,
+        |WHERE n_regionkey <> 0 AND n_nationkey < 20
+        |ORDER BY n_nationkey""".stripMargin,
 
     "lake_timetravel" ->
       """SELECT s_suppkey, s_name, s_nationkey FROM supplier

@@ -221,6 +221,27 @@ class LakeCatalogSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
       .toSeq == Seq((1L, "a", 1.0), (2L, "m", 222.0), (3L, "z", 30.0),
         (9L, "n", 9.0)))
+
+    // replace-style sync: WHEN NOT MATCHED BY SOURCE deletes (or
+    // updates) target rows the source no longer carries
+    spark.sql(
+      """MERGE INTO graftu.d.u t USING (
+        |  SELECT * FROM VALUES (2L, 'p', 2.2), (3L, 'q', 3.3)
+        |    AS s(id, grp, v)
+        |) s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET t.grp = s.grp, t.v = s.v
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    assert(spark.sql("SELECT id, grp, v FROM graftu.d.u ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .toSeq == Seq((2L, "p", 2.2), (3L, "q", 3.3)))
+    spark.sql(
+      """MERGE INTO graftu.d.u t USING (
+        |  SELECT * FROM VALUES (3L) AS s(id)
+        |) s ON t.id = s.id
+        |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET t.grp = 'stale'""".stripMargin)
+    assert(spark.sql("SELECT id, grp, v FROM graftu.d.u ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .toSeq == Seq((2L, "stale", 2.2), (3L, "q", 3.3)))
   }
 
   test("INSERT INTO and writeTo append commit snapshots through the engine") {

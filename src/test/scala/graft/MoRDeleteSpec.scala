@@ -260,6 +260,22 @@ class MoRDeleteSpec extends AnyFunSuite {
     assert(got == Seq((1L, "a"), (2L, "B"), (3L, "c"), (4L, "D")))
     assert(spark.sql("SELECT count(*) n FROM gdm.d.t").collect()(0)
       .getLong(0) == 4L)
+
+    // WHEN NOT MATCHED BY SOURCE on the delta path: rows the source no
+    // longer carries are position-deleted, no target file rewritten
+    df(Seq((2L, "B2"), (3L, "C"))).createOrReplaceTempView("mor_merge_src2")
+    spark.sql(
+      """MERGE INTO gdm.d.t t USING mor_merge_src2 s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET t.v = s.v
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    val t3 = LakeTable.load(wh, "d", "t")
+    assert(t3.metadata.snapshots.last.operation == "delete",
+      "replace-style sync must stay merge-on-read")
+    assert(before.subsetOf(t3.plannedFiles().map(_.path).toSet),
+      "no pre-existing file rewritten")
+    assert(spark.sql("SELECT id, v FROM gdm.d.t ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+      == Seq((2L, "B2"), (3L, "C")))
   }
 
   test("SQL DELETE routes to merge-on-read via table property") {
