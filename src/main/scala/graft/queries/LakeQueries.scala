@@ -859,21 +859,34 @@ object RowOpsQueries extends QueryModule {
         .select("c_custkey", "c_name", "c_mktsegment")
       t.append(cust)
       t.createBranch("curate")
-      t.deleteFromBranchMoR(s, "curate",
-        cust.filter(col("c_custkey") % 10 === 3).select("c_custkey"))
-      t.upsertToBranchMoR(s, "curate",
-        cust.filter(col("c_custkey") % 10 === 7)
-          .withColumn("c_mktsegment", lit("PATCHED")),
-        keys = Seq("c_custkey"))
+      // the whole curation pass runs from SQL: key/source rows travel
+      // as registered views (CALL args are scalars), the branch verbs
+      // are CALL procedures, the audit reads VERSION AS OF '<branch>',
+      // and publish is CALL system.fast_forward
+      s.conf.set("spark.sql.catalog.graftbm", "graft.sources.LakeCatalog")
+      s.conf.set("spark.sql.catalog.graftbm.warehouse", wh)
+      cust.filter(col("c_custkey") % 10 === 3).select("c_custkey")
+        .createOrReplaceTempView("bm_bad_keys")
+      cust.filter(col("c_custkey") % 10 === 7)
+        .withColumn("c_mktsegment", lit("PATCHED"))
+        .createOrReplaceTempView("bm_patched")
+      s.sql("CALL graftbm.system.branch_delete(" +
+        "'bm', 'cust', 'curate', 'bm_bad_keys')").collect()
+      s.sql("CALL graftbm.system.branch_upsert(" +
+        "'bm', 'cust', 'curate', 'bm_patched', 'c_custkey')").collect()
       // isolation audit, loud before the oracle: main serves the full
       // table; the branch view dropped the deleted keys
       val full = cust.count()
-      require(t.read(s).count() == full,
+      require(s.sql("SELECT count(*) FROM graftbm.bm.cust")
+        .head.getLong(0) == full,
         "main must keep serving the untouched table")
-      require(t.readBranch(s, "curate").count() ==
+      require(s.sql(
+        "SELECT count(*) FROM graftbm.bm.cust VERSION AS OF 'curate'")
+        .head.getLong(0) ==
         full - cust.filter(col("c_custkey") % 10 === 3).count(),
         "branch view must drop the MoR-deleted keys")
-      t.fastForward("curate")
+      s.sql("CALL graftbm.system.fast_forward('bm', 'cust', 'curate')")
+        .collect()
       LakeTable.load(wh, "bm", "cust").read(s)
         .select("c_custkey", "c_name", "c_mktsegment")
         .orderBy("c_custkey")

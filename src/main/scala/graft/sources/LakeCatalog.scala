@@ -717,7 +717,8 @@ private[sources] object LakeProcedures {
       "compact", "rollback_to_snapshot", "create_tag", "create_branch",
       "drop_ref", "publish_wap", "discard_wap", "rebase_branch",
       "rewrite_manifests", "fast_forward",
-      "add_partition_field", "drop_partition_field")
+      "add_partition_field", "drop_partition_field",
+      "branch_delete", "branch_upsert")
 
   private def param(n: String, dt: DataType) =
     ProcedureParameter.in(n, dt).build()
@@ -768,6 +769,16 @@ private[sources] object LakeProcedures {
             case "drop_partition_field" => Array(
               param("db", StringType), param("table", StringType),
               param("name", StringType))
+            // branch MoR mutations from SQL: the key/source rows come
+            // from a registered view (CALL args are scalars); `keys`
+            // is a comma-separated key-column list
+            case "branch_delete" => Array(
+              param("db", StringType), param("table", StringType),
+              param("branch", StringType), param("keys_view", StringType))
+            case "branch_upsert" => Array(
+              param("db", StringType), param("table", StringType),
+              param("branch", StringType), param("source_view", StringType),
+              param("keys", StringType))
           }
           override def call(input: InternalRow): java.util.Iterator[Scan] = {
             val db = input.getUTF8String(0).toString
@@ -884,6 +895,27 @@ private[sources] object LakeProcedures {
                   Seq[Any](t.metadata.currentSpecId,
                     t.metadata.currentSpec.fields.map(f =>
                       s"${f.transform}:${f.name}").mkString(", ")))
+              case "branch_delete" =>
+                val spark = org.apache.spark.sql.SparkSession.active
+                val snap = t.deleteFromBranchMoR(spark,
+                  input.getUTF8String(2).toString,
+                  spark.table(input.getUTF8String(3).toString))
+                (StructType(Seq(
+                  StructField("staged_snapshot_id", LongType,
+                    nullable = false))),
+                  Seq[Any](snap.id))
+              case "branch_upsert" =>
+                val spark = org.apache.spark.sql.SparkSession.active
+                val snap = t.upsertToBranchMoR(spark,
+                  input.getUTF8String(2).toString,
+                  spark.table(input.getUTF8String(3).toString),
+                  input.getUTF8String(4).toString.split(",").map(_.trim)
+                    .filter(_.nonEmpty).toSeq)
+                (StructType(Seq(
+                  StructField("staged_snapshot_id", LongType,
+                    nullable = false),
+                  StructField("rows", LongType, nullable = false))),
+                  Seq[Any](snap.id, snap.files.map(_.rows).sum))
             }
             // procedure output must be a LocalScan (InvokeProcedures
             // turns it into a LocalRelation)

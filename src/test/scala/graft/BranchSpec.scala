@@ -399,4 +399,43 @@ class BranchSpec extends AnyFunSuite {
         if (r.isNullAt(2)) -1L else r.getLong(2)))
     assert(refs.toSeq == Seq(("rel", "tag", -1L), ("wb", "branch", s1)))
   }
+
+  test("CALL branch_delete/branch_upsert mutate the branch from SQL") {
+    import spark.implicits._
+    val (wh, t) = mk("mor-call")
+    t.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    t.createBranch("fix")
+    spark.conf.set("spark.sql.catalog.gbcall", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.gbcall.warehouse", wh)
+    Seq(Tuple1(2L)).toDF("id").createOrReplaceTempView("bcall_keys")
+    Seq((3L, "C2"), (9L, "z")).toDF("id", "v")
+      .createOrReplaceTempView("bcall_src")
+    spark.sql(
+      "CALL gbcall.system.branch_delete('d', 't', 'fix', 'bcall_keys')")
+      .collect()
+    spark.sql("CALL gbcall.system.branch_upsert(" +
+      "'d', 't', 'fix', 'bcall_src', 'id')").collect()
+    // branch view reflects both; main untouched until fast-forward
+    assert(spark.sql("SELECT id, v FROM gbcall.d.t VERSION AS OF 'fix'")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      == Set((1L, "a"), (3L, "C2"), (9L, "z")))
+    assert(spark.sql("SELECT id FROM gbcall.d.t").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    spark.sql("CALL gbcall.system.fast_forward('d', 't', 'fix')").collect()
+    assert(spark.sql("SELECT id, v FROM gbcall.d.t").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+      == Set((1L, "a"), (3L, "C2"), (9L, "z")))
+    // guards surface through SQL: unknown branch, and a tag is not
+    // a writable branch
+    locally {
+      val t2 = LakeTable.load(wh, "d", "t")
+      t2.createRef("rel1", t2.metadata.snapshots.map(_.id).max, "tag")
+    }
+    intercept[Exception](spark.sql(
+      "CALL gbcall.system.branch_delete('d', 't', 'nope', 'bcall_keys')")
+      .collect())
+    intercept[Exception](spark.sql(
+      "CALL gbcall.system.branch_delete('d', 't', 'rel1', 'bcall_keys')")
+      .collect())
+  }
 }
