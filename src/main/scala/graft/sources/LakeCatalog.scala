@@ -718,7 +718,7 @@ private[sources] object LakeProcedures {
       "drop_ref", "publish_wap", "discard_wap", "rebase_branch",
       "rewrite_manifests", "fast_forward",
       "add_partition_field", "drop_partition_field",
-      "branch_delete", "branch_upsert")
+      "branch_delete", "branch_upsert", "create_changelog_view")
 
   private def param(n: String, dt: DataType) =
     ProcedureParameter.in(n, dt).build()
@@ -779,6 +779,13 @@ private[sources] object LakeProcedures {
               param("db", StringType), param("table", StringType),
               param("branch", StringType), param("source_view", StringType),
               param("keys", StringType))
+            // Iceberg's create_changelog_view: register the
+            // delete-marker changelog of (from, to] as a temp view
+            case "create_changelog_view" => Array(
+              param("db", StringType), param("table", StringType),
+              param("from_snapshot", LongType),
+              param("to_snapshot", LongType),
+              param("view_name", StringType))
           }
           override def call(input: InternalRow): java.util.Iterator[Scan] = {
             val db = input.getUTF8String(0).toString
@@ -916,6 +923,14 @@ private[sources] object LakeProcedures {
                     nullable = false),
                   StructField("rows", LongType, nullable = false))),
                   Seq[Any](snap.id, snap.files.map(_.rows).sum))
+              case "create_changelog_view" =>
+                val spark = org.apache.spark.sql.SparkSession.active
+                val view = input.getUTF8String(4).toString
+                t.changelogBetween(spark, input.getLong(2), input.getLong(3))
+                  .createOrReplaceTempView(view)
+                (StructType(Seq(
+                  StructField("view", StringType, nullable = false))),
+                  Seq[Any](view))
             }
             // procedure output must be a LocalScan (InvokeProcedures
             // turns it into a LocalRelation)

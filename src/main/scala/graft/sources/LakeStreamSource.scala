@@ -223,13 +223,25 @@ private[sources] class LakeSparkTable(wh: String, db: String, tbl: String,
       // INSERT OVERWRITE = truncate-then-write on the write builder
       TableCapability.TRUNCATE).asJava
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // incremental batch read (Iceberg's start/end-snapshot-id options):
+    // rows ADDED by snapshots in (fromSnapshot, toSnapshot] — the batch
+    // form of changesBetween, with column pruning + stats file skipping
+    // intact. toSnapshot defaults to the latest commit.
+    val incremental = Option(options.get("fromSnapshot")).map { f =>
+      require(asOfSnapshot.isEmpty && branchName.isEmpty,
+        "fromSnapshot cannot combine with VERSION AS OF or a branch")
+      (f.toLong, Option(options.get("toSnapshot")).map(_.toLong)
+        .getOrElse(Long.MaxValue))
+    }
     new LakeScanBuilder(wh, db, tbl, startSnapshot, pinnedSchema, asOfSnapshot,
       maxSnapshotsPerTrigger =
         Option(options.get("maxSnapshotsPerTrigger")).map(_.toInt),
       branchName = branchName,
       skipDeleteSnapshots =
-        Option(options.get("skipDeleteSnapshots")).exists(_.toBoolean))
+        Option(options.get("skipDeleteSnapshots")).exists(_.toBoolean),
+      incremental = incremental)
+  }
 
   /** INSERT INTO / df.writeTo(...).append() via the V1 write bridge:
     * Spark resolves the input to the table schema, then the append goes
@@ -355,7 +367,8 @@ private[graft] class LakeScanBuilder(wh: String, db: String, tbl: String,
     onPlanned: Seq[graft.lake.DataFileMeta] => Unit = _ => (),
     maxSnapshotsPerTrigger: Option[Int] = None,
     branchName: Option[String] = None,
-    skipDeleteSnapshots: Boolean = false)
+    skipDeleteSnapshots: Boolean = false,
+    incremental: Option[(Long, Long)] = None)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
@@ -387,6 +400,9 @@ private[graft] class LakeScanBuilder(wh: String, db: String, tbl: String,
     // a branch overlay's live set differs from main's — no
     // metadata-only answers through the main-history rollups below
     if (branchName.isDefined) return false
+    // an incremental range reads raw added files, not the live set —
+    // the metadata rollups below would answer for the wrong row set
+    if (incremental.isDefined) return false
 
     val t = LakeTable.load(wh, db, tbl)
     val visible = LakeSource.visibleSnapshots(t, asOfSnapshot)
@@ -465,7 +481,7 @@ private[graft] class LakeScanBuilder(wh: String, db: String, tbl: String,
   override def build(): Scan =
     new LakeScan(wh, db, tbl, startSnapshot, target, stats, aggResult,
       asOfSnapshot, onPlanned, maxSnapshotsPerTrigger, branchName,
-      skipDeleteSnapshots)
+      skipDeleteSnapshots, incremental)
 }
 
 private[sources] class LakeScan(wh: String, db: String, tbl: String,
@@ -476,7 +492,8 @@ private[sources] class LakeScan(wh: String, db: String, tbl: String,
     onPlanned: Seq[graft.lake.DataFileMeta] => Unit = _ => (),
     maxSnapshotsPerTrigger: Option[Int] = None,
     branchName: Option[String] = None,
-    skipDeleteSnapshots: Boolean = false) extends Scan
+    skipDeleteSnapshots: Boolean = false,
+    incremental: Option[(Long, Long)] = None) extends Scan
     with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportOrdering
@@ -485,6 +502,24 @@ private[sources] class LakeScan(wh: String, db: String, tbl: String,
   // one metadata load shared by statistics and batch planning
   private lazy val planned = {
     val t = LakeTable.load(wh, db, tbl)
+    incremental match {
+      case Some((from, to)) =>
+        // rows ADDED in (from, to] — raw append/upsert files, no
+        // delete application (changesBetween semantics): a consumer of
+        // the range wants the added row versions, and retractions are
+        // the changelog's job
+        val files = t.metadata.snapshots
+          .filter(s => s.id > from && s.id <= to &&
+            (s.operation == "append" || s.operation == "upsert"))
+          .flatMap(_.files)
+        (t, LakeTable.matchingFiles(files, target, Map.empty, statsFilters),
+          Map.empty[String, graft.lake.DeleteSet],
+          Seq.empty[graft.lake.EqDeleteMeta])
+      case None => plannedFull(t)
+    }
+  }
+
+  private def plannedFull(t: LakeTable) = {
     branchName match {
       case Some(b) =>
         // branch overlay: main AS OF the fork base plus the branch's

@@ -213,6 +213,24 @@ class EqDeleteSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("row-level change"))
   }
 
+  test("CALL create_changelog_view registers the changelog for SQL") {
+    import spark.implicits._
+    val (wh, t) = mk("chview")
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    t.upsertMoR(spark, Seq((2L, "B")).toDF("id", "v"), Seq("id"))
+    spark.conf.set("spark.sql.catalog.geqcv", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.geqcv.warehouse", wh)
+    val max = t.metadata.snapshots.map(_.id).max
+    spark.sql("CALL geqcv.system.create_changelog_view(" +
+      s"'d', 't', 0, $max, 'cv1')").collect()
+    val got = spark.sql(
+      """SELECT _change_type, id FROM cv1
+        |ORDER BY _change_ordinal, _change_type, id""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("insert", 1L), ("insert", 2L),
+      ("delete", 2L), ("insert", 2L)))
+  }
+
   test("batches on both sides of a key promotion anti-join under one read") {
     import spark.implicits._
     val wh = Files.createTempDirectory("graft-eqdel-promo").toString

@@ -290,6 +290,29 @@ class LakeStreamReadSpec extends AnyFunSuite {
     assert(batches2.filter(_.nonEmpty).toSeq == Seq(Set(1L, 2L, 3L)))
   }
 
+  test("incremental batch read: fromSnapshot/toSnapshot options") {
+    val (wh, t) = mkTable("incr-batch")
+    val s1 = t.append(df(Seq((1L, "a", ts(1))))).id
+    val s2 = t.append(df(Seq((2L, "b", ts(2)), (3L, "c", ts(3))))).id
+    t.upsertMoR(spark, df(Seq((2L, "b2", ts(20)))), keys = Seq("id"))
+
+    def ids(reader: org.apache.spark.sql.DataFrame): Set[(Long, String)] =
+      reader.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+    // (s1, s2]: only the second append's rows
+    assert(ids(lakeReader(wh).option("fromSnapshot", s1.toString)
+      .option("toSnapshot", s2.toString).load().select("id", "v"))
+      == Set((2L, "b"), (3L, "c")))
+    // open-ended: everything after s1, incl. the upsert's added rows
+    assert(ids(lakeReader(wh).option("fromSnapshot", s1.toString)
+      .load().select("id", "v"))
+      == Set((2L, "b"), (3L, "c"), (2L, "b2")))
+    // filters + count still work on the range (no metadata shortcut)
+    val ranged = lakeReader(wh).option("fromSnapshot", s1.toString).load()
+    assert(ranged.filter(col("id") === 2L).count() == 2L)
+    assert(ranged.count() == 3L)
+  }
+
   test("streaming read delivers upsert snapshots' inserted rows") {
     val (wh, t) = mkTable("upstream")
     t.append(df(Seq((1L, "a", ts(1)), (2L, "b", ts(2)))))
