@@ -66,12 +66,20 @@ object Bench {
         // one-time startup costs — make it visible
         System.err.println(s"[bench] warmup failed, measuring cold: $e")
     }
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          // a swallowed failure timed as a ~0s "success" hides breakage
+          // inside an rc-0 report (round-5 postmortem) — record it in the
+          // JSON line and on stderr instead
+          failed += name
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
-    println(renderLine(results, sfDir))
+    println(renderLine(results, sfDir, failed.toSeq.sorted))
     spark.stop()
   }
 
@@ -84,12 +92,16 @@ object Bench {
     */
   val MaxLineChars = 1700
 
-  def renderLine(results: Map[String, Double], sfDir: String): String = {
+  def renderLine(results: Map[String, Double], sfDir: String,
+                 failed: Seq[String] = Nil): String = {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // locale-independent 3-decimal rendering (f"%.3f" would emit a
     // comma decimal separator under e.g. de_DE and break the JSON)
     def r3(v: Double): String = (math.rint(v * 1000) / 1000).toString
-    val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir","queries":{"""
+    val failedField =
+      if (failed.isEmpty) ""
+      else s""""failed":[${failed.map(k => s""""$k"""").mkString(",")}],"""
+    val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},$failedField"sf":"$sfDir","queries":{"""
     val tail = "}}"
     val budget = MaxLineChars - head.length - tail.length
     val entries = results.toSeq.sortBy(-_._2).map { case (k, v) => s""""$k":${r3(v)}""" }

@@ -14,16 +14,32 @@ object Tables {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet stores ts as Parquet TIMESTAMP(NANOS), which Spark's
-    * reader rejects outright. Read nanos as LongType (legacy conf, safe to
-    * flip at runtime) and truncate to microsecond TimestampType — the same
-    * truncation DuckDB applies on CAST(ts_ns AS TIMESTAMP), so oracle SQL
-    * must always cast ts before use.
+  /** events.parquet's `ts` physical encoding has drifted across driver
+    * regenerations: TIMESTAMP(NANOS) (rounds 1-4) vs plain timestamp[us]
+    * (round 5+). Branch on the schema Spark actually loads instead of
+    * assuming either encoding:
+    *   - LongType      → TIMESTAMP(NANOS) read under nanosAsLong; truncate
+    *                     to micros (the same truncation DuckDB applies on
+    *                     CAST(ts AS TIMESTAMP)).
+    *   - TimestampNTZ  → timestamp[us], isAdjustedToUTC=false; reinterpret
+    *                     the wall clock in the session zone (UTC in Verify)
+    *                     so downstream window/stream ops see TimestampType.
+    *   - TimestampType → already session-typed; pass through.
+    * Any other type fails loudly with the table name — a one-line
+    * diagnosis the next time the fixtures drift.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => raw
+      case other => throw new IllegalStateException(
+        s"events.parquet: unsupported ts encoding $other at $dir — update Tables.events")
+    }
   }
 
   /** DECIMAL(18,4) pre-aggregation cast (SURVEY.md §7.8). Input doubles in

@@ -34,6 +34,17 @@ class BenchLineSpec extends AnyFunSuite {
     assert(kept.contains("q_some_rather_long_query_name_399"))
   }
 
+  test("failed keys surface in the line (round-5 silent-breakage pin)") {
+    val line = Bench.renderLine(results(3), "sf",
+      failed = Seq("q_some_rather_long_query_name_001"))
+    val obj = Json.parse(line).asInstanceOf[JObject]
+    val failed = obj.fields("failed").asInstanceOf[graft.schema.JArray].items
+      .map(_.asInstanceOf[graft.schema.JString].value)
+    assert(failed == Seq("q_some_rather_long_query_name_001"))
+    // the success path must not emit the field at all
+    assert(!Bench.renderLine(results(3), "sf").contains("failed"))
+  }
+
   test("valid JSON under a comma-decimal locale") {
     val prev = java.util.Locale.getDefault
     try {
