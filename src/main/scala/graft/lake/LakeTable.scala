@@ -390,6 +390,55 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
   def compact(spark: SparkSession): SnapshotMeta =
     writeSnapshot(read(spark), operation = "rewrite")
 
+  /** Partition-scoped / small-file compaction (Iceberg's
+    * `rewrite_data_files(where => ..., options => min-file-size)`): rewrite
+    * ONLY the live files that (a) fall inside `partitionFilter`
+    * (partition-field name → allowed transformed values; empty = all) and
+    * (b) need it — smaller than `smallerThanBytes`, carrying merge-on-read
+    * position deletes, covered by a live equality-delete batch, or written
+    * under a non-current schema. Everything else is carried BY REFERENCE:
+    * the commit is an "overwrite" snapshot whose `removedPaths` are exactly
+    * the rewritten inputs, so untouched files keep their paths AND their
+    * data sequence numbers through the `liveFiles` replay — at 100 TB this
+    * is the difference between compacting one hot day-partition and
+    * rewriting the whole table (which full `compact` does).
+    *
+    * Sequence correctness: the rewritten rows are read WITH all applicable
+    * deletes applied, and the output files take the new snapshot's seq —
+    * higher than every live equality batch, so no batch re-applies to
+    * them; untouched files keep lower seqs, so still-applicable batches
+    * keep applying to them. Returns None (no commit) when nothing in
+    * scope needs rewriting — a no-op compaction must not create an empty
+    * overwrite snapshot that CDC/incremental readers would then see.
+    */
+  def compactScoped(spark: SparkSession,
+      partitionFilter: Map[String, Set[String]] = Map.empty,
+      smallerThanBytes: Long = Long.MaxValue): Option[SnapshotMeta] = {
+    val live = LakeTable.liveFiles(md.snapshots)
+    val deletes = LakeTable.liveDeletes(md.snapshots)
+    val eqBatches = LakeTable.liveEqDeletes(md.snapshots)
+    def inScope(f: DataFileMeta): Boolean =
+      partitionFilter.forall { case (k, vs) =>
+        f.partitionValues.get(k).exists(vs.contains) }
+    def needsRewrite(f: DataFileMeta): Boolean =
+      smallerThanBytes == Long.MaxValue ||
+        (f.bytes >= 0 && f.bytes < smallerThanBytes) ||
+        deletes.contains(LakeTable.normalizePath(f.path)) ||
+        eqBatches.exists(_.seq > f.seq) ||
+        f.schemaId != md.currentSchemaId
+    val selected = live.filter(f => inScope(f) && needsRewrite(f))
+    // one surviving clean file alone gains nothing from a rewrite
+    val worthIt = selected.size > 1 || selected.exists(f =>
+      deletes.contains(LakeTable.normalizePath(f.path)) ||
+        eqBatches.exists(_.seq > f.seq) || f.schemaId != md.currentSchemaId)
+    if (selected.isEmpty || !worthIt) None
+    else Some(writeSnapshot(
+      Align(readFiles(spark, selected, md.currentSchema, deletes, eqBatches),
+        md.currentSchema),
+      operation = "overwrite", removedPaths = selected.map(_.path),
+      retryConflicts = false))
+  }
+
   /** `retryConflicts = false` opts an append OUT of conflict retry for
     * callers whose frame was derived from a read of the table (merge's
     * anti-joined insert set): their content is stale after a

@@ -1128,6 +1128,66 @@ object RowOpsQueries extends QueryModule {
         .orderBy("grp")
     }),
 
+    "lake_compact_scoped" -> QueryModule.micro(4)((s, dir) => {
+      // partition-scoped compaction (Iceberg's rewrite_data_files
+      // (where => ...)): three interleaved appends leave every status
+      // partition with three small files, a pruned MoR delete attaches
+      // position deletes to status=F — then ONLY that partition is
+      // compacted, via the SQL CALL surface. Untouched partitions are
+      // carried by reference; the key self-audits that their files keep
+      // exact (path, seq) through the replay, that every pre-compaction
+      // F file is gone, that F's delete files are materialized away, and
+      // that a second scoped pass with a tiny small-file threshold is a
+      // no-op (the fresh F file is no longer "small"). At 100 TB this is
+      // the difference between rewriting one hot day-partition and a
+      // full-table rewrite.
+      val wh = LakeQueries.freshWarehouse("scoped")
+      Engine.processTableDefJson(wh,
+        """{"database_name":"sc","table_name":"orders_sc","columns":[
+          |{"column_name":"o_orderkey","data_type":"long"},
+          |{"column_name":"o_orderstatus","data_type":"string"},
+          |{"column_name":"o_totalprice","data_type":"double"}],
+          |"partitions":[{"column":"o_orderstatus","name":"status"}]}""".stripMargin)
+      val t = LakeTable.load(wh, "sc", "orders_sc")
+      val orders = Tables(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      t.append(orders.filter(col("o_orderkey") % 3 === 0))
+      t.append(orders.filter(col("o_orderkey") % 3 === 1))
+      t.append(orders.filter(col("o_orderkey") % 3 === 2))
+      t.deleteMoR(s,
+        col("o_orderstatus") === "F" && col("o_totalprice") > 200000.0,
+        prune = Map("status" -> Set("F")))
+      val t1 = LakeTable.load(wh, "sc", "orders_sc")
+      val before = t1.plannedFiles()
+        .map(f => (f.path, f.seq, f.partitionValues("status")))
+      s.conf.set("spark.sql.catalog.gsc", "graft.sources.LakeCatalog")
+      s.conf.set("spark.sql.catalog.gsc.warehouse", wh)
+      val proc = s.sql(
+        """CALL gsc.system.rewrite_data_files(db => 'sc',
+          |`table` => 'orders_sc', where_field => 'status',
+          |where_values => 'F', smaller_than_bytes => 0)""".stripMargin).head()
+      val t2 = LakeTable.load(wh, "sc", "orders_sc")
+      val after = t2.plannedFiles()
+        .map(f => (f.path, f.seq, f.partitionValues("status")))
+      require(before.filterNot(_._3 == "F").toSet ==
+        after.filterNot(_._3 == "F").toSet,
+        "untouched partitions must keep exact file paths and seqs")
+      require(after.filter(_._3 == "F").map(_._1).toSet
+        .intersect(before.filter(_._3 == "F").map(_._1).toSet).isEmpty,
+        "every in-scope file must be rewritten")
+      require(proc.getAs[Int]("carried_files") ==
+        before.count(_._3 != "F"), "carried count must match")
+      require(graft.lake.LakeTable.liveDeletes(t2.metadata.snapshots).isEmpty,
+        "scoped compaction must materialize the partition's deletes")
+      require(t2.compactScoped(s, Map("status" -> Set("F")),
+        smallerThanBytes = 1L).isEmpty,
+        "re-running with a tiny threshold must be a no-op")
+      t2.read(s).groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(Tables.dec(col("o_totalprice"))).cast("double").as("sum_price"))
+        .orderBy("o_orderstatus")
+    }),
+
     "lake_upsert_eq" -> QueryModule.micro(4)((s, dir) => {
       // blind streaming upserts via equality deletes (Iceberg v2 CDC
       // sink shape): each upsert writes only its key batch + rows —
@@ -1338,6 +1398,14 @@ object RowOpsQueries extends QueryModule {
         |WHERE o_orderkey <= (SELECT max(o_orderkey) // 5 FROM orders)
         |  AND o_custkey <= (SELECT max(o_custkey) // 5 FROM orders)
         |GROUP BY 1 ORDER BY grp""".stripMargin,
+
+    "lake_compact_scoped" ->
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders
+        |WHERE NOT (o_orderstatus = 'F' AND o_totalprice > 200000.0)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "lake_upsert_eq" ->
       """SELECT o_orderkey, o_orderstatus,

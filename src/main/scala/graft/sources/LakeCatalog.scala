@@ -714,7 +714,8 @@ private[sources] object LakeProcedures {
 
   val names: Set[String] =
     Set("expire_snapshots", "expire_older_than", "remove_orphan_files",
-      "compact", "rollback_to_snapshot", "create_tag", "create_branch",
+      "compact", "rewrite_data_files",
+      "rollback_to_snapshot", "create_tag", "create_branch",
       "drop_ref", "publish_wap", "discard_wap", "rebase_branch",
       "rewrite_manifests", "fast_forward",
       "add_partition_field", "drop_partition_field",
@@ -744,6 +745,16 @@ private[sources] object LakeProcedures {
               param("older_than_ms", LongType))
             case "compact" | "rewrite_manifests" => Array(
               param("db", StringType), param("table", StringType))
+            // Iceberg's rewrite_data_files(where => ..., options =>
+            // min-file-size), scalar-arg form: `where_field` names a
+            // partition field ('' = whole table), `where_values` its
+            // allowed values (comma-separated), `smaller_than_bytes`
+            // the small-file threshold (<= 0 = rewrite all in scope)
+            case "rewrite_data_files" => Array(
+              param("db", StringType), param("table", StringType),
+              param("where_field", StringType),
+              param("where_values", StringType),
+              param("smaller_than_bytes", LongType))
             case "rollback_to_snapshot" => Array(
               param("db", StringType), param("table", StringType),
               param("snapshot_id", LongType))
@@ -816,6 +827,28 @@ private[sources] object LakeProcedures {
                   StructField("snapshot_id", LongType, nullable = false),
                   StructField("rewritten_rows", LongType, nullable = false))),
                   Seq[Any](snap.id, snap.files.map(_.rows).sum))
+              case "rewrite_data_files" =>
+                val field = input.getUTF8String(2).toString
+                val values = input.getUTF8String(3).toString
+                  .split(",").map(_.trim).filter(_.nonEmpty).toSet
+                val threshold = input.getLong(4) match {
+                  case n if n <= 0 => Long.MaxValue
+                  case n => n
+                }
+                val filter =
+                  if (field.isEmpty) Map.empty[String, Set[String]]
+                  else Map(field -> values)
+                val before = LakeTable.liveFiles(t.metadata.snapshots).size
+                val snap = t.compactScoped(
+                  org.apache.spark.sql.SparkSession.active, filter, threshold)
+                val rewrittenIn = snap.map(_.removedPaths.size).getOrElse(0)
+                (StructType(Seq(
+                  StructField("snapshot_id", LongType, nullable = false),
+                  StructField("rewritten_files", IntegerType, nullable = false),
+                  StructField("added_files", IntegerType, nullable = false),
+                  StructField("carried_files", IntegerType, nullable = false))),
+                  Seq[Any](snap.map(_.id).getOrElse(-1L), rewrittenIn,
+                    snap.map(_.files.size).getOrElse(0), before - rewrittenIn))
               case "rewrite_manifests" =>
                 // manifests the forward replay had to consult before
                 // the rewrite — afterwards it consults exactly one

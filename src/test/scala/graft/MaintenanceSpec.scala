@@ -150,4 +150,75 @@ class MaintenanceSpec extends AnyFunSuite {
     val again = t.expireSnapshotsOlderThan(System.currentTimeMillis() + 60000)
     assert(again == 0, s"second expiry at same cutoff must be 0, was $again")
   }
+
+  // ---- partition-scoped compaction ------------------------------------
+
+  private def mkPartTable(tag: String): (String, LakeTable) = {
+    val wh = Files.createTempDirectory(s"graft-scoped-$tag").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"pt","columns":[
+        |{"column_name":"id","data_type":"long"},
+        |{"column_name":"p","data_type":"string"},
+        |{"column_name":"v","data_type":"string"}],
+        |"partitions":[{"column":"p","name":"pp"}]}""".stripMargin)
+    (wh, LakeTable.load(wh, "d", "pt"))
+  }
+
+  private def pdf(rows: (Long, String, String)*) = {
+    import SparkTestSession.spark.implicits._
+    rows.toDF("id", "p", "v")
+  }
+
+  private def planned(t: LakeTable): Seq[(String, Long, String)] =
+    t.plannedFiles().map(f => (f.path, f.seq, f.partitionValues("pp")))
+
+  test("compactScoped rewrites only the target partition, carries the rest") {
+    val (wh, t) = mkPartTable("basic")
+    t.append(pdf((1L, "a", "x"), (10L, "b", "x")))
+    t.append(pdf((2L, "a", "y"), (11L, "b", "y")))
+    t.deleteMoR(spark, col("p") === "a" && col("id") === 1L,
+      prune = Map("pp" -> Set("a")))
+    val before = planned(t)
+    val snap = t.compactScoped(spark, Map("pp" -> Set("a")))
+    assert(snap.isDefined)
+    val t2 = LakeTable.load(wh, "d", "pt")
+    val after = planned(t2)
+    assert(before.filter(_._3 == "b").toSet == after.filter(_._3 == "b").toSet,
+      "untouched partition keeps exact paths and seqs")
+    assert(after.filter(_._3 == "a").map(_._1).toSet
+      .intersect(before.filter(_._3 == "a").map(_._1).toSet).isEmpty,
+      "every in-scope file rewritten")
+    assert(after.filter(_._3 == "a").forall(_._2 == snap.get.id),
+      "rewritten files take the compaction snapshot's sequence")
+    assert(LakeTable.liveDeletes(t2.metadata.snapshots).isEmpty,
+      "the scope's position deletes are materialized away")
+    assert(ids(t2) == Set(2L, 10L, 11L))
+  }
+
+  test("compactScoped no-ops when nothing in scope needs rewriting") {
+    val (_, t) = mkPartTable("noop")
+    t.append(pdf((1L, "a", "x"), (10L, "b", "x")))
+    val n = t.metadata.snapshots.size
+    // threshold 1 byte: no live file is smaller, none carries deletes
+    assert(t.compactScoped(spark, smallerThanBytes = 1L).isEmpty)
+    // single clean file per partition in scope: rewriting gains nothing
+    assert(t.compactScoped(spark, Map("pp" -> Set("a"))).isEmpty)
+    assert(t.metadata.snapshots.size == n, "no empty overwrite committed")
+  }
+
+  test("compactScoped keeps equality-delete batches applying to carried files") {
+    val (wh, t) = mkPartTable("eq")
+    t.append(pdf((1L, "a", "old"), (10L, "b", "old")))
+    // eq batch (seq 2) supersedes id=10 in the UNTOUCHED partition
+    t.upsertMoR(spark, pdf((10L, "b", "new")), keys = Seq("id"))
+    val snap = t.compactScoped(spark, Map("pp" -> Set("a")))
+    assert(snap.isDefined)
+    val t2 = LakeTable.load(wh, "d", "pt")
+    assert(LakeTable.liveEqDeletes(t2.metadata.snapshots).nonEmpty,
+      "an out-of-scope eq batch survives the scoped rewrite")
+    val rows = t2.read(spark).select("id", "v").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows == Map(1L -> "old", 10L -> "new"),
+      "carried file still superseded; rewritten rows not re-deleted")
+  }
 }
