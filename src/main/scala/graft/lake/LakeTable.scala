@@ -167,7 +167,8 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     // would strand the branch with no escape but discard.
     val eqKeyIds = (LakeTable.liveEqDeletes(md.snapshots) ++
       md.staged.flatMap(_.eqDeletes)).flatMap(_.fieldIds).toSet
-    if (eqKeyIds.nonEmpty && changes.exists(_.isInstanceOf[DropColumn])) {
+    if ((eqKeyIds.nonEmpty || md.identifierFieldIds.nonEmpty) &&
+        changes.exists(_.isInstanceOf[DropColumn])) {
       val dropped = changes.collect { case DropColumn(p) => p }
       // a drop takes its nested descendants with it — dropping a
       // struct that CONTAINS a key field orphans the batch just as
@@ -181,6 +182,15 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
       require(droppedIds.forall(!eqKeyIds.contains(_)),
         s"cannot drop columns ${dropped.mkString(", ")}: referenced by a " +
           "live equality-delete batch — run compact() to materialize first")
+      // the declared row identity must outlive any single writer:
+      // dropping an identifier field would leave every key-less CDC
+      // writer with no keys mid-stream. Redeclare identifier-fields in
+      // the SAME evolution to move the identity instead.
+      require(droppedIds.forall(!md.identifierFieldIds.contains(_)) ||
+          tableDef.properties.contains("identifier-fields"),
+        s"cannot drop columns ${dropped.mkString(", ")}: part of the " +
+          "table's identifier fields — redeclare 'identifier-fields' in " +
+          "the same evolution to change the row identity")
     }
 
     changes.foreach {
@@ -229,6 +239,22 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
         tableDef.properties.exists { case (k, v) => md.properties.get(k) != Some(v) }) {
       next = next.copy(properties = md.properties ++ tableDef.properties)
       messages += "Updated table properties"
+    }
+
+    // a redeclared identity resolves against the NEW schema (so an
+    // evolution can move identity onto a just-added column atomically);
+    // changing it with live equality batches outstanding is refused —
+    // the old-keyed batches and new-keyed writers would disagree on
+    // which rows supersede which
+    tableDef.properties.get("identifier-fields").foreach { p =>
+      val ids = LakeTable.resolveIdentifierFields(Some(p), next.currentSchema)
+      if (ids != md.identifierFieldIds) {
+        require(eqKeyIds.isEmpty,
+          "cannot change identifier-fields with live equality-delete " +
+            "batches — run compact() to materialize them first")
+        next = next.copy(identifierFieldIds = ids)
+        messages += s"Updated identifier fields to [$p]"
+      }
     }
 
     if (next != md) {
@@ -666,8 +692,10 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     * per key (see `rebaseBranch`).
     */
   def deleteFromBranchMoR(spark: SparkSession, name: String,
-      keys: DataFrame): SnapshotMeta =
+      keys: DataFrame): SnapshotMeta = {
+    resolveKeys(keys.columns.toSeq, "deleteFromBranchMoR")
     writeMoR(spark, None, Left(keys), Some(name))
+  }
 
   /** Blind merge-on-read upsert on a branch: one staged snapshot
     * carries the source rows plus an equality-delete batch for their
@@ -677,9 +705,10 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     * size.
     */
   def upsertToBranchMoR(spark: SparkSession, name: String,
-      source: DataFrame, keys: Seq[String]): SnapshotMeta = {
-    requireUpsertKeys(source, keys)
-    writeMoR(spark, Some(source), Right(keys), Some(name))
+      source: DataFrame, keys: Seq[String] = Seq.empty): SnapshotMeta = {
+    val ks = resolveKeys(keys, "upsertToBranchMoR")
+    requireUpsertKeys(source, ks)
+    writeMoR(spark, Some(source), Right(ks), Some(name))
   }
 
   /** Shared core of the four blind MoR write verbs (delete/upsert ×
@@ -934,15 +963,51 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     EqDeleteMeta(listParquet(dir).map(_.toString), ids, snapshotId)
   }
 
+  /** The table's identifier fields resolved to their CURRENT names —
+    * rename-proof because the metadata stores field ids. Empty when the
+    * table declares no row identity.
+    */
+  def identifierFieldNames: Seq[String] =
+    md.identifierFieldIds.map(id =>
+      LakeTable.structPathOfId(md.currentSchema, id).map(_._1).getOrElse(
+        throw new IllegalStateException(
+          s"identifier field id $id not in current schema")))
+
+  /** Key resolution shared by every keyed MoR verb: no keys → the
+    * table's identifier fields (loud failure when none are declared);
+    * explicit keys on an identity-declaring table must MATCH the
+    * identity — otherwise two CDC writers using different keys would
+    * silently produce diverging last-write-wins outcomes.
+    */
+  private def resolveKeys(keys: Seq[String], op: String): Seq[String] = {
+    val ident = identifierFieldNames
+    if (keys.isEmpty) {
+      require(ident.nonEmpty,
+        s"$op: no keys given and table ${md.database}.${md.table} declares " +
+          "no identifier fields (set table property 'identifier-fields')")
+      ident
+    } else {
+      require(ident.isEmpty || keys.toSet == ident.toSet,
+        s"$op keys [${keys.mkString(", ")}] differ from the table's " +
+          s"identifier fields [${ident.mkString(", ")}] — omit keys to " +
+          "use the declared row identity")
+      keys
+    }
+  }
+
   /** DELETE WHERE key IN (keys) — merge-on-read equality deletes:
     * writes only the key tuples, reads and rewrites NOTHING (contrast
     * position deletes, which scan to find row positions). The batch
     * deletes matching rows from every data file with a lower sequence
     * number at read time. O(keys) write cost at any table size — the
-    * CDC/GDPR delete shape for 100 TB tables.
+    * CDC/GDPR delete shape for 100 TB tables. The key frame's COLUMNS
+    * are the key set, so identity-declaring tables refuse a frame
+    * whose columns drift from the declared identity.
     */
-  def deleteByKeysMoR(spark: SparkSession, keys: DataFrame): SnapshotMeta =
+  def deleteByKeysMoR(spark: SparkSession, keys: DataFrame): SnapshotMeta = {
+    resolveKeys(keys.columns.toSeq, "deleteByKeysMoR")
     writeMoR(spark, None, Left(keys), None)
+  }
 
   /** Blind streaming upsert (the Flink/Iceberg CDC-sink shape): ONE
     * snapshot carries an equality-delete batch for the source keys
@@ -953,10 +1018,11 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     * the difference between O(batch) and O(table) per commit.
     */
   def upsertMoR(spark: SparkSession, source: DataFrame,
-      keys: Seq[String], streamBatchId: Option[Long] = None,
+      keys: Seq[String] = Seq.empty, streamBatchId: Option[Long] = None,
       streamId: Option[String] = None): SnapshotMeta = {
-    requireUpsertKeys(source, keys)
-    writeMoR(spark, Some(source), Right(keys), None, streamBatchId, streamId)
+    val ks = resolveKeys(keys, "upsertMoR")
+    requireUpsertKeys(source, ks)
+    writeMoR(spark, Some(source), Right(ks), None, streamBatchId, streamId)
   }
 
   /** An upsert SOURCE must physically carry every key — a top-level
@@ -2499,13 +2565,31 @@ object LakeTable {
       currentSpecId = 0,
       snapshots = Seq.empty,
       lastFieldId = nextId - 1,
-      properties = tableDef.properties)
+      properties = tableDef.properties,
+      identifierFieldIds = resolveIdentifierFields(
+        tableDef.properties.get("identifier-fields"), schema))
     val t = new LakeTable(loc, md)
     val metaFile = t.commit(md)
     (t, Seq(
       s"Created table ${tableDef.databaseName}.${tableDef.tableName}",
       s"Latest Meta file: $metaFile"))
   }
+
+  /** Resolve the `identifier-fields` table property (comma-separated
+    * TOP-LEVEL column names — Iceberg v2 requires identifier fields be
+    * required primitive fields, not nested under optional structs) to
+    * field ids against `schema`. None/empty → no declared identity.
+    */
+  private[lake] def resolveIdentifierFields(prop: Option[String],
+      schema: StructType): Seq[Int] =
+    prop.map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
+      .map { n =>
+        val f = schema.fields.find(_.name == n).getOrElse(
+          throw new IllegalArgumentException(
+            s"identifier-fields: no top-level column '$n' " +
+              s"(have ${schema.fieldNames.mkString(", ")})"))
+        FieldIds.idOf(f)
+      }
 
   def load(warehouse: String, db: String, table: String): LakeTable = {
     val loc = tableLocation(warehouse, db, table)

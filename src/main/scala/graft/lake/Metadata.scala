@@ -316,6 +316,13 @@ case class RefMeta(snapshotId: Long, kind: String = "tag",
   * read/time-travel/CDC path until `publishStaged` cherry-picks them
   * onto the head; their data files count as referenced (not orphans)
   * while staged.
+  *
+  * `identifierFieldIds`: the table's row-identity columns (Iceberg v2
+  * `identifier-field-ids`), stored as FIELD IDS so renames can't break
+  * identity. Declared via the `identifier-fields` table property
+  * (comma-separated column names, resolved at create/evolve time);
+  * key-less upsert/delete-by-key default to them, and explicit keys
+  * that differ are refused — two CDC writers cannot silently diverge.
   */
 case class TableMetadata(
     formatVersion: Int,
@@ -329,7 +336,8 @@ case class TableMetadata(
     lastFieldId: Int,
     properties: Map[String, String] = Map.empty,
     refs: Map[String, RefMeta] = Map.empty,
-    staged: Seq[SnapshotMeta] = Seq.empty) {
+    staged: Seq[SnapshotMeta] = Seq.empty,
+    identifierFieldIds: Seq[Int] = Seq.empty) {
   def currentSchema: StructType =
     schemas.find(_.id == currentSchemaId).get.schema
   def currentSpec: PartitionSpecMeta =
@@ -578,6 +586,9 @@ object MetadataIO {
     "properties" -> JObject(md.properties.map {
       case (k, v) => k -> JString(v)
     })) ++
+    (if (md.identifierFieldIds.isEmpty) Map.empty[String, JValue]
+     else Map("identifier-field-ids" ->
+       JArray(md.identifierFieldIds.map(JNumber(_))))) ++
     (if (md.staged.isEmpty) Map.empty[String, JValue]
      else Map("staged-snapshots" -> JArray(md.staged.map(snapshotToJson)))) ++
     (if (md.refs.isEmpty) Map.empty[String, JValue]
@@ -629,6 +640,8 @@ object MetadataIO {
       }).getOrElse(Map.empty),
       staged = m.get("staged-snapshots")
         .map(_.asArr.map(snapshotFromJson(_, metadataDir)))
-        .getOrElse(Seq.empty))
+        .getOrElse(Seq.empty),
+      identifierFieldIds = m.get("identifier-field-ids")
+        .map(_.asArr.map(_.asInt)).getOrElse(Seq.empty))
   }
 }

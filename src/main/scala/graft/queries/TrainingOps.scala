@@ -425,12 +425,16 @@ object TrainingOps extends QueryModule {
           |{"column_name":"event_id","data_type":"long"},
           |{"column_name":"event_type","data_type":"string"},
           |{"column_name":"ts","data_type":"timestamp"}],"partitions":[]}""".stripMargin)
+      // silver declares its row identity ONCE (identifier-fields):
+      // the upsert sink below passes no keys — every CDC writer
+      // inherits the same identity from the table, none can drift
       Engine.processTableDefJson(wh,
         """{"database_name":"su","table_name":"silver","columns":[
           |{"column_name":"user_id","data_type":"long"},
           |{"column_name":"latest_event_id","data_type":"long"},
           |{"column_name":"event_type","data_type":"string"}],
-          |"partitions":[]}""".stripMargin)
+          |"partitions":[],
+          |"properties":{"identifier-fields":"user_id"}}""".stripMargin)
       val bronze = LakeTable.load(wh, "su", "bronze")
       val slice = Tables(s, dir, "events")
         .filter(col("event_id") < 3000)
@@ -445,7 +449,7 @@ object TrainingOps extends QueryModule {
         .withColumn("ts", col("ts").cast("timestamp"))
         .withColumn("latest_event_id", col("event_id"))
       StreamIngest.upsertIntoLake(in, wh, "su", "silver",
-        keys = Seq("user_id"), orderBy = Seq("ts", "event_id"),
+        orderBy = Seq("ts", "event_id"),
         checkpoint = s"$wh/_cp_upsert").awaitTermination()
       LakeTable.load(wh, "su", "silver").read(s)
         .select("user_id", "latest_event_id", "event_type")

@@ -52,7 +52,7 @@ object StreamIngest {
     * numbers).
     */
   def upsertIntoLake(stream: DataFrame, warehouse: String, db: String,
-      table: String, keys: Seq[String], orderBy: Seq[String],
+      table: String, keys: Seq[String] = Seq.empty, orderBy: Seq[String],
       checkpoint: String,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     stream.writeStream.outputMode("append")
@@ -61,6 +61,10 @@ object StreamIngest {
         import org.apache.spark.sql.expressions.Window
         import org.apache.spark.sql.functions._
         val t = LakeTable.load(warehouse, db, table)
+        // empty keys → the table's declared identifier fields, resolved
+        // per batch (rename-proof); upsertMoR re-validates, so explicit
+        // keys that drift from the declared identity fail loudly
+        val ks = if (keys.nonEmpty) keys else t.identifierFieldNames
         val alreadyCommitted =
           t.lastStreamBatchId(checkpoint).exists(batchId <= _)
         if (!alreadyCommitted && !batch.isEmpty) {
@@ -68,11 +72,11 @@ object StreamIngest {
           // versions inside ONE batch would survive alongside the
           // newest (the eq batch only kills rows from EARLIER
           // sequences), so collapse to newest-per-key first
-          val w = Window.partitionBy(keys.map(col): _*)
+          val w = Window.partitionBy(ks.map(col): _*)
             .orderBy(orderBy.map(c => col(c).desc): _*)
           val latest = batch.withColumn("_si_rn", row_number().over(w))
             .filter(col("_si_rn") === 1).drop("_si_rn")
-          t.upsertMoR(batch.sparkSession, latest, keys,
+          t.upsertMoR(batch.sparkSession, latest, ks,
             streamBatchId = Some(batchId), streamId = Some(checkpoint))
         }
         ()
