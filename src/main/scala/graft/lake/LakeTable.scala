@@ -1573,6 +1573,104 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     else parts.reduce(_.unionByName(_))
   }
 
+  /** `identifierCols` resolved: explicit → as given; empty → the
+    * table's declared identifier fields; neither → loud failure.
+    */
+  private def changelogIdentity(identifierCols: Seq[String],
+      op: String): Seq[String] = {
+    val ident =
+      if (identifierCols.nonEmpty) identifierCols else identifierFieldNames
+    require(ident.nonEmpty,
+      s"$op needs identifier columns — pass them explicitly or declare " +
+        "the 'identifier-fields' table property")
+    ident
+  }
+
+  /** Changelog with UPDATE pairing (Iceberg's `create_changelog_view
+    * (compute_updates => true)`): within one change ordinal, a delete
+    * and an insert sharing the row identity are re-tagged
+    * "update_before" / "update_after". Multiplicity is paired off by
+    * rank — k deletes and m inserts of one identity yield min(k,m)
+    * update pairs, the remainder keep their original type. The pairing
+    * is one window over (ordinal, identity) — shuffle by fine-grained
+    * keys, no global sort, so it scales with the changed rows, not the
+    * table. Equality-delete markers carry only key columns, so an
+    * update_before row sourced from one has its non-key columns null
+    * (the batch never knew the victim row — documented limitation).
+    */
+  def changelogWithUpdates(spark: SparkSession, fromSnapshot: Long,
+      toSnapshot: Long, identifierCols: Seq[String] = Seq.empty): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ident = changelogIdentity(identifierCols, "changelogWithUpdates")
+    val log = changelogBetween(spark, fromSnapshot, toSnapshot)
+    val dataCols = log.columns.filterNot(_.startsWith("_change_")).toSeq
+    val grp = col("_change_ordinal") +: ident.map(c => col(s"`$c`"))
+    val w = Window.partitionBy(grp: _*)
+    // rank within (ordinal, identity, type), deterministic via the data
+    // columns; delete rank r pairs with insert rank r
+    val wTyped = Window.partitionBy((grp :+ col("_change_type")): _*)
+      .orderBy(dataCols.map(c => col(s"`$c`")): _*)
+    val isIns = when(col("_change_type") === "insert", 1).otherwise(0)
+    log
+      .withColumn("_n_ins", sum(isIns).over(w))
+      .withColumn("_n_del", sum(lit(1) - isIns).over(w))
+      .withColumn("_rn", row_number().over(wTyped))
+      .withColumn("_change_type",
+        when(col("_rn") <= least(col("_n_ins"), col("_n_del")),
+          when(col("_change_type") === "delete", "update_before")
+            .otherwise("update_after"))
+          .otherwise(col("_change_type")))
+      .drop("_n_ins", "_n_del", "_rn")
+  }
+
+  /** Net changes over the range (Iceberg's `create_changelog_view
+    * (net_changes => true)`): collapse each identity's change chain to
+    * its net effect. Whether the identity existed BEFORE the range is
+    * read off its first event (a delete ⇒ it existed), whether it
+    * exists AFTER off its last (an insert ⇒ it does); event order is
+    * (ordinal, deletes-before-inserts), mirroring replay order.
+    *   existed → exists : first delete + last insert survive
+    *   absent  → exists : last insert survives ("insert")
+    *   existed → absent : first delete survives ("delete")
+    *   absent  → absent : nothing (born and died inside the range)
+    * One window over the identity — same scaling argument as updates.
+    *
+    * Blind-upsert caveat: an upsert's key batch emits a delete marker
+    * without knowing whether the key existed, so an identity BORN by a
+    * blind upsert reads as "existed" here — it nets to an update pair
+    * (if it survives) or an idempotent delete (if killed in-range)
+    * instead of a plain insert / nothing. Both stay correct as REPLAY
+    * instructions (delete-then-insert ≡ insert on a mirror; deleting an
+    * absent key is a no-op); only the labels are conservative.
+    */
+  def changelogNet(spark: SparkSession, fromSnapshot: Long,
+      toSnapshot: Long, identifierCols: Seq[String] = Seq.empty): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ident = changelogIdentity(identifierCols, "changelogNet")
+    val log = changelogBetween(spark, fromSnapshot, toSnapshot)
+    val w = Window.partitionBy(ident.map(c => col(s"`$c`")): _*)
+    // event key: ordinal * 2 + (1 if insert) — deletes replay first
+    val key = col("_change_ordinal") * 2 +
+      when(col("_change_type") === "insert", 1).otherwise(0)
+    log
+      .withColumn("_k", key)
+      .withColumn("_kmin", min(col("_k")).over(w))
+      .withColumn("_kmax", max(col("_k")).over(w))
+      .withColumn("_pre", col("_kmin") % 2 === 0)
+      .withColumn("_post", col("_kmax") % 2 === 1)
+      .filter(
+        (col("_pre") && col("_post") &&
+          (col("_k") === col("_kmin") || col("_k") === col("_kmax"))) ||
+        (!col("_pre") && col("_post") && col("_k") === col("_kmax")) ||
+        (col("_pre") && !col("_post") && col("_k") === col("_kmin")))
+      .withColumn("_change_type",
+        when(col("_pre") && col("_post"),
+          when(col("_change_type") === "delete", "update_before")
+            .otherwise("update_after"))
+          .otherwise(col("_change_type")))
+      .drop("_k", "_kmin", "_kmax", "_pre", "_post")
+  }
+
   def read(spark: SparkSession,
       prune: Map[String, Set[String]] = Map.empty,
       asOfSnapshot: Option[Long] = None,

@@ -986,26 +986,93 @@ object RowOpsQueries extends QueryModule {
       val kinds = log.groupBy("_change_ordinal", "_change_type").count()
         .collect().map(r => (r.getInt(0), r.getString(1))).toSet
       val ords = kinds.map(_._1).toSeq.sorted
+      // ONE dst handle across the replay: every commit goes through it,
+      // so it can never be stale — reloading per ordinal paid a full
+      // metadata parse per step for nothing
+      val d = LakeTable.load(wh, "clq", "dst")
       ords.foreach { o =>
-        val d = LakeTable.load(wh, "clq", "dst")
         val slice = log.filter(col("_change_ordinal") === o)
         if (kinds((o, "delete")))
           d.deleteByKeysMoR(s, slice
             .filter(col("_change_type") === "delete")
             .select("n_nationkey"))
         if (kinds((o, "insert")))
-          LakeTable.load(wh, "clq", "dst").append(slice
+          d.append(slice
             .filter(col("_change_type") === "insert")
             .select("n_nationkey", "n_name", "n_regionkey"))
       }
       // mirror must equal the source exactly — fail loudly before the
-      // oracle if the changelog replay diverged
-      val srcRows = LakeTable.load(wh, "clq", "src").read(s)
-      val dstRows = LakeTable.load(wh, "clq", "dst").read(s)
-      require(dstRows.except(srcRows).isEmpty &&
-        srcRows.except(dstRows).isEmpty,
-        "changelog mirror diverged from source")
+      // oracle if the changelog replay diverged. One signed-multiset
+      // pass (±1 weights, one shuffle, one action) replaces the two
+      // `except` self-audits — and is STRONGER: it checks multiset
+      // equality, which except's set semantics silently would not.
+      val srcRows = srcT.read(s)
+      val dstRows = d.read(s)
+      val diff = srcRows.withColumn("_w", lit(1))
+        .unionByName(dstRows.withColumn("_w", lit(-1)))
+        .groupBy("n_nationkey", "n_name", "n_regionkey")
+        .agg(sum(col("_w")).as("_d")).filter(col("_d") =!= 0)
+      require(diff.isEmpty, "changelog mirror diverged from source")
       dstRows.orderBy("n_nationkey")
+    }),
+
+    "lake_changelog_updates" -> QueryModule.micro(4)((s, dir) => {
+      // changelog UPDATE pairing + net changes (Iceberg's
+      // create_changelog_view(compute_updates / net_changes)) on a
+      // table whose row identity is DECLARED (identifier-fields), so
+      // the upsert runs key-less and the pairing needs no explicit
+      // identifier columns. The same mixed history as lake_changelog;
+      // ordinal 2's blind upsert emits one delete + one insert per key,
+      // which the updates view re-tags update_before / update_after.
+      // Net mode is self-audited: every identity born inside the range
+      // nets to a plain insert, and the net key set must equal the
+      // source's final state.
+      val wh = LakeQueries.freshWarehouse("chlogupd")
+      Engine.processTableDefJson(wh,
+        """{"database_name":"clu","table_name":"src","columns":[
+          |{"column_name":"n_nationkey","data_type":"int"},
+          |{"column_name":"n_name","data_type":"string"},
+          |{"column_name":"n_regionkey","data_type":"int"}],
+          |"partitions":[],
+          |"properties":{"identifier-fields":"n_nationkey"}}""".stripMargin)
+      val src = LakeTable.load(wh, "clu", "src")
+      val nat = Tables(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+      src.append(nat)
+      src.deleteMoR(s, col("n_regionkey") === 4)
+      src.upsertMoR(s, nat.filter(col("n_nationkey") < 10)
+        .withColumn("n_name", concat(col("n_name"), lit("_v2"))))
+      locally {
+        import s.implicits._
+        src.deleteByKeysMoR(s, Seq(3, 7, 22).toDF("n_nationkey"))
+      }
+      src.append(nat.filter(col("n_nationkey") < 5)
+        .select((col("n_nationkey") + 100).cast("int").as("n_nationkey"),
+          concat(lit("new_"), col("n_name")).as("n_name"),
+          col("n_regionkey")))
+      val maxId = src.metadata.snapshots.map(_.id).max
+      s.conf.set("spark.sql.catalog.gclu", "graft.sources.LakeCatalog")
+      s.conf.set("spark.sql.catalog.gclu.warehouse", wh)
+      s.sql(
+        s"""CALL gclu.system.create_changelog_view(db => 'clu',
+           |`table` => 'src', from_snapshot => 0, to_snapshot => $maxId,
+           |view_name => 'clu_updates', mode => 'updates')""".stripMargin)
+      // net-mode self-audit: the whole range starts from an empty
+      // table, so every surviving identity nets to a plain insert and
+      // the net key set IS the final state
+      val net = src.changelogNet(s, 0L, maxId)
+      require(net.filter(col("_change_type") =!= "insert").isEmpty,
+        "identities born inside the range must net to inserts")
+      val netKeys = net.select("n_nationkey").collect()
+        .map(_.getInt(0)).toSet
+      val finalKeys = src.read(s).select("n_nationkey").collect()
+        .map(_.getInt(0)).toSet
+      require(netKeys == finalKeys,
+        s"net changelog keys must equal the final state")
+      s.table("clu_updates")
+        .select(col("n_nationkey"), col("_change_type").as("change_type"),
+          col("_change_ordinal").as("ord"))
+        .orderBy("ord", "change_type", "n_nationkey")
     }),
 
     "lake_incr_rollup" -> QueryModule.micro(4)((s, dir) => {
@@ -1390,6 +1457,26 @@ object RowOpsQueries extends QueryModule {
         |SELECT CAST(n_nationkey AS INTEGER) AS n_nationkey, n_name,
         |  CAST(n_regionkey AS INTEGER) AS n_regionkey
         |FROM finalstate ORDER BY n_nationkey""".stripMargin,
+
+    // history: append all (ord 0); positional-delete region 4 (ord 1);
+    // key-less blind upsert keys<10 as _v2 (ord 2 — one delete marker +
+    // one insert per key, paired into update_before/update_after);
+    // keyed-delete 3/7/22 (ord 3); append keys<5 shifted +100 (ord 4)
+    "lake_changelog_updates" ->
+      """SELECT CAST(n_nationkey AS INTEGER) AS n_nationkey, change_type,
+        |  CAST(ord AS INTEGER) AS ord FROM (
+        |  SELECT n_nationkey, 'insert' AS change_type, 0 AS ord FROM nation
+        |  UNION ALL SELECT n_nationkey, 'delete', 1 FROM nation
+        |    WHERE n_regionkey = 4
+        |  UNION ALL SELECT n_nationkey, 'update_before', 2 FROM nation
+        |    WHERE n_nationkey < 10
+        |  UNION ALL SELECT n_nationkey, 'update_after', 2 FROM nation
+        |    WHERE n_nationkey < 10
+        |  UNION ALL SELECT n_nationkey, 'delete', 3 FROM nation
+        |    WHERE n_nationkey IN (3, 7, 22)
+        |  UNION ALL SELECT n_nationkey + 100, 'insert', 4 FROM nation
+        |    WHERE n_nationkey < 5
+        |) ORDER BY ord, change_type, n_nationkey""".stripMargin,
 
     "lake_compact_zorder" ->
       """SELECT 1 AS grp, count(*) AS n_orders,

@@ -791,12 +791,19 @@ private[sources] object LakeProcedures {
               param("branch", StringType), param("source_view", StringType),
               param("keys", StringType))
             // Iceberg's create_changelog_view: register the
-            // delete-marker changelog of (from, to] as a temp view
+            // delete-marker changelog of (from, to] as a temp view.
+            // mode: '' (raw), 'updates' (compute_updates pairing), or
+            // 'net' (net_changes collapsing); identifier_cols: comma-
+            // separated identity ('' = the table's identifier-fields)
             case "create_changelog_view" => Array(
               param("db", StringType), param("table", StringType),
               param("from_snapshot", LongType),
               param("to_snapshot", LongType),
-              param("view_name", StringType))
+              param("view_name", StringType),
+              ProcedureParameter.in("mode", StringType)
+                .defaultValue("''").build(),
+              ProcedureParameter.in("identifier_cols", StringType)
+                .defaultValue("''").build())
           }
           override def call(input: InternalRow): java.util.Iterator[Scan] = {
             val db = input.getUTF8String(0).toString
@@ -959,8 +966,20 @@ private[sources] object LakeProcedures {
               case "create_changelog_view" =>
                 val spark = org.apache.spark.sql.SparkSession.active
                 val view = input.getUTF8String(4).toString
-                t.changelogBetween(spark, input.getLong(2), input.getLong(3))
-                  .createOrReplaceTempView(view)
+                val mode = input.getUTF8String(5).toString
+                val idCols = input.getUTF8String(6).toString
+                  .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+                val (from, to) = (input.getLong(2), input.getLong(3))
+                val log = mode match {
+                  case "" | "raw" => t.changelogBetween(spark, from, to)
+                  case "updates" =>
+                    t.changelogWithUpdates(spark, from, to, idCols)
+                  case "net" => t.changelogNet(spark, from, to, idCols)
+                  case other => throw new IllegalArgumentException(
+                    s"create_changelog_view: unknown mode '$other' " +
+                      "(use '', 'updates' or 'net')")
+                }
+                log.createOrReplaceTempView(view)
                 (StructType(Seq(
                   StructField("view", StringType, nullable = false))),
                   Seq[Any](view))

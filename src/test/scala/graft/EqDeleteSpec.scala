@@ -213,6 +213,71 @@ class EqDeleteSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("row-level change"))
   }
 
+  test("changelogWithUpdates pairs same-ordinal delete+insert by identity; " +
+      "unpaired remainder keeps its type") {
+    import spark.implicits._
+    val (_, t) = mk("chupd")
+    t.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    // ordinal 1: upsert key 2 (delete marker + insert → one pair) and
+    // key 9 with DUPLICATE source rows — the key batch is distinct, so
+    // identity 9 gets ONE delete marker and TWO inserts: min(1,2)=1
+    // pair, the second insert is unpaired remainder and keeps its type
+    t.upsertMoR(spark,
+      Seq((2L, "B"), (9L, "z1"), (9L, "z2")).toDF("id", "v"), Seq("id"))
+    // ordinal 2: pure delete (no insert to pair with)
+    t.deleteByKeysMoR(spark, Seq(3L).toDF("id"))
+    val log = t.changelogWithUpdates(spark, 0L,
+      t.metadata.snapshots.map(_.id).max, identifierCols = Seq("id"))
+      .select("_change_ordinal", "_change_type", "id", "v").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        Option(r.getString(3)).orNull)).toSet
+    assert(log == Set(
+      (0, "insert", 1L, "a"), (0, "insert", 2L, "b"),
+      (0, "insert", 3L, "c"),
+      (1, "update_before", 2L, null), (1, "update_after", 2L, "B"),
+      // pairing is by rank over the data columns: z1 pairs, z2 remains
+      (1, "update_before", 9L, null), (1, "update_after", 9L, "z1"),
+      (1, "insert", 9L, "z2"),
+      (2, "delete", 3L, null)))
+    // no identity anywhere → loud failure, not a silent raw changelog
+    val e = intercept[IllegalArgumentException] {
+      t.changelogWithUpdates(spark, 0L, t.metadata.snapshots.map(_.id).max)
+    }
+    assert(e.getMessage.contains("identifier"))
+  }
+
+  test("changelogNet collapses each identity to its net effect") {
+    import spark.implicits._
+    val (_, t) = mk("chnet")
+    t.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    val base = t.metadata.snapshots.map(_.id).max  // range starts HERE
+    // inside the range: key 4 born then killed; key 2 updated twice;
+    // key 3 deleted; key 5 born
+    t.upsertMoR(spark, Seq((4L, "tmp"), (2L, "B1")).toDF("id", "v"), Seq("id"))
+    t.upsertMoR(spark, Seq((2L, "B2"), (5L, "e")).toDF("id", "v"), Seq("id"))
+    t.deleteByKeysMoR(spark, Seq(4L, 3L).toDF("id"))
+    val net = t.changelogNet(spark, base,
+      t.metadata.snapshots.map(_.id).max, identifierCols = Seq("id"))
+      .select("_change_type", "id", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        Option(r.getString(2)).orNull)).toSet
+    assert(net == Set(
+      // key 2 existed before the range: first delete marker (key-only)
+      // + last insert survive as an update pair
+      ("update_before", 2L, null), ("update_after", 2L, "B2"),
+      // key 3 existed → deleted; key-only marker
+      ("delete", 3L, null),
+      // key 4 was born by a BLIND upsert (whose key batch emits a
+      // delete marker without knowing the key is fresh) and killed
+      // inside the range: it nets to an idempotent delete — replaying
+      // it on a mirror is a no-op, so the net log stays correct as a
+      // replay instruction
+      ("delete", 4L, null),
+      // key 5 born inside (same blind upsert) ends EXISTING, so its
+      // paired marker nets to an update pair, again replay-correct
+      ("update_before", 5L, null), ("update_after", 5L, "e")))
+  }
+
   test("CALL create_changelog_view registers the changelog for SQL") {
     import spark.implicits._
     val (wh, t) = mk("chview")
