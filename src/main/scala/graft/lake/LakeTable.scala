@@ -1535,6 +1535,16 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
       val affected = sn.deleteCounts.keySet
       val byPath = md.snapshots.filter(_.id <= sn.id).flatMap(_.files)
         .map(f => LakeTable.normalizePath(f.path) -> f).toMap
+      // an affected data file no longer listed by any snapshot <= sn
+      // (expired/squashed history) means the deleted ROWS cannot be
+      // read back — a silent drop would emit a changelog missing
+      // retractions, and an empty group would die later in an opaque
+      // reduce; name the problem instead
+      val missing = affected.filterNot(byPath.contains)
+      require(missing.isEmpty,
+        s"changelog: snapshot ${sn.id}'s position deletes reference " +
+          s"data file(s) no longer in history (expired?): " +
+          missing.toSeq.sorted.mkString(", "))
       val metas = affected.toSeq.sorted.flatMap(byPath.get)
       val del = spark.read.parquet(sn.deletePaths: _*)
         .select(col("file_path").as("_graft_dfile"),

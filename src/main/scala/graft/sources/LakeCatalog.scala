@@ -806,8 +806,20 @@ private[sources] object LakeProcedures {
                 .defaultValue("''").build())
           }
           override def call(input: InternalRow): java.util.Iterator[Scan] = {
-            val db = input.getUTF8String(0).toString
-            val tbl = input.getUTF8String(1).toString
+            // a SQL NULL argument arrives as a null UTF8String — name
+            // the problem instead of NPE-ing in .toString
+            def strArg(i: Int): String = {
+              val v = input.getUTF8String(i)
+              require(v != null,
+                s"CALL $procName: argument '${parameters()(i).name()}' " +
+                  "must not be NULL")
+              v.toString
+            }
+            // '' and NULL both mean "unset" for optional name-ish args
+            def strArgOrEmpty(i: Int): String =
+              Option(input.getUTF8String(i)).map(_.toString).getOrElse("")
+            val db = strArg(0)
+            val tbl = strArg(1)
             val t = LakeTable.load(warehouse, db, tbl)
             val (schema, row) = procName match {
               case "expire_snapshots" =>
@@ -835,8 +847,8 @@ private[sources] object LakeProcedures {
                   StructField("rewritten_rows", LongType, nullable = false))),
                   Seq[Any](snap.id, snap.files.map(_.rows).sum))
               case "rewrite_data_files" =>
-                val field = input.getUTF8String(2).toString
-                val values = input.getUTF8String(3).toString
+                val field = strArg(2)
+                val values = strArg(3)
                   .split(",").map(_.trim).filter(_.nonEmpty).toSet
                 val threshold = input.getLong(4) match {
                   case n if n <= 0 => Long.MaxValue
@@ -876,19 +888,19 @@ private[sources] object LakeProcedures {
                   Seq[Any](removed, t.metadata.snapshots.map(_.id).max))
               case "create_tag" | "create_branch" =>
                 val kind = if (procName == "create_tag") "tag" else "branch"
-                t.createRef(input.getUTF8String(2).toString,
+                t.createRef(strArg(2),
                   input.getLong(3), kind)
                 (StructType(Seq(
                   StructField("ref", StringType, nullable = false),
                   StructField("snapshot_id", LongType, nullable = false))),
-                  Seq[Any](input.getUTF8String(2).toString, input.getLong(3)))
+                  Seq[Any](strArg(2), input.getLong(3)))
               case "drop_ref" =>
-                t.dropRef(input.getUTF8String(2).toString)
+                t.dropRef(strArg(2))
                 (StructType(Seq(
                   StructField("dropped", StringType, nullable = false))),
-                  Seq[Any](input.getUTF8String(2).toString))
+                  Seq[Any](strArg(2)))
               case "publish_wap" =>
-                val snap = t.publishStaged(input.getUTF8String(2).toString)
+                val snap = t.publishStaged(strArg(2))
                 (StructType(Seq(
                   StructField("published_snapshot_id", LongType,
                     nullable = false),
@@ -896,37 +908,37 @@ private[sources] object LakeProcedures {
                   Seq[Any](snap.id, snap.files.map(_.rows).sum))
               case "discard_wap" =>
                 val orphaned = t.discardStaged(
-                  input.getUTF8String(2).toString)
+                  strArg(2))
                 (StructType(Seq(
                   StructField("files_orphaned", IntegerType,
                     nullable = false))),
                   Seq[Any](orphaned))
               case "rebase_branch" =>
                 val newBase = t.rebaseBranch(
-                  input.getUTF8String(2).toString)
+                  strArg(2))
                 (StructType(Seq(
                   StructField("ref", StringType, nullable = false),
                   StructField("base_snapshot_id", LongType,
                     nullable = false))),
-                  Seq[Any](input.getUTF8String(2).toString, newBase))
+                  Seq[Any](strArg(2), newBase))
               case "fast_forward" =>
                 // publish the branch onto main (CALL form of the
                 // branch lifecycle's final verb)
                 val published = t.fastForward(
-                  input.getUTF8String(2).toString)
+                  strArg(2))
                 (StructType(Seq(
                   StructField("ref", StringType, nullable = false),
                   StructField("published_snapshots", IntegerType,
                     nullable = false),
                   StructField("head_snapshot_id", LongType,
                     nullable = false))),
-                  Seq[Any](input.getUTF8String(2).toString,
+                  Seq[Any](strArg(2),
                     published.size,
                     t.metadata.snapshots.map(_.id).foldLeft(0L)(math.max)))
               case "add_partition_field" =>
-                val nameArg = input.getUTF8String(4).toString
-                t.addPartitionField(input.getUTF8String(2).toString,
-                  input.getUTF8String(3).toString,
+                val nameArg = strArg(4)
+                t.addPartitionField(strArg(2),
+                  strArg(3),
                   Option(nameArg).filter(_.nonEmpty))
                 (StructType(Seq(
                   StructField("spec_id", IntegerType, nullable = false),
@@ -935,7 +947,7 @@ private[sources] object LakeProcedures {
                     t.metadata.currentSpec.fields.map(f =>
                       s"${f.transform}:${f.name}").mkString(", ")))
               case "drop_partition_field" =>
-                t.dropPartitionField(input.getUTF8String(2).toString)
+                t.dropPartitionField(strArg(2))
                 (StructType(Seq(
                   StructField("spec_id", IntegerType, nullable = false),
                   StructField("fields", StringType, nullable = false))),
@@ -945,8 +957,8 @@ private[sources] object LakeProcedures {
               case "branch_delete" =>
                 val spark = org.apache.spark.sql.SparkSession.active
                 val snap = t.deleteFromBranchMoR(spark,
-                  input.getUTF8String(2).toString,
-                  spark.table(input.getUTF8String(3).toString))
+                  strArg(2),
+                  spark.table(strArg(3)))
                 (StructType(Seq(
                   StructField("staged_snapshot_id", LongType,
                     nullable = false))),
@@ -954,9 +966,9 @@ private[sources] object LakeProcedures {
               case "branch_upsert" =>
                 val spark = org.apache.spark.sql.SparkSession.active
                 val snap = t.upsertToBranchMoR(spark,
-                  input.getUTF8String(2).toString,
-                  spark.table(input.getUTF8String(3).toString),
-                  input.getUTF8String(4).toString.split(",").map(_.trim)
+                  strArg(2),
+                  spark.table(strArg(3)),
+                  strArg(4).split(",").map(_.trim)
                     .filter(_.nonEmpty).toSeq)
                 (StructType(Seq(
                   StructField("staged_snapshot_id", LongType,
@@ -965,9 +977,9 @@ private[sources] object LakeProcedures {
                   Seq[Any](snap.id, snap.files.map(_.rows).sum))
               case "create_changelog_view" =>
                 val spark = org.apache.spark.sql.SparkSession.active
-                val view = input.getUTF8String(4).toString
-                val mode = input.getUTF8String(5).toString
-                val idCols = input.getUTF8String(6).toString
+                val view = strArg(4)
+                val mode = strArg(5)
+                val idCols = strArg(6)
                   .split(",").map(_.trim).filter(_.nonEmpty).toSeq
                 val (from, to) = (input.getLong(2), input.getLong(3))
                 val log = mode match {

@@ -507,10 +507,28 @@ private[sources] class LakeScan(wh: String, db: String, tbl: String,
         // rows ADDED in (from, to] — raw append/upsert files, no
         // delete application (changesBetween semantics): a consumer of
         // the range wants the added row versions, and retractions are
-        // the changelog's job
-        val files = t.metadata.snapshots
-          .filter(s => s.id > from && s.id <= to &&
-            (s.operation == "append" || s.operation == "upsert"))
+        // the changelog's job. A row-REMOVING commit inside the range
+        // (delete / overwrite / replace) means the added-rows view is
+        // not the whole story: fail loudly — same contract as the
+        // streaming path — unless skipDeleteSnapshots opted in.
+        // Rewrites move bytes, not data, and are skipped silently.
+        val inRange = t.metadata.snapshots
+          .filter(s => s.id > from && s.id <= to)
+        val destructive = inRange.filter(s =>
+          s.operation != "append" && s.operation != "upsert" &&
+            s.operation != "rewrite")
+        if (destructive.nonEmpty && !skipDeleteSnapshots)
+          throw new IllegalStateException(
+            s"incremental read of $db.$tbl ($from, $to] hit " +
+              "row-removing snapshot(s) " +
+              destructive.map(s => s"${s.id}(${s.operation})")
+                .mkString(", ") +
+              ": their retractions cannot be expressed as added rows — " +
+              "use the changelog for CDC, or set " +
+              "option(\"skipDeleteSnapshots\", \"true\") to read only " +
+              "the range's added rows.")
+        val files = inRange
+          .filter(s => s.operation == "append" || s.operation == "upsert")
           .flatMap(_.files)
         (t, LakeTable.matchingFiles(files, target, Map.empty, statsFilters),
           Map.empty[String, graft.lake.DeleteSet],

@@ -47,8 +47,10 @@ case class GraftAlterPartitionFieldCommand(table: Seq[String], add: Boolean,
 }
 
 object GraftSqlParser {
+  // AS-name: a bare identifier OR a backtick-quoted one (any content,
+  // incl. spaces/dots — doubled backticks escape a literal backtick)
   private val AddRe =
-    """(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+ADD\s+PARTITION\s+FIELD\s+(.+?)(?:\s+AS\s+([\w`]+))?\s*;?\s*$""".r
+    """(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+ADD\s+PARTITION\s+FIELD\s+(.+?)(?:\s+AS\s+(`(?:[^`]|``)+`|\w+))?\s*;?\s*$""".r
   private val DropRe =
     """(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+DROP\s+PARTITION\s+FIELD\s+(.+?)\s*;?\s*$""".r
 
@@ -57,19 +59,31 @@ object GraftSqlParser {
   private val TruncRe =
     """(?i)^truncate\s*\(\s*(\d+)\s*,\s*([^)]+)\s*\)$""".r
 
-  private def clean(c: String): String =
-    c.trim.stripPrefix("`").stripSuffix("`")
+  private def clean(c: String): String = {
+    val t = c.trim
+    if (t.startsWith("`") && t.endsWith("`") && t.length >= 2)
+      t.substring(1, t.length - 1).replace("``", "`")
+    else t
+  }
 
   /** SQL transform syntax → (engine transform name, source column).
     * `day(ts)`/`days(ts)` → day; `bucket(16, id)` → bucket[16];
-    * `truncate(4, s)` → truncate[4]; a bare column → identity.
+    * `truncate(4, s)` → truncate[4]; a bare column → identity. An
+    * UNKNOWN `fn(col)` form fails loudly — falling through to identity
+    * on the literal text (`zorder(ts)` as a column name) would commit
+    * a spec no read can ever prune on.
     */
   private[sql] def parseTransform(raw: String): (String, String) =
     raw.trim match {
       case TimeRe(t, c) => (t.toLowerCase(java.util.Locale.ROOT), clean(c))
       case BucketRe(n, c) => (s"bucket[$n]", clean(c))
       case TruncRe(w, c) => (s"truncate[$w]", clean(c))
-      case bare => ("identity", clean(bare))
+      case bare =>
+        require(!bare.contains("("),
+          s"unsupported partition transform '$bare' — supported: " +
+            "identity (bare column), year/month/day/hour(col), " +
+            "bucket(n, col), truncate(w, col)")
+        ("identity", clean(bare))
     }
 }
 

@@ -572,6 +572,18 @@ class LakeCatalogSpec extends AnyFunSuite {
 
     val live = spark.sql("SELECT id FROM graftp.d.p ORDER BY id").collect()
     assert(live.map(_.getLong(0)).toSeq == Seq(1L, 3L))
+
+    // a SQL NULL string argument is named, not NPE'd
+    val e = intercept[Exception] {
+      spark.sql("CALL graftp.system.compact(db => 'd', table => NULL)")
+        .collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ chain(x.getCause))
+    assert(chain(e).exists(m =>
+      m.contains("must not be NULL") && m.contains("table")),
+      s"got: ${chain(e).mkString(" | ")}")
   }
 
   test("TIMESTAMP AS OF resolves to the latest snapshot at the instant") {
@@ -663,6 +675,23 @@ class LakeCatalogSpec extends AnyFunSuite {
     intercept[Exception](
       exec("ALTER TABLE gspecsql.d.t ADD PARTITION FIELD nope"))
     assert(exec("SELECT 1 AS x").head.getInt(0) == 1)
+
+    // an unknown TRANSFORM is refused loudly, not committed as an
+    // identity field on the literal text
+    val e = intercept[Exception](
+      exec("ALTER TABLE gspecsql.d.t ADD PARTITION FIELD zorder(ts)"))
+    assert(e.getMessage.contains("unsupported partition transform"),
+      s"got: ${e.getMessage}")
+    assert(LakeTable.load(wh, "d", "t").metadata.currentSpec.fields
+      .map(_.name) == Seq("id_bucket", "vp"), "no spec commit on refusal")
+
+    // a backtick-quoted AS-name (with a space) round-trips
+    exec("ALTER TABLE gspecsql.d.t ADD PARTITION FIELD days(ts) AS `day part`")
+    assert(LakeTable.load(wh, "d", "t").metadata.currentSpec.fields
+      .map(_.name).contains("day part"))
+    exec("ALTER TABLE gspecsql.d.t DROP PARTITION FIELD `day part`")
+    assert(!LakeTable.load(wh, "d", "t").metadata.currentSpec.fields
+      .map(_.name).contains("day part"))
   }
 
   test("injected parser serves ALTER PARTITION FIELD in a fresh session") {

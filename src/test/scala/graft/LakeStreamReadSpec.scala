@@ -313,6 +313,28 @@ class LakeStreamReadSpec extends AnyFunSuite {
     assert(ranged.count() == 3L)
   }
 
+  test("incremental batch read fails loudly on row-removing snapshots " +
+      "unless skipDeleteSnapshots opts in") {
+    val (wh, t) = mkTable("incr-destr")
+    val s1 = t.append(df(Seq((1L, "a", ts(1)), (2L, "b", ts(2))))).id
+    t.deleteMoR(spark, col("id") === 1L)      // "delete" snapshot in range
+    t.append(df(Seq((3L, "c", ts(3)))))
+    // the range's added-rows view is missing the retraction: refuse
+    val e = intercept[Exception] {
+      lakeReader(wh).option("fromSnapshot", s1.toString).load().collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ chain(x.getCause))
+    assert(chain(e).exists(_.contains("row-removing")),
+      s"got: ${chain(e).mkString(" | ")}")
+    // explicit opt-in: added rows only, the delete is skipped
+    val got = lakeReader(wh).option("fromSnapshot", s1.toString)
+      .option("skipDeleteSnapshots", "true").load()
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(3L))
+  }
+
   test("streaming read delivers upsert snapshots' inserted rows") {
     val (wh, t) = mkTable("upstream")
     t.append(df(Seq((1L, "a", ts(1)), (2L, "b", ts(2)))))
