@@ -112,6 +112,82 @@ object LakeQueries extends QueryModule {
       s.sql("SELECT id, v FROM stream_lake_read_sink ORDER BY id, v")
     }),
 
+    "stream_lake_changelog" -> QueryModule.micro(1)((s, dir) => {
+      // changelog-mode streaming read (option("changelog","true")): a
+      // delete-bearing MoR history STREAMS as _change_type-tagged rows
+      // instead of failing or skipping — full-row markers for position
+      // deletes, key-only markers for equality batches, inserts for
+      // added rows. The stream replays into a mirror table (deletes
+      // then inserts per ordinal, batch by batch under a snapshot-rate
+      // cap) and the mirror must equal the source exactly — the
+      // streamed form of the lake_changelog replication.
+      val wh = LakeQueries.freshWarehouse("streamchlog")
+      def mk(name: String): LakeTable = {
+        Engine.processTableDefJson(wh,
+          s"""{"database_name":"scl","table_name":"$name","columns":[
+            |{"column_name":"n_nationkey","data_type":"int"},
+            |{"column_name":"n_name","data_type":"string"},
+            |{"column_name":"n_regionkey","data_type":"int"}],
+            |"partitions":[]}""".stripMargin)
+        LakeTable.load(wh, "scl", name)
+      }
+      val src = mk("src")
+      mk("dst")
+      val nat = Tables(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+      src.append(nat)
+      src.deleteMoR(s, col("n_regionkey") === 4)
+      src.upsertMoR(s, nat.filter(col("n_nationkey") < 10)
+        .withColumn("n_name", concat(col("n_name"), lit("_v2"))),
+        keys = Seq("n_nationkey"))
+      locally {
+        import s.implicits._
+        src.deleteByKeysMoR(s, Seq(3, 7, 22).toDF("n_nationkey"))
+      }
+      src.append(nat.filter(col("n_nationkey") < 5)
+        .select((col("n_nationkey") + 100).cast("int").as("n_nationkey"),
+          concat(lit("new_"), col("n_name")).as("n_name"),
+          col("n_regionkey")))
+      val q = s.readStream.format("graft-lake")
+        .option("warehouse", wh).option("database", "scl")
+        .option("table", "src")
+        .option("changelog", "true")
+        .option("maxSnapshotsPerTrigger", "2")
+        .load()
+        .writeStream
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              _: Long) =>
+          val d = LakeTable.load(wh, "scl", "dst")
+          val kinds = batch.groupBy("_change_ordinal", "_change_type")
+            .count().collect()
+            .map(r => (r.getInt(0), r.getString(1))).toSet
+          kinds.map(_._1).toSeq.sorted.foreach { o =>
+            val slice = batch.filter(col("_change_ordinal") === o)
+            if (kinds((o, "delete")))
+              d.deleteByKeysMoR(batch.sparkSession, slice
+                .filter(col("_change_type") === "delete")
+                .select("n_nationkey"))
+            if (kinds((o, "insert")))
+              d.append(slice
+                .filter(col("_change_type") === "insert")
+                .select("n_nationkey", "n_name", "n_regionkey"))
+          }
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val srcRows = LakeTable.load(wh, "scl", "src").read(s)
+      val dstRows = LakeTable.load(wh, "scl", "dst").read(s)
+      val diff = srcRows.withColumn("_w", lit(1))
+        .unionByName(dstRows.withColumn("_w", lit(-1)))
+        .groupBy("n_nationkey", "n_name", "n_regionkey")
+        .agg(sum(col("_w")).as("_d")).filter(col("_d") =!= 0)
+      require(diff.isEmpty, "streamed changelog mirror diverged from source")
+      dstRows.orderBy("n_nationkey")
+    }),
+
     "q_stream_join" -> QueryModule.micro(1)((s, _) => {
       // stream-stream interval join under Structured Streaming: clicks
       // attribute to impressions within a 30-minute window; watermarks
@@ -1436,6 +1512,26 @@ object RowOpsQueries extends QueryModule {
         |    AS n_name,
         |  n_regionkey
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    // same mixed history as lake_changelog, replayed through the
+    // changelog-mode STREAM into the mirror
+    "stream_lake_changelog" ->
+      """WITH finalstate AS (
+        |  SELECT n_nationkey,
+        |    CASE WHEN n_nationkey < 10 THEN n_name || '_v2'
+        |         ELSE n_name END AS n_name,
+        |    n_regionkey
+        |  FROM nation
+        |  WHERE (n_nationkey < 10 OR n_regionkey <> 4)
+        |    AND n_nationkey NOT IN (3, 7, 22)
+        |  UNION ALL
+        |  SELECT CAST(n_nationkey + 100 AS INTEGER), 'new_' || n_name,
+        |    n_regionkey
+        |  FROM nation WHERE n_nationkey < 5
+        |)
+        |SELECT CAST(n_nationkey AS INTEGER) AS n_nationkey, n_name,
+        |  CAST(n_regionkey AS INTEGER) AS n_regionkey
+        |FROM finalstate ORDER BY n_nationkey""".stripMargin,
 
     // history: append all; positional-delete region 4; blind upsert
     // keys<10 as _v2 (re-inserting even region-4 ones); keyed-delete

@@ -55,8 +55,13 @@ class LakeStreamProvider extends TableProvider with DataSourceRegister {
     LakeTable.load(req("warehouse"), req("database"), req("table"))
   }
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    Reconcile.clean(load(options).currentSchema).asInstanceOf[StructType]
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val base = Reconcile.clean(load(options).currentSchema)
+      .asInstanceOf[StructType]
+    if (Option(options.get("changelog")).exists(_.toBoolean))
+      StructType(base.fields.toSeq ++ LakeSource.changelogFields)
+    else base
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
@@ -65,14 +70,17 @@ class LakeStreamProvider extends TableProvider with DataSourceRegister {
       properties.get("warehouse"), properties.get("database"),
       properties.get("table"),
       Option(properties.get("startSnapshot")).map(_.toLong).getOrElse(0L),
-      t)
+      t,
+      changelogMode =
+        Option(properties.get("changelog")).exists(_.toBoolean))
   }
 }
 
 private[sources] class LakeSparkTable(wh: String, db: String, tbl: String,
     startSnapshot: Long, lake: LakeTable,
     asOfSnapshot: Option[Long] = None,
-    branchName: Option[String] = None)
+    branchName: Option[String] = None,
+    changelogMode: Boolean = false)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
@@ -171,6 +179,10 @@ private[sources] class LakeSparkTable(wh: String, db: String, tbl: String,
       lake.metadata.properties).asJava
 
   override def schema(): StructType = {
+    if (changelogMode)
+      return StructType(
+        Reconcile.clean(pinnedSchema).asInstanceOf[StructType].fields.toSeq ++
+          LakeSource.changelogFields)
     val clean = Reconcile.clean(pinnedSchema).asInstanceOf[StructType]
     // advertise defaults in Spark's convention so `INSERT ... VALUES
     // (..., DEFAULT)` resolves to the declared literal instead of
@@ -234,13 +246,23 @@ private[sources] class LakeSparkTable(wh: String, db: String, tbl: String,
       (f.toLong, Option(options.get("toSnapshot")).map(_.toLong)
         .getOrElse(Long.MaxValue))
     }
-    new LakeScanBuilder(wh, db, tbl, startSnapshot, pinnedSchema, asOfSnapshot,
+    require(!(changelogMode && incremental.isDefined),
+      "changelog cannot combine with fromSnapshot/toSnapshot (the " +
+        "stream's startSnapshot option positions a changelog read)")
+    // keep the field-id-bearing schema (the reader reconciles by id);
+    // readSchema cleans at the end like the normal path
+    val full =
+      if (changelogMode)
+        StructType(pinnedSchema.fields.toSeq ++ LakeSource.changelogFields)
+      else pinnedSchema
+    new LakeScanBuilder(wh, db, tbl, startSnapshot, full, asOfSnapshot,
       maxSnapshotsPerTrigger =
         Option(options.get("maxSnapshotsPerTrigger")).map(_.toInt),
       branchName = branchName,
       skipDeleteSnapshots =
         Option(options.get("skipDeleteSnapshots")).exists(_.toBoolean),
-      incremental = incremental)
+      incremental = incremental,
+      changelogMode = changelogMode)
   }
 
   /** INSERT INTO / df.writeTo(...).append() via the V1 write bridge:
@@ -368,7 +390,8 @@ private[graft] class LakeScanBuilder(wh: String, db: String, tbl: String,
     maxSnapshotsPerTrigger: Option[Int] = None,
     branchName: Option[String] = None,
     skipDeleteSnapshots: Boolean = false,
-    incremental: Option[(Long, Long)] = None)
+    incremental: Option[(Long, Long)] = None,
+    changelogMode: Boolean = false)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
@@ -481,7 +504,7 @@ private[graft] class LakeScanBuilder(wh: String, db: String, tbl: String,
   override def build(): Scan =
     new LakeScan(wh, db, tbl, startSnapshot, target, stats, aggResult,
       asOfSnapshot, onPlanned, maxSnapshotsPerTrigger, branchName,
-      skipDeleteSnapshots, incremental)
+      skipDeleteSnapshots, incremental, changelogMode)
 }
 
 private[sources] class LakeScan(wh: String, db: String, tbl: String,
@@ -493,7 +516,8 @@ private[sources] class LakeScan(wh: String, db: String, tbl: String,
     maxSnapshotsPerTrigger: Option[Int] = None,
     branchName: Option[String] = None,
     skipDeleteSnapshots: Boolean = false,
-    incremental: Option[(Long, Long)] = None) extends Scan
+    incremental: Option[(Long, Long)] = None,
+    changelogMode: Boolean = false) extends Scan
     with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportOrdering
@@ -756,7 +780,11 @@ private[sources] class LakeScan(wh: String, db: String, tbl: String,
       case None => Reconcile.clean(target).asInstanceOf[StructType]
     }
 
-  override def toBatch: Batch = if (aggResult.isDefined) new Batch {
+  override def toBatch: Batch = if (changelogMode)
+    throw new UnsupportedOperationException(
+      "option(\"changelog\", \"true\") is a streaming read option — " +
+        "for a batch changelog use CALL system.create_changelog_view")
+  else if (aggResult.isDefined) new Batch {
     // metadata-only answer: one partition, one partial row, zero data
     // IO — the values were validated and captured at pushdown time
     def planInputPartitions(): Array[InputPartition] =
@@ -801,7 +829,7 @@ private[sources] class LakeScan(wh: String, db: String, tbl: String,
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new LakeMicroBatchStream(wh, db, tbl, startSnapshot, target,
-      maxSnapshotsPerTrigger, skipDeleteSnapshots)
+      maxSnapshotsPerTrigger, skipDeleteSnapshots, changelogMode)
 }
 
 private[sources] case class LakeOffset(snapshotId: Long) extends Offset {
@@ -816,10 +844,32 @@ private[sources] case class LakeOffset(snapshotId: Long) extends Offset {
 private[sources] case class LakeEqBatch(paths: Seq[String],
     keyFields: StructType)
 
+/** `emitOnlyDeleted` inverts the position-delete filter: the reader
+  * emits ONLY the rows at deleted positions — the changelog stream's
+  * full-row delete markers.
+  */
 private[sources] case class LakeFilePartition(path: String,
     fileSchema: StructType, target: StructType,
     deletes: Seq[String] = Seq.empty,
-    eqBatches: Seq[LakeEqBatch] = Seq.empty) extends InputPartition
+    eqBatches: Seq[LakeEqBatch] = Seq.empty,
+    emitOnlyDeleted: Boolean = false) extends InputPartition
+
+/** Equality-delete batch key files as changelog delete markers: each
+  * record's key columns (stored as `k<fieldId>`) fill the matching
+  * TOP-LEVEL target fields, everything else null — the batch never
+  * knew the victim rows, only their keys.
+  */
+private[sources] case class LakeEqMarkerPartition(paths: Seq[String],
+    keyFields: StructType, target: StructType) extends InputPartition
+
+/** Wraps any row-producing partition with the three changelog columns
+  * appended at fixed values. `target` is the full changelog schema the
+  * scan serves; inner rows carry `target` minus the changelog columns,
+  * in order.
+  */
+private[sources] case class LakeChangelogPartition(inner: InputPartition,
+    changeType: String, ordinal: Int, snapshotId: Long,
+    target: StructType) extends InputPartition
 
 /** A file partition that knows its (identity-transform) partition key —
   * the HasPartitionKey half of the storage-partitioned-join contract:
@@ -841,7 +891,8 @@ private[sources] case class LakeAggPartition(values: Array[Any])
 private[sources] class LakeMicroBatchStream(wh: String, db: String,
     tbl: String, startSnapshot: Long, target: StructType,
     maxSnapshotsPerTrigger: Option[Int] = None,
-    skipDeleteSnapshots: Boolean = false)
+    skipDeleteSnapshots: Boolean = false,
+    changelogMode: Boolean = false)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   // metadata is reloaded per call so a long-running stream sees commits
@@ -899,6 +950,7 @@ private[sources] class LakeMicroBatchStream(wh: String, db: String,
       end.asInstanceOf[LakeOffset].snapshotId)
     val md = LakeTable.load(wh, db, tbl).metadata
     val inRange = md.snapshots.filter(sn => sn.id > s && sn.id <= e)
+    if (changelogMode) return planChangelogPartitions(md, inRange)
     val destructive = inRange.filter(sn =>
       sn.operation != "append" && sn.operation != "upsert" &&
         sn.operation != "rewrite")
@@ -914,6 +966,66 @@ private[sources] class LakeMicroBatchStream(wh: String, db: String,
       .flatMap(sn => sn.files.map(f =>
         LakeFilePartition(f.path, md.schemaById(f.schemaId), target)))
       .toArray
+  }
+
+  /** Changelog mode (`option("changelog", "true")`): each micro-batch
+    * delivers `_change_type`-tagged rows for every snapshot in (start,
+    * end] — full-row delete markers for position deletes, key-only
+    * markers for equality batches, and the snapshots' added rows as
+    * inserts — the streaming form of `LakeTable.changelogBetween`, so
+    * delete-bearing histories STREAM instead of failing or skipping.
+    * `_change_ordinal` is dense within the micro-batch; cross-batch
+    * replay order is (_change_snapshot_id, deletes-before-inserts).
+    * Copy-on-write commits still refuse (no row-level change info).
+    */
+  private def planChangelogPartitions(md: graft.lake.TableMetadata,
+      inRange: Seq[graft.lake.SnapshotMeta]): Array[InputPartition] = {
+    val bad = inRange.filterNot(sn =>
+      Set("append", "upsert", "delete", "rewrite").contains(sn.operation))
+    if (bad.nonEmpty) throw new IllegalStateException(
+      s"changelog stream of $db.$tbl hit snapshot(s) " +
+        bad.map(sn => s"${sn.id}(${sn.operation})").mkString(", ") +
+        ": copy-on-write commits carry no row-level change information")
+    val dataTarget = StructType(
+      target.fields.filterNot(f => LakeSource.isChangelogCol(f.name)))
+    inRange.filterNot(_.operation == "rewrite").sortBy(_.id).zipWithIndex
+      .flatMap { case (sn, ord) =>
+        def wrap(p: InputPartition, typ: String): InputPartition =
+          LakeChangelogPartition(p, typ, ord, sn.id, target)
+        val pos: Seq[InputPartition] =
+          if (sn.deletePaths.isEmpty) Seq.empty
+          else {
+            val byPath = md.snapshots.filter(_.id <= sn.id)
+              .flatMap(_.files)
+              .map(f => LakeTable.normalizePath(f.path) -> f).toMap
+            val affected = sn.deleteCounts.keySet
+            val missing = affected.filterNot(byPath.contains)
+            require(missing.isEmpty,
+              s"changelog stream: snapshot ${sn.id}'s position deletes " +
+                "reference data file(s) no longer in history (expired?): " +
+                missing.toSeq.sorted.mkString(", "))
+            affected.toSeq.sorted.flatMap(byPath.get).map(f =>
+              LakeFilePartition(f.path, md.schemaById(f.schemaId),
+                dataTarget, deletes = sn.deletePaths,
+                emitOnlyDeleted = true))
+          }
+        val eq: Seq[InputPartition] = sn.eqDeletes.flatMap { b =>
+          val keyFields = b.fieldIds.map { id =>
+            val f = md.currentSchema.fields
+              .find(f => FieldIds.hasId(f) && FieldIds.idOf(f) == id)
+            f.getOrElse(throw new UnsupportedOperationException(
+              s"changelog stream: equality-delete key field id $id is " +
+                "not a top-level column of the current schema (nested " +
+                "keys are batch-changelog-only — use " +
+                "CALL create_changelog_view)"))
+          }
+          b.paths.map(p =>
+            LakeEqMarkerPartition(Seq(p), StructType(keyFields), dataTarget))
+        }
+        val ins: Seq[InputPartition] = sn.files.map(f =>
+          LakeFilePartition(f.path, md.schemaById(f.schemaId), dataTarget))
+        (pos ++ eq).map(wrap(_, "delete")) ++ ins.map(wrap(_, "insert"))
+      }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -937,7 +1049,74 @@ private[sources] class LakeReaderFactory extends PartitionReaderFactory {
         new GroupRowReader(
           LakeFilePartition(p.path, p.fileSchema, p.target, p.deletes,
             p.eqBatches))
+      case p: LakeEqMarkerPartition => new EqMarkerReader(p)
+      case p: LakeChangelogPartition =>
+        val innerReader = createReader(p.inner)
+        // pad the inner row out to the changelog schema: changelog
+        // columns take the partition's constants, everything else
+        // copies through in order
+        val typeUtf = UTF8String.fromString(p.changeType)
+        val fill: Array[Either[Any, (Int, DataType)]] = {
+          var innerIdx = -1
+          p.target.fields.map { f =>
+            if (f.name == LakeSource.ChangeTypeCol) Left(typeUtf)
+            else if (f.name == LakeSource.ChangeOrdinalCol) Left(p.ordinal)
+            else if (f.name == LakeSource.ChangeSnapshotCol)
+              Left(p.snapshotId)
+            else { innerIdx += 1; Right((innerIdx, f.dataType)) }
+          }
+        }
+        new PartitionReader[InternalRow] {
+          override def next(): Boolean = innerReader.next()
+          override def get(): InternalRow = {
+            val in = innerReader.get()
+            val arr = new Array[Any](fill.length)
+            var i = 0
+            while (i < fill.length) {
+              arr(i) = fill(i) match {
+                case Left(c) => c
+                case Right((j, dt)) => in.get(j, dt)
+              }
+              i += 1
+            }
+            new GenericInternalRow(arr)
+          }
+          override def close(): Unit = innerReader.close()
+        }
     }
+}
+
+/** Changelog delete markers from equality-delete key files: one output
+  * row per key tuple, key columns filled (physical-type-adaptive via
+  * `eqKeyValue` — batches written before a type promotion still read),
+  * all other columns null.
+  */
+private[sources] class EqMarkerReader(p: LakeEqMarkerPartition)
+    extends PartitionReader[InternalRow] {
+  private val keyByFieldId: Map[Int, StructField] =
+    p.keyFields.fields.map(f => FieldIds.idOf(f) -> f).toMap
+  private val fillers: Array[Group => Any] = p.target.fields.map { tf =>
+    if (FieldIds.hasId(tf) && keyByFieldId.contains(FieldIds.idOf(tf))) {
+      val id = FieldIds.idOf(tf)
+      (g: Group) => LakeSource.eqKeyValue(g, s"k$id", tf.dataType)
+    } else (_: Group) => null
+  }
+  private val files = p.paths.iterator
+  private var reader: ParquetReader[Group] = _
+  private var cur: Group = _
+  override def next(): Boolean = {
+    cur = if (reader == null) null else reader.read()
+    while (cur == null && files.hasNext) {
+      if (reader != null) reader.close()
+      reader = ParquetReader.builder(new GroupReadSupport(),
+        new org.apache.hadoop.fs.Path(files.next())).build()
+      cur = reader.read()
+    }
+    cur != null
+  }
+  override def get(): InternalRow =
+    new GenericInternalRow(fillers.map(_(cur)))
+  override def close(): Unit = if (reader != null) reader.close()
 }
 
 /** Reads one parquet data file as example-Groups and reconciles each
@@ -1066,10 +1245,19 @@ private[sources] class GroupRowReader(p: LakeFilePartition)
   private var pos: Long = -1L
   override def next(): Boolean = {
     cur = reader.read(); pos += 1
-    while (cur != null &&
-        ((deletedPos != null && deletedPos.contains(pos)) ||
-          (eqFilters.length > 0 && eqDeleted(cur)))) {
-      cur = reader.read(); pos += 1
+    if (p.emitOnlyDeleted) {
+      // changelog delete markers: keep ONLY the rows at deleted
+      // positions (the inverse of the normal merge-on-read filter)
+      while (cur != null &&
+          (deletedPos == null || !deletedPos.contains(pos))) {
+        cur = reader.read(); pos += 1
+      }
+    } else {
+      while (cur != null &&
+          ((deletedPos != null && deletedPos.contains(pos)) ||
+            (eqFilters.length > 0 && eqDeleted(cur)))) {
+        cur = reader.read(); pos += 1
+      }
     }
     cur != null
   }
@@ -1133,6 +1321,20 @@ private[sources] object LakeSource {
   val PosMetaCol = "_graft_pos"
   def isMetaCol(name: String): Boolean =
     name == FileMetaCol || name == PosMetaCol
+
+  /** Changelog-mode columns (option("changelog", "true") on a stream
+    * read): same names/semantics as `LakeTable.changelogBetween`.
+    */
+  val ChangeTypeCol = "_change_type"
+  val ChangeOrdinalCol = "_change_ordinal"
+  val ChangeSnapshotCol = "_change_snapshot_id"
+  val changelogFields: Seq[StructField] = Seq(
+    StructField(ChangeTypeCol, StringType, nullable = false),
+    StructField(ChangeOrdinalCol, IntegerType, nullable = false),
+    StructField(ChangeSnapshotCol, LongType, nullable = false))
+  def isChangelogCol(name: String): Boolean =
+    name == ChangeTypeCol || name == ChangeOrdinalCol ||
+      name == ChangeSnapshotCol
 
   /** Snapshot log truncated to an optional VERSION AS OF pin. */
   def visibleSnapshots(t: LakeTable,
