@@ -98,9 +98,14 @@ object Bench {
     // locale-independent 3-decimal rendering (f"%.3f" would emit a
     // comma decimal separator under e.g. de_DE and break the JSON)
     def r3(v: Double): String = (math.rint(v * 1000) / 1000).toString
+    // cap the failure list so a mass breakage cannot blow the line past
+    // the harness's tail-capture budget; n_failed carries the exact
+    // count, and every array element is a real query key (consumers
+    // iterate them to re-run)
     val failedField =
       if (failed.isEmpty) ""
-      else s""""failed":[${failed.map(k => s""""$k"""").mkString(",")}],"""
+      else s""""n_failed":${failed.size},"failed":[""" +
+        failed.take(15).map(k => s""""$k"""").mkString(",") + "],"
     val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},$failedField"sf":"$sfDir","queries":{"""
     val tail = "}}"
     val budget = MaxLineChars - head.length - tail.length

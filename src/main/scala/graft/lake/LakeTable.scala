@@ -185,12 +185,19 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
       // the declared row identity must outlive any single writer:
       // dropping an identifier field would leave every key-less CDC
       // writer with no keys mid-stream. Redeclare identifier-fields in
-      // the SAME evolution to move the identity instead.
+      // the SAME evolution to move the identity — and the redeclared
+      // list must actually EXCLUDE the dropped columns (carrying the
+      // old property forward doesn't count; that would only fail later
+      // with a misleading "no such column")
+      val redeclaredAway = tableDef.properties.get("identifier-fields")
+        .exists(p => p.split(",").map(_.trim).filter(_.nonEmpty)
+          .forall(n => !dropped.contains(n)))
       require(droppedIds.forall(!md.identifierFieldIds.contains(_)) ||
-          tableDef.properties.contains("identifier-fields"),
+          redeclaredAway,
         s"cannot drop columns ${dropped.mkString(", ")}: part of the " +
-          "table's identifier fields — redeclare 'identifier-fields' in " +
-          "the same evolution to change the row identity")
+          "table's identifier fields — redeclare 'identifier-fields' " +
+          "(excluding them) in the same evolution to change the row " +
+          "identity")
     }
 
     changes.foreach {
@@ -461,7 +468,12 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     else Some(writeSnapshot(
       Align(readFiles(spark, selected, md.currentSchema, deletes, eqBatches),
         md.currentSchema),
-      operation = "overwrite", removedPaths = selected.map(_.path),
+      // "rewrite-data", NOT "overwrite": the replay removes the
+      // rewritten paths like a CoW overwrite, but CDC/changelog/
+      // streaming readers and branch fast-forward treat it as the byte
+      // move it is — a routine scoped compaction must never wedge a
+      // changelog consumer or strand a branch publish
+      operation = "rewrite-data", removedPaths = selected.map(_.path),
       retryConflicts = false))
   }
 
@@ -851,7 +863,8 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     // branch's fork-base state is semantically the current state —
     // routine maintenance must not strand branch publishes
     require(head == base ||
-      md.snapshots.filter(_.id > base).forall(_.operation == "rewrite"),
+      md.snapshots.filter(_.id > base)
+        .forall(s => LakeTable.isByteMove(s.operation)),
       s"branch '$name' forked at $base but main is at $head — " +
         "diverged; rebase_branch to re-fork at the new head (sound: " +
         "branch commits are blind writes), or discard the branch")
@@ -1496,7 +1509,8 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     val range = md.snapshots
       .filter(s => s.id > fromSnapshot && s.id <= toSnapshot)
     val bad = range.filterNot(s =>
-      Set("append", "upsert", "delete", "rewrite").contains(s.operation))
+      Set("append", "upsert", "delete").contains(s.operation) ||
+        LakeTable.isByteMove(s.operation))
     require(bad.isEmpty,
       s"changelog cannot represent snapshot(s) " +
         bad.map(s => s"${s.id}(${s.operation})").mkString(", ") +
@@ -1562,7 +1576,8 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
       }.reduce(_.unionByName(_))
     }
 
-    val parts = range.sortBy(_.id).filterNot(_.operation == "rewrite")
+    val parts = range.sortBy(_.id)
+      .filterNot(s => LakeTable.isByteMove(s.operation))
       .zipWithIndex.flatMap { case (sn, ord) =>
         val dels =
           (if (sn.deletePaths.nonEmpty) Seq(posMarkers(sn)) else Seq.empty) ++
@@ -1576,7 +1591,8 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     if (parts.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(clean.fields.toSeq ++ Seq(
+        // data columns nullable: marker rows null-fill non-key columns
+        StructType(clean.fields.toSeq.map(_.copy(nullable = true)) ++ Seq(
           StructField("_change_type", StringType, nullable = false),
           StructField("_change_ordinal", IntegerType, nullable = false),
           StructField("_change_snapshot_id", LongType, nullable = false))))
@@ -1613,11 +1629,24 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     import org.apache.spark.sql.expressions.Window
     val ident = changelogIdentity(identifierCols, "changelogWithUpdates")
     val log = changelogBetween(spark, fromSnapshot, toSnapshot)
-    val dataCols = log.columns.filterNot(_.startsWith("_change_")).toSeq
+    // rank order must be deterministic AND orderable: maps (anywhere in
+    // the type) cannot sort in Spark, so restrict to orderable data
+    // columns — the identity columns are always orderable scalars, so
+    // the order-by list can never be empty
+    def orderable(dt: org.apache.spark.sql.types.DataType): Boolean =
+      dt match {
+        case _: org.apache.spark.sql.types.MapType => false
+        case s: StructType => s.fields.forall(f => orderable(f.dataType))
+        case org.apache.spark.sql.types.ArrayType(e, _) => orderable(e)
+        case _ => true
+      }
+    val dataCols = log.schema.fields
+      .filterNot(f => f.name.startsWith("_change_"))
+      .filter(f => orderable(f.dataType)).map(_.name).toSeq
     val grp = col("_change_ordinal") +: ident.map(c => col(s"`$c`"))
     val w = Window.partitionBy(grp: _*)
-    // rank within (ordinal, identity, type), deterministic via the data
-    // columns; delete rank r pairs with insert rank r
+    // rank within (ordinal, identity, type), deterministic via the
+    // orderable data columns; delete rank r pairs with insert rank r
     val wTyped = Window.partitionBy((grp :+ col("_change_type")): _*)
       .orderBy(dataCols.map(c => col(s"`$c`")): _*)
     val isIns = when(col("_change_type") === "insert", 1).otherwise(0)
@@ -2461,7 +2490,7 @@ object LakeTable {
       }
       s.operation match {
         case op if isReset(op) => own
-        case "overwrite" =>
+        case op if removesByPath(op) =>
           val removed = s.removedPaths.toSet
           acc.filterNot(f => removed(f.path)) ++ own
         case _ => acc ++ own
@@ -2498,7 +2527,7 @@ object LakeTable {
       }
       s.operation match {
         case op if isReset(op) => own
-        case "overwrite" =>
+        case op if removesByPath(op) =>
           val removed = s.removedPaths.map(normalizePath).toSet
           acc.filterNot { case (p, _) => removed(p) }
         case "delete" => own.foldLeft(acc) { case (m, (p, ds)) =>
@@ -2551,6 +2580,23 @@ object LakeTable {
     */
   def isReset(op: String): Boolean = op == "rewrite" || op == "replace"
 
+  /** Operations that remove their `removedPaths` from the live set and
+    * add their own files during replay: copy-on-write row-level ops
+    * ("overwrite") and scoped compaction ("rewrite-data"). The replay
+    * folds and the suffix computation go through here.
+    */
+  def removesByPath(op: String): Boolean =
+    op == "overwrite" || op == "rewrite-data"
+
+  /** Operations that move BYTES, not data — full compaction/manifest
+    * rewrites ("rewrite") and scoped compaction ("rewrite-data"). CDC,
+    * changelog and streaming readers skip them without consuming an
+    * ordinal, and branch fast-forward does not count them as
+    * divergence; an "overwrite" (a row-level CoW) is neither.
+    */
+  def isByteMove(op: String): Boolean =
+    op == "rewrite" || op == "rewrite-data"
+
   /** Suffix of the snapshot log since the last rewrite, plus the set
     * of paths removed by overwrites within it — the distributable form
     * of `liveFiles`' replay: only suffix snapshots can contribute live
@@ -2564,7 +2610,7 @@ object LakeTable {
       : (Seq[SnapshotMeta], Set[String]) = {
     val idx = snapshots.lastIndexWhere(s => isReset(s.operation))
     val suffix = if (idx < 0) snapshots else snapshots.drop(idx)
-    (suffix, suffix.filter(_.operation == "overwrite")
+    (suffix, suffix.filter(s => removesByPath(s.operation))
       .flatMap(_.removedPaths).toSet)
   }
 

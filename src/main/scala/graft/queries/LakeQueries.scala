@@ -36,6 +36,42 @@ object LakeQueries extends QueryModule {
     rows.toDF("phase", "seq", "message").orderBy("phase", "seq")
   }
 
+  /** Replay one changelog frame (a full `changelogBetween` log or one
+    * streamed micro-batch) into `d`: per ordinal, deletes (by
+    * `keyCols`) then inserts (of `dataCols`) — mirroring sequence-
+    * number semantics. One metadata-scale collect tells each ordinal's
+    * change kinds; the per-step work is O(delta).
+    */
+  private[queries] def replayChangelog(d: LakeTable, log: DataFrame,
+      keyCols: Seq[String], dataCols: Seq[String]): Unit = {
+    val kinds = log.groupBy("_change_ordinal", "_change_type").count()
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    kinds.map(_._1).toSeq.sorted.foreach { o =>
+      val slice = log.filter(col("_change_ordinal") === o)
+      if (kinds((o, "delete")))
+        d.deleteByKeysMoR(log.sparkSession, slice
+          .filter(col("_change_type") === "delete")
+          .select(keyCols.map(col): _*))
+      if (kinds((o, "insert")))
+        d.append(slice
+          .filter(col("_change_type") === "insert")
+          .select(dataCols.map(col): _*))
+    }
+  }
+
+  /** Fail loudly when two frames differ as MULTISETS over `cols`: one
+    * signed ±1-weight pass (one shuffle, one action) — strictly
+    * stronger than a pair of `except` set-audits.
+    */
+  private[queries] def requireMirrorEqual(src: DataFrame, dst: DataFrame,
+      cols: Seq[String], what: String): Unit = {
+    val diff = src.withColumn("_w", lit(1))
+      .unionByName(dst.withColumn("_w", lit(-1)))
+      .groupBy(cols.map(col): _*)
+      .agg(sum(col("_w")).as("_d")).filter(col("_d") =!= 0)
+    require(diff.isEmpty, s"$what diverged from source")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ddl_create" -> QueryModule.micro(4)((s, _) => {
       val wh = freshWarehouse("create")
@@ -158,33 +194,19 @@ object LakeQueries extends QueryModule {
         .foreachBatch {
           (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
               _: Long) =>
-          val d = LakeTable.load(wh, "scl", "dst")
-          val kinds = batch.groupBy("_change_ordinal", "_change_type")
-            .count().collect()
-            .map(r => (r.getInt(0), r.getString(1))).toSet
-          kinds.map(_._1).toSeq.sorted.foreach { o =>
-            val slice = batch.filter(col("_change_ordinal") === o)
-            if (kinds((o, "delete")))
-              d.deleteByKeysMoR(batch.sparkSession, slice
-                .filter(col("_change_type") === "delete")
-                .select("n_nationkey"))
-            if (kinds((o, "insert")))
-              d.append(slice
-                .filter(col("_change_type") === "insert")
-                .select("n_nationkey", "n_name", "n_regionkey"))
-          }
+          LakeQueries.replayChangelog(LakeTable.load(wh, "scl", "dst"),
+            batch.toDF(), Seq("n_nationkey"),
+            Seq("n_nationkey", "n_name", "n_regionkey"))
           ()
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      val srcRows = LakeTable.load(wh, "scl", "src").read(s)
       val dstRows = LakeTable.load(wh, "scl", "dst").read(s)
-      val diff = srcRows.withColumn("_w", lit(1))
-        .unionByName(dstRows.withColumn("_w", lit(-1)))
-        .groupBy("n_nationkey", "n_name", "n_regionkey")
-        .agg(sum(col("_w")).as("_d")).filter(col("_d") =!= 0)
-      require(diff.isEmpty, "streamed changelog mirror diverged from source")
+      LakeQueries.requireMirrorEqual(
+        LakeTable.load(wh, "scl", "src").read(s), dstRows,
+        Seq("n_nationkey", "n_name", "n_regionkey"),
+        "streamed changelog mirror")
       dstRows.orderBy("n_nationkey")
     }),
 
@@ -1059,36 +1081,17 @@ object RowOpsQueries extends QueryModule {
         .changelogBetween(s, 0L, srcT.metadata.snapshots.map(_.id).max)
         .localCheckpoint()
       // one metadata-scale collect tells each ordinal's change kinds
-      val kinds = log.groupBy("_change_ordinal", "_change_type").count()
-        .collect().map(r => (r.getInt(0), r.getString(1))).toSet
-      val ords = kinds.map(_._1).toSeq.sorted
       // ONE dst handle across the replay: every commit goes through it,
       // so it can never be stale — reloading per ordinal paid a full
       // metadata parse per step for nothing
       val d = LakeTable.load(wh, "clq", "dst")
-      ords.foreach { o =>
-        val slice = log.filter(col("_change_ordinal") === o)
-        if (kinds((o, "delete")))
-          d.deleteByKeysMoR(s, slice
-            .filter(col("_change_type") === "delete")
-            .select("n_nationkey"))
-        if (kinds((o, "insert")))
-          d.append(slice
-            .filter(col("_change_type") === "insert")
-            .select("n_nationkey", "n_name", "n_regionkey"))
-      }
+      LakeQueries.replayChangelog(d, log, Seq("n_nationkey"),
+        Seq("n_nationkey", "n_name", "n_regionkey"))
       // mirror must equal the source exactly — fail loudly before the
-      // oracle if the changelog replay diverged. One signed-multiset
-      // pass (±1 weights, one shuffle, one action) replaces the two
-      // `except` self-audits — and is STRONGER: it checks multiset
-      // equality, which except's set semantics silently would not.
-      val srcRows = srcT.read(s)
+      // oracle if the changelog replay diverged
       val dstRows = d.read(s)
-      val diff = srcRows.withColumn("_w", lit(1))
-        .unionByName(dstRows.withColumn("_w", lit(-1)))
-        .groupBy("n_nationkey", "n_name", "n_regionkey")
-        .agg(sum(col("_w")).as("_d")).filter(col("_d") =!= 0)
-      require(diff.isEmpty, "changelog mirror diverged from source")
+      LakeQueries.requireMirrorEqual(srcT.read(s), dstRows,
+        Seq("n_nationkey", "n_name", "n_regionkey"), "changelog mirror")
       dstRows.orderBy("n_nationkey")
     }),
 

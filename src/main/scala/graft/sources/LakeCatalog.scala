@@ -847,9 +847,18 @@ private[sources] object LakeProcedures {
                   StructField("rewritten_rows", LongType, nullable = false))),
                   Seq[Any](snap.id, snap.files.map(_.rows).sum))
               case "rewrite_data_files" =>
-                val field = strArg(2)
-                val values = strArg(3)
+                // '' and NULL both mean "unset" for the where args; a
+                // NULL threshold must NOT silently read as getLong's 0
+                // (= rewrite everything) — name it instead
+                val field = strArgOrEmpty(2)
+                val values = strArgOrEmpty(3)
                   .split(",").map(_.trim).filter(_.nonEmpty).toSet
+                require(field.isEmpty || values.nonEmpty,
+                  s"CALL rewrite_data_files: where_field '$field' needs " +
+                    "a non-empty where_values list")
+                require(!input.isNullAt(4),
+                  "CALL rewrite_data_files: smaller_than_bytes must not " +
+                    "be NULL (pass 0 to rewrite all in-scope files)")
                 val threshold = input.getLong(4) match {
                   case n if n <= 0 => Long.MaxValue
                   case n => n
@@ -936,7 +945,7 @@ private[sources] object LakeProcedures {
                     published.size,
                     t.metadata.snapshots.map(_.id).foldLeft(0L)(math.max)))
               case "add_partition_field" =>
-                val nameArg = strArg(4)
+                val nameArg = strArgOrEmpty(4)
                 t.addPartitionField(strArg(2),
                   strArg(3),
                   Option(nameArg).filter(_.nonEmpty))
@@ -978,8 +987,8 @@ private[sources] object LakeProcedures {
               case "create_changelog_view" =>
                 val spark = org.apache.spark.sql.SparkSession.active
                 val view = strArg(4)
-                val mode = strArg(5)
-                val idCols = strArg(6)
+                val mode = strArgOrEmpty(5)
+                val idCols = strArgOrEmpty(6)
                   .split(",").map(_.trim).filter(_.nonEmpty).toSeq
                 val (from, to) = (input.getLong(2), input.getLong(3))
                 val log = mode match {

@@ -59,7 +59,7 @@ class LakeStreamProvider extends TableProvider with DataSourceRegister {
     val base = Reconcile.clean(load(options).currentSchema)
       .asInstanceOf[StructType]
     if (Option(options.get("changelog")).exists(_.toBoolean))
-      StructType(base.fields.toSeq ++ LakeSource.changelogFields)
+      LakeSource.changelogSchema(base)
     else base
   }
 
@@ -180,9 +180,8 @@ private[sources] class LakeSparkTable(wh: String, db: String, tbl: String,
 
   override def schema(): StructType = {
     if (changelogMode)
-      return StructType(
-        Reconcile.clean(pinnedSchema).asInstanceOf[StructType].fields.toSeq ++
-          LakeSource.changelogFields)
+      return LakeSource.changelogSchema(
+        Reconcile.clean(pinnedSchema).asInstanceOf[StructType])
     val clean = Reconcile.clean(pinnedSchema).asInstanceOf[StructType]
     // advertise defaults in Spark's convention so `INSERT ... VALUES
     // (..., DEFAULT)` resolves to the declared literal instead of
@@ -249,11 +248,13 @@ private[sources] class LakeSparkTable(wh: String, db: String, tbl: String,
     require(!(changelogMode && incremental.isDefined),
       "changelog cannot combine with fromSnapshot/toSnapshot (the " +
         "stream's startSnapshot option positions a changelog read)")
-    // keep the field-id-bearing schema (the reader reconciles by id);
-    // readSchema cleans at the end like the normal path
+    // keep the field-id-bearing schema (the reader reconciles by id)
+    // but force data columns nullable — marker rows null-fill non-key
+    // columns; readSchema cleans at the end like the normal path
     val full =
       if (changelogMode)
-        StructType(pinnedSchema.fields.toSeq ++ LakeSource.changelogFields)
+        StructType(pinnedSchema.fields.toSeq.map(_.copy(nullable = true)) ++
+          LakeSource.changelogFields)
       else pinnedSchema
     new LakeScanBuilder(wh, db, tbl, startSnapshot, full, asOfSnapshot,
       maxSnapshotsPerTrigger =
@@ -540,7 +541,7 @@ private[sources] class LakeScan(wh: String, db: String, tbl: String,
           .filter(s => s.id > from && s.id <= to)
         val destructive = inRange.filter(s =>
           s.operation != "append" && s.operation != "upsert" &&
-            s.operation != "rewrite")
+            !LakeTable.isByteMove(s.operation))
         if (destructive.nonEmpty && !skipDeleteSnapshots)
           throw new IllegalStateException(
             s"incremental read of $db.$tbl ($from, $to] hit " +
@@ -953,7 +954,7 @@ private[sources] class LakeMicroBatchStream(wh: String, db: String,
     if (changelogMode) return planChangelogPartitions(md, inRange)
     val destructive = inRange.filter(sn =>
       sn.operation != "append" && sn.operation != "upsert" &&
-        sn.operation != "rewrite")
+        !LakeTable.isByteMove(sn.operation))
     if (destructive.nonEmpty && !skipDeleteSnapshots)
       throw new IllegalStateException(
         s"streaming read of $db.$tbl hit non-append snapshot(s) " +
@@ -981,14 +982,16 @@ private[sources] class LakeMicroBatchStream(wh: String, db: String,
   private def planChangelogPartitions(md: graft.lake.TableMetadata,
       inRange: Seq[graft.lake.SnapshotMeta]): Array[InputPartition] = {
     val bad = inRange.filterNot(sn =>
-      Set("append", "upsert", "delete", "rewrite").contains(sn.operation))
+      Set("append", "upsert", "delete").contains(sn.operation) ||
+        LakeTable.isByteMove(sn.operation))
     if (bad.nonEmpty) throw new IllegalStateException(
       s"changelog stream of $db.$tbl hit snapshot(s) " +
         bad.map(sn => s"${sn.id}(${sn.operation})").mkString(", ") +
         ": copy-on-write commits carry no row-level change information")
     val dataTarget = StructType(
       target.fields.filterNot(f => LakeSource.isChangelogCol(f.name)))
-    inRange.filterNot(_.operation == "rewrite").sortBy(_.id).zipWithIndex
+    inRange.filterNot(sn => LakeTable.isByteMove(sn.operation))
+      .sortBy(_.id).zipWithIndex
       .flatMap { case (sn, ord) =>
         def wrap(p: InputPartition, typ: String): InputPartition =
           LakeChangelogPartition(p, typ, ord, sn.id, target)
@@ -1335,6 +1338,15 @@ private[sources] object LakeSource {
   def isChangelogCol(name: String): Boolean =
     name == ChangeTypeCol || name == ChangeOrdinalCol ||
       name == ChangeSnapshotCol
+
+  /** The changelog schema over `base`: every data column NULLABLE —
+    * equality-delete markers carry only key columns, so a required
+    * non-key column WILL be null in marker rows and the advertised
+    * schema must say so (codegen trusts non-nullability).
+    */
+  def changelogSchema(base: StructType): StructType =
+    StructType(base.fields.toSeq.map(_.copy(nullable = true)) ++
+      changelogFields)
 
   /** Snapshot log truncated to an optional VERSION AS OF pin. */
   def visibleSnapshots(t: LakeTable,

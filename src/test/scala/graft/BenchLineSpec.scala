@@ -41,8 +41,19 @@ class BenchLineSpec extends AnyFunSuite {
     val failed = obj.fields("failed").asInstanceOf[graft.schema.JArray].items
       .map(_.asInstanceOf[graft.schema.JString].value)
     assert(failed == Seq("q_some_rather_long_query_name_001"))
+    assert(obj.fields("n_failed").asInstanceOf[JNumber].value == 1)
     // the success path must not emit the field at all
     assert(!Bench.renderLine(results(3), "sf").contains("failed"))
+  }
+
+  test("a mass failure stays within the line budget (capped list, exact count)") {
+    val names = (0 until 200).map(i => f"q_some_rather_long_query_name_$i%03d")
+    val line = Bench.renderLine(results(200), "sf", failed = names)
+    assert(line.length <= Bench.MaxLineChars, s"${line.length} chars")
+    val obj = Json.parse(line).asInstanceOf[JObject]
+    assert(obj.fields("n_failed").asInstanceOf[JNumber].value == 200)
+    val shown = obj.fields("failed").asInstanceOf[graft.schema.JArray].items
+    assert(shown.size <= 16)
   }
 
   test("valid JSON under a comma-decimal locale") {

@@ -193,6 +193,13 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(LakeTable.liveDeletes(t2.metadata.snapshots).isEmpty,
       "the scope's position deletes are materialized away")
     assert(ids(t2) == Set(2L, 10L, 11L))
+    // the commit is a byte move, not a CoW overwrite: changelog/CDC
+    // consumers skip it instead of wedging on "copy-on-write commits
+    // carry no row-level change information"
+    assert(snap.get.operation == "rewrite-data")
+    val log = t2.changelogBetween(spark, 0L,
+      t2.metadata.snapshots.map(_.id).max)
+    assert(log.filter(col("_change_type") === "insert").count() >= 3)
   }
 
   test("compactScoped no-ops when nothing in scope needs rewriting") {
