@@ -63,10 +63,18 @@ class EqDeleteRandomSpec extends AnyFunSuite {
           val keys = randomKeys(1 + rnd.nextInt(3)) :+ (999999L + i)
           t.deleteByKeysMoR(spark, keys.toDF("id"))
           keys.foreach(model.remove)
-        case 8 if allowCompact => // materialize: state identical after
+        case 8 if allowCompact && rnd.nextBoolean() =>
+          // full materialize: state identical after; squashes history
           t.compact(spark)
           t = LakeTable.load(wh, "d", "t")
           compacted = true
+        case 8 if allowCompact =>
+          // SCOPED compaction (rewrite-data): materializes live deletes
+          // without resetting the replay — state identical after, and
+          // unlike full compact the pre-compaction pins stay
+          // time-travelable (old files remain listed by history)
+          t.compactScoped(spark)
+          t = LakeTable.load(wh, "d", "t")
         case 8 => () // compaction disabled: keep history for time travel
         case 9 if allowCompact && rnd.nextBoolean() =>
           // full-content replace (INSERT OVERWRITE): resets the
