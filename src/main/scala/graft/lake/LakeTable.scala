@@ -1210,6 +1210,52 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     }
   }
 
+  /** Iceberg's `add_files` / migrate shape: register EXISTING parquet
+    * files into the table BY REFERENCE — no read, no copy, no rewrite;
+    * O(files) footer IO for row counts and min/max stats. The 100-TB
+    * onboarding path: pointing the table at data that already exists
+    * instead of re-ingesting it.
+    *
+    * External files carry no graft field ids, so reads match their
+    * columns by NAME against the schema current at registration: every
+    * file column that shares a name with a current column must match
+    * its type EXACTLY (both readers pin the registered schema; a
+    * mismatched physical type would fail row-by-row later — refuse at
+    * registration instead). Current-schema columns absent from a file
+    * read as null/initial-default via the normal reconciliation; extra
+    * file columns are ignored. Later renames/evolutions work like any
+    * other old-schema file (the registered schema version keeps the
+    * names the files were matched under). Unpartitioned specs only —
+    * external files carry no partition values. The files are
+    * REFERENCED, not owned: compaction rewrites them into owned files,
+    * and the orphan sweep (table-dir-scoped) never touches them.
+    */
+  def addFiles(spark: SparkSession, paths: Seq[String]): SnapshotMeta = {
+    require(paths.nonEmpty, "add_files: no paths given")
+    require(md.currentSpec.fields.isEmpty,
+      "add_files supports unpartitioned tables only (external files " +
+        "carry no partition values)")
+    val live = LakeTable.liveFiles(md.snapshots)
+      .map(f => LakeTable.normalizePath(f.path)).toSet
+    val dup = paths.filter(p => live(LakeTable.normalizePath(p)))
+    require(dup.isEmpty,
+      s"add_files: already part of the live set: ${dup.mkString(", ")}")
+    val cur = Reconcile.clean(md.currentSchema).asInstanceOf[StructType]
+    paths.foreach { p =>
+      require(Files.exists(Paths.get(p)), s"add_files: no such file $p")
+      val fs = spark.read.parquet(p).schema
+      cur.fields.filter(tf => fs.fieldNames.contains(tf.name)).foreach { tf =>
+        val ft = fs(tf.name).dataType
+        require(ft == tf.dataType,
+          s"add_files: $p column '${tf.name}' is ${ft.simpleString}, " +
+            s"table expects ${tf.dataType.simpleString} — evolve the " +
+            "table or rewrite the file first")
+      }
+    }
+    commitExternalFiles(paths.map(_ -> Map.empty[String, String]),
+      md.currentSchemaId, md.currentSpecId)
+  }
+
   /** Register externally written parquet files (the DSv2 sink's and
     * row-level ops' executor-side writers) as one snapshot: row counts
     * and min/max stats come from the footers, partition values were

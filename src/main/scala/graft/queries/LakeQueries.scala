@@ -1274,6 +1274,53 @@ object RowOpsQueries extends QueryModule {
         .orderBy("grp")
     }),
 
+    "lake_add_files" -> QueryModule.micro(4)((s, dir) => {
+      // Iceberg's add_files / migrate: the shared orders.parquet is
+      // registered into the table BY REFERENCE — zero copy, zero
+      // rewrite, footer-only IO (the 100-TB onboarding path). The key
+      // self-audits that nothing landed under the table's own data dir
+      // and that the live set points at the external file, then mixes
+      // the referenced data with an ordinary append and a keyed MoR
+      // delete (equality batches apply to external files through the
+      // same sequence rules) before the oracle compare.
+      val wh = LakeQueries.freshWarehouse("addfiles")
+      Engine.processTableDefJson(wh,
+        """{"database_name":"af","table_name":"orders_ext","columns":[
+          |{"column_name":"o_orderkey","data_type":"long"},
+          |{"column_name":"o_custkey","data_type":"long"},
+          |{"column_name":"o_totalprice","data_type":"double"}],
+          |"partitions":[]}""".stripMargin)
+      s.conf.set("spark.sql.catalog.gaf", "graft.sources.LakeCatalog")
+      s.conf.set("spark.sql.catalog.gaf.warehouse", wh)
+      val proc = s.sql(
+        s"""CALL gaf.system.add_files(db => 'af', `table` => 'orders_ext',
+           |paths => '$dir/orders.parquet')""".stripMargin).head()
+      val t = LakeTable.load(wh, "af", "orders_ext")
+      val dataDir = java.nio.file.Paths.get(wh, "af", "orders_ext", "data")
+      require(!java.nio.file.Files.exists(dataDir) ||
+        !java.nio.file.Files.list(dataDir).findAny().isPresent,
+        "add_files must not copy data under the table")
+      require(t.plannedFiles().map(_.path).toSet ==
+        Set(s"$dir/orders.parquet"),
+        "live set must reference the external file")
+      val orders = Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      require(proc.getAs[Long]("added_rows") == orders.count(),
+        "footer row count must match the file")
+      t.append(orders.filter(col("o_orderkey") < 10)
+        .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          col("o_custkey"), col("o_totalprice")))
+      t.deleteByKeysMoR(s,
+        orders.filter(col("o_orderkey") < 100).select("o_orderkey"))
+      s.sql(
+        """SELECT CAST(o_orderkey % 3 AS BIGINT) AS bucket,
+          |  COUNT(*) AS n_orders,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+          |    AS sum_price
+          |FROM gaf.af.orders_ext
+          |GROUP BY 1 ORDER BY bucket""".stripMargin)
+    }),
+
     "lake_compact_scoped" -> QueryModule.micro(4)((s, dir) => {
       // partition-scoped compaction (Iceberg's rewrite_data_files
       // (where => ...)): three interleaved appends leave every status
@@ -1584,6 +1631,22 @@ object RowOpsQueries extends QueryModule {
         |WHERE o_orderkey <= (SELECT max(o_orderkey) // 5 FROM orders)
         |  AND o_custkey <= (SELECT max(o_custkey) // 5 FROM orders)
         |GROUP BY 1 ORDER BY grp""".stripMargin,
+
+    // referenced orders.parquet + appended keys<10 shifted +10M, then
+    // keyed MoR delete of keys<100 (shifted rows unaffected)
+    "lake_add_files" ->
+      """WITH src AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey, o_totalprice
+        |  FROM orders WHERE o_orderkey < 10
+        |)
+        |SELECT CAST(o_orderkey % 3 AS BIGINT) AS bucket,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS sum_price
+        |FROM src WHERE o_orderkey >= 100
+        |GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "lake_compact_scoped" ->
       """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,

@@ -714,7 +714,7 @@ private[sources] object LakeProcedures {
 
   val names: Set[String] =
     Set("expire_snapshots", "expire_older_than", "remove_orphan_files",
-      "compact", "rewrite_data_files",
+      "compact", "rewrite_data_files", "add_files",
       "rollback_to_snapshot", "create_tag", "create_branch",
       "drop_ref", "publish_wap", "discard_wap", "rebase_branch",
       "rewrite_manifests", "fast_forward",
@@ -755,6 +755,11 @@ private[sources] object LakeProcedures {
               param("where_field", StringType),
               param("where_values", StringType),
               param("smaller_than_bytes", LongType))
+            // Iceberg's add_files: register existing parquet files by
+            // reference (comma-separated absolute paths)
+            case "add_files" => Array(
+              param("db", StringType), param("table", StringType),
+              param("paths", StringType))
             case "rollback_to_snapshot" => Array(
               param("db", StringType), param("table", StringType),
               param("snapshot_id", LongType))
@@ -877,6 +882,17 @@ private[sources] object LakeProcedures {
                   StructField("carried_files", IntegerType, nullable = false))),
                   Seq[Any](snap.map(_.id).getOrElse(-1L), rewrittenIn,
                     snap.map(_.files.size).getOrElse(0), before - rewrittenIn))
+              case "add_files" =>
+                val paths = strArg(2).split(",").map(_.trim)
+                  .filter(_.nonEmpty).toSeq
+                val snap = t.addFiles(
+                  org.apache.spark.sql.SparkSession.active, paths)
+                (StructType(Seq(
+                  StructField("snapshot_id", LongType, nullable = false),
+                  StructField("added_files", IntegerType, nullable = false),
+                  StructField("added_rows", LongType, nullable = false))),
+                  Seq[Any](snap.id, snap.files.size,
+                    snap.files.map(_.rows).sum))
               case "rewrite_manifests" =>
                 // manifests the forward replay had to consult before
                 // the rewrite — afterwards it consults exactly one

@@ -1,0 +1,103 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.lake.{Engine, LakeTable}
+
+/** `addFiles` (Iceberg's add_files / migrate): external parquet joins
+  * the table by reference — validation edges, read-path integration
+  * (name-matched columns, null-fill, eq-delete applicability), and
+  * the not-owned contract.
+  */
+class AddFilesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def mk(tag: String, cols: String, parts: String = "[]")
+      : (String, LakeTable) = {
+    val wh = Files.createTempDirectory(s"graft-addf-$tag").toString
+    Engine.processTableDefJson(wh,
+      s"""{"database_name":"d","table_name":"t","columns":[$cols],
+         |"partitions":$parts}""".stripMargin)
+    (wh, LakeTable.load(wh, "d", "t"))
+  }
+
+  private def extParquet(tag: String, rows: Seq[(Long, String)]): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory(s"graft-ext-$tag").toString
+    rows.toDF("id", "v").coalesce(1).write.mode("overwrite").parquet(dir)
+    Files.list(java.nio.file.Paths.get(dir)).filter(
+      _.toString.endsWith(".parquet")).findFirst().get().toString
+  }
+
+  private val idv =
+    """{"column_name":"id","data_type":"long"},
+      |{"column_name":"v","data_type":"string"}""".stripMargin
+
+  test("registers by reference; reads, null-fills, and eq-deletes apply") {
+    val ext = extParquet("basic", Seq(1L -> "a", 2L -> "b"))
+    // table has an EXTRA column the file lacks → null-filled on read
+    val (_, t) = mk("basic",
+      """{"column_name":"id","data_type":"long"},
+        |{"column_name":"v","data_type":"string"},
+        |{"column_name":"extra","data_type":"string"}""".stripMargin)
+    val snap = t.addFiles(spark, Seq(ext))
+    assert(snap.files.map(_.path) == Seq(ext))
+    assert(snap.files.head.rows == 2L)
+    val got = t.read(spark).select("id", "v", "extra").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set((1L, "a", null), (2L, "b", null)))
+    // an eq-delete batch (later sequence) kills rows in the external file
+    import spark.implicits._
+    t.deleteByKeysMoR(spark, Seq(1L).toDF("id"))
+    assert(t.read(spark).select("id").collect().map(_.getLong(0)).toSeq
+      == Seq(2L))
+    // compaction rewrites the external data into OWNED files
+    t.compact(spark)
+    assert(!t.plannedFiles().map(_.path).contains(ext))
+    assert(Files.exists(java.nio.file.Paths.get(ext)),
+      "compaction must not delete a file the table never owned")
+  }
+
+  test("type mismatch, duplicates, partitioned specs, missing files refuse") {
+    val ext = extParquet("edges", Seq(1L -> "a"))
+    // column 'id' declared int (file has int64) → loud refusal
+    val (_, bad) = mk("edges-int",
+      """{"column_name":"id","data_type":"int"},
+        |{"column_name":"v","data_type":"string"}""".stripMargin)
+    val e = intercept[IllegalArgumentException] {
+      bad.addFiles(spark, Seq(ext))
+    }
+    assert(e.getMessage.contains("'id'") && e.getMessage.contains("int"))
+    // partitioned spec → refused (no partition values to derive)
+    val (_, parted) = mk("edges-part", idv,
+      """[{"column":"v","name":"pv"}]""")
+    assert(intercept[IllegalArgumentException] {
+      parted.addFiles(spark, Seq(ext))
+    }.getMessage.contains("unpartitioned"))
+    // double registration → refused
+    val (_, ok) = mk("edges-dup", idv)
+    ok.addFiles(spark, Seq(ext))
+    assert(intercept[IllegalArgumentException] {
+      ok.addFiles(spark, Seq(ext))
+    }.getMessage.contains("already"))
+    // missing path → refused by name
+    assert(intercept[IllegalArgumentException] {
+      ok.addFiles(spark, Seq("/no/such/file.parquet"))
+    }.getMessage.contains("no such file"))
+  }
+
+  test("a rename after registration keeps the file readable (by-name " +
+      "match is pinned to the registration-time schema)") {
+    val ext = extParquet("rename", Seq(5L -> "x"))
+    val (wh, t) = mk("rename", idv)
+    t.addFiles(spark, Seq(ext))
+    t.renameColumn("v", "val")
+    val t2 = LakeTable.load(wh, "d", "t")
+    val got = t2.read(spark).select("id", "val").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((5L, "x")))
+  }
+}
