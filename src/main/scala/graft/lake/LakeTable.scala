@@ -2046,6 +2046,14 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
   def removeOrphanFiles(
       olderThanMillis: Long = 24L * 60 * 60 * 1000): Seq[String] = {
     import scala.util.Using
+    // snapshot clones (gc.enabled=false) share files with their source
+    // table — a sweep computed from the CLONE's references could never
+    // be safe for anyone, so refuse outright (Iceberg's gc.enabled
+    // contract for snapshot/registered tables)
+    require(!md.properties.get("gc.enabled").contains("false"),
+      s"table ${md.database}.${md.table} has gc.enabled=false (a " +
+        "snapshot clone shares its files) — removeOrphanFiles is " +
+        "disabled on it")
     // the referenced set MUST be computed from the latest committed
     // metadata: a handle loaded long ago would treat files referenced
     // only by commits it hasn't observed as unreferenced, and their
@@ -2790,6 +2798,47 @@ object LakeTable {
               s"(have ${schema.fieldNames.mkString(", ")})"))
         FieldIds.idOf(f)
       }
+
+  /** Iceberg's `snapshot` procedure: a ZERO-COPY clone — the new table
+    * gets a full copy of the source's metadata (schemas, specs, the
+    * whole snapshot log, refs, staged commits) and references the same
+    * data/delete/key files by absolute path; only the O(manifests)
+    * manifest documents are copied (names resolve relative to each
+    * table's metadata dir). The clone then evolves independently: its
+    * writes land under its own directory and never touch shared files.
+    *
+    * `gc.enabled=false` is stamped on the clone and `removeOrphanFiles`
+    * refuses to run on it — a sweep from the clone's reference set
+    * could delete nothing safely. The INVERSE hazard is the user's
+    * contract, as in Iceberg: expiring + sweeping the SOURCE can delete
+    * files the clone still references.
+    */
+  def snapshotTable(warehouse: String, srcDb: String, srcTable: String,
+      toDb: String, toTable: String): (LakeTable, Seq[String]) = {
+    val src = load(warehouse, srcDb, srcTable)
+    val loc = tableLocation(warehouse, toDb, toTable)
+    require(!Files.exists(loc.resolve("metadata").resolve("version-hint.text")),
+      s"table already exists at $loc")
+    val srcMeta = src.location.resolve("metadata")
+    val dstMeta = loc.resolve("metadata")
+    Files.createDirectories(dstMeta)
+    def manifestNames(files: Seq[DataFileMeta]): Seq[String] = files match {
+      case mf: ManifestFiles => Seq(mf.manifestName)
+      case ms: ManifestSet => ms.parts.map(_.manifestName)
+      case _ => Seq.empty
+    }
+    (src.metadata.snapshots ++ src.metadata.staged)
+      .flatMap(s => manifestNames(s.files)).distinct
+      .foreach(n => Files.copy(srcMeta.resolve(n), dstMeta.resolve(n)))
+    val cloned = src.metadata.copy(database = toDb, table = toTable,
+      properties = src.metadata.properties + ("gc.enabled" -> "false"))
+    val t = new LakeTable(loc, cloned)
+    val metaFile = t.commit(cloned)
+    (t, Seq(
+      s"Created snapshot table $toDb.$toTable from $srcDb.$srcTable " +
+        s"(${cloned.snapshots.size} snapshots, zero data copied)",
+      s"Latest Meta file: $metaFile"))
+  }
 
   def load(warehouse: String, db: String, table: String): LakeTable = {
     val loc = tableLocation(warehouse, db, table)

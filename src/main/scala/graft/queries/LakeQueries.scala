@@ -1321,6 +1321,57 @@ object RowOpsQueries extends QueryModule {
           |GROUP BY 1 ORDER BY bucket""".stripMargin)
     }),
 
+    "lake_snapshot_clone" -> QueryModule.micro(4)((s, dir) => {
+      // Iceberg's snapshot procedure: a zero-copy dev clone of a table
+      // with MoR history — full metadata copy (snapshot log, delete
+      // files) referencing the SAME data by path, no bytes moved. The
+      // clone then evolves independently (a blind upsert lands only
+      // under the clone), time travel works over the cloned history,
+      // and the clone refuses orphan sweeps (gc.enabled=false: it
+      // shares files it does not own). Self-audited on all four before
+      // the oracle compare.
+      val wh = LakeQueries.freshWarehouse("snapclone")
+      Engine.processTableDefJson(wh,
+        """{"database_name":"sn","table_name":"src","columns":[
+          |{"column_name":"n_nationkey","data_type":"int"},
+          |{"column_name":"n_name","data_type":"string"},
+          |{"column_name":"n_regionkey","data_type":"int"}],
+          |"partitions":[]}""".stripMargin)
+      val src = LakeTable.load(wh, "sn", "src")
+      val nat = Tables(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+      src.append(nat)
+      src.deleteMoR(s, col("n_regionkey") === 4)
+      s.conf.set("spark.sql.catalog.gsnap", "graft.sources.LakeCatalog")
+      s.conf.set("spark.sql.catalog.gsnap.warehouse", wh)
+      s.sql(
+        """CALL gsnap.system.snapshot(db => 'sn', `table` => 'src',
+          |to_db => 'sn', to_table => 'dev')""".stripMargin)
+      val dev = LakeTable.load(wh, "sn", "dev")
+      val devData = java.nio.file.Paths.get(wh, "sn", "dev", "data")
+      require(!java.nio.file.Files.exists(devData),
+        "snapshot clone must copy zero data bytes")
+      LakeQueries.requireMirrorEqual(src.read(s), dev.read(s),
+        Seq("n_nationkey", "n_name", "n_regionkey"), "snapshot clone")
+      // cloned history time-travels: the pre-delete state is intact
+      require(dev.read(s, asOfSnapshot = Some(1L)).count() == nat.count(),
+        "clone must time-travel over the cloned history")
+      // the clone evolves independently — its upsert must not touch src
+      dev.upsertMoR(s, nat.filter(col("n_nationkey") < 5)
+        .withColumn("n_name", concat(lit("dev_"), col("n_name"))),
+        keys = Seq("n_nationkey"))
+      require(LakeTable.load(wh, "sn", "src").read(s).count() ==
+        dev.read(s).count() - nat.filter(col("n_nationkey") < 5 &&
+          col("n_regionkey") === 4).count(),
+        "source must not observe the clone's writes")
+      // gc refusal: a sweep from the clone's references is never safe
+      val refused =
+        try { dev.removeOrphanFiles(0); false }
+        catch { case _: IllegalArgumentException => true }
+      require(refused, "removeOrphanFiles must refuse on a clone")
+      dev.read(s).orderBy("n_nationkey")
+    }),
+
     "lake_compact_scoped" -> QueryModule.micro(4)((s, dir) => {
       // partition-scoped compaction (Iceberg's rewrite_data_files
       // (where => ...)): three interleaved appends leave every status
@@ -1631,6 +1682,16 @@ object RowOpsQueries extends QueryModule {
         |WHERE o_orderkey <= (SELECT max(o_orderkey) // 5 FROM orders)
         |  AND o_custkey <= (SELECT max(o_custkey) // 5 FROM orders)
         |GROUP BY 1 ORDER BY grp""".stripMargin,
+
+    // clone of (append nation; MoR-delete region 4), then a clone-local
+    // blind upsert of keys<5 as dev_ (re-adding even region-4 ones)
+    "lake_snapshot_clone" ->
+      """SELECT CAST(n_nationkey AS INTEGER) AS n_nationkey,
+        |  CASE WHEN n_nationkey < 5 THEN 'dev_' || n_name
+        |       ELSE n_name END AS n_name,
+        |  CAST(n_regionkey AS INTEGER) AS n_regionkey
+        |FROM nation WHERE n_nationkey < 5 OR n_regionkey <> 4
+        |ORDER BY n_nationkey""".stripMargin,
 
     // referenced orders.parquet + appended keys<10 shifted +10M, then
     // keyed MoR delete of keys<100 (shifted rows unaffected)

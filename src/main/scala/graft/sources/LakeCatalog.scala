@@ -714,7 +714,7 @@ private[sources] object LakeProcedures {
 
   val names: Set[String] =
     Set("expire_snapshots", "expire_older_than", "remove_orphan_files",
-      "compact", "rewrite_data_files", "add_files",
+      "compact", "rewrite_data_files", "add_files", "snapshot",
       "rollback_to_snapshot", "create_tag", "create_branch",
       "drop_ref", "publish_wap", "discard_wap", "rebase_branch",
       "rewrite_manifests", "fast_forward",
@@ -760,6 +760,10 @@ private[sources] object LakeProcedures {
             case "add_files" => Array(
               param("db", StringType), param("table", StringType),
               param("paths", StringType))
+            // Iceberg's snapshot: zero-copy clone into to_db.to_table
+            case "snapshot" => Array(
+              param("db", StringType), param("table", StringType),
+              param("to_db", StringType), param("to_table", StringType))
             case "rollback_to_snapshot" => Array(
               param("db", StringType), param("table", StringType),
               param("snapshot_id", LongType))
@@ -882,6 +886,17 @@ private[sources] object LakeProcedures {
                   StructField("carried_files", IntegerType, nullable = false))),
                   Seq[Any](snap.map(_.id).getOrElse(-1L), rewrittenIn,
                     snap.map(_.files.size).getOrElse(0), before - rewrittenIn))
+              case "snapshot" =>
+                val (clone, _) = LakeTable.snapshotTable(warehouse,
+                  db, tbl, strArg(2), strArg(3))
+                (StructType(Seq(
+                  StructField("cloned_snapshots", IntegerType,
+                    nullable = false),
+                  StructField("current_snapshot_id", LongType,
+                    nullable = false))),
+                  Seq[Any](clone.metadata.snapshots.size,
+                    clone.metadata.snapshots.map(_.id)
+                      .foldLeft(0L)(math.max)))
               case "add_files" =>
                 val paths = strArg(2).split(",").map(_.trim)
                   .filter(_.nonEmpty).toSeq

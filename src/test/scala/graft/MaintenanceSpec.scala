@@ -213,6 +213,36 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(t.metadata.snapshots.size == n, "no empty overwrite committed")
   }
 
+  test("snapshotTable clones out-of-line manifests and isolates writes") {
+    val (wh, t) = mkTable("clone")
+    t.append(df(1L -> "a", 2L -> "b"))
+    t.append(df(3L -> "c"))
+    // force the out-of-line manifest tier so the clone exercises the
+    // manifest-document copy, not just inline file lists
+    t.rewriteManifests()
+    t.append(df(4L -> "d"))
+    val (clone, msgs) = LakeTable.snapshotTable(wh, "d", "t", "d", "t2")
+    assert(msgs.head.contains("zero data copied"))
+    assert(ids(clone) == Set(1L, 2L, 3L, 4L))
+    // fresh load re-resolves manifests against the CLONE's metadata dir
+    val re = LakeTable.load(wh, "d", "t2")
+    assert(ids(re) == Set(1L, 2L, 3L, 4L))
+    assert(!Files.exists(re.location.resolve("data")),
+      "no data bytes under the clone")
+    // writes are isolated in both directions
+    re.append(df(5L -> "e"))
+    t.append(df(6L -> "f"))
+    assert(ids(LakeTable.load(wh, "d", "t2")) == Set(1L, 2L, 3L, 4L, 5L))
+    assert(ids(LakeTable.load(wh, "d", "t")) == Set(1L, 2L, 3L, 4L, 6L))
+    // the clone's sweep refuses; the SOURCE's still runs
+    intercept[IllegalArgumentException] { re.removeOrphanFiles(0) }
+    assert(LakeTable.load(wh, "d", "t").removeOrphanFiles(0).isEmpty)
+    // re-cloning over an existing table refuses
+    intercept[IllegalArgumentException] {
+      LakeTable.snapshotTable(wh, "d", "t", "d", "t2")
+    }
+  }
+
   test("compactScoped keeps equality-delete batches applying to carried files") {
     val (wh, t) = mkPartTable("eq")
     t.append(pdf((1L, "a", "old"), (10L, "b", "old")))
