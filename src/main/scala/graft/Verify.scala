@@ -17,6 +17,11 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // fixture preflight (round-5 postmortem): name any drifted table
+    // in ONE line before queries die deep inside analysis. Advisory —
+    // queries still run, since adaptive loaders may cope.
+    graft.queries.FixtureSchemas.preflight(spark, sfDir).foreach(p =>
+      System.err.println(s"[verify] FIXTURE DRIFT: $p"))
     // Queries are independent (distinct output dirs, distinct scratch
     // warehouses) — run them on a small thread pool so Spark can overlap
     // planning/IO-bound queries with compute-bound ones. FIFO scheduling
