@@ -121,6 +121,66 @@ class EqDeleteRandomSpec extends AnyFunSuite {
     runScenario(seed = 42L, ops = 30)
   }
 
+  test("changelog replay of a random MoR history reconstructs the state, " +
+      "through a scoped compaction") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(2024L)
+    val wh = Files.createTempDirectory("graft-chlogrnd").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"t","columns":[
+        |{"column_name":"id","data_type":"long"},
+        |{"column_name":"v","data_type":"string"}],"partitions":[]}""".stripMargin)
+    val t = LakeTable.load(wh, "d", "t")
+    val model = scala.collection.mutable.Map.empty[Long, String]
+    var nextFresh = 0L
+    (1 to 25).foreach { i =>
+      rnd.nextInt(8) match {
+        case 0 | 1 =>
+          nextFresh += 1
+          t.append(Seq((nextFresh, s"a$i")).toDF("id", "v"))
+          model(nextFresh) = s"a$i"
+        case 2 | 3 | 4 =>
+          val keys = (if (model.nonEmpty)
+            Seq(model.keySet.toSeq(rnd.nextInt(model.size))) else Seq.empty) ++
+            { nextFresh += 1; Seq(nextFresh) }
+          val rows = keys.distinct.map(k => (k, s"u$i-$k"))
+          t.upsertMoR(spark, rows.toDF("id", "v"), Seq("id"))
+          rows.foreach { case (k, v) => model(k) = v }
+        case 5 | 6 if model.nonEmpty =>
+          val k = model.keySet.toSeq(rnd.nextInt(model.size))
+          t.deleteByKeysMoR(spark, Seq(k).toDF("id"))
+          model.remove(k)
+        case _ =>
+          // scoped compaction mid-history: a byte move the changelog
+          // must SKIP without consuming an ordinal or losing changes
+          t.compactScoped(spark)
+      }
+    }
+    val maxId = t.metadata.snapshots.map(_.id).max
+    // raw changelog replay: per ordinal, deletes before inserts
+    val log = t.changelogBetween(spark, 0L, maxId)
+      .select("_change_ordinal", "_change_type", "id", "v").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        Option(r.getString(3)).orNull))
+    val replay = scala.collection.mutable.Map.empty[Long, String]
+    log.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (_, rows) =>
+      rows.filter(_._2 == "delete").foreach(r => replay.remove(r._3))
+      rows.filter(_._2 == "insert").foreach(r => replay(r._3) = r._4)
+    }
+    assert(replay == model, "raw changelog replay diverged")
+    // net-changes replay: per identity, before-images out, afters in
+    val net = t.changelogNet(spark, 0L, maxId, Seq("id"))
+      .select("_change_type", "id", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        Option(r.getString(2)).orNull))
+    val netReplay = scala.collection.mutable.Map.empty[Long, String]
+    net.filter(r => r._1 == "delete" || r._1 == "update_before")
+      .foreach(r => netReplay.remove(r._2))
+    net.filter(r => r._1 == "insert" || r._1 == "update_after")
+      .foreach(r => netReplay(r._2) = r._3)
+    assert(netReplay == model, "net changelog replay diverged")
+  }
+
   test("a second seed exercises a different interleaving") {
     runScenario(seed = 1337L, ops = 30)
   }
