@@ -1230,18 +1230,41 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     * REFERENCED, not owned: compaction rewrites them into owned files,
     * and the orphan sweep (table-dir-scoped) never touches them.
     */
-  def addFiles(spark: SparkSession, paths: Seq[String]): SnapshotMeta = {
+  def addFiles(spark: SparkSession, paths: Seq[String],
+      partitionBase: Option[String] = None): SnapshotMeta = {
     require(paths.nonEmpty, "add_files: no paths given")
-    require(md.currentSpec.fields.isEmpty,
-      "add_files supports unpartitioned tables only (external files " +
-        "carry no partition values)")
+    val spec = md.currentSpec
+    // partitioned specs: partition values come from the files' hive
+    // layout (`k=v` dir segments below `partitionBase`), exactly
+    // Iceberg's add_files-from-a-Hive-table shape. Identity transforms
+    // only — a hive dir carries SOURCE values, and for any other
+    // transform the metadata would need the transformed ones.
+    val partColOfSpecField: Seq[(String, String)] =
+      if (spec.fields.isEmpty) Seq.empty
+      else {
+        require(partitionBase.isDefined,
+          "add_files on a partitioned table: pass the hive-layout base " +
+            "dir so partition values can be derived from k=v segments")
+        require(spec.fields.forall(_.transform == "identity"),
+          "add_files supports identity partition specs only (hive dirs " +
+            s"carry source values; spec has ${spec.fields.map(f =>
+              s"${f.transform}(${f.name})").mkString(", ")})")
+        val flat = FieldIds.flatten(md.currentSchema)
+        spec.fields.map { f =>
+          val src = flat.collectFirst {
+            case (p, fd) if FieldIds.idOf(fd) == f.sourceFieldId => p
+          }.getOrElse(throw new IllegalStateException(
+            s"spec source field ${f.sourceFieldId} not in schema"))
+          f.name -> src
+        }
+      }
     val live = LakeTable.liveFiles(md.snapshots)
       .map(f => LakeTable.normalizePath(f.path)).toSet
     val dup = paths.filter(p => live(LakeTable.normalizePath(p)))
     require(dup.isEmpty,
       s"add_files: already part of the live set: ${dup.mkString(", ")}")
     val cur = Reconcile.clean(md.currentSchema).asInstanceOf[StructType]
-    paths.foreach { p =>
+    val withVals = paths.map { p =>
       require(Files.exists(Paths.get(p)), s"add_files: no such file $p")
       val fs = spark.read.parquet(p).schema
       cur.fields.filter(tf => fs.fieldNames.contains(tf.name)).foreach { tf =>
@@ -1251,9 +1274,35 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
             s"table expects ${tf.dataType.simpleString} — evolve the " +
             "table or rewrite the file first")
       }
+      val partVals: Map[String, String] =
+        if (partColOfSpecField.isEmpty) Map.empty
+        else {
+          // the engine's readers never re-inject dir values into rows
+          // (identity-partition data files always CARRY their source
+          // columns) — refuse files that dropped them, or every row
+          // would silently read the column as null
+          val dirVals = Paths.get(partitionBase.get).relativize(Paths.get(p))
+            .iterator().asScala.map(_.toString).filter(_.contains("="))
+            .map { seg =>
+              val Array(k, v) = seg.split("=", 2)
+              k -> org.apache.spark.sql.catalyst.catalog
+                .ExternalCatalogUtils.unescapePathName(v)
+            }.toMap
+          partColOfSpecField.map { case (specField, srcCol) =>
+            require(fs.fieldNames.contains(srcCol),
+              s"add_files: $p does not carry partition source column " +
+                s"'$srcCol' (hive writers drop it; rewrite the file " +
+                "with the column retained)")
+            val v = dirVals.getOrElse(srcCol,
+              throw new IllegalArgumentException(
+                s"add_files: $p has no '$srcCol=' dir segment below " +
+                  s"${partitionBase.get}"))
+            specField -> v
+          }.toMap
+        }
+      p -> partVals
     }
-    commitExternalFiles(paths.map(_ -> Map.empty[String, String]),
-      md.currentSchemaId, md.currentSpecId)
+    commitExternalFiles(withVals, md.currentSchemaId, md.currentSpecId)
   }
 
   /** Register externally written parquet files (the DSv2 sink's and

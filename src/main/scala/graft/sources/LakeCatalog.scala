@@ -756,10 +756,14 @@ private[sources] object LakeProcedures {
               param("where_values", StringType),
               param("smaller_than_bytes", LongType))
             // Iceberg's add_files: register existing parquet files by
-            // reference (comma-separated absolute paths)
+            // reference (comma-separated absolute paths);
+            // partition_base = hive-layout root for partitioned tables
+            // ('' = unpartitioned)
             case "add_files" => Array(
               param("db", StringType), param("table", StringType),
-              param("paths", StringType))
+              param("paths", StringType),
+              ProcedureParameter.in("partition_base", StringType)
+                .defaultValue("''").build())
             // Iceberg's snapshot: zero-copy clone into to_db.to_table
             case "snapshot" => Array(
               param("db", StringType), param("table", StringType),
@@ -900,8 +904,9 @@ private[sources] object LakeProcedures {
               case "add_files" =>
                 val paths = strArg(2).split(",").map(_.trim)
                   .filter(_.nonEmpty).toSeq
+                val base = Option(strArgOrEmpty(3)).filter(_.nonEmpty)
                 val snap = t.addFiles(
-                  org.apache.spark.sql.SparkSession.active, paths)
+                  org.apache.spark.sql.SparkSession.active, paths, base)
                 (StructType(Seq(
                   StructField("snapshot_id", LongType, nullable = false),
                   StructField("added_files", IntegerType, nullable = false),

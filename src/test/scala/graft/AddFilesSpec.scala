@@ -71,12 +71,18 @@ class AddFilesSpec extends AnyFunSuite {
       bad.addFiles(spark, Seq(ext))
     }
     assert(e.getMessage.contains("'id'") && e.getMessage.contains("int"))
-    // partitioned spec → refused (no partition values to derive)
+    // partitioned spec without a hive base → refused
     val (_, parted) = mk("edges-part", idv,
       """[{"column":"v","name":"pv"}]""")
     assert(intercept[IllegalArgumentException] {
       parted.addFiles(spark, Seq(ext))
-    }.getMessage.contains("unpartitioned"))
+    }.getMessage.contains("base dir"))
+    // non-identity spec → refused even with a base
+    val (_, bucketed) = mk("edges-bucket", idv,
+      """[{"column":"id","transform":"bucket[4]","name":"pb"}]""")
+    assert(intercept[IllegalArgumentException] {
+      bucketed.addFiles(spark, Seq(ext), Some("/tmp"))
+    }.getMessage.contains("identity"))
     // double registration → refused
     val (_, ok) = mk("edges-dup", idv)
     ok.addFiles(spark, Seq(ext))
@@ -87,6 +93,40 @@ class AddFilesSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException] {
       ok.addFiles(spark, Seq("/no/such/file.parquet"))
     }.getMessage.contains("no such file"))
+  }
+
+  test("hive-layout registration derives partition values and prunes") {
+    import spark.implicits._
+    // external hive layout that RETAINS the partition column in rows
+    val base = Files.createTempDirectory("graft-ext-hive").toString
+    Seq("x", "y").foreach { pv =>
+      Files.createDirectories(java.nio.file.Paths.get(base, s"v=$pv"))
+      Seq((pv.hashCode.toLong, pv)).toDF("id", "v").coalesce(1)
+        .write.mode("overwrite").parquet(s"$base/v=$pv")
+    }
+    def fileIn(pv: String): String =
+      Files.list(java.nio.file.Paths.get(base, s"v=$pv"))
+        .filter(_.toString.endsWith(".parquet")).findFirst().get().toString
+    val (_, t) = mk("hive", idv, """[{"column":"v","name":"pv"}]""")
+    t.addFiles(spark, Seq(fileIn("x"), fileIn("y")), Some(base))
+    // metadata carries the derived values → partition pruning works
+    assert(t.plannedFiles().size == 2)
+    val pruned = t.plannedFiles(prune = Map("pv" -> Set("x")))
+    assert(pruned.size == 1 && pruned.head.partitionValues("pv") == "x")
+    assert(t.read(spark, prune = Map("pv" -> Set("x")))
+      .select("id", "v").collect().map(r =>
+        (r.getLong(0), r.getString(1))).toSet ==
+      Set(("x".hashCode.toLong, "x")))
+    // a file whose rows DROPPED the partition column is refused — the
+    // readers never re-inject dir values, so it would read as null
+    val dropped = Files.createTempDirectory("graft-ext-dropped").toString
+    Seq((9L, "z")).toDF("id", "v").write.mode("overwrite")
+      .partitionBy("v").parquet(dropped)
+    val zFile = Files.walk(java.nio.file.Paths.get(dropped))
+      .filter(_.toString.endsWith(".parquet")).findFirst().get().toString
+    assert(intercept[IllegalArgumentException] {
+      t.addFiles(spark, Seq(zFile), Some(dropped))
+    }.getMessage.contains("does not carry partition source column"))
   }
 
   test("a rename after registration keeps the file readable (by-name " +
