@@ -1258,6 +1258,12 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
           f.name -> src
         }
       }
+    // duplicates refused WITHIN the call too, not just against the
+    // live set — registering one path twice would double-count rows
+    val inCallDup = paths.map(LakeTable.normalizePath)
+      .groupBy(identity).collect { case (p, ps) if ps.size > 1 => p }
+    require(inCallDup.isEmpty,
+      s"add_files: path(s) given more than once: ${inCallDup.mkString(", ")}")
     val live = LakeTable.liveFiles(md.snapshots)
       .map(f => LakeTable.normalizePath(f.path)).toSet
     val dup = paths.filter(p => live(LakeTable.normalizePath(p)))
@@ -1267,12 +1273,19 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     val withVals = paths.map { p =>
       require(Files.exists(Paths.get(p)), s"add_files: no such file $p")
       val fs = spark.read.parquet(p).schema
-      cur.fields.filter(tf => fs.fieldNames.contains(tf.name)).foreach { tf =>
-        val ft = fs(tf.name).dataType
-        require(ft == tf.dataType,
-          s"add_files: $p column '${tf.name}' is ${ft.simpleString}, " +
-            s"table expects ${tf.dataType.simpleString} — evolve the " +
-            "table or rewrite the file first")
+      // match the way Spark's reader will resolve at read time: CASE-
+      // INSENSITIVELY (default spark.sql.caseSensitive=false) — a
+      // case-differing mismatch must not escape the registration check
+      def fileField(name: String): Option[StructField] =
+        fs.fields.find(_.name.equalsIgnoreCase(name))
+      cur.fields.foreach { tf =>
+        fileField(tf.name).foreach { ff =>
+          require(ff.dataType == tf.dataType,
+            s"add_files: $p column '${ff.name}' is " +
+              s"${ff.dataType.simpleString}, table expects " +
+              s"'${tf.name}' ${tf.dataType.simpleString} — evolve the " +
+              "table or rewrite the file first")
+        }
       }
       val partVals: Map[String, String] =
         if (partColOfSpecField.isEmpty) Map.empty
@@ -1289,7 +1302,10 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
                 .ExternalCatalogUtils.unescapePathName(v)
             }.toMap
           partColOfSpecField.map { case (specField, srcCol) =>
-            require(fs.fieldNames.contains(srcCol),
+            // source may be struct-nested (identity on a.b): resolve
+            // through nesting, case-insensitive at the top level
+            require(fileField(srcCol).isDefined ||
+                LakeTable.resolveStructPath(fs, srcCol).isDefined,
               s"add_files: $p does not carry partition source column " +
                 s"'$srcCol' (hive writers drop it; rewrite the file " +
                 "with the column retained)")
@@ -1302,7 +1318,12 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
         }
       p -> partVals
     }
-    commitExternalFiles(withVals, md.currentSchemaId, md.currentSpecId)
+    // retryConflicts=false: a retried commit would re-append the files
+    // WITHOUT re-running the duplicate-registration check (a concurrent
+    // add of the same path would double-count) — surface the conflict
+    // and let the caller re-invoke addFiles against the fresh head
+    commitExternalFiles(withVals, md.currentSchemaId, md.currentSpecId,
+      retryConflicts = false)
   }
 
   /** Register externally written parquet files (the DSv2 sink's and
@@ -1320,7 +1341,8 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
       streamId: Option[String] = None,
       operation: String = "append",
       removedPaths: Seq[String] = Seq.empty,
-      branch: Option[String] = None): SnapshotMeta = {
+      branch: Option[String] = None,
+      retryConflicts: Boolean = true): SnapshotMeta = {
     // files carry the schema they were WRITTEN under (captured at query
     // start) — a mid-stream evolution then reconciles on read like any
     // other old-schema file instead of corrupting metadata; partition
@@ -1355,7 +1377,7 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
           streamId)
       case None =>
         commitSnapshot(files, writtenSchemaId, operation, streamBatchId,
-          streamId, removedPaths)
+          streamId, removedPaths, retryConflicts)
     }
   }
 
@@ -2871,14 +2893,13 @@ object LakeTable {
     val srcMeta = src.location.resolve("metadata")
     val dstMeta = loc.resolve("metadata")
     Files.createDirectories(dstMeta)
-    def manifestNames(files: Seq[DataFileMeta]): Seq[String] = files match {
-      case mf: ManifestFiles => Seq(mf.manifestName)
-      case ms: ManifestSet => ms.parts.map(_.manifestName)
-      case _ => Seq.empty
-    }
+    // REPLACE_EXISTING: a clone that crashed between copying manifests
+    // and committing the version hint must be retryable, not wedged on
+    // FileAlreadyExists (manifests are immutable — re-copying is safe)
     (src.metadata.snapshots ++ src.metadata.staged)
-      .flatMap(s => manifestNames(s.files)).distinct
-      .foreach(n => Files.copy(srcMeta.resolve(n), dstMeta.resolve(n)))
+      .flatMap(s => manifestParts(s.files).map(_.manifestName)).distinct
+      .foreach(n => Files.copy(srcMeta.resolve(n), dstMeta.resolve(n),
+        StandardCopyOption.REPLACE_EXISTING))
     val cloned = src.metadata.copy(database = toDb, table = toTable,
       properties = src.metadata.properties + ("gc.enabled" -> "false"))
     val t = new LakeTable(loc, cloned)

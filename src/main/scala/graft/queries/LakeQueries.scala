@@ -1298,7 +1298,8 @@ object RowOpsQueries extends QueryModule {
       val t = LakeTable.load(wh, "af", "orders_ext")
       val dataDir = java.nio.file.Paths.get(wh, "af", "orders_ext", "data")
       require(!java.nio.file.Files.exists(dataDir) ||
-        !java.nio.file.Files.list(dataDir).findAny().isPresent,
+        scala.util.Using.resource(java.nio.file.Files.list(dataDir))(
+          s => !s.findAny().isPresent),
         "add_files must not copy data under the table")
       require(t.plannedFiles().map(_.path).toSet ==
         Set(s"$dir/orders.parquet"),

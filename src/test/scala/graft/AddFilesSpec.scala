@@ -93,6 +93,31 @@ class AddFilesSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException] {
       ok.addFiles(spark, Seq("/no/such/file.parquet"))
     }.getMessage.contains("no such file"))
+    // the same path twice in ONE call → refused (would double-count)
+    val ext2 = extParquet("edges2", Seq(7L -> "q"))
+    assert(intercept[IllegalArgumentException] {
+      ok.addFiles(spark, Seq(ext2, ext2))
+    }.getMessage.contains("more than once"))
+    // a stale handle surfaces the concurrent commit instead of blindly
+    // retrying past the duplicate check
+    val (wh3, fresh) = mk("edges-stale", idv)
+    val stale = LakeTable.load(wh3, "d", "t")
+    fresh.addFiles(spark, Seq(ext2))
+    intercept[java.util.ConcurrentModificationException] {
+      stale.addFiles(spark, Seq(ext2))
+    }
+    // case-differing type mismatch is still caught (reader resolves
+    // case-insensitively, so must the validation)
+    import spark.implicits._
+    val dirCase = Files.createTempDirectory("graft-ext-case").toString
+    Seq(("1", "a")).toDF("ID", "v").coalesce(1)
+      .write.mode("overwrite").parquet(dirCase)
+    val caseFile = Files.list(java.nio.file.Paths.get(dirCase))
+      .filter(_.toString.endsWith(".parquet")).findFirst().get().toString
+    val (_, caseT) = mk("edges-case", idv)
+    assert(intercept[IllegalArgumentException] {
+      caseT.addFiles(spark, Seq(caseFile))
+    }.getMessage.contains("'ID'"))
   }
 
   test("hive-layout registration derives partition values and prunes") {
