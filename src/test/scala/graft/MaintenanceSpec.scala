@@ -200,6 +200,15 @@ class MaintenanceSpec extends AnyFunSuite {
     val log = t2.changelogBetween(spark, 0L,
       t2.metadata.snapshots.map(_.id).max)
     assert(log.filter(col("_change_type") === "insert").count() >= 3)
+    // the .files metadata relation (replaySuffix path) agrees with the
+    // replay about which files the rewrite-data commit removed
+    spark.conf.set("spark.sql.catalog.gmscoped", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.gmscoped.warehouse", wh)
+    val metaPaths = spark.sql(
+      "SELECT path FROM gmscoped.d.pt.files").collect()
+      .map(_.getString(0)).toSet
+    assert(metaPaths == after.map(_._1).toSet,
+      ".files relation must reflect the scoped rewrite")
   }
 
   test("compactScoped no-ops when nothing in scope needs rewriting") {
