@@ -1995,7 +1995,25 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
       "write.sort-buckets").foreach(k => set.get(k).foreach(v =>
       require(scala.util.Try(v.toInt).isSuccess,
         s"table property '$k' needs an integer value, got '$v'")))
-    commit(md.copy(properties = md.properties ++ set -- unset))
+    var next = md.copy(properties = md.properties ++ set -- unset)
+    // identifier-fields is not just a string knob: the declared row
+    // identity lives in metadata as resolved FIELD IDS. Re-resolve on
+    // every set/unset so the SQL TBLPROPERTIES path cannot leave the
+    // property and the identity silently diverged — with the same
+    // live-equality-batch guard as a declared-identity evolution.
+    if (set.contains("identifier-fields") ||
+        unset.contains("identifier-fields")) {
+      val ids = LakeTable.resolveIdentifierFields(
+        next.properties.get("identifier-fields"), md.currentSchema)
+      if (ids != md.identifierFieldIds) {
+        require(LakeTable.liveEqDeletes(md.snapshots).isEmpty &&
+            md.staged.forall(_.eqDeletes.isEmpty),
+          "cannot change identifier-fields with live equality-delete " +
+            "batches — run compact() to materialize them first")
+        next = next.copy(identifierFieldIds = ids)
+      }
+    }
+    commit(next)
   }
 
   /** `ALTER COLUMN ... SET DEFAULT v` / `DROP DEFAULT`: change (or

@@ -126,6 +126,37 @@ class IdentifierFieldsSpec extends AnyFunSuite {
     assert(t.identifierFieldNames == Seq("v"))
   }
 
+  test("SQL TBLPROPERTIES keeps the resolved identity in sync") {
+    val (wh, t) = mk("tblprops")
+    t.append(df(1L -> "a"))
+    spark.conf.set("spark.sql.catalog.gidp", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.gidp.warehouse", wh)
+    // declare identity through SQL — key-less upsert works right after
+    spark.sql(
+      "ALTER TABLE gidp.d.t SET TBLPROPERTIES('identifier-fields'='id')")
+    val t2 = LakeTable.load(wh, "d", "t")
+    assert(t2.identifierFieldNames == Seq("id"))
+    t2.upsertMoR(spark, df(1L -> "a2"))
+    assert(content(t2) == Map(1L -> "a2"))
+    // changing identity with live batches refuses through SQL too
+    val e = intercept[Exception] {
+      spark.sql(
+        "ALTER TABLE gidp.d.t SET TBLPROPERTIES('identifier-fields'='v')")
+    }
+    def chain(x: Throwable): Seq[String] =
+      Option(x).toSeq.flatMap(y =>
+        Option(y.getMessage).toSeq ++ chain(y.getCause))
+    assert(chain(e).exists(_.contains("equality-delete")))
+    // after compaction the move works, and UNSET clears the identity
+    LakeTable.load(wh, "d", "t").compact(spark)
+    spark.sql(
+      "ALTER TABLE gidp.d.t SET TBLPROPERTIES('identifier-fields'='v')")
+    assert(LakeTable.load(wh, "d", "t").identifierFieldNames == Seq("v"))
+    spark.sql(
+      "ALTER TABLE gidp.d.t UNSET TBLPROPERTIES('identifier-fields')")
+    assert(LakeTable.load(wh, "d", "t").identifierFieldNames.isEmpty)
+  }
+
   test("unknown identifier column at create fails loudly") {
     val wh = Files.createTempDirectory("graft-ident-bad").toString
     // the engine's handler contract reports failures, never throws
