@@ -961,7 +961,7 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
             "struct-nested path (array/map paths cannot key a row)"))
       require(Seq(IntegerType, LongType, StringType, BooleanType,
         FloatType, DoubleType, DateType, TimestampType, TimestampNTZType)
-        .contains(f.dataType),
+        .contains(f.dataType) || f.dataType.isInstanceOf[DecimalType],
         s"equality-delete key '$c' must be a scalar of a supported " +
           s"type, got ${f.dataType.simpleString}")
       c -> f

@@ -1502,6 +1502,26 @@ private[sources] object LakeSource {
   def eqKeyValue(g: Group, name: String, dt: DataType): Any = {
     if (g.getFieldRepetitionCount(name) == 0) return null
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    // decimal keys: decode the unscaled value by PHYSICAL encoding
+    // (Spark writes INT32 for p<=9, INT64 for p<=18, else binary
+    // two's-complement) into a Decimal of the TARGET precision/scale —
+    // the same representation the data-file extractor produces, so
+    // tuple equality and hashing line up
+    dt match {
+      case d: DecimalType =>
+        return g.getType.getType(name).asPrimitiveType()
+          .getPrimitiveTypeName match {
+          case INT32 => org.apache.spark.sql.types.Decimal(
+            g.getInteger(name, 0).toLong, d.precision, d.scale)
+          case INT64 => org.apache.spark.sql.types.Decimal(
+            g.getLong(name, 0), d.precision, d.scale)
+          case _ => org.apache.spark.sql.types.Decimal(
+            BigDecimal(new java.math.BigInteger(
+              g.getBinary(name, 0).getBytes), d.scale),
+            d.precision, d.scale)
+        }
+      case _ => ()
+    }
     val raw: Any = g.getType.getType(name).asPrimitiveType()
       .getPrimitiveTypeName match {
       case INT64 => g.getLong(name, 0)

@@ -76,6 +76,42 @@ class DecimalConnectorSpec extends AnyFunSuite {
     assert(got == Set(1L, 2L))
   }
 
+  test("decimal equality-delete keys supersede on both read paths, " +
+      "across all three physical encodings") {
+    val wh = Files.createTempDirectory("graft-dec-eq").toString
+    val schema = StructType(Seq(
+      StructField("k32", DecimalType(7, 2)),
+      StructField("k64", DecimalType(15, 4)),
+      StructField("kbin", DecimalType(30, 6)),
+      StructField("v", StringType)))
+    def row(i: Int, v: String) = Row(
+      BigDecimal(s"$i.25").bigDecimal,
+      BigDecimal(s"${i}000.0001").bigDecimal,
+      BigDecimal(s"${i}23456789012345678.000001").bigDecimal, v)
+    val cols = schema.fields.toSeq.map(f =>
+      graft.schema.TypeMapper.toColumnDef(f.name, f.dataType, f.nullable))
+    val (t, _) = LakeTable.create(wh,
+      graft.schema.TableDef("d", "teq", cols, Seq.empty, Map.empty))
+    t.append(spark.createDataFrame(
+      java.util.List.of(row(1, "old1"), row(2, "old2")), schema))
+    // blind upsert keyed on ALL THREE decimal encodings at once
+    t.upsertMoR(spark, spark.createDataFrame(
+      java.util.List.of(row(2, "new2"), row(3, "new3")), schema),
+      keys = Seq("k32", "k64", "kbin"))
+    val expect = Map("1.25" -> "old1", "2.25" -> "new2", "3.25" -> "new3")
+    // native (Catalyst) read path
+    val native = t.read(spark).select("k32", "v").collect()
+      .map(r => r.getDecimal(0).toString -> r.getString(1)).toMap
+    assert(native == expect, "native read")
+    // DSv2 executor path (eqKeyValue decimal decode)
+    val dsv2 = spark.read.format("graft-lake")
+      .option("warehouse", wh).option("database", "d")
+      .option("table", "teq").load()
+      .select("k32", "v").collect()
+      .map(r => r.getDecimal(0).toString -> r.getString(1)).toMap
+    assert(dsv2 == expect, "DSv2 read")
+  }
+
   test("decimal stats DO prune files outside the range") {
     val wh = Files.createTempDirectory("graft-dec-prune").toString
     val schema = StructType(Seq(
