@@ -2068,6 +2068,46 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     snap
   }
 
+  /** Iceberg's `rewrite_position_delete_files`: merge the accumulated
+    * position-delete parquets into ONE file — dropping tombstones of
+    * data files no longer live — WITHOUT touching any data file. The
+    * cheap cure for delete-file sprawl between full compactions: after
+    * a run of MoR deletes every affected data file drags a list of
+    * small delete files through each read; afterwards it consults one.
+    * Commits a live-state "rewrite" snapshot (replay reset, byte move —
+    * CDC/changelog/streaming skip it) whose deletePaths are the merged
+    * file; per-file deleted-row counts carry over unchanged, so
+    * metadata-only COUNT(*) stays exact. (file,pos) tuples are unique
+    * across live delete files by construction — the delete write path
+    * excludes already-deleted positions — so the merge is a plain
+    * concatenation. None when there is nothing to merge.
+    */
+  def rewritePositionDeleteFiles(spark: SparkSession): Option[SnapshotMeta] = {
+    if (currentHintVersion() != loadedVersion)
+      throw new java.util.ConcurrentModificationException(
+        s"table $location was committed concurrently; reload and retry")
+    val liveDel = LakeTable.liveDeletes(md.snapshots)
+    val delFiles = liveDel.values.flatMap(_.paths).toSeq.distinct
+    if (delFiles.size <= 1) return None
+    val newId = (md.snapshots ++ md.staged).map(_.id).foldLeft(0L)(math.max) + 1
+    val dir = dataDir.resolve(
+      s"posdel-$newId-${java.util.UUID.randomUUID().toString.take(8)}")
+    // keep only tombstones of files still live (a CoW rewrite already
+    // materialized the others); the live set is metadata-scale, shipped
+    // as a broadcast semi-join, never a giant IN-list
+    import spark.implicits._
+    val livePaths = liveDel.keySet.toSeq.toDF("file_path")
+    spark.read.parquet(delFiles: _*)
+      .join(org.apache.spark.sql.functions.broadcast(livePaths),
+        Seq("file_path"), "left_semi")
+      .coalesce(1).write.parquet(dir.toString)
+    val merged = listParquet(dir).map(_.toString)
+    val snap = liveStateSnapshot(md.snapshots, newId, md.currentSchemaId,
+      System.currentTimeMillis()).copy(deletePaths = merged)
+    commit(md.copy(snapshots = md.snapshots :+ snap))
+    Some(snap)
+  }
+
   def expireSnapshots(keepAfter: Long): Int = {
     val (expired, kept) = md.snapshots.partition(_.id <= keepAfter)
     if (expired.isEmpty) return 0

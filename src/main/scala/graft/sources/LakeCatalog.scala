@@ -715,6 +715,7 @@ private[sources] object LakeProcedures {
   val names: Set[String] =
     Set("expire_snapshots", "expire_older_than", "remove_orphan_files",
       "compact", "rewrite_data_files", "add_files", "snapshot",
+      "rewrite_position_delete_files",
       "rollback_to_snapshot", "create_tag", "create_branch",
       "drop_ref", "publish_wap", "discard_wap", "rebase_branch",
       "rewrite_manifests", "fast_forward",
@@ -743,7 +744,8 @@ private[sources] object LakeProcedures {
             case "remove_orphan_files" => Array(
               param("db", StringType), param("table", StringType),
               param("older_than_ms", LongType))
-            case "compact" | "rewrite_manifests" => Array(
+            case "compact" | "rewrite_manifests" |
+                 "rewrite_position_delete_files" => Array(
               param("db", StringType), param("table", StringType))
             // Iceberg's rewrite_data_files(where => ..., options =>
             // min-file-size), scalar-arg form: `where_field` names a
@@ -913,6 +915,18 @@ private[sources] object LakeProcedures {
                   StructField("added_rows", LongType, nullable = false))),
                   Seq[Any](snap.id, snap.files.size,
                     snap.files.map(_.rows).sum))
+              case "rewrite_position_delete_files" =>
+                val before = LakeTable.liveDeletes(t.metadata.snapshots)
+                  .values.flatMap(_.paths).toSeq.distinct.size
+                val snap = t.rewritePositionDeleteFiles(
+                  org.apache.spark.sql.SparkSession.active)
+                (StructType(Seq(
+                  StructField("merged_delete_files", IntegerType,
+                    nullable = false),
+                  StructField("delete_files_now", IntegerType,
+                    nullable = false))),
+                  Seq[Any](if (snap.isDefined) before else 0,
+                    snap.map(_.deletePaths.size).getOrElse(before)))
               case "rewrite_manifests" =>
                 // manifests the forward replay had to consult before
                 // the rewrite — afterwards it consults exactly one

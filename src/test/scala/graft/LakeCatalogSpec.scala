@@ -573,6 +573,12 @@ class LakeCatalogSpec extends AnyFunSuite {
     val live = spark.sql("SELECT id FROM graftp.d.p ORDER BY id").collect()
     assert(live.map(_.getLong(0)).toSeq == Seq(1L, 3L))
 
+    // the delete-file merge dispatches through CALL (nothing to merge
+    // here — the table has only CoW history)
+    val pd = spark.sql("CALL graftp.system.rewrite_position_delete_files(" +
+      "db => 'd', table => 'p')").collect()
+    assert(pd.head.getInt(0) == 0)
+
     // a SQL NULL string argument is named, not NPE'd
     val e = intercept[Exception] {
       spark.sql("CALL graftp.system.compact(db => 'd', table => NULL)")

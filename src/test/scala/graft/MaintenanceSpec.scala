@@ -222,6 +222,42 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(t.metadata.snapshots.size == n, "no empty overwrite committed")
   }
 
+  test("rewritePositionDeleteFiles merges tombstones, drops dead ones, " +
+      "keeps counts exact") {
+    val (wh, t) = mkTable("posmerge")
+    t.append(df(1L -> "a", 2L -> "b", 5L -> "e").coalesce(1))  // file A
+    t.append(df(3L -> "c", 4L -> "d").coalesce(1))             // file B
+    // one delete SNAPSHOT spanning BOTH files: its delete file carries
+    // rows for A and B together
+    t.deleteMoR(spark, col("id") === 1L || col("id") === 3L)
+    t.deleteMoR(spark, col("id") === 5L)                       // A again
+    // CoW delete rewrites file B (materializing its tombstone): the
+    // spanning delete file's B-rows now reference a DEAD file — the
+    // merge must drop them while keeping A's
+    t.delete(spark, col("id") === 4L)
+    assert(LakeTable.liveDeletes(t.metadata.snapshots)
+      .values.flatMap(_.paths).toSeq.distinct.size >= 2,
+      "multiple live delete files before the merge")
+    val snap = t.rewritePositionDeleteFiles(spark)
+    assert(snap.isDefined, "multiple live delete files must merge")
+    val t2 = LakeTable.load(wh, "d", "t")
+    val liveAfter = LakeTable.liveDeletes(t2.metadata.snapshots)
+    assert(liveAfter.values.flatMap(_.paths).toSeq.distinct.size == 1,
+      "all live tombstones consult ONE merged file")
+    // merged rows = exactly the LIVE tombstones (ids 1 and 5 in A);
+    // the dead B-row from the spanning delete file is gone
+    assert(spark.read.parquet(snap.get.deletePaths: _*).count() == 2L)
+    assert(liveAfter.values.map(_.rows).sum == 2L)
+    // content identical, counts exact, replay stable across reload
+    assert(ids(t2) == Set(2L))
+    assert(t2.read(spark).count() == 1L)
+    // a second run has nothing to merge (fixpoint for maintenance loops)
+    assert(t2.rewritePositionDeleteFiles(spark).isEmpty)
+    // later MoR deletes accumulate on top of the merged state
+    t2.deleteMoR(spark, col("id") === 2L)
+    assert(ids(LakeTable.load(wh, "d", "t")).isEmpty)
+  }
+
   test("snapshotTable clones out-of-line manifests and isolates writes") {
     val (wh, t) = mkTable("clone")
     t.append(df(1L -> "a", 2L -> "b"))
