@@ -71,19 +71,27 @@ object Bench {
         System.err.println(s"[bench] warmup failed, measuring cold: $e")
     }
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    var failedSec = 0.0
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
+      try {
+        fn(spark, sfDir).count()
+        Some(name -> (System.nanoTime() - t0) / 1e9)
+      } catch {
         case e: Throwable =>
           // a swallowed failure timed as a ~0s "success" hides breakage
           // inside an rc-0 report (round-5 postmortem) — record it in the
-          // JSON line and on stderr instead
+          // JSON line and on stderr instead. Its time-to-failure goes in a
+          // separate failed_sec field, NOT the total: a fast-crashing query
+          // would otherwise deflate the total and make cross-round
+          // comparisons silently mix failure modes.
           failed += name
+          failedSec += (System.nanoTime() - t0) / 1e9
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          None
       }
-      name -> (System.nanoTime() - t0) / 1e9
     }.toMap
-    println(renderLine(results, sfDir, failed.toSeq.sorted))
+    println(renderLine(results, sfDir, failed.toSeq.sorted, failedSec))
     spark.stop()
   }
 
@@ -97,7 +105,9 @@ object Bench {
   val MaxLineChars = 1700
 
   def renderLine(results: Map[String, Double], sfDir: String,
-                 failed: Seq[String] = Nil): String = {
+                 failed: Seq[String] = Nil, failedSec: Double = 0.0): String = {
+    // total covers SUCCESSFUL queries only — failed queries' time-to-failure
+    // is reported separately (failed_sec) so totals compare across rounds
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // locale-independent 3-decimal rendering (f"%.3f" would emit a
     // comma decimal separator under e.g. de_DE and break the JSON)
@@ -108,7 +118,7 @@ object Bench {
     // iterate them to re-run)
     val failedField =
       if (failed.isEmpty) ""
-      else s""""n_failed":${failed.size},"failed":[""" +
+      else s""""n_failed":${failed.size},"failed_sec":${r3(failedSec)},"failed":[""" +
         failed.take(15).map(k => s""""$k"""").mkString(",") + "],"
     val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},$failedField"sf":"$sfDir","queries":{"""
     val tail = "}}"

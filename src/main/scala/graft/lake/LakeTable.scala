@@ -2916,6 +2916,15 @@ object LakeTable {
     * TOP-LEVEL column names — Iceberg v2 requires identifier fields be
     * required primitive fields, not nested under optional structs) to
     * field ids against `schema`. None/empty → no declared identity.
+    *
+    * Validated at RESOLVE time, mirroring the equality-delete key check
+    * (`writeEqDeleteBatch`): each field must be a supported scalar type
+    * (struct/map/array cannot identify a row) and non-nullable (Iceberg
+    * v2 requires identifier fields be `required` — a nullable identifier
+    * would let null key tuples match each other and produce null-keyed
+    * last-write-wins semantics the spec forbids). Failing here gives the
+    * user a named error at CREATE/ALTER instead of a confusing
+    * equality-delete-key failure on the first keyed write.
     */
   private[lake] def resolveIdentifierFields(prop: Option[String],
       schema: StructType): Seq[Int] =
@@ -2925,6 +2934,16 @@ object LakeTable {
           throw new IllegalArgumentException(
             s"identifier-fields: no top-level column '$n' " +
               s"(have ${schema.fieldNames.mkString(", ")})"))
+        require(Seq(IntegerType, LongType, StringType, BooleanType,
+          FloatType, DoubleType, DateType, TimestampType, TimestampNTZType)
+          .contains(f.dataType) || f.dataType.isInstanceOf[DecimalType],
+          s"identifier-fields: '$n' must be a scalar of a supported type " +
+            s"(got ${f.dataType.simpleString}) — struct/map/array fields " +
+            "cannot identify a row (Iceberg v2 required-primitive rule)")
+        require(!f.nullable,
+          s"identifier-fields: '$n' must be a required (non-nullable) " +
+            "column — Iceberg v2 forbids nullable identifier fields " +
+            "(null keys would match each other on upsert)")
         FieldIds.idOf(f)
       }
 

@@ -108,12 +108,37 @@ object Grouping extends QueryModule {
     }),
 
     "q_agg_approx_distinct" -> ((s, dir) => {
-      Tables(s, dir, "events")
+      // The one declared key with no DuckDB oracle (HLL estimates are
+      // engine-specific), so it SELF-audits: compute the exact
+      // countDistinct in the same aggregation and fail loudly if the
+      // estimate drifts outside 4× the configured relative standard
+      // deviation (default rsd 0.05; 4σ ≈ 1-in-16k false-failure odds
+      // per group). Without this, nothing checks the estimate at all —
+      // a broken HLL sketch would return garbage with a green row.
+      val rsd = 0.05
+      val est = Tables(s, dir, "events")
         .groupBy("event_type")
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+        .agg(
+          approx_count_distinct(col("user_id"), rsd).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"))
         .orderBy("event_type")
+      auditApproxDistinct(est, rsd)
+      est.drop("exact_users")
     }),
   )
+
+  /** Fails loudly if any group's `approx_users` differs from
+    * `exact_users` by more than `4 × rsd` relatively. The collect is
+    * O(groups) — 5 rows here, driver-side by design.
+    */
+  private[graft] def auditApproxDistinct(est: DataFrame, rsd: Double): Unit = {
+    val offBounds = est.filter(
+      abs(col("approx_users") - col("exact_users")) >
+        col("exact_users") * lit(4 * rsd)).collect()
+    require(offBounds.isEmpty,
+      s"q_agg_approx_distinct: HLL estimate outside ${4 * rsd * 100}% of " +
+        s"exact countDistinct: ${offBounds.mkString(", ")}")
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q_agg_rollup" ->

@@ -1109,7 +1109,7 @@ object RowOpsQueries extends QueryModule {
       val wh = LakeQueries.freshWarehouse("chlogupd")
       Engine.processTableDefJson(wh,
         """{"database_name":"clu","table_name":"src","columns":[
-          |{"column_name":"n_nationkey","data_type":"int"},
+          |{"column_name":"n_nationkey","data_type":"int","required":true},
           |{"column_name":"n_name","data_type":"string"},
           |{"column_name":"n_regionkey","data_type":"int"}],
           |"partitions":[],

@@ -31,8 +31,24 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val path = s"$dir/events.parquet"
+    // Probe without any legacy flag first: micros fixtures load directly and
+    // the shared session config is never touched. Only a TIMESTAMP(NANOS)
+    // fixture (which Spark rejects at schema inference) falls back to the
+    // nanosAsLong read — and that legacy mode is scoped to a cloned session
+    // (same SparkContext, isolated SQL conf) so it cannot leak a legacy
+    // parquet read mode into every subsequent query on the caller's session.
+    val raw =
+      try spark.read.parquet(path)
+      catch {
+        case e: Throwable if {
+          val m = Option(e.getMessage).getOrElse("")
+          m.contains("TIMESTAMP(NANOS") || m.contains("TIMESTAMP_NANOS")
+        } =>
+          val nanoSession = spark.newSession()
+          nanoSession.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          nanoSession.read.parquet(path)
+      }
     raw.schema("ts").dataType match {
       case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))

@@ -430,7 +430,7 @@ object TrainingOps extends QueryModule {
       // inherits the same identity from the table, none can drift
       Engine.processTableDefJson(wh,
         """{"database_name":"su","table_name":"silver","columns":[
-          |{"column_name":"user_id","data_type":"long"},
+          |{"column_name":"user_id","data_type":"long","required":true},
           |{"column_name":"latest_event_id","data_type":"long"},
           |{"column_name":"event_type","data_type":"string"}],
           |"partitions":[],

@@ -833,6 +833,25 @@ private[sources] object LakeProcedures {
             // '' and NULL both mean "unset" for optional name-ish args
             def strArgOrEmpty(i: Int): String =
               Option(input.getUTF8String(i)).map(_.toString).getOrElse("")
+            // comma-separated list args (add_files paths, where_values)
+            // support backslash-escaped commas, so a value containing a
+            // literal ',' — legal in file paths and partition values —
+            // can still be passed through SQL's single-string procedure
+            // parameter: 'a\,b.parquet,c.parquet' → ["a,b.parquet",
+            // "c.parquet"]. A bare split would mis-split it into
+            // nonexistent paths with no way to register the file at all.
+            def splitList(s: String): Seq[String] = {
+              val out = scala.collection.mutable.ArrayBuffer(new StringBuilder)
+              var i = 0
+              while (i < s.length) {
+                val c = s.charAt(i)
+                if (c == '\\' && i + 1 < s.length && s.charAt(i + 1) == ',') {
+                  out.last.append(','); i += 2
+                } else if (c == ',') { out += new StringBuilder; i += 1 }
+                else { out.last.append(c); i += 1 }
+              }
+              out.map(_.toString.trim).filter(_.nonEmpty).toSeq
+            }
             val db = strArg(0)
             val tbl = strArg(1)
             val t = LakeTable.load(warehouse, db, tbl)
@@ -866,8 +885,7 @@ private[sources] object LakeProcedures {
                 // NULL threshold must NOT silently read as getLong's 0
                 // (= rewrite everything) — name it instead
                 val field = strArgOrEmpty(2)
-                val values = strArgOrEmpty(3)
-                  .split(",").map(_.trim).filter(_.nonEmpty).toSet
+                val values = splitList(strArgOrEmpty(3)).toSet
                 require(field.isEmpty || values.nonEmpty,
                   s"CALL rewrite_data_files: where_field '$field' needs " +
                     "a non-empty where_values list")
@@ -904,8 +922,7 @@ private[sources] object LakeProcedures {
                     clone.metadata.snapshots.map(_.id)
                       .foldLeft(0L)(math.max)))
               case "add_files" =>
-                val paths = strArg(2).split(",").map(_.trim)
-                  .filter(_.nonEmpty).toSeq
+                val paths = splitList(strArg(2))
                 val base = Option(strArgOrEmpty(3)).filter(_.nonEmpty)
                 val snap = t.addFiles(
                   org.apache.spark.sql.SparkSession.active, paths, base)

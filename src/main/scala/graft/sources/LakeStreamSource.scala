@@ -1130,6 +1130,31 @@ private[sources] class EqMarkerReader(p: LakeEqMarkerPartition)
 private[sources] class GroupRowReader(p: LakeFilePartition)
     extends PartitionReader[InternalRow] {
 
+  // The registered file schema names columns the way the ENGINE named
+  // them at write/registration time. An externally-registered file
+  // (add_files) may spell the same columns with different case, or lack
+  // a nullable table column entirely — both legal at registration
+  // (validation is case-insensitive, absent columns read as null on the
+  // Spark-native path). Reconcile ONCE against the file's actual footer
+  // schema: names are rewritten to the footer's physical spelling
+  // (case-insensitive, recursively through structs) and absent fields
+  // dropped, so the by-id extractor falls back to the default/null
+  // extractor instead of crashing the exact-name Group lookup with
+  // parquet's InvalidRecordException. Engine-written files match
+  // exactly, making the reconciliation the identity for them.
+  private val footerSchema: Option[org.apache.parquet.schema.MessageType] =
+    try {
+      val fr = org.apache.parquet.hadoop.ParquetFileReader.open(
+        HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(p.path),
+          graft.lake.HadoopConfs.mutable()))
+      try Some(fr.getFooter.getFileMetaData.getSchema) finally fr.close()
+    } catch { case _: Exception => None } // unreadable footer → the
+    // ParquetReader below surfaces the real error with the file path
+
+  private val fileSchema: StructType = footerSchema
+    .map(fs => LakeSource.reconcileToFooter(p.fileSchema, fs))
+    .getOrElse(p.fileSchema)
+
   private val reader: ParquetReader[Group] = {
     // mutable copy: the pruning branch sets the requested read schema,
     // and concurrent readers must not see each other's projections
@@ -1146,18 +1171,17 @@ private[sources] class GroupRowReader(p: LakeFilePartition)
     // the pruned-away ancestor).
     val eqKeyIds = p.eqBatches
       .flatMap(_.keyFields.fields.map(FieldIds.idOf)).toSet
-    val keep = p.fileSchema.fields
+    val keep = fileSchema.fields
       .filter(ff => p.target.fields.exists(tf =>
         FieldIds.hasId(tf) && FieldIds.idOf(tf) == FieldIds.idOf(ff)) ||
         FieldIds.flatten(StructType(Seq(ff))).exists { case (_, sf) =>
           FieldIds.hasId(sf) && eqKeyIds.contains(FieldIds.idOf(sf)) })
       .map(_.name).toSet
-    if (keep.nonEmpty && keep.size < p.fileSchema.size) {
+    // prune against the FOOTER's field count: an external file can
+    // carry extra columns the table never registered
+    if (keep.nonEmpty && footerSchema.exists(_.getFieldCount > keep.size)) {
       try {
-        val fr = org.apache.parquet.hadoop.ParquetFileReader.open(
-          HadoopInputFile.fromPath(
-            new org.apache.hadoop.fs.Path(p.path), conf))
-        val full = try fr.getFooter.getFileMetaData.getSchema finally fr.close()
+        val full = footerSchema.get
         val prunedFields = full.getFields.asScala.filter(f => keep(f.getName))
         val pruned = new org.apache.parquet.schema.MessageType(
           full.getName, prunedFields.asJava)
@@ -1181,7 +1205,7 @@ private[sources] class GroupRowReader(p: LakeFilePartition)
     p.target.fields.map { tf =>
       if (tf.name == LakeSource.FileMetaCol) (_: Group) => filePathUtf
       else if (tf.name == LakeSource.PosMetaCol) (_: Group) => null
-      else LakeSource.fieldExtractor(tf, p.fileSchema.fields.toSeq)
+      else LakeSource.fieldExtractor(tf, fileSchema.fields.toSeq)
     }
 
   // merge-on-read: positions of this file deleted by live delete files.
@@ -1221,7 +1245,7 @@ private[sources] class GroupRowReader(p: LakeFilePartition)
       java.util.HashSet[java.util.ArrayList[Any]])] =
     p.eqBatches.map { b =>
       val extr = b.keyFields.fields.map(kf =>
-        LakeSource.nestedFieldExtractor(kf, p.fileSchema))
+        LakeSource.nestedFieldExtractor(kf, fileSchema))
       (extr, EqBatchCache.get(b))
     }.toArray
 
@@ -1538,6 +1562,33 @@ private[sources] object LakeSource {
       case DoubleType => raw match { case f: Float => f.toDouble; case v => v }
       case _ => raw
     }
+  }
+
+  /** Rewrite a REGISTERED file schema to the file's physical footer
+    * spelling: fields are matched case-insensitively by name (recursing
+    * through structs; LIST/MAP-annotated groups keep the registered
+    * inner layout) and fields absent from the footer are DROPPED — the
+    * by-id extractor then falls back to the default/null extractor, the
+    * same null-fill contract as the Spark-native read path. Identity
+    * for engine-written files. Field-id metadata rides along on the
+    * renamed StructFields, so by-id matching is unaffected.
+    */
+  def reconcileToFooter(registered: StructType,
+      footer: org.apache.parquet.schema.GroupType): StructType = {
+    val byLower = footer.getFields.asScala
+      .groupBy(_.getName.toLowerCase(java.util.Locale.ROOT))
+      .map { case (k, vs) => k -> vs.head }
+    StructType(registered.fields.flatMap { rf =>
+      byLower.get(rf.name.toLowerCase(java.util.Locale.ROOT)).map { pf =>
+        val dt = rf.dataType match {
+          case st: StructType if !pf.isPrimitive &&
+              pf.getLogicalTypeAnnotation == null =>
+            reconcileToFooter(st, pf.asGroupType())
+          case other => other
+        }
+        rf.copy(name = pf.getName, dataType = dt)
+      }
+    })
   }
 
   def fieldExtractor(tf: StructField,

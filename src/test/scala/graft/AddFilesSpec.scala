@@ -154,6 +154,40 @@ class AddFilesSpec extends AnyFunSuite {
     }.getMessage.contains("does not carry partition source column"))
   }
 
+  test("the DSv2 connector read honors the case-insensitive / null-fill " +
+      "registration contract (not just LakeTable.read)") {
+    import spark.implicits._
+    // external file spells the columns UPPER-case and lacks `extra`
+    val dirCase = Files.createTempDirectory("graft-ext-dsv2").toString
+    Seq((1L, "a"), (2L, "b")).toDF("ID", "V").coalesce(1)
+      .write.mode("overwrite").parquet(dirCase)
+    val caseFile = Files.list(java.nio.file.Paths.get(dirCase))
+      .filter(_.toString.endsWith(".parquet")).findFirst().get().toString
+    val (wh, t) = mk("dsv2",
+      """{"column_name":"id","data_type":"long"},
+        |{"column_name":"v","data_type":"string"},
+        |{"column_name":"extra","data_type":"string"}""".stripMargin)
+    t.addFiles(spark, Seq(caseFile))
+    spark.conf.set("spark.sql.catalog.gaf", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.gaf.warehouse", wh)
+    // SELECT * through the catalog exercises GroupRowReader, which does
+    // physical-name Group lookups — without footer reconciliation this
+    // threw parquet InvalidRecordException on every read
+    val got = spark.sql("SELECT id, v, extra FROM gaf.d.t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSeq
+    assert(got == Seq((1L, "a", null), (2L, "b", null)))
+    // a column-pruned projection over the same file stays readable too
+    // (pruning must request the footer's spelling, not the table's)
+    assert(spark.sql("SELECT v FROM gaf.d.t ORDER BY v")
+      .collect().map(_.getString(0)).toSeq == Seq("a", "b"))
+    // eq-deletes keyed on the table's name still hit the case-differing
+    // file through the connector
+    t.deleteByKeysMoR(spark, Seq(1L).toDF("id"))
+    assert(spark.sql("SELECT id FROM gaf.d.t").collect()
+      .map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
   test("a rename after registration keeps the file readable (by-name " +
       "match is pinned to the registration-time schema)") {
     val ext = extParquet("rename", Seq(5L -> "x"))

@@ -18,10 +18,13 @@ class IdentifierFieldsSpec extends AnyFunSuite {
 
   private def mk(tag: String, props: String = ""): (String, LakeTable) = {
     val wh = Files.createTempDirectory(s"graft-ident-$tag").toString
+    // both columns are declared required: identifier fields must be
+    // non-nullable (Iceberg v2), and these tests move the identity
+    // between `id` and `v`
     Engine.processTableDefJson(wh,
       s"""{"database_name":"d","table_name":"t","columns":[
-         |{"column_name":"id","data_type":"long"},
-         |{"column_name":"v","data_type":"string"}],"partitions":[]
+         |{"column_name":"id","data_type":"long","required":true},
+         |{"column_name":"v","data_type":"string","required":true}],"partitions":[]
          |$props}""".stripMargin)
     (wh, LakeTable.load(wh, "d", "t"))
   }
@@ -96,12 +99,13 @@ class IdentifierFieldsSpec extends AnyFunSuite {
          |"partitions":[]$props}""".stripMargin
     // dropping `id` (the identity) with no redeclaration → refused
     val bad = TableDef.parse(defJson(
-      """{"column_name":"v","data_type":"string"}""", "")).toOption.get
+      """{"column_name":"v","data_type":"string","required":true}""",
+      "")).toOption.get
     val e = intercept[IllegalArgumentException] { t.evolve(bad) }
     assert(e.getMessage.contains("identifier fields"))
     // same drop WITH a redeclaration onto a surviving column → allowed
     val moved = TableDef.parse(defJson(
-      """{"column_name":"v","data_type":"string"}""",
+      """{"column_name":"v","data_type":"string","required":true}""",
       ""","properties":{"identifier-fields":"v"}""")).toOption.get
     val (_, errored) = t.evolve(moved)
     assert(!errored)
@@ -114,8 +118,8 @@ class IdentifierFieldsSpec extends AnyFunSuite {
     t.upsertMoR(spark, df(1L -> "a2"))  // live eq batch keyed on id
     val redecl = TableDef.parse(
       """{"database_name":"d","table_name":"t","columns":[
-        |{"column_name":"id","data_type":"long"},
-        |{"column_name":"v","data_type":"string"}],"partitions":[],
+        |{"column_name":"id","data_type":"long","required":true},
+        |{"column_name":"v","data_type":"string","required":true}],"partitions":[],
         |"properties":{"identifier-fields":"v"}}""".stripMargin).toOption.get
     val e = intercept[IllegalArgumentException] { t.evolve(redecl) }
     assert(e.getMessage.contains("equality-delete"))
@@ -155,6 +159,33 @@ class IdentifierFieldsSpec extends AnyFunSuite {
     spark.sql(
       "ALTER TABLE gidp.d.t UNSET TBLPROPERTIES('identifier-fields')")
     assert(LakeTable.load(wh, "d", "t").identifierFieldNames.isEmpty)
+  }
+
+  test("nullable identifier column at create fails loudly") {
+    val wh = Files.createTempDirectory("graft-ident-null").toString
+    // `id` is NOT declared required → nullable → refused at resolve time
+    // (a nullable identifier would let null key tuples match each other)
+    val resp = Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"t","columns":[
+        |{"column_name":"id","data_type":"long"},
+        |{"column_name":"v","data_type":"string"}],"partitions":[],
+        |"properties":{"identifier-fields":"id"}}""".stripMargin)
+    assert(resp.hasError)
+    assert(resp.messageList.exists(_.contains("non-nullable")))
+    assert(!LakeTable.exists(wh, "d", "t"))
+  }
+
+  test("non-scalar identifier column at create fails loudly") {
+    val wh = Files.createTempDirectory("graft-ident-struct").toString
+    val resp = Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"t","columns":[
+        |{"column_name":"meta","data_type":"struct","required":true,
+        |"struct_def":[{"column_name":"k","data_type":"long","required":true}]},
+        |{"column_name":"v","data_type":"string"}],"partitions":[],
+        |"properties":{"identifier-fields":"meta"}}""".stripMargin)
+    assert(resp.hasError)
+    assert(resp.messageList.exists(_.contains("scalar")))
+    assert(!LakeTable.exists(wh, "d", "t"))
   }
 
   test("unknown identifier column at create fails loudly") {

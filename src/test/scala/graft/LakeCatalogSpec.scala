@@ -542,6 +542,35 @@ class LakeCatalogSpec extends AnyFunSuite {
       .contains("write.sort-order"))
   }
 
+  test("CALL add_files accepts a path containing a comma (escaped)") {
+    val wh = Files.createTempDirectory("graft-commapath").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"cp","columns":[
+        |{"column_name":"id","data_type":"long"},
+        |{"column_name":"v","data_type":"string"}],"partitions":[]}""".stripMargin)
+    import spark.implicits._
+    // materialize an external file whose NAME contains a comma — legal
+    // on every posix filesystem, and previously unregistrable from SQL
+    // (the bare comma split produced two nonexistent paths)
+    val tmp = Files.createTempDirectory("graft-ext-comma")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1)
+      .write.mode("overwrite").parquet(tmp.resolve("plain").toString)
+    val written = Files.list(tmp.resolve("plain"))
+      .filter(_.toString.endsWith(".parquet")).findFirst().get()
+    val commaPath = tmp.resolve("part-0,0.parquet")
+    Files.move(written, commaPath)
+    spark.conf.set("spark.sql.catalog.gcomma", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.gcomma.warehouse", wh)
+    // two levels of escaping: Spark SQL's single-quoted literal eats one
+    // backslash, splitList consumes the surviving `\,`
+    val escaped = commaPath.toString.replace(",", "\\\\,")
+    val res = spark.sql(
+      s"CALL gcomma.system.add_files('d', 'cp', '$escaped')").collect()
+    assert(res.head.getInt(1) == 1 && res.head.getLong(2) == 2L)
+    assert(spark.sql("SELECT id FROM gcomma.d.cp ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L))
+  }
+
   test("CALL procedures: expire_snapshots, compact, remove_orphan_files") {
     val wh = Files.createTempDirectory("graft-proc").toString
     Engine.processTableDefJson(wh,
