@@ -517,6 +517,10 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     val outDir = dataDir.resolve(
       s"snap-$snapshotId-${java.util.UUID.randomUUID().toString.take(8)}")
     val files = writeDataFiles(aligned, outDir)
+    // crash window under test (MaintenanceSpec torn-write recovery): a
+    // death HERE strands outDir as unreferenced files — readers never
+    // see them, the orphan sweep collects them, a retry recommits
+    LakeTable.faultPoint("post-write-pre-commit")
     commitSnapshot(files, schemaIdAtWrite, operation,
       streamBatchId, streamId, removedPaths, retryConflicts)
   }
@@ -2739,6 +2743,14 @@ object LakeTable {
       if (f.seq >= 0) f else f.copy(seq = reseq(s.id)))),
       branchSnaps.flatMap(s => s.eqDeletes.map(_.copy(seq = reseq(s.id)))))
   }
+
+  /** Test-only fault-injection seam: fired at named crash-window
+    * points so recovery tests can kill the JVM mid-protocol (e.g.
+    * between data-file write and metadata commit). A no-op in
+    * production — nothing in the engine ever assigns it.
+    */
+  @volatile private[graft] var faultHook: String => Unit = _ => ()
+  @inline private[lake] def faultPoint(name: String): Unit = faultHook(name)
 
   /** Manifest handles backing a snapshot's file list — one for a
     * single manifest, the parts for a clustered set, empty for inline

@@ -1,0 +1,132 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.lake.{Engine, LakeTable}
+
+/** Multi-PROCESS commit torture: N real JVMs hammer one table with
+  * append + blind MoR upsert + compact concurrently. Every prior
+  * concurrency test ran writers in a single JVM, where the in-process
+  * `loadedVersion` check alone masks most races; separate processes
+  * share nothing but the filesystem, so this exercises the actual
+  * Iceberg-style optimistic protocol: version-hint read → CREATE_NEW
+  * claim of v{N+1}.json (the CAS) → atomic pointer flip. Remove the
+  * CREATE_NEW claim and two processes clobber each other's metadata:
+  * rows vanish or upserts resurrect stale values, which the exact
+  * final-content assertion below catches.
+  */
+class ConcurrencySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private val Workers = 3
+  private val Iters = 4
+
+  test("N processes of append+upsert+compact: no lost commits, " +
+      "monotonic history, no orphan metadata") {
+    val wh = Files.createTempDirectory("graft-conc").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"t","columns":[
+        |{"column_name":"id","data_type":"long","required":true},
+        |{"column_name":"v","data_type":"string"}],"partitions":[]}""".stripMargin)
+
+    val javaBin = Paths.get(System.getProperty("java.home"), "bin", "java")
+      .toString
+    val cp = System.getProperty("java.class.path")
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar")
+      .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+    val outDir = Files.createTempDirectory("graft-conc-out")
+    val procs = (0 until Workers).map { w =>
+      val out = outDir.resolve(s"worker-$w.log").toFile
+      val cmd = (Seq(javaBin) ++ addOpens ++ Seq(
+        "-Xmx1500m", "-Dspark.ui.enabled=false",
+        "-Dspark.sql.session.timeZone=UTC",
+        "-cp", cp, "graft.ConcurrencyWorker",
+        wh, "d", "t", w.toString, Iters.toString)).asJava
+      val pb = new ProcessBuilder(cmd)
+      pb.redirectErrorStream(true)
+      pb.redirectOutput(out)
+      (w, pb.start(), out)
+    }
+    val results = procs.map { case (w, p, out) =>
+      val finished = p.waitFor(8, java.util.concurrent.TimeUnit.MINUTES)
+      assert(finished, s"worker $w timed out; log:\n" +
+        new String(Files.readAllBytes(out.toPath)).takeRight(4000))
+      (w, p.exitValue(), new String(Files.readAllBytes(out.toPath)))
+    }
+    results.foreach { case (w, rc, log) =>
+      assert(rc == 0, s"worker $w exited $rc; log tail:\n" +
+        log.takeRight(4000))
+      assert(log.contains(s"RESULT ok appends=$Iters upserts=$Iters"),
+        s"worker $w under-reported; log tail:\n" + log.takeRight(4000))
+    }
+    val compactsDone = results.map { case (_, _, log) =>
+      "compacts=(\\d+)".r.findFirstMatchIn(log).get.group(1).toInt
+    }.sum
+
+    // --- no lost commits: every operation is exactly one snapshot ----
+    val t = LakeTable.load(wh, "d", "t")
+    val ops = t.metadata.snapshots.groupBy(_.operation)
+      .map { case (k, v) => k -> v.size }
+    assert(ops.getOrElse("append", 0) == Workers * Iters,
+      s"lost append commits: $ops")
+    assert(ops.getOrElse("upsert", 0) == Workers * Iters,
+      s"lost upsert commits: $ops")
+    assert(ops.getOrElse("rewrite", 0) == compactsDone,
+      s"lost compact commits: $ops vs reported $compactsDone")
+    assert(t.metadata.staged.isEmpty, "no staged snapshots expected")
+
+    // --- monotonic history: ids strictly increasing, no duplicates ---
+    val ids = t.metadata.snapshots.map(_.id)
+    assert(ids == ids.sorted && ids.distinct == ids,
+      s"snapshot ids not strictly monotonic: $ids")
+
+    // --- version chain: one vN.json per commit, no gaps, hint = head -
+    val totalCommits = 1 + t.metadata.snapshots.size // +1 = CREATE TABLE
+    val metaDir = Paths.get(wh, "d", "t", "metadata")
+    val hint = Files.readString(metaDir.resolve("version-hint.text"))
+      .trim.toInt
+    assert(hint == totalCommits,
+      s"version-hint $hint != expected $totalCommits commits")
+    (1 to totalCommits).foreach { v =>
+      assert(Files.exists(metaDir.resolve(s"v$v.json")),
+        s"gap in the version chain: v$v.json missing")
+    }
+
+    // --- no orphan metadata: every live manifest resolves -----------
+    t.metadata.snapshots.foreach { s =>
+      LakeTable.manifestParts(s.files).foreach { mp =>
+        assert(Files.exists(metaDir.resolve(mp.manifestName)),
+          s"snapshot ${s.id} references missing manifest " +
+            mp.manifestName)
+      }
+    }
+
+    // --- exact final content: any clobbered commit loses rows or
+    //     resurrects a stale upsert value -----------------------------
+    val got = t.read(spark).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expectAppends = (for {
+      w <- 0 until Workers; i <- 0 until Iters; r <- 0 to 1
+    } yield (1000000L + w * 10000L + i * 10L + r,
+      s"a-w$w-i$i-$r")).toMap
+    val expectUpserts = (for {
+      w <- 0 until Workers; k <- 0 to 2
+    } yield (w * 10L + k, s"u-w$w-i${Iters - 1}-k$k")).toMap
+    assert(got == expectAppends ++ expectUpserts,
+      s"content drift — missing: ${(expectAppends ++ expectUpserts)
+        .toSet.diff(got.toSet).take(10)}; unexpected: ${got.toSet
+        .diff((expectAppends ++ expectUpserts).toSet).take(10)}")
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.lake.LakeTable
+
+/** Separate-JVM worker for ConcurrencySpec: hammers one shared table
+  * with appends, blind MoR upserts, and full compactions, retrying
+  * commit conflicts with a FRESH handle per attempt (the documented
+  * reload-and-retry contract). Each worker owns disjoint id ranges —
+  * appended ids ≥ 1,000,000, upsert keys = wid*10+{0,1,2} — so the
+  * final table content is exactly predictable regardless of the
+  * cross-process interleaving, and any lost commit shows up as a
+  * missing row or a stale upsert value.
+  *
+  * Prints `RESULT ok appends=A upserts=U compacts=C` and exits 0; any
+  * unrecoverable error prints `RESULT fail ...` and exits 1.
+  */
+object ConcurrencyWorker {
+  def main(args: Array[String]): Unit = {
+    val Array(wh, db, table, widStr, itersStr) = args
+    val wid = widStr.toInt
+    val iters = itersStr.toInt
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName(s"graft-conc-w$wid")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    // outer retry on top of the engine's bounded internal retries: a
+    // herd of 3+ processes can exhaust commit.retry.num-retries, and
+    // the contract then is reload (fresh handle) and go again
+    def retryOp[A](body: LakeTable => A): A = {
+      var attempts = 0
+      while (true) {
+        val t = LakeTable.load(wh, db, table)
+        try return body(t)
+        catch {
+          case e: java.util.ConcurrentModificationException =>
+            attempts += 1
+            if (attempts > 40) throw e
+            Thread.sleep(scala.util.Random.nextInt(50).toLong + 5)
+        }
+      }
+      throw new IllegalStateException("unreachable")
+    }
+
+    var appends = 0; var upserts = 0; var compacts = 0
+    try {
+      (0 until iters).foreach { i =>
+        retryOp { t =>
+          t.append(Seq(
+            (1000000L + wid * 10000L + i * 10L, s"a-w$wid-i$i-0"),
+            (1000000L + wid * 10000L + i * 10L + 1L, s"a-w$wid-i$i-1"))
+            .toDF("id", "v"))
+        }
+        appends += 1
+        retryOp { t =>
+          t.upsertMoR(spark, Seq(
+            (wid * 10L, s"u-w$wid-i$i-k0"),
+            (wid * 10L + 1L, s"u-w$wid-i$i-k1"),
+            (wid * 10L + 2L, s"u-w$wid-i$i-k2")).toDF("id", "v"),
+            keys = Seq("id"))
+        }
+        upserts += 1
+        if (i % 2 == 1) {
+          retryOp { t => t.compact(spark) }
+          compacts += 1
+        }
+      }
+      println(s"RESULT ok appends=$appends upserts=$upserts compacts=$compacts")
+      spark.stop()
+      sys.exit(0)
+    } catch {
+      case e: Throwable =>
+        e.printStackTrace()
+        println(s"RESULT fail ${e.getClass.getName}: ${e.getMessage}")
+        sys.exit(1)
+    }
+  }
+}

@@ -111,6 +111,77 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(!Files.exists(stray.getParent), "empty snap dir pruned")
   }
 
+  test("a JVM killed between data-file write and commit leaves the " +
+      "table clean, sweepable, and retryable") {
+    val (wh, t) = mkTable("torn")
+    t.append(df(1L -> "committed"))
+    val beforeVersion = Files.readString(
+      Paths.get(wh, "d", "t", "metadata", "version-hint.text")).trim
+    // real crash: a separate JVM appends and HALTS (no shutdown hooks)
+    // at the fault point after writeDataFiles, before commitSnapshot
+    val javaBin = Paths.get(System.getProperty("java.home"), "bin",
+      "java").toString
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar")
+      .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val log = Files.createTempFile("graft-torn", ".log").toFile
+    val pb = new ProcessBuilder(
+      (Seq(javaBin) ++ addOpens ++ Seq("-Xmx1500m",
+        "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+        "-cp", System.getProperty("java.class.path"),
+        "graft.TornWriteWorker", wh, "d", "t")): _*)
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(log)
+    val proc = pb.start()
+    assert(proc.waitFor(5, java.util.concurrent.TimeUnit.MINUTES),
+      "torn writer timed out")
+    val logText = new String(Files.readAllBytes(log.toPath))
+    assert(proc.exitValue() == 137,
+      s"worker must die AT the fault point (rc ${proc.exitValue()}); " +
+        "log tail:\n" + logText.takeRight(3000))
+    assert(logText.contains("TORN about to halt"))
+
+    // the torn state is real: stranded parquet under data/, no commit
+    val dataDir = Paths.get(wh, "d", "t", "data")
+    def strandedParquet() = {
+      val referenced = LakeTable.load(wh, "d", "t").metadata.snapshots
+        .flatMap(_.files.map(_.path)).toSet
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(Files.walk(dataDir)) { st =>
+        st.iterator().asScala
+          .filter(p => p.toString.endsWith(".parquet"))
+          .filterNot(p => referenced(p.toString)).toList
+      }
+    }
+    assert(strandedParquet().nonEmpty,
+      "crash must strand the written-but-uncommitted files")
+    assert(Files.readString(Paths.get(wh, "d", "t", "metadata",
+      "version-hint.text")).trim == beforeVersion,
+      "a torn write must not advance the committed version")
+
+    // 1) the table reads CLEAN — uncommitted files are invisible
+    val t2 = LakeTable.load(wh, "d", "t")
+    assert(t2.read(spark).collect().map(r =>
+      r.getLong(0) -> r.getString(1)).toSeq == Seq(1L -> "committed"))
+
+    // 2) the orphan sweep collects the stranded files
+    val swept = t2.removeOrphanFiles(olderThanMillis = 0)
+    assert(swept.nonEmpty, "sweep must collect the torn write's files")
+    assert(strandedParquet().isEmpty, "no stranded parquet after sweep")
+
+    // 3) a retried commit through a fresh handle succeeds
+    LakeTable.load(wh, "d", "t").append(df(999L -> "retried"))
+    assert(LakeTable.load(wh, "d", "t").read(spark).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSet ==
+      Set(1L -> "committed", 999L -> "retried"))
+  }
+
   test("removeOrphanFiles refuses to run on a stale handle") {
     val (wh, t) = mkTable("stale-orphan")
     t.append(df(1L -> "a"))

@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.lake.LakeTable
+
+/** Separate-JVM worker for the torn-write crash test: appends to the
+  * table but HALTS the JVM (no shutdown hooks, no Spark cleanup — the
+  * closest userland equivalent of kill -9) at the fault point between
+  * data-file write and metadata commit. Exit code 137 by convention.
+  */
+object TornWriteWorker {
+  def main(args: Array[String]): Unit = {
+    val Array(wh, db, table) = args
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-torn-writer")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    LakeTable.faultHook = name =>
+      if (name == "post-write-pre-commit") {
+        // stdout flush then die hard: halt() skips shutdown hooks, so
+        // nothing between write and commit gets a chance to clean up
+        println("TORN about to halt at " + name)
+        System.out.flush()
+        Runtime.getRuntime.halt(137)
+      }
+    LakeTable.load(wh, db, table)
+      .append(Seq((999L, "torn-row")).toDF("id", "v"))
+    // unreachable if the fault fired; exiting 0 fails the spec loudly
+    println("TORN fault point never fired")
+    sys.exit(0)
+  }
+}
