@@ -694,8 +694,15 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     val base = ref.baseSnapshotId.get
     val visible = md.snapshots.filter(_.id <= base)
     val (files, eqs) = LakeTable.resequenceOverlay(base, branchSnaps(name))
+    // staged copy-on-write commits rewrite files INSIDE the branch:
+    // drop their inputs from the combined set. A flat subtraction is
+    // exact — a CoW only ever removes files visible at its staging
+    // time, and replacement files get fresh UUID paths.
+    val cowRemoved = branchSnaps(name).flatMap(_.removedPaths)
+      .map(LakeTable.normalizePath).toSet
     readFiles(spark,
-      LakeTable.liveFiles(visible) ++ files,
+      (LakeTable.liveFiles(visible) ++ files)
+        .filterNot(f => cowRemoved(LakeTable.normalizePath(f.path))),
       md.currentSchema, LakeTable.liveDeletes(visible),
       LakeTable.liveEqDeletes(visible) ++ eqs)
   }
@@ -812,6 +819,91 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
       })
   }
 
+  /** Copy-on-write DELETE on a branch: the affected files of the
+    * BRANCH VIEW (fork-base files plus earlier branch commits) are
+    * rewritten without the matching rows and staged as one
+    * "staged-cow" snapshot whose `removedPaths` are exactly the
+    * rewritten inputs — the branch-scoped form of `delete`. Publish is
+    * REBASE-CHECKED: `fastForward` verifies every rewritten input is
+    * still live at publish time (a compaction that moved files under
+    * the branch would make the baked-in rewrite stale) and
+    * `rebaseBranch` refuses branches carrying CoW commits — unlike the
+    * blind MoR verbs, a file rewrite cannot be carried over a moved
+    * base. Iceberg's cherry-pick of overwrite snapshots has the same
+    * constraint.
+    */
+  def deleteFromBranchCoW(spark: SparkSession, name: String,
+      predicate: Column): Option[SnapshotMeta] =
+    branchCoW(spark, name, predicate, assignments = None)
+
+  /** Copy-on-write UPDATE on a branch — same staging/publish contract
+    * as `deleteFromBranchCoW`; every assignment RHS sees the
+    * pre-update row, like `update`.
+    */
+  def updateBranchCoW(spark: SparkSession, name: String,
+      assignments: Map[String, Column], predicate: Column)
+      : Option[SnapshotMeta] = {
+    val bad = assignments.keySet.filterNot(md.currentSchema.fieldNames.contains)
+    require(bad.isEmpty, s"unknown columns in SET: $bad")
+    branchCoW(spark, name, predicate, Some(assignments))
+  }
+
+  private def branchCoW(spark: SparkSession, name: String,
+      predicate: Column, assignments: Option[Map[String, Column]])
+      : Option[SnapshotMeta] = {
+    val what =
+      if (assignments.isDefined) "updateBranchCoW" else "deleteFromBranchCoW"
+    val ref = branchRef(name)
+    // read-dependent write: a concurrent commit invalidates the view
+    // this rewrite is computed from — surface it, never retry blindly
+    if (currentHintVersion() != loadedVersion)
+      throw new java.util.ConcurrentModificationException(
+        s"table $location was committed concurrently; reload and retry")
+    val base = ref.baseSnapshotId.get
+    val visible = md.snapshots.filter(_.id <= base)
+    // same contract as the main-table CoW verbs (`delete`/`update`):
+    // live equality batches don't mix with a file rewrite — batches
+    // staged on this branch count too, since the rewrite would bake
+    // them in and change their replay semantics at publish
+    require(LakeTable.liveEqDeletes(visible).isEmpty &&
+      branchSnaps(name).forall(_.eqDeletes.isEmpty),
+      s"$what: equality-delete batches are live in the branch view; " +
+        "use the MoR branch verbs (deleteFromBranchMoR/upsertToBranchMoR) " +
+        "or compact first")
+    val cowRemoved = branchSnaps(name).flatMap(_.removedPaths)
+      .map(LakeTable.normalizePath).toSet
+    val (overlayFiles, _) =
+      LakeTable.resequenceOverlay(base, branchSnaps(name))
+    val candidates = (LakeTable.liveFiles(visible) ++ overlayFiles)
+      .filterNot(f => cowRemoved(LakeTable.normalizePath(f.path)))
+    val affected = affectedFiles(spark, predicate,
+      candidatesOverride = Some(candidates))
+    if (affected.isEmpty) return None
+    val rows = readFiles(spark, affected, md.currentSchema,
+      LakeTable.liveDeletes(visible))
+    val kept = assignments match {
+      case None => rows.filter(!coalesce(predicate, lit(false)))
+      case Some(as) =>
+        val p = coalesce(predicate, lit(false))
+        rows.select(md.currentSchema.fieldNames.toSeq.map { n =>
+          as.get(n) match {
+            case Some(v) => when(p, v).otherwise(col(s"`$n`")).as(n)
+            case None => col(s"`$n`")
+          }
+        }: _*)
+    }
+    val aligned = Align(kept, md.currentSchema)
+    aligned.sparkSession.conf
+      .set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    val provisionalId = (md.snapshots ++ md.staged).map(_.id)
+      .foldLeft(0L)(math.max) + 1
+    val outDir = dataDir.resolve(
+      s"snap-$provisionalId-${java.util.UUID.randomUUID().toString.take(8)}")
+    Some(stageBranchSnapshot(name, writeDataFiles(aligned, outDir),
+      md.currentSchemaId, operation = "staged-cow",
+      removedPaths = affected.map(_.path)))
+  }
+
   /** Optimistic-concurrency commit loop shared by retriable appends
     * and blind MoR writes: build a fresh snapshot per attempt (ids
     * share one space with staged snapshots), commit, and on conflict
@@ -879,6 +971,15 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
         "after evolution"))
     var nextId = (md.snapshots ++ md.staged).map(_.id)
       .foldLeft(0L)(math.max)
+    // the rebase check for staged copy-on-write commits: every
+    // rewritten input must STILL be live at publish time — tracked
+    // through the publish sequence itself, since a later branch CoW
+    // may legitimately rewrite files an earlier branch commit added.
+    // A compaction since the fork (allowed by the byte-move clause
+    // above) moves file paths, which makes a baked-in rewrite stale —
+    // that surfaces here as a named refusal, not silent duplication.
+    var liveNow = LakeTable.liveFiles(md.snapshots)
+      .map(f => LakeTable.normalizePath(f.path)).toSet
     val published = snaps.map { s =>
       nextId += 1
       // branch MoR commits publish under their real operation;
@@ -890,8 +991,21 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
       val op = s.operation match {
         case "staged-delete" => "delete"
         case "staged-upsert" => "upsert"
+        case "staged-cow" => "overwrite"
         case _ => "append"
       }
+      if (s.removedPaths.nonEmpty) {
+        val gone = s.removedPaths.map(LakeTable.normalizePath)
+          .filterNot(liveNow)
+        require(gone.isEmpty,
+          s"branch '$name' carries a copy-on-write rewrite of " +
+            s"${gone.size} file(s) no longer live on main (e.g. " +
+            s"${gone.take(2).mkString(", ")}) — the base moved under " +
+            "the rewrite; discard the branch and re-apply the change")
+      }
+      liveNow = liveNow --
+        s.removedPaths.map(LakeTable.normalizePath) ++
+        s.files.map(f => LakeTable.normalizePath(f.path))
       s.copy(id = nextId, operation = op,
         eqDeletes = s.eqDeletes.map(_.copy(seq = nextId)),
         timestampMs = System.currentTimeMillis())
@@ -923,6 +1037,14 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     val ref = branchRef(name)
     val head = md.snapshots.map(_.id).foldLeft(0L)(math.max)
     if (ref.baseSnapshotId.contains(head)) return head
+    // blind writes rebase soundly; a staged copy-on-write rewrite does
+    // NOT — it baked in the fork-base content of the files it replaced,
+    // and main may have changed those rows since
+    require(branchSnaps(name).forall(_.removedPaths.isEmpty),
+      s"branch '$name' carries copy-on-write rewrites pinned to base " +
+        s"${ref.baseSnapshotId.get} — a rebase cannot carry a file " +
+        "rewrite over a moved base; fastForward (if main only " +
+        "compacted) or discard the branch and re-apply")
     // an empty branch's head pointer tracks its base
     val newSnapId = if (branchSnaps(name).isEmpty) head else ref.snapshotId
     commit(md.copy(refs = md.refs + (name ->
@@ -1392,13 +1514,16 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     */
   private def stageBranchSnapshot(name: String, files: Seq[DataFileMeta],
       schemaId: Int, streamBatchId: Option[Long] = None,
-      streamId: Option[String] = None): SnapshotMeta = {
+      streamId: Option[String] = None,
+      operation: String = "staged-append",
+      removedPaths: Seq[String] = Seq.empty): SnapshotMeta = {
     val ref = branchRef(name)
     val snapshotId = (md.snapshots ++ md.staged).map(_.id)
       .foldLeft(0L)(math.max) + 1
     val snap = SnapshotMeta(snapshotId, files, schemaId,
-      operation = "staged-append", streamBatchId = streamBatchId,
-      streamId = streamId, timestampMs = System.currentTimeMillis(),
+      operation = operation, streamBatchId = streamBatchId,
+      streamId = streamId, removedPaths = removedPaths,
+      timestampMs = System.currentTimeMillis(),
       wapId = Some(branchMarker(name)))
     commit(md.copy(staged = md.staged :+ snap,
       refs = md.refs + (name -> ref.copy(snapshotId = snapshotId))))
@@ -2608,10 +2733,14 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
   private def affectedFiles(spark: SparkSession, predicate: Column,
       prune: Map[String, Set[String]] = Map.empty,
       statsFilters: Seq[RangeFilter] = Seq.empty,
-      matchSource: Option[(DataFrame, Seq[String])] = None): Seq[DataFileMeta] = {
-    val candidates = LakeTable.matchingFiles(
+      matchSource: Option[(DataFrame, Seq[String])] = None,
+      candidatesOverride: Option[Seq[DataFileMeta]] = None)
+      : Seq[DataFileMeta] = {
+    // branch CoW passes its own (branch-view) candidate set; the main
+    // path derives it from the committed live files
+    val candidates = candidatesOverride.getOrElse(LakeTable.matchingFiles(
       LakeTable.liveFiles(md.snapshots, prune, md.currentSchema, statsFilters),
-      md.currentSchema, prune, statsFilters)
+      md.currentSchema, prune, statsFilters))
     if (candidates.isEmpty) return Seq.empty
     val tagged = candidates.groupBy(_.schemaId).map { case (schemaId, group) =>
       val fileSchema = md.schemaById(schemaId)

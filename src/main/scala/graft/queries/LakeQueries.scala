@@ -990,6 +990,58 @@ object RowOpsQueries extends QueryModule {
         .orderBy("c_custkey")
     }),
 
+    "lake_branch_cow" -> QueryModule.micro(4)((s, dir) => {
+      // COPY-ON-WRITE row-level ops ON A BRANCH (round-6 What's-missing
+      // #1, now built): the same curation pass as lake_branch_mor but
+      // as file REWRITES — CoW delete of bad keys, CoW update
+      // re-segmenting others — staged in branch isolation while main
+      // keeps serving the untouched table. fast_forward publishes the
+      // rewrites as "overwrite" snapshots after the rebase check
+      // verifies no rewritten file moved under the branch; unlike the
+      // MoR variant the published table carries ZERO read-side debt
+      // (no delete files, no equality batches to merge at read time) —
+      // the audited-rewrite shape for read-heavy 100 TB tables.
+      val wh = LakeQueries.freshWarehouse("branchcow")
+      Engine.processTableDefJson(wh,
+        """{"database_name":"bc","table_name":"cust","columns":[
+          |{"column_name":"c_custkey","data_type":"long"},
+          |{"column_name":"c_name","data_type":"string"},
+          |{"column_name":"c_mktsegment","data_type":"string"}],
+          |"partitions":[]}""".stripMargin)
+      val t = LakeTable.load(wh, "bc", "cust")
+      val cust = Tables(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_mktsegment")
+      t.append(cust)
+      t.createBranch("fix")
+      // the whole pass runs from SQL (predicates travel as SQL exprs)
+      s.conf.set("spark.sql.catalog.graftbc", "graft.sources.LakeCatalog")
+      s.conf.set("spark.sql.catalog.graftbc.warehouse", wh)
+      s.sql("CALL graftbc.system.branch_delete_cow(" +
+        "'bc', 'cust', 'fix', 'c_custkey % 10 = 3')").collect()
+      s.sql("CALL graftbc.system.branch_update_cow(" +
+        "'bc', 'cust', 'fix', 'c_mktsegment', '''PATCHED''', " +
+        "'c_custkey % 10 = 7')").collect()
+      // isolation audit, loud before the oracle: main serves the full
+      // table; the branch view shows the rewrite
+      val full = cust.count()
+      require(s.sql("SELECT count(*) FROM graftbc.bc.cust")
+        .head.getLong(0) == full,
+        "main must keep serving the untouched table")
+      require(s.sql(
+        "SELECT count(*) FROM graftbc.bc.cust VERSION AS OF 'fix'")
+        .head.getLong(0) ==
+        full - cust.filter(col("c_custkey") % 10 === 3).count(),
+        "branch view must drop the CoW-deleted keys")
+      val published = LakeTable.load(wh, "bc", "cust")
+      val snaps = published.fastForward("fix")
+      require(snaps.nonEmpty && snaps.forall(_.operation == "overwrite"),
+        s"CoW publish must produce overwrite snapshots, got " +
+          snaps.map(_.operation).mkString(", "))
+      published.read(s)
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    }),
+
     "lake_cdc_apply" -> QueryModule.micro(4)((s, dir) => {
       // the full CDC replication loop: a source table evolves by
       // append + blind upsert; a replica pulls each snapshot range
@@ -1595,6 +1647,13 @@ object RowOpsQueries extends QueryModule {
         |ORDER BY c_custkey""".stripMargin,
 
     "lake_branch_mor" ->
+      """SELECT c_custkey, c_name,
+        |  CASE WHEN c_custkey % 10 = 7 THEN 'PATCHED'
+        |       ELSE c_mktsegment END AS c_mktsegment
+        |FROM customer WHERE c_custkey % 10 <> 3
+        |ORDER BY c_custkey""".stripMargin,
+
+    "lake_branch_cow" ->
       """SELECT c_custkey, c_name,
         |  CASE WHEN c_custkey % 10 = 7 THEN 'PATCHED'
         |       ELSE c_mktsegment END AS c_mktsegment

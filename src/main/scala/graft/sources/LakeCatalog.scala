@@ -720,7 +720,8 @@ private[sources] object LakeProcedures {
       "drop_ref", "publish_wap", "discard_wap", "rebase_branch",
       "rewrite_manifests", "fast_forward",
       "add_partition_field", "drop_partition_field",
-      "branch_delete", "branch_upsert", "create_changelog_view")
+      "branch_delete", "branch_upsert", "branch_delete_cow",
+      "branch_update_cow", "create_changelog_view")
 
   private def param(n: String, dt: DataType) =
     ProcedureParameter.in(n, dt).build()
@@ -805,6 +806,17 @@ private[sources] object LakeProcedures {
               param("db", StringType), param("table", StringType),
               param("branch", StringType), param("source_view", StringType),
               param("keys", StringType))
+            // branch COPY-ON-WRITE mutations from SQL: `where` is a SQL
+            // boolean expression; branch_update_cow sets ONE column per
+            // call (set_expr is a SQL expression over the pre-update
+            // row) — multi-column updates chain calls
+            case "branch_delete_cow" => Array(
+              param("db", StringType), param("table", StringType),
+              param("branch", StringType), param("where", StringType))
+            case "branch_update_cow" => Array(
+              param("db", StringType), param("table", StringType),
+              param("branch", StringType), param("set_col", StringType),
+              param("set_expr", StringType), param("where", StringType))
             // Iceberg's create_changelog_view: register the
             // delete-marker changelog of (from, to] as a temp view.
             // mode: '' (raw), 'updates' (compute_updates pairing), or
@@ -1051,6 +1063,30 @@ private[sources] object LakeProcedures {
                     nullable = false),
                   StructField("rows", LongType, nullable = false))),
                   Seq[Any](snap.id, snap.files.map(_.rows).sum))
+              case "branch_delete_cow" =>
+                val spark = org.apache.spark.sql.SparkSession.active
+                val snap = t.deleteFromBranchCoW(spark, strArg(2),
+                  org.apache.spark.sql.functions.expr(strArg(3)))
+                (StructType(Seq(
+                  StructField("staged_snapshot_id", LongType,
+                    nullable = false),
+                  StructField("rewritten_files", IntegerType,
+                    nullable = false))),
+                  Seq[Any](snap.map(_.id).getOrElse(-1L),
+                    snap.map(_.removedPaths.size).getOrElse(0)))
+              case "branch_update_cow" =>
+                val spark = org.apache.spark.sql.SparkSession.active
+                val snap = t.updateBranchCoW(spark, strArg(2),
+                  Map(strArg(3) ->
+                    org.apache.spark.sql.functions.expr(strArg(4))),
+                  org.apache.spark.sql.functions.expr(strArg(5)))
+                (StructType(Seq(
+                  StructField("staged_snapshot_id", LongType,
+                    nullable = false),
+                  StructField("rewritten_files", IntegerType,
+                    nullable = false))),
+                  Seq[Any](snap.map(_.id).getOrElse(-1L),
+                    snap.map(_.removedPaths.size).getOrElse(0)))
               case "create_changelog_view" =>
                 val spark = org.apache.spark.sql.SparkSession.active
                 val view = strArg(4)

@@ -579,9 +579,14 @@ private[sources] class LakeScan(wh: String, db: String, tbl: String,
         // equals the post-publish state — see LakeTable.readBranch
         val (overlay, branchEqs) =
           LakeTable.resequenceOverlay(base, branchSnaps)
+        // staged copy-on-write commits rewrote files inside the branch:
+        // drop their inputs, mirroring LakeTable.readBranch exactly
+        val cowRemoved = branchSnaps.flatMap(_.removedPaths)
+          .map(LakeTable.normalizePath).toSet
         (t, LakeTable.matchingFiles(
-          LakeTable.liveFiles(visible, Map.empty, target, statsFilters) ++
-            overlay,
+          (LakeTable.liveFiles(visible, Map.empty, target, statsFilters) ++
+            overlay)
+            .filterNot(f => cowRemoved(LakeTable.normalizePath(f.path))),
           target, Map.empty, statsFilters), LakeTable.liveDeletes(visible),
           LakeTable.liveEqDeletes(visible) ++ branchEqs)
       case None =>

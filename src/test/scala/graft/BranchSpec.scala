@@ -400,6 +400,68 @@ class BranchSpec extends AnyFunSuite {
     assert(refs.toSeq == Seq(("rel", "tag", -1L), ("wb", "branch", s1)))
   }
 
+  test("branch CoW delete/update rewrite files in the branch view only, " +
+      "publish as overwrite snapshots") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val (_, t) = mk("cow")
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    t.append(Seq((3L, "c")).toDF("id", "v"))
+    t.createBranch("fix")
+    t.appendToBranch(Seq((4L, "d")).toDF("id", "v"), "fix")
+    // CoW delete in the branch: id=2 (a fork-base file's row) goes away
+    assert(t.deleteFromBranchCoW(spark, "fix", col("id") === 2L).isDefined)
+    // CoW update in the branch: id=4 (a BRANCH file's row) gets rewritten
+    assert(t.updateBranchCoW(spark, "fix",
+      Map("v" -> concat(col("v"), lit("!"))), col("id") === 4L).isDefined)
+    def content(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(content(t.readBranch(spark, "fix")) ==
+      Map(1L -> "a", 3L -> "c", 4L -> "d!"))
+    // main is untouched until publish
+    assert(content(t.read(spark)) == Map(1L -> "a", 2L -> "b", 3L -> "c"))
+    // a second CoW over an earlier CoW's replacement file still works
+    assert(t.deleteFromBranchCoW(spark, "fix", col("id") === 1L).isDefined)
+    val published = t.fastForward("fix")
+    assert(published.count(_.operation == "overwrite") == 3)
+    assert(content(t.read(spark)) == Map(3L -> "c", 4L -> "d!"))
+  }
+
+  test("branch CoW publish is rebase-checked; rebase refuses CoW commits") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val (_, t) = mk("cowrb")
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    t.createBranch("fix")
+    assert(t.deleteFromBranchCoW(spark, "fix", col("id") === 1L).isDefined)
+    // main compacts after the fork: a byte-move, so plain appends would
+    // still fast-forward — but the CoW rewrote a file compaction just
+    // replaced, so publishing would silently duplicate; named refusal
+    t.compact(spark)
+    val e = intercept[IllegalArgumentException] { t.fastForward("fix") }
+    assert(e.getMessage.contains("copy-on-write") &&
+      e.getMessage.contains("no longer live"))
+    // rebase is refused too: a rewrite cannot be carried over a moved base
+    val e2 = intercept[IllegalArgumentException] { t.rebaseBranch("fix") }
+    assert(e2.getMessage.contains("copy-on-write"))
+    // discard stays available and frees the branch's files
+    assert(t.discardBranch("fix") > 0)
+  }
+
+  test("branch CoW refuses when equality batches are live in the view") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val (_, t) = mk("coweq")
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    t.createBranch("fix")
+    t.upsertToBranchMoR(spark, "fix", Seq((2L, "b2")).toDF("id", "v"),
+      Seq("id"))
+    val e = intercept[IllegalArgumentException] {
+      t.deleteFromBranchCoW(spark, "fix", col("id") === 1L)
+    }
+    assert(e.getMessage.contains("equality-delete"))
+  }
+
   test("CALL branch_delete/branch_upsert mutate the branch from SQL") {
     import spark.implicits._
     val (wh, t) = mk("mor-call")
