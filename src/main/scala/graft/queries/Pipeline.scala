@@ -117,6 +117,64 @@ object Pipeline extends QueryModule {
         .orderBy("a_id")
     }),
 
+    "q_dedup_spans" -> ((s, dir) => {
+      // EXACT substring-span dedup (cross-doc repeated-span removal,
+      // the deduplicate-text-datasets shape): find maximal word spans
+      // (>= K words) that repeat ACROSS documents and attribute every
+      // repeat to the first-occurrence doc — later docs report the
+      // repeated footage as removable. Shuffle-bounded suffix-array
+      // surrogate: positional K-gram anchors (one shuffle keyed by the
+      // gram — at 100 TB the key is its xxhash64 digest, carrying 8
+      // bytes instead of text) + LOCAL extension (overlapping or
+      // contiguous anchor windows merge into maximal spans inside one
+      // per-doc window over dup anchors only — no cross-doc join of
+      // span candidates, no all-pairs anything). Within-doc repeats
+      // don't count (min_doc == doc_id): this operator is the
+      // cross-doc decontamination shape; q_quality_repetition covers
+      // within-doc repetition.
+      import s.implicits._
+      val K = 8
+      val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      val sh = docs.as[(Long, String)].flatMap { case (id, text) =>
+        val toks = text.split(" ")
+        if (toks.length < K) Iterator.empty
+        else (0 to toks.length - K).iterator.map(i =>
+          (id, i, toks.slice(i, i + K).mkString(" ")))
+      }.toDF("doc_id", "pos", "g")
+      val firstDoc = sh.groupBy("g").agg(min("doc_id").as("min_doc"))
+      val dup = sh.join(firstDoc, "g")
+        .filter(col("min_doc") < col("doc_id"))
+        .select("doc_id", "pos")
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      // windows [pos, pos+K-1] merge iff the gap to the previous dup
+      // anchor is <= K (overlapping or exactly contiguous)
+      val spans = dup
+        .withColumn("brk",
+          when(col("pos") - lag("pos", 1).over(w) <= K, 0).otherwise(1))
+        .withColumn("span_id", sum("brk")
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("doc_id", "span_id")
+        .agg((max("pos") - min("pos") + K).as("span_len"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"), sum("span_len").as("dup_tokens"))
+      val out = docs
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .join(spans, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("dup_tokens"), lit(0L)).cast("long").as("dup_tokens"),
+          coalesce(col("n_spans"), lit(0L)).cast("long").as("n_spans"))
+        .orderBy("doc_id")
+      // anti-vacuity audit: the fixture generator plants cross-doc
+      // near-dups, so a zero-span result means the anchor pipeline
+      // broke, not that the corpus is clean
+      require(out.filter(col("n_spans") > 0).limit(1).count() == 1,
+        "q_dedup_spans: no cross-doc spans found — anchor pipeline broken " +
+          "or fixture drifted")
+      out
+    }),
+
     "q_dedup_near" -> ((s, dir) => {
       // SURVEY §2.B's deterministic near-dup variant: the same 4-gram
       // Jaccard computation as q_dedup_ngram, but thresholded to the
@@ -339,6 +397,43 @@ object Pipeline extends QueryModule {
         |    CAST(len(list_distinct(a.s || b.s)) AS INTEGER) AS n_union
         |  FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1) t
         |ORDER BY a_id""".stripMargin,
+
+    "q_dedup_spans" ->
+      """WITH sh0 AS (
+        |  SELECT doc_id, len(string_split(text,' ')) AS n,
+        |    CASE WHEN len(string_split(text,' ')) >= 8 THEN
+        |      list_transform(range(1, len(string_split(text,' ')) - 6),
+        |        i -> struct_pack(pos := i,
+        |               g := array_to_string(string_split(text,' ')[i:i+7], ' ')))
+        |    ELSE [] END AS shl
+        |  FROM documents),
+        |sh AS (SELECT doc_id, unnest(shl, recursive := true) FROM sh0),
+        |mins AS (SELECT g, min(doc_id) AS min_doc FROM sh GROUP BY g),
+        |dup AS (
+        |  SELECT s.doc_id, s.pos FROM sh s JOIN mins m ON s.g = m.g
+        |  WHERE m.min_doc < s.doc_id),
+        |runs AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+        |              <= 8 THEN 0 ELSE 1 END AS brk
+        |  FROM dup),
+        |spans AS (
+        |  SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id
+        |    ORDER BY pos ROWS UNBOUNDED PRECEDING) AS span_id
+        |  FROM runs),
+        |agg AS (
+        |  SELECT doc_id, span_id, max(pos) - min(pos) + 8 AS span_len
+        |  FROM spans GROUP BY doc_id, span_id),
+        |per_doc AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |    CAST(sum(span_len) AS BIGINT) AS dup_tokens
+        |  FROM agg GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(len(string_split(d.text,' ')) AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+        |  CAST(COALESCE(p.n_spans, 0) AS BIGINT) AS n_spans
+        |FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q_dedup_near" ->
       """WITH sh AS (
