@@ -21,7 +21,14 @@ object Verify {
     // in ONE line before queries die deep inside analysis. Advisory —
     // queries still run, since adaptive loaders may cope.
     graft.queries.FixtureSchemas.preflight(spark, sfDir).foreach(p =>
-      System.err.println(s"[verify] FIXTURE DRIFT: $p"))
+      System.err.println(s"[verify] FIXTURE DRIFT (spark view): $p"))
+    // the same expectations, for the ORACLE side: the python compare
+    // preflights DuckDB's view of the fixtures against this, so a
+    // drift that only changes DuckDB's read (e.g. a new logical type
+    // it maps differently) is named by engine instead of surfacing as
+    // confusing hash mismatches
+    Files.writeString(Paths.get(s"$outDir/fixture_expectations.json"),
+      graft.queries.FixtureSchemas.expectationsJson)
     // Queries are independent (distinct output dirs, distinct scratch
     // warehouses) — run them on a small thread pool so Spark can overlap
     // planning/IO-bound queries with compute-bound ones. FIFO scheduling

@@ -58,11 +58,29 @@ object FixtureSchemas {
     * throws: a missing/corrupt file reports as a line too, and the
     * caller decides whether to continue.
     */
+  /** The family expectations rendered as JSON for the ORACLE side:
+    * `graft.Verify` dumps this next to oracle_sql.json so the python
+    * compare (driver or tools/check.py) can preflight DUCKDB's view of
+    * the same fixtures. Families are engine-agnostic, so one source of
+    * truth serves both preflights — and a drift report can then name
+    * WHICH engine's view moved (a new logical type that only DuckDB
+    * maps differently would otherwise surface as opaque hash
+    * mismatches).
+    */
+  def expectationsJson: String =
+    expected.toSeq.sortBy(_._1).map { case (t, cols) =>
+      "\"" + t + "\": {" + cols.map { case (c, f) =>
+        s""""$c": "$f"""" }.mkString(", ") + "}"
+    }.mkString("{", ", ", "}")
+
   def preflight(spark: SparkSession, sfDir: String): Seq[String] = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // nanos-era fixtures need the legacy flag just to LOAD; scope it to
+    // a cloned session so the probe never mutates the caller's config
+    val probe = spark.newSession()
+    probe.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     expected.toSeq.sortBy(_._1).flatMap { case (table, cols) =>
       try {
-        val schema = spark.read.parquet(s"$sfDir/$table.parquet").schema
+        val schema = probe.read.parquet(s"$sfDir/$table.parquet").schema
         if (schema.fieldNames.toSeq != cols.map(_._1))
           Seq(s"$table: column drift — got " +
             s"${schema.fieldNames.mkString(", ")}; expected " +

@@ -31,6 +31,52 @@ object LakeQueries extends QueryModule {
     p.toString
   }
 
+  /** One shared 6-commit MoR history over nation (append → positional
+    * MoR delete → blind upsert → keyed MoR delete → append), built ONCE
+    * per (JVM, sf-dir) and then consumed READ-ONLY: `lake_changelog`,
+    * `lake_changelog_updates` and `stream_lake_changelog` all read the
+    * same source table, so the bench clock measures the changelog
+    * operators instead of three separate fixture builds (round-6
+    * What's-wrong #2 — the fixture cost dominated the family's bench
+    * lines). Row identity is DECLARED (`identifier-fields`) so the
+    * key-less consumers work; explicit keys that match the identity
+    * stay legal for the others. Mirror/dst tables are NOT shared —
+    * each query replays into its own scratch warehouse.
+    */
+  private val chlogSrc =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[queries] def changelogSource(s: SparkSession, dir: String): String =
+    chlogSrc.computeIfAbsent(dir, _ => {
+      val wh = freshWarehouse(
+        "chlogshared-" + Integer.toHexString(dir.hashCode))
+      Engine.processTableDefJson(wh,
+        """{"database_name":"cls","table_name":"src","columns":[
+          |{"column_name":"n_nationkey","data_type":"int","required":true},
+          |{"column_name":"n_name","data_type":"string"},
+          |{"column_name":"n_regionkey","data_type":"int"}],
+          |"partitions":[],
+          |"properties":{"identifier-fields":"n_nationkey"}}""".stripMargin)
+      val src = LakeTable.load(wh, "cls", "src")
+      val nat = Tables(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+      src.append(nat)
+      // positional MoR delete (full-row markers in the changelog)
+      src.deleteMoR(s, col("n_regionkey") === 4)
+      // blind upsert: re-inserts keys < 10 as _v2 (incl. region-4 ones)
+      src.upsertMoR(s, nat.filter(col("n_nationkey") < 10)
+        .withColumn("n_name", concat(col("n_name"), lit("_v2"))))
+      // keyed MoR delete (key-only markers in the changelog)
+      locally {
+        import s.implicits._
+        src.deleteByKeysMoR(s, Seq(3, 7, 22).toDF("n_nationkey"))
+      }
+      src.append(nat.filter(col("n_nationkey") < 5)
+        .select((col("n_nationkey") + 100).cast("int").as("n_nationkey"),
+          concat(lit("new_"), col("n_name")).as("n_name"),
+          col("n_regionkey")))
+      wh
+    })
+
   private def messagesDf(s: SparkSession, rows: Seq[(String, Int, String)]): DataFrame = {
     import s.implicits._
     rows.toDF("phase", "seq", "message").orderBy("phase", "seq")
@@ -157,35 +203,18 @@ object LakeQueries extends QueryModule {
       // then inserts per ordinal, batch by batch under a snapshot-rate
       // cap) and the mirror must equal the source exactly — the
       // streamed form of the lake_changelog replication.
+      // the 6-commit MoR source is SHARED with the other changelog
+      // keys (built once per JVM+dir); only the mirror is per-query
+      val srcWh = LakeQueries.changelogSource(s, dir)
       val wh = LakeQueries.freshWarehouse("streamchlog")
-      def mk(name: String): LakeTable = {
-        Engine.processTableDefJson(wh,
-          s"""{"database_name":"scl","table_name":"$name","columns":[
-            |{"column_name":"n_nationkey","data_type":"int"},
-            |{"column_name":"n_name","data_type":"string"},
-            |{"column_name":"n_regionkey","data_type":"int"}],
-            |"partitions":[]}""".stripMargin)
-        LakeTable.load(wh, "scl", name)
-      }
-      val src = mk("src")
-      mk("dst")
-      val nat = Tables(s, dir, "nation")
-        .select("n_nationkey", "n_name", "n_regionkey")
-      src.append(nat)
-      src.deleteMoR(s, col("n_regionkey") === 4)
-      src.upsertMoR(s, nat.filter(col("n_nationkey") < 10)
-        .withColumn("n_name", concat(col("n_name"), lit("_v2"))),
-        keys = Seq("n_nationkey"))
-      locally {
-        import s.implicits._
-        src.deleteByKeysMoR(s, Seq(3, 7, 22).toDF("n_nationkey"))
-      }
-      src.append(nat.filter(col("n_nationkey") < 5)
-        .select((col("n_nationkey") + 100).cast("int").as("n_nationkey"),
-          concat(lit("new_"), col("n_name")).as("n_name"),
-          col("n_regionkey")))
+      Engine.processTableDefJson(wh,
+        """{"database_name":"scl","table_name":"dst","columns":[
+          |{"column_name":"n_nationkey","data_type":"int"},
+          |{"column_name":"n_name","data_type":"string"},
+          |{"column_name":"n_regionkey","data_type":"int"}],
+          |"partitions":[]}""".stripMargin)
       val q = s.readStream.format("graft-lake")
-        .option("warehouse", wh).option("database", "scl")
+        .option("warehouse", srcWh).option("database", "cls")
         .option("table", "src")
         .option("changelog", "true")
         .option("maxSnapshotsPerTrigger", "2")
@@ -204,7 +233,7 @@ object LakeQueries extends QueryModule {
       q.awaitTermination()
       val dstRows = LakeTable.load(wh, "scl", "dst").read(s)
       LakeQueries.requireMirrorEqual(
-        LakeTable.load(wh, "scl", "src").read(s), dstRows,
+        LakeTable.load(srcWh, "cls", "src").read(s), dstRows,
         Seq("n_nationkey", "n_name", "n_regionkey"),
         "streamed changelog mirror")
       dstRows.orderBy("n_nationkey")
@@ -1094,41 +1123,17 @@ object RowOpsQueries extends QueryModule {
       // deletes). Per ordinal the mirror applies deletes then inserts,
       // mirroring sequence-number semantics; the replay loop is
       // O(snapshots) driver-side with O(delta) work per step.
+      // the 6-commit MoR source is SHARED with the other changelog
+      // keys (built once per JVM+dir); only the mirror is per-query
+      val srcWh = LakeQueries.changelogSource(s, dir)
       val wh = LakeQueries.freshWarehouse("changelog")
-      def mk(name: String): LakeTable = {
-        Engine.processTableDefJson(wh,
-          s"""{"database_name":"clq","table_name":"$name","columns":[
-            |{"column_name":"n_nationkey","data_type":"int"},
-            |{"column_name":"n_name","data_type":"string"},
-            |{"column_name":"n_regionkey","data_type":"int"}],
-            |"partitions":[]}""".stripMargin)
-        LakeTable.load(wh, "clq", name)
-      }
-      val src = mk("src")
-      mk("dst")
-      val nat = Tables(s, dir, "nation")
-        .select("n_nationkey", "n_name", "n_regionkey")
-      src.append(nat)
-      // positional MoR delete (full-row markers in the changelog)
-      LakeTable.load(wh, "clq", "src")
-        .deleteMoR(s, col("n_regionkey") === 4)
-      // blind upsert: re-inserts keys < 10 as _v2 (incl. region-4 ones)
-      LakeTable.load(wh, "clq", "src").upsertMoR(s,
-        nat.filter(col("n_nationkey") < 10)
-          .withColumn("n_name", concat(col("n_name"), lit("_v2"))),
-        keys = Seq("n_nationkey"))
-      // keyed MoR delete (key-only markers in the changelog)
-      locally {
-        import s.implicits._
-        LakeTable.load(wh, "clq", "src")
-          .deleteByKeysMoR(s, Seq(3, 7, 22).toDF("n_nationkey"))
-      }
-      LakeTable.load(wh, "clq", "src").append(
-        nat.filter(col("n_nationkey") < 5)
-          .select((col("n_nationkey") + 100).cast("int").as("n_nationkey"),
-            concat(lit("new_"), col("n_name")).as("n_name"),
-            col("n_regionkey")))
-      val srcT = LakeTable.load(wh, "clq", "src")
+      Engine.processTableDefJson(wh,
+        """{"database_name":"clq","table_name":"dst","columns":[
+          |{"column_name":"n_nationkey","data_type":"int"},
+          |{"column_name":"n_name","data_type":"string"},
+          |{"column_name":"n_regionkey","data_type":"int"}],
+          |"partitions":[]}""".stripMargin)
+      val srcT = LakeTable.load(srcWh, "cls", "src")
       val log = srcT
         .changelogBetween(s, 0L, srcT.metadata.snapshots.map(_.id).max)
         .localCheckpoint()
@@ -1158,34 +1163,16 @@ object RowOpsQueries extends QueryModule {
       // Net mode is self-audited: every identity born inside the range
       // nets to a plain insert, and the net key set must equal the
       // source's final state.
-      val wh = LakeQueries.freshWarehouse("chlogupd")
-      Engine.processTableDefJson(wh,
-        """{"database_name":"clu","table_name":"src","columns":[
-          |{"column_name":"n_nationkey","data_type":"int","required":true},
-          |{"column_name":"n_name","data_type":"string"},
-          |{"column_name":"n_regionkey","data_type":"int"}],
-          |"partitions":[],
-          |"properties":{"identifier-fields":"n_nationkey"}}""".stripMargin)
-      val src = LakeTable.load(wh, "clu", "src")
-      val nat = Tables(s, dir, "nation")
-        .select("n_nationkey", "n_name", "n_regionkey")
-      src.append(nat)
-      src.deleteMoR(s, col("n_regionkey") === 4)
-      src.upsertMoR(s, nat.filter(col("n_nationkey") < 10)
-        .withColumn("n_name", concat(col("n_name"), lit("_v2"))))
-      locally {
-        import s.implicits._
-        src.deleteByKeysMoR(s, Seq(3, 7, 22).toDF("n_nationkey"))
-      }
-      src.append(nat.filter(col("n_nationkey") < 5)
-        .select((col("n_nationkey") + 100).cast("int").as("n_nationkey"),
-          concat(lit("new_"), col("n_name")).as("n_name"),
-          col("n_regionkey")))
+      // the 6-commit MoR source is SHARED with the other changelog
+      // keys (built once per JVM+dir; identity declared there, so the
+      // key-less upsert and the default identifier pairing both hold)
+      val wh = LakeQueries.changelogSource(s, dir)
+      val src = LakeTable.load(wh, "cls", "src")
       val maxId = src.metadata.snapshots.map(_.id).max
       s.conf.set("spark.sql.catalog.gclu", "graft.sources.LakeCatalog")
       s.conf.set("spark.sql.catalog.gclu.warehouse", wh)
       s.sql(
-        s"""CALL gclu.system.create_changelog_view(db => 'clu',
+        s"""CALL gclu.system.create_changelog_view(db => 'cls',
            |`table` => 'src', from_snapshot => 0, to_snapshot => $maxId,
            |view_name => 'clu_updates', mode => 'updates')""".stripMargin)
       // net-mode self-audit: the whole range starts from an empty

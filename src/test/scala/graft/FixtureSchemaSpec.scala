@@ -33,6 +33,20 @@ class FixtureSchemaSpec extends AnyFunSuite {
       s"$key drifted from $before to ${spark.conf.getOption(key)}")
   }
 
+  test("the oracle-side expectations dump covers every table") {
+    val json = FixtureSchemas.expectationsJson
+    FixtureSchemas.expected.keys.foreach(t =>
+      assert(json.contains("\"" + t + "\""), s"missing table $t"))
+    // families travel as one-letter strings the python side decodes
+    assert(json.contains(""""ts": "T"""") &&
+      json.contains(""""embedding": "A""""))
+    // the preflight itself must not leak the legacy flag it probes with
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val before = spark.conf.getOption(key)
+    FixtureSchemas.preflight(spark, "/root/testdata/sf0.001")
+    assert(spark.conf.getOption(key) == before)
+  }
+
   test("the preflight itself detects drift (does not vacuously pass)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-drift").toString

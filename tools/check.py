@@ -73,6 +73,60 @@ def load_sorted(df):
     return df.reset_index(drop=True)
 
 
+def ddb_family(t):
+    """DuckDB type -> the engine-agnostic family letters FixtureSchemas
+    pins (N numeric, S string, T timestampish, A array, B binary)."""
+    t = t.upper()
+    if t.startswith("DECIMAL") or t in (
+            "TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
+            "FLOAT", "DOUBLE", "REAL", "UTINYINT", "USMALLINT",
+            "UINTEGER", "UBIGINT"):
+        return "N"
+    if t == "VARCHAR":
+        return "S"
+    if t.startswith("TIMESTAMP") or t == "DATE":
+        return "T"
+    if t.endswith("[]") or t.startswith("LIST"):
+        return "A"
+    if t == "BLOB":
+        return "B"
+    return "?"
+
+
+def preflight_duckdb(con, out_dir):
+    """DuckDB-side fixture preflight: FixtureSchemas guards SPARK's view
+    of the fixtures; this guards the ORACLE's. A drift that only changes
+    DuckDB's read (e.g. a new parquet logical type it maps differently)
+    would otherwise surface as confusing hash mismatches — name the
+    engine whose view moved instead. Advisory, like the Spark side."""
+    import os
+    path = f"{out_dir}/fixture_expectations.json"
+    if not os.path.exists(path):
+        return
+    want = json.load(open(path))
+    for table in sorted(want):
+        try:
+            desc = con.execute(f"DESCRIBE {table}").fetchall()
+        except Exception as e:
+            print(f"[preflight] fixture drift (duckdb view): {table}: "
+                  f"unreadable — {e}")
+            continue
+        got_cols = [r[0] for r in desc]
+        if got_cols != list(want[table].keys()):
+            print(f"[preflight] fixture drift (duckdb view): {table}: "
+                  f"column drift — got {', '.join(got_cols)}; expected "
+                  f"{', '.join(want[table].keys())}")
+            continue
+        for row in desc[:len(want[table])]:
+            name, typ = row[0], row[1]
+            w = want[table][name]
+            # BIGINT is the legacy raw-nanos rendering of a timestamp
+            if ddb_family(typ) != w and not (w == "T" and
+                                             typ.upper() == "BIGINT"):
+                print(f"[preflight] fixture drift (duckdb view): "
+                      f"{table}.{name}: got {typ}, wanted family '{w}'")
+
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
@@ -80,6 +134,7 @@ def main():
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    preflight_duckdb(con, out_dir)
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = n_noora = 0
     for d in sorted(glob.glob(f"{out_dir}/*/")):
