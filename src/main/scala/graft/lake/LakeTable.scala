@@ -1143,6 +1143,20 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     * are the key set, so identity-declaring tables refuse a frame
     * whose columns drift from the declared identity.
     */
+  /** One CDC delta as ONE snapshot: an equality-delete batch for `keys`
+    * plus the appended `rows`, both at the new snapshot's sequence —
+    * the batch kills strictly OLDER rows with those keys, never the
+    * rows written alongside it, so delete-then-insert semantics hold
+    * within the single commit. A replayed changelog ordinal (or any
+    * CDC frame's deletes+inserts) lands as one commit instead of two.
+    * Blind write: retries on conflict like `upsertMoR`.
+    */
+  def applyDeltaMoR(spark: SparkSession, keys: DataFrame,
+      rows: DataFrame): SnapshotMeta = {
+    resolveKeys(keys.columns.toSeq, "applyDeltaMoR")
+    writeMoR(spark, Some(rows), Left(keys), None)
+  }
+
   def deleteByKeysMoR(spark: SparkSession, keys: DataFrame): SnapshotMeta = {
     resolveKeys(keys.columns.toSeq, "deleteByKeysMoR")
     writeMoR(spark, None, Left(keys), None)
@@ -1871,10 +1885,20 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     * (the batch never knew the victim row — documented limitation).
     */
   def changelogWithUpdates(spark: SparkSession, fromSnapshot: Long,
-      toSnapshot: Long, identifierCols: Seq[String] = Seq.empty): DataFrame = {
+      toSnapshot: Long, identifierCols: Seq[String] = Seq.empty): DataFrame =
+    changelogWithUpdates(
+      changelogBetween(spark, fromSnapshot, toSnapshot), identifierCols)
+
+  /** Same pairing over a PRECOMPUTED changelog frame: a caller that
+    * needs several derived views of ONE range (updates + net + a
+    * replay) computes `changelogBetween` once — localCheckpoint it —
+    * and feeds it to each, instead of paying the per-ordinal marker
+    * reads again per view.
+    */
+  def changelogWithUpdates(log: DataFrame,
+      identifierCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ident = changelogIdentity(identifierCols, "changelogWithUpdates")
-    val log = changelogBetween(spark, fromSnapshot, toSnapshot)
     // rank order must be deterministic AND orderable: maps (anywhere in
     // the type) cannot sort in Spark, so restrict to orderable data
     // columns — the identity columns are always orderable scalars, so
@@ -1929,10 +1953,16 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     * absent key is a no-op); only the labels are conservative.
     */
   def changelogNet(spark: SparkSession, fromSnapshot: Long,
-      toSnapshot: Long, identifierCols: Seq[String] = Seq.empty): DataFrame = {
+      toSnapshot: Long, identifierCols: Seq[String] = Seq.empty): DataFrame =
+    changelogNet(
+      changelogBetween(spark, fromSnapshot, toSnapshot), identifierCols)
+
+  /** Net changes over a PRECOMPUTED changelog frame (see the
+    * `changelogWithUpdates` log overload for when to use this). */
+  def changelogNet(log: DataFrame,
+      identifierCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ident = changelogIdentity(identifierCols, "changelogNet")
-    val log = changelogBetween(spark, fromSnapshot, toSnapshot)
     val w = Window.partitionBy(ident.map(c => col(s"`$c`")): _*)
     // event key: ordinal * 2 + (1 if insert) — deletes replay first
     val key = col("_change_ordinal") * 2 +

@@ -45,7 +45,7 @@ object LakeQueries extends QueryModule {
     */
   private val chlogSrc =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private[queries] def changelogSource(s: SparkSession, dir: String): String =
+  private[graft] def changelogSource(s: SparkSession, dir: String): String =
     chlogSrc.computeIfAbsent(dir, _ => {
       val wh = freshWarehouse(
         "chlogshared-" + Integer.toHexString(dir.hashCode))
@@ -77,6 +77,22 @@ object LakeQueries extends QueryModule {
       wh
     })
 
+  /** The RAW changelog of the shared source's full range, computed and
+    * materialized (localCheckpoint) once per JVM+dir: lake_changelog's
+    * replay and lake_changelog_updates' net self-audit both consume
+    * exactly this frame, so the per-ordinal marker reads happen once
+    * for the family instead of once per view.
+    */
+  private val chlogLogs =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private[graft] def changelogSourceLog(s: SparkSession,
+      dir: String): DataFrame =
+    chlogLogs.computeIfAbsent(dir, _ => {
+      val src = LakeTable.load(changelogSource(s, dir), "cls", "src")
+      src.changelogBetween(s, 0L, src.metadata.snapshots.map(_.id).max)
+        .localCheckpoint()
+    })
+
   private def messagesDf(s: SparkSession, rows: Seq[(String, Int, String)]): DataFrame = {
     import s.implicits._
     rows.toDF("phase", "seq", "message").orderBy("phase", "seq")
@@ -86,7 +102,13 @@ object LakeQueries extends QueryModule {
     * streamed micro-batch) into `d`: per ordinal, deletes (by
     * `keyCols`) then inserts (of `dataCols`) — mirroring sequence-
     * number semantics. One metadata-scale collect tells each ordinal's
-    * change kinds; the per-step work is O(delta).
+    * change kinds; the per-step work is O(delta). An ordinal carrying
+    * BOTH kinds lands as ONE `applyDeltaMoR` commit (the batch kills
+    * only strictly-older rows, so delete-then-insert holds within the
+    * commit); delta frames coalesce to one partition — they are
+    * O(delta) small by construction, and a replayed commit spread over
+    * `shuffle.partitions` files would pay per-file footer/plan costs
+    * forever after.
     */
   private[queries] def replayChangelog(d: LakeTable, log: DataFrame,
       keyCols: Seq[String], dataCols: Seq[String]): Unit = {
@@ -94,14 +116,17 @@ object LakeQueries extends QueryModule {
       .collect().map(r => (r.getInt(0), r.getString(1))).toSet
     kinds.map(_._1).toSeq.sorted.foreach { o =>
       val slice = log.filter(col("_change_ordinal") === o)
-      if (kinds((o, "delete")))
-        d.deleteByKeysMoR(log.sparkSession, slice
-          .filter(col("_change_type") === "delete")
-          .select(keyCols.map(col): _*))
-      if (kinds((o, "insert")))
-        d.append(slice
-          .filter(col("_change_type") === "insert")
-          .select(dataCols.map(col): _*))
+      def keysOf = slice.filter(col("_change_type") === "delete")
+        .select(keyCols.map(col): _*).coalesce(1)
+      def rowsOf = slice.filter(col("_change_type") === "insert")
+        .select(dataCols.map(col): _*).coalesce(1)
+      (kinds((o, "delete")), kinds((o, "insert"))) match {
+        case (true, true) =>
+          d.applyDeltaMoR(log.sparkSession, keysOf, rowsOf)
+        case (true, false) => d.deleteByKeysMoR(log.sparkSession, keysOf)
+        case (false, true) => d.append(rowsOf)
+        case (false, false) => ()
+      }
     }
   }
 
@@ -1134,9 +1159,7 @@ object RowOpsQueries extends QueryModule {
           |{"column_name":"n_regionkey","data_type":"int"}],
           |"partitions":[]}""".stripMargin)
       val srcT = LakeTable.load(srcWh, "cls", "src")
-      val log = srcT
-        .changelogBetween(s, 0L, srcT.metadata.snapshots.map(_.id).max)
-        .localCheckpoint()
+      val log = LakeQueries.changelogSourceLog(s, dir)
       // one metadata-scale collect tells each ordinal's change kinds
       // ONE dst handle across the replay: every commit goes through it,
       // so it can never be stale — reloading per ordinal paid a full
@@ -1177,16 +1200,26 @@ object RowOpsQueries extends QueryModule {
            |view_name => 'clu_updates', mode => 'updates')""".stripMargin)
       // net-mode self-audit: the whole range starts from an empty
       // table, so every surviving identity nets to a plain insert and
-      // the net key set IS the final state
-      val net = src.changelogNet(s, 0L, maxId)
-      require(net.filter(col("_change_type") =!= "insert").isEmpty,
-        "identities born inside the range must net to inserts")
-      val netKeys = net.select("n_nationkey").collect()
-        .map(_.getInt(0)).toSet
-      val finalKeys = src.read(s).select("n_nationkey").collect()
-        .map(_.getInt(0)).toSet
-      require(netKeys == finalKeys,
-        s"net changelog keys must equal the final state")
+      // the net key set IS the final state. Net runs over the SHARED
+      // materialized log (no second per-ordinal marker read), and both
+      // checks fold into ONE action: non-insert rows and any key-set
+      // asymmetry vs the final state surface through the same frame.
+      val net = src.changelogNet(
+        LakeQueries.changelogSourceLog(s, dir), Seq.empty)
+      val problems = net
+        .filter(col("_change_type") =!= "insert")
+        .select(lit("non-insert net row for key").as("why"),
+          col("n_nationkey"))
+        .unionByName(net.select("n_nationkey").withColumn("_w", lit(1))
+          .unionByName(src.read(s).select("n_nationkey")
+            .withColumn("_w", lit(-1)))
+          .groupBy("n_nationkey").agg(sum("_w").as("_d"))
+          .filter(col("_d") =!= 0)
+          .select(lit("net/final key mismatch").as("why"),
+            col("n_nationkey")))
+        .limit(5).collect()
+      require(problems.isEmpty,
+        "net changelog audit failed: " + problems.mkString("; "))
       s.table("clu_updates")
         .select(col("n_nationkey"), col("_change_type").as("change_type"),
           col("_change_ordinal").as("ord"))

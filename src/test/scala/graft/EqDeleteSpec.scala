@@ -60,6 +60,28 @@ class EqDeleteSpec extends AnyFunSuite {
     assert(changes == Map(2L -> "B", 3L -> "C"))
   }
 
+  test("applyDeltaMoR: independent deletes + inserts land as ONE commit, " +
+      "delete-then-insert semantics within it") {
+    import spark.implicits._
+    val (_, t) = mk("delta")
+    t.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    val before = t.metadata.snapshots.size
+    // one CDC frame: delete keys {1, 2}, insert rows for {2, 9} — key 2
+    // is both deleted and re-inserted, and the insert must win (the
+    // batch kills strictly older rows only)
+    t.applyDeltaMoR(spark,
+      keys = Seq(1L, 2L).toDF("id"),
+      rows = Seq((2L, "b2"), (9L, "i")).toDF("id", "v"))
+    assert(t.metadata.snapshots.size == before + 1,
+      "the whole delta must be ONE snapshot")
+    assert(state(t) == Map(2L -> "b2", 3L -> "c", 9L -> "i"))
+    // a later delta's batch still kills this one's rows (sequencing)
+    t.applyDeltaMoR(spark,
+      keys = Seq(9L).toDF("id"),
+      rows = Seq((10L, "j")).toDF("id", "v"))
+    assert(state(t) == Map(2L -> "b2", 3L -> "c", 10L -> "j"))
+  }
+
   test("null keys match null (null-safe equality)") {
     import spark.implicits._
     val (_, t) = mk("null")
