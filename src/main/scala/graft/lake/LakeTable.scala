@@ -117,10 +117,19 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
       case _: java.nio.file.FileAlreadyExistsException =>
         // the lost race must not leak this attempt's manifests
         createdManifests.foreach(Files.deleteIfExists(_))
+        // a claim whose writer DIED before flipping the pointer would
+        // wedge the table forever (every retry re-claims the same
+        // version and re-collides) — self-heal it before surfacing
+        // the conflict
+        recoverTornClaim(version, target)
         throw new java.util.ConcurrentModificationException(
           s"table $location was committed concurrently " +
             s"(v$version.json already exists); reload and retry")
     }
+    // crash window under test (MaintenanceSpec torn-claim recovery): a
+    // death HERE leaves v{N+1}.json claimed but the pointer at N —
+    // recoverTornClaim on the next committer rolls it forward
+    LakeTable.faultPoint("post-claim-pre-flip")
     // atomic pointer flip = the commit point
     val tmp = metadataDir.resolve(s".version-hint.tmp")
     Files.writeString(tmp, version.toString)
@@ -130,6 +139,52 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     loadedVersion = version
     target.toString
   }
+
+  /** Self-heal a torn metadata claim. A `v{N+1}.json` that exists while
+    * the hint still reads N is either a concurrent committer inside its
+    * claim→flip window (microseconds), or a writer that DIED there.
+    * The dead case is a LIVENESS hole without recovery: every future
+    * commit observes hint N, claims v{N+1}, collides, reloads (hint
+    * unchanged) and fails identically, forever. Once the claim is old
+    * enough to rule out a live writer (`commit.recovery.grace-ms`,
+    * default 30 s — generous against GC pauses):
+    *   - valid JSON → the commit is complete on disk except the flip
+    *     (manifests and data files are always written BEFORE the
+    *     claim), so roll it FORWARD by flipping the pointer; the
+    *     colliding commit then retries from the recovered head like
+    *     any lost race.
+    *   - torn JSON → the writer died mid-write; delete the claim so
+    *     the next attempt can take the version number.
+    * Best-effort by design: any failure here leaves the conflict
+    * exception to stand, and a raced recovery is idempotent (both
+    * recoverers flip to the same version). The residual hazard — a
+    * live writer pausing longer than the grace window between claim
+    * and flip while TWO further commits complete inside this method's
+    * read-check-flip window — needs a >30 s stall at exactly the wrong
+    * instant; on a cloud object store the same protocol would use a
+    * conditional put instead.
+    */
+  private def recoverTornClaim(version: Int, target: Path): Unit =
+    try {
+      if (currentHintVersion() >= version) return // completed normally
+      val graceMs = md.properties.get("commit.recovery.grace-ms")
+        .flatMap(v => scala.util.Try(v.toLong).toOption).getOrElse(30000L)
+      val age = System.currentTimeMillis() -
+        Files.getLastModifiedTime(target).toMillis
+      if (age < graceMs) return // probably a live claimer mid-flip
+      val valid =
+        try {
+          MetadataIO.fromJson(Json.parse(Files.readString(target)),
+            metadataDir)
+          true
+        } catch { case _: Exception => false }
+      if (valid) {
+        val tmp = metadataDir.resolve(".version-hint.tmp-recover")
+        Files.writeString(tmp, version.toString)
+        Files.move(tmp, metadataDir.resolve("version-hint.text"),
+          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      } else Files.deleteIfExists(target)
+    } catch { case _: Exception => () }
 
   // ---- evolution -------------------------------------------------------
 

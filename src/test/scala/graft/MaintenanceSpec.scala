@@ -111,14 +111,10 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(!Files.exists(stray.getParent), "empty snap dir pruned")
   }
 
-  test("a JVM killed between data-file write and commit leaves the " +
-      "table clean, sweepable, and retryable") {
-    val (wh, t) = mkTable("torn")
-    t.append(df(1L -> "committed"))
-    val beforeVersion = Files.readString(
-      Paths.get(wh, "d", "t", "metadata", "version-hint.text")).trim
-    // real crash: a separate JVM appends and HALTS (no shutdown hooks)
-    // at the fault point after writeDataFiles, before commitSnapshot
+  /** Spawn a TornWriteWorker JVM that halts at `fault`; returns after
+    * asserting it died exactly there (rc 137).
+    */
+  private def crashWorkerAt(wh: String, fault: String): Unit = {
     val javaBin = Paths.get(System.getProperty("java.home"), "bin",
       "java").toString
     val addOpens = Seq(
@@ -135,7 +131,7 @@ class MaintenanceSpec extends AnyFunSuite {
       (Seq(javaBin) ++ addOpens ++ Seq("-Xmx1500m",
         "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
         "-cp", System.getProperty("java.class.path"),
-        "graft.TornWriteWorker", wh, "d", "t")): _*)
+        "graft.TornWriteWorker", wh, "d", "t", fault)): _*)
     pb.redirectErrorStream(true)
     pb.redirectOutput(log)
     val proc = pb.start()
@@ -146,6 +142,17 @@ class MaintenanceSpec extends AnyFunSuite {
       s"worker must die AT the fault point (rc ${proc.exitValue()}); " +
         "log tail:\n" + logText.takeRight(3000))
     assert(logText.contains("TORN about to halt"))
+  }
+
+  test("a JVM killed between data-file write and commit leaves the " +
+      "table clean, sweepable, and retryable") {
+    val (wh, t) = mkTable("torn")
+    t.append(df(1L -> "committed"))
+    val beforeVersion = Files.readString(
+      Paths.get(wh, "d", "t", "metadata", "version-hint.text")).trim
+    // real crash: a separate JVM appends and HALTS (no shutdown hooks)
+    // at the fault point after writeDataFiles, before commitSnapshot
+    crashWorkerAt(wh, "post-write-pre-commit")
 
     // the torn state is real: stranded parquet under data/, no commit
     val dataDir = Paths.get(wh, "d", "t", "data")
@@ -180,6 +187,41 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(LakeTable.load(wh, "d", "t").read(spark).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toSet ==
       Set(1L -> "committed", 999L -> "retried"))
+  }
+
+  test("a JVM killed between the metadata claim and the pointer flip " +
+      "does not wedge the table (torn claim self-heals)") {
+    // zero recovery grace: the test must not wait out the 30 s default
+    val wh = Files.createTempDirectory("graft-maint-claim").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"t","columns":[
+        |{"column_name":"id","data_type":"long"},
+        |{"column_name":"v","data_type":"string"}],"partitions":[],
+        |"properties":{"commit.recovery.grace-ms":"0"}}""".stripMargin)
+    LakeTable.load(wh, "d", "t").append(df(1L -> "committed"))
+    crashWorkerAt(wh, "post-claim-pre-flip")
+    // the torn state: v3.json claimed (create=1, append=2, claim=3)
+    // but the pointer still reads 2 — before recovery existed, EVERY
+    // future commit re-collided on v3 forever
+    val metaDir = Paths.get(wh, "d", "t", "metadata")
+    assert(Files.exists(metaDir.resolve("v3.json")))
+    assert(Files.readString(metaDir.resolve("version-hint.text"))
+      .trim == "2")
+    // a valid torn claim rolls FORWARD: the dead writer's row commits,
+    // and the new append lands on top of it
+    LakeTable.load(wh, "d", "t").append(df(5L -> "after"))
+    val t2 = LakeTable.load(wh, "d", "t")
+    assert(t2.read(spark).collect().map(r =>
+      r.getLong(0) -> r.getString(1)).toSet ==
+      Set(1L -> "committed", 999L -> "torn-row", 5L -> "after"))
+    assert(Files.readString(metaDir.resolve("version-hint.text"))
+      .trim == "4")
+    // a TORN (unparseable) claim is deleted and its version re-taken
+    Files.writeString(metaDir.resolve("v5.json"), "{ \"not\": json...")
+    LakeTable.load(wh, "d", "t").append(df(6L -> "again"))
+    assert(Files.readString(metaDir.resolve("version-hint.text"))
+      .trim == "5")
+    assert(LakeTable.load(wh, "d", "t").read(spark).count() == 4)
   }
 
   test("removeOrphanFiles refuses to run on a stale handle") {

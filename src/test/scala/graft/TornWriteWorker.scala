@@ -11,7 +11,11 @@ import graft.lake.LakeTable
   */
 object TornWriteWorker {
   def main(args: Array[String]): Unit = {
-    val Array(wh, db, table) = args
+    // optional 4th arg picks the crash window (default: between data
+    // write and commit; "post-claim-pre-flip" dies between the
+    // metadata claim and the pointer flip)
+    val Array(wh, db, table) = args.take(3)
+    val fault = args.lift(3).getOrElse("post-write-pre-commit")
     val spark = SparkSession.builder()
       .master("local[2]")
       .appName("graft-torn-writer")
@@ -21,7 +25,7 @@ object TornWriteWorker {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
     LakeTable.faultHook = name =>
-      if (name == "post-write-pre-commit") {
+      if (name == fault) {
         // stdout flush then die hard: halt() skips shutdown hooks, so
         // nothing between write and commit gets a chance to clean up
         println("TORN about to halt at " + name)
