@@ -804,14 +804,15 @@ private[sources] class LakeScan(wh: String, db: String, tbl: String,
       val files = LakeTable.matchingFiles(matched, target,
         Map.empty, runtimeRanges)
       onPlanned(files) // row-level ops capture the replaced group here
+      val ext = LakeSource.externalTest(t.location)
       keyedSpec match {
         case Some(spec) => files.map(f => LakeKeyedFilePartition(f.path,
             t.metadata.schemaById(f.schemaId), target,
             partitionKeyOf(f, spec), deletePathsFor(f),
-            eqBatchesFor(f))).toArray
+            eqBatchesFor(f), external = ext(f.path))).toArray
         case None => files.map(f => LakeFilePartition(f.path,
             t.metadata.schemaById(f.schemaId), target, deletePathsFor(f),
-            eqBatchesFor(f)))
+            eqBatchesFor(f), external = ext(f.path)))
           .toArray
       }
     }
@@ -858,7 +859,8 @@ private[sources] case class LakeFilePartition(path: String,
     fileSchema: StructType, target: StructType,
     deletes: Seq[String] = Seq.empty,
     eqBatches: Seq[LakeEqBatch] = Seq.empty,
-    emitOnlyDeleted: Boolean = false) extends InputPartition
+    emitOnlyDeleted: Boolean = false,
+    external: Boolean = false) extends InputPartition
 
 /** Equality-delete batch key files as changelog delete markers: each
   * record's key columns (stored as `k<fieldId>`) fill the matching
@@ -885,7 +887,8 @@ private[sources] case class LakeChangelogPartition(inner: InputPartition,
 private[sources] case class LakeKeyedFilePartition(path: String,
     fileSchema: StructType, target: StructType, key: Array[Any],
     deletes: Seq[String] = Seq.empty,
-    eqBatches: Seq[LakeEqBatch] = Seq.empty)
+    eqBatches: Seq[LakeEqBatch] = Seq.empty,
+    external: Boolean = false)
     extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow = new GenericInternalRow(key)
@@ -967,10 +970,12 @@ private[sources] class LakeMicroBatchStream(wh: String, db: String,
           ": a row-removing commit cannot be replayed as a stream of " +
           "inserts. Set option(\"skipDeleteSnapshots\", \"true\") to " +
           "skip them and stream only added rows.")
+    val ext = LakeSource.externalTest(LakeTable.tableLocation(wh, db, tbl))
     inRange
       .filter(sn => sn.operation == "append" || sn.operation == "upsert")
       .flatMap(sn => sn.files.map(f =>
-        LakeFilePartition(f.path, md.schemaById(f.schemaId), target)))
+        LakeFilePartition(f.path, md.schemaById(f.schemaId), target,
+          external = ext(f.path))))
       .toArray
   }
 
@@ -995,6 +1000,7 @@ private[sources] class LakeMicroBatchStream(wh: String, db: String,
         ": copy-on-write commits carry no row-level change information")
     val dataTarget = StructType(
       target.fields.filterNot(f => LakeSource.isChangelogCol(f.name)))
+    val ext = LakeSource.externalTest(LakeTable.tableLocation(wh, db, tbl))
     inRange.filterNot(sn => LakeTable.isByteMove(sn.operation))
       .sortBy(_.id).zipWithIndex
       .flatMap { case (sn, ord) =>
@@ -1015,7 +1021,7 @@ private[sources] class LakeMicroBatchStream(wh: String, db: String,
             affected.toSeq.sorted.flatMap(byPath.get).map(f =>
               LakeFilePartition(f.path, md.schemaById(f.schemaId),
                 dataTarget, deletes = sn.deletePaths,
-                emitOnlyDeleted = true))
+                emitOnlyDeleted = true, external = ext(f.path)))
           }
         val eq: Seq[InputPartition] = sn.eqDeletes.flatMap { b =>
           val keyFields = b.fieldIds.map { id =>
@@ -1031,7 +1037,8 @@ private[sources] class LakeMicroBatchStream(wh: String, db: String,
             LakeEqMarkerPartition(Seq(p), StructType(keyFields), dataTarget))
         }
         val ins: Seq[InputPartition] = sn.files.map(f =>
-          LakeFilePartition(f.path, md.schemaById(f.schemaId), dataTarget))
+          LakeFilePartition(f.path, md.schemaById(f.schemaId), dataTarget,
+            external = ext(f.path)))
         (pos ++ eq).map(wrap(_, "delete")) ++ ins.map(wrap(_, "insert"))
       }.toArray
   }
@@ -1056,7 +1063,7 @@ private[sources] class LakeReaderFactory extends PartitionReaderFactory {
       case p: LakeKeyedFilePartition =>
         new GroupRowReader(
           LakeFilePartition(p.path, p.fileSchema, p.target, p.deletes,
-            p.eqBatches))
+            p.eqBatches, external = p.external))
       case p: LakeEqMarkerPartition => new EqMarkerReader(p)
       case p: LakeChangelogPartition =>
         val innerReader = createReader(p.inner)
@@ -1135,8 +1142,17 @@ private[sources] class EqMarkerReader(p: LakeEqMarkerPartition)
 private[sources] class GroupRowReader(p: LakeFilePartition)
     extends PartitionReader[InternalRow] {
 
+  private def openFooter(): Option[org.apache.parquet.schema.MessageType] =
+    try {
+      val fr = org.apache.parquet.hadoop.ParquetFileReader.open(
+        HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(p.path),
+          graft.lake.HadoopConfs.mutable()))
+      try Some(fr.getFooter.getFileMetaData.getSchema) finally fr.close()
+    } catch { case _: Exception => None } // unreadable footer → the
+    // ParquetReader below surfaces the real error with the file path
+
   // The registered file schema names columns the way the ENGINE named
-  // them at write/registration time. An externally-registered file
+  // them at write/registration time. An EXTERNALLY-registered file
   // (add_files) may spell the same columns with different case, or lack
   // a nullable table column entirely — both legal at registration
   // (validation is case-insensitive, absent columns read as null on the
@@ -1145,16 +1161,13 @@ private[sources] class GroupRowReader(p: LakeFilePartition)
   // (case-insensitive, recursively through structs) and absent fields
   // dropped, so the by-id extractor falls back to the default/null
   // extractor instead of crashing the exact-name Group lookup with
-  // parquet's InvalidRecordException. Engine-written files match
-  // exactly, making the reconciliation the identity for them.
+  // parquet's InvalidRecordException. Engine-written files match their
+  // registered schema by construction and SKIP the extra footer read —
+  // at scale that is one metadata IO per file per scan saved on the
+  // hot path (the pruning branch below reuses this handle when both
+  // run).
   private val footerSchema: Option[org.apache.parquet.schema.MessageType] =
-    try {
-      val fr = org.apache.parquet.hadoop.ParquetFileReader.open(
-        HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(p.path),
-          graft.lake.HadoopConfs.mutable()))
-      try Some(fr.getFooter.getFileMetaData.getSchema) finally fr.close()
-    } catch { case _: Exception => None } // unreadable footer → the
-    // ParquetReader below surfaces the real error with the file path
+    if (p.external) openFooter() else None
 
   private val fileSchema: StructType = footerSchema
     .map(fs => LakeSource.reconcileToFooter(p.fileSchema, fs))
@@ -1182,17 +1195,22 @@ private[sources] class GroupRowReader(p: LakeFilePartition)
         FieldIds.flatten(StructType(Seq(ff))).exists { case (_, sf) =>
           FieldIds.hasId(sf) && eqKeyIds.contains(FieldIds.idOf(sf)) })
       .map(_.name).toSet
-    // prune against the FOOTER's field count: an external file can
-    // carry extra columns the table never registered
-    if (keep.nonEmpty && footerSchema.exists(_.getFieldCount > keep.size)) {
-      try {
-        val full = footerSchema.get
-        val prunedFields = full.getFields.asScala.filter(f => keep(f.getName))
-        val pruned = new org.apache.parquet.schema.MessageType(
-          full.getName, prunedFields.asJava)
-        conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
-          pruned.toString)
-      } catch { case _: Exception => () } // fall back to full-schema read
+    // prune against the FOOTER's field count (an external file can
+    // carry extra columns the table never registered); engine files
+    // only pay the footer read when the projection actually pruned
+    if (keep.nonEmpty) {
+      val full = footerSchema.orElse(
+        if (keep.size < fileSchema.size) openFooter() else None)
+      full.filter(_.getFieldCount > keep.size).foreach { fs =>
+        try {
+          val prunedFields = fs.getFields.asScala.filter(f => keep(f.getName))
+          val pruned = new org.apache.parquet.schema.MessageType(
+            fs.getName, prunedFields.asJava)
+          conf.set(
+            org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+            pruned.toString)
+        } catch { case _: Exception => () } // fall back to full read
+      }
     }
     ParquetReader
       .builder(new GroupReadSupport(), new org.apache.hadoop.fs.Path(p.path))
@@ -1567,6 +1585,19 @@ private[sources] object LakeSource {
       case DoubleType => raw match { case f: Float => f.toDouble; case v => v }
       case _ => raw
     }
+  }
+
+  /** Planning-time externality test: a data file OUTSIDE the table's
+    * own data directory was registered by reference (`add_files`) and
+    * may spell columns differently or lack nullable table columns —
+    * only those files pay the read-time footer reconciliation.
+    * Engine-written files (always under `<table>/data/`) match their
+    * registered schema by construction and skip the extra footer IO.
+    */
+  def externalTest(tableLocation: java.nio.file.Path): String => Boolean = {
+    val prefix = LakeTable.normalizePath(
+      tableLocation.resolve("data").toString) + "/"
+    p => !LakeTable.normalizePath(p).startsWith(prefix)
   }
 
   /** Rewrite a REGISTERED file schema to the file's physical footer
