@@ -25,14 +25,18 @@ class ConcurrencySpec extends AnyFunSuite {
   private val Workers = 3
   private val Iters = 4
 
-  test("N processes of append+upsert+compact: no lost commits, " +
-      "monotonic history, no orphan metadata") {
-    val wh = Files.createTempDirectory("graft-conc").toString
+  private def mkTable(tag: String): String = {
+    val wh = Files.createTempDirectory(tag).toString
     Engine.processTableDefJson(wh,
       """{"database_name":"d","table_name":"t","columns":[
         |{"column_name":"id","data_type":"long","required":true},
         |{"column_name":"v","data_type":"string"}],"partitions":[]}""".stripMargin)
+    wh
+  }
 
+  /** Spawn `n` worker JVMs against `wh` and return (worker, rc, log). */
+  private def runWorkers(wh: String, n: Int, iters: Int,
+      mode: String): Seq[(Int, Int, String)] = {
     val javaBin = Paths.get(System.getProperty("java.home"), "bin", "java")
       .toString
     val cp = System.getProperty("java.class.path")
@@ -45,26 +49,31 @@ class ConcurrencySpec extends AnyFunSuite {
       "java.base/sun.nio.ch", "java.base/sun.nio.cs",
       "java.base/sun.security.action", "java.base/sun.util.calendar")
       .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-
     val outDir = Files.createTempDirectory("graft-conc-out")
-    val procs = (0 until Workers).map { w =>
+    val procs = (0 until n).map { w =>
       val out = outDir.resolve(s"worker-$w.log").toFile
       val cmd = (Seq(javaBin) ++ addOpens ++ Seq(
         "-Xmx1500m", "-Dspark.ui.enabled=false",
         "-Dspark.sql.session.timeZone=UTC",
         "-cp", cp, "graft.ConcurrencyWorker",
-        wh, "d", "t", w.toString, Iters.toString)).asJava
+        wh, "d", "t", w.toString, iters.toString, mode)).asJava
       val pb = new ProcessBuilder(cmd)
       pb.redirectErrorStream(true)
       pb.redirectOutput(out)
       (w, pb.start(), out)
     }
-    val results = procs.map { case (w, p, out) =>
+    procs.map { case (w, p, out) =>
       val finished = p.waitFor(8, java.util.concurrent.TimeUnit.MINUTES)
       assert(finished, s"worker $w timed out; log:\n" +
         new String(Files.readAllBytes(out.toPath)).takeRight(4000))
       (w, p.exitValue(), new String(Files.readAllBytes(out.toPath)))
     }
+  }
+
+  test("N processes of append+upsert+compact: no lost commits, " +
+      "monotonic history, no orphan metadata") {
+    val wh = mkTable("graft-conc")
+    val results = runWorkers(wh, Workers, Iters, "disjoint")
     results.foreach { case (w, rc, log) =>
       assert(rc == 0, s"worker $w exited $rc; log tail:\n" +
         log.takeRight(4000))
@@ -128,5 +137,37 @@ class ConcurrencySpec extends AnyFunSuite {
       s"content drift — missing: ${(expectAppends ++ expectUpserts)
         .toSet.diff(got.toSet).take(10)}; unexpected: ${got.toSet
         .diff((expectAppends ++ expectUpserts).toSet).take(10)}")
+  }
+
+  test("N processes blind-upserting the SAME keys converge to the " +
+      "committed order's last write (audited against raw storage)") {
+    val wh = mkTable("graft-conc-shared")
+    val results = runWorkers(wh, Workers, Iters, "shared")
+    results.foreach { case (w, rc, log) =>
+      assert(rc == 0, s"worker $w exited $rc; log tail:\n" +
+        log.takeRight(4000))
+      assert(log.contains(s"RESULT ok appends=0 upserts=$Iters"),
+        s"worker $w under-reported; log tail:\n" + log.takeRight(4000))
+    }
+    val t = LakeTable.load(wh, "d", "t")
+    val snaps = t.metadata.snapshots
+    assert(snaps.size == Workers * Iters &&
+      snaps.forall(_.operation == "upsert"), "every upsert = one commit")
+    // INDEPENDENT last-write-wins model: read each snapshot's data
+    // files RAW (plain parquet, no engine) — the winning value per key
+    // is whatever the highest-id snapshot carrying that key wrote. The
+    // table read (which applies equality-batch sequencing) must agree
+    // byte-for-byte: this pins the reader's merge-on-read semantics
+    // against the storage the commit race actually produced.
+    val expected = snaps.sortBy(_.id).flatMap { sn =>
+      spark.read.parquet(sn.files.map(_.path): _*).collect()
+        .map(r => r.getLong(r.fieldIndex("id")) ->
+          r.getString(r.fieldIndex("v")))
+    }.toMap // later snapshots overwrite earlier entries in toMap
+    val got = t.read(spark).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == expected,
+      s"reader diverged from raw last-write-wins: got $got expected $expected")
+    assert(got.keySet == (0L to 4L).toSet)
   }
 }

@@ -18,9 +18,14 @@ import graft.lake.LakeTable
   */
 object ConcurrencyWorker {
   def main(args: Array[String]): Unit = {
-    val Array(wh, db, table, widStr, itersStr) = args
+    val Array(wh, db, table, widStr, itersStr) = args.take(5)
     val wid = widStr.toInt
     val iters = itersStr.toInt
+    // "disjoint" (default): append+upsert+compact over worker-private
+    // ranges. "shared": ONLY blind upserts, every worker hammering the
+    // SAME five keys — the multi-writer CDC shape whose last-write-wins
+    // outcome the spec then audits against raw storage.
+    val mode = args.lift(5).getOrElse("disjoint")
     val spark = SparkSession.builder()
       .master("local[2]")
       .appName(s"graft-conc-w$wid")
@@ -50,6 +55,18 @@ object ConcurrencyWorker {
 
     var appends = 0; var upserts = 0; var compacts = 0
     try {
+      if (mode == "shared") {
+        (0 until iters).foreach { i =>
+          retryOp { t =>
+            t.upsertMoR(spark, (0L to 4L).map(k =>
+              (k, s"w$wid-i$i-k$k")).toDF("id", "v"), keys = Seq("id"))
+          }
+          upserts += 1
+        }
+        println(s"RESULT ok appends=0 upserts=$upserts compacts=0")
+        spark.stop()
+        sys.exit(0)
+      }
       (0 until iters).foreach { i =>
         retryOp { t =>
           t.append(Seq(

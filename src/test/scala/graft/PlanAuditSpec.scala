@@ -89,6 +89,20 @@ class PlanAuditSpec extends AnyFunSuite {
       "df branch must partially aggregate below its exchange")
   }
 
+  test("q_dedup_spans: one gram shuffle + per-doc window, no cartesian") {
+    val p = plan("q_dedup_spans")
+    // the anchor stage is a plain aggregate keyed by the gram — any
+    // nested-loop / cartesian node means the anchor join degenerated
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "span dedup must never go all-pairs")
+    // partial aggregation below the exchange for the min_doc anchor
+    assert(p.contains("partial_min") || p.contains("min("),
+      "anchor min(doc_id) must partial-aggregate")
+    // local extension runs as a window, not a self-join
+    assert(p.contains("Window"), "span merge must be a per-doc window")
+  }
+
   test("q_quality_repetition computes per-row signals with zero shuffle") {
     val p = plan("q_quality_repetition")
     // every signal is a higher-order array function inside the row;
