@@ -1818,18 +1818,37 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     * into new files) and are refused.
     */
   def changelogBetween(spark: SparkSession, fromSnapshot: Long,
-      toSnapshot: Long): DataFrame = {
+      toSnapshot: Long, includeCowDiffs: Boolean = false): DataFrame = {
     val current = md.currentSchema
     val clean = Reconcile.clean(current).asInstanceOf[StructType]
     val range = md.snapshots
       .filter(s => s.id > fromSnapshot && s.id <= toSnapshot)
+    // a copy-on-write "overwrite" records which FILES it replaced, not
+    // which rows changed — by default that refuses (Iceberg's changelog
+    // has the same limitation). includeCowDiffs opts into COMPUTING the
+    // row delta: removed-files-as-visible-before minus new files =
+    // deletes, the reverse = inserts (multiset exceptAll, so kept rows
+    // cancel exactly). Cost is O(rewritten bytes) for those snapshots —
+    // proportional to what the CoW itself already rewrote, never the
+    // table. Full-content "replace" still refuses: it resets the replay
+    // rather than changing identifiable rows.
+    val allowed = Set("append", "upsert", "delete") ++
+      (if (includeCowDiffs) Set("overwrite") else Set.empty)
     val bad = range.filterNot(s =>
-      Set("append", "upsert", "delete").contains(s.operation) ||
-        LakeTable.isByteMove(s.operation))
+      allowed.contains(s.operation) || LakeTable.isByteMove(s.operation))
     require(bad.isEmpty,
       s"changelog cannot represent snapshot(s) " +
         bad.map(s => s"${s.id}(${s.operation})").mkString(", ") +
-        ": copy-on-write commits carry no row-level change information")
+        (if (includeCowDiffs)
+          ": full-content replaces reset the replay"
+        else ": copy-on-write commits carry no row-level change " +
+          "information (pass includeCowDiffs=true to compute the row " +
+          "delta at O(rewritten bytes) cost)"))
+    if (includeCowDiffs && range.exists(_.operation == "overwrite"))
+      require(!current.fields.exists(f => LakeTable.hasMapType(f.dataType)),
+        "includeCowDiffs: the row diff is a multiset except over full " +
+          "rows, and map-typed columns cannot participate in set " +
+          "operations — drop or stringify them first")
 
     def tagged(df: DataFrame, typ: String, ord: Int, sid: Long): DataFrame =
       df.withColumn("_change_type", lit(typ))
@@ -1891,17 +1910,43 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
       }.reduce(_.unionByName(_))
     }
 
+    // the row delta of one CoW overwrite: rows of the replaced files AS
+    // VISIBLE just before it (their accumulated position deletes still
+    // applied — CoW verbs refuse while equality batches are live, so
+    // positional state is the only kind that can exist) diffed against
+    // the rewritten output. Kept rows cancel in the multiset except;
+    // only genuinely deleted/changed rows surface.
+    def cowDiff(sn: SnapshotMeta): (DataFrame, DataFrame) = {
+      val byPath = md.snapshots.filter(_.id < sn.id).flatMap(_.files)
+        .map(f => LakeTable.normalizePath(f.path) -> f).toMap
+      val removedMetas = sn.removedPaths.map(LakeTable.normalizePath).map(p =>
+        byPath.getOrElse(p, throw new IllegalStateException(
+          s"changelog: overwrite ${sn.id} replaced $p, which no " +
+            s"snapshot < ${sn.id} lists (expired history?)")))
+      val before = readFiles(spark, removedMetas, current,
+        LakeTable.liveDeletes(md.snapshots.filter(_.id < sn.id)))
+      val after = readFiles(spark, sn.files, current)
+      (before.exceptAll(after), after.exceptAll(before))
+    }
+
     val parts = range.sortBy(_.id)
       .filterNot(s => LakeTable.isByteMove(s.operation))
       .zipWithIndex.flatMap { case (sn, ord) =>
-        val dels =
-          (if (sn.deletePaths.nonEmpty) Seq(posMarkers(sn)) else Seq.empty) ++
-            sn.eqDeletes.map(eqMarkers)
-        val ins =
-          if (sn.files.nonEmpty) Seq(readFiles(spark, sn.files, current))
-          else Seq.empty
-        dels.map(tagged(_, "delete", ord, sn.id)) ++
-          ins.map(tagged(_, "insert", ord, sn.id))
+        if (sn.operation == "overwrite") {
+          // reachable only under includeCowDiffs (the require above)
+          val (delRows, insRows) = cowDiff(sn)
+          Seq(tagged(delRows, "delete", ord, sn.id),
+            tagged(insRows, "insert", ord, sn.id))
+        } else {
+          val dels =
+            (if (sn.deletePaths.nonEmpty) Seq(posMarkers(sn)) else Seq.empty) ++
+              sn.eqDeletes.map(eqMarkers)
+          val ins =
+            if (sn.files.nonEmpty) Seq(readFiles(spark, sn.files, current))
+            else Seq.empty
+          dels.map(tagged(_, "delete", ord, sn.id)) ++
+            ins.map(tagged(_, "insert", ord, sn.id))
+        }
       }
     if (parts.isEmpty)
       spark.createDataFrame(
@@ -3005,6 +3050,17 @@ object LakeTable {
     */
   def isByteMove(op: String): Boolean =
     op == "rewrite" || op == "rewrite-data"
+
+  /** Whether a map type occurs anywhere in `dt` — map columns cannot
+    * participate in set operations (the CoW changelog diff's exceptAll).
+    */
+  def hasMapType(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case _: org.apache.spark.sql.types.MapType => true
+      case s: StructType => s.fields.exists(f => hasMapType(f.dataType))
+      case org.apache.spark.sql.types.ArrayType(e, _) => hasMapType(e)
+      case _ => false
+    }
 
   /** Suffix of the snapshot log since the last rewrite, plus the set
     * of paths removed by overwrites within it — the distributable form

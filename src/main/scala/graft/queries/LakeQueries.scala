@@ -1175,6 +1175,63 @@ object RowOpsQueries extends QueryModule {
       dstRows.orderBy("n_nationkey")
     }),
 
+    "lake_changelog_cow" -> QueryModule.micro(4)((s, dir) => {
+      // changelog over COPY-ON-WRITE commits (closes the last
+      // acknowledged changelog gap): an overwrite records replaced
+      // FILES, not rows, so by default it refuses — includeCowDiffs
+      // opts into computing the row delta (removed-files-before vs
+      // rewritten-output, multiset except: kept rows cancel, only the
+      // CoW-deleted/updated rows surface) at O(rewritten bytes) per
+      // such snapshot. The log replays into a mirror that must equal
+      // the source — deletes carry FULL rows here (unlike eq-delete
+      // key markers), so the replay keys on the row identity. SQL
+      // surface: create_changelog_view(..., include_cow => 'true').
+      val wh = LakeQueries.freshWarehouse("chlogcow")
+      Engine.processTableDefJson(wh,
+        """{"database_name":"ccq","table_name":"src","columns":[
+          |{"column_name":"n_nationkey","data_type":"int","required":true},
+          |{"column_name":"n_name","data_type":"string"},
+          |{"column_name":"n_regionkey","data_type":"int"}],
+          |"partitions":[],
+          |"properties":{"identifier-fields":"n_nationkey"}}""".stripMargin)
+      Engine.processTableDefJson(wh,
+        """{"database_name":"ccq","table_name":"dst","columns":[
+          |{"column_name":"n_nationkey","data_type":"int"},
+          |{"column_name":"n_name","data_type":"string"},
+          |{"column_name":"n_regionkey","data_type":"int"}],
+          |"partitions":[]}""".stripMargin)
+      val src = LakeTable.load(wh, "ccq", "src")
+      val nat = Tables(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+      src.append(nat)
+      // CoW UPDATE: region-1 names get a suffix (file rewrite)
+      src.update(s, Map("n_name" -> concat(col("n_name"), lit("_cow"))),
+        col("n_regionkey") === 1)
+      // CoW DELETE: multiples of 7 go away (another rewrite)
+      src.delete(s, col("n_nationkey") % 7 === 0)
+      val maxId = src.metadata.snapshots.map(_.id).max
+      // the raw mode refuses WITHOUT the opt-in — pin the refusal text
+      val refused = scala.util.Try(
+        src.changelogBetween(s, 0L, maxId).count())
+      require(refused.isFailure && refused.failed.get.getMessage
+        .contains("includeCowDiffs"),
+        "CoW changelog must refuse without the opt-in")
+      // SQL surface builds the view; the replay consumes it
+      s.conf.set("spark.sql.catalog.gccq", "graft.sources.LakeCatalog")
+      s.conf.set("spark.sql.catalog.gccq.warehouse", wh)
+      s.sql(
+        s"""CALL gccq.system.create_changelog_view(db => 'ccq',
+           |`table` => 'src', from_snapshot => 0, to_snapshot => $maxId,
+           |view_name => 'ccq_log', include_cow => 'true')""".stripMargin)
+      val d = LakeTable.load(wh, "ccq", "dst")
+      LakeQueries.replayChangelog(d, s.table("ccq_log"),
+        Seq("n_nationkey"), Seq("n_nationkey", "n_name", "n_regionkey"))
+      val dstRows = d.read(s)
+      LakeQueries.requireMirrorEqual(src.read(s), dstRows,
+        Seq("n_nationkey", "n_name", "n_regionkey"), "CoW changelog mirror")
+      dstRows.orderBy("n_nationkey")
+    }),
+
     "lake_changelog_updates" -> QueryModule.micro(4)((s, dir) => {
       // changelog UPDATE pairing + net changes (Iceberg's
       // create_changelog_view(compute_updates / net_changes)) on a
@@ -1672,6 +1729,14 @@ object RowOpsQueries extends QueryModule {
         |       ELSE c_mktsegment END AS c_mktsegment
         |FROM customer WHERE c_custkey % 10 <> 3
         |ORDER BY c_custkey""".stripMargin,
+
+    "lake_changelog_cow" ->
+      """SELECT n_nationkey,
+        |  CASE WHEN n_regionkey = 1 THEN n_name || '_cow' ELSE n_name END
+        |    AS n_name,
+        |  n_regionkey
+        |FROM nation WHERE n_nationkey % 7 <> 0
+        |ORDER BY n_nationkey""".stripMargin,
 
     "lake_branch_cow" ->
       """SELECT c_custkey, c_name,

@@ -830,6 +830,11 @@ private[sources] object LakeProcedures {
               ProcedureParameter.in("mode", StringType)
                 .defaultValue("''").build(),
               ProcedureParameter.in("identifier_cols", StringType)
+                .defaultValue("''").build(),
+              // 'true' opts into computed row diffs for copy-on-write
+              // overwrite snapshots (O(rewritten bytes) per such
+              // snapshot); default keeps the loud refusal
+              ProcedureParameter.in("include_cow", StringType)
                 .defaultValue("''").build())
           }
           override def call(input: InternalRow): java.util.Iterator[Scan] = {
@@ -1093,12 +1098,14 @@ private[sources] object LakeProcedures {
                 val mode = strArgOrEmpty(5)
                 val idCols = strArgOrEmpty(6)
                   .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+                val includeCow =
+                  strArgOrEmpty(7).equalsIgnoreCase("true")
                 val (from, to) = (input.getLong(2), input.getLong(3))
+                val raw = t.changelogBetween(spark, from, to, includeCow)
                 val log = mode match {
-                  case "" | "raw" => t.changelogBetween(spark, from, to)
-                  case "updates" =>
-                    t.changelogWithUpdates(spark, from, to, idCols)
-                  case "net" => t.changelogNet(spark, from, to, idCols)
+                  case "" | "raw" => raw
+                  case "updates" => t.changelogWithUpdates(raw, idCols)
+                  case "net" => t.changelogNet(raw, idCols)
                   case other => throw new IllegalArgumentException(
                     s"create_changelog_view: unknown mode '$other' " +
                       "(use '', 'updates' or 'net')")

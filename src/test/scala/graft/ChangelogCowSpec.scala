@@ -1,0 +1,103 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.lake.{Engine, LakeTable}
+
+/** Changelog over copy-on-write commits (`includeCowDiffs`): the row
+  * delta is COMPUTED from the files the overwrite replaced vs what it
+  * wrote — kept rows must cancel exactly, only genuinely
+  * deleted/updated rows may surface, and the default stays a loud
+  * refusal.
+  */
+class ChangelogCowSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def mk(tag: String, cols: String =
+      """{"column_name":"id","data_type":"long","required":true},
+        |{"column_name":"v","data_type":"string"}""".stripMargin)
+      : (String, LakeTable) = {
+    val wh = Files.createTempDirectory(s"graft-chlogcow-$tag").toString
+    Engine.processTableDefJson(wh,
+      s"""{"database_name":"d","table_name":"t","columns":[$cols],
+         |"partitions":[]}""".stripMargin)
+    (wh, LakeTable.load(wh, "d", "t"))
+  }
+
+  test("kept rows cancel; only CoW-changed rows surface, correctly typed") {
+    import spark.implicits._
+    val (_, t) = mk("diff")
+    t.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    // CoW update touches ONE row of the rewritten file
+    t.update(spark, Map("v" -> lit("b2")), col("id") === 2L)
+    // CoW delete removes another
+    t.delete(spark, col("id") === 3L)
+    val maxId = t.metadata.snapshots.map(_.id).max
+    val log = t.changelogBetween(spark, 0L, maxId, includeCowDiffs = true)
+      .select("id", "v", "_change_type", "_change_ordinal").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getInt(3)))
+      .toSet
+    // ordinal 0: the append's 3 inserts. ordinal 1: the update's
+    // delete(2,b)+insert(2,b2) ONLY — rows 1 and 3 were rewritten
+    // byte-identical and must cancel. ordinal 2: the delete's (3,c).
+    assert(log == Set(
+      (1L, "a", "insert", 0), (2L, "b", "insert", 0), (3L, "c", "insert", 0),
+      (2L, "b", "delete", 1), (2L, "b2", "insert", 1),
+      (3L, "c", "delete", 2)), s"got $log")
+    // the updates view pairs ordinal 1's delete+insert by identity
+    val ups = t.changelogWithUpdates(
+      t.changelogBetween(spark, 0L, maxId, includeCowDiffs = true),
+      Seq("id"))
+      .filter(col("_change_ordinal") === 1)
+      .select("id", "_change_type").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSet
+    assert(ups == Set(2L -> "update_before", 2L -> "update_after"))
+  }
+
+  test("defaults refuse CoW; map columns refuse the diff by name") {
+    import spark.implicits._
+    val (_, t) = mk("refuse")
+    t.append(Seq((1L, "a")).toDF("id", "v"))
+    t.delete(spark, col("id") === 1L)
+    val e = intercept[IllegalArgumentException] {
+      t.changelogBetween(spark, 0L, t.metadata.snapshots.map(_.id).max)
+    }
+    assert(e.getMessage.contains("includeCowDiffs"))
+
+    val (_, tm) = mk("maps",
+      """{"column_name":"id","data_type":"long","required":true},
+        |{"column_name":"m","data_type":"map","map_def":{
+        |  "key":{"column_name":"k","data_type":"string","required":true},
+        |  "value":{"column_name":"val","data_type":"string"}}}""".stripMargin)
+    tm.append(Seq((1L, Map("x" -> "y"))).toDF("id", "m"))
+    tm.delete(spark, col("id") === 1L)
+    val em = intercept[IllegalArgumentException] {
+      tm.changelogBetween(spark, 0L,
+        tm.metadata.snapshots.map(_.id).max, includeCowDiffs = true)
+    }
+    assert(em.getMessage.contains("map"))
+  }
+
+  test("a CoW diff after a positional MoR delete sees the pre-overwrite " +
+      "visible rows, not the raw file") {
+    import spark.implicits._
+    val (_, t) = mk("posthenrow")
+    t.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    // positional delete first (MoR), THEN a CoW update rewrites the file
+    t.deleteMoR(spark, col("id") === 1L)
+    t.update(spark, Map("v" -> lit("b2")), col("id") === 2L)
+    val maxId = t.metadata.snapshots.map(_.id).max
+    val cowOrd = t.changelogBetween(spark, 0L, maxId,
+        includeCowDiffs = true)
+      .filter(col("_change_ordinal") === 2)
+      .select("id", "v", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    // row 1 was ALREADY dead before the overwrite — it must not appear
+    // as a delete of the CoW ordinal (its retraction was ordinal 1)
+    assert(cowOrd == Set((2L, "b", "delete"), (2L, "b2", "insert")),
+      s"got $cowOrd")
+  }
+}
