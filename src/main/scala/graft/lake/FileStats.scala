@@ -19,11 +19,19 @@ import graft.schema.FieldIds
   * stay valid across renames and reorders.
   *
   * `kind` is "num" (value encoded as BigDecimal string — covers
-  * int/long/float/double and timestamp-as-micros) or "str" (lexical
-  * UTF8). Columns with no usable footer stats simply have no entry —
-  * skipping is always conservative.
+  * int/long/float/double and timestamp-as-micros), "str" (lexical
+  * UTF8), or "none" (the column is entirely NULL in the file — no
+  * min/max exist, but that fact itself prunes: no value predicate can
+  * match an all-null column). Columns with no usable footer stats
+  * simply have no entry — skipping is always conservative.
+  *
+  * `nulls` is the column's null count across the file's row groups
+  * (-1 = unknown, e.g. a footer without null accounting or stats
+  * written by an older engine version): `IS NULL` prunes files with
+  * `nulls == 0`, `IS NOT NULL` prunes `kind == "none"` files.
   */
-case class ColStats(kind: String, min: String, max: String) {
+case class ColStats(kind: String, min: String, max: String,
+    nulls: Long = -1L) {
   def overlaps(lo: Option[BigDecimal], hi: Option[BigDecimal]): Boolean =
     kind == "num" && {
       val mn = BigDecimal(min); val mx = BigDecimal(max)
@@ -37,10 +45,20 @@ case class ColStats(kind: String, min: String, max: String) {
 /** A half-open/closed range predicate against a current-schema column,
   * used for stats-based file skipping. Values: BigDecimal for numeric
   * columns (timestamps as epoch micros), String for string columns.
+  *
+  * `isNull` / `notNull` carry pushed `IS [NOT] NULL` predicates into
+  * null-count pruning; an `isNull` filter never carries bounds (the
+  * shapes are mutually exclusive in Spark's pushed filters).
   */
 case class RangeFilter(column: String,
     loNum: Option[BigDecimal] = None, hiNum: Option[BigDecimal] = None,
-    loStr: Option[String] = None, hiStr: Option[String] = None)
+    loStr: Option[String] = None, hiStr: Option[String] = None,
+    notNull: Boolean = false, isNull: Boolean = false) {
+  /** Any bound present — such a predicate only matches actual values,
+    * so it implies NOT NULL for pruning purposes. */
+  def hasBounds: Boolean =
+    loNum.isDefined || hiNum.isDefined || loStr.isDefined || hiStr.isDefined
+}
 
 /** Shared Hadoop configs: `new Configuration()` reloads the XML
   * resource bundle every time (~10ms), which dominated commit time for
@@ -81,12 +99,27 @@ object FileStats {
         val stats: Map[Int, ColStats] = try {
         val blocks = reader.getFooter.getBlocks.asScala
         val perCol = scala.collection.mutable.Map.empty[String, ColStats]
+        // Null accounting is independent of min/max: a chunk with zero
+        // non-null values has no min/max but its null count still
+        // matters (an all-null column prunes IS NOT NULL and every
+        // value predicate). nullsByCol accumulates across row groups;
+        // a single chunk without accounting poisons the column to
+        // "unknown" (-1) — never under-count.
+        val nullsByCol = scala.collection.mutable.Map.empty[String, Long]
+        val sawValues = scala.collection.mutable.Set.empty[String]
         for (block <- blocks; chunk <- block.getColumns.asScala) {
           val pathParts = chunk.getPath.toArray
-          if (pathParts.length == 1) { // top-level primitives only
+          if (pathParts.length == 1 && nameToId.contains(pathParts(0))) {
             val name = pathParts(0)
             val st = chunk.getStatistics
-            if (st != null && st.hasNonNullValue && nameToId.contains(name)) {
+            if (st != null && st.isNumNullsSet && st.getNumNulls >= 0)
+              nullsByCol(name) = nullsByCol.get(name) match {
+                case Some(-1L) => -1L
+                case prev => prev.getOrElse(0L) + st.getNumNulls
+              }
+            else nullsByCol(name) = -1L
+            if (st != null && st.hasNonNullValue) {
+              sawValues += name
               val pt = chunk.getPrimitiveType
               // decimal columns store UNSCALED integers (INT32/INT64/
               // fixed binary by precision) — stats must be re-scaled or
@@ -142,7 +175,18 @@ object FileStats {
             }
           }
         }
-        perCol.map { case (name, cs) => nameToId(name) -> cs }.toMap
+        // attach null counts to the min/max entries; columns whose
+        // chunks carried stats but NO non-null value anywhere are
+        // all-null — emit a "none" entry (prunes value predicates and
+        // IS NOT NULL) provided null accounting confirmed rows exist
+        val withNulls = perCol.map { case (name, cs) =>
+          nameToId(name) -> cs.copy(nulls = nullsByCol.getOrElse(name, -1L))
+        }.toMap
+        val allNull = nullsByCol.collect {
+          case (name, n) if n > 0 && !sawValues.contains(name) =>
+            nameToId(name) -> ColStats("none", "", "", n)
+        }.toMap
+        withNulls ++ allNull
         } catch { case _: Exception => Map.empty[Int, ColStats] }
         (rows, stats)
       } finally reader.close()
@@ -159,6 +203,14 @@ object FileStats {
         .find(_.name == f.column).map(FieldIds.idOf)
       fieldId.flatMap(stats.get) match {
         case None => true
+        case Some(cs) if f.isNull =>
+          // IS NULL: a file with zero nulls for the column can't match;
+          // unknown accounting (-1) keeps the file
+          cs.nulls != 0
+        case Some(cs) if cs.kind == "none" =>
+          // all-null column: value predicates and IS NOT NULL match no
+          // row of this file
+          !(f.hasBounds || f.notNull)
         case Some(cs) =>
           cs.overlaps(f.loNum, f.hiNum) && cs.overlapsStr(f.loStr, f.hiStr)
       }

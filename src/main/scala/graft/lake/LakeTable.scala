@@ -2105,7 +2105,7 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     readFiles(spark,
       LakeTable.matchingFiles(
         LakeTable.liveFiles(visible, prune, current, statsFilters),
-        current, prune, statsFilters),
+        current, prune, statsFilters, md.schemaOpt),
       current, LakeTable.liveDeletes(visible),
       LakeTable.liveEqDeletes(visible))
   }
@@ -2117,7 +2117,7 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
       statsFilters: Seq[RangeFilter] = Seq.empty): Seq[DataFileMeta] =
     LakeTable.matchingFiles(
       LakeTable.liveFiles(md.snapshots, prune, md.currentSchema, statsFilters),
-      md.currentSchema, prune, statsFilters)
+      md.currentSchema, prune, statsFilters, md.schemaOpt)
 
   /** One reconciling scan group per schema version, unioned; rows at
     * positions marked by live merge-on-read delete files are dropped
@@ -2586,7 +2586,7 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
         s"table $location was committed concurrently; reload and retry")
     val candidates = LakeTable.matchingFiles(
       LakeTable.liveFiles(md.snapshots, prune, md.currentSchema, statsFilters),
-      md.currentSchema, prune, statsFilters)
+      md.currentSchema, prune, statsFilters, md.schemaOpt)
     if (candidates.isEmpty) return None
     val matched = liveRowsWithPos(spark, candidates)
       .filter(coalesce(predicate, lit(false)))
@@ -2610,7 +2610,7 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
         s"table $location was committed concurrently; reload and retry")
     val candidates = LakeTable.matchingFiles(
       LakeTable.liveFiles(md.snapshots, prune, md.currentSchema, statsFilters),
-      md.currentSchema, prune, statsFilters)
+      md.currentSchema, prune, statsFilters, md.schemaOpt)
     if (candidates.isEmpty) return None
     // one materialization feeds both the delete positions and the
     // updated copies (localCheckpoint: reclaimed when the df drops)
@@ -2870,7 +2870,7 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     // path derives it from the committed live files
     val candidates = candidatesOverride.getOrElse(LakeTable.matchingFiles(
       LakeTable.liveFiles(md.snapshots, prune, md.currentSchema, statsFilters),
-      md.currentSchema, prune, statsFilters))
+      md.currentSchema, prune, statsFilters, md.schemaOpt))
     if (candidates.isEmpty) return Seq.empty
     val tagged = candidates.groupBy(_.schemaId).map { case (schemaId, group) =>
       val fileSchema = md.schemaById(schemaId)
@@ -3119,15 +3119,47 @@ object LakeTable {
     walk(schema, "")
   }
 
-  /** Partition-value + min/max-stats pruning of a file list. */
+  /** Partition-value + min/max-stats pruning of a file list.
+    *
+    * `schemaById` (file's write schema by schema id, when the caller
+    * has table metadata at hand) enables the schema-absence prune: a
+    * file written BEFORE a column was added reads as all-NULL for it,
+    * so `IS NOT NULL` and every value predicate on that column skip
+    * the file outright — on an evolved table that can be most of the
+    * history. Returning None keeps the file (conservative default).
+    */
   def matchingFiles(files: Seq[DataFileMeta], schema: StructType,
       prune: Map[String, Set[String]],
-      statsFilters: Seq[RangeFilter]): Seq[DataFileMeta] =
+      statsFilters: Seq[RangeFilter],
+      schemaById: Int => Option[StructType] = _ => None): Seq[DataFileMeta] = {
+    // per-filter current-schema field id (top-level only — pushed
+    // filters name top-level columns), resolved once per call
+    val valueFilters = statsFilters.filter(f => f.notNull || f.hasBounds)
+    val filterIds: Seq[Int] =
+      if (valueFilters.isEmpty) Seq.empty
+      else valueFilters.flatMap(f =>
+        schema.fields.find(_.name == f.column)
+          .filter(graft.schema.FieldIds.hasId)
+          .map(graft.schema.FieldIds.idOf))
+    // schemaId -> does the write schema contain every filtered field id
+    val absenceCache = scala.collection.mutable.Map.empty[Int, Boolean]
+    def writeSchemaHasAll(f: DataFileMeta): Boolean =
+      filterIds.isEmpty || absenceCache.getOrElseUpdate(f.schemaId,
+        schemaById(f.schemaId) match {
+          case Some(ws) =>
+            val present = ws.fields.iterator
+              .filter(graft.schema.FieldIds.hasId)
+              .map(graft.schema.FieldIds.idOf).toSet
+            filterIds.forall(present)
+          case None => true
+        })
     files.filter { f =>
       prune.forall { case (name, allowed) =>
         f.partitionValues.get(name).forall(allowed.contains)
-      } && FileStats.mightMatch(f.stats, schema, statsFilters)
+      } && FileStats.mightMatch(f.stats, schema, statsFilters) &&
+        writeSchemaHasAll(f)
     }
+  }
 
   /** `input_file_name()` / `_metadata.file_path` yield URIs
     * (`file:/…`, %XX-escaped); metadata stores plain filesystem

@@ -238,15 +238,23 @@ object ManifestIO {
       .filter(id => files.forall(_.stats.contains(id)))
     shared.iterator.flatMap { id =>
       val cs = files.map(_.stats(id))
-      val kinds = cs.map(_.kind).toSet
-      if (kinds.size != 1) None
+      // "none" (all-null in that file) merges with any value kind: it
+      // contributes no values to the range, only to the null count
+      val kinds = cs.map(_.kind).toSet - "none"
+      if (kinds.size > 1) None
       else scala.util.Try {
-        val (mn, mx) = kinds.head match {
-          case "num" => (cs.map(c => BigDecimal(c.min)).min.toString,
-            cs.map(c => BigDecimal(c.max)).max.toString)
-          case _ => (cs.map(_.min).min, cs.map(_.max).max)
+        val valued = cs.filter(_.kind != "none")
+        val nulls =
+          if (cs.forall(_.nulls >= 0)) cs.map(_.nulls).sum else -1L
+        val (kind, mn, mx) = kinds.headOption match {
+          case None => ("none", "", "") // all-null in EVERY file
+          case Some("num") => ("num",
+            valued.map(c => BigDecimal(c.min)).min.toString,
+            valued.map(c => BigDecimal(c.max)).max.toString)
+          case Some(k) =>
+            (k, valued.map(_.min).min, valued.map(_.max).max)
         }
-        id -> ColStats(kinds.head, mn, mx)
+        id -> ColStats(kind, mn, mx, nulls)
       }.toOption
     }.toMap
   }
@@ -343,6 +351,10 @@ case class TableMetadata(
   def currentSpec: PartitionSpecMeta =
     specs.find(_.id == currentSpecId).get
   def schemaById(id: Int): StructType = schemas.find(_.id == id).get.schema
+  /** Total lookup for scan planning (the schema-absence prune): an
+    * unknown id keeps the file, never throws. */
+  def schemaOpt(id: Int): Option[StructType] =
+    schemas.find(_.id == id).map(_.schema)
   def allFiles: Seq[DataFileMeta] = snapshots.flatMap(_.files)
 }
 
@@ -440,7 +452,9 @@ object MetadataIO {
         id.toString -> JObject(Map(
           "kind" -> JString(cs.kind),
           "min" -> JString(cs.min),
-          "max" -> JString(cs.max)))
+          "max" -> JString(cs.max)) ++
+          (if (cs.nulls < 0) Map.empty[String, JValue]
+           else Map("nulls" -> JNumber(cs.nulls))))
       })))
 
   def dataFileFromJson(df: JValue): DataFileMeta = {
@@ -451,7 +465,8 @@ object MetadataIO {
       dm.get("stats").map(_.asObj.map { case (id, sv) =>
         val sm2 = sv.asObj
         id.toInt -> ColStats(sm2("kind").asStr,
-          sm2("min").asStr, sm2("max").asStr)
+          sm2("min").asStr, sm2("max").asStr,
+          sm2.get("nulls").map(_.asLong).getOrElse(-1L))
       }).getOrElse(Map.empty),
       bytes = dm.get("bytes").map(_.asLong).getOrElse(-1L),
       sortedByIds = dm.get("sorted-by")
@@ -511,7 +526,9 @@ object MetadataIO {
       id.toString -> JObject(Map(
         "kind" -> JString(cs.kind),
         "min" -> JString(cs.min),
-        "max" -> JString(cs.max)))
+        "max" -> JString(cs.max)) ++
+        (if (cs.nulls < 0) Map.empty[String, JValue]
+         else Map("nulls" -> JNumber(cs.nulls))))
     }))
 
   private def snapshotFromJson(sn: JValue,
@@ -532,7 +549,8 @@ object MetadataIO {
         m.get("manifest-stats").map(_.asObj.map { case (id, sv) =>
           val m2 = sv.asObj
           id.toInt -> ColStats(m2("kind").asStr,
-            m2("min").asStr, m2("max").asStr)
+            m2("min").asStr, m2("max").asStr,
+            m2.get("nulls").map(_.asLong).getOrElse(-1L))
         }).getOrElse(Map.empty))
     }
     SnapshotMeta(sm("snapshot-id").asLong,

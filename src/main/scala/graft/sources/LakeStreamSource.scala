@@ -555,7 +555,8 @@ private[sources] class LakeScan(wh: String, db: String, tbl: String,
         val files = inRange
           .filter(s => s.operation == "append" || s.operation == "upsert")
           .flatMap(_.files)
-        (t, LakeTable.matchingFiles(files, target, Map.empty, statsFilters),
+        (t, LakeTable.matchingFiles(files, target, Map.empty, statsFilters,
+          t.metadata.schemaOpt),
           Map.empty[String, graft.lake.DeleteSet],
           Seq.empty[graft.lake.EqDeleteMeta])
       case None => plannedFull(t)
@@ -587,13 +588,15 @@ private[sources] class LakeScan(wh: String, db: String, tbl: String,
           (LakeTable.liveFiles(visible, Map.empty, target, statsFilters) ++
             overlay)
             .filterNot(f => cowRemoved(LakeTable.normalizePath(f.path))),
-          target, Map.empty, statsFilters), LakeTable.liveDeletes(visible),
+          target, Map.empty, statsFilters,
+          t.metadata.schemaOpt), LakeTable.liveDeletes(visible),
           LakeTable.liveEqDeletes(visible) ++ branchEqs)
       case None =>
         val visible = LakeSource.visibleSnapshots(t, asOfSnapshot)
         (t, LakeTable.matchingFiles(
           LakeTable.liveFiles(visible, Map.empty, target, statsFilters),
-          target, Map.empty, statsFilters), LakeTable.liveDeletes(visible),
+          target, Map.empty, statsFilters,
+          t.metadata.schemaOpt), LakeTable.liveDeletes(visible),
           LakeTable.liveEqDeletes(visible))
     }
   }
@@ -802,7 +805,7 @@ private[sources] class LakeScan(wh: String, db: String, tbl: String,
     def planInputPartitions(): Array[InputPartition] = {
       val (t, matched, _, _) = planned
       val files = LakeTable.matchingFiles(matched, target,
-        Map.empty, runtimeRanges)
+        Map.empty, runtimeRanges, t.metadata.schemaOpt)
       onPlanned(files) // row-level ops capture the replaced group here
       val ext = LakeSource.externalTest(t.location)
       keyedSpec match {
@@ -1364,7 +1367,7 @@ private[sources] object EqBatchCache {
   }
 }
 
-private[sources] object LakeSource {
+private[graft] object LakeSource {
 
   /** Metadata column names: row identity as (data file, position). */
   val FileMetaCol = "_graft_file"
@@ -1472,10 +1475,27 @@ private[sources] object LakeSource {
     }
     f match {
       case EqualTo(c, v) => range(c, Some(v), Some(v))
+      case EqualNullSafe(c, null) =>
+        Some(graft.lake.RangeFilter(c, isNull = true))
+      case EqualNullSafe(c, v) => range(c, Some(v), Some(v))
       case GreaterThan(c, v) => range(c, Some(v), None)
       case GreaterThanOrEqual(c, v) => range(c, Some(v), None)
       case LessThan(c, v) => range(c, None, Some(v))
       case LessThanOrEqual(c, v) => range(c, None, Some(v))
+      case IsNull(c) => Some(graft.lake.RangeFilter(c, isNull = true))
+      case IsNotNull(c) => Some(graft.lake.RangeFilter(c, notNull = true))
+      case StringStartsWith(c, p) if p != null && p.nonEmpty =>
+        // rows matching the prefix lie in [p, nextPrefix(p)): bound the
+        // lexical range so min/max stats prune. The upper bound
+        // increments the last incrementable code unit (chars at
+        // Char.MaxValue drop off the end first); an un-incrementable
+        // prefix gets only the lower bound — conservative, still prunes
+        // files entirely below the prefix.
+        val trimmed = p.reverse.dropWhile(_ == Char.MaxValue).reverse
+        val hi =
+          if (trimmed.isEmpty) None
+          else Some(trimmed.init + (trimmed.last + 1).toChar)
+        Some(graft.lake.RangeFilter(c, loStr = Some(p), hiStr = hi))
       case In(c, vs) if vs.nonEmpty =>
         val nums = vs.toSeq.map(num)
         val strs = vs.toSeq.map(str)
