@@ -100,4 +100,88 @@ class ChangelogCowSpec extends AnyFunSuite {
     assert(cowOrd == Set((2L, "b", "delete"), (2L, "b2", "insert")),
       s"got $cowOrd")
   }
+
+  test("random histories mixing MoR and CoW ops replay to the model") {
+    import spark.implicits._
+    for (seed <- Seq(7L, 9001L)) {
+      val rnd = new scala.util.Random(seed)
+      val (_, t) = mk(s"rnd$seed")
+      val model = scala.collection.mutable.Map.empty[Long, String]
+      var nextFresh = 0L
+      def existing(): Option[Long] =
+        if (model.isEmpty) None
+        else Some(model.keySet.toSeq(rnd.nextInt(model.size)))
+      // copy-on-write verbs refuse while equality-delete batches are
+      // live (the documented UX: compact first) — model that exactly
+      def settleForCoW(): Unit =
+        if (LakeTable.liveEqDeletes(t.metadata.snapshots).nonEmpty)
+          t.compact(spark)
+      (1 to 24).foreach { i =>
+        rnd.nextInt(9) match {
+          case 0 | 1 =>
+            val rows = (0 to rnd.nextInt(2)).map { _ =>
+              nextFresh += 1; (nextFresh, s"a$i-$nextFresh")
+            }
+            t.append(rows.toDF("id", "v"))
+            rows.foreach { case (k, v) => model(k) = v }
+          case 2 | 3 =>
+            val keys = existing().toSeq ++
+              { nextFresh += 1; Seq(nextFresh) }
+            val rows = keys.distinct.map(k => (k, s"u$i-$k"))
+            t.upsertMoR(spark, rows.toDF("id", "v"), Seq("id"))
+            rows.foreach { case (k, v) => model(k) = v }
+          case 4 if model.nonEmpty =>
+            val k = existing().get
+            t.deleteByKeysMoR(spark, Seq(k).toDF("id"))
+            model.remove(k)
+          case 5 | 6 if model.nonEmpty =>
+            val k = existing().get
+            settleForCoW()
+            t.delete(spark, col("id") === k)
+            model.remove(k)
+          case 7 if model.nonEmpty =>
+            val k = existing().get
+            settleForCoW()
+            t.update(spark,
+              Map("v" -> concat(col("v"), lit("*"))), col("id") === k)
+            model(k) = model(k) + "*"
+          case _ =>
+            t.compactScoped(spark)
+        }
+      }
+      val maxId = t.metadata.snapshots.map(_.id).max
+      // anti-vacuity: the random walk must actually have produced CoW
+      // overwrites AND equality-delete commits, or the replay checks
+      // prove nothing about their interaction
+      val ops = t.metadata.snapshots.map(_.operation)
+      assert(ops.contains("overwrite"), s"no CoW commit in seed $seed walk")
+      assert(t.metadata.snapshots.exists(_.eqDeletes.nonEmpty),
+        s"no equality-delete commit in seed $seed walk")
+      val log = t.changelogBetween(spark, 0L, maxId, includeCowDiffs = true)
+        .localCheckpoint()
+      // raw replay: per ordinal, deletes (full-row CoW markers AND
+      // key-only eq markers alike — both carry id) before inserts
+      val raw = log
+        .select("_change_ordinal", "_change_type", "id", "v").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+          Option(r.getString(3)).orNull))
+      val replay = scala.collection.mutable.Map.empty[Long, String]
+      raw.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (_, rows) =>
+        rows.filter(_._2 == "delete").foreach(r => replay.remove(r._3))
+        rows.filter(_._2 == "insert").foreach(r => replay(r._3) = r._4)
+      }
+      assert(replay == model, s"raw CoW changelog replay diverged (seed $seed)")
+      // net mode composes over the same precomputed log
+      val net = t.changelogNet(log, Seq("id"))
+        .select("_change_type", "id", "v").collect()
+        .map(r => (r.getString(0), r.getLong(1),
+          Option(r.getString(2)).orNull))
+      val netReplay = scala.collection.mutable.Map.empty[Long, String]
+      net.filter(r => r._1 == "delete" || r._1 == "update_before")
+        .foreach(r => netReplay.remove(r._2))
+      net.filter(r => r._1 == "insert" || r._1 == "update_after")
+        .foreach(r => netReplay(r._2) = r._3)
+      assert(netReplay == model, s"net CoW changelog replay diverged (seed $seed)")
+    }
+  }
 }
