@@ -565,6 +565,51 @@ object LakeReadQueries extends QueryModule {
           |ORDER BY c_custkey""".stripMargin)
     }),
 
+    "lake_null_skip" -> QueryModule.micro(4)((s, dir) => {
+      // null-count + schema-absence file skipping under the oracle
+      // gate: v1 files predate the n_regionkey column (they read as
+      // all-NULL for it), v2 files carry it fully populated. A pushed
+      // IS NOT NULL must plan ONLY the v2 files (schema-absence
+      // prune), IS NULL only the v1 files (zero-null counts prune the
+      // rest), and the two plans must partition the live set exactly —
+      // self-audited before the oracle compare. At 100 TB this is the
+      // difference between scanning the whole evolved history and
+      // touching just the files that can match.
+      import graft.lake.RangeFilter
+      val wh = LakeQueries.freshWarehouse("nullskip")
+      Engine.processTableDefJson(wh,
+        """{"database_name":"nk","table_name":"nat","columns":[
+          |{"column_name":"n_nationkey","data_type":"int"},
+          |{"column_name":"n_name","data_type":"string"}],
+          |"partitions":[]}""".stripMargin)
+      LakeTable.load(wh, "nk", "nat").append(
+        Tables(s, dir, "nation").select("n_nationkey", "n_name"))
+      Engine.processTableDefJson(wh,
+        """{"database_name":"nk","table_name":"nat","columns":[
+          |{"column_name":"n_nationkey","data_type":"int"},
+          |{"column_name":"n_name","data_type":"string"},
+          |{"column_name":"n_regionkey","data_type":"int"}],
+          |"partitions":[]}""".stripMargin)
+      val t = LakeTable.load(wh, "nk", "nat")
+      t.append(Tables(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey"))
+      val live = t.plannedFiles().size
+      val notNull = t.plannedFiles(statsFilters =
+        Seq(RangeFilter("n_regionkey", notNull = true))).size
+      val isNull = t.plannedFiles(statsFilters =
+        Seq(RangeFilter("n_regionkey", isNull = true))).size
+      require(notNull < live && isNull < live && notNull + isNull == live,
+        s"nullness skipping must partition the live set: " +
+          s"live=$live notNull=$notNull isNull=$isNull")
+      s.conf.set("spark.sql.catalog.gnull", "graft.sources.LakeCatalog")
+      s.conf.set("spark.sql.catalog.gnull.warehouse", wh)
+      s.sql(
+        """SELECT n_nationkey, n_name, n_regionkey
+          |FROM gnull.nk.nat
+          |WHERE n_regionkey IS NOT NULL
+          |ORDER BY n_nationkey""".stripMargin)
+    }),
+
     "lake_sql_dml" -> QueryModule.micro(4)((s, dir) => {
       // the full SQL surface end-to-end through the catalog plugin:
       // CREATE, INSERT, UPDATE, MERGE INTO, DELETE — oracle expresses
@@ -1751,6 +1796,10 @@ object RowOpsQueries extends QueryModule {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
         |    AS sum_price
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "lake_null_skip" ->
+      """SELECT n_nationkey, n_name, n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
 
     "lake_cdc_apply" ->
       """SELECT n_nationkey,
