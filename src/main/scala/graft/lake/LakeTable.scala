@@ -1894,19 +1894,31 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
           s"data file(s) no longer in history (expired?): " +
           missing.toSeq.sorted.mkString(", "))
       val metas = affected.toSeq.sorted.flatMap(byPath.get)
-      val del = spark.read.parquet(sn.deletePaths: _*)
+      // vector commits: the container's DELTA blob holds exactly the
+      // positions this snapshot deleted — a per-row bitmap probe
+      // (kept = deleted) replaces the semi-join entirely
+      val dvDeltaRefs = sn.dvs.map(d =>
+        LakeTable.normalizePath(d.dataPath) ->
+          ((d.dvPath, d.deltaOffset, d.deltaLength))).toMap
+      lazy val del = spark.read.parquet(sn.deletePaths: _*)
         .select(col("file_path").as("_graft_dfile"),
           col("pos").as("_graft_dpos"))
       metas.groupBy(_.schemaId).map { case (schemaId, group) =>
         val fileSchema = md.schemaById(schemaId)
-        spark.read
+        val scan = spark.read
           .schema(Reconcile.clean(fileSchema).asInstanceOf[StructType])
           .parquet(group.map(_.path): _*)
-          .withColumn("_graft_dfile",
-            LakeTable.normalizeUdf(col("_metadata.file_path")))
-          .withColumn("_graft_dpos", col("_metadata.row_index"))
-          .join(del, Seq("_graft_dfile", "_graft_dpos"), "left_semi")
-          .select(Reconcile.projection(fileSchema, current): _*)
+        val marked =
+          if (dvDeltaRefs.nonEmpty)
+            scan.filter(LakeTable.dvDeletedCol(spark,
+              col("_metadata.file_path"), col("_metadata.row_index"),
+              dvDeltaRefs))
+          else scan
+            .withColumn("_graft_dfile",
+              LakeTable.normalizeUdf(col("_metadata.file_path")))
+            .withColumn("_graft_dpos", col("_metadata.row_index"))
+            .join(del, Seq("_graft_dfile", "_graft_dpos"), "left_semi")
+        marked.select(Reconcile.projection(fileSchema, current): _*)
       }.reduce(_.unionByName(_))
     }
 
@@ -1939,7 +1951,8 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
             tagged(insRows, "insert", ord, sn.id))
         } else {
           val dels =
-            (if (sn.deletePaths.nonEmpty) Seq(posMarkers(sn)) else Seq.empty) ++
+            (if (sn.deletePaths.nonEmpty || sn.dvs.nonEmpty)
+              Seq(posMarkers(sn)) else Seq.empty) ++
               sn.eqDeletes.map(eqMarkers)
           val ins =
             if (sn.files.nonEmpty) Seq(readFiles(spark, sn.files, current))
@@ -2148,16 +2161,25 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
       val base = spark.read
         .schema(Reconcile.clean(fileSchema).asInstanceOf[StructType])
         .parquet(group.map(_.path): _*)
-      val delPaths = group
+      val groupDel = group
         .flatMap(f => deletes.get(LakeTable.normalizePath(f.path)))
-        .flatMap(_.paths).distinct
-      val alive = if (delPaths.isEmpty) base else {
+      // v3 deletion vectors: a per-row bitmap probe INSIDE the scan's
+      // codegen stage — no delete-file read, no anti-join, no shuffle;
+      // each executor seeks the container blob once per file
+      val dvRefs = groupDel.flatMap(_.dv)
+        .map(d => LakeTable.normalizePath(d.dataPath) ->
+          ((d.dvPath, d.offset, d.length))).toMap
+      val vecAlive = if (dvRefs.isEmpty) base else
+        base.filter(!LakeTable.dvDeletedCol(spark,
+          col("_metadata.file_path"), col("_metadata.row_index"), dvRefs))
+      val delPaths = groupDel.flatMap(_.paths).distinct
+      val alive = if (delPaths.isEmpty) vecAlive else {
         // delete files store plain normalized paths; _metadata.file_path
         // is a url-encoded URI — normalize it for the join
         val del = spark.read.parquet(delPaths: _*)
           .withColumnRenamed("file_path", "_graft_dfile")
           .withColumnRenamed("pos", "_graft_dpos")
-        base
+        vecAlive
           .withColumn("_graft_dfile",
             LakeTable.normalizeUdf(col("_metadata.file_path")))
           .withColumn("_graft_dpos", col("_metadata.row_index"))
@@ -2229,15 +2251,21 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
   private def liveStateSnapshot(snaps: Seq[SnapshotMeta], id: Long,
       schemaId: Int, timestampMs: Long): SnapshotMeta = {
     val liveDel = LakeTable.liveDeletes(snaps)
+    // parquet-positional and vector delete state carry separately:
+    // replay of the squash reconstructs parquet entries from
+    // delete-counts and vector entries from the carried DvMeta (whose
+    // cardinality IS the live deleted count — see `liveDeletes`)
+    val (vectored, positional) = liveDel.partition(_._2.dv.isDefined)
     SnapshotMeta(
       id = id,
       files = LakeTable.liveFiles(snaps),
       schemaId = schemaId,
       timestampMs = timestampMs,
       operation = "rewrite",
-      deletePaths = liveDel.values.flatMap(_.paths).toSeq.distinct,
-      deleteCounts = liveDel.map { case (p, ds) => p -> ds.rows },
-      eqDeletes = LakeTable.liveEqDeletes(snaps))
+      deletePaths = positional.values.flatMap(_.paths).toSeq.distinct,
+      deleteCounts = positional.map { case (p, ds) => p -> ds.rows },
+      eqDeletes = LakeTable.liveEqDeletes(snaps),
+      dvs = vectored.values.flatMap(_.dv).toSeq.sortBy(_.dataPath))
   }
 
   /** `ALTER TABLE ... SET/UNSET TBLPROPERTIES`: merge `set` into and
@@ -2355,7 +2383,10 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     // materialized the others); the live set is metadata-scale, shipped
     // as a broadcast semi-join, never a giant IN-list
     import spark.implicits._
-    val livePaths = liveDel.keySet.toSeq.toDF("file_path")
+    // vector-backed files need no tombstone carry — their DV is the
+    // complete delete state and the squash carries it in `dvs`
+    val livePaths = liveDel.collect {
+      case (p, ds) if ds.dv.isEmpty => p }.toSeq.toDF("file_path")
     spark.read.parquet(delFiles: _*)
       .join(org.apache.spark.sql.functions.broadcast(livePaths),
         Seq("file_path"), "left_semi")
@@ -2457,7 +2488,7 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     // they only become orphans after discardStaged
     val referenced = (md.snapshots ++ md.staged).flatMap(s =>
       s.files.map(_.path) ++ s.deletePaths ++
-        s.eqDeletes.flatMap(_.paths)).toSet
+        s.eqDeletes.flatMap(_.paths) ++ s.dvs.map(_.dvPath)).toSet
     val cutoff = System.currentTimeMillis() - olderThanMillis
     val orphans = if (!Files.exists(dataDir)) Seq.empty[Path] else
       Using.resource(Files.walk(dataDir)) { st =>
@@ -2699,11 +2730,19 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
         .select(Reconcile.projection(fileSchema, md.currentSchema) ++
           Seq(col("_graft_dfile"), col("_graft_dpos")): _*)
     }.reduce(_.unionByName(_))
-    val oldDeletePaths = candidates
+    val existingSets = candidates
       .flatMap(f => existing.get(LakeTable.normalizePath(f.path)))
-      .flatMap(_.paths).distinct
-    if (oldDeletePaths.isEmpty) tagged
-    else tagged.join(spark.read.parquet(oldDeletePaths: _*)
+    // rows already deleted by a deletion vector must not re-match
+    // (same reason the parquet anti-join below exists)
+    val dvRefs = existingSets.flatMap(_.dv)
+      .map(d => LakeTable.normalizePath(d.dataPath) ->
+        ((d.dvPath, d.offset, d.length))).toMap
+    val vecLive = if (dvRefs.isEmpty) tagged else
+      tagged.filter(!LakeTable.dvDeletedCol(spark,
+        col("_graft_dfile"), col("_graft_dpos"), dvRefs))
+    val oldDeletePaths = existingSets.flatMap(_.paths).distinct
+    if (oldDeletePaths.isEmpty) vecLive
+    else vecLive.join(spark.read.parquet(oldDeletePaths: _*)
         .select(col("file_path").as("_graft_dfile"),
           col("pos").as("_graft_dpos")),
       Seq("_graft_dfile", "_graft_dpos"), "left_anti")
@@ -2717,6 +2756,8 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     */
   private def commitMoR(spark: SparkSession, matched: DataFrame,
       appended: Option[DataFrame]): Option[SnapshotMeta] = {
+    if (md.properties.get("write.delete.mode").contains("vector"))
+      return commitMoRVector(spark, matched, appended)
     val snapshotId = md.snapshots.map(_.id).foldLeft(0L)(math.max) + 1
     val delDir = dataDir.resolve(
       s"deletes-$snapshotId-${java.util.UUID.randomUUID().toString.take(8)}")
@@ -2744,6 +2785,96 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     val snap = SnapshotMeta(snapshotId, newFiles, md.currentSchemaId,
       operation = "delete", deletePaths = written.map(_.toString),
       deleteCounts = counts, timestampMs = System.currentTimeMillis())
+    commit(md.copy(snapshots = md.snapshots :+ snap))
+    Some(snap)
+  }
+
+  /** Vector flavor of [[commitMoR]] (`write.delete.mode=vector` —
+    * Iceberg v3's deletion-vector model): the matched positions are
+    * aggregated into ONE Roaring bitmap per affected data file on the
+    * executors (the shuffle carries (path, pos) pairs, the driver
+    * collects only O(affected files) serialized bitmaps), merged with
+    * the file's previous vector and any legacy positional parquet
+    * state, and committed as full+delta blobs in one container file.
+    * Each file's new vector REPLACES its entire earlier delete state,
+    * so the live structures per file stay O(1) across any number of
+    * delete commits — v2's accumulating delete-file list is the read
+    * amplification v3 removed.
+    */
+  private def commitMoRVector(spark: SparkSession, matched: DataFrame,
+      appended: Option[DataFrame]): Option[SnapshotMeta] = {
+    import org.roaringbitmap.longlong.Roaring64Bitmap
+    import spark.implicits._
+    val snapshotId = md.snapshots.map(_.id).foldLeft(0L)(math.max) + 1
+    val newPos: Array[(String, Array[Byte])] = matched
+      .select(col("_graft_dfile").cast("string"),
+        col("_graft_dpos").cast("long"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (path, it) =>
+        val bm = new Roaring64Bitmap()
+        it.foreach(t => bm.addLong(t._2))
+        (path, DeletionVectors.serialize(bm))
+      }.collect()
+    if (newPos.isEmpty) return None
+    val live = LakeTable.liveDeletes(md.snapshots)
+    val affected = newPos.map(_._1).toSet
+    // transition case: an affected file still carries v2 positional
+    // parquet state — fold those positions into the new vector so the
+    // REPLACE semantics lose nothing (read once, per affected file)
+    val legacyByFile: Map[String, Roaring64Bitmap] = {
+      val legacyPaths = affected.toSeq
+        .flatMap(p => live.get(p).toSeq.filter(_.dv.isEmpty).flatMap(_.paths))
+        .distinct
+      if (legacyPaths.isEmpty) Map.empty
+      else spark.read.parquet(legacyPaths: _*)
+        .filter(col("file_path").isin(affected.toSeq: _*))
+        .select(col("file_path").cast("string"), col("pos").cast("long"))
+        .as[(String, Long)]
+        .groupByKey(_._1)
+        .mapGroups { (path, it) =>
+          val bm = new Roaring64Bitmap()
+          it.foreach(t => bm.addLong(t._2))
+          (path, DeletionVectors.serialize(bm))
+        }.collect()
+        .map { case (p, b) =>
+          LakeTable.normalizePath(p) -> DeletionVectors.deserialize(b) }
+        .toMap
+    }
+    val blobs = newPos.toSeq.sortBy(_._1).map { case (p, deltaBytes) =>
+      val delta = DeletionVectors.deserialize(deltaBytes)
+      val prevRows = live.get(p).map(_.rows).getOrElse(0L)
+      val full = new Roaring64Bitmap()
+      full.or(delta)
+      live.get(p).flatMap(_.dv).foreach(d =>
+        full.or(DeletionVectors.cached(d.dvPath, d.offset, d.length)))
+      legacyByFile.get(p).foreach(full.or)
+      // matched rows came from liveRowsWithPos, which excludes every
+      // previously-deleted position — the union must be exactly
+      // additive, or a resurrect/double-delete bug is in flight
+      require(full.getLongCardinality ==
+          prevRows + delta.getLongCardinality,
+        s"deletion-vector merge for $p is not additive: previous " +
+          s"$prevRows + new ${delta.getLongCardinality} != merged " +
+          s"${full.getLongCardinality}")
+      p -> ((full, delta))
+    }
+    val dvPath = dataDir.resolve(s"deletes-$snapshotId-" +
+      java.util.UUID.randomUUID().toString.take(8) + ".gdv")
+    Files.createDirectories(dataDir)
+    val dvMetas = DeletionVectors.writeContainer(dvPath, blobs)
+    val counts = blobs.map { case (p, (_, delta)) =>
+      p -> delta.getLongCardinality }.toMap
+    val newFiles = appended match {
+      case None => Seq.empty
+      case Some(df) =>
+        val outDir = dataDir.resolve(s"snap-$snapshotId-" +
+          java.util.UUID.randomUUID().toString.take(8))
+        writeDataFiles(df.drop("_graft_dfile", "_graft_dpos"), outDir)
+    }
+    val snap = SnapshotMeta(snapshotId, newFiles, md.currentSchemaId,
+      operation = "delete", deleteCounts = counts,
+      timestampMs = System.currentTimeMillis(), dvs = dvMetas)
     commit(md.copy(snapshots = md.snapshots :+ snap))
     Some(snap)
   }
@@ -2968,21 +3099,32 @@ object LakeTable {
     */
   def liveDeletes(snapshots: Seq[SnapshotMeta]): Map[String, DeleteSet] =
     snapshots.foldLeft(Map.empty[String, DeleteSet]) { (acc, s) =>
-      def own: Map[String, DeleteSet] = s.deleteCounts.map { case (p, n) =>
-        normalizePath(p) -> DeleteSet(s.deletePaths, n)
-      }
+      // a snapshot's vectors: each REPLACES the file's whole delete
+      // state (v3 semantics — the writer merged all earlier positions
+      // into the full blob, so cardinality is the live deleted count)
+      def vectors: Map[String, DeleteSet] = s.dvs.map(d =>
+        normalizePath(d.dataPath) ->
+          DeleteSet(Seq.empty, d.cardinality, Some(d))).toMap
+      def own: Map[String, DeleteSet] = s.deleteCounts.collect {
+        case (p, n) if !vectors.contains(normalizePath(p)) =>
+          normalizePath(p) -> DeleteSet(s.deletePaths, n)
+      } ++ vectors
       s.operation match {
         case op if isReset(op) => own
         case op if removesByPath(op) =>
           val removed = s.removedPaths.map(normalizePath).toSet
           acc.filterNot { case (p, _) => removed(p) }
-        case "delete" => own.foldLeft(acc) { case (m, (p, ds)) =>
-          m.updatedWith(p) {
-            case Some(prev) => Some(DeleteSet(
-              (prev.paths ++ ds.paths).distinct, prev.rows + ds.rows))
-            case None => Some(ds)
-          }
-        }
+        case "delete" =>
+          // parquet-positional entries ACCUMULATE; vector entries
+          // REPLACE (and a vector supersedes any accumulated parquet
+          // state for its file — `own` already excludes those keys)
+          (own -- vectors.keySet).foldLeft(acc) { case (m, (p, ds)) =>
+            m.updatedWith(p) {
+              case Some(prev) => Some(DeleteSet(
+                (prev.paths ++ ds.paths).distinct, prev.rows + ds.rows))
+              case None => Some(ds)
+            }
+          } ++ vectors
         case _ => acc
       }
     }
@@ -3175,6 +3317,20 @@ object LakeTable {
     */
   val normalizeUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf(normalizePath _)
+
+  /** `(path, pos) is deleted by its file's deletion vector` as a
+    * codegen-friendly Column ([[graft.functions.DvDeleted]]); `refs`
+    * maps normalized data paths to (container, offset, length). The
+    * registration is idempotent per session.
+    */
+  def dvDeletedCol(spark: SparkSession, path: Column, pos: Column,
+      refs: Map[String, (String, Long, Long)]): Column = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dv_deleted",
+      es => graft.functions.DvDeleted(es(0), es(1), es(2)), "built-in")
+    call_function("graft_dv_deleted", path, pos,
+      lit(graft.functions.DvLookup.encode(refs)))
+  }
 
   def tableLocation(warehouse: String, db: String, table: String): Path =
     Paths.get(warehouse, db, table)

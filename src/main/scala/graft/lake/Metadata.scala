@@ -66,6 +66,14 @@ case class DataFileMeta(path: String, schemaId: Int, specId: Int, rows: Long,
   * carried onto the published cherry-pick for lineage; None for plain
   * writes.
   */
+/** `dvs`: deletion vectors committed by this snapshot ([[DvMeta]],
+  * Iceberg v3's delete model) — one FULL merged vector per affected
+  * data file that REPLACES every earlier delete (vector or positional
+  * parquet) for that file in replay. Written instead of `deletePaths`
+  * when `write.delete.mode=vector`; `deleteCounts` still records the
+  * NEWLY deleted rows per file (changelog/summary bookkeeping), while
+  * each vector's `cardinality` is the file's TOTAL live deleted count.
+  */
 case class SnapshotMeta(id: Long, files: Seq[DataFileMeta], schemaId: Int,
     operation: String = "append", streamBatchId: Option[Long] = None,
     streamId: Option[String] = None, removedPaths: Seq[String] = Seq.empty,
@@ -73,13 +81,17 @@ case class SnapshotMeta(id: Long, files: Seq[DataFileMeta], schemaId: Int,
     deleteCounts: Map[String, Long] = Map.empty,
     timestampMs: Long = -1L,
     wapId: Option[String] = None,
-    eqDeletes: Seq[EqDeleteMeta] = Seq.empty)
+    eqDeletes: Seq[EqDeleteMeta] = Seq.empty,
+    dvs: Seq[DvMeta] = Seq.empty)
 
-/** The live merge-on-read delete state for one data file: the delete
-  * parquet files that may hold its deleted positions, and the exact
-  * number of its deleted rows.
+/** The live merge-on-read delete state for one data file: either the
+  * delete parquet files that may hold its deleted positions (`paths`,
+  * Iceberg v2 positional deletes) or its deletion vector (`dv`,
+  * Iceberg v3 — when set, `paths` is empty and the vector is the
+  * complete delete state), plus the exact number of deleted rows.
   */
-case class DeleteSet(paths: Seq[String], rows: Long)
+case class DeleteSet(paths: Seq[String], rows: Long,
+    dv: Option[DvMeta] = None)
 
 /** An equality-delete batch (Iceberg v2's second delete-file kind):
   * `paths` are parquet files of key tuples, `fieldIds` identify the
@@ -504,7 +516,17 @@ object MetadataIO {
     (if (sn.deleteCounts.isEmpty) Map.empty[String, JValue]
      else Map("delete-counts" -> JObject(sn.deleteCounts.map {
        case (p, n) => p -> JNumber(n)
-     }))) ++ (sn.files match {
+     }))) ++
+    (if (sn.dvs.isEmpty) Map.empty[String, JValue]
+     else Map("deletion-vectors" -> JArray(sn.dvs.map(dv => JObject(Map(
+       "data-path" -> JString(dv.dataPath),
+       "dv-path" -> JString(dv.dvPath),
+       "offset" -> JNumber(dv.offset),
+       "length" -> JNumber(dv.length),
+       "cardinality" -> JNumber(dv.cardinality),
+       "delta-offset" -> JNumber(dv.deltaOffset),
+       "delta-length" -> JNumber(dv.deltaLength))))))) ++
+    (sn.files match {
       case mf: ManifestFiles => manifestRefJson(mf)
       case ms: ManifestSet => Map[String, JValue](
         // multi-manifest snapshot: one ref object per part, same
@@ -578,6 +600,13 @@ object MetadataIO {
         EqDeleteMeta(em("paths").asArr.map(_.asStr),
           em("field-ids").asArr.map(_.asInt),
           em("seq").asLong)
+      }).getOrElse(Seq.empty),
+      dvs = sm.get("deletion-vectors").map(_.asArr.map { dv =>
+        val dm = dv.asObj
+        DvMeta(dm("data-path").asStr, dm("dv-path").asStr,
+          dm("offset").asLong, dm("length").asLong,
+          dm("cardinality").asLong,
+          dm("delta-offset").asLong, dm("delta-length").asLong)
       }).getOrElse(Seq.empty))
   }
 

@@ -525,7 +525,10 @@ private[sources] object MetaTables {
           else (s.files.size, s.files.map(_.rows).filter(_ >= 0).sum,
             s.files.map(_.bytes).filter(_ >= 0).sum)
         Seq[Any](s.id, s.operation, nFiles, rows, bytes,
-          s.removedPaths.size, s.deletePaths.size)
+          s.removedPaths.size,
+          // one delete structure per positional parquet file or per
+          // deletion vector — v2 and v3 commits count alike
+          s.deletePaths.size + s.dvs.size)
       })
     case "manifests" => new MetaTable(fullName, manifestsSchema,
       // the out-of-line metadata tier itself (Iceberg's .manifests):

@@ -633,6 +633,10 @@ private[sources] class LakeScan(wh: String, db: String, tbl: String,
     planned._3.get(LakeTable.normalizePath(f.path))
       .map(_.paths).getOrElse(Seq.empty)
 
+  private def dvFor(f: graft.lake.DataFileMeta): Option[(String, Long, Long)] =
+    planned._3.get(LakeTable.normalizePath(f.path)).flatMap(_.dv)
+      .map(d => (d.dvPath, d.offset, d.length))
+
   /** Storage-partitioned join support: when every live file sits under
     * the current partition spec, every transform is identity (exactly
     * parseable source types) or a time transform over a wall-clock
@@ -812,10 +816,11 @@ private[sources] class LakeScan(wh: String, db: String, tbl: String,
         case Some(spec) => files.map(f => LakeKeyedFilePartition(f.path,
             t.metadata.schemaById(f.schemaId), target,
             partitionKeyOf(f, spec), deletePathsFor(f),
-            eqBatchesFor(f), external = ext(f.path))).toArray
+            eqBatchesFor(f), external = ext(f.path),
+            dv = dvFor(f))).toArray
         case None => files.map(f => LakeFilePartition(f.path,
             t.metadata.schemaById(f.schemaId), target, deletePathsFor(f),
-            eqBatchesFor(f), external = ext(f.path)))
+            eqBatchesFor(f), external = ext(f.path), dv = dvFor(f)))
           .toArray
       }
     }
@@ -858,12 +863,19 @@ private[sources] case class LakeEqBatch(paths: Seq[String],
   * emits ONLY the rows at deleted positions — the changelog stream's
   * full-row delete markers.
   */
+/** `dv`: the file's deletion vector as (container path, offset,
+  * length) — Iceberg v3's per-file bitmap replaces the `deletes`
+  * parquet list when the table writes vectors; under
+  * `emitOnlyDeleted` the planner passes the commit's DELTA blob so
+  * changelog markers are exactly the newly-deleted rows.
+  */
 private[sources] case class LakeFilePartition(path: String,
     fileSchema: StructType, target: StructType,
     deletes: Seq[String] = Seq.empty,
     eqBatches: Seq[LakeEqBatch] = Seq.empty,
     emitOnlyDeleted: Boolean = false,
-    external: Boolean = false) extends InputPartition
+    external: Boolean = false,
+    dv: Option[(String, Long, Long)] = None) extends InputPartition
 
 /** Equality-delete batch key files as changelog delete markers: each
   * record's key columns (stored as `k<fieldId>`) fill the matching
@@ -891,7 +903,8 @@ private[sources] case class LakeKeyedFilePartition(path: String,
     fileSchema: StructType, target: StructType, key: Array[Any],
     deletes: Seq[String] = Seq.empty,
     eqBatches: Seq[LakeEqBatch] = Seq.empty,
-    external: Boolean = false)
+    external: Boolean = false,
+    dv: Option[(String, Long, Long)] = None)
     extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow = new GenericInternalRow(key)
@@ -1010,7 +1023,7 @@ private[sources] class LakeMicroBatchStream(wh: String, db: String,
         def wrap(p: InputPartition, typ: String): InputPartition =
           LakeChangelogPartition(p, typ, ord, sn.id, target)
         val pos: Seq[InputPartition] =
-          if (sn.deletePaths.isEmpty) Seq.empty
+          if (sn.deletePaths.isEmpty && sn.dvs.isEmpty) Seq.empty
           else {
             val byPath = md.snapshots.filter(_.id <= sn.id)
               .flatMap(_.files)
@@ -1021,10 +1034,16 @@ private[sources] class LakeMicroBatchStream(wh: String, db: String,
               s"changelog stream: snapshot ${sn.id}'s position deletes " +
                 "reference data file(s) no longer in history (expired?): " +
                 missing.toSeq.sorted.mkString(", "))
+            // vector commit: each marker partition reads its file's
+            // DELTA blob (exactly the rows this snapshot deleted)
+            val deltaByPath = sn.dvs.map(d =>
+              LakeTable.normalizePath(d.dataPath) ->
+                ((d.dvPath, d.deltaOffset, d.deltaLength))).toMap
             affected.toSeq.sorted.flatMap(byPath.get).map(f =>
               LakeFilePartition(f.path, md.schemaById(f.schemaId),
                 dataTarget, deletes = sn.deletePaths,
-                emitOnlyDeleted = true, external = ext(f.path)))
+                emitOnlyDeleted = true, external = ext(f.path),
+                dv = deltaByPath.get(LakeTable.normalizePath(f.path))))
           }
         val eq: Seq[InputPartition] = sn.eqDeletes.flatMap { b =>
           val keyFields = b.fieldIds.map { id =>
@@ -1066,7 +1085,7 @@ private[sources] class LakeReaderFactory extends PartitionReaderFactory {
       case p: LakeKeyedFilePartition =>
         new GroupRowReader(
           LakeFilePartition(p.path, p.fileSchema, p.target, p.deletes,
-            p.eqBatches, external = p.external))
+            p.eqBatches, external = p.external, dv = p.dv))
       case p: LakeEqMarkerPartition => new EqMarkerReader(p)
       case p: LakeChangelogPartition =>
         val innerReader = createReader(p.inner)
@@ -1259,6 +1278,20 @@ private[sources] class GroupRowReader(p: LakeFilePartition)
       set
     }
 
+  // v3 deletion vector: the file's bitmap, loaded once per JVM from
+  // the container blob (no per-partition delete-file scan at all —
+  // the read amplification the vector model removes)
+  private val deletedBm: org.roaringbitmap.longlong.Roaring64Bitmap =
+    p.dv match {
+      case Some((path, off, len)) =>
+        graft.lake.DeletionVectors.cached(path, off, len)
+      case None => null
+    }
+
+  private def deletedAt(at: Long): Boolean =
+    (deletedBm != null && deletedBm.contains(at)) ||
+      (deletedPos != null && deletedPos.contains(at))
+
   // equality deletes: per applicable batch, the key tuples as a hash
   // set (batches are upsert-sized — Iceberg's DeleteFilter keeps the
   // same in-memory structure) plus extractors that reconcile THIS
@@ -1301,13 +1334,12 @@ private[sources] class GroupRowReader(p: LakeFilePartition)
     if (p.emitOnlyDeleted) {
       // changelog delete markers: keep ONLY the rows at deleted
       // positions (the inverse of the normal merge-on-read filter)
-      while (cur != null &&
-          (deletedPos == null || !deletedPos.contains(pos))) {
+      while (cur != null && !deletedAt(pos)) {
         cur = reader.read(); pos += 1
       }
     } else {
       while (cur != null &&
-          ((deletedPos != null && deletedPos.contains(pos)) ||
+          (deletedAt(pos) ||
             (eqFilters.length > 0 && eqDeleted(cur)))) {
         cur = reader.read(); pos += 1
       }
