@@ -1606,7 +1606,8 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     */
   def commitExternalDelta(dataFiles: Seq[(String, Map[String, String])],
       deleteFiles: Seq[String], deleteCounts: Map[String, Long],
-      writtenSchemaId: Int, writtenSpecId: Int): Option[SnapshotMeta] = {
+      writtenSchemaId: Int, writtenSpecId: Int,
+      spark: Option[SparkSession] = None): Option[SnapshotMeta] = {
     if (dataFiles.isEmpty && deleteFiles.isEmpty) return None
     val schema = md.schemaById(writtenSchemaId)
     val files = dataFiles.sortBy(_._1).map { case (p, partVals) =>
@@ -1617,11 +1618,34 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
         bytes = try Files.size(Paths.get(p)) catch { case _: Exception => -1L })
     }
     val snapshotId = md.snapshots.map(_.id).foldLeft(0L)(math.max) + 1
-    val snap = SnapshotMeta(snapshotId, files, writtenSchemaId,
-      operation = "delete", deletePaths = deleteFiles.sorted,
-      deleteCounts = deleteCounts.map { case (p, n) =>
-        LakeTable.normalizePath(p) -> n
-      }, timestampMs = System.currentTimeMillis())
+    // a v3 table converts the task-written positional parquet into
+    // deletion vectors AT COMMIT: one distributed pass over the delta
+    // (the SQL WriteDelta scan emitted live rows only, so every pair
+    // is newly deleted — writeVectorContainer's merge contract). The
+    // parquet stage files become unreferenced and fall to the orphan
+    // sweep; deleting them eagerly here would race a concurrent
+    // reader that planned against them between our write and commit.
+    val vectorized: Option[(Seq[DvMeta], Map[String, Long])] =
+      if (writesVectors && deleteFiles.nonEmpty) {
+        val s = spark.getOrElse(throw new IllegalStateException(
+          "format-version=3 delta commit needs a SparkSession to " +
+            "vectorize its position deletes"))
+        writeVectorContainer(s,
+          s.read.parquet(deleteFiles: _*).select("file_path", "pos"),
+          snapshotId)
+      } else None
+    val snap = vectorized match {
+      case Some((dvMetas, counts)) =>
+        SnapshotMeta(snapshotId, files, writtenSchemaId,
+          operation = "delete", deleteCounts = counts,
+          timestampMs = System.currentTimeMillis(), dvs = dvMetas)
+      case None =>
+        SnapshotMeta(snapshotId, files, writtenSchemaId,
+          operation = "delete", deletePaths = deleteFiles.sorted,
+          deleteCounts = deleteCounts.map { case (p, n) =>
+            LakeTable.normalizePath(p) -> n
+          }, timestampMs = System.currentTimeMillis())
+    }
     commit(md.copy(snapshots = md.snapshots :+ snap))
     Some(snap)
   }
@@ -2754,9 +2778,18 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     * "delete" — replay adds the files and accumulates the deletes).
     * Returns None and leaves nothing behind when no row matched.
     */
+  /** True when the table writes v3 deletion vectors instead of
+    * positional delete parquet — keyed off `format-version=3`,
+    * mirroring Iceberg's rule that v3 tables MUST use deletion
+    * vectors (the cow/mor choice stays on `write.*.mode`, its
+    * Iceberg meaning).
+    */
+  private def writesVectors: Boolean =
+    md.properties.get("format-version").contains("3")
+
   private def commitMoR(spark: SparkSession, matched: DataFrame,
       appended: Option[DataFrame]): Option[SnapshotMeta] = {
-    if (md.properties.get("write.delete.mode").contains("vector"))
+    if (writesVectors)
       return commitMoRVector(spark, matched, appended)
     val snapshotId = md.snapshots.map(_.id).foldLeft(0L)(math.max) + 1
     val delDir = dataDir.resolve(
@@ -2789,33 +2822,30 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     Some(snap)
   }
 
-  /** Vector flavor of [[commitMoR]] (`write.delete.mode=vector` —
-    * Iceberg v3's deletion-vector model): the matched positions are
-    * aggregated into ONE Roaring bitmap per affected data file on the
-    * executors (the shuffle carries (path, pos) pairs, the driver
-    * collects only O(affected files) serialized bitmaps), merged with
-    * the file's previous vector and any legacy positional parquet
-    * state, and committed as full+delta blobs in one container file.
-    * Each file's new vector REPLACES its entire earlier delete state,
-    * so the live structures per file stay O(1) across any number of
-    * delete commits — v2's accumulating delete-file list is the read
-    * amplification v3 removed.
+  /** Aggregate newly-deleted (file_path, pos) PAIRS — which must
+    * exclude every already-deleted position — into one container of
+    * full+delta vector blobs per affected file: the executors build
+    * one Roaring bitmap per file (the shuffle carries pairs, the
+    * driver collects only O(affected files) serialized bitmaps), the
+    * driver merges each with the file's previous vector and any
+    * legacy positional parquet state, and writes ONE container.
+    * Returns the DvMeta entries plus the newly-deleted counts, or
+    * None when no pair survived.
     */
-  private def commitMoRVector(spark: SparkSession, matched: DataFrame,
-      appended: Option[DataFrame]): Option[SnapshotMeta] = {
+  private def writeVectorContainer(spark: SparkSession, pairs: DataFrame,
+      snapshotId: Long): Option[(Seq[DvMeta], Map[String, Long])] = {
     import org.roaringbitmap.longlong.Roaring64Bitmap
     import spark.implicits._
-    val snapshotId = md.snapshots.map(_.id).foldLeft(0L)(math.max) + 1
-    val newPos: Array[(String, Array[Byte])] = matched
-      .select(col("_graft_dfile").cast("string"),
-        col("_graft_dpos").cast("long"))
+    def bitmapPerFile(df: DataFrame): Array[(String, Array[Byte])] = df
+      .select(col("file_path").cast("string"), col("pos").cast("long"))
       .as[(String, Long)]
-      .groupByKey(_._1)
+      .groupByKey(t => LakeTable.normalizePath(t._1))
       .mapGroups { (path, it) =>
         val bm = new Roaring64Bitmap()
         it.foreach(t => bm.addLong(t._2))
         (path, DeletionVectors.serialize(bm))
       }.collect()
+    val newPos = bitmapPerFile(pairs)
     if (newPos.isEmpty) return None
     val live = LakeTable.liveDeletes(md.snapshots)
     val affected = newPos.map(_._1).toSet
@@ -2827,18 +2857,9 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
         .flatMap(p => live.get(p).toSeq.filter(_.dv.isEmpty).flatMap(_.paths))
         .distinct
       if (legacyPaths.isEmpty) Map.empty
-      else spark.read.parquet(legacyPaths: _*)
-        .filter(col("file_path").isin(affected.toSeq: _*))
-        .select(col("file_path").cast("string"), col("pos").cast("long"))
-        .as[(String, Long)]
-        .groupByKey(_._1)
-        .mapGroups { (path, it) =>
-          val bm = new Roaring64Bitmap()
-          it.foreach(t => bm.addLong(t._2))
-          (path, DeletionVectors.serialize(bm))
-        }.collect()
-        .map { case (p, b) =>
-          LakeTable.normalizePath(p) -> DeletionVectors.deserialize(b) }
+      else bitmapPerFile(spark.read.parquet(legacyPaths: _*)
+          .filter(col("file_path").isin(affected.toSeq: _*)))
+        .map { case (p, b) => p -> DeletionVectors.deserialize(b) }
         .toMap
     }
     val blobs = newPos.toSeq.sortBy(_._1).map { case (p, deltaBytes) =>
@@ -2849,9 +2870,9 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
       live.get(p).flatMap(_.dv).foreach(d =>
         full.or(DeletionVectors.cached(d.dvPath, d.offset, d.length)))
       legacyByFile.get(p).foreach(full.or)
-      // matched rows came from liveRowsWithPos, which excludes every
-      // previously-deleted position — the union must be exactly
-      // additive, or a resurrect/double-delete bug is in flight
+      // the pairs contract above: every pair is NEWLY deleted, so the
+      // union must be exactly additive, or a resurrect/double-delete
+      // bug is in flight
       require(full.getLongCardinality ==
           prevRows + delta.getLongCardinality,
         s"deletion-vector merge for $p is not additive: previous " +
@@ -2865,18 +2886,38 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     val dvMetas = DeletionVectors.writeContainer(dvPath, blobs)
     val counts = blobs.map { case (p, (_, delta)) =>
       p -> delta.getLongCardinality }.toMap
-    val newFiles = appended match {
-      case None => Seq.empty
-      case Some(df) =>
-        val outDir = dataDir.resolve(s"snap-$snapshotId-" +
-          java.util.UUID.randomUUID().toString.take(8))
-        writeDataFiles(df.drop("_graft_dfile", "_graft_dpos"), outDir)
+    Some((dvMetas, counts))
+  }
+
+  /** Vector flavor of [[commitMoR]] (`format-version=3` — Iceberg
+    * v3's deletion-vector model): the matched positions become
+    * full+delta vector blobs via [[writeVectorContainer]]. Each
+    * file's new vector REPLACES its entire earlier delete state, so
+    * the live structures per file stay O(1) across any number of
+    * delete commits — v2's accumulating delete-file list is the read
+    * amplification v3 removed.
+    */
+  private def commitMoRVector(spark: SparkSession, matched: DataFrame,
+      appended: Option[DataFrame]): Option[SnapshotMeta] = {
+    val snapshotId = md.snapshots.map(_.id).foldLeft(0L)(math.max) + 1
+    val pairs = matched.select(col("_graft_dfile").as("file_path"),
+      col("_graft_dpos").as("pos"))
+    writeVectorContainer(spark, pairs, snapshotId) match {
+      case None => None
+      case Some((dvMetas, counts)) =>
+        val newFiles = appended match {
+          case None => Seq.empty
+          case Some(df) =>
+            val outDir = dataDir.resolve(s"snap-$snapshotId-" +
+              java.util.UUID.randomUUID().toString.take(8))
+            writeDataFiles(df.drop("_graft_dfile", "_graft_dpos"), outDir)
+        }
+        val snap = SnapshotMeta(snapshotId, newFiles, md.currentSchemaId,
+          operation = "delete", deleteCounts = counts,
+          timestampMs = System.currentTimeMillis(), dvs = dvMetas)
+        commit(md.copy(snapshots = md.snapshots :+ snap))
+        Some(snap)
     }
-    val snap = SnapshotMeta(snapshotId, newFiles, md.currentSchemaId,
-      operation = "delete", deleteCounts = counts,
-      timestampMs = System.currentTimeMillis(), dvs = dvMetas)
-    commit(md.copy(snapshots = md.snapshots :+ snap))
-    Some(snap)
   }
 
   /** UPDATE t SET assignments WHERE predicate — copy-on-write: affected

@@ -70,7 +70,7 @@ case class DataFileMeta(path: String, schemaId: Int, specId: Int, rows: Long,
   * Iceberg v3's delete model) — one FULL merged vector per affected
   * data file that REPLACES every earlier delete (vector or positional
   * parquet) for that file in replay. Written instead of `deletePaths`
-  * when `write.delete.mode=vector`; `deleteCounts` still records the
+  * when `format-version=3`; `deleteCounts` still records the
   * NEWLY deleted rows per file (changelog/summary bookkeeping), while
   * each vector's `cardinality` is the file's TOTAL live deleted count.
   */

@@ -901,6 +901,49 @@ object RowOpsQueries extends QueryModule {
         .orderBy("c_mktsegment")
     }),
 
+    "lake_delete_vectors" -> QueryModule.micro(4)((s, dir) => {
+      // Iceberg-v3-style deletion vectors (format-version=3):
+      // two overlapping MoR deletes plus an update — each commit's
+      // vector REPLACES the file's earlier delete state, so the live
+      // structures stay one bitmap per file instead of an accumulating
+      // delete-file list. Read back through the DSv2 connector so the
+      // oracle gate covers the reader-side bitmap probe, and
+      // self-audit that no positional parquet survived the vectoring.
+      val wh = scratch("rowdelvec")
+      Engine.processTableDefJson(wh,
+        """{"database_name":"rowops","table_name":"orders_dv","columns":[
+          |{"column_name":"o_orderkey","data_type":"long"},
+          |{"column_name":"o_orderstatus","data_type":"string"},
+          |{"column_name":"o_totalprice","data_type":"double"},
+          |{"column_name":"o_orderpriority","data_type":"string"}],
+          |"partitions":[{"column":"o_orderstatus","name":"status"}]}""".stripMargin)
+      val t = LakeTable.load(wh, "rowops", "orders_dv")
+      t.updateProperties(Map("format-version" -> "3"))
+      t.append(Tables(s, dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"))
+      t.deleteMoR(s,
+        col("o_orderstatus") === "F" && col("o_totalprice") > 150000.0,
+        prune = Map("status" -> Set("F")))
+      val t2 = LakeTable.load(wh, "rowops", "orders_dv")
+      t2.deleteMoR(s, col("o_totalprice") > 300000.0)
+      val t3 = LakeTable.load(wh, "rowops", "orders_dv")
+      t3.updateMoR(s, Map("o_orderpriority" -> lit("0-VECTORED")),
+        col("o_totalprice") < 10000.0)
+      val t4 = LakeTable.load(wh, "rowops", "orders_dv")
+      val live = LakeTable.liveDeletes(t4.metadata.snapshots)
+      require(live.nonEmpty &&
+        live.values.forall(ds => ds.dv.isDefined && ds.paths.isEmpty),
+        "lake_delete_vectors: expected every live delete to be a " +
+          "vector with no positional parquet residue")
+      s.read.format("graft-lake")
+        .option("warehouse", wh).option("database", "rowops")
+        .option("table", "orders_dv").load()
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(Tables.dec(col("o_totalprice"))).cast("double").as("sum_price"))
+        .orderBy("o_orderstatus", "o_orderpriority")
+    }),
+
     "lake_merge_mor" -> QueryModule.micro(4)((s, dir) => {
       // merge-on-read MERGE: matched target rows → position deletes +
       // source-valued copies, unmatched source rows append — only
@@ -1719,6 +1762,17 @@ object RowOpsQueries extends QueryModule {
         |FROM orders
         |WHERE NOT (o_orderstatus = 'F' AND o_totalprice > 150000.0)
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "lake_delete_vectors" ->
+      """SELECT o_orderstatus,
+        | CASE WHEN o_totalprice < 10000.0 THEN '0-VECTORED'
+        |      ELSE o_orderpriority END AS o_orderpriority,
+        | count(*) AS n_orders,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |WHERE NOT (o_orderstatus = 'F' AND o_totalprice > 150000.0)
+        |  AND NOT (o_totalprice > 300000.0)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // MoR produces the same visible table state as CoW — identical oracles
     "lake_update_mor" ->

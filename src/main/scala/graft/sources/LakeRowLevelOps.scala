@@ -168,7 +168,8 @@ private[sources] class LakeDeltaBatchWrite(wh: String, db: String,
       deleteFiles = parts.flatMap(_.deleteFiles).toSeq,
       deleteCounts = parts.flatMap(_.deleteCounts.toSeq)
         .groupMapReduce(_._1)(_._2)(_ + _),
-      writtenSchemaId = writtenSchemaId, writtenSpecId = writtenSpecId)
+      writtenSchemaId = writtenSchemaId, writtenSpecId = writtenSpecId,
+      spark = org.apache.spark.sql.SparkSession.getActiveSession)
     ()
   }
 

@@ -45,7 +45,7 @@ class DvRandomSpec extends AnyFunSuite {
     for (iter <- 1 to 3) {
       val (whP, tP0) = mk(s"pos-$iter")
       val (whV, tV0) = mk(s"vec-$iter")
-      tV0.updateProperties(Map("write.delete.mode" -> "vector"))
+      tV0.updateProperties(Map("format-version" -> "3"))
       var tP = LakeTable.load(whP, "d", "t")
       var tV = LakeTable.load(whV, "d", "t")
       import SparkTestSession.spark.implicits._

@@ -10,8 +10,9 @@ import org.roaringbitmap.longlong.Roaring64Bitmap
 
 import graft.lake.{DeletionVectors, Engine, LakeTable}
 
-/** Deletion vectors (Iceberg v3's delete model, `write.delete.mode=
-  * vector`): every MoR row-level op commits ONE Roaring bitmap per
+/** Deletion vectors (Iceberg v3's delete model, `format-version=3` —
+  * v3 tables must vector their position deletes, exactly Iceberg's
+  * rule): every MoR row-level op commits ONE Roaring bitmap per
   * affected data file that REPLACES the file's whole earlier delete
   * state — live delete structures stay O(1) per file no matter how
   * many delete commits accumulate, where the v2 positional-parquet
@@ -27,7 +28,7 @@ class DvSpec extends AnyFunSuite {
         |{"column_name":"id","data_type":"long"},
         |{"column_name":"v","data_type":"string"}],"partitions":[]}""".stripMargin)
     val t = LakeTable.load(wh, "d", "t")
-    t.updateProperties(Map("write.delete.mode" -> "vector"))
+    t.updateProperties(Map("format-version" -> "3"))
     (wh, t)
   }
 
@@ -133,7 +134,7 @@ class DvSpec extends AnyFunSuite {
     t.append(df((1L to 8L).map(i => (i, s"v$i"))))
     t.deleteMoR(spark, col("id") === 1L) // v2 positional parquet
     val t2 = LakeTable.load(wh, "d", "t")
-    t2.updateProperties(Map("write.delete.mode" -> "vector"))
+    t2.updateProperties(Map("format-version" -> "3"))
     val snap = t2.deleteMoR(spark, col("id") === 2L)
     assert(snap.get.deleteCounts.values.sum == 1L)
     val t3 = LakeTable.load(wh, "d", "t")
@@ -193,6 +194,41 @@ class DvSpec extends AnyFunSuite {
     assert(ids(t3.read(spark)) == Set(3L, 4L, 5L, 6L, 7L))
     assert(ids(lakeReader(wh)) == Set(3L, 4L, 5L, 6L, 7L))
     assert(lakeReader(wh).count() == 5L)
+  }
+
+  test("SQL DELETE/UPDATE on a v3 merge-on-read table commit vectors") {
+    val wh = Files.createTempDirectory("graft-dv-sql").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"t","columns":[
+        |{"column_name":"id","data_type":"long"},
+        |{"column_name":"v","data_type":"string"}],"partitions":[],
+        |"properties":{"write.delete.mode":"merge-on-read",
+        |"write.update.mode":"merge-on-read","format-version":"3"}}"""
+        .stripMargin)
+    val t = LakeTable.load(wh, "d", "t")
+    t.append(df((1L to 6L).map(i => (i, s"v$i"))))
+    spark.conf.set("spark.sql.catalog.gdv", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.gdv.warehouse", wh)
+    spark.sql("DELETE FROM gdv.d.t WHERE id <= 2")
+    val afterDel = LakeTable.load(wh, "d", "t").metadata.snapshots.last
+    assert(afterDel.operation == "delete" && afterDel.dvs.nonEmpty &&
+      afterDel.deletePaths.isEmpty,
+      "SQL WriteDelta on a v3 table must vectorize its deletes")
+    assert(afterDel.deleteCounts.values.sum == 2L)
+    spark.sql("UPDATE gdv.d.t SET v = concat(v, '!') WHERE id = 3")
+    val t2 = LakeTable.load(wh, "d", "t")
+    val afterUpd = t2.metadata.snapshots.last
+    assert(afterUpd.dvs.nonEmpty && afterUpd.files.nonEmpty &&
+      afterUpd.deletePaths.isEmpty)
+    val got = spark.sql("SELECT id, v FROM gdv.d.t ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((3L, "v3!"), (4L, "v4"), (5L, "v5"), (6L, "v6")))
+    assert(spark.sql("SELECT count(*) n FROM gdv.d.t").collect()(0)
+      .getLong(0) == 4L)
+    // every live structure is a vector
+    val live = LakeTable.liveDeletes(t2.metadata.snapshots)
+    assert(live.nonEmpty &&
+      live.values.forall(ds => ds.dv.isDefined && ds.paths.isEmpty))
   }
 
   test("mergeMoR under vectors: matched rows vector-deleted, updates append") {
