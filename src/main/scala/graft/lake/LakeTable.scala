@@ -2398,6 +2398,11 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
       throw new java.util.ConcurrentModificationException(
         s"table $location was committed concurrently; reload and retry")
     val liveDel = LakeTable.liveDeletes(md.snapshots)
+    // a v3 table uses this maintenance verb as its MIGRATION: every
+    // live positional parquet tombstone converts to a deletion vector
+    // (the representation v3 mandates), after which reads never open
+    // a delete parquet again
+    if (writesVectors) return convertPositionalToVectors(spark, liveDel)
     val delFiles = liveDel.values.flatMap(_.paths).toSeq.distinct
     if (delFiles.size <= 1) return None
     val newId = (md.snapshots ++ md.staged).map(_.id).foldLeft(0L)(math.max) + 1
@@ -2418,6 +2423,57 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     val merged = listParquet(dir).map(_.toString)
     val snap = liveStateSnapshot(md.snapshots, newId, md.currentSchemaId,
       System.currentTimeMillis()).copy(deletePaths = merged)
+    commit(md.copy(snapshots = md.snapshots :+ snap))
+    Some(snap)
+  }
+
+  /** Convert every live positional-parquet delete to a deletion
+    * vector in one squash commit: bitmaps build per file on the
+    * executors (rows of dead data files pruned at the scan), the
+    * exact per-file counts audit the conversion, and the committed
+    * "rewrite" snapshot carries ONLY vectors — the already-vectored
+    * files' DVs ride along unchanged. Delta blobs are empty (nothing
+    * is newly deleted; this is a representation change, invisible to
+    * the changelog like any rewrite).
+    */
+  private def convertPositionalToVectors(spark: SparkSession,
+      liveDel: Map[String, DeleteSet]): Option[SnapshotMeta] = {
+    import org.roaringbitmap.longlong.Roaring64Bitmap
+    import spark.implicits._
+    val positional = liveDel.filter(_._2.dv.isEmpty)
+    if (positional.isEmpty) return None
+    val delFiles = positional.values.flatMap(_.paths).toSeq.distinct
+    val newId = (md.snapshots ++ md.staged).map(_.id).foldLeft(0L)(math.max) + 1
+    val liveKeys = positional.keySet.toSeq
+    val built: Array[(String, Array[Byte])] = spark.read
+      .parquet(delFiles: _*)
+      .filter(LakeTable.normalizeUdf(col("file_path")).isin(liveKeys: _*))
+      .select(col("file_path").cast("string"), col("pos").cast("long"))
+      .as[(String, Long)]
+      .groupByKey(t => LakeTable.normalizePath(t._1))
+      .mapGroups { (path, it) =>
+        val bm = new Roaring64Bitmap()
+        it.foreach(t => bm.addLong(t._2))
+        (path, DeletionVectors.serialize(bm))
+      }.collect()
+    val blobs = built.toSeq.sortBy(_._1).map { case (p, bytes) =>
+      val full = DeletionVectors.deserialize(bytes)
+      // the exact per-file deleted-row count is tracked metadata — a
+      // conversion that changes it would corrupt visible row counts
+      require(full.getLongCardinality == positional(p).rows,
+        s"positional→vector conversion for $p changed the deleted-row " +
+          s"count: parquet holds ${full.getLongCardinality}, metadata " +
+          s"says ${positional(p).rows}")
+      p -> ((full, new Roaring64Bitmap()))
+    }
+    val dvPath = dataDir.resolve(s"deletes-$newId-" +
+      java.util.UUID.randomUUID().toString.take(8) + ".gdv")
+    Files.createDirectories(dataDir)
+    val dvMetas = DeletionVectors.writeContainer(dvPath, blobs)
+    val squash = liveStateSnapshot(md.snapshots, newId, md.currentSchemaId,
+      System.currentTimeMillis())
+    val snap = squash.copy(deletePaths = Seq.empty, deleteCounts = Map.empty,
+      dvs = (squash.dvs ++ dvMetas).sortBy(_.dataPath))
     commit(md.copy(snapshots = md.snapshots :+ snap))
     Some(snap)
   }

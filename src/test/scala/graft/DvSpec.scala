@@ -196,6 +196,20 @@ class DvSpec extends AnyFunSuite {
     assert(lakeReader(wh).count() == 5L)
   }
 
+  test("vector read plan: bitmap probe inside the scan stage, no delete join") {
+    val (_, t) = mkTable("plan")
+    t.append(df((1L to 6L).map(i => (i, s"v$i"))))
+    t.deleteMoR(spark, col("id") <= 2L)
+    val qe = t.read(spark).queryExecution
+    val p = qe.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("dvdeleted("),
+      "the vector probe expression must be in the plan:\n" + p)
+    assert(!p.contains("Join"),
+      "a vectored read must not anti-join delete files (v2's shape):\n" + p)
+    assert(p.contains("[codegen id"),
+      "the probe must not break whole-stage codegen:\n" + p)
+  }
+
   test("SQL DELETE/UPDATE on a v3 merge-on-read table commit vectors") {
     val wh = Files.createTempDirectory("graft-dv-sql").toString
     Engine.processTableDefJson(wh,
@@ -229,6 +243,35 @@ class DvSpec extends AnyFunSuite {
     val live = LakeTable.liveDeletes(t2.metadata.snapshots)
     assert(live.nonEmpty &&
       live.values.forall(ds => ds.dv.isDefined && ds.paths.isEmpty))
+  }
+
+  test("rewrite_position_delete_files on a v3 table converts parquet to vectors") {
+    val wh = Files.createTempDirectory("graft-dv-conv").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"t","columns":[
+        |{"column_name":"id","data_type":"long"},
+        |{"column_name":"v","data_type":"string"}],"partitions":[]}""".stripMargin)
+    val t = LakeTable.load(wh, "d", "t")
+    t.append(df((1L to 10L).map(i => (i, s"v$i"))))
+    t.deleteMoR(spark, col("id") <= 2L) // v2 parquet
+    val t2 = LakeTable.load(wh, "d", "t")
+    t2.deleteMoR(spark, col("id") === 3L) // second v2 parquet commit
+    val t3 = LakeTable.load(wh, "d", "t")
+    t3.updateProperties(Map("format-version" -> "3")) // upgrade
+    val snap = t3.rewritePositionDeleteFiles(spark)
+    assert(snap.isDefined && snap.get.deletePaths.isEmpty &&
+      snap.get.dvs.nonEmpty)
+    val t4 = LakeTable.load(wh, "d", "t")
+    val live = LakeTable.liveDeletes(t4.metadata.snapshots)
+    assert(live.values.forall(ds => ds.dv.isDefined && ds.paths.isEmpty),
+      "after conversion no positional parquet may remain live")
+    assert(live.values.map(_.rows).sum == 3L)
+    assert(ids(t4.read(spark)) == (4L to 10L).toSet)
+    assert(ids(lakeReader(wh)) == (4L to 10L).toSet)
+    assert(lakeReader(wh).count() == 7L)
+    // idempotent: nothing positional left to convert
+    assert(LakeTable.load(wh, "d", "t")
+      .rewritePositionDeleteFiles(spark).isEmpty)
   }
 
   test("mergeMoR under vectors: matched rows vector-deleted, updates append") {
