@@ -67,6 +67,103 @@ object DvLookup {
     }.toMap
 }
 
+/** Per-file long constants resolved from the row's file path — the
+  * lineage read's `firstRowId` / data-sequence lookup. Same
+  * thread-local last-path caching as [[DvLookup]]: one map probe per
+  * FILE change, a field read per row.
+  */
+final class FileConstLookup(val refs: Map[String, Long])
+    extends Serializable {
+  @transient private lazy val slot = new ThreadLocal[Array[AnyRef]] {
+    override def initialValue(): Array[AnyRef] = new Array[AnyRef](2)
+  }
+
+  /** The file's constant, or null when the path has none. */
+  def valueFor(path: UTF8String): java.lang.Long = {
+    val s = slot.get()
+    val last = s(0).asInstanceOf[UTF8String]
+    if (last == null || !last.equals(path)) {
+      s(0) = path.clone()
+      s(1) = refs.get(LakeTable.normalizePath(path.toString)) match {
+        case Some(v) => java.lang.Long.valueOf(v)
+        case None => null
+      }
+    }
+    s(1).asInstanceOf[java.lang.Long]
+  }
+}
+
+/** `graft_file_const(file_path, refs)` — the long constant registered
+  * for the row's file, null when absent. `refs` must be a foldable
+  * string literal ([[FileConst.encode]]).
+  */
+case class FileConst(path: Expression, refs: Expression)
+    extends Expression {
+
+  override def children: Seq[Expression] = Seq(path, refs)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (path.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure("path must be STRING")
+    else if (refs.dataType != StringType || !refs.foldable)
+      TypeCheckResult.TypeCheckFailure("refs must be a foldable STRING")
+    else TypeCheckResult.TypeCheckSuccess
+
+  @transient private lazy val lookup: FileConstLookup = {
+    val v = refs.eval(null)
+    new FileConstLookup(FileConst.decode(
+      if (v == null) "" else v.asInstanceOf[UTF8String].toString))
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val p = path.eval(input)
+    if (p == null) null
+    else {
+      val v = lookup.valueFor(p.asInstanceOf[UTF8String])
+      if (v == null) null else v.longValue()
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val lookupRef = ctx.addReferenceObj("fileConstLookup", lookup,
+      classOf[FileConstLookup].getName)
+    val p = path.genCode(ctx)
+    val boxed = ctx.freshName("boxed")
+    ev.copy(code = code"""
+      ${p.code}
+      boolean ${ev.isNull} = true;
+      long ${ev.value} = 0L;
+      if (!(${p.isNull})) {
+        java.lang.Long $boxed = $lookupRef.valueFor(${p.value});
+        if ($boxed != null) { ${ev.isNull} = false; ${ev.value} = $boxed.longValue(); }
+      }
+    """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(path = newChildren(0), refs = newChildren(1))
+}
+
+object FileConst {
+  private val FieldSep = '\u001f'
+  private val RowSep = '\u001e'
+
+  def encode(refs: Map[String, Long]): String =
+    refs.toSeq.sortBy(_._1).map { case (p, v) => s"$p$FieldSep$v" }
+      .mkString(RowSep.toString)
+
+  def decode(s: String): Map[String, Long] =
+    if (s.isEmpty) Map.empty
+    else s.split(RowSep).map { row =>
+      val f = row.split(FieldSep)
+      f(0) -> f(1).toLong
+    }.toMap
+}
+
 /** `graft_dv_deleted(file_path, row_index, refs)` — true iff the row's
   * position is set in its file's deletion vector. `refs` must be a
   * foldable string literal ([[DvLookup.encode]]); rows of files with

@@ -13,7 +13,16 @@ import org.apache.spark.sql.types._
   */
 object Align {
 
-  def apply(df: DataFrame, target: StructType): DataFrame = {
+  def apply(df: DataFrame, target: StructType): DataFrame =
+    keeping(df, target, Seq.empty)
+
+  /** Align, but carry the named EXTRA columns (when present in `df`)
+    * through the aligning select — the rewrite paths use this to keep
+    * materialized row-lineage columns alongside the schema-shaped
+    * data (a plain Align would silently drop them).
+    */
+  def keeping(df: DataFrame, target: StructType,
+      extras: Seq[String]): DataFrame = {
     val cleanTarget = Reconcile.clean(target).asInstanceOf[StructType]
     val cols = cleanTarget.fields.toSeq.zip(target.fields.toSeq).map {
       case (tf, orig) =>
@@ -22,7 +31,8 @@ object Align {
             .map(f => col(s"`${f.name}`") -> f.dataType),
           tf.name, Some(orig)).as(tf.name)
     }
-    df.select(cols: _*)
+    val kept = extras.filter(df.columns.contains).map(e => col(s"`$e`"))
+    df.select(cols ++ kept: _*)
   }
 
   private def fieldExpr(tf: StructField, in: Option[(Column, DataType)],

@@ -88,6 +88,38 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
         }
     }
 
+  /** Stamp sequential row-lineage id ranges (Iceberg v3 `next-row-id`
+    * assignment) onto `next`'s INLINE data files that have none yet:
+    * each takes the running counter and advances it by its row count,
+    * so `_row_id = firstRowId + row_position` is unique table-wide.
+    * Manifest-backed (carried-by-reference) lists stay untouched —
+    * their files were stamped when first committed. Files with an
+    * unknown row count (-1 footer sentinel) stay unstamped: an open
+    * range would collide with the next assignment.
+    */
+  private def assignRowIds(next: TableMetadata): TableMetadata = {
+    var counter = next.nextRowId
+    var changed = false
+    def stampSnap(s: SnapshotMeta): SnapshotMeta = s.files match {
+      case _: ManifestFiles | _: ManifestSet => s
+      case fs =>
+        val stampedFiles = fs.map { f =>
+          if (f.firstRowId >= 0 || f.rows < 0) f
+          else {
+            val base = counter
+            counter += f.rows
+            changed = true
+            f.copy(firstRowId = base)
+          }
+        }
+        if (stampedFiles == fs) s else s.copy(files = stampedFiles)
+    }
+    val snaps = next.snapshots.map(stampSnap)
+    val staged = next.staged.map(stampSnap)
+    if (!changed) next
+    else next.copy(snapshots = snaps, staged = staged, nextRowId = counter)
+  }
+
   private def commit(next: TableMetadata): String = {
     Files.createDirectories(metadataDir)
     // optimistic concurrency: refuse to clobber a commit made through
@@ -98,12 +130,17 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
       throw new java.util.ConcurrentModificationException(
         s"table $location was committed concurrently " +
           s"(expected v$loadedVersion, found v$observed); reload and retry")
+    // row-lineage assignment sits HERE, the one choke point every
+    // write path funnels through, so appends, MoR deltas, WAP stages,
+    // branch commits, and compactions all get stamped without opting
+    // in — and a CAS retry re-runs it against the reloaded counter
+    val stamped = assignRowIds(next)
     // write new manifests BEFORE claiming the version: a commit appends
     // O(delta) manifest bytes and the table JSON stays O(snapshots)
     val createdManifests = scala.collection.mutable.Buffer.empty[Path]
-    val ext = next.copy(
-      snapshots = next.snapshots.map(externalize(_, createdManifests)),
-      staged = next.staged.map(externalize(_, createdManifests)))
+    val ext = stamped.copy(
+      snapshots = stamped.snapshots.map(externalize(_, createdManifests)),
+      staged = stamped.staged.map(externalize(_, createdManifests)))
     val version = observed + 1
     val target = metadataDir.resolve(s"v$version.json")
     // CREATE_NEW atomically claims this version number: two handles that
@@ -475,8 +512,31 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     * after compaction every live file carries the current schema and
     * spec, so reads become a single scan group again.
     */
+  /** Rename a lineage read's projection to the materialized column
+    * names a rewrite stores (`_graft_row_id` / `_graft_last_updated`);
+    * `touched` rows — the ones this op modifies — null their
+    * last-updated so v3 inheritance stamps them with the NEW file's
+    * data sequence while untouched rows carry their old one.
+    */
+  private def matLineage(df: DataFrame,
+      touched: Option[Column] = None): DataFrame = {
+    val lastUpd = touched match {
+      case Some(cond) => when(cond, lit(null).cast(LongType))
+        .otherwise(col("_last_updated_sequence_number"))
+      case None => col("_last_updated_sequence_number")
+    }
+    df.withColumn("_graft_row_id", col("_row_id"))
+      .withColumn("_graft_last_updated", lastUpd)
+      .drop("_row_id", "_last_updated_sequence_number")
+  }
+
   def compact(spark: SparkSession): SnapshotMeta =
-    writeSnapshot(read(spark), operation = "rewrite")
+    // v3 tables preserve row lineage through the rewrite: ids and
+    // last-updated sequences materialize as columns in the compacted
+    // files (Iceberg v3's rule — a rewrite must not re-identify rows)
+    if (!writesVectors) writeSnapshot(read(spark), operation = "rewrite")
+    else writeSnapshot(matLineage(readLineage(spark)),
+      operation = "rewrite", lineage = true)
 
   /** Partition-scoped / small-file compaction (Iceberg's
     * `rewrite_data_files(where => ..., options => min-file-size)`): rewrite
@@ -520,16 +580,19 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
       deletes.contains(LakeTable.normalizePath(f.path)) ||
         eqBatches.exists(_.seq > f.seq) || f.schemaId != md.currentSchemaId)
     if (selected.isEmpty || !worthIt) None
-    else Some(writeSnapshot(
-      Align(readFiles(spark, selected, md.currentSchema, deletes, eqBatches),
-        md.currentSchema),
+    else Some(writeSnapshot({
+      val frame = readFiles(spark, selected, md.currentSchema, deletes,
+        eqBatches, lineage = writesVectors)
+      Align.keeping(if (writesVectors) matLineage(frame) else frame,
+        md.currentSchema, LakeTable.matLineageCols)
+    },
       // "rewrite-data", NOT "overwrite": the replay removes the
       // rewritten paths like a CoW overwrite, but CDC/changelog/
       // streaming readers and branch fast-forward treat it as the byte
       // move it is — a routine scoped compaction must never wedge a
       // changelog consumer or strand a branch publish
       operation = "rewrite-data", removedPaths = selected.map(_.path),
-      retryConflicts = false))
+      retryConflicts = false, lineage = writesVectors))
   }
 
   /** `retryConflicts = false` opts an append OUT of conflict retry for
@@ -541,7 +604,8 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
       streamBatchId: Option[Long] = None,
       streamId: Option[String] = None,
       removedPaths: Seq[String] = Seq.empty,
-      retryConflicts: Boolean = true): SnapshotMeta = {
+      retryConflicts: Boolean = true,
+      lineage: Boolean = false): SnapshotMeta = {
     // Spark's default parquet timestamp encoding is INT96 (legacy);
     // pin INT64 micros so footer min/max stats exist for timestamp
     // columns and the graft-lake record reader's INT64 fast path holds
@@ -571,7 +635,11 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     // name is a hint — a retried commit may land under a later id.
     val outDir = dataDir.resolve(
       s"snap-$snapshotId-${java.util.UUID.randomUUID().toString.take(8)}")
-    val files = writeDataFiles(aligned, outDir)
+    val files0 = writeDataFiles(aligned, outDir)
+    // a lineage rewrite physically wrote _graft_row_id /
+    // _graft_last_updated columns — record the flag so lineage reads
+    // know to consume them (and inherit through their null cells)
+    val files = if (lineage) files0.map(_.copy(lineageCols = true)) else files0
     // crash window under test (MaintenanceSpec torn-write recovery): a
     // death HERE strands outDir as unreferenced files — readers never
     // see them, the orphan sweep collects them, a retry recommits
@@ -2147,6 +2215,33 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
       LakeTable.liveEqDeletes(visible))
   }
 
+  /** The table with its row-lineage columns (Iceberg v3): `_row_id` —
+    * a table-wide stable identity assigned at first commit and
+    * PRESERVED by rewrites (compaction, copy-on-write, update copies
+    * carry a materialized id column) — and
+    * `_last_updated_sequence_number`, the data sequence of the commit
+    * that last wrote the row. Rows written before lineage existed
+    * (unstamped files) read a null `_row_id` until a rewrite
+    * materializes them. Same snapshot/delete semantics as [[read]].
+    */
+  def readLineage(spark: SparkSession,
+      asOfSnapshot: Option[Long] = None): DataFrame = {
+    val visible = asOfSnapshot match {
+      case Some(sid) =>
+        require(md.snapshots.exists(_.id == sid), s"no snapshot $sid")
+        md.snapshots.filter(_.id <= sid)
+      case None => md.snapshots
+    }
+    val current = asOfSnapshot match {
+      case Some(sid) => md.schemaById(visible.find(_.id == sid).get.schemaId)
+      case None => md.currentSchema
+    }
+    readFiles(spark,
+      LakeTable.liveFiles(visible, Map.empty, current),
+      current, LakeTable.liveDeletes(visible),
+      LakeTable.liveEqDeletes(visible), lineage = true)
+  }
+
   /** Live files surviving partition + stats pruning under the current
     * schema — the scan-planning primitive, exposed for tooling/tests.
     */
@@ -2165,11 +2260,15 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
   private def readFiles(spark: SparkSession, files: Seq[DataFileMeta],
       target: StructType,
       deletes: Map[String, DeleteSet] = Map.empty,
-      eqDeletes: Seq[EqDeleteMeta] = Seq.empty): DataFrame = {
-    if (files.isEmpty)
+      eqDeletes: Seq[EqDeleteMeta] = Seq.empty,
+      lineage: Boolean = false): DataFrame = {
+    if (files.isEmpty) {
+      val clean = Reconcile.clean(target).asInstanceOf[StructType]
+      val out = if (!lineage) clean else StructType(clean.fields ++
+        LakeTable.lineageFields)
       return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        Reconcile.clean(target).asInstanceOf[StructType])
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], out)
+    }
     // equality-delete applicability is per file sequence: batch seq >
     // file seq. Batches sorted by seq → a file's applicable set is a
     // suffix, so grouping by (schema, suffix start) keeps the plan
@@ -2179,11 +2278,20 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
       val i = batches.indexWhere(_.seq > fseq)
       if (i < 0) batches.size else i
     }
-    files.groupBy(f => (f.schemaId, suffixIdx(f.seq))).map {
-      case ((schemaId, bIdx), group) =>
+    // lineage reads additionally split groups on the materialized-
+    // column flag: rewritten files physically carry _graft_row_id /
+    // _graft_last_updated, plain appends don't, and the read schema
+    // must match the file
+    files.groupBy(f => (f.schemaId, suffixIdx(f.seq),
+        lineage && f.lineageCols)).map {
+      case ((schemaId, bIdx, withMatCols), group) =>
       val fileSchema = md.schemaById(schemaId)
+      val cleanSchema = Reconcile.clean(fileSchema).asInstanceOf[StructType]
       val base = spark.read
-        .schema(Reconcile.clean(fileSchema).asInstanceOf[StructType])
+        .schema(if (withMatCols) StructType(cleanSchema.fields ++ Seq(
+            StructField("_graft_row_id", LongType),
+            StructField("_graft_last_updated", LongType)))
+          else cleanSchema)
         .parquet(group.map(_.path): _*)
       val groupDel = group
         .flatMap(f => deletes.get(LakeTable.normalizePath(f.path)))
@@ -2209,7 +2317,34 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
           .withColumn("_graft_dpos", col("_metadata.row_index"))
           .join(del, Seq("_graft_dfile", "_graft_dpos"), "left_anti")
       }
-      val projected = alive.select(Reconcile.projection(fileSchema, target): _*)
+      // row lineage (v3 inheritance rule): a row's id is its
+      // materialized _graft_row_id when the file carries one and the
+      // cell is non-null, else firstRowId + row_position; the
+      // last-updated sequence inherits the file's data sequence the
+      // same way. Both file constants resolve through a codegen'd
+      // path-keyed lookup — no join, stays in the scan stage.
+      val lineageCols: Seq[Column] = if (!lineage) Seq.empty else {
+        val firstRefs = group.collect {
+          case f if f.firstRowId >= 0 =>
+            LakeTable.normalizePath(f.path) -> f.firstRowId
+        }.toMap
+        val seqRefs = group.collect {
+          case f if f.seq >= 0 => LakeTable.normalizePath(f.path) -> f.seq
+        }.toMap
+        val path = col("_metadata.file_path")
+        val pos = col("_metadata.row_index")
+        val computedId =
+          LakeTable.fileConstCol(spark, path, firstRefs) + pos
+        val computedSeq = LakeTable.fileConstCol(spark, path, seqRefs)
+        if (withMatCols) Seq(
+          coalesce(col("_graft_row_id"), computedId).as("_row_id"),
+          coalesce(col("_graft_last_updated"), computedSeq)
+            .as("_last_updated_sequence_number"))
+        else Seq(computedId.as("_row_id"),
+          computedSeq.as("_last_updated_sequence_number"))
+      }
+      val projected = alive.select(
+        Reconcile.projection(fileSchema, target) ++ lineageCols: _*)
       // anti-join the applicable equality batches, one join per
       // distinct key-column set; keys resolve by FIELD ID against the
       // target schema (rename-proof — batches store columns as k<id>).
@@ -2307,6 +2442,20 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
       require(scala.util.Try(v.toInt).isSuccess,
         s"table property '$k' needs an integer value, got '$v'")))
     var next = md.copy(properties = md.properties ++ set -- unset)
+    // format-version is the table's STRUCTURAL version (Iceberg's
+    // upgrade flow: SET TBLPROPERTIES('format-version'='3') promotes
+    // the metadata field). Monotonic — a v3 table has vectored delete
+    // state a v2 reader would misread, so downgrades refuse.
+    set.get("format-version").foreach { v =>
+      val fv = v.trim.toIntOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"table property 'format-version' needs an integer, got '$v'"))
+      require(fv >= md.formatVersion,
+        s"cannot downgrade format-version from ${md.formatVersion} to $fv")
+      next = next.copy(formatVersion = fv)
+    }
+    require(!unset.contains("format-version"),
+      "format-version is structural metadata — it cannot be unset")
     // identifier-fields is not just a string knob: the declared row
     // identity lives in metadata as resolved FIELD IDS. Re-resolve on
     // every set/unset so the SQL TBLPROPERTIES path cannot leave the
@@ -2669,11 +2818,13 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     val affected = affectedFiles(spark, predicate, prune, statsFilters)
     if (affected.isEmpty) None
     else {
-      val kept = readFiles(spark, affected, md.currentSchema,
-          LakeTable.liveDeletes(md.snapshots))
+      val kept0 = readFiles(spark, affected, md.currentSchema,
+          LakeTable.liveDeletes(md.snapshots), lineage = writesVectors)
         .filter(!coalesce(predicate, lit(false)))
+      // surviving rows are untouched — their lineage carries verbatim
+      val kept = if (writesVectors) matLineage(kept0) else kept0
       Some(writeSnapshot(kept, operation = "overwrite",
-        removedPaths = affected.map(_.path)))
+        removedPaths = affected.map(_.path), lineage = writesVectors))
     }
   }
 
@@ -2841,7 +2992,8 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     * Iceberg meaning).
     */
   private def writesVectors: Boolean =
-    md.properties.get("format-version").contains("3")
+    md.formatVersion >= 3 || md.properties.get("format-version")
+      .exists(_.trim.toIntOption.exists(_ >= 3))
 
   private def commitMoR(spark: SparkSession, matched: DataFrame,
       appended: Option[DataFrame]): Option[SnapshotMeta] = {
@@ -2993,19 +3145,31 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     else {
       val cond = coalesce(predicate, lit(false))
       val base = readFiles(spark, affected, md.currentSchema,
-        LakeTable.liveDeletes(md.snapshots))
+        LakeTable.liveDeletes(md.snapshots), lineage = writesVectors)
       // one projection, every RHS evaluated against the PRE-update row
       // (SQL UPDATE semantics: SET a=b, b=a swaps; sequential
       // withColumn would leak updated values into later assignments
       // in unordered-Map iteration order)
+      // an updated row keeps its _row_id (it is the same row) and
+      // nulls its last-updated so inheritance stamps the new sequence;
+      // both computed in the SAME select so `cond` sees pre-update
+      // values
+      val lineageSel: Seq[Column] =
+        if (!writesVectors) Seq.empty
+        else Seq(col("_row_id").as("_graft_row_id"),
+          when(cond, lit(null).cast(LongType))
+            .otherwise(col("_last_updated_sequence_number"))
+            .as("_graft_last_updated"))
       val updated = base.select(md.currentSchema.fieldNames.toSeq.map { n =>
         assignments.get(n) match {
           case Some(value) => when(cond, value).otherwise(col(s"`$n`")).as(n)
           case None => col(s"`$n`")
         }
-      }: _*)
-      Some(writeSnapshot(Align(updated, md.currentSchema),
-        operation = "overwrite", removedPaths = affected.map(_.path)))
+      } ++ lineageSel: _*)
+      Some(writeSnapshot(
+        Align.keeping(updated, md.currentSchema, LakeTable.matLineageCols),
+        operation = "overwrite", removedPaths = affected.map(_.path),
+        lineage = writesVectors))
     }
   }
 
@@ -3057,7 +3221,7 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
 
     val rewritten = if (affected.isEmpty) None else {
       val joined = readFiles(spark, affected, schema,
-          LakeTable.liveDeletes(md.snapshots))
+          LakeTable.liveDeletes(md.snapshots), lineage = writesVectors)
         .join(srcKeyed, keys, "left")
       val matchedCol = coalesce(col("_src_matched"), lit(false))
       val applied = onMatch match {
@@ -3068,18 +3232,34 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
             when(matchedCol, col(s"`_src_$c`")).otherwise(col(s"`$c`")))
         }
       }
-      Some(applied.select(schema.fieldNames.toSeq.map(n => col(s"`$n`")): _*))
+      // matched-updated rows keep their id, null their last-updated
+      // (inherit the new sequence); kept rows carry both verbatim
+      val lineageSel: Seq[Column] =
+        if (!writesVectors) Seq.empty
+        else Seq(col("_row_id").as("_graft_row_id"),
+          (if (onMatch == "update")
+            when(matchedCol, lit(null).cast(LongType))
+              .otherwise(col("_last_updated_sequence_number"))
+          else col("_last_updated_sequence_number"))
+            .as("_graft_last_updated"))
+      Some(applied.select(
+        schema.fieldNames.toSeq.map(n => col(s"`$n`")) ++ lineageSel: _*))
     }
 
     val inserts = if (!insertUnmatched) None else {
       val targetKeys = read(spark).select(keys.map(k => col(s"`$k`")): _*)
-      Some(Align(source.join(targetKeys, keys, "left_anti"), schema))
+      val ins = Align(source.join(targetKeys, keys, "left_anti"), schema)
+      // inserted rows are NEW: null lineage cells inherit fresh ids
+      // from the written file's assigned range (v3 inheritance)
+      Some(if (!writesVectors) ins else ins
+        .withColumn("_graft_row_id", lit(null).cast(LongType))
+        .withColumn("_graft_last_updated", lit(null).cast(LongType)))
     }
 
     val newData = (rewritten.toSeq ++ inserts.toSeq)
       .reduceOption(_.unionByName(_))
     newData.map(df => writeSnapshot(df, operation = "overwrite",
-      removedPaths = affected.map(_.path)))
+      removedPaths = affected.map(_.path), lineage = writesVectors))
   }
 
   /** Files whose rows could be touched by a row-level op: metadata
@@ -3427,6 +3607,29 @@ object LakeTable {
       es => graft.functions.DvDeleted(es(0), es(1), es(2)), "built-in")
     call_function("graft_dv_deleted", path, pos,
       lit(graft.functions.DvLookup.encode(refs)))
+  }
+
+  /** The row-lineage projection appended by lineage reads. */
+  val lineageFields: Seq[StructField] = Seq(
+    StructField("_row_id", LongType, nullable = true),
+    StructField("_last_updated_sequence_number", LongType, nullable = true))
+
+  /** The materialized lineage column names rewrites store in parquet. */
+  val matLineageCols: Seq[String] =
+    Seq("_graft_row_id", "_graft_last_updated")
+
+  /** A per-file long constant resolved from the row's file path
+    * ([[graft.functions.FileConst]]): null for paths absent from
+    * `refs`. Codegen-friendly — the per-row cost is one cached
+    * last-path probe, no join.
+    */
+  def fileConstCol(spark: SparkSession, path: Column,
+      refs: Map[String, Long]): Column = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_file_const",
+      es => graft.functions.FileConst(es(0), es(1)), "built-in")
+    call_function("graft_file_const", path,
+      lit(graft.functions.FileConst.encode(refs)))
   }
 
   def tableLocation(warehouse: String, db: String, table: String): Path =

@@ -30,12 +30,23 @@ case class PartitionSpecMeta(id: Int, fields: Seq[SpecField])
   * original snapshot (expire-squash carry), because equality-delete
   * applicability compares file seq < batch seq.
   */
+/** `firstRowId`: base of the file's row-lineage id range (Iceberg v3
+  * row lineage) — row N of the file has `_row_id = firstRowId + N`
+  * unless the file carries a materialized `_graft_row_id` column
+  * (`lineageCols = true`, written by rewrites to PRESERVE moved rows'
+  * ids; null cells there inherit the computed id — v3's inheritance
+  * rule, so one rewritten file mixes preserved and newly-born rows).
+  * -1 = assigned before lineage existed; such rows expose a null
+  * `_row_id` until a rewrite materializes them.
+  */
 case class DataFileMeta(path: String, schemaId: Int, specId: Int, rows: Long,
     partitionValues: Map[String, String],
     stats: Map[Int, ColStats] = Map.empty,
     bytes: Long = -1L,
     sortedByIds: Seq[Int] = Seq.empty,
-    seq: Long = -1L)
+    seq: Long = -1L,
+    firstRowId: Long = -1L,
+    lineageCols: Boolean = false)
 /** `streamId`/`streamBatchId`: the Structured-Streaming source
   * (checkpoint) and micro-batch that produced this snapshot, when
   * ingested via StreamIngest — foreachBatch is at-least-once, so the
@@ -357,7 +368,12 @@ case class TableMetadata(
     properties: Map[String, String] = Map.empty,
     refs: Map[String, RefMeta] = Map.empty,
     staged: Seq[SnapshotMeta] = Seq.empty,
-    identifierFieldIds: Seq[Int] = Seq.empty) {
+    identifierFieldIds: Seq[Int] = Seq.empty,
+    /** Next unassigned row-lineage id (Iceberg v3 `next-row-id`):
+      * every commit stamps its new inline data files with sequential
+      * `firstRowId` ranges from here and advances it by their row
+      * counts — see `LakeTable.assignRowIds`. */
+    nextRowId: Long = 0L) {
   def currentSchema: StructType =
     schemas.find(_.id == currentSchemaId).get.schema
   def currentSpec: PartitionSpecMeta =
@@ -456,6 +472,10 @@ object MetadataIO {
      else Map("sorted-by" -> JArray(df.sortedByIds.map(i => JNumber(i))))) ++
     (if (df.seq < 0) Map.empty[String, JValue]
      else Map("seq" -> JNumber(df.seq))) ++
+    (if (df.firstRowId < 0) Map.empty[String, JValue]
+     else Map("first-row-id" -> JNumber(df.firstRowId))) ++
+    (if (!df.lineageCols) Map.empty[String, JValue]
+     else Map("lineage-cols" -> JBool(true))) ++
     Map(
       "partition" -> JObject(df.partitionValues.map {
         case (k, v) => k -> JString(v)
@@ -483,7 +503,9 @@ object MetadataIO {
       bytes = dm.get("bytes").map(_.asLong).getOrElse(-1L),
       sortedByIds = dm.get("sorted-by")
         .map(_.asArr.map(_.asInt)).getOrElse(Seq.empty),
-      seq = dm.get("seq").map(_.asLong).getOrElse(-1L))
+      seq = dm.get("seq").map(_.asLong).getOrElse(-1L),
+      firstRowId = dm.get("first-row-id").map(_.asLong).getOrElse(-1L),
+      lineageCols = dm.get("lineage-cols").exists(_.asBool))
   }
 
   // ---- SnapshotMeta <-> JSON ------------------------------------------
@@ -633,6 +655,8 @@ object MetadataIO {
     "properties" -> JObject(md.properties.map {
       case (k, v) => k -> JString(v)
     })) ++
+    (if (md.nextRowId == 0L) Map.empty[String, JValue]
+     else Map("next-row-id" -> JNumber(md.nextRowId))) ++
     (if (md.identifierFieldIds.isEmpty) Map.empty[String, JValue]
      else Map("identifier-field-ids" ->
        JArray(md.identifierFieldIds.map(JNumber(_))))) ++
@@ -679,6 +703,7 @@ object MetadataIO {
       properties = m.get("properties")
         .map(_.asObj.map { case (k, v) => k -> v.asStr })
         .getOrElse(Map.empty),
+      nextRowId = m.get("next-row-id").map(_.asLong).getOrElse(0L),
       refs = m.get("refs").map(_.asObj.map { case (n, rv) =>
         val rm = rv.asObj
         n -> RefMeta(rm("snapshot-id").asLong,

@@ -944,6 +944,53 @@ object RowOpsQueries extends QueryModule {
         .orderBy("o_orderstatus", "o_orderpriority")
     }),
 
+    "lake_row_lineage" -> QueryModule.micro(4)((s, dir) => {
+      // Iceberg-v3 row lineage: stable _row_id assigned at commit and
+      // PRESERVED across a copy-on-write update and a full compaction
+      // (rewrites materialize the ids). Self-audited distributed-ly:
+      // per-key ids before vs after must be identical, all non-null,
+      // all distinct — a rewrite that re-identified rows fails here
+      // long before the (data-only) oracle could notice.
+      val wh = scratch("rowlineage")
+      Engine.processTableDefJson(wh,
+        """{"database_name":"rowops","table_name":"customer_rl","columns":[
+          |{"column_name":"c_custkey","data_type":"long"},
+          |{"column_name":"c_name","data_type":"string"},
+          |{"column_name":"c_mktsegment","data_type":"string"},
+          |{"column_name":"c_acctbal","data_type":"double"}],
+          |"partitions":[]}""".stripMargin)
+      val t = LakeTable.load(wh, "rowops", "customer_rl")
+      t.updateProperties(Map("format-version" -> "3"))
+      t.append(Tables(s, dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal"))
+      val before = t.readLineage(s)
+        .select(col("c_custkey"), col("_row_id").as("rid_before"))
+      t.update(s, Map("c_acctbal" -> (col("c_acctbal") + 100.0)),
+        col("c_mktsegment") === "BUILDING")
+      val t2 = LakeTable.load(wh, "rowops", "customer_rl")
+      t2.compact(s)
+      val t3 = LakeTable.load(wh, "rowops", "customer_rl")
+      val after = t3.readLineage(s)
+      val drift = after
+        .select(col("c_custkey"), col("_row_id").as("rid_after"))
+        .join(before, Seq("c_custkey"))
+        .filter(col("rid_after").isNull ||
+          !(col("rid_after") === col("rid_before")))
+        .limit(1).collect()
+      require(drift.isEmpty,
+        s"lake_row_lineage: a rewrite re-identified rows: " +
+          drift.mkString(", "))
+      val Array(nAll, nIds) = after.agg(
+        count(lit(1)), countDistinct(col("_row_id"))).collect()(0)
+        .toSeq.map(_.asInstanceOf[Long]).toArray
+      require(nAll == nIds,
+        s"lake_row_lineage: $nAll rows but $nIds distinct ids")
+      after.groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_cust"),
+          sum(Tables.dec(col("c_acctbal"))).cast("double").as("sum_bal"))
+        .orderBy("c_mktsegment")
+    }),
+
     "lake_merge_mor" -> QueryModule.micro(4)((s, dir) => {
       // merge-on-read MERGE: matched target rows → position deletes +
       // source-valued copies, unmatched source rows append — only
@@ -1773,6 +1820,13 @@ object RowOpsQueries extends QueryModule {
         |WHERE NOT (o_orderstatus = 'F' AND o_totalprice > 150000.0)
         |  AND NOT (o_totalprice > 300000.0)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "lake_row_lineage" ->
+      """SELECT c_mktsegment, count(*) AS n_cust,
+        | CAST(sum(CAST(CASE WHEN c_mktsegment = 'BUILDING'
+        |                    THEN c_acctbal + 100.0 ELSE c_acctbal END
+        |               AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     // MoR produces the same visible table state as CoW — identical oracles
     "lake_update_mor" ->

@@ -109,6 +109,23 @@ private[sources] class LakeSparkTable(wh: String, db: String, tbl: String,
           LongType
         override def isNullable: Boolean = false
         override def comment(): String = "row position within its data file"
+      },
+      new MetadataColumn {
+        override def name(): String = LakeSource.RowIdMetaCol
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          LongType
+        override def isNullable: Boolean = true
+        override def comment(): String =
+          "stable row-lineage id (Iceberg v3): preserved across " +
+            "rewrites; null for rows written before lineage existed"
+      },
+      new MetadataColumn {
+        override def name(): String = LakeSource.LastUpdMetaCol
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          LongType
+        override def isNullable: Boolean = true
+        override def comment(): String =
+          "data sequence of the commit that last wrote the row"
       })
   }
 
@@ -817,10 +834,13 @@ private[sources] class LakeScan(wh: String, db: String, tbl: String,
             t.metadata.schemaById(f.schemaId), target,
             partitionKeyOf(f, spec), deletePathsFor(f),
             eqBatchesFor(f), external = ext(f.path),
-            dv = dvFor(f))).toArray
+            dv = dvFor(f), firstRowId = f.firstRowId, fileSeq = f.seq,
+            lineageMat = f.lineageCols)).toArray
         case None => files.map(f => LakeFilePartition(f.path,
             t.metadata.schemaById(f.schemaId), target, deletePathsFor(f),
-            eqBatchesFor(f), external = ext(f.path), dv = dvFor(f)))
+            eqBatchesFor(f), external = ext(f.path), dv = dvFor(f),
+            firstRowId = f.firstRowId, fileSeq = f.seq,
+            lineageMat = f.lineageCols))
           .toArray
       }
     }
@@ -875,7 +895,10 @@ private[sources] case class LakeFilePartition(path: String,
     eqBatches: Seq[LakeEqBatch] = Seq.empty,
     emitOnlyDeleted: Boolean = false,
     external: Boolean = false,
-    dv: Option[(String, Long, Long)] = None) extends InputPartition
+    dv: Option[(String, Long, Long)] = None,
+    firstRowId: Long = -1L,
+    fileSeq: Long = -1L,
+    lineageMat: Boolean = false) extends InputPartition
 
 /** Equality-delete batch key files as changelog delete markers: each
   * record's key columns (stored as `k<fieldId>`) fill the matching
@@ -904,7 +927,10 @@ private[sources] case class LakeKeyedFilePartition(path: String,
     deletes: Seq[String] = Seq.empty,
     eqBatches: Seq[LakeEqBatch] = Seq.empty,
     external: Boolean = false,
-    dv: Option[(String, Long, Long)] = None)
+    dv: Option[(String, Long, Long)] = None,
+    firstRowId: Long = -1L,
+    fileSeq: Long = -1L,
+    lineageMat: Boolean = false)
     extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow = new GenericInternalRow(key)
@@ -1085,7 +1111,9 @@ private[sources] class LakeReaderFactory extends PartitionReaderFactory {
       case p: LakeKeyedFilePartition =>
         new GroupRowReader(
           LakeFilePartition(p.path, p.fileSchema, p.target, p.deletes,
-            p.eqBatches, external = p.external, dv = p.dv))
+            p.eqBatches, external = p.external, dv = p.dv,
+            firstRowId = p.firstRowId, fileSeq = p.fileSeq,
+            lineageMat = p.lineageMat))
       case p: LakeEqMarkerPartition => new EqMarkerReader(p)
       case p: LakeChangelogPartition =>
         val innerReader = createReader(p.inner)
@@ -1211,12 +1239,20 @@ private[sources] class GroupRowReader(p: LakeFilePartition)
     // the pruned-away ancestor).
     val eqKeyIds = p.eqBatches
       .flatMap(_.keyFields.fields.map(FieldIds.idOf)).toSet
+    // materialized lineage columns live OUTSIDE the registered schema
+    // (physical-only, written by v3 rewrites) — keep them readable
+    // when the scan asks for the lineage metadata columns
+    val lineageKeep: Set[String] =
+      if (p.lineageMat && p.target.fieldNames.exists(n =>
+          n == LakeSource.RowIdMetaCol || n == LakeSource.LastUpdMetaCol))
+        Set(LakeSource.RowIdMetaCol, LakeSource.LastUpdMetaCol)
+      else Set.empty
     val keep = fileSchema.fields
       .filter(ff => p.target.fields.exists(tf =>
         FieldIds.hasId(tf) && FieldIds.idOf(tf) == FieldIds.idOf(ff)) ||
         FieldIds.flatten(StructType(Seq(ff))).exists { case (_, sf) =>
           FieldIds.hasId(sf) && eqKeyIds.contains(FieldIds.idOf(sf)) })
-      .map(_.name).toSet
+      .map(_.name).toSet ++ lineageKeep
     // prune against the FOOTER's field count (an external file can
     // carry extra columns the table never registered); engine files
     // only pay the footer read when the projection actually pruned
@@ -1246,12 +1282,39 @@ private[sources] class GroupRowReader(p: LakeFilePartition)
   private val filePathUtf = UTF8String.fromString(
     LakeTable.normalizePath(p.path))
   private val posIdx = p.target.fieldNames.indexOf(LakeSource.PosMetaCol)
+  private val rowIdIdx = p.target.fieldNames.indexOf(LakeSource.RowIdMetaCol)
+  private val lastUpdIdx =
+    p.target.fieldNames.indexOf(LakeSource.LastUpdMetaCol)
   private val extractors: Array[Group => Any] =
     p.target.fields.map { tf =>
       if (tf.name == LakeSource.FileMetaCol) (_: Group) => filePathUtf
-      else if (tf.name == LakeSource.PosMetaCol) (_: Group) => null
+      else if (LakeSource.isMetaCol(tf.name)) (_: Group) => null
       else LakeSource.fieldExtractor(tf, fileSchema.fields.toSeq)
     }
+
+  // v3 row lineage: materialized _graft_row_id / _graft_last_updated
+  // cells win when the (rewritten) file physically carries them; null
+  // cells and plain appends inherit firstRowId + position / the
+  // file's data sequence (-1 = pre-lineage file -> null)
+  private def matLong(g: Group, name: String): java.lang.Long =
+    if (p.lineageMat && g.getType.containsField(name) &&
+        g.getFieldRepetitionCount(name) > 0)
+      java.lang.Long.valueOf(g.getLong(name, 0))
+    else null
+
+  private def rowIdAt(g: Group, at: Long): Any = {
+    val mat = matLong(g, LakeSource.RowIdMetaCol)
+    if (mat != null) mat.longValue()
+    else if (p.firstRowId >= 0) p.firstRowId + at
+    else null
+  }
+
+  private def lastUpdAt(g: Group): Any = {
+    val mat = matLong(g, LakeSource.LastUpdMetaCol)
+    if (mat != null) mat.longValue()
+    else if (p.fileSeq >= 0) p.fileSeq
+    else null
+  }
 
   // merge-on-read: positions of this file deleted by live delete files.
   // The reader walks rows in physical order, so a simple position
@@ -1350,7 +1413,11 @@ private[sources] class GroupRowReader(p: LakeFilePartition)
     val arr = new Array[Any](extractors.length)
     var i = 0
     while (i < arr.length) {
-      arr(i) = if (i == posIdx) pos else extractors(i)(cur)
+      arr(i) =
+        if (i == posIdx) pos
+        else if (i == rowIdIdx) rowIdAt(cur, pos)
+        else if (i == lastUpdIdx) lastUpdAt(cur)
+        else extractors(i)(cur)
       i += 1
     }
     new GenericInternalRow(arr)
@@ -1401,11 +1468,17 @@ private[sources] object EqBatchCache {
 
 private[graft] object LakeSource {
 
-  /** Metadata column names: row identity as (data file, position). */
+  /** Metadata column names: row identity as (data file, position),
+    * plus the v3 row-lineage pair (same names as the materialized
+    * parquet columns rewrites store, so SQL and storage agree).
+    */
   val FileMetaCol = "_graft_file"
   val PosMetaCol = "_graft_pos"
+  val RowIdMetaCol = "_graft_row_id"
+  val LastUpdMetaCol = "_graft_last_updated"
   def isMetaCol(name: String): Boolean =
-    name == FileMetaCol || name == PosMetaCol
+    name == FileMetaCol || name == PosMetaCol ||
+      name == RowIdMetaCol || name == LastUpdMetaCol
 
   /** Changelog-mode columns (option("changelog", "true") on a stream
     * read): same names/semantics as `LakeTable.changelogBetween`.

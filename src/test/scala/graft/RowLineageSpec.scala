@@ -1,0 +1,154 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.lake.{Engine, LakeTable}
+
+/** Row lineage (Iceberg v3): every committed data file is stamped with
+  * a `firstRowId` range from the table's `next-row-id` counter, so
+  * `_row_id = firstRowId + position` is a table-wide stable identity;
+  * on v3 tables every rewrite (compaction, copy-on-write ops)
+  * MATERIALIZES the ids of moved rows so they survive the move, and
+  * `_last_updated_sequence_number` tracks the commit that last wrote
+  * each row (inherited from the file's data sequence for untouched
+  * rows, re-stamped through the null-inheritance rule for updated
+  * ones).
+  */
+class RowLineageSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def mkTable(tag: String, v3: Boolean = true): (String, LakeTable) = {
+    val wh = Files.createTempDirectory(s"graft-lineage-$tag").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"t","columns":[
+        |{"column_name":"id","data_type":"long"},
+        |{"column_name":"v","data_type":"string"}],"partitions":[]}""".stripMargin)
+    val t = LakeTable.load(wh, "d", "t")
+    if (v3) t.updateProperties(Map("format-version" -> "3"))
+    (wh, t)
+  }
+
+  private def df(rows: Seq[(Long, String)]): DataFrame = {
+    import SparkTestSession.spark.implicits._
+    rows.toDF("id", "v")
+  }
+
+  /** id -> (_row_id, _last_updated_sequence_number) */
+  private def lineage(t: LakeTable): Map[Long, (Long, Long)] =
+    t.readLineage(spark).collect().map(r =>
+      r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+
+  test("appends assign disjoint contiguous id ranges; counter persists") {
+    val (wh, t) = mkTable("assign")
+    t.append(df((1L to 5L).map(i => (i, s"a$i"))))
+    t.append(df((6L to 8L).map(i => (i, s"b$i"))))
+    val t2 = LakeTable.load(wh, "d", "t")
+    assert(t2.metadata.nextRowId == 8L)
+    val all = t2.readLineage(spark).select("_row_id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(all == (0L until 8L).toSeq,
+      "ids must cover exactly [0, rowcount) with no gaps or dupes")
+    // every stamped file has a non-negative base and they don't overlap
+    val files = t2.plannedFiles()
+    assert(files.forall(_.firstRowId >= 0))
+    val ranges = files.map(f => (f.firstRowId, f.firstRowId + f.rows))
+      .sortBy(_._1)
+    assert(ranges.sliding(2).forall {
+      case Seq((_, hi), (lo2, _)) => hi <= lo2
+      case _ => true
+    })
+  }
+
+  test("compaction preserves every row's id and last-updated sequence") {
+    val (wh, t) = mkTable("compact")
+    t.append(df((1L to 6L).map(i => (i, s"v$i"))))
+    t.append(df((7L to 9L).map(i => (i, s"v$i"))))
+    val t2 = LakeTable.load(wh, "d", "t")
+    val before = lineage(t2)
+    t2.compact(spark)
+    val t3 = LakeTable.load(wh, "d", "t")
+    assert(t3.plannedFiles().forall(_.lineageCols),
+      "compacted files must carry materialized lineage columns")
+    assert(lineage(t3) == before,
+      "a rewrite must not re-identify or re-stamp rows")
+  }
+
+  test("CoW update: updated rows keep ids and bump last-updated; others untouched") {
+    val (wh, t) = mkTable("upd")
+    t.append(df((1L to 6L).map(i => (i, s"v$i"))))
+    val t2 = LakeTable.load(wh, "d", "t")
+    val before = lineage(t2)
+    val snap = t2.update(spark, Map("v" -> lit("X")), col("id") <= 2L).get
+    val t3 = LakeTable.load(wh, "d", "t")
+    val after = lineage(t3)
+    for (i <- 1L to 6L) {
+      assert(after(i)._1 == before(i)._1, s"row $i changed identity")
+      if (i <= 2L)
+        assert(after(i)._2 == snap.id,
+          s"updated row $i must carry the updating commit's sequence")
+      else
+        assert(after(i)._2 == before(i)._2,
+          s"untouched row $i must keep its last-updated sequence")
+    }
+  }
+
+  test("CoW merge: updates keep ids, inserts get fresh ids, deletes vanish") {
+    val (wh, t) = mkTable("mrg")
+    t.append(df((1L to 4L).map(i => (i, s"v$i"))))
+    val t2 = LakeTable.load(wh, "d", "t")
+    val before = lineage(t2)
+    val maxBefore = before.values.map(_._1).max
+    t2.merge(spark, df(Seq((2L, "U2"), (10L, "I10"))), Seq("id"))
+    val t3 = LakeTable.load(wh, "d", "t")
+    val after = lineage(t3)
+    assert(after(2L)._1 == before(2L)._1, "merged-update row kept its id")
+    assert((1L to 4L).forall(i => after(i)._1 == before(i)._1))
+    assert(after(10L)._1 > maxBefore, "insert must get a FRESH id")
+  }
+
+  test("vectored MoR delete leaves survivors' lineage untouched") {
+    val (wh, t) = mkTable("mor")
+    t.append(df((1L to 6L).map(i => (i, s"v$i"))))
+    val t2 = LakeTable.load(wh, "d", "t")
+    val before = lineage(t2)
+    t2.deleteMoR(spark, col("id") <= 2L)
+    val t3 = LakeTable.load(wh, "d", "t")
+    val after = lineage(t3)
+    assert(after.keySet == (3L to 6L).toSet)
+    assert(after.forall { case (k, v) => before(k) == v })
+  }
+
+  test("connector metadata columns agree with the native lineage read") {
+    val (wh, t) = mkTable("conn")
+    t.append(df((1L to 6L).map(i => (i, s"v$i"))))
+    val t2 = LakeTable.load(wh, "d", "t")
+    t2.update(spark, Map("v" -> lit("X")), col("id") === 3L)
+    val t3 = LakeTable.load(wh, "d", "t")
+    val native = lineage(t3)
+    val conn = spark.read.format("graft-lake")
+      .option("warehouse", wh).option("database", "d").option("table", "t")
+      .load()
+      .select(col("id"), col("_graft_row_id"), col("_graft_last_updated"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(conn == native,
+      "SQL-surface lineage must match the Spark-native read")
+  }
+
+  test("zero-copy clone carries the id counter: no collisions after cloning") {
+    val (wh, t) = mkTable("clone", v3 = false)
+    t.append(df((1L to 5L).map(i => (i, s"v$i"))))
+    LakeTable.snapshotTable(wh, "d", "t", "d", "t2")
+    val clone = LakeTable.load(wh, "d", "t2")
+    clone.append(df(Seq((9L, "new"))))
+    val c2 = LakeTable.load(wh, "d", "t2")
+    val ids = c2.readLineage(spark).select("_row_id").collect()
+      .map(_.getLong(0)).toSeq
+    assert(ids.distinct.size == ids.size,
+      "cloned rows and post-clone appends must not share row ids")
+  }
+}
