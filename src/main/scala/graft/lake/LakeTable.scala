@@ -27,7 +27,8 @@ import graft.schema._
   * file) and unioned, so the plan size is bounded by the number of
   * schema versions, not file count.
   */
-class LakeTable private (val location: Path, private var md: TableMetadata) {
+class LakeTable private (val location: Path, private var md: TableMetadata,
+    initialVersion: Int = -1) {
 
   def metadata: TableMetadata = md
   def currentSchema: StructType = md.currentSchema
@@ -45,9 +46,17 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
   private def dataDir = location.resolve("data")
 
   /** Metadata version this handle last observed — the optimistic-
-    * concurrency baseline for commit().
+    * concurrency baseline for commit(). MUST be the version whose
+    * document `md` actually holds: `load` passes the hint value it
+    * resolved the document from, because re-reading the hint here
+    * would race a concurrent commit landing between the two reads —
+    * the handle would then carry STALE metadata under a FRESH version
+    * number, sail through the commit CAS, and silently drop the
+    * interleaved snapshot (found by the multi-process torture test's
+    * one-in-ten lost-commit flake).
     */
-  private var loadedVersion: Int = currentHintVersion()
+  private var loadedVersion: Int =
+    if (initialVersion >= 0) initialVersion else currentHintVersion()
 
   private def currentHintVersion(): Int = {
     val hint = metadataDir.resolve("version-hint.text")
@@ -120,16 +129,36 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     else next.copy(snapshots = snaps, staged = staged, nextRowId = counter)
   }
 
+  /** Test-only commit auditing (`-Dgraft.commit.audit=true`): one line
+    * per commit attempt appended (O_APPEND — atomic for small writes)
+    * to `metadata/commit-audit.log`, so a cross-process torture test
+    * can reconstruct the exact claim/flip interleaving post-mortem.
+    * Never enabled in production paths.
+    */
+  private def audit(msg: => String): Unit =
+    if (java.lang.Boolean.getBoolean("graft.commit.audit")) {
+      try {
+        val line = s"${ProcessHandle.current().pid()} " +
+          s"${System.nanoTime()} $msg\n"
+        Files.write(metadataDir.resolve("commit-audit.log"),
+          line.getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
+      } catch { case _: Exception => () }
+    }
+
   private def commit(next: TableMetadata): String = {
     Files.createDirectories(metadataDir)
     // optimistic concurrency: refuse to clobber a commit made through
     // another handle since this one loaded (the reference has no retry
     // logic either — surfacing the conflict is the contract)
     val observed = currentHintVersion()
-    if (observed != loadedVersion)
+    if (observed != loadedVersion) {
+      audit(s"stale observed=$observed loaded=$loadedVersion")
       throw new java.util.ConcurrentModificationException(
         s"table $location was committed concurrently " +
           s"(expected v$loadedVersion, found v$observed); reload and retry")
+    }
     // row-lineage assignment sits HERE, the one choke point every
     // write path funnels through, so appends, MoR deltas, WAP stages,
     // branch commits, and compactions all get stamped without opting
@@ -152,6 +181,9 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
         java.nio.file.StandardOpenOption.CREATE_NEW)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
+        audit(s"claim-collision v$version " +
+          s"adds=${next.snapshots.map(_.id).diff(md.snapshots.map(_.id))
+            .mkString("/")}")
         // the lost race must not leak this attempt's manifests
         createdManifests.foreach(Files.deleteIfExists(_))
         // a claim whose writer DIED before flipping the pointer would
@@ -172,6 +204,10 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
     Files.writeString(tmp, version.toString)
     Files.move(tmp, metadataDir.resolve("version-hint.text"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    audit(s"committed v$version " +
+      s"adds=${next.snapshots.map(_.id).diff(md.snapshots.map(_.id))
+        .mkString("/")} maxSnap=${next.snapshots.map(_.id)
+        .foldLeft(0L)(math.max)}")
     md = ext
     loadedVersion = version
     target.toString
@@ -216,11 +252,15 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
           true
         } catch { case _: Exception => false }
       if (valid) {
+        audit(s"torn-rollforward v$version")
         val tmp = metadataDir.resolve(".version-hint.tmp-recover")
         Files.writeString(tmp, version.toString)
         Files.move(tmp, metadataDir.resolve("version-hint.text"),
           StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-      } else Files.deleteIfExists(target)
+      } else {
+        audit(s"torn-delete v$version")
+        Files.deleteIfExists(target)
+      }
     } catch { case _: Exception => () }
 
   // ---- evolution -------------------------------------------------------
@@ -2723,7 +2763,11 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
       Using.resource(Files.walk(dataDir)) { st =>
         st.iterator().asScala
           .filter(p => Files.isRegularFile(p))
-          .filter(p => p.toString.endsWith(".parquet"))
+          // data parquet AND deletion-vector containers — a v3 commit
+          // that died between container write and metadata claim
+          // strands a .gdv the same way a torn append strands parquet
+          .filter(p => p.toString.endsWith(".parquet") ||
+            p.toString.endsWith(".gdv"))
           .filterNot(p => referenced(p.toString))
           .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
           .toSeq
@@ -3092,6 +3136,10 @@ class LakeTable private (val location: Path, private var md: TableMetadata) {
       java.util.UUID.randomUUID().toString.take(8) + ".gdv")
     Files.createDirectories(dataDir)
     val dvMetas = DeletionVectors.writeContainer(dvPath, blobs)
+    // crash window under test (DvSpec torn-container recovery): a
+    // death HERE strands the container unreferenced — readers never
+    // see it, the orphan sweep collects it, a retry recommits
+    LakeTable.faultPoint("post-dv-write-pre-commit")
     val counts = blobs.map { case (p, (_, delta)) =>
       p -> delta.getLongCardinality }.toMap
     Some((dvMetas, counts))
@@ -3765,6 +3813,9 @@ object LakeTable {
     val md = MetadataIO.fromJson(Json.parse(
       Files.readString(loc.resolve("metadata").resolve(s"v$v.json"))),
       loc.resolve("metadata"))
-    new LakeTable(loc, md)
+    // pin the handle's version to the hint value the DOCUMENT was
+    // resolved from (see the loadedVersion scaladoc: re-reading the
+    // hint in the constructor races a concurrent commit)
+    new LakeTable(loc, md, v.toInt)
   }
 }

@@ -54,6 +54,7 @@ class ConcurrencySpec extends AnyFunSuite {
       val out = outDir.resolve(s"worker-$w.log").toFile
       val cmd = (Seq(javaBin) ++ addOpens ++ Seq(
         "-Xmx1500m", "-Dspark.ui.enabled=false",
+        "-Dgraft.commit.audit=true",
         "-Dspark.sql.session.timeZone=UTC",
         "-cp", cp, "graft.ConcurrencyWorker",
         wh, "d", "t", w.toString, iters.toString, mode)).asJava
@@ -68,6 +69,33 @@ class ConcurrencySpec extends AnyFunSuite {
         new String(Files.readAllBytes(out.toPath)).takeRight(4000))
       (w, p.exitValue(), new String(Files.readAllBytes(out.toPath)))
     }
+  }
+
+  /** Per-version snapshot-id chain: which ids each persisted vN.json
+    * carries — a fork (v_{k+1} missing an id v_k had) is the signature
+    * of a commit built on a stale load slipping past the CAS.
+    */
+  private def forensics(wh: String): String = {
+    val metaDir = Paths.get(wh, "d", "t", "metadata")
+    val versions = scala.util.Using.resource(Files.list(metaDir)) { st =>
+      st.iterator().asScala.map(_.getFileName.toString)
+        .filter(n => n.startsWith("v") && n.endsWith(".json"))
+        .map(n => n.stripPrefix("v").stripSuffix(".json").toInt)
+        .toSeq.sorted
+    }
+    versions.map { v =>
+      try {
+        val m = graft.lake.MetadataIO.fromJson(graft.schema.Json.parse(
+          Files.readString(metaDir.resolve(s"v$v.json"))),
+          metaDir)
+        s"v$v:[${m.snapshots.map(s => s"${s.id}${s.operation.take(1)}")
+          .mkString(",")}]"
+      } catch { case e: Exception => s"v$v:<unreadable ${e.getMessage}>" }
+    }.mkString(" ") +
+      s" hint=${Files.readString(metaDir.resolve("version-hint.text")).trim}" +
+      "\ncommit audit:\n" + (try Files.readString(
+        metaDir.resolve("commit-audit.log")) catch {
+        case _: Exception => "<none>" })
   }
 
   test("N processes of append+upsert+compact: no lost commits, " +
@@ -89,7 +117,10 @@ class ConcurrencySpec extends AnyFunSuite {
     val ops = t.metadata.snapshots.groupBy(_.operation)
       .map { case (k, v) => k -> v.size }
     assert(ops.getOrElse("append", 0) == Workers * Iters,
-      s"lost append commits: $ops")
+      s"lost append commits: $ops\nforensics: ${forensics(wh)}\n" +
+        "worker logs:\n" +
+        results.map { case (w, _, log) =>
+          s"-- w$w: " + log.takeRight(600) }.mkString("\n"))
     assert(ops.getOrElse("upsert", 0) == Workers * Iters,
       s"lost upsert commits: $ops")
     assert(ops.getOrElse("rewrite", 0) == compactsDone,
@@ -137,6 +168,67 @@ class ConcurrencySpec extends AnyFunSuite {
       s"content drift — missing: ${(expectAppends ++ expectUpserts)
         .toSet.diff(got.toSet).take(10)}; unexpected: ${got.toSet
         .diff((expectAppends ++ expectUpserts).toSet).take(10)}")
+  }
+
+  test("N processes of append + vector-delete + scoped-compact on a " +
+      "v3 table: no lost commits, exact content, vector-only state") {
+    val wh = mkTable("graft-conc-v3")
+    LakeTable.load(wh, "d", "t")
+      .updateProperties(Map("format-version" -> "3"))
+    val results = runWorkers(wh, Workers, Iters, "v3")
+    results.foreach { case (w, rc, log) =>
+      assert(rc == 0, s"worker $w exited $rc; log tail:\n" +
+        log.takeRight(4000))
+      assert(log.contains(s"RESULT ok appends=$Iters upserts=$Iters"),
+        s"worker $w under-reported; log tail:\n" + log.takeRight(4000))
+    }
+
+    val t = LakeTable.load(wh, "d", "t")
+    val ops = t.metadata.snapshots.groupBy(_.operation)
+      .map { case (k, v) => k -> v.size }
+    def hist = t.metadata.snapshots.map(s =>
+      s"${s.id}:${s.operation}:f${s.files.size}:rm${s.removedPaths.size}")
+      .mkString(", ") + "\nworker logs:\n" + results.map {
+        case (w, _, log) => s"-- w$w: " +
+          "RESULT.*".r.findFirstIn(log).getOrElse(log.takeRight(300))
+      }.mkString("\n")
+    assert(ops.getOrElse("append", 0) == Workers * Iters,
+      s"lost append commits: $ops; history: $hist\n" +
+        s"forensics: ${forensics(wh)}")
+    assert(ops.getOrElse("delete", 0) == Workers * Iters,
+      s"lost vector-delete commits: $ops; history: $hist\n" +
+        s"forensics: ${forensics(wh)}")
+
+    // exact final content: each (worker, iter) keeps rows k=0,1 only —
+    // a lost or double-applied vector delete breaks this
+    val got = t.read(spark).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expect = (for {
+      w <- 0 until Workers; i <- 0 until Iters; k <- 0 to 1
+    } yield (1000000L + w * 100000L + i * 10L + k,
+      s"v3-w$w-i$i-k$k")).toMap
+    assert(got == expect,
+      s"content drift — missing: ${expect.toSet.diff(got.toSet).take(10)}; " +
+        s"unexpected: ${got.toSet.diff(expect.toSet).take(10)}")
+
+    // delete state stayed vector-shaped through the races: every live
+    // entry is ONE vector, no positional parquet leaked in
+    val live = LakeTable.liveDeletes(t.metadata.snapshots)
+    assert(live.values.forall(ds => ds.dv.isDefined && ds.paths.isEmpty),
+      "v3 torture must leave vector-only delete state")
+
+    // metadata-only count and connector read agree with the content
+    val conn = spark.read.format("graft-lake")
+      .option("warehouse", wh).option("database", "d").option("table", "t")
+      .load()
+    assert(conn.count() == expect.size.toLong)
+
+    // row lineage survived the melee: all ids distinct and non-null
+    val lin = t.readLineage(spark).select("_row_id").collect()
+      .map(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
+    assert(lin.forall(_.isDefined), "null row id after v3 torture")
+    assert(lin.flatten.distinct.length == lin.length,
+      "duplicate row ids after v3 torture")
   }
 
   test("N processes blind-upserting the SAME keys converge to the " +

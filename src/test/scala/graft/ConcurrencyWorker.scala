@@ -55,6 +55,39 @@ object ConcurrencyWorker {
 
     var appends = 0; var upserts = 0; var compacts = 0
     try {
+      if (mode == "v3") {
+        // vector-delete torture: append private rows, then vector-
+        // delete half of them — every commit is either a retriable
+        // append or a conflict-surfacing vector delete the outer
+        // retry recomputes from a fresh handle
+        var deletes = 0
+        val deleteSnaps = scala.collection.mutable.Buffer.empty[String]
+        (0 until iters).foreach { i =>
+          val base = 1000000L + wid * 100000L + i * 10L
+          retryOp { t =>
+            t.append((0L to 3L).map(k =>
+              (base + k, s"v3-w$wid-i$i-k$k")).toDF("id", "v"))
+          }
+          appends += 1
+          val snap = retryOp { t =>
+            t.deleteMoR(spark,
+              org.apache.spark.sql.functions.col("id")
+                .isin(base + 2L, base + 3L))
+          }
+          // a zero-match delete commits nothing — that must never
+          // happen here (the rows were just appended, worker-private)
+          deleteSnaps += snap.map(_.id.toString).getOrElse("NONE")
+          deletes += 1
+          if (i % 2 == 1) {
+            retryOp { t => t.compactScoped(spark) }
+            compacts += 1
+          }
+        }
+        println(s"RESULT ok appends=$appends upserts=$deletes " +
+          s"compacts=$compacts deleteSnaps=${deleteSnaps.mkString("/")}")
+        spark.stop()
+        sys.exit(0)
+      }
       if (mode == "shared") {
         (0 until iters).foreach { i =>
           retryOp { t =>

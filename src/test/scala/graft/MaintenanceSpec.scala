@@ -189,6 +189,54 @@ class MaintenanceSpec extends AnyFunSuite {
       Set(1L -> "committed", 999L -> "retried"))
   }
 
+  test("a JVM killed between deletion-vector container write and " +
+      "commit leaves the table clean, sweepable, and retryable") {
+    val (wh, t) = mkTable("torndv")
+    t.updateProperties(Map("format-version" -> "3"))
+    t.append(df(1L -> "a", 2L -> "b", 3L -> "c"))
+    val beforeVersion = Files.readString(
+      Paths.get(wh, "d", "t", "metadata", "version-hint.text")).trim
+    // the worker vector-deletes id <= 1 and halts after writing the
+    // .gdv container but before the metadata commit references it
+    crashWorkerAt(wh, "post-dv-write-pre-commit")
+
+    val dataDir = Paths.get(wh, "d", "t", "data")
+    def strandedGdv() = {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(Files.walk(dataDir)) { st =>
+        st.iterator().asScala
+          .filter(_.toString.endsWith(".gdv")).toList
+      }
+    }
+    assert(strandedGdv().nonEmpty,
+      "crash must strand the written-but-uncommitted container")
+    assert(Files.readString(Paths.get(wh, "d", "t", "metadata",
+      "version-hint.text")).trim == beforeVersion,
+      "a torn vector write must not advance the committed version")
+
+    // 1) the table reads CLEAN — no row went missing
+    val t2 = LakeTable.load(wh, "d", "t")
+    assert(ids(t2) == Set(1L, 2L, 3L))
+
+    // 2) the orphan sweep collects the stranded container
+    val swept = t2.removeOrphanFiles(olderThanMillis = 0)
+    assert(swept.exists(_.endsWith(".gdv")),
+      s"sweep must collect the torn container, swept: $swept")
+    assert(strandedGdv().isEmpty)
+
+    // 3) the retried vector delete through a fresh handle succeeds and
+    //    its committed container survives the next sweep
+    val t3 = LakeTable.load(wh, "d", "t")
+    val snap = t3.deleteMoR(spark, col("id") <= 1L)
+    assert(snap.isDefined && snap.get.dvs.nonEmpty)
+    assert(ids(LakeTable.load(wh, "d", "t")) == Set(2L, 3L))
+    val swept2 = LakeTable.load(wh, "d", "t")
+      .removeOrphanFiles(olderThanMillis = 0)
+    assert(!swept2.exists(_.endsWith(".gdv")),
+      "a referenced container must never be swept")
+    assert(ids(LakeTable.load(wh, "d", "t")) == Set(2L, 3L))
+  }
+
   test("a JVM killed between the metadata claim and the pointer flip " +
       "does not wedge the table (torn claim self-heals)") {
     // zero recovery grace: the test must not wait out the 30 s default

@@ -32,8 +32,14 @@ object TornWriteWorker {
         System.out.flush()
         Runtime.getRuntime.halt(137)
       }
-    LakeTable.load(wh, db, table)
-      .append(Seq((999L, "torn-row")).toDF("id", "v"))
+    val t = LakeTable.load(wh, db, table)
+    if (fault == "post-dv-write-pre-commit")
+      // the vector-delete crash window: the spec pre-appends rows to a
+      // v3 table; this delete dies after writing the .gdv container
+      // but before the metadata commit references it
+      t.deleteMoR(spark, org.apache.spark.sql.functions.col("id") <= 1L)
+    else
+      t.append(Seq((999L, "torn-row")).toDF("id", "v"))
     // unreachable if the fault fired; exiting 0 fails the spec loudly
     println("TORN fault point never fired")
     sys.exit(0)
