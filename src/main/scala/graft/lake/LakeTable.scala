@@ -2516,6 +2516,51 @@ class LakeTable private (val location: Path, private var md: TableMetadata,
     commit(next)
   }
 
+  /** ANALYZE TABLE: one scan computing, per top-level column, the
+    * distinct-value count (HLL estimate by default, exact
+    * COUNT(DISTINCT) with `exact = true`) and null count, committed
+    * into table metadata as [[TableStatsMeta]] with snapshot
+    * provenance — the DSv2 scan then serves them to Spark's
+    * cost-based optimizer (`columnStats`), so lake-to-lake join plans
+    * see real cardinalities. Map-typed columns are skipped (not
+    * distinct-countable). Metadata-only commit; snapshots untouched.
+    * Stats are a snapshot-stamped approximation: re-run after bulk
+    * changes, like Iceberg's statistics files.
+    */
+  def analyze(spark: SparkSession, exact: Boolean = false): TableStatsMeta = {
+    if (currentHintVersion() != loadedVersion)
+      throw new java.util.ConcurrentModificationException(
+        s"table $location was committed concurrently; reload and retry")
+    def hasMap(dt: DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => true
+      case s: StructType => s.fields.exists(f => hasMap(f.dataType))
+      case org.apache.spark.sql.types.ArrayType(e, _) => hasMap(e)
+      case _ => false
+    }
+    val cols = md.currentSchema.fields.filterNot(f => hasMap(f.dataType))
+    val frame = read(spark)
+    val aggs = count(lit(1)).as("_rows") +: cols.toSeq.flatMap { f =>
+      val c = col(s"`${f.name}`")
+      Seq(
+        (if (exact) countDistinct(c) else approx_count_distinct(c))
+          .as(s"_ndv_${f.name}"),
+        sum(when(c.isNull, 1L).otherwise(0L)).as(s"_nul_${f.name}"))
+    }
+    val row = frame.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val stats = TableStatsMeta(
+      snapshotId = md.snapshots.map(_.id).foldLeft(0L)(math.max),
+      rowCount = row.getLong(0),
+      exact = exact,
+      cols = cols.toSeq.zipWithIndex.map { case (f, i) =>
+        ColumnStatsMeta(FieldIds.idOf(f),
+          ndv = row.getLong(1 + 2 * i),
+          nullCount = if (row.isNullAt(2 + 2 * i)) 0L
+            else row.getLong(2 + 2 * i))
+      })
+    commit(md.copy(tableStats = Some(stats)))
+    stats
+  }
+
   /** `ALTER COLUMN ... SET DEFAULT v` / `DROP DEFAULT`: change (or
     * clear) a top-level column's mutable WRITE default — the value
     * future writers get when they omit the column. The initial

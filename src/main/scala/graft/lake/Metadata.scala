@@ -116,6 +116,18 @@ case class DeleteSet(paths: Seq[String], rows: Long,
 case class EqDeleteMeta(paths: Seq[String], fieldIds: Seq[Int], seq: Long)
 case class SchemaVersion(id: Int, schema: StructType)
 
+/** Table-level column statistics (Iceberg's statistics-file concept,
+  * inlined — the payload is O(columns)): per top-level column the
+  * distinct-value count and null count as of `snapshotId`, computed by
+  * `LakeTable.analyze`. `exact` records whether ndv came from a full
+  * COUNT(DISTINCT) or an HLL estimate. Served to Spark's cost-based
+  * optimizer through the DSv2 scan's `columnStats`, so join planning
+  * over two lake tables sees real cardinalities, not guesses.
+  */
+case class ColumnStatsMeta(fieldId: Int, ndv: Long, nullCount: Long)
+case class TableStatsMeta(snapshotId: Long, rowCount: Long,
+    exact: Boolean, cols: Seq[ColumnStatsMeta])
+
 /** A snapshot's data-file list stored OUT-OF-LINE in an immutable
   * manifest JSON under `metadata/` — the second tier of the Iceberg
   * metadata tree (manifest-list → manifest → data files;
@@ -369,6 +381,7 @@ case class TableMetadata(
     refs: Map[String, RefMeta] = Map.empty,
     staged: Seq[SnapshotMeta] = Seq.empty,
     identifierFieldIds: Seq[Int] = Seq.empty,
+    tableStats: Option[TableStatsMeta] = None,
     /** Next unassigned row-lineage id (Iceberg v3 `next-row-id`):
       * every commit stamps its new inline data files with sequential
       * `firstRowId` ranges from here and advances it by their row
@@ -657,6 +670,14 @@ object MetadataIO {
     })) ++
     (if (md.nextRowId == 0L) Map.empty[String, JValue]
      else Map("next-row-id" -> JNumber(md.nextRowId))) ++
+    md.tableStats.map(ts => "table-stats" -> (JObject(Map(
+      "snapshot-id" -> JNumber(ts.snapshotId),
+      "row-count" -> JNumber(ts.rowCount),
+      "exact" -> JBool(ts.exact),
+      "columns" -> JArray(ts.cols.map(c => JObject(Map(
+        "field-id" -> JNumber(c.fieldId),
+        "ndv" -> JNumber(c.ndv),
+        "null-count" -> JNumber(c.nullCount))))))): JValue)).toMap ++
     (if (md.identifierFieldIds.isEmpty) Map.empty[String, JValue]
      else Map("identifier-field-ids" ->
        JArray(md.identifierFieldIds.map(JNumber(_))))) ++
@@ -704,6 +725,16 @@ object MetadataIO {
         .map(_.asObj.map { case (k, v) => k -> v.asStr })
         .getOrElse(Map.empty),
       nextRowId = m.get("next-row-id").map(_.asLong).getOrElse(0L),
+      tableStats = m.get("table-stats").map { tv =>
+        val tm = tv.asObj
+        TableStatsMeta(tm("snapshot-id").asLong, tm("row-count").asLong,
+          tm.get("exact").exists(_.asBool),
+          tm("columns").asArr.map { cv =>
+            val cm = cv.asObj
+            ColumnStatsMeta(cm("field-id").asInt, cm("ndv").asLong,
+              cm("null-count").asLong)
+          })
+      },
       refs = m.get("refs").map(_.asObj.map { case (n, rv) =>
         val rm = rv.asObj
         n -> RefMeta(rm("snapshot-id").asLong,

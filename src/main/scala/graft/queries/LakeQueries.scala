@@ -944,6 +944,33 @@ object RowOpsQueries extends QueryModule {
         .orderBy("o_orderstatus", "o_orderpriority")
     }),
 
+    "lake_analyze" -> QueryModule.micro(4)((s, dir) => {
+      // ANALYZE TABLE (Iceberg's statistics-file concept): one scan
+      // computes per-column ndv + null counts, committed into table
+      // metadata with snapshot provenance; the DSv2 scan serves them
+      // to Spark's CBO (columnStats), and the `.stats` metadata
+      // relation exposes them to SQL — which is the oracle-gated
+      // result here, exact mode vs DuckDB's exact COUNT(DISTINCT).
+      val wh = scratch("analyze")
+      Engine.processTableDefJson(wh,
+        """{"database_name":"rowops","table_name":"customer_an","columns":[
+          |{"column_name":"c_custkey","data_type":"long"},
+          |{"column_name":"c_name","data_type":"string"},
+          |{"column_name":"c_mktsegment","data_type":"string"},
+          |{"column_name":"c_nationkey","data_type":"long"}],
+          |"partitions":[]}""".stripMargin)
+      val t = LakeTable.load(wh, "rowops", "customer_an")
+      t.append(Tables(s, dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", "c_nationkey"))
+      s.conf.set("spark.sql.catalog.gan", "graft.sources.LakeCatalog")
+      s.conf.set("spark.sql.catalog.gan.warehouse", wh)
+      s.sql("CALL gan.system.analyze(db => 'rowops', " +
+        "`table` => 'customer_an', mode => 'exact')")
+      s.sql("""SELECT column_name, ndv, null_count
+              |FROM gan.rowops.customer_an.stats
+              |ORDER BY column_name""".stripMargin)
+    }),
+
     "lake_row_lineage" -> QueryModule.micro(4)((s, dir) => {
       // Iceberg-v3 row lineage: stable _row_id assigned at commit and
       // PRESERVED across a copy-on-write update and a full compaction
@@ -1820,6 +1847,22 @@ object RowOpsQueries extends QueryModule {
         |WHERE NOT (o_orderstatus = 'F' AND o_totalprice > 150000.0)
         |  AND NOT (o_totalprice > 300000.0)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "lake_analyze" ->
+      """SELECT column_name, ndv, null_count FROM (
+        |  SELECT 'c_custkey' AS column_name,
+        |    count(DISTINCT c_custkey) AS ndv,
+        |    count(*) - count(c_custkey) AS null_count FROM customer
+        |  UNION ALL
+        |  SELECT 'c_name', count(DISTINCT c_name),
+        |    count(*) - count(c_name) FROM customer
+        |  UNION ALL
+        |  SELECT 'c_mktsegment', count(DISTINCT c_mktsegment),
+        |    count(*) - count(c_mktsegment) FROM customer
+        |  UNION ALL
+        |  SELECT 'c_nationkey', count(DISTINCT c_nationkey),
+        |    count(*) - count(c_nationkey) FROM customer
+        |) ORDER BY column_name""".stripMargin,
 
     "lake_row_lineage" ->
       """SELECT c_mktsegment, count(*) AS n_cust,

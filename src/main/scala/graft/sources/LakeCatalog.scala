@@ -389,7 +389,8 @@ private[sources] object MetaTables {
   import org.apache.spark.sql.types._
 
   val names: Set[String] =
-    Set("snapshots", "files", "refs", "history", "partitions", "manifests")
+    Set("snapshots", "files", "refs", "history", "partitions",
+      "manifests", "stats")
 
   private val snapshotsSchema = StructType(Seq(
     StructField("snapshot_id", LongType, nullable = false),
@@ -429,6 +430,15 @@ private[sources] object MetaTables {
     StructField("n_bytes", LongType, nullable = false),
     StructField("partition_summary", StringType, nullable = false)))
 
+  private val statsSchema = StructType(Seq(
+    StructField("column_name", StringType, nullable = false),
+    StructField("field_id", IntegerType, nullable = false),
+    StructField("ndv", LongType, nullable = false),
+    StructField("null_count", LongType, nullable = false),
+    StructField("as_of_snapshot", LongType, nullable = false),
+    StructField("row_count", LongType, nullable = false),
+    StructField("mode", StringType, nullable = false)))
+
   private val filesSchema = StructType(Seq(
     StructField("snapshot_id", LongType, nullable = false),
     StructField("path", StringType, nullable = false),
@@ -439,6 +449,18 @@ private[sources] object MetaTables {
     StructField("partition", StringType, nullable = false)))
 
   def table(fullName: String, kind: String, t: LakeTable): Table = kind match {
+    case "stats" => new MetaTable(fullName, statsSchema,
+      // ANALYZE-computed column statistics with snapshot provenance
+      // (empty until CALL system.analyze runs); field ids resolve to
+      // CURRENT names — a column dropped since the analyze is omitted
+      t.metadata.tableStats.toSeq.flatMap { ts =>
+        val byId = t.currentSchema.fields
+          .filter(graft.schema.FieldIds.hasId)
+          .map(f => graft.schema.FieldIds.idOf(f) -> f.name).toMap
+        ts.cols.flatMap(c => byId.get(c.fieldId).map(n =>
+          Seq[Any](n, c.fieldId, c.ndv, c.nullCount, ts.snapshotId,
+            ts.rowCount, if (ts.exact) "exact" else "approx")))
+      })
     case "refs" => new MetaTable(fullName, refsSchema,
       t.metadata.refs.toSeq.sortBy(_._1).map { case (n, r) =>
         Seq[Any](n, r.kind, r.snapshotId,
@@ -724,7 +746,7 @@ private[sources] object LakeProcedures {
       "rewrite_manifests", "fast_forward",
       "add_partition_field", "drop_partition_field",
       "branch_delete", "branch_upsert", "branch_delete_cow",
-      "branch_update_cow", "create_changelog_view")
+      "branch_update_cow", "create_changelog_view", "analyze")
 
   private def param(n: String, dt: DataType) =
     ProcedureParameter.in(n, dt).build()
@@ -751,6 +773,11 @@ private[sources] object LakeProcedures {
             case "compact" | "rewrite_manifests" |
                  "rewrite_position_delete_files" => Array(
               param("db", StringType), param("table", StringType))
+            // mode: '' / 'approx' = HLL ndv (the 100 TB default),
+            // 'exact' = full COUNT(DISTINCT)
+            case "analyze" => Array(
+              param("db", StringType), param("table", StringType),
+              param("mode", StringType))
             // Iceberg's rewrite_data_files(where => ..., options =>
             // min-file-size), scalar-arg form: `where_field` names a
             // partition field ('' = whole table), `where_values` its
@@ -894,6 +921,17 @@ private[sources] object LakeProcedures {
                 (StructType(Seq(
                   StructField("orphans_removed", IntegerType, nullable = false))),
                   Seq[Any](removed.size))
+              case "analyze" =>
+                val mode = if (input.isNullAt(2)) "" else strArg(2)
+                require(mode.isEmpty || mode == "approx" || mode == "exact",
+                  s"analyze mode must be ''|approx|exact, got '$mode'")
+                val ts = t.analyze(org.apache.spark.sql.SparkSession.active,
+                  exact = mode == "exact")
+                (StructType(Seq(
+                  StructField("snapshot_id", LongType, nullable = false),
+                  StructField("row_count", LongType, nullable = false),
+                  StructField("n_columns", IntegerType, nullable = false))),
+                  Seq[Any](ts.snapshotId, ts.rowCount, ts.cols.size))
               case "compact" =>
                 val snap = t.compact(org.apache.spark.sql.SparkSession.active)
                 (StructType(Seq(

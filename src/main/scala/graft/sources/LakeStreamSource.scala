@@ -802,6 +802,34 @@ private[sources] class LakeScan(wh: String, db: String, tbl: String,
         if (files.forall(_.rows >= 0))
           java.util.OptionalLong.of(files.map(_.rows).sum - deletedRows)
         else java.util.OptionalLong.empty()
+      // ANALYZE-computed ndv/null counts (LakeTable.analyze), resolved
+      // by FIELD ID against the read schema so renames can't misbind —
+      // this is what the cost-based optimizer joins plans on
+      override def columnStats(): java.util.Map[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+        val out = new java.util.HashMap[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+        planned._1.metadata.tableStats.foreach { ts =>
+          val byId = ts.cols.map(c => c.fieldId -> c).toMap
+          target.fields.foreach { tf =>
+            if (FieldIds.hasId(tf)) byId.get(FieldIds.idOf(tf)).foreach {
+              cs => out.put(
+                org.apache.spark.sql.connector.expressions.Expressions
+                  .column(tf.name),
+                new org.apache.spark.sql.connector.read.colstats
+                    .ColumnStatistics {
+                  override def distinctCount(): java.util.OptionalLong =
+                    java.util.OptionalLong.of(cs.ndv)
+                  override def nullCount(): java.util.OptionalLong =
+                    java.util.OptionalLong.of(cs.nullCount)
+                })
+            }
+          }
+        }
+        out
+      }
     }
 
   override def readSchema(): StructType =
