@@ -215,6 +215,41 @@ object Pipeline extends QueryModule {
         .orderBy("a_id", "b_id")
     }),
 
+    "q_dedup_semantic" -> ((s, dir) => {
+      graft.functions.VectorFunctions.register(s)
+      // SemDeDup (semantic dedup over an embedding space): a coarse
+      // quantizer assigns each vector to a cluster (the precomputed
+      // label column stands in for the nearest-centroid id, as in
+      // q_sim_topk_ivf), then WITHIN each cluster a vector is a
+      // semantic duplicate iff some lower-id member lies within the
+      // cosine threshold — min-id is the deterministic stand-in for
+      // the paper's keep-one-representative rule. Pairwise work is
+      // bounded per cluster (the clustering is the scale lever: k
+      // grows with the corpus so cluster sizes stay fixed); the
+      // decimal dot product keeps the cosine bit-exact for the
+      // oracle. Output: per-cluster totals, duplicates, and kept.
+      val v = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"), col("embedding"),
+          normSqDec(col("embedding")).cast("double").as("nsq"))
+      val a = v.select(col("label"), col("vec_id").as("a_id"),
+        col("embedding").as("a_emb"), col("nsq").as("a_nsq"))
+      val b = v.select(col("label"), col("vec_id").as("b_id"),
+        col("embedding").as("b_emb"), col("nsq").as("b_nsq"))
+      val dups = a.join(b, Seq("label"))
+        .filter(col("b_id") < col("a_id"))
+        .withColumn("cos",
+          dotDec(col("a_emb"), col("b_emb")).cast("double") /
+            (sqrt(col("a_nsq")) * sqrt(col("b_nsq"))))
+        .filter(col("cos") >= 0.5)
+        .select(col("label"), col("a_id")).distinct()
+      v.groupBy("label").agg(count(lit(1)).as("n_vectors"))
+        .join(dups.groupBy("label").agg(count(lit(1)).as("n_dups")),
+          Seq("label"), "left")
+        .na.fill(0L, Seq("n_dups"))
+        .withColumn("n_kept", col("n_vectors") - col("n_dups"))
+        .orderBy("label")
+    }),
+
     "q_sim_topk" -> ((s, dir) => {
       graft.functions.VectorFunctions.register(s)
       // Brute-force cosine top-k: probe broadcast to every partition,
@@ -468,6 +503,25 @@ object Pipeline extends QueryModule {
         |    s -> CAST(CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE) AS DECIMAL(28,12)))) AS DOUBLE)
         |    / (sqrt(a.nsq) * sqrt(b.nsq)) >= 0.35
         |ORDER BY a_id, b_id""".stripMargin,
+
+    "q_dedup_semantic" ->
+      """WITH v AS (
+        |  SELECT vec_id, label, embedding,
+        |    CAST(list_sum(list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12)))) AS DOUBLE) AS nsq
+        |  FROM embeddings),
+        |dup AS (
+        |  SELECT DISTINCT a.label AS label, a.vec_id AS did
+        |  FROM v a JOIN v b ON a.label = b.label AND b.vec_id < a.vec_id
+        |  WHERE CAST(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |    s -> CAST(CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE) AS DECIMAL(28,12)))) AS DOUBLE)
+        |    / (sqrt(a.nsq) * sqrt(b.nsq)) >= 0.5)
+        |SELECT t.label, t.n_vectors,
+        |  COALESCE(d.n_dups, 0) AS n_dups,
+        |  t.n_vectors - COALESCE(d.n_dups, 0) AS n_kept
+        |FROM (SELECT label, count(*) AS n_vectors FROM v GROUP BY label) t
+        |LEFT JOIN (SELECT label, count(*) AS n_dups FROM dup GROUP BY label) d
+        |  USING (label)
+        |ORDER BY label""".stripMargin,
 
     "q_sim_topk" ->
       """WITH v AS (
