@@ -139,6 +139,19 @@ class RowLineageSpec extends AnyFunSuite {
       "SQL-surface lineage must match the Spark-native read")
   }
 
+  test("lineage read plan: per-file constants resolve in the scan stage, no join") {
+    val (_, t) = mkTable("plan")
+    t.append(df((1L to 6L).map(i => (i, s"v$i"))))
+    val p = t.readLineage(spark).queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("fileconst("),
+      "the per-file constant lookup must be in the plan:\n" + p)
+    assert(!p.contains("Join"),
+      "lineage must not join a file-constant table:\n" + p)
+    assert(p.contains("[codegen id"),
+      "the lookup must not break whole-stage codegen:\n" + p)
+  }
+
   test("zero-copy clone carries the id counter: no collisions after cloning") {
     val (wh, t) = mkTable("clone", v3 = false)
     t.append(df((1L to 5L).map(i => (i, s"v$i"))))
