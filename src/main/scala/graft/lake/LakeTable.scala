@@ -2263,6 +2263,14 @@ class LakeTable private (val location: Path, private var md: TableMetadata,
     * that last wrote the row. Rows written before lineage existed
     * (unstamped files) read a null `_row_id` until a rewrite
     * materializes them. Same snapshot/delete semantics as [[read]].
+    *
+    * Scale note: this Spark-native path ships one (path → firstRowId)
+    * entry per scanned file inside the plan's lookup expression —
+    * O(files) plan bytes, fine for tooling-scale reads. For a
+    * full-table lineage scan at cluster scale prefer the DSv2
+    * connector's `_graft_row_id`/`_graft_last_updated` metadata
+    * columns, where each input partition carries ONLY its own file's
+    * constants (O(1) per task, like Iceberg's per-split first_row_id).
     */
   def readLineage(spark: SparkSession,
       asOfSnapshot: Option[Long] = None): DataFrame = {

@@ -804,13 +804,16 @@ private[sources] class LakeScan(wh: String, db: String, tbl: String,
         else java.util.OptionalLong.empty()
       // ANALYZE-computed ndv/null counts (LakeTable.analyze), resolved
       // by FIELD ID against the read schema so renames can't misbind —
-      // this is what the cost-based optimizer joins plans on
+      // this is what the cost-based optimizer joins plans on. Pinned
+      // (VERSION/TIMESTAMP AS OF, branch) scans serve none: the stats
+      // describe the CURRENT snapshot, not the pinned state.
       override def columnStats(): java.util.Map[
           org.apache.spark.sql.connector.expressions.NamedReference,
           org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
         val out = new java.util.HashMap[
           org.apache.spark.sql.connector.expressions.NamedReference,
           org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+        if (asOfSnapshot.isDefined || branchName.isDefined) return out
         planned._1.metadata.tableStats.foreach { ts =>
           val byId = ts.cols.map(c => c.fieldId -> c).toMap
           target.fields.foreach { tf =>
