@@ -124,22 +124,35 @@ object DeletionVectors {
 
   /** Process-wide cache of deserialized vectors, keyed by
     * (container path, offset). Containers are immutable once written
-    * (CREATE_NEW) so entries never invalidate; bounded by evicting
-    * wholesale past a size cap — vectors are per-data-file and a scan
-    * re-loads cheaply. Executors on a real cluster read the container
-    * from shared storage exactly like a parquet footer.
+    * (CREATE_NEW) so entries never invalidate; bounded as an
+    * access-ordered LRU — past the cap only the coldest entry falls
+    * out, so a scan cycling through more files than the cap degrades
+    * to re-reads of its own working set instead of wiping every
+    * other scan's entries wholesale. Executors on a real cluster read
+    * the container from shared storage exactly like a parquet footer.
+    * The map-level lock is off the row path: [[graft.functions.DvLookup]]
+    * holds a per-thread last-file slot, so this is hit once per file
+    * change per task, not per row.
     */
   private val cacheCap = 4096
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long), Roaring64Bitmap]()
+  private val cache: java.util.Map[(String, Long), Roaring64Bitmap] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(String, Long), Roaring64Bitmap](
+          64, 0.75f, /* accessOrder = */ true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, Long), Roaring64Bitmap]): Boolean =
+          size() > cacheCap
+      })
 
   def cached(dvPath: String, offset: Long, length: Long): Roaring64Bitmap = {
     val key = (dvPath, offset)
     val hit = cache.get(key)
     if (hit != null) return hit
+    // two racing threads may both read the blob; both get the same
+    // immutable content, last put wins — cheaper than holding the map
+    // lock across file IO
     val bm = readBlob(dvPath, offset, length)
-    if (cache.size() >= cacheCap) cache.clear()
-    cache.putIfAbsent(key, bm)
+    cache.put(key, bm)
     bm
   }
 }

@@ -90,6 +90,36 @@ object Pipeline extends QueryModule {
       .toDF("doc_id", "sh")
   }
 
+  /** SemDeDup's quadratic budget: within-cluster pair count any single
+    * cluster may contribute before the query REFUSES. The algorithm's
+    * scale contract is that k grows with the corpus so cluster sizes
+    * stay fixed — a degenerate quantizer (everything in one cell) must
+    * fail loudly here instead of silently going O(n²) on the join.
+    */
+  private[graft] val SemDedupMaxPairsPerCluster = 2000000L
+
+  /** Enforce the budget: one count-per-label aggregate (shuffle is
+    * O(k) counts, never vectors), then a driver-side check of the
+    * worst cluster — the same loud-refusal shape as the LSH bucket
+    * cap, except SemDeDup's oracle semantics forbid silently dropping
+    * the hot cluster, so refusal is the only sound degradation.
+    */
+  private[graft] def requireBoundedClusters(v: DataFrame, labelCol: String,
+      maxPairs: Long = SemDedupMaxPairsPerCluster): Unit = {
+    val worst = v.groupBy(col(s"`$labelCol`"))
+      .agg(count(lit(1)).as("n"))
+      .agg(max((col("n") * (col("n") - 1) / 2).cast("long")).as("pairs"),
+        max(col("n")).as("n"))
+      .collect()(0)
+    if (!worst.isNullAt(0) && worst.getLong(0) > maxPairs)
+      throw new IllegalStateException(
+        "q_dedup_semantic: degenerate coarse quantizer — a cluster of " +
+          s"${worst.getLong(1)} vectors implies ${worst.getLong(0)} " +
+          s"within-cluster pairs (budget $maxPairs); re-cluster with " +
+          "more centroids (k must scale with the corpus) instead of " +
+          "running the quadratic join")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> ((s, dir) => {
       // Hash-groupBy dedup: shuffle the 32-byte sha2 digest, not the
@@ -124,8 +154,10 @@ object Pipeline extends QueryModule {
       // repeat to the first-occurrence doc — later docs report the
       // repeated footage as removable. Shuffle-bounded suffix-array
       // surrogate: positional K-gram anchors (one shuffle keyed by the
-      // gram — at 100 TB the key is its xxhash64 digest, carrying 8
-      // bytes instead of text) + LOCAL extension (overlapping or
+      // gram's xxhash64 digest — 8 bytes on the wire instead of ~50
+      // of text; a 64-bit collision can only ADD a false anchor,
+      // never drop a real one, and the per-doc span merge absorbs
+      // it) + LOCAL extension (overlapping or
       // contiguous anchor windows merge into maximal spans inside one
       // per-doc window over dup anchors only — no cross-doc join of
       // span candidates, no all-pairs anything). Within-doc repeats
@@ -141,8 +173,9 @@ object Pipeline extends QueryModule {
         else (0 to toks.length - K).iterator.map(i =>
           (id, i, toks.slice(i, i + K).mkString(" ")))
       }.toDF("doc_id", "pos", "g")
-      val firstDoc = sh.groupBy("g").agg(min("doc_id").as("min_doc"))
-      val dup = sh.join(firstDoc, "g")
+        .select(col("doc_id"), col("pos"), xxhash64(col("g")).as("gh"))
+      val firstDoc = sh.groupBy("gh").agg(min("doc_id").as("min_doc"))
+      val dup = sh.join(firstDoc, "gh")
         .filter(col("min_doc") < col("doc_id"))
         .select("doc_id", "pos")
       import org.apache.spark.sql.expressions.Window
@@ -231,6 +264,7 @@ object Pipeline extends QueryModule {
       val v = Tables(s, dir, "embeddings")
         .select(col("vec_id"), col("label"), col("embedding"),
           normSqDec(col("embedding")).cast("double").as("nsq"))
+      requireBoundedClusters(v, "label")
       val a = v.select(col("label"), col("vec_id").as("a_id"),
         col("embedding").as("a_emb"), col("nsq").as("a_nsq"))
       val b = v.select(col("label"), col("vec_id").as("b_id"),

@@ -157,6 +157,16 @@ private[sources] class LakeDeltaBatchWrite(wh: String, db: String,
         .toString)
   }
 
+  // captured while the driver session that planned the write is still
+  // active: commit() may run on a thread with NO active session, and a
+  // v3 delta commit needs one to vectorize its position deletes — a
+  // lazy getActiveSession there would fail AFTER the delta parquet was
+  // already written
+  private val builtSession
+      : Option[org.apache.spark.sql.SparkSession] =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+
   override def createBatchWriterFactory(pInfo: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.DeltaWriterFactory =
     new LakeDeltaWriterFactory(stage, rowSchema, partPlan)
@@ -169,7 +179,8 @@ private[sources] class LakeDeltaBatchWrite(wh: String, db: String,
       deleteCounts = parts.flatMap(_.deleteCounts.toSeq)
         .groupMapReduce(_._1)(_._2)(_ + _),
       writtenSchemaId = writtenSchemaId, writtenSpecId = writtenSpecId,
-      spark = org.apache.spark.sql.SparkSession.getActiveSession)
+      spark = org.apache.spark.sql.SparkSession.getActiveSession
+        .orElse(builtSession))
     ()
   }
 
