@@ -98,31 +98,55 @@ class LakeTable private (val location: Path, private var md: TableMetadata,
     }
 
   /** Stamp sequential row-lineage id ranges (Iceberg v3 `next-row-id`
-    * assignment) onto `next`'s INLINE data files that have none yet:
-    * each takes the running counter and advances it by its row count,
-    * so `_row_id = firstRowId + row_position` is unique table-wide.
+    * assignment) onto the data files of snapshots NEWLY ADDED by this
+    * commit: each freshly-written file takes the running counter and
+    * advances it by its row count, so `_row_id = firstRowId +
+    * row_position` is unique table-wide.
+    *
+    * Scope rules (each one an identity invariant):
+    *   - v1/v2 tables don't stamp at all — row lineage is a v3
+    *     feature, and ids handed out pre-upgrade would flip when the
+    *     upgrade re-baselines `next-row-id`. Checked against `next`,
+    *     not `md`, so the upgrade commit itself starts assigning.
+    *   - Only snapshots whose id is new relative to the loaded
+    *     metadata stamp; pre-existing snapshots (v1/v2 history, or a
+    *     pre-lineage table's inline lists) must keep reading exactly
+    *     what time-travel always showed.
+    *   - Within a new snapshot, only freshly-written files (no
+    *     explicit data sequence) stamp. Carried copies — expire
+    *     squashes, rewrite_manifests, publish — keep their original
+    *     `firstRowId`, INCLUDING its absence: stamping an unstamped
+    *     carried copy would make the same physical row expose -1 via
+    *     one snapshot and a real id via another.
+    *   - Files with an unknown row count (-1 footer sentinel) stay
+    *     unstamped: an open range would collide with the next
+    *     assignment.
     * Manifest-backed (carried-by-reference) lists stay untouched —
-    * their files were stamped when first committed. Files with an
-    * unknown row count (-1 footer sentinel) stay unstamped: an open
-    * range would collide with the next assignment.
+    * their files were stamped when first committed.
     */
   private def assignRowIds(next: TableMetadata): TableMetadata = {
+    val v3 = next.formatVersion >= 3 || next.properties
+      .get("format-version").exists(_.trim.toIntOption.exists(_ >= 3))
+    if (!v3) return next
+    val known = (md.snapshots ++ md.staged).map(_.id).toSet
     var counter = next.nextRowId
     var changed = false
-    def stampSnap(s: SnapshotMeta): SnapshotMeta = s.files match {
-      case _: ManifestFiles | _: ManifestSet => s
-      case fs =>
-        val stampedFiles = fs.map { f =>
-          if (f.firstRowId >= 0 || f.rows < 0) f
-          else {
-            val base = counter
-            counter += f.rows
-            changed = true
-            f.copy(firstRowId = base)
+    def stampSnap(s: SnapshotMeta): SnapshotMeta =
+      if (known(s.id)) s
+      else s.files match {
+        case _: ManifestFiles | _: ManifestSet => s
+        case fs =>
+          val stampedFiles = fs.map { f =>
+            if (f.firstRowId >= 0 || f.rows < 0 || f.seq >= 0) f
+            else {
+              val base = counter
+              counter += f.rows
+              changed = true
+              f.copy(firstRowId = base)
+            }
           }
-        }
-        if (stampedFiles == fs) s else s.copy(files = stampedFiles)
-    }
+          if (stampedFiles == fs) s else s.copy(files = stampedFiles)
+      }
     val snaps = next.snapshots.map(stampSnap)
     val staged = next.staged.map(stampSnap)
     if (!changed) next
@@ -2973,15 +2997,26 @@ class LakeTable private (val location: Path, private var md: TableMetadata,
     if (candidates.isEmpty) return None
     // one materialization feeds both the delete positions and the
     // updated copies (localCheckpoint: reclaimed when the df drops)
-    val matched = liveRowsWithPos(spark, candidates)
+    val matched = liveRowsWithPos(spark, candidates,
+      lineage = writesVectors)
       .filter(coalesce(predicate, lit(false))).localCheckpoint()
+    // a v3 updated copy is the SAME row: it materializes the matched
+    // row's id and nulls its last-updated so inheritance re-stamps the
+    // new file's sequence — identical semantics to the CoW update path
+    val lineageSel: Seq[Column] =
+      if (!writesVectors) Seq.empty
+      else Seq(col("_row_id").as("_graft_row_id"),
+        lit(null).cast(LongType).as("_graft_last_updated"))
     val updated = matched.select(md.currentSchema.fieldNames.toSeq.map { n =>
       assignments.get(n) match {
         case Some(value) => value.as(n)
         case None => col(s"`$n`")
       }
-    }: _*)
-    commitMoR(spark, matched, appended = Some(Align(updated, md.currentSchema)))
+    } ++ lineageSel: _*)
+    commitMoR(spark, matched,
+      appended = Some(Align.keeping(updated, md.currentSchema,
+        LakeTable.matLineageCols)),
+      lineage = writesVectors)
   }
 
   /** MERGE with merge-on-read semantics: matched target rows become
@@ -3015,22 +3050,33 @@ class LakeTable private (val location: Path, private var md: TableMetadata,
       s"merge source has multiple rows for key ${dupKey.headOption}")
 
     val candidates = LakeTable.liveFiles(md.snapshots)
+    // v3 lineage carries only through UPDATE copies — they ARE the
+    // matched rows; deletes retire ids and inserts take fresh ones
+    val carryIds = writesVectors && onMatch == "update"
     val matched =
       if (candidates.isEmpty || onMatch == "keep") None
-      else Some(liveRowsWithPos(spark, candidates)
+      else Some(liveRowsWithPos(spark, candidates, lineage = carryIds)
         .join(srcKeyed, keys, "inner").localCheckpoint())
-    val updatedCopies = matched.filter(_ => onMatch == "update").map(m =>
-      Align(m.select(schema.fieldNames.toSeq.map { n =>
+    val updatedCopies = matched.filter(_ => onMatch == "update").map { m =>
+      val lineageSel: Seq[Column] =
+        if (!carryIds) Seq.empty
+        else Seq(col("_row_id").as("_graft_row_id"),
+          lit(null).cast(LongType).as("_graft_last_updated"))
+      Align.keeping(m.select(schema.fieldNames.toSeq.map { n =>
         if (setCols.contains(n)) col(s"`_src_$n`").as(n) else col(s"`$n`")
-      }: _*), schema))
+      } ++ lineageSel: _*), schema, LakeTable.matLineageCols)
+    }
     val inserts = if (!insertUnmatched) None else {
       val targetKeys = read(spark).select(keys.map(k => col(s"`$k`")): _*)
       Some(Align(source.join(targetKeys, keys, "left_anti"), schema))
     }
+    // allowMissingColumns: inserted rows carry no materialized lineage
+    // — their null cells inherit fresh ids from the file's stamped
+    // range, v3's mixed-file inheritance rule
     val appended = (updatedCopies.toSeq ++ inserts.toSeq)
-      .reduceOption(_.unionByName(_))
+      .reduceOption(_.unionByName(_, allowMissingColumns = true))
     matched match {
-      case Some(m) => commitMoR(spark, m, appended)
+      case Some(m) => commitMoR(spark, m, appended, lineage = carryIds)
       // insert-only merge: the frame is an anti-join against the
       // TARGET's keys — stale after a concurrent commit, so the
       // conflict must surface, never retry (a retry could re-insert a
@@ -3043,20 +3089,43 @@ class LakeTable private (val location: Path, private var md: TableMetadata,
   /** Live rows of `candidates` under the current schema, tagged with
     * (file URI, row position), existing merge-on-read deletes already
     * excluded — the shared front half of every MoR row-level op.
+    * With `lineage` (v3 update paths), each row additionally carries
+    * its `_row_id` (materialized column when the file has one, else
+    * `firstRowId + position` — the same inheritance rule as
+    * [[readFiles]]) so an updated copy can preserve the row's
+    * identity through the delete+insert.
     */
   private def liveRowsWithPos(spark: SparkSession,
-      candidates: Seq[DataFileMeta]): DataFrame = {
+      candidates: Seq[DataFileMeta], lineage: Boolean = false): DataFrame = {
     val existing = LakeTable.liveDeletes(md.snapshots)
-    val tagged = candidates.groupBy(_.schemaId).map { case (schemaId, group) =>
+    val tagged = candidates
+      .groupBy(f => (f.schemaId, lineage && f.lineageCols))
+      .map { case ((schemaId, withMat), group) =>
       val fileSchema = md.schemaById(schemaId)
-      spark.read
-        .schema(Reconcile.clean(fileSchema).asInstanceOf[StructType])
+      val cleanSchema = Reconcile.clean(fileSchema).asInstanceOf[StructType]
+      val base = spark.read
+        .schema(if (withMat) StructType(cleanSchema.fields ++ Seq(
+            StructField("_graft_row_id", LongType),
+            StructField("_graft_last_updated", LongType)))
+          else cleanSchema)
         .parquet(group.map(_.path): _*)
         .withColumn("_graft_dfile",
           LakeTable.normalizeUdf(col("_metadata.file_path")))
         .withColumn("_graft_dpos", col("_metadata.row_index"))
-        .select(Reconcile.projection(fileSchema, md.currentSchema) ++
-          Seq(col("_graft_dfile"), col("_graft_dpos")): _*)
+      val lineageCols: Seq[Column] = if (!lineage) Seq.empty else {
+        val firstRefs = group.collect {
+          case f if f.firstRowId >= 0 =>
+            LakeTable.normalizePath(f.path) -> f.firstRowId
+        }.toMap
+        val computedId = LakeTable.fileConstCol(spark,
+          col("_metadata.file_path"), firstRefs) +
+          col("_metadata.row_index")
+        if (withMat)
+          Seq(coalesce(col("_graft_row_id"), computedId).as("_row_id"))
+        else Seq(computedId.as("_row_id"))
+      }
+      base.select(Reconcile.projection(fileSchema, md.currentSchema) ++
+        Seq(col("_graft_dfile"), col("_graft_dpos")) ++ lineageCols: _*)
     }.reduce(_.unionByName(_))
     val existingSets = candidates
       .flatMap(f => existing.get(LakeTable.normalizePath(f.path)))
@@ -3093,9 +3162,10 @@ class LakeTable private (val location: Path, private var md: TableMetadata,
       .exists(_.trim.toIntOption.exists(_ >= 3))
 
   private def commitMoR(spark: SparkSession, matched: DataFrame,
-      appended: Option[DataFrame]): Option[SnapshotMeta] = {
+      appended: Option[DataFrame],
+      lineage: Boolean = false): Option[SnapshotMeta] = {
     if (writesVectors)
-      return commitMoRVector(spark, matched, appended)
+      return commitMoRVector(spark, matched, appended, lineage)
     val snapshotId = md.snapshots.map(_.id).foldLeft(0L)(math.max) + 1
     val delDir = dataDir.resolve(
       s"deletes-$snapshotId-${java.util.UUID.randomUUID().toString.take(8)}")
@@ -3207,7 +3277,8 @@ class LakeTable private (val location: Path, private var md: TableMetadata,
     * amplification v3 removed.
     */
   private def commitMoRVector(spark: SparkSession, matched: DataFrame,
-      appended: Option[DataFrame]): Option[SnapshotMeta] = {
+      appended: Option[DataFrame],
+      lineage: Boolean = false): Option[SnapshotMeta] = {
     val snapshotId = md.snapshots.map(_.id).foldLeft(0L)(math.max) + 1
     val pairs = matched.select(col("_graft_dfile").as("file_path"),
       col("_graft_dpos").as("pos"))
@@ -3219,7 +3290,12 @@ class LakeTable private (val location: Path, private var md: TableMetadata,
           case Some(df) =>
             val outDir = dataDir.resolve(s"snap-$snapshotId-" +
               java.util.UUID.randomUUID().toString.take(8))
-            writeDataFiles(df.drop("_graft_dfile", "_graft_dpos"), outDir)
+            val fs = writeDataFiles(
+              df.drop("_graft_dfile", "_graft_dpos"), outDir)
+            // updated copies physically wrote _graft_row_id /
+            // _graft_last_updated — flag them so lineage reads consume
+            // the materialized ids instead of minting fresh ones
+            if (lineage) fs.map(_.copy(lineageCols = true)) else fs
         }
         val snap = SnapshotMeta(snapshotId, newFiles, md.currentSchemaId,
           operation = "delete", deleteCounts = counts,

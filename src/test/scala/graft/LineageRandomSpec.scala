@@ -8,7 +8,8 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.lake.{Engine, LakeTable}
 
 /** Randomized model check for row lineage: a seeded chain of append /
-  * CoW update / CoW delete / merge / MoR delete / compaction ops runs
+  * CoW update / CoW delete / merge / MoR delete / MoR update / MoR
+  * merge / compaction ops runs
   * against a v3 table while an in-memory model tracks, per business
   * key, the row's expected identity behavior — an id is CAPTURED the
   * first time the row is observed and must never change for the rest
@@ -70,7 +71,7 @@ class LineageRandomSpec extends AnyFunSuite {
       sync("seed")
 
       for (step <- 1 to 5 + rnd.nextInt(3)) {
-        rnd.nextInt(6) match {
+        rnd.nextInt(8) match {
           case 0 =>
             val base = 1000L * step
             t.append(Seq((base, -1.0), (base + 1, -2.0)).toDF("id", "v"))
@@ -99,6 +100,19 @@ class LineageRandomSpec extends AnyFunSuite {
             if (rnd.nextBoolean()) t.compact(spark)
             else t.compactScoped(spark)
             sync(s"step$step compact")
+          case 6 =>
+            // MoR update: the delete+insert copy must carry the id
+            val cut = rnd.nextInt(100).toDouble
+            t.updateMoR(spark, Map("v" -> (col("v") + 0.25)), col("v") < cut)
+            sync(s"step$step updateMoR v<$cut")
+          case 7 =>
+            // MoR merge: matched keys keep ids, the unmatched insert
+            // is fresh
+            val victim = rnd.nextInt(n).toLong
+            t.mergeMoR(spark,
+              Seq((victim, 7.0), (5000L + step, 8.0)).toDF("id", "v"),
+              Seq("id"))
+            sync(s"step$step mergeMoR id=$victim")
         }
       }
     }

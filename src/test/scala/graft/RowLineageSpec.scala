@@ -110,6 +110,43 @@ class RowLineageSpec extends AnyFunSuite {
     assert(after(10L)._1 > maxBefore, "insert must get a FRESH id")
   }
 
+  test("MoR update: updated copies keep ids and bump last-updated") {
+    val (wh, t) = mkTable("morupd")
+    t.append(df((1L to 6L).map(i => (i, s"v$i"))))
+    val t2 = LakeTable.load(wh, "d", "t")
+    val before = lineage(t2)
+    val snap = t2.updateMoR(spark, Map("v" -> lit("X")), col("id") <= 2L).get
+    val t3 = LakeTable.load(wh, "d", "t")
+    val after = lineage(t3)
+    for (i <- 1L to 6L) {
+      assert(after(i)._1 == before(i)._1,
+        s"row $i changed identity across an MoR update")
+      if (i <= 2L)
+        assert(after(i)._2 == snap.id,
+          s"updated row $i must carry the updating commit's sequence")
+      else
+        assert(after(i)._2 == before(i)._2,
+          s"untouched row $i must keep its last-updated sequence")
+    }
+  }
+
+  test("MoR merge: updates keep ids, inserts fresh, across a compaction") {
+    val (wh, t) = mkTable("mormrg")
+    t.append(df((1L to 4L).map(i => (i, s"v$i"))))
+    // a compaction first, so the matched rows come from a
+    // MATERIALIZED-lineage file (coalesce branch), then merge
+    LakeTable.load(wh, "d", "t").compact(spark)
+    val t2 = LakeTable.load(wh, "d", "t")
+    val before = lineage(t2)
+    val maxBefore = before.values.map(_._1).max
+    t2.mergeMoR(spark, df(Seq((2L, "U2"), (10L, "I10"))), Seq("id"))
+    val t3 = LakeTable.load(wh, "d", "t")
+    val after = lineage(t3)
+    assert((1L to 4L).forall(i => after(i)._1 == before(i)._1),
+      "every pre-existing row must keep its id across an MoR merge")
+    assert(after(10L)._1 > maxBefore, "insert must get a FRESH id")
+  }
+
   test("vectored MoR delete leaves survivors' lineage untouched") {
     val (wh, t) = mkTable("mor")
     t.append(df((1L to 6L).map(i => (i, s"v$i"))))
@@ -153,7 +190,7 @@ class RowLineageSpec extends AnyFunSuite {
   }
 
   test("zero-copy clone carries the id counter: no collisions after cloning") {
-    val (wh, t) = mkTable("clone", v3 = false)
+    val (wh, t) = mkTable("clone")
     t.append(df((1L to 5L).map(i => (i, s"v$i"))))
     LakeTable.snapshotTable(wh, "d", "t", "d", "t2")
     val clone = LakeTable.load(wh, "d", "t2")
@@ -163,5 +200,29 @@ class RowLineageSpec extends AnyFunSuite {
       .map(_.getLong(0)).toSeq
     assert(ids.distinct.size == ids.size,
       "cloned rows and post-clone appends must not share row ids")
+  }
+
+  test("v1/v2 tables assign no ids; the v3 upgrade starts assignment") {
+    val (wh, t) = mkTable("gate", v3 = false)
+    t.append(df((1L to 4L).map(i => (i, s"v$i"))))
+    val pre = LakeTable.load(wh, "d", "t")
+    // lineage is a v3 feature: a pre-v3 commit must not hand out ids
+    // that the upgrade's re-baselined counter would then conflict with
+    assert(pre.metadata.nextRowId == 0L)
+    assert(pre.plannedFiles().forall(_.firstRowId < 0))
+    assert(pre.readLineage(spark).collect().forall(_.isNullAt(2)),
+      "pre-v3 rows must read a null _row_id")
+    pre.updateProperties(Map("format-version" -> "3"))
+    val t3 = LakeTable.load(wh, "d", "t")
+    t3.append(df(Seq((9L, "new"))))
+    val after = LakeTable.load(wh, "d", "t")
+    // pre-upgrade files stay unstamped (same nulls time-travel always
+    // showed); the post-upgrade append takes ids from 0
+    val byId = after.readLineage(spark).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(2)) None
+        else Some(r.getLong(2)))).toMap
+    assert((1L to 4L).forall(byId(_).isEmpty))
+    assert(byId(9L).contains(0L))
+    assert(after.metadata.nextRowId == 1L)
   }
 }
