@@ -1066,27 +1066,46 @@ class LakeTable private (val location: Path, private var md: TableMetadata,
     val affected = affectedFiles(spark, predicate,
       candidatesOverride = Some(candidates))
     if (affected.isEmpty) return None
+    // v3 branch rewrites preserve row lineage exactly like the
+    // main-table CoW verbs: survivors carry their id + last-updated
+    // verbatim, updated rows keep their id and null the last-updated
+    // so inheritance re-stamps the PUBLISH commit's sequence — without
+    // this, a curation pass on a branch would silently re-identify
+    // every row it touched at publish
     val rows = readFiles(spark, affected, md.currentSchema,
-      LakeTable.liveDeletes(visible))
+      LakeTable.liveDeletes(visible), lineage = writesVectors)
     val kept = assignments match {
-      case None => rows.filter(!coalesce(predicate, lit(false)))
+      case None =>
+        val survivors = rows.filter(!coalesce(predicate, lit(false)))
+        if (writesVectors) matLineage(survivors) else survivors
       case Some(as) =>
         val p = coalesce(predicate, lit(false))
+        val lineageSel: Seq[Column] =
+          if (!writesVectors) Seq.empty
+          else Seq(col("_row_id").as("_graft_row_id"),
+            when(p, lit(null).cast(LongType))
+              .otherwise(col("_last_updated_sequence_number"))
+              .as("_graft_last_updated"))
         rows.select(md.currentSchema.fieldNames.toSeq.map { n =>
           as.get(n) match {
             case Some(v) => when(p, v).otherwise(col(s"`$n`")).as(n)
             case None => col(s"`$n`")
           }
-        }: _*)
+        } ++ lineageSel: _*)
     }
-    val aligned = Align(kept, md.currentSchema)
+    val aligned = Align.keeping(kept, md.currentSchema,
+      LakeTable.matLineageCols)
     aligned.sparkSession.conf
       .set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     val provisionalId = (md.snapshots ++ md.staged).map(_.id)
       .foldLeft(0L)(math.max) + 1
     val outDir = dataDir.resolve(
       s"snap-$provisionalId-${java.util.UUID.randomUUID().toString.take(8)}")
-    Some(stageBranchSnapshot(name, writeDataFiles(aligned, outDir),
+    val written = {
+      val fs = writeDataFiles(aligned, outDir)
+      if (writesVectors) fs.map(_.copy(lineageCols = true)) else fs
+    }
+    Some(stageBranchSnapshot(name, written,
       md.currentSchemaId, operation = "staged-cow",
       removedPaths = affected.map(_.path)))
   }

@@ -159,6 +159,34 @@ class RowLineageSpec extends AnyFunSuite {
     assert(after.forall { case (k, v) => before(k) == v })
   }
 
+  test("branch CoW update + publish: ids stable, deletes retire, appends fresh") {
+    val (wh, t) = mkTable("brcow")
+    t.append(df((1L to 6L).map(i => (i, s"v$i"))))
+    val t2 = LakeTable.load(wh, "d", "t")
+    val before = lineage(t2)
+    val maxBefore = before.values.map(_._1).max
+    t2.createBranch("curate")
+    t2.updateBranchCoW(spark, "curate", Map("v" -> lit("X")), col("id") <= 2L)
+    var h = LakeTable.load(wh, "d", "t")
+    h.deleteFromBranchCoW(spark, "curate", col("id") === 6L)
+    h = LakeTable.load(wh, "d", "t")
+    h.appendToBranch(df(Seq((10L, "new"))), "curate")
+    h = LakeTable.load(wh, "d", "t")
+    val published = h.fastForward("curate")
+    val t3 = LakeTable.load(wh, "d", "t")
+    val after = lineage(t3)
+    assert(after.keySet == Set(1L, 2L, 3L, 4L, 5L, 10L))
+    for (i <- 1L to 5L)
+      assert(after(i)._1 == before(i)._1,
+        s"row $i must keep its identity through the branch curation")
+    assert(after(10L)._1 > maxBefore, "branch append must mint a fresh id")
+    // updated rows re-stamp at the PUBLISH sequence (that's when they
+    // land on main); untouched survivors keep their original
+    val updSeq = published.find(_.operation == "overwrite").get.id
+    assert(after(1L)._2 == updSeq && after(2L)._2 == updSeq)
+    assert(after(4L)._2 == before(4L)._2)
+  }
+
   test("connector metadata columns agree with the native lineage read") {
     val (wh, t) = mkTable("conn")
     t.append(df((1L to 6L).map(i => (i, s"v$i"))))
