@@ -13,14 +13,47 @@ import org.roaringbitmap.longlong.Roaring64Bitmap
 
 import graft.lake.{DeletionVectors, LakeTable}
 
+/** How a per-file reference map rides from the driver to the
+  * executors. Small maps serialize INLINE with the expression (their
+  * bytes are smaller than a broadcast's bookkeeping); wide maps — a
+  * delete touching thousands of files on a million-file table — go
+  * through a torrent [[org.apache.spark.broadcast.Broadcast]], so the
+  * task closure carries only the broadcast handle (O(1) bytes in
+  * affected-file count) and each executor fetches the map once. The
+  * DSv2 connector path needs neither: each input partition already
+  * carries only its own file's refs, Iceberg's per-split model.
+  */
+sealed trait RefCarrier[T] extends Serializable {
+  def value: T
+}
+
+final case class InlineRefs[T](value: T) extends RefCarrier[T]
+
+final case class BcastRefs[T](
+    bc: org.apache.spark.broadcast.Broadcast[T]) extends RefCarrier[T] {
+  override def value: T = bc.value
+}
+
+object RefCarrier {
+  /** Past this many entries the map broadcasts instead of riding the
+    * expression tree — below it, inline bytes beat a broadcast's
+    * block-manager round trip.
+    */
+  val InlineMax = 64
+
+  def apply[T](spark: org.apache.spark.sql.SparkSession, size: Int,
+      refs: T)(implicit tag: scala.reflect.ClassTag[T]): RefCarrier[T] =
+    if (size <= InlineMax) InlineRefs(refs)
+    else BcastRefs(spark.sparkContext.broadcast(refs))
+}
+
 /** Executor-side deletion-vector membership: resolves a scan row's
   * (file URI, row position) against the live vectors of the files in
-  * its scan group. The refs ride in the expression as a compact
-  * encoded string (normalized data path → container/offset/length);
-  * bitmaps are NOT shipped with the plan — each executor seeks into
-  * the container on shared storage (like a parquet footer read) and
-  * caches the deserialized vector JVM-wide
-  * ([[DeletionVectors.cached]]).
+  * its scan group. The refs (normalized data path →
+  * container/offset/length) ride via a [[RefCarrier]]; bitmaps are
+  * NOT shipped with the plan — each executor seeks into the container
+  * on shared storage (like a parquet footer read) and caches the
+  * deserialized vector JVM-wide ([[DeletionVectors.cached]]).
   *
   * Row paths repeat for every row of a file, so the lookup keeps a
   * per-thread (last path → bitmap) slot: one map probe per FILE
@@ -28,8 +61,9 @@ import graft.lake.{DeletionVectors, LakeTable}
   * because whole-stage codegen shares the reference object across an
   * executor's concurrent tasks.
   */
-final class DvLookup(val refs: Map[String, (String, Long, Long)])
+final class DvLookup(val carrier: RefCarrier[Map[String, (String, Long, Long)]])
     extends Serializable {
+  @transient private lazy val refs = carrier.value
   @transient private lazy val slot = new ThreadLocal[Array[AnyRef]] {
     override def initialValue(): Array[AnyRef] = new Array[AnyRef](2)
   }
@@ -49,31 +83,14 @@ final class DvLookup(val refs: Map[String, (String, Long, Long)])
   }
 }
 
-object DvLookup {
-  // US/RS separators never occur in paths; no JSON machinery needed
-  private val FieldSep = '\u001f'
-  private val RowSep = '\u001e'
-
-  def encode(refs: Map[String, (String, Long, Long)]): String =
-    refs.toSeq.sortBy(_._1).map { case (data, (dv, off, len)) =>
-      s"$data$FieldSep$dv$FieldSep$off$FieldSep$len"
-    }.mkString(RowSep.toString)
-
-  def decode(s: String): Map[String, (String, Long, Long)] =
-    if (s.isEmpty) Map.empty
-    else s.split(RowSep).map { row =>
-      val f = row.split(FieldSep)
-      f(0) -> ((f(1), f(2).toLong, f(3).toLong))
-    }.toMap
-}
-
 /** Per-file long constants resolved from the row's file path — the
   * lineage read's `firstRowId` / data-sequence lookup. Same
   * thread-local last-path caching as [[DvLookup]]: one map probe per
   * FILE change, a field read per row.
   */
-final class FileConstLookup(val refs: Map[String, Long])
+final class FileConstLookup(val carrier: RefCarrier[Map[String, Long]])
     extends Serializable {
+  @transient private lazy val refs = carrier.value
   @transient private lazy val slot = new ThreadLocal[Array[AnyRef]] {
     override def initialValue(): Array[AnyRef] = new Array[AnyRef](2)
   }
@@ -93,29 +110,22 @@ final class FileConstLookup(val refs: Map[String, Long])
   }
 }
 
-/** `graft_file_const(file_path, refs)` — the long constant registered
-  * for the row's file, null when absent. `refs` must be a foldable
-  * string literal ([[FileConst.encode]]).
+/** `fileconst(file_path)` — the long constant registered for the
+  * row's file, null when absent. The refs carrier is a constructor
+  * object, not an expression child: its serialized form is the tiny
+  * broadcast handle for wide maps, the map itself only when small.
   */
-case class FileConst(path: Expression, refs: Expression)
+case class FileConst(path: Expression, lookup: FileConstLookup)
     extends Expression {
 
-  override def children: Seq[Expression] = Seq(path, refs)
+  override def children: Seq[Expression] = Seq(path)
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (path.dataType != StringType)
       TypeCheckResult.TypeCheckFailure("path must be STRING")
-    else if (refs.dataType != StringType || !refs.foldable)
-      TypeCheckResult.TypeCheckFailure("refs must be a foldable STRING")
     else TypeCheckResult.TypeCheckSuccess
-
-  @transient private lazy val lookup: FileConstLookup = {
-    val v = refs.eval(null)
-    new FileConstLookup(FileConst.decode(
-      if (v == null) "" else v.asInstanceOf[UTF8String].toString))
-  }
 
   override def eval(input: InternalRow): Any = {
     val p = path.eval(input)
@@ -145,36 +155,19 @@ case class FileConst(path: Expression, refs: Expression)
 
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression =
-    copy(path = newChildren(0), refs = newChildren(1))
+    copy(path = newChildren(0))
 }
 
-object FileConst {
-  private val FieldSep = '\u001f'
-  private val RowSep = '\u001e'
-
-  def encode(refs: Map[String, Long]): String =
-    refs.toSeq.sortBy(_._1).map { case (p, v) => s"$p$FieldSep$v" }
-      .mkString(RowSep.toString)
-
-  def decode(s: String): Map[String, Long] =
-    if (s.isEmpty) Map.empty
-    else s.split(RowSep).map { row =>
-      val f = row.split(FieldSep)
-      f(0) -> f(1).toLong
-    }.toMap
-}
-
-/** `graft_dv_deleted(file_path, row_index, refs)` — true iff the row's
-  * position is set in its file's deletion vector. `refs` must be a
-  * foldable string literal ([[DvLookup.encode]]); rows of files with
-  * no vector in `refs` are never deleted. Null-intolerant on
-  * path/pos (scan metadata columns are never null; a null yields
-  * false, not null, so `!expr` filters stay total).
+/** `dvdeleted(file_path, row_index)` — true iff the row's position is
+  * set in its file's deletion vector; rows of files with no vector in
+  * the refs are never deleted. Null-intolerant on path/pos (scan
+  * metadata columns are never null; a null yields false, not null, so
+  * `!expr` filters stay total).
   */
-case class DvDeleted(path: Expression, pos: Expression, refs: Expression)
+case class DvDeleted(path: Expression, pos: Expression, lookup: DvLookup)
     extends Expression {
 
-  override def children: Seq[Expression] = Seq(path, pos, refs)
+  override def children: Seq[Expression] = Seq(path, pos)
   override def dataType: DataType = BooleanType
   override def nullable: Boolean = false
 
@@ -183,15 +176,7 @@ case class DvDeleted(path: Expression, pos: Expression, refs: Expression)
       TypeCheckResult.TypeCheckFailure("path must be STRING")
     else if (pos.dataType != LongType)
       TypeCheckResult.TypeCheckFailure("pos must be BIGINT")
-    else if (refs.dataType != StringType || !refs.foldable)
-      TypeCheckResult.TypeCheckFailure("refs must be a foldable STRING")
     else TypeCheckResult.TypeCheckSuccess
-
-  @transient private lazy val lookup: DvLookup = {
-    val v = refs.eval(null)
-    new DvLookup(DvLookup.decode(
-      if (v == null) "" else v.asInstanceOf[UTF8String].toString))
-  }
 
   override def eval(input: InternalRow): Any = {
     val p = path.eval(input)
@@ -218,5 +203,5 @@ case class DvDeleted(path: Expression, pos: Expression, refs: Expression)
 
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression =
-    copy(path = newChildren(0), pos = newChildren(1), refs = newChildren(2))
+    copy(path = newChildren(0), pos = newChildren(1))
 }

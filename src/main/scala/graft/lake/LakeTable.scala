@@ -3793,16 +3793,19 @@ object LakeTable {
 
   /** `(path, pos) is deleted by its file's deletion vector` as a
     * codegen-friendly Column ([[graft.functions.DvDeleted]]); `refs`
-    * maps normalized data paths to (container, offset, length). The
-    * registration is idempotent per session.
+    * maps normalized data paths to (container, offset, length). Wide
+    * maps ride as a broadcast, small ones inline
+    * ([[graft.functions.RefCarrier]]) — either way the task closure
+    * stays O(1) in affected-file count.
     */
   def dvDeletedCol(spark: SparkSession, path: Column, pos: Column,
       refs: Map[String, (String, Long, Long)]): Column = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dv_deleted",
-      es => graft.functions.DvDeleted(es(0), es(1), es(2)), "built-in")
-    call_function("graft_dv_deleted", path, pos,
-      lit(graft.functions.DvLookup.encode(refs)))
+    val lookup = new graft.functions.DvLookup(
+      graft.functions.RefCarrier(spark, refs.size, refs))
+    org.apache.spark.sql.GraftPlanBridge.column(
+      graft.functions.DvDeleted(
+        org.apache.spark.sql.GraftPlanBridge.expression(path),
+        org.apache.spark.sql.GraftPlanBridge.expression(pos), lookup))
   }
 
   /** The row-lineage projection appended by lineage reads. */
@@ -3817,15 +3820,16 @@ object LakeTable {
   /** A per-file long constant resolved from the row's file path
     * ([[graft.functions.FileConst]]): null for paths absent from
     * `refs`. Codegen-friendly — the per-row cost is one cached
-    * last-path probe, no join.
+    * last-path probe, no join; wide maps broadcast instead of riding
+    * the expression tree ([[graft.functions.RefCarrier]]).
     */
   def fileConstCol(spark: SparkSession, path: Column,
       refs: Map[String, Long]): Column = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_file_const",
-      es => graft.functions.FileConst(es(0), es(1)), "built-in")
-    call_function("graft_file_const", path,
-      lit(graft.functions.FileConst.encode(refs)))
+    val lookup = new graft.functions.FileConstLookup(
+      graft.functions.RefCarrier(spark, refs.size, refs))
+    org.apache.spark.sql.GraftPlanBridge.column(
+      graft.functions.FileConst(
+        org.apache.spark.sql.GraftPlanBridge.expression(path), lookup))
   }
 
   def tableLocation(warehouse: String, db: String, table: String): Path =

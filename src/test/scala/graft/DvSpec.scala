@@ -274,6 +274,40 @@ class DvSpec extends AnyFunSuite {
       .rewritePositionDeleteFiles(spark).isEmpty)
   }
 
+  test("wide-delete refs broadcast: task-closure bytes stay O(1) in files") {
+    def lookupBytes(d: DataFrame): (Int, Boolean) = {
+      val lookups = d.queryExecution.optimizedPlan
+        .flatMap(_.expressions)
+        .flatMap(_.collect { case e: graft.functions.DvDeleted => e.lookup })
+      assert(lookups.nonEmpty, "expected a DvDeleted filter in the plan")
+      val bos = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bos)
+      oos.writeObject(lookups.head)
+      oos.close()
+      (bos.size(),
+        lookups.head.carrier.isInstanceOf[graft.functions.BcastRefs[_]])
+    }
+    // wide: more affected files than RefCarrier.InlineMax — the plan
+    // must carry a broadcast handle, not the per-file map
+    val (whW, tW) = mkTable("wide")
+    import SparkTestSession.spark.implicits._
+    tW.append((0L until 400L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartition(100))
+    LakeTable.load(whW, "d", "t").deleteMoR(spark, col("id") % 4L === 0L)
+    val (wideBytes, wideBc) =
+      lookupBytes(LakeTable.load(whW, "d", "t").read(spark))
+    assert(wideBc, "a wide delete's refs must ride as a broadcast")
+    assert(wideBytes < 4096,
+      s"serialized lookup must be O(1), got $wideBytes bytes")
+    // narrow: a handful of files stays inline — no broadcast round trip
+    val (whN, tN) = mkTable("narrow")
+    tN.append(df(Seq((1L, "a"), (2L, "b"), (3L, "c"))))
+    LakeTable.load(whN, "d", "t").deleteMoR(spark, col("id") === 2L)
+    val (_, narrowBc) =
+      lookupBytes(LakeTable.load(whN, "d", "t").read(spark))
+    assert(!narrowBc, "a narrow delete's refs must stay inline")
+  }
+
   test("mergeMoR under vectors: matched rows vector-deleted, updates append") {
     val (wh, t) = mkTable("mrg")
     t.append(df(Seq((1L, "a"), (2L, "b"), (3L, "c"))))
