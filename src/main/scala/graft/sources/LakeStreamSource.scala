@@ -807,6 +807,14 @@ private[sources] class LakeScan(wh: String, db: String, tbl: String,
       // this is what the cost-based optimizer joins plans on. Pinned
       // (VERSION/TIMESTAMP AS OF, branch) scans serve none: the stats
       // describe the CURRENT snapshot, not the pinned state.
+      //
+      // Staleness guard: snapshots landing after the ANALYZE drift the
+      // true cardinalities, and a confident misestimate is WORSE for
+      // the CBO than no estimate. The live-row ratio (now/analyzed)
+      // decides: minor churn serves verbatim, moderate churn scales
+      // ndv/null counts by the ratio (capped at the live row count),
+      // and a table that churned beyond recognition (>8x growth, or
+      // emptied) abstains entirely — never verbatim-stale.
       override def columnStats(): java.util.Map[
           org.apache.spark.sql.connector.expressions.NamedReference,
           org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
@@ -815,19 +823,43 @@ private[sources] class LakeScan(wh: String, db: String, tbl: String,
           org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
         if (asOfSnapshot.isDefined || branchName.isDefined) return out
         planned._1.metadata.tableStats.foreach { ts =>
-          val byId = ts.cols.map(c => c.fieldId -> c).toMap
-          target.fields.foreach { tf =>
-            if (FieldIds.hasId(tf)) byId.get(FieldIds.idOf(tf)).foreach {
-              cs => out.put(
-                org.apache.spark.sql.connector.expressions.Expressions
-                  .column(tf.name),
-                new org.apache.spark.sql.connector.read.colstats
-                    .ColumnStatistics {
-                  override def distinctCount(): java.util.OptionalLong =
-                    java.util.OptionalLong.of(cs.ndv)
-                  override def nullCount(): java.util.OptionalLong =
-                    java.util.OptionalLong.of(cs.nullCount)
-                })
+          val snaps = planned._1.metadata.snapshots
+          val headSnap = snaps.map(_.id).foldLeft(0L)(math.max)
+          // table-level live rows (NOT this scan's pruned subset —
+          // pruning is selectivity, not churn); metadata-only
+          lazy val liveNow: Option[Long] = {
+            val live = LakeTable.liveFiles(snaps)
+            if (live.exists(_.rows < 0)) None
+            else Some(live.map(_.rows).sum -
+              LakeTable.liveDeletes(snaps).values.map(_.rows).sum)
+          }
+          val scale: Option[(Double, Long)] =
+            if (ts.snapshotId == headSnap) Some((1.0, ts.rowCount))
+            else liveNow match {
+              case Some(now) if ts.rowCount > 0 && now > 0 =>
+                val r = now.toDouble / ts.rowCount
+                if (r >= 0.8 && r <= 1.25) Some((1.0, now))
+                else if (r <= 8.0) Some((r, now))
+                else None
+              case _ => None
+            }
+          scale.foreach { case (k, now) =>
+            val byId = ts.cols.map(c => c.fieldId -> c).toMap
+            target.fields.foreach { tf =>
+              if (FieldIds.hasId(tf)) byId.get(FieldIds.idOf(tf)).foreach {
+                cs => out.put(
+                  org.apache.spark.sql.connector.expressions.Expressions
+                    .column(tf.name),
+                  new org.apache.spark.sql.connector.read.colstats
+                      .ColumnStatistics {
+                    private def scaled(v: Long): Long =
+                      math.min(math.ceil(v * k).toLong, now)
+                    override def distinctCount(): java.util.OptionalLong =
+                      java.util.OptionalLong.of(scaled(cs.ndv))
+                    override def nullCount(): java.util.OptionalLong =
+                      java.util.OptionalLong.of(scaled(cs.nullCount))
+                  })
+              }
             }
           }
         }

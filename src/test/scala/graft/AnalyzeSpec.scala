@@ -98,6 +98,47 @@ class AnalyzeSpec extends AnyFunSuite {
       .IteratorHasAsScala(it).asScala
   }
 
+  private def columnStatsOf(wh: String): java.util.Map[
+      org.apache.spark.sql.connector.expressions.NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+    val frame = spark.read.format("graft-lake")
+      .option("warehouse", wh).option("database", "d").option("table", "t")
+      .load()
+    frame.queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2
+          .DataSourceV2ScanRelation => r.scan
+    }.get.asInstanceOf[org.apache.spark.sql.connector.read
+      .SupportsReportStatistics]
+      .estimateStatistics().columnStats()
+  }
+
+  test("stale stats scale with moderate churn and abstain past it") {
+    val (wh, t) = mkTable("stale")
+    t.append(df((1L to 30L).map(i => (i, s"g${i % 4}", s"v$i"))))
+    t.analyze(spark, exact = true)
+    // fresh: served verbatim
+    def ndv(cs: java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics],
+        name: String): Option[Long] =
+      cs.entrySet().iterator().asScala
+        .find(_.getKey.fieldNames()(0) == name)
+        .map(_.getValue.distinctCount().getAsLong)
+    assert(ndv(columnStatsOf(wh), "id").contains(30L))
+    // moderate churn (2x rows): ndv scales by the row ratio, never
+    // serves the analyze-time number verbatim
+    LakeTable.load(wh, "d", "t").append(
+      df((31L to 60L).map(i => (i, s"g${i % 4}", s"v$i"))))
+    val scaled = ndv(columnStatsOf(wh), "id")
+    assert(scaled.contains(60L), s"expected 2x-scaled ndv, got $scaled")
+    // heavy churn (>8x the analyzed rows): a confident misestimate is
+    // worse than none — the scan must abstain
+    LakeTable.load(wh, "d", "t").append(
+      df((61L to 300L).map(i => (i, s"g${i % 4}", s"v$i"))))
+    assert(columnStatsOf(wh).isEmpty,
+      "stats must abstain after the table churned beyond recognition")
+  }
+
   test("approx analyze tracks exact within HLL error; maps are skipped") {
     val (_, t) = mkTable("approx")
     t.append(df((1L to 500L).map(i => (i, s"g${i % 7}", s"v${i % 50}"))))
