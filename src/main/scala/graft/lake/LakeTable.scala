@@ -2019,11 +2019,9 @@ class LakeTable private (val location: Path, private var md: TableMetadata,
         else ": copy-on-write commits carry no row-level change " +
           "information (pass includeCowDiffs=true to compute the row " +
           "delta at O(rewritten bytes) cost)"))
-    if (includeCowDiffs && range.exists(_.operation == "overwrite"))
-      require(!current.fields.exists(f => LakeTable.hasMapType(f.dataType)),
-        "includeCowDiffs: the row diff is a multiset except over full " +
-          "rows, and map-typed columns cannot participate in set " +
-          "operations — drop or stringify them first")
+    // map-typed columns can't join a multiset except directly —
+    // cowDiff normalizes them to key-sorted entry arrays for the diff
+    // and rebuilds the map shape after, so any schema participates
 
     def tagged(df: DataFrame, typ: String, ord: Int, sid: Long): DataFrame =
       df.withColumn("_change_type", lit(typ))
@@ -2113,7 +2111,22 @@ class LakeTable private (val location: Path, private var md: TableMetadata,
       val before = readFiles(spark, removedMetas, current,
         LakeTable.liveDeletes(md.snapshots.filter(_.id < sn.id)))
       val after = readFiles(spark, sn.files, current)
-      (before.exceptAll(after), after.exceptAll(before))
+      if (!current.fields.exists(f => LakeTable.hasMapType(f.dataType)))
+        (before.exceptAll(after), after.exceptAll(before))
+      else {
+        // maps → key-sorted entry arrays for the diff (orderable,
+        // entry-order-insensitive), back to maps after — the diff
+        // semantics stay full-row multiset equality
+        def norm(df: DataFrame) = df.select(current.fields.toSeq.map(f =>
+          LakeTable.mapNormExpr(col(s"`${f.name}`"), f.dataType)
+            .as(f.name)): _*)
+        def denorm(df: DataFrame) = df.select(current.fields.toSeq.map(f =>
+          LakeTable.mapDenormExpr(col(s"`${f.name}`"), f.dataType)
+            .as(f.name)): _*)
+        val nb = norm(before)
+        val na = norm(after)
+        (denorm(nb.exceptAll(na)), denorm(na.exceptAll(nb)))
+      }
     }
 
     val parts = range.sortBy(_.id)
@@ -3667,7 +3680,8 @@ object LakeTable {
     op == "rewrite" || op == "rewrite-data"
 
   /** Whether a map type occurs anywhere in `dt` — map columns cannot
-    * participate in set operations (the CoW changelog diff's exceptAll).
+    * participate in set operations directly; the CoW changelog diff
+    * routes them through [[mapNormExpr]] (sorted-entries form) first.
     */
   def hasMapType(dt: org.apache.spark.sql.types.DataType): Boolean =
     dt match {
@@ -3676,6 +3690,65 @@ object LakeTable {
       case org.apache.spark.sql.types.ArrayType(e, _) => hasMapType(e)
       case _ => false
     }
+
+  /** `dt` with every map replaced by key-sorted
+    * `array<struct<key,value>>` — a canonical, ORDERABLE encoding (two
+    * equal maps normalize to identical arrays regardless of entry
+    * order, and no map type survives, so Spark's set operations
+    * accept it). Inverse: [[mapDenormExpr]].
+    */
+  private[lake] def mapNormType(
+      dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = dt match {
+    case org.apache.spark.sql.types.MapType(k, v, vn) =>
+      org.apache.spark.sql.types.ArrayType(StructType(Seq(
+        StructField("key", mapNormType(k), nullable = false),
+        StructField("value", mapNormType(v), nullable = vn))),
+        containsNull = false)
+    case s: StructType =>
+      StructType(s.fields.map(f => f.copy(dataType = mapNormType(f.dataType))))
+    case org.apache.spark.sql.types.ArrayType(e, n) =>
+      org.apache.spark.sql.types.ArrayType(mapNormType(e), n)
+    case other => other
+  }
+
+  /** `c` (of type `dt`) rewritten to the [[mapNormType]] encoding —
+    * entries sorted by key (unique within one map, so the ordering is
+    * total), recursively through structs, arrays, and map values.
+    */
+  private[lake] def mapNormExpr(c: Column,
+      dt: org.apache.spark.sql.types.DataType): Column = dt match {
+    case org.apache.spark.sql.types.MapType(k, v, _) =>
+      array_sort(transform(map_entries(c), e =>
+        struct(mapNormExpr(e.getField("key"), k).as("key"),
+          mapNormExpr(e.getField("value"), v).as("value"))))
+    case s: StructType if hasMapType(s) =>
+      when(c.isNull,
+        lit(null).cast(mapNormType(Reconcile.clean(s))))
+        .otherwise(struct(s.fields.toSeq.map(f =>
+          mapNormExpr(c.getField(f.name), f.dataType).as(f.name)): _*))
+    case org.apache.spark.sql.types.ArrayType(e, _) if hasMapType(e) =>
+      transform(c, x => mapNormExpr(x, e))
+    case _ => c
+  }
+
+  /** Inverse of [[mapNormExpr]]: rebuild the original map shape from
+    * the sorted-entries encoding (`dt` is the ORIGINAL type).
+    */
+  private[lake] def mapDenormExpr(c: Column,
+      dt: org.apache.spark.sql.types.DataType): Column = dt match {
+    case org.apache.spark.sql.types.MapType(k, v, _) =>
+      map_from_entries(transform(c, e =>
+        struct(mapDenormExpr(e.getField("key"), k).as("key"),
+          mapDenormExpr(e.getField("value"), v).as("value"))))
+    case s: StructType if hasMapType(s) =>
+      when(c.isNull, lit(null).cast(Reconcile.clean(s)))
+        .otherwise(struct(s.fields.toSeq.map(f =>
+          mapDenormExpr(c.getField(f.name), f.dataType).as(f.name)): _*))
+    case org.apache.spark.sql.types.ArrayType(e, _) if hasMapType(e) =>
+      transform(c, x => mapDenormExpr(x, e))
+    case _ => c
+  }
 
   /** Suffix of the snapshot log since the last rewrite, plus the set
     * of paths removed by overwrites within it — the distributable form

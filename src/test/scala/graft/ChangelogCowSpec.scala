@@ -57,7 +57,7 @@ class ChangelogCowSpec extends AnyFunSuite {
     assert(ups == Set(2L -> "update_before", 2L -> "update_after"))
   }
 
-  test("defaults refuse CoW; map columns refuse the diff by name") {
+  test("defaults refuse CoW by name") {
     import spark.implicits._
     val (_, t) = mk("refuse")
     t.append(Seq((1L, "a")).toDF("id", "v"))
@@ -66,19 +66,42 @@ class ChangelogCowSpec extends AnyFunSuite {
       t.changelogBetween(spark, 0L, t.metadata.snapshots.map(_.id).max)
     }
     assert(e.getMessage.contains("includeCowDiffs"))
+  }
 
+  test("map columns diff through the sorted-entries normalization") {
+    import spark.implicits._
     val (_, tm) = mk("maps",
       """{"column_name":"id","data_type":"long","required":true},
         |{"column_name":"m","data_type":"map","map_def":{
         |  "key":{"column_name":"k","data_type":"string","required":true},
-        |  "value":{"column_name":"val","data_type":"string"}}}""".stripMargin)
-    tm.append(Seq((1L, Map("x" -> "y"))).toDF("id", "m"))
-    tm.delete(spark, col("id") === 1L)
-    val em = intercept[IllegalArgumentException] {
-      tm.changelogBetween(spark, 0L,
-        tm.metadata.snapshots.map(_.id).max, includeCowDiffs = true)
-    }
-    assert(em.getMessage.contains("map"))
+        |  "value":{"column_name":"val","data_type":"string"}}},
+        |{"column_name":"v","data_type":"string"}""".stripMargin)
+    // two entries so physical entry order can differ between the
+    // before and after files — equality must be order-insensitive
+    tm.append(Seq(
+      (1L, Map("a" -> "1", "b" -> "2"), "keep"),
+      (2L, Map("x" -> "y", "z" -> "w"), "touch"),
+      (3L, Map.empty[String, String], "gone")).toDF("id", "m", "v"))
+    tm.update(spark, Map("v" -> lit("touched")), col("id") === 2L)
+    var t2 = LakeTable.load(tm.location.getParent.getParent.toString,
+      "d", "t")
+    t2.delete(spark, col("id") === 3L)
+    t2 = LakeTable.load(tm.location.getParent.getParent.toString, "d", "t")
+    val maxId = t2.metadata.snapshots.map(_.id).max
+    val log = t2.changelogBetween(spark, 0L, maxId, includeCowDiffs = true)
+      .select("id", "m", "v", "_change_type", "_change_ordinal").collect()
+      .map(r => (r.getLong(0), r.getMap[String, String](1).toString,
+        r.getString(2), r.getString(3), r.getInt(4))).toSet
+    // row 1 rewrote byte-identical and must cancel; rows 2 and 3
+    // surface with their MAP VALUES intact (round-tripped through the
+    // normalization)
+    assert(log == Set(
+      (1L, "Map(a -> 1, b -> 2)", "keep", "insert", 0),
+      (2L, "Map(x -> y, z -> w)", "touch", "insert", 0),
+      (3L, "Map()", "gone", "insert", 0),
+      (2L, "Map(x -> y, z -> w)", "touch", "delete", 1),
+      (2L, "Map(x -> y, z -> w)", "touched", "insert", 1),
+      (3L, "Map()", "gone", "delete", 2)), s"got $log")
   }
 
   test("a CoW diff after a positional MoR delete sees the pre-overwrite " +
