@@ -78,6 +78,12 @@ object Bench {
         // one-time startup costs — make it visible
         System.err.println(s"[bench] warmup failed, measuring cold: $e")
     }
+    // system load bracketing the measured pass: a bench sharing the
+    // box with a build shows it here, so a reviewer can adjudicate a
+    // phantom regression from the line itself instead of re-running
+    def loadavg: Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val loadStart = loadavg
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     var failedSec = 0.0
     val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
@@ -99,9 +105,25 @@ object Bench {
           None
       }
     }.toMap
-    println(renderLine(results, sfDir, failed.toSeq.sorted, failedSec))
+    // re-time the slowest keys once, same JVM: a contention spike on
+    // the first pass shows as retimed << measured; a real cost repeats.
+    // The min goes in its own field — the measured totals stay
+    // comparable across rounds.
+    val retimed = results.toSeq.sortBy(-_._2).take(RetimeTopN)
+      .flatMap { case (name, first) =>
+        try {
+          val t0 = System.nanoTime()
+          SparkEntry.queries(name)(spark, sfDir).count()
+          Some(name -> math.min(first, (System.nanoTime() - t0) / 1e9))
+        } catch { case _: Throwable => None }
+      }.toMap
+    println(renderLine(results, sfDir, failed.toSeq.sorted, failedSec,
+      retimed, Some((loadStart, loadavg))))
     spark.stop()
   }
+
+  /** How many of the slowest measured keys re-time after the pass. */
+  val RetimeTopN = 5
 
   /** The driver-contract JSON line. Harness-critical invariants (pinned
     * by BenchLineSpec): valid JSON regardless of JVM locale, and at
@@ -113,7 +135,9 @@ object Bench {
   val MaxLineChars = 1700
 
   def renderLine(results: Map[String, Double], sfDir: String,
-                 failed: Seq[String] = Nil, failedSec: Double = 0.0): String = {
+                 failed: Seq[String] = Nil, failedSec: Double = 0.0,
+                 retimed: Map[String, Double] = Map.empty,
+                 load: Option[(Double, Double)] = None): String = {
     // total covers SUCCESSFUL queries only — failed queries' time-to-failure
     // is reported separately (failed_sec) so totals compare across rounds
     val total = if (results.nonEmpty) results.values.sum else 0.0
@@ -128,7 +152,18 @@ object Bench {
       if (failed.isEmpty) ""
       else s""""n_failed":${failed.size},"failed_sec":${r3(failedSec)},"failed":[""" +
         failed.take(15).map(k => s""""$k"""").mkString(",") + "],"
-    val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},$failedField"sf":"$sfDir","queries":{"""
+    // contention evidence: 1-min loadavg before/after the measured
+    // pass (negative = platform can't report it → omit), and the
+    // slowest keys' second-run minimums — bounded at RetimeTopN
+    // entries so the field can't blow the budget
+    val loadField = load.filter(l => l._1 >= 0 || l._2 >= 0)
+      .map { case (a, b) => s""""load":[${r3(a)},${r3(b)}],""" }
+      .getOrElse("")
+    val retimedField =
+      if (retimed.isEmpty) ""
+      else s""""retimed":{""" + retimed.toSeq.sortBy(_._1).take(RetimeTopN)
+        .map { case (k, v) => s""""$k":${r3(v)}""" }.mkString(",") + "},"
+    val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},$failedField$loadField$retimedField"sf":"$sfDir","queries":{"""
     val tail = "}}"
     val budget = MaxLineChars - head.length - tail.length
     val entries = results.toSeq.sortBy(-_._2).map { case (k, v) => s""""$k":${r3(v)}""" }

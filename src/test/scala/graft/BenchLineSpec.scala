@@ -56,6 +56,28 @@ class BenchLineSpec extends AnyFunSuite {
     assert(shown.size <= 16)
   }
 
+  test("load + retimed fields stay within budget and parse") {
+    val rt = (0 until 5).map(i =>
+      f"q_some_rather_long_query_name_$i%03d" -> i * 0.101).toMap
+    val line = Bench.renderLine(results(400), "sf",
+      retimed = rt, load = Some((12.345, 3.0)))
+    assert(line.length <= Bench.MaxLineChars, s"${line.length} chars")
+    val obj = Json.parse(line).asInstanceOf[JObject]
+    val loads = obj.fields("load").asInstanceOf[graft.schema.JArray].items
+      .map(_.asInstanceOf[JNumber].value)
+    assert(loads == Seq(12.345, 3.0))
+    val re = obj.fields("retimed").asInstanceOf[JObject].fields
+    assert(re.size == 5)
+    // an oversized retimed map is truncated, never overflows the line
+    val big = (0 until 50).map(i => f"q_$i%03d" -> 1.0).toMap
+    val line2 = Bench.renderLine(results(10), "sf", retimed = big)
+    assert(Json.parse(line2).asInstanceOf[JObject]
+      .fields("retimed").asInstanceOf[JObject].fields.size <= Bench.RetimeTopN)
+    // a platform that can't report loadavg (-1) omits the field
+    val line3 = Bench.renderLine(results(3), "sf", load = Some((-1.0, -1.0)))
+    assert(!line3.contains("load"))
+  }
+
   test("valid JSON under a comma-decimal locale") {
     val prev = java.util.Locale.getDefault
     try {
