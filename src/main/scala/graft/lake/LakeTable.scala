@@ -1553,7 +1553,76 @@ class LakeTable private (val location: Path, private var md: TableMetadata,
         stats = stats,
         bytes = try Files.size(p) catch { case _: Exception => -1L },
         sortedByIds = recordedSortIds)
+    } match {
+      case metas => attachBlooms(aligned.sparkSession, outDir, metas)
     }
+  }
+
+  /** Opt-in per-file bloom filters (`write.bloom-columns=a,b`): one
+    * distributed pass over ONLY the named columns of the just-written
+    * delta builds a filter per (file, column) over
+    * `xxhash64(cast(col AS STRING))`, the driver writes them into one
+    * `.gbf` sidecar container, and each manifest entry carries ~40
+    * bytes of blob reference ([[BloomRef]]) — scan planning can then
+    * drop files on point-lookup equality that min/max ranges cannot
+    * prune (high-cardinality ids spread across every file). Cost is
+    * O(delta rows × bloom columns) at write, zero on non-bloom reads.
+    * Ineligible columns (non-integral, non-string — their
+    * cast-to-string is not promotion-stable) are skipped silently:
+    * skipping is always conservative.
+    */
+  private def attachBlooms(spark: SparkSession, outDir: Path,
+      metas: Seq[DataFileMeta]): Seq[DataFileMeta] = {
+    val schema = md.currentSchema
+    val targets: Seq[(String, Int)] = md.properties
+      .get("write.bloom-columns")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+      .flatMap(n => schema.fields.find(_.name == n)
+        .filter(f => BloomFilters.eligible(f.dataType) && FieldIds.hasId(f))
+        .map(f => n -> FieldIds.idOf(f)))
+    if (targets.isEmpty || metas.isEmpty) return metas
+    import spark.implicits._
+    val names = targets.map(_._1)
+    val hashCols = names.map(n =>
+      xxhash64(col(s"`$n`").cast("string")).as(s"_h_$n"))
+    val built: Array[(String, Seq[Array[Byte]])] = spark.read
+      .parquet(outDir.toString)
+      .select(col("_metadata.file_path").as("_fp") +: hashCols: _*)
+      .groupByKey(r => LakeTable.normalizePath(r.getString(0)))
+      .mapGroups { (path, it) =>
+        // nulls carry no bloom bit: equality can't match null, and
+        // IS NULL pruning is the null-count stats' job
+        val bufs = Array.fill(names.size)(
+          new scala.collection.mutable.ArrayBuffer[Long]())
+        it.foreach { r =>
+          var i = 0
+          while (i < names.size) {
+            if (!r.isNullAt(i + 1)) bufs(i) += r.getLong(i + 1)
+            i += 1
+          }
+        }
+        (path, bufs.toSeq.map(b =>
+          BloomFilters.serialize(BloomFilters.build(b.toArray))))
+      }.collect()
+    if (built.isEmpty) return metas
+    val container = dataDir.resolve(
+      s"blooms-${java.util.UUID.randomUUID().toString.take(8)}.gbf")
+    Files.createDirectories(dataDir)
+    val ordered = built.sortBy(_._1)
+    val spans = BloomFilters.writeContainer(container,
+      ordered.flatMap(_._2).toSeq).toIndexedSeq
+    var idx = -1
+    val refsByPath: Map[String, Seq[BloomRef]] = ordered.map {
+      case (p, blobs) =>
+        p -> targets.zip(blobs).map { case ((_, fid), _) =>
+          idx += 1
+          BloomRef(fid, container.toString, spans(idx)._1, spans(idx)._2,
+            BloomFilters.K)
+        }
+    }.toMap
+    metas.map(m => refsByPath.get(LakeTable.normalizePath(m.path))
+      .map(refs => m.copy(blooms = refs)).getOrElse(m))
   }
 
   /** Iceberg's `add_files` / migrate shape: register EXISTING parquet
@@ -2866,17 +2935,19 @@ class LakeTable private (val location: Path, private var md: TableMetadata,
     // they only become orphans after discardStaged
     val referenced = (md.snapshots ++ md.staged).flatMap(s =>
       s.files.map(_.path) ++ s.deletePaths ++
-        s.eqDeletes.flatMap(_.paths) ++ s.dvs.map(_.dvPath)).toSet
+        s.eqDeletes.flatMap(_.paths) ++ s.dvs.map(_.dvPath) ++
+        s.files.flatMap(_.blooms.map(_.path))).toSet
     val cutoff = System.currentTimeMillis() - olderThanMillis
     val orphans = if (!Files.exists(dataDir)) Seq.empty[Path] else
       Using.resource(Files.walk(dataDir)) { st =>
         st.iterator().asScala
           .filter(p => Files.isRegularFile(p))
-          // data parquet AND deletion-vector containers — a v3 commit
-          // that died between container write and metadata claim
-          // strands a .gdv the same way a torn append strands parquet
+          // data parquet AND sidecar containers (deletion vectors,
+          // bloom filters) — a commit that died between container
+          // write and metadata claim strands a .gdv/.gbf the same way
+          // a torn append strands parquet
           .filter(p => p.toString.endsWith(".parquet") ||
-            p.toString.endsWith(".gdv"))
+            p.toString.endsWith(".gdv") || p.toString.endsWith(".gbf"))
           .filterNot(p => referenced(p.toString))
           .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
           .toSeq
@@ -3845,9 +3916,45 @@ object LakeTable {
       prune.forall { case (name, allowed) =>
         f.partitionValues.get(name).forall(allowed.contains)
       } && FileStats.mightMatch(f.stats, schema, statsFilters) &&
-        writeSchemaHasAll(f)
+        writeSchemaHasAll(f) && bloomMightMatch(f, schema, statsFilters)
     }
   }
+
+  /** Bloom-filter probe for point-lookup equality filters (lo == hi):
+    * a file whose (cached) bloom for the column definitely lacks the
+    * value drops from the plan. Conservative everywhere else — no
+    * bloom ref, non-equality shape, fractional value against an
+    * integral column (can't match, but min/max already handles it),
+    * unreadable blob → keep the file.
+    */
+  def bloomMightMatch(f: DataFileMeta, schema: StructType,
+      filters: Seq[RangeFilter]): Boolean =
+    f.blooms.isEmpty || filters.forall { flt =>
+      val canonical: Option[String] = flt match {
+        case RangeFilter(_, Some(a), Some(b), _, _, _, _) if a == b =>
+          // integral rendering must match cast(col AS STRING); a
+          // fractional equality value never round-trips — skip probe
+          scala.util.Try(a.toBigIntExact).toOption.flatten.map(_.toString)
+        case RangeFilter(_, _, _, Some(a), Some(b), _, _) if a == b =>
+          Some(a)
+        case _ => None
+      }
+      canonical match {
+        case None => true
+        case Some(value) =>
+          val fieldId = schema.fields.find(_.name == flt.column)
+            .filter(graft.schema.FieldIds.hasId)
+            .map(graft.schema.FieldIds.idOf)
+          fieldId.flatMap(id => f.blooms.find(_.fieldId == id)) match {
+            case None => true
+            case Some(ref) =>
+              try BloomFilters.mightContain(
+                BloomFilters.cached(ref.path, ref.offset, ref.length),
+                BloomFilters.hashOf(value), ref.k)
+              catch { case _: Exception => true }
+          }
+      }
+    }
 
   /** `input_file_name()` / `_metadata.file_path` yield URIs
     * (`file:/…`, %XX-escaped); metadata stores plain filesystem

@@ -39,6 +39,10 @@ case class PartitionSpecMeta(id: Int, fields: Seq[SpecField])
   * -1 = assigned before lineage existed; such rows expose a null
   * `_row_id` until a rewrite materializes them.
   */
+/** `blooms`: out-of-line bloom-filter blob references for point-lookup
+  * file skipping ([[BloomRef]], opt-in via `write.bloom-columns`) —
+  * ~40 manifest bytes per (file, column), bits in a `.gbf` container.
+  */
 case class DataFileMeta(path: String, schemaId: Int, specId: Int, rows: Long,
     partitionValues: Map[String, String],
     stats: Map[Int, ColStats] = Map.empty,
@@ -46,7 +50,8 @@ case class DataFileMeta(path: String, schemaId: Int, specId: Int, rows: Long,
     sortedByIds: Seq[Int] = Seq.empty,
     seq: Long = -1L,
     firstRowId: Long = -1L,
-    lineageCols: Boolean = false)
+    lineageCols: Boolean = false,
+    blooms: Seq[BloomRef] = Seq.empty)
 /** `streamId`/`streamBatchId`: the Structured-Streaming source
   * (checkpoint) and micro-batch that produced this snapshot, when
   * ingested via StreamIngest — foreachBatch is at-least-once, so the
@@ -489,6 +494,13 @@ object MetadataIO {
      else Map("first-row-id" -> JNumber(df.firstRowId))) ++
     (if (!df.lineageCols) Map.empty[String, JValue]
      else Map("lineage-cols" -> JBool(true))) ++
+    (if (df.blooms.isEmpty) Map.empty[String, JValue]
+     else Map("blooms" -> JArray(df.blooms.map(b => JObject(Map(
+       "field-id" -> JNumber(b.fieldId),
+       "path" -> JString(b.path),
+       "offset" -> JNumber(b.offset),
+       "length" -> JNumber(b.length),
+       "k" -> JNumber(b.k))))))) ++
     Map(
       "partition" -> JObject(df.partitionValues.map {
         case (k, v) => k -> JString(v)
@@ -518,7 +530,12 @@ object MetadataIO {
         .map(_.asArr.map(_.asInt)).getOrElse(Seq.empty),
       seq = dm.get("seq").map(_.asLong).getOrElse(-1L),
       firstRowId = dm.get("first-row-id").map(_.asLong).getOrElse(-1L),
-      lineageCols = dm.get("lineage-cols").exists(_.asBool))
+      lineageCols = dm.get("lineage-cols").exists(_.asBool),
+      blooms = dm.get("blooms").map(_.asArr.map { bv =>
+        val bm = bv.asObj
+        BloomRef(bm("field-id").asInt, bm("path").asStr,
+          bm("offset").asLong, bm("length").asLong, bm("k").asInt)
+      }).getOrElse(Seq.empty))
   }
 
   // ---- SnapshotMeta <-> JSON ------------------------------------------

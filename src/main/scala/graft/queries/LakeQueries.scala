@@ -610,6 +610,49 @@ object LakeReadQueries extends QueryModule {
           |ORDER BY n_nationkey""".stripMargin)
     }),
 
+    "lake_bloom_skip" -> QueryModule.micro(4)((s, dir) => {
+      // point-lookup file skipping via opt-in per-file bloom filters
+      // (write.bloom-columns): keys are SHUFFLED across the files, so
+      // every file's min/max covers nearly the whole key range and
+      // range stats prune nothing — the bloom is the only thing that
+      // can drop files, and the self-audit requires that it does. At
+      // 100 TB this turns `WHERE id = x` on an unsorted id from a
+      // full-table scan plan into a handful of candidate files.
+      import graft.lake.RangeFilter
+      val wh = LakeQueries.freshWarehouse("bloom")
+      Engine.processTableDefJson(wh,
+        """{"database_name":"bl","table_name":"cust","columns":[
+          |{"column_name":"c_custkey","data_type":"long"},
+          |{"column_name":"c_name","data_type":"string"},
+          |{"column_name":"c_acctbal","data_type":"double"}],
+          |"partitions":[]}""".stripMargin)
+      LakeTable.load(wh, "bl", "cust")
+        .updateProperties(Map("write.bloom-columns" -> "c_custkey,c_name"))
+      LakeTable.load(wh, "bl", "cust").append(
+        Tables(s, dir, "customer")
+          .select("c_custkey", "c_name", "c_acctbal").repartition(12))
+      val t = LakeTable.load(wh, "bl", "cust")
+      val all = t.plannedFiles().size
+      val kept = t.plannedFiles(statsFilters = Seq(RangeFilter("c_custkey",
+        loNum = Some(BigDecimal(101)), hiNum = Some(BigDecimal(101))))).size
+      require(kept < all,
+        s"bloom point-lookup must prune files: kept $kept of $all")
+      val keptStr = t.plannedFiles(statsFilters = Seq(RangeFilter("c_name",
+        loStr = Some("Customer#000000042"),
+        hiStr = Some("Customer#000000042")))).size
+      require(keptStr < all,
+        s"string bloom point-lookup must prune files: kept $keptStr of $all")
+      s.conf.set("spark.sql.catalog.gbloom", "graft.sources.LakeCatalog")
+      s.conf.set("spark.sql.catalog.gbloom.warehouse", wh)
+      s.sql(
+        """SELECT c_custkey, c_name, c_acctbal FROM gbloom.bl.cust
+          |WHERE c_custkey = 101
+          |UNION ALL
+          |SELECT c_custkey, c_name, c_acctbal FROM gbloom.bl.cust
+          |WHERE c_name = 'Customer#000000042'
+          |ORDER BY c_custkey""".stripMargin)
+    }),
+
     "lake_sql_dml" -> QueryModule.micro(4)((s, dir) => {
       // the full SQL surface end-to-end through the catalog plugin:
       // CREATE, INSERT, UPDATE, MERGE INTO, DELETE — oracle expresses
@@ -1951,6 +1994,11 @@ object RowOpsQueries extends QueryModule {
     "lake_null_skip" ->
       """SELECT n_nationkey, n_name, n_regionkey
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "lake_bloom_skip" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE c_custkey = 101 OR c_name = 'Customer#000000042'
+        |ORDER BY c_custkey""".stripMargin,
 
     "lake_cdc_apply" ->
       """SELECT n_nationkey,
