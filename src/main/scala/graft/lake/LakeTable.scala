@@ -171,7 +171,64 @@ class LakeTable private (val location: Path, private var md: TableMetadata,
       } catch { case _: Exception => () }
     }
 
+  // ---- transaction -----------------------------------------------------
+
+  private var txnActive = false
+
+  /** Single-table multi-operation transaction (Iceberg's
+    * `Table.newTransaction`): every operation this handle runs inside
+    * `body` — appends, row-level ops, schema/property changes,
+    * compaction — stages against the in-memory metadata, and ONE
+    * atomic pointer flip at the end publishes all of it. Readers (and
+    * fresh loads) see either none of the transaction's snapshots or
+    * all of them; time travel and the changelog keep every
+    * per-operation snapshot, exactly as if they had committed
+    * individually.
+    *
+    * Concurrency: the optimistic contract is unchanged — a concurrent
+    * commit landing during the body surfaces at the final CAS (or at
+    * an op's own staleness check) and ABORTS the whole transaction;
+    * the handle rolls back to its pre-transaction view. Data files
+    * written by aborted operations are unreferenced orphans for
+    * `removeOrphanFiles`, identical to any lost commit attempt.
+    * Op-level conflict retry is disabled inside a transaction: a
+    * retry would rebuild on another writer's state and smuggle it
+    * into this transaction's single publish.
+    */
+  def transaction[A](body: LakeTable => A): A = {
+    require(!txnActive, "transaction already active on this handle")
+    // fail fast rather than buy work guaranteed to lose the final CAS
+    if (currentHintVersion() != loadedVersion)
+      throw new java.util.ConcurrentModificationException(
+        s"table $location was committed concurrently; reload and retry")
+    val baseMd = md
+    txnActive = true
+    val result =
+      try body(this)
+      catch {
+        case e: Throwable =>
+          md = baseMd
+          txnActive = false
+          throw e
+      }
+    txnActive = false
+    if (md eq baseMd) return result // body staged nothing
+    val next = md
+    md = baseMd // the real commit diffs known snapshots against the base
+    try commit(next)
+    catch { case e: Throwable => md = baseMd; throw e }
+    result
+  }
+
   private def commit(next: TableMetadata): String = {
+    if (txnActive) {
+      // buffered: row-id stamping runs NOW (its known-snapshot set is
+      // the current buffered state, so each staged op stamps exactly
+      // its own new files); the claim+flip waits for the transaction's
+      // closing commit
+      md = assignRowIds(next)
+      return "<txn-buffered>"
+    }
     Files.createDirectories(metadataDir)
     // optimistic concurrency: refuse to clobber a commit made through
     // another handle since this one loaded (the reference has no retry
@@ -1874,6 +1931,12 @@ class LakeTable private (val location: Path, private var md: TableMetadata,
     * the optimistic-concurrency retry primitive.
     */
   private def reload(): Unit = {
+    // a reload would clobber the buffered transactional state and
+    // rebuild later ops on another writer's commit — the transaction
+    // must abort instead (the caller's conflict propagates)
+    if (txnActive) throw new IllegalStateException(
+      "concurrent commit aborted the transaction: cannot reload " +
+        "mid-transaction")
     val v = currentHintVersion()
     md = MetadataIO.fromJson(Json.parse(
       Files.readString(metadataDir.resolve(s"v$v.json"))), metadataDir)

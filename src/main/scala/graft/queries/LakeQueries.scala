@@ -610,6 +610,40 @@ object LakeReadQueries extends QueryModule {
           |ORDER BY n_nationkey""".stripMargin)
     }),
 
+    "lake_txn_multi" -> QueryModule.micro(4)((s, dir) => {
+      // one TRANSACTION staging append + UPDATE + DELETE, published
+      // through a single pointer flip — the self-audit loads a fresh
+      // handle mid-body and requires the base state (atomicity is the
+      // operator under test; the oracle pins the final content)
+      val wh = LakeQueries.freshWarehouse("txn")
+      Engine.processTableDefJson(wh,
+        """{"database_name":"tx","table_name":"nat","columns":[
+          |{"column_name":"n_nationkey","data_type":"int"},
+          |{"column_name":"n_name","data_type":"string"},
+          |{"column_name":"n_regionkey","data_type":"int"}],
+          |"partitions":[]}""".stripMargin)
+      val src = Tables(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+      val t = LakeTable.load(wh, "tx", "nat")
+      t.append(src.filter(col("n_nationkey") < 5))
+      val versionsBefore = t.metadata.snapshots.size
+      t.transaction { tx =>
+        tx.append(src.filter(col("n_nationkey") >= 5))
+        tx.update(s, Map("n_name" ->
+          concat(col("n_name"), lit("_TX"))), col("n_regionkey") === 3)
+        tx.delete(s, col("n_regionkey") === 0)
+        val mid = LakeTable.load(wh, "tx", "nat").read(s).count()
+        require(mid == 5,
+          s"transaction leaked before the closing flip: mid-body " +
+            s"readers saw $mid rows, expected the 5-row base")
+      }
+      require(LakeTable.load(wh, "tx", "nat").metadata.snapshots.size ==
+        versionsBefore + 3, "per-op snapshots must all survive the flip")
+      LakeTable.load(wh, "tx", "nat").read(s)
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+    }),
+
     "lake_bloom_skip" -> QueryModule.micro(4)((s, dir) => {
       // point-lookup file skipping via opt-in per-file bloom filters
       // (write.bloom-columns): keys are SHUFFLED across the files, so
@@ -1999,6 +2033,14 @@ object RowOpsQueries extends QueryModule {
       """SELECT c_custkey, c_name, c_acctbal FROM customer
         |WHERE c_custkey = 101 OR c_name = 'Customer#000000042'
         |ORDER BY c_custkey""".stripMargin,
+
+    "lake_txn_multi" ->
+      """SELECT n_nationkey,
+        |  CASE WHEN n_regionkey = 3 THEN n_name || '_TX' ELSE n_name END
+        |    AS n_name,
+        |  n_regionkey
+        |FROM nation WHERE n_regionkey <> 0
+        |ORDER BY n_nationkey""".stripMargin,
 
     "lake_cdc_apply" ->
       """SELECT n_nationkey,
