@@ -49,11 +49,18 @@ case class ColStats(kind: String, min: String, max: String,
   * `isNull` / `notNull` carry pushed `IS [NOT] NULL` predicates into
   * null-count pruning; an `isNull` filter never carries bounds (the
   * shapes are mutually exclusive in Spark's pushed filters).
+  *
+  * `eqSet`: the exact value set of a pushed `IN (...)` (or `=`) as
+  * canonical cast-to-string renderings, feeding the bloom probe
+  * ([[LakeTable.bloomMightMatch]]) — the lo/hi fields still carry the
+  * min/max ENVELOPE for range pruning. Empty when the predicate is
+  * not a value-set shape (probing must stay conservative).
   */
 case class RangeFilter(column: String,
     loNum: Option[BigDecimal] = None, hiNum: Option[BigDecimal] = None,
     loStr: Option[String] = None, hiStr: Option[String] = None,
-    notNull: Boolean = false, isNull: Boolean = false) {
+    notNull: Boolean = false, isNull: Boolean = false,
+    eqSet: Seq[String] = Seq.empty) {
   /** Any bound present — such a predicate only matches actual values,
     * so it implies NOT NULL for pruning purposes. */
   def hasBounds: Boolean =

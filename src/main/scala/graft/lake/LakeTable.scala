@@ -3993,29 +3993,37 @@ object LakeTable {
   def bloomMightMatch(f: DataFileMeta, schema: StructType,
       filters: Seq[RangeFilter]): Boolean =
     f.blooms.isEmpty || filters.forall { flt =>
-      val canonical: Option[String] = flt match {
-        case RangeFilter(_, Some(a), Some(b), _, _, _, _) if a == b =>
-          // integral rendering must match cast(col AS STRING); a
-          // fractional equality value never round-trips — skip probe
-          scala.util.Try(a.toBigIntExact).toOption.flatten.map(_.toString)
-        case RangeFilter(_, _, _, Some(a), Some(b), _, _) if a == b =>
-          Some(a)
-        case _ => None
-      }
-      canonical match {
-        case None => true
-        case Some(value) =>
-          val fieldId = schema.fields.find(_.name == flt.column)
-            .filter(graft.schema.FieldIds.hasId)
-            .map(graft.schema.FieldIds.idOf)
-          fieldId.flatMap(id => f.blooms.find(_.fieldId == id)) match {
-            case None => true
-            case Some(ref) =>
-              try BloomFilters.mightContain(
-                BloomFilters.cached(ref.path, ref.offset, ref.length),
-                BloomFilters.hashOf(value), ref.k)
-              catch { case _: Exception => true }
+      // the probe-able value set: an explicit IN-list (eqSet), or a
+      // single-point range (lo == hi). Integral renderings must match
+      // cast(col AS STRING); a fractional equality value never
+      // round-trips, so it skips the probe (min/max handles it)
+      val values: Seq[String] =
+        if (flt.eqSet.nonEmpty) flt.eqSet
+        else (flt.loNum, flt.hiNum) match {
+          case (Some(a), Some(b)) if a == b =>
+            scala.util.Try(a.toBigIntExact).toOption.flatten
+              .map(_.toString).toSeq
+          case _ => (flt.loStr, flt.hiStr) match {
+            case (Some(a), Some(b)) if a == b => Seq(a)
+            case _ => Seq.empty
           }
+        }
+      values.isEmpty || {
+        val fieldId = schema.fields.find(_.name == flt.column)
+          .filter(graft.schema.FieldIds.hasId)
+          .map(graft.schema.FieldIds.idOf)
+        fieldId.flatMap(id => f.blooms.find(_.fieldId == id)) match {
+          case None => true
+          case Some(ref) =>
+            // IN semantics: the file survives if ANY listed value
+            // might be present
+            try {
+              val words = BloomFilters.cached(ref.path, ref.offset,
+                ref.length)
+              values.exists(v => BloomFilters.mightContain(words,
+                BloomFilters.hashOf(v), ref.k))
+            } catch { case _: Exception => true }
+        }
       }
     }
 

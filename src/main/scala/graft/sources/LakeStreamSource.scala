@@ -1665,14 +1665,24 @@ private[graft] object LakeSource {
           else Some(trimmed.init + (trimmed.last + 1).toChar)
         Some(graft.lake.RangeFilter(c, loStr = Some(p), hiStr = hi))
       case In(c, vs) if vs.nonEmpty =>
+        // min/max envelope for range pruning, plus the exact value set
+        // (canonical cast-to-string renderings) so bloom-equipped
+        // files can drop unless they might hold SOME listed value;
+        // eqSet stays empty unless every value canonicalizes —
+        // probing must be all-or-nothing conservative
         val nums = vs.toSeq.map(num)
         val strs = vs.toSeq.map(str)
-        if (nums.forall(_.isDefined))
+        if (nums.forall(_.isDefined)) {
+          val canon = nums.flatten.flatMap(b =>
+            scala.util.Try(b.toBigIntExact).toOption.flatten
+              .map(_.toString))
           Some(graft.lake.RangeFilter(c,
-            loNum = Some(nums.flatten.min), hiNum = Some(nums.flatten.max)))
-        else if (strs.forall(_.isDefined))
+            loNum = Some(nums.flatten.min), hiNum = Some(nums.flatten.max),
+            eqSet = if (canon.size == vs.length) canon else Seq.empty))
+        } else if (strs.forall(_.isDefined))
           Some(graft.lake.RangeFilter(c,
-            loStr = Some(strs.flatten.min), hiStr = Some(strs.flatten.max)))
+            loStr = Some(strs.flatten.min), hiStr = Some(strs.flatten.max),
+            eqSet = strs.flatten))
         else None
       case _ => None
     }

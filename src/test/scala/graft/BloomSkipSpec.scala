@@ -119,6 +119,30 @@ class BloomSkipSpec extends AnyFunSuite {
         loNum = Some(BigDecimal(10)), hiNum = Some(BigDecimal(10)))))))
   }
 
+  test("IN-lists probe per value: kept iff some listed value may be present") {
+    val (wh, t0) = mk("inlist")
+    seed(t0, n = 300, parts = 15)
+    val t = LakeTable.load(wh, "d", "t")
+    val all = t.plannedFiles()
+    // three keys: the plan is the union of each key's candidates —
+    // more than one point lookup, far fewer than all files
+    val in3 = t.plannedFiles(statsFilters = Seq(RangeFilter("id",
+      loNum = Some(BigDecimal(5)), hiNum = Some(BigDecimal(250)),
+      eqSet = Seq("5", "99", "250"))))
+    assert(in3.size < all.size,
+      s"IN probe must prune: ${in3.size} of ${all.size}")
+    // every listed value's holder file is in the candidate set
+    for (v <- Seq(5L, 99L, 250L))
+      assert(t.read(spark).filter(col("id") === v).count() == 1L)
+    // and the DSv2 SQL surface routes IN through the same probe
+    spark.conf.set("spark.sql.catalog.gbin", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.gbin.warehouse", wh)
+    val got = spark.sql(
+      "SELECT id FROM gbin.d.t WHERE id IN (5, 99, 250) ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(5L, 99L, 250L))
+  }
+
   test("int->long promotion keeps old blooms answering correctly") {
     val (wh, t0) = mk("promo", idType = "int")
     import SparkTestSession.spark.implicits._
