@@ -642,6 +642,61 @@ object TrainingOps extends QueryModule {
         .orderBy("rank")
     }),
 
+    "q_text_rarity" -> ((s, dir) => {
+      // Rare-token curation stats (the rare-token-filtering shape:
+      // documents dominated by near-unique tokens are OCR noise /
+      // mojibake candidates; documents with none are boilerplate).
+      // Two aggregations: corpus token frequencies (vocabulary-sized
+      // shuffle after partial aggregation — never corpus-sized), then
+      // token occurrences joined to their frequency and re-grouped per
+      // doc (one shuffle keyed by token, one by doc_id). All-integer
+      // outputs, so the oracle is exact at any scale.
+      val toks = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), " ")).as("token"))
+        .filter(length(col("token")) > 0)
+      val freq = toks.groupBy("token")
+        .agg(count(lit(1)).as("freq"))
+      toks.join(freq, "token")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("freq") <= 2, 1L).otherwise(0L)).as("n_rare"),
+          sum(when(col("freq") === 1, 1L).otherwise(0L)).as("n_hapax"),
+          min(col("freq")).as("min_freq"))
+        .orderBy("doc_id")
+    }),
+
+    "q_dedup_incremental" -> ((s, dir) => {
+      // Incremental exact dedup (batch-vs-index): new documents check
+      // against the EXISTING corpus's digest set and against earlier
+      // docs of their own batch — the production shape, where
+      // re-deduplicating the whole corpus per ingest would be O(corpus)
+      // instead of O(batch). Both probes are digest-keyed joins (32-byte
+      // keys, the index side is a distinct-digest set — at 100 TB the
+      // index digests are a fraction of corpus bytes and the batch side
+      // broadcasts when small).
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), sha2(col("text"), 256).as("h"))
+      val split = docs.agg((max(col("doc_id")) * 3 / 5).cast("long"))
+        .first().getLong(0)
+      val index = docs.filter(col("doc_id") < split)
+        .select(col("h")).distinct()
+        .withColumn("in_index", lit(1L))
+      val batch = docs.filter(col("doc_id") >= split)
+      val firstInBatch = batch.groupBy("h")
+        .agg(min(col("doc_id")).as("first_id"))
+      batch.join(index, Seq("h"), "left")
+        .join(firstInBatch, "h")
+        .select(col("doc_id"),
+          coalesce(col("in_index"), lit(0L)).as("dup_of_index"),
+          when(col("doc_id") > col("first_id"), 1L).otherwise(0L)
+            .as("dup_in_batch"))
+        .withColumn("keep",
+          when(col("dup_of_index") === 0L && col("dup_in_batch") === 0L, 1L)
+            .otherwise(0L))
+        .orderBy("doc_id")
+    }),
+
     "q_embed_quantize" -> ((s, dir) => {
       // Scalar int8 quantization (vector-storage compression):
       // round(x * 127) clamped to [-127, 127] per dimension — 4x
@@ -884,6 +939,38 @@ object TrainingOps extends QueryModule {
         |  GROUP BY token)
         |WHERE n_occurrences >= 50
         |ORDER BY rank""".stripMargin,
+
+    "q_text_rarity" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+        |  FROM documents),
+        |tok AS (SELECT * FROM toks WHERE length(token) > 0),
+        |freq AS (SELECT token, count(*) AS freq FROM tok GROUP BY token)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN freq <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+        |  CAST(sum(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        |  CAST(min(freq) AS BIGINT) AS min_freq
+        |FROM tok JOIN freq USING (token)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_incremental" ->
+      """WITH docs AS (
+        |  SELECT doc_id, sha256(text) AS h FROM documents),
+        |split AS (SELECT CAST(max(doc_id) * 3 / 5 AS BIGINT) AS s FROM docs),
+        |idx AS (SELECT DISTINCT h FROM docs, split WHERE doc_id < s),
+        |batch AS (SELECT doc_id, h FROM docs, split WHERE doc_id >= s),
+        |fib AS (SELECT h, min(doc_id) AS first_id FROM batch GROUP BY h)
+        |SELECT b.doc_id,
+        |  CAST(CASE WHEN i.h IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+        |    AS dup_of_index,
+        |  CAST(CASE WHEN b.doc_id > f.first_id THEN 1 ELSE 0 END AS BIGINT)
+        |    AS dup_in_batch,
+        |  CAST(CASE WHEN i.h IS NULL AND b.doc_id = f.first_id
+        |    THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM batch b LEFT JOIN idx i ON b.h = i.h
+        |JOIN fib f ON b.h = f.h
+        |ORDER BY b.doc_id""".stripMargin,
 
     "q_embed_quantize" ->
       """SELECT vec_id, t.i AS dim,
