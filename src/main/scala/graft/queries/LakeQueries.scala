@@ -219,6 +219,42 @@ object LakeQueries extends QueryModule {
       s.sql("SELECT id, v FROM stream_lake_read_sink ORDER BY id, v")
     }),
 
+    "stream_lake_enrich" -> QueryModule.micro(1)((s, dir) => {
+      // stream-STATIC enrichment: the lake source micro-batches the
+      // fact stream, a literal dimension broadcasts into every batch
+      // (no shuffle of the stream side — the canonical enrichment
+      // plan at any scale), and a complete-mode aggregation rolls up
+      // per category. The batch oracle runs the same join+rollup over
+      // the raw events.
+      import s.implicits._
+      val wh = freshWarehouse("streamenrich")
+      Engine.processTableDefJson(wh,
+        """{"database_name":"d","table_name":"ev","columns":[
+          |{"column_name":"event_id","data_type":"long"},
+          |{"column_name":"event_type","data_type":"string"},
+          |{"column_name":"value","data_type":"double"}],
+          |"partitions":[]}""".stripMargin)
+      graft.lake.LakeTable.load(wh, "d", "ev").append(
+        Tables(s, dir, "events").select("event_id", "event_type", "value"))
+      val dim = Seq(
+        ("click", "engage"), ("view", "engage"), ("purchase", "convert"),
+        ("signup", "acquire"), ("error", "ops"))
+        .toDF("event_type", "category")
+      val q = s.readStream.format("graft-lake")
+        .option("warehouse", wh).option("database", "d").option("table", "ev")
+        .load()
+        .join(broadcast(dim), Seq("event_type"))
+        .groupBy("category")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,4)")).as("sv"))
+        .writeStream.format("memory").queryName("stream_lake_enrich_sink")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.sql("""SELECT category, n_events, CAST(sv AS DOUBLE) AS sum_value
+              |FROM stream_lake_enrich_sink ORDER BY category""".stripMargin)
+    }),
+
     "stream_lake_changelog" -> QueryModule.micro(1)((s, dir) => {
       // changelog-mode streaming read (option("changelog","true")): a
       // delete-bearing MoR history STREAMS as _change_type-tagged rows
@@ -478,6 +514,15 @@ object LakeQueries extends QueryModule {
       """SELECT CAST(id AS BIGINT) AS id, CAST(v AS VARCHAR) AS v
         |FROM (VALUES (1, 'a'), (2, 'b'), (3, 'c')) AS t(id, v)
         |ORDER BY id""".stripMargin,
+
+    "stream_lake_enrich" ->
+      """WITH dim(event_type, category) AS (VALUES
+        |  ('click','engage'), ('view','engage'), ('purchase','convert'),
+        |  ('signup','acquire'), ('error','ops'))
+        |SELECT category, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events JOIN dim USING (event_type)
+        |GROUP BY category ORDER BY category""".stripMargin,
 
     "q_stream_join" ->
       """SELECT CAST(imp_id AS BIGINT) AS imp_id, CAST(click_id AS BIGINT) AS click_id

@@ -231,6 +231,58 @@ class ConcurrencySpec extends AnyFunSuite {
       "duplicate row ids after v3 torture")
   }
 
+  test("N processes of transactions: atomic across real races — every " +
+      "published version carries its txn's snapshots together") {
+    val wh = mkTable("graft-conc-txn")
+    val results = runWorkers(wh, Workers, Iters, "txn")
+    results.foreach { case (w, rc, log) =>
+      assert(rc == 0, s"worker $w exited $rc; log tail:\n" +
+        log.takeRight(4000))
+      assert(log.contains(s"RESULT ok appends=$Iters"),
+        s"worker $w under-reported; log tail:\n" + log.takeRight(4000))
+    }
+    val t = LakeTable.load(wh, "d", "t")
+    // each transaction = append + CoW update = exactly 2 snapshots,
+    // published through ONE version flip
+    assert(t.metadata.snapshots.size == Workers * Iters * 2,
+      s"expected ${Workers * Iters} txns x 2 snapshots, got " +
+        s"${t.metadata.snapshots.map(s => s"${s.id}:${s.operation}")}\n" +
+        s"forensics: ${forensics(wh)}")
+    // ATOMICITY ACROSS PROCESSES: walk every persisted version
+    // document — each one must add 0 or exactly 2 snapshots relative
+    // to its predecessor; a half-transaction in any vN.json means the
+    // buffered publish leaked
+    val metaDir = Paths.get(wh, "d", "t", "metadata")
+    val hint = Files.readString(metaDir.resolve("version-hint.text"))
+      .trim.toInt
+    var prev = 0
+    (1 to hint).foreach { v =>
+      val m = graft.lake.MetadataIO.fromJson(graft.schema.Json.parse(
+        Files.readString(metaDir.resolve(s"v$v.json"))), metaDir)
+      val n = m.snapshots.size
+      assert(n == prev || n == prev + 2,
+        s"v$v.json carries a HALF transaction: $prev -> $n snapshots\n" +
+          s"forensics: ${forensics(wh)}")
+      prev = n
+    }
+    // a transaction's two snapshots have CONSECUTIVE ids (no foreign
+    // snapshot can land between them — the flip is atomic)
+    val ids = t.metadata.snapshots.map(_.id)
+    assert(ids.grouped(2).forall { case Seq(a, b) => b == a + 1 },
+      s"interleaved transaction snapshots: $ids")
+    // exact final content: the update's value won inside every txn
+    val got = t.read(spark).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expect = (for {
+      w <- 0 until Workers; i <- 0 until Iters
+    } yield Seq(
+      (1000000L + w * 100000L + i * 10L, s"t-w$w-i$i-U"),
+      (1000000L + w * 100000L + i * 10L + 1L, s"t-w$w-i$i-b"))).flatten.toMap
+    assert(got == expect,
+      s"content drift — missing: ${expect.toSet.diff(got.toSet).take(10)}; " +
+        s"unexpected: ${got.toSet.diff(expect.toSet).take(10)}")
+  }
+
   test("N processes blind-upserting the SAME keys converge to the " +
       "committed order's last write (audited against raw storage)") {
     val wh = mkTable("graft-conc-shared")

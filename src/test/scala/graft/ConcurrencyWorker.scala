@@ -88,6 +88,34 @@ object ConcurrencyWorker {
         spark.stop()
         sys.exit(0)
       }
+      if (mode == "txn") {
+        // transaction torture: each iteration is ONE transaction of
+        // append + CoW update over worker-private rows. A conflict
+        // anywhere in the body aborts the whole transaction and the
+        // outer retry re-runs it on a fresh handle — the documented
+        // contract. The spec then audits that every published version
+        // document carries the txn's snapshots TOGETHER (atomicity
+        // across real process races, not just in-process).
+        var txns = 0
+        (0 until iters).foreach { i =>
+          val base = 1000000L + wid * 100000L + i * 10L
+          retryOp { t =>
+            t.transaction { tx =>
+              tx.append(Seq(
+                (base, s"t-w$wid-i$i-a"),
+                (base + 1L, s"t-w$wid-i$i-b")).toDF("id", "v"))
+              tx.update(spark,
+                Map("v" -> org.apache.spark.sql.functions
+                  .lit(s"t-w$wid-i$i-U")),
+                org.apache.spark.sql.functions.col("id") === base)
+            }
+          }
+          txns += 1
+        }
+        println(s"RESULT ok appends=$txns upserts=0 compacts=0")
+        spark.stop()
+        sys.exit(0)
+      }
       if (mode == "shared") {
         (0 until iters).foreach { i =>
           retryOp { t =>
