@@ -390,7 +390,7 @@ private[sources] object MetaTables {
 
   val names: Set[String] =
     Set("snapshots", "files", "refs", "history", "partitions",
-      "manifests", "stats")
+      "manifests", "stats", "delete_files")
 
   private val snapshotsSchema = StructType(Seq(
     StructField("snapshot_id", LongType, nullable = false),
@@ -439,6 +439,12 @@ private[sources] object MetaTables {
     StructField("row_count", LongType, nullable = false),
     StructField("mode", StringType, nullable = false)))
 
+  private val deleteFilesSchema = StructType(Seq(
+    StructField("data_path", StringType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("deleted_rows", LongType, nullable = false),
+    StructField("storage", StringType, nullable = false)))
+
   private val filesSchema = StructType(Seq(
     StructField("snapshot_id", LongType, nullable = false),
     StructField("path", StringType, nullable = false),
@@ -461,6 +467,21 @@ private[sources] object MetaTables {
           Seq[Any](n, c.fieldId, c.ndv, c.nullCount, ts.snapshotId,
             ts.rowCount, if (ts.exact) "exact" else "approx")))
       })
+    case "delete_files" => new MetaTable(fullName, deleteFilesSchema,
+      // live merge-on-read delete state per data file (Iceberg's
+      // .delete_files shape): vector entries name their container
+      // blob, v2 positional entries their delete parquets — the input
+      // to "which files carry delete debt worth compacting away",
+      // zero data IO (the state is O(delete-bearing files) metadata)
+      LakeTable.liveDeletes(t.metadata.snapshots).toSeq.sortBy(_._1)
+        .map { case (dataPath, ds) =>
+          ds.dv match {
+            case Some(d) => Seq[Any](dataPath, "vector", ds.rows,
+              s"${d.dvPath}@${d.offset}+${d.length}")
+            case None => Seq[Any](dataPath, "parquet", ds.rows,
+              ds.paths.sorted.mkString(","))
+          }
+        })
     case "refs" => new MetaTable(fullName, refsSchema,
       t.metadata.refs.toSeq.sortBy(_._1).map { case (n, r) =>
         Seq[Any](n, r.kind, r.snapshotId,

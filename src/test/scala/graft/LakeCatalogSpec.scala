@@ -304,6 +304,42 @@ class LakeCatalogSpec extends AnyFunSuite {
       .head.getLong(0) == 1L)
   }
 
+  test("metadata inspection table: .delete_files shows live delete state") {
+    val wh = Files.createTempDirectory("graft-meta-df").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"df","columns":[
+        |{"column_name":"id","data_type":"long"},
+        |{"column_name":"v","data_type":"string"}],"partitions":[]}""".stripMargin)
+    val t = LakeTable.load(wh, "d", "df")
+    import spark.implicits._
+    t.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v").coalesce(1))
+    spark.conf.set("spark.sql.catalog.graftdf", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.graftdf.warehouse", wh)
+    // no deletes yet: empty relation
+    assert(spark.sql("SELECT * FROM graftdf.d.df.delete_files")
+      .collect().isEmpty)
+    // v2 positional delete shows as a parquet entry
+    t.deleteMoR(spark, org.apache.spark.sql.functions.col("id") === 1L)
+    val v2rows = spark.sql(
+      """SELECT data_path, kind, deleted_rows, storage
+        |FROM graftdf.d.df.delete_files""".stripMargin).collect()
+    assert(v2rows.length == 1)
+    assert(v2rows(0).getString(1) == "parquet" && v2rows(0).getLong(2) == 1L)
+    assert(v2rows(0).getString(3).endsWith(".parquet"))
+    // v3 upgrade + another delete: the state converts to ONE vector
+    LakeTable.load(wh, "d", "df")
+      .updateProperties(Map("format-version" -> "3"))
+    LakeTable.load(wh, "d", "df").deleteMoR(spark,
+      org.apache.spark.sql.functions.col("id") === 2L)
+    val v3rows = spark.sql(
+      """SELECT data_path, kind, deleted_rows, storage
+        |FROM graftdf.d.df.delete_files""".stripMargin).collect()
+    assert(v3rows.length == 1)
+    assert(v3rows(0).getString(1) == "vector" && v3rows(0).getLong(2) == 2L,
+      s"expected one 2-row vector entry, got ${v3rows.toSeq}")
+    assert(v3rows(0).getString(3).contains(".gdv@"))
+  }
+
   test("metadata inspection tables: .history and .partitions") {
     val wh = Files.createTempDirectory("graft-meta-hp").toString
     Engine.processTableDefJson(wh,
