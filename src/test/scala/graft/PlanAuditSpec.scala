@@ -123,4 +123,26 @@ class PlanAuditSpec extends AnyFunSuite {
   test("q_sample_mixture broadcasts the rates relation") {
     assert(plan("q_sample_mixture").contains("BroadcastHashJoin"))
   }
+
+  test("q_text_rarity: vocabulary-sized shuffles with partial aggregation") {
+    val p = plan("q_text_rarity")
+    // corpus frequency and the per-doc rollup both partial-aggregate
+    // below their exchanges; nothing may go all-pairs
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      "frequency count must partial-aggregate")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q_dedup_incremental joins on digests, never document bodies") {
+    val p = plan("q_dedup_incremental")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    // the index probe keys on the 32-byte sha2 digest: every exchange
+    // partitions on the hash column, not on text
+    val exchanges = p.linesIterator.filter(_.contains("hashpartitioning"))
+      .mkString("\n")
+    assert(!exchanges.contains("text"),
+      s"shuffle must carry digests, not bodies:\n$exchanges")
+  }
 }

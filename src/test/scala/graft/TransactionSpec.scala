@@ -98,6 +98,25 @@ class TransactionSpec extends AnyFunSuite {
     assert(state(wh) == Map(1L -> "a", 7L -> "r"))
   }
 
+  test("branch staging and publish compose inside one transaction") {
+    val (wh, t) = mkTable("branch")
+    t.append(df(Seq((1L, "a"))))
+    val versionsBefore = metadataVersions(wh)
+    t.transaction { tx =>
+      tx.createBranch("audit")
+      tx.appendToBranch(df(Seq((2L, "b"))), "audit")
+      tx.appendToBranch(df(Seq((3L, "c"))), "audit")
+      tx.fastForward("audit")
+      assert(state(wh) == Map(1L -> "a"),
+        "the whole stage+publish flow must stay invisible mid-body")
+    }
+    assert(state(wh) == Map(1L -> "a", 2L -> "b", 3L -> "c"))
+    assert(metadataVersions(wh) == versionsBefore + 1,
+      "create-branch + 2 stages + publish = ONE version flip")
+    val t2 = LakeTable.load(wh, "d", "t")
+    assert(t2.metadata.staged.isEmpty, "published staging left behind")
+  }
+
   test("v3 lineage: txn ops stamp disjoint id ranges like individual commits") {
     val (wh, t) = mkTable("lineage", v3 = true)
     t.transaction { tx =>
