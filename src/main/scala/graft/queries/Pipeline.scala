@@ -284,6 +284,43 @@ object Pipeline extends QueryModule {
         .orderBy("label")
     }),
 
+    "q_mine_hard_negatives" -> ((s, dir) => {
+      graft.functions.VectorFunctions.register(s)
+      // Contrastive-pair mining (the training-data shape behind
+      // embedding fine-tuning): for each probe, its nearest SAME-label
+      // neighbor (positive) and nearest OTHER-label neighbor (hard
+      // negative). The probe set broadcasts and the corpus is scanned
+      // ONCE; per-(probe, side) best is a map-side struct-max partial
+      // aggregate, so the shuffle carries two rows per probe per task
+      // — never the probe x corpus pair stream. Decimal-exact cosine,
+      // min-id tiebreak, so the oracle hash-matches.
+      val v = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"), col("embedding"),
+          normSqDec(col("embedding")).cast("double").as("nsq"))
+      val probes = broadcast(v.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("a_id"), col("label").as("a_label"),
+          col("embedding").as("a_emb"), col("nsq").as("a_nsq")))
+      val pairs = probes.join(v, col("vec_id") =!= col("a_id"))
+        .withColumn("cos",
+          dotDec(col("a_emb"), col("embedding")).cast("double") /
+            (sqrt(col("a_nsq")) * sqrt(col("nsq"))))
+        .withColumn("side",
+          when(col("a_label") === col("label"), "pos").otherwise("neg"))
+      // struct max = (max cos, then min id): deterministic arg-max
+      // with partial aggregation below the exchange
+      val best = pairs.groupBy("a_id", "side")
+        .agg(max(struct(col("cos"), (-col("vec_id")).as("nb"))).as("m"))
+        .select(col("a_id"), col("side"),
+          (-col("m.nb")).cast("long").as("b_id"), col("m.cos").as("cos"))
+      best.filter(col("side") === "pos")
+        .select(col("a_id"), col("b_id").as("pos_id"),
+          col("cos").as("pos_cos"))
+        .join(best.filter(col("side") === "neg")
+          .select(col("a_id"), col("b_id").as("neg_id"),
+            col("cos").as("neg_cos")), "a_id")
+        .orderBy("a_id")
+    }),
+
     "q_sim_topk" -> ((s, dir) => {
       graft.functions.VectorFunctions.register(s)
       // Brute-force cosine top-k: probe broadcast to every partition,
@@ -556,6 +593,31 @@ object Pipeline extends QueryModule {
         |LEFT JOIN (SELECT label, count(*) AS n_dups FROM dup GROUP BY label) d
         |  USING (label)
         |ORDER BY label""".stripMargin,
+
+    "q_mine_hard_negatives" ->
+      """WITH v AS (
+        |  SELECT vec_id, label, embedding,
+        |    CAST(list_sum(list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12)))) AS DOUBLE) AS nsq
+        |  FROM embeddings),
+        |p AS (SELECT vec_id AS a_id, label AS a_label, embedding AS a_emb,
+        |        nsq AS a_nsq FROM v WHERE vec_id < 50),
+        |pairs AS (
+        |  SELECT p.a_id, b.vec_id AS b_id,
+        |    CASE WHEN p.a_label = b.label THEN 'pos' ELSE 'neg' END AS side,
+        |    CAST(list_sum(list_transform(list_zip(p.a_emb, b.embedding),
+        |      s -> CAST(CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE) AS DECIMAL(28,12)))) AS DOUBLE)
+        |      / (sqrt(p.a_nsq) * sqrt(b.nsq)) AS cos
+        |  FROM p JOIN v b ON b.vec_id <> p.a_id),
+        |best AS (
+        |  SELECT a_id, side, b_id, cos,
+        |    row_number() OVER (PARTITION BY a_id, side
+        |      ORDER BY cos DESC, b_id) AS rn
+        |  FROM pairs)
+        |SELECT a.a_id, a.b_id AS pos_id, a.cos AS pos_cos,
+        |  n.b_id AS neg_id, n.cos AS neg_cos
+        |FROM best a JOIN best n ON a.a_id = n.a_id
+        |WHERE a.side = 'pos' AND n.side = 'neg' AND a.rn = 1 AND n.rn = 1
+        |ORDER BY a.a_id""".stripMargin,
 
     "q_sim_topk" ->
       """WITH v AS (
