@@ -1,9 +1,7 @@
 package graft.lake
 
-import java.nio.channels.FileChannel
-import java.nio.file.{Files, Path, StandardOpenOption}
+import java.nio.file.Path
 import java.nio.ByteBuffer
-import java.util.zip.CRC32
 
 /** One per-(data file, column) bloom filter blob inside a sidecar
   * container — point-lookup file skipping for columns whose values
@@ -91,84 +89,30 @@ object BloomFilters {
     words
   }
 
-  private def crc(bytes: Array[Byte]): Int = {
-    val c = new CRC32()
-    c.update(bytes)
-    c.getValue.toInt
-  }
-
-  /** Write one container of `[len][words][crc]` blobs (same framing as
-    * the deletion-vector containers); returns (offset, length) per
-    * blob, in input order. Blob boundaries live in the manifest entry
-    * ([[BloomRef]]) — readers seek, never scan.
+  /** Write one container of `[len][words][crc]` blobs (framing shared
+    * with every sidecar format — [[ContainerIO]]); returns (offset,
+    * length) per blob, in input order. Blob boundaries live in the
+    * manifest entry ([[BloomRef]]) — readers seek, never scan.
     */
   def writeContainer(path: Path,
-      blobs: Seq[Array[Byte]]): Seq[(Long, Long)] = {
-    val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
-      Files.newOutputStream(path, StandardOpenOption.CREATE_NEW,
-        StandardOpenOption.WRITE)))
-    try {
-      out.write(Magic)
-      var pos: Long = Magic.length.toLong
-      blobs.map { bytes =>
-        out.writeInt(bytes.length)
-        out.write(bytes)
-        out.writeInt(crc(bytes))
-        val at = pos
-        pos += 4L + bytes.length + 4L
-        (at, 4L + bytes.length + 4L)
-      }
-    } finally out.close()
-  }
+      blobs: Seq[Array[Byte]]): Seq[(Long, Long)] =
+    ContainerIO.writeBlobs(path, Magic, blobs)
 
-  def readBlob(path: String, offset: Long, length: Long): Array[Long] = {
-    val ch = FileChannel.open(java.nio.file.Paths.get(path),
-      StandardOpenOption.READ)
-    try {
-      val buf = ByteBuffer.allocate(length.toInt)
-      ch.position(offset)
-      while (buf.hasRemaining) {
-        if (ch.read(buf) < 0)
-          throw new java.io.EOFException(
-            s"bloom blob truncated: $path @$offset+$length")
-      }
-      buf.flip()
-      val len = buf.getInt
-      require(len == length - 8,
-        s"bloom blob length mismatch: $path @$offset declares $len, " +
-          s"metadata says ${length - 8}")
-      val bytes = new Array[Byte](len)
-      buf.get(bytes)
-      val expected = buf.getInt
-      require(crc(bytes) == expected,
-        s"bloom blob CRC mismatch: $path @$offset — corrupt blob")
-      deserialize(bytes)
-    } finally ch.close()
-  }
+  def readBlob(path: String, offset: Long, length: Long): Array[Long] =
+    deserialize(ContainerIO.readBlob(path, offset, length, "bloom"))
 
-  /** JVM-wide LRU of deserialized filters keyed by (container,
-    * offset) — containers are immutable (CREATE_NEW), entries never
-    * invalidate. A point-lookup plan probes each candidate file once;
-    * repeated lookups hit the cache instead of the container.
+  /** JVM-wide filter cache, byte-budgeted ([[BlobCache]]) — bloom
+    * blobs run up to 1 MiB ([[MaxBits]]), so an entry-count cap would
+    * let planning pin gigabytes; the byte budget bounds heap no
+    * matter the table's file count. A point-lookup plan probes each
+    * candidate file once; repeated lookups hit the cache instead of
+    * the container.
     */
-  private val cacheCap = 4096
-  private val cache: java.util.Map[(String, Long), Array[Long]] =
-    java.util.Collections.synchronizedMap(
-      new java.util.LinkedHashMap[(String, Long), Array[Long]](
-          64, 0.75f, true) {
-        override def removeEldestEntry(
-            e: java.util.Map.Entry[(String, Long), Array[Long]]): Boolean =
-          size() > cacheCap
-      })
+  private val cache = new BlobCache[Array[Long]](256L << 20,
+    words => words.length * 8L)
 
-  def cached(path: String, offset: Long, length: Long): Array[Long] = {
-    val key = (path, offset)
-    val hit = cache.get(key)
-    if (hit != null) return hit
-    val words = readBlob(path, offset, length)
-    cache.put(key, words)
-    words
-  }
+  def cached(path: String, offset: Long, length: Long): Array[Long] =
+    cache.getOrLoad(path, offset)(readBlob(path, offset, length))
 
   /** Spark's `xxhash64(cast(x AS STRING))` of a driver-side value —
     * the probe MUST hash exactly like the build job's column

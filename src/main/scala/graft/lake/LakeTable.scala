@@ -1641,8 +1641,12 @@ class LakeTable private (val location: Path, private var md: TableMetadata,
     if (targets.isEmpty || metas.isEmpty) return metas
     import spark.implicits._
     val names = targets.map(_._1)
+    // xxhash64 is non-nullable (a null input leaves the seed), so the
+    // null gate must be explicit — without it every null cell would
+    // plant the constant seed-hash bit in the filter
     val hashCols = names.map(n =>
-      xxhash64(col(s"`$n`").cast("string")).as(s"_h_$n"))
+      when(col(s"`$n`").isNotNull,
+        xxhash64(col(s"`$n`").cast("string"))).as(s"_h_$n"))
     val built: Array[(String, Seq[Array[Byte]])] = spark.read
       .parquet(outDir.toString)
       .select(col("_metadata.file_path").as("_fp") +: hashCols: _*)
@@ -1933,10 +1937,14 @@ class LakeTable private (val location: Path, private var md: TableMetadata,
   private def reload(): Unit = {
     // a reload would clobber the buffered transactional state and
     // rebuild later ops on another writer's commit — the transaction
-    // must abort instead (the caller's conflict propagates)
-    if (txnActive) throw new IllegalStateException(
-      "concurrent commit aborted the transaction: cannot reload " +
-        "mid-transaction")
+    // must abort instead. ConcurrentModificationException, NOT an
+    // IllegalState: the caller's documented contract is
+    // "reload-and-retry on CME", and a mid-body conflict must hit the
+    // same catch as the closing-CAS conflict so whole-transaction
+    // retries work (the txn wrapper rolls the handle back first)
+    if (txnActive) throw new java.util.ConcurrentModificationException(
+      s"table $location was committed concurrently mid-transaction; " +
+        "the transaction aborted — reload and retry the whole body")
     val v = currentHintVersion()
     md = MetadataIO.fromJson(Json.parse(
       Files.readString(metadataDir.resolve(s"v$v.json"))), metadataDir)
@@ -3975,28 +3983,30 @@ object LakeTable {
             filterIds.forall(present)
           case None => true
         })
+    // bloom probe hashing hoisted OUT of the per-file loop: each
+    // filter's value set hashes once per plan, not once per
+    // (file x value) — a 100-value IN over 100k candidate files is
+    // 100 hash evals, not 10M
+    val probes = bloomProbes(schema, statsFilters)
     files.filter { f =>
       prune.forall { case (name, allowed) =>
         f.partitionValues.get(name).forall(allowed.contains)
       } && FileStats.mightMatch(f.stats, schema, statsFilters) &&
-        writeSchemaHasAll(f) && bloomMightMatch(f, schema, statsFilters)
+        writeSchemaHasAll(f) && bloomMightMatchProbes(f, probes)
     }
   }
 
-  /** Bloom-filter probe for point-lookup equality filters (lo == hi):
-    * a file whose (cached) bloom for the column definitely lacks the
-    * value drops from the plan. Conservative everywhere else — no
-    * bloom ref, non-equality shape, fractional value against an
-    * integral column (can't match, but min/max already handles it),
-    * unreadable blob → keep the file.
+  /** Per-filter bloom probes resolved ONCE per plan: the field id and
+    * the Spark-compatible hashes of the probe-able value set — an
+    * explicit IN-list (`eqSet`) or a single-point range (lo == hi).
+    * Integral renderings must match `cast(col AS STRING)`; a
+    * fractional equality value never round-trips, so it skips the
+    * probe (min/max handles it). Filters with no probe-able shape
+    * contribute nothing (conservative).
     */
-  def bloomMightMatch(f: DataFileMeta, schema: StructType,
-      filters: Seq[RangeFilter]): Boolean =
-    f.blooms.isEmpty || filters.forall { flt =>
-      // the probe-able value set: an explicit IN-list (eqSet), or a
-      // single-point range (lo == hi). Integral renderings must match
-      // cast(col AS STRING); a fractional equality value never
-      // round-trips, so it skips the probe (min/max handles it)
+  private def bloomProbes(schema: StructType,
+      filters: Seq[RangeFilter]): Seq[(Int, Seq[Long])] =
+    filters.flatMap { flt =>
       val values: Seq[String] =
         if (flt.eqSet.nonEmpty) flt.eqSet
         else (flt.loNum, flt.hiNum) match {
@@ -4008,24 +4018,38 @@ object LakeTable {
             case _ => Seq.empty
           }
         }
-      values.isEmpty || {
-        val fieldId = schema.fields.find(_.name == flt.column)
-          .filter(graft.schema.FieldIds.hasId)
-          .map(graft.schema.FieldIds.idOf)
-        fieldId.flatMap(id => f.blooms.find(_.fieldId == id)) match {
-          case None => true
-          case Some(ref) =>
-            // IN semantics: the file survives if ANY listed value
-            // might be present
-            try {
-              val words = BloomFilters.cached(ref.path, ref.offset,
-                ref.length)
-              values.exists(v => BloomFilters.mightContain(words,
-                BloomFilters.hashOf(v), ref.k))
-            } catch { case _: Exception => true }
-        }
+      if (values.isEmpty) None
+      else schema.fields.find(_.name == flt.column)
+        .filter(graft.schema.FieldIds.hasId)
+        .map(f => graft.schema.FieldIds.idOf(f) ->
+          values.map(BloomFilters.hashOf))
+    }
+
+  private def bloomMightMatchProbes(f: DataFileMeta,
+      probes: Seq[(Int, Seq[Long])]): Boolean =
+    f.blooms.isEmpty || probes.forall { case (fieldId, hashes) =>
+      f.blooms.find(_.fieldId == fieldId) match {
+        case None => true
+        case Some(ref) =>
+          // IN semantics: the file survives if ANY listed value might
+          // be present; an unreadable blob keeps the file
+          try {
+            val words = BloomFilters.cached(ref.path, ref.offset,
+              ref.length)
+            hashes.exists(h =>
+              BloomFilters.mightContain(words, h, ref.k))
+          } catch { case _: Exception => true }
       }
     }
+
+  /** Bloom-filter probe for point-lookup equality filters — the
+    * single-file convenience form ([[bloomProbes]] +
+    * [[bloomMightMatchProbes]]); scan planning uses the split form so
+    * hashing happens once per plan.
+    */
+  def bloomMightMatch(f: DataFileMeta, schema: StructType,
+      filters: Seq[RangeFilter]): Boolean =
+    bloomMightMatchProbes(f, bloomProbes(schema, filters))
 
   /** `input_file_name()` / `_metadata.file_path` yield URIs
     * (`file:/…`, %XX-escaped); metadata stores plain filesystem

@@ -677,7 +677,10 @@ object TrainingOps extends QueryModule {
       // broadcasts when small).
       val docs = Tables(s, dir, "documents")
         .select(col("doc_id"), sha2(col("text"), 256).as("h"))
-      val split = docs.agg((max(col("doc_id")) * 3 / 5).cast("long"))
+      // floor on BOTH engines: Spark's long cast truncates while
+      // DuckDB's CAST(double AS BIGINT) rounds — an explicit floor
+      // keeps the split identical whatever max(doc_id) mod 5 is
+      val split = docs.agg(floor(max(col("doc_id")) * 3 / 5).cast("long"))
         .first().getLong(0)
       val index = docs.filter(col("doc_id") < split)
         .select(col("h")).distinct()
@@ -957,7 +960,8 @@ object TrainingOps extends QueryModule {
     "q_dedup_incremental" ->
       """WITH docs AS (
         |  SELECT doc_id, sha256(text) AS h FROM documents),
-        |split AS (SELECT CAST(max(doc_id) * 3 / 5 AS BIGINT) AS s FROM docs),
+        |split AS (SELECT CAST(floor(max(doc_id) * 3 / 5) AS BIGINT) AS s
+        |          FROM docs),
         |idx AS (SELECT DISTINCT h FROM docs, split WHERE doc_id < s),
         |batch AS (SELECT doc_id, h FROM docs, split WHERE doc_id >= s),
         |fib AS (SELECT h, min(doc_id) AS first_id FROM batch GROUP BY h)

@@ -98,6 +98,30 @@ class TransactionSpec extends AnyFunSuite {
     assert(state(wh) == Map(1L -> "a", 7L -> "r"))
   }
 
+  test("a mid-body conflict on a retriable append surfaces as CME") {
+    // the retriable-append catch-up path calls reload() when it sees a
+    // fresh hint; inside a transaction that must abort with the SAME
+    // exception type as every other conflict (the documented
+    // reload-and-retry contract catches ConcurrentModificationException
+    // only — an IllegalStateException here crashed the retry loop)
+    val (wh, t) = mkTable("midconflict")
+    t.append(df(Seq((1L, "a"))))
+    val t2 = LakeTable.load(wh, "d", "t")
+    intercept[java.util.ConcurrentModificationException] {
+      t2.transaction { tx =>
+        // racer lands BEFORE the tx's first append, so the append's
+        // own staleness check (not the closing CAS) sees it
+        LakeTable.load(wh, "d", "t").append(df(Seq((7L, "r"))))
+        tx.append(df(Seq((2L, "b"))))
+      }
+    }
+    assert(state(wh) == Map(1L -> "a", 7L -> "r"))
+    // the handle rolled back: a whole-body retry on a fresh handle works
+    val t3 = LakeTable.load(wh, "d", "t")
+    t3.transaction { tx => tx.append(df(Seq((2L, "b")))) }
+    assert(state(wh) == Map(1L -> "a", 7L -> "r", 2L -> "b"))
+  }
+
   test("branch staging and publish compose inside one transaction") {
     val (wh, t) = mkTable("branch")
     t.append(df(Seq((1L, "a"))))
