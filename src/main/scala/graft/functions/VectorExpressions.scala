@@ -275,8 +275,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ZOrderFunction.builder))
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     // ALTER TABLE ... ADD/DROP PARTITION FIELD (Iceberg's
-    // spec-evolution DDL; Spark's parser has no such statement)
+    // spec-evolution DDL; Spark's parser has no such statement) plus
+    // the persistent-view DDL (stock Spark refuses view statements on
+    // v2 catalogs)
     e.injectParser((_, delegate) =>
       new org.apache.spark.sql.GraftSqlParser(delegate))
+    // SELECT over lake-catalog views: substitute the stored SQL as a
+    // subquery during resolution (Iceberg's ResolveViews shape)
+    e.injectResolutionRule(session =>
+      org.apache.spark.sql.GraftViewSubstitution(session))
   }
 }

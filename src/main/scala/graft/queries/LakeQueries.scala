@@ -655,6 +655,45 @@ object LakeReadQueries extends QueryModule {
           |ORDER BY n_nationkey""".stripMargin)
     }),
 
+    "lake_views" -> QueryModule.micro(4)((s, dir) => {
+      // persistent catalog views with definition versioning: CREATE,
+      // then CREATE OR REPLACE (which must APPEND a version, not
+      // overwrite — self-audited), then SELECT through the view; the
+      // oracle runs the final definition over the raw table. DDL and
+      // resolution go through the same parser + substitution rule the
+      // session extensions install, so the key is independent of how
+      // the driver built its session.
+      val wh = LakeQueries.freshWarehouse("views")
+      Engine.processTableDefJson(wh,
+        """{"database_name":"vw","table_name":"nat","columns":[
+          |{"column_name":"n_nationkey","data_type":"int"},
+          |{"column_name":"n_name","data_type":"string"},
+          |{"column_name":"n_regionkey","data_type":"int"}],
+          |"partitions":[]}""".stripMargin)
+      LakeTable.load(wh, "vw", "nat").append(
+        Tables(s, dir, "nation")
+          .select("n_nationkey", "n_name", "n_regionkey"))
+      s.conf.set("spark.sql.catalog.gview", "graft.sources.LakeCatalog")
+      s.conf.set("spark.sql.catalog.gview.warehouse", wh)
+      val parser = new org.apache.spark.sql.GraftSqlParser(
+        org.apache.spark.sql.GraftPlanBridge.sessionParser(s))
+      def vsql(q: String) = org.apache.spark.sql.GraftPlanBridge.ofRows(s,
+        org.apache.spark.sql.GraftViewSubstitution(s)(parser.parsePlan(q)))
+      vsql("CREATE VIEW gview.vw.regional AS " +
+        "SELECT n_nationkey, n_name FROM gview.vw.nat " +
+        "WHERE n_regionkey = 0").collect()
+      vsql("CREATE OR REPLACE VIEW gview.vw.regional AS " +
+        "SELECT n_nationkey, concat(n_name, '/', n_regionkey) AS tagged " +
+        "FROM gview.vw.nat WHERE n_regionkey IN (1, 3)").collect()
+      val doc = graft.sources.LakeViews.read(
+        graft.sources.LakeViews.path(wh, "vw", "regional")).get
+      require(doc.versions.map(_.id) == Seq(1, 2) &&
+        doc.currentVersionId == 2,
+        s"replace must append a version: ${doc.versions.map(_.id)}")
+      vsql("SELECT n_nationkey, tagged FROM gview.vw.regional " +
+        "ORDER BY n_nationkey")
+    }),
+
     "lake_txn_multi" -> QueryModule.micro(4)((s, dir) => {
       // one TRANSACTION staging append + UPDATE + DELETE, published
       // through a single pointer flip — the self-audit loads a fresh
@@ -2078,6 +2117,11 @@ object RowOpsQueries extends QueryModule {
       """SELECT c_custkey, c_name, c_acctbal FROM customer
         |WHERE c_custkey = 101 OR c_name = 'Customer#000000042'
         |ORDER BY c_custkey""".stripMargin,
+
+    "lake_views" ->
+      """SELECT n_nationkey, n_name || '/' || n_regionkey AS tagged
+        |FROM nation WHERE n_regionkey IN (1, 3)
+        |ORDER BY n_nationkey""".stripMargin,
 
     "lake_txn_multi" ->
       """SELECT n_nationkey,

@@ -29,7 +29,8 @@ import graft.lake.LakeTable
   */
 class LakeCatalog extends TableCatalog
     with org.apache.spark.sql.connector.catalog.FunctionCatalog
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.ViewCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -55,6 +56,137 @@ class LakeCatalog extends TableCatalog
       org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
     java.util.EnumSet.of(org.apache.spark.sql.connector.catalog
       .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
+  // ---- persistent views (Spark's ViewCatalog; Iceberg's view spec) ----
+
+  private def viewFile(ident: Identifier): java.nio.file.Path = {
+    require(ident.namespace().length == 1,
+      s"views live in <database>.<name>: $ident")
+    LakeViews.path(warehouse, ident.namespace()(0), ident.name())
+  }
+
+  private def loadViewDoc(ident: Identifier): LakeViews.ViewDoc =
+    LakeViews.read(viewFile(ident)).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(ident))
+
+  override def listViews(namespace: String*): Array[Identifier] = {
+    val ns = namespace.toArray
+    require(ns.length == 1, "expected <database> namespace")
+    if (!Files.isDirectory(Paths.get(warehouse, ns(0))))
+      throw new NoSuchNamespaceException(ns)
+    val d = LakeViews.dir(warehouse, ns(0))
+    if (!Files.isDirectory(d)) Array.empty
+    else scala.util.Using.resource(Files.list(d)) { st =>
+      st.iterator().asScala.map(_.getFileName.toString)
+        .filter(n => n.endsWith(".json") && !n.startsWith("."))
+        .map(n => Identifier.of(ns, n.stripSuffix(".json")))
+        .toArray.sortBy(_.name())
+    }
+  }
+
+  override def viewExists(ident: Identifier): Boolean =
+    ident.namespace().length == 1 && Files.exists(viewFile(ident))
+
+  override def loadView(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.View =
+    new LakeView(s"$catalogName.${ident.namespace()(0)}.${ident.name()}",
+      loadViewDoc(ident))
+
+  private def versionOf(info:
+      org.apache.spark.sql.connector.catalog.ViewInfo,
+      id: Int): LakeViews.ViewVersion =
+    LakeViews.ViewVersion(id, System.currentTimeMillis(), info.sql(),
+      info.schema().json,
+      Option(info.queryColumnNames()).map(_.toSeq).getOrElse(Seq.empty),
+      Option(info.columnAliases()).map(_.toSeq).getOrElse(Seq.empty),
+      Option(info.columnComments()).map(_.toSeq).getOrElse(Seq.empty),
+      info.currentCatalog(),
+      Option(info.currentNamespace()).map(_.toSeq).getOrElse(Seq.empty))
+
+  override def createView(info:
+      org.apache.spark.sql.connector.catalog.ViewInfo)
+      : org.apache.spark.sql.connector.catalog.View = {
+    val ident = info.ident()
+    if (!Files.isDirectory(Paths.get(warehouse, ident.namespace()(0))))
+      throw new NoSuchNamespaceException(ident.namespace())
+    val props = Option(info.properties())
+      .map(m => scala.jdk.CollectionConverters.MapHasAsScala(m)
+        .asScala.toMap).getOrElse(Map.empty[String, String])
+    val doc = LakeViews.ViewDoc(ident.name(), 1,
+      Seq(versionOf(info, 1)), props)
+    try LakeViews.create(viewFile(ident), doc)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new org.apache.spark.sql.catalyst.analysis
+          .ViewAlreadyExistsException(ident)
+    }
+    new LakeView(s"$catalogName.${ident.namespace()(0)}.${ident.name()}",
+      doc)
+  }
+
+  /** CREATE OR REPLACE appends a VERSION (the definition history stays
+    * auditable, Iceberg's view-versioning model) and repoints the
+    * current id; properties take the replacing definition's.
+    */
+  override def replaceView(info:
+      org.apache.spark.sql.connector.catalog.ViewInfo,
+      orCreate: Boolean)
+      : org.apache.spark.sql.connector.catalog.View = {
+    val ident = info.ident()
+    LakeViews.read(viewFile(ident)) match {
+      case None =>
+        if (!orCreate) throw new org.apache.spark.sql.catalyst.analysis
+          .NoSuchViewException(ident)
+        createView(info)
+      case Some(prev) =>
+        val nextId = prev.versions.map(_.id).max + 1
+        val props = Option(info.properties())
+          .map(m => scala.jdk.CollectionConverters.MapHasAsScala(m)
+            .asScala.toMap).getOrElse(Map.empty[String, String])
+        val doc = prev.copy(currentVersionId = nextId,
+          versions = prev.versions :+ versionOf(info, nextId),
+          properties = props)
+        LakeViews.write(viewFile(ident), doc)
+        new LakeView(
+          s"$catalogName.${ident.namespace()(0)}.${ident.name()}", doc)
+    }
+  }
+
+  override def alterView(ident: Identifier,
+      changes: org.apache.spark.sql.connector.catalog.ViewChange*)
+      : org.apache.spark.sql.connector.catalog.View = {
+    val doc = changes.foldLeft(loadViewDoc(ident)) { (d, c) =>
+      c match {
+        case s: org.apache.spark.sql.connector.catalog
+            .ViewChange.SetProperty =>
+          d.copy(properties = d.properties + (s.property() -> s.value()))
+        case r: org.apache.spark.sql.connector.catalog
+            .ViewChange.RemoveProperty =>
+          d.copy(properties = d.properties - r.property())
+        case other => throw new IllegalArgumentException(
+          s"unsupported view change: $other")
+      }
+    }
+    LakeViews.write(viewFile(ident), doc)
+    new LakeView(s"$catalogName.${ident.namespace()(0)}.${ident.name()}",
+      doc)
+  }
+
+  override def dropView(ident: Identifier): Boolean =
+    ident.namespace().length == 1 && Files.deleteIfExists(viewFile(ident))
+
+  override def renameView(from: Identifier, to: Identifier): Unit = {
+    if (!viewExists(from))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(from)
+    if (viewExists(to))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(to)
+    val doc = loadViewDoc(from).copy(name = to.name())
+    LakeViews.write(viewFile(to), doc)
+    Files.delete(viewFile(from))
+  }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     require(namespace.length == 1, "expected <database> namespace")

@@ -1,0 +1,129 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption,
+  StandardOpenOption}
+
+import org.apache.spark.sql.types.{DataType, StructType}
+
+import graft.schema.{JArray, JNumber, JObject, JString, JValue, Json}
+
+/** Persistent SQL views for the lake catalog (Iceberg's view spec,
+  * scoped to what Spark's `ViewCatalog` carries): a view is a named
+  * document under `<warehouse>/<db>/_views/<name>.json` holding a
+  * VERSION LIST — `CREATE OR REPLACE` appends a version instead of
+  * overwriting, so the definition history is auditable exactly like
+  * table snapshots — plus the view-level properties. The stored text
+  * is the defining SQL with its capture context (catalog + namespace
+  * the names resolved against) and the analyzed schema, which is what
+  * lets Spark re-resolve the view identically from any session.
+  *
+  * Writes are last-writer-wins via temp-file + atomic move (views are
+  * definitions, not data — the table commit protocol's CAS rigor
+  * buys nothing here); `CREATE` uses CREATE_NEW so two racing creates
+  * surface instead of silently merging.
+  */
+object LakeViews {
+
+  case class ViewVersion(id: Int, timestampMs: Long, sql: String,
+      schemaJson: String, queryColumnNames: Seq[String],
+      columnAliases: Seq[String], columnComments: Seq[String],
+      currentCatalog: String, currentNamespace: Seq[String])
+
+  case class ViewDoc(name: String, currentVersionId: Int,
+      versions: Seq[ViewVersion], properties: Map[String, String]) {
+    def current: ViewVersion = versions.find(_.id == currentVersionId)
+      .getOrElse(throw new IllegalStateException(
+        s"view $name: current-version-id $currentVersionId not in " +
+          s"versions ${versions.map(_.id)}"))
+  }
+
+  def dir(warehouse: String, db: String): Path =
+    Paths.get(warehouse, db, "_views")
+
+  def path(warehouse: String, db: String, name: String): Path =
+    dir(warehouse, db).resolve(s"$name.json")
+
+  private def strings(v: Option[JValue]): Seq[String] =
+    v.map(_.asArr.map(_.asStr)).getOrElse(Seq.empty)
+
+  def toJson(d: ViewDoc): JValue = JObject(Map(
+    "view-name" -> JString(d.name),
+    "current-version-id" -> JNumber(d.currentVersionId),
+    "versions" -> JArray(d.versions.map(v => JObject(Map(
+      "version-id" -> JNumber(v.id),
+      "timestamp-ms" -> JNumber(v.timestampMs),
+      "sql" -> JString(v.sql),
+      "schema-json" -> JString(v.schemaJson),
+      "query-column-names" -> JArray(v.queryColumnNames.map(JString)),
+      "column-aliases" -> JArray(v.columnAliases.map(JString)),
+      "column-comments" -> JArray(v.columnComments.map(JString)),
+      "current-catalog" -> JString(v.currentCatalog),
+      "current-namespace" -> JArray(v.currentNamespace.map(JString)))))),
+    "properties" -> JObject(d.properties.map {
+      case (k, v) => k -> JString(v) })))
+
+  def fromJson(j: JValue): ViewDoc = {
+    val m = j.asObj
+    ViewDoc(
+      name = m("view-name").asStr,
+      currentVersionId = m("current-version-id").asInt,
+      versions = m("versions").asArr.map { vv =>
+        val vm = vv.asObj
+        ViewVersion(vm("version-id").asInt, vm("timestamp-ms").asLong,
+          vm("sql").asStr, vm("schema-json").asStr,
+          strings(vm.get("query-column-names")),
+          strings(vm.get("column-aliases")),
+          strings(vm.get("column-comments")),
+          vm("current-catalog").asStr,
+          strings(vm.get("current-namespace")))
+      },
+      properties = m.get("properties")
+        .map(_.asObj.map { case (k, v) => k -> v.asStr })
+        .getOrElse(Map.empty))
+  }
+
+  def read(p: Path): Option[ViewDoc] =
+    if (!Files.exists(p)) None
+    else Some(fromJson(Json.parse(Files.readString(p))))
+
+  /** Overwrite (replace/alter/rename): temp + atomic move. */
+  def write(p: Path, d: ViewDoc): Unit = {
+    Files.createDirectories(p.getParent)
+    val tmp = p.getParent.resolve(s".${p.getFileName}.tmp")
+    Files.writeString(tmp, Json.write(toJson(d)))
+    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Create (CREATE_NEW — racing creates surface). */
+  def create(p: Path, d: ViewDoc): Unit = {
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, Json.write(toJson(d)),
+      StandardOpenOption.CREATE_NEW)
+  }
+}
+
+/** The [[org.apache.spark.sql.connector.catalog.View]] served back to
+  * Spark — the document's CURRENT version.
+  */
+private[graft] class LakeView(fullName: String,
+    doc: LakeViews.ViewDoc)
+    extends org.apache.spark.sql.connector.catalog.View {
+  private val v = doc.current
+  override def name(): String = fullName
+  override def query(): String = v.sql
+  override def currentCatalog(): String = v.currentCatalog
+  override def currentNamespace(): Array[String] =
+    v.currentNamespace.toArray
+  override def schema(): StructType =
+    DataType.fromJson(v.schemaJson).asInstanceOf[StructType]
+  override def queryColumnNames(): Array[String] =
+    v.queryColumnNames.toArray
+  override def columnAliases(): Array[String] = v.columnAliases.toArray
+  override def columnComments(): Array[String] = v.columnComments.toArray
+  override def properties(): java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    doc.properties.foreach { case (k, vv) => m.put(k, vv) }
+    m
+  }
+}

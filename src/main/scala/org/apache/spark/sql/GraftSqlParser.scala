@@ -66,6 +66,44 @@ object GraftSqlParser {
     else t
   }
 
+  // view DDL (see GraftViewCommands for why these intercept). The
+  // identifier group is deliberately conservative — dotted bare/
+  // backticked parts — so arbitrary SQL can't false-match
+  private val Ident = """((?:`(?:[^`]|``)+`|\w+)(?:\.(?:`(?:[^`]|``)+`|\w+)){0,3})"""
+  private[sql] val CreateViewRe =
+    ("""(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+(IF\s+NOT\s+EXISTS\s+)?""" +
+      Ident + """\s+AS\s+(.+?)\s*;?\s*$""").r
+  private[sql] val DropViewRe =
+    ("""(?is)^\s*DROP\s+VIEW\s+(IF\s+EXISTS\s+)?""" + Ident +
+      """\s*;?\s*$""").r
+  private[sql] val AlterViewSetPropsRe =
+    ("""(?is)^\s*ALTER\s+VIEW\s+""" + Ident +
+      """\s+SET\s+TBLPROPERTIES\s*\((.+?)\)\s*;?\s*$""").r
+  private[sql] val AlterViewUnsetPropsRe =
+    ("""(?is)^\s*ALTER\s+VIEW\s+""" + Ident +
+      """\s+UNSET\s+TBLPROPERTIES\s*\((.+?)\)\s*;?\s*$""").r
+  private[sql] val AlterViewRenameRe =
+    ("""(?is)^\s*ALTER\s+VIEW\s+""" + Ident + """\s+RENAME\s+TO\s+""" +
+      Ident + """\s*;?\s*$""").r
+  private[sql] val ShowViewsRe =
+    ("""(?is)^\s*SHOW\s+VIEWS\s+(?:IN|FROM)\s+""" + Ident +
+      """\s*;?\s*$""").r
+
+  private[sql] def stripQuotes(s: String): String = {
+    val t = s.trim
+    if ((t.startsWith("'") && t.endsWith("'")) ||
+        (t.startsWith("\"") && t.endsWith("\"")))
+      t.substring(1, t.length - 1)
+    else t
+  }
+
+  /** `'k'='v', 'k2'='v2'` — the TBLPROPERTIES list shape. */
+  private[sql] def parseProps(s: String): Map[String, String] =
+    s.split(",").map { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      stripQuotes(k) -> stripQuotes(v)
+    }.toMap
+
   /** SQL transform syntax → (engine transform name, source column).
     * `day(ts)`/`days(ts)` → day; `bucket(16, id)` → bucket[16];
     * `truncate(4, s)` → truncate[4]; a bare column → identity. An
@@ -111,8 +149,37 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         GraftAlterPartitionFieldCommand(
           delegate.parseMultipartIdentifier(tbl), add = false,
           None, "", Some(clean(trimmed)))
+    // ---- persistent view DDL (3-part identifiers only: 1/2-part
+    // names keep meaning session-catalog / temp views, which Spark
+    // handles natively) ----------------------------------------------
+    case CreateViewRe(orReplace, ifNotExists, ident, query)
+        if is3Part(ident) =>
+      GraftCreateViewCommand(delegate.parseMultipartIdentifier(ident),
+        query.trim, replace = orReplace != null,
+        ifNotExists = ifNotExists != null)
+    case DropViewRe(ifExists, ident) if is3Part(ident) =>
+      GraftDropViewCommand(delegate.parseMultipartIdentifier(ident),
+        ifExists = ifExists != null)
+    case AlterViewSetPropsRe(ident, props) if is3Part(ident) =>
+      GraftAlterViewPropsCommand(
+        delegate.parseMultipartIdentifier(ident),
+        parseProps(props), Seq.empty)
+    case AlterViewUnsetPropsRe(ident, keys) if is3Part(ident) =>
+      GraftAlterViewPropsCommand(
+        delegate.parseMultipartIdentifier(ident), Map.empty,
+        keys.split(",").map(k => clean(stripQuotes(k))).toSeq)
+    case AlterViewRenameRe(ident, to) if is3Part(ident) =>
+      GraftRenameViewCommand(delegate.parseMultipartIdentifier(ident),
+        delegate.parseMultipartIdentifier(to))
+    case ShowViewsRe(ns) if ns != null &&
+        delegate.parseMultipartIdentifier(ns).length == 2 =>
+      GraftShowViewsCommand(delegate.parseMultipartIdentifier(ns))
     case _ => delegate.parsePlan(sqlText)
   }
+
+  private def is3Part(ident: String): Boolean =
+    try delegate.parseMultipartIdentifier(ident).length == 3
+    catch { case _: Exception => false }
 
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)

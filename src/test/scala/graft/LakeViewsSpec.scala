@@ -1,0 +1,173 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.lake.{Engine, LakeTable}
+
+/** Persistent catalog views (Iceberg's view spec over Spark's
+  * ViewCatalog + the extensions parser/resolution rules):
+  * CREATE/SELECT/REPLACE/SHOW/DROP/ALTER through SQL, with definition
+  * VERSIONING — CREATE OR REPLACE appends a version rather than
+  * overwriting, so a view's history stays auditable the way table
+  * snapshots do. The shared test session is built without extensions,
+  * so these tests drive the same parser + substitution rule the
+  * extensions install (the last test proves the native
+  * extensions-enabled path end-to-end).
+  */
+class LakeViewsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def mk(tag: String): String = {
+    val wh = Files.createTempDirectory(s"graft-views-$tag").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"t","columns":[
+        |{"column_name":"id","data_type":"long"},
+        |{"column_name":"v","data_type":"string"}],"partitions":[]}""".stripMargin)
+    import SparkTestSession.spark.implicits._
+    LakeTable.load(wh, "d", "t")
+      .append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    wh
+  }
+
+  /** spark.sql as an extensions-enabled session would run it. */
+  private def vsql(s: SparkSession, q: String): DataFrame = {
+    val parser = new org.apache.spark.sql.GraftSqlParser(
+      org.apache.spark.sql.GraftPlanBridge.sessionParser(s))
+    org.apache.spark.sql.GraftPlanBridge.ofRows(s,
+      org.apache.spark.sql.GraftViewSubstitution(s)(parser.parsePlan(q)))
+  }
+
+  test("create, select, replace, show, drop — full SQL lifecycle") {
+    val wh = mk("sql")
+    spark.conf.set("spark.sql.catalog.gv", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.gv.warehouse", wh)
+    vsql(spark, "CREATE VIEW gv.d.big AS " +
+      "SELECT id, upper(v) AS vu FROM gv.d.t WHERE id >= 2").collect()
+    assert(vsql(spark, "SELECT * FROM gv.d.big ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((2L, "B"), (3L, "C")))
+    // a second create of the same name refuses; IF NOT EXISTS no-ops
+    intercept[Exception] {
+      vsql(spark, "CREATE VIEW gv.d.big AS SELECT id FROM gv.d.t")
+        .collect()
+    }
+    vsql(spark,
+      "CREATE VIEW IF NOT EXISTS gv.d.big AS SELECT id FROM gv.d.t")
+      .collect()
+    // replace changes the definition; the version history grows
+    vsql(spark, "CREATE OR REPLACE VIEW gv.d.big AS " +
+      "SELECT id FROM gv.d.t WHERE id = 1").collect()
+    assert(vsql(spark, "SELECT * FROM gv.d.big").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L))
+    val doc = graft.sources.LakeViews.read(
+      graft.sources.LakeViews.path(wh, "d", "big")).get
+    assert(doc.versions.map(_.id) == Seq(1, 2) &&
+      doc.currentVersionId == 2,
+      "CREATE OR REPLACE must append a version, not overwrite")
+    assert(doc.versions(0).sql.contains("upper(v)"),
+      "the replaced definition stays in history")
+    // listing and drop
+    val shown = vsql(spark, "SHOW VIEWS IN gv.d").collect()
+      .map(_.getString(1)).toSeq
+    assert(shown == Seq("big"), s"got $shown")
+    vsql(spark, "DROP VIEW gv.d.big").collect()
+    intercept[Exception] {
+      vsql(spark, "SELECT * FROM gv.d.big").count()
+    }
+    // IF EXISTS tolerates the absence; plain DROP refuses by name
+    vsql(spark, "DROP VIEW IF EXISTS gv.d.big").collect()
+    intercept[Exception] { vsql(spark, "DROP VIEW gv.d.big").collect() }
+  }
+
+  test("views re-resolve against live data; nested views; cycles refuse") {
+    val wh = mk("fresh")
+    spark.conf.set("spark.sql.catalog.gv2", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.gv2.warehouse", wh)
+    vsql(spark,
+      "CREATE VIEW gv2.d.cnt AS SELECT count(*) AS n FROM gv2.d.t")
+      .collect()
+    assert(vsql(spark, "SELECT n FROM gv2.d.cnt").collect()
+      .head.getLong(0) == 3L)
+    // the view is a DEFINITION: new table data flows through
+    import SparkTestSession.spark.implicits._
+    LakeTable.load(wh, "d", "t").append(Seq((9L, "z")).toDF("id", "v"))
+    assert(vsql(spark, "SELECT n FROM gv2.d.cnt").collect()
+      .head.getLong(0) == 4L)
+    // a view over a view expands transitively
+    vsql(spark,
+      "CREATE VIEW gv2.d.cnt2 AS SELECT n + 1 AS m FROM gv2.d.cnt")
+      .collect()
+    assert(vsql(spark, "SELECT m FROM gv2.d.cnt2").collect()
+      .head.getLong(0) == 5L)
+    // a definition cycle is refused with the named chain, not an
+    // analyzer-iteration blowup (the doc is forged to be recursive)
+    val self = graft.sources.LakeViews.ViewDoc("loop", 1, Seq(
+      graft.sources.LakeViews.ViewVersion(1, 0L,
+        "SELECT * FROM gv2.d.loop", "{\"type\":\"struct\",\"fields\":[]}",
+        Seq.empty, Seq.empty, Seq.empty, "gv2", Seq("d"))), Map.empty)
+    graft.sources.LakeViews.write(
+      graft.sources.LakeViews.path(wh, "d", "loop"), self)
+    val e = intercept[IllegalStateException] {
+      vsql(spark, "SELECT * FROM gv2.d.loop").collect()
+    }
+    assert(e.getMessage.contains("recursive view"), e.getMessage)
+  }
+
+  test("rename and property changes round-trip") {
+    val wh = mk("alter")
+    spark.conf.set("spark.sql.catalog.gv4", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.gv4.warehouse", wh)
+    vsql(spark, "CREATE VIEW gv4.d.v1 AS SELECT id FROM gv4.d.t")
+      .collect()
+    vsql(spark,
+      "ALTER VIEW gv4.d.v1 SET TBLPROPERTIES ('team'='curation')")
+      .collect()
+    assert(graft.sources.LakeViews.read(
+      graft.sources.LakeViews.path(wh, "d", "v1")).get
+      .properties.get("team").contains("curation"))
+    vsql(spark, "ALTER VIEW gv4.d.v1 UNSET TBLPROPERTIES ('team')")
+      .collect()
+    assert(!graft.sources.LakeViews.read(
+      graft.sources.LakeViews.path(wh, "d", "v1")).get
+      .properties.contains("team"))
+    vsql(spark, "ALTER VIEW gv4.d.v1 RENAME TO gv4.d.v2").collect()
+    assert(vsql(spark, "SELECT id FROM gv4.d.v2 ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    intercept[Exception] {
+      vsql(spark, "SELECT * FROM gv4.d.v1").count()
+    }
+  }
+
+  test("an extensions-enabled session serves views through plain spark.sql") {
+    val wh = mk("native")
+    // getOrCreate() would hand back the SHARED session (extensions
+    // ignored) — clear the active/default handles so a genuinely
+    // extended session builds, restore after
+    val prior = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new graft.functions.GraftExtensions)
+        .getOrCreate()
+      s2.conf.set("spark.sql.catalog.gvn", "graft.sources.LakeCatalog")
+      s2.conf.set("spark.sql.catalog.gvn.warehouse", wh)
+      s2.sql("CREATE VIEW gvn.d.nat AS " +
+        "SELECT id FROM gvn.d.t WHERE id > 1")
+      assert(s2.sql("SELECT * FROM gvn.d.nat ORDER BY id").collect()
+        .map(_.getLong(0)).toSeq == Seq(2L, 3L))
+      assert(s2.sql("SHOW VIEWS IN gvn.d").collect()
+        .map(_.getString(1)).toSeq == Seq("nat"))
+      s2.sql("DROP VIEW gvn.d.nat")
+    } finally {
+      SparkSession.setDefaultSession(prior)
+      SparkSession.setActiveSession(prior)
+    }
+  }
+}
