@@ -655,6 +655,44 @@ object LakeReadQueries extends QueryModule {
           |ORDER BY n_nationkey""".stripMargin)
     }),
 
+    "lake_mat_view" -> QueryModule.micro(4)((s, dir) => {
+      // materialized view lifecycle: create over half the source,
+      // append the rest (the MV must serve the STALE materialized
+      // state — self-audited), refresh, read through the view name.
+      // The oracle is the defining aggregate over the full source.
+      val wh = LakeQueries.freshWarehouse("matview")
+      Engine.processTableDefJson(wh,
+        """{"database_name":"mv","table_name":"ord","columns":[
+          |{"column_name":"o_custkey","data_type":"long"},
+          |{"column_name":"o_totalprice","data_type":"double"}],
+          |"partitions":[]}""".stripMargin)
+      val orders = Tables(s, dir, "orders")
+        .select("o_custkey", "o_totalprice")
+      LakeTable.load(wh, "mv", "ord")
+        .append(orders.filter(col("o_custkey") % 2 === 0))
+      s.conf.set("spark.sql.catalog.gmvq", "graft.sources.LakeCatalog")
+      s.conf.set("spark.sql.catalog.gmvq.warehouse", wh)
+      s.sql("CALL gmvq.system.create_mat_view('mv', 'cust_rollup', " +
+        "'SELECT o_custkey, count(*) AS n_orders, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) " +
+        "AS sum_price FROM gmvq.mv.ord GROUP BY o_custkey')").collect()
+      val parser = new org.apache.spark.sql.GraftSqlParser(
+        org.apache.spark.sql.GraftPlanBridge.sessionParser(s))
+      def vsql(q: String) = org.apache.spark.sql.GraftPlanBridge.ofRows(s,
+        org.apache.spark.sql.GraftViewSubstitution(s)(parser.parsePlan(q)))
+      val staleRows = vsql("SELECT * FROM gmvq.mv.cust_rollup").count()
+      LakeTable.load(wh, "mv", "ord")
+        .append(orders.filter(col("o_custkey") % 2 =!= 0))
+      require(vsql("SELECT * FROM gmvq.mv.cust_rollup").count() ==
+        staleRows,
+        "an unrefreshed MV must serve the materialized state, not the " +
+          "live source")
+      s.sql("CALL gmvq.system.refresh_mat_view('mv', 'cust_rollup')")
+        .collect()
+      vsql("SELECT o_custkey, n_orders, sum_price " +
+        "FROM gmvq.mv.cust_rollup ORDER BY o_custkey")
+    }),
+
     "lake_views" -> QueryModule.micro(4)((s, dir) => {
       // persistent catalog views with definition versioning: CREATE,
       // then CREATE OR REPLACE (which must APPEND a version, not
@@ -2117,6 +2155,13 @@ object RowOpsQueries extends QueryModule {
       """SELECT c_custkey, c_name, c_acctbal FROM customer
         |WHERE c_custkey = 101 OR c_name = 'Customer#000000042'
         |ORDER BY c_custkey""".stripMargin,
+
+    "lake_mat_view" ->
+      """SELECT o_custkey,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     "lake_views" ->
       """SELECT n_nationkey, n_name || '/' || n_regionkey AS tagged

@@ -500,7 +500,7 @@ class LakeCatalog extends TableCatalog
       : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
     if (ident.namespace.length == 1 && ident.namespace()(0) == "system" &&
         LakeProcedures.names.contains(ident.name))
-      LakeProcedures.unbound(warehouse, ident.name)
+      LakeProcedures.unbound(warehouse, catalogName, ident.name)
     else throw new RuntimeException(
       s"graft catalog: unknown procedure $ident (have " +
         s"${LakeProcedures.names.toSeq.sorted.mkString("system.", ", system.", "")})")
@@ -899,12 +899,14 @@ private[sources] object LakeProcedures {
       "rewrite_manifests", "fast_forward",
       "add_partition_field", "drop_partition_field",
       "branch_delete", "branch_upsert", "branch_delete_cow",
-      "branch_update_cow", "create_changelog_view", "analyze")
+      "branch_update_cow", "create_changelog_view", "analyze",
+      "create_mat_view", "refresh_mat_view")
 
   private def param(n: String, dt: DataType) =
     ProcedureParameter.in(n, dt).build()
 
-  def unbound(warehouse: String, procName: String): UnboundProcedure =
+  def unbound(warehouse: String, catalogName: String,
+      procName: String): UnboundProcedure =
     new UnboundProcedure {
       override def name(): String = procName
       override def description(): String = s"graft maintenance: $procName"
@@ -1005,6 +1007,16 @@ private[sources] object LakeProcedures {
             // mode: '' (raw), 'updates' (compute_updates pairing), or
             // 'net' (net_changes collapsing); identifier_cols: comma-
             // separated identity ('' = the table's identifier-fields)
+            // materialized view: `name` is the MV's view name; the
+            // defining `query` re-runs at each refresh into a hidden
+            // backing lake table (__mat_<name>) that the registered
+            // view fronts — reads are table-fast, staleness is bounded
+            // by the refresh cadence
+            case "create_mat_view" => Array(
+              param("db", StringType), param("name", StringType),
+              param("query", StringType))
+            case "refresh_mat_view" => Array(
+              param("db", StringType), param("name", StringType))
             case "create_changelog_view" => Array(
               param("db", StringType), param("table", StringType),
               param("from_snapshot", LongType),
@@ -1054,8 +1066,78 @@ private[sources] object LakeProcedures {
             }
             val db = strArg(0)
             val tbl = strArg(1)
-            val t = LakeTable.load(warehouse, db, tbl)
+            // lazy: the mat-view procedures' second arg is a VIEW
+            // name, not a lake table — an eager load would fail
+            lazy val t = LakeTable.load(warehouse, db, tbl)
             val (schema, row) = procName match {
+              case "create_mat_view" =>
+                val spark = org.apache.spark.sql.SparkSession.active
+                val query = strArg(2)
+                val matTable = s"__mat_$tbl"
+                require(LakeViews.read(
+                  LakeViews.path(warehouse, db, tbl)).isEmpty,
+                  s"view '$db.$tbl' already exists")
+                // analyze the defining query (view substitution applies
+                // so an MV can be defined over other views)
+                val analyzed = org.apache.spark.sql.GraftPlanBridge
+                  .ofRows(spark,
+                    org.apache.spark.sql.GraftViewSubstitution(spark)(
+                      spark.sessionState.sqlParser.parsePlan(query)))
+                LakeTable.create(warehouse, graft.schema.TableDef(
+                  db, matTable,
+                  analyzed.schema.fields.toSeq.map(f =>
+                    graft.schema.TypeMapper.toColumnDef(
+                      f.name, f.dataType, f.nullable)),
+                  Seq.empty, Map.empty))
+                val snap = LakeTable.load(warehouse, db, matTable)
+                  .append(analyzed)
+                // the MV NAME is a plain view fronting the backing
+                // table; the defining query lives in properties for
+                // refresh
+                LakeViews.create(LakeViews.path(warehouse, db, tbl),
+                  LakeViews.ViewDoc(tbl, 1, Seq(LakeViews.ViewVersion(
+                    1, System.currentTimeMillis(),
+                    s"SELECT * FROM $catalogName.$db.$matTable",
+                    analyzed.schema.json,
+                    analyzed.schema.fieldNames.toSeq,
+                    Seq.empty, Seq.empty, catalogName, Seq(db))),
+                    Map("graft.mat-view" -> "true",
+                      "graft.mat-view.sql" -> query,
+                      "graft.mat-view.table" -> matTable,
+                      "graft.mat-view.refreshed-ms" ->
+                        System.currentTimeMillis().toString)))
+                (StructType(Seq(
+                  StructField("mat_table", StringType, nullable = false),
+                  StructField("rows", LongType, nullable = false))),
+                  Seq[Any](matTable, snap.files.map(_.rows).sum))
+              case "refresh_mat_view" =>
+                val spark = org.apache.spark.sql.SparkSession.active
+                val doc = LakeViews.read(
+                  LakeViews.path(warehouse, db, tbl)).getOrElse(
+                  throw new IllegalArgumentException(
+                    s"no view '$db.$tbl'"))
+                val defSql = doc.properties.getOrElse("graft.mat-view.sql",
+                  throw new IllegalArgumentException(
+                    s"view '$db.$tbl' is not a materialized view"))
+                val matTable = doc.properties("graft.mat-view.table")
+                val analyzed = org.apache.spark.sql.GraftPlanBridge
+                  .ofRows(spark,
+                    org.apache.spark.sql.GraftViewSubstitution(spark)(
+                      spark.sessionState.sqlParser.parsePlan(defSql)))
+                // full recompute, one "replace" snapshot on the backing
+                // table (the incremental-aggregate path is
+                // lake_incr_rollup's CDC-delta machinery — this
+                // procedure is the any-SQL fallback)
+                val snap = LakeTable.load(warehouse, db, matTable)
+                  .overwrite(analyzed)
+                LakeViews.write(LakeViews.path(warehouse, db, tbl),
+                  doc.copy(properties = doc.properties +
+                    ("graft.mat-view.refreshed-ms" ->
+                      System.currentTimeMillis().toString)))
+                (StructType(Seq(
+                  StructField("snapshot_id", LongType, nullable = false),
+                  StructField("rows", LongType, nullable = false))),
+                  Seq[Any](snap.id, snap.files.map(_.rows).sum))
               case "expire_snapshots" =>
                 val expired = t.expireSnapshots(keepAfter = input.getLong(2))
                 (StructType(Seq(
