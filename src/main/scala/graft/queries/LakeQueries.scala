@@ -676,10 +676,8 @@ object LakeReadQueries extends QueryModule {
         "'SELECT o_custkey, count(*) AS n_orders, " +
         "CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) " +
         "AS sum_price FROM gmvq.mv.ord GROUP BY o_custkey')").collect()
-      val parser = new org.apache.spark.sql.GraftSqlParser(
-        org.apache.spark.sql.GraftPlanBridge.sessionParser(s))
-      def vsql(q: String) = org.apache.spark.sql.GraftPlanBridge.ofRows(s,
-        org.apache.spark.sql.GraftViewSubstitution(s)(parser.parsePlan(q)))
+      def vsql(q: String) =
+        org.apache.spark.sql.GraftViewSubstitution.sql(s, q)
       val staleRows = vsql("SELECT * FROM gmvq.mv.cust_rollup").count()
       LakeTable.load(wh, "mv", "ord")
         .append(orders.filter(col("o_custkey") % 2 =!= 0))
@@ -713,10 +711,8 @@ object LakeReadQueries extends QueryModule {
           .select("n_nationkey", "n_name", "n_regionkey"))
       s.conf.set("spark.sql.catalog.gview", "graft.sources.LakeCatalog")
       s.conf.set("spark.sql.catalog.gview.warehouse", wh)
-      val parser = new org.apache.spark.sql.GraftSqlParser(
-        org.apache.spark.sql.GraftPlanBridge.sessionParser(s))
-      def vsql(q: String) = org.apache.spark.sql.GraftPlanBridge.ofRows(s,
-        org.apache.spark.sql.GraftViewSubstitution(s)(parser.parsePlan(q)))
+      def vsql(q: String) =
+        org.apache.spark.sql.GraftViewSubstitution.sql(s, q)
       vsql("CREATE VIEW gview.vw.regional AS " +
         "SELECT n_nationkey, n_name FROM gview.vw.nat " +
         "WHERE n_regionkey = 0").collect()

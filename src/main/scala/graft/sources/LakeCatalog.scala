@@ -110,6 +110,12 @@ class LakeCatalog extends TableCatalog
     val ident = info.ident()
     if (!Files.isDirectory(Paths.get(warehouse, ident.namespace()(0))))
       throw new NoSuchNamespaceException(ident.namespace())
+    // a view must not SHADOW an existing table: every read of the
+    // name would silently switch from the table to the view
+    require(!LakeTable.exists(warehouse, ident.namespace()(0),
+        ident.name()),
+      s"cannot create view '${ident.namespace()(0)}.${ident.name()}': " +
+        "a table with that name already exists")
     val props = Option(info.properties())
       .map(m => scala.jdk.CollectionConverters.MapHasAsScala(m)
         .asScala.toMap).getOrElse(Map.empty[String, String])
@@ -173,8 +179,18 @@ class LakeCatalog extends TableCatalog
       doc)
   }
 
-  override def dropView(ident: Identifier): Boolean =
-    ident.namespace().length == 1 && Files.deleteIfExists(viewFile(ident))
+  override def dropView(ident: Identifier): Boolean = {
+    if (ident.namespace().length != 1) return false
+    // a materialized view owns its hidden backing table — dropping
+    // only the doc would orphan the table AND permanently block
+    // re-creating an MV under this name
+    LakeViews.read(viewFile(ident)).foreach { doc =>
+      doc.properties.get("graft.mat-view.table").foreach { mat =>
+        dropTable(Identifier.of(ident.namespace(), mat))
+      }
+    }
+    Files.deleteIfExists(viewFile(ident))
+  }
 
   override def renameView(from: Identifier, to: Identifier): Unit = {
     if (!viewExists(from))
@@ -319,6 +335,11 @@ class LakeCatalog extends TableCatalog
     }
     val props = properties.asScala.toMap -
       "owner" - "provider" // Spark-injected bookkeeping keys
+    // the mirror of createView's shadow check: a table must not take
+    // a name a view already answers to
+    require(LakeViews.read(LakeViews.path(warehouse, db, tbl)).isEmpty,
+      s"cannot create table '$db.$tbl': a view with that name " +
+        "already exists")
     LakeTable.create(warehouse, graft.schema.TableDef(
       db, tbl, cols, parts, props))
     loadTable(ident)
@@ -1077,12 +1098,13 @@ private[sources] object LakeProcedures {
                 require(LakeViews.read(
                   LakeViews.path(warehouse, db, tbl)).isEmpty,
                   s"view '$db.$tbl' already exists")
+                require(!LakeTable.exists(warehouse, db, tbl),
+                  s"cannot create materialized view '$db.$tbl': a " +
+                    "table with that name already exists")
                 // analyze the defining query (view substitution applies
                 // so an MV can be defined over other views)
-                val analyzed = org.apache.spark.sql.GraftPlanBridge
-                  .ofRows(spark,
-                    org.apache.spark.sql.GraftViewSubstitution(spark)(
-                      spark.sessionState.sqlParser.parsePlan(query)))
+                val analyzed = org.apache.spark.sql
+                  .GraftViewSubstitution.sql(spark, query)
                 LakeTable.create(warehouse, graft.schema.TableDef(
                   db, matTable,
                   analyzed.schema.fields.toSeq.map(f =>
@@ -1120,10 +1142,8 @@ private[sources] object LakeProcedures {
                   throw new IllegalArgumentException(
                     s"view '$db.$tbl' is not a materialized view"))
                 val matTable = doc.properties("graft.mat-view.table")
-                val analyzed = org.apache.spark.sql.GraftPlanBridge
-                  .ofRows(spark,
-                    org.apache.spark.sql.GraftViewSubstitution(spark)(
-                      spark.sessionState.sqlParser.parsePlan(defSql)))
+                val analyzed = org.apache.spark.sql
+                  .GraftViewSubstitution.sql(spark, defSql)
                 // full recompute, one "replace" snapshot on the backing
                 // table (the incremental-aggregate path is
                 // lake_incr_rollup's CDC-delta machinery — this

@@ -89,19 +89,55 @@ object GraftSqlParser {
     ("""(?is)^\s*SHOW\s+VIEWS\s+(?:IN|FROM)\s+""" + Ident +
       """\s*;?\s*$""").r
 
-  private[sql] def stripQuotes(s: String): String = {
+  /** Strip one layer of '…'/"…" quoting and unescape the doubled
+    * inner quote (`'it''s'` → `it's`).
+    */
+  private[sql] def unquote(s: String): String = {
     val t = s.trim
-    if ((t.startsWith("'") && t.endsWith("'")) ||
-        (t.startsWith("\"") && t.endsWith("\"")))
-      t.substring(1, t.length - 1)
+    if (t.length >= 2 && t.startsWith("'") && t.endsWith("'"))
+      t.substring(1, t.length - 1).replace("''", "'")
+    else if (t.length >= 2 && t.startsWith("\"") && t.endsWith("\""))
+      t.substring(1, t.length - 1).replace("\"\"", "\"")
     else t
   }
 
-  /** `'k'='v', 'k2'='v2'` — the TBLPROPERTIES list shape. */
+  /** Split on commas that sit OUTSIDE quoted strings — a property
+    * value like 'a, b' must stay one element.
+    */
+  private[sql] def splitQuoted(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer(new StringBuilder)
+    var quote: Char = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) {
+        out.last.append(c)
+        // a doubled quote is an escape, not a close
+        if (c == quote) {
+          if (i + 1 < s.length && s.charAt(i + 1) == quote) {
+            out.last.append(quote); i += 1
+          } else quote = 0
+        }
+      } else c match {
+        case '\'' | '"' => quote = c; out.last.append(c)
+        case ',' => out += new StringBuilder
+        case other => out.last.append(other)
+      }
+      i += 1
+    }
+    out.map(_.toString.trim).filter(_.nonEmpty).toSeq
+  }
+
+  /** `'k'='v', 'k2'='v, with commas'` — the TBLPROPERTIES list shape;
+    * a malformed entry names itself instead of a MatchError.
+    */
   private[sql] def parseProps(s: String): Map[String, String] =
-    s.split(",").map { kv =>
-      val Array(k, v) = kv.split("=", 2)
-      stripQuotes(k) -> stripQuotes(v)
+    splitQuoted(s).map { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) => unquote(k) -> unquote(v)
+        case _ => throw new IllegalArgumentException(
+          s"TBLPROPERTIES entry '$kv' is not 'key'='value'")
+      }
     }.toMap
 
   /** SQL transform syntax → (engine transform name, source column).
@@ -156,24 +192,30 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         if is3Part(ident) =>
       GraftCreateViewCommand(delegate.parseMultipartIdentifier(ident),
         query.trim, replace = orReplace != null,
-        ifNotExists = ifNotExists != null)
+        ifNotExists = ifNotExists != null,
+        fallback = () => delegate.parsePlan(sqlText))
     case DropViewRe(ifExists, ident) if is3Part(ident) =>
       GraftDropViewCommand(delegate.parseMultipartIdentifier(ident),
-        ifExists = ifExists != null)
+        ifExists = ifExists != null,
+        fallback = () => delegate.parsePlan(sqlText))
     case AlterViewSetPropsRe(ident, props) if is3Part(ident) =>
       GraftAlterViewPropsCommand(
         delegate.parseMultipartIdentifier(ident),
-        parseProps(props), Seq.empty)
+        parseProps(props), Seq.empty,
+        fallback = () => delegate.parsePlan(sqlText))
     case AlterViewUnsetPropsRe(ident, keys) if is3Part(ident) =>
       GraftAlterViewPropsCommand(
         delegate.parseMultipartIdentifier(ident), Map.empty,
-        keys.split(",").map(k => clean(stripQuotes(k))).toSeq)
+        splitQuoted(keys).map(k => clean(unquote(k))),
+        fallback = () => delegate.parsePlan(sqlText))
     case AlterViewRenameRe(ident, to) if is3Part(ident) =>
       GraftRenameViewCommand(delegate.parseMultipartIdentifier(ident),
-        delegate.parseMultipartIdentifier(to))
+        delegate.parseMultipartIdentifier(to),
+        fallback = () => delegate.parsePlan(sqlText))
     case ShowViewsRe(ns) if ns != null &&
         delegate.parseMultipartIdentifier(ns).length == 2 =>
-      GraftShowViewsCommand(delegate.parseMultipartIdentifier(ns))
+      GraftShowViewsCommand(delegate.parseMultipartIdentifier(ns),
+        fallback = () => delegate.parsePlan(sqlText))
     case _ => delegate.parsePlan(sqlText)
   }
 

@@ -13,8 +13,12 @@ import graft.sources.{LakeCatalog, LakeViews}
   * [[GraftSqlParser]] and execute against the catalog plugin's
   * `ViewCatalog` API; `SELECT` resolution happens in
   * [[GraftViewSubstitution]] (the Iceberg-extensions play). Only
-  * THREE-part view identifiers (catalog.db.view) intercept: 1/2-part
-  * names keep meaning session-catalog / temp views.
+  * THREE-part view identifiers (catalog.db.view) intercept — 1/2-part
+  * names keep meaning session-catalog / temp views — and each command
+  * carries the DELEGATE's parse of the original statement as a
+  * fallback: a 3-part name whose catalog is not a `ViewCatalog`
+  * (e.g. `spark_catalog.default.v`) executes the stock plan instead
+  * of breaking previously-valid SQL.
   */
 private[sql] object GraftViewCommands {
 
@@ -31,25 +35,38 @@ private[sql] object GraftViewCommands {
     case _ => None
   }
 
+  /** The target's ViewCatalog, or None → the caller should run its
+    * stock-plan fallback (unregistered catalog, or one that doesn't
+    * support views — both were valid statements before interception).
+    */
   def viewCatalogOf(spark: SparkSession, ident: Seq[String])
-      : (org.apache.spark.sql.connector.catalog.ViewCatalog, Array[String],
-        String) =
+      : Option[(org.apache.spark.sql.connector.catalog.ViewCatalog,
+        Array[String], String)] =
     ident match {
       case Seq(cat, db, name) =>
-        (spark.sessionState.catalogManager.catalog(cat) match {
-          case vc: org.apache.spark.sql.connector.catalog.ViewCatalog => vc
-          case other => throw new UnsupportedOperationException(
-            s"catalog ${other.name} does not support views")
-        }, Array(db), name)
-      case _ => throw new IllegalArgumentException(
-        s"expected catalog.db.view, got ${ident.mkString(".")}")
+        (try Some(spark.sessionState.catalogManager.catalog(cat))
+         catch { case _: Exception => None }) match {
+          case Some(vc: org.apache.spark.sql.connector.catalog
+              .ViewCatalog) => Some((vc, Array(db), name))
+          case _ => None
+        }
+      case _ => None
     }
+
+  def runFallback(spark: SparkSession,
+      fallback: () => LogicalPlan): Seq[Row] = {
+    GraftPlanBridge.ofRows(spark, fallback()).collect()
+    Seq.empty
+  }
+
 }
 
 case class GraftCreateViewCommand(ident: Seq[String], query: String,
-    replace: Boolean, ifNotExists: Boolean) extends LeafRunnableCommand {
+    replace: Boolean, ifNotExists: Boolean,
+    fallback: () => LogicalPlan) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val (vc, ns, name) = GraftViewCommands.viewCatalogOf(spark, ident)
+      .getOrElse(return GraftViewCommands.runFallback(spark, fallback))
     val id = org.apache.spark.sql.connector.catalog.Identifier.of(ns, name)
     if (ifNotExists && vc.viewExists(id)) return Seq.empty
     // analyze the defining query NOW: a typo'd view must fail at
@@ -70,10 +87,11 @@ case class GraftCreateViewCommand(ident: Seq[String], query: String,
   }
 }
 
-case class GraftDropViewCommand(ident: Seq[String], ifExists: Boolean)
-    extends LeafRunnableCommand {
+case class GraftDropViewCommand(ident: Seq[String], ifExists: Boolean,
+    fallback: () => LogicalPlan) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val (vc, ns, name) = GraftViewCommands.viewCatalogOf(spark, ident)
+      .getOrElse(return GraftViewCommands.runFallback(spark, fallback))
     val dropped = vc.dropView(
       org.apache.spark.sql.connector.catalog.Identifier.of(ns, name))
     if (!dropped && !ifExists)
@@ -85,10 +103,11 @@ case class GraftDropViewCommand(ident: Seq[String], ifExists: Boolean)
 }
 
 case class GraftAlterViewPropsCommand(ident: Seq[String],
-    set: Map[String, String], unset: Seq[String])
-    extends LeafRunnableCommand {
+    set: Map[String, String], unset: Seq[String],
+    fallback: () => LogicalPlan) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val (vc, ns, name) = GraftViewCommands.viewCatalogOf(spark, ident)
+      .getOrElse(return GraftViewCommands.runFallback(spark, fallback))
     val changes: Seq[org.apache.spark.sql.connector.catalog.ViewChange] =
       set.toSeq.sortBy(_._1).map { case (k, v) =>
         org.apache.spark.sql.connector.catalog.ViewChange.setProperty(k, v)
@@ -101,25 +120,34 @@ case class GraftAlterViewPropsCommand(ident: Seq[String],
   }
 }
 
-case class GraftRenameViewCommand(from: Seq[String], to: Seq[String])
-    extends LeafRunnableCommand {
+case class GraftRenameViewCommand(from: Seq[String], to: Seq[String],
+    fallback: () => LogicalPlan) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val (vc, ns, name) = GraftViewCommands.viewCatalogOf(spark, from)
-    val toName = to match {
-      case Seq(_, _, n) => n
-      case Seq(n) => n // RENAME TO v2 — same namespace
+      .getOrElse(return GraftViewCommands.runFallback(spark, fallback))
+    // the target keeps ITS namespace (cross-db rename is supported by
+    // the catalog); a different target CATALOG is a move this command
+    // cannot express — refuse rather than silently renaming in-place
+    val (toNs, toName) = to match {
+      case Seq(cat, db, n) =>
+        require(cat == from.head,
+          s"RENAME TO cannot move a view across catalogs " +
+            s"(${from.head} -> $cat)")
+        (Array(db), n)
+      case Seq(db, n) => (Array(db), n)
+      case Seq(n) => (ns, n)
       case other => throw new IllegalArgumentException(
         s"RENAME TO expects a view name, got ${other.mkString(".")}")
     }
     vc.renameView(
       org.apache.spark.sql.connector.catalog.Identifier.of(ns, name),
-      org.apache.spark.sql.connector.catalog.Identifier.of(ns, toName))
+      org.apache.spark.sql.connector.catalog.Identifier.of(toNs, toName))
     Seq.empty
   }
 }
 
-case class GraftShowViewsCommand(namespace: Seq[String])
-    extends LeafRunnableCommand {
+case class GraftShowViewsCommand(namespace: Seq[String],
+    fallback: () => LogicalPlan) extends LeafRunnableCommand {
   override val output: Seq[org.apache.spark.sql.catalyst.expressions
       .Attribute] = Seq(
     org.apache.spark.sql.catalyst.expressions.AttributeReference(
@@ -134,10 +162,11 @@ case class GraftShowViewsCommand(namespace: Seq[String])
 
   override def run(spark: SparkSession): Seq[Row] = {
     val Seq(cat, db) = namespace
-    val vc = spark.sessionState.catalogManager.catalog(cat) match {
-      case v: org.apache.spark.sql.connector.catalog.ViewCatalog => v
-      case other => throw new UnsupportedOperationException(
-        s"catalog ${other.name} does not support views")
+    val vc = (try Some(spark.sessionState.catalogManager.catalog(cat))
+      catch { case _: Exception => None }) match {
+      case Some(v: org.apache.spark.sql.connector.catalog.ViewCatalog) => v
+      case _ =>
+        return GraftPlanBridge.ofRows(spark, fallback()).collect().toSeq
     }
     vc.listViews(db).toSeq.map(id => Row(db, id.name(), false))
   }
@@ -150,12 +179,47 @@ case class GraftShowViewsCommand(namespace: Seq[String])
   * point, so views over views expand transitively; a definition cycle
   * is detected by the expansion stack and refused by name.
   */
+object GraftViewSubstitution {
+  /** `spark.sql` as an extensions-enabled session would run it: the
+    * graft parser over the session's delegate, then the view
+    * substitution, then analysis. The one bridge for sessions built
+    * WITHOUT the extensions (driver mains, procedure internals,
+    * specs) — every caller shares this instead of re-assembling the
+    * parser/rule pair.
+    */
+  def sql(spark: SparkSession, q: String): DataFrame = {
+    val parser = new GraftSqlParser(GraftPlanBridge.sessionParser(spark))
+    GraftPlanBridge.ofRows(spark,
+      GraftViewSubstitution(spark)(parser.parsePlan(q)))
+  }
+}
+
 case class GraftViewSubstitution(spark: SparkSession)
     extends Rule[LogicalPlan] {
   import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+  import org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     expand(plan, Seq.empty)
+
+  /** resolveOperatorsUp, but ALSO through CTE definitions (which live
+    * in `UnresolvedWith.cteRelations`, not in `children` — the
+    * analyzer inlines them later) and expression subqueries — a view
+    * reference inside either must behave exactly like one in the main
+    * query body.
+    */
+  private def everywhere(plan: LogicalPlan)(
+      pf: PartialFunction[LogicalPlan, LogicalPlan]): LogicalPlan =
+    plan.resolveOperatorsUpWithSubqueriesAndPruning(
+      org.apache.spark.sql.catalyst.trees.AlwaysProcess.fn) {
+      case w: UnresolvedWith =>
+        w.copy(cteRelations = w.cteRelations.map { case (n, sa, o) =>
+          (n, everywhere(sa)(pf).asInstanceOf[
+            org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias],
+            o)
+        })
+      case p if pf.isDefinedAt(p) => pf(p)
+    }
 
   /** Nested views expand EAGERLY (inside one rule application) with
     * the expansion path threaded through — a definition cycle fails
@@ -164,7 +228,7 @@ case class GraftViewSubstitution(spark: SparkSession)
     */
   private def expand(plan: LogicalPlan,
       stack: Seq[String]): LogicalPlan =
-    plan.resolveOperatorsUp {
+    everywhere(plan) {
       case u: UnresolvedRelation =>
         GraftViewCommands.lakeViewTarget(spark, u.multipartIdentifier)
           .flatMap { case (lc, db, name) =>
@@ -175,11 +239,48 @@ case class GraftViewSubstitution(spark: SparkSession)
                   throw new IllegalStateException(
                     s"recursive view definition: " +
                       (stack :+ key).mkString(" -> "))
+                val v = doc.current
+                val parsed = spark.sessionState.sqlParser
+                  .parsePlan(v.sql)
+                // the multi-part alias keeps qualified column
+                // references (`d.big.id`) resolvable, like a table
                 org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias(
-                  name,
-                  expand(spark.sessionState.sqlParser
-                    .parsePlan(doc.current.sql), stack :+ key))
+                  Seq(lc.name(), db, name),
+                  expand(qualify(parsed, v.currentCatalog,
+                    v.currentNamespace), stack :+ key))
               }
           }.getOrElse(u)
     }
+
+  /** Apply the view's CAPTURE CONTEXT (the catalog + namespace its
+    * names resolved against at CREATE): 1/2-part relation names in
+    * the stored SQL complete to that context, so the view reads the
+    * same tables from ANY session regardless of the reader's current
+    * catalog. Names bound by a CTE in the same definition are left
+    * alone — they are not tables.
+    */
+  private def qualify(plan: LogicalPlan, cat: String,
+      ns: Seq[String]): LogicalPlan = {
+    if (cat == null || cat.isEmpty) return plan
+    def cteNames(p: LogicalPlan): Set[String] = p.collect {
+      case w: UnresolvedWith =>
+        w.cteRelations.map(_._1.toLowerCase(java.util.Locale.ROOT))
+          .toSet ++
+          w.cteRelations.map(t => cteNames(t._2))
+            .foldLeft(Set.empty[String])(_ ++ _)
+    }.foldLeft(Set.empty[String])(_ ++ _)
+    val bound = cteNames(plan)
+    everywhere(plan) {
+      case u: UnresolvedRelation if u.multipartIdentifier.length < 3 &&
+          !(u.multipartIdentifier.length == 1 && bound.contains(
+            u.multipartIdentifier.head
+              .toLowerCase(java.util.Locale.ROOT))) =>
+        val parts = u.multipartIdentifier match {
+          case Seq(n) => (cat +: ns) :+ n
+          case Seq(d, n) => Seq(cat, d, n)
+          case other => other
+        }
+        u.copy(multipartIdentifier = parts)
+    }
+  }
 }

@@ -33,12 +33,8 @@ class LakeViewsSpec extends AnyFunSuite {
   }
 
   /** spark.sql as an extensions-enabled session would run it. */
-  private def vsql(s: SparkSession, q: String): DataFrame = {
-    val parser = new org.apache.spark.sql.GraftSqlParser(
-      org.apache.spark.sql.GraftPlanBridge.sessionParser(s))
-    org.apache.spark.sql.GraftPlanBridge.ofRows(s,
-      org.apache.spark.sql.GraftViewSubstitution(s)(parser.parsePlan(q)))
-  }
+  private def vsql(s: org.apache.spark.sql.SparkSession, q: String) =
+    org.apache.spark.sql.GraftViewSubstitution.sql(s, q)
 
   test("create, select, replace, show, drop — full SQL lifecycle") {
     val wh = mk("sql")
@@ -138,6 +134,96 @@ class LakeViewsSpec extends AnyFunSuite {
       .map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
     intercept[Exception] {
       vsql(spark, "SELECT * FROM gv4.d.v1").count()
+    }
+  }
+
+  test("the capture context qualifies bare names; CTE names stay local") {
+    val wh = mk("ctx")
+    spark.conf.set("spark.sql.catalog.gv5", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.gv5.warehouse", wh)
+    // a doc whose SQL uses a BARE table name plus a CTE: the stored
+    // capture context (catalog gv5, namespace d) must complete `t`,
+    // while the CTE name `c` must NOT be qualified into a table ref
+    val doc = graft.sources.LakeViews.ViewDoc("ctxv", 1, Seq(
+      graft.sources.LakeViews.ViewVersion(1, 0L,
+        "WITH c AS (SELECT id FROM t WHERE id > 1) " +
+          "SELECT id FROM c", "{\"type\":\"struct\",\"fields\":[]}",
+        Seq.empty, Seq.empty, Seq.empty, "gv5", Seq("d"))), Map.empty)
+    graft.sources.LakeViews.write(
+      graft.sources.LakeViews.path(wh, "d", "ctxv"), doc)
+    assert(vsql(spark, "SELECT id FROM gv5.d.ctxv ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L, 3L))
+  }
+
+  test("views and tables cannot shadow each other") {
+    val wh = mk("shadow")
+    spark.conf.set("spark.sql.catalog.gv6", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.gv6.warehouse", wh)
+    // a view named after the existing table refuses
+    val e1 = intercept[Exception] {
+      vsql(spark, "CREATE VIEW gv6.d.t AS SELECT 1 AS one").collect()
+    }
+    assert(e1.getMessage.contains("already exists"), e1.getMessage)
+    // a table named after an existing view refuses
+    vsql(spark, "CREATE VIEW gv6.d.v AS SELECT id FROM gv6.d.t").collect()
+    val e2 = intercept[Exception] {
+      spark.sql("CREATE TABLE gv6.d.v (x BIGINT)")
+    }
+    assert(e2.getMessage.contains("already exists"), e2.getMessage)
+  }
+
+  test("qualified column refs resolve; rename honors the target db") {
+    val wh = mk("qual")
+    spark.conf.set("spark.sql.catalog.gv7", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.gv7.warehouse", wh)
+    vsql(spark, "CREATE VIEW gv7.d.qv AS SELECT id, v FROM gv7.d.t")
+      .collect()
+    // multi-part alias: `d.qv.id` disambiguates like a table's would
+    assert(vsql(spark,
+      "SELECT d.qv.id FROM gv7.d.qv WHERE d.qv.id = 2").collect()
+      .map(_.getLong(0)).toSeq == Seq(2L))
+    // cross-db rename really moves the view
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(wh, "d2"))
+    vsql(spark, "ALTER VIEW gv7.d.qv RENAME TO gv7.d2.qv2").collect()
+    assert(vsql(spark, "SELECT id FROM gv7.d2.qv2").collect().length == 3)
+    intercept[Exception] {
+      vsql(spark, "SELECT * FROM gv7.d.qv").count()
+    }
+    // a cross-CATALOG rename refuses by name
+    vsql(spark, "CREATE VIEW gv7.d.r AS SELECT id FROM gv7.d.t").collect()
+    val e = intercept[Exception] {
+      vsql(spark, "ALTER VIEW gv7.d.r RENAME TO other.d.r").collect()
+    }
+    assert(e.getMessage.contains("across catalogs"), e.getMessage)
+  }
+
+  test("property values may contain commas and escaped quotes") {
+    val wh = mk("props")
+    spark.conf.set("spark.sql.catalog.gv8", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.gv8.warehouse", wh)
+    vsql(spark, "CREATE VIEW gv8.d.p AS SELECT id FROM gv8.d.t").collect()
+    vsql(spark, "ALTER VIEW gv8.d.p SET TBLPROPERTIES " +
+      "('comment'='a, b', 'who'='it''s me')").collect()
+    val props = graft.sources.LakeViews.read(
+      graft.sources.LakeViews.path(wh, "d", "p")).get.properties
+    assert(props.get("comment").contains("a, b"), props)
+    assert(props.get("who").contains("it's me"), props)
+  }
+
+  test("3-part statements on non-view catalogs fall back to stock Spark") {
+    // spark_catalog persistent views via the intercepted statements:
+    // the fallback plan must execute the stock path, not throw
+    // "does not support views"
+    vsql(spark,
+      "CREATE VIEW spark_catalog.default.stockv AS SELECT 7 AS x")
+      .collect()
+    try {
+      assert(spark.sql("SELECT x FROM default.stockv").collect()
+        .head.getInt(0) == 7)
+    } finally {
+      vsql(spark, "DROP VIEW IF EXISTS spark_catalog.default.stockv")
+        .collect()
     }
   }
 

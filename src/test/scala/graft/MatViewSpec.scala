@@ -18,13 +18,8 @@ import graft.lake.{Engine, LakeTable}
 class MatViewSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
-  private def vsql(q: String) = {
-    val parser = new org.apache.spark.sql.GraftSqlParser(
-      org.apache.spark.sql.GraftPlanBridge.sessionParser(spark))
-    org.apache.spark.sql.GraftPlanBridge.ofRows(spark,
-      org.apache.spark.sql.GraftViewSubstitution(spark)(
-        parser.parsePlan(q)))
-  }
+  private def vsql(q: String) =
+    org.apache.spark.sql.GraftViewSubstitution.sql(spark, q)
 
   test("create materializes, reads stay stale until refresh recomputes") {
     val wh = Files.createTempDirectory("graft-matview").toString
@@ -66,6 +61,34 @@ class MatViewSpec extends AnyFunSuite {
       spark.sql("CALL gmv.system.refresh_mat_view('d', 'plain')").collect()
     }
     assert(e.getMessage.contains("not a materialized view"))
+  }
+
+  test("dropping an MV removes its backing table; the name is reusable") {
+    val wh = Files.createTempDirectory("graft-matview3").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"src","columns":[
+        |{"column_name":"k","data_type":"string"},
+        |{"column_name":"x","data_type":"long"}],"partitions":[]}""".stripMargin)
+    import SparkTestSession.spark.implicits._
+    LakeTable.load(wh, "d", "src").append(Seq(("a", 1L)).toDF("k", "x"))
+    spark.conf.set("spark.sql.catalog.gmv3", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.gmv3.warehouse", wh)
+    spark.sql("CALL gmv3.system.create_mat_view('d', 'm', " +
+      "'SELECT k, sum(x) AS s FROM gmv3.d.src GROUP BY k')").collect()
+    assert(LakeTable.exists(wh, "d", "__mat_m"))
+    vsql("DROP VIEW gmv3.d.m").collect()
+    assert(!LakeTable.exists(wh, "d", "__mat_m"),
+      "dropping the MV must drop its backing table")
+    // the name is immediately reusable
+    spark.sql("CALL gmv3.system.create_mat_view('d', 'm', " +
+      "'SELECT count(*) AS n FROM gmv3.d.src')").collect()
+    assert(vsql("SELECT n FROM gmv3.d.m").collect().head.getLong(0) == 1L)
+    // an MV named after an existing TABLE refuses (it would shadow it)
+    val e = intercept[Exception] {
+      spark.sql("CALL gmv3.system.create_mat_view('d', 'src', " +
+        "'SELECT 1 AS one')").collect()
+    }
+    assert(e.getMessage.contains("already exists"), e.getMessage)
   }
 
   test("an MV can be defined over another view; duplicate name refuses") {
