@@ -691,6 +691,48 @@ object LakeReadQueries extends QueryModule {
         "FROM gmvq.mv.cust_rollup ORDER BY o_custkey")
     }),
 
+    "lake_mat_view_incr" -> QueryModule.micro(4)((s, dir) => {
+      // INCREMENTAL materialized-view refresh: the defining aggregate
+      // is detected as self-maintainable at create (decimal sum +
+      // count + min/max over one table), so the second refresh pulls
+      // ONLY the appended delta and blind-upserts the touched groups —
+      // O(delta) source reads at any scale. The oracle recomputes the
+      // aggregate from scratch; an incremental merge that drifted by
+      // one row or one ulp hash-mismatches.
+      val wh = LakeQueries.freshWarehouse("matviewincr")
+      Engine.processTableDefJson(wh,
+        """{"database_name":"mvi","table_name":"ord","columns":[
+          |{"column_name":"o_custkey","data_type":"long"},
+          |{"column_name":"o_price","data_type":"decimal(18,4)"}],
+          |"partitions":[]}""".stripMargin)
+      val orders = Tables(s, dir, "orders")
+        .select(col("o_custkey"),
+          col("o_totalprice").cast("decimal(18,4)").as("o_price"))
+      LakeTable.load(wh, "mvi", "ord")
+        .append(orders.filter(col("o_custkey") % 2 === 0))
+      s.conf.set("spark.sql.catalog.gmvi2", "graft.sources.LakeCatalog")
+      s.conf.set("spark.sql.catalog.gmvi2.warehouse", wh)
+      s.sql("CALL gmvi2.system.create_mat_view('mvi', 'roll', " +
+        "'SELECT o_custkey, count(*) AS n_orders, sum(o_price) AS " +
+        "sum_price FROM gmvi2.mvi.ord GROUP BY o_custkey')").collect()
+      require(graft.sources.LakeViews.read(
+        graft.sources.LakeViews.path(wh, "mvi", "roll")).get
+        .properties.get("graft.mat-view.incr").contains("true"),
+        "the aggregate shape must be recorded as incrementally " +
+          "maintainable")
+      LakeTable.load(wh, "mvi", "ord")
+        .append(orders.filter(col("o_custkey") % 2 =!= 0))
+      val res = s.sql("CALL gmvi2.system.refresh_mat_view(" +
+        "'mvi', 'roll', 'incremental')").collect()
+      require(res.head.getLong(1) > res.head.getLong(0),
+        "the incremental refresh must advance the watermark")
+      def vsql(q: String) =
+        org.apache.spark.sql.GraftViewSubstitution.sql(s, q)
+      vsql("SELECT o_custkey, n_orders, " +
+        "CAST(sum_price AS DOUBLE) AS sum_price " +
+        "FROM gmvi2.mvi.roll ORDER BY o_custkey")
+    }),
+
     "lake_views" -> QueryModule.micro(4)((s, dir) => {
       // persistent catalog views with definition versioning: CREATE,
       // then CREATE OR REPLACE (which must APPEND a version, not
@@ -2151,6 +2193,13 @@ object RowOpsQueries extends QueryModule {
       """SELECT c_custkey, c_name, c_acctbal FROM customer
         |WHERE c_custkey = 101 OR c_name = 'Customer#000000042'
         |ORDER BY c_custkey""".stripMargin,
+
+    "lake_mat_view_incr" ->
+      """SELECT o_custkey,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     "lake_mat_view" ->
       """SELECT o_custkey,

@@ -1036,8 +1036,13 @@ private[sources] object LakeProcedures {
             case "create_mat_view" => Array(
               param("db", StringType), param("name", StringType),
               param("query", StringType))
+            // mode: '' / 'full' = recompute; 'incremental' = delta
+            // merge (self-maintainable aggregate shapes only —
+            // recorded at create)
             case "refresh_mat_view" => Array(
-              param("db", StringType), param("name", StringType))
+              param("db", StringType), param("name", StringType),
+              ProcedureParameter.in("mode", StringType)
+                .defaultValue("''").build())
             case "create_changelog_view" => Array(
               param("db", StringType), param("table", StringType),
               param("from_snapshot", LongType),
@@ -1105,6 +1110,32 @@ private[sources] object LakeProcedures {
                 // so an MV can be defined over other views)
                 val analyzed = org.apache.spark.sql
                   .GraftViewSubstitution.sql(spark, query)
+                // self-maintainable aggregate shape? then the seed (and
+                // every later refresh) computes from a WATERMARK-PINNED
+                // source scan — a racing commit lands entirely in the
+                // next delta, never half-counted. The rebuilt
+                // aggregation must reproduce the declared schema
+                // exactly, else the view stays full-refresh-only.
+                val shaped: Option[(MatViews.AggShape, Long,
+                    org.apache.spark.sql.DataFrame)] =
+                  MatViews.detect(analyzed.queryExecution.analyzed,
+                      warehouse)
+                    .flatMap { sh =>
+                      val src = LakeTable.load(warehouse, sh.srcDb,
+                        sh.srcTable)
+                      val w = src.metadata.snapshots.map(_.id)
+                        .foldLeft(0L)(math.max)
+                      val rows = src.read(spark,
+                        asOfSnapshot = if (w > 0) Some(w) else None)
+                      val rebuilt = MatViews.aggregate(rows, sh)
+                      if (rebuilt.schema.fields.map(f =>
+                          (f.name, f.dataType)).toSeq ==
+                          analyzed.schema.fields.map(f =>
+                            (f.name, f.dataType)).toSeq)
+                        Some((sh, w, rebuilt))
+                      else None
+                    }
+                val seed = shaped.map(_._3).getOrElse(analyzed)
                 LakeTable.create(warehouse, graft.schema.TableDef(
                   db, matTable,
                   analyzed.schema.fields.toSeq.map(f =>
@@ -1112,7 +1143,7 @@ private[sources] object LakeProcedures {
                       f.name, f.dataType, f.nullable)),
                   Seq.empty, Map.empty))
                 val snap = LakeTable.load(warehouse, db, matTable)
-                  .append(analyzed)
+                  .append(seed)
                 // the MV NAME is a plain view fronting the backing
                 // table; the defining query lives in properties for
                 // refresh
@@ -1127,13 +1158,21 @@ private[sources] object LakeProcedures {
                       "graft.mat-view.sql" -> query,
                       "graft.mat-view.table" -> matTable,
                       "graft.mat-view.refreshed-ms" ->
-                        System.currentTimeMillis().toString)))
+                        System.currentTimeMillis().toString) ++
+                      shaped.map { case (sh, w, _) =>
+                        MatViews.encode(sh) +
+                          ("graft.mat-view.watermark" -> w.toString)
+                      }.getOrElse(Map.empty)))
                 (StructType(Seq(
                   StructField("mat_table", StringType, nullable = false),
                   StructField("rows", LongType, nullable = false))),
                   Seq[Any](matTable, snap.files.map(_.rows).sum))
               case "refresh_mat_view" =>
                 val spark = org.apache.spark.sql.SparkSession.active
+                val mode = strArgOrEmpty(2)
+                require(mode.isEmpty || mode == "full" ||
+                    mode == "incremental",
+                  s"refresh mode must be ''|full|incremental, got '$mode'")
                 val doc = LakeViews.read(
                   LakeViews.path(warehouse, db, tbl)).getOrElse(
                   throw new IllegalArgumentException(
@@ -1142,22 +1181,68 @@ private[sources] object LakeProcedures {
                   throw new IllegalArgumentException(
                     s"view '$db.$tbl' is not a materialized view"))
                 val matTable = doc.properties("graft.mat-view.table")
-                val analyzed = org.apache.spark.sql
-                  .GraftViewSubstitution.sql(spark, defSql)
-                // full recompute, one "replace" snapshot on the backing
-                // table (the incremental-aggregate path is
-                // lake_incr_rollup's CDC-delta machinery — this
-                // procedure is the any-SQL fallback)
-                val snap = LakeTable.load(warehouse, db, matTable)
-                  .overwrite(analyzed)
-                LakeViews.write(LakeViews.path(warehouse, db, tbl),
-                  doc.copy(properties = doc.properties +
-                    ("graft.mat-view.refreshed-ms" ->
-                      System.currentTimeMillis().toString)))
-                (StructType(Seq(
-                  StructField("snapshot_id", LongType, nullable = false),
-                  StructField("rows", LongType, nullable = false))),
-                  Seq[Any](snap.id, snap.files.map(_.rows).sum))
+                val shape = MatViews.decode(doc.properties)
+                def stamp(extra: Map[String, String]): Unit =
+                  LakeViews.write(LakeViews.path(warehouse, db, tbl),
+                    doc.copy(properties = doc.properties ++ extra +
+                      ("graft.mat-view.refreshed-ms" ->
+                        System.currentTimeMillis().toString)))
+                if (mode == "incremental") {
+                  val sh = shape.getOrElse(throw new
+                    IllegalArgumentException(
+                    s"view '$db.$tbl' has no recorded incremental " +
+                      "shape (joins, DISTINCT, FILTER, expression " +
+                      "aggregates, or float/double SUMs are not " +
+                      "self-maintainable) — run a full refresh"))
+                  val w = doc.properties("graft.mat-view.watermark").toLong
+                  MatViews.refreshIncremental(spark, warehouse, sh, w,
+                    db, matTable) match {
+                    case Some(head) =>
+                      stamp(Map("graft.mat-view.watermark" ->
+                        head.toString))
+                      (StructType(Seq(
+                        StructField("from_snapshot", LongType,
+                          nullable = false),
+                        StructField("to_snapshot", LongType,
+                          nullable = false))),
+                        Seq[Any](w, head))
+                    case None =>
+                      (StructType(Seq(
+                        StructField("from_snapshot", LongType,
+                          nullable = false),
+                        StructField("to_snapshot", LongType,
+                          nullable = false))),
+                        Seq[Any](w, w))
+                  }
+                } else {
+                  // full recompute, one "replace" snapshot on the
+                  // backing table. An incremental-shaped view
+                  // recomputes from a watermark-pinned scan so its
+                  // watermark advances consistently; any-SQL views
+                  // re-run their defining query
+                  val (frame, wm) = shape match {
+                    case Some(sh) =>
+                      val src = LakeTable.load(warehouse, sh.srcDb,
+                        sh.srcTable)
+                      val head = src.metadata.snapshots.map(_.id)
+                        .foldLeft(0L)(math.max)
+                      (MatViews.aggregate(src.read(spark,
+                        asOfSnapshot = if (head > 0) Some(head)
+                          else None), sh),
+                        Some(head))
+                    case None =>
+                      (org.apache.spark.sql.GraftViewSubstitution
+                        .sql(spark, defSql), None)
+                  }
+                  val snap = LakeTable.load(warehouse, db, matTable)
+                    .overwrite(frame)
+                  stamp(wm.map(h => Map("graft.mat-view.watermark" ->
+                    h.toString)).getOrElse(Map.empty))
+                  (StructType(Seq(
+                    StructField("snapshot_id", LongType, nullable = false),
+                    StructField("rows", LongType, nullable = false))),
+                    Seq[Any](snap.id, snap.files.map(_.rows).sum))
+                }
               case "expire_snapshots" =>
                 val expired = t.expireSnapshots(keepAfter = input.getLong(2))
                 (StructType(Seq(

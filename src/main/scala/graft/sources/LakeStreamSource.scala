@@ -76,10 +76,11 @@ class LakeStreamProvider extends TableProvider with DataSourceRegister {
   }
 }
 
-private[sources] class LakeSparkTable(wh: String, db: String, tbl: String,
+private[sources] class LakeSparkTable(val wh: String, val db: String,
+    val tbl: String,
     startSnapshot: Long, lake: LakeTable,
-    asOfSnapshot: Option[Long] = None,
-    branchName: Option[String] = None,
+    val asOfSnapshot: Option[Long] = None,
+    val branchName: Option[String] = None,
     changelogMode: Boolean = false)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite

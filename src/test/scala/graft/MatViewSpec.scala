@@ -63,6 +63,105 @@ class MatViewSpec extends AnyFunSuite {
     assert(e.getMessage.contains("not a materialized view"))
   }
 
+  test("incremental refresh merges the delta exactly; guards refuse") {
+    val wh = Files.createTempDirectory("graft-matview-incr").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"src","columns":[
+        |{"column_name":"k","data_type":"string"},
+        |{"column_name":"x","data_type":"long"},
+        |{"column_name":"amt","data_type":"decimal(18,4)"}],
+        |"partitions":[]}""".stripMargin)
+    import SparkTestSession.spark.implicits._
+    def rows(r: Seq[(String, Long, String)]) =
+      r.toDF("k", "x", "amt")
+        .select(col("k"), col("x"),
+          col("amt").cast("decimal(18,4)").as("amt"))
+    LakeTable.load(wh, "d", "src").append(rows(Seq(
+      ("a", 1L, "1.5"), ("a", 5L, "2.25"), ("b", 10L, "7.0"))))
+    spark.conf.set("spark.sql.catalog.gmvi", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.gmvi.warehouse", wh)
+    spark.sql("CALL gmvi.system.create_mat_view('d', 'roll', " +
+      "'SELECT k, count(*) AS n, sum(amt) AS s, min(x) AS mn, " +
+      "max(x) AS mx FROM gmvi.d.src GROUP BY k')").collect()
+    // the shape was recorded as incrementally maintainable
+    val doc0 = graft.sources.LakeViews.read(
+      graft.sources.LakeViews.path(wh, "d", "roll")).get
+    assert(doc0.properties.get("graft.mat-view.incr").contains("true"),
+      doc0.properties)
+    // append a delta touching one existing group + one new group
+    LakeTable.load(wh, "d", "src").append(rows(Seq(
+      ("a", 0L, "0.25"), ("c", 3L, "9.0"))))
+    val res = spark.sql(
+      "CALL gmvi.system.refresh_mat_view('d', 'roll', 'incremental')")
+      .collect()
+    assert(res.head.getLong(1) > res.head.getLong(0),
+      "watermark must advance")
+    // the merged state equals a from-scratch recompute, bit for bit
+    val got = vsql("SELECT k, n, CAST(s AS STRING) AS s, mn, mx " +
+      "FROM gmvi.d.roll ORDER BY k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq(
+      ("a", 3L, "4.0000", 0L, 5L),
+      ("b", 1L, "7.0000", 10L, 10L),
+      ("c", 1L, "9.0000", 3L, 3L)), s"got $got")
+    // a no-op refresh (source unmoved) leaves the watermark in place
+    val noop = spark.sql(
+      "CALL gmvi.system.refresh_mat_view('d', 'roll', 'incremental')")
+      .collect()
+    assert(noop.head.getLong(0) == noop.head.getLong(1))
+    // a DELETE in the range is not additive — refuse by name
+    LakeTable.load(wh, "d", "src").delete(spark, col("k") === "b")
+    val e = intercept[Exception] {
+      spark.sql(
+        "CALL gmvi.system.refresh_mat_view('d', 'roll', 'incremental')")
+        .collect()
+    }
+    assert(e.getMessage.contains("append-only"), e.getMessage)
+    // a FULL refresh recovers (recomputes + re-pins the watermark),
+    // and incremental works again afterwards
+    spark.sql("CALL gmvi.system.refresh_mat_view('d', 'roll', 'full')")
+      .collect()
+    assert(vsql("SELECT k FROM gmvi.d.roll ORDER BY k").collect()
+      .map(_.getString(0)).toSeq == Seq("a", "c"))
+    LakeTable.load(wh, "d", "src").append(rows(Seq(("c", 4L, "1.0"))))
+    spark.sql(
+      "CALL gmvi.system.refresh_mat_view('d', 'roll', 'incremental')")
+      .collect()
+    assert(vsql("SELECT CAST(s AS STRING) FROM gmvi.d.roll " +
+      "WHERE k = 'c'").collect().head.getString(0) == "10.0000")
+  }
+
+  test("double sums stay full-refresh-only, with a named refusal") {
+    val wh = Files.createTempDirectory("graft-matview-dbl").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"src","columns":[
+        |{"column_name":"k","data_type":"string"},
+        |{"column_name":"v","data_type":"double"}],"partitions":[]}""".stripMargin)
+    import SparkTestSession.spark.implicits._
+    LakeTable.load(wh, "d", "src").append(
+      Seq(("a", 1.5)).toDF("k", "v"))
+    spark.conf.set("spark.sql.catalog.gmvd", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.gmvd.warehouse", wh)
+    spark.sql("CALL gmvd.system.create_mat_view('d', 'dv', " +
+      "'SELECT k, sum(v) AS s FROM gmvd.d.src GROUP BY k')").collect()
+    assert(!graft.sources.LakeViews.read(
+      graft.sources.LakeViews.path(wh, "d", "dv")).get
+      .properties.contains("graft.mat-view.incr"),
+      "a double SUM must not record an incremental shape")
+    val e = intercept[Exception] {
+      spark.sql(
+        "CALL gmvd.system.refresh_mat_view('d', 'dv', 'incremental')")
+        .collect()
+    }
+    assert(e.getMessage.contains("not a materialized view") ||
+      e.getMessage.contains("no recorded incremental"), e.getMessage)
+    // full refresh still works
+    spark.sql("CALL gmvd.system.refresh_mat_view('d', 'dv')").collect()
+    assert(vsql("SELECT s FROM gmvd.d.dv").collect()
+      .head.getDouble(0) == 1.5)
+  }
+
   test("dropping an MV removes its backing table; the name is reusable") {
     val wh = Files.createTempDirectory("graft-matview3").toString
     Engine.processTableDefJson(wh,
