@@ -1141,7 +1141,15 @@ private[sources] object LakeProcedures {
                   analyzed.schema.fields.toSeq.map(f =>
                     graft.schema.TypeMapper.toColumnDef(
                       f.name, f.dataType, f.nullable)),
-                  Seq.empty, Map.empty))
+                  Seq.empty,
+                  // incremental shapes: bloom the group keys so the
+                  // touched-group pruning in refreshIncremental can
+                  // drop backing files by exact probe, not just range
+                  shaped.map { case (sh, _, _) =>
+                    val keys = MatViews.bloomableKeys(sh, analyzed.schema)
+                    if (keys.isEmpty) Map.empty[String, String]
+                    else Map("write.bloom-columns" -> keys.mkString(","))
+                  }.getOrElse(Map.empty)))
                 val snap = LakeTable.load(warehouse, db, matTable)
                   .append(seed)
                 // the MV NAME is a plain view fronting the backing
@@ -1173,6 +1181,13 @@ private[sources] object LakeProcedures {
                 require(mode.isEmpty || mode == "full" ||
                     mode == "incremental",
                   s"refresh mode must be ''|full|incremental, got '$mode'")
+                // the WHOLE refresh — doc read, delta merge, upsert,
+                // watermark stamp — runs under the view's refresh lock:
+                // a racing second refresher gets a named conflict
+                // instead of double-counting the delta, and a refresh
+                // that starts after a winner finishes re-reads the doc
+                // here and sees the advanced watermark (no-op)
+                LakeViews.withRefreshLock(warehouse, db, tbl) {
                 val doc = LakeViews.read(
                   LakeViews.path(warehouse, db, tbl)).getOrElse(
                   throw new IllegalArgumentException(
@@ -1242,6 +1257,7 @@ private[sources] object LakeProcedures {
                     StructField("snapshot_id", LongType, nullable = false),
                     StructField("rows", LongType, nullable = false))),
                     Seq[Any](snap.id, snap.files.map(_.rows).sum))
+                }
                 }
               case "expire_snapshots" =>
                 val expired = t.expireSnapshots(keepAfter = input.getLong(2))

@@ -101,6 +101,40 @@ object LakeViews {
     Files.writeString(p, Json.write(toJson(d)),
       StandardOpenOption.CREATE_NEW)
   }
+
+  /** Serialize materialized-view refreshes across threads AND
+    * processes: an advisory `tryLock` on a sidecar lock file. Without
+    * it, two concurrent incremental refreshers both read watermark
+    * `w`, both aggregate the same delta, and whichever merge-upsert
+    * lands second double-counts it (its `current` already contains the
+    * first's merge) — the last-writer-wins watermark stamp then hides
+    * the corruption. The loser here gets a NAMED conflict instead;
+    * the caller must (re)read the view doc INSIDE the lock so a
+    * just-finished refresh is seen as the no-op it is. A crashed
+    * holder's lock is released by the OS with its process, so no
+    * stale-claim sweep is needed (the reason this is a lock, not a
+    * claim file).
+    */
+  def withRefreshLock[T](warehouse: String, db: String, name: String)(
+      body: => T): T = {
+    val lockPath = dir(warehouse, db).resolve(s".$name.refresh-lock")
+    Files.createDirectories(lockPath.getParent)
+    val ch = java.nio.channels.FileChannel.open(lockPath,
+      StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+    try {
+      val lock =
+        try ch.tryLock()
+        catch {
+          // same-JVM contention surfaces as an exception, not null
+          case _: java.nio.channels.OverlappingFileLockException => null
+        }
+      if (lock == null)
+        throw new java.util.ConcurrentModificationException(
+          s"materialized view '$db.$name' is being refreshed by a " +
+            "concurrent caller; retry after that refresh completes")
+      try body finally lock.release()
+    } finally ch.close()
+  }
 }
 
 /** The [[org.apache.spark.sql.connector.catalog.View]] served back to

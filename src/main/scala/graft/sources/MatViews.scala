@@ -9,7 +9,9 @@ import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan,
   SubqueryAlias}
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ByteType, DataType, DecimalType,
+  DoubleType, FloatType, IntegerType, LongType, ShortType, StringType,
+  StructType}
 
 import graft.lake.LakeTable
 
@@ -209,11 +211,81 @@ private[graft] object MatViews {
         }
       }))
 
+  /** The backing-table group-key columns that can carry per-file bloom
+    * filters — set as `write.bloom-columns` at MV create so the
+    * touched-group pruning below can drop backing files by exact key
+    * probe, not just min/max envelope.
+    */
+  def bloomableKeys(shape: AggShape,
+      viewSchema: StructType): Seq[String] =
+    shape.groupCols.map(_.outName).filter(n =>
+      viewSchema.fields.find(_.name == n)
+        .exists(f => graft.lake.BloomFilters.eligible(f.dataType)))
+
+  /** Stats filters over the backing table's group-key columns from the
+    * delta's touched-key set: min/max envelope for range pruning plus
+    * the exact value set (`eqSet`) for bloom probing where the
+    * rendering is canonical (integrals and strings — the same rule the
+    * DSv2 pushdown uses). A column with a NULL among the touched keys
+    * contributes no filter (bounds imply NOT NULL for pruning);
+    * unsupported types contribute none. Always CONSERVATIVE: these
+    * only prune files, the merge join drops untouched groups anyway.
+    */
+  private[graft] def keyFilters(viewSchema: StructType,
+      keyRows: Seq[org.apache.spark.sql.Row],
+      groups: Seq[GroupCol]): Seq[graft.lake.RangeFilter] =
+    groups.zipWithIndex.flatMap { case (g, i) =>
+      val values = keyRows.map(_.get(i))
+      val dt = viewSchema.fields.find(_.name == g.outName).map(_.dataType)
+      if (values.isEmpty || values.exists(_ == null)) None
+      else dt match {
+        case Some(ByteType | ShortType | IntegerType | LongType) =>
+          val nums = values.map(v => BigDecimal(v.toString))
+          Some(graft.lake.RangeFilter(g.outName,
+            loNum = Some(nums.min), hiNum = Some(nums.max),
+            eqSet = values.map(_.toString).distinct))
+        case Some(StringType) =>
+          val strs = values.map(_.toString)
+          Some(graft.lake.RangeFilter(g.outName,
+            loStr = Some(strs.min), hiStr = Some(strs.max),
+            eqSet = strs.distinct))
+        case Some(_: DecimalType) =>
+          val nums = values.map {
+            case d: java.math.BigDecimal => BigDecimal(d)
+            case v => BigDecimal(v.toString)
+          }
+          Some(graft.lake.RangeFilter(g.outName,
+            loNum = Some(nums.min), hiNum = Some(nums.max)))
+        case _ => None
+      }
+    }
+
+  /** Past this many touched groups the key-set collect (and the
+    * resulting filter envelope) stops paying for itself — fall back to
+    * the full backing scan. Conf-overridable for tests.
+    */
+  private def keyLimit(spark: SparkSession): Int =
+    spark.conf.getOption("spark.graft.matview.incr-key-limit")
+      .map(_.toInt).getOrElse(1000)
+
+  /** (files scanned after pruning, live files) of the last incremental
+    * refresh's backing read — a test/tooling observable for the
+    * touched-group pruning (specs pin that a small delta plans a
+    * strict subset of the backing files).
+    */
+  @volatile private[graft] var lastBackingScan: Option[(Int, Int)] = None
+
   /** The incremental refresh itself: delta rows since the watermark →
     * delta aggregate → merge with current groups → blind upsert.
     * Returns the new watermark, or None when the source hasn't moved.
     * Refuses (by name) when the range holds anything but plain
     * appends — those deltas are not additive.
+    *
+    * The merge's `current` side reads ONLY the backing files that can
+    * hold a TOUCHED group: the delta aggregate's key set (collected
+    * below a threshold) prunes the backing scan through the same
+    * stats/bloom machinery as any pushed IN — so a one-group delta
+    * against a wide MV costs O(delta + touched groups), not O(MV).
     */
   def refreshIncremental(spark: SparkSession, warehouse: String,
       shape: AggShape, watermark: Long, matDb: String,
@@ -230,8 +302,23 @@ private[graft] object MatViews {
         nonAppend.map(s => s"${s.id}(${s.operation})").mkString(", ") +
         " are not additive — run a full refresh instead")
     val delta = src.changesBetween(spark, watermark, head)
+    // the delta aggregate is consumed twice (key-set collect + merge
+    // join) — pin it so the source delta is scanned once
+    val deltaAgg = aggregate(delta, shape).localCheckpoint()
     val backing = LakeTable.load(warehouse, matDb, matTable)
-    val merged = merge(aggregate(delta, shape), backing.read(spark), shape)
+    val limit = keyLimit(spark)
+    val keyRows = deltaAgg
+      .select(shape.groupCols.map(g => col(s"`${g.outName}`")): _*)
+      .limit(limit + 1).collect().toSeq
+    val filters =
+      if (keyRows.size > limit) Seq.empty // wide delta: scan it all
+      else keyFilters(backing.metadata.currentSchema, keyRows,
+        shape.groupCols)
+    lastBackingScan = Some((
+      backing.plannedFiles(statsFilters = filters).size,
+      backing.plannedFiles().size))
+    val merged = merge(deltaAgg,
+      backing.read(spark, statsFilters = filters), shape)
     // the merged frame may be empty (delta had rows but, e.g., only
     // byte-moves survived the range filter) — upsertMoR handles both
     backing.upsertMoR(spark, merged,

@@ -132,6 +132,105 @@ class MatViewSpec extends AnyFunSuite {
       "WHERE k = 'c'").collect().head.getString(0) == "10.0000")
   }
 
+  private def messages(t: Throwable): String =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+
+  test("a concurrent refresher is refused by name; the loser re-run " +
+      "after the winner is a no-op (no double count)") {
+    val wh = Files.createTempDirectory("graft-matview-race").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"src","columns":[
+        |{"column_name":"k","data_type":"string"},
+        |{"column_name":"x","data_type":"long"}],"partitions":[]}""".stripMargin)
+    import SparkTestSession.spark.implicits._
+    LakeTable.load(wh, "d", "src").append(
+      Seq(("a", 1L), ("b", 2L)).toDF("k", "x"))
+    spark.conf.set("spark.sql.catalog.gmvr", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.gmvr.warehouse", wh)
+    spark.sql("CALL gmvr.system.create_mat_view('d', 'roll', " +
+      "'SELECT k, count(*) AS n, sum(x) AS s FROM gmvr.d.src " +
+      "GROUP BY k')").collect()
+    LakeTable.load(wh, "d", "src").append(Seq(("a", 10L)).toDF("k", "x"))
+    // a competing refresher holds the lock → this one must be refused
+    // BY NAME, not silently double-count the delta
+    val held = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val holder = new Thread(() =>
+      graft.sources.LakeViews.withRefreshLock(wh, "d", "roll") {
+        held.countDown(); release.await()
+      })
+    holder.start(); held.await()
+    val e = intercept[Exception] {
+      spark.sql(
+        "CALL gmvr.system.refresh_mat_view('d', 'roll', 'incremental')")
+        .collect()
+    }
+    assert(messages(e).contains("being refreshed"), messages(e))
+    release.countDown(); holder.join()
+    // winner's refresh applies the delta once ...
+    spark.sql(
+      "CALL gmvr.system.refresh_mat_view('d', 'roll', 'incremental')")
+      .collect()
+    // ... and the loser re-run AFTER the winner re-reads the doc under
+    // the lock, sees the advanced watermark, and no-ops: the delta can
+    // never be merged twice
+    val rerun = spark.sql(
+      "CALL gmvr.system.refresh_mat_view('d', 'roll', 'incremental')")
+      .collect()
+    assert(rerun.head.getLong(0) == rerun.head.getLong(1),
+      "post-winner re-run must be a watermark no-op")
+    assert(vsql("SELECT k, n, s FROM gmvr.d.roll ORDER BY k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq(("a", 2L, 11L), ("b", 1L, 2L)))
+  }
+
+  test("incremental refresh scans only backing files that can hold " +
+      "touched groups") {
+    val wh = Files.createTempDirectory("graft-matview-prune").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"src","columns":[
+        |{"column_name":"k","data_type":"long"},
+        |{"column_name":"x","data_type":"long"}],"partitions":[]}""".stripMargin)
+    import SparkTestSession.spark.implicits._
+    // 4000 groups: the seed aggregate shuffles across the session's 32
+    // partitions → the backing table lands as MANY files, with group
+    // keys hash-spread so min/max envelopes cover everything and only
+    // the bloom probe (write.bloom-columns is auto-set on the group
+    // key at create) can prune
+    LakeTable.load(wh, "d", "src").append(
+      (0L until 4000L).map(i => (i, i * 3)).toDF("k", "x"))
+    spark.conf.set("spark.sql.catalog.gmvp", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.gmvp.warehouse", wh)
+    // AQE would coalesce the small seed aggregate into one file —
+    // keep the shuffle partitioning so the backing table spans many
+    // files, the shape a real MV has at scale
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
+      "false")
+    try spark.sql("CALL gmvp.system.create_mat_view('d', 'roll', " +
+      "'SELECT k, count(*) AS n, sum(x) AS s FROM gmvp.d.src " +
+      "GROUP BY k')").collect()
+    finally spark.conf.set(
+      "spark.sql.adaptive.coalescePartitions.enabled", "true")
+    assert(LakeTable.load(wh, "d", "__mat_roll").metadata.properties
+      .get("write.bloom-columns").contains("k"),
+      "MV create must bloom the backing group key")
+    // one-group delta → the backing read must plan a strict subset
+    LakeTable.load(wh, "d", "src").append(Seq((7L, 100L)).toDF("k", "x"))
+    spark.sql(
+      "CALL gmvp.system.refresh_mat_view('d', 'roll', 'incremental')")
+      .collect()
+    val (scanned, total) = graft.sources.MatViews.lastBackingScan.get
+    assert(total >= 4, s"backing should span many files, got $total")
+    assert(scanned < total,
+      s"touched-group pruning must drop backing files: $scanned/$total")
+    // and the merge is still exact
+    assert(vsql("SELECT n, s FROM gmvp.d.roll WHERE k = 7").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((2L, 121L)))
+    assert(vsql("SELECT count(*) AS c FROM gmvp.d.roll").collect()
+      .head.getLong(0) == 4000L)
+  }
+
   test("double sums stay full-refresh-only, with a named refusal") {
     val wh = Files.createTempDirectory("graft-matview-dbl").toString
     Engine.processTableDefJson(wh,
