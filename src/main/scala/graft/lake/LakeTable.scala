@@ -1618,15 +1618,22 @@ class LakeTable private (val location: Path, private var md: TableMetadata,
   /** Opt-in per-file bloom filters (`write.bloom-columns=a,b`): one
     * distributed pass over ONLY the named columns of the just-written
     * delta builds a filter per (file, column) over
-    * `xxhash64(cast(col AS STRING))`, the driver writes them into one
-    * `.gbf` sidecar container, and each manifest entry carries ~40
-    * bytes of blob reference ([[BloomRef]]) — scan planning can then
-    * drop files on point-lookup equality that min/max ranges cannot
-    * prune (high-cardinality ids spread across every file). Cost is
-    * O(delta rows × bloom columns) at write, zero on non-bloom reads.
-    * Ineligible columns (non-integral, non-string — their
-    * cast-to-string is not promotion-stable) are skipped silently:
-    * skipping is always conservative.
+    * `xxhash64(cast(col AS STRING))`, each TASK writes its own `.gbf`
+    * sidecar container for the files it grouped, and each manifest
+    * entry carries ~40 bytes of blob reference ([[BloomRef]]) — scan
+    * planning can then drop files on point-lookup equality that
+    * min/max ranges cannot prune (high-cardinality ids spread across
+    * every file). Cost is O(delta rows × bloom columns) at write, zero
+    * on non-bloom reads. Ineligible columns (non-integral, non-string
+    * — their cast-to-string is not promotion-stable) are skipped
+    * silently: skipping is always conservative.
+    *
+    * The container write is EXECUTOR-SIDE (the manifest supports any
+    * number of containers): only the O(files × columns × 40 B) refs
+    * come back to the driver, never the filter bits — a 10k-file
+    * compaction with MiB-sized blobs would otherwise stage gigabytes
+    * on the driver. A failed/retried task's half-written container is
+    * an unreferenced orphan, cleaned like any lost data file.
     */
   private def attachBlooms(spark: SparkSession, outDir: Path,
       metas: Seq[DataFileMeta]): Seq[DataFileMeta] = {
@@ -1641,13 +1648,16 @@ class LakeTable private (val location: Path, private var md: TableMetadata,
     if (targets.isEmpty || metas.isEmpty) return metas
     import spark.implicits._
     val names = targets.map(_._1)
+    val fids = targets.map(_._2)
+    val dataDirStr = dataDir.toString
+    Files.createDirectories(dataDir)
     // xxhash64 is non-nullable (a null input leaves the seed), so the
     // null gate must be explicit — without it every null cell would
     // plant the constant seed-hash bit in the filter
     val hashCols = names.map(n =>
       when(col(s"`$n`").isNotNull,
         xxhash64(col(s"`$n`").cast("string"))).as(s"_h_$n"))
-    val built: Array[(String, Seq[Array[Byte]])] = spark.read
+    val built: Array[(String, Seq[BloomRef])] = spark.read
       .parquet(outDir.toString)
       .select(col("_metadata.file_path").as("_fp") +: hashCols: _*)
       .groupByKey(r => LakeTable.normalizePath(r.getString(0)))
@@ -1665,23 +1675,28 @@ class LakeTable private (val location: Path, private var md: TableMetadata,
         }
         (path, bufs.toSeq.map(b =>
           BloomFilters.serialize(BloomFilters.build(b.toArray))))
-      }.collect()
-    if (built.isEmpty) return metas
-    val container = dataDir.resolve(
-      s"blooms-${java.util.UUID.randomUUID().toString.take(8)}.gbf")
-    Files.createDirectories(dataDir)
-    val ordered = built.sortBy(_._1)
-    val spans = BloomFilters.writeContainer(container,
-      ordered.flatMap(_._2).toSeq).toIndexedSeq
-    var idx = -1
-    val refsByPath: Map[String, Seq[BloomRef]] = ordered.map {
-      case (p, blobs) =>
-        p -> targets.zip(blobs).map { case ((_, fid), _) =>
-          idx += 1
-          BloomRef(fid, container.toString, spans(idx)._1, spans(idx)._2,
-            BloomFilters.K)
+      }
+      .mapPartitions { groups =>
+        // one container per non-empty task: the blobs this task built
+        // are written HERE and dropped; only the span refs travel
+        val entries = groups.toVector
+        if (entries.isEmpty) Iterator.empty
+        else {
+          val container = java.nio.file.Paths.get(dataDirStr).resolve(
+            s"blooms-${java.util.UUID.randomUUID().toString.take(12)}.gbf")
+          val spans = BloomFilters.writeContainer(container,
+            entries.flatMap(_._2)).toIndexedSeq
+          var idx = -1
+          entries.iterator.map { case (p, blobs) =>
+            (p, fids.zip(blobs).map { case (fid, _) =>
+              idx += 1
+              BloomRef(fid, container.toString, spans(idx)._1,
+                spans(idx)._2, BloomFilters.K)
+            })
+          }
         }
-    }.toMap
+      }.collect()
+    val refsByPath: Map[String, Seq[BloomRef]] = built.toMap
     metas.map(m => refsByPath.get(LakeTable.normalizePath(m.path))
       .map(refs => m.copy(blooms = refs)).getOrElse(m))
   }

@@ -67,6 +67,37 @@ class BloomSkipSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq == Seq(55L))
   }
 
+  test("many-file builds write per-task containers — blobs never " +
+      "stage on the driver") {
+    val (wh, t0) = mk("percont")
+    // AQE would coalesce this small fixture's hash shuffle into one
+    // task; keep the partitioning so the build runs as the many-task
+    // job it is at real scale
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
+      "false")
+    try seed(t0, n = 600, parts = 24)
+    finally spark.conf.set(
+      "spark.sql.adaptive.coalescePartitions.enabled", "true")
+    val t = LakeTable.load(wh, "d", "t")
+    val all = t.plannedFiles()
+    assert(all.size >= 15, s"fixture must spread over files, got ${all.size}")
+    // >1 distinct container proves the write happened per task: a
+    // driver-side build would funnel every blob into ONE container
+    // (and stage all of them on the driver to do it)
+    val containers = all.flatMap(_.blooms.map(_.path)).distinct
+    assert(containers.size > 1,
+      s"expected per-task containers, got ${containers.size}")
+    // every ref resolves to a readable, CRC-checked blob
+    for (f <- all; r <- f.blooms)
+      assert(BloomFilters.readBlob(r.path, r.offset, r.length).nonEmpty)
+    // and the probe still prunes without losing the matching row
+    val eq = Seq(RangeFilter("id",
+      loNum = Some(BigDecimal(421)), hiNum = Some(BigDecimal(421))))
+    assert(t.plannedFiles(statsFilters = eq).size < all.size / 2)
+    assert(t.read(spark).filter(col("id") === 421L)
+      .collect().map(_.getLong(0)).toSeq == Seq(421L))
+  }
+
   test("every present value is found (no false negatives, seeded sweep)") {
     val (wh, t0) = mk("fn")
     seed(t0, n = 200, parts = 10)
