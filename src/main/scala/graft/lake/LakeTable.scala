@@ -4260,4 +4260,35 @@ object LakeTable {
     // hint in the constructor races a concurrent commit)
     new LakeTable(loc, md, v.toInt)
   }
+
+  /** Whole-body optimistic retry around [[LakeTable!.transaction]]:
+    * on a concurrency abort, reload a FRESH handle and re-run the
+    * entire body against the new state. This is the sound complement
+    * of the in-transaction design (op-level retry is disabled there
+    * because a single op rebuilt on another writer's commit would
+    * smuggle foreign state into the transaction's one publish) — the
+    * body is a closure over a handle, so re-running it from a fresh
+    * load recomputes EVERY op against the winner's state, exactly the
+    * "reload and retry the whole body" the abort message demands.
+    * Jittered backoff between attempts keeps a herd of writers from
+    * re-colliding in lockstep. Exhausted attempts rethrow the last
+    * conflict; non-conflict failures propagate immediately (they
+    * would fail identically on any state).
+    */
+  def transactionWithRetry[A](warehouse: String, db: String,
+      table: String, attempts: Int = 5)(body: LakeTable => A): A = {
+    require(attempts >= 1, s"attempts must be >= 1, got $attempts")
+    var n = 0
+    while (true) {
+      n += 1
+      try return load(warehouse, db, table).transaction(body)
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          if (n >= attempts) throw e
+          Thread.sleep(
+            scala.util.Random.nextInt(40 * n).toLong + 5)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
 }

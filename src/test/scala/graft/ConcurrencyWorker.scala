@@ -99,16 +99,18 @@ object ConcurrencyWorker {
         var txns = 0
         (0 until iters).foreach { i =>
           val base = 1000000L + wid * 100000L + i * 10L
-          retryOp { t =>
-            t.transaction { tx =>
-              tx.append(Seq(
-                (base, s"t-w$wid-i$i-a"),
-                (base + 1L, s"t-w$wid-i$i-b")).toDF("id", "v"))
-              tx.update(spark,
-                Map("v" -> org.apache.spark.sql.functions
-                  .lit(s"t-w$wid-i$i-U")),
-                org.apache.spark.sql.functions.col("id") === base)
-            }
+          // the engine's own whole-body retry helper: reloads a fresh
+          // handle per attempt and re-runs the closure on the winner's
+          // state — the herd's conflicts exercise its backoff for real
+          LakeTable.transactionWithRetry(wh, db, table,
+              attempts = 40) { tx =>
+            tx.append(Seq(
+              (base, s"t-w$wid-i$i-a"),
+              (base + 1L, s"t-w$wid-i$i-b")).toDF("id", "v"))
+            tx.update(spark,
+              Map("v" -> org.apache.spark.sql.functions
+                .lit(s"t-w$wid-i$i-U")),
+              org.apache.spark.sql.functions.col("id") === base)
           }
           txns += 1
         }

@@ -122,6 +122,47 @@ class TransactionSpec extends AnyFunSuite {
     assert(state(wh) == Map(1L -> "a", 7L -> "r", 2L -> "b"))
   }
 
+  test("transactionWithRetry re-runs the whole body on a fresh handle " +
+      "and applies it exactly once") {
+    val (wh, t) = mkTable("retry")
+    t.append(df(Seq((1L, "a"))))
+    var attempts = 0
+    LakeTable.transactionWithRetry(wh, "d", "t") { tx =>
+      attempts += 1
+      tx.append(df(Seq((2L, "b"))))
+      // defeat the FIRST attempt only: a racer lands before the
+      // closing flip, so that attempt aborts at the CAS and the helper
+      // must re-run the entire closure against the racer's state
+      if (attempts == 1)
+        LakeTable.load(wh, "d", "t").append(df(Seq((7L, "r"))))
+      tx.update(SparkTestSession.spark,
+        Map("v" -> org.apache.spark.sql.functions.lit("B")),
+        org.apache.spark.sql.functions.col("id") === 2L)
+    }
+    assert(attempts == 2, s"expected one conflict + one success, got $attempts")
+    // exactly-once: the aborted attempt's ops left nothing behind
+    assert(state(wh) == Map(1L -> "a", 7L -> "r", 2L -> "B"))
+  }
+
+  test("transactionWithRetry rethrows once attempts are exhausted") {
+    val (wh, t) = mkTable("retryout")
+    t.append(df(Seq((1L, "a"))))
+    var attempts = 0
+    intercept[java.util.ConcurrentModificationException] {
+      LakeTable.transactionWithRetry(wh, "d", "t", attempts = 2) { tx =>
+        attempts += 1
+        tx.append(df(Seq((100L + attempts, "x"))))
+        // every attempt loses to a racer
+        LakeTable.load(wh, "d", "t")
+          .append(df(Seq((200L + attempts, "r"))))
+      }
+    }
+    assert(attempts == 2, s"must stop at the attempt budget, got $attempts")
+    // no transactional row ever published; both racer rows did
+    assert(state(wh) ==
+      Map(1L -> "a", 201L -> "r", 202L -> "r"))
+  }
+
   test("branch staging and publish compose inside one transaction") {
     val (wh, t) = mkTable("branch")
     t.append(df(Seq((1L, "a"))))
