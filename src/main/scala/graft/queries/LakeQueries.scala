@@ -672,12 +672,15 @@ object LakeReadQueries extends QueryModule {
         .append(orders.filter(col("o_custkey") % 2 === 0))
       s.conf.set("spark.sql.catalog.gmvq", "graft.sources.LakeCatalog")
       s.conf.set("spark.sql.catalog.gmvq.warehouse", wh)
-      s.sql("CALL gmvq.system.create_mat_view('mv', 'cust_rollup', " +
-        "'SELECT o_custkey, count(*) AS n_orders, " +
-        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) " +
-        "AS sum_price FROM gmvq.mv.ord GROUP BY o_custkey')").collect()
       def vsql(q: String) =
         org.apache.spark.sql.GraftViewSubstitution.sql(s, q)
+      // the SQL DDL surface (parser extension): CREATE / REFRESH
+      // MATERIALIZED VIEW route through the same MatViewDdl the CALL
+      // procedures use
+      vsql("CREATE MATERIALIZED VIEW gmvq.mv.cust_rollup AS " +
+        "SELECT o_custkey, count(*) AS n_orders, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) " +
+        "AS sum_price FROM gmvq.mv.ord GROUP BY o_custkey").collect()
       val staleRows = vsql("SELECT * FROM gmvq.mv.cust_rollup").count()
       LakeTable.load(wh, "mv", "ord")
         .append(orders.filter(col("o_custkey") % 2 =!= 0))
@@ -685,8 +688,7 @@ object LakeReadQueries extends QueryModule {
         staleRows,
         "an unrefreshed MV must serve the materialized state, not the " +
           "live source")
-      s.sql("CALL gmvq.system.refresh_mat_view('mv', 'cust_rollup')")
-        .collect()
+      vsql("REFRESH MATERIALIZED VIEW gmvq.mv.cust_rollup").collect()
       vsql("SELECT o_custkey, n_orders, sum_price " +
         "FROM gmvq.mv.cust_rollup ORDER BY o_custkey")
     }),

@@ -1097,167 +1097,26 @@ private[sources] object LakeProcedures {
             lazy val t = LakeTable.load(warehouse, db, tbl)
             val (schema, row) = procName match {
               case "create_mat_view" =>
-                val spark = org.apache.spark.sql.SparkSession.active
-                val query = strArg(2)
-                val matTable = s"__mat_$tbl"
-                require(LakeViews.read(
-                  LakeViews.path(warehouse, db, tbl)).isEmpty,
-                  s"view '$db.$tbl' already exists")
-                require(!LakeTable.exists(warehouse, db, tbl),
-                  s"cannot create materialized view '$db.$tbl': a " +
-                    "table with that name already exists")
-                // analyze the defining query (view substitution applies
-                // so an MV can be defined over other views)
-                val analyzed = org.apache.spark.sql
-                  .GraftViewSubstitution.sql(spark, query)
-                // self-maintainable aggregate shape? then the seed (and
-                // every later refresh) computes from a WATERMARK-PINNED
-                // source scan — a racing commit lands entirely in the
-                // next delta, never half-counted. The rebuilt
-                // aggregation must reproduce the declared schema
-                // exactly, else the view stays full-refresh-only.
-                val shaped: Option[(MatViews.AggShape, Long,
-                    org.apache.spark.sql.DataFrame)] =
-                  MatViews.detect(analyzed.queryExecution.analyzed,
-                      warehouse)
-                    .flatMap { sh =>
-                      val src = LakeTable.load(warehouse, sh.srcDb,
-                        sh.srcTable)
-                      val w = src.metadata.snapshots.map(_.id)
-                        .foldLeft(0L)(math.max)
-                      val rows = src.read(spark,
-                        asOfSnapshot = if (w > 0) Some(w) else None)
-                      val rebuilt = MatViews.aggregate(rows, sh)
-                      if (rebuilt.schema.fields.map(f =>
-                          (f.name, f.dataType)).toSeq ==
-                          analyzed.schema.fields.map(f =>
-                            (f.name, f.dataType)).toSeq)
-                        Some((sh, w, rebuilt))
-                      else None
-                    }
-                val seed = shaped.map(_._3).getOrElse(analyzed)
-                LakeTable.create(warehouse, graft.schema.TableDef(
-                  db, matTable,
-                  analyzed.schema.fields.toSeq.map(f =>
-                    graft.schema.TypeMapper.toColumnDef(
-                      f.name, f.dataType, f.nullable)),
-                  Seq.empty,
-                  // incremental shapes: bloom the group keys so the
-                  // touched-group pruning in refreshIncremental can
-                  // drop backing files by exact probe, not just range
-                  shaped.map { case (sh, _, _) =>
-                    val keys = MatViews.bloomableKeys(sh, analyzed.schema)
-                    if (keys.isEmpty) Map.empty[String, String]
-                    else Map("write.bloom-columns" -> keys.mkString(","))
-                  }.getOrElse(Map.empty)))
-                val snap = LakeTable.load(warehouse, db, matTable)
-                  .append(seed)
-                // the MV NAME is a plain view fronting the backing
-                // table; the defining query lives in properties for
-                // refresh
-                LakeViews.create(LakeViews.path(warehouse, db, tbl),
-                  LakeViews.ViewDoc(tbl, 1, Seq(LakeViews.ViewVersion(
-                    1, System.currentTimeMillis(),
-                    s"SELECT * FROM $catalogName.$db.$matTable",
-                    analyzed.schema.json,
-                    analyzed.schema.fieldNames.toSeq,
-                    Seq.empty, Seq.empty, catalogName, Seq(db))),
-                    Map("graft.mat-view" -> "true",
-                      "graft.mat-view.sql" -> query,
-                      "graft.mat-view.table" -> matTable,
-                      "graft.mat-view.refreshed-ms" ->
-                        System.currentTimeMillis().toString) ++
-                      shaped.map { case (sh, w, _) =>
-                        MatViews.encode(sh) +
-                          ("graft.mat-view.watermark" -> w.toString)
-                      }.getOrElse(Map.empty)))
+                val (matTable, rows) = MatViewDdl.create(
+                  org.apache.spark.sql.SparkSession.active, warehouse,
+                  catalogName, db, tbl, strArg(2))
                 (StructType(Seq(
                   StructField("mat_table", StringType, nullable = false),
                   StructField("rows", LongType, nullable = false))),
-                  Seq[Any](matTable, snap.files.map(_.rows).sum))
+                  Seq[Any](matTable, rows))
               case "refresh_mat_view" =>
-                val spark = org.apache.spark.sql.SparkSession.active
-                val mode = strArgOrEmpty(2)
-                require(mode.isEmpty || mode == "full" ||
-                    mode == "incremental",
-                  s"refresh mode must be ''|full|incremental, got '$mode'")
-                // the WHOLE refresh — doc read, delta merge, upsert,
-                // watermark stamp — runs under the view's refresh lock:
-                // a racing second refresher gets a named conflict
-                // instead of double-counting the delta, and a refresh
-                // that starts after a winner finishes re-reads the doc
-                // here and sees the advanced watermark (no-op)
-                LakeViews.withRefreshLock(warehouse, db, tbl) {
-                val doc = LakeViews.read(
-                  LakeViews.path(warehouse, db, tbl)).getOrElse(
-                  throw new IllegalArgumentException(
-                    s"no view '$db.$tbl'"))
-                val defSql = doc.properties.getOrElse("graft.mat-view.sql",
-                  throw new IllegalArgumentException(
-                    s"view '$db.$tbl' is not a materialized view"))
-                val matTable = doc.properties("graft.mat-view.table")
-                val shape = MatViews.decode(doc.properties)
-                def stamp(extra: Map[String, String]): Unit =
-                  LakeViews.write(LakeViews.path(warehouse, db, tbl),
-                    doc.copy(properties = doc.properties ++ extra +
-                      ("graft.mat-view.refreshed-ms" ->
-                        System.currentTimeMillis().toString)))
-                if (mode == "incremental") {
-                  val sh = shape.getOrElse(throw new
-                    IllegalArgumentException(
-                    s"view '$db.$tbl' has no recorded incremental " +
-                      "shape (joins, DISTINCT, FILTER, expression " +
-                      "aggregates, or float/double SUMs are not " +
-                      "self-maintainable) — run a full refresh"))
-                  val w = doc.properties("graft.mat-view.watermark").toLong
-                  MatViews.refreshIncremental(spark, warehouse, sh, w,
-                    db, matTable) match {
-                    case Some(head) =>
-                      stamp(Map("graft.mat-view.watermark" ->
-                        head.toString))
-                      (StructType(Seq(
-                        StructField("from_snapshot", LongType,
-                          nullable = false),
-                        StructField("to_snapshot", LongType,
-                          nullable = false))),
-                        Seq[Any](w, head))
-                    case None =>
-                      (StructType(Seq(
-                        StructField("from_snapshot", LongType,
-                          nullable = false),
-                        StructField("to_snapshot", LongType,
-                          nullable = false))),
-                        Seq[Any](w, w))
-                  }
-                } else {
-                  // full recompute, one "replace" snapshot on the
-                  // backing table. An incremental-shaped view
-                  // recomputes from a watermark-pinned scan so its
-                  // watermark advances consistently; any-SQL views
-                  // re-run their defining query
-                  val (frame, wm) = shape match {
-                    case Some(sh) =>
-                      val src = LakeTable.load(warehouse, sh.srcDb,
-                        sh.srcTable)
-                      val head = src.metadata.snapshots.map(_.id)
-                        .foldLeft(0L)(math.max)
-                      (MatViews.aggregate(src.read(spark,
-                        asOfSnapshot = if (head > 0) Some(head)
-                          else None), sh),
-                        Some(head))
-                    case None =>
-                      (org.apache.spark.sql.GraftViewSubstitution
-                        .sql(spark, defSql), None)
-                  }
-                  val snap = LakeTable.load(warehouse, db, matTable)
-                    .overwrite(frame)
-                  stamp(wm.map(h => Map("graft.mat-view.watermark" ->
-                    h.toString)).getOrElse(Map.empty))
-                  (StructType(Seq(
-                    StructField("snapshot_id", LongType, nullable = false),
-                    StructField("rows", LongType, nullable = false))),
-                    Seq[Any](snap.id, snap.files.map(_.rows).sum))
-                }
+                MatViewDdl.refresh(org.apache.spark.sql.SparkSession.active,
+                    warehouse, db, tbl, strArgOrEmpty(2)) match {
+                  case MatViewDdl.IncrementalRefresh(from, to) =>
+                    (StructType(Seq(
+                      StructField("from_snapshot", LongType, nullable = false),
+                      StructField("to_snapshot", LongType, nullable = false))),
+                      Seq[Any](from, to))
+                  case MatViewDdl.FullRefresh(sid, rows) =>
+                    (StructType(Seq(
+                      StructField("snapshot_id", LongType, nullable = false),
+                      StructField("rows", LongType, nullable = false))),
+                      Seq[Any](sid, rows))
                 }
               case "expire_snapshots" =>
                 val expired = t.expireSnapshots(keepAfter = input.getLong(2))

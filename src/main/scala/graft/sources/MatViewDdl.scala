@@ -1,0 +1,194 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+
+import graft.lake.LakeTable
+
+/** The materialized-view lifecycle, shared by BOTH surfaces: the
+  * `CALL system.create_mat_view / refresh_mat_view` procedures and the
+  * `CREATE / DROP / REFRESH MATERIALIZED VIEW` SQL statements route
+  * here, so the two spellings can never drift.
+  *
+  * An MV is a hidden backing lake table (`__mat_<name>`) fronted by a
+  * registered view of the same name; the defining query and refresh
+  * bookkeeping (incremental shape, snapshot watermark) live in the
+  * view document's properties. Reads are table-fast and STALE until
+  * refreshed; refresh is a full recompute, or an O(delta) merge for
+  * self-maintainable aggregate shapes ([[MatViews]]).
+  */
+object MatViewDdl {
+
+  sealed trait RefreshResult
+  /** Incremental: the (from, to] snapshot range merged (from == to →
+    * the source hadn't moved; no-op). */
+  case class IncrementalRefresh(fromSnapshot: Long, toSnapshot: Long)
+      extends RefreshResult
+  /** Full recompute: the replace snapshot and its row count. */
+  case class FullRefresh(snapshotId: Long, rows: Long)
+      extends RefreshResult
+
+  /** True when `db.name` is a registered view AND marks itself as a
+    * materialized view (DROP MATERIALIZED VIEW refuses plain views).
+    */
+  def isMatView(warehouse: String, db: String, name: String): Boolean =
+    LakeViews.read(LakeViews.path(warehouse, db, name))
+      .exists(_.properties.get("graft.mat-view").contains("true"))
+
+  /** Create: analyze the defining query, seed the backing table,
+    * register the fronting view; detects and records the
+    * incrementally-maintainable aggregate shape. Returns (backing
+    * table name, seeded row count).
+    */
+  def create(spark: SparkSession, warehouse: String,
+      catalogName: String, db: String, name: String,
+      query: String): (String, Long) = {
+    val matTable = s"__mat_$name"
+    require(LakeViews.read(
+      LakeViews.path(warehouse, db, name)).isEmpty,
+      s"view '$db.$name' already exists")
+    require(!LakeTable.exists(warehouse, db, name),
+      s"cannot create materialized view '$db.$name': a " +
+        "table with that name already exists")
+    // analyze the defining query (view substitution applies
+    // so an MV can be defined over other views)
+    val analyzed = org.apache.spark.sql
+      .GraftViewSubstitution.sql(spark, query)
+    // self-maintainable aggregate shape? then the seed (and
+    // every later refresh) computes from a WATERMARK-PINNED
+    // source scan — a racing commit lands entirely in the
+    // next delta, never half-counted. The rebuilt
+    // aggregation must reproduce the declared schema
+    // exactly, else the view stays full-refresh-only.
+    val shaped: Option[(MatViews.AggShape, Long,
+        org.apache.spark.sql.DataFrame)] =
+      MatViews.detect(analyzed.queryExecution.analyzed,
+          warehouse)
+        .flatMap { sh =>
+          val src = LakeTable.load(warehouse, sh.srcDb,
+            sh.srcTable)
+          val w = src.metadata.snapshots.map(_.id)
+            .foldLeft(0L)(math.max)
+          val rows = src.read(spark,
+            asOfSnapshot = if (w > 0) Some(w) else None)
+          val rebuilt = MatViews.aggregate(rows, sh)
+          if (rebuilt.schema.fields.map(f =>
+              (f.name, f.dataType)).toSeq ==
+              analyzed.schema.fields.map(f =>
+                (f.name, f.dataType)).toSeq)
+            Some((sh, w, rebuilt))
+          else None
+        }
+    val seed = shaped.map(_._3).getOrElse(analyzed)
+    LakeTable.create(warehouse, graft.schema.TableDef(
+      db, matTable,
+      analyzed.schema.fields.toSeq.map(f =>
+        graft.schema.TypeMapper.toColumnDef(
+          f.name, f.dataType, f.nullable)),
+      Seq.empty,
+      // incremental shapes: bloom the group keys so the
+      // touched-group pruning in refreshIncremental can
+      // drop backing files by exact probe, not just range
+      shaped.map { case (sh, _, _) =>
+        val keys = MatViews.bloomableKeys(sh, analyzed.schema)
+        if (keys.isEmpty) Map.empty[String, String]
+        else Map("write.bloom-columns" -> keys.mkString(","))
+      }.getOrElse(Map.empty)))
+    val snap = LakeTable.load(warehouse, db, matTable)
+      .append(seed)
+    // the MV NAME is a plain view fronting the backing
+    // table; the defining query lives in properties for
+    // refresh
+    LakeViews.create(LakeViews.path(warehouse, db, name),
+      LakeViews.ViewDoc(name, 1, Seq(LakeViews.ViewVersion(
+        1, System.currentTimeMillis(),
+        s"SELECT * FROM $catalogName.$db.$matTable",
+        analyzed.schema.json,
+        analyzed.schema.fieldNames.toSeq,
+        Seq.empty, Seq.empty, catalogName, Seq(db))),
+        Map("graft.mat-view" -> "true",
+          "graft.mat-view.sql" -> query,
+          "graft.mat-view.table" -> matTable,
+          "graft.mat-view.refreshed-ms" ->
+            System.currentTimeMillis().toString) ++
+          shaped.map { case (sh, w, _) =>
+            MatViews.encode(sh) +
+              ("graft.mat-view.watermark" -> w.toString)
+          }.getOrElse(Map.empty)))
+    (matTable, snap.files.map(_.rows).sum)
+  }
+
+  /** Refresh: `mode` is '' / 'full' (recompute) or 'incremental'
+    * (delta merge; refuses shapes without a recorded incremental
+    * form). The WHOLE refresh — doc read, delta merge, upsert,
+    * watermark stamp — runs under the view's refresh lock: a racing
+    * second refresher gets a named conflict instead of double-counting
+    * the delta, and a refresh that starts after a winner finishes
+    * re-reads the doc inside the lock and sees the advanced watermark
+    * (no-op).
+    */
+  def refresh(spark: SparkSession, warehouse: String, db: String,
+      name: String, mode: String): RefreshResult = {
+    require(mode.isEmpty || mode == "full" ||
+        mode == "incremental",
+      s"refresh mode must be ''|full|incremental, got '$mode'")
+    LakeViews.withRefreshLock(warehouse, db, name) {
+      val doc = LakeViews.read(
+        LakeViews.path(warehouse, db, name)).getOrElse(
+        throw new IllegalArgumentException(
+          s"no view '$db.$name'"))
+      val defSql = doc.properties.getOrElse("graft.mat-view.sql",
+        throw new IllegalArgumentException(
+          s"view '$db.$name' is not a materialized view"))
+      val matTable = doc.properties("graft.mat-view.table")
+      val shape = MatViews.decode(doc.properties)
+      def stamp(extra: Map[String, String]): Unit =
+        LakeViews.write(LakeViews.path(warehouse, db, name),
+          doc.copy(properties = doc.properties ++ extra +
+            ("graft.mat-view.refreshed-ms" ->
+              System.currentTimeMillis().toString)))
+      if (mode == "incremental") {
+        val sh = shape.getOrElse(throw new
+          IllegalArgumentException(
+          s"view '$db.$name' has no recorded incremental " +
+            "shape (joins, DISTINCT, FILTER, expression " +
+            "aggregates, or float/double SUMs are not " +
+            "self-maintainable) — run a full refresh"))
+        val w = doc.properties("graft.mat-view.watermark").toLong
+        MatViews.refreshIncremental(spark, warehouse, sh, w,
+          db, matTable) match {
+          case Some(head) =>
+            stamp(Map("graft.mat-view.watermark" ->
+              head.toString))
+            IncrementalRefresh(w, head)
+          case None =>
+            IncrementalRefresh(w, w)
+        }
+      } else {
+        // full recompute, one "replace" snapshot on the
+        // backing table. An incremental-shaped view
+        // recomputes from a watermark-pinned scan so its
+        // watermark advances consistently; any-SQL views
+        // re-run their defining query
+        val (frame, wm) = shape match {
+          case Some(sh) =>
+            val src = LakeTable.load(warehouse, sh.srcDb,
+              sh.srcTable)
+            val head = src.metadata.snapshots.map(_.id)
+              .foldLeft(0L)(math.max)
+            (MatViews.aggregate(src.read(spark,
+              asOfSnapshot = if (head > 0) Some(head)
+                else None), sh),
+              Some(head))
+          case None =>
+            (org.apache.spark.sql.GraftViewSubstitution
+              .sql(spark, defSql), None)
+        }
+        val snap = LakeTable.load(warehouse, db, matTable)
+          .overwrite(frame)
+        stamp(wm.map(h => Map("graft.mat-view.watermark" ->
+          h.toString)).getOrElse(Map.empty))
+        FullRefresh(snap.id, snap.files.map(_.rows).sum)
+      }
+    }
+  }
+}

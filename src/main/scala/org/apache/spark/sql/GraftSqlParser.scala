@@ -89,6 +89,19 @@ object GraftSqlParser {
     ("""(?is)^\s*SHOW\s+VIEWS\s+(?:IN|FROM)\s+""" + Ident +
       """\s*;?\s*$""").r
 
+  // materialized-view DDL: stock Spark has NO materialized views (the
+  // statements are parse errors there), so these carry no stock-plan
+  // fallback — a non-lake target fails by name instead
+  private[sql] val CreateMatViewRe =
+    ("""(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(IF\s+NOT\s+EXISTS\s+)?""" +
+      Ident + """\s+AS\s+(.+?)\s*;?\s*$""").r
+  private[sql] val DropMatViewRe =
+    ("""(?is)^\s*DROP\s+MATERIALIZED\s+VIEW\s+(IF\s+EXISTS\s+)?""" +
+      Ident + """\s*;?\s*$""").r
+  private[sql] val RefreshMatViewRe =
+    ("""(?is)^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+""" + Ident +
+      """(?:\s+(FULL|INCREMENTAL))?\s*;?\s*$""").r
+
   /** Strip one layer of '…'/"…" quoting and unescape the doubled
     * inner quote (`'it''s'` → `it's`).
     */
@@ -185,6 +198,18 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         GraftAlterPartitionFieldCommand(
           delegate.parseMultipartIdentifier(tbl), add = false,
           None, "", Some(clean(trimmed)))
+    // ---- materialized-view DDL (3-part lake identifiers; these
+    // statements do not exist in stock Spark) -------------------------
+    case CreateMatViewRe(ifNotExists, ident, query) if is3Part(ident) =>
+      GraftCreateMatViewCommand(delegate.parseMultipartIdentifier(ident),
+        query.trim, ifNotExists = ifNotExists != null)
+    case DropMatViewRe(ifExists, ident) if is3Part(ident) =>
+      GraftDropMatViewCommand(delegate.parseMultipartIdentifier(ident),
+        ifExists = ifExists != null)
+    case RefreshMatViewRe(ident, mode) if is3Part(ident) =>
+      GraftRefreshMatViewCommand(delegate.parseMultipartIdentifier(ident),
+        mode = Option(mode).map(_.toLowerCase(java.util.Locale.ROOT))
+          .getOrElse(""))
     // ---- persistent view DDL (3-part identifiers only: 1/2-part
     // names keep meaning session-catalog / temp views, which Spark
     // handles natively) ----------------------------------------------

@@ -146,6 +146,90 @@ case class GraftRenameViewCommand(from: Seq[String], to: Seq[String],
   }
 }
 
+/** `CREATE MATERIALIZED VIEW [IF NOT EXISTS] cat.db.name AS query` —
+  * the SQL spelling of `CALL system.create_mat_view` (both run
+  * [[graft.sources.MatViewDdl]]). No stock-plan fallback: the
+  * statement does not exist in vanilla Spark, so a non-lake target is
+  * a named error, never silently something else.
+  */
+case class GraftCreateMatViewCommand(ident: Seq[String], query: String,
+    ifNotExists: Boolean) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (lc, db, name) = GraftViewCommands.lakeViewTarget(spark, ident)
+      .getOrElse(throw new UnsupportedOperationException(
+        "CREATE MATERIALIZED VIEW needs a lake-catalog " +
+          s"catalog.db.name target, got '${ident.mkString(".")}'"))
+    if (ifNotExists && LakeViews.read(
+        LakeViews.path(lc.warehousePath, db, name)).nonEmpty)
+      return Seq.empty
+    graft.sources.MatViewDdl.create(spark, lc.warehousePath, lc.name(),
+      db, name, query)
+    Seq.empty
+  }
+}
+
+/** `DROP MATERIALIZED VIEW [IF EXISTS] cat.db.name` — refuses plain
+  * views (those are `DROP VIEW`'s job); the catalog's dropView removes
+  * the hidden backing table with the view document.
+  */
+case class GraftDropMatViewCommand(ident: Seq[String],
+    ifExists: Boolean) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (lc, db, name) = GraftViewCommands.lakeViewTarget(spark, ident)
+      .getOrElse(throw new UnsupportedOperationException(
+        "DROP MATERIALIZED VIEW needs a lake-catalog " +
+          s"catalog.db.name target, got '${ident.mkString(".")}'"))
+    val doc = LakeViews.read(LakeViews.path(lc.warehousePath, db, name))
+    if (doc.isEmpty) {
+      if (ifExists) return Seq.empty
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(
+        org.apache.spark.sql.connector.catalog.Identifier.of(
+          Array(db), name))
+    }
+    require(doc.get.properties.get("graft.mat-view").contains("true"),
+      s"view '$db.$name' is not a materialized view — use DROP VIEW")
+    lc.dropView(org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array(db), name))
+    Seq.empty
+  }
+}
+
+/** `REFRESH MATERIALIZED VIEW cat.db.name [FULL | INCREMENTAL]` — the
+  * SQL spelling of `CALL system.refresh_mat_view`; returns the same
+  * one-row result (the output schema follows the mode, which is known
+  * at parse time).
+  */
+case class GraftRefreshMatViewCommand(ident: Seq[String], mode: String)
+    extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types.LongType
+
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions
+      .Attribute] =
+    if (mode == "incremental")
+      Seq(AttributeReference("from_snapshot", LongType,
+        nullable = false)(),
+        AttributeReference("to_snapshot", LongType, nullable = false)())
+    else
+      Seq(AttributeReference("snapshot_id", LongType, nullable = false)(),
+        AttributeReference("rows", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (lc, db, name) = GraftViewCommands.lakeViewTarget(spark, ident)
+      .getOrElse(throw new UnsupportedOperationException(
+        "REFRESH MATERIALIZED VIEW needs a lake-catalog " +
+          s"catalog.db.name target, got '${ident.mkString(".")}'"))
+    graft.sources.MatViewDdl.refresh(spark, lc.warehousePath, db, name,
+      mode) match {
+      case graft.sources.MatViewDdl.IncrementalRefresh(from, to) =>
+        Seq(Row(from, to))
+      case graft.sources.MatViewDdl.FullRefresh(sid, rows) =>
+        Seq(Row(sid, rows))
+    }
+  }
+}
+
 case class GraftShowViewsCommand(namespace: Seq[String],
     fallback: () => LogicalPlan) extends LeafRunnableCommand {
   override val output: Seq[org.apache.spark.sql.catalyst.expressions

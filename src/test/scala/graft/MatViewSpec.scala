@@ -261,6 +261,51 @@ class MatViewSpec extends AnyFunSuite {
       .head.getDouble(0) == 1.5)
   }
 
+  test("SQL DDL: CREATE / REFRESH [INCREMENTAL] / DROP MATERIALIZED " +
+      "VIEW drive the same lifecycle as the procedures") {
+    val wh = Files.createTempDirectory("graft-matview-sql").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"src","columns":[
+        |{"column_name":"k","data_type":"string"},
+        |{"column_name":"x","data_type":"long"}],"partitions":[]}""".stripMargin)
+    import SparkTestSession.spark.implicits._
+    LakeTable.load(wh, "d", "src").append(
+      Seq(("a", 1L), ("b", 2L)).toDF("k", "x"))
+    spark.conf.set("spark.sql.catalog.gmvs", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.gmvs.warehouse", wh)
+    vsql("CREATE MATERIALIZED VIEW gmvs.d.agg AS " +
+      "SELECT k, count(*) AS n, sum(x) AS s FROM gmvs.d.src GROUP BY k")
+      .collect()
+    assert(LakeTable.exists(wh, "d", "__mat_agg"))
+    // IF NOT EXISTS is a no-op on an existing MV
+    vsql("CREATE MATERIALIZED VIEW IF NOT EXISTS gmvs.d.agg AS " +
+      "SELECT 1 AS one").collect()
+    assert(vsql("SELECT k, n, s FROM gmvs.d.agg ORDER BY k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq(("a", 1L, 1L), ("b", 1L, 2L)))
+    // INCREMENTAL refresh returns the merged snapshot range
+    LakeTable.load(wh, "d", "src").append(Seq(("a", 9L)).toDF("k", "x"))
+    val r = vsql("REFRESH MATERIALIZED VIEW gmvs.d.agg INCREMENTAL")
+      .collect()
+    assert(r.head.getLong(1) > r.head.getLong(0),
+      "watermark must advance")
+    assert(vsql("SELECT s FROM gmvs.d.agg WHERE k = 'a'").collect()
+      .head.getLong(0) == 10L)
+    // DROP MATERIALIZED VIEW refuses a plain view by name ...
+    vsql("CREATE VIEW gmvs.d.plain AS SELECT k FROM gmvs.d.src").collect()
+    val e = intercept[Exception] {
+      vsql("DROP MATERIALIZED VIEW gmvs.d.plain").collect()
+    }
+    assert(messages(e).contains("not a materialized view"), messages(e))
+    // ... and removes an MV together with its backing table
+    vsql("DROP MATERIALIZED VIEW gmvs.d.agg").collect()
+    assert(!LakeTable.exists(wh, "d", "__mat_agg"))
+    vsql("DROP MATERIALIZED VIEW IF EXISTS gmvs.d.agg").collect()
+    intercept[Exception] {
+      vsql("DROP MATERIALIZED VIEW gmvs.d.agg").collect()
+    }
+  }
+
   test("dropping an MV removes its backing table; the name is reusable") {
     val wh = Files.createTempDirectory("graft-matview3").toString
     Engine.processTableDefJson(wh,
