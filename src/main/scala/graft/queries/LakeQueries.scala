@@ -735,6 +735,92 @@ object LakeReadQueries extends QueryModule {
         "FROM gmvi2.mvi.roll ORDER BY o_custkey")
     }),
 
+    "lake_mat_view_avg" -> QueryModule.micro(4)((s, dir) => {
+      // AVG over decimals maintained INCREMENTALLY: the backing table
+      // stores hidden exact sum/count parts and the fronting view
+      // reproduces Spark's own Average division bit-for-bit, so the
+      // merged state equals a recompute. The oracle corroborates with
+      // the exact decimal sum plus a rounded avg (DuckDB's avg itself
+      // accumulates in double, so the raw division is not hashable).
+      val wh = LakeQueries.freshWarehouse("matviewavg")
+      Engine.processTableDefJson(wh,
+        """{"database_name":"mva","table_name":"ord","columns":[
+          |{"column_name":"o_custkey","data_type":"long"},
+          |{"column_name":"o_price","data_type":"decimal(18,4)"}],
+          |"partitions":[]}""".stripMargin)
+      val orders = Tables(s, dir, "orders")
+        .select(col("o_custkey"),
+          col("o_totalprice").cast("decimal(18,4)").as("o_price"))
+      LakeTable.load(wh, "mva", "ord")
+        .append(orders.filter(col("o_custkey") % 2 === 0))
+      s.conf.set("spark.sql.catalog.gmvavg", "graft.sources.LakeCatalog")
+      s.conf.set("spark.sql.catalog.gmvavg.warehouse", wh)
+      def vsql(q: String) =
+        org.apache.spark.sql.GraftViewSubstitution.sql(s, q)
+      vsql("CREATE MATERIALIZED VIEW gmvavg.mva.roll AS " +
+        "SELECT o_custkey, count(*) AS n_orders, sum(o_price) AS " +
+        "sum_price, avg(o_price) AS avg_price FROM gmvavg.mva.ord " +
+        "GROUP BY o_custkey").collect()
+      require(graft.sources.LakeViews.read(
+        graft.sources.LakeViews.path(wh, "mva", "roll")).get
+        .properties.get("graft.mat-view.incr").contains("true"),
+        "decimal AVG must be recorded as incrementally maintainable")
+      LakeTable.load(wh, "mva", "ord")
+        .append(orders.filter(col("o_custkey") % 2 =!= 0))
+      val res = vsql(
+        "REFRESH MATERIALIZED VIEW gmvavg.mva.roll INCREMENTAL")
+        .collect()
+      require(res.head.getLong(1) > res.head.getLong(0),
+        "the incremental refresh must advance the watermark")
+      vsql("SELECT o_custkey, n_orders, " +
+        "CAST(sum_price AS DOUBLE) AS sum_price, " +
+        "ROUND(CAST(avg_price AS DOUBLE), 6) AS avg6 " +
+        "FROM gmvavg.mva.roll ORDER BY o_custkey")
+    }),
+
+    "lake_mat_view_retract" -> QueryModule.micro(4)((s, dir) => {
+      // incremental refresh CONSUMING deletions: copy-on-write and
+      // merge-on-read deletes land in the delta as SIGNED changelog
+      // rows (inserts add, deletes subtract), and groups whose row
+      // count reaches zero are deleted from the materialization — the
+      // oracle recomputes over the surviving rows, so a missed
+      // retraction or a lingering emptied group hash-mismatches.
+      val wh = LakeQueries.freshWarehouse("matviewretr")
+      Engine.processTableDefJson(wh,
+        """{"database_name":"mvr","table_name":"ord","columns":[
+          |{"column_name":"o_custkey","data_type":"long"},
+          |{"column_name":"o_price","data_type":"decimal(18,4)"}],
+          |"partitions":[]}""".stripMargin)
+      val orders = Tables(s, dir, "orders")
+        .select(col("o_custkey"),
+          col("o_totalprice").cast("decimal(18,4)").as("o_price"))
+      LakeTable.load(wh, "mvr", "ord")
+        .append(orders.filter(col("o_custkey") % 2 === 0))
+      s.conf.set("spark.sql.catalog.gmvret", "graft.sources.LakeCatalog")
+      s.conf.set("spark.sql.catalog.gmvret.warehouse", wh)
+      def vsql(q: String) =
+        org.apache.spark.sql.GraftViewSubstitution.sql(s, q)
+      vsql("CREATE MATERIALIZED VIEW gmvret.mvr.roll AS " +
+        "SELECT o_custkey, count(*) AS n_orders, sum(o_price) AS " +
+        "sum_price FROM gmvret.mvr.ord GROUP BY o_custkey").collect()
+      // the delta holds appends AND retractions, touching both
+      // seed-time groups and rows first seen in this very delta
+      LakeTable.load(wh, "mvr", "ord")
+        .append(orders.filter(col("o_custkey") % 2 =!= 0))
+      LakeTable.load(wh, "mvr", "ord")
+        .delete(s, col("o_custkey") % 10 === 3) // copy-on-write
+      LakeTable.load(wh, "mvr", "ord")
+        .deleteMoR(s, col("o_custkey") % 10 === 7) // merge-on-read
+      val res = vsql(
+        "REFRESH MATERIALIZED VIEW gmvret.mvr.roll INCREMENTAL")
+        .collect()
+      require(res.head.getLong(1) > res.head.getLong(0),
+        "the incremental refresh must advance the watermark")
+      vsql("SELECT o_custkey, n_orders, " +
+        "CAST(sum_price AS DOUBLE) AS sum_price " +
+        "FROM gmvret.mvr.roll ORDER BY o_custkey")
+    }),
+
     "lake_views" -> QueryModule.micro(4)((s, dir) => {
       // persistent catalog views with definition versioning: CREATE,
       // then CREATE OR REPLACE (which must APPEND a version, not
@@ -2209,6 +2295,24 @@ object RowOpsQueries extends QueryModule {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
         |    AS sum_price
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "lake_mat_view_avg" ->
+      """SELECT o_custkey,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS sum_price,
+        |  ROUND(CAST(AVG(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE),
+        |    6) AS avg6
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "lake_mat_view_retract" ->
+      """SELECT o_custkey,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders
+        |WHERE o_custkey % 10 <> 3 AND o_custkey % 10 <> 7
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     "lake_views" ->
       """SELECT n_nationkey, n_name || '/' || n_regionkey AS tagged

@@ -70,38 +70,47 @@ object MatViewDdl {
             .foldLeft(0L)(math.max)
           val rows = src.read(spark,
             asOfSnapshot = if (w > 0) Some(w) else None)
-          val rebuilt = MatViews.aggregate(rows, sh)
-          if (rebuilt.schema.fields.map(f =>
+          // seed the STORAGE layout (hidden avg parts / row counter);
+          // its visible projection must reproduce the declared schema
+          val storage = MatViews.storageAggregate(rows, sh)
+          if (MatViews.visibleFrame(storage, sh).schema.fields.map(f =>
               (f.name, f.dataType)).toSeq ==
               analyzed.schema.fields.map(f =>
                 (f.name, f.dataType)).toSeq)
-            Some((sh, w, rebuilt))
+            Some((sh, w, storage))
           else None
         }
     val seed = shaped.map(_._3).getOrElse(analyzed)
     LakeTable.create(warehouse, graft.schema.TableDef(
       db, matTable,
-      analyzed.schema.fields.toSeq.map(f =>
+      // the backing table stores the STORAGE layout (== the declared
+      // schema for unshaped / hidden-column-free views)
+      seed.schema.fields.toSeq.map(f =>
         graft.schema.TypeMapper.toColumnDef(
           f.name, f.dataType, f.nullable)),
       Seq.empty,
-      // incremental shapes: bloom the group keys so the
-      // touched-group pruning in refreshIncremental can
-      // drop backing files by exact probe, not just range
-      shaped.map { case (sh, _, _) =>
+      shaped.map { case (sh, w, _) =>
+        // incremental shapes: bloom the group keys so the
+        // touched-group pruning in refreshIncremental can drop
+        // backing files by exact probe, not just range; the
+        // watermark lives HERE so refreshes can advance it in the
+        // same atomic flip as the merged data
         val keys = MatViews.bloomableKeys(sh, analyzed.schema)
-        if (keys.isEmpty) Map.empty[String, String]
-        else Map("write.bloom-columns" -> keys.mkString(","))
+        Map("graft.mat-view.watermark" -> w.toString) ++
+          (if (keys.isEmpty) Map.empty[String, String]
+           else Map("write.bloom-columns" -> keys.mkString(",")))
       }.getOrElse(Map.empty)))
     val snap = LakeTable.load(warehouse, db, matTable)
       .append(seed)
     // the MV NAME is a plain view fronting the backing
-    // table; the defining query lives in properties for
-    // refresh
+    // table (projecting hidden storage columns away); the
+    // defining query lives in properties for refresh
     LakeViews.create(LakeViews.path(warehouse, db, name),
       LakeViews.ViewDoc(name, 1, Seq(LakeViews.ViewVersion(
         1, System.currentTimeMillis(),
-        s"SELECT * FROM $catalogName.$db.$matTable",
+        shaped.map { case (sh, _, _) =>
+          MatViews.viewSql(sh, catalogName, db, matTable)
+        }.getOrElse(s"SELECT * FROM $catalogName.$db.$matTable"),
         analyzed.schema.json,
         analyzed.schema.fieldNames.toSeq,
         Seq.empty, Seq.empty, catalogName, Seq(db))),
@@ -175,7 +184,7 @@ object MatViewDdl {
               sh.srcTable)
             val head = src.metadata.snapshots.map(_.id)
               .foldLeft(0L)(math.max)
-            (MatViews.aggregate(src.read(spark,
+            (MatViews.storageAggregate(src.read(spark,
               asOfSnapshot = if (head > 0) Some(head)
                 else None), sh),
               Some(head))
@@ -183,8 +192,15 @@ object MatViewDdl {
             (org.apache.spark.sql.GraftViewSubstitution
               .sql(spark, defSql), None)
         }
+        // recompute + watermark advance publish in ONE flip (crash
+        // mid-refresh leaves the old content with the old watermark)
         val snap = LakeTable.load(warehouse, db, matTable)
-          .overwrite(frame)
+          .transaction { tx =>
+            val s = tx.overwrite(frame)
+            wm.foreach(h => tx.updateProperties(
+              Map("graft.mat-view.watermark" -> h.toString)))
+            s
+          }
         stamp(wm.map(h => Map("graft.mat-view.watermark" ->
           h.toString)).getOrElse(Map.empty))
         FullRefresh(snap.id, snap.files.map(_.rows).sum)

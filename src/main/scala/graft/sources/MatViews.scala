@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference,
   Expression, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
-  AggregateExpression, Count, Max, Min, Sum}
+  AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan,
   SubqueryAlias}
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -18,24 +18,45 @@ import graft.lake.LakeTable
 /** Incremental maintenance for materialized views — the classic
   * self-maintainable aggregate class: when the defining query is ONE
   * aggregate over ONE lake table (group-by on plain columns;
-  * COUNT(*)/COUNT(col)/SUM/MIN/MAX over plain columns; no DISTINCT,
-  * no FILTER, no joins), a refresh only needs the rows ADDED since
-  * the recorded snapshot watermark: aggregate the delta, merge it
-  * into the current per-group values, and blind-upsert the changed
-  * groups — O(delta) source reads and O(changed groups) writes,
+  * COUNT(*)/COUNT(col)/SUM/MIN/MAX/AVG over plain columns; no
+  * DISTINCT, no FILTER, no joins), a refresh only needs the rows that
+  * CHANGED since the recorded snapshot watermark: aggregate the delta,
+  * merge it into the current per-group values, and blind-upsert the
+  * changed groups — O(delta) source reads and O(changed groups) writes,
   * against the full recompute's O(source).
   *
   * Exactness rules (the oracle compares against a one-pass
   * recompute):
   *   - SUM over float/double is NOT incrementally exact (addition
   *     order changes the ulps) — such shapes stay full-refresh-only.
-  *   - MIN/MAX merge with least/greatest — exact for appends; the
-  *     refresh REFUSES if the delta range contains anything but plain
-  *     appends (an upsert supersedes rows, a delete retracts them —
-  *     neither is expressible as an additive delta).
+  *   - AVG is maintainable only over DECIMAL columns, via hidden
+  *     exact sum/count storage columns; the fronting view divides
+  *     exactly as Spark's own Average does (`sum / CAST(cnt AS
+  *     DECIMAL(20,0))`, cast to the declared result type). AVG over
+  *     int/long is refused too: Spark's Average there accumulates in
+  *     DOUBLE, so even the engine's declared semantics are
+  *     order-dependent — an exact integer-sum merge would drift from
+  *     the recompute by ulps.
+  *   - MIN/MAX merge with least/greatest — exact for appends only;
+  *     shapes containing them refuse any non-append delta (a deleted
+  *     row can't be retracted out of a min).
+  *   - COUNT/SUM/AVG-only shapes RETRACT: a delta containing MoR/CoW
+  *     deletes or copy-on-write updates is consumed through the
+  *     row-level changelog with +/- signs, and groups whose hidden
+  *     row count reaches zero are deleted from the materialization.
+  *     Equality-delete snapshots refuse (their markers carry only key
+  *     columns, so the deleted measures can't be re-derived).
   *   - the scan that seeds the materialization is PINNED to the
   *     watermark snapshot, so a commit racing the build can never be
   *     half-counted: it lands entirely in the next delta.
+  *
+  * Storage: "v2" MVs (everything created since AVG/retraction
+  * support) materialize a STORAGE layout — group columns, one column
+  * per plain aggregate, `__avg_sum_<n>`/`__avg_cnt_<n>` per AVG, and
+  * a hidden `__g_rows` COUNT(*) for retractable shapes without a
+  * visible one; the registered view projects the declared columns
+  * back out. Docs without the storage marker keep the legacy
+  * visible-only layout (append-only incremental, no AVG).
   */
 private[graft] object MatViews {
 
@@ -46,11 +67,61 @@ private[graft] object MatViews {
   case class SumCol(outName: String, srcCol: String) extends AggSpec
   case class MinCol(outName: String, srcCol: String) extends AggSpec
   case class MaxCol(outName: String, srcCol: String) extends AggSpec
+  /** AVG over a decimal column; (resPrec, resScale) is the declared
+    * Average result type (DECIMAL(p+4, s+4)), persisted so the
+    * fronting view can reproduce the exact division + cast. */
+  case class AvgCol(outName: String, srcCol: String,
+      resPrec: Int, resScale: Int) extends AggSpec {
+    def resultType: DecimalType = DecimalType(resPrec, resScale)
+  }
+
+  /** One storage column of the materialization and how it merges. */
+  sealed trait StoreKind
+  case object KCount extends StoreKind
+  case object KSum extends StoreKind
+  case object KMin extends StoreKind
+  case object KMax extends StoreKind
+  case class StoreCol(name: String, kind: StoreKind)
 
   case class AggShape(srcDb: String, srcTable: String,
-      specs: Seq[AggSpec]) {
+      specs: Seq[AggSpec], storageV2: Boolean = true) {
     def groupCols: Seq[GroupCol] =
       specs.collect { case g: GroupCol => g }
+
+    /** COUNT/SUM/AVG only — deletes and CoW updates can be merged as
+      * signed deltas; MIN/MAX cannot un-see a removed extremum. */
+    def retractable: Boolean = specs.forall {
+      case _: MinCol | _: MaxCol => false
+      case _ => true
+    }
+
+    /** Retraction needs a per-group row count to know when a group
+      * empties; reuse a declared COUNT(*) or add a hidden one. */
+    def needsHiddenRows: Boolean = storageV2 && retractable &&
+      !specs.exists(_.isInstanceOf[CountStar])
+
+    /** The storage column holding the group's row count (retraction's
+      * emptiness signal). */
+    def rowsCol: String = specs.collectFirst {
+      case CountStar(n) => n
+    }.getOrElse("__g_rows")
+
+    /** Storage differs from the declared output (hidden columns). */
+    def hidden: Boolean = needsHiddenRows ||
+      specs.exists(_.isInstanceOf[AvgCol])
+
+    /** Non-group storage columns, canonical order: declared aggregate
+      * order (AVG expands to sum+cnt), hidden row count last. */
+    def storeCols: Seq[StoreCol] = specs.flatMap {
+      case _: GroupCol => Nil
+      case CountStar(n) => Seq(StoreCol(n, KCount))
+      case CountCol(n, _) => Seq(StoreCol(n, KCount))
+      case SumCol(n, _) => Seq(StoreCol(n, KSum))
+      case MinCol(n, _) => Seq(StoreCol(n, KMin))
+      case MaxCol(n, _) => Seq(StoreCol(n, KMax))
+      case AvgCol(n, _, _, _) => Seq(StoreCol(s"__avg_sum_$n", KSum),
+        StoreCol(s"__avg_cnt_$n", KCount))
+    } ++ (if (needsHiddenRows) Seq(StoreCol("__g_rows", KCount)) else Nil)
   }
 
   /** Detect the self-maintainable shape in an ANALYZED plan; None →
@@ -98,6 +169,16 @@ private[graft] object MatViews {
                         if exactSum(al.dataType) => SumCol(n, a.name)
                     case _ => return None
                   }
+                  // AVG only where the sum side is exact AND the
+                  // division is Average's own deterministic decimal
+                  // divide — int/long avg buffers in double upstream,
+                  // so it is NOT reproducible from exact parts
+                  case av: Average => (av.child, al.dataType) match {
+                    case (a: AttributeReference, rt: DecimalType)
+                        if a.dataType.isInstanceOf[DecimalType] =>
+                      AvgCol(n, a.name, rt.precision, rt.scale)
+                    case _ => return None
+                  }
                   case m: Min => m.child match {
                     case a: AttributeReference => MinCol(n, a.name)
                     case _ => return None
@@ -126,62 +207,126 @@ private[graft] object MatViews {
     case _ => true
   }
 
-  /** The aggregation rebuilt from the detected shape over `rows` —
-    * identical output schema to the defining query (the caller
-    * verifies, and falls back to the raw SQL on any mismatch).
+  private def q(n: String): Column = col(s"`$n`")
+
+  /** The STORAGE aggregation over source-schema rows (seed, full
+    * refresh, and the append-delta path): one pass, declared group
+    * order, hidden columns materialized. With `storageV2 = false`
+    * (legacy docs) the storage layout IS the visible layout.
     */
-  def aggregate(rows: DataFrame, shape: AggShape): DataFrame = {
-    val groups = shape.groupCols
-    val aggCols: Seq[Column] = shape.specs.collect {
-      case CountStar(n) => count(lit(1)).as(n)
-      case CountCol(n, c) => count(col(s"`$c`")).as(n)
-      case SumCol(n, c) => sum(col(s"`$c`")).as(n)
-      case MinCol(n, c) => min(col(s"`$c`")).as(n)
-      case MaxCol(n, c) => max(col(s"`$c`")).as(n)
-    }
-    rows.groupBy(groups.map(g => col(s"`${g.srcCol}`").as(g.outName)): _*)
+  def storageAggregate(rows: DataFrame, shape: AggShape): DataFrame =
+    buildAggregate(rows, shape, signed = false)
+
+  /** The SIGNED storage aggregation over a row-level changelog
+    * (`_change_type` ∈ insert/delete): inserts add, deletes subtract,
+    * so the result is the additive delta of a range containing
+    * retractions. Only meaningful for retractable shapes.
+    */
+  def signedStorageAggregate(changelog: DataFrame,
+      shape: AggShape): DataFrame =
+    buildAggregate(changelog, shape, signed = true)
+
+  private def buildAggregate(rows: DataFrame, shape: AggShape,
+      signed: Boolean): DataFrame = {
+    val ins = col("_change_type") === "insert"
+    def cntStar: Column =
+      if (!signed) count(lit(1))
+      else sum(when(ins, 1L).otherwise(-1L))
+    def cnt(c: Column): Column =
+      if (!signed) count(c)
+      else sum(when(c.isNotNull, when(ins, 1L).otherwise(-1L))
+        .otherwise(0L))
+    def sm(c: Column): Column =
+      if (!signed) sum(c)
+      else sum(when(ins, c).otherwise(-c))
+    val aggCols: Seq[Column] = shape.specs.flatMap {
+      case _: GroupCol => Nil
+      case CountStar(n) => Seq(cntStar.as(n))
+      case CountCol(n, c) => Seq(cnt(q(c)).as(n))
+      case SumCol(n, c) => Seq(sm(q(c)).as(n))
+      case MinCol(n, c) => Seq(min(q(c)).as(n))
+      case MaxCol(n, c) => Seq(max(q(c)).as(n))
+      case AvgCol(n, c, _, _) => Seq(sm(q(c)).as(s"__avg_sum_$n"),
+        cnt(q(c)).as(s"__avg_cnt_$n"))
+    } ++ (if (shape.needsHiddenRows) Seq(cntStar.as("__g_rows")) else Nil)
+    rows
+      .groupBy(shape.groupCols.map(g => q(g.srcCol).as(g.outName)): _*)
       .agg(aggCols.head, aggCols.tail: _*)
-      // groupBy+agg emits groups first, then aggregates — restore the
-      // defining query's declared column ORDER
-      .select(shape.specs.map(s => col(s"`${s.outName}`")): _*)
+      // canonical storage order: groups (declared order), then store
+      // columns — a stable layout for the backing table regardless of
+      // how the declared output interleaves keys and aggregates
+      .select((shape.groupCols.map(g => q(g.outName)) ++
+        shape.storeCols.map(sc => q(sc.name))): _*)
   }
 
-  /** Merge a delta aggregation into the current per-group values —
-    * one row per TOUCHED group, ready for the blind upsert. Null
-    * algebra: a group absent from `current` takes the delta verbatim;
-    * a delta aggregate that is NULL (sum/min/max over all-null delta
-    * cells) keeps the current value.
+  /** Project the declared (visible) columns back out of a storage
+    * frame — plain aggregates pass through, AVG divides its hidden
+    * parts exactly as Spark's Average does.
+    */
+  def visibleFrame(storage: DataFrame, shape: AggShape): DataFrame =
+    storage.select(shape.specs.map {
+      case a @ AvgCol(n, _, _, _) =>
+        (q(s"__avg_sum_$n") / q(s"__avg_cnt_$n").cast(DecimalType(20, 0)))
+          .cast(a.resultType).as(n)
+      case s => q(s.outName)
+    }: _*)
+
+  /** The fronting view's stored SQL over the backing table: plain
+    * `SELECT *` when storage == visible; an explicit projection (with
+    * the AVG division) when hidden columns exist.
+    */
+  def viewSql(shape: AggShape, catalogName: String, db: String,
+      matTable: String): String =
+    if (!shape.hidden) s"SELECT * FROM $catalogName.$db.$matTable"
+    else {
+      val cols = shape.specs.map {
+        case a @ AvgCol(n, _, _, _) =>
+          s"CAST(`__avg_sum_$n` / CAST(`__avg_cnt_$n` AS DECIMAL(20,0)) " +
+            s"AS ${a.resultType.sql}) AS `$n`"
+        case s => s"`${s.outName}`"
+      }
+      s"SELECT ${cols.mkString(", ")} FROM $catalogName.$db.$matTable"
+    }
+
+  /** Merge a delta (storage) aggregation into the current per-group
+    * storage values — one row per TOUCHED group, ready for the blind
+    * upsert. Null algebra: a group absent from `current` takes the
+    * delta verbatim; a delta aggregate that is NULL (sum/min/max over
+    * all-null delta cells) keeps the current value; counts are never
+    * null and add. A signed delta makes counts/sums shrink with the
+    * same expressions.
     */
   def merge(deltaAgg: DataFrame, current: DataFrame,
       shape: AggShape): DataFrame = {
     val keys = shape.groupCols.map(_.outName)
     val cur = current.select(current.columns.map(c =>
-      col(s"`$c`").as(if (keys.contains(c)) c else s"_cur_$c")): _*)
-    deltaAgg.join(cur, keys, "left").select(shape.specs.map {
-      case g: GroupCol => col(s"`${g.outName}`")
-      case s =>
-        val d = col(s"`${s.outName}`")
-        val c = col(s"`_cur_${s.outName}`")
-        val mergedV = s match {
-          case _: CountStar | _: CountCol => coalesce(c, lit(0L)) + d
-          case _: SumCol =>
-            when(d.isNull, c).otherwise(when(c.isNull, d).otherwise(c + d))
-          case _: MinCol =>
-            when(d.isNull, c).otherwise(when(c.isNull, d)
-              .otherwise(least(c, d)))
-          case _: MaxCol =>
-            when(d.isNull, c).otherwise(when(c.isNull, d)
-              .otherwise(greatest(c, d)))
-          case _: GroupCol => d // unreachable
-        }
-        mergedV.as(s.outName)
-    }: _*)
+      q(c).as(if (keys.contains(c)) c else s"_cur_$c")): _*)
+    deltaAgg.join(cur, keys, "left").select(
+      (shape.groupCols.map(g => q(g.outName)) ++
+        shape.storeCols.map { sc =>
+          val d = q(sc.name)
+          val c = q(s"_cur_${sc.name}")
+          val mergedV = sc.kind match {
+            case KCount => coalesce(c, lit(0L)) + d
+            case KSum =>
+              when(d.isNull, c).otherwise(when(c.isNull, d)
+                .otherwise(c + d))
+            case KMin =>
+              when(d.isNull, c).otherwise(when(c.isNull, d)
+                .otherwise(least(c, d)))
+            case KMax =>
+              when(d.isNull, c).otherwise(when(c.isNull, d)
+                .otherwise(greatest(c, d)))
+          }
+          mergedV.as(sc.name)
+        }): _*)
   }
 
   // ---- doc-property encoding ------------------------------------------
 
   def encode(shape: AggShape): Map[String, String] = Map(
     "graft.mat-view.incr" -> "true",
+    "graft.mat-view.storage" -> "2",
     "graft.mat-view.src-db" -> shape.srcDb,
     "graft.mat-view.src-table" -> shape.srcTable,
     "graft.mat-view.specs" -> shape.specs.map {
@@ -191,6 +336,7 @@ private[graft] object MatViews {
       case SumCol(o, c) => s"sum:$o:$c"
       case MinCol(o, c) => s"min:$o:$c"
       case MaxCol(o, c) => s"max:$o:$c"
+      case AvgCol(o, c, p, sc) => s"avg:$o:$c:$p:$sc"
     }.mkString(","))
 
   def decode(props: Map[String, String]): Option[AggShape] =
@@ -206,10 +352,12 @@ private[graft] object MatViews {
           case Seq("sum", o, c) => SumCol(o, c)
           case Seq("min", o, c) => MinCol(o, c)
           case Seq("max", o, c) => MaxCol(o, c)
+          case Seq("avg", o, c, p, sc) => AvgCol(o, c, p.toInt, sc.toInt)
           case other => throw new IllegalStateException(
             s"corrupt mat-view spec entry: $s")
         }
-      }))
+      },
+      storageV2 = props.get("graft.mat-view.storage").contains("2")))
 
   /** The backing-table group-key columns that can carry per-file bloom
     * filters — set as `write.bloom-columns` at MV create so the
@@ -275,54 +423,123 @@ private[graft] object MatViews {
     */
   @volatile private[graft] var lastBackingScan: Option[(Int, Int)] = None
 
+  /** Snapshot operations a retraction-capable refresh can consume:
+    * appends, byte-moves, MoR deletes (position/vector markers carry
+    * full rows), and CoW overwrites (the changelog computes their row
+    * diff). Anything else — replace, eq-delete upserts — refuses.
+    */
+  private def retractableOp(op: String): Boolean =
+    op == "append" || op == "delete" || op == "overwrite" ||
+      LakeTable.isByteMove(op)
+
   /** The incremental refresh itself: delta rows since the watermark →
-    * delta aggregate → merge with current groups → blind upsert.
-    * Returns the new watermark, or None when the source hasn't moved.
-    * Refuses (by name) when the range holds anything but plain
-    * appends — those deltas are not additive.
+    * delta (storage) aggregate → merge with current groups → blind
+    * upsert (+ delete of emptied groups). Returns the new watermark,
+    * or None when the source hasn't moved.
+    *
+    * Append-only ranges use the cheap `changesBetween` path; ranges
+    * with deletions/updates retract through the signed changelog when
+    * the shape allows it, and refuse BY NAME otherwise.
     *
     * The merge's `current` side reads ONLY the backing files that can
     * hold a TOUCHED group: the delta aggregate's key set (collected
     * below a threshold) prunes the backing scan through the same
     * stats/bloom machinery as any pushed IN — so a one-group delta
     * against a wide MV costs O(delta + touched groups), not O(MV).
+    *
+    * Crash atomicity: the backing-table mutations AND the watermark
+    * advance (a table property) publish in ONE transaction flip — a
+    * crash mid-refresh leaves the old watermark with the old content,
+    * never a merged delta that a re-run would merge again. The view
+    * doc's watermark property is a convenience copy; the table
+    * property is authoritative.
     */
   def refreshIncremental(spark: SparkSession, warehouse: String,
       shape: AggShape, watermark: Long, matDb: String,
       matTable: String): Option[Long] = {
     val src = LakeTable.load(warehouse, shape.srcDb, shape.srcTable)
+    val backing0 = LakeTable.load(warehouse, matDb, matTable)
+    // authoritative watermark: stamped atomically with the data flip
+    val w = backing0.metadata.properties
+      .get("graft.mat-view.watermark").map(_.toLong).getOrElse(watermark)
     val head = src.metadata.snapshots.map(_.id).foldLeft(0L)(math.max)
-    if (head == watermark) return None
+    if (head == w) return None
     val range = src.metadata.snapshots
-      .filter(s => s.id > watermark && s.id <= head)
+      .filter(s => s.id > w && s.id <= head)
     val nonAppend = range.filterNot(s =>
       s.operation == "append" || LakeTable.isByteMove(s.operation))
-    require(nonAppend.isEmpty,
-      s"incremental refresh needs an append-only delta; snapshots " +
-        nonAppend.map(s => s"${s.id}(${s.operation})").mkString(", ") +
-        " are not additive — run a full refresh instead")
-    val delta = src.changesBetween(spark, watermark, head)
-    // the delta aggregate is consumed twice (key-set collect + merge
-    // join) — pin it so the source delta is scanned once
-    val deltaAgg = aggregate(delta, shape).localCheckpoint()
-    val backing = LakeTable.load(warehouse, matDb, matTable)
+    val retract = nonAppend.nonEmpty
+    if (retract) {
+      require(shape.retractable && shape.storageV2,
+        s"incremental refresh needs an append-only delta for this " +
+          s"shape; snapshots " +
+          nonAppend.map(s => s"${s.id}(${s.operation})").mkString(", ") +
+          " are not additive (MIN/MAX cannot retract" +
+          (if (shape.storageV2) "" else "; legacy storage lacks the " +
+            "row counter") + ") — run a full refresh instead")
+      val bad = range.filterNot(s => retractableOp(s.operation))
+      require(bad.isEmpty,
+        s"incremental refresh cannot retract snapshot(s) " +
+          bad.map(s => s"${s.id}(${s.operation})").mkString(", ") +
+          " — equality-delete and replace commits don't carry " +
+          "retractable row content; run a full refresh instead")
+      val eqd = range.filter(_.eqDeletes.nonEmpty)
+      require(eqd.isEmpty,
+        s"incremental refresh cannot retract snapshot(s) " +
+          eqd.map(s => s"${s.id}(${s.operation})").mkString(", ") +
+          ": equality-delete markers carry only key columns, so the " +
+          "deleted measures can't be re-derived — run a full refresh " +
+          "instead")
+    }
+    val delta =
+      if (retract) signedStorageAggregate(
+        src.changelogBetween(spark, w, head, includeCowDiffs = true),
+        shape)
+      else storageAggregate(src.changesBetween(spark, w, head), shape)
+    // the delta aggregate is consumed multiple times (key-set collect,
+    // merge join, retraction split) — pin it so the source delta is
+    // scanned once
+    val deltaAgg = delta.localCheckpoint()
     val limit = keyLimit(spark)
     val keyRows = deltaAgg
-      .select(shape.groupCols.map(g => col(s"`${g.outName}`")): _*)
+      .select(shape.groupCols.map(g => q(g.outName)): _*)
       .limit(limit + 1).collect().toSeq
     val filters =
       if (keyRows.size > limit) Seq.empty // wide delta: scan it all
-      else keyFilters(backing.metadata.currentSchema, keyRows,
+      else keyFilters(backing0.metadata.currentSchema, keyRows,
         shape.groupCols)
     lastBackingScan = Some((
-      backing.plannedFiles(statsFilters = filters).size,
-      backing.plannedFiles().size))
-    val merged = merge(deltaAgg,
-      backing.read(spark, statsFilters = filters), shape)
-    // the merged frame may be empty (delta had rows but, e.g., only
-    // byte-moves survived the range filter) — upsertMoR handles both
-    backing.upsertMoR(spark, merged,
-      keys = shape.groupCols.map(_.outName))
+      backing0.plannedFiles(statsFilters = filters).size,
+      backing0.plannedFiles().size))
+    val merged0 = merge(deltaAgg,
+      backing0.read(spark, statsFilters = filters), shape)
+    val keys = shape.groupCols.map(_.outName)
+    val wmProp = Map("graft.mat-view.watermark" -> head.toString)
+    if (!retract) {
+      backing0.transaction { tx =>
+        // the merged frame may be empty (delta had rows but, e.g.,
+        // only byte-moves survived the range filter) — upsertMoR
+        // handles both
+        tx.upsertMoR(spark, merged0, keys = keys)
+        tx.updateProperties(wmProp)
+      }
+    } else {
+      val merged = merged0.localCheckpoint()
+      val rc = q(shape.rowsCol)
+      val negative = merged.filter(rc < 0L).count()
+      require(negative == 0L,
+        s"retraction underflow: $negative group(s) went below zero " +
+          "rows — the delta retracts rows this materialization never " +
+          "counted; run a full refresh")
+      val dead = merged.filter(rc === 0L)
+        .select(keys.map(q): _*).localCheckpoint()
+      backing0.transaction { tx =>
+        tx.upsertMoR(spark, merged.filter(rc > 0L), keys = keys)
+        if (dead.limit(1).count() > 0L)
+          tx.deleteByKeysMoR(spark, dead)
+        tx.updateProperties(wmProp)
+      }
+    }
     Some(head)
   }
 }

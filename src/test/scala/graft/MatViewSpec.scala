@@ -231,6 +231,131 @@ class MatViewSpec extends AnyFunSuite {
       .head.getLong(0) == 4000L)
   }
 
+  test("AVG over decimals refreshes incrementally, bit-for-bit") {
+    val wh = Files.createTempDirectory("graft-matview-avg").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"src","columns":[
+        |{"column_name":"k","data_type":"string"},
+        |{"column_name":"amt","data_type":"decimal(18,4)"}],
+        |"partitions":[]}""".stripMargin)
+    import SparkTestSession.spark.implicits._
+    def rows(r: Seq[(String, String)]) = r.toDF("k", "amt")
+      .select(col("k"), col("amt").cast("decimal(18,4)").as("amt"))
+    LakeTable.load(wh, "d", "src").append(rows(Seq(
+      ("a", "1.5000"), ("a", "2.2500"), ("b", "7.0001"))))
+    spark.conf.set("spark.sql.catalog.gmva", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.gmva.warehouse", wh)
+    vsql("CREATE MATERIALIZED VIEW gmva.d.roll AS " +
+      "SELECT k, avg(amt) AS a, count(*) AS n FROM gmva.d.src " +
+      "GROUP BY k").collect()
+    val doc = graft.sources.LakeViews.read(
+      graft.sources.LakeViews.path(wh, "d", "roll")).get
+    assert(doc.properties.get("graft.mat-view.incr").contains("true"),
+      s"decimal AVG must be detected as maintainable: ${doc.properties}")
+    // the backing table stores hidden exact sum/count parts, and the
+    // fronting view projects the declared columns back out
+    val backing = LakeTable.load(wh, "d", "__mat_roll")
+    assert(backing.metadata.currentSchema.fieldNames.toSet ==
+      Set("k", "__avg_sum_a", "__avg_cnt_a", "n"),
+      backing.metadata.currentSchema.fieldNames.toSeq.toString)
+    LakeTable.load(wh, "d", "src").append(rows(Seq(
+      ("a", "0.0001"), ("c", "9.9999"), ("c", "0.0003"))))
+    vsql("REFRESH MATERIALIZED VIEW gmva.d.roll INCREMENTAL").collect()
+    val got = vsql("SELECT k, CAST(a AS STRING) AS a, n " +
+      "FROM gmva.d.roll ORDER BY k").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    // oracle: Spark's own avg over the full source, rendered the same
+    val want = LakeTable.load(wh, "d", "src").read(spark)
+      .groupBy("k").agg(avg("amt").as("a"), count(lit(1)).as("n"))
+      .select(col("k"), col("a").cast("string").as("a"), col("n"))
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == want, s"got $got want $want")
+  }
+
+  test("AVG over int/long stays full-refresh-only (double-buffered " +
+      "upstream)") {
+    val wh = Files.createTempDirectory("graft-matview-avgl").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"src","columns":[
+        |{"column_name":"k","data_type":"string"},
+        |{"column_name":"x","data_type":"long"}],"partitions":[]}""".stripMargin)
+    import SparkTestSession.spark.implicits._
+    LakeTable.load(wh, "d", "src").append(Seq(("a", 1L)).toDF("k", "x"))
+    spark.conf.set("spark.sql.catalog.gmval", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.gmval.warehouse", wh)
+    vsql("CREATE MATERIALIZED VIEW gmval.d.av AS " +
+      "SELECT k, avg(x) AS a FROM gmval.d.src GROUP BY k").collect()
+    assert(!graft.sources.LakeViews.read(
+      graft.sources.LakeViews.path(wh, "d", "av")).get
+      .properties.contains("graft.mat-view.incr"),
+      "avg(long) must not record an incremental shape")
+  }
+
+  test("deletes and CoW updates retract incrementally; emptied groups " +
+      "vanish; equality deletes refuse by name") {
+    val wh = Files.createTempDirectory("graft-matview-retr").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"src","columns":[
+        |{"column_name":"k","data_type":"string","required":true},
+        |{"column_name":"amt","data_type":"decimal(18,4)"}],
+        |"partitions":[]}""".stripMargin)
+    import SparkTestSession.spark.implicits._
+    def rows(r: Seq[(String, String)]) = r.toDF("k", "amt")
+      .select(col("k"), col("amt").cast("decimal(18,4)").as("amt"))
+    LakeTable.load(wh, "d", "src").append(rows(Seq(
+      ("a", "1.0000"), ("a", "2.0000"), ("b", "5.0000"),
+      ("c", "3.0000"))))
+    spark.conf.set("spark.sql.catalog.gmvt", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.gmvt.warehouse", wh)
+    vsql("CREATE MATERIALIZED VIEW gmvt.d.roll AS " +
+      "SELECT k, count(*) AS n, sum(amt) AS s, avg(amt) AS a " +
+      "FROM gmvt.d.src GROUP BY k").collect()
+    // a retraction-bearing delta: CoW delete empties group c, a CoW
+    // update changes one of a's rows, MoR delete removes b's row,
+    // and an append adds a new group
+    val src = LakeTable.load(wh, "d", "src")
+    src.delete(spark, col("k") === "c")
+    LakeTable.load(wh, "d", "src").update(spark,
+      Map("amt" -> lit("9.0000").cast("decimal(18,4)")),
+      col("k") === "a" && col("amt") === java.math.BigDecimal.valueOf(1.0))
+    LakeTable.load(wh, "d", "src").deleteMoR(spark, col("k") === "b")
+    LakeTable.load(wh, "d", "src").append(rows(Seq(("d", "4.0000"))))
+    val r = vsql("REFRESH MATERIALIZED VIEW gmvt.d.roll INCREMENTAL")
+      .collect()
+    assert(r.head.getLong(1) > r.head.getLong(0), "watermark advances")
+    val got = vsql("SELECT k, n, CAST(s AS STRING) AS s, " +
+      "CAST(a AS STRING) AS a FROM gmvt.d.roll ORDER BY k").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getString(2),
+        x.getString(3))).toSeq
+    // oracle: full recompute over the live source
+    val want = LakeTable.load(wh, "d", "src").read(spark)
+      .groupBy("k").agg(count(lit(1)).as("n"), sum("amt").as("s"),
+        avg("amt").as("a"))
+      .select(col("k"), col("n"), col("s").cast("string").as("s"),
+        col("a").cast("string").as("a"))
+      .orderBy("k").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getString(2),
+        x.getString(3))).toSeq
+    assert(got == want, s"got $got want $want")
+    assert(!got.exists(_._1 == "b") && !got.exists(_._1 == "c"),
+      "emptied groups must be deleted from the materialization")
+    // equality deletes cannot retract (markers carry only keys)
+    LakeTable.load(wh, "d", "src").updateProperties(
+      Map("identifier-fields" -> "k"))
+    LakeTable.load(wh, "d", "src").upsertMoR(spark,
+      rows(Seq(("d", "8.0000"))), keys = Seq("k"))
+    val e = intercept[Exception] {
+      vsql("REFRESH MATERIALIZED VIEW gmvt.d.roll INCREMENTAL").collect()
+    }
+    assert(messages(e).contains("equality-delete") ||
+      messages(e).contains("cannot retract"), messages(e))
+    // full refresh recovers
+    vsql("REFRESH MATERIALIZED VIEW gmvt.d.roll").collect()
+    assert(vsql("SELECT CAST(s AS STRING) AS s FROM gmvt.d.roll " +
+      "WHERE k = 'd'").collect().head.getString(0) == "8.0000")
+  }
+
   test("double sums stay full-refresh-only, with a named refusal") {
     val wh = Files.createTempDirectory("graft-matview-dbl").toString
     Engine.processTableDefJson(wh,
