@@ -1637,29 +1637,55 @@ class LakeTable private (val location: Path, private var md: TableMetadata,
     */
   private def attachBlooms(spark: SparkSession, outDir: Path,
       metas: Seq[DataFileMeta]): Seq[DataFileMeta] = {
+    val targets = bloomTargets()
+    if (targets.isEmpty || metas.isEmpty) return metas
+    val built = buildBloomRefs(spark, spark.read
+      .parquet(outDir.toString)
+      .select(col("_metadata.file_path").as("_fp") +:
+        bloomHashCols(targets.map(_._1)): _*), targets)
+    val refsByPath: Map[String, Seq[BloomRef]] = built.toMap
+    metas.map(m => refsByPath.get(LakeTable.normalizePath(m.path))
+      .map(refs => m.copy(blooms = refs)).getOrElse(m))
+  }
+
+  /** The (column name, field id) pairs `write.bloom-columns` names,
+    * restricted to bloom-eligible types — shared by the write path and
+    * the backfill verb.
+    */
+  private def bloomTargets(): Seq[(String, Int)] = {
     val schema = md.currentSchema
-    val targets: Seq[(String, Int)] = md.properties
+    md.properties
       .get("write.bloom-columns")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
       .flatMap(n => schema.fields.find(_.name == n)
         .filter(f => BloomFilters.eligible(f.dataType) && FieldIds.hasId(f))
         .map(f => n -> FieldIds.idOf(f)))
-    if (targets.isEmpty || metas.isEmpty) return metas
+  }
+
+  /** `xxhash64(cast(col AS STRING))` per bloom column, null-gated:
+    * xxhash64 is non-nullable (a null input leaves the seed), so
+    * without the gate every null cell would plant the constant
+    * seed-hash bit in the filter.
+    */
+  private def bloomHashCols(names: Seq[String]): Seq[Column] =
+    names.map(n =>
+      when(col(s"`$n`").isNotNull,
+        xxhash64(col(s"`$n`").cast("string"))).as(s"_h_$n"))
+
+  /** The distributed bloom build over a (`_fp`, hash...) frame: group
+    * rows by file, build one filter per (file, column), write one
+    * `.gbf` container PER TASK executor-side, and return only the
+    * ~40-byte span refs per file.
+    */
+  private def buildBloomRefs(spark: SparkSession, hashFrame: DataFrame,
+      targets: Seq[(String, Int)]): Array[(String, Seq[BloomRef])] = {
     import spark.implicits._
     val names = targets.map(_._1)
     val fids = targets.map(_._2)
     val dataDirStr = dataDir.toString
     Files.createDirectories(dataDir)
-    // xxhash64 is non-nullable (a null input leaves the seed), so the
-    // null gate must be explicit — without it every null cell would
-    // plant the constant seed-hash bit in the filter
-    val hashCols = names.map(n =>
-      when(col(s"`$n`").isNotNull,
-        xxhash64(col(s"`$n`").cast("string"))).as(s"_h_$n"))
-    val built: Array[(String, Seq[BloomRef])] = spark.read
-      .parquet(outDir.toString)
-      .select(col("_metadata.file_path").as("_fp") +: hashCols: _*)
+    hashFrame
       .groupByKey(r => LakeTable.normalizePath(r.getString(0)))
       .mapGroups { (path, it) =>
         // nulls carry no bloom bit: equality can't match null, and
@@ -1696,9 +1722,65 @@ class LakeTable private (val location: Path, private var md: TableMetadata,
           }
         }
       }.collect()
-    val refsByPath: Map[String, Seq[BloomRef]] = built.toMap
-    metas.map(m => refsByPath.get(LakeTable.normalizePath(m.path))
-      .map(refs => m.copy(blooms = refs)).getOrElse(m))
+  }
+
+  /** Backfill per-file bloom filters for LIVE files that predate
+    * `write.bloom-columns` (or were registered by reference via
+    * `add_files`) — without it, a migrated table never skips. One
+    * distributed build pass (per-task `.gbf` containers, refs-only on
+    * the driver, same as the write path), then ONE metadata-only
+    * "rewrite-data" snapshot re-referencing the same data paths with
+    * blooms attached: byte-move semantics, so CDC/changelog/streaming
+    * readers skip it, and the explicit `seq` carry preserves data
+    * sequences (equality-delete applicability) and row lineage. Rows
+    * already deleted still contribute bits — conservative (a probe may
+    * keep a file whose matches are all deleted, never the reverse).
+    *
+    * Old-schema files reconcile to the CURRENT schema before hashing
+    * (renames resolve by field id, promoted types canonicalize through
+    * the cast-to-string hash, added-with-DEFAULT columns hash the fill
+    * value), so probes against today's names stay lossless. Returns
+    * the number of files that gained filters (0 = nothing to do).
+    */
+  def buildBlooms(spark: SparkSession): Int = {
+    val current = md.currentSchema
+    val targets = bloomTargets()
+    require(targets.nonEmpty,
+      "build_blooms: set write.bloom-columns to bloom-eligible " +
+        "(integral/string) columns first")
+    val wanted = targets.map(_._2).toSet
+    val missing = plannedFiles().filter(f =>
+      !wanted.subsetOf(f.blooms.map(_.fieldId).toSet))
+    if (missing.isEmpty) return 0
+    val names = targets.map(_._1)
+    // one reconciling scan group per schema version (the readFiles
+    // rule): each group projects to the current schema, then hashes
+    val hashFrame = missing.groupBy(_.schemaId).map { case (sid, group) =>
+      val fileSchema = md.schemaById(sid)
+      val clean = Reconcile.clean(fileSchema).asInstanceOf[StructType]
+      spark.read.schema(clean).parquet(group.map(_.path): _*)
+        .select(col("_metadata.file_path").as("_fp") +:
+          Reconcile.projection(fileSchema, current): _*)
+        .select(col("_fp") +: bloomHashCols(names): _*)
+    }.reduce(_.unionByName(_))
+    val refsByPath = buildBloomRefs(spark, hashFrame, targets).toMap
+    val updated = missing.flatMap(f =>
+      refsByPath.get(LakeTable.normalizePath(f.path)).map { refs =>
+        // keep refs for columns outside today's target set (a column
+        // later removed from write.bloom-columns keeps answering)
+        f.copy(blooms =
+          f.blooms.filterNot(r => wanted.contains(r.fieldId)) ++ refs)
+      })
+    // zero-row files produce no hash group and no refs — nothing to
+    // attach, and stats already prune them
+    if (updated.isEmpty) return 0
+    val snapshotId = md.snapshots.map(_.id).foldLeft(0L)(math.max) + 1
+    val snap = SnapshotMeta(snapshotId, updated, md.currentSchemaId,
+      operation = "rewrite-data",
+      removedPaths = updated.map(_.path),
+      timestampMs = System.currentTimeMillis())
+    commit(md.copy(snapshots = md.snapshots :+ snap))
+    updated.size
   }
 
   /** Iceberg's `add_files` / migrate shape: register EXISTING parquet

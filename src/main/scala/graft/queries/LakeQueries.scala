@@ -935,6 +935,59 @@ object LakeReadQueries extends QueryModule {
           |ORDER BY c_custkey""".stripMargin)
     }),
 
+    "lake_bloom_backfill" -> QueryModule.micro(4)((s, dir) => {
+      // bloom BACKFILL: files written before write.bloom-columns was
+      // set — plus a parquet file registered by reference via
+      // add_files — carry no filters and can never skip; CALL
+      // system.build_blooms builds their sidecars in one distributed
+      // pass and re-references the same paths (byte-move snapshot, no
+      // data rewrite). The self-audit requires pruning to appear only
+      // AFTER the call; the oracle pins the lookup results, so a
+      // lossy backfill (wrong hash, wrong reconciliation) mismatches.
+      import graft.lake.RangeFilter
+      val wh = LakeQueries.freshWarehouse("bloombf")
+      Engine.processTableDefJson(wh,
+        """{"database_name":"bf","table_name":"cust","columns":[
+          |{"column_name":"c_custkey","data_type":"long"},
+          |{"column_name":"c_name","data_type":"string"},
+          |{"column_name":"c_acctbal","data_type":"double"}],
+          |"partitions":[]}""".stripMargin)
+      val customers = Tables(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+      // pre-property files: no blooms at write time
+      LakeTable.load(wh, "bf", "cust").append(
+        customers.filter(col("c_custkey") % 2 === 0).repartition(8))
+      // registered-by-reference files: the other never-bloomed class
+      val extDir = java.nio.file.Files
+        .createTempDirectory("graft-bloombf-ext")
+      customers.filter(col("c_custkey") % 2 =!= 0)
+        .coalesce(2).write.mode("overwrite").parquet(extDir.toString)
+      val extFiles = java.nio.file.Files.list(extDir).toArray
+        .map(_.toString).filter(_.endsWith(".parquet")).toSeq
+      LakeTable.load(wh, "bf", "cust").addFiles(s, extFiles)
+      LakeTable.load(wh, "bf", "cust")
+        .updateProperties(Map("write.bloom-columns" -> "c_custkey"))
+      val probe = Seq(RangeFilter("c_custkey",
+        loNum = Some(BigDecimal(101)), hiNum = Some(BigDecimal(101))))
+      val t0 = LakeTable.load(wh, "bf", "cust")
+      val all = t0.plannedFiles().size
+      require(t0.plannedFiles(statsFilters = probe).size == all,
+        "before the backfill nothing can prune (keys are shuffled, " +
+          "ranges overlap)")
+      s.conf.set("spark.sql.catalog.gbloombf", "graft.sources.LakeCatalog")
+      s.conf.set("spark.sql.catalog.gbloombf.warehouse", wh)
+      val n = s.sql("CALL gbloombf.system.build_blooms('bf', 'cust')")
+        .collect().head.getInt(0)
+      require(n == all, s"all $all files should backfill, got $n")
+      val t = LakeTable.load(wh, "bf", "cust")
+      require(t.plannedFiles(statsFilters = probe).size < all,
+        "after the backfill the point lookup must prune")
+      s.sql(
+        """SELECT c_custkey, c_name, c_acctbal FROM gbloombf.bf.cust
+          |WHERE c_custkey IN (101, 102, 407)
+          |ORDER BY c_custkey""".stripMargin)
+    }),
+
     "lake_sql_dml" -> QueryModule.micro(4)((s, dir) => {
       // the full SQL surface end-to-end through the catalog plugin:
       // CREATE, INSERT, UPDATE, MERGE INTO, DELETE — oracle expresses
@@ -2295,6 +2348,11 @@ object RowOpsQueries extends QueryModule {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
         |    AS sum_price
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "lake_bloom_backfill" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE c_custkey IN (101, 102, 407)
+        |ORDER BY c_custkey""".stripMargin,
 
     "lake_mat_view_avg" ->
       """SELECT o_custkey,

@@ -921,7 +921,7 @@ private[sources] object LakeProcedures {
       "add_partition_field", "drop_partition_field",
       "branch_delete", "branch_upsert", "branch_delete_cow",
       "branch_update_cow", "create_changelog_view", "analyze",
-      "create_mat_view", "refresh_mat_view")
+      "create_mat_view", "refresh_mat_view", "build_blooms")
 
   private def param(n: String, dt: DataType) =
     ProcedureParameter.in(n, dt).build()
@@ -947,7 +947,8 @@ private[sources] object LakeProcedures {
               param("db", StringType), param("table", StringType),
               param("older_than_ms", LongType))
             case "compact" | "rewrite_manifests" |
-                 "rewrite_position_delete_files" => Array(
+                 "rewrite_position_delete_files" |
+                 "build_blooms" => Array(
               param("db", StringType), param("table", StringType))
             // mode: '' / 'approx' = HLL ndv (the 100 TB default),
             // 'exact' = full COUNT(DISTINCT)
@@ -1096,6 +1097,16 @@ private[sources] object LakeProcedures {
             // name, not a lake table — an eager load would fail
             lazy val t = LakeTable.load(warehouse, db, tbl)
             val (schema, row) = procName match {
+              case "build_blooms" =>
+                // bloom backfill for files written before
+                // write.bloom-columns was set (incl. add_files
+                // registrations) — see LakeTable.buildBlooms
+                val n = t.buildBlooms(
+                  org.apache.spark.sql.SparkSession.active)
+                (StructType(Seq(
+                  StructField("files_backfilled", IntegerType,
+                    nullable = false))),
+                  Seq[Any](n))
               case "create_mat_view" =>
                 val (matTable, rows) = MatViewDdl.create(
                   org.apache.spark.sql.SparkSession.active, warehouse,

@@ -98,6 +98,93 @@ class BloomSkipSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq == Seq(421L))
   }
 
+  test("build_blooms backfills pre-property and registered files; " +
+      "seqs and pruning survive; idempotent") {
+    val wh = Files.createTempDirectory("graft-bloom-bf").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"t","columns":[
+        |{"column_name":"id","data_type":"long"},
+        |{"column_name":"tag","data_type":"string"},
+        |{"column_name":"score","data_type":"double"}],
+        |"partitions":[]}""".stripMargin)
+    import SparkTestSession.spark.implicits._
+    // files written BEFORE the property exists carry no filters
+    val rnd = new scala.util.Random(7L)
+    val rows = rnd.shuffle((0 until 300).toVector)
+      .map(i => (i.toLong, s"tag$i", i * 0.5))
+    LakeTable.load(wh, "d", "t")
+      .append(rows.toDF("id", "tag", "score").repartition(8))
+    // plus a file registered BY REFERENCE (add_files) — the other
+    // class of never-bloomed file
+    val extDir = Files.createTempDirectory("graft-bloom-ext")
+    (300 until 340).map(i => (i.toLong, s"tag$i", i * 0.5))
+      .toDF("id", "tag", "score").coalesce(1).write
+      .mode("overwrite").parquet(extDir.toString)
+    val extFiles = java.nio.file.Files.list(extDir)
+      .toArray.map(_.toString).filter(_.endsWith(".parquet")).toSeq
+    LakeTable.load(wh, "d", "t").addFiles(spark, extFiles)
+    val before = LakeTable.load(wh, "d", "t")
+    assert(before.plannedFiles().forall(_.blooms.isEmpty))
+    val seqsBefore = before.plannedFiles()
+      .map(f => LakeTable.normalizePath(f.path) -> f.seq).toMap
+    // the backfill verb (through the SQL CALL surface)
+    before.updateProperties(Map("write.bloom-columns" -> "id,tag"))
+    spark.conf.set("spark.sql.catalog.gbf", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.gbf.warehouse", wh)
+    val n = spark.sql("CALL gbf.system.build_blooms('d', 't')")
+      .collect().head.getInt(0)
+    assert(n == seqsBefore.size, s"all $n files should backfill")
+    val t = LakeTable.load(wh, "d", "t")
+    val live = t.plannedFiles()
+    assert(live.forall(_.blooms.map(_.fieldId).size == 2),
+      "every live file (incl. the registered one) carries id+tag blooms")
+    // data sequences are PRESERVED (eq-delete applicability, lineage)
+    assert(live.forall(f =>
+      seqsBefore(LakeTable.normalizePath(f.path)) == f.seq),
+      "backfill must not bump data sequences")
+    // pruning now works, losslessly — including into the external file
+    val all = live.size
+    for (v <- Seq(137L, 320L)) {
+      val kept = t.plannedFiles(statsFilters = Seq(RangeFilter("id",
+        loNum = Some(BigDecimal(v)), hiNum = Some(BigDecimal(v)))))
+      assert(kept.size < all, s"$v: ${kept.size} of $all kept")
+      assert(t.read(spark).filter(col("id") === v)
+        .collect().map(_.getLong(0)).toSeq == Seq(v))
+    }
+    // idempotent: everything already carries the wanted filters
+    assert(LakeTable.load(wh, "d", "t").buildBlooms(spark) == 0)
+  }
+
+  test("build_blooms reconciles old-schema files (type promotion)") {
+    val wh = Files.createTempDirectory("graft-bloom-evo").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"t","columns":[
+        |{"column_name":"id","data_type":"int"},
+        |{"column_name":"tag","data_type":"string"}],
+        |"partitions":[]}""".stripMargin)
+    import SparkTestSession.spark.implicits._
+    LakeTable.load(wh, "d", "t").append(
+      (0 until 100).map(i => (i, s"tag$i")).toDF("id", "tag")
+        .repartition(4))
+    // promote id int -> long AFTER the files were written
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"t","columns":[
+        |{"column_name":"id","data_type":"long"},
+        |{"column_name":"tag","data_type":"string"}],
+        |"partitions":[]}""".stripMargin)
+    LakeTable.load(wh, "d", "t")
+      .updateProperties(Map("write.bloom-columns" -> "id"))
+    assert(LakeTable.load(wh, "d", "t").buildBlooms(spark) == 4)
+    val t = LakeTable.load(wh, "d", "t")
+    // the old int files answer probes under the promoted type: the
+    // cast-to-string hash is promotion-stable
+    val all = t.plannedFiles().size
+    val kept = t.plannedFiles(statsFilters = Seq(RangeFilter("id",
+      loNum = Some(BigDecimal(42)), hiNum = Some(BigDecimal(42)))))
+    assert(kept.size < all)
+    assert(t.read(spark).filter(col("id") === 42L).count() == 1L)
+  }
+
   test("every present value is found (no false negatives, seeded sweep)") {
     val (wh, t0) = mk("fn")
     seed(t0, n = 200, parts = 10)
