@@ -846,14 +846,25 @@ object LakeReadQueries extends QueryModule {
       vsql("CREATE VIEW gview.vw.regional AS " +
         "SELECT n_nationkey, n_name FROM gview.vw.nat " +
         "WHERE n_regionkey = 0").collect()
-      vsql("CREATE OR REPLACE VIEW gview.vw.regional AS " +
-        "SELECT n_nationkey, concat(n_name, '/', n_regionkey) AS tagged " +
+      // the replacing version declares a COLUMN LIST (positional
+      // aliases + a comment) — the stored definition must round-trip
+      // through SHOW CREATE VIEW and serve the aliased names
+      vsql("CREATE OR REPLACE VIEW gview.vw.regional " +
+        "(n_nationkey COMMENT 'nation key', tagged) AS " +
+        "SELECT n_nationkey, concat(n_name, '/', n_regionkey) " +
         "FROM gview.vw.nat WHERE n_regionkey IN (1, 3)").collect()
       val doc = graft.sources.LakeViews.read(
         graft.sources.LakeViews.path(wh, "vw", "regional")).get
       require(doc.versions.map(_.id) == Seq(1, 2) &&
         doc.currentVersionId == 2,
         s"replace must append a version: ${doc.versions.map(_.id)}")
+      val stmt = vsql("SHOW CREATE VIEW gview.vw.regional").collect()
+        .head.getString(0)
+      require(stmt.contains("COMMENT 'nation key'"),
+        s"SHOW CREATE VIEW must carry the column comment: $stmt")
+      require(vsql("DESCRIBE gview.vw.regional").collect()
+        .map(_.getString(0)).toSeq == Seq("n_nationkey", "tagged"),
+        "DESCRIBE must list the aliased view columns")
       vsql("SELECT n_nationkey, tagged FROM gview.vw.regional " +
         "ORDER BY n_nationkey")
     }),

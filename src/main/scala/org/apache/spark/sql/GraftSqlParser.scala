@@ -70,9 +70,15 @@ object GraftSqlParser {
   // identifier group is deliberately conservative — dotted bare/
   // backticked parts — so arbitrary SQL can't false-match
   private val Ident = """((?:`(?:[^`]|``)+`|\w+)(?:\.(?:`(?:[^`]|``)+`|\w+)){0,3})"""
+  // optional column-alias list `(a COMMENT 'x', b)` and TBLPROPERTIES
+  // before AS; both groups are non-greedy — a comment containing the
+  // literal sequence `) AS ` would mis-split (conservative, like every
+  // regex statement here: such SQL falls back to a parse error, never
+  // silent misbehavior)
   private[sql] val CreateViewRe =
     ("""(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+(IF\s+NOT\s+EXISTS\s+)?""" +
-      Ident + """\s+AS\s+(.+?)\s*;?\s*$""").r
+      Ident + """(?:\s*\((.*?)\))?(?:\s+TBLPROPERTIES\s*\((.*?)\))?""" +
+      """\s+AS\s+(.+?)\s*;?\s*$""").r
   private[sql] val DropViewRe =
     ("""(?is)^\s*DROP\s+VIEW\s+(IF\s+EXISTS\s+)?""" + Ident +
       """\s*;?\s*$""").r
@@ -88,6 +94,28 @@ object GraftSqlParser {
   private[sql] val ShowViewsRe =
     ("""(?is)^\s*SHOW\s+VIEWS\s+(?:IN|FROM)\s+""" + Ident +
       """\s*;?\s*$""").r
+
+  private[sql] val ShowCreateViewRe =
+    ("""(?is)^\s*SHOW\s+CREATE\s+VIEW\s+""" + Ident + """\s*;?\s*$""").r
+  // DESCRIBE intercepts ONLY when the target resolves to a lake view
+  // at run time — tables (and anything else) execute the stock plan
+  private[sql] val DescribeRe =
+    ("""(?is)^\s*(?:DESCRIBE|DESC)\s+(EXTENDED\s+)?""" + Ident +
+      """\s*;?\s*$""").r
+
+  private val ColEntryRe =
+    """(?is)^\s*(`(?:[^`]|``)+`|\w+)(?:\s+COMMENT\s+('(?:[^']|'')*'))?\s*$""".r
+
+  /** `a COMMENT 'doc', b` → Seq((alias, comment)) — the CREATE VIEW
+    * column list; a malformed entry names itself.
+    */
+  private[sql] def parseColList(s: String): Seq[(String, String)] =
+    splitQuoted(s).map {
+      case ColEntryRe(name, cmt) =>
+        (clean(name), Option(cmt).map(unquote).getOrElse(""))
+      case ent => throw new IllegalArgumentException(
+        s"view column entry '$ent' is not `name [COMMENT 'text']`")
+    }
 
   // materialized-view DDL: stock Spark has NO materialized views (the
   // statements are parse errors there), so these carry no stock-plan
@@ -213,11 +241,20 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     // ---- persistent view DDL (3-part identifiers only: 1/2-part
     // names keep meaning session-catalog / temp views, which Spark
     // handles natively) ----------------------------------------------
-    case CreateViewRe(orReplace, ifNotExists, ident, query)
-        if is3Part(ident) =>
+    case CreateViewRe(orReplace, ifNotExists, ident, colList, props,
+        query) if is3Part(ident) =>
       GraftCreateViewCommand(delegate.parseMultipartIdentifier(ident),
         query.trim, replace = orReplace != null,
         ifNotExists = ifNotExists != null,
+        cols = Option(colList).map(parseColList).getOrElse(Seq.empty),
+        props = Option(props).map(parseProps).getOrElse(Map.empty),
+        fallback = () => delegate.parsePlan(sqlText))
+    case ShowCreateViewRe(ident) if is3Part(ident) =>
+      GraftShowCreateViewCommand(delegate.parseMultipartIdentifier(ident),
+        fallback = () => delegate.parsePlan(sqlText))
+    case DescribeRe(extended, ident) if is3Part(ident) =>
+      GraftDescribeViewCommand(delegate.parseMultipartIdentifier(ident),
+        extended = extended != null,
         fallback = () => delegate.parsePlan(sqlText))
     case DropViewRe(ifExists, ident) if is3Part(ident) =>
       GraftDropViewCommand(delegate.parseMultipartIdentifier(ident),

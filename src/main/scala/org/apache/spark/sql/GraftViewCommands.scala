@@ -63,6 +63,8 @@ private[sql] object GraftViewCommands {
 
 case class GraftCreateViewCommand(ident: Seq[String], query: String,
     replace: Boolean, ifNotExists: Boolean,
+    cols: Seq[(String, String)] = Seq.empty,
+    props: Map[String, String] = Map.empty,
     fallback: () => LogicalPlan) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val (vc, ns, name) = GraftViewCommands.viewCatalogOf(spark, ident)
@@ -77,13 +79,127 @@ case class GraftCreateViewCommand(ident: Seq[String], query: String,
     val analyzed = GraftPlanBridge.ofRows(spark,
       GraftViewSubstitution(spark)(
         spark.sessionState.sqlParser.parsePlan(query)))
+    // an explicit column list renames the output POSITIONALLY (and may
+    // attach per-column comments) — the recorded schema carries the
+    // aliases, the stored query keeps its own names
+    require(cols.isEmpty || cols.size == analyzed.schema.size,
+      s"view column list has ${cols.size} name(s) but the query " +
+        s"produces ${analyzed.schema.size} column(s)")
+    val schema =
+      if (cols.isEmpty) analyzed.schema
+      else org.apache.spark.sql.types.StructType(
+        analyzed.schema.fields.zip(cols).map { case (f, (a, _)) =>
+          f.copy(name = a) })
+    val jprops = new java.util.HashMap[String, String]()
+    props.foreach { case (k, v) => jprops.put(k, v) }
     val info = new org.apache.spark.sql.connector.catalog.ViewInfo(
       id, query, spark.sessionState.catalogManager.currentCatalog.name(),
       spark.sessionState.catalogManager.currentNamespace,
-      analyzed.schema, analyzed.schema.fieldNames,
-      Array.empty, Array.empty, new java.util.HashMap[String, String]())
+      schema, analyzed.schema.fieldNames,
+      cols.map(_._1).toArray, cols.map(_._2).toArray, jprops)
     if (replace) vc.replaceView(info, true) else vc.createView(info)
     Seq.empty
+  }
+}
+
+/** `SHOW CREATE VIEW cat.db.name` — reconstructs a statement that
+  * round-trips through this parser: column aliases + comments,
+  * TBLPROPERTIES, and the stored defining SQL.
+  */
+case class GraftShowCreateViewCommand(ident: Seq[String],
+    fallback: () => LogicalPlan) extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types.StringType
+
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions
+      .Attribute] =
+    Seq(AttributeReference("createview_stmt", StringType,
+      nullable = false)())
+
+  private def sq(s: String): String = s"'${s.replace("'", "''")}'"
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (lc, db, name) = GraftViewCommands.lakeViewTarget(spark, ident)
+      .getOrElse(
+        return GraftPlanBridge.ofRows(spark, fallback()).collect().toSeq)
+    val doc = LakeViews.read(LakeViews.path(lc.warehousePath, db, name))
+      .getOrElse(throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(
+        org.apache.spark.sql.connector.catalog.Identifier.of(
+          Array(db), name)))
+    val v = doc.current
+    val colsPart =
+      if (v.columnAliases.isEmpty && v.columnComments.forall(_.isEmpty))
+        ""
+      else {
+        val names =
+          if (v.columnAliases.nonEmpty) v.columnAliases
+          else org.apache.spark.sql.types.DataType.fromJson(v.schemaJson)
+            .asInstanceOf[org.apache.spark.sql.types.StructType]
+            .fieldNames.toSeq
+        val comments = v.columnComments.padTo(names.size, "")
+        " (" + names.zip(comments).map {
+          case (n, "") => s"`$n`"
+          case (n, c) => s"`$n` COMMENT ${sq(c)}"
+        }.mkString(", ") + ")"
+      }
+    // internal bookkeeping (mat-view markers) is not user DDL — show
+    // only the user-settable properties
+    val userProps = doc.properties.filterNot(_._1.startsWith("graft."))
+    val propsPart =
+      if (userProps.isEmpty) ""
+      else "\nTBLPROPERTIES (" + userProps.toSeq.sortBy(_._1).map {
+        case (k, pv) => s"${sq(k)} = ${sq(pv)}" }.mkString(", ") + ")"
+    Seq(Row(s"CREATE VIEW ${ident.mkString(".")}$colsPart$propsPart" +
+      s"\nAS ${v.sql}"))
+  }
+}
+
+/** `DESCRIBE [EXTENDED] cat.db.name` for lake VIEWS — anything that is
+  * not a lake view (tables included) executes the stock plan
+  * unchanged. Output mirrors stock DESCRIBE (col_name, data_type,
+  * comment); EXTENDED appends a `# View Information` section.
+  */
+case class GraftDescribeViewCommand(ident: Seq[String],
+    extended: Boolean, fallback: () => LogicalPlan)
+    extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types.StringType
+
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions
+      .Attribute] = Seq(
+    AttributeReference("col_name", StringType, nullable = false)(),
+    AttributeReference("data_type", StringType, nullable = false)(),
+    AttributeReference("comment", StringType, nullable = true)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val target = GraftViewCommands.lakeViewTarget(spark, ident)
+      .flatMap { case (lc, db, name) =>
+        LakeViews.read(LakeViews.path(lc.warehousePath, db, name))
+          .map(doc => (lc, db, name, doc))
+      }.getOrElse(
+        return GraftPlanBridge.ofRows(spark, fallback()).collect().toSeq)
+    val (lc, db, name, doc) = target
+    val v = doc.current
+    val schema = org.apache.spark.sql.types.DataType.fromJson(v.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val comments = v.columnComments.padTo(schema.size, "")
+    val colRows = schema.fields.zip(comments).map { case (f, c) =>
+      Row(f.name, f.dataType.simpleString, if (c.isEmpty) null else c)
+    }.toSeq
+    if (!extended) colRows
+    else colRows ++ Seq(
+      Row("", "", null),
+      Row("# View Information", "", null),
+      Row("View Text", v.sql, null),
+      Row("View Catalog", v.currentCatalog, null),
+      Row("View Namespace", v.currentNamespace.mkString("."), null),
+      Row("View Query Output Columns",
+        v.queryColumnNames.mkString("[", ", ", "]"), null),
+      Row("View Version", s"${doc.currentVersionId} of " +
+        s"${doc.versions.size}", null)) ++
+      doc.properties.toSeq.sortBy(_._1).map { case (k, pv) =>
+        Row(s"View Property: $k", pv, null) }
   }
 }
 
@@ -326,12 +442,20 @@ case class GraftViewSubstitution(spark: SparkSession)
                 val v = doc.current
                 val parsed = spark.sessionState.sqlParser
                   .parsePlan(v.sql)
+                val expanded = expand(qualify(parsed, v.currentCatalog,
+                  v.currentNamespace), stack :+ key)
+                // a declared column list renames the query's output
+                // positionally (`CREATE VIEW v (a, b) AS ...`) — same
+                // node the parser uses for `SELECT * FROM (q) t(a, b)`
+                val aliased =
+                  if (v.columnAliases.isEmpty) expanded
+                  else org.apache.spark.sql.catalyst.analysis
+                    .UnresolvedSubqueryColumnAliases(
+                      v.columnAliases, expanded)
                 // the multi-part alias keeps qualified column
                 // references (`d.big.id`) resolvable, like a table
                 org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias(
-                  Seq(lc.name(), db, name),
-                  expand(qualify(parsed, v.currentCatalog,
-                    v.currentNamespace), stack :+ key))
+                  Seq(lc.name(), db, name), aliased)
               }
           }.getOrElse(u)
     }

@@ -227,6 +227,57 @@ class LakeViewsSpec extends AnyFunSuite {
     }
   }
 
+  test("column aliases + comments + properties round-trip through " +
+      "SHOW CREATE VIEW; DESCRIBE serves views and falls back for " +
+      "tables") {
+    val wh = mk("showcreate")
+    spark.conf.set("spark.sql.catalog.gvs", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.gvs.warehouse", wh)
+    vsql(spark, "CREATE VIEW gvs.d.named " +
+      "(ident COMMENT 'the row''s key', val) " +
+      "TBLPROPERTIES ('owner' = 'graft') AS " +
+      "SELECT id, upper(v) FROM gvs.d.t WHERE id >= 2").collect()
+    // the alias list renames the output positionally
+    val rows = vsql(spark,
+      "SELECT ident, val FROM gvs.d.named ORDER BY ident").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((2L, "B"), (3L, "C")))
+    // DESCRIBE: aliased names, types, the stored comment
+    val desc = vsql(spark, "DESCRIBE gvs.d.named").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    assert(desc == Seq(("ident", "bigint", "the row's key"),
+      ("val", "string", null)), desc.toString)
+    val ext = vsql(spark, "DESC EXTENDED gvs.d.named").collect()
+      .map(_.getString(0))
+    assert(ext.contains("View Text") && ext.contains("# View Information"))
+    // DESCRIBE on a lake TABLE still executes the stock plan
+    val tdesc = vsql(spark, "DESCRIBE gvs.d.t").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(tdesc.contains(("id", "bigint")) &&
+      tdesc.contains(("v", "string")), tdesc.toString)
+    // SHOW CREATE VIEW emits a statement this parser re-executes
+    val stmt = vsql(spark, "SHOW CREATE VIEW gvs.d.named").collect()
+      .head.getString(0)
+    assert(stmt.contains("COMMENT 'the row''s key'") &&
+      stmt.contains("'owner' = 'graft'"), stmt)
+    vsql(spark, "DROP VIEW gvs.d.named").collect()
+    vsql(spark, stmt).collect()
+    assert(vsql(spark,
+      "SELECT ident, val FROM gvs.d.named ORDER BY ident").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq == rows,
+      "the recreated view must serve identical rows")
+    val desc2 = vsql(spark, "DESCRIBE gvs.d.named").collect()
+      .map(r => (r.getString(0), r.getString(2))).toSeq
+    assert(desc2 == Seq(("ident", "the row's key"), ("val", null)),
+      "comments must survive the round-trip")
+    // a mis-sized column list refuses by name
+    val e = intercept[Exception] {
+      vsql(spark, "CREATE VIEW gvs.d.bad (one) AS " +
+        "SELECT id, v FROM gvs.d.t").collect()
+    }
+    assert(e.getMessage.contains("column list"), e.getMessage)
+  }
+
   test("an extensions-enabled session serves views through plain spark.sql") {
     val wh = mk("native")
     // getOrCreate() would hand back the SHARED session (extensions
