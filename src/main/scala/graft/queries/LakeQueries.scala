@@ -255,6 +255,71 @@ object LakeQueries extends QueryModule {
               |FROM stream_lake_enrich_sink ORDER BY category""".stripMargin)
     }),
 
+    "stream_mat_view" -> QueryModule.micro(1)((s, dir) => {
+      // STREAMING materialized-view maintenance — the production
+      // refresh loop: a lake-source stream paces the source table's
+      // commit history (maxSnapshotsPerTrigger), and each micro-batch
+      // triggers an INCREMENTAL refresh, so the MV tracks the table
+      // with O(delta) work per commit instead of periodic recomputes.
+      // The self-audit requires at least one real incremental advance
+      // and a monotone watermark; the oracle recomputes from scratch.
+      import s.implicits._
+      val wh = freshWarehouse("streammv")
+      Engine.processTableDefJson(wh,
+        """{"database_name":"smv","table_name":"ord","columns":[
+          |{"column_name":"o_custkey","data_type":"long"},
+          |{"column_name":"o_price","data_type":"decimal(18,4)"}],
+          |"partitions":[]}""".stripMargin)
+      val orders = Tables(s, dir, "orders")
+        .select(col("o_custkey"),
+          col("o_totalprice").cast("decimal(18,4)").as("o_price"))
+      LakeTable.load(wh, "smv", "ord")
+        .append(orders.filter(col("o_custkey") % 3 === 0))
+      s.conf.set("spark.sql.catalog.gsmv", "graft.sources.LakeCatalog")
+      s.conf.set("spark.sql.catalog.gsmv.warehouse", wh)
+      def vsql(q: String) =
+        org.apache.spark.sql.GraftViewSubstitution.sql(s, q)
+      vsql("CREATE MATERIALIZED VIEW gsmv.smv.roll AS " +
+        "SELECT o_custkey, count(*) AS n_orders, sum(o_price) AS " +
+        "sum_price FROM gsmv.smv.ord GROUP BY o_custkey").collect()
+      // two more source commits land AFTER the seed
+      LakeTable.load(wh, "smv", "ord")
+        .append(orders.filter(col("o_custkey") % 3 === 1))
+      LakeTable.load(wh, "smv", "ord")
+        .append(orders.filter(col("o_custkey") % 3 === 2))
+      val advances =
+        new java.util.concurrent.atomic.AtomicReference(Seq.empty[Long])
+      val q = s.readStream.format("graft-lake")
+        .option("warehouse", wh).option("database", "smv")
+        .option("table", "ord")
+        .option("maxSnapshotsPerTrigger", "1")
+        .load()
+        .writeStream
+        .foreachBatch {
+          (_: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              _: Long) =>
+            // the batch is the SCHEDULE, the refresh reads its own
+            // O(delta) range from the table — refresh-on-commit
+            graft.sources.MatViewDdl.refresh(s, wh, "smv", "roll",
+              "incremental") match {
+              case graft.sources.MatViewDdl
+                  .IncrementalRefresh(from, to) if to > from =>
+                advances.updateAndGet(_ :+ to); ()
+              case _ => ()
+            }
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val adv = advances.get()
+      require(adv.nonEmpty && adv == adv.sorted,
+        s"streamed maintenance must advance the watermark " +
+          s"monotonically, got $adv")
+      vsql("SELECT o_custkey, n_orders, " +
+        "CAST(sum_price AS DOUBLE) AS sum_price " +
+        "FROM gsmv.smv.roll ORDER BY o_custkey")
+    }),
+
     "stream_lake_changelog" -> QueryModule.micro(1)((s, dir) => {
       // changelog-mode streaming read (option("changelog","true")): a
       // delete-bearing MoR history STREAMS as _change_type-tagged rows
@@ -514,6 +579,13 @@ object LakeQueries extends QueryModule {
       """SELECT CAST(id AS BIGINT) AS id, CAST(v AS VARCHAR) AS v
         |FROM (VALUES (1, 'a'), (2, 'b'), (3, 'c')) AS t(id, v)
         |ORDER BY id""".stripMargin,
+
+    "stream_mat_view" ->
+      """SELECT o_custkey,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     "stream_lake_enrich" ->
       """WITH dim(event_type, category) AS (VALUES
