@@ -192,7 +192,17 @@ private[graft] object MatViews {
               case _ => return None
             }
           }
-          if (specs.collect { case g: GroupCol => g }.isEmpty) None
+          val groupSpecs = specs.collect { case g: GroupCol => g }
+          // EVERY grouping attribute must appear in the output:
+          // `SELECT k1, count(*) FROM t GROUP BY k1, k2` has finer
+          // groups than its visible columns — materializing by k1
+          // alone would collapse them into a wrong rollup. Such
+          // shapes stay full-refresh-only (the raw SQL recompute is
+          // correct by construction).
+          val projected = specs.collect {
+            case g: GroupCol => g.srcCol }.toSet
+          if (groupSpecs.isEmpty ||
+              !groupAttrs.forall(a => projected.contains(a.name))) None
           else Some(AggShape(db, tbl, specs))
         }
       case _ => None
@@ -271,22 +281,22 @@ private[graft] object MatViews {
       case s => q(s.outName)
     }: _*)
 
-  /** The fronting view's stored SQL over the backing table: plain
-    * `SELECT *` when storage == visible; an explicit projection (with
-    * the AVG division) when hidden columns exist.
+  /** The fronting view's stored SQL over the backing table: ALWAYS an
+    * explicit projection in the defining query's declared column
+    * order — the backing table stores the canonical groups-first
+    * storage layout (plus hidden columns), so a `SELECT *` would both
+    * reorder the output and leak storage internals.
     */
   def viewSql(shape: AggShape, catalogName: String, db: String,
-      matTable: String): String =
-    if (!shape.hidden) s"SELECT * FROM $catalogName.$db.$matTable"
-    else {
-      val cols = shape.specs.map {
-        case a @ AvgCol(n, _, _, _) =>
-          s"CAST(`__avg_sum_$n` / CAST(`__avg_cnt_$n` AS DECIMAL(20,0)) " +
-            s"AS ${a.resultType.sql}) AS `$n`"
-        case s => s"`${s.outName}`"
-      }
-      s"SELECT ${cols.mkString(", ")} FROM $catalogName.$db.$matTable"
+      matTable: String): String = {
+    val cols = shape.specs.map {
+      case a @ AvgCol(n, _, _, _) =>
+        s"CAST(`__avg_sum_$n` / CAST(`__avg_cnt_$n` AS DECIMAL(20,0)) " +
+          s"AS ${a.resultType.sql}) AS `$n`"
+      case s => s"`${s.outName}`"
     }
+    s"SELECT ${cols.mkString(", ")} FROM $catalogName.$db.$matTable"
+  }
 
   /** Merge a delta (storage) aggregation into the current per-group
     * storage values — one row per TOUCHED group, ready for the blind
@@ -501,16 +511,34 @@ private[graft] object MatViews {
     // scanned once
     val deltaAgg = delta.localCheckpoint()
     val limit = keyLimit(spark)
-    val keyRows = deltaAgg
-      .select(shape.groupCols.map(g => q(g.outName)): _*)
+    val keyCols = shape.groupCols.map(g => q(g.outName))
+    val keyRows = deltaAgg.select(keyCols: _*)
       .limit(limit + 1).collect().toSeq
+    // NULL group keys are not incrementally mergeable: the merge join
+    // and the blind upsert's equality delete both match with plain
+    // equality, which NULL never satisfies — a NULL-key group would
+    // split into duplicate rows with partial counts. Refuse by name;
+    // the full recompute handles NULL groups correctly.
+    val nullKeyed =
+      if (keyRows.size <= limit) keyRows.exists(r =>
+        (0 until r.length).exists(r.isNullAt))
+      else deltaAgg.filter(keyCols.map(_.isNull).reduce(_ || _))
+        .limit(1).count() > 0
+    require(!nullKeyed,
+      "incremental refresh cannot merge NULL group keys (equality " +
+        "joins and upsert deletes never match NULL) — run a full " +
+        "refresh instead")
     val filters =
       if (keyRows.size > limit) Seq.empty // wide delta: scan it all
       else keyFilters(backing0.metadata.currentSchema, keyRows,
         shape.groupCols)
-    lastBackingScan = Some((
-      backing0.plannedFiles(statsFilters = filters).size,
-      backing0.plannedFiles().size))
+    // test/tooling observable only — the extra planning pass (bloom
+    // probes included) must not tax production refreshes
+    if (spark.conf.getOption("spark.graft.matview.incr-scan-audit")
+        .contains("true"))
+      lastBackingScan = Some((
+        backing0.plannedFiles(statsFilters = filters).size,
+        backing0.plannedFiles().size))
     val merged0 = merge(deltaAgg,
       backing0.read(spark, statsFilters = filters), shape)
     val keys = shape.groupCols.map(_.outName)

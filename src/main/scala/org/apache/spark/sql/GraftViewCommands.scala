@@ -127,6 +127,14 @@ case class GraftShowCreateViewCommand(ident: Seq[String],
         .NoSuchViewException(
         org.apache.spark.sql.connector.catalog.Identifier.of(
           Array(db), name)))
+    // a materialized view's stored version SQL is the INTERNAL
+    // backing-table projection — emitting it as CREATE VIEW would
+    // round-trip into a broken plain view over __mat_*; emit the real
+    // MV definition instead
+    doc.properties.get("graft.mat-view.sql").foreach { defSql =>
+      return Seq(Row(
+        s"CREATE MATERIALIZED VIEW ${ident.mkString(".")}\nAS $defSql"))
+    }
     val v = doc.current
     val colsPart =
       if (v.columnAliases.isEmpty && v.columnComments.forall(_.isEmpty))
@@ -275,9 +283,12 @@ case class GraftCreateMatViewCommand(ident: Seq[String], query: String,
       .getOrElse(throw new UnsupportedOperationException(
         "CREATE MATERIALIZED VIEW needs a lake-catalog " +
           s"catalog.db.name target, got '${ident.mkString(".")}'"))
-    if (ifNotExists && LakeViews.read(
-        LakeViews.path(lc.warehousePath, db, name)).nonEmpty)
+    if (ifNotExists && graft.sources.MatViewDdl.isMatView(
+        lc.warehousePath, db, name))
       return Seq.empty
+    // IF NOT EXISTS must not swallow a PLAIN view of the same name —
+    // "nothing happened" would leave the user believing an MV exists;
+    // create() below refuses it by name instead
     graft.sources.MatViewDdl.create(spark, lc.warehousePath, lc.name(),
       db, name, query)
     Seq.empty

@@ -217,9 +217,11 @@ class MatViewSpec extends AnyFunSuite {
       "MV create must bloom the backing group key")
     // one-group delta → the backing read must plan a strict subset
     LakeTable.load(wh, "d", "src").append(Seq((7L, 100L)).toDF("k", "x"))
-    spark.sql(
+    spark.conf.set("spark.graft.matview.incr-scan-audit", "true")
+    try spark.sql(
       "CALL gmvp.system.refresh_mat_view('d', 'roll', 'incremental')")
       .collect()
+    finally spark.conf.unset("spark.graft.matview.incr-scan-audit")
     val (scanned, total) = graft.sources.MatViews.lastBackingScan.get
     assert(total >= 4, s"backing should span many files, got $total")
     assert(scanned < total,
@@ -354,6 +356,122 @@ class MatViewSpec extends AnyFunSuite {
     vsql("REFRESH MATERIALIZED VIEW gmvt.d.roll").collect()
     assert(vsql("SELECT CAST(s AS STRING) AS s FROM gmvt.d.roll " +
       "WHERE k = 'd'").collect().head.getString(0) == "8.0000")
+  }
+
+  test("GROUP BY columns missing from the output refuse the " +
+      "incremental shape (coarser materialization would be wrong)") {
+    val wh = Files.createTempDirectory("graft-matview-coarse").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"src","columns":[
+        |{"column_name":"k1","data_type":"string"},
+        |{"column_name":"k2","data_type":"string"},
+        |{"column_name":"x","data_type":"long"}],"partitions":[]}""".stripMargin)
+    import SparkTestSession.spark.implicits._
+    LakeTable.load(wh, "d", "src").append(Seq(
+      ("a", "p", 1L), ("a", "q", 2L), ("b", "p", 3L))
+      .toDF("k1", "k2", "x"))
+    spark.conf.set("spark.sql.catalog.gmvc", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.gmvc.warehouse", wh)
+    // groups by (k1, k2) but only projects k1: one row per (k1, k2)
+    vsql("CREATE MATERIALIZED VIEW gmvc.d.byk AS " +
+      "SELECT k1, sum(x) AS s FROM gmvc.d.src GROUP BY k1, k2")
+      .collect()
+    assert(!graft.sources.LakeViews.read(
+      graft.sources.LakeViews.path(wh, "d", "byk")).get
+      .properties.contains("graft.mat-view.incr"),
+      "a grouping column outside the output must refuse the shape")
+    // the materialization still honors the defining query exactly
+    assert(vsql("SELECT k1, s FROM gmvc.d.byk ORDER BY k1, s").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a", 1L), ("a", 2L), ("b", 3L)))
+  }
+
+  test("the declared column order survives SELECT * even though " +
+      "storage is groups-first") {
+    val wh = Files.createTempDirectory("graft-matview-order").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"src","columns":[
+        |{"column_name":"k","data_type":"string"},
+        |{"column_name":"x","data_type":"long"}],"partitions":[]}""".stripMargin)
+    import SparkTestSession.spark.implicits._
+    LakeTable.load(wh, "d", "src").append(Seq(("a", 5L)).toDF("k", "x"))
+    spark.conf.set("spark.sql.catalog.gmvo", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.gmvo.warehouse", wh)
+    // aggregate FIRST, key second — storage is (k, n) but the view
+    // must serve (n, k)
+    vsql("CREATE MATERIALIZED VIEW gmvo.d.ord AS " +
+      "SELECT count(*) AS n, k FROM gmvo.d.src GROUP BY k").collect()
+    val star = vsql("SELECT * FROM gmvo.d.ord").collect().head
+    assert(vsql("SELECT * FROM gmvo.d.ord").schema.fieldNames.toSeq ==
+      Seq("n", "k"))
+    assert((star.getLong(0), star.getString(1)) == ((1L, "a")))
+    // and the incremental path preserves it too
+    LakeTable.load(wh, "d", "src").append(Seq(("a", 6L)).toDF("k", "x"))
+    vsql("REFRESH MATERIALIZED VIEW gmvo.d.ord INCREMENTAL").collect()
+    val after = vsql("SELECT * FROM gmvo.d.ord").collect().head
+    assert((after.getLong(0), after.getString(1)) == ((2L, "a")))
+  }
+
+  test("NULL group keys in the delta refuse incremental merge; full " +
+      "refresh serves them") {
+    val wh = Files.createTempDirectory("graft-matview-nullkey").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"src","columns":[
+        |{"column_name":"k","data_type":"string"},
+        |{"column_name":"x","data_type":"long"}],"partitions":[]}""".stripMargin)
+    import SparkTestSession.spark.implicits._
+    LakeTable.load(wh, "d", "src").append(
+      Seq(("a", 1L)).toDF("k", "x"))
+    spark.conf.set("spark.sql.catalog.gmvn", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.gmvn.warehouse", wh)
+    vsql("CREATE MATERIALIZED VIEW gmvn.d.roll AS " +
+      "SELECT k, count(*) AS n FROM gmvn.d.src GROUP BY k").collect()
+    // a NULL-key row lands in the delta: equality join/upsert can't
+    // merge it — refuse by name rather than split the group
+    LakeTable.load(wh, "d", "src").append(
+      Seq((Option.empty[String], 2L), (Some("a"), 3L)).toDF("k", "x"))
+    val e = intercept[Exception] {
+      vsql("REFRESH MATERIALIZED VIEW gmvn.d.roll INCREMENTAL").collect()
+    }
+    assert(messages(e).contains("NULL group keys"), messages(e))
+    vsql("REFRESH MATERIALIZED VIEW gmvn.d.roll").collect()
+    val got = vsql("SELECT k, n FROM gmvn.d.roll ORDER BY k").collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1))).toSeq
+    assert(got == Seq((None, 1L), (Some("a"), 2L)), got.toString)
+  }
+
+  test("SHOW CREATE VIEW on an MV emits the real MV definition, and " +
+      "it round-trips") {
+    val wh = Files.createTempDirectory("graft-matview-show").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"src","columns":[
+        |{"column_name":"k","data_type":"string"},
+        |{"column_name":"x","data_type":"long"}],"partitions":[]}""".stripMargin)
+    import SparkTestSession.spark.implicits._
+    LakeTable.load(wh, "d", "src").append(Seq(("a", 1L)).toDF("k", "x"))
+    spark.conf.set("spark.sql.catalog.gmvsh", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.gmvsh.warehouse", wh)
+    vsql("CREATE MATERIALIZED VIEW gmvsh.d.agg AS " +
+      "SELECT k, sum(x) AS s FROM gmvsh.d.src GROUP BY k").collect()
+    val stmt = vsql("SHOW CREATE VIEW gmvsh.d.agg").collect()
+      .head.getString(0)
+    assert(stmt.startsWith("CREATE MATERIALIZED VIEW gmvsh.d.agg"),
+      stmt)
+    assert(stmt.contains("FROM gmvsh.d.src") &&
+      !stmt.contains("__mat_"),
+      s"must emit the defining query, not storage internals: $stmt")
+    vsql("DROP MATERIALIZED VIEW gmvsh.d.agg").collect()
+    vsql(stmt).collect()
+    assert(vsql("SELECT k, s FROM gmvsh.d.agg").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("a", 1L)))
+    // IF NOT EXISTS must not swallow a PLAIN view of the same name
+    vsql("CREATE VIEW gmvsh.d.plain AS SELECT k FROM gmvsh.d.src")
+      .collect()
+    val e = intercept[Exception] {
+      vsql("CREATE MATERIALIZED VIEW IF NOT EXISTS gmvsh.d.plain AS " +
+        "SELECT 1 AS one").collect()
+    }
+    assert(messages(e).contains("already exists"), messages(e))
   }
 
   test("double sums stay full-refresh-only, with a named refusal") {
