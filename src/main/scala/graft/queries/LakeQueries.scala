@@ -1071,6 +1071,52 @@ object LakeReadQueries extends QueryModule {
           |ORDER BY c_custkey""".stripMargin)
     }),
 
+    "lake_ctas" -> QueryModule.micro(4)((s, dir) => {
+      // CTAS / RTAS / timestamp time travel through the catalog
+      // plugin: Spark's non-atomic CreateTableAsSelect and
+      // ReplaceTableAsSelect compose from the catalog's
+      // create/drop/write primitives with NO extra code — the point
+      // of implementing TableCatalog properly — and `TIMESTAMP AS OF`
+      // resolves through loadTable(ident, timestamp). Self-audits:
+      // the pre-append timestamp read serves the old row count; RTAS
+      // fully replaces the CTAS schema+content. Oracle pins the final
+      // replaced table.
+      val wh = LakeQueries.freshWarehouse("ctas")
+      Engine.processTableDefJson(wh,
+        """{"database_name":"ct","table_name":"nat","columns":[
+          |{"column_name":"n_nationkey","data_type":"int"},
+          |{"column_name":"n_name","data_type":"string"},
+          |{"column_name":"n_regionkey","data_type":"int"}],
+          |"partitions":[]}""".stripMargin)
+      val nation = Tables(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+      LakeTable.load(wh, "ct", "nat")
+        .append(nation.filter(col("n_regionkey") < 2))
+      val firstCount = nation.filter(col("n_regionkey") < 2).count()
+      Thread.sleep(5) // snapshot timestamps are ms-resolution
+      val ts = java.time.Instant.now().toString
+      Thread.sleep(5)
+      LakeTable.load(wh, "ct", "nat")
+        .append(nation.filter(col("n_regionkey") >= 2))
+      s.conf.set("spark.sql.catalog.gctas", "graft.sources.LakeCatalog")
+      s.conf.set("spark.sql.catalog.gctas.warehouse", wh)
+      require(s.sql(
+        s"SELECT count(*) FROM gctas.ct.nat TIMESTAMP AS OF '$ts'")
+        .collect().head.getLong(0) == firstCount,
+        "TIMESTAMP AS OF must serve the pre-append state")
+      s.sql("CREATE TABLE gctas.ct.dst AS " +
+        "SELECT n_nationkey, upper(n_name) AS uname FROM gctas.ct.nat")
+        .collect()
+      require(s.sql("SELECT count(*) FROM gctas.ct.dst").collect()
+        .head.getLong(0) == nation.count(), "CTAS must copy all rows")
+      // RTAS: a different schema entirely must replace the table
+      s.sql("REPLACE TABLE gctas.ct.dst AS " +
+        "SELECT n_regionkey, count(*) AS n_nations " +
+        "FROM gctas.ct.nat GROUP BY n_regionkey").collect()
+      s.sql("SELECT n_regionkey, n_nations FROM gctas.ct.dst " +
+        "ORDER BY n_regionkey")
+    }),
+
     "lake_sql_dml" -> QueryModule.micro(4)((s, dir) => {
       // the full SQL surface end-to-end through the catalog plugin:
       // CREATE, INSERT, UPDATE, MERGE INTO, DELETE — oracle expresses
@@ -2431,6 +2477,11 @@ object RowOpsQueries extends QueryModule {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
         |    AS sum_price
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "lake_ctas" ->
+      """SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n_nations
+        |FROM nation GROUP BY n_regionkey
+        |ORDER BY n_regionkey""".stripMargin,
 
     "lake_bloom_backfill" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
