@@ -866,8 +866,11 @@ object LakeReadQueries extends QueryModule {
       val orders = Tables(s, dir, "orders")
         .select(col("o_custkey"),
           col("o_totalprice").cast("decimal(18,4)").as("o_price"))
+      // half the fixture carries the full scenario: CoW-rewrite and
+      // diff cost is O(table), and the coverage (retraction of seed
+      // rows, delta rows, emptied groups) is identical
       LakeTable.load(wh, "mvr", "ord")
-        .append(orders.filter(col("o_custkey") % 2 === 0))
+        .append(orders.filter(col("o_custkey") % 4 === 0))
       s.conf.set("spark.sql.catalog.gmvret", "graft.sources.LakeCatalog")
       s.conf.set("spark.sql.catalog.gmvret.warehouse", wh)
       def vsql(q: String) =
@@ -878,7 +881,7 @@ object LakeReadQueries extends QueryModule {
       // the delta holds appends AND retractions, touching both
       // seed-time groups and rows first seen in this very delta
       LakeTable.load(wh, "mvr", "ord")
-        .append(orders.filter(col("o_custkey") % 2 =!= 0))
+        .append(orders.filter(col("o_custkey") % 4 === 1))
       LakeTable.load(wh, "mvr", "ord")
         .delete(s, col("o_custkey") % 10 === 3) // copy-on-write
       LakeTable.load(wh, "mvr", "ord")
@@ -2503,7 +2506,8 @@ object RowOpsQueries extends QueryModule {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
         |    AS sum_price
         |FROM orders
-        |WHERE o_custkey % 10 <> 3 AND o_custkey % 10 <> 7
+        |WHERE o_custkey % 4 IN (0, 1)
+        |  AND o_custkey % 10 <> 3 AND o_custkey % 10 <> 7
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     "lake_views" ->
