@@ -850,6 +850,49 @@ object LakeReadQueries extends QueryModule {
         "FROM gmvavg.mva.roll ORDER BY o_custkey")
     }),
 
+    "lake_mat_view_filter" -> QueryModule.micro(4)((s, dir) => {
+      // WHERE-filtered defining queries in the incremental class: the
+      // persisted predicate filters the seed, every delta, and every
+      // recompute identically, so a filtered rollup (the common
+      // production MV shape) still refreshes in O(delta). The oracle
+      // applies the same WHERE from scratch — a delta that bypassed
+      // the filter (or double-applied it) hash-mismatches.
+      val wh = LakeQueries.freshWarehouse("matviewfil")
+      Engine.processTableDefJson(wh,
+        """{"database_name":"mvf","table_name":"ord","columns":[
+          |{"column_name":"o_custkey","data_type":"long"},
+          |{"column_name":"o_price","data_type":"decimal(18,4)"}],
+          |"partitions":[]}""".stripMargin)
+      val orders = Tables(s, dir, "orders")
+        .select(col("o_custkey"),
+          col("o_totalprice").cast("decimal(18,4)").as("o_price"))
+      LakeTable.load(wh, "mvf", "ord")
+        .append(orders.filter(col("o_custkey") % 2 === 0))
+      s.conf.set("spark.sql.catalog.gmvfil", "graft.sources.LakeCatalog")
+      s.conf.set("spark.sql.catalog.gmvfil.warehouse", wh)
+      def vsql(q: String) =
+        org.apache.spark.sql.GraftViewSubstitution.sql(s, q)
+      vsql("CREATE MATERIALIZED VIEW gmvfil.mvf.roll AS " +
+        "SELECT o_custkey, count(*) AS n_orders, sum(o_price) AS " +
+        "sum_price FROM gmvfil.mvf.ord " +
+        "WHERE o_price > 1000.0 AND o_custkey % 100 != 7 " +
+        "GROUP BY o_custkey").collect()
+      require(graft.sources.LakeViews.read(
+        graft.sources.LakeViews.path(wh, "mvf", "roll")).get
+        .properties.contains("graft.mat-view.filter"),
+        "the WHERE must be recorded with the incremental shape")
+      LakeTable.load(wh, "mvf", "ord")
+        .append(orders.filter(col("o_custkey") % 2 =!= 0))
+      val res = vsql(
+        "REFRESH MATERIALIZED VIEW gmvfil.mvf.roll INCREMENTAL")
+        .collect()
+      require(res.head.getLong(1) > res.head.getLong(0),
+        "the incremental refresh must advance the watermark")
+      vsql("SELECT o_custkey, n_orders, " +
+        "CAST(sum_price AS DOUBLE) AS sum_price " +
+        "FROM gmvfil.mvf.roll ORDER BY o_custkey")
+    }),
+
     "lake_mat_view_retract" -> QueryModule.micro(4)((s, dir) => {
       // incremental refresh CONSUMING deletions: copy-on-write and
       // merge-on-read deletes land in the delta as SIGNED changelog
@@ -2499,6 +2542,16 @@ object RowOpsQueries extends QueryModule {
         |  ROUND(CAST(AVG(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE),
         |    6) AS avg6
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "lake_mat_view_filter" ->
+      """SELECT o_custkey,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders
+        |WHERE CAST(o_totalprice AS DECIMAL(18,4)) > 1000.0
+        |  AND o_custkey % 100 <> 7
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     "lake_mat_view_retract" ->
       """SELECT o_custkey,

@@ -68,8 +68,8 @@ object MatViewDdl {
             sh.srcTable)
           val w = src.metadata.snapshots.map(_.id)
             .foldLeft(0L)(math.max)
-          val rows = src.read(spark,
-            asOfSnapshot = if (w > 0) Some(w) else None)
+          val rows = MatViews.sourceRows(src.read(spark,
+            asOfSnapshot = if (w > 0) Some(w) else None), sh)
           // seed the STORAGE layout (hidden avg parts / row counter);
           // its visible projection must reproduce the declared schema
           val storage = MatViews.storageAggregate(rows, sh)
@@ -184,9 +184,10 @@ object MatViewDdl {
               sh.srcTable)
             val head = src.metadata.snapshots.map(_.id)
               .foldLeft(0L)(math.max)
-            (MatViews.storageAggregate(src.read(spark,
-              asOfSnapshot = if (head > 0) Some(head)
-                else None), sh),
+            (MatViews.storageAggregate(
+              MatViews.sourceRows(src.read(spark,
+                asOfSnapshot = if (head > 0) Some(head)
+                  else None), sh), sh),
               Some(head))
           case None =>
             (org.apache.spark.sql.GraftViewSubstitution

@@ -84,7 +84,8 @@ private[graft] object MatViews {
   case class StoreCol(name: String, kind: StoreKind)
 
   case class AggShape(srcDb: String, srcTable: String,
-      specs: Seq[AggSpec], storageV2: Boolean = true) {
+      specs: Seq[AggSpec], storageV2: Boolean = true,
+      filterSql: Option[String] = None) {
     def groupCols: Seq[GroupCol] =
       specs.collect { case g: GroupCol => g }
 
@@ -140,7 +141,23 @@ private[graft] object MatViews {
       case _ => None
     }
     plan match {
-      case Aggregate(groupings, outs, child, _) =>
+      case Aggregate(groupings, outs, aggChild, _) =>
+        // a WHERE over the source stays self-maintainable: the same
+        // predicate filters every delta before aggregation. Only
+        // deterministic, subquery-free conditions qualify; the
+        // condition is persisted as SQL (qualifiers stripped so it
+        // re-parses against the bare source columns)
+        val (child, filterSql) = aggChild match {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+              if f.condition.deterministic &&
+                !f.condition.exists(
+                  _.isInstanceOf[org.apache.spark.sql.catalyst
+                    .expressions.PlanExpression[_]]) =>
+            (f.child, Some(f.condition.transform {
+              case a: AttributeReference => a.withQualifier(Nil)
+            }.sql))
+          case c => (c, None)
+        }
         unwrap(child).flatMap { case (db, tbl) =>
           val groupAttrs = groupings.map {
             case a: AttributeReference => a
@@ -203,7 +220,7 @@ private[graft] object MatViews {
             case g: GroupCol => g.srcCol }.toSet
           if (groupSpecs.isEmpty ||
               !groupAttrs.forall(a => projected.contains(a.name))) None
-          else Some(AggShape(db, tbl, specs))
+          else Some(AggShape(db, tbl, specs, filterSql = filterSql))
         }
       case _ => None
     }
@@ -218,6 +235,14 @@ private[graft] object MatViews {
   }
 
   private def q(n: String): Column = col(s"`$n`")
+
+  /** Apply the shape's persisted WHERE (if any) to source-schema rows
+    * — the seed, every full recompute, and every delta go through the
+    * SAME predicate, which is what keeps a filtered defining query
+    * self-maintainable.
+    */
+  def sourceRows(df: DataFrame, shape: AggShape): DataFrame =
+    shape.filterSql.map(f => df.filter(expr(f))).getOrElse(df)
 
   /** The STORAGE aggregation over source-schema rows (seed, full
     * refresh, and the append-delta path): one pass, declared group
@@ -338,7 +363,8 @@ private[graft] object MatViews {
     "graft.mat-view.incr" -> "true",
     "graft.mat-view.storage" -> "2",
     "graft.mat-view.src-db" -> shape.srcDb,
-    "graft.mat-view.src-table" -> shape.srcTable,
+    "graft.mat-view.src-table" -> shape.srcTable) ++
+    shape.filterSql.map("graft.mat-view.filter" -> _) ++ Map(
     "graft.mat-view.specs" -> shape.specs.map {
       case GroupCol(o, c) => s"group:$o:$c"
       case CountStar(o) => s"countstar:$o"
@@ -367,7 +393,8 @@ private[graft] object MatViews {
             s"corrupt mat-view spec entry: $s")
         }
       },
-      storageV2 = props.get("graft.mat-view.storage").contains("2")))
+      storageV2 = props.get("graft.mat-view.storage").contains("2"),
+      filterSql = props.get("graft.mat-view.filter")))
 
   /** The backing-table group-key columns that can carry per-file bloom
     * filters — set as `write.bloom-columns` at MV create so the
@@ -502,10 +529,11 @@ private[graft] object MatViews {
           "instead")
     }
     val delta =
-      if (retract) signedStorageAggregate(
+      if (retract) signedStorageAggregate(sourceRows(
         src.changelogBetween(spark, w, head, includeCowDiffs = true),
-        shape)
-      else storageAggregate(src.changesBetween(spark, w, head), shape)
+        shape), shape)
+      else storageAggregate(
+        sourceRows(src.changesBetween(spark, w, head), shape), shape)
     // the delta aggregate is consumed multiple times (key-set collect,
     // merge join, retraction split) — pin it so the source delta is
     // scanned once

@@ -474,6 +474,49 @@ class MatViewSpec extends AnyFunSuite {
     assert(messages(e).contains("already exists"), messages(e))
   }
 
+  test("a WHERE over the source stays incrementally maintainable, " +
+      "appends and retractions both") {
+    val wh = Files.createTempDirectory("graft-matview-where").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"src","columns":[
+        |{"column_name":"k","data_type":"string"},
+        |{"column_name":"x","data_type":"long"}],"partitions":[]}""".stripMargin)
+    import SparkTestSession.spark.implicits._
+    LakeTable.load(wh, "d", "src").append(Seq(
+      ("a", 5L), ("a", 20L), ("b", 30L), ("b", 7L)).toDF("k", "x"))
+    spark.conf.set("spark.sql.catalog.gmvw", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.gmvw.warehouse", wh)
+    vsql("CREATE MATERIALIZED VIEW gmvw.d.roll AS " +
+      "SELECT k, count(*) AS n, sum(x) AS s FROM gmvw.d.src " +
+      "WHERE x >= 10 GROUP BY k").collect()
+    val doc = graft.sources.LakeViews.read(
+      graft.sources.LakeViews.path(wh, "d", "roll")).get
+    assert(doc.properties.get("graft.mat-view.incr").contains("true"),
+      s"filtered aggregate must record the shape: ${doc.properties}")
+    assert(doc.properties.contains("graft.mat-view.filter"),
+      doc.properties.toString)
+    // the filter applied at seed time: only x >= 10 rows counted
+    def state(): Seq[(String, Long, Long)] =
+      vsql("SELECT k, n, s FROM gmvw.d.roll ORDER BY k").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(state() == Seq(("a", 1L, 20L), ("b", 1L, 30L)))
+    // an append with matching AND non-matching rows merges only the
+    // matches
+    LakeTable.load(wh, "d", "src").append(Seq(
+      ("a", 100L), ("a", 1L), ("c", 50L), ("c", 2L)).toDF("k", "x"))
+    vsql("REFRESH MATERIALIZED VIEW gmvw.d.roll INCREMENTAL").collect()
+    assert(state() == Seq(("a", 2L, 120L), ("b", 1L, 30L),
+      ("c", 1L, 50L)))
+    // retraction through the same filter: deleting a NON-matching row
+    // changes nothing; deleting matching rows retracts them
+    LakeTable.load(wh, "d", "src").deleteMoR(spark, col("x") === 1L)
+    LakeTable.load(wh, "d", "src").deleteMoR(spark, col("k") === "b")
+    vsql("REFRESH MATERIALIZED VIEW gmvw.d.roll INCREMENTAL").collect()
+    assert(state() == Seq(("a", 2L, 120L), ("c", 1L, 50L)),
+      "the b group emptied through the filter; the x=1 delete is " +
+        "invisible to it")
+  }
+
   test("double sums stay full-refresh-only, with a named refusal") {
     val wh = Files.createTempDirectory("graft-matview-dbl").toString
     Engine.processTableDefJson(wh,
