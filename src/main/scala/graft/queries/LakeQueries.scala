@@ -850,6 +850,47 @@ object LakeReadQueries extends QueryModule {
         "FROM gmvavg.mva.roll ORDER BY o_custkey")
     }),
 
+    "lake_mat_view_expr" -> QueryModule.micro(4)((s, dir) => {
+      // the canonical production MV: a TIME-BUCKETED rollup — group
+      // key `date_trunc('DAY', ts)` and an expression aggregate
+      // argument (the exactness cast inside the sum), both persisted
+      // as SQL and re-evaluated identically over every delta. The
+      // oracle recomputes the bucketed rollup from the raw events.
+      val wh = LakeQueries.freshWarehouse("matviewexpr")
+      Engine.processTableDefJson(wh,
+        """{"database_name":"mve","table_name":"ev","columns":[
+          |{"column_name":"event_id","data_type":"long"},
+          |{"column_name":"ts","data_type":"timestamp"},
+          |{"column_name":"value","data_type":"double"}],
+          |"partitions":[]}""".stripMargin)
+      val events = Tables(s, dir, "events")
+        .select("event_id", "ts", "value")
+      LakeTable.load(wh, "mve", "ev")
+        .append(events.filter(col("event_id") % 2 === 0))
+      s.conf.set("spark.sql.catalog.gmvex", "graft.sources.LakeCatalog")
+      s.conf.set("spark.sql.catalog.gmvex.warehouse", wh)
+      def vsql(q: String) =
+        org.apache.spark.sql.GraftViewSubstitution.sql(s, q)
+      vsql("CREATE MATERIALIZED VIEW gmvex.mve.daily AS " +
+        "SELECT date_trunc('DAY', ts) AS day, count(*) AS n_events, " +
+        "sum(CAST(value AS DECIMAL(18,4))) AS sv " +
+        "FROM gmvex.mve.ev GROUP BY date_trunc('DAY', ts)").collect()
+      require(graft.sources.LakeViews.read(
+        graft.sources.LakeViews.path(wh, "mve", "daily")).get
+        .properties.get("graft.mat-view.incr").contains("true"),
+        "the bucketed rollup must record an incremental shape")
+      LakeTable.load(wh, "mve", "ev")
+        .append(events.filter(col("event_id") % 2 =!= 0))
+      val res = vsql(
+        "REFRESH MATERIALIZED VIEW gmvex.mve.daily INCREMENTAL")
+        .collect()
+      require(res.head.getLong(1) > res.head.getLong(0),
+        "the incremental refresh must advance the watermark")
+      vsql("SELECT CAST(day AS DATE) AS day, n_events, " +
+        "CAST(sv AS DOUBLE) AS sum_value " +
+        "FROM gmvex.mve.daily ORDER BY day")
+    }),
+
     "lake_mat_view_filter" -> QueryModule.micro(4)((s, dir) => {
       // WHERE-filtered defining queries in the incremental class: the
       // persisted predicate filters the seed, every delta, and every
@@ -2542,6 +2583,14 @@ object RowOpsQueries extends QueryModule {
         |  ROUND(CAST(AVG(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE),
         |    6) AS avg6
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "lake_mat_view_expr" ->
+      """SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+        |    AS day,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "lake_mat_view_filter" ->
       """SELECT o_custkey,

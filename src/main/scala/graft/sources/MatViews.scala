@@ -159,31 +159,43 @@ private[graft] object MatViews {
           case c => (c, None)
         }
         unwrap(child).flatMap { case (db, tbl) =>
-          val groupAttrs = groupings.map {
-            case a: AttributeReference => a
-            case _ => return None
-          }
+          // group keys and aggregate arguments may be arbitrary
+          // DETERMINISTIC row-local expressions (`date_trunc('day',
+          // ts)`, `price * qty`): the expression evaluates identically
+          // over the seed, every delta, and every recompute, so the
+          // algebra is unchanged — only nondeterminism or subqueries
+          // disqualify. Persisted as qualifier-stripped SQL.
+          def exprOk(e: Expression): Boolean =
+            e.deterministic && !e.exists(x =>
+              x.isInstanceOf[org.apache.spark.sql.catalyst
+                .expressions.PlanExpression[_]] ||
+                x.isInstanceOf[AggregateExpression])
+          def sqlOf(e: Expression): String = e.transform {
+            case a: AttributeReference => a.withQualifier(Nil)
+          }.sql
+          if (!groupings.forall(exprOk)) return None
+          val matchedGroups =
+            scala.collection.mutable.Set.empty[Expression]
           val specs = outs.map { out =>
-            def asGroup(a: AttributeReference, name: String) =
-              if (groupAttrs.exists(_.exprId == a.exprId))
-                Some(GroupCol(name, a.name))
-              else None
+            def asGroup(e: Expression, name: String) =
+              groupings.find(_.semanticEquals(e)).map { g =>
+                matchedGroups += g
+                GroupCol(name, sqlOf(e))
+              }
             out match {
               case a: AttributeReference => asGroup(a, a.name)
                 .getOrElse(return None)
-              case al @ Alias(a: AttributeReference, n) =>
-                asGroup(a, n).getOrElse(return None)
               case al @ Alias(ae: AggregateExpression, n)
                   if !ae.isDistinct && ae.filter.isEmpty =>
                 ae.aggregateFunction match {
                   case c: Count => c.children match {
                     case Seq(l: Literal) => CountStar(n)
-                    case Seq(a: AttributeReference) => CountCol(n, a.name)
+                    case Seq(e) if exprOk(e) => CountCol(n, sqlOf(e))
                     case _ => return None
                   }
                   case s: Sum => s.child match {
-                    case a: AttributeReference
-                        if exactSum(al.dataType) => SumCol(n, a.name)
+                    case e if exprOk(e) && exactSum(al.dataType) =>
+                      SumCol(n, sqlOf(e))
                     case _ => return None
                   }
                   // AVG only where the sum side is exact AND the
@@ -191,35 +203,37 @@ private[graft] object MatViews {
                   // divide — int/long avg buffers in double upstream,
                   // so it is NOT reproducible from exact parts
                   case av: Average => (av.child, al.dataType) match {
-                    case (a: AttributeReference, rt: DecimalType)
-                        if a.dataType.isInstanceOf[DecimalType] =>
-                      AvgCol(n, a.name, rt.precision, rt.scale)
+                    case (e, rt: DecimalType)
+                        if exprOk(e) &&
+                          e.dataType.isInstanceOf[DecimalType] =>
+                      AvgCol(n, sqlOf(e), rt.precision, rt.scale)
                     case _ => return None
                   }
                   case m: Min => m.child match {
-                    case a: AttributeReference => MinCol(n, a.name)
+                    case e if exprOk(e) => MinCol(n, sqlOf(e))
                     case _ => return None
                   }
                   case m: Max => m.child match {
-                    case a: AttributeReference => MaxCol(n, a.name)
+                    case e if exprOk(e) => MaxCol(n, sqlOf(e))
                     case _ => return None
                   }
                   case _ => return None
                 }
+              case al @ Alias(e, n) => asGroup(e, n)
+                .getOrElse(return None)
               case _ => return None
             }
           }
           val groupSpecs = specs.collect { case g: GroupCol => g }
-          // EVERY grouping attribute must appear in the output:
+          // EVERY grouping expression must appear in the output:
           // `SELECT k1, count(*) FROM t GROUP BY k1, k2` has finer
           // groups than its visible columns — materializing by k1
           // alone would collapse them into a wrong rollup. Such
           // shapes stay full-refresh-only (the raw SQL recompute is
           // correct by construction).
-          val projected = specs.collect {
-            case g: GroupCol => g.srcCol }.toSet
           if (groupSpecs.isEmpty ||
-              !groupAttrs.forall(a => projected.contains(a.name))) None
+              !groupings.forall(g =>
+                matchedGroups.exists(_.semanticEquals(g)))) None
           else Some(AggShape(db, tbl, specs, filterSql = filterSql))
         }
       case _ => None
@@ -274,18 +288,21 @@ private[graft] object MatViews {
     def sm(c: Column): Column =
       if (!signed) sum(c)
       else sum(when(ins, c).otherwise(-c))
+    // srcCol holds qualifier-stripped SQL (a bare column or a
+    // deterministic expression) — expr() re-resolves it against the
+    // source schema
     val aggCols: Seq[Column] = shape.specs.flatMap {
       case _: GroupCol => Nil
       case CountStar(n) => Seq(cntStar.as(n))
-      case CountCol(n, c) => Seq(cnt(q(c)).as(n))
-      case SumCol(n, c) => Seq(sm(q(c)).as(n))
-      case MinCol(n, c) => Seq(min(q(c)).as(n))
-      case MaxCol(n, c) => Seq(max(q(c)).as(n))
-      case AvgCol(n, c, _, _) => Seq(sm(q(c)).as(s"__avg_sum_$n"),
-        cnt(q(c)).as(s"__avg_cnt_$n"))
+      case CountCol(n, c) => Seq(cnt(expr(c)).as(n))
+      case SumCol(n, c) => Seq(sm(expr(c)).as(n))
+      case MinCol(n, c) => Seq(min(expr(c)).as(n))
+      case MaxCol(n, c) => Seq(max(expr(c)).as(n))
+      case AvgCol(n, c, _, _) => Seq(sm(expr(c)).as(s"__avg_sum_$n"),
+        cnt(expr(c)).as(s"__avg_cnt_$n"))
     } ++ (if (shape.needsHiddenRows) Seq(cntStar.as("__g_rows")) else Nil)
     rows
-      .groupBy(shape.groupCols.map(g => q(g.srcCol).as(g.outName)): _*)
+      .groupBy(shape.groupCols.map(g => expr(g.srcCol).as(g.outName)): _*)
       .agg(aggCols.head, aggCols.tail: _*)
       // canonical storage order: groups (declared order), then store
       // columns — a stable layout for the backing table regardless of
@@ -359,6 +376,15 @@ private[graft] object MatViews {
 
   // ---- doc-property encoding ------------------------------------------
 
+  /** Spec entries join on ',' and split on ':' — expression SQL may
+    * contain both, so every field percent-escapes them (plain column
+    * names pass through unchanged, keeping old docs decodable).
+    */
+  private def esc(s: String): String =
+    s.replace("%", "%25").replace(":", "%3A").replace(",", "%2C")
+  private def unesc(s: String): String =
+    s.replace("%2C", ",").replace("%3A", ":").replace("%25", "%")
+
   def encode(shape: AggShape): Map[String, String] = Map(
     "graft.mat-view.incr" -> "true",
     "graft.mat-view.storage" -> "2",
@@ -366,13 +392,13 @@ private[graft] object MatViews {
     "graft.mat-view.src-table" -> shape.srcTable) ++
     shape.filterSql.map("graft.mat-view.filter" -> _) ++ Map(
     "graft.mat-view.specs" -> shape.specs.map {
-      case GroupCol(o, c) => s"group:$o:$c"
-      case CountStar(o) => s"countstar:$o"
-      case CountCol(o, c) => s"countcol:$o:$c"
-      case SumCol(o, c) => s"sum:$o:$c"
-      case MinCol(o, c) => s"min:$o:$c"
-      case MaxCol(o, c) => s"max:$o:$c"
-      case AvgCol(o, c, p, sc) => s"avg:$o:$c:$p:$sc"
+      case GroupCol(o, c) => s"group:${esc(o)}:${esc(c)}"
+      case CountStar(o) => s"countstar:${esc(o)}"
+      case CountCol(o, c) => s"countcol:${esc(o)}:${esc(c)}"
+      case SumCol(o, c) => s"sum:${esc(o)}:${esc(c)}"
+      case MinCol(o, c) => s"min:${esc(o)}:${esc(c)}"
+      case MaxCol(o, c) => s"max:${esc(o)}:${esc(c)}"
+      case AvgCol(o, c, p, sc) => s"avg:${esc(o)}:${esc(c)}:$p:$sc"
     }.mkString(","))
 
   def decode(props: Map[String, String]): Option[AggShape] =
@@ -382,13 +408,14 @@ private[graft] object MatViews {
       props("graft.mat-view.src-table"),
       props("graft.mat-view.specs").split(",").toSeq.map { s =>
         s.split(":").toSeq match {
-          case Seq("group", o, c) => GroupCol(o, c)
-          case Seq("countstar", o) => CountStar(o)
-          case Seq("countcol", o, c) => CountCol(o, c)
-          case Seq("sum", o, c) => SumCol(o, c)
-          case Seq("min", o, c) => MinCol(o, c)
-          case Seq("max", o, c) => MaxCol(o, c)
-          case Seq("avg", o, c, p, sc) => AvgCol(o, c, p.toInt, sc.toInt)
+          case Seq("group", o, c) => GroupCol(unesc(o), unesc(c))
+          case Seq("countstar", o) => CountStar(unesc(o))
+          case Seq("countcol", o, c) => CountCol(unesc(o), unesc(c))
+          case Seq("sum", o, c) => SumCol(unesc(o), unesc(c))
+          case Seq("min", o, c) => MinCol(unesc(o), unesc(c))
+          case Seq("max", o, c) => MaxCol(unesc(o), unesc(c))
+          case Seq("avg", o, c, p, sc) =>
+            AvgCol(unesc(o), unesc(c), p.toInt, sc.toInt)
           case other => throw new IllegalStateException(
             s"corrupt mat-view spec entry: $s")
         }

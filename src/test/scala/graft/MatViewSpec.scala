@@ -517,6 +517,44 @@ class MatViewSpec extends AnyFunSuite {
         "invisible to it")
   }
 
+  test("expression group keys and aggregate arguments maintain " +
+      "incrementally") {
+    val wh = Files.createTempDirectory("graft-matview-expr").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"src","columns":[
+        |{"column_name":"k","data_type":"string"},
+        |{"column_name":"x","data_type":"long"},
+        |{"column_name":"y","data_type":"long"}],"partitions":[]}""".stripMargin)
+    import SparkTestSession.spark.implicits._
+    LakeTable.load(wh, "d", "src").append(Seq(
+      ("ap", 2L, 3L), ("aq", 5L, 7L), ("bx", 1L, 1L))
+      .toDF("k", "x", "y"))
+    spark.conf.set("spark.sql.catalog.gmve", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.gmve.warehouse", wh)
+    // group key = substr expression, sum argument = x * y expression
+    vsql("CREATE MATERIALIZED VIEW gmve.d.roll AS " +
+      "SELECT substring(k, 1, 1) AS pre, sum(x * y) AS sxy, " +
+      "count(*) AS n FROM gmve.d.src GROUP BY substring(k, 1, 1)")
+      .collect()
+    assert(graft.sources.LakeViews.read(
+      graft.sources.LakeViews.path(wh, "d", "roll")).get
+      .properties.get("graft.mat-view.incr").contains("true"),
+      "expression shapes must record incrementally")
+    def state(): Seq[(String, Long, Long)] =
+      vsql("SELECT pre, sxy, n FROM gmve.d.roll ORDER BY pre").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(state() == Seq(("a", 41L, 2L), ("b", 1L, 1L)))
+    LakeTable.load(wh, "d", "src").append(Seq(
+      ("ar", 10L, 10L), ("cz", 4L, 4L)).toDF("k", "x", "y"))
+    vsql("REFRESH MATERIALIZED VIEW gmve.d.roll INCREMENTAL").collect()
+    assert(state() == Seq(("a", 141L, 3L), ("b", 1L, 1L),
+      ("c", 16L, 1L)))
+    // retraction evaluates the same expressions over the changelog
+    LakeTable.load(wh, "d", "src").deleteMoR(spark, col("k") === "bx")
+    vsql("REFRESH MATERIALIZED VIEW gmve.d.roll INCREMENTAL").collect()
+    assert(state() == Seq(("a", 141L, 3L), ("c", 16L, 1L)))
+  }
+
   test("double sums stay full-refresh-only, with a named refusal") {
     val wh = Files.createTempDirectory("graft-matview-dbl").toString
     Engine.processTableDefJson(wh,
