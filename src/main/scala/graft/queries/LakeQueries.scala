@@ -950,9 +950,11 @@ object LakeReadQueries extends QueryModule {
       val orders = Tables(s, dir, "orders")
         .select(col("o_custkey"),
           col("o_totalprice").cast("decimal(18,4)").as("o_price"))
-      // half the fixture carries the full scenario: CoW-rewrite and
-      // diff cost is O(table), and the coverage (retraction of seed
-      // rows, delta rows, emptied groups) is identical
+      // half the fixture keeps CoW-rewrite/diff cost down; the delete
+      // predicates are chosen so BOTH populations retract: %10==2 hits
+      // only EVEN keys (seed rows — groups materialized at create get
+      // rows subtracted and some empty out of the backing table), and
+      // %10==5 hits only ODD keys (rows first seen in this delta)
       LakeTable.load(wh, "mvr", "ord")
         .append(orders.filter(col("o_custkey") % 4 === 0))
       s.conf.set("spark.sql.catalog.gmvret", "graft.sources.LakeCatalog")
@@ -967,9 +969,9 @@ object LakeReadQueries extends QueryModule {
       LakeTable.load(wh, "mvr", "ord")
         .append(orders.filter(col("o_custkey") % 4 === 1))
       LakeTable.load(wh, "mvr", "ord")
-        .delete(s, col("o_custkey") % 10 === 3) // copy-on-write
+        .delete(s, col("o_custkey") % 10 === 2) // CoW, seed-era rows
       LakeTable.load(wh, "mvr", "ord")
-        .deleteMoR(s, col("o_custkey") % 10 === 7) // merge-on-read
+        .deleteMoR(s, col("o_custkey") % 10 === 5) // MoR, delta rows
       val res = vsql(
         "REFRESH MATERIALIZED VIEW gmvret.mvr.roll INCREMENTAL")
         .collect()
@@ -2609,7 +2611,7 @@ object RowOpsQueries extends QueryModule {
         |    AS sum_price
         |FROM orders
         |WHERE o_custkey % 4 IN (0, 1)
-        |  AND o_custkey % 10 <> 3 AND o_custkey % 10 <> 7
+        |  AND o_custkey % 10 <> 2 AND o_custkey % 10 <> 5
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     "lake_views" ->

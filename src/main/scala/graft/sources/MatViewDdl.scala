@@ -59,9 +59,13 @@ object MatViewDdl {
     // next delta, never half-counted. The rebuilt
     // aggregation must reproduce the declared schema
     // exactly, else the view stays full-refresh-only.
+    // any failure while validating the detected shape (an expression
+    // whose SQL doesn't round-trip through the parser, an exotic
+    // type) falls back to a FULL-REFRESH-ONLY view instead of failing
+    // the CREATE — unshaped is always sound
     val shaped: Option[(MatViews.AggShape, Long,
         org.apache.spark.sql.DataFrame)] =
-      MatViews.detect(analyzed.queryExecution.analyzed,
+      try MatViews.detect(analyzed.queryExecution.analyzed,
           warehouse)
         .flatMap { sh =>
           val src = LakeTable.load(warehouse, sh.srcDb,
@@ -80,6 +84,7 @@ object MatViewDdl {
             Some((sh, w, storage))
           else None
         }
+      catch { case scala.util.control.NonFatal(_) => None }
     val seed = shaped.map(_._3).getOrElse(analyzed)
     LakeTable.create(warehouse, graft.schema.TableDef(
       db, matTable,
@@ -120,7 +125,8 @@ object MatViewDdl {
           "graft.mat-view.refreshed-ms" ->
             System.currentTimeMillis().toString) ++
           shaped.map { case (sh, w, _) =>
-            MatViews.encode(sh) +
+            MatViews.encode(sh,
+              spark.sessionState.conf.sessionLocalTimeZone) +
               ("graft.mat-view.watermark" -> w.toString)
           }.getOrElse(Map.empty)))
     (matTable, snap.files.map(_.rows).sum)
@@ -159,8 +165,10 @@ object MatViewDdl {
         val sh = shape.getOrElse(throw new
           IllegalArgumentException(
           s"view '$db.$name' has no recorded incremental " +
-            "shape (joins, DISTINCT, FILTER, expression " +
-            "aggregates, or float/double SUMs are not " +
+            "shape (joins, DISTINCT, FILTER clauses on aggregates, " +
+            "grouping columns missing from the output, " +
+            "non-persistable expressions — current-time, UDFs, " +
+            "subqueries — and float/double SUMs are not " +
             "self-maintainable) — run a full refresh"))
         val w = doc.properties("graft.mat-view.watermark").toLong
         MatViews.refreshIncremental(spark, warehouse, sh, w,
@@ -203,7 +211,12 @@ object MatViewDdl {
             s
           }
         stamp(wm.map(h => Map("graft.mat-view.watermark" ->
-          h.toString)).getOrElse(Map.empty))
+          h.toString)).getOrElse(Map.empty) ++
+          // a tz-sensitive shape recomputed under THIS session's zone
+          // is now bucketed by it — re-pin so later incremental
+          // refreshes compare against the right zone
+          shape.filter(_.tzSensitive).map(_ => "graft.mat-view.tz" ->
+            spark.sessionState.conf.sessionLocalTimeZone))
         FullRefresh(snap.id, snap.files.map(_.rows).sum)
       }
     }

@@ -17,10 +17,12 @@ import graft.lake.LakeTable
 
 /** Incremental maintenance for materialized views — the classic
   * self-maintainable aggregate class: when the defining query is ONE
-  * aggregate over ONE lake table (group-by on plain columns;
-  * COUNT(*)/COUNT(col)/SUM/MIN/MAX/AVG over plain columns; no
-  * DISTINCT, no FILTER, no joins), a refresh only needs the rows that
-  * CHANGED since the recorded snapshot watermark: aggregate the delta,
+  * aggregate over ONE lake table — group keys and aggregate
+  * arguments may be any persistable row-local expression
+  * (`date_trunc` buckets, `price * qty`), an optional persistable
+  * WHERE filters the source; COUNT(*)/COUNT/SUM/MIN/MAX/AVG, no
+  * DISTINCT, no FILTER clauses, no joins — a refresh only needs the
+  * rows that CHANGED since the recorded snapshot watermark: aggregate the delta,
   * merge it into the current per-group values, and blind-upsert the
   * changed groups — O(delta) source reads and O(changed groups) writes,
   * against the full recompute's O(source).
@@ -85,7 +87,9 @@ private[graft] object MatViews {
 
   case class AggShape(srcDb: String, srcTable: String,
       specs: Seq[AggSpec], storageV2: Boolean = true,
-      filterSql: Option[String] = None) {
+      filterSql: Option[String] = None,
+      tzSensitive: Boolean = false,
+      tz: Option[String] = None) {
     def groupCols: Seq[GroupCol] =
       specs.collect { case g: GroupCol => g }
 
@@ -144,15 +148,12 @@ private[graft] object MatViews {
       case Aggregate(groupings, outs, aggChild, _) =>
         // a WHERE over the source stays self-maintainable: the same
         // predicate filters every delta before aggregation. Only
-        // deterministic, subquery-free conditions qualify; the
-        // condition is persisted as SQL (qualifiers stripped so it
-        // re-parses against the bare source columns)
+        // persistable conditions qualify; the condition is stored as
+        // SQL (qualifiers stripped so it re-parses against the bare
+        // source columns)
         val (child, filterSql) = aggChild match {
           case f: org.apache.spark.sql.catalyst.plans.logical.Filter
-              if f.condition.deterministic &&
-                !f.condition.exists(
-                  _.isInstanceOf[org.apache.spark.sql.catalyst
-                    .expressions.PlanExpression[_]]) =>
+              if persistable(f.condition) =>
             (f.child, Some(f.condition.transform {
               case a: AttributeReference => a.withQualifier(Nil)
             }.sql))
@@ -160,16 +161,11 @@ private[graft] object MatViews {
         }
         unwrap(child).flatMap { case (db, tbl) =>
           // group keys and aggregate arguments may be arbitrary
-          // DETERMINISTIC row-local expressions (`date_trunc('day',
+          // PERSISTABLE row-local expressions (`date_trunc('day',
           // ts)`, `price * qty`): the expression evaluates identically
           // over the seed, every delta, and every recompute, so the
-          // algebra is unchanged — only nondeterminism or subqueries
-          // disqualify. Persisted as qualifier-stripped SQL.
-          def exprOk(e: Expression): Boolean =
-            e.deterministic && !e.exists(x =>
-              x.isInstanceOf[org.apache.spark.sql.catalyst
-                .expressions.PlanExpression[_]] ||
-                x.isInstanceOf[AggregateExpression])
+          // algebra is unchanged. Persisted as qualifier-stripped SQL.
+          def exprOk(e: Expression): Boolean = persistable(e)
           def sqlOf(e: Expression): String = e.transform {
             case a: AttributeReference => a.withQualifier(Nil)
           }.sql
@@ -234,10 +230,51 @@ private[graft] object MatViews {
           if (groupSpecs.isEmpty ||
               !groupings.forall(g =>
                 matchedGroups.exists(_.semanticEquals(g)))) None
-          else Some(AggShape(db, tbl, specs, filterSql = filterSql))
+          else Some(AggShape(db, tbl, specs, filterSql = filterSql,
+            tzSensitive = (groupings ++ outs ++
+              aggChild.expressions).exists(isTzSensitive)))
         }
       case _ => None
     }
+  }
+
+  /** A row-local expression whose persisted SQL re-evaluates
+    * IDENTICALLY in any later refresh session: deterministic, no
+    * subqueries or nested aggregates, no current-time family
+    * (CurrentDate/CurrentTimestamp are "deterministic" in Catalyst —
+    * they are only pinned per query — but a refresh re-evaluating
+    * them gets a different cutoff than the seed did), and no
+    * session-registered UDFs (a refresh session may lack the
+    * registration, bricking even full refreshes of the shape).
+    * Timezone-AWARE expressions are allowed; the create session's
+    * zone is pinned in the doc and mismatched incremental refreshes
+    * refuse ([[AggShape.tz]]).
+    */
+  private def persistable(e: Expression): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions._
+    e.deterministic && !e.exists { x =>
+      x.isInstanceOf[PlanExpression[_]] ||
+        x.isInstanceOf[AggregateExpression] ||
+        x.isInstanceOf[CurrentDate] ||
+        x.isInstanceOf[CurrentTimestamp] || x.isInstanceOf[Now] ||
+        x.isInstanceOf[LocalTimestamp] ||
+        x.isInstanceOf[CurrentTimeZone] ||
+        x.isInstanceOf[ScalaUDF]
+    }
+  }
+
+  /** Whether evaluation depends on the session time zone (date_trunc
+    * buckets, tz-dependent casts) — such shapes pin the creating
+    * session's zone so a differently-zoned refresher can't split
+    * groups. Cast is TimeZoneAware structurally; only tz-NEEDING
+    * casts count.
+    */
+  private def isTzSensitive(e: Expression): Boolean = e.exists {
+    case c: org.apache.spark.sql.catalyst.expressions.Cast =>
+      c.needsTimeZone
+    case t: org.apache.spark.sql.catalyst.expressions
+        .TimeZoneAwareExpression => true
+    case _ => false
   }
 
   /** SUM is incrementally exact only when addition is associative in
@@ -385,12 +422,18 @@ private[graft] object MatViews {
   private def unesc(s: String): String =
     s.replace("%2C", ",").replace("%3A", ":").replace("%25", "%")
 
-  def encode(shape: AggShape): Map[String, String] = Map(
+  def encode(shape: AggShape, sessionTz: String): Map[String, String] = Map(
     "graft.mat-view.incr" -> "true",
     "graft.mat-view.storage" -> "2",
+    // specs fields hold qualifier-stripped SQL (not bare names) since
+    // the expression widening — decode quotes legacy docs without it
+    "graft.mat-view.specs-sql" -> "true",
     "graft.mat-view.src-db" -> shape.srcDb,
     "graft.mat-view.src-table" -> shape.srcTable) ++
-    shape.filterSql.map("graft.mat-view.filter" -> _) ++ Map(
+    shape.filterSql.map("graft.mat-view.filter" -> _) ++
+    (if (shape.tzSensitive)
+      Map("graft.mat-view.tz" -> sessionTz)
+     else Map.empty) ++ Map(
     "graft.mat-view.specs" -> shape.specs.map {
       case GroupCol(o, c) => s"group:${esc(o)}:${esc(c)}"
       case CountStar(o) => s"countstar:${esc(o)}"
@@ -403,25 +446,39 @@ private[graft] object MatViews {
 
   def decode(props: Map[String, String]): Option[AggShape] =
     if (!props.get("graft.mat-view.incr").contains("true")) None
-    else Some(AggShape(
+    else {
+      // docs from before the expression widening stored RAW column
+      // names; those must be backtick-quoted before expr() re-parses
+      // them (a name like `o-price` would otherwise parse as
+      // subtraction)
+      val sqlSpecs = props.get("graft.mat-view.specs-sql")
+        .contains("true")
+      def src(c: String): String = {
+        val u = unesc(c)
+        if (sqlSpecs) u else s"`${u.replace("`", "``")}`"
+      }
+      Some(AggShape(
       props("graft.mat-view.src-db"),
       props("graft.mat-view.src-table"),
       props("graft.mat-view.specs").split(",").toSeq.map { s =>
         s.split(":").toSeq match {
-          case Seq("group", o, c) => GroupCol(unesc(o), unesc(c))
+          case Seq("group", o, c) => GroupCol(unesc(o), src(c))
           case Seq("countstar", o) => CountStar(unesc(o))
-          case Seq("countcol", o, c) => CountCol(unesc(o), unesc(c))
-          case Seq("sum", o, c) => SumCol(unesc(o), unesc(c))
-          case Seq("min", o, c) => MinCol(unesc(o), unesc(c))
-          case Seq("max", o, c) => MaxCol(unesc(o), unesc(c))
+          case Seq("countcol", o, c) => CountCol(unesc(o), src(c))
+          case Seq("sum", o, c) => SumCol(unesc(o), src(c))
+          case Seq("min", o, c) => MinCol(unesc(o), src(c))
+          case Seq("max", o, c) => MaxCol(unesc(o), src(c))
           case Seq("avg", o, c, p, sc) =>
-            AvgCol(unesc(o), unesc(c), p.toInt, sc.toInt)
+            AvgCol(unesc(o), src(c), p.toInt, sc.toInt)
           case other => throw new IllegalStateException(
             s"corrupt mat-view spec entry: $s")
         }
       },
       storageV2 = props.get("graft.mat-view.storage").contains("2"),
-      filterSql = props.get("graft.mat-view.filter")))
+      filterSql = props.get("graft.mat-view.filter"),
+      tzSensitive = props.contains("graft.mat-view.tz"),
+      tz = props.get("graft.mat-view.tz")))
+    }
 
   /** The backing-table group-key columns that can carry per-file bloom
     * filters — set as `write.bloom-columns` at MV create so the
@@ -467,6 +524,28 @@ private[graft] object MatViews {
             case v => BigDecimal(v.toString)
           }
           Some(graft.lake.RangeFilter(g.outName,
+            loNum = Some(nums.min), hiNum = Some(nums.max)))
+        // timestamp/date group keys — the time-bucketed rollup's key
+        // type — prune by their numeric stats encoding (epoch micros /
+        // epoch days, same rule as the DSv2 pushdown)
+        case Some(org.apache.spark.sql.types.TimestampType) =>
+          val nums = values.collect {
+            case t: java.sql.Timestamp => BigDecimal(
+              Math.floorDiv(t.getTime, 1000L) * 1000000L +
+                t.getNanos / 1000)
+            case t: java.time.Instant => BigDecimal(
+              t.getEpochSecond * 1000000L + t.getNano / 1000)
+          }
+          if (nums.size != values.size) None
+          else Some(graft.lake.RangeFilter(g.outName,
+            loNum = Some(nums.min), hiNum = Some(nums.max)))
+        case Some(org.apache.spark.sql.types.DateType) =>
+          val nums = values.collect {
+            case d: java.sql.Date => BigDecimal(d.toLocalDate.toEpochDay)
+            case d: java.time.LocalDate => BigDecimal(d.toEpochDay)
+          }
+          if (nums.size != values.size) None
+          else Some(graft.lake.RangeFilter(g.outName,
             loNum = Some(nums.min), hiNum = Some(nums.max)))
         case _ => None
       }
@@ -528,6 +607,18 @@ private[graft] object MatViews {
       .get("graft.mat-view.watermark").map(_.toLong).getOrElse(watermark)
     val head = src.metadata.snapshots.map(_.id).foldLeft(0L)(math.max)
     if (head == w) return None
+    // time-zone-sensitive shapes (date_trunc buckets, tz-dependent
+    // casts) must merge deltas bucketed EXACTLY like the existing
+    // materialization — a differently-zoned session would split
+    // groups. Full refresh re-pins the zone.
+    shape.tz.foreach { z =>
+      val cur = spark.sessionState.conf.sessionLocalTimeZone
+      require(cur == z,
+        s"incremental refresh needs session time zone '$z' (the zone " +
+          s"this materialization was last computed under), but this " +
+          s"session uses '$cur' — run a full refresh (which re-pins " +
+          "the zone) or match the zone")
+    }
     val range = src.metadata.snapshots
       .filter(s => s.id > w && s.id <= head)
     val nonAppend = range.filterNot(s =>

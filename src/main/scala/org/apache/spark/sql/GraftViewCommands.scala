@@ -85,6 +85,12 @@ case class GraftCreateViewCommand(ident: Seq[String], query: String,
     require(cols.isEmpty || cols.size == analyzed.schema.size,
       s"view column list has ${cols.size} name(s) but the query " +
         s"produces ${analyzed.schema.size} column(s)")
+    // the graft.* property namespace is ENGINE bookkeeping (mat-view
+    // markers and friends) — a user-set value would make a plain view
+    // impersonate internal state
+    require(!props.keys.exists(_.startsWith("graft.")),
+      "view properties in the 'graft.' namespace are reserved for " +
+        "the engine")
     val schema =
       if (cols.isEmpty) analyzed.schema
       else org.apache.spark.sql.types.StructType(
@@ -131,7 +137,8 @@ case class GraftShowCreateViewCommand(ident: Seq[String],
     // backing-table projection — emitting it as CREATE VIEW would
     // round-trip into a broken plain view over __mat_*; emit the real
     // MV definition instead
-    doc.properties.get("graft.mat-view.sql").foreach { defSql =>
+    if (doc.properties.get("graft.mat-view").contains("true"))
+      doc.properties.get("graft.mat-view.sql").foreach { defSql =>
       return Seq(Row(
         s"CREATE MATERIALIZED VIEW ${ident.mkString(".")}\nAS $defSql"))
     }
@@ -232,6 +239,10 @@ case class GraftAlterViewPropsCommand(ident: Seq[String],
   override def run(spark: SparkSession): Seq[Row] = {
     val (vc, ns, name) = GraftViewCommands.viewCatalogOf(spark, ident)
       .getOrElse(return GraftViewCommands.runFallback(spark, fallback))
+    // same namespace reservation as CREATE: graft.* is engine state
+    require(!(set.keys ++ unset).exists(_.startsWith("graft.")),
+      "view properties in the 'graft.' namespace are reserved for " +
+        "the engine")
     val changes: Seq[org.apache.spark.sql.connector.catalog.ViewChange] =
       set.toSeq.sortBy(_._1).map { case (k, v) =>
         org.apache.spark.sql.connector.catalog.ViewChange.setProperty(k, v)

@@ -555,6 +555,61 @@ class MatViewSpec extends AnyFunSuite {
     assert(state() == Seq(("a", 141L, 3L), ("c", 16L, 1L)))
   }
 
+  test("time-zone-sensitive shapes pin the session zone: mismatched " +
+      "incremental refuses, full refresh re-pins") {
+    val wh = Files.createTempDirectory("graft-matview-tz").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"src","columns":[
+        |{"column_name":"ts","data_type":"timestamp"},
+        |{"column_name":"x","data_type":"long"}],"partitions":[]}""".stripMargin)
+    import SparkTestSession.spark.implicits._
+    def rows(r: Seq[(String, Long)]) = r.toDF("s", "x")
+      .select(to_timestamp(col("s")).as("ts"), col("x"))
+    LakeTable.load(wh, "d", "src").append(rows(Seq(
+      ("2024-03-01 10:00:00", 1L), ("2024-03-01 23:30:00", 2L))))
+    spark.conf.set("spark.sql.catalog.gmvtz", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.gmvtz.warehouse", wh)
+    vsql("CREATE MATERIALIZED VIEW gmvtz.d.daily AS " +
+      "SELECT date_trunc('DAY', ts) AS day, count(*) AS n " +
+      "FROM gmvtz.d.src GROUP BY date_trunc('DAY', ts)").collect()
+    val doc = graft.sources.LakeViews.read(
+      graft.sources.LakeViews.path(wh, "d", "daily")).get
+    assert(doc.properties.contains("graft.mat-view.tz"),
+      s"date_trunc shapes must pin the zone: ${doc.properties}")
+    LakeTable.load(wh, "d", "src").append(rows(Seq(
+      ("2024-03-02 01:00:00", 3L))))
+    val tz0 = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      // a differently-zoned session would bucket the delta into
+      // DIFFERENT days than the materialization — refuse by name
+      val e = intercept[Exception] {
+        vsql("REFRESH MATERIALIZED VIEW gmvtz.d.daily INCREMENTAL")
+          .collect()
+      }
+      assert(messages(e).contains("time zone"), messages(e))
+      // full refresh recomputes under the new zone and RE-PINS it ...
+      vsql("REFRESH MATERIALIZED VIEW gmvtz.d.daily").collect()
+      assert(graft.sources.LakeViews.read(
+        graft.sources.LakeViews.path(wh, "d", "daily")).get
+        .properties.get("graft.mat-view.tz")
+        .contains("America/New_York"))
+      // ... after which incremental works again in this session
+      LakeTable.load(wh, "d", "src").append(rows(Seq(
+        ("2024-03-02 12:00:00", 4L))))
+      vsql("REFRESH MATERIALIZED VIEW gmvtz.d.daily INCREMENTAL")
+        .collect()
+      // exact vs a recompute under the SAME session zone
+      val got = vsql("SELECT day, n FROM gmvtz.d.daily ORDER BY day")
+        .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSeq
+      val want = LakeTable.load(wh, "d", "src").read(spark)
+        .groupBy(date_trunc("DAY", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n")).orderBy("day")
+        .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSeq
+      assert(got == want, s"got $got want $want")
+    } finally spark.conf.set("spark.sql.session.timeZone", tz0)
+  }
+
   test("double sums stay full-refresh-only, with a named refusal") {
     val wh = Files.createTempDirectory("graft-matview-dbl").toString
     Engine.processTableDefJson(wh,
