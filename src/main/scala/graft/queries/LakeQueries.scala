@@ -1160,6 +1160,45 @@ object LakeReadQueries extends QueryModule {
           |ORDER BY c_custkey""".stripMargin)
     }),
 
+    "lake_merge_nmbs" -> QueryModule.micro(4)((s, dir) => {
+      // MERGE with the full three-clause sync shape, including
+      // Spark 4's WHEN NOT MATCHED BY SOURCE — conditional delete of
+      // target rows the source no longer carries (the "mirror with
+      // carve-outs" pattern). Runs through the engine's DSv2
+      // row-level-operation plumbing; the oracle reconstructs the
+      // merged state from the raw inputs.
+      val wh = LakeQueries.freshWarehouse("mergenmbs")
+      Engine.processTableDefJson(wh,
+        """{"database_name":"ms","table_name":"nat","columns":[
+          |{"column_name":"n_nationkey","data_type":"int"},
+          |{"column_name":"n_name","data_type":"string"},
+          |{"column_name":"n_regionkey","data_type":"int"}],
+          |"partitions":[]}""".stripMargin)
+      val nation = Tables(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+      LakeTable.load(wh, "ms", "nat").append(nation)
+      // source: updated copies of keys < 10, plus brand-new keys
+      nation.filter(col("n_nationkey") < 10)
+        .withColumn("n_name", concat(col("n_name"), lit("_v2")))
+        .unionByName(nation.filter(col("n_nationkey") < 5)
+          .withColumn("n_nationkey", col("n_nationkey") + 100)
+          .withColumn("n_name", concat(col("n_name"), lit("_new"))))
+        .createOrReplaceTempView("nmbs_src")
+      s.conf.set("spark.sql.catalog.gnmbs", "graft.sources.LakeCatalog")
+      s.conf.set("spark.sql.catalog.gnmbs.warehouse", wh)
+      s.sql(
+        """MERGE INTO gnmbs.ms.nat t USING nmbs_src s
+          |ON t.n_nationkey = s.n_nationkey
+          |WHEN MATCHED THEN UPDATE SET n_name = s.n_name
+          |WHEN NOT MATCHED THEN
+          |  INSERT (n_nationkey, n_name, n_regionkey)
+          |  VALUES (s.n_nationkey, s.n_name, s.n_regionkey)
+          |WHEN NOT MATCHED BY SOURCE AND t.n_regionkey = 0 THEN
+          |  DELETE""".stripMargin).collect()
+      s.sql("SELECT n_nationkey, n_name, n_regionkey " +
+        "FROM gnmbs.ms.nat ORDER BY n_nationkey")
+    }),
+
     "lake_ctas" -> QueryModule.micro(4)((s, dir) => {
       // CTAS / RTAS / timestamp time travel through the catalog
       // plugin: Spark's non-atomic CreateTableAsSelect and
@@ -2566,6 +2605,18 @@ object RowOpsQueries extends QueryModule {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
         |    AS sum_price
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "lake_merge_nmbs" ->
+      """SELECT * FROM (
+        |  SELECT n_nationkey,
+        |    CASE WHEN n_nationkey < 10 THEN n_name || '_v2'
+        |         ELSE n_name END AS n_name,
+        |    n_regionkey
+        |  FROM nation WHERE n_nationkey < 10 OR n_regionkey <> 0
+        |  UNION ALL
+        |  SELECT n_nationkey + 100, n_name || '_new', n_regionkey
+        |  FROM nation WHERE n_nationkey < 5
+        |) ORDER BY n_nationkey""".stripMargin,
 
     "lake_ctas" ->
       """SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n_nations
