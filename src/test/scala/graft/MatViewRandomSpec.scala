@@ -1,0 +1,155 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.lake.{Engine, LakeTable}
+
+/** Randomized differential check for incremental MV maintenance: a
+  * SEEDED random op sequence (appends, MoR deletes, CoW deletes, CoW
+  * updates) mutates the source, refreshes fire at random points (so
+  * deltas span several heterogeneous commits), and after EVERY
+  * refresh the materialized content must equal a from-scratch
+  * recompute of the defining query — for a retractable COUNT/SUM/AVG
+  * shape refreshed incrementally throughout, and for a MIN/MAX shape
+  * whose incremental refresh must instead REFUSE exactly when the
+  * pending delta stopped being append-only (and recover by full
+  * refresh). One seeded run, deterministic; a drift of one row, one
+  * count, or one decimal ulp fails the comparison.
+  */
+class MatViewRandomSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def vsql(q: String) =
+    org.apache.spark.sql.GraftViewSubstitution.sql(spark, q)
+
+  test("seeded op soup: incremental always equals the recompute; " +
+      "min/max refuses exactly on non-append deltas") {
+    val wh = Files.createTempDirectory("graft-mv-random").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"src","columns":[
+        |{"column_name":"k","data_type":"string"},
+        |{"column_name":"x","data_type":"long"},
+        |{"column_name":"amt","data_type":"decimal(18,4)"}],
+        |"partitions":[]}""".stripMargin)
+    import SparkTestSession.spark.implicits._
+    val rnd = new scala.util.Random(11L)
+    val keys = Vector("a", "b", "c", "d", "e")
+    var nextX = 0L
+    def randRows(n: Int) = {
+      val rows = (0 until n).map { _ =>
+        nextX += 1
+        (keys(rnd.nextInt(keys.size)), nextX,
+          s"${rnd.nextInt(2000)}.${1000 + rnd.nextInt(9000)}")
+      }
+      rows.toDF("k", "x", "amt").select(col("k"), col("x"),
+        col("amt").cast("decimal(18,4)").as("amt"))
+    }
+    LakeTable.load(wh, "d", "src").append(randRows(20))
+    spark.conf.set("spark.sql.catalog.gmvr2", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.gmvr2.warehouse", wh)
+    vsql("CREATE MATERIALIZED VIEW gmvr2.d.ret AS " +
+      "SELECT k, count(*) AS n, sum(amt) AS s, avg(amt) AS a " +
+      "FROM gmvr2.d.src GROUP BY k").collect()
+    vsql("CREATE MATERIALIZED VIEW gmvr2.d.mm AS " +
+      "SELECT k, min(x) AS mn, max(x) AS mx, count(*) AS n " +
+      "FROM gmvr2.d.src GROUP BY k").collect()
+    for (name <- Seq("ret", "mm"))
+      assert(graft.sources.LakeViews.read(
+        graft.sources.LakeViews.path(wh, "d", name)).get
+        .properties.get("graft.mat-view.incr").contains("true"), name)
+
+    def recomputeRet(): Set[(String, Long, String, String)] =
+      LakeTable.load(wh, "d", "src").read(spark).groupBy("k")
+        .agg(count(lit(1)).as("n"), sum("amt").as("s"),
+          avg("amt").as("a"))
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          Option(r.get(2)).map(_.toString).orNull,
+          Option(r.get(3)).map(_.toString).orNull)).toSet
+    def viewRet(): Set[(String, Long, String, String)] =
+      vsql("SELECT k, n, CAST(s AS STRING) AS s, CAST(a AS STRING) " +
+        "AS a FROM gmvr2.d.ret").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+          r.getString(3))).toSet
+    def recomputeMm(): Set[(String, Long, Long, Long)] =
+      LakeTable.load(wh, "d", "src").read(spark).groupBy("k")
+        .agg(min("x").as("mn"), max("x").as("mx"),
+          count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          r.getLong(2), r.getLong(3))).toSet
+    def viewMm(): Set[(String, Long, Long, Long)] =
+      vsql("SELECT k, mn, mx, n FROM gmvr2.d.mm").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+
+    // does the UNREFRESHED range of mm hold anything non-append?
+    // A predicate matching nothing commits NO snapshot, so dirtiness
+    // is derived from what actually landed, not from the op we tried
+    var mmDirty = false // non-append snapshot since mm's last refresh
+    def mutate(body: => Unit): Unit = {
+      val before = LakeTable.load(wh, "d", "src")
+        .metadata.snapshots.map(_.id).toSet
+      body
+      if (LakeTable.load(wh, "d", "src").metadata.snapshots.exists(s =>
+          !before(s.id) && s.operation != "append" &&
+            !LakeTable.isByteMove(s.operation)))
+        mmDirty = true
+    }
+    var incrRet = 0; var incrMm = 0; var refusals = 0
+    for (i <- 0 until 14) {
+      rnd.nextInt(4) match {
+        case 0 =>
+          LakeTable.load(wh, "d", "src").append(randRows(3 + rnd.nextInt(5)))
+        case 1 =>
+          val key = keys(rnd.nextInt(keys.size))
+          mutate(LakeTable.load(wh, "d", "src")
+            .deleteMoR(spark, col("k") === key && col("x") % 3 === 0))
+        case 2 =>
+          val cut = nextX - rnd.nextInt(10)
+          mutate(LakeTable.load(wh, "d", "src")
+            .delete(spark, col("x") > cut)) // copy-on-write
+        case 3 =>
+          val key = keys(rnd.nextInt(keys.size))
+          mutate(LakeTable.load(wh, "d", "src").update(spark,
+            Map("amt" -> (col("amt") + lit(1).cast("decimal(18,4)"))),
+            col("k") === key)) // copy-on-write rewrite
+      }
+      if (rnd.nextInt(10) < 7) {
+        // the retractable shape NEVER refuses on this op mix
+        vsql("REFRESH MATERIALIZED VIEW gmvr2.d.ret INCREMENTAL")
+          .collect()
+        incrRet += 1
+        assert(viewRet() == recomputeRet(), s"ret drifted at step $i")
+      }
+      if (rnd.nextInt(10) < 5) {
+        if (mmDirty) {
+          val e = intercept[Exception] {
+            vsql("REFRESH MATERIALIZED VIEW gmvr2.d.mm INCREMENTAL")
+              .collect()
+          }
+          val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+            .takeWhile(_ != null)
+            .map(t => Option(t.getMessage).getOrElse("")).mkString(" ")
+          assert(msgs.contains("append-only"), s"step $i: $msgs")
+          refusals += 1
+          vsql("REFRESH MATERIALIZED VIEW gmvr2.d.mm").collect() // full
+          mmDirty = false
+        } else {
+          vsql("REFRESH MATERIALIZED VIEW gmvr2.d.mm INCREMENTAL")
+            .collect()
+          incrMm += 1
+        }
+        assert(viewMm() == recomputeMm(), s"mm drifted at step $i")
+      }
+    }
+    // final convergence + the run actually exercised every path
+    vsql("REFRESH MATERIALIZED VIEW gmvr2.d.ret INCREMENTAL").collect()
+    assert(viewRet() == recomputeRet(), "final ret")
+    vsql("REFRESH MATERIALIZED VIEW gmvr2.d.mm").collect()
+    assert(viewMm() == recomputeMm(), "final mm")
+    assert(incrRet >= 5 && refusals >= 1,
+      s"coverage: incrRet=$incrRet incrMm=$incrMm refusals=$refusals")
+  }
+}
