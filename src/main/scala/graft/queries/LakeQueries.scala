@@ -891,6 +891,47 @@ object LakeReadQueries extends QueryModule {
         "FROM gmvex.mve.daily ORDER BY day")
     }),
 
+    "lake_mat_view_having" -> QueryModule.micro(4)((s, dir) => {
+      // HAVING in the incremental class: the condition references an
+      // UNSELECTED count(*), which materializes as a hidden storage
+      // aggregate the fronting view filters on at read time — groups
+      // are maintained unconditionally, so threshold crossings track
+      // the deltas exactly. Oracle recomputes the HAVING query from
+      // scratch.
+      val wh = LakeQueries.freshWarehouse("matviewhav")
+      Engine.processTableDefJson(wh,
+        """{"database_name":"mvh","table_name":"ord","columns":[
+          |{"column_name":"o_custkey","data_type":"long"},
+          |{"column_name":"o_price","data_type":"decimal(18,4)"}],
+          |"partitions":[]}""".stripMargin)
+      val orders = Tables(s, dir, "orders")
+        .select(col("o_custkey"),
+          col("o_totalprice").cast("decimal(18,4)").as("o_price"))
+      LakeTable.load(wh, "mvh", "ord")
+        .append(orders.filter(col("o_custkey") % 2 === 0))
+      s.conf.set("spark.sql.catalog.gmvhav", "graft.sources.LakeCatalog")
+      s.conf.set("spark.sql.catalog.gmvhav.warehouse", wh)
+      def vsql(q: String) =
+        org.apache.spark.sql.GraftViewSubstitution.sql(s, q)
+      vsql("CREATE MATERIALIZED VIEW gmvhav.mvh.big AS " +
+        "SELECT o_custkey, sum(o_price) AS sum_price " +
+        "FROM gmvhav.mvh.ord GROUP BY o_custkey " +
+        "HAVING count(*) >= 2").collect()
+      require(graft.sources.LakeViews.read(
+        graft.sources.LakeViews.path(wh, "mvh", "big")).get
+        .properties.contains("graft.mat-view.having"),
+        "the HAVING must be recorded with the incremental shape")
+      LakeTable.load(wh, "mvh", "ord")
+        .append(orders.filter(col("o_custkey") % 2 =!= 0))
+      val res = vsql(
+        "REFRESH MATERIALIZED VIEW gmvhav.mvh.big INCREMENTAL")
+        .collect()
+      require(res.head.getLong(1) > res.head.getLong(0),
+        "the incremental refresh must advance the watermark")
+      vsql("SELECT o_custkey, CAST(sum_price AS DOUBLE) AS sum_price " +
+        "FROM gmvhav.mvh.big ORDER BY o_custkey")
+    }),
+
     "lake_mat_view_filter" -> QueryModule.micro(4)((s, dir) => {
       // WHERE-filtered defining queries in the incremental class: the
       // persisted predicate filters the seed, every delta, and every
@@ -2644,6 +2685,14 @@ object RowOpsQueries extends QueryModule {
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
         |    AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "lake_mat_view_having" ->
+      """SELECT o_custkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders GROUP BY o_custkey
+        |HAVING COUNT(*) >= 2
+        |ORDER BY o_custkey""".stripMargin,
 
     "lake_mat_view_filter" ->
       """SELECT o_custkey,

@@ -89,7 +89,14 @@ private[graft] object MatViews {
       specs: Seq[AggSpec], storageV2: Boolean = true,
       filterSql: Option[String] = None,
       tzSensitive: Boolean = false,
-      tz: Option[String] = None) {
+      tz: Option[String] = None,
+      havingSql: Option[String] = None,
+      visible: Option[Seq[String]] = None) {
+    /** The columns the VIEW serves, in declared order — a HAVING
+      * query may materialize extra storage-only aggregates
+      * (`__having_<i>`) its condition references. */
+    def visibleCols: Seq[String] = visible.getOrElse(specs.map(_.outName))
+
     def groupCols: Seq[GroupCol] =
       specs.collect { case g: GroupCol => g }
 
@@ -130,9 +137,70 @@ private[graft] object MatViews {
   }
 
   /** Detect the self-maintainable shape in an ANALYZED plan; None →
-    * the view stays full-refresh-only (always sound).
+    * the view stays full-refresh-only (always sound). Recognized
+    * shapes: a bare Aggregate, `HAVING` (a persistable Filter over
+    * the Aggregate), and the Project(attrs) the analyzer adds when
+    * the HAVING condition references aggregates that are not
+    * selected — those materialize as hidden `__having_<i>` storage
+    * columns the fronting view filters on (read-time, like any view
+    * predicate; maintenance is untouched).
     */
   def detect(plan: LogicalPlan, warehouse: String): Option[AggShape] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project}
+    plan match {
+      case agg: Aggregate => detectAgg(agg, warehouse)
+      case Filter(cond, agg: Aggregate) if persistable(cond) =>
+        withHaving(agg, cond,
+          agg.aggregateExpressions.map(_.toAttribute), warehouse)
+      case Project(ps, Filter(cond, agg: Aggregate))
+          if persistable(cond) &&
+            ps.forall(_.isInstanceOf[AttributeReference]) =>
+        withHaving(agg, cond,
+          ps.map(_.asInstanceOf[AttributeReference]), warehouse)
+      case _ => None
+    }
+  }
+
+  /** HAVING handling: storage materializes ALL aggregate outputs
+    * (unselected ones under hidden names — their analyzer-given names
+    * like `count(1)` are not legal storage column names), the shape
+    * records the condition against storage names plus the visible
+    * column list, and the fronting view applies the filter at read
+    * time. The maintenance algebra is identical to the no-HAVING
+    * shape: groups are materialized unconditionally.
+    */
+  private def withHaving(agg: Aggregate, cond: Expression,
+      visible: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
+      warehouse: String): Option[AggShape] = {
+    val visIds = visible.map(_.exprId).toSet
+    var i = -1
+    val renames = agg.aggregateExpressions
+      .filterNot(o => visIds.contains(o.toAttribute.exprId))
+      .map { o => i += 1; o.toAttribute.exprId -> s"__having_$i" }.toMap
+    val newOuts = agg.aggregateExpressions.map { o =>
+      renames.get(o.toAttribute.exprId) match {
+        case Some(n) => o match {
+          case al: Alias => Alias(al.child, n)()
+          case a: AttributeReference => Alias(a, n)()
+          case other => return None
+        }
+        case None => o
+      }
+    }
+    detectAgg(agg.copy(aggregateExpressions = newOuts), warehouse)
+      .map { sh =>
+        val havingSql = cond.transform {
+          case a: AttributeReference =>
+            a.withName(renames.getOrElse(a.exprId, a.name))
+              .withQualifier(Nil)
+        }.sql
+        sh.copy(havingSql = Some(havingSql),
+          visible = Some(visible.map(_.name)))
+      }
+  }
+
+  private def detectAgg(agg: Aggregate,
+      warehouse: String): Option[AggShape] = {
     def unwrap(p: LogicalPlan): Option[(String, String)] = p match {
       case SubqueryAlias(_, c) => unwrap(c)
       case r: DataSourceV2Relation => r.table match {
@@ -144,9 +212,10 @@ private[graft] object MatViews {
       }
       case _ => None
     }
-    plan match {
-      case Aggregate(groupings, outs, aggChild, _) =>
-        // a WHERE over the source stays self-maintainable: the same
+    val groupings = agg.groupingExpressions
+    val outs = agg.aggregateExpressions
+    val aggChild = agg.child
+    // a WHERE over the source stays self-maintainable: the same
         // predicate filters every delta before aggregation. Only
         // persistable conditions qualify; the condition is stored as
         // SQL (qualifiers stripped so it re-parses against the bare
@@ -234,8 +303,6 @@ private[graft] object MatViews {
             tzSensitive = (groupings ++ outs ++
               aggChild.expressions).exists(isTzSensitive)))
         }
-      case _ => None
-    }
   }
 
   /** A row-local expression whose persisted SQL re-evaluates
@@ -350,15 +417,19 @@ private[graft] object MatViews {
 
   /** Project the declared (visible) columns back out of a storage
     * frame — plain aggregates pass through, AVG divides its hidden
-    * parts exactly as Spark's Average does.
+    * parts exactly as Spark's Average does. (Schema-shaping only:
+    * the HAVING condition, a read-time filter, is the view SQL's
+    * job and does not change the schema.)
     */
-  def visibleFrame(storage: DataFrame, shape: AggShape): DataFrame =
-    storage.select(shape.specs.map {
-      case a @ AvgCol(n, _, _, _) =>
+  def visibleFrame(storage: DataFrame, shape: AggShape): DataFrame = {
+    val bySpec = shape.specs.map(sp => sp.outName -> sp).toMap
+    storage.select(shape.visibleCols.map(n => bySpec(n) match {
+      case a @ AvgCol(_, _, _, _) =>
         (q(s"__avg_sum_$n") / q(s"__avg_cnt_$n").cast(DecimalType(20, 0)))
           .cast(a.resultType).as(n)
-      case s => q(s.outName)
-    }: _*)
+      case sp => q(sp.outName)
+    }): _*)
+  }
 
   /** The fronting view's stored SQL over the backing table: ALWAYS an
     * explicit projection in the defining query's declared column
@@ -368,13 +439,26 @@ private[graft] object MatViews {
     */
   def viewSql(shape: AggShape, catalogName: String, db: String,
       matTable: String): String = {
-    val cols = shape.specs.map {
+    def proj(sp: AggSpec): String = sp match {
       case a @ AvgCol(n, _, _, _) =>
         s"CAST(`__avg_sum_$n` / CAST(`__avg_cnt_$n` AS DECIMAL(20,0)) " +
           s"AS ${a.resultType.sql}) AS `$n`"
-      case s => s"`${s.outName}`"
+      case other => s"`${other.outName}`"
     }
-    s"SELECT ${cols.mkString(", ")} FROM $catalogName.$db.$matTable"
+    val bySpec = shape.specs.map(sp => sp.outName -> sp).toMap
+    shape.havingSql match {
+      case None =>
+        val cols = shape.visibleCols.map(n => proj(bySpec(n)))
+        s"SELECT ${cols.mkString(", ")} FROM $catalogName.$db.$matTable"
+      case Some(h) =>
+        // WHERE cannot reference SELECT aliases, so the projections
+        // (including hidden __having_* aggregates and AVG divisions)
+        // compute in a subquery and the condition filters its output
+        val inner = shape.specs.map(proj).mkString(", ")
+        val outer = shape.visibleCols.map(n => s"`$n`").mkString(", ")
+        s"SELECT $outer FROM (SELECT $inner FROM " +
+          s"$catalogName.$db.$matTable) WHERE $h"
+    }
   }
 
   /** Merge a delta (storage) aggregation into the current per-group
@@ -431,6 +515,9 @@ private[graft] object MatViews {
     "graft.mat-view.src-db" -> shape.srcDb,
     "graft.mat-view.src-table" -> shape.srcTable) ++
     shape.filterSql.map("graft.mat-view.filter" -> _) ++
+    shape.havingSql.map("graft.mat-view.having" -> _) ++
+    shape.visible.map(v => "graft.mat-view.visible" ->
+      v.map(esc).mkString(",")) ++
     (if (shape.tzSensitive)
       Map("graft.mat-view.tz" -> sessionTz)
      else Map.empty) ++ Map(
@@ -477,7 +564,10 @@ private[graft] object MatViews {
       storageV2 = props.get("graft.mat-view.storage").contains("2"),
       filterSql = props.get("graft.mat-view.filter"),
       tzSensitive = props.contains("graft.mat-view.tz"),
-      tz = props.get("graft.mat-view.tz")))
+      tz = props.get("graft.mat-view.tz"),
+      havingSql = props.get("graft.mat-view.having"),
+      visible = props.get("graft.mat-view.visible")
+        .map(_.split(",").toSeq.map(unesc))))
     }
 
   /** The backing-table group-key columns that can carry per-file bloom

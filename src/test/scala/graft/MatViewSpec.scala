@@ -610,6 +610,60 @@ class MatViewSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.session.timeZone", tz0)
   }
 
+  test("HAVING maintains incrementally: threshold crossings appear " +
+      "and disappear; unselected aggregates materialize hidden") {
+    val wh = Files.createTempDirectory("graft-matview-having").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"src","columns":[
+        |{"column_name":"k","data_type":"string"},
+        |{"column_name":"amt","data_type":"decimal(18,4)"}],
+        |"partitions":[]}""".stripMargin)
+    import SparkTestSession.spark.implicits._
+    def rows(r: Seq[(String, String)]) = r.toDF("k", "amt")
+      .select(col("k"), col("amt").cast("decimal(18,4)").as("amt"))
+    LakeTable.load(wh, "d", "src").append(rows(Seq(
+      ("a", "1.0000"), ("a", "2.0000"), ("b", "5.0000"))))
+    spark.conf.set("spark.sql.catalog.gmvh", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.gmvh.warehouse", wh)
+    // the HAVING references count(*), which is NOT selected — it
+    // materializes as a hidden storage aggregate
+    vsql("CREATE MATERIALIZED VIEW gmvh.d.roll AS " +
+      "SELECT k, sum(amt) AS s FROM gmvh.d.src GROUP BY k " +
+      "HAVING count(*) > 1").collect()
+    val doc = graft.sources.LakeViews.read(
+      graft.sources.LakeViews.path(wh, "d", "roll")).get
+    assert(doc.properties.get("graft.mat-view.incr").contains("true"),
+      doc.properties.toString)
+    assert(doc.properties.contains("graft.mat-view.having") &&
+      doc.properties.contains("graft.mat-view.visible"),
+      doc.properties.toString)
+    // the hidden count doubles as the retraction row counter
+    val backing = LakeTable.load(wh, "d", "__mat_roll")
+    assert(backing.metadata.currentSchema.fieldNames.toSet ==
+      Set("k", "s", "__having_0"),
+      backing.metadata.currentSchema.fieldNames.toSeq.toString)
+    def state(): Seq[(String, String)] =
+      vsql("SELECT k, CAST(s AS STRING) AS s FROM gmvh.d.roll " +
+        "ORDER BY k").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(state() == Seq(("a", "3.0000")),
+      "only groups past the threshold are served")
+    // b crosses the threshold through an incremental append ...
+    LakeTable.load(wh, "d", "src").append(rows(Seq(("b", "4.0000"))))
+    vsql("REFRESH MATERIALIZED VIEW gmvh.d.roll INCREMENTAL").collect()
+    assert(state() == Seq(("a", "3.0000"), ("b", "9.0000")))
+    // ... and a falls back under it through a retraction
+    LakeTable.load(wh, "d", "src").deleteMoR(spark,
+      col("k") === "a" && col("amt") === java.math.BigDecimal.valueOf(2.0))
+    vsql("REFRESH MATERIALIZED VIEW gmvh.d.roll INCREMENTAL").collect()
+    assert(state() == Seq(("b", "9.0000")),
+      "a dropped below the threshold but stays materialized (hidden)")
+    // the under-threshold group is still MAINTAINED, just not served
+    LakeTable.load(wh, "d", "src").append(rows(Seq(("a", "0.5000"))))
+    vsql("REFRESH MATERIALIZED VIEW gmvh.d.roll INCREMENTAL").collect()
+    assert(state() == Seq(("a", "1.5000"), ("b", "9.0000")))
+  }
+
   test("double sums stay full-refresh-only, with a named refusal") {
     val wh = Files.createTempDirectory("graft-matview-dbl").toString
     Engine.processTableDefJson(wh,
