@@ -147,16 +147,36 @@ private[graft] object MatViews {
     */
   def detect(plan: LogicalPlan, warehouse: String): Option[AggShape] = {
     import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project}
-    plan match {
+    // subquery aliases are name scoping, not computation — a grouped
+    // subquery arrives as Project/Filter over SubqueryAlias(Aggregate)
+    def strip(p: LogicalPlan): LogicalPlan = p match {
+      case SubqueryAlias(_, c) => strip(c)
+      case other => other
+    }
+    strip(plan) match {
       case agg: Aggregate => detectAgg(agg, warehouse)
-      case Filter(cond, agg: Aggregate) if persistable(cond) =>
-        withHaving(agg, cond,
-          agg.aggregateExpressions.map(_.toAttribute), warehouse)
-      case Project(ps, Filter(cond, agg: Aggregate))
-          if persistable(cond) &&
-            ps.forall(_.isInstanceOf[AttributeReference]) =>
-        withHaving(agg, cond,
-          ps.map(_.asInstanceOf[AttributeReference]), warehouse)
+      case Filter(cond, fc) if persistable(cond) => strip(fc) match {
+        case agg: Aggregate =>
+          withHaving(agg, Some(cond),
+            agg.aggregateExpressions.map(_.toAttribute), warehouse)
+        case _ => None
+      }
+      case Project(ps, pc)
+          if ps.forall(_.isInstanceOf[AttributeReference]) =>
+        strip(pc) match {
+          case Filter(cond, fc) if persistable(cond) => strip(fc) match {
+            case agg: Aggregate =>
+              withHaving(agg, Some(cond),
+                ps.map(_.asInstanceOf[AttributeReference]), warehouse)
+            case _ => None
+          }
+          // a pure column subset/reorder above the aggregate — same
+          // machinery, no condition
+          case agg: Aggregate =>
+            withHaving(agg, None,
+              ps.map(_.asInstanceOf[AttributeReference]), warehouse)
+          case _ => None
+        }
       case _ => None
     }
   }
@@ -169,7 +189,7 @@ private[graft] object MatViews {
     * time. The maintenance algebra is identical to the no-HAVING
     * shape: groups are materialized unconditionally.
     */
-  private def withHaving(agg: Aggregate, cond: Expression,
+  private def withHaving(agg: Aggregate, cond: Option[Expression],
       visible: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
       warehouse: String): Option[AggShape] = {
     val visIds = visible.map(_.exprId).toSet
@@ -189,12 +209,12 @@ private[graft] object MatViews {
     }
     detectAgg(agg.copy(aggregateExpressions = newOuts), warehouse)
       .map { sh =>
-        val havingSql = cond.transform {
+        val havingSql = cond.map(_.transform {
           case a: AttributeReference =>
             a.withName(renames.getOrElse(a.exprId, a.name))
               .withQualifier(Nil)
-        }.sql
-        sh.copy(havingSql = Some(havingSql),
+        }.sql)
+        sh.copy(havingSql = havingSql,
           visible = Some(visible.map(_.name)))
       }
   }

@@ -664,6 +664,35 @@ class MatViewSpec extends AnyFunSuite {
     assert(state() == Seq(("a", "1.5000"), ("b", "9.0000")))
   }
 
+  test("a column subset/reorder over a grouped subquery still " +
+      "records the shape") {
+    val wh = Files.createTempDirectory("graft-matview-proj").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"src","columns":[
+        |{"column_name":"k","data_type":"string"},
+        |{"column_name":"x","data_type":"long"}],"partitions":[]}""".stripMargin)
+    import SparkTestSession.spark.implicits._
+    LakeTable.load(wh, "d", "src").append(
+      Seq(("a", 1L), ("b", 2L)).toDF("k", "x"))
+    spark.conf.set("spark.sql.catalog.gmvp2", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.gmvp2.warehouse", wh)
+    // the subquery computes count(*) too; the outer SELECT drops it
+    // and reorders — the shape must still detect (count hidden)
+    vsql("CREATE MATERIALIZED VIEW gmvp2.d.roll AS " +
+      "SELECT s, k FROM (SELECT k, count(*) AS n, sum(x) AS s " +
+      "FROM gmvp2.d.src GROUP BY k) t").collect()
+    assert(graft.sources.LakeViews.read(
+      graft.sources.LakeViews.path(wh, "d", "roll")).get
+      .properties.get("graft.mat-view.incr").contains("true"))
+    LakeTable.load(wh, "d", "src").append(Seq(("a", 10L)).toDF("k", "x"))
+    vsql("REFRESH MATERIALIZED VIEW gmvp2.d.roll INCREMENTAL").collect()
+    val got = vsql("SELECT * FROM gmvp2.d.roll ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((11L, "a"), (2L, "b")), got.toString)
+    assert(vsql("SELECT * FROM gmvp2.d.roll").schema.fieldNames.toSeq ==
+      Seq("s", "k"), "declared order: s first")
+  }
+
   test("double sums stay full-refresh-only, with a named refusal") {
     val wh = Files.createTempDirectory("graft-matview-dbl").toString
     Engine.processTableDefJson(wh,
