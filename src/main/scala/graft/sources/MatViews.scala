@@ -193,11 +193,32 @@ private[graft] object MatViews {
       visible: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
       warehouse: String): Option[AggShape] = {
     val visIds = visible.map(_.exprId).toSet
+    val condRefs = cond.map(_.references.map(_.exprId).toSet)
+      .getOrElse(Set.empty[org.apache.spark.sql.catalyst
+        .expressions.ExprId])
+    def isGroupOut(
+        o: org.apache.spark.sql.catalyst.expressions.NamedExpression)
+        : Boolean = o match {
+      case al: Alias => agg.groupingExpressions
+        .exists(_.semanticEquals(al.child))
+      case a: AttributeReference => agg.groupingExpressions
+        .exists(_.semanticEquals(a))
+      case _ => false
+    }
+    // keep: visible outputs, outputs the condition references, and
+    // group outputs (the completeness check needs them — a truly
+    // dropped grouping correctly forfeits the shape). An unselected,
+    // unreferenced AGGREGATE is pruned entirely: materializing it
+    // would only narrow the maintainable class (a dropped double-sum
+    // or max would forfeit incrementality/retractability for nothing)
+    val kept = agg.aggregateExpressions.filter(o =>
+      visIds.contains(o.toAttribute.exprId) ||
+        condRefs.contains(o.toAttribute.exprId) || isGroupOut(o))
     var i = -1
-    val renames = agg.aggregateExpressions
+    val renames = kept
       .filterNot(o => visIds.contains(o.toAttribute.exprId))
       .map { o => i += 1; o.toAttribute.exprId -> s"__having_$i" }.toMap
-    val newOuts = agg.aggregateExpressions.map { o =>
+    val newOuts = kept.map { o =>
       renames.get(o.toAttribute.exprId) match {
         case Some(n) => o match {
           case al: Alias => Alias(al.child, n)()
@@ -274,7 +295,10 @@ private[graft] object MatViews {
                   if !ae.isDistinct && ae.filter.isEmpty =>
                 ae.aggregateFunction match {
                   case c: Count => c.children match {
-                    case Seq(l: Literal) => CountStar(n)
+                    // count(NULL) is the constant 0, not a row count —
+                    // it falls through to CountCol over the literal
+                    case Seq(l: Literal) if l.value != null =>
+                      CountStar(n)
                     case Seq(e) if exprOk(e) => CountCol(n, sqlOf(e))
                     case _ => return None
                   }

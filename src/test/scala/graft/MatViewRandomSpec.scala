@@ -149,7 +149,7 @@ class MatViewRandomSpec extends AnyFunSuite {
     assert(viewRet() == recomputeRet(), "final ret")
     vsql("REFRESH MATERIALIZED VIEW gmvr2.d.mm").collect()
     assert(viewMm() == recomputeMm(), "final mm")
-    assert(incrRet >= 5 && refusals >= 1,
+    assert(incrRet >= 5 && incrMm >= 1 && refusals >= 1,
       s"coverage: incrRet=$incrRet incrMm=$incrMm refusals=$refusals")
   }
 }

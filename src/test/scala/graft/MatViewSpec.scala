@@ -693,6 +693,43 @@ class MatViewSpec extends AnyFunSuite {
       Seq("s", "k"), "declared order: s first")
   }
 
+  test("an unselected, unreferenced double-sum is pruned instead of " +
+      "forfeiting the shape; count(NULL) is not a row count") {
+    val wh = Files.createTempDirectory("graft-matview-prune2").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"src","columns":[
+        |{"column_name":"k","data_type":"string"},
+        |{"column_name":"x","data_type":"long"},
+        |{"column_name":"dv","data_type":"double"}],"partitions":[]}""".stripMargin)
+    import SparkTestSession.spark.implicits._
+    LakeTable.load(wh, "d", "src").append(
+      Seq(("a", 1L, 0.5), ("a", 2L, 1.5)).toDF("k", "x", "dv"))
+    spark.conf.set("spark.sql.catalog.gmvu", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.gmvu.warehouse", wh)
+    // the dropped sum(dv) over a DOUBLE would refuse the shape if it
+    // were materialized — pruning it keeps the visible query
+    // incrementally maintainable
+    vsql("CREATE MATERIALIZED VIEW gmvu.d.roll AS " +
+      "SELECT k, n FROM (SELECT k, count(*) AS n, sum(dv) AS sd " +
+      "FROM gmvu.d.src GROUP BY k) t").collect()
+    assert(graft.sources.LakeViews.read(
+      graft.sources.LakeViews.path(wh, "d", "roll")).get
+      .properties.get("graft.mat-view.incr").contains("true"),
+      "dropping the unreferenced double-sum must keep the shape")
+    LakeTable.load(wh, "d", "src").append(
+      Seq(("a", 3L, 9.0)).toDF("k", "x", "dv"))
+    vsql("REFRESH MATERIALIZED VIEW gmvu.d.roll INCREMENTAL").collect()
+    assert(vsql("SELECT n FROM gmvu.d.roll WHERE k = 'a'").collect()
+      .head.getLong(0) == 3L)
+    // count(NULL) is the constant 0 per group, NOT a row count
+    vsql("CREATE MATERIALIZED VIEW gmvu.d.cn AS " +
+      "SELECT k, count(NULL) AS z, count(*) AS n FROM gmvu.d.src " +
+      "GROUP BY k").collect()
+    val rows = vsql("SELECT k, z, n FROM gmvu.d.cn").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows == Seq(("a", 0L, 3L)), rows.toString)
+  }
+
   test("double sums stay full-refresh-only, with a named refusal") {
     val wh = Files.createTempDirectory("graft-matview-dbl").toString
     Engine.processTableDefJson(wh,
