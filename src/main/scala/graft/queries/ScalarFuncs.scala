@@ -115,6 +115,32 @@ object ScalarFuncs extends QueryModule {
         .orderBy("c_custkey")
     }),
 
+    "q_bitwise_funcs" -> ((s, dir) => {
+      // bitwise inventory: and/or/xor, shifts, popcount — per-row,
+      // codegen'd. DuckDB's ^ is POWER, so the oracle spells xor(a,b)
+      Tables(s, dir, "nation").select(
+          col("n_nationkey"),
+          (col("n_nationkey").bitwiseAND(lit(12))).as("band"),
+          (col("n_nationkey").bitwiseOR(lit(5))).as("bor"),
+          (col("n_nationkey").bitwiseXOR(lit(9))).as("bxor"),
+          shiftleft(col("n_nationkey"), 2).as("shl2"),
+          shiftright(col("n_nationkey"), 1).as("shr1"),
+          bit_count(col("n_nationkey")).as("pop"))
+        .orderBy("n_nationkey")
+    }),
+
+    "q_hash_funcs" -> ((s, dir) => {
+      // cryptographic digests — the content-addressing primitives the
+      // dedup pipeline's exact paths build on; both engines emit
+      // lowercase hex
+      Tables(s, dir, "customer").select(
+          col("c_custkey"),
+          md5(col("c_name").cast("binary")).as("name_md5"),
+          sha2(col("c_name").cast("binary"), 256).as("name_sha256"),
+          length(md5(col("c_name").cast("binary"))).as("md5_len"))
+        .orderBy("c_custkey")
+    }),
+
     "q_json_funcs" -> ((s, dir) => {
       Tables(s, dir, "events").select(
           col("event_id"),
@@ -128,6 +154,23 @@ object ScalarFuncs extends QueryModule {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_bitwise_funcs" ->
+      """SELECT n_nationkey,
+        |  n_nationkey & 12 AS band,
+        |  n_nationkey | 5 AS bor,
+        |  xor(n_nationkey, 9) AS bxor,
+        |  n_nationkey << 2 AS shl2,
+        |  n_nationkey >> 1 AS shr1,
+        |  bit_count(n_nationkey) AS pop
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "q_hash_funcs" ->
+      """SELECT c_custkey,
+        |  md5(c_name) AS name_md5,
+        |  sha256(c_name) AS name_sha256,
+        |  CAST(length(md5(c_name)) AS INT) AS md5_len
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
     "q_str_funcs" ->
       """SELECT p_partkey,
         | upper(p_name) AS uname,
@@ -197,6 +240,23 @@ object ScalarFuncs extends QueryModule {
         | greatest(c_acctbal, 0.0) AS bal_floor,
         | CAST(least(c_nationkey, 10) AS INTEGER) AS nation_cap,
         | (c_acctbal > 0 AND c_nationkey < 20) AS flag
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_bitwise_funcs" ->
+      """SELECT n_nationkey,
+        |  n_nationkey & 12 AS band,
+        |  n_nationkey | 5 AS bor,
+        |  xor(n_nationkey, 9) AS bxor,
+        |  n_nationkey << 2 AS shl2,
+        |  n_nationkey >> 1 AS shr1,
+        |  bit_count(n_nationkey) AS pop
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "q_hash_funcs" ->
+      """SELECT c_custkey,
+        |  md5(c_name) AS name_md5,
+        |  sha256(c_name) AS name_sha256,
+        |  CAST(length(md5(c_name)) AS INT) AS md5_len
         |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "q_json_funcs" ->
