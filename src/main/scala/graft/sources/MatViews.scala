@@ -755,6 +755,26 @@ private[graft] object MatViews {
     }
     val range = src.metadata.snapshots
       .filter(s => s.id > w && s.id <= head)
+    // snapshot EXPIRY can squash part of the range into one "rewrite"
+    // snapshot whose carried files keep their ORIGINAL data sequences
+    // — the per-commit deltas are gone, and treating the squash as the
+    // byte move it resembles would silently drop those rows from the
+    // merge. Detect: a reset/byte-move in range carrying a file with
+    // an explicit post-watermark sequence whose originating snapshot
+    // is no longer a replayable commit. (Compaction is fine — its raw
+    // metas carry seq -1; bloom backfill is fine — its re-referenced
+    // files point at still-present append snapshots.)
+    val squashedAway = range
+      .filter(s => LakeTable.isByteMove(s.operation) ||
+        LakeTable.isReset(s.operation))
+      .exists(_.files.exists(f => f.seq >= 0 && f.seq > w &&
+        !src.metadata.snapshots.exists(o => o.id == f.seq &&
+          !LakeTable.isByteMove(o.operation) &&
+          !LakeTable.isReset(o.operation))))
+    require(!squashedAway,
+      s"incremental refresh cannot replay ($w, $head]: part of the " +
+        "range was expired/squashed and its per-commit deltas are " +
+        "gone — run a full refresh instead")
     val nonAppend = range.filterNot(s =>
       s.operation == "append" || LakeTable.isByteMove(s.operation))
     val retract = nonAppend.nonEmpty

@@ -730,6 +730,49 @@ class MatViewSpec extends AnyFunSuite {
     assert(rows == Seq(("a", 0L, 3L)), rows.toString)
   }
 
+  test("an expire-squash inside the refresh range refuses by name " +
+      "(silent row loss); pre-watermark expiry stays fine") {
+    val wh = Files.createTempDirectory("graft-matview-expire").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"src","columns":[
+        |{"column_name":"k","data_type":"string"},
+        |{"column_name":"x","data_type":"long"}],"partitions":[]}""".stripMargin)
+    import SparkTestSession.spark.implicits._
+    LakeTable.load(wh, "d", "src").append(Seq(("a", 1L)).toDF("k", "x"))
+    spark.conf.set("spark.sql.catalog.gmvex2", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.gmvex2.warehouse", wh)
+    vsql("CREATE MATERIALIZED VIEW gmvex2.d.roll AS " +
+      "SELECT k, count(*) AS n, sum(x) AS s FROM gmvex2.d.src " +
+      "GROUP BY k").collect()
+    // two post-watermark appends, then expire squashes the FIRST of
+    // them away — its per-commit delta no longer exists
+    LakeTable.load(wh, "d", "src").append(Seq(("b", 2L)).toDF("k", "x"))
+    val midHead = LakeTable.load(wh, "d", "src")
+      .metadata.snapshots.map(_.id).max
+    LakeTable.load(wh, "d", "src").append(Seq(("c", 3L)).toDF("k", "x"))
+    LakeTable.load(wh, "d", "src").expireSnapshots(keepAfter = midHead)
+    val e = intercept[Exception] {
+      vsql("REFRESH MATERIALIZED VIEW gmvex2.d.roll INCREMENTAL")
+        .collect()
+    }
+    assert(messages(e).contains("expired/squashed"), messages(e))
+    // full refresh recovers, with the squashed rows intact
+    vsql("REFRESH MATERIALIZED VIEW gmvex2.d.roll").collect()
+    assert(vsql("SELECT k, n, s FROM gmvex2.d.roll ORDER BY k")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq == Seq(("a", 1L, 1L), ("b", 1L, 2L), ("c", 1L, 3L)))
+    // expiry that stays AT or BEFORE the (re-pinned) watermark is
+    // invisible to later incremental refreshes
+    LakeTable.load(wh, "d", "src").append(Seq(("d", 4L)).toDF("k", "x"))
+    val preW = graft.sources.LakeViews.read(
+      graft.sources.LakeViews.path(wh, "d", "roll")).get
+      .properties("graft.mat-view.watermark").toLong
+    LakeTable.load(wh, "d", "src").expireSnapshots(keepAfter = preW)
+    vsql("REFRESH MATERIALIZED VIEW gmvex2.d.roll INCREMENTAL").collect()
+    assert(vsql("SELECT s FROM gmvex2.d.roll WHERE k = 'd'").collect()
+      .head.getLong(0) == 4L)
+  }
+
   test("double sums stay full-refresh-only, with a named refusal") {
     val wh = Files.createTempDirectory("graft-matview-dbl").toString
     Engine.processTableDefJson(wh,
