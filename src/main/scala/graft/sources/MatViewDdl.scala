@@ -101,7 +101,11 @@ object MatViewDdl {
         // watermark lives HERE so refreshes can advance it in the
         // same atomic flip as the merged data
         val keys = MatViews.bloomableKeys(sh, analyzed.schema)
-        Map("graft.mat-view.watermark" -> w.toString) ++
+        val wTs = LakeTable.load(warehouse, sh.srcDb, sh.srcTable)
+          .metadata.snapshots.find(_.id == w)
+          .map(_.timestampMs).getOrElse(-1L)
+        Map("graft.mat-view.watermark" -> w.toString,
+          "graft.mat-view.watermark-ts" -> wTs.toString) ++
           (if (keys.isEmpty) Map.empty[String, String]
            else Map("write.bloom-columns" -> keys.mkString(",")))
       }.getOrElse(Map.empty)))
@@ -192,11 +196,13 @@ object MatViewDdl {
               sh.srcTable)
             val head = src.metadata.snapshots.map(_.id)
               .foldLeft(0L)(math.max)
+            val headTs = src.metadata.snapshots.find(_.id == head)
+              .map(_.timestampMs).getOrElse(-1L)
             (MatViews.storageAggregate(
               MatViews.sourceRows(src.read(spark,
                 asOfSnapshot = if (head > 0) Some(head)
                   else None), sh), sh),
-              Some(head))
+              Some((head, headTs)))
           case None =>
             (org.apache.spark.sql.GraftViewSubstitution
               .sql(spark, defSql), None)
@@ -206,12 +212,15 @@ object MatViewDdl {
         val snap = LakeTable.load(warehouse, db, matTable)
           .transaction { tx =>
             val s = tx.overwrite(frame)
-            wm.foreach(h => tx.updateProperties(
-              Map("graft.mat-view.watermark" -> h.toString)))
+            wm.foreach { case (h, hTs) => tx.updateProperties(
+              Map("graft.mat-view.watermark" -> h.toString,
+                "graft.mat-view.watermark-ts" -> hTs.toString)) }
             s
           }
-        stamp(wm.map(h => Map("graft.mat-view.watermark" ->
-          h.toString)).getOrElse(Map.empty) ++
+        stamp(wm.map { case (h, hTs) =>
+          Map("graft.mat-view.watermark" -> h.toString,
+            "graft.mat-view.watermark-ts" -> hTs.toString)
+        }.getOrElse(Map.empty) ++
           // a tz-sensitive shape recomputed under THIS session's zone
           // is now bucketed by it — re-pin so later incremental
           // refreshes compare against the right zone

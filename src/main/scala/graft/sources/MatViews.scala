@@ -739,6 +739,26 @@ private[graft] object MatViews {
     // authoritative watermark: stamped atomically with the data flip
     val w = backing0.metadata.properties
       .get("graft.mat-view.watermark").map(_.toLong).getOrElse(watermark)
+    // the watermark must still NAME the snapshot it named when it was
+    // stamped: a source ROLLBACK truncates history and later appends
+    // RE-USE the freed ids, so a pure id comparison would silently
+    // merge on top of retracted (phantom) contributions. The stamped
+    // commit timestamp disambiguates; benign expiry keeps both (an
+    // at-watermark squash inherits the squashed head's id AND time).
+    if (w > 0) {
+      val wSnap = src.metadata.snapshots.find(_.id == w)
+      require(wSnap.isDefined,
+        s"the materialization's watermark snapshot $w no longer " +
+          "exists in the source history (rolled back or expired " +
+          "through) — the merged state can't be reconciled " +
+          "incrementally; run a full refresh instead")
+      backing0.metadata.properties.get("graft.mat-view.watermark-ts")
+        .map(_.toLong).foreach(ts =>
+        require(wSnap.get.timestampMs == ts,
+          s"snapshot $w in the source is not the commit this " +
+            "materialization was computed from (a rollback re-used " +
+            "the id) — run a full refresh instead"))
+    }
     val head = src.metadata.snapshots.map(_.id).foldLeft(0L)(math.max)
     if (head == w) return None
     // time-zone-sensitive shapes (date_trunc buckets, tz-dependent
@@ -842,7 +862,9 @@ private[graft] object MatViews {
     val merged0 = merge(deltaAgg,
       backing0.read(spark, statsFilters = filters), shape)
     val keys = shape.groupCols.map(_.outName)
-    val wmProp = Map("graft.mat-view.watermark" -> head.toString)
+    val wmProp = Map("graft.mat-view.watermark" -> head.toString,
+      "graft.mat-view.watermark-ts" -> src.metadata.snapshots
+        .find(_.id == head).map(_.timestampMs).getOrElse(-1L).toString)
     if (!retract) {
       backing0.transaction { tx =>
         // the merged frame may be empty (delta had rows but, e.g.,

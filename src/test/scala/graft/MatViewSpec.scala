@@ -755,7 +755,11 @@ class MatViewSpec extends AnyFunSuite {
       vsql("REFRESH MATERIALIZED VIEW gmvex2.d.roll INCREMENTAL")
         .collect()
     }
-    assert(messages(e).contains("expired/squashed"), messages(e))
+    // the watermark-identity guard catches this first (the squash
+    // expired the watermark snapshot itself); both refusals are
+    // correct and both name full refresh as the recovery
+    assert(messages(e).contains("expired/squashed") ||
+      messages(e).contains("no longer exists"), messages(e))
     // full refresh recovers, with the squashed rows intact
     vsql("REFRESH MATERIALIZED VIEW gmvex2.d.roll").collect()
     assert(vsql("SELECT k, n, s FROM gmvex2.d.roll ORDER BY k")
@@ -771,6 +775,47 @@ class MatViewSpec extends AnyFunSuite {
     vsql("REFRESH MATERIALIZED VIEW gmvex2.d.roll INCREMENTAL").collect()
     assert(vsql("SELECT s FROM gmvex2.d.roll WHERE k = 'd'").collect()
       .head.getLong(0) == 4L)
+  }
+
+  test("a source rollback through the watermark refuses — even when " +
+      "later appends re-use the freed snapshot ids") {
+    val wh = Files.createTempDirectory("graft-matview-rb").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"src","columns":[
+        |{"column_name":"k","data_type":"string"},
+        |{"column_name":"x","data_type":"long"}],"partitions":[]}""".stripMargin)
+    import SparkTestSession.spark.implicits._
+    LakeTable.load(wh, "d", "src").append(Seq(("a", 1L)).toDF("k", "x"))
+    val base = LakeTable.load(wh, "d", "src")
+      .metadata.snapshots.map(_.id).max
+    LakeTable.load(wh, "d", "src").append(Seq(("b", 2L)).toDF("k", "x"))
+    spark.conf.set("spark.sql.catalog.gmvrb", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.gmvrb.warehouse", wh)
+    vsql("CREATE MATERIALIZED VIEW gmvrb.d.roll AS " +
+      "SELECT k, count(*) AS n, sum(x) AS s FROM gmvrb.d.src " +
+      "GROUP BY k").collect()
+    // rollback BELOW the watermark, then re-append until the head id
+    // passes it again — the id names a DIFFERENT commit now
+    LakeTable.load(wh, "d", "src").rollbackTo(base)
+    Thread.sleep(3) // ms-resolution commit stamps must differ
+    LakeTable.load(wh, "d", "src").append(Seq(("c", 9L)).toDF("k", "x"))
+    LakeTable.load(wh, "d", "src").append(Seq(("d", 8L)).toDF("k", "x"))
+    val e = intercept[Exception] {
+      vsql("REFRESH MATERIALIZED VIEW gmvrb.d.roll INCREMENTAL")
+        .collect()
+    }
+    assert(messages(e).contains("rollback") ||
+      messages(e).contains("rolled back"), messages(e))
+    // full refresh reconciles against the post-rollback truth
+    vsql("REFRESH MATERIALIZED VIEW gmvrb.d.roll").collect()
+    assert(vsql("SELECT k FROM gmvrb.d.roll ORDER BY k").collect()
+      .map(_.getString(0)).toSeq == Seq("a", "c", "d"),
+      "the rolled-back b must be gone")
+    // and incremental works again from the re-pinned watermark
+    LakeTable.load(wh, "d", "src").append(Seq(("e", 7L)).toDF("k", "x"))
+    vsql("REFRESH MATERIALIZED VIEW gmvrb.d.roll INCREMENTAL").collect()
+    assert(vsql("SELECT s FROM gmvrb.d.roll WHERE k = 'e'").collect()
+      .head.getLong(0) == 7L)
   }
 
   test("double sums stay full-refresh-only, with a named refusal") {
