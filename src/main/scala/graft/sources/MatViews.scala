@@ -67,6 +67,15 @@ private[graft] object MatViews {
   case class CountStar(outName: String) extends AggSpec
   case class CountCol(outName: String, srcCol: String) extends AggSpec
   case class SumCol(outName: String, srcCol: String) extends AggSpec
+  /** SUM over a NULLABLE argument: retraction can delete the last
+    * non-null value of a surviving group, at which point the true sum
+    * is NULL but the signed arithmetic has merged to exactly 0 — so
+    * the storage carries a hidden non-null counter
+    * (`__sum_cnt_<n>`, like AVG's) and the visible projection nulls
+    * the sum when it reaches zero. Legacy `sum:` entries over a
+    * nullable argument lack the counter and refuse retraction.
+    */
+  case class SumNCol(outName: String, srcCol: String) extends AggSpec
   case class MinCol(outName: String, srcCol: String) extends AggSpec
   case class MaxCol(outName: String, srcCol: String) extends AggSpec
   /** AVG over a decimal column; (resPrec, resScale) is the declared
@@ -120,7 +129,8 @@ private[graft] object MatViews {
 
     /** Storage differs from the declared output (hidden columns). */
     def hidden: Boolean = needsHiddenRows ||
-      specs.exists(_.isInstanceOf[AvgCol])
+      specs.exists(sp => sp.isInstanceOf[AvgCol] ||
+        sp.isInstanceOf[SumNCol])
 
     /** Non-group storage columns, canonical order: declared aggregate
       * order (AVG expands to sum+cnt), hidden row count last. */
@@ -129,6 +139,8 @@ private[graft] object MatViews {
       case CountStar(n) => Seq(StoreCol(n, KCount))
       case CountCol(n, _) => Seq(StoreCol(n, KCount))
       case SumCol(n, _) => Seq(StoreCol(n, KSum))
+      case SumNCol(n, _) => Seq(StoreCol(n, KSum),
+        StoreCol(s"__sum_cnt_$n", KCount))
       case MinCol(n, _) => Seq(StoreCol(n, KMin))
       case MaxCol(n, _) => Seq(StoreCol(n, KMax))
       case AvgCol(n, _, _, _) => Seq(StoreCol(s"__avg_sum_$n", KSum),
@@ -304,7 +316,11 @@ private[graft] object MatViews {
                   }
                   case s: Sum => s.child match {
                     case e if exprOk(e) && exactSum(al.dataType) =>
-                      SumCol(n, sqlOf(e))
+                      // a nullable argument needs the hidden non-null
+                      // counter so retraction can restore NULL when a
+                      // group's last non-null value is deleted
+                      if (e.nullable) SumNCol(n, sqlOf(e))
+                      else SumCol(n, sqlOf(e))
                     case _ => return None
                   }
                   // AVG only where the sum side is exact AND the
@@ -444,6 +460,8 @@ private[graft] object MatViews {
       case CountStar(n) => Seq(cntStar.as(n))
       case CountCol(n, c) => Seq(cnt(expr(c)).as(n))
       case SumCol(n, c) => Seq(sm(expr(c)).as(n))
+      case SumNCol(n, c) => Seq(sm(expr(c)).as(n),
+        cnt(expr(c)).as(s"__sum_cnt_$n"))
       case MinCol(n, c) => Seq(min(expr(c)).as(n))
       case MaxCol(n, c) => Seq(max(expr(c)).as(n))
       case AvgCol(n, c, _, _) => Seq(sm(expr(c)).as(s"__avg_sum_$n"),
@@ -469,8 +487,17 @@ private[graft] object MatViews {
     val bySpec = shape.specs.map(sp => sp.outName -> sp).toMap
     storage.select(shape.visibleCols.map(n => bySpec(n) match {
       case a @ AvgCol(_, _, _, _) =>
-        (q(s"__avg_sum_$n") / q(s"__avg_cnt_$n").cast(DecimalType(20, 0)))
-          .cast(a.resultType).as(n)
+        // cnt can sit at 0 on a surviving group (its last non-null
+        // value retracted) — guard the division like Average does
+        // (ANSI mode turns an unguarded 0-divisor into an error)
+        when(q(s"__avg_cnt_$n") === 0L, lit(null).cast(a.resultType))
+          .otherwise((q(s"__avg_sum_$n") /
+            q(s"__avg_cnt_$n").cast(DecimalType(20, 0)))
+            .cast(a.resultType)).as(n)
+      case SumNCol(_, _) =>
+        // signed arithmetic merges a fully-retracted sum to exactly 0;
+        // the counter says whether any non-null value remains
+        when(q(s"__sum_cnt_$n") === 0L, lit(null)).otherwise(q(n)).as(n)
       case sp => q(sp.outName)
     }): _*)
   }
@@ -485,8 +512,11 @@ private[graft] object MatViews {
       matTable: String): String = {
     def proj(sp: AggSpec): String = sp match {
       case a @ AvgCol(n, _, _, _) =>
-        s"CAST(`__avg_sum_$n` / CAST(`__avg_cnt_$n` AS DECIMAL(20,0)) " +
-          s"AS ${a.resultType.sql}) AS `$n`"
+        s"IF(`__avg_cnt_$n` = 0, CAST(NULL AS ${a.resultType.sql}), " +
+          s"CAST(`__avg_sum_$n` / CAST(`__avg_cnt_$n` AS DECIMAL(20,0)) " +
+          s"AS ${a.resultType.sql})) AS `$n`"
+      case SumNCol(n, _) =>
+        s"IF(`__sum_cnt_$n` = 0, NULL, `$n`) AS `$n`"
       case other => s"`${other.outName}`"
     }
     val bySpec = shape.specs.map(sp => sp.outName -> sp).toMap
@@ -570,6 +600,7 @@ private[graft] object MatViews {
       case CountStar(o) => s"countstar:${esc(o)}"
       case CountCol(o, c) => s"countcol:${esc(o)}:${esc(c)}"
       case SumCol(o, c) => s"sum:${esc(o)}:${esc(c)}"
+      case SumNCol(o, c) => s"sumn:${esc(o)}:${esc(c)}"
       case MinCol(o, c) => s"min:${esc(o)}:${esc(c)}"
       case MaxCol(o, c) => s"max:${esc(o)}:${esc(c)}"
       case AvgCol(o, c, p, sc) => s"avg:${esc(o)}:${esc(c)}:$p:$sc"
@@ -597,6 +628,7 @@ private[graft] object MatViews {
           case Seq("countstar", o) => CountStar(unesc(o))
           case Seq("countcol", o, c) => CountCol(unesc(o), src(c))
           case Seq("sum", o, c) => SumCol(unesc(o), src(c))
+          case Seq("sumn", o, c) => SumNCol(unesc(o), src(c))
           case Seq("min", o, c) => MinCol(unesc(o), src(c))
           case Seq("max", o, c) => MaxCol(unesc(o), src(c))
           case Seq("avg", o, c, p, sc) =>
@@ -819,6 +851,27 @@ private[graft] object MatViews {
           ": equality-delete markers carry only key columns, so the " +
           "deleted measures can't be re-derived — run a full refresh " +
           "instead")
+      // legacy docs recorded plain `sum:` specs with no non-null
+      // counter; retracting the last non-null value of a surviving
+      // group would merge its sum to 0 where the true sum is NULL.
+      // Shapes created since the counter always encode nullable sums
+      // as `sumn:`, so this only bites pre-counter documents.
+      val emptySrc = spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        graft.lake.Reconcile.clean(src.metadata.currentSchema)
+          .asInstanceOf[StructType])
+      val legacyNullSums = shape.specs.collect {
+        case SumCol(n, c)
+            if emptySrc.select(expr(c)).schema.head.nullable => n
+      }
+      require(legacyNullSums.isEmpty,
+        s"incremental refresh cannot retract: SUM column(s) " +
+          legacyNullSums.mkString(", ") +
+          " aggregate a nullable argument but this materialization " +
+          "predates non-null-count storage (deleting a group's last " +
+          "non-null value would leave 0 where the true sum is NULL) " +
+          "— run a full refresh, or recreate the view to upgrade " +
+          "its storage")
     }
     val delta =
       if (retract) signedStorageAggregate(sourceRows(

@@ -41,8 +41,12 @@ class MatViewRandomSpec extends AnyFunSuite {
     def randRows(n: Int) = {
       val rows = (0 until n).map { _ =>
         nextX += 1
-        (keys(rnd.nextInt(keys.size)), nextX,
-          s"${rnd.nextInt(2000)}.${1000 + rnd.nextInt(9000)}")
+        // NULL measures are a third of the stream: retraction must
+        // restore a group's sum/avg to NULL when its last non-null
+        // value is deleted (the signed merge alone would leave 0)
+        val amt = if (rnd.nextInt(3) == 0) null
+          else s"${rnd.nextInt(2000)}.${1000 + rnd.nextInt(9000)}"
+        (keys(rnd.nextInt(keys.size)), nextX, amt)
       }
       rows.toDF("k", "x", "amt").select(col("k"), col("x"),
         col("amt").cast("decimal(18,4)").as("amt"))

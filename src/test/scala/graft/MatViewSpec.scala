@@ -358,6 +358,54 @@ class MatViewSpec extends AnyFunSuite {
       "WHERE k = 'd'").collect().head.getString(0) == "8.0000")
   }
 
+  test("retracting a group's last non-null value restores NULL sum " +
+      "and avg (not 0) via the hidden non-null counter") {
+    val wh = Files.createTempDirectory("graft-matview-nullsum").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"src","columns":[
+        |{"column_name":"k","data_type":"string","required":true},
+        |{"column_name":"amt","data_type":"decimal(18,4)"}],
+        |"partitions":[]}""".stripMargin)
+    import SparkTestSession.spark.implicits._
+    def rows(r: Seq[(String, String)]) = r.toDF("k", "amt")
+      .select(col("k"), col("amt").cast("decimal(18,4)").as("amt"))
+    // group a: one non-null + one NULL; group b: control
+    LakeTable.load(wh, "d", "src").append(rows(Seq(
+      ("a", "5.0000"), ("a", null), ("b", "2.0000"))))
+    spark.conf.set("spark.sql.catalog.gmvns", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.gmvns.warehouse", wh)
+    vsql("CREATE MATERIALIZED VIEW gmvns.d.roll AS " +
+      "SELECT k, count(*) AS n, sum(amt) AS s, avg(amt) AS a " +
+      "FROM gmvns.d.src GROUP BY k").collect()
+    // the nullable sum was recorded with its non-null counter
+    val doc = graft.sources.LakeViews.read(
+      graft.sources.LakeViews.path(wh, "d", "roll")).get
+    assert(doc.properties("graft.mat-view.specs").contains("sumn:"),
+      doc.properties("graft.mat-view.specs"))
+    // delete the ONLY non-null value of group a — the group survives
+    // (n=1) but its true sum/avg is now NULL; signed merge alone would
+    // serve 0
+    LakeTable.load(wh, "d", "src").deleteMoR(spark,
+      col("k") === "a" && col("amt").isNotNull)
+    vsql("REFRESH MATERIALIZED VIEW gmvns.d.roll INCREMENTAL").collect()
+    def state(): Seq[(String, Long, String, String)] =
+      vsql("SELECT k, n, CAST(s AS STRING) AS s, CAST(a AS STRING) " +
+        "AS a FROM gmvns.d.roll ORDER BY k").collect()
+        .map(x => (x.getString(0), x.getLong(1), x.getString(2),
+          x.getString(3))).toSeq
+    assert(state() == Seq(("a", 1L, null, null), ("b", 1L, "2.0000",
+      "2.00000000")), state())
+    // and a later non-null append revives the sum from the true base
+    LakeTable.load(wh, "d", "src").append(rows(Seq(("a", "7.0000"))))
+    vsql("REFRESH MATERIALIZED VIEW gmvns.d.roll INCREMENTAL").collect()
+    assert(state().head == (("a", 2L, "7.0000", "7.00000000")), state())
+    // a CoW update nulling the last non-null value retracts the same
+    LakeTable.load(wh, "d", "src").update(spark,
+      Map("amt" -> lit(null).cast("decimal(18,4)")), col("k") === "a")
+    vsql("REFRESH MATERIALIZED VIEW gmvns.d.roll INCREMENTAL").collect()
+    assert(state().head == (("a", 2L, null, null)), state())
+  }
+
   test("GROUP BY columns missing from the output refuse the " +
       "incremental shape (coarser materialization would be wrong)") {
     val wh = Files.createTempDirectory("graft-matview-coarse").toString
@@ -637,10 +685,11 @@ class MatViewSpec extends AnyFunSuite {
     assert(doc.properties.contains("graft.mat-view.having") &&
       doc.properties.contains("graft.mat-view.visible"),
       doc.properties.toString)
-    // the hidden count doubles as the retraction row counter
+    // the hidden count doubles as the retraction row counter; the
+    // nullable sum carries its non-null counter
     val backing = LakeTable.load(wh, "d", "__mat_roll")
     assert(backing.metadata.currentSchema.fieldNames.toSet ==
-      Set("k", "s", "__having_0"),
+      Set("k", "s", "__sum_cnt_s", "__having_0"),
       backing.metadata.currentSchema.fieldNames.toSeq.toString)
     def state(): Seq[(String, String)] =
       vsql("SELECT k, CAST(s AS STRING) AS s FROM gmvh.d.roll " +
