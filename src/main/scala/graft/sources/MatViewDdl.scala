@@ -39,6 +39,18 @@ object MatViewDdl {
     * incrementally-maintainable aggregate shape. Returns (backing
     * table name, seeded row count).
     */
+  /** Remove a backing table's directory tree (there is no fronting
+    * view to route a catalog DROP through). */
+  private def dropBacking(warehouse: String, db: String,
+      matTable: String): Unit = {
+    val loc = LakeTable.tableLocation(warehouse, db, matTable)
+    if (java.nio.file.Files.exists(loc))
+      scala.util.Using.resource(java.nio.file.Files.walk(loc)) { st =>
+        st.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+      }
+  }
+
   def create(spark: SparkSession, warehouse: String,
       catalogName: String, db: String, name: String,
       query: String): (String, Long) = {
@@ -49,6 +61,12 @@ object MatViewDdl {
     require(!LakeTable.exists(warehouse, db, name),
       s"cannot create materialized view '$db.$name': a " +
         "table with that name already exists")
+    // CREATE is not one atomic step (backing table, seed append, view
+    // registration) — a crash between them leaves an orphan backing
+    // table with no fronting view. Such an orphan blocks nothing: a
+    // retried CREATE clears it and starts over.
+    if (LakeTable.exists(warehouse, db, matTable))
+      dropBacking(warehouse, db, matTable)
     // analyze the defining query (view substitution applies
     // so an MV can be defined over other views)
     val analyzed = org.apache.spark.sql
@@ -106,33 +124,50 @@ object MatViewDdl {
           .map(_.timestampMs).getOrElse(-1L)
         Map("graft.mat-view.watermark" -> w.toString,
           "graft.mat-view.watermark-ts" -> wTs.toString) ++
+          // the zone the data is BUCKETED under lives with the data:
+          // refreshes re-pin it in the same transaction that rewrites
+          // the rows, so the two can never disagree after a crash
+          (if (sh.tzSensitive)
+            Map("graft.mat-view.tz" ->
+              spark.sessionState.conf.sessionLocalTimeZone)
+           else Map.empty[String, String]) ++
           (if (keys.isEmpty) Map.empty[String, String]
            else Map("write.bloom-columns" -> keys.mkString(",")))
       }.getOrElse(Map.empty)))
-    val snap = LakeTable.load(warehouse, db, matTable)
-      .append(seed)
-    // the MV NAME is a plain view fronting the backing
-    // table (projecting hidden storage columns away); the
-    // defining query lives in properties for refresh
-    LakeViews.create(LakeViews.path(warehouse, db, name),
-      LakeViews.ViewDoc(name, 1, Seq(LakeViews.ViewVersion(
-        1, System.currentTimeMillis(),
-        shaped.map { case (sh, _, _) =>
-          MatViews.viewSql(sh, catalogName, db, matTable)
-        }.getOrElse(s"SELECT * FROM $catalogName.$db.$matTable"),
-        analyzed.schema.json,
-        analyzed.schema.fieldNames.toSeq,
-        Seq.empty, Seq.empty, catalogName, Seq(db))),
-        Map("graft.mat-view" -> "true",
-          "graft.mat-view.sql" -> query,
-          "graft.mat-view.table" -> matTable,
-          "graft.mat-view.refreshed-ms" ->
-            System.currentTimeMillis().toString) ++
-          shaped.map { case (sh, w, _) =>
-            MatViews.encode(sh,
-              spark.sessionState.conf.sessionLocalTimeZone) +
-              ("graft.mat-view.watermark" -> w.toString)
-          }.getOrElse(Map.empty)))
+    // a failure past this point (seed append, view registration)
+    // must not strand the just-created backing table
+    val snap =
+      try {
+        val s = LakeTable.load(warehouse, db, matTable).append(seed)
+        // the MV NAME is a plain view fronting the backing
+        // table (projecting hidden storage columns away); the
+        // defining query lives in properties for refresh
+        LakeViews.create(LakeViews.path(warehouse, db, name),
+          LakeViews.ViewDoc(name, 1, Seq(LakeViews.ViewVersion(
+            1, System.currentTimeMillis(),
+            shaped.map { case (sh, _, _) =>
+              MatViews.viewSql(sh, catalogName, db, matTable)
+            }.getOrElse(s"SELECT * FROM $catalogName.$db.$matTable"),
+            analyzed.schema.json,
+            analyzed.schema.fieldNames.toSeq,
+            Seq.empty, Seq.empty, catalogName, Seq(db))),
+            Map("graft.mat-view" -> "true",
+              "graft.mat-view.sql" -> query,
+              "graft.mat-view.table" -> matTable,
+              "graft.mat-view.refreshed-ms" ->
+                System.currentTimeMillis().toString) ++
+              shaped.map { case (sh, w, _) =>
+                MatViews.encode(sh,
+                  spark.sessionState.conf.sessionLocalTimeZone) +
+                  ("graft.mat-view.watermark" -> w.toString)
+              }.getOrElse(Map.empty)))
+        s
+      } catch {
+        case e: Throwable =>
+          try dropBacking(warehouse, db, matTable)
+          catch { case s: Throwable => e.addSuppressed(s) }
+          throw e
+      }
     (matTable, snap.files.map(_.rows).sum)
   }
 
@@ -160,11 +195,19 @@ object MatViewDdl {
           s"view '$db.$name' is not a materialized view"))
       val matTable = doc.properties("graft.mat-view.table")
       val shape = MatViews.decode(doc.properties)
-      def stamp(extra: Map[String, String]): Unit =
+      // stamp re-reads the CURRENT doc: the refresh lock serializes
+      // refreshers but not ALTER VIEW property edits, so writing back
+      // the doc captured at refresh start would silently clobber a
+      // concurrent SET/UNSET TBLPROPERTIES. Only refresh-owned keys
+      // land on top of the freshly read properties.
+      def stamp(extra: Map[String, String]): Unit = {
+        val fresh = LakeViews.read(
+          LakeViews.path(warehouse, db, name)).getOrElse(doc)
         LakeViews.write(LakeViews.path(warehouse, db, name),
-          doc.copy(properties = doc.properties ++ extra +
+          fresh.copy(properties = fresh.properties ++ extra +
             ("graft.mat-view.refreshed-ms" ->
               System.currentTimeMillis().toString)))
+      }
       if (mode == "incremental") {
         val sh = shape.getOrElse(throw new
           IllegalArgumentException(
@@ -207,25 +250,27 @@ object MatViewDdl {
             (org.apache.spark.sql.GraftViewSubstitution
               .sql(spark, defSql), None)
         }
-        // recompute + watermark advance publish in ONE flip (crash
-        // mid-refresh leaves the old content with the old watermark)
+        // recompute + watermark advance + tz re-pin publish in ONE
+        // flip (crash mid-refresh leaves the old content with the old
+        // watermark AND the old zone — data and its bucketing zone can
+        // never disagree). The doc copies below are advisory.
+        val tzPin = shape.filter(_.tzSensitive)
+          .map(_ => "graft.mat-view.tz" ->
+            spark.sessionState.conf.sessionLocalTimeZone).toMap
         val snap = LakeTable.load(warehouse, db, matTable)
           .transaction { tx =>
             val s = tx.overwrite(frame)
-            wm.foreach { case (h, hTs) => tx.updateProperties(
+            val props = wm.map { case (h, hTs) =>
               Map("graft.mat-view.watermark" -> h.toString,
-                "graft.mat-view.watermark-ts" -> hTs.toString)) }
+                "graft.mat-view.watermark-ts" -> hTs.toString)
+            }.getOrElse(Map.empty) ++ tzPin
+            if (props.nonEmpty) tx.updateProperties(props)
             s
           }
         stamp(wm.map { case (h, hTs) =>
           Map("graft.mat-view.watermark" -> h.toString,
             "graft.mat-view.watermark-ts" -> hTs.toString)
-        }.getOrElse(Map.empty) ++
-          // a tz-sensitive shape recomputed under THIS session's zone
-          // is now bucketed by it — re-pin so later incremental
-          // refreshes compare against the right zone
-          shape.filter(_.tzSensitive).map(_ => "graft.mat-view.tz" ->
-            spark.sessionState.conf.sessionLocalTimeZone))
+        }.getOrElse(Map.empty) ++ tzPin)
         FullRefresh(snap.id, snap.files.map(_.rows).sum)
       }
     }

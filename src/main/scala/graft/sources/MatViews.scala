@@ -796,8 +796,11 @@ private[graft] object MatViews {
     // time-zone-sensitive shapes (date_trunc buckets, tz-dependent
     // casts) must merge deltas bucketed EXACTLY like the existing
     // materialization — a differently-zoned session would split
-    // groups. Full refresh re-pins the zone.
-    shape.tz.foreach { z =>
+    // groups. Full refresh re-pins the zone. The BACKING TABLE's copy
+    // is authoritative (stamped in the same transaction as the data
+    // it buckets); the doc's copy is a pre-table-property fallback.
+    backing0.metadata.properties.get("graft.mat-view.tz")
+      .orElse(shape.tz).foreach { z =>
       val cur = spark.sessionState.conf.sessionLocalTimeZone
       require(cur == z,
         s"incremental refresh needs session time zone '$z' (the zone " +

@@ -636,8 +636,15 @@ class MatViewSpec extends AnyFunSuite {
           .collect()
       }
       assert(messages(e).contains("time zone"), messages(e))
-      // full refresh recomputes under the new zone and RE-PINS it ...
+      // full refresh recomputes under the new zone and RE-PINS it —
+      // authoritatively on the BACKING TABLE (same transaction as the
+      // rebucketed data, so a crash can't split them), advisorily on
+      // the doc
       vsql("REFRESH MATERIALIZED VIEW gmvtz.d.daily").collect()
+      assert(LakeTable.load(wh, "d", "__mat_daily")
+        .metadata.properties.get("graft.mat-view.tz")
+        .contains("America/New_York"),
+        "tz must re-pin inside the backing-table transaction")
       assert(graft.sources.LakeViews.read(
         graft.sources.LakeViews.path(wh, "d", "daily")).get
         .properties.get("graft.mat-view.tz")
@@ -968,6 +975,19 @@ class MatViewSpec extends AnyFunSuite {
         "'SELECT 1 AS one')").collect()
     }
     assert(e.getMessage.contains("already exists"), e.getMessage)
+    // an ORPHAN backing table (a create that crashed between the
+    // table and the view registration) must not brick a retried
+    // CREATE: no fronting view exists, so the orphan is cleared
+    vsql("DROP VIEW gmv3.d.m").collect()
+    LakeTable.create(wh, graft.schema.TableDef("d", "__mat_m",
+      Seq(graft.schema.TypeMapper.toColumnDef("junk",
+        org.apache.spark.sql.types.LongType, true)), Seq.empty,
+      Map.empty))
+    assert(LakeTable.exists(wh, "d", "__mat_m"))
+    spark.sql("CALL gmv3.system.create_mat_view('d', 'm', " +
+      "'SELECT count(*) AS n FROM gmv3.d.src')").collect()
+    assert(vsql("SELECT n FROM gmv3.d.m").collect().head.getLong(0) == 1L,
+      "a retried CREATE must replace the orphan backing table")
   }
 
   test("an MV can be defined over another view; duplicate name refuses") {
