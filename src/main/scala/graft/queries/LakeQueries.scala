@@ -1023,6 +1023,62 @@ object LakeReadQueries extends QueryModule {
         "FROM gmvret.mvr.roll ORDER BY o_custkey")
     }),
 
+    "lake_mat_view_minmax" -> QueryModule.micro(4)((s, dir) => {
+      // MIN/MAX shapes through NON-append deltas: a signed merge
+      // cannot un-see a removed extremum, so the refresh falls back to
+      // recomputing ONLY the touched groups from the source (the delta
+      // names them; equality-delete victims come from the watermark
+      // image) — O(delta + touched groups), never the full refresh's
+      // O(source). The range here mixes an append, MoR deletes, and an
+      // equality upsert; the oracle recomputes from scratch, and the
+      // key self-audits that the backing table saw no replace snapshot
+      // (the incremental path upserts, a full refresh overwrites).
+      val wh = LakeQueries.freshWarehouse("matviewmm")
+      Engine.processTableDefJson(wh,
+        """{"database_name":"mvm","table_name":"ord","columns":[
+          |{"column_name":"o_custkey","data_type":"long"},
+          |{"column_name":"o_okey","data_type":"long"},
+          |{"column_name":"o_price","data_type":"double"}],
+          |"partitions":[]}""".stripMargin)
+      val orders = Tables(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey").as("o_okey"),
+          col("o_totalprice").as("o_price"))
+      LakeTable.load(wh, "mvm", "ord")
+        .append(orders.filter(col("o_custkey") % 8 === 0))
+      s.conf.set("spark.sql.catalog.gmvmm", "graft.sources.LakeCatalog")
+      s.conf.set("spark.sql.catalog.gmvmm.warehouse", wh)
+      def vsql(q: String) =
+        org.apache.spark.sql.GraftViewSubstitution.sql(s, q)
+      vsql("CREATE MATERIALIZED VIEW gmvmm.mvm.roll AS " +
+        "SELECT o_custkey, count(*) AS n_orders, min(o_price) AS " +
+        "min_price, max(o_price) AS max_price FROM gmvmm.mvm.ord " +
+        "GROUP BY o_custkey").collect()
+      // the delta: an append, MoR deletes (position markers carry the
+      // full victim rows), then an equality upsert re-pricing a slice
+      // (markers carry only o_okey — the recompute derives the touched
+      // groups from the watermark image)
+      LakeTable.load(wh, "mvm", "ord")
+        .append(orders.filter(col("o_custkey") % 8 === 1))
+      LakeTable.load(wh, "mvm", "ord")
+        .deleteMoR(s, col("o_okey") % 7 === 3)
+      LakeTable.load(wh, "mvm", "ord").upsertMoR(s,
+        orders.filter(col("o_custkey") % 8 === 0 &&
+          col("o_okey") % 11 === 4)
+          .withColumn("o_price", col("o_price") + 1000.0),
+        keys = Seq("o_okey"))
+      val res = vsql(
+        "REFRESH MATERIALIZED VIEW gmvmm.mvm.roll INCREMENTAL")
+        .collect()
+      require(res.head.getLong(1) > res.head.getLong(0),
+        "the incremental refresh must advance the watermark")
+      require(!LakeTable.load(wh, "mvm", "__mat_roll").metadata
+        .snapshots.exists(sn => LakeTable.isReset(sn.operation)),
+        "the refresh must go through the touched-group recompute " +
+          "(upsert snapshots), not a full-refresh replace")
+      vsql("SELECT o_custkey, n_orders, min_price, max_price " +
+        "FROM gmvmm.mvm.roll ORDER BY o_custkey")
+    }),
+
     "lake_views" -> QueryModule.micro(4)((s, dir) => {
       // persistent catalog views with definition versioning: CREATE,
       // then CREATE OR REPLACE (which must APPEND a version, not
@@ -2713,6 +2769,23 @@ object RowOpsQueries extends QueryModule {
         |WHERE o_custkey % 4 IN (0, 1)
         |  AND o_custkey % 10 <> 2 AND o_custkey % 10 <> 5
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "lake_mat_view_minmax" ->
+      """WITH base AS (
+        |  SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey % 8 IN (0, 1)),
+        |live AS (
+        |  SELECT o_custkey, o_totalprice FROM base
+        |  WHERE o_orderkey % 7 <> 3
+        |    AND NOT (o_custkey % 8 = 0 AND o_orderkey % 11 = 4)
+        |  UNION ALL
+        |  SELECT o_custkey, o_totalprice + 1000.0 FROM base
+        |  WHERE o_custkey % 8 = 0 AND o_orderkey % 11 = 4)
+        |SELECT o_custkey,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  MIN(o_totalprice) AS min_price,
+        |  MAX(o_totalprice) AS max_price
+        |FROM live GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     "lake_views" ->
       """SELECT n_nationkey, n_name || '/' || n_regionkey AS tagged

@@ -735,11 +735,192 @@ private[graft] object MatViews {
   /** Snapshot operations a retraction-capable refresh can consume:
     * appends, byte-moves, MoR deletes (position/vector markers carry
     * full rows), and CoW overwrites (the changelog computes their row
-    * diff). Anything else — replace, eq-delete upserts — refuses.
+    * diff). Anything else — replace, eq-delete upserts — falls through
+    * to the touched-group recompute.
     */
   private def retractableOp(op: String): Boolean =
     op == "append" || op == "delete" || op == "overwrite" ||
       LakeTable.isByteMove(op)
+
+  /** Operations the touched-group recompute can derive TOUCHED KEYS
+    * from: everything the row-level changelog represents (equality
+    * upserts included — their pre-images come from the watermark scan)
+    * plus byte-moves. Full-content replaces reset the replay and
+    * refuse.
+    */
+  private def recomputableOp(op: String): Boolean =
+    op == "append" || op == "delete" || op == "overwrite" ||
+      op == "upsert" || LakeTable.isByteMove(op)
+
+  /** Whether the range can merge as a SIGNED delta: the shape retracts
+    * (COUNT/SUM/AVG only), storage carries the row counter, every op
+    * yields full retractable rows, no equality-delete markers (key
+    * columns only), and no legacy nullable SUM without its non-null
+    * counter. Anything else routes to the touched-group recompute.
+    */
+  private def signedMergeable(spark: SparkSession, src: LakeTable,
+      shape: AggShape, range: Seq[graft.lake.SnapshotMeta]): Boolean = {
+    lazy val emptySrc = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      graft.lake.Reconcile.clean(src.metadata.currentSchema)
+        .asInstanceOf[StructType])
+    shape.retractable && shape.storageV2 &&
+      range.forall(s => retractableOp(s.operation)) &&
+      range.forall(_.eqDeletes.isEmpty) &&
+      !shape.specs.exists {
+        case SumCol(_, c) => emptySrc.select(expr(c)).schema.head.nullable
+        case _ => false
+      }
+  }
+
+  /** (files scanned after pruning, live files) of the last recompute
+    * refresh's SOURCE read — test/tooling observable (conf-gated),
+    * mirroring [[lastBackingScan]].
+    */
+  @volatile private[graft] var lastRecomputeScan: Option[(Int, Int)] = None
+
+  /** Touched-group recompute: the fallback incremental strategy when
+    * signed merging is impossible. Derive the set of GROUP KEYS the
+    * delta touched — changelog rows for position/CoW changes, plus a
+    * watermark-image semi-join against equality-delete markers (the
+    * markers carry only key columns, but the pre-image still has the
+    * victim rows in full) — then recompute JUST those groups from the
+    * source at head and blind-upsert them (deleting touched groups
+    * that emptied). O(delta + touched groups' source rows), against
+    * the full refresh's O(source); the source scan prunes by the
+    * touched-key envelope when the group keys are plain columns.
+    *
+    * Correct for EVERY maintainable shape (MIN/MAX included): the
+    * recomputed groups come from the same one-pass aggregation a full
+    * refresh runs, just over a pruned row set. Touched keys
+    * over-approximate freely — recomputing an untouched group is
+    * wasted work, never a wrong answer.
+    */
+  private def refreshByRecompute(spark: SparkSession, src: LakeTable,
+      shape: AggShape, w: Long, head: Long,
+      range: Seq[graft.lake.SnapshotMeta],
+      backing0: LakeTable): Unit = {
+    val keyCols = shape.groupCols.map(g => q(g.outName))
+    // 1. touched keys from the changelog: every row a snapshot added
+    // or removed names its group — EXCEPT equality-delete markers,
+    // whose non-key columns are null (their group keys may be
+    // unrelated columns); their victims come from the pre-image below
+    val eqSnaps = range.filter(_.eqDeletes.nonEmpty)
+    val eqSnapIds = eqSnaps.map(_.id)
+    val cl = src.changelogBetween(spark, w, head, includeCowDiffs = true)
+    val clRows = if (eqSnapIds.isEmpty) cl
+      else cl.filter(!(col("_change_snapshot_id").isin(eqSnapIds: _*) &&
+        col("_change_type") === "delete"))
+    val clTouched = sourceRows(clRows, shape)
+      .select(shape.groupCols.map(g => expr(g.srcCol).as(g.outName)): _*)
+    // 2. touched keys of equality-deleted rows: any watermark-image
+    // row matching a marker key set (rows inserted inside the range
+    // and then eq-deleted already surfaced as changelog inserts).
+    // Over-approximate: no seq comparison needed.
+    // pre-watermark image the markers strike (an MV seeded on an
+    // empty table has no pre-image — every eq-victim surfaced as an
+    // in-range changelog insert first)
+    lazy val preImage =
+      if (w > 0) sourceRows(src.read(spark, asOfSnapshot = Some(w)),
+        shape)
+      else null
+    val eqTouched = eqSnaps.flatMap(_.eqDeletes).flatMap { b =>
+      if (preImage == null) None
+      else {
+        val schema = src.metadata.currentSchema
+        val names = b.fieldIds.map { fid =>
+          schema.fields.find(f => graft.schema.FieldIds.hasId(f) &&
+            graft.schema.FieldIds.idOf(f) == fid)
+            .map(_.name)
+            .getOrElse(throw new IllegalArgumentException(
+              s"incremental refresh cannot recompute through an " +
+                s"equality delete keyed on a NESTED field (id $fid) — " +
+                "run a full refresh instead"))
+        }
+        val markers = spark.read.parquet(b.paths: _*).select(
+          b.fieldIds.zip(names).map { case (fid, n) =>
+            col(s"k$fid").cast(schema.fields.find(_.name == n).get
+              .dataType).as(n)
+          }: _*)
+        Some(preImage.join(markers, names, "left_semi")
+          .select(shape.groupCols.map(g =>
+            expr(g.srcCol).as(g.outName)): _*))
+      }
+    }
+    val touched = (clTouched +: eqTouched).reduce(_.union(_))
+      .distinct().localCheckpoint()
+    // NULL group keys can't upsert/delete by equality — refuse by name
+    val nullKeyed = touched
+      .filter(keyCols.map(_.isNull).reduce(_ || _)).limit(1).count() > 0
+    require(!nullKeyed,
+      "incremental refresh cannot merge NULL group keys (equality " +
+        "joins and upsert deletes never match NULL) — run a full " +
+        "refresh instead")
+    // 3. recompute the touched groups from the head image: semi-join
+    // keeps only their rows; stats/bloom filters prune source FILES
+    // when the group keys are plain columns (an expression key — a
+    // date_trunc bucket — must not prune by its bucketed values:
+    // a file's raw range can straddle the bucket)
+    val limit = keyLimit(spark)
+    val keyRows = touched.limit(limit + 1).collect().toSeq
+    val wmOnly = Map("graft.mat-view.watermark" -> head.toString,
+      "graft.mat-view.watermark-ts" -> src.metadata.snapshots
+        .find(_.id == head).map(_.timestampMs).getOrElse(-1L).toString)
+    if (keyRows.isEmpty) {
+      // the delta changed nothing visible to this shape (rows all
+      // failed the WHERE, or pure byte-moves) — just advance the
+      // watermark
+      backing0.transaction(_.updateProperties(wmOnly))
+      return
+    }
+    val srcSchema = graft.lake.Reconcile
+      .clean(src.metadata.currentSchema).asInstanceOf[StructType]
+    def plainName(sql: String): Option[String] = {
+      val stripped =
+        if (sql.startsWith("`") && sql.endsWith("`") && sql.length > 1)
+          sql.substring(1, sql.length - 1).replace("``", "`")
+        else sql
+      if (srcSchema.fieldNames.contains(stripped) &&
+          (sql == stripped || sql == s"`$stripped`")) Some(stripped)
+      else None
+    }
+    val srcFilters =
+      if (keyRows.size > limit) Seq.empty
+      else keyFilters(srcSchema,
+        keyRows,
+        shape.groupCols.map(g => plainName(g.srcCol) match {
+          case Some(n) => g.copy(outName = n)
+          // an impossible column name → keyFilters finds no dtype and
+          // contributes no filter for this position
+          case None => g.copy(outName = "__graft_no_such_column")
+        }))
+    if (spark.conf.getOption("spark.graft.matview.incr-scan-audit")
+        .contains("true"))
+      lastRecomputeScan = Some((
+        src.plannedFiles(statsFilters = srcFilters).size,
+        src.plannedFiles().size))
+    val tk = touched.select(shape.groupCols.map(g =>
+      q(g.outName).as(s"__tk_${g.outName}")): _*)
+    val headRows = sourceRows(src.read(spark, asOfSnapshot = Some(head),
+      statsFilters = srcFilters), shape)
+    // a bounded touched set broadcasts (zero source shuffle); past the
+    // key limit let the planner shuffle both sides
+    val tkSide = if (keyRows.size <= limit) broadcast(tk) else tk
+    val matched = headRows.join(tkSide,
+      shape.groupCols.map(g =>
+        expr(g.srcCol) === col(s"__tk_${g.outName}")).reduce(_ && _),
+      "left_semi")
+    val newAgg = storageAggregate(matched, shape).localCheckpoint()
+    val keys = shape.groupCols.map(_.outName)
+    val dead = touched.join(newAgg.select(keys.map(q): _*), keys,
+      "left_anti").localCheckpoint()
+    backing0.transaction { tx =>
+      tx.upsertMoR(spark, newAgg, keys = keys)
+      if (dead.limit(1).count() > 0L)
+        tx.deleteByKeysMoR(spark, dead)
+      tx.updateProperties(wmOnly)
+    }
+  }
 
   /** The incremental refresh itself: delta rows since the watermark →
     * delta (storage) aggregate → merge with current groups → blind
@@ -833,48 +1014,22 @@ private[graft] object MatViews {
     val nonAppend = range.filterNot(s =>
       s.operation == "append" || LakeTable.isByteMove(s.operation))
     val retract = nonAppend.nonEmpty
-    if (retract) {
-      require(shape.retractable && shape.storageV2,
-        s"incremental refresh needs an append-only delta for this " +
-          s"shape; snapshots " +
-          nonAppend.map(s => s"${s.id}(${s.operation})").mkString(", ") +
-          " are not additive (MIN/MAX cannot retract" +
-          (if (shape.storageV2) "" else "; legacy storage lacks the " +
-            "row counter") + ") — run a full refresh instead")
-      val bad = range.filterNot(s => retractableOp(s.operation))
+    if (retract && !signedMergeable(spark, src, shape, range)) {
+      // the cheap signed merge is defeated (MIN/MAX can't un-see a
+      // removed extremum, eq-delete markers carry only keys, legacy
+      // storage lacks the counters) — recompute ONLY the groups the
+      // delta touched from the source, instead of refusing to a full
+      // O(source) refresh. Anything the changelog can't even name
+      // (full-content replaces) still refuses.
+      val bad = range.filterNot(s => recomputableOp(s.operation))
       require(bad.isEmpty,
-        s"incremental refresh cannot retract snapshot(s) " +
+        s"incremental refresh cannot replay snapshot(s) " +
           bad.map(s => s"${s.id}(${s.operation})").mkString(", ") +
-          " — equality-delete and replace commits don't carry " +
-          "retractable row content; run a full refresh instead")
-      val eqd = range.filter(_.eqDeletes.nonEmpty)
-      require(eqd.isEmpty,
-        s"incremental refresh cannot retract snapshot(s) " +
-          eqd.map(s => s"${s.id}(${s.operation})").mkString(", ") +
-          ": equality-delete markers carry only key columns, so the " +
-          "deleted measures can't be re-derived — run a full refresh " +
-          "instead")
-      // legacy docs recorded plain `sum:` specs with no non-null
-      // counter; retracting the last non-null value of a surviving
-      // group would merge its sum to 0 where the true sum is NULL.
-      // Shapes created since the counter always encode nullable sums
-      // as `sumn:`, so this only bites pre-counter documents.
-      val emptySrc = spark.createDataFrame(
-        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-        graft.lake.Reconcile.clean(src.metadata.currentSchema)
-          .asInstanceOf[StructType])
-      val legacyNullSums = shape.specs.collect {
-        case SumCol(n, c)
-            if emptySrc.select(expr(c)).schema.head.nullable => n
-      }
-      require(legacyNullSums.isEmpty,
-        s"incremental refresh cannot retract: SUM column(s) " +
-          legacyNullSums.mkString(", ") +
-          " aggregate a nullable argument but this materialization " +
-          "predates non-null-count storage (deleting a group's last " +
-          "non-null value would leave 0 where the true sum is NULL) " +
-          "— run a full refresh, or recreate the view to upgrade " +
-          "its storage")
+          " — full-content replaces reset the history rather than " +
+          "changing identifiable rows; run a full refresh instead")
+      refreshByRecompute(spark, src, shape, w, head, range,
+        backing0)
+      return Some(head)
     }
     val delta =
       if (retract) signedStorageAggregate(sourceRows(

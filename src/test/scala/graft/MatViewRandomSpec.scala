@@ -9,15 +9,15 @@ import graft.lake.{Engine, LakeTable}
 
 /** Randomized differential check for incremental MV maintenance: a
   * SEEDED random op sequence (appends, MoR deletes, CoW deletes, CoW
-  * updates) mutates the source, refreshes fire at random points (so
-  * deltas span several heterogeneous commits), and after EVERY
-  * refresh the materialized content must equal a from-scratch
-  * recompute of the defining query — for a retractable COUNT/SUM/AVG
-  * shape refreshed incrementally throughout, and for a MIN/MAX shape
-  * whose incremental refresh must instead REFUSE exactly when the
-  * pending delta stopped being append-only (and recover by full
-  * refresh). One seeded run, deterministic; a drift of one row, one
-  * count, or one decimal ulp fails the comparison.
+  * updates, equality upserts) mutates the source, refreshes fire at
+  * random points (so deltas span several heterogeneous commits), and
+  * after EVERY refresh the materialized content must equal a
+  * from-scratch recompute of the defining query — for a retractable
+  * COUNT/SUM/AVG shape (signed merge, or touched-group recompute when
+  * an equality upsert lands in the range) and for a MIN/MAX shape
+  * (append-only merge, touched-group recompute otherwise). One seeded
+  * run, deterministic; a drift of one row, one count, or one decimal
+  * ulp fails the comparison.
   */
 class MatViewRandomSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
@@ -25,8 +25,8 @@ class MatViewRandomSpec extends AnyFunSuite {
   private def vsql(q: String) =
     org.apache.spark.sql.GraftViewSubstitution.sql(spark, q)
 
-  test("seeded op soup: incremental always equals the recompute; " +
-      "min/max refuses exactly on non-append deltas") {
+  test("seeded op soup: incremental always equals the recompute — " +
+      "signed merge, append merge, and touched-group recompute") {
     val wh = Files.createTempDirectory("graft-mv-random").toString
     Engine.processTableDefJson(wh,
       """{"database_name":"d","table_name":"src","columns":[
@@ -88,72 +88,65 @@ class MatViewRandomSpec extends AnyFunSuite {
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
           r.getLong(3))).toSet
 
-    // does the UNREFRESHED range of mm hold anything non-append?
-    // A predicate matching nothing commits NO snapshot, so dirtiness
-    // is derived from what actually landed, not from the op we tried
-    var mmDirty = false // non-append snapshot since mm's last refresh
-    def mutate(body: => Unit): Unit = {
-      val before = LakeTable.load(wh, "d", "src")
-        .metadata.snapshots.map(_.id).toSet
-      body
-      if (LakeTable.load(wh, "d", "src").metadata.snapshots.exists(s =>
-          !before(s.id) && s.operation != "append" &&
-            !LakeTable.isByteMove(s.operation)))
-        mmDirty = true
+    // the op soup: every incremental refresh (either shape, any op
+    // mix short of a replace) must now SUCCEED — signed merge where
+    // the range allows it, touched-group recompute where it doesn't
+    var incrRet = 0; var incrMm = 0; var upserts = 0
+    // CoW verbs refuse while equality batches are live — compact (a
+    // byte-move, invisible to the refresh algebra) materializes them
+    var liveEq = false
+    def compacted(): LakeTable = {
+      val t = LakeTable.load(wh, "d", "src")
+      if (liveEq) { t.compact(spark); liveEq = false }
+      LakeTable.load(wh, "d", "src")
     }
-    var incrRet = 0; var incrMm = 0; var refusals = 0
     for (i <- 0 until 14) {
-      rnd.nextInt(4) match {
+      rnd.nextInt(5) match {
         case 0 =>
           LakeTable.load(wh, "d", "src").append(randRows(3 + rnd.nextInt(5)))
         case 1 =>
           val key = keys(rnd.nextInt(keys.size))
-          mutate(LakeTable.load(wh, "d", "src")
-            .deleteMoR(spark, col("k") === key && col("x") % 3 === 0))
+          compacted()
+            .deleteMoR(spark, col("k") === key && col("x") % 3 === 0)
         case 2 =>
           val cut = nextX - rnd.nextInt(10)
-          mutate(LakeTable.load(wh, "d", "src")
-            .delete(spark, col("x") > cut)) // copy-on-write
+          compacted().delete(spark, col("x") > cut) // copy-on-write
         case 3 =>
           val key = keys(rnd.nextInt(keys.size))
-          mutate(LakeTable.load(wh, "d", "src").update(spark,
+          compacted().update(spark,
             Map("amt" -> (col("amt") + lit(1).cast("decimal(18,4)"))),
-            col("k") === key)) // copy-on-write rewrite
+            col("k") === key) // copy-on-write rewrite
+        case 4 =>
+          // equality upsert: an existing x moves to a (possibly)
+          // different group — markers carry only x, so this forces
+          // the touched-group recompute on BOTH shapes
+          val x = 1L + rnd.nextInt(nextX.toInt).toLong
+          val row = randRows(1).select(lit(keys(rnd.nextInt(keys.size)))
+            .as("k"), lit(x).as("x"), col("amt"))
+          LakeTable.load(wh, "d", "src").upsertMoR(spark, row,
+            keys = Seq("x"))
+          liveEq = true
+          upserts += 1
       }
       if (rnd.nextInt(10) < 7) {
-        // the retractable shape NEVER refuses on this op mix
         vsql("REFRESH MATERIALIZED VIEW gmvr2.d.ret INCREMENTAL")
           .collect()
         incrRet += 1
         assert(viewRet() == recomputeRet(), s"ret drifted at step $i")
       }
       if (rnd.nextInt(10) < 5) {
-        if (mmDirty) {
-          val e = intercept[Exception] {
-            vsql("REFRESH MATERIALIZED VIEW gmvr2.d.mm INCREMENTAL")
-              .collect()
-          }
-          val msgs = Iterator.iterate(e: Throwable)(_.getCause)
-            .takeWhile(_ != null)
-            .map(t => Option(t.getMessage).getOrElse("")).mkString(" ")
-          assert(msgs.contains("append-only"), s"step $i: $msgs")
-          refusals += 1
-          vsql("REFRESH MATERIALIZED VIEW gmvr2.d.mm").collect() // full
-          mmDirty = false
-        } else {
-          vsql("REFRESH MATERIALIZED VIEW gmvr2.d.mm INCREMENTAL")
-            .collect()
-          incrMm += 1
-        }
+        vsql("REFRESH MATERIALIZED VIEW gmvr2.d.mm INCREMENTAL")
+          .collect()
+        incrMm += 1
         assert(viewMm() == recomputeMm(), s"mm drifted at step $i")
       }
     }
     // final convergence + the run actually exercised every path
     vsql("REFRESH MATERIALIZED VIEW gmvr2.d.ret INCREMENTAL").collect()
     assert(viewRet() == recomputeRet(), "final ret")
-    vsql("REFRESH MATERIALIZED VIEW gmvr2.d.mm").collect()
+    vsql("REFRESH MATERIALIZED VIEW gmvr2.d.mm INCREMENTAL").collect()
     assert(viewMm() == recomputeMm(), "final mm")
-    assert(incrRet >= 5 && incrMm >= 1 && refusals >= 1,
-      s"coverage: incrRet=$incrRet incrMm=$incrMm refusals=$refusals")
+    assert(incrRet >= 5 && incrMm >= 3 && upserts >= 1,
+      s"coverage: incrRet=$incrRet incrMm=$incrMm upserts=$upserts")
   }
 }

@@ -110,14 +110,28 @@ class MatViewSpec extends AnyFunSuite {
       "CALL gmvi.system.refresh_mat_view('d', 'roll', 'incremental')")
       .collect()
     assert(noop.head.getLong(0) == noop.head.getLong(1))
-    // a DELETE in the range is not additive — refuse by name
+    // a DELETE in the range defeats the signed merge (MIN/MAX cannot
+    // un-see a removed extremum) — the refresh falls back to
+    // recomputing just the TOUCHED groups and still lands incrementally
     LakeTable.load(wh, "d", "src").delete(spark, col("k") === "b")
+    val r2 = spark.sql(
+      "CALL gmvi.system.refresh_mat_view('d', 'roll', 'incremental')")
+      .collect()
+    assert(r2.head.getLong(1) > r2.head.getLong(0),
+      "recompute fallback still advances the watermark")
+    assert(vsql("SELECT k FROM gmvi.d.roll ORDER BY k").collect()
+      .map(_.getString(0)).toSeq == Seq("a", "c"),
+      "the emptied group must leave the materialization")
+    // a full-content REPLACE resets the replay — even the recompute
+    // cannot name its touched groups; refuse by name
+    LakeTable.load(wh, "d", "src").overwrite(rows(Seq(
+      ("a", 1L, "2.0"), ("c", 3L, "9.0"))))
     val e = intercept[Exception] {
       spark.sql(
         "CALL gmvi.system.refresh_mat_view('d', 'roll', 'incremental')")
         .collect()
     }
-    assert(e.getMessage.contains("append-only"), e.getMessage)
+    assert(e.getMessage.contains("full refresh"), e.getMessage)
     // a FULL refresh recovers (recomputes + re-pins the watermark),
     // and incremental works again afterwards
     spark.sql("CALL gmvi.system.refresh_mat_view('d', 'roll', 'full')")
@@ -233,6 +247,63 @@ class MatViewSpec extends AnyFunSuite {
       .head.getLong(0) == 4000L)
   }
 
+  test("touched-group recompute scans only source files that can " +
+      "hold touched groups; min/max come back exactly after deletes") {
+    val wh = Files.createTempDirectory("graft-matview-rprune").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"src","columns":[
+        |{"column_name":"k","data_type":"long"},
+        |{"column_name":"x","data_type":"long"}],"partitions":[]}""".stripMargin)
+    import SparkTestSession.spark.implicits._
+    // 8 source files with DISJOINT group-key ranges — the touched-key
+    // envelope must prune the recompute's source scan to the files
+    // that can hold the touched groups
+    for (b <- 0 until 8)
+      LakeTable.load(wh, "d", "src").append(
+        (0 until 50).map(i => (b * 100L + i, b * 1000L + i))
+          .toDF("k", "x").coalesce(1))
+    spark.conf.set("spark.sql.catalog.gmvrp", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.gmvrp.warehouse", wh)
+    vsql("CREATE MATERIALIZED VIEW gmvrp.d.mm AS " +
+      "SELECT k, min(x) AS mn, max(x) AS mx, count(*) AS n " +
+      "FROM gmvrp.d.src GROUP BY k").collect()
+    // delete the row holding group 105's MAX — the signed merge can't
+    // serve this (max can't retract); the recompute must re-derive the
+    // group from source, scanning only the file(s) covering k=105
+    LakeTable.load(wh, "d", "src").append(
+      Seq((105L, 9999L)).toDF("k", "x").coalesce(1))
+    vsql("REFRESH MATERIALIZED VIEW gmvrp.d.mm INCREMENTAL").collect()
+    assert(vsql("SELECT mx FROM gmvrp.d.mm WHERE k = 105").collect()
+      .head.getLong(0) == 9999L)
+    LakeTable.load(wh, "d", "src").deleteMoR(spark,
+      col("k") === 105L && col("x") === 9999L)
+    spark.conf.set("spark.graft.matview.incr-scan-audit", "true")
+    try vsql("REFRESH MATERIALIZED VIEW gmvrp.d.mm INCREMENTAL")
+      .collect()
+    finally spark.conf.unset("spark.graft.matview.incr-scan-audit")
+    val (scanned, total) = graft.sources.MatViews.lastRecomputeScan.get
+    assert(total >= 8, s"source should span many files, got $total")
+    assert(scanned < total,
+      s"touched-key envelope must prune the source scan: " +
+        s"$scanned/$total")
+    // the max is back to its pre-append value — a signed merge could
+    // never have produced this
+    assert(vsql("SELECT mn, mx, n FROM gmvrp.d.mm WHERE k = 105")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq == Seq((1005L, 1005L, 1L)))
+    // untouched groups are untouched; group count intact
+    assert(vsql("SELECT count(*) AS c FROM gmvrp.d.mm").collect()
+      .head.getLong(0) == 400L)
+    // a delete EMPTYING a group removes it from the materialization
+    // through the recompute path too
+    LakeTable.load(wh, "d", "src").deleteMoR(spark, col("k") === 203L)
+    vsql("REFRESH MATERIALIZED VIEW gmvrp.d.mm INCREMENTAL").collect()
+    assert(vsql("SELECT count(*) AS c FROM gmvrp.d.mm WHERE k = 203")
+      .collect().head.getLong(0) == 0L)
+    assert(vsql("SELECT count(*) AS c FROM gmvrp.d.mm").collect()
+      .head.getLong(0) == 399L)
+  }
+
   test("AVG over decimals refreshes incrementally, bit-for-bit") {
     val wh = Files.createTempDirectory("graft-matview-avg").toString
     Engine.processTableDefJson(wh,
@@ -342,18 +413,19 @@ class MatViewSpec extends AnyFunSuite {
     assert(got == want, s"got $got want $want")
     assert(!got.exists(_._1 == "b") && !got.exists(_._1 == "c"),
       "emptied groups must be deleted from the materialization")
-    // equality deletes cannot retract (markers carry only keys)
+    // equality deletes defeat the SIGNED merge (markers carry only
+    // keys, so the deleted measures can't be re-derived) — the refresh
+    // falls back to recomputing the touched groups: the marker keys
+    // name the victims in the watermark image, and those rows still
+    // carry their group keys in full
     LakeTable.load(wh, "d", "src").updateProperties(
       Map("identifier-fields" -> "k"))
     LakeTable.load(wh, "d", "src").upsertMoR(spark,
       rows(Seq(("d", "8.0000"))), keys = Seq("k"))
-    val e = intercept[Exception] {
-      vsql("REFRESH MATERIALIZED VIEW gmvt.d.roll INCREMENTAL").collect()
-    }
-    assert(messages(e).contains("equality-delete") ||
-      messages(e).contains("cannot retract"), messages(e))
-    // full refresh recovers
-    vsql("REFRESH MATERIALIZED VIEW gmvt.d.roll").collect()
+    val r2 = vsql("REFRESH MATERIALIZED VIEW gmvt.d.roll INCREMENTAL")
+      .collect()
+    assert(r2.head.getLong(1) > r2.head.getLong(0),
+      "eq-delete range must still refresh incrementally (recompute)")
     assert(vsql("SELECT CAST(s AS STRING) AS s FROM gmvt.d.roll " +
       "WHERE k = 'd'").collect().head.getString(0) == "8.0000")
   }
