@@ -1023,6 +1023,84 @@ object LakeReadQueries extends QueryModule {
         "FROM gmvret.mvr.roll ORDER BY o_custkey")
     }),
 
+    "lake_mat_view_join" -> QueryModule.micro(4)((s, dir) => {
+      // incremental maintenance of a JOIN-shaped MV (the production
+      // fact ⋈ dim rollup): the defining query joins the orders fact
+      // to a customer dim and groups by a DIM column. A fact append
+      // refreshes by delta-join expansion — γ(ΔF ⋈ D) merged
+      // additively, the dim read pinned at its recorded snapshot, so
+      // the refresh costs O(fact delta), never O(fact). The oracle
+      // recomputes the join from scratch; the key self-audits that the
+      // refresh was incremental (no replace snapshot on the backing
+      // table) and that a dim movement refuses by name.
+      val wh = LakeQueries.freshWarehouse("matviewjoin")
+      Engine.processTableDefJson(wh,
+        """{"database_name":"mvj","table_name":"ord","columns":[
+          |{"column_name":"o_custkey","data_type":"long"},
+          |{"column_name":"o_price","data_type":"decimal(18,4)"}],
+          |"partitions":[]}""".stripMargin)
+      Engine.processTableDefJson(wh,
+        """{"database_name":"mvj","table_name":"cust","columns":[
+          |{"column_name":"c_id","data_type":"long"},
+          |{"column_name":"c_seg","data_type":"string"}],
+          |"partitions":[]}""".stripMargin)
+      val orders = Tables(s, dir, "orders")
+        .select(col("o_custkey"),
+          col("o_totalprice").cast("decimal(18,4)").as("o_price"))
+      LakeTable.load(wh, "mvj", "cust").append(
+        Tables(s, dir, "customer")
+          .select(col("c_custkey").as("c_id"),
+            col("c_mktsegment").as("c_seg")))
+      LakeTable.load(wh, "mvj", "ord")
+        .append(orders.filter(col("o_custkey") % 4 === 0))
+      s.conf.set("spark.sql.catalog.gmvj2", "graft.sources.LakeCatalog")
+      s.conf.set("spark.sql.catalog.gmvj2.warehouse", wh)
+      def vsql(q: String) =
+        org.apache.spark.sql.GraftViewSubstitution.sql(s, q)
+      vsql("CREATE MATERIALIZED VIEW gmvj2.mvj.segroll AS " +
+        "SELECT c_seg, count(*) AS n_orders, sum(o_price) AS " +
+        "sum_price FROM gmvj2.mvj.ord JOIN gmvj2.mvj.cust " +
+        "ON o_custkey = c_id GROUP BY c_seg").collect()
+      require(graft.sources.LakeViews.read(
+        graft.sources.LakeViews.path(wh, "mvj", "segroll")).get
+        .properties.contains("graft.mat-view.dims"),
+        "the join shape must be recorded as incrementally maintainable")
+      // fact delta: an append AND a MoR retraction, both expanded
+      // through the pinned dim
+      LakeTable.load(wh, "mvj", "ord")
+        .append(orders.filter(col("o_custkey") % 4 === 1))
+      LakeTable.load(wh, "mvj", "ord")
+        .deleteMoR(s, col("o_custkey") % 10 === 4)
+      val res = vsql(
+        "REFRESH MATERIALIZED VIEW gmvj2.mvj.segroll INCREMENTAL")
+        .collect()
+      require(res.head.getLong(1) > res.head.getLong(0),
+        "the incremental refresh must advance the watermark")
+      require(!LakeTable.load(wh, "mvj", "__mat_segroll").metadata
+        .snapshots.exists(sn => LakeTable.isReset(sn.operation)),
+        "the refresh must merge incrementally, not replace")
+      // a DIM delta cannot be expressed as a fact delta — refuse by
+      // name (the full refresh that recovers it is lake_mat_view's
+      // territory; this key pins the guard)
+      LakeTable.load(wh, "mvj", "cust").append {
+        import s.implicits._
+        Seq((-1L, "NONE")).toDF("c_id", "c_seg")
+      }
+      val refusal =
+        try { vsql("REFRESH MATERIALIZED VIEW gmvj2.mvj.segroll " +
+          "INCREMENTAL").collect(); "" }
+        catch { case e: Exception =>
+          Iterator.iterate(e: Throwable)(_.getCause)
+            .takeWhile(_ != null)
+            .map(t => Option(t.getMessage).getOrElse("")).mkString(" ") }
+      require(refusal.contains("dim") &&
+        refusal.contains("full refresh"),
+        s"dim movement must refuse by name, got: $refusal")
+      vsql("SELECT c_seg, n_orders, " +
+        "CAST(sum_price AS DOUBLE) AS sum_price " +
+        "FROM gmvj2.mvj.segroll ORDER BY c_seg")
+    }),
+
     "lake_mat_view_minmax" -> QueryModule.micro(4)((s, dir) => {
       // MIN/MAX shapes through NON-append deltas: a signed merge
       // cannot un-see a removed extremum, so the refresh falls back to
@@ -2769,6 +2847,15 @@ object RowOpsQueries extends QueryModule {
         |WHERE o_custkey % 4 IN (0, 1)
         |  AND o_custkey % 10 <> 2 AND o_custkey % 10 <> 5
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "lake_mat_view_join" ->
+      """SELECT c_mktsegment AS c_seg,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_custkey % 4 IN (0, 1) AND o_custkey % 10 <> 4
+        |GROUP BY c_mktsegment ORDER BY c_seg""".stripMargin,
 
     "lake_mat_view_minmax" ->
       """WITH base AS (

@@ -82,7 +82,7 @@ object MatViewDdl {
     // type) falls back to a FULL-REFRESH-ONLY view instead of failing
     // the CREATE — unshaped is always sound
     val shaped: Option[(MatViews.AggShape, Long,
-        org.apache.spark.sql.DataFrame)] =
+        org.apache.spark.sql.DataFrame, Map[String, String])] =
       try MatViews.detect(analyzed.queryExecution.analyzed,
           warehouse)
         .flatMap { sh =>
@@ -90,8 +90,15 @@ object MatViewDdl {
             sh.srcTable)
           val w = src.metadata.snapshots.map(_.id)
             .foldLeft(0L)(math.max)
-          val rows = MatViews.sourceRows(src.read(spark,
-            asOfSnapshot = if (w > 0) Some(w) else None), sh)
+          // pin the dims FIRST, then read them at those pins — a dim
+          // commit racing the seed lands entirely in a later full
+          // refresh, never half-joined
+          val dimPins = MatViews.dimPinsAtHead(warehouse, sh)
+          val rows = MatViews.sourceRows(
+            MatViews.joinedRows(spark, warehouse, sh,
+              src.read(spark,
+                asOfSnapshot = if (w > 0) Some(w) else None),
+              dimPins), sh)
           // seed the STORAGE layout (hidden avg parts / row counter);
           // its visible projection must reproduce the declared schema
           val storage = MatViews.storageAggregate(rows, sh)
@@ -99,7 +106,7 @@ object MatViewDdl {
               (f.name, f.dataType)).toSeq ==
               analyzed.schema.fields.map(f =>
                 (f.name, f.dataType)).toSeq)
-            Some((sh, w, storage))
+            Some((sh, w, storage, dimPins))
           else None
         }
       catch { case scala.util.control.NonFatal(_) => None }
@@ -112,16 +119,18 @@ object MatViewDdl {
         graft.schema.TypeMapper.toColumnDef(
           f.name, f.dataType, f.nullable)),
       Seq.empty,
-      shaped.map { case (sh, w, _) =>
+      shaped.map { case (sh, w, _, dimPins) =>
         // incremental shapes: bloom the group keys so the
         // touched-group pruning in refreshIncremental can drop
         // backing files by exact probe, not just range; the
-        // watermark lives HERE so refreshes can advance it in the
-        // same atomic flip as the merged data
+        // watermark (and each dim's snapshot pin) lives HERE so
+        // refreshes can advance it in the same atomic flip as the
+        // merged data
         val keys = MatViews.bloomableKeys(sh, analyzed.schema)
         val wTs = LakeTable.load(warehouse, sh.srcDb, sh.srcTable)
           .metadata.snapshots.find(_.id == w)
           .map(_.timestampMs).getOrElse(-1L)
+        dimPins ++
         Map("graft.mat-view.watermark" -> w.toString,
           "graft.mat-view.watermark-ts" -> wTs.toString) ++
           // the zone the data is BUCKETED under lives with the data:
@@ -145,7 +154,7 @@ object MatViewDdl {
         LakeViews.create(LakeViews.path(warehouse, db, name),
           LakeViews.ViewDoc(name, 1, Seq(LakeViews.ViewVersion(
             1, System.currentTimeMillis(),
-            shaped.map { case (sh, _, _) =>
+            shaped.map { case (sh, _, _, _) =>
               MatViews.viewSql(sh, catalogName, db, matTable)
             }.getOrElse(s"SELECT * FROM $catalogName.$db.$matTable"),
             analyzed.schema.json,
@@ -156,7 +165,7 @@ object MatViewDdl {
               "graft.mat-view.table" -> matTable,
               "graft.mat-view.refreshed-ms" ->
                 System.currentTimeMillis().toString) ++
-              shaped.map { case (sh, w, _) =>
+              shaped.map { case (sh, w, _, _) =>
                 MatViews.encode(sh,
                   spark.sessionState.conf.sessionLocalTimeZone) +
                   ("graft.mat-view.watermark" -> w.toString)
@@ -233,7 +242,7 @@ object MatViewDdl {
         // recomputes from a watermark-pinned scan so its
         // watermark advances consistently; any-SQL views
         // re-run their defining query
-        val (frame, wm) = shape match {
+        val (frame, wm, dimPins) = shape match {
           case Some(sh) =>
             val src = LakeTable.load(warehouse, sh.srcDb,
               sh.srcTable)
@@ -241,14 +250,19 @@ object MatViewDdl {
               .foldLeft(0L)(math.max)
             val headTs = src.metadata.snapshots.find(_.id == head)
               .map(_.timestampMs).getOrElse(-1L)
+            // dims re-pin at THEIR heads (recorded in the same
+            // transaction as the data computed against them)
+            val pins = MatViews.dimPinsAtHead(warehouse, sh)
             (MatViews.storageAggregate(
-              MatViews.sourceRows(src.read(spark,
-                asOfSnapshot = if (head > 0) Some(head)
-                  else None), sh), sh),
-              Some((head, headTs)))
+              MatViews.sourceRows(
+                MatViews.joinedRows(spark, warehouse, sh,
+                  src.read(spark,
+                    asOfSnapshot = if (head > 0) Some(head)
+                      else None), pins), sh), sh),
+              Some((head, headTs)), pins)
           case None =>
             (org.apache.spark.sql.GraftViewSubstitution
-              .sql(spark, defSql), None)
+              .sql(spark, defSql), None, Map.empty[String, String])
         }
         // recompute + watermark advance + tz re-pin publish in ONE
         // flip (crash mid-refresh leaves the old content with the old
@@ -263,7 +277,7 @@ object MatViewDdl {
             val props = wm.map { case (h, hTs) =>
               Map("graft.mat-view.watermark" -> h.toString,
                 "graft.mat-view.watermark-ts" -> hTs.toString)
-            }.getOrElse(Map.empty) ++ tzPin
+            }.getOrElse(Map.empty) ++ tzPin ++ dimPins
             if (props.nonEmpty) tx.updateProperties(props)
             s
           }

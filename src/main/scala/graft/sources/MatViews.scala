@@ -94,13 +94,25 @@ private[graft] object MatViews {
   case object KMax extends StoreKind
   case class StoreCol(name: String, kind: StoreKind)
 
+  /** One dimension side of a JOIN-shaped MV: a lake table inner-joined
+    * to the fact (or to the join built so far — left-deep), with a
+    * persistable condition stored as qualifier-stripped SQL. Fact
+    * deltas maintain incrementally by delta-join expansion
+    * (γ(ΔF ⋈ D) merges exactly like a single-table delta, because
+    * inner join distributes over union on the fact side — with D
+    * FROZEN at its pinned snapshot); a dim that moved refuses to a
+    * full refresh, which re-pins it.
+    */
+  case class DimSpec(db: String, table: String, condSql: String)
+
   case class AggShape(srcDb: String, srcTable: String,
       specs: Seq[AggSpec], storageV2: Boolean = true,
       filterSql: Option[String] = None,
       tzSensitive: Boolean = false,
       tz: Option[String] = None,
       havingSql: Option[String] = None,
-      visible: Option[Seq[String]] = None) {
+      visible: Option[Seq[String]] = None,
+      dims: Seq[DimSpec] = Nil) {
     /** The columns the VIEW serves, in declared order — a HAVING
       * query may materialize extra storage-only aggregates
       * (`__having_<i>`) its condition references. */
@@ -254,6 +266,8 @@ private[graft] object MatViews {
 
   private def detectAgg(agg: Aggregate,
       warehouse: String): Option[AggShape] = {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.catalyst.plans.Inner
     def unwrap(p: LogicalPlan): Option[(String, String)] = p match {
       case SubqueryAlias(_, c) => unwrap(c)
       case r: DataSourceV2Relation => r.table match {
@@ -265,6 +279,24 @@ private[graft] object MatViews {
       }
       case _ => None
     }
+    // a LEFT-DEEP tree of INNER equi-ish joins over lake relations:
+    // the leftmost leaf is the FACT (whose deltas maintain the view),
+    // each right side a DIM (pinned at a snapshot; moving it refuses
+    // to full refresh). Any persistable condition joins — the algebra
+    // (γ(ΔF ⋈ D) merges additively) doesn't care about its form.
+    def unwrapJoins(p: LogicalPlan)
+        : Option[((String, String), Seq[(String, String, Expression)])] =
+      p match {
+        case SubqueryAlias(_, c) => unwrapJoins(c)
+        case j: Join if j.joinType == Inner && j.condition.isDefined &&
+            persistable(j.condition.get) =>
+          for {
+            left <- unwrapJoins(j.left)
+            dim <- unwrap(j.right)
+          } yield (left._1,
+            left._2 :+ ((dim._1, dim._2, j.condition.get)))
+        case other => unwrap(other).map(r => (r, Nil))
+      }
     val groupings = agg.groupingExpressions
     val outs = agg.aggregateExpressions
     val aggChild = agg.child
@@ -281,7 +313,25 @@ private[graft] object MatViews {
             }.sql))
           case c => (c, None)
         }
-        unwrap(child).flatMap { case (db, tbl) =>
+        unwrapJoins(child).flatMap { case ((db, tbl), dimJoins) =>
+          // qualifier-stripped persistence needs UNAMBIGUOUS names:
+          // every column the shape references must occur exactly once
+          // across the combined join output, or re-resolution against
+          // the rebuilt join could bind the wrong side. (A single
+          // relation can't carry duplicates — check only join shapes.)
+          val refNames = (groupings ++ outs ++ aggChild.expressions ++
+            dimJoins.map(_._3)).flatMap(e =>
+            e.collect { case a: AttributeReference => a.name }).toSet
+          val nameCounts = child.output.groupBy(_.name)
+            .map { case (n, as) => n -> as.size }
+          if (dimJoins.nonEmpty &&
+              refNames.exists(n => nameCounts.getOrElse(n, 0) != 1))
+            return None
+          val dims = dimJoins.map { case (ddb, dtbl, cond) =>
+            DimSpec(ddb, dtbl, cond.transform {
+              case a: AttributeReference => a.withQualifier(Nil)
+            }.sql)
+          }
           // group keys and aggregate arguments may be arbitrary
           // PERSISTABLE row-local expressions (`date_trunc('day',
           // ts)`, `price * qty`): the expression evaluates identically
@@ -360,8 +410,9 @@ private[graft] object MatViews {
               !groupings.forall(g =>
                 matchedGroups.exists(_.semanticEquals(g)))) None
           else Some(AggShape(db, tbl, specs, filterSql = filterSql,
-            tzSensitive = (groupings ++ outs ++
-              aggChild.expressions).exists(isTzSensitive)))
+            tzSensitive = (groupings ++ outs ++ aggChild.expressions ++
+              dimJoins.map(_._3)).exists(isTzSensitive),
+            dims = dims))
         }
   }
 
@@ -421,6 +472,77 @@ private[graft] object MatViews {
     */
   def sourceRows(df: DataFrame, shape: AggShape): DataFrame =
     shape.filterSql.map(f => df.filter(expr(f))).getOrElse(df)
+
+  // ---- JOIN-shaped views ------------------------------------------------
+
+  /** Backing-table property pinning one dim's snapshot ("id:ts"). */
+  def dimPinKey(d: DimSpec): String =
+    s"graft.mat-view.dim-watermark.${d.db}.${d.table}"
+
+  /** Pin every dim at its current head — recorded at create and
+    * re-recorded by each full refresh (in the same transaction as the
+    * recomputed data).
+    */
+  def dimPinsAtHead(warehouse: String,
+      shape: AggShape): Map[String, String] =
+    shape.dims.map { d =>
+      val t = LakeTable.load(warehouse, d.db, d.table)
+      val head = t.metadata.snapshots.map(_.id).foldLeft(0L)(math.max)
+      val ts = t.metadata.snapshots.find(_.id == head)
+        .map(_.timestampMs).getOrElse(-1L)
+      dimPinKey(d) -> s"$head:$ts"
+    }.toMap
+
+  /** Join fact-schema rows to every dim, each dim read AT its pinned
+    * snapshot (`pins` = backing-table properties; a missing pin reads
+    * the head — the seed path records pins first). The names the shape
+    * references are unique across the combined output (checked at
+    * detect), so the qualifier-stripped condition re-resolves
+    * unambiguously; `_change_*` columns on a changelog fact frame ride
+    * through inner joins untouched. Identity when the shape has no
+    * dims.
+    */
+  def joinedRows(spark: SparkSession, warehouse: String,
+      shape: AggShape, factRows: DataFrame,
+      pins: Map[String, String]): DataFrame =
+    shape.dims.foldLeft(factRows) { (acc, d) =>
+      val t = LakeTable.load(warehouse, d.db, d.table)
+      val df = pins.get(dimPinKey(d)).map(_.split(":")(0).toLong) match {
+        case Some(id) if id > 0 =>
+          t.read(spark, asOfSnapshot = Some(id))
+        case Some(_) => // pinned on an EMPTY dim: the join is empty
+          spark.createDataFrame(
+            java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+            graft.lake.Reconcile.clean(t.metadata.currentSchema)
+              .asInstanceOf[StructType])
+        case None => t.read(spark)
+      }
+      acc.join(df, expr(d.condSql), "inner")
+    }
+
+  /** Named refusal when any dim moved past (or diverged from) its
+    * pinned snapshot: only FACT deltas maintain incrementally — a dim
+    * delta changes the join contribution of UNCHANGED fact rows, which
+    * no fact-side delta can express. A full refresh recomputes against
+    * the dim heads and re-pins.
+    */
+  def requireDimsUnmoved(warehouse: String, shape: AggShape,
+      pins: Map[String, String]): Unit =
+    shape.dims.foreach { d =>
+      val t = LakeTable.load(warehouse, d.db, d.table)
+      val head = t.metadata.snapshots.map(_.id).foldLeft(0L)(math.max)
+      val headTs = t.metadata.snapshots.find(_.id == head)
+        .map(_.timestampMs).getOrElse(-1L)
+      val pin = pins.getOrElse(dimPinKey(d),
+        throw new IllegalStateException(
+          s"materialization lost its snapshot pin for dim " +
+            s"'${d.db}.${d.table}' — run a full refresh"))
+      val Array(idS, tsS) = pin.split(":")
+      require(head == idS.toLong && headTs == tsS.toLong,
+        s"incremental refresh maintains FACT deltas only, but dim " +
+          s"'${d.db}.${d.table}' moved (pinned snapshot $idS, head " +
+          s"now $head) — run a full refresh, which re-pins the dims")
+    }
 
   /** The STORAGE aggregation over source-schema rows (seed, full
     * refresh, and the append-delta path): one pass, declared group
@@ -588,6 +710,10 @@ private[graft] object MatViews {
     "graft.mat-view.specs-sql" -> "true",
     "graft.mat-view.src-db" -> shape.srcDb,
     "graft.mat-view.src-table" -> shape.srcTable) ++
+    (if (shape.dims.isEmpty) Map.empty[String, String]
+     else Map("graft.mat-view.dims" -> shape.dims.map(d =>
+       s"${esc(d.db)}:${esc(d.table)}:${esc(d.condSql)}")
+       .mkString(","))) ++
     shape.filterSql.map("graft.mat-view.filter" -> _) ++
     shape.havingSql.map("graft.mat-view.having" -> _) ++
     shape.visible.map(v => "graft.mat-view.visible" ->
@@ -643,7 +769,16 @@ private[graft] object MatViews {
       tz = props.get("graft.mat-view.tz"),
       havingSql = props.get("graft.mat-view.having"),
       visible = props.get("graft.mat-view.visible")
-        .map(_.split(",").toSeq.map(unesc))))
+        .map(_.split(",").toSeq.map(unesc)),
+      dims = props.get("graft.mat-view.dims").map(_.split(",").toSeq
+        .map { d =>
+          d.split(":").toSeq match {
+            case Seq(db, tbl, cond) =>
+              DimSpec(unesc(db), unesc(tbl), unesc(cond))
+            case _ => throw new IllegalStateException(
+              s"corrupt mat-view dim entry: $d")
+          }
+        }).getOrElse(Nil)))
     }
 
   /** The backing-table group-key columns that can carry per-file bloom
@@ -758,12 +893,19 @@ private[graft] object MatViews {
     * columns only), and no legacy nullable SUM without its non-null
     * counter. Anything else routes to the touched-group recompute.
     */
-  private def signedMergeable(spark: SparkSession, src: LakeTable,
-      shape: AggShape, range: Seq[graft.lake.SnapshotMeta]): Boolean = {
+  private def signedMergeable(spark: SparkSession, warehouse: String,
+      src: LakeTable, shape: AggShape,
+      range: Seq[graft.lake.SnapshotMeta]): Boolean = {
+    // an empty frame with the COMBINED (fact ⋈ dims) schema — sum
+    // arguments may reference dim columns
     lazy val emptySrc = spark.createDataFrame(
       java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-      graft.lake.Reconcile.clean(src.metadata.currentSchema)
-        .asInstanceOf[StructType])
+      StructType(
+        graft.lake.Reconcile.clean(src.metadata.currentSchema)
+          .asInstanceOf[StructType].fields ++
+        shape.dims.flatMap(d => graft.lake.Reconcile.clean(
+          LakeTable.load(warehouse, d.db, d.table).metadata
+            .currentSchema).asInstanceOf[StructType].fields)))
     shape.retractable && shape.storageV2 &&
       range.forall(s => retractableOp(s.operation)) &&
       range.forall(_.eqDeletes.isEmpty) &&
@@ -796,11 +938,17 @@ private[graft] object MatViews {
     * over-approximate freely — recomputing an untouched group is
     * wasted work, never a wrong answer.
     */
-  private def refreshByRecompute(spark: SparkSession, src: LakeTable,
-      shape: AggShape, w: Long, head: Long,
+  private def refreshByRecompute(spark: SparkSession, warehouse: String,
+      src: LakeTable, shape: AggShape, w: Long, head: Long,
       range: Seq[graft.lake.SnapshotMeta],
       backing0: LakeTable): Unit = {
     val keyCols = shape.groupCols.map(g => q(g.outName))
+    // JOIN shapes: every fact-row frame expands through the pinned
+    // dims before the filter/aggregation sees it (group keys and
+    // measures may live on the dim side)
+    val pins = backing0.metadata.properties
+    def expand(rows: DataFrame): DataFrame =
+      sourceRows(joinedRows(spark, warehouse, shape, rows, pins), shape)
     // 1. touched keys from the changelog: every row a snapshot added
     // or removed names its group — EXCEPT equality-delete markers,
     // whose non-key columns are null (their group keys may be
@@ -811,7 +959,7 @@ private[graft] object MatViews {
     val clRows = if (eqSnapIds.isEmpty) cl
       else cl.filter(!(col("_change_snapshot_id").isin(eqSnapIds: _*) &&
         col("_change_type") === "delete"))
-    val clTouched = sourceRows(clRows, shape)
+    val clTouched = expand(clRows)
       .select(shape.groupCols.map(g => expr(g.srcCol).as(g.outName)): _*)
     // 2. touched keys of equality-deleted rows: any watermark-image
     // row matching a marker key set (rows inserted inside the range
@@ -821,8 +969,7 @@ private[graft] object MatViews {
     // empty table has no pre-image — every eq-victim surfaced as an
     // in-range changelog insert first)
     lazy val preImage =
-      if (w > 0) sourceRows(src.read(spark, asOfSnapshot = Some(w)),
-        shape)
+      if (w > 0) expand(src.read(spark, asOfSnapshot = Some(w)))
       else null
     val eqTouched = eqSnaps.flatMap(_.eqDeletes).flatMap { b =>
       if (preImage == null) None
@@ -901,8 +1048,8 @@ private[graft] object MatViews {
         src.plannedFiles().size))
     val tk = touched.select(shape.groupCols.map(g =>
       q(g.outName).as(s"__tk_${g.outName}")): _*)
-    val headRows = sourceRows(src.read(spark, asOfSnapshot = Some(head),
-      statsFilters = srcFilters), shape)
+    val headRows = expand(src.read(spark, asOfSnapshot = Some(head),
+      statsFilters = srcFilters))
     // a bounded touched set broadcasts (zero source shuffle); past the
     // key limit let the planner shuffle both sides
     val tkSide = if (keyRows.size <= limit) broadcast(tk) else tk
@@ -972,6 +1119,11 @@ private[graft] object MatViews {
             "materialization was computed from (a rollback re-used " +
             "the id) — run a full refresh instead"))
     }
+    // JOIN shapes: a moved dim makes the view stale in a way no FACT
+    // delta can express — refuse BEFORE the fact-unmoved no-op check,
+    // or a dim-only change would silently report "nothing to do"
+    if (shape.dims.nonEmpty)
+      requireDimsUnmoved(warehouse, shape, backing0.metadata.properties)
     val head = src.metadata.snapshots.map(_.id).foldLeft(0L)(math.max)
     if (head == w) return None
     // time-zone-sensitive shapes (date_trunc buckets, tz-dependent
@@ -1011,10 +1163,14 @@ private[graft] object MatViews {
       s"incremental refresh cannot replay ($w, $head]: part of the " +
         "range was expired/squashed and its per-commit deltas are " +
         "gone — run a full refresh instead")
+    def expand(rows: DataFrame): DataFrame =
+      sourceRows(joinedRows(spark, warehouse, shape, rows,
+        backing0.metadata.properties), shape)
     val nonAppend = range.filterNot(s =>
       s.operation == "append" || LakeTable.isByteMove(s.operation))
     val retract = nonAppend.nonEmpty
-    if (retract && !signedMergeable(spark, src, shape, range)) {
+    if (retract && !signedMergeable(spark, warehouse, src, shape,
+        range)) {
       // the cheap signed merge is defeated (MIN/MAX can't un-see a
       // removed extremum, eq-delete markers carry only keys, legacy
       // storage lacks the counters) — recompute ONLY the groups the
@@ -1027,16 +1183,16 @@ private[graft] object MatViews {
           bad.map(s => s"${s.id}(${s.operation})").mkString(", ") +
           " — full-content replaces reset the history rather than " +
           "changing identifiable rows; run a full refresh instead")
-      refreshByRecompute(spark, src, shape, w, head, range,
+      refreshByRecompute(spark, warehouse, src, shape, w, head, range,
         backing0)
       return Some(head)
     }
     val delta =
-      if (retract) signedStorageAggregate(sourceRows(
-        src.changelogBetween(spark, w, head, includeCowDiffs = true),
-        shape), shape)
+      if (retract) signedStorageAggregate(expand(
+        src.changelogBetween(spark, w, head, includeCowDiffs = true)),
+        shape)
       else storageAggregate(
-        sourceRows(src.changesBetween(spark, w, head), shape), shape)
+        expand(src.changesBetween(spark, w, head)), shape)
     // the delta aggregate is consumed multiple times (key-set collect,
     // merge join, retraction split) — pin it so the source delta is
     // scanned once

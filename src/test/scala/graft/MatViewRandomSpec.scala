@@ -149,4 +149,102 @@ class MatViewRandomSpec extends AnyFunSuite {
     assert(incrRet >= 5 && incrMm >= 3 && upserts >= 1,
       s"coverage: incrRet=$incrRet incrMm=$incrMm upserts=$upserts")
   }
+
+  test("join-shape op soup: fact deltas always equal the recompute; " +
+      "dim movement refuses and recovers by full refresh") {
+    val wh = Files.createTempDirectory("graft-mv-random-join").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"fact","columns":[
+        |{"column_name":"cid","data_type":"long"},
+        |{"column_name":"x","data_type":"long"},
+        |{"column_name":"amt","data_type":"decimal(18,4)"}],
+        |"partitions":[]}""".stripMargin)
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"dim","columns":[
+        |{"column_name":"c_id","data_type":"long"},
+        |{"column_name":"seg","data_type":"string"}],
+        |"partitions":[]}""".stripMargin)
+    import SparkTestSession.spark.implicits._
+    val rnd = new scala.util.Random(23L)
+    LakeTable.load(wh, "d", "dim").append(
+      (1L to 6L).map(i => (i, s"s${i % 3}")).toDF("c_id", "seg"))
+    var nextX = 0L
+    def randFacts(n: Int) = {
+      val rows = (0 until n).map { _ =>
+        nextX += 1
+        val amt = if (rnd.nextInt(4) == 0) null
+          else s"${rnd.nextInt(500)}.${1000 + rnd.nextInt(9000)}"
+        (1L + rnd.nextInt(6).toLong, nextX, amt)
+      }
+      rows.toDF("cid", "x", "amt").select(col("cid"), col("x"),
+        col("amt").cast("decimal(18,4)").as("amt"))
+    }
+    LakeTable.load(wh, "d", "fact").append(randFacts(15))
+    spark.conf.set("spark.sql.catalog.gmvrj", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.gmvrj.warehouse", wh)
+    vsql("CREATE MATERIALIZED VIEW gmvrj.d.segroll AS " +
+      "SELECT seg, count(*) AS n, sum(amt) AS s " +
+      "FROM gmvrj.d.fact JOIN gmvrj.d.dim ON cid = c_id " +
+      "GROUP BY seg").collect()
+    assert(graft.sources.LakeViews.read(
+      graft.sources.LakeViews.path(wh, "d", "segroll")).get
+      .properties.contains("graft.mat-view.dims"))
+    def recompute(): Set[(String, Long, String)] =
+      LakeTable.load(wh, "d", "fact").read(spark)
+        .join(LakeTable.load(wh, "d", "dim").read(spark),
+          col("cid") === col("c_id"))
+        .groupBy("seg").agg(count(lit(1)).as("n"), sum("amt").as("s"))
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          Option(r.get(2)).map(_.toString).orNull)).toSet
+    def view(): Set[(String, Long, String)] =
+      vsql("SELECT seg, n, CAST(s AS STRING) AS s FROM gmvrj.d.segroll")
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          r.getString(2))).toSet
+    var incr = 0; var dimRefusals = 0
+    var dimMoved = false
+    for (i <- 0 until 12) {
+      rnd.nextInt(4) match {
+        case 0 => LakeTable.load(wh, "d", "fact")
+          .append(randFacts(2 + rnd.nextInt(4)))
+        case 1 => LakeTable.load(wh, "d", "fact")
+          .deleteMoR(spark, col("x") % 5 === i % 5)
+        case 2 =>
+          val cut = nextX - rnd.nextInt(8)
+          LakeTable.load(wh, "d", "fact")
+            .delete(spark, col("x") > cut)
+        case 3 =>
+          // a dim append — the NEXT incremental must refuse by name
+          LakeTable.load(wh, "d", "dim").append(
+            Seq((100L + i, s"s${i % 3}")).toDF("c_id", "seg"))
+          dimMoved = true
+      }
+      if (rnd.nextInt(10) < 6) {
+        if (dimMoved) {
+          val e = intercept[Exception] {
+            vsql("REFRESH MATERIALIZED VIEW gmvrj.d.segroll INCREMENTAL")
+              .collect()
+          }
+          val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+            .takeWhile(_ != null)
+            .map(t => Option(t.getMessage).getOrElse("")).mkString(" ")
+          assert(msgs.contains("dim"), s"step $i: $msgs")
+          dimRefusals += 1
+          vsql("REFRESH MATERIALIZED VIEW gmvrj.d.segroll").collect()
+          dimMoved = false
+        } else {
+          vsql("REFRESH MATERIALIZED VIEW gmvrj.d.segroll INCREMENTAL")
+            .collect()
+          incr += 1
+        }
+        assert(view() == recompute(), s"segroll drifted at step $i")
+      }
+    }
+    if (dimMoved) vsql("REFRESH MATERIALIZED VIEW gmvrj.d.segroll")
+      .collect()
+    else vsql("REFRESH MATERIALIZED VIEW gmvrj.d.segroll INCREMENTAL")
+      .collect()
+    assert(view() == recompute(), "final")
+    assert(incr >= 3 && dimRefusals >= 1,
+      s"coverage: incr=$incr dimRefusals=$dimRefusals")
+  }
 }

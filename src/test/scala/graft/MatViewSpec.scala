@@ -478,6 +478,139 @@ class MatViewSpec extends AnyFunSuite {
     assert(state().head == (("a", 2L, null, null)), state())
   }
 
+  test("JOIN-shaped MVs maintain incrementally on fact deltas " +
+      "(append, retraction, recompute); dim deltas refuse by name") {
+    val wh = Files.createTempDirectory("graft-matview-join").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"fact","columns":[
+        |{"column_name":"f_cust","data_type":"long"},
+        |{"column_name":"f_item","data_type":"long"},
+        |{"column_name":"f_amt","data_type":"decimal(18,4)"}],
+        |"partitions":[]}""".stripMargin)
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"cust","columns":[
+        |{"column_name":"c_id","data_type":"long"},
+        |{"column_name":"c_seg","data_type":"string"}],
+        |"partitions":[]}""".stripMargin)
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"item","columns":[
+        |{"column_name":"i_id","data_type":"long"},
+        |{"column_name":"i_cat","data_type":"string"}],
+        |"partitions":[]}""".stripMargin)
+    import SparkTestSession.spark.implicits._
+    def facts(r: Seq[(Long, Long, String)]) = r.toDF("f_cust", "f_item",
+      "f_amt").select(col("f_cust"), col("f_item"),
+      col("f_amt").cast("decimal(18,4)").as("f_amt"))
+    LakeTable.load(wh, "d", "cust").append(
+      Seq((1L, "A"), (2L, "B"), (3L, "A")).toDF("c_id", "c_seg"))
+    LakeTable.load(wh, "d", "item").append(
+      Seq((10L, "x"), (20L, "y")).toDF("i_id", "i_cat"))
+    LakeTable.load(wh, "d", "fact").append(facts(Seq(
+      (1L, 10L, "1.0"), (1L, 20L, "2.0"), (2L, 10L, "4.0"),
+      (3L, 20L, "8.0"))))
+    spark.conf.set("spark.sql.catalog.gmvj", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.gmvj.warehouse", wh)
+    // a two-dim star rollup grouping by DIM columns
+    vsql("CREATE MATERIALIZED VIEW gmvj.d.roll AS " +
+      "SELECT c_seg, i_cat, count(*) AS n, sum(f_amt) AS s " +
+      "FROM gmvj.d.fact JOIN gmvj.d.cust ON f_cust = c_id " +
+      "JOIN gmvj.d.item ON f_item = i_id " +
+      "GROUP BY c_seg, i_cat").collect()
+    val doc = graft.sources.LakeViews.read(
+      graft.sources.LakeViews.path(wh, "d", "roll")).get
+    assert(doc.properties.get("graft.mat-view.incr").contains("true"),
+      doc.properties.toString)
+    assert(doc.properties.get("graft.mat-view.dims").exists(d =>
+      d.contains("cust") && d.contains("item")), doc.properties)
+    // dim pins live on the backing table
+    val pins = LakeTable.load(wh, "d", "__mat_roll").metadata.properties
+    assert(pins.contains("graft.mat-view.dim-watermark.d.cust") &&
+      pins.contains("graft.mat-view.dim-watermark.d.item"), pins)
+    def state(): Set[(String, String, Long, String)] =
+      vsql("SELECT c_seg, i_cat, n, CAST(s AS STRING) AS s " +
+        "FROM gmvj.d.roll").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getString(3))).toSet
+    def recompute(): Set[(String, String, Long, String)] =
+      vsql("SELECT c_seg, i_cat, count(*) AS n, " +
+        "CAST(sum(f_amt) AS STRING) AS s " +
+        "FROM gmvj.d.fact JOIN gmvj.d.cust ON f_cust = c_id " +
+        "JOIN gmvj.d.item ON f_item = i_id GROUP BY c_seg, i_cat")
+        .collect().map(r => (r.getString(0), r.getString(1),
+          r.getLong(2), r.getString(3))).toSet
+    assert(state() == recompute(), "seed")
+    // 1. fact APPEND merges as ΔF ⋈ D, additively
+    LakeTable.load(wh, "d", "fact").append(facts(Seq(
+      (2L, 20L, "16.0"), (3L, 10L, "32.0"))))
+    val r1 = vsql("REFRESH MATERIALIZED VIEW gmvj.d.roll INCREMENTAL")
+      .collect()
+    assert(r1.head.getLong(1) > r1.head.getLong(0))
+    assert(state() == recompute(), "after fact append")
+    // 2. fact RETRACTION (MoR delete) through the signed changelog —
+    // the deleted rows join to the dims with their minus sign
+    LakeTable.load(wh, "d", "fact").deleteMoR(spark,
+      col("f_cust") === 1L && col("f_item") === 20L)
+    vsql("REFRESH MATERIALIZED VIEW gmvj.d.roll INCREMENTAL").collect()
+    assert(state() == recompute(), "after fact retraction")
+    // 3. a DIM delta cannot be expressed as a fact delta — refuse by
+    // name, full refresh re-pins, incremental works again
+    LakeTable.load(wh, "d", "cust").append(
+      Seq((4L, "B")).toDF("c_id", "c_seg"))
+    val e = intercept[Exception] {
+      vsql("REFRESH MATERIALIZED VIEW gmvj.d.roll INCREMENTAL").collect()
+    }
+    assert(messages(e).contains("dim") &&
+      messages(e).contains("full refresh"), messages(e))
+    vsql("REFRESH MATERIALIZED VIEW gmvj.d.roll").collect()
+    assert(state() == recompute(), "after full refresh re-pin")
+    LakeTable.load(wh, "d", "fact").append(facts(Seq(
+      (4L, 10L, "64.0"))))
+    vsql("REFRESH MATERIALIZED VIEW gmvj.d.roll INCREMENTAL").collect()
+    assert(state() == recompute(), "incremental after re-pin")
+    // 4. an eq-upsert on the fact routes through the touched-group
+    // recompute, still joined to the pinned dims
+    LakeTable.load(wh, "d", "fact").upsertMoR(spark,
+      facts(Seq((2L, 10L, "100.0"))), keys = Seq("f_cust", "f_item"))
+    vsql("REFRESH MATERIALIZED VIEW gmvj.d.roll INCREMENTAL").collect()
+    assert(state() == recompute(), "after fact eq-upsert (recompute)")
+  }
+
+  test("a join with AMBIGUOUS referenced names stays " +
+      "full-refresh-only (qualifier-stripped SQL could rebind)") {
+    val wh = Files.createTempDirectory("graft-matview-amb").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"f","columns":[
+        |{"column_name":"id","data_type":"long"},
+        |{"column_name":"v","data_type":"long"}],"partitions":[]}""".stripMargin)
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"g","columns":[
+        |{"column_name":"gid","data_type":"long"},
+        |{"column_name":"v","data_type":"long"}],"partitions":[]}""".stripMargin)
+    import SparkTestSession.spark.implicits._
+    LakeTable.load(wh, "d", "f").append(
+      Seq((1L, 5L)).toDF("id", "v"))
+    LakeTable.load(wh, "d", "g").append(
+      Seq((1L, 7L)).toDF("gid", "v"))
+    spark.conf.set("spark.sql.catalog.gmvamb", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.gmvamb.warehouse", wh)
+    // `v` exists on BOTH sides and the aggregate references it —
+    // persisted as bare `v` it could rebind; the shape must refuse
+    // (full-refresh-only), not guess
+    vsql("CREATE MATERIALIZED VIEW gmvamb.d.amb AS " +
+      "SELECT id, sum(f.v) AS s FROM gmvamb.d.f f " +
+      "JOIN gmvamb.d.g g ON id = gid GROUP BY id").collect()
+    val doc = graft.sources.LakeViews.read(
+      graft.sources.LakeViews.path(wh, "d", "amb")).get
+    assert(!doc.properties.contains("graft.mat-view.incr"),
+      doc.properties.toString)
+    // the view still serves, and full refresh works
+    assert(vsql("SELECT s FROM gmvamb.d.amb").collect()
+      .head.getLong(0) == 5L)
+    vsql("REFRESH MATERIALIZED VIEW gmvamb.d.amb").collect()
+    assert(vsql("SELECT s FROM gmvamb.d.amb").collect()
+      .head.getLong(0) == 5L)
+  }
+
   test("GROUP BY columns missing from the output refuse the " +
       "incremental shape (coarser materialization would be wrong)") {
     val wh = Files.createTempDirectory("graft-matview-coarse").toString
