@@ -1023,6 +1023,47 @@ object LakeReadQueries extends QueryModule {
         "FROM gmvret.mvr.roll ORDER BY o_custkey")
     }),
 
+    "lake_mat_view_observe" -> QueryModule.micro(4)((s, dir) => {
+      // MV observability: every refresh attempt — mode requested,
+      // strategy the engine ran, watermark range, touched groups,
+      // outcome (refusals included, with their reason) — lands in a
+      // sidecar history served as the `.refreshes` metadata relation,
+      // the MV sibling of `.snapshots`. The key drives one append
+      // merge, one full recompute, one no-op, and one refusal (a
+      // full-content replace on the source), then QUERIES the history;
+      // the oracle is the exact expected event list (snapshot ids are
+      // deterministic), minus the wall-clock columns.
+      val wh = LakeQueries.freshWarehouse("matviewobs")
+      Engine.processTableDefJson(wh,
+        """{"database_name":"mvo","table_name":"nat","columns":[
+          |{"column_name":"n_regionkey","data_type":"int"},
+          |{"column_name":"n_nationkey","data_type":"int"}],
+          |"partitions":[]}""".stripMargin)
+      val nation = Tables(s, dir, "nation")
+        .select(col("n_regionkey"), col("n_nationkey"))
+      LakeTable.load(wh, "mvo", "nat").append(nation)
+      s.conf.set("spark.sql.catalog.gmvo2", "graft.sources.LakeCatalog")
+      s.conf.set("spark.sql.catalog.gmvo2.warehouse", wh)
+      def vsql(q: String) =
+        org.apache.spark.sql.GraftViewSubstitution.sql(s, q)
+      vsql("CREATE MATERIALIZED VIEW gmvo2.mvo.roll AS " +
+        "SELECT n_regionkey, count(*) AS n FROM gmvo2.mvo.nat " +
+        "GROUP BY n_regionkey").collect()
+      LakeTable.load(wh, "mvo", "nat").append(nation) // all 5 regions
+      vsql("REFRESH MATERIALIZED VIEW gmvo2.mvo.roll INCREMENTAL")
+        .collect()
+      vsql("REFRESH MATERIALIZED VIEW gmvo2.mvo.roll").collect()
+      vsql("REFRESH MATERIALIZED VIEW gmvo2.mvo.roll INCREMENTAL")
+        .collect()
+      LakeTable.load(wh, "mvo", "nat").overwrite(nation.limit(1))
+      try vsql("REFRESH MATERIALIZED VIEW gmvo2.mvo.roll INCREMENTAL")
+        .collect()
+      catch { case _: Exception => () } // the refusal still logs
+      vsql("SELECT mode, strategy, from_snapshot, to_snapshot, " +
+        "groups, outcome FROM gmvo2.mvo.roll.refreshes " +
+        "ORDER BY ts_ms, strategy")
+    }),
+
     "lake_mat_view_join" -> QueryModule.micro(4)((s, dir) => {
       // incremental maintenance of a JOIN-shaped MV (the production
       // fact ⋈ dim rollup): the defining query joins the orders fact
@@ -2847,6 +2888,20 @@ object RowOpsQueries extends QueryModule {
         |WHERE o_custkey % 4 IN (0, 1)
         |  AND o_custkey % 10 <> 2 AND o_custkey % 10 <> 5
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "lake_mat_view_observe" ->
+      """SELECT * FROM (VALUES
+        |  ('incremental', 'append', CAST(1 AS BIGINT),
+        |   CAST(2 AS BIGINT), CAST(5 AS BIGINT), 'ok'),
+        |  ('full', 'recompute-all', CAST(2 AS BIGINT),
+        |   CAST(2 AS BIGINT), CAST(5 AS BIGINT), 'ok'),
+        |  ('incremental', 'no-op', CAST(2 AS BIGINT),
+        |   CAST(2 AS BIGINT), CAST(0 AS BIGINT), 'ok'),
+        |  ('incremental', '', CAST(-1 AS BIGINT),
+        |   CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), 'refused'))
+        |  AS t(mode, strategy, from_snapshot, to_snapshot, groups,
+        |       outcome)
+        |ORDER BY mode, strategy""".stripMargin,
 
     "lake_mat_view_join" ->
       """SELECT c_mktsegment AS c_seg,

@@ -187,6 +187,11 @@ class LakeCatalog extends TableCatalog
     LakeViews.read(viewFile(ident)).foreach { doc =>
       doc.properties.get("graft.mat-view.table").foreach { mat =>
         dropTable(Identifier.of(ident.namespace(), mat))
+        // MV sidecars: refresh history + lock
+        Files.deleteIfExists(LakeViews.refreshLogPath(warehouse,
+          ident.namespace()(0), ident.name))
+        Files.deleteIfExists(LakeViews.dir(warehouse,
+          ident.namespace()(0)).resolve(s".${ident.name}.refresh-lock"))
       }
     }
     Files.deleteIfExists(viewFile(ident))
@@ -226,6 +231,30 @@ class LakeCatalog extends TableCatalog
         LakeTable.exists(warehouse, ident.namespace()(0), ident.namespace()(1))) {
       val t = LakeTable.load(warehouse, ident.namespace()(0), ident.namespace()(1))
       return MetaTables.table(ident.toString, ident.name, t)
+    }
+    // materialized-view refresh history: SELECT * FROM
+    // graft.<db>.<view>.refreshes — the MV sibling of .snapshots,
+    // answered from the O(refreshes) sidecar log with zero data IO
+    if (ident.namespace.length == 2 && ident.name == "refreshes" &&
+        MatViewDdl.isMatView(warehouse, ident.namespace()(0),
+          ident.namespace()(1))) {
+      val (db, vn) = (ident.namespace()(0), ident.namespace()(1))
+      import org.apache.spark.sql.types._
+      return new MetaTable(ident.toString, StructType(Seq(
+        StructField("ts_ms", LongType, nullable = false),
+        StructField("mode", StringType, nullable = false),
+        StructField("strategy", StringType, nullable = false),
+        StructField("from_snapshot", LongType, nullable = false),
+        StructField("to_snapshot", LongType, nullable = false),
+        StructField("groups", LongType, nullable = false),
+        StructField("duration_ms", LongType, nullable = false),
+        StructField("outcome", StringType, nullable = false),
+        StructField("reason", StringType, nullable = true))),
+        LakeViews.readRefreshes(
+          LakeViews.refreshLogPath(warehouse, db, vn)).map(e =>
+          Seq[Any](e.tsMs, e.mode, e.strategy, e.fromSnapshot,
+            e.toSnapshot, e.groups, e.durationMs, e.outcome,
+            if (e.reason.isEmpty) null else e.reason)))
     }
     require(ident.namespace.length == 1, "expected <database>.<table>")
     val (db, tbl) = (ident.namespace()(0), ident.name)

@@ -102,6 +102,50 @@ object LakeViews {
       StandardOpenOption.CREATE_NEW)
   }
 
+  /** One row of a materialized view's refresh history — the
+    * `.refreshes` metadata relation (mirroring `.snapshots` on
+    * tables). `mode` is what the caller asked for (''/full/
+    * incremental); `strategy` what the engine ran (recompute/append/
+    * signed/recompute-touched/no-op); refusals log with
+    * outcome=refused and the refusal reason, then rethrow.
+    */
+  case class RefreshEvent(tsMs: Long, mode: String, strategy: String,
+      fromSnapshot: Long, toSnapshot: Long, groups: Long,
+      durationMs: Long, outcome: String, reason: String)
+
+  def refreshLogPath(warehouse: String, db: String, name: String): Path =
+    dir(warehouse, db).resolve(s".$name.refreshes.jsonl")
+
+  /** Append one event (O_APPEND — atomic for one-line writes; callers
+    * hold the refresh lock anyway). */
+  def appendRefresh(p: Path, e: RefreshEvent): Unit = {
+    Files.createDirectories(p.getParent)
+    val line = Json.write(JObject(Map(
+      "ts-ms" -> JNumber(e.tsMs), "mode" -> JString(e.mode),
+      "strategy" -> JString(e.strategy),
+      "from-snapshot" -> JNumber(e.fromSnapshot),
+      "to-snapshot" -> JNumber(e.toSnapshot),
+      "groups" -> JNumber(e.groups),
+      "duration-ms" -> JNumber(e.durationMs),
+      "outcome" -> JString(e.outcome),
+      "reason" -> JString(e.reason)))) + "\n"
+    Files.write(p, line.getBytes("UTF-8"),
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+  }
+
+  def readRefreshes(p: Path): Seq[RefreshEvent] =
+    if (!Files.exists(p)) Seq.empty
+    else scala.jdk.CollectionConverters.IteratorHasAsScala(
+      Files.readAllLines(p).iterator).asScala
+      .filter(_.nonEmpty).map { line =>
+        val m = Json.parse(line).asObj
+        RefreshEvent(m("ts-ms").asLong, m("mode").asStr,
+          m("strategy").asStr, m("from-snapshot").asLong,
+          m("to-snapshot").asLong, m("groups").asLong,
+          m("duration-ms").asLong, m("outcome").asStr,
+          m("reason").asStr)
+      }.toSeq
+
   /** Serialize materialized-view refreshes across threads AND
     * processes: an advisory `tryLock` on a sidecar lock file. Without
     * it, two concurrent incremental refreshers both read watermark

@@ -34,6 +34,24 @@ object MatViewDdl {
     LakeViews.read(LakeViews.path(warehouse, db, name))
       .exists(_.properties.get("graft.mat-view").contains("true"))
 
+  /** Human-readable summary of the recorded incremental shape, for
+    * DESCRIBE EXTENDED. */
+  def describeShape(props: Map[String, String]): String =
+    MatViews.decode(props) match {
+      case None => "none (full refresh only)"
+      case Some(sh) =>
+        val kinds = sh.specs.collect {
+          case _: MatViews.GroupCol => None
+          case sp => Some(sp.getClass.getSimpleName
+            .stripSuffix("$").stripSuffix("Col").toLowerCase)
+        }.flatten.distinct
+        (if (sh.dims.isEmpty) "" else
+          sh.dims.map(d => s"${d.db}.${d.table}")
+            .mkString("join(", ", ", ") ")) +
+          s"aggregates[${kinds.mkString(", ")}]" +
+          (if (sh.retractable) " retractable" else " append-only")
+    }
+
   /** Create: analyze the defining query, seed the backing table,
     * register the fronting view; detects and records the
     * incrementally-maintainable aggregate shape. Returns (backing
@@ -217,11 +235,37 @@ object MatViewDdl {
             ("graft.mat-view.refreshed-ms" ->
               System.currentTimeMillis().toString)))
       }
-      if (mode == "incremental") {
+      // every attempt lands in the refresh history — the `.refreshes`
+      // metadata relation — including REFUSALS (outcome=refused with
+      // the reason), which is how an operator sees why a view keeps
+      // falling back to full refreshes
+      val logPath = LakeViews.refreshLogPath(warehouse, db, name)
+      val t0 = System.currentTimeMillis()
+      def logged[T <: RefreshResult](body: => (T, String, Long,
+          (Long, Long))): T =
+        try {
+          val (res, strategy, groups, fromTo) = body
+          LakeViews.appendRefresh(logPath, LakeViews.RefreshEvent(
+            t0, if (mode.isEmpty) "full" else mode, strategy,
+            fromTo._1, fromTo._2, groups,
+            System.currentTimeMillis() - t0, "ok", ""))
+          res
+        } catch {
+          case e: Throwable =>
+            try LakeViews.appendRefresh(logPath, LakeViews.RefreshEvent(
+              t0, if (mode.isEmpty) "full" else mode, "",
+              -1L, -1L, -1L, System.currentTimeMillis() - t0,
+              "refused", Option(e.getMessage).getOrElse(
+                e.getClass.getName)))
+            catch { case s: Throwable => e.addSuppressed(s) }
+            throw e
+        }
+      if (mode == "incremental") logged {
         val sh = shape.getOrElse(throw new
           IllegalArgumentException(
           s"view '$db.$name' has no recorded incremental " +
-            "shape (joins, DISTINCT, FILTER clauses on aggregates, " +
+            "shape (joins with ambiguous column names, DISTINCT, " +
+            "FILTER clauses on aggregates, " +
             "grouping columns missing from the output, " +
             "non-persistable expressions — current-time, UDFs, " +
             "subqueries — and float/double SUMs are not " +
@@ -229,14 +273,14 @@ object MatViewDdl {
         val w = doc.properties("graft.mat-view.watermark").toLong
         MatViews.refreshIncremental(spark, warehouse, sh, w,
           db, matTable) match {
-          case Some(head) =>
+          case Some((head, strategy, groups)) =>
             stamp(Map("graft.mat-view.watermark" ->
               head.toString))
-            IncrementalRefresh(w, head)
+            (IncrementalRefresh(w, head), strategy, groups, (w, head))
           case None =>
-            IncrementalRefresh(w, w)
+            (IncrementalRefresh(w, w), "no-op", 0L, (w, w))
         }
-      } else {
+      } else logged {
         // full recompute, one "replace" snapshot on the
         // backing table. An incremental-shaped view
         // recomputes from a watermark-pinned scan so its
@@ -285,7 +329,11 @@ object MatViewDdl {
           Map("graft.mat-view.watermark" -> h.toString,
             "graft.mat-view.watermark-ts" -> hTs.toString)
         }.getOrElse(Map.empty) ++ tzPin)
-        FullRefresh(snap.id, snap.files.map(_.rows).sum)
+        val rows = snap.files.map(_.rows).sum
+        (FullRefresh(snap.id, rows), "recompute-all", rows,
+          (doc.properties.get("graft.mat-view.watermark")
+            .map(_.toLong).getOrElse(-1L),
+            wm.map(_._1).getOrElse(-1L)))
       }
     }
   }

@@ -941,7 +941,7 @@ private[graft] object MatViews {
   private def refreshByRecompute(spark: SparkSession, warehouse: String,
       src: LakeTable, shape: AggShape, w: Long, head: Long,
       range: Seq[graft.lake.SnapshotMeta],
-      backing0: LakeTable): Unit = {
+      backing0: LakeTable): Long = {
     val keyCols = shape.groupCols.map(g => q(g.outName))
     // JOIN shapes: every fact-row frame expands through the pinned
     // dims before the filter/aggregation sees it (group keys and
@@ -1018,7 +1018,7 @@ private[graft] object MatViews {
       // failed the WHERE, or pure byte-moves) — just advance the
       // watermark
       backing0.transaction(_.updateProperties(wmOnly))
-      return
+      return 0L
     }
     val srcSchema = graft.lake.Reconcile
       .clean(src.metadata.currentSchema).asInstanceOf[StructType]
@@ -1067,6 +1067,7 @@ private[graft] object MatViews {
         tx.deleteByKeysMoR(spark, dead)
       tx.updateProperties(wmOnly)
     }
+    if (keyRows.size <= limit) keyRows.size.toLong else -1L
   }
 
   /** The incremental refresh itself: delta rows since the watermark →
@@ -1091,9 +1092,14 @@ private[graft] object MatViews {
     * doc's watermark property is a convenience copy; the table
     * property is authoritative.
     */
+  /** @return None when the source hasn't moved; otherwise the new
+    * watermark, the strategy the engine ran ("append" additive merge,
+    * "signed" retraction merge, "recompute" touched-group recompute),
+    * and the touched-group count (-1 past the key-collect limit).
+    */
   def refreshIncremental(spark: SparkSession, warehouse: String,
       shape: AggShape, watermark: Long, matDb: String,
-      matTable: String): Option[Long] = {
+      matTable: String): Option[(Long, String, Long)] = {
     val src = LakeTable.load(warehouse, shape.srcDb, shape.srcTable)
     val backing0 = LakeTable.load(warehouse, matDb, matTable)
     // authoritative watermark: stamped atomically with the data flip
@@ -1183,9 +1189,9 @@ private[graft] object MatViews {
           bad.map(s => s"${s.id}(${s.operation})").mkString(", ") +
           " — full-content replaces reset the history rather than " +
           "changing identifiable rows; run a full refresh instead")
-      refreshByRecompute(spark, warehouse, src, shape, w, head, range,
-        backing0)
-      return Some(head)
+      val groups = refreshByRecompute(spark, warehouse, src, shape, w,
+        head, range, backing0)
+      return Some((head, "recompute", groups))
     }
     val delta =
       if (retract) signedStorageAggregate(expand(
@@ -1257,6 +1263,7 @@ private[graft] object MatViews {
         tx.updateProperties(wmProp)
       }
     }
-    Some(head)
+    Some((head, if (retract) "signed" else "append",
+      if (keyRows.size <= limit) keyRows.size.toLong else -1L))
   }
 }

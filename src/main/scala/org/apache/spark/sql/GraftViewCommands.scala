@@ -213,8 +213,45 @@ case class GraftDescribeViewCommand(ident: Seq[String],
         v.queryColumnNames.mkString("[", ", ", "]"), null),
       Row("View Version", s"${doc.currentVersionId} of " +
         s"${doc.versions.size}", null)) ++
+      matViewRows(lc, db, doc) ++
       doc.properties.toSeq.sortBy(_._1).map { case (k, pv) =>
         Row(s"View Property: $k", pv, null) }
+  }
+
+  /** Materialized-view section: the backing table, the AUTHORITATIVE
+    * watermark and snapshot pins (table properties, stamped in the
+    * same transaction as the data — the doc copies are advisory), the
+    * recorded incremental shape, and the last refresh-history entry.
+    */
+  private def matViewRows(lc: graft.sources.LakeCatalog, db: String,
+      doc: LakeViews.ViewDoc): Seq[Row] = {
+    if (!doc.properties.get("graft.mat-view").contains("true"))
+      return Seq.empty
+    val mat = doc.properties("graft.mat-view.table")
+    val backingProps =
+      if (graft.lake.LakeTable.exists(lc.warehousePath, db, mat))
+        graft.lake.LakeTable.load(lc.warehousePath, db, mat)
+          .metadata.properties
+      else Map.empty[String, String]
+    val lastRefresh = LakeViews.readRefreshes(
+      LakeViews.refreshLogPath(lc.warehousePath, db, doc.name))
+      .lastOption
+    Seq(
+      Row("", "", null),
+      Row("# Materialized View Information", "", null),
+      Row("Backing Table", s"$db.$mat", null),
+      Row("Incremental Shape",
+        graft.sources.MatViewDdl.describeShape(doc.properties), null),
+      Row("Watermark (authoritative)", backingProps
+        .getOrElse("graft.mat-view.watermark", "-"), null)) ++
+      backingProps.toSeq.sortBy(_._1)
+        .filter(_._1.startsWith("graft.mat-view.dim-watermark."))
+        .map { case (k, pv) => Row("Dim Pin: " +
+          k.stripPrefix("graft.mat-view.dim-watermark."), pv, null) } ++
+      lastRefresh.map(e => Row("Last Refresh",
+        s"${e.mode}/${e.strategy} (${e.fromSnapshot}, " +
+          s"${e.toSnapshot}] ${e.outcome} ${e.durationMs}ms",
+        null)).toSeq
   }
 }
 

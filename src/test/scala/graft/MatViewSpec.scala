@@ -575,6 +575,65 @@ class MatViewSpec extends AnyFunSuite {
     assert(state() == recompute(), "after fact eq-upsert (recompute)")
   }
 
+  test(".refreshes serves the refresh history (modes, strategies, " +
+      "refusals); DESCRIBE EXTENDED shows the MV section") {
+    val wh = Files.createTempDirectory("graft-matview-obs").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"src","columns":[
+        |{"column_name":"k","data_type":"string"},
+        |{"column_name":"x","data_type":"long"}],"partitions":[]}""".stripMargin)
+    import SparkTestSession.spark.implicits._
+    LakeTable.load(wh, "d", "src").append(
+      Seq(("a", 1L), ("b", 2L)).toDF("k", "x"))
+    spark.conf.set("spark.sql.catalog.gmvobs", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.gmvobs.warehouse", wh)
+    vsql("CREATE MATERIALIZED VIEW gmvobs.d.roll AS " +
+      "SELECT k, count(*) AS n, sum(x) AS s FROM gmvobs.d.src " +
+      "GROUP BY k").collect()
+    // append → incremental (append strategy); MoR delete →
+    // incremental (signed); full; no-op; then a refusal (replace)
+    LakeTable.load(wh, "d", "src").append(Seq(("a", 3L)).toDF("k", "x"))
+    vsql("REFRESH MATERIALIZED VIEW gmvobs.d.roll INCREMENTAL").collect()
+    LakeTable.load(wh, "d", "src").deleteMoR(spark, col("x") === 2L)
+    vsql("REFRESH MATERIALIZED VIEW gmvobs.d.roll INCREMENTAL").collect()
+    vsql("REFRESH MATERIALIZED VIEW gmvobs.d.roll").collect()
+    vsql("REFRESH MATERIALIZED VIEW gmvobs.d.roll INCREMENTAL").collect()
+    LakeTable.load(wh, "d", "src").overwrite(
+      Seq(("z", 9L)).toDF("k", "x"))
+    intercept[Exception] {
+      vsql("REFRESH MATERIALIZED VIEW gmvobs.d.roll INCREMENTAL").collect()
+    }
+    val hist = vsql("SELECT mode, strategy, from_snapshot, " +
+      "to_snapshot, groups, outcome, reason FROM gmvobs.d.roll.refreshes")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getString(5))).toSeq
+    assert(hist == Seq(
+      ("incremental", "append", 1L, 2L, 1L, "ok"),
+      ("incremental", "signed", 2L, 3L, 1L, "ok"),
+      ("full", "recompute-all", 3L, 3L, 1L, "ok"),
+      ("incremental", "no-op", 3L, 3L, 0L, "ok"),
+      ("incremental", "", -1L, -1L, -1L, "refused")), hist.toString)
+    // the refusal carries its reason
+    val reason = vsql("SELECT reason FROM gmvobs.d.roll.refreshes " +
+      "WHERE outcome = 'refused'").collect().head.getString(0)
+    assert(reason.contains("full refresh"), reason)
+    // DESCRIBE EXTENDED: the MV section with backing table, shape,
+    // authoritative watermark, and the last refresh
+    val desc = vsql("DESCRIBE EXTENDED gmvobs.d.roll").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(desc.contains("# Materialized View Information"), desc)
+    assert(desc.get("Backing Table").contains("d.__mat_roll"))
+    assert(desc.get("Incremental Shape").exists(_.contains("retractable")),
+      desc.get("Incremental Shape"))
+    assert(desc.get("Watermark (authoritative)").contains("3"))
+    assert(desc.get("Last Refresh").exists(_.contains("refused")),
+      desc.get("Last Refresh"))
+    // DROP removes the history sidecar with the view
+    vsql("DROP VIEW gmvobs.d.roll").collect()
+    assert(!Files.exists(graft.sources.LakeViews.refreshLogPath(
+      wh, "d", "roll")), "drop must remove the refresh history")
+  }
+
   test("a join with AMBIGUOUS referenced names stays " +
       "full-refresh-only (qualifier-stripped SQL could rebind)") {
     val wh = Files.createTempDirectory("graft-matview-amb").toString
