@@ -125,6 +125,41 @@ object Grouping extends QueryModule {
       auditApproxDistinct(est, rsd)
       est.drop("exact_users")
     }),
+
+    "q_agg_approx_quantile" -> ((s, dir) => {
+      // approx_percentile with a BOUNDED accuracy knob (the t-digest /
+      // GK-sketch family every warehouse ships) — like the HLL key,
+      // the estimate is engine-specific so there is no DuckDB oracle;
+      // it SELF-audits against the exact interpolated percentile
+      // computed in the same aggregation. accuracy=1000 bounds the
+      // rank error at n/1000 per group; the audit allows 4× that rank
+      // slack converted to a value bound via the exact p±slack
+      // percentiles, failing loudly on a broken sketch.
+      val acc = 1000
+      val est = Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(acc))
+            .as("approx_p50"),
+          percentile_approx(col("l_extendedprice"), lit(0.95), lit(acc))
+            .as("approx_p95"),
+          expr(s"percentile(l_extendedprice, 0.5 - 4.0/$acc)").as("lo50"),
+          expr(s"percentile(l_extendedprice, 0.5 + 4.0/$acc)").as("hi50"),
+          expr(s"percentile(l_extendedprice, 0.95 - 4.0/$acc)").as("lo95"),
+          expr(s"percentile(l_extendedprice, 0.95 + 4.0/$acc)").as("hi95"),
+          count(lit(1)).as("n"))
+      val off = est.filter(
+        col("approx_p50") < col("lo50") ||
+          col("approx_p50") > col("hi50") ||
+          col("approx_p95") < col("lo95") ||
+          col("approx_p95") > col("hi95")).collect()
+      require(off.isEmpty,
+        "q_agg_approx_quantile: approx_percentile outside the " +
+          s"4×(1/$acc) rank-error band of the exact percentile: " +
+          off.mkString(", "))
+      est.select("l_returnflag", "approx_p50", "approx_p95", "n")
+        .orderBy("l_returnflag")
+    }),
   )
 
   /** Fails loudly if any group's `approx_users` differs from

@@ -207,6 +207,13 @@ class LakeCatalog extends TableCatalog
     val doc = loadViewDoc(from).copy(name = to.name())
     LakeViews.write(viewFile(to), doc)
     Files.delete(viewFile(from))
+    // an MV's refresh history follows its name
+    val oldLog = LakeViews.refreshLogPath(warehouse,
+      from.namespace()(0), from.name)
+    if (Files.exists(oldLog))
+      Files.move(oldLog, LakeViews.refreshLogPath(warehouse,
+        to.namespace()(0), to.name()),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {

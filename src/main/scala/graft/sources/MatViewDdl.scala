@@ -82,9 +82,28 @@ object MatViewDdl {
     // CREATE is not one atomic step (backing table, seed append, view
     // registration) — a crash between them leaves an orphan backing
     // table with no fronting view. Such an orphan blocks nothing: a
-    // retried CREATE clears it and starts over.
-    if (LakeTable.exists(warehouse, db, matTable))
+    // retried CREATE clears it and starts over. But ONLY a true
+    // orphan: a renamed MV keeps its original backing-table name, so
+    // the table is cleared only when no view document claims it.
+    if (LakeTable.exists(warehouse, db, matTable)) {
+      val claimed = {
+        val d = LakeViews.dir(warehouse, db)
+        java.nio.file.Files.exists(d) &&
+          scala.util.Using.resource(java.nio.file.Files.list(d)) { st =>
+            scala.jdk.CollectionConverters.IteratorHasAsScala(
+              st.iterator).asScala
+              .filter(_.getFileName.toString.endsWith(".json"))
+              .exists(p => LakeViews.read(p).exists(
+                _.properties.get("graft.mat-view.table")
+                  .contains(matTable)))
+          }
+      }
+      require(!claimed,
+        s"cannot create materialized view '$db.$name': backing table " +
+          s"'$db.$matTable' belongs to another (renamed) " +
+          "materialized view")
       dropBacking(warehouse, db, matTable)
+    }
     // analyze the defining query (view substitution applies
     // so an MV can be defined over other views)
     val analyzed = org.apache.spark.sql

@@ -82,14 +82,19 @@ object GraftSqlParser {
   private[sql] val DropViewRe =
     ("""(?is)^\s*DROP\s+VIEW\s+(IF\s+EXISTS\s+)?""" + Ident +
       """\s*;?\s*$""").r
+  // ALTER VIEW and ALTER MATERIALIZED VIEW share one surface: an MV
+  // IS a view document, so property edits and renames route the same
+  // (the refresh stamp re-reads the doc under the lock, so edits are
+  // never clobbered by a concurrent refresh)
   private[sql] val AlterViewSetPropsRe =
-    ("""(?is)^\s*ALTER\s+VIEW\s+""" + Ident +
+    ("""(?is)^\s*ALTER\s+(?:MATERIALIZED\s+)?VIEW\s+""" + Ident +
       """\s+SET\s+TBLPROPERTIES\s*\((.+?)\)\s*;?\s*$""").r
   private[sql] val AlterViewUnsetPropsRe =
-    ("""(?is)^\s*ALTER\s+VIEW\s+""" + Ident +
+    ("""(?is)^\s*ALTER\s+(?:MATERIALIZED\s+)?VIEW\s+""" + Ident +
       """\s+UNSET\s+TBLPROPERTIES\s*\((.+?)\)\s*;?\s*$""").r
   private[sql] val AlterViewRenameRe =
-    ("""(?is)^\s*ALTER\s+VIEW\s+""" + Ident + """\s+RENAME\s+TO\s+""" +
+    ("""(?is)^\s*ALTER\s+(?:MATERIALIZED\s+)?VIEW\s+""" + Ident +
+      """\s+RENAME\s+TO\s+""" +
       Ident + """\s*;?\s*$""").r
   private[sql] val ShowViewsRe =
     ("""(?is)^\s*SHOW\s+VIEWS\s+(?:IN|FROM)\s+""" + Ident +

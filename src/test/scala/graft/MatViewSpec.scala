@@ -1254,6 +1254,51 @@ class MatViewSpec extends AnyFunSuite {
       "a retried CREATE must replace the orphan backing table")
   }
 
+  test("ALTER MATERIALIZED VIEW: property edits and rename; a rename " +
+      "keeps the backing table claimed (recreate under the old name " +
+      "refuses)") {
+    val wh = Files.createTempDirectory("graft-matview-alter").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"src","columns":[
+        |{"column_name":"k","data_type":"string"},
+        |{"column_name":"x","data_type":"long"}],"partitions":[]}""".stripMargin)
+    import SparkTestSession.spark.implicits._
+    LakeTable.load(wh, "d", "src").append(
+      Seq(("a", 1L), ("b", 2L)).toDF("k", "x"))
+    spark.conf.set("spark.sql.catalog.gmvalter", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.gmvalter.warehouse", wh)
+    vsql("CREATE MATERIALIZED VIEW gmvalter.d.m AS " +
+      "SELECT k, sum(x) AS s FROM gmvalter.d.src GROUP BY k").collect()
+    vsql("ALTER MATERIALIZED VIEW gmvalter.d.m SET TBLPROPERTIES " +
+      "('team'='curation')").collect()
+    assert(graft.sources.LakeViews.read(
+      graft.sources.LakeViews.path(wh, "d", "m")).get
+      .properties.get("team").contains("curation"))
+    vsql("ALTER MATERIALIZED VIEW gmvalter.d.m UNSET TBLPROPERTIES " +
+      "('team')").collect()
+    // rename: the MV stays readable AND refreshable under its new
+    // name; refresh history follows it
+    vsql("REFRESH MATERIALIZED VIEW gmvalter.d.m").collect()
+    vsql("ALTER MATERIALIZED VIEW gmvalter.d.m RENAME TO gmvalter.d.m2")
+      .collect()
+    LakeTable.load(wh, "d", "src").append(Seq(("a", 10L)).toDF("k", "x"))
+    vsql("REFRESH MATERIALIZED VIEW gmvalter.d.m2 INCREMENTAL").collect()
+    assert(vsql("SELECT s FROM gmvalter.d.m2 WHERE k = 'a'").collect()
+      .head.getLong(0) == 11L)
+    assert(vsql("SELECT count(*) AS c FROM gmvalter.d.m2.refreshes")
+      .collect().head.getLong(0) == 2L,
+      "refresh history must follow the rename")
+    // the old name is free for a PLAIN view, but a new MV under it
+    // must NOT steal m2's backing table (__mat_m still belongs to m2)
+    val e = intercept[Exception] {
+      vsql("CREATE MATERIALIZED VIEW gmvalter.d.m AS " +
+        "SELECT count(*) AS n FROM gmvalter.d.src").collect()
+    }
+    assert(messages(e).contains("belongs to another"), messages(e))
+    assert(vsql("SELECT s FROM gmvalter.d.m2 WHERE k = 'a'").collect()
+      .head.getLong(0) == 11L, "m2 must survive the refused create")
+  }
+
   test("an MV can be defined over another view; duplicate name refuses") {
     val wh = Files.createTempDirectory("graft-matview2").toString
     Engine.processTableDefJson(wh,
