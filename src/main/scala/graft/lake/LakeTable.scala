@@ -196,6 +196,27 @@ class LakeTable private (val location: Path, private var md: TableMetadata,
     * into this transaction's single publish.
     */
   def transaction[A](body: LakeTable => A): A = {
+    val baseMd = txnBegin()
+    val result =
+      try body(this)
+      catch {
+        case e: Throwable => txnRollback(baseMd); throw e
+      }
+    txnEnd(baseMd) match {
+      case None => result // body staged nothing
+      case Some(next) =>
+        try commit(next)
+        catch { case e: Throwable => md = baseMd; throw e }
+        result
+    }
+  }
+
+  /** Enter buffered mode (the [[transaction]] internals, exposed for
+    * the multi-table coordinator): staleness fail-fast, then every
+    * operation stages in-memory until the coordinator claims+flips.
+    * Returns the base metadata to restore on rollback.
+    */
+  private[lake] def txnBegin(): TableMetadata = {
     require(!txnActive, "transaction already active on this handle")
     // fail fast rather than buy work guaranteed to lose the final CAS
     if (currentHintVersion() != loadedVersion)
@@ -203,21 +224,24 @@ class LakeTable private (val location: Path, private var md: TableMetadata,
         s"table $location was committed concurrently; reload and retry")
     val baseMd = md
     txnActive = true
-    val result =
-      try body(this)
-      catch {
-        case e: Throwable =>
-          md = baseMd
-          txnActive = false
-          throw e
-      }
+    baseMd
+  }
+
+  private[lake] def txnRollback(baseMd: TableMetadata): Unit = {
+    md = baseMd
     txnActive = false
-    if (md eq baseMd) return result // body staged nothing
-    val next = md
-    md = baseMd // the real commit diffs known snapshots against the base
-    try commit(next)
-    catch { case e: Throwable => md = baseMd; throw e }
-    result
+  }
+
+  /** Leave buffered mode; Some(next) when the body staged changes
+    * (with `md` reset to base — the commit diffs against it). */
+  private[lake] def txnEnd(baseMd: TableMetadata): Option[TableMetadata] = {
+    txnActive = false
+    if (md eq baseMd) None
+    else {
+      val next = md
+      md = baseMd
+      Some(next)
+    }
   }
 
   private def commit(next: TableMetadata): String = {
