@@ -204,7 +204,23 @@ class LakeCatalog extends TableCatalog
     if (viewExists(to))
       throw new org.apache.spark.sql.catalyst.analysis
         .ViewAlreadyExistsException(to)
-    val doc = loadViewDoc(from).copy(name = to.name())
+    val doc0 = loadViewDoc(from)
+    // a materialized view's backing table lives in ITS db
+    // (`<db>.__mat_<name>`) and is resolved by the view's namespace —
+    // moving only the doc to another db would strand the backing
+    // table where refresh/DESCRIBE can no longer find it, and expose
+    // it to another db's CREATE orphan-cleanup. Same-db renames are
+    // safe: the backing keeps its original name and stays claimed by
+    // the moved doc.
+    if (doc0.properties.get("graft.mat-view").contains("true") &&
+        from.namespace()(0) != to.namespace()(0))
+      throw new UnsupportedOperationException(
+        s"cannot rename materialized view '${from.namespace()(0)}." +
+          s"${from.name}' across databases (its backing table " +
+          s"'${from.namespace()(0)}.${doc0.properties.getOrElse(
+            "graft.mat-view.table", "?")}' stays in the source db) — " +
+          "recreate the view in the target database instead")
+    val doc = doc0.copy(name = to.name())
     LakeViews.write(viewFile(to), doc)
     Files.delete(viewFile(from))
     // an MV's refresh history follows its name
@@ -325,6 +341,14 @@ class LakeCatalog extends TableCatalog
       properties: java.util.Map[String, String]): Table = {
     require(ident.namespace.length == 1, "expected <database>.<table>")
     val (db, tbl) = (ident.namespace()(0), ident.name)
+    // the `__mat_` prefix is reserved for materialized-view backing
+    // tables: CREATE MATERIALIZED VIEW treats an unclaimed table of
+    // that name as a crashed CREATE's orphan and clears it — a user
+    // table squatting on the prefix would be one CREATE away from
+    // silent deletion, so refuse it at the door
+    require(!tbl.startsWith("__mat_"),
+      s"cannot create table '$db.$tbl': the '__mat_' prefix is " +
+        "reserved for materialized-view backing tables")
     // defaults are an ADD COLUMN feature (initial default for
     // pre-column history); at CREATE there is no history and the
     // engine has no write-default — silently dropping the clause

@@ -102,6 +102,19 @@ object MatViewDdl {
         s"cannot create materialized view '$db.$name': backing table " +
           s"'$db.$matTable' belongs to another (renamed) " +
           "materialized view")
+      // only clear a table that is provably MV machinery: every
+      // backing table is stamped `graft.mat-view.backing` at create
+      // (shaped legacies also carry the watermark). A prefix-squatting
+      // table written by some other path must fail the CREATE loudly,
+      // never be silently destroyed.
+      val orphanProps =
+        LakeTable.load(warehouse, db, matTable).metadata.properties
+      require(orphanProps.contains("graft.mat-view.backing") ||
+          orphanProps.contains("graft.mat-view.watermark"),
+        s"cannot create materialized view '$db.$name': table " +
+          s"'$db.$matTable' exists but does not carry " +
+          "materialized-view properties — it is not a crashed " +
+          "CREATE's orphan; drop it explicitly if it is disposable")
       dropBacking(warehouse, db, matTable)
     }
     // analyze the defining query (view substitution applies
@@ -156,6 +169,9 @@ object MatViewDdl {
         graft.schema.TypeMapper.toColumnDef(
           f.name, f.dataType, f.nullable)),
       Seq.empty,
+      // every backing table declares its owner — the CREATE orphan
+      // cleanup refuses to clear a `__mat_` table without this stamp
+      Map("graft.mat-view.backing" -> name) ++
       shaped.map { case (sh, w, _, dimPins) =>
         // incremental shapes: bloom the group keys so the
         // touched-group pruning in refreshIncremental can drop
@@ -260,6 +276,14 @@ object MatViewDdl {
       // falling back to full refreshes
       val logPath = LakeViews.refreshLogPath(warehouse, db, name)
       val t0 = System.currentTimeMillis()
+      // a refusal happens BEFORE any data moves; once the backing
+      // transaction committed, a later failure (the advisory doc
+      // stamp, the history append itself) must not masquerade as a
+      // refusal — the data DID merge. The refresh bodies flip this
+      // marker right after their commit so the catch can tell the two
+      // apart: outcome=refused (nothing happened, reason names why)
+      // vs outcome=error (data committed, post-commit step failed).
+      var committed: Option[(String, Long, (Long, Long))] = None
       def logged[T <: RefreshResult](body: => (T, String, Long,
           (Long, Long))): T =
         try {
@@ -271,10 +295,15 @@ object MatViewDdl {
           res
         } catch {
           case e: Throwable =>
+            val (outcome, strat, grp, fromTo) = committed match {
+              case Some((s, g, ft)) => ("error", s, g, ft)
+              case None => ("refused", "", -1L, (-1L, -1L))
+            }
             try LakeViews.appendRefresh(logPath, LakeViews.RefreshEvent(
-              t0, if (mode.isEmpty) "full" else mode, "",
-              -1L, -1L, -1L, System.currentTimeMillis() - t0,
-              "refused", Option(e.getMessage).getOrElse(
+              t0, if (mode.isEmpty) "full" else mode, strat,
+              fromTo._1, fromTo._2, grp,
+              System.currentTimeMillis() - t0,
+              outcome, Option(e.getMessage).getOrElse(
                 e.getClass.getName)))
             catch { case s: Throwable => e.addSuppressed(s) }
             throw e
@@ -293,6 +322,7 @@ object MatViewDdl {
         MatViews.refreshIncremental(spark, warehouse, sh, w,
           db, matTable) match {
           case Some((head, strategy, groups)) =>
+            committed = Some((strategy, groups, (w, head)))
             stamp(Map("graft.mat-view.watermark" ->
               head.toString))
             (IncrementalRefresh(w, head), strategy, groups, (w, head))
@@ -344,6 +374,17 @@ object MatViewDdl {
             if (props.nonEmpty) tx.updateProperties(props)
             s
           }
+        committed = Some(("recompute-all", -1L,
+          (doc.properties.get("graft.mat-view.watermark")
+            .map(_.toLong).getOrElse(-1L),
+            wm.map(_._1).getOrElse(-1L))))
+        // conf-gated fault injection (like the incr-scan-audit
+        // observable): proves post-commit failures log as
+        // outcome=error, never as a refusal of work that happened
+        if (spark.conf.getOption(
+            "spark.graft.matview.post-commit-fault").contains("true"))
+          throw new IllegalStateException(
+            "injected post-commit fault (test observable)")
         stamp(wm.map { case (h, hTs) =>
           Map("graft.mat-view.watermark" -> h.toString,
             "graft.mat-view.watermark-ts" -> hTs.toString)

@@ -989,7 +989,13 @@ private[graft] object MatViews {
             col(s"k$fid").cast(schema.fields.find(_.name == n).get
               .dataType).as(n)
           }: _*)
-        Some(preImage.join(markers, names, "left_semi")
+        // the engine applies markers NULL-SAFELY (c <=> key,
+        // LakeTable's eq-delete mask) — a marker carrying a NULL key
+        // value strikes null-keyed source rows, so the victim probe
+        // must match them too or their groups never recompute
+        Some(preImage.join(markers,
+            names.map(n => preImage(n) <=> markers(n)).reduce(_ && _),
+            "left_semi")
           .select(shape.groupCols.map(g =>
             expr(g.srcCol).as(g.outName)): _*))
       }

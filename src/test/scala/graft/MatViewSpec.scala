@@ -1241,12 +1241,15 @@ class MatViewSpec extends AnyFunSuite {
     assert(e.getMessage.contains("already exists"), e.getMessage)
     // an ORPHAN backing table (a create that crashed between the
     // table and the view registration) must not brick a retried
-    // CREATE: no fronting view exists, so the orphan is cleared
+    // CREATE: no fronting view exists, so the orphan is cleared.
+    // A real crashed CREATE always stamped graft.mat-view.backing —
+    // an UNSTAMPED table under the prefix refuses instead
+    // (MatViewHardeningSpec)
     vsql("DROP VIEW gmv3.d.m").collect()
     LakeTable.create(wh, graft.schema.TableDef("d", "__mat_m",
       Seq(graft.schema.TypeMapper.toColumnDef("junk",
         org.apache.spark.sql.types.LongType, true)), Seq.empty,
-      Map.empty))
+      Map("graft.mat-view.backing" -> "m")))
     assert(LakeTable.exists(wh, "d", "__mat_m"))
     spark.sql("CALL gmv3.system.create_mat_view('d', 'm', " +
       "'SELECT count(*) AS n FROM gmv3.d.src')").collect()
