@@ -218,8 +218,14 @@ class LakeTable private (val location: Path, private var md: TableMetadata,
     */
   private[lake] def txnBegin(): TableMetadata = {
     require(!txnActive, "transaction already active on this handle")
-    // fail fast rather than buy work guaranteed to lose the final CAS
-    if (currentHintVersion() != loadedVersion)
+    // fail fast rather than buy work guaranteed to lose the final CAS.
+    // A pointer lagging ONE version behind a committed cross-table
+    // claim this handle loaded through (the roll-forward read path) is
+    // not a conflict — complete the mandatory flip and proceed.
+    if (currentHintVersion() != loadedVersion &&
+        !(currentHintVersion() == loadedVersion - 1 &&
+          LakeTxn.healCommittedClaim(location, loadedVersion) &&
+          currentHintVersion() == loadedVersion))
       throw new java.util.ConcurrentModificationException(
         s"table $location was committed concurrently; reload and retry")
     val baseMd = md
@@ -253,11 +259,37 @@ class LakeTable private (val location: Path, private var md: TableMetadata,
       md = assignRowIds(next)
       return "<txn-buffered>"
     }
+    val claim = writeClaim(next, None)
+    // crash window under test (MaintenanceSpec torn-claim recovery): a
+    // death HERE leaves v{N+1}.json claimed but the pointer at N —
+    // recoverTornClaim on the next committer rolls it forward
+    LakeTable.faultPoint("post-claim-pre-flip")
+    flipClaim(claim)
+    claim.target.toString
+  }
+
+  /** Phase 1 of a commit: staleness CAS, row-id stamping, manifest
+    * externalization, then the CREATE_NEW claim of `v{N+1}.json`. With
+    * `txnId` set (the cross-table coordinator), the claim file carries
+    * a `pending-txn` field — readers and recovery then resolve its
+    * fate through the transaction's final record instead of treating
+    * it as a plain torn claim. Claim and transaction id land in ONE
+    * atomic file create, so a claim can never be misattributed.
+    */
+  private[lake] def writeClaim(next: TableMetadata,
+      txnId: Option[String]): LakeTable.Claim = {
     Files.createDirectories(metadataDir)
     // optimistic concurrency: refuse to clobber a commit made through
     // another handle since this one loaded (the reference has no retry
     // logic either — surfacing the conflict is the contract)
-    val observed = currentHintVersion()
+    var observed = currentHintVersion()
+    if (observed == loadedVersion - 1 &&
+        LakeTxn.healCommittedClaim(location, loadedVersion))
+      // this handle was loaded THROUGH a committed-but-unflipped
+      // cross-table claim (the roll-forward read path); the flip is
+      // mandatory-eventual, so complete it here and commit on top
+      // instead of surfacing a phantom conflict
+      observed = currentHintVersion()
     if (observed != loadedVersion) {
       audit(s"stale observed=$observed loaded=$loadedVersion")
       throw new java.util.ConcurrentModificationException(
@@ -277,12 +309,17 @@ class LakeTable private (val location: Path, private var md: TableMetadata,
       staged = stamped.staged.map(externalize(_, createdManifests)))
     val version = observed + 1
     val target = metadataDir.resolve(s"v$version.json")
+    val body = txnId match {
+      case Some(id) => Json.write(JObject(
+        MetadataIO.toJson(ext).asObj + ("pending-txn" -> JString(id))))
+      case None => Json.write(MetadataIO.toJson(ext))
+    }
     // CREATE_NEW atomically claims this version number: two handles that
     // both observed vN race to create v{N+1}.json and the loser gets
     // FileAlreadyExistsException instead of silently clobbering the
     // winner's metadata and flipping the pointer over it
     try
-      Files.writeString(target, Json.write(MetadataIO.toJson(ext)),
+      Files.writeString(target, body,
         java.nio.file.StandardOpenOption.CREATE_NEW)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
@@ -300,23 +337,47 @@ class LakeTable private (val location: Path, private var md: TableMetadata,
           s"table $location was committed concurrently " +
             s"(v$version.json already exists); reload and retry")
     }
-    // crash window under test (MaintenanceSpec torn-claim recovery): a
-    // death HERE leaves v{N+1}.json claimed but the pointer at N —
-    // recoverTornClaim on the next committer rolls it forward
-    LakeTable.faultPoint("post-claim-pre-flip")
-    // atomic pointer flip = the commit point
-    val tmp = metadataDir.resolve(s".version-hint.tmp")
-    Files.writeString(tmp, version.toString)
-    Files.move(tmp, metadataDir.resolve("version-hint.text"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    audit(s"committed v$version " +
-      s"adds=${next.snapshots.map(_.id).diff(md.snapshots.map(_.id))
-        .mkString("/")} maxSnap=${next.snapshots.map(_.id)
-        .foldLeft(0L)(math.max)}")
-    md = ext
-    loadedVersion = version
-    target.toString
+    LakeTable.Claim(this, version, target, ext, createdManifests.toSeq)
   }
+
+  /** Phase 2: the atomic pointer flip — the per-table commit point
+    * (for a cross-table transaction, visibility is decided earlier by
+    * the transaction's final record; this flip then merely publishes
+    * the already-committed claim). Tolerates a pointer already at or
+    * past the claim (recovery or a roll-forward reader flipped first —
+    * both write the same value).
+    */
+  private[lake] def flipClaim(claim: LakeTable.Claim): Unit = {
+    if (currentHintVersion() < claim.version) {
+      val tmp = metadataDir.resolve(s".version-hint.tmp")
+      Files.writeString(tmp, claim.version.toString)
+      Files.move(tmp, metadataDir.resolve("version-hint.text"),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
+    audit(s"committed v${claim.version} " +
+      s"adds=${claim.ext.snapshots.map(_.id).diff(md.snapshots.map(_.id))
+        .mkString("/")} maxSnap=${claim.ext.snapshots.map(_.id)
+        .foldLeft(0L)(math.max)}")
+    md = claim.ext
+    loadedVersion = claim.version
+  }
+
+  /** Abandon a claim this handle made (the cross-table abort path):
+    * removes the claim file and the manifests it externalized. Only
+    * ever called on claims whose transaction's final record says
+    * `abort` — the claim can no longer win.
+    */
+  private[lake] def abandonClaim(claim: LakeTable.Claim): Unit = {
+    Files.deleteIfExists(claim.target)
+    claim.manifests.foreach(Files.deleteIfExists(_))
+    audit(s"txn-abandon v${claim.version}")
+  }
+
+  /** Publish the metadata a [[txnEnd]] returned — the single-table
+    * fast path of the cross-table coordinator (no coordination needed
+    * when only one table staged changes).
+    */
+  private[lake] def commitNext(next: TableMetadata): Unit = commit(next)
 
   /** Self-heal a torn metadata claim. A `v{N+1}.json` that exists while
     * the hint still reads N is either a concurrent committer inside its
@@ -349,6 +410,46 @@ class LakeTable private (val location: Path, private var md: TableMetadata,
         .flatMap(v => scala.util.Try(v.toLong).toOption).getOrElse(30000L)
       val age = System.currentTimeMillis() -
         Files.getLastModifiedTime(target).toMillis
+      // a claim carrying `pending-txn` belongs to a cross-table
+      // transaction: its fate is decided by the transaction's FINAL
+      // record, never by claim validity alone — rolling forward a
+      // pending participant would publish half a transaction
+      val txnId =
+        try Json.parse(Files.readString(target)).asObj
+          .get("pending-txn").map(_.asStr)
+        catch { case _: Exception => None }
+      txnId match {
+        case Some(id) =>
+          val txns = LakeTxn.txnsDir(location)
+          LakeTxn.finalState(txns, id) match {
+            case Some("commit") =>
+              // the commit record is authoritative — the flip is
+              // mandatory-eventual, no grace needed
+              audit(s"txn-rollforward v$version txn=$id")
+              val tmp = metadataDir.resolve(".version-hint.tmp-recover")
+              Files.writeString(tmp, version.toString)
+              Files.move(tmp, metadataDir.resolve("version-hint.text"),
+                StandardCopyOption.ATOMIC_MOVE,
+                StandardCopyOption.REPLACE_EXISTING)
+            case Some(_) => // aborted — the claim can never win
+              audit(s"txn-abort-clean v$version txn=$id")
+              Files.deleteIfExists(target)
+            case None =>
+              if (age < graceMs) return // live coordinator mid-commit
+              // kill the stalled transaction: CREATE_NEW of the final
+              // record races the coordinator's own `commit` write —
+              // exactly one outcome wins, then act on whichever did
+              LakeTxn.decideAbort(txns, id)
+              LakeTxn.finalState(txns, id) match {
+                case Some("commit") => recoverTornClaim(version, target)
+                case _ =>
+                  audit(s"txn-abort-stale v$version txn=$id")
+                  Files.deleteIfExists(target)
+              }
+          }
+          return
+        case None => ()
+      }
       if (age < graceMs) return // probably a live claimer mid-flip
       val valid =
         try {
@@ -3773,6 +3874,14 @@ class LakeTable private (val location: Path, private var md: TableMetadata,
 
 object LakeTable {
 
+  /** A written-but-unflipped metadata claim: the output of commit
+    * phase 1 ([[LakeTable!.writeClaim]]), the input of phase 2
+    * ([[LakeTable!.flipClaim]]). The cross-table coordinator holds one
+    * per participant between the claim round and the final record.
+    */
+  private[lake] final case class Claim(table: LakeTable, version: Int,
+      target: Path, ext: TableMetadata, manifests: Seq[Path])
+
   /** Replay the snapshot log into the live file set: appends add files,
     * copy-on-write overwrites remove their `removedPaths` and add their
     * rewritten files, a rewrite (compaction) replaces everything;
@@ -4358,6 +4467,15 @@ object LakeTable {
     val hint = loc.resolve("metadata").resolve("version-hint.text")
     require(Files.exists(hint), s"no table at $loc")
     val v = Files.readString(hint).trim
+    // cross-table atomic visibility: a participant whose transaction's
+    // final record says COMMIT is committed the instant that record
+    // lands — even if the coordinator hasn't flipped this table's
+    // pointer yet. A reader that ignored the committed claim here
+    // could see table A new (flipped) and table B old (flip pending):
+    // exactly the half-transaction the protocol forbids. One stat per
+    // load when no claim exists; pending/aborted claims stay invisible.
+    val rolled = LakeTxn.committedClaim(loc, v.toInt)
+    rolled.foreach { case (md2, v2) => return new LakeTable(loc, md2, v2) }
     val md = MetadataIO.fromJson(Json.parse(
       Files.readString(loc.resolve("metadata").resolve(s"v$v.json"))),
       loc.resolve("metadata"))

@@ -314,4 +314,112 @@ class ConcurrencySpec extends AnyFunSuite {
       s"reader diverged from raw last-write-wins: got $got expected $expected")
     assert(got.keySet == (0L to 4L).toSet)
   }
+
+  test("cross-table transactions across JVMs + crashing coordinators: " +
+      "no observer ever reads a half-transaction") {
+    val wh = Files.createTempDirectory("graft-conc-xtxn").toString
+    Seq("a", "b").foreach { t =>
+      Engine.processTableDefJson(wh,
+        s"""{"database_name":"d","table_name":"$t","columns":[
+           |{"column_name":"id","data_type":"long","required":true},
+           |{"column_name":"v","data_type":"string"}],
+           |"partitions":[]}""".stripMargin)
+      // short recovery grace so the spec's healing pass can abort the
+      // crashed coordinator's pending claims without waiting 30 s
+      LakeTable.load(wh, "d", t).updateProperties(
+        Map("commit.recovery.grace-ms" -> "1000"))
+    }
+    val javaBin = Paths.get(System.getProperty("java.home"), "bin",
+      "java").toString
+    val cp = System.getProperty("java.class.path")
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar")
+      .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val outDir = Files.createTempDirectory("graft-xtxn-out")
+    def launch(tag: String, wid: Int, iters: Int, mode: String) = {
+      val out = outDir.resolve(s"$tag.log").toFile
+      val pb = new ProcessBuilder((Seq(javaBin) ++ addOpens ++ Seq(
+        "-Xmx1500m", "-Dspark.ui.enabled=false",
+        "-Dgraft.commit.audit=true",
+        "-Dspark.sql.session.timeZone=UTC",
+        "-cp", cp, "graft.XTxnWorker",
+        wh, wid.toString, iters.toString, mode)).asJava)
+      pb.redirectErrorStream(true)
+      pb.redirectOutput(out)
+      (tag, pb.start(), out)
+    }
+    // 3 concurrent JVMs beyond this one: an observer sampling both
+    // tables, a clean writer, and a coordinator that DIES between the
+    // transaction's commit record and its pointer flips — the window
+    // where naive ordered flips would expose table a without table b
+    val observer = launch("observer", 9, 0, "observe")
+    val writers = Seq(
+      launch("clean", 0, 4, "clean"),
+      launch("crash-prefinal", 1, 3, "crash:txn-post-claims-pre-final"),
+      launch("crash-midflips", 2, 3, "crash:txn-mid-flips"))
+    val wres = writers.map { case (tag, p, out) =>
+      val fin = p.waitFor(8, java.util.concurrent.TimeUnit.MINUTES)
+      assert(fin, s"$tag timed out; log:\n" +
+        new String(Files.readAllBytes(out.toPath)).takeRight(4000))
+      (tag, p.exitValue(), new String(Files.readAllBytes(out.toPath)))
+    }
+    wres.foreach { case (tag, rc, log) =>
+      if (tag == "clean")
+        assert(rc == 0 && log.contains("RESULT ok txns=4"),
+          s"$tag rc=$rc log tail:\n" + log.takeRight(4000))
+      else
+        assert(rc == 137 && log.contains("XTXN halting"),
+          s"$tag rc=$rc (wanted halt 137); log tail:\n" +
+            log.takeRight(4000))
+    }
+    // healing pass: a later writer on each table collides with any
+    // leftover claim; recovery (grace 1 s) aborts the pre-final
+    // crash's pending transaction and rolls the committed one forward
+    def heal(t: String, id: Long): Unit = {
+      import SparkTestSession.spark.implicits._
+      var n = 0
+      while (n < 40) {
+        n += 1
+        try {
+          LakeTable.load(wh, "d", t)
+            .append(Seq((id, "heal")).toDF("id", "v"))
+          return
+        } catch {
+          case _: java.util.ConcurrentModificationException =>
+            Thread.sleep(250)
+        }
+      }
+      fail(s"could not heal $t after $n attempts")
+    }
+    heal("a", 5000000L); heal("b", 5000001L)
+    // release the observer and audit its samples
+    Files.writeString(Paths.get(wh, "_observer_stop"), "stop")
+    val ofin = observer._2.waitFor(2, java.util.concurrent.TimeUnit.MINUTES)
+    val olog = new String(Files.readAllBytes(observer._3.toPath))
+    assert(ofin && observer._2.exitValue() == 0 &&
+      olog.contains("RESULT ok"),
+      s"observer saw a half-transaction; log tail:\n" +
+        olog.takeRight(4000))
+    // exact final contents: the pre-final crash's last transaction in
+    // NEITHER table, the post-final crash's in BOTH, plus every clean
+    // transaction and the heal sentinels
+    def ids(t: String): Set[Long] =
+      LakeTable.load(wh, "d", t).read(spark)
+        .select("id").collect().map(_.getLong(0)).toSet
+    val (ia, ib) = (ids("a"), ids("b"))
+    assert((ia - 5000000L) == (ib - 5000001L),
+      s"tables diverged: only-a=${(ia -- ib).take(5)} " +
+        s"only-b=${(ib -- ia).take(5)}")
+    val expect = (0 until 4).map(i => 1000000L + i).toSet ++ // clean
+      (0 until 2).map(i => 1100000L + i).toSet ++ // prefinal: last lost
+      (0 until 3).map(i => 1200000L + i).toSet // midflips: last kept
+    assert((ia - 5000000L) == expect,
+      s"missing=${(expect -- ia).take(5)} extra=${(ia -- expect - 5000000L).take(5)}")
+  }
 }
