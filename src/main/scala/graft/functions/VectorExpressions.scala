@@ -284,5 +284,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // subquery during resolution (Iceberg's ResolveViews shape)
     e.injectResolutionRule(session =>
       org.apache.spark.sql.GraftViewSubstitution(session))
+    // materialized-view aggregate rewrite: a matching, FRESH MV
+    // answers the aggregate instead of the source scan (post-analysis
+    // so the detection machinery sees resolved plans); off with
+    // spark.graft.matview.rewrite=false
+    e.injectPostHocResolutionRule(session =>
+      new org.apache.spark.sql.catalyst.rules.Rule[
+          org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+        override def apply(plan: org.apache.spark.sql.catalyst.plans
+            .logical.LogicalPlan) =
+          graft.sources.MatViewRewrite(session, plan)
+      })
   }
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.gen.{DataGen, OrdersFixtures}
-import graft.lake.{Engine, LakeTable}
+import graft.lake.{Engine, LakeTable, LakeTxn}
 
 /** Lake DDL / evolution / ingest queries (SURVEY.md §2.B ddl_* +
   * ingest_append_read). The lake format is engine-specific, but each
@@ -1064,6 +1064,70 @@ object LakeReadQueries extends QueryModule {
         "ORDER BY ts_ms, strategy")
     }),
 
+    "lake_mat_view_rewrite" -> QueryModule.micro(4)((s, dir) => {
+      // MV QUERY REWRITING: the same aggregate SQL over the SOURCE
+      // table answers from the materialized view when it is fresh —
+      // O(groups) backing read instead of O(source) scan + shuffle,
+      // the half of the MV story that makes materialization pay off
+      // without users rewriting their queries. Self-audits: the fresh
+      // query's physical plan scans the backing table (and not the
+      // lake source), a STALE view falls back to the source and
+      // serves the live data, and a refresh re-enables the rewrite.
+      // The oracle recomputes the final aggregate raw.
+      val wh = LakeQueries.freshWarehouse("matviewrw")
+      Engine.processTableDefJson(wh,
+        """{"database_name":"mvr","table_name":"ord","columns":[
+          |{"column_name":"o_custkey","data_type":"long"},
+          |{"column_name":"o_price","data_type":"decimal(18,4)"}],
+          |"partitions":[]}""".stripMargin)
+      val orders = Tables(s, dir, "orders")
+        .select(col("o_custkey"),
+          col("o_totalprice").cast("decimal(18,4)").as("o_price"))
+      LakeTable.load(wh, "mvr", "ord")
+        .append(orders.filter(col("o_custkey") % 3 === 0))
+      s.conf.set("spark.sql.catalog.gmvr", "graft.sources.LakeCatalog")
+      s.conf.set("spark.sql.catalog.gmvr.warehouse", wh)
+      def vsql(q: String) =
+        org.apache.spark.sql.GraftViewSubstitution.sql(s, q,
+          rewrite = true)
+      vsql("CREATE MATERIALIZED VIEW gmvr.mvr.roll AS " +
+        "SELECT o_custkey, count(*) AS n_orders, sum(o_price) AS s " +
+        "FROM gmvr.mvr.ord GROUP BY o_custkey").collect()
+      // the user's aggregate over the SOURCE (aliases their own; the
+      // outer CAST projection is above the aggregate and free)
+      val q = "SELECT o_custkey, n_orders, CAST(s AS DOUBLE) AS " +
+        "sum_price FROM (SELECT o_custkey, count(*) AS n_orders, " +
+        "sum(o_price) AS s FROM gmvr.mvr.ord GROUP BY o_custkey) " +
+        "ORDER BY o_custkey"
+      val hit = vsql(q)
+      hit.collect()
+      require(graft.sources.MatViewRewrite.lastRewrite
+        .contains(("mvr", "roll")), "fresh MV must answer the query")
+      require(hit.queryExecution.executedPlan.toString
+        .contains("__mat_roll"), "plan must scan the backing table")
+      // stale: a source commit the view hasn't merged — fall back to
+      // the source and serve the LIVE rows
+      LakeTable.load(wh, "mvr", "ord")
+        .append(orders.filter(col("o_custkey") % 3 === 1))
+      val stale = vsql(q)
+      val staleRows = stale.collect()
+      require(graft.sources.MatViewRewrite.lastRewrite.isEmpty &&
+        !stale.queryExecution.executedPlan.toString
+          .contains("__mat_roll"),
+        "a stale MV must not answer")
+      require(staleRows.length == LakeTable.load(wh, "mvr", "ord")
+        .read(s).select("o_custkey").distinct().count(),
+        "fallback must aggregate the live source")
+      // refreshed → the SAME SQL routes through the view again
+      vsql("REFRESH MATERIALIZED VIEW gmvr.mvr.roll INCREMENTAL")
+        .collect()
+      val again = vsql(q)
+      again.collect()
+      require(graft.sources.MatViewRewrite.lastRewrite
+        .contains(("mvr", "roll")), "refresh must re-enable rewriting")
+      again
+    }),
+
     "lake_mat_view_join" -> QueryModule.micro(4)((s, dir) => {
       // incremental maintenance of a JOIN-shaped MV (the production
       // fact ⋈ dim rollup): the defining query joins the orders fact
@@ -1278,6 +1342,85 @@ object LakeReadQueries extends QueryModule {
       LakeTable.load(wh, "tx", "nat").read(s)
         .select("n_nationkey", "n_name", "n_regionkey")
         .orderBy("n_nationkey")
+    }),
+
+    "lake_txn_cross" -> QueryModule.micro(4)((s, dir) => {
+      // CROSS-TABLE atomic transactions (graft.lake.LakeTxn): a fact
+      // table and its audit ledger move together or not at all — the
+      // catalog-level commit Iceberg solves with catalog multi-table
+      // commits. Three batches: two commit, the third's coordinator
+      // DIES between claiming both tables and writing the
+      // transaction's final record (the fault-injection seam) — that
+      // batch must appear in NEITHER table, while mid-death reads see
+      // a consistent pre-transaction state on both. The self-audit
+      // also requires the ledger to reconcile against the fact rows
+      // batch-by-batch; the oracle recomputes the surviving batches
+      // from the raw orders fixture.
+      val wh = LakeQueries.freshWarehouse("xtxn")
+      Engine.processTableDefJson(wh,
+        """{"database_name":"xt","table_name":"fact","columns":[
+          |{"column_name":"o_orderkey","data_type":"long"},
+          |{"column_name":"o_custkey","data_type":"long"},
+          |{"column_name":"o_price","data_type":"decimal(18,4)"},
+          |{"column_name":"batch","data_type":"int"}],
+          |"partitions":[]}""".stripMargin)
+      Engine.processTableDefJson(wh,
+        """{"database_name":"xt","table_name":"audit","columns":[
+          |{"column_name":"batch","data_type":"int"},
+          |{"column_name":"n_rows","data_type":"long"},
+          |{"column_name":"total","data_type":"decimal(18,4)"}],
+          |"partitions":[]}""".stripMargin)
+      val orders = Tables(s, dir, "orders")
+        .filter(col("o_orderkey") <= 30000)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").cast("decimal(18,4)").as("o_price"),
+          (col("o_orderkey") % 3).cast("int").as("batch"))
+        .localCheckpoint()
+      def runBatch(b: Int): Unit = LakeTxn.transaction(wh) { ctx =>
+        val rows = orders.filter(col("batch") === b)
+        ctx.table("xt", "fact").append(rows)
+        ctx.table("xt", "audit").append(rows.groupBy("batch").agg(
+          count(lit(1)).as("n_rows"),
+          sum("o_price").cast("decimal(18,4)").as("total")))
+        // mid-body: a FRESH observer must see neither half
+        require(LakeTable.load(wh, "xt", "fact").read(s)
+          .filter(col("batch") === b).isEmpty, "fact half leaked")
+        require(LakeTable.load(wh, "xt", "audit").read(s)
+          .filter(col("batch") === b).isEmpty, "audit half leaked")
+      }
+      runBatch(0); runBatch(1)
+      // batch 2's coordinator dies after claiming BOTH tables but
+      // before the commit record — nothing may ever become visible
+      class Die extends RuntimeException("coordinator death")
+      LakeTable.faultHook = name =>
+        if (name == "txn-post-claims-pre-final") throw new Die
+      val died =
+        try { runBatch(2); false }
+        catch { case _: Die => true }
+        finally LakeTable.faultHook = _ => ()
+      require(died, "fault point never fired")
+      val factNow = LakeTable.load(wh, "xt", "fact").read(s)
+      require(factNow.filter(col("batch") === 2).isEmpty &&
+        LakeTable.load(wh, "xt", "audit").read(s)
+          .filter(col("batch") === 2).isEmpty,
+        "the dead transaction must be invisible on both tables")
+      // ledger reconciliation: every surviving batch's audit row
+      // matches the fact rows exactly (pairing is the invariant the
+      // coordinator exists to protect)
+      val recon = LakeTable.load(wh, "xt", "fact").read(s)
+        .groupBy("batch").agg(count(lit(1)).as("fn"),
+          sum("o_price").cast("decimal(18,4)").as("ft"))
+        .join(LakeTable.load(wh, "xt", "audit").read(s), Seq("batch"),
+          "full_outer")
+        .filter(col("fn") =!= col("n_rows") ||
+          col("ft") =!= col("total") ||
+          col("fn").isNull || col("n_rows").isNull)
+      require(recon.isEmpty, "ledger does not reconcile with facts")
+      LakeTable.load(wh, "xt", "fact").read(s)
+        .groupBy("o_custkey").agg(
+          count(lit(1)).as("n_orders"),
+          sum("o_price").cast("double").as("sum_price"))
+        .orderBy("o_custkey")
     }),
 
     "lake_bloom_skip" -> QueryModule.micro(4)((s, dir) => {
@@ -2903,6 +3046,15 @@ object RowOpsQueries extends QueryModule {
         |       outcome)
         |ORDER BY mode, strategy""".stripMargin,
 
+    "lake_mat_view_rewrite" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders
+        |WHERE o_custkey % 3 IN (0, 1)
+        |GROUP BY o_custkey
+        |ORDER BY o_custkey""".stripMargin,
+
     "lake_mat_view_join" ->
       """SELECT c_mktsegment AS c_seg,
         |  CAST(COUNT(*) AS BIGINT) AS n_orders,
@@ -2941,6 +3093,15 @@ object RowOpsQueries extends QueryModule {
         |  n_regionkey
         |FROM nation WHERE n_regionkey <> 0
         |ORDER BY n_nationkey""".stripMargin,
+
+    "lake_txn_cross" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders
+        |WHERE o_orderkey <= 30000 AND o_orderkey % 3 < 2
+        |GROUP BY o_custkey
+        |ORDER BY o_custkey""".stripMargin,
 
     "lake_cdc_apply" ->
       """SELECT n_nationkey,

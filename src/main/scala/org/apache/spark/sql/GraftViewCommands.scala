@@ -446,10 +446,28 @@ object GraftViewSubstitution {
     * specs) — every caller shares this instead of re-assembling the
     * parser/rule pair.
     */
-  def sql(spark: SparkSession, q: String): DataFrame = {
+  def sql(spark: SparkSession, q: String): DataFrame =
+    sql(spark, q, rewrite = false)
+
+  /** With `rewrite = true`, also applies the materialized-view
+    * aggregate rewrite ([[graft.sources.MatViewRewrite]]) after
+    * analysis — matching what an extensions session does for every
+    * query. The default stays OFF for this bridge: its internal
+    * callers (CREATE MATERIALIZED VIEW's shape detection, full-refresh
+    * recomputes, oracle self-audits) must evaluate against the raw
+    * sources, never against a view that happens to match.
+    */
+  def sql(spark: SparkSession, q: String, rewrite: Boolean): DataFrame = {
     val parser = new GraftSqlParser(GraftPlanBridge.sessionParser(spark))
-    GraftPlanBridge.ofRows(spark,
+    val df = GraftPlanBridge.ofRows(spark,
       GraftViewSubstitution(spark)(parser.parsePlan(q)))
+    if (!rewrite) df
+    else {
+      val analyzed = df.queryExecution.analyzed
+      val rewritten = graft.sources.MatViewRewrite(spark, analyzed)
+      if (rewritten eq analyzed) df
+      else GraftPlanBridge.ofRows(spark, rewritten)
+    }
   }
 }
 
