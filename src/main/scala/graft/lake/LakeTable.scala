@@ -2712,10 +2712,22 @@ class LakeTable private (val location: Path, private var md: TableMetadata,
     * schema — the scan-planning primitive, exposed for tooling/tests.
     */
   def plannedFiles(prune: Map[String, Set[String]] = Map.empty,
-      statsFilters: Seq[RangeFilter] = Seq.empty): Seq[DataFileMeta] =
+      statsFilters: Seq[RangeFilter] = Seq.empty,
+      asOfSnapshot: Option[Long] = None): Seq[DataFileMeta] = {
+    val visible = asOfSnapshot match {
+      case Some(sid) =>
+        require(md.snapshots.exists(_.id == sid), s"no snapshot $sid")
+        md.snapshots.filter(_.id <= sid)
+      case None => md.snapshots
+    }
+    val current = asOfSnapshot match {
+      case Some(sid) => md.schemaById(visible.find(_.id == sid).get.schemaId)
+      case None => md.currentSchema
+    }
     LakeTable.matchingFiles(
-      LakeTable.liveFiles(md.snapshots, prune, md.currentSchema, statsFilters),
-      md.currentSchema, prune, statsFilters, md.schemaOpt)
+      LakeTable.liveFiles(visible, prune, current, statsFilters),
+      current, prune, statsFilters, md.schemaOpt)
+  }
 
   /** One reconciling scan group per schema version, unioned; rows at
     * positions marked by live merge-on-read delete files are dropped

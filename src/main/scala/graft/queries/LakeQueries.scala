@@ -989,6 +989,7 @@ object LakeReadQueries extends QueryModule {
           |{"column_name":"o_price","data_type":"decimal(18,4)"}],
           |"partitions":[]}""".stripMargin)
       val orders = Tables(s, dir, "orders")
+        .filter(col("o_orderkey") % 3 === 0) // bench-sized fixture
         .select(col("o_custkey"),
           col("o_totalprice").cast("decimal(18,4)").as("o_price"))
       // half the fixture keeps CoW-rewrite/diff cost down; the delete
@@ -1150,6 +1151,7 @@ object LakeReadQueries extends QueryModule {
           |{"column_name":"c_seg","data_type":"string"}],
           |"partitions":[]}""".stripMargin)
       val orders = Tables(s, dir, "orders")
+        .filter(col("o_orderkey") % 3 === 0) // bench-sized fixture
         .select(col("o_custkey"),
           col("o_totalprice").cast("decimal(18,4)").as("o_price"))
       LakeTable.load(wh, "mvj", "cust").append(
@@ -1224,6 +1226,7 @@ object LakeReadQueries extends QueryModule {
           |{"column_name":"o_price","data_type":"double"}],
           |"partitions":[]}""".stripMargin)
       val orders = Tables(s, dir, "orders")
+        .filter(col("o_orderkey") % 3 === 0) // bench-sized fixture
         .select(col("o_custkey"), col("o_orderkey").as("o_okey"),
           col("o_totalprice").as("o_price"))
       LakeTable.load(wh, "mvm", "ord")
@@ -1260,6 +1263,65 @@ object LakeReadQueries extends QueryModule {
           "(upsert snapshots), not a full-refresh replace")
       vsql("SELECT o_custkey, n_orders, min_price, max_price " +
         "FROM gmvmm.mvm.roll ORDER BY o_custkey")
+    }),
+
+    "lake_mat_view_distinct" -> QueryModule.micro(4)((s, dir) => {
+      // COUNT(DISTINCT) in the incremental class: never additively
+      // mergeable (even a pure APPEND may duplicate a value the group
+      // already counted), so EVERY refresh routes through the
+      // touched-group recompute — O(delta + touched groups), never the
+      // full refresh's O(source). The range here is an append followed
+      // by MoR deletes; the key self-audits that BOTH refreshes ran
+      // the recompute strategy (the .refreshes sidecar names it) and
+      // that the backing table saw no full-refresh replace. The oracle
+      // recomputes the distinct counts from scratch.
+      val wh = LakeQueries.freshWarehouse("matviewdct")
+      Engine.processTableDefJson(wh,
+        """{"database_name":"mvd","table_name":"ord","columns":[
+          |{"column_name":"o_custkey","data_type":"long"},
+          |{"column_name":"o_okey","data_type":"long"},
+          |{"column_name":"o_prio","data_type":"string"}],
+          |"partitions":[]}""".stripMargin)
+      val orders = Tables(s, dir, "orders")
+        .filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_custkey"), col("o_orderkey").as("o_okey"),
+          col("o_orderpriority").as("o_prio"))
+      LakeTable.load(wh, "mvd", "ord")
+        .append(orders.filter(col("o_custkey") % 8 === 0))
+      s.conf.set("spark.sql.catalog.gmvdc", "graft.sources.LakeCatalog")
+      s.conf.set("spark.sql.catalog.gmvdc.warehouse", wh)
+      def vsql(q: String) =
+        org.apache.spark.sql.GraftViewSubstitution.sql(s, q)
+      vsql("CREATE MATERIALIZED VIEW gmvdc.mvd.roll AS " +
+        "SELECT o_custkey, count(DISTINCT o_prio) AS n_prios, " +
+        "count(*) AS n_orders FROM gmvdc.mvd.ord " +
+        "GROUP BY o_custkey").collect()
+      // 1. a pure append — additively UNmergeable for DISTINCT: the
+      // appended rows may repeat clerks their groups already counted
+      LakeTable.load(wh, "mvd", "ord")
+        .append(orders.filter(col("o_custkey") % 8 === 1))
+      vsql("REFRESH MATERIALIZED VIEW gmvdc.mvd.roll INCREMENTAL")
+        .collect()
+      // 2. MoR deletes retract some rows (possibly one of several
+      // duplicates of a clerk — only the recompute can tell)
+      LakeTable.load(wh, "mvd", "ord")
+        .deleteMoR(s, col("o_okey") % 7 === 3)
+      val res = vsql(
+        "REFRESH MATERIALIZED VIEW gmvdc.mvd.roll INCREMENTAL")
+        .collect()
+      require(res.head.getLong(1) > res.head.getLong(0),
+        "the incremental refresh must advance the watermark")
+      val strategies = vsql("SELECT strategy FROM " +
+        "gmvdc.mvd.roll.refreshes WHERE mode = 'incremental'")
+        .collect().map(_.getString(0)).toSeq
+      require(strategies.size == 2 && strategies.forall(_ == "recompute"),
+        s"DISTINCT shapes must route every refresh through the " +
+          s"touched-group recompute, got $strategies")
+      require(!LakeTable.load(wh, "mvd", "__mat_roll").metadata
+        .snapshots.exists(sn => LakeTable.isReset(sn.operation)),
+        "the refresh must upsert touched groups, not full-refresh")
+      vsql("SELECT o_custkey, n_prios, n_orders " +
+        "FROM gmvdc.mvd.roll ORDER BY o_custkey")
     }),
 
     "lake_views" -> QueryModule.micro(4)((s, dir) => {
@@ -2465,6 +2527,7 @@ object RowOpsQueries extends QueryModule {
           |{"column_name":"sum_price","data_type":"decimal(18,4)"}],
           |"partitions":[]}""".stripMargin)
       val orders = Tables(s, dir, "orders")
+        .filter(col("o_custkey") % 2 === 0) // bench-sized fixture
         .select("o_orderkey", "o_custkey", "o_totalprice")
       var lastSeen = 0L
       Seq(0, 1, 2).foreach { m =>
@@ -2940,7 +3003,8 @@ object RowOpsQueries extends QueryModule {
         |  CAST(COUNT(*) AS BIGINT) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
         |    AS sum_price
-        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+        |FROM orders WHERE o_custkey % 2 = 0
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     "lake_null_skip" ->
       """SELECT n_nationkey, n_name, n_regionkey
@@ -3028,7 +3092,7 @@ object RowOpsQueries extends QueryModule {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
         |    AS sum_price
         |FROM orders
-        |WHERE o_custkey % 4 IN (0, 1)
+        |WHERE o_orderkey % 3 = 0 AND o_custkey % 4 IN (0, 1)
         |  AND o_custkey % 10 <> 2 AND o_custkey % 10 <> 5
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
@@ -3061,13 +3125,14 @@ object RowOpsQueries extends QueryModule {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
         |    AS sum_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
-        |WHERE o_custkey % 4 IN (0, 1) AND o_custkey % 10 <> 4
+        |WHERE o_orderkey % 3 = 0
+        |  AND o_custkey % 4 IN (0, 1) AND o_custkey % 10 <> 4
         |GROUP BY c_mktsegment ORDER BY c_seg""".stripMargin,
 
     "lake_mat_view_minmax" ->
       """WITH base AS (
         |  SELECT o_custkey, o_orderkey, o_totalprice FROM orders
-        |  WHERE o_custkey % 8 IN (0, 1)),
+        |  WHERE o_orderkey % 3 = 0 AND o_custkey % 8 IN (0, 1)),
         |live AS (
         |  SELECT o_custkey, o_totalprice FROM base
         |  WHERE o_orderkey % 7 <> 3
@@ -3080,6 +3145,15 @@ object RowOpsQueries extends QueryModule {
         |  MIN(o_totalprice) AS min_price,
         |  MAX(o_totalprice) AS max_price
         |FROM live GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "lake_mat_view_distinct" ->
+      """SELECT o_custkey,
+        |  CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_prios,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders
+        |FROM orders
+        |WHERE o_orderkey % 3 = 0 AND o_custkey % 8 IN (0, 1)
+        |  AND o_orderkey % 7 <> 3
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     "lake_views" ->
       """SELECT n_nationkey, n_name || '/' || n_regionkey AS tagged

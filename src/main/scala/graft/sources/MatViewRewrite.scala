@@ -82,6 +82,7 @@ object MatViewRewrite {
       case (MatViews.SumNCol(_, x), MatViews.SumNCol(_, y)) => x == y
       case (MatViews.MinCol(_, x), MatViews.MinCol(_, y)) => x == y
       case (MatViews.MaxCol(_, x), MatViews.MaxCol(_, y)) => x == y
+      case (MatViews.CountDCol(_, x), MatViews.CountDCol(_, y)) => x == y
       case (MatViews.AvgCol(_, x, p1, s1), MatViews.AvgCol(_, y, p2, s2))
         => x == y && p1 == p2 && s1 == s2
       case _ => false
@@ -109,11 +110,12 @@ object MatViewRewrite {
       .metadata.snapshots.map(_.id).foldLeft(0L)(math.max)
     if (!props.get("graft.mat-view.watermark").contains(srcHead.toString))
       return false
+    // a byte-moved dim (compaction/zorder past the pin) is still
+    // row-identical to the pinned image — content-fresh for rewriting
     val dimsFresh = mv.dims.forall { d =>
-      val head = LakeTable.load(warehouse, d.db, d.table)
-        .metadata.snapshots.map(_.id).foldLeft(0L)(math.max)
-      props.get(MatViews.dimPinKey(d)).exists(_.split(":")(0) ==
-        head.toString)
+      val t = LakeTable.load(warehouse, d.db, d.table)
+      props.get(MatViews.dimPinKey(d))
+        .exists(pin => MatViews.dimContentUnmoved(t, pin))
     }
     dimsFresh && (!mv.tzSensitive || props.get("graft.mat-view.tz")
       .contains(spark.sessionState.conf.sessionLocalTimeZone))

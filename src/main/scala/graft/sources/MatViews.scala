@@ -78,6 +78,14 @@ private[graft] object MatViews {
   case class SumNCol(outName: String, srcCol: String) extends AggSpec
   case class MinCol(outName: String, srcCol: String) extends AggSpec
   case class MaxCol(outName: String, srcCol: String) extends AggSpec
+  /** COUNT(DISTINCT x): never additively mergeable — a delta row may
+    * duplicate a value the group already counted, and a retraction may
+    * remove one of several duplicates — so EVERY refresh of a shape
+    * carrying one routes through the touched-group recompute
+    * ([[AggShape.recomputeOnly]]); the recompute re-derives whole
+    * groups from the head image, where DISTINCT is just another
+    * aggregate. */
+  case class CountDCol(outName: String, srcCol: String) extends AggSpec
   /** AVG over a decimal column; (resPrec, resScale) is the declared
     * Average result type (DECIMAL(p+4, s+4)), persisted so the
     * fronting view can reproduce the exact division + cast. */
@@ -122,11 +130,18 @@ private[graft] object MatViews {
       specs.collect { case g: GroupCol => g }
 
     /** COUNT/SUM/AVG only — deletes and CoW updates can be merged as
-      * signed deltas; MIN/MAX cannot un-see a removed extremum. */
+      * signed deltas; MIN/MAX cannot un-see a removed extremum, and
+      * COUNT(DISTINCT) cannot tell a duplicate from a new value. */
     def retractable: Boolean = specs.forall {
-      case _: MinCol | _: MaxCol => false
+      case _: MinCol | _: MaxCol | _: CountDCol => false
       case _ => true
     }
+
+    /** Shapes that can NEVER merge additively — even a pure-append
+      * delta may duplicate values a DISTINCT count already saw — so
+      * every incremental refresh routes through the touched-group
+      * recompute. */
+    def recomputeOnly: Boolean = specs.exists(_.isInstanceOf[CountDCol])
 
     /** Retraction needs a per-group row count to know when a group
       * empties; reuse a declared COUNT(*) or add a hidden one. */
@@ -155,6 +170,9 @@ private[graft] object MatViews {
         StoreCol(s"__sum_cnt_$n", KCount))
       case MinCol(n, _) => Seq(StoreCol(n, KMin))
       case MaxCol(n, _) => Seq(StoreCol(n, KMax))
+      // KCount nominally — recompute-only shapes never merge(), the
+      // blind upsert overwrites whole recomputed groups
+      case CountDCol(n, _) => Seq(StoreCol(n, KCount))
       case AvgCol(n, _, _, _) => Seq(StoreCol(s"__avg_sum_$n", KSum),
         StoreCol(s"__avg_cnt_$n", KCount))
     } ++ (if (needsHiddenRows) Seq(StoreCol("__g_rows", KCount)) else Nil)
@@ -353,6 +371,22 @@ private[graft] object MatViews {
             out match {
               case a: AttributeReference => asGroup(a, a.name)
                 .getOrElse(return None)
+              // COUNT(DISTINCT x): maintainable via the touched-group
+              // recompute only (a delta may duplicate values the group
+              // already counted) — AggShape.recomputeOnly routes every
+              // refresh there. A distinct literal (constant 0-or-1) and
+              // multi-argument DISTINCT stay full-refresh-only.
+              case al @ Alias(ae: AggregateExpression, n)
+                  if ae.isDistinct && ae.filter.isEmpty =>
+                ae.aggregateFunction match {
+                  case c: Count => c.children match {
+                    case Seq(e) if exprOk(e) &&
+                        !e.isInstanceOf[Literal] =>
+                      CountDCol(n, sqlOf(e))
+                    case _ => return None
+                  }
+                  case _ => return None
+                }
               case al @ Alias(ae: AggregateExpression, n)
                   if !ae.isDistinct && ae.filter.isEmpty =>
                 ae.aggregateFunction match {
@@ -520,15 +554,48 @@ private[graft] object MatViews {
       acc.join(df, expr(d.condSql), "inner")
     }
 
-  /** Named refusal when any dim moved past (or diverged from) its
-    * pinned snapshot: only FACT deltas maintain incrementally — a dim
-    * delta changes the join contribution of UNCHANGED fact rows, which
-    * no fact-side delta can express. A full refresh recomputes against
-    * the dim heads and re-pins.
+  /** Whether the dim's content at the pin is ROW-identical to its
+    * head image: the head is the pin itself, or the pin is still the
+    * commit it named (a rollback re-uses ids — the timestamp
+    * disambiguates) and every commit past it is a byte-move
+    * (compaction, zorder rewrite — same rows, new files). A pin on an
+    * EMPTY dim (id 0) is intact by definition; byte-moves can't
+    * conjure rows, so an all-byte-move walk from 0 is still empty.
     */
-  def requireDimsUnmoved(warehouse: String, shape: AggShape,
-      pins: Map[String, String]): Unit =
-    shape.dims.foreach { d =>
+  def dimContentUnmoved(t: LakeTable, pin: String): Boolean = {
+    val Array(idS, tsS) = pin.split(":")
+    val (id, ts) = (idS.toLong, tsS.toLong)
+    val head = t.metadata.snapshots.map(_.id).foldLeft(0L)(math.max)
+    val headTs = t.metadata.snapshots.find(_.id == head)
+      .map(_.timestampMs).getOrElse(-1L)
+    if (head == id && headTs == ts) true
+    else {
+      val pinIntact = id == 0L ||
+        t.metadata.snapshots.exists(s => s.id == id &&
+          s.timestampMs == ts)
+      val past = t.metadata.snapshots.filter(s => s.id > id)
+      pinIntact && past.nonEmpty &&
+        past.forall(s => LakeTable.isByteMove(s.operation))
+    }
+  }
+
+  /** Check every dim against its pinned snapshot. A dim whose
+    * pin→head walk is byte-moves only (compaction, zorder — same
+    * rows, new files) is CONTENT-unmoved: accepted, with a fresh pin
+    * returned to publish in the refresh's own transaction flip (so
+    * the superseded dim snapshot can expire without stranding the
+    * view). A real dim delta still refuses by name: only FACT deltas
+    * maintain incrementally — a dim delta changes the join
+    * contribution of UNCHANGED fact rows, which no fact-side delta
+    * can express. A full refresh recomputes against the dim heads
+    * and re-pins.
+    *
+    * @return replacement pins for byte-moved dims (empty = every dim
+    *   exactly at its pin)
+    */
+  def reconcileDims(warehouse: String, shape: AggShape,
+      pins: Map[String, String]): Map[String, String] =
+    shape.dims.flatMap { d =>
       val t = LakeTable.load(warehouse, d.db, d.table)
       val head = t.metadata.snapshots.map(_.id).foldLeft(0L)(math.max)
       val headTs = t.metadata.snapshots.find(_.id == head)
@@ -537,12 +604,14 @@ private[graft] object MatViews {
         throw new IllegalStateException(
           s"materialization lost its snapshot pin for dim " +
             s"'${d.db}.${d.table}' — run a full refresh"))
-      val Array(idS, tsS) = pin.split(":")
-      require(head == idS.toLong && headTs == tsS.toLong,
+      require(dimContentUnmoved(t, pin),
         s"incremental refresh maintains FACT deltas only, but dim " +
-          s"'${d.db}.${d.table}' moved (pinned snapshot $idS, head " +
-          s"now $head) — run a full refresh, which re-pins the dims")
-    }
+          s"'${d.db}.${d.table}' moved (pinned snapshot " +
+          s"${pin.split(":")(0)}, head now $head) — run a full " +
+          "refresh, which re-pins the dims")
+      if (pin == s"$head:$headTs") None
+      else Some(dimPinKey(d) -> s"$head:$headTs")
+    }.toMap
 
   /** The STORAGE aggregation over source-schema rows (seed, full
     * refresh, and the append-delta path): one pass, declared group
@@ -586,6 +655,12 @@ private[graft] object MatViews {
         cnt(expr(c)).as(s"__sum_cnt_$n"))
       case MinCol(n, c) => Seq(min(expr(c)).as(n))
       case MaxCol(n, c) => Seq(max(expr(c)).as(n))
+      case CountDCol(n, c) =>
+        // recompute-only: AggShape.retractable is false for these
+        // shapes, so the signed (changelog) aggregation never sees one
+        require(!signed,
+          s"COUNT(DISTINCT) cannot aggregate a signed changelog ($n)")
+        Seq(countDistinct(expr(c)).as(n))
       case AvgCol(n, c, _, _) => Seq(sm(expr(c)).as(s"__avg_sum_$n"),
         cnt(expr(c)).as(s"__avg_cnt_$n"))
     } ++ (if (shape.needsHiddenRows) Seq(cntStar.as("__g_rows")) else Nil)
@@ -729,6 +804,7 @@ private[graft] object MatViews {
       case SumNCol(o, c) => s"sumn:${esc(o)}:${esc(c)}"
       case MinCol(o, c) => s"min:${esc(o)}:${esc(c)}"
       case MaxCol(o, c) => s"max:${esc(o)}:${esc(c)}"
+      case CountDCol(o, c) => s"countd:${esc(o)}:${esc(c)}"
       case AvgCol(o, c, p, sc) => s"avg:${esc(o)}:${esc(c)}:$p:$sc"
     }.mkString(","))
 
@@ -757,6 +833,7 @@ private[graft] object MatViews {
           case Seq("sumn", o, c) => SumNCol(unesc(o), src(c))
           case Seq("min", o, c) => MinCol(unesc(o), src(c))
           case Seq("max", o, c) => MaxCol(unesc(o), src(c))
+          case Seq("countd", o, c) => CountDCol(unesc(o), src(c))
           case Seq("avg", o, c, p, sc) =>
             AvgCol(unesc(o), src(c), p.toInt, sc.toInt)
           case other => throw new IllegalStateException(
@@ -921,6 +998,13 @@ private[graft] object MatViews {
     */
   @volatile private[graft] var lastRecomputeScan: Option[(Int, Int)] = None
 
+  /** (files scanned after marker-envelope pruning, live files at the
+    * watermark) summed over the last recompute refresh's EQUALITY
+    * pre-image reads — test/tooling observable (conf-gated), mirroring
+    * [[lastRecomputeScan]]. None when the refresh had no eq batches.
+    */
+  @volatile private[graft] var lastEqPreImageScan: Option[(Int, Int)] = None
+
   /** Touched-group recompute: the fallback incremental strategy when
     * signed merging is impossible. Derive the set of GROUP KEYS the
     * delta touched — changelog rows for position/CoW changes, plus a
@@ -941,12 +1025,13 @@ private[graft] object MatViews {
   private def refreshByRecompute(spark: SparkSession, warehouse: String,
       src: LakeTable, shape: AggShape, w: Long, head: Long,
       range: Seq[graft.lake.SnapshotMeta],
-      backing0: LakeTable): Long = {
+      backing0: LakeTable,
+      rePins: Map[String, String] = Map.empty): Long = {
     val keyCols = shape.groupCols.map(g => q(g.outName))
     // JOIN shapes: every fact-row frame expands through the pinned
     // dims before the filter/aggregation sees it (group keys and
     // measures may live on the dim side)
-    val pins = backing0.metadata.properties
+    val pins = backing0.metadata.properties ++ rePins
     def expand(rows: DataFrame): DataFrame =
       sourceRows(joinedRows(spark, warehouse, shape, rows, pins), shape)
     // 1. touched keys from the changelog: every row a snapshot added
@@ -967,12 +1052,24 @@ private[graft] object MatViews {
     // Over-approximate: no seq comparison needed.
     // pre-watermark image the markers strike (an MV seeded on an
     // empty table has no pre-image — every eq-victim surfaced as an
-    // in-range changelog insert first)
-    lazy val preImage =
+    // in-range changelog insert first). The marker-key envelope
+    // prunes source FILES through the same stats/bloom machinery as
+    // the group-key path: victims of a non-null marker value carry
+    // that value, so a file whose stats exclude every marker key
+    // holds no victims (a NULL marker key contributes no filter —
+    // keyFilters is conservative by construction). Past the key
+    // limit, fall back to one shared full pre-image scan.
+    val limit = keyLimit(spark)
+    val srcSchema = graft.lake.Reconcile
+      .clean(src.metadata.currentSchema).asInstanceOf[StructType]
+    lazy val fullPreImage =
       if (w > 0) expand(src.read(spark, asOfSnapshot = Some(w)))
       else null
+    var eqScanPruned, eqScanTotal = 0
+    val auditScans = spark.conf
+      .getOption("spark.graft.matview.incr-scan-audit").contains("true")
     val eqTouched = eqSnaps.flatMap(_.eqDeletes).flatMap { b =>
-      if (preImage == null) None
+      if (w <= 0) None
       else {
         val schema = src.metadata.currentSchema
         val names = b.fieldIds.map { fid =>
@@ -989,17 +1086,37 @@ private[graft] object MatViews {
             col(s"k$fid").cast(schema.fields.find(_.name == n).get
               .dataType).as(n)
           }: _*)
-        // the engine applies markers NULL-SAFELY (c <=> key,
-        // LakeTable's eq-delete mask) — a marker carrying a NULL key
-        // value strikes null-keyed source rows, so the victim probe
-        // must match them too or their groups never recompute
-        Some(preImage.join(markers,
-            names.map(n => preImage(n) <=> markers(n)).reduce(_ && _),
-            "left_semi")
-          .select(shape.groupCols.map(g =>
-            expr(g.srcCol).as(g.outName)): _*))
+        val markerRows = markers.limit(limit + 1).collect().toSeq
+        val mFilters =
+          if (markerRows.size > limit) Seq.empty
+          else keyFilters(srcSchema, markerRows,
+            names.map(n => GroupCol(n, s"`${n.replace("`", "``")}`")))
+        val preImage =
+          if (mFilters.isEmpty) fullPreImage
+          else expand(src.read(spark, asOfSnapshot = Some(w),
+            statsFilters = mFilters))
+        if (preImage == null) None
+        else {
+          if (auditScans) {
+            eqScanPruned += src.plannedFiles(statsFilters = mFilters,
+              asOfSnapshot = Some(w)).size
+            eqScanTotal += src.plannedFiles(
+              asOfSnapshot = Some(w)).size
+          }
+          // the engine applies markers NULL-SAFELY (c <=> key,
+          // LakeTable's eq-delete mask) — a marker carrying a NULL key
+          // value strikes null-keyed source rows, so the victim probe
+          // must match them too or their groups never recompute
+          Some(preImage.join(markers,
+              names.map(n => preImage(n) <=> markers(n)).reduce(_ && _),
+              "left_semi")
+            .select(shape.groupCols.map(g =>
+              expr(g.srcCol).as(g.outName)): _*))
+        }
       }
     }
+    if (auditScans && eqScanTotal > 0)
+      lastEqPreImageScan = Some((eqScanPruned, eqScanTotal))
     val touched = (clTouched +: eqTouched).reduce(_.union(_))
       .distinct().localCheckpoint()
     // NULL group keys can't upsert/delete by equality — refuse by name
@@ -1014,11 +1131,11 @@ private[graft] object MatViews {
     // when the group keys are plain columns (an expression key — a
     // date_trunc bucket — must not prune by its bucketed values:
     // a file's raw range can straddle the bucket)
-    val limit = keyLimit(spark)
     val keyRows = touched.limit(limit + 1).collect().toSeq
     val wmOnly = Map("graft.mat-view.watermark" -> head.toString,
       "graft.mat-view.watermark-ts" -> src.metadata.snapshots
-        .find(_.id == head).map(_.timestampMs).getOrElse(-1L).toString)
+        .find(_.id == head).map(_.timestampMs).getOrElse(-1L)
+        .toString) ++ rePins
     if (keyRows.isEmpty) {
       // the delta changed nothing visible to this shape (rows all
       // failed the WHERE, or pure byte-moves) — just advance the
@@ -1026,8 +1143,6 @@ private[graft] object MatViews {
       backing0.transaction(_.updateProperties(wmOnly))
       return 0L
     }
-    val srcSchema = graft.lake.Reconcile
-      .clean(src.metadata.currentSchema).asInstanceOf[StructType]
     def plainName(sql: String): Option[String] = {
       val stripped =
         if (sql.startsWith("`") && sql.endsWith("`") && sql.length > 1)
@@ -1133,11 +1248,21 @@ private[graft] object MatViews {
     }
     // JOIN shapes: a moved dim makes the view stale in a way no FACT
     // delta can express — refuse BEFORE the fact-unmoved no-op check,
-    // or a dim-only change would silently report "nothing to do"
-    if (shape.dims.nonEmpty)
-      requireDimsUnmoved(warehouse, shape, backing0.metadata.properties)
+    // or a dim-only change would silently report "nothing to do".
+    // Byte-moved dims (compaction/zorder) are content-identical:
+    // accepted, re-pinned in the refresh's own flip.
+    val rePins: Map[String, String] =
+      if (shape.dims.nonEmpty)
+        reconcileDims(warehouse, shape, backing0.metadata.properties)
+      else Map.empty
     val head = src.metadata.snapshots.map(_.id).foldLeft(0L)(math.max)
-    if (head == w) return None
+    if (head == w) {
+      // fact unmoved — still publish byte-move re-pins, so expiring
+      // the superseded dim snapshots can't strand the view
+      if (rePins.nonEmpty)
+        backing0.transaction(_.updateProperties(rePins))
+      return None
+    }
     // time-zone-sensitive shapes (date_trunc buckets, tz-dependent
     // casts) must merge deltas bucketed EXACTLY like the existing
     // materialization — a differently-zoned session would split
@@ -1177,12 +1302,13 @@ private[graft] object MatViews {
         "gone — run a full refresh instead")
     def expand(rows: DataFrame): DataFrame =
       sourceRows(joinedRows(spark, warehouse, shape, rows,
-        backing0.metadata.properties), shape)
+        backing0.metadata.properties ++ rePins), shape)
     val nonAppend = range.filterNot(s =>
       s.operation == "append" || LakeTable.isByteMove(s.operation))
     val retract = nonAppend.nonEmpty
-    if (retract && !signedMergeable(spark, warehouse, src, shape,
-        range)) {
+    if (shape.recomputeOnly ||
+        (retract && !signedMergeable(spark, warehouse, src, shape,
+          range))) {
       // the cheap signed merge is defeated (MIN/MAX can't un-see a
       // removed extremum, eq-delete markers carry only keys, legacy
       // storage lacks the counters) — recompute ONLY the groups the
@@ -1196,7 +1322,7 @@ private[graft] object MatViews {
           " — full-content replaces reset the history rather than " +
           "changing identifiable rows; run a full refresh instead")
       val groups = refreshByRecompute(spark, warehouse, src, shape, w,
-        head, range, backing0)
+        head, range, backing0, rePins)
       return Some((head, "recompute", groups))
     }
     val delta =
@@ -1243,7 +1369,8 @@ private[graft] object MatViews {
     val keys = shape.groupCols.map(_.outName)
     val wmProp = Map("graft.mat-view.watermark" -> head.toString,
       "graft.mat-view.watermark-ts" -> src.metadata.snapshots
-        .find(_.id == head).map(_.timestampMs).getOrElse(-1L).toString)
+        .find(_.id == head).map(_.timestampMs).getOrElse(-1L)
+        .toString) ++ rePins
     if (!retract) {
       backing0.transaction { tx =>
         // the merged frame may be empty (delta had rows but, e.g.,

@@ -60,7 +60,12 @@ class MatViewRandomSpec extends AnyFunSuite {
     vsql("CREATE MATERIALIZED VIEW gmvr2.d.mm AS " +
       "SELECT k, min(x) AS mn, max(x) AS mx, count(*) AS n " +
       "FROM gmvr2.d.src GROUP BY k").collect()
-    for (name <- Seq("ret", "mm"))
+    // DISTINCT shape: every refresh must route through the
+    // touched-group recompute (appends can duplicate counted values)
+    vsql("CREATE MATERIALIZED VIEW gmvr2.d.dct AS " +
+      "SELECT k, count(DISTINCT amt) AS nd, count(*) AS n " +
+      "FROM gmvr2.d.src GROUP BY k").collect()
+    for (name <- Seq("ret", "mm", "dct"))
       assert(graft.sources.LakeViews.read(
         graft.sources.LakeViews.path(wh, "d", name)).get
         .properties.get("graft.mat-view.incr").contains("true"), name)
@@ -87,6 +92,14 @@ class MatViewRandomSpec extends AnyFunSuite {
       vsql("SELECT k, mn, mx, n FROM gmvr2.d.mm").collect()
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
           r.getLong(3))).toSet
+    def recomputeDct(): Set[(String, Long, Long)] =
+      LakeTable.load(wh, "d", "src").read(spark).groupBy("k")
+        .agg(countDistinct(col("amt")).as("nd"), count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          r.getLong(2))).toSet
+    def viewDct(): Set[(String, Long, Long)] =
+      vsql("SELECT k, nd, n FROM gmvr2.d.dct").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
 
     // the op soup: every incremental refresh (either shape, any op
     // mix short of a replace) must now SUCCEED — signed merge where
@@ -140,12 +153,22 @@ class MatViewRandomSpec extends AnyFunSuite {
         incrMm += 1
         assert(viewMm() == recomputeMm(), s"mm drifted at step $i")
       }
+      // deterministic cadence (no rnd draw — keeps the op stream
+      // stable): the DISTINCT shape refreshes over multi-commit
+      // heterogeneous deltas and must always equal the recompute
+      if (i % 2 == 0) {
+        vsql("REFRESH MATERIALIZED VIEW gmvr2.d.dct INCREMENTAL")
+          .collect()
+        assert(viewDct() == recomputeDct(), s"dct drifted at step $i")
+      }
     }
     // final convergence + the run actually exercised every path
     vsql("REFRESH MATERIALIZED VIEW gmvr2.d.ret INCREMENTAL").collect()
     assert(viewRet() == recomputeRet(), "final ret")
     vsql("REFRESH MATERIALIZED VIEW gmvr2.d.mm INCREMENTAL").collect()
     assert(viewMm() == recomputeMm(), "final mm")
+    vsql("REFRESH MATERIALIZED VIEW gmvr2.d.dct INCREMENTAL").collect()
+    assert(viewDct() == recomputeDct(), "final dct")
     assert(incrRet >= 5 && incrMm >= 3 && upserts >= 1,
       s"coverage: incrRet=$incrRet incrMm=$incrMm upserts=$upserts")
   }

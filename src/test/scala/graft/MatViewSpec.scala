@@ -1326,4 +1326,117 @@ class MatViewSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("already exists"))
   }
+
+  test("dim byte-moves (compaction) are tolerated by incremental " +
+      "refresh and re-pinned; a real dim delta still refuses") {
+    val wh = Files.createTempDirectory("graft-matview-dimbm").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"fact","columns":[
+        |{"column_name":"f_cust","data_type":"long"},
+        |{"column_name":"f_amt","data_type":"long"}],
+        |"partitions":[]}""".stripMargin)
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"cust","columns":[
+        |{"column_name":"c_id","data_type":"long"},
+        |{"column_name":"c_seg","data_type":"string"}],
+        |"partitions":[]}""".stripMargin)
+    import SparkTestSession.spark.implicits._
+    // two dim appends → two files, so compaction has bytes to move
+    LakeTable.load(wh, "d", "cust").append(
+      Seq((1L, "A"), (2L, "B")).toDF("c_id", "c_seg"))
+    LakeTable.load(wh, "d", "cust").append(
+      Seq((3L, "A")).toDF("c_id", "c_seg"))
+    LakeTable.load(wh, "d", "fact").append(
+      Seq((1L, 10L), (2L, 20L), (3L, 40L)).toDF("f_cust", "f_amt"))
+    spark.conf.set("spark.sql.catalog.gmvbm", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.gmvbm.warehouse", wh)
+    vsql("CREATE MATERIALIZED VIEW gmvbm.d.roll AS " +
+      "SELECT c_seg, count(*) AS n, sum(f_amt) AS s " +
+      "FROM gmvbm.d.fact JOIN gmvbm.d.cust ON f_cust = c_id " +
+      "GROUP BY c_seg").collect()
+    val pinKey = "graft.mat-view.dim-watermark.d.cust"
+    def pin(): String = LakeTable.load(wh, "d", "__mat_roll")
+      .metadata.properties(pinKey)
+    def state(): Set[(String, Long, Long)] =
+      vsql("SELECT c_seg, n, s FROM gmvbm.d.roll").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    def recompute(): Set[(String, Long, Long)] =
+      vsql("SELECT c_seg, count(*) AS n, sum(f_amt) AS s " +
+        "FROM gmvbm.d.fact JOIN gmvbm.d.cust ON f_cust = c_id " +
+        "GROUP BY c_seg").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val pin0 = pin()
+    // 1. dim COMPACTION (byte-move, same rows) + fact append: the
+    // incremental refresh must accept, merge the fact delta, and
+    // re-pin the dim at its compacted head in the same flip
+    val dim = LakeTable.load(wh, "d", "cust")
+    dim.compact(spark)
+    val dimHead = LakeTable.load(wh, "d", "cust").metadata.snapshots
+      .map(_.id).max
+    LakeTable.load(wh, "d", "fact").append(
+      Seq((3L, 80L)).toDF("f_cust", "f_amt"))
+    vsql("REFRESH MATERIALIZED VIEW gmvbm.d.roll INCREMENTAL").collect()
+    assert(state() == recompute(), "after dim compaction + fact append")
+    assert(pin() != pin0 && pin().split(":")(0).toLong == dimHead,
+      s"byte-moved dim must be re-pinned at its head: ${pin()}")
+    // 2. byte-move with the FACT unmoved: the no-op refresh still
+    // publishes the re-pin (so the superseded dim snapshot can expire)
+    LakeTable.load(wh, "d", "cust").compact(spark)
+    val dimHead2 = LakeTable.load(wh, "d", "cust").metadata.snapshots
+      .map(_.id).max
+    vsql("REFRESH MATERIALIZED VIEW gmvbm.d.roll INCREMENTAL").collect()
+    assert(pin().split(":")(0).toLong == dimHead2,
+      s"no-op refresh must still re-pin the byte-moved dim: ${pin()}")
+    assert(state() == recompute(), "no-op refresh changes nothing")
+    // 3. a REAL dim delta (append) still refuses by name
+    LakeTable.load(wh, "d", "cust").append(
+      Seq((4L, "B")).toDF("c_id", "c_seg"))
+    LakeTable.load(wh, "d", "fact").append(
+      Seq((4L, 160L)).toDF("f_cust", "f_amt"))
+    val e = intercept[Exception] {
+      vsql("REFRESH MATERIALIZED VIEW gmvbm.d.roll INCREMENTAL").collect()
+    }
+    assert(messages(e).contains("dim") &&
+      messages(e).contains("full refresh"), messages(e))
+    vsql("REFRESH MATERIALIZED VIEW gmvbm.d.roll").collect()
+    assert(state() == recompute(), "full refresh re-pins past the append")
+  }
+
+  test("the eq-delete pre-image scan prunes source files by the " +
+      "marker-key envelope") {
+    val wh = Files.createTempDirectory("graft-matview-eqprune").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"src","columns":[
+        |{"column_name":"k","data_type":"long"},
+        |{"column_name":"x","data_type":"long"}],"partitions":[]}""".stripMargin)
+    import SparkTestSession.spark.implicits._
+    // 8 disjoint-range files — the marker envelope must prune the
+    // pre-watermark victim scan to the file(s) covering the upserted
+    // keys, not rescan the whole watermark image
+    for (b <- 0 until 8)
+      LakeTable.load(wh, "d", "src").append(
+        (0 until 50).map(i => (b * 100L + i, b * 1000L + i))
+          .toDF("k", "x").coalesce(1))
+    spark.conf.set("spark.sql.catalog.gmveq", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.gmveq.warehouse", wh)
+    // min/max defeats signed merging, so the eq-upsert routes through
+    // the touched-group recompute (the path that reads the pre-image)
+    vsql("CREATE MATERIALIZED VIEW gmveq.d.mm AS " +
+      "SELECT k, min(x) AS mn, max(x) AS mx, count(*) AS n " +
+      "FROM gmveq.d.src GROUP BY k").collect()
+    LakeTable.load(wh, "d", "src").upsertMoR(spark,
+      Seq((305L, 7L)).toDF("k", "x"), keys = Seq("k"))
+    spark.conf.set("spark.graft.matview.incr-scan-audit", "true")
+    try vsql("REFRESH MATERIALIZED VIEW gmveq.d.mm INCREMENTAL").collect()
+    finally spark.conf.unset("spark.graft.matview.incr-scan-audit")
+    val (scanned, total) = graft.sources.MatViews.lastEqPreImageScan.get
+    assert(total >= 8, s"pre-image should span many files, got $total")
+    assert(scanned < total,
+      s"marker envelope must prune the pre-image scan: $scanned/$total")
+    assert(vsql("SELECT mn, mx, n FROM gmveq.d.mm WHERE k = 305")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq == Seq((7L, 7L, 1L)))
+    assert(vsql("SELECT count(*) AS c FROM gmveq.d.mm").collect()
+      .head.getLong(0) == 400L)
+  }
 }
