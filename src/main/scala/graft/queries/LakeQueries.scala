@@ -1129,6 +1129,72 @@ object LakeReadQueries extends QueryModule {
       again
     }),
 
+    "lake_mat_view_rewrite_rollup" -> QueryModule.micro(4)((s, dir) => {
+      // ROLLUP SUBSUMPTION: a COARSER aggregate answers from a FINER
+      // fresh MV by re-aggregating its per-group partials — count(*)
+      // sums the row counts, sum() sums the partial sums, a WHERE on
+      // a GROUP KEY filters the backing table (each group's rows all
+      // share the key value), and count(DISTINCT key) counts backing
+      // rows. The Calcite-style aggregate-rollup match, scoped to
+      // shapes derivable from this engine's own persisted metadata.
+      // Self-audits: the rollup plan scans the backing table (source
+      // absent), the match kind is "rollup", and a non-key WHERE
+      // falls back to the source. The oracle recomputes raw.
+      val wh = LakeQueries.freshWarehouse("matviewrwr")
+      Engine.processTableDefJson(wh,
+        """{"database_name":"mvu","table_name":"ord","columns":[
+          |{"column_name":"o_custkey","data_type":"long"},
+          |{"column_name":"o_prio","data_type":"string"},
+          |{"column_name":"o_price","data_type":"decimal(18,4)"}],
+          |"partitions":[]}""".stripMargin)
+      val orders = Tables(s, dir, "orders")
+        .filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_custkey"),
+          col("o_orderpriority").as("o_prio"),
+          col("o_totalprice").cast("decimal(18,4)").as("o_price"))
+      LakeTable.load(wh, "mvu", "ord").append(orders)
+      s.conf.set("spark.sql.catalog.gmvu", "graft.sources.LakeCatalog")
+      s.conf.set("spark.sql.catalog.gmvu.warehouse", wh)
+      def vsql(q: String) =
+        org.apache.spark.sql.GraftViewSubstitution.sql(s, q,
+          rewrite = true)
+      vsql("CREATE MATERIALIZED VIEW gmvu.mvu.fine AS " +
+        "SELECT o_custkey, o_prio, count(*) AS n, sum(o_price) AS s " +
+        "FROM gmvu.mvu.ord GROUP BY o_custkey, o_prio").collect()
+      // coarser grouping + a group-key WHERE, both absorbed by the
+      // backing table; the outer CAST projection sits above the
+      // rewritten aggregate
+      val q = "SELECT o_prio, n_orders, CAST(s AS DOUBLE) AS " +
+        "sum_price FROM (SELECT o_prio, count(*) AS n_orders, " +
+        "sum(o_price) AS s FROM gmvu.mvu.ord " +
+        "WHERE o_custkey % 10 = 0 GROUP BY o_prio) ORDER BY o_prio"
+      val hit = vsql(q)
+      hit.collect()
+      require(graft.sources.MatViewRewrite.lastRewriteKind
+        .contains("rollup"), "the coarser aggregate must roll up " +
+        s"from the finer MV, got ${
+          graft.sources.MatViewRewrite.lastRewriteKind}")
+      require(hit.queryExecution.executedPlan.toString
+        .contains("__mat_fine"), "plan must scan the backing table")
+      // count(DISTINCT group-key) derives from the backing key column
+      val dct = vsql("SELECT o_custkey, count(DISTINCT o_prio) AS " +
+        "n_prios FROM gmvu.mvu.ord GROUP BY o_custkey " +
+        "ORDER BY o_custkey")
+      dct.collect()
+      require(graft.sources.MatViewRewrite.lastRewriteKind
+        .contains("rollup"), "count(DISTINCT key) must roll up")
+      // a WHERE on a NON-key column cannot subsume — source answers
+      val miss = vsql("SELECT o_prio, count(*) AS n FROM " +
+        "gmvu.mvu.ord WHERE o_price > 1000 GROUP BY o_prio " +
+        "ORDER BY o_prio")
+      miss.collect()
+      require(graft.sources.MatViewRewrite.lastRewriteKind.isEmpty &&
+        !miss.queryExecution.executedPlan.toString
+          .contains("__mat_fine"),
+        "a non-key WHERE must fall back to the source")
+      vsql(q)
+    }),
+
     "lake_mat_view_join" -> QueryModule.micro(4)((s, dir) => {
       // incremental maintenance of a JOIN-shaped MV (the production
       // fact ⋈ dim rollup): the defining query joins the orders fact
@@ -1287,7 +1353,7 @@ object LakeReadQueries extends QueryModule {
         .select(col("o_custkey"), col("o_orderkey").as("o_okey"),
           col("o_orderpriority").as("o_prio"))
       LakeTable.load(wh, "mvd", "ord")
-        .append(orders.filter(col("o_custkey") % 8 === 0))
+        .append(orders.filter(col("o_custkey") % 32 === 0))
       s.conf.set("spark.sql.catalog.gmvdc", "graft.sources.LakeCatalog")
       s.conf.set("spark.sql.catalog.gmvdc.warehouse", wh)
       def vsql(q: String) =
@@ -1299,7 +1365,7 @@ object LakeReadQueries extends QueryModule {
       // 1. a pure append — additively UNmergeable for DISTINCT: the
       // appended rows may repeat clerks their groups already counted
       LakeTable.load(wh, "mvd", "ord")
-        .append(orders.filter(col("o_custkey") % 8 === 1))
+        .append(orders.filter(col("o_custkey") % 32 === 1))
       vsql("REFRESH MATERIALIZED VIEW gmvdc.mvd.roll INCREMENTAL")
         .collect()
       // 2. MoR deletes retract some rows (possibly one of several
@@ -3119,6 +3185,15 @@ object RowOpsQueries extends QueryModule {
         |GROUP BY o_custkey
         |ORDER BY o_custkey""".stripMargin,
 
+    "lake_mat_view_rewrite_rollup" ->
+      """SELECT o_orderpriority AS o_prio, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders
+        |WHERE o_orderkey % 5 = 0 AND o_custkey % 10 = 0
+        |GROUP BY o_orderpriority
+        |ORDER BY o_prio""".stripMargin,
+
     "lake_mat_view_join" ->
       """SELECT c_mktsegment AS c_seg,
         |  CAST(COUNT(*) AS BIGINT) AS n_orders,
@@ -3151,7 +3226,7 @@ object RowOpsQueries extends QueryModule {
         |  CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_prios,
         |  CAST(COUNT(*) AS BIGINT) AS n_orders
         |FROM orders
-        |WHERE o_orderkey % 3 = 0 AND o_custkey % 8 IN (0, 1)
+        |WHERE o_orderkey % 3 = 0 AND o_custkey % 32 IN (0, 1)
         |  AND o_orderkey % 7 <> 3
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 

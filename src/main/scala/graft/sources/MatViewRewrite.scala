@@ -2,23 +2,29 @@ package graft.sources
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Alias
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, StructType}
 
 import graft.lake.LakeTable
 
 /** Materialized-view QUERY REWRITING: an aggregate SELECT over a lake
   * table answers from a registered materialized view when (a) the
-  * query's detected aggregate shape EXACTLY matches the view's
-  * recorded shape (same source, same group keys, same aggregates in
-  * order, same WHERE, same join dims — output aliases are free), and
+  * query's detected aggregate shape matches the view's recorded
+  * shape — EXACTLY (same source, same group keys, same aggregates in
+  * order, same WHERE, same join dims — output aliases are free), or
+  * by ROLLUP SUBSUMPTION (the query is strictly coarser: its group
+  * keys are a subset of the view's and each aggregate re-derives
+  * from the view's per-group partials; see [[rollupFrom]]) — and
   * (b) the view is FRESH — its authoritative watermark equals the
-  * source head, every dim pin equals its dim's head, and a
-  * tz-sensitive shape was bucketed under the current session zone.
-  * Anything else — stale view, shape mismatch, HAVING views, approx
-  * or DISTINCT shapes — falls back to the source scan untouched, so
+  * source head, every dim pin is content-unmoved (byte-moves
+  * tolerated), and a tz-sensitive shape was bucketed under the
+  * current session zone.
+  * Anything else — stale view, underivable shape, HAVING views,
+  * approx shapes — falls back to the source scan untouched, so
   * the rewrite can never change a result, only its cost: O(groups)
   * backing read instead of O(source) scan + shuffle. That asymmetry
   * is the whole point at 100 TB — the classic Calcite/Materialize
@@ -35,12 +41,17 @@ object MatViewRewrite {
     * (viewDb, viewName). Cleared at the start of every apply(). */
   @volatile var lastRewrite: Option[(String, String)] = None
 
+  /** How the last rewrite matched: "exact" (shape identity) or
+    * "rollup" (coarser re-aggregation over a finer MV). */
+  @volatile var lastRewriteKind: Option[String] = None
+
   def enabled(spark: SparkSession): Boolean =
     !spark.conf.getOption("spark.graft.matview.rewrite")
       .contains("false")
 
   def apply(spark: SparkSession, plan: LogicalPlan): LogicalPlan = {
     lastRewrite = None
+    lastRewriteKind = None
     if (!enabled(spark)) return plan
     // fast bail: no aggregate over a lake relation, nothing to do
     val hasLakeAgg = plan.exists {
@@ -100,6 +111,152 @@ object MatViewRewrite {
         mv.dims.map(d => (d.db, d.table, d.condSql)) &&
       sameSpecs(user.specs, mv.specs)
 
+  private def q(n: String): Column = col(s"`$n`")
+
+  /** ROLLUP SUBSUMPTION: the user's aggregate is derivable from a
+    * FINER materialization — user group keys ⊆ mv group keys (matched
+    * by argument SQL), same source/dims, and every user aggregate
+    * re-aggregates from the mv's per-group storage columns:
+    * count(*) = Σ row counts, count(x)/sum(x) = Σ partials, min/max =
+    * min/max of partials, avg = Σ sums / Σ counts (the exact division
+    * the fronting view runs), count(distinct k) for an mv GROUP KEY k
+    * = countDistinct over the backing key column. The WHERE must
+    * either match the mv's exactly, or — when the mv is unfiltered —
+    * reference ONLY mv group keys stored under their own names, in
+    * which case it filters the backing table before re-aggregation
+    * (each group's rows all share the key value, so pre- vs
+    * post-aggregation filtering is the same set).
+    *
+    * Returns the storage→result builder producing the user's declared
+    * columns in declared order, or None when not derivable. Aggregate
+    * sums cast back to the mv storage column's type — the value is
+    * identical whenever the user's own query would not overflow.
+    */
+  private def rollupFrom(user: MatViews.AggShape,
+      mv: MatViews.AggShape): Option[DataFrame => DataFrame] = {
+    import MatViews._
+    if (user.srcDb != mv.srcDb || user.srcTable != mv.srcTable)
+      return None
+    if (mv.havingSql.nonEmpty || user.havingSql.nonEmpty ||
+        mv.visible.nonEmpty) return None
+    if (user.dims.map(d => (d.db, d.table, d.condSql)) !=
+        mv.dims.map(d => (d.db, d.table, d.condSql))) return None
+    def mvGroup(src: String): Option[GroupCol] =
+      mv.groupCols.find(_.srcCol == src)
+    // WHERE: identical, or a group-key-only predicate over an
+    // UNfiltered mv (applied to the backing table pre-aggregation)
+    val backingFilter: Option[String] =
+      (user.filterSql, mv.filterSql) match {
+        case (u, m) if u == m => None
+        case (Some(f), None) =>
+          val refs = try {
+            org.apache.spark.sql.SparkSession.active.sessionState
+              .sqlParser.parseExpression(f).collect {
+                case a: org.apache.spark.sql.catalyst.analysis
+                  .UnresolvedAttribute => a.name
+              }
+          } catch { case scala.util.control.NonFatal(_) => return None }
+          // every referenced column must be an mv group key stored
+          // under its OWN name, so the predicate applies verbatim
+          // (srcCol holds the spec's SQL rendering — a plain column
+          // arrives unquoted, but accept the quoted form too)
+          if (refs.isEmpty || !refs.forall(n =>
+              mvGroup(n).orElse(
+                mvGroup(s"`${n.replace("`", "``")}`"))
+                .exists(_.outName == n)))
+            return None
+          Some(f)
+        case _ => return None
+      }
+    val userGroups = user.groupCols
+    if (!userGroups.forall(g => mvGroup(g.srcCol).isDefined))
+      return None
+    Some { storage: DataFrame =>
+      val schema = storage.schema
+      def st(n: String) = schema.fields.find(_.name == n).get.dataType
+      def sumAs(c: String, n: String): Column = st(c) match {
+        // integral sums stay long; decimal re-sums widen — cast back
+        // to the per-group partial's type (value-identical whenever
+        // the user's own sum would not overflow)
+        case _: DecimalType => sum(q(c)).cast(st(c)).as(n)
+        case _ => sum(q(c)).as(n)
+      }
+      val aggCols: Seq[Column] = user.specs.flatMap {
+        case _: GroupCol => Nil
+        case CountStar(n) =>
+          val rc = mv.specs.collectFirst { case CountStar(m) => m }
+            .orElse(if (mv.needsHiddenRows) Some("__g_rows") else None)
+            .getOrElse(throw Unsupported)
+          Seq(sum(q(rc)).as(n))
+        case CountCol(n, c) =>
+          val m = mv.specs.collectFirst {
+            case CountCol(o, s) if s == c => o }.getOrElse(throw Unsupported)
+          Seq(sum(q(m)).as(n))
+        case SumCol(n, c) =>
+          val m = mv.specs.collectFirst {
+            case SumCol(o, s) if s == c => o }.getOrElse(throw Unsupported)
+          Seq(sumAs(m, n))
+        case SumNCol(n, c) =>
+          // a fully-retracted group stores sum=0/cnt=0 where the true
+          // contribution is NULL — mask before re-summing, and the
+          // re-sum's own null-skipping restores NULL iff no group has
+          // a non-null value
+          val m = mv.specs.collectFirst {
+            case SumNCol(o, s) if s == c => o }.getOrElse(throw Unsupported)
+          val masked = when(q(s"__sum_cnt_$m") === 0L, lit(null))
+            .otherwise(q(m))
+          Seq((st(m) match {
+            case _: DecimalType => sum(masked).cast(st(m))
+            case _ => sum(masked)
+          }).as(n))
+        case MinCol(n, c) =>
+          val m = mv.specs.collectFirst {
+            case MinCol(o, s) if s == c => o }.getOrElse(throw Unsupported)
+          Seq(min(q(m)).as(n))
+        case MaxCol(n, c) =>
+          val m = mv.specs.collectFirst {
+            case MaxCol(o, s) if s == c => o }.getOrElse(throw Unsupported)
+          Seq(max(q(m)).as(n))
+        case AvgCol(n, c, p, sc) =>
+          val m = mv.specs.collectFirst {
+            case AvgCol(o, s, p2, s2) if s == c && p2 == p && s2 == sc =>
+              o }.getOrElse(throw Unsupported)
+          val ts = sum(q(s"__avg_sum_$m"))
+          val tc = sum(q(s"__avg_cnt_$m"))
+          Seq(when(tc === 0L, lit(null).cast(DecimalType(p, sc)))
+            .otherwise((ts / tc.cast(DecimalType(20, 0)))
+              .cast(DecimalType(p, sc))).as(n))
+        case CountDCol(n, c) =>
+          // count(distinct k) where k is an mv GROUP KEY: the backing
+          // table holds exactly one row per live key combination
+          val m = mvGroup(c).getOrElse(throw Unsupported)
+          Seq(count_distinct(q(m.outName)).as(n))
+      }
+      if (aggCols.isEmpty) throw Unsupported // degenerate: keys only
+      val filtered = backingFilter
+        .map(f => storage.filter(expr(f))).getOrElse(storage)
+      filtered
+        .groupBy(userGroups.map(g =>
+          q(mvGroup(g.srcCol).get.outName).as(g.outName)): _*)
+        .agg(aggCols.head, aggCols.tail: _*)
+        .select(user.specs.map(sp => q(sp.outName)): _*)
+    }
+  }
+
+  private object Unsupported extends RuntimeException
+
+  /** The storage→result builder for a candidate MV, trying exact
+    * shape identity first, then rollup subsumption. The returned
+    * function may still throw [[Unsupported]] lazily (an aggregate
+    * with no derivable partial) — callers treat that as no-match.
+    */
+  private def planBuilder(user: MatViews.AggShape,
+      mv: MatViews.AggShape)
+      : Option[(String, DataFrame => DataFrame)] =
+    if (sameShape(user, mv))
+      Some(("exact", (df: DataFrame) => MatViews.visibleFrame(df, mv)))
+    else rollupFrom(user, mv).map(b => ("rollup", b))
+
   /** Fresh = the backing table's AUTHORITATIVE bookkeeping (watermark,
     * dim pins, tz — all advanced in the same transaction as the data)
     * matches the live heads. */
@@ -149,27 +306,30 @@ object MatViewRewrite {
       try {
         for {
           mvShape <- MatViews.decode(doc.properties)
-          if sameShape(userShape, mvShape)
+          (kind, builder) <- planBuilder(userShape, mvShape)
           matTable <- doc.properties.get("graft.mat-view.table")
           backing = LakeTable.load(wh, db, matTable)
           if fresh(spark, wh, mvShape, backing)
-        } yield (db, doc.name, mvShape, backing)
+          // building the result frame may still prove the shape
+          // underivable (Unsupported) — that's a no-match, not an error
+          frame = builder(backing.read(spark))
+        } yield (db, doc.name, kind, frame)
       } catch { case scala.util.control.NonFatal(_) => None }
     }.take(1).toList.headOption
-    hit.map { case (db, viewName, mvShape, backing) =>
-      val visible = MatViews.visibleFrame(backing.read(spark), mvShape)
-      val child = visible.queryExecution.analyzed
-      // positional correspondence is guaranteed by sameSpecs (order
-      // included); keep the user's names and exprIds so the parent
+    hit.flatMap { case (db, viewName, kind, frame) =>
+      val child = frame.queryExecution.analyzed
+      // positional correspondence is guaranteed by the builder (user
+      // spec order); keep the user's names and exprIds so the parent
       // operators' references stay bound
       val out = agg.aggregateExpressions.map(_.toAttribute)
       if (out.map(_.dataType) != child.output.map(_.dataType))
-        agg // type drift — refuse silently, the scan stays correct
+        None // type drift — refuse silently, the scan stays correct
       else {
         lastRewrite = Some((db, viewName))
-        Project(out.zip(child.output).map { case (o, n) =>
+        lastRewriteKind = Some(kind)
+        Some(Project(out.zip(child.output).map { case (o, n) =>
           Alias(n, o.name)(exprId = o.exprId)
-        }, child)
+        }, child))
       }
     }
   }

@@ -97,20 +97,97 @@ class MatViewRewriteSpec extends AnyFunSuite {
     // refreshed → rewrites again
     vsql("REFRESH MATERIALIZED VIEW grw2.d.roll INCREMENTAL").collect()
     assert(scans(agg()).exists(_.contains("__mat_")))
-    // different aggregate set (count not materialized) → source
+    // count(*) is not declared on the MV but IS derivable from the
+    // retraction row counter — the rollup path serves it
     val other = vsql("SELECT k, count(*) AS n FROM grw2.d.src " +
       "GROUP BY k ORDER BY k")
-    assert(!scans(other).exists(_.contains("__mat_")))
-    // different WHERE → source
+    assert(scans(other).exists(_.contains("__mat_")),
+      "count(*) must derive from the hidden row counter")
+    assert(MatViewRewrite.lastRewriteKind.contains("rollup"))
+    assert(other.collect().map(r => (r.getString(0), r.getLong(1)))
+      .toSeq == Seq(("a", 2L), ("b", 1L), ("c", 1L)))
+    // an aggregate with NO derivable partial (min not materialized)
+    // → source
+    val mn = vsql("SELECT k, min(x) AS mn FROM grw2.d.src " +
+      "GROUP BY k ORDER BY k")
+    assert(!scans(mn).exists(_.contains("__mat_")))
+    // WHERE over a NON-group column → source
     val flt = vsql("SELECT k, sum(x) AS s FROM grw2.d.src " +
       "WHERE x > 1 GROUP BY k ORDER BY k")
     assert(!scans(flt).exists(_.contains("__mat_")))
     assert(flt.collect().map(r => (r.getString(0), r.getLong(1)))
       .toSeq == Seq(("a", 2L), ("b", 10L), ("c", 5L)))
-    // different grouping → source
+    // grouping by a column the MV does not group by → source
     val g2 = vsql("SELECT x, count(*) AS n FROM grw2.d.src " +
       "GROUP BY x ORDER BY x")
     assert(!scans(g2).exists(_.contains("__mat_")))
+  }
+
+  test("rollup subsumption: a coarser aggregate re-aggregates a " +
+      "finer MV; group-key filters apply to the backing table") {
+    val wh = Files.createTempDirectory("graft-mvrw-roll").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"src","columns":[
+        |{"column_name":"k","data_type":"string"},
+        |{"column_name":"k2","data_type":"string"},
+        |{"column_name":"x","data_type":"long"},
+        |{"column_name":"amt","data_type":"decimal(18,4)"}],
+        |"partitions":[]}""".stripMargin)
+    import SparkTestSession.spark.implicits._
+    def rows(r: Seq[(String, String, Long, String)]) =
+      r.toDF("k", "k2", "x", "amt").select(col("k"), col("k2"),
+        col("x"), col("amt").cast("decimal(18,4)").as("amt"))
+    LakeTable.load(wh, "d", "src").append(rows(Seq(
+      ("a", "p", 1L, "1.5"), ("a", "q", 2L, null), ("b", "p", 10L, "2.5"),
+      ("b", "q", 20L, "4.0"), ("a", "p", 4L, "0.25"))))
+    spark.conf.set("spark.sql.catalog.grw4", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.grw4.warehouse", wh)
+    vsql("CREATE MATERIALIZED VIEW grw4.d.fine AS " +
+      "SELECT k, k2, count(*) AS n, sum(x) AS s, max(x) AS mx, " +
+      "avg(amt) AS a FROM grw4.d.src GROUP BY k, k2").collect()
+    // every coarser query must equal its rewrite-disabled run
+    def both(sql: String): (DataFrame, Option[String]) = {
+      val df = vsql(sql)
+      val got = df.collect().map(_.toString).toSeq
+      val kind = MatViewRewrite.lastRewriteKind
+      spark.conf.set("spark.graft.matview.rewrite", "false")
+      val want =
+        try vsql(sql).collect().map(_.toString).toSeq
+        finally spark.conf.unset("spark.graft.matview.rewrite")
+      assert(got == want, s"rollup drifted for: $sql\n$got\n$want")
+      (df, kind)
+    }
+    // 1. coarser GROUP BY with sum/count/max/avg re-aggregation
+    val (r1, k1) = both("SELECT k, sum(x) AS s, count(*) AS n, " +
+      "max(x) AS mx, avg(amt) AS a FROM grw4.d.src GROUP BY k " +
+      "ORDER BY k")
+    assert(scans(r1).exists(_.contains("__mat_")), scans(r1).toString)
+    assert(k1.contains("rollup"), s"kind: $k1")
+    // 2. count(DISTINCT group-key) over the backing key column
+    val (r2, _) = both("SELECT k, count(DISTINCT k2) AS nd " +
+      "FROM grw4.d.src GROUP BY k ORDER BY k")
+    assert(scans(r2).exists(_.contains("__mat_")), scans(r2).toString)
+    // 3. a WHERE on a GROUP KEY of the mv filters the backing table
+    val (r3, _) = both("SELECT k2, sum(x) AS s FROM grw4.d.src " +
+      "WHERE k = 'a' GROUP BY k2 ORDER BY k2")
+    assert(scans(r3).exists(_.contains("__mat_")), scans(r3).toString)
+    // 4. a WHERE on a non-key column cannot subsume → source
+    val flt = vsql("SELECT k, sum(x) AS s FROM grw4.d.src " +
+      "WHERE x > 1 GROUP BY k ORDER BY k")
+    assert(!scans(flt).exists(_.contains("__mat_")))
+    // 5. staleness falls back, refresh re-enables — same rules as
+    // the exact path
+    LakeTable.load(wh, "d", "src").append(rows(Seq(
+      ("c", "p", 7L, "3.0"))))
+    val stale = vsql("SELECT k, sum(x) AS s FROM grw4.d.src " +
+      "GROUP BY k ORDER BY k")
+    assert(!scans(stale).exists(_.contains("__mat_")))
+    assert(stale.collect().map(r => (r.getString(0), r.getLong(1)))
+      .toSeq == Seq(("a", 7L), ("b", 30L), ("c", 7L)))
+    vsql("REFRESH MATERIALIZED VIEW grw4.d.fine INCREMENTAL").collect()
+    val (r5, _) = both("SELECT k, sum(x) AS s FROM grw4.d.src " +
+      "GROUP BY k ORDER BY k")
+    assert(scans(r5).exists(_.contains("__mat_")))
   }
 
   test("a WHERE-shaped MV rewrites the matching filtered aggregate; " +
