@@ -1346,12 +1346,14 @@ object LakeReadQueries extends QueryModule {
         """{"database_name":"mvd","table_name":"ord","columns":[
           |{"column_name":"o_custkey","data_type":"long"},
           |{"column_name":"o_okey","data_type":"long"},
-          |{"column_name":"o_prio","data_type":"string"}],
+          |{"column_name":"o_prio","data_type":"string"},
+          |{"column_name":"o_price","data_type":"decimal(18,4)"}],
           |"partitions":[]}""".stripMargin)
       val orders = Tables(s, dir, "orders")
         .filter(col("o_orderkey") % 3 === 0)
         .select(col("o_custkey"), col("o_orderkey").as("o_okey"),
-          col("o_orderpriority").as("o_prio"))
+          col("o_orderpriority").as("o_prio"),
+          col("o_totalprice").cast("decimal(18,4)").as("o_price"))
       LakeTable.load(wh, "mvd", "ord")
         .append(orders.filter(col("o_custkey") % 32 === 0))
       s.conf.set("spark.sql.catalog.gmvdc", "graft.sources.LakeCatalog")
@@ -1360,6 +1362,7 @@ object LakeReadQueries extends QueryModule {
         org.apache.spark.sql.GraftViewSubstitution.sql(s, q)
       vsql("CREATE MATERIALIZED VIEW gmvdc.mvd.roll AS " +
         "SELECT o_custkey, count(DISTINCT o_prio) AS n_prios, " +
+        "sum(DISTINCT o_price) AS sd, avg(DISTINCT o_price) AS ad, " +
         "count(*) AS n_orders FROM gmvdc.mvd.ord " +
         "GROUP BY o_custkey").collect()
       // 1. a pure append — additively UNmergeable for DISTINCT: the
@@ -1386,7 +1389,9 @@ object LakeReadQueries extends QueryModule {
       require(!LakeTable.load(wh, "mvd", "__mat_roll").metadata
         .snapshots.exists(sn => LakeTable.isReset(sn.operation)),
         "the refresh must upsert touched groups, not full-refresh")
-      vsql("SELECT o_custkey, n_prios, n_orders " +
+      vsql("SELECT o_custkey, n_prios, " +
+        "CAST(sd AS DOUBLE) AS sum_dprice, " +
+        "ROUND(CAST(ad AS DOUBLE), 6) AS avg_dprice6, n_orders " +
         "FROM gmvdc.mvd.roll ORDER BY o_custkey")
     }),
 
@@ -3224,6 +3229,10 @@ object RowOpsQueries extends QueryModule {
     "lake_mat_view_distinct" ->
       """SELECT o_custkey,
         |  CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_prios,
+        |  CAST(SUM(DISTINCT CAST(o_totalprice AS DECIMAL(18,4)))
+        |    AS DOUBLE) AS sum_dprice,
+        |  ROUND(CAST(AVG(DISTINCT CAST(o_totalprice AS DECIMAL(18,4)))
+        |    AS DOUBLE), 6) AS avg_dprice6,
         |  CAST(COUNT(*) AS BIGINT) AS n_orders
         |FROM orders
         |WHERE o_orderkey % 3 = 0 AND o_custkey % 32 IN (0, 1)

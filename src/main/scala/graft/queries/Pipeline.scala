@@ -256,20 +256,42 @@ object Pipeline extends QueryModule {
       // q_sim_topk_ivf), then WITHIN each cluster a vector is a
       // semantic duplicate iff some lower-id member lies within the
       // cosine threshold — min-id is the deterministic stand-in for
-      // the paper's keep-one-representative rule. Pairwise work is
-      // bounded per cluster (the clustering is the scale lever: k
-      // grows with the corpus so cluster sizes stay fixed); the
-      // decimal dot product keeps the cosine bit-exact for the
-      // oracle. Output: per-cluster totals, duplicates, and kept.
-      val v = Tables(s, dir, "embeddings")
+      // the paper's keep-one-representative rule. The clustering is
+      // the SCALE LEVER — k must grow with the corpus so cluster
+      // sizes stay fixed — so when the precomputed clusters outgrow
+      // the pair budget (the 10x sweep tripped this), the quantizer
+      // deepens ADAPTIVELY: hyperplane sign bits of the leading
+      // embedding dimensions split each cluster 2^bits ways, with
+      // `bits` derived from the worst cluster size by exact integer
+      // thresholds the DuckDB oracle reproduces verbatim. The
+      // post-split guard still refuses a pathologically imbalanced
+      // split rather than running a quadratic join. The decimal dot
+      // product keeps the cosine bit-exact for the oracle. Output:
+      // per-coarse-cluster totals, duplicates, and kept.
+      val v0 = Tables(s, dir, "embeddings")
         .select(col("vec_id"), col("label"), col("embedding"),
           normSqDec(col("embedding")).cast("double").as("nsq"))
-      requireBoundedClusters(v, "label")
-      val a = v.select(col("label"), col("vec_id").as("a_id"),
+      val maxN = v0.groupBy("label").agg(count(lit(1)).as("n"))
+        .agg(max("n")).collect()(0).getLong(0)
+      val bits =
+        if (maxN <= 1500L) 0
+        else if (maxN <= 3000L) 1
+        else if (maxN <= 6000L) 2
+        else if (maxN <= 12000L) 3
+        else 4
+      val sub = (0 until bits)
+        .map(i => when(col("embedding")(i) >= 0f, 1 << i).otherwise(0))
+        .foldLeft(lit(0))(_ + _)
+      val v = v0.withColumn("sub", sub)
+        .withColumn("ckey", concat_ws(":", col("label"), col("sub")))
+      requireBoundedClusters(v, "ckey")
+      val a = v.select(col("label"), col("sub"),
+        col("vec_id").as("a_id"),
         col("embedding").as("a_emb"), col("nsq").as("a_nsq"))
-      val b = v.select(col("label"), col("vec_id").as("b_id"),
+      val b = v.select(col("label"), col("sub"),
+        col("vec_id").as("b_id"),
         col("embedding").as("b_emb"), col("nsq").as("b_nsq"))
-      val dups = a.join(b, Seq("label"))
+      val dups = a.join(b, Seq("label", "sub"))
         .filter(col("b_id") < col("a_id"))
         .withColumn("cos",
           dotDec(col("a_emb"), col("b_emb")).cast("double") /
@@ -576,13 +598,25 @@ object Pipeline extends QueryModule {
         |ORDER BY a_id, b_id""".stripMargin,
 
     "q_dedup_semantic" ->
-      """WITH v AS (
+      """WITH mx AS (
+        |  SELECT max(cnt) AS m FROM (
+        |    SELECT count(*) AS cnt FROM embeddings GROUP BY label)),
+        |bt AS (
+        |  SELECT CASE WHEN m <= 1500 THEN 0 WHEN m <= 3000 THEN 1
+        |              WHEN m <= 6000 THEN 2 WHEN m <= 12000 THEN 3
+        |              ELSE 4 END AS b FROM mx),
+        |v AS (
         |  SELECT vec_id, label, embedding,
+        |    (CASE WHEN (SELECT b FROM bt) >= 1 AND embedding[1] >= 0 THEN 1 ELSE 0 END
+        |     + CASE WHEN (SELECT b FROM bt) >= 2 AND embedding[2] >= 0 THEN 2 ELSE 0 END
+        |     + CASE WHEN (SELECT b FROM bt) >= 3 AND embedding[3] >= 0 THEN 4 ELSE 0 END
+        |     + CASE WHEN (SELECT b FROM bt) >= 4 AND embedding[4] >= 0 THEN 8 ELSE 0 END) AS sub,
         |    CAST(list_sum(list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12)))) AS DOUBLE) AS nsq
         |  FROM embeddings),
         |dup AS (
         |  SELECT DISTINCT a.label AS label, a.vec_id AS did
-        |  FROM v a JOIN v b ON a.label = b.label AND b.vec_id < a.vec_id
+        |  FROM v a JOIN v b ON a.label = b.label AND a.sub = b.sub
+        |    AND b.vec_id < a.vec_id
         |  WHERE CAST(list_sum(list_transform(list_zip(a.embedding, b.embedding),
         |    s -> CAST(CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE) AS DECIMAL(28,12)))) AS DOUBLE)
         |    / (sqrt(a.nsq) * sqrt(b.nsq)) >= 0.5)

@@ -94,6 +94,9 @@ object MatViewRewrite {
       case (MatViews.MinCol(_, x), MatViews.MinCol(_, y)) => x == y
       case (MatViews.MaxCol(_, x), MatViews.MaxCol(_, y)) => x == y
       case (MatViews.CountDCol(_, x), MatViews.CountDCol(_, y)) => x == y
+      case (MatViews.SumDCol(_, x), MatViews.SumDCol(_, y)) => x == y
+      case (MatViews.AvgDCol(_, x, p1, s1),
+        MatViews.AvgDCol(_, y, p2, s2)) => x == y && p1 == p2 && s1 == s2
       case (MatViews.AvgCol(_, x, p1, s1), MatViews.AvgCol(_, y, p2, s2))
         => x == y && p1 == p2 && s1 == s2
       case _ => false
@@ -231,6 +234,16 @@ object MatViewRewrite {
           // table holds exactly one row per live key combination
           val m = mvGroup(c).getOrElse(throw Unsupported)
           Seq(count_distinct(q(m.outName)).as(n))
+        case SumDCol(n, c) =>
+          // sum(distinct k) over an mv group key: the DISTINCT value
+          // set within a user group is exactly the backing rows' key
+          // values (re-deduplicated across finer combinations)
+          val m = mvGroup(c).getOrElse(throw Unsupported)
+          Seq(sum_distinct(q(m.outName)).as(n))
+        case AvgDCol(n, c, p, sc) =>
+          val m = mvGroup(c).getOrElse(throw Unsupported)
+          Seq(expr(
+            s"avg(DISTINCT `${m.outName.replace("`", "``")}`)").as(n))
       }
       if (aggCols.isEmpty) throw Unsupported // degenerate: keys only
       val filtered = backingFilter

@@ -86,6 +86,14 @@ private[graft] object MatViews {
     * groups from the head image, where DISTINCT is just another
     * aggregate. */
   case class CountDCol(outName: String, srcCol: String) extends AggSpec
+  /** SUM(DISTINCT x) / AVG(DISTINCT x): recompute-only like
+    * COUNT(DISTINCT) — storage holds the FINAL per-group value (the
+    * touched-group recompute overwrites whole groups, so no partials
+    * are needed). AVG keeps the declared decimal result type so the
+    * recompute reproduces the exact division. */
+  case class SumDCol(outName: String, srcCol: String) extends AggSpec
+  case class AvgDCol(outName: String, srcCol: String,
+      resPrec: Int, resScale: Int) extends AggSpec
   /** AVG over a decimal column; (resPrec, resScale) is the declared
     * Average result type (DECIMAL(p+4, s+4)), persisted so the
     * fronting view can reproduce the exact division + cast. */
@@ -133,15 +141,19 @@ private[graft] object MatViews {
       * signed deltas; MIN/MAX cannot un-see a removed extremum, and
       * COUNT(DISTINCT) cannot tell a duplicate from a new value. */
     def retractable: Boolean = specs.forall {
-      case _: MinCol | _: MaxCol | _: CountDCol => false
+      case _: MinCol | _: MaxCol | _: CountDCol | _: SumDCol |
+          _: AvgDCol => false
       case _ => true
     }
 
     /** Shapes that can NEVER merge additively — even a pure-append
-      * delta may duplicate values a DISTINCT count already saw — so
-      * every incremental refresh routes through the touched-group
+      * delta may duplicate values a DISTINCT aggregate already saw —
+      * so every incremental refresh routes through the touched-group
       * recompute. */
-    def recomputeOnly: Boolean = specs.exists(_.isInstanceOf[CountDCol])
+    def recomputeOnly: Boolean = specs.exists {
+      case _: CountDCol | _: SumDCol | _: AvgDCol => true
+      case _ => false
+    }
 
     /** Retraction needs a per-group row count to know when a group
       * empties; reuse a declared COUNT(*) or add a hidden one. */
@@ -170,9 +182,11 @@ private[graft] object MatViews {
         StoreCol(s"__sum_cnt_$n", KCount))
       case MinCol(n, _) => Seq(StoreCol(n, KMin))
       case MaxCol(n, _) => Seq(StoreCol(n, KMax))
-      // KCount nominally — recompute-only shapes never merge(), the
+      // kinds nominal — recompute-only shapes never merge(), the
       // blind upsert overwrites whole recomputed groups
       case CountDCol(n, _) => Seq(StoreCol(n, KCount))
+      case SumDCol(n, _) => Seq(StoreCol(n, KSum))
+      case AvgDCol(n, _, _, _) => Seq(StoreCol(n, KSum))
       case AvgCol(n, _, _, _) => Seq(StoreCol(s"__avg_sum_$n", KSum),
         StoreCol(s"__avg_cnt_$n", KCount))
     } ++ (if (needsHiddenRows) Seq(StoreCol("__g_rows", KCount)) else Nil)
@@ -383,6 +397,19 @@ private[graft] object MatViews {
                     case Seq(e) if exprOk(e) &&
                         !e.isInstanceOf[Literal] =>
                       CountDCol(n, sqlOf(e))
+                    case _ => return None
+                  }
+                  case sm: Sum => sm.child match {
+                    case e if exprOk(e) && exactSum(al.dataType) &&
+                        !e.isInstanceOf[Literal] =>
+                      SumDCol(n, sqlOf(e))
+                    case _ => return None
+                  }
+                  case av: Average => (av.child, al.dataType) match {
+                    case (e, rt: DecimalType)
+                        if exprOk(e) && !e.isInstanceOf[Literal] &&
+                          e.dataType.isInstanceOf[DecimalType] =>
+                      AvgDCol(n, sqlOf(e), rt.precision, rt.scale)
                     case _ => return None
                   }
                   case _ => return None
@@ -661,6 +688,14 @@ private[graft] object MatViews {
         require(!signed,
           s"COUNT(DISTINCT) cannot aggregate a signed changelog ($n)")
         Seq(countDistinct(expr(c)).as(n))
+      case SumDCol(n, c) =>
+        require(!signed,
+          s"SUM(DISTINCT) cannot aggregate a signed changelog ($n)")
+        Seq(sum_distinct(expr(c)).as(n))
+      case AvgDCol(n, c, _, _) =>
+        require(!signed,
+          s"AVG(DISTINCT) cannot aggregate a signed changelog ($n)")
+        Seq(expr(s"avg(DISTINCT $c)").as(n))
       case AvgCol(n, c, _, _) => Seq(sm(expr(c)).as(s"__avg_sum_$n"),
         cnt(expr(c)).as(s"__avg_cnt_$n"))
     } ++ (if (shape.needsHiddenRows) Seq(cntStar.as("__g_rows")) else Nil)
@@ -805,6 +840,8 @@ private[graft] object MatViews {
       case MinCol(o, c) => s"min:${esc(o)}:${esc(c)}"
       case MaxCol(o, c) => s"max:${esc(o)}:${esc(c)}"
       case CountDCol(o, c) => s"countd:${esc(o)}:${esc(c)}"
+      case SumDCol(o, c) => s"sumd:${esc(o)}:${esc(c)}"
+      case AvgDCol(o, c, p, sc) => s"avgd:${esc(o)}:${esc(c)}:$p:$sc"
       case AvgCol(o, c, p, sc) => s"avg:${esc(o)}:${esc(c)}:$p:$sc"
     }.mkString(","))
 
@@ -834,6 +871,9 @@ private[graft] object MatViews {
           case Seq("min", o, c) => MinCol(unesc(o), src(c))
           case Seq("max", o, c) => MaxCol(unesc(o), src(c))
           case Seq("countd", o, c) => CountDCol(unesc(o), src(c))
+          case Seq("sumd", o, c) => SumDCol(unesc(o), src(c))
+          case Seq("avgd", o, c, p, sc) =>
+            AvgDCol(unesc(o), src(c), p.toInt, sc.toInt)
           case Seq("avg", o, c, p, sc) =>
             AvgCol(unesc(o), src(c), p.toInt, sc.toInt)
           case other => throw new IllegalStateException(

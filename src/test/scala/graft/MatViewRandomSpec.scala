@@ -63,7 +63,8 @@ class MatViewRandomSpec extends AnyFunSuite {
     // DISTINCT shape: every refresh must route through the
     // touched-group recompute (appends can duplicate counted values)
     vsql("CREATE MATERIALIZED VIEW gmvr2.d.dct AS " +
-      "SELECT k, count(DISTINCT amt) AS nd, count(*) AS n " +
+      "SELECT k, count(DISTINCT amt) AS nd, sum(DISTINCT amt) AS sd, " +
+      "avg(DISTINCT amt) AS ad, count(*) AS n " +
       "FROM gmvr2.d.src GROUP BY k").collect()
     for (name <- Seq("ret", "mm", "dct"))
       assert(graft.sources.LakeViews.read(
@@ -92,14 +93,20 @@ class MatViewRandomSpec extends AnyFunSuite {
       vsql("SELECT k, mn, mx, n FROM gmvr2.d.mm").collect()
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
           r.getLong(3))).toSet
-    def recomputeDct(): Set[(String, Long, Long)] =
+    def recomputeDct(): Set[(String, Long, String, String, Long)] =
       LakeTable.load(wh, "d", "src").read(spark).groupBy("k")
-        .agg(countDistinct(col("amt")).as("nd"), count(lit(1)).as("n"))
+        .agg(countDistinct(col("amt")).as("nd"),
+          sum_distinct(col("amt")).as("sd"),
+          expr("avg(DISTINCT amt)").as("ad"), count(lit(1)).as("n"))
         .collect().map(r => (r.getString(0), r.getLong(1),
-          r.getLong(2))).toSet
-    def viewDct(): Set[(String, Long, Long)] =
-      vsql("SELECT k, nd, n FROM gmvr2.d.dct").collect()
-        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+          Option(r.get(2)).map(_.toString).orNull,
+          Option(r.get(3)).map(_.toString).orNull,
+          r.getLong(4))).toSet
+    def viewDct(): Set[(String, Long, String, String, Long)] =
+      vsql("SELECT k, nd, CAST(sd AS STRING) AS sd, " +
+        "CAST(ad AS STRING) AS ad, n FROM gmvr2.d.dct").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+          r.getString(3), r.getLong(4))).toSet
 
     // the op soup: every incremental refresh (either shape, any op
     // mix short of a replace) must now SUCCEED — signed merge where
