@@ -320,6 +320,114 @@ object LakeQueries extends QueryModule {
         "FROM gsmv.smv.roll ORDER BY o_custkey")
     }),
 
+    "stream_txn_sink" -> QueryModule.micro(1)((s, dir) => {
+      // EXACTLY-ONCE cross-table streaming publication: each
+      // micro-batch lands in the raw table AND its per-region rollup
+      // through ONE LakeTxn cross-table commit, with the processed
+      // batch id recorded on the raw table in the SAME flip.
+      // Structured Streaming redelivers batches at-least-once after a
+      // crash, so the sink's idempotence ledger (the batch id) and
+      // its data must move atomically — a ledger that advances
+      // without the data drops a batch, data without the ledger
+      // double-counts on replay, and a rollup published without its
+      // raw rows shows observers an inconsistent pair. Self-audits:
+      // a manual REPLAY of the final batch is skipped with both
+      // tables' histories untouched, and the rollup reconciles with
+      // the raw rows after the drain. The oracle recomputes the
+      // rollup from nation.
+      import graft.lake.LakeTxn
+      val wh = freshWarehouse("stxnsink")
+      Engine.processTableDefJson(wh,
+        """{"database_name":"st","table_name":"src","columns":[
+          |{"column_name":"n_nationkey","data_type":"int"},
+          |{"column_name":"n_name","data_type":"string"},
+          |{"column_name":"n_regionkey","data_type":"int"}],
+          |"partitions":[]}""".stripMargin)
+      Engine.processTableDefJson(wh,
+        """{"database_name":"st","table_name":"raw","columns":[
+          |{"column_name":"n_nationkey","data_type":"int"},
+          |{"column_name":"n_name","data_type":"string"},
+          |{"column_name":"n_regionkey","data_type":"int"}],
+          |"partitions":[]}""".stripMargin)
+      Engine.processTableDefJson(wh,
+        """{"database_name":"st","table_name":"agg","columns":[
+          |{"column_name":"n_regionkey","data_type":"int"},
+          |{"column_name":"n","data_type":"long"}],
+          |"partitions":[]}""".stripMargin)
+      val nation = Tables(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+      for (m <- 0 to 2)
+        LakeTable.load(wh, "st", "src")
+          .append(nation.filter(col("n_nationkey") % 3 === m))
+      // the sink body — shared by the stream and the replay audit
+      def publish(batch: DataFrame, id: Long): Boolean = {
+        val done = LakeTable.load(wh, "st", "raw").metadata.properties
+          .get("graft.stream.last-batch").exists(_.toLong >= id)
+        if (done) false
+        else {
+          val rows = batch.select(col("n_nationkey"), col("n_name"),
+            col("n_regionkey")).localCheckpoint()
+          val delta = rows.groupBy("n_regionkey")
+            .agg(count(lit(1)).as("n"))
+          val cur = LakeTable.load(wh, "st", "agg").read(s)
+            .withColumnRenamed("n", "cn")
+          val merged = delta.join(cur, Seq("n_regionkey"), "left")
+            .select(col("n_regionkey"),
+              (col("n") + coalesce(col("cn"), lit(0L))).as("n"))
+            .localCheckpoint()
+          LakeTxn.transaction(wh) { ctx =>
+            val raw = ctx.table("st", "raw")
+            raw.append(rows)
+            raw.updateProperties(
+              Map("graft.stream.last-batch" -> id.toString))
+            ctx.table("st", "agg").upsertMoR(s, merged,
+              keys = Seq("n_regionkey"))
+          }
+          true
+        }
+      }
+      val lastRef = new java.util.concurrent.atomic.AtomicReference[
+        (DataFrame, Long)](null)
+      val q = s.readStream.format("graft-lake")
+        .option("warehouse", wh).option("database", "st")
+        .option("table", "src")
+        .option("maxSnapshotsPerTrigger", "1")
+        .load()
+        .writeStream
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              id: Long) =>
+            val pinned = b.localCheckpoint()
+            publish(pinned, id)
+            lastRef.set((pinned, id)); ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val lastB = lastRef.get()
+      require(lastB != null, "no batches delivered")
+      def hist(t: String): (Int, Long) = {
+        val md = LakeTable.load(wh, "st", t).metadata
+        (md.snapshots.size, md.snapshots.map(_.id).foldLeft(0L)(math.max))
+      }
+      val before = (hist("raw"), hist("agg"))
+      require(!publish(lastB._1, lastB._2),
+        "a redelivered batch must be skipped by the ledger")
+      require((hist("raw"), hist("agg")) == before,
+        "a skipped replay must leave both histories untouched")
+      // rollup reconciles with the raw rows — the atomicity invariant
+      val recon = LakeTable.load(wh, "st", "raw").read(s)
+        .groupBy("n_regionkey").agg(count(lit(1)).as("rn"))
+        .join(LakeTable.load(wh, "st", "agg").read(s),
+          Seq("n_regionkey"), "full_outer")
+        .filter(col("rn") =!= col("n") ||
+          col("rn").isNull || col("n").isNull)
+      require(recon.isEmpty, "rollup does not reconcile with raw rows")
+      LakeTable.load(wh, "st", "agg").read(s)
+        .select(col("n_regionkey"), col("n"))
+        .orderBy("n_regionkey")
+    }),
+
     "stream_lake_changelog" -> QueryModule.micro(1)((s, dir) => {
       // changelog-mode streaming read (option("changelog","true")): a
       // delete-bearing MoR history STREAMS as _change_type-tagged rows
@@ -586,6 +694,11 @@ object LakeQueries extends QueryModule {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
         |    AS sum_price
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "stream_txn_sink" ->
+      """SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n
+        |FROM nation GROUP BY n_regionkey
+        |ORDER BY n_regionkey""".stripMargin,
 
     "stream_lake_enrich" ->
       """WITH dim(event_type, category) AS (VALUES
