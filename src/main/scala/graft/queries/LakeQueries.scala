@@ -1636,10 +1636,15 @@ object LakeReadQueries extends QueryModule {
       }
       runBatch(0); runBatch(1)
       // batch 2's coordinator dies after claiming BOTH tables but
-      // before the commit record — nothing may ever become visible
+      // before the commit record — nothing may ever become visible.
+      // The hook is JVM-global, so scope the injection to THIS
+      // thread: the verify pool runs other keys' cross-table commits
+      // concurrently, and they must not die for this key's fault.
       class Die extends RuntimeException("coordinator death")
+      val self = Thread.currentThread()
       LakeTable.faultHook = name =>
-        if (name == "txn-post-claims-pre-final") throw new Die
+        if (name == "txn-post-claims-pre-final" &&
+            (Thread.currentThread() eq self)) throw new Die
       val died =
         try { runBatch(2); false }
         catch { case _: Die => true }

@@ -37,21 +37,32 @@ import graft.lake.LakeTable
   */
 object MatViewRewrite {
 
-  /** Last rewrite this JVM performed, for plan self-audits:
-    * (viewDb, viewName). Cleared at the start of every apply(). */
-  @volatile var lastRewrite: Option[(String, String)] = None
+  /** Last rewrite THIS THREAD performed, for plan self-audits:
+    * (viewDb, viewName). Cleared at the start of every apply().
+    * Thread-local, not JVM-global: concurrent queries (the driver's
+    * Verify pool, parallel notebooks) each run apply() on their own
+    * calling thread, and a global would let one query's clear race
+    * another's assertion. */
+  private val lastRewriteTL =
+    new ThreadLocal[Option[(String, String)]] {
+      override def initialValue: Option[(String, String)] = None
+    }
+  private val lastRewriteKindTL = new ThreadLocal[Option[String]] {
+    override def initialValue: Option[String] = None
+  }
+  def lastRewrite: Option[(String, String)] = lastRewriteTL.get()
 
-  /** How the last rewrite matched: "exact" (shape identity) or
-    * "rollup" (coarser re-aggregation over a finer MV). */
-  @volatile var lastRewriteKind: Option[String] = None
+  /** How this thread's last rewrite matched: "exact" (shape
+    * identity) or "rollup" (coarser re-aggregation over a finer MV). */
+  def lastRewriteKind: Option[String] = lastRewriteKindTL.get()
 
   def enabled(spark: SparkSession): Boolean =
     !spark.conf.getOption("spark.graft.matview.rewrite")
       .contains("false")
 
   def apply(spark: SparkSession, plan: LogicalPlan): LogicalPlan = {
-    lastRewrite = None
-    lastRewriteKind = None
+    lastRewriteTL.set(None)
+    lastRewriteKindTL.set(None)
     if (!enabled(spark)) return plan
     // fast bail: no aggregate over a lake relation, nothing to do
     val hasLakeAgg = plan.exists {
@@ -318,7 +329,15 @@ object MatViewRewrite {
     val hit = candidates.iterator.flatMap { case (db, doc) =>
       try {
         for {
-          mvShape <- MatViews.decode(doc.properties)
+          mvShape0 <- MatViews.decode(doc.properties)
+          // a HAVING MV materializes ALL groups (the threshold is a
+          // read-time view filter over hidden columns) — its backing
+          // table serves any query the unfiltered shape serves, so
+          // match against the shape with the read-time dressing
+          // stripped. (A HAVING on the USER side needs nothing here:
+          // the analyzer's outer Filter survives above the rewritten
+          // inner Aggregate.)
+          mvShape = mvShape0.copy(havingSql = None, visible = None)
           (kind, builder) <- planBuilder(userShape, mvShape)
           matTable <- doc.properties.get("graft.mat-view.table")
           backing = LakeTable.load(wh, db, matTable)
@@ -338,8 +357,8 @@ object MatViewRewrite {
       if (out.map(_.dataType) != child.output.map(_.dataType))
         None // type drift — refuse silently, the scan stays correct
       else {
-        lastRewrite = Some((db, viewName))
-        lastRewriteKind = Some(kind)
+        lastRewriteTL.set(Some((db, viewName)))
+        lastRewriteKindTL.set(Some(kind))
         Some(Project(out.zip(child.output).map { case (o, n) =>
           Alias(n, o.name)(exprId = o.exprId)
         }, child))

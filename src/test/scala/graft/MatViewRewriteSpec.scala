@@ -190,6 +190,43 @@ class MatViewRewriteSpec extends AnyFunSuite {
     assert(scans(r5).exists(_.contains("__mat_")))
   }
 
+  test("HAVING on either side: a user HAVING filters above the " +
+      "rewritten aggregate; a HAVING MV's backing serves unfiltered " +
+      "queries, threshold-failing groups included") {
+    val wh = setup("having")
+    spark.conf.set("spark.sql.catalog.grw5", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.grw5.warehouse", wh)
+    // 1. plain MV, user query WITH HAVING: the analyzer keeps the
+    // outer Filter above the Aggregate — the inner aggregate rewrites
+    // (rollup derives the unselected count from the hidden row
+    // counter) and the filter applies on top
+    vsql("CREATE MATERIALIZED VIEW grw5.d.roll AS " +
+      "SELECT k, sum(x) AS s FROM grw5.d.src GROUP BY k").collect()
+    val hv = vsql("SELECT k, sum(x) AS s FROM grw5.d.src GROUP BY k " +
+      "HAVING count(*) > 1 ORDER BY k")
+    val got = hv.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("a", 3L)), s"got $got") // b has 1 row — filtered
+    assert(scans(hv).exists(_.contains("__mat_")), scans(hv).toString)
+    assert(MatViewRewrite.lastRewriteKind.contains("rollup"))
+    vsql("DROP MATERIALIZED VIEW grw5.d.roll").collect()
+    // 2. HAVING MV: the backing materializes ALL groups (the
+    // threshold is a read-time view filter) — an unfiltered user
+    // query answers from it, and groups FAILING the MV's threshold
+    // must still appear
+    vsql("CREATE MATERIALIZED VIEW grw5.d.big AS " +
+      "SELECT k, sum(x) AS s FROM grw5.d.src GROUP BY k " +
+      "HAVING count(*) > 1").collect()
+    val all = vsql("SELECT k, count(*) AS n, sum(x) AS s " +
+      "FROM grw5.d.src GROUP BY k ORDER BY k")
+    val gotAll = all.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(gotAll == Seq(("a", 2L, 3L), ("b", 1L, 10L)), s"$gotAll")
+    assert(scans(all).exists(_.contains("__mat_")), scans(all).toString)
+    // the MV itself still filters at read time
+    assert(vsql("SELECT k FROM grw5.d.big").collect()
+      .map(_.getString(0)).toSeq == Seq("a"))
+  }
+
   test("a WHERE-shaped MV rewrites the matching filtered aggregate; " +
       "an extensions session rewrites plain spark.sql") {
     val wh = setup("where")
