@@ -1102,7 +1102,7 @@ object LakeReadQueries extends QueryModule {
           |{"column_name":"o_price","data_type":"decimal(18,4)"}],
           |"partitions":[]}""".stripMargin)
       val orders = Tables(s, dir, "orders")
-        .filter(col("o_orderkey") % 3 === 0) // bench-sized fixture
+        .filter(col("o_orderkey") % 6 === 0) // bench-sized fixture
         .select(col("o_custkey"),
           col("o_totalprice").cast("decimal(18,4)").as("o_price"))
       // half the fixture keeps CoW-rewrite/diff cost down; the delete
@@ -1330,7 +1330,7 @@ object LakeReadQueries extends QueryModule {
           |{"column_name":"c_seg","data_type":"string"}],
           |"partitions":[]}""".stripMargin)
       val orders = Tables(s, dir, "orders")
-        .filter(col("o_orderkey") % 3 === 0) // bench-sized fixture
+        .filter(col("o_orderkey") % 6 === 0) // bench-sized fixture
         .select(col("o_custkey"),
           col("o_totalprice").cast("decimal(18,4)").as("o_price"))
       LakeTable.load(wh, "mvj", "cust").append(
@@ -1365,13 +1365,12 @@ object LakeReadQueries extends QueryModule {
       require(!LakeTable.load(wh, "mvj", "__mat_segroll").metadata
         .snapshots.exists(sn => LakeTable.isReset(sn.operation)),
         "the refresh must merge incrementally, not replace")
-      // a DIM delta cannot be expressed as a fact delta — refuse by
-      // name (the full refresh that recovers it is lake_mat_view's
-      // territory; this key pins the guard)
-      LakeTable.load(wh, "mvj", "cust").append {
-        import s.implicits._
-        Seq((-1L, "NONE")).toDF("c_id", "c_seg")
-      }
+      // a DIM movement that can REMOVE rows cannot be expressed by any
+      // insert-only leg — refuse by name (append-only dim deltas now
+      // maintain; that's lake_mat_view_dimdelta's territory — this key
+      // pins the guard on the destructive case)
+      LakeTable.load(wh, "mvj", "cust")
+        .deleteMoR(s, col("c_id") === 1L)
       val refusal =
         try { vsql("REFRESH MATERIALIZED VIEW gmvj2.mvj.segroll " +
           "INCREMENTAL").collect(); "" }
@@ -1385,6 +1384,83 @@ object LakeReadQueries extends QueryModule {
       vsql("SELECT c_seg, n_orders, " +
         "CAST(sum_price AS DOUBLE) AS sum_price " +
         "FROM gmvj2.mvj.segroll ORDER BY c_seg")
+    }),
+
+    "lake_mat_view_dimdelta" -> QueryModule.micro(4)((s, dir) => {
+      // APPEND-ONLY DIM DELTAS maintain incrementally (r11): the
+      // delta-join identity F_h⋈D_h − F_w⋈D_p = ΔF⋈D_head + F_w⋈ΔD
+      // turns a dim append — previously a by-name refusal forcing a
+      // full O(fact) refresh — into one extra leg joining the
+      // watermark fact image against ONLY the appended dim rows, with
+      // the fact scan file-pruned by the Δdim join-key envelope. The
+      // fixture seeds the dim with only EVEN customers, so the odd-
+      // customer fact rows sit unjoined until the dim delta arrives —
+      // the case no fact-side delta can express. The oracle recomputes
+      // the final join from scratch; the key self-audits the strategy
+      // (.refreshes names "append+dim-delta") and that the backing
+      // table saw no full-refresh replace.
+      val wh = LakeQueries.freshWarehouse("matviewdd")
+      Engine.processTableDefJson(wh,
+        """{"database_name":"mdd","table_name":"ord","columns":[
+          |{"column_name":"o_custkey","data_type":"long"},
+          |{"column_name":"o_price","data_type":"decimal(18,4)"}],
+          |"partitions":[]}""".stripMargin)
+      Engine.processTableDefJson(wh,
+        """{"database_name":"mdd","table_name":"cust","columns":[
+          |{"column_name":"c_id","data_type":"long"},
+          |{"column_name":"c_seg","data_type":"string"}],
+          |"partitions":[]}""".stripMargin)
+      val orders = Tables(s, dir, "orders")
+        .filter(col("o_custkey") % 4 === 0 || col("o_custkey") % 4 === 1)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").cast("decimal(18,4)").as("o_price"))
+      val custs = Tables(s, dir, "customer")
+        .select(col("c_custkey").as("c_id"),
+          col("c_mktsegment").as("c_seg"))
+      LakeTable.load(wh, "mdd", "cust")
+        .append(custs.filter(col("c_id") % 2 === 0))
+      LakeTable.load(wh, "mdd", "ord").append(
+        orders.filter(col("o_orderkey") % 6 === 0)
+          .select("o_custkey", "o_price"))
+      s.conf.set("spark.sql.catalog.gmvdd", "graft.sources.LakeCatalog")
+      s.conf.set("spark.sql.catalog.gmvdd.warehouse", wh)
+      def vsql(q: String) =
+        org.apache.spark.sql.GraftViewSubstitution.sql(s, q)
+      vsql("CREATE MATERIALIZED VIEW gmvdd.mdd.segroll AS " +
+        "SELECT c_seg, count(*) AS n_orders, sum(o_price) AS " +
+        "sum_price FROM gmvdd.mdd.ord JOIN gmvdd.mdd.cust " +
+        "ON o_custkey = c_id GROUP BY c_seg").collect()
+      // the dim delta (odd customers — unlocks the waiting fact rows)
+      // AND a fact delta land together: both legs must merge in one
+      // incremental refresh
+      LakeTable.load(wh, "mdd", "cust")
+        .append(custs.filter(col("c_id") % 2 === 1))
+      LakeTable.load(wh, "mdd", "ord").append(
+        orders.filter(col("o_orderkey") % 6 === 3)
+          .select("o_custkey", "o_price"))
+      val res = vsql(
+        "REFRESH MATERIALIZED VIEW gmvdd.mdd.segroll INCREMENTAL")
+        .collect()
+      require(res.head.getLong(1) > res.head.getLong(0),
+        "the incremental refresh must advance the watermark")
+      val strat = vsql("SELECT strategy FROM " +
+        "gmvdd.mdd.segroll.refreshes WHERE mode = 'incremental'")
+        .collect().map(_.getString(0)).toSeq
+      require(strat == Seq("append+dim-delta"),
+        s"the refresh must run the dim-delta expansion, got $strat")
+      require(!LakeTable.load(wh, "mdd", "__mat_segroll").metadata
+        .snapshots.exists(sn => LakeTable.isReset(sn.operation)),
+        "the refresh must merge incrementally, not replace")
+      // the moved dim re-pins at its head in the same flip
+      val custHead = LakeTable.load(wh, "mdd", "cust").metadata
+        .snapshots.map(_.id).max
+      require(LakeTable.load(wh, "mdd", "__mat_segroll").metadata
+        .properties("graft.mat-view.dim-watermark.mdd.cust")
+        .split(":")(0).toLong == custHead,
+        "the dim-delta refresh must re-pin the dim at its head")
+      vsql("SELECT c_seg, n_orders, " +
+        "CAST(sum_price AS DOUBLE) AS sum_price " +
+        "FROM gmvdd.mdd.segroll ORDER BY c_seg")
     }),
 
     "lake_mat_view_minmax" -> QueryModule.micro(4)((s, dir) => {
@@ -1405,7 +1481,7 @@ object LakeReadQueries extends QueryModule {
           |{"column_name":"o_price","data_type":"double"}],
           |"partitions":[]}""".stripMargin)
       val orders = Tables(s, dir, "orders")
-        .filter(col("o_orderkey") % 3 === 0) // bench-sized fixture
+        .filter(col("o_orderkey") % 6 === 0) // bench-sized fixture
         .select(col("o_custkey"), col("o_orderkey").as("o_okey"),
           col("o_totalprice").as("o_price"))
       LakeTable.load(wh, "mvm", "ord")
@@ -2716,7 +2792,7 @@ object RowOpsQueries extends QueryModule {
           |{"column_name":"sum_price","data_type":"decimal(18,4)"}],
           |"partitions":[]}""".stripMargin)
       val orders = Tables(s, dir, "orders")
-        .filter(col("o_custkey") % 2 === 0) // bench-sized fixture
+        .filter(col("o_custkey") % 4 === 0) // bench-sized fixture
         .select("o_orderkey", "o_custkey", "o_totalprice")
       var lastSeen = 0L
       Seq(0, 1, 2).foreach { m =>
@@ -3192,7 +3268,7 @@ object RowOpsQueries extends QueryModule {
         |  CAST(COUNT(*) AS BIGINT) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
         |    AS sum_price
-        |FROM orders WHERE o_custkey % 2 = 0
+        |FROM orders WHERE o_custkey % 4 = 0
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     "lake_null_skip" ->
@@ -3281,7 +3357,7 @@ object RowOpsQueries extends QueryModule {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
         |    AS sum_price
         |FROM orders
-        |WHERE o_orderkey % 3 = 0 AND o_custkey % 4 IN (0, 1)
+        |WHERE o_orderkey % 6 = 0 AND o_custkey % 4 IN (0, 1)
         |  AND o_custkey % 10 <> 2 AND o_custkey % 10 <> 5
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
@@ -3323,14 +3399,24 @@ object RowOpsQueries extends QueryModule {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
         |    AS sum_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
-        |WHERE o_orderkey % 3 = 0
+        |WHERE o_orderkey % 6 = 0
         |  AND o_custkey % 4 IN (0, 1) AND o_custkey % 10 <> 4
+        |GROUP BY c_mktsegment ORDER BY c_seg""".stripMargin,
+
+    "lake_mat_view_dimdelta" ->
+      """SELECT c_mktsegment AS c_seg,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderkey % 6 IN (0, 3)
+        |  AND o_custkey % 4 IN (0, 1)
         |GROUP BY c_mktsegment ORDER BY c_seg""".stripMargin,
 
     "lake_mat_view_minmax" ->
       """WITH base AS (
         |  SELECT o_custkey, o_orderkey, o_totalprice FROM orders
-        |  WHERE o_orderkey % 3 = 0 AND o_custkey % 8 IN (0, 1)),
+        |  WHERE o_orderkey % 6 = 0 AND o_custkey % 8 IN (0, 1)),
         |live AS (
         |  SELECT o_custkey, o_totalprice FROM base
         |  WHERE o_orderkey % 7 <> 3

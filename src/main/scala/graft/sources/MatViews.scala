@@ -554,30 +554,57 @@ private[graft] object MatViews {
       dimPinKey(d) -> s"$head:$ts"
     }.toMap
 
+  /** One dim's frame AT its pinned snapshot (`pins` = backing-table
+    * properties; a missing pin reads the head — the seed path records
+    * pins first).
+    */
+  private def dimAtPin(spark: SparkSession, warehouse: String,
+      d: DimSpec, pins: Map[String, String]): DataFrame = {
+    val t = LakeTable.load(warehouse, d.db, d.table)
+    pins.get(dimPinKey(d)).map(_.split(":")(0).toLong) match {
+      case Some(id) if id > 0 =>
+        t.read(spark, asOfSnapshot = Some(id))
+      case Some(_) => // pinned on an EMPTY dim: the join is empty
+        spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          graft.lake.Reconcile.clean(t.metadata.currentSchema)
+            .asInstanceOf[StructType])
+      case None => t.read(spark)
+    }
+  }
+
   /** Join fact-schema rows to every dim, each dim read AT its pinned
-    * snapshot (`pins` = backing-table properties; a missing pin reads
-    * the head — the seed path records pins first). The names the shape
-    * references are unique across the combined output (checked at
-    * detect), so the qualifier-stripped condition re-resolves
-    * unambiguously; `_change_*` columns on a changelog fact frame ride
-    * through inner joins untouched. Identity when the shape has no
-    * dims.
+    * snapshot. The names the shape references are unique across the
+    * combined output (checked at detect), so the qualifier-stripped
+    * condition re-resolves unambiguously; `_change_*` columns on a
+    * changelog fact frame ride through inner joins untouched. Identity
+    * when the shape has no dims.
     */
   def joinedRows(spark: SparkSession, warehouse: String,
       shape: AggShape, factRows: DataFrame,
       pins: Map[String, String]): DataFrame =
     shape.dims.foldLeft(factRows) { (acc, d) =>
-      val t = LakeTable.load(warehouse, d.db, d.table)
-      val df = pins.get(dimPinKey(d)).map(_.split(":")(0).toLong) match {
-        case Some(id) if id > 0 =>
-          t.read(spark, asOfSnapshot = Some(id))
-        case Some(_) => // pinned on an EMPTY dim: the join is empty
-          spark.createDataFrame(
-            java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-            graft.lake.Reconcile.clean(t.metadata.currentSchema)
-              .asInstanceOf[StructType])
-        case None => t.read(spark)
-      }
+      acc.join(dimAtPin(spark, warehouse, d, pins), expr(d.condSql),
+        "inner")
+    }
+
+  /** The dim-delta expansion leg for moved dim `i` (the delta-join
+    * algebra's sequential term): fact rows joined through dims BEFORE
+    * `i` at their OLD pins, dim `i` replaced by its append-delta
+    * frame, dims AFTER `i` at their NEW pins —
+    * `F_w ⋈ D_1,pin ⋈ … ⋈ ΔD_i ⋈ … ⋈ D_n,head`, so summing the legs
+    * over every moved dim (plus `ΔF ⋈ D_head`) telescopes exactly to
+    * `F_head⋈D_head − F_w⋈D_pin`.
+    */
+  private def joinedRowsSubst(spark: SparkSession, warehouse: String,
+      shape: AggShape, factRows: DataFrame,
+      oldPins: Map[String, String], newPins: Map[String, String],
+      i: Int, deltaFrame: DataFrame): DataFrame =
+    shape.dims.zipWithIndex.foldLeft(factRows) { case (acc, (d, j)) =>
+      val df =
+        if (j == i) deltaFrame
+        else dimAtPin(spark, warehouse, d,
+          if (j < i) oldPins else newPins)
       acc.join(df, expr(d.condSql), "inner")
     }
 
@@ -606,23 +633,33 @@ private[graft] object MatViews {
     }
   }
 
-  /** Check every dim against its pinned snapshot. A dim whose
-    * pin→head walk is byte-moves only (compaction, zorder — same
-    * rows, new files) is CONTENT-unmoved: accepted, with a fresh pin
-    * returned to publish in the refresh's own transaction flip (so
-    * the superseded dim snapshot can expire without stranding the
-    * view). A real dim delta still refuses by name: only FACT deltas
-    * maintain incrementally — a dim delta changes the join
-    * contribution of UNCHANGED fact rows, which no fact-side delta
-    * can express. A full refresh recomputes against the dim heads
-    * and re-pins.
-    *
-    * @return replacement pins for byte-moved dims (empty = every dim
-    *   exactly at its pin)
+  /** How one dim moved relative to its pin. */
+  sealed trait DimMove
+  /** Exactly at the pin — nothing to do. */
+  case object DimUnmoved extends DimMove
+  /** Byte-moves only (compaction/zorder) — content-identical,
+    * re-pin in the refresh's own flip. */
+  case class DimRePin(newPin: String) extends DimMove
+  /** A real APPEND-ONLY delta past the pin: the moved rows are exactly
+    * `changesBetween(pin, head)` and every one is an insertion, so the
+    * delta-join expansion (`F_w ⋈ ΔD`) expresses the dim's effect on
+    * unchanged fact rows. Re-pin at head in the refresh's own flip.
     */
-  def reconcileDims(warehouse: String, shape: AggShape,
-      pins: Map[String, String]): Map[String, String] =
-    shape.dims.flatMap { d =>
+  case class DimAppendDelta(pinId: Long, headId: Long,
+      newPin: String) extends DimMove
+
+  /** Classify every dim against its pinned snapshot. Byte-moved dims
+    * re-pin; append-only dim deltas maintain through the delta-join
+    * expansion ([[joinedRowsSubst]]); any movement that can REMOVE or
+    * REWRITE dim rows (deletes, upserts, replaces — they change the
+    * join contribution of unchanged fact rows in ways no insert-only
+    * leg can express) still refuses by name, as does a dim range whose
+    * per-commit deltas were expired/squashed away. A full refresh
+    * recomputes against the dim heads and re-pins.
+    */
+  def classifyDims(warehouse: String, shape: AggShape,
+      pins: Map[String, String]): Seq[(DimSpec, DimMove)] =
+    shape.dims.map { d =>
       val t = LakeTable.load(warehouse, d.db, d.table)
       val head = t.metadata.snapshots.map(_.id).foldLeft(0L)(math.max)
       val headTs = t.metadata.snapshots.find(_.id == head)
@@ -631,14 +668,38 @@ private[graft] object MatViews {
         throw new IllegalStateException(
           s"materialization lost its snapshot pin for dim " +
             s"'${d.db}.${d.table}' — run a full refresh"))
-      require(dimContentUnmoved(t, pin),
-        s"incremental refresh maintains FACT deltas only, but dim " +
-          s"'${d.db}.${d.table}' moved (pinned snapshot " +
-          s"${pin.split(":")(0)}, head now $head) — run a full " +
-          "refresh, which re-pins the dims")
-      if (pin == s"$head:$headTs") None
-      else Some(dimPinKey(d) -> s"$head:$headTs")
-    }.toMap
+      if (dimContentUnmoved(t, pin)) {
+        if (pin == s"$head:$headTs") (d, DimUnmoved)
+        else (d, DimRePin(s"$head:$headTs"))
+      } else {
+        val Array(idS, tsS) = pin.split(":")
+        val (id, ts) = (idS.toLong, tsS.toLong)
+        val pinIntact = id == 0L ||
+          t.metadata.snapshots.exists(s => s.id == id &&
+            s.timestampMs == ts)
+        val past = t.metadata.snapshots.filter(_.id > id)
+        // the same expiry-squash detection the fact range runs: a
+        // byte-move/reset in range carrying a post-pin sequence whose
+        // originating commit is gone means the per-commit delta is
+        // unrecoverable
+        val squashed = past
+          .filter(s => LakeTable.isByteMove(s.operation) ||
+            LakeTable.isReset(s.operation))
+          .exists(_.files.exists(f => f.seq >= 0 && f.seq > id &&
+            !t.metadata.snapshots.exists(o => o.id == f.seq &&
+              !LakeTable.isByteMove(o.operation) &&
+              !LakeTable.isReset(o.operation))))
+        val appendOnly = past.forall(s => s.operation == "append" ||
+          LakeTable.isByteMove(s.operation))
+        require(pinIntact && appendOnly && !squashed,
+          s"incremental refresh maintains FACT deltas and APPEND-ONLY " +
+            s"dim deltas, but dim '${d.db}.${d.table}' moved in a way " +
+            s"no insert-only leg can express (pinned snapshot " +
+            s"${pin.split(":")(0)}, head now $head) — run a full " +
+            "refresh, which re-pins the dims")
+        (d, DimAppendDelta(id, head, s"$head:$headTs"))
+      }
+    }
 
   /** The STORAGE aggregation over source-schema rows (seed, full
     * refresh, and the append-delta path): one pass, declared group
@@ -969,6 +1030,55 @@ private[graft] object MatViews {
       }
     }
 
+  /** Stats/bloom filters pruning the WATERMARK-image fact scan of one
+    * dim-delta leg: when the join condition is a plain
+    * `fact_col = dim_col` equality, the appended dim rows' join-key
+    * values (collected below the key limit) bound the fact files that
+    * can join them — at 100 TB the difference between reading a
+    * handful of fact files and an O(fact) pass per moved dim. Any
+    * other condition shape, an over-limit delta, or a NULL among the
+    * keys contributes no filter (the join itself stays correct; only
+    * pruning is lost).
+    */
+  private def dimDeltaFactFilters(spark: SparkSession, src: LakeTable,
+      d: DimSpec, deltaD: DataFrame,
+      limit: Int): Seq[graft.lake.RangeFilter] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.EqualTo
+    val srcSchema = graft.lake.Reconcile
+      .clean(src.metadata.currentSchema).asInstanceOf[StructType]
+    val dimCols = deltaD.schema.fieldNames.toSet
+    val pair: Option[(String, String)] = try {
+      spark.sessionState.sqlParser.parseExpression(d.condSql) match {
+        case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute) =>
+          val (an, bn) = (a.name, b.name)
+          if (srcSchema.fieldNames.contains(an) && dimCols.contains(bn)
+              && !dimCols.contains(an) &&
+              !srcSchema.fieldNames.contains(bn)) Some((an, bn))
+          else if (srcSchema.fieldNames.contains(bn) &&
+              dimCols.contains(an) && !dimCols.contains(bn) &&
+              !srcSchema.fieldNames.contains(an)) Some((bn, an))
+          else None
+        case _ => None
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+    pair.toSeq.flatMap { case (factCol, dimCol) =>
+      val rows = deltaD
+        .select(col(s"`${dimCol.replace("`", "``")}`")).distinct()
+        .limit(limit + 1).collect().toSeq
+      if (rows.size > limit) Nil
+      else keyFilters(srcSchema, rows, Seq(GroupCol(factCol, factCol)))
+    }
+  }
+
+  /** (files scanned after Δdim-key pruning, live watermark-image
+    * files) summed over the last refresh's dim-delta legs — a
+    * test/tooling observable like [[lastBackingScan]], populated only
+    * under `spark.graft.matview.incr-scan-audit`.
+    */
+  @volatile private[graft] var lastDimDeltaScan: Option[(Int, Int)] =
+    None
+
   /** Past this many touched groups the key-set collect (and the
     * resulting filter envelope) stops paying for itself — fall back to
     * the full backing scan. Conf-overridable for tests.
@@ -1066,7 +1176,8 @@ private[graft] object MatViews {
       src: LakeTable, shape: AggShape, w: Long, head: Long,
       range: Seq[graft.lake.SnapshotMeta],
       backing0: LakeTable,
-      rePins: Map[String, String] = Map.empty): Long = {
+      rePins: Map[String, String] = Map.empty,
+      dimLegs: Seq[DataFrame] = Seq.empty): Long = {
     val keyCols = shape.groupCols.map(g => q(g.outName))
     // JOIN shapes: every fact-row frame expands through the pinned
     // dims before the filter/aggregation sees it (group keys and
@@ -1157,7 +1268,15 @@ private[graft] object MatViews {
     }
     if (auditScans && eqScanTotal > 0)
       lastEqPreImageScan = Some((eqScanPruned, eqScanTotal))
-    val touched = (clTouched +: eqTouched).reduce(_.union(_))
+    // dim-delta legs (F_w ⋈ ΔD, already expanded and filtered) name
+    // the groups whose contributions grow through UNCHANGED fact rows
+    // joining newly-appended dim rows; the changelog legs above
+    // expand through the dim HEADS (rePins), so changed fact rows'
+    // new-dim-row groups are already a subset of clTouched
+    val dimTouched = dimLegs.map(_.select(shape.groupCols.map(g =>
+      expr(g.srcCol).as(g.outName)): _*))
+    val touched = ((clTouched +: eqTouched) ++ dimTouched)
+      .reduce(_.union(_))
       .distinct().localCheckpoint()
     // NULL group keys can't upsert/delete by equality — refuse by name
     val nullKeyed = touched
@@ -1286,17 +1405,26 @@ private[graft] object MatViews {
             "materialization was computed from (a rollback re-used " +
             "the id) — run a full refresh instead"))
     }
-    // JOIN shapes: a moved dim makes the view stale in a way no FACT
-    // delta can express — refuse BEFORE the fact-unmoved no-op check,
-    // or a dim-only change would silently report "nothing to do".
-    // Byte-moved dims (compaction/zorder) are content-identical:
-    // accepted, re-pinned in the refresh's own flip.
-    val rePins: Map[String, String] =
+    // JOIN shapes: classify every dim's movement BEFORE the
+    // fact-unmoved no-op check, or a dim-only change would silently
+    // report "nothing to do". Byte-moved dims (compaction/zorder) are
+    // content-identical: accepted, re-pinned in the refresh's own
+    // flip. APPEND-ONLY dim deltas maintain through the delta-join
+    // expansion below; any other movement refuses by name inside
+    // classifyDims.
+    val dimMoves: Seq[(DimSpec, DimMove)] =
       if (shape.dims.nonEmpty)
-        reconcileDims(warehouse, shape, backing0.metadata.properties)
-      else Map.empty
+        classifyDims(warehouse, shape, backing0.metadata.properties)
+      else Seq.empty
+    val rePins: Map[String, String] = dimMoves.collect {
+      case (d, DimRePin(p)) => dimPinKey(d) -> p
+      case (d, DimAppendDelta(_, _, p)) => dimPinKey(d) -> p
+    }.toMap
+    val movedDims = dimMoves.zipWithIndex.collect {
+      case ((d, m: DimAppendDelta), i) => (d, m, i)
+    }
     val head = src.metadata.snapshots.map(_.id).foldLeft(0L)(math.max)
-    if (head == w) {
+    if (head == w && movedDims.isEmpty) {
       // fact unmoved — still publish byte-move re-pins, so expiring
       // the superseded dim snapshots can't strand the view
       if (rePins.nonEmpty)
@@ -1343,6 +1471,41 @@ private[graft] object MatViews {
     def expand(rows: DataFrame): DataFrame =
       sourceRows(joinedRows(spark, warehouse, shape, rows,
         backing0.metadata.properties ++ rePins), shape)
+    // APPEND-ONLY DIM DELTAS (delta-join algebra): the exact identity
+    //   F_h⋈D_h − F_w⋈D_p = ΔF⋈D_head + Σᵢ F_w⋈D₁ₚ…ΔDᵢ…Dₙₕ
+    // — one sequential leg per moved dim, each joining the fact image
+    // AT THE WATERMARK against the dim's appended rows, dims before it
+    // at their old pins and after it at their new heads. Every leg row
+    // is an insertion (dim appends can't retract), so it merges
+    // additively alongside the fact delta; at scale each leg's fact
+    // scan is file-pruned by the Δdim join-key envelope when the join
+    // condition is a plain fact-col = dim-col equality.
+    val oldPins = backing0.metadata.properties
+    val newPins = oldPins ++ rePins
+    var dimScanPruned, dimScanTotal = 0
+    val auditDimScans = spark.conf
+      .getOption("spark.graft.matview.incr-scan-audit").contains("true")
+    val dimLegs: Seq[DataFrame] =
+      if (movedDims.isEmpty || w <= 0) Seq.empty
+      else movedDims.map { case (d, m, i) =>
+        val t = LakeTable.load(warehouse, d.db, d.table)
+        val deltaD = t.changesBetween(spark, m.pinId, m.headId)
+          .localCheckpoint()
+        val factFilters = dimDeltaFactFilters(spark, src, d, deltaD,
+          keyLimit(spark))
+        if (auditDimScans) {
+          dimScanPruned += src.plannedFiles(statsFilters = factFilters,
+            asOfSnapshot = Some(w)).size
+          dimScanTotal += src.plannedFiles(asOfSnapshot = Some(w)).size
+        }
+        val factW = src.read(spark, asOfSnapshot = Some(w),
+          statsFilters = factFilters)
+        sourceRows(joinedRowsSubst(spark, warehouse, shape, factW,
+          oldPins, newPins, i, deltaD), shape)
+      }
+    if (auditDimScans && dimScanTotal > 0)
+      lastDimDeltaScan = Some((dimScanPruned, dimScanTotal))
+    val dimTag = if (movedDims.nonEmpty) "+dim-delta" else ""
     val nonAppend = range.filterNot(s =>
       s.operation == "append" || LakeTable.isByteMove(s.operation))
     val retract = nonAppend.nonEmpty
@@ -1362,15 +1525,34 @@ private[graft] object MatViews {
           " — full-content replaces reset the history rather than " +
           "changing identifiable rows; run a full refresh instead")
       val groups = refreshByRecompute(spark, warehouse, src, shape, w,
-        head, range, backing0, rePins)
-      return Some((head, "recompute", groups))
+        head, range, backing0, rePins, dimLegs)
+      return Some((head, "recompute" + dimTag, groups))
     }
+    val factLeg: Option[DataFrame] =
+      if (head == w) None // dim-delta-only refresh: no fact leg
+      else if (retract) Some(expand(
+        src.changelogBetween(spark, w, head, includeCowDiffs = true)))
+      else Some(expand(src.changesBetween(spark, w, head)))
+    // dim legs are pure insertions — in a signed merge they ride as
+    // _change_type='insert' rows; missing changelog bookkeeping
+    // columns (ordinal, snapshot id) null-fill, the signed aggregate
+    // reads only _change_type
+    val legs: Seq[DataFrame] = factLeg.toSeq ++ (
+      if (retract)
+        dimLegs.map(_.withColumn("_change_type", lit("insert")))
+      else dimLegs)
+    if (legs.isEmpty) {
+      // a moved dim over a never-seeded fact (w=0): nothing to merge,
+      // but the pins must still advance in one flip
+      backing0.transaction(_.updateProperties(
+        Map("graft.mat-view.watermark" -> head.toString) ++ rePins))
+      return Some((head, "append" + dimTag, 0L))
+    }
+    val allRows = legs.reduce(
+      (a, b) => a.unionByName(b, allowMissingColumns = true))
     val delta =
-      if (retract) signedStorageAggregate(expand(
-        src.changelogBetween(spark, w, head, includeCowDiffs = true)),
-        shape)
-      else storageAggregate(
-        expand(src.changesBetween(spark, w, head)), shape)
+      if (retract) signedStorageAggregate(allRows, shape)
+      else storageAggregate(allRows, shape)
     // the delta aggregate is consumed multiple times (key-set collect,
     // merge join, retraction split) — pin it so the source delta is
     // scanned once
@@ -1436,7 +1618,7 @@ private[graft] object MatViews {
         tx.updateProperties(wmProp)
       }
     }
-    Some((head, if (retract) "signed" else "append",
+    Some((head, (if (retract) "signed" else "append") + dimTag,
       if (keyRows.size <= limit) keyRows.size.toLong else -1L))
   }
 }

@@ -180,8 +180,8 @@ class MatViewRandomSpec extends AnyFunSuite {
       s"coverage: incrRet=$incrRet incrMm=$incrMm upserts=$upserts")
   }
 
-  test("join-shape op soup: fact deltas always equal the recompute; " +
-      "dim movement refuses and recovers by full refresh") {
+  test("join-shape op soup: fact deltas and dim appends always equal " +
+      "the recompute; dim deletes refuse and recover by full refresh") {
     val wh = Files.createTempDirectory("graft-mv-random-join").toString
     Engine.processTableDefJson(wh,
       """{"database_name":"d","table_name":"fact","columns":[
@@ -230,10 +230,11 @@ class MatViewRandomSpec extends AnyFunSuite {
       vsql("SELECT seg, n, CAST(s AS STRING) AS s FROM gmvrj.d.segroll")
         .collect().map(r => (r.getString(0), r.getLong(1),
           r.getString(2))).toSet
-    var incr = 0; var dimRefusals = 0
-    var dimMoved = false
-    for (i <- 0 until 12) {
-      rnd.nextInt(4) match {
+    var incr = 0; var dimDeltas = 0; var dimRefusals = 0
+    var dimBroken = false
+    var dimKeys = (1L to 6L).toVector
+    for (i <- 0 until 20) {
+      rnd.nextInt(5) match {
         case 0 => LakeTable.load(wh, "d", "fact")
           .append(randFacts(2 + rnd.nextInt(4)))
         case 1 => LakeTable.load(wh, "d", "fact")
@@ -243,13 +244,27 @@ class MatViewRandomSpec extends AnyFunSuite {
           LakeTable.load(wh, "d", "fact")
             .delete(spark, col("x") > cut)
         case 3 =>
-          // a dim append — the NEXT incremental must refuse by name
+          // a dim APPEND maintains incrementally (F_w ⋈ ΔD leg) —
+          // half the time the appended key DUPLICATES a live one, so
+          // unchanged fact rows gain a second join partner (the case
+          // only the dim leg can express)
+          val k = if (rnd.nextBoolean() && dimKeys.nonEmpty)
+            dimKeys(rnd.nextInt(dimKeys.size))
+          else 100L + i
+          dimKeys :+= k
           LakeTable.load(wh, "d", "dim").append(
-            Seq((100L + i, s"s${i % 3}")).toDF("c_id", "seg"))
-          dimMoved = true
+            Seq((k, s"s${rnd.nextInt(4)}")).toDF("c_id", "seg"))
+          dimDeltas += 1
+        case 4 =>
+          // a dim DELETE removes join contributions — the NEXT
+          // incremental must refuse by name
+          LakeTable.load(wh, "d", "dim")
+            .deleteMoR(spark, col("c_id") === dimKeys(
+              rnd.nextInt(dimKeys.size)))
+          dimBroken = true
       }
       if (rnd.nextInt(10) < 6) {
-        if (dimMoved) {
+        if (dimBroken) {
           val e = intercept[Exception] {
             vsql("REFRESH MATERIALIZED VIEW gmvrj.d.segroll INCREMENTAL")
               .collect()
@@ -260,7 +275,7 @@ class MatViewRandomSpec extends AnyFunSuite {
           assert(msgs.contains("dim"), s"step $i: $msgs")
           dimRefusals += 1
           vsql("REFRESH MATERIALIZED VIEW gmvrj.d.segroll").collect()
-          dimMoved = false
+          dimBroken = false
         } else {
           vsql("REFRESH MATERIALIZED VIEW gmvrj.d.segroll INCREMENTAL")
             .collect()
@@ -269,12 +284,12 @@ class MatViewRandomSpec extends AnyFunSuite {
         assert(view() == recompute(), s"segroll drifted at step $i")
       }
     }
-    if (dimMoved) vsql("REFRESH MATERIALIZED VIEW gmvrj.d.segroll")
+    if (dimBroken) vsql("REFRESH MATERIALIZED VIEW gmvrj.d.segroll")
       .collect()
     else vsql("REFRESH MATERIALIZED VIEW gmvrj.d.segroll INCREMENTAL")
       .collect()
     assert(view() == recompute(), "final")
-    assert(incr >= 3 && dimRefusals >= 1,
-      s"coverage: incr=$incr dimRefusals=$dimRefusals")
+    assert(incr >= 3 && dimDeltas >= 1 && dimRefusals >= 1,
+      s"coverage: incr=$incr dimDeltas=$dimDeltas refusals=$dimRefusals")
   }
 }

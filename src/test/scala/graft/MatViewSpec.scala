@@ -552,10 +552,36 @@ class MatViewSpec extends AnyFunSuite {
       col("f_cust") === 1L && col("f_item") === 20L)
     vsql("REFRESH MATERIALIZED VIEW gmvj.d.roll INCREMENTAL").collect()
     assert(state() == recompute(), "after fact retraction")
-    // 3. a DIM delta cannot be expressed as a fact delta — refuse by
-    // name, full refresh re-pins, incremental works again
+    // 3. a DIM APPEND maintains through the delta-join expansion:
+    // (1L,"C") gives customer 1's UNCHANGED fact rows a second join
+    // partner, so the F_w ⋈ ΔD leg must add whole new groups — the
+    // hardest case, since no fact-side delta names them
     LakeTable.load(wh, "d", "cust").append(
-      Seq((4L, "B")).toDF("c_id", "c_seg"))
+      Seq((4L, "B"), (1L, "C")).toDF("c_id", "c_seg"))
+    val r3 = vsql("REFRESH MATERIALIZED VIEW gmvj.d.roll INCREMENTAL")
+      .collect()
+    assert(r3.nonEmpty, "dim append must refresh, not no-op")
+    assert(state() == recompute(), "after dim append (F_w ⋈ ΔD leg)")
+    // the moved dim re-pins at its head in the refresh's own flip
+    val custHead = LakeTable.load(wh, "d", "cust").metadata.snapshots
+      .map(_.id).max
+    assert(LakeTable.load(wh, "d", "__mat_roll").metadata.properties(
+      "graft.mat-view.dim-watermark.d.cust")
+      .split(":")(0).toLong == custHead, "dim must re-pin at head")
+    // 3b. BOTH dims and the fact move at once: ΔF⋈D_head plus one
+    // sequential F_w leg per dim must telescope exactly
+    LakeTable.load(wh, "d", "cust").append(
+      Seq((5L, "A")).toDF("c_id", "c_seg"))
+    LakeTable.load(wh, "d", "item").append(
+      Seq((20L, "z")).toDF("i_id", "i_cat"))
+    LakeTable.load(wh, "d", "fact").append(facts(Seq(
+      (5L, 20L, "64.0"))))
+    vsql("REFRESH MATERIALIZED VIEW gmvj.d.roll INCREMENTAL").collect()
+    assert(state() == recompute(), "after two dim appends + fact append")
+    // 3c. a dim DELETE removes join contributions of unchanged fact
+    // rows — no insert-only leg expresses that; refuse by name, full
+    // refresh re-pins, incremental works again
+    LakeTable.load(wh, "d", "cust").deleteMoR(spark, col("c_id") === 4L)
     val e = intercept[Exception] {
       vsql("REFRESH MATERIALIZED VIEW gmvj.d.roll INCREMENTAL").collect()
     }
@@ -573,6 +599,16 @@ class MatViewSpec extends AnyFunSuite {
       facts(Seq((2L, 10L, "100.0"))), keys = Seq("f_cust", "f_item"))
     vsql("REFRESH MATERIALIZED VIEW gmvj.d.roll INCREMENTAL").collect()
     assert(state() == recompute(), "after fact eq-upsert (recompute)")
+    // 4b. an eq-upsert on the fact TOGETHER WITH a dim append: the
+    // touched-group recompute takes its extra touched keys from the
+    // dim leg and recomputes against the dim heads
+    LakeTable.load(wh, "d", "cust").append(
+      Seq((2L, "C")).toDF("c_id", "c_seg"))
+    LakeTable.load(wh, "d", "fact").upsertMoR(spark,
+      facts(Seq((3L, 20L, "200.0"))), keys = Seq("f_cust", "f_item"))
+    vsql("REFRESH MATERIALIZED VIEW gmvj.d.roll INCREMENTAL").collect()
+    assert(state() == recompute(),
+      "after fact eq-upsert + dim append (recompute + dim leg)")
   }
 
   test(".refreshes serves the refresh history (modes, strategies, " +
@@ -1388,18 +1424,28 @@ class MatViewSpec extends AnyFunSuite {
     assert(pin().split(":")(0).toLong == dimHead2,
       s"no-op refresh must still re-pin the byte-moved dim: ${pin()}")
     assert(state() == recompute(), "no-op refresh changes nothing")
-    // 3. a REAL dim delta (append) still refuses by name
+    // 3. a dim APPEND (past the byte-moves) maintains through the
+    // delta-join expansion together with the fact delta, and re-pins
     LakeTable.load(wh, "d", "cust").append(
       Seq((4L, "B")).toDF("c_id", "c_seg"))
     LakeTable.load(wh, "d", "fact").append(
       Seq((4L, 160L)).toDF("f_cust", "f_amt"))
+    vsql("REFRESH MATERIALIZED VIEW gmvbm.d.roll INCREMENTAL").collect()
+    assert(state() == recompute(), "dim append + fact append maintain")
+    val dimHead3 = LakeTable.load(wh, "d", "cust").metadata.snapshots
+      .map(_.id).max
+    assert(pin().split(":")(0).toLong == dimHead3,
+      s"dim-delta refresh must re-pin at the dim head: ${pin()}")
+    // 4. a dim movement that REMOVES rows (CoW delete) still refuses
+    // by name — no insert-only leg can retract a join contribution
+    LakeTable.load(wh, "d", "cust").delete(spark, col("c_id") === 4L)
     val e = intercept[Exception] {
       vsql("REFRESH MATERIALIZED VIEW gmvbm.d.roll INCREMENTAL").collect()
     }
     assert(messages(e).contains("dim") &&
       messages(e).contains("full refresh"), messages(e))
     vsql("REFRESH MATERIALIZED VIEW gmvbm.d.roll").collect()
-    assert(state() == recompute(), "full refresh re-pins past the append")
+    assert(state() == recompute(), "full refresh re-pins past the delete")
   }
 
   test("the eq-delete pre-image scan prunes source files by the " +
@@ -1438,5 +1484,51 @@ class MatViewSpec extends AnyFunSuite {
       .toSeq == Seq((7L, 7L, 1L)))
     assert(vsql("SELECT count(*) AS c FROM gmveq.d.mm").collect()
       .head.getLong(0) == 400L)
+  }
+
+  test("the dim-delta leg prunes the watermark-image fact scan by " +
+      "the Δdim join-key envelope") {
+    val wh = Files.createTempDirectory("graft-matview-dimprune").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"fact","columns":[
+        |{"column_name":"f_cust","data_type":"long"},
+        |{"column_name":"f_amt","data_type":"long"}],
+        |"partitions":[]}""".stripMargin)
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"cust","columns":[
+        |{"column_name":"c_id","data_type":"long"},
+        |{"column_name":"c_seg","data_type":"string"}],
+        |"partitions":[]}""".stripMargin)
+    import SparkTestSession.spark.implicits._
+    // 8 disjoint-key fact files; the Δdim keys land in ONE of them
+    for (b <- 0 until 8)
+      LakeTable.load(wh, "d", "fact").append(
+        (0 until 50).map(i => (b * 100L + i, b * 1000L + i))
+          .toDF("f_cust", "f_amt").coalesce(1))
+    // the seed dim covers a slice of every block, so the MV has rows
+    LakeTable.load(wh, "d", "cust").append(
+      (0 until 8).map(b => (b * 100L + 5L, s"S$b"))
+        .toDF("c_id", "c_seg"))
+    spark.conf.set("spark.sql.catalog.gmvdp", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.gmvdp.warehouse", wh)
+    vsql("CREATE MATERIALIZED VIEW gmvdp.d.roll AS " +
+      "SELECT c_seg, count(*) AS n, sum(f_amt) AS s " +
+      "FROM gmvdp.d.fact JOIN gmvdp.d.cust ON f_cust = c_id " +
+      "GROUP BY c_seg").collect()
+    // a dim append whose keys live entirely in fact block 3: the F_w
+    // leg must plan ONLY that block's file, not rescan the fact
+    LakeTable.load(wh, "d", "cust").append(
+      Seq((303L, "NEW"), (307L, "NEW")).toDF("c_id", "c_seg"))
+    spark.conf.set("spark.graft.matview.incr-scan-audit", "true")
+    try vsql("REFRESH MATERIALIZED VIEW gmvdp.d.roll INCREMENTAL")
+      .collect()
+    finally spark.conf.unset("spark.graft.matview.incr-scan-audit")
+    val (scanned, total) = graft.sources.MatViews.lastDimDeltaScan.get
+    assert(total >= 8, s"watermark image should span many files: $total")
+    assert(scanned < total,
+      s"Δdim envelope must prune the fact scan: $scanned/$total")
+    assert(vsql("SELECT n, s FROM gmvdp.d.roll WHERE c_seg = 'NEW'")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((2L, 3003L + 3007L)))
   }
 }
