@@ -269,4 +269,81 @@ class MatViewRewriteSpec extends AnyFunSuite {
       SparkSession.setActiveSession(prior)
     }
   }
+
+  test("a JOIN-shaped MV rewrites the same fact⋈dim aggregate; a dim " +
+      "append staleness falls back until the dim-delta refresh") {
+    val wh = Files.createTempDirectory("graft-mvrw-join").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"fact","columns":[
+        |{"column_name":"f_cust","data_type":"long"},
+        |{"column_name":"f_amt","data_type":"long"}],
+        |"partitions":[]}""".stripMargin)
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"cust","columns":[
+        |{"column_name":"c_id","data_type":"long"},
+        |{"column_name":"c_seg","data_type":"string"}],
+        |"partitions":[]}""".stripMargin)
+    import SparkTestSession.spark.implicits._
+    LakeTable.load(wh, "d", "cust").append(
+      Seq((1L, "A"), (2L, "B"), (3L, "A")).toDF("c_id", "c_seg"))
+    LakeTable.load(wh, "d", "fact").append(
+      Seq((1L, 10L), (2L, 20L), (3L, 40L), (1L, 80L))
+        .toDF("f_cust", "f_amt"))
+    spark.conf.set("spark.sql.catalog.grwj", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.grwj.warehouse", wh)
+    vsql("CREATE MATERIALIZED VIEW grwj.d.segroll AS " +
+      "SELECT c_seg, count(*) AS n, sum(f_amt) AS s " +
+      "FROM grwj.d.fact JOIN grwj.d.cust ON f_cust = c_id " +
+      "GROUP BY c_seg").collect()
+    // a FINER two-key join MV for rollup subsumption below
+    vsql("CREATE MATERIALIZED VIEW grwj.d.custroll AS " +
+      "SELECT c_seg, f_cust, count(*) AS n, sum(f_amt) AS s " +
+      "FROM grwj.d.fact JOIN grwj.d.cust ON f_cust = c_id " +
+      "GROUP BY c_seg, f_cust").collect()
+    def agg() = vsql("SELECT c_seg, count(*) AS n, sum(f_amt) AS s " +
+      "FROM grwj.d.fact JOIN grwj.d.cust ON f_cust = c_id " +
+      "GROUP BY c_seg ORDER BY c_seg")
+    val hit = agg()
+    assert(scans(hit).exists(_.contains("__mat_")),
+      s"join shape must rewrite: ${scans(hit)}")
+    assert(!scans(hit).exists(n => n.contains("fact") &&
+      !n.contains("__mat_")), s"fact still scanned: ${scans(hit)}")
+    assert(hit.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2))).toSeq == Seq(("A", 3L, 130L), ("B", 1L, 20L)))
+    // a coarser aggregate (f_cust ⊂ {c_seg, f_cust}) re-aggregates
+    // the finer join MV's partials — rollup subsumption over joins
+    val roll = vsql("SELECT f_cust, count(*) AS n, sum(f_amt) AS s " +
+      "FROM grwj.d.fact JOIN grwj.d.cust ON f_cust = c_id " +
+      "GROUP BY f_cust ORDER BY f_cust")
+    assert(scans(roll).exists(_.contains("__mat_")) &&
+      MatViewRewrite.lastRewriteKind.contains("rollup"),
+      s"${scans(roll)} ${MatViewRewrite.lastRewriteKind}")
+    assert(roll.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2))).toSeq ==
+      Seq((1L, 2L, 90L), (2L, 1L, 20L), (3L, 1L, 40L)))
+    // a dim append makes the pins stale → fallback serves LIVE data
+    LakeTable.load(wh, "d", "cust").append(
+      Seq((1L, "C")).toDF("c_id", "c_seg"))
+    val stale = agg()
+    assert(!scans(stale).exists(_.contains("__mat_")),
+      "stale dim pin must not answer")
+    assert(stale.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2))).toSeq ==
+      Seq(("A", 3L, 130L), ("B", 1L, 20L), ("C", 2L, 90L)))
+    // the dim-delta incremental refresh re-pins → rewrites again
+    vsql("REFRESH MATERIALIZED VIEW grwj.d.segroll INCREMENTAL")
+      .collect()
+    val back = agg()
+    assert(scans(back).exists(_.contains("__mat_")),
+      s"refreshed join MV must rewrite again: ${scans(back)}")
+    assert(back.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2))).toSeq ==
+      Seq(("A", 3L, 130L), ("B", 1L, 20L), ("C", 2L, 90L)))
+    // a DIFFERENT join condition must not match
+    val off = vsql("SELECT c_seg, count(*) AS n, sum(f_amt) AS s " +
+      "FROM grwj.d.fact JOIN grwj.d.cust ON f_cust = c_id + 1 " +
+      "GROUP BY c_seg ORDER BY c_seg")
+    assert(!scans(off).exists(_.contains("__mat_")),
+      "a different join condition must fall back")
+  }
 }
