@@ -4475,6 +4475,23 @@ object LakeTable {
   }
 
   def load(warehouse: String, db: String, table: String): LakeTable = {
+    // an open SQL transaction on this thread captures every load of
+    // its warehouse's tables: statements inside BEGIN…COMMIT read
+    // their own staged writes and stage onto the same buffered
+    // handles (SqlTxn scaladoc)
+    SqlTxn.active match {
+      case Some(open) => return open.handleFor(warehouse, db, table)
+      case None => ()
+    }
+    loadRaw(warehouse, db, table)
+  }
+
+  /** [[load]] without the SQL-transaction routing — the transaction
+    * machinery itself (and anything that must see COMMITTED state
+    * regardless of an open transaction) loads through this.
+    */
+  private[lake] def loadRaw(warehouse: String, db: String,
+      table: String): LakeTable = {
     val loc = tableLocation(warehouse, db, table)
     val hint = loc.resolve("metadata").resolve("version-hint.text")
     require(Files.exists(hint), s"no table at $loc")

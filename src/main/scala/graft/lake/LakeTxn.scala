@@ -54,7 +54,9 @@ object LakeTxn {
         .empty[(String, String), (LakeTable, TableMetadata)]
     def table(db: String, name: String): LakeTable =
       handles.getOrElseUpdate((db, name), {
-        val t = LakeTable.load(warehouse, db, name)
+        // loadRaw: a programmatic transaction must stage on its OWN
+        // handles even if a SQL transaction is open on this thread
+        val t = LakeTable.loadRaw(warehouse, db, name)
         (t, t.txnBegin())
       })._1
   }
@@ -108,7 +110,7 @@ object LakeTxn {
     throw new IllegalStateException("unreachable")
   }
 
-  private def commitCross(warehouse: String,
+  private[lake] def commitCross(warehouse: String,
       parts: Seq[(LakeTable, TableMetadata)]): Unit = {
     val txnId = java.util.UUID.randomUUID().toString
     val dir = Paths.get(warehouse, "_txns")

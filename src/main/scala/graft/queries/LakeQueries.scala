@@ -1386,6 +1386,73 @@ object LakeReadQueries extends QueryModule {
         "FROM gmvj2.mvj.segroll ORDER BY c_seg")
     }),
 
+    "lake_txn_sql" -> QueryModule.micro(4)((s, dir) => {
+      // SQL SESSION TRANSACTIONS (r11): BEGIN TRANSACTION / COMMIT /
+      // ROLLBACK over lake tables — every statement in between stages
+      // on buffered handles (graft.lake.SqlTxn): reads see the
+      // session's own staged writes (statement 2 aggregates statement
+      // 1's rows), NOTHING is visible to other sessions until COMMIT
+      // (self-audited from a fresh thread), and COMMIT publishes every
+      // staged table through the same cross-table final-record
+      // protocol as lake_txn_cross. A ROLLBACK block then proves
+      // staged changes discard completely. The oracle recomputes the
+      // committed rollup from the raw fixture.
+      val wh = LakeQueries.freshWarehouse("txnsql")
+      for (t <- Seq(
+        """{"database_name":"txs","table_name":"acct","columns":[
+          |{"column_name":"o_custkey","data_type":"long"},
+          |{"column_name":"o_price","data_type":"double"}],
+          |"partitions":[]}""".stripMargin,
+        """{"database_name":"txs","table_name":"sums","columns":[
+          |{"column_name":"bucket","data_type":"long"},
+          |{"column_name":"n_orders","data_type":"long"},
+          |{"column_name":"sum_price","data_type":"double"}],
+          |"partitions":[]}""".stripMargin)) Engine.processTableDefJson(wh, t)
+      Tables(s, dir, "orders")
+        .filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_custkey"), col("o_totalprice").as("o_price"))
+        .createOrReplaceTempView("txsql_orders_src")
+      s.conf.set("spark.sql.catalog.gtxs", "graft.sources.LakeCatalog")
+      s.conf.set("spark.sql.catalog.gtxs.warehouse", wh)
+      def vsql(q: String) =
+        org.apache.spark.sql.GraftViewSubstitution.sql(s, q)
+      def outside[A](body: => A): A = {
+        @volatile var out: A = null.asInstanceOf[A]
+        val t = new Thread(() => out = body)
+        t.start(); t.join(); out
+      }
+      try {
+        vsql("BEGIN TRANSACTION").collect()
+        vsql("INSERT INTO gtxs.txs.acct " +
+          "SELECT o_custkey, o_price FROM txsql_orders_src").collect()
+        // statement 2 READS statement 1's staged rows (read-your-
+        // writes) and stages into a SECOND table
+        vsql("INSERT INTO gtxs.txs.sums " +
+          "SELECT o_custkey % 10 AS bucket, count(*) AS n_orders, " +
+          "CAST(sum(CAST(o_price AS DECIMAL(18,4))) AS DOUBLE) " +
+          "AS sum_price FROM gtxs.txs.acct " +
+          "GROUP BY o_custkey % 10").collect()
+        // invisible to every other session until COMMIT
+        val pre = outside((
+          LakeTable.load(wh, "txs", "acct").read(s).count(),
+          LakeTable.load(wh, "txs", "sums").read(s).count()))
+        require(pre == ((0L, 0L)),
+          s"staged rows leaked before COMMIT: $pre")
+        val c = vsql("COMMIT").collect().head
+        require(c.getInt(1) == 2, s"both tables must publish: $c")
+      } finally if (graft.lake.SqlTxn.active.nonEmpty)
+        graft.lake.SqlTxn.rollback()
+      // a rolled-back block leaves no trace
+      try {
+        vsql("BEGIN TRANSACTION").collect()
+        vsql("INSERT INTO gtxs.txs.sums VALUES (-1, -1, -1.0)").collect()
+        vsql("ROLLBACK").collect()
+      } finally if (graft.lake.SqlTxn.active.nonEmpty)
+        graft.lake.SqlTxn.rollback()
+      vsql("SELECT bucket, n_orders, sum_price FROM gtxs.txs.sums " +
+        "ORDER BY bucket")
+    }),
+
     "lake_mat_view_dimdelta" -> QueryModule.micro(4)((s, dir) => {
       // APPEND-ONLY DIM DELTAS maintain incrementally (r11): the
       // delta-join identity F_h⋈D_h − F_w⋈D_p = ΔF⋈D_head + F_w⋈ΔD
@@ -3402,6 +3469,14 @@ object RowOpsQueries extends QueryModule {
         |WHERE o_orderkey % 6 = 0
         |  AND o_custkey % 4 IN (0, 1) AND o_custkey % 10 <> 4
         |GROUP BY c_mktsegment ORDER BY c_seg""".stripMargin,
+
+    "lake_txn_sql" ->
+      """SELECT o_custkey % 10 AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders WHERE o_orderkey % 5 = 0
+        |GROUP BY o_custkey % 10 ORDER BY bucket""".stripMargin,
 
     "lake_mat_view_dimdelta" ->
       """SELECT c_mktsegment AS c_seg,

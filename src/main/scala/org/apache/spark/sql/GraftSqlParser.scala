@@ -135,6 +135,16 @@ object GraftSqlParser {
     ("""(?is)^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+""" + Ident +
       """(?:\s+(FULL|INCREMENTAL))?\s*;?\s*$""").r
 
+  // session transactions: stock Spark parses none of these (BEGIN
+  // alone stays un-intercepted — SQL-scripting compound blocks start
+  // with it, so the transaction spelling requires the keyword)
+  private[sql] val BeginTxnRe =
+    """(?is)^\s*(?:BEGIN|START)\s+(?:TRANSACTION|WORK)\s*;?\s*$""".r
+  private[sql] val CommitTxnRe =
+    """(?is)^\s*COMMIT(?:\s+(?:TRANSACTION|WORK))?\s*;?\s*$""".r
+  private[sql] val RollbackTxnRe =
+    """(?is)^\s*ROLLBACK(?:\s+(?:TRANSACTION|WORK))?\s*;?\s*$""".r
+
   /** Strip one layer of '…'/"…" quoting and unescape the doubled
     * inner quote (`'it''s'` → `it's`).
     */
@@ -243,6 +253,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       GraftRefreshMatViewCommand(delegate.parseMultipartIdentifier(ident),
         mode = Option(mode).map(_.toLowerCase(java.util.Locale.ROOT))
           .getOrElse(""))
+    case BeginTxnRe() => GraftBeginTxnCommand()
+    case CommitTxnRe() => GraftCommitTxnCommand()
+    case RollbackTxnRe() => GraftRollbackTxnCommand()
     // ---- persistent view DDL (3-part identifiers only: 1/2-part
     // names keep meaning session-catalog / temp views, which Spark
     // handles natively) ----------------------------------------------

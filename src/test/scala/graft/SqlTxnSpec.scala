@@ -1,0 +1,162 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.lake.{Engine, LakeTable}
+
+/** SQL session transactions ([[graft.lake.SqlTxn]] +
+  * `BEGIN TRANSACTION` / `COMMIT` / `ROLLBACK` in
+  * [[org.apache.spark.sql.GraftSqlParser]]): statements between BEGIN
+  * and COMMIT stage on buffered handles — read-your-writes inside,
+  * invisible outside, one atomic cross-table publish at COMMIT.
+  */
+class SqlTxnSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def vsql(q: String) =
+    org.apache.spark.sql.GraftViewSubstitution.sql(spark, q)
+
+  /** Run `body` on a FRESH thread — outside the calling thread's open
+    * transaction, i.e. what any other session/process observes. */
+  private def observed[A](body: => A): A = {
+    @volatile var out: Either[Throwable, A] = null
+    val t = new Thread(() =>
+      out = try Right(body) catch { case e: Throwable => Left(e) })
+    t.start(); t.join()
+    out.fold(throw _, identity)
+  }
+
+  private def setup(tag: String): String = {
+    val wh = Files.createTempDirectory(s"graft-sqltxn-$tag").toString
+    for (t <- Seq("acct", "audit"))
+      Engine.processTableDefJson(wh,
+        s"""{"database_name":"d","table_name":"$t","columns":[
+           |{"column_name":"k","data_type":"long"},
+           |{"column_name":"v","data_type":"long"}],
+           |"partitions":[]}""".stripMargin)
+    import SparkTestSession.spark.implicits._
+    LakeTable.load(wh, "d", "acct").append(
+      Seq((1L, 100L), (2L, 200L)).toDF("k", "v"))
+    wh
+  }
+
+  test("BEGIN…COMMIT: multi-statement, multi-table — read-your-" +
+      "writes inside, nothing visible outside, atomic publish") {
+    val wh = setup("commit")
+    spark.conf.set("spark.sql.catalog.gtx1", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.gtx1.warehouse", wh)
+    def counts(): (Long, Long) = (
+      spark.sql("SELECT count(*) FROM gtx1.d.acct").collect()
+        .head.getLong(0),
+      spark.sql("SELECT count(*) FROM gtx1.d.audit").collect()
+        .head.getLong(0))
+    assert(vsql("BEGIN TRANSACTION").collect()
+      .map(_.getString(0)).toSeq == Seq("transaction started"))
+    vsql("INSERT INTO gtx1.d.acct VALUES (3, 300)").collect()
+    vsql("INSERT INTO gtx1.d.audit VALUES (3, 1)").collect()
+    // read-your-writes: this session's scans see the staged rows,
+    // and a second statement chains on the first's staged state
+    assert(counts() == ((3L, 1L)), "txn session must see staged rows")
+    vsql("INSERT INTO gtx1.d.audit " +
+      "SELECT k, v + 1 FROM gtx1.d.audit").collect()
+    assert(counts() == ((3L, 2L)))
+    // …while the rest of the world sees NOTHING until COMMIT
+    val outside = observed {
+      (LakeTable.load(wh, "d", "acct").read(spark).count(),
+        LakeTable.load(wh, "d", "audit").read(spark).count())
+    }
+    assert(outside == ((2L, 0L)),
+      s"staged rows leaked before COMMIT: $outside")
+    val c = vsql("COMMIT").collect().head
+    assert(c.getString(0) == "committed" && c.getInt(1) == 2, c.toString)
+    val after = observed {
+      (LakeTable.load(wh, "d", "acct").read(spark).count(),
+        LakeTable.load(wh, "d", "audit").read(spark).count())
+    }
+    assert(after == ((3L, 2L)), s"COMMIT must publish both: $after")
+  }
+
+  test("ROLLBACK discards every staged change; row-level DML stages " +
+      "too; txn state errors refuse by name") {
+    val wh = setup("rollback")
+    spark.conf.set("spark.sql.catalog.gtx2", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.gtx2.warehouse", wh)
+    vsql("BEGIN TRANSACTION").collect()
+    // a second BEGIN refuses
+    val dbl = intercept[Exception] { vsql("BEGIN TRANSACTION").collect() }
+    assert(dbl.getMessage.contains("already open"), dbl.getMessage)
+    vsql("INSERT INTO gtx2.d.acct VALUES (9, 900)").collect()
+    // copy-on-write UPDATE and MoR-capable DELETE both stage
+    vsql("UPDATE gtx2.d.acct SET v = v + 5 WHERE k = 1").collect()
+    vsql("DELETE FROM gtx2.d.acct WHERE k = 2").collect()
+    assert(spark.sql("SELECT k, v FROM gtx2.d.acct ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 105L), (9L, 900L)), "staged DML must be visible inside")
+    val rb = vsql("ROLLBACK").collect().head
+    assert(rb.getString(0) == "rolled back" && rb.getInt(1) == 1)
+    assert(spark.sql("SELECT k, v FROM gtx2.d.acct ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 100L), (2L, 200L)), "ROLLBACK must discard everything")
+    // COMMIT/ROLLBACK with no open transaction refuse
+    val noc = intercept[Exception] { vsql("COMMIT").collect() }
+    assert(noc.getMessage.contains("no open transaction"))
+    val nor = intercept[Exception] { vsql("ROLLBACK").collect() }
+    assert(nor.getMessage.contains("no open transaction"))
+  }
+
+  test("a concurrent commit to an enlisted table conflicts the " +
+      "transaction; neither table publishes") {
+    val wh = setup("conflict")
+    spark.conf.set("spark.sql.catalog.gtx3", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.gtx3.warehouse", wh)
+    import SparkTestSession.spark.implicits._
+    vsql("BEGIN TRANSACTION").collect()
+    vsql("INSERT INTO gtx3.d.acct VALUES (4, 400)").collect()
+    vsql("INSERT INTO gtx3.d.audit VALUES (4, 1)").collect()
+    // another session commits to acct while the transaction is open
+    observed {
+      LakeTable.load(wh, "d", "acct").append(
+        Seq((50L, 500L)).toDF("k", "v"))
+    }
+    intercept[java.util.ConcurrentModificationException] {
+      vsql("COMMIT").collect()
+    }
+    // all-or-nothing: the interloper's row is there, the
+    // transaction's rows are NOT — in either table
+    val acct = observed(LakeTable.load(wh, "d", "acct").read(spark)
+      .select("k").collect().map(_.getLong(0)).toSet)
+    assert(acct == Set(1L, 2L, 50L), acct.toString)
+    val audit = observed(
+      LakeTable.load(wh, "d", "audit").read(spark).count())
+    assert(audit == 0L, "half-transaction leaked")
+    // the transaction is closed: a fresh BEGIN works and commits
+    vsql("BEGIN TRANSACTION").collect()
+    vsql("INSERT INTO gtx3.d.audit VALUES (5, 1)").collect()
+    vsql("COMMIT").collect()
+    assert(observed(
+      LakeTable.load(wh, "d", "audit").read(spark).count()) == 1L)
+  }
+
+  test("cross-warehouse statements refuse inside a transaction") {
+    val wh1 = setup("whA")
+    val wh2 = setup("whB")
+    spark.conf.set("spark.sql.catalog.gtxa", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.gtxa.warehouse", wh1)
+    spark.conf.set("spark.sql.catalog.gtxb", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.gtxb.warehouse", wh2)
+    vsql("BEGIN TRANSACTION").collect()
+    try {
+      vsql("INSERT INTO gtxa.d.acct VALUES (7, 700)").collect()
+      val e = intercept[Exception] {
+        vsql("INSERT INTO gtxb.d.acct VALUES (7, 700)").collect()
+      }
+      def msgs(t: Throwable): String = Iterator.iterate(t)(_.getCause)
+        .takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" ")
+      assert(msgs(e).contains("bound to warehouse"), msgs(e))
+    } finally vsql("ROLLBACK").collect()
+  }
+}
