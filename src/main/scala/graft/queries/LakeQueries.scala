@@ -1606,7 +1606,7 @@ object LakeReadQueries extends QueryModule {
           |{"column_name":"o_price","data_type":"decimal(18,4)"}],
           |"partitions":[]}""".stripMargin)
       val orders = Tables(s, dir, "orders")
-        .filter(col("o_orderkey") % 3 === 0)
+        .filter(col("o_orderkey") % 6 === 0) // bench-sized fixture
         .select(col("o_custkey"), col("o_orderkey").as("o_okey"),
           col("o_orderpriority").as("o_prio"),
           col("o_totalprice").cast("decimal(18,4)").as("o_price"))
@@ -2925,6 +2925,7 @@ object RowOpsQueries extends QueryModule {
           |"write.sort-buckets":"8"}}""".stripMargin)
       val t = LakeTable.load(wh, "zq", "ord")
       val orders = Tables(s, dir, "orders")
+        .filter(col("o_custkey") % 2 === 0) // bench-sized fixture
         .select("o_orderkey", "o_custkey", "o_totalprice")
       // interleave by modulus so every append spans the full key range
       t.append(orders.filter(col("o_orderkey") % 3 === 0))
@@ -3514,7 +3515,7 @@ object RowOpsQueries extends QueryModule {
         |    AS DOUBLE), 6) AS avg_dprice6,
         |  CAST(COUNT(*) AS BIGINT) AS n_orders
         |FROM orders
-        |WHERE o_orderkey % 3 = 0 AND o_custkey % 32 IN (0, 1)
+        |WHERE o_orderkey % 6 = 0 AND o_custkey % 32 IN (0, 1)
         |  AND o_orderkey % 7 <> 3
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
@@ -3609,11 +3610,12 @@ object RowOpsQueries extends QueryModule {
         |) ORDER BY ord, change_type, n_nationkey""".stripMargin,
 
     "lake_compact_zorder" ->
-      """SELECT 1 AS grp, count(*) AS n_orders,
+      """WITH base AS (SELECT * FROM orders WHERE o_custkey % 2 = 0)
+        |SELECT 1 AS grp, count(*) AS n_orders,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
-        |FROM orders
-        |WHERE o_orderkey <= (SELECT max(o_orderkey) // 5 FROM orders)
-        |  AND o_custkey <= (SELECT max(o_custkey) // 5 FROM orders)
+        |FROM base
+        |WHERE o_orderkey <= (SELECT max(o_orderkey) // 5 FROM base)
+        |  AND o_custkey <= (SELECT max(o_custkey) // 5 FROM base)
         |GROUP BY 1 ORDER BY grp""".stripMargin,
 
     // clone of (append nation; MoR-delete region 4), then a clone-local
