@@ -58,7 +58,7 @@ object Verify {
             norm.coalesce(1).write.mode("overwrite")
               .parquet(s"$outDir/$name")
           } catch { case e: Throwable =>
-            System.err.println(s"[verify] $name failed: ${e.getMessage}")
+            System.err.println(s"[verify] $name failed: ${e.getMessage}"); if (sys.env.contains("GRAFT_VERIFY_TRACE")) e.printStackTrace()
           }
       })
     }

@@ -251,6 +251,7 @@ class LakeTable private (val location: Path, private var md: TableMetadata,
   }
 
   private def commit(next: TableMetadata): String = {
+    validateConstraints(next)
     if (txnActive) {
       // buffered: row-id stamping runs NOW (its known-snapshot set is
       // the current buffered state, so each staged op stamps exactly
@@ -266,6 +267,126 @@ class LakeTable private (val location: Path, private var md: TableMetadata,
     LakeTable.faultPoint("post-claim-pre-flip")
     flipClaim(claim)
     claim.target.toString
+  }
+
+  /** CHECK-constraint enforcement ([[Constraints]] scaladoc): every
+    * commit validates the DATA FILES it adds against the table's
+    * declared constraints — stats-proven files skip the read,
+    * byte-moves (compaction/zorder) skip entirely (their rows already
+    * passed when first written, and ADD CONSTRAINT validated existing
+    * data). A buffered (transaction) op validates at its own staged
+    * commit, fail-fast; the closing publish re-checks cheaply (the
+    * stats proof is in-memory).
+    */
+  private def validateConstraints(next: TableMetadata): Unit = {
+    val cons = Constraints.of(next.properties)
+    if (cons.isEmpty) return
+    val before = md.snapshots.map(_.id).toSet
+    val beforeStaged = md.staged.map(_.id).toSet
+    val added = (next.snapshots.filterNot(s => before(s.id)) ++
+      next.staged.filterNot(s => beforeStaged(s.id)))
+      .filterNot(s => LakeTable.isByteMove(s.operation))
+      .flatMap(_.files)
+    if (added.nonEmpty)
+      validateFiles(added, next.currentSchema, cons)
+  }
+
+  /** One constraint pass over `files`: per constraint, drop every
+    * file whose footer stats prove it cannot hold a violating row,
+    * then run the `limit(1)` violation scan over the remainder.
+    * Refuses BY NAME on the first violation — the commit never
+    * happens, so a bad batch can't land partially.
+    */
+  private[lake] def validateFiles(files: Seq[DataFileMeta],
+      schema: StructType, cons: Map[String, String]): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    var scanned = 0
+    cons.toSeq.sortBy(_._1).foreach { case (name, sql) =>
+      val unproven = Constraints.violationFilters(sql, schema) match {
+        case Some(vfs) => files.filter(f => vfs.exists(vf =>
+          FileStats.mightMatch(f.stats, schema, Seq(vf))))
+        case None => files
+      }
+      if (unproven.nonEmpty) {
+        scanned += unproven.size
+        // active is thread-local; a writer on a pool thread (driver
+        // mains, foreachBatch) still has the default session
+        val spark = org.apache.spark.sql.SparkSession.getActiveSession
+          .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+          .getOrElse(throw new IllegalStateException(
+            s"validating CHECK constraint '$name' needs a Spark " +
+              "session"))
+        val viol = readFiles(spark, unproven, schema)
+          .filter(not(coalesce(expr(sql), lit(true))))
+          .limit(1).count()
+        require(viol == 0L,
+          s"CHECK constraint '$name' ($sql) is violated by incoming " +
+            "rows — commit refused")
+      }
+    }
+    // always recorded — both counts are already in hand, so the
+    // observable costs one volatile write (unlike the MatViews scan
+    // audits, which pay an extra planning pass and stay conf-gated)
+    Constraints.lastValidationScan =
+      Some((scanned, files.size * cons.size))
+  }
+
+  /** The table's declared CHECK constraints (name → SQL). */
+  def constraints: Map[String, String] = Constraints.of(md.properties)
+
+  /** `ALTER TABLE … ADD CONSTRAINT name CHECK (sql)`: parses and
+    * binds the expression, validates EXISTING rows (stats-first, with
+    * merge-on-read deletes applied on the unproven remainder), and
+    * publishes the property — all inside one transaction, so the
+    * closing CAS refuses if a concurrent write lands mid-validate.
+    */
+  def addConstraint(spark: org.apache.spark.sql.SparkSession,
+      name: String, sql: String): Unit = {
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"constraint name must be an identifier, got '$name'")
+    require(!Constraints.of(md.properties).contains(name),
+      s"constraint '$name' already exists")
+    val refs =
+      try Constraints.referencedCols(sql)
+      catch { case scala.util.control.NonFatal(e) =>
+        throw new IllegalArgumentException(
+          s"CHECK expression does not parse: $sql", e) }
+    refs.foreach(r => require(md.currentSchema.fieldNames.contains(r),
+      s"CHECK constraint '$name' references unknown column '$r'"))
+    require(!md.staged.exists(_.files.nonEmpty),
+      s"cannot add constraint '$name' with staged (branch/WAP) " +
+        "snapshots pending — publish or discard them first")
+    transaction { t =>
+      import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+      val schema = md.currentSchema
+      val live = LakeTable.liveFiles(md.snapshots, Map.empty, schema)
+      val unproven = Constraints.violationFilters(sql, schema) match {
+        case Some(vfs) => live.filter(f => vfs.exists(vf =>
+          FileStats.mightMatch(f.stats, schema, Seq(vf))))
+        case None => live
+      }
+      if (unproven.nonEmpty) {
+        // the full read (not readFiles) so merge-on-read deletes are
+        // honored — a violating row that is already deleted is fine
+        val viol = read(spark)
+          .filter(not(coalesce(expr(sql), lit(true))))
+          .limit(1).count()
+        require(viol == 0L,
+          s"cannot add CHECK constraint '$name' ($sql): existing " +
+            "rows violate it")
+      }
+      Constraints.lastValidationScan = Some((unproven.size, live.size))
+      t.updateProperties(Map(Constraints.Prefix + name -> sql))
+    }
+  }
+
+  def dropConstraint(name: String, ifExists: Boolean = false): Unit = {
+    if (!Constraints.of(md.properties).contains(name)) {
+      if (ifExists) return
+      throw new IllegalArgumentException(
+        s"no constraint named '$name' on this table")
+    }
+    updateProperties(Map.empty, unset = Seq(Constraints.Prefix + name))
   }
 
   /** Phase 1 of a commit: staleness CAS, row-id stamping, manifest
@@ -495,6 +616,19 @@ class LakeTable private (val location: Path, private var md: TableMetadata,
         messages += s"Disallowed change for column ${d.path}: ${d.reason}")
       messages += s"Latest Meta file: ${latestMetaFile()}"
       return (messages.result(), true)
+    }
+
+    // a CHECK constraint binds to column NAMES — dropping or renaming
+    // a referenced column would make every future commit's validation
+    // throw; fail the evolution by name instead (drop the constraint
+    // first if the column really must go)
+    Constraints.of(md.properties).foreach { case (n, sql) =>
+      val refs =
+        try Constraints.referencedCols(sql)
+        catch { case scala.util.control.NonFatal(_) => Seq.empty }
+      refs.foreach(r => require(targetNoIds.fieldNames.contains(r),
+        s"cannot drop/rename column '$r': referenced by CHECK " +
+          s"constraint '$n' — drop the constraint first"))
     }
 
     // a live equality-delete batch resolves its key columns by field

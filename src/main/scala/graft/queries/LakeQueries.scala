@@ -1386,6 +1386,75 @@ object LakeReadQueries extends QueryModule {
         "FROM gmvj2.mvj.segroll ORDER BY c_seg")
     }),
 
+    "lake_constraints" -> QueryModule.micro(4)((s, dir) => {
+      // CHECK CONSTRAINTS (r11): ALTER TABLE ADD CONSTRAINT name
+      // CHECK (expr), enforced on every commit that adds data files,
+      // STATS-FIRST — a file whose footer min/max/null-count proves it
+      // cannot hold a violating row is accepted without being read
+      // (self-audited: the clean far-from-boundary append scans ZERO
+      // files), a violating batch refuses BY NAME with nothing landed
+      // (the good rows in the same batch must not survive), NULL
+      // passes (SQL CHECK semantics), and a CoW UPDATE that would
+      // break the constraint refuses like any other write. The oracle
+      // recomputes the surviving table.
+      val wh = LakeQueries.freshWarehouse("constraints")
+      Engine.processTableDefJson(wh,
+        """{"database_name":"co","table_name":"ord","columns":[
+          |{"column_name":"o_okey","data_type":"long"},
+          |{"column_name":"o_prio","data_type":"string"},
+          |{"column_name":"o_price","data_type":"double"}],
+          |"partitions":[]}""".stripMargin)
+      val orders = Tables(s, dir, "orders")
+        .select(col("o_orderkey").as("o_okey"),
+          col("o_orderpriority").as("o_prio"),
+          col("o_totalprice").as("o_price"))
+      s.conf.set("spark.sql.catalog.gco", "graft.sources.LakeCatalog")
+      s.conf.set("spark.sql.catalog.gco.warehouse", wh)
+      def vsql(q: String) =
+        org.apache.spark.sql.GraftViewSubstitution.sql(s, q)
+      vsql("ALTER TABLE gco.co.ord ADD CONSTRAINT price_pos " +
+        "CHECK (o_price > 0 AND o_prio IS NOT NULL)").collect()
+      // clean append, every price far above 0: footer stats must
+      // PROVE it — zero validation reads
+      LakeTable.load(wh, "co", "ord")
+        .append(orders.filter(col("o_okey") % 4 === 0))
+      val (scanned, total) =
+        graft.lake.Constraints.lastValidationScan.get
+      require(total > 0 && scanned == 0,
+        s"stats must prove the clean append without reading it: " +
+          s"$scanned/$total")
+      // a batch hiding one negated price refuses BY NAME and lands
+      // NOTHING — its clean rows must not survive either
+      val before = LakeTable.load(wh, "co", "ord").read(s).count()
+      val poisoned = orders.filter(col("o_okey") % 4 === 1)
+        .withColumn("o_price",
+          when(col("o_okey") % 1000 === 1, -col("o_price"))
+            .otherwise(col("o_price")))
+      val refusal =
+        try { LakeTable.load(wh, "co", "ord").append(poisoned); "" }
+        catch { case e: Exception =>
+          Option(e.getMessage).getOrElse("") }
+      require(refusal.contains("price_pos"),
+        s"the poisoned batch must refuse by name, got: $refusal")
+      require(LakeTable.load(wh, "co", "ord").read(s).count() == before,
+        "a refused batch must land nothing")
+      // a CoW UPDATE breaking the constraint refuses; a legal one lands
+      val updRefusal =
+        try { vsql("UPDATE gco.co.ord SET o_price = -1.0 " +
+          "WHERE o_okey % 100 = 0").collect(); "" }
+        catch { case e: Exception =>
+          Iterator.iterate(e: Throwable)(_.getCause)
+            .takeWhile(_ != null)
+            .map(t => Option(t.getMessage).getOrElse("")).mkString(" ") }
+      require(updRefusal.contains("price_pos"),
+        s"the violating UPDATE must refuse by name, got: $updRefusal")
+      vsql("UPDATE gco.co.ord SET o_price = o_price + 10.0 " +
+        "WHERE o_okey % 100 = 0").collect()
+      vsql("SELECT o_prio, count(*) AS n_orders, " +
+        "CAST(sum(CAST(o_price AS DECIMAL(18,4))) AS DOUBLE) " +
+        "AS sum_price FROM gco.co.ord GROUP BY o_prio ORDER BY o_prio")
+    }),
+
     "lake_txn_sql" -> QueryModule.micro(4)((s, dir) => {
       // SQL SESSION TRANSACTIONS (r11): BEGIN TRANSACTION / COMMIT /
       // ROLLBACK over lake tables — every statement in between stages
@@ -3470,6 +3539,15 @@ object RowOpsQueries extends QueryModule {
         |WHERE o_orderkey % 6 = 0
         |  AND o_custkey % 4 IN (0, 1) AND o_custkey % 10 <> 4
         |GROUP BY c_mktsegment ORDER BY c_seg""".stripMargin,
+
+    "lake_constraints" ->
+      """SELECT o_orderpriority AS o_prio,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice +
+        |    CASE WHEN o_orderkey % 100 = 0 THEN 10.0 ELSE 0.0 END
+        |    AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_orderkey % 4 = 0
+        |GROUP BY o_orderpriority ORDER BY o_prio""".stripMargin,
 
     "lake_txn_sql" ->
       """SELECT o_custkey % 10 AS bucket,

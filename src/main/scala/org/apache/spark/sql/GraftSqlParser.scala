@@ -135,6 +135,17 @@ object GraftSqlParser {
     ("""(?is)^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+""" + Ident +
       """(?:\s+(FULL|INCREMENTAL))?\s*;?\s*$""").r
 
+  // CHECK constraints (Delta/ANSI-style): intercepted like the
+  // PARTITION FIELD DDL and routed to the lake table
+  private[sql] val AddConstraintRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+""" + Ident +
+      """\s+ADD\s+CONSTRAINT\s+([A-Za-z_][A-Za-z0-9_]*)\s+CHECK\s*""" +
+      """\((.+)\)\s*;?\s*$""").r
+  private[sql] val DropConstraintRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+""" + Ident +
+      """\s+DROP\s+CONSTRAINT\s+(IF\s+EXISTS\s+)?""" +
+      """([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""").r
+
   // session transactions: stock Spark parses none of these (BEGIN
   // alone stays un-intercepted — SQL-scripting compound blocks start
   // with it, so the transaction spelling requires the keyword)
@@ -253,6 +264,14 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       GraftRefreshMatViewCommand(delegate.parseMultipartIdentifier(ident),
         mode = Option(mode).map(_.toLowerCase(java.util.Locale.ROOT))
           .getOrElse(""))
+    case AddConstraintRe(tbl, name, cond) =>
+      GraftConstraintCommand(delegate.parseMultipartIdentifier(tbl),
+        add = true, name = name, condition = cond.trim,
+        ifExists = false)
+    case DropConstraintRe(tbl, ifExists, name) =>
+      GraftConstraintCommand(delegate.parseMultipartIdentifier(tbl),
+        add = false, name = name, condition = "",
+        ifExists = ifExists != null)
     case BeginTxnRe() => GraftBeginTxnCommand()
     case CommitTxnRe() => GraftCommitTxnCommand()
     case RollbackTxnRe() => GraftRollbackTxnCommand()

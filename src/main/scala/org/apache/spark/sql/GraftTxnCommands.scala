@@ -39,3 +39,32 @@ case class GraftRollbackTxnCommand() extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row("rolled back", graft.lake.SqlTxn.rollback()))
 }
+
+/** `ALTER TABLE t ADD CONSTRAINT name CHECK (expr)` /
+  * `ALTER TABLE t DROP CONSTRAINT [IF EXISTS] name` — CHECK
+  * constraints on lake tables, resolved like the PARTITION FIELD DDL
+  * (semantics on [[graft.lake.LakeTable.addConstraint]]).
+  */
+case class GraftConstraintCommand(table: Seq[String], add: Boolean,
+    name: String, condition: String,
+    ifExists: Boolean) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val cm = spark.sessionState.catalogManager
+    val (cat, db, tbl) = table match {
+      case Seq(c, d, t) => (cm.catalog(c), d, t)
+      case Seq(d, t) => (cm.currentCatalog, d, t)
+      case _ => throw new IllegalArgumentException(
+        s"ALTER TABLE ... CONSTRAINT: expected [catalog.]db.table, " +
+          s"got ${table.mkString(".")}")
+    }
+    val lake = cat match {
+      case lc: graft.sources.LakeCatalog =>
+        graft.lake.LakeTable.load(lc.warehousePath, db, tbl)
+      case other => throw new UnsupportedOperationException(
+        s"catalog ${other.name} is not a graft lake catalog")
+    }
+    if (add) lake.addConstraint(spark, name, condition)
+    else lake.dropConstraint(name, ifExists = ifExists)
+    Seq.empty
+  }
+}

@@ -1,0 +1,150 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.lake.{Constraints, Engine, LakeTable}
+
+/** CHECK constraints ([[graft.lake.Constraints]]): declared via
+  * `ALTER TABLE … ADD CONSTRAINT name CHECK (expr)`, enforced on every
+  * commit that adds data files, stats-first (footer min/max/null-count
+  * proofs skip the read), refusing BY NAME with nothing landed.
+  */
+class ConstraintSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def vsql(q: String) =
+    org.apache.spark.sql.GraftViewSubstitution.sql(spark, q)
+
+  private def setup(tag: String): String = {
+    val wh = Files.createTempDirectory(s"graft-cons-$tag").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"t","columns":[
+        |{"column_name":"k","data_type":"long"},
+        |{"column_name":"amt","data_type":"long"},
+        |{"column_name":"tag","data_type":"string"}],
+        |"partitions":[]}""".stripMargin)
+    wh
+  }
+
+  test("ADD CONSTRAINT validates existing data; commits refuse " +
+      "violating rows by name with nothing landed; DROP lifts it") {
+    val wh = setup("basic")
+    import SparkTestSession.spark.implicits._
+    val t = LakeTable.load(wh, "d", "t")
+    t.append(Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("k", "amt", "tag"))
+    spark.conf.set("spark.sql.catalog.gcons", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.gcons.warehouse", wh)
+    vsql("ALTER TABLE gcons.d.t ADD CONSTRAINT amt_pos CHECK (amt > 0)")
+      .collect()
+    assert(LakeTable.load(wh, "d", "t").constraints ==
+      Map("amt_pos" -> "amt > 0"))
+    // a clean append passes
+    vsql("INSERT INTO gcons.d.t VALUES (3, 30, 'c')").collect()
+    // a violating append refuses BY NAME and lands NOTHING (the good
+    // row in the same batch must not survive)
+    val e = intercept[Exception] {
+      vsql("INSERT INTO gcons.d.t VALUES (4, 40, 'd'), (5, -5, 'e')")
+        .collect()
+    }
+    def msgs(x: Throwable): String = Iterator.iterate(x)(_.getCause)
+      .takeWhile(_ != null)
+      .map(c => Option(c.getMessage).getOrElse("")).mkString(" ")
+    assert(msgs(e).contains("amt_pos"), msgs(e))
+    assert(LakeTable.load(wh, "d", "t").read(spark).count() == 3L,
+      "the refused batch must land nothing")
+    // NULL passes a CHECK (SQL semantics)
+    vsql("INSERT INTO gcons.d.t VALUES (6, NULL, 'f')").collect()
+    assert(LakeTable.load(wh, "d", "t").read(spark).count() == 4L)
+    // a CoW UPDATE that would break the constraint refuses too
+    val e2 = intercept[Exception] {
+      vsql("UPDATE gcons.d.t SET amt = -1 WHERE k = 1").collect()
+    }
+    assert(msgs(e2).contains("amt_pos"), msgs(e2))
+    assert(LakeTable.load(wh, "d", "t").read(spark)
+      .filter(col("k") === 1L).head().getLong(1) == 10L)
+    // ADD over violating existing data refuses
+    val e3 = intercept[Exception] {
+      vsql("ALTER TABLE gcons.d.t ADD CONSTRAINT big CHECK (amt >= 15)")
+        .collect()
+    }
+    assert(msgs(e3).contains("existing rows violate"), msgs(e3))
+    // DROP lifts enforcement
+    vsql("ALTER TABLE gcons.d.t DROP CONSTRAINT amt_pos").collect()
+    vsql("INSERT INTO gcons.d.t VALUES (7, -7, 'g')").collect()
+    assert(LakeTable.load(wh, "d", "t").constraints.isEmpty)
+    // DROP of a missing name refuses unless IF EXISTS
+    intercept[Exception] {
+      vsql("ALTER TABLE gcons.d.t DROP CONSTRAINT nope").collect()
+    }
+    vsql("ALTER TABLE gcons.d.t DROP CONSTRAINT IF EXISTS nope")
+      .collect()
+  }
+
+  test("stats-first: files proven clean by footer min/max skip the " +
+      "validation read; only boundary-straddling files scan") {
+    val wh = setup("stats")
+    import SparkTestSession.spark.implicits._
+    val t = LakeTable.load(wh, "d", "t")
+    t.addConstraint(spark, "amt_pos", "amt > 0 AND tag IS NOT NULL")
+    locally {
+      // 4 single-file appends, all clean, min(amt) comfortably > 0:
+      // every file must be PROVEN — zero validation scans
+      for (b <- 1 to 4)
+        LakeTable.load(wh, "d", "t").append(
+          (0 until 50).map(i => (b * 100L + i, b * 10L + i, s"t$i"))
+            .toDF("k", "amt", "tag").coalesce(1))
+      val (scanned, total) = Constraints.lastValidationScan.get
+      assert(total > 0 && scanned == 0,
+        s"clean far-from-boundary files must prove via stats: " +
+          s"$scanned/$total")
+    }
+    // an unprovable expression shape (arithmetic) always scans — and
+    // still enforces correctly
+    val t2 = LakeTable.load(wh, "d", "t")
+    t2.addConstraint(spark, "sum_ok", "k + amt > 0")
+    locally {
+      LakeTable.load(wh, "d", "t").append(
+        Seq((1000L, 1L, "x")).toDF("k", "amt", "tag").coalesce(1))
+      val (scanned2, _) = Constraints.lastValidationScan.get
+      assert(scanned2 >= 1, "unprovable shape must scan")
+      val e = intercept[Exception] {
+        LakeTable.load(wh, "d", "t").append(
+          Seq((-10L, 5L, "x")).toDF("k", "amt", "tag").coalesce(1))
+      }
+      assert(e.getMessage.contains("sum_ok"), e.getMessage)
+    }
+  }
+
+  test("constraints bind names: dropping a referenced column refuses; " +
+      "add over staged WAP snapshots refuses; bad shapes refuse") {
+    val wh = setup("guards")
+    import SparkTestSession.spark.implicits._
+    val t = LakeTable.load(wh, "d", "t")
+    t.append(Seq((1L, 10L, "a")).toDF("k", "amt", "tag"))
+    t.addConstraint(spark, "amt_pos", "amt > 0")
+    // dropping the referenced column refuses by name
+    val e = intercept[Exception] {
+      LakeTable.load(wh, "d", "t").evolve(graft.schema.TableDef.parse(
+        """{"database_name":"d","table_name":"t","columns":[
+          |{"column_name":"k","data_type":"long"},
+          |{"column_name":"tag","data_type":"string"}],
+          |"partitions":[]}""".stripMargin).toOption.get)
+    }
+    assert(e.getMessage.contains("amt_pos"), e.getMessage)
+    // unknown column / unparseable expression refuse at ADD
+    intercept[Exception] {
+      LakeTable.load(wh, "d", "t").addConstraint(spark, "bad", "zzz > 0")
+    }
+    intercept[Exception] {
+      LakeTable.load(wh, "d", "t").addConstraint(spark, "bad", "amt >")
+    }
+    // duplicate name refuses
+    intercept[Exception] {
+      LakeTable.load(wh, "d", "t").addConstraint(spark, "amt_pos",
+        "amt > 1")
+    }
+  }
+}
