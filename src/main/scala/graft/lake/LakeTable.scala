@@ -3320,7 +3320,8 @@ class LakeTable private (val location: Path, private var md: TableMetadata,
     * without a recorded commit time (pre-upgrade metadata) count as
     * old — they predate the field.
     */
-  def expireSnapshotsOlderThan(olderThanMs: Long): Int = {
+  def expireSnapshotsOlderThan(olderThanMs: Long,
+      cap: Long = Long.MaxValue): Int = {
     if (md.snapshots.isEmpty) return 0
     val byId = md.snapshots.sortBy(_.id)
     val latest = byId.last.id
@@ -3328,8 +3329,10 @@ class LakeTable private (val location: Path, private var md: TableMetadata,
     // eligible: with non-monotonic commit timestamps (clock skew), an
     // id below a younger-than-cutoff snapshot must survive — expiring
     // by old.max alone would squash it regardless of its age.
+    // `cap` bounds the prefix further (materialized-view pin
+    // protection — the CALL procedure passes the oldest pin).
     val prefix = byId.takeWhile(s =>
-      s.timestampMs < olderThanMs && s.id < latest)
+      s.timestampMs < olderThanMs && s.id < latest && s.id <= cap)
     // Fixpoint: re-squashing a single already-squashed (or lone
     // append) snapshot is a no-op that would otherwise commit a new
     // metadata version and report 1 forever — maintenance loops that

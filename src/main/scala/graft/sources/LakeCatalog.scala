@@ -1190,13 +1190,27 @@ private[sources] object LakeProcedures {
                       Seq[Any](sid, rows))
                 }
               case "expire_snapshots" =>
-                val expired = t.expireSnapshots(keepAfter = input.getLong(2))
+                // materialized-view pin protection: never squash past
+                // the oldest watermark/dim pin a registered MV still
+                // replays from — expiring through one silently
+                // downgrades every dependent MV to full O(source)
+                // refreshes (the programmatic LakeTable API stays
+                // uncapped for callers that mean it)
+                val pinCap = MatViews
+                  .pinnedSnapshots(warehouse, db, tbl)
+                  .map(_._3).minOption.getOrElse(Long.MaxValue)
+                val expired = t.expireSnapshots(
+                  keepAfter = math.min(input.getLong(2), pinCap))
                 (StructType(Seq(
                   StructField("expired_snapshots", IntegerType, nullable = false),
                   StructField("snapshots_left", IntegerType, nullable = false))),
                   Seq[Any](expired, t.metadata.snapshots.size))
               case "expire_older_than" =>
-                val expired = t.expireSnapshotsOlderThan(input.getLong(2))
+                val pinCap = MatViews
+                  .pinnedSnapshots(warehouse, db, tbl)
+                  .map(_._3).minOption.getOrElse(Long.MaxValue)
+                val expired = t.expireSnapshotsOlderThan(input.getLong(2),
+                  cap = pinCap)
                 (StructType(Seq(
                   StructField("expired_snapshots", IntegerType, nullable = false),
                   StructField("snapshots_left", IntegerType, nullable = false))),

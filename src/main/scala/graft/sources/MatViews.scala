@@ -1079,6 +1079,61 @@ private[graft] object MatViews {
   @volatile private[graft] var lastDimDeltaScan: Option[(Int, Int)] =
     None
 
+  /** Snapshot ids in `db.table` that some registered materialized
+    * view still needs for INCREMENTAL maintenance: the watermark of
+    * every MV whose source is this table, and the dim pin of every MV
+    * joining it. Snapshot expiry consults this to cap its squash —
+    * expiring through a pin is never wrong (the refresh detects it
+    * and refuses to a full recompute), but it silently downgrades
+    * every dependent MV to O(source) refreshes; the cap keeps
+    * maintenance and materializations composable. O(views) tiny JSON
+    * reads, like the rewrite scan.
+    */
+  def pinnedSnapshots(warehouse: String, db: String,
+      table: String): Seq[(String, String, Long)] = {
+    val whPath = java.nio.file.Paths.get(warehouse)
+    if (!java.nio.file.Files.isDirectory(whPath)) return Seq.empty
+    val dbs = scala.util.Using.resource(
+      java.nio.file.Files.list(whPath)) { st =>
+      scala.jdk.CollectionConverters.IteratorHasAsScala(st.iterator)
+        .asScala.filter(java.nio.file.Files.isDirectory(_))
+        .map(_.getFileName.toString).filterNot(_.startsWith("_")).toList
+    }
+    dbs.flatMap { vdb =>
+      val vdir = LakeViews.dir(warehouse, vdb)
+      if (!java.nio.file.Files.isDirectory(vdir)) Nil
+      else scala.util.Using.resource(
+        java.nio.file.Files.list(vdir)) { st =>
+        scala.jdk.CollectionConverters.IteratorHasAsScala(st.iterator)
+          .asScala.filter(_.getFileName.toString.endsWith(".json"))
+          .flatMap(p => LakeViews.read(p)).toList
+      }.filter(_.properties.get("graft.mat-view").contains("true"))
+        .flatMap { doc =>
+          try decode(doc.properties).toSeq.flatMap { shape =>
+            val props = doc.properties.get("graft.mat-view.table")
+              .map(mt => graft.lake.LakeTable
+                .load(warehouse, vdb, mt).metadata.properties)
+              .getOrElse(Map.empty[String, String])
+            val wm =
+              if (shape.srcDb == db && shape.srcTable == table)
+                props.get("graft.mat-view.watermark")
+                  .flatMap(_.toLongOption).filter(_ > 0)
+                  .map(w => (s"$vdb.${doc.name}", "watermark", w))
+              else None
+            val pins = shape.dims
+              .filter(d => d.db == db && d.table == table)
+              .flatMap(d => props.get(dimPinKey(d))
+                .flatMap(_.split(":")(0).toLongOption).filter(_ > 0)
+                .map(p => (s"$vdb.${doc.name}", "dim-pin", p)))
+            wm.toSeq ++ pins
+          } catch {
+            case scala.util.control.NonFatal(_) =>
+              Seq.empty[(String, String, Long)]
+          }
+        }
+    }
+  }
+
   /** Past this many touched groups the key-set collect (and the
     * resulting filter envelope) stops paying for itself — fall back to
     * the full backing scan. Conf-overridable for tests.

@@ -1486,6 +1486,73 @@ class MatViewSpec extends AnyFunSuite {
       .head.getLong(0) == 400L)
   }
 
+  test("CALL expire_snapshots never squashes past an MV watermark or " +
+      "dim pin — incremental refresh survives routine retention") {
+    val wh = Files.createTempDirectory("graft-matview-expire").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"fact","columns":[
+        |{"column_name":"f_cust","data_type":"long"},
+        |{"column_name":"f_amt","data_type":"long"}],
+        |"partitions":[]}""".stripMargin)
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"cust","columns":[
+        |{"column_name":"c_id","data_type":"long"},
+        |{"column_name":"c_seg","data_type":"string"}],
+        |"partitions":[]}""".stripMargin)
+    import SparkTestSession.spark.implicits._
+    LakeTable.load(wh, "d", "cust").append(
+      Seq((1L, "A"), (2L, "B")).toDF("c_id", "c_seg"))
+    for (i <- 1 to 3)
+      LakeTable.load(wh, "d", "fact").append(
+        Seq((1L, i * 10L), (2L, i * 100L)).toDF("f_cust", "f_amt"))
+    spark.conf.set("spark.sql.catalog.gmvex", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.gmvex.warehouse", wh)
+    vsql("CREATE MATERIALIZED VIEW gmvex.d.roll AS " +
+      "SELECT c_seg, count(*) AS n, sum(f_amt) AS s " +
+      "FROM gmvex.d.fact JOIN gmvex.d.cust ON f_cust = c_id " +
+      "GROUP BY c_seg").collect()
+    val wm = LakeTable.load(wh, "d", "__mat_roll").metadata
+      .properties("graft.mat-view.watermark").toLong
+    // two more fact commits past the watermark, then retention asking
+    // to squash EVERYTHING — the cap must hold the line at the
+    // watermark so (wm, head] stays replayable
+    for (i <- 4 to 5)
+      LakeTable.load(wh, "d", "fact").append(
+        Seq((1L, i * 10L)).toDF("f_cust", "f_amt"))
+    val factHead = LakeTable.load(wh, "d", "fact").metadata
+      .snapshots.map(_.id).max
+    spark.sql(s"CALL gmvex.system.expire_snapshots('d', 'fact', " +
+      s"$factHead)").collect()
+    val left = LakeTable.load(wh, "d", "fact").metadata.snapshots
+    assert(left.exists(_.id == wm),
+      s"the MV watermark snapshot $wm must survive: ${left.map(_.id)}")
+    assert(left.count(_.id > wm) == 2,
+      "the replay range past the watermark must survive untouched")
+    // the dim pin is protected the same way
+    LakeTable.load(wh, "d", "cust").append(
+      Seq((3L, "A")).toDF("c_id", "c_seg"))
+    val custHead = LakeTable.load(wh, "d", "cust").metadata
+      .snapshots.map(_.id).max
+    spark.sql(s"CALL gmvex.system.expire_snapshots('d', 'cust', " +
+      s"$custHead)").collect()
+    val pin = LakeTable.load(wh, "d", "__mat_roll").metadata
+      .properties("graft.mat-view.dim-watermark.d.cust")
+      .split(":")(0).toLong
+    assert(LakeTable.load(wh, "d", "cust").metadata.snapshots
+      .exists(_.id == pin), "the dim pin must survive expiry")
+    // and the incremental refresh (fact delta + dim append delta)
+    // still runs after routine retention
+    vsql("REFRESH MATERIALIZED VIEW gmvex.d.roll INCREMENTAL").collect()
+    val got = vsql("SELECT c_seg, n, s FROM gmvex.d.roll")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val want = vsql("SELECT c_seg, count(*) AS n, sum(f_amt) AS s " +
+      "FROM gmvex.d.fact JOIN gmvex.d.cust ON f_cust = c_id " +
+      "GROUP BY c_seg").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want, "refresh after capped expiry must stay exact")
+  }
+
   test("the dim-delta leg prunes the watermark-image fact scan by " +
       "the Δdim join-key envelope") {
     val wh = Files.createTempDirectory("graft-matview-dimprune").toString
