@@ -56,6 +56,15 @@ object MatViewRewrite {
     * identity) or "rollup" (coarser re-aggregation over a finer MV). */
   def lastRewriteKind: Option[String] = lastRewriteKindTL.get()
 
+  private val lastRewriteAgeTL = new ThreadLocal[Option[Long]] {
+    override def initialValue: Option[Long] = None
+  }
+
+  /** Data age (ms) of this thread's last rewrite: 0 when the view was
+    * exactly fresh, positive when a `rewrite.max-staleness-ms` bound
+    * admitted a bounded-stale serve. */
+  def lastRewriteAgeMs: Option[Long] = lastRewriteAgeTL.get()
+
   def enabled(spark: SparkSession): Boolean =
     !spark.conf.getOption("spark.graft.matview.rewrite")
       .contains("false")
@@ -63,6 +72,7 @@ object MatViewRewrite {
   def apply(spark: SparkSession, plan: LogicalPlan): LogicalPlan = {
     lastRewriteTL.set(None)
     lastRewriteKindTL.set(None)
+    lastRewriteAgeTL.set(None)
     if (!enabled(spark)) return plan
     // fast bail: no aggregate over a lake relation, nothing to do
     val hasLakeAgg = plan.exists {
@@ -281,29 +291,73 @@ object MatViewRewrite {
       Some(("exact", (df: DataFrame) => MatViews.visibleFrame(df, mv)))
     else rollupFrom(user, mv).map(b => ("rollup", b))
 
-  /** Fresh = the backing table's AUTHORITATIVE bookkeeping (watermark,
-    * dim pins, tz — all advanced in the same transaction as the data)
-    * matches the live heads. */
-  private def fresh(spark: SparkSession, warehouse: String,
-      mv: MatViews.AggShape, backing: LakeTable): Boolean = {
+  /** Servability of the MV for rewriting, as the AGE of the data it
+    * is missing: Some(0) = exactly fresh (the backing table's
+    * authoritative bookkeeping — watermark, dim pins, tz, all
+    * advanced in the same transaction as the data — matches the live
+    * heads, byte-moves don't count as movement), Some(age > 0) =
+    * stale but within the view's declared
+    * `rewrite.max-staleness-ms` bound (the oldest unreplayed source
+    * or dim commit is at most that old — the BigQuery/Snowflake
+    * bounded-staleness contract, opt-in per view), None = not
+    * servable. Correctness conditions are NEVER relaxed by the bound:
+    * a rolled-back-through watermark or pin, a mismatched tz, an
+    * unstamped (age-unknown) commit, or a lost pin refuse regardless.
+    */
+  private def freshness(spark: SparkSession, warehouse: String,
+      mv: MatViews.AggShape, backing: LakeTable,
+      docProps: Map[String, String]): Option[Long] = {
     val props = backing.metadata.properties
-    val srcHead = LakeTable.load(warehouse, mv.srcDb, mv.srcTable)
-      .metadata.snapshots.map(_.id).foldLeft(0L)(math.max)
-    if (!props.get("graft.mat-view.watermark").contains(srcHead.toString))
-      return false
-    // a byte-moved dim (compaction/zorder past the pin) is still
-    // row-identical to the pinned image — content-fresh for rewriting
-    val dimsFresh = mv.dims.forall { d =>
-      val t = LakeTable.load(warehouse, d.db, d.table)
-      props.get(MatViews.dimPinKey(d))
-        .exists(pin => MatViews.dimContentUnmoved(t, pin))
+    val srcSnaps = LakeTable.load(warehouse, mv.srcDb, mv.srcTable)
+      .metadata.snapshots
+    val w = props.get("graft.mat-view.watermark")
+      .flatMap(_.toLongOption).getOrElse(return None)
+    if (w > 0) {
+      // the watermark must still NAME the commit it named (a rollback
+      // re-uses ids) — broken lineage is never "stale", it's wrong
+      val ws = srcSnaps.find(_.id == w).getOrElse(return None)
+      if (!props.get("graft.mat-view.watermark-ts")
+          .forall(_.toLongOption.contains(ws.timestampMs))) return None
     }
-    dimsFresh && (!mv.tzSensitive || props.get("graft.mat-view.tz")
-      .contains(spark.sessionState.conf.sessionLocalTimeZone))
+    // tz bucketing correctness is not staleness — mismatch refuses
+    if (mv.tzSensitive && !props.get("graft.mat-view.tz")
+        .contains(spark.sessionState.conf.sessionLocalTimeZone))
+      return None
+    // commit times of everything the MV has NOT replayed: real source
+    // commits past the watermark plus real dim movement past the pins
+    // (byte-moves are content-identical — never missing)
+    val missingSrc = srcSnaps
+      .filter(s => s.id > w && !LakeTable.isByteMove(s.operation))
+      .map(_.timestampMs)
+    val missingDims = mv.dims.flatMap { d =>
+      val t = LakeTable.load(warehouse, d.db, d.table)
+      val pin = props.get(MatViews.dimPinKey(d)).getOrElse(return None)
+      if (MatViews.dimContentUnmoved(t, pin)) Nil
+      else {
+        val Array(idS, tsS) = pin.split(":")
+        val (id, ts) = (idS.toLong, tsS.toLong)
+        if (id > 0 && !t.metadata.snapshots.exists(s =>
+            s.id == id && s.timestampMs == ts)) return None
+        t.metadata.snapshots
+          .filter(s => s.id > id && !LakeTable.isByteMove(s.operation))
+          .map(_.timestampMs)
+      }
+    }
+    val missing = missingSrc ++ missingDims
+    if (missing.isEmpty) Some(0L)
+    else docProps.get("rewrite.max-staleness-ms")
+      .flatMap(_.toLongOption).flatMap { bound =>
+        if (missing.exists(_ < 0)) None // unstamped commit: age unknown
+        else {
+          val age = System.currentTimeMillis() - missing.min
+          if (age >= 0 && age <= bound) Some(age) else None
+        }
+      }
   }
 
   private def rewriteAgg(spark: SparkSession,
       agg: Aggregate): Option[LogicalPlan] = {
+    lastRewriteAgeTL.set(None)
     val wh = warehouseOf(agg.child).getOrElse(return None)
     val userShape = MatViews.detect(agg, wh).getOrElse(return None)
     // scan the warehouse's view docs for a fresh exact-shape MV; the
@@ -341,14 +395,14 @@ object MatViewRewrite {
           (kind, builder) <- planBuilder(userShape, mvShape)
           matTable <- doc.properties.get("graft.mat-view.table")
           backing = LakeTable.load(wh, db, matTable)
-          if fresh(spark, wh, mvShape, backing)
+          age <- freshness(spark, wh, mvShape, backing, doc.properties)
           // building the result frame may still prove the shape
           // underivable (Unsupported) — that's a no-match, not an error
           frame = builder(backing.read(spark))
-        } yield (db, doc.name, kind, frame)
+        } yield (db, doc.name, kind, age, frame)
       } catch { case scala.util.control.NonFatal(_) => None }
     }.take(1).toList.headOption
-    hit.flatMap { case (db, viewName, kind, frame) =>
+    hit.flatMap { case (db, viewName, kind, age, frame) =>
       val child = frame.queryExecution.analyzed
       // positional correspondence is guaranteed by the builder (user
       // spec order); keep the user's names and exprIds so the parent
@@ -359,6 +413,7 @@ object MatViewRewrite {
       else {
         lastRewriteTL.set(Some((db, viewName)))
         lastRewriteKindTL.set(Some(kind))
+        lastRewriteAgeTL.set(Some(age))
         Some(Project(out.zip(child.output).map { case (o, n) =>
           Alias(n, o.name)(exprId = o.exprId)
         }, child))

@@ -346,4 +346,57 @@ class MatViewRewriteSpec extends AnyFunSuite {
     assert(!scans(off).exists(_.contains("__mat_")),
       "a different join condition must fall back")
   }
+
+  test("rewrite.max-staleness-ms admits a bounded-stale serve; " +
+      "correctness conditions never relax") {
+    val wh = setup("stale")
+    import SparkTestSession.spark.implicits._
+    spark.conf.set("spark.sql.catalog.grws", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.grws.warehouse", wh)
+    vsql("CREATE MATERIALIZED VIEW grws.d.roll AS " +
+      "SELECT k, sum(x) AS s FROM grws.d.src GROUP BY k").collect()
+    def agg() = vsql("SELECT k, sum(x) AS s FROM grws.d.src " +
+      "GROUP BY k ORDER BY k")
+    // source moves → no bound declared → fallback
+    LakeTable.load(wh, "d", "src").append(Seq(("c", 5L)).toDF("k", "x"))
+    assert(!scans(agg()).exists(_.contains("__mat_")))
+    // a generous bound (1h): the minutes-old missing commit is inside
+    // it — the view answers STALE (pre-append content) and the
+    // observable reports a positive age
+    vsql("ALTER MATERIALIZED VIEW grws.d.roll SET TBLPROPERTIES " +
+      "('rewrite.max-staleness-ms'='3600000')").collect()
+    val stale = agg()
+    assert(scans(stale).exists(_.contains("__mat_")),
+      s"within the bound the MV must answer: ${scans(stale)}")
+    assert(MatViewRewrite.lastRewriteAgeMs.exists(_ > 0L),
+      s"age must be positive: ${MatViewRewrite.lastRewriteAgeMs}")
+    assert(stale.collect().map(r => (r.getString(0), r.getLong(1)))
+      .toSeq == Seq(("a", 3L), ("b", 10L)),
+      "the bounded-stale serve returns the materialized (old) content")
+    // refresh → exact fresh again, age 0, live content
+    vsql("REFRESH MATERIALIZED VIEW grws.d.roll INCREMENTAL").collect()
+    val freshDf = agg()
+    assert(scans(freshDf).exists(_.contains("__mat_")))
+    assert(MatViewRewrite.lastRewriteAgeMs.contains(0L))
+    assert(freshDf.collect().map(r => (r.getString(0), r.getLong(1)))
+      .toSeq == Seq(("a", 3L), ("b", 10L), ("c", 5L)))
+    // a ZERO bound never admits staleness
+    vsql("ALTER MATERIALIZED VIEW grws.d.roll SET TBLPROPERTIES " +
+      "('rewrite.max-staleness-ms'='0')").collect()
+    LakeTable.load(wh, "d", "src").append(Seq(("d", 7L)).toDF("k", "x"))
+    assert(!scans(agg()).exists(_.contains("__mat_")),
+      "a zero bound must fall back the moment the source moves")
+    // correctness is never relaxed: a source ROLLBACK through the
+    // watermark refuses even under an infinite bound
+    vsql("ALTER MATERIALIZED VIEW grws.d.roll SET TBLPROPERTIES " +
+      "('rewrite.max-staleness-ms'='9999999999')").collect()
+    vsql("REFRESH MATERIALIZED VIEW grws.d.roll INCREMENTAL").collect()
+    val head = LakeTable.load(wh, "d", "src").metadata.snapshots
+      .map(_.id).max
+    LakeTable.load(wh, "d", "src").rollbackTo(head - 1)
+    LakeTable.load(wh, "d", "src").append(Seq(("e", 9L)).toDF("k", "x"))
+    val broken = agg()
+    assert(!scans(broken).exists(_.contains("__mat_")),
+      "a rollback through the watermark is wrong, not stale — refuse")
+  }
 }

@@ -140,6 +140,34 @@ class SqlTxnSpec extends AnyFunSuite {
       LakeTable.load(wh, "d", "audit").read(spark).count()) == 1L)
   }
 
+  test("CHECK constraints enforce inside a transaction at the " +
+      "violating statement, fail-fast, and the block can roll back") {
+    val wh = setup("cons")
+    spark.conf.set("spark.sql.catalog.gtx4", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.gtx4.warehouse", wh)
+    LakeTable.load(wh, "d", "acct")
+      .addConstraint(spark, "v_pos", "v > 0")
+    vsql("BEGIN TRANSACTION").collect()
+    try {
+      vsql("INSERT INTO gtx4.d.acct VALUES (3, 300)").collect()
+      // the violating statement fails AT ITS OWN commit (buffered ops
+      // validate fail-fast), not at the distant COMMIT
+      val e = intercept[Exception] {
+        vsql("INSERT INTO gtx4.d.acct VALUES (4, -4)").collect()
+      }
+      def msgs(t: Throwable): String = Iterator.iterate(t)(_.getCause)
+        .takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" ")
+      assert(msgs(e).contains("v_pos"), msgs(e))
+      // the earlier clean statement is still staged — COMMIT keeps it
+      vsql("COMMIT").collect()
+    } finally if (graft.lake.SqlTxn.active.nonEmpty)
+      graft.lake.SqlTxn.rollback()
+    assert(spark.sql("SELECT k FROM gtx4.d.acct ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L),
+      "the clean staged insert commits; the violating one never lands")
+  }
+
   test("cross-warehouse statements refuse inside a transaction") {
     val wh1 = setup("whA")
     val wh2 = setup("whB")
