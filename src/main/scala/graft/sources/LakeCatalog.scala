@@ -1153,6 +1153,14 @@ private[sources] object LakeProcedures {
             }
             val db = strArg(0)
             val tbl = strArg(1)
+            // maintenance does not participate in SQL transactions: a
+            // compaction/expiry buffered into an open BEGIN block would
+            // publish (or vanish) with unrelated user writes, and the
+            // mat-view procedures write non-transactional sidecars —
+            // refuse by name instead of silently enlisting
+            require(graft.lake.SqlTxn.active.isEmpty,
+              s"CALL $procName does not participate in SQL " +
+                "transactions — COMMIT or ROLLBACK first")
             // lazy: the mat-view procedures' second arg is a VIEW
             // name, not a lake table — an eager load would fail
             lazy val t = LakeTable.load(warehouse, db, tbl)

@@ -72,6 +72,12 @@ object MatViewDdl {
   def create(spark: SparkSession, warehouse: String,
       catalogName: String, db: String, name: String,
       query: String): (String, Long) = {
+    // MV DDL writes non-transactional sidecars (view doc, refresh
+    // log) — enlisting its table commits in an open SQL transaction
+    // would tear doc from data; refuse by name
+    require(graft.lake.SqlTxn.active.isEmpty,
+      "CREATE MATERIALIZED VIEW does not participate in SQL " +
+        "transactions — COMMIT or ROLLBACK first")
     val matTable = s"__mat_$name"
     require(LakeViews.read(
       LakeViews.path(warehouse, db, name)).isEmpty,
@@ -247,6 +253,9 @@ object MatViewDdl {
     require(mode.isEmpty || mode == "full" ||
         mode == "incremental",
       s"refresh mode must be ''|full|incremental, got '$mode'")
+    require(graft.lake.SqlTxn.active.isEmpty,
+      "REFRESH MATERIALIZED VIEW does not participate in SQL " +
+        "transactions — COMMIT or ROLLBACK first")
     LakeViews.withRefreshLock(warehouse, db, name) {
       val doc = LakeViews.read(
         LakeViews.path(warehouse, db, name)).getOrElse(

@@ -57,6 +57,11 @@ case class GraftConstraintCommand(table: Seq[String], add: Boolean,
         s"ALTER TABLE ... CONSTRAINT: expected [catalog.]db.table, " +
           s"got ${table.mkString(".")}")
     }
+    // constraint DDL validates + publishes in its own transaction —
+    // it cannot nest inside an open SQL transaction's buffered handle
+    require(graft.lake.SqlTxn.active.isEmpty,
+      "constraint DDL does not participate in SQL transactions — " +
+        "COMMIT or ROLLBACK first")
     val lake = cat match {
       case lc: graft.sources.LakeCatalog =>
         graft.lake.LakeTable.load(lc.warehousePath, db, tbl)

@@ -168,6 +168,31 @@ class SqlTxnSpec extends AnyFunSuite {
       "the clean staged insert commits; the violating one never lands")
   }
 
+  test("maintenance refuses inside a transaction: CALL procedures, " +
+      "MV DDL, and constraint DDL all name the open transaction") {
+    val wh = setup("maint")
+    spark.conf.set("spark.sql.catalog.gtx5", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.gtx5.warehouse", wh)
+    vsql("BEGIN TRANSACTION").collect()
+    try {
+      def refusesByName(q: String): Unit = {
+        val e = intercept[Exception] {
+          if (q.startsWith("CALL")) spark.sql(q).collect()
+          else vsql(q).collect()
+        }
+        val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+          .takeWhile(_ != null)
+          .map(t => Option(t.getMessage).getOrElse("")).mkString(" ")
+        assert(msgs.contains("SQL transactions"), s"$q → $msgs")
+      }
+      refusesByName("CALL gtx5.system.compact('d', 'acct')")
+      refusesByName("CREATE MATERIALIZED VIEW gtx5.d.mv AS " +
+        "SELECT k, count(*) AS n FROM gtx5.d.acct GROUP BY k")
+      refusesByName("ALTER TABLE gtx5.d.acct ADD CONSTRAINT p " +
+        "CHECK (v > 0)")
+    } finally vsql("ROLLBACK").collect()
+  }
+
   test("cross-warehouse statements refuse inside a transaction") {
     val wh1 = setup("whA")
     val wh2 = setup("whB")
