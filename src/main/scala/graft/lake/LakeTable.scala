@@ -853,11 +853,79 @@ class LakeTable private (val location: Path, private var md: TableMetadata,
   /** Align `df` to the current schema, derive hidden partition columns,
     * write one snapshot of parquet files, record per-file partition
     * values in metadata (A24).
+    *
+    * With table property `write.merge-schema=true` (Delta's
+    * mergeSchema), the append AUTO-EVOLVES first: new top-level
+    * columns in the frame are added to the schema (optional, the
+    * frame's type), and an existing column that arrived WIDER evolves
+    * up when the promotion is legal (int→long, float→double, decimal
+    * precision at equal scale) — both through the same
+    * SchemaDiff-validated evolution ALTER TABLE runs, committed in
+    * the SAME transaction flip as the data. Auto-evolution never
+    * weakens validation (illegal promotions are simply not applied —
+    * the frame aligns by cast as always); without the property, extra
+    * columns keep being dropped by the alignment, exactly as before.
     */
   def append(df: DataFrame, streamBatchId: Option[Long] = None,
-      streamId: Option[String] = None): SnapshotMeta =
-    writeSnapshot(Align(df, md.currentSchema), operation = "append",
-      streamBatchId = streamBatchId, streamId = streamId)
+      streamId: Option[String] = None): SnapshotMeta = {
+    def write() = writeSnapshot(Align(df, md.currentSchema),
+      operation = "append", streamBatchId = streamBatchId,
+      streamId = streamId)
+    if (!autoEvolveNeeded(df)) write()
+    else if (txnActive) { autoEvolveFor(df); write() }
+    else transaction { _ => autoEvolveFor(df); write() }
+  }
+
+  private def autoEvolveDelta(df: DataFrame)
+      : (Seq[StructField], Map[String, DataType]) = {
+    val byName = md.currentSchema.fields.map { f =>
+      f.name -> Reconcile.clean(f.dataType)
+    }.toMap
+    val adds = df.schema.fields.toSeq
+      .filterNot(f => byName.contains(f.name))
+    val widens = df.schema.fields.toSeq.flatMap { f =>
+      byName.get(f.name).collect {
+        case t if t != f.dataType && graft.schema.SchemaDiff
+          .promotionAllowed(t, f.dataType).isRight =>
+          f.name -> f.dataType
+      }
+    }.toMap
+    (adds, widens)
+  }
+
+  private def autoEvolveNeeded(df: DataFrame): Boolean =
+    md.properties.get("write.merge-schema").contains("true") && {
+      val (adds, widens) = autoEvolveDelta(df)
+      adds.nonEmpty || widens.nonEmpty
+    }
+
+  /** Run the auto-evolution itself — same TableDef path as ALTER
+    * TABLE, so field-id assignment, eq-delete/constraint guards, and
+    * partition-spec preservation all apply unchanged.
+    */
+  private def autoEvolveFor(df: DataFrame): Unit = {
+    val (adds, widens) = autoEvolveDelta(df)
+    val cols = md.currentSchema.fields.toSeq.map { f =>
+      graft.schema.TypeMapper.toColumnDef(f.name,
+        widens.getOrElse(f.name, f.dataType), f.nullable)
+    } ++ adds.map(f =>
+      graft.schema.TypeMapper.toColumnDef(f.name, f.dataType,
+        nullable = true))
+    val spec = md.currentSpec.fields.map { f =>
+      val src = graft.schema.FieldIds.flatten(md.currentSchema)
+        .collectFirst { case (p, fd)
+          if graft.schema.FieldIds.hasId(fd) &&
+            graft.schema.FieldIds.idOf(fd) == f.sourceFieldId => p }.get
+      graft.schema.PartitionDef(src, f.transform, f.name)
+    }
+    val db = location.getParent.getFileName.toString
+    val tbl = location.getFileName.toString
+    val (msgs, hadError) = evolve(graft.schema.TableDef(
+      db, tbl, cols, spec, md.properties))
+    require(!hadError,
+      s"write.merge-schema auto-evolution rejected: " +
+        msgs.mkString("; "))
+  }
 
   /** Highest micro-batch id this stream (identified by checkpoint) ever
     * committed into this table — the idempotence baseline for

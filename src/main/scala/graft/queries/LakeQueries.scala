@@ -1386,6 +1386,54 @@ object LakeReadQueries extends QueryModule {
         "FROM gmvj2.mvj.segroll ORDER BY c_seg")
     }),
 
+    "lake_auto_evolve" -> QueryModule.micro(4)((s, dir) => {
+      // INGESTION AUTO-EVOLUTION (r11, Delta's mergeSchema): with
+      // write.merge-schema=true an append carrying NEW top-level
+      // columns adds them as optional and a column arriving legally
+      // WIDER (int→long here) evolves up — both through the same
+      // SchemaDiff-validated evolution ALTER TABLE runs, committed in
+      // ONE transaction flip with the data (self-audited: exactly two
+      // snapshots, schema id advanced, key column widened). Pre-
+      // evolution rows read NULL for the added column; the oracle
+      // reconstructs the same shape from the raw fixture.
+      val wh = LakeQueries.freshWarehouse("autoevolve")
+      Engine.processTableDefJson(wh,
+        """{"database_name":"ae","table_name":"ord",
+          |"properties":{"write.merge-schema":"true"},"columns":[
+          |{"column_name":"o_ckey","data_type":"int"},
+          |{"column_name":"o_price","data_type":"double"}],
+          |"partitions":[]}""".stripMargin)
+      val orders = Tables(s, dir, "orders")
+      // writer v1: two columns, int key
+      LakeTable.load(wh, "ae", "ord").append(
+        orders.filter(col("o_orderkey") % 3 === 0)
+          .select(col("o_custkey").cast("int").as("o_ckey"),
+            col("o_totalprice").as("o_price")))
+      // writer v2: a NEW column (o_prio) and the key arriving as LONG
+      LakeTable.load(wh, "ae", "ord").append(
+        orders.filter(col("o_orderkey") % 3 === 1)
+          .select(col("o_custkey").as("o_ckey"),
+            col("o_totalprice").as("o_price"),
+            col("o_orderpriority").as("o_prio")))
+      val t = LakeTable.load(wh, "ae", "ord")
+      require(t.currentSchema.fieldNames.toSeq ==
+        Seq("o_ckey", "o_price", "o_prio"),
+        s"auto-add must evolve the schema: " +
+          t.currentSchema.fieldNames.mkString(","))
+      require(graft.lake.Reconcile.clean(t.currentSchema)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]("o_ckey")
+        .dataType == org.apache.spark.sql.types.LongType,
+        "the int key must widen to long")
+      require(t.metadata.snapshots.size == 2,
+        "evolution and data must share one commit each — no extra " +
+          s"snapshots: ${t.metadata.snapshots.size}")
+      t.read(s)
+        .groupBy(coalesce(col("o_prio"), lit("<none>")).as("o_prio"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(Tables.dec(col("o_price"))).cast("double").as("sum_price"))
+        .orderBy("o_prio")
+    }),
+
     "lake_constraints" -> QueryModule.micro(4)((s, dir) => {
       // CHECK CONSTRAINTS (r11): ALTER TABLE ADD CONSTRAINT name
       // CHECK (expr), enforced on every commit that adds data files,
@@ -3539,6 +3587,15 @@ object RowOpsQueries extends QueryModule {
         |WHERE o_orderkey % 6 = 0
         |  AND o_custkey % 4 IN (0, 1) AND o_custkey % 10 <> 4
         |GROUP BY c_mktsegment ORDER BY c_seg""".stripMargin,
+
+    "lake_auto_evolve" ->
+      """SELECT CASE WHEN o_orderkey % 3 = 1 THEN o_orderpriority
+        |  ELSE '<none>' END AS o_prio,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders WHERE o_orderkey % 3 IN (0, 1)
+        |GROUP BY 1 ORDER BY o_prio""".stripMargin,
 
     "lake_constraints" ->
       """SELECT o_orderpriority AS o_prio,

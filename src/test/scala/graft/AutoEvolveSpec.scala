@@ -1,0 +1,91 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.lake.{Engine, LakeTable}
+
+/** `write.merge-schema=true` ingestion auto-evolution (Delta's
+  * mergeSchema): appends carrying new top-level columns add them as
+  * optional; columns arriving legally wider evolve up; everything
+  * goes through the same validated evolution ALTER TABLE uses, in one
+  * transaction flip with the data.
+  */
+class AutoEvolveSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def setup(tag: String, merge: Boolean): String = {
+    val wh = Files.createTempDirectory(s"graft-autoev-$tag").toString
+    val props =
+      if (merge) """"properties":{"write.merge-schema":"true"},"""
+      else ""
+    Engine.processTableDefJson(wh,
+      s"""{"database_name":"d","table_name":"t",$props"columns":[
+         |{"column_name":"k","data_type":"int"},
+         |{"column_name":"v","data_type":"long"}],
+         |"partitions":[]}""".stripMargin)
+    wh
+  }
+
+  test("new columns auto-add as optional; pre-evolution rows read " +
+      "NULL; data and schema land in one flip") {
+    val wh = setup("add", merge = true)
+    import SparkTestSession.spark.implicits._
+    val t = LakeTable.load(wh, "d", "t")
+    t.append(Seq((1, 10L)).toDF("k", "v"))
+    val v0 = LakeTable.load(wh, "d", "t")
+    val before = v0.metadata.currentSchemaId
+    LakeTable.load(wh, "d", "t").append(
+      Seq((2, 20L, "x")).toDF("k", "v", "note"))
+    val after = LakeTable.load(wh, "d", "t")
+    assert(after.metadata.currentSchemaId != before,
+      "the append must evolve the schema")
+    assert(after.currentSchema.fieldNames.toSeq == Seq("k", "v", "note"))
+    val rows = after.read(spark).orderBy("k").collect()
+      .map(r => (r.getInt(0), r.getLong(1),
+        Option(r.get(2)).map(_.toString).orNull)).toSeq
+    assert(rows == Seq((1, 10L, null), (2, 20L, "x")),
+      "old rows read NULL for the auto-added column")
+  }
+
+  test("legally wider columns evolve up (int→long); illegal changes " +
+      "are not applied and the frame aligns by cast as before") {
+    val wh = setup("widen", merge = true)
+    import SparkTestSession.spark.implicits._
+    LakeTable.load(wh, "d", "t").append(Seq((1, 10L)).toDF("k", "v"))
+    // k arrives as LONG → int→long is a legal promotion → widen
+    LakeTable.load(wh, "d", "t").append(
+      Seq((3000000000L, 30L)).toDF("k", "v"))
+    val t2 = LakeTable.load(wh, "d", "t")
+    assert(graft.lake.Reconcile.clean(t2.currentSchema)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]("k").dataType
+      == org.apache.spark.sql.types.LongType,
+      "int column must widen to long")
+    assert(t2.read(spark).orderBy("k").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 3000000000L))
+    // v arrives as STRING — long→string is NOT a promotion: the
+    // schema stays long and the value casts like any aligned write
+    LakeTable.load(wh, "d", "t").append(
+      Seq((5L, "50")).toDF("k", "v"))
+    val t3 = LakeTable.load(wh, "d", "t")
+    assert(graft.lake.Reconcile.clean(t3.currentSchema)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]("v").dataType
+      == org.apache.spark.sql.types.LongType,
+      "an illegal promotion must not evolve the column")
+    assert(t3.read(spark).filter(col("k") === 5L).head().getLong(1)
+      == 50L)
+  }
+
+  test("without the property, extra columns drop at alignment " +
+      "exactly as before") {
+    val wh = setup("off", merge = false)
+    import SparkTestSession.spark.implicits._
+    LakeTable.load(wh, "d", "t").append(
+      Seq((1, 10L, "x")).toDF("k", "v", "note"))
+    val t = LakeTable.load(wh, "d", "t")
+    assert(t.currentSchema.fieldNames.toSeq == Seq("k", "v"))
+    assert(t.read(spark).columns.toSeq == Seq("k", "v"))
+  }
+}
