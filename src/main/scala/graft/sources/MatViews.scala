@@ -1659,17 +1659,25 @@ private[graft] object MatViews {
     } else {
       val merged = merged0.localCheckpoint()
       val rc = q(shape.rowsCol)
-      val negative = merged.filter(rc < 0L).count()
+      // one pass over the (checkpointed) merge for BOTH sanity counts
+      // — underflow and emptied-group detection were three separate
+      // driver actions before, pure scheduling overhead on a frame
+      // already materialized
+      val counts = merged.agg(
+        sum(when(rc < 0L, 1L).otherwise(0L)).as("neg"),
+        sum(when(rc === 0L, 1L).otherwise(0L)).as("dead")).head()
+      val (negative, deadN) =
+        (Option(counts.get(0)).fold(0L)(_ => counts.getLong(0)),
+          Option(counts.get(1)).fold(0L)(_ => counts.getLong(1)))
       require(negative == 0L,
         s"retraction underflow: $negative group(s) went below zero " +
           "rows — the delta retracts rows this materialization never " +
           "counted; run a full refresh")
-      val dead = merged.filter(rc === 0L)
-        .select(keys.map(q): _*).localCheckpoint()
       backing0.transaction { tx =>
         tx.upsertMoR(spark, merged.filter(rc > 0L), keys = keys)
-        if (dead.limit(1).count() > 0L)
-          tx.deleteByKeysMoR(spark, dead)
+        if (deadN > 0L)
+          tx.deleteByKeysMoR(spark,
+            merged.filter(rc === 0L).select(keys.map(q): _*))
         tx.updateProperties(wmProp)
       }
     }
