@@ -279,7 +279,20 @@ class LakeTable private (val location: Path, private var md: TableMetadata,
     * stats proof is in-memory).
     */
   private def validateConstraints(next: TableMetadata): Unit = {
-    val cons = Constraints.of(next.properties)
+    val declared = Constraints.of(next.properties).map {
+      case (n, sql) => s"CHECK constraint '$n'" -> sql
+    }
+    // REQUIRED (non-nullable) top-level columns enforce as implicit
+    // IS NOT NULL checks through the same stats-first machinery —
+    // footer null counts prove a clean file for free, so the Iceberg
+    // required-field contract costs O(footers) per commit (a column
+    // without null accounting falls back to the delta scan)
+    val required = Reconcile.clean(next.currentSchema)
+      .asInstanceOf[StructType].fields.toSeq
+      .filterNot(_.nullable).map(f =>
+        s"required column '${f.name}'" ->
+          s"`${f.name.replace("`", "``")}` IS NOT NULL")
+    val cons = declared ++ required
     if (cons.isEmpty) return
     val before = md.snapshots.map(_.id).toSet
     val beforeStaged = md.staged.map(_.id).toSet
@@ -288,20 +301,21 @@ class LakeTable private (val location: Path, private var md: TableMetadata,
       .filterNot(s => LakeTable.isByteMove(s.operation))
       .flatMap(_.files)
     if (added.nonEmpty)
-      validateFiles(added, next.currentSchema, cons)
+      validateFiles(added, next.currentSchema, cons.toMap)
   }
 
-  /** One constraint pass over `files`: per constraint, drop every
-    * file whose footer stats prove it cannot hold a violating row,
-    * then run the `limit(1)` violation scan over the remainder.
-    * Refuses BY NAME on the first violation — the commit never
-    * happens, so a bad batch can't land partially.
+  /** One constraint pass over `files`: per constraint (the label is
+    * the human phrase — "CHECK constraint 'x'" or "required column
+    * 'y'"), drop every file whose footer stats prove it cannot hold a
+    * violating row, then run the `limit(1)` violation scan over the
+    * remainder. Refuses BY NAME on the first violation — the commit
+    * never happens, so a bad batch can't land partially.
     */
   private[lake] def validateFiles(files: Seq[DataFileMeta],
       schema: StructType, cons: Map[String, String]): Unit = {
     import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
     var scanned = 0
-    cons.toSeq.sortBy(_._1).foreach { case (name, sql) =>
+    cons.toSeq.sortBy(_._1).foreach { case (label, sql) =>
       val unproven = Constraints.violationFilters(sql, schema) match {
         case Some(vfs) => files.filter(f => vfs.exists(vf =>
           FileStats.mightMatch(f.stats, schema, Seq(vf))))
@@ -314,14 +328,13 @@ class LakeTable private (val location: Path, private var md: TableMetadata,
         val spark = org.apache.spark.sql.SparkSession.getActiveSession
           .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
           .getOrElse(throw new IllegalStateException(
-            s"validating CHECK constraint '$name' needs a Spark " +
-              "session"))
+            s"validating $label needs a Spark session"))
         val viol = readFiles(spark, unproven, schema)
           .filter(not(coalesce(expr(sql), lit(true))))
           .limit(1).count()
         require(viol == 0L,
-          s"CHECK constraint '$name' ($sql) is violated by incoming " +
-            "rows — commit refused")
+          s"$label ($sql) is violated by incoming rows — " +
+            "commit refused")
       }
     }
     // always recorded — both counts are already in hand, so the

@@ -118,6 +118,36 @@ class ConstraintSpec extends AnyFunSuite {
     }
   }
 
+  test("required (non-nullable) columns enforce as implicit IS NOT " +
+      "NULL on every write — the Iceberg required-field contract") {
+    val wh = Files.createTempDirectory("graft-cons-req").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"t","columns":[
+        |{"column_name":"k","data_type":"long","required":true},
+        |{"column_name":"v","data_type":"long"}],
+        |"partitions":[]}""".stripMargin)
+    import SparkTestSession.spark.implicits._
+    // clean writes pass (and prove via null-count stats — no read)
+    LakeTable.load(wh, "d", "t").append(
+      Seq((1L, 10L), (2L, 20L)).toDF("k", "v").coalesce(1))
+    val (scanned, total) = Constraints.lastValidationScan.get
+    assert(total > 0 && scanned == 0,
+      s"null-count stats must prove the clean file: $scanned/$total")
+    // a NULL in the required column refuses by name, nothing lands
+    val df = Seq((Option.empty[Long], 3L), (Some(4L), 4L))
+      .toDF("k", "v")
+    val e = intercept[Exception] {
+      LakeTable.load(wh, "d", "t").append(df)
+    }
+    assert(e.getMessage.contains("required column 'k'"), e.getMessage)
+    assert(LakeTable.load(wh, "d", "t").read(spark).count() == 2L,
+      "the refused batch must land nothing")
+    // NULLs in the OPTIONAL column stay fine
+    LakeTable.load(wh, "d", "t").append(
+      Seq((5L, Option.empty[Long])).toDF("k", "v"))
+    assert(LakeTable.load(wh, "d", "t").read(spark).count() == 3L)
+  }
+
   test("constraints bind names: dropping a referenced column refuses; " +
       "add over staged WAP snapshots refuses; bad shapes refuse") {
     val wh = setup("guards")
