@@ -1392,10 +1392,18 @@ private[graft] object MatViews {
       shape.groupCols.map(g =>
         expr(g.srcCol) === col(s"__tk_${g.outName}")).reduce(_ && _),
       "left_semi")
-    val newAgg = storageAggregate(matched, shape).localCheckpoint()
+    // a bounded touched set publishes as ONE file — the default 32
+    // post-shuffle partitions would write 32 tiny parquet files whose
+    // per-file footer cost dominates the publish (same rule as the
+    // signed path's bounded() merge)
+    val newAgg0 = storageAggregate(matched, shape)
+    val newAgg = (if (keyRows.size <= limit) newAgg0.coalesce(1)
+      else newAgg0).localCheckpoint()
     val keys = shape.groupCols.map(_.outName)
-    val dead = touched.join(newAgg.select(keys.map(q): _*), keys,
-      "left_anti").localCheckpoint()
+    val dead0 = touched.join(newAgg.select(keys.map(q): _*), keys,
+      "left_anti")
+    val dead = (if (keyRows.size <= limit) dead0.coalesce(1)
+      else dead0).localCheckpoint()
     backing0.transaction { tx =>
       tx.upsertMoR(spark, newAgg, keys = keys)
       if (dead.limit(1).count() > 0L)
@@ -1611,11 +1619,15 @@ private[graft] object MatViews {
     // the delta aggregate is consumed multiple times (key-set collect,
     // merge join, retraction split) — pin it so the source delta is
     // scanned once
-    val deltaAgg = delta.localCheckpoint()
+    def dbgT[A](l: String)(b: => A): A = {
+      if (!java.lang.Boolean.getBoolean("graft.debug.mv-timing")) b
+      else { val t0 = System.nanoTime(); val r = b
+        System.err.println(f"[mvtime] $l%-20s ${(System.nanoTime()-t0)/1e9}%.2f"); r } }
+    val deltaAgg = dbgT("delta-checkpoint")(delta.localCheckpoint())
     val limit = keyLimit(spark)
     val keyCols = shape.groupCols.map(g => q(g.outName))
-    val keyRows = deltaAgg.select(keyCols: _*)
-      .limit(limit + 1).collect().toSeq
+    val keyRows = dbgT("key-collect")(deltaAgg.select(keyCols: _*)
+      .limit(limit + 1).collect().toSeq)
     // NULL group keys are not incrementally mergeable: the merge join
     // and the blind upsert's equality delete both match with plain
     // equality, which NULL never satisfies — a NULL-key group would
@@ -1641,31 +1653,42 @@ private[graft] object MatViews {
       lastBackingScan = Some((
         backing0.plannedFiles(statsFilters = filters).size,
         backing0.plannedFiles().size))
-    val merged0 = merge(deltaAgg,
-      backing0.read(spark, statsFilters = filters), shape)
+    // a BOUNDED touched set (≤ key limit) publishes as ONE file: the
+    // default 32 post-shuffle partitions would write 32 tiny parquet
+    // files per refresh, and the per-file footer/stats cost dominates
+    // the whole publish at fixture scale; past the limit the planner's
+    // partitioning stands
+    def bounded(df: DataFrame): DataFrame =
+      if (keyRows.size <= limit) df.coalesce(1) else df
+    val merged0 = bounded(merge(deltaAgg,
+      backing0.read(spark, statsFilters = filters), shape))
     val keys = shape.groupCols.map(_.outName)
     val wmProp = Map("graft.mat-view.watermark" -> head.toString,
       "graft.mat-view.watermark-ts" -> src.metadata.snapshots
         .find(_.id == head).map(_.timestampMs).getOrElse(-1L)
         .toString) ++ rePins
     if (!retract) {
+      // checkpoint once: upsertMoR evaluates its source twice (key
+      // batch + data write) — without the pin that is two full merge
+      // joins
+      val mergedA = dbgT("merge-checkpoint")(merged0.localCheckpoint())
       backing0.transaction { tx =>
         // the merged frame may be empty (delta had rows but, e.g.,
         // only byte-moves survived the range filter) — upsertMoR
         // handles both
-        tx.upsertMoR(spark, merged0, keys = keys)
+        dbgT("  upsert")(tx.upsertMoR(spark, mergedA, keys = keys))
         tx.updateProperties(wmProp)
       }
     } else {
-      val merged = merged0.localCheckpoint()
+      val merged = dbgT("merge-checkpoint")(merged0.localCheckpoint())
       val rc = q(shape.rowsCol)
       // one pass over the (checkpointed) merge for BOTH sanity counts
       // — underflow and emptied-group detection were three separate
       // driver actions before, pure scheduling overhead on a frame
       // already materialized
-      val counts = merged.agg(
+      val counts = dbgT("sanity-counts")(merged.agg(
         sum(when(rc < 0L, 1L).otherwise(0L)).as("neg"),
-        sum(when(rc === 0L, 1L).otherwise(0L)).as("dead")).head()
+        sum(when(rc === 0L, 1L).otherwise(0L)).as("dead")).head())
       val (negative, deadN) =
         (Option(counts.get(0)).fold(0L)(_ => counts.getLong(0)),
           Option(counts.get(1)).fold(0L)(_ => counts.getLong(1)))
@@ -1673,13 +1696,13 @@ private[graft] object MatViews {
         s"retraction underflow: $negative group(s) went below zero " +
           "rows — the delta retracts rows this materialization never " +
           "counted; run a full refresh")
-      backing0.transaction { tx =>
-        tx.upsertMoR(spark, merged.filter(rc > 0L), keys = keys)
+      dbgT("txn-publish")(backing0.transaction { tx =>
+        dbgT("  upsert")(tx.upsertMoR(spark, merged.filter(rc > 0L), keys = keys))
         if (deadN > 0L)
-          tx.deleteByKeysMoR(spark,
-            merged.filter(rc === 0L).select(keys.map(q): _*))
+          dbgT("  dead-delete")(tx.deleteByKeysMoR(spark,
+            merged.filter(rc === 0L).select(keys.map(q): _*)))
         tx.updateProperties(wmProp)
-      }
+      })
     }
     Some((head, (if (retract) "signed" else "append") + dimTag,
       if (keyRows.size <= limit) keyRows.size.toLong else -1L))
