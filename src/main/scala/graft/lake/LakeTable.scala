@@ -889,27 +889,56 @@ class LakeTable private (val location: Path, private var md: TableMetadata,
     else transaction { _ => autoEvolveFor(df); write() }
   }
 
+  /** Recursive schema merge for auto-evolution: the table's type wins
+    * except where the frame legally extends it — new struct fields
+    * (any nesting depth, including array-of-struct elements) join as
+    * OPTIONAL, and a primitive that arrived legally wider promotes
+    * ([[graft.schema.SchemaDiff.promotionAllowed]]); anything else
+    * keeps the table's declared type (the frame then aligns by cast,
+    * as always). The table side keeps its field-id annotations so the
+    * evolution diff matches existing fields untouched.
+    */
+  private def mergeTypes(table: DataType, in: DataType): DataType =
+    (Reconcile.clean(table), in) match {
+      case (_: StructType, i: StructType) =>
+        val t = table.asInstanceOf[StructType]
+        val known = t.fields.map(_.name).toSet
+        StructType(t.fields.map { tf =>
+          i.fields.find(_.name == tf.name) match {
+            case Some(inf) =>
+              tf.copy(dataType = mergeTypes(tf.dataType, inf.dataType))
+            case None => tf
+          }
+        } ++ i.fields.filterNot(f => known(f.name)).map(f =>
+          StructField(f.name, f.dataType, nullable = true)))
+      case (_: ArrayType, ArrayType(ie, _)) =>
+        val a = table.asInstanceOf[ArrayType]
+        a.copy(elementType = mergeTypes(a.elementType, ie))
+      case (t, i) if t != i &&
+          graft.schema.SchemaDiff.promotionAllowed(t, i).isRight => i
+      case _ => table
+    }
+
   private def autoEvolveDelta(df: DataFrame)
       : (Seq[StructField], Map[String, DataType]) = {
-    val byName = md.currentSchema.fields.map { f =>
-      f.name -> Reconcile.clean(f.dataType)
-    }.toMap
+    val byName = md.currentSchema.fields.map(f => f.name -> f).toMap
     val adds = df.schema.fields.toSeq
       .filterNot(f => byName.contains(f.name))
-    val widens = df.schema.fields.toSeq.flatMap { f =>
-      byName.get(f.name).collect {
-        case t if t != f.dataType && graft.schema.SchemaDiff
-          .promotionAllowed(t, f.dataType).isRight =>
-          f.name -> f.dataType
+    val changes = df.schema.fields.toSeq.flatMap { f =>
+      byName.get(f.name).flatMap { tf =>
+        val merged = mergeTypes(tf.dataType, f.dataType)
+        if (Reconcile.clean(merged) == Reconcile.clean(tf.dataType))
+          None
+        else Some(f.name -> merged)
       }
     }.toMap
-    (adds, widens)
+    (adds, changes)
   }
 
   private def autoEvolveNeeded(df: DataFrame): Boolean =
     md.properties.get("write.merge-schema").contains("true") && {
-      val (adds, widens) = autoEvolveDelta(df)
-      adds.nonEmpty || widens.nonEmpty
+      val (adds, changes) = autoEvolveDelta(df)
+      adds.nonEmpty || changes.nonEmpty
     }
 
   /** Run the auto-evolution itself — same TableDef path as ALTER
@@ -917,10 +946,10 @@ class LakeTable private (val location: Path, private var md: TableMetadata,
     * partition-spec preservation all apply unchanged.
     */
   private def autoEvolveFor(df: DataFrame): Unit = {
-    val (adds, widens) = autoEvolveDelta(df)
+    val (adds, changes) = autoEvolveDelta(df)
     val cols = md.currentSchema.fields.toSeq.map { f =>
       graft.schema.TypeMapper.toColumnDef(f.name,
-        widens.getOrElse(f.name, f.dataType), f.nullable)
+        changes.getOrElse(f.name, f.dataType), f.nullable)
     } ++ adds.map(f =>
       graft.schema.TypeMapper.toColumnDef(f.name, f.dataType,
         nullable = true))

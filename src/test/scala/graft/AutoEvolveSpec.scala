@@ -78,6 +78,53 @@ class AutoEvolveSpec extends AnyFunSuite {
       == 50L)
   }
 
+  test("nested additions evolve too: new struct fields (top and " +
+      "array-of-struct element) join as optional; old rows read NULL") {
+    val wh = Files.createTempDirectory("graft-autoev-nest").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"t",
+        |"properties":{"write.merge-schema":"true"},"columns":[
+        |{"column_name":"k","data_type":"long"},
+        |{"column_name":"meta","data_type":"struct","struct_def":[
+        |  {"column_name":"src","data_type":"string"}]},
+        |{"column_name":"tags","data_type":"array","array_def":
+        |  {"column_name":"element","data_type":"struct","struct_def":[
+        |  {"column_name":"name","data_type":"string"}]}}],
+        |"partitions":[]}""".stripMargin)
+    val v1 = spark.sql(
+      """SELECT 1L AS k, named_struct('src', 'a') AS meta,
+        |  array(named_struct('name', 'n1')) AS tags""".stripMargin)
+    LakeTable.load(wh, "d", "t").append(v1)
+    // writer v2: a new field inside `meta` AND inside the array
+    // element struct
+    val v2 = spark.sql(
+      """SELECT 2L AS k,
+        |  named_struct('src', 'b', 'lang', 'en') AS meta,
+        |  array(named_struct('name', 'n2', 'weight', 0.5D)) AS tags
+        |""".stripMargin)
+    LakeTable.load(wh, "d", "t").append(v2)
+    val t = LakeTable.load(wh, "d", "t")
+    val clean = graft.lake.Reconcile.clean(t.currentSchema)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(clean("meta").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq == Seq("src", "lang"), clean("meta").toString)
+    val elem = clean("tags").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(elem.fieldNames.toSeq == Seq("name", "weight"),
+      elem.toString)
+    val rows = t.read(spark).orderBy("k")
+      .selectExpr("k", "meta.src", "meta.lang",
+        "tags[0].name", "tags[0].weight")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.get(2)).map(_.toString).orNull, r.getString(3),
+        Option(r.get(4)).map(_.toString).orNull)).toSeq
+    assert(rows == Seq((1L, "a", null, "n1", null),
+      (2L, "b", "en", "n2", "0.5")),
+      s"old rows read NULL for the nested additions: $rows")
+  }
+
   test("without the property, extra columns drop at alignment " +
       "exactly as before") {
     val wh = setup("off", merge = false)
