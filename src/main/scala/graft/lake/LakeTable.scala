@@ -316,10 +316,13 @@ class LakeTable private (val location: Path, private var md: TableMetadata,
     import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
     var scanned = 0
     cons.toSeq.sortBy(_._1).foreach { case (label, sql) =>
+      // a zero-row file (an empty write partition) carries no stats
+      // and no rows — trivially violation-free
+      val nonEmpty = files.filter(_.rows != 0)
       val unproven = Constraints.violationFilters(sql, schema) match {
-        case Some(vfs) => files.filter(f => vfs.exists(vf =>
+        case Some(vfs) => nonEmpty.filter(f => vfs.exists(vf =>
           FileStats.mightMatch(f.stats, schema, Seq(vf))))
-        case None => files
+        case None => nonEmpty
       }
       if (unproven.nonEmpty) {
         scanned += unproven.size

@@ -1463,7 +1463,8 @@ object LakeReadQueries extends QueryModule {
       vsql("ALTER TABLE gco.co.ord ADD CONSTRAINT price_pos " +
         "CHECK (o_price > 0 AND o_prio IS NOT NULL)").collect()
       // clean append, every price far above 0: footer stats must
-      // PROVE it — zero validation reads
+      // PROVE it — zero validation reads (empty write partitions are
+      // trivially violation-free)
       LakeTable.load(wh, "co", "ord")
         .append(orders.filter(col("o_okey") % 4 === 0))
       val (scanned, total) =
