@@ -1198,7 +1198,7 @@ object LakeReadQueries extends QueryModule {
         .select(col("o_custkey"),
           col("o_totalprice").cast("decimal(18,4)").as("o_price"))
       LakeTable.load(wh, "mvr", "ord")
-        .append(orders.filter(col("o_custkey") % 3 === 0))
+        .append(orders.filter(col("o_custkey") % 9 === 0))
       s.conf.set("spark.sql.catalog.gmvr", "graft.sources.LakeCatalog")
       s.conf.set("spark.sql.catalog.gmvr.warehouse", wh)
       def vsql(q: String) =
@@ -1222,7 +1222,7 @@ object LakeReadQueries extends QueryModule {
       // stale: a source commit the view hasn't merged — fall back to
       // the source and serve the LIVE rows
       LakeTable.load(wh, "mvr", "ord")
-        .append(orders.filter(col("o_custkey") % 3 === 1))
+        .append(orders.filter(col("o_custkey") % 9 === 1))
       val stale = vsql(q)
       val staleRows = stale.collect()
       require(graft.sources.MatViewRewrite.lastRewrite.isEmpty &&
@@ -3566,7 +3566,7 @@ object RowOpsQueries extends QueryModule {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
         |    AS sum_price
         |FROM orders
-        |WHERE o_custkey % 3 IN (0, 1)
+        |WHERE o_custkey % 9 IN (0, 1)
         |GROUP BY o_custkey
         |ORDER BY o_custkey""".stripMargin,
 
