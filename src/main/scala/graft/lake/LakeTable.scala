@@ -205,7 +205,8 @@ class LakeTable private (val location: Path, private var md: TableMetadata,
     txnEnd(baseMd) match {
       case None => result // body staged nothing
       case Some(next) =>
-        try commit(next)
+        // constraints validated per staged op inside the body
+        try commit(next, skipValidate = true)
         catch { case e: Throwable => md = baseMd; throw e }
         result
     }
@@ -250,8 +251,13 @@ class LakeTable private (val location: Path, private var md: TableMetadata,
     }
   }
 
-  private def commit(next: TableMetadata): String = {
-    validateConstraints(next)
+  private def commit(next: TableMetadata,
+      skipValidate: Boolean = false): String = {
+    // `skipValidate`: the transaction publish paths (single- and
+    // cross-table) — every staged op already validated at its own
+    // buffered commit, and re-validating here would re-scan the
+    // unproven files for nothing
+    if (!skipValidate) validateConstraints(next)
     if (txnActive) {
       // buffered: row-id stamping runs NOW (its known-snapshot set is
       // the current buffered state, so each staged op stamps exactly
@@ -512,9 +518,11 @@ class LakeTable private (val location: Path, private var md: TableMetadata,
 
   /** Publish the metadata a [[txnEnd]] returned — the single-table
     * fast path of the cross-table coordinator (no coordination needed
-    * when only one table staged changes).
+    * when only one table staged changes). Constraint validation
+    * already ran per staged op.
     */
-  private[lake] def commitNext(next: TableMetadata): Unit = commit(next)
+  private[lake] def commitNext(next: TableMetadata): Unit =
+    commit(next, skipValidate = true)
 
   /** Self-heal a torn metadata claim. A `v{N+1}.json` that exists while
     * the hint still reads N is either a concurrent committer inside its
