@@ -1605,7 +1605,7 @@ object LakeReadQueries extends QueryModule {
       LakeTable.load(wh, "mdd", "cust")
         .append(custs.filter(col("c_id") % 2 === 0))
       LakeTable.load(wh, "mdd", "ord").append(
-        orders.filter(col("o_orderkey") % 6 === 0)
+        orders.filter(col("o_orderkey") % 12 === 0)
           .select("o_custkey", "o_price"))
       s.conf.set("spark.sql.catalog.gmvdd", "graft.sources.LakeCatalog")
       s.conf.set("spark.sql.catalog.gmvdd.warehouse", wh)
@@ -1621,7 +1621,7 @@ object LakeReadQueries extends QueryModule {
       LakeTable.load(wh, "mdd", "cust")
         .append(custs.filter(col("c_id") % 2 === 1))
       LakeTable.load(wh, "mdd", "ord").append(
-        orders.filter(col("o_orderkey") % 6 === 3)
+        orders.filter(col("o_orderkey") % 12 === 3)
           .select("o_custkey", "o_price"))
       val res = vsql(
         "REFRESH MATERIALIZED VIEW gmvdd.mdd.segroll INCREMENTAL")
@@ -3621,7 +3621,7 @@ object RowOpsQueries extends QueryModule {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
         |    AS sum_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
-        |WHERE o_orderkey % 6 IN (0, 3)
+        |WHERE o_orderkey % 12 IN (0, 3)
         |  AND o_custkey % 4 IN (0, 1)
         |GROUP BY c_mktsegment ORDER BY c_seg""".stripMargin,
 
