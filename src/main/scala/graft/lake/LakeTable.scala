@@ -388,9 +388,12 @@ class LakeTable private (val location: Path, private var md: TableMetadata,
         case None => live
       }
       if (unproven.nonEmpty) {
-        // the full read (not readFiles) so merge-on-read deletes are
-        // honored — a violating row that is already deleted is fine
-        val viol = read(spark)
+        // scan ONLY the unproven files, with merge-on-read deletes
+        // applied — a violating row that is already deleted is fine,
+        // and the stats-proven majority of a large table is never read
+        val viol = readFiles(spark, unproven, schema,
+            LakeTable.liveDeletes(md.snapshots),
+            LakeTable.liveEqDeletes(md.snapshots))
           .filter(not(coalesce(expr(sql), lit(true))))
           .limit(1).count()
         require(viol == 0L,
@@ -509,11 +512,29 @@ class LakeTable private (val location: Path, private var md: TableMetadata,
     * removes the claim file and the manifests it externalized. Only
     * ever called on claims whose transaction's final record says
     * `abort` — the claim can no longer win.
+    *
+    * OWNERSHIP CHECK before the delete: a ZOMBIE coordinator (stalled
+    * past the recovery grace, aborted by recovery, its claim files
+    * already deleted) can wake AFTER a fresh writer re-claimed the
+    * same version number with its own CREATE_NEW — deleting by path
+    * alone would destroy that writer's live (possibly already
+    * flipped) metadata. Only a file still carrying THIS transaction's
+    * pending-txn id is ours to remove.
     */
-  private[lake] def abandonClaim(claim: LakeTable.Claim): Unit = {
-    Files.deleteIfExists(claim.target)
+  private[lake] def abandonClaim(claim: LakeTable.Claim,
+      txnId: String): Unit = {
+    val ours =
+      try Json.parse(Files.readString(claim.target)).asObj
+        .get("pending-txn").map(_.asStr).contains(txnId)
+      catch { case scala.util.control.NonFatal(_) => false }
+    if (ours) {
+      Files.deleteIfExists(claim.target)
+      audit(s"txn-abandon v${claim.version}")
+    } else audit(s"txn-abandon-skip v${claim.version} (re-claimed)")
+    // the manifests were created by THIS attempt under fresh unique
+    // names — never shared with a re-claimer — so they are always
+    // ours to clean
     claim.manifests.foreach(Files.deleteIfExists(_))
-    audit(s"txn-abandon v${claim.version}")
   }
 
   /** Publish the metadata a [[txnEnd]] returned — the single-table
@@ -576,9 +597,12 @@ class LakeTable private (val location: Path, private var md: TableMetadata,
               Files.move(tmp, metadataDir.resolve("version-hint.text"),
                 StandardCopyOption.ATOMIC_MOVE,
                 StandardCopyOption.REPLACE_EXISTING)
+              // the unconditional move may have regressed a
+              // concurrent flip — walk forward over any later claims
+              LakeTxn.healForward(location, version)
             case Some(_) => // aborted — the claim can never win
               audit(s"txn-abort-clean v$version txn=$id")
-              Files.deleteIfExists(target)
+              deleteClaimIfStillTxn(target, id)
             case None =>
               if (age < graceMs) return // live coordinator mid-commit
               // kill the stalled transaction: CREATE_NEW of the final
@@ -589,7 +613,7 @@ class LakeTable private (val location: Path, private var md: TableMetadata,
                 case Some("commit") => recoverTornClaim(version, target)
                 case _ =>
                   audit(s"txn-abort-stale v$version txn=$id")
-                  Files.deleteIfExists(target)
+                  deleteClaimIfStillTxn(target, id)
               }
           }
           return
@@ -608,11 +632,27 @@ class LakeTable private (val location: Path, private var md: TableMetadata,
         Files.writeString(tmp, version.toString)
         Files.move(tmp, metadataDir.resolve("version-hint.text"),
           StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+        // the check-then-move may have regressed a concurrent flip
+        LakeTxn.healForward(location, version)
       } else {
         audit(s"torn-delete v$version")
         Files.deleteIfExists(target)
       }
     } catch { case _: Exception => () }
+
+  /** Delete an aborted transaction's claim only if the file STILL
+    * carries that transaction's id — between the earlier read and
+    * this delete, the abandoned version number may have been
+    * re-claimed by a live writer whose metadata must not be
+    * destroyed (the same ownership rule as [[abandonClaim]]).
+    */
+  private def deleteClaimIfStillTxn(target: Path, id: String): Unit = {
+    val still =
+      try Json.parse(Files.readString(target)).asObj
+        .get("pending-txn").map(_.asStr).contains(id)
+      catch { case _: Exception => false }
+    if (still) Files.deleteIfExists(target)
+  }
 
   // ---- evolution -------------------------------------------------------
 

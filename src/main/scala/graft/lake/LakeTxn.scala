@@ -135,7 +135,7 @@ object LakeTxn {
         // abort FIRST (a zombie resurrection of this coordinator must
         // find the decision already made), then clean our claims
         decideAbort(dir, txnId)
-        claims.foreach(c => c.table.abandonClaim(c))
+        claims.foreach(c => c.table.abandonClaim(c, txnId))
         throw e
     }
     LakeTable.faultPoint("txn-post-claims-pre-final")
@@ -145,8 +145,11 @@ object LakeTxn {
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         // recovery declared us dead during a >grace stall and aborted;
-        // our claims are condemned (some may already be deleted)
-        claims.foreach(c => c.table.abandonClaim(c))
+        // our claims are condemned (some may already be deleted — and
+        // their version numbers may have been RE-CLAIMED by live
+        // writers, which the ownership check inside abandonClaim
+        // protects)
+        claims.foreach(c => c.table.abandonClaim(c, txnId))
         throw new java.util.ConcurrentModificationException(
           s"cross-table transaction $txnId was aborted by recovery " +
             "during a stall; reload and retry")
@@ -206,9 +209,65 @@ object LakeTxn {
         Files.move(tmp, hint,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        // our check-then-move may have regressed a concurrent flip
+        healForward(loc, version)
       }
       true
     } catch { case scala.util.control.NonFatal(_) => false }
+
+  /** Repair a possible pointer REGRESSION after a heal-move. The
+    * grace-aged healers are check-then-move: a concurrent committer
+    * can flip the hint PAST the healer's target between its check and
+    * its ATOMIC_MOVE, and the move then drags the pointer BACKWARDS —
+    * an acknowledged commit turns invisible until some later collision
+    * runs recovery. After every heal-move, walk forward over whatever
+    * claims exist: a plain PARSEABLE claim always rolls forward (a
+    * claim body is complete before the CREATE_NEW lands — the same
+    * rule graced torn-claim recovery applies, and an early flip of a
+    * live claimer is exactly the pointer-already-past state
+    * `flipClaim` tolerates); a pending-txn claim rolls forward only
+    * through a commit-final record; anything else stops the walk. The
+    * healer that caused a regression thereby repairs it itself, in
+    * the same call. (A healer that crashes between its move and this
+    * walk leaves the stale pointer until the next writer collides and
+    * recovery rolls forward — bounded, and no worse than the
+    * pre-existing torn-claim window.)
+    */
+  private[lake] def healForward(loc: Path, written: Int): Unit = {
+    val metadataDir = loc.resolve("metadata")
+    var v = written
+    var continueWalk = true
+    while (continueWalk) {
+      continueWalk = false
+      val next = metadataDir.resolve(s"v${v + 1}.json")
+      if (Files.exists(next)) {
+        val publishable =
+          try {
+            val parsed = Json.parse(Files.readString(next))
+            parsed.asObj.get("pending-txn").map(_.asStr) match {
+              case Some(id) =>
+                finalState(txnsDir(loc), id).contains("commit")
+              case None =>
+                MetadataIO.fromJson(parsed, metadataDir); true
+            }
+          } catch { case scala.util.control.NonFatal(_) => false }
+        if (publishable) {
+          try {
+            val hint = metadataDir.resolve("version-hint.text")
+            if (Files.readString(hint).trim.toInt < v + 1) {
+              val tmp = metadataDir.resolve(".version-hint.tmp-fwd")
+              Files.writeString(tmp, (v + 1).toString)
+              Files.move(tmp, hint,
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+                java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            }
+          } catch { case scala.util.control.NonFatal(_) => () }
+          v += 1
+          continueWalk = true
+        }
+      }
+    }
+  }
 
   /** The committed-but-unflipped claim above version `v` of the table
     * at `loc`, if one exists: Some((metadata, v+1)) when `v{N+1}.json`
@@ -245,6 +304,8 @@ object LakeTxn {
           Files.move(tmp, hint,
             java.nio.file.StandardCopyOption.ATOMIC_MOVE,
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          // our check-then-move may have regressed a concurrent flip
+          healForward(loc, v + 1)
         }
       }
       Some((md, v + 1))

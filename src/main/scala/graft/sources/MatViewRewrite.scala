@@ -360,27 +360,16 @@ object MatViewRewrite {
     lastRewriteAgeTL.set(None)
     val wh = warehouseOf(agg.child).getOrElse(return None)
     val userShape = MatViews.detect(agg, wh).getOrElse(return None)
-    // scan the warehouse's view docs for a fresh exact-shape MV; the
-    // scan is O(views) tiny JSON reads and only runs for queries that
-    // already ARE lake aggregates
-    val whPath = java.nio.file.Paths.get(wh)
-    if (!Files.isDirectory(whPath)) return None
-    val dbs = scala.util.Using.resource(Files.list(whPath)) { st =>
-      scala.jdk.CollectionConverters.IteratorHasAsScala(st.iterator)
-        .asScala.filter(Files.isDirectory(_))
-        .map(_.getFileName.toString).filterNot(_.startsWith("_")).toList
-    }
-    val candidates = dbs.flatMap { db =>
-      val vdir = LakeViews.dir(wh, db)
-      if (!Files.isDirectory(vdir)) Nil
-      else scala.util.Using.resource(Files.list(vdir)) { st =>
-        scala.jdk.CollectionConverters.IteratorHasAsScala(st.iterator)
-          .asScala.filter(_.getFileName.toString.endsWith(".json"))
-          .flatMap(p => LakeViews.read(p)).toList
-      }.filter(_.properties.get("graft.mat-view").contains("true"))
-        .map(doc => (db, doc))
-    }
-    val hit = candidates.iterator.flatMap { case (db, doc) =>
+    // scan the warehouse's view docs (shared with the expiry pin cap);
+    // O(views) tiny JSON reads, and only for queries that already ARE
+    // lake aggregates
+    val candidates = MatViews.matViewDocs(wh)
+    // evaluate EVERY candidate, then prefer exact-shape over rollup
+    // re-aggregation and fresher over bounded-stale — without the
+    // ordering, which view answers would follow directory-listing
+    // order (a stale-but-bounded view could shadow an exactly-fresh
+    // exact match, nondeterministically across machines)
+    val hit = candidates.flatMap { case (db, doc) =>
       try {
         for {
           mvShape0 <- MatViews.decode(doc.properties)
@@ -401,7 +390,9 @@ object MatViewRewrite {
           frame = builder(backing.read(spark))
         } yield (db, doc.name, kind, age, frame)
       } catch { case scala.util.control.NonFatal(_) => None }
-    }.take(1).toList.headOption
+    }.sortBy { case (_, _, kind, age, _) =>
+      (if (kind == "exact") 0 else 1, age)
+    }.headOption
     hit.flatMap { case (db, viewName, kind, age, frame) =>
       val child = frame.queryExecution.analyzed
       // positional correspondence is guaranteed by the builder (user

@@ -1079,18 +1079,13 @@ private[graft] object MatViews {
   @volatile private[graft] var lastDimDeltaScan: Option[(Int, Int)] =
     None
 
-  /** Snapshot ids in `db.table` that some registered materialized
-    * view still needs for INCREMENTAL maintenance: the watermark of
-    * every MV whose source is this table, and the dim pin of every MV
-    * joining it. Snapshot expiry consults this to cap its squash —
-    * expiring through a pin is never wrong (the refresh detects it
-    * and refuses to a full recompute), but it silently downgrades
-    * every dependent MV to O(source) refreshes; the cap keeps
-    * maintenance and materializations composable. O(views) tiny JSON
-    * reads, like the rewrite scan.
+  /** Every registered MATERIALIZED view in the warehouse, as
+    * (db, doc) — the O(views) tiny-JSON scan shared by query
+    * rewriting ([[MatViewRewrite]]) and the expiry pin cap
+    * ([[pinnedSnapshots]]).
     */
-  def pinnedSnapshots(warehouse: String, db: String,
-      table: String): Seq[(String, String, Long)] = {
+  private[sources] def matViewDocs(
+      warehouse: String): Seq[(String, LakeViews.ViewDoc)] = {
     val whPath = java.nio.file.Paths.get(warehouse)
     if (!java.nio.file.Files.isDirectory(whPath)) return Seq.empty
     val dbs = scala.util.Using.resource(
@@ -1108,7 +1103,23 @@ private[graft] object MatViews {
           .asScala.filter(_.getFileName.toString.endsWith(".json"))
           .flatMap(p => LakeViews.read(p)).toList
       }.filter(_.properties.get("graft.mat-view").contains("true"))
-        .flatMap { doc =>
+        .map(doc => (vdb, doc))
+    }
+  }
+
+  /** Snapshot ids in `db.table` that some registered materialized
+    * view still needs for INCREMENTAL maintenance: the watermark of
+    * every MV whose source is this table, and the dim pin of every MV
+    * joining it. Snapshot expiry consults this to cap its squash —
+    * expiring through a pin is never wrong (the refresh detects it
+    * and refuses to a full recompute), but it silently downgrades
+    * every dependent MV to O(source) refreshes; the cap keeps
+    * maintenance and materializations composable. O(views) tiny JSON
+    * reads, like the rewrite scan.
+    */
+  def pinnedSnapshots(warehouse: String, db: String,
+      table: String): Seq[(String, String, Long)] =
+    matViewDocs(warehouse).flatMap { case (vdb, doc) =>
           try decode(doc.properties).toSeq.flatMap { shape =>
             val props = doc.properties.get("graft.mat-view.table")
               .map(mt => graft.lake.LakeTable
@@ -1130,9 +1141,7 @@ private[graft] object MatViews {
             case scala.util.control.NonFatal(_) =>
               Seq.empty[(String, String, Long)]
           }
-        }
     }
-  }
 
   /** Past this many touched groups the key-set collect (and the
     * resulting filter envelope) stops paying for itself — fall back to
@@ -1619,15 +1628,11 @@ private[graft] object MatViews {
     // the delta aggregate is consumed multiple times (key-set collect,
     // merge join, retraction split) — pin it so the source delta is
     // scanned once
-    def dbgT[A](l: String)(b: => A): A = {
-      if (!java.lang.Boolean.getBoolean("graft.debug.mv-timing")) b
-      else { val t0 = System.nanoTime(); val r = b
-        System.err.println(f"[mvtime] $l%-20s ${(System.nanoTime()-t0)/1e9}%.2f"); r } }
-    val deltaAgg = dbgT("delta-checkpoint")(delta.localCheckpoint())
+    val deltaAgg = delta.localCheckpoint()
     val limit = keyLimit(spark)
     val keyCols = shape.groupCols.map(g => q(g.outName))
-    val keyRows = dbgT("key-collect")(deltaAgg.select(keyCols: _*)
-      .limit(limit + 1).collect().toSeq)
+    val keyRows = deltaAgg.select(keyCols: _*)
+      .limit(limit + 1).collect().toSeq
     // NULL group keys are not incrementally mergeable: the merge join
     // and the blind upsert's equality delete both match with plain
     // equality, which NULL never satisfies — a NULL-key group would
@@ -1671,24 +1676,24 @@ private[graft] object MatViews {
       // checkpoint once: upsertMoR evaluates its source twice (key
       // batch + data write) — without the pin that is two full merge
       // joins
-      val mergedA = dbgT("merge-checkpoint")(merged0.localCheckpoint())
+      val mergedA = merged0.localCheckpoint()
       backing0.transaction { tx =>
         // the merged frame may be empty (delta had rows but, e.g.,
         // only byte-moves survived the range filter) — upsertMoR
         // handles both
-        dbgT("  upsert")(tx.upsertMoR(spark, mergedA, keys = keys))
+        tx.upsertMoR(spark, mergedA, keys = keys)
         tx.updateProperties(wmProp)
       }
     } else {
-      val merged = dbgT("merge-checkpoint")(merged0.localCheckpoint())
+      val merged = merged0.localCheckpoint()
       val rc = q(shape.rowsCol)
       // one pass over the (checkpointed) merge for BOTH sanity counts
       // — underflow and emptied-group detection were three separate
       // driver actions before, pure scheduling overhead on a frame
       // already materialized
-      val counts = dbgT("sanity-counts")(merged.agg(
+      val counts = merged.agg(
         sum(when(rc < 0L, 1L).otherwise(0L)).as("neg"),
-        sum(when(rc === 0L, 1L).otherwise(0L)).as("dead")).head())
+        sum(when(rc === 0L, 1L).otherwise(0L)).as("dead")).head()
       val (negative, deadN) =
         (Option(counts.get(0)).fold(0L)(_ => counts.getLong(0)),
           Option(counts.get(1)).fold(0L)(_ => counts.getLong(1)))
@@ -1696,13 +1701,13 @@ private[graft] object MatViews {
         s"retraction underflow: $negative group(s) went below zero " +
           "rows — the delta retracts rows this materialization never " +
           "counted; run a full refresh")
-      dbgT("txn-publish")(backing0.transaction { tx =>
-        dbgT("  upsert")(tx.upsertMoR(spark, merged.filter(rc > 0L), keys = keys))
+      backing0.transaction { tx =>
+        tx.upsertMoR(spark, merged.filter(rc > 0L), keys = keys)
         if (deadN > 0L)
-          dbgT("  dead-delete")(tx.deleteByKeysMoR(spark,
-            merged.filter(rc === 0L).select(keys.map(q): _*)))
+          tx.deleteByKeysMoR(spark,
+            merged.filter(rc === 0L).select(keys.map(q): _*))
         tx.updateProperties(wmProp)
-      })
+      }
     }
     Some((head, (if (retract) "signed" else "append") + dimTag,
       if (keyRows.size <= limit) keyRows.size.toLong else -1L))

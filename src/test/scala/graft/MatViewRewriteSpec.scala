@@ -308,6 +308,12 @@ class MatViewRewriteSpec extends AnyFunSuite {
       s"join shape must rewrite: ${scans(hit)}")
     assert(!scans(hit).exists(n => n.contains("fact") &&
       !n.contains("__mat_")), s"fact still scanned: ${scans(hit)}")
+    // BOTH views match this query (segroll exactly, custroll by
+    // rollup) — candidate ordering must prefer the exact match, not
+    // directory-listing order
+    assert(MatViewRewrite.lastRewriteKind.contains("exact"),
+      s"exact match must win over rollup: " +
+        s"${MatViewRewrite.lastRewriteKind}")
     assert(hit.collect().map(r => (r.getString(0), r.getLong(1),
       r.getLong(2))).toSeq == Seq(("A", 3L, 130L), ("B", 1L, 20L)))
     // a coarser aggregate (f_cust ⊂ {c_seg, f_cust}) re-aggregates
