@@ -163,6 +163,35 @@ object LakeTxn {
     }
   }
 
+  /** The warehouse's cross-table transaction log, for observability
+    * (`SELECT * FROM <cat>.<db>.<t>.transactions`): every intent
+    * record joined with its final state — "commit", "abort", or
+    * "pending" while undecided. O(transactions) tiny JSON reads;
+    * single-table commits never coordinate, so they never appear.
+    */
+  private[graft] def records(warehouse: String)
+      : Seq[(Long, String, String, Seq[(String, String)])] = {
+    val dir = Paths.get(warehouse, "_txns")
+    if (!Files.isDirectory(dir)) return Seq.empty
+    scala.util.Using.resource(Files.list(dir)) { st =>
+      scala.jdk.CollectionConverters.IteratorHasAsScala(st.iterator)
+        .asScala.filter(_.getFileName.toString.endsWith(".json"))
+        .flatMap { p =>
+          try {
+            val id = p.getFileName.toString.stripSuffix(".json")
+            val o = Json.parse(Files.readString(p)).asObj
+            val ts = o.get("ts-ms").map(_.asLong).getOrElse(-1L)
+            val parts = o.get("participants").map(_.asArr.map { e =>
+              val m = e.asObj
+              (m("database").asStr, m("table").asStr)
+            }).getOrElse(Seq.empty)
+            val state = finalState(dir, id).getOrElse("pending")
+            Some((ts, id, state, parts))
+          } catch { case scala.util.control.NonFatal(_) => None }
+        }.toList.sortBy(r => (r._1, r._2))
+    }
+  }
+
   // ---- commit-log primitives (shared with LakeTable recovery) --------
 
   /** `<warehouse>/_txns` for a table location `<warehouse>/<db>/<t>`. */

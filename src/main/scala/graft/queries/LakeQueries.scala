@@ -1386,6 +1386,69 @@ object LakeReadQueries extends QueryModule {
         "FROM gmvj2.mvj.segroll ORDER BY c_seg")
     }),
 
+    "lake_txn_observe" -> QueryModule.micro(4)((s, dir) => {
+      // TRANSACTION LOG OBSERVABILITY (r11): every coordinated
+      // cross-table transaction leaves an intent record + final state
+      // in the warehouse commit log, served as a `.transactions`
+      // metadata relation (the transactional sibling of .snapshots /
+      // .refreshes — zero data IO). The key runs two committed
+      // transactions (one programmatic LakeTxn, one SQL BEGIN…COMMIT)
+      // and one ABORTED one (a deterministic claim conflict: a direct
+      // commit lands on a participant between staging and publish),
+      // then queries the log; the oracle is the exact expected
+      // (state, participants) multiset. Single-table commits never
+      // coordinate and never appear.
+      import graft.lake.LakeTxn
+      val wh = LakeQueries.freshWarehouse("txnobserve")
+      for (t <- Seq("a", "b")) Engine.processTableDefJson(wh,
+        s"""{"database_name":"to","table_name":"$t","columns":[
+           |{"column_name":"n_nationkey","data_type":"int"},
+           |{"column_name":"n_name","data_type":"string"}],
+           |"partitions":[]}""".stripMargin)
+      val nation = Tables(s, dir, "nation")
+        .select("n_nationkey", "n_name")
+      // committed transaction 1 (programmatic)
+      LakeTxn.transaction(wh) { ctx =>
+        ctx.table("to", "a").append(nation.filter(col("n_nationkey") < 5))
+        ctx.table("to", "b").append(nation.filter(col("n_nationkey") < 5))
+      }
+      // committed transaction 2 (SQL BEGIN…COMMIT — same protocol)
+      s.conf.set("spark.sql.catalog.gto", "graft.sources.LakeCatalog")
+      s.conf.set("spark.sql.catalog.gto.warehouse", wh)
+      def vsql(q: String) =
+        org.apache.spark.sql.GraftViewSubstitution.sql(s, q)
+      try {
+        vsql("BEGIN TRANSACTION").collect()
+        vsql("INSERT INTO gto.to.a SELECT n_nationkey, n_name FROM " +
+          "gto.to.b WHERE n_nationkey < 2").collect()
+        vsql("INSERT INTO gto.to.b VALUES (90, 'x')").collect()
+        vsql("COMMIT").collect()
+      } finally if (graft.lake.SqlTxn.active.nonEmpty)
+        graft.lake.SqlTxn.rollback()
+      // ABORTED transaction: a conflicting direct commit lands on a
+      // participant after staging — the publish claim collides, the
+      // coordinator writes the abort record, nothing becomes visible
+      val aBefore = LakeTable.load(wh, "to", "a").read(s).count()
+      try {
+        LakeTxn.transaction(wh) { ctx =>
+          ctx.table("to", "a").append(nation.filter(
+            col("n_nationkey") >= 5 && col("n_nationkey") < 8))
+          ctx.table("to", "b").append(nation.filter(
+            col("n_nationkey") >= 5 && col("n_nationkey") < 8))
+          LakeTable.load(wh, "to", "a") // the interloper
+            .append(nation.filter(col("n_nationkey") === 20))
+        }
+        require(false, "the claim conflict must abort the transaction")
+      } catch {
+        case _: java.util.ConcurrentModificationException => ()
+      }
+      require(LakeTable.load(wh, "to", "a").read(s).count() ==
+        aBefore + 1, // the interloper's row, never the aborted txn's
+        "the aborted transaction must publish nothing")
+      vsql("SELECT state, participants FROM gto.to.a.transactions " +
+        "ORDER BY state, participants")
+    }),
+
     "lake_auto_evolve" -> QueryModule.micro(4)((s, dir) => {
       // INGESTION AUTO-EVOLUTION (r11, Delta's mergeSchema): with
       // write.merge-schema=true an append carrying NEW top-level
@@ -3588,6 +3651,14 @@ object RowOpsQueries extends QueryModule {
         |WHERE o_orderkey % 6 = 0
         |  AND o_custkey % 4 IN (0, 1) AND o_custkey % 10 <> 4
         |GROUP BY c_mktsegment ORDER BY c_seg""".stripMargin,
+
+    "lake_txn_observe" ->
+      """SELECT * FROM (VALUES
+        |  ('abort', 'to.a,to.b'),
+        |  ('commit', 'to.a,to.b'),
+        |  ('commit', 'to.a,to.b'))
+        |  AS t(state, participants)
+        |ORDER BY state, participants""".stripMargin,
 
     "lake_auto_evolve" ->
       """SELECT CASE WHEN o_orderkey % 3 = 1 THEN o_orderpriority

@@ -279,6 +279,28 @@ class LakeCatalog extends TableCatalog
             e.toSnapshot, e.groups, e.durationMs, e.outcome,
             if (e.reason.isEmpty) null else e.reason)))
     }
+    // cross-table transaction log: SELECT * FROM
+    // graft.<db>.<table>.transactions — every coordinated transaction
+    // that named this table as a participant, with its decided state
+    // (commit/abort, or pending while a coordinator is mid-flight).
+    // Single-table commits never coordinate and never appear.
+    if (ident.namespace.length == 2 && ident.name == "transactions" &&
+        LakeTable.exists(warehouse, ident.namespace()(0),
+          ident.namespace()(1))) {
+      val (db, tbl) = (ident.namespace()(0), ident.namespace()(1))
+      import org.apache.spark.sql.types._
+      return new MetaTable(ident.toString, StructType(Seq(
+        StructField("ts_ms", LongType, nullable = false),
+        StructField("txn_id", StringType, nullable = false),
+        StructField("state", StringType, nullable = false),
+        StructField("participants", StringType, nullable = false))),
+        graft.lake.LakeTxn.records(warehouse)
+          .filter(_._4.contains((db, tbl)))
+          .map { case (ts, id, state, parts) =>
+            Seq[Any](ts, id, state,
+              parts.map(p => s"${p._1}.${p._2}").sorted.mkString(","))
+          })
+    }
     require(ident.namespace.length == 1, "expected <database>.<table>")
     val (db, tbl) = (ident.namespace()(0), ident.name)
     if (!LakeTable.exists(warehouse, db, tbl))
