@@ -234,6 +234,17 @@ class LakeTable private (val location: Path, private var md: TableMetadata,
     baseMd
   }
 
+  /** Whether this handle's loaded version is still the table head —
+    * the read-set validation SQL-transaction COMMIT runs on read-only
+    * participants. Tolerates the committed-but-unflipped lag exactly
+    * like [[txnBegin]]'s fail-fast does.
+    */
+  private[lake] def stillCurrent: Boolean =
+    currentHintVersion() == loadedVersion ||
+      (currentHintVersion() == loadedVersion - 1 &&
+        LakeTxn.healCommittedClaim(location, loadedVersion) &&
+        currentHintVersion() == loadedVersion)
+
   private[lake] def txnRollback(baseMd: TableMetadata): Unit = {
     md = baseMd
     txnActive = false

@@ -51,18 +51,20 @@ object SqlTxn {
 
     private[lake] def handleFor(wh: String, db: String,
         name: String): LakeTable = {
-      warehouse match {
-        case None => warehouse = Some(wh)
-        case Some(w) => require(w == wh,
-          s"the open transaction is bound to warehouse '$w'; a lake " +
-            s"table in '$wh' cannot join it — COMMIT or ROLLBACK " +
-            "first (cross-warehouse transactions have no commit " +
-            "record both sides trust)")
-      }
-      handles.getOrElseUpdate((db, name), {
+      warehouse.foreach(w => require(w == wh,
+        s"the open transaction is bound to warehouse '$w'; a lake " +
+          s"table in '$wh' cannot join it — COMMIT or ROLLBACK " +
+          "first (cross-warehouse transactions have no commit " +
+          "record both sides trust)"))
+      val h = handles.getOrElseUpdate((db, name), {
         val t = LakeTable.loadRaw(wh, db, name)
         (t, t.txnBegin())
       })._1
+      // bind only AFTER a successful enlist — a failed first touch
+      // (missing table, enlist-time conflict) must not pin the open
+      // transaction to a warehouse it holds nothing in
+      warehouse = Some(wh)
+      h
     }
   }
 
@@ -82,16 +84,31 @@ object SqlTxn {
   }
 
   /** Publish every staged table atomically. Returns the number of
-    * tables that actually staged changes (read-only participants cost
-    * nothing). The transaction is closed whether the publish succeeds
-    * or conflicts — optimistic transactions are not resumable.
+    * tables that actually staged changes. READ-ONLY enlisted tables
+    * are validated too: a concurrent commit to a table this
+    * transaction only read conflicts the COMMIT (first-committer-wins
+    * read validation — without it, `INSERT INTO b SELECT … FROM a`
+    * could publish data derived from a stale view of `a` with no
+    * error, classic write skew). The validate→publish window is not
+    * itself atomic — the claims cover the written tables, the read
+    * validation narrows the rest to microseconds. The transaction is
+    * closed whether the publish succeeds or conflicts — optimistic
+    * transactions are not resumable.
     */
   def commit(): Int = {
     val open = openTL.get().getOrElse(throw new IllegalStateException(
       "no open transaction — run BEGIN TRANSACTION first"))
     openTL.set(None)
-    val staged = open.handles.values.toSeq.flatMap { case (t, base) =>
-      t.txnEnd(base).map(n => (t, n))
+    val (stagedH, readOnly) = open.handles.values.toSeq.map {
+      case (t, base) => (t, t.txnEnd(base))
+    }.partition(_._2.isDefined)
+    val staged = stagedH.map { case (t, n) => (t, n.get) }
+    readOnly.foreach { case (t, _) =>
+      if (!t.stillCurrent)
+        throw new java.util.ConcurrentModificationException(
+          s"table ${t.location} was committed concurrently while " +
+            "this transaction read it — reload and retry the " +
+            "whole transaction")
     }
     staged match {
       case Seq() => 0

@@ -1,13 +1,11 @@
 package graft.sources
 
-import java.nio.file.Files
-
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Alias
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, StructType}
+import org.apache.spark.sql.types.DecimalType
 
 import graft.lake.LakeTable
 
@@ -107,19 +105,28 @@ object MatViewRewrite {
   private def sameSpecs(a: Seq[MatViews.AggSpec],
       b: Seq[MatViews.AggSpec]): Boolean =
     a.size == b.size && a.zip(b).forall {
-      case (MatViews.GroupCol(_, x), MatViews.GroupCol(_, y)) => x == y
+      case (MatViews.GroupCol(_, x), MatViews.GroupCol(_, y)) =>
+        canon(x) == canon(y)
       case (MatViews.CountStar(_), MatViews.CountStar(_)) => true
-      case (MatViews.CountCol(_, x), MatViews.CountCol(_, y)) => x == y
-      case (MatViews.SumCol(_, x), MatViews.SumCol(_, y)) => x == y
-      case (MatViews.SumNCol(_, x), MatViews.SumNCol(_, y)) => x == y
-      case (MatViews.MinCol(_, x), MatViews.MinCol(_, y)) => x == y
-      case (MatViews.MaxCol(_, x), MatViews.MaxCol(_, y)) => x == y
-      case (MatViews.CountDCol(_, x), MatViews.CountDCol(_, y)) => x == y
-      case (MatViews.SumDCol(_, x), MatViews.SumDCol(_, y)) => x == y
+      case (MatViews.CountCol(_, x), MatViews.CountCol(_, y)) =>
+        canon(x) == canon(y)
+      case (MatViews.SumCol(_, x), MatViews.SumCol(_, y)) =>
+        canon(x) == canon(y)
+      case (MatViews.SumNCol(_, x), MatViews.SumNCol(_, y)) =>
+        canon(x) == canon(y)
+      case (MatViews.MinCol(_, x), MatViews.MinCol(_, y)) =>
+        canon(x) == canon(y)
+      case (MatViews.MaxCol(_, x), MatViews.MaxCol(_, y)) =>
+        canon(x) == canon(y)
+      case (MatViews.CountDCol(_, x), MatViews.CountDCol(_, y)) =>
+        canon(x) == canon(y)
+      case (MatViews.SumDCol(_, x), MatViews.SumDCol(_, y)) =>
+        canon(x) == canon(y)
       case (MatViews.AvgDCol(_, x, p1, s1),
-        MatViews.AvgDCol(_, y, p2, s2)) => x == y && p1 == p2 && s1 == s2
+        MatViews.AvgDCol(_, y, p2, s2)) =>
+        canon(x) == canon(y) && p1 == p2 && s1 == s2
       case (MatViews.AvgCol(_, x, p1, s1), MatViews.AvgCol(_, y, p2, s2))
-        => x == y && p1 == p2 && s1 == s2
+        => canon(x) == canon(y) && p1 == p2 && s1 == s2
       case _ => false
     }
 
@@ -136,6 +143,17 @@ object MatViewRewrite {
       sameSpecs(user.specs, mv.specs)
 
   private def q(n: String): Column = col(s"`$n`")
+
+  /** Canonical rendering of a spec's argument SQL: legacy docs stored
+    * plain column names backtick-quoted while detect() renders them
+    * bare — strip one backtick layer when the inner text is a plain
+    * identifier so the two eras compare equal (the same duality
+    * [[rollupFrom]]'s backingFilter already accepts). */
+  private def canon(s: String): String =
+    if (s.length > 1 && s.startsWith("`") && s.endsWith("`")) {
+      val inner = s.substring(1, s.length - 1)
+      if (inner.matches("[A-Za-z_][A-Za-z0-9_]*")) inner else s
+    } else s
 
   /** ROLLUP SUBSUMPTION: the user's aggregate is derivable from a
     * FINER materialization — user group keys ⊆ mv group keys (matched
@@ -166,7 +184,7 @@ object MatViewRewrite {
     if (user.dims.map(d => (d.db, d.table, d.condSql)) !=
         mv.dims.map(d => (d.db, d.table, d.condSql))) return None
     def mvGroup(src: String): Option[GroupCol] =
-      mv.groupCols.find(_.srcCol == src)
+      mv.groupCols.find(g => canon(g.srcCol) == canon(src))
     // WHERE: identical, or a group-key-only predicate over an
     // UNfiltered mv (applied to the backing table pre-aggregation)
     val backingFilter: Option[String] =
@@ -214,11 +232,13 @@ object MatViewRewrite {
           Seq(sum(q(rc)).as(n))
         case CountCol(n, c) =>
           val m = mv.specs.collectFirst {
-            case CountCol(o, s) if s == c => o }.getOrElse(throw Unsupported)
+            case CountCol(o, s) if canon(s) == canon(c) => o
+          }.getOrElse(throw Unsupported)
           Seq(sum(q(m)).as(n))
         case SumCol(n, c) =>
           val m = mv.specs.collectFirst {
-            case SumCol(o, s) if s == c => o }.getOrElse(throw Unsupported)
+            case SumCol(o, s) if canon(s) == canon(c) => o
+          }.getOrElse(throw Unsupported)
           Seq(sumAs(m, n))
         case SumNCol(n, c) =>
           // a fully-retracted group stores sum=0/cnt=0 where the true
@@ -226,7 +246,8 @@ object MatViewRewrite {
           // re-sum's own null-skipping restores NULL iff no group has
           // a non-null value
           val m = mv.specs.collectFirst {
-            case SumNCol(o, s) if s == c => o }.getOrElse(throw Unsupported)
+            case SumNCol(o, s) if canon(s) == canon(c) => o
+          }.getOrElse(throw Unsupported)
           val masked = when(q(s"__sum_cnt_$m") === 0L, lit(null))
             .otherwise(q(m))
           Seq((st(m) match {
@@ -235,17 +256,25 @@ object MatViewRewrite {
           }).as(n))
         case MinCol(n, c) =>
           val m = mv.specs.collectFirst {
-            case MinCol(o, s) if s == c => o }.getOrElse(throw Unsupported)
+            case MinCol(o, s) if canon(s) == canon(c) => o
+          }.getOrElse(throw Unsupported)
           Seq(min(q(m)).as(n))
         case MaxCol(n, c) =>
           val m = mv.specs.collectFirst {
-            case MaxCol(o, s) if s == c => o }.getOrElse(throw Unsupported)
+            case MaxCol(o, s) if canon(s) == canon(c) => o
+          }.getOrElse(throw Unsupported)
           Seq(max(q(m)).as(n))
         case AvgCol(n, c, p, sc) =>
           val m = mv.specs.collectFirst {
-            case AvgCol(o, s, p2, s2) if s == c && p2 == p && s2 == sc =>
-              o }.getOrElse(throw Unsupported)
-          val ts = sum(q(s"__avg_sum_$m"))
+            case AvgCol(o, s, p2, s2)
+              if canon(s) == canon(c) && p2 == p && s2 == sc => o
+          }.getOrElse(throw Unsupported)
+          // cast the re-sum back to the per-group partial's type:
+          // the division's adjusted decimal scale must match the one
+          // the fronting view (and the user's own query) computes, or
+          // a boundary quotient rounds differently — the one way a
+          // rewrite could change a result
+          val ts = sum(q(s"__avg_sum_$m")).cast(st(s"__avg_sum_$m"))
           val tc = sum(q(s"__avg_cnt_$m"))
           Seq(when(tc === 0L, lit(null).cast(DecimalType(p, sc)))
             .otherwise((ts / tc.cast(DecimalType(20, 0)))
@@ -357,7 +386,6 @@ object MatViewRewrite {
 
   private def rewriteAgg(spark: SparkSession,
       agg: Aggregate): Option[LogicalPlan] = {
-    lastRewriteAgeTL.set(None)
     val wh = warehouseOf(agg.child).getOrElse(return None)
     val userShape = MatViews.detect(agg, wh).getOrElse(return None)
     // scan the warehouse's view docs (shared with the expiry pin cap);
@@ -369,7 +397,12 @@ object MatViewRewrite {
     // ordering, which view answers would follow directory-listing
     // order (a stale-but-bounded view could shadow an exactly-fresh
     // exact match, nondeterministically across machines)
-    val hit = candidates.flatMap { case (db, doc) =>
+    // rank cheaply first (shape match + freshness — no plan built),
+    // THEN build frames lazily in rank order: all but the winner's
+    // planning work is skipped, and a best-ranked candidate that
+    // fails late (Unsupported partial, type drift) falls through to
+    // the next instead of suppressing the rewrite entirely
+    val ranked = candidates.flatMap { case (db, doc) =>
       try {
         for {
           mvShape0 <- MatViews.decode(doc.properties)
@@ -385,30 +418,33 @@ object MatViewRewrite {
           matTable <- doc.properties.get("graft.mat-view.table")
           backing = LakeTable.load(wh, db, matTable)
           age <- freshness(spark, wh, mvShape, backing, doc.properties)
-          // building the result frame may still prove the shape
-          // underivable (Unsupported) — that's a no-match, not an error
-          frame = builder(backing.read(spark))
-        } yield (db, doc.name, kind, age, frame)
+        } yield (db, doc.name, kind, age, builder, backing)
       } catch { case scala.util.control.NonFatal(_) => None }
-    }.sortBy { case (_, _, kind, age, _) =>
+    }.sortBy { case (_, _, kind, age, _, _) =>
       (if (kind == "exact") 0 else 1, age)
-    }.headOption
-    hit.flatMap { case (db, viewName, kind, age, frame) =>
-      val child = frame.queryExecution.analyzed
-      // positional correspondence is guaranteed by the builder (user
-      // spec order); keep the user's names and exprIds so the parent
-      // operators' references stay bound
-      val out = agg.aggregateExpressions.map(_.toAttribute)
-      if (out.map(_.dataType) != child.output.map(_.dataType))
-        None // type drift — refuse silently, the scan stays correct
-      else {
-        lastRewriteTL.set(Some((db, viewName)))
-        lastRewriteKindTL.set(Some(kind))
-        lastRewriteAgeTL.set(Some(age))
-        Some(Project(out.zip(child.output).map { case (o, n) =>
-          Alias(n, o.name)(exprId = o.exprId)
-        }, child))
-      }
     }
+    val out = agg.aggregateExpressions.map(_.toAttribute)
+    ranked.iterator.flatMap {
+      case (db, viewName, kind, age, builder, backing) =>
+        try {
+          // building the result frame may still prove the shape
+          // underivable (Unsupported) — fall to the next candidate
+          val frame = builder(backing.read(spark))
+          val child = frame.queryExecution.analyzed
+          // positional correspondence is guaranteed by the builder
+          // (user spec order); keep the user's names and exprIds so
+          // the parent operators' references stay bound
+          if (out.map(_.dataType) != child.output.map(_.dataType))
+            None // type drift — try the next candidate
+          else {
+            lastRewriteTL.set(Some((db, viewName)))
+            lastRewriteKindTL.set(Some(kind))
+            lastRewriteAgeTL.set(Some(age))
+            Some(Project(out.zip(child.output).map { case (o, n) =>
+              Alias(n, o.name)(exprId = o.exprId)
+            }, child))
+          }
+        } catch { case scala.util.control.NonFatal(_) => None }
+    }.nextOption()
   }
 }

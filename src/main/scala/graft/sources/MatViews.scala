@@ -1277,8 +1277,13 @@ private[graft] object MatViews {
     val limit = keyLimit(spark)
     val srcSchema = graft.lake.Reconcile
       .clean(src.metadata.currentSchema).asInstanceOf[StructType]
+    // RAW fact image (no dim expansion): the marker semi-join must
+    // resolve eq-delete key names against the fact frame alone — a
+    // dim column sharing a key's name would make preImage(n)
+    // ambiguous — and joining dims only to the VICTIMS afterwards is
+    // strictly cheaper anyway
     lazy val fullPreImage =
-      if (w > 0) expand(src.read(spark, asOfSnapshot = Some(w)))
+      if (w > 0) src.read(spark, asOfSnapshot = Some(w))
       else null
     var eqScanPruned, eqScanTotal = 0
     val auditScans = spark.conf
@@ -1308,8 +1313,8 @@ private[graft] object MatViews {
             names.map(n => GroupCol(n, s"`${n.replace("`", "``")}`")))
         val preImage =
           if (mFilters.isEmpty) fullPreImage
-          else expand(src.read(spark, asOfSnapshot = Some(w),
-            statsFilters = mFilters))
+          else src.read(spark, asOfSnapshot = Some(w),
+            statsFilters = mFilters)
         if (preImage == null) None
         else {
           if (auditScans) {
@@ -1321,10 +1326,13 @@ private[graft] object MatViews {
           // the engine applies markers NULL-SAFELY (c <=> key,
           // LakeTable's eq-delete mask) — a marker carrying a NULL key
           // value strikes null-keyed source rows, so the victim probe
-          // must match them too or their groups never recompute
-          Some(preImage.join(markers,
-              names.map(n => preImage(n) <=> markers(n)).reduce(_ && _),
-              "left_semi")
+          // must match them too or their groups never recompute.
+          // Semi-join on the RAW fact frame, then expand only the
+          // victims through the dims (see fullPreImage note).
+          val victims = preImage.join(markers,
+            names.map(n => preImage(n) <=> markers(n)).reduce(_ && _),
+            "left_semi")
+          Some(expand(victims)
             .select(shape.groupCols.map(g =>
               expr(g.srcCol).as(g.outName)): _*))
         }
@@ -1454,9 +1462,17 @@ private[graft] object MatViews {
       matTable: String): Option[(Long, String, Long)] = {
     val src = LakeTable.load(warehouse, shape.srcDb, shape.srcTable)
     val backing0 = LakeTable.load(warehouse, matDb, matTable)
-    // authoritative watermark: stamped atomically with the data flip
+    // authoritative watermark: stamped atomically with the data flip.
+    // A corrupt (hand-edited) value refuses by name like every other
+    // unreconcilable state, rather than dying in a number parse.
     val w = backing0.metadata.properties
-      .get("graft.mat-view.watermark").map(_.toLong).getOrElse(watermark)
+      .get("graft.mat-view.watermark") match {
+      case Some(s) => s.toLongOption.getOrElse(
+        throw new IllegalStateException(
+          s"the materialization's watermark property is corrupt " +
+            s"('$s') — run a full refresh, which re-stamps it"))
+      case None => watermark
+    }
     // the watermark must still NAME the snapshot it named when it was
     // stamped: a source ROLLBACK truncates history and later appends
     // RE-USE the freed ids, so a pure id comparison would silently
@@ -1471,7 +1487,7 @@ private[graft] object MatViews {
           "through) — the merged state can't be reconciled " +
           "incrementally; run a full refresh instead")
       backing0.metadata.properties.get("graft.mat-view.watermark-ts")
-        .map(_.toLong).foreach(ts =>
+        .flatMap(_.toLongOption).foreach(ts =>
         require(wSnap.get.timestampMs == ts,
           s"snapshot $w in the source is not the commit this " +
             "materialization was computed from (a rollback re-used " +

@@ -168,6 +168,36 @@ class SqlTxnSpec extends AnyFunSuite {
       "the clean staged insert commits; the violating one never lands")
   }
 
+  test("read-set validation: a concurrent commit to a table the " +
+      "transaction only READ conflicts the COMMIT (no write skew)") {
+    val wh = setup("skew")
+    import SparkTestSession.spark.implicits._
+    spark.conf.set("spark.sql.catalog.gtx6", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.gtx6.warehouse", wh)
+    vsql("BEGIN TRANSACTION").collect()
+    // read-only enlist of acct, then derive audit from it
+    vsql("INSERT INTO gtx6.d.audit " +
+      "SELECT k, v FROM gtx6.d.acct WHERE k = 1").collect()
+    // another session commits to acct while we are open
+    observed {
+      LakeTable.load(wh, "d", "acct").append(
+        Seq((60L, 600L)).toDF("k", "v"))
+    }
+    intercept[java.util.ConcurrentModificationException] {
+      vsql("COMMIT").collect()
+    }
+    assert(observed(
+      LakeTable.load(wh, "d", "audit").read(spark).count()) == 0L,
+      "the skewed derivation must not publish")
+    // re-run on fresh state succeeds
+    vsql("BEGIN TRANSACTION").collect()
+    vsql("INSERT INTO gtx6.d.audit " +
+      "SELECT k, v FROM gtx6.d.acct WHERE k = 1").collect()
+    vsql("COMMIT").collect()
+    assert(observed(
+      LakeTable.load(wh, "d", "audit").read(spark).count()) == 1L)
+  }
+
   test("maintenance refuses inside a transaction: CALL procedures, " +
       "MV DDL, and constraint DDL all name the open transaction") {
     val wh = setup("maint")
