@@ -125,6 +125,42 @@ class AutoEvolveSpec extends AnyFunSuite {
       s"old rows read NULL for the nested additions: $rows")
   }
 
+  test("auto-evolution composes with SQL transactions: schema and " +
+      "data stage together, invisible until COMMIT") {
+    val wh = setup("txn", merge = true)
+    import SparkTestSession.spark.implicits._
+    LakeTable.load(wh, "d", "t").append(Seq((1, 10L)).toDF("k", "v"))
+    def observed[A](body: => A): A = {
+      @volatile var out: A = null.asInstanceOf[A]
+      val t = new Thread(() => out = body)
+      t.start(); t.join(); out
+    }
+    graft.lake.SqlTxn.begin()
+    try {
+      // the routed (buffered) handle auto-evolves IN the transaction
+      LakeTable.load(wh, "d", "t").append(
+        Seq((2, 20L, "x")).toDF("k", "v", "note"))
+      // inside: read-your-writes sees the evolved shape + row
+      assert(LakeTable.load(wh, "d", "t").read(spark).columns.toSeq ==
+        Seq("k", "v", "note"))
+      // outside: neither the schema nor the row leaked
+      val out = observed {
+        val t = LakeTable.load(wh, "d", "t")
+        (t.currentSchema.fieldNames.toSeq, t.read(spark).count())
+      }
+      assert(out == ((Seq("k", "v"), 1L)),
+        s"staged evolution leaked before COMMIT: $out")
+      graft.lake.SqlTxn.commit()
+    } finally if (graft.lake.SqlTxn.active.nonEmpty)
+      graft.lake.SqlTxn.rollback()
+    val after = observed {
+      val t = LakeTable.load(wh, "d", "t")
+      (t.currentSchema.fieldNames.toSeq, t.read(spark).count())
+    }
+    assert(after == ((Seq("k", "v", "note"), 2L)),
+      s"COMMIT must publish schema and data together: $after")
+  }
+
   test("without the property, extra columns drop at alignment " +
       "exactly as before") {
     val wh = setup("off", merge = false)
