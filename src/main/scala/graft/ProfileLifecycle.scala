@@ -19,13 +19,25 @@ object ProfileLifecycle {
     val jobs = new java.util.concurrent.atomic.AtomicInteger
     val stages = new java.util.concurrent.atomic.AtomicInteger
     val tasks = new java.util.concurrent.atomic.AtomicInteger
+    val traceJobs = new java.util.concurrent.atomic.AtomicBoolean(
+      sys.props.contains("graft.prof.trace"))
+    val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, Long]
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(
             j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
           jobs.incrementAndGet(); stages.addAndGet(j.stageInfos.size)
           tasks.addAndGet(j.stageInfos.map(_.numTasks).sum)
+          jobStart.put(j.jobId, System.nanoTime())
+          if (traceJobs.get) println(s"    [job ${j.jobId}] " +
+            j.stageInfos.map(_.name).mkString(" | "))
         }
+        override def onJobEnd(
+            j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+          if (traceJobs.get) {
+            val t0 = Option(jobStart.get(j.jobId)).getOrElse(0L)
+            println(f"    [job ${j.jobId} end] ${(System.nanoTime()-t0)/1e9}%.3f")
+          }
       })
 
     def step[T](name: String)(f: => T): T = {
@@ -35,6 +47,68 @@ object ProfileLifecycle {
       println(f"  $name%-28s ${(System.nanoTime() - t0) / 1e9}%.3f" +
         f"  jobs=${jobs.get - j0}%2d stages=${stages.get - s0}%2d tasks=${tasks.get - k0}%3d")
       r
+    }
+
+    // Mode "mvd": statement-level breakdown of the heaviest bench key
+    // (lake_mat_view_distinct) — same statements, step()-wrapped.
+    if (args.drop(1).headOption.contains("mvd")) {
+      import org.apache.spark.sql.functions.col
+      import graft.lake.{Engine, LakeTable}
+      for (round <- 1 to 2) {
+        println(s"=== mvd round $round")
+        val s = graft.queries.QueryModule.microSession(spark, 4)
+        val wh = step("freshWarehouse") {
+          val p = java.nio.file.Paths.get(
+            System.getProperty("java.io.tmpdir"), s"graft-lake-profmvd$round")
+          if (java.nio.file.Files.exists(p))
+            java.nio.file.Files.walk(p)
+              .sorted(java.util.Comparator.reverseOrder())
+              .forEach(f => java.nio.file.Files.delete(f))
+          java.nio.file.Files.createDirectories(p)
+          p.toString }
+        step("tabledef") { Engine.processTableDefJson(wh,
+          """{"database_name":"mvd","table_name":"ord","columns":[
+            |{"column_name":"o_custkey","data_type":"long"},
+            |{"column_name":"o_okey","data_type":"long"},
+            |{"column_name":"o_prio","data_type":"string"},
+            |{"column_name":"o_price","data_type":"decimal(18,4)"}],
+            |"partitions":[]}""".stripMargin) }
+        val orders = step("orders df") { graft.queries.Tables(s, dir, "orders")
+          .filter(col("o_orderkey") % 6 === 0)
+          .select(col("o_custkey"), col("o_orderkey").as("o_okey"),
+            col("o_orderpriority").as("o_prio"),
+            col("o_totalprice").cast("decimal(18,4)").as("o_price")) }
+        step("append0") { LakeTable.load(wh, "mvd", "ord")
+          .append(orders.filter(col("o_custkey") % 32 === 0)) }
+        s.conf.set("spark.sql.catalog.gmvdp", "graft.sources.LakeCatalog")
+        s.conf.set("spark.sql.catalog.gmvdp.warehouse", wh)
+        def vsql(q: String) =
+          org.apache.spark.sql.GraftViewSubstitution.sql(s, q)
+        step("CREATE MV") { vsql("CREATE MATERIALIZED VIEW gmvdp.mvd.roll AS " +
+          "SELECT o_custkey, count(DISTINCT o_prio) AS n_prios, " +
+          "sum(DISTINCT o_price) AS sd, avg(DISTINCT o_price) AS ad, " +
+          "count(*) AS n_orders FROM gmvdp.mvd.ord " +
+          "GROUP BY o_custkey").collect() }
+        step("append1") { LakeTable.load(wh, "mvd", "ord")
+          .append(orders.filter(col("o_custkey") % 32 === 1)) }
+        step("REFRESH 1") {
+          vsql("REFRESH MATERIALIZED VIEW gmvdp.mvd.roll INCREMENTAL")
+            .collect() }
+        step("deleteMoR") { LakeTable.load(wh, "mvd", "ord")
+          .deleteMoR(s, col("o_okey") % 7 === 3) }
+        step("REFRESH 2") {
+          vsql("REFRESH MATERIALIZED VIEW gmvdp.mvd.roll INCREMENTAL")
+            .collect() }
+        step(".refreshes") { vsql("SELECT strategy FROM " +
+          "gmvdp.mvd.roll.refreshes WHERE mode = 'incremental'").collect() }
+        step("load meta") { LakeTable.load(wh, "mvd", "__mat_roll")
+          .metadata.snapshots.size }
+        step("final read") { vsql("SELECT o_custkey, n_prios, " +
+          "CAST(sd AS DOUBLE) AS sum_dprice, " +
+          "ROUND(CAST(ad AS DOUBLE), 6) AS avg_dprice6, n_orders " +
+          "FROM gmvdp.mvd.roll ORDER BY o_custkey").count() }
+      }
+      spark.stop(); return
     }
 
     for (round <- 1 to 2) {

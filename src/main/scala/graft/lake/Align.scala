@@ -10,6 +10,13 @@ import org.apache.spark.sql.types._
   * **name** — columns reordered, missing optional fields null-filled,
   * compatible types safe-cast, recursively through structs and
   * array-of-struct elements. Missing *required* fields are an error.
+  *
+  * Name resolution honors `spark.sql.caseSensitive` (default
+  * insensitive, like every Spark resolution): a frame column "V"
+  * aligns onto table column "v" — silently null-filling it while the
+  * value sat one case away would be the classic mergeSchema trap. An
+  * exact-case match always wins; two frame columns differing only in
+  * case with no exact match are ambiguous and refuse by name.
   */
 object Align {
 
@@ -23,20 +30,38 @@ object Align {
     */
   def keeping(df: DataFrame, target: StructType,
       extras: Seq[String]): DataFrame = {
+    val ci = !df.sparkSession.sessionState.conf.caseSensitiveAnalysis
     val cleanTarget = Reconcile.clean(target).asInstanceOf[StructType]
     val cols = cleanTarget.fields.toSeq.zip(target.fields.toSeq).map {
       case (tf, orig) =>
         fieldExpr(tf,
-          df.schema.fields.find(_.name == tf.name)
-            .map(f => col(s"`${f.name}`") -> f.dataType),
-          tf.name, Some(orig)).as(tf.name)
+          resolve(df.schema.fields, tf.name, ci)
+            .map(f => col(s"`${f.name.replace("`", "``")}`") -> f.dataType),
+          tf.name, ci, Some(orig)).as(tf.name)
     }
     val kept = extras.filter(df.columns.contains).map(e => col(s"`$e`"))
     df.select(cols ++ kept: _*)
   }
 
+  /** The input field matching `name`: exact-case first, else the
+    * UNIQUE case-insensitive candidate when resolution is insensitive;
+    * several case-variant candidates with no exact match refuse. */
+  private def resolve(fields: Array[StructField], name: String,
+      ci: Boolean): Option[StructField] =
+    fields.find(_.name == name).orElse {
+      if (!ci) None
+      else fields.filter(_.name.equalsIgnoreCase(name)) match {
+        case Array() => None
+        case Array(one) => Some(one)
+        case many => throw new IllegalArgumentException(
+          s"ambiguous input for column '$name' under case-insensitive " +
+            s"resolution: ${many.map(_.name).mkString(", ")}")
+      }
+    }
+
   private def fieldExpr(tf: StructField, in: Option[(Column, DataType)],
-      path: String, orig: Option[StructField] = None): Column = in match {
+      path: String, ci: Boolean,
+      orig: Option[StructField] = None): Column = in match {
     case None =>
       // a column the writer omitted takes its declared WRITE default
       // (SET DEFAULT-mutable, falls back to the add-time initial) —
@@ -49,21 +74,22 @@ object Align {
           s"required field '$path' missing from input")
       orig.map(o => graft.schema.Defaults.writeFill(o, tf.dataType))
         .getOrElse(lit(null).cast(tf.dataType))
-    case Some((c, inT)) => typeExpr(tf.dataType, inT, c, path)
+    case Some((c, inT)) => typeExpr(tf.dataType, inT, c, path, ci)
   }
 
-  private def typeExpr(tgt: DataType, in: DataType, c: Column, path: String): Column =
+  private def typeExpr(tgt: DataType, in: DataType, c: Column,
+      path: String, ci: Boolean): Column =
     (tgt, in) match {
       case (t: StructType, i: StructType) =>
         when(c.isNull, lit(null).cast(t))
           .otherwise(struct(t.fields.toSeq.map { tf =>
             fieldExpr(tf,
-              i.fields.find(_.name == tf.name)
+              resolve(i.fields, tf.name, ci)
                 .map(f => c.getField(f.name) -> f.dataType),
-              s"$path.${tf.name}").as(tf.name)
+              s"$path.${tf.name}", ci).as(tf.name)
           }: _*))
       case (ArrayType(te: StructType, _), ArrayType(ie: StructType, _)) =>
-        transform(c, x => typeExpr(te, ie, x, s"$path.element"))
+        transform(c, x => typeExpr(te, ie, x, s"$path.element", ci))
       case (t, i) if t == i => c
       case (t, _) => c.cast(t)
     }

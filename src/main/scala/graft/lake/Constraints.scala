@@ -3,7 +3,8 @@ package graft.lake
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
-import org.apache.spark.sql.types.{StringType, StructType}
+import org.apache.spark.sql.types.{DoubleType, FloatType, StringType,
+  StructType}
 
 /** CHECK constraints: named boolean expressions stored as table
   * properties (`constraint.<name>` → SQL text) and enforced on EVERY
@@ -50,6 +51,25 @@ private[graft] object Constraints {
     */
   def violationFilters(sql: String,
       schema: StructType): Option[Seq[RangeFilter]] = {
+    val key = (sql, schema)
+    val hit = filterCache.get(key)
+    if (hit != null) return hit
+    val computed = computeViolationFilters(sql, schema)
+    if (filterCache.size > 4096) filterCache.clear() // unbounded-growth guard
+    filterCache.put(key, computed)
+    computed
+  }
+
+  /** Every commit of a constrained table re-derives the violation
+    * filters of the SAME (sql, schema) pair — the expression parse
+    * dominated a many-append lifecycle, so the derivation memoizes
+    * (both keys are immutable values; the cache is pure).
+    */
+  private val filterCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, StructType), Option[Seq[RangeFilter]]]
+
+  private def computeViolationFilters(sql: String,
+      schema: StructType): Option[Seq[RangeFilter]] = {
     def num(l: Literal): Option[BigDecimal] = l.value match {
       case null => None
       case i: Int => Some(BigDecimal(i))
@@ -73,12 +93,38 @@ private[graft] object Constraints {
     }
     // violation bound for "column CMP literal": hi = rows at/below,
     // lo = rows at/above (inclusive — conservative at the boundary
-    // for the non-strict comparisons)
+    // for the non-strict comparisons).
+    //
+    // FLOAT/DOUBLE columns widen each bound by 2 ulps: the engine
+    // evaluates the CHECK in BINARY float arithmetic (a decimal
+    // literal casts, rounding by ≤ half an ulp), while footer stats
+    // round-trip through the shortest decimal representation (another
+    // ≤ half ulp) — comparing the exact-decimal bound against the
+    // rendered stats could otherwise prove a boundary file 'clean'
+    // whose rows violate under binary comparison (e.g. CHECK
+    // (c < 0.30000000000000001) vs a file of doubles 0.3). A 2-ulp
+    // widening strictly over-approximates both roundings; a literal
+    // outside the type's finite range skips the filter (scan instead).
+    def widened(c: String, v: BigDecimal): Option[BigDecimal] =
+      schema.fields.find(_.name == c).map(_.dataType) match {
+        case Some(DoubleType) =>
+          val d = v.toDouble
+          if (java.lang.Double.isFinite(d))
+            Some(BigDecimal(2.0 * math.ulp(if (d == 0.0) 1e-300 else d)))
+          else None
+        case Some(FloatType) =>
+          val f = v.toFloat
+          if (java.lang.Float.isFinite(f))
+            Some(BigDecimal(2.0 * math.ulp(
+              if (f == 0.0f) java.lang.Float.MIN_NORMAL else f).toDouble))
+          else None
+        case _ => Some(BigDecimal(0))
+      }
     def bound(c: String, l: Literal, hi: Boolean)
         : Option[RangeFilter] =
-      num(l).map(v =>
-        if (hi) RangeFilter(c, hiNum = Some(v))
-        else RangeFilter(c, loNum = Some(v)))
+      num(l).flatMap(v => widened(c, v).map(w =>
+        if (hi) RangeFilter(c, hiNum = Some(v + w))
+        else RangeFilter(c, loNum = Some(v - w))))
         .orElse(str(l).map(v =>
           if (hi) RangeFilter(c, hiStr = Some(v))
           else RangeFilter(c, loStr = Some(v))))
@@ -111,10 +157,18 @@ private[graft] object Constraints {
   }
 
   /** (files scanned, files validated) of the last constraint
-    * validation on this JVM — a test/tooling observable for the
-    * stats-first proof. Always recorded: both counts fall out of the
-    * validation itself, so the observable costs one volatile write.
+    * validation ON THIS THREAD — a test/tooling observable for the
+    * stats-first proof. ThreadLocal (not JVM-global): under a
+    * concurrent verify/test pool another session's commit would
+    * otherwise interleave between a key's append and its read of the
+    * observable (same fix as MatViewRewrite.lastRewriteTL).
     */
-  @volatile private[graft] var lastValidationScan: Option[(Int, Int)] =
-    None
+  private val lastValidationScanTL =
+    new ThreadLocal[Option[(Int, Int)]] {
+      override def initialValue(): Option[(Int, Int)] = None
+    }
+  private[graft] def lastValidationScan: Option[(Int, Int)] =
+    lastValidationScanTL.get()
+  private[graft] def lastValidationScan_=(v: Option[(Int, Int)]): Unit =
+    lastValidationScanTL.set(v)
 }

@@ -239,11 +239,21 @@ class LakeTable private (val location: Path, private var md: TableMetadata,
     * participants. Tolerates the committed-but-unflipped lag exactly
     * like [[txnBegin]]'s fail-fast does.
     */
+  /** Is this handle's loaded version still the table head — AND is no
+    * commit already in flight past it? A `v{loaded+1}.json` claim is a
+    * conflict even while the pointer lags: a plain parseable claim
+    * always rolls forward (torn-claim recovery), and a pending-txn
+    * claim may be committed-by-record already — treating either as
+    * "still current" would validate a read the next microsecond
+    * falsifies. Conservative on aborted-txn claims (spurious conflict,
+    * retried), never unsound.
+    */
   private[lake] def stillCurrent: Boolean =
-    currentHintVersion() == loadedVersion ||
+    (currentHintVersion() == loadedVersion ||
       (currentHintVersion() == loadedVersion - 1 &&
         LakeTxn.healCommittedClaim(location, loadedVersion) &&
-        currentHintVersion() == loadedVersion)
+        currentHintVersion() == loadedVersion)) &&
+      !Files.exists(metadataDir.resolve(s"v${loadedVersion + 1}.json"))
 
   private[lake] def txnRollback(baseMd: TableMetadata): Unit = {
     md = baseMd
@@ -960,38 +970,52 @@ class LakeTable private (val location: Path, private var md: TableMetadata,
     * as always). The table side keeps its field-id annotations so the
     * evolution diff matches existing fields untouched.
     */
-  private def mergeTypes(table: DataType, in: DataType): DataType =
+  private def mergeTypes(table: DataType, in: DataType,
+      ci: Boolean): DataType =
     (Reconcile.clean(table), in) match {
       case (_: StructType, i: StructType) =>
+        def norm(n: String) =
+          if (ci) n.toLowerCase(java.util.Locale.ROOT) else n
         val t = table.asInstanceOf[StructType]
-        val known = t.fields.map(_.name).toSet
+        val known = t.fields.map(f => norm(f.name)).toSet
         StructType(t.fields.map { tf =>
-          i.fields.find(_.name == tf.name) match {
+          i.fields.find(f => norm(f.name) == norm(tf.name)) match {
             case Some(inf) =>
-              tf.copy(dataType = mergeTypes(tf.dataType, inf.dataType))
+              tf.copy(dataType = mergeTypes(tf.dataType, inf.dataType, ci))
             case None => tf
           }
-        } ++ i.fields.filterNot(f => known(f.name)).map(f =>
+        } ++ i.fields.filterNot(f => known(norm(f.name))).map(f =>
           StructField(f.name, f.dataType, nullable = true)))
       case (_: ArrayType, ArrayType(ie, _)) =>
         val a = table.asInstanceOf[ArrayType]
-        a.copy(elementType = mergeTypes(a.elementType, ie))
+        a.copy(elementType = mergeTypes(a.elementType, ie, ci))
       case (t, i) if t != i &&
           graft.schema.SchemaDiff.promotionAllowed(t, i).isRight => i
       case _ => table
     }
 
+  /** Adds/changes are resolved with spark.sql.caseSensitive-aware
+    * matching (Delta's mergeSchema contract): under the default
+    * case-insensitive resolution a frame column differing only in
+    * case ("Price" vs "price") maps onto the EXISTING column — adding
+    * it as a new one would produce case-duplicate names that every
+    * subsequent resolution makes ambiguous. Change keys carry the
+    * TABLE's spelling, which is what `autoEvolveFor` rebuilds from.
+    */
   private def autoEvolveDelta(df: DataFrame)
       : (Seq[StructField], Map[String, DataType]) = {
-    val byName = md.currentSchema.fields.map(f => f.name -> f).toMap
+    val ci = !df.sparkSession.sessionState.conf.caseSensitiveAnalysis
+    def norm(n: String) =
+      if (ci) n.toLowerCase(java.util.Locale.ROOT) else n
+    val byName = md.currentSchema.fields.map(f => norm(f.name) -> f).toMap
     val adds = df.schema.fields.toSeq
-      .filterNot(f => byName.contains(f.name))
+      .filterNot(f => byName.contains(norm(f.name)))
     val changes = df.schema.fields.toSeq.flatMap { f =>
-      byName.get(f.name).flatMap { tf =>
-        val merged = mergeTypes(tf.dataType, f.dataType)
+      byName.get(norm(f.name)).flatMap { tf =>
+        val merged = mergeTypes(tf.dataType, f.dataType, ci)
         if (Reconcile.clean(merged) == Reconcile.clean(tf.dataType))
           None
-        else Some(f.name -> merged)
+        else Some(tf.name -> merged)
       }
     }.toMap
     (adds, changes)
@@ -1870,6 +1894,24 @@ class LakeTable private (val location: Path, private var md: TableMetadata,
     val ks = resolveKeys(keys, "upsertMoR")
     requireUpsertKeys(source, ks)
     writeMoR(spark, Some(source), Right(ks), None, streamBatchId, streamId)
+  }
+
+  /** Touched-group publication (the incremental-MV maintenance shape):
+    * ONE snapshot whose equality-delete batch strikes EVERY given key
+    * — including groups whose recompute produced no surviving row —
+    * while `source` re-adds the live groups. The batch's sequence
+    * equals the snapshot's, so the markers kill older rows but never
+    * the rows written alongside them. Equivalent to
+    * `upsertMoR(source) + deleteByKeysMoR(deadKeys)` in HALF the
+    * commits (one manifest write, one snapshot) and without computing
+    * the dead set at all. `keys` may be a superset of the source's key
+    * values; it must never miss one, or the stale row survives next to
+    * its replacement.
+    */
+  def upsertWithDeletesMoR(spark: SparkSession, source: DataFrame,
+      keys: DataFrame): SnapshotMeta = {
+    resolveKeys(keys.columns.toSeq, "upsertWithDeletesMoR")
+    writeMoR(spark, Some(source), Left(keys), None)
   }
 
   /** An upsert SOURCE must physically carry every key — a top-level
@@ -3502,9 +3544,12 @@ class LakeTable private (val location: Path, private var md: TableMetadata,
     // id below a younger-than-cutoff snapshot must survive — expiring
     // by old.max alone would squash it regardless of its age.
     // `cap` bounds the prefix further (materialized-view pin
-    // protection — the CALL procedure passes the oldest pin).
+    // protection — the CALL procedure passes the oldest pin). STRICT:
+    // the pinned snapshot itself survives with its original timestamp,
+    // or the squash's max-of-expired stamp would fail the dependent
+    // MV's watermark-ts lineage check under clock skew.
     val prefix = byId.takeWhile(s =>
-      s.timestampMs < olderThanMs && s.id < latest && s.id <= cap)
+      s.timestampMs < olderThanMs && s.id < latest && s.id < cap)
     // Fixpoint: re-squashing a single already-squashed (or lone
     // append) snapshot is a no-op that would otherwise commit a new
     // metadata version and report 1 forever — maintenance loops that

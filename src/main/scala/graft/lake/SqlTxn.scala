@@ -85,38 +85,47 @@ object SqlTxn {
 
   /** Publish every staged table atomically. Returns the number of
     * tables that actually staged changes. READ-ONLY enlisted tables
-    * are validated too: a concurrent commit to a table this
-    * transaction only read conflicts the COMMIT (first-committer-wins
-    * read validation — without it, `INSERT INTO b SELECT … FROM a`
-    * could publish data derived from a stale view of `a` with no
-    * error, classic write skew). The validate→publish window is not
-    * itself atomic — the claims cover the written tables, the read
-    * validation narrows the rest to microseconds. The transaction is
-    * closed whether the publish succeeds or conflicts — optimistic
+    * are validated UNDER CLAIM (first-committer-wins read validation
+    * — without it, `INSERT INTO b SELECT … FROM a` could publish data
+    * derived from a stale view of `a` with no error, classic write
+    * skew): whenever the transaction publishes anything alongside
+    * reads, every read-only table joins the cross-table protocol as a
+    * participant with UNCHANGED metadata — its claim CAS (CREATE_NEW
+    * of the next version) is the validation, and it is HELD through
+    * the final record, so no concurrent commit can land on a read
+    * table between validation and publish. The price is one
+    * content-identical metadata version per read table per
+    * transaction. A transaction that staged nothing publishes nothing
+    * — its reads conflict with nothing, so it only fail-fast
+    * validates ([[LakeTable.stillCurrent]], which also treats an
+    * in-flight v+1 claim as a conflict). The transaction is closed
+    * whether the publish succeeds or conflicts — optimistic
     * transactions are not resumable.
     */
   def commit(): Int = {
     val open = openTL.get().getOrElse(throw new IllegalStateException(
       "no open transaction — run BEGIN TRANSACTION first"))
     openTL.set(None)
-    val (stagedH, readOnly) = open.handles.values.toSeq.map {
-      case (t, base) => (t, t.txnEnd(base))
-    }.partition(_._2.isDefined)
-    val staged = stagedH.map { case (t, n) => (t, n.get) }
-    readOnly.foreach { case (t, _) =>
-      if (!t.stillCurrent)
-        throw new java.util.ConcurrentModificationException(
-          s"table ${t.location} was committed concurrently while " +
-            "this transaction read it — reload and retry the " +
-            "whole transaction")
+    val parts = open.handles.values.toSeq.map {
+      case (t, base) => (t, t.txnEnd(base), base)
     }
+    val staged = parts.collect { case (t, Some(n), _) => (t, n) }
+    val readOnly = parts.collect { case (t, None, base) => (t, base) }
     staged match {
-      case Seq() => 0
-      case Seq((t, next)) => t.commitNext(next); 1
-      case many =>
+      case Seq() =>
+        readOnly.foreach { case (t, _) =>
+          if (!t.stillCurrent)
+            throw new java.util.ConcurrentModificationException(
+              s"table ${t.location} was committed concurrently while " +
+                "this transaction read it — reload and retry the " +
+                "whole transaction")
+        }
+        0
+      case Seq((t, next)) if readOnly.isEmpty => t.commitNext(next); 1
+      case some =>
         LakeTxn.commitCross(open.warehouse.get,
-          many.sortBy(_._1.location.toString))
-        many.size
+          (some ++ readOnly).sortBy(_._1.location.toString))
+        some.size
     }
   }
 

@@ -38,6 +38,11 @@ object QueryModule {
       sys.props.getOrElse("graft.micro.aqe", "false"))
     ns.conf.set("spark.sql.codegen.wholeStage",
       sys.props.getOrElse("graft.micro.codegen", "false"))
+    // limit-collects (the engine's bounded metadata probes cap at
+    // ~1000 rows) otherwise run 2+ incremental jobs per collect
+    // (initial=1, scale-up 4): at ≤ 4 partitions one job always
+    // covers everything
+    ns.conf.set("spark.sql.limit.initialNumPartitions", "32")
     ns
   }
 

@@ -1226,11 +1226,19 @@ private[sources] object LakeProcedures {
                 // downgrades every dependent MV to full O(source)
                 // refreshes (the programmatic LakeTable API stays
                 // uncapped for callers that mean it)
+                // the pinned snapshot ITSELF must survive the squash:
+                // keepAfter is inclusive (id <= keepAfter expires), and
+                // a squash stamps max-of-expired timestamps — under
+                // clock skew that differs from the pinned commit's own
+                // stamp and fails the watermark-ts lineage check,
+                // stranding the MV into full refreshes (the very
+                // downgrade the cap exists to prevent) — so cap BELOW it
                 val pinCap = MatViews
                   .pinnedSnapshots(warehouse, db, tbl)
                   .map(_._3).minOption.getOrElse(Long.MaxValue)
                 val expired = t.expireSnapshots(
-                  keepAfter = math.min(input.getLong(2), pinCap))
+                  keepAfter = math.min(input.getLong(2),
+                    if (pinCap == Long.MaxValue) pinCap else pinCap - 1))
                 (StructType(Seq(
                   StructField("expired_snapshots", IntegerType, nullable = false),
                   StructField("snapshots_left", IntegerType, nullable = false))),

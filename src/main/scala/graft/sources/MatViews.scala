@@ -1076,8 +1076,14 @@ private[graft] object MatViews {
     * test/tooling observable like [[lastBackingScan]], populated only
     * under `spark.graft.matview.incr-scan-audit`.
     */
-  @volatile private[graft] var lastDimDeltaScan: Option[(Int, Int)] =
-    None
+  private val lastDimDeltaScanTL =
+    new ThreadLocal[Option[(Int, Int)]] {
+      override def initialValue(): Option[(Int, Int)] = None
+    }
+  private[graft] def lastDimDeltaScan: Option[(Int, Int)] =
+    lastDimDeltaScanTL.get()
+  private[graft] def lastDimDeltaScan_=(v: Option[(Int, Int)]): Unit =
+    lastDimDeltaScanTL.set(v)
 
   /** Every registered MATERIALIZED view in the warehouse, as
     * (db, doc) — the O(views) tiny-JSON scan shared by query
@@ -1156,7 +1162,14 @@ private[graft] object MatViews {
     * touched-group pruning (specs pin that a small delta plans a
     * strict subset of the backing files).
     */
-  @volatile private[graft] var lastBackingScan: Option[(Int, Int)] = None
+  private val lastBackingScanTL =
+    new ThreadLocal[Option[(Int, Int)]] {
+      override def initialValue(): Option[(Int, Int)] = None
+    }
+  private[graft] def lastBackingScan: Option[(Int, Int)] =
+    lastBackingScanTL.get()
+  private[graft] def lastBackingScan_=(v: Option[(Int, Int)]): Unit =
+    lastBackingScanTL.set(v)
 
   /** Snapshot operations a retraction-capable refresh can consume:
     * appends, byte-moves, MoR deletes (position/vector markers carry
@@ -1210,14 +1223,28 @@ private[graft] object MatViews {
     * refresh's SOURCE read — test/tooling observable (conf-gated),
     * mirroring [[lastBackingScan]].
     */
-  @volatile private[graft] var lastRecomputeScan: Option[(Int, Int)] = None
+  private val lastRecomputeScanTL =
+    new ThreadLocal[Option[(Int, Int)]] {
+      override def initialValue(): Option[(Int, Int)] = None
+    }
+  private[graft] def lastRecomputeScan: Option[(Int, Int)] =
+    lastRecomputeScanTL.get()
+  private[graft] def lastRecomputeScan_=(v: Option[(Int, Int)]): Unit =
+    lastRecomputeScanTL.set(v)
 
   /** (files scanned after marker-envelope pruning, live files at the
     * watermark) summed over the last recompute refresh's EQUALITY
     * pre-image reads — test/tooling observable (conf-gated), mirroring
     * [[lastRecomputeScan]]. None when the refresh had no eq batches.
     */
-  @volatile private[graft] var lastEqPreImageScan: Option[(Int, Int)] = None
+  private val lastEqPreImageScanTL =
+    new ThreadLocal[Option[(Int, Int)]] {
+      override def initialValue(): Option[(Int, Int)] = None
+    }
+  private[graft] def lastEqPreImageScan: Option[(Int, Int)] =
+    lastEqPreImageScanTL.get()
+  private[graft] def lastEqPreImageScan_=(v: Option[(Int, Int)]): Unit =
+    lastEqPreImageScanTL.set(v)
 
   /** Touched-group recompute: the fallback incremental strategy when
     * signed merging is impossible. Derive the set of GROUP KEYS the
@@ -1301,12 +1328,19 @@ private[graft] object MatViews {
                 s"equality delete keyed on a NESTED field (id $fid) — " +
                 "run a full refresh instead"))
         }
-        val markers = spark.read.parquet(b.paths: _*).select(
+        val markers0 = spark.read.parquet(b.paths: _*).select(
           b.fieldIds.zip(names).map { case (fid, n) =>
             col(s"k$fid").cast(schema.fields.find(_.name == n).get
               .dataType).as(n)
           }: _*)
-        val markerRows = markers.limit(limit + 1).collect().toSeq
+        val markerRows = markers0.limit(limit + 1).collect().toSeq
+        // a bounded marker set probes as a LocalRelation: its
+        // broadcast is driver-local (no re-scan job of the batch)
+        val markers = if (markerRows.size > limit) markers0
+          else spark.createDataFrame(
+            new java.util.ArrayList(scala.jdk.CollectionConverters
+              .SeqHasAsJava(markerRows).asJava),
+            StructType(markers0.schema.fields.map(_.copy(nullable = true))))
         val mFilters =
           if (markerRows.size > limit) Seq.empty
           else keyFilters(srcSchema, markerRows,
@@ -1347,12 +1381,31 @@ private[graft] object MatViews {
     // new-dim-row groups are already a subset of clTouched
     val dimTouched = dimLegs.map(_.select(shape.groupCols.map(g =>
       expr(g.srcCol).as(g.outName)): _*))
-    val touched = ((clTouched +: eqTouched) ++ dimTouched)
+    val touched0 = ((clTouched +: eqTouched) ++ dimTouched)
       .reduce(_.union(_))
-      .distinct().localCheckpoint()
+      .distinct()
+    // ONE action derives everything the bounded (steady-state) path
+    // needs: the limit+1 collect caps driver memory, and when the set
+    // fits, the key rows double as the NULL-key check, the pruning
+    // filters, the semi-join side (a LocalRelation — its broadcast
+    // never launches a job), and the dead-group diff. The unbounded
+    // fallback checkpoints once and keeps the distributed machinery.
+    val keyRows = touched0.limit(limit + 1).collect().toSeq
+    val bounded = keyRows.size <= limit
+    lazy val touchedCk = touched0.localCheckpoint()
+    val touchedSchema = StructType(touched0.schema.fields.map(
+      _.copy(nullable = true)))
+    def localDf(rows: Seq[org.apache.spark.sql.Row]) =
+      spark.createDataFrame(
+        new java.util.ArrayList(
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+        touchedSchema)
+    val touched = if (bounded) localDf(keyRows) else touchedCk
     // NULL group keys can't upsert/delete by equality — refuse by name
-    val nullKeyed = touched
-      .filter(keyCols.map(_.isNull).reduce(_ || _)).limit(1).count() > 0
+    val nullKeyed =
+      if (bounded) keyRows.exists(_.anyNull)
+      else touchedCk
+        .filter(keyCols.map(_.isNull).reduce(_ || _)).limit(1).count() > 0
     require(!nullKeyed,
       "incremental refresh cannot merge NULL group keys (equality " +
         "joins and upsert deletes never match NULL) — run a full " +
@@ -1362,7 +1415,6 @@ private[graft] object MatViews {
     // when the group keys are plain columns (an expression key — a
     // date_trunc bucket — must not prune by its bucketed values:
     // a file's raw range can straddle the bucket)
-    val keyRows = touched.limit(limit + 1).collect().toSeq
     val wmOnly = Map("graft.mat-view.watermark" -> head.toString,
       "graft.mat-view.watermark-ts" -> src.metadata.snapshots
         .find(_.id == head).map(_.timestampMs).getOrElse(-1L)
@@ -1384,7 +1436,7 @@ private[graft] object MatViews {
       else None
     }
     val srcFilters =
-      if (keyRows.size > limit) Seq.empty
+      if (!bounded) Seq.empty
       else keyFilters(srcSchema,
         keyRows,
         shape.groupCols.map(g => plainName(g.srcCol) match {
@@ -1402,9 +1454,10 @@ private[graft] object MatViews {
       q(g.outName).as(s"__tk_${g.outName}")): _*)
     val headRows = expand(src.read(spark, asOfSnapshot = Some(head),
       statsFilters = srcFilters))
-    // a bounded touched set broadcasts (zero source shuffle); past the
-    // key limit let the planner shuffle both sides
-    val tkSide = if (keyRows.size <= limit) broadcast(tk) else tk
+    // a bounded touched set broadcasts (zero source shuffle — and a
+    // LocalRelation side broadcasts without even a collect job); past
+    // the key limit let the planner shuffle both sides
+    val tkSide = if (bounded) broadcast(tk) else tk
     val matched = headRows.join(tkSide,
       shape.groupCols.map(g =>
         expr(g.srcCol) === col(s"__tk_${g.outName}")).reduce(_ && _),
@@ -1414,20 +1467,31 @@ private[graft] object MatViews {
     // per-file footer cost dominates the publish (same rule as the
     // signed path's bounded() merge)
     val newAgg0 = storageAggregate(matched, shape)
-    val newAgg = (if (keyRows.size <= limit) newAgg0.coalesce(1)
-      else newAgg0).localCheckpoint()
-    val keys = shape.groupCols.map(_.outName)
-    val dead0 = touched.join(newAgg.select(keys.map(q): _*), keys,
-      "left_anti")
-    val dead = (if (keyRows.size <= limit) dead0.coalesce(1)
-      else dead0).localCheckpoint()
+    // ONE snapshot publishes the whole refresh: the marker batch
+    // strikes every TOUCHED key (so groups that emptied just die),
+    // the data files re-add the recomputed live groups — no dead-set
+    // anti-join, no existence probe, one manifest write
+    if (bounded) {
+      // ≤ limit ROWS (one per touched group) — collect them in the ONE
+      // action that runs the aggregation and publish from
+      // LocalRelations (their broadcast/write launch no extra scans)
+      val aggRows = newAgg0.collect().toSeq
+      val newAggLocal = spark.createDataFrame(
+        new java.util.ArrayList(
+          scala.jdk.CollectionConverters.SeqHasAsJava(aggRows).asJava),
+        StructType(newAgg0.schema.fields.map(_.copy(nullable = true))))
+      backing0.transaction { tx =>
+        tx.upsertWithDeletesMoR(spark, newAggLocal, localDf(keyRows))
+        tx.updateProperties(wmOnly)
+      }
+      return keyRows.size.toLong
+    }
+    val newAgg = newAgg0.localCheckpoint()
     backing0.transaction { tx =>
-      tx.upsertMoR(spark, newAgg, keys = keys)
-      if (dead.limit(1).count() > 0L)
-        tx.deleteByKeysMoR(spark, dead)
+      tx.upsertWithDeletesMoR(spark, newAgg, touched)
       tx.updateProperties(wmOnly)
     }
-    if (keyRows.size <= limit) keyRows.size.toLong else -1L
+    -1L
   }
 
   /** The incremental refresh itself: delta rows since the watermark →
@@ -1703,25 +1767,20 @@ private[graft] object MatViews {
     } else {
       val merged = merged0.localCheckpoint()
       val rc = q(shape.rowsCol)
-      // one pass over the (checkpointed) merge for BOTH sanity counts
-      // — underflow and emptied-group detection were three separate
-      // driver actions before, pure scheduling overhead on a frame
-      // already materialized
-      val counts = merged.agg(
-        sum(when(rc < 0L, 1L).otherwise(0L)).as("neg"),
-        sum(when(rc === 0L, 1L).otherwise(0L)).as("dead")).head()
-      val (negative, deadN) =
-        (Option(counts.get(0)).fold(0L)(_ => counts.getLong(0)),
-          Option(counts.get(1)).fold(0L)(_ => counts.getLong(1)))
+      val negative = Option(merged.agg(
+        sum(when(rc < 0L, 1L).otherwise(0L)).as("neg")).head().get(0))
+        .fold(0L)(_.asInstanceOf[Long])
       require(negative == 0L,
         s"retraction underflow: $negative group(s) went below zero " +
           "rows — the delta retracts rows this materialization never " +
           "counted; run a full refresh")
+      // ONE snapshot: markers strike every merged key (emptied groups
+      // included — they simply get no replacement row), data files
+      // re-add the surviving groups; was upsert + dead-count +
+      // deleteByKeys = two snapshots and an extra driver action
       backing0.transaction { tx =>
-        tx.upsertMoR(spark, merged.filter(rc > 0L), keys = keys)
-        if (deadN > 0L)
-          tx.deleteByKeysMoR(spark,
-            merged.filter(rc === 0L).select(keys.map(q): _*))
+        tx.upsertWithDeletesMoR(spark, merged.filter(rc > 0L),
+          merged.select(keys.map(q): _*))
         tx.updateProperties(wmProp)
       }
     }

@@ -161,6 +161,34 @@ class AutoEvolveSpec extends AnyFunSuite {
       s"COMMIT must publish schema and data together: $after")
   }
 
+  test("case-insensitive resolution: a frame column differing only " +
+      "in case maps onto the existing column — never a case-duplicate " +
+      "add (Delta's mergeSchema contract)") {
+    val wh = setup("case", merge = true)
+    import SparkTestSession.spark.implicits._
+    LakeTable.load(wh, "d", "t").append(Seq((1, 10L)).toDF("k", "v"))
+    // "V" is "v" under the default case-insensitive resolution: no new
+    // column; the frame aligns onto the existing one
+    LakeTable.load(wh, "d", "t").append(Seq((2, 20L)).toDF("k", "V"))
+    val after = LakeTable.load(wh, "d", "t")
+    assert(after.currentSchema.fieldNames.toSeq == Seq("k", "v"),
+      s"case-variant arrival must not add a duplicate: " +
+        s"${after.currentSchema.fieldNames.toSeq}")
+    assert(after.read(spark).orderBy("k").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq ==
+      Seq((1, 10L), (2, 20L)))
+    // a case-variant column arriving legally WIDER still promotes the
+    // existing column (int k → long), keeping the table's spelling
+    LakeTable.load(wh, "d", "t").append(
+      Seq((3L, 30L)).toDF("K", "v"))
+    val after2 = LakeTable.load(wh, "d", "t")
+    assert(after2.currentSchema.fieldNames.toSeq == Seq("k", "v"))
+    assert(after2.currentSchema("k").dataType ==
+      org.apache.spark.sql.types.LongType,
+      "the case-variant wider arrival must promote the EXISTING column")
+    assert(after2.read(spark).count() == 3L)
+  }
+
   test("without the property, extra columns drop at alignment " +
       "exactly as before") {
     val wh = setup("off", merge = false)

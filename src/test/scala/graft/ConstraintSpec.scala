@@ -177,4 +177,51 @@ class ConstraintSpec extends AnyFunSuite {
         "amt > 1")
     }
   }
+
+  test("float/double boundaries: stats proofs widen by ulps — a " +
+      "decimal literal the engine evaluates in binary cannot prove a " +
+      "boundary file clean; far-from-boundary files still prove") {
+    val wh = Files.createTempDirectory("graft-cons-fp").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"f","columns":[
+        |{"column_name":"k","data_type":"long"},
+        |{"column_name":"dv","data_type":"double"},
+        |{"column_name":"fv","data_type":"float"}],
+        |"partitions":[]}""".stripMargin)
+    import SparkTestSession.spark.implicits._
+    def msgs(x: Throwable): String = Iterator.iterate(x)(_.getCause)
+      .takeWhile(_ != null)
+      .map(c => Option(c.getMessage).getOrElse("")).mkString(" ")
+    // CHECK (dv < 0.30000000000000001): the literal casts to double
+    // 0.3 at evaluation, so a row dv = 0.3d VIOLATES (0.3 < 0.3 is
+    // false) — but its footer stats render as exactly "0.3", which an
+    // unwidened exact-decimal bound (violation: dv >= 0.300…01) would
+    // prove 'clean' and land the bad row
+    val t = LakeTable.load(wh, "d", "f")
+    t.addConstraint(spark, "dv_lt", "dv < 0.30000000000000001")
+    val e = intercept[Exception] {
+      LakeTable.load(wh, "d", "f").append(
+        Seq((1L, 0.3d, 0.0f)).toDF("k", "dv", "fv").coalesce(1))
+    }
+    assert(msgs(e).contains("dv_lt"), msgs(e))
+    assert(LakeTable.load(wh, "d", "f").read(spark).count() == 0L)
+    // same miss on the float side: fv = 0.3f is binary ~0.300000012,
+    // which violates fv < 0.30000001 — stats "0.3" must not prove it
+    val t2 = LakeTable.load(wh, "d", "f")
+    t2.addConstraint(spark, "fv_lt", "fv < 0.30000001")
+    val e2 = intercept[Exception] {
+      LakeTable.load(wh, "d", "f").append(
+        Seq((2L, 0.1d, 0.3f)).toDF("k", "dv", "fv").coalesce(1))
+    }
+    assert(msgs(e2).contains("fv_lt"), msgs(e2))
+    // far from the boundary the 2-ulp widening is invisible: a clean
+    // file still proves via stats (zero validation scans)
+    LakeTable.load(wh, "d", "f").append(
+      Seq((3L, 0.1d, 0.1f)).toDF("k", "dv", "fv").coalesce(1))
+    val (scanned, total) = Constraints.lastValidationScan.get
+    assert(total > 0 && scanned == 0,
+      s"far-from-boundary floats must still prove via stats: " +
+        s"$scanned/$total")
+    assert(LakeTable.load(wh, "d", "f").read(spark).count() == 1L)
+  }
 }

@@ -1521,11 +1521,24 @@ class MatViewSpec extends AnyFunSuite {
         Seq((1L, i * 10L)).toDF("f_cust", "f_amt"))
     val factHead = LakeTable.load(wh, "d", "fact").metadata
       .snapshots.map(_.id).max
+    val wmSnapBefore = LakeTable.load(wh, "d", "fact").metadata
+      .snapshots.find(_.id == wm).get
     spark.sql(s"CALL gmvex.system.expire_snapshots('d', 'fact', " +
       s"$factHead)").collect()
     val left = LakeTable.load(wh, "d", "fact").metadata.snapshots
     assert(left.exists(_.id == wm),
       s"the MV watermark snapshot $wm must survive: ${left.map(_.id)}")
+    // survive UNSQUASHED: a squash that keeps the pin's id stamps
+    // max-of-expired timestamps — under clock skew that fails the
+    // watermark-ts lineage check and strands the MV into full
+    // refreshes; the cap must hold BELOW the pin
+    val wmSnapAfter = left.find(_.id == wm).get
+    assert(wmSnapAfter.operation == wmSnapBefore.operation &&
+      wmSnapAfter.timestampMs == wmSnapBefore.timestampMs,
+      s"the pinned snapshot itself must survive expiry untouched, " +
+        s"got op=${wmSnapAfter.operation} ts=${wmSnapAfter.timestampMs}" +
+        s" (was op=${wmSnapBefore.operation} " +
+        s"ts=${wmSnapBefore.timestampMs})")
     assert(left.count(_.id > wm) == 2,
       "the replay range past the watermark must survive untouched")
     // the dim pin is protected the same way

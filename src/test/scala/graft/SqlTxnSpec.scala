@@ -198,6 +198,53 @@ class SqlTxnSpec extends AnyFunSuite {
       LakeTable.load(wh, "d", "audit").read(spark).count()) == 1L)
   }
 
+  test("validate-under-claim: an in-flight v+1 claim on a read table " +
+      "conflicts COMMIT (even with the pointer lagging); a clean " +
+      "commit holds the read table through the protocol with a " +
+      "content-identical version") {
+    val wh = setup("claimskew")
+    spark.conf.set("spark.sql.catalog.gtx7", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.gtx7.warehouse", wh)
+    val mdir = java.nio.file.Paths.get(wh, "d", "acct", "metadata")
+    def hint: Int = Files.readString(
+      mdir.resolve("version-hint.text")).trim.toInt
+    vsql("BEGIN TRANSACTION").collect()
+    vsql("INSERT INTO gtx7.d.audit " +
+      "SELECT k, v FROM gtx7.d.acct WHERE k = 1").collect()
+    // a concurrent committer inside its claim→flip window on the READ
+    // table: v+1 exists, the pointer still reads v — the old
+    // hint-only validation called this 'still current' (the claim
+    // rolls forward moments later: write skew)
+    val n = hint
+    val fake = mdir.resolve(s"v${n + 1}.json")
+    Files.copy(mdir.resolve(s"v$n.json"), fake)
+    try
+      intercept[java.util.ConcurrentModificationException] {
+        vsql("COMMIT").collect()
+      }
+    finally Files.deleteIfExists(fake)
+    assert(observed(
+      LakeTable.load(wh, "d", "audit").read(spark).count()) == 0L,
+      "the skewed derivation must not publish")
+    // clean re-run: publishes, and the read-only participant's claim
+    // flips a CONTENT-IDENTICAL metadata version (the hold itself)
+    val snapsBefore = observed(
+      LakeTable.load(wh, "d", "acct").metadata.snapshots.map(_.id))
+    val hintBefore = hint
+    vsql("BEGIN TRANSACTION").collect()
+    vsql("INSERT INTO gtx7.d.audit " +
+      "SELECT k, v FROM gtx7.d.acct WHERE k = 1").collect()
+    vsql("COMMIT").collect()
+    assert(observed(
+      LakeTable.load(wh, "d", "audit").read(spark).count()) == 1L)
+    assert(observed(LakeTable.load(wh, "d", "acct").metadata.snapshots
+      .map(_.id)) == snapsBefore,
+      "the read-only hold must not change the table's content")
+    assert(hint == hintBefore + 1,
+      "the read-only participant must have claimed (and flipped) the " +
+        "next metadata version — that hold IS the validation")
+  }
+
   test("maintenance refuses inside a transaction: CALL procedures, " +
       "MV DDL, and constraint DDL all name the open transaction") {
     val wh = setup("maint")
