@@ -49,6 +49,37 @@ object ProfileLifecycle {
       r
     }
 
+    // Mode "append": where does a tiny append's wall time go? 10 warm
+    // sequential appends with load/align/write/commit sub-timings.
+    if (args.drop(1).headOption.contains("append")) {
+      import org.apache.spark.sql.functions.col
+      import graft.lake.{Engine, LakeTable}
+      val s = graft.queries.QueryModule.microSession(spark, 4)
+      val wh = java.nio.file.Files.createTempDirectory("graft-prof-app")
+        .toString
+      Engine.processTableDefJson(wh,
+        """{"database_name":"d","table_name":"t","columns":[
+          |{"column_name":"k","data_type":"long"},
+          |{"column_name":"v","data_type":"long"}],
+          |"partitions":[]}""".stripMargin)
+      import s.implicits._
+      val df = (0 until 100).map(i => (i.toLong, i * 2L)).toDF("k", "v")
+      for (i <- 1 to 10) {
+        val t0 = System.nanoTime()
+        val t = LakeTable.load(wh, "d", "t")
+        val t1 = System.nanoTime()
+        t.append(df)
+        val t2 = System.nanoTime()
+        println(f"append $i%2d: load ${(t1 - t0) / 1e6}%6.1f ms  " +
+          f"append ${(t2 - t1) / 1e6}%6.1f ms")
+      }
+      // and a read back
+      val t0 = System.nanoTime()
+      val n = LakeTable.load(wh, "d", "t").read(s).count()
+      println(f"read: ${(System.nanoTime() - t0) / 1e6}%6.1f ms ($n rows)")
+      spark.stop(); return
+    }
+
     // Mode "mvd": statement-level breakdown of the heaviest bench key
     // (lake_mat_view_distinct) — same statements, step()-wrapped.
     if (args.drop(1).headOption.contains("mvd")) {

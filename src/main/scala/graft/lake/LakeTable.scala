@@ -1211,7 +1211,18 @@ class LakeTable private (val location: Path, private var md: TableMetadata,
     // name is a hint — a retried commit may land under a later id.
     val outDir = dataDir.resolve(
       s"snap-$snapshotId-${java.util.UUID.randomUUID().toString.take(8)}")
+    val profT0 = System.nanoTime()
     val files0 = writeDataFiles(aligned, outDir)
+    if (sys.props.contains("graft.prof.write")) {
+      val t1 = System.nanoTime()
+      val r = commitSnapshot(
+        (if (lineage) files0.map(_.copy(lineageCols = true)) else files0),
+        schemaIdAtWrite, operation, streamBatchId, streamId,
+        removedPaths, retryConflicts)
+      println(f"    [write ${(t1 - profT0) / 1e6}%6.1f ms  " +
+        f"commit ${(System.nanoTime() - t1) / 1e6}%6.1f ms]")
+      return r
+    }
     // a lineage rewrite physically wrote _graft_row_id /
     // _graft_last_updated columns — record the flag so lineage reads
     // know to consume them (and inherit through their null cells)
@@ -1583,40 +1594,95 @@ class LakeTable private (val location: Path, private var md: TableMetadata,
     // verbatim, updated rows keep their id and null the last-updated
     // so inheritance re-stamps the PUBLISH commit's sequence — without
     // this, a curation pass on a branch would silently re-identify
-    // every row it touched at publish
+    // every row it touched at publish.
+    //
+    // STAGED-ORIGIN survivors are the exception to "carry verbatim":
+    // a row an EARLIER staged commit rewrote inherits a sequence that
+    // only exists pre-publish (fastForward re-numbers every staged
+    // snapshot) — materializing it would bake a dangling id into the
+    // parquet. Those rows keep NULL lineage and land in their own
+    // output files whose file-meta `seq` names the SOURCE staged
+    // snapshot; publish remaps that seq to the source's published id
+    // (the file-meta seq is exactly the format's deferred-sequencing
+    // mechanism), so after publish they still read the sequence of
+    // the commit that last changed them.
     val rows = readFiles(spark, affected, md.currentSchema,
       LakeTable.liveDeletes(visible), lineage = writesVectors)
-    val kept = assignments match {
-      case None =>
-        val survivors = rows.filter(!coalesce(predicate, lit(false)))
-        if (writesVectors) matLineage(survivors) else survivors
-      case Some(as) =>
-        val p = coalesce(predicate, lit(false))
-        val lineageSel: Seq[Column] =
-          if (!writesVectors) Seq.empty
-          else Seq(col("_row_id").as("_graft_row_id"),
-            when(p, lit(null).cast(LongType))
-              .otherwise(col("_last_updated_sequence_number"))
-              .as("_graft_last_updated"))
-        rows.select(md.currentSchema.fieldNames.toSeq.map { n =>
-          as.get(n) match {
-            case Some(v) => when(p, v).otherwise(col(s"`$n`")).as(n)
-            case None => col(s"`$n`")
-          }
-        } ++ lineageSel: _*)
+    val p = coalesce(predicate, lit(false))
+    val valueCols: Seq[Column] = assignments match {
+      case None => md.currentSchema.fieldNames.toSeq.map(n => col(s"`$n`"))
+      case Some(as) => md.currentSchema.fieldNames.toSeq.map { n =>
+        as.get(n) match {
+          case Some(v) => when(p, v).otherwise(col(s"`$n`")).as(n)
+          case None => col(s"`$n`").as(n)
+        }
+      }
     }
-    val aligned = Align.keeping(kept, md.currentSchema,
-      LakeTable.matLineageCols)
-    aligned.sparkSession.conf
-      .set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    val base0 = if (assignments.isDefined) rows else rows.filter(!p)
+    // staged snapshots' PREDICTED sequences on the branch view
+    // (resequenceOverlay's numbering) → their staged ids
+    val stagedByPredicted: Map[Long, Long] =
+      branchSnaps(name).map(_.id).sorted.zipWithIndex
+        .map { case (id, i) => (base + i + 1) -> id }.toMap
+    val affectedStaged = writesVectors &&
+      affected.exists(f => stagedByPredicted.contains(f.seq))
     val provisionalId = (md.snapshots ++ md.staged).map(_.id)
       .foldLeft(0L)(math.max) + 1
-    val outDir = dataDir.resolve(
+    def freshOutDir() = dataDir.resolve(
       s"snap-$provisionalId-${java.util.UUID.randomUUID().toString.take(8)}")
-    val written = {
-      val fs = writeDataFiles(aligned, outDir)
-      if (writesVectors) fs.map(_.copy(lineageCols = true)) else fs
+    def writeGroup(df: DataFrame): Seq[DataFileMeta] = {
+      val aligned = Align.keeping(df, md.currentSchema,
+        LakeTable.matLineageCols)
+      aligned.sparkSession.conf
+        .set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      val fs = writeDataFiles(aligned, freshOutDir())
+      // an origin group may hold zero rows (all its candidates were
+      // touched) — drop the empty file rather than commit it
+      fs.filter { f =>
+        if (f.rows == 0L) { Files.deleteIfExists(Paths.get(f.path)); false }
+        else true
+      }.map(f => if (writesVectors) f.copy(lineageCols = true) else f)
     }
+    val written =
+      if (!affectedStaged) {
+        // no staged inputs: every inherited sequence is a stable MAIN
+        // id — materialize verbatim (the pre-existing fast path)
+        val kept =
+          if (!writesVectors) base0.select(valueCols: _*)
+          else base0.select(valueCols ++ Seq(
+            col("_row_id").as("_graft_row_id"),
+            when(if (assignments.isDefined) p else lit(false),
+              lit(null).cast(LongType))
+              .otherwise(col("_last_updated_sequence_number"))
+              .as("_graft_last_updated")): _*)
+        writeGroup(kept)
+      } else {
+        val touched = if (assignments.isDefined) p else lit(false)
+        val full = base0.select(valueCols ++ Seq(
+          col("_row_id").as("__rid"),
+          col("_last_updated_sequence_number").as("__orig"),
+          touched.as("__touched")): _*).localCheckpoint()
+        val dataCols = md.currentSchema.fieldNames.toSeq
+          .map(n => col(s"`$n`"))
+        val predictedKeys = stagedByPredicted.keys.toSeq
+        val mainish = full.filter(col("__touched") ||
+          col("__orig").isNull ||
+          !col("__orig").isin(predictedKeys: _*))
+          .select(dataCols ++ Seq(
+            col("__rid").as("_graft_row_id"),
+            when(col("__touched"), lit(null).cast(LongType))
+              .otherwise(col("__orig")).as("_graft_last_updated")): _*)
+        val stagedParts = stagedByPredicted.toSeq.sortBy(_._1).flatMap {
+          case (pred, sid) =>
+            writeGroup(full.filter(!col("__touched") &&
+              col("__orig") === pred)
+              .select(dataCols ++ Seq(
+                col("__rid").as("_graft_row_id"),
+                lit(null).cast(LongType).as("_graft_last_updated")): _*))
+              .map(_.copy(seq = sid))
+        }
+        writeGroup(mainish) ++ stagedParts
+      }
     Some(stageBranchSnapshot(name, written,
       md.currentSchemaId, operation = "staged-cow",
       removedPaths = affected.map(_.path)))
@@ -1698,6 +1764,12 @@ class LakeTable private (val location: Path, private var md: TableMetadata,
     // that surfaces here as a named refusal, not silent duplication.
     var liveNow = LakeTable.liveFiles(md.snapshots)
       .map(f => LakeTable.normalizePath(f.path)).toSet
+    // staged id → published id, built as the walk publishes: a later
+    // staged commit's file whose explicit seq NAMES an earlier staged
+    // snapshot (deferred staged-origin lineage — see branchCoW) must
+    // re-point at that snapshot's PUBLISHED id, or the baked reference
+    // dangles the moment the staged entries are dropped
+    val pubOf = scala.collection.mutable.Map.empty[Long, Long]
     val published = snaps.map { s =>
       nextId += 1
       // branch MoR commits publish under their real operation;
@@ -1724,7 +1796,15 @@ class LakeTable private (val location: Path, private var md: TableMetadata,
       liveNow = liveNow --
         s.removedPaths.map(LakeTable.normalizePath) ++
         s.files.map(f => LakeTable.normalizePath(f.path))
-      s.copy(id = nextId, operation = op,
+      val remapped =
+        if (s.files.exists(f => f.seq >= 0 && pubOf.contains(f.seq)))
+          s.files.map(f =>
+            if (f.seq >= 0 && pubOf.contains(f.seq))
+              f.copy(seq = pubOf(f.seq))
+            else f).toSeq
+        else s.files
+      pubOf(s.id) = nextId
+      s.copy(id = nextId, operation = op, files = remapped,
         eqDeletes = s.eqDeletes.map(_.copy(seq = nextId)),
         timestampMs = System.currentTimeMillis())
     }
@@ -1811,9 +1891,14 @@ class LakeTable private (val location: Path, private var md: TableMetadata,
       c -> f
     }
     val ids = fields.map { case (_, f) => FieldIds.idOf(f) }
-    val typed = keys.select(fields.map { case (c, f) =>
+    val typed0 = keys.select(fields.map { case (c, f) =>
       col(s"`$c`").cast(f.dataType).as(s"k${FieldIds.idOf(f)}")
     }: _*).distinct()
+    // a bounded (LocalRelation) key set writes ONE marker file — the
+    // distinct's shuffle would otherwise scatter a few hundred keys
+    // into shuffle-partition-count tiny parquet files per batch
+    val typed = if (LakeTable.isLocalPlan(keys)) typed0.coalesce(1)
+      else typed0
     val dir = dataDir.resolve(
       s"eqdel-$snapshotId-${java.util.UUID.randomUUID().toString.take(8)}")
     typed.write.parquet(dir.toString)
@@ -1946,13 +2031,94 @@ class LakeTable private (val location: Path, private var md: TableMetadata,
       s"$op with live equality deletes is unsupported — run compact() " +
         "(CALL system.compact) to materialize them first")
 
+  /** The driver-side single-file write behind [[writeDataFiles]]'s
+    * LocalRelation fast path: Spark's own parquet WriteSupport over
+    * the already-folded InternalRows, so the bytes are identical to
+    * what a one-task FileFormatWriter job would produce (INT64-micros
+    * timestamps, CORRECTED rebase, snappy) at none of the
+    * job/commit-protocol cost. Stats/blooms attach exactly as on the
+    * distributed path.
+    */
+  private def writeLocalDataFile(source: DataFrame,
+      rows: Seq[org.apache.spark.sql.catalyst.InternalRow],
+      outDir: Path): Seq[DataFileMeta] = {
+    Files.createDirectories(outDir)
+    val p = outDir.resolve(
+      s"part-00000-${java.util.UUID.randomUUID()}.snappy.parquet")
+    val conf = HadoopConfs.mutable()
+    org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
+      .setSchema(source.schema, conf)
+    // the keys ParquetWriteSupport.init / SparkToParquetSchemaConverter
+    // assert on — same values ParquetFileFormat.prepareWrite stamps
+    // (INT64-micros timestamps match writeSnapshot's session pin)
+    locally {
+      import org.apache.spark.sql.internal.SQLConf
+      conf.set(SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key, "false")
+      conf.set(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key,
+        "TIMESTAMP_MICROS")
+      conf.set(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key, "true")
+      conf.set(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key,
+        SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.defaultValueString)
+    }
+    final class B(f: org.apache.parquet.io.OutputFile)
+        extends org.apache.parquet.hadoop.ParquetWriter.Builder[
+          org.apache.spark.sql.catalyst.InternalRow, B](f) {
+      override def getWriteSupport(c: org.apache.hadoop.conf.Configuration) =
+        new org.apache.spark.sql.execution.datasources.parquet
+          .ParquetWriteSupport
+      override def self(): B = this
+    }
+    val out = org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(
+      new org.apache.hadoop.fs.Path(p.toString), conf)
+    val w = new B(out).withConf(conf)
+      .withCompressionCodec(
+        org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+      .build()
+    try rows.foreach(w.write) finally w.close()
+    val (nrows, stats) =
+      FileStats.fromFooterWithRows(p.toString, md.currentSchema)
+    val meta = DataFileMeta(p.toString, md.currentSchemaId,
+      md.currentSpec.id, rows = nrows, partitionValues = Map.empty,
+      stats = stats,
+      bytes = try Files.size(p) catch { case _: Exception => -1L },
+      sortedByIds = Seq.empty)
+    attachBlooms(source.sparkSession, outDir, Seq(meta), Some(source))
+  }
+
   /** Write one aligned DataFrame as parquet data files under `outDir` —
     * hidden-partition columns, write clustering, writer options, and
     * per-file metadata (rows / partition values / stats / bytes) — the
     * shared back half of every snapshot-producing write.
     */
-  private def writeDataFiles(aligned: DataFrame,
+  private def writeDataFiles(aligned0: DataFrame,
       outDir: Path): Seq[DataFileMeta] = {
+    // a frame whose OPTIMIZED plan is a LocalRelation (rows already on
+    // the driver, every expression folded) writes its one file on the
+    // DRIVER — no Spark job, no FileFormatWriter/commit-protocol
+    // round-trip (~100 ms of the ~130 ms a tiny publication costs).
+    // Only for unpartitioned, uncustered, default-option writes — the
+    // incremental-MV/marker publication shape; anything else keeps the
+    // full distributed path.
+    if (md.currentSpec.fields.isEmpty &&
+        !md.properties.contains("write.sort-order") &&
+        !md.properties.keys.exists(_.startsWith("write.option.")) &&
+        !sys.props.contains("graft.write.nolocal") &&
+        LakeTable.isLocalPlan(aligned0)) {
+      // the isLocalPlan pre-check keeps the extra optimizer pass off
+      // scan-derived writes — only an all-LocalRelation plan can fold
+      aligned0.queryExecution.optimizedPlan match {
+        case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+          return writeLocalDataFile(aligned0, lr.data, outDir)
+        case _ => ()
+      }
+    }
+    // a LocalRelation source is bounded by construction (rows already
+    // collected on the driver) — publish as ONE file: LocalTableScan
+    // otherwise parallelizes to leafNodeDefaultParallelism slices
+    // (= cores), and N tiny files' footer/stats/manifest cost
+    // dominates the commit (the incremental-MV publication path)
+    val aligned = if (LakeTable.isLocalPlan(aligned0))
+      aligned0.coalesce(1) else aligned0
     val schema = md.currentSchema
     val spec = md.currentSpec
     val pCols = spec.fields.map { f =>
@@ -2084,7 +2250,8 @@ class LakeTable private (val location: Path, private var md: TableMetadata,
         bytes = try Files.size(p) catch { case _: Exception => -1L },
         sortedByIds = recordedSortIds)
     } match {
-      case metas => attachBlooms(aligned.sparkSession, outDir, metas)
+      case metas => attachBlooms(aligned.sparkSession, outDir, metas,
+        Some(aligned0).filter(LakeTable.isLocalPlan))
     }
   }
 
@@ -2109,9 +2276,35 @@ class LakeTable private (val location: Path, private var md: TableMetadata,
     * an unreferenced orphan, cleaned like any lost data file.
     */
   private def attachBlooms(spark: SparkSession, outDir: Path,
-      metas: Seq[DataFileMeta]): Seq[DataFileMeta] = {
+      metas: Seq[DataFileMeta],
+      source: Option[DataFrame] = None): Seq[DataFileMeta] = {
     val targets = bloomTargets()
     if (targets.isEmpty || metas.isEmpty) return metas
+    // bounded local publication (ONE file from a LocalRelation — the
+    // incremental-MV shape): hash the rows we already hold instead of
+    // reading the file back through two Spark jobs. The projection
+    // folds to a LocalRelation (ConvertToLocalRelation), so the
+    // collect is driver-only; the container write is driver IO.
+    source.filter(s =>
+      metas.size == 1 && LakeTable.isLocalPlan(s)) match {
+      case Some(s) =>
+        val rows = s.select(bloomHashCols(targets.map(_._1)): _*)
+          .collect()
+        val blobs = targets.indices.map { i =>
+          BloomFilters.serialize(BloomFilters.build(
+            rows.iterator.filterNot(_.isNullAt(i))
+              .map(_.getLong(i)).toArray))
+        }
+        Files.createDirectories(dataDir)
+        val container = dataDir.resolve(
+          s"blooms-${java.util.UUID.randomUUID().toString.take(12)}.gbf")
+        val spans = BloomFilters.writeContainer(container, blobs)
+        val refs = targets.zip(spans).map { case ((_, fid), (off, len)) =>
+          BloomRef(fid, container.toString, off, len, BloomFilters.K)
+        }
+        return metas.map(_.copy(blooms = refs))
+      case None => ()
+    }
     val built = buildBloomRefs(spark, spark.read
       .parquet(outDir.toString)
       .select(col("_metadata.file_path").as("_fp") +:
@@ -4248,6 +4441,27 @@ object LakeTable {
   private[lake] final case class Claim(table: LakeTable, version: Int,
       target: Path, ext: TableMetadata, manifests: Seq[Path])
 
+  /** Every leaf of the frame's plan is a LocalRelation — the rows are
+    * already on the driver, so the frame is bounded by construction
+    * (the incremental-MV publication shape). Such writes coalesce to
+    * one task/file: LocalTableScan otherwise parallelizes its handful
+    * of rows to leafNodeDefaultParallelism (= cores) slices.
+    */
+  private[lake] def isLocalPlan(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      LocalRelation, Repartition, RepartitionByExpression}
+    if (sys.props.contains("graft.write.nolocal")) return false
+    val plan = df.queryExecution.logical
+    val leaves = plan.collectLeaves()
+    leaves.nonEmpty && leaves.forall(_.isInstanceOf[LocalRelation]) &&
+      // a caller that explicitly re-partitioned its local rows asked
+      // for that parallelism/file spread — respect it
+      !plan.exists {
+        case _: Repartition | _: RepartitionByExpression => true
+        case _ => false
+      }
+  }
+
   /** Replay the snapshot log into the live file set: appends add files,
     * copy-on-write overwrites remove their `removedPaths` and add their
     * rewritten files, a rewrite (compaction) replaces everything;
@@ -4364,8 +4578,13 @@ object LakeTable {
       : (Seq[DataFileMeta], Seq[EqDeleteMeta]) = {
     val reseq = branchSnaps.map(_.id).sorted.zipWithIndex
       .map { case (id, i) => id -> (base + i + 1) }.toMap
+    // an explicit seq NAMING a staged snapshot (a branch CoW output
+    // group deferring staged-origin lineage) re-sequences with it;
+    // explicit MAIN seqs pass through verbatim (ids are globally
+    // unique across main+staged, so the key spaces cannot collide)
     (branchSnaps.flatMap(s => s.files.map(f =>
-      if (f.seq >= 0) f else f.copy(seq = reseq(s.id)))),
+      if (f.seq < 0) f.copy(seq = reseq(s.id))
+      else reseq.get(f.seq).map(ps => f.copy(seq = ps)).getOrElse(f))),
       branchSnaps.flatMap(s => s.eqDeletes.map(_.copy(seq = reseq(s.id)))))
   }
 

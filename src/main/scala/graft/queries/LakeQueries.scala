@@ -1606,8 +1606,24 @@ object LakeReadQueries extends QueryModule {
         vsql("BEGIN TRANSACTION").collect()
         vsql("INSERT INTO gtxs.txs.acct " +
           "SELECT o_custkey, o_price FROM txsql_orders_src").collect()
-        // statement 2 READS statement 1's staged rows (read-your-
-        // writes) and stages into a SECOND table
+        // statement 2: a THREE-CLAUSE MERGE (matched update /
+        // not-matched insert / not-matched-by-source delete) walks the
+        // DSv2 row-level plumbing INSIDE the transaction — its target
+        // scan must see statement 1's staged rows (or the matched
+        // clause finds nothing and the not-matched inserts garbage),
+        // and its rewrite must stage, not commit
+        vsql(
+          """MERGE INTO gtxs.txs.acct t
+            |USING (SELECT DISTINCT o_custkey AS k FROM txsql_orders_src
+            |       WHERE o_custkey % 7 = 0) s
+            |ON t.o_custkey = s.k
+            |WHEN MATCHED THEN UPDATE SET o_price = t.o_price + 100000.0
+            |WHEN NOT MATCHED THEN INSERT (o_custkey, o_price)
+            |  VALUES (s.k, 0.0)
+            |WHEN NOT MATCHED BY SOURCE AND t.o_custkey % 10 = 3
+            |  THEN DELETE""".stripMargin).collect()
+        // statement 3 READS the staged MERGE result (read-your-writes
+        // across row-level DML) and stages into a SECOND table
         vsql("INSERT INTO gtxs.txs.sums " +
           "SELECT o_custkey % 10 AS bucket, count(*) AS n_orders, " +
           "CAST(sum(CAST(o_price AS DECIMAL(18,4))) AS DOUBLE) " +
@@ -3679,11 +3695,20 @@ object RowOpsQueries extends QueryModule {
         |GROUP BY o_orderpriority ORDER BY o_prio""".stripMargin,
 
     "lake_txn_sql" ->
-      """SELECT o_custkey % 10 AS bucket,
+      """WITH src AS (
+        |  SELECT o_custkey, o_totalprice AS o_price
+        |  FROM orders WHERE o_orderkey % 5 = 0),
+        |merged AS (
+        |  SELECT o_custkey,
+        |    CASE WHEN o_custkey % 7 = 0 THEN o_price + 100000.0
+        |         ELSE o_price END AS o_price
+        |  FROM src
+        |  WHERE o_custkey % 7 = 0 OR o_custkey % 10 <> 3)
+        |SELECT o_custkey % 10 AS bucket,
         |  CAST(COUNT(*) AS BIGINT) AS n_orders,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |  CAST(SUM(CAST(o_price AS DECIMAL(18,4))) AS DOUBLE)
         |    AS sum_price
-        |FROM orders WHERE o_orderkey % 5 = 0
+        |FROM merged
         |GROUP BY o_custkey % 10 ORDER BY bucket""".stripMargin,
 
     "lake_mat_view_dimdelta" ->

@@ -22,7 +22,10 @@ object TypeMapper {
     // no-tz timestamp in table storage (closest to Iceberg TimestampType)
     "timestamp" -> TimestampNTZType,
     "timezone" -> TimestampType, // reference alias for tz-aware
-    "time" -> LongType, // micros-since-midnight (Spark has no TimeType pre-4.x SQL surface)
+    // micros-since-midnight — FINAL: Spark 4.1.2's TimeType exists in
+    // the SQL surface but parquet writes refuse (UNSUPPORTED_TIME_TYPE),
+    // so it cannot round-trip table storage (SchemaSpec pins this)
+    "time" -> LongType,
     "string" -> StringType, "str" -> StringType,
     "uuid" -> StringType,
     "binary" -> BinaryType,

@@ -1086,9 +1086,18 @@ private[graft] object MatViews {
     lastDimDeltaScanTL.set(v)
 
   /** Every registered MATERIALIZED view in the warehouse, as
-    * (db, doc) — the O(views) tiny-JSON scan shared by query
-    * rewriting ([[MatViewRewrite]]) and the expiry pin cap
-    * ([[pinnedSnapshots]]).
+    * (db, doc) — shared by query rewriting ([[MatViewRewrite]]) and
+    * the expiry pin cap ([[pinnedSnapshots]]).
+    *
+    * CACHED per warehouse, keyed by each doc file's (mtime-ns, size):
+    * the listing re-stats every call (catches CREATE/DROP), but a doc
+    * whose stamp is unchanged reuses its parsed value — a busy SQL
+    * endpoint's repeated aggregate queries pay O(changed views) JSON
+    * reads, not O(views). Sound because a view doc only changes by
+    * being rewritten (mtime moves) or created/dropped (listing moves);
+    * refresh freshness never depends on the doc (the backing table's
+    * watermark property is authoritative). [[lastDocScan]] observes
+    * (re-read, listed) per call for the spec.
     */
   private[sources] def matViewDocs(
       warehouse: String): Seq[(String, LakeViews.ViewDoc)] = {
@@ -1100,18 +1109,62 @@ private[graft] object MatViews {
         .asScala.filter(java.nio.file.Files.isDirectory(_))
         .map(_.getFileName.toString).filterNot(_.startsWith("_")).toList
     }
-    dbs.flatMap { vdb =>
+    val prev = Option(docCache.get(warehouse))
+      .getOrElse(Map.empty[String, DocCacheEntry])
+    var reread, listed = 0
+    val next = Map.newBuilder[String, DocCacheEntry]
+    val out = Seq.newBuilder[(String, LakeViews.ViewDoc)]
+    dbs.foreach { vdb =>
       val vdir = LakeViews.dir(warehouse, vdb)
-      if (!java.nio.file.Files.isDirectory(vdir)) Nil
-      else scala.util.Using.resource(
-        java.nio.file.Files.list(vdir)) { st =>
-        scala.jdk.CollectionConverters.IteratorHasAsScala(st.iterator)
-          .asScala.filter(_.getFileName.toString.endsWith(".json"))
-          .flatMap(p => LakeViews.read(p)).toList
-      }.filter(_.properties.get("graft.mat-view").contains("true"))
-        .map(doc => (vdb, doc))
+      if (java.nio.file.Files.isDirectory(vdir)) {
+        val paths = scala.util.Using.resource(
+          java.nio.file.Files.list(vdir)) { st =>
+          scala.jdk.CollectionConverters.IteratorHasAsScala(st.iterator)
+            .asScala.filter(_.getFileName.toString.endsWith(".json"))
+            .toList
+        }
+        paths.foreach { p =>
+          listed += 1
+          val key = p.toString
+          val (mtime, size) =
+            try {
+              val a = java.nio.file.Files.readAttributes(p,
+                classOf[java.nio.file.attribute.BasicFileAttributes])
+              (a.lastModifiedTime.to(
+                java.util.concurrent.TimeUnit.NANOSECONDS), a.size)
+            } catch { case _: Exception => (-1L, -1L) }
+          val entry = prev.get(key) match {
+            case Some(e) if e.mtimeNs == mtime && e.size == size &&
+                mtime >= 0 => e
+            case _ =>
+              reread += 1
+              DocCacheEntry(mtime, size, LakeViews.read(p)
+                .filter(_.properties.get("graft.mat-view")
+                  .contains("true")))
+          }
+          next += key -> entry
+          entry.doc.foreach(d => out += ((vdb, d)))
+        }
+      }
     }
+    docCache.put(warehouse, next.result())
+    lastDocScanTL.set(Some((reread, listed)))
+    out.result()
   }
+
+  private final case class DocCacheEntry(mtimeNs: Long, size: Long,
+      doc: Option[LakeViews.ViewDoc])
+  private val docCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Map[String, DocCacheEntry]]
+
+  /** (docs re-read, docs listed) of the last [[matViewDocs]] call on
+    * this thread — the spec's observable that a repeated scan reuses
+    * the cache. */
+  private val lastDocScanTL =
+    new ThreadLocal[Option[(Int, Int)]] {
+      override def initialValue(): Option[(Int, Int)] = None
+    }
+  private[graft] def lastDocScan: Option[(Int, Int)] = lastDocScanTL.get()
 
   /** Snapshot ids in `db.table` that some registered materialized
     * view still needs for INCREMENTAL maintenance: the watermark of

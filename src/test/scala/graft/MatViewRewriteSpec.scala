@@ -405,4 +405,59 @@ class MatViewRewriteSpec extends AnyFunSuite {
     assert(!scans(broken).exists(_.contains("__mat_")),
       "a rollback through the watermark is wrong, not stale — refuse")
   }
+
+  test("the candidate doc scan caches per warehouse: a repeated " +
+      "aggregate re-reads ZERO docs; CREATE / refresh / DROP " +
+      "invalidate only what changed") {
+    val wh = setup("doccache")
+    spark.conf.set("spark.sql.catalog.grwc", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.grwc.warehouse", wh)
+    vsql("CREATE MATERIALIZED VIEW grwc.d.roll AS " +
+      "SELECT k, count(*) AS n FROM grwc.d.src GROUP BY k").collect()
+    def agg() = vsql(
+      "SELECT k, count(*) AS n FROM grwc.d.src GROUP BY k ORDER BY k")
+    import graft.sources.MatViews
+    agg().collect()
+    assert(MatViewRewrite.lastRewrite.contains(("d", "roll")))
+    val (_, listed1) = MatViews.lastDocScan.get
+    assert(listed1 >= 1)
+    // the second identical query lists (stat-only) but re-reads NOTHING
+    agg().collect()
+    val (reread2, listed2) = MatViews.lastDocScan.get
+    assert(reread2 == 0 && listed2 == listed1,
+      s"a repeated scan must reuse every cached doc: " +
+        s"re-read $reread2/$listed2")
+    assert(MatViewRewrite.lastRewrite.contains(("d", "roll")))
+    // CREATE of a second view re-reads exactly the new doc
+    vsql("CREATE MATERIALIZED VIEW grwc.d.roll2 AS " +
+      "SELECT k, sum(x) AS s FROM grwc.d.src GROUP BY k").collect()
+    agg().collect()
+    val (reread3, listed3) = MatViews.lastDocScan.get
+    assert(listed3 == listed1 + 1 && reread3 == 1,
+      s"a CREATE must invalidate only itself: re-read $reread3/$listed3")
+    // a refresh rewrites the doc (stamp) — the scan picks it up and
+    // the rewrite still serves; only the touched doc re-reads
+    locally {
+      import SparkTestSession.spark.implicits._
+      LakeTable.load(wh, "d", "src").append(
+        Seq(("z", 100L)).toDF("k", "x"))
+    }
+    vsql("REFRESH MATERIALIZED VIEW grwc.d.roll INCREMENTAL").collect()
+    val fresh = agg()
+    val got = fresh.collect().map(r => (r.getString(0), r.getLong(1)))
+      .toSeq
+    assert(got == Seq(("a", 2L), ("b", 1L), ("z", 1L)))
+    assert(scans(fresh).exists(_.contains("__mat_")),
+      "the refreshed view must serve through the cache")
+    val (_, listed4) = MatViews.lastDocScan.get
+    assert(listed4 == listed3)
+    // DROP removes the doc from the next listing; the rewrite falls
+    // back to the source with no stale serve
+    vsql("DROP MATERIALIZED VIEW grwc.d.roll").collect()
+    vsql("DROP MATERIALIZED VIEW grwc.d.roll2").collect()
+    val after = agg()
+    after.collect()
+    assert(!scans(after).exists(_.contains("__mat_")),
+      "dropped views must leave the cache at the next listing")
+  }
 }

@@ -187,6 +187,42 @@ class RowLineageSpec extends AnyFunSuite {
     assert(after(4L)._2 == before(4L)._2)
   }
 
+  test("a second staged CoW over rows an earlier STAGED commit " +
+      "rewrote defers their lineage to publish — no dangling staged " +
+      "sequence ever lands in parquet") {
+    // ONE data file, so the second pass necessarily rewrites the first
+    // pass's output: materializing the inherited sequence there would
+    // bake the STAGED id (re-numbered at publish) into the file
+    val (wh, t) = mkTable("brchain")
+    t.append(df((1L to 5L).map(i => (i, s"v$i"))))
+    val t2 = LakeTable.load(wh, "d", "t")
+    val before = lineage(t2)
+    t2.createBranch("cur")
+    // pass 1: update rows 1,2; pass 2 rewrites the SAME file again
+    t2.updateBranchCoW(spark, "cur", Map("v" -> lit("A")), col("id") <= 2L)
+    var h = LakeTable.load(wh, "d", "t")
+    h.updateBranchCoW(spark, "cur", Map("v" -> lit("B")), col("id") === 4L)
+    h = LakeTable.load(wh, "d", "t")
+    val published = h.fastForward("cur")
+    val updSeq1 = published.head.id
+    val updSeq2 = published(1).id
+    val after = lineage(LakeTable.load(wh, "d", "t"))
+    val publishedIds = LakeTable.load(wh, "d", "t").metadata
+      .snapshots.map(_.id).toSet
+    // every lineage sequence must reference a REAL main snapshot
+    after.values.map(_._2).foreach(s =>
+      assert(publishedIds.contains(s),
+        s"dangling lineage sequence $s (snapshots: $publishedIds)"))
+    for (i <- 1L to 5L)
+      assert(after(i)._1 == before(i)._1, s"row $i identity must hold")
+    assert(after(1L)._2 == updSeq1 && after(2L)._2 == updSeq1,
+      s"pass-1 rows must re-stamp at pass 1's PUBLISHED id: $after")
+    assert(after(4L)._2 == updSeq2,
+      s"pass-2 row must re-stamp at pass 2's published id: $after")
+    assert(after(3L)._2 == before(3L)._2 && after(5L)._2 == before(5L)._2,
+      s"untouched survivors keep their original sequence: $after")
+  }
+
   test("connector metadata columns agree with the native lineage read") {
     val (wh, t) = mkTable("conn")
     t.append(df((1L to 6L).map(i => (i, s"v$i"))))

@@ -20,6 +20,10 @@ class SchemaSpec extends AnyFunSuite {
     assert(t("uuid") == StringType)
     assert(t("binary") == BinaryType && t("fixed") == BinaryType)
     assert(t("decimal") == DecimalType(5, 5)) // constants.py:23-29 quirk
+    // `time` maps to LongType micros-since-midnight — FINAL: Spark
+    // 4.1.2 has a TimeType SQL surface, but parquet WRITES refuse it
+    // (UNSUPPORTED_TIME_TYPE), so it cannot round-trip table storage
+    assert(t("time") == LongType)
     // UNKNOWN fallback (constants.py:82)
     assert(t("number") == StringType)
     assert(t("whatever") == StringType)

@@ -198,6 +198,72 @@ class SqlTxnSpec extends AnyFunSuite {
       LakeTable.load(wh, "d", "audit").read(spark).count()) == 1L)
   }
 
+  test("MERGE INTO stages inside a transaction: three clauses (incl. " +
+      "NOT MATCHED BY SOURCE), read-your-writes on the target, " +
+      "all-or-nothing under an interloper — CoW and merge-on-read") {
+    for (mor <- Seq(false, true)) {
+      val wh = setup(if (mor) "mergemor" else "mergecow")
+      val cat = if (mor) "gtxm2" else "gtxm1"
+      spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.LakeCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      if (mor) LakeTable.load(wh, "d", "acct")
+        .updateProperties(Map("write.merge.mode" -> "merge-on-read"))
+      import SparkTestSession.spark.implicits._
+      vsql("BEGIN TRANSACTION").collect()
+      // the staged insert the MERGE's target scan must see
+      vsql(s"INSERT INTO $cat.d.acct VALUES (3, 300)").collect()
+      vsql(
+        s"""MERGE INTO $cat.d.acct t
+           |USING (SELECT * FROM VALUES (1L, 11L), (3L, 33L), (7L, 700L)
+           |       AS s(k, nv)) s
+           |ON t.k = s.k
+           |WHEN MATCHED AND s.nv < 20 THEN UPDATE SET v = t.v + s.nv
+           |WHEN MATCHED THEN UPDATE SET v = s.nv
+           |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.nv)
+           |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+        .collect()
+      // inside: (1,111) matched+cond, (3,33) matched (the STAGED row
+      // — a MERGE that misses it would insert (3,700)-style garbage),
+      // (7,700) inserted, (2,200) deleted by NOT MATCHED BY SOURCE
+      val inside = spark.sql(s"SELECT k, v FROM $cat.d.acct ORDER BY k")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(inside == Seq((1L, 111L), (3L, 33L), (7L, 700L)),
+        s"mor=$mor staged merge state: $inside")
+      // invisible outside until COMMIT
+      assert(observed(LakeTable.load(wh, "d", "acct").read(spark)
+        .select("k", "v").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet) ==
+        Set((1L, 100L), (2L, 200L)), s"mor=$mor merge leaked pre-COMMIT")
+      vsql("COMMIT").collect()
+      assert(observed(LakeTable.load(wh, "d", "acct").read(spark)
+        .select("k", "v").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet) ==
+        inside.toSet, s"mor=$mor COMMIT must publish the merge")
+      // all-or-nothing: an interloper mid-transaction conflicts the
+      // COMMIT and the merge publishes NOTHING
+      vsql("BEGIN TRANSACTION").collect()
+      vsql(
+        s"""MERGE INTO $cat.d.acct t
+           |USING (SELECT * FROM VALUES (1L, 5L) AS s(k, nv)) s
+           |ON t.k = s.k
+           |WHEN MATCHED THEN UPDATE SET v = s.nv
+           |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.nv)"""
+          .stripMargin).collect()
+      observed {
+        LakeTable.load(wh, "d", "acct").append(
+          Seq((50L, 500L)).toDF("k", "v"))
+      }
+      intercept[java.util.ConcurrentModificationException] {
+        vsql("COMMIT").collect()
+      }
+      val after = observed(LakeTable.load(wh, "d", "acct").read(spark)
+        .select("k", "v").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet)
+      assert(after == inside.toSet + ((50L, 500L)),
+        s"mor=$mor conflicted merge must publish nothing: $after")
+    }
+  }
+
   test("validate-under-claim: an in-flight v+1 claim on a read table " +
       "conflicts COMMIT (even with the pointer lagging); a clean " +
       "commit holds the read table through the protocol with a " +

@@ -128,8 +128,14 @@ def preflight_duckdb(con, out_dir):
 
 
 def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+    args = list(sys.argv[1:])
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        del args[i:i + 2]
+    sf_dir, out_dir = args[0], args[1]
+    only = set(args[2:])
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -137,13 +143,14 @@ def main():
     preflight_duckdb(con, out_dir)
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = n_noora = 0
+    failures, passed = [], []
     for d in sorted(glob.glob(f"{out_dir}/*/")):
         name = d.rstrip("/").split("/")[-1]
         if only and name not in only:
             continue
         files = sorted(glob.glob(f"{d}/*.parquet"))
         if not files:
-            print(f"[MISS] {name}: no spark output parquet"); n_fail += 1; continue
+            print(f"[MISS] {name}: no spark output parquet"); n_fail += 1; failures.append(name); continue
         got = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
         if name not in oracle:
             # still exercise the driver's row-sort: collection columns blow up
@@ -154,39 +161,54 @@ def main():
             except TypeError as e:
                 print(f"[FAIL] {name}: no-oracle but driver row-sort would error: {e}")
                 n_fail += 1
+                failures.append(name)
             continue
         try:
             exp = con.execute(oracle[name]).df()
         except Exception as e:
-            print(f"[FAIL] {name}: oracle sql error: {e}"); n_fail += 1; continue
+            print(f"[FAIL] {name}: oracle sql error: {e}"); n_fail += 1; failures.append(name); continue
         if sorted(got.columns) != sorted(exp.columns):
             print(f"[FAIL] {name}: columns {sorted(got.columns)} != {sorted(exp.columns)}")
             n_fail += 1
+            failures.append(name)
             continue
         if len(got) != len(exp):
-            print(f"[FAIL] {name}: rows {len(got)} != {len(exp)}"); n_fail += 1; continue
+            print(f"[FAIL] {name}: rows {len(got)} != {len(exp)}"); n_fail += 1; failures.append(name); continue
         try:
             g, e = load_sorted(got), load_sorted(exp)
         except TypeError as err:
-            print(f"[FAIL] {name}: driver row-sort would error: {err}"); n_fail += 1; continue
+            print(f"[FAIL] {name}: driver row-sort would error: {err}"); n_fail += 1; failures.append(name); continue
         bad = None
         cols = list(g.columns)
-        for i in range(len(g)):
-            gr, er = g.iloc[i], e.iloc[i]
-            for c in cols:
-                if not cells_equal(gr[c], er[c]):
-                    bad = (i, c, gr[c], type(gr[c]).__name__, er[c], type(er[c]).__name__)
-                    break
-            if bad:
+        # column-vectorized canon compare: the old per-row .iloc loop
+        # was O(rows*cols) python-object access and made multi-million-
+        # row keys (q_scan_project at sf1 = 6M rows) time out in the
+        # sweep; .map(canon) + array compare is ~100x faster with the
+        # identical cell semantics
+        for c in cols:
+            gc = g[c].map(canon).to_numpy()
+            ec = e[c].map(canon).to_numpy()
+            neq = gc != ec
+            if neq.any():
+                i = int(np.argmax(neq))
+                bad = (i, c, g[c].iloc[i], type(g[c].iloc[i]).__name__,
+                       e[c].iloc[i], type(e[c].iloc[i]).__name__)
                 break
         if bad:
             i, c, gv, gt, ev, et = bad
             print(f"[FAIL] {name}: row {i} col {c}: spark={gv!r} ({gt}) duckdb={ev!r} ({et})")
             n_fail += 1
+            failures.append(name)
         else:
             print(f"[PASS] {name}: {len(g)} rows")
             n_pass += 1
+            passed.append(name)
     print(f"\n{n_pass} pass, {n_fail} fail, {n_noora} no-oracle")
+    if json_out:
+        json.dump({"sf_dir": sf_dir, "pass": n_pass, "fail": n_fail,
+                   "no_oracle": n_noora, "failures": sorted(failures),
+                   "passed": sorted(passed)},
+                  open(json_out, "w"), indent=1)
     sys.exit(1 if n_fail else 0)
 
 
