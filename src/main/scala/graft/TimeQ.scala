@@ -7,7 +7,9 @@ package graft
 object TimeQ {
   def main(args: Array[String]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.builder()
-      .master("local[4]").config("spark.sql.shuffle.partitions", "4")
+      .master(sys.props.getOrElse("graft.timeq.master", "local[4]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.props.getOrElse("graft.timeq.parts", "4"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -2896,7 +2896,8 @@ class LakeTable private (val location: Path, private var md: TableMetadata,
     * into new files) and are refused.
     */
   def changelogBetween(spark: SparkSession, fromSnapshot: Long,
-      toSnapshot: Long, includeCowDiffs: Boolean = false): DataFrame = {
+      toSnapshot: Long, includeCowDiffs: Boolean = false,
+      includeReplaceDiffs: Boolean = false): DataFrame = {
     val current = md.currentSchema
     val clean = Reconcile.clean(current).asInstanceOf[StructType]
     val range = md.snapshots
@@ -2908,17 +2909,25 @@ class LakeTable private (val location: Path, private var md: TableMetadata,
     // deletes, the reverse = inserts (multiset exceptAll, so kept rows
     // cancel exactly). Cost is O(rewritten bytes) for those snapshots —
     // proportional to what the CoW itself already rewrote, never the
-    // table. Full-content "replace" still refuses: it resets the replay
-    // rather than changing identifiable rows.
+    // table. Full-content "replace" (INSERT OVERWRITE / RTAS) refuses
+    // by default too — it resets the replay rather than changing
+    // identifiable rows; includeReplaceDiffs opts into the SAME
+    // computed diff over the whole before/after states (multiset
+    // exceptAll — kept rows cancel), at O(replaced bytes): the content
+    // the replace itself rewrote, which IS the whole table at that
+    // point.
     val allowed = Set("append", "upsert", "delete") ++
-      (if (includeCowDiffs) Set("overwrite") else Set.empty)
+      (if (includeCowDiffs) Set("overwrite") else Set.empty) ++
+      (if (includeReplaceDiffs) Set("replace") else Set.empty)
     val bad = range.filterNot(s =>
       allowed.contains(s.operation) || LakeTable.isByteMove(s.operation))
     require(bad.isEmpty,
       s"changelog cannot represent snapshot(s) " +
         bad.map(s => s"${s.id}(${s.operation})").mkString(", ") +
-        (if (includeCowDiffs)
-          ": full-content replaces reset the replay"
+        (if (bad.exists(_.operation == "replace"))
+          ": full-content replaces reset the replay (pass " +
+            "includeReplaceDiffs=true to compute the before/after row " +
+            "diff at O(replaced bytes) cost)"
         else ": copy-on-write commits carry no row-level change " +
           "information (pass includeCowDiffs=true to compute the row " +
           "delta at O(rewritten bytes) cost)"))
@@ -3032,10 +3041,46 @@ class LakeTable private (val location: Path, private var md: TableMetadata,
       }
     }
 
+    // the row delta of one full-content replace: the WHOLE table as
+    // visible at the preceding snapshot (every live delete applied —
+    // read-at-snapshot handles positional, vector, and equality state
+    // alike) diffed against the replace's own file set. Kept rows
+    // cancel in the multiset except — a replace that re-writes 99% of
+    // the table unchanged emits only the 1% that moved.
+    def replaceDiff(sn: SnapshotMeta): (DataFrame, DataFrame) = {
+      val prev = md.snapshots.filter(_.id < sn.id).map(_.id)
+        .reduceOption(_ max _)
+      val before = prev match {
+        case Some(p) => read(spark, asOfSnapshot = Some(p))
+        case None => spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          clean)
+      }
+      val after = readFiles(spark, sn.files, current)
+      if (!current.fields.exists(f => LakeTable.hasMapType(f.dataType)))
+        (before.exceptAll(after), after.exceptAll(before))
+      else {
+        def norm(df: DataFrame) = df.select(current.fields.toSeq.map(f =>
+          LakeTable.mapNormExpr(col(s"`${f.name}`"), f.dataType)
+            .as(f.name)): _*)
+        def denorm(df: DataFrame) = df.select(current.fields.toSeq.map(f =>
+          LakeTable.mapDenormExpr(col(s"`${f.name}`"), f.dataType)
+            .as(f.name)): _*)
+        val nb = norm(before)
+        val na = norm(after)
+        (denorm(nb.exceptAll(na)), denorm(na.exceptAll(nb)))
+      }
+    }
+
     val parts = range.sortBy(_.id)
       .filterNot(s => LakeTable.isByteMove(s.operation))
       .zipWithIndex.flatMap { case (sn, ord) =>
-        if (sn.operation == "overwrite") {
+        if (sn.operation == "replace") {
+          // reachable only under includeReplaceDiffs (require above)
+          val (delRows, insRows) = replaceDiff(sn)
+          Seq(tagged(delRows, "delete", ord, sn.id),
+            tagged(insRows, "insert", ord, sn.id))
+        } else if (sn.operation == "overwrite") {
           // reachable only under includeCowDiffs (the require above)
           val (delRows, insRows) = cowDiff(sn)
           Seq(tagged(delRows, "delete", ord, sn.id),

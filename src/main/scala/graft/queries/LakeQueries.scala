@@ -1650,6 +1650,86 @@ object LakeReadQueries extends QueryModule {
         "ORDER BY bucket")
     }),
 
+    "lake_mat_view_dimupsert" -> QueryModule.micro(4)((s, dir) => {
+      // BLIND-UPSERT DIM MOVEMENT maintains incrementally (r12): a dim
+      // that moves by equality upsert (the CDC-sink shape — markers +
+      // replacement rows in one snapshot) used to refuse the join-MV
+      // incremental path by name, forcing a full O(source) refresh.
+      // The retracted dim rows are derivable (the pin image still
+      // holds them), so the refresh routes to the touched-group
+      // recompute: changed dim rows = pin-vs-head multiset diff,
+      // touched groups = fact rows joining them expanded through BOTH
+      // dim images, recomputed from head. The fixture re-segments a
+      // customer slice via upsertMoR while a fact append lands in the
+      // same range; self-audits the strategy name
+      // ("recompute+dim-upsert"), no full-refresh replace, and the
+      // re-pin. The oracle recomputes the join with the moved
+      // segments from scratch.
+      val wh = LakeQueries.freshWarehouse("matviewdu")
+      Engine.processTableDefJson(wh,
+        """{"database_name":"mdu","table_name":"ord","columns":[
+          |{"column_name":"o_custkey","data_type":"long"},
+          |{"column_name":"o_price","data_type":"decimal(18,4)"}],
+          |"partitions":[]}""".stripMargin)
+      Engine.processTableDefJson(wh,
+        """{"database_name":"mdu","table_name":"cust","columns":[
+          |{"column_name":"c_id","data_type":"long"},
+          |{"column_name":"c_seg","data_type":"string"}],
+          |"partitions":[]}""".stripMargin)
+      val orders = Tables(s, dir, "orders")
+        .filter(col("o_custkey") % 4 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").cast("decimal(18,4)").as("o_price"))
+      val custs = Tables(s, dir, "customer")
+        .select(col("c_custkey").as("c_id"),
+          col("c_mktsegment").as("c_seg"))
+      LakeTable.load(wh, "mdu", "cust").append(custs)
+      LakeTable.load(wh, "mdu", "ord").append(
+        orders.filter(col("o_orderkey") % 12 === 0)
+          .select("o_custkey", "o_price"))
+      s.conf.set("spark.sql.catalog.gmvdu", "graft.sources.LakeCatalog")
+      s.conf.set("spark.sql.catalog.gmvdu.warehouse", wh)
+      def vsql(q: String) =
+        org.apache.spark.sql.GraftViewSubstitution.sql(s, q)
+      vsql("CREATE MATERIALIZED VIEW gmvdu.mdu.segroll AS " +
+        "SELECT c_seg, count(*) AS n_orders, sum(o_price) AS " +
+        "sum_price FROM gmvdu.mdu.ord JOIN gmvdu.mdu.cust " +
+        "ON o_custkey = c_id GROUP BY c_seg").collect()
+      // the dim MOVES BY BLIND UPSERT: a customer slice re-segments
+      // (groups lose their old contributions AND gain new ones — the
+      // case no insert-only dim leg can express); a fact append lands
+      // in the same refresh range
+      LakeTable.load(wh, "mdu", "cust").upsertMoR(s,
+        custs.filter(col("c_id") % 10 === 2)
+          .withColumn("c_seg", lit("MOVED")),
+        keys = Seq("c_id"))
+      LakeTable.load(wh, "mdu", "ord").append(
+        orders.filter(col("o_orderkey") % 12 === 3)
+          .select("o_custkey", "o_price"))
+      val res = vsql(
+        "REFRESH MATERIALIZED VIEW gmvdu.mdu.segroll INCREMENTAL")
+        .collect()
+      require(res.head.getLong(1) > res.head.getLong(0),
+        "the incremental refresh must advance the watermark")
+      val strat = vsql("SELECT strategy FROM " +
+        "gmvdu.mdu.segroll.refreshes WHERE mode = 'incremental'")
+        .collect().map(_.getString(0)).toSeq
+      require(strat == Seq("recompute+dim-upsert"),
+        s"the refresh must run the dim-upsert recompute, got $strat")
+      require(!LakeTable.load(wh, "mdu", "__mat_segroll").metadata
+        .snapshots.exists(sn => LakeTable.isReset(sn.operation)),
+        "the refresh must upsert touched groups, not full-refresh")
+      val custHead = LakeTable.load(wh, "mdu", "cust").metadata
+        .snapshots.map(_.id).max
+      require(LakeTable.load(wh, "mdu", "__mat_segroll").metadata
+        .properties("graft.mat-view.dim-watermark.mdu.cust")
+        .split(":")(0).toLong == custHead,
+        "the dim-upsert refresh must re-pin the dim at its head")
+      vsql("SELECT c_seg, n_orders, " +
+        "CAST(sum_price AS DOUBLE) AS sum_price " +
+        "FROM gmvdu.mdu.segroll ORDER BY c_seg")
+    }),
+
     "lake_mat_view_dimdelta" -> QueryModule.micro(4)((s, dir) => {
       // APPEND-ONLY DIM DELTAS maintain incrementally (r11): the
       // delta-join identity F_h⋈D_h − F_w⋈D_p = ΔF⋈D_head + F_w⋈ΔD
@@ -2979,6 +3059,75 @@ object RowOpsQueries extends QueryModule {
       dstRows.orderBy("n_nationkey")
     }),
 
+    "lake_changelog_replace" -> QueryModule.micro(4)((s, dir) => {
+      // changelog over FULL-CONTENT REPLACE snapshots (INSERT
+      // OVERWRITE / RTAS — the last changelog refusal): a replace
+      // resets the replay rather than naming changed rows, so by
+      // default it refuses; include_replace opts into COMPUTING the
+      // row diff — the whole before state (every live delete applied)
+      // multiset-excepted against the replace's own content, so kept
+      // rows cancel and only genuine deletes/inserts surface, at
+      // O(replaced bytes). The range here mixes a plain append, a MoR
+      // delete, the replace, and a post-replace append; the log
+      // replays into a mirror that must equal the source.
+      val wh = LakeQueries.freshWarehouse("chlogrep")
+      Engine.processTableDefJson(wh,
+        """{"database_name":"crq","table_name":"src","columns":[
+          |{"column_name":"n_nationkey","data_type":"int","required":true},
+          |{"column_name":"n_name","data_type":"string"},
+          |{"column_name":"n_regionkey","data_type":"int"}],
+          |"partitions":[],
+          |"properties":{"identifier-fields":"n_nationkey"}}""".stripMargin)
+      Engine.processTableDefJson(wh,
+        """{"database_name":"crq","table_name":"dst","columns":[
+          |{"column_name":"n_nationkey","data_type":"int"},
+          |{"column_name":"n_name","data_type":"string"},
+          |{"column_name":"n_regionkey","data_type":"int"}],
+          |"partitions":[]}""".stripMargin)
+      val src = LakeTable.load(wh, "crq", "src")
+      val nat = Tables(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+      src.append(nat)
+      // a MoR delete BEFORE the replace: the before-image must apply it
+      LakeTable.load(wh, "crq", "src")
+        .deleteMoR(s, col("n_nationkey") % 5 === 0)
+      // the replace: derived from the visible content — drop region 2,
+      // suffix region-0 names (an INSERT OVERWRITE SELECT shape)
+      val t2 = LakeTable.load(wh, "crq", "src")
+      val replaced = t2.read(s).filter(col("n_regionkey") =!= 2)
+        .withColumn("n_name", when(col("n_regionkey") === 0,
+          concat(col("n_name"), lit("_r"))).otherwise(col("n_name")))
+        .localCheckpoint()
+      t2.overwrite(replaced)
+      // life goes on after the replace
+      LakeTable.load(wh, "crq", "src").append(
+        nat.filter(col("n_nationkey") < 5)
+          .withColumn("n_nationkey", col("n_nationkey") + 200)
+          .withColumn("n_name", concat(col("n_name"), lit("_post"))))
+      val srcT = LakeTable.load(wh, "crq", "src")
+      val maxId = srcT.metadata.snapshots.map(_.id).max
+      // the raw mode refuses WITHOUT the opt-in — pin the refusal text
+      val refused = scala.util.Try(
+        srcT.changelogBetween(s, 0L, maxId).count())
+      require(refused.isFailure && refused.failed.get.getMessage
+        .contains("includeReplaceDiffs"),
+        "replace changelog must refuse without the opt-in")
+      s.conf.set("spark.sql.catalog.gcrq", "graft.sources.LakeCatalog")
+      s.conf.set("spark.sql.catalog.gcrq.warehouse", wh)
+      s.sql(
+        s"""CALL gcrq.system.create_changelog_view(db => 'crq',
+           |`table` => 'src', from_snapshot => 0, to_snapshot => $maxId,
+           |view_name => 'crq_log', include_replace => 'true')""".stripMargin)
+      val d = LakeTable.load(wh, "crq", "dst")
+      LakeQueries.replayChangelog(d, s.table("crq_log"),
+        Seq("n_nationkey"), Seq("n_nationkey", "n_name", "n_regionkey"))
+      val dstRows = d.read(s)
+      LakeQueries.requireMirrorEqual(srcT.read(s), dstRows,
+        Seq("n_nationkey", "n_name", "n_regionkey"),
+        "replace changelog mirror")
+      dstRows.orderBy("n_nationkey")
+    }),
+
     "lake_changelog_updates" -> QueryModule.micro(4)((s, dir) => {
       // changelog UPDATE pairing + net changes (Iceberg's
       // create_changelog_view(compute_updates / net_changes)) on a
@@ -3521,6 +3670,19 @@ object RowOpsQueries extends QueryModule {
         |FROM nation WHERE n_nationkey % 7 <> 0
         |ORDER BY n_nationkey""".stripMargin,
 
+    "lake_changelog_replace" ->
+      """SELECT * FROM (
+        |  SELECT n_nationkey,
+        |    CASE WHEN n_regionkey = 0 THEN n_name || '_r' ELSE n_name END
+        |      AS n_name,
+        |    n_regionkey
+        |  FROM nation
+        |  WHERE n_nationkey % 5 <> 0 AND n_regionkey <> 2
+        |  UNION ALL
+        |  SELECT n_nationkey + 200, n_name || '_post', n_regionkey
+        |  FROM nation WHERE n_nationkey < 5
+        |) ORDER BY n_nationkey""".stripMargin,
+
     "lake_branch_cow" ->
       """SELECT c_custkey, c_name,
         |  CASE WHEN c_custkey % 10 = 7 THEN 'PATCHED'
@@ -3710,6 +3872,19 @@ object RowOpsQueries extends QueryModule {
         |    AS sum_price
         |FROM merged
         |GROUP BY o_custkey % 10 ORDER BY bucket""".stripMargin,
+
+    "lake_mat_view_dimupsert" ->
+      """SELECT c_seg,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders JOIN (
+        |  SELECT c_custkey AS c_id,
+        |    CASE WHEN c_custkey % 10 = 2 THEN 'MOVED'
+        |         ELSE c_mktsegment END AS c_seg
+        |  FROM customer) ON o_custkey = c_id
+        |WHERE o_orderkey % 12 IN (0, 3) AND o_custkey % 4 = 0
+        |GROUP BY c_seg ORDER BY c_seg""".stripMargin,
 
     "lake_mat_view_dimdelta" ->
       """SELECT c_mktsegment AS c_seg,

@@ -1139,6 +1139,11 @@ private[sources] object LakeProcedures {
               // overwrite snapshots (O(rewritten bytes) per such
               // snapshot); default keeps the loud refusal
               ProcedureParameter.in("include_cow", StringType)
+                .defaultValue("''").build(),
+              // 'true' opts into computed before/after diffs for
+              // full-content replace snapshots (INSERT OVERWRITE /
+              // RTAS) at O(replaced bytes); default keeps the refusal
+              ProcedureParameter.in("include_replace", StringType)
                 .defaultValue("''").build())
           }
           override def call(input: InternalRow): java.util.Iterator[Scan] = {
@@ -1479,8 +1484,11 @@ private[sources] object LakeProcedures {
                   .split(",").map(_.trim).filter(_.nonEmpty).toSeq
                 val includeCow =
                   strArgOrEmpty(7).equalsIgnoreCase("true")
+                val includeReplace =
+                  strArgOrEmpty(8).equalsIgnoreCase("true")
                 val (from, to) = (input.getLong(2), input.getLong(3))
-                val raw = t.changelogBetween(spark, from, to, includeCow)
+                val raw = t.changelogBetween(spark, from, to, includeCow,
+                  includeReplace)
                 val log = mode match {
                   case "" | "raw" => raw
                   case "updates" => t.changelogWithUpdates(raw, idCols)

@@ -647,6 +647,21 @@ private[graft] object MatViews {
     */
   case class DimAppendDelta(pinId: Long, headId: Long,
       newPin: String) extends DimMove
+  /** A delta past the pin containing blind UPSERTS (equality-delete
+    * markers + replacement rows in one snapshot — the CDC-sink shape,
+    * plus any appends): not insert-only, so no delta-join leg can
+    * express it — but the RETRACTED dim rows are derivable (the pin
+    * image still holds them), so the refresh routes to the
+    * touched-group RECOMPUTE: the groups whose contributions moved are
+    * exactly the fact rows joining the dim's changed rows, expanded
+    * through BOTH the pin image (groups losing contributions) and the
+    * head image (groups gaining). Re-pin at head in the same flip.
+    * True deletes/replaces still refuse — a vanished dim row's group
+    * is derivable the same way, but their changelog semantics are
+    * reserved until a key demands them.
+    */
+  case class DimUpsertDelta(pinId: Long, headId: Long,
+      newPin: String) extends DimMove
 
   /** Classify every dim against its pinned snapshot. Byte-moved dims
     * re-pin; append-only dim deltas maintain through the delta-join
@@ -691,13 +706,16 @@ private[graft] object MatViews {
               !LakeTable.isReset(o.operation))))
         val appendOnly = past.forall(s => s.operation == "append" ||
           LakeTable.isByteMove(s.operation))
-        require(pinIntact && appendOnly && !squashed,
-          s"incremental refresh maintains FACT deltas and APPEND-ONLY " +
-            s"dim deltas, but dim '${d.db}.${d.table}' moved in a way " +
-            s"no insert-only leg can express (pinned snapshot " +
-            s"${pin.split(":")(0)}, head now $head) — run a full " +
-            "refresh, which re-pins the dims")
-        (d, DimAppendDelta(id, head, s"$head:$headTs"))
+        val upsertOnly = past.forall(s => s.operation == "append" ||
+          s.operation == "upsert" || LakeTable.isByteMove(s.operation))
+        require(pinIntact && upsertOnly && !squashed,
+          s"incremental refresh maintains FACT deltas, APPEND-ONLY " +
+            s"dim deltas, and blind-UPSERT dim deltas, but dim " +
+            s"'${d.db}.${d.table}' moved in a way none of those " +
+            s"express (pinned snapshot ${pin.split(":")(0)}, head now " +
+            s"$head) — run a full refresh, which re-pins the dims")
+        if (appendOnly) (d, DimAppendDelta(id, head, s"$head:$headTs"))
+        else (d, DimUpsertDelta(id, head, s"$head:$headTs"))
       }
     }
 
@@ -1624,12 +1642,16 @@ private[graft] object MatViews {
     val rePins: Map[String, String] = dimMoves.collect {
       case (d, DimRePin(p)) => dimPinKey(d) -> p
       case (d, DimAppendDelta(_, _, p)) => dimPinKey(d) -> p
+      case (d, DimUpsertDelta(_, _, p)) => dimPinKey(d) -> p
     }.toMap
     val movedDims = dimMoves.zipWithIndex.collect {
       case ((d, m: DimAppendDelta), i) => (d, m, i)
     }
+    val upsertDims = dimMoves.collect {
+      case (d, m: DimUpsertDelta) => (d, m)
+    }
     val head = src.metadata.snapshots.map(_.id).foldLeft(0L)(math.max)
-    if (head == w && movedDims.isEmpty) {
+    if (head == w && movedDims.isEmpty && upsertDims.isEmpty) {
       // fact unmoved — still publish byte-move re-pins, so expiring
       // the superseded dim snapshots can't strand the view
       if (rePins.nonEmpty)
@@ -1710,11 +1732,55 @@ private[graft] object MatViews {
       }
     if (auditDimScans && dimScanTotal > 0)
       lastDimDeltaScan = Some((dimScanPruned, dimScanTotal))
-    val dimTag = if (movedDims.nonEmpty) "+dim-delta" else ""
+    // BLIND-UPSERT dim movement routes to the touched-group recompute:
+    // per moved dim, the CHANGED dim rows are the multiset diff of the
+    // pin image against the head image (an upsert's victims still sit
+    // in the pin image; kept rows cancel — O(dim), and a dim is the
+    // small side by construction). The touched groups are the fact
+    // rows joining any changed dim row, expanded through BOTH pin dims
+    // (groups losing contributions) and head dims (groups gaining);
+    // the fact scans prune by the changed-key envelope. Legs feed
+    // refreshByRecompute as touched-key sources only.
+    val upsertLegs: Seq[DataFrame] = upsertDims.flatMap { case (d, m) =>
+      val t = LakeTable.load(warehouse, d.db, d.table)
+      val dimSchema = graft.lake.Reconcile
+        .clean(t.metadata.currentSchema).asInstanceOf[StructType]
+      require(!dimSchema.fields.exists(f =>
+        LakeTable.hasMapType(f.dataType)),
+        s"incremental refresh cannot diff upsert-moved dim " +
+          s"'${d.db}.${d.table}' with MAP columns — run a full refresh")
+      val pinImg =
+        if (m.pinId > 0) t.read(spark, asOfSnapshot = Some(m.pinId))
+        else spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          dimSchema)
+      val headImg = t.read(spark, asOfSnapshot = Some(m.headId))
+      val changed = pinImg.exceptAll(headImg)
+        .unionByName(headImg.exceptAll(pinImg)).localCheckpoint()
+      val factFilters = dimDeltaFactFilters(spark, src, d, changed,
+        keyLimit(spark))
+      def leg(factAsOf: Long, pins: Map[String, String])
+          : Option[DataFrame] =
+        if (factAsOf <= 0) None
+        else {
+          val fact = src.read(spark, asOfSnapshot = Some(factAsOf),
+            statsFilters = factFilters)
+          val affected = fact.join(changed, expr(d.condSql), "left_semi")
+          Some(sourceRows(
+            joinedRows(spark, warehouse, shape, affected, pins), shape))
+        }
+      // old contributions come from the WATERMARK fact image through
+      // the OLD pins; new contributions from the HEAD image through
+      // the NEW pins — both over-approximate freely
+      leg(w, oldPins).toSeq ++ leg(head, newPins).toSeq
+    }
+    val dimTag =
+      if (upsertDims.nonEmpty) "+dim-upsert"
+      else if (movedDims.nonEmpty) "+dim-delta" else ""
     val nonAppend = range.filterNot(s =>
       s.operation == "append" || LakeTable.isByteMove(s.operation))
     val retract = nonAppend.nonEmpty
-    if (shape.recomputeOnly ||
+    if (shape.recomputeOnly || upsertDims.nonEmpty ||
         (retract && !signedMergeable(spark, warehouse, src, shape,
           range))) {
       // the cheap signed merge is defeated (MIN/MAX can't un-see a
@@ -1730,7 +1796,7 @@ private[graft] object MatViews {
           " — full-content replaces reset the history rather than " +
           "changing identifiable rows; run a full refresh instead")
       val groups = refreshByRecompute(spark, warehouse, src, shape, w,
-        head, range, backing0, rePins, dimLegs)
+        head, range, backing0, rePins, dimLegs ++ upsertLegs)
       return Some((head, "recompute" + dimTag, groups))
     }
     val factLeg: Option[DataFrame] =

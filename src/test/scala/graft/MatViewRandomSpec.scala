@@ -180,8 +180,9 @@ class MatViewRandomSpec extends AnyFunSuite {
       s"coverage: incrRet=$incrRet incrMm=$incrMm upserts=$upserts")
   }
 
-  test("join-shape op soup: fact deltas and dim appends always equal " +
-      "the recompute; dim deletes refuse and recover by full refresh") {
+  test("join-shape op soup: fact deltas, dim appends, and dim blind " +
+      "UPSERTS always equal the recompute; dim deletes refuse and " +
+      "recover by full refresh") {
     val wh = Files.createTempDirectory("graft-mv-random-join").toString
     Engine.processTableDefJson(wh,
       """{"database_name":"d","table_name":"fact","columns":[
@@ -231,10 +232,11 @@ class MatViewRandomSpec extends AnyFunSuite {
         .collect().map(r => (r.getString(0), r.getLong(1),
           r.getString(2))).toSet
     var incr = 0; var dimDeltas = 0; var dimRefusals = 0
+    var dimUpserts = 0
     var dimBroken = false
     var dimKeys = (1L to 6L).toVector
-    for (i <- 0 until 20) {
-      rnd.nextInt(5) match {
+    for (i <- 0 until 24) {
+      rnd.nextInt(6) match {
         case 0 => LakeTable.load(wh, "d", "fact")
           .append(randFacts(2 + rnd.nextInt(4)))
         case 1 => LakeTable.load(wh, "d", "fact")
@@ -257,11 +259,21 @@ class MatViewRandomSpec extends AnyFunSuite {
           dimDeltas += 1
         case 4 =>
           // a dim DELETE removes join contributions — the NEXT
-          // incremental must refuse by name
-          LakeTable.load(wh, "d", "dim")
-            .deleteMoR(spark, col("c_id") === dimKeys(
-              rnd.nextInt(dimKeys.size)))
+          // incremental must refuse by name (keyed eq-delete: it
+          // composes with the upsert ops' live equality batches,
+          // where a positional MoR delete would refuse)
+          LakeTable.load(wh, "d", "dim").deleteByKeysMoR(spark,
+            Seq(dimKeys(rnd.nextInt(dimKeys.size))).toDF("c_id"))
           dimBroken = true
+        case 5 =>
+          // a dim BLIND UPSERT re-segments a live key (the CDC-sink
+          // shape): groups lose old contributions AND gain new ones —
+          // maintained through the touched-group recompute
+          val k = dimKeys(rnd.nextInt(dimKeys.size))
+          LakeTable.load(wh, "d", "dim").upsertMoR(spark,
+            Seq((k, s"s${rnd.nextInt(4)}")).toDF("c_id", "seg"),
+            keys = Seq("c_id"))
+          dimUpserts += 1
       }
       if (rnd.nextInt(10) < 6) {
         if (dimBroken) {
@@ -289,7 +301,9 @@ class MatViewRandomSpec extends AnyFunSuite {
     else vsql("REFRESH MATERIALIZED VIEW gmvrj.d.segroll INCREMENTAL")
       .collect()
     assert(view() == recompute(), "final")
-    assert(incr >= 3 && dimDeltas >= 1 && dimRefusals >= 1,
-      s"coverage: incr=$incr dimDeltas=$dimDeltas refusals=$dimRefusals")
+    assert(incr >= 3 && dimDeltas >= 1 && dimRefusals >= 1 &&
+      dimUpserts >= 1,
+      s"coverage: incr=$incr dimDeltas=$dimDeltas " +
+        s"refusals=$dimRefusals upserts=$dimUpserts")
   }
 }
