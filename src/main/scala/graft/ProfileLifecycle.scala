@@ -80,6 +80,115 @@ object ProfileLifecycle {
       spark.stop(); return
     }
 
+    // Mode "key <name>": run ONE SparkEntry key twice with job/task
+    // counting per run (coarse — whole-key totals only).
+    if (args.drop(1).headOption.contains("key")) {
+      val name = args(2)
+      for (round <- 1 to 3)
+        step(s"$name r$round") {
+          SparkEntry.queries(name)(spark, dir).count()
+        }
+      spark.stop(); return
+    }
+
+    // Mode "stxn": statement-level breakdown of stream_txn_sink's
+    // shape — fixture appends, stream drain, replay audit, reconcile.
+    if (args.drop(1).headOption.contains("stxn")) {
+      import org.apache.spark.sql.functions.{col, count, lit, coalesce}
+      import graft.lake.{Engine, LakeTable, LakeTxn}
+      for (round <- 1 to 2) {
+        println(s"=== stxn round $round")
+        val s = graft.queries.QueryModule.microSession(spark, 1)
+        val wh = java.nio.file.Files.createTempDirectory(
+          s"graft-prof-stxn$round").toString
+        step("tabledefs") {
+          for (t <- Seq("src", "raw"))
+            Engine.processTableDefJson(wh,
+              s"""{"database_name":"st","table_name":"$t","columns":[
+                 |{"column_name":"n_nationkey","data_type":"int"},
+                 |{"column_name":"n_name","data_type":"string"},
+                 |{"column_name":"n_regionkey","data_type":"int"}],
+                 |"partitions":[]}""".stripMargin)
+          Engine.processTableDefJson(wh,
+            """{"database_name":"st","table_name":"agg","columns":[
+              |{"column_name":"n_regionkey","data_type":"int"},
+              |{"column_name":"n","data_type":"long"}],
+              |"partitions":[]}""".stripMargin)
+        }
+        val nation = step("nation df") {
+          graft.queries.Tables(s, dir, "nation")
+            .select("n_nationkey", "n_name", "n_regionkey") }
+        step("3 src appends") {
+          for (m <- 0 to 2)
+            LakeTable.load(wh, "st", "src")
+              .append(nation.filter(col("n_nationkey") % 3 === m)) }
+        def publish(batch: org.apache.spark.sql.DataFrame,
+            id: Long): Boolean = {
+          val done = LakeTable.load(wh, "st", "raw").metadata.properties
+            .get("graft.stream.last-batch").exists(_.toLong >= id)
+          if (done) false
+          else {
+            val rows = batch.select(col("n_nationkey"), col("n_name"),
+              col("n_regionkey")).localCheckpoint()
+            val delta = rows.groupBy("n_regionkey")
+              .agg(count(lit(1)).as("n"))
+            val cur = LakeTable.load(wh, "st", "agg").read(s)
+              .withColumnRenamed("n", "cn")
+            val merged = delta.join(cur, Seq("n_regionkey"), "left")
+              .select(col("n_regionkey"),
+                (col("n") + coalesce(col("cn"), lit(0L))).as("n"))
+              .localCheckpoint()
+            LakeTxn.transaction(wh) { ctx =>
+              val raw = ctx.table("st", "raw")
+              raw.append(rows)
+              raw.updateProperties(
+                Map("graft.stream.last-batch" -> id.toString))
+              ctx.table("st", "agg").upsertMoR(s, merged,
+                keys = Seq("n_regionkey"))
+            }
+            true
+          }
+        }
+        val lastRef = new java.util.concurrent.atomic.AtomicReference[
+          (org.apache.spark.sql.DataFrame, Long)](null)
+        step("stream drain") {
+          val q = s.readStream.format("graft-lake")
+            .option("warehouse", wh).option("database", "st")
+            .option("table", "src")
+            .option("maxSnapshotsPerTrigger", "1")
+            .load()
+            .writeStream
+            .foreachBatch {
+              (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                  id: Long) =>
+                val pinned = b.localCheckpoint()
+                publish(pinned, id)
+                lastRef.set((pinned, id)); ()
+            }
+            .trigger(
+              org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        step("replay audit") {
+          val lastB = lastRef.get()
+          publish(lastB._1, lastB._2)
+        }
+        step("reconcile") {
+          LakeTable.load(wh, "st", "raw").read(s)
+            .groupBy("n_regionkey").agg(count(lit(1)).as("rn"))
+            .join(LakeTable.load(wh, "st", "agg").read(s),
+              Seq("n_regionkey"), "full_outer")
+            .filter(col("rn") =!= col("n") ||
+              col("rn").isNull || col("n").isNull).isEmpty
+        }
+        step("final read") {
+          LakeTable.load(wh, "st", "agg").read(s).count()
+        }
+      }
+      spark.stop(); return
+    }
+
     // Mode "mvd": statement-level breakdown of the heaviest bench key
     // (lake_mat_view_distinct) — same statements, step()-wrapped.
     if (args.drop(1).headOption.contains("mvd")) {

@@ -1891,16 +1891,43 @@ class LakeTable private (val location: Path, private var md: TableMetadata,
       c -> f
     }
     val ids = fields.map { case (_, f) => FieldIds.idOf(f) }
-    val typed0 = keys.select(fields.map { case (c, f) =>
+    val proj = keys.select(fields.map { case (c, f) =>
       col(s"`$c`").cast(f.dataType).as(s"k${FieldIds.idOf(f)}")
-    }: _*).distinct()
-    // a bounded (LocalRelation) key set writes ONE marker file — the
-    // distinct's shuffle would otherwise scatter a few hundred keys
-    // into shuffle-partition-count tiny parquet files per batch
-    val typed = if (LakeTable.isLocalPlan(keys)) typed0.coalesce(1)
-      else typed0
+    }: _*)
     val dir = dataDir.resolve(
       s"eqdel-$snapshotId-${java.util.UUID.randomUUID().toString.take(8)}")
+    // a bounded LOCAL key set (the incremental-MV / touched-group
+    // publication shape): dedupe on the driver, write the one marker
+    // file driver-side (no Spark job), and INLINE the keys into the
+    // metadata up to the cap — every later read of the batch then
+    // plans a LocalRelation instead of a parquet scan + broadcast job
+    if (LakeTable.isLocalPlan(keys)) {
+      proj.queryExecution.optimizedPlan match {
+        case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+          val types = fields.map(_._2.dataType)
+          val seen = scala.collection.mutable.LinkedHashMap
+            .empty[Seq[Option[String]],
+              org.apache.spark.sql.catalyst.InternalRow]
+          lr.data.foreach { r =>
+            val k = types.zipWithIndex.map { case (dt, i) =>
+              LakeTable.renderInlineKey(dt, r, i) }
+            if (!seen.contains(k)) seen += k -> r.copy()
+          }
+          Files.createDirectories(dir)
+          val p = dir.resolve("keys-00000.snappy.parquet")
+          LakeTable.writeLocalParquetFile(
+            StructType(ids.zip(types).map { case (id, dt) =>
+              StructField(s"k$id", dt, nullable = true) }),
+            seen.values.toSeq, p)
+          val inline = seen.size <= LakeTable.InlineKeyCap
+          return EqDeleteMeta(Seq(p.toString), ids, snapshotId,
+            inlineKeys = if (inline) Some(seen.keys.toSeq) else None,
+            inlineTypes =
+              if (inline) Some(types.map(_.simpleString)) else None)
+        case _ => ()
+      }
+    }
+    val typed = proj.distinct()
     typed.write.parquet(dir.toString)
     EqDeleteMeta(listParquet(dir).map(_.toString), ids, snapshotId)
   }
@@ -2045,36 +2072,7 @@ class LakeTable private (val location: Path, private var md: TableMetadata,
     Files.createDirectories(outDir)
     val p = outDir.resolve(
       s"part-00000-${java.util.UUID.randomUUID()}.snappy.parquet")
-    val conf = HadoopConfs.mutable()
-    org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
-      .setSchema(source.schema, conf)
-    // the keys ParquetWriteSupport.init / SparkToParquetSchemaConverter
-    // assert on — same values ParquetFileFormat.prepareWrite stamps
-    // (INT64-micros timestamps match writeSnapshot's session pin)
-    locally {
-      import org.apache.spark.sql.internal.SQLConf
-      conf.set(SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key, "false")
-      conf.set(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key,
-        "TIMESTAMP_MICROS")
-      conf.set(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key, "true")
-      conf.set(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key,
-        SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.defaultValueString)
-    }
-    final class B(f: org.apache.parquet.io.OutputFile)
-        extends org.apache.parquet.hadoop.ParquetWriter.Builder[
-          org.apache.spark.sql.catalyst.InternalRow, B](f) {
-      override def getWriteSupport(c: org.apache.hadoop.conf.Configuration) =
-        new org.apache.spark.sql.execution.datasources.parquet
-          .ParquetWriteSupport
-      override def self(): B = this
-    }
-    val out = org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(
-      new org.apache.hadoop.fs.Path(p.toString), conf)
-    val w = new B(out).withConf(conf)
-      .withCompressionCodec(
-        org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
-      .build()
-    try rows.foreach(w.write) finally w.close()
+    LakeTable.writeLocalParquetFile(source.schema, rows, p)
     val (nrows, stats) =
       FileStats.fromFooterWithRows(p.toString, md.currentSchema)
     val meta = DataFileMeta(p.toString, md.currentSchemaId,
@@ -2956,8 +2954,9 @@ class LakeTable private (val location: Path, private var md: TableMetadata,
           else lit(null).cast(dt)
       }
       // per-batch read: key files on either side of a type promotion
-      // have heterogeneous physical types (same rule as readFiles)
-      spark.read.parquet(b.paths: _*)
+      // have heterogeneous physical types (same rule as readFiles);
+      // inline-keyed batches resolve as LocalRelations, zero IO
+      LakeTable.eqBatchFrame(spark, b)
         .select(current.fields.toSeq.map(f => build(f).as(f.name)): _*)
     }
 
@@ -3435,7 +3434,7 @@ class LakeTable private (val location: Path, private var md: TableMetadata,
           // schema's key types, then union (the DSv2 reader path
           // reconciles per file the same way).
           val keyDf = bs.map { b =>
-            spark.read.parquet(b.paths: _*).select(
+            LakeTable.eqBatchFrame(spark, b).select(
               ids.zip(resolved).map { case (id, (_, f)) =>
                 col(s"k$id").cast(f.dataType).as(s"k$id")
               }: _*)
@@ -4492,6 +4491,119 @@ object LakeTable {
     * one task/file: LocalTableScan otherwise parallelizes its handful
     * of rows to leafNodeDefaultParallelism (= cores) slices.
     */
+  /** Spark's own parquet WriteSupport driven on the DRIVER: bytes
+    * identical to a one-task FileFormatWriter job (INT64-micros
+    * timestamps, CORRECTED rebase, snappy), none of the
+    * job/commit-protocol cost. The conf keys are the ones
+    * ParquetWriteSupport.init / SparkToParquetSchemaConverter assert
+    * on — the same values ParquetFileFormat.prepareWrite stamps.
+    */
+  private[lake] def writeLocalParquetFile(schema: StructType,
+      rows: Seq[org.apache.spark.sql.catalyst.InternalRow],
+      p: Path): Unit = {
+    val conf = HadoopConfs.mutable()
+    org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
+      .setSchema(schema, conf)
+    locally {
+      import org.apache.spark.sql.internal.SQLConf
+      conf.set(SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key, "false")
+      conf.set(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key,
+        "TIMESTAMP_MICROS")
+      conf.set(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key, "true")
+      conf.set(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key,
+        SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.defaultValueString)
+    }
+    final class B(f: org.apache.parquet.io.OutputFile)
+        extends org.apache.parquet.hadoop.ParquetWriter.Builder[
+          org.apache.spark.sql.catalyst.InternalRow, B](f) {
+      override def getWriteSupport(c: org.apache.hadoop.conf.Configuration) =
+        new org.apache.spark.sql.execution.datasources.parquet
+          .ParquetWriteSupport
+      override def self(): B = this
+    }
+    val out = org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(
+      new org.apache.hadoop.fs.Path(p.toString), conf)
+    val w = new B(out).withConf(conf)
+      .withCompressionCodec(
+        org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+      .build()
+    try rows.foreach(w.write) finally w.close()
+  }
+
+  /** Max distinct keys a marker batch INLINES into the snapshot
+    * metadata (`EqDeleteMeta.inlineKeys`): covers the incremental-MV
+    * key-limit (1000) publications while keeping per-version metadata
+    * growth bounded; bigger batches stay parquet-only.
+    */
+  private[lake] val InlineKeyCap = 1024
+
+  /** One inline key cell, rendered losslessly per the batch's WRITE
+    * type (shortest-repr floats/doubles round-trip exactly; decimals
+    * via plain string; date/timestamp as their integral catalyst
+    * encodings). Only the eq-delete-eligible scalar types appear —
+    * writeEqDeleteBatch enforces that set.
+    */
+  private[lake] def renderInlineKey(dt: DataType,
+      row: org.apache.spark.sql.catalyst.InternalRow,
+      i: Int): Option[String] =
+    if (row.isNullAt(i)) None
+    else Some(dt match {
+      case IntegerType | DateType => row.getInt(i).toString
+      case LongType | TimestampType | TimestampNTZType =>
+        row.getLong(i).toString
+      case BooleanType => row.getBoolean(i).toString
+      case FloatType => row.getFloat(i).toString
+      case DoubleType => row.getDouble(i).toString
+      case StringType => row.getUTF8String(i).toString
+      case d: DecimalType => row.getDecimal(i, d.precision, d.scale)
+        .toJavaBigDecimal.toPlainString
+      case other => throw new IllegalStateException(
+        s"inline eq-delete key of unsupported type $other")
+    })
+
+  private[lake] def parseInlineKey(dt: DataType,
+      s: Option[String]): Any = s match {
+    case None => null
+    case Some(v) => dt match {
+      case IntegerType | DateType => v.toInt
+      case LongType | TimestampType | TimestampNTZType => v.toLong
+      case BooleanType => v.toBoolean
+      case FloatType => v.toFloat
+      case DoubleType => v.toDouble
+      case StringType =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(v)
+      case d: DecimalType => org.apache.spark.sql.types.Decimal(
+        new java.math.BigDecimal(v), d.precision, d.scale)
+      case other => throw new IllegalStateException(
+        s"inline eq-delete key of unsupported type $other")
+    }
+  }
+
+  /** The `k<id>`-columned frame of one equality batch: the INLINE keys
+    * as a LocalRelation when the batch carries them (zero IO — and a
+    * LocalRelation build side broadcasts without launching a job),
+    * else the marker parquet files. Columns carry the batch's WRITE
+    * types either way; callers cast to the resolved read types exactly
+    * like the parquet path, so type promotions behave identically.
+    */
+  private[graft] def eqBatchFrame(spark: SparkSession,
+      b: EqDeleteMeta): DataFrame =
+    (b.inlineKeys, b.inlineTypes) match {
+      case (Some(rows), Some(ts)) =>
+        val types = ts.map(org.apache.spark.sql.types.DataType.fromDDL)
+        val attrs = b.fieldIds.zip(types).map { case (id, dt) =>
+          org.apache.spark.sql.catalyst.expressions.AttributeReference(
+            s"k$id", dt, nullable = true)()
+        }
+        val irows = rows.map(r =>
+          org.apache.spark.sql.catalyst.InternalRow.fromSeq(
+            r.zip(types).map { case (v, dt) => parseInlineKey(dt, v) }))
+        org.apache.spark.sql.GraftPlanBridge.ofRows(spark,
+          org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
+            attrs, irows))
+      case _ => spark.read.parquet(b.paths: _*)
+    }
+
   private[lake] def isLocalPlan(df: DataFrame): Boolean = {
     import org.apache.spark.sql.catalyst.plans.logical.{
       LocalRelation, Repartition, RepartitionByExpression}

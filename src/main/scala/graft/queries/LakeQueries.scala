@@ -365,8 +365,10 @@ object LakeQueries extends QueryModule {
           .get("graft.stream.last-batch").exists(_.toLong >= id)
         if (done) false
         else {
+          // the caller pins the batch (localCheckpoint) — a narrow
+          // select over it re-evaluates for free, so no second pin
           val rows = batch.select(col("n_nationkey"), col("n_name"),
-            col("n_regionkey")).localCheckpoint()
+            col("n_regionkey"))
           val delta = rows.groupBy("n_regionkey")
             .agg(count(lit(1)).as("n"))
           val cur = LakeTable.load(wh, "st", "agg").read(s)

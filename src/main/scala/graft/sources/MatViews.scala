@@ -1399,7 +1399,7 @@ private[graft] object MatViews {
                 s"equality delete keyed on a NESTED field (id $fid) — " +
                 "run a full refresh instead"))
         }
-        val markers0 = spark.read.parquet(b.paths: _*).select(
+        val markers0 = LakeTable.eqBatchFrame(spark, b).select(
           b.fieldIds.zip(names).map { case (fid, n) =>
             col(s"k$fid").cast(schema.fields.find(_.name == n).get
               .dataType).as(n)

