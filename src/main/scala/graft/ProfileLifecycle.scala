@@ -129,7 +129,7 @@ object ProfileLifecycle {
           if (done) false
           else {
             val rows = batch.select(col("n_nationkey"), col("n_name"),
-              col("n_regionkey")).localCheckpoint()
+              col("n_regionkey"))
             val delta = rows.groupBy("n_regionkey")
               .agg(count(lit(1)).as("n"))
             val cur = LakeTable.load(wh, "st", "agg").read(s)
