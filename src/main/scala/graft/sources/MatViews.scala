@@ -1224,9 +1224,18 @@ private[graft] object MatViews {
     * resulting filter envelope) stops paying for itself — fall back to
     * the full backing scan. Conf-overridable for tests.
     */
+  /** The touched/delta group-key collect cap: at or below it the
+    * refresh runs the BOUNDED plan (one driver collect, LocalRelation
+    * probe sides, single-file zero-job publication, stats/bloom file
+    * pruning); past it the fully distributed machinery runs. The cap
+    * guards driver memory (≤ limit tiny key rows) and planning cost
+    * (bloom probes are O(files × keys) driver work) — 4096 keeps both
+    * trivial while covering realistic dashboard-grain group counts;
+    * tune with spark.graft.matview.incr-key-limit.
+    */
   private def keyLimit(spark: SparkSession): Int =
     spark.conf.getOption("spark.graft.matview.incr-key-limit")
-      .map(_.toInt).getOrElse(1000)
+      .map(_.toInt).getOrElse(4096)
 
   /** (files scanned after pruning, live files) of the last incremental
     * refresh's backing read — a test/tooling observable for the
