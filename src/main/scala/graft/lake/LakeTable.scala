@@ -4601,8 +4601,49 @@ object LakeTable {
         org.apache.spark.sql.GraftPlanBridge.ofRows(spark,
           org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
             attrs, irows))
-      case _ => spark.read.parquet(b.paths: _*)
+      case _ =>
+        // a SMALL non-inline batch (pre-r12 tables, distributed-source
+        // upserts of a few thousand keys) is re-read by every MoR read,
+        // changelog, and recompute probe of its range — localize it
+        // ONCE and serve a LocalRelation from a byte-bounded JVM cache.
+        // Sound: marker files are immutable once committed (a lost
+        // write attempt's files are never referenced). Bigger batches
+        // keep the distributed scan.
+        val total = b.paths.foldLeft(0L) { (acc, p) =>
+          acc + (try Files.size(Paths.get(p))
+          catch { case _: Exception => Long.MaxValue / 4 })
+        }
+        if (total > SmallBatchBytes) spark.read.parquet(b.paths: _*)
+        else {
+          val key = b.paths.sorted.mkString(" ")
+          val (schema, rows) = smallBatchCache.getOrLoad(key, 0L) {
+            val df = spark.read.parquet(b.paths: _*)
+            val collected = df.queryExecution.executedPlan
+              .executeCollect().map(_.copy()).toSeq
+            (df.schema, collected)
+          }
+          org.apache.spark.sql.GraftPlanBridge.ofRows(spark,
+            org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
+              schema.fields.toSeq.map(f =>
+                org.apache.spark.sql.catalyst.expressions
+                  .AttributeReference(f.name, f.dataType, f.nullable)()),
+              rows))
+        }
     }
+
+  /** Marker batches at or below this total size localize through
+    * [[smallBatchCache]]; ~1 MiB of key parquet is ~50-100k keys —
+    * far past it the broadcast side deserves a distributed scan. */
+  private val SmallBatchBytes = 1L << 20
+
+  private val smallBatchCache = new BlobCache[
+    (StructType, Seq[org.apache.spark.sql.catalyst.InternalRow])](
+    64L << 20,
+    { case (_, rows) => rows.map {
+        case u: org.apache.spark.sql.catalyst.expressions.UnsafeRow =>
+          u.getSizeInBytes.toLong
+        case _ => 128L
+      }.sum + 1024L })
 
   private[lake] def isLocalPlan(df: DataFrame): Boolean = {
     import org.apache.spark.sql.catalyst.plans.logical.{
