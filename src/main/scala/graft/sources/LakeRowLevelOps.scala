@@ -43,7 +43,8 @@ private[sources] class LakeRowLevelOperation(wh: String, db: String,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LakeScanBuilder(wh, db, tbl, 0L, table.currentSchema,
-      onPlanned = files => scannedPaths = files.map(_.path))
+      onPlanned = files => scannedPaths = files.map(_.path),
+      rowLevelOp = true)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     new WriteBuilder {
@@ -131,7 +132,8 @@ private[sources] class LakeDeltaOperation(wh: String, db: String,
   override def representUpdateAsDeleteAndInsert(): Boolean = true
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new LakeScanBuilder(wh, db, tbl, 0L, table.currentSchema)
+    new LakeScanBuilder(wh, db, tbl, 0L, table.currentSchema,
+      rowLevelOp = true)
 
   override def newWriteBuilder(info: LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.DeltaWriteBuilder =

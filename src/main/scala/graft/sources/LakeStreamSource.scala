@@ -410,7 +410,8 @@ private[graft] class LakeScanBuilder(wh: String, db: String, tbl: String,
     branchName: Option[String] = None,
     skipDeleteSnapshots: Boolean = false,
     incremental: Option[(Long, Long)] = None,
-    changelogMode: Boolean = false)
+    changelogMode: Boolean = false,
+    rowLevelOp: Boolean = false)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
@@ -523,7 +524,7 @@ private[graft] class LakeScanBuilder(wh: String, db: String, tbl: String,
   override def build(): Scan =
     new LakeScan(wh, db, tbl, startSnapshot, target, stats, aggResult,
       asOfSnapshot, onPlanned, maxSnapshotsPerTrigger, branchName,
-      skipDeleteSnapshots, incremental, changelogMode)
+      skipDeleteSnapshots, incremental, changelogMode, rowLevelOp)
 }
 
 private[sources] class LakeScan(wh: String, db: String, tbl: String,
@@ -536,7 +537,8 @@ private[sources] class LakeScan(wh: String, db: String, tbl: String,
     branchName: Option[String] = None,
     skipDeleteSnapshots: Boolean = false,
     incremental: Option[(Long, Long)] = None,
-    changelogMode: Boolean = false) extends Scan
+    changelogMode: Boolean = false,
+    rowLevelOp: Boolean = false) extends Scan
     with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportOrdering
@@ -904,7 +906,17 @@ private[sources] class LakeScan(wh: String, db: String, tbl: String,
             t.metadata.schemaById(f.schemaId), target, deletePathsFor(f),
             eqBatchesFor(f), external = ext(f.path), dv = dvFor(f),
             firstRowId = f.firstRowId, fileSeq = f.seq,
-            lineageMat = f.lineageCols))
+            lineageMat = f.lineageCols,
+            // pushed + runtime (DPP) ranges travel to the reader for
+            // row-group skipping INSIDE surviving files; the reader
+            // gates on position-independence before applying them.
+            // NEVER for a row-level operation's scan: its filters
+            // select GROUPS (files) — the rewrite must carry every
+            // surviving file's non-matching rows, and a record-level
+            // drop would silently delete them (caught by lake_sql_dml)
+            pushedRanges =
+              if (rowLevelOp) Seq.empty
+              else statsFilters ++ runtimeRanges))
           .toArray
       }
     }
@@ -962,7 +974,9 @@ private[sources] case class LakeFilePartition(path: String,
     dv: Option[(String, Long, Long)] = None,
     firstRowId: Long = -1L,
     fileSeq: Long = -1L,
-    lineageMat: Boolean = false) extends InputPartition
+    lineageMat: Boolean = false,
+    pushedRanges: Seq[graft.lake.RangeFilter] = Seq.empty)
+    extends InputPartition
 
 /** Equality-delete batch key files as changelog delete markers: each
   * record's key columns (stored as `k<fieldId>`) fill the matching
@@ -1334,10 +1348,26 @@ private[sources] class GroupRowReader(p: LakeFilePartition)
         } catch { case _: Exception => () } // fall back to full read
       }
     }
-    ParquetReader
+    // ROW-GROUP + record-level predicate skipping, ONLY when the read
+    // is position-independent: the reader derives `_metadata.row_index`
+    // / MoR delete positions / inherited row ids from a LINEAR row
+    // counter, and a skipped row group (or filtered record) would
+    // desynchronize it. Plain filtered scans — the dominant pattern —
+    // qualify; anything positional keeps the full walk. External files
+    // are excluded too (legacy INT96 timestamps compare differently).
+    val positionFree = p.deletes.isEmpty && p.dv.isEmpty &&
+      !p.emitOnlyDeleted && !p.external &&
+      !p.target.fieldNames.exists(n => n == LakeSource.PosMetaCol ||
+        n == LakeSource.RowIdMetaCol || n == LakeSource.LastUpdMetaCol)
+    val pred =
+      if (!positionFree || p.pushedRanges.isEmpty) None
+      else LakeSource.parquetPredicate(p.pushedRanges, fileSchema,
+        n => keep.isEmpty || keep(n))
+    val b0 = ParquetReader
       .builder(new GroupReadSupport(), new org.apache.hadoop.fs.Path(p.path))
       .withConf(conf)
-      .build()
+    pred.fold(b0)(fp => b0.withFilter(
+      org.apache.parquet.filter2.compat.FilterCompat.get(fp))).build()
   }
 
   // per-target-field extractor, bound once: file field matched by id;
@@ -1617,6 +1647,81 @@ private[graft] object LakeSource {
     * pruning (None when not convertible). In-lists — the shape
     * runtime/DPP filters arrive in — collapse to [min, max].
     */
+  /** RangeFilters → one parquet `FilterPredicate`, for ROW-GROUP (and
+    * record-level) skipping INSIDE files that survive the metadata
+    * prune — at 100 TB a sorted 512 MB file holds dozens of row groups
+    * and file-level pruning alone still decodes them all. Strictly
+    * CONSERVATIVE: integral bounds ceil/floor exactly, string bounds
+    * compare in parquet's unsigned-byte order (= UTF8String order),
+    * and every unsupported shape (floats/doubles/decimals — binary
+    * vs decimal rounding; dotted names — FilterApi would misparse
+    * them as paths; null checks; non-primitive columns) contributes
+    * NOTHING rather than a maybe-wrong bound. Sound alongside
+    * record-level filtering because the predicate is a WEAKENING of
+    * the residual filter Spark re-applies: any record parquet drops
+    * fails the weak predicate, hence the exact one too. Callers must
+    * only pass columns present in the REQUESTED read schema (parquet
+    * record filtering assembles its filter columns).
+    */
+  def parquetPredicate(filters: Seq[graft.lake.RangeFilter],
+      fileSchema: StructType, requested: String => Boolean)
+      : Option[org.apache.parquet.filter2.predicate.FilterPredicate] = {
+    import org.apache.parquet.filter2.predicate.FilterApi
+    import org.apache.parquet.io.api.Binary
+    def ceilL(b: BigDecimal): Option[Long] = {
+      val v = b.setScale(0, BigDecimal.RoundingMode.CEILING)
+      if (v < BigDecimal(Long.MinValue) || v > BigDecimal(Long.MaxValue))
+        None
+      else Some(v.toLong)
+    }
+    def floorL(b: BigDecimal): Option[Long] = {
+      val v = b.setScale(0, BigDecimal.RoundingMode.FLOOR)
+      if (v < BigDecimal(Long.MinValue) || v > BigDecimal(Long.MaxValue))
+        None
+      else Some(v.toLong)
+    }
+    def both(lo: Option[org.apache.parquet.filter2.predicate
+          .FilterPredicate],
+        hi: Option[org.apache.parquet.filter2.predicate.FilterPredicate])
+        : Option[org.apache.parquet.filter2.predicate.FilterPredicate] =
+      (lo, hi) match {
+        case (Some(a), Some(b)) => Some(FilterApi.and(a, b))
+        case (a, b) => a.orElse(b)
+      }
+    val preds = filters.flatMap { f =>
+      if (f.column.contains(".") || !requested(f.column)) None
+      else fileSchema.fields.find(_.name == f.column).flatMap { sf =>
+        sf.dataType match {
+          case LongType | TimestampType | TimestampNTZType =>
+            val c = FilterApi.longColumn(sf.name)
+            both(
+              f.loNum.flatMap(ceilL).map(v =>
+                FilterApi.gtEq(c, java.lang.Long.valueOf(v))),
+              f.hiNum.flatMap(floorL).map(v =>
+                FilterApi.ltEq(c, java.lang.Long.valueOf(v))))
+          case IntegerType =>
+            val c = FilterApi.intColumn(sf.name)
+            both(
+              f.loNum.flatMap(ceilL)
+                .filter(v => v >= Int.MinValue && v <= Int.MaxValue)
+                .map(v => FilterApi.gtEq(c,
+                  java.lang.Integer.valueOf(v.toInt))),
+              f.hiNum.flatMap(floorL)
+                .filter(v => v >= Int.MinValue && v <= Int.MaxValue)
+                .map(v => FilterApi.ltEq(c,
+                  java.lang.Integer.valueOf(v.toInt))))
+          case StringType =>
+            val c = FilterApi.binaryColumn(sf.name)
+            both(
+              f.loStr.map(v => FilterApi.gtEq(c, Binary.fromString(v))),
+              f.hiStr.map(v => FilterApi.ltEq(c, Binary.fromString(v))))
+          case _ => None
+        }
+      }
+    }
+    preds.reduceOption(FilterApi.and)
+  }
+
   def filterToRanges(f: org.apache.spark.sql.sources.Filter)
       : Option[graft.lake.RangeFilter] = {
     import org.apache.spark.sql.sources._

@@ -1,0 +1,131 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.lake.{Engine, LakeTable}
+
+/** Parquet row-group / record-level predicate pushdown inside the
+  * graft-lake reader ([[graft.sources.LakeSource.parquetPredicate]]):
+  * filtered scans over MULTI-row-group files must return exactly what
+  * the unfiltered scan filters to — with the predicate applied (clean
+  * files) AND with it gated off (positional reads: MoR deletes,
+  * `_metadata.row_index` consumers), where a desynchronized row
+  * counter would corrupt delete application.
+  */
+class ScanPushdownSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def mk(tag: String): (String, LakeTable) = {
+    val wh = Files.createTempDirectory(s"graft-pushdown-$tag").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"t","columns":[
+        |{"column_name":"k","data_type":"long"},
+        |{"column_name":"s","data_type":"string"},
+        |{"column_name":"v","data_type":"long"}],
+        |"partitions":[]}""".stripMargin)
+    val t = LakeTable.load(wh, "d", "t")
+    // tiny parquet blocks => many row groups per file, so predicate
+    // skipping actually has groups to skip
+    t.updateProperties(Map(
+      "write.option.parquet.block.size" -> "4096",
+      "write.option.parquet.page.size" -> "1024"))
+    (wh, LakeTable.load(wh, "d", "t"))
+  }
+
+  private def seed(t: LakeTable, n: Int = 20000): Unit = {
+    import SparkTestSession.spark.implicits._
+    // sorted by k => row groups carry tight disjoint k-ranges
+    t.append((0 until n).map(i =>
+      (i.toLong, f"s$i%06d", (i * 7).toLong)).toDF("k", "s", "v")
+      .repartition(1).sortWithinPartitions("k"))
+  }
+
+  test("range, point, and string filters return EXACT results over " +
+      "multi-row-group files") {
+    val (wh, t0) = mk("basic")
+    seed(t0)
+    val t = LakeTable.load(wh, "d", "t")
+    assert(t.plannedFiles().size == 1, "one multi-group file")
+    spark.conf.set("spark.sql.catalog.gpd", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.gpd.warehouse", wh)
+    def q(where: String): Seq[(Long, String, Long)] =
+      spark.sql(s"SELECT k, s, v FROM gpd.d.t WHERE $where ORDER BY k")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .toSeq
+    assert(q("k BETWEEN 5000 AND 5004") ==
+      (5000L to 5004L).map(i => (i, f"s$i%06d", i * 7)))
+    assert(q("k = 19999") == Seq((19999L, "s019999", 19999L * 7)))
+    assert(q("k > 19999") == Seq.empty)
+    assert(q("s = 's000123'") == Seq((123L, "s000123", 123L * 7)))
+    assert(q("s >= 's019990' AND s < 's019995'") ==
+      (19990L to 19994L).map(i => (i, f"s$i%06d", i * 7)))
+    // negative bounds / cross-type: filter on v with a range
+    assert(q("v >= 139972 AND v <= 139993").map(_._1) ==
+      Seq(19996L, 19997L, 19998L, 19999L))
+  }
+
+  test("positional reads gate the predicate OFF: MoR deletes and " +
+      "row_index consumers stay exact under filters") {
+    import SparkTestSession.spark.implicits._
+    val (wh, t0) = mk("gated")
+    seed(t0, 10000)
+    // MoR position deletes in the middle of the k-range the filter hits
+    LakeTable.load(wh, "d", "t").deleteMoR(spark,
+      col("k") >= 5000L && col("k") < 5003L)
+    spark.conf.set("spark.sql.catalog.gpd2", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.gpd2.warehouse", wh)
+    val got = spark.sql(
+      "SELECT k FROM gpd2.d.t WHERE k BETWEEN 4998 AND 5005 ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(4998L, 4999L, 5003L, 5004L, 5005L),
+      s"deletes must apply exactly under a pushed filter: $got")
+    // row_index consumers (row-level op scans) also stay exact
+    val withPos = spark.read.format("graft-lake")
+      .option("warehouse", wh).option("database", "d").option("table", "t")
+      .load()
+      .filter(col("k") === 7777L)
+      .select(col("k"), col("_graft_pos"))
+      .collect()
+    assert(withPos.length == 1 && withPos.head.getLong(0) == 7777L &&
+      withPos.head.getLong(1) == 7777L,
+      "row positions must be physical-file positions, never " +
+        "filter-shifted")
+  }
+
+  test("row-level operations never record-filter: a selective CoW " +
+      "UPDATE over a multi-row-group file carries every non-matching " +
+      "row through the rewrite") {
+    val (wh, t0) = mk("rowlevel")
+    seed(t0, 8000)
+    spark.conf.set("spark.sql.catalog.gpd3", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.gpd3.warehouse", wh)
+    // the UPDATE's WHERE selects a sliver of the one file — with
+    // record filtering wrongly active on its scan, the rewrite would
+    // silently DROP the other 7990 rows (the lake_sql_dml regression)
+    spark.sql("UPDATE gpd3.d.t SET s = 'HIT' WHERE k >= 4000 AND k < 4010")
+    val t = LakeTable.load(wh, "d", "t")
+    assert(t.read(spark).count() == 8000L,
+      "the rewrite must carry every non-matching row")
+    val hit = spark.sql(
+      "SELECT k FROM gpd3.d.t WHERE s = 'HIT' ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq
+    assert(hit == (4000L until 4010L).toSeq, s"got $hit")
+    // same for a selective three-clause MERGE
+    import SparkTestSession.spark.implicits._
+    Seq((4500L, "M"), (90000L, "NEW")).toDF("mk", "mv")
+      .createOrReplaceTempView("pushdown_merge_src")
+    spark.sql(
+      """MERGE INTO gpd3.d.t t USING pushdown_merge_src s
+        |ON t.k = s.mk
+        |WHEN MATCHED THEN UPDATE SET s = s.mv
+        |WHEN NOT MATCHED THEN INSERT (k, s, v) VALUES (s.mk, s.mv, 0L)
+        |""".stripMargin)
+    assert(LakeTable.load(wh, "d", "t").read(spark).count() == 8001L,
+      "the merge rewrite must carry every non-matching row")
+    assert(spark.sql("SELECT s FROM gpd3.d.t WHERE k = 4500")
+      .collect().head.getString(0) == "M")
+  }
+}
