@@ -1688,11 +1688,34 @@ private[graft] object LakeSource {
         case (Some(a), Some(b)) => Some(FilterApi.and(a, b))
         case (a, b) => a.orElse(b)
       }
+    // an exact IN-set (≤ 100 values) beats the min/max envelope: the
+    // parquet evaluator also consults dictionaries and column-index
+    // bloom filters, so a point lookup skips row groups whose range
+    // covers the key but whose dictionary lacks it. Any unparsable
+    // value falls back to the range envelope.
+    def inSet[T <: Comparable[T]](vals: Seq[String],
+        parse: String => T): Option[java.util.Set[T]] =
+      if (vals.isEmpty || vals.size > 100) None
+      else try {
+        val s = new java.util.HashSet[T]()
+        vals.foreach(v => s.add(parse(v)))
+        Some(s)
+      } catch { case scala.util.control.NonFatal(_) => None }
     val preds = filters.flatMap { f =>
       if (f.column.contains(".") || !requested(f.column)) None
       else fileSchema.fields.find(_.name == f.column).flatMap { sf =>
         sf.dataType match {
-          case LongType | TimestampType | TimestampNTZType =>
+          case LongType =>
+            val c = FilterApi.longColumn(sf.name)
+            inSet[java.lang.Long](f.eqSet,
+              v => java.lang.Long.valueOf(v.toLong))
+              .map(FilterApi.in(c, _))
+              .orElse(both(
+                f.loNum.flatMap(ceilL).map(v =>
+                  FilterApi.gtEq(c, java.lang.Long.valueOf(v))),
+                f.hiNum.flatMap(floorL).map(v =>
+                  FilterApi.ltEq(c, java.lang.Long.valueOf(v)))))
+          case TimestampType | TimestampNTZType =>
             val c = FilterApi.longColumn(sf.name)
             both(
               f.loNum.flatMap(ceilL).map(v =>
@@ -1701,20 +1724,25 @@ private[graft] object LakeSource {
                 FilterApi.ltEq(c, java.lang.Long.valueOf(v))))
           case IntegerType =>
             val c = FilterApi.intColumn(sf.name)
-            both(
-              f.loNum.flatMap(ceilL)
-                .filter(v => v >= Int.MinValue && v <= Int.MaxValue)
-                .map(v => FilterApi.gtEq(c,
-                  java.lang.Integer.valueOf(v.toInt))),
-              f.hiNum.flatMap(floorL)
-                .filter(v => v >= Int.MinValue && v <= Int.MaxValue)
-                .map(v => FilterApi.ltEq(c,
-                  java.lang.Integer.valueOf(v.toInt))))
+            inSet[java.lang.Integer](f.eqSet,
+              v => java.lang.Integer.valueOf(v.toInt))
+              .map(FilterApi.in(c, _))
+              .orElse(both(
+                f.loNum.flatMap(ceilL)
+                  .filter(v => v >= Int.MinValue && v <= Int.MaxValue)
+                  .map(v => FilterApi.gtEq(c,
+                    java.lang.Integer.valueOf(v.toInt))),
+                f.hiNum.flatMap(floorL)
+                  .filter(v => v >= Int.MinValue && v <= Int.MaxValue)
+                  .map(v => FilterApi.ltEq(c,
+                    java.lang.Integer.valueOf(v.toInt)))))
           case StringType =>
             val c = FilterApi.binaryColumn(sf.name)
-            both(
-              f.loStr.map(v => FilterApi.gtEq(c, Binary.fromString(v))),
-              f.hiStr.map(v => FilterApi.ltEq(c, Binary.fromString(v))))
+            inSet[Binary](f.eqSet, Binary.fromString)
+              .map(FilterApi.in(c, _))
+              .orElse(both(
+                f.loStr.map(v => FilterApi.gtEq(c, Binary.fromString(v))),
+                f.hiStr.map(v => FilterApi.ltEq(c, Binary.fromString(v)))))
           case _ => None
         }
       }

@@ -65,6 +65,11 @@ class ScanPushdownSpec extends AnyFunSuite {
     // negative bounds / cross-type: filter on v with a range
     assert(q("v >= 139972 AND v <= 139993").map(_._1) ==
       Seq(19996L, 19997L, 19998L, 19999L))
+    // IN-sets translate to parquet in() (dictionary-capable skipping)
+    assert(q("k IN (17, 9001, 19998)").map(_._1) ==
+      Seq(17L, 9001L, 19998L))
+    assert(q("s IN ('s000042', 's010000', 'zzz')").map(_._1) ==
+      Seq(42L, 10000L))
   }
 
   test("positional reads gate the predicate OFF: MoR deletes and " +
