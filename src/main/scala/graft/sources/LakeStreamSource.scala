@@ -901,7 +901,10 @@ private[sources] class LakeScan(wh: String, db: String, tbl: String,
             partitionKeyOf(f, spec), deletePathsFor(f),
             eqBatchesFor(f), external = ext(f.path),
             dv = dvFor(f), firstRowId = f.firstRowId, fileSeq = f.seq,
-            lineageMat = f.lineageCols)).toArray
+            lineageMat = f.lineageCols,
+            pushedRanges =
+              if (rowLevelOp) Seq.empty
+              else statsFilters ++ runtimeRanges)).toArray
         case None => files.map(f => LakeFilePartition(f.path,
             t.metadata.schemaById(f.schemaId), target, deletePathsFor(f),
             eqBatchesFor(f), external = ext(f.path), dv = dvFor(f),
@@ -1008,7 +1011,8 @@ private[sources] case class LakeKeyedFilePartition(path: String,
     dv: Option[(String, Long, Long)] = None,
     firstRowId: Long = -1L,
     fileSeq: Long = -1L,
-    lineageMat: Boolean = false)
+    lineageMat: Boolean = false,
+    pushedRanges: Seq[graft.lake.RangeFilter] = Seq.empty)
     extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow = new GenericInternalRow(key)
@@ -1191,7 +1195,7 @@ private[sources] class LakeReaderFactory extends PartitionReaderFactory {
           LakeFilePartition(p.path, p.fileSchema, p.target, p.deletes,
             p.eqBatches, external = p.external, dv = p.dv,
             firstRowId = p.firstRowId, fileSeq = p.fileSeq,
-            lineageMat = p.lineageMat))
+            lineageMat = p.lineageMat, pushedRanges = p.pushedRanges))
       case p: LakeEqMarkerPartition => new EqMarkerReader(p)
       case p: LakeChangelogPartition =>
         val innerReader = createReader(p.inner)
