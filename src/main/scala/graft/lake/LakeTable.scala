@@ -4615,7 +4615,7 @@ object LakeTable {
         }
         if (total > SmallBatchBytes) spark.read.parquet(b.paths: _*)
         else {
-          val key = b.paths.sorted.mkString(" ")
+          val key = b.paths.sorted.mkString("\u0000")
           val (schema, rows) = smallBatchCache.getOrLoad(key, 0L) {
             val df = spark.read.parquet(b.paths: _*)
             val collected = df.queryExecution.executedPlan
