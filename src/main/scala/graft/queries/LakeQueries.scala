@@ -2317,6 +2317,72 @@ object LakeReadQueries extends QueryModule {
               |FROM graftdml.rq.n ORDER BY n_nationkey""".stripMargin)
     }),
 
+    "lake_scan_pushdown" -> QueryModule.micro(4)((s, dir) => {
+      // in-file predicate skipping (r12): a MULTI-row-group lake file
+      // (tiny parquet blocks via write.option) read through the DSv2
+      // connector with range + IN + string filters — the reader
+      // translates the pushed ranges into a parquet FilterPredicate,
+      // so row groups skip on stats/dictionaries and records filter
+      // before assembly; the residual Spark filter keeps exactness
+      // either way, and the oracle recomputes the slice from the raw
+      // fixture. Self-audit: the filtered scan must READ far fewer
+      // source records than the table holds (recordsRead observable —
+      // a regression that stops passing the predicate keeps
+      // correctness but fails the audit).
+      val wh = LakeQueries.freshWarehouse("pushdown")
+      Engine.processTableDefJson(wh,
+        """{"database_name":"pd","table_name":"li","columns":[
+          |{"column_name":"l_okey","data_type":"long"},
+          |{"column_name":"l_part","data_type":"long"},
+          |{"column_name":"l_ship","data_type":"string"},
+          |{"column_name":"l_qty","data_type":"double"}],
+          |"partitions":[],
+          |"properties":{
+          |  "write.option.parquet.block.size":"16384",
+          |  "write.option.parquet.page.size":"2048"}}""".stripMargin)
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey").as("l_okey"),
+          col("l_partkey").as("l_part"),
+          col("l_returnflag").as("l_ship"),
+          col("l_quantity").as("l_qty"))
+      // one sorted file => row groups carry tight disjoint key ranges
+      LakeTable.load(wh, "pd", "li")
+        .append(li.repartition(1).sortWithinPartitions("l_okey"))
+      s.conf.set("spark.sql.catalog.gpd9", "graft.sources.LakeCatalog")
+      s.conf.set("spark.sql.catalog.gpd9.warehouse", wh)
+      val records = new java.util.concurrent.atomic.AtomicLong
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (e.taskMetrics != null)
+            records.addAndGet(e.taskMetrics.inputMetrics.recordsRead)
+      }
+      val total = LakeTable.load(wh, "pd", "li").read(s).count()
+      s.sparkContext.addSparkListener(listener)
+      val rows =
+        try {
+          val out = s.sql(
+            "SELECT l_okey, l_part, l_ship, l_qty FROM gpd9.pd.li " +
+              "WHERE l_okey BETWEEN 1000 AND 1200 " +
+              "AND l_ship IN ('A', 'R') ORDER BY l_okey, l_part")
+            .collect()
+          var prev = -1L
+          var cur = records.get
+          while (prev != cur) {
+            Thread.sleep(100); prev = cur; cur = records.get
+          }
+          require(cur < total / 2,
+            s"the pushed predicate must skip source records: read " +
+              s"$cur of $total")
+          out
+        } finally s.sparkContext.removeSparkListener(listener)
+      import s.implicits._
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getDouble(3))).toSeq
+        .toDF("l_okey", "l_part", "l_ship", "l_qty")
+        .orderBy("l_okey", "l_part")
+    }),
+
     "lake_rename" -> QueryModule.micro(4)((s, dir) => {
       // ALTER TABLE ... RENAME COLUMN end-to-end: files written under
       // the OLD name must read back under the new one (field-ID
@@ -2441,6 +2507,14 @@ object LakeReadQueries extends QueryModule {
         |FROM customer
         |WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 0.0
         |ORDER BY c_custkey""".stripMargin,
+
+    "lake_scan_pushdown" ->
+      """SELECT l_orderkey AS l_okey, l_partkey AS l_part,
+        |  l_returnflag AS l_ship, l_quantity AS l_qty
+        |FROM lineitem
+        |WHERE l_orderkey BETWEEN 1000 AND 1200
+        |  AND l_returnflag IN ('A', 'R')
+        |ORDER BY l_okey, l_part""".stripMargin,
 
     "lake_sql_dml" ->
       """SELECT n_nationkey,
