@@ -59,7 +59,7 @@ class SqlTxnRandomSpec extends AnyFunSuite {
           "a" -> committed("a").clone(), "b" -> committed("b").clone()))
       }
       val t = if (rnd.nextBoolean()) "a" else "b"
-      rnd.nextInt(4) match {
+      rnd.nextInt(5) match {
         case 0 | 1 =>
           nextK += 1
           val v = rnd.nextInt(1000).toLong
@@ -73,6 +73,22 @@ class SqlTxnRandomSpec extends AnyFunSuite {
           val k = working(t).keys.toSeq(rnd.nextInt(working(t).size))
           vsql(s"DELETE FROM gtxr.d.$t WHERE k = $k").collect()
           working(t).remove(k)
+        case 4 if working(t).nonEmpty =>
+          // three-clause MERGE through the DSv2 row-level plumbing:
+          // update one live key, insert one fresh key
+          val k = working(t).keys.toSeq(rnd.nextInt(working(t).size))
+          nextK += 1
+          val nv = rnd.nextInt(1000).toLong
+          vsql(
+            s"""MERGE INTO gtxr.d.$t x
+               |USING (SELECT * FROM VALUES (${k}L, ${nv}L),
+               |       (${nextK}L, ${nv + 1}L) AS s(k, v)) s
+               |ON x.k = s.k
+               |WHEN MATCHED THEN UPDATE SET v = s.v
+               |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)"""
+              .stripMargin).collect()
+          working(t)(k) = nv
+          working(t)(nextK) = nv + 1
         case _ => ()
       }
       if (overlay.isDefined && rnd.nextInt(4) == 0) {
