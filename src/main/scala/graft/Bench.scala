@@ -122,8 +122,12 @@ object Bench {
     spark.stop()
   }
 
-  /** How many of the slowest measured keys re-time after the pass. */
-  val RetimeTopN = 5
+  /** How many of the slowest measured keys re-time after the pass.
+    * 8 (was 5): this box's wall clock swings 15-20% run-to-run, and
+    * the retimed minimums are the only in-band evidence separating a
+    * contention spike from a real per-key regression — widen the net
+    * over the whole heavy-lifecycle band. */
+  val RetimeTopN = 8
 
   /** The driver-contract JSON line. Harness-critical invariants (pinned
     * by BenchLineSpec): valid JSON regardless of JVM locale, and at
