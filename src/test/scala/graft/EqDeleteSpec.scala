@@ -536,6 +536,24 @@ class EqDeleteSpec extends AnyFunSuite {
     assert(squash.files.forall(_.seq == 1L))
   }
 
+  test("the inline cap holds: a local batch past 1024 keys writes its " +
+      "marker file driver-side but does NOT inline (metadata growth " +
+      "stays bounded); application is identical either way") {
+    import spark.implicits._
+    val (wh, t) = mk("inlinecap")
+    t.append((1L to 3000L).map(i => (i, s"v$i")).toDF("id", "v"))
+    LakeTable.load(wh, "d", "t").deleteByKeysMoR(spark,
+      (1L to 2000L).map(i => Tuple1(i)).toDF("id"))
+    val t2 = LakeTable.load(wh, "d", "t")
+    val batch = t2.metadata.snapshots.last.eqDeletes.head
+    assert(batch.inlineKeys.isEmpty && batch.inlineTypes.isEmpty,
+      "a 2000-key batch must not inline")
+    assert(batch.paths.size == 1, "still ONE driver-written marker file")
+    assert(t2.read(spark).count() == 1000L)
+    assert(t2.read(spark).agg(org.apache.spark.sql.functions.min("id"))
+      .head().getLong(0) == 2001L)
+  }
+
   test("tiny local marker batches INLINE their keys in metadata — " +
       "all eligible types round-trip (nulls, decimals, floats), the " +
       "applied state equals the parquet path, and promotions cast " +
