@@ -1181,6 +1181,44 @@ private[sources] class LakeMicroBatchStream(wh: String, db: String,
 }
 
 private[sources] class LakeReaderFactory extends PartitionReaderFactory {
+
+  /** A partition the VECTORIZED columnar path can serve: Spark's own
+    * batch parquet decoder instead of the row-at-a-time Group
+    * materializer — at 100 TB the decode cost of wide scans is the
+    * hot path, and columnar batches keep downstream whole-stage
+    * codegen in its vectorized form. Only the CLEAN shape qualifies:
+    * no merge-on-read state (position/vector/equality deletes need the
+    * row walk or value probes), no changelog emission, no metadata /
+    * lineage columns (position-derived), engine-written files, and a
+    * file schema whose referenced fields match the target by name AND
+    * type (any reconcile — rename, promotion, nested add — keeps the
+    * per-field Group extractor, which resolves by field id). Spark
+    * falls back to row mode for the WHOLE scan if any one partition
+    * declines, so mixed tables degrade gracefully.
+    */
+  private def vectorizable(p: LakeFilePartition): Boolean =
+    !sys.props.contains("graft.read.novector") &&
+      p.deletes.isEmpty && p.eqBatches.isEmpty && p.dv.isEmpty &&
+      !p.emitOnlyDeleted && !p.external &&
+      !p.target.fieldNames.exists(LakeSource.isMetaCol) &&
+      p.target.fields.forall(tf =>
+        p.fileSchema.fields.exists(ff => ff.name == tf.name &&
+          Reconcile.clean(ff.dataType) == Reconcile.clean(tf.dataType)))
+
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    p match {
+      case fp: LakeFilePartition => vectorizable(fp)
+      case _ => false
+    }
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    partition match {
+      case fp: LakeFilePartition => new VectorizedLakeReader(fp)
+      case other => throw new UnsupportedOperationException(
+        s"no columnar reader for $other")
+    }
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
       case LakeAggPartition(values) => new PartitionReader[InternalRow] {
@@ -1264,6 +1302,63 @@ private[sources] class EqMarkerReader(p: LakeEqMarkerPartition)
   override def get(): InternalRow =
     new GenericInternalRow(fillers.map(_(cur)))
   override def close(): Unit = if (reader != null) reader.close()
+}
+
+/** The vectorized fast path: Spark's own batch parquet decoder over a
+  * CLEAN file (no MoR state, no meta columns, schema id-identical to
+  * the target — [[LakeReaderFactory]] gates). Emits ColumnarBatches,
+  * so downstream whole-stage codegen stays in its vectorized form;
+  * pushed ranges go down as a parquet FilterPredicate for row-group /
+  * page skipping (nothing positional is consumed here). The conf keys
+  * mirror what ParquetFileFormat.buildReaderWithPartitionValues
+  * stamps; rebase modes are CORRECTED — the engine writes its own
+  * files that way.
+  */
+private[sources] class VectorizedLakeReader(p: LakeFilePartition)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import org.apache.spark.sql.internal.SQLConf
+
+  private val conf: Configuration = graft.lake.HadoopConfs.mutable()
+  locally {
+    conf.set(org.apache.spark.sql.execution.datasources.parquet
+      .ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, p.target.json)
+    conf.set(SQLConf.PARQUET_BINARY_AS_STRING.key, "false")
+    conf.set(SQLConf.PARQUET_INT96_AS_TIMESTAMP.key, "true")
+    conf.set(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key, "true")
+    conf.set(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key, "false")
+    conf.set(SQLConf.CASE_SENSITIVE.key, "false")
+    conf.set(SQLConf.PARQUET_FIELD_ID_READ_ENABLED.key, "false")
+    LakeSource.parquetPredicate(p.pushedRanges, p.fileSchema,
+      n => p.target.fieldNames.contains(n)).foreach(pred =>
+      org.apache.parquet.hadoop.ParquetInputFormat
+        .setFilterPredicate(conf, pred))
+  }
+
+  private val reader =
+    new org.apache.spark.sql.execution.datasources.parquet
+      .VectorizedParquetRecordReader(
+        null, "CORRECTED", "UTC", "CORRECTED", "UTC",
+        /* useOffHeap = */ false, /* capacity = */ 4096)
+  locally {
+    val path = new org.apache.hadoop.fs.Path(p.path)
+    val len = java.nio.file.Files.size(java.nio.file.Paths.get(p.path))
+    // mapred.FileSplit (it extends the mapreduce one): the reader base
+    // downcasts to it internally
+    val split = new org.apache.hadoop.mapred.FileSplit(
+      path, 0, len, Array.empty[String])
+    val attempt = new org.apache.hadoop.mapreduce.task
+      .TaskAttemptContextImpl(conf,
+        new org.apache.hadoop.mapreduce.TaskAttemptID())
+    reader.initialize(split, attempt)
+    reader.initBatch(new StructType(), InternalRow.empty)
+    reader.enableReturningBatches()
+  }
+
+  override def next(): Boolean = reader.nextKeyValue()
+  override def get(): org.apache.spark.sql.vectorized.ColumnarBatch =
+    reader.getCurrentValue
+      .asInstanceOf[org.apache.spark.sql.vectorized.ColumnarBatch]
+  override def close(): Unit = reader.close()
 }
 
 /** Reads one parquet data file as example-Groups and reconciles each
