@@ -120,6 +120,16 @@ object Bench {
     println(renderLine(results, sfDir, failed.toSeq.sorted, failedSec,
       retimed, Some((loadStart, loadavg))))
     spark.stop()
+    // a broken engine must not produce a plausible-looking bench total
+    // (round-12 postmortem: 42 erroring keys burned 47s and the line
+    // still parsed as a valid result) — the full failed set goes to
+    // stderr (the JSON array caps at 15) and the exit code goes red
+    if (failed.nonEmpty) {
+      System.err.println(
+        s"[bench] INVALID RUN: ${failed.size} failed keys: " +
+          failed.sorted.mkString(","))
+      sys.exit(2)
+    }
   }
 
   /** How many of the slowest measured keys re-time after the pass.
@@ -154,7 +164,7 @@ object Bench {
     // iterate them to re-run)
     val failedField =
       if (failed.isEmpty) ""
-      else s""""n_failed":${failed.size},"failed_sec":${r3(failedSec)},"failed":[""" +
+      else s""""invalid":true,"n_failed":${failed.size},"failed_sec":${r3(failedSec)},"failed":[""" +
         failed.take(15).map(k => s""""$k"""").mkString(",") + "],"
     // contention evidence: 1-min loadavg before/after the measured
     // pass (negative = platform can't report it → omit), and the

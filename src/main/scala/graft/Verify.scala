@@ -35,6 +35,11 @@ object Verify {
     // within one SparkContext interleaves the jobs fine.
     val threads = sys.env.getOrElse("SPARK_GRAFT_VERIFY_THREADS", "4").toInt
     val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    // key → exception message for every query that threw: round-12's
+    // verify swallowed 42 crashes to stderr, so the keys either vanished
+    // from CORRECTNESS or left 0-row partial parquet that scored as
+    // value mismatches with no named error
+    val failures = new java.util.concurrent.ConcurrentHashMap[String, String]()
     val tasks = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
@@ -58,7 +63,17 @@ object Verify {
             norm.coalesce(1).write.mode("overwrite")
               .parquet(s"$outDir/$name")
           } catch { case e: Throwable =>
+            failures.put(name, s"${e.getClass.getSimpleName}: ${e.getMessage}")
             System.err.println(s"[verify] $name failed: ${e.getMessage}"); if (sys.env.contains("GRAFT_VERIFY_TRACE")) e.printStackTrace()
+            // a failed write can leave a 0-row partial parquet behind —
+            // delete it so the driver sees a named failure, not a
+            // mysterious empty result
+            val dir = Paths.get(s"$outDir/$name")
+            if (Files.exists(dir)) {
+              import scala.jdk.CollectionConverters._
+              Files.walk(dir).iterator().asScala.toSeq.reverse
+                .foreach(p => try Files.delete(p) catch { case _: Exception => () })
+            }
           }
       })
     }
@@ -79,6 +94,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // every declared key must appear in the driver artifact with either
+    // data or a named error — _failures.json carries the errors
+    import scala.jdk.CollectionConverters._
+    val failJson = failures.asScala.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_failures.json"), failJson)
+    if (!failures.isEmpty)
+      System.err.println(s"[verify] ${failures.size} FAILED keys: " +
+        failures.asScala.keys.toSeq.sorted.mkString(","))
     spark.stop()
   }
 }

@@ -887,6 +887,11 @@ private[sources] class LakeScan(wh: String, db: String, tbl: String,
       Array(LakeAggPartition(aggResult.get._2))
     def createReaderFactory(): PartitionReaderFactory = new LakeReaderFactory
   } else new Batch {
+    // the columnar decision is per-SCAN (Spark forbids mixing row and
+    // columnar partitions in one scan): planInputPartitions stamps
+    // "all clean vectorizable files?" into the shared holder —
+    // supportsColumnar runs after planning, so it reads a set flag
+    private val decision = new ColumnarDecision
     // live set resolved at partition-planning time so runtime filters
     // (applied to the scan after static planning) take effect
     def planInputPartitions(): Array[InputPartition] = {
@@ -895,7 +900,7 @@ private[sources] class LakeScan(wh: String, db: String, tbl: String,
         Map.empty, runtimeRanges, t.metadata.schemaOpt)
       onPlanned(files) // row-level ops capture the replaced group here
       val ext = LakeSource.externalTest(t.location)
-      keyedSpec match {
+      val out: Array[InputPartition] = keyedSpec match {
         case Some(spec) => files.map(f => LakeKeyedFilePartition(f.path,
             t.metadata.schemaById(f.schemaId), target,
             partitionKeyOf(f, spec), deletePathsFor(f),
@@ -922,8 +927,11 @@ private[sources] class LakeScan(wh: String, db: String, tbl: String,
               else statsFilters ++ runtimeRanges))
           .toArray
       }
+      decision.allColumnar = LakeReaderFactory.allVectorizable(out)
+      out
     }
-    def createReaderFactory(): PartitionReaderFactory = new LakeReaderFactory
+    def createReaderFactory(): PartitionReaderFactory =
+      new LakeReaderFactory(decision)
   }
 
   // dynamic file pruning: join-produced runtime filters (Spark's DPP
@@ -1180,36 +1188,63 @@ private[sources] class LakeMicroBatchStream(wh: String, db: String,
   override def stop(): Unit = ()
 }
 
-private[sources] class LakeReaderFactory extends PartitionReaderFactory {
-
+private[sources] object LakeReaderFactory {
   /** A partition the VECTORIZED columnar path can serve: Spark's own
     * batch parquet decoder instead of the row-at-a-time Group
     * materializer — at 100 TB the decode cost of wide scans is the
     * hot path, and columnar batches keep downstream whole-stage
-    * codegen in its vectorized form. Only the CLEAN shape qualifies:
-    * no merge-on-read state (position/vector/equality deletes need the
-    * row walk or value probes), no changelog emission, no metadata /
-    * lineage columns (position-derived), engine-written files, and a
-    * file schema whose referenced fields match the target by name AND
-    * type (any reconcile — rename, promotion, nested add — keeps the
-    * per-field Group extractor, which resolves by field id). Spark
-    * falls back to row mode for the WHOLE scan if any one partition
-    * declines, so mixed tables degrade gracefully.
+    * codegen in its vectorized form. Gates: no merge-on-read state
+    * (position/vector/equality deletes need the row walk or value
+    * probes), no changelog emission, no metadata / lineage columns
+    * (position-derived), engine-written files, and a (file, target)
+    * schema pair [[LakeVectorize.vectorSchema]] can map — which since
+    * r13 includes renames (by-id name rewrite) and the engine's legal
+    * widenings (int→long, float→double, decimal precision), so
+    * EVOLVED tables stay on the fast path; only MoR/external/meta
+    * reads pay the row walk.
     */
-  private def vectorizable(p: LakeFilePartition): Boolean =
+  def vectorizable(p: LakeFilePartition): Boolean =
     !sys.props.contains("graft.read.novector") &&
       p.deletes.isEmpty && p.eqBatches.isEmpty && p.dv.isEmpty &&
       !p.emitOnlyDeleted && !p.external &&
       !p.target.fieldNames.exists(LakeSource.isMetaCol) &&
-      p.target.fields.forall(tf =>
-        p.fileSchema.fields.exists(ff => ff.name == tf.name &&
-          Reconcile.clean(ff.dataType) == Reconcile.clean(tf.dataType)))
+      LakeVectorize.vectorSchema(p.target, p.fileSchema).isDefined
 
-  override def supportColumnarReads(p: InputPartition): Boolean =
-    p match {
+  /** The per-scan uniform decision [[LakeReaderFactory]] needs. */
+  def allVectorizable(ps: Array[InputPartition]): Boolean =
+    ps.nonEmpty && ps.forall {
       case fp: LakeFilePartition => vectorizable(fp)
       case _ => false
     }
+}
+
+/** The per-scan columnar flag, shared between the Batch (which sets it
+  * at partition-planning time) and the reader factory (which answers
+  * supportColumnarReads from it). A dedicated serializable holder — a
+  * closure over the Batch would drag the whole non-serializable scan
+  * into the factory's executor-bound object graph. The driver always
+  * plans partitions before asking supportsColumnar, so the flag is set
+  * before it is read; executors receive a post-decision snapshot.
+  */
+private[sources] class ColumnarDecision extends Serializable {
+  @volatile var allColumnar: Boolean = false
+}
+
+private[sources] class LakeReaderFactory(
+    decision: ColumnarDecision = new ColumnarDecision)
+    extends PartitionReaderFactory {
+
+  /** Per-SCAN columnar decision, not per-partition: Spark's
+    * DataSourceV2ScanExecBase.supportsColumnar REQUIRES every
+    * partition of one scan to agree ("Cannot mix row-based and
+    * columnar input partitions"), so the batch that planned the
+    * partitions passes a thunk answering "is EVERY planned partition
+    * a vectorizable clean file?". Mixed or MoR-bearing scans run
+    * whole-scan row mode; metadata/agg/streaming factories keep the
+    * default always-false thunk.
+    */
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    decision.allColumnar
 
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
@@ -1304,9 +1339,113 @@ private[sources] class EqMarkerReader(p: LakeEqMarkerPartition)
   override def close(): Unit = if (reader != null) reader.close()
 }
 
+/** Decides whether the vectorized batch path can serve a (target,
+  * file) schema pair, and builds the requested read schema for it:
+  * the TARGET schema rewritten recursively to the file's physical
+  * field names (matched by field ID — rename-safe), keeping the
+  * TARGET types. Spark 4's vectorized parquet updaters perform the
+  * engine's legal promotions in place (IntegerToLongUpdater,
+  * FloatToDoubleUpdater, decimal precision widening at equal scale —
+  * the same set SchemaDiff.promotionAllowed admits), and the reader
+  * null-fills requested fields absent from the file — so one
+  * requested schema yields batches already in target shape with no
+  * per-row reconcile. Returns None when the pair still needs the
+  * row path:
+  *  - a non-widening type change anywhere, or a map-KEY change
+  *  - a target field with no field ID (synthetic)
+  *  - an absent field with a recorded initial DEFAULT anywhere in its
+  *    subtree (the batch reader null-fills where the row path fills
+  *    the default)
+  *  - an absent field whose target name collides case-insensitively
+  *    with a file field's physical name at the same level (the
+  *    name-based clip would bind the WRONG column — rename-swap)
+  */
+private[sources] object LakeVectorize {
+  import graft.schema.{Defaults, FieldIds}
+
+  private def widens(from: DataType, to: DataType): Boolean =
+    (from, to) match {
+      case (a, b) if a == b => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (d1: DecimalType, d2: DecimalType) =>
+        d2.precision >= d1.precision && d1.scale == d2.scale
+      case _ => false
+    }
+
+  private def noDefaultsIn(f: StructField): Boolean =
+    Defaults.of(f).isEmpty && (f.dataType match {
+      case st: StructType => st.fields.forall(noDefaultsIn)
+      case ArrayType(st: StructType, _) => st.fields.forall(noDefaultsIn)
+      case MapType(_, st: StructType, _) => st.fields.forall(noDefaultsIn)
+      case _ => true
+    })
+
+  private def mapType(t: DataType, f: DataType): Option[DataType] =
+    (t, f) match {
+      case (ts: StructType, fs: StructType) => mapStruct(ts, fs)
+      case (ArrayType(te, _), ArrayType(fe, _)) =>
+        mapType(te, fe).map(ArrayType(_, containsNull = true))
+      case (MapType(tk, tv, _), MapType(fk, fv, _))
+          if Reconcile.clean(tk) == Reconcile.clean(fk) =>
+        mapType(tv, fv).map(MapType(Reconcile.clean(tk), _,
+          valueContainsNull = true))
+      case (a, b) if widens(Reconcile.clean(b), Reconcile.clean(a)) =>
+        Some(Reconcile.clean(a))
+      case _ => None
+    }
+
+  private def mapStruct(target: StructType,
+      file: StructType): Option[StructType] = {
+    val out = target.fields.map { tf =>
+      if (!FieldIds.hasId(tf)) return None
+      val id = FieldIds.idOf(tf)
+      file.fields.find(ff => FieldIds.hasId(ff) &&
+          FieldIds.idOf(ff) == id) match {
+        case Some(ff) =>
+          mapType(tf.dataType, ff.dataType) match {
+            case Some(dt) => StructField(ff.name, dt, nullable = true)
+            case None => return None
+          }
+        case None =>
+          // absent from the file: reader null-fills — legal only with
+          // no recorded default and no physical-name collision (a
+          // rename-swap would bind the wrong column by name)
+          if (!noDefaultsIn(tf) ||
+              file.fields.exists(_.name.equalsIgnoreCase(tf.name)))
+            return None
+          StructField(tf.name, Reconcile.clean(tf.dataType),
+            nullable = true)
+      }
+    }
+    Some(StructType(out))
+  }
+
+  /** The requested read schema for the pair, None = row path. */
+  def vectorSchema(target: StructType,
+      fileSchema: StructType): Option[StructType] =
+    mapStruct(target, fileSchema)
+
+  /** Pushed ranges rewritten to the file's PHYSICAL column names,
+    * matched by field ID — a name-based lookup would bind the wrong
+    * physical column under a rename-swap. Filters whose column has no
+    * id-matched file field (added after the file was written) are
+    * dropped: they cannot prune inside a file that predates them.
+    */
+  def renameRanges(ranges: Seq[graft.lake.RangeFilter], target: StructType,
+      fileSchema: StructType): Seq[graft.lake.RangeFilter] =
+    ranges.flatMap { r =>
+      target.fields.find(tf => tf.name == r.column && FieldIds.hasId(tf))
+        .flatMap(tf => fileSchema.fields.find(ff => FieldIds.hasId(ff) &&
+          FieldIds.idOf(ff) == FieldIds.idOf(tf)))
+        .map(ff => r.copy(column = ff.name))
+    }
+}
+
 /** The vectorized fast path: Spark's own batch parquet decoder over a
-  * CLEAN file (no MoR state, no meta columns, schema id-identical to
-  * the target — [[LakeReaderFactory]] gates). Emits ColumnarBatches,
+  * clean file (no MoR state, no meta columns — [[LakeReaderFactory]]
+  * gates; renames and widening promotions are served HERE via the
+  * [[LakeVectorize]] requested-schema mapping). Emits ColumnarBatches,
   * so downstream whole-stage codegen stays in its vectorized form;
   * pushed ranges go down as a parquet FilterPredicate for row-group /
   * page skipping (nothing positional is consumed here). The conf keys
@@ -1318,18 +1457,34 @@ private[sources] class VectorizedLakeReader(p: LakeFilePartition)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.internal.SQLConf
 
+  // target rewritten to the file's physical names by field ID, target
+  // types kept (updaters widen in place) — gate guarantees it maps
+  private val requested: StructType =
+    LakeVectorize.vectorSchema(p.target, p.fileSchema).getOrElse(
+      throw new IllegalStateException(
+        s"vectorized read planned for an unmappable schema pair " +
+          s"(file ${p.path}) — LakeReaderFactory gate out of sync"))
+
   private val conf: Configuration = graft.lake.HadoopConfs.mutable()
   locally {
     conf.set(org.apache.spark.sql.execution.datasources.parquet
-      .ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, p.target.json)
+      .ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, requested.json)
     conf.set(SQLConf.PARQUET_BINARY_AS_STRING.key, "false")
     conf.set(SQLConf.PARQUET_INT96_AS_TIMESTAMP.key, "true")
     conf.set(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key, "true")
     conf.set(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key, "false")
     conf.set(SQLConf.CASE_SENSITIVE.key, "false")
     conf.set(SQLConf.PARQUET_FIELD_ID_READ_ENABLED.key, "false")
-    LakeSource.parquetPredicate(p.pushedRanges, p.fileSchema,
-      n => p.target.fieldNames.contains(n)).foreach(pred =>
+    // the 2-arg initialize resolves its ReadSupport from the conf —
+    // without this key getReadSupportInstance NPEs on every scan
+    conf.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
+      classOf[org.apache.spark.sql.execution.datasources.parquet
+        .ParquetReadSupport].getName)
+    // ranges arrive named by the TARGET schema; rewrite to the file's
+    // physical names by field id (rename-safe) before translation
+    LakeSource.parquetPredicate(
+      LakeVectorize.renameRanges(p.pushedRanges, p.target, p.fileSchema),
+      p.fileSchema, n => requested.fieldNames.contains(n)).foreach(pred =>
       org.apache.parquet.hadoop.ParquetInputFormat
         .setFilterPredicate(conf, pred))
   }

@@ -1,0 +1,227 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.lake.{Engine, LakeTable}
+
+/** The vectorized DSv2 read path ([[graft.sources.VectorizedLakeReader]]
+  * + [[graft.sources.LakeVectorize]]): clean-file scans must serve
+  * ColumnarBatches (pinned — the fast path cannot silently regress to
+  * row mode), EVOLVED tables (rename / int→long / float→double /
+  * decimal widen / added columns) must stay on the batch path AND
+  * read byte-identically to the row path, and every gate that forces
+  * row mode (MoR state, initial defaults, rename-swap name collision)
+  * must stay exact.
+  */
+class VectorizedReadSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private var n = 0
+  private def mk(defJson: String): String = {
+    val wh = Files.createTempDirectory("graft-vec").toString
+    Engine.processTableDefJson(wh, defJson)
+    wh
+  }
+  private def cat(wh: String): String = {
+    n += 1
+    val c = s"gvec$n"
+    spark.conf.set(s"spark.sql.catalog.$c", "graft.sources.LakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$c.warehouse", wh)
+    c
+  }
+
+  /** The scan's columnar decisions, one per BatchScanExec in the plan. */
+  private def columnarFlags(df: DataFrame): Seq[Boolean] = {
+    val plan = df.queryExecution.executedPlan
+    val scans = plan.collect { case b: BatchScanExec => b }
+    assert(scans.nonEmpty, s"no BatchScanExec in\n$plan")
+    scans.map(_.supportsColumnar)
+  }
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  /** Same collect with the vectorized path killed — the row-path
+    * oracle for differentials.
+    */
+  private def rowPath[A](body: => A): A = {
+    System.setProperty("graft.read.novector", "1")
+    try body finally System.clearProperty("graft.read.novector")
+  }
+
+  test("clean-file catalog scan is pinned COLUMNAR — and not via the " +
+      "kill switch") {
+    assert(!sys.props.contains("graft.read.novector"))
+    val wh = mk("""{"database_name":"d","table_name":"t","columns":[
+      |{"column_name":"k","data_type":"long"},
+      |{"column_name":"s","data_type":"string"}],"partitions":[]}""".stripMargin)
+    import spark.implicits._
+    val t = LakeTable.load(wh, "d", "t")
+    t.append((0L until 100L).map(i => (i, s"v$i")).toDF("k", "s"))
+    t.append((100L until 200L).map(i => (i, s"v$i")).toDF("k", "s"))
+    val c = cat(wh)
+    val df = spark.sql(s"SELECT k, s FROM $c.d.t")
+    assert(columnarFlags(df).forall(identity),
+      "a clean multi-file scan must serve ColumnarBatches")
+    assert(df.count() == 200)
+    assert(spark.sql(s"SELECT sum(k) FROM $c.d.t").head.getLong(0) ==
+      (0L until 200L).sum)
+  }
+
+  test("EVOLVED table — rename, int→long, float→double, added column " +
+      "— stays columnar and equals the row path exactly") {
+    val v1 = """{"database_name":"d","table_name":"e","columns":[
+      |{"column_name":"k","data_type":"long"},
+      |{"column_name":"cnt","data_type":"int"},
+      |{"column_name":"ratio","data_type":"float"},
+      |{"column_name":"s","data_type":"string"}],"partitions":[]}""".stripMargin
+    val wh = mk(v1)
+    import spark.implicits._
+    val t1 = LakeTable.load(wh, "d", "e")
+    t1.append((0 until 50).map(i =>
+      (i.toLong, i * 3, i / 7.0f, s"a$i")).toDF("k", "cnt", "ratio", "s"))
+    // promote cnt int→long, ratio float→double (same def, wider types)
+    Engine.processTableDefJson(wh, """{"database_name":"d","table_name":"e","columns":[
+      |{"column_name":"k","data_type":"long"},
+      |{"column_name":"cnt","data_type":"long"},
+      |{"column_name":"ratio","data_type":"double"},
+      |{"column_name":"s","data_type":"string"}],"partitions":[]}""".stripMargin)
+    // id-preserving rename: old files resolve "s" by field ID
+    LakeTable.load(wh, "d", "e").renameColumn("s", "label")
+    // a NEW column (no default): absent from the v1 file → nulls
+    val c = cat(wh)
+    spark.sql(s"ALTER TABLE $c.d.e ADD COLUMN extra STRING")
+    val t2 = LakeTable.load(wh, "d", "e")
+    t2.append((50 until 80).map(i =>
+      (i.toLong, i * 3L, i / 7.0d, s"a$i", s"x$i"))
+      .toDF("k", "cnt", "ratio", "label", "extra"))
+
+    val df = spark.sql(s"SELECT k, cnt, ratio, label, extra FROM $c.d.e")
+    assert(columnarFlags(df).forall(identity),
+      "renames/promotions/nested-adds must NOT drop the scan to row mode")
+    val vec = rows(df)
+    val row = rowPath(
+      rows(spark.sql(s"SELECT k, cnt, ratio, label, extra FROM $c.d.e")))
+    assert(vec == row, "vectorized read must equal the row path")
+    assert(vec.size == 80)
+    // spot-check the promoted values decode as widened types
+    val r = spark.sql(
+      s"SELECT cnt, ratio, extra FROM $c.d.e WHERE k = 10").head
+    assert(r.getLong(0) == 30L && math.abs(r.getDouble(1) - 10 / 7.0f) < 1e-6
+      && r.isNullAt(2))
+  }
+
+  test("decimal precision widening stays columnar and exact") {
+    val wh = mk("""{"database_name":"d","table_name":"dec","columns":[
+      |{"column_name":"k","data_type":"long"},
+      |{"column_name":"amt","data_type":"decimal(9,2)"}],"partitions":[]}""".stripMargin)
+    import spark.implicits._
+    val t = LakeTable.load(wh, "d", "dec")
+    t.append((0 until 20).map(i =>
+      (i.toLong, BigDecimal(i * 100 + 7, 2))).toDF("k", "amt"))
+    Engine.processTableDefJson(wh, """{"database_name":"d","table_name":"dec","columns":[
+      |{"column_name":"k","data_type":"long"},
+      |{"column_name":"amt","data_type":"decimal(18,2)"}],"partitions":[]}""".stripMargin)
+    val c = cat(wh)
+    val df = spark.sql(s"SELECT k, amt FROM $c.d.dec")
+    assert(columnarFlags(df).forall(identity))
+    val vec = rows(df)
+    assert(vec == rowPath(rows(spark.sql(s"SELECT k, amt FROM $c.d.dec"))))
+    assert(spark.sql(s"SELECT sum(amt) FROM $c.d.dec").head
+      .getDecimal(0) == new java.math.BigDecimal("191.40")
+      .setScale(2))
+  }
+
+  test("gates force ROW mode and stay exact: MoR deletes, initial " +
+      "defaults, rename-swap collision") {
+    // (a) MoR position deletes — whole scan row mode, deletes applied
+    val wh = mk("""{"database_name":"d","table_name":"g","columns":[
+      |{"column_name":"k","data_type":"long"},
+      |{"column_name":"s","data_type":"string"}],"partitions":[]}""".stripMargin)
+    import spark.implicits._
+    LakeTable.load(wh, "d", "g")
+      .append((0L until 30L).map(i => (i, s"v$i")).toDF("k", "s"))
+    LakeTable.load(wh, "d", "g").deleteMoR(spark, col("k") < 5L)
+    val c = cat(wh)
+    val mor = spark.sql(s"SELECT k FROM $c.d.g")
+    assert(columnarFlags(mor).forall(f => !f),
+      "MoR state must gate the batch path off")
+    assert(mor.count() == 25)
+
+    // (b) initial DEFAULT on a column absent from old files: the batch
+    // reader would null-fill where the row path fills the default
+    spark.sql(s"ALTER TABLE $c.d.g ADD COLUMN note STRING DEFAULT 'n/a'")
+    // compact away the MoR state so ONLY the default gates
+    LakeTable.load(wh, "d", "g").compact(spark)
+    val withDef = spark.sql(s"SELECT note FROM $c.d.g")
+    val notes = withDef.collect().map(_.getString(0)).toSet
+    assert(notes == Set("n/a"), s"initial default must fill: $notes")
+
+    // (c) rename-swap: drop s, re-add a column NAMED s (new field id).
+    // Old files still hold a physical column "s" (the dropped one) —
+    // name-based clipping would bind it; the collision gate must force
+    // row mode and read NULL for the new s
+    val wh2 = mk("""{"database_name":"d","table_name":"sw","columns":[
+      |{"column_name":"k","data_type":"long"},
+      |{"column_name":"s","data_type":"string"}],"partitions":[]}""".stripMargin)
+    LakeTable.load(wh2, "d", "sw")
+      .append(Seq((1L, "OLD")).toDF("k", "s"))
+    Engine.processTableDefJson(wh2, """{"database_name":"d","table_name":"sw","columns":[
+      |{"column_name":"k","data_type":"long"}],"partitions":[]}""".stripMargin)
+    Engine.processTableDefJson(wh2, """{"database_name":"d","table_name":"sw","columns":[
+      |{"column_name":"k","data_type":"long"},
+      |{"column_name":"s","data_type":"string"}],"partitions":[]}""".stripMargin)
+    val c2 = cat(wh2)
+    val sw = spark.sql(s"SELECT k, s FROM $c2.d.sw")
+    assert(columnarFlags(sw).forall(f => !f),
+      "a dropped-and-readded name must gate the batch path off")
+    val got = sw.collect()
+    assert(got.length == 1 && got.head.getLong(0) == 1L &&
+      got.head.isNullAt(1),
+      "the re-added column must read NULL from pre-drop files, " +
+        s"never the dropped column's bytes: ${got.toSeq}")
+  }
+
+  test("pushed predicate on a RENAMED column prunes by the physical " +
+      "name: selective filter reads a fraction of the records, exactly") {
+    val wh = mk("""{"database_name":"d","table_name":"p","columns":[
+      |{"column_name":"k","data_type":"long"},
+      |{"column_name":"v","data_type":"long"}],"partitions":[]}""".stripMargin)
+    val t0 = LakeTable.load(wh, "d", "p")
+    t0.updateProperties(Map(
+      "write.option.parquet.block.size" -> "4096",
+      "write.option.parquet.page.size" -> "1024"))
+    import spark.implicits._
+    LakeTable.load(wh, "d", "p").append(
+      (0 until 20000).map(i => (i.toLong, i * 7L)).toDF("k", "v")
+        .repartition(1).sortWithinPartitions("k"))
+    LakeTable.load(wh, "d", "p").renameColumn("k", "id")
+    val c = cat(wh)
+    val records = new java.util.concurrent.atomic.AtomicLong
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null)
+          records.addAndGet(e.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val df = spark.sql(
+        s"SELECT id, v FROM $c.d.p WHERE id BETWEEN 9000 AND 9009")
+      assert(columnarFlags(df).forall(identity),
+        "a renamed table's clean scan stays columnar")
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      var prev = -1L; var cur = records.get
+      while (prev != cur) { Thread.sleep(100); prev = cur; cur = records.get }
+      assert(got.toSeq == (9000L to 9009L).map(i => (i, i * 7)))
+      assert(cur > 0 && cur < 5000,
+        s"the pushed predicate must engage under the PHYSICAL column " +
+          s"name (renameRanges): read $cur of 20000")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+}
