@@ -2406,6 +2406,62 @@ object LakeReadQueries extends QueryModule {
               |FROM graftrn.rq.r ORDER BY n_nationkey""".stripMargin)
     }),
 
+    "lake_scan_evolved" -> QueryModule.micro(4)((s, dir) => {
+      // vectorized read of an EVOLVED table (r13): files written under
+      // schema v1 (int counter, float ratio, old column name) read
+      // through the DSv2 batch path AFTER an int→long / float→double
+      // promotion, an id-preserving rename, and a post-evolution
+      // column add — the requested-schema mapping (LakeVectorize)
+      // serves old files columnar, renames resolved by field ID and
+      // types widened in place by Spark's vectorized updaters.
+      // Self-audit: the scan must actually run COLUMNAR
+      // (supportsColumnar pinned on the BatchScanExec) — an evolved
+      // table silently dropping to row mode is the 100-TB decode
+      // cliff this key exists to prevent.
+      val wh = LakeQueries.freshWarehouse("scanevolved")
+      Engine.processTableDefJson(wh,
+        """{"database_name":"ev","table_name":"sup","columns":[
+          |{"column_name":"k","data_type":"long"},
+          |{"column_name":"cnt","data_type":"int"},
+          |{"column_name":"ratio","data_type":"float"},
+          |{"column_name":"sname","data_type":"string"}],
+          |"partitions":[]}""".stripMargin)
+      val sup = Tables(s, dir, "supplier")
+      LakeTable.load(wh, "ev", "sup").append(
+        sup.filter(col("s_suppkey") % 2 === 0)
+          .select(col("s_suppkey").as("k"),
+            col("s_nationkey").cast("int").as("cnt"),
+            col("s_acctbal").cast("float").as("ratio"),
+            col("s_name").as("sname")))
+      // promote cnt int→long, ratio float→double (same def, wider)
+      Engine.processTableDefJson(wh,
+        """{"database_name":"ev","table_name":"sup","columns":[
+          |{"column_name":"k","data_type":"long"},
+          |{"column_name":"cnt","data_type":"long"},
+          |{"column_name":"ratio","data_type":"double"},
+          |{"column_name":"sname","data_type":"string"}],
+          |"partitions":[]}""".stripMargin)
+      LakeTable.load(wh, "ev", "sup").renameColumn("sname", "label")
+      s.conf.set("spark.sql.catalog.gse", "graft.sources.LakeCatalog")
+      s.conf.set("spark.sql.catalog.gse.warehouse", wh)
+      s.sql("ALTER TABLE gse.ev.sup ADD COLUMN extra STRING")
+      LakeTable.load(wh, "ev", "sup").append(
+        sup.filter(col("s_suppkey") % 2 === 1)
+          .select(col("s_suppkey").as("k"),
+            col("s_nationkey").cast("long").as("cnt"),
+            col("s_acctbal").as("ratio"),
+            col("s_name").as("label"),
+            concat(lit("x"), col("s_suppkey").cast("string")).as("extra")))
+      val out = s.sql(
+        "SELECT k, cnt, ratio, label, extra FROM gse.ev.sup ORDER BY k")
+      val scans = out.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2
+          .BatchScanExec => b }
+      require(scans.nonEmpty && scans.forall(_.supportsColumnar),
+        "an evolved table's clean scan must stay on the vectorized path")
+      out
+    }),
+
     "lake_timetravel" -> QueryModule.micro(4)((s, dir) => {
       // two appends split on a deterministic predicate; reading AS OF
       // the first snapshot must return exactly the first batch
@@ -2515,6 +2571,21 @@ object LakeReadQueries extends QueryModule {
         |WHERE l_orderkey BETWEEN 1000 AND 1200
         |  AND l_returnflag IN ('A', 'R')
         |ORDER BY l_okey, l_part""".stripMargin,
+
+    // even suppkeys were written pre-evolution (float ratio, no extra
+    // column): REAL round-trips the float32 narrowing the lake file
+    // stored, widened back to double on read — bit-equal on both sides
+    "lake_scan_evolved" ->
+      """SELECT s_suppkey AS k, CAST(s_nationkey AS BIGINT) AS cnt,
+        |  CAST(CAST(s_acctbal AS REAL) AS DOUBLE) AS ratio,
+        |  s_name AS label, CAST(NULL AS VARCHAR) AS extra
+        |FROM supplier WHERE s_suppkey % 2 = 0
+        |UNION ALL
+        |SELECT s_suppkey AS k, CAST(s_nationkey AS BIGINT) AS cnt,
+        |  CAST(s_acctbal AS DOUBLE) AS ratio,
+        |  s_name AS label, 'x' || CAST(s_suppkey AS VARCHAR) AS extra
+        |FROM supplier WHERE s_suppkey % 2 = 1
+        |ORDER BY k""".stripMargin,
 
     "lake_sql_dml" ->
       """SELECT n_nationkey,

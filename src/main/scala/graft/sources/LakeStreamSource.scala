@@ -1024,6 +1024,15 @@ private[sources] case class LakeKeyedFilePartition(path: String,
     extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow = new GenericInternalRow(key)
+  /** The same read, minus the key (which only groups tasks — the
+    * partition source columns live IN the data file): keyed partitions
+    * read through the identical file readers, vectorized included.
+    */
+  def toFilePartition: LakeFilePartition =
+    LakeFilePartition(path, fileSchema, target, deletes, eqBatches,
+      external = external, dv = dv, firstRowId = firstRowId,
+      fileSeq = fileSeq, lineageMat = lineageMat,
+      pushedRanges = pushedRanges)
 }
 
 private[sources] case class LakeAggPartition(values: Array[Any])
@@ -1091,7 +1100,10 @@ private[sources] class LakeMicroBatchStream(wh: String, db: String,
       end.asInstanceOf[LakeOffset].snapshotId)
     val md = LakeTable.load(wh, db, tbl).metadata
     val inRange = md.snapshots.filter(sn => sn.id > s && sn.id <= e)
-    if (changelogMode) return planChangelogPartitions(md, inRange)
+    if (changelogMode) {
+      decision.allColumnar = false // marker/wrapped partitions are row
+      return planChangelogPartitions(md, inRange)
+    }
     val destructive = inRange.filter(sn =>
       sn.operation != "append" && sn.operation != "upsert" &&
         !LakeTable.isByteMove(sn.operation))
@@ -1103,12 +1115,17 @@ private[sources] class LakeMicroBatchStream(wh: String, db: String,
           "inserts. Set option(\"skipDeleteSnapshots\", \"true\") to " +
           "skip them and stream only added rows.")
     val ext = LakeSource.externalTest(LakeTable.tableLocation(wh, db, tbl))
-    inRange
+    val out: Array[InputPartition] = inRange
       .filter(sn => sn.operation == "append" || sn.operation == "upsert")
       .flatMap(sn => sn.files.map(f =>
         LakeFilePartition(f.path, md.schemaById(f.schemaId), target,
           external = ext(f.path))))
       .toArray
+    // micro-batches execute sequentially (plan N → run N → plan N+1),
+    // so one shared holder per stream is safe; changelog batches keep
+    // the default false via their own partition types
+    decision.allColumnar = LakeReaderFactory.allVectorizable(out)
+    out
   }
 
   /** Changelog mode (`option("changelog", "true")`): each micro-batch
@@ -1181,8 +1198,12 @@ private[sources] class LakeMicroBatchStream(wh: String, db: String,
       }.toArray
   }
 
+  // per-stream columnar flag, stamped at each micro-batch's planning
+  // (micro-batches run strictly plan-then-execute, one at a time)
+  private val decision = new ColumnarDecision
+
   override def createReaderFactory(): PartitionReaderFactory =
-    new LakeReaderFactory
+    new LakeReaderFactory(decision)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -1210,10 +1231,14 @@ private[sources] object LakeReaderFactory {
       !p.target.fieldNames.exists(LakeSource.isMetaCol) &&
       LakeVectorize.vectorSchema(p.target, p.fileSchema).isDefined
 
-  /** The per-scan uniform decision [[LakeReaderFactory]] needs. */
+  /** The per-scan uniform decision [[LakeReaderFactory]] needs. Keyed
+    * partitions (partitioned tables — the NORMAL state at 100 TB)
+    * vectorize like plain file partitions: the key only groups tasks.
+    */
   def allVectorizable(ps: Array[InputPartition]): Boolean =
     ps.nonEmpty && ps.forall {
       case fp: LakeFilePartition => vectorizable(fp)
+      case kp: LakeKeyedFilePartition => vectorizable(kp.toFilePartition)
       case _ => false
     }
 }
@@ -1250,6 +1275,8 @@ private[sources] class LakeReaderFactory(
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     partition match {
       case fp: LakeFilePartition => new VectorizedLakeReader(fp)
+      case kp: LakeKeyedFilePartition =>
+        new VectorizedLakeReader(kp.toFilePartition)
       case other => throw new UnsupportedOperationException(
         s"no columnar reader for $other")
     }
@@ -1264,11 +1291,7 @@ private[sources] class LakeReaderFactory(
       }
       case p: LakeFilePartition => new GroupRowReader(p)
       case p: LakeKeyedFilePartition =>
-        new GroupRowReader(
-          LakeFilePartition(p.path, p.fileSchema, p.target, p.deletes,
-            p.eqBatches, external = p.external, dv = p.dv,
-            firstRowId = p.firstRowId, fileSeq = p.fileSeq,
-            lineageMat = p.lineageMat, pushedRanges = p.pushedRanges))
+        new GroupRowReader(p.toFilePartition)
       case p: LakeEqMarkerPartition => new EqMarkerReader(p)
       case p: LakeChangelogPartition =>
         val innerReader = createReader(p.inner)

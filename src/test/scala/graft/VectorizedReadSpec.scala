@@ -187,6 +187,31 @@ class VectorizedReadSpec extends AnyFunSuite {
         s"never the dropped column's bytes: ${got.toSeq}")
   }
 
+  test("PARTITIONED table (keyed partitions for storage-partitioned " +
+      "joins) stays columnar and equals the row path") {
+    val wh = mk("""{"database_name":"d","table_name":"pt","columns":[
+      |{"column_name":"grp","data_type":"int"},
+      |{"column_name":"k","data_type":"long"},
+      |{"column_name":"s","data_type":"string"}],
+      |"partitions":[{"column":"grp"}]}""".stripMargin)
+    import spark.implicits._
+    LakeTable.load(wh, "d", "pt").append((0 until 60).map(i =>
+      (i % 3, i.toLong, s"v$i")).toDF("grp", "k", "s"))
+    val c = cat(wh)
+    val df = spark.sql(s"SELECT grp, k, s FROM $c.d.pt")
+    assert(columnarFlags(df).forall(identity),
+      "keyed file partitions must serve ColumnarBatches too — " +
+        "partitioned tables are the normal state at scale")
+    val vec = rows(df)
+    assert(vec == rowPath(rows(spark.sql(s"SELECT grp, k, s FROM $c.d.pt"))))
+    assert(vec.size == 60)
+    // partition-pruned scan stays columnar and exact
+    val pruned = spark.sql(s"SELECT k FROM $c.d.pt WHERE grp = 1")
+    assert(columnarFlags(pruned).forall(identity))
+    assert(pruned.collect().map(_.getLong(0)).sorted.toSeq ==
+      (0 until 60).filter(_ % 3 == 1).map(_.toLong))
+  }
+
   test("pushed predicate on a RENAMED column prunes by the physical " +
       "name: selective filter reads a fraction of the records, exactly") {
     val wh = mk("""{"database_name":"d","table_name":"p","columns":[
