@@ -212,6 +212,45 @@ class VectorizedReadSpec extends AnyFunSuite {
       (0 until 60).filter(_ % 3 == 1).map(_.toLong))
   }
 
+  test("MoR reads take the vectorized-DECODE row path and equal the " +
+      "Group walk on an evolved table with deletes") {
+    val wh = mk("""{"database_name":"d","table_name":"mv","columns":[
+      |{"column_name":"k","data_type":"long"},
+      |{"column_name":"cnt","data_type":"int"},
+      |{"column_name":"s","data_type":"string"}],"partitions":[]}""".stripMargin)
+    import spark.implicits._
+    LakeTable.load(wh, "d", "mv").append((0 until 40).map(i =>
+      (i.toLong, i * 2, s"v$i")).toDF("k", "cnt", "s"))
+    // evolve: promote cnt, rename s — old files now need the mapping
+    Engine.processTableDefJson(wh, """{"database_name":"d","table_name":"mv","columns":[
+      |{"column_name":"k","data_type":"long"},
+      |{"column_name":"cnt","data_type":"long"},
+      |{"column_name":"s","data_type":"string"}],"partitions":[]}""".stripMargin)
+    LakeTable.load(wh, "d", "mv").renameColumn("s", "label")
+    // MoR deletes on top: the scan must walk rows, but DECODE in
+    // batches — pin that BatchRowLakeReader actually served it
+    LakeTable.load(wh, "d", "mv").deleteMoR(spark, col("k") < 7L)
+    val c = cat(wh)
+    val before = graft.sources.BatchRowLakeReader.opened.get()
+    val df = spark.sql(s"SELECT k, cnt, label FROM $c.d.mv")
+    assert(columnarFlags(df).forall(f => !f), "MoR scans stay row-emitting")
+    val vec = rows(df)
+    assert(graft.sources.BatchRowLakeReader.opened.get() > before,
+      "the vectorized-decode row reader must serve MoR reads of " +
+        "engine-written files — silent Group-walk fallback is the " +
+        "100-TB decode cliff")
+    val row = rowPath(rows(spark.sql(s"SELECT k, cnt, label FROM $c.d.mv")))
+    assert(vec == row, "vectorized decode must equal the Group walk")
+    assert(vec.size == 33)
+    // position metadata stays file-physical through the batch decode
+    val pos = spark.read.format("graft-lake")
+      .option("warehouse", wh).option("database", "d").option("table", "mv")
+      .load().filter(col("k") === 10L)
+      .select(col("k"), col("_graft_pos")).collect()
+    assert(pos.length == 1 && pos.head.getLong(1) == 10L,
+      s"physical positions must survive: ${pos.toSeq}")
+  }
+
   test("pushed predicate on a RENAMED column prunes by the physical " +
       "name: selective filter reads a fraction of the records, exactly") {
     val wh = mk("""{"database_name":"d","table_name":"p","columns":[
