@@ -910,22 +910,63 @@ private[sources] class LakeScan(wh: String, db: String, tbl: String,
             pushedRanges =
               if (rowLevelOp) Seq.empty
               else statsFilters ++ runtimeRanges)).toArray
-        case None => files.map(f => LakeFilePartition(f.path,
-            t.metadata.schemaById(f.schemaId), target, deletePathsFor(f),
-            eqBatchesFor(f), external = ext(f.path), dv = dvFor(f),
-            firstRowId = f.firstRowId, fileSeq = f.seq,
-            lineageMat = f.lineageCols,
-            // pushed + runtime (DPP) ranges travel to the reader for
-            // row-group skipping INSIDE surviving files; the reader
-            // gates on position-independence before applying them.
-            // NEVER for a row-level operation's scan: its filters
-            // select GROUPS (files) — the rewrite must carry every
-            // surviving file's non-matching rows, and a record-level
-            // drop would silently delete them (caught by lake_sql_dml)
-            pushedRanges =
-              if (rowLevelOp) Seq.empty
-              else statsFilters ++ runtimeRanges))
-          .toArray
+        case None =>
+          // LARGE-file byte-range splitting (Iceberg's
+          // read.split.target-size): a multi-GB compacted/CTAS file
+          // must not serialize into one task at 1000-executor scale.
+          // Ranges are planned with ZERO footer IO — parquet's
+          // midpoint rule assigns each row group to exactly one range
+          // at read time. Only position-free CLEAN files split: any
+          // read that consumes row positions (MoR state, meta/lineage
+          // columns) or external bytes keeps one partition per file,
+          // and row-level op scans keep file-granular groups.
+          // floor 4 KiB (a smaller value is a misconfiguration, and a
+          // pathological one must not plan millions of partitions);
+          // unparseable values fall back to the default rather than
+          // failing every scan of the table
+          val splitTarget: Long = t.metadata.properties
+            .get("read.split.target-size")
+            .flatMap(s => scala.util.Try(s.toLong).toOption)
+            .map(math.max(_, 4096L))
+            .getOrElse(128L * 1024 * 1024)
+          val metaInTarget = target.fieldNames.exists(LakeSource.isMetaCol)
+          files.flatMap { f =>
+            val deletes = deletePathsFor(f)
+            val eqs = eqBatchesFor(f)
+            val dv = dvFor(f)
+            val isExt = ext(f.path)
+            val one = LakeFilePartition(f.path,
+              t.metadata.schemaById(f.schemaId), target, deletes,
+              eqs, external = isExt, dv = dv,
+              firstRowId = f.firstRowId, fileSeq = f.seq,
+              lineageMat = f.lineageCols,
+              // pushed + runtime (DPP) ranges travel to the reader for
+              // row-group skipping INSIDE surviving files; the reader
+              // gates on position-independence before applying them.
+              // NEVER for a row-level operation's scan: its filters
+              // select GROUPS (files) — the rewrite must carry every
+              // surviving file's non-matching rows, and a record-level
+              // drop would silently delete them (caught by lake_sql_dml)
+              pushedRanges =
+                if (rowLevelOp) Seq.empty
+                else statsFilters ++ runtimeRanges)
+            if (rowLevelOp || metaInTarget || isExt || f.bytes <= splitTarget ||
+                deletes.nonEmpty || eqs.nonEmpty || dv.nonEmpty)
+              Seq(one)
+            else {
+              // cap the fan-out per file: a tiny configured target on
+              // a huge file must widen its ranges, not flood the
+              // planner with partitions
+              val eff = math.max(splitTarget,
+                (f.bytes + 8191) / 8192)
+              val n = ((f.bytes + eff - 1) / eff).toInt
+              (0 until n).map { i =>
+                val st = i.toLong * eff
+                one.copy(start = st,
+                  length = math.min(eff, f.bytes - st))
+              }
+            }
+          }.toArray
       }
       decision.allColumnar = LakeReaderFactory.allVectorizable(out)
       out
@@ -986,7 +1027,13 @@ private[sources] case class LakeFilePartition(path: String,
     firstRowId: Long = -1L,
     fileSeq: Long = -1L,
     lineageMat: Boolean = false,
-    pushedRanges: Seq[graft.lake.RangeFilter] = Seq.empty)
+    pushedRanges: Seq[graft.lake.RangeFilter] = Seq.empty,
+    // byte-range split of a LARGE clean file (parquet's midpoint rule
+    // assigns each row group to exactly one range): start=0/length=-1
+    // reads the whole file; the planner only splits position-free
+    // clean files, so row counters never see a partial file
+    start: Long = 0L,
+    length: Long = -1L)
     extends InputPartition
 
 /** Equality-delete batch key files as changelog delete markers: each
@@ -1485,7 +1532,8 @@ private[sources] object LakeVectorize {
     */
   def openReader(path: String, requested: StructType,
       pred: Option[org.apache.parquet.filter2.predicate.FilterPredicate],
-      returnBatches: Boolean): org.apache.spark.sql.execution.datasources
+      returnBatches: Boolean, start: Long = 0L, length: Long = -1L)
+      : org.apache.spark.sql.execution.datasources
       .parquet.VectorizedParquetRecordReader = {
     import org.apache.spark.sql.internal.SQLConf
     val conf = graft.lake.HadoopConfs.mutable()
@@ -1510,11 +1558,13 @@ private[sources] object LakeVectorize {
           null, "CORRECTED", "UTC", "CORRECTED", "UTC",
           /* useOffHeap = */ false, /* capacity = */ 4096)
     val hPath = new org.apache.hadoop.fs.Path(path)
-    val len = java.nio.file.Files.size(java.nio.file.Paths.get(path))
+    val len =
+      if (length >= 0) length
+      else java.nio.file.Files.size(java.nio.file.Paths.get(path))
     // mapred.FileSplit (it extends the mapreduce one): the reader base
     // downcasts to it internally
     val split = new org.apache.hadoop.mapred.FileSplit(
-      hPath, 0, len, Array.empty[String])
+      hPath, start, len, Array.empty[String])
     val attempt = new org.apache.hadoop.mapreduce.task
       .TaskAttemptContextImpl(conf,
         new org.apache.hadoop.mapreduce.TaskAttemptID())
@@ -1553,7 +1603,7 @@ private[sources] class VectorizedLakeReader(p: LakeFilePartition)
     LakeSource.parquetPredicate(
       LakeVectorize.renameRanges(p.pushedRanges, p.target, p.fileSchema),
       p.fileSchema, n => requested.fieldNames.contains(n)),
-    returnBatches = true)
+    returnBatches = true, start = p.start, length = p.length)
 
   override def next(): Boolean = reader.nextKeyValue()
   override def get(): org.apache.spark.sql.vectorized.ColumnarBatch =
@@ -1694,7 +1744,7 @@ private[sources] class BatchRowLakeReader(p: LakeFilePartition,
     else LakeSource.parquetPredicate(
       LakeVectorize.renameRanges(p.pushedRanges, p.target, p.fileSchema),
       p.fileSchema, n => plan.requested.fieldNames.contains(n)),
-    returnBatches = false)
+    returnBatches = false, start = p.start, length = p.length)
 
   private val srcTypes: Array[DataType] =
     plan.requested.fields.map(_.dataType)
@@ -1913,7 +1963,12 @@ private[sources] class GroupRowReader(p: LakeFilePartition)
     val b0 = ParquetReader
       .builder(new GroupReadSupport(), new org.apache.hadoop.fs.Path(p.path))
       .withConf(conf)
-    pred.fold(b0)(fp => b0.withFilter(
+    // byte-range split (planner splits only position-free clean files,
+    // so the row counter below never sees a partial file)
+    val b1 =
+      if (p.length >= 0) b0.withFileRange(p.start, p.start + p.length)
+      else b0
+    pred.fold(b1)(fp => b1.withFilter(
       org.apache.parquet.filter2.compat.FilterCompat.get(fp))).build()
   }
 

@@ -251,6 +251,47 @@ class VectorizedReadSpec extends AnyFunSuite {
       s"physical positions must survive: ${pos.toSeq}")
   }
 
+  test("LARGE files split into byte-range partitions (read.split." +
+      "target-size): parallel columnar reads, exact under row-mode too") {
+    val wh = mk("""{"database_name":"d","table_name":"big","columns":[
+      |{"column_name":"k","data_type":"long"},
+      |{"column_name":"s","data_type":"string"}],"partitions":[]}""".stripMargin)
+    val t0 = LakeTable.load(wh, "d", "big")
+    t0.updateProperties(Map(
+      "read.split.target-size" -> "65536",
+      "write.option.parquet.block.size" -> "16384",
+      "write.option.parquet.page.size" -> "2048"))
+    import spark.implicits._
+    // one ~1 MB sorted file => many row groups, several 64 KiB ranges
+    LakeTable.load(wh, "d", "big").append(
+      (0 until 30000).map(i => (i.toLong, f"s$i%08d")).toDF("k", "s")
+        .repartition(1).sortWithinPartitions("k"))
+    val c = cat(wh)
+    val df = spark.sql(s"SELECT k, s FROM $c.d.big")
+    assert(df.rdd.getNumPartitions > 1,
+      "a file several times the split target must plan multiple " +
+        "byte-range partitions — one task per multi-GB file is the " +
+        "1000-executor serialization cliff")
+    assert(columnarFlags(df).forall(identity))
+    // every row exactly once across the ranges (midpoint rule)
+    assert(df.count() == 30000)
+    assert(spark.sql(s"SELECT sum(k) FROM $c.d.big").head.getLong(0) ==
+      (0L until 30000L).sum)
+    assert(rows(df) == rowPath(rows(spark.sql(s"SELECT k, s FROM $c.d.big"))))
+
+    // mixed scan: a second file with MoR deletes drops the WHOLE scan
+    // to row mode — the big file's range splits must stay exact
+    // through the row-emitting readers (withFileRange)
+    LakeTable.load(wh, "d", "big").append(
+      (30000 until 30010).map(i => (i.toLong, f"s$i%08d")).toDF("k", "s"))
+    LakeTable.load(wh, "d", "big").deleteMoR(spark, col("k") === 30005L)
+    val mixed = spark.sql(s"SELECT k, s FROM $c.d.big")
+    assert(columnarFlags(mixed).forall(f => !f), "MoR in any file => row mode")
+    assert(mixed.count() == 30009)
+    assert(spark.sql(s"SELECT sum(k) FROM $c.d.big").head.getLong(0) ==
+      (0L until 30010L).sum - 30005L)
+  }
+
   test("pushed predicate on a RENAMED column prunes by the physical " +
       "name: selective filter reads a fraction of the records, exactly") {
     val wh = mk("""{"database_name":"d","table_name":"p","columns":[
