@@ -1522,6 +1522,63 @@ private[sources] object LakeVectorize {
         .map(ff => r.copy(column = ff.name))
     }
 
+  /** Externally-registered files (add_files) vectorize only when
+    * every registered column is FLAT and the footer stores it in the
+    * one physical encoding the engine itself writes — the vectorized
+    * updaters and the Group converter provably agree there. Anything
+    * else (legacy INT96/MILLIS timestamps, unsigned ints, nested
+    * columns, exotic annotations) keeps the footer-reconciled Group
+    * walk. `adjusted` is the registered schema already rewritten to
+    * footer spellings with absent fields dropped.
+    */
+  def externalFlatStandard(
+      footer: org.apache.parquet.schema.MessageType,
+      adjusted: StructType): Boolean = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.LogicalTypeAnnotation._
+    def std(pt: org.apache.parquet.schema.PrimitiveType,
+        dt: DataType): Boolean = {
+      val ann = pt.getLogicalTypeAnnotation
+      if (pt.isRepetition(org.apache.parquet.schema.Type.Repetition.REPEATED))
+        return false
+      dt match {
+        case IntegerType => pt.getPrimitiveTypeName == INT32 &&
+          (ann == null || ann == LogicalTypeAnnotation.intType(32, true))
+        case LongType => pt.getPrimitiveTypeName == INT64 &&
+          (ann == null || ann == LogicalTypeAnnotation.intType(64, true))
+        case FloatType => pt.getPrimitiveTypeName == FLOAT && ann == null
+        case DoubleType => pt.getPrimitiveTypeName == DOUBLE && ann == null
+        case BooleanType => pt.getPrimitiveTypeName == BOOLEAN && ann == null
+        case StringType => pt.getPrimitiveTypeName == BINARY &&
+          ann == LogicalTypeAnnotation.stringType()
+        case BinaryType => pt.getPrimitiveTypeName == BINARY && ann == null
+        case DateType => pt.getPrimitiveTypeName == INT32 &&
+          ann == LogicalTypeAnnotation.dateType()
+        case TimestampType => pt.getPrimitiveTypeName == INT64 &&
+          ann == LogicalTypeAnnotation.timestampType(true, TimeUnit.MICROS)
+        case TimestampNTZType => pt.getPrimitiveTypeName == INT64 &&
+          ann == LogicalTypeAnnotation.timestampType(false, TimeUnit.MICROS)
+        case d: DecimalType => ann match {
+          case dec: DecimalLogicalTypeAnnotation =>
+            dec.getScale == d.scale && dec.getPrecision <= d.precision &&
+              (pt.getPrimitiveTypeName == INT32 ||
+                pt.getPrimitiveTypeName == INT64 ||
+                pt.getPrimitiveTypeName == BINARY ||
+                pt.getPrimitiveTypeName == FIXED_LEN_BYTE_ARRAY)
+          case _ => false
+        }
+        case _ => false
+      }
+    }
+    adjusted.fields.forall { f =>
+      footer.containsField(f.name) && {
+        val t = footer.getType(footer.getFieldIndex(f.name))
+        t.isPrimitive && std(t.asPrimitiveType(), f.dataType)
+      }
+    }
+  }
+
   /** A VectorizedParquetRecordReader over `path` decoding `requested`
     * (already rewritten to the file's physical names): batches when
     * `returnBatches`, else vectorized decode with row-at-a-time
@@ -1625,8 +1682,11 @@ private[sources] class VectorizedLakeReader(p: LakeFilePartition)
   * [[LakeVectorize.vectorSchema]] (rename-safe by field ID, widenings
   * in place), extended with equality-delete key columns the
   * projection pruned and the materialized lineage columns.
-  * [[GroupRowReader]] remains for externally-registered files,
-  * unmappable schema pairs, and nested/exotic equality keys.
+  * Externally-registered files vectorize too when every column is
+  * flat in the one physical encoding the engine writes
+  * ([[LakeVectorize.externalFlatStandard]]); [[GroupRowReader]]
+  * remains for exotic external encodings, unmappable schema pairs,
+  * and nested/exotic equality keys.
   */
 private[graft] object BatchRowLakeReader {
 
@@ -1645,12 +1705,26 @@ private[graft] object BatchRowLakeReader {
       rowIdSrc: Int, lastUpdSrc: Int)
 
   def plan(p: LakeFilePartition): Option[Plan] = {
-    if (sys.props.contains("graft.read.novector") || p.external)
-      return None
+    if (sys.props.contains("graft.read.novector")) return None
+    // externally-registered files: reconcile against the actual footer
+    // (physical spellings, absent columns dropped — same first step as
+    // the Group walk) and vectorize only when every column is flat in
+    // the ONE encoding the engine itself writes; anything exotic keeps
+    // the Group walk. The footer read happens HERE, executor-side —
+    // the Group walk pays the identical read for externals
+    val fileSchema: StructType =
+      if (!p.external) p.fileSchema
+      else LakeSource.readFooterSchema(p.path) match {
+        case Some(ft) =>
+          val adj = LakeSource.reconcileToFooter(p.fileSchema, ft)
+          if (LakeVectorize.externalFlatStandard(ft, adj)) adj
+          else return None
+        case None => return None
+      }
     val dataFields = p.target.fields.filterNot(tf =>
       LakeSource.isMetaCol(tf.name))
     val base = LakeVectorize.vectorSchema(StructType(dataFields),
-      p.fileSchema) match {
+      fileSchema) match {
       case Some(b) => b
       case None => return None
     }
@@ -1681,7 +1755,7 @@ private[graft] object BatchRowLakeReader {
             if (Reconcile.clean(fields(i).dataType) != kt) return None
             idxs(ki) = i
           case None =>
-            p.fileSchema.fields.find(ff => FieldIds.hasId(ff) &&
+            fileSchema.fields.find(ff => FieldIds.hasId(ff) &&
                 FieldIds.idOf(ff) == id) match {
               case Some(ff)
                   if LakeVectorize.widens(
@@ -1731,11 +1805,12 @@ private[sources] class BatchRowLakeReader(p: LakeFilePartition,
 
   // ROW-GROUP + record-level predicate skipping ONLY when the read is
   // position-independent — same gate as the Group walk: the position
-  // counter below must see every physical row. (A position-free clean
+  // counter below must see every physical row, and external files are
+  // excluded from predicates entirely. (A position-free clean
   // partition lands here only inside a MIXED scan that dropped to row
   // mode as a whole.)
   private val positionFree = p.deletes.isEmpty && p.dv.isEmpty &&
-    !p.emitOnlyDeleted &&
+    !p.emitOnlyDeleted && !p.external &&
     !p.target.fieldNames.exists(n => n == LakeSource.PosMetaCol ||
       n == LakeSource.RowIdMetaCol || n == LakeSource.LastUpdMetaCol)
 
@@ -1860,21 +1935,16 @@ private[sources] class BatchRowLakeReader(p: LakeFilePartition,
   * record to the target schema by field ID (promotions int→long,
   * float→double included) — the executor-side mirror of
   * `Reconcile.projection`, minus Catalyst. Since r13 this is the
-  * FALLBACK walk (externally-registered files, unmappable schema
-  * pairs, nested equality keys) — engine-written files decode through
-  * [[BatchRowLakeReader]]'s vectorized path instead.
+  * FALLBACK walk (exotic external encodings, unmappable schema
+  * pairs, nested equality keys, absent-with-DEFAULT columns) —
+  * everything else decodes through [[BatchRowLakeReader]]'s
+  * vectorized path or the fully columnar [[VectorizedLakeReader]].
   */
 private[sources] class GroupRowReader(p: LakeFilePartition)
     extends PartitionReader[InternalRow] {
 
   private def openFooter(): Option[org.apache.parquet.schema.MessageType] =
-    try {
-      val fr = org.apache.parquet.hadoop.ParquetFileReader.open(
-        HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(p.path),
-          graft.lake.HadoopConfs.mutable()))
-      try Some(fr.getFooter.getFileMetaData.getSchema) finally fr.close()
-    } catch { case _: Exception => None } // unreadable footer → the
-    // ParquetReader below surfaces the real error with the file path
+    LakeSource.readFooterSchema(p.path)
 
   // The registered file schema names columns the way the ENGINE named
   // them at write/registration time. An EXTERNALLY-registered file
@@ -2463,6 +2533,18 @@ private[graft] object LakeSource {
     * for strings) — the same representation `fieldExtractor` produces
     * for data rows, so tuple equality is exact.
     */
+  /** The file's footer schema, None when unreadable (the data read
+    * below then surfaces the real error with the file path).
+    */
+  def readFooterSchema(path: String)
+      : Option[org.apache.parquet.schema.MessageType] =
+    try {
+      val fr = org.apache.parquet.hadoop.ParquetFileReader.open(
+        HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(path),
+          graft.lake.HadoopConfs.mutable()))
+      try Some(fr.getFooter.getFileMetaData.getSchema) finally fr.close()
+    } catch { case _: Exception => None }
+
   /** Positions of `dataPath`'s rows deleted by the live v2 positional
     * delete files — shared by both row-emitting readers (Group and
     * vectorized-decode). Null when there are no delete files.

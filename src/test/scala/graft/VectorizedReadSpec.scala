@@ -292,6 +292,35 @@ class VectorizedReadSpec extends AnyFunSuite {
       (0L until 30010L).sum - 30005L)
   }
 
+  test("EXTERNAL (add_files) flat-standard files take the " +
+      "vectorized-decode path; case-mismatch and absent columns hold") {
+    import spark.implicits._
+    // external parquet: columns spelled in a different case, one table
+    // column missing entirely — legal at registration
+    val extDir = Files.createTempDirectory("graft-vec-ext").toString
+    (0L until 50L).map(i => (i, s"e$i")).toDF("ID", "V")
+      .coalesce(1).write.mode("overwrite").parquet(extDir)
+    val ext = Files.list(java.nio.file.Paths.get(extDir))
+      .filter(_.toString.endsWith(".parquet")).findFirst().get().toString
+    val wh = mk("""{"database_name":"d","table_name":"x","columns":[
+      |{"column_name":"id","data_type":"long"},
+      |{"column_name":"v","data_type":"string"},
+      |{"column_name":"missing","data_type":"string"}],
+      |"partitions":[]}""".stripMargin)
+    LakeTable.load(wh, "d", "x").addFiles(spark, Seq(ext))
+    val c = cat(wh)
+    val before = graft.sources.BatchRowLakeReader.opened.get()
+    val df = spark.sql(s"SELECT id, v, missing FROM $c.d.x")
+    val vec = rows(df)
+    assert(graft.sources.BatchRowLakeReader.opened.get() > before,
+      "a flat-standard external file must decode vectorized")
+    assert(vec == rowPath(rows(
+      spark.sql(s"SELECT id, v, missing FROM $c.d.x"))))
+    assert(vec.size == 50)
+    val r = spark.sql(s"SELECT v, missing FROM $c.d.x WHERE id = 7").head
+    assert(r.getString(0) == "e7" && r.isNullAt(1))
+  }
+
   test("pushed predicate on a RENAMED column prunes by the physical " +
       "name: selective filter reads a fraction of the records, exactly") {
     val wh = mk("""{"database_name":"d","table_name":"p","columns":[
