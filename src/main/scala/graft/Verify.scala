@@ -71,8 +71,10 @@ object Verify {
             val dir = Paths.get(s"$outDir/$name")
             if (Files.exists(dir)) {
               import scala.jdk.CollectionConverters._
-              Files.walk(dir).iterator().asScala.toSeq.reverse
-                .foreach(p => try Files.delete(p) catch { case _: Exception => () })
+              scala.util.Using.resource(Files.walk(dir)) { st =>
+                st.iterator().asScala.toSeq.reverse.foreach(p =>
+                  try Files.delete(p) catch { case _: Exception => () })
+              }
             }
           }
       })

@@ -1454,13 +1454,18 @@ private[sources] object LakeVectorize {
       case _ => false
     }
 
+  // generic recursion through ANY nesting (array<array<struct>>, map
+  // keys included) — a default recorded anywhere in the subtree gates
+  // the null-filling batch path off, exactly as the doc promises
+  private def noDefaultsDeep(dt: DataType): Boolean = dt match {
+    case st: StructType => st.fields.forall(noDefaultsIn)
+    case ArrayType(e, _) => noDefaultsDeep(e)
+    case MapType(k, v, _) => noDefaultsDeep(k) && noDefaultsDeep(v)
+    case _ => true
+  }
+
   private def noDefaultsIn(f: StructField): Boolean =
-    Defaults.of(f).isEmpty && (f.dataType match {
-      case st: StructType => st.fields.forall(noDefaultsIn)
-      case ArrayType(st: StructType, _) => st.fields.forall(noDefaultsIn)
-      case MapType(_, st: StructType, _) => st.fields.forall(noDefaultsIn)
-      case _ => true
-    })
+    Defaults.of(f).isEmpty && noDefaultsDeep(f.dataType)
 
   private def mapType(t: DataType, f: DataType): Option[DataType] =
     (t, f) match {
