@@ -84,13 +84,36 @@ object Bench {
     def loadavg: Double = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     val loadStart = loadavg
+    // host-INVARIANT evidence alongside the wall clock: Spark job
+    // counts per key are a deterministic property of the plans, so a
+    // cross-round diff separates plan regressions from the box's
+    // ±20-30% cross-hour drift mechanically (the r13 verdict had to do
+    // that by manual archaeology). Counted via listener with a
+    // quiesce poll per key — the poll runs OUTSIDE the timed window,
+    // so per-key seconds and the total stay comparable across rounds.
+    val jobCount = new java.util.concurrent.atomic.AtomicInteger
+    val jobListener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobCount.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(jobListener)
+    def quiesce(): Int = {
+      var prev = -1; var cur = jobCount.get
+      while (prev != cur) { Thread.sleep(25); prev = cur; cur = jobCount.get }
+      cur
+    }
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     var failedSec = 0.0
+    val jobs = scala.collection.mutable.Map.empty[String, Int]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val before = quiesce()
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).count()
-        Some(name -> (System.nanoTime() - t0) / 1e9)
+        val sec = (System.nanoTime() - t0) / 1e9
+        jobs(name) = quiesce() - before
+        Some(name -> sec)
       } catch {
         case e: Throwable =>
           // a swallowed failure timed as a ~0s "success" hides breakage
@@ -118,7 +141,31 @@ object Bench {
         } catch { case _: Throwable => None }
       }.toMap
     println(renderLine(results, sfDir, failed.toSeq.sorted, failedSec,
-      retimed, Some((loadStart, loadavg))))
+      retimed, Some((loadStart, loadavg)), jobs.toMap))
+    // full per-key evidence (every key's seconds + job count) goes to a
+    // sidecar — the stdout line is tail-capture-budgeted to ~35 keys
+    try {
+      def r3s(v: Double): String = (math.rint(v * 1000) / 1000).toString
+      def obj(entries: Seq[String]): String =
+        entries.mkString("{", ",", "}")
+      val full = obj(Seq(
+        s""""sf":"$sfDir"""",
+        s""""queries":""" + obj(results.toSeq.sortBy(_._1)
+          .map { case (k, v) => s""""$k":${r3s(v)}""" }),
+        s""""jobs":""" + obj(jobs.toSeq.sortBy(_._1)
+          .map { case (k, v) => s""""$k":$v""" }),
+        s""""retimed":""" + obj(retimed.toSeq.sortBy(_._1)
+          .map { case (k, v) => s""""$k":${r3s(v)}""" }),
+        s""""failed":[""" + failed.sorted
+          .map(k => s""""$k"""").mkString(",") + "]"))
+      val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_SIDECAR",
+        "/root/repo/tools/bench_jobs.json")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(sidecar), full + "\n")
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] sidecar write failed: $e")
+    }
     spark.stop()
     // a broken engine must not produce a plausible-looking bench total
     // (round-12 postmortem: 42 erroring keys burned 47s and the line
@@ -148,10 +195,16 @@ object Bench {
     */
   val MaxLineChars = 1700
 
+  /** How many per-key job counts ride in the stdout line (top keys by
+    * measured time — the ones a plan regression would move). The full
+    * map goes to the sidecar file. */
+  val JobsTopN = 24
+
   def renderLine(results: Map[String, Double], sfDir: String,
                  failed: Seq[String] = Nil, failedSec: Double = 0.0,
                  retimed: Map[String, Double] = Map.empty,
-                 load: Option[(Double, Double)] = None): String = {
+                 load: Option[(Double, Double)] = None,
+                 jobs: Map[String, Int] = Map.empty): String = {
     // total covers SUCCESSFUL queries only — failed queries' time-to-failure
     // is reported separately (failed_sec) so totals compare across rounds
     val total = if (results.nonEmpty) results.values.sum else 0.0
@@ -177,7 +230,19 @@ object Bench {
       if (retimed.isEmpty) ""
       else s""""retimed":{""" + retimed.toSeq.sortBy(_._1).take(RetimeTopN)
         .map { case (k, v) => s""""$k":${r3(v)}""" }.mkString(",") + "},"
-    val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},$failedField$loadField$retimedField"sf":"$sfDir","queries":{"""
+    // host-invariant evidence: total job count + per-key counts for
+    // the slowest keys (the set a reviewer diffs for plan regressions);
+    // the full map lives in the sidecar
+    val jobsField =
+      if (jobs.isEmpty) ""
+      else {
+        val top = results.toSeq.sortBy(-_._2)
+          .flatMap { case (k, _) => jobs.get(k).map(k -> _) }
+          .take(JobsTopN)
+        s""""jobs_total":${jobs.values.sum},"jobs":{""" +
+          top.map { case (k, v) => s""""$k":$v""" }.mkString(",") + "},"
+      }
+    val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},$failedField$loadField$retimedField$jobsField"sf":"$sfDir","queries":{"""
     val tail = "}}"
     val budget = MaxLineChars - head.length - tail.length
     val entries = results.toSeq.sortBy(-_._2).map { case (k, v) => s""""$k":${r3(v)}""" }

@@ -797,6 +797,89 @@ object LakeReadQueries extends QueryModule {
           |ORDER BY c_custkey""".stripMargin)
     }),
 
+    "q_star_join" -> ((s, dir) => {
+      // Flagship STAR JOIN (TPC-H Q5 shape) over LAKE tables through
+      // the DSv2 connector: region→nation→customer dims broadcast off
+      // the connector's reported size stats, orders carries the
+      // selective date window, lineitem is the fact side. At scale the
+      // fact scan is additionally pruned by the join's RUNTIME filters
+      // (file min/max vs the broadcast keys — PlanAuditSpec pins the
+      // mechanism on a clustered fixture, plus broadcasts and zero
+      // cartesians on this exact plan). Revenue math in exact
+      // decimals, output double (driver compare contract).
+      val wh = LakeQueries.freshWarehouse("star")
+      Engine.processTableDefJson(wh,
+        """{"database_name":"sq","table_name":"lineitem","columns":[
+          |{"column_name":"l_orderkey","data_type":"long"},
+          |{"column_name":"l_extendedprice","data_type":"double"},
+          |{"column_name":"l_discount","data_type":"double"}],
+          |"partitions":[],
+          |"properties":{"write.sort-order":"l_orderkey",
+          |  "write.sort-buckets":"8"}}""".stripMargin)
+      Engine.processTableDefJson(wh,
+        """{"database_name":"sq","table_name":"orders","columns":[
+          |{"column_name":"o_orderkey","data_type":"long"},
+          |{"column_name":"o_custkey","data_type":"long"},
+          |{"column_name":"o_orderdate","data_type":"timestamp"}],
+          |"partitions":[],
+          |"properties":{"write.sort-order":"o_orderkey"}}""".stripMargin)
+      Engine.processTableDefJson(wh,
+        """{"database_name":"sq","table_name":"customer","columns":[
+          |{"column_name":"c_custkey","data_type":"long"},
+          |{"column_name":"c_nationkey","data_type":"long"}],
+          |"partitions":[]}""".stripMargin)
+      Engine.processTableDefJson(wh,
+        """{"database_name":"sq","table_name":"nation","columns":[
+          |{"column_name":"n_nationkey","data_type":"long"},
+          |{"column_name":"n_name","data_type":"string"},
+          |{"column_name":"n_regionkey","data_type":"long"}],
+          |"partitions":[]}""".stripMargin)
+      Engine.processTableDefJson(wh,
+        """{"database_name":"sq","table_name":"region","columns":[
+          |{"column_name":"r_regionkey","data_type":"long"},
+          |{"column_name":"r_name","data_type":"string"}],
+          |"partitions":[]}""".stripMargin)
+      LakeTable.load(wh, "sq", "lineitem").append(
+        Tables(s, dir, "lineitem").select(
+          col("l_orderkey").cast("long").as("l_orderkey"),
+          col("l_extendedprice"), col("l_discount")))
+      LakeTable.load(wh, "sq", "orders").append(
+        Tables(s, dir, "orders").select(
+          col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_custkey").cast("long").as("o_custkey"),
+          col("o_orderdate").cast("timestamp").as("o_orderdate")))
+      LakeTable.load(wh, "sq", "customer").append(
+        Tables(s, dir, "customer").select(
+          col("c_custkey").cast("long").as("c_custkey"),
+          col("c_nationkey").cast("long").as("c_nationkey")))
+      LakeTable.load(wh, "sq", "nation").append(
+        Tables(s, dir, "nation").select(
+          col("n_nationkey").cast("long").as("n_nationkey"),
+          col("n_name"),
+          col("n_regionkey").cast("long").as("n_regionkey")))
+      LakeTable.load(wh, "sq", "region").append(
+        Tables(s, dir, "region").select(
+          col("r_regionkey").cast("long").as("r_regionkey"),
+          col("r_name")))
+      s.conf.set("spark.sql.catalog.gstar", "graft.sources.LakeCatalog")
+      s.conf.set("spark.sql.catalog.gstar.warehouse", wh)
+      s.sql(
+        """SELECT n_name, count(*) AS order_lines,
+          |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+          |    * (1 - CAST(l_discount AS DECIMAL(18,4)))
+          |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+          |FROM gstar.sq.lineitem
+          |JOIN gstar.sq.orders   ON l_orderkey = o_orderkey
+          |JOIN gstar.sq.customer ON o_custkey = c_custkey
+          |JOIN gstar.sq.nation   ON c_nationkey = n_nationkey
+          |JOIN gstar.sq.region   ON n_regionkey = r_regionkey
+          |WHERE r_name = 'ASIA'
+          |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+          |  AND o_orderdate < TIMESTAMP '1997-01-01'
+          |GROUP BY n_name
+          |ORDER BY n_name""".stripMargin)
+    }),
+
     "lake_null_skip" -> QueryModule.micro(4)((s, dir) => {
       // null-count + schema-absence file skipping under the oracle
       // gate: v1 files predate the n_regionkey column (they read as
@@ -2577,6 +2660,22 @@ object LakeReadQueries extends QueryModule {
         |WHERE l_orderkey BETWEEN 1000 AND 1200
         |  AND l_returnflag IN ('A', 'R')
         |ORDER BY l_okey, l_part""".stripMargin,
+
+    "q_star_join" ->
+      """SELECT n_name, count(*) AS order_lines,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+        |    * (1 - CAST(l_discount AS DECIMAL(18,4)))
+        |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND CAST(o_orderdate AS TIMESTAMP) >= TIMESTAMP '1996-01-01'
+        |  AND CAST(o_orderdate AS TIMESTAMP) < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
 
     // even suppkeys were written pre-evolution (float ratio, no extra
     // column): REAL round-trips the float32 narrowing the lake file

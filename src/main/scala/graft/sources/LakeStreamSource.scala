@@ -916,10 +916,16 @@ private[sources] class LakeScan(wh: String, db: String, tbl: String,
           // must not serialize into one task at 1000-executor scale.
           // Ranges are planned with ZERO footer IO — parquet's
           // midpoint rule assigns each row group to exactly one range
-          // at read time. Only position-free CLEAN files split: any
-          // read that consumes row positions (MoR state, meta/lineage
-          // columns) or external bytes keeps one partition per file,
-          // and row-level op scans keep file-granular groups.
+          // at read time. Position-consuming reads (MoR position
+          // deletes, deletion vectors, meta/lineage columns) split
+          // too: each range's reader starts its row counter at
+          // [[LakeSource.splitStartRow]] (exact, derived from the
+          // SAME range filter parquet applies), so compact-then-
+          // delete files — the 100-TB lifecycle norm — stop being
+          // one straggler task each. Only external bytes (foreign
+          // encodings) keep one partition per file, and row-level op
+          // scans keep file-granular groups (their filters select
+          // FILES for rewrite, not records).
           // floor 4 KiB (a smaller value is a misconfiguration, and a
           // pathological one must not plan millions of partitions);
           // unparseable values fall back to the default rather than
@@ -929,7 +935,6 @@ private[sources] class LakeScan(wh: String, db: String, tbl: String,
             .flatMap(s => scala.util.Try(s.toLong).toOption)
             .map(math.max(_, 4096L))
             .getOrElse(128L * 1024 * 1024)
-          val metaInTarget = target.fieldNames.exists(LakeSource.isMetaCol)
           files.flatMap { f =>
             val deletes = deletePathsFor(f)
             val eqs = eqBatchesFor(f)
@@ -950,8 +955,7 @@ private[sources] class LakeScan(wh: String, db: String, tbl: String,
               pushedRanges =
                 if (rowLevelOp) Seq.empty
                 else statsFilters ++ runtimeRanges)
-            if (rowLevelOp || metaInTarget || isExt || f.bytes <= splitTarget ||
-                deletes.nonEmpty || eqs.nonEmpty || dv.nonEmpty)
+            if (rowLevelOp || isExt || f.bytes <= splitTarget)
               Seq(one)
             else {
               // cap the fan-out per file: a tiny configured target on
@@ -1261,22 +1265,25 @@ private[sources] object LakeReaderFactory {
     * batch parquet decoder instead of the row-at-a-time Group
     * materializer — at 100 TB the decode cost of wide scans is the
     * hot path, and columnar batches keep downstream whole-stage
-    * codegen in its vectorized form. Gates: no merge-on-read state
-    * (position/vector/equality deletes need the row walk or value
-    * probes), no changelog emission, no metadata / lineage columns
-    * (position-derived), engine-written files, and a (file, target)
-    * schema pair [[LakeVectorize.vectorSchema]] can map — which since
-    * r13 includes renames (by-id name rewrite) and the engine's legal
-    * widenings (int→long, float→double, decimal precision), so
-    * EVOLVED tables stay on the fast path; only MoR/external/meta
-    * reads pay the row walk.
+    * codegen in its vectorized form. Since r14 MERGE-ON-READ state
+    * (position/vector/equality deletes) stays columnar too: the
+    * deletes apply as a selection map on the decoded batch
+    * ([[MorVectorizedLakeReader]]), so one file with live deletes no
+    * longer demotes the whole scan to row mode. Remaining gates: no
+    * changelog emission, no metadata / lineage columns
+    * (position-derived values are per-ROW by construction), engine-
+    * written files, and the (file, target) schema pair must map —
+    * [[LakeVectorize.vectorSchema]] for clean files (renames by
+    * field ID, legal widenings), [[BatchRowLakeReader.plan]] when
+    * delete state needs equality-key columns re-requested.
     */
   def vectorizable(p: LakeFilePartition): Boolean =
     !sys.props.contains("graft.read.novector") &&
-      p.deletes.isEmpty && p.eqBatches.isEmpty && p.dv.isEmpty &&
       !p.emitOnlyDeleted && !p.external &&
       !p.target.fieldNames.exists(LakeSource.isMetaCol) &&
-      LakeVectorize.vectorSchema(p.target, p.fileSchema).isDefined
+      (if (p.deletes.isEmpty && p.eqBatches.isEmpty && p.dv.isEmpty)
+         LakeVectorize.vectorSchema(p.target, p.fileSchema).isDefined
+       else BatchRowLakeReader.plan(p).isDefined)
 
   /** The per-scan uniform decision [[LakeReaderFactory]] needs. Keyed
     * partitions (partitioned tables — the NORMAL state at 100 TB)
@@ -1319,14 +1326,22 @@ private[sources] class LakeReaderFactory(
     decision.allColumnar
 
   override def createColumnarReader(partition: InputPartition)
-      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    def mk(fp: LakeFilePartition)
+        : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+      if (fp.deletes.isEmpty && fp.eqBatches.isEmpty && fp.dv.isEmpty)
+        new VectorizedLakeReader(fp)
+      else new MorVectorizedLakeReader(fp,
+        BatchRowLakeReader.plan(fp).getOrElse(throw new IllegalStateException(
+          s"columnar MoR read planned for an unmappable pair " +
+            s"(file ${fp.path}) — LakeReaderFactory gate out of sync")))
     partition match {
-      case fp: LakeFilePartition => new VectorizedLakeReader(fp)
-      case kp: LakeKeyedFilePartition =>
-        new VectorizedLakeReader(kp.toFilePartition)
+      case fp: LakeFilePartition => mk(fp)
+      case kp: LakeKeyedFilePartition => mk(kp.toFilePartition)
       case other => throw new UnsupportedOperationException(
         s"no columnar reader for $other")
     }
+  }
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
@@ -1888,7 +1903,14 @@ private[sources] class BatchRowLakeReader(p: LakeFilePartition,
     else null
 
   private var cur: InternalRow = _
-  private var pos: Long = -1L
+  // byte-range split of a position-consuming read: the counter starts
+  // at the file-absolute index of the split's first row (exact — same
+  // range filter parquet itself applies), so position deletes / DV /
+  // meta / inherited lineage stay correct per split
+  private var pos: Long =
+    (if (!positionFree && p.start > 0L)
+       LakeSource.splitStartRow(p.path, p.start, p.length)
+     else 0L) - 1L
 
   override def next(): Boolean = {
     while (reader.nextKeyValue()) {
@@ -2145,7 +2167,16 @@ private[sources] class GroupRowReader(p: LakeFilePartition)
   }
 
   private var cur: Group = _
-  private var pos: Long = -1L
+  // split-local counter start: file-absolute index of the range's
+  // first row (position deletes / DV / meta / lineage stay exact when
+  // a delete-bearing large file splits into byte ranges)
+  private var pos: Long = {
+    val positional = p.deletes.nonEmpty || p.dv.nonEmpty ||
+      p.emitOnlyDeleted || posIdx >= 0 || rowIdIdx >= 0 || lastUpdIdx >= 0
+    (if (positional && p.start > 0L)
+       LakeSource.splitStartRow(p.path, p.start, p.length)
+     else 0L) - 1L
+  }
   override def next(): Boolean = {
     cur = reader.read(); pos += 1
     if (p.emitOnlyDeleted) {
@@ -2301,6 +2332,46 @@ private[graft] object LakeSource {
     val nanosOfDay = buf.getLong
     val julianDay = buf.getInt
     (julianDay - 2440588L) * 86400000000L + nanosOfDay / 1000L
+  }
+
+  /** Absolute row index (within the FILE) of the first row a
+    * byte-range split emits — the exact starting value for the
+    * position counters that drive MoR position deletes, deletion
+    * vectors, `_graft_pos`, and inherited row lineage, so
+    * delete-bearing large files can split instead of serializing into
+    * one straggler task each (the compact-then-delete lifecycle makes
+    * them the NORM at 100 TB). Parquet's midpoint rule (offset +
+    * totalCompressedSize/2 ∈ [start, end)) assigns each row group to
+    * exactly one covering range; rather than REPLICATE that rule — a
+    * silent-drift hazard across parquet upgrades — this opens the
+    * footer twice through parquet's own code: once unfiltered (every
+    * row group, in file order) and once through the SAME range filter
+    * the actual readers apply, then sums the row counts of the groups
+    * strictly before the split's first surviving group. Two small
+    * footer reads per split task, executor-side, zero planner IO.
+    * A split whose range holds no row-group midpoint returns 0 — its
+    * reader emits nothing, so the counter start is never observed.
+    */
+  def splitStartRow(path: String, start: Long, length: Long): Long = {
+    if (start <= 0L) return 0L // leading split: nothing precedes it
+    val conf = graft.lake.HadoopConfs.shared
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val in = HadoopInputFile.fromPath(hPath, conf)
+    import org.apache.parquet.hadoop.ParquetFileReader
+    val all = scala.util.Using.resource(ParquetFileReader.open(in)) {
+      r => r.getRowGroups.asScala.toList.map(b =>
+        (b.getStartingPos, b.getRowCount))
+    }
+    val mine = scala.util.Using.resource(new ParquetFileReader(in,
+      org.apache.parquet.HadoopReadOptions.builder(conf, hPath)
+        .withRange(start, start + length).build())) {
+      r => r.getRowGroups.asScala.toList.map(_.getStartingPos)
+    }
+    mine.headOption match {
+      case None => 0L
+      case Some(firstPos) =>
+        all.takeWhile(_._1 != firstPos).map(_._2).sum
+    }
   }
 
   /** v1 source Filter → conservative min/max RangeFilter for stats

@@ -1,0 +1,160 @@
+package graft.sources
+
+import org.apache.spark.sql.connector.read.PartitionReader
+import org.apache.spark.sql.types.{DataType, Decimal}
+import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarArray, ColumnarBatch, ColumnarMap}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** A zero-copy "selection vector" over a decoded parquet
+  * [[ColumnVector]]: logical row `i` reads the delegate's physical row
+  * `map(i)`. This is how merge-on-read deletes stay COLUMNAR — the
+  * batch keeps flowing into whole-stage codegen's vectorized form and
+  * the deleted rows simply vanish from the index space, instead of the
+  * whole scan demoting to row-at-a-time emission (the same structure
+  * Iceberg's vectorized reads use for their delete filter). Children
+  * wrap recursively so struct fields read through the same mapping;
+  * array/map element data is reached through PHYSICAL offsets the
+  * delegate returns, which need no mapping. `hasNull`/`numNulls`
+  * delegate (conservative over-report for the surviving subset — safe:
+  * consumers use them only to skip null checks when FALSE/zero).
+  * Closing is a no-op: the delegate belongs to the parquet reader,
+  * which recycles it per batch.
+  */
+private[sources] final class SelectedColumnVector(
+    base: ColumnVector, map: Array[Int])
+    extends ColumnVector(base.dataType) {
+  override def close(): Unit = ()
+  override def hasNull: Boolean = base.hasNull
+  override def numNulls(): Int = base.numNulls()
+  override def isNullAt(i: Int): Boolean = base.isNullAt(map(i))
+  override def getBoolean(i: Int): Boolean = base.getBoolean(map(i))
+  override def getByte(i: Int): Byte = base.getByte(map(i))
+  override def getShort(i: Int): Short = base.getShort(map(i))
+  override def getInt(i: Int): Int = base.getInt(map(i))
+  override def getLong(i: Int): Long = base.getLong(map(i))
+  override def getFloat(i: Int): Float = base.getFloat(map(i))
+  override def getDouble(i: Int): Double = base.getDouble(map(i))
+  override def getArray(i: Int): ColumnarArray = base.getArray(map(i))
+  override def getMap(i: Int): ColumnarMap = base.getMap(map(i))
+  override def getDecimal(i: Int, precision: Int, scale: Int): Decimal =
+    base.getDecimal(map(i), precision, scale)
+  override def getUTF8String(i: Int): UTF8String =
+    base.getUTF8String(map(i))
+  override def getBinary(i: Int): Array[Byte] = base.getBinary(map(i))
+  override def getChild(ordinal: Int): ColumnVector =
+    new SelectedColumnVector(base.getChild(ordinal), map)
+}
+
+/** Merge-on-read scans, fully COLUMNAR: Spark's vectorized parquet
+  * decoder produces the batch, the delete state (position deletes,
+  * deletion vectors, equality-delete key sets) filters it as a
+  * selection map, and the surviving rows ship onward as a
+  * [[ColumnarBatch]] over [[SelectedColumnVector]] wrappers — so a
+  * table with live deletes keeps whole-stage codegen in its vectorized
+  * form instead of demoting the WHOLE scan to row mode (Spark forbids
+  * mixed modes per scan; before r14 one MoR file cost every clean
+  * file in the scan its batch path). Decode plan and gates are shared
+  * with [[BatchRowLakeReader]] ([[BatchRowLakeReader.plan]]): renames
+  * and widenings by field ID, equality keys re-requested when the
+  * projection pruned them (those extra columns feed the probes and are
+  * then CLIPPED from the emitted batch — the output is exactly the
+  * target width). Metadata/lineage-consuming scans and changelog
+  * markers still emit rows. Byte-range splits of large delete-bearing
+  * files start their position counter at [[LakeSource.splitStartRow]],
+  * so the compact-then-delete lifecycle neither serializes into one
+  * task per file nor misapplies a position.
+  */
+private[sources] class MorVectorizedLakeReader(p: LakeFilePartition,
+    plan: BatchRowLakeReader.Plan)
+    extends PartitionReader[ColumnarBatch] {
+  BatchRowLakeReader.opened.incrementAndGet()
+
+  // positions are consumed by the delete probes — never push a parquet
+  // predicate (a skipped row group would desynchronize the counter)
+  private val reader = LakeVectorize.openReader(p.path, plan.requested,
+    pred = None, returnBatches = true, start = p.start, length = p.length)
+
+  private val targetWidth = p.target.fields.length
+  private val requestedWidth = plan.requested.fields.length
+
+  private val deletedPos: java.util.HashSet[java.lang.Long] =
+    LakeSource.loadDeletedPositions(p.deletes, p.path)
+  private val deletedBm: org.roaringbitmap.longlong.Roaring64Bitmap =
+    p.dv match {
+      case Some((path, off, len)) =>
+        graft.lake.DeletionVectors.cached(path, off, len)
+      case None => null
+    }
+  private def deletedAt(at: Long): Boolean =
+    (deletedBm != null && deletedBm.contains(at)) ||
+      (deletedPos != null && deletedPos.contains(at))
+
+  private val eqSets = p.eqBatches.map(EqBatchCache.get).toArray
+  private val eqProbes: Array[java.util.ArrayList[Any]] =
+    plan.eqIdx.map(ix => new java.util.ArrayList[Any](ix.length))
+
+  private def eqDeleted(r: org.apache.spark.sql.catalyst.InternalRow)
+      : Boolean = {
+    var i = 0
+    while (i < eqSets.length) {
+      val idxs = plan.eqIdx(i)
+      val types = plan.eqTypes(i)
+      val probe = eqProbes(i)
+      probe.clear()
+      var j = 0
+      while (j < idxs.length) {
+        probe.add(if (r.isNullAt(idxs(j))) null
+          else r.get(idxs(j), types(j)))
+        j += 1
+      }
+      if (eqSets(i).contains(probe)) return true
+      i += 1
+    }
+    false
+  }
+
+  // file-absolute position of the last row of the PREVIOUS batch
+  private var pos: Long =
+    (if (p.start > 0L && (p.deletes.nonEmpty || p.dv.nonEmpty))
+       LakeSource.splitStartRow(p.path, p.start, p.length)
+     else 0L) - 1L
+
+  private var cur: ColumnarBatch = _
+
+  override def next(): Boolean = {
+    while (reader.nextKeyValue()) {
+      val b = reader.getCurrentValue.asInstanceOf[ColumnarBatch]
+      val n = b.numRows()
+      val map = new Array[Int](n)
+      var keep = 0
+      var i = 0
+      while (i < n) {
+        val dead = deletedAt(pos + 1 + i) ||
+          (eqSets.length > 0 && eqDeleted(b.getRow(i)))
+        if (!dead) { map(keep) = i; keep += 1 }
+        i += 1
+      }
+      pos += n
+      if (keep > 0) {
+        cur =
+          if (keep == n && requestedWidth == targetWidth) b
+          else {
+            val cols = new Array[ColumnVector](targetWidth)
+            var j = 0
+            while (j < targetWidth) {
+              cols(j) =
+                if (keep == n) b.column(j)
+                else new SelectedColumnVector(b.column(j), map)
+              j += 1
+            }
+            new ColumnarBatch(cols, keep)
+          }
+        return true
+      }
+    }
+    false
+  }
+
+  override def get(): ColumnarBatch = cur
+  override def close(): Unit = reader.close()
+}

@@ -78,6 +78,23 @@ class BenchLineSpec extends AnyFunSuite {
     assert(!line3.contains("load"))
   }
 
+  test("jobs field: total + top-by-time per-key counts, capped, " +
+      "within budget (host-invariant plan evidence)") {
+    val res = results(400)
+    val jb = res.keys.map(k => k -> 3).toMap
+    val line = Bench.renderLine(res, "sf", jobs = jb)
+    assert(line.length <= Bench.MaxLineChars, s"${line.length} chars")
+    val obj = Json.parse(line).asInstanceOf[JObject]
+    assert(obj.fields("jobs_total").asInstanceOf[JNumber].value == 1200)
+    val shown = obj.fields("jobs").asInstanceOf[JObject].fields
+    assert(shown.size == Bench.JobsTopN)
+    // per-key counts ride for the SLOWEST keys — the set a plan
+    // regression would move
+    assert(shown.contains("q_some_rather_long_query_name_399"))
+    // no jobs measured → no field (renderLine stays backward-parseable)
+    assert(!Bench.renderLine(res, "sf").contains("jobs_total"))
+  }
+
   test("valid JSON under a comma-decimal locale") {
     val prev = java.util.Locale.getDefault
     try {

@@ -65,6 +65,29 @@ class PlanAuditSpec extends AnyFunSuite {
         "formatted ids grow from the leaves up")
   }
 
+  test("q_star_join: every dim broadcasts, runtime pruning reaches the " +
+      "fact scan, zero cartesians / sort-merge") {
+    val p = plan("q_star_join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "a star join must never degenerate to all-pairs")
+    assert(!p.contains("SortMergeJoin"),
+      "dims must broadcast off the connector's size stats — an SMJ " +
+        "shuffles the 100-TB fact side")
+    // all four joins broadcast (orders/customer/nation/region builds)
+    assert(p.sliding("BroadcastHashJoin".length).count(
+      _ == "BroadcastHashJoin") >= 8, // 4 in the tree + 4 detail blocks
+      "all four dimension joins must be broadcast hash joins")
+    // Spark's runtime filter (DPP-style, via SupportsRuntimeFiltering)
+    // must hit the FACT scan: at 100 TB this is what turns the date
+    // window on orders into fact-side file pruning
+    assert(p.contains("dynamicpruning"),
+      "runtime pruning must engage through the DSv2 connector")
+    assert(p.linesIterator.exists(l => l.contains("dynamicpruning") &&
+      l.contains("l_orderkey")),
+      "the pruning subquery must filter the lineitem (fact) scan")
+  }
+
   test("q_pricing_summary partially aggregates below the exchange") {
     val p = plan("q_pricing_summary")
     val partialId = nodeId(p, "HashAggregate", "partial_sum")

@@ -137,9 +137,10 @@ class VectorizedReadSpec extends AnyFunSuite {
       .setScale(2))
   }
 
-  test("gates force ROW mode and stay exact: MoR deletes, initial " +
-      "defaults, rename-swap collision") {
-    // (a) MoR position deletes — whole scan row mode, deletes applied
+  test("MoR position deletes stay COLUMNAR (selection mask); initial " +
+      "defaults and rename-swap still gate row mode, exact") {
+    // (a) MoR position deletes — the deletes apply as a selection map
+    // on the decoded batch; the scan keeps its columnar form
     val wh = mk("""{"database_name":"d","table_name":"g","columns":[
       |{"column_name":"k","data_type":"long"},
       |{"column_name":"s","data_type":"string"}],"partitions":[]}""".stripMargin)
@@ -148,10 +149,16 @@ class VectorizedReadSpec extends AnyFunSuite {
       .append((0L until 30L).map(i => (i, s"v$i")).toDF("k", "s"))
     LakeTable.load(wh, "d", "g").deleteMoR(spark, col("k") < 5L)
     val c = cat(wh)
-    val mor = spark.sql(s"SELECT k FROM $c.d.g")
-    assert(columnarFlags(mor).forall(f => !f),
-      "MoR state must gate the batch path off")
-    assert(mor.count() == 25)
+    val mor = spark.sql(s"SELECT k, s FROM $c.d.g")
+    assert(columnarFlags(mor).forall(identity),
+      "MoR deletes must stay columnar via the selection mask — " +
+        "demoting the whole scan to row mode is the 100-TB decode cliff")
+    val vec = rows(mor)
+    assert(vec == rowPath(rows(spark.sql(s"SELECT k, s FROM $c.d.g"))),
+      "masked columnar MoR must equal the row path")
+    assert(vec.size == 25)
+    assert(spark.sql(s"SELECT sum(k) FROM $c.d.g").head.getLong(0) ==
+      (5L until 30L).sum)
 
     // (b) initial DEFAULT on a column absent from old files: the batch
     // reader would null-fill where the row path fills the default
@@ -212,7 +219,7 @@ class VectorizedReadSpec extends AnyFunSuite {
       (0 until 60).filter(_ % 3 == 1).map(_.toLong))
   }
 
-  test("MoR reads take the vectorized-DECODE row path and equal the " +
+  test("MoR reads stay COLUMNAR (selection mask) and equal the " +
       "Group walk on an evolved table with deletes") {
     val wh = mk("""{"database_name":"d","table_name":"mv","columns":[
       |{"column_name":"k","data_type":"long"},
@@ -227,22 +234,24 @@ class VectorizedReadSpec extends AnyFunSuite {
       |{"column_name":"cnt","data_type":"long"},
       |{"column_name":"s","data_type":"string"}],"partitions":[]}""".stripMargin)
     LakeTable.load(wh, "d", "mv").renameColumn("s", "label")
-    // MoR deletes on top: the scan must walk rows, but DECODE in
-    // batches — pin that BatchRowLakeReader actually served it
+    // MoR deletes on top of the evolution: the scan stays COLUMNAR —
+    // renames/widenings map by field ID, deletes mask the batch
     LakeTable.load(wh, "d", "mv").deleteMoR(spark, col("k") < 7L)
     val c = cat(wh)
     val before = graft.sources.BatchRowLakeReader.opened.get()
     val df = spark.sql(s"SELECT k, cnt, label FROM $c.d.mv")
-    assert(columnarFlags(df).forall(f => !f), "MoR scans stay row-emitting")
+    assert(columnarFlags(df).forall(identity),
+      "evolved + MoR scans stay columnar via the selection mask")
     val vec = rows(df)
     assert(graft.sources.BatchRowLakeReader.opened.get() > before,
-      "the vectorized-decode row reader must serve MoR reads of " +
+      "the masked columnar reader must serve MoR reads of " +
         "engine-written files — silent Group-walk fallback is the " +
         "100-TB decode cliff")
     val row = rowPath(rows(spark.sql(s"SELECT k, cnt, label FROM $c.d.mv")))
-    assert(vec == row, "vectorized decode must equal the Group walk")
+    assert(vec == row, "masked columnar decode must equal the Group walk")
     assert(vec.size == 33)
-    // position metadata stays file-physical through the batch decode
+    // position metadata (row-emitting path, vectorized decode) stays
+    // file-physical and exact alongside the MoR state
     val pos = spark.read.format("graft-lake")
       .option("warehouse", wh).option("database", "d").option("table", "mv")
       .load().filter(col("k") === 10L)
@@ -279,17 +288,78 @@ class VectorizedReadSpec extends AnyFunSuite {
       (0L until 30000L).sum)
     assert(rows(df) == rowPath(rows(spark.sql(s"SELECT k, s FROM $c.d.big"))))
 
-    // mixed scan: a second file with MoR deletes drops the WHOLE scan
-    // to row mode — the big file's range splits must stay exact
-    // through the row-emitting readers (withFileRange)
+    // mixed scan: a second file takes MoR deletes AND the big file
+    // takes one — the whole scan stays COLUMNAR (selection mask), the
+    // big file still range-splits, and every split's position counter
+    // starts at its file-absolute index (splitStartRow) so the delete
+    // lands exactly once
     LakeTable.load(wh, "d", "big").append(
       (30000 until 30010).map(i => (i.toLong, f"s$i%08d")).toDF("k", "s"))
-    LakeTable.load(wh, "d", "big").deleteMoR(spark, col("k") === 30005L)
+    LakeTable.load(wh, "d", "big").deleteMoR(spark,
+      col("k") === 30005L || col("k") === 12345L)
     val mixed = spark.sql(s"SELECT k, s FROM $c.d.big")
-    assert(columnarFlags(mixed).forall(f => !f), "MoR in any file => row mode")
-    assert(mixed.count() == 30009)
+    assert(columnarFlags(mixed).forall(identity),
+      "MoR files must not demote the scan — deletes mask the batch")
+    assert(mixed.rdd.getNumPartitions > 1,
+      "a delete-bearing large file must STILL split into byte ranges — " +
+        "one task per compacted-then-deleted file is the straggler norm")
+    assert(mixed.count() == 30008)
     assert(spark.sql(s"SELECT sum(k) FROM $c.d.big").head.getLong(0) ==
-      (0L until 30010L).sum - 30005L)
+      (0L until 30010L).sum - 30005L - 12345L)
+    assert(rows(mixed) ==
+      rowPath(rows(spark.sql(s"SELECT k, s FROM $c.d.big"))),
+      "split masked-columnar MoR must equal the split row path")
+  }
+
+  test("split DELETE-BEARING file: position deletes, _graft_pos, and " +
+      "equality deletes stay exact across byte-range splits") {
+    val wh = mk("""{"database_name":"d","table_name":"sm","columns":[
+      |{"column_name":"k","data_type":"long"},
+      |{"column_name":"s","data_type":"string"}],"partitions":[]}""".stripMargin)
+    val t0 = LakeTable.load(wh, "d", "sm")
+    t0.updateProperties(Map(
+      "read.split.target-size" -> "65536",
+      "write.option.parquet.block.size" -> "16384",
+      "write.option.parquet.page.size" -> "2048"))
+    import spark.implicits._
+    // one sorted ~1 MB file: pos == k by construction
+    LakeTable.load(wh, "d", "sm").append(
+      (0 until 30000).map(i => (i.toLong, f"s$i%08d")).toDF("k", "s")
+        .repartition(1).sortWithinPartitions("k"))
+    // position deletes scattered across EVERY byte range: a counter
+    // that restarts at 0 per split would delete the wrong rows in
+    // every range but the first — caught here by value
+    LakeTable.load(wh, "d", "sm").deleteMoR(spark, col("k") % 1000L === 7L)
+    val c = cat(wh)
+    val df = spark.sql(s"SELECT k, s FROM $c.d.sm")
+    assert(df.rdd.getNumPartitions > 1, "delete-bearing file must split")
+    assert(columnarFlags(df).forall(identity))
+    val expect = (0L until 30000L).filter(_ % 1000L != 7L)
+    assert(df.count() == expect.size)
+    assert(spark.sql(s"SELECT sum(k) FROM $c.d.sm").head.getLong(0) ==
+      expect.sum)
+    assert(rows(df) == rowPath(rows(spark.sql(s"SELECT k, s FROM $c.d.sm"))),
+      "split masked-columnar must equal the split Group walk")
+    // _graft_pos (row-emitting vectorized decode, BatchRowLakeReader):
+    // file-absolute positions must survive the split — pos == k
+    val posDf = spark.read.format("graft-lake")
+      .option("warehouse", wh).option("database", "d").option("table", "sm")
+      .load().select(col("k"), col("_graft_pos"))
+    assert(posDf.rdd.getNumPartitions > 1,
+      "meta-consuming scans split too (splitStartRow makes them exact)")
+    val bad = posDf.filter(col("k") =!= col("_graft_pos")).count()
+    assert(bad == 0, s"$bad rows with _graft_pos != k after splitting")
+    // equality deletes on top: masked columnar, still split, still exact
+    LakeTable.load(wh, "d", "sm").deleteByKeysMoR(spark,
+      Seq(20002L, 4L).toDF("k"))
+    val eq = spark.sql(s"SELECT k, s FROM $c.d.sm")
+    assert(columnarFlags(eq).forall(identity),
+      "equality deletes stay columnar (probe against the decoded batch)")
+    val expect2 = expect.filterNot(k => k == 20002L || k == 4L)
+    assert(eq.count() == expect2.size)
+    assert(spark.sql(s"SELECT sum(k) FROM $c.d.sm").head.getLong(0) ==
+      expect2.sum)
+    assert(rows(eq) == rowPath(rows(spark.sql(s"SELECT k, s FROM $c.d.sm"))))
   }
 
   test("EXTERNAL (add_files) flat-standard files take the " +
