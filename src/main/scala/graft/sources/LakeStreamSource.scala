@@ -2419,14 +2419,19 @@ private[graft] object LakeSource {
         case (Some(a), Some(b)) => Some(FilterApi.and(a, b))
         case (a, b) => a.orElse(b)
       }
-    // an exact IN-set (≤ 100 values) beats the min/max envelope: the
-    // parquet evaluator also consults dictionaries and column-index
-    // bloom filters, so a point lookup skips row groups whose range
-    // covers the key but whose dictionary lacks it. Any unparsable
-    // value falls back to the range envelope.
+    // an exact IN-set beats the min/max envelope: the parquet
+    // evaluator also consults dictionaries and column-index bloom
+    // filters, so a point lookup skips row groups whose range covers
+    // the key but whose dictionary lacks it. The cap is 10,000 (was
+    // 100 through r13): a 1,000-key probe list — the normal shape of
+    // a broadcast-join runtime filter — gets per-row-group dictionary
+    // checks, not just the (usually vacuous) scattered-key envelope;
+    // parquet evaluates large sets as hash probes per row group, so
+    // cost stays O(|set|) per group. Past the cap the envelope still
+    // applies. Any unparsable value falls back to the range envelope.
     def inSet[T <: Comparable[T]](vals: Seq[String],
         parse: String => T): Option[java.util.Set[T]] =
-      if (vals.isEmpty || vals.size > 100) None
+      if (vals.isEmpty || vals.size > 10000) None
       else try {
         val s = new java.util.HashSet[T]()
         vals.foreach(v => s.add(parse(v)))

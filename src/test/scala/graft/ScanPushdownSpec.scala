@@ -103,6 +103,51 @@ class ScanPushdownSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(l)
   }
 
+  test("a 1,000-key IN probe skips row groups via column bloom " +
+      "filters — the min/max envelope alone is vacuous for scattered keys") {
+    val (wh, t0) = mk("inset")
+    import SparkTestSession.spark.implicits._
+    // EVEN keys only, sorted: a scattered probe's [min,max] envelope
+    // covers essentially the whole file, so only per-row-group value
+    // checks (parquet's in() against chunk bloom filters /
+    // dictionaries) can skip. Through r13 the reader dropped IN-sets
+    // past 100 values to the envelope — a 1,000-key broadcast-join
+    // probe list read every record. High-cardinality keys write PLAIN
+    // (no dictionary), so the table opts its join key into parquet
+    // bloom filters — the 100-TB recipe for probe-joined fact tables.
+    t0.updateProperties(Map(
+      "write.option.parquet.bloom.filter.enabled#k" -> "true"))
+    LakeTable.load(wh, "d", "t").append((0 until 20000).map(i =>
+      ((2 * i).toLong, f"s$i%06d", (i * 7).toLong)).toDF("k", "s", "v")
+      .repartition(1).sortWithinPartitions("k"))
+    spark.conf.set("spark.sql.catalog.gpd4", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.gpd4.warehouse", wh)
+    val present = Seq(40L, 8000L, 16000L, 24000L, 39998L)
+    // 995 ODD (absent) keys spread over the whole key range
+    val absent = (0 until 995).map(i => (i * 40 + 1).toLong)
+    val inList = (present ++ absent).mkString(", ")
+    val records = new java.util.concurrent.atomic.AtomicLong
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null)
+          records.addAndGet(e.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val got = spark.sql(
+        s"SELECT k FROM gpd4.d.t WHERE k IN ($inList) ORDER BY k")
+        .collect().map(_.getLong(0)).toSeq
+      var prev = -1L
+      var cur = records.get
+      while (prev != cur) { Thread.sleep(100); prev = cur; cur = records.get }
+      assert(got == present, s"exactness first: $got")
+      assert(cur > 0 && cur < 10000,
+        s"a scattered 1,000-key IN probe must skip row groups whose " +
+          s"dictionaries lack every key: read $cur of 20000")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
   test("positional reads gate the predicate OFF: MoR deletes and " +
       "row_index consumers stay exact under filters") {
     import SparkTestSession.spark.implicits._
