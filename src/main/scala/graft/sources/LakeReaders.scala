@@ -1,0 +1,1015 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.parquet.hadoop.ParquetReader
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.example.data.Group
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.lake.{LakeTable, Reconcile}
+import graft.schema.FieldIds
+
+/** The read-side decode stack of the lake DSv2 connector (split from
+  * LakeStreamSource.scala — pure move): the per-scan columnar decision
+  * and reader factory, the vectorized clean-file reader, the columnar
+  * merge-on-read reader's row-emitting sibling, the legacy Group walk,
+  * and the equality-delete batch cache.
+  */
+private[sources] object LakeReaderFactory {
+  /** A partition the VECTORIZED columnar path can serve: Spark's own
+    * batch parquet decoder instead of the row-at-a-time Group
+    * materializer — at 100 TB the decode cost of wide scans is the
+    * hot path, and columnar batches keep downstream whole-stage
+    * codegen in its vectorized form. Since r14 MERGE-ON-READ state
+    * (position/vector/equality deletes) stays columnar too: the
+    * deletes apply as a selection map on the decoded batch
+    * ([[MorVectorizedLakeReader]]), so one file with live deletes no
+    * longer demotes the whole scan to row mode. Remaining gates: no
+    * changelog emission, no metadata / lineage columns
+    * (position-derived values are per-ROW by construction), engine-
+    * written files, and the (file, target) schema pair must map —
+    * [[LakeVectorize.vectorSchema]] for clean files (renames by
+    * field ID, legal widenings), [[BatchRowLakeReader.plan]] when
+    * delete state needs equality-key columns re-requested.
+    */
+  def vectorizable(p: LakeFilePartition): Boolean =
+    !sys.props.contains("graft.read.novector") &&
+      !p.emitOnlyDeleted && !p.external &&
+      !p.target.fieldNames.exists(LakeSource.isMetaCol) &&
+      (if (p.deletes.isEmpty && p.eqBatches.isEmpty && p.dv.isEmpty)
+         LakeVectorize.vectorSchema(p.target, p.fileSchema).isDefined
+       else BatchRowLakeReader.plan(p).isDefined)
+
+  /** The per-scan uniform decision [[LakeReaderFactory]] needs. Keyed
+    * partitions (partitioned tables — the NORMAL state at 100 TB)
+    * vectorize like plain file partitions: the key only groups tasks.
+    */
+  def allVectorizable(ps: Array[InputPartition]): Boolean =
+    ps.nonEmpty && ps.forall {
+      case fp: LakeFilePartition => vectorizable(fp)
+      case kp: LakeKeyedFilePartition => vectorizable(kp.toFilePartition)
+      case _ => false
+    }
+}
+
+/** The per-scan columnar flag, shared between the Batch (which sets it
+  * at partition-planning time) and the reader factory (which answers
+  * supportColumnarReads from it). A dedicated serializable holder — a
+  * closure over the Batch would drag the whole non-serializable scan
+  * into the factory's executor-bound object graph. The driver always
+  * plans partitions before asking supportsColumnar, so the flag is set
+  * before it is read; executors receive a post-decision snapshot.
+  */
+private[sources] class ColumnarDecision extends Serializable {
+  @volatile var allColumnar: Boolean = false
+}
+
+private[sources] class LakeReaderFactory(
+    decision: ColumnarDecision = new ColumnarDecision)
+    extends PartitionReaderFactory {
+
+  /** Per-SCAN columnar decision, not per-partition: Spark's
+    * DataSourceV2ScanExecBase.supportsColumnar REQUIRES every
+    * partition of one scan to agree ("Cannot mix row-based and
+    * columnar input partitions"), so the batch that planned the
+    * partitions passes a thunk answering "is EVERY planned partition
+    * a vectorizable clean file?". Mixed or MoR-bearing scans run
+    * whole-scan row mode; metadata/agg/streaming factories keep the
+    * default always-false thunk.
+    */
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    decision.allColumnar
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    def mk(fp: LakeFilePartition)
+        : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+      if (fp.deletes.isEmpty && fp.eqBatches.isEmpty && fp.dv.isEmpty)
+        new VectorizedLakeReader(fp)
+      else new MorVectorizedLakeReader(fp,
+        BatchRowLakeReader.plan(fp).getOrElse(throw new IllegalStateException(
+          s"columnar MoR read planned for an unmappable pair " +
+            s"(file ${fp.path}) — LakeReaderFactory gate out of sync")))
+    partition match {
+      case fp: LakeFilePartition => mk(fp)
+      case kp: LakeKeyedFilePartition => mk(kp.toFilePartition)
+      case other => throw new UnsupportedOperationException(
+        s"no columnar reader for $other")
+    }
+  }
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case LakeAggPartition(values) => new PartitionReader[InternalRow] {
+        private var emitted = false
+        override def next(): Boolean = !emitted && { emitted = true; true }
+        override def get(): InternalRow = new GenericInternalRow(values)
+        override def close(): Unit = ()
+      }
+      case p: LakeFilePartition =>
+        BatchRowLakeReader.plan(p) match {
+          case Some(pl) => new BatchRowLakeReader(p, pl)
+          case None => new GroupRowReader(p)
+        }
+      case p: LakeKeyedFilePartition =>
+        val fp = p.toFilePartition
+        BatchRowLakeReader.plan(fp) match {
+          case Some(pl) => new BatchRowLakeReader(fp, pl)
+          case None => new GroupRowReader(fp)
+        }
+      case p: LakeEqMarkerPartition => new EqMarkerReader(p)
+      case p: LakeChangelogPartition =>
+        val innerReader = createReader(p.inner)
+        // pad the inner row out to the changelog schema: changelog
+        // columns take the partition's constants, everything else
+        // copies through in order
+        val typeUtf = UTF8String.fromString(p.changeType)
+        val fill: Array[Either[Any, (Int, DataType)]] = {
+          var innerIdx = -1
+          p.target.fields.map { f =>
+            if (f.name == LakeSource.ChangeTypeCol) Left(typeUtf)
+            else if (f.name == LakeSource.ChangeOrdinalCol) Left(p.ordinal)
+            else if (f.name == LakeSource.ChangeSnapshotCol)
+              Left(p.snapshotId)
+            else { innerIdx += 1; Right((innerIdx, f.dataType)) }
+          }
+        }
+        new PartitionReader[InternalRow] {
+          override def next(): Boolean = innerReader.next()
+          override def get(): InternalRow = {
+            val in = innerReader.get()
+            val arr = new Array[Any](fill.length)
+            var i = 0
+            while (i < fill.length) {
+              arr(i) = fill(i) match {
+                case Left(c) => c
+                case Right((j, dt)) => in.get(j, dt)
+              }
+              i += 1
+            }
+            new GenericInternalRow(arr)
+          }
+          override def close(): Unit = innerReader.close()
+        }
+    }
+}
+
+/** Changelog delete markers from equality-delete key files: one output
+  * row per key tuple, key columns filled (physical-type-adaptive via
+  * `eqKeyValue` — batches written before a type promotion still read),
+  * all other columns null.
+  */
+private[sources] class EqMarkerReader(p: LakeEqMarkerPartition)
+    extends PartitionReader[InternalRow] {
+  private val keyByFieldId: Map[Int, StructField] =
+    p.keyFields.fields.map(f => FieldIds.idOf(f) -> f).toMap
+  private val fillers: Array[Group => Any] = p.target.fields.map { tf =>
+    if (FieldIds.hasId(tf) && keyByFieldId.contains(FieldIds.idOf(tf))) {
+      val id = FieldIds.idOf(tf)
+      (g: Group) => LakeSource.eqKeyValue(g, s"k$id", tf.dataType)
+    } else (_: Group) => null
+  }
+  private val files = p.paths.iterator
+  private var reader: ParquetReader[Group] = _
+  private var cur: Group = _
+  override def next(): Boolean = {
+    cur = if (reader == null) null else reader.read()
+    while (cur == null && files.hasNext) {
+      if (reader != null) reader.close()
+      reader = ParquetReader.builder(new GroupReadSupport(),
+        new org.apache.hadoop.fs.Path(files.next())).build()
+      cur = reader.read()
+    }
+    cur != null
+  }
+  override def get(): InternalRow =
+    new GenericInternalRow(fillers.map(_(cur)))
+  override def close(): Unit = if (reader != null) reader.close()
+}
+
+/** Decides whether the vectorized batch path can serve a (target,
+  * file) schema pair, and builds the requested read schema for it:
+  * the TARGET schema rewritten recursively to the file's physical
+  * field names (matched by field ID — rename-safe), keeping the
+  * TARGET types. Spark 4's vectorized parquet updaters perform the
+  * engine's legal promotions in place (IntegerToLongUpdater,
+  * FloatToDoubleUpdater, decimal precision widening at equal scale —
+  * the same set SchemaDiff.promotionAllowed admits), and the reader
+  * null-fills requested fields absent from the file — so one
+  * requested schema yields batches already in target shape with no
+  * per-row reconcile. Returns None when the pair still needs the
+  * row path:
+  *  - a non-widening type change anywhere, or a map-KEY change
+  *  - a target field with no field ID (synthetic)
+  *  - an absent field with a recorded initial DEFAULT anywhere in its
+  *    subtree (the batch reader null-fills where the row path fills
+  *    the default)
+  *  - an absent field whose target name collides case-insensitively
+  *    with a file field's physical name at the same level (the
+  *    name-based clip would bind the WRONG column — rename-swap)
+  */
+private[sources] object LakeVectorize {
+  import graft.schema.{Defaults, FieldIds}
+
+  /** The engine's legal in-place widenings (CLEANED types in, CLEANED
+    * out) — exactly what Spark's vectorized updaters perform.
+    */
+  private[sources] def widens(from: DataType, to: DataType): Boolean =
+    (from, to) match {
+      case (a, b) if a == b => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (d1: DecimalType, d2: DecimalType) =>
+        d2.precision >= d1.precision && d1.scale == d2.scale
+      case _ => false
+    }
+
+  // generic recursion through ANY nesting (array<array<struct>>, map
+  // keys included) — a default recorded anywhere in the subtree gates
+  // the null-filling batch path off, exactly as the doc promises
+  private def noDefaultsDeep(dt: DataType): Boolean = dt match {
+    case st: StructType => st.fields.forall(noDefaultsIn)
+    case ArrayType(e, _) => noDefaultsDeep(e)
+    case MapType(k, v, _) => noDefaultsDeep(k) && noDefaultsDeep(v)
+    case _ => true
+  }
+
+  private def noDefaultsIn(f: StructField): Boolean =
+    Defaults.of(f).isEmpty && noDefaultsDeep(f.dataType)
+
+  private def mapType(t: DataType, f: DataType): Option[DataType] =
+    (t, f) match {
+      case (ts: StructType, fs: StructType) => mapStruct(ts, fs)
+      case (ArrayType(te, _), ArrayType(fe, _)) =>
+        mapType(te, fe).map(ArrayType(_, containsNull = true))
+      case (MapType(tk, tv, _), MapType(fk, fv, _))
+          if Reconcile.clean(tk) == Reconcile.clean(fk) =>
+        mapType(tv, fv).map(MapType(Reconcile.clean(tk), _,
+          valueContainsNull = true))
+      case (a, b) if widens(Reconcile.clean(b), Reconcile.clean(a)) =>
+        Some(Reconcile.clean(a))
+      case _ => None
+    }
+
+  private def mapStruct(target: StructType,
+      file: StructType): Option[StructType] = {
+    val out = target.fields.map { tf =>
+      if (!FieldIds.hasId(tf)) return None
+      val id = FieldIds.idOf(tf)
+      file.fields.find(ff => FieldIds.hasId(ff) &&
+          FieldIds.idOf(ff) == id) match {
+        case Some(ff) =>
+          mapType(tf.dataType, ff.dataType) match {
+            case Some(dt) => StructField(ff.name, dt, nullable = true)
+            case None => return None
+          }
+        case None =>
+          // absent from the file: reader null-fills — legal only with
+          // no recorded default and no physical-name collision (a
+          // rename-swap would bind the wrong column by name)
+          if (!noDefaultsIn(tf) ||
+              file.fields.exists(_.name.equalsIgnoreCase(tf.name)))
+            return None
+          StructField(tf.name, Reconcile.clean(tf.dataType),
+            nullable = true)
+      }
+    }
+    Some(StructType(out))
+  }
+
+  /** The requested read schema for the pair, None = row path. */
+  def vectorSchema(target: StructType,
+      fileSchema: StructType): Option[StructType] =
+    mapStruct(target, fileSchema)
+
+  /** Pushed ranges rewritten to the file's PHYSICAL column names,
+    * matched by field ID — a name-based lookup would bind the wrong
+    * physical column under a rename-swap. Filters whose column has no
+    * id-matched file field (added after the file was written) are
+    * dropped: they cannot prune inside a file that predates them.
+    */
+  def renameRanges(ranges: Seq[graft.lake.RangeFilter], target: StructType,
+      fileSchema: StructType): Seq[graft.lake.RangeFilter] =
+    ranges.flatMap { r =>
+      target.fields.find(tf => tf.name == r.column && FieldIds.hasId(tf))
+        .flatMap(tf => fileSchema.fields.find(ff => FieldIds.hasId(ff) &&
+          FieldIds.idOf(ff) == FieldIds.idOf(tf)))
+        .map(ff => r.copy(column = ff.name))
+    }
+
+  /** Externally-registered files (add_files) vectorize only when
+    * every registered column is FLAT and the footer stores it in the
+    * one physical encoding the engine itself writes — the vectorized
+    * updaters and the Group converter provably agree there. Anything
+    * else (legacy INT96/MILLIS timestamps, unsigned ints, nested
+    * columns, exotic annotations) keeps the footer-reconciled Group
+    * walk. `adjusted` is the registered schema already rewritten to
+    * footer spellings with absent fields dropped.
+    */
+  def externalFlatStandard(
+      footer: org.apache.parquet.schema.MessageType,
+      adjusted: StructType): Boolean = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.LogicalTypeAnnotation._
+    def std(pt: org.apache.parquet.schema.PrimitiveType,
+        dt: DataType): Boolean = {
+      val ann = pt.getLogicalTypeAnnotation
+      if (pt.isRepetition(org.apache.parquet.schema.Type.Repetition.REPEATED))
+        return false
+      dt match {
+        case IntegerType => pt.getPrimitiveTypeName == INT32 &&
+          (ann == null || ann == LogicalTypeAnnotation.intType(32, true))
+        case LongType => pt.getPrimitiveTypeName == INT64 &&
+          (ann == null || ann == LogicalTypeAnnotation.intType(64, true))
+        case FloatType => pt.getPrimitiveTypeName == FLOAT && ann == null
+        case DoubleType => pt.getPrimitiveTypeName == DOUBLE && ann == null
+        case BooleanType => pt.getPrimitiveTypeName == BOOLEAN && ann == null
+        case StringType => pt.getPrimitiveTypeName == BINARY &&
+          ann == LogicalTypeAnnotation.stringType()
+        case BinaryType => pt.getPrimitiveTypeName == BINARY && ann == null
+        case DateType => pt.getPrimitiveTypeName == INT32 &&
+          ann == LogicalTypeAnnotation.dateType()
+        case TimestampType => pt.getPrimitiveTypeName == INT64 &&
+          ann == LogicalTypeAnnotation.timestampType(true, TimeUnit.MICROS)
+        case TimestampNTZType => pt.getPrimitiveTypeName == INT64 &&
+          ann == LogicalTypeAnnotation.timestampType(false, TimeUnit.MICROS)
+        case d: DecimalType => ann match {
+          case dec: DecimalLogicalTypeAnnotation =>
+            dec.getScale == d.scale && dec.getPrecision <= d.precision &&
+              (pt.getPrimitiveTypeName == INT32 ||
+                pt.getPrimitiveTypeName == INT64 ||
+                pt.getPrimitiveTypeName == BINARY ||
+                pt.getPrimitiveTypeName == FIXED_LEN_BYTE_ARRAY)
+          case _ => false
+        }
+        case _ => false
+      }
+    }
+    adjusted.fields.forall { f =>
+      footer.containsField(f.name) && {
+        val t = footer.getType(footer.getFieldIndex(f.name))
+        t.isPrimitive && std(t.asPrimitiveType(), f.dataType)
+      }
+    }
+  }
+
+  /** A VectorizedParquetRecordReader over `path` decoding `requested`
+    * (already rewritten to the file's physical names): batches when
+    * `returnBatches`, else vectorized decode with row-at-a-time
+    * emission — the mode Spark itself uses when a plan can't consume
+    * batches. The conf keys mirror ParquetFileFormat.
+    * buildReaderWithPartitionValues; rebase modes are CORRECTED — the
+    * engine writes its own files that way.
+    */
+  def openReader(path: String, requested: StructType,
+      pred: Option[org.apache.parquet.filter2.predicate.FilterPredicate],
+      returnBatches: Boolean, start: Long = 0L, length: Long = -1L)
+      : org.apache.spark.sql.execution.datasources
+      .parquet.VectorizedParquetRecordReader = {
+    import org.apache.spark.sql.internal.SQLConf
+    val conf = graft.lake.HadoopConfs.mutable()
+    conf.set(org.apache.spark.sql.execution.datasources.parquet
+      .ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, requested.json)
+    conf.set(SQLConf.PARQUET_BINARY_AS_STRING.key, "false")
+    conf.set(SQLConf.PARQUET_INT96_AS_TIMESTAMP.key, "true")
+    conf.set(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key, "true")
+    conf.set(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key, "false")
+    conf.set(SQLConf.CASE_SENSITIVE.key, "false")
+    conf.set(SQLConf.PARQUET_FIELD_ID_READ_ENABLED.key, "false")
+    // the 2-arg initialize resolves its ReadSupport from the conf —
+    // without this key getReadSupportInstance NPEs on every scan
+    conf.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
+      classOf[org.apache.spark.sql.execution.datasources.parquet
+        .ParquetReadSupport].getName)
+    pred.foreach(fp => org.apache.parquet.hadoop.ParquetInputFormat
+      .setFilterPredicate(conf, fp))
+    val reader =
+      new org.apache.spark.sql.execution.datasources.parquet
+        .VectorizedParquetRecordReader(
+          null, "CORRECTED", "UTC", "CORRECTED", "UTC",
+          /* useOffHeap = */ false, /* capacity = */ 4096)
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val len =
+      if (length >= 0) length
+      else java.nio.file.Files.size(java.nio.file.Paths.get(path))
+    // mapred.FileSplit (it extends the mapreduce one): the reader base
+    // downcasts to it internally
+    val split = new org.apache.hadoop.mapred.FileSplit(
+      hPath, start, len, Array.empty[String])
+    val attempt = new org.apache.hadoop.mapreduce.task
+      .TaskAttemptContextImpl(conf,
+        new org.apache.hadoop.mapreduce.TaskAttemptID())
+    reader.initialize(split, attempt)
+    reader.initBatch(new StructType(), InternalRow.empty)
+    if (returnBatches) reader.enableReturningBatches()
+    reader
+  }
+}
+
+/** The vectorized fast path: Spark's own batch parquet decoder over a
+  * clean file (no MoR state, no meta columns — [[LakeReaderFactory]]
+  * gates; renames and widening promotions are served HERE via the
+  * [[LakeVectorize]] requested-schema mapping). Emits ColumnarBatches,
+  * so downstream whole-stage codegen stays in its vectorized form;
+  * pushed ranges go down as a parquet FilterPredicate for row-group /
+  * page skipping (nothing positional is consumed here). The conf keys
+  * mirror what ParquetFileFormat.buildReaderWithPartitionValues
+  * stamps; rebase modes are CORRECTED — the engine writes its own
+  * files that way.
+  */
+private[sources] class VectorizedLakeReader(p: LakeFilePartition)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+
+  // target rewritten to the file's physical names by field ID, target
+  // types kept (updaters widen in place) — gate guarantees it maps
+  private val requested: StructType =
+    LakeVectorize.vectorSchema(p.target, p.fileSchema).getOrElse(
+      throw new IllegalStateException(
+        s"vectorized read planned for an unmappable schema pair " +
+          s"(file ${p.path}) — LakeReaderFactory gate out of sync"))
+
+  private val reader = LakeVectorize.openReader(p.path, requested,
+    // ranges arrive named by the TARGET schema; rewrite to the file's
+    // physical names by field id (rename-safe) before translation
+    LakeSource.parquetPredicate(
+      LakeVectorize.renameRanges(p.pushedRanges, p.target, p.fileSchema),
+      p.fileSchema, n => requested.fieldNames.contains(n)),
+    returnBatches = true, start = p.start, length = p.length)
+
+  override def next(): Boolean = reader.nextKeyValue()
+  override def get(): org.apache.spark.sql.vectorized.ColumnarBatch =
+    reader.getCurrentValue
+      .asInstanceOf[org.apache.spark.sql.vectorized.ColumnarBatch]
+  override def close(): Unit = reader.close()
+}
+
+/** Vectorized DECODE with row EMISSION — the mode Spark itself uses
+  * when a plan can't consume batches: Spark's columnar parquet decoder
+  * does the page/dictionary work in batches, and rows come off the
+  * decoded vectors one at a time, so merge-on-read state (position
+  * deletes, deletion vectors, equality batches), `_graft_pos`/lineage
+  * metadata, and changelog delete markers all apply exactly as on the
+  * Group walk — at a fraction of its per-record Group-assembly cost.
+  * At 100 TB this removes the decode cliff for MoR-bearing tables
+  * (the clean-file case goes fully columnar instead; see
+  * [[VectorizedLakeReader]]). The requested schema reuses
+  * [[LakeVectorize.vectorSchema]] (rename-safe by field ID, widenings
+  * in place), extended with equality-delete key columns the
+  * projection pruned and the materialized lineage columns.
+  * Externally-registered files vectorize too when every column is
+  * flat in the one physical encoding the engine writes
+  * ([[LakeVectorize.externalFlatStandard]]); [[GroupRowReader]]
+  * remains for exotic external encodings, unmappable schema pairs,
+  * and nested/exotic equality keys.
+  */
+private[graft] object BatchRowLakeReader {
+
+  /** Readers constructed since JVM start — test observability pinning
+    * that MoR/meta reads actually take the vectorized-decode path
+    * (local-mode tests share the JVM with executors).
+    */
+  val opened = new java.util.concurrent.atomic.AtomicLong
+
+  /** Decode plan: the physical schema to request and where each
+    * output / equality-key / lineage value sits in the decoded row.
+    * None = stay on the Group walk.
+    */
+  final case class Plan(requested: StructType, srcIdx: Array[Int],
+      eqIdx: Array[Array[Int]], eqTypes: Array[Array[DataType]],
+      rowIdSrc: Int, lastUpdSrc: Int)
+
+  def plan(p: LakeFilePartition): Option[Plan] = {
+    if (sys.props.contains("graft.read.novector")) return None
+    // externally-registered files: reconcile against the actual footer
+    // (physical spellings, absent columns dropped — same first step as
+    // the Group walk) and vectorize only when every column is flat in
+    // the ONE encoding the engine itself writes; anything exotic keeps
+    // the Group walk. The footer read happens HERE, executor-side —
+    // the Group walk pays the identical read for externals
+    val fileSchema: StructType =
+      if (!p.external) p.fileSchema
+      else LakeSource.readFooterSchema(p.path) match {
+        case Some(ft) =>
+          val adj = LakeSource.reconcileToFooter(p.fileSchema, ft)
+          if (LakeVectorize.externalFlatStandard(ft, adj)) adj
+          else return None
+        case None => return None
+      }
+    val dataFields = p.target.fields.filterNot(tf =>
+      LakeSource.isMetaCol(tf.name))
+    val base = LakeVectorize.vectorSchema(StructType(dataFields),
+      fileSchema) match {
+      case Some(b) => b
+      case None => return None
+    }
+    val fields = scala.collection.mutable.ArrayBuffer(base.fields: _*)
+    // target-field id → decoded-row index (data fields first, then
+    // appended equality-key / lineage columns)
+    val idToIdx = scala.collection.mutable.HashMap.empty[Int, Int]
+    dataFields.zipWithIndex.foreach { case (tf, i) =>
+      idToIdx(FieldIds.idOf(tf)) = i
+    }
+    // equality-delete keys: reuse the projected column when the target
+    // still carries it; else request the file's TOP-LEVEL column AS
+    // the key's (current-schema) type — the vectorized updater widens
+    // exactly like eqKeyValue's int→long conversion. Nested keys and
+    // non-widening shapes stay on the Group walk.
+    val eqIdx = new Array[Array[Int]](p.eqBatches.length)
+    val eqTypes = new Array[Array[DataType]](p.eqBatches.length)
+    var bi = 0
+    p.eqBatches.foreach { b =>
+      val idxs = new Array[Int](b.keyFields.fields.length)
+      val types = new Array[DataType](b.keyFields.fields.length)
+      var ki = 0
+      b.keyFields.fields.foreach { kf =>
+        val id = FieldIds.idOf(kf)
+        val kt = Reconcile.clean(kf.dataType)
+        idToIdx.get(id) match {
+          case Some(i) =>
+            if (Reconcile.clean(fields(i).dataType) != kt) return None
+            idxs(ki) = i
+          case None =>
+            fileSchema.fields.find(ff => FieldIds.hasId(ff) &&
+                FieldIds.idOf(ff) == id) match {
+              case Some(ff)
+                  if LakeVectorize.widens(
+                    Reconcile.clean(ff.dataType), kt) =>
+                fields += StructField(ff.name, kt, nullable = true)
+                idToIdx(id) = fields.length - 1
+                idxs(ki) = fields.length - 1
+              case _ => return None
+            }
+        }
+        types(ki) = kt
+        ki += 1
+      }
+      eqIdx(bi) = idxs; eqTypes(bi) = types; bi += 1
+    }
+    // materialized v3 lineage columns (physical-only, outside the
+    // registered schema): request them when the scan asks for lineage
+    // metadata — a file that predates them null-fills, matching the
+    // Group walk's containsField fallback
+    var rowIdSrc = -1; var lastUpdSrc = -1
+    if (p.lineageMat && p.target.fieldNames.exists(n =>
+        n == LakeSource.RowIdMetaCol || n == LakeSource.LastUpdMetaCol)) {
+      fields += StructField(LakeSource.RowIdMetaCol, LongType,
+        nullable = true)
+      rowIdSrc = fields.length - 1
+      fields += StructField(LakeSource.LastUpdMetaCol, LongType,
+        nullable = true)
+      lastUpdSrc = fields.length - 1
+    }
+    // a requested-name collision would make the name-based clip bind
+    // the wrong column; an empty request has nothing to drive the
+    // row count — both are Group-walk territory
+    val names = fields.map(_.name.toLowerCase(java.util.Locale.ROOT))
+    if (fields.isEmpty || names.distinct.size != names.size) return None
+    var di = -1
+    val srcIdx = p.target.fields.map { tf =>
+      if (LakeSource.isMetaCol(tf.name)) -1 else { di += 1; di }
+    }
+    Some(Plan(StructType(fields.toSeq), srcIdx, eqIdx, eqTypes,
+      rowIdSrc, lastUpdSrc))
+  }
+}
+
+private[sources] class BatchRowLakeReader(p: LakeFilePartition,
+    plan: BatchRowLakeReader.Plan) extends PartitionReader[InternalRow] {
+  BatchRowLakeReader.opened.incrementAndGet()
+
+  // ROW-GROUP + record-level predicate skipping ONLY when the read is
+  // position-independent — same gate as the Group walk: the position
+  // counter below must see every physical row, and external files are
+  // excluded from predicates entirely. (A position-free clean
+  // partition lands here only inside a MIXED scan that dropped to row
+  // mode as a whole.)
+  private val positionFree = p.deletes.isEmpty && p.dv.isEmpty &&
+    !p.emitOnlyDeleted && !p.external &&
+    !p.target.fieldNames.exists(n => n == LakeSource.PosMetaCol ||
+      n == LakeSource.RowIdMetaCol || n == LakeSource.LastUpdMetaCol)
+
+  private val reader = LakeVectorize.openReader(p.path, plan.requested,
+    if (!positionFree || p.pushedRanges.isEmpty) None
+    else LakeSource.parquetPredicate(
+      LakeVectorize.renameRanges(p.pushedRanges, p.target, p.fileSchema),
+      p.fileSchema, n => plan.requested.fieldNames.contains(n)),
+    returnBatches = false, start = p.start, length = p.length)
+
+  private val srcTypes: Array[DataType] =
+    plan.requested.fields.map(_.dataType)
+  private val filePathUtf = UTF8String.fromString(
+    LakeTable.normalizePath(p.path))
+  private val fileIdx = p.target.fieldNames.indexOf(LakeSource.FileMetaCol)
+  private val posIdx = p.target.fieldNames.indexOf(LakeSource.PosMetaCol)
+  private val rowIdIdx = p.target.fieldNames.indexOf(LakeSource.RowIdMetaCol)
+  private val lastUpdIdx =
+    p.target.fieldNames.indexOf(LakeSource.LastUpdMetaCol)
+
+  private val deletedPos: java.util.HashSet[java.lang.Long] =
+    LakeSource.loadDeletedPositions(p.deletes, p.path)
+  private val deletedBm: org.roaringbitmap.longlong.Roaring64Bitmap =
+    p.dv match {
+      case Some((path, off, len)) =>
+        graft.lake.DeletionVectors.cached(path, off, len)
+      case None => null
+    }
+  private def deletedAt(at: Long): Boolean =
+    (deletedBm != null && deletedBm.contains(at)) ||
+      (deletedPos != null && deletedPos.contains(at))
+
+  private val eqSets = p.eqBatches.map(EqBatchCache.get).toArray
+  private val eqProbes: Array[java.util.ArrayList[Any]] =
+    plan.eqIdx.map(ix => new java.util.ArrayList[Any](ix.length))
+
+  private def eqDeleted(r: InternalRow): Boolean = {
+    var i = 0
+    while (i < eqSets.length) {
+      val idxs = plan.eqIdx(i)
+      val types = plan.eqTypes(i)
+      val probe = eqProbes(i)
+      probe.clear()
+      var j = 0
+      while (j < idxs.length) {
+        probe.add(if (r.isNullAt(idxs(j))) null else r.get(idxs(j), types(j)))
+        j += 1
+      }
+      if (eqSets(i).contains(probe)) return true
+      i += 1
+    }
+    false
+  }
+
+  // decoded values may reference the (reused) column vectors — copy
+  // anything buffer-backed before it leaves the reader, exactly what
+  // ColumnarBatchRow.copy() would do, minus the fields we drop
+  private def copyVal(v: Any): Any = v match {
+    case null => null
+    case s: UTF8String => s.clone()
+    case a: org.apache.spark.sql.catalyst.util.ArrayData => a.copy()
+    case m: org.apache.spark.sql.catalyst.util.MapData => m.copy()
+    case r: InternalRow => r.copy()
+    case b: Array[Byte] => java.util.Arrays.copyOf(b, b.length)
+    case other => other
+  }
+
+  private def matLongAt(r: InternalRow, src: Int): java.lang.Long =
+    if (src >= 0 && !r.isNullAt(src)) java.lang.Long.valueOf(r.getLong(src))
+    else null
+
+  private var cur: InternalRow = _
+  // byte-range split of a position-consuming read: the counter starts
+  // at the file-absolute index of the split's first row (exact — same
+  // range filter parquet itself applies), so position deletes / DV /
+  // meta / inherited lineage stay correct per split
+  private var pos: Long =
+    (if (!positionFree && p.start > 0L)
+       LakeSource.splitStartRow(p.path, p.start, p.length)
+     else 0L) - 1L
+
+  override def next(): Boolean = {
+    while (reader.nextKeyValue()) {
+      pos += 1
+      val r = reader.getCurrentValue.asInstanceOf[InternalRow]
+      if (p.emitOnlyDeleted) {
+        // changelog delete markers: keep ONLY deleted positions
+        if (deletedAt(pos)) { cur = r; return true }
+      } else if (!deletedAt(pos) &&
+          (eqSets.length == 0 || !eqDeleted(r))) {
+        cur = r; return true
+      }
+    }
+    false
+  }
+
+  override def get(): InternalRow = {
+    val arr = new Array[Any](plan.srcIdx.length)
+    var i = 0
+    while (i < arr.length) {
+      arr(i) =
+        if (i == posIdx) pos
+        else if (i == fileIdx) filePathUtf
+        else if (i == rowIdIdx) {
+          val mat = matLongAt(cur, plan.rowIdSrc)
+          if (mat != null) mat.longValue()
+          else if (p.firstRowId >= 0) p.firstRowId + pos
+          else null
+        } else if (i == lastUpdIdx) {
+          val mat = matLongAt(cur, plan.lastUpdSrc)
+          if (mat != null) mat.longValue()
+          else if (p.fileSeq >= 0) p.fileSeq
+          else null
+        } else {
+          val si = plan.srcIdx(i)
+          if (si < 0) null // an unrecognized meta column reads null
+          else if (cur.isNullAt(si)) null
+          else copyVal(cur.get(si, srcTypes(si)))
+        }
+      i += 1
+    }
+    new GenericInternalRow(arr)
+  }
+
+  override def close(): Unit = reader.close()
+}
+
+/** Reads one parquet data file as example-Groups and reconciles each
+  * record to the target schema by field ID (promotions int→long,
+  * float→double included) — the executor-side mirror of
+  * `Reconcile.projection`, minus Catalyst. Since r13 this is the
+  * FALLBACK walk (exotic external encodings, unmappable schema
+  * pairs, nested equality keys, absent-with-DEFAULT columns) —
+  * everything else decodes through [[BatchRowLakeReader]]'s
+  * vectorized path or the fully columnar [[VectorizedLakeReader]].
+  */
+private[sources] class GroupRowReader(p: LakeFilePartition)
+    extends PartitionReader[InternalRow] {
+
+  private def openFooter(): Option[org.apache.parquet.schema.MessageType] =
+    LakeSource.readFooterSchema(p.path)
+
+  // The registered file schema names columns the way the ENGINE named
+  // them at write/registration time. An EXTERNALLY-registered file
+  // (add_files) may spell the same columns with different case, or lack
+  // a nullable table column entirely — both legal at registration
+  // (validation is case-insensitive, absent columns read as null on the
+  // Spark-native path). Reconcile ONCE against the file's actual footer
+  // schema: names are rewritten to the footer's physical spelling
+  // (case-insensitive, recursively through structs) and absent fields
+  // dropped, so the by-id extractor falls back to the default/null
+  // extractor instead of crashing the exact-name Group lookup with
+  // parquet's InvalidRecordException. Engine-written files match their
+  // registered schema by construction and SKIP the extra footer read —
+  // at scale that is one metadata IO per file per scan saved on the
+  // hot path (the pruning branch below reuses this handle when both
+  // run).
+  private val footerSchema: Option[org.apache.parquet.schema.MessageType] =
+    if (p.external) openFooter() else None
+
+  private val fileSchema: StructType = footerSchema
+    .map(fs => LakeSource.reconcileToFooter(p.fileSchema, fs))
+    .getOrElse(p.fileSchema)
+
+  private val reader: ParquetReader[Group] = {
+    // mutable copy: the pruning branch sets the requested read schema,
+    // and concurrent readers must not see each other's projections
+    val conf = graft.lake.HadoopConfs.mutable()
+    // parquet-level column pruning: request only the file columns whose
+    // field IDs the (possibly column-pruned) target still references —
+    // other columns' pages are never decoded. The requested schema is a
+    // subtree copy of the file's own footer schema, so it is compatible
+    // by construction.
+    // equality-delete key columns must stay readable even when the
+    // projection pruned them — the filter needs their values. A key may
+    // be struct-NESTED, so a top-level field survives pruning when ANY
+    // id in its subtree is a key id (else the extractor would crash on
+    // the pruned-away ancestor).
+    val eqKeyIds = p.eqBatches
+      .flatMap(_.keyFields.fields.map(FieldIds.idOf)).toSet
+    // materialized lineage columns live OUTSIDE the registered schema
+    // (physical-only, written by v3 rewrites) — keep them readable
+    // when the scan asks for the lineage metadata columns
+    val lineageKeep: Set[String] =
+      if (p.lineageMat && p.target.fieldNames.exists(n =>
+          n == LakeSource.RowIdMetaCol || n == LakeSource.LastUpdMetaCol))
+        Set(LakeSource.RowIdMetaCol, LakeSource.LastUpdMetaCol)
+      else Set.empty
+    val keep = fileSchema.fields
+      .filter(ff => p.target.fields.exists(tf =>
+        FieldIds.hasId(tf) && FieldIds.idOf(tf) == FieldIds.idOf(ff)) ||
+        FieldIds.flatten(StructType(Seq(ff))).exists { case (_, sf) =>
+          FieldIds.hasId(sf) && eqKeyIds.contains(FieldIds.idOf(sf)) })
+      .map(_.name).toSet ++ lineageKeep
+    // prune against the FOOTER's field count (an external file can
+    // carry extra columns the table never registered); engine files
+    // only pay the footer read when the projection actually pruned
+    if (keep.nonEmpty) {
+      val full = footerSchema.orElse(
+        if (keep.size < fileSchema.size) openFooter() else None)
+      full.filter(_.getFieldCount > keep.size).foreach { fs =>
+        try {
+          val prunedFields = fs.getFields.asScala.filter(f => keep(f.getName))
+          val pruned = new org.apache.parquet.schema.MessageType(
+            fs.getName, prunedFields.asJava)
+          conf.set(
+            org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+            pruned.toString)
+        } catch { case _: Exception => () } // fall back to full read
+      }
+    }
+    // ROW-GROUP + record-level predicate skipping, ONLY when the read
+    // is position-independent: the reader derives `_metadata.row_index`
+    // / MoR delete positions / inherited row ids from a LINEAR row
+    // counter, and a skipped row group (or filtered record) would
+    // desynchronize it. Plain filtered scans — the dominant pattern —
+    // qualify; anything positional keeps the full walk. External files
+    // are excluded too (legacy INT96 timestamps compare differently).
+    val positionFree = p.deletes.isEmpty && p.dv.isEmpty &&
+      !p.emitOnlyDeleted && !p.external &&
+      !p.target.fieldNames.exists(n => n == LakeSource.PosMetaCol ||
+        n == LakeSource.RowIdMetaCol || n == LakeSource.LastUpdMetaCol)
+    val pred =
+      if (!positionFree || p.pushedRanges.isEmpty) None
+      else LakeSource.parquetPredicate(p.pushedRanges, fileSchema,
+        n => keep.isEmpty || keep(n))
+    val b0 = ParquetReader
+      .builder(new GroupReadSupport(), new org.apache.hadoop.fs.Path(p.path))
+      .withConf(conf)
+    // byte-range split (planner splits only position-free clean files,
+    // so the row counter below never sees a partial file)
+    val b1 =
+      if (p.length >= 0) b0.withFileRange(p.start, p.start + p.length)
+      else b0
+    pred.fold(b1)(fp => b1.withFilter(
+      org.apache.parquet.filter2.compat.FilterCompat.get(fp))).build()
+  }
+
+  // per-target-field extractor, bound once: file field matched by id;
+  // _graft_file is a per-partition constant and _graft_pos the row
+  // counter (handled in get())
+  private val filePathUtf = UTF8String.fromString(
+    LakeTable.normalizePath(p.path))
+  private val posIdx = p.target.fieldNames.indexOf(LakeSource.PosMetaCol)
+  private val rowIdIdx = p.target.fieldNames.indexOf(LakeSource.RowIdMetaCol)
+  private val lastUpdIdx =
+    p.target.fieldNames.indexOf(LakeSource.LastUpdMetaCol)
+  private val extractors: Array[Group => Any] =
+    p.target.fields.map { tf =>
+      if (tf.name == LakeSource.FileMetaCol) (_: Group) => filePathUtf
+      else if (LakeSource.isMetaCol(tf.name)) (_: Group) => null
+      else LakeSource.fieldExtractor(tf, fileSchema.fields.toSeq)
+    }
+
+  // v3 row lineage: materialized _graft_row_id / _graft_last_updated
+  // cells win when the (rewritten) file physically carries them; null
+  // cells and plain appends inherit firstRowId + position / the
+  // file's data sequence (-1 = pre-lineage file -> null)
+  private def matLong(g: Group, name: String): java.lang.Long =
+    if (p.lineageMat && g.getType.containsField(name) &&
+        g.getFieldRepetitionCount(name) > 0)
+      java.lang.Long.valueOf(g.getLong(name, 0))
+    else null
+
+  private def rowIdAt(g: Group, at: Long): Any = {
+    val mat = matLong(g, LakeSource.RowIdMetaCol)
+    if (mat != null) mat.longValue()
+    else if (p.firstRowId >= 0) p.firstRowId + at
+    else null
+  }
+
+  private def lastUpdAt(g: Group): Any = {
+    val mat = matLong(g, LakeSource.LastUpdMetaCol)
+    if (mat != null) mat.longValue()
+    else if (p.fileSeq >= 0) p.fileSeq
+    else null
+  }
+
+  // merge-on-read: positions of this file deleted by live delete files.
+  // The reader walks rows in physical order, so a simple position
+  // counter matches the _metadata.row_index values captured at
+  // delete-write time. (Scale note: a per-file set in memory — Iceberg
+  // uses roaring bitmaps for the same structure.)
+  private val deletedPos: java.util.HashSet[java.lang.Long] =
+    LakeSource.loadDeletedPositions(p.deletes, p.path)
+
+  // v3 deletion vector: the file's bitmap, loaded once per JVM from
+  // the container blob (no per-partition delete-file scan at all —
+  // the read amplification the vector model removes)
+  private val deletedBm: org.roaringbitmap.longlong.Roaring64Bitmap =
+    p.dv match {
+      case Some((path, off, len)) =>
+        graft.lake.DeletionVectors.cached(path, off, len)
+      case None => null
+    }
+
+  private def deletedAt(at: Long): Boolean =
+    (deletedBm != null && deletedBm.contains(at)) ||
+      (deletedPos != null && deletedPos.contains(at))
+
+  // equality deletes: per applicable batch, the key tuples as a hash
+  // set (batches are upsert-sized — Iceberg's DeleteFilter keeps the
+  // same in-memory structure) plus extractors that reconcile THIS
+  // file's key columns to the batch's (current-schema) key types, so
+  // an int-written file compares equal to a long-written key. The set
+  // depends only on the (immutable) batch files, not the data file —
+  // it loads once per executor via EqBatchCache, not once per
+  // partition.
+  private val eqFilters: Array[(Array[Group => Any],
+      java.util.HashSet[java.util.ArrayList[Any]])] =
+    p.eqBatches.map { b =>
+      val extr = b.keyFields.fields.map(kf =>
+        LakeSource.nestedFieldExtractor(kf, fileSchema))
+      (extr, EqBatchCache.get(b))
+    }.toArray
+
+  // reusable probe per batch: refilled per row, zero allocation in the
+  // innermost read loop (ArrayList equals/hashCode are element-wise)
+  private val eqProbes: Array[java.util.ArrayList[Any]] =
+    eqFilters.map(f => new java.util.ArrayList[Any](f._1.length))
+
+  private def eqDeleted(g: Group): Boolean = {
+    var i = 0
+    while (i < eqFilters.length) {
+      val (extr, set) = eqFilters(i)
+      val probe = eqProbes(i)
+      probe.clear()
+      var j = 0
+      while (j < extr.length) { probe.add(extr(j)(g)); j += 1 }
+      if (set.contains(probe)) return true
+      i += 1
+    }
+    false
+  }
+
+  private var cur: Group = _
+  // split-local counter start: file-absolute index of the range's
+  // first row (position deletes / DV / meta / lineage stay exact when
+  // a delete-bearing large file splits into byte ranges)
+  private var pos: Long = {
+    val positional = p.deletes.nonEmpty || p.dv.nonEmpty ||
+      p.emitOnlyDeleted || posIdx >= 0 || rowIdIdx >= 0 || lastUpdIdx >= 0
+    (if (positional && p.start > 0L)
+       LakeSource.splitStartRow(p.path, p.start, p.length)
+     else 0L) - 1L
+  }
+  override def next(): Boolean = {
+    cur = reader.read(); pos += 1
+    if (p.emitOnlyDeleted) {
+      // changelog delete markers: keep ONLY the rows at deleted
+      // positions (the inverse of the normal merge-on-read filter)
+      while (cur != null && !deletedAt(pos)) {
+        cur = reader.read(); pos += 1
+      }
+    } else {
+      while (cur != null &&
+          (deletedAt(pos) ||
+            (eqFilters.length > 0 && eqDeleted(cur)))) {
+        cur = reader.read(); pos += 1
+      }
+    }
+    cur != null
+  }
+  override def get(): InternalRow = {
+    val arr = new Array[Any](extractors.length)
+    var i = 0
+    while (i < arr.length) {
+      arr(i) =
+        if (i == posIdx) pos
+        else if (i == rowIdIdx) rowIdAt(cur, pos)
+        else if (i == lastUpdIdx) lastUpdAt(cur)
+        else extractors(i)(cur)
+      i += 1
+    }
+    new GenericInternalRow(arr)
+  }
+  override def close(): Unit = reader.close()
+}
+
+/** Executor-wide cache of equality-delete key sets: batch files are
+  * immutable once written (snapshot-id + uuid paths), so a set keyed
+  * by (paths, key ids+types) can be shared across every data-file
+  * partition of a scan — and across scans — instead of re-reading and
+  * re-hashing the batch per partition (Iceberg caches its DeleteFilter
+  * sets the same way). Size-bounded by a coarse clear: batches are
+  * upsert-sized and compaction retires them, so the cache stays small
+  * in steady state.
+  */
+private[sources] object EqBatchCache {
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.HashSet[java.util.ArrayList[Any]]]()
+
+  def get(b: LakeEqBatch): java.util.HashSet[java.util.ArrayList[Any]] = {
+    val key = b.paths.mkString("|") + "#" +
+      b.keyFields.fields.map(f =>
+        s"${FieldIds.idOf(f)}:${f.dataType.simpleString}").mkString(",")
+    val hit = cache.get(key)
+    if (hit != null) return hit
+    val set = new java.util.HashSet[java.util.ArrayList[Any]]()
+    b.paths.foreach { path =>
+      val r = ParquetReader.builder(new GroupReadSupport(),
+        new org.apache.hadoop.fs.Path(path)).build()
+      try {
+        var g = r.read()
+        while (g != null) {
+          val tuple = new java.util.ArrayList[Any](b.keyFields.fields.length)
+          b.keyFields.fields.foreach(kf =>
+            tuple.add(LakeSource.eqKeyValue(g, s"k${FieldIds.idOf(kf)}",
+              kf.dataType)))
+          set.add(tuple)
+          g = r.read()
+        }
+      } finally r.close()
+    }
+    if (cache.size > 64) cache.clear()
+    cache.putIfAbsent(key, set)
+    set
+  }
+}
