@@ -408,7 +408,20 @@ private[sources] object LakeVectorize {
     val attempt = new org.apache.hadoop.mapreduce.task
       .TaskAttemptContextImpl(conf,
         new org.apache.hadoop.mapreduce.TaskAttemptID())
-    reader.initialize(split, attempt)
+    try reader.initialize(split, attempt)
+    catch {
+      case scala.util.control.NonFatal(e) if pred.nonEmpty =>
+        // a pushed predicate whose column types disagree with the
+        // file's PHYSICAL layout (e.g. a decimal written legacy-style
+        // as FLBA where the engine's standard layout is INT64) fails
+        // parquet's schema-compatibility validation at initialize —
+        // retry without the predicate (plain full decode; Spark's
+        // residual filter still applies) instead of failing the scan
+        try reader.close() catch { case _: Exception => () }
+        BatchRowLakeReader.predicateFallbacks.incrementAndGet()
+        return openReader(path, requested, None, returnBatches,
+          start, length)
+    }
     reader.initBatch(new StructType(), InternalRow.empty)
     if (returnBatches) reader.enableReturningBatches()
     reader
@@ -478,6 +491,12 @@ private[graft] object BatchRowLakeReader {
     * (local-mode tests share the JVM with executors).
     */
   val opened = new java.util.concurrent.atomic.AtomicLong
+
+  /** Reads that dropped their pushed predicate because the file's
+    * physical layout rejected it (foreign decimal encoding etc.) —
+    * zero on every engine-written table; test observability.
+    */
+  val predicateFallbacks = new java.util.concurrent.atomic.AtomicLong
 
   /** Decode plan: the physical schema to request and where each
     * output / equality-key / lineage value sits in the decoded row.

@@ -145,19 +145,24 @@ private[graft] object LakeSource {
     }
   }
 
-  /** v1 source Filter → conservative min/max RangeFilter for stats
-    * pruning (None when not convertible). In-lists — the shape
-    * runtime/DPP filters arrive in — collapse to [min, max].
-    */
   /** RangeFilters → one parquet `FilterPredicate`, for ROW-GROUP (and
     * record-level) skipping INSIDE files that survive the metadata
     * prune — at 100 TB a sorted 512 MB file holds dozens of row groups
     * and file-level pruning alone still decodes them all. Strictly
     * CONSERVATIVE: integral bounds ceil/floor exactly, string bounds
     * compare in parquet's unsigned-byte order (= UTF8String order),
-    * and every unsupported shape (floats/doubles/decimals — binary
-    * vs decimal rounding; dotted names — FilterApi would misparse
-    * them as paths; null checks; non-primitive columns) contributes
+    * float/double bounds (r14) round OUTWARD into their value space
+    * and widen past ±0.0 so the SQL equivalence -0.0 = 0.0 can never
+    * drop a group on sign (NaN never appears as a bound —
+    * [[filterToRanges]] refuses it — and data-side NaN sorts LARGEST
+    * under parquet's Float.compare/Double.compare total order, the
+    * same "NaN is greater than everything" order Spark's comparisons
+    * use, so a gtEq bound keeps NaN rows and an ltEq bound drops only
+    * rows the exact predicate also fails; float eq-sets additionally
+    * refuse zero and non-roundtripping members), and every remaining
+    * unsupported shape (decimals — binary vs decimal rounding; dotted
+    * names — FilterApi would misparse them as paths; null checks;
+    * non-primitive columns) contributes
     * NOTHING rather than a maybe-wrong bound. Sound alongside
     * record-level filtering because the predicate is a WEAKENING of
     * the residual filter Spark re-applies: any record parquet drops
@@ -168,7 +173,7 @@ private[graft] object LakeSource {
   def parquetPredicate(filters: Seq[graft.lake.RangeFilter],
       fileSchema: StructType, requested: String => Boolean)
       : Option[org.apache.parquet.filter2.predicate.FilterPredicate] = {
-    import org.apache.parquet.filter2.predicate.FilterApi
+    import org.apache.parquet.filter2.predicate.{FilterApi, Operators}
     import org.apache.parquet.io.api.Binary
     def ceilL(b: BigDecimal): Option[Long] = {
       val v = b.setScale(0, BigDecimal.RoundingMode.CEILING)
@@ -208,15 +213,75 @@ private[graft] object LakeSource {
         vals.foreach(v => s.add(parse(v)))
         Some(s)
       } catch { case scala.util.control.NonFatal(_) => None }
+    // SMALL sets go down as an OR of point equalities, not in():
+    // parquet's in() checks row-group STATS only against the set's
+    // envelope (per-value checks need a dictionary or bloom, which
+    // high-cardinality or tiny-page columns lack), while each eq
+    // tests its own value against [min,max] — so a 2-date IN over a
+    // sorted column drops every interior group. 16 mirrors Spark's
+    // own inset-to-OR conversion threshold; larger sets keep in()
+    // (O(set) hash probes; an OR chain would evaluate per value).
+    def orInPred[T <: Comparable[T],
+        C <: org.apache.parquet.filter2.predicate.Operators.Column[T]
+          with org.apache.parquet.filter2.predicate.Operators
+            .SupportsEqNotEq](c: C, s: java.util.Set[T])
+        : org.apache.parquet.filter2.predicate.FilterPredicate =
+      if (s.size > 16) FilterApi.in(c, s)
+      else s.asScala.toSeq
+        .map(v => FilterApi.eq(c, v)
+          : org.apache.parquet.filter2.predicate.FilterPredicate)
+        .reduce(FilterApi.or)
+    // IS [NOT] NULL as a typed null-value predicate: parquet's
+    // row-group evaluator answers both from per-chunk null counts
+    // (all-null groups drop IS NOT NULL, zero-null groups drop
+    // IS NULL) and record filtering is exact. Only the column types
+    // the bounds translation supports — same physical-layout
+    // assumptions (DecimalType routes by the engine's standard
+    // precision mapping; the predicate-free retry backstops foreign
+    // layouts exactly as for bounds).
+    def nullPred(sf: StructField, wantNull: Boolean)
+        : Option[org.apache.parquet.filter2.predicate.FilterPredicate] = {
+      def mk[T <: Comparable[T],
+          C <: org.apache.parquet.filter2.predicate.Operators.Column[T]
+            with org.apache.parquet.filter2.predicate.Operators
+              .SupportsEqNotEq](c: C) =
+        Some(if (wantNull) FilterApi.eq(c, null.asInstanceOf[T])
+          else FilterApi.notEq(c, null.asInstanceOf[T]))
+      import org.apache.parquet.filter2.predicate.Operators
+      def mkLong = mk[java.lang.Long, Operators.LongColumn](
+        FilterApi.longColumn(sf.name))
+      def mkInt = mk[java.lang.Integer, Operators.IntColumn](
+        FilterApi.intColumn(sf.name))
+      def mkBin = mk[Binary, Operators.BinaryColumn](
+        FilterApi.binaryColumn(sf.name))
+      sf.dataType match {
+        case LongType | TimestampType | TimestampNTZType => mkLong
+        case IntegerType | DateType => mkInt
+        case StringType => mkBin
+        case FloatType => mk[java.lang.Float, Operators.FloatColumn](
+          FilterApi.floatColumn(sf.name))
+        case DoubleType => mk[java.lang.Double, Operators.DoubleColumn](
+          FilterApi.doubleColumn(sf.name))
+        case dt: DecimalType =>
+          if (dt.precision <= 9) mkInt
+          else if (dt.precision <= 18) mkLong
+          else mkBin
+        case BooleanType => mk[java.lang.Boolean, Operators.BooleanColumn](
+          FilterApi.booleanColumn(sf.name))
+        case _ => None
+      }
+    }
     val preds = filters.flatMap { f =>
       if (f.column.contains(".") || !requested(f.column)) None
       else fileSchema.fields.find(_.name == f.column).flatMap { sf =>
-        sf.dataType match {
+        if (f.isNull) nullPred(sf, wantNull = true)
+        else if (f.notNull && !f.hasBounds) nullPred(sf, wantNull = false)
+        else sf.dataType match {
           case LongType =>
             val c = FilterApi.longColumn(sf.name)
             inSet[java.lang.Long](f.eqSet,
               v => java.lang.Long.valueOf(v.toLong))
-              .map(FilterApi.in(c, _))
+              .map(orInPred[java.lang.Long, Operators.LongColumn](c, _))
               .orElse(both(
                 f.loNum.flatMap(ceilL).map(v =>
                   FilterApi.gtEq(c, java.lang.Long.valueOf(v))),
@@ -229,11 +294,13 @@ private[graft] object LakeSource {
                 FilterApi.gtEq(c, java.lang.Long.valueOf(v))),
               f.hiNum.flatMap(floorL).map(v =>
                 FilterApi.ltEq(c, java.lang.Long.valueOf(v))))
-          case IntegerType =>
+          case IntegerType | DateType =>
+            // DATE columns store INT32 epoch DAYS — the same unit
+            // [[filterToRanges]] renders date predicate values in
             val c = FilterApi.intColumn(sf.name)
             inSet[java.lang.Integer](f.eqSet,
               v => java.lang.Integer.valueOf(v.toInt))
-              .map(FilterApi.in(c, _))
+              .map(orInPred[java.lang.Integer, Operators.IntColumn](c, _))
               .orElse(both(
                 f.loNum.flatMap(ceilL)
                   .filter(v => v >= Int.MinValue && v <= Int.MaxValue)
@@ -246,10 +313,121 @@ private[graft] object LakeSource {
           case StringType =>
             val c = FilterApi.binaryColumn(sf.name)
             inSet[Binary](f.eqSet, Binary.fromString)
-              .map(FilterApi.in(c, _))
+              .map(orInPred[Binary, Operators.BinaryColumn](c, _))
               .orElse(both(
                 f.loStr.map(v => FilterApi.gtEq(c, Binary.fromString(v))),
                 f.hiStr.map(v => FilterApi.ltEq(c, Binary.fromString(v)))))
+          case FloatType =>
+            // bounds round OUTWARD into float space (lo down, hi up);
+            // a bound landing exactly on zero steps past it so ±0.0
+            // equivalence can never drop a group on sign. toFloat of
+            // an out-of-range bound gives ±Inf, which is itself a
+            // sound bound under Float.compare (NaN sorts above +Inf,
+            // matching Spark's NaN-is-largest comparisons).
+            def loF(b: BigDecimal): java.lang.Float = {
+              var v = b.toFloat
+              if (!v.isInfinite && BigDecimal(v.toDouble) > b)
+                v = Math.nextDown(v)
+              if (v == 0.0f) v = Math.nextDown(0.0f)
+              java.lang.Float.valueOf(v)
+            }
+            def hiF(b: BigDecimal): java.lang.Float = {
+              var v = b.toFloat
+              if (!v.isInfinite && BigDecimal(v.toDouble) < b)
+                v = Math.nextUp(v)
+              if (v == 0.0f) v = Math.nextUp(0.0f)
+              java.lang.Float.valueOf(v)
+            }
+            val c = FilterApi.floatColumn(sf.name)
+            // eq-sets must roundtrip EXACTLY (a set is not widenable)
+            // and refuse zero (dictionary probes compare by sign)
+            inSet[java.lang.Float](f.eqSet, v => {
+              val x = v.toFloat
+              require(x != 0.0f && !x.isNaN &&
+                BigDecimal(x.toDouble) == BigDecimal(v))
+              java.lang.Float.valueOf(x)
+            })
+              .map(orInPred[java.lang.Float, Operators.FloatColumn](c, _))
+              .orElse(both(
+                f.loNum.map(v => FilterApi.gtEq(c, loF(v))),
+                f.hiNum.map(v => FilterApi.ltEq(c, hiF(v)))))
+          case DoubleType =>
+            def loD(b: BigDecimal): java.lang.Double = {
+              var v = b.toDouble
+              if (!v.isInfinite && BigDecimal(v) > b) v = Math.nextDown(v)
+              if (v == 0.0d) v = Math.nextDown(0.0d)
+              java.lang.Double.valueOf(v)
+            }
+            def hiD(b: BigDecimal): java.lang.Double = {
+              var v = b.toDouble
+              if (!v.isInfinite && BigDecimal(v) < b) v = Math.nextUp(v)
+              if (v == 0.0d) v = Math.nextUp(0.0d)
+              java.lang.Double.valueOf(v)
+            }
+            val c = FilterApi.doubleColumn(sf.name)
+            inSet[java.lang.Double](f.eqSet, v => {
+              val x = v.toDouble
+              require(x != 0.0d && !x.isNaN &&
+                BigDecimal(x) == BigDecimal(v))
+              java.lang.Double.valueOf(x)
+            })
+              .map(orInPred[java.lang.Double, Operators.DoubleColumn](c, _))
+              .orElse(both(
+                f.loNum.map(v => FilterApi.gtEq(c, loD(v))),
+                f.hiNum.map(v => FilterApi.ltEq(c, hiD(v)))))
+          case dt: DecimalType =>
+            // engine-written decimals use Spark's STANDARD (non-legacy)
+            // parquet layout: unscaled INT32 (precision ≤ 9), INT64
+            // (≤ 18), else fixed_len_byte_array of the minimal width —
+            // stats/dictionary comparisons all run on the unscaled
+            // integer (FLBA under parquet's signed-big-endian decimal
+            // order), so bounds convert by EXACT scaling (ceil for lo,
+            // floor for hi; the file's own scale — evolution keeps
+            // scale fixed). A bound overflowing the column's precision
+            // contributes nothing; a foreign file that disagrees with
+            // the layout fails parquet's schema validation at open and
+            // the reader retries predicate-free (predicateFallbacks).
+            val maxUnscaled = BigInt(10).pow(dt.precision) - 1
+            def unscaled(b: BigDecimal, ceil: Boolean): Option[BigInt] = {
+              val u = (b * BigDecimal(10).pow(dt.scale)).setScale(0,
+                if (ceil) BigDecimal.RoundingMode.CEILING
+                else BigDecimal.RoundingMode.FLOOR).toBigInt
+              if (u < -maxUnscaled || u > maxUnscaled) None else Some(u)
+            }
+            if (dt.precision <= 9) {
+              val c = FilterApi.intColumn(sf.name)
+              both(
+                f.loNum.flatMap(unscaled(_, ceil = true)).map(u =>
+                  FilterApi.gtEq(c, java.lang.Integer.valueOf(u.toInt))),
+                f.hiNum.flatMap(unscaled(_, ceil = false)).map(u =>
+                  FilterApi.ltEq(c, java.lang.Integer.valueOf(u.toInt))))
+            } else if (dt.precision <= 18) {
+              val c = FilterApi.longColumn(sf.name)
+              both(
+                f.loNum.flatMap(unscaled(_, ceil = true)).map(u =>
+                  FilterApi.gtEq(c, java.lang.Long.valueOf(u.toLong))),
+                f.hiNum.flatMap(unscaled(_, ceil = false)).map(u =>
+                  FilterApi.ltEq(c, java.lang.Long.valueOf(u.toLong))))
+            } else {
+              // minimal byte width holding ±(10^p − 1) two's-complement
+              var n = 1
+              while (BigInt(2).pow(8 * n - 1) < BigInt(10).pow(dt.precision))
+                n += 1
+              def fixed(u: BigInt): Binary = {
+                val raw = u.toByteArray // minimal two's complement, BE
+                val out = new Array[Byte](n)
+                if (u.signum < 0)
+                  java.util.Arrays.fill(out, 0, n - raw.length, -1: Byte)
+                System.arraycopy(raw, 0, out, n - raw.length, raw.length)
+                Binary.fromConstantByteArray(out)
+              }
+              val c = FilterApi.binaryColumn(sf.name)
+              both(
+                f.loNum.flatMap(unscaled(_, ceil = true)).map(u =>
+                  FilterApi.gtEq(c, fixed(u))),
+                f.hiNum.flatMap(unscaled(_, ceil = false)).map(u =>
+                  FilterApi.ltEq(c, fixed(u))))
+            }
           case _ => None
         }
       }
@@ -257,6 +435,12 @@ private[graft] object LakeSource {
     preds.reduceOption(FilterApi.and)
   }
 
+  /** v1 source Filter → conservative RangeFilter for stats pruning
+    * (None when not convertible). In-lists carry their [min, max]
+    * envelope plus — when every member canonicalizes — the exact value
+    * set; timestamps/dates convert to epoch micros/days through their
+    * LOCAL fields under both the java.sql and java.time value classes.
+    */
   def filterToRanges(f: org.apache.spark.sql.sources.Filter)
       : Option[graft.lake.RangeFilter] = {
     import org.apache.spark.sql.sources._
@@ -269,6 +453,16 @@ private[graft] object LakeSource {
         // the sub-second part (truncating would over-prune files)
         Some(BigDecimal(
           Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000))
+      case t: java.time.Instant =>
+        // java8 datetime API sessions push Instant, not Timestamp;
+        // BigDecimal arithmetic — extreme instants overflow a long
+        Some(BigDecimal(t.getEpochSecond) * 1000000 + t.getNano / 1000)
+      // DATE columns: epoch DAYS — the unit parquet's INT32 date
+      // physical values and the engine's footer stats both use.
+      // java.sql.Date converts through its LOCAL fields (toLocalDate),
+      // never through getTime arithmetic (timezone-shifted by a day)
+      case d: java.sql.Date => Some(BigDecimal(d.toLocalDate.toEpochDay))
+      case d: java.time.LocalDate => Some(BigDecimal(d.toEpochDay))
       case _ => None
     }
     def str(v: Any): Option[String] = v match {

@@ -209,4 +209,244 @@ class ScanPushdownSpec extends AnyFunSuite {
     assert(spark.sql("SELECT s FROM gpd3.d.t WHERE k = 4500")
       .collect().head.getString(0) == "M")
   }
+
+  test("float/double predicates skip row groups and stay EXACT " +
+      "around NaN, ±0.0 and infinities") {
+    val wh = Files.createTempDirectory("graft-pushdown-fp").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"t","columns":[
+        |{"column_name":"k","data_type":"long"},
+        |{"column_name":"d","data_type":"double"},
+        |{"column_name":"f","data_type":"float"}],
+        |"partitions":[]}""".stripMargin)
+    LakeTable.load(wh, "d", "t").updateProperties(Map(
+      "write.option.parquet.block.size" -> "4096",
+      "write.option.parquet.page.size" -> "1024"))
+    import SparkTestSession.spark.implicits._
+    // k sorted; d carries the fp zoo — NaN sprinkled so MOST row
+    // groups are NaN-free (skippable) but some hold one (parquet-mr
+    // folds NaN into max as the LARGEST value under Double.compare,
+    // the same total order Spark's NaN-is-largest comparisons use,
+    // so those groups survive every gtEq bound); both zeros; both
+    // infinities. f is clean and sorted for the engagement check.
+    def dOf(i: Int): Double =
+      if (i % 4096 == 1234) Double.NaN
+      else if (i == 3000) 0.0
+      else if (i == 3001) -0.0
+      else if (i == 5000) Double.PositiveInfinity
+      else if (i == 5001) Double.NegativeInfinity
+      else (i - 10000) * 1.5
+    LakeTable.load(wh, "d", "t").append((0 until 20000).map(i =>
+      (i.toLong, dOf(i), i.toFloat / 8f)).toDF("k", "d", "f")
+      .repartition(1).sortWithinPartitions("k"))
+    spark.conf.set("spark.sql.catalog.gpd5", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.gpd5.warehouse", wh)
+    // ground truth: the UNFILTERED lake read, cached so every truth
+    // filter evaluates over the InMemoryRelation (nothing pushed)
+    val truth = spark.sql("SELECT k, d, f FROM gpd5.d.t").cache()
+    truth.count()
+    truth.createOrReplaceTempView("fp_truth")
+    def chk(where: String): Unit = {
+      val got = spark.sql(
+        s"SELECT k FROM gpd5.d.t WHERE $where ORDER BY k")
+        .collect().map(_.getLong(0)).toSeq
+      val want = spark.sql(
+        s"SELECT k FROM fp_truth WHERE $where ORDER BY k")
+        .collect().map(_.getLong(0)).toSeq
+      assert(got == want,
+        s"WHERE $where: got ${got.length} rows ${got.take(12)}…, " +
+          s"want ${want.length} rows ${want.take(12)}…")
+    }
+    chk("d > 5000.0") // NaN rows qualify (Spark: NaN > everything)
+    // only +Inf and the NaNs qualify — groups whose FINITE max is
+    // tiny must still surface the NaN they hold
+    chk("d > 1.0e300")
+    chk("d < -5000.0") // -Inf qualifies, NaN must not
+    chk("d <= -14999.0")
+    chk("d >= 14000.0 AND d < 14500.0")
+    chk("d = 0.0")  // must return the -0.0 row too (SQL: -0.0 = 0.0)
+    chk("d = -0.0") // and the +0.0 rows
+    chk("d <=> -0.0")
+    chk("d = CAST('NaN' AS DOUBLE)") // NaN = NaN is TRUE in Spark
+    chk("d IN (0.0, 4.5, -1.5)") // zero in the set → envelope only
+    chk("d IN (-4.5, 4.5)")
+    chk("f > 2400.25")
+    chk("f = 1250.125")
+    chk("f IN (100, 2000)")  // integral floats reach the exact in()
+    chk("f IN (0, 100)")     // zero refuses the set, envelope stays
+    // engagement: a selective range on the clean sorted float column
+    // must skip most of the file's row groups
+    val records = new java.util.concurrent.atomic.AtomicLong
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null)
+          records.addAndGet(e.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val got = spark.sql(
+        "SELECT k FROM gpd5.d.t WHERE f <= 10.0").collect()
+      var prev = -1L
+      var cur = records.get
+      while (prev != cur) { Thread.sleep(100); prev = cur; cur = records.get }
+      assert(got.length == 81, s"exactness first: ${got.length}")
+      assert(cur > 0 && cur < 5000,
+        s"a pushed float range must skip row groups: read $cur of 20000")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  test("decimal predicates skip row groups across all three physical " +
+      "layouts (INT32 / INT64 / FLBA)") {
+    val wh = Files.createTempDirectory("graft-pushdown-dec").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"t","columns":[
+        |{"column_name":"k","data_type":"long"},
+        |{"column_name":"d7","data_type":"decimal(7,2)"},
+        |{"column_name":"d12","data_type":"decimal(12,2)"},
+        |{"column_name":"d22","data_type":"decimal(22,4)"}],
+        |"partitions":[]}""".stripMargin)
+    LakeTable.load(wh, "d", "t").updateProperties(Map(
+      "write.option.parquet.block.size" -> "4096",
+      "write.option.parquet.page.size" -> "1024"))
+    import SparkTestSession.spark.implicits._
+    // negative AND positive values in every column: the FLBA encoding
+    // pads two's-complement SIGN bytes, and a sign bug reorders the
+    // whole negative half
+    LakeTable.load(wh, "d", "t").append(
+      (0 until 20000).map(_.toLong).toDF("k").selectExpr("k",
+        "CAST((k - 10000) / 4.0 AS DECIMAL(7,2)) AS d7",
+        "CAST((k - 10000) * 1234.56 AS DECIMAL(12,2)) AS d12",
+        """CAST((k - 10000) *
+          |CAST('10000000000000.0007' AS DECIMAL(22,4))
+          |AS DECIMAL(22,4)) AS d22""".stripMargin)
+        .repartition(1).sortWithinPartitions("k"))
+    spark.conf.set("spark.sql.catalog.gpd6", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.gpd6.warehouse", wh)
+    val truth = spark.sql("SELECT k, d7, d12, d22 FROM gpd6.d.t").cache()
+    truth.count()
+    truth.createOrReplaceTempView("dec_truth")
+    val fallbacks0 =
+      graft.sources.BatchRowLakeReader.predicateFallbacks.get
+    val records = new java.util.concurrent.atomic.AtomicLong
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null)
+          records.addAndGet(e.taskMetrics.inputMetrics.recordsRead)
+    }
+    def chk(where: String, expectSkip: Boolean): Unit = {
+      records.set(0)
+      spark.sparkContext.addSparkListener(l)
+      val (got, cur) =
+        try {
+          val got = spark.sql(
+            s"SELECT k FROM gpd6.d.t WHERE $where ORDER BY k")
+            .collect().map(_.getLong(0)).toSeq
+          var prev = -1L
+          var cur = records.get
+          while (prev != cur) {
+            Thread.sleep(100); prev = cur; cur = records.get
+          }
+          (got, cur)
+        } finally spark.sparkContext.removeSparkListener(l)
+      val want = spark.sql(
+        s"SELECT k FROM dec_truth WHERE $where ORDER BY k")
+        .collect().map(_.getLong(0)).toSeq
+      assert(got == want,
+        s"WHERE $where: got ${got.length} rows, want ${want.length}")
+      if (expectSkip)
+        assert(cur > 0 && cur < 5000,
+          s"WHERE $where must skip row groups: read $cur of 20000")
+    }
+    // INT32 layout (precision 7): selective mid-range slice
+    chk("d7 BETWEEN -1.25 AND 1.25", expectSkip = true)
+    chk("d7 = -2500.00", expectSkip = true)
+    // INT64 layout (precision 12): top slice; bounds with fractions
+    // that do NOT land on stored values exercise the ceil/floor
+    chk("d12 > 12000000.01", expectSkip = true)
+    chk("d12 <= -12340000.99", expectSkip = true)
+    // FLBA layout (precision 22): both signs
+    chk("d22 < CAST('-99000000000000000' AS DECIMAL(22,4))",
+      expectSkip = true)
+    chk("d22 >= CAST('99990000000000000.0001' AS DECIMAL(22,4))",
+      expectSkip = true)
+    chk("d22 BETWEEN CAST('-5000000000000.0007' AS DECIMAL(22,4)) " +
+      "AND CAST('10000000000000.0007' AS DECIMAL(22,4))",
+      expectSkip = true)
+    // wide (non-selective) predicates stay exact too
+    chk("d7 >= -2500.00", expectSkip = false)
+    chk("d12 != 0", expectSkip = false)
+    assert(graft.sources.BatchRowLakeReader.predicateFallbacks.get ==
+      fallbacks0,
+      "no predicate may fall back — the engine's standard layout " +
+        "must accept every translated decimal bound")
+  }
+
+  test("date predicates and IS [NOT] NULL skip row groups") {
+    val wh = Files.createTempDirectory("graft-pushdown-date").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"t","columns":[
+        |{"column_name":"k","data_type":"long"},
+        |{"column_name":"dt","data_type":"date"},
+        |{"column_name":"v","data_type":"long"}],
+        |"partitions":[]}""".stripMargin)
+    LakeTable.load(wh, "d", "t").updateProperties(Map(
+      "write.option.parquet.block.size" -> "4096",
+      "write.option.parquet.page.size" -> "1024"))
+    import SparkTestSession.spark.implicits._
+    // dt advances one day per row from 2000-01-01; v is NULL on the
+    // first 19,000 rows and set on the last 1,000 — IS NOT NULL has
+    // row groups to skip, IS NULL has the tail to skip
+    LakeTable.load(wh, "d", "t").append(
+      (0 until 20000).map(_.toLong).toDF("k").selectExpr("k",
+        "date_add(DATE '2000-01-01', CAST(k AS INT)) AS dt",
+        "CASE WHEN k >= 19000 THEN k * 3 ELSE NULL END AS v")
+        .repartition(1).sortWithinPartitions("k"))
+    spark.conf.set("spark.sql.catalog.gpd7", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.gpd7.warehouse", wh)
+    val truth = spark.sql("SELECT k, dt, v FROM gpd7.d.t").cache()
+    truth.count()
+    truth.createOrReplaceTempView("date_truth")
+    val records = new java.util.concurrent.atomic.AtomicLong
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null)
+          records.addAndGet(e.taskMetrics.inputMetrics.recordsRead)
+    }
+    def chk(where: String, expectSkip: Boolean): Unit = {
+      records.set(0)
+      spark.sparkContext.addSparkListener(l)
+      val (got, cur) =
+        try {
+          val got = spark.sql(
+            s"SELECT k FROM gpd7.d.t WHERE $where ORDER BY k")
+            .collect().map(_.getLong(0)).toSeq
+          var prev = -1L
+          var cur = records.get
+          while (prev != cur) {
+            Thread.sleep(100); prev = cur; cur = records.get
+          }
+          (got, cur)
+        } finally spark.sparkContext.removeSparkListener(l)
+      val want = spark.sql(
+        s"SELECT k FROM date_truth WHERE $where ORDER BY k")
+        .collect().map(_.getLong(0)).toSeq
+      assert(got == want,
+        s"WHERE $where: got ${got.length} rows, want ${want.length}")
+      if (expectSkip)
+        assert(cur > 0 && cur < 5000,
+          s"WHERE $where must skip row groups: read $cur of 20000")
+    }
+    // the most common warehouse predicate: a date window
+    chk("dt >= DATE '2000-02-01' AND dt < DATE '2000-02-08'",
+      expectSkip = true)
+    chk("dt = DATE '2054-07-19'", expectSkip = true)
+    chk("dt IN (DATE '2000-01-05', DATE '2051-01-05')", expectSkip = true)
+    // null-count skipping: the sparse column's shape, both directions
+    chk("v IS NOT NULL", expectSkip = true)
+    chk("v IS NULL AND k >= 18990", expectSkip = true)
+    chk("dt IS NOT NULL", expectSkip = false) // nothing to skip: exact
+  }
 }
