@@ -99,8 +99,15 @@ object Bench {
     }
     spark.sparkContext.addSparkListener(jobListener)
     def quiesce(): Int = {
-      var prev = -1; var cur = jobCount.get
-      while (prev != cur) { Thread.sleep(25); prev = cur; cur = jobCount.get }
+      // stable across THREE consecutive 50 ms polls: the listener bus
+      // is async, and one quiet gap can be a GC pause mid-delivery —
+      // a trailing job-start event would then count against the NEXT
+      // key and a sidecar diff would flag a phantom plan regression
+      var stable = 0; var prev = -1; var cur = jobCount.get
+      while (stable < 3) {
+        if (cur == prev) stable += 1 else stable = 0
+        Thread.sleep(50); prev = cur; cur = jobCount.get
+      }
       cur
     }
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -158,8 +165,11 @@ object Bench {
           .map { case (k, v) => s""""$k":${r3s(v)}""" }),
         s""""failed":[""" + failed.sorted
           .map(k => s""""$k"""").mkString(",") + "]"))
+      // cwd-relative default: the gate scripts run Bench from the repo
+      // root; a hard-coded absolute path would write into a foreign
+      // checkout (or warn-and-drop) anywhere else
       val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_SIDECAR",
-        "/root/repo/tools/bench_jobs.json")
+        "tools/bench_jobs.json")
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(sidecar), full + "\n")
     } catch {

@@ -837,13 +837,22 @@ private[sources] class GroupRowReader(p: LakeFilePartition)
         n == LakeSource.RowIdMetaCol || n == LakeSource.LastUpdMetaCol)
     val pred =
       if (!positionFree || p.pushedRanges.isEmpty) None
-      else LakeSource.parquetPredicate(p.pushedRanges, fileSchema,
-        n => keep.isEmpty || keep(n))
+      // ranges arrive named by the TARGET schema; rewrite to the
+      // file's physical names BY FIELD ID exactly as the vectorized
+      // readers do — a name-based bind would hit the wrong column
+      // under a rename-swap, and a dropped-then-readded column (same
+      // name, NEW id) would bind the stale physical column: its
+      // zero-null row groups would wrongly drop an IS NULL that the
+      // null-filled logical column satisfies everywhere. renameRanges
+      // drops filters whose id the file predates (conservative).
+      else LakeSource.parquetPredicate(
+        LakeVectorize.renameRanges(p.pushedRanges, p.target, fileSchema),
+        fileSchema, n => keep.isEmpty || keep(n))
     val b0 = ParquetReader
       .builder(new GroupReadSupport(), new org.apache.hadoop.fs.Path(p.path))
       .withConf(conf)
-    // byte-range split (planner splits only position-free clean files,
-    // so the row counter below never sees a partial file)
+    // byte-range splits of position-consuming files start their row
+    // counter at splitStartRow (see the pos initializer below)
     val b1 =
       if (p.length >= 0) b0.withFileRange(p.start, p.start + p.length)
       else b0

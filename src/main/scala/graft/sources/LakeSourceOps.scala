@@ -159,10 +159,18 @@ private[graft] object LakeSource {
     * same "NaN is greater than everything" order Spark's comparisons
     * use, so a gtEq bound keeps NaN rows and an ltEq bound drops only
     * rows the exact predicate also fails; float eq-sets additionally
-    * refuse zero and non-roundtripping members), and every remaining
-    * unsupported shape (decimals — binary vs decimal rounding; dotted
-    * names — FilterApi would misparse them as paths; null checks;
-    * non-primitive columns) contributes
+    * refuse zero and non-roundtripping members); decimal bounds (r14)
+    * convert by EXACT unscaled scaling (ceil lo / floor hi at the
+    * file's own scale) into the engine's standard physical layouts
+    * (unscaled INT32 ≤ 9 digits, INT64 ≤ 18, signed-big-endian FLBA
+    * beyond — a foreign layout fails parquet's schema validation at
+    * open and the reader retries predicate-free); dates (r14) push as
+    * epoch-day INT32; IS [NOT] NULL (r14) pushes as typed null-value
+    * predicates answered from per-chunk null counts; small value sets
+    * (≤ 16) go down as OR-of-eq so row-group stats check PER VALUE
+    * rather than the set envelope. Every remaining unsupported shape
+    * (dotted names — FilterApi would misparse them as paths;
+    * non-primitive columns; precision-overflowing bounds) contributes
     * NOTHING rather than a maybe-wrong bound. Sound alongside
     * record-level filtering because the predicate is a WEAKENING of
     * the residual filter Spark re-applies: any record parquet drops

@@ -1032,10 +1032,13 @@ private[sources] case class LakeFilePartition(path: String,
     fileSeq: Long = -1L,
     lineageMat: Boolean = false,
     pushedRanges: Seq[graft.lake.RangeFilter] = Seq.empty,
-    // byte-range split of a LARGE clean file (parquet's midpoint rule
+    // byte-range split of a LARGE file (parquet's midpoint rule
     // assigns each row group to exactly one range): start=0/length=-1
-    // reads the whole file; the planner only splits position-free
-    // clean files, so row counters never see a partial file
+    // reads the whole file. Splits cover delete-bearing and
+    // meta-consuming files too (r14) — every position-consuming
+    // reader seeds its row counter with LakeSource.splitStartRow, so
+    // a partial file never desynchronizes positions. Only external
+    // files and row-level-op scans stay one partition per file.
     start: Long = 0L,
     length: Long = -1L)
     extends InputPartition

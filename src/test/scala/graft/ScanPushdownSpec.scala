@@ -449,4 +449,85 @@ class ScanPushdownSpec extends AnyFunSuite {
     chk("v IS NULL AND k >= 18990", expectSkip = true)
     chk("dt IS NOT NULL", expectSkip = false) // nothing to skip: exact
   }
+
+  test("pushed predicates bind by FIELD ID on every reader: a " +
+      "dropped-and-readded column never misbinds its stale physical " +
+      "namesake") {
+    // file1 stores a fully-populated physical column x (old field id,
+    // ZERO nulls in every row group). After DROP + re-ADD, the logical
+    // x (new id) null-fills everywhere — a name-bound IS NULL pushed
+    // into parquet would stats-drop every zero-null group of the OLD
+    // x and silently lose all rows. The name collision also makes the
+    // file unmappable for the vectorized readers, so this exercises
+    // the Group-walk predicate path specifically.
+    val wh = Files.createTempDirectory("graft-pushdown-readd").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"t","columns":[
+        |{"column_name":"k","data_type":"long"},
+        |{"column_name":"x","data_type":"int"}],
+        |"partitions":[]}""".stripMargin)
+    LakeTable.load(wh, "d", "t").updateProperties(Map(
+      "write.option.parquet.block.size" -> "4096",
+      "write.option.parquet.page.size" -> "1024"))
+    import SparkTestSession.spark.implicits._
+    LakeTable.load(wh, "d", "t").append(
+      (0 until 5000).map(i => (i.toLong, i * 2)).toDF("k", "x")
+        .repartition(1).sortWithinPartitions("k"))
+    spark.conf.set("spark.sql.catalog.gpd8", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.gpd8.warehouse", wh)
+    spark.sql("ALTER TABLE gpd8.d.t DROP COLUMN x")
+    spark.sql("ALTER TABLE gpd8.d.t ADD COLUMNS (x INT)")
+    def ks(where: String): Seq[Long] = spark.sql(
+      s"SELECT k FROM gpd8.d.t WHERE $where ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ks("x IS NULL") == (0L until 5000L),
+      "the readded column null-fills every pre-evolution row — " +
+        "IS NULL must not bind the stale physical x")
+    assert(ks("x IS NOT NULL") == Seq.empty,
+      "no row carries the NEW x yet")
+    assert(ks("x > 100") == Seq.empty,
+      "a bounds misbind against the old physical x would resurrect " +
+        "rows the logical predicate excludes")
+
+    // rename-SWAP on the Group walk (the r14 review finding): after
+    // a↔b swap, logical `a` lives in the file under the physical name
+    // `b` — a NAME-bound predicate binds the wrong column's stats and
+    // silently drops every matching row group. The vectorized readers
+    // already rewrote ranges by field id; novector forces the Group
+    // walk, whose translation must rewrite identically.
+    val wh2 = Files.createTempDirectory("graft-pushdown-swap").toString
+    Engine.processTableDefJson(wh2,
+      """{"database_name":"d","table_name":"t","columns":[
+        |{"column_name":"k","data_type":"long"},
+        |{"column_name":"a","data_type":"long"},
+        |{"column_name":"b","data_type":"long"}],
+        |"partitions":[]}""".stripMargin)
+    LakeTable.load(wh2, "d", "t").updateProperties(Map(
+      "write.option.parquet.block.size" -> "4096",
+      "write.option.parquet.page.size" -> "1024"))
+    // physical a = 0..4999 (sorted, skippable); physical b = -1
+    LakeTable.load(wh2, "d", "t").append(
+      (0 until 5000).map(i => (i.toLong, i.toLong, -1L))
+        .toDF("k", "a", "b").repartition(1).sortWithinPartitions("k"))
+    spark.conf.set("spark.sql.catalog.gpd9", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.gpd9.warehouse", wh2)
+    spark.sql("ALTER TABLE gpd9.d.t RENAME COLUMN a TO swap_tmp")
+    spark.sql("ALTER TABLE gpd9.d.t RENAME COLUMN b TO a")
+    spark.sql("ALTER TABLE gpd9.d.t RENAME COLUMN swap_tmp TO b")
+    def ks2(where: String): Seq[Long] = spark.sql(
+      s"SELECT k FROM gpd9.d.t WHERE $where ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq
+    System.setProperty("graft.read.novector", "1")
+    try {
+      assert(ks2("a = -1") == (0L until 5000L),
+        "logical a (old b) is -1 everywhere — a name-bound predicate " +
+          "would bind old a's [0,4999] stats and drop every group")
+      assert(ks2("b >= 4900") == (4900L until 5000L),
+        "logical b (old a) carries the key values")
+      assert(ks2("b >= 4900 AND a = -1") == (4900L until 5000L))
+    } finally System.clearProperty("graft.read.novector")
+    // the vectorized path answers identically
+    assert(ks2("a = -1") == (0L until 5000L))
+    assert(ks2("b >= 4900") == (4900L until 5000L))
+  }
 }
