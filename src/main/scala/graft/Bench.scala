@@ -99,16 +99,18 @@ object Bench {
     }
     spark.sparkContext.addSparkListener(jobListener)
     def quiesce(): Int = {
-      // stable across THREE consecutive 50 ms polls: the listener bus
-      // is async, and one quiet gap can be a GC pause mid-delivery —
-      // a trailing job-start event would then count against the NEXT
-      // key and a sidecar diff would flag a phantom plan regression
-      var stable = 0; var prev = -1; var cur = jobCount.get
+      // return a value OBSERVED unchanged across three consecutive
+      // 50 ms polls: the listener bus is async, and one quiet gap can
+      // be a GC pause mid-delivery — a trailing job-start event would
+      // then count against the NEXT key and a sidecar diff would flag
+      // a phantom plan regression
+      var stable = 0; var prev = jobCount.get
       while (stable < 3) {
-        if (cur == prev) stable += 1 else stable = 0
-        Thread.sleep(50); prev = cur; cur = jobCount.get
+        Thread.sleep(50)
+        val cur = jobCount.get
+        if (cur == prev) stable += 1 else { stable = 0; prev = cur }
       }
-      cur
+      prev
     }
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     var failedSec = 0.0

@@ -603,11 +603,26 @@ private[graft] object LakeSource {
     * delete files — shared by both row-emitting readers (Group and
     * vectorized-decode). Null when there are no delete files.
     */
+  // (delete files, data file) → its position set, JVM-cached like
+  // EqBatchCache / DeletionVectors.cached: since r14 a delete-bearing
+  // file byte-range SPLITS, and without the cache every split's reader
+  // re-read every delete file end to end — ~80 splits of a 10 GB file
+  // would scan the same delete parquet 80 times. Delete files are
+  // immutable once written (rewrites publish NEW paths), so the entry
+  // can never go stale; the bound keeps one-off scans from pinning
+  // memory forever.
+  private val deletedPosCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (Seq[String], String), java.util.HashSet[java.lang.Long]]()
+
   def loadDeletedPositions(deletes: Seq[String], dataPath: String)
       : java.util.HashSet[java.lang.Long] =
     if (deletes.isEmpty) null
     else {
       val mine = LakeTable.normalizePath(dataPath)
+      val key = (deletes.sorted, mine)
+      val hit = deletedPosCache.get(key)
+      if (hit != null) return hit
       val set = new java.util.HashSet[java.lang.Long]()
       deletes.foreach { dp =>
         val r = ParquetReader.builder(new GroupReadSupport(),
@@ -621,6 +636,8 @@ private[graft] object LakeSource {
           }
         } finally r.close()
       }
+      if (deletedPosCache.size > 128) deletedPosCache.clear()
+      deletedPosCache.putIfAbsent(key, set)
       set
     }
 

@@ -41,8 +41,22 @@ private[sources] final class SelectedColumnVector(
   override def getUTF8String(i: Int): UTF8String =
     base.getUTF8String(map(i))
   override def getBinary(i: Int): Array[Byte] = base.getBinary(map(i))
+  // struct reads call getChild per FIELD per ROW (ColumnarRow) — cache
+  // the wrapped children instead of allocating one per access
+  private lazy val childCache: Array[ColumnVector] =
+    new Array(base.dataType match {
+      case s: org.apache.spark.sql.types.StructType => s.size
+      case _ => 0
+    })
   override def getChild(ordinal: Int): ColumnVector =
-    new SelectedColumnVector(base.getChild(ordinal), map)
+    if (ordinal < childCache.length) {
+      var c = childCache(ordinal)
+      if (c == null) {
+        c = new SelectedColumnVector(base.getChild(ordinal), map)
+        childCache(ordinal) = c
+      }
+      c
+    } else new SelectedColumnVector(base.getChild(ordinal), map)
 }
 
 /** Merge-on-read scans, fully COLUMNAR: Spark's vectorized parquet
@@ -69,10 +83,20 @@ private[sources] class MorVectorizedLakeReader(p: LakeFilePartition,
     extends PartitionReader[ColumnarBatch] {
   BatchRowLakeReader.opened.incrementAndGet()
 
-  // positions are consumed by the delete probes — never push a parquet
-  // predicate (a skipped row group would desynchronize the counter)
+  // positions are consumed by the position-delete / DV probes — never
+  // push a parquet predicate then (a skipped row group would
+  // desynchronize the counter). EQUALITY-only delete state consumes no
+  // positions, so those scans keep row-group skipping (parity with the
+  // pre-r14 row path, which pushed under the same gate); ranges
+  // rewrite to the file's physical names by field id as everywhere
   private val reader = LakeVectorize.openReader(p.path, plan.requested,
-    pred = None, returnBatches = true, start = p.start, length = p.length)
+    pred =
+      if (p.deletes.nonEmpty || p.dv.nonEmpty || p.pushedRanges.isEmpty)
+        None
+      else LakeSource.parquetPredicate(
+        LakeVectorize.renameRanges(p.pushedRanges, p.target, p.fileSchema),
+        p.fileSchema, n => plan.requested.fieldNames.contains(n)),
+    returnBatches = true, start = p.start, length = p.length)
 
   private val targetWidth = p.target.fields.length
   private val requestedWidth = plan.requested.fields.length

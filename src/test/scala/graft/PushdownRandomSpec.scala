@@ -150,7 +150,6 @@ class PushdownRandomSpec extends AnyFunSuite {
     val truth = lake.cache()
     truth.count() // materialize: truth filters scan the cache, unpushed
     try {
-      val rnd = new scala.util.Random(seed * 7919 + 17)
       (0 until preds).foreach { pi =>
         val predLake = randomPred(
           new scala.util.Random(seed + pi), lake.col)
@@ -164,7 +163,6 @@ class PushdownRandomSpec extends AnyFunSuite {
           s"seed $seed predicate #$pi: pushed scan returned " +
             s"${got.length} rows, unpushed ${want.length} " +
             s"(pred: $predLake)")
-        val _ = rnd // keep the per-soak stream distinct from per-pred
       }
     } finally truth.unpersist()
   }

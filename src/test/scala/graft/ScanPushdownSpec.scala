@@ -450,6 +450,39 @@ class ScanPushdownSpec extends AnyFunSuite {
     chk("dt IS NOT NULL", expectSkip = false) // nothing to skip: exact
   }
 
+  test("equality-only delete state keeps row-group skipping: eq " +
+      "probes consume no positions, so the columnar MoR reader pushes " +
+      "the predicate") {
+    val (wh, t0) = mk("eqskip")
+    seed(t0)
+    import SparkTestSession.spark.implicits._
+    LakeTable.load(wh, "d", "t").deleteByKeysMoR(spark,
+      Seq(10002L, 15000L).toDF("k"))
+    spark.conf.set("spark.sql.catalog.gpd10", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.gpd10.warehouse", wh)
+    val records = new java.util.concurrent.atomic.AtomicLong
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null)
+          records.addAndGet(e.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val got = spark.sql(
+        "SELECT k FROM gpd10.d.t WHERE k BETWEEN 10000 AND 10009")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      var prev = -1L
+      var cur = records.get
+      while (prev != cur) { Thread.sleep(100); prev = cur; cur = records.get }
+      assert(got == (10000L to 10009L).filterNot(_ == 10002L),
+        s"eq delete must apply under the pushed predicate: $got")
+      assert(cur > 0 && cur < 5000,
+        s"an equality-only MoR scan must keep row-group skipping: " +
+          s"read $cur of 20000")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
   test("pushed predicates bind by FIELD ID on every reader: a " +
       "dropped-and-readded column never misbinds its stale physical " +
       "namesake") {
