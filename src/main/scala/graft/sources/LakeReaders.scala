@@ -219,6 +219,14 @@ private[sources] class EqMarkerReader(p: LakeEqMarkerPartition)
 private[sources] object LakeVectorize {
   import graft.schema.{Defaults, FieldIds}
 
+  /** Spark's row-index temp column: requesting it makes the
+    * vectorized reader fill FILE-ABSOLUTE row indexes (exact under
+    * row-group/page skipping and byte-range splits) — the position
+    * source for every position-consuming vectorized read since r15.
+    */
+  val RowIndexTempCol: String = org.apache.spark.sql.execution
+    .datasources.parquet.GraftRowIndexBridge.RowIndexTempCol
+
   /** The engine's legal in-place widenings (CLEANED types in, CLEANED
     * out) — exactly what Spark's vectorized updaters perform.
     */
@@ -500,11 +508,14 @@ private[graft] object BatchRowLakeReader {
 
   /** Decode plan: the physical schema to request and where each
     * output / equality-key / lineage value sits in the decoded row.
+    * `rowIdxPos` ≥ 0 marks the appended row-index temp column — the
+    * file-absolute position source for position-consuming reads
+    * (Spark's reader GENERATES it; no file IO, no sequential counter).
     * None = stay on the Group walk.
     */
   final case class Plan(requested: StructType, srcIdx: Array[Int],
       eqIdx: Array[Array[Int]], eqTypes: Array[Array[DataType]],
-      rowIdSrc: Int, lastUpdSrc: Int)
+      rowIdSrc: Int, lastUpdSrc: Int, rowIdxPos: Int)
 
   def plan(p: LakeFilePartition): Option[Plan] = {
     if (sys.props.contains("graft.read.novector")) return None
@@ -587,17 +598,40 @@ private[graft] object BatchRowLakeReader {
         nullable = true)
       lastUpdSrc = fields.length - 1
     }
+    // position-consuming reads request Spark's row-index temp column:
+    // the vectorized reader FILLS it with file-absolute row indexes
+    // (from parquet's PageReadStore.getRowIndexes — exact under
+    // row-group skipping, page-index filtering, and byte-range
+    // splits), so position-delete / DV probes, `_graft_pos`, and
+    // row-lineage inheritance read true physical positions with the
+    // parquet predicate ENGAGED (r15 — previously these scans gated
+    // pushdown off and seeded a sequential counter with two footer
+    // reads per split)
+    // (emptiness is checked BEFORE the append: the generated column
+    // alone must not carry an otherwise-empty request past the gate)
+    if (fields.isEmpty) return None
+    val rowIdxPos =
+      if (p.deletes.nonEmpty || p.dv.nonEmpty || p.emitOnlyDeleted ||
+          p.target.fieldNames.exists(n => n == LakeSource.PosMetaCol ||
+            n == LakeSource.RowIdMetaCol)) {
+        // nullable: the column is absent from the FILE (the reader
+        // generates it) — a required absent column fails checkColumn
+        fields += StructField(LakeVectorize.RowIndexTempCol, LongType,
+          nullable = true)
+        fields.length - 1
+      } else -1
     // a requested-name collision would make the name-based clip bind
-    // the wrong column; an empty request has nothing to drive the
-    // row count — both are Group-walk territory
+    // the wrong column (and a data column spelled like the row-index
+    // temp column would collide with the generated one) — Group-walk
+    // territory
     val names = fields.map(_.name.toLowerCase(java.util.Locale.ROOT))
-    if (fields.isEmpty || names.distinct.size != names.size) return None
+    if (names.distinct.size != names.size) return None
     var di = -1
     val srcIdx = p.target.fields.map { tf =>
       if (LakeSource.isMetaCol(tf.name)) -1 else { di += 1; di }
     }
     Some(Plan(StructType(fields.toSeq), srcIdx, eqIdx, eqTypes,
-      rowIdSrc, lastUpdSrc))
+      rowIdSrc, lastUpdSrc, rowIdxPos))
   }
 }
 
@@ -605,19 +639,16 @@ private[sources] class BatchRowLakeReader(p: LakeFilePartition,
     plan: BatchRowLakeReader.Plan) extends PartitionReader[InternalRow] {
   BatchRowLakeReader.opened.incrementAndGet()
 
-  // ROW-GROUP + record-level predicate skipping ONLY when the read is
-  // position-independent — same gate as the Group walk: the position
-  // counter below must see every physical row, and external files are
-  // excluded from predicates entirely. (A position-free clean
-  // partition lands here only inside a MIXED scan that dropped to row
-  // mode as a whole.)
-  private val positionFree = p.deletes.isEmpty && p.dv.isEmpty &&
-    !p.emitOnlyDeleted && !p.external &&
-    !p.target.fieldNames.exists(n => n == LakeSource.PosMetaCol ||
-      n == LakeSource.RowIdMetaCol || n == LakeSource.LastUpdMetaCol)
-
+  // ROW-GROUP + record-level predicate skipping on every engine-
+  // written read (r15): position-consuming scans read exact
+  // file-absolute positions from the generated row-index column
+  // (plan.rowIdxPos), so a skipped row group can no longer
+  // desynchronize deletes/meta/lineage. External files stay excluded
+  // (foreign physical encodings compare differently), and changelog
+  // delete-marker emission keeps the full walk (incremental reads are
+  // small; not worth the subtler residual-equivalence argument).
   private val reader = LakeVectorize.openReader(p.path, plan.requested,
-    if (!positionFree || p.pushedRanges.isEmpty) None
+    if (p.external || p.emitOnlyDeleted || p.pushedRanges.isEmpty) None
     else LakeSource.parquetPredicate(
       LakeVectorize.renameRanges(p.pushedRanges, p.target, p.fileSchema),
       p.fileSchema, n => plan.requested.fieldNames.contains(n)),
@@ -685,19 +716,16 @@ private[sources] class BatchRowLakeReader(p: LakeFilePartition,
     else null
 
   private var cur: InternalRow = _
-  // byte-range split of a position-consuming read: the counter starts
-  // at the file-absolute index of the split's first row (exact — same
-  // range filter parquet itself applies), so position deletes / DV /
-  // meta / inherited lineage stay correct per split
-  private var pos: Long =
-    (if (!positionFree && p.start > 0L)
-       LakeSource.splitStartRow(p.path, p.start, p.length)
-     else 0L) - 1L
+  // file-absolute position of the CURRENT row, read from the
+  // generated row-index column — exact per byte-range split and under
+  // pushed predicates, with zero extra IO (rowIdxPos < 0 only when
+  // nothing positional is consumed, so the stale value is never read)
+  private var pos: Long = -1L
 
   override def next(): Boolean = {
     while (reader.nextKeyValue()) {
-      pos += 1
       val r = reader.getCurrentValue.asInstanceOf[InternalRow]
+      if (plan.rowIdxPos >= 0) pos = r.getLong(plan.rowIdxPos)
       if (p.emitOnlyDeleted) {
         // changelog delete markers: keep ONLY deleted positions
         if (deletedAt(pos)) { cur = r; return true }
@@ -824,19 +852,16 @@ private[sources] class GroupRowReader(p: LakeFilePartition)
         } catch { case _: Exception => () } // fall back to full read
       }
     }
-    // ROW-GROUP + record-level predicate skipping, ONLY when the read
-    // is position-independent: the reader derives `_metadata.row_index`
-    // / MoR delete positions / inherited row ids from a LINEAR row
-    // counter, and a skipped row group (or filtered record) would
-    // desynchronize it. Plain filtered scans — the dominant pattern —
-    // qualify; anything positional keeps the full walk. External files
-    // are excluded too (legacy INT96 timestamps compare differently).
-    val positionFree = p.deletes.isEmpty && p.dv.isEmpty &&
-      !p.emitOnlyDeleted && !p.external &&
-      !p.target.fieldNames.exists(n => n == LakeSource.PosMetaCol ||
-        n == LakeSource.RowIdMetaCol || n == LakeSource.LastUpdMetaCol)
+    // ROW-GROUP + record-level predicate skipping (r15: position-
+    // consuming walks qualify too — positions come from parquet's own
+    // getCurrentRowIndex, which stays file-absolute when row groups
+    // are skipped or records filtered, so MoR delete positions /
+    // `_metadata.row_index` / inherited row ids can no longer
+    // desynchronize). External files are excluded (legacy INT96
+    // timestamps compare differently), as is changelog delete-marker
+    // emission (small incremental reads; keep the walk full).
     val pred =
-      if (!positionFree || p.pushedRanges.isEmpty) None
+      if (p.external || p.emitOnlyDeleted || p.pushedRanges.isEmpty) None
       // ranges arrive named by the TARGET schema; rewrite to the
       // file's physical names BY FIELD ID exactly as the vectorized
       // readers do — a name-based bind would hit the wrong column
@@ -900,11 +925,11 @@ private[sources] class GroupRowReader(p: LakeFilePartition)
     else null
   }
 
-  // merge-on-read: positions of this file deleted by live delete files.
-  // The reader walks rows in physical order, so a simple position
-  // counter matches the _metadata.row_index values captured at
-  // delete-write time. (Scale note: a per-file set in memory — Iceberg
-  // uses roaring bitmaps for the same structure.)
+  // merge-on-read: positions of this file deleted by live delete
+  // files, probed with parquet's per-record row index — the same
+  // file-absolute index space the _metadata.row_index values captured
+  // at delete-write time. (Scale note: a per-file set in memory —
+  // Iceberg uses roaring bitmaps for the same structure.)
   private val deletedPos: java.util.HashSet[java.lang.Long] =
     LakeSource.loadDeletedPositions(p.deletes, p.path)
 
@@ -958,30 +983,37 @@ private[sources] class GroupRowReader(p: LakeFilePartition)
   }
 
   private var cur: Group = _
-  // split-local counter start: file-absolute index of the range's
-  // first row (position deletes / DV / meta / lineage stay exact when
-  // a delete-bearing large file splits into byte ranges)
-  private var pos: Long = {
-    val positional = p.deletes.nonEmpty || p.dv.nonEmpty ||
-      p.emitOnlyDeleted || posIdx >= 0 || rowIdIdx >= 0 || lastUpdIdx >= 0
-    (if (positional && p.start > 0L)
-       LakeSource.splitStartRow(p.path, p.start, p.length)
-     else 0L) - 1L
+  // does anything consume per-row positions? (controls the loud guard
+  // below — position-free walks never read `pos`)
+  private val positional = p.deletes.nonEmpty || p.dv.nonEmpty ||
+    p.emitOnlyDeleted || posIdx >= 0 || rowIdIdx >= 0
+  // file-absolute position of the CURRENT row, from parquet's own
+  // per-record row index (exact under byte-range splits, row-group
+  // skipping, and record-level filtering — no counter, no footer IO)
+  private var pos: Long = -1L
+  private def advance(): Unit = {
+    cur = reader.read()
+    if (cur != null) {
+      pos = reader.getCurrentRowIndex()
+      if (positional && pos < 0)
+        // never silently misapply a delete: -1 means parquet could not
+        // provide row indexes for this read shape (not expected for
+        // any file the engine reads; fail the task rather than guess)
+        throw new IllegalStateException(
+          s"parquet returned no row index for a position-consuming " +
+            s"walk of ${p.path}")
+    }
   }
   override def next(): Boolean = {
-    cur = reader.read(); pos += 1
+    advance()
     if (p.emitOnlyDeleted) {
       // changelog delete markers: keep ONLY the rows at deleted
       // positions (the inverse of the normal merge-on-read filter)
-      while (cur != null && !deletedAt(pos)) {
-        cur = reader.read(); pos += 1
-      }
+      while (cur != null && !deletedAt(pos)) advance()
     } else {
       while (cur != null &&
           (deletedAt(pos) ||
-            (eqFilters.length > 0 && eqDeleted(cur)))) {
-        cur = reader.read(); pos += 1
-      }
+            (eqFilters.length > 0 && eqDeleted(cur)))) advance()
     }
     cur != null
   }
@@ -1006,20 +1038,38 @@ private[sources] class GroupRowReader(p: LakeFilePartition)
   * by (paths, key ids+types) can be shared across every data-file
   * partition of a scan — and across scans — instead of re-reading and
   * re-hashing the batch per partition (Iceberg caches its DeleteFilter
-  * sets the same way). Size-bounded by a coarse clear: batches are
-  * upsert-sized and compaction retires them, so the cache stays small
-  * in steady state.
+  * sets the same way). Size-bounded by a small access-ordered LRU
+  * (r15 — the prior coarse clear wiped entries hot partitions were
+  * about to reuse), with memoized loads so concurrent first-touch
+  * partitions share one read instead of racing parallel ones; batches
+  * are upsert-sized and compaction retires them, so the cache stays
+  * small in steady state.
   */
 private[sources] object EqBatchCache {
-  private val cache = new java.util.concurrent.ConcurrentHashMap[
-    String, java.util.HashSet[java.util.ArrayList[Any]]]()
+  private final class Memo(load: () => java.util.HashSet[
+      java.util.ArrayList[Any]]) {
+    lazy val value: java.util.HashSet[java.util.ArrayList[Any]] = load()
+  }
+  private val cache = new java.util.LinkedHashMap[String, Memo](
+      16, 0.75f, /* accessOrder = */ true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[String, Memo]): Boolean = size > 64
+  }
 
   def get(b: LakeEqBatch): java.util.HashSet[java.util.ArrayList[Any]] = {
     val key = b.paths.mkString("|") + "#" +
       b.keyFields.fields.map(f =>
         s"${FieldIds.idOf(f)}:${f.dataType.simpleString}").mkString(",")
-    val hit = cache.get(key)
-    if (hit != null) return hit
+    val memo = cache.synchronized {
+      var m = cache.get(key)
+      if (m == null) { m = new Memo(() => load(b)); cache.put(key, m) }
+      m
+    }
+    memo.value
+  }
+
+  private def load(b: LakeEqBatch)
+      : java.util.HashSet[java.util.ArrayList[Any]] = {
     val set = new java.util.HashSet[java.util.ArrayList[Any]]()
     b.paths.foreach { path =>
       val r = ParquetReader.builder(new GroupReadSupport(),
@@ -1036,8 +1086,6 @@ private[sources] object EqBatchCache {
         }
       } finally r.close()
     }
-    if (cache.size > 64) cache.clear()
-    cache.putIfAbsent(key, set)
     set
   }
 }

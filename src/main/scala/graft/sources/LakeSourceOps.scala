@@ -19,8 +19,11 @@ import graft.schema.FieldIds
 
 /** Shared read-path helpers of the lake DSv2 connector (split from
   * LakeStreamSource.scala — pure move): metadata column names, delete
-  * position loading, parquet predicate translation, split start-row
-  * resolution, and schema reconciliation entry points.
+  * position loading, parquet predicate translation, and schema
+  * reconciliation entry points. (Split start-row bookkeeping retired
+  * in r15: every reader now takes file-absolute positions from
+  * parquet's own row-index machinery, exact per byte-range split with
+  * zero footer IO.)
   */
 private[graft] object LakeSource {
 
@@ -103,46 +106,6 @@ private[graft] object LakeSource {
     val nanosOfDay = buf.getLong
     val julianDay = buf.getInt
     (julianDay - 2440588L) * 86400000000L + nanosOfDay / 1000L
-  }
-
-  /** Absolute row index (within the FILE) of the first row a
-    * byte-range split emits — the exact starting value for the
-    * position counters that drive MoR position deletes, deletion
-    * vectors, `_graft_pos`, and inherited row lineage, so
-    * delete-bearing large files can split instead of serializing into
-    * one straggler task each (the compact-then-delete lifecycle makes
-    * them the NORM at 100 TB). Parquet's midpoint rule (offset +
-    * totalCompressedSize/2 ∈ [start, end)) assigns each row group to
-    * exactly one covering range; rather than REPLICATE that rule — a
-    * silent-drift hazard across parquet upgrades — this opens the
-    * footer twice through parquet's own code: once unfiltered (every
-    * row group, in file order) and once through the SAME range filter
-    * the actual readers apply, then sums the row counts of the groups
-    * strictly before the split's first surviving group. Two small
-    * footer reads per split task, executor-side, zero planner IO.
-    * A split whose range holds no row-group midpoint returns 0 — its
-    * reader emits nothing, so the counter start is never observed.
-    */
-  def splitStartRow(path: String, start: Long, length: Long): Long = {
-    if (start <= 0L) return 0L // leading split: nothing precedes it
-    val conf = graft.lake.HadoopConfs.shared
-    val hPath = new org.apache.hadoop.fs.Path(path)
-    val in = HadoopInputFile.fromPath(hPath, conf)
-    import org.apache.parquet.hadoop.ParquetFileReader
-    val all = scala.util.Using.resource(ParquetFileReader.open(in)) {
-      r => r.getRowGroups.asScala.toList.map(b =>
-        (b.getStartingPos, b.getRowCount))
-    }
-    val mine = scala.util.Using.resource(new ParquetFileReader(in,
-      org.apache.parquet.HadoopReadOptions.builder(conf, hPath)
-        .withRange(start, start + length).build())) {
-      r => r.getRowGroups.asScala.toList.map(_.getStartingPos)
-    }
-    mine.headOption match {
-      case None => 0L
-      case Some(firstPos) =>
-        all.takeWhile(_._1 != firstPos).map(_._2).sum
-    }
   }
 
   /** RangeFilters → one parquet `FilterPredicate`, for ROW-GROUP (and
@@ -599,46 +562,93 @@ private[graft] object LakeSource {
       try Some(fr.getFooter.getFileMetaData.getSchema) finally fr.close()
     } catch { case _: Exception => None }
 
+  /** A memoized load: `value` computes once under the lazy-val lock,
+    * so concurrent first-touch callers of the SAME key share one load
+    * (computeIfAbsent semantics) while loads of DIFFERENT keys run in
+    * parallel — the holder is inserted under the map lock, the IO runs
+    * outside it.
+    */
+  private final class Memo[V](load: () => V) { lazy val value: V = load() }
+
+  /** Small access-ordered LRU behind a lock: eviction drops the
+    * coldest entry instead of wiping entries hot splits are about to
+    * reuse (a scan over >bound delete-bearing files must not thrash
+    * still-running splits of earlier files).
+    */
+  private final class LruMemoCache[V](bound: Int) {
+    private val map = new java.util.LinkedHashMap[String, Memo[V]](
+        16, 0.75f, /* accessOrder = */ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Memo[V]]): Boolean = size > bound
+    }
+    def get(key: String, load: () => V): V = {
+      val memo = map.synchronized {
+        var m = map.get(key)
+        if (m == null) { m = new Memo(load); map.put(key, m) }
+        m
+      }
+      memo.value
+    }
+  }
+
+  // one positional delete parquet parses ONCE per executor into a
+  // (data file → positions) map shared by every data file it covers
+  // and every byte-range split — not once per (delete set, data file)
+  // pair. Delete files are immutable once written (rewrites publish
+  // NEW paths), so entries never go stale; eviction only costs a
+  // re-read.
+  private val deleteFileParses =
+    new LruMemoCache[Map[String, java.util.HashSet[java.lang.Long]]](128)
+
+  // the per-(delete set, data file) UNION the readers probe, assembled
+  // from the per-file parses (cheap lookups; the union allocation is
+  // what this level saves across ~80 splits of one data file)
+  private val deletedPosUnions =
+    new LruMemoCache[java.util.HashSet[java.lang.Long]](256)
+
+  private def parseDeleteFile(dp: String)
+      : Map[String, java.util.HashSet[java.lang.Long]] = {
+    val out = scala.collection.mutable.HashMap
+      .empty[String, java.util.HashSet[java.lang.Long]]
+    val r = ParquetReader.builder(new GroupReadSupport(),
+      new org.apache.hadoop.fs.Path(dp)).build()
+    try {
+      var g = r.read()
+      while (g != null) {
+        out.getOrElseUpdate(
+          LakeTable.normalizePath(g.getString("file_path", 0)),
+          new java.util.HashSet[java.lang.Long]())
+          .add(g.getLong("pos", 0))
+        g = r.read()
+      }
+    } finally r.close()
+    out.toMap
+  }
+
   /** Positions of `dataPath`'s rows deleted by the live v2 positional
     * delete files — shared by both row-emitting readers (Group and
-    * vectorized-decode). Null when there are no delete files.
+    * vectorized-decode) and the columnar MoR reader. Null when there
+    * are no delete files. JVM-cached at two levels (per delete FILE,
+    * then per (delete set, data file) union) so neither concurrent
+    * splits nor sibling data files re-read a delete parquet.
     */
-  // (delete files, data file) → its position set, JVM-cached like
-  // EqBatchCache / DeletionVectors.cached: since r14 a delete-bearing
-  // file byte-range SPLITS, and without the cache every split's reader
-  // re-read every delete file end to end — ~80 splits of a 10 GB file
-  // would scan the same delete parquet 80 times. Delete files are
-  // immutable once written (rewrites publish NEW paths), so the entry
-  // can never go stale; the bound keeps one-off scans from pinning
-  // memory forever.
-  private val deletedPosCache =
-    new java.util.concurrent.ConcurrentHashMap[
-      (Seq[String], String), java.util.HashSet[java.lang.Long]]()
-
   def loadDeletedPositions(deletes: Seq[String], dataPath: String)
       : java.util.HashSet[java.lang.Long] =
     if (deletes.isEmpty) null
     else {
       val mine = LakeTable.normalizePath(dataPath)
-      val key = (deletes.sorted, mine)
-      val hit = deletedPosCache.get(key)
-      if (hit != null) return hit
-      val set = new java.util.HashSet[java.lang.Long]()
-      deletes.foreach { dp =>
-        val r = ParquetReader.builder(new GroupReadSupport(),
-          new org.apache.hadoop.fs.Path(dp)).build()
-        try {
-          var g = r.read()
-          while (g != null) {
-            if (LakeTable.normalizePath(g.getString("file_path", 0)) == mine)
-              set.add(g.getLong("pos", 0))
-            g = r.read()
-          }
-        } finally r.close()
-      }
-      if (deletedPosCache.size > 128) deletedPosCache.clear()
-      deletedPosCache.putIfAbsent(key, set)
-      set
+      val sorted = deletes.sorted
+      deletedPosUnions.get(sorted.mkString("\u0000") + "\u0000" + mine, () => {
+        val perFile = sorted.map(dp =>
+          deleteFileParses.get(dp, () => parseDeleteFile(dp)))
+        perFile.flatMap(_.get(mine)) match {
+          case Seq(one) => one // the common single-delete-file case
+          case many =>
+            val u = new java.util.HashSet[java.lang.Long]()
+            many.foreach(u.addAll)
+            u
+        }
+      })
     }
 
   def eqKeyValue(g: Group, name: String, dt: DataType): Any = {

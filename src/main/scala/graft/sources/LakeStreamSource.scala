@@ -914,18 +914,17 @@ private[sources] class LakeScan(wh: String, db: String, tbl: String,
           // LARGE-file byte-range splitting (Iceberg's
           // read.split.target-size): a multi-GB compacted/CTAS file
           // must not serialize into one task at 1000-executor scale.
-          // Ranges are planned with ZERO footer IO — parquet's
-          // midpoint rule assigns each row group to exactly one range
-          // at read time. Position-consuming reads (MoR position
-          // deletes, deletion vectors, meta/lineage columns) split
-          // too: each range's reader starts its row counter at
-          // [[LakeSource.splitStartRow]] (exact, derived from the
-          // SAME range filter parquet applies), so compact-then-
-          // delete files — the 100-TB lifecycle norm — stop being
-          // one straggler task each. Only external bytes (foreign
-          // encodings) keep one partition per file, and row-level op
-          // scans keep file-granular groups (their filters select
-          // FILES for rewrite, not records).
+          // Ranges are planned AND read with ZERO footer IO —
+          // parquet's midpoint rule assigns each row group to exactly
+          // one range at read time. Position-consuming reads (MoR
+          // position deletes, deletion vectors, meta/lineage columns)
+          // split too: every reader takes file-absolute positions
+          // from parquet's own row-index machinery (exact per range),
+          // so compact-then-delete files — the 100-TB lifecycle
+          // norm — stop being one straggler task each. Only external
+          // bytes (foreign encodings) keep one partition per file,
+          // and row-level op scans keep file-granular groups (their
+          // filters select FILES for rewrite, not records).
           // floor 4 KiB (a smaller value is a misconfiguration, and a
           // pathological one must not plan millions of partitions);
           // unparseable values fall back to the default rather than
@@ -946,8 +945,9 @@ private[sources] class LakeScan(wh: String, db: String, tbl: String,
               firstRowId = f.firstRowId, fileSeq = f.seq,
               lineageMat = f.lineageCols,
               // pushed + runtime (DPP) ranges travel to the reader for
-              // row-group skipping INSIDE surviving files; the reader
-              // gates on position-independence before applying them.
+              // row-group skipping INSIDE surviving files — since r15
+              // on position-consuming (MoR/meta) reads too, positions
+              // coming from parquet's row-index machinery.
               // NEVER for a row-level operation's scan: its filters
               // select GROUPS (files) — the rewrite must carry every
               // surviving file's non-matching rows, and a record-level
@@ -1036,8 +1036,9 @@ private[sources] case class LakeFilePartition(path: String,
     // assigns each row group to exactly one range): start=0/length=-1
     // reads the whole file. Splits cover delete-bearing and
     // meta-consuming files too (r14) — every position-consuming
-    // reader seeds its row counter with LakeSource.splitStartRow, so
-    // a partial file never desynchronizes positions. Only external
+    // reader takes file-absolute positions from parquet's row-index
+    // machinery (r15: no counter, no per-split footer IO), so a
+    // partial file never desynchronizes positions. Only external
     // files and row-level-op scans stay one partition per file.
     start: Long = 0L,
     length: Long = -1L)

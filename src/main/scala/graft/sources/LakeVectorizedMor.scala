@@ -73,26 +73,34 @@ private[sources] final class SelectedColumnVector(
   * projection pruned them (those extra columns feed the probes and are
   * then CLIPPED from the emitted batch — the output is exactly the
   * target width). Metadata/lineage-consuming scans and changelog
-  * markers still emit rows. Byte-range splits of large delete-bearing
-  * files start their position counter at [[LakeSource.splitStartRow]],
-  * so the compact-then-delete lifecycle neither serializes into one
-  * task per file nor misapplies a position.
+  * markers still emit rows. Position-consuming state (position
+  * deletes, deletion vectors) probes the reader-GENERATED row-index
+  * column (plan.rowIdxPos — file-absolute, exact under skipping and
+  * byte-range splits), so pushed predicates skip row groups on
+  * delete-bearing scans too (r15) and splits need no footer IO.
   */
 private[sources] class MorVectorizedLakeReader(p: LakeFilePartition,
     plan: BatchRowLakeReader.Plan)
     extends PartitionReader[ColumnarBatch] {
   BatchRowLakeReader.opened.incrementAndGet()
 
-  // positions are consumed by the position-delete / DV probes — never
-  // push a parquet predicate then (a skipped row group would
-  // desynchronize the counter). EQUALITY-only delete state consumes no
-  // positions, so those scans keep row-group skipping (parity with the
-  // pre-r14 row path, which pushed under the same gate); ranges
+  // localize the factory gate this reader depends on: foreign-encoded
+  // (external) files and changelog-marker emission must never reach
+  // the columnar MoR path — vectorizable() excludes them, and a future
+  // change there must fail loudly HERE rather than silently push a
+  // predicate on a foreign file
+  require(!p.external && !p.emitOnlyDeleted,
+    s"MorVectorizedLakeReader planned for an excluded partition shape " +
+      s"(external=${p.external}, emitOnlyDeleted=${p.emitOnlyDeleted}, " +
+      s"file ${p.path}) — LakeReaderFactory.vectorizable gate out of sync")
+
+  // in-file predicate skipping engages regardless of delete shape:
+  // position probes read the generated row-index column, which stays
+  // file-absolute when parquet skips row groups or pages; ranges
   // rewrite to the file's physical names by field id as everywhere
   private val reader = LakeVectorize.openReader(p.path, plan.requested,
     pred =
-      if (p.deletes.nonEmpty || p.dv.nonEmpty || p.pushedRanges.isEmpty)
-        None
+      if (p.pushedRanges.isEmpty) None
       else LakeSource.parquetPredicate(
         LakeVectorize.renameRanges(p.pushedRanges, p.target, p.fileSchema),
         p.fileSchema, n => plan.requested.fieldNames.contains(n)),
@@ -137,28 +145,25 @@ private[sources] class MorVectorizedLakeReader(p: LakeFilePartition,
     false
   }
 
-  // file-absolute position of the last row of the PREVIOUS batch
-  private var pos: Long =
-    (if (p.start > 0L && (p.deletes.nonEmpty || p.dv.nonEmpty))
-       LakeSource.splitStartRow(p.path, p.start, p.length)
-     else 0L) - 1L
-
   private var cur: ColumnarBatch = _
 
   override def next(): Boolean = {
     while (reader.nextKeyValue()) {
       val b = reader.getCurrentValue.asInstanceOf[ColumnarBatch]
       val n = b.numRows()
+      // file-absolute positions, generated by the reader itself
+      // (plan.rowIdxPos ≥ 0 whenever position deletes / DVs are live)
+      val idxCol: ColumnVector =
+        if (plan.rowIdxPos >= 0) b.column(plan.rowIdxPos) else null
       val map = new Array[Int](n)
       var keep = 0
       var i = 0
       while (i < n) {
-        val dead = deletedAt(pos + 1 + i) ||
+        val dead = (idxCol != null && deletedAt(idxCol.getLong(i))) ||
           (eqSets.length > 0 && eqDeleted(b.getRow(i)))
         if (!dead) { map(keep) = i; keep += 1 }
         i += 1
       }
-      pos += n
       if (keep > 0) {
         cur =
           if (keep == n && requestedWidth == targetWidth) b

@@ -15,12 +15,15 @@ import graft.lake.{Engine, LakeTable}
   * conjunction), adversarial values (NaN, ±0.0, ±Inf, type extremes,
   * empty strings) — over a multi-row-group table seeded with the same
   * adversarial pool, compared against the identical filter evaluated
-  * on a CACHED unpushed read (InMemoryRelation — Spark semantics, no
-  * source pushdown). Any row parquet wrongly drops or resurrects
+  * on a LOCAL-relation copy of one unfiltered read (Spark semantics,
+  * no source pushdown, and immune to CacheManager plan substitution —
+  * see [[truthDF]]). Any row parquet wrongly drops or resurrects
   * fails the k-list compare. One seed re-runs on the forced Group
   * walk (novector) so both translation consumers stay under the
-  * differential, and a rename-swap pass pins the by-field-id range
-  * rewrite on live random predicates.
+  * differential, a rename-swap pass pins the by-field-id range
+  * rewrite on live random predicates, and a live-delete pass (r15)
+  * pins the row-index-driven position probes under an ENGAGED
+  * predicate on both decode paths.
   */
 class PushdownRandomSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
@@ -145,26 +148,37 @@ class PushdownRandomSpec extends AnyFunSuite {
     if (rnd.nextDouble() < 0.25) one() && one() else one()
   }
 
+  /** The unpushed truth as a LOCAL relation: one UNFILTERED source
+    * read collected and re-wrapped, so truth filters evaluate pure
+    * Spark semantics with no source pushdown — and, critically, no
+    * `.cache()`: a cached `lake` plan gets substituted back into the
+    * PUSHED side's query too (CacheManager replaces matching
+    * subplans), which silently turned the r14 differential into a
+    * cache-vs-cache compare. Caught in r15 by a bite test: a
+    * deliberately desynced position probe sailed through the old
+    * structure and fails against this one.
+    */
+  private def truthDF(lake: DataFrame): DataFrame =
+    spark.createDataFrame(
+      java.util.Arrays.asList(lake.collect(): _*), lake.schema)
+
   private def soak(wh: String, seed: Long, preds: Int): Unit = {
     val lake = lakeDF(wh)
-    val truth = lake.cache()
-    truth.count() // materialize: truth filters scan the cache, unpushed
-    try {
-      (0 until preds).foreach { pi =>
-        val predLake = randomPred(
-          new scala.util.Random(seed + pi), lake.col)
-        val predTruth = randomPred(
-          new scala.util.Random(seed + pi), truth.col)
-        val got = lake.filter(predLake).select("k")
-          .collect().map(_.getLong(0)).sorted.toSeq
-        val want = truth.filter(predTruth).select("k")
-          .collect().map(_.getLong(0)).sorted.toSeq
-        assert(got == want,
-          s"seed $seed predicate #$pi: pushed scan returned " +
-            s"${got.length} rows, unpushed ${want.length} " +
-            s"(pred: $predLake)")
-      }
-    } finally truth.unpersist()
+    val truth = truthDF(lake)
+    (0 until preds).foreach { pi =>
+      val predLake = randomPred(
+        new scala.util.Random(seed + pi), lake.col)
+      val predTruth = randomPred(
+        new scala.util.Random(seed + pi), truth.col)
+      val got = lake.filter(predLake).select("k")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      val want = truth.filter(predTruth).select("k")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == want,
+        s"seed $seed predicate #$pi: pushed scan returned " +
+          s"${got.length} rows, unpushed ${want.length} " +
+          s"(pred: $predLake)")
+    }
   }
 
   test("random predicates match an unpushed cached read (seeds 1-3)") {
@@ -178,6 +192,45 @@ class PushdownRandomSpec extends AnyFunSuite {
     val wh = buildTable("nv", 404L)
     System.setProperty("graft.read.novector", "1")
     try soak(wh, 404L, preds = 25)
+    finally System.clearProperty("graft.read.novector")
+  }
+
+  test("random predicates over LIVE DELETE STATE stay exact (r15: " +
+      "pushdown engages on position-consuming scans via row indexes)") {
+    // position deletes + a deletion-vector-free eq delete over the
+    // same adversarial table: every random predicate now runs with
+    // the parquet predicate ENGAGED while position probes read the
+    // reader-generated file-absolute row index — a desync anywhere
+    // (skipped group, filtered record, split) resurrects or drops a
+    // deleted row and fails the k-list compare
+    val wh = buildTable("del", 808L)
+    import spark.implicits._
+    val t = graft.lake.LakeTable.load(wh, "d", "t")
+    t.deleteMoR(spark, col("k") % 97L === 13L)
+    graft.lake.LakeTable.load(wh, "d", "t").deleteByKeysMoR(spark,
+      (0 until 50).map(i => (i * 379L + 7L)).toDF("k"))
+    // k-RANGE sweeps first: k is the SORTED column, so `k >= cut`
+    // skips every leading row group — the one shape that desyncs a
+    // counter-based position under an engaged predicate (random
+    // predicates mostly hit unsorted columns, whose full-range stats
+    // never skip; this sweep is what catches the regression class)
+    def rangeSweep(): Unit = {
+      val lake = lakeDF(wh)
+      val truth = truthDF(lake)
+      (1 to 10).foreach { c =>
+        val cut = c * 1900L
+        def r(df: DataFrame) = df
+          .filter(col("k") >= cut && col("k") < cut + 500L)
+          .select("k").collect().map(_.getLong(0)).sorted.toSeq
+        assert(r(lake) == r(truth),
+          s"k-range [$cut, ${cut + 500}) diverged under live deletes")
+      }
+    }
+    rangeSweep()
+    soak(wh, 909L, preds = 25)
+    // and on the forced Group walk (parquet-mr getCurrentRowIndex)
+    System.setProperty("graft.read.novector", "1")
+    try { rangeSweep(); soak(wh, 1010L, preds = 20) }
     finally System.clearProperty("graft.read.novector")
   }
 

@@ -10,10 +10,14 @@ import graft.lake.{Engine, LakeTable}
 /** Parquet row-group / record-level predicate pushdown inside the
   * graft-lake reader ([[graft.sources.LakeSource.parquetPredicate]]):
   * filtered scans over MULTI-row-group files must return exactly what
-  * the unfiltered scan filters to — with the predicate applied (clean
-  * files) AND with it gated off (positional reads: MoR deletes,
-  * `_metadata.row_index` consumers), where a desynchronized row
-  * counter would corrupt delete application.
+  * the unfiltered scan filters to — on clean files AND on positional
+  * reads (MoR deletes, `_metadata.row_index` consumers), where since
+  * r15 the predicate pushes too: positions come from parquet's own
+  * row-index machinery, which stays file-absolute under row-group
+  * skipping, so a skipped group can no longer desynchronize delete
+  * application. Row-level-op scans still never record-filter (their
+  * ranges are emptied at the PLANNER — filters select files for
+  * rewrite, not records).
   */
 class ScanPushdownSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
@@ -148,7 +152,7 @@ class ScanPushdownSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(l)
   }
 
-  test("positional reads gate the predicate OFF: MoR deletes and " +
+  test("positional reads stay EXACT under pushed filters: MoR deletes and " +
       "row_index consumers stay exact under filters") {
     import SparkTestSession.spark.implicits._
     val (wh, t0) = mk("gated")
@@ -174,6 +178,56 @@ class ScanPushdownSpec extends AnyFunSuite {
       withPos.head.getLong(1) == 7777L,
       "row positions must be physical-file positions, never " +
         "filter-shifted")
+  }
+
+  test("position-consuming scans PUSH the predicate (r15): a " +
+      "delete-bearing multi-row-group scan reads far fewer records " +
+      "than the table holds, with positions and deletes exact") {
+    import SparkTestSession.spark.implicits._
+    val (wh, t0) = mk("posengage")
+    seed(t0)
+    // position deletes INSIDE and OUTSIDE the filtered range: the
+    // in-range ones must still vanish, the out-of-range ones must not
+    // shift any surviving position (probes run on parquet's generated
+    // file-absolute row indexes, not a sequential counter)
+    LakeTable.load(wh, "d", "t").deleteMoR(spark,
+      col("k") % 1000L === 3L)
+    spark.conf.set("spark.sql.catalog.gpd11", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.gpd11.warehouse", wh)
+    val records = new java.util.concurrent.atomic.AtomicLong
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null)
+          records.addAndGet(e.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val got = spark.sql(
+        "SELECT k FROM gpd11.d.t WHERE k BETWEEN 10000 AND 10009 ORDER BY k")
+        .collect().map(_.getLong(0)).toSeq
+      var prev = -1L
+      var cur = records.get
+      while (prev != cur) { Thread.sleep(100); prev = cur; cur = records.get }
+      assert(got == (10000L to 10009L).filter(_ % 1000L != 3L),
+        s"deletes exact under the ENGAGED predicate: $got")
+      // pre-r15 this scan read all 20k records (pushdown gated off on
+      // position-consuming reads); with row-index-driven positions the
+      // predicate skips row groups like any clean scan
+      assert(cur > 0 && cur < 5000,
+        s"the pushed predicate must engage on a delete-bearing scan: " +
+          s"read $cur of 20000")
+      // _graft_pos through the SAME filtered shape: physical positions
+      val withPos = spark.read.format("graft-lake")
+        .option("warehouse", wh).option("database", "d")
+        .option("table", "t").load()
+        .filter(col("k") >= 15000L && col("k") <= 15004L)
+        .select(col("k"), col("_graft_pos"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(withPos == (15000L to 15004L).filter(_ % 1000L != 3L)
+        .map(k => (k, k)),
+        s"file-absolute positions under a pushed predicate: $withPos")
+    } finally spark.sparkContext.removeSparkListener(l)
   }
 
   test("row-level operations never record-filter: a selective CoW " +
