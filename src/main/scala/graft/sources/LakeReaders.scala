@@ -876,8 +876,8 @@ private[sources] class GroupRowReader(p: LakeFilePartition)
     val b0 = ParquetReader
       .builder(new GroupReadSupport(), new org.apache.hadoop.fs.Path(p.path))
       .withConf(conf)
-    // byte-range splits of position-consuming files start their row
-    // counter at splitStartRow (see the pos initializer below)
+    // byte-range splits: positions come from the reader's own
+    // getCurrentRowIndex (file-absolute, exact per range)
     val b1 =
       if (p.length >= 0) b0.withFileRange(p.start, p.start + p.length)
       else b0

@@ -290,8 +290,8 @@ class VectorizedReadSpec extends AnyFunSuite {
 
     // mixed scan: a second file takes MoR deletes AND the big file
     // takes one — the whole scan stays COLUMNAR (selection mask), the
-    // big file still range-splits, and every split's position counter
-    // starts at its file-absolute index (splitStartRow) so the delete
+    // big file still range-splits, and every split probes file-absolute
+    // row-index positions (parquet's own machinery) so the delete
     // lands exactly once
     LakeTable.load(wh, "d", "big").append(
       (30000 until 30010).map(i => (i.toLong, f"s$i%08d")).toDF("k", "s"))
@@ -346,7 +346,7 @@ class VectorizedReadSpec extends AnyFunSuite {
       .option("warehouse", wh).option("database", "d").option("table", "sm")
       .load().select(col("k"), col("_graft_pos"))
     assert(posDf.rdd.getNumPartitions > 1,
-      "meta-consuming scans split too (splitStartRow makes them exact)")
+      "meta-consuming scans split too (row-index positions stay exact)")
     val bad = posDf.filter(col("k") =!= col("_graft_pos")).count()
     assert(bad == 0, s"$bad rows with _graft_pos != k after splitting")
     // equality deletes on top: masked columnar, still split, still exact
