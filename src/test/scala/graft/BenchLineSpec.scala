@@ -95,6 +95,31 @@ class BenchLineSpec extends AnyFunSuite {
     assert(!Bench.renderLine(res, "sf").contains("jobs_total"))
   }
 
+  test("oracle field: external DuckDB baseline summary, constant-size, " +
+      "q_*-only ratio, within budget") {
+    val res = results(400)
+    // duck times for half the keys (the oracle never times no-oracle
+    // sketch keys) plus one extra key the bench didn't run
+    val duck = res.keys.take(200).map(k => k -> 0.01).toMap +
+      ("q_not_benched" -> 9.9)
+    val line = Bench.renderLine(res, "sf", duck = duck)
+    assert(line.length <= Bench.MaxLineChars, s"${line.length} chars")
+    val obj = Json.parse(line).asInstanceOf[JObject]
+    val o = obj.fields("oracle").asInstanceOf[JObject].fields
+    assert(o("engine").asInstanceOf[graft.schema.JString].value == "duckdb")
+    // only the intersection is summarized; totals cover q_* keys only
+    assert(o("n").asInstanceOf[JNumber].value == 200)
+    assert(o("q_n").asInstanceOf[JNumber].value == 200)
+    assert(o("q_duck").asInstanceOf[JNumber].value == 2.0)
+    assert(o.contains("q_spark") && o.contains("q_ratio_median"))
+    // no baseline file → no field
+    assert(!Bench.renderLine(res, "sf").contains("oracle"))
+    // a zero duck time never divides: ratio median just skips it
+    val line2 = Bench.renderLine(Map("q_a" -> 1.0), "sf",
+      duck = Map("q_a" -> 0.0))
+    assert(!line2.contains("q_ratio_median") && line2.contains("oracle"))
+  }
+
   test("valid JSON under a comma-decimal locale") {
     val prev = java.util.Locale.getDefault
     try {
