@@ -40,6 +40,43 @@ object LakeReadQueries extends QueryModule {
           |ORDER BY c_custkey""".stripMargin)
     }),
 
+    "lake_variant" -> QueryModule.micro(4)((s, dir) => {
+      // semi-structured VARIANT columns (r15): orders rows ingest as
+      // schema-on-read JSON (parse_json → Spark 4 VariantType, shredded
+      // by the parquet writer), a MoR delete lands on the
+      // variant-bearing file (columnar selection map across the
+      // variant children), and the read side extracts typed fields
+      // with variant_get under a pushed key filter — the whole variant
+      // lifecycle under the oracle gate. Money sums in exact decimals,
+      // output double (driver compare contract).
+      val wh = LakeQueries.freshWarehouse("variant")
+      Engine.processTableDefJson(wh,
+        """{"database_name":"vq","table_name":"ordersv","columns":[
+          |{"column_name":"o_key","data_type":"long"},
+          |{"column_name":"payload","data_type":"variant"}],
+          |"partitions":[],
+          |"properties":{"write.sort-order":"o_key"}}""".stripMargin)
+      LakeTable.load(wh, "vq", "ordersv").append(
+        Tables(s, dir, "orders").selectExpr(
+          "o_orderkey AS o_key",
+          "parse_json(to_json(struct(o_orderstatus, o_totalprice)))" +
+            " AS payload"))
+      LakeTable.load(wh, "vq", "ordersv").deleteMoR(s,
+        org.apache.spark.sql.functions.expr("o_key % 10 = 3"))
+      s.conf.set("spark.sql.catalog.graftv", "graft.sources.LakeCatalog")
+      s.conf.set("spark.sql.catalog.graftv.warehouse", wh)
+      s.sql(
+        """SELECT variant_get(payload, '$.o_orderstatus', 'string')
+          |    AS status,
+          |  count(*) AS n,
+          |  CAST(sum(CAST(variant_get(payload, '$.o_totalprice',
+          |    'double') AS DECIMAL(18,4))) AS DOUBLE) AS total
+          |FROM graftv.vq.ordersv
+          |WHERE o_key <= 5000
+          |GROUP BY 1
+          |ORDER BY status""".stripMargin)
+    }),
+
     "q_star_join" -> ((s, dir) => {
       // Flagship STAR JOIN (TPC-H Q5 shape) over LAKE tables through
       // the DSv2 connector: region→nation→customer dims broadcast off
@@ -1890,6 +1927,15 @@ object LakeReadQueries extends QueryModule {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "lake_variant" ->
+      """SELECT o_orderstatus AS status, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS total
+        |FROM orders
+        |WHERE o_orderkey % 10 <> 3 AND o_orderkey <= 5000
+        |GROUP BY o_orderstatus
+        |ORDER BY status""".stripMargin,
+
     "lake_scan_sql" ->
       """SELECT c_custkey, c_name, c_acctbal AS acctbal
         |FROM customer

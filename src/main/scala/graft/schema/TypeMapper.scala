@@ -30,6 +30,11 @@ object TypeMapper {
     "uuid" -> StringType,
     "binary" -> BinaryType,
     "fixed" -> BinaryType,
+    // engine extension past the reference's type universe (r15):
+    // semi-structured schema-on-read JSON, Spark 4's VariantType —
+    // feasibility-checked against the parquet write path (unlike TIME,
+    // which the writer refuses; SchemaSpec pins both)
+    "variant" -> VariantType,
     "decimal" -> DecimalType(5, 5)) // constants.py:23-29 hard-codes (5,5)
 
   // engine extension over the reference contract: `decimal(p,s)` with
@@ -100,6 +105,7 @@ object TypeMapper {
           case StringType => "string"
           case BinaryType => "binary"
           case d: DecimalType => s"decimal(${d.precision},${d.scale})"
+          case VariantType => "variant"
           case other => throw new IllegalArgumentException(
             s"catalog DDL: unsupported type ${other.simpleString} for '$name'")
         }

@@ -41,11 +41,14 @@ private[sources] final class SelectedColumnVector(
   override def getUTF8String(i: Int): UTF8String =
     base.getUTF8String(map(i))
   override def getBinary(i: Int): Array[Byte] = base.getBinary(map(i))
-  // struct reads call getChild per FIELD per ROW (ColumnarRow) — cache
-  // the wrapped children instead of allocating one per access
+  // struct reads call getChild per FIELD per ROW (ColumnarRow), and
+  // VariantType reads call getChild(0)/getChild(1) per ROW (the final
+  // ColumnVector.getVariant reads the value/metadata child binaries) —
+  // cache the wrapped children instead of allocating one per access
   private lazy val childCache: Array[ColumnVector] =
     new Array(base.dataType match {
       case s: org.apache.spark.sql.types.StructType => s.size
+      case org.apache.spark.sql.types.VariantType => 2
       case _ => 0
     })
   override def getChild(ordinal: Int): ColumnVector =
