@@ -77,6 +77,49 @@ object LakeReadQueries extends QueryModule {
           |ORDER BY status""".stripMargin)
     }),
 
+    "lake_join_skew" -> QueryModule.micro(8)((s, dir) => {
+      // skewed FACT-FACT lake join (r15): ~80% of lineitem rows remap
+      // onto one hot order key, then sort-merge-join (merge hint — no
+      // session-conf mutation) against the orders lake table through
+      // the DSv2 connector. At test SF the hot partition is below
+      // AQE's default 256 MB skew threshold; at 100 TB the identical
+      // shape is what OptimizeSkewedJoin splits at runtime —
+      // AqeSkewJoinSpec pins the mechanism firing through this
+      // connector with test-scaled thresholds. Money sums in exact
+      // decimals, output double.
+      val wh = LakeQueries.freshWarehouse("skewjoin")
+      Engine.processTableDefJson(wh,
+        """{"database_name":"kq","table_name":"lfact","columns":[
+          |{"column_name":"sk","data_type":"long"},
+          |{"column_name":"qty","data_type":"double"}],
+          |"partitions":[]}""".stripMargin)
+      Engine.processTableDefJson(wh,
+        """{"database_name":"kq","table_name":"ofact","columns":[
+          |{"column_name":"sk","data_type":"long"},
+          |{"column_name":"tp","data_type":"double"}],
+          |"partitions":[]}""".stripMargin)
+      val mn = Tables(s, dir, "orders")
+        .agg(org.apache.spark.sql.functions.min("o_orderkey"))
+        .head.getLong(0)
+      LakeTable.load(wh, "kq", "lfact").append(
+        Tables(s, dir, "lineitem").selectExpr(
+          s"CASE WHEN l_orderkey % 10 < 8 THEN ${mn}L ELSE l_orderkey " +
+            "END AS sk",
+          "l_quantity AS qty"))
+      LakeTable.load(wh, "kq", "ofact").append(
+        Tables(s, dir, "orders")
+          .where(s"o_orderkey = ${mn}L OR o_orderkey % 10 >= 8")
+          .selectExpr("o_orderkey AS sk", "o_totalprice AS tp"))
+      s.conf.set("spark.sql.catalog.graftk", "graft.sources.LakeCatalog")
+      s.conf.set("spark.sql.catalog.graftk.warehouse", wh)
+      s.sql(
+        """SELECT /*+ MERGE(o) */ count(*) AS n,
+          |  CAST(sum(CAST(l.qty AS DECIMAL(18,4))) AS DOUBLE) AS qty,
+          |  CAST(sum(CAST(o.tp AS DECIMAL(18,4))) AS DOUBLE) AS tp
+          |FROM graftk.kq.lfact l JOIN graftk.kq.ofact o USING (sk)
+          |ORDER BY n""".stripMargin)
+    }),
+
     "q_star_join" -> ((s, dir) => {
       // Flagship STAR JOIN (TPC-H Q5 shape) over LAKE tables through
       // the DSv2 connector: region→nation→customer dims broadcast off
@@ -1927,6 +1970,19 @@ object LakeReadQueries extends QueryModule {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "lake_join_skew" ->
+      """WITH mn AS (SELECT min(o_orderkey) AS m FROM orders),
+        |f AS (SELECT CASE WHEN l_orderkey % 10 < 8
+        |    THEN (SELECT m FROM mn) ELSE l_orderkey END AS sk,
+        |    l_quantity FROM lineitem),
+        |b AS (SELECT o_orderkey AS sk, o_totalprice FROM orders
+        |  WHERE o_orderkey = (SELECT m FROM mn) OR o_orderkey % 10 >= 8)
+        |SELECT count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS tp
+        |FROM f JOIN b USING (sk)
+        |ORDER BY n""".stripMargin,
+
     "lake_variant" ->
       """SELECT o_orderstatus AS status, count(*) AS n,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
