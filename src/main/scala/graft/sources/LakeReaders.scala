@@ -45,7 +45,7 @@ private[sources] object LakeReaderFactory {
       !p.emitOnlyDeleted && !p.external &&
       !p.target.fieldNames.exists(LakeSource.isMetaCol) &&
       (if (p.deletes.isEmpty && p.eqBatches.isEmpty && p.dv.isEmpty)
-         LakeVectorize.vectorSchema(p.target, p.fileSchema).isDefined
+         LakeVectorize.vectorMap(p.target, p.fileSchema).isDefined
        else BatchRowLakeReader.plan(p).isDefined)
 
   /** The per-scan uniform decision [[LakeReaderFactory]] needs. Keyed
@@ -293,10 +293,104 @@ private[sources] object LakeVectorize {
     Some(StructType(out))
   }
 
-  /** The requested read schema for the pair, None = row path. */
+  /** The requested read schema for the pair, None = row path.
+    * (Nested recursion entry — top-level callers use [[vectorMap]],
+    * which additionally serves absent ATOMIC columns as constants.)
+    */
   def vectorSchema(target: StructType,
       fileSchema: StructType): Option[StructType] =
     mapStruct(target, fileSchema)
+
+  /** Top-level vector read plan: the physical schema to request, each
+    * target field's index into the decoded row (-1 = constant), and
+    * the constant values. Absent ATOMIC columns — including those
+    * with recorded initial DEFAULTS, which forced the Group walk
+    * through r14 — are served as per-reader CONSTANTS instead of
+    * being requested (the default universe is exactly the atomic
+    * types, schema/Defaults.scala); absent COMPLEX columns keep the
+    * r14 rules (reader null-fill when defaultless and
+    * collision-free, else the row/Group path).
+    */
+  final case class VectorMap(requested: StructType, srcIdx: Array[Int],
+      consts: Array[Any]) {
+    def hasConsts: Boolean = srcIdx.exists(_ < 0)
+    def identity: Boolean = srcIdx.zipWithIndex.forall {
+      case (s, i) => s == i
+    }
+  }
+
+  private def constable(dt: DataType): Boolean = dt match {
+    case BooleanType | IntegerType | LongType | FloatType | DoubleType |
+        StringType => true
+    case _: DecimalType => true
+    case _ => false
+  }
+
+  def vectorMap(target: StructType,
+      fileSchema: StructType): Option[VectorMap] = {
+    val fields = scala.collection.mutable.ArrayBuffer.empty[StructField]
+    val srcIdx = new Array[Int](target.fields.length)
+    val consts = new Array[Any](target.fields.length)
+    var i = 0
+    while (i < target.fields.length) {
+      val tf = target.fields(i)
+      if (!FieldIds.hasId(tf)) return None
+      val id = FieldIds.idOf(tf)
+      fileSchema.fields.find(ff => FieldIds.hasId(ff) &&
+          FieldIds.idOf(ff) == id) match {
+        case Some(ff) =>
+          mapType(tf.dataType, ff.dataType) match {
+            case Some(dt) =>
+              fields += StructField(ff.name, dt, nullable = true)
+              srcIdx(i) = fields.length - 1
+            case None => return None
+          }
+        case None if constable(Reconcile.clean(tf.dataType)) =>
+          // absent atomic column: its value is the SAME for every row
+          // of this file (initial default, or null) — emit a constant
+          // instead of requesting a null-filled column
+          srcIdx(i) = -1
+          consts(i) = Defaults.internalValue(tf)
+        case None =>
+          // absent complex column: reader null-fills — legal only
+          // with no recorded default in the subtree and no
+          // physical-name collision (a rename-swap would bind the
+          // wrong column by name)
+          if (!noDefaultsIn(tf) ||
+              fileSchema.fields.exists(_.name.equalsIgnoreCase(tf.name)))
+            return None
+          fields += StructField(tf.name, Reconcile.clean(tf.dataType),
+            nullable = true)
+          srcIdx(i) = fields.length - 1
+      }
+      i += 1
+    }
+    Some(VectorMap(StructType(fields.toSeq), srcIdx, consts))
+  }
+
+  /** A [[ConstantColumnVector]] holding one atomic internal value —
+    * the columnar form of an absent column's default/null fill.
+    */
+  def constantVector(dt: DataType, v: Any)
+      : org.apache.spark.sql.vectorized.ColumnVector = {
+    val c = new org.apache.spark.sql.execution.vectorized
+      .ConstantColumnVector(4096, dt)
+    if (v == null) c.setNull()
+    else dt match {
+      case BooleanType => c.setBoolean(v.asInstanceOf[Boolean])
+      case IntegerType => c.setInt(v.asInstanceOf[Int])
+      case LongType => c.setLong(v.asInstanceOf[Long])
+      case FloatType => c.setFloat(v.asInstanceOf[Float])
+      case DoubleType => c.setDouble(v.asInstanceOf[Double])
+      case StringType => c.setUtf8String(v.asInstanceOf[UTF8String])
+      case d: DecimalType =>
+        c.setDecimal(v.asInstanceOf[org.apache.spark.sql.types.Decimal],
+          d.precision)
+      case other => throw new IllegalStateException(
+        s"constant vector for unsupported type $other")
+    }
+    c
+  }
 
   /** Pushed ranges rewritten to the file's PHYSICAL column names,
     * matched by field ID — a name-based lookup would bind the wrong
@@ -451,25 +545,54 @@ private[sources] class VectorizedLakeReader(p: LakeFilePartition)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
 
   // target rewritten to the file's physical names by field ID, target
-  // types kept (updaters widen in place) — gate guarantees it maps
-  private val requested: StructType =
-    LakeVectorize.vectorSchema(p.target, p.fileSchema).getOrElse(
+  // types kept (updaters widen in place), absent atomic columns as
+  // CONSTANTS (r15 — initial defaults vectorize instead of forcing
+  // the Group walk) — gate guarantees it maps
+  private val vm: LakeVectorize.VectorMap =
+    LakeVectorize.vectorMap(p.target, p.fileSchema).getOrElse(
       throw new IllegalStateException(
         s"vectorized read planned for an unmappable schema pair " +
           s"(file ${p.path}) — LakeReaderFactory gate out of sync"))
+
+  // an all-constants projection leaves nothing to decode: request the
+  // generated row-index column so batch row counts are still driven
+  private val requested: StructType =
+    if (vm.requested.fields.nonEmpty) vm.requested
+    else StructType(Seq(StructField(LakeVectorize.RowIndexTempCol,
+      LongType, nullable = true)))
 
   private val reader = LakeVectorize.openReader(p.path, requested,
     // ranges arrive named by the TARGET schema; rewrite to the file's
     // physical names by field id (rename-safe) before translation
     LakeSource.parquetPredicate(
       LakeVectorize.renameRanges(p.pushedRanges, p.target, p.fileSchema),
-      p.fileSchema, n => requested.fieldNames.contains(n)),
+      p.fileSchema, n => vm.requested.fieldNames.contains(n)),
     returnBatches = true, start = p.start, length = p.length)
 
+  private val constCols: Array[org.apache.spark.sql.vectorized.ColumnVector] =
+    vm.srcIdx.zipWithIndex.map { case (si, i) =>
+      if (si >= 0) null
+      else LakeVectorize.constantVector(
+        Reconcile.clean(p.target.fields(i).dataType), vm.consts(i))
+    }
+
   override def next(): Boolean = reader.nextKeyValue()
-  override def get(): org.apache.spark.sql.vectorized.ColumnarBatch =
-    reader.getCurrentValue
+  override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = {
+    val b = reader.getCurrentValue
       .asInstanceOf[org.apache.spark.sql.vectorized.ColumnarBatch]
+    if (vm.identity) b
+    else {
+      val cols = new Array[org.apache.spark.sql.vectorized.ColumnVector](
+        vm.srcIdx.length)
+      var j = 0
+      while (j < cols.length) {
+        val sj = vm.srcIdx(j)
+        cols(j) = if (sj < 0) constCols(j) else b.column(sj)
+        j += 1
+      }
+      new org.apache.spark.sql.vectorized.ColumnarBatch(cols, b.numRows())
+    }
+  }
   override def close(): Unit = reader.close()
 }
 
@@ -483,14 +606,16 @@ private[sources] class VectorizedLakeReader(p: LakeFilePartition)
   * At 100 TB this removes the decode cliff for MoR-bearing tables
   * (the clean-file case goes fully columnar instead; see
   * [[VectorizedLakeReader]]). The requested schema reuses
-  * [[LakeVectorize.vectorSchema]] (rename-safe by field ID, widenings
-  * in place), extended with equality-delete key columns the
-  * projection pruned and the materialized lineage columns.
+  * [[LakeVectorize.vectorMap]] (rename-safe by field ID, widenings
+  * in place, absent atomic columns as constants since r15 — initial
+  * DEFAULTS included), extended with equality-delete key columns the
+  * projection pruned and the materialized lineage columns; nested
+  * equality keys read through struct children (r15).
   * Externally-registered files vectorize too when every column is
   * flat in the one physical encoding the engine writes
   * ([[LakeVectorize.externalFlatStandard]]); [[GroupRowReader]]
-  * remains for exotic external encodings, unmappable schema pairs,
-  * and nested/exotic equality keys.
+  * remains for exotic external encodings and unmappable schema pairs
+  * (non-widening type changes, map-KEY changes, nested defaults).
   */
 private[graft] object BatchRowLakeReader {
 
@@ -500,22 +625,59 @@ private[graft] object BatchRowLakeReader {
     */
   val opened = new java.util.concurrent.atomic.AtomicLong
 
+  /** Group walks constructed since JVM start — the engagement
+    * counter's inverse: specs pin that scenarios retired from the
+    * fallback (nested eq keys, default columns) stay retired.
+    */
+  val groupWalks = new java.util.concurrent.atomic.AtomicLong
+
   /** Reads that dropped their pushed predicate because the file's
     * physical layout rejected it (foreign decimal encoding etc.) —
     * zero on every engine-written table; test observability.
     */
   val predicateFallbacks = new java.util.concurrent.atomic.AtomicLong
 
+  /** How one equality-delete key value reads out of the decoded row:
+    * `steps` are ordinals from the row root (intermediate ones
+    * navigate into structs of `sizes(i)` fields — nested keys read
+    * through struct children since r15), the last step is the leaf of
+    * `leafType`; a null anywhere on the chain reads null, matching
+    * the Group walk's null-fill. `isConst` keys (the key column is
+    * absent from THIS file) probe the constant — the file's initial
+    * default, or null.
+    */
+  final case class EqAccess(steps: Array[Int], sizes: Array[Int],
+      leafType: DataType, constVal: Any = null, isConst: Boolean = false)
+
   /** Decode plan: the physical schema to request and where each
     * output / equality-key / lineage value sits in the decoded row.
-    * `rowIdxPos` ≥ 0 marks the appended row-index temp column — the
-    * file-absolute position source for position-consuming reads
-    * (Spark's reader GENERATES it; no file IO, no sequential counter).
-    * None = stay on the Group walk.
+    * `srcIdx(i)` < 0 = target field `i` is a meta column or a
+    * CONSTANT (absent atomic column — `consts(i)` holds its
+    * default/null, r15); `rowIdxPos` ≥ 0 marks the appended row-index
+    * temp column — the file-absolute position source for
+    * position-consuming reads (Spark's reader GENERATES it; no file
+    * IO, no sequential counter). None = stay on the Group walk.
     */
   final case class Plan(requested: StructType, srcIdx: Array[Int],
-      eqIdx: Array[Array[Int]], eqTypes: Array[Array[DataType]],
+      consts: Array[Any], eqAccess: Array[Array[EqAccess]],
       rowIdSrc: Int, lastUpdSrc: Int, rowIdxPos: Int)
+
+  /** Shared probe: one key value out of a decoded row via its access
+    * chain (works for flat InternalRows and ColumnarBatchRows alike).
+    */
+  def keyAt(r: InternalRow, a: EqAccess): Any = {
+    if (a.isConst) return a.constVal
+    var cur: InternalRow = r
+    var i = 0
+    while (i < a.steps.length - 1) {
+      val o = a.steps(i)
+      if (cur.isNullAt(o)) return null
+      cur = cur.getStruct(o, a.sizes(i))
+      i += 1
+    }
+    val o = a.steps(a.steps.length - 1)
+    if (cur.isNullAt(o)) null else cur.get(o, a.leafType)
+  }
 
   def plan(p: LakeFilePartition): Option[Plan] = {
     if (sys.props.contains("graft.read.novector")) return None
@@ -536,53 +698,136 @@ private[graft] object BatchRowLakeReader {
       }
     val dataFields = p.target.fields.filterNot(tf =>
       LakeSource.isMetaCol(tf.name))
-    val base = LakeVectorize.vectorSchema(StructType(dataFields),
+    val vm = LakeVectorize.vectorMap(StructType(dataFields),
       fileSchema) match {
-      case Some(b) => b
+      case Some(m) => m
       case None => return None
     }
-    val fields = scala.collection.mutable.ArrayBuffer(base.fields: _*)
-    // target-field id → decoded-row index (data fields first, then
-    // appended equality-key / lineage columns)
+    val fields =
+      scala.collection.mutable.ArrayBuffer(vm.requested.fields: _*)
+    // target-field id → decoded-row index (only fields the request
+    // actually carries — constants have no decoded column), plus the
+    // target field itself for nested chain resolution
     val idToIdx = scala.collection.mutable.HashMap.empty[Int, Int]
+    val idToConst = scala.collection.mutable.HashMap.empty[Int, Any]
+    val carriers = scala.collection.mutable
+      .ArrayBuffer.empty[(Int, StructField)] // (requested idx, target)
     dataFields.zipWithIndex.foreach { case (tf, i) =>
-      idToIdx(FieldIds.idOf(tf)) = i
+      if (vm.srcIdx(i) >= 0) {
+        idToIdx(FieldIds.idOf(tf)) = vm.srcIdx(i)
+        if (tf.dataType.isInstanceOf[StructType])
+          carriers += ((vm.srcIdx(i), tf))
+      } else idToConst(FieldIds.idOf(tf)) = vm.consts(i)
     }
+    // struct-only chain of (ordinal, field) to `id` inside `dt`
+    def chainTo(dt: DataType, id: Int): Option[List[(Int, StructField)]] =
+      dt match {
+        case st: StructType =>
+          var i = 0
+          while (i < st.fields.length) {
+            val f = st.fields(i)
+            if (FieldIds.hasId(f) && FieldIds.idOf(f) == id)
+              return Some(List((i, f)))
+            chainTo(f.dataType, id) match {
+              case Some(rest) => return Some((i, f) :: rest)
+              case None => ()
+            }
+            i += 1
+          }
+          None
+        case _ => None
+      }
     // equality-delete keys: reuse the projected column when the target
-    // still carries it; else request the file's TOP-LEVEL column AS
-    // the key's (current-schema) type — the vectorized updater widens
-    // exactly like eqKeyValue's int→long conversion. Nested keys and
-    // non-widening shapes stay on the Group walk.
-    val eqIdx = new Array[Array[Int]](p.eqBatches.length)
-    val eqTypes = new Array[Array[DataType]](p.eqBatches.length)
+    // still carries it (TOP-LEVEL or struct-NESTED — nested keys read
+    // through struct children, r15); an absent key column probes its
+    // constant; a pruned top-level column is re-requested AS the key's
+    // (current-schema) type (the vectorized updater widens exactly
+    // like eqKeyValue's int→long conversion); a pruned NESTED carrier
+    // re-requests a minimal single-chain struct. Non-widening shapes
+    // stay on the Group walk.
+    val eqAccess = new Array[Array[EqAccess]](p.eqBatches.length)
     var bi = 0
     p.eqBatches.foreach { b =>
-      val idxs = new Array[Int](b.keyFields.fields.length)
-      val types = new Array[DataType](b.keyFields.fields.length)
+      val acc = new Array[EqAccess](b.keyFields.fields.length)
       var ki = 0
       b.keyFields.fields.foreach { kf =>
         val id = FieldIds.idOf(kf)
         val kt = Reconcile.clean(kf.dataType)
-        idToIdx.get(id) match {
-          case Some(i) =>
-            if (Reconcile.clean(fields(i).dataType) != kt) return None
-            idxs(ki) = i
-          case None =>
-            fileSchema.fields.find(ff => FieldIds.hasId(ff) &&
-                FieldIds.idOf(ff) == id) match {
-              case Some(ff)
-                  if LakeVectorize.widens(
-                    Reconcile.clean(ff.dataType), kt) =>
-                fields += StructField(ff.name, kt, nullable = true)
-                idToIdx(id) = fields.length - 1
-                idxs(ki) = fields.length - 1
-              case _ => return None
-            }
+        def topLevel: Option[EqAccess] = idToIdx.get(id).map { i0 =>
+          if (Reconcile.clean(fields(i0).dataType) != kt) return None
+          EqAccess(Array(i0), Array.empty, kt)
         }
-        types(ki) = kt
+        def const: Option[EqAccess] = idToConst.get(id).map(v =>
+          EqAccess(Array.empty, Array.empty, kt, constVal = v,
+            isConst = true))
+        def nestedInRequested: Option[EqAccess] =
+          carriers.iterator.flatMap { case (reqIdx, tf) =>
+            chainTo(tf.dataType, id).map { chain =>
+              // requested nested layout mirrors the TARGET recursion
+              // (mapStruct iterates target fields), so target ordinals
+              // and struct sizes apply to the decoded row directly
+              if (Reconcile.clean(chain.last._2.dataType) != kt)
+                return None
+              val steps = (reqIdx :: chain.map(_._1)).toArray
+              // sizes(j) = field count of the struct getStruct enters
+              // at steps(j): steps(0) enters tf's struct, steps(1)
+              // the next level, ...; the leaf step needs no size
+              val sizes = new Array[Int](steps.length - 1)
+              var dt2: DataType = tf.dataType
+              var j = 0
+              while (j < sizes.length) {
+                sizes(j) = dt2.asInstanceOf[StructType].length
+                dt2 = dt2.asInstanceOf[StructType]
+                  .fields(steps(j + 1)).dataType
+                j += 1
+              }
+              EqAccess(steps, sizes, kt)
+            }
+          }.nextOption()
+        def topLevelFromFile: Option[EqAccess] =
+          fileSchema.fields.find(ff => FieldIds.hasId(ff) &&
+              FieldIds.idOf(ff) == id) match {
+            case Some(ff) if ff.dataType.isInstanceOf[StructType] => None
+            case Some(ff) if LakeVectorize.widens(
+                Reconcile.clean(ff.dataType), kt) =>
+              fields += StructField(ff.name, kt, nullable = true)
+              Some(EqAccess(Array(fields.length - 1), Array.empty, kt))
+            case _ => None
+          }
+        def nestedFromFile: Option[EqAccess] =
+          fileSchema.fields.iterator.flatMap { ff =>
+            chainTo(ff.dataType, id).map { chain =>
+              // the whole carrier struct was pruned from the target:
+              // request a MINIMAL single-chain struct under the
+              // carrier's FILE name (parquet clips to just these
+              // leaves), leaf AS the key type
+              if (!LakeVectorize.widens(
+                  Reconcile.clean(chain.last._2.dataType), kt))
+                return None
+              val leaf = StructField(chain.last._2.name, kt,
+                nullable = true)
+              val nested = chain.init.foldRight(leaf) { (step, inner) =>
+                StructField(step._2.name, StructType(Seq(inner)),
+                  nullable = true)
+              }
+              fields += StructField(ff.name, StructType(Seq(nested)),
+                nullable = true)
+              // navigation: the carrier, then one single-member
+              // struct per chain level, leaf at ordinal 0
+              val steps = ((fields.length - 1) ::
+                List.fill(chain.length)(0)).toArray
+              EqAccess(steps, Array.fill(chain.length)(1), kt)
+            }
+          }.nextOption()
+        val resolved = topLevel.orElse(const).orElse(nestedInRequested)
+          .orElse(topLevelFromFile).orElse(nestedFromFile)
+        resolved match {
+          case Some(a) => acc(ki) = a
+          case None => return None
+        }
         ki += 1
       }
-      eqIdx(bi) = idxs; eqTypes(bi) = types; bi += 1
+      eqAccess(bi) = acc; bi += 1
     }
     // materialized v3 lineage columns (physical-only, outside the
     // registered schema): request them when the scan asks for lineage
@@ -606,12 +851,12 @@ private[graft] object BatchRowLakeReader {
     // row-lineage inheritance read true physical positions with the
     // parquet predicate ENGAGED (r15 — previously these scans gated
     // pushdown off and seeded a sequential counter with two footer
-    // reads per split)
-    // (emptiness is checked BEFORE the append: the generated column
-    // alone must not carry an otherwise-empty request past the gate)
-    if (fields.isEmpty) return None
+    // reads per split). An otherwise-EMPTY request (every projected
+    // column is a constant) also takes the column: the generated
+    // longs drive the row count where no file column would
     val rowIdxPos =
       if (p.deletes.nonEmpty || p.dv.nonEmpty || p.emitOnlyDeleted ||
+          fields.isEmpty ||
           p.target.fieldNames.exists(n => n == LakeSource.PosMetaCol ||
             n == LakeSource.RowIdMetaCol)) {
         // nullable: the column is absent from the FILE (the reader
@@ -627,10 +872,17 @@ private[graft] object BatchRowLakeReader {
     val names = fields.map(_.name.toLowerCase(java.util.Locale.ROOT))
     if (names.distinct.size != names.size) return None
     var di = -1
-    val srcIdx = p.target.fields.map { tf =>
-      if (LakeSource.isMetaCol(tf.name)) -1 else { di += 1; di }
+    val srcIdx = new Array[Int](p.target.fields.length)
+    val consts = new Array[Any](p.target.fields.length)
+    p.target.fields.zipWithIndex.foreach { case (tf, i) =>
+      if (LakeSource.isMetaCol(tf.name)) srcIdx(i) = -1
+      else {
+        di += 1
+        srcIdx(i) = vm.srcIdx(di)
+        consts(i) = vm.consts(di)
+      }
     }
-    Some(Plan(StructType(fields.toSeq), srcIdx, eqIdx, eqTypes,
+    Some(Plan(StructType(fields.toSeq), srcIdx, consts, eqAccess,
       rowIdSrc, lastUpdSrc, rowIdxPos))
   }
 }
@@ -678,18 +930,17 @@ private[sources] class BatchRowLakeReader(p: LakeFilePartition,
 
   private val eqSets = p.eqBatches.map(EqBatchCache.get).toArray
   private val eqProbes: Array[java.util.ArrayList[Any]] =
-    plan.eqIdx.map(ix => new java.util.ArrayList[Any](ix.length))
+    plan.eqAccess.map(ax => new java.util.ArrayList[Any](ax.length))
 
   private def eqDeleted(r: InternalRow): Boolean = {
     var i = 0
     while (i < eqSets.length) {
-      val idxs = plan.eqIdx(i)
-      val types = plan.eqTypes(i)
+      val access = plan.eqAccess(i)
       val probe = eqProbes(i)
       probe.clear()
       var j = 0
-      while (j < idxs.length) {
-        probe.add(if (r.isNullAt(idxs(j))) null else r.get(idxs(j), types(j)))
+      while (j < access.length) {
+        probe.add(BatchRowLakeReader.keyAt(r, access(j)))
         j += 1
       }
       if (eqSets(i).contains(probe)) return true
@@ -756,7 +1007,10 @@ private[sources] class BatchRowLakeReader(p: LakeFilePartition,
           else null
         } else {
           val si = plan.srcIdx(i)
-          if (si < 0) null // an unrecognized meta column reads null
+          // si < 0: a CONSTANT (absent atomic column — its initial
+          // default or null; immutable, shared safely) or an
+          // unrecognized meta column (consts null there)
+          if (si < 0) plan.consts(i)
           else if (cur.isNullAt(si)) null
           else copyVal(cur.get(si, srcTypes(si)))
         }
@@ -772,13 +1026,16 @@ private[sources] class BatchRowLakeReader(p: LakeFilePartition,
   * record to the target schema by field ID (promotions int→long,
   * float→double included) — the executor-side mirror of
   * `Reconcile.projection`, minus Catalyst. Since r13 this is the
-  * FALLBACK walk (exotic external encodings, unmappable schema
-  * pairs, nested equality keys, absent-with-DEFAULT columns) —
+  * FALLBACK walk; r15 retired the last common triggers (nested
+  * equality keys, absent-with-DEFAULT columns), leaving exotic
+  * external encodings and genuinely unmappable schema pairs
+  * (non-widening type changes, map-KEY changes, nested defaults) —
   * everything else decodes through [[BatchRowLakeReader]]'s
   * vectorized path or the fully columnar [[VectorizedLakeReader]].
   */
 private[sources] class GroupRowReader(p: LakeFilePartition)
     extends PartitionReader[InternalRow] {
+  BatchRowLakeReader.groupWalks.incrementAndGet()
 
   private def openFooter(): Option[org.apache.parquet.schema.MessageType] =
     LakeSource.readFooterSchema(p.path)

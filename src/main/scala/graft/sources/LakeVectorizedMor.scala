@@ -111,6 +111,21 @@ private[sources] class MorVectorizedLakeReader(p: LakeFilePartition,
 
   private val targetWidth = p.target.fields.length
   private val requestedWidth = plan.requested.fields.length
+  // emitted batch = decoded batch as-is only when the request is a
+  // positional identity with the target (no constants, no appended
+  // probe/row-index columns to clip)
+  private val passthrough = requestedWidth == targetWidth &&
+    plan.srcIdx.zipWithIndex.forall { case (s, i) => s == i }
+  // constant vectors for absent atomic columns (r15: initial default
+  // or null, per target ordinal) — ConstantColumnVector ignores the
+  // row index, so the selection map needs no wrapper over them
+  private val constCols: Array[ColumnVector] =
+    plan.srcIdx.zipWithIndex.map { case (s, i) =>
+      if (s >= 0) null
+      else LakeVectorize.constantVector(
+        graft.lake.Reconcile.clean(p.target.fields(i).dataType),
+        plan.consts(i))
+    }
 
   private val deletedPos: java.util.HashSet[java.lang.Long] =
     LakeSource.loadDeletedPositions(p.deletes, p.path)
@@ -126,20 +141,18 @@ private[sources] class MorVectorizedLakeReader(p: LakeFilePartition,
 
   private val eqSets = p.eqBatches.map(EqBatchCache.get).toArray
   private val eqProbes: Array[java.util.ArrayList[Any]] =
-    plan.eqIdx.map(ix => new java.util.ArrayList[Any](ix.length))
+    plan.eqAccess.map(ax => new java.util.ArrayList[Any](ax.length))
 
   private def eqDeleted(r: org.apache.spark.sql.catalyst.InternalRow)
       : Boolean = {
     var i = 0
     while (i < eqSets.length) {
-      val idxs = plan.eqIdx(i)
-      val types = plan.eqTypes(i)
+      val access = plan.eqAccess(i)
       val probe = eqProbes(i)
       probe.clear()
       var j = 0
-      while (j < idxs.length) {
-        probe.add(if (r.isNullAt(idxs(j))) null
-          else r.get(idxs(j), types(j)))
+      while (j < access.length) {
+        probe.add(BatchRowLakeReader.keyAt(r, access(j)))
         j += 1
       }
       if (eqSets(i).contains(probe)) return true
@@ -169,14 +182,16 @@ private[sources] class MorVectorizedLakeReader(p: LakeFilePartition,
       }
       if (keep > 0) {
         cur =
-          if (keep == n && requestedWidth == targetWidth) b
+          if (keep == n && passthrough) b
           else {
             val cols = new Array[ColumnVector](targetWidth)
             var j = 0
             while (j < targetWidth) {
+              val sj = plan.srcIdx(j)
               cols(j) =
-                if (keep == n) b.column(j)
-                else new SelectedColumnVector(b.column(j), map)
+                if (sj < 0) constCols(j)
+                else if (keep == n) b.column(sj)
+                else new SelectedColumnVector(b.column(sj), map)
               j += 1
             }
             new ColumnarBatch(cols, keep)

@@ -1,0 +1,131 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.lake.{Engine, LakeTable}
+import graft.sources.BatchRowLakeReader
+
+/** r15 retires the last two COMMON GroupRowReader triggers: STRUCT-
+  * NESTED equality-delete keys (probe chains read through struct
+  * children of the decoded row) and absent-with-DEFAULT columns
+  * (served as per-reader constants — ConstantColumnVector on the
+  * columnar path, plan consts on the row path). Each scenario pins
+  * BOTH exactness (identical rows on the forced Group walk) and
+  * engagement (the `groupWalks` counter does not move), so a future
+  * gate regression that silently demotes these scans fails the spec
+  * rather than just running slower. Remaining legitimate fallbacks:
+  * exotic external encodings and unmappable schema pairs.
+  */
+class GroupWalkRetirementSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  private def noGroupWalks[A](body: => A): A = {
+    val before = BatchRowLakeReader.groupWalks.get
+    val out = body
+    assert(BatchRowLakeReader.groupWalks.get == before,
+      "scan must not fall back to the Group walk")
+    out
+  }
+
+  test("nested equality-delete keys decode vectorized (columnar MoR), " +
+      "exact vs the forced Group walk") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft-gwr-nested").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"t","columns":[
+        |{"column_name":"k","data_type":"long"},
+        |{"column_name":"meta","data_type":"struct","struct_def":[
+        |  {"column_name":"seg","data_type":"string"},
+        |  {"column_name":"name","data_type":"string"}]}],
+        |"partitions":[]}""".stripMargin)
+    val t = LakeTable.load(wh, "d", "t")
+    t.append((0 until 300).map(i =>
+      (i.toLong, s"seg${i % 7}", s"n$i")).toDF("k", "seg", "name")
+      .select(col("k"),
+        struct(col("seg"), col("name")).as("meta")))
+    LakeTable.load(wh, "d", "t").deleteByKeysMoR(spark,
+      Seq("seg3", "seg5").toDF("meta.seg"))
+    def read() = spark.read.format("graft-lake")
+      .option("warehouse", wh).option("database", "d").option("table", "t")
+      .load()
+    // full projection (nested key read through the projected struct)
+    val full = noGroupWalks(rows(read()))
+    // pruned projection (the carrier struct drops out of the target:
+    // the reader re-requests a minimal single-chain struct)
+    val pruned = noGroupWalks(rows(read().select("k")))
+    System.setProperty("graft.read.novector", "1")
+    try {
+      assert(full == rows(read()), "full projection vs Group walk")
+      assert(pruned == rows(read().select("k")),
+        "pruned projection vs Group walk")
+    } finally System.clearProperty("graft.read.novector")
+    assert(full.size == 300 - (0 until 300).count(i =>
+      i % 7 == 3 || i % 7 == 5))
+  }
+
+  test("absent-with-DEFAULT columns decode vectorized as constants " +
+      "(clean AND delete-bearing files), exact vs the Group walk") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft-gwr-def").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"t","columns":[
+        |{"column_name":"k","data_type":"long"}],"partitions":[]}""".stripMargin)
+    LakeTable.load(wh, "d", "t").append((0 until 100).map(_.toLong).toDF("k"))
+    spark.conf.set("spark.sql.catalog.ggwr", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.ggwr.warehouse", wh)
+    spark.sql("ALTER TABLE ggwr.d.t ADD COLUMN note STRING DEFAULT 'n/a'")
+    spark.sql("ALTER TABLE ggwr.d.t ADD COLUMN score DOUBLE DEFAULT 2.5")
+    // a second file WITH the columns, so both fill paths mix in one scan
+    LakeTable.load(wh, "d", "t").append(
+      Seq((1000L, "real", 9.9)).toDF("k", "note", "score"))
+    // and MoR deletes so the DEFAULT + delete combination exercises
+    // the columnar MoR reader's constant vectors
+    LakeTable.load(wh, "d", "t").deleteMoR(spark, col("k") % 10L === 7L)
+    def read() = spark.read.format("graft-lake")
+      .option("warehouse", wh).option("database", "d").option("table", "t")
+      .load()
+    val got = noGroupWalks(rows(read()))
+    System.setProperty("graft.read.novector", "1")
+    try assert(got == rows(read()), "constants vs Group walk")
+    finally System.clearProperty("graft.read.novector")
+    val notes = noGroupWalks(read().select("note").distinct()
+      .collect().map(_.getString(0)).toSet)
+    assert(notes == Set("n/a", "real"), s"default must fill: $notes")
+  }
+
+  test("equality-delete key on a column ABSENT from an old file " +
+      "probes the constant (default), exact vs the Group walk") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft-gwr-absent").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"t","columns":[
+        |{"column_name":"k","data_type":"long"}],"partitions":[]}""".stripMargin)
+    LakeTable.load(wh, "d", "t").append(Seq(1L, 2L, 3L).toDF("k"))
+    spark.conf.set("spark.sql.catalog.ggwa", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.ggwa.warehouse", wh)
+    spark.sql("ALTER TABLE ggwa.d.t ADD COLUMN tag STRING DEFAULT 'old'")
+    LakeTable.load(wh, "d", "t").append(
+      Seq((10L, "new"), (11L, "old")).toDF("k", "tag"))
+    // delete by tag='old': the pre-evolution file's rows carry the
+    // DEFAULT 'old' (Group-walk semantics) — all three must vanish,
+    // plus the new file's k=11
+    LakeTable.load(wh, "d", "t").deleteByKeysMoR(spark,
+      Seq("old").toDF("tag"))
+    def read() = spark.read.format("graft-lake")
+      .option("warehouse", wh).option("database", "d").option("table", "t")
+      .load()
+    val got = noGroupWalks(rows(read()))
+    System.setProperty("graft.read.novector", "1")
+    try assert(got == rows(read()),
+      "absent-key constant probe vs Group walk")
+    finally System.clearProperty("graft.read.novector")
+    assert(got.size == 1 && got.head.contains("10"),
+      s"only the non-matching new row survives: $got")
+  }
+}

@@ -138,7 +138,7 @@ class VectorizedReadSpec extends AnyFunSuite {
   }
 
   test("MoR position deletes stay COLUMNAR (selection mask); initial " +
-      "defaults and rename-swap still gate row mode, exact") {
+      "defaults and rename-swap read as constants (r15), exact") {
     // (a) MoR position deletes — the deletes apply as a selection map
     // on the decoded batch; the scan keeps its columnar form
     val wh = mk("""{"database_name":"d","table_name":"g","columns":[
@@ -171,8 +171,10 @@ class VectorizedReadSpec extends AnyFunSuite {
 
     // (c) rename-swap: drop s, re-add a column NAMED s (new field id).
     // Old files still hold a physical column "s" (the dropped one) —
-    // name-based clipping would bind it; the collision gate must force
-    // row mode and read NULL for the new s
+    // name-based clipping would bind it. Since r15 the absent new
+    // column is served as a CONSTANT (never requested by name at
+    // all), so the scan stays COLUMNAR and the hazard is structurally
+    // gone; the value must still be NULL, never the dropped bytes
     val wh2 = mk("""{"database_name":"d","table_name":"sw","columns":[
       |{"column_name":"k","data_type":"long"},
       |{"column_name":"s","data_type":"string"}],"partitions":[]}""".stripMargin)
@@ -185,8 +187,9 @@ class VectorizedReadSpec extends AnyFunSuite {
       |{"column_name":"s","data_type":"string"}],"partitions":[]}""".stripMargin)
     val c2 = cat(wh2)
     val sw = spark.sql(s"SELECT k, s FROM $c2.d.sw")
-    assert(columnarFlags(sw).forall(f => !f),
-      "a dropped-and-readded name must gate the batch path off")
+    assert(columnarFlags(sw).forall(identity),
+      "a dropped-and-readded ATOMIC column reads as a constant — " +
+        "columnar, with no by-name request to misbind")
     val got = sw.collect()
     assert(got.length == 1 && got.head.getLong(0) == 1L &&
       got.head.isNullAt(1),
