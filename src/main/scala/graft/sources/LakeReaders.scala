@@ -36,9 +36,10 @@ private[sources] object LakeReaderFactory {
     * changelog emission, no metadata / lineage columns
     * (position-derived values are per-ROW by construction), engine-
     * written files, and the (file, target) schema pair must map —
-    * [[LakeVectorize.vectorSchema]] for clean files (renames by
-    * field ID, legal widenings), [[BatchRowLakeReader.plan]] when
-    * delete state needs equality-key columns re-requested.
+    * [[LakeVectorize.vectorMap]] for clean files (renames by field
+    * ID, legal widenings, absent atomic columns as constants),
+    * [[BatchRowLakeReader.plan]] when delete state needs equality-key
+    * columns re-requested.
     */
   def vectorizable(p: LakeFilePartition): Boolean =
     !sys.props.contains("graft.read.novector") &&
