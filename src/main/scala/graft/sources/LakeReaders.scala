@@ -294,14 +294,6 @@ private[sources] object LakeVectorize {
     Some(StructType(out))
   }
 
-  /** The requested read schema for the pair, None = row path.
-    * (Nested recursion entry — top-level callers use [[vectorMap]],
-    * which additionally serves absent ATOMIC columns as constants.)
-    */
-  def vectorSchema(target: StructType,
-      fileSchema: StructType): Option[StructType] =
-    mapStruct(target, fileSchema)
-
   /** Top-level vector read plan: the physical schema to request, each
     * target field's index into the decoded row (-1 = constant), and
     * the constant values. Absent ATOMIC columns — including those
@@ -577,11 +569,17 @@ private[sources] class VectorizedLakeReader(p: LakeFilePartition)
         Reconcile.clean(p.target.fields(i).dataType), vm.consts(i))
     }
 
+  // passthrough only when the DECODED batch is positionally the
+  // target: an empty target makes identity vacuously true while the
+  // reader carries the row-count-driving row-index column — that
+  // column must never leak into the emitted batch
+  private val passthrough = vm.identity && (requested eq vm.requested)
+
   override def next(): Boolean = reader.nextKeyValue()
   override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = {
     val b = reader.getCurrentValue
       .asInstanceOf[org.apache.spark.sql.vectorized.ColumnarBatch]
-    if (vm.identity) b
+    if (passthrough) b
     else {
       val cols = new Array[org.apache.spark.sql.vectorized.ColumnVector](
         vm.srcIdx.length)
@@ -747,6 +745,14 @@ private[graft] object BatchRowLakeReader {
     // re-requests a minimal single-chain struct. Non-widening shapes
     // stay on the Group walk.
     val eqAccess = new Array[Array[EqAccess]](p.eqBatches.length)
+    // per-id memo ACROSS batches: a second batch keyed on the same
+    // pruned column must reuse the first batch's appended request
+    // column — re-appending would trip the names-distinct check and
+    // silently demote the whole scan to the Group walk (review-found
+    // r15 regression; key ids map to one current-schema type, so the
+    // access is id-stable)
+    val resolvedById =
+      scala.collection.mutable.HashMap.empty[Int, EqAccess]
     var bi = 0
     p.eqBatches.foreach { b =>
       val acc = new Array[EqAccess](b.keyFields.fields.length)
@@ -820,10 +826,11 @@ private[graft] object BatchRowLakeReader {
               EqAccess(steps, Array.fill(chain.length)(1), kt)
             }
           }.nextOption()
-        val resolved = topLevel.orElse(const).orElse(nestedInRequested)
+        val resolved = resolvedById.get(id)
+          .orElse(topLevel).orElse(const).orElse(nestedInRequested)
           .orElse(topLevelFromFile).orElse(nestedFromFile)
         resolved match {
-          case Some(a) => acc(ki) = a
+          case Some(a) => resolvedById(id) = a; acc(ki) = a
           case None => return None
         }
         ki += 1
@@ -1304,26 +1311,14 @@ private[sources] class GroupRowReader(p: LakeFilePartition)
   * small in steady state.
   */
 private[sources] object EqBatchCache {
-  private final class Memo(load: () => java.util.HashSet[
-      java.util.ArrayList[Any]]) {
-    lazy val value: java.util.HashSet[java.util.ArrayList[Any]] = load()
-  }
-  private val cache = new java.util.LinkedHashMap[String, Memo](
-      16, 0.75f, /* accessOrder = */ true) {
-    override def removeEldestEntry(
-        e: java.util.Map.Entry[String, Memo]): Boolean = size > 64
-  }
+  private val cache = new LakeSource.LruMemoCache[
+    java.util.HashSet[java.util.ArrayList[Any]]](64)
 
   def get(b: LakeEqBatch): java.util.HashSet[java.util.ArrayList[Any]] = {
     val key = b.paths.mkString("|") + "#" +
       b.keyFields.fields.map(f =>
         s"${FieldIds.idOf(f)}:${f.dataType.simpleString}").mkString(",")
-    val memo = cache.synchronized {
-      var m = cache.get(key)
-      if (m == null) { m = new Memo(() => load(b)); cache.put(key, m) }
-      m
-    }
-    memo.value
+    cache.get(key, () => load(b))
   }
 
   private def load(b: LakeEqBatch)

@@ -568,14 +568,16 @@ private[graft] object LakeSource {
     * parallel — the holder is inserted under the map lock, the IO runs
     * outside it.
     */
-  private final class Memo[V](load: () => V) { lazy val value: V = load() }
+  private[sources] final class Memo[V](load: () => V) {
+    lazy val value: V = load()
+  }
 
   /** Small access-ordered LRU behind a lock: eviction drops the
     * coldest entry instead of wiping entries hot splits are about to
     * reuse (a scan over >bound delete-bearing files must not thrash
     * still-running splits of earlier files).
     */
-  private final class LruMemoCache[V](bound: Int) {
+  private[sources] final class LruMemoCache[V](bound: Int) {
     private val map = new java.util.LinkedHashMap[String, Memo[V]](
         16, 0.75f, /* accessOrder = */ true) {
       override def removeEldestEntry(

@@ -99,6 +99,54 @@ class GroupWalkRetirementSpec extends AnyFunSuite {
     assert(notes == Set("n/a", "real"), s"default must fill: $notes")
   }
 
+  test("TWO eq-delete batches keyed on the same PRUNED column share " +
+      "one re-requested column (review-found r15 regression: the " +
+      "second batch re-appended it, tripping the names-distinct " +
+      "check and demoting the scan)") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft-gwr-twobatch").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"t","columns":[
+        |{"column_name":"k","data_type":"long"},
+        |{"column_name":"v","data_type":"long"}],"partitions":[]}""".stripMargin)
+    LakeTable.load(wh, "d", "t").append(
+      (0 until 200).map(i => (i.toLong, i * 10L)).toDF("k", "v"))
+    // two separate eq-delete commits => two batches, both keyed on k
+    LakeTable.load(wh, "d", "t").deleteByKeysMoR(spark,
+      Seq(5L, 50L).toDF("k"))
+    LakeTable.load(wh, "d", "t").deleteByKeysMoR(spark,
+      Seq(6L, 60L).toDF("k"))
+    def read() = spark.read.format("graft-lake")
+      .option("warehouse", wh).option("database", "d").option("table", "t")
+      .load()
+    // projection PRUNES k: both batches must resolve through the ONE
+    // appended request column
+    val got = noGroupWalks(read().select("v")
+      .collect().map(_.getLong(0)).sorted.toSeq)
+    val expect = (0 until 200).filterNot(i =>
+      Set(5, 50, 6, 60)(i)).map(_ * 10L)
+    assert(got == expect)
+  }
+
+  test("a ZERO-column projection over a clean file stays columnar and " +
+      "never leaks the row-count-driving row-index column") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft-gwr-zero").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"t","columns":[
+        |{"column_name":"k","data_type":"long"}],"partitions":[]}""".stripMargin)
+    LakeTable.load(wh, "d", "t").append((0 until 123).map(_.toLong).toDF("k"))
+    val lit1 = noGroupWalks(spark.read.format("graft-lake")
+      .option("warehouse", wh).option("database", "d").option("table", "t")
+      .load()
+      .select(org.apache.spark.sql.functions.lit(1).as("one"))
+      .collect())
+    assert(lit1.length == 123 && lit1.forall(r =>
+      r.length == 1 && r.getInt(0) == 1),
+      "zero-column scan must emit exactly the literal — a leaked " +
+        "row-index column would widen the batch past the scan schema")
+  }
+
   test("equality-delete key on a column ABSENT from an old file " +
       "probes the constant (default), exact vs the Group walk") {
     import spark.implicits._
