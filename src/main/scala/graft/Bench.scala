@@ -140,7 +140,17 @@ object Bench {
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     var failedSec = 0.0
     val jobs = scala.collection.mutable.Map.empty[String, Int]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+    // optional key-subset lane (r16): SPARK_GRAFT_BENCH_KEYS=a,b,c
+    // restricts the measured set — the sf1 timed lane runs only the
+    // heavy keys there (the full 185-key pass at sf1 would spend most
+    // of its wall re-running sub-second keys whose scale story the
+    // sf0.1 lane already tells)
+    val keyFilter: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_KEYS")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => keyFilter.forall(_.contains(name)) }
+      .flatMap { case (name, fn) =>
       val before = quiesce()
       val t0 = System.nanoTime()
       try {
@@ -162,12 +172,20 @@ object Bench {
           None
       }
     }.toMap
-    // re-time the slowest keys once, same JVM: a contention spike on
-    // the first pass shows as retimed << measured; a real cost repeats.
-    // The min goes in its own field — the measured totals stay
-    // comparable across rounds.
-    val retimed = results.toSeq.sortBy(-_._2).take(RetimeTopN)
-      .flatMap { case (name, first) =>
+    // re-time once, same JVM: a contention spike on the first pass
+    // shows as retimed << measured; a real cost repeats. The set is
+    // EVERY key whose first pass crossed RetimeThresholdSec (r16 —
+    // the r15 drift episode showed a fixed top-8 leaves most of the
+    // heavy band with single-sample walls, so a host spike reads as a
+    // regression with no in-band rebuttal), plus the slowest
+    // RetimeTopN as a floor when few keys cross. The min goes in its
+    // own field — the measured totals stay comparable across rounds.
+    val retimeSet = (results.filter(_._2 >= RetimeThresholdSec).keySet ++
+      results.toSeq.sortBy(-_._2).take(RetimeTopN).map(_._1)).toSeq
+      .sortBy(k => -results(k))
+    val retimed = retimeSet
+      .flatMap { name =>
+        val first = results(name)
         try {
           val t0 = System.nanoTime()
           SparkEntry.queries(name)(spark, sfDir).count()
@@ -218,12 +236,21 @@ object Bench {
     }
   }
 
-  /** How many of the slowest measured keys re-time after the pass.
-    * 8 (was 5): this box's wall clock swings 15-20% run-to-run, and
-    * the retimed minimums are the only in-band evidence separating a
-    * contention spike from a real per-key regression — widen the net
-    * over the whole heavy-lifecycle band. */
+  /** Floor on how many of the slowest measured keys re-time after the
+    * pass (and the stdout-line cap for the retimed field — the full
+    * map rides in the sidecar). 8 (was 5): this box's wall clock
+    * swings 15-20% run-to-run, and the retimed minimums are the only
+    * in-band evidence separating a contention spike from a real
+    * per-key regression. */
   val RetimeTopN = 8
+
+  /** Every key at or above this first-pass wall re-times (r16
+    * drift-proofing): the r15 bench was recorded in a host-drift
+    * window and the fixed top-8 retime left the rest of the heavy
+    * band (mat-view family at 2-4s) with single-sample walls — the
+    * verdict could not separate drift from regression in-band. 2s ≈
+    * the band where scheduling noise stops dominating. */
+  val RetimeThresholdSec = 2.0
 
   /** The driver-contract JSON line. Harness-critical invariants (pinned
     * by BenchLineSpec): valid JSON regardless of JVM locale, and at
@@ -268,7 +295,9 @@ object Bench {
       .getOrElse("")
     val retimedField =
       if (retimed.isEmpty) ""
-      else s""""retimed":{""" + retimed.toSeq.sortBy(_._1).take(RetimeTopN)
+      else s""""retimed":{""" + retimed.toSeq
+        .sortBy { case (k, _) => -results.getOrElse(k, 0.0) }
+        .take(RetimeTopN)
         .map { case (k, v) => s""""$k":${r3(v)}""" }.mkString(",") + "},"
     // host-invariant evidence: total job count + per-key counts for
     // the slowest keys (the set a reviewer diffs for plan regressions);
@@ -303,12 +332,22 @@ object Bench {
         val med =
           if (qRatios.isEmpty) ""
           else s""","q_ratio_median":${r3(qRatios(qRatios.size / 2))}"""
+        // q_ratio (aggregate spark/duck over the analytic keys) is
+        // the drift-proof HEADLINE number (r16): both engines are
+        // timed on the same parquet, so host drift cancels — walls
+        // are second-class evidence
+        val agg =
+          if (qDuck <= 0) ""
+          else s""","q_ratio":${r3(qSpark / qDuck)}"""
         s""""oracle":{"engine":"duckdb","n":${common.size},""" +
           s""""q_n":${qk.size},"q_spark":${r3(qSpark)},""" +
-          s""""q_duck":${r3(qDuck)}$med},"""
+          s""""q_duck":${r3(qDuck)}$agg$med},"""
       }
     }
-    val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},$failedField$loadField$retimedField$jobsField$oracleField"sf":"$sfDir","queries":{"""
+    // field order states the r16 reading protocol: the drift-proof
+    // evidence (spark/duck ratio, host-invariant job counts) leads;
+    // raw walls trail
+    val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},$oracleField$jobsField$failedField$loadField$retimedField"sf":"$sfDir","queries":{"""
     val tail = "}}"
     val budget = MaxLineChars - head.length - tail.length
     val entries = results.toSeq.sortBy(-_._2).map { case (k, v) => s""""$k":${r3(v)}""" }

@@ -826,7 +826,18 @@ private[graft] object BatchRowLakeReader {
               EqAccess(steps, Array.fill(chain.length)(1), kt)
             }
           }.nextOption()
-        val resolved = resolvedById.get(id)
+        // the memo is only valid while the id-stable-type invariant
+        // holds (eqBatchesFor resolves every batch's keyFields against
+        // ONE snapshot schema today); if a future batch ever types the
+        // same key id differently, a silently reused access would
+        // probe values that never match the delete set and resurrect
+        // deleted rows — fail LOUDLY to the Group walk instead (r16,
+        // advisor-flagged)
+        val memoized = resolvedById.get(id).filter { a =>
+          if (a.leafType == kt) true
+          else return None
+        }
+        val resolved = memoized
           .orElse(topLevel).orElse(const).orElse(nestedInRequested)
           .orElse(topLevelFromFile).orElse(nestedFromFile)
         resolved match {

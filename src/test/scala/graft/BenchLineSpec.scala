@@ -112,12 +112,17 @@ class BenchLineSpec extends AnyFunSuite {
     assert(o("q_n").asInstanceOf[JNumber].value == 200)
     assert(o("q_duck").asInstanceOf[JNumber].value == 2.0)
     assert(o.contains("q_spark") && o.contains("q_ratio_median"))
+    // r16: the aggregate spark/duck ratio is the drift-proof headline
+    val qSpark = o("q_spark").asInstanceOf[JNumber].value.toDouble
+    val qRatio = o("q_ratio").asInstanceOf[JNumber].value.toDouble
+    // both sides rendered at 3 decimals — allow the rounding quantum
+    assert(math.abs(qRatio - qSpark / 2.0) < 1e-3)
     // no baseline file → no field
     assert(!Bench.renderLine(res, "sf").contains("oracle"))
-    // a zero duck time never divides: ratio median just skips it
+    // a zero duck time never divides: ratio fields just skip it
     val line2 = Bench.renderLine(Map("q_a" -> 1.0), "sf",
       duck = Map("q_a" -> 0.0))
-    assert(!line2.contains("q_ratio_median") && line2.contains("oracle"))
+    assert(!line2.contains("q_ratio") && line2.contains("oracle"))
   }
 
   test("valid JSON under a comma-decimal locale") {

@@ -26,6 +26,17 @@ else
 fi
 
 echo "[finalize] 4/4 bench at sf0.1 (exit 2 on any failed key)"
+# r16 drift protocol: re-record the DuckDB oracle IN THE SAME WINDOW as
+# the Spark bench, so the line's q_ratio compares the two engines under
+# identical host conditions (the r15 postmortem: a drift episode moved
+# both walls ~23-30% and the stale duck record made Spark look slow).
+# The old total prints beside the new one — a >20% move is the drift
+# canary saying the WALLS of this window are not cross-round comparable
+# (the ratio still is).
+prev_total=$(python3 -c "import json;print(round(sum(json.load(open('tools/bench_oracle.json'))['keys'].values()),2))" 2>/dev/null || echo "n/a")
+python3 tools/bench_oracle.py /root/testdata/sf0.1 /tmp/finalize_v/oracle_sql.json
+new_total=$(python3 -c "import json;print(round(sum(json.load(open('tools/bench_oracle.json'))['keys'].values()),2))")
+echo "[finalize] duck canary: previous total ${prev_total}s -> this window ${new_total}s"
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
   GRAFT_EXTRA_JAVA_OPTS="${GRAFT_EXTRA_JAVA_OPTS:--Xmx48g}" \
   tools/run.sh graft.Bench
