@@ -1756,38 +1756,39 @@ object LakeReadQueries extends QueryModule {
         .append(li.repartition(1).sortWithinPartitions("l_okey"))
       s.conf.set("spark.sql.catalog.gpd9", "graft.sources.LakeCatalog")
       s.conf.set("spark.sql.catalog.gpd9.warehouse", wh)
-      val records = new java.util.concurrent.atomic.AtomicLong
-      val listener = new org.apache.spark.scheduler.SparkListener {
-        override def onTaskEnd(
-            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-          if (e.taskMetrics != null)
-            records.addAndGet(e.taskMetrics.inputMetrics.recordsRead)
-      }
       val total = LakeTable.load(wh, "pd", "li").read(s).count()
-      s.sparkContext.addSparkListener(listener)
-      val rows =
-        try {
-          val out = s.sql(
-            "SELECT l_okey, l_part, l_ship, l_qty FROM gpd9.pd.li " +
-              "WHERE l_okey BETWEEN 1000 AND 1200 " +
-              "AND l_ship IN ('A', 'R') ORDER BY l_okey, l_part")
-            .collect()
-          var prev = -1L
-          var cur = records.get
-          while (prev != cur) {
-            Thread.sleep(100); prev = cur; cur = records.get
-          }
-          // the vectorized reader skips at row-group/page granularity
-          // (no record-level filtering in batch mode), so the audit
-          // scales with the file: a tiny sf0.001 file has too few
-          // groups for a 2x cut — any skipping proves engagement
-          // there, while the driver-gated sizes keep the strong bound
-          val budget = if (total >= 20000) total / 2 else total * 4 / 5
-          require(cur < budget,
-            s"the pushed predicate must skip source records: read " +
-              s"$cur of $total (budget $budget)")
-          out
-        } finally s.sparkContext.removeSparkListener(listener)
+      val audited = s.sql(
+        "SELECT l_okey, l_part, l_ship, l_qty FROM gpd9.pd.li " +
+          "WHERE l_okey BETWEEN 1000 AND 1200 " +
+          "AND l_ship IN ('A', 'R') ORDER BY l_okey, l_part")
+      val out = audited.collect()
+      // the scan's OWN plan metric, not a global recordsRead listener:
+      // the listener counted task-end events from whatever else was
+      // draining on the shared bus (r16 flake — a preceding key's
+      // late events inflated the count past the table size). AQE
+      // wrappers hide their subtrees from collect — expand manually.
+      def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[Long] =
+        p match {
+          case a: org.apache.spark.sql.execution.adaptive
+              .AdaptiveSparkPlanExec => scans(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive
+              .QueryStageExec => scans(q.plan)
+          case b: org.apache.spark.sql.execution.datasources.v2
+              .BatchScanExec =>
+            b.metrics.get("numOutputRows").map(_.value).toSeq
+          case other => other.children.flatMap(scans)
+        }
+      val cur = scans(audited.queryExecution.executedPlan).sum
+      // the vectorized reader skips at row-group/page granularity
+      // (no record-level filtering in batch mode), so the audit
+      // scales with the file: a tiny sf0.001 file has too few
+      // groups for a 2x cut — any skipping proves engagement
+      // there, while the driver-gated sizes keep the strong bound
+      val budget = if (total >= 20000) total / 2 else total * 4 / 5
+      require(cur > 0 && cur < budget,
+        s"the pushed predicate must skip source records: read " +
+          s"$cur of $total (budget $budget)")
+      val rows = out
       import s.implicits._
       rows.map(r => (r.getLong(0), r.getLong(1), r.getString(2),
         r.getDouble(3))).toSeq

@@ -256,6 +256,19 @@ private[sources] object LakeVectorize {
 
   private def mapType(t: DataType, f: DataType): Option[DataType] =
     (t, f) match {
+      // variant EXTRACTION pushdown (r16): the target field arrived
+      // rewritten by Catalyst to a struct of requested paths (each
+      // inner field tagged with VariantMetadata — path, failOnError,
+      // zone) over a file column stored as shredded VARIANT. Request
+      // that struct VERBATIM (inner metadata intact): Spark's own
+      // ParquetReadSupport recognizes a variant-struct request and
+      // clips the shredded group to just the referenced typed_value
+      // children — untouched shredded fields are never read, which is
+      // the whole point at 100 TB
+      case (ts: StructType, VariantType)
+          if org.apache.spark.sql.execution.datasources
+            .VariantMetadata.isVariantStruct(ts) =>
+        Some(ts)
       case (ts: StructType, fs: StructType) => mapStruct(ts, fs)
       case (ArrayType(te, _), ArrayType(fe, _)) =>
         mapType(te, fe).map(ArrayType(_, containsNull = true))
@@ -344,6 +357,16 @@ private[sources] object LakeVectorize {
           // instead of requesting a null-filled column
           srcIdx(i) = -1
           consts(i) = Defaults.internalValue(tf)
+        case None if org.apache.spark.sql.execution.datasources
+            .VariantMetadata.isVariantStruct(tf.dataType) =>
+          // pushed variant extraction over a file that PREDATES the
+          // variant column: the source variant is null on every row,
+          // so every extracted path is null — a null struct constant
+          // (variant columns cannot carry initial defaults, and a
+          // null-filled REQUEST would trip on the rewritten inner
+          // fields' nullability)
+          srcIdx(i) = -1
+          consts(i) = null
         case None =>
           // absent complex column: reader null-fills — legal only
           // with no recorded default in the subtree and no
@@ -481,10 +504,13 @@ private[sources] object LakeVectorize {
     conf.set(SQLConf.CASE_SENSITIVE.key, "false")
     conf.set(SQLConf.PARQUET_FIELD_ID_READ_ENABLED.key, "false")
     // the 2-arg initialize resolves its ReadSupport from the conf —
-    // without this key getReadSupportInstance NPEs on every scan
+    // without this key getReadSupportInstance NPEs on every scan.
+    // GraftVariantReadSupport = stock ParquetReadSupport plus the
+    // shredded-variant clip 4.1.2 stubs out (passthrough whenever the
+    // requested schema carries no variant-struct)
     conf.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
       classOf[org.apache.spark.sql.execution.datasources.parquet
-        .ParquetReadSupport].getName)
+        .GraftVariantReadSupport].getName)
     pred.foreach(fp => org.apache.parquet.hadoop.ParquetInputFormat
       .setFilterPredicate(conf, fp))
     val reader =

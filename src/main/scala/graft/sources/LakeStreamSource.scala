@@ -415,7 +415,9 @@ private[graft] class LakeScanBuilder(wh: String, db: String, tbl: String,
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
-    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read
+      .SupportsPushDownVariantExtractions {
 
   private var target: StructType = full
   private var stats: Seq[graft.lake.RangeFilter] = Seq.empty
@@ -503,12 +505,86 @@ private[graft] class LakeScanBuilder(wh: String, db: String, tbl: String,
     } else false
   }
 
+  /** Shredded-read pruning for VARIANT columns (r16): Spark rewrites
+    * `variant_get(v, path, type)` references into struct-field reads
+    * when the scan accepts the extraction — the variant attribute's
+    * type becomes a struct of requested paths, each inner field tagged
+    * with [[org.apache.spark.sql.execution.datasources.VariantMetadata]]
+    * (path, failOnError, zone). Accepting means the scan must SERVE
+    * that struct, so acceptance is limited to shapes every reader on
+    * the path can produce: plain batch reads (no changelog marker
+    * emission, no incremental range, no row-level-op scan — those
+    * re-write the full variant downstream) of TOP-LEVEL variant
+    * columns. The payoff is read-side: the parquet request clips the
+    * shredded group to the referenced typed_value children, so a
+    * 100-TB variant-heavy table reads only the extracted fields'
+    * pages instead of decoding every row's whole variant binary.
+    */
+  override def pushVariantExtractions(
+      exts: Array[org.apache.spark.sql.connector.read.VariantExtraction])
+      : Array[Boolean] = {
+    val servable = !changelogMode && !rowLevelOp && incremental.isEmpty &&
+      !sys.props.contains("graft.read.novector")
+    def colOf(e: org.apache.spark.sql.connector.read.VariantExtraction)
+        : Option[StructField] =
+      if (e.columnName.length != 1) None
+      else full.fields.find(f => f.name == e.columnName()(0) &&
+        f.dataType == org.apache.spark.sql.types.VariantType)
+    val verdicts = exts.map(e => servable && colOf(e).isDefined)
+    // Acceptance is all-or-nothing PER COLUMN: Catalyst rebuilds an
+    // accepted column's replacement struct from ALL its requested
+    // fields, so a split verdict would leave fields the scan never
+    // serves. (Our per-extraction predicate only looks at the column,
+    // so same-column verdicts agree by construction.)
+    //
+    // The scan must now SERVE the rewritten type: Catalyst never calls
+    // pruneColumns on the variant path — it derives the new relation
+    // output from scan.readSchema() directly (buildScanWithPushedVariants
+    // aliases readSchema attributes positionally under the pre-rewrite
+    // exprIds). Rebuild `target` with each accepted column's VariantType
+    // replaced by the struct Catalyst will expect: one field per
+    // extraction IN ARRIVAL ORDER (Catalyst emits them ordinal-sorted
+    // per column — the same ordinals its GetStructField rewrites use),
+    // named by ordinal, typed by expectedDataType, tagged with the
+    // extraction's VariantMetadata. The outer field keeps the engine
+    // metadata (field id) so every by-id mapping downstream still binds.
+    val accepted = exts.zip(verdicts).filter(_._2).map(_._1)
+      .groupBy(e => e.columnName()(0))
+    if (accepted.nonEmpty) {
+      target = StructType(target.fields.toSeq.map { tf =>
+        accepted.get(tf.name) match {
+          case Some(colExts)
+              if tf.dataType == org.apache.spark.sql.types.VariantType =>
+            val inner = colExts.zipWithIndex.map { case (e, i) =>
+              StructField(i.toString, e.expectedDataType,
+                nullable = true, metadata = e.metadata)
+            }
+            StructField(tf.name, StructType(inner.toSeq), tf.nullable,
+              tf.metadata)
+          case _ => tf
+        }
+      })
+    }
+    verdicts
+  }
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     // keep full-field definitions (ids, nested types) in required
     // order; _graft_file/_graft_pos metadata columns pass through
     target = StructType(requiredSchema.fields.toSeq.flatMap { rf =>
       if (LakeSource.isMetaCol(rf.name)) Some(rf)
-      else full.fields.find(_.name == rf.name)
+      else full.fields.find(_.name == rf.name).map { ff =>
+        // an accepted variant extraction arrives as a variant-struct
+        // REPLACEMENT type for the column: keep the rewritten type
+        // (the readers request it verbatim — that's the pruning) but
+        // the FULL field's metadata (the engine field id drives every
+        // by-id mapping downstream)
+        if (ff.dataType == org.apache.spark.sql.types.VariantType &&
+            org.apache.spark.sql.execution.datasources
+              .VariantMetadata.isVariantStruct(rf.dataType))
+          StructField(ff.name, rf.dataType, ff.nullable, ff.metadata)
+        else ff
+      }
     })
 
   override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
