@@ -64,6 +64,7 @@ object SchemaDiff {
   }
 
   def diff(current: StructType, target: StructType): Seq[SchemaChange] = {
+    val curFields = FieldIds.flatten(current).toMap
     val cur = FieldIds.flatten(current).map { case (p, f) => p -> f.dataType }
     val tgt = target match {
       // target may arrive without IDs — flatten ignores them here
@@ -73,6 +74,21 @@ object SchemaDiff {
     val tgtMap = tgt.toMap
 
     val changes = Seq.newBuilder[SchemaChange]
+
+    // initial defaults are set when a column is ADDED and immutable
+    // after: a retroactive one would rewrite what files written before
+    // the change already serve (old rows would suddenly read the new
+    // value instead of null). A verbatim re-statement is idempotent
+    // and allowed — TableDef evolutions re-submit whole definitions.
+    FieldIds.flatten(target).foreach { case (p, tf) =>
+      curFields.get(p).foreach { cf =>
+        val declared = Defaults.of(tf)
+        if (declared.isDefined && declared != Defaults.of(cf))
+          changes += DisallowedChange(p, cf.dataType, tf.dataType,
+            "initial_default is fixed when the column is added; " +
+              "it cannot be set or changed on an existing column")
+      }
+    }
 
     // adds: in target, not in current; suppress children of added parents
     val addedPaths = tgt.collect { case (p, _) if !curMap.contains(p) => p }

@@ -1,5 +1,7 @@
 package graft.schema
 
+import org.apache.spark.sql.types.StructField
+
 /** Declarative table definition — the engine's user-facing contract,
   * mirroring the reference's JSON schema (`lambda/schema.json:126-161`:
   * database_name / table_name / columns[] / partitions[] / properties{};
@@ -13,13 +15,22 @@ case class TableDef(
     partitions: Seq[PartitionDef],
     properties: Map[String, String])
 
+/** `initialDefault`: the value rows written BEFORE the column existed
+  * read back (Iceberg v3's `initial-default`, engine extension key
+  * `initial_default` — the reference's schema.json predates it).
+  * Atomic types only; set when the column is ADDED and immutable
+  * afterwards (a retroactive default would rewrite the history old
+  * files already serve). Also the write-side fill for writers that
+  * omit the column, until SET/DROP DEFAULT overrides it.
+  */
 case class ColumnDef(
     name: String,
     dataType: String,
     required: Boolean,
     structDef: Option[Seq[ColumnDef]] = None,
     mapDef: Option[MapDef] = None,
-    arrayDef: Option[ColumnDef] = None)
+    arrayDef: Option[ColumnDef] = None,
+    initialDefault: Option[String] = None)
 
 case class MapDef(key: ColumnDef, value: ColumnDef)
 
@@ -86,7 +97,30 @@ object TableDef {
         errs += s"$path.$name: array type requires array_def"
       if (!TypeMapper.knownType(dt))
         errs += s"$path.$name: unknown data_type '$dt' (falls back to string)"
-      ColumnDef(name, dt, required, structDef, mapDef, arrayDef)
+      val initialDefault = m.get("initial_default") match {
+        case Some(JString(s)) =>
+          if (dt.startsWith("struct") || dt.startsWith("map") ||
+              dt.startsWith("array") || dt.startsWith("list") ||
+              dt == "variant") {
+            errs += s"$path.$name: initial_default on a non-atomic type"
+            None
+          } else {
+            // fail at the CONTRACT boundary, not in a reader later
+            try Defaults.withDefault(
+              StructField(name, TypeMapper.toSparkType(
+                ColumnDef(name, dt, required)), nullable = !required), s)
+            catch {
+              case e: IllegalArgumentException =>
+                errs += s"$path.$name: ${e.getMessage}"
+            }
+            Some(s)
+          }
+        case Some(_) =>
+          errs += s"$path.$name: 'initial_default' must be a string"; None
+        case None => None
+      }
+      ColumnDef(name, dt, required, structDef, mapDef, arrayDef,
+        initialDefault)
     }
 
     val columns = root.get("columns") match {

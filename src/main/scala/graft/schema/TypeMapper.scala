@@ -74,8 +74,12 @@ object TypeMapper {
     }
   }
 
-  def toStructField(cd: ColumnDef): StructField =
-    StructField(cd.name, toSparkType(cd), nullable = !cd.required)
+  def toStructField(cd: ColumnDef): StructField = {
+    val f = StructField(cd.name, toSparkType(cd), nullable = !cd.required)
+    // initial_default (validated at TableDef.parse) rides as the same
+    // metadata annotation the SQL ADD COLUMN ... DEFAULT surface writes
+    cd.initialDefault.map(Defaults.withDefault(f, _)).getOrElse(f)
+  }
 
   /** Inverse mapping: Spark DataType → column definition, used by the
     * SQL catalog DDL surface (CREATE/ALTER TABLE route through the

@@ -241,20 +241,30 @@ private[sources] object LakeVectorize {
       case _ => false
     }
 
-  // generic recursion through ANY nesting (array<array<struct>>, map
-  // keys included) — a default recorded anywhere in the subtree gates
-  // the null-filling batch path off, exactly as the doc promises
-  private def noDefaultsDeep(dt: DataType): Boolean = dt match {
-    case st: StructType => st.fields.forall(noDefaultsIn)
-    case ArrayType(e, _) => noDefaultsDeep(e)
-    case MapType(k, v, _) => noDefaultsDeep(k) && noDefaultsDeep(v)
-    case _ => true
-  }
+  // Default-handling rules (r16 — this retired the Group walk's
+  // nested-defaults trigger): an absent field on a pure STRUCT spine
+  // with a recorded atomic default null-fill-requests AND records a
+  // constant INJECTION the readers overlay; an absent field with a
+  // default below an array/map boundary keeps the row walk (the fill
+  // is per-ELEMENT there); and an ABSENT node's DEEPER defaults never
+  // gate anything — an absent column reads as its OWN default (null
+  // for complex types) on every row path, Reconcile.fieldExpr and the
+  // Group walk's fieldExtractor agree, so the subtree's defaults are
+  // unreachable.
 
-  private def noDefaultsIn(f: StructField): Boolean =
-    Defaults.of(f).isEmpty && noDefaultsDeep(f.dataType)
+  /** One nested-default constant to overlay on a decoded struct
+    * column: `path` = struct ordinals below the top-level column
+    * (leaf inclusive), `dt` the CLEANED leaf type, `value` the
+    * default's Catalyst internal value. Only struct spines carry
+    * injections — array/map interiors keep the row walk.
+    */
+  final case class Injection(path: Array[Int], dt: DataType, value: Any)
 
   private def mapType(t: DataType, f: DataType): Option[DataType] =
+    mapType(t, f, Nil, null)
+
+  private def mapType(t: DataType, f: DataType, path: List[Int],
+      inj: scala.collection.mutable.Buffer[Injection]): Option[DataType] =
     (t, f) match {
       // variant EXTRACTION pushdown (r16): the target field arrived
       // rewritten by Catalyst to a struct of requested paths (each
@@ -269,39 +279,57 @@ private[sources] object LakeVectorize {
           if org.apache.spark.sql.execution.datasources
             .VariantMetadata.isVariantStruct(ts) =>
         Some(ts)
-      case (ts: StructType, fs: StructType) => mapStruct(ts, fs)
+      case (ts: StructType, fs: StructType) =>
+        mapStruct(ts, fs, path, inj)
       case (ArrayType(te, _), ArrayType(fe, _)) =>
-        mapType(te, fe).map(ArrayType(_, containsNull = true))
+        // injections stop at the array boundary (inj = null): a
+        // per-element default fill is row-walk territory
+        mapType(te, fe, Nil, null).map(ArrayType(_, containsNull = true))
       case (MapType(tk, tv, _), MapType(fk, fv, _))
           if Reconcile.clean(tk) == Reconcile.clean(fk) =>
-        mapType(tv, fv).map(MapType(Reconcile.clean(tk), _,
+        mapType(tv, fv, Nil, null).map(MapType(Reconcile.clean(tk), _,
           valueContainsNull = true))
       case (a, b) if widens(Reconcile.clean(b), Reconcile.clean(a)) =>
         Some(Reconcile.clean(a))
       case _ => None
     }
 
-  private def mapStruct(target: StructType,
-      file: StructType): Option[StructType] = {
-    val out = target.fields.map { tf =>
+  private def mapStruct(target: StructType, file: StructType,
+      path: List[Int],
+      inj: scala.collection.mutable.Buffer[Injection]): Option[StructType] = {
+    val out = target.fields.zipWithIndex.map { case (tf, i) =>
       if (!FieldIds.hasId(tf)) return None
       val id = FieldIds.idOf(tf)
       file.fields.find(ff => FieldIds.hasId(ff) &&
           FieldIds.idOf(ff) == id) match {
         case Some(ff) =>
-          mapType(tf.dataType, ff.dataType) match {
+          mapType(tf.dataType, ff.dataType, path :+ i, inj) match {
             case Some(dt) => StructField(ff.name, dt, nullable = true)
             case None => return None
           }
         case None =>
-          // absent from the file: reader null-fills — legal only with
-          // no recorded default and no physical-name collision (a
-          // rename-swap would bind the wrong column by name)
-          if (!noDefaultsIn(tf) ||
-              file.fields.exists(_.name.equalsIgnoreCase(tf.name)))
+          // absent from the file — legal only without a physical-name
+          // collision (a rename-swap would bind the wrong column by
+          // name). Value semantics: the field's OWN initial default on
+          // every row whose PARENT struct is non-null (Reconcile
+          // .structExpr); defaults deeper in an absent subtree never
+          // apply (the whole subtree reads as this node's own
+          // default — null for complex types). So: a defaultless
+          // absent field null-fills; a defaulted ATOMIC one on a
+          // struct spine null-fills AND records a constant INJECTION
+          // the readers overlay (r16 — this retired the Group walk's
+          // nested-defaults trigger); everything else (defaults on
+          // non-constable types, under array/map interiors) keeps the
+          // row walk
+          if (file.fields.exists(_.name.equalsIgnoreCase(tf.name)))
             return None
-          StructField(tf.name, Reconcile.clean(tf.dataType),
-            nullable = true)
+          val clean = Reconcile.clean(tf.dataType)
+          if (Defaults.of(tf).isDefined) {
+            if (inj == null || !constable(clean)) return None
+            inj += Injection((path :+ i).toArray, clean,
+              Defaults.internalValue(tf))
+          }
+          StructField(tf.name, clean, nullable = true)
       }
     }
     Some(StructType(out))
@@ -318,7 +346,8 @@ private[sources] object LakeVectorize {
     * collision-free, else the row/Group path).
     */
   final case class VectorMap(requested: StructType, srcIdx: Array[Int],
-      consts: Array[Any]) {
+      consts: Array[Any],
+      injections: Map[Int, Seq[Injection]] = Map.empty) {
     def hasConsts: Boolean = srcIdx.exists(_ < 0)
     def identity: Boolean = srcIdx.zipWithIndex.forall {
       case (s, i) => s == i
@@ -337,6 +366,7 @@ private[sources] object LakeVectorize {
     val fields = scala.collection.mutable.ArrayBuffer.empty[StructField]
     val srcIdx = new Array[Int](target.fields.length)
     val consts = new Array[Any](target.fields.length)
+    val injections = scala.collection.mutable.Map.empty[Int, Seq[Injection]]
     var i = 0
     while (i < target.fields.length) {
       val tf = target.fields(i)
@@ -345,10 +375,13 @@ private[sources] object LakeVectorize {
       fileSchema.fields.find(ff => FieldIds.hasId(ff) &&
           FieldIds.idOf(ff) == id) match {
         case Some(ff) =>
-          mapType(tf.dataType, ff.dataType) match {
+          val colInj = scala.collection.mutable.ArrayBuffer.empty[Injection]
+          mapType(tf.dataType, ff.dataType, Nil, colInj) match {
             case Some(dt) =>
               fields += StructField(ff.name, dt, nullable = true)
               srcIdx(i) = fields.length - 1
+              if (colInj.nonEmpty)
+                injections(fields.length - 1) = colInj.toSeq
             case None => return None
           }
         case None if constable(Reconcile.clean(tf.dataType)) =>
@@ -369,10 +402,14 @@ private[sources] object LakeVectorize {
           consts(i) = null
         case None =>
           // absent complex column: reader null-fills — legal only
-          // with no recorded default in the subtree and no
-          // physical-name collision (a rename-swap would bind the
-          // wrong column by name)
-          if (!noDefaultsIn(tf) ||
+          // without a recorded default on the column ITSELF (complex
+          // defaults never validate, so this is belt-and-braces) and
+          // no physical-name collision (a rename-swap would bind the
+          // wrong column by name). Defaults DEEPER in the subtree
+          // stopped gating in r16: an absent column reads as its own
+          // default — null here — on every row path, so the subtree's
+          // defaults are value-irrelevant
+          if (Defaults.of(tf).isDefined ||
               fileSchema.fields.exists(_.name.equalsIgnoreCase(tf.name)))
             return None
           fields += StructField(tf.name, Reconcile.clean(tf.dataType),
@@ -381,7 +418,8 @@ private[sources] object LakeVectorize {
       }
       i += 1
     }
-    Some(VectorMap(StructType(fields.toSeq), srcIdx, consts))
+    Some(VectorMap(StructType(fields.toSeq), srcIdx, consts,
+      injections.toMap))
   }
 
   /** A [[ConstantColumnVector]] holding one atomic internal value —
@@ -595,11 +633,21 @@ private[sources] class VectorizedLakeReader(p: LakeFilePartition)
         Reconcile.clean(p.target.fields(i).dataType), vm.consts(i))
     }
 
+  // nested-default overlays (r16): constant children injected into
+  // decoded struct columns for absent-with-DEFAULT nested fields
+  private val injCols: Map[Int,
+      Seq[(Array[Int], org.apache.spark.sql.vectorized.ColumnVector)]] =
+    vm.injections.map { case (idx, is) =>
+      idx -> is.map(j => (j.path,
+        LakeVectorize.constantVector(j.dt, j.value)))
+    }
+
   // passthrough only when the DECODED batch is positionally the
   // target: an empty target makes identity vacuously true while the
   // reader carries the row-count-driving row-index column — that
   // column must never leak into the emitted batch
-  private val passthrough = vm.identity && (requested eq vm.requested)
+  private val passthrough = vm.identity && (requested eq vm.requested) &&
+    vm.injections.isEmpty
 
   override def next(): Boolean = reader.nextKeyValue()
   override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = {
@@ -612,7 +660,12 @@ private[sources] class VectorizedLakeReader(p: LakeFilePartition)
       var j = 0
       while (j < cols.length) {
         val sj = vm.srcIdx(j)
-        cols(j) = if (sj < 0) constCols(j) else b.column(sj)
+        cols(j) =
+          if (sj < 0) constCols(j)
+          else injCols.get(sj) match {
+            case Some(is) => new InjectedColumnVector(b.column(sj), is)
+            case None => b.column(sj)
+          }
         j += 1
       }
       new org.apache.spark.sql.vectorized.ColumnarBatch(cols, b.numRows())
@@ -685,7 +738,8 @@ private[graft] object BatchRowLakeReader {
     */
   final case class Plan(requested: StructType, srcIdx: Array[Int],
       consts: Array[Any], eqAccess: Array[Array[EqAccess]],
-      rowIdSrc: Int, lastUpdSrc: Int, rowIdxPos: Int)
+      rowIdSrc: Int, lastUpdSrc: Int, rowIdxPos: Int,
+      injections: Map[Int, Seq[LakeVectorize.Injection]] = Map.empty)
 
   /** Shared probe: one key value out of a decoded row via its access
     * chain (works for flat InternalRows and ColumnarBatchRows alike).
@@ -927,8 +981,19 @@ private[graft] object BatchRowLakeReader {
         consts(i) = vm.consts(di)
       }
     }
+    // an equality-delete key that resolves INTO an injected child
+    // would probe the decoded (null-filled) cell instead of the
+    // default the rows semantically carry — keep those rare scans on
+    // the Group walk, whose extractors serve defaults natively
+    if (vm.injections.nonEmpty) {
+      val clash = eqAccess.exists(_.exists(a => !a.isConst &&
+        a.steps.length >= 2 &&
+        vm.injections.get(a.steps(0)).exists(_.exists(inj =>
+          java.util.Arrays.equals(inj.path, a.steps.drop(1))))))
+      if (clash) return None
+    }
     Some(Plan(StructType(fields.toSeq), srcIdx, consts, eqAccess,
-      rowIdSrc, lastUpdSrc, rowIdxPos))
+      rowIdSrc, lastUpdSrc, rowIdxPos, vm.injections))
   }
 }
 
@@ -994,6 +1059,35 @@ private[sources] class BatchRowLakeReader(p: LakeFilePartition,
     false
   }
 
+  // nested-default overlay, row form (r16): rebuild the decoded
+  // struct with absent-with-DEFAULT children set to their constants —
+  // a null struct stays null (the default applies only where the
+  // parent exists, matching Reconcile.structExpr)
+  private def injectStruct(r: InternalRow, st: StructType,
+      inj: Seq[LakeVectorize.Injection], depth: Int): InternalRow = {
+    val out = new Array[Any](st.length)
+    var i = 0
+    while (i < st.length) {
+      val exact = inj.find(p => p.path.length == depth + 1 &&
+        p.path(depth) == i)
+      if (exact.isDefined) out(i) = exact.get.value
+      else {
+        val deeper = inj.filter(p => p.path.length > depth + 1 &&
+          p.path(depth) == i)
+        val dt = st.fields(i).dataType
+        out(i) =
+          if (r.isNullAt(i)) null
+          else if (deeper.nonEmpty)
+            injectStruct(r.getStruct(i,
+              dt.asInstanceOf[StructType].length),
+              dt.asInstanceOf[StructType], deeper, depth + 1)
+          else copyVal(r.get(i, dt))
+      }
+      i += 1
+    }
+    new GenericInternalRow(out)
+  }
+
   // decoded values may reference the (reused) column vectors — copy
   // anything buffer-backed before it leaves the reader, exactly what
   // ColumnarBatchRow.copy() would do, minus the fields we drop
@@ -1057,7 +1151,13 @@ private[sources] class BatchRowLakeReader(p: LakeFilePartition,
           // unrecognized meta column (consts null there)
           if (si < 0) plan.consts(i)
           else if (cur.isNullAt(si)) null
-          else copyVal(cur.get(si, srcTypes(si)))
+          else plan.injections.get(si) match {
+            case Some(inj) => injectStruct(
+              cur.getStruct(si,
+                srcTypes(si).asInstanceOf[StructType].length),
+              srcTypes(si).asInstanceOf[StructType], inj, 0)
+            case None => copyVal(cur.get(si, srcTypes(si)))
+          }
         }
       i += 1
     }

@@ -62,6 +62,65 @@ private[sources] final class SelectedColumnVector(
     } else new SelectedColumnVector(base.getChild(ordinal), map)
 }
 
+/** A decoded struct [[ColumnVector]] with nested-default constants
+  * OVERLAID (r16): `inj` maps struct-ordinal paths below this column
+  * to [[org.apache.spark.sql.execution.vectorized.ConstantColumnVector]]s
+  * holding the absent field's initial default. Value reads delegate
+  * untouched; `getChild` swaps an exact-path child for its constant
+  * and re-wraps prefix-path children so deeper injections resolve.
+  * Parent-null rows are safe for free: consumers check the struct's
+  * own null bit before touching children (the same contract
+  * [[SelectedColumnVector]] relies on), which matches the engine's
+  * semantics — an absent field defaults only where its parent struct
+  * exists. Composition order with the MoR selection map: the overlay
+  * wraps the DECODED vector, the selection wraps the overlay (a
+  * constant ignores the row index, so the remap is a no-op on it).
+  */
+private[sources] final class InjectedColumnVector(
+    base: ColumnVector, inj: Seq[(Array[Int], ColumnVector)])
+    extends ColumnVector(base.dataType) {
+  override def close(): Unit = ()
+  override def hasNull: Boolean = base.hasNull
+  override def numNulls(): Int = base.numNulls()
+  override def isNullAt(i: Int): Boolean = base.isNullAt(i)
+  override def getBoolean(i: Int): Boolean = base.getBoolean(i)
+  override def getByte(i: Int): Byte = base.getByte(i)
+  override def getShort(i: Int): Short = base.getShort(i)
+  override def getInt(i: Int): Int = base.getInt(i)
+  override def getLong(i: Int): Long = base.getLong(i)
+  override def getFloat(i: Int): Float = base.getFloat(i)
+  override def getDouble(i: Int): Double = base.getDouble(i)
+  override def getArray(i: Int): ColumnarArray = base.getArray(i)
+  override def getMap(i: Int): ColumnarMap = base.getMap(i)
+  override def getDecimal(i: Int, precision: Int, scale: Int): Decimal =
+    base.getDecimal(i, precision, scale)
+  override def getUTF8String(i: Int): UTF8String = base.getUTF8String(i)
+  override def getBinary(i: Int): Array[Byte] = base.getBinary(i)
+  private lazy val childCache: Array[ColumnVector] =
+    new Array(base.dataType match {
+      case s: org.apache.spark.sql.types.StructType => s.size
+      case _ => 0
+    })
+  private def makeChild(ordinal: Int): ColumnVector =
+    inj.find(p => p._1.length == 1 && p._1(0) == ordinal)
+      .map(_._2)
+      .getOrElse {
+        val deeper = inj.collect {
+          case (path, c) if path(0) == ordinal && path.length > 1 =>
+            (path.drop(1), c)
+        }
+        if (deeper.nonEmpty)
+          new InjectedColumnVector(base.getChild(ordinal), deeper)
+        else base.getChild(ordinal)
+      }
+  override def getChild(ordinal: Int): ColumnVector =
+    if (ordinal < childCache.length) {
+      var c = childCache(ordinal)
+      if (c == null) { c = makeChild(ordinal); childCache(ordinal) = c }
+      c
+    } else makeChild(ordinal)
+}
+
 /** Merge-on-read scans, fully COLUMNAR: Spark's vectorized parquet
   * decoder produces the batch, the delete state (position deletes,
   * deletion vectors, equality-delete key sets) filters it as a
@@ -115,7 +174,8 @@ private[sources] class MorVectorizedLakeReader(p: LakeFilePartition,
   // positional identity with the target (no constants, no appended
   // probe/row-index columns to clip)
   private val passthrough = requestedWidth == targetWidth &&
-    plan.srcIdx.zipWithIndex.forall { case (s, i) => s == i }
+    plan.srcIdx.zipWithIndex.forall { case (s, i) => s == i } &&
+    plan.injections.isEmpty
   // constant vectors for absent atomic columns (r15: initial default
   // or null, per target ordinal) — ConstantColumnVector ignores the
   // row index, so the selection map needs no wrapper over them
@@ -125,6 +185,19 @@ private[sources] class MorVectorizedLakeReader(p: LakeFilePartition,
       else LakeVectorize.constantVector(
         graft.lake.Reconcile.clean(p.target.fields(i).dataType),
         plan.consts(i))
+    }
+
+  // nested-default overlays (r16): per requested column, the constant
+  // vectors the decoded struct gains for absent-with-DEFAULT children
+  private val injCols: Map[Int, Seq[(Array[Int], ColumnVector)]] =
+    plan.injections.map { case (idx, is) =>
+      idx -> is.map(j => (j.path, LakeVectorize.constantVector(j.dt,
+        j.value)))
+    }
+  private def injWrap(sj: Int, c: ColumnVector): ColumnVector =
+    injCols.get(sj) match {
+      case Some(is) => new InjectedColumnVector(c, is)
+      case None => c
     }
 
   private val deletedPos: java.util.HashSet[java.lang.Long] =
@@ -190,8 +263,9 @@ private[sources] class MorVectorizedLakeReader(p: LakeFilePartition,
               val sj = plan.srcIdx(j)
               cols(j) =
                 if (sj < 0) constCols(j)
-                else if (keep == n) b.column(sj)
-                else new SelectedColumnVector(b.column(sj), map)
+                else if (keep == n) injWrap(sj, b.column(sj))
+                else new SelectedColumnVector(
+                  injWrap(sj, b.column(sj)), map)
               j += 1
             }
             new ColumnarBatch(cols, keep)

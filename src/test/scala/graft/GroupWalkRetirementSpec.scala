@@ -176,4 +176,105 @@ class GroupWalkRetirementSpec extends AnyFunSuite {
     assert(got.size == 1 && got.head.contains("10"),
       s"only the non-matching new row survives: $got")
   }
+
+  test("NESTED absent-with-DEFAULT fields decode vectorized via " +
+      "constant injection (clean, MoR, and row-emitting paths), " +
+      "exact vs the Group walk (r16)") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft-gwr-nestdef").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"t","columns":[
+        |{"column_name":"k","data_type":"long"},
+        |{"column_name":"meta","data_type":"struct","struct_def":[
+        |  {"column_name":"seg","data_type":"string"}]}],
+        |"partitions":[]}""".stripMargin)
+    LakeTable.load(wh, "d", "t").append((0 until 200).map(i =>
+      (i.toLong, s"seg${i % 5}")).toDF("k", "seg")
+      .select(col("k"), struct(col("seg")).as("meta")))
+    // TWO injected children on one struct spine, added via table-def
+    // evolution with initial_default (r16 contract extension — the
+    // SQL surface deliberately routes nested adds here): the old
+    // file's rows must read them as per-row constants wherever meta
+    // is non-null
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"t","columns":[
+        |{"column_name":"k","data_type":"long"},
+        |{"column_name":"meta","data_type":"struct","struct_def":[
+        |  {"column_name":"seg","data_type":"string"},
+        |  {"column_name":"note","data_type":"string",
+        |   "initial_default":"n/a"},
+        |  {"column_name":"score","data_type":"double",
+        |   "initial_default":"2.5"}]}],
+        |"partitions":[]}""".stripMargin)
+    // a post-evolution file carrying REAL values, so one scan mixes
+    // injected and decoded children
+    LakeTable.load(wh, "d", "t").append(
+      Seq((1000L, "segX", "real", 9.9)).toDF("k", "seg", "note", "score")
+        .select(col("k"), struct(col("seg"), col("note"),
+          col("score")).as("meta")))
+    // MoR deletes drive the columnar-MoR path (selection map OVER the
+    // injected children)
+    LakeTable.load(wh, "d", "t").deleteMoR(spark, col("k") % 10L === 7L)
+    def read() = spark.read.format("graft-lake")
+      .option("warehouse", wh).option("database", "d").option("table", "t")
+      .load()
+    val got = noGroupWalks(rows(read()))
+    // row-EMITTING path: a position-meta projection demotes the scan
+    // to row mode, exercising the injectStruct rebuild
+    val gotRows = noGroupWalks(rows(read()
+      .select(col("k"), col("meta"), col("_graft_pos"))))
+    System.setProperty("graft.read.novector", "1")
+    try {
+      assert(got == rows(read()), "injected constants vs Group walk")
+      assert(gotRows == rows(read()
+        .select(col("k"), col("meta"), col("_graft_pos"))),
+        "row-emitting injection vs Group walk")
+    } finally System.clearProperty("graft.read.novector")
+    val notes = noGroupWalks(read().select("meta.note").distinct()
+      .collect().map(_.getString(0)).toSet)
+    assert(notes == Set("n/a", "real"), s"nested default must fill: $notes")
+    val scores = noGroupWalks(read()
+      .agg(sum("meta.score")).collect()(0).getDouble(0))
+    val expect = (0 until 200).filterNot(_ % 10 == 7).size * 2.5 + 9.9
+    assert(math.abs(scores - expect) < 1e-9, s"$scores != $expect")
+  }
+
+  test("an equality-delete KEYED on an injected nested default keeps " +
+      "the Group walk (the decoded cell is null-filled, not the " +
+      "default) — guarded demotion, exact results") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft-gwr-nestdefeq").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"t","columns":[
+        |{"column_name":"k","data_type":"long"},
+        |{"column_name":"meta","data_type":"struct","struct_def":[
+        |  {"column_name":"seg","data_type":"string"}]}],
+        |"partitions":[]}""".stripMargin)
+    LakeTable.load(wh, "d", "t").append((0 until 50).map(i =>
+      (i.toLong, s"seg${i % 5}")).toDF("k", "seg")
+      .select(col("k"), struct(col("seg")).as("meta")))
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"t","columns":[
+        |{"column_name":"k","data_type":"long"},
+        |{"column_name":"meta","data_type":"struct","struct_def":[
+        |  {"column_name":"seg","data_type":"string"},
+        |  {"column_name":"tag","data_type":"string",
+        |   "initial_default":"old"}]}],
+        |"partitions":[]}""".stripMargin)
+    LakeTable.load(wh, "d", "t").append(
+      Seq((100L, "segX", "new")).toDF("k", "seg", "tag")
+        .select(col("k"), struct(col("seg"), col("tag")).as("meta")))
+    // eq-delete keyed on the INJECTED child: pre-evolution rows carry
+    // the default 'old' semantically — every one must vanish
+    LakeTable.load(wh, "d", "t").deleteByKeysMoR(spark,
+      Seq("old").toDF("meta.tag"))
+    val before = BatchRowLakeReader.groupWalks.get
+    val got = rows(spark.read.format("graft-lake")
+      .option("warehouse", wh).option("database", "d").option("table", "t")
+      .load())
+    assert(BatchRowLakeReader.groupWalks.get > before,
+      "the injected-key scan must take the guarded Group-walk demotion")
+    assert(got.size == 1 && got.head.contains("100"),
+      s"only the 'new' row survives: $got")
+  }
 }

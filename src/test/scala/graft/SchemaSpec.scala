@@ -138,6 +138,45 @@ class SchemaSpec extends AnyFunSuite {
     assert(TableDef.parse(graft.gen.OrdersFixtures.ordersV1Json).isRight)
   }
 
+  test("initial_default: parse validation, field annotation, and the " +
+      "add-time-immutability guard (r16 contract extension)") {
+    // non-atomic carrier refused at the contract boundary
+    assert(TableDef.parse("""{"database_name":"d","table_name":"t",
+      "columns":[{"column_name":"s","data_type":"struct",
+        "initial_default":"x",
+        "struct_def":[{"column_name":"a","data_type":"int"}]}]}""").isLeft)
+    // a value that does not parse as the declared type refused
+    assert(TableDef.parse("""{"database_name":"d","table_name":"t",
+      "columns":[{"column_name":"a","data_type":"long",
+        "initial_default":"not-a-long"}]}""").isLeft)
+    // a valid default lands as the same annotation SQL DDL writes,
+    // nested fields included
+    val td = TableDef.parse("""{"database_name":"d","table_name":"t",
+      "columns":[
+        {"column_name":"k","data_type":"long"},
+        {"column_name":"m","data_type":"struct","struct_def":[
+          {"column_name":"note","data_type":"string",
+           "initial_default":"n/a"}]}]}""").toOption.get
+    val st = TypeMapper.toStructType(td.columns)
+    val note = st.fields(1).dataType.asInstanceOf[StructType].fields(0)
+    assert(Defaults.of(note).contains("n/a"))
+    // retroactive default on an EXISTING column → disallowed; a
+    // verbatim re-statement of an added default → clean diff
+    val (cur, _) = FieldIds.assign(TypeMapper.toStructType(
+      TableDef.parse("""{"database_name":"d","table_name":"t",
+        "columns":[{"column_name":"k","data_type":"long"}]}""")
+        .toOption.get.columns))
+    val retro = TypeMapper.toStructType(
+      TableDef.parse("""{"database_name":"d","table_name":"t",
+        "columns":[{"column_name":"k","data_type":"long",
+          "initial_default":"7"}]}""").toOption.get.columns)
+    assert(SchemaDiff.diff(cur, retro).collect {
+      case d: DisallowedChange => d }.nonEmpty)
+    val (withDef, _) = FieldIds.assign(st)
+    assert(SchemaDiff.diff(withDef, st).isEmpty,
+      "re-stating the same initial_default must be idempotent")
+  }
+
   test("Json round-trips table metadata") {
     val (schema, next) = FieldIds.assign(StructType(Seq(
       StructField("ts", TimestampNTZType),
