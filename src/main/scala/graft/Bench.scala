@@ -148,6 +148,14 @@ object Bench {
     val keyFilter: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_BENCH_KEYS")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // a misspelled/renamed key would silently shrink the measured set
+    // and the record would read as full coverage (review-found r16)
+    keyFilter.foreach(_.diff(SparkEntry.queries.keySet) match {
+      case missing if missing.nonEmpty => System.err.println(
+        s"[bench] WARNING: SPARK_GRAFT_BENCH_KEYS names unknown " +
+          s"keys: ${missing.toSeq.sorted.mkString(",")}")
+      case _ => ()
+    })
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => keyFilter.forall(_.contains(name)) }
       .flatMap { case (name, fn) =>
@@ -180,7 +188,9 @@ object Bench {
     // regression with no in-band rebuttal), plus the slowest
     // RetimeTopN as a floor when few keys cross. The min goes in its
     // own field — the measured totals stay comparable across rounds.
-    val retimeSet = (results.filter(_._2 >= RetimeThresholdSec).keySet ++
+    val retimeThreshold = sys.env.get("SPARK_GRAFT_RETIME_THRESHOLD")
+      .map(_.toDouble).getOrElse(RetimeThresholdSec)
+    val retimeSet = (results.filter(_._2 >= retimeThreshold).keySet ++
       results.toSeq.sortBy(-_._2).take(RetimeTopN).map(_._1)).toSeq
       .sortBy(k => -results(k))
     val retimed = retimeSet
@@ -322,13 +332,16 @@ object Bench {
       val common = results.keySet.intersect(duck.keySet)
       if (common.isEmpty) ""
       else {
-        // apples-to-apples totals cover the q_* ANALYTIC keys only
-        val qk = common.toSeq.filter(_.startsWith("q_"))
+        // apples-to-apples totals cover the q_* ANALYTIC keys with a
+        // NONZERO duck wall — bench_oracle rounds to sub-ms zero, and
+        // a key in the ratio's numerator with no denominator weight
+        // would skew the headline against the median's population
+        // (review-found r16)
+        val qk = common.toSeq.filter(k => k.startsWith("q_") &&
+          duck(k) > 0)
         val qSpark = qk.map(results).sum
         val qDuck = qk.map(duck).sum
-        val qRatios = qk
-          .flatMap(k => if (duck(k) > 0) Some(results(k) / duck(k))
-                        else None).sorted
+        val qRatios = qk.map(k => results(k) / duck(k)).sorted
         val med =
           if (qRatios.isEmpty) ""
           else s""","q_ratio_median":${r3(qRatios(qRatios.size / 2))}"""

@@ -64,12 +64,11 @@ object SchemaDiff {
   }
 
   def diff(current: StructType, target: StructType): Seq[SchemaChange] = {
-    val curFields = FieldIds.flatten(current).toMap
-    val cur = FieldIds.flatten(current).map { case (p, f) => p -> f.dataType }
-    val tgt = target match {
-      // target may arrive without IDs — flatten ignores them here
-      case st => flattenNoIds(st)
-    }
+    val curFlat = FieldIds.flatten(current)
+    val curFields = curFlat.toMap
+    val cur = curFlat.map { case (p, f) => p -> f.dataType }
+    val tgtFlat = FieldIds.flatten(target)
+    val tgt = tgtFlat.map { case (p, f) => p -> f.dataType }
     val curMap = cur.toMap
     val tgtMap = tgt.toMap
 
@@ -80,7 +79,7 @@ object SchemaDiff {
     // the change already serve (old rows would suddenly read the new
     // value instead of null). A verbatim re-statement is idempotent
     // and allowed — TableDef evolutions re-submit whole definitions.
-    FieldIds.flatten(target).foreach { case (p, tf) =>
+    tgtFlat.foreach { case (p, tf) =>
       curFields.get(p).foreach { cf =>
         val declared = Defaults.of(tf)
         if (declared.isDefined && declared != Defaults.of(cf))
@@ -117,21 +116,5 @@ object SchemaDiff {
       }
     }
     changes.result()
-  }
-
-  private def flattenNoIds(schema: StructType): Seq[(String, DataType)] = {
-    def walkDt(dt: DataType, prefix: String): Seq[(String, DataType)] = dt match {
-      case s: StructType => walk(s, prefix)
-      case ArrayType(et, _) => walkDt(et, s"$prefix.element")
-      case MapType(kt, vt, _) =>
-        walkDt(kt, s"$prefix.key") ++ walkDt(vt, s"$prefix.value")
-      case _ => Seq.empty
-    }
-    def walk(st: StructType, prefix: String): Seq[(String, DataType)] =
-      st.fields.toSeq.flatMap { f =>
-        val path = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
-        (path, f.dataType) +: walkDt(f.dataType, path)
-      }
-    walk(schema, "")
   }
 }

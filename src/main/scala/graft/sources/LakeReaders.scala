@@ -693,7 +693,9 @@ private[sources] class VectorizedLakeReader(p: LakeFilePartition)
   * flat in the one physical encoding the engine writes
   * ([[LakeVectorize.externalFlatStandard]]); [[GroupRowReader]]
   * remains for exotic external encodings and unmappable schema pairs
-  * (non-widening type changes, map-KEY changes, nested defaults).
+  * (non-widening type changes, map-KEY changes, defaults below
+  * array/map boundaries — struct-spine nested defaults vectorize via
+  * constant injection since r16).
   */
 private[graft] object BatchRowLakeReader {
 
@@ -1062,27 +1064,42 @@ private[sources] class BatchRowLakeReader(p: LakeFilePartition,
   // nested-default overlay, row form (r16): rebuild the decoded
   // struct with absent-with-DEFAULT children set to their constants —
   // a null struct stays null (the default applies only where the
-  // parent exists, matching Reconcile.structExpr)
-  private def injectStruct(r: InternalRow, st: StructType,
-      inj: Seq[LakeVectorize.Injection], depth: Int): InternalRow = {
-    val out = new Array[Any](st.length)
+  // parent exists, matching Reconcile.structExpr). The injection tree
+  // compiles ONCE per reader to per-ordinal arrays: the emit loop is
+  // a plain index per field, no per-row Seq scans or closures
+  // (review-found r16)
+  private final class InjTree(st: StructType,
+      inj: Seq[LakeVectorize.Injection], depth: Int) {
+    val width: Int = st.length
+    val types: Array[DataType] = st.fields.map(_.dataType)
+    val hasConst = new Array[Boolean](width)
+    val const = new Array[Any](width)
+    val child = new Array[InjTree](width)
+    inj.groupBy(_.path(depth)).foreach { case (ord, is) =>
+      val (leaves, deeper) = is.partition(_.path.length == depth + 1)
+      leaves.foreach { l => hasConst(ord) = true; const(ord) = l.value }
+      if (deeper.nonEmpty)
+        child(ord) = new InjTree(types(ord).asInstanceOf[StructType],
+          deeper, depth + 1)
+    }
+  }
+
+  private val injTrees: Map[Int, InjTree] =
+    plan.injections.map { case (si, inj) =>
+      si -> new InjTree(plan.requested.fields(si).dataType
+        .asInstanceOf[StructType], inj, 0)
+    }
+
+  private def injectStruct(r: InternalRow, t: InjTree): InternalRow = {
+    val out = new Array[Any](t.width)
     var i = 0
-    while (i < st.length) {
-      val exact = inj.find(p => p.path.length == depth + 1 &&
-        p.path(depth) == i)
-      if (exact.isDefined) out(i) = exact.get.value
-      else {
-        val deeper = inj.filter(p => p.path.length > depth + 1 &&
-          p.path(depth) == i)
-        val dt = st.fields(i).dataType
-        out(i) =
-          if (r.isNullAt(i)) null
-          else if (deeper.nonEmpty)
-            injectStruct(r.getStruct(i,
-              dt.asInstanceOf[StructType].length),
-              dt.asInstanceOf[StructType], deeper, depth + 1)
-          else copyVal(r.get(i, dt))
-      }
+    while (i < t.width) {
+      out(i) =
+        if (t.hasConst(i)) t.const(i)
+        else if (r.isNullAt(i)) null
+        else if (t.child(i) != null)
+          injectStruct(r.getStruct(i, t.child(i).width), t.child(i))
+        else copyVal(r.get(i, t.types(i)))
       i += 1
     }
     new GenericInternalRow(out)
@@ -1151,11 +1168,8 @@ private[sources] class BatchRowLakeReader(p: LakeFilePartition,
           // unrecognized meta column (consts null there)
           if (si < 0) plan.consts(i)
           else if (cur.isNullAt(si)) null
-          else plan.injections.get(si) match {
-            case Some(inj) => injectStruct(
-              cur.getStruct(si,
-                srcTypes(si).asInstanceOf[StructType].length),
-              srcTypes(si).asInstanceOf[StructType], inj, 0)
+          else injTrees.get(si) match {
+            case Some(t) => injectStruct(cur.getStruct(si, t.width), t)
             case None => copyVal(cur.get(si, srcTypes(si)))
           }
         }
@@ -1174,7 +1188,8 @@ private[sources] class BatchRowLakeReader(p: LakeFilePartition,
   * FALLBACK walk; r15 retired the last common triggers (nested
   * equality keys, absent-with-DEFAULT columns), leaving exotic
   * external encodings and genuinely unmappable schema pairs
-  * (non-widening type changes, map-KEY changes, nested defaults) —
+  * (non-widening type changes, map-KEY changes, defaults below
+  * array/map boundaries, eq-keys on injected defaults) —
   * everything else decodes through [[BatchRowLakeReader]]'s
   * vectorized path or the fully columnar [[VectorizedLakeReader]].
   */

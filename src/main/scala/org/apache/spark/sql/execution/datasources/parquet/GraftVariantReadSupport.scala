@@ -34,9 +34,15 @@ import org.apache.spark.sql.types.{DataType, StructType}
 class GraftVariantReadSupport extends ParquetReadSupport {
   override def init(context: InitContext): ReadSupport.ReadContext = {
     val base = super.init(context)
-    val catalyst = Option(context.getConfiguration
-      .get(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA))
-      .map(s => StructType.fromString(s))
+    // cheap pregate before re-parsing the schema JSON super.init
+    // already parsed once: the vast majority of scans carry no
+    // variant-struct, and the metadata KEY can only appear in the
+    // serialized form when one does (review-found r16)
+    val raw = context.getConfiguration
+      .get(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA)
+    if (raw == null || !raw.contains(VariantMetadata.METADATA_KEY))
+      return base
+    val catalyst = Option(raw).map(s => StructType.fromString(s))
     if (sys.props.contains("graft.variant.clip.debug"))
       System.err.println(s"[clip-debug] catalyst=$catalyst " +
         s"hasVS=${catalyst.exists(GraftVariantReadSupport.hasVariantStruct)} " +

@@ -18,6 +18,11 @@ speed. The q_* analytic keys are the apples-to-apples subset.
 
 Usage: tools/bench_oracle.py <sfDir> <oracle_sql.json>
                              [--out tools/bench_oracle.json]
+                             [--runs 2]
+
+--runs 1 suits big scale factors (the sf1 timed lane): keys run
+minutes there, so the warm-vs-cold delta the second run controls for
+is noise while the rerun doubles a multi-hour wall.
 """
 import json
 import sys
@@ -32,9 +37,14 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 def main():
     args = list(sys.argv[1:])
     out = "tools/bench_oracle.json"
+    runs = 2
     if "--out" in args:
         i = args.index("--out")
         out = args[i + 1]
+        del args[i:i + 2]
+    if "--runs" in args:
+        i = args.index("--runs")
+        runs = int(args[i + 1])
         del args[i:i + 2]
     sf_dir, oracle_path = args[0], args[1]
     oracle = json.load(open(oracle_path))
@@ -48,7 +58,7 @@ def main():
         sql = oracle[name]
         best = None
         try:
-            for _ in range(2):
+            for _ in range(runs):
                 t0 = time.monotonic()
                 con.execute(sql).fetchall()
                 dt = time.monotonic() - t0
@@ -57,7 +67,7 @@ def main():
         except Exception as e:
             failed.append(name)
             print(f"[oracle-bench] {name} failed: {e}", file=sys.stderr)
-    doc = {"sf": sf_dir, "engine": "duckdb", "runs": 2, "agg": "min",
+    doc = {"sf": sf_dir, "engine": "duckdb", "runs": runs, "agg": "min",
            "keys": keys, "failed": sorted(failed)}
     with open(out, "w") as f:
         json.dump(doc, f, indent=0, sort_keys=True)

@@ -42,11 +42,15 @@ oracle = {k: v for k, v in json.load(open(oracle_path)).items() if k in keys}
 json.dump(oracle, open("/tmp/oracle_sf1_subset.json", "w"))
 EOF
 python3 tools/bench_oracle.py "$SF1" /tmp/oracle_sf1_subset.json \
-  --out tools/bench_oracle_sf1.json
+  --out tools/bench_oracle_sf1.json --runs 1
 
 echo "[bench-sf1] timing graft.Bench at sf1 (subset)"
+# retime threshold lifted way up: at sf1 nearly every key crosses the
+# 2s drift-evidence threshold and a full retime pass would double the
+# lane's wall (the same rerun cost --runs 1 removes on the duck side)
 SPARK_GRAFT_SF_DIR="$SF1" SPARK_GRAFT_CPUS=32 \
   GRAFT_EXTRA_JAVA_OPTS="${GRAFT_EXTRA_JAVA_OPTS:--Xmx48g}" \
+  SPARK_GRAFT_RETIME_THRESHOLD=1e12 \
   SPARK_GRAFT_BENCH_KEYS="$KEYS" \
   SPARK_GRAFT_ORACLE_JSON=tools/bench_oracle_sf1.json \
   SPARK_GRAFT_BENCH_SIDECAR=tools/bench_sf1.json \
