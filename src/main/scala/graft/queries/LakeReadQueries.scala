@@ -77,6 +77,53 @@ object LakeReadQueries extends QueryModule {
           |ORDER BY status""".stripMargin)
     }),
 
+    "lake_variant_prune" -> QueryModule.micro(4)((s, dir) => {
+      // variant EXTRACTION pushdown + SHREDDED-READ clip (r16): a
+      // non-aggregate variant_get projection rewrites into a struct
+      // read the scan serves (SupportsPushDownVariantExtractions), and
+      // GraftVariantReadSupport clips the shredded group to the one
+      // touched typed_value child — the fat o_comment and o_totalprice
+      // children are never read. Self-audit: the executed plan carries
+      // NO variant_get (the rewrite fired) and the clip counter
+      // advanced (children were actually dropped); the oracle
+      // recomputes the slice from the raw fixture.
+      val wh = LakeQueries.freshWarehouse("variantprune")
+      Engine.processTableDefJson(wh,
+        """{"database_name":"vp","table_name":"ordersv","columns":[
+          |{"column_name":"o_key","data_type":"long"},
+          |{"column_name":"payload","data_type":"variant"}],
+          |"partitions":[]}""".stripMargin)
+      // distributed write => the parquet writer SHREDS the variant
+      // (the driver-local publication writer has no shredding path)
+      sys.props("graft.write.nolocal") = "1"
+      try LakeTable.load(wh, "vp", "ordersv").append(
+        Tables(s, dir, "orders").selectExpr(
+          "o_orderkey AS o_key",
+          "parse_json(to_json(struct(o_orderstatus, o_totalprice, " +
+            "CAST(o_orderdate AS STRING) AS o_orderdate))) AS payload"))
+      finally sys.props.remove("graft.write.nolocal")
+      s.conf.set("spark.sql.catalog.graftvp", "graft.sources.LakeCatalog")
+      s.conf.set("spark.sql.catalog.graftvp.warehouse", wh)
+      val clipped0 = org.apache.spark.sql.execution.datasources.parquet
+        .GraftVariantReadSupport.clippedChildren.get
+      val q = s.sql(
+        """SELECT o_key,
+          |  variant_get(payload, '$.o_orderstatus', 'string') AS status
+          |FROM graftvp.vp.ordersv
+          |WHERE o_key % 10 = 3
+          |ORDER BY o_key""".stripMargin)
+      val out = q.collect()
+      require(!q.queryExecution.executedPlan.toString
+        .contains("variant_get"),
+        "variant extraction must push into the scan")
+      require(org.apache.spark.sql.execution.datasources.parquet
+        .GraftVariantReadSupport.clippedChildren.get > clipped0,
+        "the shredded clip must drop untouched typed_value children")
+      import s.implicits._
+      out.map(r => (r.getLong(0), r.getString(1))).toSeq
+        .toDF("o_key", "status").orderBy("o_key")
+    }),
+
     "lake_join_skew" -> QueryModule.micro(8)((s, dir) => {
       // skewed FACT-FACT lake join (r15): ~80% of lineitem rows remap
       // onto one hot order key, then sort-merge-join (merge hint — no
@@ -1992,6 +2039,12 @@ object LakeReadQueries extends QueryModule {
         |WHERE o_orderkey % 10 <> 3 AND o_orderkey <= 5000
         |GROUP BY o_orderstatus
         |ORDER BY status""".stripMargin,
+
+    "lake_variant_prune" ->
+      """SELECT o_orderkey AS o_key, o_orderstatus AS status
+        |FROM orders
+        |WHERE o_orderkey % 10 = 3
+        |ORDER BY o_key""".stripMargin,
 
     "lake_scan_sql" ->
       """SELECT c_custkey, c_name, c_acctbal AS acctbal

@@ -64,6 +64,10 @@ def main():
                 dt = time.monotonic() - t0
                 best = dt if best is None else min(best, dt)
             keys[name] = round(best, 4)
+            # incremental checkpoint: a multi-hour big-SF run killed
+            # mid-flight keeps every completed key
+            with open(out + ".partial", "w") as f:
+                json.dump({"sf": sf_dir, "keys": keys}, f)
         except Exception as e:
             failed.append(name)
             print(f"[oracle-bench] {name} failed: {e}", file=sys.stderr)

@@ -34,15 +34,43 @@ if [ ! -f "$ORACLE_DUMP/oracle_sql.json" ]; then
     q_scan_project > /dev/null 2>&1
 fi
 
-echo "[bench-sf1] timing DuckDB oracle at sf1 (subset)"
-python3 - "$SF1" "$ORACLE_DUMP/oracle_sql.json" "$KEYS" <<'EOF'
+echo "[bench-sf1] timing DuckDB oracle at sf1 (subset, per-key timeout)"
+# PER-KEY subprocess with a hard timeout: the first r16 attempt ran
+# the whole subset in one process and a single pathological key
+# (q_pack_greedy's recursive CTE goes superlinear at sf1) burned
+# hours with no checkpoint. A key that cannot finish inside the cap
+# records as a timeout — at 10x scale that IS the result: the
+# in-process engine stops being runnable on that shape.
+DUCK_TIMEOUT="${DUCK_TIMEOUT:-300}"
+python3 - "$SF1" "$ORACLE_DUMP/oracle_sql.json" "$KEYS" "$DUCK_TIMEOUT" <<'EOF'
 import json, subprocess, sys
-sf, oracle_path, keys = sys.argv[1], sys.argv[2], set(sys.argv[3].split(","))
-oracle = {k: v for k, v in json.load(open(oracle_path)).items() if k in keys}
-json.dump(oracle, open("/tmp/oracle_sf1_subset.json", "w"))
+sf, oracle_path, keys, cap = (sys.argv[1], sys.argv[2],
+                              sys.argv[3].split(","), int(sys.argv[4]))
+oracle = json.load(open(oracle_path))
+out, timeouts = {}, []
+for k in sorted(k for k in keys if k in oracle):
+    json.dump({k: oracle[k]}, open("/tmp/oracle_sf1_one.json", "w"))
+    try:
+        subprocess.run(
+            ["python3", "tools/bench_oracle.py", sf,
+             "/tmp/oracle_sf1_one.json", "--runs", "1",
+             "--out", "/tmp/oracle_sf1_one_out.json"],
+            timeout=cap, check=True, capture_output=True)
+        out.update(json.load(open("/tmp/oracle_sf1_one_out.json"))["keys"])
+        print(f"[duck-sf1] {k}: {out.get(k)}s", flush=True)
+    except subprocess.TimeoutExpired:
+        timeouts.append(k)
+        print(f"[duck-sf1] {k}: TIMEOUT >{cap}s", flush=True)
+    except subprocess.CalledProcessError as e:
+        timeouts.append(k)
+        print(f"[duck-sf1] {k}: FAILED {e.stderr[-200:]}", flush=True)
+doc = {"sf": sf, "engine": "duckdb", "runs": 1, "agg": "min",
+       "timeout_s": cap, "keys": out, "timeouts": sorted(timeouts),
+       "failed": []}
+json.dump(doc, open("tools/bench_oracle_sf1.json", "w"), indent=0,
+          sort_keys=True)
+print(f"[duck-sf1] {len(out)} timed, {len(timeouts)} timed out/failed")
 EOF
-python3 tools/bench_oracle.py "$SF1" /tmp/oracle_sf1_subset.json \
-  --out tools/bench_oracle_sf1.json --runs 1
 
 echo "[bench-sf1] timing graft.Bench at sf1 (subset)"
 # retime threshold lifted way up: at sf1 nearly every key crosses the
