@@ -22,6 +22,12 @@ case class TableDef(
   * afterwards (a retroactive default would rewrite the history old
   * files already serve). Also the write-side fill for writers that
   * omit the column, until SET/DROP DEFAULT overrides it.
+  *
+  * Scope (r16): honored on top-level columns and struct-NESTED fields
+  * at any struct depth. A default declared inside `array_def`/`map_def`
+  * is NOT recorded (those defs bypass the field annotation; per-element
+  * fills are also beyond the vectorized readers) — r17 candidate:
+  * reject it at parse instead of dropping it silently.
   */
 case class ColumnDef(
     name: String,
