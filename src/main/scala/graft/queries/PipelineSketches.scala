@@ -125,20 +125,36 @@ object PipelineSketches extends QueryModule {
     }),
 
     "q_sim_ann_lsh" -> ((s, dir) => {
-      // Hyperplane-LSH ANN: bucket every vector by 6 sign bits, search
-      // only buckets within hamming distance 1 of the probe's bucket
-      // (multi-probe), rank candidates by exact cosine. At 100 TB the
-      // corpus is stored bucket-partitioned so a probe touches ~7/64
-      // of the data.
-      val numPlanes = 6
-      val e = Tables(s, dir, "embeddings")
-        .withColumn("bucket",
-          Sketches.hyperplaneBucket(col("embedding"), numPlanes, 64, seed = 7L))
+      // Hyperplane-LSH ANN with a CORPUS-ADAPTIVE signature width (r17
+      // — the r16 sf1 lane caught the fixed 6-bit signature going
+      // superlinear: bucket occupancy grows linearly with n, so the
+      // hamming≤1 multi-probe candidate set did too). B = smallest bits
+      // in [6,24] with TargetOccupancy·2^B ≥ n holds expected occupancy
+      // ~constant, so a probe examines ~occupancy·(B+1) candidates at
+      // ANY corpus size; the formula is integer-only comparisons so the
+      // DuckDB oracle derives the identical B from its own count(*),
+      // and the seeded plane stream is PREFIX-STABLE in B (plane p's
+      // coordinates never depend on how many planes follow), so the
+      // oracle embeds the max-width plane matrix and evaluates the
+      // first B rows. At 100 TB the corpus is stored bucket-partitioned
+      // so a probe touches ~(B+1)/2^B of the data. A candidates-
+      // examined budget rides the same pass (observe — no second scan)
+      // and refuses loudly past the cap: a degenerate corpus that all
+      // collides into one bucket cannot be fixed by signature width,
+      // and silently returning a brute-force-priced "ANN" answer would
+      // hide it.
+      val e0 = Tables(s, dir, "embeddings")
+      val n = e0.count()
+      val numPlanes = annLshPlanes(n)
+      val e = e0.withColumn("bucket",
+        Sketches.hyperplaneBucket(col("embedding"), numPlanes, 64, seed = 7L))
       val probe = e.filter(col("vec_id") === 0)
         .select(col("embedding").as("p_emb"), col("bucket").as("p_bucket"))
+      val obs = org.apache.spark.sql.Observation()
       val cands = e.filter(col("vec_id") =!= 0)
         .crossJoin(broadcast(probe))
         .filter(bit_count(col("bucket").bitwiseXOR(col("p_bucket"))) <= 1)
+        .observe(obs, count(lit(1)).as("n_cands"))
       val D2812 = org.apache.spark.sql.types.DecimalType(28, 12)
       val DAcc = org.apache.spark.sql.types.DecimalType(37, 12)
       def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
@@ -154,9 +170,43 @@ object PipelineSketches extends QueryModule {
         .limit(10)
       val w = org.apache.spark.sql.expressions.Window
         .orderBy(col("cos").desc, col("vec_id"))
-      top.withColumn("rank", row_number().over(w)).orderBy("rank")
+      val out = top.withColumn("rank", row_number().over(w))
+        .orderBy("rank").collect()
+      val nCands = obs.get("n_cands").asInstanceOf[Long]
+      if (nCands > AnnLshCandidateBudget)
+        throw new IllegalStateException(
+          s"q_sim_ann_lsh: candidate budget exceeded — the hamming<=1 " +
+            s"probe examined $nCands of $n vectors (budget " +
+            s"$AnnLshCandidateBudget at B=$numPlanes bits); the corpus " +
+            "collides into too few buckets for hyperplane LSH — " +
+            "re-index with a different seed or use the IVF path " +
+            "instead of running a brute-force-priced probe")
+      import s.implicits._
+      out.toSeq.map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+        .toDF("vec_id", "cos", "rank").orderBy("rank")
     }),
   )
+
+  /** Corpus-adaptive hyperplane count for the ANN signature: the
+    * smallest B in [6, [[AnnLshMaxPlanes]]] with
+    * [[AnnLshTargetOccupancy]]·2^B ≥ n — expected bucket occupancy
+    * stays ≤ the target as the corpus grows (bits ~ log n), so the
+    * multi-probe candidate set stays ~constant. Integer comparisons
+    * only: the DuckDB oracle mirrors this exact search over
+    * range(6, 25), and float log2 rounding at power-of-two corpus
+    * sizes can never diverge the two engines.
+    */
+  private[queries] def annLshPlanes(n: Long): Int =
+    (6 to AnnLshMaxPlanes).find(b => (AnnLshTargetOccupancy << b) >= n)
+      .getOrElse(AnnLshMaxPlanes)
+
+  private[queries] val AnnLshTargetOccupancy = 64L
+  private[queries] val AnnLshMaxPlanes = 24
+
+  /** Loud-refusal cap on candidates a single ANN probe may examine —
+    * ~40× the expected occupancy·(B+1) ceiling, so only a genuinely
+    * degenerate bucket distribution trips it. */
+  private[queries] val AnnLshCandidateBudget = 65536L
 
   // ---- generated oracle SQL -------------------------------------------
   // Built from the SAME constants the Scala kernels use (Sketches.permA/
@@ -229,21 +279,25 @@ object PipelineSketches extends QueryModule {
        |sh AS (
        |  SELECT doc_id, n_tokens, ($simhashSumSql) AS simhash FROM tok)""".stripMargin
 
-  /** Hyperplane dot product for plane p (mirror of
-    * Sketches.hyperplaneBucket's left-fold double accumulation).
+  /** Adaptive-width bucket id (mirror of `annLshPlanes` +
+    * `hyperplaneBucket`): the full [[AnnLshMaxPlanes]]-row plane matrix
+    * rides as one literal (the seeded stream is prefix-stable, so row p
+    * is identical at any width) and only the first `nbExpr` planes
+    * evaluate — the same left-fold double accumulation per plane as
+    * `Sketches.hyperplaneBucket`.
     */
-  private def planeDotSql(w: Array[Double]): String = {
-    val lit = w.map(_.toString).mkString("[", ", ", "]")
-    "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
-      s"list_transform(range(1, ${w.length + 1}), i -> CAST(embedding[i] AS DOUBLE) * ($lit)[i])), " +
-      "(a,b) -> a + b)"
-  }
-
-  private def bucketSql(numPlanes: Int, dim: Int, seed: Long): String = {
-    val planes = Sketches.hyperplanes(numPlanes, dim, seed)
-    (0 until numPlanes).map { p =>
-      s"(CASE WHEN ${planeDotSql(planes(p))} > 0 THEN (CAST(1 AS BIGINT) << $p) ELSE CAST(0 AS BIGINT) END)"
-    }.mkString(" + ")
+  private def bucketMatrixSql(dim: Int, seed: Long, nbExpr: String): String = {
+    val planes = Sketches.hyperplanes(AnnLshMaxPlanes, dim, seed)
+    val matrix = planes
+      .map(_.map(_.toString).mkString("[", ", ", "]"))
+      .mkString("[", ", ", "]")
+    s"CAST(list_sum(list_transform(range(1, $nbExpr + 1), " +
+      s"p -> CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      s"list_transform(range(1, ${dim + 1}), " +
+      s"i -> CAST(embedding[i] AS DOUBLE) * ($matrix)[p][i])), " +
+      s"(a,b) -> a + b) > 0 " +
+      s"THEN (CAST(1 AS BIGINT) << (p-1)) ELSE CAST(0 AS BIGINT) END)) " +
+      s"AS BIGINT)"
   }
 
   /** Decimal-exact cosine between two embedding-list columns (the same
@@ -357,8 +411,12 @@ object PipelineSketches extends QueryModule {
         |FROM m ORDER BY media_id""".stripMargin,
 
     "q_sim_ann_lsh" ->
-      s"""WITH e AS (
-         |  SELECT vec_id, embedding, ${bucketSql(6, 64, 7L)} AS bucket
+      s"""WITH nbp AS (
+         |  SELECT coalesce((SELECT min(b) FROM range(6, ${AnnLshMaxPlanes + 1}) t(b)
+         |    WHERE (CAST($AnnLshTargetOccupancy AS BIGINT) << b)
+         |      >= (SELECT count(*) FROM embeddings)), $AnnLshMaxPlanes) AS nb),
+         |e AS (
+         |  SELECT vec_id, embedding, ${bucketMatrixSql(64, 7L, "(SELECT nb FROM nbp)")} AS bucket
          |  FROM embeddings),
          |p AS (SELECT embedding AS p_emb, bucket AS p_bucket FROM e WHERE vec_id = 0),
          |cand AS (

@@ -723,16 +723,23 @@ object TrainingOps extends QueryModule {
       // reference vectors; the triangle inequality gives
       // |d(v,r) − d(q,r)| ≤ d(v,q), so a candidate whose bound exceeds
       // the radius dies on a cheap scalar comparison — no vector math,
-      // no shuffle — before the exact distance runs. Exact: the final
-      // filter recomputes true distances, so the result equals the
-      // oracle's brute force (the prune only drops provable misses;
-      // a 1e-6 margin absorbs last-ulp noise in the bounds).
+      // no shuffle — before the exact distance runs. The BOUND side is
+      // pure double math through the codegen'd float_dot kernel with an
+      // outward-rounded 1e-4 margin (r17 — the r16 sf1 lane caught the
+      // decimal-exact kernels running on every corpus row turning the
+      // index build superlinear in wall: a conservative bound only needs
+      // to never UNDERestimate, and double accumulation over dim-64
+      // float vectors is exact to ~1e-12, so the margin overwhelms it
+      // the same way the parquet float-predicate pushdown widens its
+      // bounds). Exactness lives ONLY in the survivor verification: the
+      // final filter recomputes true distances with the decimal kernels,
+      // so the result equals the oracle's brute force (the prune drops
+      // provable misses; the margin only widens the survivor set).
       graft.functions.VectorFunctions.register(s)
       import graft.functions.{DecVector, VectorFunctions}
       val radius = 1.25
       val v = Tables(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding"),
-          VectorFunctions.dec_normsq(col("embedding")).as("nsq"))
+        .select(col("vec_id"), col("embedding"))
       // probe (vec 0) + reference vectors (vecs 1-3): tiny, driver-held
       val pivots = v.filter(col("vec_id") <= 3)
         .select(col("vec_id"), col("embedding")).collect()
@@ -744,27 +751,42 @@ object TrainingOps extends QueryModule {
           a.map(x => x: Any))
         DecVector.normSq(g).doubleValue
       }
-      def distTo(other: Array[Float]) = sqrt(
-        col("nsq") + lit(nsqOf(other)) -
-          lit(2.0) * VectorFunctions.dec_dot(col("embedding"), arr(other)))
+      def dblNsq(a: Array[Float]): Double = {
+        var s2 = 0.0; var i = 0
+        while (i < a.length) { s2 += a(i).toDouble * a(i).toDouble; i += 1 }
+        s2
+      }
       def refDist(a: Array[Float], b: Array[Float]): Double = {
         var s2 = 0.0; var i = 0
         while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; s2 += d * d; i += 1 }
         math.sqrt(s2)
       }
       val refs = Seq(1L, 2L, 3L).map(pivots)
-      // "index build": per-vector reference distances — at scale these
-      // are computed once at ingest and stored beside the vector, so a
-      // probe pays only scalar comparisons until the prune passes
-      val indexed = refs.zipWithIndex.foldLeft(v.filter(col("vec_id") =!= 0)) {
-        case (d, (r, i)) => d.withColumn(s"dref_$i", distTo(r))
+      // "index build": per-vector reference distances in double math —
+      // at scale these are computed once at ingest and stored beside the
+      // vector, so a probe pays only scalar comparisons until the prune
+      // passes. greatest(sq, 0): last-ulp cancellation near zero must
+      // not feed sqrt a tiny negative.
+      def dblDistTo(other: Array[Float]) = sqrt(greatest(
+        col("fnsq") + lit(dblNsq(other)) -
+          lit(2.0) * VectorFunctions.float_dot(col("embedding"), arr(other)),
+        lit(0.0)))
+      val base = v.filter(col("vec_id") =!= 0).withColumn("fnsq",
+        VectorFunctions.float_dot(col("embedding"), col("embedding")))
+      val indexed = refs.zipWithIndex.foldLeft(base) {
+        case (d, (r, i)) => d.withColumn(s"dref_$i", dblDistTo(r))
       }
       val bounds = refs.zipWithIndex.map { case (r, i) =>
-        abs(col(s"dref_$i") - lit(refDist(probe, r))) - lit(1e-6)
+        abs(col(s"dref_$i") - lit(refDist(probe, r))) - lit(1e-4)
       }
+      // exact math (decimal kernels), SURVIVORS only — the filter below
+      // runs before this projection in the same codegen stage
+      val exactDist = sqrt(
+        VectorFunctions.dec_normsq(col("embedding")) + lit(nsqOf(probe)) -
+          lit(2.0) * VectorFunctions.dec_dot(col("embedding"), arr(probe)))
       indexed
         .filter(bounds.reduce(greatest(_, _)) <= radius) // prune (scalars)
-        .withColumn("dist", distTo(probe)) // exact math, survivors only
+        .withColumn("dist", exactDist)
         .filter(col("dist") <= radius)
         .select(col("vec_id"),
           col("dist").cast("decimal(12,9)").cast("double").as("dist"))
