@@ -189,8 +189,23 @@ object Bench {
     // RetimeTopN as a floor when few keys cross. The min goes in its
     // own field — the measured totals stay comparable across rounds.
     val retimeThreshold = sys.env.get("SPARK_GRAFT_RETIME_THRESHOLD")
-      .map(_.toDouble).getOrElse(RetimeThresholdSec)
+      .flatMap { v =>
+        val d = v.toDoubleOption
+        // warn-and-continue like the BENCH_KEYS handling above — a
+        // malformed value must not throw AWAY the full measured pass
+        // that already ran (review-found r16)
+        if (d.isEmpty) System.err.println(
+          s"[bench] WARNING: malformed SPARK_GRAFT_RETIME_THRESHOLD " +
+            s"'$v' — using default $RetimeThresholdSec")
+        d
+      }.getOrElse(RetimeThresholdSec)
+    // fixture-building keys ALWAYS retime, even when a lane lifts the
+    // threshold (the sf1 lane sets 1e12 to skip the drift-evidence
+    // rerun): their fixture memoizes per (JVM, sfDir), so the second
+    // run is the QUERY-ONLY wall — the number the cross-engine ratio
+    // wants, where the first pass times a five-table lake build
     val retimeSet = (results.filter(_._2 >= retimeThreshold).keySet ++
+      FixtureBuildKeys.filter(results.contains) ++
       results.toSeq.sortBy(-_._2).take(RetimeTopN).map(_._1)).toSeq
       .sortBy(k => -results(k))
     val retimed = retimeSet
@@ -202,8 +217,9 @@ object Bench {
           Some(name -> math.min(first, (System.nanoTime() - t0) / 1e9))
         } catch { case _: Throwable => None }
       }.toMap
+    val loadEnd = loadavg
     println(renderLine(results, sfDir, failed.toSeq.sorted, failedSec,
-      retimed, Some((loadStart, loadavg)), jobs.toMap, duck))
+      retimed, Some((loadStart, loadEnd)), jobs.toMap, duck))
     // full per-key evidence (every key's seconds + job count) goes to a
     // sidecar — the stdout line is tail-capture-budgeted to ~35 keys
     try {
@@ -234,6 +250,15 @@ object Bench {
         System.err.println(s"[bench] sidecar write failed: $e")
     }
     spark.stop()
+    // the LAST stdout line is the machine-parseable HEADLINE (r17): the
+    // r16 full line was intact on stdout but the driver keeps only the
+    // tail ~2KB, and trailing engine shutdown WARNs + the sbt epilogue
+    // pushed its head out of the window ("parsed": null). This compact
+    // form (totals + ratio + jobs_total; NO per-key maps — those ride
+    // the sidecar and the full line above) prints AFTER spark.stop so
+    // nothing but the epilogue can follow it.
+    println(renderCompactLine(results, sfDir, failed.toSeq.sorted,
+      failedSec, jobs.toMap, duck, Some((loadStart, loadEnd))))
     // a broken engine must not produce a plausible-looking bench total
     // (round-12 postmortem: 42 erroring keys burned 47s and the line
     // still parsed as a valid result) — the full failed set goes to
@@ -275,6 +300,95 @@ object Bench {
     * measured time — the ones a plan regression would move). The full
     * map goes to the sidecar file. */
   val JobsTopN = 24
+
+  /** Lifecycle-building q_* keys (r17, verdict #4): their Spark wall
+    * times a lake-fixture build or a full streaming harness while the
+    * DuckDB oracle re-runs only the final SELECT — the same
+    * scope-not-speed class tools/bench_oracle.py documents for
+    * lake_, stream_ and ddl_ keys, reached here for the q_ keys that
+    * build fixtures. Excluded from the q_ratio headline; their walls
+    * still ride the per-key maps.
+    */
+  val LifecycleQKeys: Set[String] =
+    Set("q_star_join", "q_stream_dedup", "q_stream_join")
+
+  /** Keys whose fixture memoizes per (JVM, sfDir): always retimed —
+    * even when a lane lifts the threshold — so the retimed field
+    * records the query-only wall (the first pass times the build). */
+  val FixtureBuildKeys: Set[String] = Set("q_star_join")
+
+  /** External-baseline summary (constant-size): DuckDB totals over the
+    * timed intersection, plus aggregate + median spark/duck ratios over
+    * the q_* ANALYTIC keys only — lake lifecycle keys (and the
+    * [[LifecycleQKeys]] q_ keys) time a full multi-commit lifecycle on
+    * the Spark side against a single verification query on the DuckDB
+    * side, so their ratios measure scope, not engine speed. Both walls
+    * in the ratio are FIRST-PASS measured ("q_wall":"measured" names
+    * the basis — the r16 SURVEY headline and the sidecar's retimed
+    * minimums computed different ratios and the verdict had to
+    * adjudicate which was canonical). Full per-key duck seconds ride
+    * in the sidecar.
+    */
+  private def oracleFieldJson(results: Map[String, Double],
+      duck: Map[String, Double]): String = {
+    def r3(v: Double): String = (math.rint(v * 1000) / 1000).toString
+    val common = results.keySet.intersect(duck.keySet)
+    if (common.isEmpty) ""
+    else {
+      // apples-to-apples totals cover the q_* ANALYTIC keys with a
+      // NONZERO duck wall — bench_oracle rounds to sub-ms zero, and
+      // a key in the ratio's numerator with no denominator weight
+      // would skew the headline against the median's population
+      // (review-found r16)
+      val qk = common.toSeq.filter(k => k.startsWith("q_") &&
+        !LifecycleQKeys.contains(k) && duck(k) > 0)
+      val qSpark = qk.map(results).sum
+      val qDuck = qk.map(duck).sum
+      val qRatios = qk.map(k => results(k) / duck(k)).sorted
+      val med =
+        if (qRatios.isEmpty) ""
+        else s""","q_ratio_median":${r3(qRatios(qRatios.size / 2))}"""
+      // q_ratio (aggregate spark/duck over the analytic keys) is
+      // the drift-proof HEADLINE number (r16): both engines are
+      // timed on the same parquet, so host drift cancels — walls
+      // are second-class evidence
+      val agg =
+        if (qDuck <= 0) ""
+        else s""","q_ratio":${r3(qSpark / qDuck)}"""
+      s""""oracle":{"engine":"duckdb","n":${common.size},""" +
+        s""""q_n":${qk.size},"q_wall":"measured","q_spark":${r3(qSpark)},""" +
+        s""""q_duck":${r3(qDuck)}$agg$med},"""
+    }
+  }
+
+  /** The machine-parseable HEADLINE line — printed LAST on stdout,
+    * after spark.stop (pinned by BenchLineSpec): everything the driver
+    * and the cross-round canary need (total, n_queries, oracle ratio
+    * block, jobs_total, failure summary), NO per-key maps, bounded
+    * ~500 chars so the driver's ~2KB stdout tail always contains the
+    * whole object even with an sbt epilogue after it.
+    */
+  def renderCompactLine(results: Map[String, Double], sfDir: String,
+      failed: Seq[String] = Nil, failedSec: Double = 0.0,
+      jobs: Map[String, Int] = Map.empty,
+      duck: Map[String, Double] = Map.empty,
+      load: Option[(Double, Double)] = None): String = {
+    def r3(v: Double): String = (math.rint(v * 1000) / 1000).toString
+    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val failedField =
+      if (failed.isEmpty) ""
+      else s""""invalid":true,"n_failed":${failed.size},""" +
+        s""""failed_sec":${r3(failedSec)},"failed":[""" +
+        failed.take(3).map(k => s""""$k"""").mkString(",") + "],"
+    val jobsField =
+      if (jobs.isEmpty) "" else s""""jobs_total":${jobs.values.sum},"""
+    val loadField = load.filter(l => l._1 >= 0 || l._2 >= 0)
+      .map { case (a, b) => s""""load":[${r3(a)},${r3(b)}],""" }
+      .getOrElse("")
+    s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
+      s""""n_queries":${results.size},${oracleFieldJson(results, duck)}""" +
+      s"""$jobsField$failedField$loadField"sf":"$sfDir"}"""
+  }
 
   def renderLine(results: Map[String, Double], sfDir: String,
                  failed: Seq[String] = Nil, failedSec: Double = 0.0,
@@ -321,42 +435,7 @@ object Bench {
         s""""jobs_total":${jobs.values.sum},"jobs":{""" +
           top.map { case (k, v) => s""""$k":$v""" }.mkString(",") + "},"
       }
-    // external-baseline summary (constant-size): DuckDB totals over
-    // the timed intersection, plus the median spark/duck ratio over
-    // the q_* ANALYTIC keys only — lake lifecycle keys time a full
-    // multi-commit lifecycle on the Spark side against a single
-    // verification query on the DuckDB side, so their ratios measure
-    // scope, not engine speed (tools/bench_oracle.py documents this).
-    // Full per-key duck seconds ride in the sidecar.
-    val oracleField = {
-      val common = results.keySet.intersect(duck.keySet)
-      if (common.isEmpty) ""
-      else {
-        // apples-to-apples totals cover the q_* ANALYTIC keys with a
-        // NONZERO duck wall — bench_oracle rounds to sub-ms zero, and
-        // a key in the ratio's numerator with no denominator weight
-        // would skew the headline against the median's population
-        // (review-found r16)
-        val qk = common.toSeq.filter(k => k.startsWith("q_") &&
-          duck(k) > 0)
-        val qSpark = qk.map(results).sum
-        val qDuck = qk.map(duck).sum
-        val qRatios = qk.map(k => results(k) / duck(k)).sorted
-        val med =
-          if (qRatios.isEmpty) ""
-          else s""","q_ratio_median":${r3(qRatios(qRatios.size / 2))}"""
-        // q_ratio (aggregate spark/duck over the analytic keys) is
-        // the drift-proof HEADLINE number (r16): both engines are
-        // timed on the same parquet, so host drift cancels — walls
-        // are second-class evidence
-        val agg =
-          if (qDuck <= 0) ""
-          else s""","q_ratio":${r3(qSpark / qDuck)}"""
-        s""""oracle":{"engine":"duckdb","n":${common.size},""" +
-          s""""q_n":${qk.size},"q_spark":${r3(qSpark)},""" +
-          s""""q_duck":${r3(qDuck)}$agg$med},"""
-      }
-    }
+    val oracleField = oracleFieldJson(results, duck)
     // field order states the r16 reading protocol: the drift-proof
     // evidence (spark/duck ratio, host-invariant job counts) leads;
     // raw walls trail

@@ -14,7 +14,11 @@ import graft.lake.{Engine, LakeTable, LakeTxn}
 object LakeReadQueries extends QueryModule {
   import graft.lake.{Engine, LakeTable}
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    lakeReadQueries1 ++ lakeReadQueries2
+
+  private def lakeReadQueries1
+      : Map[String, (SparkSession, String) => DataFrame] = Map(
     "lake_scan_sql" -> QueryModule.micro(4)((s, dir) => {
       // parquet → lake table → catalog SQL with a filter: exercises the
       // connector's record reader, column pruning, and stats skipping
@@ -176,8 +180,45 @@ object LakeReadQueries extends QueryModule {
       // (file min/max vs the broadcast keys — PlanAuditSpec pins the
       // mechanism on a clustered fixture, plus broadcasts and zero
       // cartesians on this exact plan). Revenue math in exact
-      // decimals, output double (driver compare contract).
-      val wh = LakeQueries.freshWarehouse("star")
+      // decimals, output double (driver compare contract). The
+      // five-table fixture memoizes per (JVM, sfDir) — it is a
+      // deterministic function of the input tables, and the bench's
+      // forced retime of FixtureBuildKeys relies on the second run
+      // hitting the memo to record the QUERY-ONLY wall (r17: the sf1
+      // lane was timing a sorted-bucketed 6M-row lake write inside
+      // this key's window and comparing it against DuckDB's bare
+      // SELECT).
+      val wh = starFixture.computeIfAbsent(dir, _ => {
+        val fwh = LakeQueries.freshWarehouse("star")
+        buildStarFixture(s, dir, fwh)
+        fwh
+      })
+      s.conf.set("spark.sql.catalog.gstar", "graft.sources.LakeCatalog")
+      s.conf.set("spark.sql.catalog.gstar.warehouse", wh)
+      s.sql(
+        """SELECT n_name, count(*) AS order_lines,
+          |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+          |    * (1 - CAST(l_discount AS DECIMAL(18,4)))
+          |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+          |FROM gstar.sq.lineitem
+          |JOIN gstar.sq.orders   ON l_orderkey = o_orderkey
+          |JOIN gstar.sq.customer ON o_custkey = c_custkey
+          |JOIN gstar.sq.nation   ON c_nationkey = n_nationkey
+          |JOIN gstar.sq.region   ON n_regionkey = r_regionkey
+          |WHERE r_name = 'ASIA'
+          |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+          |  AND o_orderdate < TIMESTAMP '1997-01-01'
+          |GROUP BY n_name
+          |ORDER BY n_name""".stripMargin)
+    }),
+  )
+
+  /** q_star_join's memoized fixture warehouses, keyed by sfDir. */
+  private val starFixture =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def buildStarFixture(s: SparkSession, dir: String,
+      wh: String): Unit = {
       Engine.processTableDefJson(wh,
         """{"database_name":"sq","table_name":"lineitem","columns":[
           |{"column_name":"l_orderkey","data_type":"long"},
@@ -231,25 +272,10 @@ object LakeReadQueries extends QueryModule {
         Tables(s, dir, "region").select(
           col("r_regionkey").cast("long").as("r_regionkey"),
           col("r_name")))
-      s.conf.set("spark.sql.catalog.gstar", "graft.sources.LakeCatalog")
-      s.conf.set("spark.sql.catalog.gstar.warehouse", wh)
-      s.sql(
-        """SELECT n_name, count(*) AS order_lines,
-          |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
-          |    * (1 - CAST(l_discount AS DECIMAL(18,4)))
-          |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue
-          |FROM gstar.sq.lineitem
-          |JOIN gstar.sq.orders   ON l_orderkey = o_orderkey
-          |JOIN gstar.sq.customer ON o_custkey = c_custkey
-          |JOIN gstar.sq.nation   ON c_nationkey = n_nationkey
-          |JOIN gstar.sq.region   ON n_regionkey = r_regionkey
-          |WHERE r_name = 'ASIA'
-          |  AND o_orderdate >= TIMESTAMP '1996-01-01'
-          |  AND o_orderdate < TIMESTAMP '1997-01-01'
-          |GROUP BY n_name
-          |ORDER BY n_name""".stripMargin)
-    }),
+  }
 
+  private def lakeReadQueries2
+      : Map[String, (SparkSession, String) => DataFrame] = Map(
     "lake_null_skip" -> QueryModule.micro(4)((s, dir) => {
       // null-count + schema-absence file skipping under the oracle
       // gate: v1 files predate the n_regionkey column (they read as

@@ -125,6 +125,46 @@ class BenchLineSpec extends AnyFunSuite {
     assert(!line2.contains("q_ratio") && line2.contains("oracle"))
   }
 
+  test("compact headline line: bounded, no per-key maps, carries the " +
+      "ratio block and jobs_total (r17 — the full line's head fell out " +
+      "of the driver's stdout tail once trailing output followed it)") {
+    val res = results(400)
+    val duck = res.keys.take(200).map(k => k -> 0.01).toMap
+    val jb = res.keys.map(k => k -> 3).toMap
+    val line = Bench.renderCompactLine(res, "/root/testdata/sf0.1",
+      failed = (0 until 50).map(i => f"q_some_rather_long_query_name_$i%03d"),
+      failedSec = 1.5, jobs = jb, duck = duck, load = Some((1.0, 2.0)))
+    // small enough that a ~1.2KB trailing epilogue still leaves the
+    // whole object inside a 2KB tail window
+    assert(line.length <= 700, s"${line.length} chars")
+    val obj = Json.parse(line).asInstanceOf[JObject]
+    assert(obj.fields("metric").asInstanceOf[graft.schema.JString]
+      .value == "total")
+    assert(obj.fields("n_queries").asInstanceOf[JNumber].value == 400)
+    assert(obj.fields("jobs_total").asInstanceOf[JNumber].value == 1200)
+    assert(obj.fields("n_failed").asInstanceOf[JNumber].value == 50)
+    val o = obj.fields("oracle").asInstanceOf[JObject].fields
+    assert(o.contains("q_ratio") && o.contains("q_wall"))
+    // NO per-key maps — they ride the sidecar and the full line
+    assert(!obj.fields.contains("queries") && !obj.fields.contains("jobs")
+      && !obj.fields.contains("retimed"))
+  }
+
+  test("lifecycle-building q_ keys stay out of the oracle ratio " +
+      "(fixture-build wall vs DuckDB's bare SELECT measures scope, " +
+      "not engine speed)") {
+    val res = Map("q_a" -> 1.0, "q_star_join" -> 30.0)
+    val duck = Map("q_a" -> 0.5, "q_star_join" -> 0.1)
+    val o = Json.parse(Bench.renderCompactLine(res, "sf", duck = duck))
+      .asInstanceOf[JObject].fields("oracle").asInstanceOf[JObject].fields
+    assert(o("q_n").asInstanceOf[JNumber].value == 1)
+    assert(math.abs(o("q_ratio").asInstanceOf[JNumber].value.toDouble
+      - 2.0) < 1e-3)
+    // every LifecycleQKeys member really is a declared query key
+    assert(Bench.LifecycleQKeys.subsetOf(SparkEntry.queries.keySet))
+    assert(Bench.FixtureBuildKeys.subsetOf(Bench.LifecycleQKeys))
+  }
+
   test("valid JSON under a comma-decimal locale") {
     val prev = java.util.Locale.getDefault
     try {
