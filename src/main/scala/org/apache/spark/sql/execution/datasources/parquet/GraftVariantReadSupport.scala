@@ -49,8 +49,16 @@ class GraftVariantReadSupport extends ParquetReadSupport {
         s"requested=${base.getRequestedSchema}")
     catalyst match {
       case Some(st) if GraftVariantReadSupport.hasVariantStruct(st) =>
+        // honor the scan's name-resolution mode: the reader conf sets
+        // CASE_SENSITIVE (false by default), and an externally-added
+        // file whose physical column case differs from the catalyst
+        // name must still pair up — a case-mismatched miss is silent
+        // (correct rows via the binary fallback, pruning benefit lost)
+        val caseSensitive = context.getConfiguration.getBoolean(
+          org.apache.spark.sql.internal.SQLConf.CASE_SENSITIVE.key, false)
         new ReadSupport.ReadContext(
-          GraftVariantReadSupport.clip(base.getRequestedSchema, st),
+          GraftVariantReadSupport.clip(base.getRequestedSchema, st,
+            caseSensitive),
           base.getReadSupportMetadata)
       case _ => base
     }
@@ -75,15 +83,23 @@ object GraftVariantReadSupport {
   }
 
   private[parquet] def clip(requested: MessageType,
-      catalyst: StructType): MessageType = {
-    val fields = clipFields(requested.getFields.asScala.toSeq, catalyst)
+      catalyst: StructType, caseSensitive: Boolean = true): MessageType = {
+    val fields = clipFields(requested.getFields.asScala.toSeq, catalyst,
+      caseSensitive)
     new MessageType(requested.getName, fields.asJava)
   }
 
   private def clipFields(fields: Seq[Type],
-      catalyst: StructType): Seq[Type] =
+      catalyst: StructType, caseSensitive: Boolean): Seq[Type] =
     fields.map { f =>
-      catalyst.fields.find(_.name == f.getName) match {
+      // exact match first; under a case-insensitive scan, fall back to
+      // the resolver's semantics so a physical-case-drifted file still
+      // pairs (ADVICE r16 — the miss was silent: correct results via
+      // the fallback, pruning benefit lost)
+      val matched = catalyst.fields.find(_.name == f.getName).orElse(
+        if (caseSensitive) None
+        else catalyst.fields.find(_.name.equalsIgnoreCase(f.getName)))
+      matched match {
         case Some(cf) if isVariantStruct(cf.dataType) && !f.isPrimitive =>
           clipVariantGroup(f.asGroupType(),
             cf.dataType.asInstanceOf[StructType])
@@ -92,7 +108,8 @@ object GraftVariantReadSupport {
               hasVariantStruct(st) =>
             val gt = g.asGroupType()
             gt.withNewFields(
-              clipFields(gt.getFields.asScala.toSeq, st).asJava)
+              clipFields(gt.getFields.asScala.toSeq, st, caseSensitive)
+                .asJava)
           case _ => f
         }
         case None => f

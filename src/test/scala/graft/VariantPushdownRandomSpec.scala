@@ -113,8 +113,11 @@ class VariantPushdownRandomSpec extends AnyFunSuite {
       } else {
         val p = paths(rnd.nextInt(paths.size))
         val t = types(rnd.nextInt(types.size))
-        val cast = if (t == "variant") "string" else "string"
-        s"CAST(try_variant_get(payload, '$p', '$t') AS $cast) AS e$n"
+        // uniform STRING rendering for the compare: a 'variant'-typed
+        // extraction casts through its JSON form, scalars through
+        // their SQL form — both deterministic across the pushed and
+        // truth sides
+        s"CAST(try_variant_get(payload, '$p', '$t') AS STRING) AS e$n"
       }
     var rewrote = 0
     val clipped0 = org.apache.spark.sql.execution.datasources.parquet
