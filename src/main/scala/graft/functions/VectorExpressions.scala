@@ -274,6 +274,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((ZOrderFunction.identifier, ZOrderFunction.info,
       ZOrderFunction.builder))
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // variant-extraction scope prep (r17): hoist agg(variant_get(...))
+    // into a Project the upstream pushdown rule can see, and record the
+    // referenced-column set so variant-accepted scans can prune the
+    // non-variant columns pruneColumns never gets to. Pre-CBO slot:
+    // Once, after the fixed-point operator batch (CollapseProject would
+    // re-inline the hoisted Project), right before early scan pushdown.
+    e.injectPreCBORule(_ => graft.sources.VariantScanPrep)
     // ALTER TABLE ... ADD/DROP PARTITION FIELD (Iceberg's
     // spec-evolution DDL; Spark's parser has no such statement) plus
     // the persistent-view DDL (stock Spark refuses view statements on

@@ -281,7 +281,14 @@ private[sources] class LakeSparkTable(val wh: String, val db: String,
       skipDeleteSnapshots =
         Option(options.get("skipDeleteSnapshots")).exists(_.toBoolean),
       incremental = incremental,
-      changelogMode = changelogMode)
+      changelogMode = changelogMode,
+      // referenced-column list recorded by VariantScanPrep: lets an
+      // accepted variant extraction (which bypasses pruneColumns) drop
+      // the unreferenced non-variant columns in lockstep with the
+      // trimmed relation output
+      referencedCols = Option(
+          options.get(VariantScanPrep.ReferencedColsKey))
+        .map(_.split(",").toSeq.filter(_.nonEmpty)))
   }
 
   /** INSERT INTO / df.writeTo(...).append() via the V1 write bridge:
@@ -411,7 +418,8 @@ private[graft] class LakeScanBuilder(wh: String, db: String, tbl: String,
     skipDeleteSnapshots: Boolean = false,
     incremental: Option[(Long, Long)] = None,
     changelogMode: Boolean = false,
-    rowLevelOp: Boolean = false)
+    rowLevelOp: Boolean = false,
+    referencedCols: Option[Seq[String]] = None)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
@@ -551,7 +559,7 @@ private[graft] class LakeScanBuilder(wh: String, db: String, tbl: String,
     val accepted = exts.zip(verdicts).filter(_._2).map(_._1)
       .groupBy(e => e.columnName()(0))
     if (accepted.nonEmpty) {
-      target = StructType(target.fields.toSeq.map { tf =>
+      val replaced = target.fields.toSeq.map { tf =>
         accepted.get(tf.name) match {
           case Some(colExts)
               if tf.dataType == org.apache.spark.sql.types.VariantType =>
@@ -563,6 +571,19 @@ private[graft] class LakeScanBuilder(wh: String, db: String, tbl: String,
               tf.metadata)
           case _ => tf
         }
+      }
+      // pruneColumns never runs on the accepted-variant path, so the
+      // referenced-column list VariantScanPrep recorded is the ONLY
+      // pruning signal: drop the non-variant columns the query never
+      // references, in lockstep with the trimmed relation output the
+      // rule installed (upstream zips that output positionally against
+      // readSchema, so both sides must trim identically or nothing may)
+      target = StructType(referencedCols match {
+        case Some(cols) =>
+          val keep = cols.toSet
+          replaced.filter(f => keep.contains(f.name) ||
+            LakeSource.isMetaCol(f.name))
+        case None => replaced
       })
     }
     verdicts

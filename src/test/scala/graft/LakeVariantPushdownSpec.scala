@@ -202,6 +202,143 @@ class LakeVariantPushdownSpec extends AnyFunSuite {
     assert(got.size == 5 && got(0).getString(0).contains("\"small\":0"))
   }
 
+  /** A session with GraftExtensions installed: the r17 VariantScanPrep
+    * rule (aggregate-shape hoist + referenced-column channel) is a
+    * pre-CBO extension rule, invisible to the plain shared session the
+    * other tests pin (whose aggregate-shape full-variant push stays
+    * the documented NON-extensions behavior).
+    */
+  private def withExtSession[T](body: org.apache.spark.sql.SparkSession => T): T = {
+    val prior = spark
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    try {
+      val s2 = org.apache.spark.sql.SparkSession.builder()
+        .master("local[4]")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new graft.functions.GraftExtensions)
+        .getOrCreate()
+      body(s2)
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(prior)
+      org.apache.spark.sql.SparkSession.setActiveSession(prior)
+    }
+  }
+
+  private def withPushIn[T](s: org.apache.spark.sql.SparkSession,
+      on: Boolean)(body: => T): T = {
+    val key = "spark.sql.variant.pushVariantIntoScan"
+    val prev = s.conf.get(key)
+    s.conf.set(key, on.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
+  test("aggregate shapes clip too (r17): the pre-CBO hoist gives the " +
+      "pushdown rule a Project to rewrite, and the clip engages") {
+    val (wh, cat) = mk("agghoist")
+    withExtSession { s2 =>
+      s2.conf.set(s"spark.sql.catalog.$cat", "graft.sources.LakeCatalog")
+      s2.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      val sql =
+        s"""SELECT variant_get(payload, '$$.small', 'long') % 10 AS g,
+           |  count(*) AS n,
+           |  sum(variant_get(payload, '$$.small', 'long')) AS sm
+           |FROM $cat.d.t GROUP BY 1 ORDER BY g""".stripMargin
+      def bytesOf(push: Boolean): Long = withPushIn(s2, push) {
+        s2.sql(sql).collect()
+        val b0 = rchar()
+        s2.sql(sql).collect()
+        rchar() - b0
+      }
+      val truth = withPushIn(s2, on = false)(s2.sql(sql).collect().toSeq)
+      val unpushedBytes = bytesOf(push = false)
+      val clipped0 = org.apache.spark.sql.execution.datasources.parquet
+        .GraftVariantReadSupport.clippedChildren.get
+      val (plan, got) = withPushIn(s2, on = true) {
+        val df = s2.sql(sql)
+        (df.queryExecution.executedPlan.toString, df.collect().toSeq)
+      }
+      assert(got == truth && truth.size == 10)
+      // the hoist + rewrite leave NO variant_get in the executed plan
+      assert(!plan.contains("variant_get"), plan)
+      // and the shredded clip actually dropped the fat child
+      assert(org.apache.spark.sql.execution.datasources.parquet
+        .GraftVariantReadSupport.clippedChildren.get > clipped0,
+        "clip never engaged on the aggregate shape")
+      val pushedBytes = bytesOf(push = true)
+      assert(pushedBytes * 3 < unpushedBytes,
+        s"pushed=$pushedBytes unpushed=$unpushedBytes — fat chunk read")
+    }
+  }
+
+  test("aggregate hoist bails on a bare variant use (conservative: " +
+      "results stay correct through the full-variant push)") {
+    val (wh, cat) = mk("aggbail", rows = 500)
+    withExtSession { s2 =>
+      s2.conf.set(s"spark.sql.catalog.$cat", "graft.sources.LakeCatalog")
+      s2.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      // min(cast(payload as string)) consumes the RAW variant beside
+      // the extraction — hoisting only the extraction would still read
+      // the full variant, so the rule must leave the plan alone
+      val sql =
+        s"""SELECT sum(variant_get(payload, '$$.small', 'long')) AS sm,
+           |  min(length(cast(payload AS STRING))) AS raw_len
+           |FROM $cat.d.t""".stripMargin
+      val truth = withPushIn(s2, on = false)(s2.sql(sql).collect().toSeq)
+      val got = withPushIn(s2, on = true)(s2.sql(sql).collect().toSeq)
+      assert(got == truth)
+      assert(truth(0).getLong(0) == (0L until 500L).sum)
+    }
+  }
+
+  test("variant-accepted scans drop unreferenced NON-variant columns " +
+      "(r17): the referenced-column channel restores the pruning the " +
+      "bypassed pruneColumns never performs") {
+    // k + fat junk string + variant payload: the query never touches
+    // junk, and before r17 an accepted extraction kept it in the scan
+    val wh = Files.createTempDirectory("graft-vpush-prune").toString
+    Engine.processTableDefJson(wh,
+      """{"database_name":"d","table_name":"t","columns":[
+        |{"column_name":"k","data_type":"long"},
+        |{"column_name":"junk","data_type":"string"},
+        |{"column_name":"payload","data_type":"variant"}],
+        |"partitions":[]}""".stripMargin)
+    val df = SparkTestSession.spark.range(20000).selectExpr("id AS k",
+      "concat(sha2(concat('j', id), 256), sha2(concat('k', id), 256))" +
+        " AS junk",
+      """parse_json(concat('{"small": ', id, '}')) AS payload""")
+    sys.props("graft.write.nolocal") = "1"
+    try LakeTable.load(wh, "d", "t").append(df)
+    finally sys.props.remove("graft.write.nolocal")
+    withExtSession { s2 =>
+      s2.conf.set("spark.sql.catalog.gvprune", "graft.sources.LakeCatalog")
+      s2.conf.set("spark.sql.catalog.gvprune.warehouse", wh)
+      val sql =
+        s"""SELECT k, variant_get(payload, '$$.small', 'long') AS sm
+           |FROM gvprune.d.t WHERE k % 100 = 7 ORDER BY k""".stripMargin
+      val truth = withPushIn(s2, on = false)(s2.sql(sql).collect().toSeq)
+      val (readSchemas, got) = withPushIn(s2, on = true) {
+        val q = s2.sql(sql)
+        val out = q.collect().toSeq
+        val schemas = q.queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.v2
+              .DataSourceV2ScanRelation => r.scan.readSchema()
+        }
+        (schemas, out)
+      }
+      assert(got == truth && truth.size == 200)
+      assert(readSchemas.size == 1)
+      val names = readSchemas.head.fieldNames.toSeq
+      // junk is gone; payload rides as the rewritten extraction struct
+      // (a plain VariantType here would mean the push was refused and
+      // the normal pruneColumns path answered instead)
+      assert(names == Seq("k", "payload"), names)
+      assert(readSchemas.head("payload").dataType
+        .isInstanceOf[org.apache.spark.sql.types.StructType],
+        readSchemas.head("payload").dataType)
+    }
+  }
+
   test("kill-switch: graft.read.novector refuses acceptance and the " +
       "unpushed plan still answers") {
     val (_, cat) = mk("kill", rows = 200)
