@@ -25,9 +25,10 @@ case class TableDef(
   *
   * Scope (r16): honored on top-level columns and struct-NESTED fields
   * at any struct depth. A default declared inside `array_def`/`map_def`
-  * is NOT recorded (those defs bypass the field annotation; per-element
-  * fills are also beyond the vectorized readers) — r17 candidate:
-  * reject it at parse instead of dropping it silently.
+  * (at any depth below them) is REJECTED at parse (r17 — it was
+  * silently dropped before): those defs bypass the field annotation,
+  * and per-element fills are beyond the vectorized readers, so
+  * accepting the key would promise a fill that never happens.
   */
 case class ColumnDef(
     name: String,
@@ -70,7 +71,8 @@ object TableDef {
     val db = str(root, "database_name")
     val tbl = str(root, "table_name")
 
-    def parseColumn(v: JValue, path: String): ColumnDef = {
+    def parseColumn(v: JValue, path: String,
+        interior: Boolean = false): ColumnDef = {
       val m = v.asObj
       val name = m.get("column_name") match {
         case Some(JString(s)) if s.nonEmpty => s
@@ -81,20 +83,23 @@ object TableDef {
         case _ => errs += s"$path.$name: missing 'data_type'"; "string"
       }
       val required = m.get("required").exists(_.asBool)
+      // struct interiors inherit: a default under array<struct<...>>
+      // is still per-element
       val structDef = m.get("struct_def").map(_.asArr.zipWithIndex.map {
-        case (c, i) => parseColumn(c, s"$path.$name[$i]")
+        case (c, i) => parseColumn(c, s"$path.$name[$i]", interior)
       })
       val mapDef = m.get("map_def").map { md =>
         val mm = md.asObj
         MapDef(
           parseColumn(mm.getOrElse("key",
             { errs += s"$path.$name: map_def missing 'key'"; JObject(Map.empty) }),
-            s"$path.$name.key"),
+            s"$path.$name.key", interior = true),
           parseColumn(mm.getOrElse("value",
             { errs += s"$path.$name: map_def missing 'value'"; JObject(Map.empty) }),
-            s"$path.$name.value"))
+            s"$path.$name.value", interior = true))
       }
-      val arrayDef = m.get("array_def").map(parseColumn(_, s"$path.$name.element"))
+      val arrayDef = m.get("array_def").map(
+        parseColumn(_, s"$path.$name.element", interior = true))
       if (dt.startsWith("struct") && structDef.isEmpty)
         errs += s"$path.$name: struct type requires struct_def"
       if (dt.startsWith("map") && mapDef.isEmpty)
@@ -104,6 +109,14 @@ object TableDef {
       if (!TypeMapper.knownType(dt))
         errs += s"$path.$name: unknown data_type '$dt' (falls back to string)"
       val initialDefault = m.get("initial_default") match {
+        case Some(_) if interior =>
+          // a per-ELEMENT fill: no field annotation carries it and no
+          // reader fills it — reject at the contract boundary instead
+          // of silently dropping the key (r17)
+          errs += s"$path.$name: initial_default inside array_def/" +
+            "map_def is not supported (defaults fill absent COLUMNS; " +
+            "array/map elements of old rows are data, not absence)"
+          None
         case Some(JString(s)) =>
           if (dt.startsWith("struct") || dt.startsWith("map") ||
               dt.startsWith("array") || dt.startsWith("list") ||

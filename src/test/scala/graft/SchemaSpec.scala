@@ -149,6 +149,30 @@ class SchemaSpec extends AnyFunSuite {
     assert(TableDef.parse("""{"database_name":"d","table_name":"t",
       "columns":[{"column_name":"a","data_type":"long",
         "initial_default":"not-a-long"}]}""").isLeft)
+    // array/map-INTERIOR defaults refused at parse (r17 — silently
+    // dropped before): no field annotation carries a per-element fill
+    assert(TableDef.parse("""{"database_name":"d","table_name":"t",
+      "columns":[{"column_name":"xs","data_type":"array",
+        "array_def":{"column_name":"element","data_type":"int",
+          "initial_default":"0"}}]}""").isLeft)
+    assert(TableDef.parse("""{"database_name":"d","table_name":"t",
+      "columns":[{"column_name":"mp","data_type":"map",
+        "map_def":{"key":{"column_name":"key","data_type":"string"},
+          "value":{"column_name":"value","data_type":"int",
+            "initial_default":"0"}}}]}""").isLeft)
+    // ...even nested through a struct INSIDE the array element — depth
+    // does not make it a column fill
+    assert(TableDef.parse("""{"database_name":"d","table_name":"t",
+      "columns":[{"column_name":"xs","data_type":"array",
+        "array_def":{"column_name":"element","data_type":"struct",
+          "struct_def":[{"column_name":"note","data_type":"string",
+            "initial_default":"n/a"}]}}]}""").isLeft)
+    // while the same shape WITHOUT the interior default stays accepted
+    assert(TableDef.parse("""{"database_name":"d","table_name":"t",
+      "columns":[{"column_name":"xs","data_type":"array",
+        "array_def":{"column_name":"element","data_type":"struct",
+          "struct_def":[{"column_name":"note","data_type":"string"}]}}]}""")
+      .isRight)
     // a valid default lands as the same annotation SQL DDL writes,
     // nested fields included
     val td = TableDef.parse("""{"database_name":"d","table_name":"t",
