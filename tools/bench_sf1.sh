@@ -26,13 +26,14 @@ fi
 # where per-key wall measures work, not scheduling
 KEYS=q_agg_approx_distinct,q_agg_approx_quantile,q_curriculum,q_decontaminate,q_dedup_chunk_overlap,q_dedup_clusters,q_dedup_embed,q_dedup_incremental,q_dedup_lsh_pairs,q_dedup_minhash,q_dedup_near,q_dedup_ngram,q_dedup_semantic,q_dedup_simhash,q_dedup_simhash_pairs,q_dedup_source_sketch,q_dedup_spans,q_except,q_join_bloom,q_join_inner,q_join_skew_salted,q_join_sortmerge,q_join_theta_range,q_mine_hard_negatives,q_pack_greedy,q_quality_repetition,q_scan_project,q_sim_ann_lsh,q_sim_range_refpoints,q_star_join,q_stream_dedup,q_stream_join,q_stream_session,q_stream_sliding,q_subquery_corr,q_subquery_scalar,q_text_cdc_chunks,q_text_chunk,q_text_lang_id,q_text_quality,q_text_rarity,q_text_vocab,q_tfidf,q_topk_per_group,q_union_all,q_union_distinct
 
-# oracle SQL is data-independent — dump it via a one-key Verify run
+# oracle SQL is data-independent — dump it via a one-key Verify run.
+# ALWAYS regenerate: a cached dump from a prior round silently times
+# stale SQL after a round edits an oracle (r17: the adaptive-width LSH
+# oracle would have run against the r16 fixed-6-bit form)
 ORACLE_DUMP=/tmp/bench_sf1_oracle_dump
-if [ ! -f "$ORACLE_DUMP/oracle_sql.json" ]; then
-  rm -rf "$ORACLE_DUMP"
-  tools/run.sh graft.Verify /root/testdata/sf0.001 "$ORACLE_DUMP" \
-    q_scan_project > /dev/null 2>&1
-fi
+rm -rf "$ORACLE_DUMP"
+tools/run.sh graft.Verify /root/testdata/sf0.001 "$ORACLE_DUMP" \
+  q_scan_project > /dev/null 2>&1
 
 echo "[bench-sf1] timing DuckDB oracle at sf1 (subset, per-key timeout)"
 # PER-KEY subprocess with a hard timeout: the first r16 attempt ran
