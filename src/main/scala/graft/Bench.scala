@@ -223,19 +223,18 @@ object Bench {
     // full per-key evidence (every key's seconds + job count) goes to a
     // sidecar — the stdout line is tail-capture-budgeted to ~35 keys
     try {
-      def r3s(v: Double): String = (math.rint(v * 1000) / 1000).toString
       def obj(entries: Seq[String]): String =
         entries.mkString("{", ",", "}")
       val full = obj(Seq(
         s""""sf":"$sfDir"""",
         s""""queries":""" + obj(results.toSeq.sortBy(_._1)
-          .map { case (k, v) => s""""$k":${r3s(v)}""" }),
+          .map { case (k, v) => s""""$k":${r3(v)}""" }),
         s""""jobs":""" + obj(jobs.toSeq.sortBy(_._1)
           .map { case (k, v) => s""""$k":$v""" }),
         s""""retimed":""" + obj(retimed.toSeq.sortBy(_._1)
-          .map { case (k, v) => s""""$k":${r3s(v)}""" }),
+          .map { case (k, v) => s""""$k":${r3(v)}""" }),
         s""""duck":""" + obj(duck.toSeq.sortBy(_._1)
-          .map { case (k, v) => s""""$k":${r3s(v)}""" }),
+          .map { case (k, v) => s""""$k":${r3(v)}""" }),
         s""""failed":[""" + failed.sorted
           .map(k => s""""$k"""").mkString(",") + "]"))
       // cwd-relative default: the gate scripts run Bench from the repo
@@ -270,6 +269,11 @@ object Bench {
       sys.exit(2)
     }
   }
+
+  /** Locale-independent 3-decimal rendering shared by every JSON
+    * emitter here (f"%.3f" would emit a comma decimal separator under
+    * e.g. de_DE and break the JSON). */
+  private def r3(v: Double): String = (math.rint(v * 1000) / 1000).toString
 
   /** Floor on how many of the slowest measured keys re-time after the
     * pass (and the stdout-line cap for the retimed field — the full
@@ -331,7 +335,6 @@ object Bench {
     */
   private def oracleFieldJson(results: Map[String, Double],
       duck: Map[String, Double]): String = {
-    def r3(v: Double): String = (math.rint(v * 1000) / 1000).toString
     val common = results.keySet.intersect(duck.keySet)
     if (common.isEmpty) ""
     else {
@@ -373,7 +376,6 @@ object Bench {
       jobs: Map[String, Int] = Map.empty,
       duck: Map[String, Double] = Map.empty,
       load: Option[(Double, Double)] = None): String = {
-    def r3(v: Double): String = (math.rint(v * 1000) / 1000).toString
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val failedField =
       if (failed.isEmpty) ""
@@ -399,9 +401,6 @@ object Bench {
     // total covers SUCCESSFUL queries only — failed queries' time-to-failure
     // is reported separately (failed_sec) so totals compare across rounds
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    // locale-independent 3-decimal rendering (f"%.3f" would emit a
-    // comma decimal separator under e.g. de_DE and break the JSON)
-    def r3(v: Double): String = (math.rint(v * 1000) / 1000).toString
     // cap the failure list so a mass breakage cannot blow the line past
     // the harness's tail-capture budget; n_failed carries the exact
     // count, and every array element is a real query key (consumers

@@ -188,28 +188,38 @@ object LakeReadQueries extends QueryModule {
       // lane was timing a sorted-bucketed 6M-row lake write inside
       // this key's window and comparing it against DuckDB's bare
       // SELECT).
+      // a UNIQUE directory per (JVM, sfDir) — freshWarehouse's fixed
+      // tag path would let a second sfDir's build (or a concurrent
+      // process) destroy the data under an existing memo entry
+      // (review-found r17)
       val wh = starFixture.computeIfAbsent(dir, _ => {
-        val fwh = LakeQueries.freshWarehouse("star")
+        val fwh = java.nio.file.Files
+          .createTempDirectory("graft-lake-star").toString
         buildStarFixture(s, dir, fwh)
         fwh
       })
-      s.conf.set("spark.sql.catalog.gstar", "graft.sources.LakeCatalog")
-      s.conf.set("spark.sql.catalog.gstar.warehouse", wh)
+      // catalog instances CACHE by name per session, so the name must
+      // be a function of the warehouse — reusing "gstar" across
+      // sfDir-keyed memo entries would pin the first dir's warehouse
+      // forever (review-found r17)
+      val cat = s"gstar_${java.lang.Integer.toHexString(wh.hashCode)}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.LakeCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
       s.sql(
-        """SELECT n_name, count(*) AS order_lines,
-          |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
-          |    * (1 - CAST(l_discount AS DECIMAL(18,4)))
-          |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue
-          |FROM gstar.sq.lineitem
-          |JOIN gstar.sq.orders   ON l_orderkey = o_orderkey
-          |JOIN gstar.sq.customer ON o_custkey = c_custkey
-          |JOIN gstar.sq.nation   ON c_nationkey = n_nationkey
-          |JOIN gstar.sq.region   ON n_regionkey = r_regionkey
-          |WHERE r_name = 'ASIA'
-          |  AND o_orderdate >= TIMESTAMP '1996-01-01'
-          |  AND o_orderdate < TIMESTAMP '1997-01-01'
-          |GROUP BY n_name
-          |ORDER BY n_name""".stripMargin)
+        s"""SELECT n_name, count(*) AS order_lines,
+           |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+           |    * (1 - CAST(l_discount AS DECIMAL(18,4)))
+           |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+           |FROM $cat.sq.lineitem
+           |JOIN $cat.sq.orders   ON l_orderkey = o_orderkey
+           |JOIN $cat.sq.customer ON o_custkey = c_custkey
+           |JOIN $cat.sq.nation   ON c_nationkey = n_nationkey
+           |JOIN $cat.sq.region   ON n_regionkey = r_regionkey
+           |WHERE r_name = 'ASIA'
+           |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+           |  AND o_orderdate < TIMESTAMP '1997-01-01'
+           |GROUP BY n_name
+           |ORDER BY n_name""".stripMargin)
     }),
   )
 

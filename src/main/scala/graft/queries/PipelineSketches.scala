@@ -182,7 +182,11 @@ object PipelineSketches extends QueryModule {
             "re-index with a different seed or use the IVF path " +
             "instead of running a brute-force-priced probe")
       import s.implicits._
-      out.toSeq.map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+      // null-safe cosine: a zero-norm embedding divides to NULL in
+      // non-ANSI mode and must pass through like the pre-localize
+      // DataFrame form did, not NPE on getDouble (review-found r17)
+      out.toSeq.map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getDouble(1)), r.getInt(2)))
         .toDF("vec_id", "cos", "rank").orderBy("rank")
     }),
   )

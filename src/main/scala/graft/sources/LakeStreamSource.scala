@@ -288,7 +288,10 @@ private[sources] class LakeSparkTable(val wh: String, val db: String,
       // trimmed relation output
       referencedCols = Option(
           options.get(VariantScanPrep.ReferencedColsKey))
-        .map(_.split(",").toSeq.filter(_.nonEmpty)))
+        .map(_.split(",").toSeq.filter(_.nonEmpty)),
+      refuseVariants =
+        Option(options.get(VariantScanPrep.RefuseVariantsKey))
+          .exists(_.toBoolean))
   }
 
   /** INSERT INTO / df.writeTo(...).append() via the V1 write bridge:
@@ -419,7 +422,8 @@ private[graft] class LakeScanBuilder(wh: String, db: String, tbl: String,
     incremental: Option[(Long, Long)] = None,
     changelogMode: Boolean = false,
     rowLevelOp: Boolean = false,
-    referencedCols: Option[Seq[String]] = None)
+    referencedCols: Option[Seq[String]] = None,
+    refuseVariants: Boolean = false)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
@@ -531,8 +535,11 @@ private[graft] class LakeScanBuilder(wh: String, db: String, tbl: String,
   override def pushVariantExtractions(
       exts: Array[org.apache.spark.sql.connector.read.VariantExtraction])
       : Array[Boolean] = {
+    // refuseVariants: VariantScanPrep saw a metadata-column reference —
+    // the accepted path's readSchema cannot carry it, so decline and
+    // let the normal pruneColumns path serve the query
     val servable = !changelogMode && !rowLevelOp && incremental.isEmpty &&
-      !sys.props.contains("graft.read.novector")
+      !refuseVariants && !sys.props.contains("graft.read.novector")
     def colOf(e: org.apache.spark.sql.connector.read.VariantExtraction)
         : Option[StructField] =
       if (e.columnName.length != 1) None

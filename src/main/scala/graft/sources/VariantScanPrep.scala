@@ -51,6 +51,10 @@ object VariantScanPrep extends Rule[LogicalPlan] {
     * order) from the trimmed relation to its ScanBuilder. */
   val ReferencedColsKey = "graft.read.columns"
 
+  /** Option key telling the ScanBuilder to DECLINE variant extractions
+    * for this scan (metadata-column queries — see trimRelationColumns). */
+  val RefuseVariantsKey = "graft.variant.refuse"
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!conf.getConf(SQLConf.PUSH_VARIANT_INTO_SCAN)) return plan
     plan.transformDown {
@@ -167,9 +171,25 @@ object VariantScanPrep extends Rule[LogicalPlan] {
     }
     val referenced = AttributeSet(p.projectList.flatMap(_.references)) ++
       filterRefs(child)
-    // bail on anything outside the relation's plain output (metadata
-    // columns etc. ride a different resolution path)
     if (!referenced.subsetOf(AttributeSet(rel.output))) return p
+    // metadata-column references force REFUSAL of the whole variant
+    // push (review-found r17): AddMetadataColumns puts _graft_file/
+    // _graft_pos INTO rel.output when referenced (so the subset check
+    // alone passes), but the accepted-variant path's readSchema derives
+    // from the DATA schema, which has no metadata fields — upstream's
+    // positional output↔readSchema zip then misbinds and execution
+    // dies with INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND. That crash is the
+    // upstream-shaped plain-session behavior; here the builder is told
+    // to decline so the normal pruneColumns path (meta-col
+    // pass-through) serves the query instead.
+    if (referenced.exists(a => LakeSource.isMetaCol(a.name))) {
+      val opts = new java.util.HashMap[String, String](rel.options)
+      opts.put(RefuseVariantsKey, "true")
+      return p.copy(child = child.transformUp {
+        case r: DataSourceV2Relation if r eq rel =>
+          rel.copy(options = new CaseInsensitiveStringMap(opts))
+      })
+    }
     val keep = rel.output.filter(referenced.contains)
     if (keep.size == rel.output.size) return p
     val opts = new java.util.HashMap[String, String](rel.options)

@@ -22,12 +22,14 @@ import graft.lake.{Engine, LakeTable}
   * downstream (the r16 first-attempt failure mode:
   * `Invalid call to exprId on unresolved object`).
   *
-  * Known upstream cost, documented in SURVEY §1.2: the variant path
-  * bypasses `pruneColumns` entirely, so NON-variant columns the query
-  * never references stay in the scan when an extraction is accepted
-  * (Spark's own parquet DSv2 behaves identically). Variant tables in
-  * this engine are key+payload shaped, where the clipped variant
-  * decode dominates that loss.
+  * Upstream cost (Spark's own parquet DSv2 behaves identically): the
+  * variant path bypasses `pruneColumns` entirely, so in a PLAIN session
+  * NON-variant columns the query never references stay in the scan
+  * when an extraction is accepted. r17 closes that in
+  * extensions-enabled sessions via VariantScanPrep's referenced-column
+  * channel, and closes the aggregate-shape full-variant push the same
+  * way — both pinned below in ext-session tests, while the plain-
+  * session tests keep pinning the upstream default.
   */
 class LakeVariantPushdownSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
@@ -106,9 +108,11 @@ class LakeVariantPushdownSpec extends AnyFunSuite {
   test("shredded clip engages: extracting the small field skips the " +
       "fat typed_value chunk (measured ~21x fewer bytes)") {
     val (_, cat) = mk("clip")
-    // NON-aggregate shape: below an Aggregate the rule only sees the
-    // bare attribute and requests the FULL variant ('$'), which the
-    // clip correctly refuses to touch — pinned at the end
+    // NON-aggregate shape first. In this PLAIN session (no extensions,
+    // no VariantScanPrep) an Aggregate leaves only the bare attribute
+    // visible and the FULL variant ('$') is pushed, which the clip
+    // correctly refuses to touch — pinned at the end; the ext-session
+    // aggregate-clip behavior is pinned in its own r17 test
     val sql = s"SELECT variant_get(payload, '$$.small', 'long') AS sm " +
       s"FROM $cat.d.t WHERE k % 7 = 0"
     def bytesOf(push: Boolean): Long = withPush(push) {
@@ -337,6 +341,36 @@ class LakeVariantPushdownSpec extends AnyFunSuite {
         .isInstanceOf[org.apache.spark.sql.types.StructType],
         readSchemas.head("payload").dataType)
     }
+  }
+
+  test("metadata-column references bail the trim (review-found r17): " +
+      "_graft_file lands in the relation output after AddMetadataColumns " +
+      "but the data readSchema cannot carry it — recording it would " +
+      "misalign the positional zip") {
+    val (wh, cat) = mk("metabail", rows = 500)
+    withExtSession { s2 =>
+      s2.conf.set(s"spark.sql.catalog.$cat", "graft.sources.LakeCatalog")
+      s2.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      val sql =
+        s"""SELECT _graft_file, k,
+           |  variant_get(payload, '$$.small', 'long') AS sm
+           |FROM $cat.d.t WHERE k < 50 ORDER BY k""".stripMargin
+      val truth = withPushIn(s2, on = false)(s2.sql(sql).collect().toSeq)
+      val got = withPushIn(s2, on = true)(s2.sql(sql).collect().toSeq)
+      assert(got == truth && truth.size == 50)
+    }
+  }
+
+  test("q_star_join's fixture memo survives interleaved sfDirs " +
+      "(review-found r17: a fixed warehouse path let a second dir's " +
+      "build destroy the first memo entry's data)") {
+    val q = SparkEntry.queries("q_star_join")
+    val a1 = q(spark, "/root/testdata/sf0.001").collect().toSeq
+    val b = q(spark, "/root/testdata/sf0.01").collect().toSeq
+    val a2 = q(spark, "/root/testdata/sf0.001").collect().toSeq
+    assert(a1.nonEmpty && b.nonEmpty)
+    assert(a2 == a1, "the sf0.01 build corrupted the sf0.001 memo entry")
+    assert(b != a1)
   }
 
   test("kill-switch: graft.read.novector refuses acceptance and the " +
