@@ -283,25 +283,43 @@ object PipelineSketches extends QueryModule {
        |sh AS (
        |  SELECT doc_id, n_tokens, ($simhashSumSql) AS simhash FROM tok)""".stripMargin
 
-  /** Adaptive-width bucket id (mirror of `annLshPlanes` +
+  /** Adaptive-width bucketing CTEs (mirror of `annLshPlanes` +
     * `hyperplaneBucket`): the full [[AnnLshMaxPlanes]]-row plane matrix
-    * rides as one literal (the seeded stream is prefix-stable, so row p
-    * is identical at any width) and only the first `nbExpr` planes
-    * evaluate — the same left-fold double accumulation per plane as
-    * `Sketches.hyperplaneBucket`.
+    * rides as a VALUES relation (the seeded stream is prefix-stable, so
+    * row p is identical at any width), each (vector, plane ≤ nb) pair
+    * computes one sign bit with the same left-fold double accumulation
+    * as `Sketches.hyperplaneBucket`, and a group-by sums the disjoint
+    * powers of two back into the bucket id. Set-based on purpose: the
+    * first r17 form indexed a 24×64 nested list LITERAL inside a
+    * per-element lambda, which DuckDB re-evaluates per (row, plane,
+    * dim) — >240 s at sf1 where this form takes seconds.
     */
-  private def bucketMatrixSql(dim: Int, seed: Long, nbExpr: String): String = {
+  private def bucketCtesSql(dim: Int, seed: Long): String = {
     val planes = Sketches.hyperplanes(AnnLshMaxPlanes, dim, seed)
-    val matrix = planes
-      .map(_.map(_.toString).mkString("[", ", ", "]"))
-      .mkString("[", ", ", "]")
-    s"CAST(list_sum(list_transform(range(1, $nbExpr + 1), " +
-      s"p -> CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
-      s"list_transform(range(1, ${dim + 1}), " +
-      s"i -> CAST(embedding[i] AS DOUBLE) * ($matrix)[p][i])), " +
-      s"(a,b) -> a + b) > 0 " +
-      s"THEN (CAST(1 AS BIGINT) << (p-1)) ELSE CAST(0 AS BIGINT) END)) " +
-      s"AS BIGINT)"
+    val rows = planes.zipWithIndex.map { case (w, i) =>
+      s"(${i + 1}, ${w.map(_.toString).mkString("[", ", ", "]")})"
+    }.mkString(",\n    ")
+    s"""nbp AS (
+       |  SELECT coalesce((SELECT min(b) FROM range(6, ${AnnLshMaxPlanes + 1}) t(b)
+       |    WHERE (CAST($AnnLshTargetOccupancy AS BIGINT) << b)
+       |      >= (SELECT count(*) FROM embeddings)), $AnnLshMaxPlanes) AS nb),
+       |planes AS (SELECT * FROM (VALUES
+       |    $rows) pl(p, w)),
+       |bits AS (
+       |  SELECT em.vec_id,
+       |    CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(range(1, ${dim + 1}),
+       |        i -> CAST(em.embedding[i] AS DOUBLE) * pl.w[i])),
+       |      (a,b) -> a + b) > 0
+       |    THEN (CAST(1 AS BIGINT) << (pl.p - 1))
+       |    ELSE CAST(0 AS BIGINT) END AS bit
+       |  FROM embeddings em, planes pl, nbp WHERE pl.p <= nbp.nb),
+       |eb AS (
+       |  SELECT vec_id, CAST(sum(bit) AS BIGINT) AS bucket
+       |  FROM bits GROUP BY vec_id),
+       |e AS (
+       |  SELECT em.vec_id, em.embedding, eb.bucket
+       |  FROM embeddings em JOIN eb USING (vec_id))""".stripMargin
   }
 
   /** Decimal-exact cosine between two embedding-list columns (the same
@@ -415,13 +433,7 @@ object PipelineSketches extends QueryModule {
         |FROM m ORDER BY media_id""".stripMargin,
 
     "q_sim_ann_lsh" ->
-      s"""WITH nbp AS (
-         |  SELECT coalesce((SELECT min(b) FROM range(6, ${AnnLshMaxPlanes + 1}) t(b)
-         |    WHERE (CAST($AnnLshTargetOccupancy AS BIGINT) << b)
-         |      >= (SELECT count(*) FROM embeddings)), $AnnLshMaxPlanes) AS nb),
-         |e AS (
-         |  SELECT vec_id, embedding, ${bucketMatrixSql(64, 7L, "(SELECT nb FROM nbp)")} AS bucket
-         |  FROM embeddings),
+      s"""WITH ${bucketCtesSql(64, 7L)},
          |p AS (SELECT embedding AS p_emb, bucket AS p_bucket FROM e WHERE vec_id = 0),
          |cand AS (
          |  SELECT e.vec_id, e.embedding, p.p_emb FROM e, p
