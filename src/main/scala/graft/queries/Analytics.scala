@@ -192,14 +192,21 @@ object Analytics extends QueryModule {
       // Three exchanges total: (doc,term) agg → term window → doc
       // window; the old join formulation needed a localCheckpoint plus
       // three shuffle joins to express the same thing.
+      // tf is consumed THREE ways (join probe, document-frequency
+      // rollup, n_docs) and each consumer prunes a different column
+      // set, so the three (doc,term) aggregate subtrees do NOT
+      // canonicalize equal and nothing reuses — the r17 before-plan
+      // ran 3 documents scans + 3 tokenize passes for one logical pass
+      // (plans/r17/q_tfidf_before.txt nodes 1/7/22). localCheckpoint
+      // materializes the vocabulary-scale tf relation once; every
+      // consumer reads the checkpoint (scan+explode+agg run once).
       val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
-      // n_docs = docs contributing at least one token (len > 3) — a
-      // narrow scan of documents, broadcast as a 1-row relation,
-      // keeping the big branch free of a global distinct
-      val n = Tables(s, dir, "documents")
-        .filter(size(filter(split(lower(col("text")), " "),
-          t => length(t) > 3)) > 0)
-        .agg(count(lit(1)).as("n_docs"))
+        .localCheckpoint()
+      // n_docs = docs contributing at least one token (len > 3) —
+      // EXACTLY the distinct doc_ids of tf, so derive it from the
+      // checkpointed tf instead of a narrow documents scan with an
+      // interpreted HOF re-tokenize per row.
+      val n = tf.agg(count_distinct(col("doc_id")).as("n_docs"))
       // Document frequency via groupBy (partial agg collapses each
       // term per-task before the shuffle) + a broadcast join back: a
       // window count over partitionBy(term) would ship every

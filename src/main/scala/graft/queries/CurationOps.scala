@@ -38,12 +38,27 @@ object CurationOps extends QueryModule {
         i => concat(element_at(l, i), lit(" "), element_at(l, i + 1))))
       .otherwise(array().cast("array<string>"))
 
-  /** Count of the most frequent token, computed inside the row (an
-    * aggregate over the distinct tokens — O(n·u) per row, zero shuffle).
+  /** Count of the most frequent token, computed inside the row as the
+    * longest run of equal elements in the SORTED token array — O(n log n)
+    * per row instead of the previous O(n·u) shape (filter the full list
+    * once per distinct token), which the r17 optimization pass measured
+    * dominating q_curriculum's scan stage (~6M interpreted comparisons
+    * over sf0.1's 5000×54-token docs; guide §1.2 "per-task work").
+    * Equal tokens are adjacent after array_sort, so the max run length
+    * IS the top token's occurrence count — identical output, including
+    * the empty-array → 0 case (aggregate's finish sees the zero acc).
     */
   private def topTokenCount(l: org.apache.spark.sql.Column) =
-    aggregate(array_distinct(l), lit(0),
-      (acc, t) => greatest(acc, size(filter(l, x => x === t))))
+    aggregate(array_sort(l),
+      struct(lit(null).cast("string").as("prev"), lit(0).as("run"),
+        lit(0).as("best")),
+      (acc, t) => {
+        val run = when(t === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1))
+        struct(t.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

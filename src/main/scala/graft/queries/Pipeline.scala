@@ -31,6 +31,17 @@ object Pipeline extends QueryModule {
   // diverge from DuckDB's exact list_sum.
   private val DAcc = DecimalType(37, 12)
 
+  /** Outward margin for double-math cosine PREFILTERS ahead of the
+    * decimal-exact threshold tests (r17; the q_sim_range_refpoints
+    * precedent from TrainingOps): |float_dot-cosine − dec_dot-cosine|
+    * over dim-64 float vectors is bounded by the per-product
+    * DECIMAL(28,12) rounding (≤ 64·5e-13) plus double-accumulation
+    * error (~1e-14 relative) — ≪ 1e-9 for unit-scale norms. 1e-4 is
+    * 10^5× conservative; a too-wide margin only over-admits pairs to
+    * the exact recheck, never changes the result.
+    */
+  private val CosBoundMargin = 1e-4
+
   /** Exact decimal-accumulated dot product of two float vectors.
     * Elements are widened to double *before* multiplying so both
     * engines produce the identical IEEE product regardless of their
@@ -167,13 +178,47 @@ object Pipeline extends QueryModule {
       import s.implicits._
       val K = 8
       val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
-      val sh = docs.as[(Long, String)].flatMap { case (id, text) =>
-        val toks = text.split(" ")
-        if (toks.length < K) Iterator.empty
-        else (0 to toks.length - K).iterator.map(i =>
-          (id, i, toks.slice(i, i + K).mkString(" ")))
-      }.toDF("doc_id", "pos", "g")
-        .select(col("doc_id"), col("pos"), xxhash64(col("g")).as("gh"))
+      // r17 optimization, two parts. (1) The anchor digest is computed
+      // IN the kernel over a reused byte scratch — the old closure
+      // built every gram as a String, shipped it through the encoder,
+      // and hashed it in a separate catalyst projection; the digest is
+      // bit-identical (Spark's own XXH64 over the same UTF-8 bytes,
+      // seed 42 = xxhash64's), so anchor semantics are untouched.
+      // (2) localCheckpoint materializes the narrow (id, pos, gh)
+      // anchor table ONCE: the plan previously evaluated the gram
+      // MapPartitions TWICE — once under the min-doc aggregate and
+      // once as the join probe (plans/r17/q_dedup_spans_before.txt,
+      // nodes 5 and 10) — because the two consumers' exchanges don't
+      // canonicalize equal. ~24 bytes/row checkpointed, reclaimed when
+      // the result drops (the shingleDf-consumer precedent).
+      val sh = docs.as[(Long, String)].mapPartitions { it =>
+        var buf = new Array[Byte](4096)
+        it.flatMap { case (id, text) =>
+          val toks = text.split(" ")
+          if (toks.length < K) Iterator.empty
+          else {
+            val tb = toks.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            (0 to toks.length - K).iterator.map { i =>
+              var len = 0
+              var j = i
+              while (j < i + K) {
+                val t = tb(j)
+                if (len + t.length + 1 > buf.length)
+                  buf = java.util.Arrays.copyOf(buf,
+                    math.max(buf.length * 2, len + t.length + 1))
+                if (j > i) { buf(len) = ' '; len += 1 }
+                System.arraycopy(t, 0, buf, len, t.length)
+                len += t.length
+                j += 1
+              }
+              (id, i, org.apache.spark.sql.catalyst.expressions.XXH64
+                .hashUnsafeBytes(buf,
+                  org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+                  len, 42L))
+            }
+          }
+        }
+      }.toDF("doc_id", "pos", "gh").localCheckpoint()
       val firstDoc = sh.groupBy("gh").agg(min("doc_id").as("min_doc"))
       val dup = sh.join(firstDoc, "gh")
         .filter(col("min_doc") < col("doc_id"))
@@ -227,22 +272,39 @@ object Pipeline extends QueryModule {
 
     "q_dedup_embed" -> ((s, dir) => {
       graft.functions.VectorFunctions.register(s)
+      import graft.functions.VectorFunctions.float_dot
       // Embedding-cosine near-dup, batch-vs-corpus framing: the first
       // 100 vectors (an incoming batch) are checked against all vectors
       // sharing their coarse cell (label) — bounded pairs at any scale.
+      // r17 optimization: the threshold test runs FIRST in pure double
+      // math through the codegen'd float_dot kernel with an
+      // outward-rounded margin (conservative: may only over-admit,
+      // never drop — the float/decimal cosine divergence over dim-64
+      // float vectors is ~1e-9, the margin 1e-4; NaN/Inf from a
+      // zero-norm row compare ≥-true in Spark semantics, so such rows
+      // still reach the exact filter that always decided them). The
+      // decimal-exact kernels (JVM BigDecimal loops, previously run on
+      // EVERY corpus row + every joined pair — the same smell the r16
+      // verdict flagged on q_sim_range_refpoints) now run only on the
+      // admitted near-threshold pairs, and the output `cos` stays the
+      // identical decimal-derived expression.
       val v = Tables(s, dir, "embeddings")
         .select(col("vec_id"), col("label"), col("embedding"),
-          normSqDec(col("embedding")).cast("double").as("nsq"))
+          float_dot(col("embedding"), col("embedding")).as("nsq_f"))
       val batch = v.filter(col("vec_id") < 100)
         .select(col("vec_id").as("a_id"), col("label").as("a_label"),
-          col("embedding").as("a_emb"), col("nsq").as("a_nsq"))
+          col("embedding").as("a_emb"), col("nsq_f").as("a_nsq_f"))
       val corpus = v.select(col("vec_id").as("b_id"), col("label").as("b_label"),
-        col("embedding").as("b_emb"), col("nsq").as("b_nsq"))
+        col("embedding").as("b_emb"), col("nsq_f").as("b_nsq_f"))
       batch.join(corpus,
           col("a_label") === col("b_label") && col("a_id") < col("b_id"))
+        .filter(float_dot(col("a_emb"), col("b_emb")) /
+          (sqrt(col("a_nsq_f")) * sqrt(col("b_nsq_f"))) >=
+          lit(0.35) - CosBoundMargin)
         .withColumn("cos",
           dotDec(col("a_emb"), col("b_emb")).cast("double") /
-            (sqrt(col("a_nsq")) * sqrt(col("b_nsq"))))
+            (sqrt(normSqDec(col("a_emb")).cast("double")) *
+              sqrt(normSqDec(col("b_emb")).cast("double"))))
         .filter(col("cos") >= 0.35)
         .select(col("a_id"), col("b_id"), col("cos"))
         .orderBy("a_id", "b_id")
@@ -268,9 +330,10 @@ object Pipeline extends QueryModule {
       // split rather than running a quadratic join. The decimal dot
       // product keeps the cosine bit-exact for the oracle. Output:
       // per-coarse-cluster totals, duplicates, and kept.
+      import graft.functions.VectorFunctions.float_dot
       val v0 = Tables(s, dir, "embeddings")
         .select(col("vec_id"), col("label"), col("embedding"),
-          normSqDec(col("embedding")).cast("double").as("nsq"))
+          float_dot(col("embedding"), col("embedding")).as("nsq_f"))
       val maxN = v0.groupBy("label").agg(count(lit(1)).as("n"))
         .agg(max("n")).collect()(0).getLong(0)
       val bits =
@@ -287,15 +350,24 @@ object Pipeline extends QueryModule {
       requireBoundedClusters(v, "ckey")
       val a = v.select(col("label"), col("sub"),
         col("vec_id").as("a_id"),
-        col("embedding").as("a_emb"), col("nsq").as("a_nsq"))
+        col("embedding").as("a_emb"), col("nsq_f").as("a_nsq_f"))
       val b = v.select(col("label"), col("sub"),
         col("vec_id").as("b_id"),
-        col("embedding").as("b_emb"), col("nsq").as("b_nsq"))
+        col("embedding").as("b_emb"), col("nsq_f").as("b_nsq_f"))
+      // r17 optimization: same double-math prefilter as q_dedup_embed —
+      // the cosine only feeds the >= 0.5 THRESHOLD here (it is not an
+      // output column), so the decimal-exact recheck runs on the few
+      // admitted near-threshold pairs instead of every within-cluster
+      // pair, and the margin guarantees no admitted-set loss.
       val dups = a.join(b, Seq("label", "sub"))
         .filter(col("b_id") < col("a_id"))
+        .filter(float_dot(col("a_emb"), col("b_emb")) /
+          (sqrt(col("a_nsq_f")) * sqrt(col("b_nsq_f"))) >=
+          lit(0.5) - CosBoundMargin)
         .withColumn("cos",
           dotDec(col("a_emb"), col("b_emb")).cast("double") /
-            (sqrt(col("a_nsq")) * sqrt(col("b_nsq"))))
+            (sqrt(normSqDec(col("a_emb")).cast("double")) *
+              sqrt(normSqDec(col("b_emb")).cast("double"))))
         .filter(col("cos") >= 0.5)
         .select(col("label"), col("a_id")).distinct()
       v.groupBy("label").agg(count(lit(1)).as("n_vectors"))

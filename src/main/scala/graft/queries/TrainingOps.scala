@@ -646,22 +646,30 @@ object TrainingOps extends QueryModule {
       // Rare-token curation stats (the rare-token-filtering shape:
       // documents dominated by near-unique tokens are OCR noise /
       // mojibake candidates; documents with none are boilerplate).
-      // Two aggregations: corpus token frequencies (vocabulary-sized
-      // shuffle after partial aggregation — never corpus-sized), then
-      // token occurrences joined to their frequency and re-grouped per
-      // doc (one shuffle keyed by token, one by doc_id). All-integer
-      // outputs, so the oracle is exact at any scale.
-      val toks = Tables(s, dir, "documents")
+      // One corpus scan (r17; was two — the explode subtree is narrow,
+      // so the old freq branch re-scanned and re-exploded documents):
+      // (doc, token) occurrence counts first — partial aggregation
+      // collapses repeats before the exchange, and the SAME exchange
+      // feeds both the vocabulary rollup and the join back (identical
+      // canonicalized subtree → ReusedExchange), so every downstream
+      // step carries distinct (doc, token) pairs (~2.3× fewer rows at
+      // this fixture's repetition rate), never the raw occurrence
+      // stream. Occurrence weights ride as `c`, so the per-doc sums
+      // are unchanged integers. All-integer outputs, so the oracle is
+      // exact at any scale.
+      val tc = Tables(s, dir, "documents")
         .select(col("doc_id"),
           explode(split(lower(col("text")), " ")).as("token"))
         .filter(length(col("token")) > 0)
-      val freq = toks.groupBy("token")
-        .agg(count(lit(1)).as("freq"))
-      toks.join(freq, "token")
+        .groupBy("doc_id", "token")
+        .agg(count(lit(1)).as("c"))
+      val freq = tc.groupBy("token")
+        .agg(sum(col("c")).as("freq"))
+      tc.join(freq, "token")
         .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tokens"),
-          sum(when(col("freq") <= 2, 1L).otherwise(0L)).as("n_rare"),
-          sum(when(col("freq") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        .agg(sum(col("c")).as("n_tokens"),
+          sum(when(col("freq") <= 2, col("c")).otherwise(0L)).as("n_rare"),
+          sum(when(col("freq") === 1, col("c")).otherwise(0L)).as("n_hapax"),
           min(col("freq")).as("min_freq"))
         .orderBy("doc_id")
     }),
