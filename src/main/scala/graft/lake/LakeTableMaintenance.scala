@@ -132,10 +132,55 @@ private[lake] trait LakeTableMaintenance { self: LakeTable =>
         return metas.map(_.copy(blooms = refs))
       case None => ()
     }
-    val built = buildBloomRefs(spark, spark.read
+    val hashed = spark.read
       .parquet(outDir.toString)
       .select(col("_metadata.file_path").as("_fp") +:
-        bloomHashCols(targets.map(_._1)): _*), targets)
+        bloomHashCols(targets.map(_._1)): _*)
+    // Small-delta fast path (r17 optimization): the distributed build
+    // below costs two jobs and a full row shuffle (groupByKey on the
+    // file path) — right for a 10k-file compaction, pure overhead for
+    // the routine lifecycle write of a handful of files (every MV
+    // create/refresh write lands here: ~0.6 s of the warm CREATE
+    // MATERIALIZED VIEW wall was this read-back). Under the bounds,
+    // run ONE narrow collect of (path, hash…) rows — the hashes are
+    // the same catalyst projection the big path shuffles, so build and
+    // probe still can never disagree — group driver-side, and write a
+    // single container. Bounds are conservative (≤ 256Ki rows × cols
+    // of 8-byte hashes ≈ a few MB on the driver, ≤ 128 files per
+    // container) and env-tunable; past them the shuffle path is the
+    // right tool and still runs.
+    val totalRows = metas.map(_.rows).sum
+    val driverMaxRows = sys.props.getOrElse(
+      "graft.bloom.driver-build.max-rows", "262144").toLong
+    val built: Seq[(String, Seq[BloomRef])] =
+      if (metas.size <= 128 && totalRows >= 0 && totalRows <= driverMaxRows) {
+        val rows = hashed.collect()
+        val byPath = rows.groupBy(r => LakeTable.normalizePath(r.getString(0)))
+        val ordered = byPath.toSeq.sortBy(_._1)
+        val blobs = ordered.flatMap { case (_, rs) =>
+          targets.indices.map { i =>
+            BloomFilters.serialize(BloomFilters.build(
+              rs.iterator.filterNot(_.isNullAt(i + 1))
+                .map(_.getLong(i + 1)).toArray))
+          }
+        }
+        if (ordered.isEmpty) Seq.empty
+        else {
+          Files.createDirectories(dataDir)
+          val container = dataDir.resolve(
+            s"blooms-${java.util.UUID.randomUUID().toString.take(12)}.gbf")
+          val spans = BloomFilters.writeContainer(container, blobs)
+            .toIndexedSeq
+          var idx = -1
+          ordered.map { case (p, _) =>
+            (p, targets.map { case (_, fid) =>
+              idx += 1
+              BloomRef(fid, container.toString, spans(idx)._1,
+                spans(idx)._2, BloomFilters.K)
+            })
+          }
+        }
+      } else buildBloomRefs(spark, hashed, targets).toSeq
     val refsByPath: Map[String, Seq[BloomRef]] = built.toMap
     metas.map(m => refsByPath.get(LakeTable.normalizePath(m.path))
       .map(refs => m.copy(blooms = refs)).getOrElse(m))

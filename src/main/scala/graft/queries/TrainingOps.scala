@@ -575,12 +575,20 @@ object TrainingOps extends QueryModule {
       // differ. The shuffle carries 32-char hex digests, never text;
       // blocking is by chunk hash, so pair generation is proportional
       // to actual overlap, not the corpus square.
+      // localCheckpoint (r17): both join sides consume the SAME chunk
+      // digest relation, but the two subtrees don't canonicalize equal
+      // (different aliases under different join requirements), so the
+      // runtime ran the chunk+md5 expansion twice (two documents scans
+      // in the executed plan). The checkpointed relation is narrow —
+      // (doc_id, 32-char digest) per chunk, never text — and both
+      // sides read it back.
       val chunks = Tables(s, dir, "documents")
         .select(col("doc_id"), col("text"),
           explode(sequence(lit(1), greatest(length(col("text")), lit(1)),
             lit(64))).as("start"))
         .select(col("doc_id"),
           md5(expr("substring(text, CAST(start AS INT), 64)")).as("h"))
+        .localCheckpoint()
       val a = chunks.select(col("doc_id").as("a_id"), col("h"))
       val b = chunks.select(col("doc_id").as("b_id"), col("h"))
       a.join(b, Seq("h")).filter(col("a_id") < col("b_id"))
@@ -649,20 +657,24 @@ object TrainingOps extends QueryModule {
       // One corpus scan (r17; was two — the explode subtree is narrow,
       // so the old freq branch re-scanned and re-exploded documents):
       // (doc, token) occurrence counts first — partial aggregation
-      // collapses repeats before the exchange, and the SAME exchange
-      // feeds both the vocabulary rollup and the join back (identical
-      // canonicalized subtree → ReusedExchange), so every downstream
+      // collapses repeats before the exchange, so every downstream
       // step carries distinct (doc, token) pairs (~2.3× fewer rows at
       // this fixture's repetition rate), never the raw occurrence
       // stream. Occurrence weights ride as `c`, so the per-doc sums
-      // are unchanged integers. All-integer outputs, so the oracle is
-      // exact at any scale.
+      // are unchanged integers. localCheckpoint because the two
+      // consumers never share the subtree otherwise: the join pushes
+      // an isnotnull(token) filter below its side's aggregate, so the
+      // two (doc,token) exchanges don't canonicalize equal and the
+      // runtime re-ran the scan+tokenize (same disease and fix as
+      // q_tfidf). All-integer outputs, so the oracle is exact at any
+      // scale.
       val tc = Tables(s, dir, "documents")
         .select(col("doc_id"),
           explode(split(lower(col("text")), " ")).as("token"))
         .filter(length(col("token")) > 0)
         .groupBy("doc_id", "token")
         .agg(count(lit(1)).as("c"))
+        .localCheckpoint()
       val freq = tc.groupBy("token")
         .agg(sum(col("c")).as("freq"))
       tc.join(freq, "token")
@@ -683,8 +695,14 @@ object TrainingOps extends QueryModule {
       // keys, the index side is a distinct-digest set — at 100 TB the
       // index digests are a fraction of corpus bytes and the batch side
       // broadcasts when small).
+      // localCheckpoint (r17): the digest relation feeds FOUR consumers
+      // (the split-point aggregate, the index side, the batch side, and
+      // the batch's first-per-digest rollup) and none of their subtrees
+      // canonicalize equal — the runtime re-ran the scan + sha2 pass
+      // per consumer. (doc_id, 64-char digest) rows only, never text.
       val docs = Tables(s, dir, "documents")
         .select(col("doc_id"), sha2(col("text"), 256).as("h"))
+        .localCheckpoint()
       // floor on BOTH engines: Spark's long cast truncates while
       // DuckDB's CAST(double AS BIGINT) rounds — an explicit floor
       // keeps the split identical whatever max(doc_id) mod 5 is

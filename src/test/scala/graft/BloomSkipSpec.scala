@@ -72,12 +72,19 @@ class BloomSkipSpec extends AnyFunSuite {
     val (wh, t0) = mk("percont")
     // AQE would coalesce this small fixture's hash shuffle into one
     // task; keep the partitioning so the build runs as the many-task
-    // job it is at real scale
+    // job it is at real scale. The fixture stands in for a LARGE build
+    // (10k-file compaction): since r17 small deltas build driver-side
+    // by design, pin the driver-path row bound below the fixture so
+    // this test exercises the distributed path it documents.
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
       "false")
+    System.setProperty("graft.bloom.driver-build.max-rows", "100")
     try seed(t0, n = 600, parts = 24)
-    finally spark.conf.set(
-      "spark.sql.adaptive.coalescePartitions.enabled", "true")
+    finally {
+      System.clearProperty("graft.bloom.driver-build.max-rows")
+      spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.enabled", "true")
+    }
     val t = LakeTable.load(wh, "d", "t")
     val all = t.plannedFiles()
     assert(all.size >= 15, s"fixture must spread over files, got ${all.size}")
@@ -96,6 +103,32 @@ class BloomSkipSpec extends AnyFunSuite {
     assert(t.plannedFiles(statsFilters = eq).size < all.size / 2)
     assert(t.read(spark).filter(col("id") === 421L)
       .collect().map(_.getLong(0)).toSeq == Seq(421L))
+  }
+
+  test("small-delta builds collect once and write ONE driver-side " +
+      "container; pruning identical") {
+    // the r17 fast path: a routine lifecycle write (a few files, rows
+    // under the driver-build bound) must not pay the groupByKey row
+    // shuffle + second container-writing job — one narrow collect, one
+    // container, same blobs the distributed path would build
+    val (wh, t0) = mk("drvcont")
+    seed(t0, n = 400, parts = 20)
+    val t = LakeTable.load(wh, "d", "t")
+    val all = t.plannedFiles()
+    assert(all.size >= 15, s"fixture must spread over files, got ${all.size}")
+    assert(all.forall(_.blooms.size == 2),
+      s"expected blooms for id+tag, got ${all.map(_.blooms.size).toSet}")
+    val containers = all.flatMap(_.blooms.map(_.path)).distinct
+    assert(containers.size == 1,
+      s"small delta must write one driver-side container, got " +
+        s"${containers.size}")
+    for (f <- all; r <- f.blooms)
+      assert(BloomFilters.readBlob(r.path, r.offset, r.length).nonEmpty)
+    val eq = Seq(RangeFilter("id",
+      loNum = Some(BigDecimal(137)), hiNum = Some(BigDecimal(137))))
+    assert(t.plannedFiles(statsFilters = eq).size < all.size / 2)
+    assert(t.read(spark).filter(col("id") === 137L)
+      .collect().map(_.getLong(0)).toSeq == Seq(137L))
   }
 
   test("build_blooms backfills pre-property and registered files; " +
