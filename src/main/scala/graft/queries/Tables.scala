@@ -10,9 +10,27 @@ import org.apache.spark.sql.types.DecimalType
   * engines, decimal summation is exact and order-independent.
   */
 object Tables {
+  /** Inferred parquet schema per absolute path (r17 optimization):
+    * without a user-supplied schema every `spark.read.parquet` call
+    * runs a footer-inference job (~40-50 ms) — and the bench makes
+    * hundreds of Tables() calls per run over the SAME immutable
+    * fixture files. Pure file metadata, never row data: every query
+    * still scans the parquet for its rows; this only stops Spark
+    * re-deriving a constant StructType per call. Keyed by full path,
+    * so distinct sf dirs never collide.
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      org.apache.spark.sql.types.StructType]()
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") events(spark, dir)
-    else spark.read.parquet(s"$dir/$name.parquet")
+    else {
+      val path = s"$dir/$name.parquet"
+      val schema = schemaCache.computeIfAbsent(path,
+        p => spark.read.parquet(p).schema)
+      spark.read.schema(schema).parquet(path)
+    }
 
   /** events.parquet's `ts` physical encoding has drifted across driver
     * regenerations: TIMESTAMP(NANOS) (rounds 1-4) vs plain timestamp[us]
