@@ -150,8 +150,16 @@ private[lake] trait LakeTableMaintenance { self: LakeTable =>
     // container) and env-tunable; past them the shuffle path is the
     // right tool and still runs.
     val totalRows = metas.map(_.rows).sum
-    val driverMaxRows = sys.props.getOrElse(
-      "graft.bloom.driver-build.max-rows", "262144").toLong
+    // warn-and-default on a malformed override — a bad dev knob must
+    // not fail a WRITE (the r16-advice RETIME_THRESHOLD precedent)
+    val driverMaxRows = sys.props.get("graft.bloom.driver-build.max-rows")
+      .flatMap { v =>
+        val n = v.toLongOption
+        if (n.isEmpty) System.err.println(
+          s"[lake] WARNING: malformed graft.bloom.driver-build.max-rows " +
+            s"'$v' — using default 262144")
+        n
+      }.getOrElse(262144L)
     val built: Seq[(String, Seq[BloomRef])] =
       if (metas.size <= 128 && totalRows >= 0 && totalRows <= driverMaxRows) {
         val rows = hashed.collect()
