@@ -87,6 +87,24 @@ object FileStats {
   def fromFooter(path: String, fileSchema: StructType): Map[Int, ColStats] =
     fromFooterWithRows(path, fileSchema)._2
 
+  /** Spark-facing schema of ONE parquet file, read from its footer on
+    * the driver — Spark's own footer→catalyst converter under the
+    * session conf, so the result is what schema inference would have
+    * produced, minus the inference JOB it launches (r17: driver stack
+    * sampling showed mergeSchemasInParallel as the top catalyst cost
+    * of the lake lifecycle band). Callers own the homogeneity
+    * argument: every file read together must share this schema.
+    */
+  def sparkSchemaFromFooter(path: String): StructType = {
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(path), HadoopConfs.shared))
+    try new org.apache.spark.sql.execution.datasources.parquet
+      .ParquetToSparkSchemaConverter(
+        org.apache.spark.sql.internal.SQLConf.get)
+      .convert(reader.getFooter.getFileMetaData.getSchema)
+    finally reader.close()
+  }
+
   /** Footer record count + min/max stats from a single footer open —
     * commit paths need both, and the footer read is the per-file cost.
     * Rows = -1 when the footer is unreadable (matches the old

@@ -1594,7 +1594,8 @@ class LakeTable private (val location: Path, private[lake] var md: TableMetadata
       val alive = if (delPaths.isEmpty) vecAlive else {
         // delete files store plain normalized paths; _metadata.file_path
         // is a url-encoded URI — normalize it for the join
-        val del = spark.read.parquet(delPaths: _*)
+        val del = spark.read.schema(LakeTable.DeleteFileSchema)
+          .parquet(delPaths: _*)
           .withColumnRenamed("file_path", "_graft_dfile")
           .withColumnRenamed("pos", "_graft_dpos")
         vecAlive
@@ -1902,11 +1903,16 @@ object LakeTable {
           acc + (try Files.size(Paths.get(p))
           catch { case _: Exception => Long.MaxValue / 4 })
         }
-        if (total > SmallBatchBytes) spark.read.parquet(b.paths: _*)
+        // one batch is schema-homogeneous by construction (written by
+        // one writeEqDeleteBatch) — its footer IS its schema, so the
+        // reads skip the inference job either way
+        lazy val batchSchema = FileStats.sparkSchemaFromFooter(b.paths.head)
+        if (total > SmallBatchBytes)
+          spark.read.schema(batchSchema).parquet(b.paths: _*)
         else {
           val key = b.paths.sorted.mkString("\u0000")
           val (schema, rows) = smallBatchCache.getOrLoad(key, 0L) {
-            val df = spark.read.parquet(b.paths: _*)
+            val df = spark.read.schema(batchSchema).parquet(b.paths: _*)
             val collected = df.queryExecution.executedPlan
               .executeCollect().map(_.copy()).toSeq
             (df.schema, collected)
@@ -1924,6 +1930,14 @@ object LakeTable {
     * [[smallBatchCache]]; ~1 MiB of key parquet is ~50-100k keys —
     * far past it the broadcast side deserves a distributed scan. */
   private val SmallBatchBytes = 1L << 20
+
+  /** Physical schema of every positional-delete parquet file — pinned
+    * by the two writers (commitMoR's select and LakeDeltaWriter's
+    * deleteSchema). Passing it to the reads skips schema inference,
+    * which launches a footer-merge Spark job per call (r17). */
+  private[lake] val DeleteFileSchema: StructType = StructType(Seq(
+    StructField("file_path", StringType),
+    StructField("pos", LongType)))
 
   private val smallBatchCache = new BlobCache[
     (StructType, Seq[org.apache.spark.sql.catalyst.InternalRow])](

@@ -150,7 +150,8 @@ private[lake] trait LakeTableChangelog { self: LakeTable =>
       val dvDeltaRefs = sn.dvs.map(d =>
         LakeTable.normalizePath(d.dataPath) ->
           ((d.dvPath, d.deltaOffset, d.deltaLength))).toMap
-      lazy val del = spark.read.parquet(sn.deletePaths: _*)
+      lazy val del = spark.read.schema(LakeTable.DeleteFileSchema)
+        .parquet(sn.deletePaths: _*)
         .select(col("file_path").as("_graft_dfile"),
           col("pos").as("_graft_dpos"))
       metas.groupBy(_.schemaId).map { case (schemaId, group) =>

@@ -132,8 +132,15 @@ private[lake] trait LakeTableMaintenance { self: LakeTable =>
         return metas.map(_.copy(blooms = refs))
       case None => ()
     }
+    // the metas were written by THIS call under the current schema —
+    // read the explicit file list with that schema instead of
+    // re-inferring it from the just-written footers (the inference
+    // launches its own merge job; r17 driver sampling put it among
+    // the top lifecycle costs). Extra physical columns (materialized
+    // lineage) clip away; partition-source columns are in the files.
     val hashed = spark.read
-      .parquet(outDir.toString)
+      .schema(Reconcile.clean(md.currentSchema).asInstanceOf[StructType])
+      .parquet(metas.map(_.path): _*)
       .select(col("_metadata.file_path").as("_fp") +:
         bloomHashCols(targets.map(_._1)): _*)
     // Small-delta fast path (r17 optimization): the distributed build
@@ -391,7 +398,9 @@ private[lake] trait LakeTableMaintenance { self: LakeTable =>
     val cur = Reconcile.clean(md.currentSchema).asInstanceOf[StructType]
     val withVals = paths.map { p =>
       require(Files.exists(Paths.get(p)), s"add_files: no such file $p")
-      val fs = spark.read.parquet(p).schema
+      // driver-side footer read — same converter Spark's inference
+      // uses, without the inference job per registered file
+      val fs = FileStats.sparkSchemaFromFooter(p)
       // match the way Spark's reader will resolve at read time: CASE-
       // INSENSITIVELY (default spark.sql.caseSensitive=false) — a
       // case-differing mismatch must not escape the registration check
@@ -555,7 +564,8 @@ private[lake] trait LakeTableMaintenance { self: LakeTable =>
           "format-version=3 delta commit needs a SparkSession to " +
             "vectorize its position deletes"))
         writeVectorContainer(s,
-          s.read.parquet(deleteFiles: _*).select("file_path", "pos"),
+          s.read.schema(LakeTable.DeleteFileSchema)
+            .parquet(deleteFiles: _*).select("file_path", "pos"),
           snapshotId)
       } else None
     val snap = vectorized match {
@@ -708,7 +718,7 @@ private[lake] trait LakeTableMaintenance { self: LakeTable =>
     // complete delete state and the squash carries it in `dvs`
     val livePaths = liveDel.collect {
       case (p, ds) if ds.dv.isEmpty => p }.toSeq.toDF("file_path")
-    spark.read.parquet(delFiles: _*)
+    spark.read.schema(LakeTable.DeleteFileSchema).parquet(delFiles: _*)
       .join(org.apache.spark.sql.functions.broadcast(livePaths),
         Seq("file_path"), "left_semi")
       .coalesce(1).write.parquet(dir.toString)
@@ -738,7 +748,7 @@ private[lake] trait LakeTableMaintenance { self: LakeTable =>
     val newId = (md.snapshots ++ md.staged).map(_.id).foldLeft(0L)(math.max) + 1
     val liveKeys = positional.keySet.toSeq
     val built: Array[(String, Array[Byte])] = spark.read
-      .parquet(delFiles: _*)
+      .schema(LakeTable.DeleteFileSchema).parquet(delFiles: _*)
       .filter(LakeTable.normalizeUdf(col("file_path")).isin(liveKeys: _*))
       .select(col("file_path").cast("string"), col("pos").cast("long"))
       .as[(String, Long)]

@@ -429,7 +429,8 @@ private[lake] trait LakeTableRowOps { self: LakeTable =>
         col("_graft_dfile"), col("_graft_dpos"), dvRefs))
     val oldDeletePaths = existingSets.flatMap(_.paths).distinct
     if (oldDeletePaths.isEmpty) vecLive
-    else vecLive.join(spark.read.parquet(oldDeletePaths: _*)
+    else vecLive.join(spark.read.schema(LakeTable.DeleteFileSchema)
+        .parquet(oldDeletePaths: _*)
         .select(col("file_path").as("_graft_dfile"),
           col("pos").as("_graft_dpos")),
       Seq("_graft_dfile", "_graft_dpos"), "left_anti")
@@ -463,10 +464,13 @@ private[lake] trait LakeTableRowOps { self: LakeTable =>
       .select(col("_graft_dfile").as("file_path"), col("_graft_dpos").as("pos"))
       .write.mode("overwrite").parquet(delDir.toString)
     val written = listParquet(delDir)
-    val counts = spark.read.parquet(delDir.toString)
-      .groupBy("file_path").count().collect()
-      .map(r => LakeTable.normalizePath(r.getString(0)) -> r.getLong(1))
-      .toMap
+    val counts =
+      if (written.isEmpty) Map.empty[String, Long]
+      else spark.read.schema(LakeTable.DeleteFileSchema)
+        .parquet(written.map(_.toString): _*)
+        .groupBy("file_path").count().collect()
+        .map(r => LakeTable.normalizePath(r.getString(0)) -> r.getLong(1))
+        .toMap
     def cleanup(dir: Path): Unit =
       scala.util.Using.resource(Files.walk(dir)) { st =>
         st.sorted(java.util.Comparator.reverseOrder()).forEach(p =>
@@ -522,7 +526,8 @@ private[lake] trait LakeTableRowOps { self: LakeTable =>
         .flatMap(p => live.get(p).toSeq.filter(_.dv.isEmpty).flatMap(_.paths))
         .distinct
       if (legacyPaths.isEmpty) Map.empty
-      else bitmapPerFile(spark.read.parquet(legacyPaths: _*)
+      else bitmapPerFile(spark.read.schema(LakeTable.DeleteFileSchema)
+          .parquet(legacyPaths: _*)
           .filter(col("file_path").isin(affected.toSeq: _*)))
         .map { case (p, b) => p -> DeletionVectors.deserialize(b) }
         .toMap

@@ -23,6 +23,13 @@ object Tables {
     new java.util.concurrent.ConcurrentHashMap[String,
       org.apache.spark.sql.types.StructType]()
 
+  /** events.parquet probe result per path: (loaded schema, whether the
+    * read needs the nanosAsLong cloned session). Same metadata-only
+    * memo as [[schemaCache]]; the encoding branch itself is unchanged. */
+  private val eventsCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      (org.apache.spark.sql.types.StructType, Boolean)]()
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") events(spark, dir)
     else {
@@ -56,16 +63,26 @@ object Tables {
     // nanosAsLong read — and that legacy mode is scoped to a cloned session
     // (same SparkContext, isolated SQL conf) so it cannot leak a legacy
     // parquet read mode into every subsequent query on the caller's session.
-    val raw =
-      try spark.read.parquet(path)
+    // The (schema, needs-nano-session) probe result memoizes per path like
+    // the generic loader above; the nano read keeps the legacy flag on its
+    // per-call cloned session — the flag gates the READ, not just inference.
+    val (schema, nano) = eventsCache.computeIfAbsent(path, p =>
+      try (spark.read.parquet(p).schema, false)
       catch {
         case e: Throwable if {
           val m = Option(e.getMessage).getOrElse("")
           m.contains("TIMESTAMP(NANOS") || m.contains("TIMESTAMP_NANOS")
         } =>
-          val nanoSession = spark.newSession()
-          nanoSession.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-          nanoSession.read.parquet(path)
+          val ns = spark.newSession()
+          ns.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          (ns.read.parquet(p).schema, true)
+      })
+    val raw =
+      if (!nano) spark.read.schema(schema).parquet(path)
+      else {
+        val nanoSession = spark.newSession()
+        nanoSession.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        nanoSession.read.schema(schema).parquet(path)
       }
     raw.schema("ts").dataType match {
       case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
