@@ -1165,13 +1165,80 @@ class LakeTable private (val location: Path, private[lake] var md: TableMetadata
       aligned0.coalesce(1) else aligned0
     val schema = md.currentSchema
     val spec = md.currentSpec
-    val pCols = spec.fields.map { f =>
+    val partInfo = spec.fields.map { f =>
       val (srcName, srcField) = FieldIds.flatten(schema)
         .collectFirst { case (p, fd) if FieldIds.idOf(fd) == f.sourceFieldId => (p, fd) }
         .getOrElse(throw new IllegalStateException(
           s"spec source field ${f.sourceFieldId} not in schema"))
+      (f, srcName, srcField)
+    }
+    val pCols = partInfo.map { case (f, srcName, srcField) =>
       (s"_p_${f.name}",
         Transforms.expr(f.transform, col(srcName), Some(srcField.dataType)))
+    }
+    // "write.option.<k>" table properties pass through to the parquet
+    // writer — e.g. write.option.parquet.bloom.filter.enabled#col=true
+    // adds a bloom filter for row-group skipping on point lookups
+    val writerOpts = md.properties.collect {
+      case (k, v) if k.startsWith("write.option.") =>
+        k.stripPrefix("write.option.") -> v
+    }
+    // Direct per-task parquet write (r17, guide §1.2): the DSv2 delta/
+    // streaming writer already writes lake files without Spark's
+    // FileFormatWriter — no WriteFiles planning, no commit-protocol
+    // staging/rename — and its flat-file + partitionValues-in-metadata
+    // layout has coexisted with Hive-dir files since the SQL DML path
+    // landed. Routing the batch writes that need none of the
+    // FileFormatWriter extras (no write.sort-order clustering, no
+    // writer options, every partition transform in renderCheck's
+    // supported set) through it saves ~100-150 ms of per-write
+    // machinery — ~30% of the lifecycle band's wall at sf0.1 was this
+    // write job. Partition VALUES render via the same renderValue the
+    // DSv2 writer uses (pinned equal to the Hive-dir rendering);
+    // -Dgraft.write.nodirect restores the old path for A/B.
+    // variant columns stay on the FileFormatWriter path: the session
+    // conf it propagates is what SHREDS them (lake_variant_prune's
+    // clip depends on that); the direct writer's task conf does not
+    def hasVariant(dt: org.apache.spark.sql.types.DataType): Boolean =
+      dt match {
+        case _: org.apache.spark.sql.types.VariantType => true
+        case st: StructType => st.fields.exists(f => hasVariant(f.dataType))
+        case org.apache.spark.sql.types.ArrayType(et, _) => hasVariant(et)
+        case org.apache.spark.sql.types.MapType(kt, vt, _) =>
+          hasVariant(kt) || hasVariant(vt)
+        case _ => false
+      }
+    val directPlan: Option[Seq[graft.sources.PartField]] =
+      if (sys.props.contains("graft.write.nodirect") || writerOpts.nonEmpty ||
+          md.properties.contains("write.sort-order") ||
+          hasVariant(aligned.schema)) None
+      else {
+        val resolved = partInfo.map { case (f, srcName, _) =>
+          val ord = aligned.schema.fieldNames.indexOf(srcName)
+          if (ord < 0) None // struct-nested source: keep the Hive path
+          else {
+            val pf = graft.sources.PartField(f.name, f.transform, ord,
+              aligned.schema(ord).dataType)
+            if (scala.util.Try(
+                graft.sources.LakeStreamingWrite.renderCheck(pf)).isSuccess)
+              Some(pf)
+            else None
+          }
+        }
+        if (resolved.forall(_.isDefined)) Some(resolved.flatten) else None
+      }
+    directPlan match {
+      case Some(plan) =>
+        // same hash-distribution rule as the Hive path below: each
+        // partition value lands in one task → one file per value
+        val distributed =
+          if (plan.isEmpty ||
+              md.properties.get("write.distribution-mode").contains("none"))
+            aligned
+          else aligned.repartition(pCols.map(_._2): _*)
+        return writeDirect(distributed, plan, outDir,
+          Some(aligned0).filter(LakeTable.isLocalPlan))
+      case None => ()
     }
     val withP0 = pCols.foldLeft(aligned) { case (d, (n, e)) => d.withColumn(n, e) }
     // hash-distribute rows by the partition values before writing
@@ -1257,13 +1324,6 @@ class LakeTable private (val location: Path, private[lake] var md: TableMetadata
           ranged.sortWithinPartitions(dirSort ++ sortExprs: _*)
         }
     }
-    // "write.option.<k>" table properties pass through to the parquet
-    // writer — e.g. write.option.parquet.bloom.filter.enabled#col=true
-    // adds a bloom filter for row-group skipping on point lookups
-    val writerOpts = md.properties.collect {
-      case (k, v) if k.startsWith("write.option.") =>
-        k.stripPrefix("write.option.") -> v
-    }
     // identical for every file of this write; case-insensitive to
     // match how col(`c`) resolved the sort itself (an id that fails to
     // resolve leaves sortedByIds empty = ordering unknown)
@@ -1297,6 +1357,43 @@ class LakeTable private (val location: Path, private[lake] var md: TableMetadata
       case metas => attachBlooms(aligned.sparkSession, outDir, metas,
         Some(aligned0).filter(LakeTable.isLocalPlan))
     }
+  }
+
+  /** The direct write path of [[writeDataFiles]]: one job whose tasks
+    * write parquet through [[graft.sources.LakeParquetDataWriter]] (the
+    * DSv2 delta writer) and return (path, partitionValues) — metadata
+    * carries the partition values, files lay flat under `outDir`.
+    * Stats/rows come from the footers exactly like the Hive path; a
+    * failed task aborts its own files and the survivors are orphans
+    * for the maintenance sweep (the DSv2 write contract).
+    */
+  private def writeDirect(df: DataFrame,
+      plan: Seq[graft.sources.PartField], outDir: Path,
+      bloomSource: Option[DataFrame]): Seq[DataFileMeta] = {
+    Files.createDirectories(outDir)
+    val out = outDir.toString
+    val writeSchema = df.schema
+    val files: Seq[(String, Map[String, String])] =
+      df.queryExecution.toRdd.mapPartitionsWithIndex { (i, it) =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          val w = new graft.sources.LakeParquetDataWriter(
+            out, writeSchema, plan, s"b$i")
+          try {
+            it.foreach(w.write)
+            w.commit() match {
+              case c: graft.sources.LakeFilesCommit => Iterator.single(c.files)
+            }
+          } catch { case e: Throwable => w.abort(); throw e }
+        }
+      }.collect().flatten.toSeq
+    val metas = files.map { case (p, partVals) =>
+      val (rows, stats) = FileStats.fromFooterWithRows(p, md.currentSchema)
+      DataFileMeta(p, md.currentSchemaId, md.currentSpec.id,
+        rows = rows, partitionValues = partVals, stats = stats,
+        bytes = try Files.size(Paths.get(p)) catch { case _: Exception => -1L })
+    }
+    attachBlooms(df.sparkSession, outDir, metas, bloomSource)
   }
 
   /** Reload this handle's view of the table to the committed head —

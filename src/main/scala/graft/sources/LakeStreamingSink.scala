@@ -87,7 +87,7 @@ private[sources] class LakeStreamingWrite(wh: String, db: String, tbl: String,
       .flatten.foreach(f => deleteStaged(f._1))
 }
 
-private[sources] object LakeStreamingWrite {
+private[graft] object LakeStreamingWrite {
 
   /** Resolve the table's partition spec against a writer's row schema:
     * (partition name, transform, source ordinal, type) per spec field,
@@ -196,10 +196,10 @@ private[sources] object LakeStreamingWrite {
 /** One spec field bound to the query schema: partition name, transform,
   * source ordinal, source type.
   */
-private[sources] case class PartField(name: String, transform: String,
+private[graft] case class PartField(name: String, transform: String,
     ordinal: Int, dataType: DataType)
 
-private[sources] case class LakeFilesCommit(
+private[graft] case class LakeFilesCommit(
     files: Seq[(String, Map[String, String])]) extends WriterCommitMessage
 
 private[sources] class LakeStreamingWriterFactory(stageDir: String,
@@ -216,7 +216,7 @@ private[sources] class LakeStreamingWriterFactory(stageDir: String,
   * partition value (Spark's ParquetWriteSupport). An empty task
   * creates no files.
   */
-private[sources] class LakeParquetDataWriter(stageDir: String,
+private[graft] class LakeParquetDataWriter(stageDir: String,
     schema: StructType, partPlan: Seq[PartField], filePrefix: String)
     extends DataWriter[InternalRow] {
 
