@@ -718,11 +718,13 @@ private[lake] trait LakeTableMaintenance { self: LakeTable =>
     // complete delete state and the squash carries it in `dvs`
     val livePaths = liveDel.collect {
       case (p, ds) if ds.dv.isEmpty => p }.toSeq.toDF("file_path")
-    spark.read.schema(LakeTable.DeleteFileSchema).parquet(delFiles: _*)
-      .join(org.apache.spark.sql.functions.broadcast(livePaths),
-        Seq("file_path"), "left_semi")
-      .coalesce(1).write.parquet(dir.toString)
-    val merged = listParquet(dir).map(_.toString)
+    // r17: per-task direct write (no FileFormatWriter machinery)
+    val merged = LakeTable.writeViaTaskWriter(
+      spark.read.schema(LakeTable.DeleteFileSchema).parquet(delFiles: _*)
+        .join(org.apache.spark.sql.functions.broadcast(livePaths),
+          Seq("file_path"), "left_semi")
+        .coalesce(1),
+      dir, Seq.empty).map(_._1).sorted
     val snap = liveStateSnapshot(md.snapshots, newId, md.currentSchemaId,
       System.currentTimeMillis()).copy(deletePaths = merged)
     commit(md.copy(snapshots = md.snapshots :+ snap))

@@ -80,8 +80,23 @@ private[lake] trait LakeTableRowOps { self: LakeTable =>
       }
     }
     val typed = proj.distinct()
-    typed.write.parquet(dir.toString)
-    EqDeleteMeta(listParquet(dir).map(_.toString), ids, snapshotId)
+    // r17: per-task direct write (no FileFormatWriter machinery) — the
+    // marker files are plain flat parquet either way. An EMPTY key set
+    // still publishes one empty marker: every batch consumer
+    // (eqBatchFrame, liveEqDeletes suffix grouping) assumes paths is
+    // non-empty, exactly the invariant FileFormatWriter's always-one-
+    // file behavior used to provide.
+    val written = LakeTable.writeViaTaskWriter(typed, dir, Seq.empty)
+      .map(_._1).sorted
+    val paths =
+      if (written.nonEmpty) written
+      else {
+        Files.createDirectories(dir)
+        val p = dir.resolve("keys-00000.snappy.parquet")
+        LakeTable.writeLocalParquetFile(typed.schema, Seq.empty, p)
+        Seq(p.toString)
+      }
+    EqDeleteMeta(paths, ids, snapshotId)
   }
 
   /** The table's identifier fields resolved to their CURRENT names —
@@ -460,14 +475,15 @@ private[lake] trait LakeTableRowOps { self: LakeTable =>
     val snapshotId = md.snapshots.map(_.id).foldLeft(0L)(math.max) + 1
     val delDir = dataDir.resolve(
       s"deletes-$snapshotId-${java.util.UUID.randomUUID().toString.take(8)}")
-    matched
-      .select(col("_graft_dfile").as("file_path"), col("_graft_dpos").as("pos"))
-      .write.mode("overwrite").parquet(delDir.toString)
-    val written = listParquet(delDir)
+    // r17: per-task direct write (no FileFormatWriter machinery)
+    val written = LakeTable.writeViaTaskWriter(
+      matched.select(col("_graft_dfile").as("file_path"),
+        col("_graft_dpos").as("pos")),
+      delDir, Seq.empty).map(_._1).sorted
     val counts =
       if (written.isEmpty) Map.empty[String, Long]
       else spark.read.schema(LakeTable.DeleteFileSchema)
-        .parquet(written.map(_.toString): _*)
+        .parquet(written: _*)
         .groupBy("file_path").count().collect()
         .map(r => LakeTable.normalizePath(r.getString(0)) -> r.getLong(1))
         .toMap
