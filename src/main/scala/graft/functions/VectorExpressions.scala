@@ -238,6 +238,7 @@ object VectorFunctions {
     "float_cosine" -> (es => FloatCosine(es(0), es(1))),
     "dec_dot" -> (es => DecimalDot(es(0), es(1))),
     "dec_normsq" -> (es => DecimalNormSq(es(0))),
+    "token_stats" -> (es => TokenStats(es(0))),
     "graft_zorder" -> (es => ZOrderValue(es)))
 
   /** Idempotent per-session registration (temp functions). */
@@ -250,6 +251,7 @@ object VectorFunctions {
   def float_cosine(a: Column, b: Column): Column = call_function("float_cosine", a, b)
   def dec_dot(a: Column, b: Column): Column = call_function("dec_dot", a, b)
   def dec_normsq(a: Column): Column = call_function("dec_normsq", a)
+  def token_stats(a: Column): Column = call_function("token_stats", a)
   def zorder(cols: Column*): Column = call_function("graft_zorder", cols: _*)
 }
 

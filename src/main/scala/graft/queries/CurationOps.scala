@@ -32,7 +32,7 @@ object CurationOps extends QueryModule {
     * DESCEND for n=1 (Spark generates decreasing sequences when start >
     * stop) — guard to empty.
     */
-  private def bgExpr(l: org.apache.spark.sql.Column) =
+  private[graft] def bgExpr(l: org.apache.spark.sql.Column) =
     when(size(l) >= 2,
       transform(sequence(lit(1), size(l) - 1),
         i => concat(element_at(l, i), lit(" "), element_at(l, i + 1))))
@@ -48,7 +48,7 @@ object CurationOps extends QueryModule {
     * IS the top token's occurrence count — identical output, including
     * the empty-array → 0 case (aggregate's finish sees the zero acc).
     */
-  private def topTokenCount(l: org.apache.spark.sql.Column) =
+  private[graft] def topTokenCount(l: org.apache.spark.sql.Column) =
     aggregate(array_sort(l),
       struct(lit(null).cast("string").as("prev"), lit(0).as("run"),
         lit(0).as("best")),
@@ -69,16 +69,20 @@ object CurationOps extends QueryModule {
     // flag applies two integer-arithmetic rules: top token <= 1/5 of
     // tokens, distinct bigrams >= 1/2 of bigrams.
     "q_quality_repetition" -> ((s, dir) => {
+      // r17: all five per-document integers come from the one-pass
+      // token_stats kernel (TokenStats pins exact equality to the
+      // previous HOF chain — sizes, array_distinct, sorted-run top
+      // count, nulls included)
+      graft.functions.VectorFunctions.register(s)
       Tables(s, dir, "documents")
-        .select(col("doc_id"), toks.as("l"))
-        .select(col("doc_id"), col("l"),
-          size(col("l")).as("n_tokens"),
-          size(array_distinct(col("l"))).as("n_distinct_tokens"),
-          bgExpr(col("l")).as("bg"))
-        .select(col("doc_id"), col("n_tokens"), col("n_distinct_tokens"),
-          size(col("bg")).as("n_bigrams"),
-          size(array_distinct(col("bg"))).as("n_distinct_bigrams"),
-          topTokenCount(col("l")).as("top_token_count"))
+        .select(col("doc_id"),
+          graft.functions.VectorFunctions.token_stats(toks).as("st"))
+        .select(col("doc_id"),
+          col("st.n_tokens").as("n_tokens"),
+          col("st.n_distinct_tokens").as("n_distinct_tokens"),
+          col("st.n_bigrams").as("n_bigrams"),
+          col("st.n_distinct_bigrams").as("n_distinct_bigrams"),
+          col("st.top_cnt").as("top_token_count"))
         .withColumn("keep",
           when(col("top_token_count") * 5 <= col("n_tokens") &&
             col("n_distinct_bigrams") * 2 >= col("n_bigrams"), lit(1))
@@ -184,17 +188,17 @@ object CurationOps extends QueryModule {
     // the first's shuffle files and sees identical partition contents.
     "q_curriculum" -> ((s, dir) => {
       import s.implicits._
+      // r17: one-pass token_stats kernel (same integers as the HOF
+      // chain — see q_quality_repetition)
+      graft.functions.VectorFunctions.register(s)
       val base = Tables(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), toks.as("l"))
         .select(col("doc_id"), col("lang"),
-          size(col("l")).as("n_tokens"),
-          bgExpr(col("l")).as("bg"),
-          topTokenCount(col("l")).as("top_cnt"))
+          graft.functions.VectorFunctions.token_stats(toks).as("st"))
         .withColumn("tier",
-          when(col("top_cnt") * 10 <= col("n_tokens") &&
-            size(array_distinct(col("bg"))) * 20 >= size(col("bg")) * 19,
+          when(col("st.top_cnt") * 10 <= col("st.n_tokens") &&
+            col("st.n_distinct_bigrams") * 20 >= col("st.n_bigrams") * 19,
             lit(0))
-            .when(col("top_cnt") * 7 <= col("n_tokens"), lit(1))
+            .when(col("st.top_cnt") * 7 <= col("st.n_tokens"), lit(1))
             .otherwise(lit(2)))
       val parted = base
         .select(col("doc_id"), col("lang"), col("tier"))
