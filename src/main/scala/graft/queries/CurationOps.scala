@@ -96,19 +96,40 @@ object CurationOps extends QueryModule {
     // corpus) → broadcast semi join; corpus grams are exploded but
     // never shuffled (the semi join's build side ships instead).
     "q_decontaminate" -> ((s, dir) => {
-      val G = 4
-      val docs = Tables(s, dir, "documents").select(col("doc_id"), toks.as("l"))
-      def grams(df: DataFrame): DataFrame = df
-        .filter(size(col("l")) >= G)
-        .select(col("doc_id"),
-          explode(transform(sequence(lit(1), size(col("l")) - (G - 1)),
-            i => concat_ws(" ", slice(col("l"), i, lit(G))))).as("g"))
-      val bench = grams(docs.filter(col("doc_id") % 50 === 0))
+      // r17: gram generation moves from interpreted HOFs
+      // (transform(sequence)+concat_ws(slice)) into a JVM kernel — the
+      // shingleDf precedent from the dedup family — emitting each
+      // document's DISTINCT 4-grams. Distinct-per-doc is semantics-
+      // preserving here: the bench side is globally distinct'd anyway,
+      // and the corpus side only feeds a semi-join + doc_id distinct —
+      // membership, not multiplicity. Tokenization is split(" ", -1),
+      // byte-identical to Spark's split (trailing empties kept).
+      import s.implicits._
+      val base = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      def grams(df: DataFrame): DataFrame = df.as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val t = if (text == null) Array.empty[String]
+            else text.split(" ", -1)
+          val out =
+            if (t.length < 4) Array.empty[String]
+            else {
+              val a = new Array[String](t.length - 3)
+              var i = 0
+              while (i < a.length) {
+                a(i) = s"${t(i)} ${t(i + 1)} ${t(i + 2)} ${t(i + 3)}"
+                i += 1
+              }
+              a.distinct
+            }
+          (id, out)
+        }).toDF("doc_id", "gs")
+        .select(col("doc_id"), explode(col("gs")).as("g"))
+      val bench = grams(base.filter(col("doc_id") % 50 === 0))
         .select("g").distinct()
-      val contaminated = grams(docs.filter(col("doc_id") % 50 =!= 0))
+      val contaminated = grams(base.filter(col("doc_id") % 50 =!= 0))
         .join(broadcast(bench), Seq("g"), "left_semi")
         .select("doc_id").distinct()
-      docs.filter(col("doc_id") % 50 =!= 0)
+      base.filter(col("doc_id") % 50 =!= 0)
         .join(contaminated, Seq("doc_id"), "left_anti")
         .select("doc_id").orderBy("doc_id")
     }),
