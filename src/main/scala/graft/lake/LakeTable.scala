@@ -1335,7 +1335,7 @@ class LakeTable private (val location: Path, private[lake] var md: TableMetadata
     (if (pCols.nonEmpty) writer.partitionBy(pCols.map(_._1): _*) else writer)
       .parquet(outDir.toString)
 
-    listParquet(outDir).map { p =>
+    LakeTable.parMapFiles(listParquet(outDir)) { p =>
       // parse only the segments below outDir (an ancestor dir containing
       // '=' must not be misread as a partition value) and undo Spark's
       // Hive-style %XX escaping — NOT URLDecoder, which would corrupt
@@ -1371,7 +1371,7 @@ class LakeTable private (val location: Path, private[lake] var md: TableMetadata
       plan: Seq[graft.sources.PartField], outDir: Path,
       bloomSource: Option[DataFrame]): Seq[DataFileMeta] = {
     val files = LakeTable.writeViaTaskWriter(df, outDir, plan)
-    val metas = files.map { case (p, partVals) =>
+    val metas = LakeTable.parMapFiles(files) { case (p, partVals) =>
       val (rows, stats) = FileStats.fromFooterWithRows(p, md.currentSchema)
       DataFileMeta(p, md.currentSchemaId, md.currentSpec.id,
         rows = rows, partitionValues = partVals, stats = stats,
@@ -2019,6 +2019,22 @@ object LakeTable {
   private[lake] val DeleteFileSchema: StructType = StructType(Seq(
     StructField("file_path", StringType),
     StructField("pos", LongType)))
+
+  /** Driver-side parallel map for per-file commit work (footer stats
+    * reads: one open + footer parse per file, independent and
+    * IO-bound). Sequential below 3 items — the pool handoff costs more
+    * than it saves there; a compaction committing hundreds of files
+    * cuts its stats pass by ~min(nFiles, parallelism)×.
+    */
+  private[lake] def parMapFiles[A, B](xs: Seq[A])(f: A => B): Seq[B] =
+    if (xs.lengthCompare(3) < 0) xs.map(f)
+    else {
+      val in = xs.toIndexedSeq
+      val out = new Array[Any](in.size)
+      java.util.stream.IntStream.range(0, in.size).parallel()
+        .forEach(i => out(i) = f(in(i)))
+      out.toSeq.map(_.asInstanceOf[B])
+    }
 
   /** One job that writes `df` as parquet under `dir` through the DSv2
     * per-task writer ([[graft.sources.LakeParquetDataWriter]]) and

@@ -476,7 +476,7 @@ private[lake] trait LakeTableMaintenance { self: LakeTable =>
     // other old-schema file instead of corrupting metadata; partition
     // values were derived executor-side by the writer
     val schema = md.schemaById(writtenSchemaId)
-    val files = paths.sortBy(_._1).map { case (p, partVals) =>
+    val files = LakeTable.parMapFiles(paths.sortBy(_._1)) { case (p, partVals) =>
       val (rows, stats) = FileStats.fromFooterWithRows(p, schema)
       DataFileMeta(p, writtenSchemaId, writtenSpecId,
         rows = rows, partitionValues = partVals,
@@ -543,7 +543,7 @@ private[lake] trait LakeTableMaintenance { self: LakeTable =>
       spark: Option[SparkSession] = None): Option[SnapshotMeta] = {
     if (dataFiles.isEmpty && deleteFiles.isEmpty) return None
     val schema = md.schemaById(writtenSchemaId)
-    val files = dataFiles.sortBy(_._1).map { case (p, partVals) =>
+    val files = LakeTable.parMapFiles(dataFiles.sortBy(_._1)) { case (p, partVals) =>
       val (rows, stats) = FileStats.fromFooterWithRows(p, schema)
       DataFileMeta(p, writtenSchemaId, writtenSpecId,
         rows = rows, partitionValues = partVals,
