@@ -1195,7 +1195,12 @@ class LakeTable private (val location: Path, private[lake] var md: TableMetadata
     // machinery — ~30% of the lifecycle band's wall at sf0.1 was this
     // write job. Partition VALUES render via the same renderValue the
     // DSv2 writer uses (pinned equal to the Hive-dir rendering);
-    // -Dgraft.write.nodirect restores the old path for A/B.
+    // -Dgraft.write.nodirect restores the old path for A/B. Note the
+    // file-format contract: like every DSv2 lake write since the SQL
+    // DML path landed, the task writer pins SNAPPY + TIMESTAMP_MICROS
+    // — table properties (write.option.*), not session parquet confs,
+    // are how a lake table customizes its files, and those properties
+    // force the FileFormatWriter path above.
     // variant columns stay on the FileFormatWriter path: the session
     // conf it propagates is what SHREDS them (lake_variant_prune's
     // clip depends on that); the direct writer's task conf does not
@@ -1230,12 +1235,22 @@ class LakeTable private (val location: Path, private[lake] var md: TableMetadata
     directPlan match {
       case Some(plan) =>
         // same hash-distribution rule as the Hive path below: each
-        // partition value lands in one task → one file per value
-        val distributed =
+        // partition value lands in one task → one file per value. The
+        // within-partition sort by the transform expressions makes
+        // every rendered key ONE contiguous run, so the task writer's
+        // closeOnKeyChange mode holds a single open file regardless of
+        // partition cardinality — the same sorted dynamic-partition
+        // contract FileFormatWriter provides (review-found r17: the
+        // unsorted multi-sink form hard-capped at 1000 values/task
+        // where the Hive path had no limit).
+        val pExprs = pCols.map(_._2)
+        val base =
           if (plan.isEmpty ||
               md.properties.get("write.distribution-mode").contains("none"))
             aligned
-          else aligned.repartition(pCols.map(_._2): _*)
+          else aligned.repartition(pExprs: _*)
+        val distributed =
+          if (plan.isEmpty) base else base.sortWithinPartitions(pExprs: _*)
         return writeDirect(distributed, plan, outDir,
           Some(aligned0).filter(LakeTable.isLocalPlan))
       case None => ()
@@ -2050,11 +2065,15 @@ object LakeTable {
     Files.createDirectories(dir)
     val out = dir.toString
     val writeSchema = df.schema
+    // partitioned writes arrive sorted by the transform expressions
+    // (the caller's contract) — one open file per task at any
+    // cardinality; unsorted keys would only split into extra files
+    val keyed = plan.nonEmpty
     df.queryExecution.toRdd.mapPartitionsWithIndex { (i, it) =>
       if (!it.hasNext) Iterator.empty
       else {
         val w = new graft.sources.LakeParquetDataWriter(
-          out, writeSchema, plan, s"b$i")
+          out, writeSchema, plan, s"b$i", closeOnKeyChange = keyed)
         try {
           it.foreach(w.write)
           w.commit() match {

@@ -215,9 +215,21 @@ private[sources] class LakeStreamingWriterFactory(stageDir: String,
 /** Writes InternalRows to parquet, one lazily opened file per hidden-
   * partition value (Spark's ParquetWriteSupport). An empty task
   * creates no files.
+  *
+  * `closeOnKeyChange` (the r17 batch direct-write mode): the task
+  * holds ONE open file and closes it whenever the rendered partition
+  * key changes — callers sort rows by the partition transform
+  * expressions first, so each key is one contiguous run and the write
+  * is one file per (task, value) with O(1) open-sink memory at ANY
+  * partition cardinality (FileFormatWriter's sorted dynamic-partition
+  * behavior). If a key DOES reappear (unsorted input), a second file
+  * for the same value is emitted — more files, never wrong data — so
+  * the mode is safe unconditionally; the MaxOpenPartitions cap only
+  * guards the multi-sink streaming mode.
   */
 private[graft] class LakeParquetDataWriter(stageDir: String,
-    schema: StructType, partPlan: Seq[PartField], filePrefix: String)
+    schema: StructType, partPlan: Seq[PartField], filePrefix: String,
+    closeOnKeyChange: Boolean = false)
     extends DataWriter[InternalRow] {
 
   private case class Sink(
@@ -226,6 +238,9 @@ private[graft] class LakeParquetDataWriter(stageDir: String,
 
   private val sinks = mutable.LinkedHashMap.empty[Seq[String], Sink]
   private val MaxOpenPartitions = 1000
+  // closeOnKeyChange mode: files already closed mid-task, reported at commit
+  private val closed = mutable.ArrayBuffer.empty[(String, Map[String, String])]
+  private var fileSeq = 0
 
   private def open(path: String): Sink = {
     val conf = graft.lake.HadoopConfs.mutable()
@@ -265,12 +280,19 @@ private[graft] class LakeParquetDataWriter(stageDir: String,
       } else throw new IllegalStateException(
         s"row has ${record.numFields} fields for ${schema.length}-column schema")
     val key = partPlan.map(p => LakeStreamingWrite.renderValue(p, row))
+    if (closeOnKeyChange && sinks.nonEmpty && !sinks.contains(key)) {
+      val (prevKey, prev) = sinks.head
+      prev.writer.close(prev.ctx)
+      closed += prev.path -> partPlan.map(_.name).zip(prevKey).toMap
+      sinks.clear()
+    }
     val sink = sinks.getOrElseUpdate(key, {
-      require(sinks.size < MaxOpenPartitions,
+      require(closeOnKeyChange || sinks.size < MaxOpenPartitions,
         s"task exceeds $MaxOpenPartitions open partitions — repartition " +
           "the input by the partition source columns (each open file " +
           "buffers a row group; memory limits bite before this cap)")
-      open(s"$stageDir/part-$filePrefix-${sinks.size}-" +
+      fileSeq += 1
+      open(s"$stageDir/part-$filePrefix-${fileSeq - 1}-" +
         s"${UUID.randomUUID().toString.take(8)}.parquet")
     })
     sink.writer.write(null, row)
@@ -282,7 +304,9 @@ private[graft] class LakeParquetDataWriter(stageDir: String,
       sink.path -> partPlan.map(_.name).zip(key).toMap
     }
     sinks.clear()
-    LakeFilesCommit(files)
+    val all = closed.toSeq ++ files
+    closed.clear()
+    LakeFilesCommit(all)
   }
 
   override def abort(): Unit = {
@@ -294,6 +318,13 @@ private[graft] class LakeParquetDataWriter(stageDir: String,
         "." + p.getFileName.toString + ".crc"))
     }
     sinks.clear()
+    closed.foreach { case (path, _) =>
+      val p = Paths.get(path)
+      Files.deleteIfExists(p)
+      Files.deleteIfExists(p.getParent.resolve(
+        "." + p.getFileName.toString + ".crc"))
+    }
+    closed.clear()
   }
 
   override def close(): Unit = ()

@@ -95,6 +95,29 @@ class DirectWriteSpec extends AnyFunSuite {
         "flow through the hadoop conf there)")
   }
 
+  test("high-cardinality partitioning writes without an open-sink cap " +
+      "(sorted close-on-key-change mode)") {
+    // 1500 distinct partition values — above the streaming writer's
+    // 1000-open-sink cap — must write fine on the batch direct path:
+    // rows are sorted by the transform within each task, so the writer
+    // holds ONE open file (FileFormatWriter's sorted dynamic-partition
+    // contract, which the pre-r17 Hive path provided)
+    import SparkTestSession.spark.implicits._
+    val (_, t) = mk("hicard")
+    val wide = (0 until 3000).map(i => (i.toLong, s"g${i % 1500}", i * 1.0))
+      .toDF("id", "grp", "score").repartition(2)
+    t.append(wide)
+    val fs = t.metadata.snapshots.flatMap(_.files)
+    assert(fs.map(_.partitionValues("g")).toSet.size === 1500)
+    assert(fs.map(_.rows).sum === 3000L)
+    val n = t.read(spark).select(sum(lit(1)).cast("long"))
+      .collect()(0).getLong(0)
+    assert(n === 3000L)
+    val pruned = t.read(spark, prune = Map("g" -> Set("g7")))
+      .select(sum(lit(1)).cast("long")).collect()(0).getLong(0)
+    assert(pruned === 2L)
+  }
+
   test("null and empty partition sources render the Hive default " +
       "partition on both paths") {
     import SparkTestSession.spark.implicits._
